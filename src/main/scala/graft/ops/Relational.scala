@@ -1,0 +1,238 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Cols._
+
+/** Relational operator surface: scan/filter/project, aggregation,
+  * all join flavors, window, sort/limit, set ops, pivot, rollup/cube.
+  *
+  * Scale notes (100 TB): dimension tables (region/nation/supplier/
+  * customer/part) are broadcast — star joins never shuffle the fact
+  * table by dim keys. Aggregations are declared via groupBy so Catalyst
+  * inserts partial (map-side) aggregation. Filters sit directly on the
+  * scan so parquet gets PushedFilters + pruned ReadSchema.
+  */
+object Relational {
+
+  /** q01: TPC-H Q1 shape — scan → filter → groupBy → multi-aggregate. */
+  def q01(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        cents(sum(col("l_quantity"))).as("sum_qty"),
+        cents(sum(col("l_extendedprice"))).as("sum_base_price"),
+        cents(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
+        cents(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))).as("sum_charge"),
+        cents(avg(col("l_quantity"))).as("avg_qty"),
+        cents(avg(col("l_extendedprice"))).as("avg_price"),
+        bp(avg(col("l_discount"))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** q03: TPC-H Q3 shape — 3-way join → agg → top-k by revenue. */
+  def q03(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val ord  = Tables.orders(s, d).filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val li   = Tables.lineitem(s, d).filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
+      .agg(cents(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  /** q04: EXISTS → left-semi join (TPC-H Q4 shape). */
+  def q04(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1996-04-01").cast("timestamp"))
+    val big = Tables.lineitem(s, d).filter(col("l_quantity") > 45)
+    ord.join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  /** q05: 6-way star join → agg (TPC-H Q5 shape). Dims broadcast. */
+  def q05(s: SparkSession, d: String): DataFrame = {
+    val li  = Tables.lineitem(s, d)
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1997-01-01").cast("timestamp"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, d)),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(cents(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+  }
+
+  /** q06: selective scan-filter-aggregate (TPC-H Q6 shape). */
+  def q06(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1997-01-01").cast("timestamp") &&
+              col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(cents(sum(col("l_extendedprice") * col("l_discount"))).as("revenue"),
+           count(lit(1)).as("cnt"))
+
+  /** q07: window functions — rank / row_number / partitioned sum. */
+  def q07(s: SparkSession, d: String): DataFrame = {
+    val w  = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    val wp = Window.partitionBy(col("c_nationkey"))
+    Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey"),
+        cents(col("c_acctbal")).as("acctbal"),
+        rank().over(w).as("rnk"),
+        row_number().over(w).as("rn"),
+        cents(sum(col("c_acctbal")).over(wp)).as("nation_total"))
+      .filter(col("rn") <= 5)
+  }
+
+  /** q08: global sort + limit with deterministic tie-breaks. */
+  def q08(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), cents(col("o_totalprice")).as("totalprice"),
+              date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"))
+      .orderBy(col("totalprice").desc, col("o_orderkey").asc)
+      .limit(25)
+
+  /** q09: distinct + count-distinct aggregates. */
+  def q09(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+           countDistinct(col("l_suppkey")).as("n_supps"),
+           countDistinct(col("l_returnflag"), col("l_linestatus")).as("n_flag_status"),
+           count(lit(1)).as("n_rows"))
+
+  /** q10: returned-item ranking (TPC-H Q10 shape). */
+  def q10(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+    li.join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(cents(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
+  /** q11: set operations — INTERSECT / EXCEPT / UNION ALL. */
+  def q11(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+    def custsIn(y: Int) = ord
+      .filter(year(col("o_orderdate")) === y)
+      .select(col("o_custkey").as("custkey")).distinct()
+    val a = custsIn(1996)
+    val b = custsIn(1997)
+    a.intersect(b).select(lit("both").as("tag"), col("custkey"))
+      .unionAll(a.except(b).select(lit("only_1996").as("tag"), col("custkey")))
+      .unionAll(b.except(a).select(lit("only_1997").as("tag"), col("custkey")))
+  }
+
+  /** q12: pivot (wide conditional aggregation) by linestatus. */
+  def q12(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(cents(sum(col("l_quantity"))))
+      .withColumnRenamed("F", "qty_f").withColumnRenamed("O", "qty_o")
+
+  /** q13: left outer join + agg including empty groups (TPC-H Q13). */
+  def q13(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d).filter(col("o_orderstatus") === "O")
+    Tables.customer(s, d)
+      .join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  /** q14: conditional-aggregate ratio (TPC-H Q14 shape). */
+  def q14(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1996-10-01").cast("timestamp"))
+    li.join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .agg(bp(
+        sum(when(col("p_type") === "PROMO", col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .otherwise(lit(0.0))) * lit(100.0) /
+        sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("promo_pct"))
+  }
+
+  /** q16: NOT EXISTS → left-anti join. */
+  def q16(s: SparkSession, d: String): DataFrame = {
+    val big = Tables.lineitem(s, d).filter(col("l_quantity") > 40)
+    Tables.part(s, d)
+      .join(big, col("p_partkey") === col("l_partkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"))
+      .agg(count(lit(1)).as("part_cnt"))
+  }
+
+  /** q17: per-group scalar subquery (avg) then filter (TPC-H Q17 shape).
+    * l_quantity is integral so avg = exact-int-sum / count is
+    * bit-deterministic across engines and orderings. */
+  def q17(s: SparkSession, d: String): DataFrame = {
+    val li  = Tables.lineitem(s, d)
+    val avgQ = li.groupBy(col("l_partkey").as("ap_partkey"))
+      .agg((avg(col("l_quantity")) * 0.5).as("half_avg_qty"))
+    val smallParts = Tables.part(s, d).filter(col("p_size") <= 5)
+    li.join(broadcast(smallParts), col("l_partkey") === col("p_partkey"))
+      .join(avgQ, col("l_partkey") === col("ap_partkey"))
+      .filter(col("l_quantity") < col("half_avg_qty"))
+      .agg(cents(sum(col("l_extendedprice")) / 7.0).as("avg_yearly"), count(lit(1)).as("cnt"))
+  }
+
+  /** q18: groupBy + HAVING on aggregate (TPC-H Q18 shape).
+    * Quantities are integral doubles so the HAVING threshold is exact. */
+  def q18(s: SparkSession, d: String): DataFrame = {
+    val bigOrders = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey").as("bo_orderkey"))
+      .agg(sum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > 150)
+    bigOrders
+      .join(Tables.orders(s, d), col("bo_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"),
+        cents(col("o_totalprice")).as("totalprice"),
+        cents(col("total_qty")).as("total_qty"))
+  }
+
+  /** q19: disjunctive multi-clause predicate (TPC-H Q19 shape). */
+  def q19(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    li.join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5)  && col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) && col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) && col("l_quantity").between(20, 30)))
+      .agg(cents(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"),
+           count(lit(1)).as("cnt"))
+  }
+
+  /** q21: ROLLUP hierarchical aggregate. */
+  def q21(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(cents(sum(col("l_quantity"))).as("sum_qty"), count(lit(1)).as("cnt"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+              coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+              col("sum_qty"), col("cnt"))
+
+  /** q22: CUBE aggregate. */
+  def q22(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(cents(sum(col("o_totalprice"))).as("sum_price"), count(lit(1)).as("cnt"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("orderstatus"),
+              coalesce(col("o_orderpriority"), lit("ALL")).as("orderpriority"),
+              col("sum_price"), col("cnt"))
+}
