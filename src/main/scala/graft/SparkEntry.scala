@@ -36,6 +36,16 @@ object SparkEntry {
     "q19_disjunctive"     -> (Relational.q19 _),
     "q21_rollup"          -> (Relational.q21 _),
     "q22_cube"            -> (Relational.q22 _),
+    "q30_tumbling_window" -> (Events.q30 _),
+    "q31_sessionize"      -> (Events.q31 _),
+    "q32_topk_per_group"  -> (Events.q32 _),
+    "q33_asof_join"       -> (Events.q33 _),
+    "q34_json_extract"    -> (Events.q34 _),
+    "q40_token_stats"     -> (Text.q40 _),
+    "q41_quality_score"   -> (Text.q41 _),
+    "q42_langid"          -> (Text.q42 _),
+    "q43_fingerprint"     -> (Text.q43 _),
+    "q44_ngram_freq"      -> (Text.q44 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -187,5 +197,79 @@ object SparkEntry {
          coalesce(o_orderpriority, 'ALL') AS orderpriority,
          ${C("sum(o_totalprice)")} AS sum_price, count(*) AS cnt
          FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""",
+
+    "q30_tumbling_window" ->
+      s"""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts, event_type,
+         count(*) AS n_events, ${C("sum(value)")} AS sum_value, ${C("avg(value)")} AS avg_value
+         FROM events GROUP BY 1, 2""",
+
+    "q31_sessionize" ->
+      s"""WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS ts_us FROM events),
+         l AS (SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us FROM e),
+         f AS (SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS ns FROM l),
+         ss AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS session_idx FROM f)
+         SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+         min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
+         count(*) AS n_events, ${C("sum(value)")} AS sum_value FROM ss GROUP BY 1, 2""",
+
+    "q32_topk_per_group" ->
+      s"""SELECT user_id, event_id, value_c, rn FROM (
+           SELECT user_id, event_id, ${C("value")} AS value_c,
+             row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rn
+           FROM events) WHERE rn <= 3""",
+
+    "q33_asof_join" ->
+      """WITH j AS (SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us, o.o_orderdate, o.o_orderkey
+                    FROM events e JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts),
+         m AS (SELECT event_id, user_id, ts_us, max(o_orderdate) AS md FROM j GROUP BY 1, 2, 3)
+         SELECT m.event_id, m.user_id, m.ts_us, max(j.o_orderkey) AS last_orderkey,
+                epoch_us(m.md) AS last_order_us
+         FROM m JOIN j ON j.event_id = m.event_id AND j.o_orderdate = m.md
+         GROUP BY 1, 2, 3, 5""",
+
+    "q34_json_extract" ->
+      s"""SELECT event_type, CAST(sum(k) AS BIGINT) AS sum_k, ${C("avg(k)")} AS avg_k,
+         count(DISTINCT k) AS n_distinct_k, count(*) AS cnt
+         FROM (SELECT event_type, CAST(json_extract(props, '$$.k') AS BIGINT) AS k FROM events)
+         GROUP BY event_type""",
+
+    "q40_token_stats" ->
+      s"""SELECT lang, CAST(sum(n_ws) AS BIGINT) AS sum_ws_tokens,
+         CAST(sum(n_bpe) AS BIGINT) AS sum_bpe_tokens,
+         ${C("avg(n_ws)")} AS avg_ws_tokens, max(n_ws) AS max_ws_tokens, count(*) AS n_docs
+         FROM (SELECT lang, len(string_split(text, ' ')) AS n_ws,
+               len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe FROM documents)
+         GROUP BY lang""",
+
+    "q41_quality_score" ->
+      s"""SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
+         ${BP("nstop / nt")} AS stop_ratio_bp,
+         ${BP("(nchars - (nt - 1)) / nt")} AS mean_word_len_bp,
+         ${BP("0.5 * least(nt / 100.0, 1.0) + 0.3 * (1.0 - nstop / nt) + 0.2 * least(((nchars - (nt - 1)) / nt) / 8.0, 1.0)")} AS quality_bp
+         FROM (SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt,
+               CAST(len(list_filter(string_split(text, ' '),
+                 t -> t IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) AS nstop,
+               CAST(length(text) AS DOUBLE) AS nchars FROM documents)""",
+
+    "q42_langid" ->
+      s"""WITH sc AS (SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS nt
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+         u AS (
+           SELECT doc_id, 'en' AS lang, 0 AS rnk, len(list_filter(toks, t -> t IN ('the','a','is'))) / nt AS score FROM sc
+           UNION ALL SELECT doc_id, 'de', 1, len(list_filter(toks, t -> t IN ('der','und','table'))) / nt FROM sc
+           UNION ALL SELECT doc_id, 'es', 2, len(list_filter(toks, t -> t IN ('el','y','data'))) / nt FROM sc
+           UNION ALL SELECT doc_id, 'fr', 3, len(list_filter(toks, t -> t IN ('le','et','row'))) / nt FROM sc
+           UNION ALL SELECT doc_id, 'zh', 4, len(list_filter(toks, t -> t IN ('scan','hash','join'))) / nt FROM sc),
+         r AS (SELECT doc_id, lang, score,
+               row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, rnk ASC) AS rn FROM u)
+         SELECT doc_id, lang AS pred_lang, ${BP("score")} AS top_score_bp FROM r WHERE rn = 1""",
+
+    "q44_ngram_freq" ->
+      """WITH b AS (SELECT lang, unnest(list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i+1])) AS bigram
+                    FROM (SELECT lang, string_split(text, ' ') AS toks FROM documents)),
+         c AS (SELECT lang, bigram, count(*) AS cnt FROM b GROUP BY 1, 2),
+         r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, bigram ASC) AS rn FROM c)
+         SELECT lang, bigram, cnt, rn FROM r WHERE rn <= 5""",
   )
 }

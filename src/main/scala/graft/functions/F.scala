@@ -1,0 +1,17 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftColumns}
+
+/** Column-API facade over graft's native expressions. */
+object F {
+  private def u(c: Column) = GraftColumns.unwrap(c)
+
+  /** 64-bit rolling polynomial hash of a string column. */
+  def rollingHash64(c: Column): Column = GraftColumns.wrap(RollingHash64(u(c)))
+
+  /** Hamming distance between two 64-bit signature columns. */
+  def hamming64(l: Column, r: Column): Column = GraftColumns.wrap(HammingDistance64(u(l), u(r)))
+
+  /** Cosine similarity between two array<float> columns. */
+  def cosineSim(l: Column, r: Column): Column = GraftColumns.wrap(CosineSimilarity(u(l), u(r)))
+}

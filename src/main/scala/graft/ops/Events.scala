@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Cols._
+
+/** Time-series / event operators: tumbling windows, gap sessionization,
+  * top-k per group, as-of join, JSON property extraction.
+  *
+  * Scale notes (100 TB): every operator here shuffles AT MOST ONCE, on
+  * the entity key (user_id), then does all per-entity work inside the
+  * partition via window functions — no cross-partition state, no
+  * driver-side iteration. The as-of join is the union-merge formulation
+  * (one shuffle of both sides on the key, one in-partition sort) rather
+  * than an events×orders range join, so it stays linear at scale.
+  */
+object Events {
+
+  /** q30: event-time tumbling window (1h) aggregate per event type.
+    * Map-side partial agg; output key is (hour bucket, type). */
+  def q30(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(
+        unix_timestamp(date_trunc("hour", col("ts"))).as("hour_ts"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           cents(sum(col("value"))).as("sum_value"),
+           cents(avg(col("value"))).as("avg_value"))
+
+  /** q31: gap-based sessionization (30-min inactivity gap).
+    * Single shuffle on user_id; lag + running-sum inside the partition.
+    * Session bounds exported as exact integer microseconds. */
+  def q31(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    val gapUs = 30L * 60 * 1000000
+    Tables.events(s, d)
+      .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1).otherwise(0))
+      .withColumn("session_idx", sum(col("new_session")).over(byUser))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(min(col("ts_us")).as("session_start_us"),
+           max(col("ts_us")).as("session_end_us"),
+           count(lit(1)).as("n_events"),
+           cents(sum(col("value"))).as("sum_value"))
+  }
+
+  /** q32: top-3 events per user by value (deterministic tie-break on
+    * event_id). row_number inside the user partition — the filter cuts
+    * before any further shuffle, so output is k×users not all events. */
+  def q32(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("value").desc, col("event_id").asc)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), cents(col("value")).as("value_c"),
+              row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3)
+  }
+
+  /** q33: as-of (backward) join events→orders on user/time.
+    *
+    * Union-merge formulation: tag both sides, union, single shuffle on
+    * the key, then `last(_, ignoreNulls)` over an ordered window carries
+    * the most recent order forward onto each event row. Ties on order
+    * date resolve to the greatest o_orderkey (rows sorted so that the
+    * winning order is last before the event). This is one shuffle + one
+    * sort regardless of how many orders precede each event — an
+    * events×orders inequality join would be quadratic per key.
+    * Matched events only (inner as-of). */
+  def q33(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(
+      col("user_id").as("k"), unix_micros(col("ts").cast("timestamp")).as("t_us"),
+      lit(1).as("is_event"), col("event_id"),
+      lit(null).cast("long").as("o_orderkey_in"), lit(null).cast("long").as("o_date_us_in"))
+    val ord = Tables.orders(s, d).select(
+      col("o_custkey").as("k"), unix_micros(col("o_orderdate").cast("timestamp")).as("t_us"),
+      lit(0).as("is_event"), lit(null).cast("long").as("event_id"),
+      col("o_orderkey").as("o_orderkey_in"),
+      unix_micros(col("o_orderdate").cast("timestamp")).as("o_date_us_in"))
+    // Order rows sort before event rows at equal t_us (is_event asc) and
+    // among simultaneous orders the max o_orderkey comes last → `last`
+    // picks exactly max(o_orderdate, o_orderkey) among orders ≤ ts.
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("t_us").asc, col("is_event").asc, col("o_orderkey_in").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.unionByName(ord)
+      .withColumn("last_orderkey", last(col("o_orderkey_in"), ignoreNulls = true).over(w))
+      .withColumn("last_order_us", last(col("o_date_us_in"), ignoreNulls = true).over(w))
+      .filter(col("is_event") === 1 && col("last_orderkey").isNotNull)
+      .select(col("event_id"), col("k").as("user_id"), col("t_us").as("ts_us"),
+              col("last_orderkey"), col("last_order_us"))
+  }
+
+  /** q34: JSON property extraction + aggregate over the extracted field. */
+  def q34(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"),
+           cents(avg(col("k"))).as("avg_k"),
+           countDistinct(col("k")).as("n_distinct_k"),
+           count(lit(1)).as("cnt"))
+}

@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Cols._
+
+/** Text-analysis operators over the documents table: token statistics,
+  * quality scoring, language-ID, fingerprinting, n-gram frequencies.
+  *
+  * Everything is per-document map-side work (split/regexp/higher-order
+  * functions, all codegen'd) followed by at most one aggregation shuffle
+  * on a low-cardinality key — linear and embarrassingly parallel at
+  * 100 TB. No UDFs: `split`/`size`/`filter`/`transform`/`aggregate`
+  * keep the hot path inside whole-stage codegen.
+  */
+object Text {
+
+  /** Shared stopword list (mirrored literally in the DuckDB oracles). */
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  private def toks = split(col("text"), " ")
+
+  /** q40: token counting — whitespace tokens plus a BPE-ish regex
+    * tokenization (runs of letters | digits | single other char). */
+  def q40(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("lang"),
+        size(toks).as("n_ws"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("n_bpe"))
+      .groupBy(col("lang"))
+      .agg(sum(col("n_ws")).as("sum_ws_tokens"),
+           sum(col("n_bpe")).as("sum_bpe_tokens"),
+           cents(avg(col("n_ws"))).as("avg_ws_tokens"),
+           max(col("n_ws")).as("max_ws_tokens"),
+           count(lit(1)).as("n_docs"))
+
+  /** q41: per-document quality score from length, stopword ratio and
+    * mean word length; weights fixed, all fixed-point on export. */
+  def q41(s: SparkSession, d: String): DataFrame = {
+    val nTok  = size(toks).cast("double")
+    val nStop = size(filter(toks, t => t.isin(stopwords.map(lit(_)): _*))).cast("double")
+    val stopRatio = nStop / nTok
+    val meanWordLen = (length(col("text")) - (nTok - 1)) / nTok
+    val lenScore = least(nTok / lit(100.0), lit(1.0))
+    val quality = lit(0.5) * lenScore + lit(0.3) * (lit(1.0) - stopRatio) +
+      lit(0.2) * least(meanWordLen / lit(8.0), lit(1.0))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      nTok.cast("long").as("n_tokens"),
+      bp(stopRatio).as("stop_ratio_bp"),
+      bp(meanWordLen).as("mean_word_len_bp"),
+      bp(quality).as("quality_bp"))
+  }
+
+  /** Marker-word profiles for the deterministic language-ID heuristic.
+    * (The synthetic corpus shares one vocabulary across `lang` labels, so
+    * this scores frequency profiles rather than real orthography; the
+    * operator shape — per-doc scoring + argmax with lexicographic
+    * tie-break — is what matters and is byte-deterministic.) */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "is"),
+    "de" -> Seq("der", "und", "table"),
+    "es" -> Seq("el", "y", "data"),
+    "fr" -> Seq("le", "et", "row"),
+    "zh" -> Seq("scan", "hash", "join"))
+
+  /** q42: deterministic language-ID — marker-word frequency argmax,
+    * ties broken by language code ascending. */
+  def q42(s: SparkSession, d: String): DataFrame = {
+    val nTok = size(toks).cast("double")
+    val scored = langMarkers.foldLeft(Tables.documents(s, d)) { case (df, (lang, ms)) =>
+      df.withColumn(s"score_$lang",
+        size(filter(toks, t => t.isin(ms.map(lit(_)): _*))).cast("double") / nTok)
+    }
+    val best = langMarkers.map { case (lang, _) =>
+      struct(col(s"score_$lang").as("score"), lit(lang).as("lang"))
+    }
+    // greatest() on (score, lang) structs: max score, then max lang —
+    // to get ties → SMALLEST lang we compare on (score, negated rank).
+    val ranked = langMarkers.map { case (lang, _) =>
+      struct(col(s"score_$lang").as("score"),
+             lit(-langMarkers.indexWhere(_._1 == lang)).as("nrank"),
+             lit(lang).as("lang"))
+    }
+    scored.select(col("doc_id"),
+        greatest(ranked: _*).getField("lang").as("pred_lang"),
+        bp(greatest(ranked: _*).getField("score")).as("top_score_bp"))
+  }
+
+  /** q43: 64-bit rolling polynomial fingerprint of the document text
+    * (base 31 over UTF-16 code units, wrapping 64-bit arithmetic) via
+    * the native codegen'd expression in graft.functions. Deterministic;
+    * not SQL-expressible in the oracle (no wrapping int64 in DuckDB). */
+  def q43(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), graft.functions.F.rollingHash64(col("text")).as("fingerprint"))
+
+  /** q44: top-5 bigrams per language (count desc, bigram asc). */
+  def q44(s: SparkSession, d: String): DataFrame = {
+    val bigrams = expr(
+      "transform(slice(split(text, ' '), 1, size(split(text, ' ')) - 1), " +
+      "(x, i) -> concat(x, ' ', element_at(split(text, ' '), i + 2)))")
+    val w = Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("bigram").asc)
+    Tables.documents(s, d)
+      .select(col("lang"), explode(bigrams).as("bigram"))
+      .groupBy(col("lang"), col("bigram"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+  }
+}
