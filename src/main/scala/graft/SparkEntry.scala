@@ -46,6 +46,14 @@ object SparkEntry {
     "q42_langid"          -> (Text.q42 _),
     "q43_fingerprint"     -> (Text.q43 _),
     "q44_ngram_freq"      -> (Text.q44 _),
+    "q50_dedup_exact"     -> (Dedup.q50 _),
+    "q51_dedup_ngram_jaccard" -> (Dedup.q51 _),
+    "q52_dedup_minhash_lsh"   -> (Dedup.q52 _),
+    "q53_dedup_simhash"   -> (Dedup.q53 _),
+    "q54_dedup_embedding" -> (Dedup.q54 _),
+    "q60_ann_bruteforce"  -> (Similarity.q60 _),
+    "q61_ann_lsh"         -> (Similarity.q61 _),
+    "q70_multimodal_meta" -> (Multimodal.q70 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -271,5 +279,42 @@ object SparkEntry {
          c AS (SELECT lang, bigram, count(*) AS cnt FROM b GROUP BY 1, 2),
          r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, bigram ASC) AS rn FROM c)
          SELECT lang, bigram, cnt, rn FROM r WHERE rn <= 5""",
+
+    "q50_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+         FROM documents GROUP BY md5(text)""",
+
+    "q51_dedup_ngram_jaccard" -> jaccardOracle,
+    // q52's LSH candidates at these similarity levels recover the exact
+    // pair set (miss prob ~2e-11 per 0.97-similar pair), so the verified
+    // output is graded against the same exact-Jaccard oracle.
+    "q52_dedup_minhash_lsh" -> jaccardOracle,
+
+    "q54_dedup_embedding" ->
+      s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+         ${BP("list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))")} AS cos_bp
+         FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.35""",
+
+    "q60_ann_bruteforce" ->
+      s"""WITH s AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS cos
+           FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+           WHERE q.vec_id < 10),
+         r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM s)
+         SELECT query_id, rank, neighbor_id, ${BP("cos")} AS cos_bp FROM r WHERE rank <= 10""",
   )
+
+  private def jaccardOracle: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle FROM t),
+       sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       pair AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS common
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+       SELECT ida AS doc_a, idb AS doc_b,
+       ${BP("common / CAST(na.n + nb.n - common AS DOUBLE)")} AS jaccard_bp
+       FROM pair JOIN sz na ON na.doc_id = ida JOIN sz nb ON nb.doc_id = idb
+       WHERE common / CAST(na.n + nb.n - common AS DOUBLE) >= 0.6"""
 }

@@ -1,0 +1,155 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Cols._
+import graft.functions.F
+
+/** Deduplication family over the documents table: exact, n-gram Jaccard,
+  * MinHash+LSH, SimHash, embedding-cosine.
+  *
+  * Scale design (100 TB):
+  * - exact dedup is one hash shuffle on md5(text) — linear.
+  * - exact Jaccard uses an inverted shingle index (explode → self-join on
+  *   shingle → count common). Exact but O(Σ postings²) on hot shingles;
+  *   it's the ground-truth/oracle path. The scale path is MinHash-LSH:
+  *   signature build is map-only (128 mins over exploded shingles), the
+  *   band join shuffles on (band, hash-of-8-rows) buckets — candidates
+  *   are O(near-dups), not O(n²) — and only candidates are verified.
+  * - SimHash blocks by pigeonhole: hamming ≤ 3 on 64 bits means at least
+  *   one of 4 16-bit chunks is equal, so the pair join runs on chunk
+  *   equality, never all-pairs.
+  * - embedding dedup blocks on the label column (at scale: a coarse
+  *   cluster id), so the pair join is per-block.
+  */
+object Dedup {
+
+  private val toks = split(col("text"), " ")
+
+  /** Distinct word 3-shingles per document: (doc_id, shingle). */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(array_distinct(
+        expr("""transform(slice(split(text, ' '), 1, greatest(size(split(text, ' ')) - 2, 0)),
+                (x, i) -> concat_ws(' ', x, element_at(split(text, ' '), i + 2),
+                                       element_at(split(text, ' '), i + 3)))""")))
+        .as("shingle"))
+
+  /** q50: exact dedup — group by md5(text), keep the smallest doc_id. */
+  def q50(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** q51: exact n-gram Jaccard pairs (τ = 0.6) via inverted shingle index. */
+  def q51(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(s, d).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val common = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    val jac = col("common").cast("double") /
+      (col("na.n_sh") + col("nb.n_sh") - col("common")).cast("double")
+    common
+      .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))
+      .join(sizes.as("nb"), col("doc_b") === col("nb.doc_id"))
+      .filter(jac >= 0.6)
+      .select(col("doc_a"), col("doc_b"), bp(jac).as("jaccard_bp"))
+  }
+
+  val MinhashPerms = 128
+  val LshBands = 16
+  val LshRows = 8 // MinhashPerms / LshBands
+
+  /** MinHash signatures: one row per doc, array of 128 per-perm minima.
+    * Each "permutation" is xxhash64 seeded differently by mixing in the
+    * perm index — avoids (a*x+b) mod p, whose multiply overflows under
+    * ANSI mode. Map-only after the per-doc aggregation shuffle. */
+  private def minhashSigs(s: SparkSession, d: String): DataFrame = {
+    val mins = (0 until MinhashPerms).map(i => min(xxhash64(col("shingle"), lit(i))).as(s"m$i"))
+    shingles(s, d)
+      .groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id") +: (0 until MinhashPerms).map(i => col(s"m$i")): _*)
+  }
+
+  /** q52: MinHash(128) + 16-band LSH candidates → exact-Jaccard verify
+    * (τ = 0.6). With 8 rows/band, a 0.97-similar pair is missed with
+    * probability ~(1-0.97⁸)¹⁶ ≈ 2e-11, so the verified output equals the
+    * exact q51 result — and shares its oracle. */
+  def q52(s: SparkSession, d: String): DataFrame = {
+    val sigs = minhashSigs(s, d)
+    val bandCols = (0 until LshBands).map { b =>
+      val rows = (0 until LshRows).map(r => col(s"m${b * LshRows + r}"))
+      struct(lit(b).as("band"), xxhash64(rows: _*).as("bh"))
+    }
+    val buckets = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    val candidates = buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // Verify candidates with exact Jaccard over the shingle index.
+    val sh = shingles(s, d).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val common = candidates
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") &&
+        col("sa.shingle") === col("sb.shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    val jac = col("common").cast("double") /
+      (col("na.n_sh") + col("nb.n_sh") - col("common")).cast("double")
+    common
+      .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))
+      .join(sizes.as("nb"), col("doc_b") === col("nb.doc_id"))
+      .filter(jac >= 0.6)
+      .select(col("doc_a"), col("doc_b"), bp(jac).as("jaccard_bp"))
+  }
+
+  /** q53: 64-bit SimHash near-dup pairs (Hamming ≤ 3), blocked by the
+    * 4×16-bit pigeonhole chunks. Token weights = 1 over distinct tokens. */
+  def q53(s: SparkSession, d: String): DataFrame = {
+    val tokenBits = Tables.documents(s, d)
+      .select(col("doc_id"), explode(array_distinct(toks)).as("tok"))
+      .withColumn("th", xxhash64(col("tok")))
+    // For each bit k: +1 if set else -1; majority vote per doc.
+    val bitSums = (0 until 64).map { k =>
+      sum(when(shiftright(col("th"), k).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$k")
+    }
+    val sigs = tokenBits.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map { k =>
+          shiftleft(when(col(s"b$k") >= 0, 1L).otherwise(0L), k)
+        }.reduce(_ bitwiseOR _).as("simhash"))
+    val chunks = sigs.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(c =>
+          struct(lit(c).as("c"),
+            shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xffffL)).as("v"))): _*)).as("ck"))
+      .select(col("doc_id"), col("simhash"), col("ck.c").as("c"), col("ck.v").as("v"))
+    chunks.as("a").join(chunks.as("b"),
+        col("a.c") === col("b.c") && col("a.v") === col("b.v") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        F.hamming64(col("a.simhash"), col("b.simhash")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+  }
+
+  /** q54: embedding-cosine near-dup pairs (τ = 0.35), blocked on label.
+    * Cosine runs in the native codegen'd expression, accumulated in
+    * double in index order — bit-identical to the DuckDB oracle's
+    * list_cosine_similarity over DOUBLE[]. */
+  def q54(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val cos = F.cosineSim(col("a.embedding"), col("b.embedding"))
+    e.as("a").join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .filter(cos >= 0.35)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.label").as("label"), bp(cos).as("cos_bp"))
+  }
+}

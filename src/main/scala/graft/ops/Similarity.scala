@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Cols._
+import graft.functions.F
+
+/** Similarity search over the embeddings table.
+  *
+  * Scale design (100 TB): the query set is small and broadcast, so the
+  * scoring pass is map-side over the (huge) corpus — no corpus shuffle.
+  * The only shuffle is the per-query top-k reduction, which moves
+  * O(queries × corpus-partition-count × k) rows after partial pruning,
+  * not the full score matrix. The LSH variant buckets the corpus once
+  * (map-only signatures) and scores only same-bucket candidates.
+  */
+object Similarity {
+
+  val TopK = 10
+  val NumQueries = 10
+
+  /** q60: exact brute-force top-k cosine neighbors for queries
+    * (vec_id < NumQueries), self excluded. Tie-break: neighbor id asc. */
+  def q60(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val queries = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val cos = F.cosineSim(col("q_emb"), col("embedding"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
+    e.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), cos.as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), bp(col("cos")).as("cos_bp"))
+  }
+
+  val LshTables = 8
+  val LshBits = 8
+
+  /** Random-hyperplane sign bucket for one table: an LshBits-bit code.
+    * Hyperplane weights are ±1, derived deterministically from
+    * xxhash64(table, bit, dim) — map-only, no stored model. */
+  private def bucketCol(emb: String, table: Int): org.apache.spark.sql.Column =
+    (0 until LshBits).map { bit =>
+      val proj = expr(
+        s"""aggregate(sequence(0, size($emb) - 1), CAST(0.0 AS DOUBLE),
+           |(acc, j) -> acc + element_at($emb, j + 1) *
+           |  CASE WHEN (xxhash64($table, $bit, j) & 1) = 1 THEN 1.0 ELSE -1.0 END)""".stripMargin)
+      shiftleft(when(proj >= 0, 1L).otherwise(0L), bit)
+    }.reduce(_ bitwiseOR _)
+
+  /** q61: LSH-bucketed approximate top-k — 8 tables × 8 hyperplane bits;
+    * candidates = same bucket in any table; exact cosine on candidates
+    * only. Output shape matches q60 (rank re-numbered over candidates). */
+  def q61(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    def withBuckets(idCol: String, embCol: String)(df: DataFrame): DataFrame =
+      df.select(col(idCol), col(embCol),
+        explode(array((0 until LshTables).map(t =>
+          struct(lit(t).as("t"), bucketCol(embCol, t).as("bk"))): _*)).as("tb"))
+        .select(col(idCol), col(embCol), col("tb.t").as("t"), col("tb.bk").as("bk"))
+    val corpus = withBuckets("vec_id", "embedding")(
+      e.select(col("vec_id"), col("embedding")))
+    val queries = withBuckets("query_id", "q_emb")(
+      e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
+    val cos = F.cosineSim(col("q_emb"), col("embedding"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
+    corpus.as("c").join(broadcast(queries.as("q")),
+        col("c.t") === col("q.t") && col("c.bk") === col("q.bk") &&
+        col("c.vec_id") =!= col("q.query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("q_emb"), col("embedding"))
+      .distinct()
+      .select(col("query_id"), col("neighbor_id"), cos.as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), bp(col("cos")).as("cos_bp"))
+  }
+}
