@@ -36,8 +36,11 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), bp(col("cos")).as("cos_bp"))
   }
 
-  val LshTables = 8
-  val LshBits = 8
+  // 16 small tables rather than 8 larger ones: the synthetic corpus is
+  // near-uniform (top neighbors at ~70° angles), so per-table collision
+  // probability is low and recall comes from the OR over tables.
+  val LshTables = 16
+  val LshBits = 6
 
   /** Random-hyperplane sign bucket for one table: an LshBits-bit code.
     * Hyperplane weights are ±1, derived deterministically from

@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming counterparts of the batch event operators.
+  *
+  * Scale notes: both operators shuffle once on their grouping key per
+  * micro-batch; state is bounded — the windowed agg drops state when the
+  * watermark passes a window, and the sessionizer keeps exactly one open
+  * session per key. That keeps executor state O(active keys), not
+  * O(history), which is what lets these run indefinitely at cluster scale.
+  */
+object Streaming {
+
+  case class Event(user_id: Long, event_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class Session(user_id: Long, session_start_us: Long, session_end_us: Long,
+                     n_events: Long, sum_value: Double)
+  case class OpenSession(startUs: Long, endUs: Long, n: Long, total: Double)
+
+  /** Event-time tumbling (1h) counts per event type with a watermark;
+    * append mode emits each window once, when the watermark passes it. */
+  def tumblingCounts(events: DataFrame, watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("hour_ts"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  val SessionGapUs: Long = 30L * 60 * 1000000
+
+  /** Exact microseconds since epoch (Timestamp.getTime alone drops µs). */
+  private def micros(ts: java.sql.Timestamp): Long =
+    Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos.toLong / 1000L
+
+  /** Gap-based sessionization (30-min inactivity) via
+    * flatMapGroupsWithState: one open session per user in state; closed
+    * sessions are emitted as soon as a later event (or an event-time
+    * timeout) proves the gap. Mirrors the batch q31 semantics. */
+  def sessionize(events: Dataset[Event]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[OpenSession]) =>
+          if (batch.isEmpty && state.hasTimedOut) {
+            // Watermark passed the open session's gap — close and emit it.
+            val out = state.getOption.map(s =>
+              Session(userId, s.startUs, s.endUs, s.n, s.total)).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+            val closed = Seq.newBuilder[Session]
+            var open = state.getOption
+            sorted.foreach { e =>
+              val tUs = micros(e.ts)
+              open match {
+                case Some(s) if tUs - s.endUs <= SessionGapUs =>
+                  open = Some(OpenSession(s.startUs, tUs, s.n + 1, s.total + e.value))
+                case Some(s) =>
+                  closed += Session(userId, s.startUs, s.endUs, s.n, s.total)
+                  open = Some(OpenSession(tUs, tUs, 1, e.value))
+                case None =>
+                  open = Some(OpenSession(tUs, tUs, 1, e.value))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              // Fire once the watermark proves no event can extend the session.
+              state.setTimeoutTimestamp(s.endUs / 1000 + SessionGapUs / 1000)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SparkPlan
+import graft.ops._
+
+/** Cross-operator behavior checks at sf0.001, plus plan-shape assertions
+  * (pushdown, broadcast) that guard the scale properties. */
+class OperatorsSpec extends SparkSpec {
+
+  test("every SparkEntry query runs and returns rows at sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("every oracleSql key has a matching queries entry") {
+    val unknown = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(unknown.isEmpty, s"oracles without queries: $unknown")
+  }
+
+  test("entry() flagship query returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  private def executedPlan(df: org.apache.spark.sql.DataFrame): SparkPlan =
+    df.queryExecution.executedPlan
+
+  test("q06 pushes the shipdate filter into the parquet scan") {
+    val plan = executedPlan(Relational.q06(spark, sf)).toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)") ||
+           plan.contains("PushedFilters: [") && plan.contains("l_shipdate"),
+      s"no pushed filter in plan:\n$plan")
+  }
+
+  test("q06 prunes the scan to referenced columns only") {
+    val explained = Relational.q06(spark, sf).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    val readSchema = explained.linesIterator.find(_.contains("ReadSchema:"))
+      .getOrElse(fail(s"no ReadSchema in plan:\n$explained"))
+    val needed = Set("l_shipdate", "l_discount", "l_quantity", "l_extendedprice")
+    val read = "l_\\w+".r.findAllIn(readSchema).toSet
+    assert(read == needed, s"scan reads $read, want $needed")
+  }
+
+  test("q05 star join broadcasts every dimension table") {
+    val plan = executedPlan(Relational.q05(spark, sf)).toString
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(broadcasts >= 4, s"expected >=4 broadcast joins, got $broadcasts:\n$plan")
+  }
+
+  test("q33 as-of join picks the latest order at or before each event") {
+    // Hand-check a couple of events against a direct computation.
+    val out = Events.q33(spark, sf)
+      .orderBy(col("event_id")).limit(5).collect()
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("od_us"))
+      .collect()
+      .groupBy(_.getLong(0))
+    out.foreach { r =>
+      val (user, tsUs, gotKey, gotUs) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val cands = orders.getOrElse(user, Array.empty).filter(_.getLong(2) <= tsUs)
+      val want = cands.maxBy(o => (o.getLong(2), o.getLong(1)))
+      assert(gotUs == want.getLong(2) && gotKey == want.getLong(1),
+        s"event user=$user: got ($gotKey,$gotUs) want (${want.getLong(1)},${want.getLong(2)})")
+    }
+  }
+
+  test("q50 exact dedup partitions the corpus: sum of copies = corpus size") {
+    val total = Dedup.q50(spark, sf).agg(sum(col("n_copies"))).head().getLong(0)
+    assert(total == Tables.documents(spark, sf).count())
+  }
+
+  test("q52 MinHash-LSH recovers exactly the q51 exact-Jaccard pairs") {
+    val exact = Dedup.q51(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.q52(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact, s"missed: ${exact -- lsh}; extra: ${lsh -- exact}")
+  }
+
+  test("q53 simhash output is deterministic across runs") {
+    val a = Dedup.q53(spark, sf).collect().map(_.toSeq).toSet
+    val b = Dedup.q53(spark, sf).collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("q43 fingerprints are deterministic and collision-free at sf0.001") {
+    val fps = Text.q43(spark, sf).collect().map(r => r.getLong(0) -> r.getLong(1))
+    val again = Text.q43(spark, sf).collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(fps.toMap == again.toMap)
+    assert(fps.map(_._2).distinct.length == fps.length, "fingerprint collision")
+  }
+
+  test("q61 LSH ANN reaches usable recall vs q60 brute force") {
+    val bf = Similarity.q60(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lsh = Similarity.q61(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (bf & lsh).size.toDouble / bf.size
+    info(f"recall@10 = $recall%.2f (corpus is near-uniform random — hard case)")
+    assert(recall >= 0.3, f"recall $recall%.2f below 0.3")
+  }
+
+  test("q70 multimodal features are deterministic and cover every doc") {
+    val feats = ops.Multimodal.q70(spark, sf).collect()
+    assert(feats.length == Tables.documents(spark, sf).count())
+    val again = ops.Multimodal.q70(spark, sf).collect()
+    assert(feats.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+  }
+}

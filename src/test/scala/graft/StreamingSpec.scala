@@ -1,0 +1,97 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.Streaming
+import graft.streaming.Streaming.{Event, Session}
+
+/** Structured Streaming semantics via MemoryStream: windowed counts emit
+  * once the watermark passes, and sessionization matches batch logic. */
+class StreamingSpec extends SparkSpec {
+  import SparkTestSession.spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("tumbling window agg emits finalized windows in append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val df = in.toDF().toDF("ts", "event_type", "value")
+    val q = Streaming.tumblingCounts(df)
+      .writeStream.format("memory").queryName("tumbling_out")
+      .outputMode("append").start()
+    try {
+      in.addData((ts("2024-01-01 10:05:00"), "click", 1.0),
+                 (ts("2024-01-01 10:45:00"), "click", 2.0),
+                 (ts("2024-01-01 10:50:00"), "view", 3.0))
+      q.processAllAvailable()
+      // Advance event time far enough that the watermark (2h) passes hour 10.
+      in.addData((ts("2024-01-01 15:00:00"), "click", 9.0))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling_out")
+        .orderBy("hour_ts", "event_type").collect()
+      val hour10 = rows.filter(_.getLong(0) == ts("2024-01-01 10:00:00").getTime / 1000)
+      assert(hour10.map(r => (r.getString(1), r.getLong(2), r.getDouble(3))).toSet ==
+        Set(("click", 2L, 3.0), ("view", 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("streaming sessionization closes sessions on gap and on timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streaming.sessionize(in.toDS())
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+    try {
+      // User 1: two events 10 min apart (one session), then a 40-min gap
+      // event (closes it). User 2: single event.
+      in.addData(
+        Event(1, 1, ts("2024-01-01 10:00:00"), 1.0),
+        Event(1, 2, ts("2024-01-01 10:10:00"), 2.0),
+        Event(1, 3, ts("2024-01-01 10:50:00"), 4.0),
+        Event(2, 4, ts("2024-01-01 10:00:00"), 8.0))
+      q.processAllAvailable()
+      // Push the watermark (1h delay) past every open session's gap.
+      in.addData(Event(3, 5, ts("2024-01-01 14:00:00"), 0.0))
+      q.processAllAvailable()
+      in.addData(Event(3, 6, ts("2024-01-01 18:00:00"), 0.0))
+      q.processAllAvailable()
+      val got = spark.table("sessions_out").as[Session].collect()
+        .map(s => (s.user_id, s.n_events, s.sum_value)).toSet
+      assert(got.contains((1L, 2L, 3.0)), s"gap-closed session missing: $got")
+      assert(got.contains((1L, 1L, 4.0)), s"timeout-closed session missing: $got")
+      assert(got.contains((2L, 1L, 8.0)), s"user-2 session missing: $got")
+    } finally q.stop()
+  }
+
+  test("streaming sessionization agrees with batch q31 on real data") {
+    // Run the batch sessionizer and the streaming one over the same
+    // events (single batch + watermark flush), compare session sets.
+    val batch = ops.Events.q31(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val events = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .as[Event].collect()
+    val q = Streaming.sessionize(in.toDS())
+      .writeStream.format("memory").queryName("sessions_batch_cmp")
+      .outputMode("append").start()
+    try {
+      in.addData(events.toSeq)
+      q.processAllAvailable()
+      // Two flush batches: the first advances the watermark, the second
+      // gives the state store a trigger in which the timeouts fire.
+      in.addData(Event(-1, -1, ts("2030-01-01 00:00:00"), 0.0))
+      q.processAllAvailable()
+      in.addData(Event(-2, -2, ts("2031-01-01 00:00:00"), 0.0))
+      q.processAllAvailable()
+      val stream = spark.table("sessions_batch_cmp").as[Session].collect()
+        .filter(_.user_id >= 0)
+        .map(s => (s.user_id, s.session_start_us, s.session_end_us, s.n_events)).toSet
+      assert(stream == batch,
+        s"missing: ${(batch -- stream).take(3)}; extra: ${(stream -- batch).take(3)}")
+    } finally q.stop()
+  }
+}
