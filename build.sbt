@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Dozens of wide whole-stage-codegen classes (128-column aggs etc.)
+  // overflow the default 240m code cache in one long-lived JVM; once it
+  // fills, the JIT silently deopts and query times go 10-30x.
+  "-XX:ReservedCodeCacheSize=1g",
 )

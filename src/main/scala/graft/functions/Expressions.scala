@@ -111,3 +111,111 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarity =
     copy(left = l, right = r)
 }
+
+/** All random-hyperplane LSH bucket codes for one embedding in a single
+  * fused pass: masks(t*bits+b) bit j gives hyperplane (t,b)'s ±1 weight
+  * for dimension j (dims > 64 wrap). Returns array<long> of `tables`
+  * bucket codes. One native expression instead of tables×bits
+  * interpreted higher-order `aggregate` calls — the difference between
+  * O(row) codegen and per-element lambda interpretation on the hot path.
+  */
+case class HyperplaneBuckets(child: Expression, masks: Seq[Long], bits: Int)
+    extends UnaryExpression {
+  require(masks.nonEmpty && masks.length % bits == 0)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hyperplane_buckets"
+  @transient private lazy val maskArr: Array[Long] = masks.toArray
+
+  private def compute(emb: ArrayData): Array[Long] = {
+    val n = emb.numElements()
+    val tables = maskArr.length / bits
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var code = 0L
+      var b = 0
+      while (b < bits) {
+        val mask = maskArr(t * bits + b)
+        var proj = 0.0
+        var j = 0
+        while (j < n) {
+          val w = if (((mask >>> (j & 63)) & 1L) == 1L) 1.0 else -1.0
+          proj += emb.getFloat(j) * w
+          j += 1
+        }
+        if (proj >= 0) code |= (1L << b)
+        b += 1
+      }
+      out(t) = code
+      t += 1
+    }
+    out
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      compute(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("hyperplaneBuckets", this, classOf[HyperplaneBuckets].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $self.genericBuckets($c);")
+  }
+
+  /** Called from generated code. */
+  def genericBuckets(emb: ArrayData): org.apache.spark.sql.catalyst.util.GenericArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(compute(emb))
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBuckets =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash of an array<string> of (distinct) tokens, weight 1
+  * each: bit k of the result is the majority vote of bit k across
+  * xxhash64(token, seed=42) values (ties → 1). One fused pass per row —
+  * the alternative (explode + 64 aggregate columns) exceeds
+  * spark.sql.codegen.maxFields and falls out of codegen entirely.
+  * Token hash matches Spark's xxhash64() so signatures are reproducible
+  * from SQL. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  private def compute(arr: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val tok = arr.getUTF8String(i)
+      val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        tok, StringType, 42L)
+      var k = 0
+      while (k < 64) {
+        if (((h >>> k) & 1L) == 1L) counts(k) += 1 else counts(k) -= 1
+        k += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var k = 0
+    while (k < 64) {
+      if (counts(k) >= 0) sig |= (1L << k)
+      k += 1
+    }
+    sig
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("simhash", this, classOf[SimHash64].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.hashArray($c);")
+  }
+
+  /** Called from generated code. */
+  def hashArray(arr: ArrayData): Long = compute(arr)
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}

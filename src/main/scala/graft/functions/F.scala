@@ -14,4 +14,11 @@ object F {
 
   /** Cosine similarity between two array<float> columns. */
   def cosineSim(l: Column, r: Column): Column = GraftColumns.wrap(CosineSimilarity(u(l), u(r)))
+
+  /** LSH bucket codes (array<long>, one per table) for an embedding. */
+  def hyperplaneBuckets(c: Column, masks: Seq[Long], bits: Int): Column =
+    GraftColumns.wrap(HyperplaneBuckets(u(c), masks, bits))
+
+  /** 64-bit SimHash of an array<string> token column. */
+  def simhash64(c: Column): Column = GraftColumns.wrap(SimHash64(u(c)))
 }

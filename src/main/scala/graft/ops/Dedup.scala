@@ -25,15 +25,17 @@ import graft.functions.F
   */
 object Dedup {
 
-  private val toks = split(col("text"), " ")
 
-  /** Distinct word 3-shingles per document: (doc_id, shingle). */
+  /** Distinct word 3-shingles per document: (doc_id, shingle).
+    * `toks` is materialized once per row before the higher-order lambda —
+    * referencing split(text) inside the lambda would re-tokenize the
+    * whole document per element (O(tokens²), and interpreted). */
   private def shingles(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), explode(array_distinct(
-        expr("""transform(slice(split(text, ' '), 1, greatest(size(split(text, ' ')) - 2, 0)),
-                (x, i) -> concat_ws(' ', x, element_at(split(text, ' '), i + 2),
-                                       element_at(split(text, ' '), i + 3)))""")))
+        expr("""transform(slice(toks, 1, greatest(size(toks) - 2, 0)),
+                (x, i) -> concat_ws(' ', x, element_at(toks, i + 2), element_at(toks, i + 3)))""")))
         .as("shingle"))
 
   /** q50: exact dedup — group by md5(text), keep the smallest doc_id. */
@@ -63,13 +65,14 @@ object Dedup {
   val LshBands = 16
   val LshRows = 8 // MinhashPerms / LshBands
 
-  /** MinHash signatures: one row per doc, array of 128 per-perm minima.
-    * Each "permutation" is xxhash64 seeded differently by mixing in the
-    * perm index — avoids (a*x+b) mod p, whose multiply overflows under
-    * ANSI mode. Map-only after the per-doc aggregation shuffle. */
-  private def minhashSigs(s: SparkSession, d: String): DataFrame = {
-    val mins = (0 until MinhashPerms).map(i => min(xxhash64(col("shingle"), lit(i))).as(s"m$i"))
-    shingles(s, d)
+  /** MinHash signatures: one row per doc, 128 per-perm minima.
+    * The shingle string is hashed ONCE to a long; each "permutation" is
+    * then a cheap 8-byte xxhash64 of (hash, perm-index) — 128 long
+    * hashes per row, not 128 string hashes. (Also avoids (a*x+b) mod p,
+    * whose multiply overflows under ANSI mode.) */
+  private def minhashSigs(sh: DataFrame): DataFrame = {
+    val mins = (0 until MinhashPerms).map(i => min(xxhash64(col("sh_hash"), lit(i))).as(s"m$i"))
+    sh.withColumn("sh_hash", xxhash64(col("shingle")))
       .groupBy(col("doc_id"))
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id") +: (0 until MinhashPerms).map(i => col(s"m$i")): _*)
@@ -80,7 +83,8 @@ object Dedup {
     * probability ~(1-0.97⁸)¹⁶ ≈ 2e-11, so the verified output equals the
     * exact q51 result — and shares its oracle. */
   def q52(s: SparkSession, d: String): DataFrame = {
-    val sigs = minhashSigs(s, d)
+    val sh = shingles(s, d).cache()
+    val sigs = minhashSigs(sh)
     val bandCols = (0 until LshBands).map { b =>
       val rows = (0 until LshRows).map(r => col(s"m${b * LshRows + r}"))
       struct(lit(b).as("band"), xxhash64(rows: _*).as("bh"))
@@ -92,8 +96,7 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // Verify candidates with exact Jaccard over the shingle index.
-    val sh = shingles(s, d).cache()
+    // Verify candidates with exact Jaccard over the same shingle index.
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val common = candidates
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
@@ -111,20 +114,13 @@ object Dedup {
   }
 
   /** q53: 64-bit SimHash near-dup pairs (Hamming ≤ 3), blocked by the
-    * 4×16-bit pigeonhole chunks. Token weights = 1 over distinct tokens. */
+    * 4×16-bit pigeonhole chunks. Token weights = 1 over distinct tokens.
+    * The signature is one native-expression pass per document (map-only,
+    * no explode/wide-agg — see SimHash64). */
   def q53(s: SparkSession, d: String): DataFrame = {
-    val tokenBits = Tables.documents(s, d)
-      .select(col("doc_id"), explode(array_distinct(toks)).as("tok"))
-      .withColumn("th", xxhash64(col("tok")))
-    // For each bit k: +1 if set else -1; majority vote per doc.
-    val bitSums = (0 until 64).map { k =>
-      sum(when(shiftright(col("th"), k).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$k")
-    }
-    val sigs = tokenBits.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val sigs = Tables.documents(s, d)
       .select(col("doc_id"),
-        (0 until 64).map { k =>
-          shiftleft(when(col(s"b$k") >= 0, 1L).otherwise(0L), k)
-        }.reduce(_ bitwiseOR _).as("simhash"))
+        F.simhash64(array_distinct(split(col("text"), " "))).as("simhash"))
     val chunks = sigs.select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map(c =>
           struct(lit(c).as("c"),

@@ -42,28 +42,22 @@ object Similarity {
   val LshTables = 16
   val LshBits = 6
 
-  /** Random-hyperplane sign bucket for one table: an LshBits-bit code.
-    * Hyperplane weights are ±1, derived deterministically from
-    * xxhash64(table, bit, dim) — map-only, no stored model. */
-  private def bucketCol(emb: String, table: Int): org.apache.spark.sql.Column =
-    (0 until LshBits).map { bit =>
-      val proj = expr(
-        s"""aggregate(sequence(0, size($emb) - 1), CAST(0.0 AS DOUBLE),
-           |(acc, j) -> acc + element_at($emb, j + 1) *
-           |  CASE WHEN (xxhash64($table, $bit, j) & 1) = 1 THEN 1.0 ELSE -1.0 END)""".stripMargin)
-      shiftleft(when(proj >= 0, 1L).otherwise(0L), bit)
-    }.reduce(_ bitwiseOR _)
+  /** Deterministic ±1 hyperplane weights, one 64-bit sign mask per
+    * (table, bit) hyperplane — fixed seed, no stored model. */
+  val hyperplaneMasks: Seq[Long] = {
+    val rnd = new scala.util.Random(0x677261667431L)
+    Seq.fill(LshTables * LshBits)(rnd.nextLong())
+  }
 
-  /** q61: LSH-bucketed approximate top-k — 8 tables × 8 hyperplane bits;
-    * candidates = same bucket in any table; exact cosine on candidates
-    * only. Output shape matches q60 (rank re-numbered over candidates). */
+  /** q61: LSH-bucketed approximate top-k — 16 tables × 6 hyperplane
+    * bits; candidates = same bucket in any table; exact cosine on
+    * candidates only. All 96 sign projections run in ONE native codegen
+    * expression pass per row (HyperplaneBuckets). */
   def q61(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
     def withBuckets(idCol: String, embCol: String)(df: DataFrame): DataFrame =
       df.select(col(idCol), col(embCol),
-        explode(array((0 until LshTables).map(t =>
-          struct(lit(t).as("t"), bucketCol(embCol, t).as("bk"))): _*)).as("tb"))
-        .select(col(idCol), col(embCol), col("tb.t").as("t"), col("tb.bk").as("bk"))
+        posexplode(F.hyperplaneBuckets(col(embCol), hyperplaneMasks, LshBits)).as(Seq("t", "bk")))
     val corpus = withBuckets("vec_id", "embedding")(
       e.select(col("vec_id"), col("embedding")))
     val queries = withBuckets("query_id", "q_emb")(

@@ -20,12 +20,17 @@ object Text {
   /** Shared stopword list (mirrored literally in the DuckDB oracles). */
   val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "it")
 
-  private def toks = split(col("text"), " ")
+  /** Tokens column — operators materialize this ONCE per row (a
+    * `withColumn`) before any higher-order lambda touches it; splitting
+    * inside a lambda would re-tokenize the document per element. */
+  private def toks = col("toks")
+  private def withToks(df: DataFrame): DataFrame =
+    df.withColumn("toks", split(col("text"), " "))
 
   /** q40: token counting — whitespace tokens plus a BPE-ish regex
     * tokenization (runs of letters | digits | single other char). */
   def q40(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    withToks(Tables.documents(s, d))
       .select(col("lang"),
         size(toks).as("n_ws"),
         size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("n_bpe"))
@@ -46,7 +51,7 @@ object Text {
     val lenScore = least(nTok / lit(100.0), lit(1.0))
     val quality = lit(0.5) * lenScore + lit(0.3) * (lit(1.0) - stopRatio) +
       lit(0.2) * least(meanWordLen / lit(8.0), lit(1.0))
-    Tables.documents(s, d).select(
+    withToks(Tables.documents(s, d)).select(
       col("doc_id"),
       nTok.cast("long").as("n_tokens"),
       bp(stopRatio).as("stop_ratio_bp"),
@@ -70,7 +75,7 @@ object Text {
     * ties broken by language code ascending. */
   def q42(s: SparkSession, d: String): DataFrame = {
     val nTok = size(toks).cast("double")
-    val scored = langMarkers.foldLeft(Tables.documents(s, d)) { case (df, (lang, ms)) =>
+    val scored = langMarkers.foldLeft(withToks(Tables.documents(s, d))) { case (df, (lang, ms)) =>
       df.withColumn(s"score_$lang",
         size(filter(toks, t => t.isin(ms.map(lit(_)): _*))).cast("double") / nTok)
     }
@@ -100,10 +105,10 @@ object Text {
   /** q44: top-5 bigrams per language (count desc, bigram asc). */
   def q44(s: SparkSession, d: String): DataFrame = {
     val bigrams = expr(
-      "transform(slice(split(text, ' '), 1, size(split(text, ' ')) - 1), " +
-      "(x, i) -> concat(x, ' ', element_at(split(text, ' '), i + 2)))")
+      "transform(slice(toks, 1, size(toks) - 1), " +
+      "(x, i) -> concat(x, ' ', element_at(toks, i + 2)))")
     val w = Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("bigram").asc)
-    Tables.documents(s, d)
+    withToks(Tables.documents(s, d))
       .select(col("lang"), explode(bigrams).as("bigram"))
       .groupBy(col("lang"), col("bigram"))
       .agg(count(lit(1)).as("cnt"))
