@@ -18,6 +18,7 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (Relational.q01 _),
+    "q02_stats_agg"       -> (Relational.q02 _),
     "q03_topk_revenue"    -> (Relational.q03 _),
     "q04_semijoin_exists" -> (Relational.q04 _),
     "q05_multijoin_volume"-> (Relational.q05 _),
@@ -30,22 +31,28 @@ object SparkEntry {
     "q12_pivot"           -> (Relational.q12 _),
     "q13_outer_join_agg"  -> (Relational.q13 _),
     "q14_case_ratio"      -> (Relational.q14 _),
+    "q15_full_outer"      -> (Relational.q15 _),
     "q16_antijoin"        -> (Relational.q16 _),
     "q17_avg_subquery"    -> (Relational.q17 _),
     "q18_having"          -> (Relational.q18 _),
     "q19_disjunctive"     -> (Relational.q19 _),
+    "q20_grouping_sets"   -> (Relational.q20 _),
     "q21_rollup"          -> (Relational.q21 _),
     "q22_cube"            -> (Relational.q22 _),
+    "q23_hash_sample"     -> (Relational.q23 _),
     "q30_tumbling_window" -> (Events.q30 _),
     "q31_sessionize"      -> (Events.q31 _),
     "q32_topk_per_group"  -> (Events.q32 _),
     "q33_asof_join"       -> (Events.q33 _),
     "q34_json_extract"    -> (Events.q34 _),
+    "q35_funnel"          -> (Events.q35 _),
+    "q36_retention"       -> (Events.q36 _),
     "q40_token_stats"     -> (Text.q40 _),
     "q41_quality_score"   -> (Text.q41 _),
     "q42_langid"          -> (Text.q42 _),
     "q43_fingerprint"     -> (Text.q43 _),
     "q44_ngram_freq"      -> (Text.q44 _),
+    "q45_tfidf"           -> (Text.q45 _),
     "q50_dedup_exact"     -> (Dedup.q50 _),
     "q51_dedup_ngram_jaccard" -> (Dedup.q51 _),
     "q52_dedup_minhash_lsh"   -> (Dedup.q52 _),
@@ -73,6 +80,65 @@ object SparkEntry {
          count(*) AS count_order
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
          GROUP BY l_returnflag, l_linestatus""",
+
+    "q02_stats_agg" ->
+      s"""SELECT l_returnflag, ${C("min(l_extendedprice)")} AS min_price,
+         ${C("max(l_extendedprice)")} AS max_price,
+         ${C("stddev_samp(l_extendedprice)")} AS stddev_price,
+         ${C("quantile_cont(l_extendedprice, 0.5)")} AS median_price,
+         count(*) AS cnt FROM lineitem GROUP BY l_returnflag""",
+
+    "q15_full_outer" ->
+      """WITH c AS (SELECT c_nationkey AS nk_c, count(*) AS n_cust FROM customer
+                    WHERE c_acctbal > 7500 GROUP BY 1),
+         s AS (SELECT s_nationkey AS nk_s, count(*) AS n_supp FROM supplier
+               WHERE s_acctbal > 7500 GROUP BY 1)
+         SELECT coalesce(nk_c, nk_s) AS nationkey, coalesce(n_cust, 0) AS n_cust,
+                coalesce(n_supp, 0) AS n_supp
+         FROM c FULL OUTER JOIN s ON nk_c = nk_s""",
+
+    "q20_grouping_sets" ->
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+         coalesce(l_linestatus, 'ALL') AS linestatus,
+         ${C("sum(l_quantity)")} AS sum_qty, count(*) AS cnt
+         FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
+
+    "q23_hash_sample" ->
+      s"""SELECT count(*) AS n_sampled, ${C("sum(o_totalprice)")} AS sum_price,
+         min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+         FROM orders
+         WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 32, 1) IN ('0', '7')""",
+
+    "q35_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS t_us FROM events),
+         v AS (SELECT user_id, min(t_us) AS t1 FROM ev WHERE event_type = 'view' GROUP BY 1),
+         c AS (SELECT e.user_id, min(t_us) AS t2 FROM ev e JOIN v USING (user_id)
+               WHERE event_type = 'click' AND t_us > t1 GROUP BY 1),
+         p AS (SELECT e.user_id, min(t_us) AS t3 FROM ev e JOIN c USING (user_id)
+               WHERE event_type = 'purchase' AND t_us > t2 GROUP BY 1)
+         SELECT (SELECT count(*) FROM v) AS n_view,
+                (SELECT count(*) FROM c) AS n_click,
+                (SELECT count(*) FROM p) AS n_purchase""",
+
+    "q36_retention" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+         cohort AS (SELECT DISTINCT user_id FROM ev WHERE day = DATE '2024-01-01')
+         SELECT datediff('day', DATE '2024-01-01', day) AS day_n,
+                count(DISTINCT user_id) AS n_retained
+         FROM ev JOIN cohort USING (user_id)
+         WHERE datediff('day', DATE '2024-01-01', day) BETWEEN 1 AND 7
+         GROUP BY 1""",
+
+    "q45_tfidf" ->
+      """WITH terms AS (SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents),
+         tf AS (SELECT lang, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         j AS (SELECT tf.lang, tf.term, tf.tf, df.df,
+               tf.tf * ln(1.0 + 5.0 / df.df) AS score FROM tf JOIN df USING (term)),
+         r AS (SELECT lang, term, tf, df,
+               row_number() OVER (PARTITION BY lang ORDER BY score DESC, term ASC) AS rank FROM j)
+         SELECT lang, rank, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+         FROM r WHERE rank <= 10""",
 
     "q03_topk_revenue" ->
       s"""SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,

@@ -93,6 +93,41 @@ object Events {
               col("last_orderkey"), col("last_order_us"))
   }
 
+  /** q35: ordered funnel (view → click → purchase) — each stage's
+    * timestamp must strictly follow the previous stage's first hit.
+    * Three narrow joins on user_id (all broadcast-size after the first
+    * stage filter at 100 TB, since funnels only narrow). */
+  def q35(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("t_us"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("t_us")).as("t1"))
+    val c = ev.filter(col("event_type") === "click").as("e")
+      .join(v, "user_id").filter(col("t_us") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("t_us")).as("t2"))
+    val p = ev.filter(col("event_type") === "purchase").as("e")
+      .join(c, "user_id").filter(col("t_us") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("t_us")).as("t3"))
+    v.agg(count(lit(1)).as("n_view")).crossJoin(
+      c.agg(count(lit(1)).as("n_click"))).crossJoin(
+      p.agg(count(lit(1)).as("n_purchase")))
+  }
+
+  /** q36: daily cohort retention — users active on the first day who
+    * return on each of the next 7 days. One distinct-user shuffle per
+    * side; the day-0 cohort broadcasts. */
+  def q36(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val day0 = to_date(lit("2024-01-01"))
+    val cohort = ev.filter(col("day") === day0).select(col("user_id")).distinct()
+    ev.filter(datediff(col("day"), day0).between(1, 7))
+      .join(broadcast(cohort), "user_id")
+      .groupBy(datediff(col("day"), day0).as("day_n"))
+      .agg(countDistinct(col("user_id")).as("n_retained"))
+  }
+
   /** q34: JSON property extraction + aggregate over the extracted field. */
   def q34(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)

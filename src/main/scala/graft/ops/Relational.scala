@@ -32,6 +32,21 @@ object Relational {
         bp(avg(col("l_discount"))).as("avg_disc"),
         count(lit(1)).as("count_order"))
 
+  /** q02: statistical aggregates — min/max/stddev/median per group.
+    * stddev and the interpolated median are discretized to cents; both
+    * engines interpolate between the same two exact doubles. */
+  def q02(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        cents(min(col("l_extendedprice"))).as("min_price"),
+        cents(max(col("l_extendedprice"))).as("max_price"),
+        cents(stddev_samp(col("l_extendedprice"))).as("stddev_price"),
+        // Exact interpolated median here for the oracle; at 100 TB the
+        // same query ships percentile_approx (mergeable sketch) instead.
+        cents(expr("percentile(l_extendedprice, 0.5)")).as("median_price"),
+        count(lit(1)).as("cnt"))
+
   /** q03: TPC-H Q3 shape — 3-way join → agg → top-k by revenue. */
   def q03(s: SparkSession, d: String): DataFrame = {
     val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
@@ -167,6 +182,19 @@ object Relational {
         sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("promo_pct"))
   }
 
+  /** q15: full outer join of two aggregates — nations by premium
+    * customers vs high-balance suppliers, empty sides surfaced as 0. */
+  def q15(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d).filter(col("c_acctbal") > 7500)
+      .groupBy(col("c_nationkey").as("nk_c")).agg(count(lit(1)).as("n_cust"))
+    val supp = Tables.supplier(s, d).filter(col("s_acctbal") > 7500)
+      .groupBy(col("s_nationkey").as("nk_s")).agg(count(lit(1)).as("n_supp"))
+    cust.join(supp, col("nk_c") === col("nk_s"), "full_outer")
+      .select(coalesce(col("nk_c"), col("nk_s")).as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+  }
+
   /** q16: NOT EXISTS → left-anti join. */
   def q16(s: SparkSession, d: String): DataFrame = {
     val big = Tables.lineitem(s, d).filter(col("l_quantity") > 40)
@@ -218,6 +246,18 @@ object Relational {
            count(lit(1)).as("cnt"))
   }
 
+  /** q20: explicit GROUPING SETS — per-returnflag and per-linestatus
+    * marginals plus the grand total, in one pass. */
+  def q20(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(cents(sum(col("l_quantity"))).as("sum_qty"), count(lit(1)).as("cnt"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+              coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+              col("sum_qty"), col("cnt"))
+
   /** q21: ROLLUP hierarchical aggregate. */
   def q21(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
@@ -235,4 +275,15 @@ object Relational {
       .select(coalesce(col("o_orderstatus"), lit("ALL")).as("orderstatus"),
               coalesce(col("o_orderpriority"), lit("ALL")).as("orderpriority"),
               col("sum_price"), col("cnt"))
+
+  /** q23: deterministic hash sampling — md5(key) last hex char selects a
+    * stable 1/8 sample on any engine; the reproducible alternative to
+    * rand()-based sampling for cross-system pipeline comparisons. */
+  def q23(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(substring(md5(col("o_orderkey").cast("string")), 32, 1).isin("0", "7"))
+      .agg(count(lit(1)).as("n_sampled"),
+           cents(sum(col("o_totalprice"))).as("sum_price"),
+           min(col("o_orderkey")).as("min_key"),
+           max(col("o_orderkey")).as("max_key"))
 }

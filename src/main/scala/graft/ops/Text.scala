@@ -102,6 +102,25 @@ object Text {
     Tables.documents(s, d)
       .select(col("doc_id"), graft.functions.F.rollingHash64(col("text")).as("fingerprint"))
 
+  /** q45: TF-IDF term ranking per language ("documents" = the 5 language
+    * corpora): score = tf · ln(1 + L/df). Output is rank-only — the
+    * ordering is ulp-robust across engines because distinct (tf, df)
+    * pairs differ by far more than the cross-libm ln() error, and equal
+    * (tf, df) ties break on the term string. */
+  def q45(s: SparkSession, d: String): DataFrame = {
+    val terms = withToks(Tables.documents(s, d))
+      .select(col("lang"), explode(toks).as("term"))
+    val tf = terms.groupBy(col("lang"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nLangs = lit(5.0)
+    val score = col("tf") * log(lit(1.0) + nLangs / col("df"))
+    val w = Window.partitionBy(col("lang")).orderBy(score.desc, col("term").asc)
+    tf.join(df, "term")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("lang"), col("rank"), col("term"), col("tf"), col("df"))
+  }
+
   /** q44: top-5 bigrams per language (count desc, bigram asc). */
   def q44(s: SparkSession, d: String): DataFrame = {
     val bigrams = expr(
