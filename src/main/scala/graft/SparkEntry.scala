@@ -40,6 +40,12 @@ object SparkEntry {
     "q21_rollup"          -> (Relational.q21 _),
     "q22_cube"            -> (Relational.q22 _),
     "q23_hash_sample"     -> (Relational.q23 _),
+    "q24_string_funcs"    -> (Relational.q24 _),
+    "q25_date_arith"      -> (Relational.q25 _),
+    "q26_explode_words"   -> (Relational.q26 _),
+    "q27_regex"           -> (Relational.q27 _),
+    "q28_percentiles"     -> (Relational.q28 _),
+    "q29_salted_join"     -> (Relational.q29 _),
     "q30_tumbling_window" -> (Events.q30 _),
     "q31_sessionize"      -> (Events.q31 _),
     "q32_topk_per_group"  -> (Events.q32 _),
@@ -47,20 +53,26 @@ object SparkEntry {
     "q34_json_extract"    -> (Events.q34 _),
     "q35_funnel"          -> (Events.q35 _),
     "q36_retention"       -> (Events.q36 _),
+    "q37_rolling_window"  -> (Events.q37 _),
+    "q38_histogram"       -> (Events.q38 _),
     "q40_token_stats"     -> (Text.q40 _),
     "q41_quality_score"   -> (Text.q41 _),
     "q42_langid"          -> (Text.q42 _),
     "q43_fingerprint"     -> (Text.q43 _),
     "q44_ngram_freq"      -> (Text.q44 _),
     "q45_tfidf"           -> (Text.q45 _),
+    "q46_normalize_dedup" -> (Text.q46 _),
     "q50_dedup_exact"     -> (Dedup.q50 _),
     "q51_dedup_ngram_jaccard" -> (Dedup.q51 _),
     "q52_dedup_minhash_lsh"   -> (Dedup.q52 _),
     "q53_dedup_simhash"   -> (Dedup.q53 _),
     "q54_dedup_embedding" -> (Dedup.q54 _),
+    "q55_dedup_clusters"  -> (Dedup.q55 _),
     "q60_ann_bruteforce"  -> (Similarity.q60 _),
     "q61_ann_lsh"         -> (Similarity.q61 _),
+    "q62_ann_ivf"         -> (Similarity.q62 _),
     "q70_multimodal_meta" -> (Multimodal.q70 _),
+    "q71_frame_sample"    -> (Multimodal.q71 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -271,6 +283,97 @@ object SparkEntry {
          coalesce(o_orderpriority, 'ALL') AS orderpriority,
          ${C("sum(o_totalprice)")} AS sum_price, count(*) AS cnt
          FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""",
+
+    "q24_string_funcs" ->
+      """SELECT p_brand, count(*) AS n_parts,
+         CAST(sum(length(p_name)) AS BIGINT) AS sum_name_len,
+         max(upper(p_name)) AS max_upper_name,
+         min(concat_ws('-', p_type, p_name)) AS min_type_name,
+         count(DISTINCT substring(p_name, 1, 3)) AS n_prefixes,
+         min(lpad(reverse(p_name), 12, '_')) AS min_rev_pad
+         FROM part GROUP BY p_brand""",
+
+    "q25_date_arith" ->
+      """SELECT year(o_orderdate) AS o_year, quarter(o_orderdate) AS o_quarter,
+         count(*) AS n_orders, count(DISTINCT month(o_orderdate)) AS n_months,
+         count(DISTINCT isodow(o_orderdate)) AS n_isodows,
+         min(strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d')) AS min_plus30,
+         max(datediff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01')) AS max_days_to_eoy
+         FROM orders GROUP BY 1, 2""",
+
+    "q26_explode_words" ->
+      s"""SELECT word, count(*) AS n_occurrences,
+         count(DISTINCT p_partkey) AS n_parts, ${BP("avg(pos)")} AS avg_pos_bp
+         FROM (SELECT p_partkey, unnest(string_split(p_name, ' ')) AS word,
+               unnest(range(1, len(string_split(p_name, ' ')) + 1)) AS pos FROM part)
+         GROUP BY word""",
+
+    "q27_regex" ->
+      """SELECT lang,
+         CAST(sum(CASE WHEN regexp_matches(text, 'join [a-z]+ hash') THEN 1 ELSE 0 END) AS BIGINT) AS n_join_hash,
+         CAST(sum(length(regexp_replace(text, '[aeiou]', '', 'g'))) AS BIGINT) AS sum_novowel_len,
+         CAST(sum(len(regexp_extract_all(text, '\b(scan|join|merge)\b'))) AS BIGINT) AS n_op_mentions,
+         count(*) AS n_docs
+         FROM documents GROUP BY lang""",
+
+    "q28_percentiles" ->
+      s"""SELECT l_returnflag,
+         ${C("quantile_cont(l_extendedprice, 0.25)")} AS p25,
+         ${C("quantile_cont(l_extendedprice, 0.50)")} AS p50,
+         ${C("quantile_cont(l_extendedprice, 0.75)")} AS p75,
+         ${C("quantile_cont(l_extendedprice, 0.95)")} AS p95,
+         count(*) AS cnt FROM lineitem GROUP BY l_returnflag""",
+
+    "q29_salted_join" ->
+      s"""SELECT p_brand, ${C("sum(l_extendedprice*(1-l_discount))")} AS revenue,
+         count(*) AS cnt
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY p_brand""",
+
+    "q37_rolling_window" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc FROM events)
+         SELECT user_id, event_id, ts_us,
+           CAST(sum(vc) OVER w_cum AS BIGINT) AS cum_value_c,
+           CAST(sum(vc) OVER w3 AS BIGINT) AS sum3_c,
+           count(*) OVER w3 AS n3,
+           CAST(floor(CAST(sum(vc) OVER w3 AS DOUBLE) / (count(*) OVER w3)) AS BIGINT) AS avg3_c
+         FROM e
+         WINDOW w_cum AS (PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING),
+                w3 AS (PARTITION BY user_id ORDER BY ts_us, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""",
+
+    "q38_histogram" ->
+      s"""SELECT CAST(floor(o_totalprice / 10000.0) AS BIGINT) AS bucket,
+         count(*) AS n_orders, ${C("sum(o_totalprice)")} AS sum_price,
+         ${C("min(o_totalprice)")} AS min_price, ${C("max(o_totalprice)")} AS max_price
+         FROM orders GROUP BY 1""",
+
+    "q46_normalize_dedup" ->
+      """SELECT md5(norm) AS norm_hash, min(doc_id) AS keep_id,
+         count(*) AS n_copies, min(length(norm)) AS norm_len
+         FROM (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm FROM documents)
+         GROUP BY 1""",
+
+    "q55_dedup_clusters" ->
+      """WITH RECURSIVE
+         t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle FROM t),
+         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         pair AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS common
+                  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+         good AS (SELECT ida, idb FROM pair
+                  JOIN sz na ON na.doc_id = ida JOIN sz nb ON nb.doc_id = idb
+                  WHERE common / CAST(na.n + nb.n - common AS DOUBLE) >= 0.6),
+         edges AS (SELECT ida AS a, idb AS b FROM good UNION SELECT idb, ida FROM good),
+         reach(node, r) AS (SELECT a, a FROM edges
+                            UNION SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.node),
+         lab AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
+         cs AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1)
+         SELECT lab.node AS doc_id, lab.cluster_id, cs.cluster_size
+         FROM lab JOIN cs USING (cluster_id)""",
 
     "q30_tumbling_window" ->
       s"""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts, event_type,

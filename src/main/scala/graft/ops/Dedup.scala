@@ -135,6 +135,40 @@ object Dedup {
       .filter(col("hamming") <= 3)
   }
 
+  /** q55: dedup clusters — connected components over the exact-Jaccard
+    * near-dup pair graph (τ = 0.6), labeling every involved document with
+    * the minimum doc_id reachable from it. Distributed min-label
+    * propagation: each iteration is one join + one aggregation (both
+    * shuffle on the node key), and the iteration count is the graph
+    * diameter (near-dup clusters are shallow — a handful of rounds).
+    * localCheckpoint truncates the growing lineage so round N's plan
+    * doesn't replay rounds 1..N-1. */
+  def q55(s: SparkSession, d: String): DataFrame = {
+    val pairs = q51(s, d).select(col("doc_a"), col("doc_b"))
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      val prop = edges.join(labels, col("dst") === col("node"))
+        .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
+      val next = labels.join(prop, col("node") === col("src"), "left_outer")
+        .select(col("node"), col("label"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("new_label"))
+        .localCheckpoint()
+      changed = next.filter(col("new_label") < col("label")).count()
+      labels = next.select(col("node"), col("new_label").as("label"))
+      iter += 1
+    }
+    val sizes = labels.groupBy(col("label").as("cl")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, col("label") === col("cl"))
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
+  }
+
   /** q54: embedding-cosine near-dup pairs (τ = 0.35), blocked on label.
     * Cosine runs in the native codegen'd expression, accumulated in
     * double in index order — bit-identical to the DuckDB oracle's

@@ -128,6 +128,38 @@ object Events {
       .agg(countDistinct(col("user_id")).as("n_retained"))
   }
 
+  /** q37: frame-based rolling windows — per-user cumulative sum and a
+    * 3-row moving sum/average over event time. Values are discretized to
+    * integer cents BEFORE the window sums, so frame aggregation is exact
+    * integer arithmetic — immune to the float-summation-order divergence
+    * window engines otherwise exhibit (DuckDB's segment-tree frames
+    * associate differently than Spark's running accumulator). One shuffle
+    * on user_id; both frames evaluate in the same sorted partition. */
+  def q37(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us").asc, col("event_id").asc)
+    val cum  = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val last3 = byUser.rowsBetween(-2, 0)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), cents(col("value")).as("vc"))
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        sum(col("vc")).over(cum).as("cum_value_c"),
+        sum(col("vc")).over(last3).as("sum3_c"),
+        count(lit(1)).over(last3).as("n3"))
+      .withColumn("avg3_c", floor(col("sum3_c").cast("double") / col("n3")).cast("long"))
+  }
+
+  /** q38: fixed-width histogram/binning of order totals — bucket =
+    * floor(price / 10000). Purely map-side until the (tiny) per-bucket
+    * aggregation; the canonical distribution-profiling shape. */
+  def q38(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(floor(col("o_totalprice") / 10000.0).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+           cents(sum(col("o_totalprice"))).as("sum_price"),
+           cents(min(col("o_totalprice"))).as("min_price"),
+           cents(max(col("o_totalprice"))).as("max_price"))
+
   /** q34: JSON property extraction + aggregate over the extracted field. */
   def q34(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)

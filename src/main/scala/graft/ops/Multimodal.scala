@@ -64,4 +64,34 @@ object Multimodal {
       col("meta.height").as("height")).as[MediaRow]
     media.mapPartitions(_.map(decodeStub)).toDF()
   }
+
+  val FrameBytes = 64
+  val FrameStride = 2
+
+  /** q71: frame sampling + resize metadata over a video-like payload.
+    * The payload is treated as a sequence of fixed-size encoded frames;
+    * every `FrameStride`-th frame is sampled, hashed (a real pipeline
+    * would decode it here), and tagged with resize-to-fit-256 dimensions
+    * computed in exact integer arithmetic. Frame expansion is a map-side
+    * explode of a computed `sequence` — rows never leave their partition,
+    * so the stage scales with executors and no shuffle occurs at all. */
+  def q71(s: SparkSession, d: String): DataFrame = {
+    val m = mediaTable(s, d).select(
+      col("doc_id"), col("payload"),
+      col("meta.width").as("width"), col("meta.height").as("height"))
+    val nFrames = ceil(length(col("payload")).cast("double") / FrameBytes).cast("int")
+    // Resize-to-fit 256 on the long edge, aspect preserved, integer math.
+    val longEdge = greatest(col("width"), col("height"))
+    val scaleNum = least(longEdge, lit(256)) // numerator of scale = min(long,256)/long
+    val outW = (col("width").cast("long") * scaleNum / longEdge).cast("int")
+    val outH = (col("height").cast("long") * scaleNum / longEdge).cast("int")
+    m.withColumn("n_frames", nFrames)
+      .withColumn("out_w", outW).withColumn("out_h", outH)
+      .select(col("doc_id"), col("n_frames"), col("out_w"), col("out_h"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(FrameStride))).as("frame_idx"),
+        col("payload"))
+      .select(col("doc_id"), col("frame_idx"), col("n_frames"), col("out_w"), col("out_h"),
+        length(expr(s"substring(payload, frame_idx * $FrameBytes + 1, $FrameBytes)")).as("frame_bytes"),
+        xxhash64(expr(s"substring(payload, frame_idx * $FrameBytes + 1, $FrameBytes)")).as("frame_hash"))
+  }
 }

@@ -286,4 +286,93 @@ object Relational {
            cents(sum(col("o_totalprice"))).as("sum_price"),
            min(col("o_orderkey")).as("min_key"),
            max(col("o_orderkey")).as("max_key"))
+
+  /** q24: string-function surface — upper/lower, substring, concat_ws,
+    * reverse, lpad, length — aggregated per brand. All codegen'd built-ins
+    * (no UDFs), so the whole projection stays in one WholeStageCodegen. */
+  def q24(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n_parts"),
+        sum(length(col("p_name"))).as("sum_name_len"),
+        max(upper(col("p_name"))).as("max_upper_name"),
+        min(concat_ws("-", col("p_type"), col("p_name"))).as("min_type_name"),
+        countDistinct(substring(col("p_name"), 1, 3)).as("n_prefixes"),
+        min(lpad(reverse(col("p_name")), 12, "_")).as("min_rev_pad"))
+
+  /** q25: date/time arithmetic — year/quarter extraction, ISO weekday,
+    * day offsets, day-diffs to an anchor. Extraction functions sit
+    * directly over the scan so partition pruning would apply on a
+    * date-partitioned layout. */
+  def q25(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(year(col("o_orderdate")).as("o_year"),
+               quarter(col("o_orderdate")).as("o_quarter"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        countDistinct(month(col("o_orderdate"))).as("n_months"),
+        countDistinct(weekday(col("o_orderdate")) + 1).as("n_isodows"),
+        min(date_format(date_add(to_date(col("o_orderdate")), 30), "yyyy-MM-dd")).as("min_plus30"),
+        max(datediff(lit("1999-01-01").cast("date"), to_date(col("o_orderdate")))).as("max_days_to_eoy"))
+
+  /** q26: array construction + (pos)explode — lateral word expansion of
+    * part names with 1-based positions. The explode is map-side; only the
+    * word aggregation shuffles. */
+  def q26(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(col("p_partkey"), posexplode(split(col("p_name"), " ")).as(Seq("pos0", "word")))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n_occurrences"),
+           countDistinct(col("p_partkey")).as("n_parts"),
+           bp(avg(col("pos0") + 1)).as("avg_pos_bp"))
+
+  /** q27: regex surface — rlike filtering, global regexp_replace, and
+    * match counting per language over documents. Patterns stick to the
+    * RE2-compatible subset so Java regex and DuckDB RE2 agree. */
+  def q27(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("lang"))
+      .agg(
+        sum(when(col("text").rlike("join [a-z]+ hash"), 1L).otherwise(0L)).as("n_join_hash"),
+        sum(length(regexp_replace(col("text"), "[aeiou]", ""))).as("sum_novowel_len"),
+        sum(size(expr("regexp_extract_all(text, '\\\\b(scan|join|merge)\\\\b', 0)"))).as("n_op_mentions"),
+        count(lit(1)).as("n_docs"))
+
+  /** q28: multi-quantile exact percentiles per group. Exact interpolated
+    * `percentile` matches DuckDB's quantile_cont bit-for-bit (same two
+    * doubles interpolated). At 100 TB the same query ships
+    * percentile_approx (mergeable t-digest-style sketch) instead. */
+  def q28(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.95))").as("qs"),
+           count(lit(1)).as("cnt"))
+      .select(col("l_returnflag"),
+        cents(element_at(col("qs"), 1)).as("p25"),
+        cents(element_at(col("qs"), 2)).as("p50"),
+        cents(element_at(col("qs"), 3)).as("p75"),
+        cents(element_at(col("qs"), 4)).as("p95"),
+        col("cnt"))
+
+  /** q29: skew-salted join — the hot-key mitigation pattern spelled out:
+    * the probe side gets a deterministic salt in [0, S), the build side
+    * is replicated S× with every salt value, and the join key becomes
+    * (key, salt) so one hot key spreads over S reducers. shuffle_hash
+    * hint forces the shuffle path (locally Spark would broadcast `part`
+    * and hide the pattern under test). Result is salt-invariant, so the
+    * oracle is the plain join. */
+  def q29(s: SparkSession, d: String): DataFrame = {
+    val S = 8
+    val li = Tables.lineitem(s, d)
+      .withColumn("salt", pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(S)).cast("int"))
+    val partRep = Tables.part(s, d)
+      .select(col("p_partkey"), col("p_brand"),
+        explode(array((0 until S).map(lit(_)): _*)).as("p_salt"))
+    li.join(partRep.hint("shuffle_hash"),
+        col("l_partkey") === col("p_partkey") && col("salt") === col("p_salt"))
+      .groupBy(col("p_brand"))
+      .agg(cents(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"),
+           count(lit(1)).as("cnt"))
+  }
 }

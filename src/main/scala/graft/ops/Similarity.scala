@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -71,6 +71,48 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("q_emb"), col("embedding"))
       .distinct()
       .select(col("query_id"), col("neighbor_id"), cos.as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), bp(col("cos")).as("cos_bp"))
+  }
+
+  val IvfCells = 16
+  val IvfProbes = 4
+
+  /** q62: IVF-Flat approximate top-k — a coarse quantizer of `IvfCells`
+    * sampled corpus vectors partitions the corpus into inverted lists;
+    * each query probes its `IvfProbes` nearest cells and scores only
+    * those lists exactly.
+    *
+    * Scale design: the quantizer is a tiny model (16×64 floats) fetched
+    * once to the driver — the one deliberate collect() in the library —
+    * and re-broadcast as literals inside a single codegen'd projection,
+    * so cell assignment is map-only over the corpus. The candidate join
+    * shuffles on cell id (≈ corpus/IvfCells rows per query-probe), never
+    * the full n×m score matrix. At 100 TB: more cells (√n), k-means-
+    * refined centroids, same plan shape. */
+  def q62(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val centroids: Seq[Seq[Float]] = e.orderBy(col("vec_id").asc).limit(IvfCells)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toSeq).toSeq
+    // One struct per cell: (cos to centroid, cell id). Struct ordering is
+    // (cos, id), so array_max = argmax with deterministic id tie-break.
+    def cellScores(emb: Column): Column = array(centroids.zipWithIndex.map {
+      case (c, i) => struct(F.cosineSim(emb, typedlit(c)).as("c"), lit(i).as("i"))
+    }: _*)
+    val corpus = e.select(col("vec_id"), col("embedding"),
+      array_max(cellScores(col("embedding"))).getField("i").as("cell"))
+    val queries = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        explode(transform(
+          slice(reverse(sort_array(cellScores(col("embedding")))), 1, IvfProbes),
+          x => x.getField("i"))).as("cell"))
+    val cos = F.cosineSim(col("q_emb"), col("embedding"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
+    corpus.join(broadcast(queries), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), cos.as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopK)
       .select(col("query_id"), col("rank"), col("neighbor_id"), bp(col("cos")).as("cos_bp"))

@@ -134,4 +134,19 @@ object Text {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
   }
+
+  /** q46: normalization-then-dedup — the canonical pre-dedup cleaning
+    * pass for a training corpus: lowercase, strip non-alphanumerics,
+    * collapse whitespace, trim; then exact dedup on the normalized text.
+    * All map-side string ops; one hash shuffle on the normalized digest. */
+  def q46(s: SparkSession, d: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    Tables.documents(s, d)
+      .select(col("doc_id"), norm.as("norm"))
+      .groupBy(md5(col("norm")).as("norm_hash"))
+      .agg(min(col("doc_id")).as("keep_id"),
+           count(lit(1)).as("n_copies"),
+           min(length(col("norm"))).as("norm_len"))
+  }
 }

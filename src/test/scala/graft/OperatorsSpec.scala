@@ -108,4 +108,52 @@ class OperatorsSpec extends SparkSpec {
     val again = ops.Multimodal.q70(spark, sf).collect()
     assert(feats.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
   }
+
+  test("q62 IVF ANN reaches usable recall vs q60 brute force") {
+    val bf = Similarity.q60(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Similarity.q62(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (bf & ivf).size.toDouble / bf.size
+    info(f"recall@10 = $recall%.2f (nprobe=${Similarity.IvfProbes}/${Similarity.IvfCells} cells)")
+    assert(recall >= 0.3, f"recall $recall%.2f below 0.3")
+  }
+
+  test("q55 clusters are consistent with the q51 pair graph") {
+    val pairs = Dedup.q51(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val label = Dedup.q55(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Every edge endpoint is labeled and both ends share a cluster.
+    pairs.foreach { case (a, b) =>
+      assert(label(a) == label(b), s"pair ($a,$b) split across clusters")
+    }
+    // Cluster ids are cluster minima.
+    label.groupBy(_._2).foreach { case (cl, members) =>
+      assert(members.keys.min == cl, s"cluster $cl is not its min member")
+    }
+  }
+
+  test("q29 salted join equals the plain join") {
+    val salted = Relational.q29(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val plain = Tables.lineitem(spark, sf)
+      .join(Tables.part(spark, sf), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(graft.functions.Cols.cents(
+        sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"),
+        count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(salted == plain)
+  }
+
+  test("q71 frame sampling covers every doc with stride-spaced frames") {
+    val rows = ops.Multimodal.q71(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).distinct.length ==
+      Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val (idx, n) = (r.getInt(1), r.getInt(2))
+      assert(idx >= 0 && idx < n && idx % ops.Multimodal.FrameStride == 0)
+      assert(r.getInt(5) > 0 && r.getInt(5) <= ops.Multimodal.FrameBytes)
+    }
+  }
 }
