@@ -170,6 +170,55 @@ case class HyperplaneBuckets(child: Expression, masks: Seq[Long], bits: Int)
     copy(child = newChild)
 }
 
+/** MinHash signature of an array<string> of (distinct) shingles: for
+  * permutation p, min over shingles of splitmix64(xxhash64(shingle) +
+  * (p+1)·φ64). One fused pass per document — the alternative (explode to
+  * a (doc, shingle) table, then a 128-column min aggregate) shuffles the
+  * whole shingle inventory and exceeds codegen.maxFields. The splitmix64
+  * finalizer gives an independent-enough hash family per permutation at
+  * 3 multiplies each, vs a full rehash per (shingle, perm). */
+case class MinHash128(child: Expression, perms: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash128"
+
+  private def compute(arr: ArrayData): Array[Long] = {
+    val mins = Array.fill(perms)(Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val h0 = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        arr.getUTF8String(i), StringType, 42L)
+      var p = 0
+      while (p < perms) {
+        var z = h0 + (p + 1) * -7046029254386353131L // 0x9E3779B97F4A7C15
+        z = (z ^ (z >>> 30)) * -4658895280553007687L // 0xBF58476D1CE4E5B9
+        z = (z ^ (z >>> 27)) * -7723592293110705685L // 0x94D049BB133111EB
+        z = z ^ (z >>> 31)
+        if (z < mins(p)) mins(p) = z
+        p += 1
+      }
+      i += 1
+    }
+    mins
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      compute(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("minhash", this, classOf[MinHash128].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.signature($c);")
+  }
+
+  /** Called from generated code. */
+  def signature(arr: ArrayData): org.apache.spark.sql.catalyst.util.GenericArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(compute(arr))
+
+  override protected def withNewChildInternal(newChild: Expression): MinHash128 =
+    copy(child = newChild)
+}
+
 /** 64-bit SimHash of an array<string> of (distinct) tokens, weight 1
   * each: bit k of the result is the majority vote of bit k across
   * xxhash64(token, seed=42) values (ties → 1). One fused pass per row —

@@ -21,4 +21,9 @@ object F {
 
   /** 64-bit SimHash of an array<string> token column. */
   def simhash64(c: Column): Column = GraftColumns.wrap(SimHash64(u(c)))
+
+  /** MinHash signature (array<long> of `perms` minima) of an
+    * array<string> shingle column, one fused pass per row. */
+  def minhash128(c: Column, perms: Int = 128): Column =
+    GraftColumns.wrap(MinHash128(u(c), perms))
 }

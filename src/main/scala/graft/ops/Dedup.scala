@@ -26,17 +26,17 @@ import graft.functions.F
 object Dedup {
 
 
-  /** Distinct word 3-shingles per document: (doc_id, shingle).
+  /** Distinct word 3-shingles per document as an array column.
     * `toks` is materialized once per row before the higher-order lambda —
     * referencing split(text) inside the lambda would re-tokenize the
     * whole document per element (O(tokens²), and interpreted). */
-  private def shingles(s: SparkSession, d: String): DataFrame =
+  private def shingleArrays(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .withColumn("toks", split(col("text"), " "))
-      .select(col("doc_id"), explode(array_distinct(
+      .select(col("doc_id"), array_distinct(
         expr("""transform(slice(toks, 1, greatest(size(toks) - 2, 0)),
-                (x, i) -> concat_ws(' ', x, element_at(toks, i + 2), element_at(toks, i + 3)))""")))
-        .as("shingle"))
+                (x, i) -> concat_ws(' ', x, element_at(toks, i + 2), element_at(toks, i + 3)))"""))
+        .as("shingles"))
 
   /** q50: exact dedup — group by md5(text), keep the smallest doc_id. */
   def q50(s: SparkSession, d: String): DataFrame =
@@ -44,19 +44,36 @@ object Dedup {
       .groupBy(md5(col("text")).as("text_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** q51: exact n-gram Jaccard pairs (τ = 0.6) via inverted shingle index. */
+  /** q51: exact n-gram Jaccard pairs (τ = 0.6) via prefix filtering
+    * (the PPJoin candidate rule): under ANY global shingle order, two
+    * sets with Jaccard ≥ τ must collide within their first
+    * n − ⌈τ·n⌉ + 1 shingles — if they don't, the overlap fits in one
+    * suffix, which is < τ·n ≤ |a∩b|. The global order here is the
+    * 64-bit shingle hash itself, so ranking is a per-row sort_array
+    * (map-only — no corpus-wide frequency pass, no extra shuffle).
+    * The candidate join then touches O(prefix postings²) instead of
+    * O(all postings²) — the difference between a prefix join and a full
+    * inverted-index self-join at 100 TB. Candidates are verified
+    * exactly by per-pair sorted-array intersection. */
   def q51(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(s, d).cache()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val common = sh.as("a").join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("common"))
-    val jac = col("common").cast("double") /
-      (col("na.n_sh") + col("nb.n_sh") - col("common")).cast("double")
-    common
-      .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))
-      .join(sizes.as("nb"), col("doc_b") === col("nb.doc_id"))
+    val byRarity = shingleArrays(s, d)
+      .select(col("doc_id"),
+        sort_array(expr("transform(shingles, x -> xxhash64(x))")).as("sh_arr"))
+      .withColumn("n", size(col("sh_arr")))
+    val prefixLen = (col("n") - ceil(col("n") * 0.6).cast("int") + 1)
+    val prefixes = byRarity
+      .select(col("doc_id"), explode(slice(col("sh_arr"), lit(1), prefixLen)).as("sh"))
+    val candidates = prefixes.as("a").join(prefixes.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val arrs = byRarity.select(col("doc_id"), col("sh_arr"))
+    val common = size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+    val jac = common.cast("double") /
+      (size(col("sh_a")) + size(col("sh_b")) - common).cast("double")
+    candidates
+      .join(arrs.select(col("doc_id").as("doc_a"), col("sh_arr").as("sh_a")), "doc_a")
+      .join(arrs.select(col("doc_id").as("doc_b"), col("sh_arr").as("sh_b")), "doc_b")
       .filter(jac >= 0.6)
       .select(col("doc_a"), col("doc_b"), bp(jac).as("jaccard_bp"))
   }
@@ -65,29 +82,21 @@ object Dedup {
   val LshBands = 16
   val LshRows = 8 // MinhashPerms / LshBands
 
-  /** MinHash signatures: one row per doc, 128 per-perm minima.
-    * The shingle string is hashed ONCE to a long; each "permutation" is
-    * then a cheap 8-byte xxhash64 of (hash, perm-index) — 128 long
-    * hashes per row, not 128 string hashes. (Also avoids (a*x+b) mod p,
-    * whose multiply overflows under ANSI mode.) */
-  private def minhashSigs(sh: DataFrame): DataFrame = {
-    val mins = (0 until MinhashPerms).map(i => min(xxhash64(col("sh_hash"), lit(i))).as(s"m$i"))
-    sh.withColumn("sh_hash", xxhash64(col("shingle")))
-      .groupBy(col("doc_id"))
-      .agg(mins.head, mins.tail: _*)
-      .select(col("doc_id") +: (0 until MinhashPerms).map(i => col(s"m$i")): _*)
-  }
-
   /** q52: MinHash(128) + 16-band LSH candidates → exact-Jaccard verify
     * (τ = 0.6). With 8 rows/band, a 0.97-similar pair is missed with
     * probability ~(1-0.97⁸)¹⁶ ≈ 2e-11, so the verified output equals the
-    * exact q51 result — and shares its oracle. */
+    * exact q51 result — and shares its oracle.
+    *
+    * The whole 128-min signature is ONE native expression pass per
+    * document (MinHash128) — map-only, no shingle explode/shuffle and no
+    * 128-column aggregate. Band hashes are xxhash64 over signature
+    * slices. */
   def q52(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(s, d).cache()
-    val sigs = minhashSigs(sh)
+    val sigs = shingleArrays(s, d)
+      .select(col("doc_id"), F.minhash128(col("shingles"), MinhashPerms).as("sig"))
     val bandCols = (0 until LshBands).map { b =>
-      val rows = (0 until LshRows).map(r => col(s"m${b * LshRows + r}"))
-      struct(lit(b).as("band"), xxhash64(rows: _*).as("bh"))
+      struct(lit(b).as("band"),
+        xxhash64(slice(col("sig"), b * LshRows + 1, LshRows)).as("bh"))
     }
     val buckets = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
@@ -96,19 +105,17 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // Verify candidates with exact Jaccard over the same shingle index.
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val common = candidates
-      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") &&
-        col("sa.shingle") === col("sb.shingle"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("common"))
-    val jac = col("common").cast("double") /
-      (col("na.n_sh") + col("nb.n_sh") - col("common")).cast("double")
-    common
-      .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))
-      .join(sizes.as("nb"), col("doc_b") === col("nb.doc_id"))
+    // Verify candidates with exact Jaccard via per-pair array
+    // intersection: candidates are O(near-dups), so two narrow joins
+    // fetch the shingle arrays and the set math runs per row — no
+    // re-explosion of the full shingle inventory.
+    val arrs = shingleArrays(s, d)
+    val common = size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+    val jac = common.cast("double") /
+      (size(col("sh_a")) + size(col("sh_b")) - common).cast("double")
+    candidates
+      .join(arrs.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+      .join(arrs.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
       .filter(jac >= 0.6)
       .select(col("doc_a"), col("doc_b"), bp(jac).as("jaccard_bp"))
   }
