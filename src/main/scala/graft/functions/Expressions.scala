@@ -170,11 +170,106 @@ case class HyperplaneBuckets(child: Expression, masks: Seq[Long], bits: Int)
     copy(child = newChild)
 }
 
-/** MinHash signature of an array<string> of (distinct) shingles: for
-  * permutation p, min over shingles of splitmix64(xxhash64(shingle) +
-  * (p+1)·φ64). One fused pass per document — the alternative (explode to
-  * a (doc, shingle) table, then a 128-column min aggregate) shuffles the
-  * whole shingle inventory and exceeds codegen.maxFields. The splitmix64
+/** Sorted distinct xxhash64 values of the word k-shingles of a token
+  * array: one codegen'd pass per document replacing an interpreted
+  * transform → concat_ws → array_distinct → xxhash64 → sort_array chain
+  * (higher-order functions are CodegenFallback — per-element lambda
+  * interpretation on the hottest dedup path). Hash matches SQL
+  * `xxhash64(concat_ws(' ', w1..wk))` (seed 42), so results are
+  * reproducible from SQL. Output is sorted, so downstream prefix
+  * slicing IS rarity-order-by-hash and array_intersect runs on sorted
+  * longs. */
+case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  private val space = UTF8String.fromString(" ")
+
+  private def compute(toks: ArrayData): Array[Long] = {
+    val n = toks.numElements()
+    val m = math.max(n - k + 1, 0)
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val parts = new Array[UTF8String](k)
+      var j = 0
+      while (j < k) { parts(j) = toks.getUTF8String(i + j); j += 1 }
+      hs(i) = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        UTF8String.concatWs(space, parts: _*), StringType, 42L)
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    // drop duplicates in place (array is sorted)
+    var w = 0
+    i = 0
+    while (i < m) {
+      if (w == 0 || hs(i) != hs(w - 1)) { hs(w) = hs(i); w += 1 }
+      i += 1
+    }
+    if (w == m) hs else java.util.Arrays.copyOf(hs, w)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      compute(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("shingleHashes", this, classOf[ShingleHashes].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.hashes($c);")
+  }
+
+  /** Called from generated code. */
+  def hashes(toks: ArrayData): org.apache.spark.sql.catalyst.util.GenericArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(compute(toks))
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+/** Jaccard similarity |a∩b| / |a∪b| of two SORTED distinct array<long>
+  * columns (as produced by ShingleHashes) via a single zero-allocation
+  * linear merge. The built-in array_intersect builds a hash set per
+  * call — per-pair allocation on the candidate-verification hot path,
+  * which at 100 TB runs once per candidate pair. */
+case class JaccardSorted(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaccard_sorted"
+
+  private def compute(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements(); val nb = b.numElements()
+    if (na == 0 && nb == 0) return 0.0
+    var i = 0; var j = 0; var common = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { common += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    common.toDouble / (na + nb - common).toDouble
+  }
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("jaccardSorted", this, classOf[JaccardSorted].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $self.sim($a, $b);")
+  }
+
+  /** Called from generated code. */
+  def sim(a: ArrayData, b: ArrayData): Double = compute(a, b)
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSorted =
+    copy(left = l, right = r)
+}
+
+/** MinHash signature of an array<long> of (distinct) shingle hashes: for
+  * permutation p, min over shingles of splitmix64(h + (p+1)·φ64). One
+  * fused pass per document — the alternative (explode to a (doc,
+  * shingle) table, then a 128-column min aggregate) shuffles the whole
+  * shingle inventory and exceeds codegen.maxFields. The splitmix64
   * finalizer gives an independent-enough hash family per permutation at
   * 3 multiplies each, vs a full rehash per (shingle, perm). */
 case class MinHash128(child: Expression, perms: Int) extends UnaryExpression {
@@ -186,8 +281,7 @@ case class MinHash128(child: Expression, perms: Int) extends UnaryExpression {
     val n = arr.numElements()
     var i = 0
     while (i < n) {
-      val h0 = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
-        arr.getUTF8String(i), StringType, 42L)
+      val h0 = arr.getLong(i)
       var p = 0
       while (p < perms) {
         var z = h0 + (p + 1) * -7046029254386353131L // 0x9E3779B97F4A7C15

@@ -22,8 +22,18 @@ object F {
   /** 64-bit SimHash of an array<string> token column. */
   def simhash64(c: Column): Column = GraftColumns.wrap(SimHash64(u(c)))
 
+  /** Sorted distinct xxhash64 values of the word k-shingles of an
+    * array<string> token column, one fused pass per row. */
+  def shingleHashes(c: Column, k: Int = 3): Column =
+    GraftColumns.wrap(ShingleHashes(u(c), k))
+
   /** MinHash signature (array<long> of `perms` minima) of an
-    * array<string> shingle column, one fused pass per row. */
+    * array<long> shingle-hash column, one fused pass per row. */
   def minhash128(c: Column, perms: Int = 128): Column =
     GraftColumns.wrap(MinHash128(u(c), perms))
+
+  /** Exact Jaccard similarity of two sorted distinct array<long>
+    * columns — single zero-allocation merge pass. */
+  def jaccardSorted(a: Column, b: Column): Column =
+    GraftColumns.wrap(JaccardSorted(u(a), u(b)))
 }

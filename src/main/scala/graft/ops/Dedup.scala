@@ -11,12 +11,13 @@ import graft.functions.F
   *
   * Scale design (100 TB):
   * - exact dedup is one hash shuffle on md5(text) — linear.
-  * - exact Jaccard uses an inverted shingle index (explode → self-join on
-  *   shingle → count common). Exact but O(Σ postings²) on hot shingles;
-  *   it's the ground-truth/oracle path. The scale path is MinHash-LSH:
-  *   signature build is map-only (128 mins over exploded shingles), the
-  *   band join shuffles on (band, hash-of-8-rows) buckets — candidates
-  *   are O(near-dups), not O(n²) — and only candidates are verified.
+  * - exact Jaccard uses PPJoin prefix filtering: per-doc sorted shingle
+  *   hashes are one codegen pass (ShingleHashes), the candidate join
+  *   touches only prefix postings (+ length filter), and candidates are
+  *   verified by per-pair sorted-array intersection. The scale path is
+  *   MinHash-LSH: signature build is map-only (MinHash128), the band
+  *   join shuffles on (band, bucket-hash) — candidates are O(near-dups),
+  *   not O(n²) — and only candidates are verified.
   * - SimHash blocks by pigeonhole: hamming ≤ 3 on 64 bits means at least
   *   one of 4 16-bit chunks is equal, so the pair join runs on chunk
   *   equality, never all-pairs.
@@ -26,17 +27,17 @@ import graft.functions.F
 object Dedup {
 
 
-  /** Distinct word 3-shingles per document as an array column.
-    * `toks` is materialized once per row before the higher-order lambda —
-    * referencing split(text) inside the lambda would re-tokenize the
-    * whole document per element (O(tokens²), and interpreted). */
+  /** Sorted distinct 3-shingle hashes per document: (doc_id, sh_arr, n).
+    * ShingleHashes is one codegen'd pass per row — tokenize, hash each
+    * shingle to 64 bits, sort, dedupe — replacing an interpreted
+    * higher-order transform/array_distinct chain. Jaccard over the hash
+    * sets equals Jaccard over the shingle strings up to n²/2⁶⁵ collision
+    * odds — immaterial at any realistic corpus size. */
   private def shingleArrays(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .withColumn("toks", split(col("text"), " "))
-      .select(col("doc_id"), array_distinct(
-        expr("""transform(slice(toks, 1, greatest(size(toks) - 2, 0)),
-                (x, i) -> concat_ws(' ', x, element_at(toks, i + 2), element_at(toks, i + 3)))"""))
-        .as("shingles"))
+      .select(col("doc_id"),
+        F.shingleHashes(split(col("text"), " "), 3).as("sh_arr"))
+      .withColumn("n", size(col("sh_arr")))
 
   /** q50: exact dedup — group by md5(text), keep the smallest doc_id. */
   def q50(s: SparkSession, d: String): DataFrame =
@@ -54,23 +55,25 @@ object Dedup {
     * The candidate join then touches O(prefix postings²) instead of
     * O(all postings²) — the difference between a prefix join and a full
     * inverted-index self-join at 100 TB. Candidates are verified
-    * exactly by per-pair sorted-array intersection. */
+    * exactly by per-pair sorted-array intersection.
+    *
+    * A PPJoin length filter rides the candidate join: J ≥ τ forces
+    * τ·na ≤ nb ≤ na/τ, pruning cross-size collisions before the
+    * distinct. The array table is tiny relative to its source scan, so
+    * it is cached and read three times (prefixes + both verify sides)
+    * instead of recomputed. */
   def q51(s: SparkSession, d: String): DataFrame = {
-    val byRarity = shingleArrays(s, d)
-      .select(col("doc_id"),
-        sort_array(expr("transform(shingles, x -> xxhash64(x))")).as("sh_arr"))
-      .withColumn("n", size(col("sh_arr")))
+    val arrs = shingleArrays(s, d).cache()
     val prefixLen = (col("n") - ceil(col("n") * 0.6).cast("int") + 1)
-    val prefixes = byRarity
-      .select(col("doc_id"), explode(slice(col("sh_arr"), lit(1), prefixLen)).as("sh"))
+    val prefixes = arrs
+      .select(col("doc_id"), col("n"),
+        explode(slice(col("sh_arr"), lit(1), prefixLen)).as("sh"))
     val candidates = prefixes.as("a").join(prefixes.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
+        col("b.n") * 0.6 <= col("a.n") && col("a.n") * 0.6 <= col("b.n"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val arrs = byRarity.select(col("doc_id"), col("sh_arr"))
-    val common = size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
-    val jac = common.cast("double") /
-      (size(col("sh_a")) + size(col("sh_b")) - common).cast("double")
+    val jac = F.jaccardSorted(col("sh_a"), col("sh_b"))
     candidates
       .join(arrs.select(col("doc_id").as("doc_a"), col("sh_arr").as("sh_a")), "doc_a")
       .join(arrs.select(col("doc_id").as("doc_b"), col("sh_arr").as("sh_b")), "doc_b")
@@ -92,8 +95,9 @@ object Dedup {
     * 128-column aggregate. Band hashes are xxhash64 over signature
     * slices. */
   def q52(s: SparkSession, d: String): DataFrame = {
-    val sigs = shingleArrays(s, d)
-      .select(col("doc_id"), F.minhash128(col("shingles"), MinhashPerms).as("sig"))
+    val arrs = shingleArrays(s, d).cache()
+    val sigs = arrs
+      .select(col("doc_id"), F.minhash128(col("sh_arr"), MinhashPerms).as("sig"))
     val bandCols = (0 until LshBands).map { b =>
       struct(lit(b).as("band"),
         xxhash64(slice(col("sig"), b * LshRows + 1, LshRows)).as("bh"))
@@ -107,15 +111,12 @@ object Dedup {
       .distinct()
     // Verify candidates with exact Jaccard via per-pair array
     // intersection: candidates are O(near-dups), so two narrow joins
-    // fetch the shingle arrays and the set math runs per row — no
+    // fetch the shingle-hash arrays and the set math runs per row — no
     // re-explosion of the full shingle inventory.
-    val arrs = shingleArrays(s, d)
-    val common = size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
-    val jac = common.cast("double") /
-      (size(col("sh_a")) + size(col("sh_b")) - common).cast("double")
+    val jac = F.jaccardSorted(col("sh_a"), col("sh_b"))
     candidates
-      .join(arrs.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
-      .join(arrs.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+      .join(arrs.select(col("doc_id").as("doc_a"), col("sh_arr").as("sh_a")), "doc_a")
+      .join(arrs.select(col("doc_id").as("doc_b"), col("sh_arr").as("sh_b")), "doc_b")
       .filter(jac >= 0.6)
       .select(col("doc_a"), col("doc_b"), bp(jac).as("jaccard_bp"))
   }
