@@ -55,6 +55,7 @@ object SparkEntry {
     "q36_retention"       -> (Events.q36 _),
     "q37_rolling_window"  -> (Events.q37 _),
     "q38_histogram"       -> (Events.q38 _),
+    "q39_range_join"      -> (Events.q39 _),
     "q40_token_stats"     -> (Text.q40 _),
     "q41_quality_score"   -> (Text.q41 _),
     "q42_langid"          -> (Text.q42 _),
@@ -62,6 +63,9 @@ object SparkEntry {
     "q44_ngram_freq"      -> (Text.q44 _),
     "q45_tfidf"           -> (Text.q45 _),
     "q46_normalize_dedup" -> (Text.q46 _),
+    "q47_stratified_sample" -> (Text.q47 _),
+    "q48_pii_scrub"       -> (Text.q48 _),
+    "q49_repetition"      -> (Text.q49 _),
     "q50_dedup_exact"     -> (Dedup.q50 _),
     "q51_dedup_ngram_jaccard" -> (Dedup.q51 _),
     "q52_dedup_minhash_lsh"   -> (Dedup.q52 _),
@@ -347,6 +351,41 @@ object SparkEntry {
          count(*) AS n_orders, ${C("sum(o_totalprice)")} AS sum_price,
          ${C("min(o_totalprice)")} AS min_price, ${C("max(o_totalprice)")} AS max_price
          FROM orders GROUP BY 1""",
+
+    "q39_range_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events)
+         SELECT a.event_type AS type_a, b.event_type AS type_b,
+                count(*) AS n_pairs, count(DISTINCT a.user_id) AS n_users
+         FROM e a JOIN e b ON a.user_id = b.user_id AND a.event_id <> b.event_id
+           AND b.us BETWEEN a.us AND a.us + 300000000
+         GROUP BY 1, 2""",
+
+    "q47_stratified_sample" ->
+      """SELECT lang, rn, doc_id, source FROM (
+           SELECT lang, doc_id, source,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
+           FROM documents) WHERE rn <= 20""",
+
+    "q48_pii_scrub" ->
+      """SELECT source, count(*) AS n_docs,
+         CAST(sum(len(regexp_extract_all(text, '[0-9]+'))) AS BIGINT) AS n_num_runs,
+         CAST(sum(length(regexp_replace(regexp_replace(text,
+           '[a-z0-9.]+@[a-z0-9.]+', '<email>', 'g'), '[0-9]+', '<num>', 'g'))) AS BIGINT) AS sum_scrub_len,
+         CAST(sum(length(text)) AS BIGINT) AS sum_raw_len
+         FROM documents GROUP BY 1""",
+
+    "q49_repetition" ->
+      s"""WITH t AS (SELECT lang, string_split(text, ' ') AS toks FROM documents),
+         b AS (SELECT lang, len(toks) - 1 AS total,
+               len(list_distinct(list_transform(range(1, len(toks)),
+                 i -> toks[i] || ' ' || toks[i+1]))) AS nd
+               FROM t WHERE len(toks) >= 2),
+         r AS (SELECT lang, 1.0 - nd / CAST(total AS DOUBLE) AS rep FROM b)
+         SELECT lang, count(*) AS n_docs, ${BP("avg(rep)")} AS avg_rep_bp,
+           ${BP("max(rep)")} AS max_rep_bp,
+           CAST(sum(CASE WHEN rep > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive
+         FROM r GROUP BY 1""",
 
     "q46_normalize_dedup" ->
       """SELECT md5(norm) AS norm_hash, min(doc_id) AS keep_id,

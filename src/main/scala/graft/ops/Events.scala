@@ -160,6 +160,35 @@ object Events {
            cents(min(col("o_totalprice"))).as("min_price"),
            cents(max(col("o_totalprice"))).as("max_price"))
 
+  /** q39: range join — co-occurring event-type pairs from the same user
+    * within 5 minutes (b in [a, a+5min], a ≠ b). A raw theta join
+    * (BETWEEN on time) degenerates to a per-key nested loop; the scale
+    * shape is a BUCKETED equi-join: the left side explodes each event
+    * into the two 5-minute buckets its window can touch, the right side
+    * keeps its single bucket, and the join runs on (user_id, bucket)
+    * with the range as a residual filter. Bucket width = range width,
+    * so left fan-out is exactly 2× and every qualifying pair matches
+    * exactly once (the right event's bucket is unique). */
+  def q39(s: SparkSession, d: String): DataFrame = {
+    val windowUs = 5L * 60 * 1000000
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val a = ev.select(col("user_id"),
+      col("event_id").as("id_a"), col("event_type").as("type_a"),
+      col("us").as("us_a"),
+      explode(array(expr(s"us div $windowUs"), expr(s"us div $windowUs") + 1)).as("bucket"))
+    val b = ev.select(col("user_id"),
+      col("event_id").as("id_b"), col("event_type").as("type_b"),
+      col("us").as("us_b"), expr(s"us div $windowUs").as("bucket"))
+    a.join(b, Seq("user_id", "bucket"))
+      .filter(col("id_a") =!= col("id_b") &&
+        col("us_b") >= col("us_a") && col("us_b") <= col("us_a") + windowUs)
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+           countDistinct(col("user_id")).as("n_users"))
+  }
+
   /** q34: JSON property extraction + aggregate over the extracted field. */
   def q34(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)

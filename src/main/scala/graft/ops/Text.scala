@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Cols._
+import graft.functions.F
 
 /** Text-analysis operators over the documents table: token statistics,
   * quality scoring, language-ID, fingerprinting, n-gram frequencies.
@@ -151,5 +152,58 @@ object Text {
       .agg(min(col("doc_id")).as("keep_id"),
            count(lit(1)).as("n_copies"),
            min(length(col("norm"))).as("norm_len"))
+  }
+
+  /** q47: deterministic stratified sampling — exactly 20 documents per
+    * language, chosen by md5-of-id order. Reproducible across engines
+    * and runs (no RNG state to ship to executors); one shuffle on the
+    * stratum key, and the per-stratum top-N is a bounded partial
+    * top-k under the window's rank filter, never a full sort of the
+    * corpus. */
+  def q47(s: SparkSession, d: String): DataFrame = {
+    val h = md5(col("doc_id").cast("string"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("h").asc, col("doc_id").asc)
+    Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"), col("source"), h.as("h"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 20)
+      .select(col("lang"), col("rn"), col("doc_id"), col("source"))
+  }
+
+  /** q48: PII/pattern scrubbing — mask email-shaped tokens then digit
+    * runs, count what was masked. All map-side regex in one scan pass;
+    * one aggregation on the (low-cardinality) source key. */
+  def q48(s: SparkSession, d: String): DataFrame = {
+    val scrubbed = regexp_replace(
+      regexp_replace(col("text"), "[a-z0-9.]+@[a-z0-9.]+", "<email>"),
+      "[0-9]+", "<num>")
+    Tables.documents(s, d)
+      .select(col("source"),
+        size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0))).cast("long").as("n_num"),
+        length(scrubbed).cast("long").as("scrub_len"),
+        length(col("text")).cast("long").as("raw_len"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_num")).as("n_num_runs"),
+           sum(col("scrub_len")).as("sum_scrub_len"),
+           sum(col("raw_len")).as("sum_raw_len"))
+  }
+
+  /** q49: repetition scoring — per-document duplicate-bigram ratio
+    * (1 − distinct/total bigrams), the Gopher-style repetition quality
+    * signal for corpus filtering. Distinct bigrams are counted by the
+    * same fused codegen pass as dedup (ShingleHashes, k=2) — map-only,
+    * then one aggregation on language. */
+  def q49(s: SparkSession, d: String): DataFrame = {
+    val total = (size(toks) - 1).cast("double")
+    val rep = lit(1.0) - size(F.shingleHashes(toks, 2)).cast("double") / total
+    withToks(Tables.documents(s, d))
+      .filter(size(toks) >= 2)
+      .select(col("lang"), rep.as("rep"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           bp(avg(col("rep"))).as("avg_rep_bp"),
+           bp(max(col("rep"))).as("max_rep_bp"),
+           sum(when(col("rep") > 0.1, 1L).otherwise(0L)).as("n_repetitive"))
   }
 }

@@ -68,6 +68,43 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q39 bucketed range join equals the brute-force theta join") {
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us")).collect()
+    val byUser = ev.groupBy(_.getLong(1))
+    val brute = scala.collection.mutable.Map.empty[(String, String), Long]
+    byUser.values.foreach { es =>
+      for (a <- es; b <- es
+           if a.getLong(0) != b.getLong(0) &&
+              b.getLong(3) >= a.getLong(3) && b.getLong(3) <= a.getLong(3) + 300000000L)
+        brute.updateWith((a.getString(2), b.getString(2)))(c => Some(c.getOrElse(0L) + 1))
+    }
+    val got = Events.q39(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == brute.toMap)
+  }
+
+  test("q47 stratified sample takes exactly min(20, stratum size) per language") {
+    val sizes = Tables.documents(spark, sf).groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = Text.q47(spark, sf).groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sampled.keySet == sizes.keySet)
+    sampled.foreach { case (lang, n) =>
+      assert(n == math.min(20L, sizes(lang)), s"$lang: $n") }
+    // deterministic across runs
+    assert(Text.q47(spark, sf).collect().map(_.toSeq).toSet ==
+           Text.q47(spark, sf).collect().map(_.toSeq).toSet)
+  }
+
+  test("q49 repetition ratios are sane (0 <= avg <= max <= 1)") {
+    Text.q49(spark, sf).collect().foreach { r =>
+      val (avg, max) = (r.getLong(2), r.getLong(3))
+      assert(avg >= 0 && avg <= max && max <= 10000, s"$r")
+    }
+  }
+
   test("q50 exact dedup partitions the corpus: sum of copies = corpus size") {
     val total = Dedup.q50(spark, sf).agg(sum(col("n_copies"))).head().getLong(0)
     assert(total == Tables.documents(spark, sf).count())
