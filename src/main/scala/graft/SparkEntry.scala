@@ -75,6 +75,7 @@ object SparkEntry {
     "q60_ann_bruteforce"  -> (Similarity.q60 _),
     "q61_ann_lsh"         -> (Similarity.q61 _),
     "q62_ann_ivf"         -> (Similarity.q62 _),
+    "q63_ann_pq"          -> (Similarity.q63 _),
     "q70_multimodal_meta" -> (Multimodal.q70 _),
     "q71_frame_sample"    -> (Multimodal.q71 _),
   )

@@ -227,6 +227,140 @@ case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Product-quantization codes for one embedding, packed into ONE long:
+  * the embedding splits into `m` contiguous subvectors; subvector i is
+  * assigned its nearest (squared-L2) of `k` codebook centroids and the
+  * code lands in bits [4i, 4i+4) (k ≤ 16). 8 bytes per vector instead
+  * of 4·dim — the PQ memory story — and encoding is one codegen'd pass.
+  * `codebook` is laid out [subspace][centroid][dim], flattened. */
+case class PqCode(child: Expression, codebook: Seq[Float], m: Int, k: Int)
+    extends UnaryExpression {
+  require(k <= 16 && m <= 16 && codebook.length % (m * k) == 0)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "pq_code"
+  @transient private lazy val cb: Array[Float] = codebook.toArray
+  @transient private lazy val ds: Int = cb.length / (m * k)
+
+  private def compute(emb: ArrayData): Long = {
+    var packed = 0L
+    var sub = 0
+    while (sub < m) {
+      var best = 0; var bestD = Float.MaxValue
+      var j = 0
+      while (j < k) {
+        val base = (sub * k + j) * ds
+        var dist = 0.0f
+        var t = 0
+        while (t < ds) {
+          val diff = emb.getFloat(sub * ds + t) - cb(base + t)
+          dist += diff * diff
+          t += 1
+        }
+        if (dist < bestD) { bestD = dist; best = j }
+        j += 1
+      }
+      packed |= best.toLong << (4 * sub)
+      sub += 1
+    }
+    packed
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("pqCode", this, classOf[PqCode].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.code($c);")
+  }
+
+  /** Called from generated code. */
+  def code(emb: ArrayData): Long = compute(emb)
+
+  override protected def withNewChildInternal(newChild: Expression): PqCode =
+    copy(child = newChild)
+}
+
+/** Per-query ADC lookup table: entry [sub·k + j] = dot(query subvector
+  * `sub`, centroid j of subspace `sub`). Built once per query row; the
+  * per-candidate score is then `m` array lookups (PqAdc) instead of a
+  * dim-wide dot product. */
+case class PqTable(child: Expression, codebook: Seq[Float], m: Int, k: Int)
+    extends UnaryExpression {
+  require(codebook.length % (m * k) == 0)
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "pq_table"
+  @transient private lazy val cb: Array[Float] = codebook.toArray
+  @transient private lazy val ds: Int = cb.length / (m * k)
+
+  private def compute(emb: ArrayData): Array[Float] = {
+    val out = new Array[Float](m * k)
+    var sub = 0
+    while (sub < m) {
+      var j = 0
+      while (j < k) {
+        val base = (sub * k + j) * ds
+        var dot = 0.0f
+        var t = 0
+        while (t < ds) { dot += emb.getFloat(sub * ds + t) * cb(base + t); t += 1 }
+        out(sub * k + j) = dot
+        j += 1
+      }
+      sub += 1
+    }
+    out
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      compute(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("pqTable", this, classOf[PqTable].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.table($c);")
+  }
+
+  /** Called from generated code. */
+  def table(emb: ArrayData): org.apache.spark.sql.catalyst.util.GenericArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(compute(emb))
+
+  override protected def withNewChildInternal(newChild: Expression): PqTable =
+    copy(child = newChild)
+}
+
+/** ADC score: asymmetric-distance approximation of dot(query, vec) =
+  * Σ over subspaces of table[sub·k + code_sub], with codes unpacked
+  * from the packed-nibble long. m lookups per candidate pair. */
+case class PqAdc(left: Expression, right: Expression, m: Int, k: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc"
+
+  private def compute(table: ArrayData, packed: Long): Double = {
+    var sum = 0.0
+    var sub = 0
+    while (sub < m) {
+      val code = ((packed >>> (4 * sub)) & 0xfL).toInt
+      sum += table.getFloat(sub * k + code)
+      sub += 1
+    }
+    sum
+  }
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    compute(l.asInstanceOf[ArrayData], r.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("pqAdc", this, classOf[PqAdc].getName)
+    nullSafeCodeGen(ctx, ev, (t, c) => s"${ev.value} = $self.score($t, $c);")
+  }
+
+  /** Called from generated code. */
+  def score(table: ArrayData, packed: Long): Double = compute(table, packed)
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdc =
+    copy(left = l, right = r)
+}
+
 /** Jaccard similarity |a∩b| / |a∪b| of two SORTED distinct array<long>
   * columns (as produced by ShingleHashes) via a single zero-allocation
   * linear merge. The built-in array_intersect builds a hash set per

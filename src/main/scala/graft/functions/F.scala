@@ -36,4 +36,16 @@ object F {
     * columns — single zero-allocation merge pass. */
   def jaccardSorted(a: Column, b: Column): Column =
     GraftColumns.wrap(JaccardSorted(u(a), u(b)))
+
+  /** Packed-nibble PQ code of an array<float> embedding. */
+  def pqCode(c: Column, codebook: Seq[Float], m: Int, k: Int): Column =
+    GraftColumns.wrap(PqCode(u(c), codebook, m, k))
+
+  /** Per-query ADC lookup table (array<float> of m·k partial dots). */
+  def pqTable(c: Column, codebook: Seq[Float], m: Int, k: Int): Column =
+    GraftColumns.wrap(PqTable(u(c), codebook, m, k))
+
+  /** ADC approximate dot product from a query table + packed code. */
+  def pqAdc(table: Column, code: Column, m: Int, k: Int): Column =
+    GraftColumns.wrap(PqAdc(u(table), u(code), m, k))
 }

@@ -117,4 +117,55 @@ object Similarity {
       .filter(col("rank") <= TopK)
       .select(col("query_id"), col("rank"), col("neighbor_id"), bp(col("cos")).as("cos_bp"))
   }
+
+  val PqM = 8        // subspaces (4-bit codes pack into one long)
+  val PqK = 16       // centroids per subspace
+  val PqRerank = 80  // ADC shortlist size fed to exact rerank
+
+  /** q63: product-quantization ANN — the memory-bound scale path. The
+    * corpus is compressed to ONE long per vector (8 × 4-bit subspace
+    * codes): at 100 TB that's a 32× reduction over raw float32[64]
+    * embeddings, so the scored table is a fraction of the source size.
+    * Each query precomputes its ADC lookup table once (PqTable);
+    * per-candidate scoring is then 8 array lookups (PqAdc), not a
+    * 64-dim dot product. The ADC shortlist (top `PqRerank` per query)
+    * is joined back to raw embeddings for exact cosine rerank — only
+    * O(queries × PqRerank) full vectors are ever touched per query.
+    *
+    * The codebook is `PqK` sampled corpus vectors' subvectors (same
+    * tiny-model-collect pattern as q62's coarse quantizer); at scale
+    * it would be k-means-refined per subspace — same plan shape. */
+  def q63(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    // codebook[sub][j] = subvector `sub` of sampled vector j, flattened
+    // to [sub][j][dim-within-sub] layout.
+    val sampled: Array[Array[Float]] = e.orderBy(col("vec_id").asc).limit(PqK)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    val ds = sampled.head.length / PqM
+    val codebook: Seq[Float] = (0 until PqM).flatMap(sub =>
+      sampled.flatMap(v => v.slice(sub * ds, (sub + 1) * ds)))
+    val corpus = e.select(col("vec_id"),
+      F.pqCode(col("embedding"), codebook, PqM, PqK).as("code"))
+    val queries = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        F.pqTable(col("embedding"), codebook, PqM, PqK).as("tbl"))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("neighbor_id").asc)
+    val shortlist = corpus.join(broadcast(queries),
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("q_emb"), col("vec_id").as("neighbor_id"),
+        F.pqAdc(col("tbl"), col("code"), PqM, PqK).as("adc"))
+      .withColumn("arank", row_number().over(wAdc))
+      .filter(col("arank") <= PqRerank)
+    val cos = F.cosineSim(col("q_emb"), col("embedding"))
+    val wCos = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    shortlist
+      .join(e.select(col("vec_id").as("neighbor_id"), col("embedding")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), cos.as("cos"))
+      .withColumn("rank", row_number().over(wCos))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), bp(col("cos")).as("cos_bp"))
+  }
 }

@@ -146,6 +146,16 @@ class OperatorsSpec extends SparkSpec {
     assert(feats.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
   }
 
+  test("q63 PQ-ADC ANN reaches usable recall vs q60 brute force") {
+    val bf = Similarity.q60(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val pq = Similarity.q63(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (bf & pq).size.toDouble / bf.size
+    info(f"recall@10 = $recall%.2f (M=${Similarity.PqM} K=${Similarity.PqK} rerank=${Similarity.PqRerank})")
+    assert(recall >= 0.3, f"recall $recall%.2f below 0.3")
+  }
+
   test("q62 IVF ANN reaches usable recall vs q60 brute force") {
     val bf = Similarity.q60(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
