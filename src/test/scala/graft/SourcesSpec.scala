@@ -36,4 +36,47 @@ class SourcesSpec extends SparkSpec {
     assert(back.orderBy("l_returnflag", "l_linestatus").collect().toSeq ==
            src.orderBy("l_returnflag", "l_linestatus").collect().toSeq)
   }
+
+  test("partitioned parquet write prunes partitions on read") {
+    val src = Tables.orders(spark, sf)
+    val path = tmp("partby")
+    src.withColumn("status", col("o_orderstatus"))
+      .write.partitionBy("status").parquet(path)
+    val back = spark.read.parquet(path).filter(col("status") === "O")
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters:") && plan.contains("status"),
+      s"no partition filter in plan:\n$plan")
+    assert(back.count() == src.filter(col("o_orderstatus") === "O").count())
+  }
+
+  test("bucketed tables join with no shuffle exchange (co-located join)") {
+    val conf = spark.conf
+    val prevThreshold = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Tables.orders(spark, sf).write
+        .option("path", tmp("bucket-o")).bucketBy(8, "o_custkey")
+        .sortBy("o_custkey").mode("overwrite").saveAsTable("orders_bucketed")
+      Tables.customer(spark, sf).write
+        .option("path", tmp("bucket-c")).bucketBy(8, "c_custkey")
+        .sortBy("c_custkey").mode("overwrite").saveAsTable("customer_bucketed")
+      val j = spark.table("orders_bucketed")
+        .join(spark.table("customer_bucketed"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment")).count()
+      val plan = j.queryExecution.executedPlan.toString
+      // The join itself must not re-shuffle either bucketed side: the
+      // only exchange allowed is the one feeding the final aggregation.
+      val joinPart = plan.substring(plan.indexOf("SortMergeJoin"))
+      assert("Exchange hashpartitioning\\(o_custkey|Exchange hashpartitioning\\(c_custkey".r
+        .findFirstIn(joinPart).isEmpty, s"bucketed join re-shuffled:\n$plan")
+      assert(j.collect().map(_.getLong(1)).sum ==
+        Tables.orders(spark, sf).join(Tables.customer(spark, sf),
+          col("o_custkey") === col("c_custkey")).count())
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+      spark.sql("DROP TABLE IF EXISTS customer_bucketed")
+    }
+  }
 }

@@ -94,4 +94,26 @@ class StreamingSpec extends SparkSpec {
         s"missing: ${(batch -- stream).take(3)}; extra: ${(stream -- batch).take(3)}")
     } finally q.stop()
   }
+
+  test("streaming dedup emits each content hash once within the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val docs = in.toDF().toDF("ts", "text")
+    val q = Streaming.dedupStream(docs)
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      in.addData((ts("2024-01-01 10:00:00"), "alpha"),
+                 (ts("2024-01-01 10:01:00"), "alpha"),
+                 (ts("2024-01-01 10:02:00"), "beta"))
+      q.processAllAvailable()
+      // a later duplicate inside the horizon is still dropped
+      in.addData((ts("2024-01-01 10:30:00"), "alpha"),
+                 (ts("2024-01-01 10:31:00"), "gamma"))
+      q.processAllAvailable()
+      val texts = spark.table("dedup_out").select("text").collect().map(_.getString(0))
+      assert(texts.sorted.toSeq == Seq("alpha", "beta", "gamma"),
+        s"got ${texts.toSeq}")
+    } finally q.stop()
+  }
 }
