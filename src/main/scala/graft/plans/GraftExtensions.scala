@@ -3,7 +3,9 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{CosineSimilarity, HammingDistance64, RollingHash64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import graft.functions.{CosineSimilarity, HammingDistance64, JaccardSorted,
+  MinHash128, RollingHash64, ShingleHashes, SimHash64}
 
 /** SparkSessionExtensions registering graft's native expressions as SQL
   * functions, so `spark.sql("SELECT cosine_sim(a, b) ...")` works too.
@@ -27,5 +29,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         CosineSimilarity(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (children: Seq[Expression]) => SimHash64(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("jaccard_sorted"),
+      new ExpressionInfo(classOf[JaccardSorted].getName, "jaccard_sorted"),
+      (children: Seq[Expression]) => JaccardSorted(children(0), children(1))))
+    // shingle_hashes(toks [, k]) and minhash128(hashes [, perms]) take
+    // their size parameter as an optional integer literal.
+    ext.injectFunction((
+      new FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      (children: Seq[Expression]) => ShingleHashes(children.head,
+        children.lift(1).map(intLit("shingle_hashes", _)).getOrElse(3))))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash128"),
+      new ExpressionInfo(classOf[MinHash128].getName, "minhash128"),
+      (children: Seq[Expression]) => MinHash128(children.head,
+        children.lift(1).map(intLit("minhash128", _)).getOrElse(128))))
+  }
+
+  private def intLit(fn: String, e: Expression): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal integer parameter, got $other")
   }
 }

@@ -45,4 +45,40 @@ class ExpressionsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
     assert(r.getInt(1) == 1)
   }
+
+  test("extensions register the dedup SQL functions too") {
+    val r = spark.sql(
+      "SELECT shingle_hashes(array('a','b','c','d'), 2) AS sh, " +
+      "simhash64(array('a','b')) AS sim, " +
+      "jaccard_sorted(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS j, " +
+      "minhash128(array(1L, 2L), 4) AS mh").head()
+    assert(r.getSeq[Long](0).length == 3)           // 3 distinct 2-shingles
+    assert(r.getSeq[Long](0).sorted == r.getSeq[Long](0))
+    assert(math.abs(r.getDouble(2) - 0.5) < 1e-12)  // |{2,3}| / |{1,2,3,4}|
+    assert(r.getSeq[Long](3).length == 4)
+  }
+
+  test("shingleHashes matches the SQL-composed shingle pipeline") {
+    val df = Seq("the quick brown fox jumps").toDF("text")
+      .withColumn("toks", split(col("text"), " "))
+    val native = df.select(F.shingleHashes(col("toks"), 3).as("h"))
+      .as[Seq[Long]].head().toSet
+    val composed = df.select(expr(
+      """transform(slice(toks, 1, greatest(size(toks) - 2, 0)),
+         (x, i) -> xxhash64(concat_ws(' ', x, element_at(toks, i + 2), element_at(toks, i + 3))))""").as("h"))
+      .as[Seq[Long]].head().toSet
+    assert(native == composed)
+  }
+
+  test("jaccardSorted agrees with array_intersect arithmetic") {
+    val gen = new scala.util.Random(7)
+    (1 to 20).foreach { _ =>
+      val a = Seq.fill(gen.nextInt(30) + 1)(gen.nextInt(40).toLong).distinct.sorted
+      val b = Seq.fill(gen.nextInt(30) + 1)(gen.nextInt(40).toLong).distinct.sorted
+      val got = Seq((a, b)).toDF("a", "b")
+        .select(F.jaccardSorted(col("a"), col("b"))).as[Double].head()
+      val want = (a.toSet & b.toSet).size.toDouble / (a.toSet | b.toSet).size
+      assert(got == want, s"a=$a b=$b")
+    }
+  }
 }
