@@ -1,22 +1,147 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Cols._
 
 /** Time-series / event operators: tumbling windows, gap sessionization,
-  * top-k per group, as-of join, JSON property extraction.
+  * top-k per group, as-of join, range join, funnel, retention, rolling
+  * windows, JSON property extraction.
+  *
+  * The generic entry points (`sessionize`, `topKPerGroup`, `asofJoin`,
+  * `rangeJoinPairs`, `funnelStages`, `retention`) work over ANY event
+  * DataFrame — callers name the key/time columns; the q3x methods are
+  * the driver-contract facades binding them to the test tables.
   *
   * Scale notes (100 TB): every operator here shuffles AT MOST ONCE, on
-  * the entity key (user_id), then does all per-entity work inside the
-  * partition via window functions — no cross-partition state, no
-  * driver-side iteration. The as-of join is the union-merge formulation
-  * (one shuffle of both sides on the key, one in-partition sort) rather
-  * than an events×orders range join, so it stays linear at scale.
+  * the entity key, then does all per-entity work inside the partition
+  * via window functions — no cross-partition state, no driver-side
+  * iteration. The as-of join is the union-merge formulation (one shuffle
+  * of both sides on the key, one in-partition sort) rather than an
+  * inequality join, so it stays linear at scale; the range join buckets
+  * time so the pair join is an equi-join with bounded 2× fan-out.
   */
 object Events {
+
+  /** Gap-based sessionization: assign each row a per-key session index
+    * that increments when the gap to the previous row exceeds `gapUs`.
+    * Single shuffle on the key; lag + running-sum inside the partition.
+    * Emits one row per session with bounds in exact integer µs. */
+  def sessionize(events: DataFrame, key: String, tsUs: String,
+                 order: String, value: String, gapUs: Long): DataFrame = {
+    val byKey = Window.partitionBy(col(key)).orderBy(col(tsUs).asc, col(order).asc)
+    events
+      .withColumn("prev_us", lag(col(tsUs), 1).over(byKey))
+      .withColumn("new_session",
+        when(col("prev_us").isNull || col(tsUs) - col("prev_us") > gapUs, 1).otherwise(0))
+      .withColumn("session_idx", sum(col("new_session")).over(byKey))
+      .groupBy(col(key), col("session_idx"))
+      .agg(min(col(tsUs)).as("session_start_us"),
+           max(col(tsUs)).as("session_end_us"),
+           count(lit(1)).as("n_events"),
+           cents(sum(col(value))).as("sum_value"))
+  }
+
+  /** Top-k rows per group by `order` desc (ties broken by `tie` asc).
+    * row_number inside the group partition — the filter cuts before any
+    * further shuffle, so output is k×groups, not all rows. */
+  def topKPerGroup(df: DataFrame, key: String, order: String,
+                   tie: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(order).desc, col(tie).asc)
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
+  /** As-of (backward) join: for each left row, the single right row with
+    * the greatest `rightTsUs` ≤ the left row's `leftTsUs` on the same
+    * key (ties broken by max `rightTie`).
+    *
+    * Union-merge formulation: tag both sides, union, single shuffle on
+    * the key, then `last(_, ignoreNulls)` over an ordered window carries
+    * the most recent right row forward onto each left row. Right rows
+    * sort before left rows at equal time, and among simultaneous right
+    * rows the max tie-break comes last, so `last` picks exactly the
+    * as-of match. One shuffle + one sort regardless of how many right
+    * rows precede each left row — an inequality join would be quadratic
+    * per key. Matched left rows only (inner as-of). Output: leftId, key,
+    * leftTsUs, last_<rightTie>, last_ts_us. */
+  def asofJoin(left: DataFrame, leftKey: String, leftId: String, leftTsUs: String,
+               right: DataFrame, rightKey: String, rightTie: String,
+               rightTsUs: String): DataFrame = {
+    val l = left.select(
+      col(leftKey).as("k"), col(leftTsUs).as("t_us"),
+      lit(1).as("is_left"), col(leftId).as("left_id"),
+      lit(null).cast("long").as("tie_in"), lit(null).cast("long").as("rt_us_in"))
+    val r = right.select(
+      col(rightKey).as("k"), col(rightTsUs).as("t_us"),
+      lit(0).as("is_left"), lit(null).cast("long").as("left_id"),
+      col(rightTie).as("tie_in"), col(rightTsUs).as("rt_us_in"))
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("t_us").asc, col("is_left").asc, col("tie_in").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("last_tie", last(col("tie_in"), ignoreNulls = true).over(w))
+      .withColumn("last_ts_us", last(col("rt_us_in"), ignoreNulls = true).over(w))
+      .filter(col("is_left") === 1 && col("last_tie").isNotNull)
+      .select(col("left_id"), col("k"), col("t_us"),
+              col("last_tie"), col("last_ts_us"))
+  }
+
+  /** Range join: all (a, b) row pairs on the same key with
+    * b.ts ∈ [a.ts, a.ts + windowUs], a ≠ b. A raw theta join (BETWEEN on
+    * time) degenerates to a per-key nested loop; the scale shape is a
+    * BUCKETED equi-join: the left side explodes each row into the two
+    * `windowUs`-wide buckets its window can touch, the right side keeps
+    * its single bucket, and the join runs on (key, bucket) with the
+    * range as a residual filter. Bucket width = range width, so left
+    * fan-out is exactly 2× and every qualifying pair matches exactly
+    * once (the right row's bucket is unique). Output columns: key,
+    * id_a/id_b, tag_a/tag_b, us_a/us_b. */
+  def rangeJoinPairs(df: DataFrame, key: String, id: String, tag: String,
+                     tsUs: String, windowUs: Long): DataFrame = {
+    val bucket = expr(s"`$tsUs` div ${windowUs}L")
+    val a = df.select(col(key).as("k"),
+      col(id).as("id_a"), col(tag).as("tag_a"), col(tsUs).as("us_a"),
+      explode(array(bucket, bucket + 1)).as("bucket"))
+    val b = df.select(col(key).as("k"),
+      col(id).as("id_b"), col(tag).as("tag_b"), col(tsUs).as("us_b"),
+      bucket.as("bucket"))
+    a.join(b, Seq("k", "bucket"))
+      .filter(col("id_a") =!= col("id_b") &&
+        col("us_b") >= col("us_a") && col("us_b") <= col("us_a") + windowUs)
+  }
+
+  /** Ordered funnel: per-stage first-hit times, each stage strictly after
+    * the previous stage's first hit. Returns one aggregated frame per
+    * stage keyed by user. Joins narrow monotonically, so later stages
+    * are broadcast-size at 100 TB. */
+  def funnelStages(events: DataFrame, key: String, tag: String,
+                   tsUs: String, stages: Seq[String]): Seq[DataFrame] = {
+    require(stages.nonEmpty)
+    val first = events.filter(col(tag) === stages.head)
+      .groupBy(col(key)).agg(min(col(tsUs)).as("t"))
+    stages.tail.foldLeft(Seq(first)) { (acc, stage) =>
+      val prev = acc.last.select(col(key), col("t").as("t_prev"))
+      acc :+ events.filter(col(tag) === stage)
+        .join(prev, key).filter(col(tsUs) > col("t_prev"))
+        .groupBy(col(key)).agg(min(col(tsUs)).as("t"))
+    }
+  }
+
+  /** Daily cohort retention: users active on `day0` who return on each
+    * of the next `horizon` days. One distinct-user shuffle per side; the
+    * day-0 cohort broadcasts. */
+  def retention(events: DataFrame, key: String, day: String,
+                day0: Column, horizon: Int): DataFrame = {
+    val cohort = events.filter(col(day) === day0).select(col(key)).distinct()
+    events.filter(datediff(col(day), day0).between(1, horizon))
+      .join(broadcast(cohort), key)
+      .groupBy(datediff(col(day), day0).as("day_n"))
+      .agg(countDistinct(col(key)).as("n_retained"))
+  }
+
+  // ---- driver-contract facades over the test tables ----
 
   /** q30: event-time tumbling window (1h) aggregate per event type.
     * Map-side partial agg; output key is (hour bucket, type). */
@@ -29,104 +154,50 @@ object Events {
            cents(sum(col("value"))).as("sum_value"),
            cents(avg(col("value"))).as("avg_value"))
 
-  /** q31: gap-based sessionization (30-min inactivity gap).
-    * Single shuffle on user_id; lag + running-sum inside the partition.
-    * Session bounds exported as exact integer microseconds. */
-  def q31(s: SparkSession, d: String): DataFrame = {
-    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
-    val gapUs = 30L * 60 * 1000000
-    Tables.events(s, d)
-      .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
-      .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
-      .withColumn("new_session",
-        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1).otherwise(0))
-      .withColumn("session_idx", sum(col("new_session")).over(byUser))
-      .groupBy(col("user_id"), col("session_idx"))
-      .agg(min(col("ts_us")).as("session_start_us"),
-           max(col("ts_us")).as("session_end_us"),
-           count(lit(1)).as("n_events"),
-           cents(sum(col("value"))).as("sum_value"))
-  }
+  /** q31: 30-minute-gap sessionization of the events table. */
+  def q31(s: SparkSession, d: String): DataFrame =
+    sessionize(
+      Tables.events(s, d).withColumn("ts_us", unix_micros(col("ts").cast("timestamp"))),
+      "user_id", "ts_us", "event_id", "value", 30L * 60 * 1000000)
 
-  /** q32: top-3 events per user by value (deterministic tie-break on
-    * event_id). row_number inside the user partition — the filter cuts
-    * before any further shuffle, so output is k×users not all events. */
-  def q32(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("value").desc, col("event_id").asc)
-    Tables.events(s, d)
-      .select(col("user_id"), col("event_id"), cents(col("value")).as("value_c"),
-              row_number().over(w).as("rn"))
-      .filter(col("rn") <= 3)
-  }
+  /** q32: top-3 events per user by value (tie-break on event_id). */
+  def q32(s: SparkSession, d: String): DataFrame =
+    topKPerGroup(
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("value")),
+      "user_id", "value", "event_id", 3)
+      .select(col("user_id"), col("event_id"), cents(col("value")).as("value_c"), col("rn"))
 
-  /** q33: as-of (backward) join events→orders on user/time.
-    *
-    * Union-merge formulation: tag both sides, union, single shuffle on
-    * the key, then `last(_, ignoreNulls)` over an ordered window carries
-    * the most recent order forward onto each event row. Ties on order
-    * date resolve to the greatest o_orderkey (rows sorted so that the
-    * winning order is last before the event). This is one shuffle + one
-    * sort regardless of how many orders precede each event — an
-    * events×orders inequality join would be quadratic per key.
-    * Matched events only (inner as-of). */
-  def q33(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d).select(
-      col("user_id").as("k"), unix_micros(col("ts").cast("timestamp")).as("t_us"),
-      lit(1).as("is_event"), col("event_id"),
-      lit(null).cast("long").as("o_orderkey_in"), lit(null).cast("long").as("o_date_us_in"))
-    val ord = Tables.orders(s, d).select(
-      col("o_custkey").as("k"), unix_micros(col("o_orderdate").cast("timestamp")).as("t_us"),
-      lit(0).as("is_event"), lit(null).cast("long").as("event_id"),
-      col("o_orderkey").as("o_orderkey_in"),
-      unix_micros(col("o_orderdate").cast("timestamp")).as("o_date_us_in"))
-    // Order rows sort before event rows at equal t_us (is_event asc) and
-    // among simultaneous orders the max o_orderkey comes last → `last`
-    // picks exactly max(o_orderdate, o_orderkey) among orders ≤ ts.
-    val w = Window.partitionBy(col("k"))
-      .orderBy(col("t_us").asc, col("is_event").asc, col("o_orderkey_in").asc_nulls_last)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ev.unionByName(ord)
-      .withColumn("last_orderkey", last(col("o_orderkey_in"), ignoreNulls = true).over(w))
-      .withColumn("last_order_us", last(col("o_date_us_in"), ignoreNulls = true).over(w))
-      .filter(col("is_event") === 1 && col("last_orderkey").isNotNull)
-      .select(col("event_id"), col("k").as("user_id"), col("t_us").as("ts_us"),
-              col("last_orderkey"), col("last_order_us"))
-  }
+  /** q33: as-of (backward) join events→orders on user/time. */
+  def q33(s: SparkSession, d: String): DataFrame =
+    asofJoin(
+      Tables.events(s, d)
+        .withColumn("ts_us", unix_micros(col("ts").cast("timestamp"))),
+      "user_id", "event_id", "ts_us",
+      Tables.orders(s, d)
+        .withColumn("od_us", unix_micros(col("o_orderdate").cast("timestamp"))),
+      "o_custkey", "o_orderkey", "od_us")
+      .select(col("left_id").as("event_id"), col("k").as("user_id"),
+        col("t_us").as("ts_us"), col("last_tie").as("last_orderkey"),
+        col("last_ts_us").as("last_order_us"))
 
-  /** q35: ordered funnel (view → click → purchase) — each stage's
-    * timestamp must strictly follow the previous stage's first hit.
-    * Three narrow joins on user_id (all broadcast-size after the first
-    * stage filter at 100 TB, since funnels only narrow). */
+  /** q35: ordered view → click → purchase funnel counts. */
   def q35(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
       .select(col("user_id"), col("event_type"),
         unix_micros(col("ts").cast("timestamp")).as("t_us"))
-    val v = ev.filter(col("event_type") === "view")
-      .groupBy(col("user_id")).agg(min(col("t_us")).as("t1"))
-    val c = ev.filter(col("event_type") === "click").as("e")
-      .join(v, "user_id").filter(col("t_us") > col("t1"))
-      .groupBy(col("user_id")).agg(min(col("t_us")).as("t2"))
-    val p = ev.filter(col("event_type") === "purchase").as("e")
-      .join(c, "user_id").filter(col("t_us") > col("t2"))
-      .groupBy(col("user_id")).agg(min(col("t_us")).as("t3"))
+    val Seq(v, c, p) = funnelStages(ev, "user_id", "event_type", "t_us",
+      Seq("view", "click", "purchase"))
     v.agg(count(lit(1)).as("n_view")).crossJoin(
       c.agg(count(lit(1)).as("n_click"))).crossJoin(
       p.agg(count(lit(1)).as("n_purchase")))
   }
 
-  /** q36: daily cohort retention — users active on the first day who
-    * return on each of the next 7 days. One distinct-user shuffle per
-    * side; the day-0 cohort broadcasts. */
-  def q36(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d)
-      .select(col("user_id"), to_date(col("ts")).as("day"))
-    val day0 = to_date(lit("2024-01-01"))
-    val cohort = ev.filter(col("day") === day0).select(col("user_id")).distinct()
-    ev.filter(datediff(col("day"), day0).between(1, 7))
-      .join(broadcast(cohort), "user_id")
-      .groupBy(datediff(col("day"), day0).as("day_n"))
-      .agg(countDistinct(col("user_id")).as("n_retained"))
-  }
+  /** q36: 7-day retention of the 2024-01-01 cohort. */
+  def q36(s: SparkSession, d: String): DataFrame =
+    retention(
+      Tables.events(s, d).select(col("user_id"), to_date(col("ts")).as("day")),
+      "user_id", "day", to_date(lit("2024-01-01")), 7)
 
   /** q37: frame-based rolling windows — per-user cumulative sum and a
     * 3-row moving sum/average over event time. Values are discretized to
@@ -160,34 +231,17 @@ object Events {
            cents(min(col("o_totalprice"))).as("min_price"),
            cents(max(col("o_totalprice"))).as("max_price"))
 
-  /** q39: range join — co-occurring event-type pairs from the same user
-    * within 5 minutes (b in [a, a+5min], a ≠ b). A raw theta join
-    * (BETWEEN on time) degenerates to a per-key nested loop; the scale
-    * shape is a BUCKETED equi-join: the left side explodes each event
-    * into the two 5-minute buckets its window can touch, the right side
-    * keeps its single bucket, and the join runs on (user_id, bucket)
-    * with the range as a residual filter. Bucket width = range width,
-    * so left fan-out is exactly 2× and every qualifying pair matches
-    * exactly once (the right event's bucket is unique). */
-  def q39(s: SparkSession, d: String): DataFrame = {
-    val windowUs = 5L * 60 * 1000000
-    val ev = Tables.events(s, d)
-      .select(col("event_id"), col("user_id"), col("event_type"),
-        unix_micros(col("ts")).as("us"))
-    val a = ev.select(col("user_id"),
-      col("event_id").as("id_a"), col("event_type").as("type_a"),
-      col("us").as("us_a"),
-      explode(array(expr(s"us div $windowUs"), expr(s"us div $windowUs") + 1)).as("bucket"))
-    val b = ev.select(col("user_id"),
-      col("event_id").as("id_b"), col("event_type").as("type_b"),
-      col("us").as("us_b"), expr(s"us div $windowUs").as("bucket"))
-    a.join(b, Seq("user_id", "bucket"))
-      .filter(col("id_a") =!= col("id_b") &&
-        col("us_b") >= col("us_a") && col("us_b") <= col("us_a") + windowUs)
-      .groupBy(col("type_a"), col("type_b"))
+  /** q39: co-occurring event-type pairs from the same user within
+    * 5 minutes, via the bucketed range join. */
+  def q39(s: SparkSession, d: String): DataFrame =
+    rangeJoinPairs(
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us")),
+      "user_id", "event_id", "event_type", "us", 5L * 60 * 1000000)
+      .groupBy(col("tag_a").as("type_a"), col("tag_b").as("type_b"))
       .agg(count(lit(1)).as("n_pairs"),
-           countDistinct(col("user_id")).as("n_users"))
-  }
+           countDistinct(col("k")).as("n_users"))
 
   /** q34: JSON property extraction + aggregate over the extracted field. */
   def q34(s: SparkSession, d: String): DataFrame =

@@ -7,33 +7,46 @@ import graft.Tables
 import graft.functions.Cols._
 import graft.functions.F
 
-/** Similarity search over the embeddings table.
+/** Similarity search over embedding columns: exact brute force, LSH,
+  * IVF-Flat, and product quantization.
+  *
+  * The generic entry points (`bruteForceTopK`, `lshTopK`, `ivfTopK`,
+  * `pqTopK`) take any (corpus, queries) pair of DataFrames with
+  * (id, array<float>) columns; the q6x methods are the driver-contract
+  * facades binding them to the test embeddings table with queries =
+  * vec_id < NumQueries.
   *
   * Scale design (100 TB): the query set is small and broadcast, so the
   * scoring pass is map-side over the (huge) corpus — no corpus shuffle.
   * The only shuffle is the per-query top-k reduction, which moves
   * O(queries × corpus-partition-count × k) rows after partial pruning,
   * not the full score matrix. The LSH variant buckets the corpus once
-  * (map-only signatures) and scores only same-bucket candidates.
+  * (map-only signatures) and scores only same-bucket candidates; IVF
+  * scores only probed cells; PQ compresses the corpus to 8-byte codes
+  * and defers full vectors to the rerank of a bounded shortlist.
   */
 object Similarity {
 
   val TopK = 10
   val NumQueries = 10
 
-  /** q60: exact brute-force top-k cosine neighbors for queries
-    * (vec_id < NumQueries), self excluded. Tie-break: neighbor id asc. */
-  def q60(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
-    val queries = e.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val cos = F.cosineSim(col("q_emb"), col("embedding"))
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
-    e.join(broadcast(queries), col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), cos.as("cos"))
+    scored
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= TopK)
+      .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), bp(col("cos")).as("cos_bp"))
+  }
+
+  /** Exact brute-force top-k cosine neighbors of each query over the
+    * corpus, self excluded, ties broken by neighbor id asc. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     id: String, emb: String, k: Int = TopK): DataFrame = {
+    val q = queries.select(col(id).as("query_id"), col(emb).as("q_emb"))
+    val cos = F.cosineSim(col("q_emb"), col(emb))
+    rankTopK(
+      corpus.join(broadcast(q), col(id) =!= col("query_id"))
+        .select(col("query_id"), col(id).as("neighbor_id"), cos.as("cos")), k)
   }
 
   // 16 small tables rather than 8 larger ones: the synthetic corpus is
@@ -49,123 +62,141 @@ object Similarity {
     Seq.fill(LshTables * LshBits)(rnd.nextLong())
   }
 
-  /** q61: LSH-bucketed approximate top-k — 16 tables × 6 hyperplane
-    * bits; candidates = same bucket in any table; exact cosine on
-    * candidates only. All 96 sign projections run in ONE native codegen
-    * expression pass per row (HyperplaneBuckets). */
-  def q61(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
-    def withBuckets(idCol: String, embCol: String)(df: DataFrame): DataFrame =
-      df.select(col(idCol), col(embCol),
-        posexplode(F.hyperplaneBuckets(col(embCol), hyperplaneMasks, LshBits)).as(Seq("t", "bk")))
-    val corpus = withBuckets("vec_id", "embedding")(
-      e.select(col("vec_id"), col("embedding")))
-    val queries = withBuckets("query_id", "q_emb")(
-      e.filter(col("vec_id") < NumQueries)
-        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
-    val cos = F.cosineSim(col("q_emb"), col("embedding"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
-    corpus.as("c").join(broadcast(queries.as("q")),
-        col("c.t") === col("q.t") && col("c.bk") === col("q.bk") &&
-        col("c.vec_id") =!= col("q.query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("q_emb"), col("embedding"))
-      .distinct()
-      .select(col("query_id"), col("neighbor_id"), cos.as("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= TopK)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), bp(col("cos")).as("cos_bp"))
+  /** LSH-bucketed approximate top-k — `tables` hash tables × `bits`
+    * hyperplane bits; candidates = same bucket in any table; exact
+    * cosine on candidates only. All sign projections run in ONE native
+    * codegen expression pass per row (HyperplaneBuckets). */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, id: String, emb: String,
+              k: Int = TopK, masks: Seq[Long] = hyperplaneMasks,
+              bits: Int = LshBits): DataFrame = {
+    def withBuckets(df: DataFrame, idAs: String, embAs: String): DataFrame =
+      df.select(col(idAs), col(embAs),
+        posexplode(F.hyperplaneBuckets(col(embAs), masks, bits)).as(Seq("t", "bk")))
+    val c = withBuckets(corpus.select(col(id).as("vid"), col(emb).as("c_emb")), "vid", "c_emb")
+    val q = withBuckets(queries.select(col(id).as("query_id"), col(emb).as("q_emb")),
+      "query_id", "q_emb")
+    val cos = F.cosineSim(col("q_emb"), col("c_emb"))
+    rankTopK(
+      c.as("c").join(broadcast(q.as("q")),
+          col("c.t") === col("q.t") && col("c.bk") === col("q.bk") &&
+          col("c.vid") =!= col("q.query_id"))
+        .select(col("query_id"), col("vid").as("neighbor_id"), col("q_emb"), col("c_emb"))
+        .distinct()
+        .select(col("query_id"), col("neighbor_id"), cos.as("cos")), k)
   }
 
   val IvfCells = 16
   val IvfProbes = 4
 
-  /** q62: IVF-Flat approximate top-k — a coarse quantizer of `IvfCells`
-    * sampled corpus vectors partitions the corpus into inverted lists;
-    * each query probes its `IvfProbes` nearest cells and scores only
-    * those lists exactly.
+  /** IVF-Flat approximate top-k — a coarse quantizer of `cells` sampled
+    * corpus vectors partitions the corpus into inverted lists; each
+    * query probes its `probes` nearest cells and scores only those lists
+    * exactly.
     *
     * Scale design: the quantizer is a tiny model (16×64 floats) fetched
     * once to the driver — the one deliberate collect() in the library —
     * and re-broadcast as literals inside a single codegen'd projection,
     * so cell assignment is map-only over the corpus. The candidate join
-    * shuffles on cell id (≈ corpus/IvfCells rows per query-probe), never
+    * shuffles on cell id (≈ corpus/cells rows per query-probe), never
     * the full n×m score matrix. At 100 TB: more cells (√n), k-means-
     * refined centroids, same plan shape. */
-  def q62(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
-    val centroids: Seq[Seq[Float]] = e.orderBy(col("vec_id").asc).limit(IvfCells)
-      .select(col("embedding")).collect()
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, id: String, emb: String,
+              k: Int = TopK, cells: Int = IvfCells,
+              probes: Int = IvfProbes): DataFrame = {
+    val centroids: Seq[Seq[Float]] = corpus.orderBy(col(id).asc).limit(cells)
+      .select(col(emb)).collect()
       .map(_.getSeq[Float](0).toSeq).toSeq
     // One struct per cell: (cos to centroid, cell id). Struct ordering is
     // (cos, id), so array_max = argmax with deterministic id tie-break.
-    def cellScores(emb: Column): Column = array(centroids.zipWithIndex.map {
-      case (c, i) => struct(F.cosineSim(emb, typedlit(c)).as("c"), lit(i).as("i"))
+    def cellScores(e: Column): Column = array(centroids.zipWithIndex.map {
+      case (c, i) => struct(F.cosineSim(e, typedlit(c)).as("c"), lit(i).as("i"))
     }: _*)
-    val corpus = e.select(col("vec_id"), col("embedding"),
-      array_max(cellScores(col("embedding"))).getField("i").as("cell"))
-    val queries = e.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+    val c = corpus.select(col(id).as("vid"), col(emb).as("c_emb"),
+      array_max(cellScores(col(emb))).getField("i").as("cell"))
+    val q = queries
+      .select(col(id).as("query_id"), col(emb).as("q_emb"),
         explode(transform(
-          slice(reverse(sort_array(cellScores(col("embedding")))), 1, IvfProbes),
+          slice(reverse(sort_array(cellScores(col(emb)))), 1, probes),
           x => x.getField("i"))).as("cell"))
-    val cos = F.cosineSim(col("q_emb"), col("embedding"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
-    corpus.join(broadcast(queries), Seq("cell"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), cos.as("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= TopK)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), bp(col("cos")).as("cos_bp"))
+    val cos = F.cosineSim(col("q_emb"), col("c_emb"))
+    rankTopK(
+      c.join(broadcast(q), Seq("cell"))
+        .filter(col("vid") =!= col("query_id"))
+        .select(col("query_id"), col("vid").as("neighbor_id"), cos.as("cos")), k)
   }
 
   val PqM = 8        // subspaces (4-bit codes pack into one long)
   val PqK = 16       // centroids per subspace
   val PqRerank = 80  // ADC shortlist size fed to exact rerank
 
-  /** q63: product-quantization ANN — the memory-bound scale path. The
-    * corpus is compressed to ONE long per vector (8 × 4-bit subspace
-    * codes): at 100 TB that's a 32× reduction over raw float32[64]
-    * embeddings, so the scored table is a fraction of the source size.
-    * Each query precomputes its ADC lookup table once (PqTable);
-    * per-candidate scoring is then 8 array lookups (PqAdc), not a
-    * 64-dim dot product. The ADC shortlist (top `PqRerank` per query)
-    * is joined back to raw embeddings for exact cosine rerank — only
-    * O(queries × PqRerank) full vectors are ever touched per query.
+  /** Product-quantization ANN — the memory-bound scale path. The corpus
+    * is compressed to ONE long per vector (`m` × 4-bit subspace codes):
+    * at 100 TB that's a 32× reduction over raw float32[64] embeddings,
+    * so the scored table is a fraction of the source size. Each query
+    * precomputes its ADC lookup table once (PqTable); per-candidate
+    * scoring is then `m` array lookups (PqAdc), not a dim-wide dot
+    * product. The ADC shortlist (top `rerank` per query) is joined back
+    * to raw embeddings for exact cosine rerank — only
+    * O(queries × rerank) full vectors are ever touched per query.
     *
-    * The codebook is `PqK` sampled corpus vectors' subvectors (same
-    * tiny-model-collect pattern as q62's coarse quantizer); at scale
-    * it would be k-means-refined per subspace — same plan shape. */
-  def q63(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
-    // codebook[sub][j] = subvector `sub` of sampled vector j, flattened
-    // to [sub][j][dim-within-sub] layout.
-    val sampled: Array[Array[Float]] = e.orderBy(col("vec_id").asc).limit(PqK)
-      .select(col("embedding")).collect()
+    * The codebook is `kCent` sampled corpus vectors' subvectors (same
+    * tiny-model-collect pattern as the IVF quantizer); at scale it would
+    * be k-means-refined per subspace — same plan shape. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, id: String, emb: String,
+             k: Int = TopK, m: Int = PqM, kCent: Int = PqK,
+             rerank: Int = PqRerank): DataFrame = {
+    val sampled: Array[Array[Float]] = corpus.orderBy(col(id).asc).limit(kCent)
+      .select(col(emb)).collect()
       .map(_.getSeq[Float](0).toArray)
-    val ds = sampled.head.length / PqM
-    val codebook: Seq[Float] = (0 until PqM).flatMap(sub =>
+    val ds = sampled.head.length / m
+    val codebook: Seq[Float] = (0 until m).flatMap(sub =>
       sampled.flatMap(v => v.slice(sub * ds, (sub + 1) * ds)))
-    val corpus = e.select(col("vec_id"),
-      F.pqCode(col("embedding"), codebook, PqM, PqK).as("code"))
-    val queries = e.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        F.pqTable(col("embedding"), codebook, PqM, PqK).as("tbl"))
+    val codes = corpus.select(col(id).as("vid"),
+      F.pqCode(col(emb), codebook, m, kCent).as("code"))
+    val q = queries.select(col(id).as("query_id"), col(emb).as("q_emb"),
+        F.pqTable(col(emb), codebook, m, kCent).as("tbl"))
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").desc, col("neighbor_id").asc)
-    val shortlist = corpus.join(broadcast(queries),
-        col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("q_emb"), col("vec_id").as("neighbor_id"),
-        F.pqAdc(col("tbl"), col("code"), PqM, PqK).as("adc"))
+    val shortlist = codes.join(broadcast(q), col("vid") =!= col("query_id"))
+      .select(col("query_id"), col("q_emb"), col("vid").as("neighbor_id"),
+        F.pqAdc(col("tbl"), col("code"), m, kCent).as("adc"))
       .withColumn("arank", row_number().over(wAdc))
-      .filter(col("arank") <= PqRerank)
-    val cos = F.cosineSim(col("q_emb"), col("embedding"))
-    val wCos = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    shortlist
-      .join(e.select(col("vec_id").as("neighbor_id"), col("embedding")), "neighbor_id")
-      .select(col("query_id"), col("neighbor_id"), cos.as("cos"))
-      .withColumn("rank", row_number().over(wCos))
-      .filter(col("rank") <= TopK)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), bp(col("cos")).as("cos_bp"))
+      .filter(col("arank") <= rerank)
+    val cos = F.cosineSim(col("q_emb"), col("c_emb"))
+    rankTopK(
+      shortlist
+        .join(corpus.select(col(id).as("neighbor_id"), col(emb).as("c_emb")), "neighbor_id")
+        .select(col("query_id"), col("neighbor_id"), cos.as("cos")), k)
+  }
+
+  // ---- driver-contract facades over the test embeddings table ----
+
+  private def corpusAndQueries(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val e = Tables.embeddings(s, d)
+    (e, e.filter(col("vec_id") < NumQueries))
+  }
+
+  /** q60: exact brute-force top-10 cosine neighbors. */
+  def q60(s: SparkSession, d: String): DataFrame = {
+    val (c, q) = corpusAndQueries(s, d)
+    bruteForceTopK(c, q, "vec_id", "embedding")
+  }
+
+  /** q61: random-hyperplane LSH-bucketed approximate top-10. */
+  def q61(s: SparkSession, d: String): DataFrame = {
+    val (c, q) = corpusAndQueries(s, d)
+    lshTopK(c, q, "vec_id", "embedding")
+  }
+
+  /** q62: IVF-Flat approximate top-10, nprobe=4 of 16 cells. */
+  def q62(s: SparkSession, d: String): DataFrame = {
+    val (c, q) = corpusAndQueries(s, d)
+    ivfTopK(c, q, "vec_id", "embedding")
+  }
+
+  /** q63: product-quantization ANN with exact rerank. */
+  def q63(s: SparkSession, d: String): DataFrame = {
+    val (c, q) = corpusAndQueries(s, d)
+    pqTopK(c, q, "vec_id", "embedding")
   }
 }

@@ -1,20 +1,27 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Cols._
 import graft.functions.F
 
-/** Text-analysis operators over the documents table: token statistics,
-  * quality scoring, language-ID, fingerprinting, n-gram frequencies.
+/** Text-analysis operators: token statistics, quality scoring,
+  * language-ID, fingerprinting, n-gram frequencies, TF-IDF,
+  * normalization, stratified sampling, PII scrubbing, repetition
+  * scoring.
   *
-  * Everything is per-document map-side work (split/regexp/higher-order
-  * functions, all codegen'd) followed by at most one aggregation shuffle
-  * on a low-cardinality key — linear and embarrassingly parallel at
-  * 100 TB. No UDFs: `split`/`size`/`filter`/`transform`/`aggregate`
-  * keep the hot path inside whole-stage codegen.
+  * The generic entry points (`tokenStats`, `languageId`,
+  * `normalizeDedup`, `stratifiedSample`, `scrubStats`, `repetition`, and
+  * the Column helpers `normalized`/`scrub`) work over ANY corpus
+  * DataFrame — callers name the text/group columns; the q4x methods are
+  * the driver-contract facades binding them to the test documents table.
+  *
+  * Everything is per-document map-side work (split/regexp/native
+  * expressions, all codegen'd) followed by at most one aggregation
+  * shuffle on a low-cardinality key — linear and embarrassingly parallel
+  * at 100 TB. No UDFs.
   */
 object Text {
 
@@ -25,22 +32,114 @@ object Text {
     * `withColumn`) before any higher-order lambda touches it; splitting
     * inside a lambda would re-tokenize the document per element. */
   private def toks = col("toks")
-  private def withToks(df: DataFrame): DataFrame =
-    df.withColumn("toks", split(col("text"), " "))
+  private def withToks(df: DataFrame, text: String = "text"): DataFrame =
+    df.withColumn("toks", split(col(text), " "))
 
-  /** q40: token counting — whitespace tokens plus a BPE-ish regex
+  /** Training-corpus normalization: lowercase, strip non-alphanumerics,
+    * collapse whitespace, trim — fused into ONE regex pass (any maximal
+    * run of non-alphanumerics, spaces included, becomes a single space
+    * either way, so one pass equals the strip-then-collapse two-pass). */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
+  /** PII/pattern scrub: mask email-shaped tokens, then digit runs. */
+  def scrub(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, "[a-z0-9.]+@[a-z0-9.]+", "<email>"),
+      "[0-9]+", "<num>")
+
+  /** Token statistics per group: whitespace tokens plus a BPE-ish regex
     * tokenization (runs of letters | digits | single other char). */
-  def q40(s: SparkSession, d: String): DataFrame =
-    withToks(Tables.documents(s, d))
-      .select(col("lang"),
+  def tokenStats(df: DataFrame, group: String, text: String): DataFrame =
+    withToks(df, text)
+      .select(col(group),
         size(toks).as("n_ws"),
-        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("n_bpe"))
-      .groupBy(col("lang"))
+        size(regexp_extract_all(col(text), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("n_bpe"))
+      .groupBy(col(group))
       .agg(sum(col("n_ws")).as("sum_ws_tokens"),
            sum(col("n_bpe")).as("sum_bpe_tokens"),
            cents(avg(col("n_ws"))).as("avg_ws_tokens"),
            max(col("n_ws")).as("max_ws_tokens"),
            count(lit(1)).as("n_docs"))
+
+  /** Deterministic language-ID: marker-word frequency argmax over the
+    * given (language → markers) profiles, ties broken by profile order. */
+  def languageId(df: DataFrame, id: String, text: String,
+                 markers: Seq[(String, Seq[String])]): DataFrame = {
+    val nTok = size(toks).cast("double")
+    val scored = markers.foldLeft(withToks(df, text)) { case (acc, (lang, ms)) =>
+      acc.withColumn(s"score_$lang",
+        size(filter(toks, t => t.isin(ms.map(lit(_)): _*))).cast("double") / nTok)
+    }
+    // greatest() on (score, nrank, lang) structs: max score, then the
+    // NEGATED profile rank so ties resolve to the earliest profile.
+    val ranked = markers.zipWithIndex.map { case ((lang, _), i) =>
+      struct(col(s"score_$lang").as("score"), lit(-i).as("nrank"), lit(lang).as("lang"))
+    }
+    scored.select(col(id),
+        greatest(ranked: _*).getField("lang").as("pred_lang"),
+        bp(greatest(ranked: _*).getField("score")).as("top_score_bp"))
+  }
+
+  /** Normalize-then-dedup: the canonical pre-dedup cleaning pass. All
+    * map-side string ops; one hash shuffle on the normalized digest. */
+  def normalizeDedup(df: DataFrame, id: String, text: String): DataFrame =
+    df.select(col(id), normalized(col(text)).as("norm"))
+      .groupBy(md5(col("norm")).as("norm_hash"))
+      .agg(min(col(id)).as("keep_id"),
+           count(lit(1)).as("n_copies"),
+           min(length(col("norm"))).as("norm_len"))
+
+  /** Deterministic stratified sampling — exactly `n` rows per stratum,
+    * chosen by md5-of-id order. Reproducible across engines and runs
+    * (no RNG state to ship to executors); one shuffle on the stratum
+    * key, and the per-stratum top-N is a bounded partial top-k under
+    * the window's rank filter, never a full sort of the corpus.
+    * Returns the input columns plus `rn` (1-based rank within the
+    * stratum). */
+  def stratifiedSample(df: DataFrame, stratum: String, id: String,
+                       n: Int): DataFrame = {
+    val w = Window.partitionBy(col(stratum))
+      .orderBy(md5(col(id).cast("string")).asc, col(id).asc)
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= n)
+  }
+
+  /** Scrub accounting per group: masked-pattern counts and masked vs raw
+    * lengths. All map-side regex in one scan pass. */
+  def scrubStats(df: DataFrame, group: String, text: String): DataFrame =
+    df.select(col(group),
+        size(regexp_extract_all(col(text), lit("[0-9]+"), lit(0))).cast("long").as("n_num"),
+        length(scrub(col(text))).cast("long").as("scrub_len"),
+        length(col(text)).cast("long").as("raw_len"))
+      .groupBy(col(group))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_num")).as("n_num_runs"),
+           sum(col("scrub_len")).as("sum_scrub_len"),
+           sum(col("raw_len")).as("sum_raw_len"))
+
+  /** Repetition scoring per group: per-document duplicate-bigram ratio
+    * (1 − distinct/total bigrams), the Gopher-style repetition quality
+    * signal for corpus filtering. Distinct bigrams are counted by the
+    * same fused codegen pass as dedup (ShingleHashes, k=2) — map-only,
+    * then one aggregation on the group key. */
+  def repetition(df: DataFrame, group: String, text: String): DataFrame = {
+    val total = (size(toks) - 1).cast("double")
+    val rep = lit(1.0) - size(F.shingleHashes(toks, 2)).cast("double") / total
+    withToks(df, text)
+      .filter(size(toks) >= 2)
+      .select(col(group), rep.as("rep"))
+      .groupBy(col(group))
+      .agg(count(lit(1)).as("n_docs"),
+           bp(avg(col("rep"))).as("avg_rep_bp"),
+           bp(max(col("rep"))).as("max_rep_bp"),
+           sum(when(col("rep") > 0.1, 1L).otherwise(0L)).as("n_repetitive"))
+  }
+
+  // ---- driver-contract facades over the test documents table ----
+
+  /** q40: token counting per language. */
+  def q40(s: SparkSession, d: String): DataFrame =
+    tokenStats(Tables.documents(s, d), "lang", "text")
 
   /** q41: per-document quality score from length, stopword ratio and
     * mean word length; weights fixed, all fixed-point on export. */
@@ -72,36 +171,17 @@ object Text {
     "fr" -> Seq("le", "et", "row"),
     "zh" -> Seq("scan", "hash", "join"))
 
-  /** q42: deterministic language-ID — marker-word frequency argmax,
-    * ties broken by language code ascending. */
-  def q42(s: SparkSession, d: String): DataFrame = {
-    val nTok = size(toks).cast("double")
-    val scored = langMarkers.foldLeft(withToks(Tables.documents(s, d))) { case (df, (lang, ms)) =>
-      df.withColumn(s"score_$lang",
-        size(filter(toks, t => t.isin(ms.map(lit(_)): _*))).cast("double") / nTok)
-    }
-    val best = langMarkers.map { case (lang, _) =>
-      struct(col(s"score_$lang").as("score"), lit(lang).as("lang"))
-    }
-    // greatest() on (score, lang) structs: max score, then max lang —
-    // to get ties → SMALLEST lang we compare on (score, negated rank).
-    val ranked = langMarkers.map { case (lang, _) =>
-      struct(col(s"score_$lang").as("score"),
-             lit(-langMarkers.indexWhere(_._1 == lang)).as("nrank"),
-             lit(lang).as("lang"))
-    }
-    scored.select(col("doc_id"),
-        greatest(ranked: _*).getField("lang").as("pred_lang"),
-        bp(greatest(ranked: _*).getField("score")).as("top_score_bp"))
-  }
+  /** q42: deterministic language-ID over the marker profiles. */
+  def q42(s: SparkSession, d: String): DataFrame =
+    languageId(Tables.documents(s, d), "doc_id", "text", langMarkers)
 
   /** q43: 64-bit rolling polynomial fingerprint of the document text
-    * (base 31 over UTF-16 code units, wrapping 64-bit arithmetic) via
-    * the native codegen'd expression in graft.functions. Deterministic;
+    * (base 31 over UTF-8 bytes, wrapping 64-bit arithmetic) via the
+    * native codegen'd expression in graft.functions. Deterministic;
     * not SQL-expressible in the oracle (no wrapping int64 in DuckDB). */
   def q43(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(col("doc_id"), graft.functions.F.rollingHash64(col("text")).as("fingerprint"))
+      .select(col("doc_id"), F.rollingHash64(col("text")).as("fingerprint"))
 
   /** q45: TF-IDF term ranking per language ("documents" = the 5 language
     * corpora): score = tf · ln(1 + L/df). Output is rank-only — the
@@ -136,74 +216,20 @@ object Text {
       .filter(col("rn") <= 5)
   }
 
-  /** q46: normalization-then-dedup — the canonical pre-dedup cleaning
-    * pass for a training corpus: lowercase, strip non-alphanumerics,
-    * collapse whitespace, trim; then exact dedup on the normalized text.
-    * All map-side string ops; one hash shuffle on the normalized digest.
-    * The strip + collapse steps fuse into ONE regex pass: any maximal
-    * run of non-alphanumerics (spaces included) becomes a single space
-    * either way, and one pass over the raw text halves the regex cost of
-    * the two-pass strip-then-collapse. */
-  def q46(s: SparkSession, d: String): DataFrame = {
-    val norm = trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
-    Tables.documents(s, d)
-      .select(col("doc_id"), norm.as("norm"))
-      .groupBy(md5(col("norm")).as("norm_hash"))
-      .agg(min(col("doc_id")).as("keep_id"),
-           count(lit(1)).as("n_copies"),
-           min(length(col("norm"))).as("norm_len"))
-  }
+  /** q46: normalize-then-dedup of the documents table. */
+  def q46(s: SparkSession, d: String): DataFrame =
+    normalizeDedup(Tables.documents(s, d), "doc_id", "text")
 
-  /** q47: deterministic stratified sampling — exactly 20 documents per
-    * language, chosen by md5-of-id order. Reproducible across engines
-    * and runs (no RNG state to ship to executors); one shuffle on the
-    * stratum key, and the per-stratum top-N is a bounded partial
-    * top-k under the window's rank filter, never a full sort of the
-    * corpus. */
-  def q47(s: SparkSession, d: String): DataFrame = {
-    val h = md5(col("doc_id").cast("string"))
-    val w = Window.partitionBy(col("lang")).orderBy(col("h").asc, col("doc_id").asc)
-    Tables.documents(s, d)
-      .select(col("lang"), col("doc_id"), col("source"), h.as("h"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 20)
+  /** q47: 20-docs-per-language deterministic stratified sample. */
+  def q47(s: SparkSession, d: String): DataFrame =
+    stratifiedSample(Tables.documents(s, d), "lang", "doc_id", 20)
       .select(col("lang"), col("rn"), col("doc_id"), col("source"))
-  }
 
-  /** q48: PII/pattern scrubbing — mask email-shaped tokens then digit
-    * runs, count what was masked. All map-side regex in one scan pass;
-    * one aggregation on the (low-cardinality) source key. */
-  def q48(s: SparkSession, d: String): DataFrame = {
-    val scrubbed = regexp_replace(
-      regexp_replace(col("text"), "[a-z0-9.]+@[a-z0-9.]+", "<email>"),
-      "[0-9]+", "<num>")
-    Tables.documents(s, d)
-      .select(col("source"),
-        size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0))).cast("long").as("n_num"),
-        length(scrubbed).cast("long").as("scrub_len"),
-        length(col("text")).cast("long").as("raw_len"))
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-           sum(col("n_num")).as("n_num_runs"),
-           sum(col("scrub_len")).as("sum_scrub_len"),
-           sum(col("raw_len")).as("sum_raw_len"))
-  }
+  /** q48: PII scrub accounting per source. */
+  def q48(s: SparkSession, d: String): DataFrame =
+    scrubStats(Tables.documents(s, d), "source", "text")
 
-  /** q49: repetition scoring — per-document duplicate-bigram ratio
-    * (1 − distinct/total bigrams), the Gopher-style repetition quality
-    * signal for corpus filtering. Distinct bigrams are counted by the
-    * same fused codegen pass as dedup (ShingleHashes, k=2) — map-only,
-    * then one aggregation on language. */
-  def q49(s: SparkSession, d: String): DataFrame = {
-    val total = (size(toks) - 1).cast("double")
-    val rep = lit(1.0) - size(F.shingleHashes(toks, 2)).cast("double") / total
-    withToks(Tables.documents(s, d))
-      .filter(size(toks) >= 2)
-      .select(col("lang"), rep.as("rep"))
-      .groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_docs"),
-           bp(avg(col("rep"))).as("avg_rep_bp"),
-           bp(max(col("rep"))).as("max_rep_bp"),
-           sum(when(col("rep") > 0.1, 1L).otherwise(0L)).as("n_repetitive"))
-  }
+  /** q49: repetition scoring per language. */
+  def q49(s: SparkSession, d: String): DataFrame =
+    repetition(Tables.documents(s, d), "lang", "text")
 }
