@@ -72,6 +72,7 @@ object SparkEntry {
     "q53_dedup_simhash"   -> (Dedup.q53 _),
     "q54_dedup_embedding" -> (Dedup.q54 _),
     "q55_dedup_clusters"  -> (Dedup.q55 _),
+    "q56_topk_aggregate"  -> (Events.q56 _),
     "q60_ann_bruteforce"  -> (Similarity.q60 _),
     "q61_ann_lsh"         -> (Similarity.q61 _),
     "q62_ann_ivf"         -> (Similarity.q62 _),
@@ -433,6 +434,12 @@ object SparkEntry {
       s"""SELECT user_id, event_id, value_c, rn FROM (
            SELECT user_id, event_id, ${C("value")} AS value_c,
              row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rn
+           FROM events) WHERE rn <= 3""",
+
+    "q56_topk_aggregate" ->
+      s"""SELECT user_id, event_id, value_c, rn FROM (
+           SELECT user_id, event_id, ${C("value")} AS value_c,
+             row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id DESC) AS rn
            FROM events) WHERE rn <= 3""",
 
     "q33_asof_join" ->

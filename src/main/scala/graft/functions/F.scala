@@ -37,6 +37,12 @@ object F {
   def jaccardSorted(a: Column, b: Column): Column =
     GraftColumns.wrap(JaccardSorted(u(a), u(b)))
 
+  /** Bounded-heap top-k aggregate: descending array of the k largest
+    * values of `c` (use struct(sort_key, payload…) for row top-k).
+    * Partial-aggregates map-side: the shuffle carries O(groups·k). */
+  def topK(c: Column, k: Int): Column =
+    GraftColumns.wrap(TopKAgg(GraftColumns.unwrap(c), k).toAggregateExpression())
+
   /** Packed-nibble PQ code of an array<float> embedding. */
   def pqCode(c: Column, codebook: Seq[Float], m: Int, k: Int): Column =
     GraftColumns.wrap(PqCode(u(c), codebook, m, k))

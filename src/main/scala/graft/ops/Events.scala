@@ -53,6 +53,21 @@ object Events {
     df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
 
+  /** Top-k rows per group via the bounded-heap TopKAgg aggregate — the
+    * 100 TB shape for top-k: partial aggregation reduces every map task
+    * to ≤ k rows per group BEFORE the exchange, so the shuffle carries
+    * O(groups·k) instead of every row (the window formulation in
+    * topKPerGroup must shuffle and sort the full input). Ranks descend
+    * on (order, tie) — lexicographic struct order — and `rn` is the
+    * 1-based rank. */
+  def topKPerGroupAgg(df: DataFrame, key: String, order: String,
+                      tie: String, k: Int): DataFrame =
+    df.groupBy(col(key))
+      .agg(graft.functions.F.topK(struct(col(order), col(tie)), k).as("top"))
+      .select(col(key), posexplode(col("top")))
+      .select(col(key), (col("pos") + 1).cast("int").as("rn"),
+        col(s"col.$order").as(order), col(s"col.$tie").as(tie))
+
   /** As-of (backward) join: for each left row, the single right row with
     * the greatest `rightTsUs` ≤ the left row's `leftTsUs` on the same
     * key (ties broken by max `rightTie`).
@@ -163,6 +178,16 @@ object Events {
   /** q32: top-3 events per user by value (tie-break on event_id). */
   def q32(s: SparkSession, d: String): DataFrame =
     topKPerGroup(
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("value")),
+      "user_id", "value", "event_id", 3)
+      .select(col("user_id"), col("event_id"), cents(col("value")).as("value_c"), col("rn"))
+
+  /** q56: top-3 events per user via the TopKAgg partial aggregate —
+    * same semantics as q32 but with the shuffle-bounded aggregate plan
+    * (ties rank by event_id DESC, the struct order). */
+  def q56(s: SparkSession, d: String): DataFrame =
+    topKPerGroupAgg(
       Tables.events(s, d)
         .select(col("user_id"), col("event_id"), col("value")),
       "user_id", "value", "event_id", 3)

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import graft.functions.{CosineSimilarity, HammingDistance64, JaccardSorted,
-  MinHash128, RollingHash64, ShingleHashes, SimHash64}
+  MinHash128, RollingHash64, ShingleHashes, SimHash64, TopKAgg}
 
 /** SparkSessionExtensions registering graft's native expressions as SQL
   * functions, so `spark.sql("SELECT cosine_sim(a, b) ...")` works too.
@@ -49,6 +49,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHash128].getName, "minhash128"),
       (children: Seq[Expression]) => MinHash128(children.head,
         children.lift(1).map(intLit("minhash128", _)).getOrElse(128))))
+    // topk(value, k) — bounded-heap aggregate, k a literal integer.
+    ext.injectFunction((
+      new FunctionIdentifier("topk"),
+      new ExpressionInfo(classOf[TopKAgg].getName, "topk"),
+      (children: Seq[Expression]) =>
+        TopKAgg(children.head, intLit("topk", children(1))).toAggregateExpression()))
   }
 
   private def intLit(fn: String, e: Expression): Int = e match {

@@ -193,6 +193,30 @@ class OperatorsSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("q56 TopKAgg equals the window row_number formulation") {
+    val agg = Events.q56(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("value").desc, col("event_id").desc)
+    val win = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("value"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select(col("user_id"), col("event_id"),
+        graft.functions.Cols.cents(col("value")), col("rn"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(agg == win)
+  }
+
+  test("q56 plan partial-aggregates topk before the exchange") {
+    val plan = executedPlan(Events.q56(spark, sf)).toString
+    val exchangeIdx = plan.indexOf("Exchange hashpartitioning(user_id")
+    val partialIdx = plan.indexOf("partial_topk")
+    assert(partialIdx >= 0, s"no partial topk in plan:\n$plan")
+    assert(exchangeIdx >= 0 && partialIdx > exchangeIdx,
+      s"partial topk should appear below (after, in tree print) the exchange:\n$plan")
+  }
+
   test("q71 frame sampling covers every doc with stride-spaced frames") {
     val rows = ops.Multimodal.q71(spark, sf).collect()
     assert(rows.map(_.getLong(0)).distinct.length ==
