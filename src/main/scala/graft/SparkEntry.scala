@@ -73,6 +73,9 @@ object SparkEntry {
     "q54_dedup_embedding" -> (Dedup.q54 _),
     "q55_dedup_clusters"  -> (Dedup.q55 _),
     "q56_topk_aggregate"  -> (Events.q56 _),
+    "q57_bloom_semijoin"  -> (Relational.q57 _),
+    "q58_window_surface"  -> (Relational.q58 _),
+    "q59_string_agg"      -> (Relational.q59 _),
     "q60_ann_bruteforce"  -> (Similarity.q60 _),
     "q61_ann_lsh"         -> (Similarity.q61 _),
     "q62_ann_ivf"         -> (Similarity.q62 _),
@@ -441,6 +444,34 @@ object SparkEntry {
            SELECT user_id, event_id, ${C("value")} AS value_c,
              row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id DESC) AS rn
            FROM events) WHERE rn <= 3""",
+
+    "q57_bloom_semijoin" ->
+      s"""SELECT o_orderpriority, count(*) AS n_orders,
+         ${C("sum(o_totalprice)")} AS sum_price
+         FROM orders o
+         WHERE EXISTS (SELECT 1 FROM customer c
+                       WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 9000)
+         GROUP BY 1""",
+
+    "q58_window_surface" ->
+      s"""SELECT o_orderkey, o_orderpriority,
+         ${C("lag(o_totalprice, 1) OVER w")} AS prev_price_c,
+         ${C("lead(o_totalprice, 1) OVER w")} AS next_price_c,
+         ntile(4) OVER w AS tile,
+         ${BP("percent_rank() OVER w")} AS pr_bp,
+         ${BP("cume_dist() OVER w")} AS cd_bp
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderpriority
+                      ORDER BY o_totalprice ASC, o_orderkey ASC)""",
+
+    "q59_string_agg" ->
+      """WITH t AS (SELECT s_nationkey, s_name,
+           row_number() OVER (PARTITION BY s_nationkey
+                              ORDER BY s_acctbal DESC, s_suppkey ASC) AS rn
+         FROM supplier)
+         SELECT s_nationkey, string_agg(s_name, ',' ORDER BY s_name) AS top_suppliers,
+                count(*) AS n_top
+         FROM t WHERE rn <= 5 GROUP BY 1""",
 
     "q33_asof_join" ->
       """WITH j AS (SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us, o.o_orderdate, o.o_orderkey

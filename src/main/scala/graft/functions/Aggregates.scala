@@ -98,3 +98,85 @@ case class TopKAgg(
   override protected def withNewChildInternal(newChild: Expression): TopKAgg =
     copy(child = newChild)
 }
+
+/** Blocked Bloom filter over a LONG key column, for semi-join
+  * pre-filtering: build on the (smaller) build side, broadcast the one
+  * aggregated row, and `BloomMightContain` drops non-matching probe rows
+  * BEFORE the join shuffle. At 100 TB that turns "shuffle the whole
+  * fact table to discover 1% matches" into "shuffle ~1% (+ fpp)".
+  *
+  * `numBits` is rounded up to a power of two; each key sets
+  * `numHashes` bits derived from two xxhash64-style mixes (Kirsch-
+  * Mitzenmacher double hashing). Merge is a bitwise OR, eval emits the
+  * long-array bitset as BinaryType (8·numBits/64 bytes).
+  */
+case class BloomFilterAgg(
+    child: Expression,
+    numBits: Int,
+    numHashes: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+
+  private val bits = java.lang.Integer.highestOneBit(math.max(numBits - 1, 1)) * 2
+  private val mask = bits - 1
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "bloom_agg"
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](bits / 64)
+
+  @inline private def mix(z0: Long): Long = {
+    var z = z0 + -7046029254386353131L
+    z = (z ^ (z >>> 30)) * -4658895280553007687L
+    z = (z ^ (z >>> 27)) * -7723592293110705685L
+    z ^ (z >>> 31)
+  }
+
+  private def setBits(buf: Array[Long], key: Long): Unit = {
+    val h1 = mix(key)
+    val h2 = mix(h1) | 1L
+    var i = 0
+    while (i < numHashes) {
+      val pos = ((h1 + i * h2) & Long.MaxValue).toInt & mask
+      buf(pos >>> 6) |= 1L << (pos & 63)
+      i += 1
+    }
+  }
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) setBits(buf, v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < buf.length) { buf(i) |= other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any = {
+    val out = new Array[Byte](buf.length * 8)
+    val bb = java.nio.ByteBuffer.wrap(out).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.asLongBuffer().put(buf)
+    out
+  }
+
+  override def serialize(buf: Array[Long]): Array[Byte] = eval(buf).asInstanceOf[Array[Byte]]
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val buf = new Array[Long](bytes.length / 8)
+    java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .asLongBuffer().get(buf)
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BloomFilterAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BloomFilterAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): BloomFilterAgg =
+    copy(child = newChild)
+}

@@ -170,6 +170,54 @@ case class HyperplaneBuckets(child: Expression, masks: Seq[Long], bits: Int)
     copy(child = newChild)
 }
 
+/** Membership probe against a BloomFilterAgg bitset (left = the binary
+  * filter, right = the long key). Same Kirsch-Mitzenmacher double
+  * hashing as the build side; numBits/numHashes must match the
+  * aggregate's. False positives only — never false negatives — so a
+  * residual exact join after the probe keeps results exact. */
+case class BloomMightContain(left: Expression, right: Expression,
+                             numBits: Int, numHashes: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_might_contain"
+
+  private val bits = java.lang.Integer.highestOneBit(math.max(numBits - 1, 1)) * 2
+  private val mask = bits - 1
+
+  @inline private def mix(z0: Long): Long = {
+    var z = z0 + -7046029254386353131L
+    z = (z ^ (z >>> 30)) * -4658895280553007687L
+    z = (z ^ (z >>> 27)) * -7723592293110705685L
+    z ^ (z >>> 31)
+  }
+
+  private def compute(bytes: Array[Byte], key: Long): Boolean = {
+    val h1 = mix(key)
+    val h2 = mix(h1) | 1L
+    var i = 0
+    while (i < numHashes) {
+      val pos = ((h1 + i * h2) & Long.MaxValue).toInt & mask
+      if ((bytes(pos >>> 3) & (1 << (pos & 7))) == 0) return false
+      i += 1
+    }
+    true
+  }
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    compute(l.asInstanceOf[Array[Byte]], r.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("bloomContain", this, classOf[BloomMightContain].getName)
+    nullSafeCodeGen(ctx, ev, (b, k) => s"${ev.value} = $self.contains($b, $k);")
+  }
+
+  /** Called from generated code. */
+  def contains(bytes: Array[Byte], key: Long): Boolean = compute(bytes, key)
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BloomMightContain =
+    copy(left = l, right = r)
+}
+
 /** Sorted distinct xxhash64 values of the word k-shingles of a token
   * array: one codegen'd pass per document replacing an interpreted
   * transform → concat_ws → array_distinct → xxhash64 → sort_array chain

@@ -43,6 +43,16 @@ object F {
   def topK(c: Column, k: Int): Column =
     GraftColumns.wrap(TopKAgg(GraftColumns.unwrap(c), k).toAggregateExpression())
 
+  /** Bloom-filter build aggregate over a long key column (binary out). */
+  def bloomAgg(c: Column, numBits: Int, numHashes: Int = 5): Column =
+    GraftColumns.wrap(
+      BloomFilterAgg(GraftColumns.unwrap(c), numBits, numHashes).toAggregateExpression())
+
+  /** Bloom membership probe; parameters must match the build side. */
+  def bloomContains(filter: Column, key: Column, numBits: Int, numHashes: Int = 5): Column =
+    GraftColumns.wrap(
+      BloomMightContain(GraftColumns.unwrap(filter), GraftColumns.unwrap(key), numBits, numHashes))
+
   /** Packed-nibble PQ code of an array<float> embedding. */
   def pqCode(c: Column, codebook: Seq[Float], m: Int, k: Int): Column =
     GraftColumns.wrap(PqCode(u(c), codebook, m, k))

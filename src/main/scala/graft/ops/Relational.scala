@@ -375,4 +375,67 @@ object Relational {
       .agg(cents(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"),
            count(lit(1)).as("cnt"))
   }
+
+  /** Bloom-prefiltered semi-join: build a Bloom filter over the build
+    * side's keys (one aggregated row, broadcast), drop probe rows whose
+    * key can't be present BEFORE any join shuffle, then an exact
+    * left-semi join removes the false positives. When the build side is
+    * too large to broadcast as a hash relation but its Bloom filter
+    * (numBits/8 bytes) isn't, this cuts the probe-side shuffle to the
+    * match rate + fpp — the decisive reduction for a selective semi-join
+    * of a 100 TB fact table. The filter evaluates inside whole-stage
+    * codegen on the scan, so pruned rows never reach the exchange. */
+  def bloomSemiJoin(probe: DataFrame, probeKey: String,
+                    build: DataFrame, buildKey: String,
+                    numBits: Int = 1 << 20): DataFrame = {
+    import graft.functions.F
+    val bf = build.agg(F.bloomAgg(col(buildKey), numBits).as("bf"))
+    probe.crossJoin(broadcast(bf))
+      .filter(F.bloomContains(col("bf"), col(probeKey), numBits))
+      .drop("bf")
+      .join(build.select(col(buildKey)).distinct(),
+        col(probeKey) === col(buildKey), "left_semi")
+  }
+
+  /** q57: orders semi-joined to high-balance customers through the Bloom
+    * prefilter, then aggregated per priority. Oracle: plain EXISTS. */
+  def q57(s: SparkSession, d: String): DataFrame = {
+    val rich = Tables.customer(s, d)
+      .filter(col("c_acctbal") > 9000).select(col("c_custkey"))
+    bloomSemiJoin(Tables.orders(s, d), "o_custkey", rich, "c_custkey")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+           cents(sum(col("o_totalprice"))).as("sum_price"))
+  }
+
+  /** q58: full analytic-window surface — lag/lead/ntile/percent_rank/
+    * cume_dist over a unique (price, orderkey) order per priority
+    * partition. rank-based outputs are deterministic because the
+    * ordering key is unique. */
+  def q58(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      col("o_orderpriority"),
+      cents(lag(col("o_totalprice"), 1).over(w)).as("prev_price_c"),
+      cents(lead(col("o_totalprice"), 1).over(w)).as("next_price_c"),
+      ntile(4).over(w).as("tile"),
+      bp(percent_rank().over(w)).as("pr_bp"),
+      bp(cume_dist().over(w)).as("cd_bp"))
+  }
+
+  /** q59: ordered string aggregation — per nation, the sorted
+    * comma-joined list of its 5 richest suppliers. collect_list +
+    * sort_array is the distributed shape (bounded per group here);
+    * ordering inside the aggregate keeps the output deterministic. */
+  def q59(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("s_nationkey"))
+      .orderBy(col("s_acctbal").desc, col("s_suppkey").asc)
+    Tables.supplier(s, d)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .groupBy(col("s_nationkey"))
+      .agg(array_join(sort_array(collect_list(col("s_name"))), ",").as("top_suppliers"),
+           count(lit(1)).as("n_top"))
+  }
 }

@@ -37,6 +37,32 @@ class ExpressionsSpec extends SparkSpec {
     assert(got == seq(a, b))
   }
 
+  test("bloom filter has no false negatives and a bounded fp rate") {
+    val numBits = 1 << 16
+    val members = (0L until 2000L).map(_ * 7 + 13)
+    val bfBytes = members.toDF("k")
+      .agg(F.bloomAgg(col("k"), numBits).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val bfDf = Seq(Tuple1(bfBytes)).toDF("bf")
+    val memberHits = members.toDF("k").crossJoin(bfDf)
+      .filter(F.bloomContains(col("bf"), col("k"), numBits)).count()
+    assert(memberHits == members.size, "bloom dropped a member (false negative)")
+    val nonMembers = (1L to 10000L).map(_ * 1000003L + 1)
+    val fpHits = nonMembers.toDF("k").crossJoin(bfDf)
+      .filter(F.bloomContains(col("bf"), col("k"), numBits)).count()
+    // 2000 keys in 65536 bits, 5 hashes → theoretical fpp ≈ 0.3%.
+    assert(fpHits < 200, s"false-positive rate too high: $fpHits / 10000")
+  }
+
+  test("q57 bloom probe filter sits on the scan side, below the semi-join exchange") {
+    val plan = ops.Relational.q57(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_might_contain"), s"no bloom probe in plan:\n$plan")
+    val exchangeIdx = plan.indexOf("Exchange hashpartitioning(o_custkey")
+    val probeIdx = plan.indexOf("bloom_might_contain")
+    assert(exchangeIdx < 0 || probeIdx > exchangeIdx,
+      s"bloom probe should filter before the shuffle:\n$plan")
+  }
+
   test("extensions register SQL functions (cosine_sim, hamming64, rolling_hash64)") {
     val r = spark.sql(
       "SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
