@@ -41,6 +41,25 @@ object Streaming {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("text_hash")
 
+  /** Stream-stream event-time interval join: each click joins the views
+    * by the same user in the preceding `window`. Both sides carry
+    * watermarks and the join condition bounds event time on BOTH sides,
+    * so Spark evicts buffered state once the watermark passes a row's
+    * join horizon — state is O(in-flight window), not O(stream), the
+    * requirement for an unbounded two-stream join at cluster scale.
+    * Input schemas: views(view_user, view_id, view_ts),
+    * clicks(click_user, click_id, click_ts). */
+  def viewClickJoin(views: DataFrame, clicks: DataFrame,
+                    window: String = "10 minutes"): DataFrame =
+    views.withWatermark("view_ts", "1 hour")
+      .join(clicks.withWatermark("click_ts", "1 hour"),
+        expr(s"""view_user = click_user AND
+                 click_ts >= view_ts AND
+                 click_ts <= view_ts + INTERVAL $window""".stripMargin))
+      .select(col("view_user").as("user_id"), col("view_id"), col("click_id"),
+        unix_micros(col("view_ts")).as("view_us"),
+        unix_micros(col("click_ts")).as("click_us"))
+
   val SessionGapUs: Long = 30L * 60 * 1000000
 
   /** Exact microseconds since epoch (Timestamp.getTime alone drops µs). */

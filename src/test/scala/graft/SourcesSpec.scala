@@ -49,6 +49,33 @@ class SourcesSpec extends SparkSpec {
     assert(back.count() == src.filter(col("o_orderstatus") === "O").count())
   }
 
+  test("ORC round-trip preserves rows and pushes filters to the scan") {
+    val src = Tables.orders(spark, sf)
+    val path = tmp("orc")
+    src.write.orc(path)
+    val back = spark.read.orc(path).filter(col("o_totalprice") > 100000.0)
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:") && plan.contains("o_totalprice"),
+      s"no pushed filter in ORC scan:\n$plan")
+    assert(back.count() == src.filter(col("o_totalprice") > 100000.0).count())
+    assert(spark.read.orc(path).schema == src.schema)
+  }
+
+  test("text source reads documents as lines; binaryFile exposes payload + metadata") {
+    val path = tmp("text")
+    Tables.documents(spark, sf).select(col("text"))
+      .coalesce(1).write.text(path)
+    val lines = spark.read.text(path)
+    assert(lines.count() == Tables.documents(spark, sf).count())
+
+    val binDir = Files.createTempDirectory("graft-bin")
+    Files.write(binDir.resolve("blob.bin"), Array[Byte](1, 2, 3, 4, 5))
+    val bin = spark.read.format("binaryFile").load(binDir.toString)
+    val row = bin.select("path", "length", "content").head()
+    assert(row.getLong(1) == 5L)
+    assert(row.getAs[Array[Byte]](2).toSeq == Seq[Byte](1, 2, 3, 4, 5))
+  }
+
   test("bucketed tables join with no shuffle exchange (co-located join)") {
     val conf = spark.conf
     val prevThreshold = conf.get("spark.sql.autoBroadcastJoinThreshold")

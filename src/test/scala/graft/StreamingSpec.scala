@@ -95,6 +95,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs clicks with views inside the window") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[(Long, Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val q = Streaming.viewClickJoin(
+        views.toDF().toDF("view_user", "view_id", "view_ts"),
+        clicks.toDF().toDF("click_user", "click_id", "click_ts"))
+      .writeStream.format("memory").queryName("vc_join")
+      .outputMode("append").start()
+    try {
+      views.addData((1L, 100L, ts("2024-01-01 10:00:00")),
+                    (1L, 101L, ts("2024-01-01 10:20:00")),
+                    (2L, 102L, ts("2024-01-01 10:00:00")))
+      clicks.addData((1L, 900L, ts("2024-01-01 10:05:00")), // joins view 100
+                     (1L, 901L, ts("2024-01-01 10:25:00")), // joins view 101 only
+                     (2L, 902L, ts("2024-01-01 10:30:00"))) // outside 10-min window
+      q.processAllAvailable()
+      val got = spark.table("vc_join")
+        .select("view_id", "click_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((100L, 900L), (101L, 901L)), s"got $got")
+    } finally q.stop()
+  }
+
   test("streaming dedup emits each content hash once within the horizon") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, String)]
