@@ -81,6 +81,7 @@ object SparkEntry {
     "q62_ann_ivf"         -> (Similarity.q62 _),
     "q63_ann_pq"          -> (Similarity.q63 _),
     "q70_multimodal_meta" -> (Multimodal.q70 _),
+    "q72_asof_forward"    -> (Events.q72 _),
     "q71_frame_sample"    -> (Multimodal.q71 _),
   )
 
@@ -472,6 +473,16 @@ object SparkEntry {
          SELECT s_nationkey, string_agg(s_name, ',' ORDER BY s_name) AS top_suppliers,
                 count(*) AS n_top
          FROM t WHERE rn <= 5 GROUP BY 1""",
+
+    "q72_asof_forward" ->
+      """WITH j AS (SELECT o.o_orderkey, o.o_custkey, epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) AS od_us,
+                           e.ts, e.event_id
+                    FROM orders o JOIN events e ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate),
+         m AS (SELECT o_orderkey, o_custkey, od_us, min(ts) AS mt FROM j GROUP BY 1, 2, 3)
+         SELECT m.o_orderkey, m.o_custkey AS custkey, m.od_us,
+                max(j.event_id) AS next_event_id, epoch_us(m.mt) AS next_event_us
+         FROM m JOIN j ON j.o_orderkey = m.o_orderkey AND j.ts = m.mt
+         GROUP BY 1, 2, 3, 5""",
 
     "q33_asof_join" ->
       """WITH j AS (SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us, o.o_orderdate, o.o_orderkey

@@ -163,11 +163,16 @@ object Dedup {
   /** Connected-component clusters over an undirected pair graph
     * (columns `a`/`b`), labeling every node with the minimum id
     * reachable from it. Distributed min-label propagation: each
-    * iteration is one join + one aggregation (both shuffle on the node
-    * key), and the iteration count is the graph diameter (near-dup
-    * clusters are shallow — a handful of rounds). localCheckpoint
-    * truncates the growing lineage so round N's plan doesn't replay
-    * rounds 1..N-1; no driver-side graph state beyond the loop counter. */
+    * iteration joins neighbor labels across edges, unions the nodes'
+    * own labels, and takes the per-node min — ONE join + ONE
+    * aggregation shuffle per round (the union rides the aggregation).
+    * Iteration count is the graph diameter (near-dup clusters are
+    * shallow — a handful of rounds). Convergence is detected by the
+    * label sum (labels only ever decrease, so an unchanged sum IS the
+    * fixpoint) — a tiny scalar action instead of a third join per
+    * round. localCheckpoint truncates the growing lineage so round N's
+    * plan doesn't replay rounds 1..N-1; no driver-side graph state
+    * beyond the loop counter. */
   def clusters(pairs: DataFrame, a: String = "doc_a", b: String = "doc_b",
                maxIters: Int = 20): DataFrame = {
     val edges = pairs.select(col(a).as("src"), col(b).as("dst"))
@@ -176,17 +181,22 @@ object Dedup {
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint()
-    var changed = 1L
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
     var iter = 0
-    while (changed > 0 && iter < maxIters) {
-      val prop = edges.join(labels, col("dst") === col("node"))
-        .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
-      val next = labels.join(prop, col("node") === col("src"), "left_outer")
-        .select(col("node"), col("label"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("new_label"))
+    var done = false
+    while (!done && iter < maxIters) {
+      val next = edges.join(labels, col("dst") === col("node"))
+        .select(col("src").as("n"), col("label"))
+        .unionAll(labels.select(col("node").as("n"), col("label")))
+        .groupBy(col("n")).agg(min(col("label")).as("label"))
+        .select(col("n").as("node"), col("label"))
         .localCheckpoint()
-      changed = next.filter(col("new_label") < col("label")).count()
-      labels = next.select(col("node"), col("new_label").as("label"))
+      val newSum = labelSum(next)
+      done = newSum.compareTo(prevSum) == 0
+      prevSum = newSum
+      labels = next
       iter += 1
     }
     val sizes = labels.groupBy(col("label").as("cl")).agg(count(lit(1)).as("cluster_size"))

@@ -103,6 +103,34 @@ object Events {
               col("last_tie"), col("last_ts_us"))
   }
 
+  /** As-of (forward) join: for each left row, the single right row with
+    * the SMALLEST `rightTsUs` ≥ the left row's `leftTsUs` on the same
+    * key (simultaneous right rows tie-break to max `rightTie`). Same
+    * union-merge shape as the backward join but scanned in descending
+    * time order, so "last right seen" is the nearest future right row —
+    * one shuffle + one sort, no inequality join. */
+  def asofJoinForward(left: DataFrame, leftKey: String, leftId: String, leftTsUs: String,
+                      right: DataFrame, rightKey: String, rightTie: String,
+                      rightTsUs: String): DataFrame = {
+    val l = left.select(
+      col(leftKey).as("k"), col(leftTsUs).as("t_us"),
+      lit(1).as("is_left"), col(leftId).as("left_id"),
+      lit(null).cast("long").as("tie_in"), lit(null).cast("long").as("rt_us_in"))
+    val r = right.select(
+      col(rightKey).as("k"), col(rightTsUs).as("t_us"),
+      lit(0).as("is_left"), lit(null).cast("long").as("left_id"),
+      col(rightTie).as("tie_in"), col(rightTsUs).as("rt_us_in"))
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("t_us").desc, col("is_left").asc, col("tie_in").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("next_tie", last(col("tie_in"), ignoreNulls = true).over(w))
+      .withColumn("next_ts_us", last(col("rt_us_in"), ignoreNulls = true).over(w))
+      .filter(col("is_left") === 1 && col("next_tie").isNotNull)
+      .select(col("left_id"), col("k"), col("t_us"),
+              col("next_tie"), col("next_ts_us"))
+  }
+
   /** Range join: all (a, b) row pairs on the same key with
     * b.ts ∈ [a.ts, a.ts + windowUs], a ≠ b. A raw theta join (BETWEEN on
     * time) degenerates to a per-key nested loop; the scale shape is a
@@ -205,6 +233,20 @@ object Events {
       .select(col("left_id").as("event_id"), col("k").as("user_id"),
         col("t_us").as("ts_us"), col("last_tie").as("last_orderkey"),
         col("last_ts_us").as("last_order_us"))
+
+  /** q72: as-of (forward) join orders→events — for each order, the
+    * first event at or after the order date by the same user. */
+  def q72(s: SparkSession, d: String): DataFrame =
+    asofJoinForward(
+      Tables.orders(s, d)
+        .withColumn("od_us", unix_micros(col("o_orderdate").cast("timestamp"))),
+      "o_custkey", "o_orderkey", "od_us",
+      Tables.events(s, d)
+        .withColumn("ts_us", unix_micros(col("ts").cast("timestamp"))),
+      "user_id", "event_id", "ts_us")
+      .select(col("left_id").as("o_orderkey"), col("k").as("custkey"),
+        col("t_us").as("od_us"), col("next_tie").as("next_event_id"),
+        col("next_ts_us").as("next_event_us"))
 
   /** q35: ordered view → click → purchase funnel counts. */
   def q35(s: SparkSession, d: String): DataFrame = {
