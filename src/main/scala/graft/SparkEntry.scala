@@ -82,6 +82,7 @@ object SparkEntry {
     "q63_ann_pq"          -> (Similarity.q63 _),
     "q70_multimodal_meta" -> (Multimodal.q70 _),
     "q72_asof_forward"    -> (Events.q72 _),
+    "q73_asof_native"     -> (Events.q73 _),
     "q71_frame_sample"    -> (Multimodal.q71 _),
   )
 
@@ -482,6 +483,15 @@ object SparkEntry {
          SELECT m.o_orderkey, m.o_custkey AS custkey, m.od_us,
                 max(j.event_id) AS next_event_id, epoch_us(m.mt) AS next_event_us
          FROM m JOIN j ON j.o_orderkey = m.o_orderkey AND j.ts = m.mt
+         GROUP BY 1, 2, 3, 5""",
+
+    "q73_asof_native" ->
+      """WITH j AS (SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us, o.o_orderdate, o.o_orderkey
+                    FROM events e JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts),
+         m AS (SELECT event_id, user_id, ts_us, max(o_orderdate) AS md FROM j GROUP BY 1, 2, 3)
+         SELECT m.event_id, m.user_id, m.ts_us, max(j.o_orderkey) AS last_orderkey,
+                epoch_us(m.md) AS last_order_us
+         FROM m JOIN j ON j.event_id = m.event_id AND j.o_orderdate = m.md
          GROUP BY 1, 2, 3, 5""",
 
     "q33_asof_join" ->

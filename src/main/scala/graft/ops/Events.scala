@@ -248,6 +248,23 @@ object Events {
         col("t_us").as("od_us"), col("next_tie").as("next_event_id"),
         col("next_ts_us").as("next_event_us"))
 
+  /** q73: the q33 as-of join through the custom whole-operator plan
+    * (AsOfJoinNode → AsOfJoinStrategy → AsOfJoinExec): one shuffle per
+    * side, in-partition two-pointer merge, no union/window buffering.
+    * Same semantics and oracle as q33. */
+  def q73(s: SparkSession, d: String): DataFrame =
+    graft.plans.AsOfJoin(
+      Tables.events(s, d)
+        .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+        .select(col("event_id"), col("user_id"), col("ts_us")),
+      "user_id", "ts_us",
+      Tables.orders(s, d)
+        .withColumn("od_us", unix_micros(col("o_orderdate").cast("timestamp")))
+        .select(col("o_custkey"), col("o_orderkey"), col("od_us")),
+      "o_custkey", "od_us", "o_orderkey")
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("asof_tie").as("last_orderkey"), col("asof_ts").as("last_order_us"))
+
   /** q35: ordered view → click → purchase funnel counts. */
   def q35(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)

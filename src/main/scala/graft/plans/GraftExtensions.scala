@@ -14,6 +14,8 @@ import graft.functions.{CosineSimilarity, HammingDistance64, JaccardSorted,
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Whole-operator planning: AsOfJoinNode → AsOfJoinExec.
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectFunction((
       new FunctionIdentifier("rolling_hash64"),
       new ExpressionInfo(classOf[RollingHash64].getName, "rolling_hash64"),

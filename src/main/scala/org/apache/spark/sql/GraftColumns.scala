@@ -12,4 +12,10 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftColumns {
   def wrap(e: Expression): Column = ExpressionUtils.column(e)
   def unwrap(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** DataFrame over a custom LogicalPlan (classic.Dataset.ofRows is
+    * private[sql]; same-package bridge, as with Column conversion). */
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }

@@ -217,6 +217,23 @@ class OperatorsSpec extends SparkSpec {
       s"partial topk should appear below (after, in tree print) the exchange:\n$plan")
   }
 
+  test("q73 native as-of join equals the union-window as-of join q33") {
+    val native = Events.q73(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val window = Events.q33(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(native == window,
+      s"missing: ${(window -- native).take(3)}; extra: ${(native -- window).take(3)}")
+  }
+
+  test("q73 plans through AsOfJoinExec: two exchanges, no window operator") {
+    val plan = executedPlan(Events.q73(spark, sf)).toString
+    assert(plan.contains("AsOfJoin"), s"AsOfJoinExec not planned:\n$plan")
+    assert(!plan.contains("Window"), s"unexpected window operator:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 2, s"expected 2 exchanges, got $exchanges:\n$plan")
+  }
+
   test("q71 frame sampling covers every doc with stride-spaced frames") {
     val rows = ops.Multimodal.q71(spark, sf).collect()
     assert(rows.map(_.getLong(0)).distinct.length ==
