@@ -16,6 +16,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     // Whole-operator planning: AsOfJoinNode → AsOfJoinExec.
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    // Infer PPJoin length bounds from jaccard_sorted(a,b) >= τ filters.
+    ext.injectOptimizerRule(_ => InferJaccardLengthFilter)
     ext.injectFunction((
       new FunctionIdentifier("rolling_hash64"),
       new ExpressionInfo(classOf[RollingHash64].getName, "rolling_hash64"),

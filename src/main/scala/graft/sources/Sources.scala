@@ -1,0 +1,65 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, DataFrameWriter, Row, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink surface: schema-checked readers and scale-aware writers
+  * for the formats the engine supports (parquet, ORC, CSV, JSON, text).
+  *
+  * Scale notes (100 TB):
+  * - `writePartitioned` lays data out for partition pruning — the first
+  *   thing a petabyte table needs; readers filtering on the partition
+  *   columns never touch non-matching files (spec-verified
+  *   PartitionFilters).
+  * - `writeBucketed` pre-shuffles once at write time so every future
+  *   equi-join/aggregation on the bucket keys is exchange-free
+  *   (spec-verified no-exchange join).
+  * - `repartitionForWrite` sizes output files: one file per partition
+  *   column value per `filesPerPartition` target, avoiding both the
+  *   small-files problem and single-writer hotspots.
+  */
+object Sources {
+
+  def parquet(s: SparkSession, path: String): DataFrame = s.read.parquet(path)
+  def orc(s: SparkSession, path: String): DataFrame = s.read.orc(path)
+
+  /** CSV with an explicit schema (never infer on a 100 TB lake — schema
+    * inference is a full extra scan). */
+  def csv(s: SparkSession, path: String, schema: StructType,
+          header: Boolean = true): DataFrame =
+    s.read.option("header", header.toString).schema(schema).csv(path)
+
+  /** JSON-lines with an explicit schema (same no-inference rule). */
+  def json(s: SparkSession, path: String, schema: StructType): DataFrame =
+    s.read.schema(schema).json(path)
+
+  /** One line per row; the lightest-weight corpus interchange format. */
+  def textLines(s: SparkSession, path: String): DataFrame = s.read.text(path)
+
+  /** Opaque binary payloads (images/audio/video) + file metadata. */
+  def binaryFiles(s: SparkSession, path: String): DataFrame =
+    s.read.format("binaryFile").load(path)
+
+  /** Hive-style partitioned layout: `path/col=value/part-*.parquet`. */
+  def writePartitioned(df: DataFrame, path: String, cols: Seq[String],
+                       mode: String = "overwrite"): Unit =
+    df.write.mode(mode).partitionBy(cols: _*).parquet(path)
+
+  /** Bucketed + sorted table registered in the catalog; joins and
+    * aggregations on `cols` read it exchange-free. */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+                    buckets: Int, cols: Seq[String]): Unit =
+    df.write.option("path", path)
+      .bucketBy(buckets, cols.head, cols.tail: _*)
+      .sortBy(cols.head, cols.tail: _*)
+      .mode("overwrite").saveAsTable(table)
+
+  /** Pre-shuffle so each output partition directory gets
+    * `filesPerPartition` files instead of one per task. */
+  def repartitionForWrite(df: DataFrame, partitionCols: Seq[String],
+                          filesPerPartition: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{col, pmod, xxhash64, lit}
+    val key = pmod(xxhash64(partitionCols.map(col): _*), lit(filesPerPartition))
+    df.repartition(partitionCols.map(col) :+ key: _*)
+  }
+}

@@ -63,6 +63,23 @@ class ExpressionsSpec extends SparkSpec {
       s"bloom probe should filter before the shuffle:\n$plan")
   }
 
+  test("InferJaccardLengthFilter injects size bounds and preserves results") {
+    val df = Seq(
+      (1L, Seq(1L, 2L, 3L, 4L, 5L)),
+      (2L, Seq(1L, 2L, 3L, 4L, 6L)),
+      (3L, Seq(9L)))
+      .toDF("id", "arr")
+    val pairs = df.as("a").crossJoin(df.as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .filter(F.jaccardSorted(col("a.arr"), col("b.arr")) >= 0.6)
+    val optimized = pairs.queryExecution.optimizedPlan.toString
+    assert("size\\(".r.findAllIn(optimized).size >= 2,
+      s"length bounds not injected:\n$optimized")
+    val got = pairs.select(col("a.id"), col("b.id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)), s"got $got")
+  }
+
   test("extensions register SQL functions (cosine_sim, hamming64, rolling_hash64)") {
     val r = spark.sql(
       "SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +

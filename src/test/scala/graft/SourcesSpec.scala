@@ -76,6 +76,27 @@ class SourcesSpec extends SparkSpec {
     assert(row.getAs[Array[Byte]](2).toSeq == Seq[Byte](1, 2, 3, 4, 5))
   }
 
+  test("Sources API round-trips with schema and controls file fan-out") {
+    import graft.sources.Sources
+    val src = Tables.nation(spark, sf)
+    val csvPath = tmp("s-csv")
+    src.write.option("header", "true").csv(csvPath)
+    assert(Sources.csv(spark, csvPath, src.schema).count() == src.count())
+
+    val partPath = tmp("s-part")
+    val events = Tables.events(spark, sf).withColumn("etype", col("event_type"))
+    Sources.writePartitioned(
+      Sources.repartitionForWrite(events, Seq("etype"), filesPerPartition = 2),
+      partPath, Seq("etype"))
+    val files = new java.io.File(partPath).listFiles().filter(_.isDirectory)
+      .map(d => d.getName -> d.listFiles().count(_.getName.endsWith(".parquet")))
+    assert(files.nonEmpty)
+    files.foreach { case (dir, n) =>
+      assert(n <= 2, s"partition $dir wrote $n files, want <= 2")
+    }
+    assert(Sources.parquet(spark, partPath).count() == events.count())
+  }
+
   test("bucketed tables join with no shuffle exchange (co-located join)") {
     val conf = spark.conf
     val prevThreshold = conf.get("spark.sql.autoBroadcastJoinThreshold")
