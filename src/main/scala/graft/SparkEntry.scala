@@ -83,6 +83,7 @@ object SparkEntry {
     "q70_multimodal_meta" -> (Multimodal.q70 _),
     "q72_asof_forward"    -> (Events.q72 _),
     "q73_asof_native"     -> (Events.q73 _),
+    "q74_stopword_filter" -> (Text.q74 _),
     "q71_frame_sample"    -> (Multimodal.q71 _),
   )
 
@@ -484,6 +485,15 @@ object SparkEntry {
                 max(j.event_id) AS next_event_id, epoch_us(m.mt) AS next_event_us
          FROM m JOIN j ON j.o_orderkey = m.o_orderkey AND j.ts = m.mt
          GROUP BY 1, 2, 3, 5""",
+
+    "q74_stopword_filter" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         f AS (SELECT doc_id, len(toks) AS n_raw,
+                 list_filter(toks, x -> NOT list_contains(['the','a','of','and','to','in','is','it'], x)) AS kept
+               FROM t)
+         SELECT doc_id, n_raw, len(kept) AS n_kept,
+                array_to_string(kept[1:5], ' ') AS kept_head
+         FROM f""",
 
     "q73_asof_native" ->
       """WITH j AS (SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us, o.o_orderdate, o.o_orderkey

@@ -216,6 +216,22 @@ object Text {
       .filter(col("rn") <= 5)
   }
 
+  /** Stopword removal: keep non-stopword tokens, with count and a
+    * bounded preview. Map-only; the lambda tests membership against a
+    * small literal set (broadcast-free — it ships in the plan). */
+  def stopwordFilter(df: DataFrame, id: String, text: String,
+                     stops: Seq[String]): DataFrame =
+    withToks(df, text).select(
+      col(id),
+      size(toks).as("n_raw"),
+      size(filter(toks, t => !t.isin(stops.map(lit(_)): _*))).as("n_kept"),
+      array_join(slice(filter(toks, t => !t.isin(stops.map(lit(_)): _*)), 1, 5), " ")
+        .as("kept_head"))
+
+  /** q74: stopword filtering over the documents table. */
+  def q74(s: SparkSession, d: String): DataFrame =
+    stopwordFilter(Tables.documents(s, d), "doc_id", "text", stopwords)
+
   /** q46: normalize-then-dedup of the documents table. */
   def q46(s: SparkSession, d: String): DataFrame =
     normalizeDedup(Tables.documents(s, d), "doc_id", "text")

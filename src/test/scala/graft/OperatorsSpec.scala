@@ -234,6 +234,27 @@ class OperatorsSpec extends SparkSpec {
     assert(exchanges == 2, s"expected 2 exchanges, got $exchanges:\n$plan")
   }
 
+  test("approx_count_distinct lands within its 5% error bound at sf0.001") {
+    val li = Tables.lineitem(spark, sf)
+    val row = li.agg(
+      countDistinct(col("l_orderkey")).as("exact"),
+      approx_count_distinct(col("l_orderkey"), 0.05).as("approx")).head()
+    val (exact, approx) = (row.getLong(0), row.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact < 0.15,
+      s"approx $approx vs exact $exact")
+  }
+
+  test("approx_percentile stays within rank tolerance of the exact median") {
+    val li = Tables.lineitem(spark, sf).select(col("l_extendedprice").as("x"))
+    val n = li.count()
+    val approxMedian = li.agg(expr("approx_percentile(x, 0.5, 1000)")).head().getDouble(0)
+    // Rank of the approximate median must be within accuracy bound 1/1000
+    // (+ slack) of n/2.
+    val rank = li.filter(col("x") <= approxMedian).count()
+    assert(math.abs(rank - n / 2.0) / n < 0.01,
+      s"approx median rank $rank of $n outside tolerance")
+  }
+
   test("q71 frame sampling covers every doc with stride-spaced frames") {
     val rows = ops.Multimodal.q71(spark, sf).collect()
     assert(rows.map(_.getLong(0)).distinct.length ==
