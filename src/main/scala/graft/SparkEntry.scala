@@ -84,6 +84,7 @@ object SparkEntry {
     "q72_asof_forward"    -> (Events.q72 _),
     "q73_asof_native"     -> (Events.q73 _),
     "q74_stopword_filter" -> (Text.q74 _),
+    "q75_corpus_pipeline" -> (Text.q75 _),
     "q71_frame_sample"    -> (Multimodal.q71 _),
   )
 
@@ -494,6 +495,25 @@ object SparkEntry {
          SELECT doc_id, n_raw, len(kept) AS n_kept,
                 array_to_string(kept[1:5], ' ') AS kept_head
          FROM f""",
+
+    "q75_corpus_pipeline" ->
+      """WITH q AS (SELECT doc_id, lang, text,
+             CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt,
+             CAST(len(list_filter(string_split(text, ' '),
+               x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS DOUBLE) AS nstop,
+             CAST(length(text) AS DOUBLE) AS nchars
+           FROM documents),
+         f AS (SELECT * FROM q
+               WHERE 0.5 * least(nt / 100.0, 1.0) + 0.3 * (1.0 - nstop / nt)
+                     + 0.2 * least(((nchars - (nt - 1)) / nt) / 8.0, 1.0) >= 0.5),
+         d AS (SELECT *, row_number() OVER (
+                 PARTITION BY md5(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')))
+                 ORDER BY doc_id ASC) AS dup_rn FROM f),
+         r AS (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
+               FROM d WHERE dup_rn = 1)
+         SELECT lang, rn, doc_id FROM r WHERE rn <= 10""",
 
     "q73_asof_native" ->
       """WITH j AS (SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us, o.o_orderdate, o.o_orderkey

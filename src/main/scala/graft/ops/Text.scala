@@ -232,6 +232,28 @@ object Text {
   def q74(s: SparkSession, d: String): DataFrame =
     stopwordFilter(Tables.documents(s, d), "doc_id", "text", stopwords)
 
+  /** q75: end-to-end training-corpus pipeline — quality gate (q41's
+    * score ≥ 0.5) → normalize + exact dedup keeping the min-id
+    * representative → deterministic stratified sample of 10 docs per
+    * language. One declarative plan: Catalyst fuses all the per-row
+    * scoring into the scan stage, and the pipeline shuffles exactly
+    * twice (dedup hash, stratum window) — the shape a 100 TB corpus
+    * clean-and-sample job should have. */
+  def q75(s: SparkSession, d: String): DataFrame = {
+    val docs = withToks(Tables.documents(s, d))
+    val nTok  = size(toks).cast("double")
+    val nStop = size(filter(toks, t => t.isin(stopwords.map(lit(_)): _*))).cast("double")
+    val meanWordLen = (length(col("text")) - (nTok - 1)) / nTok
+    val quality = lit(0.5) * least(nTok / lit(100.0), lit(1.0)) +
+      lit(0.3) * (lit(1.0) - nStop / nTok) +
+      lit(0.2) * least(meanWordLen / lit(8.0), lit(1.0))
+    val wd = Window.partitionBy(md5(normalized(col("text")))).orderBy(col("doc_id").asc)
+    val reps = docs.filter(quality >= 0.5)
+      .withColumn("dup_rn", row_number().over(wd)).filter(col("dup_rn") === 1)
+    stratifiedSample(reps, "lang", "doc_id", 10)
+      .select(col("lang"), col("rn"), col("doc_id"))
+  }
+
   /** q46: normalize-then-dedup of the documents table. */
   def q46(s: SparkSession, d: String): DataFrame =
     normalizeDedup(Tables.documents(s, d), "doc_id", "text")
