@@ -81,6 +81,7 @@ object SparkEntry {
     "q62_ann_ivf"         -> (Similarity.q62 _),
     "q63_ann_pq"          -> (Similarity.q63 _),
     "q70_multimodal_meta" -> (Multimodal.q70 _),
+    "q76_audio_windows"   -> (Multimodal.q76 _),
     "q72_asof_forward"    -> (Events.q72 _),
     "q73_asof_native"     -> (Events.q73 _),
     "q74_stopword_filter" -> (Text.q74 _),

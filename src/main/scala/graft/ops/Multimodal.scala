@@ -65,6 +65,30 @@ object Multimodal {
     media.mapPartitions(_.map(decodeStub)).toDF()
   }
 
+  val WindowBytes = 256
+  val HopBytes = 128
+
+  /** q76: audio-style OVERLAPPING windows over a PCM-like payload —
+    * window `WindowBytes` wide every `HopBytes` (50% overlap), the
+    * frame/hop decomposition every audio feature pipeline starts with.
+    * Per-window features (length, crc32, xxhash64) stand in for the
+    * stubbed codec. Map-side explode of a computed sequence: no
+    * shuffle, scales with executors. */
+  def q76(s: SparkSession, d: String): DataFrame = {
+    val m = mediaTable(s, d).select(col("doc_id"), col("payload"))
+    val n = length(col("payload"))
+    val nWin = when(n < WindowBytes, lit(1))
+      .otherwise(floor((n - WindowBytes).cast("double") / HopBytes).cast("int") + 1)
+    m.withColumn("n_windows", nWin)
+      .select(col("doc_id"), col("n_windows"), col("payload"),
+        explode(sequence(lit(0), col("n_windows") - 1)).as("win_idx"))
+      .select(col("doc_id"), col("win_idx"), col("n_windows"),
+        (col("win_idx") * HopBytes).as("start_byte"),
+        length(expr(s"substring(payload, win_idx * $HopBytes + 1, $WindowBytes)")).as("win_bytes"),
+        crc32(expr(s"substring(payload, win_idx * $HopBytes + 1, $WindowBytes)")).as("win_crc"),
+        xxhash64(expr(s"substring(payload, win_idx * $HopBytes + 1, $WindowBytes)")).as("win_hash"))
+  }
+
   val FrameBytes = 64
   val FrameStride = 2
 

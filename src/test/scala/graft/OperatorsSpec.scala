@@ -255,6 +255,35 @@ class OperatorsSpec extends SparkSpec {
       s"approx median rank $rank of $n outside tolerance")
   }
 
+  test("typed Aggregator matches the untyped aggregation and partial-aggregates") {
+    val typed = Typed.revenueByFlag(Typed.lineitems(spark, sf)).collect()
+      .map { case (flag, st) => (flag, st.n, math.round(st.quantity * 100),
+        math.round(st.revenue * 100)) }.toSet
+    val untyped = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)), sum(col("l_quantity")),
+        sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), math.round(r.getDouble(2) * 100),
+        math.round(r.getDouble(3) * 100))).toSet
+    assert(typed == untyped)
+    val plan = Typed.revenueByFlag(Typed.lineitems(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial"), s"no partial aggregation in typed plan:\n$plan")
+  }
+
+  test("q76 audio windows are hop-spaced and cover the payload") {
+    val rows = ops.Multimodal.q76(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).distinct.length ==
+      Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val (idx, n, start, len) = (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))
+      assert(idx >= 0 && idx < n)
+      assert(start == idx * ops.Multimodal.HopBytes)
+      assert(len > 0 && len <= ops.Multimodal.WindowBytes)
+    }
+  }
+
   test("q71 frame sampling covers every doc with stride-spaced frames") {
     val rows = ops.Multimodal.q71(spark, sf).collect()
     assert(rows.map(_.getLong(0)).distinct.length ==
