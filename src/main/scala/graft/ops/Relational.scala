@@ -384,7 +384,13 @@ object Relational {
     * (numBits/8 bytes) isn't, this cuts the probe-side shuffle to the
     * match rate + fpp — the decisive reduction for a selective semi-join
     * of a 100 TB fact table. The filter evaluates inside whole-stage
-    * codegen on the scan, so pruned rows never reach the exchange. */
+    * codegen on the scan, so pruned rows never reach the exchange.
+    *
+    * The residual exact join is written as distinct + INNER join (not
+    * left_semi, though it's equivalent over a distinct build side):
+    * Catalyst's PushLeftSemiLeftAntiThroughJoin would hoist a semi-join
+    * below the Bloom probe, re-ordering the shuffle BEFORE the filter
+    * and defeating the whole point. A plan spec pins the shape. */
   def bloomSemiJoin(probe: DataFrame, probeKey: String,
                     build: DataFrame, buildKey: String,
                     numBits: Int = 1 << 20): DataFrame = {
@@ -394,7 +400,8 @@ object Relational {
       .filter(F.bloomContains(col("bf"), col(probeKey), numBits))
       .drop("bf")
       .join(build.select(col(buildKey)).distinct(),
-        col(probeKey) === col(buildKey), "left_semi")
+        col(probeKey) === col(buildKey), "inner")
+      .drop(buildKey)
   }
 
   /** q57: orders semi-joined to high-balance customers through the Bloom

@@ -54,13 +54,22 @@ class ExpressionsSpec extends SparkSpec {
     assert(fpHits < 200, s"false-positive rate too high: $fpHits / 10000")
   }
 
-  test("q57 bloom probe filter sits on the scan side, below the semi-join exchange") {
-    val plan = ops.Relational.q57(spark, sf).queryExecution.executedPlan.toString
-    assert(plan.contains("bloom_might_contain"), s"no bloom probe in plan:\n$plan")
-    val exchangeIdx = plan.indexOf("Exchange hashpartitioning(o_custkey")
-    val probeIdx = plan.indexOf("bloom_might_contain")
-    assert(exchangeIdx < 0 || probeIdx > exchangeIdx,
-      s"bloom probe should filter before the shuffle:\n$plan")
+  test("q57 bloom probe prefilters below the semi-join exchange when the dim can't broadcast") {
+    // The scale scenario: build side too big for a broadcast hash join
+    // (but its Bloom filter still broadcastable). The probe filter must
+    // run below the shuffle feeding the exact semi-join.
+    val conf = spark.conf
+    val prev = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = ops.Relational.q57(spark, sf).queryExecution.executedPlan.toString
+      assert(plan.contains("bloom_might_contain"), s"no bloom probe in plan:\n$plan")
+      val exchangeIdx = plan.indexOf("Exchange hashpartitioning(o_custkey")
+      val probeIdx = plan.indexOf("bloom_might_contain")
+      assert(exchangeIdx >= 0, s"expected a shuffle for the exact semi-join:\n$plan")
+      assert(probeIdx > exchangeIdx,
+        s"bloom probe should filter before (print below) the shuffle:\n$plan")
+    } finally conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("InferJaccardLengthFilter injects size bounds and preserves results") {
