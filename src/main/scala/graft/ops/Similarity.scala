@@ -30,13 +30,19 @@ object Similarity {
   val TopK = 10
   val NumQueries = 10
 
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), bp(col("cos")).as("cos_bp"))
-  }
+  /** Per-query top-k by (cos desc, neighbor asc) via the bounded-heap
+    * TopKAgg: each map task keeps a size-k heap per query (O(n log k)),
+    * where the window/row_number plan must fully SORT every task's
+    * scored rows before its partial group limit. The shuffle carries
+    * O(queries·k) heaps. Ordering: struct (cos, -neighbor) makes heap
+    * max = highest cos, then lowest neighbor id. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(F.topK(struct(col("cos"), (-col("neighbor_id")).as("negid"),
+        col("neighbor_id").as("nid")), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.nid").as("neighbor_id"), bp(col("col.cos")).as("cos_bp"))
 
   /** Exact brute-force top-k cosine neighbors of each query over the
     * corpus, self excluded, ties broken by neighbor id asc. */
