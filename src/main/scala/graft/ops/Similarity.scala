@@ -161,13 +161,18 @@ object Similarity {
       F.pqCode(col(emb), codebook, m, kCent).as("code"))
     val q = queries.select(col(id).as("query_id"), col(emb).as("q_emb"),
         F.pqTable(col(emb), codebook, m, kCent).as("tbl"))
-    val wAdc = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc").desc, col("neighbor_id").asc)
+    // Top-`rerank` ADC shortlist per query via the bounded heap (same
+    // O(n log rerank) map-side shape as rankTopK); q_emb is re-attached
+    // by a broadcast join with the tiny query set rather than riding
+    // through the heap payload.
     val shortlist = codes.join(broadcast(q), col("vid") =!= col("query_id"))
-      .select(col("query_id"), col("q_emb"), col("vid").as("neighbor_id"),
+      .select(col("query_id"), col("vid").as("neighbor_id"),
         F.pqAdc(col("tbl"), col("code"), m, kCent).as("adc"))
-      .withColumn("arank", row_number().over(wAdc))
-      .filter(col("arank") <= rerank)
+      .groupBy(col("query_id"))
+      .agg(F.topK(struct(col("adc"), (-col("neighbor_id")).as("negid"),
+        col("neighbor_id").as("nid")), rerank).as("top"))
+      .select(col("query_id"), explode(col("top.nid")).as("neighbor_id"))
+      .join(broadcast(q.select(col("query_id"), col("q_emb"))), "query_id")
     val cos = F.cosineSim(col("q_emb"), col("c_emb"))
     rankTopK(
       shortlist
