@@ -394,11 +394,19 @@ object Relational {
   def bloomSemiJoin(probe: DataFrame, probeKey: String,
                     build: DataFrame, buildKey: String,
                     numBits: Int = 1 << 20): DataFrame = {
-    import graft.functions.F
+    import graft.functions.{BloomMightContain, F}
+    import org.apache.spark.sql.GraftColumns
+    // The filter arrives as a SCALAR SUBQUERY, not a broadcast-joined
+    // column: the subquery executes once and its bytes become a runtime
+    // constant in the predicate. A cross join would re-read the bitset
+    // out of the broadcast row per probe row — an UnsafeRow getBinary
+    // COPY of numBits/8 bytes per row, gigabytes of memcpy at scale.
     val bf = build.agg(F.bloomAgg(col(buildKey), numBits).as("bf"))
-    probe.crossJoin(broadcast(bf))
-      .filter(F.bloomContains(col("bf"), col(probeKey), numBits))
-      .drop("bf")
+    val bfSub = org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
+      bf.queryExecution.analyzed)
+    probe
+      .filter(GraftColumns.wrap(BloomMightContain(
+        bfSub, GraftColumns.unwrap(col(probeKey)), numBits, 5)))
       .join(build.select(col(buildKey)).distinct(),
         col(probeKey) === col(buildKey), "inner")
       .drop(buildKey)
