@@ -85,6 +85,7 @@ object SparkEntry {
     "q72_asof_forward"    -> (Events.q72 _),
     "q73_asof_native"     -> (Events.q73 _),
     "q74_stopword_filter" -> (Text.q74 _),
+    "q77_session_window"  -> (Events.q77 _),
     "q75_corpus_pipeline" -> (Text.q75 _),
     "q71_frame_sample"    -> (Multimodal.q71 _),
   )
@@ -515,6 +516,20 @@ object SparkEntry {
                  ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
                FROM d WHERE dup_rn = 1)
          SELECT lang, rn, doc_id FROM r WHERE rn <= 10""",
+
+    // Boundary semantics: session_window merges an event iff it lands
+    // STRICTLY inside the previous [start, last+gap) window, so the
+    // oracle starts a new session at diff >= gap (q31's hand-rolled rule
+    // is inclusive; the synthetic micro-timestamps never hit the exact
+    // boundary, but the oracle mirrors the built-in's definition).
+    "q77_session_window" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, value, event_id FROM events),
+         l AS (SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us FROM e),
+         f AS (SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us >= 1800000000 THEN 1 ELSE 0 END AS ns FROM l),
+         ss AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM f)
+         SELECT user_id, min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
+                count(*) AS n_events, ${C("sum(value)")} AS sum_value
+         FROM ss GROUP BY user_id, sid""",
 
     "q73_asof_native" ->
       """WITH j AS (SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us, o.o_orderdate, o.o_orderkey

@@ -265,6 +265,20 @@ object Events {
       .select(col("event_id"), col("user_id"), col("ts_us"),
         col("asof_tie").as("last_orderkey"), col("asof_ts").as("last_order_us"))
 
+  /** q77: sessionization via the BUILT-IN session_window aggregate —
+    * the same 30-minute-gap sessions as q31 without a window-function
+    * pass: one shuffle on (user, session), map-side partial merge of
+    * adjacent windows. session_window.end is last-event + gap by
+    * definition, so the exact session end is end − gap. */
+  def q77(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), cents(sum(col("value"))).as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("w.start")).as("session_start_us"),
+        (unix_micros(col("w.end")) - 30L * 60 * 1000000).as("session_end_us"),
+        col("n_events"), col("sum_value"))
+
   /** q35: ordered view → click → purchase funnel counts. */
   def q35(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)

@@ -119,6 +119,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch sink lands every micro-batch in parquet exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-febatch").toString
+    val in = MemoryStream[(Long, Double)]
+    val q = in.toDF().toDF("k", "v")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.write.mode("append").parquet(s"$dir/out")
+      }
+      .start()
+    try {
+      in.addData((1L, 1.0), (2L, 2.0))
+      q.processAllAvailable()
+      in.addData((3L, 3.0))
+      q.processAllAvailable()
+      val back = spark.read.parquet(s"$dir/out")
+      assert(back.count() == 3)
+      assert(back.agg(sum(col("v"))).head().getDouble(0) == 6.0)
+    } finally q.stop()
+  }
+
   test("streaming dedup emits each content hash once within the horizon") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, String)]
