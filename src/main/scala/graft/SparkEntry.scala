@@ -82,6 +82,7 @@ object SparkEntry {
     "q63_ann_pq"          -> (Similarity.q63 _),
     "q70_multimodal_meta" -> (Multimodal.q70 _),
     "q76_audio_windows"   -> (Multimodal.q76 _),
+    "q78_label_centroids" -> (Similarity.q78 _),
     "q72_asof_forward"    -> (Events.q72 _),
     "q73_asof_native"     -> (Events.q73 _),
     "q74_stopword_filter" -> (Text.q74 _),
@@ -530,6 +531,13 @@ object SparkEntry {
          SELECT user_id, min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
                 count(*) AS n_events, ${C("sum(value)")} AS sum_value
          FROM ss GROUP BY user_id, sid""",
+
+    "q78_label_centroids" ->
+      s"""WITH x AS (SELECT label, generate_subscripts(embedding, 1) AS i,
+                            unnest(embedding) AS val FROM embeddings)
+         SELECT label, CAST(i - 1 AS INT) AS dim,
+                ${BP("avg(CAST(val AS DOUBLE))")} AS mean_bp
+         FROM x GROUP BY 1, 2""",
 
     "q73_asof_native" ->
       """WITH j AS (SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us, o.o_orderdate, o.o_orderkey

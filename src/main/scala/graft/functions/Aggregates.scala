@@ -99,6 +99,66 @@ case class TopKAgg(
     copy(child = newChild)
 }
 
+/** Elementwise sum of array<float> vectors, accumulated in double — the
+  * centroid/k-means/IVF-training primitive. Partial aggregation is
+  * map-side like any built-in sum: each task folds its vectors into one
+  * double[dim] buffer, the exchange carries O(groups·dim) doubles, and
+  * merge is elementwise add. Vectors shorter than the first-seen dim
+  * contribute their prefix; eval emits array<double> (divide by
+  * count(*) in the plan for a mean). */
+case class VecSumAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Double]] with UnaryLike[Expression] {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "vec_sum"
+
+  override def createAggregationBuffer(): Array[Double] = Array.emptyDoubleArray
+
+  override def update(buf: Array[Double], input: InternalRow): Array[Double] = {
+    val v = child.eval(input)
+    if (v == null) return buf
+    val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = arr.numElements()
+    val acc = if (buf.length >= n) buf else java.util.Arrays.copyOf(buf, n)
+    var i = 0
+    while (i < n) { acc(i) += arr.getFloat(i); i += 1 }
+    acc
+  }
+
+  override def merge(buf: Array[Double], other: Array[Double]): Array[Double] = {
+    val (into, from) =
+      if (buf.length >= other.length) (buf, other) else (other, buf)
+    var i = 0
+    while (i < from.length) { into(i) += from(i); i += 1 }
+    into
+  }
+
+  override def eval(buf: Array[Double]): Any = new GenericArrayData(buf)
+
+  @transient private lazy val serProjection = UnsafeProjection.create(
+    Array[DataType](ArrayType(DoubleType, containsNull = false)))
+
+  override def serialize(buf: Array[Double]): Array[Byte] =
+    serProjection(InternalRow(new GenericArrayData(buf))).getBytes
+
+  override def deserialize(bytes: Array[Byte]): Array[Double] = {
+    val row = new UnsafeRow(1)
+    row.pointTo(bytes, bytes.length)
+    row.getArray(0).toDoubleArray()
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): VecSumAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): VecSumAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): VecSumAgg =
+    copy(child = newChild)
+}
+
 /** Blocked Bloom filter over a LONG key column, for semi-join
   * pre-filtering: build on the (smaller) build side, broadcast the one
   * aggregated row, and `BloomMightContain` drops non-matching probe rows

@@ -43,6 +43,10 @@ object F {
   def topK(c: Column, k: Int): Column =
     GraftColumns.wrap(TopKAgg(GraftColumns.unwrap(c), k).toAggregateExpression())
 
+  /** Elementwise vector-sum aggregate over array<float> (double out). */
+  def vecSum(c: Column): Column =
+    GraftColumns.wrap(VecSumAgg(GraftColumns.unwrap(c)).toAggregateExpression())
+
   /** Bloom-filter build aggregate over a long key column (binary out). */
   def bloomAgg(c: Column, numBits: Int, numHashes: Int = 5): Column =
     GraftColumns.wrap(

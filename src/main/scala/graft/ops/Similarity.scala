@@ -187,6 +187,17 @@ object Similarity {
     (e, e.filter(col("vec_id") < NumQueries))
   }
 
+  /** q78: per-label centroid — elementwise mean embedding via the
+    * VecSumAgg partial aggregate (the k-means/IVF-training step), then
+    * exploded to (label, dim, mean). The exchange carries one
+    * double[dim] + count per (task, label), never the vectors. */
+  def q78(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .groupBy(col("label"))
+      .agg(F.vecSum(col("embedding")).as("vsum"), count(lit(1)).as("n"))
+      .select(col("label"), posexplode(expr("transform(vsum, x -> x / n)")))
+      .select(col("label"), col("pos").cast("int").as("dim"), bp(col("col")).as("mean_bp"))
+
   /** q60: exact brute-force top-10 cosine neighbors. */
   def q60(s: SparkSession, d: String): DataFrame = {
     val (c, q) = corpusAndQueries(s, d)

@@ -272,6 +272,21 @@ class OperatorsSpec extends SparkSpec {
     assert(plan.contains("partial"), s"no partial aggregation in typed plan:\n$plan")
   }
 
+  test("q78 VecSumAgg centroids equal the explode-based means and partial-aggregate") {
+    val agg = Similarity.q78(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    val exploded = Tables.embeddings(spark, sf)
+      .select(col("label"), posexplode(col("embedding")))
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("col").cast("double")).as("m"))
+      .select(col("label"), col("pos").cast("int"),
+        graft.functions.Cols.bp(col("m")))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    assert(agg == exploded)
+    val plan = Similarity.q78(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("partial_vec_sum"), s"no partial vec_sum in plan:\n$plan")
+  }
+
   test("q76 audio windows are hop-spaced and cover the payload") {
     val rows = ops.Multimodal.q76(spark, sf).collect()
     assert(rows.map(_.getLong(0)).distinct.length ==
