@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import graft.functions.{CosineSimilarity, HammingDistance64, JaccardSorted,
-  MinHash128, RollingHash64, ShingleHashes, SimHash64, TopKAgg}
+  MinHash128, RollingHash64, ShingleHashes, SimHash64, TopKAgg, VecSumAgg}
 
 /** SparkSessionExtensions registering graft's native expressions as SQL
   * functions, so `spark.sql("SELECT cosine_sim(a, b) ...")` works too.
@@ -59,6 +59,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TopKAgg].getName, "topk"),
       (children: Seq[Expression]) =>
         TopKAgg(children.head, intLit("topk", children(1))).toAggregateExpression()))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_sum"),
+      new ExpressionInfo(classOf[VecSumAgg].getName, "vec_sum"),
+      (children: Seq[Expression]) =>
+        VecSumAgg(children.head).toAggregateExpression()))
   }
 
   private def intLit(fn: String, e: Expression): Int = e match {
