@@ -83,6 +83,10 @@ object SparkEntry {
     "q70_multimodal_meta" -> (Multimodal.q70 _),
     "q76_audio_windows"   -> (Multimodal.q76 _),
     "q78_label_centroids" -> (Similarity.q78 _),
+    "q79_gap_fill"        -> (Events.q79 _),
+    "q80_filtered_aggs"   -> (Relational.q80 _),
+    "q81_null_semantics"  -> (Relational.q81 _),
+    "q82_argmax"          -> (Relational.q82 _),
     "q72_asof_forward"    -> (Events.q72 _),
     "q73_asof_native"     -> (Events.q73 _),
     "q74_stopword_filter" -> (Text.q74 _),
@@ -538,6 +542,49 @@ object SparkEntry {
          SELECT label, CAST(i - 1 AS INT) AS dim,
                 ${BP("avg(CAST(val AS DOUBLE))")} AS mean_bp
          FROM x GROUP BY 1, 2""",
+
+    "q79_gap_fill" ->
+      """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_events
+                        FROM events GROUP BY 1, 2),
+         spans AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+         cal AS (SELECT s.user_id, gs.day FROM spans s
+                 JOIN (SELECT CAST(unnest(generate_series(
+                         (SELECT min(d0) FROM spans), (SELECT max(d1) FROM spans),
+                         INTERVAL 1 DAY)) AS DATE) AS day) gs
+                   ON gs.day BETWEEN s.d0 AND s.d1)
+         SELECT c.user_id, strftime(c.day, '%Y-%m-%d') AS day,
+                coalesce(d.n_events, 0) AS n_events
+         FROM cal c LEFT JOIN daily d ON d.user_id = c.user_id AND d.day = c.day""",
+
+    "q80_filtered_aggs" ->
+      s"""SELECT l_returnflag,
+         count(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
+         count(DISTINCT l_orderkey) FILTER (WHERE l_quantity > 25) AS n_bulk_orders,
+         count(DISTINCT l_orderkey) AS n_orders,
+         ${C("sum(l_extendedprice * (1 - l_discount)) FILTER (WHERE l_discount > 0.05)")} AS disc_revenue,
+         count(*) AS n_rows
+         FROM lineitem GROUP BY 1""",
+
+    "q81_null_semantics" ->
+      s"""WITH t AS (SELECT o_orderpriority,
+             nullif(o_orderstatus, 'O') AS st,
+             CASE WHEN o_totalprice > 150000 THEN o_totalprice END AS big_price
+           FROM orders)
+         SELECT o_orderpriority, count(*) AS n_rows,
+           count(st) AS n_nonnull_status,
+           count(big_price) AS n_big,
+           ${C("avg(big_price)")} AS avg_big,
+           CAST(sum(CASE WHEN st IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_status,
+           CAST(sum(CASE WHEN st IS NOT DISTINCT FROM 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f_status
+         FROM t GROUP BY 1""",
+
+    "q82_argmax" ->
+      s"""SELECT o_orderpriority,
+         arg_max(o_orderkey, ${C("o_totalprice")} * 10000000 + o_orderkey) AS max_price_order,
+         arg_min(o_orderkey, ${C("o_totalprice")} * 10000000 + o_orderkey) AS min_price_order,
+         ${C("max(o_totalprice)")} AS max_price,
+         ${C("min(o_totalprice)")} AS min_price
+         FROM orders GROUP BY 1""",
 
     "q73_asof_native" ->
       """WITH j AS (SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us, o.o_orderdate, o.o_orderkey

@@ -279,6 +279,24 @@ object Events {
         (unix_micros(col("w.end")) - 30L * 60 * 1000000).as("session_end_us"),
         col("n_events"), col("sum_value"))
 
+  /** q79: per-user daily gap-fill — every day in each user's active
+    * span appears, zero-filled when no events. The calendar is a
+    * per-user `sequence` explode (fan-out = span days, bounded), then a
+    * left join against the daily counts on (user, day) — both sides
+    * hash-partition on user, no global calendar broadcast needed. */
+  def q79(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val spans = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val calendar = spans.select(col("user_id"),
+      explode(sequence(col("d0"), col("d1"))).as("day"))
+    calendar.join(daily, Seq("user_id", "day"), "left_outer")
+      .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+  }
+
   /** q35: ordered view → click → purchase funnel counts. */
   def q35(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)

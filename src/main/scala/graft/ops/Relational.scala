@@ -376,6 +376,55 @@ object Relational {
            count(lit(1)).as("cnt"))
   }
 
+  /** q80: FILTER-clause aggregation surface — per-group conditional
+    * counts, conditional distinct counts, and conditional sums, the
+    * `agg FILTER (WHERE …)` family. All one pass + one (expanded)
+    * aggregate; Catalyst plans distinct aggregates via expand. */
+  def q80(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(when(col("l_quantity") > 25, 1)).as("n_bulk"),
+        countDistinct(when(col("l_quantity") > 25, col("l_orderkey"))).as("n_bulk_orders"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        cents(sum(when(col("l_discount") > 0.05,
+          col("l_extendedprice") * (lit(1) - col("l_discount"))))).as("disc_revenue"),
+        count(lit(1)).as("n_rows"))
+
+  /** q81: null semantics — nulls manufactured with nullif, then the
+    * count(col) vs count(*) gap, null-skipping avg, coalesce fallback,
+    * and null-safe equality, matching ANSI null behavior in both
+    * engines. */
+  def q81(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderpriority"),
+        nullif(col("o_orderstatus"), lit("O")).as("st"),
+        when(col("o_totalprice") > 150000, col("o_totalprice")).as("big_price"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("st")).as("n_nonnull_status"),
+        count(col("big_price")).as("n_big"),
+        cents(avg(col("big_price"))).as("avg_big"),
+        sum(when(col("st").isNull, 1L).otherwise(0L)).as("n_null_status"),
+        sum(when(col("st") <=> lit("F"), 1L).otherwise(0L)).as("n_f_status"))
+
+  /** q82: argmax/argmin surface — per group, the carrier of the extreme
+    * value via max_by/min_by. Duplicate prices exist, so the ordering
+    * value packs (price cents, orderkey) into one exact bigint —
+    * deterministic and identically computable in the oracle (DuckDB's
+    * arg_max accepts no struct ordering). */
+  def q82(s: SparkSession, d: String): DataFrame = {
+    val ord = cents(col("o_totalprice")) * lit(10000000L) + col("o_orderkey")
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        max_by(col("o_orderkey"), ord).as("max_price_order"),
+        min_by(col("o_orderkey"), ord).as("min_price_order"),
+        cents(max(col("o_totalprice"))).as("max_price"),
+        cents(min(col("o_totalprice"))).as("min_price"))
+  }
+
   /** Bloom-prefiltered semi-join: build a Bloom filter over the build
     * side's keys (one aggregated row, broadcast), drop probe rows whose
     * key can't be present BEFORE any join shuffle, then an exact
