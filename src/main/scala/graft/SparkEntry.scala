@@ -87,6 +87,8 @@ object SparkEntry {
     "q80_filtered_aggs"   -> (Relational.q80 _),
     "q81_null_semantics"  -> (Relational.q81 _),
     "q82_argmax"          -> (Relational.q82 _),
+    "q83_unpivot"         -> (Relational.q83 _),
+    "q84_dedup_keep_best" -> (Dedup.q84 _),
     "q72_asof_forward"    -> (Events.q72 _),
     "q73_asof_native"     -> (Events.q73 _),
     "q74_stopword_filter" -> (Text.q74 _),
@@ -429,6 +431,43 @@ object SparkEntry {
          cs AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1)
          SELECT lab.node AS doc_id, lab.cluster_id, cs.cluster_size
          FROM lab JOIN cs USING (cluster_id)""",
+
+    "q83_unpivot" ->
+      s"""WITH w AS (SELECT l_returnflag, ${C("sum(l_quantity)")} AS sum_qty,
+             ${C("sum(l_extendedprice)")} AS sum_price, count(*) AS n_rows
+           FROM lineitem GROUP BY 1)
+         SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM w
+         UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM w
+         UNION ALL SELECT l_returnflag, 'n_rows', n_rows FROM w""",
+
+    "q84_dedup_keep_best" ->
+      s"""WITH RECURSIVE
+         t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle FROM t),
+         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         pair AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS common
+                  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+         good AS (SELECT ida, idb FROM pair
+                  JOIN sz na ON na.doc_id = ida JOIN sz nb ON nb.doc_id = idb
+                  WHERE common / CAST(na.n + nb.n - common AS DOUBLE) >= 0.6),
+         edges AS (SELECT ida AS a, idb AS b FROM good UNION SELECT idb, ida FROM good),
+         reach(node, r) AS (SELECT a, a FROM edges
+                            UNION SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.node),
+         lab AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
+         cs AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1),
+         q AS (SELECT doc_id,
+                 ${BP("0.5 * least(nt / 100.0, 1.0) + 0.3 * (1.0 - nstop / nt) + 0.2 * least(((nchars - (nt - 1)) / nt) / 8.0, 1.0)")} AS quality_bp
+               FROM (SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt,
+                     CAST(len(list_filter(string_split(text, ' '),
+                       x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) AS nstop,
+                     CAST(length(text) AS DOUBLE) AS nchars FROM documents))
+         SELECT lab.cluster_id, cs.cluster_size,
+           arg_max(lab.node, q.quality_bp * 10000000 + (10000000 - lab.node)) AS keep_id,
+           arg_max(q.quality_bp, q.quality_bp * 10000000 + (10000000 - lab.node)) AS keep_quality_bp
+         FROM lab JOIN q ON q.doc_id = lab.node JOIN cs USING (cluster_id)
+         GROUP BY 1, 2""",
 
     "q30_tumbling_window" ->
       s"""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts, event_type,

@@ -229,4 +229,20 @@ object Dedup {
   /** q55: connected-component dedup clusters over the q51 pair graph. */
   def q55(s: SparkSession, d: String): DataFrame =
     clusters(q51(s, d).select(col("doc_a"), col("doc_b")))
+
+  /** q84: the production dedup POLICY — within each near-dup cluster
+    * keep the highest-quality member (q41 score), ties to the smallest
+    * id. The (quality, -id) order is packed into one exact bigint so
+    * max_by works identically in the oracle. One aggregation over the
+    * cluster labeling; quality is a map-side join against the corpus. */
+  def q84(s: SparkSession, d: String): DataFrame = {
+    val cl = q55(s, d)
+    val q = Text.qualityBp(Tables.documents(s, d), "doc_id", "text")
+    val pack = col("quality_bp") * lit(10000000L) + (lit(10000000L) - col("doc_id"))
+    cl.join(q, "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(max(col("cluster_size")).as("cluster_size"),
+           max_by(col("doc_id"), pack).as("keep_id"),
+           max_by(col("quality_bp"), pack).as("keep_quality_bp"))
+  }
 }

@@ -425,6 +425,19 @@ object Relational {
         cents(min(col("o_totalprice"))).as("min_price"))
   }
 
+  /** q83: unpivot/melt — wide per-flag aggregates to long
+    * (flag, metric, value) rows via the built-in unpivot (an Expand
+    * node: one pass, rows × metrics, no shuffle beyond the agg). */
+  def q83(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(cents(sum(col("l_quantity"))).as("sum_qty"),
+           cents(sum(col("l_extendedprice"))).as("sum_price"),
+           count(lit(1)).as("n_rows"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("n_rows")),
+        "metric", "value")
+
   /** Bloom-prefiltered semi-join: build a Bloom filter over the build
     * side's keys (one aggregated row, broadcast), drop probe rows whose
     * key can't be present BEFORE any join shuffle, then an exact

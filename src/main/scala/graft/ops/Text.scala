@@ -232,6 +232,18 @@ object Text {
   def q74(s: SparkSession, d: String): DataFrame =
     stopwordFilter(Tables.documents(s, d), "doc_id", "text", stopwords)
 
+  /** (doc id, quality_bp) for any corpus — the q41 quality score as a
+    * reusable building block (used by the cluster keep-best policy). */
+  def qualityBp(df: DataFrame, id: String, text: String): DataFrame = {
+    val nTok  = size(toks).cast("double")
+    val nStop = size(filter(toks, t => t.isin(stopwords.map(lit(_)): _*))).cast("double")
+    val meanWordLen = (length(col(text)) - (nTok - 1)) / nTok
+    val quality = lit(0.5) * least(nTok / lit(100.0), lit(1.0)) +
+      lit(0.3) * (lit(1.0) - nStop / nTok) +
+      lit(0.2) * least(meanWordLen / lit(8.0), lit(1.0))
+    withToks(df, text).select(col(id), bp(quality).as("quality_bp"))
+  }
+
   /** q75: end-to-end training-corpus pipeline — quality gate (q41's
     * score ≥ 0.5) → normalize + exact dedup keeping the min-id
     * representative → deterministic stratified sample of 10 docs per
