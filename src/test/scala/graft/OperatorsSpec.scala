@@ -234,6 +234,44 @@ class OperatorsSpec extends SparkSpec {
     assert(exchanges == 2, s"expected 2 exchanges, got $exchanges:\n$plan")
   }
 
+  test("AQE splits a skewed shuffle-join partition (skew=true in final plan)") {
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled").map(k => k -> conf.get(k))
+    val savedForce = conf.getOption("spark.sql.adaptive.forceOptimizeSkewedJoin")
+    // The aggregation above the join would need a re-shuffle after the
+    // split, which makes AQE skip the optimization by default.
+    conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+    conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      import SparkTestSession.spark.implicits._
+      // One hot key carrying ~200k rows vs a spread of tiny keys.
+      val left = spark.range(200000).select(
+        when(col("id") % 100 =!= 0, lit(0L)).otherwise(col("id") % 37 + 1).as("k"),
+        col("id").as("v"))
+      val right = spark.range(38).select(col("id").as("k"), (col("id") * 10).as("w"))
+      val joined = left.join(right, "k").groupBy(col("k")).count()
+      joined.collect() // materialize so AQE finalizes the plan
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n$plan")
+    } finally {
+      saved.foreach { case (k, v) => conf.set(k, v) }
+      savedForce match {
+        case Some(v) => conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", v)
+        case None => conf.unset("spark.sql.adaptive.forceOptimizeSkewedJoin")
+      }
+    }
+  }
+
   test("approx_count_distinct lands within its 5% error bound at sf0.001") {
     val li = Tables.lineitem(spark, sf)
     val row = li.agg(
