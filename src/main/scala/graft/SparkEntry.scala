@@ -88,6 +88,7 @@ object SparkEntry {
     "q81_null_semantics"  -> (Relational.q81 _),
     "q82_argmax"          -> (Relational.q82 _),
     "q83_unpivot"         -> (Relational.q83 _),
+    "q85_monthly_trend"   -> (Relational.q85 _),
     "q84_dedup_keep_best" -> (Dedup.q84 _),
     "q72_asof_forward"    -> (Events.q72 _),
     "q73_asof_native"     -> (Events.q73 _),
@@ -624,6 +625,14 @@ object SparkEntry {
          ${C("max(o_totalprice)")} AS max_price,
          ${C("min(o_totalprice)")} AS min_price
          FROM orders GROUP BY 1""",
+
+    "q85_monthly_trend" ->
+      s"""WITH m AS (SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+             ${C("sum(o_totalprice)")} AS revenue, count(*) AS n_orders
+           FROM orders GROUP BY 1)
+         SELECT month, revenue, n_orders,
+           CAST(sum(revenue) OVER (ORDER BY month ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_revenue
+         FROM m""",
 
     "q73_asof_native" ->
       """WITH j AS (SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us, o.o_orderdate, o.o_orderkey

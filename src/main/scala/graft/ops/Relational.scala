@@ -438,6 +438,20 @@ object Relational {
         Array(col("sum_qty"), col("sum_price"), col("n_rows")),
         "metric", "value")
 
+  /** q85: monthly revenue trend — date_trunc rollup plus a running
+    * cumulative total over the (tiny) month series. The window runs
+    * over the aggregated months, not the fact rows, so the global
+    * ordering costs nothing at scale. Sums are discretized to cents
+    * BEFORE the running total so the cumsum is exact integer math. */
+  def q85(s: SparkSession, d: String): DataFrame = {
+    val monthly = Tables.orders(s, d)
+      .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM").as("month"))
+      .agg(cents(sum(col("o_totalprice"))).as("revenue"), count(lit(1)).as("n_orders"))
+    val w = Window.orderBy(col("month")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    monthly.select(col("month"), col("revenue"), col("n_orders"),
+      sum(col("revenue")).over(w).as("cum_revenue"))
+  }
+
   /** Bloom-prefiltered semi-join: build a Bloom filter over the build
     * side's keys (one aggregated row, broadcast), drop probe rows whose
     * key can't be present BEFORE any join shuffle, then an exact
