@@ -89,6 +89,7 @@ object SparkEntry {
     "q82_argmax"          -> (Relational.q82 _),
     "q83_unpivot"         -> (Relational.q83 _),
     "q85_monthly_trend"   -> (Relational.q85 _),
+    "q86_setops_all"      -> (Relational.q86 _),
     "q84_dedup_keep_best" -> (Dedup.q84 _),
     "q72_asof_forward"    -> (Events.q72 _),
     "q73_asof_native"     -> (Events.q73 _),
@@ -633,6 +634,18 @@ object SparkEntry {
          SELECT month, revenue, n_orders,
            CAST(sum(revenue) OVER (ORDER BY month ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_revenue
          FROM m""",
+
+    "q86_setops_all" ->
+      """WITH a AS (SELECT l_suppkey, l_returnflag FROM lineitem WHERE l_quantity >= 30),
+         b AS (SELECT l_suppkey, l_returnflag FROM lineitem WHERE l_discount >= 0.05),
+         i AS (SELECT l_returnflag, count(*) AS n_intersect
+               FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY 1),
+         e AS (SELECT l_returnflag, count(*) AS n_except
+               FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY 1)
+         SELECT coalesce(i.l_returnflag, e.l_returnflag) AS l_returnflag,
+                coalesce(n_intersect, 0) AS n_intersect,
+                coalesce(n_except, 0) AS n_except
+         FROM i FULL OUTER JOIN e ON i.l_returnflag = e.l_returnflag""",
 
     "q73_asof_native" ->
       """WITH j AS (SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us, o.o_orderdate, o.o_orderkey

@@ -452,6 +452,26 @@ object Relational {
       sum(col("revenue")).over(w).as("cum_revenue"))
   }
 
+  /** q86: multiset set operations — INTERSECT ALL / EXCEPT ALL keep
+    * duplicate multiplicity (min / difference of per-row counts), the
+    * semantics the distinct variants in q11 cannot express. Spark plans
+    * both as a single aggregate + generate, one shuffle each. */
+  def q86(s: SparkSession, d: String): DataFrame = {
+    val a = Tables.lineitem(s, d)
+      .filter(col("l_quantity") >= 30).select(col("l_suppkey"), col("l_returnflag"))
+    val b = Tables.lineitem(s, d)
+      .filter(col("l_discount") >= 0.05).select(col("l_suppkey"), col("l_returnflag"))
+    a.intersectAll(b).groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_intersect"))
+      .join(
+        a.exceptAll(b).groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_except")),
+        Seq("l_returnflag"), "full_outer")
+      .select(col("l_returnflag"),
+        coalesce(col("n_intersect"), lit(0L)).as("n_intersect"),
+        coalesce(col("n_except"), lit(0L)).as("n_except"))
+  }
+
   /** Bloom-prefiltered semi-join: build a Bloom filter over the build
     * side's keys (one aggregated row, broadcast), drop probe rows whose
     * key can't be present BEFORE any join shuffle, then an exact
