@@ -183,6 +183,14 @@ object AsOfJoin {
     ensureStrategy(spark)
     val lp = left.queryExecution.analyzed
     val rp = right.queryExecution.analyzed
+    // Self-joins share attribute exprIds across both children, which
+    // would make BindReferences resolve right-side expressions against
+    // the left row. The built-in analyzer dedup only covers its own
+    // node types, so reject the case loudly rather than mis-bind.
+    val overlap = lp.outputSet.intersect(rp.outputSet)
+    require(overlap.isEmpty,
+      s"AsOfJoin cannot self-join one DataFrame instance (shared attributes: " +
+        s"${overlap.toSeq.map(_.name).mkString(", ")}); re-read or re-create one side")
     def attr(p: LogicalPlan, n: String): Attribute =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(

@@ -337,6 +337,16 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("native as-of join rejects a same-instance self-join loudly") {
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"))
+    val e = intercept[IllegalArgumentException] {
+      graft.plans.AsOfJoin(ev, "user_id", "ts_us", ev, "user_id", "ts_us", "event_id")
+    }
+    assert(e.getMessage.contains("self-join"))
+  }
+
   test("q71 frame sampling covers every doc with stride-spaced frames") {
     val rows = ops.Multimodal.q71(spark, sf).collect()
     assert(rows.map(_.getLong(0)).distinct.length ==
