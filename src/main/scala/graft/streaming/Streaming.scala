@@ -60,6 +60,27 @@ object Streaming {
         unix_micros(col("view_ts")).as("view_us"),
         unix_micros(col("click_ts")).as("click_us"))
 
+  case class TopEntry(value: Double, event_id: Long)
+  case class TopState(user_id: Long, top: Seq[TopEntry])
+
+  /** Streaming top-k per key — the streaming face of batch TopKAgg:
+    * state is a bounded size-k list per key (largest (value, event_id)
+    * first), updated per micro-batch and emitted in update mode.
+    * Executor state is O(keys · k) forever, independent of stream
+    * length — the bound that makes indefinite ingest feasible. */
+  def topkStream(events: Dataset[Event], k: Int = 3): Dataset[TopState] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[Seq[TopEntry], TopState](GroupStateTimeout.NoTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[Seq[TopEntry]]) =>
+          val merged = (state.getOption.getOrElse(Seq.empty) ++
+              batch.map(e => TopEntry(e.value, e.event_id)))
+            .sortBy(t => (-t.value, -t.event_id)).take(k)
+          state.update(merged)
+          TopState(userId, merged)
+      }
+  }
+
   val SessionGapUs: Long = 30L * 60 * 1000000
 
   /** Exact microseconds since epoch (Timestamp.getTime alone drops µs). */

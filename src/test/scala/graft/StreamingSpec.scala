@@ -140,6 +140,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming top-k state stays bounded and matches batch top-k") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streaming.topkStream(in.toDS(), k = 2)
+      .writeStream.format("memory").queryName("topk_out")
+      .outputMode("update").start()
+    try {
+      in.addData(
+        Event(1, 1, ts("2024-01-01 10:00:00"), 5.0),
+        Event(1, 2, ts("2024-01-01 10:01:00"), 9.0),
+        Event(1, 3, ts("2024-01-01 10:02:00"), 7.0))
+      q.processAllAvailable()
+      // A later batch with a higher value displaces the current min.
+      in.addData(Event(1, 4, ts("2024-01-01 10:03:00"), 8.0),
+                 Event(2, 5, ts("2024-01-01 10:00:00"), 1.0))
+      q.processAllAvailable()
+      import SparkTestSession.spark.implicits._
+      val last = spark.table("topk_out").as[Streaming.TopState].collect()
+        .filter(_.user_id == 1).last
+      assert(last.top.map(_.event_id) == Seq(2L, 4L),
+        s"want events 2 (9.0) and 4 (8.0), got ${last.top}")
+      assert(last.top.size == 2)
+    } finally q.stop()
+  }
+
   test("streaming dedup emits each content hash once within the horizon") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, String)]
