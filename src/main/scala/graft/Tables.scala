@@ -24,13 +24,23 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** The events table stores ts as parquet TIMESTAMP(NANOS), which Spark 4
-    * refuses by default. Read it as a long (ns since epoch) via the legacy
-    * conf, then convert to a microsecond timestamp with integral division
-    * (`div` — a double division would lose precision on ~1.7e18 ns values).
-    */
+  /** SQL conf every graft session needs: the events table stores ts as
+    * parquet TIMESTAMP(NANOS), which Spark 4 refuses unless this legacy
+    * conf reads it as a long. Entry points (Verify/Bench/TimeOne/Explain
+    * and the test session) apply it AT SESSION BUILD — a loader must not
+    * mutate session-global conf as a side effect of a read (it could
+    * change unrelated reads mid-session). */
+  val requiredConf: Map[String, String] =
+    Map("spark.sql.legacy.parquet.nanosAsLong" -> "true")
+
+  /** The events table stores ts as parquet TIMESTAMP(NANOS), read as a
+    * long (ns since epoch — see requiredConf), then converted to a
+    * microsecond timestamp with integral division (`div` — a double
+    * division would lose precision on ~1.7e18 ns values). */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "set spark.sql.legacy.parquet.nanosAsLong=true on the session " +
+        "(Tables.requiredConf) before reading the events table")
     load(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))

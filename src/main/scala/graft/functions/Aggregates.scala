@@ -178,6 +178,10 @@ case class BloomFilterAgg(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
 
+  require(numBits > 0 && numBits <= (1 << 30),
+    s"numBits must be in (0, 2^30], got $numBits (highestOneBit*2 overflows past 2^30)")
+  require(numHashes > 0, s"numHashes must be positive, got $numHashes")
+
   private val bits = java.lang.Integer.highestOneBit(math.max(numBits - 1, 1)) * 2
   private val mask = bits - 1
 

@@ -85,7 +85,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    // Zero-norm vectors have no direction: define cos = 0 rather than
+    // NaN (NaN sorts above every real in interpreted double ordering,
+    // so one zero embedding would otherwise top every query's top-k).
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -104,7 +108,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  float $x = $a.getFloat($i); float $y = $b.getFloat($i);
          |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |double ${dot}_den = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |${ev.value} = ${dot}_den == 0.0 ? 0.0 : $dot / ${dot}_den;
        """.stripMargin
     })
 
@@ -180,6 +185,10 @@ case class BloomMightContain(left: Expression, right: Expression,
     extends BinaryExpression {
   override def dataType: DataType = BooleanType
   override def prettyName: String = "bloom_might_contain"
+
+  require(numBits > 0 && numBits <= (1 << 30),
+    s"numBits must be in (0, 2^30], got $numBits (highestOneBit*2 overflows past 2^30)")
+  require(numHashes > 0, s"numHashes must be positive, got $numHashes")
 
   private val bits = java.lang.Integer.highestOneBit(math.max(numBits - 1, 1)) * 2
   private val mask = bits - 1

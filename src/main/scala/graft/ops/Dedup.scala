@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Cols._
@@ -90,6 +91,9 @@ object Dedup {
 
   val MinhashPerms = 128
   val LshBands = 16
+  /** Buckets wider than this switch from all-pairs to a spanning chain.
+    * 512² / 2 pairs is the worst per-bucket candidate cost — bounded. */
+  val MaxBucketWidth = 512
 
   /** MinHash + banded-LSH near-dup pairs, exact-Jaccard verified
     * (J ≥ tau). With perms/bands rows per band, a 0.97-similar pair is
@@ -100,11 +104,26 @@ object Dedup {
     * The whole signature is ONE native expression pass per document
     * (MinHash128) — map-only, no shingle explode/shuffle and no
     * 128-column aggregate. Band hashes are xxhash64 over signature
-    * slices; the band join shuffles only (band, bucket) keys. */
+    * slices; the band join shuffles only (band, bucket) keys.
+    *
+    * Hot-bucket bound (the 100 TB guard): on a real web corpus,
+    * boilerplate puts 10⁴–10⁶ near-identical docs into one (band,
+    * bucket), and an unbounded self-join emits that bucket's pairs
+    * QUADRATICALLY. Buckets wider than `maxBucket` therefore degrade to
+    * a spanning STAR over the bucket: every doc pairs with the bucket's
+    * minimum id — linear in bucket width, and (unlike a chain) diameter
+    * 2, so downstream label-propagation clustering converges in O(1)
+    * rounds. Verified star pairs keep every hot near-dup cluster
+    * connected, so clustering (q55/q84 keep-best) is unaffected; only
+    * the explicit pair LIST within a hot cluster is thinned — exactly
+    * the part that would be quadratic to materialize anyway. Both
+    * branches reuse ONE shuffle on (band, bh): the width count and the
+    * star hub are window functions over the same hash partitioning. */
   def minhashLshPairs(corpus: DataFrame, id: String, text: String,
                       tau: Double, k: Int = 3,
                       perms: Int = MinhashPerms,
-                      bands: Int = LshBands): DataFrame = {
+                      bands: Int = LshBands,
+                      maxBucket: Int = MaxBucketWidth): DataFrame = {
     require(perms % bands == 0, "perms must divide into bands")
     val rows = perms / bands
     val arrs = shingleArrays(corpus, id, text, k).cache()
@@ -113,13 +132,21 @@ object Dedup {
       struct(lit(b).as("band"),
         xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bh"))
     }
+    val byBucket = Window.partitionBy(col("band"), col("bh"))
     val buckets = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
-    val candidates = buckets.as("a").join(buckets.as("b"),
+      .withColumn("width", count(lit(1)).over(byBucket))
+    val cold = buckets.filter(col("width") <= maxBucket)
+      .select(col("doc_id"), col("band"), col("bh"))
+    val coldPairs = cold.as("a").join(cold.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    val hotPairs = buckets.filter(col("width") > maxBucket)
+      .withColumn("hub", min(col("doc_id")).over(byBucket))
+      .filter(col("doc_id") =!= col("hub"))
+      .select(col("hub").as("doc_a"), col("doc_id").as("doc_b"))
+    val candidates = coldPairs.unionAll(hotPairs).distinct()
     verifyPairs(candidates, arrs, tau)
   }
 
@@ -198,6 +225,14 @@ object Dedup {
       prevSum = newSum
       labels = next
       iter += 1
+    }
+    if (!done) {
+      // Reaching the cap without the fixpoint means some labels are
+      // still propagating (graph diameter > maxIters) — the labeling
+      // below would be wrong. Fail loudly rather than return it.
+      throw new IllegalStateException(
+        s"Dedup.clusters did not converge in $maxIters iterations " +
+          "(pair-graph diameter exceeds maxIters); raise maxIters")
     }
     val sizes = labels.groupBy(col("label").as("cl")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, col("label") === col("cl"))

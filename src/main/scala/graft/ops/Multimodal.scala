@@ -103,7 +103,10 @@ object Multimodal {
     val m = mediaTable(s, d).select(
       col("doc_id"), col("payload"),
       col("meta.width").as("width"), col("meta.height").as("height"))
-    val nFrames = ceil(length(col("payload")).cast("double") / FrameBytes).cast("int")
+    // greatest(_, 1): an empty payload would otherwise yield
+    // sequence(0, -1, 2) and throw "Illegal sequence boundaries".
+    val nFrames = greatest(
+      ceil(length(col("payload")).cast("double") / FrameBytes).cast("int"), lit(1))
     // Resize-to-fit 256 on the long edge, aspect preserved, integer math.
     val longEdge = greatest(col("width"), col("height"))
     val scaleNum = least(longEdge, lit(256)) // numerator of scale = min(long,256)/long

@@ -75,19 +75,32 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, id: String, emb: String,
               k: Int = TopK, masks: Seq[Long] = hyperplaneMasks,
               bits: Int = LshBits): DataFrame = {
+    // Bucket rows carry ONLY (id, table, bucket) — the embedding is
+    // consumed by the hash expression and dropped before the explode, so
+    // the candidate join and distinct never touch float arrays.
     def withBuckets(df: DataFrame, idAs: String, embAs: String): DataFrame =
-      df.select(col(idAs), col(embAs),
+      df.select(col(idAs),
         posexplode(F.hyperplaneBuckets(col(embAs), masks, bits)).as(Seq("t", "bk")))
     val c = withBuckets(corpus.select(col(id).as("vid"), col(emb).as("c_emb")), "vid", "c_emb")
     val q = withBuckets(queries.select(col(id).as("query_id"), col(emb).as("q_emb")),
       "query_id", "q_emb")
     val cos = F.cosineSim(col("q_emb"), col("c_emb"))
+    // Candidate dedup runs over the two ID columns ONLY — a distinct
+    // carrying the embedding arrays would hash/compare float vectors per
+    // candidate row. Vectors re-attach afterwards: q_emb from the tiny
+    // broadcast query set, c_emb from the corpus (same shape as pqTopK's
+    // rerank join).
+    val candidates = c.as("c").join(broadcast(q.as("q")),
+        col("c.t") === col("q.t") && col("c.bk") === col("q.bk") &&
+        col("c.vid") =!= col("q.query_id"))
+      .select(col("query_id"), col("vid").as("neighbor_id"))
+      .distinct()
     rankTopK(
-      c.as("c").join(broadcast(q.as("q")),
-          col("c.t") === col("q.t") && col("c.bk") === col("q.bk") &&
-          col("c.vid") =!= col("q.query_id"))
-        .select(col("query_id"), col("vid").as("neighbor_id"), col("q_emb"), col("c_emb"))
-        .distinct()
+      candidates
+        .join(broadcast(queries.select(col(id).as("query_id"), col(emb).as("q_emb"))),
+          "query_id")
+        .join(corpus.select(col(id).as("neighbor_id"), col(emb).as("c_emb")),
+          "neighbor_id")
         .select(col("query_id"), col("neighbor_id"), cos.as("cos")), k)
   }
 

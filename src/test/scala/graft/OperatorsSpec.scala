@@ -116,6 +116,40 @@ class OperatorsSpec extends SparkSpec {
     assert(lsh == exact, s"missed: ${exact -- lsh}; extra: ${lsh -- exact}")
   }
 
+  test("minhashLshPairs bounds hot-bucket candidates (boilerplate corpus)") {
+    // 2000 identical boilerplate docs land in ONE (band, bucket) per
+    // band; unbounded all-pairs would emit ~2M candidates (and, since
+    // J = 1, ~2M VERIFIED pairs). The star degradation must emit
+    // exactly width-1 pairs, all anchored at the min id, and keep the
+    // cluster connected.
+    val boiler = spark.range(2000).select(col("id").as("doc_id"),
+      lit("cookie banner accept all rights reserved terms of service privacy policy")
+        .as("text"))
+    val unique = spark.range(2000, 2300).select(col("id").as("doc_id"),
+      concat_ws(" ", col("id").cast("string"), (col("id") * 7).cast("string"),
+        (col("id") * 13).cast("string"), (col("id") * 29).cast("string"),
+        (col("id") * 37).cast("string")).as("text"))
+    val corpus = boiler.unionAll(unique)
+    val pairs = Dedup.minhashLshPairs(corpus, "doc_id", "text", 0.6, maxBucket = 64)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == (1L until 2000L).map(b => (0L, b)).toSet,
+      s"expected a 1999-pair star at hub 0, got ${got.size} pairs")
+    // Connectivity survives the thinning: one cluster of all 2000 docs.
+    val cl = Dedup.clusters(pairs.select(col("doc_a"), col("doc_b")))
+    assert(cl.select(col("cluster_id")).distinct().count() == 1L)
+    assert(cl.agg(max(col("cluster_size"))).head().getLong(0) == 2000L)
+  }
+
+  test("q52 capped LSH equals uncapped on the documents corpus") {
+    val docs = Tables.documents(spark, sf)
+    val capped = Dedup.minhashLshPairs(docs, "doc_id", "text", 0.6)
+      .collect().map(_.toSeq).toSet
+    val uncapped = Dedup.minhashLshPairs(docs, "doc_id", "text", 0.6,
+        maxBucket = Int.MaxValue)
+      .collect().map(_.toSeq).toSet
+    assert(capped == uncapped && capped.nonEmpty)
+  }
+
   test("q53 simhash output is deterministic across runs") {
     val a = Dedup.q53(spark, sf).collect().map(_.toSeq).toSet
     val b = Dedup.q53(spark, sf).collect().map(_.toSeq).toSet
