@@ -93,6 +93,7 @@ object SparkEntry {
     "q84_dedup_keep_best" -> (Dedup.q84 _),
     "q72_asof_forward"    -> (Events.q72 _),
     "q73_asof_native"     -> (Events.q73 _),
+    "q87_asof_outer"      -> (Events.q87 _),
     "q74_stopword_filter" -> (Text.q74 _),
     "q77_session_window"  -> (Events.q77 _),
     "q75_corpus_pipeline" -> (Text.q75 _),
@@ -664,6 +665,18 @@ object SparkEntry {
                 epoch_us(m.md) AS last_order_us
          FROM m JOIN j ON j.event_id = m.event_id AND j.o_orderdate = m.md
          GROUP BY 1, 2, 3, 5""",
+
+    "q87_asof_outer" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, ts FROM events),
+         j AS (SELECT e.event_id, o.o_orderdate, o.o_orderkey FROM e JOIN orders o
+               ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts),
+         m AS (SELECT event_id, max(o_orderdate) AS md FROM j GROUP BY 1),
+         b AS (SELECT m.event_id, epoch_us(m.md) AS last_order_us,
+                      max(j.o_orderkey) AS last_orderkey
+               FROM m JOIN j ON j.event_id = m.event_id AND j.o_orderdate = m.md
+               GROUP BY 1, 2)
+         SELECT e.event_id, e.user_id, e.ts_us, b.last_orderkey, b.last_order_us
+         FROM e LEFT JOIN b USING (event_id)""",
 
     "q34_json_extract" ->
       s"""SELECT event_type, CAST(sum(k) AS BIGINT) AS sum_k, ${C("avg(k)")} AS avg_k,

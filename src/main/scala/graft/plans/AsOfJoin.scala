@@ -14,9 +14,9 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 /** Whole-operator as-of join as a first-class Catalyst citizen: a custom
   * `LogicalPlan` node, a `SparkStrategy` planning it, and a physical
   * `AsOfJoinExec` — the (c) tier of graft's operator preference order,
-  * used because no built-in operator expresses "latest right row ≤ each
-  * left row" without either an inequality join (per-key quadratic) or a
-  * union + window pass (buffers and re-sorts BOTH sides through one
+  * used because no built-in operator expresses "nearest right row ≤/≥
+  * each left row" without either an inequality join (per-key quadratic)
+  * or a union + window pass (buffers and re-sorts BOTH sides through one
   * window operator).
   *
   * The physical operator asks EnsureRequirements for hash clustering on
@@ -27,9 +27,18 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * this is the minimum-possible-shuffle as-of plan, and the merge never
   * holds more than two rows in memory per partition.
   *
-  * Semantics (inner, backward): for each left row, the right row on the
-  * same key with the greatest rightTs ≤ leftTs; simultaneous right rows
-  * tie-break to the greatest rightTie. Matches ops.Events.asofJoin.
+  * Variants (all per-partition two-pointer, both sides ascending):
+  * - backward (default): for each left row, the right row on the same
+  *   key with the greatest rightTs ≤ leftTs; simultaneous right rows
+  *   tie-break to the greatest rightTie. Matches ops.Events.asofJoin.
+  * - forward: the right row with the SMALLEST rightTs ≥ leftTs, equal-ts
+  *   ties to the greatest rightTie. Matches ops.Events.asofJoinForward.
+  * - outer (either direction): unmatched left rows are kept with null
+  *   asof_tie / asof_ts — the telemetry-enrichment shape ("every event,
+  *   with its latest config if one exists").
+  * Right rows whose ts OR tie evaluates to null never match (a null tie
+  * must not be smuggled into a match slot — it would silently unbox
+  * to 0 in the non-nullable inner output).
   */
 case class AsOfJoinNode(
     left: LogicalPlan,
@@ -39,6 +48,8 @@ case class AsOfJoinNode(
     leftTs: Expression,
     rightTs: Expression,
     rightTie: Expression,
+    forward: Boolean,
+    isOuter: Boolean,
     tieAttr: AttributeReference,
     tsAttr: AttributeReference) extends BinaryNode {
   override def output: Seq[Attribute] = left.output :+ tieAttr :+ tsAttr
@@ -56,7 +67,7 @@ object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case n: AsOfJoinNode =>
       AsOfJoinExec(planLater(n.left), planLater(n.right), n.leftKey, n.rightKey,
-        n.leftTs, n.rightTs, n.rightTie, n.output) :: Nil
+        n.leftTs, n.rightTs, n.rightTie, n.forward, n.isOuter, n.output) :: Nil
     case _ => Nil
   }
 }
@@ -69,6 +80,8 @@ case class AsOfJoinExec(
     leftTs: Expression,
     rightTs: Expression,
     rightTie: Expression,
+    forward: Boolean,
+    isOuter: Boolean,
     output: Seq[Attribute]) extends BinaryExecNode {
 
   override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
@@ -93,6 +106,8 @@ case class AsOfJoinExec(
     val rTie = BindReferences.bindReference(rightTie, right.output)
     val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
     val tsOrd = TypeUtils.getInterpretedOrdering(leftTs.dataType)
+    val fwd = forward
+    val outer = isOuter
     val out = output
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
@@ -102,18 +117,90 @@ case class AsOfJoinExec(
       val rBuf = rIter.buffered
 
       new Iterator[InternalRow] {
-        // Best (greatest ts, then tie) right row consumed so far for
-        // `bestKey`; right rows arrive in (key, ts, tie) order, so the
-        // last consumed eligible row IS the as-of match.
-        private var bestKey: Any = null
-        private var haveBest = false
-        private var bestTie: Any = null
-        private var bestTs: Any = null
+        // Current match candidate. Backward: the best (greatest ts, then
+        // tie) right row consumed so far — right rows arrive in
+        // (key, ts, tie) order, so the last consumed eligible row IS the
+        // as-of match. Forward: the earliest not-yet-passed (key, ts)
+        // run, with the run's greatest tie.
+        private var mKey: Any = null
+        private var mTs: Any = null
+        private var mTie: Any = null
+        private var haveMatch = false
         private var nextRow: InternalRow = null
         // Lazy advancement: `proj` reuses one UnsafeRow, so the next
         // match must not be projected until the consumer is done with
         // the row it was handed.
         private var ready = false
+
+        /** Advance the right side until the candidate for left (k, t) is
+          * current. Right rows with null key/ts/tie are skipped: a null
+          * never matches, and (for backward) a stale candidate is simply
+          * superseded by later consumed rows. */
+        private def seek(k: Any, t: Any): Unit = {
+          // Forward: a candidate run stays valid while its ts is still
+          // ≥ the (ascending) left ts and the key matches; once passed,
+          // re-seek. Backward always consumes as far as allowed.
+          if (fwd && haveMatch &&
+              (keyOrd.compare(mKey, k) != 0 || tsOrd.compare(mTs, t) < 0)) {
+            haveMatch = false
+          }
+          var continue = !fwd || !haveMatch
+          while (continue && rBuf.hasNext) {
+            val rRow = rBuf.head
+            val rk = rKey.eval(rRow)
+            if (rk == null) { rBuf.next(); }
+            else {
+              val kc = keyOrd.compare(rk, k)
+              if (kc < 0) { rBuf.next() }
+              else if (kc > 0) { continue = false }
+              else {
+                val rt = rTs.eval(rRow)
+                val tie = rTie.eval(rRow)
+                if (rt == null || tie == null) { rBuf.next() }
+                else if (!fwd) {
+                  if (tsOrd.compare(rt, t) <= 0) {
+                    mKey = InternalRow.copyValue(rk)
+                    mTs = InternalRow.copyValue(rt)
+                    mTie = InternalRow.copyValue(tie)
+                    haveMatch = true
+                    rBuf.next()
+                  } else { continue = false }
+                } else {
+                  if (tsOrd.compare(rt, t) < 0) { rBuf.next() } // too early for every remaining left row
+                  else {
+                    // Run start. Consume the whole equal-(key, ts) run:
+                    // ties sort ascending, so the LAST row carries the
+                    // max tie. The run must be consumed now — a later
+                    // left row may still match it, which is why it is
+                    // kept in the candidate slot, not the iterator.
+                    mKey = InternalRow.copyValue(rk)
+                    mTs = InternalRow.copyValue(rt)
+                    mTie = InternalRow.copyValue(tie)
+                    rBuf.next()
+                    var run = true
+                    while (run && rBuf.hasNext) {
+                      val nr = rBuf.head
+                      val sameRun = {
+                        val nk = rKey.eval(nr)
+                        nk != null && keyOrd.compare(nk, mKey) == 0 && {
+                          val nt = rTs.eval(nr)
+                          nt != null && tsOrd.compare(nt, mTs) == 0
+                        }
+                      }
+                      if (sameRun) {
+                        val ntie = rTie.eval(nr)
+                        if (ntie != null) mTie = InternalRow.copyValue(ntie)
+                        rBuf.next()
+                      } else run = false
+                    }
+                    haveMatch = true
+                    continue = false
+                  }
+                }
+              }
+            }
+          }
+        }
 
         private def advance(): Unit = {
           nextRow = null
@@ -121,35 +208,20 @@ case class AsOfJoinExec(
             val lRow = lIter.next()
             val k = lKey.eval(lRow)
             val t = lTs.eval(lRow)
+            var matched = false
             if (k != null && t != null) {
-              // Consume right rows up to (key, ts) — forward-only.
-              var continue = true
-              while (continue && rBuf.hasNext) {
-                val rRow = rBuf.head
-                val rk = rKey.eval(rRow)
-                if (rk == null) { rBuf.next(); }
-                else {
-                  val kc = keyOrd.compare(rk, k)
-                  if (kc < 0) { rBuf.next() }
-                  else if (kc > 0) { continue = false }
-                  else {
-                    val rt = rTs.eval(rRow)
-                    if (rt == null) { rBuf.next() } // null ts sorts first; unmatched, skip
-                    else if (tsOrd.compare(rt, t) <= 0) {
-                      bestKey = InternalRow.copyValue(rk)
-                      haveBest = true
-                      bestTie = InternalRow.copyValue(rTie.eval(rRow))
-                      bestTs = InternalRow.copyValue(rt)
-                      rBuf.next()
-                    } else { continue = false }
-                  }
-                }
-              }
-              if (haveBest && keyOrd.compare(bestKey, k) == 0) {
-                matchRow.update(0, bestTie)
-                matchRow.update(1, bestTs)
-                nextRow = proj(joined(lRow, matchRow))
-              }
+              seek(k, t)
+              matched = haveMatch && keyOrd.compare(mKey, k) == 0 &&
+                (!fwd || tsOrd.compare(mTs, t) >= 0)
+            }
+            if (matched) {
+              matchRow.update(0, mTie)
+              matchRow.update(1, mTs)
+              nextRow = proj(joined(lRow, matchRow))
+            } else if (outer) {
+              matchRow.update(0, null)
+              matchRow.update(1, null)
+              nextRow = proj(joined(lRow, matchRow))
             }
           }
         }
@@ -174,11 +246,12 @@ case class AsOfJoinExec(
 
 /** DataFrame-level factory for the native as-of join. Column names are
   * resolved against each side's analyzed plan; the result appends
-  * `asof_tie` / `asof_ts` to the left schema. */
+  * `asof_tie` / `asof_ts` to the left schema (nullable iff `outer`). */
 object AsOfJoin {
   def apply(left: DataFrame, leftKey: String, leftTs: String,
             right: DataFrame, rightKey: String, rightTs: String,
-            rightTie: String): DataFrame = {
+            rightTie: String,
+            forward: Boolean = false, outer: Boolean = false): DataFrame = {
     val spark = left.sparkSession
     ensureStrategy(spark)
     val lp = left.queryExecution.analyzed
@@ -199,8 +272,9 @@ object AsOfJoin {
     val ts = attr(rp, rightTs)
     val node = AsOfJoinNode(lp, rp,
       attr(lp, leftKey), attr(rp, rightKey), attr(lp, leftTs), ts, tie,
-      AttributeReference("asof_tie", tie.dataType, nullable = false)(),
-      AttributeReference("asof_ts", ts.dataType, nullable = false)())
+      forward, outer,
+      AttributeReference("asof_tie", tie.dataType, nullable = outer)(),
+      AttributeReference("asof_ts", ts.dataType, nullable = outer)())
     GraftColumns.ofRows(spark, node)
   }
 

@@ -251,21 +251,60 @@ class OperatorsSpec extends SparkSpec {
       s"partial topk should appear below (after, in tree print) the exchange:\n$plan")
   }
 
-  test("q73 native as-of join equals the union-window as-of join q33") {
+  test("q73 native as-of join equals the union-window formulation") {
     val native = Events.q73(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
-    val window = Events.q33(spark, sf).collect()
+    val window = Events.asofJoin(
+        Tables.events(spark, sf)
+          .withColumn("ts_us", unix_micros(col("ts").cast("timestamp"))),
+        "user_id", "event_id", "ts_us",
+        Tables.orders(spark, sf)
+          .withColumn("od_us", unix_micros(col("o_orderdate").cast("timestamp"))),
+        "o_custkey", "o_orderkey", "od_us")
+      .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
     assert(native == window,
       s"missing: ${(window -- native).take(3)}; extra: ${(native -- window).take(3)}")
   }
 
-  test("q73 plans through AsOfJoinExec: two exchanges, no window operator") {
-    val plan = executedPlan(Events.q73(spark, sf)).toString
-    assert(plan.contains("AsOfJoin"), s"AsOfJoinExec not planned:\n$plan")
-    assert(!plan.contains("Window"), s"unexpected window operator:\n$plan")
-    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
-    assert(exchanges == 2, s"expected 2 exchanges, got $exchanges:\n$plan")
+  test("q72 native forward as-of equals the union-window formulation") {
+    val native = Events.q72(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val window = Events.asofJoinForward(
+        Tables.orders(spark, sf)
+          .withColumn("od_us", unix_micros(col("o_orderdate").cast("timestamp"))),
+        "o_custkey", "o_orderkey", "od_us",
+        Tables.events(spark, sf)
+          .withColumn("ts_us", unix_micros(col("ts").cast("timestamp"))),
+        "user_id", "event_id", "ts_us")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(native == window,
+      s"missing: ${(window -- native).take(3)}; extra: ${(native -- window).take(3)}")
+  }
+
+  test("q87 outer as-of keeps every left row; matches agree with q33") {
+    val nEvents = Tables.events(spark, sf).count()
+    val outer = Events.q87(spark, sf).collect()
+    assert(outer.length.toLong == nEvents,
+      s"outer as-of must emit one row per left row: ${outer.length} vs $nEvents")
+    val matched = outer.filter(!_.isNullAt(3))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val inner = Events.q33(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(matched == inner)
+    // Unmatched rows carry nulls in BOTH appended slots.
+    outer.filter(_.isNullAt(3)).foreach(r => assert(r.isNullAt(4)))
+  }
+
+  test("q33/q72/q73 plan through AsOfJoinExec: two exchanges, no window") {
+    Seq(Events.q33 _, Events.q72 _, Events.q73 _).foreach { q =>
+      val plan = executedPlan(q(spark, sf)).toString
+      assert(plan.contains("AsOfJoin"), s"AsOfJoinExec not planned:\n$plan")
+      assert(!plan.contains("Window"), s"unexpected window operator:\n$plan")
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(exchanges == 2, s"expected 2 exchanges, got $exchanges:\n$plan")
+    }
   }
 
   test("AQE splits a skewed shuffle-join partition (skew=true in final plan)") {
@@ -369,6 +408,51 @@ class OperatorsSpec extends SparkSpec {
       assert(start == idx * ops.Multimodal.HopBytes)
       assert(len > 0 && len <= ops.Multimodal.WindowBytes)
     }
+  }
+
+  test("outer as-of emits nulls for left rows with no eligible right row") {
+    import SparkTestSession.spark.implicits._
+    // key 10: match at ts 90; key 20: right row only AFTER the left ts
+    // (no backward match); key 30: no right rows at all.
+    val left = Seq((1L, 10L, 100L), (2L, 20L, 50L), (3L, 30L, 100L))
+      .toDF("id", "k", "ts")
+    val right = Seq((10L, 90L, 7L), (20L, 60L, 8L)).toDF("rk", "rts", "tie")
+    val out = graft.plans.AsOfJoin(left, "k", "ts", right, "rk", "rts", "tie",
+      outer = true).orderBy(col("id")).collect()
+    assert(out.length == 3)
+    assert(out(0).getLong(3) == 7L && out(0).getLong(4) == 90L)
+    assert(out(1).isNullAt(3) && out(1).isNullAt(4))
+    assert(out(2).isNullAt(3) && out(2).isNullAt(4))
+  }
+
+  test("forward as-of: earliest future row, max tie on equal ts, shared runs") {
+    import SparkTestSession.spark.implicits._
+    val left = Seq((1L, 10L, 50L), (2L, 10L, 55L), (3L, 10L, 95L), (4L, 20L, 10L))
+      .toDF("id", "k", "ts")
+    val right = Seq((10L, 60L, 1L), (10L, 60L, 5L), (10L, 90L, 9L), (20L, 5L, 2L))
+      .toDF("rk", "rts", "tie")
+    val out = graft.plans.AsOfJoin(left, "k", "ts", right, "rk", "rts", "tie",
+      forward = true, outer = true).orderBy(col("id")).collect()
+    // Rows 1 and 2 share the (60) candidate run; equal-ts tie goes to 5.
+    assert(out(0).getLong(3) == 5L && out(0).getLong(4) == 60L)
+    assert(out(1).getLong(3) == 5L && out(1).getLong(4) == 60L)
+    // ts 95: the last right row (90) is in the past — no forward match.
+    assert(out(2).isNullAt(3))
+    // key 20: only right row precedes the left ts — no forward match.
+    assert(out(3).isNullAt(3))
+  }
+
+  test("as-of skips right rows with a null tie instead of matching them") {
+    import SparkTestSession.spark.implicits._
+    val left = Seq((1L, 10L, 100L)).toDF("id", "k", "ts")
+    val right = Seq((10L, 80L, Some(3L)), (10L, 90L, Option.empty[Long]))
+      .toDF("rk", "rts", "tie")
+    val out = graft.plans.AsOfJoin(left, "k", "ts", right, "rk", "rts", "tie")
+      .collect()
+    // The ts-90 row has a null tie: it must NOT become a fabricated
+    // (0, 90) match — the ts-80 row with a real tie wins.
+    assert(out.length == 1)
+    assert(out(0).getLong(3) == 3L && out(0).getLong(4) == 80L)
   }
 
   test("native as-of join rejects a same-instance self-join loudly") {
