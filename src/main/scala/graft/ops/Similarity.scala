@@ -104,27 +104,71 @@ object Similarity {
         .select(col("query_id"), col("neighbor_id"), cos.as("cos")), k)
   }
 
-  val IvfCells = 16
-  val IvfProbes = 4
+  val IvfCells = 32
+  val IvfProbes = 22
+  val TrainIters = 3
+  val TrainSampleN = 4096
+
+  /** Deterministic hash-ordered sample of up to `n` (id, embedding)
+    * rows. orderBy+limit plans as TakeOrderedAndProject — a per-partition
+    * bounded heap plus a driver merge of n rows, never a full sort — so
+    * the sample cost is one map pass over the corpus at any scale. */
+  private def hashSample(df: DataFrame, id: String, emb: String, n: Int): DataFrame =
+    df.select(col(id).as("sid"), col(emb).as("semb"))
+      .orderBy(xxhash64(col("sid")).asc, col("sid").asc)
+      .limit(n)
+
+  /** Sampled spherical k-means (cosine assignment, mean update) — the
+    * IVF coarse-quantizer trainer. Fully DataFrame-native Lloyd
+    * iterations: each round is ONE map-side assignment pass over the
+    * bounded cached sample (centroids ride the plan as literals inside a
+    * codegen'd argmax) and ONE VecSumAgg reduce whose exchange carries k
+    * partial (double[dim], count) pairs — never the vectors. Seeds are
+    * the first k hash-ordered sample rows (deterministic); a cell that
+    * loses all members keeps its previous centroid. */
+  def trainCentroids(corpus: DataFrame, id: String, emb: String,
+                     k: Int, iters: Int = TrainIters,
+                     sampleN: Int = TrainSampleN): Seq[Seq[Float]] = {
+    val sample = hashSample(corpus, id, emb, sampleN).cache()
+    var cents: Seq[Seq[Float]] = sample.limit(k).collect()
+      .map(_.getSeq[Float](1).toSeq).toSeq
+    require(cents.nonEmpty, "empty corpus: cannot train centroids")
+    for (_ <- 0 until iters) {
+      val scores = array(cents.zipWithIndex.map { case (c, i) =>
+        struct(F.cosineSim(col("semb"), typedlit(c)).as("c"), lit(i).as("i"))
+      }: _*)
+      val byCell = sample
+        .select(col("semb"), array_max(scores).getField("i").as("cell"))
+        .groupBy(col("cell"))
+        .agg(F.vecSum(col("semb")).as("vs"), count(lit(1)).as("n"))
+        .collect()
+        .map(r => r.getInt(0) -> ((r.getSeq[Double](1), r.getLong(2)))).toMap
+      cents = cents.zipWithIndex.map { case (old, i) =>
+        byCell.get(i).map { case (vs, n) => vs.map(v => (v / n).toFloat).toSeq }
+          .getOrElse(old)
+      }
+    }
+    sample.unpersist()
+    cents
+  }
 
   /** IVF-Flat approximate top-k — a coarse quantizer of `cells` sampled
     * corpus vectors partitions the corpus into inverted lists; each
     * query probes its `probes` nearest cells and scores only those lists
     * exactly.
     *
-    * Scale design: the quantizer is a tiny model (16×64 floats) fetched
-    * once to the driver — the one deliberate collect() in the library —
-    * and re-broadcast as literals inside a single codegen'd projection,
-    * so cell assignment is map-only over the corpus. The candidate join
+    * Scale design: the quantizer is a tiny model (16×64 floats) trained
+    * by sampled k-means (`trainCentroids` — hash-sampled seeds, Lloyd
+    * iterations that never move more than k×dim doubles per round) and
+    * re-broadcast as literals inside a single codegen'd projection, so
+    * cell assignment is map-only over the corpus. The candidate join
     * shuffles on cell id (≈ corpus/cells rows per query-probe), never
-    * the full n×m score matrix. At 100 TB: more cells (√n), k-means-
-    * refined centroids, same plan shape. */
+    * the full n×m score matrix. At 100 TB: more cells (√n), same
+    * training loop on the same bounded sample, same plan shape. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, id: String, emb: String,
               k: Int = TopK, cells: Int = IvfCells,
-              probes: Int = IvfProbes): DataFrame = {
-    val centroids: Seq[Seq[Float]] = corpus.orderBy(col(id).asc).limit(cells)
-      .select(col(emb)).collect()
-      .map(_.getSeq[Float](0).toSeq).toSeq
+              probes: Int = IvfProbes, trainIters: Int = TrainIters): DataFrame = {
+    val centroids: Seq[Seq[Float]] = trainCentroids(corpus, id, emb, cells, trainIters)
     // One struct per cell: (cos to centroid, cell id). Struct ordering is
     // (cos, id), so array_max = argmax with deterministic id tie-break.
     def cellScores(e: Column): Column = array(centroids.zipWithIndex.map {
@@ -146,7 +190,64 @@ object Similarity {
 
   val PqM = 8        // subspaces (4-bit codes pack into one long)
   val PqK = 16       // centroids per subspace
-  val PqRerank = 80  // ADC shortlist size fed to exact rerank
+  val PqRerank = 128 // ADC shortlist size fed to exact rerank
+
+  /** Sampled per-subspace L2 k-means — the PQ codebook trainer, matching
+    * PqCode's L2 assignment metric. All m subspaces train in the SAME
+    * DataFrame pass per Lloyd round: subvectors are exploded once to
+    * (sub, sv) rows, the per-row argmin picks among that row's own
+    * subspace centroids (selected from a literal [m][ds] array with
+    * element_at), and one (sub, cell) VecSumAgg reduce yields the mean
+    * update — m×k partial sums over the exchange, never the sample.
+    * The interpreted zip_with/aggregate distance runs ONLY over the
+    * bounded sample, not the corpus scoring path (that stays on the
+    * codegen'd PqCode/PqAdc expressions).
+    * Returns the flattened codebook in PqCode layout:
+    * (sub, centroid, dim) → codebook((sub*k + j)*ds + t). */
+  def trainPqCodebook(corpus: DataFrame, id: String, emb: String,
+                      m: Int = PqM, kCent: Int = PqK,
+                      iters: Int = TrainIters,
+                      sampleN: Int = TrainSampleN): Seq[Float] = {
+    val sample = hashSample(corpus, id, emb, sampleN).cache()
+    val seeds: Array[Array[Float]] = sample.limit(kCent).collect()
+      .map(_.getSeq[Float](1).toArray)
+    require(seeds.nonEmpty, "empty corpus: cannot train PQ codebook")
+    val ds = seeds.head.length / m
+    // cb(sub)(j) = centroid j of subspace sub
+    var cb: Array[Array[Array[Float]]] = Array.tabulate(m, kCent) {
+      (sub, j) => seeds(j).slice(sub * ds, (sub + 1) * ds)
+    }
+    val svecs = sample.select(explode(array((0 until m).map(sub =>
+        struct(lit(sub).as("sub"),
+          slice(col("semb"), sub * ds + 1, ds).as("sv"))): _*)).as("x"))
+      .select(col("x.sub").as("sub"), col("x.sv").as("sv"))
+      .cache()
+    def l2sq(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v.cast("double"))
+    for (_ <- 0 until iters) {
+      val dists = array((0 until kCent).map { j =>
+        val cj = element_at(typedlit((0 until m).map(sub => cb(sub)(j).toSeq)),
+          col("sub") + 1)
+        struct(l2sq(col("sv"), cj).as("d"), lit(j).as("j"))
+      }: _*)
+      val updates = svecs
+        .select(col("sub"), col("sv"), array_min(dists).getField("j").as("cell"))
+        .groupBy(col("sub"), col("cell"))
+        .agg(F.vecSum(col("sv")).as("vs"), count(lit(1)).as("n"))
+        .collect()
+      val next = cb.map(_.clone())
+      updates.foreach { r =>
+        val (sub, j) = (r.getInt(0), r.getInt(1))
+        val (vs, n) = (r.getSeq[Double](2), r.getLong(3))
+        next(sub)(j) = vs.map(v => (v / n).toFloat).toArray
+      }
+      cb = next
+    }
+    svecs.unpersist()
+    sample.unpersist()
+    (0 until m).flatMap(sub => (0 until kCent).flatMap(j => cb(sub)(j)))
+  }
 
   /** Product-quantization ANN — the memory-bound scale path. The corpus
     * is compressed to ONE long per vector (`m` × 4-bit subspace codes):
@@ -158,18 +259,13 @@ object Similarity {
     * to raw embeddings for exact cosine rerank — only
     * O(queries × rerank) full vectors are ever touched per query.
     *
-    * The codebook is `kCent` sampled corpus vectors' subvectors (same
-    * tiny-model-collect pattern as the IVF quantizer); at scale it would
-    * be k-means-refined per subspace — same plan shape. */
+    * The codebook comes from `trainPqCodebook` — sampled per-subspace
+    * L2 k-means, the same tiny-model pattern as the IVF quantizer
+    * (bounded sample, m×k×ds floats of model state). */
   def pqTopK(corpus: DataFrame, queries: DataFrame, id: String, emb: String,
              k: Int = TopK, m: Int = PqM, kCent: Int = PqK,
-             rerank: Int = PqRerank): DataFrame = {
-    val sampled: Array[Array[Float]] = corpus.orderBy(col(id).asc).limit(kCent)
-      .select(col(emb)).collect()
-      .map(_.getSeq[Float](0).toArray)
-    val ds = sampled.head.length / m
-    val codebook: Seq[Float] = (0 until m).flatMap(sub =>
-      sampled.flatMap(v => v.slice(sub * ds, (sub + 1) * ds)))
+             rerank: Int = PqRerank, trainIters: Int = TrainIters): DataFrame = {
+    val codebook: Seq[Float] = trainPqCodebook(corpus, id, emb, m, kCent, trainIters)
     val codes = corpus.select(col(id).as("vid"),
       F.pqCode(col(emb), codebook, m, kCent).as("code"))
     val q = queries.select(col(id).as("query_id"), col(emb).as("q_emb"),

@@ -170,7 +170,7 @@ class OperatorsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = (bf & lsh).size.toDouble / bf.size
     info(f"recall@10 = $recall%.2f (corpus is near-uniform random — hard case)")
-    assert(recall >= 0.3, f"recall $recall%.2f below 0.3")
+    assert(recall >= 0.5, f"recall $recall%.2f below 0.5")
   }
 
   test("q70 multimodal features are deterministic and cover every doc") {
@@ -187,7 +187,7 @@ class OperatorsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = (bf & pq).size.toDouble / bf.size
     info(f"recall@10 = $recall%.2f (M=${Similarity.PqM} K=${Similarity.PqK} rerank=${Similarity.PqRerank})")
-    assert(recall >= 0.3, f"recall $recall%.2f below 0.3")
+    assert(recall >= 0.85, f"recall $recall%.2f below 0.85")
   }
 
   test("q62 IVF ANN reaches usable recall vs q60 brute force") {
@@ -197,7 +197,10 @@ class OperatorsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = (bf & ivf).size.toDouble / bf.size
     info(f"recall@10 = $recall%.2f (nprobe=${Similarity.IvfProbes}/${Similarity.IvfCells} cells)")
-    assert(recall >= 0.3, f"recall $recall%.2f below 0.3")
+    // The synthetic corpus is near-uniform (top neighbors at ~70 deg) —
+    // the IVF hard case; nprobe is tuned for >= 0.90 on it, and the
+    // recall/scan-fraction tradeoff is a runtime knob on real corpora.
+    assert(recall >= 0.90, f"recall $recall%.2f below 0.90")
   }
 
   test("q55 clusters are consistent with the q51 pair graph") {
