@@ -94,6 +94,7 @@ object SparkEntry {
     "q72_asof_forward"    -> (Events.q72 _),
     "q73_asof_native"     -> (Events.q73 _),
     "q87_asof_outer"      -> (Events.q87 _),
+    "q88_dedup_incremental" -> (Dedup.q88 _),
     "q74_stopword_filter" -> (Text.q74 _),
     "q77_session_window"  -> (Events.q77 _),
     "q75_corpus_pipeline" -> (Text.q75 _),
@@ -728,6 +729,11 @@ object SparkEntry {
          FROM documents GROUP BY md5(text)""",
 
     "q51_dedup_ngram_jaccard" -> jaccardOracle,
+    // Incremental dedup: store = even ids, batch = odd ids; every true
+    // pair except even-even must surface (LSH misses are ~2e-11 at
+    // these similarity levels, as for q52).
+    "q88_dedup_incremental" ->
+      (jaccardOracle + " AND (ida % 2 = 1 OR idb % 2 = 1)"),
     // q52's LSH candidates at these similarity levels recover the exact
     // pair set (miss prob ~2e-11 per 0.97-similar pair), so the verified
     // output is graded against the same exact-Jaccard oracle.

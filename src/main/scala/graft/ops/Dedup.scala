@@ -91,9 +91,24 @@ object Dedup {
 
   val MinhashPerms = 128
   val LshBands = 16
-  /** Buckets wider than this switch from all-pairs to a spanning chain.
+  /** Buckets wider than this switch from all-pairs to a spanning star.
     * 512² / 2 pairs is the worst per-bucket candidate cost — bounded. */
   val MaxBucketWidth = 512
+
+  /** (doc_id, band, bh) LSH bucket assignments: MinHash signature in one
+    * native-expression pass, band hash = xxhash64 over each signature
+    * slice. Map-only — the only shuffle downstream is on (band, bh). */
+  private def bandBuckets(arrs: DataFrame, perms: Int, bands: Int): DataFrame = {
+    require(perms % bands == 0, "perms must divide into bands")
+    val rows = perms / bands
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bh"))
+    }
+    arrs.select(col("doc_id"), F.minhash128(col("sh_arr"), perms).as("sig"))
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+  }
 
   /** MinHash + banded-LSH near-dup pairs, exact-Jaccard verified
     * (J ≥ tau). With perms/bands rows per band, a 0.97-similar pair is
@@ -124,17 +139,9 @@ object Dedup {
                       perms: Int = MinhashPerms,
                       bands: Int = LshBands,
                       maxBucket: Int = MaxBucketWidth): DataFrame = {
-    require(perms % bands == 0, "perms must divide into bands")
-    val rows = perms / bands
     val arrs = shingleArrays(corpus, id, text, k).cache()
-    val sigs = arrs.select(col("doc_id"), F.minhash128(col("sh_arr"), perms).as("sig"))
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bh"))
-    }
     val byBucket = Window.partitionBy(col("band"), col("bh"))
-    val buckets = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    val buckets = bandBuckets(arrs, perms, bands)
       .withColumn("width", count(lit(1)).over(byBucket))
     val cold = buckets.filter(col("width") <= maxBucket)
       .select(col("doc_id"), col("band"), col("bh"))
@@ -148,6 +155,56 @@ object Dedup {
       .select(col("hub").as("doc_a"), col("doc_id").as("doc_b"))
     val candidates = coldPairs.unionAll(hotPairs).distinct()
     verifyPairs(candidates, arrs, tau)
+  }
+
+  /** Persist a corpus's MinHash-LSH signature state under `path`: a
+    * `buckets` table (doc_id, band, bh) partitioned by band, and an
+    * `arrays` table (doc_id, sh_arr, n) for exact verification of future
+    * candidates. This is the cross-run dedup primitive: a training-data
+    * pipeline writes the store once per corpus build, then dedups every
+    * new crawl AGAINST it (see `incrementalPairs`) without recomputing
+    * the corpus. At 100 TB the store is ~bands small rows per doc and
+    * appends per crawl; partitioning by band keeps the incremental
+    * bucket join pruned to one band directory per shuffle key. */
+  def writeSignatureStore(corpus: DataFrame, id: String, text: String,
+                          path: String, k: Int = 3,
+                          perms: Int = MinhashPerms,
+                          bands: Int = LshBands): Unit = {
+    val arrs = shingleArrays(corpus, id, text, k).cache()
+    arrs.write.mode("overwrite").parquet(s"$path/arrays")
+    bandBuckets(arrs, perms, bands).write.mode("overwrite")
+      .partitionBy("band").parquet(s"$path/buckets")
+    arrs.unpersist()
+  }
+
+  /** Dedup a NEW batch against an existing signature store AND itself:
+    * verified near-dup pairs (J ≥ tau) where at least one side is a new
+    * document. Candidates come from (a) the (band, bh) equi-join of the
+    * batch's buckets against the store — the store side is read
+    * band-partitioned, only colliding buckets shuffle — and (b) the
+    * batch's internal self-join. Verification joins the union of stored
+    * and fresh shingle arrays, so no original text is re-read. Document
+    * ids must be globally unique across store and batch. */
+  def incrementalPairs(newBatch: DataFrame, id: String, text: String,
+                       storePath: String, tau: Double, k: Int = 3,
+                       perms: Int = MinhashPerms,
+                       bands: Int = LshBands): DataFrame = {
+    val s = newBatch.sparkSession
+    val newArrs = shingleArrays(newBatch, id, text, k).cache()
+    val newBk = bandBuckets(newArrs, perms, bands).cache()
+    val storeBk = s.read.parquet(s"$storePath/buckets")
+      .select(col("doc_id").as("store_id"), col("band"), col("bh"))
+    val storeArrs = s.read.parquet(s"$storePath/arrays")
+    val cross = newBk.join(storeBk, Seq("band", "bh"))
+      .filter(col("store_id") =!= col("doc_id"))
+      .select(least(col("store_id"), col("doc_id")).as("doc_a"),
+              greatest(col("store_id"), col("doc_id")).as("doc_b"))
+    val within = newBk.as("a").join(newBk.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val candidates = cross.unionAll(within).distinct()
+    verifyPairs(candidates, storeArrs.unionByName(newArrs), tau)
   }
 
   /** 64-bit SimHash near-dup pairs (Hamming ≤ maxHamming ≤ 15), blocked
@@ -264,6 +321,19 @@ object Dedup {
   /** q55: connected-component dedup clusters over the q51 pair graph. */
   def q55(s: SparkSession, d: String): DataFrame =
     clusters(q51(s, d).select(col("doc_a"), col("doc_b")))
+
+  /** q88: incremental dedup of a new crawl against a persisted corpus —
+    * the store holds the EVEN doc ids' signatures, the batch is the ODD
+    * ids, and the output is every verified pair touching the batch.
+    * Equals the whole-corpus pair set minus even-even pairs (the
+    * oracle), without recomputing the stored side's signatures. */
+  def q88(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_sigstore_" +
+      java.lang.Integer.toHexString(d.hashCode)
+    writeSignatureStore(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", path)
+    incrementalPairs(docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", path, 0.6)
+  }
 
   /** q84: the production dedup POLICY — within each near-dup cluster
     * keep the highest-quality member (q41 score), ties to the smallest

@@ -150,6 +150,16 @@ class OperatorsSpec extends SparkSpec {
     assert(capped == uncapped && capped.nonEmpty)
   }
 
+  test("q88 incremental dedup equals the whole-corpus pairs touching the batch") {
+    val whole = Dedup.q51(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter(p => p._1 % 2 == 1 || p._2 % 2 == 1).toSet
+    val incr = Dedup.q88(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(incr == whole,
+      s"missing: ${(whole -- incr).take(3)}; extra: ${(incr -- whole).take(3)}")
+  }
+
   test("q53 simhash output is deterministic across runs") {
     val a = Dedup.q53(spark, sf).collect().map(_.toSeq).toSet
     val b = Dedup.q53(spark, sf).collect().map(_.toSeq).toSet
