@@ -8,41 +8,21 @@ import graft.Tables
   * with a typed metadata struct, and a batched decode/feature-extract
   * stage over mapPartitions.
   *
-  * The decode step is STUBBED (no image/audio libs in this container):
-  * `decodeStub` derives deterministic fake features from the payload
-  * bytes. Everything around it — the binary column, the metadata schema,
-  * the partition-batched typed pipeline, the output feature schema — is
-  * the real Spark shape a production decoder drops into: at 100 TB,
-  * payloads stay columnar until the mapPartitions boundary, partitions
-  * bound the decoder's working set, and the stage is map-only (no
-  * shuffle) so it scales with executors.
+  * The IMAGE path (q70) is real: payloads are genuine PNG files
+  * (generated deterministically per document) and the decode stage runs
+  * the JDK's ImageIO codec — actual width/height/mean-pixel from decoded
+  * rasters. The audio/video paths (q71/q76) keep an honest stub
+  * (`decodeStub` — no audio/video codecs in this container) around the
+  * same real plumbing: payloads stay columnar until the mapPartitions
+  * boundary, partitions bound the decoder's working set, and every
+  * decode stage is map-only (no shuffle) so it scales with executors.
   */
 object Multimodal {
 
-  case class MediaRow(doc_id: Long, payload: Array[Byte],
-                      format: String, width: Int, height: Int)
-  case class MediaFeatures(doc_id: Long, format: String, n_bytes: Long,
-                           checksum: Long, mean_pixel_q: Long, aspect_bp: Long)
-
-  /** STUB decode: a real implementation would decode `payload` with an
-    * image/audio codec here. This stands in with deterministic
-    * byte-stream statistics so the pipeline is testable end-to-end. */
-  private def decodeStub(r: MediaRow): MediaFeatures = {
-    var sum = 0L
-    var h = 1125899906842597L
-    var i = 0
-    while (i < r.payload.length) {
-      sum += r.payload(i) & 0xff
-      h = h * 31L + (r.payload(i) & 0xff)
-      i += 1
-    }
-    val mean = if (r.payload.length == 0) 0L else sum / r.payload.length
-    val aspect = if (r.height == 0) 0L else r.width.toLong * 10000L / r.height
-    MediaFeatures(r.doc_id, r.format, r.payload.length.toLong, h, mean, aspect)
-  }
-
   /** Build the media table from documents: text bytes stand in for an
-    * encoded payload; metadata is a typed struct derived per row. */
+    * encoded audio/video payload (the formats the container has no codec
+    * for); metadata is a typed struct derived per row. The IMAGE path
+    * uses real PNGs — see pngTable/decodeImages. */
   def mediaTable(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(
       col("doc_id"),
@@ -53,17 +33,84 @@ object Multimodal {
         (pmod(xxhash64(col("text"), lit(1L)), lit(768L)) + 64L).cast("int").as("height"))
         .as("meta"))
 
-  /** q70: batched decode/feature-extract over the binary column.
-    * Typed Dataset + mapPartitions: the per-partition iterator is the
-    * batch boundary a native decoder amortizes setup over. */
-  def q70(s: SparkSession, d: String): DataFrame = {
+  case class ImageRow(doc_id: Long, payload: Array[Byte])
+  case class ImageFeatures(doc_id: Long, format: String, n_bytes: Long,
+                           width: Int, height: Int, mean_pixel_q: Long)
+
+  /** Deterministic pixel pattern for the synthetic PNGs — also the
+    * test oracle for the decoded mean. */
+  def pixelAt(docId: Long, x: Int, y: Int): Int =
+    ((x * 31L + y * 17L + docId * 13L) % 256L).toInt
+
+  /** Expected PNG dims: the mediaTable metadata dims scaled 1/8 (floor,
+    * min 8) so payloads stay a few KB. */
+  def pngDims(metaW: Int, metaH: Int): (Int, Int) =
+    (math.max(metaW / 8, 8), math.max(metaH / 8, 8))
+
+  /** Synthetic-but-REAL PNG payloads, one per document: dims derive from
+    * the same metadata mediaTable declares, pixels from a fixed per-doc
+    * pattern, encoded through the JDK PNG writer in mapPartitions (the
+    * codec batch boundary — encoder setup amortizes over the partition,
+    * rows never leave it). */
+  def pngTable(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val media = mediaTable(s, d).select(
-      col("doc_id"), col("payload"),
-      col("meta.format").as("format"), col("meta.width").as("width"),
-      col("meta.height").as("height")).as[MediaRow]
-    media.mapPartitions(_.map(decodeStub)).toDF()
+    Tables.documents(s, d).select(col("doc_id"),
+        (pmod(xxhash64(col("text")), lit(1024L)) + 64L).cast("int").as("w0"),
+        (pmod(xxhash64(col("text"), lit(1L)), lit(768L)) + 64L).cast("int").as("h0"))
+      .as[(Long, Int, Int)]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, w0, h0) =>
+          val (w, h) = pngDims(w0, h0)
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { raster.setSample(x, y, 0, pixelAt(id, x, y)); x += 1 }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          ImageRow(id, bos.toByteArray)
+        }
+      }.toDF()
   }
+
+  /** Real decode/feature-extract over a binary PNG/JPEG column: ImageIO
+    * decodes each payload inside mapPartitions and features come off the
+    * decoded raster — width/height as decoded (not trusted metadata) and
+    * the exact integer mean pixel ×100. Map-only; the per-partition
+    * iterator is the batch boundary the codec amortizes setup over. */
+  def decodeImages(images: DataFrame, id: String, payload: String): DataFrame = {
+    import images.sparkSession.implicits._
+    images.select(col(id).as("doc_id"), col(payload).as("payload")).as[ImageRow]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { r =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.payload))
+          require(img != null, s"undecodable payload for doc ${r.doc_id}")
+          val (w, h) = (img.getWidth, img.getHeight)
+          val raster = img.getRaster
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+            y += 1
+          }
+          ImageFeatures(r.doc_id, "png", r.payload.length.toLong,
+            w, h, sum * 100L / (w.toLong * h))
+        }
+      }.toDF()
+  }
+
+  /** q70: REAL image decode — generate the PNG corpus, then extract
+    * features with the JDK codec. */
+  def q70(s: SparkSession, d: String): DataFrame =
+    decodeImages(pngTable(s, d), "doc_id", "payload")
 
   val WindowBytes = 256
   val HopBytes = 128

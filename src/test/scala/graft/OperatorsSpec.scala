@@ -190,6 +190,30 @@ class OperatorsSpec extends SparkSpec {
     assert(feats.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
   }
 
+  test("q70 really decodes PNGs: dims and mean pixel match the generator") {
+    // Expected dims from the metadata formula; expected mean from the
+    // pixel pattern — both computed independently of the codec path.
+    val meta = Tables.documents(spark, sf).select(col("doc_id"),
+        (pmod(xxhash64(col("text")), lit(1024L)) + 64L).cast("int"),
+        (pmod(xxhash64(col("text"), lit(1L)), lit(768L)) + 64L).cast("int"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    val feats = ops.Multimodal.q70(spark, sf).collect()
+    assert(feats.nonEmpty)
+    feats.foreach { r =>
+      val id = r.getLong(0)
+      val (w0, h0) = meta(id)
+      val (ew, eh) = ops.Multimodal.pngDims(w0, h0)
+      assert(r.getInt(3) == ew && r.getInt(4) == eh,
+        s"doc $id: decoded ${r.getInt(3)}x${r.getInt(4)}, expected ${ew}x$eh")
+      var sum = 0L
+      for (y <- 0 until eh; x <- 0 until ew)
+        sum += ops.Multimodal.pixelAt(id, x, y)
+      assert(r.getLong(5) == sum * 100L / (ew.toLong * eh),
+        s"doc $id: mean pixel ${r.getLong(5)}")
+      assert(r.getLong(2) > 0) // a real PNG payload, not empty
+    }
+  }
+
   test("q63 PQ-ADC ANN reaches usable recall vs q60 brute force") {
     val bf = Similarity.q60(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
