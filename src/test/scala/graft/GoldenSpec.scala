@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Golden-output pins for the rows-only queries (the ones without a
+  * DuckDB oracle): a canonical MD5 over the sorted, stringified sf0.001
+  * output. The property specs in OperatorsSpec check semantics (recall,
+  * determinism, coverage); these catch the regressions those can't —
+  * e.g. a tie reorder or a constant tweak that keeps recall intact but
+  * changes the produced rows. Integer/string outputs only, so the
+  * encoding is exact. Recompute a pin ONLY for an intentional semantic
+  * change (set GRAFT_PRINT_GOLDEN=1 and copy the printed hash).
+  */
+class GoldenSpec extends SparkSpec {
+
+  private def goldenHash(df: DataFrame): String = {
+    val header = df.columns.mkString(",")
+    val rows = df.collect()
+      .map(_.toSeq.map(String.valueOf).mkString(""))
+      .sorted.mkString("\n")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest((header + "\n" + rows).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
+  private val pins: Map[String, String] = Map(
+    "q43_fingerprint"     -> "578e46abaee6fa92ab48e84505b0d821",
+    "q53_dedup_simhash"   -> "1e7f572ea7680c9046a7fd133c3823ad",
+    "q61_ann_lsh"         -> "c8106d6e2cac8ce6c5f163fff0393773",
+    "q62_ann_ivf"         -> "e58c3a6508352b26f7d1573a51e2a9c9",
+    "q63_ann_pq"          -> "8a55a2fb98d5de3545bc884cccd36aac",
+    "q70_multimodal_meta" -> "e1f70b589d482b27df192c7ede8c36c8",
+    "q71_frame_sample"    -> "5e03debf3d90b9bede08a3e30b3a8497",
+    "q76_audio_windows"   -> "8edbf67013ce60a8b63f2072f1fdf046",
+  )
+
+  test("rows-only queries match their pinned sf0.001 golden hashes") {
+    val print = sys.env.contains("GRAFT_PRINT_GOLDEN")
+    val mismatches = pins.toSeq.sortBy(_._1).flatMap { case (name, want) =>
+      val got = goldenHash(SparkEntry.queries(name)(spark, sf))
+      if (print) info(s""""$name" -> "$got",""")
+      if (got == want) None else Some(s"$name: got $got want $want")
+    }
+    if (!print) assert(mismatches.isEmpty, mismatches.mkString("; "))
+  }
+}
