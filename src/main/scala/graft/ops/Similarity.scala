@@ -117,6 +117,10 @@ object Similarity {
     df.select(col(id).as("sid"), col(emb).as("semb"))
       .orderBy(xxhash64(col("sid")).asc, col("sid").asc)
       .limit(n)
+      // The sample is tiny (≤ n rows); one partition keeps every Lloyd
+      // iteration a single task instead of shuffle.partitions tasks of
+      // scheduling overhead per round.
+      .coalesce(1)
 
   /** Sampled spherical k-means (cosine assignment, mean update) — the
     * IVF coarse-quantizer trainer. Fully DataFrame-native Lloyd
