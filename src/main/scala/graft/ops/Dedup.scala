@@ -169,13 +169,23 @@ object Dedup {
   def writeSignatureStore(corpus: DataFrame, id: String, text: String,
                           path: String, k: Int = 3,
                           perms: Int = MinhashPerms,
-                          bands: Int = LshBands): Unit = {
+                          bands: Int = LshBands,
+                          mode: String = "overwrite"): Unit = {
     val arrs = shingleArrays(corpus, id, text, k).cache()
-    arrs.write.mode("overwrite").parquet(s"$path/arrays")
-    bandBuckets(arrs, perms, bands).write.mode("overwrite")
+    arrs.write.mode(mode).parquet(s"$path/arrays")
+    bandBuckets(arrs, perms, bands).write.mode(mode)
       .partitionBy("band").parquet(s"$path/buckets")
     arrs.unpersist()
   }
+
+  /** Append a batch's signatures to an existing store — the grow step of
+    * continuous ingest (each crawl/micro-batch becomes part of the
+    * corpus later batches dedup against). */
+  def appendToSignatureStore(corpus: DataFrame, id: String, text: String,
+                             path: String, k: Int = 3,
+                             perms: Int = MinhashPerms,
+                             bands: Int = LshBands): Unit =
+    writeSignatureStore(corpus, id, text, path, k, perms, bands, mode = "append")
 
   /** Dedup a NEW batch against an existing signature store AND itself:
     * verified near-dup pairs (J ≥ tau) where at least one side is a new

@@ -41,6 +41,33 @@ object Streaming {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("text_hash")
 
+  /** Streaming NEAR-dedup against a persisted MinHash signature store —
+    * the streaming face of batch q88: every micro-batch is deduped
+    * against the store AND itself (ops.Dedup.incrementalPairs), the
+    * verified pairs land in `pairsPath`, and the batch's own signatures
+    * are appended to the store so later micro-batches (and future runs)
+    * dedup against everything already ingested. foreachBatch is the
+    * right boundary: the candidate join needs the store as a batch table
+    * per micro-batch, and the pairs-write + store-append pair is applied
+    * once per batch id. State lives in the store, NOT in executors —
+    * unlike dropDuplicatesWithinWatermark there is no watermark horizon:
+    * a crawl deduped today still matches a document ingested last month,
+    * with executor memory O(micro-batch), not O(history).
+    * Input schema: (id, text) named by the caller. */
+  def nearDedupStream(docs: DataFrame, id: String, text: String,
+                      storePath: String, pairsPath: String,
+                      tau: Double): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val b = batch.cache()
+        try {
+          graft.ops.Dedup.incrementalPairs(b, id, text, storePath, tau)
+            .write.mode("append").parquet(pairsPath)
+          graft.ops.Dedup.appendToSignatureStore(b, id, text, storePath)
+        } finally b.unpersist()
+        ()
+      }
+
   /** Stream-stream event-time interval join: each click joins the views
     * by the same user in the preceding `window`. Both sides carry
     * watermarks and the join condition bounds event time on BOTH sides,

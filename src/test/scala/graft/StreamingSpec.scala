@@ -119,6 +119,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dedup matches against the store and grows it per batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-neardedup").toString
+    val (store, pairs) = (s"$dir/store", s"$dir/pairs")
+    // Docs are ~50 tokens with one token changed (J ≈ 0.88): solidly
+    // above the 16-band LSH S-curve knee (~0.71), where candidate
+    // recall is ~1; shorter docs would sit at the coin-flip point.
+    def doc(prefix: String, last: String): String =
+      (1 to 49).map(i => s"$prefix$i").mkString(" ") + " " + last
+    // Seed the store with one document (the "existing corpus").
+    val seed = Seq((100L, doc("w", "theta"))).toDF("doc_id", "text")
+    graft.ops.Dedup.writeSignatureStore(seed, "doc_id", "text", store)
+    val in = MemoryStream[(Long, String)]
+    val q = Streaming.nearDedupStream(in.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", store, pairs, 0.6).start()
+    try {
+      // Batch 1: one near-dup of the stored doc, one unrelated doc.
+      in.addData((200L, doc("w", "iota")),
+                 (201L, doc("z", "eight")))
+      q.processAllAvailable()
+      // Batch 2: near-dup of batch 1's unrelated doc — provable ONLY if
+      // batch 1's signatures were appended to the store.
+      in.addData((300L, doc("z", "nine")))
+      q.processAllAvailable()
+      val got = spark.read.parquet(pairs)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((100L, 200L), (201L, 300L)), s"got $got")
+    } finally q.stop()
+  }
+
   test("foreachBatch sink lands every micro-batch in parquet exactly once") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-febatch").toString
