@@ -95,6 +95,9 @@ object SparkEntry {
     "q73_asof_native"     -> (Events.q73 _),
     "q87_asof_outer"      -> (Events.q87 _),
     "q88_dedup_incremental" -> (Dedup.q88 _),
+    "q89_dedup_containment" -> (Dedup.q89 _),
+    "q90_unigram_surprisal" -> (Text.q90 _),
+    "q91_embed_clusters"    -> (Similarity.q91 _),
     "q74_stopword_filter" -> (Text.q74 _),
     "q77_session_window"  -> (Events.q77 _),
     "q75_corpus_pipeline" -> (Text.q75 _),
@@ -734,6 +737,28 @@ object SparkEntry {
     // these similarity levels, as for q52).
     "q88_dedup_incremental" ->
       (jaccardOracle + " AND (ida % 2 = 1 OR idb % 2 = 1)"),
+
+    "q89_dedup_containment" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle FROM t),
+         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         pair AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS common
+                  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+         SELECT ida AS doc_a, idb AS doc_b, CAST(common AS BIGINT) AS n_common,
+         ${BP("common / CAST(least(na.n, nb.n) AS DOUBLE)")} AS containment_bp
+         FROM pair JOIN sz na ON na.doc_id = ida JOIN sz nb ON nb.doc_id = idb
+         WHERE common / CAST(least(na.n, nb.n) AS DOUBLE) >= 0.8""",
+
+    "q90_unigram_surprisal" ->
+      s"""WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         f AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY 1),
+         tt AS (SELECT count(*) AS total FROM tk)
+         SELECT doc_id, count(*) AS n_tokens,
+         ${BP("avg(-ln(cnt / CAST(total AS DOUBLE)))")} AS mean_surprisal_bp
+         FROM tk JOIN f USING (tok) CROSS JOIN tt
+         GROUP BY 1""",
     // q52's LSH candidates at these similarity levels recover the exact
     // pair set (miss prob ~2e-11 per 0.97-similar pair), so the verified
     // output is graded against the same exact-Jaccard oracle.

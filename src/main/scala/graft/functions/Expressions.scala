@@ -456,6 +456,42 @@ case class JaccardSorted(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Intersection size of two SORTED distinct long arrays — the same
+  * zero-allocation merge as JaccardSorted but returning the raw overlap,
+  * for asymmetric measures (containment c/|A|, overlap coefficients)
+  * that Jaccard alone can't recover without lossy back-derivation. */
+case class IntersectSizeSorted(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "intersect_size_sorted"
+
+  private def compute(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var common = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { common += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    common
+  }
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("intersectSorted", this, classOf[IntersectSizeSorted].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $self.common($a, $b);")
+  }
+
+  /** Called from generated code. */
+  def common(a: ArrayData, b: ArrayData): Int = compute(a, b)
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): IntersectSizeSorted =
+    copy(left = l, right = r)
+}
+
 /** MinHash signature of an array<long> of (distinct) shingle hashes: for
   * permutation p, min over shingles of splitmix64(h + (p+1)·φ64). One
   * fused pass per document — the alternative (explode to a (doc,

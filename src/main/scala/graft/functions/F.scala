@@ -37,6 +37,11 @@ object F {
   def jaccardSorted(a: Column, b: Column): Column =
     GraftColumns.wrap(JaccardSorted(u(a), u(b)))
 
+  /** Exact intersection size of two sorted distinct array<long>
+    * columns — the raw overlap for asymmetric containment measures. */
+  def intersectSize(a: Column, b: Column): Column =
+    GraftColumns.wrap(IntersectSizeSorted(u(a), u(b)))
+
   /** Bounded-heap top-k aggregate: descending array of the k largest
     * values of `c` (use struct(sort_key, payload…) for row top-k).
     * Partial-aggregates map-side: the shuffle carries O(groups·k). */

@@ -157,6 +157,43 @@ object Dedup {
     verifyPairs(candidates, arrs, tau)
   }
 
+  /** Containment near-dup pairs: overlap / min(|A|, |B|) ≥ tau — the
+    * excerpt/quotation detector Jaccard misses (a 50-shingle quote
+    * inside a 1000-shingle page has J ≈ 0.05 but containment 1.0; both
+    * are near-dups for training-data purposes). Candidates: each doc's
+    * PREFIX postings joined against the FULL inverted index — pigeonhole-
+    * sound for the overlap bound c ≥ τ·min: if the smaller doc's first
+    * n − ⌈τ·n⌉ + 1 shingles share nothing with the other doc, the
+    * overlap fits in its suffix, which is < τ·n. The full-side index is
+    * what containment inherently needs (no symmetric length filter
+    * exists — a tiny doc CAN be contained in a huge one); at 100 TB the
+    * posting lists for stopword-ish shingles should additionally be
+    * frequency-capped. Verification is the same zero-allocation sorted
+    * merge as Jaccard, via IntersectSizeSorted. */
+  def containmentPairs(corpus: DataFrame, id: String, text: String,
+                       tau: Double, k: Int = 3): DataFrame = {
+    val arrs = shingleArrays(corpus, id, text, k).cache()
+    val prefixLen = (col("n") - ceil(col("n") * tau).cast("int") + 1)
+    val prefixes = arrs.select(col("doc_id"),
+      explode(slice(col("sh_arr"), lit(1), prefixLen)).as("sh"))
+    val full = arrs.select(col("doc_id").as("full_id"), explode(col("sh_arr")).as("sh"))
+    val candidates = prefixes.join(full, "sh")
+      .filter(col("doc_id") =!= col("full_id"))
+      .select(least(col("doc_id"), col("full_id")).as("doc_a"),
+              greatest(col("doc_id"), col("full_id")).as("doc_b"))
+      .distinct()
+    val minN = least(col("n_a"), col("n_b")).cast("double")
+    candidates
+      .join(arrs.select(col("doc_id").as("doc_a"), col("sh_arr").as("sh_a"),
+        col("n").as("n_a")), "doc_a")
+      .join(arrs.select(col("doc_id").as("doc_b"), col("sh_arr").as("sh_b"),
+        col("n").as("n_b")), "doc_b")
+      .withColumn("common", F.intersectSize(col("sh_a"), col("sh_b")))
+      .filter(col("common") / minN >= tau)
+      .select(col("doc_a"), col("doc_b"), col("common").cast("long").as("n_common"),
+        bp(col("common") / minN).as("containment_bp"))
+  }
+
   /** Persist a corpus's MinHash-LSH signature state under `path`: a
     * `buckets` table (doc_id, band, bh) partitioned by band, and an
     * `arrays` table (doc_id, sh_arr, n) for exact verification of future
@@ -331,6 +368,11 @@ object Dedup {
   /** q55: connected-component dedup clusters over the q51 pair graph. */
   def q55(s: SparkSession, d: String): DataFrame =
     clusters(q51(s, d).select(col("doc_a"), col("doc_b")))
+
+  /** q89: containment dedup of the documents table at τ = 0.8 —
+    * excerpt/quotation pairs exact Jaccard misses. */
+  def q89(s: SparkSession, d: String): DataFrame =
+    containmentPairs(Tables.documents(s, d), "doc_id", "text", 0.8)
 
   /** q88: incremental dedup of a new crawl against a persisted corpus —
     * the store holds the EVEN doc ids' signatures, the batch is the ODD

@@ -323,6 +323,34 @@ object Similarity {
     lshTopK(c, q, "vec_id", "embedding")
   }
 
+  /** Embedding k-means clustering as a first-class operator — the
+    * corpus-curation primitive (diversity sampling, topic balancing,
+    * per-cluster quota selection): every vector assigned to its trained
+    * cell in one codegen'd argmax pass, summarized per cell. Training is
+    * the bounded-sample Lloyd loop (trainCentroids); assignment is
+    * map-only over the full corpus; the per-cell summary shuffles k
+    * partial aggregates. Output: (cell, n_members, mean_cos_bp —
+    * cohesion as mean cosine to the centroid, min/max member id). */
+  def clusterCells(corpus: DataFrame, id: String, emb: String,
+                   k: Int, iters: Int = TrainIters): DataFrame = {
+    val cents = trainCentroids(corpus, id, emb, k, iters)
+    val scores = array(cents.zipWithIndex.map { case (c, i) =>
+      struct(F.cosineSim(col(emb), typedlit(c)).as("c"), lit(i).as("i"))
+    }: _*)
+    corpus
+      .select(col(id).as("vid"),
+        array_max(scores).getField("i").as("cell"),
+        array_max(scores).getField("c").as("cos"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"),
+        bp(avg(col("cos"))).as("mean_cos_bp"),
+        min(col("vid")).as("min_id"), max(col("vid")).as("max_id"))
+  }
+
+  /** q91: 16-cell k-means clustering of the embeddings table. */
+  def q91(s: SparkSession, d: String): DataFrame =
+    clusterCells(Tables.embeddings(s, d), "vec_id", "embedding", 16)
+
   /** q62: IVF-Flat approximate top-10, nprobe=4 of 16 cells. */
   def q62(s: SparkSession, d: String): DataFrame = {
     val (c, q) = corpusAndQueries(s, d)

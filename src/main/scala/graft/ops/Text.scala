@@ -266,6 +266,28 @@ object Text {
       .select(col("lang"), col("rn"), col("doc_id"))
   }
 
+  /** Corpus unigram LM surprisal — the cheap perplexity-style quality
+    * signal: P(tok) = corpus frequency, per-doc mean −ln P. Low scores
+    * flag boilerplate (every token common), high scores flag OOV-heavy
+    * noise; both are cut candidates in a training pipeline. Two shuffles
+    * (vocab count, per-doc agg); the one-row total rides a broadcast
+    * cross join, the token→frequency join shuffles on the token. */
+  def unigramSurprisal(df: DataFrame, id: String, text: String): DataFrame = {
+    val tokens = withToks(df, text).select(col(id), explode(toks).as("tok"))
+    val freqs = tokens.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = tokens.agg(count(lit(1)).as("total"))
+    tokens.join(freqs, "tok")
+      .crossJoin(broadcast(total))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_tokens"),
+        bp(avg(-log(col("cnt").cast("double") / col("total"))))
+          .as("mean_surprisal_bp"))
+  }
+
+  /** q90: unigram surprisal scoring of the documents table. */
+  def q90(s: SparkSession, d: String): DataFrame =
+    unigramSurprisal(Tables.documents(s, d), "doc_id", "text")
+
   /** q46: normalize-then-dedup of the documents table. */
   def q46(s: SparkSession, d: String): DataFrame =
     normalizeDedup(Tables.documents(s, d), "doc_id", "text")

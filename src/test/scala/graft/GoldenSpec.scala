@@ -32,6 +32,7 @@ class GoldenSpec extends SparkSpec {
     "q70_multimodal_meta" -> "e1f70b589d482b27df192c7ede8c36c8",
     "q71_frame_sample"    -> "5e03debf3d90b9bede08a3e30b3a8497",
     "q76_audio_windows"   -> "8edbf67013ce60a8b63f2072f1fdf046",
+    "q91_embed_clusters"  -> "b67228cdc290b62a4d94996127cd1125",
   )
 
   test("rows-only queries match their pinned sf0.001 golden hashes") {

@@ -160,6 +160,30 @@ class OperatorsSpec extends SparkSpec {
       s"missing: ${(whole -- incr).take(3)}; extra: ${(incr -- whole).take(3)}")
   }
 
+  test("containment dedup catches excerpts exact Jaccard misses") {
+    import SparkTestSession.spark.implicits._
+    // Doc 2 embeds doc 1 verbatim inside much more text: containment of
+    // doc 1 is 1.0 while Jaccard is ~0.1 — q51 at τ=0.6 must miss it,
+    // containmentPairs at τ=0.8 must find it.
+    val quote = (1 to 12).map(i => s"q$i").mkString(" ")
+    val page = quote + " " + (1 to 90).map(i => s"p$i").mkString(" ")
+    val other = (1 to 40).map(i => s"z$i").mkString(" ")
+    val corpus = Seq((1L, quote), (2L, page), (3L, other)).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(corpus, "doc_id", "text", 0.8).collect()
+    assert(cont.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    assert(cont.head.getLong(3) == 10000L, s"containment ${cont.head.getLong(3)}")
+    val jac = Dedup.jaccardPairs(corpus, "doc_id", "text", 0.6).collect()
+    assert(jac.isEmpty, "Jaccard should miss the excerpt pair")
+  }
+
+  test("q91 k-means cells partition the embeddings corpus") {
+    val cells = Similarity.q91(spark, sf).collect()
+    assert(cells.map(_.getLong(1)).sum == Tables.embeddings(spark, sf).count())
+    assert(cells.length <= 16 && cells.nonEmpty)
+    // Cohesion must be a valid mean cosine (within [-1, 1] in bp).
+    cells.foreach(r => assert(math.abs(r.getLong(2)) <= 10000L))
+  }
+
   test("q53 simhash output is deterministic across runs") {
     val a = Dedup.q53(spark, sf).collect().map(_.toSeq).toSet
     val b = Dedup.q53(spark, sf).collect().map(_.toSeq).toSet
