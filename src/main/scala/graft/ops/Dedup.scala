@@ -140,9 +140,18 @@ object Dedup {
                       bands: Int = LshBands,
                       maxBucket: Int = MaxBucketWidth): DataFrame = {
     val arrs = shingleArrays(corpus, id, text, k).cache()
+    val candidates = selfCandidates(bandBuckets(arrs, perms, bands), maxBucket)
+      .distinct()
+    verifyPairs(candidates, arrs, tau)
+  }
+
+  /** Width-capped candidate pairs from a (doc_id, band, bh) bucket
+    * table: all-pairs within cold buckets, spanning star at the min id
+    * for hot ones. One shuffle on (band, bh); the width count and star
+    * hub are window functions over the same hash partitioning. */
+  private def selfCandidates(bk: DataFrame, maxBucket: Int): DataFrame = {
     val byBucket = Window.partitionBy(col("band"), col("bh"))
-    val buckets = bandBuckets(arrs, perms, bands)
-      .withColumn("width", count(lit(1)).over(byBucket))
+    val buckets = bk.withColumn("width", count(lit(1)).over(byBucket))
     val cold = buckets.filter(col("width") <= maxBucket)
       .select(col("doc_id"), col("band"), col("bh"))
     val coldPairs = cold.as("a").join(cold.as("b"),
@@ -153,8 +162,7 @@ object Dedup {
       .withColumn("hub", min(col("doc_id")).over(byBucket))
       .filter(col("doc_id") =!= col("hub"))
       .select(col("hub").as("doc_a"), col("doc_id").as("doc_b"))
-    val candidates = coldPairs.unionAll(hotPairs).distinct()
-    verifyPairs(candidates, arrs, tau)
+    coldPairs.unionAll(hotPairs)
   }
 
   /** Containment near-dup pairs: overlap / min(|A|, |B|) ≥ tau — the
@@ -229,28 +237,41 @@ object Dedup {
     * document. Candidates come from (a) the (band, bh) equi-join of the
     * batch's buckets against the store — the store side is read
     * band-partitioned, only colliding buckets shuffle — and (b) the
-    * batch's internal self-join. Verification joins the union of stored
-    * and fresh shingle arrays, so no original text is re-read. Document
-    * ids must be globally unique across store and batch. */
+    * batch's internal self-join. Both are hot-bucket bounded exactly
+    * like minhashLshPairs: a store bucket wider than `maxBucket` links
+    * each colliding new doc to the bucket's MIN id only (the star hub —
+    * candidates per new doc per band bounded, connectivity kept for
+    * downstream clustering), and the within-batch join uses the same
+    * capped star. Verification joins the union of stored and fresh
+    * shingle arrays, so no original text is re-read. Document ids must
+    * be globally unique across store and batch. */
   def incrementalPairs(newBatch: DataFrame, id: String, text: String,
                        storePath: String, tau: Double, k: Int = 3,
                        perms: Int = MinhashPerms,
-                       bands: Int = LshBands): DataFrame = {
+                       bands: Int = LshBands,
+                       maxBucket: Int = MaxBucketWidth): DataFrame = {
     val s = newBatch.sparkSession
     val newArrs = shingleArrays(newBatch, id, text, k).cache()
     val newBk = bandBuckets(newArrs, perms, bands).cache()
     val storeBk = s.read.parquet(s"$storePath/buckets")
       .select(col("doc_id").as("store_id"), col("band"), col("bh"))
     val storeArrs = s.read.parquet(s"$storePath/arrays")
-    val cross = newBk.join(storeBk, Seq("band", "bh"))
+    // One aggregation pass sizes every store bucket and elects its hub.
+    val bucketStats = storeBk.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("s_width"), min(col("store_id")).as("s_hub"))
+    val tagged = newBk.join(bucketStats, Seq("band", "bh"))
+    val hotCross = tagged.filter(col("s_width") > maxBucket)
+      .filter(col("s_hub") =!= col("doc_id"))
+      .select(least(col("s_hub"), col("doc_id")).as("doc_a"),
+              greatest(col("s_hub"), col("doc_id")).as("doc_b"))
+    val coldCross = tagged.filter(col("s_width") <= maxBucket)
+      .select(col("doc_id"), col("band"), col("bh"))
+      .join(storeBk, Seq("band", "bh"))
       .filter(col("store_id") =!= col("doc_id"))
       .select(least(col("store_id"), col("doc_id")).as("doc_a"),
               greatest(col("store_id"), col("doc_id")).as("doc_b"))
-    val within = newBk.as("a").join(newBk.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-    val candidates = cross.unionAll(within).distinct()
+    val within = selfCandidates(newBk, maxBucket)
+    val candidates = hotCross.unionAll(coldCross).unionAll(within).distinct()
     verifyPairs(candidates, storeArrs.unionByName(newArrs), tau)
   }
 

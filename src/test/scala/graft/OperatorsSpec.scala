@@ -150,6 +150,26 @@ class OperatorsSpec extends SparkSpec {
     assert(capped == uncapped && capped.nonEmpty)
   }
 
+  test("incremental dedup bounds hot store buckets to the star hub") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-inc-hot").toString
+    val boiler = lit("cookie banner accept all rights reserved terms of service privacy policy")
+    // Store: 1500 identical docs (ids 0..1499). Batch: 500 more copies
+    // (ids 2000..2499). Unbounded, the cross join alone would emit
+    // 1500×500 verified J=1 pairs; the hot-store star must link each
+    // batch doc to store hub 0 only, and the within-batch star links
+    // batch docs to batch-min 2000.
+    val store = spark.range(1500).select(col("id").as("doc_id"), boiler.as("text"))
+    val batch = spark.range(2000, 2500).select(col("id").as("doc_id"), boiler.as("text"))
+    Dedup.writeSignatureStore(store, "doc_id", "text", s"$dir/store")
+    val pairs = Dedup.incrementalPairs(batch, "doc_id", "text", s"$dir/store",
+      0.6, maxBucket = 64)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wantCross = (2000L until 2500L).map(b => (0L, b)).toSet
+    val wantWithin = (2001L until 2500L).map(b => (2000L, b)).toSet
+    assert(got == wantCross ++ wantWithin,
+      s"got ${got.size} pairs, want ${(wantCross ++ wantWithin).size}")
+  }
+
   test("q88 incremental dedup equals the whole-corpus pairs touching the batch") {
     val whole = Dedup.q51(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
