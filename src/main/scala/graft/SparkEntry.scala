@@ -98,6 +98,7 @@ object SparkEntry {
     "q89_dedup_containment" -> (Dedup.q89 _),
     "q90_unigram_surprisal" -> (Text.q90 _),
     "q91_embed_clusters"    -> (Similarity.q91 _),
+    "q92_range_frame"       -> (Relational.q92 _),
     "q74_stopword_filter" -> (Text.q74 _),
     "q77_session_window"  -> (Events.q77 _),
     "q75_corpus_pipeline" -> (Text.q75 _),
@@ -750,6 +751,20 @@ object SparkEntry {
          ${BP("common / CAST(least(na.n, nb.n) AS DOUBLE)")} AS containment_bp
          FROM pair JOIN sz na ON na.doc_id = ida JOIN sz nb ON nb.doc_id = idb
          WHERE common / CAST(least(na.n, nb.n) AS DOUBLE) >= 0.8""",
+
+    "q92_range_frame" ->
+      """WITH t AS (SELECT o_orderkey, o_orderpriority,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c FROM orders)
+         SELECT o_orderkey, o_orderpriority, price_c,
+           count(*) OVER wr AS n_within_100,
+           CAST(sum(price_c) OVER wr AS BIGINT) AS sum_within_100,
+           first_value(o_orderkey) OVER wo AS cheapest_key,
+           nth_value(o_orderkey, 2) OVER wo AS second_key
+         FROM t
+         WINDOW wr AS (PARTITION BY o_orderpriority ORDER BY price_c
+                       RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW),
+                wo AS (PARTITION BY o_orderpriority
+                       ORDER BY price_c ASC, o_orderkey ASC)""",
 
     "q90_unigram_surprisal" ->
       s"""WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),

@@ -536,6 +536,30 @@ object Relational {
       bp(cume_dist().over(w)).as("cd_bp"))
   }
 
+  /** q92: value-RANGE window frames + positional value functions — the
+    * window surface q58 doesn't cover. The RANGE frame aggregates every
+    * order within $100 BELOW the current price (a value band, not a row
+    * count — ties and gaps handled by the frame semantics), and
+    * first/nth_value read positional keys off the growing default
+    * frame. Prices are discretized to integer cents BEFORE the frame so
+    * the band bound is exact on both engines. One shuffle on the
+    * partition key; both frames evaluate in the same sorted partition. */
+  def q92(s: SparkSession, d: String): DataFrame = {
+    val wr = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("price_c").asc)
+      .rangeBetween(-10000L, 0L)
+    val wo = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("price_c").asc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        cents(col("o_totalprice")).as("price_c"))
+      .select(col("o_orderkey"), col("o_orderpriority"), col("price_c"),
+        count(lit(1)).over(wr).as("n_within_100"),
+        sum(col("price_c")).over(wr).as("sum_within_100"),
+        first_value(col("o_orderkey")).over(wo).as("cheapest_key"),
+        nth_value(col("o_orderkey"), 2).over(wo).as("second_key"))
+  }
+
   /** q59: ordered string aggregation — per nation, the sorted
     * comma-joined list of its 5 richest suppliers. collect_list +
     * sort_array is the distributed shape (bounded per group here);
