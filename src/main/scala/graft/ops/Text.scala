@@ -275,7 +275,9 @@ object Text {
   def unigramSurprisal(df: DataFrame, id: String, text: String): DataFrame = {
     val tokens = withToks(df, text).select(col(id), explode(toks).as("tok"))
     val freqs = tokens.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-    val total = tokens.agg(count(lit(1)).as("total"))
+    // Grand total reduces the (small) vocab table — NOT a third
+    // tokenize-the-corpus pass.
+    val total = freqs.agg(sum(col("cnt")).as("total"))
     tokens.join(freqs, "tok")
       .crossJoin(broadcast(total))
       .groupBy(col(id))
