@@ -99,6 +99,7 @@ object SparkEntry {
     "q90_unigram_surprisal" -> (Text.q90 _),
     "q91_embed_clusters"    -> (Similarity.q91 _),
     "q92_range_frame"       -> (Relational.q92 _),
+    "q93_corr_stats"        -> (Relational.q93 _),
     "q74_stopword_filter" -> (Text.q74 _),
     "q77_session_window"  -> (Events.q77 _),
     "q75_corpus_pipeline" -> (Text.q75 _),
@@ -751,6 +752,15 @@ object SparkEntry {
          ${BP("common / CAST(least(na.n, nb.n) AS DOUBLE)")} AS containment_bp
          FROM pair JOIN sz na ON na.doc_id = ida JOIN sz nb ON nb.doc_id = idb
          WHERE common / CAST(least(na.n, nb.n) AS DOUBLE) >= 0.8""",
+
+    "q93_corr_stats" ->
+      s"""SELECT l_returnflag,
+         ${C("covar_samp(l_quantity, l_extendedprice)")} AS covar_c,
+         ${BP("corr(l_quantity, l_extendedprice)")} AS corr_bp,
+         ${C("regr_slope(l_extendedprice, l_quantity)")} AS slope_c,
+         ${C("regr_intercept(l_extendedprice, l_quantity)")} AS intercept_c,
+         CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs
+         FROM lineitem GROUP BY 1""",
 
     "q92_range_frame" ->
       """WITH t AS (SELECT o_orderkey, o_orderpriority,

@@ -560,6 +560,23 @@ object Relational {
         nth_value(col("o_orderkey"), 2).over(wo).as("second_key"))
   }
 
+  /** q93: bivariate statistical aggregates — covariance, Pearson
+    * correlation, and least-squares regression of price on quantity per
+    * return flag. All are single-pass partial-aggregatable moments
+    * (sums of x, y, x², y², xy), so the shuffle carries five doubles per
+    * group regardless of input size. Discretized to fixed-point on
+    * export; ratios of large co-moments are stable far beyond bp
+    * resolution across engines. */
+  def q93(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        cents(covar_samp(col("l_quantity"), col("l_extendedprice"))).as("covar_c"),
+        bp(corr(col("l_quantity"), col("l_extendedprice"))).as("corr_bp"),
+        cents(regr_slope(col("l_extendedprice"), col("l_quantity"))).as("slope_c"),
+        cents(regr_intercept(col("l_extendedprice"), col("l_quantity"))).as("intercept_c"),
+        regr_count(col("l_extendedprice"), col("l_quantity")).as("n_pairs"))
+
   /** q59: ordered string aggregation — per nation, the sorted
     * comma-joined list of its 5 richest suppliers. collect_list +
     * sort_array is the distributed shape (bounded per group here);
