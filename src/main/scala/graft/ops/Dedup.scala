@@ -174,17 +174,40 @@ object Dedup {
     * n − ⌈τ·n⌉ + 1 shingles share nothing with the other doc, the
     * overlap fits in its suffix, which is < τ·n. The full-side index is
     * what containment inherently needs (no symmetric length filter
-    * exists — a tiny doc CAN be contained in a huge one); at 100 TB the
-    * posting lists for stopword-ish shingles should additionally be
-    * frequency-capped. Verification is the same zero-allocation sorted
-    * merge as Jaccard, via IntersectSizeSorted. */
+    * exists — a tiny doc CAN be contained in a huge one).
+    * Verification is the same zero-allocation sorted merge as Jaccard,
+    * via IntersectSizeSorted.
+    *
+    * Hot-posting bound (the 100 TB guard): a boilerplate shingle
+    * ("terms of service …") posted by 10⁶ docs makes the candidate join
+    * quadratic in its posting length. `maxPosting` drops shingles with
+    * document frequency above the cap from CANDIDATE GENERATION (both
+    * sides) — qualifying pairs still surface through any rarer shared
+    * shingle in the prefix, which real near-dup pairs have unless they
+    * consist of nothing but ubiquitous boilerplate; those are exact or
+    * MinHash dups and belong to q50/q52 upstream (the documented
+    * pipeline order). Verification is unaffected — it always sees the
+    * full arrays. */
   def containmentPairs(corpus: DataFrame, id: String, text: String,
-                       tau: Double, k: Int = 3): DataFrame = {
+                       tau: Double, k: Int = 3,
+                       maxPosting: Int = Int.MaxValue): DataFrame = {
     val arrs = shingleArrays(corpus, id, text, k).cache()
     val prefixLen = (col("n") - ceil(col("n") * tau).cast("int") + 1)
-    val prefixes = arrs.select(col("doc_id"),
+    val byShingle = Window.partitionBy(col("sh"))
+    val allPrefixes = arrs.select(col("doc_id"),
       explode(slice(col("sh_arr"), lit(1), prefixLen)).as("sh"))
-    val full = arrs.select(col("doc_id").as("full_id"), explode(col("sh_arr")).as("sh"))
+    val allFull = arrs.select(col("doc_id").as("full_id"), explode(col("sh_arr")).as("sh"))
+    val (prefixes, full) =
+      if (maxPosting == Int.MaxValue) (allPrefixes, allFull)
+      else {
+        val cappedFull = allFull
+          .withColumn("df", count(lit(1)).over(byShingle))
+          .filter(col("df") <= maxPosting).drop("df")
+        // The prefix side reuses the SAME document-frequency bound via a
+        // semi-join against the surviving full-side shingles.
+        val kept = cappedFull.select(col("sh")).distinct()
+        (allPrefixes.join(kept, Seq("sh"), "left_semi"), cappedFull)
+      }
     val candidates = prefixes.join(full, "sh")
       .filter(col("doc_id") =!= col("full_id"))
       .select(least(col("doc_id"), col("full_id")).as("doc_a"),

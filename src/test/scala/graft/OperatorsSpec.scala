@@ -196,6 +196,28 @@ class OperatorsSpec extends SparkSpec {
     assert(jac.isEmpty, "Jaccard should miss the excerpt pair")
   }
 
+  test("containment posting cap bounds hot shingles, keeps rare-shingle pairs") {
+    import SparkTestSession.spark.implicits._
+    val hot = "terms of service apply here"   // shared by EVERY doc
+    // Docs 1/2: same rare tail (true containment pair via rare shingles).
+    // Docs 10..59: the hot boilerplate plus unique tails (no true pairs
+    // above τ among them except via the hot shingles themselves).
+    val rare = (1 to 20).map(i => s"r$i").mkString(" ")
+    val corpus = (Seq((1L, s"$hot $rare"), (2L, s"$hot $rare trailing")) ++
+      (10 to 59).map(i => i.toLong -> s"$hot u${i}a u${i}b u${i}c")).toDF("doc_id", "text")
+    val capped = Dedup.containmentPairs(corpus, "doc_id", "text", 0.8, maxPosting = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // The rare-shingle pair survives the cap; the hot shingles alone may
+    // no longer generate candidates for the boilerplate-only docs.
+    assert(capped.contains((1L, 2L)), s"rare-shingle pair lost: $capped")
+    capped.foreach { case (a, b) => assert(Set(1L, 2L)(a) || Set(1L, 2L)(b) ||
+      a >= 10, s"unexpected pair ($a,$b)") }
+    // Uncapped finds the same true pair set on this corpus size.
+    val uncapped = Dedup.containmentPairs(corpus, "doc_id", "text", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(uncapped))
+  }
+
   test("q91 k-means cells partition the embeddings corpus") {
     val cells = Similarity.q91(spark, sf).collect()
     assert(cells.map(_.getLong(1)).sum == Tables.embeddings(spark, sf).count())
