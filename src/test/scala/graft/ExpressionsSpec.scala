@@ -37,6 +37,35 @@ class ExpressionsSpec extends SparkSpec {
     assert(got == seq(a, b))
   }
 
+  test("cosineSim of a zero-norm vector is 0, not NaN") {
+    val rows = Seq(
+      (Array(0.0f, 0.0f), Array(1.0f, 2.0f)),
+      (Array(1.0f, 2.0f), Array(0.0f, 0.0f)),
+      (Array(0.0f, 0.0f), Array(0.0f, 0.0f)))
+      .toDF("a", "b").select(F.cosineSim(col("a"), col("b"))).as[Double].collect()
+    rows.foreach(v => assert(v == 0.0, s"zero-norm cosine must be 0.0, got $v"))
+  }
+
+  test("intersectSize counts the sorted-array overlap") {
+    val got = Seq(
+      (Array(1L, 3L, 5L), Array(3L, 5L, 7L)),
+      (Array[Long](), Array(1L, 2L)),
+      (Array(1L, 2L), Array(3L, 4L)))
+      .toDF("a", "b").select(F.intersectSize(col("a"), col("b"))).as[Int].collect()
+    assert(got.toSeq == Seq(2, 0, 0))
+  }
+
+  test("bloom parameters are validated (numBits overflow guard)") {
+    intercept[IllegalArgumentException] {
+      graft.functions.BloomFilterAgg(
+        org.apache.spark.sql.catalyst.expressions.Literal(1L), (1 << 30) + 1, 5)
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.BloomFilterAgg(
+        org.apache.spark.sql.catalyst.expressions.Literal(1L), 1024, 0)
+    }
+  }
+
   test("bloom filter has no false negatives and a bounded fp rate") {
     val numBits = 1 << 16
     val members = (0L until 2000L).map(_ * 7 + 13)
