@@ -106,7 +106,7 @@ object Similarity {
 
   val IvfCells = 32
   val IvfProbes = 22
-  val TrainIters = 3
+  val TrainIters = 2
   val TrainSampleN = 4096
 
   /** Deterministic hash-ordered sample of up to `n` (id, embedding)

@@ -28,11 +28,11 @@ class GoldenSpec extends SparkSpec {
     "q53_dedup_simhash"   -> "1e7f572ea7680c9046a7fd133c3823ad",
     "q61_ann_lsh"         -> "c8106d6e2cac8ce6c5f163fff0393773",
     "q62_ann_ivf"         -> "e58c3a6508352b26f7d1573a51e2a9c9",
-    "q63_ann_pq"          -> "8a55a2fb98d5de3545bc884cccd36aac",
+    "q63_ann_pq"          -> "82cf96eddf4d3a6f2672cf157e84764f",
     "q70_multimodal_meta" -> "e1f70b589d482b27df192c7ede8c36c8",
     "q71_frame_sample"    -> "5e03debf3d90b9bede08a3e30b3a8497",
     "q76_audio_windows"   -> "8edbf67013ce60a8b63f2072f1fdf046",
-    "q91_embed_clusters"  -> "b67228cdc290b62a4d94996127cd1125",
+    "q91_embed_clusters"  -> "dc19d3d2a18714ea058dab1ace5075b5",
   )
 
   test("rows-only queries match their pinned sf0.001 golden hashes") {
