@@ -100,6 +100,8 @@ object SparkEntry {
     "q91_embed_clusters"    -> (Similarity.q91 _),
     "q92_range_frame"       -> (Relational.q92 _),
     "q93_corr_stats"        -> (Relational.q93 _),
+    "q94_semantic_search"   -> (Similarity.q94 _),
+    "q95_diversity_sample"  -> ((s, d) => Similarity.q95(s, d)),
     "q74_stopword_filter" -> (Text.q74 _),
     "q77_session_window"  -> (Events.q77 _),
     "q75_corpus_pipeline" -> (Text.q75 _),
@@ -752,6 +754,16 @@ object SparkEntry {
          ${BP("common / CAST(least(na.n, nb.n) AS DOUBLE)")} AS containment_bp
          FROM pair JOIN sz na ON na.doc_id = ida JOIN sz nb ON nb.doc_id = idb
          WHERE common / CAST(least(na.n, nb.n) AS DOUBLE) >= 0.8""",
+
+    "q94_semantic_search" ->
+      s"""WITH s AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS cos
+           FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+           WHERE q.vec_id < 10),
+         r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, neighbor_id ASC) AS rank FROM s)
+         SELECT query_id, rank, neighbor_id, ${BP("cos")} AS cos_bp, d.lang, d.source
+         FROM r JOIN documents d ON d.doc_id = r.neighbor_id WHERE rank <= 5""",
 
     "q93_corr_stats" ->
       s"""SELECT l_returnflag,

@@ -351,6 +351,41 @@ object Similarity {
   def q91(s: SparkSession, d: String): DataFrame =
     clusterCells(Tables.embeddings(s, d), "vec_id", "embedding", 16)
 
+  /** q94: semantic search end-to-end — exact top-5 embedding neighbors
+    * of each query joined back to the documents table for the payload
+    * (lang/source). The tiny ranked result broadcasts into the document
+    * join, so retrieval adds no corpus shuffle — the standard
+    * "vector index + metadata store" read path as one declarative
+    * plan. */
+  def q94(s: SparkSession, d: String): DataFrame = {
+    val (c, q) = corpusAndQueries(s, d)
+    bruteForceTopK(c, q, "vec_id", "embedding", 5)
+      .join(Tables.documents(s, d).select(col("doc_id").as("neighbor_id"),
+        col("lang"), col("source")), "neighbor_id")
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cos_bp"), col("lang"), col("source"))
+  }
+
+  /** q95: diversity (cluster-quota) sampling — up to `quota` documents
+    * per trained k-means cell, picked in deterministic hash order: the
+    * balanced-across-semantic-clusters subset a curation pipeline feeds
+    * to expensive downstream stages. Assignment is the map-only argmax
+    * pass; the quota cut is one window inside the cell partition. */
+  def q95(s: SparkSession, d: String, cells: Int = 16,
+          quota: Int = 8): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val cents = trainCentroids(e, "vec_id", "embedding", cells)
+    val scores = array(cents.zipWithIndex.map { case (c, i) =>
+      struct(F.cosineSim(col("embedding"), typedlit(c)).as("c"), lit(i).as("i"))
+    }: _*)
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(md5(col("vec_id").cast("string")).asc, col("vec_id").asc)
+    e.select(col("vec_id"), array_max(scores).getField("i").as("cell"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= quota)
+      .select(col("cell"), col("rn"), col("vec_id"))
+  }
+
   /** q62: IVF-Flat approximate top-10, nprobe=4 of 16 cells. */
   def q62(s: SparkSession, d: String): DataFrame = {
     val (c, q) = corpusAndQueries(s, d)

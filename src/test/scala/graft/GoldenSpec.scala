@@ -33,6 +33,7 @@ class GoldenSpec extends SparkSpec {
     "q71_frame_sample"    -> "5e03debf3d90b9bede08a3e30b3a8497",
     "q76_audio_windows"   -> "8edbf67013ce60a8b63f2072f1fdf046",
     "q91_embed_clusters"  -> "dc19d3d2a18714ea058dab1ace5075b5",
+    "q95_diversity_sample" -> "e659c706697df54f41f8bec86ece7ab2",
   )
 
   test("rows-only queries match their pinned sf0.001 golden hashes") {

@@ -218,6 +218,15 @@ class OperatorsSpec extends SparkSpec {
     assert(capped.subsetOf(uncapped))
   }
 
+  test("q95 diversity sample takes at most the quota per cell, deterministically") {
+    val sampled = Similarity.q95(spark, sf).collect()
+    val perCell = sampled.groupBy(_.getInt(0)).map { case (c, rs) => c -> rs.length }
+    perCell.foreach { case (c, n) => assert(n <= 8, s"cell $c: $n > quota") }
+    assert(sampled.map(_.getLong(2)).distinct.length == sampled.length)
+    val again = Similarity.q95(spark, sf).collect()
+    assert(sampled.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+  }
+
   test("q91 k-means cells partition the embeddings corpus") {
     val cells = Similarity.q91(spark, sf).collect()
     assert(cells.map(_.getLong(1)).sum == Tables.embeddings(spark, sf).count())
