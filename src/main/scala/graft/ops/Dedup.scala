@@ -238,22 +238,34 @@ object Dedup {
                           path: String, k: Int = 3,
                           perms: Int = MinhashPerms,
                           bands: Int = LshBands,
-                          mode: String = "overwrite"): Unit = {
+                          batchTag: String = "init"): Unit = {
     val arrs = shingleArrays(corpus, id, text, k).cache()
-    arrs.write.mode(mode).parquet(s"$path/arrays")
-    bandBuckets(arrs, perms, bands).write.mode(mode)
-      .partitionBy("band").parquet(s"$path/buckets")
+    writeSignatureStoreFrom(arrs, path, batchTag, perms, bands)
     arrs.unpersist()
   }
 
-  /** Append a batch's signatures to an existing store — the grow step of
-    * continuous ingest (each crawl/micro-batch becomes part of the
-    * corpus later batches dedup against). */
-  def appendToSignatureStore(corpus: DataFrame, id: String, text: String,
-                             path: String, k: Int = 3,
-                             perms: Int = MinhashPerms,
-                             bands: Int = LshBands): Unit =
-    writeSignatureStore(corpus, id, text, path, k, perms, bands, mode = "append")
+  /** Store write from precomputed shingle arrays (the caller owns their
+    * cache lifecycle — the streaming path shares one cached `arrs`
+    * between the pair search and this write). Every batch lands in its
+    * own `batch=<tag>` partition directory with OVERWRITE semantics, so
+    * re-running a batch (streaming retry, backfill) REPLACES its prior
+    * contribution instead of appending duplicates — the idempotence
+    * continuous ingest needs on an at-least-once engine. Readers
+    * discover the batch dimension as a partition column and ignore it. */
+  def writeSignatureStoreFrom(arrs: DataFrame, path: String, batchTag: String,
+                              perms: Int = MinhashPerms,
+                              bands: Int = LshBands): Unit = {
+    arrs.select(col("doc_id"), col("sh_arr"), col("n"))
+      .write.mode("overwrite").parquet(s"$path/arrays/batch=$batchTag")
+    bandBuckets(arrs, perms, bands).write.mode("overwrite")
+      .partitionBy("band").parquet(s"$path/buckets/batch=$batchTag")
+  }
+
+  /** Public face of the band-bucket derivation, for callers managing
+    * their own cache lifecycle around incrementalPairsFrom. */
+  def signatureBuckets(arrs: DataFrame, perms: Int = MinhashPerms,
+                       bands: Int = LshBands): DataFrame =
+    bandBuckets(arrs, perms, bands)
 
   /** Dedup a NEW batch against an existing signature store AND itself:
     * verified near-dup pairs (J ≥ tau) where at least one side is a new
@@ -273,12 +285,26 @@ object Dedup {
                        perms: Int = MinhashPerms,
                        bands: Int = LshBands,
                        maxBucket: Int = MaxBucketWidth): DataFrame = {
-    val s = newBatch.sparkSession
+    // Convenience wrapper: the caches live as long as the returned plan
+    // (fine for one-shot batch use). A long-running caller issuing many
+    // batches — the streaming path — must use incrementalPairsFrom and
+    // unpersist after each batch's actions.
     val newArrs = shingleArrays(newBatch, id, text, k).cache()
     val newBk = bandBuckets(newArrs, perms, bands).cache()
+    incrementalPairsFrom(newArrs, newBk, storePath, tau, maxBucket)
+  }
+
+  /** Core of the incremental dedup, from precomputed (and typically
+    * cached) shingle arrays + band buckets — no cache management here;
+    * the caller owns the lifecycle. */
+  def incrementalPairsFrom(newArrs: DataFrame, newBk: DataFrame,
+                           storePath: String, tau: Double,
+                           maxBucket: Int = MaxBucketWidth): DataFrame = {
+    val s = newArrs.sparkSession
     val storeBk = s.read.parquet(s"$storePath/buckets")
       .select(col("doc_id").as("store_id"), col("band"), col("bh"))
     val storeArrs = s.read.parquet(s"$storePath/arrays")
+      .select(col("doc_id"), col("sh_arr"), col("n"))
     // One aggregation pass sizes every store bucket and elects its hub.
     val bucketStats = storeBk.groupBy(col("band"), col("bh"))
       .agg(count(lit(1)).as("s_width"), min(col("store_id")).as("s_hub"))
@@ -427,6 +453,10 @@ object Dedup {
     val docs = Tables.documents(s, d)
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_sigstore_" +
       java.lang.Integer.toHexString(d.hashCode)
+    // The fixed scratch path may hold other batches from prior runs —
+    // this query's contract is "store = exactly the even ids", so reset.
+    val hp = new org.apache.hadoop.fs.Path(path)
+    hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
     writeSignatureStore(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", path)
     incrementalPairs(docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", path, 0.6)
   }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -19,6 +19,12 @@ import graft.Tables
   */
 object Multimodal {
 
+  /** Declared metadata dims, derived deterministically from the text —
+    * the ONE definition shared by the media metadata struct and the PNG
+    * generator (pngTable scales these 1/8). */
+  def metaWidth: Column = (pmod(xxhash64(col("text")), lit(1024L)) + 64L).cast("int")
+  def metaHeight: Column = (pmod(xxhash64(col("text"), lit(1L)), lit(768L)) + 64L).cast("int")
+
   /** Build the media table from documents: text bytes stand in for an
     * encoded audio/video payload (the formats the container has no codec
     * for); metadata is a typed struct derived per row. The IMAGE path
@@ -29,8 +35,8 @@ object Multimodal {
       encode(col("text"), "UTF-8").as("payload"),
       struct(
         concat(lit("img/"), substring(col("source"), 4, 10)).as("format"),
-        (pmod(xxhash64(col("text")), lit(1024L)) + 64L).cast("int").as("width"),
-        (pmod(xxhash64(col("text"), lit(1L)), lit(768L)) + 64L).cast("int").as("height"))
+        metaWidth.as("width"),
+        metaHeight.as("height"))
         .as("meta"))
 
   case class ImageRow(doc_id: Long, payload: Array[Byte])
@@ -55,8 +61,7 @@ object Multimodal {
   def pngTable(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d).select(col("doc_id"),
-        (pmod(xxhash64(col("text")), lit(1024L)) + 64L).cast("int").as("w0"),
-        (pmod(xxhash64(col("text"), lit(1L)), lit(768L)) + 64L).cast("int").as("h0"))
+        metaWidth.as("w0"), metaHeight.as("h0"))
       .as[(Long, Int, Int)]
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)

@@ -215,7 +215,9 @@ object Similarity {
     val sample = hashSample(corpus, id, emb, sampleN).cache()
     val seeds: Array[Array[Float]] = sample.limit(kCent).collect()
       .map(_.getSeq[Float](1).toArray)
-    require(seeds.nonEmpty, "empty corpus: cannot train PQ codebook")
+    require(seeds.length >= kCent,
+      s"PQ needs at least kCent=$kCent vectors to seed the codebook, " +
+        s"corpus/sample has ${seeds.length}")
     val ds = seeds.head.length / m
     // cb(sub)(j) = centroid j of subspace sub
     var cb: Array[Array[Array[Float]]] = Array.tabulate(m, kCent) {
@@ -343,7 +345,11 @@ object Similarity {
         array_max(scores).getField("c").as("cos"))
       .groupBy(col("cell"))
       .agg(count(lit(1)).as("n_members"),
-        bp(avg(col("cos"))).as("mean_cos_bp"),
+        // Cohesion as a mean of per-row FIXED-POINT cosines: the long
+        // sum is exact, so the value is independent of partial-merge
+        // order (a raw double avg could flip the last bp digit between
+        // runs and flake the golden pin).
+        floor(sum(bp(col("cos"))) / count(lit(1))).cast("long").as("mean_cos_bp"),
         min(col("vid")).as("min_id"), max(col("vid")).as("max_id"))
   }
 

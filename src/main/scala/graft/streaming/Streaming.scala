@@ -45,26 +45,34 @@ object Streaming {
     * the streaming face of batch q88: every micro-batch is deduped
     * against the store AND itself (ops.Dedup.incrementalPairs), the
     * verified pairs land in `pairsPath`, and the batch's own signatures
-    * are appended to the store so later micro-batches (and future runs)
+    * are written to the store so later micro-batches (and future runs)
     * dedup against everything already ingested. foreachBatch is the
     * right boundary: the candidate join needs the store as a batch table
-    * per micro-batch, and the pairs-write + store-append pair is applied
-    * once per batch id. State lives in the store, NOT in executors —
-    * unlike dropDuplicatesWithinWatermark there is no watermark horizon:
-    * a crawl deduped today still matches a document ingested last month,
-    * with executor memory O(micro-batch), not O(history).
+    * per micro-batch. Both sinks are IDEMPOTENT under the engine's
+    * at-least-once retries: each batch overwrites its own
+    * `batch=<batchId>` partition directory (pairs and store signatures
+    * alike), so a replayed micro-batch replaces its prior contribution
+    * instead of appending duplicate signatures that would permanently
+    * inflate every later join. State lives in the store, NOT in
+    * executors — unlike dropDuplicatesWithinWatermark there is no
+    * watermark horizon: a crawl deduped today still matches a document
+    * ingested last month, with executor memory O(micro-batch), not
+    * O(history). The shingle arrays and band buckets are computed ONCE
+    * per batch, shared between the pair search and the store write, and
+    * unpersisted when the batch's actions finish.
     * Input schema: (id, text) named by the caller. */
   def nearDedupStream(docs: DataFrame, id: String, text: String,
                       storePath: String, pairsPath: String,
                       tau: Double): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val b = batch.cache()
+        val arrs = graft.ops.Dedup.shingleArrays(batch.toDF(), id, text).cache()
+        val bk = graft.ops.Dedup.signatureBuckets(arrs).cache()
         try {
-          graft.ops.Dedup.incrementalPairs(b, id, text, storePath, tau)
-            .write.mode("append").parquet(pairsPath)
-          graft.ops.Dedup.appendToSignatureStore(b, id, text, storePath)
-        } finally b.unpersist()
+          graft.ops.Dedup.incrementalPairsFrom(arrs, bk, storePath, tau)
+            .write.mode("overwrite").parquet(s"$pairsPath/batch=$batchId")
+          graft.ops.Dedup.writeSignatureStoreFrom(arrs, storePath, s"b$batchId")
+        } finally { bk.unpersist(); arrs.unpersist() }
         ()
       }
 

@@ -16,7 +16,7 @@ class GoldenSpec extends SparkSpec {
   private def goldenHash(df: DataFrame): String = {
     val header = df.columns.mkString(",")
     val rows = df.collect()
-      .map(_.toSeq.map(String.valueOf).mkString(""))
+      .map(_.toSeq.map(String.valueOf).mkString("\u0001"))
       .sorted.mkString("\n")
     java.security.MessageDigest.getInstance("MD5")
       .digest((header + "\n" + rows).getBytes("UTF-8"))
@@ -32,7 +32,7 @@ class GoldenSpec extends SparkSpec {
     "q70_multimodal_meta" -> "e1f70b589d482b27df192c7ede8c36c8",
     "q71_frame_sample"    -> "5e03debf3d90b9bede08a3e30b3a8497",
     "q76_audio_windows"   -> "8edbf67013ce60a8b63f2072f1fdf046",
-    "q91_embed_clusters"  -> "dc19d3d2a18714ea058dab1ace5075b5",
+    "q91_embed_clusters"  -> "8982a208ebade798caaa0b019188c24d",
     "q95_diversity_sample" -> "e659c706697df54f41f8bec86ece7ab2",
   )
 
