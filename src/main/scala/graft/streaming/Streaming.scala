@@ -76,6 +76,18 @@ object Streaming {
         ()
       }
 
+  /** Stream-static enrichment join: every streaming event picks up its
+    * user's dimension row. The static side is a plain DataFrame — Spark
+    * re-plans it per micro-batch (so a refreshed dim table is picked up
+    * on the next batch) and broadcasts it when small; the stream side
+    * never shuffles and no state is kept, which makes this the cheapest
+    * streaming join shape and the default for dimension enrichment at
+    * any scale. Left join: events with an unknown key survive with null
+    * dims rather than silently dropping. */
+  def enrichStream(events: DataFrame, dims: DataFrame,
+                   eventKey: String, dimKey: String): DataFrame =
+    events.join(broadcast(dims), col(eventKey) === col(dimKey), "left_outer")
+
   /** Stream-stream event-time interval join: each click joins the views
     * by the same user in the preceding `window`. Both sides carry
     * watermarks and the join condition bounds event time on BOTH sides,

@@ -119,6 +119,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins dims without state, keeps unknown keys") {
+    implicit val sqlCtx = spark.sqlContext
+    val dims = Seq((1L, "gold"), (2L, "silver")).toDF("cust_id", "tier")
+    val in = MemoryStream[(Long, Double)]
+    val q = Streaming.enrichStream(in.toDF().toDF("user", "amount"), dims,
+        "user", "cust_id")
+      .select(col("user"), col("amount"), col("tier"))
+      .writeStream.format("memory").queryName("enriched_out")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, 10.0), (2L, 20.0), (99L, 5.0))
+      q.processAllAvailable()
+      val got = spark.table("enriched_out").collect()
+        .map(r => (r.getLong(0), Option(r.getString(2)))).toSet
+      assert(got == Set((1L, Some("gold")), (2L, Some("silver")), (99L, None)))
+    } finally q.stop()
+  }
+
   test("streaming near-dedup matches against the store and grows it per batch") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-neardedup").toString
