@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.Prop.forAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.F
+
+/** Randomized cross-checks of the native expressions against plain-Scala
+  * reference implementations. Each property evaluates the expression
+  * through a real (local) Spark plan — so the codegen path, not just
+  * nullSafeEval, is exercised — on ScalaCheck-generated inputs. */
+class PropertySpec extends AnyFunSuite {
+  private def spark = SparkTestSession.spark
+  import SparkTestSession.spark.implicits._
+
+  /** Run a ScalaCheck property under scalatest (50 cases each — every
+    * case is a small Spark job, so the count is deliberately modest). */
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(50), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val sortedLongs: Gen[Array[Long]] =
+    Gen.listOf(Gen.chooseNum(-1000L, 1000L)).map(_.distinct.sorted.toArray)
+
+  test("jaccardSorted and intersectSize match set arithmetic on random arrays") {
+    check(forAll(sortedLongs, sortedLongs) { (a, b) =>
+      val row = Seq((a, b)).toDF("a", "b")
+        .select(F.jaccardSorted(col("a"), col("b")).as("j"),
+          F.intersectSize(col("a"), col("b")).as("c"))
+        .head()
+      val common = a.toSet.intersect(b.toSet).size
+      val union = a.toSet.union(b.toSet).size
+      val wantJ = if (union == 0) 0.0 else common.toDouble / union
+      row.getDouble(0) == wantJ && row.getInt(1) == common
+    })
+  }
+
+  test("hamming64 matches Long.bitCount of xor on random longs") {
+    check(forAll { (a: Long, b: Long) =>
+      Seq((a, b)).toDF("a", "b").select(F.hamming64(col("a"), col("b")))
+        .head().getInt(0) == java.lang.Long.bitCount(a ^ b)
+    })
+  }
+
+  test("cosineSim stays in [-1, 1] and is symmetric on random vectors") {
+    val vec = Gen.listOfN(8, Gen.chooseNum(-100, 100).map(_.toFloat / 10f))
+      .map(_.toArray)
+    check(forAll(vec, vec) { (a, b) =>
+      val r = Seq((a, b), (b, a)).toDF("a", "b")
+        .select(F.cosineSim(col("a"), col("b"))).as[Double].collect()
+      r(0) == r(1) && r(0) >= -1.0000001 && r(0) <= 1.0000001
+    })
+  }
+
+  test("shingleHashes output is sorted, distinct, and has the right size") {
+    val words = Gen.listOf(Gen.oneOf("a", "b", "c", "d", "e", "f"))
+    check(forAll(words) { ws =>
+      val arr = Seq(Tuple1(ws.toArray)).toDF("toks")
+        .select(F.shingleHashes(col("toks"), 3)).head().getSeq[Long](0)
+      val expectedMax = math.max(ws.length - 2, 0)
+      (arr == arr.sorted) && arr.distinct.length == arr.length &&
+        arr.length <= expectedMax
+    })
+  }
+
+  test("minhash signature is permutation-length and bounded by array min property") {
+    // Signature entries are minima of hash mixes — adding an element can
+    // only keep or lower each minimum (monotonicity of min under
+    // superset), which is the property MinHash correctness rests on.
+    check(forAll(sortedLongs.suchThat(_.nonEmpty)) { a =>
+      val bigger = (a.toSet + 424242L).toArray.sorted
+      val df = Seq((a, bigger)).toDF("a", "b")
+        .select(F.minhash128(col("a"), 16).as("sa"), F.minhash128(col("b"), 16).as("sb"))
+        .head()
+      val sa = df.getSeq[Long](0); val sb = df.getSeq[Long](1)
+      sa.length == 16 && sb.length == 16 &&
+        sa.zip(sb).forall { case (x, y) => y <= x }
+    })
+  }
+}
