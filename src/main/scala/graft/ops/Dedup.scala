@@ -182,31 +182,41 @@ object Dedup {
     * ("terms of service …") posted by 10⁶ docs makes the candidate join
     * quadratic in its posting length. `maxPosting` drops shingles with
     * document frequency above the cap from CANDIDATE GENERATION (both
-    * sides) — qualifying pairs still surface through any rarer shared
-    * shingle in the prefix, which real near-dup pairs have unless they
-    * consist of nothing but ubiquitous boilerplate; those are exact or
-    * MinHash dups and belong to q50/q52 upstream (the documented
-    * pipeline order). Verification is unaffected — it always sees the
-    * full arrays. */
+    * sides), and the prefix is then taken over each doc's surviving
+    * RARE shingles: the pigeonhole bound still holds because removing a
+    * doc's h hot shingles lowers both its array length and the
+    * worst-case shareable overlap by the same h, so the original
+    * n − ⌈τ·n⌉ + 1 prefix length applied to the rare-only array keeps
+    * every pair whose rare overlap witnesses the containment. Only
+    * pairs overlapping EXCLUSIVELY in ubiquitous boilerplate are lost —
+    * those are exact or MinHash dups and belong to q50/q52 upstream
+    * (the documented pipeline order). Verification is unaffected — it
+    * always sees the full arrays. */
   def containmentPairs(corpus: DataFrame, id: String, text: String,
                        tau: Double, k: Int = 3,
                        maxPosting: Int = Int.MaxValue): DataFrame = {
     val arrs = shingleArrays(corpus, id, text, k).cache()
     val prefixLen = (col("n") - ceil(col("n") * tau).cast("int") + 1)
-    val byShingle = Window.partitionBy(col("sh"))
-    val allPrefixes = arrs.select(col("doc_id"),
-      explode(slice(col("sh_arr"), lit(1), prefixLen)).as("sh"))
-    val allFull = arrs.select(col("doc_id").as("full_id"), explode(col("sh_arr")).as("sh"))
     val (prefixes, full) =
-      if (maxPosting == Int.MaxValue) (allPrefixes, allFull)
-      else {
-        val cappedFull = allFull
-          .withColumn("df", count(lit(1)).over(byShingle))
-          .filter(col("df") <= maxPosting).drop("df")
-        // The prefix side reuses the SAME document-frequency bound via a
-        // semi-join against the surviving full-side shingles.
-        val kept = cappedFull.select(col("sh")).distinct()
-        (allPrefixes.join(kept, Seq("sh"), "left_semi"), cappedFull)
+      if (maxPosting == Int.MaxValue) {
+        (arrs.select(col("doc_id"),
+           explode(slice(col("sh_arr"), lit(1), prefixLen)).as("sh")),
+         arrs.select(col("doc_id").as("full_id"), explode(col("sh_arr")).as("sh")))
+      } else {
+        // Rare-only postings: document frequency via a window over the
+        // shingle partitioning, then the prefix ranks each doc's
+        // SURVIVING shingles (posexplode keeps the sorted position) so
+        // the prefix bound applies to shingles that actually join.
+        val posts = arrs.select(col("doc_id"), col("n"),
+          posexplode(col("sh_arr")).as(Seq("pos", "sh")))
+        val rare = posts
+          .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+          .filter(col("df") <= maxPosting)
+        val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
+        (rare.withColumn("rk", row_number().over(byDoc))
+           .filter(col("rk") <= prefixLen)
+           .select(col("doc_id"), col("sh")),
+         rare.select(col("doc_id").as("full_id"), col("sh")))
       }
     val candidates = prefixes.join(full, "sh")
       .filter(col("doc_id") =!= col("full_id"))
@@ -254,10 +264,14 @@ object Dedup {
     * discover the batch dimension as a partition column and ignore it. */
   def writeSignatureStoreFrom(arrs: DataFrame, path: String, batchTag: String,
                               perms: Int = MinhashPerms,
-                              bands: Int = LshBands): Unit = {
+                              bands: Int = LshBands,
+                              buckets: Option[DataFrame] = None): Unit = {
     arrs.select(col("doc_id"), col("sh_arr"), col("n"))
       .write.mode("overwrite").parquet(s"$path/arrays/batch=$batchTag")
-    bandBuckets(arrs, perms, bands).write.mode("overwrite")
+    // Reuse the caller's (cached) bucket derivation when provided — the
+    // MinHash signature pass is the batch's most expensive per-doc work
+    // and the streaming path already computed it for the pair search.
+    buckets.getOrElse(bandBuckets(arrs, perms, bands)).write.mode("overwrite")
       .partitionBy("band").parquet(s"$path/buckets/batch=$batchTag")
   }
 
@@ -305,17 +319,23 @@ object Dedup {
       .select(col("doc_id").as("store_id"), col("band"), col("bh"))
     val storeArrs = s.read.parquet(s"$storePath/arrays")
       .select(col("doc_id"), col("sh_arr"), col("n"))
-    // One aggregation pass sizes every store bucket and elects its hub.
-    val bucketStats = storeBk.groupBy(col("band"), col("bh"))
-      .agg(count(lit(1)).as("s_width"), min(col("store_id")).as("s_hub"))
-    val tagged = newBk.join(bucketStats, Seq("band", "bh"))
-    val hotCross = tagged.filter(col("s_width") > maxBucket)
+    // ONE scan + shuffle of the (large, growing) store buckets: width
+    // and hub ride the same (band, bh) window partitioning. Hot buckets
+    // collapse to one distinct hub row BEFORE joining the batch, so the
+    // join never fans a new doc out across a hot bucket's postings; the
+    // cold side joins postings directly.
+    val byBucket = Window.partitionBy(col("band"), col("bh"))
+    val sized = storeBk
+      .withColumn("s_width", count(lit(1)).over(byBucket))
+      .withColumn("s_hub", min(col("store_id")).over(byBucket))
+    val hotCross = sized.filter(col("s_width") > maxBucket)
+      .select(col("band"), col("bh"), col("s_hub")).distinct()
+      .join(newBk, Seq("band", "bh"))
       .filter(col("s_hub") =!= col("doc_id"))
       .select(least(col("s_hub"), col("doc_id")).as("doc_a"),
               greatest(col("s_hub"), col("doc_id")).as("doc_b"))
-    val coldCross = tagged.filter(col("s_width") <= maxBucket)
-      .select(col("doc_id"), col("band"), col("bh"))
-      .join(storeBk, Seq("band", "bh"))
+    val coldCross = sized.filter(col("s_width") <= maxBucket)
+      .join(newBk, Seq("band", "bh"))
       .filter(col("store_id") =!= col("doc_id"))
       .select(least(col("store_id"), col("doc_id")).as("doc_a"),
               greatest(col("store_id"), col("doc_id")).as("doc_b"))

@@ -71,7 +71,8 @@ object Streaming {
         try {
           graft.ops.Dedup.incrementalPairsFrom(arrs, bk, storePath, tau)
             .write.mode("overwrite").parquet(s"$pairsPath/batch=$batchId")
-          graft.ops.Dedup.writeSignatureStoreFrom(arrs, storePath, s"b$batchId")
+          graft.ops.Dedup.writeSignatureStoreFrom(arrs, storePath, s"b$batchId",
+            buckets = Some(bk))
         } finally { bk.unpersist(); arrs.unpersist() }
         ()
       }
@@ -79,14 +80,18 @@ object Streaming {
   /** Stream-static enrichment join: every streaming event picks up its
     * user's dimension row. The static side is a plain DataFrame — Spark
     * re-plans it per micro-batch (so a refreshed dim table is picked up
-    * on the next batch) and broadcasts it when small; the stream side
-    * never shuffles and no state is kept, which makes this the cheapest
-    * streaming join shape and the default for dimension enrichment at
-    * any scale. Left join: events with an unknown key survive with null
-    * dims rather than silently dropping. */
+    * on the next batch) and picks a broadcast join when the dim side is
+    * under the auto-broadcast threshold (no forced hint: a huge dim
+    * table degrades to a shuffle join instead of OOMing the driver); no
+    * streaming state is kept, which makes this the cheapest streaming
+    * join shape and the default for dimension enrichment at any scale.
+    * Keys are resolved against their OWN side, so events and dims may
+    * share the key column name (the normal case). Left join: events
+    * with an unknown key survive with null dims rather than silently
+    * dropping. */
   def enrichStream(events: DataFrame, dims: DataFrame,
                    eventKey: String, dimKey: String): DataFrame =
-    events.join(broadcast(dims), col(eventKey) === col(dimKey), "left_outer")
+    events.join(dims, events(eventKey) === dims(dimKey), "left_outer")
 
   /** Stream-stream event-time interval join: each click joins the views
     * by the same user in the preceding `window`. Both sides carry

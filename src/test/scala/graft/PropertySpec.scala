@@ -11,7 +11,6 @@ import graft.functions.F
   * through a real (local) Spark plan — so the codegen path, not just
   * nullSafeEval, is exercised — on ScalaCheck-generated inputs. */
 class PropertySpec extends AnyFunSuite {
-  private def spark = SparkTestSession.spark
   import SparkTestSession.spark.implicits._
 
   /** Run a ScalaCheck property under scalatest (50 cases each — every

@@ -121,11 +121,13 @@ class StreamingSpec extends SparkSpec {
 
   test("stream-static enrichment joins dims without state, keeps unknown keys") {
     implicit val sqlCtx = spark.sqlContext
-    val dims = Seq((1L, "gold"), (2L, "silver")).toDF("cust_id", "tier")
+    // Both sides deliberately name the key "user" — the common shape
+    // that an unqualified join condition would reject as ambiguous.
+    val dims = Seq((1L, "gold"), (2L, "silver")).toDF("user", "tier")
     val in = MemoryStream[(Long, Double)]
-    val q = Streaming.enrichStream(in.toDF().toDF("user", "amount"), dims,
-        "user", "cust_id")
-      .select(col("user"), col("amount"), col("tier"))
+    val stream = in.toDF().toDF("user", "amount")
+    val q = Streaming.enrichStream(stream, dims, "user", "user")
+      .select(stream("user"), col("amount"), col("tier"))
       .writeStream.format("memory").queryName("enriched_out")
       .outputMode("append").start()
     try {
