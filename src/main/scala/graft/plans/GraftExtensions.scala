@@ -4,8 +4,9 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
-import graft.functions.{CosineSimilarity, HammingDistance64, JaccardSorted,
-  MinHash128, RollingHash64, ShingleHashes, SimHash64, TopKAgg, VecSumAgg}
+import graft.functions.{CosineSimilarity, HammingDistance64, IntersectSizeSorted,
+  JaccardSorted, MinHash128, RollingHash64, ShingleHashes, SimHash64, TopKAgg,
+  VecSumAgg}
 
 /** SparkSessionExtensions registering graft's native expressions as SQL
   * functions, so `spark.sql("SELECT cosine_sim(a, b) ...")` works too.
@@ -41,6 +42,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("jaccard_sorted"),
       new ExpressionInfo(classOf[JaccardSorted].getName, "jaccard_sorted"),
       (children: Seq[Expression]) => JaccardSorted(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("intersect_size"),
+      new ExpressionInfo(classOf[IntersectSizeSorted].getName, "intersect_size"),
+      (children: Seq[Expression]) => IntersectSizeSorted(children(0), children(1))))
     // shingle_hashes(toks [, k]) and minhash128(hashes [, perms]) take
     // their size parameter as an optional integer literal.
     ext.injectFunction((

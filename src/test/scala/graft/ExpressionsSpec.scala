@@ -132,11 +132,13 @@ class ExpressionsSpec extends SparkSpec {
       "SELECT shingle_hashes(array('a','b','c','d'), 2) AS sh, " +
       "simhash64(array('a','b')) AS sim, " +
       "jaccard_sorted(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS j, " +
-      "minhash128(array(1L, 2L), 4) AS mh").head()
+      "minhash128(array(1L, 2L), 4) AS mh, " +
+      "intersect_size(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS c").head()
     assert(r.getSeq[Long](0).length == 3)           // 3 distinct 2-shingles
     assert(r.getSeq[Long](0).sorted == r.getSeq[Long](0))
     assert(math.abs(r.getDouble(2) - 0.5) < 1e-12)  // |{2,3}| / |{1,2,3,4}|
     assert(r.getSeq[Long](3).length == 4)
+    assert(r.getInt(4) == 2)                        // |{2,3}|
   }
 
   test("shingleHashes matches the SQL-composed shingle pipeline") {
