@@ -112,6 +112,27 @@ object Streaming {
         unix_micros(col("view_ts")).as("view_us"),
         unix_micros(col("click_ts")).as("click_us"))
 
+  /** Stream-stream LEFT OUTER interval join: like viewClickJoin but
+    * views with no click inside the window are still emitted (null
+    * click columns) — once the watermark proves no matching click can
+    * arrive. The outer emission is exactly what makes conversion-rate
+    * streams computable online: unmatched rows ARE the negative class,
+    * and they appear as soon as the horizon passes instead of never.
+    * Same bounded state as the inner join: both sides watermarked, the
+    * condition bounds event time on both sides, state evicted at the
+    * horizon. */
+  def viewClickJoinOuter(views: DataFrame, clicks: DataFrame,
+                         window: String = "10 minutes"): DataFrame =
+    views.withWatermark("view_ts", "1 hour")
+      .join(clicks.withWatermark("click_ts", "1 hour"),
+        expr(s"""view_user = click_user AND
+                 click_ts >= view_ts AND
+                 click_ts <= view_ts + INTERVAL $window""".stripMargin),
+        "left_outer")
+      .select(col("view_user").as("user_id"), col("view_id"), col("click_id"),
+        unix_micros(col("view_ts")).as("view_us"),
+        unix_micros(col("click_ts")).as("click_us"))
+
   case class TopEntry(value: Double, event_id: Long)
   case class TopState(user_id: Long, top: Seq[TopEntry])
 

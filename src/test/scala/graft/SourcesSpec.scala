@@ -127,4 +127,21 @@ class SourcesSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS customer_bucketed")
     }
   }
+
+  test("parquet schema evolution: mergeSchema unions columns across files") {
+    import SparkTestSession.spark.implicits._
+    val dir = tmp("evolve")
+    // Generation 1 writes (id, a); generation 2 adds column b — the
+    // append-only evolution a long-lived dataset accumulates.
+    Seq((1L, "x"), (2L, "y")).toDF("id", "a")
+      .write.mode("overwrite").parquet(dir)
+    Seq((3L, "z", 30L)).toDF("id", "a", "b")
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("id", "a", "b"))
+    val rows = merged.orderBy(col("id")).collect()
+    assert(rows.length == 3)
+    assert(rows(0).isNullAt(rows(0).fieldIndex("b"))) // old files: null b
+    assert(rows(2).getLong(rows(2).fieldIndex("b")) == 30L)
+  }
 }

@@ -119,6 +119,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("outer interval join emits unmatched views once the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[(Long, Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val q = Streaming.viewClickJoinOuter(
+        views.toDF().toDF("view_user", "view_id", "view_ts"),
+        clicks.toDF().toDF("click_user", "click_id", "click_ts"))
+      .writeStream.format("memory").queryName("vc_outer")
+      .outputMode("append").start()
+    try {
+      views.addData((1L, 100L, ts("2024-01-01 10:00:00")),   // will match
+                    (2L, 101L, ts("2024-01-01 10:00:00")))   // never matches
+      clicks.addData((1L, 900L, ts("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+      // Advance BOTH watermarks far past view 101's join horizon.
+      views.addData((9L, 999L, ts("2024-01-01 15:00:00")))
+      clicks.addData((9L, 998L, ts("2024-01-01 15:00:00")))
+      q.processAllAvailable()
+      views.addData((9L, 997L, ts("2024-01-01 20:00:00")))
+      clicks.addData((9L, 996L, ts("2024-01-01 20:00:00")))
+      q.processAllAvailable()
+      val got = spark.table("vc_outer").collect()
+        .map(r => (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+        .toMap
+      assert(got(100L) == Some(900L), s"matched view wrong: $got")
+      assert(got.get(101L).contains(None), s"unmatched view not emitted: $got")
+    } finally q.stop()
+  }
+
   test("stream-static enrichment joins dims without state, keeps unknown keys") {
     implicit val sqlCtx = spark.sqlContext
     // Both sides deliberately name the key "user" — the common shape
