@@ -102,6 +102,7 @@ object SparkEntry {
     "q93_corr_stats"        -> (Relational.q93 _),
     "q94_semantic_search"   -> (Similarity.q94 _),
     "q95_diversity_sample"  -> ((s, d) => Similarity.q95(s, d)),
+    "q96_dedup_apply"       -> (Dedup.q96 _),
     "q74_stopword_filter" -> (Text.q74 _),
     "q77_session_window"  -> (Events.q77 _),
     "q75_corpus_pipeline" -> (Text.q75 _),
@@ -479,6 +480,34 @@ object SparkEntry {
            arg_max(q.quality_bp, q.quality_bp * 10000000 + (10000000 - lab.node)) AS keep_quality_bp
          FROM lab JOIN q ON q.doc_id = lab.node JOIN cs USING (cluster_id)
          GROUP BY 1, 2""",
+
+    "q96_dedup_apply" ->
+      s"""WITH RECURSIVE
+         t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle FROM t),
+         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         pair AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS common
+                  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+         good AS (SELECT ida, idb FROM pair
+                  JOIN sz na ON na.doc_id = ida JOIN sz nb ON nb.doc_id = idb
+                  WHERE common / CAST(na.n + nb.n - common AS DOUBLE) >= 0.6),
+         edges AS (SELECT ida AS a, idb AS b FROM good UNION SELECT idb, ida FROM good),
+         reach(node, r) AS (SELECT a, a FROM edges
+                            UNION SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.node),
+         lab AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
+         q AS (SELECT doc_id,
+                 ${BP("0.5 * least(nt / 100.0, 1.0) + 0.3 * (1.0 - nstop / nt) + 0.2 * least(((nchars - (nt - 1)) / nt) / 8.0, 1.0)")} AS quality_bp
+               FROM (SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt,
+                     CAST(len(list_filter(string_split(text, ' '),
+                       x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) AS nstop,
+                     CAST(length(text) AS DOUBLE) AS nchars FROM documents)),
+         keep AS (SELECT arg_max(lab.node, q.quality_bp * 10000000 + (10000000 - lab.node)) AS keep_id
+                  FROM lab JOIN q ON q.doc_id = lab.node GROUP BY lab.cluster_id)
+         SELECT d.doc_id, d.lang, d.source FROM documents d
+         WHERE d.doc_id IN (SELECT keep_id FROM keep)
+            OR d.doc_id NOT IN (SELECT node FROM lab)""",
 
     "q30_tumbling_window" ->
       s"""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts, event_type,

@@ -481,6 +481,29 @@ object Dedup {
     incrementalPairs(docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", path, 0.6)
   }
 
+  /** q96: APPLY the dedup policy — the cleaned corpus itself: every
+    * document outside any near-dup cluster, plus each cluster's
+    * keep-best representative (q84's policy). This is the operator a
+    * pipeline actually materializes; q55/q84 are its diagnostics. The
+    * cluster labeling is computed once (clusters() localCheckpoints its
+    * fixpoint, so the anti-join and the keep-best aggregation reuse it
+    * without replaying the iteration). */
+  def q96(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val cl = q55(s, d)
+    val q = Text.qualityBp(docs, "doc_id", "text")
+    val pack = col("quality_bp") * lit(10000000L) + (lit(10000000L) - col("doc_id"))
+    val keep = cl.join(q, "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(max_by(col("doc_id"), pack).as("keep_id"))
+      .select(col("keep_id"))
+    val unclustered = docs.join(cl.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    val kept = docs.join(keep, col("doc_id") === col("keep_id"))
+      .select(docs.columns.map(col): _*)
+    unclustered.unionByName(kept)
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
   /** q84: the production dedup POLICY — within each near-dup cluster
     * keep the highest-quality member (q41 score), ties to the smallest
     * id. The (quality, -id) order is packed into one exact bigint so

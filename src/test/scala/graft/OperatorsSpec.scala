@@ -170,6 +170,19 @@ class OperatorsSpec extends SparkSpec {
       s"got ${got.size} pairs, want ${(wantCross ++ wantWithin).size}")
   }
 
+  test("q96 cleaned corpus = unclustered docs + one keeper per cluster") {
+    val total = Tables.documents(spark, sf).count()
+    val cl = Dedup.q55(spark, sf).collect()
+    val nClustered = cl.length
+    val nClusters = cl.map(_.getLong(1)).distinct.length
+    val survivors = Dedup.q96(spark, sf).collect().map(_.getLong(0))
+    assert(survivors.length.toLong == total - nClustered + nClusters)
+    assert(survivors.distinct.length == survivors.length)
+    // Every keeper q84 elects is among the survivors.
+    val keepers = Dedup.q84(spark, sf).collect().map(_.getLong(2)).toSet
+    assert(keepers.subsetOf(survivors.toSet))
+  }
+
   test("q88 incremental dedup equals the whole-corpus pairs touching the batch") {
     val whole = Dedup.q51(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
