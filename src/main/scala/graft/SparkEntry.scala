@@ -103,6 +103,7 @@ object SparkEntry {
     "q94_semantic_search"   -> (Similarity.q94 _),
     "q95_diversity_sample"  -> ((s, d) => Similarity.q95(s, d)),
     "q96_dedup_apply"       -> (Dedup.q96 _),
+    "q97_weighted_sample"   -> (Text.q97 _),
     "q74_stopword_filter" -> (Text.q74 _),
     "q77_session_window"  -> (Events.q77 _),
     "q75_corpus_pipeline" -> (Text.q75 _),
@@ -480,6 +481,14 @@ object SparkEntry {
            arg_max(q.quality_bp, q.quality_bp * 10000000 + (10000000 - lab.node)) AS keep_quality_bp
          FROM lab JOIN q ON q.doc_id = lab.node JOIN cs USING (cluster_id)
          GROUP BY 1, 2""",
+
+    "q97_weighted_sample" ->
+      """WITH t AS (SELECT doc_id, lang, length(text) AS w,
+           (((doc_id * 2654435761) % 1000003) + 1) / 1000004.0 AS u
+           FROM documents),
+         r AS (SELECT doc_id, lang,
+               row_number() OVER (ORDER BY ln(u) / w DESC, doc_id ASC) AS rank FROM t)
+         SELECT rank, doc_id, lang FROM r WHERE rank <= 20""",
 
     "q96_dedup_apply" ->
       s"""WITH RECURSIVE

@@ -290,6 +290,29 @@ object Text {
   def q90(s: SparkSession, d: String): DataFrame =
     unigramSurprisal(Tables.documents(s, d), "doc_id", "text")
 
+  /** Deterministic WEIGHTED sampling without replacement (the A-ES
+    * exponential race): each row gets a pseudo-uniform u ∈ (0, 1] from
+    * exact integer arithmetic on its id (cross-engine reproducible, no
+    * RNG state) and survives if its race key ln(u)/w ranks in the top
+    * k — heavier rows win proportionally more often. The top-k cut is
+    * one TakeOrderedAndProject-style window; at scale the same key
+    * feeds TopKAgg for a map-side bounded heap. Output is rank-ordered
+    * (rank comparisons are ulp-robust: distinct (u, w) pairs differ by
+    * far more than cross-libm ln error). */
+  def weightedSample(df: DataFrame, id: String, weight: Column,
+                     k: Int): DataFrame = {
+    val u = ((col(id) * lit(2654435761L)) % lit(1000003L) + lit(1)) / lit(1000004.0)
+    val w = Window.orderBy((log(u) / weight).desc, col(id).asc)
+    df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** q97: 20-document weighted sample, weight = document length —
+    * longer documents proportionally likelier, selection deterministic. */
+  def q97(s: SparkSession, d: String): DataFrame =
+    weightedSample(Tables.documents(s, d), "doc_id", length(col("text")), 20)
+      .select(col("rank"), col("doc_id"), col("lang"))
+
   /** q46: normalize-then-dedup of the documents table. */
   def q46(s: SparkSession, d: String): DataFrame =
     normalizeDedup(Tables.documents(s, d), "doc_id", "text")
