@@ -295,16 +295,20 @@ object Text {
     * exact integer arithmetic on its id (cross-engine reproducible, no
     * RNG state) and survives if its race key ln(u)/w ranks in the top
     * k — heavier rows win proportionally more often. The top-k cut is
-    * one TakeOrderedAndProject-style window; at scale the same key
-    * feeds TopKAgg for a map-side bounded heap. Output is rank-ordered
-    * (rank comparisons are ulp-robust: distinct (u, w) pairs differ by
-    * far more than cross-libm ln error). */
+    * orderBy+limit — TakeOrderedAndProject, a per-partition bounded
+    * heap plus a driver merge of k rows, never a global sort (a global
+    * row_number window would drag every row through ONE partition).
+    * Ranks are then assigned by a window over just the k survivors.
+    * Rank comparisons are ulp-robust: distinct (u, w) pairs differ by
+    * far more than cross-libm ln error. */
   def weightedSample(df: DataFrame, id: String, weight: Column,
                      k: Int): DataFrame = {
     val u = ((col(id) * lit(2654435761L)) % lit(1000003L) + lit(1)) / lit(1000004.0)
-    val w = Window.orderBy((log(u) / weight).desc, col(id).asc)
-    df.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    val top = df.withColumn("wkey", log(u) / weight)
+      .orderBy(col("wkey").desc, col(id).asc).limit(k)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(col("wkey").desc, col(id).asc)))
+      .drop("wkey")
   }
 
   /** q97: 20-document weighted sample, weight = document length —
