@@ -114,6 +114,34 @@ object SparkEntry {
   private def C(e: String)  = s"CAST(floor(($e) * 100 + 0.5) AS BIGINT)"
   private def BP(e: String) = s"CAST(floor(($e) * 10000 + 0.5) AS BIGINT)"
 
+  /** Shared oracle fragments for the dedup-policy family (q55/q84/q96):
+    * one definition of the near-dup cluster labeling, the quality score,
+    * and the keep-best pack, so the oracles can't drift apart from each
+    * other (the Spark side shares Dedup.q55/electKeepers the same way). */
+  private val ClusterCtes =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle FROM t),
+       sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       pair AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS common
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+       good AS (SELECT ida, idb FROM pair
+                JOIN sz na ON na.doc_id = ida JOIN sz nb ON nb.doc_id = idb
+                WHERE common / CAST(na.n + nb.n - common AS DOUBLE) >= 0.6),
+       edges AS (SELECT ida AS a, idb AS b FROM good UNION SELECT idb, ida FROM good),
+       reach(node, r) AS (SELECT a, a FROM edges
+                          UNION SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.node),
+       lab AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)"""
+  private val QualityCte =
+    s"""q AS (SELECT doc_id,
+           ${BP("0.5 * least(nt / 100.0, 1.0) + 0.3 * (1.0 - nstop / nt) + 0.2 * least(((nchars - (nt - 1)) / nt) / 8.0, 1.0)")} AS quality_bp
+         FROM (SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt,
+               CAST(len(list_filter(string_split(text, ' '),
+                 x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) AS nstop,
+               CAST(length(text) AS DOUBLE) AS nchars FROM documents))"""
+  private val KeepPack = "q.quality_bp * 10000000 + (10000000 - lab.node)"
+
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
@@ -426,21 +454,7 @@ object SparkEntry {
          GROUP BY 1""",
 
     "q55_dedup_clusters" ->
-      """WITH RECURSIVE
-         t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
-                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle FROM t),
-         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-         pair AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS common
-                  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-                  GROUP BY 1, 2),
-         good AS (SELECT ida, idb FROM pair
-                  JOIN sz na ON na.doc_id = ida JOIN sz nb ON nb.doc_id = idb
-                  WHERE common / CAST(na.n + nb.n - common AS DOUBLE) >= 0.6),
-         edges AS (SELECT ida AS a, idb AS b FROM good UNION SELECT idb, ida FROM good),
-         reach(node, r) AS (SELECT a, a FROM edges
-                            UNION SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.node),
-         lab AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
+      s"""WITH RECURSIVE $ClusterCtes,
          cs AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1)
          SELECT lab.node AS doc_id, lab.cluster_id, cs.cluster_size
          FROM lab JOIN cs USING (cluster_id)""",
@@ -454,65 +468,27 @@ object SparkEntry {
          UNION ALL SELECT l_returnflag, 'n_rows', n_rows FROM w""",
 
     "q84_dedup_keep_best" ->
-      s"""WITH RECURSIVE
-         t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
-                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle FROM t),
-         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-         pair AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS common
-                  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-                  GROUP BY 1, 2),
-         good AS (SELECT ida, idb FROM pair
-                  JOIN sz na ON na.doc_id = ida JOIN sz nb ON nb.doc_id = idb
-                  WHERE common / CAST(na.n + nb.n - common AS DOUBLE) >= 0.6),
-         edges AS (SELECT ida AS a, idb AS b FROM good UNION SELECT idb, ida FROM good),
-         reach(node, r) AS (SELECT a, a FROM edges
-                            UNION SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.node),
-         lab AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
+      s"""WITH RECURSIVE $ClusterCtes,
          cs AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1),
-         q AS (SELECT doc_id,
-                 ${BP("0.5 * least(nt / 100.0, 1.0) + 0.3 * (1.0 - nstop / nt) + 0.2 * least(((nchars - (nt - 1)) / nt) / 8.0, 1.0)")} AS quality_bp
-               FROM (SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt,
-                     CAST(len(list_filter(string_split(text, ' '),
-                       x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) AS nstop,
-                     CAST(length(text) AS DOUBLE) AS nchars FROM documents))
+         $QualityCte
          SELECT lab.cluster_id, cs.cluster_size,
-           arg_max(lab.node, q.quality_bp * 10000000 + (10000000 - lab.node)) AS keep_id,
-           arg_max(q.quality_bp, q.quality_bp * 10000000 + (10000000 - lab.node)) AS keep_quality_bp
+           arg_max(lab.node, $KeepPack) AS keep_id,
+           arg_max(q.quality_bp, $KeepPack) AS keep_quality_bp
          FROM lab JOIN q ON q.doc_id = lab.node JOIN cs USING (cluster_id)
          GROUP BY 1, 2""",
 
     "q97_weighted_sample" ->
       """WITH t AS (SELECT doc_id, lang, length(text) AS w,
-           (((doc_id * 2654435761) % 1000003) + 1) / 1000004.0 AS u
+           ((((doc_id % 1000003) * 427799) % 1000003) + 1) / 1000004.0 AS u
            FROM documents),
          r AS (SELECT doc_id, lang,
                row_number() OVER (ORDER BY ln(u) / w DESC, doc_id ASC) AS rank FROM t)
          SELECT rank, doc_id, lang FROM r WHERE rank <= 20""",
 
     "q96_dedup_apply" ->
-      s"""WITH RECURSIVE
-         t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
-                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle FROM t),
-         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-         pair AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS common
-                  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-                  GROUP BY 1, 2),
-         good AS (SELECT ida, idb FROM pair
-                  JOIN sz na ON na.doc_id = ida JOIN sz nb ON nb.doc_id = idb
-                  WHERE common / CAST(na.n + nb.n - common AS DOUBLE) >= 0.6),
-         edges AS (SELECT ida AS a, idb AS b FROM good UNION SELECT idb, ida FROM good),
-         reach(node, r) AS (SELECT a, a FROM edges
-                            UNION SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.node),
-         lab AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
-         q AS (SELECT doc_id,
-                 ${BP("0.5 * least(nt / 100.0, 1.0) + 0.3 * (1.0 - nstop / nt) + 0.2 * least(((nchars - (nt - 1)) / nt) / 8.0, 1.0)")} AS quality_bp
-               FROM (SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt,
-                     CAST(len(list_filter(string_split(text, ' '),
-                       x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) AS nstop,
-                     CAST(length(text) AS DOUBLE) AS nchars FROM documents)),
-         keep AS (SELECT arg_max(lab.node, q.quality_bp * 10000000 + (10000000 - lab.node)) AS keep_id
+      s"""WITH RECURSIVE $ClusterCtes,
+         $QualityCte,
+         keep AS (SELECT arg_max(lab.node, $KeepPack) AS keep_id
                   FROM lab JOIN q ON q.doc_id = lab.node GROUP BY lab.cluster_id)
          SELECT d.doc_id, d.lang, d.source FROM documents d
          WHERE d.doc_id IN (SELECT keep_id FROM keep)

@@ -491,11 +491,7 @@ object Dedup {
   def q96(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val cl = q55(s, d)
-    val q = Text.qualityBp(docs, "doc_id", "text")
-    val pack = col("quality_bp") * lit(10000000L) + (lit(10000000L) - col("doc_id"))
-    val keep = cl.join(q, "doc_id")
-      .groupBy(col("cluster_id"))
-      .agg(max_by(col("doc_id"), pack).as("keep_id"))
+    val keep = electKeepers(cl, Text.qualityBp(docs, "doc_id", "text"))
       .select(col("keep_id"))
     val unclustered = docs.join(cl.select(col("doc_id")), Seq("doc_id"), "left_anti")
     val kept = docs.join(keep, col("doc_id") === col("keep_id"))
@@ -504,19 +500,23 @@ object Dedup {
       .select(col("doc_id"), col("lang"), col("source"))
   }
 
-  /** q84: the production dedup POLICY — within each near-dup cluster
-    * keep the highest-quality member (q41 score), ties to the smallest
-    * id. The (quality, -id) order is packed into one exact bigint so
-    * max_by works identically in the oracle. One aggregation over the
-    * cluster labeling; quality is a map-side join against the corpus. */
-  def q84(s: SparkSession, d: String): DataFrame = {
-    val cl = q55(s, d)
-    val q = Text.qualityBp(Tables.documents(s, d), "doc_id", "text")
+  /** The keep-best ELECTION shared by q84 (diagnostic view) and q96
+    * (applied policy): within each near-dup cluster keep the
+    * highest-quality member (q41 score), ties to the smallest id. The
+    * (quality, -id) order is packed into one exact bigint so max_by
+    * works identically in the oracle. One aggregation over the cluster
+    * labeling; quality is a map-side join against the corpus. */
+  def electKeepers(cl: DataFrame, quality: DataFrame): DataFrame = {
     val pack = col("quality_bp") * lit(10000000L) + (lit(10000000L) - col("doc_id"))
-    cl.join(q, "doc_id")
+    cl.join(quality, "doc_id")
       .groupBy(col("cluster_id"))
       .agg(max(col("cluster_size")).as("cluster_size"),
            max_by(col("doc_id"), pack).as("keep_id"),
            max_by(col("quality_bp"), pack).as("keep_quality_bp"))
   }
+
+  /** q84: the production dedup POLICY as a per-cluster report. */
+  def q84(s: SparkSession, d: String): DataFrame =
+    electKeepers(q55(s, d),
+      Text.qualityBp(Tables.documents(s, d), "doc_id", "text"))
 }

@@ -300,10 +300,14 @@ object Text {
     * row_number window would drag every row through ONE partition).
     * Ranks are then assigned by a window over just the k survivors.
     * Rank comparisons are ulp-robust: distinct (u, w) pairs differ by
-    * far more than cross-libm ln error. */
+    * far more than cross-libm ln error. The id is mod-reduced BEFORE
+    * the Knuth multiply ((a*b) mod m = ((a mod m)(b mod m)) mod m, and
+    * 2654435761 mod 1000003 = 427799) so the product stays ≤ ~4e11 and
+    * never overflows Long — ids ≥ 2^63/2654435761 would otherwise wrap
+    * silently in Spark and error in ANSI engines. */
   def weightedSample(df: DataFrame, id: String, weight: Column,
                      k: Int): DataFrame = {
-    val u = ((col(id) * lit(2654435761L)) % lit(1000003L) + lit(1)) / lit(1000004.0)
+    val u = ((col(id) % lit(1000003L)) * lit(427799L) % lit(1000003L) + lit(1)) / lit(1000004.0)
     val top = df.withColumn("wkey", log(u) / weight)
       .orderBy(col("wkey").desc, col(id).asc).limit(k)
     top.withColumn("rank",

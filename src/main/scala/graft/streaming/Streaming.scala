@@ -102,12 +102,14 @@ object Streaming {
     * Input schemas: views(view_user, view_id, view_ts),
     * clicks(click_user, click_id, click_ts). */
   def viewClickJoin(views: DataFrame, clicks: DataFrame,
-                    window: String = "10 minutes"): DataFrame =
+                    window: String = "10 minutes",
+                    joinType: String = "inner"): DataFrame =
     views.withWatermark("view_ts", "1 hour")
       .join(clicks.withWatermark("click_ts", "1 hour"),
         expr(s"""view_user = click_user AND
                  click_ts >= view_ts AND
-                 click_ts <= view_ts + INTERVAL $window""".stripMargin))
+                 click_ts <= view_ts + INTERVAL $window"""),
+        joinType)
       .select(col("view_user").as("user_id"), col("view_id"), col("click_id"),
         unix_micros(col("view_ts")).as("view_us"),
         unix_micros(col("click_ts")).as("click_us"))
@@ -123,15 +125,7 @@ object Streaming {
     * horizon. */
   def viewClickJoinOuter(views: DataFrame, clicks: DataFrame,
                          window: String = "10 minutes"): DataFrame =
-    views.withWatermark("view_ts", "1 hour")
-      .join(clicks.withWatermark("click_ts", "1 hour"),
-        expr(s"""view_user = click_user AND
-                 click_ts >= view_ts AND
-                 click_ts <= view_ts + INTERVAL $window""".stripMargin),
-        "left_outer")
-      .select(col("view_user").as("user_id"), col("view_id"), col("click_id"),
-        unix_micros(col("view_ts")).as("view_us"),
-        unix_micros(col("click_ts")).as("click_us"))
+    viewClickJoin(views, clicks, window, joinType = "left_outer")
 
   case class TopEntry(value: Double, event_id: Long)
   case class TopState(user_id: Long, top: Seq[TopEntry])
