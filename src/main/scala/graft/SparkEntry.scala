@@ -104,6 +104,11 @@ object SparkEntry {
     "q95_diversity_sample"  -> ((s, d) => Similarity.q95(s, d)),
     "q96_dedup_apply"       -> (Dedup.q96 _),
     "q97_weighted_sample"   -> (Text.q97 _),
+    "q98_seq_pack"          -> (Text.q98 _),
+    "q99_quality_gate"      -> (Text.q99 _),
+    "q100_split_assign"     -> (Text.q100 _),
+    "q101_profile"          -> (Relational.q101 _),
+    "q102_heavy_hitters"    -> (Relational.q102 _),
     "q74_stopword_filter" -> (Text.q74 _),
     "q77_session_window"  -> (Events.q77 _),
     "q75_corpus_pipeline" -> (Text.q75 _),
@@ -493,6 +498,53 @@ object SparkEntry {
          SELECT d.doc_id, d.lang, d.source FROM documents d
          WHERE d.doc_id IN (SELECT keep_id FROM keep)
             OR d.doc_id NOT IN (SELECT node FROM lab)""",
+
+    "q98_seq_pack" ->
+      """WITH t AS (SELECT doc_id, doc_id % 16 AS bucket,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+         c AS (SELECT *, COALESCE(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok FROM t)
+         SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+           CAST(floor(start_tok / 512.0) AS BIGINT) AS bin_id,
+           CAST(start_tok % 512 AS BIGINT) AS bin_offset, n_tokens FROM c""",
+
+    "q99_quality_gate" ->
+      s"""WITH $QualityCte,
+         ql AS (SELECT q.doc_id, d.lang, q.quality_bp
+                FROM q JOIN documents d USING (doc_id)),
+         thr AS (SELECT lang,
+                   percentile_disc(0.10) WITHIN GROUP (ORDER BY quality_bp) AS thr_bp
+                 FROM ql GROUP BY 1)
+         SELECT ql.doc_id, ql.lang, ql.quality_bp, thr.thr_bp
+         FROM ql JOIN thr USING (lang) WHERE ql.quality_bp >= thr.thr_bp""",
+
+    "q100_split_assign" ->
+      """SELECT doc_id, lang,
+           CASE WHEN ((doc_id % 1000003) * 427799) % 1000003 % 10 < 8 THEN 'train'
+                WHEN ((doc_id % 1000003) * 427799) % 1000003 % 10 = 8 THEN 'val'
+                ELSE 'test' END AS split
+         FROM documents""",
+
+    "q101_profile" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+           CAST(o_orderdate AS DATE) AS o_orderdate FROM orders)
+         SELECT 'o_orderkey' AS column_name, count(*) AS n_rows,
+           count(o_orderkey) AS n_vals, count(DISTINCT o_orderkey) AS n_distinct,
+           CAST(min(o_orderkey) AS VARCHAR) AS min_s, CAST(max(o_orderkey) AS VARCHAR) AS max_s
+         FROM o
+         UNION ALL SELECT 'o_custkey', count(*), count(o_custkey), count(DISTINCT o_custkey),
+           CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR) FROM o
+         UNION ALL SELECT 'o_orderstatus', count(*), count(o_orderstatus), count(DISTINCT o_orderstatus),
+           CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR) FROM o
+         UNION ALL SELECT 'o_orderdate', count(*), count(o_orderdate), count(DISTINCT o_orderdate),
+           CAST(min(o_orderdate) AS VARCHAR), CAST(max(o_orderdate) AS VARCHAR) FROM o""",
+
+    "q102_heavy_hitters" ->
+      """WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+         t AS (SELECT sum(n) AS total FROM c)
+         SELECT user_id, n, CAST(floor(n * 10000.0 / total) AS BIGINT) AS share_bp
+         FROM c CROSS JOIN t
+         ORDER BY n DESC, user_id ASC LIMIT 10""",
 
     "q30_tumbling_window" ->
       s"""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts, event_type,

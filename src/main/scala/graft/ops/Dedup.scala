@@ -495,7 +495,7 @@ object Dedup {
       .select(col("keep_id"))
     val unclustered = docs.join(cl.select(col("doc_id")), Seq("doc_id"), "left_anti")
     val kept = docs.join(keep, col("doc_id") === col("keep_id"))
-      .select(docs.columns.map(col): _*)
+      .select(docs.columns.toIndexedSeq.map(col): _*)
     unclustered.unionByName(kept)
       .select(col("doc_id"), col("lang"), col("source"))
   }

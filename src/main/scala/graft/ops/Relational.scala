@@ -590,4 +590,65 @@ object Relational {
       .agg(array_join(sort_array(collect_list(col("s_name"))), ",").as("top_suppliers"),
            count(lit(1)).as("n_top"))
   }
+
+  /** Column PROFILE: per-column row count, non-null count, exact
+    * distinct count, and min/max (as strings, so heterogeneous column
+    * types share one schema). ONE pass over the table — all 4·N
+    * aggregates run in a single aggregation (Spark plans the multiple
+    * exact count-distincts as one Expand: the scan is read once and the
+    * shuffle carries one expanded row per (row, distinct-column) pair).
+    * The N-row result is assembled by exploding an array of structs over
+    * the single aggregated row — no per-column scan, no union of N
+    * subqueries. At 100 TB swap countDistinct for
+    * approx_count_distinct and the Expand (the only super-linear term)
+    * disappears; min/max/count are plain partial aggregates either way.
+    * Doubles should be discretized by the caller before profiling —
+    * min/max stringification is engine-specific for floats, exact for
+    * integers, dates, and strings. */
+  def profile(df: DataFrame, columns: Seq[String]): DataFrame = {
+    val aggs = columns.flatMap { c =>
+      Seq(count(col(c)).as(s"__n_$c"),
+          countDistinct(col(c)).as(s"__d_$c"),
+          min(col(c)).cast("string").as(s"__min_$c"),
+          max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val one = df.agg(count(lit(1)).as("__rows"), aggs: _*)
+    val rows = columns.map { c =>
+      struct(lit(c).as("column_name"), col("__rows").as("n_rows"),
+        col(s"__n_$c").as("n_vals"), col(s"__d_$c").as("n_distinct"),
+        col(s"__min_$c").as("min_s"), col(s"__max_$c").as("max_s"))
+    }
+    one.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
+  }
+
+  /** q101: profile the orders table's key, status, and date columns.
+    * The timestamp column is cast to date first — timestamp-to-string
+    * rendering is engine-specific, date-to-string is not. */
+  def q101(s: SparkSession, d: String): DataFrame =
+    profile(
+      Tables.orders(s, d)
+        .withColumn("o_orderdate", col("o_orderdate").cast("date")),
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"))
+
+  /** HEAVY HITTERS: the k most frequent keys with their corpus share —
+    * the diagnostic that decides which keys need salting/isolation
+    * before a big join or aggregation (the q29/q52 mitigations assume
+    * you know the hot keys; this finds them). One count aggregation,
+    * then TakeOrderedAndProject for the top k; the grand total rides a
+    * scalar one-row aggregate over the (already reduced) key counts,
+    * broadcast into the projection — three scalar columns per key
+    * shuffle-wide, never the raw rows. Share in basis points as exact
+    * integer math. */
+  def heavyHitters(df: DataFrame, key: String, k: Int): DataFrame = {
+    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("total"))
+    counts.crossJoin(broadcast(total))
+      .select(col(key), col("n"),
+        floor(col("n") * 10000L / col("total")).cast("long").as("share_bp"))
+      .orderBy(col("n").desc, col(key).asc).limit(k)
+  }
+
+  /** q102: the 10 busiest users on the events stream. */
+  def q102(s: SparkSession, d: String): DataFrame =
+    heavyHitters(Tables.events(s, d), "user_id", 10)
 }

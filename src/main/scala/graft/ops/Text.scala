@@ -321,6 +321,81 @@ object Text {
     weightedSample(Tables.documents(s, d), "doc_id", length(col("text")), 20)
       .select(col("rank"), col("doc_id"), col("lang"))
 
+  /** Sequence PACKING (concat-and-split): lay the corpus out as if all
+    * token streams were concatenated and cut every `capacity` tokens —
+    * each document gets the bin where its first token lands plus its
+    * offset inside that bin, which is exactly the shard/position layout
+    * an LLM pre-training loader materializes. The concat order is
+    * (bucket, id) where bucket = id % buckets: packing runs
+    * independently per bucket, so the prefix-sum window is
+    * PARTITIONED — `buckets` concurrent sorts instead of one global
+    * single-partition sort, and at cluster scale buckets is set to
+    * O(executors). Exact integer arithmetic end to end (token counts,
+    * running start, floor-division bin) — bit-identical across engines. */
+  def seqPack(df: DataFrame, id: String, text: String,
+              capacity: Int, buckets: Int): DataFrame = {
+    val w = Window.partitionBy(col("bucket")).orderBy(col(id).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(id), (col(id) % buckets).as("bucket"),
+        size(split(col(text), " ")).cast("long").as("n_tokens"))
+      .withColumn("start_tok", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col(id), col("bucket"),
+        floor(col("start_tok") / capacity).as("bin_id"),
+        (col("start_tok") % capacity).as("bin_offset"),
+        col("n_tokens"))
+  }
+
+  /** q98: pack the documents table into 512-token bins over 16 buckets. */
+  def q98(s: SparkSession, d: String): DataFrame =
+    seqPack(Tables.documents(s, d), "doc_id", "text", 512, 16)
+
+  /** Per-language quality GATE: drop each language's worst `p` quality
+    * tail. The threshold is percentile_disc — a DISCRETE percentile
+    * (smallest member value whose cumulative distribution ≥ p), so the
+    * cut value is an actual data point and the ≥ filter is exact in any
+    * engine (an interpolated percentile would put the boundary between
+    * ulp-divergent doubles). Plan: one exact-percentile aggregation
+    * over (lang, quality) pairs — a shuffle of scalar pairs, not
+    * documents — then the tiny per-language threshold table broadcasts
+    * back onto the corpus scan; no global sort, no window over the
+    * corpus. At 100 TB swap percentile_disc for approx_percentile and
+    * the plan shape is unchanged. */
+  def qualityGate(df: DataFrame, id: String, text: String,
+                  p: Double): DataFrame = {
+    val q = qualityBp(df, id, text)
+      .join(df.select(col(id), col("lang")), id)
+    // percentile_disc returns double even over bigint input; the value
+    // is an actual member, so the cast back to long is exact.
+    val thr = q.groupBy(col("lang"))
+      .agg(expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY quality_bp)")
+        .cast("long").as("thr_bp"))
+    q.join(broadcast(thr), "lang")
+      .filter(col("quality_bp") >= col("thr_bp"))
+      .select(col(id), col("lang"), col("quality_bp"), col("thr_bp"))
+  }
+
+  /** q99: keep documents above their language's 10th quality percentile. */
+  def q99(s: SparkSession, d: String): DataFrame =
+    qualityGate(Tables.documents(s, d), "doc_id", "text", 0.10)
+
+  /** Deterministic train/val/test SPLIT: the id's Knuth-multiply hash
+    * (same mod-reduced arithmetic as weightedSample, exact in any
+    * engine) lands each row in one of 10 stable shards; 8 train, 1 val,
+    * 1 test. Map-only — no shuffle, no RNG state, re-runs and backfills
+    * land every row in the same split forever, and membership can be
+    * recomputed from the id alone (no split table to store or join). */
+  def splitAssign(df: DataFrame, id: String): DataFrame = {
+    val shard = (col(id) % lit(1000003L)) * lit(427799L) % lit(1000003L) % lit(10)
+    df.withColumn("split",
+      when(shard < 8, lit("train")).when(shard === 8, lit("val"))
+        .otherwise(lit("test")))
+  }
+
+  /** q100: split the documents table; per-document assignment. */
+  def q100(s: SparkSession, d: String): DataFrame =
+    splitAssign(Tables.documents(s, d), "doc_id")
+      .select(col("doc_id"), col("lang"), col("split"))
+
   /** q46: normalize-then-dedup of the documents table. */
   def q46(s: SparkSession, d: String): DataFrame =
     normalizeDedup(Tables.documents(s, d), "doc_id", "text")

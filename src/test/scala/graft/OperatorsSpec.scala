@@ -600,4 +600,78 @@ class OperatorsSpec extends SparkSpec {
       assert(r.getInt(5) > 0 && r.getInt(5) <= ops.Multimodal.FrameBytes)
     }
   }
+
+  test("q98 packing is a gapless token layout within each bucket") {
+    val rows = Text.q98(spark, sf)
+      .select(col("bucket"), col("doc_id"), col("bin_id"), col("bin_offset"),
+        col("n_tokens"))
+      .collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    rows.groupBy(_.getLong(0)).foreach { case (_, docs) =>
+      var runningStart = 0L
+      docs.sortBy(_.getLong(1)).foreach { r =>
+        // Each doc starts exactly where the previous one ended
+        // (concat-and-split has no padding), and its offset is the
+        // running start reduced mod capacity.
+        assert(r.getLong(2) == runningStart / 512 &&
+               r.getLong(3) == runningStart % 512,
+          s"doc ${r.getLong(1)} starts at bin ${r.getLong(2)}+${r.getLong(3)}, " +
+            s"expected ${runningStart / 512}+${runningStart % 512}")
+        runningStart += r.getLong(4)
+      }
+    }
+  }
+
+  test("q99 gate cuts exactly the sub-threshold tail; thresholds are member values") {
+    val kept = Text.q99(spark, sf).collect()
+    val thr = kept.map(r => r.getString(1) -> r.getLong(3)).toMap
+    val all = Text.qualityBp(Tables.documents(spark, sf), "doc_id", "text")
+      .join(Tables.documents(spark, sf).select(col("doc_id"), col("lang")), "doc_id")
+      .collect().map(r => (r.getString(2), r.getLong(1)))
+    thr.foreach { case (lang, t) =>
+      val langQs = all.filter(_._1 == lang).map(_._2)
+      assert(langQs.contains(t), s"$lang threshold $t is not a member value")
+      // percentile_disc(0.10): smallest member with cume_dist >= 0.10.
+      assert(langQs.count(_ <= t).toDouble / langQs.length >= 0.10)
+      val expectKept = langQs.count(_ >= t)
+      assert(kept.count(_.getString(1) == lang) == expectKept)
+    }
+  }
+
+  test("q100 split partitions the corpus deterministically near 80/10/10") {
+    val rows = Text.q100(spark, sf).collect()
+    val total = Tables.documents(spark, sf).count()
+    assert(rows.length == total)
+    val bys = rows.groupBy(_.getString(2)).view.mapValues(_.length).toMap
+    assert(bys.keySet == Set("train", "val", "test"))
+    assert(bys("train").toDouble / total > 0.7 &&
+           bys("train").toDouble / total < 0.9)
+    val again = Text.q100(spark, sf).collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(2))).sortBy(_._1).toSeq ==
+           again.map(r => (r.getLong(0), r.getString(2))).sortBy(_._1).toSeq)
+  }
+
+  test("q101 profile counts are mutually consistent and match the table") {
+    val rows = Relational.q101(spark, sf).collect()
+    val n = Tables.orders(spark, sf).count()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      assert(r.getLong(1) == n)                    // n_rows
+      assert(r.getLong(2) <= r.getLong(1))         // n_vals <= n_rows
+      assert(r.getLong(3) <= r.getLong(2))         // n_distinct <= n_vals
+      assert(r.getString(4).nonEmpty && r.getString(5).nonEmpty)
+    }
+  }
+
+  test("q102 heavy hitters ranks true top counts through TakeOrderedAndProject") {
+    val df = Relational.q102(spark, sf)
+    val plan = executedPlan(df).toString
+    assert(plan.contains("TakeOrderedAndProject"), s"no bounded top-k:\n$plan")
+    val top = df.collect()
+    val trueMax = Tables.events(spark, sf).groupBy(col("user_id")).count()
+      .agg(max(col("count"))).collect()(0).getLong(0)
+    assert(top.head.getLong(1) == trueMax)
+    assert(top.map(_.getLong(1)).sliding(2).forall(p => p(0) >= p(1)))
+    assert(top.map(_.getLong(2)).sum <= 10000)
+  }
 }
