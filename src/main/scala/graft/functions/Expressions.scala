@@ -589,3 +589,57 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
 }
+
+/** Bit-interleaving helpers shared by ZOrder2's interpreted eval and its
+  * generated code (a Scala object emits static forwarders, so janino can
+  * call `Bits.spread(...)` directly). */
+object Bits {
+  /** Space the lower 32 bits of x to the even bit positions of a long. */
+  def spread(x: Long): Long = {
+    var v = x & 0xFFFFFFFFL
+    v = (v | (v << 16)) & 0x0000FFFF0000FFFFL
+    v = (v | (v << 8))  & 0x00FF00FF00FF00FFL
+    v = (v | (v << 4))  & 0x0F0F0F0F0F0F0F0FL
+    v = (v | (v << 2))  & 0x3333333333333333L
+    v = (v | (v << 1))  & 0x5555555555555555L
+    v
+  }
+  def interleave(a: Long, b: Long): Long = spread(a) | (spread(b) << 1)
+  /** Inverse of spread: collect the even bit positions back into 32 bits. */
+  def unspread(x: Long): Long = {
+    var v = x & 0x5555555555555555L
+    v = (v | (v >>> 1))  & 0x3333333333333333L
+    v = (v | (v >>> 2))  & 0x0F0F0F0F0F0F0F0FL
+    v = (v | (v >>> 4))  & 0x00FF00FF00FF00FFL
+    v = (v | (v >>> 8))  & 0x0000FFFF0000FFFFL
+    v = (v | (v >>> 16)) & 0x00000000FFFFFFFFL
+    v
+  }
+}
+
+/** Z-ORDER (Morton) key: interleave the lower 32 bits of two longs so
+  * that sorting by the key clusters rows that are close in BOTH
+  * dimensions — the storage-layout primitive behind multi-column data
+  * skipping. A table written in z-order gets narrow per-file min/max
+  * ranges on each interleaved column simultaneously, so a parquet
+  * reader prunes files for predicates on EITHER column (a plain sort
+  * only skips on its leading column). Inputs are taken mod 2^32;
+  * callers range-encode wider or signed domains first. */
+case class ZOrder2(left: Expression, right: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  // Seq[DataType] narrows Seq[AbstractDataType] (covariant return), and
+  // AbstractDataType itself is private[sql].
+  override def inputTypes: Seq[DataType] = Seq(LongType, LongType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "zorder2"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    Bits.interleave(l.asInstanceOf[Long], r.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, r) => s"graft.functions.Bits.interleave($l, $r)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ZOrder2 =
+    copy(left = l, right = r)
+}

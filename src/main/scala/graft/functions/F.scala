@@ -42,6 +42,11 @@ object F {
   def intersectSize(a: Column, b: Column): Column =
     GraftColumns.wrap(IntersectSizeSorted(u(a), u(b)))
 
+  /** Z-order (Morton) key over two long columns — sort/range-partition
+    * by this to cluster files for two-column data skipping. */
+  def zorder2(a: Column, b: Column): Column =
+    GraftColumns.wrap(ZOrder2(u(a), u(b)))
+
   /** Bounded-heap top-k aggregate: descending array of the k largest
     * values of `c` (use struct(sort_key, payload…) for row top-k).
     * Partial-aggregates map-side: the shuffle carries O(groups·k). */

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import graft.functions.{CosineSimilarity, HammingDistance64, IntersectSizeSorted,
   JaccardSorted, MinHash128, RollingHash64, ShingleHashes, SimHash64, TopKAgg,
-  VecSumAgg}
+  VecSumAgg, ZOrder2}
 
 /** SparkSessionExtensions registering graft's native expressions as SQL
   * functions, so `spark.sql("SELECT cosine_sim(a, b) ...")` works too.
@@ -46,6 +46,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("intersect_size"),
       new ExpressionInfo(classOf[IntersectSizeSorted].getName, "intersect_size"),
       (children: Seq[Expression]) => IntersectSizeSorted(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("zorder2"),
+      new ExpressionInfo(classOf[ZOrder2].getName, "zorder2"),
+      (children: Seq[Expression]) => ZOrder2(children(0), children(1))))
     // shingle_hashes(toks [, k]) and minhash128(hashes [, perms]) take
     // their size parameter as an optional integer literal.
     ext.injectFunction((

@@ -62,4 +62,39 @@ object Sources {
     val key = pmod(xxhash64(partitionCols.map(col): _*), lit(filesPerPartition))
     df.repartition(partitionCols.map(col) :+ key: _*)
   }
+
+  /** Z-ORDERED parquet layout: range-partition and sort the table by the
+    * Morton interleave of two long columns, so every output file covers
+    * a narrow min/max range on BOTH columns at once and the reader's
+    * file/row-group skipping prunes on predicates against either — the
+    * layout a plain sort gives only its leading column.
+    *
+    * Both columns are linearly rescaled to a shared 21-bit space before
+    * interleaving (one tiny min/max aggregate first): interleaving RAW
+    * values makes the wider-ranged column's high bits dominate every
+    * comparison and degenerates the curve into a plain sort on that
+    * column. Linear scaling handles range mismatch; heavily skewed
+    * distributions would want a quantile-rank encode instead (same
+    * interleave, ntile ranks in). The z-key is a codegen'd native
+    * expression (functions.ZOrder2) computed in-scan;
+    * repartitionByRange samples it, so files stay balanced even when
+    * the key space is sparse. The key column itself is not written. */
+  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+                    numFiles: Int): Unit = {
+    import org.apache.spark.sql.functions.{col, min, max, expr}
+    val m = df.agg(
+      min(col(colA).cast("long")), max(col(colA).cast("long")),
+      min(col(colB).cast("long")), max(col(colB).cast("long"))).head()
+    val bits21 = (1L << 21) - 1
+    // `div`, not `/`: Spark's / on longs is fractional (double) division.
+    def scaled(c: String, mn: Long, mx: Long) =
+      expr(s"(CAST($c AS BIGINT) - ${mn}L) * ${bits21}L div ${math.max(mx - mn, 1L)}L")
+    val keyed = df.withColumn("__zkey", graft.functions.F.zorder2(
+      scaled(colA, m.getLong(0), m.getLong(1)),
+      scaled(colB, m.getLong(2), m.getLong(3))))
+    keyed.repartitionByRange(numFiles, col("__zkey"))
+      .sortWithinPartitions(col("__zkey"))
+      .drop("__zkey")
+      .write.mode("overwrite").parquet(path)
+  }
 }

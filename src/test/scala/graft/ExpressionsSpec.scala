@@ -164,4 +164,20 @@ class ExpressionsSpec extends SparkSpec {
       assert(got == want, s"a=$a b=$b")
     }
   }
+
+  test("zorder2 interleaves losslessly and is SQL-registered") {
+    import graft.functions.Bits
+    val gen = new scala.util.Random(11)
+    val pairs = Seq((0L, 0L), (1L, 0L), (0L, 1L), (0xFFFFFFFFL, 0xFFFFFFFFL)) ++
+      Seq.fill(20)((gen.nextLong() & 0xFFFFFFFFL, gen.nextLong() & 0xFFFFFFFFL))
+    val got = pairs.toDF("a", "b")
+      .select(col("a"), col("b"), F.zorder2(col("a"), col("b")).as("z")).collect()
+    got.foreach { r =>
+      // De-interleaving the even/odd bit planes recovers both inputs.
+      assert(Bits.unspread(r.getLong(2)) == r.getLong(0))
+      assert(Bits.unspread(r.getLong(2) >>> 1) == r.getLong(1))
+    }
+    val viaSql = spark.sql("SELECT zorder2(3, 5)").head().getLong(0)
+    assert(viaSql == Bits.interleave(3L, 5L))
+  }
 }

@@ -663,6 +663,19 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q98 prefix-sum window is partitioned by bucket, not a global sort") {
+    val plan = executedPlan(Text.q98(spark, sf)).toString
+    assert(plan.contains("hashpartitioning(bucket"),
+      s"window not partitioned by bucket:\n$plan")
+    assert(!plan.contains("SinglePartition"), s"global window exchange:\n$plan")
+  }
+
+  test("q99 broadcasts the threshold table and uses no corpus-wide window") {
+    val plan = executedPlan(Text.q99(spark, sf)).toString
+    assert(plan.contains("BroadcastHashJoin"), s"threshold join not broadcast:\n$plan")
+    assert(!plan.contains("Window"), s"unexpected window operator:\n$plan")
+  }
+
   test("q102 heavy hitters ranks true top counts through TakeOrderedAndProject") {
     val df = Relational.q102(spark, sf)
     val plan = executedPlan(df).toString

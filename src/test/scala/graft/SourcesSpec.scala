@@ -144,4 +144,35 @@ class SourcesSpec extends SparkSpec {
     assert(rows(0).isNullAt(rows(0).fieldIndex("b"))) // old files: null b
     assert(rows(2).getLong(rows(2).fieldIndex("b")) == 30L)
   }
+
+  test("z-ordered layout narrows per-file ranges on BOTH columns") {
+    import graft.sources.Sources
+    val li = Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_partkey"))
+    // Mean per-file min/max span, normalized by the global range — the
+    // quantity parquet file skipping prunes on.
+    def meanSpan(path: String, c: String): Double = {
+      val g = spark.read.parquet(path)
+        .agg(min(col(c)).as("mn"), max(col(c)).as("mx")).head()
+      val files = spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg(min(col(c)).as("mn"), max(col(c)).as("mx")).collect()
+      files.map(r => (r.getLong(2) - r.getLong(1)).toDouble /
+        (g.getLong(1) - g.getLong(0))).sum / files.length
+    }
+    val zdir = tmp("zorder")
+    Sources.writeZOrdered(li, zdir, "l_orderkey", "l_partkey", 8)
+    val sdir = tmp("sorted")
+    li.repartitionByRange(8, col("l_orderkey"))
+      .sortWithinPartitions(col("l_orderkey"))
+      .write.mode("overwrite").parquet(sdir)
+    // Same rows either way.
+    assert(spark.read.parquet(zdir).count() == li.count())
+    val (zA, zB) = (meanSpan(zdir, "l_orderkey"), meanSpan(zdir, "l_partkey"))
+    val (sA, sB) = (meanSpan(sdir, "l_orderkey"), meanSpan(sdir, "l_partkey"))
+    // The plain sort is perfect on its leading column and useless on the
+    // other; z-order must be substantially narrow on BOTH.
+    assert(zA < 0.7 && zB < 0.7, s"z spans: $zA / $zB")
+    assert(sB > 0.9, s"sorted baseline should not cluster l_partkey: $sB")
+    assert(zB < sB * 0.75, s"z-order ($zB) must beat the sort ($sB) on the non-leading column")
+  }
 }
