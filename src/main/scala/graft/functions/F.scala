@@ -6,6 +6,13 @@ import org.apache.spark.sql.{Column, GraftColumns}
 object F {
   private def u(c: Column) = GraftColumns.unwrap(c)
 
+  /** Integral (floor-for-nonnegative) division on long columns — the
+    * Column API's `/` is always fractional double division, which goes
+    * inexact past 2^53; this stays in exact long arithmetic. */
+  def idiv(a: Column, b: Column): Column =
+    GraftColumns.wrap(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(u(a), u(b)))
+
   /** 64-bit rolling polynomial hash of a string column. */
   def rollingHash64(c: Column): Column = GraftColumns.wrap(RollingHash64(u(c)))
 

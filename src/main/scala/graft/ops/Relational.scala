@@ -644,7 +644,9 @@ object Relational {
     val total = counts.agg(sum(col("n")).as("total"))
     counts.crossJoin(broadcast(total))
       .select(col(key), col("n"),
-        floor(col("n") * 10000L / col("total")).cast("long").as("share_bp"))
+        // div, not floor(/): fractional division detours through double
+        // and goes inexact once n * 10000 exceeds 2^53.
+        graft.functions.F.idiv(col("n") * 10000L, col("total")).as("share_bp"))
       .orderBy(col("n").desc, col(key).asc).limit(k)
   }
 

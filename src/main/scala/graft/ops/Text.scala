@@ -232,16 +232,21 @@ object Text {
   def q74(s: SparkSession, d: String): DataFrame =
     stopwordFilter(Tables.documents(s, d), "doc_id", "text", stopwords)
 
-  /** (doc id, quality_bp) for any corpus — the q41 quality score as a
-    * reusable building block (used by the cluster keep-best policy). */
-  def qualityBp(df: DataFrame, id: String, text: String): DataFrame = {
+  /** (doc id, [carried cols,] quality_bp) for any corpus — the q41
+    * quality score as a reusable building block (used by the cluster
+    * keep-best policy). `carry` columns ride along in the same
+    * projection so callers needing them don't re-scan and re-join the
+    * corpus just to reattach a column that was on the row already. */
+  def qualityBp(df: DataFrame, id: String, text: String,
+                carry: Seq[String] = Nil): DataFrame = {
     val nTok  = size(toks).cast("double")
     val nStop = size(filter(toks, t => t.isin(stopwords.map(lit(_)): _*))).cast("double")
     val meanWordLen = (length(col(text)) - (nTok - 1)) / nTok
     val quality = lit(0.5) * least(nTok / lit(100.0), lit(1.0)) +
       lit(0.3) * (lit(1.0) - nStop / nTok) +
       lit(0.2) * least(meanWordLen / lit(8.0), lit(1.0))
-    withToks(df, text).select(col(id), bp(quality).as("quality_bp"))
+    withToks(df, text).select(
+      (col(id) +: carry.map(col)) :+ bp(quality).as("quality_bp"): _*)
   }
 
   /** q75: end-to-end training-corpus pipeline — quality gate (q41's
@@ -290,24 +295,31 @@ object Text {
   def q90(s: SparkSession, d: String): DataFrame =
     unigramSurprisal(Tables.documents(s, d), "doc_id", "text")
 
+  /** Knuth-multiply hash of an id into [0, 1000003), in exact
+    * overflow-free long arithmetic: the id is mod-reduced BEFORE the
+    * multiply ((a*b) mod m = ((a mod m)(b mod m)) mod m, and
+    * 2654435761 mod 1000003 = 427799) so the product stays ≤ ~4e11 —
+    * ids ≥ 2^63/2654435761 would otherwise wrap silently in Spark and
+    * error in ANSI engines. Shared by weightedSample (as a
+    * pseudo-uniform) and splitAssign (as a shard assignment); both
+    * guarantees quote this exact arithmetic. */
+  private def knuthHash(id: Column): Column =
+    (id % lit(1000003L)) * lit(427799L) % lit(1000003L)
+
   /** Deterministic WEIGHTED sampling without replacement (the A-ES
     * exponential race): each row gets a pseudo-uniform u ∈ (0, 1] from
-    * exact integer arithmetic on its id (cross-engine reproducible, no
-    * RNG state) and survives if its race key ln(u)/w ranks in the top
-    * k — heavier rows win proportionally more often. The top-k cut is
-    * orderBy+limit — TakeOrderedAndProject, a per-partition bounded
+    * the exact-integer knuthHash of its id (cross-engine reproducible,
+    * no RNG state) and survives if its race key ln(u)/w ranks in the
+    * top k — heavier rows win proportionally more often. The top-k cut
+    * is orderBy+limit — TakeOrderedAndProject, a per-partition bounded
     * heap plus a driver merge of k rows, never a global sort (a global
     * row_number window would drag every row through ONE partition).
     * Ranks are then assigned by a window over just the k survivors.
     * Rank comparisons are ulp-robust: distinct (u, w) pairs differ by
-    * far more than cross-libm ln error. The id is mod-reduced BEFORE
-    * the Knuth multiply ((a*b) mod m = ((a mod m)(b mod m)) mod m, and
-    * 2654435761 mod 1000003 = 427799) so the product stays ≤ ~4e11 and
-    * never overflows Long — ids ≥ 2^63/2654435761 would otherwise wrap
-    * silently in Spark and error in ANSI engines. */
+    * far more than cross-libm ln error. */
   def weightedSample(df: DataFrame, id: String, weight: Column,
                      k: Int): DataFrame = {
-    val u = ((col(id) % lit(1000003L)) * lit(427799L) % lit(1000003L) + lit(1)) / lit(1000004.0)
+    val u = (knuthHash(col(id)) + lit(1)) / lit(1000004.0)
     val top = df.withColumn("wkey", log(u) / weight)
       .orderBy(col("wkey").desc, col(id).asc).limit(k)
     top.withColumn("rank",
@@ -340,7 +352,9 @@ object Text {
         size(split(col(text), " ")).cast("long").as("n_tokens"))
       .withColumn("start_tok", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .select(col(id), col("bucket"),
-        floor(col("start_tok") / capacity).as("bin_id"),
+        // div, not floor(/): fractional division detours through double
+        // and goes inexact past 2^53 total tokens.
+        F.idiv(col("start_tok"), lit(capacity.toLong)).as("bin_id"),
         (col("start_tok") % capacity).as("bin_offset"),
         col("n_tokens"))
   }
@@ -349,43 +363,43 @@ object Text {
   def q98(s: SparkSession, d: String): DataFrame =
     seqPack(Tables.documents(s, d), "doc_id", "text", 512, 16)
 
-  /** Per-language quality GATE: drop each language's worst `p` quality
-    * tail. The threshold is percentile_disc — a DISCRETE percentile
-    * (smallest member value whose cumulative distribution ≥ p), so the
-    * cut value is an actual data point and the ≥ filter is exact in any
-    * engine (an interpolated percentile would put the boundary between
-    * ulp-divergent doubles). Plan: one exact-percentile aggregation
-    * over (lang, quality) pairs — a shuffle of scalar pairs, not
-    * documents — then the tiny per-language threshold table broadcasts
-    * back onto the corpus scan; no global sort, no window over the
-    * corpus. At 100 TB swap percentile_disc for approx_percentile and
-    * the plan shape is unchanged. */
+  /** Per-group quality GATE: drop each group's worst `p` quality tail.
+    * The threshold is percentile_disc — a DISCRETE percentile (smallest
+    * member value whose cumulative distribution ≥ p), so the cut value
+    * is an actual data point and the ≥ filter is exact in any engine
+    * (an interpolated percentile would put the boundary between
+    * ulp-divergent doubles). Plan: quality and the group column come
+    * out of ONE corpus scan (qualityBp carries the column — no re-scan,
+    * no corpus self-join), the exact-percentile aggregation shuffles
+    * (group, quality) scalar pairs only, and the tiny per-group
+    * threshold table broadcasts back onto the scored rows; no global
+    * sort, no window over the corpus. At 100 TB swap percentile_disc
+    * for approx_percentile and the plan shape is unchanged. */
   def qualityGate(df: DataFrame, id: String, text: String,
-                  p: Double): DataFrame = {
-    val q = qualityBp(df, id, text)
-      .join(df.select(col(id), col("lang")), id)
+                  group: String, p: Double): DataFrame = {
+    val q = qualityBp(df, id, text, carry = Seq(group))
     // percentile_disc returns double even over bigint input; the value
     // is an actual member, so the cast back to long is exact.
-    val thr = q.groupBy(col("lang"))
+    val thr = q.groupBy(col(group))
       .agg(expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY quality_bp)")
         .cast("long").as("thr_bp"))
-    q.join(broadcast(thr), "lang")
+    q.join(broadcast(thr), group)
       .filter(col("quality_bp") >= col("thr_bp"))
-      .select(col(id), col("lang"), col("quality_bp"), col("thr_bp"))
+      .select(col(id), col(group), col("quality_bp"), col("thr_bp"))
   }
 
   /** q99: keep documents above their language's 10th quality percentile. */
   def q99(s: SparkSession, d: String): DataFrame =
-    qualityGate(Tables.documents(s, d), "doc_id", "text", 0.10)
+    qualityGate(Tables.documents(s, d), "doc_id", "text", "lang", 0.10)
 
-  /** Deterministic train/val/test SPLIT: the id's Knuth-multiply hash
-    * (same mod-reduced arithmetic as weightedSample, exact in any
-    * engine) lands each row in one of 10 stable shards; 8 train, 1 val,
-    * 1 test. Map-only — no shuffle, no RNG state, re-runs and backfills
-    * land every row in the same split forever, and membership can be
-    * recomputed from the id alone (no split table to store or join). */
+  /** Deterministic train/val/test SPLIT: the id's knuthHash (exact in
+    * any engine) lands each row in one of 10 stable shards; 8 train,
+    * 1 val, 1 test. Map-only — no shuffle, no RNG state, re-runs and
+    * backfills land every row in the same split forever, and membership
+    * can be recomputed from the id alone (no split table to store or
+    * join). */
   def splitAssign(df: DataFrame, id: String): DataFrame = {
-    val shard = (col(id) % lit(1000003L)) * lit(427799L) % lit(1000003L) % lit(10)
+    val shard = knuthHash(col(id)) % lit(10)
     df.withColumn("split",
       when(shard < 8, lit("train")).when(shard === 8, lit("val"))
         .otherwise(lit("test")))

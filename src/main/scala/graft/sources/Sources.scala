@@ -81,14 +81,35 @@ object Sources {
     * the key space is sparse. The key column itself is not written. */
   def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
                     numFiles: Int): Unit = {
-    import org.apache.spark.sql.functions.{col, min, max, expr}
+    import org.apache.spark.sql.functions.{col, min, max, lit}
     val m = df.agg(
       min(col(colA).cast("long")), max(col(colA).cast("long")),
       min(col(colB).cast("long")), max(col(colB).cast("long"))).head()
+    if (m.isNullAt(0) || m.isNullAt(2)) {
+      // Empty input (or an all-null key column): nothing to cluster;
+      // write the rows as-is rather than NPE-ing on the missing bounds.
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
     val bits21 = (1L << 21) - 1
-    // `div`, not `/`: Spark's / on longs is fractional (double) division.
-    def scaled(c: String, mn: Long, mx: Long) =
-      expr(s"(CAST($c AS BIGINT) - ${mn}L) * ${bits21}L div ${math.max(mx - mn, 1L)}L")
+    // Column arithmetic (not SQL-text splicing) so names needing
+    // backticks resolve like they do in every other writer here; div
+    // via IntegralDivide keeps everything in exact long math. Narrow
+    // ranges scale UP by multiply-then-divide (range ≤ 2^21 bounds the
+    // product at ~2^42 — provably no overflow); wide ranges scale DOWN
+    // by a precomputed step (multiplying first would overflow Long past
+    // ~2^42 of range — ns timestamps, hash ids). Both directions land
+    // in [0, bits21]: the two columns MUST occupy the same bit-width or
+    // the wider one's high bits dominate every z comparison and the
+    // curve degenerates into a plain sort on that column.
+    def scaled(c: String, mn: Long, mx: Long) = {
+      val x = col(c).cast("long") - lit(mn)
+      val range = BigInt(mx) - BigInt(mn)
+      if (range <= bits21)
+        graft.functions.F.idiv(x * lit(bits21), lit(range.toLong max 1L))
+      else
+        graft.functions.F.idiv(x, lit((range / bits21 + 1).toLong))
+    }
     val keyed = df.withColumn("__zkey", graft.functions.F.zorder2(
       scaled(colA, m.getLong(0), m.getLong(1)),
       scaled(colB, m.getLong(2), m.getLong(3))))
