@@ -175,4 +175,23 @@ class SourcesSpec extends SparkSpec {
     assert(sB > 0.9, s"sorted baseline should not cluster l_partkey: $sB")
     assert(zB < sB * 0.75, s"z-order ($zB) must beat the sort ($sB) on the non-leading column")
   }
+
+  test("compact rewrites small-file sprawl into the size-targeted count") {
+    import graft.sources.Sources
+    val sprawl = tmp("sprawl")
+    val li = Tables.lineitem(spark, sf)
+    li.repartition(64).write.mode("overwrite").parquet(sprawl)  // 64 tiny files
+    def files(p: String) = new java.io.File(p).listFiles()
+      .count(f => f.getName.startsWith("part-"))
+    assert(files(sprawl) == 64)
+    val out = tmp("compacted")
+    val total = spark.read.parquet(sprawl)
+      .queryExecution.optimizedPlan.stats.sizeInBytes
+    val n = Sources.compact(spark, sprawl, out, (total / 4).toLong max 1L)
+    assert(n >= 4 && n <= 5, s"expected ~4 target files, got $n")
+    // Within one of the target (the scan-size estimate carries session
+    // compression padding), and far below the 64-file sprawl.
+    assert(math.abs(files(out) - n) <= 1, s"wrote ${files(out)} files for target $n")
+    assert(spark.read.parquet(out).count() == li.count())
+  }
 }

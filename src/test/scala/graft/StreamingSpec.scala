@@ -266,4 +266,34 @@ class StreamingSpec extends SparkSpec {
         s"got ${texts.toSeq}")
     } finally q.stop()
   }
+
+  test("batch text operators compose with streams: quality + split on a stream") {
+    // The per-row text operators (qualityBp, splitAssign) are stateless
+    // projections, so the SAME functions run unchanged on a streaming
+    // DataFrame — scoring and routing a live crawl needs no parallel
+    // streaming implementation, and per-batch results match batch
+    // semantics exactly.
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val stream = in.toDF().toDF("doc_id", "text")
+    val scored = ops.Text.splitAssign(
+      ops.Text.qualityBp(stream, "doc_id", "text", carry = Seq("text")), "doc_id")
+    val q = scored.select(col("doc_id"), col("quality_bp"), col("split"))
+      .writeStream.format("memory").queryName("stream_scored")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, "the quick brown fox jumps over the lazy dog"),
+                 (2L, "to be or not to be"))
+      q.processAllAvailable()
+      val got = spark.table("stream_scored").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+      val batch = ops.Text.splitAssign(
+        ops.Text.qualityBp(
+          Seq((1L, "the quick brown fox jumps over the lazy dog"),
+              (2L, "to be or not to be")).toDF("doc_id", "text"),
+          "doc_id", "text"), "doc_id")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+      assert(got == batch, s"stream $got vs batch $batch")
+    } finally q.stop()
+  }
 }
