@@ -109,6 +109,8 @@ object SparkEntry {
     "q100_split_assign"     -> (Text.q100 _),
     "q101_profile"          -> (Relational.q101 _),
     "q102_heavy_hitters"    -> (Relational.q102 _),
+    "q103_decontaminate"    -> (Dedup.q103 _),
+    "q104_mixture_sample"   -> (Text.q104 _),
     "q74_stopword_filter" -> (Text.q74 _),
     "q77_session_window"  -> (Events.q77 _),
     "q75_corpus_pipeline" -> (Text.q75 _),
@@ -123,10 +125,12 @@ object SparkEntry {
     * one definition of the near-dup cluster labeling, the quality score,
     * and the keep-best pack, so the oracles can't drift apart from each
     * other (the Spark side shares Dedup.q55/electKeepers the same way). */
-  private val ClusterCtes =
+  private val ShingleCtes =
     """t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
        sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
-              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle FROM t),
+              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle FROM t)"""
+  private val ClusterCtes =
+    s"""$ShingleCtes,
        sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
        pair AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS common
                 FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -545,6 +549,24 @@ object SparkEntry {
          SELECT user_id, n, CAST(floor(n * 10000.0 / total) AS BIGINT) AS share_bp
          FROM c CROSS JOIN t
          ORDER BY n DESC, user_id ASC LIMIT 10""",
+
+    "q103_decontaminate" ->
+      s"""WITH $ShingleCtes,
+         bs AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 0)
+         SELECT sh.doc_id, count(*) AS n_hits
+         FROM sh JOIN bs USING (shingle) WHERE sh.doc_id % 10 <> 0
+         GROUP BY 1""",
+
+    "q104_mixture_sample" ->
+      """WITH tk AS (SELECT doc_id, source,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+         tot AS (SELECT source, sum(n_tokens) AS total_toks FROM tk GROUP BY 1),
+         b AS (SELECT min(total_toks) AS budget FROM tot),
+         thr AS (SELECT source, (budget * 1000003) // total_toks AS keep_thr
+                 FROM tot CROSS JOIN b)
+         SELECT tk.doc_id, tk.source, tk.n_tokens
+         FROM tk JOIN thr USING (source)
+         WHERE ((tk.doc_id % 1000003) * 427799) % 1000003 < thr.keep_thr""",
 
     "q30_tumbling_window" ->
       s"""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts, event_type,

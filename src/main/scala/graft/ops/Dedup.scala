@@ -235,6 +235,39 @@ object Dedup {
         bp(col("common") / minN).as("containment_bp"))
   }
 
+  /** Benchmark DECONTAMINATION: flag every training document sharing at
+    * least one k-word shingle with a held-out/benchmark corpus. This is
+    * the cross-corpus, asymmetric, zero-threshold cousin of near-dedup:
+    * a single leaked evaluation n-gram taints a document, so there is
+    * no Jaccard cutoff — ANY overlap reports. Plan: both sides reduce
+    * to distinct shingle hashes (the one-pass codegen'd ShingleHashes),
+    * the join shuffles only (id, hash) pairs on the hash, and the
+    * benchmark side — eval suites are small next to a training corpus —
+    * arrives deduped, so join width is bounded by true overlaps. At
+    * 100 TB, raise k (13-gram shingles are the industry norm) so
+    * shingles are rare by construction; a Bloom filter over benchmark
+    * hashes (BloomFilterAgg) can pre-filter the train side in-scan
+    * before the shuffle, same shape as bloomSemiJoin. Reports
+    * (doc_id, n_hits) per contaminated training document. */
+  def decontaminate(train: DataFrame, bench: DataFrame,
+                    id: String, text: String, k: Int = 3): DataFrame = {
+    val trainSh = shingleArrays(train, id, text, k)
+      .select(col("doc_id"), explode(col("sh_arr")).as("h"))
+    val benchSh = shingleArrays(bench, id, text, k)
+      .select(explode(col("sh_arr")).as("h")).distinct()
+    // sh_arr is already distinct per doc, so plain count = distinct hits.
+    trainSh.join(benchSh, "h")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** q103: decontaminate the odd-id "training" half of the documents
+    * table against the multiple-of-10 "benchmark" slice. */
+  def q103(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    decontaminate(docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
+  }
+
   /** Persist a corpus's MinHash-LSH signature state under `path`: a
     * `buckets` table (doc_id, band, bh) partitioned by band, and an
     * `arrays` table (doc_id, sh_arr, n) for exact verification of future

@@ -410,6 +410,39 @@ object Text {
     splitAssign(Tables.documents(s, d), "doc_id")
       .select(col("doc_id"), col("lang"), col("split"))
 
+  /** Token-budgeted MIXTURE rebalancing: downsample every source to (at
+    * most) the smallest source's token total, so no domain dominates
+    * the training mixture. Each source gets an integer keep-threshold
+    * thr = budget·1000003 div total (1000003 = knuthHash's modulus;
+    * thr/1000003 ≈ budget/total, and the smallest source's thr is
+    * exactly the modulus — it keeps everything); a document survives if
+    * knuthHash(id) < thr, so selection is deterministic, map-side, and
+    * consistent across re-runs — the same documents are kept when the
+    * budget doesn't change. Plan: one scalar-pair aggregation for
+    * per-source totals, a one-row min for the budget, and the tiny
+    * threshold table broadcast back over the scan — the corpus itself
+    * never shuffles. Exact long arithmetic while budget < 2^43 tokens
+    * (~8.8 T tokens in the SMALLEST source — comfortably past a 100 TB
+    * corpus's per-domain floor). */
+  def mixtureSample(df: DataFrame, id: String, text: String,
+                    source: String): DataFrame = {
+    val toks = df.select(col(id), col(source),
+      size(split(col(text), " ")).cast("long").as("n_tokens"))
+    val totals = toks.groupBy(col(source)).agg(sum(col("n_tokens")).as("total_toks"))
+    val thr = totals
+      .crossJoin(broadcast(totals.agg(min(col("total_toks")).as("budget"))))
+      .select(col(source),
+        F.idiv(col("budget") * lit(1000003L), col("total_toks")).as("keep_thr"))
+    toks.join(broadcast(thr), source)
+      .filter(knuthHash(col(id)) < col("keep_thr"))
+      .select(col(id), col(source), col("n_tokens"))
+  }
+
+  /** q104: rebalance the documents mixture to the smallest source's
+    * token budget. */
+  def q104(s: SparkSession, d: String): DataFrame =
+    mixtureSample(Tables.documents(s, d), "doc_id", "text", "source")
+
   /** q46: normalize-then-dedup of the documents table. */
   def q46(s: SparkSession, d: String): DataFrame =
     normalizeDedup(Tables.documents(s, d), "doc_id", "text")

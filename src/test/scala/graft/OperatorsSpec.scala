@@ -676,6 +676,43 @@ class OperatorsSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"unexpected window operator:\n$plan")
   }
 
+  test("q103 decontamination flags exactly the docs sharing a benchmark shingle") {
+    val flagged = Dedup.q103(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Brute-force recompute over shingle STRINGS (independent of the
+    // hash-join implementation) at sf0.001.
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").sliding(3)
+        .map(_.mkString(" ")).toSet).toMap
+    val benchShingles = docs.filter(_._1 % 10 == 0).values.flatten.toSet
+    val expect = docs.filter { case (id, sh) =>
+      id % 10 != 0 && (sh & benchShingles).nonEmpty
+    }.map { case (id, sh) => id -> (sh & benchShingles).size.toLong }
+    assert(flagged == expect)
+  }
+
+  test("q104 mixture keeps the smallest source whole and bounds the others near budget") {
+    val kept = Text.q104(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val totals = Tables.documents(spark, sf)
+      .groupBy(col("source"))
+      .agg(sum(size(split(col("text"), " "))).as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val budget = totals.values.min
+    val keptBySource = kept.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    assert(keptBySource.keySet == totals.keySet, "every source survives")
+    val smallest = totals.minBy(_._2)._1
+    assert(keptBySource(smallest) == totals(smallest),
+      "the budget-defining source is kept in full")
+    keptBySource.foreach { case (src, toks) =>
+      // Hash thinning is stochastic around the budget; at sf0.001 the
+      // realized token count stays well inside [0.4, 1.8]× of it.
+      assert(toks >= budget * 2 / 5 && toks <= budget * 9 / 5,
+        s"$src kept $toks tokens vs budget $budget")
+    }
+  }
+
   test("q102 heavy hitters ranks true top counts through TakeOrderedAndProject") {
     val df = Relational.q102(spark, sf)
     val plan = executedPlan(df).toString
