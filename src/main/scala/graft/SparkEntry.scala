@@ -566,7 +566,7 @@ object SparkEntry {
                  FROM tot CROSS JOIN b)
          SELECT tk.doc_id, tk.source, tk.n_tokens
          FROM tk JOIN thr USING (source)
-         WHERE ((tk.doc_id % 1000003) * 427799) % 1000003 < thr.keep_thr""",
+         WHERE ((tk.doc_id % 1000003) * 815781) % 1000003 < thr.keep_thr""",
 
     "q30_tumbling_window" ->
       s"""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts, event_type,

@@ -300,11 +300,19 @@ object Text {
     * multiply ((a*b) mod m = ((a mod m)(b mod m)) mod m, and
     * 2654435761 mod 1000003 = 427799) so the product stays ≤ ~4e11 —
     * ids ≥ 2^63/2654435761 would otherwise wrap silently in Spark and
-    * error in ANSI engines. Shared by weightedSample (as a
-    * pseudo-uniform) and splitAssign (as a shard assignment); both
-    * guarantees quote this exact arithmetic. */
-  private def knuthHash(id: Column): Column =
-    (id % lit(1000003L)) * lit(427799L) % lit(1000003L)
+    * error in ANSI engines.
+    *
+    * Operators that make MAGNITUDE-based decisions (hash < threshold,
+    * top-k on a hash-derived key) must use DISTINCT multipliers, or
+    * composing them correlates their selections: one operator's
+    * survivors would all sit in the other's low-hash region. The two
+    * multipliers here are 2654435761 and 2246822519 (both reduced mod
+    * 1000003); splitAssign's shard uses hash mod 10, which is
+    * insensitive to magnitude, so it can share either. */
+  private def knuthHash(id: Column, mult: Long = 427799L): Column =
+    (id % lit(1000003L)) * lit(mult) % lit(1000003L)
+  /** 2246822519 mod 1000003 — the second, decorrelated multiplier. */
+  private val KnuthMult2 = 815781L
 
   /** Deterministic WEIGHTED sampling without replacement (the A-ES
     * exponential race): each row gets a pseudo-uniform u ∈ (0, 1] from
@@ -418,23 +426,27 @@ object Text {
     * exactly the modulus — it keeps everything); a document survives if
     * knuthHash(id) < thr, so selection is deterministic, map-side, and
     * consistent across re-runs — the same documents are kept when the
-    * budget doesn't change. Plan: one scalar-pair aggregation for
-    * per-source totals, a one-row min for the budget, and the tiny
-    * threshold table broadcast back over the scan — the corpus itself
-    * never shuffles. Exact long arithmetic while budget < 2^43 tokens
-    * (~8.8 T tokens in the SMALLEST source — comfortably past a 100 TB
-    * corpus's per-domain floor). */
+    * budget doesn't change. The hash uses the SECOND Knuth multiplier:
+    * weightedSample thresholds the first one's magnitude, and sampling
+    * a rebalanced corpus with a shared hash stream would bias the race
+    * by source instead of by weight. Plan: ONE scalar-pair aggregation
+    * for per-source totals; the budget is a global min window over the
+    * aggregated per-source rows (bounded by the source count — never
+    * the corpus), so the corpus is scanned exactly twice (totals,
+    * probe) and never shuffled. Exact long arithmetic while budget <
+    * 2^43 tokens (~8.8 T tokens in the SMALLEST source — comfortably
+    * past a 100 TB corpus's per-domain floor). */
   def mixtureSample(df: DataFrame, id: String, text: String,
                     source: String): DataFrame = {
     val toks = df.select(col(id), col(source),
       size(split(col(text), " ")).cast("long").as("n_tokens"))
-    val totals = toks.groupBy(col(source)).agg(sum(col("n_tokens")).as("total_toks"))
-    val thr = totals
-      .crossJoin(broadcast(totals.agg(min(col("total_toks")).as("budget"))))
+    val thr = toks.groupBy(col(source)).agg(sum(col("n_tokens")).as("total_toks"))
+      .withColumn("budget",
+        min(col("total_toks")).over(Window.partitionBy(lit(1))))
       .select(col(source),
         F.idiv(col("budget") * lit(1000003L), col("total_toks")).as("keep_thr"))
     toks.join(broadcast(thr), source)
-      .filter(knuthHash(col(id)) < col("keep_thr"))
+      .filter(knuthHash(col(id), KnuthMult2) < col("keep_thr"))
       .select(col(id), col(source), col("n_tokens"))
   }
 

@@ -123,18 +123,24 @@ object Sources {
     * ~targetFileBytes files. Small-file sprawl is what incremental
     * pipelines (per-batch appends, foreachBatch sinks, fine-grained
     * partitions) accumulate, and it taxes every later read with
-    * per-file open/footer/scheduling overhead. File count comes from
-    * Catalyst's own scan-size estimate; the merge uses coalesce — a
-    * LOCAL union of input splits with NO shuffle (repartition would
+    * per-file open/footer/scheduling overhead. The target count comes
+    * from Catalyst's own scan-size estimate; the merge uses coalesce —
+    * a LOCAL union of input splits with NO shuffle (repartition would
     * move every byte through an exchange just to rebalance; for
     * compaction, approximate file sizes at zero shuffle cost is the
-    * right trade). Returns the output file count. */
+    * right trade). Coalesce can only merge, never split: if the scan
+    * already packed the input into fewer partitions than the target
+    * (maxPartitionBytes/openCost packing), the output lands in that
+    * fewer, larger set of files. Returns the ACTUAL number of part
+    * files written, counted from the output, not the target. */
   def compact(s: SparkSession, inPath: String, outPath: String,
               targetFileBytes: Long = 512L << 20): Int = {
     val df = s.read.parquet(inPath)
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val n = ((bytes + targetFileBytes - 1) / targetFileBytes).toInt max 1
     df.coalesce(n).write.mode("overwrite").parquet(outPath)
-    n
+    val out = new org.apache.hadoop.fs.Path(outPath)
+    out.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .listStatus(out).count(_.getPath.getName.startsWith("part-"))
   }
 }

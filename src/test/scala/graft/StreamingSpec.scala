@@ -277,7 +277,7 @@ class StreamingSpec extends SparkSpec {
     val in = MemoryStream[(Long, String)]
     val stream = in.toDF().toDF("doc_id", "text")
     val scored = ops.Text.splitAssign(
-      ops.Text.qualityBp(stream, "doc_id", "text", carry = Seq("text")), "doc_id")
+      ops.Text.qualityBp(stream, "doc_id", "text"), "doc_id")
     val q = scored.select(col("doc_id"), col("quality_bp"), col("split"))
       .writeStream.format("memory").queryName("stream_scored")
       .outputMode("append").start()
