@@ -693,6 +693,12 @@ class OperatorsSpec extends SparkSpec {
     assert(flagged == expect)
   }
 
+  test("q103 broadcasts the deduped benchmark shingle set (train side joins in-scan)") {
+    val plan = executedPlan(Dedup.q103(spark, sf)).toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark side not broadcast:\n$plan")
+  }
+
   test("q104 mixture keeps the smallest source whole and bounds the others near budget") {
     val kept = Text.q104(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
