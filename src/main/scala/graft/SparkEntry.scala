@@ -111,6 +111,7 @@ object SparkEntry {
     "q102_heavy_hitters"    -> (Relational.q102 _),
     "q103_decontaminate"    -> (Dedup.q103 _),
     "q104_mixture_sample"   -> (Text.q104 _),
+    "q105_audio_decode"     -> (Multimodal.q105 _),
     "q74_stopword_filter" -> (Text.q74 _),
     "q77_session_window"  -> (Events.q77 _),
     "q75_corpus_pipeline" -> (Text.q75 _),

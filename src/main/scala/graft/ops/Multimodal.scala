@@ -11,11 +11,14 @@ import graft.Tables
   * The IMAGE path (q70) is real: payloads are genuine PNG files
   * (generated deterministically per document) and the decode stage runs
   * the JDK's ImageIO codec — actual width/height/mean-pixel from decoded
-  * rasters. The audio/video paths (q71/q76) keep an honest stub
-  * (`decodeStub` — no audio/video codecs in this container) around the
-  * same real plumbing: payloads stay columnar until the mapPartitions
-  * boundary, partitions bound the decoder's working set, and every
-  * decode stage is map-only (no shuffle) so it scales with executors.
+  * rasters. The AUDIO decode path (q105) is real too: genuine WAV/PCM
+  * files through javax.sound.sampled, with sample-accurate features off
+  * the decoded stream. Only VIDEO decode remains an honest stub (no
+  * video codec ships with the JDK or this container); q71/q76 exercise
+  * the format-agnostic windowing/frame plumbing around it: payloads
+  * stay columnar until the mapPartitions boundary, partitions bound the
+  * decoder's working set, and every decode stage is map-only (no
+  * shuffle) so it scales with executors.
   */
 object Multimodal {
 
@@ -116,6 +119,91 @@ object Multimodal {
     * features with the JDK codec. */
   def q70(s: SparkSession, d: String): DataFrame =
     decodeImages(pngTable(s, d), "doc_id", "payload")
+
+  val SampleRate = 8000f
+
+  /** Deterministic 16-bit PCM pattern — also the test oracle for the
+    * decoded features. */
+  def sampleAt(docId: Long, i: Int): Short =
+    (((i * 127L + docId * 31L) % 65536L) - 32768L).toShort
+  /** Per-doc sample count: 800–2399 samples (0.1–0.3 s at 8 kHz). */
+  def wavSamples(docId: Long): Int =
+    800 + java.lang.Math.floorMod(docId * 2654435761L, 1600L).toInt
+
+  case class WavRow(doc_id: Long, payload: Array[Byte])
+  case class AudioFeatures(doc_id: Long, sample_rate: Int, n_samples: Long,
+                           peak: Int, rms_q: Long)
+
+  /** Synthetic-but-REAL WAV payloads (16-bit signed little-endian mono
+    * PCM at 8 kHz), one per document, encoded through the JDK's
+    * javax.sound WAV writer in mapPartitions — the same
+    * codec-batch-boundary shape as pngTable. */
+  def wavTable(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val n = wavSamples(id)
+          val data = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val v = sampleAt(id, i)
+            data(2 * i) = (v & 0xff).toByte
+            data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(SampleRate, 16, 1, true, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(
+            ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          WavRow(id, bos.toByteArray)
+        }
+      }.toDF()
+  }
+
+  /** Real decode/feature-extract over a binary WAV column: the JDK
+    * sound API parses the container and format, and the features come
+    * off the DECODED sample stream — frame count and sample rate as
+    * decoded (not trusted metadata), peak |amplitude|, and the
+    * quantized RMS (floor(rms·100); sum of squares in exact long
+    * arithmetic, and IEEE sqrt is correctly rounded, so the value is
+    * bit-deterministic). Map-only mapPartitions, same shape as
+    * decodeImages. */
+  def decodeAudio(wavs: DataFrame, id: String, payload: String): DataFrame = {
+    import wavs.sparkSession.implicits._
+    wavs.select(col(id).as("doc_id"), col(payload).as("payload")).as[WavRow]
+      .mapPartitions { it =>
+        it.map { r =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.payload))
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+            s"unexpected WAV format for doc ${r.doc_id}: $fmt")
+          val bytes = ais.readAllBytes()
+          val n = bytes.length / 2
+          var sumSq = 0L
+          var peak = 0
+          var i = 0
+          while (i < n) {
+            val lo = bytes(2 * i) & 0xff
+            val hi = bytes(2 * i + 1).toInt
+            val v = (hi << 8) | lo
+            sumSq += v.toLong * v
+            if (math.abs(v) > peak) peak = math.abs(v)
+            i += 1
+          }
+          AudioFeatures(r.doc_id, fmt.getSampleRate.toInt, n.toLong, peak,
+            math.floor(math.sqrt(sumSq.toDouble / n) * 100).toLong)
+        }
+      }.toDF()
+  }
+
+  /** q105: REAL audio decode — generate the WAV corpus, then extract
+    * sample-accurate features with the JDK sound API. */
+  def q105(s: SparkSession, d: String): DataFrame =
+    decodeAudio(wavTable(s, d), "doc_id", "payload")
 
   val WindowBytes = 256
   val HopBytes = 128

@@ -34,6 +34,7 @@ class GoldenSpec extends SparkSpec {
     "q76_audio_windows"   -> "8edbf67013ce60a8b63f2072f1fdf046",
     "q91_embed_clusters"  -> "8982a208ebade798caaa0b019188c24d",
     "q95_diversity_sample" -> "e659c706697df54f41f8bec86ece7ab2",
+    "q105_audio_decode"   -> "06f18dcb02662a6473375f89ece9b23b",
   )
 
   test("rows-only queries match their pinned sf0.001 golden hashes") {

@@ -693,6 +693,22 @@ class OperatorsSpec extends SparkSpec {
     assert(flagged == expect)
   }
 
+  test("q105 decoded WAV features match the generator pattern exactly") {
+    val rows = ops.Multimodal.q105(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val n = ops.Multimodal.wavSamples(id)
+      assert(r.getInt(1) == 8000, "sample rate as decoded")
+      assert(r.getLong(2) == n.toLong, "frame count as decoded")
+      // Recompute peak and RMS directly from the PCM pattern.
+      val samples = (0 until n).map(i => ops.Multimodal.sampleAt(id, i).toInt)
+      assert(r.getInt(3) == samples.map(math.abs).max, "peak amplitude")
+      val rms = math.sqrt(samples.map(v => v.toLong * v).sum.toDouble / n)
+      assert(r.getLong(4) == math.floor(rms * 100).toLong, "quantized RMS")
+    }
+  }
+
   test("q103 broadcasts the deduped benchmark shingle set (train side joins in-scan)") {
     val plan = executedPlan(Dedup.q103(spark, sf)).toString
     assert(plan.contains("BroadcastHashJoin"),
