@@ -617,6 +617,49 @@ object Bits {
   }
 }
 
+/** Index of a value among sorted bucket boundaries (binary search):
+  * returns how many boundaries are ≤ the value, i.e. the rank bucket in
+  * [0, boundaries.length]. With boundaries taken at equal quantiles
+  * this is the RANK encode that makes z-ordering robust to skew — every
+  * bucket holds ~equal row counts no matter the value distribution,
+  * where a linear min/max rescale collapses a heavy-tailed column into
+  * a few buckets. Codegen'd; the boundary array is a shared reference
+  * in the generated class, searched with Arrays.binarySearch. */
+case class SearchSortedBucket(child: Expression, boundaries: Seq[Double])
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  require(boundaries.nonEmpty, "at least one bucket boundary")
+  require(boundaries.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)),
+    "boundaries must be sorted ascending")
+  override def inputTypes: Seq[DataType] = Seq(DoubleType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rank_bucket"
+
+  private val bounds: Array[Double] = boundaries.toArray
+
+  def bucketOf(v: Double): Long = {
+    val i = java.util.Arrays.binarySearch(bounds, v)
+    // binarySearch: match → index; no match → -(insertion point) - 1.
+    // For a match, count ALL boundaries <= v (ties take the upper slot).
+    if (i >= 0) {
+      var j = i
+      while (j < bounds.length && bounds(j) == v) j += 1
+      j.toLong
+    } else (-i - 1).toLong
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    bucketOf(input.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("rankBucket", this, classOf[SearchSortedBucket].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.bucketOf($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SearchSortedBucket =
+    copy(child = newChild)
+}
+
 /** Z-ORDER (Morton) key: interleave the lower 32 bits of two longs so
   * that sorting by the key clusters rows that are close in BOTH
   * dimensions — the storage-layout primitive behind multi-column data

@@ -54,6 +54,11 @@ object F {
   def zorder2(a: Column, b: Column): Column =
     GraftColumns.wrap(ZOrder2(u(a), u(b)))
 
+  /** Rank bucket of a double column among sorted quantile boundaries
+    * (codegen'd binary search) — the skew-robust encode for z-ordering. */
+  def rankBucket(c: Column, boundaries: Seq[Double]): Column =
+    GraftColumns.wrap(SearchSortedBucket(u(c), boundaries))
+
   /** Bounded-heap top-k aggregate: descending array of the k largest
     * values of `c` (use struct(sort_key, payload…) for row top-k).
     * Partial-aggregates map-side: the shuffle carries O(groups·k). */

@@ -165,6 +165,14 @@ class ExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("rankBucket counts boundaries at or below the value (binary search + ties)") {
+    val bounds = Seq(1.0, 3.0, 3.0, 7.0)
+    val got = Seq(0.0, 1.0, 2.0, 3.0, 5.0, 7.0, 9.0).toDF("v")
+      .select(F.rankBucket(col("v"), bounds)).as[Long].collect().toSeq
+    //            <1 →0, =1 →1, (1,3) →1, =3 →3 (ties upper), (3,7) →3, =7 →4, >7 →4
+    assert(got == Seq(0L, 1L, 1L, 3L, 3L, 4L, 4L))
+  }
+
   test("zorder2 interleaves losslessly and is SQL-registered") {
     import graft.functions.Bits
     val gen = new scala.util.Random(11)

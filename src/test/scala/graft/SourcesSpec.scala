@@ -176,6 +176,40 @@ class SourcesSpec extends SparkSpec {
     assert(zB < sB * 0.75, s"z-order ($zB) must beat the sort ($sB) on the non-leading column")
   }
 
+  test("rank-encoded z-order keeps clustering a heavy-tailed column where linear collapses") {
+    import graft.sources.Sources
+    import SparkTestSession.spark.implicits._
+    // `a` uniform; `b` exponentially heavy-tailed (uniform exponents):
+    // a linear min/max rescale maps ~half the b values into bucket 0.
+    val rows = (0L until 4096L).map { i =>
+      val h = (i * 2654435761L) % 997L
+      (i, 1L << (h % 40L).toInt)
+    }
+    val df = rows.toDF("a", "b")
+    val allB = rows.map(_._2).sorted
+    def cdf(v: Long): Double = {
+      val i = java.util.Arrays.binarySearch(allB.toArray, v)
+      val pos = if (i >= 0) i + 1 else -i - 1
+      pos.toDouble / allB.length
+    }
+    // Mean per-file PERCENTILE span of b — the data-skipping power on a
+    // skewed column is about ranks covered, not raw value range.
+    def meanRankSpan(path: String): Double = {
+      val files = spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg(min(col("b")).as("mn"), max(col("b")).as("mx")).collect()
+      files.map(r => cdf(r.getLong(2)) - cdf(r.getLong(1))).sum / files.length
+    }
+    val rankDir = tmp("zrank"); val linDir = tmp("zlin")
+    Sources.writeZOrderedByRank(df, rankDir, "a", "b", 8)
+    Sources.writeZOrdered(df, linDir, "a", "b", 8)
+    val (rankSpan, linSpan) = (meanRankSpan(rankDir), meanRankSpan(linDir))
+    assert(spark.read.parquet(rankDir).count() == 4096)
+    assert(rankSpan < 0.6, s"rank-encoded span should be narrow: $rankSpan")
+    assert(rankSpan < linSpan * 0.75,
+      s"rank ($rankSpan) must beat linear ($linSpan) on the heavy tail")
+  }
+
   test("compact rewrites small-file sprawl into the size-targeted count") {
     import graft.sources.Sources
     val sprawl = tmp("sprawl")
