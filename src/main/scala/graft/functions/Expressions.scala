@@ -635,17 +635,25 @@ case class SearchSortedBucket(child: Expression, boundaries: Seq[Double])
   override def dataType: DataType = LongType
   override def prettyName: String = "rank_bucket"
 
-  private val bounds: Array[Double] = boundaries.toArray
+  // -0.0 normalized to 0.0 so numerically equal values can't land in
+  // different buckets; NaN handled by Double.compare's total order
+  // (greater than every real — all-NaN boundary runs stay consistent).
+  private val bounds: Array[Double] =
+    boundaries.map(b => if (b == 0.0) 0.0 else b).toArray
 
+  /** Count of boundaries ≤ v under IEEE total order — a hand-rolled
+    * binary search on Double.compare (Arrays.binarySearch's landing
+    * index within a duplicate run is unspecified, and a == tie-walk
+    * breaks on NaN). */
   def bucketOf(v: Double): Long = {
-    val i = java.util.Arrays.binarySearch(bounds, v)
-    // binarySearch: match → index; no match → -(insertion point) - 1.
-    // For a match, count ALL boundaries <= v (ties take the upper slot).
-    if (i >= 0) {
-      var j = i
-      while (j < bounds.length && bounds(j) == v) j += 1
-      j.toLong
-    } else (-i - 1).toLong
+    val x = if (v == 0.0) 0.0 else v
+    var lo = 0
+    var hi = bounds.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (java.lang.Double.compare(bounds(mid), x) <= 0) lo = mid + 1 else hi = mid
+    }
+    lo.toLong
   }
 
   override protected def nullSafeEval(input: Any): Any =

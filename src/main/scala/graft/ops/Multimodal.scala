@@ -179,8 +179,14 @@ object Multimodal {
           val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
             new java.io.ByteArrayInputStream(r.payload))
           val fmt = ais.getFormat
-          require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
-            s"unexpected WAV format for doc ${r.doc_id}: $fmt")
+          // getAudioInputStream also parses AIFF/AU (big-endian) — the
+          // hand-rolled little-endian reconstruction below would
+          // byte-swap those silently, so reject anything but LE PCM.
+          require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+            !fmt.isBigEndian &&
+            fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            s"unsupported audio format for doc ${r.doc_id}: $fmt " +
+              "(need 16-bit signed little-endian mono PCM)")
           val bytes = ais.readAllBytes()
           val n = bytes.length / 2
           var sumSq = 0L

@@ -79,6 +79,25 @@ object Sources {
     * expression (functions.ZOrder2) computed in-scan;
     * repartitionByRange samples it, so files stay balanced even when
     * the key space is sparse. The key column itself is not written. */
+  /** A column name not already present on df (the z-key is transient —
+    * computed, sorted on, dropped — but must not clobber a user column). */
+  private def freshName(df: DataFrame, base: String): String =
+    Iterator.from(0)
+      .map(i => if (i == 0) base else s"$base$i")
+      .find(n => !df.columns.contains(n)).get
+
+  /** Shared tail of both z-order writers: range-partition on the key
+    * (sampled, so files stay balanced in a sparse key space), sort
+    * within files, drop the transient key, write. */
+  private def writeByZKey(keyed: DataFrame, zkey: String, path: String,
+                          numFiles: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    keyed.repartitionByRange(numFiles, col(zkey))
+      .sortWithinPartitions(col(zkey))
+      .drop(zkey)
+      .write.mode("overwrite").parquet(path)
+  }
+
   def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
                     numFiles: Int): Unit = {
     import org.apache.spark.sql.functions.{col, min, max, lit}
@@ -110,13 +129,10 @@ object Sources {
       else
         graft.functions.F.idiv(x, lit((range / bits21 + 1).toLong))
     }
-    val keyed = df.withColumn("__zkey", graft.functions.F.zorder2(
+    val zkey = freshName(df, "__zkey")
+    writeByZKey(df.withColumn(zkey, graft.functions.F.zorder2(
       scaled(colA, m.getLong(0), m.getLong(1)),
-      scaled(colB, m.getLong(2), m.getLong(3))))
-    keyed.repartitionByRange(numFiles, col("__zkey"))
-      .sortWithinPartitions(col("__zkey"))
-      .drop("__zkey")
-      .write.mode("overwrite").parquet(path)
+      scaled(colB, m.getLong(2), m.getLong(3)))), zkey, path, numFiles)
   }
 
   /** Z-ORDERED write, RANK-encoded: like writeZOrdered but each column
@@ -126,25 +142,29 @@ object Sources {
     * heavy-tailed column into a few buckets, so files stop
     * discriminating on it; rank buckets hold ~equal row counts under
     * ANY distribution, which is what production z-order (Delta OPTIMIZE
-    * ZORDER) does. Costs one approxQuantile pass per column up front;
-    * the per-row encode is map-side. */
+    * ZORDER) does. Costs ONE approxQuantile job over both columns up
+    * front; the per-row encode is map-side. */
   def writeZOrderedByRank(df: DataFrame, path: String, colA: String,
                           colB: String, numFiles: Int,
                           buckets: Int = 1 << 12): Unit = {
     import org.apache.spark.sql.functions.col
+    require(buckets >= 2 && buckets <= (1 << 20),
+      s"buckets must be in [2, 2^20], got $buckets")
     val probs = (1 until buckets).map(_.toDouble / buckets).toArray
-    def bounds(c: String): Array[Double] = {
-      val b = df.withColumn("__d", col(c).cast("double"))
-        .stat.approxQuantile("__d", probs, 1.0 / (4 * buckets))
-      if (b.isEmpty) Array(0.0) else b
-    }
-    val keyed = df.withColumn("__zkey", graft.functions.F.zorder2(
-      graft.functions.F.rankBucket(col(colA).cast("double"), bounds(colA).toSeq),
-      graft.functions.F.rankBucket(col(colB).cast("double"), bounds(colB).toSeq)))
-    keyed.repartitionByRange(numFiles, col("__zkey"))
-      .sortWithinPartitions(col("__zkey"))
-      .drop("__zkey")
-      .write.mode("overwrite").parquet(path)
+    // ONE approxQuantile job computes both columns' boundaries — a
+    // per-column call would scan the input twice.
+    val da = freshName(df, "__da")
+    val db = freshName(df, "__db")
+    val both = df.withColumn(da, col(colA).cast("double"))
+      .withColumn(db, col(colB).cast("double"))
+      .stat.approxQuantile(Array(da, db), probs, 1.0 / (4.0 * buckets))
+    def bounds(b: Array[Double]): Seq[Double] =
+      if (b.isEmpty) Seq(0.0) else b.toSeq
+    val zkey = freshName(df, "__zkey")
+    writeByZKey(df.withColumn(zkey, graft.functions.F.zorder2(
+      graft.functions.F.rankBucket(col(colA).cast("double"), bounds(both(0))),
+      graft.functions.F.rankBucket(col(colB).cast("double"), bounds(both(1))))),
+      zkey, path, numFiles)
   }
 
   /** COMPACT a parquet dataset: rewrite many small files into
