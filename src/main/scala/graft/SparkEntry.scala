@@ -112,6 +112,7 @@ object SparkEntry {
     "q103_decontaminate"    -> (Dedup.q103 _),
     "q104_mixture_sample"   -> (Text.q104 _),
     "q105_audio_decode"     -> (Multimodal.q105 _),
+    "q106_passage_dedup"    -> (Dedup.q106 _),
     "q74_stopword_filter" -> (Text.q74 _),
     "q77_session_window"  -> (Events.q77 _),
     "q75_corpus_pipeline" -> (Text.q75 _),
@@ -557,6 +558,21 @@ object SparkEntry {
          SELECT sh.doc_id, count(*) AS n_hits
          FROM sh JOIN bs USING (shingle) WHERE sh.doc_id % 10 <> 0
          GROUP BY 1""",
+
+    "q106_passage_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+         ix AS (SELECT doc_id, words,
+           unnest(generate_series(0, greatest(CAST(ceil(len(words) / 20.0) AS BIGINT), 1) - 1)) AS pass_idx
+           FROM w),
+         p AS (SELECT doc_id, pass_idx,
+           array_to_string(words[(pass_idx * 20 + 1):(pass_idx * 20 + 20)], ' ') AS passage
+           FROM ix),
+         r AS (SELECT doc_id, pass_idx,
+           row_number() OVER (PARTITION BY passage ORDER BY doc_id, pass_idx) AS rn
+           FROM p)
+         SELECT doc_id, count(*) AS n_passages,
+           CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_passages
+         FROM r GROUP BY 1""",
 
     "q104_mixture_sample" ->
       """WITH tk AS (SELECT doc_id, source,

@@ -49,6 +49,47 @@ object Dedup {
     corpus.groupBy(md5(col(text)).as("text_hash"))
       .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Sub-document (passage-level) exact dedup: whole-document dedup
+    * misses the repeated SPANS inside otherwise-distinct documents
+    * (boilerplate headers, licence blocks, quoted replies) — the
+    * signal exact-substring training-data dedup targets. This operator
+    * approximates substring dedup at passage granularity: each document
+    * is cut into consecutive non-overlapping `w`-word passages, and a
+    * passage is a duplicate iff the same word sequence appears earlier
+    * in the corpus (corpus-wide first occurrence by (doc_id, pass_idx)
+    * keeps it).
+    *
+    * Returns one row per document: (doc_id, n_passages,
+    * n_dup_passages) — the per-doc accounting a pipeline thresholds on
+    * ("drop docs that are >50% boilerplate") or uses to excise spans.
+    *
+    * Scale: the explode emits one row per passage (≈ n_words/w, a
+    * FRACTION of token count, not a blow-up); each passage travels as
+    * a 16-byte md5 + two ids. One shuffle to rank occurrences within a
+    * hash (groups are tiny — the duplicate multiplicity), one to
+    * re-aggregate per doc. Linear in corpus size, no joins against the
+    * corpus text. */
+  def passageDedup(corpus: DataFrame, id: String, text: String,
+                   w: Int = 20): DataFrame = {
+    require(w > 0, s"passage width must be positive, got $w")
+    val words = corpus.select(col(id).as("doc_id"),
+        split(col(text), " ").as("words"))
+      .withColumn("n_pass",
+        ceil(size(col("words")) / lit(w.toDouble)).cast("int"))
+    // slice() is 1-based and clamps the tail passage to what remains.
+    val passages = words
+      .select(col("doc_id"), col("words"),
+        explode(sequence(lit(0), greatest(col("n_pass"), lit(1)) - 1)).as("pass_idx"))
+      .select(col("doc_id"), col("pass_idx"),
+        md5(array_join(slice(col("words"), col("pass_idx") * w + 1, lit(w)), " ")).as("ph"))
+    val rn = row_number().over(
+      Window.partitionBy(col("ph")).orderBy(col("doc_id"), col("pass_idx")))
+    passages.withColumn("rn", rn)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_passages"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dup_passages"))
+  }
+
   /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs via
     * two narrow array joins + a zero-allocation sorted-merge Jaccard —
     * candidates are O(near-dups), so no re-explosion of the corpus. */
@@ -267,6 +308,11 @@ object Dedup {
     decontaminate(docs.filter(col("doc_id") % 10 =!= 0),
       docs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
   }
+
+  /** q106: passage-level (sub-document) exact dedup at 20-word
+    * granularity — per-doc duplicate-span accounting. */
+  def q106(s: SparkSession, d: String): DataFrame =
+    passageDedup(Tables.documents(s, d), "doc_id", "text", 20)
 
   /** Persist a corpus's MinHash-LSH signature state under `path`: a
     * `buckets` table (doc_id, band, bh) partitioned by band, and an
