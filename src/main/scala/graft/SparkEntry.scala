@@ -898,7 +898,7 @@ object SparkEntry {
          f AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY 1),
          tt AS (SELECT count(*) AS total FROM tk)
          SELECT doc_id, count(*) AS n_tokens,
-         ${BP("avg(-ln(cnt / CAST(total AS DOUBLE)))")} AS mean_surprisal_bp
+         CAST(floor(sum(${BP("-ln(cnt / CAST(total AS DOUBLE))")}) / count(*)) AS BIGINT) AS mean_surprisal_bp
          FROM tk JOIN f USING (tok) CROSS JOIN tt
          GROUP BY 1""",
     // q52's LSH candidates at these similarity levels recover the exact

@@ -389,14 +389,26 @@ object Dedup {
 
   /** Core of the incremental dedup, from precomputed (and typically
     * cached) shingle arrays + band buckets — no cache management here;
-    * the caller owns the lifecycle. */
+    * the caller owns the lifecycle.
+    *
+    * `excludeBatch`: the store batch tag THIS batch writes under. An
+    * at-least-once engine can replay a micro-batch whose store write
+    * already succeeded; without the exclusion the store read then
+    * contains the batch's own signatures, the arrays union holds each
+    * batch doc twice, and the verification joins fan every
+    * batch-touching pair out 2–4×. Filtering the batch's own partition
+    * (a partition-pruned scan, not a data filter) makes the replayed
+    * read identical to the first attempt — idempotence restored. */
   def incrementalPairsFrom(newArrs: DataFrame, newBk: DataFrame,
                            storePath: String, tau: Double,
-                           maxBucket: Int = MaxBucketWidth): DataFrame = {
+                           maxBucket: Int = MaxBucketWidth,
+                           excludeBatch: Option[String] = None): DataFrame = {
     val s = newArrs.sparkSession
-    val storeBk = s.read.parquet(s"$storePath/buckets")
+    def dropOwn(df: DataFrame): DataFrame =
+      excludeBatch.fold(df)(tag => df.filter(col("batch") =!= lit(tag)))
+    val storeBk = dropOwn(s.read.parquet(s"$storePath/buckets"))
       .select(col("doc_id").as("store_id"), col("band"), col("bh"))
-    val storeArrs = s.read.parquet(s"$storePath/arrays")
+    val storeArrs = dropOwn(s.read.parquet(s"$storePath/arrays"))
       .select(col("doc_id"), col("sh_arr"), col("n"))
     // ONE scan + shuffle of the (large, growing) store buckets: width
     // and hub ride the same (band, bh) window partitioning. Hot buckets
@@ -550,10 +562,17 @@ object Dedup {
     * oracle), without recomputing the stored side's signatures. */
   def q88(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
+    // Scratch path scoped by applicationId (concurrent sessions — e.g.
+    // Verify and Bench on one machine — never share or race on it) and
+    // by an md5 of the dataset path (distinct datasets can't collide the
+    // way String.hashCode can).
+    val dTag = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_sigstore_" +
-      java.lang.Integer.toHexString(d.hashCode)
-    // The fixed scratch path may hold other batches from prior runs —
-    // this query's contract is "store = exactly the even ids", so reset.
+      s"${s.sparkContext.applicationId}_$dTag"
+    // The per-app scratch path may hold this query's prior run (Bench
+    // repeats queries) — the contract is "store = exactly the even
+    // ids", so reset.
     val hp = new org.apache.hadoop.fs.Path(path)
     hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
     writeSignatureStore(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", path)

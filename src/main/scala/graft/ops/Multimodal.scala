@@ -102,15 +102,23 @@ object Multimodal {
           require(img != null, s"undecodable payload for doc ${r.doc_id}")
           val (w, h) = (img.getWidth, img.getHeight)
           val raster = img.getRaster
+          // Mean over ALL raster bands: for RGB inputs this is the
+          // unweighted grayscale mean, not just channel 0; single-band
+          // (gray) images are unchanged.
+          val bands = raster.getNumBands
           var sum = 0L
           var y = 0
           while (y < h) {
             var x = 0
-            while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+            while (x < w) {
+              var b = 0
+              while (b < bands) { sum += raster.getSample(x, y, b); b += 1 }
+              x += 1
+            }
             y += 1
           }
           ImageFeatures(r.doc_id, "png", r.payload.length.toLong,
-            w, h, sum * 100L / (w.toLong * h))
+            w, h, sum * 100L / (w.toLong * h * bands))
         }
       }.toDF()
   }

@@ -287,8 +287,12 @@ object Text {
       .crossJoin(broadcast(total))
       .groupBy(col(id))
       .agg(count(lit(1)).as("n_tokens"),
-        bp(avg(-log(col("cnt").cast("double") / col("total"))))
-          .as("mean_surprisal_bp"))
+        // Mean of per-token FIXED-POINT surprisals: each token's bp
+        // value rounds once, the long sum is exact, so the result is
+        // independent of partial-merge order (a double avg's last bp
+        // digit can flip across shuffle-partition counts or engines).
+        floor(sum(bp(-log(col("cnt").cast("double") / col("total")))) /
+          count(lit(1))).cast("long").as("mean_surprisal_bp"))
   }
 
   /** q90: unigram surprisal scoring of the documents table. */

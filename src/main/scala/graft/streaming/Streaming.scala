@@ -69,7 +69,12 @@ object Streaming {
         val arrs = graft.ops.Dedup.shingleArrays(batch.toDF(), id, text).cache()
         val bk = graft.ops.Dedup.signatureBuckets(arrs).cache()
         try {
-          graft.ops.Dedup.incrementalPairsFrom(arrs, bk, storePath, tau)
+          // excludeBatch: on an at-least-once replay whose store write
+          // already landed, skip this batch's own batch=b<id> partition
+          // so the arrays union doesn't hold each batch doc twice (which
+          // would fan verified pairs out through the two verify joins).
+          graft.ops.Dedup.incrementalPairsFrom(arrs, bk, storePath, tau,
+              excludeBatch = Some(s"b$batchId"))
             .write.mode("overwrite").parquet(s"$pairsPath/batch=$batchId")
           graft.ops.Dedup.writeSignatureStoreFrom(arrs, storePath, s"b$batchId",
             buckets = Some(bk))

@@ -199,6 +199,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("near-dedup replay: batch's own store partition is excluded, pairs stay exact") {
+    // An at-least-once engine can re-run a micro-batch AFTER its store
+    // write landed. The replayed pair search must not see the batch's
+    // own batch=b<id> signatures in the store (the arrays union would
+    // hold each batch doc twice and the verify joins would fan each
+    // batch-touching pair out 2-4x).
+    val dir = java.nio.file.Files.createTempDirectory("graft-replay").toString
+    val store = s"$dir/store"
+    def doc(prefix: String, last: String): String =
+      (1 to 49).map(i => s"$prefix$i").mkString(" ") + " " + last
+    val seed = Seq((100L, doc("w", "theta"))).toDF("doc_id", "text")
+    graft.ops.Dedup.writeSignatureStore(seed, "doc_id", "text", store)
+    val batch = Seq((200L, doc("w", "iota")),
+                    (201L, doc("w", "kappa"))).toDF("doc_id", "text")
+    val arrs = graft.ops.Dedup.shingleArrays(batch, "doc_id", "text").cache()
+    val bk = graft.ops.Dedup.signatureBuckets(arrs).cache()
+    try {
+      // Simulate the replay state: this batch's store write already
+      // succeeded under its tag before the pair search re-runs.
+      graft.ops.Dedup.writeSignatureStoreFrom(arrs, store, "b7", buckets = Some(bk))
+      val rows = graft.ops.Dedup
+        .incrementalPairsFrom(arrs, bk, store, 0.6, excludeBatch = Some("b7"))
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      // Each pair exactly once — no fan-out from duplicated arrays.
+      assert(rows.length == rows.toSet.size, s"duplicated pairs: ${rows.toList}")
+      assert(rows.toSet == Set((100L, 200L), (100L, 201L), (200L, 201L)),
+        s"got ${rows.toList}")
+    } finally { bk.unpersist(); arrs.unpersist() }
+  }
+
   test("foreachBatch sink lands every micro-batch in parquet exactly once") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-febatch").toString
