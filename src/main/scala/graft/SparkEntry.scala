@@ -113,6 +113,14 @@ object SparkEntry {
     "q104_mixture_sample"   -> (Text.q104 _),
     "q105_audio_decode"     -> (Multimodal.q105 _),
     "q106_passage_dedup"    -> (Dedup.q106 _),
+    "q107_lateral_topk"     -> (Relational.q107 _),
+    "q108_concurrency"      -> (Events.q108 _),
+    "q109_attribution"      -> (Events.q109 _),
+    "q110_token_entropy"    -> (Text.q110 _),
+    "q111_nfc_normalize"    -> (Text.q111 _),
+    "q112_name_dedup"       -> (Dedup.q112 _),
+    "q113_sparse_cosine"    -> (Text.q113 _),
+    "q114_semdedup"         -> (Similarity.q114 _),
     "q74_stopword_filter" -> (Text.q74 _),
     "q77_session_window"  -> (Events.q77 _),
     "q75_corpus_pipeline" -> (Text.q75 _),
@@ -901,6 +909,79 @@ object SparkEntry {
          CAST(floor(sum(${BP("-ln(cnt / CAST(total AS DOUBLE))")}) / count(*)) AS BIGINT) AS mean_surprisal_bp
          FROM tk JOIN f USING (tok) CROSS JOIN tt
          GROUP BY 1""",
+    "q107_lateral_topk" ->
+      """SELECT n.n_name, t.c_custkey, t.acctbal_c
+         FROM nation n, LATERAL (
+           SELECT c_custkey, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_c
+           FROM customer WHERE c_nationkey = n.n_nationkey
+           ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 3) t""",
+
+    "q108_concurrency" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+         l AS (SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us FROM e),
+         f AS (SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS ns FROM l),
+         ss AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS session_idx FROM f),
+         sess AS (SELECT user_id, session_idx, min(ts_us) AS s0, max(ts_us) AS s1 FROM ss GROUP BY 1, 2)
+         SELECT b * 3600 AS bucket_ts, count(*) AS n_active
+         FROM (SELECT unnest(generate_series(s0 // 3600000000, s1 // 3600000000)) AS b FROM sess)
+         GROUP BY 1""",
+
+    "q109_attribution" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+         a AS (SELECT *,
+           sum(CASE WHEN event_type IN ('view','click') THEN 1 ELSE 0 END) OVER w AS n_touches,
+           min(CASE WHEN event_type IN ('view','click') THEN ts_us END) OVER w AS first_touch_us,
+           max(CASE WHEN event_type IN ('view','click') THEN ts_us END) OVER w AS last_touch_us
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+            RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW))
+         SELECT event_id, user_id, ts_us, CAST(n_touches AS BIGINT) AS n_touches,
+           first_touch_us, last_touch_us
+         FROM a WHERE event_type = 'purchase'""",
+
+    "q110_token_entropy" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         c AS (SELECT doc_id, tok, count(*) AS c FROM tk GROUP BY 1, 2)
+         SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(floor(ln(CAST(sum(c) AS DOUBLE)) * 10000 + 0.5)
+             - (CAST(sum(CAST(floor((c * ln(CAST(c AS DOUBLE))) * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+                // CAST(sum(c) AS BIGINT)) AS BIGINT) AS entropy_bp
+         FROM c GROUP BY 1""",
+
+    "q111_nfc_normalize" ->
+      """SELECT doc_id,
+           md5(nfc_normalize(substring(text, 1, 24) || 'e' || chr(769))) AS nfc_md5,
+           length(nfc_normalize(substring(text, 1, 24) || 'e' || chr(769))) AS nfc_len,
+           length(substring(text, 1, 24) || 'e' || chr(769)) AS raw_len
+         FROM documents""",
+
+    "q112_name_dedup" ->
+      """WITH p AS (SELECT p_partkey, p_name, p_brand FROM part),
+         pr AS (SELECT a.p_name AS name_a, b.p_name AS name_b,
+                  levenshtein(a.p_name, b.p_name) AS lev
+                FROM p a JOIN p b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+                  AND abs(length(a.p_name) - length(b.p_name)) <= 2
+                  AND a.p_name <> b.p_name)
+         SELECT name_a, name_b, CAST(lev AS BIGINT) AS lev, count(*) AS n_pairs
+         FROM pr WHERE lev BETWEEN 1 AND 2 GROUP BY 1, 2, 3""",
+
+    "q113_sparse_cosine" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY 1, 2),
+         dfx AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+         nn AS (SELECT count(*) AS n_docs FROM documents),
+         w AS (SELECT doc_id, tok,
+                 CAST(floor((tf * ln(n_docs / CAST(df AS DOUBLE))) * 1000 + 0.5) AS BIGINT) AS wm
+               FROM tf JOIN dfx USING (tok) CROSS JOIN nn),
+         nrm AS (SELECT doc_id, CAST(sum(wm * wm) AS BIGINT) AS m2 FROM w GROUP BY 1),
+         dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    CAST(sum(a.wm * b.wm) AS BIGINT) AS dot
+                  FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+         SELECT doc_a, doc_b,
+           CAST(floor((dot / (sqrt(na.m2) * sqrt(nb.m2))) * 10000 + 0.5) AS BIGINT) AS cos_bp
+         FROM dots JOIN nrm na ON na.doc_id = doc_a JOIN nrm nb ON nb.doc_id = doc_b
+         WHERE dot / (sqrt(na.m2) * sqrt(nb.m2)) >= 0.8""",
+
     // q52's LSH candidates at these similarity levels recover the exact
     // pair set (miss prob ~2e-11 per 0.97-similar pair), so the verified
     // output is graded against the same exact-Jaccard oracle.

@@ -694,3 +694,42 @@ case class ZOrder2(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): ZOrder2 =
     copy(left = l, right = r)
 }
+
+/** Unicode NFC normalization (canonical composition) of a string column
+  * — the text-normalization step before hashing/dedup: visually
+  * identical strings with different codepoint sequences ("e" +
+  * combining acute vs precomposed "é") must hash equal or every
+  * downstream exact/near dedup treats them as distinct documents.
+  * Fast path: `isNormalized` is a scan with no allocation, and almost
+  * all real corpus text (ASCII and most already-composed UTF-8) takes
+  * it — the expensive normalize only runs on rows that need it. Native
+  * expression (vs a UDF) keeps the check inside whole-stage codegen. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val u = input.asInstanceOf[UTF8String]
+    val s = u.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) u
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val s = ctx.freshName("s")
+      s"""
+         |String $s = $c.toString();
+         |if (java.text.Normalizer.isNormalized($s, java.text.Normalizer.Form.NFC)) {
+         |  ${ev.value} = $c;
+         |} else {
+         |  ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+         |    java.text.Normalizer.normalize($s, java.text.Normalizer.Form.NFC));
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}

@@ -49,6 +49,10 @@ object F {
   def intersectSize(a: Column, b: Column): Column =
     GraftColumns.wrap(IntersectSizeSorted(u(a), u(b)))
 
+  /** Unicode NFC normalization of a string column (codegen'd, with an
+    * allocation-free already-normalized fast path). */
+  def nfc(c: Column): Column = GraftColumns.wrap(NfcNormalize(u(c)))
+
   /** Z-order (Morton) key over two long columns — sort/range-partition
     * by this to cluster files for two-column data skipping. */
   def zorder2(a: Column, b: Column): Column =

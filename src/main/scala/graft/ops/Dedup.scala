@@ -314,6 +314,44 @@ object Dedup {
   def q106(s: SparkSession, d: String): DataFrame =
     passageDedup(Tables.documents(s, d), "doc_id", "text", 20)
 
+  /** Edit-distance (Levenshtein) near-dup pairs over SHORT strings —
+    * the entity/title dedup shape (product names, author strings),
+    * where token-set measures fail: one typo is one edit but can
+    * change every shingle. Pairs join within a semantic block (brand,
+    * catalog, source — the natural entity scope), with the
+    * |len(a) − len(b)| ≤ maxDist length filter cutting candidates
+    * before any distance runs (lev ≥ length difference, so no true
+    * pair is lost), and Spark's codegen'd levenshtein(l, r, threshold)
+    * short-circuits the O(len²) DP at the bound. Identical strings
+    * (lev = 0) are excluded — exact duplicates are `exact`'s job
+    * upstream. Scale: the pair join is per-block; blocks are entity
+    * scopes (bounded cardinality), never the whole corpus. */
+  def editDistancePairs(df: DataFrame, id: String, name: String,
+                        block: String, maxDist: Int): DataFrame = {
+    val lev = levenshtein(col(s"a.$name"), col(s"b.$name"), maxDist)
+    df.as("a").join(df.as("b"),
+        col(s"a.$block") === col(s"b.$block") && col(s"a.$id") < col(s"b.$id") &&
+        abs(length(col(s"a.$name")) - length(col(s"b.$name"))) <= maxDist &&
+        col(s"a.$name") =!= col(s"b.$name"))
+      .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"),
+        col(s"a.$block").as("block"), lev.as("lev"))
+      // threshold'd levenshtein returns -1 past the bound.
+      .filter(col("lev") >= 1 && col("lev") <= maxDist)
+  }
+
+  /** q112: part-name edit-distance dedup within brand at lev ≤ 2,
+    * aggregated to (name_a, name_b) with pair multiplicities (the
+    * catalog-level diagnostic; 64 distinct names fan out over 2000
+    * parts). */
+  def q112(s: SparkSession, d: String): DataFrame =
+    editDistancePairs(Tables.part(s, d), "p_partkey", "p_name", "p_brand", 2)
+      .join(Tables.part(s, d).select(col("p_partkey").as("id_a"),
+        col("p_name").as("name_a")), "id_a")
+      .join(Tables.part(s, d).select(col("p_partkey").as("id_b"),
+        col("p_name").as("name_b")), "id_b")
+      .groupBy(col("name_a"), col("name_b"), col("lev").cast("long").as("lev"))
+      .agg(count(lit(1)).as("n_pairs"))
+
   /** Persist a corpus's MinHash-LSH signature state under `path`: a
     * `buckets` table (doc_id, band, bh) partitioned by band, and an
     * `arrays` table (doc_id, sh_arr, n) for exact verification of future

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Cols._
+import graft.functions.F
 
 /** Time-series / event operators: tumbling windows, gap sessionization,
   * top-k per group, as-of join, range join, funnel, retention, rolling
@@ -395,4 +396,63 @@ object Events {
            cents(avg(col("k"))).as("avg_k"),
            countDistinct(col("k")).as("n_distinct_k"),
            count(lit(1)).as("cnt"))
+
+  /** Interval-overlap concurrency: how many intervals (start_us..end_us,
+    * inclusive) are active in each fixed bucket of `bucketUs`. The
+    * classic sweep-line needs a GLOBAL time-ordered running sum — one
+    * partition holding every endpoint, the anti-pattern at 100 TB. This
+    * formulation instead explodes each interval into the buckets it
+    * spans (fan-out = interval length / bucket, bounded for session-like
+    * intervals) and counts per bucket: embarrassingly parallel, one
+    * aggregation shuffle on the bucket key, no global order. */
+  def intervalConcurrency(intervals: DataFrame, startUs: String,
+                          endUs: String, bucketUs: Long): DataFrame =
+    intervals
+      .select(explode(sequence(
+        F.idiv(col(startUs), lit(bucketUs)),
+        F.idiv(col(endUs), lit(bucketUs)))).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_active"))
+      .select((col("bucket") * lit(bucketUs / 1000000L)).as("bucket_ts"),
+        col("n_active"))
+
+  /** q108: per-hour session concurrency — the q31 sessions swept into
+    * hour buckets. Answers "how many sessions were live each hour"
+    * without a global sort. */
+  def q108(s: SparkSession, d: String): DataFrame =
+    intervalConcurrency(q31(s, d), "session_start_us", "session_end_us",
+      3600L * 1000000L)
+
+  /** Touch attribution: for each conversion event, the first/last
+    * preceding touch event and the touch count within a lookback
+    * horizon. One shuffle on the entity key; the lookback is a RANGE
+    * window frame over exact integer microseconds inside the partition
+    * — no self-join, no fan-out, the plan a 100 TB attribution job
+    * needs. Touches at the conversion's own timestamp count (frame ends
+    * at CURRENT ROW — range frames include timestamp peers). */
+  def touchAttribution(events: DataFrame, key: String, tsUs: String,
+                       kind: String, isTouch: Column, isConversion: Column,
+                       lookbackUs: Long): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(tsUs).asc)
+      .rangeBetween(-lookbackUs, Window.currentRow)
+    events
+      .withColumn("n_touches", sum(when(isTouch, 1L).otherwise(0L)).over(w))
+      .withColumn("first_touch_us", min(when(isTouch, col(tsUs))).over(w))
+      .withColumn("last_touch_us", max(when(isTouch, col(tsUs))).over(w))
+      .filter(isConversion)
+  }
+
+  /** q109: 7-day first/last-touch attribution of purchases to
+    * view/click touches, per user. */
+  def q109(s: SparkSession, d: String): DataFrame =
+    touchAttribution(
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us")),
+      "user_id", "ts_us", "event_type",
+      col("event_type").isin("view", "click"),
+      col("event_type") === "purchase",
+      7L * 24 * 3600 * 1000000L)
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("n_touches"), col("first_touch_us"), col("last_touch_us"))
 }

@@ -653,4 +653,26 @@ object Relational {
   /** q102: the 10 busiest users on the events stream. */
   def q102(s: SparkSession, d: String): DataFrame =
     heavyHitters(Tables.events(s, d), "user_id", 10)
+
+  /** q107: correlated LATERAL subquery — per-nation top-3 customers by
+    * account balance, expressed as SQL `JOIN LATERAL (... ORDER BY ...
+    * LIMIT 3)`. Exercises Spark's lateral-join surface: Catalyst
+    * decorrelates the per-row subquery into a partitioned window plan
+    * (the same physical shape as topKPerGroup) rather than executing it
+    * per driving row — declare the per-row semantics, let the optimizer
+    * pick the set-based plan. */
+  def q107(s: SparkSession, d: String): DataFrame = {
+    Tables.nation(s, d).createOrReplaceTempView("g_nation")
+    Tables.customer(s, d).createOrReplaceTempView("g_customer")
+    s.sql("""
+      SELECT n.n_name, t.c_custkey, t.acctbal_c
+      FROM g_nation n
+      JOIN LATERAL (
+        SELECT c_custkey, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_c
+        FROM g_customer
+        WHERE c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey ASC
+        LIMIT 3) t
+    """)
+  }
 }

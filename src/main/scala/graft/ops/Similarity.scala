@@ -392,6 +392,36 @@ object Similarity {
       .select(col("cell"), col("rn"), col("vec_id"))
   }
 
+  /** Semantic deduplication (SemDeDup, Abbas et al. 2023): embeddings
+    * are clustered by a sampled-k-means quantizer, pairs are compared
+    * ONLY within their cell, and of any pair with cosine ≥ tau the
+    * higher id is dropped — keep-min, the paper's keep-one-per-ε-ball
+    * policy made deterministic. Returns the KEPT rows (id, cell).
+    * Scale: the quantizer bounds the pair join to intra-cell (cells
+    * sized so a cell fits a partition — at 100 TB raise k so
+    * n/k stays bounded, exactly how the paper shards); the drop set is
+    * a semi-join, the corpus never self-joins globally. */
+  def semDedup(corpus: DataFrame, id: String, emb: String,
+               k: Int, tau: Double, iters: Int = TrainIters): DataFrame = {
+    val cents = trainCentroids(corpus, id, emb, k, iters)
+    val scores = array(cents.zipWithIndex.map { case (c, i) =>
+      struct(F.cosineSim(col(emb), typedlit(c)).as("c"), lit(i).as("i"))
+    }: _*)
+    val cells = corpus.select(col(id).as("vid"), col(emb).as("e"),
+      array_max(scores).getField("i").as("cell"))
+    val dropped = cells.as("a").join(cells.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vid") < col("b.vid") &&
+        F.cosineSim(col("a.e"), col("b.e")) >= tau)
+      .select(col("b.vid").as("vid")).distinct()
+    cells.join(dropped, Seq("vid"), "left_anti")
+      .select(col("vid").as("vec_id"), col("cell"))
+  }
+
+  /** q114: SemDeDup of the embeddings table — 16 trained cells,
+    * τ = 0.35 (the q54 near-dup level). */
+  def q114(s: SparkSession, d: String): DataFrame =
+    semDedup(Tables.embeddings(s, d), "vec_id", "embedding", 16, 0.35)
+
   /** q62: IVF-Flat approximate top-10, nprobe=4 of 16 cells. */
   def q62(s: SparkSession, d: String): DataFrame = {
     val (c, q) = corpusAndQueries(s, d)

@@ -475,4 +475,82 @@ object Text {
   /** q49: repetition scoring per language. */
   def q49(s: SparkSession, d: String): DataFrame =
     repetition(Tables.documents(s, d), "lang", "text")
+
+  /** Per-document token-distribution Shannon entropy — the lexical-
+    * diversity quality signal (low entropy = repetitive/boilerplate,
+    * near-uniform entropy on a tiny vocabulary = template spam).
+    * H = ln n − (Σ c·ln c)/n over per-doc token counts c. Computed in
+    * per-term fixed point: each c·ln c rounds to bp once, the long sum
+    * is exact, so the score is independent of partial-merge order and
+    * engine. Two aggregation shuffles ((doc, token) then doc) — linear,
+    * map-side combinable, no joins. */
+  def tokenEntropy(df: DataFrame, id: String, text: String): DataFrame =
+    withToks(df, text).select(col(id), explode(toks).as("tok"))
+      .groupBy(col(id), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col(id))
+      .agg(sum(col("c")).as("n_tokens"),
+        (bp(log(sum(col("c")).cast("double"))) -
+          F.idiv(sum(bp(col("c").cast("double") * log(col("c").cast("double")))),
+            sum(col("c")))).as("entropy_bp"))
+
+  /** q110: token-entropy scoring of the documents table. */
+  def q110(s: SparkSession, d: String): DataFrame =
+    tokenEntropy(Tables.documents(s, d), "doc_id", "text")
+
+  /** q111: Unicode NFC normalization through the native codegen'd
+    * NfcNormalize expression. The corpus text is ASCII (already
+    * normalized — the fast path), so each doc's text is decorated with
+    * a decomposed "e" + U+0301 combining acute, which NFC composes to a
+    * single precomposed é: the normalized form is one char shorter and
+    * hashes differently, making the normalization observable in the
+    * oracle compare. */
+  def q111(s: SparkSession, d: String): DataFrame = {
+    val deco = concat(substring(col("text"), 1, 24), lit("e\u0301"))
+    Tables.documents(s, d).select(col("doc_id"),
+      md5(F.nfc(deco)).as("nfc_md5"),
+      length(F.nfc(deco)).cast("long").as("nfc_len"),
+      length(deco).cast("long").as("raw_len"))
+  }
+
+  /** TF-IDF sparse-vector cosine similarity join: document pairs whose
+    * tf-idf–weighted cosine ≥ tau — the sparse-lexical cousin of the
+    * dense-embedding near-dup (Dedup.embeddingPairs). Weights are
+    * quantized once to milli fixed point; dot products and squared
+    * norms are then EXACT long sums (merge-order/engine independent),
+    * with the single final cos = dot/(√a·√b) in double. Candidates
+    * come from the shared-token inverted index — at 100 TB add PPJoin
+    * prefix filtering over the weight-DESC-ordered postings (the exact
+    * bound jaccardPairs already implements for sets); here every
+    * shared-token pair is scored exactly. */
+  def tfidfCosinePairs(df: DataFrame, id: String, text: String,
+                       tau: Double): DataFrame = {
+    val tf = withToks(df, text).select(col(id).as("doc_id"), explode(toks).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfx = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("n_docs"))
+    val w = tf.join(dfx, "tok").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("tok"),
+        fixedMilli(col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df"))).as("wm"))
+    val norms = w.groupBy(col("doc_id"))
+      .agg(sum(col("wm") * col("wm")).as("m2"))
+    val dots = w.as("a").join(w.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(sum(col("a.wm") * col("b.wm")).as("dot"))
+    val cos = col("dot") / (sqrt(col("m2_a")) * sqrt(col("m2_b")))
+    dots
+      .join(norms.select(col("doc_id").as("doc_a"), col("m2").as("m2_a")), "doc_a")
+      .join(norms.select(col("doc_id").as("doc_b"), col("m2").as("m2_b")), "doc_b")
+      .filter(cos >= tau)
+      .select(col("doc_a"), col("doc_b"), bp(cos).as("cos_bp"))
+  }
+
+  /** Milli (3-decimal) fixed point — tf-idf weight quantization. */
+  private def fixedMilli(c: Column): Column =
+    floor(c * 1000 + 0.5).cast("long")
+
+  /** q113: tf-idf cosine near-dup pairs at τ = 0.8. */
+  def q113(s: SparkSession, d: String): DataFrame =
+    tfidfCosinePairs(Tables.documents(s, d), "doc_id", "text", 0.8)
 }

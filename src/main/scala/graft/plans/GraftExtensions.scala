@@ -5,8 +5,8 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import graft.functions.{CosineSimilarity, HammingDistance64, IntersectSizeSorted,
-  JaccardSorted, MinHash128, RollingHash64, ShingleHashes, SimHash64, TopKAgg,
-  VecSumAgg, ZOrder2}
+  JaccardSorted, MinHash128, NfcNormalize, RollingHash64, ShingleHashes, SimHash64,
+  TopKAgg, VecSumAgg, ZOrder2}
 
 /** SparkSessionExtensions registering graft's native expressions as SQL
   * functions, so `spark.sql("SELECT cosine_sim(a, b) ...")` works too.
@@ -46,6 +46,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("intersect_size"),
       new ExpressionInfo(classOf[IntersectSizeSorted].getName, "intersect_size"),
       (children: Seq[Expression]) => IntersectSizeSorted(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (children: Seq[Expression]) => NfcNormalize(children.head)))
     ext.injectFunction((
       new FunctionIdentifier("zorder2"),
       new ExpressionInfo(classOf[ZOrder2].getName, "zorder2"),

@@ -188,4 +188,27 @@ class ExpressionsSpec extends SparkSpec {
     val viaSql = spark.sql("SELECT zorder2(3, 5)").head().getLong(0)
     assert(viaSql == Bits.interleave(3L, 5L))
   }
+
+  test("nfc_normalize composes decomposed sequences and passes ASCII through") {
+    val decomposed = "Cafe\u0301"   // e + combining acute (5 chars)
+    val composed = "Caf\u00e9"       // precomposed é (4 chars)
+    val rows = Seq(decomposed, composed, "plain ascii", "")
+      .toDF("s").select(col("s"), F.nfc(col("s")).as("n"),
+        length(F.nfc(col("s"))).as("len")).collect()
+    assert(rows(0).getString(1) == composed && rows(0).getInt(2) == 4)
+    assert(rows(1).getString(1) == composed)     // already-NFC: unchanged
+    assert(rows(2).getString(1) == "plain ascii") // ASCII fast path
+    assert(rows(3).getString(1) == "")
+    // Post-normalization, both spellings hash identically — the dedup
+    // property the expression exists for.
+    val hashes = Seq(decomposed, composed).toDF("s")
+      .select(md5(F.nfc(col("s")))).as[String].collect()
+    assert(hashes(0) == hashes(1))
+    // NOTE: Spark's chr() is byte-valued (chr(769) = chr(1), unlike
+    // DuckDB's codepoint chr), so the combining mark rides in as a
+    // string literal here.
+    val viaSql = spark.sql("SELECT nfc_normalize(\'Cafe\\u0301\')")
+      .head().getString(0)
+    assert(viaSql == composed)
+  }
 }

@@ -35,6 +35,7 @@ class GoldenSpec extends SparkSpec {
     "q91_embed_clusters"  -> "8982a208ebade798caaa0b019188c24d",
     "q95_diversity_sample" -> "e659c706697df54f41f8bec86ece7ab2",
     "q105_audio_decode"   -> "06f18dcb02662a6473375f89ece9b23b",
+    "q114_semdedup"       -> "bf742a6709c9f0e3737ee9075dadbedd",
   )
 
   test("rows-only queries match their pinned sf0.001 golden hashes") {

@@ -736,6 +736,58 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q108 concurrency sweeps without a global sort or single-partition exchange") {
+    val plan = executedPlan(Events.q108(spark, sf)).toString
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"concurrency must not funnel through one partition:\n$plan")
+    // The sweep is a bucket explode + hash aggregation — the only sort
+    // allowed is the sessionize window's per-user in-partition sort.
+    assert(!plan.contains("Sort [bucket"), s"no global bucket sort expected:\n$plan")
+  }
+
+  test("q109 attribution runs in ONE shuffle on the entity key") {
+    val plan = executedPlan(Events.q109(spark, sf)).toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected exactly one shuffle, got $exchanges:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"), s"global window detected:\n$plan")
+  }
+
+  test("q114 semdedup drops exactly the rule-conforming rows, deterministically") {
+    val e = Tables.embeddings(spark, sf)
+    val kept = Similarity.q114(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // Deterministic: a re-run (fresh plan, fresh quantizer training over
+    // the same hash-ordered sample) produces the identical kept set.
+    val kept2 = Similarity.q114(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(kept == kept2, "semdedup is not deterministic across runs")
+    val all = e.select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val dropped = all -- kept.keySet
+    assert(dropped.nonEmpty, "expected the corpus to contain semantic dups")
+    // Every dropped id must have a SMALLER-id vector in the same cell at
+    // cosine >= tau (the keep-min rule), verified against a brute-force
+    // recompute of the intra-cell pairs.
+    // A same-cell close neighbor is in particular a GLOBAL close
+    // neighbor, so brute-force global pairs give a sound necessary
+    // condition for drops — and global isolation a sound proof that a
+    // row must be kept (cells only ever REMOVE pairs).
+    import graft.functions.F
+    val pairs = e.as("a").join(e.as("b"),
+        col("a.vec_id") < col("b.vec_id") &&
+        F.cosineSim(col("a.embedding"), col("b.embedding")) >= 0.35)
+      .select(col("a.vec_id").as("lo"), col("b.vec_id").as("hi")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val hasSmallerClose = pairs.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    dropped.foreach { d =>
+      assert(hasSmallerClose.contains(d),
+        s"dropped $d has no smaller-id close neighbor at all")
+    }
+    // And kept rows with no smaller close neighbor anywhere must indeed
+    // be kept (the rule never over-drops isolated rows).
+    val isolated = all.filter(v => !hasSmallerClose.contains(v))
+    assert(isolated.subsetOf(kept.keySet), "an isolated row was dropped")
+  }
+
   test("q102 heavy hitters ranks true top counts through TakeOrderedAndProject") {
     val df = Relational.q102(spark, sf)
     val plan = executedPlan(df).toString
