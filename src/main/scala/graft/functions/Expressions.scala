@@ -710,22 +710,31 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
 
   override protected def nullSafeEval(input: Any): Any = {
     val u = input.asInstanceOf[UTF8String]
-    val s = u.toString
-    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) u
-    else UTF8String.fromString(
-      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+    // Pure-ASCII rows (the bulk of a real corpus) are NFC by definition
+    // and skip even the String decode — truly allocation-free.
+    if (u.isFullAscii) u
+    else {
+      val s = u.toString
+      if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) u
+      else UTF8String.fromString(
+        java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+    }
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
       val s = ctx.freshName("s")
       s"""
-         |String $s = $c.toString();
-         |if (java.text.Normalizer.isNormalized($s, java.text.Normalizer.Form.NFC)) {
+         |if ($c.isFullAscii()) {
          |  ${ev.value} = $c;
          |} else {
-         |  ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
-         |    java.text.Normalizer.normalize($s, java.text.Normalizer.Form.NFC));
+         |  String $s = $c.toString();
+         |  if (java.text.Normalizer.isNormalized($s, java.text.Normalizer.Form.NFC)) {
+         |    ${ev.value} = $c;
+         |  } else {
+         |    ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+         |      java.text.Normalizer.normalize($s, java.text.Normalizer.Form.NFC));
+         |  }
          |}
        """.stripMargin
     })

@@ -32,6 +32,10 @@ import graft.functions.F
   */
 object Dedup {
 
+  /** Scratch paths with a registered exit-time cleanup hook (q88). */
+  private val scratchHooked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** Sorted distinct k-shingle hashes per document: (doc_id, sh_arr, n).
     * ShingleHashes is one codegen'd pass per row — tokenize, hash each
     * shingle to 64 bits, sort, dedupe — replacing an interpreted
@@ -333,7 +337,10 @@ object Dedup {
         col(s"a.$block") === col(s"b.$block") && col(s"a.$id") < col(s"b.$id") &&
         abs(length(col(s"a.$name")) - length(col(s"b.$name"))) <= maxDist &&
         col(s"a.$name") =!= col(s"b.$name"))
+      // The self-join already holds both name payloads — emit them so
+      // callers don't re-join the table to recover what was in hand.
       .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"),
+        col(s"a.$name").as("name_a"), col(s"b.$name").as("name_b"),
         col(s"a.$block").as("block"), lev.as("lev"))
       // threshold'd levenshtein returns -1 past the bound.
       .filter(col("lev") >= 1 && col("lev") <= maxDist)
@@ -345,10 +352,6 @@ object Dedup {
     * parts). */
   def q112(s: SparkSession, d: String): DataFrame =
     editDistancePairs(Tables.part(s, d), "p_partkey", "p_name", "p_brand", 2)
-      .join(Tables.part(s, d).select(col("p_partkey").as("id_a"),
-        col("p_name").as("name_a")), "id_a")
-      .join(Tables.part(s, d).select(col("p_partkey").as("id_b"),
-        col("p_name").as("name_b")), "id_b")
       .groupBy(col("name_a"), col("name_b"), col("lev").cast("long").as("lev"))
       .agg(count(lit(1)).as("n_pairs"))
 
@@ -610,9 +613,15 @@ object Dedup {
       s"${s.sparkContext.applicationId}_$dTag"
     // The per-app scratch path may hold this query's prior run (Bench
     // repeats queries) — the contract is "store = exactly the even
-    // ids", so reset.
+    // ids", so reset. A best-effort shutdown hook (registered once per
+    // path) cleans the per-app directory up on JVM exit so repeated
+    // runs don't accumulate scratch stores in tmpdir.
     val hp = new org.apache.hadoop.fs.Path(path)
-    hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+    val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(hp, true)
+    if (Dedup.scratchHooked.add(path)) {
+      sys.addShutdownHook { try fs.delete(hp, true) catch { case _: Exception => () } }
+    }
     writeSignatureStore(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", path)
     incrementalPairs(docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", path, 0.6)
   }

@@ -408,6 +408,11 @@ object Events {
   def intervalConcurrency(intervals: DataFrame, startUs: String,
                           endUs: String, bucketUs: Long): DataFrame =
     intervals
+      // Inverted intervals (end < start — corrupt upstream data)
+      // contribute NOTHING: Spark's sequence(a, b) would otherwise
+      // generate the DESCENDING range and phantom-count every bucket
+      // between the swapped endpoints.
+      .filter(col(endUs) >= col(startUs))
       .select(explode(sequence(
         F.idiv(col(startUs), lit(bucketUs)),
         F.idiv(col(endUs), lit(bucketUs)))).as("bucket"))
@@ -431,7 +436,7 @@ object Events {
     * needs. Touches at the conversion's own timestamp count (frame ends
     * at CURRENT ROW — range frames include timestamp peers). */
   def touchAttribution(events: DataFrame, key: String, tsUs: String,
-                       kind: String, isTouch: Column, isConversion: Column,
+                       isTouch: Column, isConversion: Column,
                        lookbackUs: Long): DataFrame = {
     val w = Window.partitionBy(col(key)).orderBy(col(tsUs).asc)
       .rangeBetween(-lookbackUs, Window.currentRow)
@@ -449,7 +454,7 @@ object Events {
       Tables.events(s, d)
         .select(col("event_id"), col("user_id"), col("event_type"),
           unix_micros(col("ts").cast("timestamp")).as("ts_us")),
-      "user_id", "ts_us", "event_type",
+      "user_id", "ts_us",
       col("event_type").isin("view", "click"),
       col("event_type") === "purchase",
       7L * 24 * 3600 * 1000000L)

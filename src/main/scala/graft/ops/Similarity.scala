@@ -122,6 +122,18 @@ object Similarity {
       // scheduling overhead per round.
       .coalesce(1)
 
+  /** Best-centroid struct for an embedding column: array_max over
+    * (cosine, index) structs — `.getField("i")` is the cell assignment,
+    * `.getField("c")` the winning cosine. ONE definition so the
+    * assignment tie-break (max cosine, then max index, the struct
+    * order) cannot drift between quantizer training, clustering,
+    * diversity sampling and semantic dedup — a divergence would
+    * silently shift cell boundaries and every golden pin downstream. */
+  private def bestCell(cents: Seq[Seq[Float]], emb: Column): Column =
+    array_max(array(cents.zipWithIndex.map { case (c, i) =>
+      struct(F.cosineSim(emb, typedlit(c)).as("c"), lit(i).as("i"))
+    }: _*))
+
   /** Sampled spherical k-means (cosine assignment, mean update) — the
     * IVF coarse-quantizer trainer. Fully DataFrame-native Lloyd
     * iterations: each round is ONE map-side assignment pass over the
@@ -138,11 +150,8 @@ object Similarity {
       .map(_.getSeq[Float](1).toSeq).toSeq
     require(cents.nonEmpty, "empty corpus: cannot train centroids")
     for (_ <- 0 until iters) {
-      val scores = array(cents.zipWithIndex.map { case (c, i) =>
-        struct(F.cosineSim(col("semb"), typedlit(c)).as("c"), lit(i).as("i"))
-      }: _*)
       val byCell = sample
-        .select(col("semb"), array_max(scores).getField("i").as("cell"))
+        .select(col("semb"), bestCell(cents, col("semb")).getField("i").as("cell"))
         .groupBy(col("cell"))
         .agg(F.vecSum(col("semb")).as("vs"), count(lit(1)).as("n"))
         .collect()
@@ -336,13 +345,11 @@ object Similarity {
   def clusterCells(corpus: DataFrame, id: String, emb: String,
                    k: Int, iters: Int = TrainIters): DataFrame = {
     val cents = trainCentroids(corpus, id, emb, k, iters)
-    val scores = array(cents.zipWithIndex.map { case (c, i) =>
-      struct(F.cosineSim(col(emb), typedlit(c)).as("c"), lit(i).as("i"))
-    }: _*)
+    val best = bestCell(cents, col(emb))
     corpus
       .select(col(id).as("vid"),
-        array_max(scores).getField("i").as("cell"),
-        array_max(scores).getField("c").as("cos"))
+        best.getField("i").as("cell"),
+        best.getField("c").as("cos"))
       .groupBy(col("cell"))
       .agg(count(lit(1)).as("n_members"),
         // Cohesion as a mean of per-row FIXED-POINT cosines: the long
@@ -381,12 +388,9 @@ object Similarity {
           quota: Int = 8): DataFrame = {
     val e = Tables.embeddings(s, d)
     val cents = trainCentroids(e, "vec_id", "embedding", cells)
-    val scores = array(cents.zipWithIndex.map { case (c, i) =>
-      struct(F.cosineSim(col("embedding"), typedlit(c)).as("c"), lit(i).as("i"))
-    }: _*)
     val w = Window.partitionBy(col("cell"))
       .orderBy(md5(col("vec_id").cast("string")).asc, col("vec_id").asc)
-    e.select(col("vec_id"), array_max(scores).getField("i").as("cell"))
+    e.select(col("vec_id"), bestCell(cents, col("embedding")).getField("i").as("cell"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= quota)
       .select(col("cell"), col("rn"), col("vec_id"))
@@ -404,11 +408,8 @@ object Similarity {
   def semDedup(corpus: DataFrame, id: String, emb: String,
                k: Int, tau: Double, iters: Int = TrainIters): DataFrame = {
     val cents = trainCentroids(corpus, id, emb, k, iters)
-    val scores = array(cents.zipWithIndex.map { case (c, i) =>
-      struct(F.cosineSim(col(emb), typedlit(c)).as("c"), lit(i).as("i"))
-    }: _*)
     val cells = corpus.select(col(id).as("vid"), col(emb).as("e"),
-      array_max(scores).getField("i").as("cell"))
+      bestCell(cents, col(emb)).getField("i").as("cell"))
     val dropped = cells.as("a").join(cells.as("b"),
         col("a.cell") === col("b.cell") && col("a.vid") < col("b.vid") &&
         F.cosineSim(col("a.e"), col("b.e")) >= tau)

@@ -530,8 +530,8 @@ object Text {
     val n = df.agg(count(lit(1)).as("n_docs"))
     val w = tf.join(dfx, "tok").crossJoin(broadcast(n))
       .select(col("doc_id"), col("tok"),
-        fixedMilli(col("tf").cast("double") *
-          log(col("n_docs").cast("double") / col("df"))).as("wm"))
+        fixed(col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df")), 1000L).as("wm"))
     val norms = w.groupBy(col("doc_id"))
       .agg(sum(col("wm") * col("wm")).as("m2"))
     val dots = w.as("a").join(w.as("b"),
@@ -545,10 +545,6 @@ object Text {
       .filter(cos >= tau)
       .select(col("doc_a"), col("doc_b"), bp(cos).as("cos_bp"))
   }
-
-  /** Milli (3-decimal) fixed point — tf-idf weight quantization. */
-  private def fixedMilli(c: Column): Column =
-    floor(c * 1000 + 0.5).cast("long")
 
   /** q113: tf-idf cosine near-dup pairs at τ = 0.8. */
   def q113(s: SparkSession, d: String): DataFrame =
