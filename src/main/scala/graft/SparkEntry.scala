@@ -121,6 +121,16 @@ object SparkEntry {
     "q112_name_dedup"       -> (Dedup.q112 _),
     "q113_sparse_cosine"    -> (Text.q113 _),
     "q114_semdedup"         -> (Similarity.q114 _),
+    "q115_latest_state"     -> (Changes.q115 _),
+    "q116_scd2"             -> (Changes.q116 _),
+    "q117_trailing_actives" -> (Events.q117 _),
+    "q118_band_lookup"      -> (Relational.q118 _),
+    "q119_corpus_drift"     -> (Text.q119 _),
+    "q120_expectations"     -> (Relational.q120 _),
+    "q121_snapshot_diff"    -> (Changes.q121 _),
+    "q122_pmi_collocations" -> (Text.q122 _),
+    "q123_rate_anomaly"     -> (Events.q123 _),
+    "q124_image_dedup"      -> (Multimodal.q124 _),
     "q74_stopword_filter" -> (Text.q74 _),
     "q77_session_window"  -> (Events.q77 _),
     "q75_corpus_pipeline" -> (Text.q75 _),
@@ -1000,6 +1010,113 @@ object SparkEntry {
            WHERE q.vec_id < 10),
          r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM s)
          SELECT query_id, rank, neighbor_id, ${BP("cos")} AS cos_bp FROM r WHERE rank <= 10""",
+
+    "q115_latest_state" ->
+      s"""WITH e AS (SELECT user_id, event_type, value, epoch_us(ts) AS ts_us, event_id FROM events),
+         r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC) AS rn,
+               count(*) OVER (PARTITION BY user_id) AS n_changes FROM e)
+         SELECT user_id, event_type AS last_type, ${C("value")} AS last_value_cents,
+           ts_us AS last_ts_us, n_changes
+         FROM r WHERE rn = 1 AND event_type <> 'error'""",
+
+    "q116_scd2" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events),
+         o AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_type FROM e),
+         c AS (SELECT *, sum(CASE WHEN prev_type IS NULL OR prev_type <> event_type THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS version FROM o),
+         runs AS (SELECT user_id, CAST(version AS BIGINT) AS version, min(event_type) AS state,
+                  min(ts_us) AS valid_from_us, count(*) AS n_events FROM c GROUP BY user_id, version)
+         SELECT user_id, version, state, valid_from_us,
+           lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY version) AS valid_to_us,
+           n_events FROM runs""",
+
+    "q117_trailing_actives" ->
+      """WITH d AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events),
+         days AS (SELECT DISTINCT day FROM d)
+         SELECT days.day AS rday, count(DISTINCT d.user_id) AS active_users
+         FROM days JOIN d ON d.day BETWEEN days.day - 6 AND days.day
+         GROUP BY 1""",
+
+    "q118_band_lookup" ->
+      s"""WITH b AS (SELECT o_totalprice,
+           CAST((o_totalprice >= 50000) AS INT) + CAST((o_totalprice >= 100000) AS INT)
+           + CAST((o_totalprice >= 200000) AS INT) + CAST((o_totalprice >= 300000) AS INT) AS band
+           FROM orders)
+         SELECT CAST(band AS BIGINT) AS band,
+           CASE band WHEN 0 THEN 'lt50k' WHEN 1 THEN '50-100k' WHEN 2 THEN '100-200k'
+                     WHEN 3 THEN '200-300k' ELSE 'gte300k' END AS band_name,
+           count(*) AS n_orders, ${C("sum(o_totalprice)")} AS sum_cents
+         FROM b GROUP BY band""",
+
+    "q119_corpus_drift" ->
+      """WITH t AS (SELECT lang,
+           source IN ('src0','src1','src2','src3','src4') AS is_a,
+           unnest(string_split(text, ' ')) AS tok FROM documents),
+         c AS (SELECT lang, tok, sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS ca,
+               sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS cb FROM t GROUP BY 1, 2),
+         n AS (SELECT lang, sum(ca) AS na, sum(cb) AS nb, count(*) AS vocab FROM c GROUP BY 1)
+         SELECT c.lang, max(vocab) AS vocab,
+           CAST(sum(CAST(floor( ((ca+1.0)/(na+vocab)) * ln( ((ca+1.0)/(na+vocab)) / ((cb+1.0)/(nb+vocab)) ) * 1000000000 + 0.5) AS BIGINT)) AS BIGINT) AS kl_nano,
+           CAST(sum(CAST(floor( -((ca+1.0)/(na+vocab)) * ln( (cb+1.0)/(nb+vocab) ) * 1000000000 + 0.5) AS BIGINT)) AS BIGINT) AS ce_nano
+         FROM c JOIN n ON c.lang = n.lang GROUP BY c.lang""",
+
+    "q120_expectations" ->
+      """WITH s AS (SELECT count(*) AS n_rows,
+           sum(CASE WHEN o_orderkey IS NOT NULL THEN 1 ELSE 0 END) - count(DISTINCT o_orderkey) AS u,
+           sum(CASE WHEN o_totalprice <= 400000 THEN 0 ELSE 1 END) AS r1,
+           sum(CASE WHEN o_orderdate <= TIMESTAMP '2000-12-31' THEN 0 ELSE 1 END) AS r2,
+           sum(CASE WHEN o_orderstatus IN ('O','F') THEN 0 ELSE 1 END) AS r3,
+           sum(CASE WHEN o_custkey IS NOT NULL THEN 0 ELSE 1 END) AS r4
+           FROM orders)
+         SELECT r.rule, r.n_violations, s.n_rows,
+           CAST(r.n_violations = 0 AS INT) AS pass
+         FROM s, LATERAL (VALUES
+           ('o_orderkey_unique', CAST(u AS BIGINT)),
+           ('totalprice_le_400k', CAST(r1 AS BIGINT)),
+           ('orderdate_le_2000', CAST(r2 AS BIGINT)),
+           ('status_in_domain', CAST(r3 AS BIGINT)),
+           ('custkey_not_null', CAST(r4 AS BIGINT))) r(rule, n_violations)""",
+
+    "q122_pmi_collocations" ->
+      """WITH t AS (SELECT lang, string_split(text, ' ') AS toks FROM documents),
+         uc AS (SELECT lang, unnest(toks) AS tok FROM t) ,
+         ucc AS (SELECT lang, tok, count(*) AS c FROM uc GROUP BY 1, 2),
+         un AS (SELECT lang, sum(c) AS n1 FROM ucc GROUP BY 1),
+         bi AS (SELECT lang, unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bigram FROM t),
+         bc AS (SELECT lang, bigram, count(*) AS cxy FROM bi GROUP BY 1, 2),
+         bn AS (SELECT lang, sum(cxy) AS n2 FROM bc GROUP BY 1),
+         j AS (SELECT bc.lang, bigram, cxy, string_split(bigram, ' ')[1] AS ta,
+                 string_split(bigram, ' ')[2] AS tb FROM bc WHERE cxy >= 5),
+         p AS (SELECT j.lang, bigram, cxy,
+                 CAST(floor( ln( (cxy / CAST(n2 AS DOUBLE)) / ((ca.c / CAST(n1 AS DOUBLE)) * (cb.c / CAST(n1 AS DOUBLE))) ) * 1000 + 0.5) AS BIGINT) AS pmi_milli
+               FROM j JOIN un ON un.lang = j.lang JOIN bn ON bn.lang = j.lang
+               JOIN ucc ca ON ca.lang = j.lang AND ca.tok = j.ta
+               JOIN ucc cb ON cb.lang = j.lang AND cb.tok = j.tb),
+         r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY pmi_milli DESC, bigram ASC) AS rank FROM p)
+         SELECT lang, CAST(rank AS BIGINT) AS rank, bigram, cxy AS n_pair, pmi_milli
+         FROM r WHERE rank <= 10""",
+
+    "q123_rate_anomaly" ->
+      """WITH c AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n FROM events GROUP BY 1, 2),
+         s AS (SELECT day, sum(n) AS sn, sum(n*n) AS sq, count(*) AS m FROM c GROUP BY 1 HAVING count(*) >= 2)
+         SELECT c.day, user_id, n,
+           CAST(floor( ((n*m - sn) / CAST(m AS DOUBLE)) / sqrt((sq*m - sn*sn) / (m*(m-1.0))) * 10000 + 0.5) AS BIGINT) AS z_bp
+         FROM c JOIN s ON c.day = s.day
+         WHERE (m-1) * (n*m - sn) * (n*m - sn) > 4 * m * (sq*m - sn*sn) AND n*m > sn""",
+
+    "q121_snapshot_diff" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events),
+         o AS (SELECT user_id, event_type, row_number() OVER (PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC) AS rn
+               FROM e WHERE ts_us < 1705881600000000),
+         n AS (SELECT user_id, event_type, row_number() OVER (PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC) AS rn
+               FROM e WHERE ts_us >= 1704672000000000),
+         oo AS (SELECT user_id, event_type AS old_type FROM o WHERE rn = 1),
+         nn AS (SELECT user_id, event_type AS new_type FROM n WHERE rn = 1)
+         SELECT coalesce(oo.user_id, nn.user_id) AS user_id,
+           CASE WHEN old_type IS NULL THEN 'added' WHEN new_type IS NULL THEN 'removed'
+                WHEN old_type <> new_type THEN 'changed' ELSE 'same' END AS status,
+           old_type, new_type
+         FROM oo FULL OUTER JOIN nn ON oo.user_id = nn.user_id""",
   )
 
   private def jaccardOracle: String =

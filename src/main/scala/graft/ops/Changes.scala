@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Cols._
+
+/** Change-data operators: CDC latest-state compaction (upsert apply),
+  * SCD-type-2 interval reconstruction, and key-level snapshot diff —
+  * the "apply a change stream to a table" surface of a data-transform
+  * engine.
+  *
+  * The generic entry points (`latestState`, `scd2`, `snapshotDiff`)
+  * work over ANY changelog DataFrame — callers name the key/time/state
+  * columns; the q-methods are the driver-contract facades binding them
+  * to the events table.
+  *
+  * Scale notes (100 TB): `latestState` and `snapshotDiff` are single
+  * hash aggregations with map-side partial `max_by` — every map task
+  * reduces to one row per key BEFORE the exchange, so the shuffle
+  * carries O(keys), not O(changes). `scd2` shuffles ONCE on the entity
+  * key; run detection, run aggregation and interval chaining are all
+  * window passes over that same hash partitioning (Spark's
+  * ClusteredDistribution is satisfied by the user-level exchange for
+  * the (user, version) windows too — no second exchange; spec-pinned).
+  */
+object Changes {
+
+  /** Microsecond epoch for an ISO date literal — exact long arithmetic,
+    * timezone-free (mirrored as a plain literal in the DuckDB oracles). */
+  def epochUs(isoDate: String): Long =
+    java.time.LocalDate.parse(isoDate).toEpochDay * 86400000000L
+
+  /** CDC latest-state compaction (upsert apply): one row per key with
+    * the most recent change's payload, ordered by (tsUs, seq) with the
+    * exact struct tie-break. Changes whose latest op is the tombstone
+    * are dropped — the key no longer exists. Single aggregation; the
+    * partial max_by makes the shuffle O(keys). */
+  def latestState(changes: DataFrame, key: String, tsUs: Column, seq: String,
+                  op: String, payload: Column, tombstone: String): DataFrame =
+    changes
+      .withColumn("ts_us", tsUs)
+      .groupBy(col(key))
+      .agg(
+        max_by(struct(col(op).as("op"), payload.as("payload"), col("ts_us")),
+               struct(col("ts_us"), col(seq))).as("last"),
+        count(lit(1)).as("n_changes"))
+      .filter(col("last.op") =!= tombstone)
+      .select(col(key), col("last.op").as("last_type"),
+        col("last.payload").as("last_value_cents"),
+        col("last.ts_us").as("last_ts_us"), col("n_changes"))
+
+  /** q115: the events table as a changelog — latest event per user
+    * (type + value + time), 'error' as the tombstone op. */
+  def q115(s: SparkSession, d: String): DataFrame =
+    latestState(Tables.events(s, d), "user_id", micros(col("ts")), "event_id",
+      "event_type", cents(col("value")), tombstone = "error")
+
+  /** SCD-type-2 reconstruction: compress the change stream into runs of
+    * constant `state` per key and emit one validity interval per run —
+    * (key, version, state, valid_from, valid_to, n_events), valid_to
+    * null on the current run. The half-open intervals [from, to) tile
+    * each key's timeline exactly.
+    *
+    * One shuffle total: every window below partitions by `key` or
+    * (key, version) — the single hash exchange on `key` satisfies both
+    * distributions, so run detection (lag), run aggregation (min/count
+    * over the run partition) and interval chaining (lead) are sorts
+    * within the same partitioning. */
+  def scd2(changes: DataFrame, key: String, tsUs: Column, seq: String,
+           state: String): DataFrame = {
+    val byKey = Window.partitionBy(col(key)).orderBy(col("ts_us").asc, col(seq).asc)
+    val run   = Window.partitionBy(col(key), col("version"))
+    val chain = Window.partitionBy(col(key)).orderBy(col("version").asc)
+    changes
+      .withColumn("ts_us", tsUs)
+      .withColumn("is_change",
+        when(lag(col(state), 1).over(byKey).isNull ||
+             lag(col(state), 1).over(byKey) =!= col(state), 1L).otherwise(0L))
+      .withColumn("version", sum(col("is_change")).over(byKey))
+      .withColumn("n_events", count(lit(1)).over(run))
+      // the run's first row IS the interval row: its ts is valid_from
+      .filter(col("is_change") === 1L)
+      .withColumn("valid_to_us", lead(col("ts_us"), 1).over(chain))
+      .select(col(key), col("version"), col(state).as("state"),
+        col("ts_us").as("valid_from_us"), col("valid_to_us"), col("n_events"))
+  }
+
+  /** q116: SCD2 intervals of each user's event_type state. */
+  def q116(s: SparkSession, d: String): DataFrame =
+    scd2(Tables.events(s, d), "user_id", micros(col("ts")), "event_id", "event_type")
+
+  /** Key-level diff of two snapshots of a changelog-derived state: for
+    * each key, the latest `state` as of snapshot A (changes before
+    * `oldEndUs`) vs snapshot B (changes at/after `newStartUs`), classed
+    * added / removed / changed / same. ONE scan and ONE aggregation:
+    * both snapshots come out of the same pass via FILTERed max_by —
+    * no self-join, no second read of the change stream. */
+  def snapshotDiff(changes: DataFrame, key: String, tsUs: Column, seq: String,
+                   state: String, oldEndUs: Long, newStartUs: Long): DataFrame =
+    changes
+      .withColumn("ts_us", tsUs)
+      .groupBy(col(key))
+      .agg(
+        // max_by skips rows whose ordering key is null — the `when`
+        // null-out is the Column-API spelling of FILTER (WHERE ...)
+        max_by(struct(col(state)),
+          when(col("ts_us") < oldEndUs, struct(col("ts_us"), col(seq)))).as("o"),
+        max_by(struct(col(state)),
+          when(col("ts_us") >= newStartUs, struct(col("ts_us"), col(seq)))).as("n"))
+      .select(col(key),
+        when(col("o").isNull, "added")
+          .when(col("n").isNull, "removed")
+          .when(col("o") =!= col("n"), "changed")
+          .otherwise("same").as("status"),
+        col(s"o.$state").as("old_type"), col(s"n.$state").as("new_type"))
+
+  /** q121: sliding-snapshot diff of each user's latest event_type —
+    * old = events before Jan 22, new = events from Jan 8 on. */
+  def q121(s: SparkSession, d: String): DataFrame =
+    snapshotDiff(Tables.events(s, d), "user_id", micros(col("ts")), "event_id",
+      "event_type", oldEndUs = epochUs("2024-01-22"), newStartUs = epochUs("2024-01-08"))
+}

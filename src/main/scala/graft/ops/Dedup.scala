@@ -476,28 +476,38 @@ object Dedup {
     verifyPairs(candidates, storeArrs.unionByName(newArrs), tau)
   }
 
-  /** 64-bit SimHash near-dup pairs (Hamming ≤ maxHamming ≤ 15), blocked
-    * by 16-bit pigeonhole chunks: hamming ≤ 3 on 64 bits means at least
-    * one of the 4 chunks matches exactly, so the pair join runs on chunk
-    * equality, never all-pairs. The signature is one native-expression
-    * pass per document (map-only — see SimHash64). */
-  def simhashPairs(corpus: DataFrame, id: String, text: String,
-                   maxHamming: Int = 3): DataFrame = {
-    val sigs = corpus.select(col(id).as("doc_id"),
-      F.simhash64(array_distinct(split(col(text), " "))).as("simhash"))
-    val chunks = sigs.select(col("doc_id"), col("simhash"),
+  /** Hamming-≤-maxHamming pairs over ANY 64-bit signature column
+    * (SimHash, image aHash, audio fingerprint), blocked by 16-bit
+    * pigeonhole chunks: hamming ≤ 3 on 64 bits means at least one of
+    * the 4 chunks matches exactly, so the pair join runs on chunk
+    * equality, never all-pairs. Input: one (id, sig) row per item. */
+  def hammingPairs64(sigs: DataFrame, id: String, sig: String,
+                     maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3, "16-bit pigeonhole chunks cover hamming <= 3")
+    val chunks = sigs.select(col(id).as("doc_id"), col(sig).as("sig"))
+      .select(col("doc_id"), col("sig"),
         explode(array((0 until 4).map(c =>
           struct(lit(c).as("c"),
-            shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xffffL)).as("v"))): _*)).as("ck"))
-      .select(col("doc_id"), col("simhash"), col("ck.c").as("c"), col("ck.v").as("v"))
+            shiftright(col("sig"), c * 16).bitwiseAND(lit(0xffffL)).as("v"))): _*)).as("ck"))
+      .select(col("doc_id"), col("sig"), col("ck.c").as("c"), col("ck.v").as("v"))
     chunks.as("a").join(chunks.as("b"),
         col("a.c") === col("b.c") && col("a.v") === col("b.v") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        F.hamming64(col("a.simhash"), col("b.simhash")).as("hamming"))
+        F.hamming64(col("a.sig"), col("b.sig")).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** 64-bit SimHash near-dup pairs (Hamming ≤ maxHamming), blocked by
+    * the hammingPairs64 pigeonhole join. The signature is one
+    * native-expression pass per document (map-only — see SimHash64). */
+  def simhashPairs(corpus: DataFrame, id: String, text: String,
+                   maxHamming: Int = 3): DataFrame =
+    hammingPairs64(
+      corpus.select(col(id).as("doc_id"),
+        F.simhash64(array_distinct(split(col(text), " "))).as("simhash")),
+      "doc_id", "simhash", maxHamming)
 
   /** Embedding-cosine near-dup pairs (cos ≥ tau), blocked on `block` so
     * the pair join is per-block, never all-pairs. Cosine runs in the

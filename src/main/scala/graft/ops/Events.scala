@@ -460,4 +460,70 @@ object Events {
       7L * 24 * 3600 * 1000000L)
       .select(col("event_id"), col("user_id"), col("ts_us"),
         col("n_touches"), col("first_touch_us"), col("last_touch_us"))
+
+  /** Trailing-window distinct actives (the "7-day active users per day"
+    * KPI): for each activity day, the count of distinct keys active in
+    * the trailing `windowDays` days. COUNT DISTINCT over a sliding
+    * window can't partial-aggregate, so the naive shapes are a per-day
+    * self-join (windowDays× the corpus through a shuffle) or a global
+    * sort; instead each (key, day) activity pair — already deduped, the
+    * corpus collapses in shuffle one — fans out to the ≤ windowDays
+    * report days it contributes to, and a count-distinct aggregation
+    * lands per report day. Fan-out is bounded by windowDays and happens
+    * AFTER dedup, so the big corpus never replicates. Report days are
+    * restricted to days with activity (broadcast semi-join of the tiny
+    * day list). */
+  def trailingActives(events: DataFrame, key: String, ts: String,
+                      windowDays: Int): DataFrame = {
+    val pairs = events
+      .select(col(key).as("k"), to_date(col(ts)).as("day"))
+      .distinct()
+    val days = pairs.select(col("day").as("rday")).distinct()
+    pairs
+      .select(col("k"),
+        explode(sequence(col("day"), date_add(col("day"), windowDays - 1))).as("rday"))
+      .join(broadcast(days), "rday") // only days that actually occur
+      .groupBy(col("rday"))
+      .agg(countDistinct(col("k")).as("active_users"))
+  }
+
+  /** q117: trailing 7-day distinct active users per day. */
+  def q117(s: SparkSession, d: String): DataFrame =
+    trailingActives(Tables.events(s, d), "user_id", "ts", 7)
+
+  /** Rate-spike anomaly detection: per (key, day) activity counts whose
+    * positive z-score against that day's population exceeds `k` sigmas
+    * (sample stddev). The FLAG decision is exact integer arithmetic —
+    * (m−1)·(n·m − Σn)² > k²·m·(m·Σn² − (Σn)²) is the z > k inequality
+    * cleared of divisions and square roots — so membership can't flip
+    * across engines or partial-merge orders; the reported z_bp is
+    * fixed-point from correctly-rounded double ops (one division per
+    * term + IEEE sqrt), bit-stable given identical inputs.
+    *
+    * Plan: one aggregation to (key, day) counts, one tiny per-day
+    * moment table (Σn, Σn², m) broadcast back — population stats never
+    * shuffle the counts twice and nothing sorts. Days with a single
+    * active key are skipped (sample variance undefined). */
+  def rateAnomaly(events: DataFrame, key: String, ts: String,
+                  k: Int): DataFrame = {
+    val c = events.groupBy(col(key), to_date(col(ts)).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val s = c.groupBy(col("day"))
+      .agg(sum(col("n")).as("sn"), sum(col("n") * col("n")).as("sq"),
+           count(lit(1)).as("m"))
+      .filter(col("m") >= 2)
+    val dev = col("n") * col("m") - col("sn")
+    val varNum = col("sq") * col("m") - col("sn") * col("sn")
+    c.join(broadcast(s), "day")
+      .filter((col("m") - 1) * dev * dev > lit(k.toLong * k) * col("m") * varNum &&
+              dev > 0)
+      .select(col("day"), col(key), col("n"),
+        bp((dev / col("m").cast("double")) /
+           sqrt(varNum / (col("m") * (col("m") - lit(1.0))))).as("z_bp"))
+  }
+
+  /** q123: users whose daily event count spikes ≥ 2σ above that day's
+    * population. */
+  def q123(s: SparkSession, d: String): DataFrame =
+    rateAnomaly(Tables.events(s, d), "user_id", "ts", 2)
 }

@@ -219,6 +219,145 @@ object Multimodal {
   def q105(s: SparkSession, d: String): DataFrame =
     decodeAudio(wavTable(s, d), "doc_id", "payload")
 
+  // ---- perceptual image hashing + near-dup (q124) ----
+
+  /** splitmix64 finalizer — the per-(doc, cell) pseudo-random base for
+    * the structured test images. */
+  def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  val AHashGrid = 8     // aHash cell grid (8×8 = 64 bits)
+  val SynthSize = 32    // structured test images are 32×32 gray
+
+  /** Pixel of the structured test image: each 4×4 cell gets a
+    * pseudo-random base in [0, 250] from (id, cell) — ids produce
+    * STRUCTURALLY different images (cross-id aHash distance ~32 bits),
+    * unlike the smooth q70 pattern where any two ids differ by a
+    * uniform brightness shift. Headroom above 250 lets a +4 brightness
+    * perturbation stay clip-free (an exact uniform shift, which aHash
+    * is invariant to by construction). */
+  def structuredPixelAt(docId: Long, x: Int, y: Int): Int = {
+    val cell = (y / 4) * AHashGrid + (x / 4)
+    (java.lang.Math.floorMod(mix64(docId * 64 + cell), 251L)).toInt
+  }
+
+  case class SyntheticImage(doc_id: Long, payload: Array[Byte])
+
+  /** Structured PNG corpus for perceptual dedup: one image per doc,
+    * plus (when `perturb`) a near-duplicate copy at id + CopyOffset —
+    * +4 brightness everywhere and 3 id-derived pixels overwritten, so
+    * the copy's PNG BYTES differ (exact dedup misses it) while its
+    * aHash stays within a few bits. */
+  val CopyOffset = 10000000L
+  def structuredPngTable(s: SparkSession, d: String,
+                         perturb: Boolean): DataFrame = {
+    import s.implicits._
+    val n = SynthSize
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        def encode(baseId: Long, bright: Int, noisePx: Int, outId: Long) = {
+          val img = new java.awt.image.BufferedImage(
+            n, n, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var y = 0
+          while (y < n) {
+            var x = 0
+            while (x < n) {
+              raster.setSample(x, y, 0, structuredPixelAt(baseId, x, y) + bright)
+              x += 1
+            }
+            y += 1
+          }
+          var i = 0
+          while (i < noisePx) {
+            val h = mix64(baseId * 3 + i)
+            val px = java.lang.Math.floorMod(h, (n * n).toLong).toInt
+            raster.setSample(px % n, px / n, 0,
+              java.lang.Math.floorMod(h >>> 32, 251L).toInt)
+            i += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          SyntheticImage(outId, bos.toByteArray)
+        }
+        it.flatMap { id =>
+          val orig = encode(id, 0, 0, id)
+          if (perturb) Seq(orig, encode(id, 4, 3, id + CopyOffset))
+          else Seq(orig)
+        }
+      }.toDF()
+  }
+
+  case class HashedImage(doc_id: Long, ahash: Long)
+
+  /** Perceptual average-hash (aHash) over a binary image column: decode
+    * with ImageIO, split the raster into an 8×8 cell grid, set bit c
+    * when cell c's mean ≥ the global mean. All-integer comparison
+    * (cellSum·W·H ≥ totalSum·cellPx — no division), so the hash is
+    * bit-deterministic. Map-only mapPartitions, the same codec batch
+    * boundary as decodeImages; robust to brightness shifts and small
+    * local edits — the image near-dup key exact byte hashing can't be. */
+  def aHashImages(images: DataFrame, id: String, payload: String): DataFrame = {
+    import images.sparkSession.implicits._
+    val g = AHashGrid
+    images.select(col(id).as("doc_id"), col(payload).as("payload")).as[ImageRow]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { r =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.payload))
+          require(img != null, s"undecodable payload for doc ${r.doc_id}")
+          val (w, h) = (img.getWidth, img.getHeight)
+          require(w >= g && h >= g, s"image smaller than the $g×$g hash grid")
+          val raster = img.getRaster
+          val bands = raster.getNumBands
+          val cellSum = new Array[Long](g * g)
+          val cellPx = new Array[Long](g * g)
+          var total = 0L
+          var y = 0
+          while (y < h) {
+            val cy = y * g / h
+            var x = 0
+            while (x < w) {
+              val cx = x * g / w
+              var v = 0L
+              var b = 0
+              while (b < bands) { v += raster.getSample(x, y, b); b += 1 }
+              cellSum(cy * g + cx) += v
+              cellPx(cy * g + cx) += 1
+              total += v
+              x += 1
+            }
+            y += 1
+          }
+          val px = w.toLong * h
+          var hash = 0L
+          var c = 0
+          while (c < g * g) {
+            // cell mean >= global mean, cleared of divisions
+            if (cellSum(c) * px >= total * cellPx(c)) hash |= (1L << c)
+            c += 1
+          }
+          HashedImage(r.doc_id, hash)
+        }
+      }.toDF()
+  }
+
+  /** q124: perceptual image dedup — aHash the structured PNG corpus
+    * (originals + perturbed copies) and emit Hamming-≤3 near-dup pairs
+    * through the pigeonhole-blocked join. Exact byte dedup finds NONE
+    * of these pairs (every payload differs); aHash finds every planted
+    * copy. */
+  def q124(s: SparkSession, d: String): DataFrame =
+    Dedup.hammingPairs64(
+      aHashImages(structuredPngTable(s, d, perturb = true), "doc_id", "payload"),
+      "doc_id", "ahash", maxHamming = 3)
+
   val WindowBytes = 256
   val HopBytes = 128
 

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -675,4 +675,67 @@ object Relational {
         LIMIT 3) t
     """)
   }
+
+  /** Band (interval-dimension) lookup join: assign each row the bucket
+    * of a tiny sorted-boundary dimension and aggregate per band. The
+    * classic spelling is a non-equi range join (value BETWEEN lo AND
+    * hi) — BroadcastNestedLoopJoin, O(rows × bands) comparisons; here
+    * the boundaries compile into the codegen'd SearchSortedBucket
+    * binary search (O(rows × log bands), stays inside whole-stage
+    * codegen) and only the band LABELS ride a broadcast equi-join.
+    * The shape an IP→geo or price→tier enrichment needs at 100 TB. */
+  def bandLookup(df: DataFrame, value: Column, boundaries: Seq[Double],
+                 labels: Seq[String])(spark: SparkSession): DataFrame = {
+    require(labels.length == boundaries.length + 1, "one label per bucket")
+    import spark.implicits._
+    val dim = labels.zipWithIndex.map { case (n, i) => (i.toLong, n) }
+      .toDF("band", "band_name")
+    df.withColumn("band", graft.functions.F.rankBucket(value, boundaries))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_orders"), cents(sum(value)).as("sum_cents"))
+      .join(broadcast(dim), "band")
+      .select(col("band"), col("band_name"), col("n_orders"), col("sum_cents"))
+  }
+
+  /** q118: orders bucketed into price tiers by binary-search lookup. */
+  def q118(s: SparkSession, d: String): DataFrame =
+    bandLookup(Tables.orders(s, d), col("o_totalprice"),
+      Seq(50000d, 100000d, 200000d, 300000d),
+      Seq("lt50k", "50-100k", "100-200k", "200-300k", "gte300k"))(s)
+
+  /** Data-quality expectation checks (the validation report a pipeline
+    * gates a load on): each rule is a predicate counted over ONE scan —
+    * conditional sums plus an exact distinct count for the uniqueness
+    * rule share a single aggregation (multi-count-distinct Expand, the
+    * q101 profiler shape), and the N-rule long-format report explodes
+    * from that one agg row. No per-rule scans, no driver-side loop —
+    * adding a rule adds a column to the same pass. */
+  def expectations(df: DataFrame, uniqueKey: String,
+                   rules: Seq[(String, Column)]): DataFrame = {
+    val aggs =
+      sum(when(col(uniqueKey).isNotNull, 1L).otherwise(0L)).as("n_keyed") +:
+      (count(lit(1)).as("n_rows") +:
+       countDistinct(col(uniqueKey)).as("n_distinct") +:
+       rules.map { case (name, pred) =>
+         sum(when(pred, 0L).otherwise(1L)).as(s"bad_$name") })
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val report = array(
+      (struct(lit(s"${uniqueKey}_unique").as("rule"),
+        (col("n_keyed") - col("n_distinct")).as("n_violations")) +:
+       rules.map { case (name, _) =>
+         struct(lit(name).as("rule"), col(s"bad_$name").as("n_violations")) }): _*)
+    one.select(explode(report).as("r"), col("n_rows"))
+      .select(col("r.rule").as("rule"), col("r.n_violations").as("n_violations"),
+        col("n_rows"),
+        (col("r.n_violations") === 0L).cast("int").as("pass"))
+  }
+
+  /** q120: expectation report over orders — range, domain, null and
+    * uniqueness rules, one scan. */
+  def q120(s: SparkSession, d: String): DataFrame =
+    expectations(Tables.orders(s, d), "o_orderkey", Seq(
+      "totalprice_le_400k" -> (col("o_totalprice") <= 400000d),
+      "orderdate_le_2000" -> (col("o_orderdate") <= lit("2000-12-31").cast("date")),
+      "status_in_domain" -> col("o_orderstatus").isin("O", "F"),
+      "custkey_not_null" -> col("o_custkey").isNotNull))
 }

@@ -549,4 +549,95 @@ object Text {
   /** q113: tf-idf cosine near-dup pairs at τ = 0.8. */
   def q113(s: SparkSession, d: String): DataFrame =
     tfidfCosinePairs(Tables.documents(s, d), "doc_id", "text", 0.8)
+
+  /** Corpus drift between two sides of a split (new crawl vs existing
+    * corpus, shard vs shard): per group, add-1-smoothed KL(P‖Q) and
+    * cross-entropy H(P,Q) of the unigram distributions over the union
+    * vocabulary. The monitoring signal that catches a source going
+    * boilerplate or a scrape changing language mix before it trains.
+    *
+    * Plan: one tokenize pass; BOTH sides' counts come from the same
+    * (group, token) aggregation via conditional sums — the corpus is
+    * scanned once and never self-joined. Totals/vocab reduce the small
+    * count table and broadcast back. Per-token terms round to
+    * fixed-point NANO longs before the exact long sum, so the result
+    * is independent of partial-merge order (a double sum's tail digits
+    * flip across partition counts/engines — same discipline as
+    * unigramSurprisal/tokenEntropy). */
+  def corpusDrift(df: DataFrame, group: String, text: String,
+                  sideA: Column): DataFrame = {
+    val toksed = withToks(df, text)
+      .select(col(group), sideA.as("is_a"), explode(toks).as("tok"))
+    val c = toksed.groupBy(col(group), col("tok"))
+      .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("ca"),
+           sum(when(col("is_a"), 0L).otherwise(1L)).as("cb"))
+    val n = c.groupBy(col(group))
+      .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+           count(lit(1)).as("vocab"))
+    // Smoothed probabilities; expression structure mirrors the oracle
+    // EXACTLY (left-to-right multiply, one division per prob) so the
+    // doubles are bit-identical before the nano floor.
+    val p = (col("ca") + lit(1.0)) / (col("na") + col("vocab"))
+    val q = (col("cb") + lit(1.0)) / (col("nb") + col("vocab"))
+    c.join(broadcast(n), group)
+      .groupBy(col(group))
+      .agg(max(col("vocab")).as("vocab"),
+           sum(fixed(p * log(p / q), 1000000000L)).as("kl_nano"),
+           sum(fixed(-p * log(q), 1000000000L)).as("ce_nano"))
+  }
+
+  /** q119: per-language unigram drift between the src0–src4 half of the
+    * documents corpus and the rest. */
+  def q119(s: SparkSession, d: String): DataFrame =
+    corpusDrift(Tables.documents(s, d), "lang", "text",
+      col("source").isin("src0", "src1", "src2", "src3", "src4"))
+
+  /** PMI collocations: the top-k bigrams per group by pointwise mutual
+    * information ln(p(xy) / (p(x)·p(y))) — the multi-word-expression
+    * detector ("new york", "machine learning") behind tokenizer vocab
+    * curation. `minCount` floors the pair count so rare-pair noise
+    * (PMI's classic failure mode) never ranks.
+    *
+    * Plan: unigram and bigram counts are two aggregations (shuffles
+    * carry (group, term) count pairs, not the corpus); the per-group
+    * totals are tiny broadcasts back onto the bigram table; unigram
+    * probabilities attach by (group, token) hash joins. Ranking runs
+    * over the minCount survivors only, on the QUANTIZED milli value
+    * with a lexicographic tie-break — engine-stable order. */
+  def pmiCollocations(df: DataFrame, group: String, text: String,
+                      minCount: Long, k: Int): DataFrame = {
+    val t = withToks(df, text)
+    val uc = t.select(col(group), explode(toks).as("tok"))
+      .groupBy(col(group), col("tok")).agg(count(lit(1)).as("c"))
+    val un = uc.groupBy(col(group)).agg(sum(col("c")).as("n1"))
+    val bigrams = expr(
+      "transform(slice(toks, 1, size(toks) - 1), " +
+      "(x, i) -> concat(x, ' ', element_at(toks, i + 2)))")
+    val bc = t.select(col(group), explode(bigrams).as("bigram"))
+      .groupBy(col(group), col("bigram")).agg(count(lit(1)).as("cxy"))
+    val bn = bc.groupBy(col(group)).agg(sum(col("cxy")).as("n2"))
+    val j = bc.filter(col("cxy") >= minCount)
+      .withColumn("ta", split(col("bigram"), " ").getItem(0))
+      .withColumn("tb", split(col("bigram"), " ").getItem(1))
+      .join(uc.select(col(group), col("tok").as("ta"), col("c").as("ca")),
+        Seq(group, "ta"))
+      .join(uc.select(col(group), col("tok").as("tb"), col("c").as("cb")),
+        Seq(group, "tb"))
+      .join(broadcast(un), group).join(broadcast(bn), group)
+    // Mirrors the oracle left-to-right: one division per probability.
+    val pxy = col("cxy") / col("n2").cast("double")
+    val pa  = col("ca") / col("n1").cast("double")
+    val pb  = col("cb") / col("n1").cast("double")
+    val w = Window.partitionBy(col(group))
+      .orderBy(col("pmi_milli").desc, col("bigram").asc)
+    j.withColumn("pmi_milli", fixed(log(pxy / (pa * pb)), 1000L))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(group), col("rank"), col("bigram"),
+        col("cxy").as("n_pair"), col("pmi_milli"))
+  }
+
+  /** q122: top-10 PMI collocations per language (pair count ≥ 5). */
+  def q122(s: SparkSession, d: String): DataFrame =
+    pmiCollocations(Tables.documents(s, d), "lang", "text", 5L, 10)
 }

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Property + plan-shape checks for the change-data operators (q115–
+  * q121 family): interval tiling, single-exchange plans, lookup-join
+  * equivalence. */
+class ChangesSpec extends SparkSpec {
+
+  test("q116 SCD2 intervals tile each user's timeline exactly") {
+    val runs = Changes.q116(spark, sf).cache()
+    try {
+      // valid_to of version v == valid_from of version v+1; exactly one
+      // open (null valid_to) interval per user; versions dense from 1.
+      val bad = runs.as("a").join(runs.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+          col("a.version") + 1 === col("b.version"))
+        .filter(col("a.valid_to_us").isNull ||
+                col("a.valid_to_us") =!= col("b.valid_from_us"))
+        .count()
+      assert(bad === 0, s"$bad chained intervals don't tile")
+      val opens = runs.groupBy(col("user_id"))
+        .agg(sum(when(col("valid_to_us").isNull, 1L).otherwise(0L)).as("n_open"),
+             max(col("version")).as("vmax"), count(lit(1)).as("n"))
+      assert(opens.filter(col("n_open") =!= 1L).count() === 0,
+        "every user needs exactly one open interval")
+      assert(opens.filter(col("vmax") =!= col("n")).count() === 0,
+        "versions must be dense 1..n")
+    } finally runs.unpersist()
+  }
+
+  test("q116 SCD2 runs in ONE exchange (all windows share the user partitioning)") {
+    val plan = Changes.q116(spark, sf).queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges === 1, s"expected 1 exchange, got $exchanges:\n$plan")
+  }
+
+  test("q115 latest-state agg matches the window formulation") {
+    val agg = Changes.q115(spark, sf)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    val win = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("value"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_changes", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))))
+      .filter(col("rn") === 1 && col("event_type") =!= "error")
+      .select(col("user_id"), col("event_type").as("last_type"),
+        graft.functions.Cols.cents(col("value")).as("last_value_cents"),
+        col("ts_us").as("last_ts_us"), col("n_changes"))
+    assert(agg.exceptAll(win).isEmpty && win.exceptAll(agg).isEmpty,
+      "max_by compaction and window formulation disagree")
+  }
+
+  test("q121 snapshot diff is a single scan of the change stream") {
+    val plan = Changes.q121(spark, sf).queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans === 1, s"expected 1 scan, got $scans:\n$plan")
+    // statuses cover the overlap design: users exist in every class
+    val statuses = Changes.q121(spark, sf)
+      .groupBy(col("status")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(statuses.keySet.subsetOf(Set("added", "removed", "changed", "same")))
+    assert(statuses.getOrElse("changed", 0L) > 0, "expected changed users")
+  }
+
+  test("q118 band lookup equals the CASE-WHEN formulation") {
+    val bands = Relational.q118(spark, sf)
+    val case_ = Tables.orders(spark, sf)
+      .withColumn("band",
+        (col("o_totalprice") >= 50000d).cast("long") +
+        (col("o_totalprice") >= 100000d).cast("long") +
+        (col("o_totalprice") >= 200000d).cast("long") +
+        (col("o_totalprice") >= 300000d).cast("long"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_orders"),
+        graft.functions.Cols.cents(sum(col("o_totalprice"))).as("sum_cents"))
+    val joined = bands.select("band", "n_orders", "sum_cents")
+      .exceptAll(case_)
+    assert(joined.isEmpty, "rank_bucket bands disagree with CASE bands")
+  }
+
+  test("q118 band dimension join is a broadcast (no shuffle for labels)") {
+    val plan = Relational.q118(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"band labels not broadcast:\n$plan")
+  }
+
+  test("q119 corpus drift: KL non-negative, identical sides drift to ~0") {
+    val drift = Text.q119(spark, sf)
+    assert(drift.filter(col("kl_nano") < 0L).count() === 0,
+      "smoothed KL must be >= 0 (up to per-term rounding)")
+    // cross-entropy H(P,Q) = H(P) + KL >= KL since H(P) >= 0.
+    assert(drift.filter(col("ce_nano") < col("kl_nano")).count() === 0,
+      "H(P,Q) >= KL violated")
+    // Identical sides: duplicate every doc once per side — true KL is 0,
+    // only per-token nano rounding (±0.5) survives.
+    val docs = Tables.documents(spark, sf).select(col("lang"), col("text"))
+    val both = docs.withColumn("flip", lit(true))
+      .unionByName(docs.withColumn("flip", lit(false)))
+    val selfDrift = Text.corpusDrift(both, "lang", "text", col("flip"))
+    val maxAbs = selfDrift.agg(max(abs(col("kl_nano")))).collect()(0).getLong(0)
+    val vocab = selfDrift.agg(max(col("vocab"))).collect()(0).getLong(0)
+    assert(maxAbs <= vocab, s"self-drift |kl| $maxAbs exceeds rounding bound $vocab")
+  }
+}

@@ -799,4 +799,45 @@ class OperatorsSpec extends SparkSpec {
     assert(top.map(_.getLong(1)).sliding(2).forall(p => p(0) >= p(1)))
     assert(top.map(_.getLong(2)).sum <= 10000)
   }
+
+  test("q124 aHash finds exactly the planted image near-dups, byte dedup finds none") {
+    val pairs = Multimodal.q124(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    // every pair is (orig, its perturbed copy) — no false positives
+    assert(pairs.length.toLong == nDocs, s"expected $nDocs pairs, got ${pairs.length}")
+    assert(pairs.forall(r => r.getLong(1) - r.getLong(0) == Multimodal.CopyOffset),
+      "a pair joins two unrelated images")
+    assert(pairs.forall(_.getAs[Number]("hamming").longValue <= 3),
+      "hamming above the bound")
+    // the copies are byte-distinct: exact (md5) dedup cannot pair them
+    val corpus = Multimodal.structuredPngTable(spark, sf, perturb = true)
+    val nPayloads = corpus.count()
+    val nDistinct = corpus.select(md5(col("payload"))).distinct().count()
+    assert(nPayloads == 2 * nDocs && nDistinct == nPayloads,
+      "perturbed copies must differ byte-wise from originals")
+  }
+
+  test("q123 flagged anomalies clear the 2-sigma line in fixed point") {
+    val flagged = Events.q123(spark, sf)
+    assert(flagged.count() > 0, "expected at least one spike at sf0.001")
+    assert(flagged.filter(col("z_bp") < 20000L).count() === 0,
+      "a flagged row is below z = 2 — exact gate and reported z disagree")
+  }
+
+  test("q122 PMI collocations respect the count floor and per-group k") {
+    val pmi = Text.q122(spark, sf).cache()
+    try {
+      assert(pmi.filter(col("n_pair") < 5L).count() === 0, "rare pair ranked")
+      val perLang = pmi.groupBy(col("lang")).count().collect()
+      assert(perLang.forall(_.getLong(1) <= 10), "more than k per group")
+      // ranking is by quantized PMI desc — verify monotone within group
+      val rows = pmi.orderBy(col("lang"), col("rank")).collect()
+        .groupBy(_.getString(0))
+      rows.values.foreach { rs =>
+        val vals = rs.sortBy(_.getLong(1)).map(_.getLong(4))
+        assert(vals.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)),
+          "PMI not monotone in rank")
+      }
+    } finally pmi.unpersist()
+  }
 }
