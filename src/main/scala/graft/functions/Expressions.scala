@@ -492,6 +492,46 @@ case class IntersectSizeSorted(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Exact sparse dot product of two weighted vectors, each encoded as an
+  * array<struct<h: long, w: long>> SORTED ascending by h (the term
+  * hash): a single zero-allocation merge pass sums w_a·w_b over equal
+  * hashes, in exact long arithmetic. The per-pair verify step of a
+  * weighted (TF-IDF cosine) similarity join — candidates come from the
+  * prefix filter, this computes the exact dot in O(|a|+|b|) without
+  * re-exploding either vector through a shuffle. */
+case class WeightedDotSorted(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "weighted_dot_sorted"
+
+  private def compute(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var dot = 0L
+    while (i < na && j < nb) {
+      val ra = a.getStruct(i, 2); val rb = b.getStruct(j, 2)
+      val x = ra.getLong(0); val y = rb.getLong(0)
+      if (x == y) { dot += ra.getLong(1) * rb.getLong(1); i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    dot
+  }
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("weightedDot", this, classOf[WeightedDotSorted].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $self.dot($a, $b);")
+  }
+
+  /** Called from generated code. */
+  def dot(a: ArrayData, b: ArrayData): Long = compute(a, b)
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): WeightedDotSorted =
+    copy(left = l, right = r)
+}
+
 /** MinHash signature of an array<long> of (distinct) shingle hashes: for
   * permutation p, min over shingles of splitmix64(h + (p+1)·φ64). One
   * fused pass per document — the alternative (explode to a (doc,

@@ -49,6 +49,11 @@ object F {
   def intersectSize(a: Column, b: Column): Column =
     GraftColumns.wrap(IntersectSizeSorted(u(a), u(b)))
 
+  /** Exact sparse dot product of two array<struct<h: long, w: long>>
+    * columns sorted ascending by h — one zero-allocation merge pass. */
+  def weightedDot(a: Column, b: Column): Column =
+    GraftColumns.wrap(WeightedDotSorted(u(a), u(b)))
+
   /** Unicode NFC normalization of a string column (codegen'd, with an
     * allocation-free already-normalized fast path). */
   def nfc(c: Column): Column = GraftColumns.wrap(NfcNormalize(u(c)))

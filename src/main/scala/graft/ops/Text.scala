@@ -517,31 +517,66 @@ object Text {
     * dense-embedding near-dup (Dedup.embeddingPairs). Weights are
     * quantized once to milli fixed point; dot products and squared
     * norms are then EXACT long sums (merge-order/engine independent),
-    * with the single final cos = dot/(√a·√b) in double. Candidates
-    * come from the shared-token inverted index — at 100 TB add PPJoin
-    * prefix filtering over the weight-DESC-ordered postings (the exact
-    * bound jaccardPairs already implements for sets); here every
-    * shared-token pair is scored exactly. */
+    * with the single final cos = dot/(√a·√b) in double.
+    *
+    * Candidates come from a PPJoin-style L2 PREFIX filter, not the raw
+    * shared-token inverted index (whose join materializes Σ df² rows —
+    * quadratic in posting length; on a boilerplate-heavy corpus that is
+    * the whole n² pair space through a shuffle). Under one global token
+    * order (rarest first), each doc's PREFIX is the minimal head whose
+    * remaining suffix norm is < τ·‖d‖ (checked in exact integer
+    * arithmetic with a 63/100 < τ² cushion). If a matching pair shared
+    * tokens only outside one side's prefix, every shared token would
+    * fall in that side's suffix (suffixes are order-closed upward), and
+    * Cauchy–Schwarz caps the dot at ‖suffix‖·‖other‖ < τ‖a‖‖b‖ — so
+    * prefix⨝prefix candidates are lossless, and rare-token prefixes
+    * keep both posting lists short. Verification never re-explodes
+    * vectors: each doc's (hash, weight) pairs ride ONE sorted array and
+    * the exact dot is the zero-allocation WeightedDotSorted merge —
+    * O(|a|+|b|) per candidate, no Σ df² shuffle anywhere. */
   def tfidfCosinePairs(df: DataFrame, id: String, text: String,
                        tau: Double): DataFrame = {
     val tf = withToks(df, text).select(col(id).as("doc_id"), explode(toks).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
     val dfx = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val n = df.agg(count(lit(1)).as("n_docs"))
+    // wm = 0 terms (idf ln(1) = 0) contribute nothing to any dot or
+    // norm — dropping them is exact and removes the densest postings.
     val w = tf.join(dfx, "tok").crossJoin(broadcast(n))
-      .select(col("doc_id"), col("tok"),
+      .select(col("doc_id"), col("tok"), col("df"),
         fixed(col("tf").cast("double") *
           log(col("n_docs").cast("double") / col("df")), 1000L).as("wm"))
+      .filter(col("wm") =!= 0L)
     val norms = w.groupBy(col("doc_id"))
       .agg(sum(col("wm") * col("wm")).as("m2"))
-    val dots = w.as("a").join(w.as("b"),
+    // Prefix membership: global order (df asc, tok asc); a row stays in
+    // the prefix while the suffix FROM it onward still carries ≥ τ² of
+    // the norm (integer cushion 63/100 < 0.8² = 64/100).
+    val byDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df").asc, col("tok").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = w.join(norms, "doc_id")
+      .withColumn("before", coalesce(sum(col("wm") * col("wm")).over(byDoc), lit(0L)))
+      .filter((col("m2") - col("before")) * 100L >= lit(63L) * col("m2"))
+      .select(col("doc_id"), col("tok"))
+    val candidates = prefix.as("a").join(prefix.as("b"),
         col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(sum(col("a.wm") * col("b.wm")).as("dot"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // One sorted (hash, weight) array per doc; exact dot per candidate
+    // via the native merge — no token re-explode, no pair aggregation.
+    val vecs = w
+      .select(col("doc_id"), struct(xxhash64(col("tok")).as("h"), col("wm").as("w")).as("hw"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("hw"))).as("vec"))
+      .join(norms, "doc_id")
     val cos = col("dot") / (sqrt(col("m2_a")) * sqrt(col("m2_b")))
-    dots
-      .join(norms.select(col("doc_id").as("doc_a"), col("m2").as("m2_a")), "doc_a")
-      .join(norms.select(col("doc_id").as("doc_b"), col("m2").as("m2_b")), "doc_b")
+    candidates
+      .join(vecs.select(col("doc_id").as("doc_a"), col("vec").as("vec_a"),
+        col("m2").as("m2_a")), "doc_a")
+      .join(vecs.select(col("doc_id").as("doc_b"), col("vec").as("vec_b"),
+        col("m2").as("m2_b")), "doc_b")
+      .withColumn("dot", F.weightedDot(col("vec_a"), col("vec_b")))
       .filter(cos >= tau)
       .select(col("doc_a"), col("doc_b"), bp(cos).as("cos_bp"))
   }
