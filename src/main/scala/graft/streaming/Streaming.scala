@@ -153,6 +153,40 @@ object Streaming {
       }
   }
 
+  case class Change(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
+                    event_type: String, value: Double)
+  case class KeyLatest(tsUs: Long, seq: Long, op: String, valueCents: Long, n: Long)
+  case class LatestState(user_id: Long, last_type: String, last_value_cents: Long,
+                         last_ts_us: Long, n_changes: Long)
+
+  /** Streaming CDC latest-state view — the streaming face of batch
+    * Changes.latestState: per key, one bounded state record (the most
+    * recent change by (ts, seq) plus a change counter), re-emitted in
+    * update mode whenever a micro-batch touches the key. Downstream
+    * treats the output as an upsert stream keyed by user_id; tombstoned
+    * keys surface with last_type = tombstone so the sink can delete.
+    * State is O(keys) forever — one fixed-size record per key,
+    * independent of stream length. */
+  def latestStateStream(changes: Dataset[Change]): Dataset[LatestState] = {
+    import changes.sparkSession.implicits._
+    changes.groupByKey(_.user_id)
+      .mapGroupsWithState[KeyLatest, LatestState](GroupStateTimeout.NoTimeout()) {
+        (userId: Long, batch: Iterator[Change], state: GroupState[KeyLatest]) =>
+          var st = state.getOption.getOrElse(
+            KeyLatest(Long.MinValue, Long.MinValue, "", 0L, 0L))
+          batch.foreach { c =>
+            val t = micros(c.ts)
+            val cents = math.floor(c.value * 100 + 0.5).toLong
+            st =
+              if (t > st.tsUs || (t == st.tsUs && c.event_id > st.seq))
+                KeyLatest(t, c.event_id, c.event_type, cents, st.n + 1)
+              else st.copy(n = st.n + 1)
+          }
+          state.update(st)
+          LatestState(userId, st.op, st.valueCents, st.tsUs, st.n)
+      }
+  }
+
   val SessionGapUs: Long = 30L * 60 * 1000000
 
   /** Exact microseconds since epoch (Timestamp.getTime alone drops µs). */

@@ -95,6 +95,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CDC latest-state agrees with batch q115 on real data") {
+    import graft.streaming.Streaming.{Change, LatestState}
+    val batch = ops.Changes.q115(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Change]
+    val changes = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value"))
+      .as[Change].collect()
+    val q = Streaming.latestStateStream(in.toDS())
+      .writeStream.format("memory").queryName("latest_state_out")
+      .outputMode("update").start()
+    try {
+      // Two micro-batches: state must carry the first half into the second.
+      val (h1, h2) = changes.splitAt(changes.length / 2)
+      in.addData(h1.toSeq); q.processAllAvailable()
+      in.addData(h2.toSeq); q.processAllAvailable()
+      // Final state per key = the emission with the highest change count
+      // (n_changes is monotone across re-emissions).
+      val finals = spark.table("latest_state_out").as[LatestState].collect()
+        .groupBy(_.user_id).map { case (_, rows) => rows.maxBy(_.n_changes) }
+      val stream = finals
+        .filter(_.last_type != "error") // batch drops tombstoned keys
+        .map(s => (s.user_id, s.last_type, s.last_value_cents, s.last_ts_us, s.n_changes))
+        .toSet
+      assert(stream == batch,
+        s"missing: ${(batch -- stream).take(3)}; extra: ${(stream -- batch).take(3)}")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs clicks with views inside the window") {
     implicit val sqlCtx = spark.sqlContext
     val views = MemoryStream[(Long, Long, Timestamp)]
