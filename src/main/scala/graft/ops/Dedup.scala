@@ -332,18 +332,31 @@ object Dedup {
     * scopes (bounded cardinality), never the whole corpus. */
   def editDistancePairs(df: DataFrame, id: String, name: String,
                         block: String, maxDist: Int): DataFrame = {
-    val lev = levenshtein(col(s"a.$name"), col(s"b.$name"), maxDist)
-    df.as("a").join(df.as("b"),
-        col(s"a.$block") === col(s"b.$block") && col(s"a.$id") < col(s"b.$id") &&
-        abs(length(col(s"a.$name")) - length(col(s"b.$name"))) <= maxDist &&
-        col(s"a.$name") =!= col(s"b.$name"))
-      // The self-join already holds both name payloads — emit them so
-      // callers don't re-join the table to recover what was in hand.
-      .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"),
-        col(s"a.$name").as("name_a"), col(s"b.$name").as("name_b"),
-        col(s"a.$block").as("block"), lev.as("lev"))
+    // DICTIONARY step: entity name columns repeat heavily (64 distinct
+    // part names across 20k parts), so the O(len·maxDist) distance runs
+    // once per DISTINCT name pair, not once per entity pair — the
+    // dictionary self-join is |D|² length-filtered probes on a table
+    // orders of magnitude smaller than the corpus, and it broadcasts.
+    // Instance pairs then come from EQUI joins against the tiny valid-
+    // pair table: no per-row distance, no non-equi condition in the big
+    // join. (At a dictionary too big to broadcast, block the dictionary
+    // join itself — the instance-side shape is unchanged.)
+    val dict = df.select(col(name).as("n_")).distinct()
+    val lev = levenshtein(col("x.n_"), col("y.n_"), maxDist)
+    val valid = dict.as("x").join(broadcast(dict.as("y")),
+        abs(length(col("x.n_")) - length(col("y.n_"))) <= maxDist &&
+        col("x.n_") =!= col("y.n_"))
+      .select(col("x.n_").as("name_a"), col("y.n_").as("name_b"), lev.as("lev"))
       // threshold'd levenshtein returns -1 past the bound.
       .filter(col("lev") >= 1 && col("lev") <= maxDist)
+    df.as("a")
+      .join(broadcast(valid), col(s"a.$name") === col("name_a"))
+      .join(df.as("b"),
+        col(s"a.$block") === col(s"b.$block") && col(s"b.$name") === col("name_b") &&
+        col(s"a.$id") < col(s"b.$id"))
+      .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"),
+        col("name_a"), col("name_b"),
+        col(s"a.$block").as("block"), col("lev"))
   }
 
   /** q112: part-name edit-distance dedup within brand at lev ≤ 2,
