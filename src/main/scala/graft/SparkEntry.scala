@@ -131,6 +131,7 @@ object SparkEntry {
     "q122_pmi_collocations" -> (Text.q122 _),
     "q123_rate_anomaly"     -> (Events.q123 _),
     "q124_image_dedup"      -> (Multimodal.q124 _),
+    "q125_temporal_join"    -> (Changes.q125 _),
     "q74_stopword_filter" -> (Text.q74 _),
     "q77_session_window"  -> (Events.q77 _),
     "q75_corpus_pipeline" -> (Text.q75 _),
@@ -1103,6 +1104,22 @@ object SparkEntry {
            CAST(floor( ((n*m - sn) / CAST(m AS DOUBLE)) / sqrt((sq*m - sn*sn) / (m*(m-1.0))) * 10000 + 0.5) AS BIGINT) AS z_bp
          FROM c JOIN s ON c.day = s.day
          WHERE (m-1) * (n*m - sn) * (n*m - sn) > 4 * m * (sq*m - sn*sn) AND n*m > sn""",
+
+    "q125_temporal_join" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events),
+         o AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_type FROM e),
+         c AS (SELECT *, sum(CASE WHEN prev_type IS NULL OR prev_type <> event_type THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS version FROM o),
+         runs AS (SELECT user_id, CAST(version AS BIGINT) AS version, min(event_type) AS state,
+                  min(ts_us) AS valid_from_us FROM c GROUP BY user_id, version),
+         scd AS (SELECT user_id, version, state, valid_from_us,
+                 lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY version) AS valid_to_us
+                 FROM runs)
+         SELECT e.event_id, e.user_id, e.ts_us - 3600000000 AS probe_us,
+           s.version, s.state AS state_then
+         FROM e LEFT JOIN scd s ON s.user_id = e.user_id
+           AND s.valid_from_us <= e.ts_us - 3600000000
+           AND (s.valid_to_us IS NULL OR e.ts_us - 3600000000 < s.valid_to_us)""",
 
     "q121_snapshot_diff" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events),

@@ -121,4 +121,40 @@ object Changes {
   def q121(s: SparkSession, d: String): DataFrame =
     snapshotDiff(Tables.events(s, d), "user_id", micros(col("ts")), "event_id",
       "event_type", oldEndUs = epochUs("2024-01-22"), newStartUs = epochUs("2024-01-08"))
+
+  /** TEMPORAL (point-in-time) join: enrich each probe row with the SCD2
+    * interval version valid at its probe time — the "what was this
+    * entity's state back then" lookup every audit/feature-backfill
+    * pipeline needs. Because a key's intervals TILE its timeline
+    * (scd2's invariant), containment in [valid_from, valid_to) is
+    * exactly the backward as-of match on valid_from — so the lookup
+    * rides the native AsOfJoinExec (one shuffle per side, per-partition
+    * two-pointer merge), never an interval/range join (whose non-equi
+    * condition degrades to per-key quadratic probing). LEFT OUTER:
+    * probes before a key's first interval survive with nulls. The
+    * interval's state/attributes re-attach by (key, version) equi-join
+    * — version is unique per key, so the join adds no fan-out. */
+  def temporalJoin(probe: DataFrame, probeKey: String, probeId: String,
+                   probeTsUs: Column, intervals: DataFrame,
+                   intervalKey: String): DataFrame = {
+    val p = probe.select(col(probeId), col(probeKey).as("k_"),
+      probeTsUs.as("probe_us"))
+    val iv = intervals.select(col(intervalKey).as("k_"),
+      col("valid_from_us"), col("version"), col("state"))
+    graft.plans.AsOfJoin(p, "k_", "probe_us",
+        iv.select(col("k_"), col("valid_from_us"), col("version")),
+        "k_", "valid_from_us", "version", outer = true)
+      .join(iv.select(col("k_"), col("version").as("asof_tie"), col("state")),
+        Seq("k_", "asof_tie"), "left_outer")
+      .select(col(probeId), col("k_").as(probeKey), col("probe_us"),
+        col("asof_tie").as("version"), col("state").as("state_then"))
+  }
+
+  /** q125: each event enriched with the user's SCD2 state one hour
+    * earlier (events inside the first hour keep nulls). */
+  def q125(s: SparkSession, d: String): DataFrame =
+    temporalJoin(
+      Tables.events(s, d), "user_id", "event_id",
+      micros(col("ts")) - lit(3600000000L),
+      q116(s, d), "user_id")
 }

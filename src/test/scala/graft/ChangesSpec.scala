@@ -88,6 +88,30 @@ class ChangesSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"band labels not broadcast:\n$plan")
   }
 
+  test("q125 temporal join rides the native AsOfJoinExec, not a range join") {
+    val plan = Changes.q125(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), s"temporal lookup missing AsOfJoinExec:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"temporal lookup degraded to a nested-loop range join:\n$plan")
+    // Point-in-time semantics: state one hour back is the interval
+    // covering (ts - 1h) — spot-check via a direct computation.
+    val out = Changes.q125(spark, sf)
+    val events = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"),
+        (unix_micros(col("ts")) - 3600000000L).as("probe_us")).collect()
+    val scd = Changes.q116(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        if (r.isNullAt(4)) Long.MaxValue else r.getLong(4)))
+    val got = out.collect().map(r =>
+      (r.getLong(0), if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    events.take(200).foreach { e =>
+      val (eid, uid, p) = (e.getLong(0), e.getLong(1), e.getLong(2))
+      val want = scd.filter(s => s._1 == uid && s._4 <= p && p < s._5)
+        .map(_._2).headOption.getOrElse(-1L)
+      assert(got(eid) == want, s"event $eid: version ${got(eid)} != $want")
+    }
+  }
+
   test("q119 corpus drift: KL non-negative, identical sides drift to ~0") {
     val drift = Text.q119(spark, sf)
     assert(drift.filter(col("kl_nano") < 0L).count() === 0,
