@@ -132,6 +132,7 @@ object SparkEntry {
     "q123_rate_anomaly"     -> (Events.q123 _),
     "q124_image_dedup"      -> (Multimodal.q124 _),
     "q125_temporal_join"    -> (Changes.q125 _),
+    "q126_cms_counts"       -> (Text.q126 _),
     "q74_stopword_filter" -> (Text.q74 _),
     "q77_session_window"  -> (Events.q77 _),
     "q75_corpus_pipeline" -> (Text.q75 _),
@@ -1104,6 +1105,15 @@ object SparkEntry {
            CAST(floor( ((n*m - sn) / CAST(m AS DOUBLE)) / sqrt((sq*m - sn*sn) / (m*(m-1.0))) * 10000 + 0.5) AS BIGINT) AS z_bp
          FROM c JOIN s ON c.day = s.day
          WHERE (m-1) * (n*m - sn) * (n*m - sn) > 4 * m * (sq*m - sn*sn) AND n*m > sn""",
+
+    // est_cnt == cnt is the correctness claim here: the 31-token vocab
+    // is collision-free in a 4096x4 sketch (P(collision) ~ 1.7e-12 under
+    // the fixed hash), and CMS never undercounts - so the sketched
+    // estimate must equal the exact count on this corpus.
+    "q126_cms_counts" ->
+      """WITH tk AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+         c AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY 1 ORDER BY cnt DESC, tok ASC LIMIT 20)
+         SELECT tok, cnt, cnt AS est_cnt FROM c""",
 
     "q125_temporal_join" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events),

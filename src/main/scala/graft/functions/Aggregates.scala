@@ -244,3 +244,78 @@ case class BloomFilterAgg(
   override protected def withNewChildInternal(newChild: Expression): BloomFilterAgg =
     copy(child = newChild)
 }
+
+/** Count–Min sketch over a LONG key column: a depth×width counter grid
+  * where each key increments one counter per row (Kirsch–Mitzenmacher
+  * double hashing, same scheme as BloomFilterAgg); point estimates come
+  * from `CmsEstimate` as the min across rows — never an undercount,
+  * overcount bounded by colliding mass ~N/width per row. The
+  * fixed-size frequency summary for when exact per-key counts don't
+  * fit: the sketch is width·depth longs REGARDLESS of key cardinality,
+  * partial-aggregates map-side, and merge is elementwise long addition
+  * — associative/commutative, so the result is bit-identical under any
+  * partial-merge order. Width rounds up to a power of two. */
+case class CountMinAgg(
+    child: Expression,
+    width: Int,
+    depth: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+
+  require(width > 0 && width <= (1 << 24), s"width must be in (0, 2^24], got $width")
+  require(depth > 0 && depth <= 16, s"depth must be in (0, 16], got $depth")
+
+  private val w2 = java.lang.Integer.highestOneBit(math.max(width - 1, 1)) * 2
+  private val mask = w2 - 1
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "cms_agg"
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](w2 * depth)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val key = v.asInstanceOf[Long]
+      val h1 = CmsEstimate.mix(key)
+      val h2 = CmsEstimate.mix(h1) | 1L
+      var i = 0
+      while (i < depth) {
+        buf(i * w2 + (((h1 + i * h2) & Long.MaxValue).toInt & mask)) += 1L
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < buf.length) { buf(i) += other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any = {
+    val out = new Array[Byte](buf.length * 8)
+    java.nio.ByteBuffer.wrap(out).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .asLongBuffer().put(buf)
+    out
+  }
+
+  override def serialize(buf: Array[Long]): Array[Byte] = eval(buf).asInstanceOf[Array[Byte]]
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val buf = new Array[Long](bytes.length / 8)
+    java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .asLongBuffer().get(buf)
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CountMinAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CountMinAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): CountMinAgg =
+    copy(child = newChild)
+}

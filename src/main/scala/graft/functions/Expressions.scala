@@ -492,6 +492,59 @@ case class IntersectSizeSorted(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+object CmsEstimate {
+  /** splitmix64 finalizer shared by CountMinAgg (build) and CmsEstimate
+    * (probe) — the two sides MUST hash identically. */
+  @inline def mix(z0: Long): Long = {
+    var z = z0 + -7046029254386353131L
+    z = (z ^ (z >>> 30)) * -4658895280553007687L
+    z = (z ^ (z >>> 27)) * -7723592293110705685L
+    z ^ (z >>> 31)
+  }
+}
+
+/** Count–Min point estimate: min across the sketch's depth rows of the
+  * counter each hash lands on. Parameters must match the CountMinAgg
+  * build side. Never undercounts; overcount is the colliding mass.
+  * The sketch arrives as one aggregated binary value (broadcast by the
+  * scalar-subquery delivery, same shape as BloomMightContain). */
+case class CmsEstimate(left: Expression, right: Expression,
+                       width: Int, depth: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "cms_estimate"
+
+  private val w2 = java.lang.Integer.highestOneBit(math.max(width - 1, 1)) * 2
+  private val mask = w2 - 1
+
+  /** Called from generated code. */
+  def est(bytes: Array[Byte], key: Long): Long = {
+    val lb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).asLongBuffer()
+    val h1 = CmsEstimate.mix(key)
+    val h2 = CmsEstimate.mix(h1) | 1L
+    var best = Long.MaxValue
+    var i = 0
+    while (i < depth) {
+      val c = lb.get(i * w2 + (((h1 + i * h2) & Long.MaxValue).toInt & mask))
+      if (c < best) best = c
+      i += 1
+    }
+    best
+  }
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    est(l.asInstanceOf[Array[Byte]], r.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("cmsEst", this, classOf[CmsEstimate].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $self.est($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CmsEstimate =
+    copy(left = l, right = r)
+}
+
 /** Exact sparse dot product of two weighted vectors, each encoded as an
   * array<struct<h: long, w: long>> SORTED ascending by h (the term
   * hash): a single zero-allocation merge pass sums w_a·w_b over equal

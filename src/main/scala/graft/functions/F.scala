@@ -88,6 +88,16 @@ object F {
     GraftColumns.wrap(
       BloomMightContain(GraftColumns.unwrap(filter), GraftColumns.unwrap(key), numBits, numHashes))
 
+  /** Count–Min sketch build aggregate over a long key column. */
+  def cmsAgg(c: Column, width: Int, depth: Int = 4): Column =
+    GraftColumns.wrap(
+      CountMinAgg(GraftColumns.unwrap(c), width, depth).toAggregateExpression())
+
+  /** Count–Min point estimate; parameters must match the build side. */
+  def cmsEstimate(sketch: Column, key: Column, width: Int, depth: Int = 4): Column =
+    GraftColumns.wrap(
+      CmsEstimate(GraftColumns.unwrap(sketch), GraftColumns.unwrap(key), width, depth))
+
   /** Packed-nibble PQ code of an array<float> embedding. */
   def pqCode(c: Column, codebook: Seq[Float], m: Int, k: Int): Column =
     GraftColumns.wrap(PqCode(u(c), codebook, m, k))

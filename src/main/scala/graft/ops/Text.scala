@@ -675,4 +675,27 @@ object Text {
   /** q122: top-10 PMI collocations per language (pair count ≥ 5). */
   def q122(s: SparkSession, d: String): DataFrame =
     pmiCollocations(Tables.documents(s, d), "lang", "text", 5L, 10)
+
+  /** Count–Min sketched token frequencies next to exact counts: builds
+    * the fixed-size sketch in ONE aggregation (no per-key state — the
+    * summary is width·depth longs whatever the vocabulary), broadcasts
+    * the single sketch row, and reports estimate-vs-exact for the exact
+    * top-k tokens. The validation face of the sketch; production use is
+    * the sketch ALONE when exact per-key counts can't fit — estimates
+    * never undercount, overcount ≤ colliding mass (spec-pinned on a
+    * forced-collision stress). */
+  def cmsTokenCounts(df: DataFrame, text: String, width: Int, depth: Int,
+                     k: Int): DataFrame = {
+    val stream = withToks(df, text).select(explode(toks).as("tok"))
+    val sketch = stream.agg(F.cmsAgg(xxhash64(col("tok")), width, depth).as("cms"))
+    stream.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc).limit(k)
+      .crossJoin(broadcast(sketch))
+      .select(col("tok"), col("cnt"),
+        F.cmsEstimate(col("cms"), xxhash64(col("tok")), width, depth).as("est_cnt"))
+  }
+
+  /** q126: sketched vs exact counts for the top-20 tokens. */
+  def q126(s: SparkSession, d: String): DataFrame =
+    cmsTokenCounts(Tables.documents(s, d), "text", 4096, 4, 20)
 }

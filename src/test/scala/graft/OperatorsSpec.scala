@@ -824,6 +824,30 @@ class OperatorsSpec extends SparkSpec {
       "a flagged row is below z = 2 — exact gate and reported z disagree")
   }
 
+  test("count-min sketch never undercounts; collisions bounded on a stressed width") {
+    // Wide sketch: vocab (31 tokens) ≪ 4096·4 cells — estimates exact.
+    val wide = Text.q126(spark, sf).collect()
+    assert(wide.nonEmpty)
+    wide.foreach(r => assert(r.getLong(2) == r.getLong(1),
+      s"token ${r.getString(0)}: est ${r.getLong(2)} != exact ${r.getLong(1)} in a collision-free sketch"))
+    // Stressed sketch: 500+ distinct doc ids into width 32, depth 2 —
+    // collisions guaranteed; the CMS guarantee is est >= exact, and the
+    // overcount stays within a few rows' colliding mass.
+    val ids = Tables.documents(spark, sf).select(col("doc_id"))
+    val sketch = ids.agg(graft.functions.F.cmsAgg(col("doc_id"), 32, 2).as("cms"))
+    val n = ids.count()
+    val checked = ids.limit(50).crossJoin(broadcast(sketch))
+      .select(col("doc_id"),
+        graft.functions.F.cmsEstimate(col("cms"), col("doc_id"), 32, 2).as("est"))
+      .collect()
+    checked.foreach { r =>
+      val est = r.getLong(1)
+      assert(est >= 1L, s"doc ${r.getLong(0)}: undercount $est")
+      assert(est <= 1L + 4L * n / 32L,
+        s"doc ${r.getLong(0)}: overcount $est beyond 4x expected colliding mass")
+    }
+  }
+
   test("q122 PMI collocations respect the count floor and per-group k") {
     val pmi = Text.q122(spark, sf).cache()
     try {
