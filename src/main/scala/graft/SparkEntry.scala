@@ -133,6 +133,10 @@ object SparkEntry {
     "q124_image_dedup"      -> (Multimodal.q124 _),
     "q125_temporal_join"    -> (Changes.q125 _),
     "q126_cms_counts"       -> (Text.q126 _),
+    "q127_interpolate"      -> (Events.q127 _),
+    "q128_mad_outliers"     -> (Events.q128 _),
+    "q129_rank_normalize"   -> (Relational.q129 _),
+    "q130_chisq"            -> (Relational.q130 _),
     "q74_stopword_filter" -> (Text.q74 _),
     "q77_session_window"  -> (Events.q77 _),
     "q75_corpus_pipeline" -> (Text.q75 _),
@@ -1114,6 +1118,69 @@ object SparkEntry {
       """WITH tk AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
          c AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY 1 ORDER BY cnt DESC, tok ASC LIMIT 20)
          SELECT tok, cnt, cnt AS est_cnt FROM c""",
+
+    "q127_interpolate" ->
+      s"""WITH e0 AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+             ${C("value")} AS v0 FROM events),
+         e AS (SELECT user_id, ts_us, max_by(v0, event_id) AS v_cents
+               FROM e0 GROUP BY 1, 2),
+         b AS (SELECT user_id, ((min(ts_us) + 21599999999) // 21600000000) * 21600000000 AS g0,
+               (max(ts_us) // 21600000000) * 21600000000 AS g1 FROM e GROUP BY 1),
+         g AS (SELECT user_id, unnest(generate_series(g0, g1, 21600000000)) AS ts_us
+               FROM b WHERE g0 <= g1),
+         u AS (SELECT user_id, ts_us, v_cents, 1 AS is_e FROM e
+               UNION ALL SELECT user_id, ts_us, NULL, 0 FROM g),
+         w AS (SELECT *,
+           last_value(CASE WHEN is_e = 1 THEN ts_us END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts_us, is_e DESC ROWS UNBOUNDED PRECEDING) AS ta,
+           last_value(CASE WHEN is_e = 1 THEN v_cents END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts_us, is_e DESC ROWS UNBOUNDED PRECEDING) AS va,
+           first_value(CASE WHEN is_e = 1 THEN ts_us END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts_us, is_e DESC ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS tb,
+           first_value(CASE WHEN is_e = 1 THEN v_cents END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts_us, is_e DESC ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS vb
+           FROM u)
+         SELECT user_id, ts_us AS grid_us,
+           CAST(CASE WHEN ta = ts_us THEN va
+                ELSE (va * (tb - ts_us) + vb * (ts_us - ta)) // (tb - ta) END AS BIGINT) AS interp_cents
+         FROM w WHERE is_e = 0""",
+
+    "q128_mad_outliers" ->
+      s"""WITH v AS (SELECT event_type, ${C("value")} AS v FROM events),
+         med AS (SELECT event_type, CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY v) AS BIGINT) AS median_cents
+                 FROM v GROUP BY 1),
+         dev AS (SELECT v.event_type, abs(v - median_cents) AS ad, median_cents
+                 FROM v JOIN med ON v.event_type = med.event_type),
+         mad AS (SELECT event_type, CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY ad) AS BIGINT) AS mad_cents
+                 FROM dev GROUP BY 1)
+         SELECT dev.event_type, max(dev.median_cents) AS median_cents,
+           max(mad.mad_cents) AS mad_cents,
+           CAST(sum(CASE WHEN ad > 3 * mad_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           count(*) AS n
+         FROM dev JOIN mad ON dev.event_type = mad.event_type
+         GROUP BY 1""",
+
+    "q129_rank_normalize" ->
+      """WITH r AS (SELECT o_orderkey, o_orderpriority,
+           row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS rank,
+           count(*) OVER (PARTITION BY o_orderpriority) AS n
+           FROM orders)
+         SELECT o_orderkey, o_orderpriority, CAST(rank AS BIGINT) AS rank,
+           CAST(((rank - 1) * 10000) // greatest(n - 1, 1) AS BIGINT) AS rank_bp
+         FROM r""",
+
+    "q130_chisq" ->
+      """WITH c AS (SELECT lang, source, count(*) AS obs FROM documents GROUP BY 1, 2),
+         ra AS (SELECT lang, sum(obs) AS rt FROM c GROUP BY 1),
+         rb AS (SELECT source, sum(obs) AS ct FROM c GROUP BY 1),
+         n AS (SELECT sum(obs) AS n FROM c),
+         t AS (SELECT CAST(floor( (obs - rt * ct / CAST(n AS DOUBLE)) * (obs - rt * ct / CAST(n AS DOUBLE)) / (rt * ct / CAST(n AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS term,
+                 c.lang, c.source
+               FROM c JOIN ra USING (lang) JOIN rb USING (source) CROSS JOIN n)
+         SELECT count(*) AS cells,
+           CAST((count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1) AS BIGINT) AS dof,
+           CAST(sum(term) AS BIGINT) AS chi2_micro
+         FROM t""",
 
     "q125_temporal_join" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events),

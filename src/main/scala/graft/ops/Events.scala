@@ -526,4 +526,91 @@ object Events {
     * population. */
   def q123(s: SparkSession, d: String): DataFrame =
     rateAnomaly(Tables.events(s, d), "user_id", "ts", 2)
+
+  /** Resample an irregular per-key value series onto a fixed `stepUs`
+    * grid with LINEAR interpolation between the surrounding
+    * observations — the feature-engineering step that turns event
+    * streams into aligned model inputs. Grid points cover
+    * [⌈t₀/step⌉·step, ⌊t₁/step⌋·step] per key, so every point has both
+    * neighbors. Interpolation is EXACT integer arithmetic on cents:
+    * (va·(tb−g) + vb·(g−ta)) div (tb−ta) — both numerator terms
+    * nonnegative, so truncating and flooring division agree across
+    * engines; a grid point ON an observation divides exactly to va.
+    *
+    * Plan: the union-merge shape (same as asofJoin): observations and
+    * grid rows union, ONE shuffle on the key, and last/first
+    * ignoreNulls window passes carry the surrounding observations onto
+    * each grid row — never a per-point range join. Simultaneous
+    * observations collapse first (keep max seq) so neighbors are
+    * unambiguous. */
+  def resampleInterpolate(events: DataFrame, key: String, tsUs: Column,
+                          seq: String, value: Column,
+                          stepUs: Long): DataFrame = {
+    val e = events
+      .withColumn("ts_us", tsUs).withColumn("v_in", value)
+      .groupBy(col(key), col("ts_us"))
+      .agg(max_by(col("v_in"), col(seq)).as("v_cents"))
+    val grid = e.groupBy(col(key))
+      .agg(min(col("ts_us")).as("t0"), max(col("ts_us")).as("t1"))
+      .select(col(key),
+        (F.idiv(col("t0") + (stepUs - 1), lit(stepUs)) * stepUs).as("g0"),
+        (F.idiv(col("t1"), lit(stepUs)) * stepUs).as("g1"))
+      .filter(col("g0") <= col("g1"))
+      .select(col(key), explode(sequence(col("g0"), col("g1"), lit(stepUs))).as("ts_us"))
+    val u = e.select(col(key), col("ts_us"), col("v_cents"), lit(1).as("is_e"))
+      .unionByName(grid.select(col(key), col("ts_us"),
+        lit(null).cast("long").as("v_cents"), lit(0).as("is_e")))
+    val order = Window.partitionBy(col(key))
+      .orderBy(col("ts_us").asc, col("is_e").desc)
+    val back = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd  = order.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obs = when(col("is_e") === 1, col("ts_us"))
+    u.withColumn("ta", last(obs, ignoreNulls = true).over(back))
+      .withColumn("va", last(col("v_cents"), ignoreNulls = true).over(back))
+      .withColumn("tb", first(obs, ignoreNulls = true).over(fwd))
+      .withColumn("vb", first(col("v_cents"), ignoreNulls = true).over(fwd))
+      .filter(col("is_e") === 0)
+      .select(col(key), col("ts_us").as("grid_us"),
+        when(col("ta") === col("ts_us"), col("va"))
+          .otherwise(F.idiv(
+            col("va") * (col("tb") - col("ts_us")) +
+            col("vb") * (col("ts_us") - col("ta")),
+            col("tb") - col("ta"))).as("interp_cents"))
+  }
+
+  /** q127: each user's event values resampled to a 6-hour grid. */
+  def q127(s: SparkSession, d: String): DataFrame =
+    resampleInterpolate(Tables.events(s, d), "user_id", unix_micros(col("ts")),
+      "event_id", graft.functions.Cols.cents(col("value")), 6L * 3600 * 1000000)
+
+  /** Robust per-group spread: median, MAD (median absolute deviation)
+    * and the |v − median| > k·MAD outlier count — the outlier detector
+    * that, unlike q123's z-score, a few extreme values cannot distort.
+    * percentile_disc both times (cut values are members — exact in any
+    * engine); the tiny per-group median/MAD tables broadcast back onto
+    * the scored rows, no corpus window, two aggregation passes total. */
+  def madOutliers(df: DataFrame, group: String, value: Column,
+                  k: Int): DataFrame = {
+    val v = df.select(col(group), value.as("v"))
+    val med = v.groupBy(col(group))
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY v)")
+        .cast("long").as("median_cents"))
+    val dev = v.join(broadcast(med), group)
+      .withColumn("ad", abs(col("v") - col("median_cents")))
+    val mad = dev.groupBy(col(group))
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY ad)")
+        .cast("long").as("mad_cents"))
+    dev.join(broadcast(mad), group)
+      .groupBy(col(group))
+      .agg(max(col("median_cents")).as("median_cents"),
+           max(col("mad_cents")).as("mad_cents"),
+           sum(when(col("ad") > lit(k.toLong) * col("mad_cents"), 1L)
+             .otherwise(0L)).as("n_outliers"),
+           count(lit(1)).as("n"))
+  }
+
+  /** q128: median/MAD/outlier profile of event values per event type. */
+  def q128(s: SparkSession, d: String): DataFrame =
+    madOutliers(Tables.events(s, d), "event_type",
+      graft.functions.Cols.cents(col("value")), 3)
 }

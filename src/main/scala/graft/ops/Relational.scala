@@ -738,4 +738,55 @@ object Relational {
       "orderdate_le_2000" -> (col("o_orderdate") <= lit("2000-12-31").cast("date")),
       "status_in_domain" -> col("o_orderstatus").isin("O", "F"),
       "custkey_not_null" -> col("o_custkey").isNotNull))
+
+  /** Per-group RANK (quantile) normalization: map each value to its
+    * exact percent rank in basis points — the distribution-free feature
+    * encode (exact integer: (rank−1)·10000 div (n−1), no doubles).
+    * Needs a total order per group, so each group sorts once inside its
+    * partition (one shuffle). At 100 TB swap exact ranks for
+    * approxQuantile boundaries + the codegen'd SearchSortedBucket — the
+    * rank-encoded z-order writer already ships that path; this is the
+    * exact variant for group sizes a partition can sort. */
+  def rankNormalize(df: DataFrame, group: String, id: String,
+                    value: Column): DataFrame = {
+    val w = Window.partitionBy(col(group)).orderBy(value.asc, col(id).asc)
+    df.withColumn("rank", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col(group))))
+      .select(col(id), col(group), (col("rank")).cast("long").as("rank"),
+        graft.functions.F.idiv((col("rank") - 1L) * 10000L,
+          greatest(col("n") - 1L, lit(1L))).as("rank_bp"))
+  }
+
+  /** q129: order totals rank-normalized within each order priority. */
+  def q129(s: SparkSession, d: String): DataFrame =
+    rankNormalize(Tables.orders(s, d), "o_orderpriority", "o_orderkey",
+      col("o_totalprice"))
+
+  /** χ² association between two categorical columns (is lang mix
+    * independent of source? did the new crawl shift the distribution?):
+    * one (a, b) count aggregation, marginals reduce the tiny cell table
+    * and broadcast back, per-cell (obs−exp)²/exp quantized to micro
+    * fixed point BEFORE the exact long sum (merge-order/engine
+    * independent — a double Σ over cells flips tail bits across
+    * partition counts). Returns one row: cells, dof, chi2_micro. */
+  def chiSquare(df: DataFrame, a: String, b: String): DataFrame = {
+    val cells = df.groupBy(col(a), col(b)).agg(count(lit(1)).as("obs"))
+    val ra = cells.groupBy(col(a)).agg(sum(col("obs")).as("rt"))
+    val rb = cells.groupBy(col(b)).agg(sum(col("obs")).as("ct"))
+    val tot = cells.agg(sum(col("obs")).as("n"))
+    val exp_ = col("rt") * col("ct") / col("n").cast("double")
+    cells.join(broadcast(ra), a).join(broadcast(rb), b)
+      .crossJoin(broadcast(tot))
+      .select(
+        fixed((col("obs") - exp_) * (col("obs") - exp_) / exp_, 1000000L).as("term"),
+        col(a), col(b))
+      .agg(count(lit(1)).as("cells"),
+        ((countDistinct(col(a)) - 1) * (countDistinct(col(b)) - 1)).as("dof"),
+        sum(col("term")).as("chi2_micro"))
+      .select(col("cells"), col("dof").cast("long").as("dof"), col("chi2_micro"))
+  }
+
+  /** q130: lang × source association over the documents table. */
+  def q130(s: SparkSession, d: String): DataFrame =
+    chiSquare(Tables.documents(s, d), "lang", "source")
 }
