@@ -137,6 +137,10 @@ object SparkEntry {
     "q128_mad_outliers"     -> (Events.q128 _),
     "q129_rank_normalize"   -> (Relational.q129 _),
     "q130_chisq"            -> (Relational.q130 _),
+    "q131_rfm"              -> (Relational.q131 _),
+    "q132_cohort_value"     -> (Relational.q132 _),
+    "q133_hopping"          -> (Events.q133 _),
+    "q134_time_to_convert"  -> (Events.q134 _),
     "q74_stopword_filter" -> (Text.q74 _),
     "q77_session_window"  -> (Events.q77 _),
     "q75_corpus_pipeline" -> (Text.q75 _),
@@ -1159,6 +1163,64 @@ object SparkEntry {
            count(*) AS n
          FROM dev JOIN mad ON dev.event_type = mad.event_type
          GROUP BY 1""",
+
+    "q133_hopping" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+         x AS (SELECT user_id, unnest(generate_series(
+             ((t - 3600000000) // 900000000 + 1) * 900000000,
+             (t // 900000000) * 900000000, 900000000)) AS window_us FROM e)
+         SELECT window_us, count(*) AS n_events,
+           count(DISTINCT user_id) AS n_keys
+         FROM x GROUP BY 1""",
+
+    "q134_time_to_convert" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+         w AS (SELECT *, max(CASE WHEN event_type IN ('view','click') THEN ts_us END)
+                 OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch_us
+               FROM e),
+         lags AS (SELECT (ts_us - last_touch_us) // 1000000 AS lag_s FROM w
+                  WHERE event_type = 'purchase' AND last_touch_us IS NOT NULL)
+         SELECT count(*) AS n_conversions,
+           CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY lag_s) AS BIGINT) AS p25_s,
+           CAST(percentile_disc(0.5)  WITHIN GROUP (ORDER BY lag_s) AS BIGINT) AS p50_s,
+           CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY lag_s) AS BIGINT) AS p75_s,
+           CAST(percentile_disc(0.9)  WITHIN GROUP (ORDER BY lag_s) AS BIGINT) AS p90_s
+         FROM lags""",
+
+    "q131_rfm" ->
+      s"""WITH mx AS (SELECT max(o_orderdate) AS max_d FROM orders),
+         rfm AS (SELECT o_custkey,
+             CAST(min(datediff('day', o_orderdate, max_d)) AS BIGINT) AS recency_days,
+             count(*) AS frequency,
+             ${C("sum(o_totalprice)")} AS monetary_cents
+           FROM orders CROSS JOIN mx GROUP BY 1),
+         c AS (SELECT
+             CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY recency_days) AS BIGINT) AS r25,
+             CAST(percentile_disc(0.5)  WITHIN GROUP (ORDER BY recency_days) AS BIGINT) AS r50,
+             CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY recency_days) AS BIGINT) AS r75,
+             CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY frequency) AS BIGINT) AS f25,
+             CAST(percentile_disc(0.5)  WITHIN GROUP (ORDER BY frequency) AS BIGINT) AS f50,
+             CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY frequency) AS BIGINT) AS f75,
+             CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY monetary_cents) AS BIGINT) AS m25,
+             CAST(percentile_disc(0.5)  WITHIN GROUP (ORDER BY monetary_cents) AS BIGINT) AS m50,
+             CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY monetary_cents) AS BIGINT) AS m75
+           FROM rfm)
+         SELECT o_custkey, recency_days, frequency, monetary_cents,
+           CAST((4 - (CAST(recency_days >= r25 AS INT) + CAST(recency_days >= r50 AS INT) + CAST(recency_days >= r75 AS INT))) * 100
+            + (1 + CAST(frequency >= f25 AS INT) + CAST(frequency >= f50 AS INT) + CAST(frequency >= f75 AS INT)) * 10
+            + (1 + CAST(monetary_cents >= m25 AS INT) + CAST(monetary_cents >= m50 AS INT) + CAST(monetary_cents >= m75 AS INT)) AS BIGINT) AS segment
+         FROM rfm CROSS JOIN c""",
+
+    "q132_cohort_value" ->
+      s"""WITH o AS (SELECT o_custkey, year(o_orderdate) * 12 + month(o_orderdate) AS m,
+             o_totalprice FROM orders),
+         f AS (SELECT o_custkey, CAST(min(m) AS BIGINT) AS cohort_m FROM o GROUP BY 1)
+         SELECT cohort_m, CAST(o.m - cohort_m AS BIGINT) AS age_months,
+           count(DISTINCT o.o_custkey) AS n_customers, count(*) AS n_orders,
+           ${C("sum(o_totalprice)")} AS sum_cents
+         FROM o JOIN f ON o.o_custkey = f.o_custkey
+         GROUP BY 1, 2""",
 
     "q129_rank_normalize" ->
       """WITH r AS (SELECT o_orderkey, o_orderpriority,

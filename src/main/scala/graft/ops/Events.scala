@@ -613,4 +613,62 @@ object Events {
   def q128(s: SparkSession, d: String): DataFrame =
     madOutliers(Tables.events(s, d), "event_type",
       graft.functions.Cols.cents(col("value")), 3)
+
+  /** HOPPING (sliding) window aggregate: overlapping windows of
+    * `sizeUs` every `hopUs` — each event lands in exactly size/hop
+    * windows via a bounded map-side explode of its window-start
+    * sequence (the batch face of streaming `window(ts, size, hop)`),
+    * then ONE aggregation on the window key. Fan-out is the fixed
+    * size/hop ratio, never data-dependent; no self-join, no sort. */
+  def hoppingCounts(events: DataFrame, tsUs: Column, key: String,
+                    sizeUs: Long, hopUs: Long): DataFrame = {
+    require(sizeUs % hopUs == 0, "window size must be a multiple of hop")
+    val t = tsUs
+    // window starts w with w <= t < w + size, aligned to hop:
+    // from floor((t - size)/hop)*hop + hop up to floor(t/hop)*hop.
+    val first = (F.idiv(t - sizeUs, lit(hopUs)) + 1L) * hopUs
+    val last = F.idiv(t, lit(hopUs)) * hopUs
+    events
+      .select(col(key).as("k"), explode(sequence(first, last, lit(hopUs))).as("window_us"))
+      .groupBy(col("window_us"))
+      .agg(count(lit(1)).as("n_events"), countDistinct(col("k")).as("n_keys"))
+  }
+
+  /** q133: 1-hour windows hopping every 15 minutes over the events
+    * stream. */
+  def q133(s: SparkSession, d: String): DataFrame =
+    hoppingCounts(Tables.events(s, d), unix_micros(col("ts")), "user_id",
+      3600L * 1000000, 900L * 1000000)
+
+  /** Time-to-convert: for each conversion, the exact lag since the
+    * same key's latest preceding touch (running max over one ordered
+    * window — single shuffle on the key, the as-of-within-one-table
+    * shape), summarized per group as DISCRETE lag percentiles (members,
+    * exact cross-engine) plus the conversion count. The funnel-latency
+    * report (how long from view to purchase) behind SLA and attribution
+    * tuning. */
+  def timeToConvert(events: DataFrame, key: String, tsUs: String,
+                    seq: String, isTouch: Column,
+                    isConversion: Column): DataFrame = {
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(tsUs).asc, col(seq).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .withColumn("last_touch_us", max(when(isTouch, col(tsUs))).over(w))
+      .filter(isConversion && col("last_touch_us").isNotNull)
+      .withColumn("lag_s", F.idiv(col(tsUs) - col("last_touch_us"), lit(1000000L)))
+      .agg(count(lit(1)).as("n_conversions"),
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY lag_s)").cast("long").as("p25_s"),
+        expr("percentile_disc(0.5)  WITHIN GROUP (ORDER BY lag_s)").cast("long").as("p50_s"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY lag_s)").cast("long").as("p75_s"),
+        expr("percentile_disc(0.9)  WITHIN GROUP (ORDER BY lag_s)").cast("long").as("p90_s"))
+  }
+
+  /** q134: view/click → purchase conversion-lag percentiles. */
+  def q134(s: SparkSession, d: String): DataFrame =
+    timeToConvert(
+      Tables.events(s, d).withColumn("ts_us", unix_micros(col("ts"))),
+      "user_id", "ts_us", "event_id",
+      col("event_type").isin("view", "click"),
+      col("event_type") === "purchase")
 }

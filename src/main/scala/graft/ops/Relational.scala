@@ -789,4 +789,71 @@ object Relational {
   /** q130: lang × source association over the documents table. */
   def q130(s: SparkSession, d: String): DataFrame =
     chiSquare(Tables.documents(s, d), "lang", "source")
+
+  /** RFM segmentation (recency / frequency / monetary) of customers
+    * from their order history. Scores are 1–4 by DISCRETE quartile
+    * thresholds (percentile_disc — cut values are data members, exact
+    * cross-engine), NOT a global ntile: the threshold aggregation
+    * reduces per-customer scalars and broadcasts three cut rows back,
+    * so no stage ever needs a total order over all customers (the
+    * single-partition window a global ntile would force). Higher score
+    * = better (more recent, more frequent, higher spend); segment packs
+    * the three digits. */
+  def rfmSegments(orders: DataFrame, custKey: String, orderDate: String,
+                  total: Column): DataFrame = {
+    val asOf = orders.agg(max(col(orderDate)).as("max_d"))
+    val rfm = orders.crossJoin(broadcast(asOf))
+      .groupBy(col(custKey))
+      .agg(min(datediff(col("max_d"), col(orderDate))).cast("long").as("recency_days"),
+           count(lit(1)).as("frequency"),
+           cents(sum(total)).as("monetary_cents"))
+    def cuts(c: String) = rfm.agg(
+      expr(s"percentile_disc(0.25) WITHIN GROUP (ORDER BY $c)").cast("long").as(s"${c}_p25"),
+      expr(s"percentile_disc(0.5)  WITHIN GROUP (ORDER BY $c)").cast("long").as(s"${c}_p50"),
+      expr(s"percentile_disc(0.75) WITHIN GROUP (ORDER BY $c)").cast("long").as(s"${c}_p75"))
+    def scoreUp(c: String) = // higher value → higher score
+      lit(1L) + (col(c) >= col(s"${c}_p25")).cast("long") +
+        (col(c) >= col(s"${c}_p50")).cast("long") +
+        (col(c) >= col(s"${c}_p75")).cast("long")
+    def scoreDown(c: String) = // lower value (recency) → higher score
+      lit(4L) - ((col(c) >= col(s"${c}_p25")).cast("long") +
+        (col(c) >= col(s"${c}_p50")).cast("long") +
+        (col(c) >= col(s"${c}_p75")).cast("long"))
+    rfm.crossJoin(broadcast(cuts("recency_days")))
+      .crossJoin(broadcast(cuts("frequency")))
+      .crossJoin(broadcast(cuts("monetary_cents")))
+      .select(col(custKey), col("recency_days"), col("frequency"),
+        col("monetary_cents"),
+        (scoreDown("recency_days") * 100L + scoreUp("frequency") * 10L +
+          scoreUp("monetary_cents")).as("segment"))
+  }
+
+  /** q131: RFM segments over the orders table. */
+  def q131(s: SparkSession, d: String): DataFrame =
+    rfmSegments(Tables.orders(s, d), "o_custkey", "o_orderdate",
+      col("o_totalprice"))
+
+  /** Cohort value matrix: customers cohorted by first-order month, each
+    * cell (cohort_month, age_months) holding active-customer count and
+    * spend — the retention/LTV curve input. Month indexes are exact
+    * integers (year·12 + month); the per-customer cohort table joins
+    * back on the customer key (one hash join, no window over orders).
+    */
+  def cohortValue(orders: DataFrame, custKey: String, orderDate: String,
+                  total: Column): DataFrame = {
+    val monthIdx = year(col(orderDate)) * 12 + month(col(orderDate))
+    val firstM = orders.groupBy(col(custKey))
+      .agg(min(monthIdx).cast("long").as("cohort_m"))
+    orders.join(firstM, custKey)
+      .groupBy(col("cohort_m"),
+        (monthIdx - col("cohort_m")).cast("long").as("age_months"))
+      .agg(countDistinct(col(custKey)).as("n_customers"),
+           count(lit(1)).as("n_orders"),
+           cents(sum(total)).as("sum_cents"))
+  }
+
+  /** q132: first-order-month cohort × age matrix over orders. */
+  def q132(s: SparkSession, d: String): DataFrame =
+    cohortValue(Tables.orders(s, d), "o_custkey", "o_orderdate",
+      col("o_totalprice"))
 }
