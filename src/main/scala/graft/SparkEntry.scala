@@ -141,6 +141,9 @@ object SparkEntry {
     "q132_cohort_value"     -> (Relational.q132 _),
     "q133_hopping"          -> (Events.q133 _),
     "q134_time_to_convert"  -> (Events.q134 _),
+    "q135_dup_graph"        -> (Dedup.q135 _),
+    "q136_entity_resolution"-> (Dedup.q136 _),
+    "q137_incremental_agg"  -> (Changes.q137 _),
     "q74_stopword_filter" -> (Text.q74 _),
     "q77_session_window"  -> (Events.q77 _),
     "q75_corpus_pipeline" -> (Text.q75 _),
@@ -1163,6 +1166,53 @@ object SparkEntry {
            count(*) AS n
          FROM dev JOIN mad ON dev.event_type = mad.event_type
          GROUP BY 1""",
+
+    "q135_dup_graph" ->
+      s"""WITH $ShingleCtes,
+         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         pair AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS common
+                  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+         good AS (SELECT ida, idb FROM pair
+                  JOIN sz na ON na.doc_id = ida JOIN sz nb ON nb.doc_id = idb
+                  WHERE common / CAST(na.n + nb.n - common AS DOUBLE) >= 0.6),
+         e AS (SELECT ida AS x, idb AS y FROM good),
+         deg AS (SELECT n, count(*) AS d FROM
+                 (SELECT x AS n FROM e UNION ALL SELECT y AS n FROM e) GROUP BY 1)
+         SELECT (SELECT count(*) FROM deg) AS n_nodes,
+           (SELECT count(*) FROM e) AS n_edges,
+           (SELECT max(d) FROM deg) AS max_degree,
+           (SELECT count(*) FROM e e1 JOIN e e2 ON e1.y = e2.x
+              JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y) AS n_triangles""",
+
+    "q136_entity_resolution" ->
+      """WITH RECURSIVE p AS (SELECT p_partkey AS k, p_name AS nm, p_brand AS b FROM part),
+         ex AS (SELECT a.k AS ka, b2.k AS kb FROM p a JOIN p b2
+                ON a.b = b2.b AND a.nm = b2.nm AND a.k < b2.k),
+         lv AS (SELECT a.k AS ka, b2.k AS kb FROM p a JOIN p b2
+                ON a.b = b2.b AND a.k < b2.k
+                  AND abs(length(a.nm) - length(b2.nm)) <= 2 AND a.nm <> b2.nm
+                WHERE levenshtein(a.nm, b2.nm) BETWEEN 1 AND 2),
+         ed AS (SELECT ka, kb FROM ex UNION SELECT ka, kb FROM lv),
+         edges AS (SELECT ka AS a, kb AS b FROM ed UNION SELECT kb, ka FROM ed),
+         reach(node, r) AS (SELECT a, a FROM edges
+                            UNION SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.node),
+         lab AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY 1),
+         mem AS (SELECT p.k, p.nm, coalesce(lab.cluster_id, p.k) AS cluster_id
+                 FROM p LEFT JOIN lab ON lab.node = p.k),
+         nc AS (SELECT cluster_id, nm, count(*) AS cnt FROM mem GROUP BY 1, 2),
+         canon AS (SELECT cluster_id, nm AS canonical_name FROM
+                   (SELECT *, row_number() OVER (PARTITION BY cluster_id
+                      ORDER BY cnt DESC, nm ASC) AS rn FROM nc) WHERE rn = 1)
+         SELECT m.cluster_id, canon.canonical_name, count(*) AS n_records,
+           count(DISTINCT m.nm) AS n_names
+         FROM mem m JOIN canon ON m.cluster_id = canon.cluster_id
+         GROUP BY 1, 2""",
+
+    "q137_incremental_agg" ->
+      s"""SELECT o_custkey, count(*) AS n_orders,
+         CAST(sum(${C("o_totalprice")}) AS BIGINT) AS sum_cents
+         FROM orders GROUP BY 1""",
 
     "q133_hopping" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),

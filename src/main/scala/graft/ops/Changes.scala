@@ -157,4 +157,41 @@ object Changes {
       Tables.events(s, d), "user_id", "event_id",
       micros(col("ts")) - lit(3600000000L),
       q116(s, d), "user_id")
+
+  /** INCREMENTAL aggregate maintenance: merge a new batch's partial
+    * aggregate into a previously materialized one without recomputing
+    * history — new = base ⟗ delta with count/sum addition. Sound only
+    * because the addends are EXACT (per-row cents quantized before any
+    * sum): floating sums don't re-associate, so a maintainable
+    * aggregate must discretize at the row, not at the merge (the same
+    * discipline Cols.fixed applies at the oracle boundary). The merge
+    * touches O(|delta| + |affected keys|) — the point of maintenance:
+    * history is never rescanned. */
+  def mergeAggregates(base: DataFrame, delta: DataFrame,
+                      key: String): DataFrame =
+    base.select(col(key), col("n_orders").as("n_b"), col("sum_cents").as("s_b"))
+      .join(delta.select(col(key), col("n_orders").as("n_d"),
+        col("sum_cents").as("s_d")), Seq(key), "full_outer")
+      .select(col(key),
+        (coalesce(col("n_b"), lit(0L)) + coalesce(col("n_d"), lit(0L))).as("n_orders"),
+        (coalesce(col("s_b"), lit(0L)) + coalesce(col("s_d"), lit(0L))).as("sum_cents"))
+
+  /** Per-key order aggregate with row-level cents (the maintainable
+    * form). */
+  private def orderAgg(df: DataFrame): DataFrame =
+    df.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+           sum(cents(col("o_totalprice"))).as("sum_cents"))
+
+  /** q137: maintain the per-customer order aggregate across a batch
+    * boundary (orders before/after 2000-01-01) — the oracle recomputes
+    * from scratch, so the hash match IS the maintenance identity. */
+  def q137(s: SparkSession, d: String): DataFrame = {
+    val cutoff = lit("2000-01-01").cast("date")
+    val orders = Tables.orders(s, d)
+    mergeAggregates(
+      orderAgg(orders.filter(col("o_orderdate") < cutoff)),
+      orderAgg(orders.filter(col("o_orderdate") >= cutoff)),
+      "o_custkey")
+  }
 }

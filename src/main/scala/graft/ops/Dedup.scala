@@ -687,4 +687,79 @@ object Dedup {
   def q84(s: SparkSession, d: String): DataFrame =
     electKeepers(q55(s, d),
       Text.qualityBp(Tables.documents(s, d), "doc_id", "text"))
+
+  /** Near-dup GRAPH health profile: nodes/edges/max-degree/triangles of
+    * an undirected pair graph — the diagnostic that tells a dedup
+    * pipeline whether its clusters are chains (low triangles, merge
+    * cautiously: one bad edge glues unrelated docs) or cliques (high
+    * triangles, merge confidently). Degrees are one aggregation over
+    * the symmetrized edges; triangles join edges oriented a<b<c, so
+    * each triangle counts exactly once and the join fans out on true
+    * wedges only — at scale, orient by (degree, id) instead of raw id
+    * to bound the wedge count (the standard degree-ordering trick;
+    * same plan shape). */
+  def graphProfile(pairs: DataFrame, a: String, b: String): DataFrame = {
+    val e = pairs.select(col(a).as("x"), col(b).as("y")).distinct().cache()
+    try {
+      val deg = e.select(col("x").as("n")).unionAll(e.select(col("y").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      val tri = e.as("e1")
+        .join(e.as("e2"), col("e1.y") === col("e2.x"))
+        .join(e.as("e3"),
+          col("e3.x") === col("e1.x") && col("e3.y") === col("e2.y"))
+        .agg(count(lit(1)).as("n_triangles"))
+      deg.agg(count(lit(1)).as("n_nodes"), max(col("d")).as("max_degree"))
+        .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+        .crossJoin(tri)
+        .select(col("n_nodes"), col("n_edges"), col("max_degree"),
+          col("n_triangles"))
+    } finally e.unpersist()
+  }
+
+  /** q135: health profile of the exact-Jaccard near-dup graph. */
+  def q135(s: SparkSession, d: String): DataFrame =
+    graphProfile(
+      jaccardPairs(Tables.documents(s, d), "doc_id", "text", 0.6)
+        .select(col("doc_a"), col("doc_b")),
+      "doc_a", "doc_b")
+
+  /** End-to-end ENTITY RESOLUTION: block → match (edit distance) →
+    * cluster (connected components) → canonicalize. Records with the
+    * SAME name link linearly through their (block, name) hub (min key —
+    * star, not all-pairs); near-matches come from the dictionary-
+    * blocked editDistancePairs; min-label propagation merges both edge
+    * sets; the canonical name per entity cluster is its most frequent
+    * name (ties to the lexicographically smallest). The full
+    * dedupe-your-catalog pipeline as one composable operator. */
+  def resolveEntities(df: DataFrame, id: String, name: String,
+                      block: String, maxDist: Int): DataFrame = {
+    val hub = Window.partitionBy(col(block), col(name))
+    val exact = df
+      .withColumn("hub_id", min(col(id)).over(hub))
+      .filter(col(id) =!= col("hub_id"))
+      .select(col("hub_id").as("id_a"), col(id).as("id_b"))
+    val near = editDistancePairs(df, id, name, block, maxDist)
+      .select(col("id_a"), col("id_b"))
+    val cl = clusters(exact.unionAll(near), "id_a", "id_b")
+      .select(col("doc_id").as(id), col("cluster_id"))
+    val members = df.select(col(id), col(name)).join(cl, Seq(id), "left_outer")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(id)))
+    val nameCounts = members.groupBy(col("cluster_id"), col(name))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("cnt").desc, col(name).asc)
+    val canon = nameCounts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col(name).as("canonical_name"))
+    members.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_records"),
+           countDistinct(col(name)).as("n_names"))
+      .join(canon, "cluster_id")
+      .select(col("cluster_id"), col("canonical_name"),
+        col("n_records"), col("n_names"))
+  }
+
+  /** q136: resolve the parts catalog within brands at lev ≤ 2. */
+  def q136(s: SparkSession, d: String): DataFrame =
+    resolveEntities(Tables.part(s, d), "p_partkey", "p_name", "p_brand", 2)
 }
