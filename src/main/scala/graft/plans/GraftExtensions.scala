@@ -4,9 +4,10 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
-import graft.functions.{CosineSimilarity, HammingDistance64, IntersectSizeSorted,
-  JaccardSorted, MinHash128, NfcNormalize, RollingHash64, ShingleHashes, SimHash64,
-  TopKAgg, VecSumAgg, ZOrder2}
+import graft.functions.{CmsEstimate, CosineSimilarity, CountMinAgg,
+  HammingDistance64, IntersectSizeSorted, JaccardSorted, MinHash128, NfcNormalize,
+  RollingHash64, ShingleHashes, SimHash64, TopKAgg, VecSumAgg, WeightedDotSorted,
+  ZOrder2}
 
 /** SparkSessionExtensions registering graft's native expressions as SQL
   * functions, so `spark.sql("SELECT cosine_sim(a, b) ...")` works too.
@@ -77,6 +78,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[VecSumAgg].getName, "vec_sum"),
       (children: Seq[Expression]) =>
         VecSumAgg(children.head).toAggregateExpression()))
+    ext.injectFunction((
+      new FunctionIdentifier("weighted_dot"),
+      new ExpressionInfo(classOf[WeightedDotSorted].getName, "weighted_dot"),
+      (children: Seq[Expression]) => WeightedDotSorted(children(0), children(1))))
+    // cms_agg(key, width [, depth]) / cms_estimate(sketch, key, width [, depth])
+    ext.injectFunction((
+      new FunctionIdentifier("cms_agg"),
+      new ExpressionInfo(classOf[CountMinAgg].getName, "cms_agg"),
+      (children: Seq[Expression]) =>
+        CountMinAgg(children.head, intLit("cms_agg", children(1)),
+          children.lift(2).map(intLit("cms_agg", _)).getOrElse(4))
+          .toAggregateExpression()))
+    ext.injectFunction((
+      new FunctionIdentifier("cms_estimate"),
+      new ExpressionInfo(classOf[CmsEstimate].getName, "cms_estimate"),
+      (children: Seq[Expression]) =>
+        CmsEstimate(children(0), children(1), intLit("cms_estimate", children(2)),
+          children.lift(3).map(intLit("cms_estimate", _)).getOrElse(4))))
   }
 
   private def intLit(fn: String, e: Expression): Int = e match {

@@ -141,6 +141,18 @@ class ExpressionsSpec extends SparkSpec {
     assert(r.getInt(4) == 2)                        // |{2,3}|
   }
 
+  test("extensions register weighted_dot and the count-min SQL functions") {
+    val dot = spark.sql(
+      "SELECT weighted_dot(" +
+      "array(named_struct('h', 1L, 'w', 2L), named_struct('h', 3L, 'w', 5L)), " +
+      "array(named_struct('h', 1L, 'w', 10L), named_struct('h', 2L, 'w', 7L))) AS d").head()
+    assert(dot.getLong(0) == 20L) // only h=1 matches: 2*10
+    val cms = spark.sql(
+      "SELECT cms_estimate(cms, 7L, 64, 2) AS est FROM " +
+      "(SELECT cms_agg(k, 64, 2) AS cms FROM VALUES (7L), (7L), (9L) AS t(k))").head()
+    assert(cms.getLong(0) >= 2L && cms.getLong(0) <= 3L)
+  }
+
   test("shingleHashes matches the SQL-composed shingle pipeline") {
     val df = Seq("the quick brown fox jumps").toDF("text")
       .withColumn("toks", split(col("text"), " "))
