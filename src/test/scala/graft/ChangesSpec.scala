@@ -112,6 +112,23 @@ class ChangesSpec extends SparkSpec {
     }
   }
 
+  test("q131 RFM plan has no window operator (no single-partition ntile sort)") {
+    val plan = Relational.q131(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"global window crept into RFM:\n$plan")
+    // scores are always 1..4 and the segment packs three digits
+    val bad = Relational.q131(spark, sf)
+      .filter(col("segment") < 111L || col("segment") > 444L).count()
+    assert(bad === 0, "segment outside the 111..444 digit range")
+  }
+
+  test("q133 hopping windows place every event in exactly size/hop windows") {
+    val total = Tables.events(spark, sf).count()
+    val windowed = Events.q133(spark, sf)
+      .agg(sum(col("n_events"))).collect()(0).getLong(0)
+    assert(windowed === 4L * total, // 1h size / 15min hop = 4 windows each
+      s"expected ${4 * total} window memberships, got $windowed")
+  }
+
   test("q119 corpus drift: KL non-negative, identical sides drift to ~0") {
     val drift = Text.q119(spark, sf)
     assert(drift.filter(col("kl_nano") < 0L).count() === 0,
