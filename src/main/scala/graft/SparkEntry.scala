@@ -144,6 +144,8 @@ object SparkEntry {
     "q135_dup_graph"        -> (Dedup.q135 _),
     "q136_entity_resolution"-> (Dedup.q136 _),
     "q137_incremental_agg"  -> (Changes.q137 _),
+    "q138_dense_ids"        -> (Relational.q138 _),
+    "q139_dynamic_pivot"    -> (Relational.q139 _),
     "q74_stopword_filter" -> (Text.q74 _),
     "q77_session_window"  -> (Events.q77 _),
     "q75_corpus_pipeline" -> (Text.q75 _),
@@ -1213,6 +1215,18 @@ object SparkEntry {
       s"""SELECT o_custkey, count(*) AS n_orders,
          CAST(sum(${C("o_totalprice")}) AS BIGINT) AS sum_cents
          FROM orders GROUP BY 1""",
+
+    "q138_dense_ids" ->
+      """SELECT c_custkey, c_mktsegment,
+         CAST(row_number() OVER (ORDER BY c_custkey) - 1 AS BIGINT) AS dense_id
+         FROM customer""",
+
+    "q139_dynamic_pivot" ->
+      s"""SELECT l_linestatus,
+         ${C("sum(CASE WHEN l_returnflag = 'A' THEN l_extendedprice END)")} AS A,
+         ${C("sum(CASE WHEN l_returnflag = 'N' THEN l_extendedprice END)")} AS N,
+         ${C("sum(CASE WHEN l_returnflag = 'R' THEN l_extendedprice END)")} AS R
+         FROM lineitem GROUP BY 1""",
 
     "q133_hopping" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),

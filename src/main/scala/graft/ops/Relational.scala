@@ -856,4 +856,41 @@ object Relational {
   def q132(s: SparkSession, d: String): DataFrame =
     cohortValue(Tables.orders(s, d), "o_custkey", "o_orderdate",
       col("o_totalprice"))
+
+  /** Deterministic DENSE surrogate ids 0..n−1 in `key` order — the
+    * dimension-building primitive `monotonically_increasing_id` can't
+    * give (its ids are partition-dependent and sparse) and a global
+    * `row_number()` window mustn't (it drags every row through ONE
+    * partition). Range-repartition on the key, sort within partitions,
+    * then zipWithIndex: per-partition counts are one tiny driver round
+    * so each partition adds its exact global offset — O(rows/partition)
+    * memory, never a global sort on one node. The OUTPUT is independent
+    * of the (sampled, nondeterministic) range boundaries: ids depend
+    * only on the total key order. This is the one genuinely
+    * per-partition-imperative operator in the library — the documented
+    * RDD escape hatch. */
+  def denseIds(df: DataFrame, key: String, partitions: Int = 32): DataFrame = {
+    val sorted = df.repartitionByRange(partitions, col(key))
+      .sortWithinPartitions(col(key))
+    val schema = sorted.schema.add("dense_id", org.apache.spark.sql.types.LongType)
+    sorted.sparkSession.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+      }, schema)
+  }
+
+  /** q138: dense ids for the customer dimension in custkey order. */
+  def q138(s: SparkSession, d: String): DataFrame =
+    denseIds(Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment")),
+      "c_custkey")
+
+  /** DYNAMIC pivot: one row per ship mode × return flag with the value
+    * columns discovered from the data (Spark runs a distinct pass, then
+    * plans the conditional aggregation — two scans, same final plan as
+    * a static pivot). */
+  def q139(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_linestatus"))
+      .pivot("l_returnflag")
+      .agg(cents(sum(col("l_extendedprice"))))
 }
