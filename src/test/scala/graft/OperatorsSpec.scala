@@ -800,6 +800,31 @@ class OperatorsSpec extends SparkSpec {
     assert(top.map(_.getLong(2)).sum <= 10000)
   }
 
+  test("join strategy hints are honored (shuffle_hash vs merge vs broadcast)") {
+    val li = Tables.lineitem(spark, sf).select(col("l_orderkey"))
+    val ord = Tables.orders(spark, sf).select(col("o_orderkey"))
+    def planOf(hint: String) = li.join(ord.hint(hint),
+      col("l_orderkey") === col("o_orderkey")).queryExecution.executedPlan.toString
+    assert(planOf("shuffle_hash").contains("ShuffledHashJoin"))
+    assert(planOf("merge").contains("SortMergeJoin"))
+    assert(planOf("broadcast").contains("BroadcastHashJoin"))
+  }
+
+  test("observe() attaches pipeline metrics without a second scan") {
+    // The observability hook an unattended pipeline needs: row counts
+    // and sums come out of the SAME pass as the real work.
+    val observed = Tables.orders(spark, sf)
+      .observe("load_metrics", count(lit(1)).as("rows_in"),
+        sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("bad_price"))
+      .filter(col("o_totalprice") > 100)
+    // collect() runs THIS Dataset's QueryExecution (count() would plan a
+    // new one, leaving these observed metrics unpopulated).
+    val n = observed.collect().length
+    val metrics = observed.queryExecution.observedMetrics("load_metrics")
+    assert(metrics.getAs[Long]("rows_in") >= n, "metrics see pre-filter rows")
+    assert(metrics.getAs[Long]("bad_price") === 0L)
+  }
+
   test("q124 aHash finds exactly the planted image near-dups, byte dedup finds none") {
     val pairs = Multimodal.q124(spark, sf).collect()
     val nDocs = Tables.documents(spark, sf).count()

@@ -95,6 +95,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming hopping windows give each event size/hop memberships") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val df = in.toDF().toDF("ts", "event_type", "value")
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("w"), col("n"))
+    val q = df.writeStream.format("memory").queryName("hopping_out")
+      .outputMode("append").start()
+    try {
+      in.addData((ts("2024-01-01 10:05:00"), "click", 1.0),
+                 (ts("2024-01-01 10:20:00"), "view", 2.0))
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 16:00:00"), "click", 0.0)) // flush watermark
+      q.processAllAvailable()
+      val rows = spark.table("hopping_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      // 10:05 lands in starts 09:15..10:00; 10:20 in 09:30..10:15 —
+      // 4 windows each, overlapping on 09:30/09:45/10:00.
+      val t = (h: String) => ts(s"2024-01-01 $h").getTime / 1000
+      assert(rows(t("09:15:00")) == 1 && rows(t("10:15:00")) == 1)
+      assert(rows(t("09:30:00")) == 2 && rows(t("10:00:00")) == 2)
+      assert(rows.filterKeys(_ < t("16:00:00")).values.sum == 8,
+        s"each of 2 events must land in 4 windows: $rows")
+    } finally q.stop()
+  }
+
   test("streaming CDC latest-state agrees with batch q115 on real data") {
     import graft.streaming.Streaming.{Change, LatestState}
     val batch = ops.Changes.q115(spark, sf).collect()
