@@ -261,10 +261,13 @@ case class CountMinAgg(
     depth: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression]
+  with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
 
   require(width > 0 && width <= (1 << 24), s"width must be in (0, 2^24], got $width")
   require(depth > 0 && depth <= 16, s"depth must be in (0, 16], got $depth")
+
+  override def inputTypes: Seq[DataType] = Seq(LongType)
 
   private val w2 = java.lang.Integer.highestOneBit(math.max(width - 1, 1)) * 2
   private val mask = w2 - 1

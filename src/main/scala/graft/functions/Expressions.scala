@@ -510,7 +510,9 @@ object CmsEstimate {
   * scalar-subquery delivery, same shape as BloomMightContain). */
 case class CmsEstimate(left: Expression, right: Expression,
                        width: Int, depth: Int)
-    extends BinaryExpression {
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, LongType)
   override def dataType: DataType = LongType
   override def prettyName: String = "cms_estimate"
 
@@ -556,6 +558,23 @@ case class WeightedDotSorted(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "weighted_dot_sorted"
+
+  // A mistyped array would CCE deep inside codegen — fail analysis
+  // instead with the expected shape spelled out.
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val want = ArrayType(StructType(Seq(
+      StructField("h", LongType), StructField("w", LongType))))
+    def ok(t: DataType) = t match {
+      case ArrayType(StructType(fs), _) =>
+        fs.length == 2 && fs.forall(_.dataType == LongType)
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"weighted_dot_sorted expects two ${want.simpleString} arguments, " +
+        s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
 
   private def compute(a: ArrayData, b: ArrayData): Long = {
     val na = a.numElements(); val nb = b.numElements()

@@ -699,7 +699,13 @@ object Dedup {
     * to bound the wedge count (the standard degree-ordering trick;
     * same plan shape). */
   def graphProfile(pairs: DataFrame, a: String, b: String): DataFrame = {
-    val e = pairs.select(col(a).as("x"), col(b).as("y")).distinct().cache()
+    // Orientation-normalize: (9,5) and (5,9) are the same undirected
+    // edge — without least/greatest both would survive the distinct and
+    // double every degree and mis-multiply the triangle count.
+    val e = pairs.select(least(col(a), col(b)).as("x"),
+        greatest(col(a), col(b)).as("y"))
+      .filter(col("x") =!= col("y"))
+      .distinct().cache()
     try {
       val deg = e.select(col("x").as("n")).unionAll(e.select(col("y").as("n")))
         .groupBy(col("n")).agg(count(lit(1)).as("d"))

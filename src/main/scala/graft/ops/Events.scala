@@ -512,14 +512,21 @@ object Events {
       .agg(sum(col("n")).as("sn"), sum(col("n") * col("n")).as("sq"),
            count(lit(1)).as("m"))
       .filter(col("m") >= 2)
-    val dev = col("n") * col("m") - col("sn")
-    val varNum = col("sq") * col("m") - col("sn") * col("sn")
+    // The gate multiplies day-level magnitudes — on a 100 TB day
+    // (Σn ~ 1e10) sn² alone passes Long.MaxValue and Spark's non-ANSI
+    // multiply would wrap silently, so every gate product runs in
+    // decimal(38,0): exact integers to 10^38, matching the oracle's
+    // HUGEINT. (The REPORTED z_bp stays double — display only.)
+    def big(c: Column) = c.cast("decimal(38,0)")
+    val dev = big(col("n")) * big(col("m")) - big(col("sn"))
+    val varNum = big(col("sq")) * big(col("m")) - big(col("sn")) * big(col("sn"))
     c.join(broadcast(s), "day")
-      .filter((col("m") - 1) * dev * dev > lit(k.toLong * k) * col("m") * varNum &&
+      .filter(big(col("m") - 1) * dev * dev >
+                big(lit(k.toLong * k)) * big(col("m")) * varNum &&
               dev > 0)
       .select(col("day"), col(key), col("n"),
-        bp((dev / col("m").cast("double")) /
-           sqrt(varNum / (col("m") * (col("m") - lit(1.0))))).as("z_bp"))
+        bp((dev.cast("double") / col("m").cast("double")) /
+           sqrt(varNum.cast("double") / (col("m") * (col("m") - lit(1.0))))).as("z_bp"))
   }
 
   /** q123: users whose daily event count spikes ≥ 2σ above that day's
@@ -533,9 +540,10 @@ object Events {
     * streams into aligned model inputs. Grid points cover
     * [⌈t₀/step⌉·step, ⌊t₁/step⌋·step] per key, so every point has both
     * neighbors. Interpolation is EXACT integer arithmetic on cents:
-    * (va·(tb−g) + vb·(g−ta)) div (tb−ta) — both numerator terms
-    * nonnegative, so truncating and flooring division agree across
-    * engines; a grid point ON an observation divides exactly to va.
+    * floor((va·(tb−g) + vb·(g−ta)) / (tb−ta)) — explicit FLOOR
+    * division (truncation corrected when the numerator is negative),
+    * so the result matches floor-dividing engines for value columns of
+    * ANY sign; a grid point ON an observation divides exactly to va.
     *
     * Plan: the union-merge shape (same as asofJoin): observations and
     * grid rows union, ONE shuffle on the key, and last/first
@@ -572,11 +580,17 @@ object Events {
       .filter(col("is_e") === 0)
       .select(col(key), col("ts_us").as("grid_us"),
         when(col("ta") === col("ts_us"), col("va"))
-          .otherwise(F.idiv(
+          .otherwise(floorDiv(
             col("va") * (col("tb") - col("ts_us")) +
             col("vb") * (col("ts_us") - col("ta")),
             col("tb") - col("ta"))).as("interp_cents"))
   }
+
+  /** Floor division for a POSITIVE divisor: IntegralDivide truncates
+    * toward zero, so a negative non-exact quotient needs −1 (DuckDB's
+    * `//` floors — this keeps oracle parity for values of any sign). */
+  private def floorDiv(n: Column, d: Column): Column =
+    F.idiv(n, d) - when(n % d =!= 0 && n < 0, 1L).otherwise(0L)
 
   /** q127: each user's event values resampled to a 6-hour grid. */
   def q127(s: SparkSession, d: String): DataFrame =

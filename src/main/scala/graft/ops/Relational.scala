@@ -807,10 +807,14 @@ object Relational {
       .agg(min(datediff(col("max_d"), col(orderDate))).cast("long").as("recency_days"),
            count(lit(1)).as("frequency"),
            cents(sum(total)).as("monetary_cents"))
-    def cuts(c: String) = rfm.agg(
-      expr(s"percentile_disc(0.25) WITHIN GROUP (ORDER BY $c)").cast("long").as(s"${c}_p25"),
-      expr(s"percentile_disc(0.5)  WITHIN GROUP (ORDER BY $c)").cast("long").as(s"${c}_p50"),
-      expr(s"percentile_disc(0.75) WITHIN GROUP (ORDER BY $c)").cast("long").as(s"${c}_p75"))
+    // All nine quartile cuts come out of ONE aggregation pass over the
+    // per-customer table (three separate .agg calls would re-run the
+    // final percentile aggregation three times).
+    val dims = Seq("recency_days", "frequency", "monetary_cents")
+    val cutCols = dims.flatMap(c => Seq(25, 50, 75).map(p =>
+      expr(s"percentile_disc(0.$p) WITHIN GROUP (ORDER BY $c)")
+        .cast("long").as(s"${c}_p$p")))
+    val cuts = rfm.agg(cutCols.head, cutCols.tail: _*)
     def scoreUp(c: String) = // higher value → higher score
       lit(1L) + (col(c) >= col(s"${c}_p25")).cast("long") +
         (col(c) >= col(s"${c}_p50")).cast("long") +
@@ -819,9 +823,7 @@ object Relational {
       lit(4L) - ((col(c) >= col(s"${c}_p25")).cast("long") +
         (col(c) >= col(s"${c}_p50")).cast("long") +
         (col(c) >= col(s"${c}_p75")).cast("long"))
-    rfm.crossJoin(broadcast(cuts("recency_days")))
-      .crossJoin(broadcast(cuts("frequency")))
-      .crossJoin(broadcast(cuts("monetary_cents")))
+    rfm.crossJoin(broadcast(cuts))
       .select(col(custKey), col("recency_days"), col("frequency"),
         col("monetary_cents"),
         (scoreDown("recency_days") * 100L + scoreUp("frequency") * 10L +

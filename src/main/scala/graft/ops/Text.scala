@@ -565,8 +565,17 @@ object Text {
       .distinct()
     // One sorted (hash, weight) array per doc; exact dot per candidate
     // via the native merge — no token re-explode, no pair aggregation.
+    // Terms are keyed by xxhash64: a within-doc hash collision would
+    // leave duplicate h entries and make the sorted merge pairing
+    // ill-defined, so colliding weights MERGE (sum) first — under
+    // collisions the semantics are the standard feature-hashing
+    // approximation (two colliding tokens alias), with probability
+    // ~vocab²/2⁶⁵ per corpus; on any non-adversarial vocabulary the
+    // dot is the exact token dot.
     val vecs = w
-      .select(col("doc_id"), struct(xxhash64(col("tok")).as("h"), col("wm").as("w")).as("hw"))
+      .groupBy(col("doc_id"), xxhash64(col("tok")).as("h"))
+      .agg(sum(col("wm")).as("hw_w"))
+      .select(col("doc_id"), struct(col("h"), col("hw_w").as("w")).as("hw"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("hw"))).as("vec"))
       .join(norms, "doc_id")
