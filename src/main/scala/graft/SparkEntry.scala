@@ -146,6 +146,7 @@ object SparkEntry {
     "q137_incremental_agg"  -> (Changes.q137 _),
     "q138_dense_ids"        -> (Relational.q138 _),
     "q139_dynamic_pivot"    -> (Relational.q139 _),
+    "q140_hierarchy"        -> (Relational.q140 _),
     "q74_stopword_filter" -> (Text.q74 _),
     "q77_session_window"  -> (Events.q77 _),
     "q75_corpus_pipeline" -> (Text.q75 _),
@@ -1215,6 +1216,15 @@ object SparkEntry {
       s"""SELECT o_custkey, count(*) AS n_orders,
          CAST(sum(${C("o_totalprice")}) AS BIGINT) AS sum_cents
          FROM orders GROUP BY 1""",
+
+    "q140_hierarchy" ->
+      """WITH RECURSIVE h(k, root_key, depth) AS (
+           SELECT c_custkey, c_custkey, CAST(0 AS BIGINT) FROM customer WHERE c_custkey < 10
+           UNION ALL
+           SELECT n.c_custkey, h.root_key, h.depth + 1
+           FROM customer n JOIN h ON n.c_custkey // 10 = h.k
+           WHERE n.c_custkey >= 10
+         ) SELECT k AS c_custkey, root_key, depth FROM h""",
 
     "q138_dense_ids" ->
       """SELECT c_custkey, c_mktsegment,

@@ -886,6 +886,30 @@ object Relational {
     denseIds(Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment")),
       "c_custkey")
 
+  /** RECURSIVE hierarchy traversal (org chart / category tree / BOM):
+    * every node labeled with its root and depth via Spark 4's native
+    * `WITH RECURSIVE` — each iteration is one join against the frontier
+    * (same distributed shape as the hand-rolled label-propagation loop
+    * in Dedup.clusters, but planned by the engine and stoppable by the
+    * recursion's own emptiness check). The tree here derives parents by
+    * digit shift (parent = key div 10), giving a forest rooted at keys
+    * 0–9. */
+  def hierarchy(df: DataFrame, key: String)(spark: SparkSession): DataFrame = {
+    df.createOrReplaceTempView("g_nodes")
+    spark.sql(s"""
+      WITH RECURSIVE h(k, root_key, depth) AS (
+        SELECT $key, $key, CAST(0 AS BIGINT) FROM g_nodes WHERE $key < 10
+        UNION ALL
+        SELECT n.$key, h.root_key, h.depth + 1
+        FROM g_nodes n JOIN h ON n.$key div 10 = h.k
+        WHERE n.$key >= 10
+      ) SELECT k AS $key, root_key, depth FROM h""")
+  }
+
+  /** q140: depth + root for the digit-shift customer forest. */
+  def q140(s: SparkSession, d: String): DataFrame =
+    hierarchy(Tables.customer(s, d).select(col("c_custkey")), "c_custkey")(s)
+
   /** DYNAMIC pivot: one row per ship mode × return flag with the value
     * columns discovered from the data (Spark runs a distinct pass, then
     * plans the conditional aggregation — two scans, same final plan as
