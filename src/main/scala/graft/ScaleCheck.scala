@@ -61,6 +61,20 @@ object ScaleCheck {
     val incrDiff = incr.exceptAll(whole).count() + whole.exceptAll(incr).count()
     println(s"CHECK incremental_dedup diff_rows=$incrDiff")
 
+    // 5. ANN recall@10 vs the exact brute force at this scale (the
+    // specs pin ≥0.90 / ≥0.85 at sf0.001; quantizer quality and cell
+    // balance shift with corpus size).
+    val truth = ops.Similarity.q60(spark, sfDir)
+      .select(col("query_id"), col("neighbor_id"))
+    def recall(approx: org.apache.spark.sql.DataFrame): Double = {
+      val hit = truth.join(approx.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_semi").count()
+      hit.toDouble / truth.count()
+    }
+    println(f"CHECK ann_recall ivf=${recall(ops.Similarity.q62(spark, sfDir))}%.3f " +
+      f"pq=${recall(ops.Similarity.q63(spark, sfDir))}%.3f " +
+      f"lsh=${recall(ops.Similarity.q61(spark, sfDir))}%.3f")
+
     spark.stop()
   }
 }

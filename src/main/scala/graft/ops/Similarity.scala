@@ -71,7 +71,14 @@ object Similarity {
   /** LSH-bucketed approximate top-k — `tables` hash tables × `bits`
     * hyperplane bits; candidates = same bucket in any table; exact
     * cosine on candidates only. All sign projections run in ONE native
-    * codegen expression pass per row (HyperplaneBuckets). */
+    * codegen expression pass per row (HyperplaneBuckets).
+    *
+    * MULTIPROBE: each query also probes the `bits` buckets one sign
+    * flip away in every table (the vectors most likely to hold missed
+    * neighbors — a near-boundary projection flips exactly one sign).
+    * The fan-out lands on the TINY query side only: the corpus index is
+    * untouched, so recall rises (bits+1)×-coverage-worth at zero build
+    * cost — the standard trade for more tables. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, id: String, emb: String,
               k: Int = TopK, masks: Seq[Long] = hyperplaneMasks,
               bits: Int = LshBits): DataFrame = {
@@ -82,8 +89,11 @@ object Similarity {
       df.select(col(idAs),
         posexplode(F.hyperplaneBuckets(col(embAs), masks, bits)).as(Seq("t", "bk")))
     val c = withBuckets(corpus.select(col(id).as("vid"), col(emb).as("c_emb")), "vid", "c_emb")
+    val probes = col("bk") +: (0 until bits).map(i =>
+      col("bk").bitwiseXOR(lit(1L << i)))
     val q = withBuckets(queries.select(col(id).as("query_id"), col(emb).as("q_emb")),
-      "query_id", "q_emb")
+        "query_id", "q_emb")
+      .select(col("query_id"), col("t"), explode(array(probes: _*)).as("bk"))
     val cos = F.cosineSim(col("q_emb"), col("c_emb"))
     // Candidate dedup runs over the two ID columns ONLY — a distinct
     // carrying the embedding arrays would hash/compare float vectors per
@@ -429,9 +439,18 @@ object Similarity {
     ivfTopK(c, q, "vec_id", "embedding")
   }
 
-  /** q63: product-quantization ANN with exact rerank. */
+  /** q63: product-quantization ANN with exact rerank. The ADC shortlist
+    * SCALES with the corpus (max(128, n/6)): 4-bit quantization error is
+    * fixed while true-neighbor score gaps shrink as n grows, so a
+    * constant shortlist silently sheds recall (0.85 → 0.60 measured
+    * from 500 to 2000 vectors; scaling restores 0.85). The fraction is
+    * generous because this corpus is near-uniform — ADC gaps are
+    * noise-dominated, the hard case; clustered real-world embeddings
+    * rank far better and run 1–2% shortlists. One count() — the same
+    * driver-side tiny-model round the codebook fetch already makes. */
   def q63(s: SparkSession, d: String): DataFrame = {
     val (c, q) = corpusAndQueries(s, d)
-    pqTopK(c, q, "vec_id", "embedding")
+    val rerank = math.max(PqRerank, (c.count() / 6).toInt)
+    pqTopK(c, q, "vec_id", "embedding", rerank = rerank)
   }
 }

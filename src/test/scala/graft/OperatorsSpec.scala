@@ -268,7 +268,8 @@ class OperatorsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = (bf & lsh).size.toDouble / bf.size
     info(f"recall@10 = $recall%.2f (corpus is near-uniform random — hard case)")
-    assert(recall >= 0.5, f"recall $recall%.2f below 0.5")
+    // multiprobe (1-bit flips on the query side) lifted this from ~0.5
+    assert(recall >= 0.9, f"recall $recall%.2f below 0.9")
   }
 
   test("q70 multimodal features are deterministic and cover every doc") {
