@@ -492,6 +492,52 @@ case class IntersectSizeSorted(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Merge every non-overlapping adjacent (a, b) symbol pair in an
+  * array<string> into the concatenated symbol — one BPE training/apply
+  * step, left-to-right greedy (the standard BPE scan order). Codegen'd;
+  * the higher-order-function spelling (aggregate with conditional
+  * skips) can't express the two-element lookahead without quadratic
+  * re-slicing. */
+case class MergeAdjacent(child: Expression, a: String, b: String)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType)
+  override def prettyName: String = "merge_adjacent"
+
+  private val ua = UTF8String.fromString(a)
+  private val ub = UTF8String.fromString(b)
+  private val merged = UTF8String.fromString(a + b)
+
+  /** Called from generated code. */
+  def merge(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[UTF8String](n)
+    var i = 0
+    var m = 0
+    while (i < n) {
+      if (i + 1 < n && ua.equals(arr.getUTF8String(i)) &&
+          ub.equals(arr.getUTF8String(i + 1))) {
+        out(m) = merged; i += 2
+      } else {
+        out(m) = arr.getUTF8String(i); i += 1
+      }
+      m += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      java.util.Arrays.copyOf(out.asInstanceOf[Array[AnyRef]], m))
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    merge(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("mergeAdj", this, classOf[MergeAdjacent].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.merge($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MergeAdjacent =
+    copy(child = newChild)
+}
+
 object CmsEstimate {
   /** splitmix64 finalizer shared by CountMinAgg (build) and CmsEstimate
     * (probe) — the two sides MUST hash identically. */

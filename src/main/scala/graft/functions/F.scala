@@ -58,6 +58,11 @@ object F {
     * allocation-free already-normalized fast path). */
   def nfc(c: Column): Column = GraftColumns.wrap(NfcNormalize(u(c)))
 
+  /** One BPE merge step: collapse adjacent (a, b) symbols in an
+    * array<string> column into the concatenation, left-to-right. */
+  def mergeAdjacent(c: Column, a: String, b: String): Column =
+    GraftColumns.wrap(MergeAdjacent(u(c), a, b))
+
   /** Z-order (Morton) key over two long columns — sort/range-partition
     * by this to cluster files for two-column data skipping. */
   def zorder2(a: Column, b: Column): Column =

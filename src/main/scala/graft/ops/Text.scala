@@ -707,4 +707,58 @@ object Text {
   /** q126: sketched vs exact counts for the top-20 tokens. */
   def q126(s: SparkSession, d: String): DataFrame =
     cmsTokenCounts(Tables.documents(s, d), "text", 4096, 4, 20)
+
+  /** BPE vocabulary induction (tokenizer training) as a distributed
+    * operator: learn `nMerges` byte-pair merges from the corpus and
+    * return the merge table (rank, left, right, merged, pair_count) —
+    * the artifact a tokenizer trainer materializes.
+    *
+    * Scale design: BPE trains on the WORD-COUNT table, not the corpus —
+    * one tokenize+count shuffle reduces any corpus (100 TB included) to
+    * its vocabulary weighted by frequency, and every merge iteration
+    * runs over that vocab-sized table: adjacent-pair counts (weighted
+    * by word count, one aggregation), argmax pair (one tiny
+    * TakeOrdered), then the native MergeAdjacent rewrite — a map-only
+    * codegen pass. The driver holds one (pair, count) scalar per round
+    * (the same bounded-driver-state shape as Dedup.clusters), and
+    * localCheckpoint truncates the per-iteration lineage. Ties break
+    * lexicographically so the learned vocab is engine/partition-count
+    * independent. */
+  def bpeMerges(df: DataFrame, text: String, nMerges: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    var words = withToks(df, text)
+      .select(explode(toks).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+      .select(split(col("word"), "").as("syms"), col("wc"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    var rank = 1
+    var continue = true
+    while (rank <= nMerges && continue) {
+      val top = words
+        .select(col("wc"), col("syms"),
+          posexplode(slice(col("syms"), lit(1), size(col("syms")) - 1)))
+        .withColumn("b", element_at(col("syms"), col("pos") + 2))
+        .groupBy(col("col").as("a"), col("b"))
+        .agg(sum(col("wc")).as("n"))
+        .orderBy(col("n").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (top.isEmpty) continue = false
+      else {
+        val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((rank, a, b, a + b, n))
+        words = words
+          .select(F.mergeAdjacent(col("syms"), a, b).as("syms"), col("wc"))
+          .localCheckpoint()
+        rank += 1
+      }
+    }
+    merges.result().toDF("rank", "left", "right", "merged", "pair_count")
+  }
+
+  /** q141: the first 30 BPE merges learned from the documents corpus. */
+  def q141(s: SparkSession, d: String): DataFrame =
+    bpeMerges(Tables.documents(s, d), "text", 30)
 }

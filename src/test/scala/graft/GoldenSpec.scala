@@ -37,6 +37,7 @@ class GoldenSpec extends SparkSpec {
     "q95_diversity_sample" -> "e659c706697df54f41f8bec86ece7ab2",
     "q105_audio_decode"   -> "06f18dcb02662a6473375f89ece9b23b",
     "q114_semdedup"       -> "bf742a6709c9f0e3737ee9075dadbedd",
+    "q141_bpe_vocab"      -> "e2ad9048e23cff6922ad6933d1dca481",
   )
 
   test("rows-only queries match their pinned sf0.001 golden hashes") {

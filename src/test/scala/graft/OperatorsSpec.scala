@@ -874,6 +874,20 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("BPE merges reproduce the classic worked example") {
+    import SparkTestSession.spark.implicits._
+    // Sennrich et al.'s canonical corpus: low×5 lower×2 newest×6 widest×3.
+    val corpus = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val merges = Text.bpeMerges(Seq(corpus).toDF("text"), "text", 3)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4)))
+    // (e,s)=9 ties (s,t)=9 → lexicographic; then (es,t)=9; then (l,o)=7
+    // ties (o,w)=7 → lexicographic.
+    assert(merges.toSeq == Seq((1, "e", "s", 9L), (2, "es", "t", 9L),
+      (3, "l", "o", 7L)), s"got ${merges.toSeq}")
+  }
+
   test("q122 PMI collocations respect the count floor and per-group k") {
     val pmi = Text.q122(spark, sf).cache()
     try {
