@@ -538,6 +538,63 @@ case class MergeAdjacent(child: Expression, a: String, b: String)
     copy(child = newChild)
 }
 
+/** BPE ENCODE: tokenize one word with a learned merge table — the
+  * standard lowest-rank-first loop (repeatedly merge the present pair
+  * with the smallest rank until none applies). This is the APPLY side
+  * of Text.bpeMerges' training; sequential in-order application of the
+  * merge list would miss pairs that later merges re-create, so the
+  * priority loop is the correct tokenizer semantics. Words are short —
+  * the per-word loop is O(len · merges-applied) with a hash lookup per
+  * adjacent pair. */
+case class BpeEncode(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType)
+  override def prettyName: String = "bpe_encode"
+
+  private val rank: Map[(String, String), Int] =
+    merges.zipWithIndex.map { case (p, i) => p -> i }.toMap
+
+  /** Called from generated code. */
+  def encode(word: UTF8String): ArrayData = {
+    var syms = word.toString.map(_.toString).toArray
+    var done = false
+    while (!done && syms.length > 1) {
+      var bestRank = Int.MaxValue
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = rank.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < bestRank) bestRank = r
+        i += 1
+      }
+      if (bestRank == Int.MaxValue) done = true
+      else {
+        val (a, b) = merges(bestRank)
+        val out = Array.newBuilder[String]
+        var j = 0
+        while (j < syms.length) {
+          if (j + 1 < syms.length && syms(j) == a && syms(j + 1) == b) {
+            out += (a + b); j += 2
+          } else { out += syms(j); j += 1 }
+        }
+        syms = out.result()
+      }
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      syms.map(UTF8String.fromString))
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    encode(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("bpeEncode", this, classOf[BpeEncode].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.encode($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncode =
+    copy(child = newChild)
+}
+
 object CmsEstimate {
   /** splitmix64 finalizer shared by CountMinAgg (build) and CmsEstimate
     * (probe) — the two sides MUST hash identically. */

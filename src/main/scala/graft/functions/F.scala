@@ -63,6 +63,11 @@ object F {
   def mergeAdjacent(c: Column, a: String, b: String): Column =
     GraftColumns.wrap(MergeAdjacent(u(c), a, b))
 
+  /** BPE-tokenize a word column with a learned merge table (the
+    * lowest-rank-first apply loop). */
+  def bpeEncode(c: Column, merges: Seq[(String, String)]): Column =
+    GraftColumns.wrap(BpeEncode(u(c), merges))
+
   /** Z-order (Morton) key over two long columns — sort/range-partition
     * by this to cluster files for two-column data skipping. */
   def zorder2(a: Column, b: Column): Column =

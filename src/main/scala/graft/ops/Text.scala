@@ -761,4 +761,29 @@ object Text {
   /** q141: the first 30 BPE merges learned from the documents corpus. */
   def q141(s: SparkSession, d: String): DataFrame =
     bpeMerges(Tables.documents(s, d), "text", 30)
+
+  /** BPE APPLY: tokenize a corpus with a learned merge table and report
+    * the resulting token distribution — train (bpeMerges) and apply
+    * together are the full tokenizer loop. The merge table is a tiny
+    * driver-side model (one row per merge, the PQ-codebook fetch
+    * pattern); encoding is a map-only pass — the native BpeEncode
+    * expression runs the lowest-rank-first loop per word inside
+    * whole-stage codegen, and the only shuffle is the final token-count
+    * aggregation. */
+  def bpeTokenize(df: DataFrame, text: String,
+                  merges: Seq[(String, String)], topK: Int): DataFrame =
+    withToks(df, text)
+      .select(explode(toks).as("word"))
+      .filter(length(col("word")) > 0)
+      .select(explode(F.bpeEncode(col("word"), merges)).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(topK)
+
+  /** q142: token distribution under the 30-merge vocab learned by q141. */
+  def q142(s: SparkSession, d: String): DataFrame = {
+    val merges = q141(s, d).orderBy(col("rank")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    bpeTokenize(Tables.documents(s, d), "text", merges, 30)
+  }
 }

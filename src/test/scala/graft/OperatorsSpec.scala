@@ -888,6 +888,27 @@ class OperatorsSpec extends SparkSpec {
       (3, "l", "o", 7L)), s"got ${merges.toSeq}")
   }
 
+  test("BPE apply round-trips every word and emits only vocab tokens") {
+    import SparkTestSession.spark.implicits._
+    val merges = Text.q141(spark, sf).orderBy(col("rank")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val vocab = merges.map { case (a, b) => a + b }.toSet
+    val words = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0).distinct()
+    val enc = words
+      .select(col("word"), graft.functions.F.bpeEncode(col("word"), merges).as("toks"))
+      .collect()
+    enc.foreach { r =>
+      val (word, toks) = (r.getString(0), r.getSeq[String](1))
+      assert(toks.mkString("") == word, s"round-trip broke for '$word': $toks")
+      toks.foreach(t => assert(t.length == 1 || vocab.contains(t),
+        s"token '$t' of '$word' is neither a char nor a learned merge"))
+    }
+    // the priority loop really merges: some multi-char token must exist
+    assert(enc.exists(_.getSeq[String](1).exists(_.length > 1)))
+  }
+
   test("q122 PMI collocations respect the count floor and per-group k") {
     val pmi = Text.q122(spark, sf).cache()
     try {
