@@ -8,7 +8,11 @@ import org.apache.spark.sql.functions._
   * (`runMain graft.ScaleCheck /root/testdata/sf0.1`). These are the
   * claims that COULD silently degrade with data volume (LSH recall,
   * perceptual-hash recall, salted-join equality), as opposed to the
-  * oracle checks, which the driver already runs per scale. */
+  * oracle checks, which the driver already runs per scale. Exits
+  * non-zero when a threshold is violated, so scripted runs can't record
+  * a regressed invariant as validated. Expensive baselines (the exact
+  * brute-force truth, the exact-Jaccard pair set) are cached — each is
+  * the costliest plan in the repo and several checks reuse it. */
 object ScaleCheck {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -22,15 +26,20 @@ object ScaleCheck {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    var failures = 0
+    def check(name: String, ok: Boolean, detail: String): Unit = {
+      if (!ok) failures += 1
+      println(s"CHECK $name ${if (ok) "OK" else "VIOLATED"} $detail")
+    }
 
     // 1. MinHash-LSH pair set == exact-Jaccard pair set (the banded-LSH
     // miss probability claim: ~2e-11 per 0.97-similar pair).
-    val lsh = ops.Dedup.q52(spark, sfDir).select("doc_a", "doc_b")
-    val exact = ops.Dedup.q51(spark, sfDir).select("doc_a", "doc_b")
-    val lshMiss = exact.exceptAll(lsh).count()
-    val lshExtra = lsh.exceptAll(exact).count()
-    println(s"CHECK lsh_vs_exact missed=$lshMiss extra=$lshExtra " +
-      s"(total=${exact.count()})")
+    val lshPairs = ops.Dedup.q52(spark, sfDir).select("doc_a", "doc_b").cache()
+    val exact = ops.Dedup.q51(spark, sfDir).select("doc_a", "doc_b").cache()
+    val lshMiss = exact.exceptAll(lshPairs).count()
+    val lshExtra = lshPairs.exceptAll(exact).count()
+    check("lsh_vs_exact", lshMiss == 0 && lshExtra == 0,
+      s"missed=$lshMiss extra=$lshExtra (total=${exact.count()})")
 
     // 2. Perceptual image dedup: planted-copy recall + false-pair count.
     val pairs = ops.Multimodal.q124(spark, sfDir).cache()
@@ -38,7 +47,9 @@ object ScaleCheck {
     val planted = pairs
       .filter(col("doc_b") - col("doc_a") === ops.Multimodal.CopyOffset).count()
     val falsePairs = pairs.count() - planted
-    println(s"CHECK image_dedup planted=$planted/$nDocs false=$falsePairs")
+    check("image_dedup",
+      falsePairs == 0 && planted.toDouble / nDocs >= 0.99,
+      s"planted=$planted/$nDocs false=$falsePairs")
     pairs.unpersist()
 
     // 3. Salted join equals the plain (unsalted) join — skew mitigation
@@ -51,30 +62,38 @@ object ScaleCheck {
           sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"),
         count(lit(1)).as("cnt"))
     val saltDiff = salted.exceptAll(plain).count() + plain.exceptAll(salted).count()
-    println(s"CHECK salted_join diff_rows=$saltDiff")
+    check("salted_join", saltDiff == 0, s"diff_rows=$saltDiff")
 
     // 4. Incremental dedup (odd batch vs even-id store) == whole-corpus
     // pairs touching an odd doc (cross-run soundness).
     val incr = ops.Dedup.q88(spark, sfDir).select("doc_a", "doc_b")
-    val whole = ops.Dedup.q52(spark, sfDir).select("doc_a", "doc_b")
-      .filter(col("doc_a") % 2 === 1 || col("doc_b") % 2 === 1)
+    val whole = lshPairs.filter(col("doc_a") % 2 === 1 || col("doc_b") % 2 === 1)
     val incrDiff = incr.exceptAll(whole).count() + whole.exceptAll(incr).count()
-    println(s"CHECK incremental_dedup diff_rows=$incrDiff")
+    check("incremental_dedup", incrDiff == 0, s"diff_rows=$incrDiff")
+    lshPairs.unpersist(); exact.unpersist()
 
     // 5. ANN recall@10 vs the exact brute force at this scale (the
     // specs pin ≥0.90 / ≥0.85 at sf0.001; quantizer quality and cell
     // balance shift with corpus size).
     val truth = ops.Similarity.q60(spark, sfDir)
-      .select(col("query_id"), col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id")).cache()
+    val truthN = truth.count()
     def recall(approx: org.apache.spark.sql.DataFrame): Double = {
       val hit = truth.join(approx.select(col("query_id"), col("neighbor_id")),
         Seq("query_id", "neighbor_id"), "left_semi").count()
-      hit.toDouble / truth.count()
+      hit.toDouble / truthN
     }
-    println(f"CHECK ann_recall ivf=${recall(ops.Similarity.q62(spark, sfDir))}%.3f " +
-      f"pq=${recall(ops.Similarity.q63(spark, sfDir))}%.3f " +
-      f"lsh=${recall(ops.Similarity.q61(spark, sfDir))}%.3f")
+    val (rIvf, rPq, rLsh) = (recall(ops.Similarity.q62(spark, sfDir)),
+      recall(ops.Similarity.q63(spark, sfDir)),
+      recall(ops.Similarity.q61(spark, sfDir)))
+    check("ann_recall", rIvf >= 0.90 && rPq >= 0.85 && rLsh >= 0.90,
+      f"ivf=$rIvf%.3f pq=$rPq%.3f lsh=$rLsh%.3f")
+    truth.unpersist()
 
     spark.stop()
+    if (failures > 0) {
+      System.err.println(s"$failures scale check(s) VIOLATED")
+      System.exit(1)
+    }
   }
 }

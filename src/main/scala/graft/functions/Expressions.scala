@@ -556,7 +556,11 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
 
   /** Called from generated code. */
   def encode(word: UTF8String): ArrayData = {
-    var syms = word.toString.map(_.toString).toArray
+    // Per CODE POINT, matching the training side's split(word, '') —
+    // per-UTF-16-char splitting would break astral characters into
+    // lone surrogates (invalid UTF-8) that no learned merge matches.
+    var syms = word.toString.codePoints().toArray
+      .map(cp => new String(Character.toChars(cp)))
     var done = false
     while (!done && syms.length > 1) {
       var bestRank = Int.MaxValue

@@ -891,24 +891,36 @@ object Relational {
     * `WITH RECURSIVE` — each iteration is one join against the frontier
     * (same distributed shape as the hand-rolled label-propagation loop
     * in Dedup.clusters, but planned by the engine and stoppable by the
-    * recursion's own emptiness check). The tree here derives parents by
-    * digit shift (parent = key div 10), giving a forest rooted at keys
-    * 0–9. */
-  def hierarchy(df: DataFrame, key: String)(spark: SparkSession): DataFrame = {
-    df.createOrReplaceTempView("g_nodes")
-    spark.sql(s"""
-      WITH RECURSIVE h(k, root_key, depth) AS (
-        SELECT $key, $key, CAST(0 AS BIGINT) FROM g_nodes WHERE $key < 10
-        UNION ALL
-        SELECT n.$key, h.root_key, h.depth + 1
-        FROM g_nodes n JOIN h ON n.$key div 10 = h.k
-        WHERE n.$key >= 10
-      ) SELECT k AS $key, root_key, depth FROM h""")
+    * recursion's own emptiness check). Generic over ANY (node, parent)
+    * relation: callers supply the parent key and root predicate as
+    * Columns. The temp view backing the SQL recursion gets a unique
+    * name and is dropped as soon as the plan is analyzed — no session
+    * state is clobbered or leaked. */
+  def hierarchy(nodes: DataFrame, key: String, parent: Column,
+                isRoot: Column): DataFrame = {
+    val spark = nodes.sparkSession
+    val view = s"graft_hier_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    nodes.select(col(key).as("k"), parent.as("parent"), isRoot.as("is_root"))
+      .createOrReplaceTempView(view)
+    try {
+      // spark.sql analyzes eagerly — the resolved plan no longer needs
+      // the view, so it can drop in the finally.
+      spark.sql(s"""
+        WITH RECURSIVE h(k, root_key, depth) AS (
+          SELECT k, k, CAST(0 AS BIGINT) FROM $view WHERE is_root
+          UNION ALL
+          SELECT n.k, h.root_key, h.depth + 1
+          FROM $view n JOIN h ON n.parent = h.k
+          WHERE NOT n.is_root
+        ) SELECT k AS $key, root_key, depth FROM h""")
+    } finally spark.catalog.dropTempView(view)
   }
 
-  /** q140: depth + root for the digit-shift customer forest. */
+  /** q140: depth + root for the digit-shift customer forest
+    * (parent = key div 10, roots = single-digit keys). */
   def q140(s: SparkSession, d: String): DataFrame =
-    hierarchy(Tables.customer(s, d).select(col("c_custkey")), "c_custkey")(s)
+    hierarchy(Tables.customer(s, d).select(col("c_custkey")), "c_custkey",
+      expr("c_custkey div 10"), col("c_custkey") < 10)
 
   /** DYNAMIC pivot: one row per ship mode × return flag with the value
     * columns discovered from the data (Spark runs a distinct pass, then

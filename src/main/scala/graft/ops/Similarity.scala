@@ -450,7 +450,11 @@ object Similarity {
     * driver-side tiny-model round the codebook fetch already makes. */
   def q63(s: SparkSession, d: String): DataFrame = {
     val (c, q) = corpusAndQueries(s, d)
-    val rerank = math.max(PqRerank, (c.count() / 6).toInt)
+    // Long math with a hard cap: n/6 as a plain .toInt wraps past ~13B
+    // rows and would silently revert to the constant shortlist; past
+    // the cap a 1/6 shortlist is the wrong answer anyway (real corpora
+    // run 1–2% — the heap bound has to stop growing somewhere).
+    val rerank = math.max(PqRerank.toLong, math.min(c.count() / 6, 65536L)).toInt
     pqTopK(c, q, "vec_id", "embedding", rerank = rerank)
   }
 }

@@ -902,8 +902,8 @@ class OperatorsSpec extends SparkSpec {
     enc.foreach { r =>
       val (word, toks) = (r.getString(0), r.getSeq[String](1))
       assert(toks.mkString("") == word, s"round-trip broke for '$word': $toks")
-      toks.foreach(t => assert(t.length == 1 || vocab.contains(t),
-        s"token '$t' of '$word' is neither a char nor a learned merge"))
+      toks.foreach(t => assert(t.codePointCount(0, t.length) == 1 || vocab.contains(t),
+        s"token '$t' of '$word' is neither a code point nor a learned merge"))
     }
     // the priority loop really merges: some multi-char token must exist
     assert(enc.exists(_.getSeq[String](1).exists(_.length > 1)))
