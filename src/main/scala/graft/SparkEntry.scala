@@ -149,6 +149,7 @@ object SparkEntry {
     "q140_hierarchy"        -> (Relational.q140 _),
     "q141_bpe_vocab"        -> (Text.q141 _),
     "q142_bpe_tokenize"     -> (Text.q142 _),
+    "q143_video_frames"     -> (Multimodal.q143 _),
     "q74_stopword_filter" -> (Text.q74 _),
     "q77_session_window"  -> (Events.q77 _),
     "q75_corpus_pipeline" -> (Text.q75 _),

@@ -358,6 +358,110 @@ object Multimodal {
       aHashImages(structuredPngTable(s, d, perturb = true), "doc_id", "payload"),
       "doc_id", "ahash", maxHamming = 3)
 
+  // ---- REAL multi-frame (video-like) decode: animated GIF (q143) ----
+
+  /** Frame count per doc: 4–11 frames. */
+  def gifFrames(docId: Long): Int =
+    4 + java.lang.Math.floorMod(mix64(docId * 7 + 3), 8L).toInt
+  val GifSize = 16      // 16×16 gray frames keep payloads a few KB
+  val FrameSampleStride = 2
+
+  /** Pixel of frame `f` of doc `docId` — the per-frame variation makes
+    * frame order observable in the decoded stats (also the test
+    * oracle). */
+  def gifPixelAt(docId: Long, f: Int, x: Int, y: Int): Int =
+    java.lang.Math.floorMod(mix64(docId * 1024 + f * 256 + y * 16 + x), 256L).toInt
+
+  case class GifRow(doc_id: Long, n_frames: Int, payload: Array[Byte])
+  case class FrameFeatures(doc_id: Long, frame_idx: Int, n_frames: Int,
+                           width: Int, height: Int, mean_pixel_q: Long)
+
+  /** Synthetic-but-REAL animated GIFs, one per document: a genuine
+    * multi-frame container written through the JDK's ImageIO sequence
+    * API in mapPartitions (writer setup amortizes over the partition —
+    * the codec batch boundary, same shape as pngTable/wavTable). */
+  def gifTable(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { id =>
+          val n = gifFrames(id)
+          val bos = new java.io.ByteArrayOutputStream()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+          val writer = javax.imageio.ImageIO
+            .getImageWritersBySuffix("gif").next()
+          writer.setOutput(ios)
+          writer.prepareWriteSequence(null)
+          var f = 0
+          while (f < n) {
+            val img = new java.awt.image.BufferedImage(
+              GifSize, GifSize, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val raster = img.getRaster
+            var y = 0
+            while (y < GifSize) {
+              var x = 0
+              while (x < GifSize) {
+                raster.setSample(x, y, 0, gifPixelAt(id, f, x, y)); x += 1
+              }
+              y += 1
+            }
+            writer.writeToSequence(
+              new javax.imageio.IIOImage(img, null, null), null)
+            f += 1
+          }
+          writer.endWriteSequence()
+          writer.dispose()
+          ios.close()
+          GifRow(id, n, bos.toByteArray)
+        }
+      }.toDF()
+  }
+
+  /** REAL frame sampling over a multi-frame binary column: ImageIO's
+    * GIF reader parses the container, every `stride`-th frame decodes,
+    * and features come off the decoded rasters — frame count as decoded
+    * (not trusted metadata), per-frame exact integer mean ×100.
+    * Map-only mapPartitions; one reader per row, frames never leave
+    * the partition. The frame explode happens INSIDE the decode
+    * boundary, so un-sampled frames are skipped by the reader rather
+    * than decoded and discarded. */
+  def decodeFrames(gifs: DataFrame, id: String, payload: String,
+                   stride: Int): DataFrame = {
+    import gifs.sparkSession.implicits._
+    gifs.select(col(id).as("doc_id"), col(payload).as("payload")).as[ImageRow]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { r =>
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(r.payload))
+          val reader = javax.imageio.ImageIO.getImageReaders(iis).next()
+          reader.setInput(iis)
+          val n = reader.getNumImages(true)
+          val out = (0 until n by stride).map { f =>
+            val img = reader.read(f)
+            val raster = img.getRaster
+            val (w, h) = (img.getWidth, img.getHeight)
+            var sum = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+              y += 1
+            }
+            FrameFeatures(r.doc_id, f, n, w, h, sum * 100L / (w.toLong * h))
+          }
+          reader.dispose(); iis.close()
+          out
+        }
+      }.toDF()
+  }
+
+  /** q143: REAL video-style frame decode — generate the animated-GIF
+    * corpus, then sample every 2nd frame through the JDK GIF reader. */
+  def q143(s: SparkSession, d: String): DataFrame =
+    decodeFrames(gifTable(s, d), "doc_id", "payload", FrameSampleStride)
+
   val WindowBytes = 256
   val HopBytes = 128
 

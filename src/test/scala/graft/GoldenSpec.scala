@@ -39,6 +39,7 @@ class GoldenSpec extends SparkSpec {
     "q114_semdedup"       -> "bf742a6709c9f0e3737ee9075dadbedd",
     "q141_bpe_vocab"      -> "e2ad9048e23cff6922ad6933d1dca481",
     "q142_bpe_tokenize"   -> "312c9342d04a0b0ae3f5c42f85677c56",
+    "q143_video_frames"   -> "eef37c0a2814b319f5ffdf6dda89288a",
   )
 
   test("rows-only queries match their pinned sf0.001 golden hashes") {

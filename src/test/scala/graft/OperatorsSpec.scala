@@ -826,6 +826,30 @@ class OperatorsSpec extends SparkSpec {
     assert(metrics.getAs[Long]("bad_price") === 0L)
   }
 
+  test("q143 decoded GIF frames match the generator oracle") {
+    val rows = Multimodal.q143(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.take(100).foreach { r =>
+      val (id, f, n) = (r.getLong(0), r.getInt(1), r.getInt(2))
+      assert(n == Multimodal.gifFrames(id), s"doc $id: frame count $n wrong")
+      assert(f % Multimodal.FrameSampleStride == 0, "unsampled frame emitted")
+      assert(r.getInt(3) == Multimodal.GifSize && r.getInt(4) == Multimodal.GifSize)
+      // exact mean from the generator pattern — the decode is lossless
+      // (gray palette round-trips through GIF's 256-color table)
+      var sum = 0L
+      for (y <- 0 until Multimodal.GifSize; x <- 0 until Multimodal.GifSize)
+        sum += Multimodal.gifPixelAt(id, f, x, y)
+      val want = sum * 100L / (Multimodal.GifSize.toLong * Multimodal.GifSize)
+      assert(r.getLong(5) == want, s"doc $id frame $f: mean ${r.getLong(5)} != $want")
+    }
+    // every doc contributes ceil(n_frames / stride) sampled frames
+    val perDoc = rows.groupBy(_.getLong(0)).view.mapValues(_.length)
+    perDoc.foreach { case (id, cnt) =>
+      val n = Multimodal.gifFrames(id)
+      assert(cnt == (n + 1) / 2, s"doc $id: $cnt sampled frames for $n total")
+    }
+  }
+
   test("q124 aHash finds exactly the planted image near-dups, byte dedup finds none") {
     val pairs = Multimodal.q124(spark, sf).collect()
     val nDocs = Tables.documents(spark, sf).count()
