@@ -150,6 +150,7 @@ object SparkEntry {
     "q141_bpe_vocab"        -> (Text.q141 _),
     "q142_bpe_tokenize"     -> (Text.q142 _),
     "q143_video_frames"     -> (Multimodal.q143 _),
+    "q64_streaks"           -> (Events.q64 _),
     "q74_stopword_filter" -> (Text.q74 _),
     "q77_session_window"  -> (Events.q77 _),
     "q75_corpus_pipeline" -> (Text.q75 _),
@@ -1240,6 +1241,20 @@ object SparkEntry {
          ${C("sum(CASE WHEN l_returnflag = 'N' THEN l_extendedprice END)")} AS N,
          ${C("sum(CASE WHEN l_returnflag = 'R' THEN l_extendedprice END)")} AS R
          FROM lineitem GROUP BY 1""",
+
+    "q64_streaks" ->
+      """WITH d AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events),
+         i AS (SELECT user_id, day,
+                 day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INTEGER) AS island
+               FROM d),
+         runs AS (SELECT user_id, island, count(*) AS len, max(day) AS run_end
+                  FROM i GROUP BY 1, 2),
+         r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY len DESC, run_end DESC) AS rn
+               FROM runs)
+         SELECT user_id, CAST(len AS BIGINT) AS longest_streak,
+           (SELECT CAST(count(*) AS BIGINT) FROM runs r2 WHERE r2.user_id = r.user_id) AS n_streaks,
+           run_end AS best_streak_end
+         FROM r WHERE rn = 1""",
 
     "q133_hopping" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),

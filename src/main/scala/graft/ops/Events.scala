@@ -685,4 +685,34 @@ object Events {
       "user_id", "ts_us", "event_id",
       col("event_type").isin("view", "click"),
       col("event_type") === "purchase")
+
+  /** Consecutive-day activity STREAKS (gaps-and-islands): per key, the
+    * longest run of consecutive active days, the streak count, and when
+    * the best streak ended — the engagement metric behind retention
+    * dashboards. The island key is day − row_number(day): constant
+    * exactly while days are consecutive, so one dedup + one window +
+    * one aggregation finds every run — no self-join, no per-day scan.
+    * Everything partitions by the entity key (one shuffle for the
+    * window; the distinct and groupBys reuse/produce compatible hash
+    * partitionings). */
+  def streaks(events: DataFrame, key: String, ts: String): DataFrame = {
+    val days = events.select(col(key).as("k"), to_date(col(ts)).as("day")).distinct()
+    val byKey = Window.partitionBy(col("k")).orderBy(col("day").asc)
+    val runs = days
+      .withColumn("island", date_sub(col("day"), row_number().over(byKey)))
+      .groupBy(col("k"), col("island"))
+      .agg(count(lit(1)).as("len"), max(col("day")).as("run_end"))
+    val best = Window.partitionBy(col("k"))
+      .orderBy(col("len").desc, col("run_end").desc)
+    runs
+      .withColumn("rn", row_number().over(best))
+      .withColumn("n_streaks", count(lit(1)).over(Window.partitionBy(col("k"))))
+      .filter(col("rn") === 1)
+      .select(col("k").as(key), col("len").as("longest_streak"),
+        col("n_streaks"), col("run_end").as("best_streak_end"))
+  }
+
+  /** q64: per-user consecutive-day activity streaks. */
+  def q64(s: SparkSession, d: String): DataFrame =
+    streaks(Tables.events(s, d), "user_id", "ts")
 }
