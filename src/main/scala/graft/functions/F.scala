@@ -13,6 +13,14 @@ object F {
     GraftColumns.wrap(
       org.apache.spark.sql.catalyst.expressions.IntegralDivide(u(a), u(b)))
 
+  /** FLOOR division for a POSITIVE divisor: idiv truncates toward zero,
+    * so a negative non-exact quotient needs −1 — this matches flooring
+    * engines (DuckDB `//`) for numerators of any sign. */
+  def floorDiv(n: Column, d: Column): Column = {
+    import org.apache.spark.sql.functions.{lit, when}
+    idiv(n, d) - when(n % d =!= lit(0) && n < lit(0), lit(1L)).otherwise(lit(0L))
+  }
+
   /** 64-bit rolling polynomial hash of a string column. */
   def rollingHash64(c: Column): Column = GraftColumns.wrap(RollingHash64(u(c)))
 

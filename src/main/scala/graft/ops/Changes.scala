@@ -167,14 +167,12 @@ object Changes {
     * discipline Cols.fixed applies at the oracle boundary). The merge
     * touches O(|delta| + |affected keys|) — the point of maintenance:
     * history is never rescanned. */
-  def mergeAggregates(base: DataFrame, delta: DataFrame,
-                      key: String): DataFrame =
-    base.select(col(key), col("n_orders").as("n_b"), col("sum_cents").as("s_b"))
-      .join(delta.select(col(key), col("n_orders").as("n_d"),
-        col("sum_cents").as("s_d")), Seq(key), "full_outer")
-      .select(col(key),
-        (coalesce(col("n_b"), lit(0L)) + coalesce(col("n_d"), lit(0L))).as("n_orders"),
-        (coalesce(col("s_b"), lit(0L)) + coalesce(col("s_d"), lit(0L))).as("sum_cents"))
+  def mergeAggregates(base: DataFrame, delta: DataFrame, key: String,
+                      sumCols: Seq[String]): DataFrame =
+    base.join(delta.select(col(key) +: sumCols.map(c => col(c).as(s"${c}_d")): _*),
+        Seq(key), "full_outer")
+      .select(col(key) +: sumCols.map(c =>
+        (coalesce(col(c), lit(0L)) + coalesce(col(s"${c}_d"), lit(0L))).as(c)): _*)
 
   /** Per-key order aggregate with row-level cents (the maintainable
     * form). */
@@ -192,6 +190,6 @@ object Changes {
     mergeAggregates(
       orderAgg(orders.filter(col("o_orderdate") < cutoff)),
       orderAgg(orders.filter(col("o_orderdate") >= cutoff)),
-      "o_custkey")
+      "o_custkey", Seq("n_orders", "sum_cents"))
   }
 }

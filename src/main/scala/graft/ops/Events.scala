@@ -580,17 +580,11 @@ object Events {
       .filter(col("is_e") === 0)
       .select(col(key), col("ts_us").as("grid_us"),
         when(col("ta") === col("ts_us"), col("va"))
-          .otherwise(floorDiv(
+          .otherwise(F.floorDiv(
             col("va") * (col("tb") - col("ts_us")) +
             col("vb") * (col("ts_us") - col("ta")),
             col("tb") - col("ta"))).as("interp_cents"))
   }
-
-  /** Floor division for a POSITIVE divisor: IntegralDivide truncates
-    * toward zero, so a negative non-exact quotient needs −1 (DuckDB's
-    * `//` floors — this keeps oracle parity for values of any sign). */
-  private def floorDiv(n: Column, d: Column): Column =
-    F.idiv(n, d) - when(n % d =!= 0 && n < 0, 1L).otherwise(0L)
 
   /** q127: each user's event values resampled to a 6-hour grid. */
   def q127(s: SparkSession, d: String): DataFrame =
@@ -637,11 +631,10 @@ object Events {
   def hoppingCounts(events: DataFrame, tsUs: Column, key: String,
                     sizeUs: Long, hopUs: Long): DataFrame = {
     require(sizeUs % hopUs == 0, "window size must be a multiple of hop")
-    val t = tsUs
     // window starts w with w <= t < w + size, aligned to hop:
     // from floor((t - size)/hop)*hop + hop up to floor(t/hop)*hop.
-    val first = (F.idiv(t - sizeUs, lit(hopUs)) + 1L) * hopUs
-    val last = F.idiv(t, lit(hopUs)) * hopUs
+    val first = (F.idiv(tsUs - sizeUs, lit(hopUs)) + 1L) * hopUs
+    val last = F.idiv(tsUs, lit(hopUs)) * hopUs
     events
       .select(col(key).as("k"), explode(sequence(first, last, lit(hopUs))).as("window_us"))
       .groupBy(col("window_us"))

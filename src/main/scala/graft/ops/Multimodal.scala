@@ -385,12 +385,14 @@ object Multimodal {
     Tables.documents(s, d).select(col("doc_id")).as[Long]
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
+        // ONE writer per partition (the amortization the mapPartitions
+        // boundary exists for) — only the output stream rebinds per row.
+        val writer = javax.imageio.ImageIO
+          .getImageWritersBySuffix("gif").next()
         it.map { id =>
           val n = gifFrames(id)
           val bos = new java.io.ByteArrayOutputStream()
           val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-          val writer = javax.imageio.ImageIO
-            .getImageWritersBySuffix("gif").next()
           writer.setOutput(ios)
           writer.prepareWriteSequence(null)
           var f = 0
@@ -411,7 +413,6 @@ object Multimodal {
             f += 1
           }
           writer.endWriteSequence()
-          writer.dispose()
           ios.close()
           GifRow(id, n, bos.toByteArray)
         }
@@ -432,10 +433,12 @@ object Multimodal {
     gifs.select(col(id).as("doc_id"), col(payload).as("payload")).as[ImageRow]
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
+        // ONE reader per partition; only the input stream rebinds.
+        val reader = javax.imageio.ImageIO
+          .getImageReadersBySuffix("gif").next()
         it.flatMap { r =>
           val iis = javax.imageio.ImageIO.createImageInputStream(
             new java.io.ByteArrayInputStream(r.payload))
-          val reader = javax.imageio.ImageIO.getImageReaders(iis).next()
           reader.setInput(iis)
           val n = reader.getNumImages(true)
           val out = (0 until n by stride).map { f =>
@@ -451,7 +454,7 @@ object Multimodal {
             }
             FrameFeatures(r.doc_id, f, n, w, h, sum * 100L / (w.toLong * h))
           }
-          reader.dispose(); iis.close()
+          iis.close()
           out
         }
       }.toDF()

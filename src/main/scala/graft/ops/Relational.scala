@@ -712,12 +712,12 @@ object Relational {
     * adding a rule adds a column to the same pass. */
   def expectations(df: DataFrame, uniqueKey: String,
                    rules: Seq[(String, Column)]): DataFrame = {
-    val aggs =
-      sum(when(col(uniqueKey).isNotNull, 1L).otherwise(0L)).as("n_keyed") +:
-      (count(lit(1)).as("n_rows") +:
-       countDistinct(col(uniqueKey)).as("n_distinct") +:
-       rules.map { case (name, pred) =>
-         sum(when(pred, 0L).otherwise(1L)).as(s"bad_$name") })
+    val aggs = Seq(
+      sum(when(col(uniqueKey).isNotNull, 1L).otherwise(0L)).as("n_keyed"),
+      count(lit(1)).as("n_rows"),
+      countDistinct(col(uniqueKey)).as("n_distinct")) ++
+      rules.map { case (name, pred) =>
+        sum(when(pred, 0L).otherwise(1L)).as(s"bad_$name") }
     val one = df.agg(aggs.head, aggs.tail: _*)
     val report = array(
       (struct(lit(s"${uniqueKey}_unique").as("rule"),
