@@ -768,4 +768,31 @@ object Dedup {
   /** q136: resolve the parts catalog within brands at lev ≤ 2. */
   def q136(s: SparkSession, d: String): DataFrame =
     resolveEntities(Tables.part(s, d), "p_partkey", "p_name", "p_brand", 2)
+
+  /** CROSS-MODAL dedup clusters: one near-dup graph over EVERY
+    * similarity signal — lexical (exact-Jaccard pairs) and semantic
+    * (embedding-cosine pairs) edges union before clustering, so a
+    * paraphrase caught only by embeddings and a template caught only by
+    * shingles land in the same component. This is the production dedup
+    * topology: each detector contributes edges at its own threshold,
+    * min-label propagation fuses them, and the keep policy then runs
+    * once over the fused clusters (q84/q96 compose unchanged). Edge
+    * generation costs are each detector's own (LSH-banded, label-
+    * blocked — never all-pairs); the union adds no shuffle beyond
+    * clustering's own. */
+  def crossModalClusters(textPairs: DataFrame,
+                         embPairs: DataFrame): DataFrame = {
+    val edges = textPairs.select(col("doc_a"), col("doc_b"))
+      .unionAll(embPairs.select(col("doc_a"), col("doc_b")))
+    clusters(edges)
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"))
+  }
+
+  /** q65: fused text+embedding dedup clusters (vec_id ≡ doc_id on the
+    * shared id space). */
+  def q65(s: SparkSession, d: String): DataFrame =
+    crossModalClusters(
+      q51(s, d),
+      q54(s, d).select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
 }
