@@ -152,6 +152,7 @@ object SparkEntry {
     "q143_video_frames"     -> (Multimodal.q143 _),
     "q64_streaks"           -> (Events.q64 _),
     "q65_crossmodal_dedup"  -> (Dedup.q65 _),
+    "q66_crossmodal_keep"   -> (Dedup.q66 _),
     "q74_stopword_filter" -> (Text.q74 _),
     "q77_session_window"  -> (Events.q77 _),
     "q75_corpus_pipeline" -> (Text.q75 _),
@@ -1263,6 +1264,33 @@ object SparkEntry {
                             UNION SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.node),
          lab AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
          SELECT cluster_id, count(*) AS n_members FROM lab GROUP BY 1""",
+
+    "q66_crossmodal_keep" ->
+      s"""WITH RECURSIVE $ShingleCtes,
+         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         pair AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS common
+                  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+         tgood AS (SELECT ida, idb FROM pair
+                   JOIN sz na ON na.doc_id = ida JOIN sz nb ON nb.doc_id = idb
+                   WHERE common / CAST(na.n + nb.n - common AS DOUBLE) >= 0.6),
+         egood AS (SELECT a.vec_id AS ida, b.vec_id AS idb
+                   FROM embeddings a JOIN embeddings b
+                   ON a.label = b.label AND a.vec_id < b.vec_id
+                   WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                     CAST(b.embedding AS DOUBLE[])) >= 0.35),
+         allg AS (SELECT * FROM tgood UNION SELECT * FROM egood),
+         edges AS (SELECT ida AS a, idb AS b FROM allg UNION SELECT idb, ida FROM allg),
+         reach(node, r) AS (SELECT a, a FROM edges
+                            UNION SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.node),
+         lab AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
+         cs AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1),
+         $QualityCte
+         SELECT lab.cluster_id, cs.cluster_size,
+           arg_max(lab.node, $KeepPack) AS keep_id,
+           arg_max(q.quality_bp, $KeepPack) AS keep_quality_bp
+         FROM lab JOIN q ON q.doc_id = lab.node JOIN cs USING (cluster_id)
+         GROUP BY 1, 2""",
 
     "q64_streaks" ->
       """WITH d AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events),

@@ -795,4 +795,13 @@ object Dedup {
     crossModalClusters(
       q51(s, d),
       q54(s, d).select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+
+  /** q66: the keep-best POLICY over the fused cross-modal clusters —
+    * the composition claim made concrete: electKeepers runs unchanged
+    * over whatever edge union produced the components. */
+  def q66(s: SparkSession, d: String): DataFrame =
+    electKeepers(
+      clusters(q51(s, d).select(col("doc_a"), col("doc_b"))
+        .unionAll(q54(s, d).select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))),
+      Text.qualityBp(Tables.documents(s, d), "doc_id", "text"))
 }
