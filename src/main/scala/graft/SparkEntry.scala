@@ -153,6 +153,7 @@ object SparkEntry {
     "q64_streaks"           -> (Events.q64 _),
     "q65_crossmodal_dedup"  -> (Dedup.q65 _),
     "q66_crossmodal_keep"   -> (Dedup.q66 _),
+    "q67_robust_scale"      -> (Events.q67 _),
     "q74_stopword_filter" -> (Text.q74 _),
     "q77_session_window"  -> (Events.q77 _),
     "q75_corpus_pipeline" -> (Text.q75 _),
@@ -1291,6 +1292,24 @@ object SparkEntry {
            arg_max(q.quality_bp, $KeepPack) AS keep_quality_bp
          FROM lab JOIN q ON q.doc_id = lab.node JOIN cs USING (cluster_id)
          GROUP BY 1, 2""",
+
+    "q67_robust_scale" ->
+      s"""WITH v AS (SELECT event_type, event_id, ${C("value")} AS v FROM events),
+         med AS (SELECT event_type,
+             CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY v) AS BIGINT) AS med,
+             CAST(percentile_disc(0.05) WITHIN GROUP (ORDER BY v) AS BIGINT) AS lo,
+             CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY v) AS BIGINT) AS hi
+           FROM v GROUP BY 1),
+         dev AS (SELECT v.*, med, lo, hi, abs(v - med) AS ad
+                 FROM v JOIN med ON v.event_type = med.event_type),
+         mad AS (SELECT event_type,
+             CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY ad) AS BIGINT) AS mad
+           FROM dev GROUP BY 1)
+         SELECT event_id, dev.event_type,
+           greatest(lo, least(hi, v)) AS winsorized_cents,
+           CASE WHEN mad = 0 THEN 0
+                ELSE CAST(((v - med) * 10000) // mad AS BIGINT) END AS robust_z_bp
+         FROM dev JOIN mad ON dev.event_type = mad.event_type""",
 
     "q64_streaks" ->
       """WITH d AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events),

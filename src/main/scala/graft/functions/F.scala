@@ -6,20 +6,14 @@ import org.apache.spark.sql.{Column, GraftColumns}
 object F {
   private def u(c: Column) = GraftColumns.unwrap(c)
 
-  /** Integral (floor-for-nonnegative) division on long columns — the
-    * Column API's `/` is always fractional double division, which goes
-    * inexact past 2^53; this stays in exact long arithmetic. */
+  /** Integral division on long columns, TRUNCATING toward zero — the
+    * same semantics as DuckDB's `//` (verified: -7//2 = -3 in both), so
+    * oracle parity holds for operands of any sign. The Column API's `/`
+    * is always fractional double division, which goes inexact past
+    * 2^53; this stays in exact long arithmetic. */
   def idiv(a: Column, b: Column): Column =
     GraftColumns.wrap(
       org.apache.spark.sql.catalyst.expressions.IntegralDivide(u(a), u(b)))
-
-  /** FLOOR division for a POSITIVE divisor: idiv truncates toward zero,
-    * so a negative non-exact quotient needs −1 — this matches flooring
-    * engines (DuckDB `//`) for numerators of any sign. */
-  def floorDiv(n: Column, d: Column): Column = {
-    import org.apache.spark.sql.functions.{lit, when}
-    idiv(n, d) - when(n % d =!= lit(0) && n < lit(0), lit(1L)).otherwise(lit(0L))
-  }
 
   /** 64-bit rolling polynomial hash of a string column. */
   def rollingHash64(c: Column): Column = GraftColumns.wrap(RollingHash64(u(c)))

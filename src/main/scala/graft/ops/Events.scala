@@ -540,10 +540,11 @@ object Events {
     * streams into aligned model inputs. Grid points cover
     * [⌈t₀/step⌉·step, ⌊t₁/step⌋·step] per key, so every point has both
     * neighbors. Interpolation is EXACT integer arithmetic on cents:
-    * floor((va·(tb−g) + vb·(g−ta)) / (tb−ta)) — explicit FLOOR
-    * division (truncation corrected when the numerator is negative),
-    * so the result matches floor-dividing engines for value columns of
-    * ANY sign; a grid point ON an observation divides exactly to va.
+    * (va·(tb−g) + vb·(g−ta)) div (tb−ta), where div TRUNCATES toward
+    * zero — the same semantics as Spark's IntegralDivide AND DuckDB's
+    * `//` (verified: -7//2 = -3 in both), so values of ANY sign agree
+    * cross-engine; a grid point ON an observation divides exactly to
+    * va.
     *
     * Plan: the union-merge shape (same as asofJoin): observations and
     * grid rows union, ONE shuffle on the key, and last/first
@@ -580,7 +581,7 @@ object Events {
       .filter(col("is_e") === 0)
       .select(col(key), col("ts_us").as("grid_us"),
         when(col("ta") === col("ts_us"), col("va"))
-          .otherwise(F.floorDiv(
+          .otherwise(F.idiv(
             col("va") * (col("tb") - col("ts_us")) +
             col("vb") * (col("ts_us") - col("ta")),
             col("tb") - col("ta"))).as("interp_cents"))
@@ -708,4 +709,37 @@ object Events {
   /** q64: per-user consecutive-day activity streaks. */
   def q64(s: SparkSession, d: String): DataFrame =
     streaks(Tables.events(s, d), "user_id", "ts")
+
+  /** Robust feature scaling: winsorize (clip to the group's discrete
+    * [pLo, pHi] percentiles) and robust-z ((v − median)·10⁴ div MAD) —
+    * the outlier-immune normalization that mean/σ scaling isn't. All
+    * cuts are percentile_disc members (exact cross-engine); the scaled
+    * value is exact integer arithmetic. One scalar-pair aggregation for
+    * the per-group cut table, broadcast back — no corpus window. */
+  def robustScale(df: DataFrame, group: String, id: String, value: Column,
+                  pLo: Double, pHi: Double): DataFrame = {
+    val v = df.select(col(group), col(id), value.as("v"))
+    def disc(p: Double, c: String) =
+      expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY $c)").cast("long")
+    val med = v.groupBy(col(group))
+      .agg(disc(0.5, "v").as("med"), disc(pLo, "v").as("lo"),
+           disc(pHi, "v").as("hi"))
+    val dev = v.join(broadcast(med), group)
+      .withColumn("ad", abs(col("v") - col("med")))
+    val mad = dev.groupBy(col(group))
+      .agg(disc(0.5, "ad").as("mad"))
+    dev.join(broadcast(mad), group)
+      .select(col(id), col(group),
+        greatest(col("lo"), least(col("hi"), col("v"))).as("winsorized_cents"),
+        // robust z in basis points; MAD=0 (constant group) maps to 0.
+        // idiv truncates toward zero — exactly DuckDB's `//`.
+        when(col("mad") === 0L, 0L).otherwise(
+          F.idiv((col("v") - col("med")) * 10000L, col("mad"))).as("robust_z_bp"))
+  }
+
+  /** q67: event values winsorized to [p05, p95] and robust-z scored
+    * per event type. */
+  def q67(s: SparkSession, d: String): DataFrame =
+    robustScale(Tables.events(s, d), "event_type", "event_id",
+      graft.functions.Cols.cents(col("value")), 0.05, 0.95)
 }

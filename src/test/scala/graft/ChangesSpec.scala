@@ -129,17 +129,18 @@ class ChangesSpec extends SparkSpec {
       s"expected ${4 * total} window memberships, got $windowed")
   }
 
-  test("resampleInterpolate floors negative interpolations (refund deltas)") {
+  test("resampleInterpolate divides negative interpolations like DuckDB //") {
     import SparkTestSession.spark.implicits._
     // key 1: values -100 at t=0 and -201 at t=2_000_000 (1 grid step
-    // apart at 1s): midpoint numerator = -301, floor(-301/2) = -151
-    // (truncation would give -150 and diverge from a flooring oracle).
+    // apart at 1s): midpoint numerator = -301; BOTH Spark's
+    // IntegralDivide and DuckDB's // truncate toward zero → -150
+    // (a flooring engine would give -151 and break oracle parity).
     val obs = Seq((1L, 0L, 1L, -100L), (1L, 2000000L, 2L, -201L))
       .toDF("k", "ts_us", "seq", "v")
     val out = ops.Events.resampleInterpolate(obs, "k", col("ts_us"), "seq",
         col("v"), 1000000L)
       .orderBy(col("grid_us")).collect()
-    assert(out.map(_.getLong(2)).toSeq == Seq(-100L, -151L, -201L),
+    assert(out.map(_.getLong(2)).toSeq == Seq(-100L, -150L, -201L),
       s"got ${out.map(_.getLong(2)).toSeq}")
   }
 
