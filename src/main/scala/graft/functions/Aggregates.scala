@@ -257,17 +257,21 @@ case class BloomFilterAgg(
   * partial-merge order. Width rounds up to a power of two. */
 case class CountMinAgg(
     child: Expression,
+    weight: Expression,
     width: Int,
     depth: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression]
+  extends TypedImperativeAggregate[Array[Long]]
+  with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression]
   with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
 
   require(width > 0 && width <= (1 << 24), s"width must be in (0, 2^24], got $width")
   require(depth > 0 && depth <= 16, s"depth must be in (0, 16], got $depth")
 
-  override def inputTypes: Seq[DataType] = Seq(LongType)
+  override def left: Expression = child
+  override def right: Expression = weight
+  override def inputTypes: Seq[DataType] = Seq(LongType, LongType)
 
   private val w2 = java.lang.Integer.highestOneBit(math.max(width - 1, 1)) * 2
   private val mask = w2 - 1
@@ -280,13 +284,18 @@ case class CountMinAgg(
 
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
-    if (v != null) {
+    val wv = weight.eval(input)
+    if (v != null && wv != null) {
+      // Weighted update: feeding a pre-grouped (key, count) table is
+      // exactly equivalent to `count` raw-stream updates — the sketch
+      // from one aggregated pass is byte-identical to the streamed one.
       val key = v.asInstanceOf[Long]
+      val inc = wv.asInstanceOf[Long]
       val h1 = CmsEstimate.mix(key)
       val h2 = CmsEstimate.mix(h1) | 1L
       var i = 0
       while (i < depth) {
-        buf(i * w2 + (((h1 + i * h2) & Long.MaxValue).toInt & mask)) += 1L
+        buf(i * w2 + (((h1 + i * h2) & Long.MaxValue).toInt & mask)) += inc
         i += 1
       }
     }
@@ -319,6 +328,7 @@ case class CountMinAgg(
     copy(mutableAggBufferOffset = newOffset)
   override def withNewInputAggBufferOffset(newOffset: Int): CountMinAgg =
     copy(inputAggBufferOffset = newOffset)
-  override protected def withNewChildInternal(newChild: Expression): CountMinAgg =
-    copy(child = newChild)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CountMinAgg =
+    copy(child = newLeft, weight = newRight)
 }

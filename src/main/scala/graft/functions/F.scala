@@ -103,7 +103,17 @@ object F {
   /** Count–Min sketch build aggregate over a long key column. */
   def cmsAgg(c: Column, width: Int, depth: Int = 4): Column =
     GraftColumns.wrap(
-      CountMinAgg(GraftColumns.unwrap(c), width, depth).toAggregateExpression())
+      CountMinAgg(GraftColumns.unwrap(c),
+        org.apache.spark.sql.catalyst.expressions.Literal(1L),
+        width, depth).toAggregateExpression())
+
+  /** WEIGHTED Count–Min update: each row adds `w` to its key's
+    * counters — feeding a pre-grouped (key, count) table builds the
+    * byte-identical sketch in one corpus scan instead of two. */
+  def cmsAggW(c: Column, w: Column, width: Int, depth: Int = 4): Column =
+    GraftColumns.wrap(
+      CountMinAgg(GraftColumns.unwrap(c), GraftColumns.unwrap(w),
+        width, depth).toAggregateExpression())
 
   /** Count–Min point estimate; parameters must match the build side. */
   def cmsEstimate(sketch: Column, key: Column, width: Int, depth: Int = 4): Column =

@@ -698,28 +698,55 @@ object Dedup {
     * wedges only — at scale, orient by (degree, id) instead of raw id
     * to bound the wedge count (the standard degree-ordering trick;
     * same plan shape). */
+  /** Orient normalized undirected edges low-degree-endpoint → high
+    * (ties by id): the classic degree-ordering trick. Every node's
+    * OUT-degree is then bounded by its rank-degree (≤ √(2·edges)), so
+    * the wedge join e1.v = e2.u fans out on min-degree endpoints only —
+    * a hub of degree h contributes 0 wedges instead of h² (a min-ID
+    * orientation degrades to h² whenever the hub id sorts high).
+    * Input/output: (x, y) distinct normalized edges → (u, v). */
+  def orientByDegree(e: DataFrame): DataFrame = {
+    val deg = e.select(col("x").as("n")).unionAll(e.select(col("y").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val lower = col("dx") < col("dy") ||
+      (col("dx") === col("dy") && col("x") < col("y"))
+    e.join(deg.select(col("n").as("x"), col("d").as("dx")), "x")
+      .join(deg.select(col("n").as("y"), col("d").as("dy")), "y")
+      .select(when(lower, col("x")).otherwise(col("y")).as("u"),
+              when(lower, col("y")).otherwise(col("x")).as("v"))
+  }
+
   def graphProfile(pairs: DataFrame, a: String, b: String): DataFrame = {
     // Orientation-normalize: (9,5) and (5,9) are the same undirected
     // edge — without least/greatest both would survive the distinct and
     // double every degree and mis-multiply the triangle count.
+    // localCheckpoint MATERIALIZES the (expensive) pair-generation
+    // subplan once — the profile reads the edge set five times (degrees,
+    // edge count, three triangle-join legs), and a lazy cache released
+    // in a finally block before any action ran would never have
+    // populated (it silently recomputed the pairs per leg).
     val e = pairs.select(least(col(a), col(b)).as("x"),
         greatest(col(a), col(b)).as("y"))
       .filter(col("x") =!= col("y"))
-      .distinct().cache()
-    try {
-      val deg = e.select(col("x").as("n")).unionAll(e.select(col("y").as("n")))
-        .groupBy(col("n")).agg(count(lit(1)).as("d"))
-      val tri = e.as("e1")
-        .join(e.as("e2"), col("e1.y") === col("e2.x"))
-        .join(e.as("e3"),
-          col("e3.x") === col("e1.x") && col("e3.y") === col("e2.y"))
-        .agg(count(lit(1)).as("n_triangles"))
-      deg.agg(count(lit(1)).as("n_nodes"), max(col("d")).as("max_degree"))
-        .crossJoin(e.agg(count(lit(1)).as("n_edges")))
-        .crossJoin(tri)
-        .select(col("n_nodes"), col("n_edges"), col("max_degree"),
-          col("n_triangles"))
-    } finally e.unpersist()
+      .distinct().localCheckpoint()
+    val deg = e.select(col("x").as("n")).unionAll(e.select(col("y").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    // Triangles over DEGREE-ORDERED edges: each triangle has exactly one
+    // vertex with two out-edges under a total order, so the count needs
+    // no /3 correction and equals the min-id-orientation count — but the
+    // wedge fan-out is bounded by min-endpoint degree instead of
+    // exploding on high-id hubs.
+    val o = orientByDegree(e)
+    val tri = o.as("e1")
+      .join(o.as("e2"), col("e1.v") === col("e2.u"))
+      .join(o.as("e3"),
+        col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
+      .agg(count(lit(1)).as("n_triangles"))
+    deg.agg(count(lit(1)).as("n_nodes"), max(col("d")).as("max_degree"))
+      .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("max_degree"),
+        col("n_triangles"))
   }
 
   /** q135: health profile of the exact-Jaccard near-dup graph. */

@@ -580,11 +580,18 @@ object Events {
       .withColumn("vb", first(col("v_cents"), ignoreNulls = true).over(fwd))
       .filter(col("is_e") === 0)
       .select(col(key), col("ts_us").as("grid_us"),
+        // value·gap products run in decimal(38,0): cent values times µs
+        // gaps can exceed Long.MaxValue, and Spark's non-ANSI long
+        // multiply would wrap silently (the same overflow class
+        // rateAnomaly's gate was moved to decimal for). IntegralDivide
+        // truncates identically on decimal and long, so results are
+        // unchanged wherever the long path didn't overflow.
         when(col("ta") === col("ts_us"), col("va"))
           .otherwise(F.idiv(
-            col("va") * (col("tb") - col("ts_us")) +
-            col("vb") * (col("ts_us") - col("ta")),
-            col("tb") - col("ta"))).as("interp_cents"))
+            col("va").cast("decimal(38,0)") * (col("tb") - col("ts_us")) +
+            col("vb").cast("decimal(38,0)") * (col("ts_us") - col("ta")),
+            (col("tb") - col("ta")).cast("decimal(38,0)")).cast("long"))
+          .as("interp_cents"))
   }
 
   /** q127: each user's event values resampled to a 6-hour grid. */

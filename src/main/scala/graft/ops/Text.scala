@@ -278,21 +278,33 @@ object Text {
     * (vocab count, per-doc agg); the one-row total rides a broadcast
     * cross join, the token→frequency join shuffles on the token. */
   def unigramSurprisal(df: DataFrame, id: String, text: String): DataFrame = {
-    val tokens = withToks(df, text).select(col(id), explode(toks).as("tok"))
-    val freqs = tokens.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    // Pre-aggregate to (doc, tok, tf) BEFORE any join: the vocab probe
+    // side shrinks from the full token stream (O(total tokens),
+    // Zipf-skewed — "the" lands on one partition) to distinct doc-token
+    // pairs, the same shape tfidfCosinePairs' tf table uses. Each
+    // instance's surprisal is recovered exactly as tf × bp(s).
+    val tf = withToks(df, text).select(col(id), explode(toks).as("tok"))
+      .groupBy(col(id), col("tok")).agg(count(lit(1)).as("tf"))
+    val freqs = tf.groupBy(col("tok")).agg(sum(col("tf")).as("cnt"))
     // Grand total reduces the (small) vocab table — NOT a third
     // tokenize-the-corpus pass.
     val total = freqs.agg(sum(col("cnt")).as("total"))
-    tokens.join(freqs, "tok")
+    // The vocab aggregate is FORCED broadcast: the join adds no exchange
+    // on the probe side (plan-spec-pinned), so token skew cannot
+    // concentrate a shuffle. At a vocabulary too large to broadcast,
+    // drop the hint and the join shuffles doc-token PAIRS — still never
+    // the raw token stream.
+    tf.join(broadcast(freqs), "tok")
       .crossJoin(broadcast(total))
       .groupBy(col(id))
-      .agg(count(lit(1)).as("n_tokens"),
+      .agg(sum(col("tf")).as("n_tokens"),
         // Mean of per-token FIXED-POINT surprisals: each token's bp
-        // value rounds once, the long sum is exact, so the result is
-        // independent of partial-merge order (a double avg's last bp
-        // digit can flip across shuffle-partition counts or engines).
-        floor(sum(bp(-log(col("cnt").cast("double") / col("total")))) /
-          count(lit(1))).cast("long").as("mean_surprisal_bp"))
+        // value rounds once (then scales by its exact integer tf), the
+        // long sum is exact, so the result is independent of
+        // partial-merge order (a double avg's last bp digit can flip
+        // across shuffle-partition counts or engines).
+        floor(sum(col("tf") * bp(-log(col("cnt").cast("double") / col("total")))) /
+          sum(col("tf"))).cast("long").as("mean_surprisal_bp"))
   }
 
   /** q90: unigram surprisal scoring of the documents table. */
@@ -535,9 +547,13 @@ object Text {
     * the exact dot is the zero-allocation WeightedDotSorted merge —
     * O(|a|+|b|) per candidate, no Σ df² shuffle anywhere. */
   def tfidfCosinePairs(df: DataFrame, id: String, text: String,
-                       tau: Double): DataFrame = {
+                       tau: Double, denseVocabMax: Int = 256): DataFrame = {
+    // tf is read by BOTH the vocab-size probe (one bounded count) and
+    // the weight/vector derivations; the cache lives with the returned
+    // plan (the q88 convenience pattern).
     val tf = withToks(df, text).select(col(id).as("doc_id"), explode(toks).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      .cache()
     val dfx = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val n = df.agg(count(lit(1)).as("n_docs"))
     // wm = 0 terms (idf ln(1) = 0) contribute nothing to any dot or
@@ -551,18 +567,14 @@ object Text {
       .agg(sum(col("wm") * col("wm")).as("m2"))
     // Prefix membership: global order (df asc, tok asc); a row stays in
     // the prefix while the suffix FROM it onward still carries ≥ τ² of
-    // the norm (integer cushion 63/100 < 0.8² = 64/100).
+    // the norm. The integer cushion is DERIVED from tau —
+    // floor(τ²·10⁴) − 1 is strictly below τ²·10⁴, so the Cauchy–Schwarz
+    // suffix bound stays lossless for every tau (a fixed 63/100 was
+    // only sound for τ ≥ √0.63 ≈ 0.794 and silently lost pairs below).
+    val cushion = math.max(math.floor(tau * tau * 10000d).toLong - 1L, 0L)
     val byDoc = Window.partitionBy(col("doc_id"))
       .orderBy(col("df").asc, col("tok").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val prefix = w.join(norms, "doc_id")
-      .withColumn("before", coalesce(sum(col("wm") * col("wm")).over(byDoc), lit(0L)))
-      .filter((col("m2") - col("before")) * 100L >= lit(63L) * col("m2"))
-      .select(col("doc_id"), col("tok"))
-    val candidates = prefix.as("a").join(prefix.as("b"),
-        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
     // One sorted (hash, weight) array per doc; exact dot per candidate
     // via the native merge — no token re-explode, no pair aggregation.
     // Terms are keyed by xxhash64: a within-doc hash collision would
@@ -580,7 +592,7 @@ object Text {
       .agg(sort_array(collect_list(col("hw"))).as("vec"))
       .join(norms, "doc_id")
     val cos = col("dot") / (sqrt(col("m2_a")) * sqrt(col("m2_b")))
-    candidates
+    def verified(candidates: DataFrame): DataFrame = candidates
       .join(vecs.select(col("doc_id").as("doc_a"), col("vec").as("vec_a"),
         col("m2").as("m2_a")), "doc_a")
       .join(vecs.select(col("doc_id").as("doc_b"), col("vec").as("vec_b"),
@@ -588,6 +600,47 @@ object Text {
       .withColumn("dot", F.weightedDot(col("vec_a"), col("vec_b")))
       .filter(cos >= tau)
       .select(col("doc_a"), col("doc_b"), bp(cos).as("cos_bp"))
+    // DEGENERATE-VOCAB fallback: on a tiny vocabulary (boilerplate/
+    // template corpora) nearly every pair is a true candidate — the
+    // prefix self-join then materializes Σ postings² pair rows (up to
+    // ~30× the n²/2 pair space here) and funnels them through a
+    // distinct, all to "save" verifications that were coming anyway.
+    // A dense blocked all-pairs kernel does ONE exact sorted-merge dot
+    // per unordered pair, no candidate shuffle, no distinct. The
+    // quadratic similar mass is inherent to such corpora (the output
+    // itself is near-quadratic); vectors are vocab-bounded and tiny, so
+    // the pair side broadcasts — block-partition the cross join instead
+    // when one side outgrows broadcast. The vocab-size probe is one
+    // bounded driver scalar (the q63 pattern). General corpora
+    // (vocab > denseVocabMax) take the lossless L2 prefix filter below,
+    // byte-identical output either way.
+    val vocabSize = dfx.count()
+    if (vocabSize <= denseVocabMax) {
+      // Vectors ride the join directly (the pair stream is consumed
+      // map-side against the broadcast) — routing id-pairs through
+      // verified() would re-shuffle the whole pair space twice. vecs is
+      // cached so the self-join's two sides share ONE materialization
+      // instead of each re-deriving weights/norms from tf.
+      val vc = vecs.cache()
+      vc.select(col("doc_id").as("doc_a"), col("vec").as("vec_a"),
+          col("m2").as("m2_a"))
+        .join(broadcast(vc.select(col("doc_id").as("doc_b"),
+          col("vec").as("vec_b"), col("m2").as("m2_b"))),
+          col("doc_a") < col("doc_b"))
+        .withColumn("dot", F.weightedDot(col("vec_a"), col("vec_b")))
+        .filter(cos >= tau)
+        .select(col("doc_a"), col("doc_b"), bp(cos).as("cos_bp"))
+    } else {
+      val prefix = w.join(norms, "doc_id")
+        .withColumn("before", coalesce(sum(col("wm") * col("wm")).over(byDoc), lit(0L)))
+        .filter((col("m2") - col("before")) * 10000L >= lit(cushion) * col("m2"))
+        .select(col("doc_id"), col("tok"))
+      val candidates = prefix.as("a").join(prefix.as("b"),
+          col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      verified(candidates)
+    }
   }
 
   /** q113: tf-idf cosine near-dup pairs at τ = 0.8. */
@@ -695,9 +748,16 @@ object Text {
     * forced-collision stress). */
   def cmsTokenCounts(df: DataFrame, text: String, width: Int, depth: Int,
                      k: Int): DataFrame = {
-    val stream = withToks(df, text).select(explode(toks).as("tok"))
-    val sketch = stream.agg(F.cmsAgg(xxhash64(col("tok")), width, depth).as("cms"))
-    stream.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    // ONE tokenize pass: the grouped (tok, cnt) table feeds BOTH the
+    // sketch (via the weighted update — byte-identical to streaming
+    // every instance) and the exact top-k; the shared grouping exchange
+    // is reused, so the corpus is scanned and exploded once instead of
+    // twice.
+    val counts = withToks(df, text).select(explode(toks).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val sketch = counts
+      .agg(F.cmsAggW(xxhash64(col("tok")), col("cnt"), width, depth).as("cms"))
+    counts
       .orderBy(col("cnt").desc, col("tok").asc).limit(k)
       .crossJoin(broadcast(sketch))
       .select(col("tok"), col("cnt"),

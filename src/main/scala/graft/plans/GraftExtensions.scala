@@ -87,7 +87,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("cms_agg"),
       new ExpressionInfo(classOf[CountMinAgg].getName, "cms_agg"),
       (children: Seq[Expression]) =>
-        CountMinAgg(children.head, intLit("cms_agg", children(1)),
+        CountMinAgg(children.head,
+          org.apache.spark.sql.catalyst.expressions.Literal(1L),
+          intLit("cms_agg", children(1)),
           children.lift(2).map(intLit("cms_agg", _)).getOrElse(4))
           .toAggregateExpression()))
     ext.injectFunction((

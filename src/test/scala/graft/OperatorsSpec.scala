@@ -949,4 +949,90 @@ class OperatorsSpec extends SparkSpec {
       }
     } finally pmi.unpersist()
   }
+
+  test("q90 vocab join is broadcast; the token stream never shuffles on a join") {
+    val plan = executedPlan(Text.q90(spark, sf)).toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"vocab join not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"a shuffle join survived in q90 (token-keyed exchange at scale):\n$plan")
+  }
+
+  test("weighted CMS update from grouped counts equals streaming every instance") {
+    val keys = spark.range(0, 500)
+      .select((col("id") % 37).as("k"))
+    val streamed = keys.agg(graft.functions.F.cmsAgg(col("k"), 64, 4))
+      .head().getAs[Array[Byte]](0)
+    val grouped = keys.groupBy(col("k")).agg(count(lit(1)).as("c"))
+      .agg(graft.functions.F.cmsAggW(col("k"), col("c"), 64, 4))
+      .head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(streamed, grouped),
+      "weighted sketch diverged from instance-streamed sketch")
+  }
+
+  test("q113 dense-vocab kernel equals the general prefix-filter path") {
+    val docs = Tables.documents(spark, sf)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    val dense = Text.tfidfCosinePairs(docs, "doc_id", "text", 0.8)
+      .collect().map(key).toSet
+    val general = Text.tfidfCosinePairs(docs, "doc_id", "text", 0.8,
+        denseVocabMax = 0)
+      .collect().map(key).toSet
+    assert(dense === general,
+      s"paths diverged: onlyDense=${(dense -- general).take(3)} " +
+        s"onlyGeneral=${(general -- dense).take(3)}")
+    assert(dense.nonEmpty)
+  }
+
+  test("prefix filter stays lossless below tau 0.794 (cushion derived from tau)") {
+    // The old fixed 63/100 cushion was only sound for tau ≥ √0.63; the
+    // dense kernel is trivially lossless, so path equality at tau = 0.5
+    // pins the derived cushion's correctness in the unsound-before zone.
+    val docs = Tables.documents(spark, sf).limit(120)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    val dense = Text.tfidfCosinePairs(docs, "doc_id", "text", 0.5)
+      .collect().map(key).toSet
+    val general = Text.tfidfCosinePairs(docs, "doc_id", "text", 0.5,
+        denseVocabMax = 0)
+      .collect().map(key).toSet
+    assert(dense === general,
+      s"general path lost pairs at tau=0.5: ${(dense -- general).take(5)}")
+  }
+
+  test("triangle join is degree-ordered: a high-id hub star yields zero wedges") {
+    import SparkTestSession.spark.implicits._
+    // Star around node 1000 (id sorts HIGH, degree 50) + one triangle
+    // 0-1-2. A min-id orientation points every star edge hub-ward only
+    // when the hub id is low; with a high hub id it emits 50² wedges.
+    val star = (0L until 50L).map(i => (i, 1000L))
+    val tri = Seq((0L, 1L), (1L, 2L), (0L, 2L))
+    val pairs = (star ++ tri).toSeq.toDF("a", "b")
+    val prof = Dedup.graphProfile(pairs, "a", "b").head()
+    // 0-1-2 plus the three hub triangles (0,1,1000), (1,2,1000), (0,2,1000)
+    assert(prof.getAs[Long]("n_triangles") === 4L)
+    assert(prof.getAs[Long]("n_edges") === 53L)
+    assert(prof.getAs[Long]("max_degree") === 50L)
+    val e = pairs.select(least(col("a"), col("b")).as("x"),
+      greatest(col("a"), col("b")).as("y")).distinct()
+    val o = Dedup.orientByDegree(e)
+    val maxOut = o.groupBy(col("u")).count().agg(max(col("count"))).head().getLong(0)
+    // Every leaf orients INTO the hub: out-degree is bounded by the
+    // min-endpoint degree (≤ 3 here), never the hub's 50.
+    assert(maxOut <= 3L, s"degree ordering violated: max out-degree $maxOut")
+  }
+
+  test("interpolation survives value×gap products beyond Long.MaxValue") {
+    import SparkTestSession.spark.implicits._
+    // 4e18 cents × 1e6 µs gap = 4e24 — a raw long multiply wraps.
+    val events = Seq((1L, 0L, 1L, 4000000000000000000L),
+                     (1L, 2000000L, 2L, 2000000000000000000L))
+      .toDF("k", "ts_us_in", "seq", "v")
+    val out = Events.resampleInterpolate(events, "k", col("ts_us_in"),
+        "seq", col("v"), 1000000L)
+      .orderBy(col("grid_us")).collect()
+    assert(out.map(_.getLong(2)).toSeq ===
+      Seq(4000000000000000000L, 3000000000000000000L, 2000000000000000000L))
+  }
 }
