@@ -80,6 +80,8 @@ object SparkEntry {
     "q61_ann_lsh"         -> (Similarity.q61 _),
     "q62_ann_ivf"         -> (Similarity.q62 _),
     "q63_ann_pq"          -> (Similarity.q63 _),
+    "q144_ann_ivf_index"  -> (Similarity.q144 _),
+    "q145_ann_pq_index"   -> (Similarity.q145 _),
     "q70_multimodal_meta" -> (Multimodal.q70 _),
     "q76_audio_windows"   -> (Multimodal.q76 _),
     "q78_label_centroids" -> (Similarity.q78 _),

@@ -439,6 +439,150 @@ object Similarity {
     ivfTopK(c, q, "vec_id", "embedding")
   }
 
+  // ---- persisted ANN indexes ----
+  //
+  // q62/q63 retrain the quantizer and re-encode the corpus on every
+  // call — fine for a benchmark, impossible for a 100 TB retrieval
+  // pipeline. These writers materialize the index ONCE (the same
+  // pattern as the MinHash signature store): the probe path then loads
+  // a k-row model table and scans only the stored assignments/codes,
+  // never touching the training loop or the corpus-wide encode again.
+  // Training is deterministic (hash-ordered sample, fixed seeds), so
+  // the probe output is row-identical to the in-memory path
+  // (spec-pinned).
+
+  /** Write an IVF-Flat index: a k-row centroid table plus the corpus
+    * PARTITIONED BY CELL — each inverted list is its own partition
+    * directory, so a probe reads exactly nprobe/cells of the index
+    * (partition-pruned scan, spec-pinned), the on-disk face of "score
+    * only the probed lists". */
+  def writeIvfIndex(corpus: DataFrame, id: String, emb: String, path: String,
+                    cells: Int = IvfCells, iters: Int = TrainIters): Unit = {
+    val s = corpus.sparkSession
+    import s.implicits._
+    val cents = trainCentroids(corpus, id, emb, cells, iters)
+    cents.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("cell", "centroid")
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    corpus.select(col(id).as("vid"), col(emb).as("c_emb"),
+        bestCell(cents, col(emb)).getField("i").as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+  }
+
+  /** Probe a persisted IVF index: no training, no corpus re-encode —
+    * the centroid model is a bounded k-row collect, query probes are
+    * computed query-side only, and the index scan is statically pruned
+    * to the probed cells (the probe set is ≤ `cells` ints, collected
+    * once — the bounded-driver-scalar pattern). */
+  def ivfTopKFromIndex(s: SparkSession, path: String, queries: DataFrame,
+                       id: String, emb: String, k: Int = TopK,
+                       probes: Int = IvfProbes): DataFrame = {
+    val cents: Seq[Seq[Float]] = s.read.parquet(s"$path/centroids")
+      .collect().sortBy(_.getInt(0)).map(_.getSeq[Float](1).toSeq).toSeq
+    def cellScores(e: Column): Column = array(cents.zipWithIndex.map {
+      case (c, i) => struct(F.cosineSim(e, typedlit(c)).as("c"), lit(i).as("i"))
+    }: _*)
+    val q = queries
+      .select(col(id).as("query_id"), col(emb).as("q_emb"),
+        explode(transform(
+          slice(reverse(sort_array(cellScores(col(emb)))), 1, probes),
+          x => x.getField("i"))).as("cell"))
+    val probed = q.select(col("cell")).distinct().collect().map(_.getInt(0))
+    val c = s.read.parquet(s"$path/cells")
+      .filter(col("cell").isin(probed.map(Integer.valueOf): _*))
+    val cos = F.cosineSim(col("q_emb"), col("c_emb"))
+    rankTopK(
+      c.join(broadcast(q), Seq("cell"))
+        .filter(col("vid") =!= col("query_id"))
+        .select(col("query_id"), col("vid").as("neighbor_id"), cos.as("cos")), k)
+  }
+
+  /** Write a PQ index: the codebook (one row of m·k·ds floats) plus the
+    * corpus compressed to ONE long code per vector — the 32×-compressed
+    * scoring table a 100 TB ANN sweep scans instead of raw floats. */
+  def writePqIndex(corpus: DataFrame, id: String, emb: String, path: String,
+                   m: Int = PqM, kCent: Int = PqK,
+                   iters: Int = TrainIters): Unit = {
+    val s = corpus.sparkSession
+    import s.implicits._
+    val codebook = trainPqCodebook(corpus, id, emb, m, kCent, iters)
+    Seq(Tuple1(codebook)).toDF("codebook")
+      .write.mode("overwrite").parquet(s"$path/codebook")
+    corpus.select(col(id).as("vid"),
+        F.pqCode(col(emb), codebook, m, kCent).as("code"))
+      .write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Probe a persisted PQ index: the codebook is a one-row collect, the
+    * ADC sweep runs over the stored 8-byte codes (no re-encode), and
+    * only the bounded rerank shortlist ever joins back to the raw
+    * corpus vectors. */
+  def pqTopKFromIndex(s: SparkSession, path: String, corpus: DataFrame,
+                      queries: DataFrame, id: String, emb: String,
+                      k: Int = TopK, m: Int = PqM, kCent: Int = PqK,
+                      rerank: Int = PqRerank): DataFrame = {
+    val codebook: Seq[Float] = s.read.parquet(s"$path/codebook")
+      .head().getSeq[Float](0).toSeq
+    val codes = s.read.parquet(s"$path/codes")
+    val q = queries.select(col(id).as("query_id"), col(emb).as("q_emb"),
+        F.pqTable(col(emb), codebook, m, kCent).as("tbl"))
+    val shortlist = codes.join(broadcast(q), col("vid") =!= col("query_id"))
+      .select(col("query_id"), col("vid").as("neighbor_id"),
+        F.pqAdc(col("tbl"), col("code"), m, kCent).as("adc"))
+      .groupBy(col("query_id"))
+      .agg(F.topK(struct(col("adc"), (-col("neighbor_id")).as("negid"),
+        col("neighbor_id").as("nid")), rerank).as("top"))
+      .select(col("query_id"), explode(col("top.nid")).as("neighbor_id"))
+      .join(broadcast(q.select(col("query_id"), col("q_emb"))), "query_id")
+    val cos = F.cosineSim(col("q_emb"), col("c_emb"))
+    rankTopK(
+      shortlist
+        .join(corpus.select(col(id).as("neighbor_id"), col(emb).as("c_emb")), "neighbor_id")
+        .select(col("query_id"), col("neighbor_id"), cos.as("cos")), k)
+  }
+
+  /** App-scoped scratch path for the benchmark index queries (same
+    * collision discipline as the q88 signature store: applicationId ×
+    * dataset-md5, shutdown-hook cleanup). */
+  private val scratchHooked = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def indexScratch(s: SparkSession, d: String, kind: String): String = {
+    val dTag = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_${kind}_" +
+      s"${s.sparkContext.applicationId}_$dTag"
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (scratchHooked.add(path)) {
+      sys.addShutdownHook { try fs.delete(hp, true) catch { case _: Exception => () } }
+    }
+    path
+  }
+
+  /** q144: IVF probe through the PERSISTED index — build once (skipped
+    * when this app already wrote it: the repeat-run face of a standing
+    * index), then load + probe with no training and no corpus encode.
+    * Row-identical to q62 (spec). */
+  def q144(s: SparkSession, d: String): DataFrame = {
+    val (c, q) = corpusAndQueries(s, d)
+    val path = indexScratch(s, d, "ivfidx")
+    val done = new org.apache.hadoop.fs.Path(s"$path/cells/_SUCCESS")
+    if (!done.getFileSystem(s.sparkContext.hadoopConfiguration).exists(done))
+      writeIvfIndex(c, "vec_id", "embedding", path)
+    ivfTopKFromIndex(s, path, q, "vec_id", "embedding")
+  }
+
+  /** q145: PQ ADC sweep + rerank through the PERSISTED codes, corpus
+    * never re-encoded. Row-identical to q63 (spec). */
+  def q145(s: SparkSession, d: String): DataFrame = {
+    val (c, q) = corpusAndQueries(s, d)
+    val path = indexScratch(s, d, "pqidx")
+    val done = new org.apache.hadoop.fs.Path(s"$path/codes/_SUCCESS")
+    if (!done.getFileSystem(s.sparkContext.hadoopConfiguration).exists(done))
+      writePqIndex(c, "vec_id", "embedding", path)
+    val rerank = math.max(PqRerank.toLong, math.min(c.count() / 6, 65536L)).toInt
+    pqTopKFromIndex(s, path, c, q, "vec_id", "embedding", rerank = rerank)
+  }
+
   /** q63: product-quantization ANN with exact rerank. The ADC shortlist
     * SCALES with the corpus (max(128, n/6)): 4-bit quantization error is
     * fixed while true-neighbor score gaps shrink as n grows, so a

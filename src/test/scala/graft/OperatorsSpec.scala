@@ -1023,6 +1023,30 @@ class OperatorsSpec extends SparkSpec {
     assert(maxOut <= 3L, s"degree ordering violated: max out-degree $maxOut")
   }
 
+  test("persisted IVF index probe is row-identical to the in-memory IVF path") {
+    val inMem = Similarity.q62(spark, sf).collect().map(_.toSeq).toSet
+    val fromIdx = Similarity.q144(spark, sf).collect().map(_.toSeq).toSet
+    assert(fromIdx === inMem)
+    assert(fromIdx.nonEmpty)
+  }
+
+  test("persisted PQ index probe is row-identical to the in-memory PQ path") {
+    val inMem = Similarity.q63(spark, sf).collect().map(_.toSeq).toSet
+    val fromIdx = Similarity.q145(spark, sf).collect().map(_.toSeq).toSet
+    assert(fromIdx === inMem)
+    assert(fromIdx.nonEmpty)
+  }
+
+  test("IVF index probe scans only the probed cell partitions") {
+    val df = Similarity.q144(spark, sf)
+    val explained = df.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    val scanLine = explained.linesIterator
+      .find(l => l.contains("PartitionFilters") && l.contains("cell"))
+    assert(scanLine.isDefined,
+      s"no cell partition filter on the index scan:\n$explained")
+  }
+
   test("interpolation survives value×gap products beyond Long.MaxValue") {
     import SparkTestSession.spark.implicits._
     // 4e18 cents × 1e6 µs gap = 4e24 — a raw long multiply wraps.
