@@ -40,6 +40,109 @@ object Sources {
   def binaryFiles(s: SparkSession, path: String): DataFrame =
     s.read.format("binaryFile").load(path)
 
+  // ---- Avro (container files) ----
+  //
+  // This distribution ships Avro core + avro-mapred but NOT the
+  // spark-avro connector, so the interchange format rides the Hadoop
+  // AvroKey{Input,Output}Format directly: the writer emits one
+  // container file per partition (the normal distributed-sink shape),
+  // the reader splits containers at sync markers — both sides scale
+  // exactly like the other file sources. Types cover the interchange
+  // subset (boolean/int/long/float/double/string/binary, nullable as
+  // [null, T] unions); richer nested types should ride parquet/ORC.
+
+  /** Catalyst StructType → Avro record schema (JSON). */
+  def avroSchemaJson(schema: StructType, name: String = "GraftRecord"): String = {
+    import org.apache.spark.sql.types._
+    val fields = schema.fields.map { f =>
+      val t = f.dataType match {
+        case BooleanType => "\"boolean\""
+        case IntegerType => "\"int\""
+        case LongType    => "\"long\""
+        case FloatType   => "\"float\""
+        case DoubleType  => "\"double\""
+        case StringType  => "\"string\""
+        case BinaryType  => "\"bytes\""
+        case other => throw new IllegalArgumentException(
+          s"avro interchange supports primitive columns, not $other " +
+            s"(column ${f.name}); cast or use parquet/ORC")
+      }
+      val typ = if (f.nullable) s"""["null", $t]""" else t
+      s"""{"name": "${f.name}", "type": $typ}"""
+    }
+    s"""{"type": "record", "name": "$name", "fields": [${fields.mkString(", ")}]}"""
+  }
+
+  /** Distributed Avro write: one container file per partition. */
+  def writeAvro(df: DataFrame, path: String): Unit = {
+    import org.apache.avro.Schema
+    import org.apache.avro.generic.{GenericData, GenericRecord}
+    import org.apache.avro.mapred.AvroKey
+    import org.apache.avro.mapreduce.{AvroJob, AvroKeyOutputFormat}
+    import org.apache.hadoop.io.NullWritable
+    val json = avroSchemaJson(df.schema)
+    val n = df.schema.length
+    val sc = df.sparkSession.sparkContext
+    val job = org.apache.hadoop.mapreduce.Job.getInstance(sc.hadoopConfiguration)
+    AvroJob.setOutputKeySchema(job, new Schema.Parser().parse(json))
+    val out = new org.apache.hadoop.fs.Path(path)
+    out.getFileSystem(sc.hadoopConfiguration).delete(out, true)
+    df.rdd.mapPartitions { rows =>
+      // The schema travels as its JSON (Schema's Java serialization is
+      // not a cross-version contract); parsed once per partition.
+      val schema = new Schema.Parser().parse(json)
+      rows.map { r =>
+        val rec = new GenericData.Record(schema)
+        var i = 0
+        while (i < n) {
+          val v = (if (r.isNullAt(i)) null else r.get(i)) match {
+            case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
+            case x => x
+          }
+          rec.put(i, v)
+          i += 1
+        }
+        (new AvroKey[GenericRecord](rec), NullWritable.get())
+      }
+    }.saveAsNewAPIHadoopFile(path,
+      classOf[AvroKey[GenericRecord]], classOf[NullWritable],
+      classOf[AvroKeyOutputFormat[GenericRecord]], job.getConfiguration)
+  }
+
+  /** Avro read with an explicit expected schema (the same no-inference
+    * rule as csv/json; a reader schema also makes Avro do its own
+    * schema-resolution against whatever the files carry). */
+  def avro(s: SparkSession, path: String, schema: StructType): DataFrame = {
+    import org.apache.avro.Schema
+    import org.apache.avro.generic.GenericRecord
+    import org.apache.avro.mapred.AvroKey
+    import org.apache.avro.mapreduce.{AvroJob, AvroKeyInputFormat}
+    import org.apache.hadoop.io.NullWritable
+    val json = avroSchemaJson(schema)
+    val n = schema.length
+    val job = org.apache.hadoop.mapreduce.Job.getInstance(s.sparkContext.hadoopConfiguration)
+    AvroJob.setInputKeySchema(job, new Schema.Parser().parse(json))
+    val rows = s.sparkContext.newAPIHadoopFile(path,
+        classOf[AvroKeyInputFormat[GenericRecord]],
+        classOf[AvroKey[GenericRecord]], classOf[NullWritable],
+        job.getConfiguration)
+      .map { case (k, _) =>
+        // The input format REUSES the record object — every field is
+        // copied out (Utf8 → String, ByteBuffer → fresh array) before
+        // the next record is read.
+        val rec = k.datum()
+        Row.fromSeq((0 until n).map { i =>
+          rec.get(i) match {
+            case u: org.apache.avro.util.Utf8 => u.toString
+            case bb: java.nio.ByteBuffer =>
+              val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a
+            case x => x
+          }
+        })
+      }
+    s.createDataFrame(rows, schema)
+  }
+
   /** Hive-style partitioned layout: `path/col=value/part-*.parquet`. */
   def writePartitioned(df: DataFrame, path: String, cols: Seq[String],
                        mode: String = "overwrite"): Unit =

