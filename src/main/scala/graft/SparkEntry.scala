@@ -82,6 +82,12 @@ object SparkEntry {
     "q63_ann_pq"          -> (Similarity.q63 _),
     "q144_ann_ivf_index"  -> (Similarity.q144 _),
     "q145_ann_pq_index"   -> (Similarity.q145 _),
+    "q68_copurchase"      -> (Relational.q68 _),
+    "q69_transitions"     -> (Events.q69 _),
+    "q146_bm25"           -> (Text.q146 _),
+    "q147_pagerank"       -> (Dedup.q147 _),
+    "q148_cumulative_actives" -> (Events.q148 _),
+    "q149_seasonal_spikes"    -> (Events.q149 _),
     "q70_multimodal_meta" -> (Multimodal.q70 _),
     "q76_audio_windows"   -> (Multimodal.q76 _),
     "q78_label_centroids" -> (Similarity.q78 _),
@@ -884,6 +890,65 @@ object SparkEntry {
          FROM documents GROUP BY md5(text)""",
 
     "q51_dedup_ngram_jaccard" -> jaccardOracle,
+
+    "q68_copurchase" ->
+      """WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_orders
+               FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+               GROUP BY 1, 2)
+         SELECT part_a, part_b, CAST(n_orders AS BIGINT) AS n_orders FROM p
+         ORDER BY n_orders DESC, part_a, part_b LIMIT 20""",
+
+    "q69_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+         l AS (SELECT event_type AS from_type,
+                      lead(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS to_type
+               FROM e),
+         c AS (SELECT from_type, to_type, count(*) AS n FROM l
+               WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         t AS (SELECT from_type, sum(n) AS tot FROM c GROUP BY 1)
+         SELECT c.from_type, c.to_type, CAST(c.n AS BIGINT) AS n,
+                CAST((c.n * 10000) // t.tot AS BIGINT) AS prob_bp
+         FROM c JOIN t USING (from_type)""",
+
+    "q146_bm25" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM t),
+         st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, sum(dl) AS total_len FROM dl),
+         tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+         tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM tok
+                WHERE tok IN ('query', 'join', 'data') GROUP BY 1, 2),
+         dfq AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+         sc AS (SELECT tf.doc_id,
+                ${BP("ln((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0) * ((tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / (st.total_len / st.n_docs)))))")} AS term_bp
+                FROM tf JOIN dfq USING (tok) JOIN dl USING (doc_id), st)
+         SELECT doc_id, CAST(sum(term_bp) AS BIGINT) AS score_bp,
+                count(*) AS n_terms_hit
+         FROM sc GROUP BY 1 ORDER BY score_bp DESC, doc_id LIMIT 20""",
+
+    "q147_pagerank" -> pageRankOracle,
+
+    "q148_cumulative_actives" ->
+      """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY 1),
+         d AS (SELECT day, count(*) AS n_new FROM f GROUP BY 1)
+         SELECT strftime(day, '%Y-%m-%d') AS day, CAST(n_new AS BIGINT) AS n_new,
+                CAST(sum(n_new) OVER (ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+         FROM d""",
+
+    "q149_seasonal_spikes" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events
+                        FROM events GROUP BY 1, 2),
+         d2 AS (SELECT event_type, day, n_events, isodow(day) AS dow FROM daily),
+         base AS (SELECT event_type, dow, sum(n_events) AS dow_total, count(*) AS dow_days
+                  FROM d2 GROUP BY 1, 2)
+         SELECT d2.event_type, strftime(d2.day, '%Y-%m-%d') AS day,
+                CAST(d2.dow AS BIGINT) AS dow, CAST(d2.n_events AS BIGINT) AS n_events,
+                CAST(base.dow_total AS BIGINT) AS dow_total,
+                CAST(base.dow_days AS BIGINT) AS dow_days,
+                CAST(CASE WHEN d2.n_events * base.dow_days > 2 * base.dow_total
+                     THEN 1 ELSE 0 END AS BIGINT) AS spike
+         FROM d2 JOIN base USING (event_type, dow)""",
     // Incremental dedup: store = even ids, batch = odd ids; every true
     // pair except even-even must surface (LSH misses are ~2e-11 at
     // these similarity levels, as for q52).
@@ -1437,6 +1502,37 @@ object SparkEntry {
            old_type, new_type
          FROM oo FULL OUTER JOIN nn ON oo.user_id = nn.user_id""",
   )
+
+  /** PageRank oracle: the q51 edge derivation + 5 UNROLLED integer
+    * power-iteration stages, mirroring Dedup.pageRank's exact fixed
+    * point (scale 10¹², damping 85/100, truncating `//` on nonnegative
+    * values — identical to Spark's IntegralDivide here). */
+  private def pageRankOracle: String = {
+    val base =
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle FROM t),
+         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         pair AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS common
+                  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+         good AS (SELECT ida, idb FROM pair
+                  JOIN sz na ON na.doc_id = ida JOIN sz nb ON nb.doc_id = idb
+                  WHERE common / CAST(na.n + nb.n - common AS DOUBLE) >= 0.6),
+         e0 AS (SELECT ida AS x, idb AS y FROM good UNION SELECT idb, ida FROM good),
+         deg AS (SELECT x, count(*) AS d FROM e0 GROUP BY 1),
+         nn AS (SELECT count(*) AS c FROM deg),
+         r0 AS (SELECT x AS node, 1000000000000 // c AS r FROM deg, nn)"""
+    val iters = (1 to 5).map { i =>
+      s""",
+         s$i AS (SELECT e0.y AS node, sum(r${i - 1}.r // deg.d) AS sc
+                 FROM e0 JOIN r${i - 1} ON r${i - 1}.node = e0.x
+                 JOIN deg ON deg.x = e0.x GROUP BY 1),
+         r$i AS (SELECT node, (150000000000 // c) + (85 * sc) // 100 AS r FROM s$i, nn)"""
+    }.mkString
+    base + iters +
+      "\n SELECT node AS doc_id, CAST(r AS BIGINT) AS rank_e12 FROM r5"
+  }
 
   private def jaccardOracle: String =
     s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -749,6 +749,52 @@ object Dedup {
         col("n_triangles"))
   }
 
+  /** PAGERANK over an undirected pair graph (damping 0.85, fixed
+    * iteration count) — the centrality score that ranks a near-dup
+    * graph's hub documents (template sources, canonical pages) for
+    * curation triage. All arithmetic is EXACT integer fixed point at
+    * scale 10¹²: r₀ = S/n; each round every node sends floor(r/deg) to
+    * each neighbor and receives tele + floor(85·Σ/100) — truncating
+    * division on nonnegative longs agrees across engines, so ranks are
+    * bit-identical to the oracle's unrolled SQL.
+    *
+    * Scale shape: one join + one aggregation per iteration (the
+    * Dedup.clusters discipline) — contributions shuffle O(edges),
+    * ranks shuffle O(nodes); localCheckpoint truncates the
+    * per-iteration lineage; the node count is the only driver scalar.
+    * Every node of an undirected edge set has degree ≥ 1, so there are
+    * no dangling-mass corrections. */
+  def pageRank(pairs: DataFrame, a: String, b: String,
+               iters: Int): DataFrame = {
+    val Scale = 1000000000000L
+    val e = pairs.select(col(a).as("x"), col(b).as("y"))
+      .filter(col("x") =!= col("y")).distinct()
+    val edges = e.unionAll(e.select(col("y").as("x"), col("x").as("y")))
+      .localCheckpoint()
+    val deg = edges.groupBy(col("x")).agg(count(lit(1)).as("d"))
+    val eD = edges.join(deg, "x").localCheckpoint()
+    val n = deg.count()
+    require(n > 0, "pageRank needs a nonempty edge set")
+    val tele = (Scale * 15L / 100L) / n
+    var ranks = deg.select(col("x").as("node"), lit(Scale / n).as("r"))
+    for (_ <- 0 until iters) {
+      ranks = eD.join(ranks.withColumnRenamed("node", "x"), "x")
+        .select(col("y"), F.idiv(col("r"), col("d")).as("c"))
+        .groupBy(col("y")).agg(sum(col("c")).as("sc"))
+        .select(col("y").as("node"),
+          (lit(tele) + F.idiv(lit(85L) * col("sc"), lit(100L))).as("r"))
+        .localCheckpoint()
+    }
+    ranks.select(col("node").as("doc_id"), col("r").as("rank_e12"))
+  }
+
+  /** q147: 5-iteration PageRank of the exact-Jaccard near-dup graph. */
+  def q147(s: SparkSession, d: String): DataFrame =
+    pageRank(
+      jaccardPairs(Tables.documents(s, d), "doc_id", "text", 0.6)
+        .select(col("doc_a"), col("doc_b")),
+      "doc_a", "doc_b", 5)
+
   /** q135: health profile of the exact-Jaccard near-dup graph. */
   def q135(s: SparkSession, d: String): DataFrame =
     graphProfile(

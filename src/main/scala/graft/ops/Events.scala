@@ -749,4 +749,79 @@ object Events {
   def q67(s: SparkSession, d: String): DataFrame =
     robustScale(Tables.events(s, d), "event_type", "event_id",
       graft.functions.Cols.cents(col("value")), 0.05, 0.95)
+
+  /** First-order MARKOV transition matrix of a per-entity event
+    * sequence: P(next type | type), the sequence-mining primitive
+    * behind next-action prediction and funnel diagnosis. One window
+    * pass per entity partition pairs each event with its successor
+    * (deterministic (ts, id) order), one aggregation counts
+    * transitions; per-source totals are a tiny broadcast back and the
+    * probability is an exact integer basis-point quotient. */
+  def transitionMatrix(events: DataFrame, entity: String, kind: String,
+                       tsUs: Column, seq: String): DataFrame = {
+    val w = Window.partitionBy(col(entity)).orderBy(tsUs.asc, col(seq).asc)
+    val c = events
+      .withColumn("to_type", lead(col(kind), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col(kind).as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = c.groupBy(col("from_type")).agg(sum(col("n")).as("tot"))
+    c.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        F.idiv(col("n") * 10000L, col("tot")).as("prob_bp"))
+  }
+
+  /** q69: per-user event-type transition probabilities. */
+  def q69(s: SparkSession, d: String): DataFrame =
+    transitionMatrix(Tables.events(s, d), "user_id", "event_type",
+      unix_micros(col("ts")), "event_id")
+
+  /** CUMULATIVE distinct actives by day (the growth curve): each
+    * entity's first-seen day is one aggregation over the corpus; the
+    * running total then runs over the BOUNDED calendar-day table (one
+    * row per day — a driver-scale window, never a corpus sort). */
+  def cumulativeActives(events: DataFrame, entity: String,
+                        day: Column): DataFrame = {
+    val first = events.groupBy(col(entity)).agg(min(day).as("day"))
+    val daily = first.groupBy(col("day")).agg(count(lit(1)).as("n_new"))
+    daily
+      .withColumn("cum_users",
+        sum(col("n_new")).over(Window.orderBy(col("day").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_new"), col("cum_users"))
+  }
+
+  /** q148: cumulative distinct users by first-activity day. */
+  def q148(s: SparkSession, d: String): DataFrame =
+    cumulativeActives(Tables.events(s, d), "user_id", to_date(col("ts")))
+
+  /** SEASONAL (day-of-week) anomaly flags: per (group, ISO weekday)
+    * the full-history baseline (total, day count) attaches back to each
+    * daily count by a tiny broadcast, and the spike flag is the exact
+    * integer inequality n·days > factor·total — engine-independent
+    * membership, no doubles anywhere (the q123 fixed-point-gate
+    * discipline applied to a seasonal baseline). */
+  def seasonalSpikes(events: DataFrame, group: String, day: Column,
+                     factor: Int): DataFrame = {
+    val daily = events
+      .groupBy(col(group), day.as("day"))
+      .agg(count(lit(1)).as("n_events"))
+      // weekday() is 0=Monday; +1 matches ISO dow (1=Monday..7=Sunday)
+      .withColumn("dow", (weekday(col("day")) + 1).cast("long"))
+    val base = daily.groupBy(col(group), col("dow"))
+      .agg(sum(col("n_events")).as("dow_total"),
+           count(lit(1)).as("dow_days"))
+    daily.join(broadcast(base), Seq(group, "dow"))
+      .select(col(group), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("dow"), col("n_events"), col("dow_total"), col("dow_days"),
+        when(col("n_events") * col("dow_days") >
+             lit(factor.toLong) * col("dow_total"), 1L)
+          .otherwise(0L).as("spike"))
+  }
+
+  /** q149: daily event counts flagged against the 2× day-of-week
+    * baseline per event type. */
+  def q149(s: SparkSession, d: String): DataFrame =
+    seasonalSpikes(Tables.events(s, d), "event_type", to_date(col("ts")), 2)
 }

@@ -931,4 +931,35 @@ object Relational {
       .groupBy(col("l_linestatus"))
       .pivot("l_returnflag")
       .agg(cents(sum(col("l_extendedprice"))))
+
+  /** Market-basket CO-OCCURRENCE: item pairs bought together in the
+    * same order, counted once per order, top-k by support — the
+    * frequent-itemset (pairs) miner behind recommendations.
+    *
+    * Scale shape: the naive formulation is a lineitem SELF-JOIN on the
+    * order key — at 100 TB that shuffles the fact table twice and its
+    * skew follows the largest basket. Instead each order reduces to its
+    * sorted distinct item array (one aggregation), and pairs explode
+    * WITHIN the basket row — fan-out bounded by basket size squared
+    * (baskets are small by nature; a pathological mega-basket would be
+    * capped or sampled upstream), and the only shuffle after the basket
+    * aggregation carries (pair, partial count). */
+  def coPurchasePairs(items: DataFrame, basket: String, item: String,
+                      k: Int): DataFrame = {
+    val baskets = items.select(col(basket).as("bk"), col(item).as("it"))
+      .groupBy(col("bk")).agg(sort_array(collect_set(col("it"))).as("arr"))
+    val pairs = baskets
+      .select(posexplode(col("arr")).as(Seq("i", "part_a")), col("arr"))
+      .select(col("part_a"),
+        explode(slice(col("arr"), col("i") + lit(2),
+          size(col("arr")) - col("i") - lit(1))).as("part_b"))
+    pairs.groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("part_a").asc, col("part_b").asc)
+      .limit(k)
+  }
+
+  /** q68: top-20 co-purchased part pairs across orders. */
+  def q68(s: SparkSession, d: String): DataFrame =
+    coPurchasePairs(Tables.lineitem(s, d), "l_orderkey", "l_partkey", 20)
 }

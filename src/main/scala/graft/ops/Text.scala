@@ -768,6 +768,50 @@ object Text {
   def q126(s: SparkSession, d: String): DataFrame =
     cmsTokenCounts(Tables.documents(s, d), "text", 4096, 4, 20)
 
+  /** BM25 keyword retrieval (Robertson/Sparck Jones, the lexical-search
+    * baseline every RAG pipeline starts from): rank documents for a
+    * query term set with k1 = 1.2, b = 0.75.
+    *
+    * Plan: the term postings reduce to (doc, term, tf) — tf over the
+    * query terms only, so the probe is a vanishing fraction of the
+    * corpus; document length and the corpus stats are one aggregation
+    * each, broadcast back; df rides the (tiny) per-term table. Each
+    * term's score rounds to fixed-point bp BEFORE the per-doc long sum
+    * (merge-order/engine independent — the q110 discipline), and the
+    * top-k cut is TakeOrderedAndProject, never a global sort. */
+  def bm25TopK(df: DataFrame, id: String, text: String,
+               terms: Seq[String], k: Int): DataFrame = {
+    val tf = withToks(df, text).select(col(id), explode(toks).as("tok"))
+      .filter(col("tok").isin(terms.map(lit(_)): _*))
+      .groupBy(col(id), col("tok")).agg(count(lit(1)).as("tf"))
+    val dl = withToks(df, text)
+      .select(col(id), size(toks).cast("double").as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      sum(col("dl")).as("total_len"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).cast("double").as("df"))
+    // Expression structure mirrors the oracle left-to-right so the
+    // doubles are bit-identical before the bp floor.
+    val idf = log((col("n_docs") - col("df") + lit(0.5)) /
+      (col("df") + lit(0.5)) + lit(1.0))
+    val avgdl = col("total_len") / col("n_docs")
+    val termScore = idf * ((col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * (col("dl") / avgdl))))
+    tf.join(broadcast(dfreq), "tok")
+      .join(dl, id)
+      .crossJoin(broadcast(stats))
+      .select(col(id), bp(termScore).as("term_bp"))
+      .groupBy(col(id))
+      .agg(sum(col("term_bp")).as("score_bp"),
+           count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("score_bp").desc, col(id).asc)
+      .limit(k)
+  }
+
+  /** q146: top-20 documents for the query {query, join, data}. */
+  def q146(s: SparkSession, d: String): DataFrame =
+    bm25TopK(Tables.documents(s, d), "doc_id", "text",
+      Seq("query", "join", "data"), 20)
+
   /** BPE vocabulary induction (tokenizer training) as a distributed
     * operator: learn `nMerges` byte-pair merges from the corpus and
     * return the merge table (rank, left, right, merged, pair_count) —
