@@ -824,6 +824,26 @@ object Bits {
     v
   }
   def interleave(a: Long, b: Long): Long = spread(a) | (spread(b) << 1)
+  /** Round-robin interleave of N values, floor(64/N) bits each: output
+    * bit j·N + i is bit j of value i. The generic (loop) form — the
+    * 2-column case keeps its branch-free mask ladder above; 3–4 column
+    * layout keys are where real tables stop gaining anyway (each added
+    * column halves every column's per-file selectivity). */
+  def interleaveN(vals: Array[Long]): Long = {
+    val n = vals.length
+    val bitsPer = 64 / n
+    var out = 0L
+    var j = 0
+    while (j < bitsPer) {
+      var i = 0
+      while (i < n) {
+        out |= ((vals(i) >>> j) & 1L) << (j * n + i)
+        i += 1
+      }
+      j += 1
+    }
+    out
+  }
   /** Inverse of spread: collect the even bit positions back into 32 bits. */
   def unspread(x: Long): Long = {
     var v = x & 0x5555555555555555L
@@ -912,6 +932,54 @@ case class ZOrder2(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): ZOrder2 =
     copy(left = l, right = r)
+}
+
+/** N-column Morton key (2 ≤ N ≤ 8): round-robin bit interleave of N
+  * long columns, floor(64/N) bits each — the layout key for multi-
+  * dimensional data skipping when two columns aren't enough (time ×
+  * tenant × region is the classic three). Inputs are taken mod
+  * 2^(64/N); callers range- or rank-encode wider domains first (the
+  * same contract as ZOrder2). */
+case class ZOrderN(children: Seq[Expression])
+    extends Expression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  require(children.size >= 2 && children.size <= 8,
+    s"zorder_n interleaves 2..8 columns, got ${children.size}")
+  override def inputTypes: Seq[DataType] = Seq.fill(children.size)(LongType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def prettyName: String = "zorder_n"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val arr = new Array[Long](children.size)
+    var i = 0
+    while (i < children.size) {
+      val v = children(i).eval(input)
+      if (v == null) return null
+      arr(i) = v.asInstanceOf[Long]
+      i += 1
+    }
+    Bits.interleaveN(arr)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val evals = children.map(_.genCode(ctx))
+    val anyNull = evals.map(_.isNull.toString).mkString(" || ")
+    val vals = evals.map(_.value.toString).mkString(", ")
+    val childCode = evals.map(_.code.toString).mkString("\n")
+    ev.copy(code =
+      code"""
+        $childCode
+        boolean ${ev.isNull} = false;
+        long ${ev.value} = 0L;
+        if ($anyNull) { ${ev.isNull} = true; } else {
+          ${ev.value} = graft.functions.Bits.interleaveN(new long[]{$vals});
+        }""")
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): ZOrderN = copy(children = newChildren)
 }
 
 /** Unicode NFC normalization (canonical composition) of a string column

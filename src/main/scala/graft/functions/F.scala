@@ -80,6 +80,11 @@ object F {
   def rankBucket(c: Column, boundaries: Seq[Double]): Column =
     GraftColumns.wrap(SearchSortedBucket(u(c), boundaries))
 
+  /** N-column Morton key (2..8 long columns, floor(64/N) bits each) —
+    * multi-dimensional data-skipping layouts beyond two columns. */
+  def zorderN(cols: Column*): Column =
+    GraftColumns.wrap(ZOrderN(cols.map(u)))
+
   /** Bounded-heap top-k aggregate: descending array of the k largest
     * values of `c` (use struct(sort_key, payload…) for row top-k).
     * Partial-aggregates map-side: the shuffle carries O(groups·k). */

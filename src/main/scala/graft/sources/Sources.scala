@@ -238,6 +238,41 @@ object Sources {
       scaled(colB, m.getLong(2), m.getLong(3)))), zkey, path, numFiles)
   }
 
+  /** N-COLUMN z-ordered write (2..8 columns): every column linearly
+    * rescaled into the SHARED floor(64/N)-bit space (the equal-width
+    * contract that keeps any one column from dominating the curve),
+    * then round-robin bit-interleaved by the codegen'd ZOrderN key.
+    * Three or four columns is where real layout tuning lands (time ×
+    * tenant × region); each added column halves every column's per-file
+    * selectivity, so N is bounded at 8 by construction and by sense. */
+  def writeZOrderedN(df: DataFrame, path: String, cols: Seq[String],
+                     numFiles: Int): Unit = {
+    import org.apache.spark.sql.functions.{col, min, max, lit}
+    require(cols.size >= 2 && cols.size <= 8,
+      s"writeZOrderedN interleaves 2..8 columns, got ${cols.size}")
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c).cast("long")), max(col(c).cast("long"))))
+    val m = df.agg(aggs.head, aggs.tail: _*).head()
+    if (cols.indices.exists(i => m.isNullAt(2 * i))) {
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
+    val bitsMax = (1L << (64 / cols.size)) - 1
+    def scaled(c: String, mn: Long, mx: Long) = {
+      val x = col(c).cast("long") - lit(mn)
+      val range = BigInt(mx) - BigInt(mn)
+      if (range <= bitsMax)
+        graft.functions.F.idiv(x * lit(bitsMax), lit(range.toLong max 1L))
+      else
+        graft.functions.F.idiv(x, lit((range / bitsMax + 1).toLong))
+    }
+    val keys = cols.zipWithIndex.map { case (c, i) =>
+      scaled(c, m.getLong(2 * i), m.getLong(2 * i + 1)) }
+    val zkey = freshName(df, "__zkey")
+    writeByZKey(df.withColumn(zkey, graft.functions.F.zorderN(keys: _*)),
+      zkey, path, numFiles)
+  }
+
   /** Z-ORDERED write, RANK-encoded: like writeZOrdered but each column
     * is first mapped to its quantile-rank bucket (approxQuantile
     * boundaries — one tiny driver array per column — then a codegen'd

@@ -201,6 +201,35 @@ class ExpressionsSpec extends SparkSpec {
     assert(viaSql == Bits.interleave(3L, 5L))
   }
 
+  test("zorderN round-trips 3- and 4-column values within their bit budget") {
+    val gen = new scala.util.Random(13)
+    def decode(z: Long, n: Int, i: Int): Long =
+      (0 until 64 / n).map(j => ((z >>> (j * n + i)) & 1L) << j)
+        .foldLeft(0L)(_ | _)
+    // 3 columns: 21 bits each
+    val triples = Seq((0L, 0L, 0L), ((1L << 21) - 1, 0L, (1L << 21) - 1)) ++
+      Seq.fill(20)((gen.nextLong() & 0x1FFFFFL, gen.nextLong() & 0x1FFFFFL,
+        gen.nextLong() & 0x1FFFFFL))
+    triples.toDF("a", "b", "c")
+      .select(col("a"), col("b"), col("c"),
+        F.zorderN(col("a"), col("b"), col("c")).as("z")).collect()
+      .foreach { r =>
+        val z = r.getLong(3)
+        assert(decode(z, 3, 0) == r.getLong(0) && decode(z, 3, 1) == r.getLong(1)
+          && decode(z, 3, 2) == r.getLong(2))
+      }
+    // 4 columns: 16 bits each
+    val quads = Seq.fill(20)(((gen.nextLong() & 0xFFFFL), (gen.nextLong() & 0xFFFFL),
+      (gen.nextLong() & 0xFFFFL), (gen.nextLong() & 0xFFFFL)))
+    quads.toDF("a", "b", "c", "d")
+      .select(F.zorderN(col("a"), col("b"), col("c"), col("d")).as("z"),
+        col("a"), col("b"), col("c"), col("d")).collect()
+      .foreach { r =>
+        val z = r.getLong(0)
+        (0 until 4).foreach(i => assert(decode(z, 4, i) == r.getLong(i + 1)))
+      }
+  }
+
   test("nfc_normalize composes decomposed sequences and passes ASCII through") {
     val decomposed = "Cafe\u0301"   // e + combining acute (5 chars)
     val composed = "Caf\u00e9"       // precomposed é (4 chars)

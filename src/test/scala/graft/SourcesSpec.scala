@@ -203,6 +203,36 @@ class SourcesSpec extends SparkSpec {
     assert(zB < sB * 0.75, s"z-order ($zB) must beat the sort ($sB) on the non-leading column")
   }
 
+  test("3-column z-order narrows per-file ranges on ALL THREE columns") {
+    import graft.sources.Sources
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+    def meanSpan(path: String, c: String): Double = {
+      val g = spark.read.parquet(path)
+        .agg(min(col(c)).as("mn"), max(col(c)).as("mx")).head()
+      val files = spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg(min(col(c)).as("mn"), max(col(c)).as("mx")).collect()
+      files.map(r => (r.getLong(2) - r.getLong(1)).toDouble /
+        (g.getLong(1) - g.getLong(0))).sum / files.length
+    }
+    val zdir = tmp("zorder3")
+    Sources.writeZOrderedN(li, zdir, Seq("l_orderkey", "l_partkey", "l_suppkey"), 8)
+    val sdir = tmp("sorted3")
+    li.repartitionByRange(8, col("l_orderkey"))
+      .sortWithinPartitions(col("l_orderkey"))
+      .write.mode("overwrite").parquet(sdir)
+    assert(spark.read.parquet(zdir).count() == li.count())
+    val zs = Seq("l_orderkey", "l_partkey", "l_suppkey").map(meanSpan(zdir, _))
+    val ss = Seq("l_partkey", "l_suppkey").map(meanSpan(sdir, _))
+    // Every interleaved column must carry narrowing; the plain sort
+    // leaves its non-leading columns unclustered (~full range).
+    assert(zs.forall(_ < 0.8), s"z spans: $zs")
+    assert(ss.forall(_ > 0.9), s"sorted baseline spans: $ss")
+    assert(zs(1) < ss(0) * 0.85 && zs(2) < ss(1) * 0.85,
+      s"3-col z-order ($zs) must beat the sort ($ss) on non-leading columns")
+  }
+
   test("rank-encoded z-order keeps clustering a heavy-tailed column where linear collapses") {
     import graft.sources.Sources
     import SparkTestSession.spark.implicits._
