@@ -88,6 +88,9 @@ object SparkEntry {
     "q147_pagerank"       -> (Dedup.q147 _),
     "q148_cumulative_actives" -> (Events.q148 _),
     "q149_seasonal_spikes"    -> (Events.q149 _),
+    "q150_event_paths"        -> (Events.q150 _),
+    "q151_cusum"              -> (Events.q151 _),
+    "q152_schema_drift"       -> (Changes.q152 _),
     "q70_multimodal_meta" -> (Multimodal.q70 _),
     "q76_audio_windows"   -> (Multimodal.q76 _),
     "q78_label_centroids" -> (Similarity.q78 _),
@@ -949,6 +952,56 @@ object SparkEntry {
                 CAST(CASE WHEN d2.n_events * base.dow_days > 2 * base.dow_total
                      THEN 1 ELSE 0 END AS BIGINT) AS spike
          FROM d2 JOIN base USING (event_type, dow)""",
+
+    "q150_event_paths" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type AS t1 FROM events),
+         p AS (SELECT t1,
+           lead(t1, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS t2,
+           lead(t1, 2) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS t3 FROM e),
+         c AS (SELECT t1, t2, t3, count(*) AS n_paths FROM p
+               WHERE t2 IS NOT NULL AND t3 IS NOT NULL GROUP BY 1, 2, 3),
+         r AS (SELECT t1, t2, t3, CAST(n_paths AS BIGINT) AS n_paths,
+           CAST(row_number() OVER (ORDER BY n_paths DESC, t1, t2, t3) AS BIGINT) AS rn FROM c)
+         SELECT * FROM r WHERE rn <= 20""",
+
+    "q151_cusum" ->
+      """WITH d AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n_events FROM events GROUP BY 1),
+         t AS (SELECT sum(n_events) AS total, count(*) AS days FROM d),
+         p AS (SELECT day, n_events, n_events * days - total AS dev, total FROM d CROSS JOIN t),
+         s AS (SELECT day, n_events, total,
+           sum(dev) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS pp FROM p),
+         m AS (SELECT *, least(min(pp) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING), 0) AS runmin FROM s)
+         SELECT strftime(day, '%Y-%m-%d') AS day, CAST(n_events AS BIGINT) AS n_events,
+           CAST(pp - runmin AS BIGINT) AS cusum,
+           CAST(CASE WHEN pp - runmin > total THEN 1 ELSE 0 END AS BIGINT) AS alarm
+         FROM m""",
+
+    "q152_schema_drift" ->
+      s"""WITH p AS (SELECT o_orderdate >= TIMESTAMP '1998-07-01' AS is_new,
+           o_custkey, o_orderstatus, ${C("o_totalprice")} AS price_c FROM orders),
+         a AS (SELECT
+           count(*) FILTER (WHERE NOT is_new) AS rows_old,
+           count(*) FILTER (WHERE is_new) AS rows_new,
+           count(DISTINCT o_custkey) FILTER (WHERE NOT is_new) AS cust_old,
+           count(DISTINCT o_custkey) FILTER (WHERE is_new) AS cust_new,
+           count(DISTINCT o_orderstatus) FILTER (WHERE NOT is_new) AS stat_old,
+           count(DISTINCT o_orderstatus) FILTER (WHERE is_new) AS stat_new,
+           min(price_c) FILTER (WHERE NOT is_new) AS minp_old,
+           min(price_c) FILTER (WHERE is_new) AS minp_new,
+           max(price_c) FILTER (WHERE NOT is_new) AS maxp_old,
+           max(price_c) FILTER (WHERE is_new) AS maxp_new,
+           sum(price_c) FILTER (WHERE NOT is_new) AS sump_old,
+           sum(price_c) FILTER (WHERE is_new) AS sump_new FROM p)
+         SELECT metric, CAST(old_value AS BIGINT) AS old_value,
+           CAST(new_value AS BIGINT) AS new_value,
+           CAST(new_value - old_value AS BIGINT) AS delta FROM (
+           SELECT 'n_rows' AS metric, rows_old AS old_value, rows_new AS new_value FROM a
+           UNION ALL SELECT 'n_customers', cust_old, cust_new FROM a
+           UNION ALL SELECT 'n_statuses', stat_old, stat_new FROM a
+           UNION ALL SELECT 'min_price_c', minp_old, minp_new FROM a
+           UNION ALL SELECT 'max_price_c', maxp_old, maxp_new FROM a
+           UNION ALL SELECT 'sum_price_c', sump_old, sump_new FROM a)""",
+
     // Incremental dedup: store = even ids, batch = odd ids; every true
     // pair except even-even must surface (LSH misses are ~2e-11 at
     // these similarity levels, as for q52).

@@ -192,4 +192,53 @@ object Changes {
       orderAgg(orders.filter(col("o_orderdate") >= cutoff)),
       "o_custkey", Seq("n_orders", "sum_cents"))
   }
+
+  /** COLUMN-STATS DRIFT between two generations of a table (split at a
+    * date boundary): row count, key cardinality, category cardinality,
+    * value bounds and total per side, reported as per-metric
+    * (old, new, delta) rows — the data-quality monitor that catches
+    * silent upstream shifts (a vanished status code, a price-scale
+    * change, a cardinality explosion) before they poison downstream
+    * aggregates.
+    *
+    * Scale (100 TB): ONE conditional-aggregation scan computes both
+    * sides' profiles — no self-join of the table against its other
+    * half, no second pass; distinct cardinalities ride the same hash
+    * aggregate. The per-metric report is a constant-width `stack`
+    * unpivot of that single aggregated row. Values are exact longs
+    * (prices in cents) so drift deltas are engine-stable. */
+  def schemaDrift(orders: DataFrame, boundary: Column): DataFrame = {
+    val agg = orders
+      .select(
+        (col("o_orderdate") >= boundary).as("is_new"),
+        col("o_custkey"), col("o_orderstatus"),
+        cents(col("o_totalprice")).as("price_c"))
+      .agg(
+        count(when(!col("is_new"), 1)).as("rows_old"),
+        count(when(col("is_new"), 1)).as("rows_new"),
+        count_distinct(when(!col("is_new"), col("o_custkey"))).as("cust_old"),
+        count_distinct(when(col("is_new"), col("o_custkey"))).as("cust_new"),
+        count_distinct(when(!col("is_new"), col("o_orderstatus"))).as("stat_old"),
+        count_distinct(when(col("is_new"), col("o_orderstatus"))).as("stat_new"),
+        min(when(!col("is_new"), col("price_c"))).as("minp_old"),
+        min(when(col("is_new"), col("price_c"))).as("minp_new"),
+        max(when(!col("is_new"), col("price_c"))).as("maxp_old"),
+        max(when(col("is_new"), col("price_c"))).as("maxp_new"),
+        sum(when(!col("is_new"), col("price_c"))).as("sump_old"),
+        sum(when(col("is_new"), col("price_c"))).as("sump_new"))
+    agg.select(expr(
+        """stack(6,
+             'n_rows',      rows_old, rows_new,
+             'n_customers', cust_old, cust_new,
+             'n_statuses',  stat_old, stat_new,
+             'min_price_c', minp_old, minp_new,
+             'max_price_c', maxp_old, maxp_new,
+             'sum_price_c', sump_old, sump_new) AS (metric, old_value, new_value)"""))
+      .select(col("metric"), col("old_value"), col("new_value"),
+        (col("new_value") - col("old_value")).as("delta"))
+  }
+
+  /** q152: order-table profile drift across the 1998-07-01 boundary. */
+  def q152(s: SparkSession, d: String): DataFrame =
+    schemaDrift(Tables.orders(s, d), lit("1998-07-01").cast("date"))
 }

@@ -824,4 +824,76 @@ object Events {
     * baseline per event type. */
   def q149(s: SparkSession, d: String): DataFrame =
     seasonalSpikes(Tables.events(s, d), "event_type", to_date(col("ts")), 2)
+
+  /** TOP-K COMMON EVENT PATHS: the most frequent length-3 event-type
+    * sequences (t1 → t2 → t3) over consecutive events per entity — the
+    * "what do users do next" path-mining operator.
+    *
+    * Scale (100 TB): one shuffle on the entity key; both lookaheads are
+    * window `lead`s inside that single partitioning. The aggregation
+    * then keys on (t1, t2, t3) triples, whose cardinality is bounded by
+    * |event types|³ regardless of corpus size, so the count-and-rank
+    * tail runs over a tiny table. Top-k membership is deterministic:
+    * ties break on the path tuple itself. */
+  def eventPaths(events: DataFrame, key: String, tsUs: Column,
+                 order: String, typeCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val base = events.select(col(key).as("pk"), tsUs.as("ts_us"),
+      col(order).as("ord"), col(typeCol).as("t1"))
+    val w = Window.partitionBy(col("pk")).orderBy(col("ts_us").asc, col("ord").asc)
+    val counts = base
+      .withColumn("t2", lead(col("t1"), 1).over(w))
+      .withColumn("t3", lead(col("t1"), 2).over(w))
+      .where(col("t2").isNotNull && col("t3").isNotNull)
+      .groupBy("t1", "t2", "t3").agg(count(lit(1)).as("n_paths"))
+    // the rank window is a single partition over the BOUNDED triple
+    // table (|types|³ rows), not the corpus — same driver-scale
+    // justification as q148's calendar-day running total
+    counts
+      .withColumn("rn", row_number().over(Window.orderBy(
+        col("n_paths").desc, col("t1").asc, col("t2").asc, col("t3").asc))
+        .cast("long"))
+      .where(col("rn") <= k)
+  }
+
+  /** q150: top-20 3-step event-type paths over consecutive events per
+    * user. */
+  def q150(s: SparkSession, d: String): DataFrame =
+    eventPaths(Tables.events(s, d), "user_id", micros(col("ts")),
+      "event_id", "event_type", 20)
+
+  /** CUSUM mean-shift changepoint detection over a daily count series.
+    * The textbook one-sided recursion s_i = max(0, s_{i-1} + d_i) has
+    * the closed form s_i = P_i − min(0, min_{j≤i} P_j) where P is the
+    * prefix sum of deviations — so the whole detector is two window
+    * passes (running sum + running min), no per-row recursion, no
+    * driver loop. Everything stays in exact integer arithmetic:
+    * deviations are pre-scaled by the day count (d_i = n_i·days −
+    * total, zero-sum by construction), and the alarm is the integer
+    * inequality s_i > total — i.e. the cumulated excess, in
+    * event·days, exceeds one average day's volume.
+    *
+    * Scale (100 TB): the corpus reduces to one row per calendar day in
+    * a single aggregation; both windows then run over that BOUNDED
+    * table (q148's justification). The corpus itself never sorts. */
+  def cusumChangepoints(events: DataFrame, day: Column): DataFrame = {
+    val daily = events.groupBy(day.as("day")).agg(count(lit(1)).as("n_events"))
+    val tot = daily.agg(sum(col("n_events")).as("total"),
+                        count(lit(1)).as("days"))
+    val run = Window.orderBy(col("day").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.crossJoin(broadcast(tot))
+      .withColumn("dev", col("n_events") * col("days") - col("total"))
+      .withColumn("p", sum(col("dev")).over(run))
+      .withColumn("runmin", least(min(col("p")).over(run), lit(0L)))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_events"),
+        (col("p") - col("runmin")).as("cusum"),
+        when(col("p") - col("runmin") > col("total"), 1L).otherwise(0L)
+          .as("alarm"))
+  }
+
+  /** q151: CUSUM changepoint scan over daily total event counts. */
+  def q151(s: SparkSession, d: String): DataFrame =
+    cusumChangepoints(Tables.events(s, d), to_date(col("ts")))
 }

@@ -1059,4 +1059,41 @@ class OperatorsSpec extends SparkSpec {
     assert(out.map(_.getLong(2)).toSeq ===
       Seq(4000000000000000000L, 3000000000000000000L, 2000000000000000000L))
   }
+
+  test("eventPaths counts 3-step sequences per entity with deterministic ranks") {
+    import SparkTestSession.spark.implicits._
+    // user 1: a b c d → paths abc, bcd; user 2: a b c → abc.
+    val events = Seq((1L, 10L, 1L, "a"), (1L, 20L, 2L, "b"),
+                     (1L, 30L, 3L, "c"), (1L, 40L, 4L, "d"),
+                     (2L, 10L, 5L, "a"), (2L, 20L, 6L, "b"), (2L, 30L, 7L, "c"))
+      .toDF("u", "ts_us_in", "eid", "etype")
+    val got = Events.eventPaths(events, "u", col("ts_us_in"), "eid", "etype", 10)
+      .orderBy(col("rn")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(("a", "b", "c", 2L, 1L), ("b", "c", "d", 1L, 2L)))
+  }
+
+  test("CUSUM closed form equals the direct max(0, prev + dev) recursion") {
+    val out = Events.q151(spark, sf)
+      .orderBy(col("day")).collect()
+    val daily = out.map(_.getLong(1))
+    val total = daily.sum
+    val days = daily.length.toLong
+    var s = 0L
+    out.zip(daily).foreach { case (row, n) =>
+      s = math.max(0L, s + (n * days - total))
+      assert(row.getLong(2) == s, s"day ${row.getString(0)}: ${row.getLong(2)} != $s")
+      assert(row.getLong(3) == (if (s > total) 1L else 0L))
+    }
+  }
+
+  test("schemaDrift sides partition the table and deltas are consistent") {
+    val out = Changes.q152(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val (ro, rn, rd) = out("n_rows")
+    assert(ro + rn == Tables.orders(spark, sf).count(), "sides must partition the rows")
+    assert(rd == rn - ro)
+    out.values.foreach { case (o, n, d) => assert(d == n - o) }
+    assert(out("n_statuses")._1 > 0 && out("n_customers")._2 > 0)
+  }
 }
