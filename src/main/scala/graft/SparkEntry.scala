@@ -91,6 +91,9 @@ object SparkEntry {
     "q150_event_paths"        -> (Events.q150 _),
     "q151_cusum"              -> (Events.q151 _),
     "q152_schema_drift"       -> (Changes.q152 _),
+    "q153_boilerplate"        -> (Text.q153 _),
+    "q154_oov_rate"           -> (Text.q154 _),
+    "q155_ann_filtered"       -> (Similarity.q155 _),
     "q70_multimodal_meta" -> (Multimodal.q70 _),
     "q76_audio_windows"   -> (Multimodal.q76 _),
     "q78_label_centroids" -> (Similarity.q78 _),
@@ -1001,6 +1004,45 @@ object SparkEntry {
            UNION ALL SELECT 'min_price_c', minp_old, minp_new FROM a
            UNION ALL SELECT 'max_price_c', maxp_old, maxp_new FROM a
            UNION ALL SELECT 'sum_price_c', sump_old, sump_new FROM a)""",
+
+    "q153_boilerplate" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+         ix AS (SELECT doc_id, words,
+           unnest(generate_series(0, greatest(CAST(ceil(len(words) / 5.0) AS BIGINT), 1) - 1)) AS pass_idx
+           FROM w),
+         p AS (SELECT doc_id, pass_idx,
+           array_to_string(words[(pass_idx * 5 + 1):(pass_idx * 5 + 5)], ' ') AS passage
+           FROM ix),
+         b AS (SELECT passage FROM
+           (SELECT passage, count(DISTINCT doc_id) AS nd FROM p GROUP BY 1) WHERE nd >= 2),
+         m AS (SELECT p.doc_id, p.pass_idx, p.passage,
+           b.passage IS NOT NULL AS boiler FROM p LEFT JOIN b USING (passage))
+         SELECT doc_id, count(*) AS n_passages,
+           CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+           md5(coalesce(string_agg(passage, ' ' ORDER BY pass_idx)
+             FILTER (WHERE NOT boiler), '')) AS clean_md5
+         FROM m GROUP BY 1""",
+
+    "q154_oov_rate" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk WHERE len(tok) > 0 GROUP BY 1, 2),
+         v AS (SELECT tok FROM (SELECT tok, sum(tf) AS cnt,
+             row_number() OVER (ORDER BY sum(tf) DESC, tok ASC) AS rk
+           FROM tf GROUP BY tok) WHERE rk <= 25)
+         SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.tok IS NULL THEN tf ELSE 0 END) AS BIGINT) AS n_oov,
+           CAST(sum(CASE WHEN v.tok IS NULL THEN tf ELSE 0 END) * 10000
+             // CAST(sum(tf) AS BIGINT) AS BIGINT) AS oov_bp
+         FROM tf LEFT JOIN v ON tf.tok = v.tok GROUP BY 1""",
+
+    "q155_ann_filtered" ->
+      s"""WITH s AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS cos
+           FROM embeddings q JOIN embeddings e
+             ON e.vec_id <> q.vec_id AND e.label = q.label
+           WHERE q.vec_id < 10),
+         r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM s)
+         SELECT query_id, rank, neighbor_id, ${BP("cos")} AS cos_bp FROM r WHERE rank <= 10""",
 
     // Incremental dedup: store = even ids, batch = odd ids; every true
     // pair except even-even must surface (LSH misses are ~2e-11 at

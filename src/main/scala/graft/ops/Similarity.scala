@@ -338,6 +338,34 @@ object Similarity {
     bruteForceTopK(c, q, "vec_id", "embedding")
   }
 
+  /** FILTERED exact top-k: cosine neighbors restricted to a metadata
+    * predicate — here, the same `attr` value as the query (the "only
+    * same-language / same-license / same-shard neighbors" retrieval
+    * every production vector search needs).
+    *
+    * Scale (100 TB): the predicate lives IN the join condition, so the
+    * attr equality is part of the broadcast-hash-join key — corpus rows
+    * with non-matching attributes are rejected by the hash probe before
+    * any distance arithmetic runs (never "score all, filter later").
+    * Everything else inherits bruteForceTopK's shape: tiny query side
+    * broadcast, map-side bounded-heap top-k, O(queries·k) shuffle. */
+  def filteredTopK(corpus: DataFrame, queries: DataFrame, id: String,
+                   emb: String, attr: String, k: Int = TopK): DataFrame = {
+    val q = queries.select(col(id).as("query_id"), col(emb).as("q_emb"),
+      col(attr).as("q_attr"))
+    val cos = F.cosineSim(col("q_emb"), col(emb))
+    rankTopK(
+      corpus.join(broadcast(q),
+          col(attr) === col("q_attr") && col(id) =!= col("query_id"))
+        .select(col("query_id"), col(id).as("neighbor_id"), cos.as("cos")), k)
+  }
+
+  /** q155: top-10 neighbors sharing the query's label. */
+  def q155(s: SparkSession, d: String): DataFrame = {
+    val (c, q) = corpusAndQueries(s, d)
+    filteredTopK(c, q, "vec_id", "embedding", "label")
+  }
+
   /** q61: random-hyperplane LSH-bucketed approximate top-10. */
   def q61(s: SparkSession, d: String): DataFrame = {
     val (c, q) = corpusAndQueries(s, d)

@@ -890,4 +890,91 @@ object Text {
       .map(r => (r.getString(1), r.getString(2))).toSeq
     bpeTokenize(Tables.documents(s, d), "text", merges, 30)
   }
+
+  /** CROSS-DOCUMENT BOILERPLATE REMOVAL (CCNet-style line dedup, at
+    * passage granularity since this corpus has no newlines): cut each
+    * document into consecutive `w`-word passages, mark any passage
+    * whose exact word sequence appears in ≥ `minDocs` DISTINCT
+    * documents as boilerplate (headers, navigation chrome, license
+    * blurbs — the content that repeats verbatim across a crawl), and
+    * emit each document's cleaned form: passage counts plus the md5 of
+    * the kept-passage concatenation (the cleaned text itself, hashed so
+    * the oracle compare stays row-sized).
+    *
+    * Scale (100 TB): two corpus-sized shuffles — the passage-frequency
+    * aggregation and the per-doc regroup — which is the lower bound for
+    * any global-frequency cleaning decision. The boilerplate set itself
+    * is tiny (every member repeats ≥ minDocs times, so it holds at most
+    * |passages|/minDocs rows, in practice the handful of true
+    * boilerplate strings), and AQE broadcasts it back; the left join
+    * adds no fan-out because the set is distinct by construction. */
+  def boilerplateRemove(corpus: DataFrame, id: String, text: String,
+                        w: Int, minDocs: Int): DataFrame = {
+    require(w > 0, s"passage width must be positive, got $w")
+    require(minDocs > 1, s"minDocs must exceed 1, got $minDocs")
+    val words = split(col(text), " ")
+    val nPass = greatest(ceil(size(words) / lit(w.toDouble)).cast("long"), lit(1L))
+    val passages = corpus
+      .select(col(id).as("did"), words.as("ws"),
+        explode(sequence(lit(0L), nPass - 1)).as("pass_idx"))
+      .select(col("did"), col("pass_idx"),
+        array_join(slice(col("ws"), (col("pass_idx") * w + 1).cast("int"), lit(w)), " ")
+          .as("passage"))
+    val boiler = passages.groupBy(col("passage"))
+      .agg(count_distinct(col("did")).as("nd"))
+      .where(col("nd") >= minDocs)
+      .select(col("passage"), lit(1L).as("is_boiler"))
+    passages.join(boiler, Seq("passage"), "left_outer")
+      .groupBy(col("did").as("doc_id"))
+      .agg(count(lit(1)).as("n_passages"),
+        sum(coalesce(col("is_boiler"), lit(0L))).as("n_boiler"),
+        // kept passages re-assemble in document order: collect_list
+        // drops the nulls `when` leaves on boilerplate rows, array_sort
+        // on (pass_idx, passage) structs restores the order
+        md5(array_join(transform(
+          array_sort(collect_list(when(col("is_boiler").isNull,
+            struct(col("pass_idx"), col("passage"))))),
+          x => x.getField("passage")), " ")).as("clean_md5"))
+  }
+
+  /** q153: 5-word-passage boilerplate removal at the ≥2-document
+    * threshold. */
+  def q153(s: SparkSession, d: String): DataFrame =
+    boilerplateRemove(Tables.documents(s, d), "doc_id", "text", 5, 2)
+
+  /** OUT-OF-VOCABULARY RATE per document against the corpus's own
+    * top-`vocabSize` token vocabulary — the tokenizer-coverage signal
+    * (a spike in OOV mass flags a domain shift or an encoding bug
+    * before training sees it).
+    *
+    * Scale (100 TB): the q90 discipline — the probe side pre-aggregates
+    * to DISTINCT (doc, token, tf) rows before any join (the raw
+    * Zipf-skewed token stream never shuffles on the token key), the
+    * vocab aggregate reduces to `vocabSize` rows and force-broadcasts.
+    * The rank window runs over the token-type table (vocabulary-sized),
+    * never the corpus; top-k membership is deterministic (count desc,
+    * token asc). OOV ratio is exact integer basis points. */
+  def oovRate(corpus: DataFrame, id: String, text: String,
+              vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, s"vocabSize must be positive, got $vocabSize")
+    val tf = corpus
+      .select(col(id).as("doc_id"), explode(split(col(text), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val vocab = tf.groupBy(col("tok")).agg(sum(col("tf")).as("cnt"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("cnt").desc, col("tok").asc)))
+      .where(col("rk") <= vocabSize)
+      .select(col("tok"), lit(1L).as("in_vocab"))
+    tf.join(broadcast(vocab), Seq("tok"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, col("tf")).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        F.idiv(col("n_oov") * lit(10000L), col("n_tokens")).as("oov_bp"))
+  }
+
+  /** q154: per-doc OOV rate against the top-25 corpus vocabulary. */
+  def q154(s: SparkSession, d: String): DataFrame =
+    oovRate(Tables.documents(s, d), "doc_id", "text", 25)
 }

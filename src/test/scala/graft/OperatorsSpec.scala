@@ -1096,4 +1096,50 @@ class OperatorsSpec extends SparkSpec {
     out.values.foreach { case (o, n, d) => assert(d == n - o) }
     assert(out("n_statuses")._1 > 0 && out("n_customers")._2 > 0)
   }
+
+  test("boilerplateRemove strips cross-doc passages and keeps unique ones in order") {
+    import SparkTestSession.spark.implicits._
+    val boiler = "terms of service apply here"
+    val corpus = Seq(
+      (1L, s"$boiler alpha beta gamma delta one"),
+      (2L, s"epsilon zeta eta theta iota $boiler"),
+      (3L, "kappa lambda mu nu xi omicron pi rho sigma tau")).toDF("doc_id", "text")
+    val got = Text.boilerplateRemove(corpus, "doc_id", "text", 5, 2)
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // docs 1/2 share the boilerplate passage; their remainder survives.
+    // doc 3 has no repeated passage; doc 1's tail passage is the
+    // 6-word remainder "alpha beta gamma delta one" → one extra word
+    assert(got.toSeq == Seq(
+      (1L, 2L, 1L, md5("alpha beta gamma delta one")),
+      (2L, 2L, 1L, md5("epsilon zeta eta theta iota")),
+      (3L, 2L, 0L, md5("kappa lambda mu nu xi omicron pi rho sigma tau"))))
+  }
+
+  test("oovRate marks exactly the below-vocabulary token mass") {
+    import SparkTestSession.spark.implicits._
+    // vocab size 2 → {'a' (4), 'b' (3)}; 'c'/'d' are OOV
+    val corpus = Seq((1L, "a a b c"), (2L, "a a b b c d")).toDF("doc_id", "text")
+    val got = Text.oovRate(corpus, "doc_id", "text", 2)
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 4L, 1L, 2500L), (2L, 6L, 2L, 3333L)))
+  }
+
+  test("filteredTopK equals brute force over the label-restricted corpus") {
+    val e = Tables.embeddings(spark, sf)
+    val queries = e.filter(col("vec_id") < 3)
+    val got = Similarity.filteredTopK(e, queries, "vec_id", "embedding", "label")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val labels = queries.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+    val expect = labels.flatMap { case (qid, lab) =>
+      Similarity.bruteForceTopK(e.filter(col("label") === lab),
+          e.filter(col("vec_id") === qid), "vec_id", "embedding")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    }.toSet
+    assert(got == expect)
+  }
 }
