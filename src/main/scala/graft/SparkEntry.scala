@@ -94,6 +94,7 @@ object SparkEntry {
     "q153_boilerplate"        -> (Text.q153 _),
     "q154_oov_rate"           -> (Text.q154 _),
     "q155_ann_filtered"       -> (Similarity.q155 _),
+    "q156_ewma"               -> (Events.q156 _),
     "q70_multimodal_meta" -> (Multimodal.q70 _),
     "q76_audio_windows"   -> (Multimodal.q76 _),
     "q78_label_centroids" -> (Similarity.q78 _),
@@ -1004,6 +1005,19 @@ object SparkEntry {
            UNION ALL SELECT 'min_price_c', minp_old, minp_new FROM a
            UNION ALL SELECT 'max_price_c', maxp_old, maxp_new FROM a
            UNION ALL SELECT 'sum_price_c', sump_old, sump_new FROM a)""",
+
+    "q156_ewma" ->
+      """WITH RECURSIVE d0 AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n_events
+             FROM events GROUP BY 1),
+         d AS (SELECT day, CAST(n_events AS BIGINT) AS n_events,
+             row_number() OVER (ORDER BY day) AS idx FROM d0),
+         e(idx, day, n_events, ewma) AS (
+           SELECT idx, day, n_events, n_events FROM d WHERE idx = 1
+           UNION ALL
+           SELECT d.idx, d.day, d.n_events, (e.ewma + d.n_events) // 2
+           FROM d JOIN e ON d.idx = e.idx + 1)
+         SELECT strftime(day, '%Y-%m-%d') AS day, n_events,
+           CAST(ewma AS BIGINT) AS ewma FROM e""",
 
     "q153_boilerplate" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),

@@ -1128,6 +1128,15 @@ class OperatorsSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 4L, 1L, 2500L), (2L, 6L, 2L, 3333L)))
   }
 
+  test("EWMA recursion matches the explicit integer halving fold") {
+    val out = Events.q156(spark, sf).orderBy(col("day")).collect()
+    var y = 0L
+    out.zipWithIndex.foreach { case (r, i) =>
+      y = if (i == 0) r.getLong(1) else (y + r.getLong(1)) / 2
+      assert(r.getLong(2) == y, s"day ${r.getString(0)}: ${r.getLong(2)} != $y")
+    }
+  }
+
   test("filteredTopK equals brute force over the label-restricted corpus") {
     val e = Tables.embeddings(spark, sf)
     val queries = e.filter(col("vec_id") < 3)

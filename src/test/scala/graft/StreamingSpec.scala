@@ -387,4 +387,32 @@ class StreamingSpec extends SparkSpec {
       assert(got == batch, s"stream $got vs batch $batch")
     } finally q.stop()
   }
+
+  test("parquet directory is a streaming source: new files picked up, result matches batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_file_stream").toString
+    Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "s", "v")
+      .write.mode("append").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    // maxFilesPerTrigger=1 exercises incremental micro-batching: each
+    // discovered file becomes its own trigger, as on a live landing dir
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    assert(src.isStreaming, "readStream must produce a streaming DataFrame")
+    val q = src.groupBy(col("s")).agg(sum(col("v")).as("total"))
+      .writeStream.format("memory").queryName("file_stream_out")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      // a file landing AFTER the stream started must be discovered
+      Seq((3L, "a", 5L)).toDF("id", "s", "v").write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val got = spark.table("file_stream_out").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val batch = spark.read.parquet(dir).groupBy(col("s"))
+        .agg(sum(col("v")).as("total")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == batch && got == Map("a" -> 15L, "b" -> 20L),
+        s"stream $got vs batch $batch")
+    } finally q.stop()
+  }
 }
