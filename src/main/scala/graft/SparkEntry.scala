@@ -95,6 +95,9 @@ object SparkEntry {
     "q154_oov_rate"           -> (Text.q154 _),
     "q155_ann_filtered"       -> (Similarity.q155 _),
     "q156_ewma"               -> (Events.q156 _),
+    "q157_negative_sample"    -> (Similarity.q157 _),
+    "q158_length_batches"     -> (Text.q158 _),
+    "q159_hll_uniques"        -> (Events.q159 _),
     "q70_multimodal_meta" -> (Multimodal.q70 _),
     "q76_audio_windows"   -> (Multimodal.q76 _),
     "q78_label_centroids" -> (Similarity.q78 _),
@@ -1018,6 +1021,58 @@ object SparkEntry {
            FROM d JOIN e ON d.idx = e.idx + 1)
          SELECT strftime(day, '%Y-%m-%d') AS day, n_events,
            CAST(ewma AS BIGINT) AS ewma FROM e""",
+
+    "q157_negative_sample" ->
+      """WITH nn AS (SELECT count(*) AS n FROM embeddings),
+         s AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS cos
+           FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+           WHERE q.vec_id < 10),
+         r AS (SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM s),
+         top AS (SELECT query_id, neighbor_id FROM r WHERE rank <= 10),
+         slots AS (SELECT vec_id AS query_id, unnest(generate_series(0, 14)) AS slot
+                   FROM embeddings WHERE vec_id < 10),
+         cand AS (SELECT query_id, CAST(slot AS BIGINT) AS slot,
+             (query_id * 31 + slot) * 815781 % 1000003 % n AS cand
+           FROM slots CROSS JOIN nn),
+         ok AS (SELECT c.query_id, c.cand, min(c.slot) AS slot
+           FROM cand c LEFT JOIN top t
+             ON t.query_id = c.query_id AND t.neighbor_id = c.cand
+           WHERE t.neighbor_id IS NULL AND c.cand <> c.query_id
+           GROUP BY 1, 2),
+         rk AS (SELECT query_id, cand AS neg_id,
+           CAST(row_number() OVER (PARTITION BY query_id ORDER BY slot) AS BIGINT) AS rank
+           FROM ok)
+         SELECT query_id, rank, neg_id FROM rk WHERE rank <= 5""",
+
+    "q158_length_batches" ->
+      """WITH tk AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             FROM documents),
+         thr AS (SELECT
+           CAST(percentile_disc(0.125) WITHIN GROUP (ORDER BY n_tokens) AS BIGINT) AS t1,
+           CAST(percentile_disc(0.25)  WITHIN GROUP (ORDER BY n_tokens) AS BIGINT) AS t2,
+           CAST(percentile_disc(0.375) WITHIN GROUP (ORDER BY n_tokens) AS BIGINT) AS t3,
+           CAST(percentile_disc(0.5)   WITHIN GROUP (ORDER BY n_tokens) AS BIGINT) AS t4,
+           CAST(percentile_disc(0.625) WITHIN GROUP (ORDER BY n_tokens) AS BIGINT) AS t5,
+           CAST(percentile_disc(0.75)  WITHIN GROUP (ORDER BY n_tokens) AS BIGINT) AS t6,
+           CAST(percentile_disc(0.875) WITHIN GROUP (ORDER BY n_tokens) AS BIGINT) AS t7
+           FROM tk),
+         b AS (SELECT doc_id, n_tokens,
+             1 + (CASE WHEN n_tokens > t1 THEN 1 ELSE 0 END)
+               + (CASE WHEN n_tokens > t2 THEN 1 ELSE 0 END)
+               + (CASE WHEN n_tokens > t3 THEN 1 ELSE 0 END)
+               + (CASE WHEN n_tokens > t4 THEN 1 ELSE 0 END)
+               + (CASE WHEN n_tokens > t5 THEN 1 ELSE 0 END)
+               + (CASE WHEN n_tokens > t6 THEN 1 ELSE 0 END)
+               + (CASE WHEN n_tokens > t7 THEN 1 ELSE 0 END) AS bucket,
+             doc_id % 8 AS shard
+           FROM tk CROSS JOIN thr),
+         r AS (SELECT *, row_number() OVER (PARTITION BY bucket, shard
+             ORDER BY n_tokens, doc_id) AS rn FROM b)
+         SELECT doc_id, n_tokens, CAST(bucket AS BIGINT) AS bucket,
+           CAST(shard AS BIGINT) AS shard,
+           CAST((rn - 1) // 4 AS BIGINT) AS batch_idx FROM r""",
 
     "q153_boilerplate" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),

@@ -931,4 +931,36 @@ object Events {
   /** q156: integer EWMA over daily total event counts. */
   def q156(s: SparkSession, d: String): DataFrame =
     ewmaDaily(Tables.events(s, d), to_date(col("ts")))
+
+  /** MERGEABLE DISTINCT-COUNT SKETCH STORE: per-day HyperLogLog
+    * sketches of the active-key set, plus the whole-range estimate
+    * computed by MERGING the stored sketches — never by rescanning the
+    * raws. This is the canonical 100 TB uniques pattern: materialize
+    * one fixed-size sketch per (day, dimension) partition; any date
+    * range's distinct count is then a union over that bounded store
+    * (HLL union is lossless at equal precision — spec-pinned against
+    * sketching the raw range directly). Exact per-day counts ride the
+    * same pass for the error-visibility column a monitor wants.
+    *
+    * Output: one row per day (exact, estimate) + an 'ALL' row whose
+    * estimate came from the sketch union. Rows-only by design: DuckDB
+    * has no Apache DataSketches HLL, so cross-engine hashing differs;
+    * the spec pins estimate-vs-exact error and merge losslessness. */
+  def hllUniqueStore(events: DataFrame, day: Column, key: String): DataFrame = {
+    val daily = events.groupBy(day.as("day"))
+      .agg(hll_sketch_agg(col(key)).as("sk"),
+           count_distinct(col(key)).as("n_exact"))
+    val perDay = daily.select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+      col("n_exact"), hll_sketch_estimate(col("sk")).as("n_est"))
+    val merged = daily.agg(
+      hll_sketch_estimate(hll_union_agg(col("sk"))).as("n_est"))
+    val overall = events.agg(count_distinct(col(key)).as("n_exact"))
+    perDay.unionByName(
+      overall.crossJoin(merged)
+        .select(lit("ALL").as("day"), col("n_exact"), col("n_est")))
+  }
+
+  /** q159: daily distinct-user HLL sketch store with merged total. */
+  def q159(s: SparkSession, d: String): DataFrame =
+    hllUniqueStore(Tables.events(s, d), to_date(col("ts")), "user_id")
 }

@@ -366,6 +366,55 @@ object Similarity {
     filteredTopK(c, q, "vec_id", "embedding", "label")
   }
 
+  /** CONTRASTIVE NEGATIVE SAMPLING: for each query, `k` deterministic
+    * pseudo-random corpus ids that are neither the query itself nor any
+    * of its true top-`exclK` neighbors — the "random but not
+    * accidentally positive" negatives contrastive training pairs need.
+    * Candidates come from the q100 Knuth multiplicative hash over
+    * (query, slot), so the sample is stateless and recomputable; slots
+    * over-generate by `margin` so exclusions still leave k survivors,
+    * and the kept set is the first k surviving slots (order
+    * deterministic, duplicates collapse to their first slot).
+    *
+    * Scale (100 TB): everything fans out on the QUERY side only —
+    * slots are O(queries·(k+margin)) rows, the exclusion anti-join
+    * touches O(queries·exclK) neighbor rows, and the corpus
+    * contributes just its row count (the true-neighbor set would come
+    * from the already-materialized retrieval output in a production
+    * pipeline, exactly as composed here). */
+  def negativeSample(corpus: DataFrame, queries: DataFrame, id: String,
+                     emb: String, k: Int, margin: Int, exclK: Int): DataFrame = {
+    require(k > 0 && margin >= 0, s"bad k=$k margin=$margin")
+    val n = corpus.agg(count(lit(1)).as("n"))
+    val topNbrs = bruteForceTopK(corpus, queries, id, emb, exclK)
+      .select(col("query_id").as("tq"), col("neighbor_id"))
+    val cands = queries.select(col(id).as("query_id"))
+      .crossJoin(broadcast(n))
+      .select(col("query_id"), col("n"),
+        explode(sequence(lit(0), lit(k + margin - 1))).as("slot"))
+      .select(col("query_id"), col("slot").cast("long").as("slot"),
+        ((col("query_id") * 31 + col("slot")) * lit(815781L) % 1000003L
+          % col("n")).as("cand"))
+      .where(col("cand") =!= col("query_id"))
+    cands.join(broadcast(topNbrs),
+        col("query_id") === col("tq") && col("cand") === col("neighbor_id"),
+        "left_anti")
+      .groupBy(col("query_id"), col("cand"))
+      .agg(min(col("slot")).as("slot"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("slot").asc))
+        .cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("cand").as("neg_id"))
+  }
+
+  /** q157: 5 hash-deterministic negatives per query, excluding the
+    * true top-10 neighbors. */
+  def q157(s: SparkSession, d: String): DataFrame = {
+    val (c, q) = corpusAndQueries(s, d)
+    negativeSample(c, q, "vec_id", "embedding", 5, 10, 10)
+  }
+
   /** q61: random-hyperplane LSH-bucketed approximate top-10. */
   def q61(s: SparkSession, d: String): DataFrame = {
     val (c, q) = corpusAndQueries(s, d)

@@ -977,4 +977,45 @@ object Text {
   /** q154: per-doc OOV rate against the top-25 corpus vocabulary. */
   def q154(s: SparkSession, d: String): DataFrame =
     oovRate(Tables.documents(s, d), "doc_id", "text", 25)
+
+  /** LENGTH-GROUPED BATCHING: assign each document to an equi-depth
+    * length bucket (so a batch holds similarly-sized sequences and
+    * padding waste stays low), then to a fixed-size batch within its
+    * (bucket, shard) — the batch-construction step after q98's packing.
+    *
+    * Scale (100 TB): NO corpus-wide ntile/sort — bucket boundaries are
+    * `nBuckets−1` discrete percentiles (one tiny aggregate row,
+    * broadcast back; q99's exact-membership discipline, so the bucket
+    * of every document is an integer comparison both engines agree
+    * on). Batch enumeration runs in a window partitioned by
+    * (bucket × shard): shards are hash-assigned, so partitions stay
+    * balanced and bounded, and batches never cross shards — exactly
+    * how per-worker batch construction behaves in a real loader. */
+  def lengthBatches(corpus: DataFrame, id: String, text: String,
+                    nBuckets: Int, nShards: Int, batchSize: Int): DataFrame = {
+    require(nBuckets > 1 && nShards > 0 && batchSize > 0,
+      s"bad nBuckets=$nBuckets nShards=$nShards batchSize=$batchSize")
+    val base = corpus.select(col(id).as("doc_id"),
+      size(split(col(text), " ")).cast("long").as("n_tokens"))
+    val thresholds = (1 until nBuckets).map { i =>
+      // percentile_disc returns double even over bigint input
+      expr(s"percentile_disc(${i.toDouble / nBuckets}) WITHIN GROUP (ORDER BY n_tokens)")
+        .cast("long").as(s"t$i")
+    }
+    val thr = base.agg(thresholds.head, thresholds.tail: _*)
+    val bucket = (1 until nBuckets)
+      .map(i => when(col("n_tokens") > col(s"t$i"), 1L).otherwise(0L))
+      .reduce(_ + _) + 1L
+    base.crossJoin(broadcast(thr))
+      .select(col("doc_id"), col("n_tokens"), bucket.as("bucket"),
+        (col("doc_id") % nShards).as("shard"))
+      .withColumn("batch_idx", F.idiv(
+        (row_number().over(Window.partitionBy(col("bucket"), col("shard"))
+          .orderBy(col("n_tokens").asc, col("doc_id").asc)) - 1).cast("long"),
+        lit(batchSize.toLong)))
+  }
+
+  /** q158: 8 equi-depth length buckets × 8 hash shards, batches of 4. */
+  def q158(s: SparkSession, d: String): DataFrame =
+    lengthBatches(Tables.documents(s, d), "doc_id", "text", 8, 8, 4)
 }

@@ -1137,6 +1137,54 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("negativeSample avoids self and true neighbors, yields exactly k per query") {
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 10)
+    val negs = Similarity.negativeSample(e, q, "vec_id", "embedding", 5, 10, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val top = Similarity.bruteForceTopK(e, q, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val byQuery = negs.groupBy(_._1)
+    assert(byQuery.keySet.size == 10 && byQuery.values.forall(_.length == 5),
+      "every query must get exactly 5 negatives")
+    negs.foreach { case (qid, nid) =>
+      assert(nid != qid, s"query $qid sampled itself")
+      assert(!top.contains((qid, nid)), s"query $qid sampled true neighbor $nid")
+    }
+  }
+
+  test("lengthBatches: batches bounded, buckets monotone in token count") {
+    val out = Text.q158(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // batch occupancy never exceeds batchSize
+    out.groupBy(t => (t._3, t._4, t._5)).values
+      .foreach(g => assert(g.length <= 4, s"overfull batch: $g"))
+    // bucket assignment is monotone: a doc in a higher bucket is never
+    // shorter than one in a lower bucket
+    val maxByBucket = out.groupBy(_._3).view.mapValues(_.map(_._2).max).toMap
+    val minByBucket = out.groupBy(_._3).view.mapValues(_.map(_._2).min).toMap
+    maxByBucket.keys.toSeq.sorted.sliding(2).foreach {
+      case Seq(lo, hi) => assert(maxByBucket(lo) <= minByBucket(hi),
+        s"bucket $lo max ${maxByBucket(lo)} exceeds bucket $hi min ${minByBucket(hi)}")
+      case _ =>
+    }
+  }
+
+  test("HLL store: per-day error small, sketch union lossless vs direct sketch") {
+    val out = Events.q159(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    out.foreach { case (day, exact, est) =>
+      assert(math.abs(est - exact).toDouble / exact <= 0.05,
+        s"$day: estimate $est vs exact $exact beyond 5%")
+    }
+    val merged = out.find(_._1 == "ALL").get._3
+    val direct = Tables.events(spark, sf)
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("e"))
+      .collect().head.getLong(0)
+    assert(merged == direct,
+      s"union of daily sketches ($merged) must equal sketching the raws ($direct)")
+  }
+
   test("filteredTopK equals brute force over the label-restricted corpus") {
     val e = Tables.embeddings(spark, sf)
     val queries = e.filter(col("vec_id") < 3)
