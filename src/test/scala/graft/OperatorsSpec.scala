@@ -1185,6 +1185,21 @@ class OperatorsSpec extends SparkSpec {
       s"union of daily sketches ($merged) must equal sketching the raws ($direct)")
   }
 
+  test("q154 vocab join is broadcast; the raw token stream never joins") {
+    val plan = executedPlan(Text.q154(spark, sf)).toString
+    assert(plan.contains("BroadcastHashJoin"), s"vocab join not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"a shuffle join survived in q154:\n$plan")
+  }
+
+  test("q155 pushes the label predicate into the broadcast join key") {
+    val plan = executedPlan(Similarity.q155(spark, sf)).toString
+    assert(plan.contains("BroadcastHashJoin"), s"not a broadcast join:\n$plan")
+    // label equality must be a join KEY (hash probe), not a post-join filter
+    val joinLine = plan.linesIterator.find(_.contains("BroadcastHashJoin")).get
+    assert(joinLine.contains("label"), s"label not in the join key:\n$joinLine")
+  }
+
   test("filteredTopK equals brute force over the label-restricted corpus") {
     val e = Tables.embeddings(spark, sf)
     val queries = e.filter(col("vec_id") < 3)
