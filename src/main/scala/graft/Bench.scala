@@ -24,6 +24,7 @@ object Bench {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "/root/repo/BENCH_LOCAL.json")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    require(runs >= 1, s"SPARK_GRAFT_BENCH_RUNS must be >= 1, got $runs")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -45,11 +46,15 @@ object Bench {
         spark.catalog.clearCache()
         dt
       }.sorted
-      val median = times(times.length / 2)
+      // lower-middle for even k — deterministic, never a made-up average
+      val median = times((times.length - 1) / 2)
       name -> ((median, times))
     }
     val loadAfter = loadAvg
-    def f(d: Double): String = "%.4f".format(d)
+    // Locale.ROOT: a comma-decimal default locale would otherwise emit
+    // "0,5600" and corrupt both the stdout contract and the JSON file
+    def f(d: Double): String =
+      "%.4f".formatLocal(java.util.Locale.ROOT, d)
     val qs = results.map { case (k, (m, _)) => s"\"$k\":${f(m)}" }
       .mkString("{", ",", "}")
     val rs = results.map { case (k, (_, ts)) =>

@@ -767,7 +767,11 @@ object Dedup {
   def pageRank(pairs: DataFrame, a: String, b: String,
                iters: Int): DataFrame = {
     val Scale = 1000000000000L
-    val e = pairs.select(col(a).as("x"), col(b).as("y"))
+    // orientation-normalize before distinct (graphProfile's discipline):
+    // an already-symmetrized pair list would otherwise survive as both
+    // (a,b) and (b,a), double every degree, and skew the integer ranks
+    val e = pairs.select(least(col(a), col(b)).as("x"),
+        greatest(col(a), col(b)).as("y"))
       .filter(col("x") =!= col("y")).distinct()
     val edges = e.unionAll(e.select(col("y").as("x"), col("x").as("y")))
       .localCheckpoint()

@@ -385,18 +385,38 @@ object Similarity {
   def negativeSample(corpus: DataFrame, queries: DataFrame, id: String,
                      emb: String, k: Int, margin: Int, exclK: Int): DataFrame = {
     require(k > 0 && margin >= 0, s"bad k=$k margin=$margin")
-    val n = corpus.agg(count(lit(1)).as("n"))
+    // one bounded driver scalar row (the BPE-merge-scalar discipline):
+    // hash ranks only cover a contiguous id space, so detect density
+    val st = corpus.agg(count(lit(1)).as("n"), min(col(id)).as("mn"),
+      max(col(id)).as("mx")).head()
+    val (n, mn, mx) = (st.getLong(0), st.getLong(1), st.getLong(2))
     val topNbrs = bruteForceTopK(corpus, queries, id, emb, exclK)
       .select(col("query_id").as("tq"), col("neighbor_id"))
-    val cands = queries.select(col(id).as("query_id"))
-      .crossJoin(broadcast(n))
-      .select(col("query_id"), col("n"),
+    val ranks = queries.select(col(id).as("query_id"))
+      .select(col("query_id"),
         explode(sequence(lit(0), lit(k + margin - 1))).as("slot"))
       .select(col("query_id"), col("slot").cast("long").as("slot"),
         ((col("query_id") * 31 + col("slot")) * lit(815781L) % 1000003L
-          % col("n")).as("cand"))
+          % lit(n)).as("cr"))
+    val cands =
+      if (mx - mn + 1 == n) {
+        // dense id space: rank + offset IS the id — pure arithmetic
+        ranks.select(col("query_id"), col("slot"),
+          (col("cr") + lit(mn)).as("cand"))
+      } else {
+        // sparse ids: map rank→id through the sorted corpus id list
+        // (zipWithIndex assigns per-partition offsets after an id sort —
+        // distributed and deterministic, never a single-partition window)
+        val s2 = corpus.sparkSession
+        import s2.implicits._
+        val dict = corpus.select(col(id).cast("long")).orderBy(col(id))
+          .rdd.zipWithIndex.map { case (r, i) => (i, r.getLong(0)) }
+          .toDF("cr", "cand")
+        ranks.join(dict, "cr").select(col("query_id"), col("slot"), col("cand"))
+      }
+    cands
       .where(col("cand") =!= col("query_id"))
-    cands.join(broadcast(topNbrs),
+      .join(broadcast(topNbrs),
         col("query_id") === col("tq") && col("cand") === col("neighbor_id"),
         "left_anti")
       .groupBy(col("query_id"), col("cand"))

@@ -633,7 +633,12 @@ object Text {
     } else {
       val prefix = w.join(norms, "doc_id")
         .withColumn("before", coalesce(sum(col("wm") * col("wm")).over(byDoc), lit(0L)))
-        .filter((col("m2") - col("before")) * 10000L >= lit(cushion) * col("m2"))
+        // decimal(38,0): m2·10⁴ wraps Long once m2 > ~9.2e14 (a large
+        // doc's milli-fixed-point norm) and a wrapped comparison would
+        // silently DROP qualifying prefix tokens — exactness of the
+        // candidate set depends on this compare never overflowing
+        .filter((col("m2") - col("before")).cast("decimal(38,0)") * lit(10000L) >=
+          lit(cushion).cast("decimal(38,0)") * col("m2"))
         .select(col("doc_id"), col("tok"))
       val candidates = prefix.as("a").join(prefix.as("b"),
           col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
@@ -772,22 +777,31 @@ object Text {
     * baseline every RAG pipeline starts from): rank documents for a
     * query term set with k1 = 1.2, b = 0.75.
     *
-    * Plan: the term postings reduce to (doc, term, tf) — tf over the
-    * query terms only, so the probe is a vanishing fraction of the
-    * corpus; document length and the corpus stats are one aggregation
-    * each, broadcast back; df rides the (tiny) per-term table. Each
+    * Plan: ONE tokenize pass reduces the corpus to a per-doc row of
+    * (doc, length, per-query-term tf) — the tf counts come from
+    * higher-order array filters, no explode — materialized once
+    * (localCheckpoint) since three consumers read it: the corpus
+    * stats aggregate (broadcast back), the per-term document
+    * frequencies (tiny, broadcast), and the scoring unpivot. Each
     * term's score rounds to fixed-point bp BEFORE the per-doc long sum
     * (merge-order/engine independent — the q110 discipline), and the
     * top-k cut is TakeOrderedAndProject, never a global sort. */
   def bm25TopK(df: DataFrame, id: String, text: String,
                terms: Seq[String], k: Int): DataFrame = {
-    val tf = withToks(df, text).select(col(id), explode(toks).as("tok"))
-      .filter(col("tok").isin(terms.map(lit(_)): _*))
-      .groupBy(col(id), col("tok")).agg(count(lit(1)).as("tf"))
-    val dl = withToks(df, text)
-      .select(col(id), size(toks).cast("double").as("dl"))
-    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      size(filter(toks, x => x === lit(t))).cast("long").as(s"tf$i") }
+    // one corpus scan; the reduced table is O(docs · |terms|) narrow
+    // rows, cheap to materialize for its three readers
+    val counted = withToks(df, text)
+      .select(col(id) +: size(toks).cast("double").as("dl") +: tfCols: _*)
+      .localCheckpoint()
+    val stats = counted.agg(count(lit(1)).cast("double").as("n_docs"),
       sum(col("dl")).as("total_len"))
+    val stackExpr = terms.zipWithIndex
+      .map { case (t, i) => s"'$t', tf$i" }
+      .mkString(s"stack(${terms.size}, ", ", ", ") AS (tok, tf)")
+    val tf = counted.select(col(id), col("dl"), expr(stackExpr))
+      .where(col("tf") > 0)
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).cast("double").as("df"))
     // Expression structure mirrors the oracle left-to-right so the
     // doubles are bit-identical before the bp floor.
@@ -797,7 +811,6 @@ object Text {
     val termScore = idf * ((col("tf") * lit(2.2)) /
       (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * (col("dl") / avgdl))))
     tf.join(broadcast(dfreq), "tok")
-      .join(dl, id)
       .crossJoin(broadcast(stats))
       .select(col(id), bp(termScore).as("term_bp"))
       .groupBy(col(id))

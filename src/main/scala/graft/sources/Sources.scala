@@ -262,7 +262,11 @@ object Sources {
       val x = col(c).cast("long") - lit(mn)
       val range = BigInt(mx) - BigInt(mn)
       if (range <= bitsMax)
-        graft.functions.F.idiv(x * lit(bitsMax), lit(range.toLong max 1L))
+        // the stretch product x·bitsMax reaches ~2^64 at N=2 (32-bit
+        // lanes), past Long — run it in decimal(38,0), exact and
+        // un-wrappable, then IntegralDivide returns the long key
+        graft.functions.F.idiv(x.cast("decimal(38,0)") * lit(bitsMax),
+          lit(range.toLong max 1L))
       else
         graft.functions.F.idiv(x, lit((range / bitsMax + 1).toLong))
     }

@@ -1137,6 +1137,17 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("pageRank is invariant to input edge orientation") {
+    import SparkTestSession.spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("a", "b")
+    // a pre-symmetrized list must NOT double degrees
+    val sym = edges.unionAll(edges.select(col("b").as("a"), col("a").as("b")))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Dedup.pageRank(df, "a", "b", 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(run(edges) == run(sym))
+  }
+
   test("negativeSample avoids self and true neighbors, yields exactly k per query") {
     val e = Tables.embeddings(spark, sf)
     val q = e.filter(col("vec_id") < 10)
