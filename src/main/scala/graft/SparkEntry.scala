@@ -98,6 +98,9 @@ object SparkEntry {
     "q157_negative_sample"    -> (Similarity.q157 _),
     "q158_length_batches"     -> (Text.q158 _),
     "q159_hll_uniques"        -> (Events.q159 _),
+    "q160_bigram_surprisal"   -> (Text.q160 _),
+    "q161_keywords"           -> (Text.q161 _),
+    "q162_knn_classify"       -> (Similarity.q162 _),
     "q70_multimodal_meta" -> (Multimodal.q70 _),
     "q76_audio_windows"   -> (Multimodal.q76 _),
     "q78_label_centroids" -> (Similarity.q78 _),
@@ -1021,6 +1024,45 @@ object SparkEntry {
            FROM d JOIN e ON d.idx = e.idx + 1)
          SELECT strftime(day, '%Y-%m-%d') AS day, n_events,
            CAST(ewma AS BIGINT) AS ewma FROM e""",
+
+    "q160_bigram_surprisal" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+         ix AS (SELECT doc_id, words, unnest(generate_series(1, len(words) - 1)) AS i FROM w),
+         b AS (SELECT doc_id, words[i] AS w1, words[i + 1] AS w2 FROM ix),
+         c2 AS (SELECT w1, w2, count(*) AS c2 FROM b GROUP BY 1, 2),
+         c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY 1)
+         SELECT doc_id, count(*) AS n_bigrams,
+           CAST(floor(sum(CAST(floor((-ln(c2 / CAST(c1 AS DOUBLE))) * 10000 + 0.5) AS BIGINT))
+             / count(*)) AS BIGINT) AS mean_surprisal_bp
+         FROM b JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+         GROUP BY 1""",
+
+    "q161_keywords" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY 1, 2),
+         dfx AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+         nn AS (SELECT count(*) AS n_docs FROM documents),
+         w AS (SELECT doc_id, tok,
+             CAST(floor((tf * ln(n_docs / CAST(df AS DOUBLE))) * 1000 + 0.5) AS BIGINT) AS wm
+           FROM tf JOIN dfx USING (tok) CROSS JOIN nn),
+         r AS (SELECT doc_id, tok, wm,
+             CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wm DESC, tok ASC) AS BIGINT) AS rank
+           FROM w WHERE wm <> 0)
+         SELECT doc_id, rank, tok, wm FROM r WHERE rank <= 3""",
+
+    "q162_knn_classify" ->
+      """WITH s AS (SELECT q.vec_id AS query_id, q.label AS true_label, e.vec_id AS neighbor_id,
+           e.label AS nbr_label,
+           list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS cos
+           FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+           WHERE q.vec_id < 10),
+         r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM s),
+         v AS (SELECT query_id, true_label, nbr_label, count(*) AS n_votes
+           FROM r WHERE rank <= 10 GROUP BY 1, 2, 3),
+         p AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY n_votes DESC, nbr_label ASC) AS rk FROM v)
+         SELECT query_id, true_label, nbr_label AS pred_label, n_votes,
+           CAST(CASE WHEN nbr_label = true_label THEN 1 ELSE 0 END AS BIGINT) AS agree
+         FROM p WHERE rk = 1""",
 
     "q157_negative_sample" ->
       """WITH nn AS (SELECT count(*) AS n FROM embeddings),

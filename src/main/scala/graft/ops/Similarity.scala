@@ -435,6 +435,43 @@ object Similarity {
     negativeSample(c, q, "vec_id", "embedding", 5, 10, 10)
   }
 
+  /** kNN LABEL VOTING: classify each query by the majority label of its
+    * exact top-k cosine neighbors (deterministic tie-break: vote count
+    * desc, label asc) — the embedding-space auto-labeler / label-noise
+    * auditor (a low agreement rate between a corpus label and its
+    * neighborhood flags mislabeled or out-of-distribution rows).
+    *
+    * Scale (100 TB): the neighbor search IS bruteForceTopK (broadcast
+    * queries, map-side bounded heaps, O(queries·k) shuffle); everything
+    * after operates on the k·|queries| neighbor rows — label attach by
+    * id equi-join, vote count, rank — all query-side-sized. */
+  def knnClassify(corpus: DataFrame, queries: DataFrame, id: String,
+                  emb: String, label: String, k: Int = TopK): DataFrame = {
+    val nbrLabels = corpus.select(col(id).as("neighbor_id"),
+      col(label).as("nbr_label"))
+    val votes = bruteForceTopK(corpus, queries, id, emb, k)
+      .join(nbrLabels, "neighbor_id")
+      .groupBy(col("query_id"), col("nbr_label"))
+      .agg(count(lit(1)).as("n_votes"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("n_votes").desc, col("nbr_label").asc)))
+      .where(col("rk") === 1)
+    votes
+      .join(queries.select(col(id).as("query_id"), col(label).as("true_label")),
+        "query_id")
+      .select(col("query_id"), col("true_label"),
+        col("nbr_label").as("pred_label"), col("n_votes"),
+        when(col("nbr_label") === col("true_label"), 1L).otherwise(0L)
+          .as("agree"))
+  }
+
+  /** q162: 10-NN majority-label vote over the embeddings table. */
+  def q162(s: SparkSession, d: String): DataFrame = {
+    val (c, q) = corpusAndQueries(s, d)
+    knnClassify(c, q, "vec_id", "embedding", "label")
+  }
+
   /** q61: random-hyperplane LSH-bucketed approximate top-10. */
   def q61(s: SparkSession, d: String): DataFrame = {
     val (c, q) = corpusAndQueries(s, d)

@@ -1031,4 +1031,70 @@ object Text {
   /** q158: 8 equi-depth length buckets × 8 hash shards, batches of 4. */
   def q158(s: SparkSession, d: String): DataFrame =
     lengthBatches(Tables.documents(s, d), "doc_id", "text", 8, 8, 4)
+
+  /** BIGRAM-LM surprisal (q90's unigram signal upgraded to a
+    * second-order model): per-doc mean −ln P(w₂|w₁) with the MLE
+    * conditional P(w₂|w₁) = c(w₁w₂)/c(w₁·), where the head marginal
+    * c(w₁·) sums the bigram table itself — self-consistent, no second
+    * corpus pass. Repetitive/templated text scores low (its bigrams are
+    * corpus-predictable), scrambled text scores high — a sharper
+    * quality signal than unigram frequency alone.
+    *
+    * Scale (100 TB): q90's discipline unchanged — the probe side
+    * pre-aggregates to DISTINCT (doc, w₁, w₂, tf) before any join, the
+    * bigram-count aggregate broadcasts, surprisal accumulates as exact
+    * tf-weighted fixed-point longs (merge-order independent). */
+  def bigramSurprisal(df: DataFrame, id: String, text: String): DataFrame = {
+    val tf2 = withToks(df, text)
+      .select(col(id), explode(arrays_zip(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1))).as("bg"))
+      .select(col(id), col("bg").getField("0").as("w1"),
+        col("bg").getField("1").as("w2"))
+      .groupBy(col(id), col("w1"), col("w2")).agg(count(lit(1)).as("tf"))
+    val c2 = tf2.groupBy(col("w1"), col("w2")).agg(sum(col("tf")).as("c2"))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    tf2.join(broadcast(c2.join(c1, "w1")), Seq("w1", "w2"))
+      .groupBy(col(id))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        floor(sum(col("tf") * bp(-log(col("c2").cast("double") / col("c1")))) /
+          sum(col("tf"))).cast("long").as("mean_surprisal_bp"))
+  }
+
+  /** q160: bigram surprisal scoring of the documents table. */
+  def q160(s: SparkSession, d: String): DataFrame =
+    bigramSurprisal(Tables.documents(s, d), "doc_id", "text")
+
+  /** PER-DOCUMENT KEYWORD EXTRACTION: the top-k most distinctive terms
+    * of each document by quantized TF-IDF weight (q113's exact milli
+    * fixed-point weights, ranked) — the "what is this document about"
+    * labeler feeding tagging, routing and faceted dedup reports.
+    *
+    * Scale (100 TB): weights derive from the (doc, tok, tf) table —
+    * never the raw token stream — with the df table joined and the
+    * one-row doc count broadcast; the rank window partitions BY
+    * DOCUMENT over those distinct pairs, so per-partition work is one
+    * doc's vocabulary. Ranking on the quantized value with a token
+    * tie-break keeps top-k membership engine-stable. */
+  def keywordTopK(df: DataFrame, id: String, text: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val tf = withToks(df, text).select(col(id), explode(toks).as("tok"))
+      .groupBy(col(id), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfx = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfx, "tok").crossJoin(broadcast(n))
+      .select(col(id), col("tok"),
+        fixed(col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df")), 1000L).as("wm"))
+      .filter(col("wm") =!= 0L)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(id)).orderBy(col("wm").desc, col("tok").asc))
+        .cast("long"))
+      .where(col("rank") <= k)
+      .select(col(id), col("rank"), col("tok"), col("wm"))
+  }
+
+  /** q161: top-3 TF-IDF keywords per document. */
+  def q161(s: SparkSession, d: String): DataFrame =
+    keywordTopK(Tables.documents(s, d), "doc_id", "text", 3)
 }

@@ -1137,6 +1137,51 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("bigramSurprisal: rare continuations out-score predictable ones") {
+    import SparkTestSession.spark.implicits._
+    // "a b" dominates the corpus; doc 1 is pure repetition of it,
+    // doc 2 is all corpus-unique bigrams
+    val corpus = Seq((1L, "a b a b a b a b"), (2L, "c d e f g h"),
+      (3L, "a b a b"), (4L, "a b x a b")).toDF("doc_id", "text")
+    val got = Text.bigramSurprisal(corpus, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1)._1 == 7L && got(2)._1 == 5L, s"bigram counts wrong: $got")
+    // doc 2's bigrams are all deterministic given their heads
+    // (hapax head → P(w2|w1)=1 → surprisal exactly 0)
+    assert(got(2)._2 == 0L, s"deterministic continuations must score 0: $got")
+    // doc 4 carries the rare continuations b→x and x→a; doc 1 only the
+    // corpus-dominant ones — the rare-continuation doc must score higher
+    assert(got(1)._2 < got(4)._2,
+      s"rare-continuation doc must out-score the predictable doc: $got")
+  }
+
+  test("keywordTopK surfaces a document's rare distinctive term first") {
+    import SparkTestSession.spark.implicits._
+    val filler = "the of and to in"
+    val corpus = Seq((1L, s"$filler zygote"), (2L, filler), (3L, filler),
+      (4L, filler)).toDF("doc_id", "text")
+    val kw = Text.keywordTopK(corpus, "doc_id", "text", 3)
+      .filter(col("doc_id") === 1).orderBy(col("rank")).collect()
+    assert(kw.nonEmpty && kw.head.getString(2) == "zygote",
+      s"rare term must rank first: ${kw.toSeq}")
+  }
+
+  test("knnClassify votes the surrounding cluster's label") {
+    import SparkTestSession.spark.implicits._
+    // label-0 cluster near (1,0,...), label-1 cluster near (0,1,...);
+    // query 100 sits in the label-1 cluster but carries label 0
+    def v(x: Double, y: Double) = Array.tabulate(4)(i =>
+      (if (i == 0) x else if (i == 1) y else 0.001 * i).toFloat)
+    val rows = (0 until 12).map(i => (i.toLong, v(1.0 + 0.01 * i, 0.02 * i), 0)) ++
+      (12 until 24).map(i => (i.toLong, v(0.02 * (i - 12), 1.0 + 0.01 * i), 1)) :+
+      (100L, v(0.01, 1.05), 0)
+    val e = rows.toDF("vec_id", "embedding", "label")
+    val got = Similarity.knnClassify(e, e.filter(col("vec_id") === 100),
+        "vec_id", "embedding", "label", 5).collect().head
+    assert(got.getInt(2) == 1 && got.getLong(4) == 0L,
+      s"query in the label-1 cluster must be predicted 1 with agree=0: $got")
+  }
+
   test("pageRank is invariant to input edge orientation") {
     import SparkTestSession.spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("a", "b")
