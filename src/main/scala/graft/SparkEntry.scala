@@ -101,6 +101,9 @@ object SparkEntry {
     "q160_bigram_surprisal"   -> (Text.q160 _),
     "q161_keywords"           -> (Text.q161 _),
     "q162_knn_classify"       -> (Similarity.q162 _),
+    "q163_burstiness"         -> (Events.q163 _),
+    "q164_centroid_outliers"  -> (Similarity.q164 _),
+    "q165_copurchase_lift"    -> (Relational.q165 _),
     "q70_multimodal_meta" -> (Multimodal.q70 _),
     "q76_audio_windows"   -> (Multimodal.q76 _),
     "q78_label_centroids" -> (Similarity.q78 _),
@@ -1024,6 +1027,48 @@ object SparkEntry {
            FROM d JOIN e ON d.idx = e.idx + 1)
          SELECT strftime(day, '%Y-%m-%d') AS day, n_events,
            CAST(ewma AS BIGINT) AS ewma FROM e""",
+
+    "q163_burstiness" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+         l AS (SELECT user_id,
+             ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS g
+           FROM e),
+         gg AS (SELECT user_id, CAST(g AS HUGEINT) AS g FROM l WHERE g IS NOT NULL),
+         a AS (SELECT user_id, count(*) AS n_gaps, sum(g) AS s1, sum(g * g) AS s2
+           FROM gg GROUP BY 1)
+         SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps,
+           CAST(10000 * (n_gaps * s2 - s1 * s1) // (s1 * s1) AS BIGINT) AS cv2_bp
+         FROM a WHERE n_gaps >= 2 AND s1 > 0""",
+
+    "q164_centroid_outliers" ->
+      """WITH ix AS (SELECT vec_id, label, embedding,
+           unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
+         dims AS (SELECT vec_id, label, i - 1 AS dim,
+           CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000 + 0.5) AS BIGINT) + 10000 AS vb
+           FROM ix),
+         cent AS (SELECT label, dim, sum(vb) // count(*) AS cb FROM dims GROUP BY 1, 2),
+         d2 AS (SELECT d.label, d.vec_id, sum((vb - cb) * (vb - cb)) AS d2
+           FROM dims d JOIN cent USING (label, dim) GROUP BY 1, 2),
+         r AS (SELECT label, vec_id, d2,
+           CAST(row_number() OVER (PARTITION BY label ORDER BY d2 DESC, vec_id ASC) AS BIGINT) AS rank
+           FROM d2)
+         SELECT label, rank, vec_id, CAST(d2 AS BIGINT) AS d2 FROM r WHERE rank <= 5""",
+
+    "q165_copurchase_lift" ->
+      """WITH di AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+         nb AS (SELECT count(DISTINCT bk) AS n_baskets FROM di),
+         ic AS (SELECT it, count(*) AS n_it FROM di GROUP BY 1),
+         p AS (SELECT a.it AS part_a, b.it AS part_b, count(*) AS n_ab
+           FROM di a JOIN di b ON a.bk = b.bk AND a.it < b.it
+           GROUP BY 1, 2 HAVING count(*) >= 3),
+         lf AS (SELECT part_a, part_b, n_ab,
+             CAST(1000 * CAST(n_baskets AS HUGEINT) * n_ab
+               // (CAST(n_a.n_it AS HUGEINT) * n_b.n_it) AS BIGINT) AS lift_milli
+           FROM p JOIN ic n_a ON n_a.it = p.part_a
+                  JOIN ic n_b ON n_b.it = p.part_b
+                  CROSS JOIN nb)
+         SELECT part_a, part_b, n_ab, lift_milli FROM lf
+         ORDER BY lift_milli DESC, part_a ASC, part_b ASC LIMIT 20""",
 
     "q160_bigram_surprisal" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),

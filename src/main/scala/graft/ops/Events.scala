@@ -963,4 +963,37 @@ object Events {
   /** q159: daily distinct-user HLL sketch store with merged total. */
   def q159(s: SparkSession, d: String): DataFrame =
     hllUniqueStore(Tables.events(s, d), to_date(col("ts")), "user_id")
+
+  /** BURSTINESS INDEX per entity: the squared coefficient of variation
+    * of inter-arrival gaps, CV² = Var(g)/E[g]² — ≈1 for a memoryless
+    * (Poisson) arrival process, ≫1 for bursty traffic, ≪1 for
+    * metronomic bots. Reported in exact basis points via the identity
+    * CV²·10⁴ = 10⁴·(n·Σg² − (Σg)²) / (Σg)² — a pure integer formula,
+    * no float mean/stddev whose summation order engines disagree on.
+    * Gaps are µs-scale longs, so Σg² crosses 2⁶³ for week-long spans —
+    * both factors run in decimal(38,0) (the engine-exact wide integer).
+    *
+    * Scale (100 TB): one shuffle on the entity key; the gap lag is a
+    * window inside that partitioning and the three moments are one
+    * hash aggregation — map-side partials, O(entities) exchange. */
+  def burstiness(events: DataFrame, key: String, tsUs: Column,
+                 order: String): DataFrame = {
+    val w = Window.partitionBy(col("k_")).orderBy(col("ts_us").asc, col("ord").asc)
+    val gaps = events
+      .select(col(key).as("k_"), tsUs.as("ts_us"), col(order).as("ord"))
+      .withColumn("g", col("ts_us") - lag(col("ts_us"), 1).over(w))
+      .where(col("g").isNotNull)
+      .select(col("k_"), col("g").cast("decimal(38,0)").as("g"))
+    gaps.groupBy(col("k_").as(key))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("g")).as("s1"), sum(col("g") * col("g")).as("s2"))
+      .where(col("n_gaps") >= 2 && col("s1") > 0)
+      .select(col(key), col("n_gaps"),
+        F.idiv(lit(10000L) * (col("n_gaps") * col("s2") - col("s1") * col("s1")),
+          col("s1") * col("s1")).as("cv2_bp"))
+  }
+
+  /** q163: per-user inter-arrival burstiness in basis points. */
+  def q163(s: SparkSession, d: String): DataFrame =
+    burstiness(Tables.events(s, d), "user_id", micros(col("ts")), "event_id")
 }

@@ -962,4 +962,48 @@ object Relational {
   /** q68: top-20 co-purchased part pairs across orders. */
   def q68(s: SparkSession, d: String): DataFrame =
     coPurchasePairs(Tables.lineitem(s, d), "l_orderkey", "l_partkey", 20)
+
+  /** ASSOCIATION LIFT over co-purchase pairs: lift(a,b) =
+    * N·n(a,b) / (n(a)·n(b)) — raw support (q68) rewards popular items;
+    * lift finds pairs bought together MORE than their popularities
+    * predict, which is the actual recommendation signal. Exact milli
+    * fixed point via decimal(38,0) products (N·n_ab·10³ outgrows Long
+    * on a 100 TB fact table), with a minimum-support floor so
+    * single-occurrence noise pairs (lift ≈ N) can't top the ranking.
+    *
+    * Scale shape: q68's basket-array discipline — pairs explode within
+    * the basket row, never a fact self-join; the item-frequency table
+    * is item-keyed (vocabulary-sized) and joins the pair table on each
+    * side; the basket count is one broadcast scalar row. */
+  def coPurchaseLift(items: DataFrame, basket: String, item: String,
+                     minSupport: Long, k: Int): DataFrame = {
+    val baskets = items.select(col(basket).as("bk"), col(item).as("it"))
+      .groupBy(col("bk")).agg(sort_array(collect_set(col("it"))).as("arr"))
+    val nBaskets = baskets.agg(count(lit(1)).as("n_baskets"))
+    val itemCnt = baskets
+      .select(explode(col("arr")).as("it"))
+      .groupBy(col("it")).agg(count(lit(1)).as("n_it"))
+    val pairs = baskets
+      .select(posexplode(col("arr")).as(Seq("i", "part_a")), col("arr"))
+      .select(col("part_a"),
+        explode(slice(col("arr"), col("i") + lit(2),
+          size(col("arr")) - col("i") - lit(1))).as("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minSupport)
+    pairs
+      .join(itemCnt.select(col("it").as("part_a"), col("n_it").as("n_a")), "part_a")
+      .join(itemCnt.select(col("it").as("part_b"), col("n_it").as("n_b")), "part_b")
+      .crossJoin(broadcast(nBaskets))
+      .select(col("part_a"), col("part_b"), col("n_ab"),
+        graft.functions.F.idiv(
+          lit(1000L) * col("n_baskets").cast("decimal(38,0)") * col("n_ab"),
+          col("n_a").cast("decimal(38,0)") * col("n_b")).as("lift_milli"))
+      .orderBy(col("lift_milli").desc, col("part_a").asc, col("part_b").asc)
+      .limit(k)
+  }
+
+  /** q165: top-20 part pairs by association lift at support ≥ 3. */
+  def q165(s: SparkSession, d: String): DataFrame =
+    coPurchaseLift(Tables.lineitem(s, d), "l_orderkey", "l_partkey", 3L, 20)
 }

@@ -472,6 +472,49 @@ object Similarity {
     knnClassify(c, q, "vec_id", "embedding", "label")
   }
 
+  /** CENTROID-DISTANCE OUTLIERS: per label, the k vectors farthest from
+    * their label centroid — the embedding-space anomaly auditor
+    * (mislabeled rows, encoder glitches, adversarial content surface
+    * here first). EXACT integer arithmetic end to end: each component
+    * quantizes to basis points AT THE ROW (deterministic per-value
+    * rounding, never a float sum whose merge order drifts), the
+    * centroid is the integer mean of quantized components, and the
+    * distance is a long sum of squared integer diffs — bit-identical
+    * across engines and partitionings.
+    *
+    * Scale (100 TB): the (label, dim) centroid aggregate is one
+    * hash aggregation with map-side partials (|labels|·dims rows,
+    * broadcast back); distances are map-side; the top-k window runs
+    * per label over (vec, d²) rows. */
+  def centroidOutliers(corpus: DataFrame, id: String, emb: String,
+                       label: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val dims = corpus.select(col(id).as("vid"), col(label).as("lab"),
+        posexplode(col(emb)).as(Seq("dim", "v")))
+      // +10⁴ shifts every quantized component non-negative (unit-ish
+      // embeddings ≥ −1): integer division of a NEGATIVE sum would
+      // floor in DuckDB but truncate in Spark — on the shifted values
+      // both engines agree, and distances are shift-invariant
+      .select(col("vid"), col("lab"), col("dim"),
+        (bp(col("v").cast("double")) + lit(10000L)).as("vb"))
+    val cent = dims.groupBy(col("lab"), col("dim"))
+      .agg(sum(col("vb")).as("sv"), count(lit(1)).as("n"))
+      .select(col("lab"), col("dim"), F.idiv(col("sv"), col("n")).as("cb"))
+    dims.join(broadcast(cent), Seq("lab", "dim"))
+      .groupBy(col("lab"), col("vid"))
+      .agg(sum((col("vb") - col("cb")) * (col("vb") - col("cb"))).as("d2"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("lab")).orderBy(col("d2").desc, col("vid").asc))
+        .cast("long"))
+      .where(col("rank") <= k)
+      .select(col("lab").as(label), col("rank"), col("vid").as(id), col("d2"))
+  }
+
+  /** q164: per-label top-5 centroid-distance outliers. */
+  def q164(s: SparkSession, d: String): DataFrame =
+    centroidOutliers(Tables.embeddings(s, d), "vec_id", "embedding",
+      "label", 5)
+
   /** q61: random-hyperplane LSH-bucketed approximate top-10. */
   def q61(s: SparkSession, d: String): DataFrame = {
     val (c, q) = corpusAndQueries(s, d)

@@ -1182,6 +1182,49 @@ class OperatorsSpec extends SparkSpec {
       s"query in the label-1 cluster must be predicted 1 with agree=0: $got")
   }
 
+  test("burstiness: metronomic arrivals score 0, bursty arrivals score high") {
+    import SparkTestSession.spark.implicits._
+    // user 1: constant 10s gaps (CV² = 0); user 2: 1µs/20s alternation
+    val metro = (0 until 10).map(i => (1L, i * 10000000L, i.toLong))
+    val bursty = (0 until 10).map(i =>
+      (2L, (i / 2) * 20000000L + (i % 2), 100L + i))
+    val got = Events.burstiness((metro ++ bursty).toDF("u", "ts_us_in", "eid"),
+        "u", col("ts_us_in"), "eid")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got(1L) == 0L, s"constant gaps must give CV²=0: $got")
+    assert(got(2L) > 9000L, s"alternating gaps must be bursty: $got")
+  }
+
+  test("centroidOutliers ranks a planted far vector first in its label") {
+    import SparkTestSession.spark.implicits._
+    val rows = (0 until 9).map(i =>
+      (i.toLong, Array.tabulate(4)(d => (0.1 * d + 0.001 * i).toFloat), 7)) :+
+      (99L, Array.tabulate(4)(d => (0.1 * d - 0.8).toFloat), 7)
+    val got = Similarity.centroidOutliers(
+        rows.toDF("vec_id", "embedding", "label"), "vec_id", "embedding",
+        "label", 3)
+      .filter(col("rank") === 1).collect().head
+    assert(got.getLong(2) == 99L, s"planted outlier must rank first: $got")
+  }
+
+  test("coPurchaseLift computes the exact milli lift with support floor") {
+    import SparkTestSession.spark.implicits._
+    // 4 baskets; {a,b} exclusive pair in 2 baskets → lift 4·2/(2·2)=2.0;
+    // {c,d} in every basket → lift 4·4/(4·4)=1.0
+    val items = Seq(
+      (1L, "a"), (1L, "b"), (1L, "c"), (1L, "d"),
+      (2L, "a"), (2L, "b"), (2L, "c"), (2L, "d"),
+      (3L, "c"), (3L, "d"),
+      (4L, "c"), (4L, "d")).toDF("bk", "it")
+    val got = ops.Relational.coPurchaseLift(items, "bk", "it", 2L, 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got(("a", "b")) == (2L, 2000L), s"got $got")
+    assert(got(("c", "d")) == (4L, 1000L), s"got $got")
+    assert(got(("a", "b"))._2 > got(("a", "c"))._2,
+      "the exclusive pair must out-lift the popularity pair")
+  }
+
   test("pageRank is invariant to input edge orientation") {
     import SparkTestSession.spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("a", "b")
