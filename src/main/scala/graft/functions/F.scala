@@ -24,6 +24,10 @@ object F {
   /** Cosine similarity between two array<float> columns. */
   def cosineSim(l: Column, r: Column): Column = GraftColumns.wrap(CosineSimilarity(u(l), u(r)))
 
+  /** Jaro–Winkler similarity of two string columns in exact basis points. */
+  def jaroWinklerBp(l: Column, r: Column): Column =
+    GraftColumns.wrap(JaroWinklerBp(u(l), u(r)))
+
   /** LSH bucket codes (array<long>, one per table) for an embedding. */
   def hyperplaneBuckets(c: Column, masks: Seq[Long], bits: Int): Column =
     GraftColumns.wrap(HyperplaneBuckets(u(c), masks, bits))

@@ -368,6 +368,26 @@ object Dedup {
       .groupBy(col("name_a"), col("name_b"), col("lev").cast("long").as("lev"))
       .agg(count(lit(1)).as("n_pairs"))
 
+  /** JARO–WINKLER name matching: the front-weighted edit metric record
+    * linkage prefers over Levenshtein for person/product names (a typo
+    * near the END of a name matters less than one at the front). Runs
+    * on the DISTINCT-name dictionary (q112's discipline — never once
+    * per entity pair) through the native `jaro_winkler_bp` codegen
+    * expression, whose exact rational arithmetic makes every score a
+    * platform-independent integer — no float threshold flicker at the
+    * match boundary. */
+  def jaroWinklerPairs(df: DataFrame, name: String, minBp: Long): DataFrame = {
+    val dict = df.select(col(name).as("n_")).distinct()
+    dict.as("x").join(broadcast(dict.as("y")), col("x.n_") < col("y.n_"))
+      .select(col("x.n_").as("name_a"), col("y.n_").as("name_b"),
+        F.jaroWinklerBp(col("x.n_"), col("y.n_")).as("jw_bp"))
+      .filter(col("jw_bp") >= minBp)
+  }
+
+  /** q166: part-name Jaro–Winkler near-matches at ≥ 0.92. */
+  def q166(s: SparkSession, d: String): DataFrame =
+    jaroWinklerPairs(Tables.part(s, d), "p_name", 9200L)
+
   /** Persist a corpus's MinHash-LSH signature state under `path`: a
     * `buckets` table (doc_id, band, bh) partitioned by band, and an
     * `arrays` table (doc_id, sh_arr, n) for exact verification of future

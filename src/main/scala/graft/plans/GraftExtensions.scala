@@ -5,9 +5,9 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import graft.functions.{CmsEstimate, CosineSimilarity, CountMinAgg,
-  HammingDistance64, IntersectSizeSorted, JaccardSorted, MinHash128, NfcNormalize,
-  RollingHash64, ShingleHashes, SimHash64, TopKAgg, VecSumAgg, WeightedDotSorted,
-  ZOrder2}
+  HammingDistance64, IntersectSizeSorted, JaccardSorted, JaroWinklerBp,
+  MinHash128, NfcNormalize, RollingHash64, ShingleHashes, SimHash64, TopKAgg,
+  VecSumAgg, WeightedDotSorted, ZOrder2}
 
 /** SparkSessionExtensions registering graft's native expressions as SQL
   * functions, so `spark.sql("SELECT cosine_sim(a, b) ...")` works too.
@@ -51,6 +51,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
       (children: Seq[Expression]) => NfcNormalize(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("jaro_winkler_bp"),
+      new ExpressionInfo(classOf[JaroWinklerBp].getName, "jaro_winkler_bp"),
+      (children: Seq[Expression]) => JaroWinklerBp(children(0), children(1))))
     ext.injectFunction((
       new FunctionIdentifier("zorder2"),
       new ExpressionInfo(classOf[ZOrder2].getName, "zorder2"),

@@ -252,4 +252,25 @@ class ExpressionsSpec extends SparkSpec {
       .head().getString(0)
     assert(viaSql == composed)
   }
+
+  test("jaro_winkler_bp reproduces the textbook values exactly") {
+    import SparkTestSession.spark.implicits._
+    // classic worked examples, exact rationals floored to basis points:
+    // martha/marhta 17/18 boosted → 0.96111; dixon/dicksonx → 0.81333;
+    // dwayne/duane → 0.84 exactly; zero-match and identity extremes
+    val cases = Seq(
+      ("martha", "marhta", 9611L), ("dixon", "dicksonx", 8133L),
+      ("dwayne", "duane", 8400L), ("same", "same", 10000L),
+      ("abc", "xyz", 0L), ("", "", 10000L), ("a", "", 0L))
+    val got = cases.toDF("a", "b", "want")
+      .select(F.jaroWinklerBp(col("a"), col("b")).as("bp"), col("want"))
+      .collect()
+    got.zip(cases).foreach { case (r, (a, b, want)) =>
+      assert(r.getLong(0) == want, s"jw($a, $b) = ${r.getLong(0)}, want $want")
+    }
+    // the SQL registration and the column helper agree
+    val viaSql = spark.sql("SELECT jaro_winkler_bp('martha', 'marhta')")
+      .head().getLong(0)
+    assert(viaSql == 9611L)
+  }
 }
