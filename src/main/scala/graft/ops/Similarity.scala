@@ -386,9 +386,15 @@ object Similarity {
                      emb: String, k: Int, margin: Int, exclK: Int): DataFrame = {
     require(k > 0 && margin >= 0, s"bad k=$k margin=$margin")
     // one bounded driver scalar row (the BPE-merge-scalar discipline):
-    // hash ranks only cover a contiguous id space, so detect density
-    val st = corpus.agg(count(lit(1)).as("n"), min(col(id)).as("mn"),
-      max(col(id)).as("mx")).head()
+    // hash ranks only cover a contiguous id space, so detect density;
+    // ids cast to long so integer-typed id columns work too
+    val st = corpus.agg(count(lit(1)).as("n"),
+      min(col(id).cast("long")).as("mn"),
+      max(col(id).cast("long")).as("mx")).head()
+    if (st.isNullAt(1))
+      // empty corpus: nothing to sample from
+      return queries.select(col(id).cast("long").as("query_id"),
+        lit(0L).as("rank"), lit(0L).as("neg_id")).limit(0)
     val (n, mn, mx) = (st.getLong(0), st.getLong(1), st.getLong(2))
     val topNbrs = bruteForceTopK(corpus, queries, id, emb, exclK)
       .select(col("query_id").as("tq"), col("neighbor_id"))

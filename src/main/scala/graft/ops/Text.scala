@@ -546,23 +546,31 @@ object Text {
     * vectors: each doc's (hash, weight) pairs ride ONE sorted array and
     * the exact dot is the zero-allocation WeightedDotSorted merge —
     * O(|a|+|b|) per candidate, no Σ df² shuffle anywhere. */
-  def tfidfCosinePairs(df: DataFrame, id: String, text: String,
-                       tau: Double, denseVocabMax: Int = 256): DataFrame = {
-    // tf is read by BOTH the vocab-size probe (one bounded count) and
-    // the weight/vector derivations; the cache lives with the returned
-    // plan (the q88 convenience pattern).
+  /** ONE definition of the TF-IDF milli-weight arithmetic, shared by
+    * the similarity join (q113) and keyword ranking (q161) so the two
+    * can never drift apart. Returns (dfx, w): the per-term document
+    * frequencies and the (doc_id, tok, df, wm) weight table with wm ≠ 0
+    * rows dropped (idf ln(1) = 0 contributes nothing). The (doc, tok,
+    * tf) probe is cached — it feeds both dfx and the weight join; the
+    * cache lives with the returned plan (the q88 convenience pattern). */
+  private[ops] def tfidfWeights(df: DataFrame, id: String,
+                                text: String): (DataFrame, DataFrame) = {
     val tf = withToks(df, text).select(col(id).as("doc_id"), explode(toks).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
       .cache()
     val dfx = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val n = df.agg(count(lit(1)).as("n_docs"))
-    // wm = 0 terms (idf ln(1) = 0) contribute nothing to any dot or
-    // norm — dropping them is exact and removes the densest postings.
     val w = tf.join(dfx, "tok").crossJoin(broadcast(n))
       .select(col("doc_id"), col("tok"), col("df"),
         fixed(col("tf").cast("double") *
           log(col("n_docs").cast("double") / col("df")), 1000L).as("wm"))
       .filter(col("wm") =!= 0L)
+    (dfx, w)
+  }
+
+  def tfidfCosinePairs(df: DataFrame, id: String, text: String,
+                       tau: Double, denseVocabMax: Int = 256): DataFrame = {
+    val (dfx, w) = tfidfWeights(df, id, text)
     val norms = w.groupBy(col("doc_id"))
       .agg(sum(col("wm") * col("wm")).as("m2"))
     // Prefix membership: global order (df asc, tok asc); a row stays in
@@ -788,7 +796,9 @@ object Text {
     * top-k cut is TakeOrderedAndProject, never a global sort. */
   def bm25TopK(df: DataFrame, id: String, text: String,
                terms: Seq[String], k: Int): DataFrame = {
-    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+    // duplicate query terms would double-count df and score — collapse
+    val qTerms = terms.distinct
+    val tfCols = qTerms.zipWithIndex.map { case (t, i) =>
       size(filter(toks, x => x === lit(t))).cast("long").as(s"tf$i") }
     // one corpus scan; the reduced table is O(docs · |terms|) narrow
     // rows, cheap to materialize for its three readers
@@ -797,10 +807,12 @@ object Text {
       .localCheckpoint()
     val stats = counted.agg(count(lit(1)).cast("double").as("n_docs"),
       sum(col("dl")).as("total_len"))
-    val stackExpr = terms.zipWithIndex
-      .map { case (t, i) => s"'$t', tf$i" }
-      .mkString(s"stack(${terms.size}, ", ", ", ") AS (tok, tf)")
-    val tf = counted.select(col(id), col("dl"), expr(stackExpr))
+    // terms ride as lit() struct fields, never interpolated into SQL
+    // text (a quote in a query term must stay data, not syntax)
+    val pairs = array(qTerms.zipWithIndex.map { case (t, i) =>
+      struct(lit(t).as("tok"), col(s"tf$i").as("tf")) }: _*)
+    val tf = counted.select(col(id), col("dl"), explode(pairs).as("p"))
+      .select(col(id), col("dl"), col("p.tok").as("tok"), col("p.tf").as("tf"))
       .where(col("tf") > 0)
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).cast("double").as("df"))
     // Expression structure mirrors the oracle left-to-right so the
@@ -1045,6 +1057,10 @@ object Text {
     * bigram-count aggregate broadcasts, surprisal accumulates as exact
     * tf-weighted fixed-point longs (merge-order independent). */
   def bigramSurprisal(df: DataFrame, id: String, text: String): DataFrame = {
+    // tf2 feeds BOTH the count aggregation and the probe join, and c2
+    // feeds both c1 and the broadcast side — materialize each once
+    // (bm25TopK's one-table-many-readers treatment) so the corpus is
+    // tokenized exactly once and the bigram vocabulary aggregated once
     val tf2 = withToks(df, text)
       .select(col(id), explode(arrays_zip(
         slice(toks, lit(1), size(toks) - 1),
@@ -1052,7 +1068,9 @@ object Text {
       .select(col(id), col("bg").getField("0").as("w1"),
         col("bg").getField("1").as("w2"))
       .groupBy(col(id), col("w1"), col("w2")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val c2 = tf2.groupBy(col("w1"), col("w2")).agg(sum(col("tf")).as("c2"))
+      .localCheckpoint()
     val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
     tf2.join(broadcast(c2.join(c1, "w1")), Seq("w1", "w2"))
       .groupBy(col(id))
@@ -1078,20 +1096,12 @@ object Text {
     * tie-break keeps top-k membership engine-stable. */
   def keywordTopK(df: DataFrame, id: String, text: String, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val tf = withToks(df, text).select(col(id), explode(toks).as("tok"))
-      .groupBy(col(id), col("tok")).agg(count(lit(1)).as("tf"))
-    val dfx = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val n = df.agg(count(lit(1)).as("n_docs"))
-    tf.join(dfx, "tok").crossJoin(broadcast(n))
-      .select(col(id), col("tok"),
-        fixed(col("tf").cast("double") *
-          log(col("n_docs").cast("double") / col("df")), 1000L).as("wm"))
-      .filter(col("wm") =!= 0L)
+    tfidfWeights(df, id, text)._2
       .withColumn("rank", row_number().over(
-        Window.partitionBy(col(id)).orderBy(col("wm").desc, col("tok").asc))
+        Window.partitionBy(col("doc_id")).orderBy(col("wm").desc, col("tok").asc))
         .cast("long"))
       .where(col("rank") <= k)
-      .select(col(id), col("rank"), col("tok"), col("wm"))
+      .select(col("doc_id").as(id), col("rank"), col("tok"), col("wm"))
   }
 
   /** q161: top-3 TF-IDF keywords per document. */

@@ -40,6 +40,8 @@ class GoldenSpec extends SparkSpec {
     "q141_bpe_vocab"      -> "e2ad9048e23cff6922ad6933d1dca481",
     "q142_bpe_tokenize"   -> "312c9342d04a0b0ae3f5c42f85677c56",
     "q143_video_frames"   -> "eef37c0a2814b319f5ffdf6dda89288a",
+    "q159_hll_uniques"    -> "4b957db88947a4e39cc72a378872646c",
+    "q166_jw_name_pairs"  -> "8644c2c48ed781573b9ce70674aeb812",
   )
 
   test("rows-only queries match their pinned sf0.001 golden hashes") {

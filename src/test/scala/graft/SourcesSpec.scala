@@ -237,11 +237,14 @@ class SourcesSpec extends SparkSpec {
   test("2-column z-order survives ranges past 2^31 (stretch-product overflow)") {
     import graft.sources.Sources
     import SparkTestSession.spark.implicits._
-    // a spans ~5e9 (> 2^31): the 32-bit-lane stretch multiply x·(2^32−1)
-    // exceeds Long for the upper half of the range — wrapped keys would
-    // scramble the layout and per-file narrowing on `a` would vanish
+    // a spans ~2.46e9 — INSIDE (2^31, 2^32], so scaled() takes the
+    // stretch-multiply branch and x·(2^32−1) exceeds Long for rows with
+    // x > 2^31: wrapped keys would scramble the layout and per-file
+    // narrowing on `a` would vanish (a span > 2^32 would take the
+    // scale-down branch and never multiply — that range wouldn't
+    // exercise the guarded path at all)
     val df = (0 until 4096).map { i =>
-      (i.toLong * 1250000L, ((i * 2654435761L) % 4096).toLong)
+      (i.toLong * 600000L, ((i * 2654435761L) % 4096).toLong)
     }.toDF("a", "b")
     def meanSpan(path: String, c: String): Double = {
       val g = spark.read.parquet(path)
