@@ -465,6 +465,68 @@ object Multimodal {
   def q143(s: SparkSession, d: String): DataFrame =
     decodeFrames(gifTable(s, d), "doc_id", "payload", FrameSampleStride)
 
+  case class SceneFeatures(doc_id: Long, frame_idx: Int, n_frames: Int,
+                           diff_q: Long, scene_change: Long)
+
+  /** SCENE-CHANGE detection over a multi-frame binary column: decode
+    * consecutive frames, score each transition by the EXACT integer
+    * mean absolute pixel difference (×100), flag transitions above the
+    * threshold — the shot-boundary primitive a video-curation pipeline
+    * runs before sampling keyframes (sample once per scene, not once
+    * per frame, or the dataset is 95% duplicates of static shots).
+    *
+    * Decode discipline (the q143 boundary): one reader per partition,
+    * frames decode ONCE in order with only the previous raster
+    * retained — O(2 frames) memory however long the clip; map-only, no
+    * shuffle, transitions never leave their partition. */
+  def sceneChanges(gifs: DataFrame, id: String, payload: String,
+                   thresholdQ: Long): DataFrame = {
+    import gifs.sparkSession.implicits._
+    gifs.select(col(id).as("doc_id"), col(payload).as("payload")).as[ImageRow]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        val reader = javax.imageio.ImageIO
+          .getImageReadersBySuffix("gif").next()
+        it.flatMap { r =>
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(r.payload))
+          reader.setInput(iis)
+          val n = reader.getNumImages(true)
+          var prev: java.awt.image.Raster = null
+          val out = (0 until n).flatMap { f =>
+            val img = reader.read(f)
+            val raster = img.getRaster
+            val (w, h) = (img.getWidth, img.getHeight)
+            val row = if (f == 0) None else {
+              var sad = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  sad += math.abs(raster.getSample(x, y, 0) -
+                    prev.getSample(x, y, 0))
+                  x += 1
+                }
+                y += 1
+              }
+              val diffQ = sad * 100L / (w.toLong * h)
+              Some(SceneFeatures(r.doc_id, f, n, diffQ,
+                if (diffQ > thresholdQ) 1L else 0L))
+            }
+            prev = raster
+            row
+          }
+          iis.close()
+          out
+        }
+      }.toDF()
+  }
+
+  /** q167: scene-change scan of the animated-GIF corpus at a mean-abs
+    * diff threshold of 80 gray levels. */
+  def q167(s: SparkSession, d: String): DataFrame =
+    sceneChanges(gifTable(s, d), "doc_id", "payload", 8000L)
+
   val WindowBytes = 256
   val HopBytes = 128
 

@@ -236,4 +236,41 @@ object Streaming {
           }
       }
   }
+
+  case class RateAlert(user_id: Long, window_start_us: Long, n_events: Long)
+  case class RateState(times: Seq[Long], alertedUs: Long)
+
+  /** STATEFUL RATE MONITOR: emit an alert the moment a key exceeds
+    * `maxEvents` within a sliding `windowUs` — the abuse/runaway-client
+    * detector that must fire mid-stream (a tumbling aggregate only
+    * reports after the window closes). State per key is the event-time
+    * list inside the CURRENT window only — pruned on every batch, so
+    * state is O(maxEvents) per active key, never O(history); keys stop
+    * alerting until a fresh violation window (alertedUs de-dups). */
+  def rateAlerts(events: Dataset[Event], windowUs: Long,
+                 maxEvents: Int): Dataset[RateAlert] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[RateState, RateAlert](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[RateState]) =>
+          val prev = state.getOption.getOrElse(RateState(Nil, Long.MinValue))
+          val sorted = (prev.times ++ batch.map(e => micros(e.ts))).sorted
+          val alerts = Seq.newBuilder[RateAlert]
+          var alertedUs = prev.alertedUs
+          var kept = sorted
+          sorted.foreach { t =>
+            kept = kept.dropWhile(_ <= t - windowUs)
+            val inWindow = kept.count(_ <= t)
+            if (inWindow > maxEvents && kept.head > alertedUs) {
+              alerts += RateAlert(userId, kept.head, inWindow)
+              alertedUs = kept.head
+            }
+          }
+          state.update(RateState(kept.takeRight(maxEvents + 1), alertedUs))
+          alerts.result().iterator
+      }
+  }
 }

@@ -42,6 +42,7 @@ class GoldenSpec extends SparkSpec {
     "q143_video_frames"   -> "eef37c0a2814b319f5ffdf6dda89288a",
     "q159_hll_uniques"    -> "4b957db88947a4e39cc72a378872646c",
     "q166_jw_name_pairs"  -> "8644c2c48ed781573b9ce70674aeb812",
+    "q167_scene_detect"   -> "55905a674ee596bb55923c8da05ed5da",
   )
 
   test("rows-only queries match their pinned sf0.001 golden hashes") {

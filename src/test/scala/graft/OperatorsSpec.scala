@@ -1225,6 +1225,35 @@ class OperatorsSpec extends SparkSpec {
       "the exclusive pair must out-lift the popularity pair")
   }
 
+  test("sceneChanges transition scores are byte-exact vs the GIF generator") {
+    val got = Multimodal.q167(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getInt(2), r.getLong(3), r.getLong(4))).toMap
+    val docs = got.keys.map(_._1).toSeq.distinct.sorted.take(5)
+    assert(docs.nonEmpty)
+    docs.foreach { id =>
+      val n = Multimodal.gifFrames(id)
+      (1 until n).foreach { f =>
+        var sad = 0L
+        var y = 0
+        while (y < Multimodal.GifSize) {
+          var x = 0
+          while (x < Multimodal.GifSize) {
+            sad += math.abs(Multimodal.gifPixelAt(id, f, x, y) -
+              Multimodal.gifPixelAt(id, f - 1, x, y))
+            x += 1
+          }
+          y += 1
+        }
+        val want = sad * 100L / (Multimodal.GifSize.toLong * Multimodal.GifSize)
+        val (nf, diff, flag) = got((id, f))
+        assert(nf == n && diff == want &&
+          flag == (if (want > 8000L) 1L else 0L),
+          s"doc $id frame $f: got ($nf, $diff, $flag) want n=$n diff=$want")
+      }
+    }
+  }
+
   test("pageRank is invariant to input edge orientation") {
     import SparkTestSession.spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("a", "b")

@@ -388,6 +388,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful rate monitor alerts mid-stream once per violation window") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streaming.rateAlerts(in.toDS(), windowUs = 60000000L, maxEvents = 3)
+      .writeStream.format("memory").queryName("rate_alerts")
+      .outputMode("append").start()
+    try {
+      // user 1: 3 events in a minute — at the limit, no alert yet
+      in.addData(Event(1L, 1L, ts("2024-01-01 10:00:00"), 1.0),
+                 Event(1L, 2L, ts("2024-01-01 10:00:10"), 1.0),
+                 Event(1L, 3L, ts("2024-01-01 10:00:20"), 1.0),
+                 Event(2L, 4L, ts("2024-01-01 10:00:00"), 1.0))
+      q.processAllAvailable()
+      assert(spark.table("rate_alerts").count() == 0,
+        "at-limit traffic must not alert")
+      // the 4th event inside the same minute trips the limit MID-stream
+      in.addData(Event(1L, 5L, ts("2024-01-01 10:00:30"), 1.0))
+      q.processAllAvailable()
+      val got = spark.table("rate_alerts").collect()
+        .map(r => (r.getLong(0), r.getLong(2)))
+      assert(got.toSeq == Seq((1L, 4L)), s"got ${got.toSeq}")
+      // another event in the SAME violation window must not re-alert
+      in.addData(Event(1L, 6L, ts("2024-01-01 10:00:40"), 1.0))
+      q.processAllAvailable()
+      assert(spark.table("rate_alerts").count() == 1,
+        "one alert per violation window")
+    } finally q.stop()
+  }
+
   test("parquet directory is a streaming source: new files picked up, result matches batch") {
     val dir = java.nio.file.Files.createTempDirectory("graft_file_stream").toString
     Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "s", "v")
