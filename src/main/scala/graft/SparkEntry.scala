@@ -106,6 +106,7 @@ object SparkEntry {
     "q165_copurchase_lift"    -> (Relational.q165 _),
     "q166_jw_name_pairs"      -> (Dedup.q166 _),
     "q167_scene_detect"       -> (Multimodal.q167 _),
+    "q168_ann_ivf_append"     -> (Similarity.q168 _),
     "q70_multimodal_meta" -> (Multimodal.q70 _),
     "q76_audio_windows"   -> (Multimodal.q76 _),
     "q78_label_centroids" -> (Similarity.q78 _),

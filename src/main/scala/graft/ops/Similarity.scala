@@ -640,16 +640,42 @@ object Similarity {
     * (partition-pruned scan, spec-pinned), the on-disk face of "score
     * only the probed lists". */
   def writeIvfIndex(corpus: DataFrame, id: String, emb: String, path: String,
-                    cells: Int = IvfCells, iters: Int = TrainIters): Unit = {
+                    cells: Int = IvfCells, iters: Int = TrainIters): Unit =
+    writeIvfIndexWith(trainCentroids(corpus, id, emb, cells, iters),
+      corpus, id, emb, path)
+
+  /** Index write from a FROZEN quantizer (the factored half of
+    * writeIvfIndex): centroid table + cell-partitioned assignments. */
+  def writeIvfIndexWith(cents: Seq[Seq[Float]], corpus: DataFrame,
+                        id: String, emb: String, path: String): Unit = {
     val s = corpus.sparkSession
     import s.implicits._
-    val cents = trainCentroids(corpus, id, emb, cells, iters)
     cents.zipWithIndex.map { case (c, i) => (i, c) }
       .toDF("cell", "centroid")
       .write.mode("overwrite").parquet(s"$path/centroids")
     corpus.select(col(id).as("vid"), col(emb).as("c_emb"),
         bestCell(cents, col(emb)).getField("i").as("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+  }
+
+  /** INCREMENTAL index append: assign NEW vectors to the nearest
+    * STORED centroids and append them to their cell partitions — the
+    * index grows without retraining and without rewriting existing
+    * lists (one map-side encode of the delta + a partitioned append).
+    * The quantizer stays frozen — standard IVF practice (retrain only
+    * on distribution drift) — so probing after any number of appends is
+    * row-identical to probing an index whose cells were written in one
+    * shot from the same centroids (spec-pinned). At 100 TB this is the
+    * daily-ingest path: the nightly crawl encodes and appends in
+    * minutes while the standing index keeps serving. */
+  def appendToIvfIndex(delta: DataFrame, id: String, emb: String,
+                       path: String): Unit = {
+    val s = delta.sparkSession
+    val cents: Seq[Seq[Float]] = s.read.parquet(s"$path/centroids")
+      .collect().sortBy(_.getInt(0)).map(_.getSeq[Float](1).toSeq).toSeq
+    delta.select(col(id).as("vid"), col(emb).as("c_emb"),
+        bestCell(cents, col(emb)).getField("i").as("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
   }
 
   /** Probe a persisted IVF index: no training, no corpus re-encode —
@@ -764,6 +790,22 @@ object Similarity {
       writePqIndex(c, "vec_id", "embedding", path)
     val rerank = math.max(PqRerank.toLong, math.min(c.count() / 6, 65536L)).toInt
     pqTopKFromIndex(s, path, c, q, "vec_id", "embedding", rerank = rerank)
+  }
+
+  /** q168: the index GROWTH path — the standing IVF index is built from
+    * the even-id half (train + assign), the odd-id half arrives later
+    * as an append against the frozen quantizer, and the probe serves
+    * the full corpus with no retrain and no rewrite. Row-identical to a
+    * one-shot index from the same centroids (spec). */
+  def q168(s: SparkSession, d: String): DataFrame = {
+    val (c, q) = corpusAndQueries(s, d)
+    val path = indexScratch(s, d, "ivfapp")
+    val done = new org.apache.hadoop.fs.Path(s"$path/cells/_SUCCESS")
+    if (!done.getFileSystem(s.sparkContext.hadoopConfiguration).exists(done)) {
+      writeIvfIndex(c.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", path)
+      appendToIvfIndex(c.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", path)
+    }
+    ivfTopKFromIndex(s, path, q, "vec_id", "embedding")
   }
 
   /** q63: product-quantization ANN with exact rerank. The ADC shortlist

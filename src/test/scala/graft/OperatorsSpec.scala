@@ -1225,6 +1225,27 @@ class OperatorsSpec extends SparkSpec {
       "the exclusive pair must out-lift the popularity pair")
   }
 
+  test("IVF append against the frozen quantizer equals the one-shot index") {
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 10)
+    val base = e.filter(col("vec_id") % 2 === 0)
+    val delta = e.filter(col("vec_id") % 2 === 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_append")
+    val (p1, p2) = (s"$dir/grown", s"$dir/oneshot")
+    // grown: train on base, assign base, append delta later
+    Similarity.writeIvfIndex(base, "vec_id", "embedding", p1)
+    Similarity.appendToIvfIndex(delta, "vec_id", "embedding", p1)
+    // one-shot: SAME centroids (trained on base), all vectors at once
+    Similarity.writeIvfIndexWith(
+      Similarity.trainCentroids(base, "vec_id", "embedding", Similarity.IvfCells),
+      e, "vec_id", "embedding", p2)
+    def probe(p: String) =
+      Similarity.ivfTopKFromIndex(spark, p, q, "vec_id", "embedding")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(probe(p1) == probe(p2),
+      "append must be indistinguishable from a one-shot write")
+  }
+
   test("sceneChanges transition scores are byte-exact vs the GIF generator") {
     val got = Multimodal.q167(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1)) ->
