@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -427,13 +427,19 @@ object Multimodal {
     * the partition. The frame explode happens INSIDE the decode
     * boundary, so un-sampled frames are skipped by the reader rather
     * than decoded and discarded. */
-  def decodeFrames(gifs: DataFrame, id: String, payload: String,
-                   stride: Int): DataFrame = {
+  /** The ONE GIF decode boundary (reader lifecycle lives here only):
+    * one reader per partition, only the input stream rebinds per row;
+    * `perDoc` receives (docId, frameCount, readFrame) and emits the
+    * operator's rows. decodeFrames and sceneChanges both build on it —
+    * a codec fix (dispose, seekForwardOnly, …) lands once. */
+  private def mapGifPartitions[T: org.apache.spark.sql.Encoder](
+      gifs: DataFrame, id: String, payload: String)(
+      perDoc: (Long, Int, Int => java.awt.image.BufferedImage) => Seq[T])
+      : Dataset[T] = {
     import gifs.sparkSession.implicits._
     gifs.select(col(id).as("doc_id"), col(payload).as("payload")).as[ImageRow]
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
-        // ONE reader per partition; only the input stream rebinds.
         val reader = javax.imageio.ImageIO
           .getImageReadersBySuffix("gif").next()
         it.flatMap { r =>
@@ -441,23 +447,32 @@ object Multimodal {
             new java.io.ByteArrayInputStream(r.payload))
           reader.setInput(iis)
           val n = reader.getNumImages(true)
-          val out = (0 until n by stride).map { f =>
-            val img = reader.read(f)
-            val raster = img.getRaster
-            val (w, h) = (img.getWidth, img.getHeight)
-            var sum = 0L
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
-              y += 1
-            }
-            FrameFeatures(r.doc_id, f, n, w, h, sum * 100L / (w.toLong * h))
-          }
+          val out = perDoc(r.doc_id, n, f => reader.read(f))
           iis.close()
           out
         }
-      }.toDF()
+      }
+  }
+
+  def decodeFrames(gifs: DataFrame, id: String, payload: String,
+                   stride: Int): DataFrame = {
+    implicit val enc: org.apache.spark.sql.Encoder[FrameFeatures] =
+      Encoders.product[FrameFeatures]
+    mapGifPartitions[FrameFeatures](gifs, id, payload) { (docId, n, read) =>
+      (0 until n by stride).map { f =>
+        val img = read(f)
+        val raster = img.getRaster
+        val (w, h) = (img.getWidth, img.getHeight)
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+          y += 1
+        }
+        FrameFeatures(docId, f, n, w, h, sum * 100L / (w.toLong * h))
+      }
+    }.toDF()
   }
 
   /** q143: REAL video-style frame decode — generate the animated-GIF
@@ -481,45 +496,41 @@ object Multimodal {
     * shuffle, transitions never leave their partition. */
   def sceneChanges(gifs: DataFrame, id: String, payload: String,
                    thresholdQ: Long): DataFrame = {
-    import gifs.sparkSession.implicits._
-    gifs.select(col(id).as("doc_id"), col(payload).as("payload")).as[ImageRow]
-      .mapPartitions { it =>
-        javax.imageio.ImageIO.setUseCache(false)
-        val reader = javax.imageio.ImageIO
-          .getImageReadersBySuffix("gif").next()
-        it.flatMap { r =>
-          val iis = javax.imageio.ImageIO.createImageInputStream(
-            new java.io.ByteArrayInputStream(r.payload))
-          reader.setInput(iis)
-          val n = reader.getNumImages(true)
-          var prev: java.awt.image.Raster = null
-          val out = (0 until n).flatMap { f =>
-            val img = reader.read(f)
-            val raster = img.getRaster
-            val (w, h) = (img.getWidth, img.getHeight)
-            val row = if (f == 0) None else {
-              var sad = 0L
-              var y = 0
-              while (y < h) {
-                var x = 0
-                while (x < w) {
-                  sad += math.abs(raster.getSample(x, y, 0) -
-                    prev.getSample(x, y, 0))
-                  x += 1
-                }
-                y += 1
+    implicit val enc: org.apache.spark.sql.Encoder[SceneFeatures] =
+      Encoders.product[SceneFeatures]
+    mapGifPartitions[SceneFeatures](gifs, id, payload) { (docId, n, read) =>
+      var prev: java.awt.image.Raster = null
+      (0 until n).flatMap { f =>
+        val img = read(f)
+        val raster = img.getRaster
+        val (w, h) = (img.getWidth, img.getHeight)
+        // diff only same-size full frames: an optimized real-world GIF
+        // stores delta frames as smaller changed rects (diffing those
+        // raw would read out of bounds or misalign) — a production
+        // video path composites deltas before scoring; here a size
+        // change just starts a new comparison chain
+        val row = if (f == 0 || prev == null ||
+            prev.getWidth != w || prev.getHeight != h) None
+          else {
+            var sad = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                sad += math.abs(raster.getSample(x, y, 0) -
+                  prev.getSample(x, y, 0))
+                x += 1
               }
-              val diffQ = sad * 100L / (w.toLong * h)
-              Some(SceneFeatures(r.doc_id, f, n, diffQ,
-                if (diffQ > thresholdQ) 1L else 0L))
+              y += 1
             }
-            prev = raster
-            row
+            val diffQ = sad * 100L / (w.toLong * h)
+            Some(SceneFeatures(docId, f, n, diffQ,
+              if (diffQ > thresholdQ) 1L else 0L))
           }
-          iis.close()
-          out
-        }
-      }.toDF()
+        prev = raster
+        row
+      }
+    }.toDF()
   }
 
   /** q167: scene-change scan of the animated-GIF corpus at a mean-abs

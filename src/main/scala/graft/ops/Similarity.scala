@@ -800,10 +800,16 @@ object Similarity {
   def q168(s: SparkSession, d: String): DataFrame = {
     val (c, q) = corpusAndQueries(s, d)
     val path = indexScratch(s, d, "ivfapp")
-    val done = new org.apache.hadoop.fs.Path(s"$path/cells/_SUCCESS")
-    if (!done.getFileSystem(s.sparkContext.hadoopConfiguration).exists(done)) {
+    // the build is TWO steps (base write + append), so the repeat-run
+    // guard must be a sentinel written only after BOTH complete —
+    // cells/_SUCCESS lands after step 1 and would mask a failed append
+    // as a complete (silently half-empty) index
+    val done = new org.apache.hadoop.fs.Path(s"$path/_GRAFT_APPEND_DONE")
+    val fs = done.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(done)) {
       writeIvfIndex(c.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", path)
       appendToIvfIndex(c.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", path)
+      fs.create(done, true).close()
     }
     ivfTopKFromIndex(s, path, q, "vec_id", "embedding")
   }

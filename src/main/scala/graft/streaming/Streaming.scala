@@ -237,40 +237,70 @@ object Streaming {
       }
   }
 
-  case class RateAlert(user_id: Long, window_start_us: Long, n_events: Long)
-  case class RateState(times: Seq[Long], alertedUs: Long)
+  case class RateAlert(user_id: Long, ts_us: Long, n_events: Long)
+  case class RateState(times: Seq[Long], lastSeenUs: Long, inViolation: Boolean)
 
-  /** STATEFUL RATE MONITOR: emit an alert the moment a key exceeds
-    * `maxEvents` within a sliding `windowUs` — the abuse/runaway-client
-    * detector that must fire mid-stream (a tumbling aggregate only
-    * reports after the window closes). State per key is the event-time
-    * list inside the CURRENT window only — pruned on every batch, so
-    * state is O(maxEvents) per active key, never O(history); keys stop
-    * alerting until a fresh violation window (alertedUs de-dups). */
+  /** STATEFUL RATE MONITOR with hysteresis: alert the moment a key
+    * ENTERS violation (sliding-window count crosses `maxEvents`),
+    * suppress while it stays violated, re-arm only after the count
+    * drops back under the limit — one alert per violation episode, no
+    * alert spam during a sustained flood, and batch-split-deterministic
+    * (the armed/violated flag lives in state; alert decisions are only
+    * evaluated at event times NEWER than anything already processed,
+    * so replaying context never re-fires). A tumbling aggregate only
+    * reports after the window closes; this fires mid-stream.
+    *
+    * State per key: the most-recent in-window event times, HARD-CAPPED
+    * at 8·(maxEvents+1) — during a flood counts saturate above the
+    * limit (the stay-in-violation decision needs no exact count; the
+    * emitted n_events may undercount an extreme flood) and prune back
+    * to exact once traffic subsides. Idle keys are EVICTED by event-time
+    * timeout one window past the watermark — state is O(active keys),
+    * never O(keys ever seen). The in-batch sweep is a two-pointer pass
+    * over the sorted merged times: O(n log n) in the batch's events. */
   def rateAlerts(events: Dataset[Event], windowUs: Long,
                  maxEvents: Int): Dataset[RateAlert] = {
     import events.sparkSession.implicits._
+    val cap = 8 * (maxEvents + 1)
     events
       .withWatermark("ts", "1 hour")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[RateState, RateAlert](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (userId: Long, batch: Iterator[Event], state: GroupState[RateState]) =>
-          val prev = state.getOption.getOrElse(RateState(Nil, Long.MinValue))
-          val sorted = (prev.times ++ batch.map(e => micros(e.ts))).sorted
-          val alerts = Seq.newBuilder[RateAlert]
-          var alertedUs = prev.alertedUs
-          var kept = sorted
-          sorted.foreach { t =>
-            kept = kept.dropWhile(_ <= t - windowUs)
-            val inWindow = kept.count(_ <= t)
-            if (inWindow > maxEvents && kept.head > alertedUs) {
-              alerts += RateAlert(userId, kept.head, inWindow)
-              alertedUs = kept.head
+          if (batch.isEmpty && state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption
+              .getOrElse(RateState(Nil, Long.MinValue, inViolation = false))
+            val arr = (prev.times ++ batch.map(e => micros(e.ts))).sorted.toArray
+            val alerts = Seq.newBuilder[RateAlert]
+            var inV = prev.inViolation
+            var start = 0
+            var i = 0
+            while (i < arr.length) {
+              val t = arr(i)
+              while (arr(start) <= t - windowUs) start += 1
+              val cnt = i - start + 1
+              // context events (ts <= lastSeenUs) were decided in an
+              // earlier batch — never re-evaluate them
+              if (t > prev.lastSeenUs) {
+                if (cnt > maxEvents && !inV) {
+                  alerts += RateAlert(userId, t, cnt)
+                  inV = true
+                } else if (cnt <= maxEvents) inV = false
+              }
+              i += 1
             }
+            if (arr.nonEmpty) {
+              val newest = arr.last
+              val kept = arr.dropWhile(_ <= newest - windowUs).takeRight(cap)
+              state.update(RateState(kept.toSeq, newest, inV))
+              state.setTimeoutTimestamp(newest / 1000 + windowUs / 1000)
+            }
+            alerts.result().iterator
           }
-          state.update(RateState(kept.takeRight(maxEvents + 1), alertedUs))
-          alerts.result().iterator
       }
   }
 }

@@ -409,11 +409,21 @@ class StreamingSpec extends SparkSpec {
       val got = spark.table("rate_alerts").collect()
         .map(r => (r.getLong(0), r.getLong(2)))
       assert(got.toSeq == Seq((1L, 4L)), s"got ${got.toSeq}")
-      // another event in the SAME violation window must not re-alert
-      in.addData(Event(1L, 6L, ts("2024-01-01 10:00:40"), 1.0))
+      // a SUSTAINED flood across batch boundaries must not re-alert
+      in.addData(Event(1L, 6L, ts("2024-01-01 10:00:40"), 1.0),
+                 Event(1L, 7L, ts("2024-01-01 10:00:50"), 1.0))
       q.processAllAvailable()
       assert(spark.table("rate_alerts").count() == 1,
-        "one alert per violation window")
+        "one alert per violation episode, even split across batches")
+      // after the rate drops under the limit the monitor re-arms:
+      // a fresh burst five minutes later alerts again
+      in.addData(Event(1L, 8L, ts("2024-01-01 10:05:00"), 1.0),
+                 Event(1L, 9L, ts("2024-01-01 10:05:10"), 1.0),
+                 Event(1L, 10L, ts("2024-01-01 10:05:20"), 1.0),
+                 Event(1L, 11L, ts("2024-01-01 10:05:30"), 1.0))
+      q.processAllAvailable()
+      assert(spark.table("rate_alerts").count() == 2,
+        "a fresh violation episode must alert again")
     } finally q.stop()
   }
 
