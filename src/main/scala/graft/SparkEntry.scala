@@ -1124,7 +1124,8 @@ object SparkEntry {
          slots AS (SELECT vec_id AS query_id, unnest(generate_series(0, 14)) AS slot
                    FROM embeddings WHERE vec_id < 10),
          cand AS (SELECT query_id, CAST(slot AS BIGINT) AS slot,
-             (query_id * 31 + slot) * 815781 % 1000003 % n AS cand
+             CAST((CAST(query_id AS HUGEINT) * 31 + slot) * 815781
+               % 2305843009213693951 % n AS BIGINT) AS cand
            FROM slots CROSS JOIN nn),
          ok AS (SELECT c.query_id, c.cand, min(c.slot) AS slot
            FROM cand c LEFT JOIN top t

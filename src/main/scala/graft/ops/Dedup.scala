@@ -513,9 +513,24 @@ object Dedup {
     * (SimHash, image aHash, audio fingerprint), blocked by 16-bit
     * pigeonhole chunks: hamming ≤ 3 on 64 bits means at least one of
     * the 4 chunks matches exactly, so the pair join runs on chunk
-    * equality, never all-pairs. Input: one (id, sig) row per item. */
+    * equality, never all-pairs. Input: one (id, sig) row per item.
+    *
+    * Hot-bucket bound (the 100 TB guard, q52's discipline): a boiler-
+    * plate corpus puts 10⁴–10⁶ near-identical signatures into one
+    * (chunk, value) bucket — ~n/65k on AVERAGE at web scale even
+    * without skew — and the within-bucket join is quadratic in bucket
+    * width. Buckets wider than `maxBucket` degrade to a spanning STAR
+    * at the bucket's minimum id: candidates stay linear in width, every
+    * hot near-dup cluster stays connected through the hub (diameter 2,
+    * so downstream label propagation converges in O(1) rounds), and
+    * only the explicit pair list within a hot bucket is thinned —
+    * exactly the part that is quadratic to materialize. Star pairs
+    * still pass the exact Hamming verification, identical to cold
+    * pairs. Width and hub ride window functions over ONE shuffle on
+    * (chunk, value). */
   def hammingPairs64(sigs: DataFrame, id: String, sig: String,
-                     maxHamming: Int): DataFrame = {
+                     maxHamming: Int,
+                     maxBucket: Int = MaxBucketWidth): DataFrame = {
     require(maxHamming <= 3, "16-bit pigeonhole chunks cover hamming <= 3")
     val chunks = sigs.select(col(id).as("doc_id"), col(sig).as("sig"))
       .select(col("doc_id"), col("sig"),
@@ -523,11 +538,24 @@ object Dedup {
           struct(lit(c).as("c"),
             shiftright(col("sig"), c * 16).bitwiseAND(lit(0xffffL)).as("v"))): _*)).as("ck"))
       .select(col("doc_id"), col("sig"), col("ck.c").as("c"), col("ck.v").as("v"))
-    chunks.as("a").join(chunks.as("b"),
+    val byBucket = Window.partitionBy(col("c"), col("v"))
+    val sized = chunks.withColumn("width", count(lit(1)).over(byBucket))
+    val cold = sized.filter(col("width") <= maxBucket)
+      .select(col("doc_id"), col("sig"), col("c"), col("v"))
+    val coldPairs = cold.as("a").join(cold.as("b"),
         col("a.c") === col("b.c") && col("a.v") === col("b.v") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         F.hamming64(col("a.sig"), col("b.sig")).as("hamming"))
+    // min over (doc_id, sig) structs: the hub id AND its signature from
+    // the same window pass (doc_id is unique, so the struct order is
+    // the id order and the paired sig is the hub's own).
+    val hotPairs = sized.filter(col("width") > maxBucket)
+      .withColumn("hub", min(struct(col("doc_id"), col("sig"))).over(byBucket))
+      .filter(col("doc_id") =!= col("hub.doc_id"))
+      .select(col("hub.doc_id").as("doc_a"), col("doc_id").as("doc_b"),
+        F.hamming64(col("hub.sig"), col("sig")).as("hamming"))
+    coldPairs.unionAll(hotPairs)
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

@@ -302,6 +302,15 @@ object Multimodal {
     * bit-deterministic. Map-only mapPartitions, the same codec batch
     * boundary as decodeImages; robust to brightness shifts and small
     * local edits — the image near-dup key exact byte hashing can't be. */
+  /** True iff the division-free aHash compare (cellSum·px vs
+    * total·cellPx) fits signed 64-bit arithmetic for EVERY cell — the
+    * largest factors bound all 64 products. Pure so the gigapixel
+    * refusal is spec-testable without allocating a gigapixel raster. */
+  private[graft] def aHashCompareSafe(maxCellSum: Long, maxCellPx: Long,
+                                      total: Long, px: Long): Boolean =
+    (maxCellSum == 0L || px <= Long.MaxValue / maxCellSum) &&
+      (total == 0L || maxCellPx <= Long.MaxValue / total)
+
   def aHashImages(images: DataFrame, id: String, payload: String): DataFrame = {
     import images.sparkSession.implicits._
     val g = AHashGrid
@@ -336,6 +345,16 @@ object Multimodal {
             y += 1
           }
           val px = w.toLong * h
+          // The division-free compare below multiplies cellSum·px and
+          // total·cellPx in 64 bits; around the gigapixel mark those
+          // products WRAP and flip hash bits silently. Guard with the
+          // exact per-image bound (computed from the actual maxima, not
+          // a worst-case estimate) and fail loudly — no real corpus
+          // image approaches it; a payload that does is corrupt or
+          // adversarial and should surface, not hash.
+          require(aHashCompareSafe(cellSum.max, cellPx.max, total, px),
+            s"image ${w}x$h (${px}px) overflows the aHash integer " +
+              s"compare for doc ${r.doc_id}")
           var hash = 0L
           var c = 0
           while (c < g * g) {

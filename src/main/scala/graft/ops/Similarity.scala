@@ -398,12 +398,21 @@ object Similarity {
     val (n, mn, mx) = (st.getLong(0), st.getLong(1), st.getLong(2))
     val topNbrs = bruteForceTopK(corpus, queries, id, emb, exclK)
       .select(col("query_id").as("tq"), col("neighbor_id"))
+    // Candidate rank: a multiplicative hash folded through the Mersenne
+    // prime 2⁶¹−1, then mod n — the prime dwarfs any corpus size, so
+    // ranks cover the WHOLE [0, n) id space (a fixed small modulus
+    // would confine negatives to the first million sorted ids at scale,
+    // a biased sample). Arithmetic runs in decimal(38,0) (HUGEINT in
+    // the oracle): the pre-fold product overflows a long once query
+    // ids pass ~3.6e14, and Spark would wrap silently where DuckDB
+    // errors — the decimal38 cross-engine discipline.
+    val mersenne61 = lit("2305843009213693951").cast("decimal(38,0)")
     val ranks = queries.select(col(id).as("query_id"))
       .select(col("query_id"),
         explode(sequence(lit(0), lit(k + margin - 1))).as("slot"))
       .select(col("query_id"), col("slot").cast("long").as("slot"),
-        ((col("query_id") * 31 + col("slot")) * lit(815781L) % 1000003L
-          % lit(n)).as("cr"))
+        ((col("query_id").cast("decimal(38,0)") * 31 + col("slot")) * lit(815781L)
+          % mersenne61 % lit(n)).cast("long").as("cr"))
     val cands =
       if (mx - mn + 1 == n) {
         // dense id space: rank + offset IS the id — pure arithmetic

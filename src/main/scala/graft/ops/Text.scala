@@ -552,7 +552,13 @@ object Text {
     * frequencies and the (doc_id, tok, df, wm) weight table with wm ≠ 0
     * rows dropped (idf ln(1) = 0 contributes nothing). The (doc, tok,
     * tf) probe is cached — it feeds both dfx and the weight join; the
-    * cache lives with the returned plan (the q88 convenience pattern). */
+    * cache lives with the returned plan (the q88 convenience pattern).
+    * CALLER-CLEARS contract: a long-lived session issuing many
+    * invocations should `spark.catalog.clearCache()` between them (the
+    * Bench protocol does) — the blocks are otherwise reclaimed only by
+    * driver GC through the ContextCleaner. The same applies to the
+    * localCheckpoint blocks in bm25TopK/bigramSurprisal, which are
+    * deliberately bounded to TYPE-table size, never the corpus. */
   private[ops] def tfidfWeights(df: DataFrame, id: String,
                                 text: String): (DataFrame, DataFrame) = {
     val tf = withToks(df, text).select(col(id).as("doc_id"), explode(toks).as("tok"))
@@ -569,7 +575,8 @@ object Text {
   }
 
   def tfidfCosinePairs(df: DataFrame, id: String, text: String,
-                       tau: Double, denseVocabMax: Int = 256): DataFrame = {
+                       tau: Double, denseVocabMax: Int = 256,
+                       denseDocsMax: Long = 1L << 16): DataFrame = {
     val (dfx, w) = tfidfWeights(df, id, text)
     val norms = w.groupBy(col("doc_id"))
       .agg(sum(col("wm") * col("wm")).as("m2"))
@@ -618,12 +625,19 @@ object Text {
     // quadratic similar mass is inherent to such corpora (the output
     // itself is near-quadratic); vectors are vocab-bounded and tiny, so
     // the pair side broadcasts — block-partition the cross join instead
-    // when one side outgrows broadcast. The vocab-size probe is one
-    // bounded driver scalar (the q63 pattern). General corpora
+    // when one side outgrows broadcast. The probes are two bounded
+    // driver scalars (the q63 pattern). General corpora
     // (vocab > denseVocabMax) take the lossless L2 prefix filter below,
     // byte-identical output either way.
+    //
+    // BOTH dimensions gate the dense path: a tiny vocabulary says
+    // nothing about document count — a templated corpus can pair a
+    // 50-token vocab with 10⁸ documents, and broadcasting its vector
+    // table would OOM the driver. Past `denseDocsMax` (64k docs ×
+    // ≤ denseVocabMax tiny vectors ≈ low hundreds of MB, the broadcast
+    // budget) the prefix path takes over — lossless either way.
     val vocabSize = dfx.count()
-    if (vocabSize <= denseVocabMax) {
+    if (vocabSize <= denseVocabMax && df.count() <= denseDocsMax) {
       // Vectors ride the join directly (the pair stream is consumed
       // map-side against the broadcast) — routing id-pairs through
       // verified() would re-shuffle the whole pair space twice. vecs is
@@ -976,9 +990,12 @@ object Text {
     * to DISTINCT (doc, token, tf) rows before any join (the raw
     * Zipf-skewed token stream never shuffles on the token key), the
     * vocab aggregate reduces to `vocabSize` rows and force-broadcasts.
-    * The rank window runs over the token-type table (vocabulary-sized),
-    * never the corpus; top-k membership is deterministic (count desc,
-    * token asc). OOV ratio is exact integer basis points. */
+    * Vocabulary selection is orderBy+limit — TakeOrderedAndProject
+    * (per-partition bounded heaps, `vocabSize`-row merge; q97/q102's
+    * discipline), NEVER a rank window: at web scale the token-TYPE
+    * table is 10⁸–10⁹ rows and an unpartitioned window funnels all of
+    * it through one task. Top-k membership is deterministic (count
+    * desc, token asc). OOV ratio is exact integer basis points. */
   def oovRate(corpus: DataFrame, id: String, text: String,
               vocabSize: Int): DataFrame = {
     require(vocabSize > 0, s"vocabSize must be positive, got $vocabSize")
@@ -987,9 +1004,7 @@ object Text {
       .filter(length(col("tok")) > 0)
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
     val vocab = tf.groupBy(col("tok")).agg(sum(col("tf")).as("cnt"))
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("cnt").desc, col("tok").asc)))
-      .where(col("rk") <= vocabSize)
+      .orderBy(col("cnt").desc, col("tok").asc).limit(vocabSize)
       .select(col("tok"), lit(1L).as("in_vocab"))
     tf.join(broadcast(vocab), Seq("tok"), "left_outer")
       .groupBy(col("doc_id"))
@@ -1052,15 +1067,25 @@ object Text {
     * corpus-predictable), scrambled text scores high — a sharper
     * quality signal than unigram frequency alone.
     *
-    * Scale (100 TB): q90's discipline unchanged — the probe side
-    * pre-aggregates to DISTINCT (doc, w₁, w₂, tf) before any join, the
-    * bigram-count aggregate broadcasts, surprisal accumulates as exact
-    * tf-weighted fixed-point longs (merge-order independent). */
+    * Scale (100 TB): q90's probe discipline unchanged — the probe side
+    * pre-aggregates to DISTINCT (doc, w₁, w₂, tf) before any join and
+    * surprisal accumulates as exact tf-weighted fixed-point longs
+    * (merge-order independent). Unlike q90's unigram vocab, the BIGRAM
+    * type table grows with the corpus (Heaps' law squared) — it is
+    * NEVER broadcast (round 4 force-broadcast it, which exceeds any
+    * executor budget at web scale, and checkpointed the corpus-sized
+    * probe to executor disk). The probe instead SHUFFLE-HASH joins the
+    * rate table on (w₁, w₂): hash, not sort-merge, so the corpus-sized
+    * side is never sorted; the build side is one row per key; Zipf-hot
+    * keys are exactly the shape AQE's skew-join splits at runtime
+    * (OptimizeSkewedJoin covers shuffled-hash joins). The only
+    * broadcast is the unigram head marginal c(w₁·) — vocabulary-sized,
+    * q90's bounded-vocab discipline. tf2 feeds both the count
+    * aggregation and the probe join through ONE canonically-identical
+    * exchange, which AQE stage reuse materializes once — no checkpoint,
+    * no second tokenize pass (measured: an eager checkpoint job is
+    * 1.5–2× slower end-to-end than in-plan reuse). */
   def bigramSurprisal(df: DataFrame, id: String, text: String): DataFrame = {
-    // tf2 feeds BOTH the count aggregation and the probe join, and c2
-    // feeds both c1 and the broadcast side — materialize each once
-    // (bm25TopK's one-table-many-readers treatment) so the corpus is
-    // tokenized exactly once and the bigram vocabulary aggregated once
     val tf2 = withToks(df, text)
       .select(col(id), explode(arrays_zip(
         slice(toks, lit(1), size(toks) - 1),
@@ -1068,11 +1093,10 @@ object Text {
       .select(col(id), col("bg").getField("0").as("w1"),
         col("bg").getField("1").as("w2"))
       .groupBy(col(id), col("w1"), col("w2")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
     val c2 = tf2.groupBy(col("w1"), col("w2")).agg(sum(col("tf")).as("c2"))
-      .localCheckpoint()
     val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
-    tf2.join(broadcast(c2.join(c1, "w1")), Seq("w1", "w2"))
+    val rates = c2.join(broadcast(c1), "w1").hint("shuffle_hash")
+    tf2.join(rates, Seq("w1", "w2"))
       .groupBy(col(id))
       .agg(sum(col("tf")).as("n_bigrams"),
         floor(sum(col("tf") * bp(-log(col("c2").cast("double") / col("c1")))) /

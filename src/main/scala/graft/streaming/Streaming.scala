@@ -238,7 +238,15 @@ object Streaming {
   }
 
   case class RateAlert(user_id: Long, ts_us: Long, n_events: Long)
-  case class RateState(times: Seq[Long], lastSeenUs: Long, inViolation: Boolean)
+  /** `carry`/`carryBoundUs`: saturating count of in-window events the
+    * `times` cap truncated, plus an upper bound on their (unknown)
+    * timestamps — every truncated event's ts is ≤ the head of the kept
+    * array at truncation time. The count decision adds `carry` while a
+    * window could still contain the truncated region, so cap pruning
+    * can never dip an in-flood count under the limit (which would
+    * re-arm the hysteresis and fire a duplicate alert mid-episode). */
+  case class RateState(times: Seq[Long], lastSeenUs: Long, inViolation: Boolean,
+                       carry: Long = 0L, carryBoundUs: Long = Long.MinValue)
 
   /** STATEFUL RATE MONITOR with hysteresis: alert the moment a key
     * ENTERS violation (sliding-window count crosses `maxEvents`),
@@ -251,10 +259,15 @@ object Streaming {
     * reports after the window closes; this fires mid-stream.
     *
     * State per key: the most-recent in-window event times, HARD-CAPPED
-    * at 8·(maxEvents+1) — during a flood counts saturate above the
-    * limit (the stay-in-violation decision needs no exact count; the
-    * emitted n_events may undercount an extreme flood) and prune back
-    * to exact once traffic subsides. Idle keys are EVICTED by event-time
+    * at 8·(maxEvents+1), PLUS a saturating carry counter for the
+    * truncated tail — during a flood the count decision adds the carry
+    * while a window could still reach the truncated region, so the
+    * stay-in-violation verdict NEVER depends on truncated history (a
+    * truncation-induced dip under the limit would re-arm and fire a
+    * duplicate alert mid-episode) and the emitted n_events saturates
+    * high instead of undercounting. The carry expires once windows
+    * move past its timestamp upper bound (≤ one window), after which
+    * counts are exact again. Idle keys are EVICTED by event-time
     * timeout one window past the watermark — state is O(active keys),
     * never O(keys ever seen). The in-batch sweep is a two-pointer pass
     * over the sorted merged times: O(n log n) in the batch's events. */
@@ -282,7 +295,13 @@ object Streaming {
             while (i < arr.length) {
               val t = arr(i)
               while (arr(start) <= t - windowUs) start += 1
-              val cnt = i - start + 1
+              // truncated events all have ts ≤ carryBoundUs, so they are
+              // certainly gone once the window start passes that bound;
+              // until then count them as present (saturating high — the
+              // conservative direction for hysteresis)
+              val carried = if (prev.carry > 0 && t - windowUs < prev.carryBoundUs)
+                prev.carry else 0L
+              val cnt = (i - start + 1) + carried
               // context events (ts <= lastSeenUs) were decided in an
               // earlier batch — never re-evaluate them
               if (t > prev.lastSeenUs) {
@@ -295,8 +314,20 @@ object Streaming {
             }
             if (arr.nonEmpty) {
               val newest = arr.last
-              val kept = arr.dropWhile(_ <= newest - windowUs).takeRight(cap)
-              state.update(RateState(kept.toSeq, newest, inV))
+              val inWin = arr.dropWhile(_ <= newest - windowUs)
+              val kept = inWin.takeRight(cap)
+              // the cap's fresh victims are the oldest in-window entries
+              // (all ≤ kept.head); fold them into the surviving carry
+              val prevLive = if (prev.carry > 0 && newest - windowUs < prev.carryBoundUs)
+                prev.carry else 0L
+              val fresh = (inWin.length - kept.length).toLong
+              val carry = prevLive + fresh
+              val bound =
+                if (carry == 0L) Long.MinValue
+                else if (fresh > 0L) math.max(kept.head,
+                  if (prevLive > 0) prev.carryBoundUs else Long.MinValue)
+                else prev.carryBoundUs
+              state.update(RateState(kept.toSeq, newest, inV, carry, bound))
               state.setTimeoutTimestamp(newest / 1000 + windowUs / 1000)
             }
             alerts.result().iterator

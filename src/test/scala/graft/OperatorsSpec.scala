@@ -1349,6 +1349,80 @@ class OperatorsSpec extends SparkSpec {
     assert(joinLine.contains("label"), s"label not in the join key:\n$joinLine")
   }
 
+  test("q160 never broadcasts the bigram table; no corpus sort; one probe exchange") {
+    val plan = executedPlan(Text.q160(spark, sf)).toString
+    // the probe⨝rates join must be SHUFFLED-HASH: never a broadcast of
+    // the corpus-growing bigram-type table (round 4's failure mode),
+    // and never a sort of the corpus-sized probe side
+    assert(plan.contains("ShuffledHashJoin"),
+      s"probe join is not a shuffled-hash join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the corpus-sized probe side is being sorted:\n$plan")
+    // the one legitimate broadcast is the unigram marginal c1 — every
+    // BroadcastExchange must sit over the w1 aggregate, not the
+    // (w1, w2) bigram table
+    val nBroadcasts = plan.linesIterator.count(_.contains("BroadcastExchange"))
+    assert(nBroadcasts == 1, s"expected exactly the c1 broadcast, " +
+      s"got $nBroadcasts:\n$plan")
+    // no checkpoint scans: the probe is shared through AQE stage reuse,
+    // not materialized to executor disk
+    assert(!plan.contains("ExistingRDD"),
+      s"a checkpointed intermediate survived in q160:\n$plan")
+  }
+
+  test("q154 ranks the vocabulary through TakeOrderedAndProject, never a global window") {
+    val plan = executedPlan(Text.q154(spark, sf)).toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"vocab top-k is not a bounded TakeOrderedAndProject:\n$plan")
+    assert(!plan.contains("Window"),
+      s"a window survived in q154 — an unpartitioned rank funnels the " +
+        s"token-type table through one task at scale:\n$plan")
+  }
+
+  test("hammingPairs64 hot buckets degrade to a linear spanning star") {
+    import SparkTestSession.spark.implicits._
+    val n = 2000
+    // one degenerate signature value floods all 4 chunk buckets far past
+    // the 512 cap; uncapped, the within-bucket join would emit ~2M pairs
+    val flood = (0 until n).map(i => (i.toLong, 0x1234567890abcdefL))
+    // plus one cold near-dup pair in its own (width-2) buckets
+    val cold = Seq((10001L, 0x0f0f0f0f0f0f0f0fL), (10002L, 0x0f0f0f0f0f0f0f0eL))
+    val pairs = Dedup.hammingPairs64((flood ++ cold).toDF("id", "sig"), "id", "sig", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val floodPairs = pairs.filter(p => p._1 < 10000L && p._2 < 10000L)
+    assert(floodPairs.size == n - 1,
+      s"flood bucket must thin to a star (${n - 1} pairs), got ${floodPairs.size}")
+    assert(floodPairs.forall(_._1 == 0L), "star pairs must anchor at the hub (min id)")
+    assert(pairs.contains((10001L, 10002L)), "a cold near-dup pair was lost")
+  }
+
+  test("hammingPairs64 capped and uncapped agree when no bucket is hot") {
+    import SparkTestSession.spark.implicits._
+    val sigs = (0 until 200).map(i => (i.toLong, (i / 2).toLong * 0x10001000100010L))
+      .toDF("id", "sig")
+    val capped = Dedup.hammingPairs64(sigs, "id", "sig", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = Dedup.hammingPairs64(sigs, "id", "sig", 3, maxBucket = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == uncapped, "cap changed output on a cold corpus")
+  }
+
+  test("aHash refuses gigapixel rasters whose integer compare would wrap") {
+    // 50000×40000 RGB: total·maxCellPx ≈ 4.8e19 > 2⁶³ — must refuse
+    val px = 50000L * 40000L
+    val bands = 3
+    val total = 255L * bands * px
+    assert(!Multimodal.aHashCompareSafe(255L * bands * (px / 64), px / 64, total, px),
+      "a wrapping gigapixel compare was declared safe")
+    // 4096×4096 RGB (the largest realistic corpus image): safe
+    val px2 = 4096L * 4096L
+    assert(Multimodal.aHashCompareSafe(255L * bands * (px2 / 64), px2 / 64,
+      255L * bands * px2, px2), "a realistic image was refused")
+    // exactness at the boundary: safe iff both products fit
+    assert(Multimodal.aHashCompareSafe(Long.MaxValue, 1L, 1L, 1L))
+    assert(!Multimodal.aHashCompareSafe(Long.MaxValue, 1L, 1L, 2L))
+  }
+
   test("filteredTopK equals brute force over the label-restricted corpus") {
     val e = Tables.embeddings(spark, sf)
     val queries = e.filter(col("vec_id") < 3)
