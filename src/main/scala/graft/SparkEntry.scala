@@ -107,6 +107,8 @@ object SparkEntry {
     "q166_jw_name_pairs"      -> (Dedup.q166 _),
     "q167_scene_detect"       -> (Multimodal.q167 _),
     "q168_ann_ivf_append"     -> (Similarity.q168 _),
+    "q169_cjk_tokens"         -> (Text.q169 _),
+    "q170_ann_ivf_compact"    -> (Similarity.q170 _),
     "q70_multimodal_meta" -> (Multimodal.q70 _),
     "q76_audio_windows"   -> (Multimodal.q76 _),
     "q78_label_centroids" -> (Similarity.q78 _),
@@ -1097,6 +1099,27 @@ object SparkEntry {
              CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wm DESC, tok ASC) AS BIGINT) AS rank
            FROM w WHERE wm <> 0)
          SELECT doc_id, rank, tok, wm FROM r WHERE rank <= 3""",
+
+    "q169_cjk_tokens" ->
+      // RE2 script classes (\p{Han}) mirror the Java spellings
+      // (\p{IsHan}) in Cols.tokens — same Unicode script property.
+      """WITH m AS (SELECT doc_id,
+           CASE CAST(doc_id % 3 AS INT)
+             WHEN 0 THEN substr(text, 1, 60) || ' 你好世界今天天氣很好'
+             WHEN 1 THEN substr(text, 1, 60) || ' สวัสดีชาวโลกวันนี้'
+             ELSE substr(text, 1, 60) END AS t FROM documents),
+         seg AS (SELECT doc_id,
+           CASE WHEN regexp_matches(t, '[\p{Han}\p{Hiragana}\p{Katakana}\p{Thai}]')
+             THEN trim(regexp_replace(regexp_replace(t,
+               '([\p{Han}\p{Hiragana}\p{Katakana}\p{Thai}])', ' \1 ', 'g'),
+               ' {2,}', ' ', 'g'))
+             ELSE t END AS s FROM m),
+         tk AS (SELECT doc_id, string_split(s, ' ') AS toks FROM seg)
+         SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(toks, x ->
+             regexp_matches(x, '[\p{Han}\p{Hiragana}\p{Katakana}\p{Thai}]'))) AS BIGINT) AS n_seg,
+           md5(array_to_string(toks, '|')) AS tok_md5
+         FROM tk""",
 
     "q162_knn_classify" ->
       """WITH s AS (SELECT q.vec_id AS query_id, q.label AS true_label, e.vec_id AS neighbor_id,

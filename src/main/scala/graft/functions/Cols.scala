@@ -32,4 +32,33 @@ object Cols {
     s"CAST(floor(($expr) * $scale + 0.5) AS BIGINT)"
   def sqlCents(expr: String): String = sqlFixed(expr, 100L)
   def sqlBp(expr: String): String    = sqlFixed(expr, 10000L)
+
+  /** Codepoint class of the space-FREE scripts (Han ideographs, kana,
+    * Thai — scripts written without word separators; Korean keeps its
+    * native spaces and stays on whitespace tokenization). Java regex
+    * syntax; the RE2 mirror for DuckDB oracles is [[SegScriptSql]]. */
+  val SegScript = "[\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}\\p{IsThai}]"
+  /** RE2 spelling of [[SegScript]] for DuckDB oracle SQL. */
+  val SegScriptSql = "[\\p{Han}\\p{Hiragana}\\p{Katakana}\\p{Thai}]"
+
+  /** THE shared tokenizer: whitespace split, with a codepoint-class
+    * segmentation fallback for space-free scripts — each Han/kana/Thai
+    * codepoint becomes its own token (the standard character-level
+    * convention for unsegmented text; a CJK document would otherwise
+    * collapse into one giant "token" and silently gut token stats,
+    * TF-IDF, dedup shingles and surprisal for those languages).
+    *
+    * The fallback is CONDITIONAL on the document containing such a
+    * codepoint (`rlike` prescan): pure-ASCII/Latin corpora pay one
+    * codegen'd regex scan per document and tokenize byte-identically
+    * to a plain space split — no behavior change for corpora without
+    * these scripts. When the fallback fires, each script codepoint is
+    * space-padded and runs of spaces collapse to one (whitespace in
+    * such documents is normalized by construction). Map-side, no UDF;
+    * mirrored verbatim by DuckDB regexp functions in oracles. */
+  def tokens(text: Column): Column = {
+    val padded = regexp_replace(text, s"(${SegScript})", " $1 ")
+    val seg = trim(regexp_replace(padded, " {2,}", " "))
+    split(when(text.rlike(SegScript), seg).otherwise(text), " ")
+  }
 }

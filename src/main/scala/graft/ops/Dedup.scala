@@ -45,7 +45,7 @@ object Dedup {
   def shingleArrays(corpus: DataFrame, id: String, text: String,
                     k: Int = 3): DataFrame =
     corpus.select(col(id).as("doc_id"),
-        F.shingleHashes(split(col(text), " "), k).as("sh_arr"))
+        F.shingleHashes(tokens(col(text)), k).as("sh_arr"))
       .withColumn("n", size(col("sh_arr")))
 
   /** Exact dedup — group by md5(text), keep the smallest id. */
@@ -77,7 +77,7 @@ object Dedup {
                    w: Int = 20): DataFrame = {
     require(w > 0, s"passage width must be positive, got $w")
     val words = corpus.select(col(id).as("doc_id"),
-        split(col(text), " ").as("words"))
+        tokens(col(text)).as("words"))
       .withColumn("n_pass",
         ceil(size(col("words")) / lit(w.toDouble)).cast("int"))
     // slice() is 1-based and clamps the tail passage to what remains.
@@ -567,7 +567,7 @@ object Dedup {
                    maxHamming: Int = 3): DataFrame =
     hammingPairs64(
       corpus.select(col(id).as("doc_id"),
-        F.simhash64(array_distinct(split(col(text), " "))).as("simhash")),
+        F.simhash64(array_distinct(tokens(col(text)))).as("simhash")),
       "doc_id", "simhash", maxHamming)
 
   /** Embedding-cosine near-dup pairs (cos ≥ tau), blocked on `block` so

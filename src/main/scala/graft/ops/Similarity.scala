@@ -316,7 +316,7 @@ object Similarity {
 
   // ---- driver-contract facades over the test embeddings table ----
 
-  private def corpusAndQueries(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  private[graft] def corpusAndQueries(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val e = Tables.embeddings(s, d)
     (e, e.filter(col("vec_id") < NumQueries))
   }
@@ -667,6 +667,56 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
   }
 
+  /** Past this cell count, centroid assignment stops riding the plan as
+    * literal arrays (10⁴ structs in one projection blows codegen and
+    * planning time) and becomes a broadcast join against the centroid
+    * TABLE — same assignment, same tie-break, a plan whose size is
+    * independent of the cell count. A 100 TB index wants √n ≈ 10⁴–10⁵
+    * cells, so the join path is the scale path; the literal path stays
+    * for small indexes where one codegen'd argmax beats a join. */
+  val LiteralCellsMax = 256
+
+  /** Per-query nearest-`probes` cells via a broadcast join against the
+    * centroid table. Tie-break mirrors the literal path's struct order
+    * exactly (cos desc, then CELL DESC — array_max/reverse(sort_array)
+    * break equal cosines toward the larger index), so both paths select
+    * identical probe sets (spec-pinned). The rank window partitions by
+    * query — per-partition work is one query's |cells| scores. */
+  private def probesByJoin(centsDf: DataFrame, queries: DataFrame,
+                           id: String, emb: String, probes: Int): DataFrame =
+    queries.select(col(id).as("query_id"), col(emb).as("q_emb"))
+      .join(broadcast(centsDf.select(col("cell"), col("centroid"))))
+      .select(col("query_id"), col("q_emb"), col("cell"),
+        F.cosineSim(col("q_emb"), col("centroid")).as("cs"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cs").desc, col("cell").desc)))
+      .where(col("rk") <= probes)
+      .select(col("query_id"), col("q_emb"), col("cell"))
+
+  /** Delta rows encoded against the stored quantizer: literal-argmax
+    * assignment under `literalCellsMax` cells, broadcast-join argmax
+    * (max_by over (cos, cell) — the same tie-break) above it. */
+  private def assignCells(centsDf: DataFrame, delta: DataFrame,
+                          id: String, emb: String,
+                          literalCellsMax: Int): DataFrame = {
+    val nCells = centsDf.count()
+    if (nCells <= literalCellsMax) {
+      val cents: Seq[Seq[Float]] = centsDf
+        .collect().sortBy(_.getInt(0)).map(_.getSeq[Float](1).toSeq).toSeq
+      delta.select(col(id).as("vid"), col(emb).as("c_emb"),
+        bestCell(cents, col(emb)).getField("i").as("cell"))
+    } else {
+      delta.select(col(id).as("vid"), col(emb).as("c_emb"))
+        .join(broadcast(centsDf.select(col("cell"), col("centroid"))))
+        .groupBy(col("vid"))
+        .agg(first(col("c_emb")).as("c_emb"),
+          max(struct(F.cosineSim(col("c_emb"), col("centroid")).as("c"),
+            col("cell").as("i"))).as("best"))
+        .select(col("vid"), col("c_emb"), col("best.i").as("cell"))
+    }
+  }
+
   /** INCREMENTAL index append: assign NEW vectors to the nearest
     * STORED centroids and append them to their cell partitions — the
     * index grows without retraining and without rewriting existing
@@ -676,35 +726,72 @@ object Similarity {
     * row-identical to probing an index whose cells were written in one
     * shot from the same centroids (spec-pinned). At 100 TB this is the
     * daily-ingest path: the nightly crawl encodes and appends in
-    * minutes while the standing index keeps serving. */
+    * minutes while the standing index keeps serving; each append lands
+    * one file set per cell, so schedule [[compactIvfIndex]] every N
+    * appends to fold the small files back to a bounded count. */
   def appendToIvfIndex(delta: DataFrame, id: String, emb: String,
-                       path: String): Unit = {
+                       path: String,
+                       literalCellsMax: Int = LiteralCellsMax): Unit = {
     val s = delta.sparkSession
-    val cents: Seq[Seq[Float]] = s.read.parquet(s"$path/centroids")
-      .collect().sortBy(_.getInt(0)).map(_.getSeq[Float](1).toSeq).toSeq
-    delta.select(col(id).as("vid"), col(emb).as("c_emb"),
-        bestCell(cents, col(emb)).getField("i").as("cell"))
+    assignCells(s.read.parquet(s"$path/centroids"), delta, id, emb,
+        literalCellsMax)
       .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
   }
 
+  /** Index-aware CELL COMPACTION: rewrite the cell partitions so every
+    * inverted list holds at most `filesPerCell` files — the small-file
+    * sprawl antidote for the append path (daily ingest = one file set
+    * per delta per cell; a year of appends = hundreds of tiny files per
+    * cell, and probe scan time goes per-file, not per-byte). The
+    * rewrite repartitions on (cell, hash(vid) % filesPerCell) — each
+    * (cell, slot) pair lands in one task, so a cell directory gets at
+    * most `filesPerCell` files — writes to a sibling directory, then
+    * swaps atomically-per-rename and drops the old tree. Probe results
+    * are row-identical before/after (spec-pinned): compaction moves
+    * bytes, never values. At 100 TB, run per-cell-subset on a schedule;
+    * the shuffle moves only the cells being folded. */
+  def compactIvfIndex(s: SparkSession, path: String,
+                      filesPerCell: Int = 1): Unit = {
+    require(filesPerCell > 0, s"filesPerCell must be positive, got $filesPerCell")
+    val tmp = s"$path/cells_compacting"
+    s.read.parquet(s"$path/cells")
+      .repartition(col("cell"), pmod(xxhash64(col("vid")), lit(filesPerCell.toLong)))
+      .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    def p(sub: String) = new org.apache.hadoop.fs.Path(s"$path/$sub")
+    fs.delete(p("cells_old"), true)
+    require(fs.rename(p("cells"), p("cells_old")), s"swap-out failed under $path")
+    require(fs.rename(p("cells_compacting"), p("cells")), s"swap-in failed under $path")
+    fs.delete(p("cells_old"), true)
+  }
+
   /** Probe a persisted IVF index: no training, no corpus re-encode —
-    * the centroid model is a bounded k-row collect, query probes are
-    * computed query-side only, and the index scan is statically pruned
-    * to the probed cells (the probe set is ≤ `cells` ints, collected
-    * once — the bounded-driver-scalar pattern). */
+    * the centroid model stays bounded (k-row collect under
+    * `literalCellsMax` cells, broadcast-joined centroid table above —
+    * see [[LiteralCellsMax]]), query probes are computed query-side
+    * only, and the index scan is statically pruned to the probed cells
+    * (the probe set is ≤ probes·|queries| ints, collected once — the
+    * bounded-driver-scalar pattern). */
   def ivfTopKFromIndex(s: SparkSession, path: String, queries: DataFrame,
                        id: String, emb: String, k: Int = TopK,
-                       probes: Int = IvfProbes): DataFrame = {
-    val cents: Seq[Seq[Float]] = s.read.parquet(s"$path/centroids")
-      .collect().sortBy(_.getInt(0)).map(_.getSeq[Float](1).toSeq).toSeq
-    def cellScores(e: Column): Column = array(cents.zipWithIndex.map {
-      case (c, i) => struct(F.cosineSim(e, typedlit(c)).as("c"), lit(i).as("i"))
-    }: _*)
-    val q = queries
-      .select(col(id).as("query_id"), col(emb).as("q_emb"),
-        explode(transform(
-          slice(reverse(sort_array(cellScores(col(emb)))), 1, probes),
-          x => x.getField("i"))).as("cell"))
+                       probes: Int = IvfProbes,
+                       literalCellsMax: Int = LiteralCellsMax): DataFrame = {
+    val centsDf = s.read.parquet(s"$path/centroids")
+    val nCells = centsDf.count()
+    val q =
+      if (nCells <= literalCellsMax) {
+        val cents: Seq[Seq[Float]] = centsDf
+          .collect().sortBy(_.getInt(0)).map(_.getSeq[Float](1).toSeq).toSeq
+        def cellScores(e: Column): Column = array(cents.zipWithIndex.map {
+          case (c, i) => struct(F.cosineSim(e, typedlit(c)).as("c"), lit(i).as("i"))
+        }: _*)
+        queries
+          .select(col(id).as("query_id"), col(emb).as("q_emb"),
+            explode(transform(
+              slice(reverse(sort_array(cellScores(col(emb)))), 1, probes),
+              x => x.getField("i"))).as("cell"))
+      } else probesByJoin(centsDf, queries, id, emb, probes)
     val probed = q.select(col("cell")).distinct().collect().map(_.getInt(0))
     val c = s.read.parquet(s"$path/cells")
       .filter(col("cell").isin(probed.map(Integer.valueOf): _*))
@@ -818,6 +905,25 @@ object Similarity {
     if (!fs.exists(done)) {
       writeIvfIndex(c.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", path)
       appendToIvfIndex(c.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", path)
+      fs.create(done, true).close()
+    }
+    ivfTopKFromIndex(s, path, q, "vec_id", "embedding")
+  }
+
+  /** q170: the index MAINTENANCE path — build from the even-id half,
+    * append the odd-id half against the frozen quantizer (one file set
+    * per cell), then COMPACT the cell partitions back to one file per
+    * list; the probe is row-identical to q168's uncompacted index
+    * (spec-pinned) — compaction moves bytes, never values. */
+  def q170(s: SparkSession, d: String): DataFrame = {
+    val (c, q) = corpusAndQueries(s, d)
+    val path = indexScratch(s, d, "ivfcomp")
+    val done = new org.apache.hadoop.fs.Path(s"$path/_GRAFT_COMPACT_DONE")
+    val fs = done.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(done)) {
+      writeIvfIndex(c.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", path)
+      appendToIvfIndex(c.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", path)
+      compactIvfIndex(s, path)
       fs.create(done, true).close()
     }
     ivfTopKFromIndex(s, path, q, "vec_id", "embedding")

@@ -33,7 +33,7 @@ object Text {
     * inside a lambda would re-tokenize the document per element. */
   private def toks = col("toks")
   private def withToks(df: DataFrame, text: String = "text"): DataFrame =
-    df.withColumn("toks", split(col(text), " "))
+    df.withColumn("toks", tokens(col(text)))
 
   /** Training-corpus normalization: lowercase, strip non-alphanumerics,
     * collapse whitespace, trim — fused into ONE regex pass (any maximal
@@ -373,7 +373,7 @@ object Text {
     val w = Window.partitionBy(col("bucket")).orderBy(col(id).asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     df.select(col(id), (col(id) % buckets).as("bucket"),
-        size(split(col(text), " ")).cast("long").as("n_tokens"))
+        size(tokens(col(text))).cast("long").as("n_tokens"))
       .withColumn("start_tok", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .select(col(id), col("bucket"),
         // div, not floor(/): fractional division detours through double
@@ -455,7 +455,7 @@ object Text {
   def mixtureSample(df: DataFrame, id: String, text: String,
                     source: String): DataFrame = {
     val toks = df.select(col(id), col(source),
-      size(split(col(text), " ")).cast("long").as("n_tokens"))
+      size(tokens(col(text))).cast("long").as("n_tokens"))
     val thr = toks.groupBy(col(source)).agg(sum(col("n_tokens")).as("total_toks"))
       .withColumn("budget",
         min(col("total_toks")).over(Window.partitionBy(lit(1))))
@@ -951,7 +951,7 @@ object Text {
                         w: Int, minDocs: Int): DataFrame = {
     require(w > 0, s"passage width must be positive, got $w")
     require(minDocs > 1, s"minDocs must exceed 1, got $minDocs")
-    val words = split(col(text), " ")
+    val words = tokens(col(text))
     val nPass = greatest(ceil(size(words) / lit(w.toDouble)).cast("long"), lit(1L))
     val passages = corpus
       .select(col(id).as("did"), words.as("ws"),
@@ -1000,7 +1000,7 @@ object Text {
               vocabSize: Int): DataFrame = {
     require(vocabSize > 0, s"vocabSize must be positive, got $vocabSize")
     val tf = corpus
-      .select(col(id).as("doc_id"), explode(split(col(text), " ")).as("tok"))
+      .select(col(id).as("doc_id"), explode(tokens(col(text))).as("tok"))
       .filter(length(col("tok")) > 0)
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
     val vocab = tf.groupBy(col("tok")).agg(sum(col("tf")).as("cnt"))
@@ -1036,7 +1036,7 @@ object Text {
     require(nBuckets > 1 && nShards > 0 && batchSize > 0,
       s"bad nBuckets=$nBuckets nShards=$nShards batchSize=$batchSize")
     val base = corpus.select(col(id).as("doc_id"),
-      size(split(col(text), " ")).cast("long").as("n_tokens"))
+      size(tokens(col(text))).cast("long").as("n_tokens"))
     val thresholds = (1 until nBuckets).map { i =>
       // percentile_disc returns double even over bigint input
       expr(s"percentile_disc(${i.toDouble / nBuckets}) WITHIN GROUP (ORDER BY n_tokens)")
@@ -1131,4 +1131,36 @@ object Text {
   /** q161: top-3 TF-IDF keywords per document. */
   def q161(s: SparkSession, d: String): DataFrame =
     keywordTopK(Tables.documents(s, d), "doc_id", "text", 3)
+
+  /** SCRIPT-AWARE TOKENIZATION over a mixed-script corpus: the
+    * documents table is augmented (deterministically, by doc_id) with
+    * Han and Thai snippets — text in scripts written WITHOUT word
+    * separators, which a plain space split silently collapses into one
+    * giant token — and tokenized through the ONE shared tokenizer
+    * (Cols.tokens) every text operator inherits: whitespace split with
+    * a per-codepoint segmentation fallback for space-free scripts.
+    * Output per document: token count, segmented-script token count,
+    * and an md5 over the exact token sequence (so the oracle pins the
+    * segmentation itself, not just counts).
+    *
+    * Scale (100 TB): map-only — one conditional regex pass per
+    * document (pure-ASCII documents short-circuit on the rlike
+    * prescan), no shuffle, no UDF; the segmentation is codegen'd
+    * regexp_replace/split like every other tokenize. */
+  def segTokens(df: DataFrame, id: String, text: String): DataFrame = {
+    val han = " 你好世界今天天氣很好"
+    val thai = " สวัสดีชาวโลกวันนี้"
+    val mixed = when(col(id) % 3 === 0, concat(substring(col(text), 1, 60), lit(han)))
+      .when(col(id) % 3 === 1, concat(substring(col(text), 1, 60), lit(thai)))
+      .otherwise(substring(col(text), 1, 60))
+    df.select(col(id).as("doc_id"), tokens(mixed).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(filter(col("toks"), t => t.rlike(SegScript))).cast("long").as("n_seg"),
+        md5(array_join(col("toks"), "|")).as("tok_md5"))
+  }
+
+  /** q169: shared-tokenizer segmentation of the mixed-script corpus. */
+  def q169(s: SparkSession, d: String): DataFrame =
+    segTokens(Tables.documents(s, d), "doc_id", "text")
 }

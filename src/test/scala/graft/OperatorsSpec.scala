@@ -1047,6 +1047,95 @@ class OperatorsSpec extends SparkSpec {
       s"no cell partition filter on the index scan:\n$explained")
   }
 
+  test("compacted IVF index probes row-identical to uncompacted, files per cell bounded") {
+    // q168 = build + append (uncompacted); q170 = the same build +
+    // append, then compactIvfIndex. Same centroid seeds → same cells →
+    // compaction must change file layout ONLY.
+    val uncompacted = Similarity.q168(spark, sf).collect().map(_.toSeq).toSet
+    val compacted = Similarity.q170(spark, sf).collect().map(_.toSeq).toSet
+    assert(compacted === uncompacted)
+    assert(compacted.nonEmpty)
+    // the compacted tree holds exactly one data file per cell directory
+    // (filesPerCell = 1 default), where the appended tree holds >= 2
+    val scratch = new java.io.File(System.getProperty("java.io.tmpdir"))
+      .listFiles().filter(f => f.getName.startsWith(
+        s"graft_ivfcomp_${spark.sparkContext.applicationId}"))
+    assert(scratch.nonEmpty, "compacted index scratch dir not found")
+    val cellDirs = new java.io.File(scratch.head, "cells").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty)
+    cellDirs.foreach { d =>
+      val nFiles = d.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(nFiles <= 1, s"${d.getName}: $nFiles files after compaction")
+    }
+  }
+
+  test("IVF append survives a further append after compaction") {
+    // compaction must leave a tree the append path can keep growing —
+    // the maintenance cycle is append*, compact, append*, ...
+    Similarity.q170(spark, sf) // ensure built + compacted
+    val d = sf
+    val path = java.nio.file.Files.list(
+        java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")))
+      .filter(_.getFileName.toString.startsWith(
+        s"graft_ivfcomp_${spark.sparkContext.applicationId}"))
+      .findFirst().get().toString
+    val extra = Tables.embeddings(spark, d)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      .limit(7)
+    Similarity.appendToIvfIndex(extra, "vec_id", "embedding", path)
+    val (_, q) = Similarity.corpusAndQueries(spark, d)
+    val got = Similarity.ivfTopKFromIndex(spark, path, q, "vec_id", "embedding")
+    assert(got.count() > 0)
+    // restore the compacted state for any later test in this JVM
+    Similarity.compactIvfIndex(spark, path)
+  }
+
+  test("large-cells IVF probe path (centroid join) equals the literal path") {
+    // Force the join path on the standing 32-cell q144 index by setting
+    // literalCellsMax below it; outputs must be row-identical (the
+    // tie-break mirrors the literal struct order).
+    Similarity.q144(spark, sf) // ensure the index exists
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+      .listFiles().filter(f => f.getName.startsWith(
+        s"graft_ivfidx_${spark.sparkContext.applicationId}"))
+    assert(tmp.nonEmpty, "q144 index scratch dir not found")
+    val path = tmp.head.toString
+    val (_, q) = Similarity.corpusAndQueries(spark, sf)
+    val literal = Similarity.ivfTopKFromIndex(spark, path, q, "vec_id", "embedding")
+      .collect().map(_.toSeq).toSet
+    val joined = Similarity.ivfTopKFromIndex(spark, path, q, "vec_id", "embedding",
+        literalCellsMax = 0)
+      .collect().map(_.toSeq).toSet
+    assert(joined === literal)
+    assert(joined.nonEmpty)
+  }
+
+  test("ivfTopKFromIndex plans in bounded time at 1024 cells (join path)") {
+    import SparkTestSession.spark.implicits._
+    val dim = 8
+    def vec(seed: Long): Seq[Float] =
+      (0 until dim).map(i => (((seed * 31 + i) % 97).toFloat - 48f) / 48f)
+    val path = java.nio.file.Files.createTempDirectory("graft_bigcells_").toString
+    (0 until 1024).map(i => (i, vec(i.toLong))).toDF("cell", "centroid")
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    // tiny corpus scattered over a few cells
+    (0 until 64).map(i => (i.toLong, vec(i * 7L), i % 1024))
+      .toDF("vid", "c_emb", "cell")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+    val queries = (0 until 2).map(i => (i.toLong, vec(i * 7L))).toDF("vec_id", "embedding")
+    val t0 = System.nanoTime()
+    val out = Similarity.ivfTopKFromIndex(spark, path, queries, "vec_id", "embedding",
+      k = 3, probes = 1024)
+    val n = out.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(n > 0)
+    // the literal path at 1024 cells would blow codegen/planning well
+    // past this; the join path plans and runs comfortably inside it
+    assert(secs < 60.0, f"1024-cell probe took $secs%.1f s")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
+  }
+
   test("interpolation survives value×gap products beyond Long.MaxValue") {
     import SparkTestSession.spark.implicits._
     // 4e18 cents × 1e6 µs gap = 4e24 — a raw long multiply wraps.
@@ -1421,6 +1510,41 @@ class OperatorsSpec extends SparkSpec {
     // exactness at the boundary: safe iff both products fit
     assert(Multimodal.aHashCompareSafe(Long.MaxValue, 1L, 1L, 1L))
     assert(!Multimodal.aHashCompareSafe(Long.MaxValue, 1L, 1L, 2L))
+  }
+
+  test("shared tokenizer: ASCII identity, space-free scripts segment per codepoint") {
+    import SparkTestSession.spark.implicits._
+    val rows = Seq(
+      (1L, "plain ascii text stays as is"),
+      (2L, "你好世界"),                       // pure Han, no spaces
+      (3L, "mixed latin 今天天氣 and back"),  // Han island in ASCII
+      (4L, "สวัสดีโลก"),                      // Thai (incl. combining marks)
+      (5L, "カタカナとひらがな")               // kana
+    ).toDF("id", "text")
+      .select(col("id"), graft.functions.Cols.tokens(col("text")).as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(rows(1L) == Seq("plain", "ascii", "text", "stays", "as", "is"),
+      "ASCII tokenization must be byte-identical to a space split")
+    assert(rows(2L) == Seq("你", "好", "世", "界"))
+    assert(rows(3L) == Seq("mixed", "latin", "今", "天", "天", "氣", "and", "back"))
+    assert(rows(4L).forall(_.nonEmpty) && rows(4L).length == "สวัสดีโลก".length,
+      "Thai must segment per codepoint with no empty tokens")
+    assert(rows(5L).length == "カタカナとひらがな".length)
+  }
+
+  test("q169 counts segmented tokens; ASCII-only docs unaffected") {
+    val out = Text.q169(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(out.nonEmpty)
+    out.foreach { case (id, nTok, nSeg) =>
+      if (id % 3 == 2) assert(nSeg == 0L, s"doc $id: ASCII doc has seg tokens")
+      else assert(nSeg > 0L, s"doc $id: augmented doc segmented nothing")
+      assert(nTok >= nSeg)
+    }
+    // the Han snippet contributes exactly its 10 codepoints as tokens
+    out.filter(_._1 % 3 == 0).foreach { case (id, _, nSeg) =>
+      assert(nSeg == 10L, s"doc $id: expected 10 Han tokens, got $nSeg")
+    }
   }
 
   test("filteredTopK equals brute force over the label-restricted corpus") {
