@@ -427,6 +427,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("rate monitor under an extreme flood: state cap cannot re-arm mid-episode") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    // maxEvents=2 → state cap = 8·3 = 24 kept times; a 200-event flood
+    // inside one window truncates state hard across batches. Without
+    // the saturating carry, the truncation dips the computed in-window
+    // count back under the limit and a later flood batch re-alerts
+    // inside the SAME violation episode.
+    val q = Streaming.rateAlerts(in.toDS(), windowUs = 600000000L, maxEvents = 2)
+      .writeStream.format("memory").queryName("rate_flood")
+      .outputMode("append").start()
+    try {
+      var eid = 0L
+      def burst(second: Int, n: Int): Seq[Event] = (0 until n).map { i =>
+        eid += 1
+        Event(1L, eid, new Timestamp(
+          ts("2024-01-01 10:00:00").getTime + second * 1000L + i * 10L), 1.0)
+      }
+      in.addData(burst(0, 100): _*)   // flood batch 1 — alert fires once
+      q.processAllAvailable()
+      in.addData(burst(60, 100): _*)  // flood continues in a later batch
+      q.processAllAvailable()
+      in.addData(burst(120, 100): _*) // and another
+      q.processAllAvailable()
+      val alerts = spark.table("rate_flood").collect()
+      assert(alerts.length == 1,
+        s"flood re-alerted mid-episode (${alerts.length} alerts) — " +
+          "the capped state re-armed the hysteresis")
+      // the single alert's count saturates ABOVE the limit, never under
+      assert(alerts.head.getLong(2) > 2L)
+    } finally q.stop()
+  }
+
   test("parquet directory is a streaming source: new files picked up, result matches batch") {
     val dir = java.nio.file.Files.createTempDirectory("graft_file_stream").toString
     Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "s", "v")
