@@ -49,16 +49,24 @@ object Cols {
     * TF-IDF, dedup shingles and surprisal for those languages).
     *
     * The fallback is CONDITIONAL on the document containing such a
-    * codepoint (`rlike` prescan): pure-ASCII/Latin corpora pay one
-    * codegen'd regex scan per document and tokenize byte-identically
-    * to a plain space split — no behavior change for corpora without
-    * these scripts. When the fallback fires, each script codepoint is
-    * space-padded and runs of spaces collapse to one (whitespace in
-    * such documents is normalized by construction). Map-side, no UDF;
-    * mirrored verbatim by DuckDB regexp functions in oracles. */
+    * codepoint, probed in TWO stages so the common case stays cheap:
+    * a plain char-RANGE regex first (any non-ASCII at all — near
+    * memchr speed; script codepoints are never ASCII), and only then
+    * the Unicode-script class (whose per-char property lookups cost
+    * real time — a single-stage script rlike measured ~2× on
+    * tokenize-bound operators at sf0.1). The And short-circuits in
+    * codegen, so pure-ASCII corpora pay one cheap scan per document
+    * and tokenize byte-identically to a plain space split — no
+    * behavior change for corpora without these scripts. When the
+    * fallback fires, each script codepoint is space-padded and runs
+    * of spaces collapse to one (whitespace in such documents is
+    * normalized by construction). Map-side, no UDF; mirrored verbatim
+    * by DuckDB regexp functions in oracles (the oracle can keep the
+    * one-stage script test — same predicate value). */
   def tokens(text: Column): Column = {
     val padded = regexp_replace(text, s"(${SegScript})", " $1 ")
     val seg = trim(regexp_replace(padded, " {2,}", " "))
-    split(when(text.rlike(SegScript), seg).otherwise(text), " ")
+    split(when(text.rlike("[^\\x00-\\x7f]") && text.rlike(SegScript), seg)
+      .otherwise(text), " ")
   }
 }
