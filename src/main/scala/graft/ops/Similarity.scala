@@ -846,22 +846,10 @@ object Similarity {
         .select(col("query_id"), col("neighbor_id"), cos.as("cos")), k)
   }
 
-  /** App-scoped scratch path for the benchmark index queries (same
-    * collision discipline as the q88 signature store: applicationId ×
-    * dataset-md5, shutdown-hook cleanup). */
-  private val scratchHooked = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  private def indexScratch(s: SparkSession, d: String, kind: String): String = {
-    val dTag = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_${kind}_" +
-      s"${s.sparkContext.applicationId}_$dTag"
-    val hp = new org.apache.hadoop.fs.Path(path)
-    val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (scratchHooked.add(path)) {
-      sys.addShutdownHook { try fs.delete(hp, true) catch { case _: Exception => () } }
-    }
-    path
-  }
+  /** App-scoped scratch path for the benchmark index queries — see
+    * [[Scratch.dir]] (shared with the q142 standing tokenizer). */
+  private def indexScratch(s: SparkSession, d: String, kind: String): String =
+    Scratch.dir(s, d, kind)
 
   /** q144: IVF probe through the PERSISTED index — build once (skipped
     * when this app already wrote it: the repeat-run face of a standing
