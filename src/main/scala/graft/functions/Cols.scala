@@ -60,9 +60,16 @@ object Cols {
     * behavior change for corpora without these scripts. When the
     * fallback fires, each script codepoint is space-padded and runs
     * of spaces collapse to one (whitespace in such documents is
-    * normalized by construction). Map-side, no UDF; mirrored verbatim
-    * by DuckDB regexp functions in oracles (the oracle can keep the
-    * one-stage script test — same predicate value). */
+    * normalized by construction). Map-side, no UDF.
+    *
+    * Oracle contract: the segmentation is DuckDB-mirrorable (RE2
+    * script classes — q169's oracle mirrors it verbatim, one-stage
+    * test, same predicate value). The PRE-EXISTING text-operator
+    * oracles pin the whitespace branch with a plain string_split —
+    * exact for any corpus without space-free-script codepoints (the
+    * driver corpus is pure ASCII, asserted in spec); verifying those
+    * operators on a CJK-bearing corpus requires swapping their
+    * oracles' string_split for q169's segmentation CTE. */
   def tokens(text: Column): Column = {
     val padded = regexp_replace(text, s"(${SegScript})", " $1 ")
     val seg = trim(regexp_replace(padded, " {2,}", " "))

@@ -510,33 +510,54 @@ object Dedup {
   }
 
   /** Hamming-≤-maxHamming pairs over ANY 64-bit signature column
-    * (SimHash, image aHash, audio fingerprint), blocked by 16-bit
-    * pigeonhole chunks: hamming ≤ 3 on 64 bits means at least one of
-    * the 4 chunks matches exactly, so the pair join runs on chunk
-    * equality, never all-pairs. Input: one (id, sig) row per item.
+    * (SimHash, image aHash, audio fingerprint), blocked by pigeonhole
+    * CHUNK-PAIR keys: the 64 bits split into 6 chunks (4×11 + 2×10
+    * bits) and each signature posts one key per UNORDERED PAIR of
+    * chunks — C(6,2) = 15 keys of 21–22 bits. Hamming ≤ 4 dirties at
+    * most 4 chunks, leaving ≥ 2 clean, so some pair of clean chunks
+    * matches exactly — the candidate join runs on pair-key equality,
+    * never all-pairs, with zero recall loss.
     *
-    * Hot-bucket bound (the 100 TB guard, q52's discipline): a boiler-
-    * plate corpus puts 10⁴–10⁶ near-identical signatures into one
-    * (chunk, value) bucket — ~n/65k on AVERAGE at web scale even
-    * without skew — and the within-bucket join is quadratic in bucket
-    * width. Buckets wider than `maxBucket` degrade to a spanning STAR
-    * at the bucket's minimum id: candidates stay linear in width, every
-    * hot near-dup cluster stays connected through the hub (diameter 2,
-    * so downstream label propagation converges in O(1) rounds), and
-    * only the explicit pair list within a hot bucket is thinned —
-    * exactly the part that is quadratic to materialize. Star pairs
-    * still pass the exact Hamming verification, identical to cold
-    * pairs. Width and hub ride window functions over ONE shuffle on
-    * (chunk, value). */
+    * Why pair keys and not single 16-bit chunks (the classic 4-chunk
+    * split): a single-chunk key space is 65k values, so at web scale
+    * buckets are ~n/65k wide from COINCIDENCE alone — at 10⁹
+    * signatures every bucket is 15k wide, quadratically joining mostly
+    * UNRELATED documents, and the hot-bucket star below would anchor
+    * such buckets at an unrelated hub whose Hamming check then thins
+    * true cross-chunk pairs. 21–22-bit pair keys are 32–64× finer
+    * (coincidental width ~n/2M), so hot buckets at realistic corpus
+    * sizes are genuine near-duplicate floods whose hub IS similar to
+    * its members. (The tempting C(4,2) = 6 two-chunk variant over the
+    * 16-bit split is UNSOUND at hamming 3: three errors can dirty
+    * three of four chunks, leaving no clean pair.)
+    *
+    * Hot-bucket bound (the 100 TB guard, q52's discipline): a
+    * boilerplate corpus still puts 10⁴–10⁶ NEAR-IDENTICAL signatures
+    * into one bucket — the within-bucket join is quadratic in width.
+    * Buckets wider than `maxBucket` degrade to a spanning STAR at the
+    * bucket's minimum id: candidates stay linear in width, every hot
+    * near-dup cluster stays connected through the hub (diameter 2, so
+    * downstream label propagation converges in O(1) rounds), and only
+    * the explicit pair list within a hot bucket is thinned — exactly
+    * the part that is quadratic to materialize. Star pairs still pass
+    * the exact Hamming verification, identical to cold pairs. Width
+    * and hub ride window functions over ONE shuffle on (pair, value).
+    * Input: one (id, sig) row per item. */
   def hammingPairs64(sigs: DataFrame, id: String, sig: String,
                      maxHamming: Int,
                      maxBucket: Int = MaxBucketWidth): DataFrame = {
-    require(maxHamming <= 3, "16-bit pigeonhole chunks cover hamming <= 3")
+    require(maxHamming <= 4,
+      "6-chunk pair keys cover hamming <= 4 (at least 2 chunks stay clean)")
+    val bits = Seq(11, 11, 11, 11, 10, 10)
+    val offs = bits.scanLeft(0)(_ + _).init
+    def chunk(c: Int): Column =
+      shiftright(col("sig"), offs(c)).bitwiseAND(lit((1L << bits(c)) - 1))
+    val pairKeys = for { i <- 0 until 6; j <- i + 1 until 6 } yield (i, j)
     val chunks = sigs.select(col(id).as("doc_id"), col(sig).as("sig"))
       .select(col("doc_id"), col("sig"),
-        explode(array((0 until 4).map(c =>
-          struct(lit(c).as("c"),
-            shiftright(col("sig"), c * 16).bitwiseAND(lit(0xffffL)).as("v"))): _*)).as("ck"))
+        explode(array(pairKeys.zipWithIndex.map { case ((i, j), k) =>
+          struct(lit(k).as("c"), (chunk(i) * 2048L + chunk(j)).as("v"))
+        }: _*)).as("ck"))
       .select(col("doc_id"), col("sig"), col("ck.c").as("c"), col("ck.v").as("v"))
     val byBucket = Window.partitionBy(col("c"), col("v"))
     val sized = chunks.withColumn("width", count(lit(1)).over(byBucket))

@@ -295,13 +295,6 @@ object Multimodal {
 
   case class HashedImage(doc_id: Long, ahash: Long)
 
-  /** Perceptual average-hash (aHash) over a binary image column: decode
-    * with ImageIO, split the raster into an 8×8 cell grid, set bit c
-    * when cell c's mean ≥ the global mean. All-integer comparison
-    * (cellSum·W·H ≥ totalSum·cellPx — no division), so the hash is
-    * bit-deterministic. Map-only mapPartitions, the same codec batch
-    * boundary as decodeImages; robust to brightness shifts and small
-    * local edits — the image near-dup key exact byte hashing can't be. */
   /** True iff the division-free aHash compare (cellSum·px vs
     * total·cellPx) fits signed 64-bit arithmetic for EVERY cell — the
     * largest factors bound all 64 products. Pure so the gigapixel
@@ -311,6 +304,13 @@ object Multimodal {
     (maxCellSum == 0L || px <= Long.MaxValue / maxCellSum) &&
       (total == 0L || maxCellPx <= Long.MaxValue / total)
 
+  /** Perceptual average-hash (aHash) over a binary image column: decode
+    * with ImageIO, split the raster into an 8×8 cell grid, set bit c
+    * when cell c's mean ≥ the global mean. All-integer comparison
+    * (cellSum·W·H ≥ totalSum·cellPx — no division), so the hash is
+    * bit-deterministic. Map-only mapPartitions, the same codec batch
+    * boundary as decodeImages; robust to brightness shifts and small
+    * local edits — the image near-dup key exact byte hashing can't be. */
   def aHashImages(images: DataFrame, id: String, payload: String): DataFrame = {
     import images.sparkSession.implicits._
     val g = AHashGrid

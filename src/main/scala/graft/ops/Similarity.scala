@@ -659,6 +659,15 @@ object Similarity {
                         id: String, emb: String, path: String): Unit = {
     val s = corpus.sparkSession
     import s.implicits._
+    // a fresh build resets any compaction state from a previous index
+    // under the same path: the CELLS pointer and retired generations
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/CELLS"), false)
+    if (fs.exists(root))
+      fs.listStatus(root).map(_.getPath)
+        .filter(_.getName.startsWith("cells_v"))
+        .foreach(p => fs.delete(p, true))
     cents.zipWithIndex.map { case (c, i) => (i, c) }
       .toDF("cell", "centroid")
       .write.mode("overwrite").parquet(s"$path/centroids")
@@ -694,16 +703,27 @@ object Similarity {
       .where(col("rk") <= probes)
       .select(col("query_id"), col("q_emb"), col("cell"))
 
+  /** The small-index path probe: ONE bounded read of the centroid
+    * table — take(max+1) either returns the whole model (≤ max rows,
+    * which IS the collect the literal path needs) or proves the index
+    * is large without counting it. Never a separate count job on the
+    * serving path. */
+  private def centroidsUpTo(centsDf: DataFrame,
+                            literalCellsMax: Int): Option[Seq[Seq[Float]]] = {
+    val rows = centsDf.take(literalCellsMax + 1)
+    if (rows.length > literalCellsMax) None
+    else Some(rows.sortBy(_.getInt(0)).map(_.getSeq[Float](1).toSeq).toSeq)
+  }
+
   /** Delta rows encoded against the stored quantizer: literal-argmax
     * assignment under `literalCellsMax` cells, broadcast-join argmax
     * (max_by over (cos, cell) — the same tie-break) above it. */
   private def assignCells(centsDf: DataFrame, delta: DataFrame,
                           id: String, emb: String,
                           literalCellsMax: Int): DataFrame = {
-    val nCells = centsDf.count()
-    if (nCells <= literalCellsMax) {
-      val cents: Seq[Seq[Float]] = centsDf
-        .collect().sortBy(_.getInt(0)).map(_.getSeq[Float](1).toSeq).toSeq
+    val small = centroidsUpTo(centsDf, literalCellsMax)
+    if (small.isDefined) {
+      val cents = small.get
       delta.select(col(id).as("vid"), col(emb).as("c_emb"),
         bestCell(cents, col(emb)).getField("i").as("cell"))
     } else {
@@ -735,7 +755,28 @@ object Similarity {
     val s = delta.sparkSession
     assignCells(s.read.parquet(s"$path/centroids"), delta, id, emb,
         literalCellsMax)
-      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+      .write.mode("append").partitionBy("cell")
+      .parquet(s"$path/${liveCellsDir(s, path)}")
+  }
+
+  /** The LIVE cells directory, resolved through the `$path/CELLS`
+    * pointer file (the manifest pattern): a missing/empty pointer means
+    * the original `cells` tree (every index writeIvfIndex produces).
+    * Compaction flips the pointer to a new generation instead of
+    * renaming directories, so there is NO window in which the index has
+    * no cells tree — the failure mode a two-rename swap has when the
+    * process dies between renames. */
+  private def liveCellsDir(s: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/CELLS")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) "cells"
+    else {
+      val in = fs.open(p)
+      try {
+        val name = scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        if (name.isEmpty) "cells" else name
+      } finally in.close()
+    }
   }
 
   /** Index-aware CELL COMPACTION: rewrite the cell partitions so every
@@ -745,25 +786,39 @@ object Similarity {
     * cell, and probe scan time goes per-file, not per-byte). The
     * rewrite repartitions on (cell, hash(vid) % filesPerCell) — each
     * (cell, slot) pair lands in one task, so a cell directory gets at
-    * most `filesPerCell` files — writes to a sibling directory, then
-    * swaps atomically-per-rename and drops the old tree. Probe results
-    * are row-identical before/after (spec-pinned): compaction moves
-    * bytes, never values. At 100 TB, run per-cell-subset on a schedule;
-    * the shuffle moves only the cells being folded. */
+    * most `filesPerCell` files — into a NEW generation directory, then
+    * flips the `CELLS` pointer (one small-file write) and retires
+    * generations older than the one it replaced. Crash-safe at every
+    * step: a death before the flip leaves the live pointer untouched
+    * (the half-written generation is garbage the next compaction
+    * collects); a death after it leaves both generations on disk. The
+    * previous generation survives until the NEXT compaction as a grace
+    * window for probes that resolved the pointer before the flip.
+    * Probe results are row-identical before/after (spec-pinned):
+    * compaction moves bytes, never values. Maintenance is
+    * single-writer (standard for index builds); at 100 TB, run
+    * per-cell-subset on a schedule — the shuffle moves only the cells
+    * being folded. */
   def compactIvfIndex(s: SparkSession, path: String,
                       filesPerCell: Int = 1): Unit = {
     require(filesPerCell > 0, s"filesPerCell must be positive, got $filesPerCell")
-    val tmp = s"$path/cells_compacting"
-    s.read.parquet(s"$path/cells")
+    val live = liveCellsDir(s, path)
+    val gen = if (live == "cells") 0 else live.stripPrefix("cells_v").toInt
+    val next = s"cells_v${gen + 1}"
+    s.read.parquet(s"$path/$live")
       .repartition(col("cell"), pmod(xxhash64(col("vid")), lit(filesPerCell.toLong)))
-      .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/$next")
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
-    def p(sub: String) = new org.apache.hadoop.fs.Path(s"$path/$sub")
-    fs.delete(p("cells_old"), true)
-    require(fs.rename(p("cells"), p("cells_old")), s"swap-out failed under $path")
-    require(fs.rename(p("cells_compacting"), p("cells")), s"swap-in failed under $path")
-    fs.delete(p("cells_old"), true)
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$path/CELLS"), true)
+    try out.write(next.getBytes("UTF-8")) finally out.close()
+    // retire every generation except the new live and its predecessor
+    fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter(p => p.getName == "cells" || p.getName.startsWith("cells_v"))
+      .filter(p => p.getName != next && p.getName != live)
+      .foreach(p => fs.delete(p, true))
   }
 
   /** Probe a persisted IVF index: no training, no corpus re-encode —
@@ -778,11 +833,8 @@ object Similarity {
                        probes: Int = IvfProbes,
                        literalCellsMax: Int = LiteralCellsMax): DataFrame = {
     val centsDf = s.read.parquet(s"$path/centroids")
-    val nCells = centsDf.count()
-    val q =
-      if (nCells <= literalCellsMax) {
-        val cents: Seq[Seq[Float]] = centsDf
-          .collect().sortBy(_.getInt(0)).map(_.getSeq[Float](1).toSeq).toSeq
+    val q = centroidsUpTo(centsDf, literalCellsMax) match {
+      case Some(cents) =>
         def cellScores(e: Column): Column = array(cents.zipWithIndex.map {
           case (c, i) => struct(F.cosineSim(e, typedlit(c)).as("c"), lit(i).as("i"))
         }: _*)
@@ -791,9 +843,10 @@ object Similarity {
             explode(transform(
               slice(reverse(sort_array(cellScores(col(emb)))), 1, probes),
               x => x.getField("i"))).as("cell"))
-      } else probesByJoin(centsDf, queries, id, emb, probes)
+      case None => probesByJoin(centsDf, queries, id, emb, probes)
+    }
     val probed = q.select(col("cell")).distinct().collect().map(_.getInt(0))
-    val c = s.read.parquet(s"$path/cells")
+    val c = s.read.parquet(s"$path/${liveCellsDir(s, path)}")
       .filter(col("cell").isin(probed.map(Integer.valueOf): _*))
     val cos = F.cosineSim(col("q_emb"), col("c_emb"))
     rankTopK(

@@ -635,9 +635,12 @@ object Text {
     // 50-token vocab with 10⁸ documents, and broadcasting its vector
     // table would OOM the driver. Past `denseDocsMax` (64k docs ×
     // ≤ denseVocabMax tiny vectors ≈ low hundreds of MB, the broadcast
-    // budget) the prefix path takes over — lossless either way.
+    // budget) the prefix path takes over — lossless either way. The
+    // doc probe counts the norms table (docs that HAVE a vector — the
+    // set the broadcast would carry), which reads the tf cache the
+    // vocab probe just materialized — no second scan of the source.
     val vocabSize = dfx.count()
-    if (vocabSize <= denseVocabMax && df.count() <= denseDocsMax) {
+    if (vocabSize <= denseVocabMax && norms.count() <= denseDocsMax) {
       // Vectors ride the join directly (the pair stream is consumed
       // map-side against the broadcast) — routing id-pairs through
       // verified() would re-shuffle the whole pair space twice. vecs is

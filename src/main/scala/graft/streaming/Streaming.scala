@@ -244,7 +244,17 @@ object Streaming {
     * array at truncation time. The count decision adds `carry` while a
     * window could still contain the truncated region, so cap pruning
     * can never dip an in-flood count under the limit (which would
-    * re-arm the hysteresis and fire a duplicate alert mid-episode). */
+    * re-arm the hysteresis and fire a duplicate alert mid-episode).
+    *
+    * STATE-SCHEMA NOTE: adding these fields changes the
+    * flatMapGroupsWithState encoder schema — a query restarted from a
+    * checkpoint written by the previous shape fails the state-schema
+    * compatibility check rather than resuming. Deploying a state-shape
+    * change to a live monitor means a new checkpoint location (alerts
+    * re-arm from empty state; one duplicate alert per key already
+    * mid-episode is the worst case) — the standard Structured
+    * Streaming state-evolution constraint, called out here because a
+    * rate monitor is exactly the kind of query that runs for months. */
   case class RateState(times: Seq[Long], lastSeenUs: Long, inViolation: Boolean,
                        carry: Long = 0L, carryBoundUs: Long = Long.MinValue)
 

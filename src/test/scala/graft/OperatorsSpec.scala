@@ -1061,34 +1061,77 @@ class OperatorsSpec extends SparkSpec {
       .listFiles().filter(f => f.getName.startsWith(
         s"graft_ivfcomp_${spark.sparkContext.applicationId}"))
     assert(scratch.nonEmpty, "compacted index scratch dir not found")
-    val cellDirs = new java.io.File(scratch.head, "cells").listFiles()
+    // the live tree is resolved through the CELLS pointer (manifest
+    // pattern); compaction must have flipped it off the original dir
+    val pointer = new java.io.File(scratch.head, "CELLS")
+    assert(pointer.exists, "compaction left no CELLS pointer")
+    val live = {
+      val src = scala.io.Source.fromFile(pointer, "UTF-8")
+      try src.mkString.trim finally src.close()
+    }
+    assert(live.startsWith("cells_v"), s"pointer names $live")
+    val cellDirs = new java.io.File(scratch.head, live).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("cell="))
     assert(cellDirs.nonEmpty)
     cellDirs.foreach { d =>
       val nFiles = d.listFiles().count(_.getName.endsWith(".parquet"))
       assert(nFiles <= 1, s"${d.getName}: $nFiles files after compaction")
     }
+    // the PREVIOUS generation survives as the grace window — at no
+    // point in the swap did the index lack a readable cells tree
+    assert(new java.io.File(scratch.head, "cells").exists,
+      "previous generation was deleted in the same compaction that " +
+        "replaced it — probes racing the flip would crash")
+  }
+
+  test("a crash before the pointer flip leaves the compacted index fully serving") {
+    // simulate compactIvfIndex dying after writing a partial new
+    // generation but BEFORE the pointer flip: the garbage dir must not
+    // affect probes, and the next compaction must collect it
+    Similarity.q170(spark, sf)
+    val scratch = new java.io.File(System.getProperty("java.io.tmpdir"))
+      .listFiles().filter(f => f.getName.startsWith(
+        s"graft_ivfcomp_${spark.sparkContext.applicationId}")).head
+    val before = Similarity.q170(spark, sf).collect().map(_.toSeq).toSet
+    val garbage = new java.io.File(scratch, "cells_v99")
+    garbage.mkdirs()
+    java.nio.file.Files.write(new java.io.File(garbage, "part-junk").toPath,
+      Array[Byte](1, 2, 3))
+    try {
+      val during = Similarity.q170(spark, sf).collect().map(_.toSeq).toSet
+      assert(during == before, "a half-written generation changed probe results")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(garbage)
   }
 
   test("IVF append survives a further append after compaction") {
     // compaction must leave a tree the append path can keep growing —
     // the maintenance cycle is append*, compact, append*, ...
+    // Runs on a COPY of the standing q170 index: mutating the shared
+    // scratch would silently desynchronize q170 from q168 for any
+    // later comparison in this JVM.
     Similarity.q170(spark, sf) // ensure built + compacted
-    val d = sf
-    val path = java.nio.file.Files.list(
-        java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")))
-      .filter(_.getFileName.toString.startsWith(
+    val src = new java.io.File(System.getProperty("java.io.tmpdir"))
+      .listFiles().filter(_.getName.startsWith(
         s"graft_ivfcomp_${spark.sparkContext.applicationId}"))
-      .findFirst().get().toString
-    val extra = Tables.embeddings(spark, d)
-      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
-      .limit(7)
-    Similarity.appendToIvfIndex(extra, "vec_id", "embedding", path)
-    val (_, q) = Similarity.corpusAndQueries(spark, d)
-    val got = Similarity.ivfTopKFromIndex(spark, path, q, "vec_id", "embedding")
-    assert(got.count() > 0)
-    // restore the compacted state for any later test in this JVM
-    Similarity.compactIvfIndex(spark, path)
+    assert(src.nonEmpty, "q170 index scratch dir not found")
+    val path = java.nio.file.Files.createTempDirectory("graft_appendlab_").toFile
+    try {
+      org.apache.commons.io.FileUtils.copyDirectory(src.head, path)
+      val extra = Tables.embeddings(spark, sf)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+        .limit(7)
+      Similarity.appendToIvfIndex(extra, "vec_id", "embedding", path.toString)
+      val (_, q) = Similarity.corpusAndQueries(spark, sf)
+      val got = Similarity.ivfTopKFromIndex(spark, path.toString, q,
+        "vec_id", "embedding")
+      assert(got.count() > 0)
+      // and the grown copy compacts again — the full maintenance cycle
+      Similarity.compactIvfIndex(spark, path.toString)
+      val after = Similarity.ivfTopKFromIndex(spark, path.toString, q,
+        "vec_id", "embedding").collect().map(_.toSeq).toSet
+      assert(after == got.collect().map(_.toSeq).toSet,
+        "compaction after the second append changed probe results")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(path)
   }
 
   test("large-cells IVF probe path (centroid join) equals the literal path") {
@@ -1483,6 +1526,30 @@ class OperatorsSpec extends SparkSpec {
       s"flood bucket must thin to a star (${n - 1} pairs), got ${floodPairs.size}")
     assert(floodPairs.forall(_._1 == 0L), "star pairs must anchor at the hub (min id)")
     assert(pairs.contains((10001L, 10002L)), "a cold near-dup pair was lost")
+  }
+
+  test("hammingPairs64 finds EVERY pair up to hamming 4 (brute-force cross-check)") {
+    import SparkTestSession.spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 200).map(i => (i.toLong, rnd.nextLong()))
+    // partners at hamming 1..4 with flipped bits scattered across the
+    // whole word — the cross-chunk spread is exactly what the pair-key
+    // pigeonhole must cover (a 4-of-6-dirty split leaves 2 clean)
+    val planted = base.take(80).map { case (i, s) =>
+      val nf = 1 + rnd.nextInt(4)
+      val flips = rnd.shuffle((0 until 64).toList).take(nf)
+      (1000L + i, flips.foldLeft(s)((acc, b) => acc ^ (1L << b)))
+    }
+    val all = base ++ planted
+    val expected = (for {
+      a <- all; b <- all
+      if a._1 < b._1 && java.lang.Long.bitCount(a._2 ^ b._2) <= 4
+    } yield (a._1, b._1)).toSet
+    assert(expected.size >= 80, "test corpus lost its planted pairs")
+    val got = Dedup.hammingPairs64(all.toDF("id", "sig"), "id", "sig", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected,
+      s"missing: ${(expected -- got).take(5)}; extra: ${(got -- expected).take(5)}")
   }
 
   test("hammingPairs64 capped and uncapped agree when no bucket is hot") {
