@@ -90,6 +90,35 @@ object ScaleCheck {
       f"ivf=$rIvf%.3f pq=$rPq%.3f lsh=$rLsh%.3f")
     truth.unpersist()
 
+    // 6. Hamming pair-key blocking: UNCAPPED pairs must equal the
+    // blockless brute-force truth at this scale (the m = h + 2
+    // pigeonhole is lossless), and the hot-bucket star cap must
+    // preserve CLUSTERS exactly — the cap's contract is that only the
+    // within-cluster pair list is thinned, never connectivity (at
+    // sf0.1 the cap thins ~2% of pairs inside >512-wide near-identical
+    // families; every thinned pair must stay reachable via its hub).
+    val sigs = Tables.documents(spark, sfDir).select(col("doc_id"),
+      graft.functions.F.simhash64(array_distinct(
+        graft.functions.Cols.tokens(col("text")))).as("simhash")).cache()
+    val hamTruth = sigs.as("a").join(sigs.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .filter(graft.functions.F.hamming64(col("a.simhash"), col("b.simhash")) <= 3)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).cache()
+    val uncapped = ops.Dedup.hammingPairs64(sigs, "doc_id", "simhash", 3,
+      maxBucket = Int.MaxValue).select("doc_a", "doc_b")
+    val unDiff = uncapped.exceptAll(hamTruth).count() +
+      hamTruth.exceptAll(uncapped).count()
+    check("hamming_lossless", unDiff == 0,
+      s"diff_rows=$unDiff (truth=${hamTruth.count()})")
+    val cappedPairs = ops.Dedup.hammingPairs64(sigs, "doc_id", "simhash", 3)
+      .select("doc_a", "doc_b")
+    def labelsOf(p: org.apache.spark.sql.DataFrame) =
+      ops.Dedup.clusters(p).select("doc_id", "cluster_id")
+    val clDiff = labelsOf(cappedPairs).exceptAll(labelsOf(hamTruth)).count() +
+      labelsOf(hamTruth).exceptAll(labelsOf(cappedPairs)).count()
+    check("hamming_cap_clusters", clDiff == 0, s"diff_rows=$clDiff")
+    hamTruth.unpersist(); sigs.unpersist()
+
     spark.stop()
     if (failures > 0) {
       System.err.println(s"$failures scale check(s) VIOLATED")

@@ -511,12 +511,14 @@ object Dedup {
 
   /** Hamming-≤-maxHamming pairs over ANY 64-bit signature column
     * (SimHash, image aHash, audio fingerprint), blocked by pigeonhole
-    * CHUNK-PAIR keys: the 64 bits split into 6 chunks (4×11 + 2×10
-    * bits) and each signature posts one key per UNORDERED PAIR of
-    * chunks — C(6,2) = 15 keys of 21–22 bits. Hamming ≤ 4 dirties at
-    * most 4 chunks, leaving ≥ 2 clean, so some pair of clean chunks
-    * matches exactly — the candidate join runs on pair-key equality,
-    * never all-pairs, with zero recall loss.
+    * CHUNK-PAIR keys: the 64 bits split into m = maxHamming + 2
+    * near-equal chunks and each signature posts one key per UNORDERED
+    * PAIR of chunks — C(m, 2) keys. Hamming ≤ maxHamming dirties at
+    * most m − 2 chunks, leaving ≥ 2 clean, so some pair of clean
+    * chunks matches exactly — the candidate join runs on pair-key
+    * equality, never all-pairs, with ZERO recall loss (brute-force
+    * cross-checked in spec). At the q53/q124 setting (hamming ≤ 3):
+    * 5 chunks of 12–13 bits, 10 keys of ~26 bits.
     *
     * Why pair keys and not single 16-bit chunks (the classic 4-chunk
     * split): a single-chunk key space is 65k values, so at web scale
@@ -524,59 +526,96 @@ object Dedup {
     * signatures every bucket is 15k wide, quadratically joining mostly
     * UNRELATED documents, and the hot-bucket star below would anchor
     * such buckets at an unrelated hub whose Hamming check then thins
-    * true cross-chunk pairs. 21–22-bit pair keys are 32–64× finer
-    * (coincidental width ~n/2M), so hot buckets at realistic corpus
-    * sizes are genuine near-duplicate floods whose hub IS similar to
-    * its members. (The tempting C(4,2) = 6 two-chunk variant over the
+    * true cross-chunk pairs (measured at sf0.1: a 16-bit star cap
+    * dropped 15.3k of 90.8k true simhash pairs). ~26-bit pair keys
+    * are ~1000× finer, so hot buckets at realistic corpus sizes are
+    * genuine near-duplicate floods whose hub IS similar to its
+    * members. (The tempting C(4,2) = 6 two-chunk variant over the
     * 16-bit split is UNSOUND at hamming 3: three errors can dirty
-    * three of four chunks, leaving no clean pair.)
+    * three of four chunks, leaving no clean pair — hence m = h + 2.)
     *
-    * Hot-bucket bound (the 100 TB guard, q52's discipline): a
-    * boilerplate corpus still puts 10⁴–10⁶ NEAR-IDENTICAL signatures
+    * Hot-bucket bound (the 100 TB guard, q52's discipline, TWO-LEVEL):
+    * a boilerplate corpus still puts 10⁴–10⁶ near-identical signatures
     * into one bucket — the within-bucket join is quadratic in width.
-    * Buckets wider than `maxBucket` degrade to a spanning STAR at the
-    * bucket's minimum id: candidates stay linear in width, every hot
-    * near-dup cluster stays connected through the hub (diameter 2, so
-    * downstream label propagation converges in O(1) rounds), and only
-    * the explicit pair list within a hot bucket is thinned — exactly
-    * the part that is quadratic to materialize. Star pairs still pass
-    * the exact Hamming verification, identical to cold pairs. Width
-    * and hub ride window functions over ONE shuffle on (pair, value).
-    * Input: one (id, sig) row per item. */
+    * Buckets wider than `maxBucket` first collapse DUPLICATE
+    * signatures onto their group minimum (hamming-0 edges — exact, and
+    * duplication is what makes real floods wide), then all-pairs join
+    * only the bucket's distinct signatures. Member pairs across
+    * sig-groups have exactly their representatives' hamming, so
+    * CLUSTER connectivity is exact whenever distinct width fits the
+    * cap (ScaleCheck pins cluster equality vs the blockless truth);
+    * only the duplicate-multiplicity pair list is collapsed — the part
+    * that is quadratic to materialize. A bucket with > `maxBucket`
+    * DISTINCT signatures (a dense near-ball, not mere duplication)
+    * degrades to a spanning star over representatives — linear, hub
+    * verified like any pair, the one remaining (documented) thinning.
+    * Widths, groups and hubs ride window functions over ONE shuffle on
+    * (pair, value). Input: one (id, sig) row per item. */
   def hammingPairs64(sigs: DataFrame, id: String, sig: String,
                      maxHamming: Int,
                      maxBucket: Int = MaxBucketWidth): DataFrame = {
-    require(maxHamming <= 4,
-      "6-chunk pair keys cover hamming <= 4 (at least 2 chunks stay clean)")
-    val bits = Seq(11, 11, 11, 11, 10, 10)
+    require(maxHamming >= 1 && maxHamming <= 6,
+      s"pair-key blocking supports hamming 1..6, got $maxHamming")
+    val m = maxHamming + 2
+    val base = 64 / m
+    val extra = 64 % m
+    val bits = Seq.tabulate(m)(i => base + (if (i < extra) 1 else 0))
     val offs = bits.scanLeft(0)(_ + _).init
     def chunk(c: Int): Column =
       shiftright(col("sig"), offs(c)).bitwiseAND(lit((1L << bits(c)) - 1))
-    val pairKeys = for { i <- 0 until 6; j <- i + 1 until 6 } yield (i, j)
+    val pairKeys = for { i <- 0 until m; j <- i + 1 until m } yield (i, j)
     val chunks = sigs.select(col(id).as("doc_id"), col(sig).as("sig"))
       .select(col("doc_id"), col("sig"),
         explode(array(pairKeys.zipWithIndex.map { case ((i, j), k) =>
-          struct(lit(k).as("c"), (chunk(i) * 2048L + chunk(j)).as("v"))
+          struct(lit(k).as("c"),
+            (chunk(i) * lit(1L << bits(j)) + chunk(j)).as("v"))
         }: _*)).as("ck"))
       .select(col("doc_id"), col("sig"), col("ck.c").as("c"), col("ck.v").as("v"))
+    def allPairs(side: DataFrame): DataFrame =
+      side.as("a").join(side.as("b"),
+          col("a.c") === col("b.c") && col("a.v") === col("b.v") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          F.hamming64(col("a.sig"), col("b.sig")).as("hamming"))
     val byBucket = Window.partitionBy(col("c"), col("v"))
     val sized = chunks.withColumn("width", count(lit(1)).over(byBucket))
-    val cold = sized.filter(col("width") <= maxBucket)
+    val coldPairs = allPairs(sized.filter(col("width") <= maxBucket)
+      .select(col("doc_id"), col("sig"), col("c"), col("v")))
+    // HOT buckets go two-level. Width in a hot bucket is dominated by
+    // DUPLICATE signatures (the boilerplate flood); identical-sig
+    // members collapse onto their group minimum through hamming-0
+    // edges (always within any bound — exactness free), and the
+    // all-pairs join then runs over the bucket's DISTINCT signatures
+    // only. Because members of a sig-group are byte-identical, a
+    // member-level pair across groups has exactly its representatives'
+    // hamming — so connectivity (what clustering consumes) is EXACT as
+    // long as distinct-sig width fits the cap; only the duplicate-
+    // multiplicity pair list is collapsed (ScaleCheck pins cluster
+    // equality vs the blockless truth at sf0.1). A bucket whose
+    // DISTINCT width still exceeds the cap — ≥maxBucket distinct
+    // signatures agreeing on two chunks — degrades to the spanning
+    // star over representatives: the documented thinning trade, now
+    // reachable only by a dense near-ball, not by mere duplication.
+    val hot = sized.filter(col("width") > maxBucket)
+    val bySig = Window.partitionBy(col("c"), col("v"), col("sig"))
+    val grouped = hot.withColumn("gmin", min(col("doc_id")).over(bySig))
+    val groupEdges = grouped.filter(col("doc_id") =!= col("gmin"))
+      .select(col("gmin").as("doc_a"), col("doc_id").as("doc_b"),
+        F.hamming64(col("sig"), col("sig")).as("hamming"))
+    val reps = grouped.filter(col("doc_id") === col("gmin"))
       .select(col("doc_id"), col("sig"), col("c"), col("v"))
-    val coldPairs = cold.as("a").join(cold.as("b"),
-        col("a.c") === col("b.c") && col("a.v") === col("b.v") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        F.hamming64(col("a.sig"), col("b.sig")).as("hamming"))
+      .withColumn("rwidth", count(lit(1)).over(byBucket))
+    val repPairs = allPairs(reps.filter(col("rwidth") <= maxBucket)
+      .select(col("doc_id"), col("sig"), col("c"), col("v")))
     // min over (doc_id, sig) structs: the hub id AND its signature from
     // the same window pass (doc_id is unique, so the struct order is
     // the id order and the paired sig is the hub's own).
-    val hotPairs = sized.filter(col("width") > maxBucket)
+    val starPairs = reps.filter(col("rwidth") > maxBucket)
       .withColumn("hub", min(struct(col("doc_id"), col("sig"))).over(byBucket))
       .filter(col("doc_id") =!= col("hub.doc_id"))
       .select(col("hub.doc_id").as("doc_a"), col("doc_id").as("doc_b"),
         F.hamming64(col("hub.sig"), col("sig")).as("hamming"))
-    coldPairs.unionAll(hotPairs)
+    coldPairs.unionAll(groupEdges).unionAll(repPairs).unionAll(starPairs)
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

@@ -1541,15 +1541,21 @@ class OperatorsSpec extends SparkSpec {
       (1000L + i, flips.foldLeft(s)((acc, b) => acc ^ (1L << b)))
     }
     val all = base ++ planted
-    val expected = (for {
-      a <- all; b <- all
+    // the chunk count adapts to the bound (m = h + 2): check both the
+    // q53/q124 setting (3) and the widest supported bounds
+    for (h <- Seq(1, 3, 4, 6)) {
+      val expected = (for {
+        a <- all; b <- all
+        if a._1 < b._1 && java.lang.Long.bitCount(a._2 ^ b._2) <= h
+      } yield (a._1, b._1)).toSet
+      val got = Dedup.hammingPairs64(all.toDF("id", "sig"), "id", "sig", h)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected, s"h=$h missing: ${(expected -- got).take(5)}; " +
+        s"extra: ${(got -- expected).take(5)}")
+    }
+    assert((for { a <- all; b <- all
       if a._1 < b._1 && java.lang.Long.bitCount(a._2 ^ b._2) <= 4
-    } yield (a._1, b._1)).toSet
-    assert(expected.size >= 80, "test corpus lost its planted pairs")
-    val got = Dedup.hammingPairs64(all.toDF("id", "sig"), "id", "sig", 4)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(got == expected,
-      s"missing: ${(expected -- got).take(5)}; extra: ${(got -- expected).take(5)}")
+    } yield 1).size >= 80, "test corpus lost its planted pairs")
   }
 
   test("hammingPairs64 capped and uncapped agree when no bucket is hot") {
