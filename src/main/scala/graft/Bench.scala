@@ -3,21 +3,31 @@ import org.apache.spark.sql.SparkSession
 
 /** Throughput benchmark over every SparkEntry query.
   *
-  * Protocol (per query): one untimed warmup run (JVM/codegen/parquet
-  * footers), then k=3 timed runs with the SQL cache CLEARED before each
-  * so internal .cache() calls redo their real compute; the reported
-  * figure is the MEDIAN of the three — a single descheduled run under
-  * background load cannot masquerade as a regression (round-3 driver
-  * benches were noise-dominated for exactly that reason).
+  * Protocol: one untimed warmup PASS over all queries (JVM/codegen/
+  * parquet footers), then k=3 timed INTERLEAVED passes — pass i runs
+  * every query once, in name order, before pass i+1 starts. The
+  * round-5 sweep showed why consecutive per-query runs are the wrong
+  * protocol on a shared machine: a 2-minute machine-level interference
+  * burst lands on ALL k consecutive runs of whichever queries execute
+  * inside the window, so the per-query median itself is contaminated
+  * (q167 read [2.9, 200.1, 98.4] s — a 40x phantom "regression").
+  * Interleaving spreads each query's k runs across the whole sweep
+  * (minutes apart), so a burst can contaminate at most one run per
+  * query and the MIN is always a quiet-machine figure.
   *
-  * Output: ONE JSON line on stdout (the driver contract; per-query
-  * MEDIANS only — the per-run triples made the line long enough that
-  * the driver's stdout tail truncated it) AND a superset JSON written
-  * to a file (`SPARK_GRAFT_BENCH_OUT`, default BENCH_LOCAL.json in the
-  * repo root) carrying the full per-run record. Both carry the 1-minute
-  * system load average sampled before and after the sweep so a loaded
-  * machine is visible in the record, and per-query error flags — a
-  * throwing query records `"err"` (median null, name in `"errors"`),
+  * Reported per query: MEDIAN (headline, drift-resistant) and MIN
+  * (steady-state floor — matches graft.TimeOne within JIT noise on a
+  * quiet machine). The per-run record carries the 1-minute system load
+  * average sampled AT EACH RUN, so a burst window is directly visible
+  * in the record instead of being inferred from timing spreads.
+  *
+  * Output: ONE JSON line on stdout (the driver contract; medians in
+  * "queries", mins in "mins" — per-run triples stay out of stdout
+  * because they once made the line long enough that the driver's
+  * stdout tail truncated it) AND a superset JSON written to a file
+  * (`SPARK_GRAFT_BENCH_OUT`, default BENCH_LOCAL.json in the repo
+  * root) carrying the full per-run (seconds, load-average) record.
+  * A throwing query records `"err"` (median null, name in `"errors"`),
   * never a near-zero timing masquerading as a speedup.
   */
 object Bench {
@@ -39,26 +49,33 @@ object Bench {
       java.lang.management.ManagementFactory.getOperatingSystemMXBean
         .getSystemLoadAverage
     val loadBefore = loadAvg
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
     // A query that THROWS must never masquerade as a fast timing: the
     // run records an error flag instead of a near-zero duration, the
     // median over surviving runs is null if every run failed, and the
-    // failed query names travel in a top-level "errors" list.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def runOnce(): (Double, Option[String]) = {
-        val t0 = System.nanoTime()
-        val err = try { fn(spark, sfDir).count(); None }
-          catch { case e: Throwable => Some(e.getClass.getSimpleName) }
-        val dt = (System.nanoTime() - t0) / 1e9
-        spark.catalog.clearCache()
-        (dt, err)
-      }
-      runOnce() // untimed warmup (JVM/codegen/parquet footers)
-      val runsOut = (1 to runs).map(_ => runOnce())
-      val ok = runsOut.collect { case (dt, None) => dt }.sorted
+    // failed query names travel in a top-level "errors" map.
+    def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Double, Option[String]) = {
+      val la = loadAvg // sampled at run START: tags the window this run saw
+      val t0 = System.nanoTime()
+      val err = try { fn(spark, sfDir).count(); None }
+        catch { case e: Throwable => Some(e.getClass.getSimpleName) }
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      (dt, la, err)
+    }
+    queries.foreach { case (_, fn) => runOnce(fn) } // untimed warmup pass
+    // k interleaved passes: all queries run once per pass, so the k
+    // samples of any one query are spread across the full sweep window.
+    val passes = (1 to runs).map { _ => queries.map { case (n, fn) => n -> runOnce(fn) } }
+    val results = queries.map { case (name, _) =>
+      val samples = passes.map(p => p.find(_._1 == name).get._2)
+      val ok = samples.collect { case (dt, _, None) => dt }.sorted
       // lower-middle for even k — deterministic, never a made-up average
       val median = if (ok.isEmpty) None else Some(ok((ok.length - 1) / 2))
-      val firstErr = runsOut.collectFirst { case (_, Some(e)) => e }
-      name -> ((median, runsOut, firstErr))
+      val min = ok.headOption
+      val firstErr = samples.collectFirst { case (_, _, Some(e)) => e }
+      name -> ((median, min, samples, firstErr))
     }
     val loadAfter = loadAvg
     // Locale.ROOT: a comma-decimal default locale would otherwise emit
@@ -66,25 +83,30 @@ object Bench {
     def f(d: Double): String =
       "%.4f".formatLocal(java.util.Locale.ROOT, d)
     def fm(m: Option[Double]): String = m.fold("null")(f)
-    val qs = results.map { case (k, (m, _, _)) => s"\"$k\":${fm(m)}" }
+    val qs = results.map { case (k, (m, _, _, _)) => s"\"$k\":${fm(m)}" }
       .mkString("{", ",", "}")
-    val rs = results.map { case (k, (_, ts, _)) =>
-      val cells = ts.map { case (dt, err) =>
-        err.fold(f(dt))(e => s"""{"sec":${f(dt)},"err":"$e"}""") }
+    val mins = results.map { case (k, (_, mn, _, _)) => s"\"$k\":${fm(mn)}" }
+      .mkString("{", ",", "}")
+    val rs = results.map { case (k, (_, _, ts, _)) =>
+      val cells = ts.map { case (dt, la, err) =>
+        val base = s""""sec":${f(dt)},"load":${f(la)}"""
+        err.fold(s"{$base}")(e => s"""{$base,"err":"$e"}""") }
       s"\"$k\":[${cells.mkString(",")}]" }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, (_, _, Some(e))) => s""""$k":"$e"""" }
+    val errs = results.collect { case (k, (_, _, _, Some(e))) => s""""$k":"$e"""" }
       .mkString("{", ",", "}")
     val total = results.flatMap(_._2._1).sum
-    val nErr = results.count(_._2._3.isDefined)
+    val totalMin = results.flatMap(_._2._2).sum
+    val nErr = results.count(_._2._4.isDefined)
     def envelope(body: String): String =
       s"""{"metric":"total","value":${f(total)},"unit":"sec",""" +
-        s""""queries":$qs,$body"n_errors":$nErr,"errors":$errs,"k":$runs,""" +
+        s""""total_min":${f(totalMin)},"queries":$qs,"mins":$mins,$body""" +
+        s""""n_errors":$nErr,"errors":$errs,"k":$runs,"interleaved":true,""" +
         s""""load_avg_before":${f(loadBefore)},"load_avg_after":${f(loadAfter)},""" +
         s""""sf":"$sfDir"}"""
     val fileJson = envelope(s""""runs":$rs,""")
-    // stdout stays medians-only: the full per-run record made the line
-    // long enough that the driver's stdout tail truncated it every
-    // round ("parsed": null) — the file carries the complete sweep.
+    // stdout stays aggregates-only: the full per-run record once made
+    // the line long enough that the driver's stdout tail truncated it
+    // every round ("parsed": null) — the file carries the complete sweep.
     val stdoutJson = envelope("")
     try {
       val p = java.nio.file.Paths.get(outPath)

@@ -809,6 +809,71 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** SimHash64 with an MD5 token hash instead of xxhash64: per token,
+  * h = little-endian read of the FIRST 8 digest bytes — exactly what
+  * DuckDB's `md5_number_upper(token)` returns, so the full signature
+  * (and therefore a Hamming-pairs query) is reproducible in an
+  * independent SQL engine via `xor` + `bit_count`. Same vote rule as
+  * [[SimHash64]] (counts ≥ 0 → bit set). This is the ORACLE-CHECKABLE
+  * variant: MD5 costs a few× more per token than xxhash64 but stays a
+  * linear map-side pass (no shuffle shape changes); prefer SimHash64
+  * where cross-engine reproducibility isn't needed. */
+case class SimHashMd5(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_md5"
+
+  private def compute(arr: ArrayData): Long = {
+    val md = SimHashMd5.digest.get()
+    val counts = new Array[Int](64)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      md.reset()
+      val d = md.digest(arr.getUTF8String(i).getBytes)
+      var h = 0L
+      var b = 7
+      while (b >= 0) { h = (h << 8) | (d(b) & 0xffL); b -= 1 }
+      var k = 0
+      while (k < 64) {
+        if (((h >>> k) & 1L) == 1L) counts(k) += 1 else counts(k) -= 1
+        k += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var k = 0
+    while (k < 64) {
+      if (counts(k) >= 0) sig |= (1L << k)
+      k += 1
+    }
+    sig
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("simhashmd5", this, classOf[SimHashMd5].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.hashArray($c);")
+  }
+
+  /** Called from generated code. */
+  def hashArray(arr: ArrayData): Long = compute(arr)
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashMd5 =
+    copy(child = newChild)
+}
+
+object SimHashMd5 {
+  /** MessageDigest is stateful and not thread-safe; the reference
+    * object in generated code is shared across tasks in a thread pool,
+    * so each executor thread carries its own instance. */
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+}
+
 /** Bit-interleaving helpers shared by ZOrder2's interpreted eval and its
   * generated code (a Scala object emits static forwarders, so janino can
   * call `Bits.spread(...)` directly). */

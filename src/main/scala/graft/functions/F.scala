@@ -34,6 +34,7 @@ object F {
 
   /** 64-bit SimHash of an array<string> token column. */
   def simhash64(c: Column): Column = GraftColumns.wrap(SimHash64(u(c)))
+  def simhashMd5(c: Column): Column = GraftColumns.wrap(SimHashMd5(u(c)))
 
   /** Sorted distinct xxhash64 values of the word k-shingles of an
     * array<string> token column, one fused pass per row. */

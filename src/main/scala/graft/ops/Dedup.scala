@@ -622,13 +622,20 @@ object Dedup {
 
   /** 64-bit SimHash near-dup pairs (Hamming ≤ maxHamming), blocked by
     * the hammingPairs64 pigeonhole join. The signature is one
-    * native-expression pass per document (map-only — see SimHash64). */
+    * native-expression pass per document (map-only). `md5Hash = true`
+    * uses the MD5 token hash (SimHashMd5) whose signatures are
+    * bit-reproducible from DuckDB SQL (`md5_number_upper`) — the
+    * oracle-checkable variant the q53 driver query runs, so the whole
+    * pipeline (tokenize → simhash → blocked pairs) is pinned against
+    * an independent engine; `false` keeps the faster xxhash64 leaf. */
   def simhashPairs(corpus: DataFrame, id: String, text: String,
-                   maxHamming: Int = 3): DataFrame =
+                   maxHamming: Int = 3, md5Hash: Boolean = false): DataFrame = {
+    val sigFn: Column => Column = if (md5Hash) F.simhashMd5 else F.simhash64
     hammingPairs64(
       corpus.select(col(id).as("doc_id"),
-        F.simhash64(array_distinct(tokens(col(text)))).as("simhash")),
+        sigFn(array_distinct(tokens(col(text)))).as("simhash")),
       "doc_id", "simhash", maxHamming)
+  }
 
   /** Embedding-cosine near-dup pairs (cos ≥ tau), blocked on `block` so
     * the pair join is per-block, never all-pairs. Cosine runs in the
@@ -710,9 +717,11 @@ object Dedup {
   def q52(s: SparkSession, d: String): DataFrame =
     minhashLshPairs(Tables.documents(s, d), "doc_id", "text", 0.6)
 
-  /** q53: SimHash near-dup pairs at Hamming ≤ 3. */
+  /** q53: SimHash near-dup pairs at Hamming ≤ 3, on the MD5-hash
+    * signature so the driver's DuckDB oracle can recompute the
+    * signatures independently (see simhashPairs). */
   def q53(s: SparkSession, d: String): DataFrame =
-    simhashPairs(Tables.documents(s, d), "doc_id", "text")
+    simhashPairs(Tables.documents(s, d), "doc_id", "text", md5Hash = true)
 
   /** q54: embedding-cosine near-dup pairs at τ = 0.35, label-blocked. */
   def q54(s: SparkSession, d: String): DataFrame =
