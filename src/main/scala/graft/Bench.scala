@@ -41,7 +41,14 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // The interleaved protocol runs ~170 queries between a query's k
+      // samples; the default codegen class cache (100 entries) would
+      // evict every compiled unit in between, so each timed run would
+      // include janino recompilation. Size the cache to hold the whole
+      // sweep so runs 2..k measure execution, not recompilation.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -906,11 +906,47 @@ object SparkEntry {
          r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, bigram ASC) AS rn FROM c)
          SELECT lang, bigram, cnt, rn FROM r WHERE rn <= 5""",
 
+    // Mirrors RollingHash64 (h = h*31 + byte, wrapping int64) with
+    // HUGEINT arithmetic reduced mod 2^64 each step, then re-signed.
+    // char codepoints == UTF-8 bytes because the corpus is pure ASCII
+    // (asserted in spec); a non-ASCII corpus would need a byte-level
+    // fold instead.
+    "q43_fingerprint" ->
+      """SELECT doc_id,
+           CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+                     THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT) AS fingerprint
+         FROM (
+           SELECT doc_id,
+             list_reduce(
+               list_prepend(1125899906842597::HUGEINT,
+                 list_transform(string_split(text, ''), c -> unicode(c)::HUGEINT)),
+               (a, b) -> (a * 31 + b) % 18446744073709551616::HUGEINT) AS h
+           FROM documents)""",
+
     "q50_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
          FROM documents GROUP BY md5(text)""",
 
     "q51_dedup_ngram_jaccard" -> jaccardOracle,
+
+    // Recomputes SimHashMd5 bit-exactly: md5_number_upper(token) IS the
+    // little-endian read of the first 8 MD5 digest bytes (verified vs
+    // hashlib), the per-bit vote is majority-of-distinct-tokens (c >= 0
+    // keeps ties at 1, matching counts >= 0 in the expression), and the
+    // brute-force a<b self-join replaces the pigeonhole blocking (exact
+    // at oracle scale; blocking only changes WHERE pairs are found).
+    "q53_dedup_simhash" ->
+      """WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents),
+         th AS (SELECT doc_id, md5_number_upper(tok) AS h FROM toks),
+         votes AS (SELECT doc_id, k.k, sum(CASE WHEN (h >> k.k) & 1 = 1 THEN 1 ELSE -1 END) AS c
+                   FROM th CROSS JOIN (SELECT unnest(range(64)) AS k) k
+                   GROUP BY doc_id, k.k),
+         sigs AS (SELECT doc_id, sum(CASE WHEN c >= 0 THEN (1::UBIGINT << k) ELSE 0::UBIGINT END)::UBIGINT AS sig
+                  FROM votes GROUP BY doc_id)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+         FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.sig, b.sig)) <= 3""",
 
     "q68_copurchase" ->
       """WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

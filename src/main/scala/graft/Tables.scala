@@ -24,31 +24,48 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** SQL conf every graft session needs: the events table stores ts as
+  /** Advisory SQL conf: OLD generations of the events table stored ts as
     * parquet TIMESTAMP(NANOS), which Spark 4 refuses unless this legacy
-    * conf reads it as a long. Entry points (Verify/Bench/TimeOne/Explain
-    * and the test session) apply it AT SESSION BUILD — a loader must not
-    * mutate session-global conf as a side effect of a read (it could
-    * change unrelated reads mid-session). */
+    * conf reads it as a long. Harmless when the data is already
+    * microsecond timestamps, so entry points still set it AT SESSION
+    * BUILD for back-compat — a loader must not mutate session-global
+    * conf as a side effect of a read (it could change unrelated reads
+    * mid-session). */
   val requiredConf: Map[String, String] =
     Map("spark.sql.legacy.parquet.nanosAsLong" -> "true")
 
-  /** The events table stores ts as parquet TIMESTAMP(NANOS), read as a
-    * long (ns since epoch — see requiredConf), then converted to a
-    * microsecond timestamp with integral division (`div` — a double
-    * division would lose precision on ~1.7e18 ns values). */
+  /** Loads events and normalizes `ts` to session-local TimestampType
+    * regardless of the on-disk generation:
+    *   - parquet timestamp[us] (current testdata) reads as TIMESTAMP or
+    *     TIMESTAMP_NTZ depending on isAdjustedToUTC / inferTimestampNTZ —
+    *     cast to TimestampType (value-preserving; all graft sessions run
+    *     with spark.sql.session.timeZone=UTC).
+    *   - parquet TIMESTAMP(NANOS) + nanosAsLong=true (old generation)
+    *     reads as a long of ns since epoch — convert via integral
+    *     division (`div`; a double division would lose precision on
+    *     ~1.7e18 ns values) to a microsecond timestamp. */
   def events(s: SparkSession, d: String): DataFrame = {
-    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "set spark.sql.legacy.parquet.nanosAsLong=true on the session " +
-        "(Tables.requiredConf) before reading the events table")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case TimestampType    => raw
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case other => sys.error(
+        s"events.ts has unsupported type $other (expected timestamp, " +
+          "timestamp_ntz, or int64 nanos under nanosAsLong)")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
-  /** Register every table as a temp view (for spark.sql users). */
+  /** Register every table as a temp view (for spark.sql users). Uses the
+    * typed loaders so `events.ts` is normalized the same way operators
+    * see it. */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    names.foreach { n =>
+      val df = if (n == "events") events(spark, dir) else load(spark, dir, n)
+      df.createOrReplaceTempView(n)
+    }
 }

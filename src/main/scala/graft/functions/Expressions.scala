@@ -775,13 +775,17 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     val n = arr.numElements()
     var i = 0
     while (i < n) {
-      val tok = arr.getUTF8String(i)
-      val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
-        tok, StringType, 42L)
-      var k = 0
-      while (k < 64) {
-        if (((h >>> k) & 1L) == 1L) counts(k) += 1 else counts(k) -= 1
-        k += 1
+      // Null elements carry no token content — skip rather than NPE
+      // (tokens() output never holds nulls, but direct callers may).
+      if (!arr.isNullAt(i)) {
+        val tok = arr.getUTF8String(i)
+        val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+          tok, StringType, 42L)
+        var k = 0
+        while (k < 64) {
+          if (((h >>> k) & 1L) == 1L) counts(k) += 1 else counts(k) -= 1
+          k += 1
+        }
       }
       i += 1
     }
@@ -828,15 +832,19 @@ case class SimHashMd5(child: Expression) extends UnaryExpression {
     val n = arr.numElements()
     var i = 0
     while (i < n) {
-      md.reset()
-      val d = md.digest(arr.getUTF8String(i).getBytes)
-      var h = 0L
-      var b = 7
-      while (b >= 0) { h = (h << 8) | (d(b) & 0xffL); b -= 1 }
-      var k = 0
-      while (k < 64) {
-        if (((h >>> k) & 1L) == 1L) counts(k) += 1 else counts(k) -= 1
-        k += 1
+      // Null elements carry no token content — skip rather than NPE
+      // (tokens() output never holds nulls, but direct callers may).
+      if (!arr.isNullAt(i)) {
+        md.reset()
+        val d = md.digest(arr.getUTF8String(i).getBytes)
+        var h = 0L
+        var b = 7
+        while (b >= 0) { h = (h << 8) | (d(b) & 0xffL); b -= 1 }
+        var k = 0
+        while (k < 64) {
+          if (((h >>> k) & 1L) == 1L) counts(k) += 1 else counts(k) -= 1
+          k += 1
+        }
       }
       i += 1
     }

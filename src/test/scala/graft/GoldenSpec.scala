@@ -25,7 +25,10 @@ class GoldenSpec extends SparkSpec {
 
   private val pins: Map[String, String] = Map(
     "q43_fingerprint"     -> "578e46abaee6fa92ab48e84505b0d821",
-    "q53_dedup_simhash"   -> "1e7f572ea7680c9046a7fd133c3823ad",
+    // re-pinned for the round-7 SimHashMd5 switch (signature function
+    // change; pairs verified bit-exact vs the DuckDB md5_number_upper
+    // oracle at sf0.01 before pinning)
+    "q53_dedup_simhash"   -> "844b3a12e5f2351894ae72f00466fc9d",
     // re-pinned for the multiprobe upgrade (recall 0.52 → 0.99 at sf0.1)
     "q61_ann_lsh"         -> "29053b1035c3140d6ae4974051a658b1",
     "q62_ann_ivf"         -> "e58c3a6508352b26f7d1573a51e2a9c9",
