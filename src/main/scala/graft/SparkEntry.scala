@@ -923,6 +923,186 @@ object SparkEntry {
                (a, b) -> (a * 31 + b) % 18446744073709551616::HUGEINT) AS h
            FROM documents)""",
 
+    // q105 decodes REAL WAV payloads, but those payloads are generated
+    // from the spec-pinned PCM formula (Multimodal.sampleAt/wavSamples),
+    // so the oracle recomputes the decoded features directly from the
+    // generator contract: a WAV container/codec bug on the Spark side
+    // surfaces as a mismatch here. All operands are non-negative, so
+    // Java floorMod == SQL %; sum of squares is exact in int64 and IEEE
+    // sqrt is correctly rounded in both engines.
+    "q105_audio_decode" ->
+      """WITH n AS (SELECT doc_id, 800 + (doc_id * 2654435761) % 1600 AS ns FROM documents),
+         s AS (SELECT doc_id, ns, unnest(range(ns)) AS i FROM n),
+         v AS (SELECT doc_id, ns, ((i*127 + doc_id*31) % 65536) - 32768 AS v FROM s)
+         SELECT doc_id, CAST(8000 AS INT) AS sample_rate, CAST(ns AS BIGINT) AS n_samples,
+           CAST(max(abs(v)) AS INT) AS peak,
+           CAST(floor(sqrt(CAST(sum(v*v) AS DOUBLE) / ns) * 100) AS BIGINT) AS rms_q
+         FROM v GROUP BY doc_id, ns""",
+
+    // DuckDB's double-precision jaro_winkler_similarity vs the exact
+    // rational jaro_winkler_bp: floor(jw*10000) agrees unless the exact
+    // score sits within ~1e-12 of a basis-point boundary — no corpus
+    // name pair does (verified at sf0.01: nearest boundary distance is
+    // ~0.33 bp), and the 9200 threshold is far from every score.
+    "q166_jw_name_pairs" ->
+      """WITH dict AS (SELECT DISTINCT p_name AS n FROM part)
+         SELECT x.n AS name_a, y.n AS name_b,
+                CAST(floor(jaro_winkler_similarity(x.n, y.n) * 10000) AS BIGINT) AS jw_bp
+         FROM dict x JOIN dict y ON x.n < y.n
+         WHERE floor(jaro_winkler_similarity(x.n, y.n) * 10000) >= 9200""",
+
+    // q143/q167/q124 decode REAL containers (animated GIF / PNG) on the
+    // Spark side, but the payloads are generated from the spec-pinned
+    // splitmix64 pixel formulas, so DuckDB recomputes the decoded
+    // features from the generator contract — a codec bug (frame order,
+    // palette roundtrip, raster band mixup) surfaces as a mismatch.
+    // mix64's wrapping 64-bit multiplies are emulated with HUGEINT
+    // arithmetic split at 2^32 (a*b mod 2^64 via hi/lo decomposition of
+    // a), reduced mod 2^64 each step; xor/shift run on UBIGINT.
+    "q143_video_frames" ->
+      """WITH
+         m0 AS (SELECT doc_id, CAST(doc_id*7+3 AS UBIGINT) AS z FROM documents),
+         m1 AS (SELECT doc_id, CAST((z::HUGEINT + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z FROM m0),
+         m2 AS (SELECT doc_id, xor(z, z >> 30) AS z FROM m1),
+         m3 AS (SELECT doc_id, CAST(((z >> 32)::HUGEINT * 13787848793156543929 % 4294967296 * 4294967296
+                                     + (z & 4294967295)::HUGEINT * 13787848793156543929) % 18446744073709551616 AS UBIGINT) AS z FROM m2),
+         m4 AS (SELECT doc_id, xor(z, z >> 27) AS z FROM m3),
+         m5 AS (SELECT doc_id, CAST(((z >> 32)::HUGEINT * 10723151780598845931 % 4294967296 * 4294967296
+                                     + (z & 4294967295)::HUGEINT * 10723151780598845931) % 18446744073709551616 AS UBIGINT) AS z FROM m4),
+         nf AS (SELECT doc_id, 4 + CAST(xor(z, z >> 31) & 7 AS INT) AS n_frames FROM m5),
+         fr AS (SELECT doc_id, n_frames, unnest(range(0, n_frames, 2)) AS f FROM nf),
+         px AS (SELECT doc_id, n_frames, f, unnest(range(256)) AS p FROM fr),
+         p0 AS (SELECT doc_id, n_frames, f, p, CAST(doc_id*1024 + f*256 + p AS UBIGINT) AS z FROM px),
+         p1 AS (SELECT doc_id, n_frames, f, p, CAST((z::HUGEINT + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z FROM p0),
+         p2 AS (SELECT doc_id, n_frames, f, p, xor(z, z >> 30) AS z FROM p1),
+         p3 AS (SELECT doc_id, n_frames, f, p, CAST(((z >> 32)::HUGEINT * 13787848793156543929 % 4294967296 * 4294967296
+                                     + (z & 4294967295)::HUGEINT * 13787848793156543929) % 18446744073709551616 AS UBIGINT) AS z FROM p2),
+         p4 AS (SELECT doc_id, n_frames, f, p, xor(z, z >> 27) AS z FROM p3),
+         p5 AS (SELECT doc_id, n_frames, f, p, CAST(((z >> 32)::HUGEINT * 10723151780598845931 % 4294967296 * 4294967296
+                                     + (z & 4294967295)::HUGEINT * 10723151780598845931) % 18446744073709551616 AS UBIGINT) AS z FROM p4),
+         pv AS (SELECT doc_id, n_frames, f, CAST(xor(z, z >> 31) & 255 AS BIGINT) AS pix FROM p5)
+         SELECT doc_id, CAST(f AS INT) AS frame_idx, CAST(n_frames AS INT) AS n_frames,
+                CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+                CAST(sum(pix) * 100 // 256 AS BIGINT) AS mean_pixel_q
+         FROM pv GROUP BY doc_id, f, n_frames""",
+
+    "q167_scene_detect" ->
+      """WITH
+         m0 AS (SELECT doc_id, CAST(doc_id*7+3 AS UBIGINT) AS z FROM documents),
+         m1 AS (SELECT doc_id, CAST((z::HUGEINT + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z FROM m0),
+         m2 AS (SELECT doc_id, xor(z, z >> 30) AS z FROM m1),
+         m3 AS (SELECT doc_id, CAST(((z >> 32)::HUGEINT * 13787848793156543929 % 4294967296 * 4294967296
+                                     + (z & 4294967295)::HUGEINT * 13787848793156543929) % 18446744073709551616 AS UBIGINT) AS z FROM m2),
+         m4 AS (SELECT doc_id, xor(z, z >> 27) AS z FROM m3),
+         m5 AS (SELECT doc_id, CAST(((z >> 32)::HUGEINT * 10723151780598845931 % 4294967296 * 4294967296
+                                     + (z & 4294967295)::HUGEINT * 10723151780598845931) % 18446744073709551616 AS UBIGINT) AS z FROM m4),
+         nf AS (SELECT doc_id, 4 + CAST(xor(z, z >> 31) & 7 AS INT) AS n_frames FROM m5),
+         fr AS (SELECT doc_id, n_frames, unnest(range(0, n_frames)) AS f FROM nf),
+         px AS (SELECT doc_id, n_frames, f, unnest(range(256)) AS p FROM fr),
+         p0 AS (SELECT doc_id, n_frames, f, p, CAST(doc_id*1024 + f*256 + p AS UBIGINT) AS z FROM px),
+         p1 AS (SELECT doc_id, n_frames, f, p, CAST((z::HUGEINT + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z FROM p0),
+         p2 AS (SELECT doc_id, n_frames, f, p, xor(z, z >> 30) AS z FROM p1),
+         p3 AS (SELECT doc_id, n_frames, f, p, CAST(((z >> 32)::HUGEINT * 13787848793156543929 % 4294967296 * 4294967296
+                                     + (z & 4294967295)::HUGEINT * 13787848793156543929) % 18446744073709551616 AS UBIGINT) AS z FROM p2),
+         p4 AS (SELECT doc_id, n_frames, f, p, xor(z, z >> 27) AS z FROM p3),
+         p5 AS (SELECT doc_id, n_frames, f, p, CAST(((z >> 32)::HUGEINT * 10723151780598845931 % 4294967296 * 4294967296
+                                     + (z & 4294967295)::HUGEINT * 10723151780598845931) % 18446744073709551616 AS UBIGINT) AS z FROM p4),
+         pv AS (SELECT doc_id, n_frames, f, p, CAST(xor(z, z >> 31) & 255 AS BIGINT) AS pix FROM p5),
+         lg AS (SELECT doc_id, n_frames, f, pix,
+                       lag(pix) OVER (PARTITION BY doc_id, p ORDER BY f) AS prev FROM pv),
+         sad AS (SELECT doc_id, n_frames, f, sum(abs(pix - prev)) AS sad
+                 FROM lg WHERE prev IS NOT NULL GROUP BY doc_id, n_frames, f)
+         SELECT doc_id, CAST(f AS INT) AS frame_idx, CAST(n_frames AS INT) AS n_frames,
+                CAST(sad * 100 // 256 AS BIGINT) AS diff_q,
+                CAST(CASE WHEN sad * 100 // 256 > 8000 THEN 1 ELSE 0 END AS BIGINT) AS scene_change
+         FROM sad""",
+
+    // aHash works cell-wise here: the structured image is CONSTANT on
+    // each 4x4 cell (floorMod_signed(mix64(base*64+cell), 251) — the
+    // CASE re-signs the UBIGINT before the non-power-of-2 modulus, since
+    // Java floorMod works on the signed value), so cellSum = 16*value
+    // plus the copy's +4 brightness and its 3 noise-pixel overwrites
+    // (last write wins per pixel → row_number DESC). Bit c is the
+    // division-free compare cellSum*64 >= total at 16x16 cells; pairs
+    // are the brute-force hamming<=3 join over all 1000 hashes.
+    "q124_image_dedup" ->
+      """WITH
+         cl AS (SELECT doc_id AS base, unnest(range(64)) AS cell FROM documents),
+         c0 AS (SELECT base, cell, CAST(base*64 + cell AS UBIGINT) AS z FROM cl),
+         c1 AS (SELECT base, cell, CAST((z::HUGEINT + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z FROM c0),
+         c2 AS (SELECT base, cell, xor(z, z >> 30) AS z FROM c1),
+         c3 AS (SELECT base, cell, CAST(((z >> 32)::HUGEINT * 13787848793156543929 % 4294967296 * 4294967296
+                                     + (z & 4294967295)::HUGEINT * 13787848793156543929) % 18446744073709551616 AS UBIGINT) AS z FROM c2),
+         c4 AS (SELECT base, cell, xor(z, z >> 27) AS z FROM c3),
+         c5 AS (SELECT base, cell, CAST(((z >> 32)::HUGEINT * 10723151780598845931 % 4294967296 * 4294967296
+                                     + (z & 4294967295)::HUGEINT * 10723151780598845931) % 18446744073709551616 AS UBIGINT) AS z FROM c4),
+         bv AS (SELECT base, cell,
+                  CAST((((xor(z, z >> 31)::HUGEINT - CASE WHEN xor(z, z >> 31) >= 9223372036854775808::UBIGINT
+                          THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END) % 251) + 251) % 251 AS BIGINT) AS v
+                FROM c5),
+         ni AS (SELECT doc_id AS base, unnest(range(3)) AS i FROM documents),
+         n0 AS (SELECT base, i, CAST(base*3 + i AS UBIGINT) AS z FROM ni),
+         n1 AS (SELECT base, i, CAST((z::HUGEINT + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z FROM n0),
+         n2 AS (SELECT base, i, xor(z, z >> 30) AS z FROM n1),
+         n3 AS (SELECT base, i, CAST(((z >> 32)::HUGEINT * 13787848793156543929 % 4294967296 * 4294967296
+                                     + (z & 4294967295)::HUGEINT * 13787848793156543929) % 18446744073709551616 AS UBIGINT) AS z FROM n2),
+         n4 AS (SELECT base, i, xor(z, z >> 27) AS z FROM n3),
+         n5 AS (SELECT base, i, CAST(((z >> 32)::HUGEINT * 10723151780598845931 % 4294967296 * 4294967296
+                                     + (z & 4294967295)::HUGEINT * 10723151780598845931) % 18446744073709551616 AS UBIGINT) AS z FROM n4),
+         nz AS (SELECT base, i, xor(z, z >> 31) AS z FROM n5),
+         nv AS (SELECT base, i, CAST(z & 1023 AS BIGINT) AS npx, CAST((z >> 32) % 251 AS BIGINT) AS val FROM nz),
+         nk AS (SELECT base, npx, val, ((npx // 32) // 4) * 8 + (npx % 32) // 4 AS cell
+                FROM (SELECT *, row_number() OVER (PARTITION BY base, npx ORDER BY i DESC) AS rn FROM nv)
+                WHERE rn = 1),
+         oc AS (SELECT base, base AS img_id, cell, 16*v AS cs FROM bv
+                UNION ALL
+                SELECT b.base, b.base + 10000000 AS img_id, b.cell,
+                       16*(b.v+4) + coalesce(sum(n.val - (b.v+4)), 0) AS cs
+                FROM bv b LEFT JOIN nk n ON n.base = b.base AND n.cell = b.cell
+                GROUP BY b.base, b.cell, b.v),
+         tot AS (SELECT img_id, sum(cs) AS total FROM oc GROUP BY img_id),
+         hs AS (SELECT oc.img_id,
+                       sum(CASE WHEN oc.cs * 64 >= t.total THEN (1::UBIGINT << oc.cell) ELSE 0::UBIGINT END)::UBIGINT AS h
+                FROM oc JOIN tot t ON oc.img_id = t.img_id GROUP BY oc.img_id)
+         SELECT a.img_id AS doc_a, b.img_id AS doc_b,
+                CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+         FROM hs a JOIN hs b ON a.img_id < b.img_id
+         WHERE bit_count(xor(a.h, b.h)) <= 3""",
+
+    // q71/q76 window the mediaTable payload, which is the UTF-8 bytes of
+    // the document text — on the ASCII corpus DuckDB's substring over the
+    // VARCHAR sees the same bytes, and md5 matches byte-for-byte. The
+    // declared dims mirror metaWidth/metaHeight (md5 hex prefix, mod,
+    // +64). Spark's `/` on the dim scaling is double division, exact for
+    // these magnitudes, truncated toward zero on cast — `//` matches for
+    // the non-negative operands here.
+    "q71_frame_sample" ->
+      """WITH m AS (SELECT doc_id, text,
+           CAST(('0x' || md5(text)[1:8])::UBIGINT % 1024 + 64 AS BIGINT) AS width,
+           CAST(('0x' || md5(text)[9:16])::UBIGINT % 768 + 64 AS BIGINT) AS height FROM documents),
+         f AS (SELECT doc_id, text, width, height,
+           greatest(CAST(ceil(length(text) / 64.0) AS INT), 1) AS n_frames,
+           greatest(width, height) AS le FROM m),
+         s AS (SELECT doc_id, text, n_frames,
+           CAST(width * least(le, 256) // le AS INT) AS out_w,
+           CAST(height * least(le, 256) // le AS INT) AS out_h,
+           unnest(range(0, n_frames, 2)) AS fi FROM f)
+         SELECT doc_id, CAST(fi AS INT) AS frame_idx, n_frames, out_w, out_h,
+           CAST(length(substring(text, fi*64 + 1, 64)) AS INT) AS frame_bytes,
+           md5(substring(text, fi*64 + 1, 64)) AS frame_hash
+         FROM s""",
+
+    "q76_audio_windows" ->
+      """WITH m AS (SELECT doc_id, text, length(text) AS n FROM documents),
+         w AS (SELECT doc_id, text,
+           CASE WHEN n < 256 THEN 1 ELSE CAST(floor((n - 256) / 128.0) AS INT) + 1 END AS n_windows FROM m),
+         s AS (SELECT doc_id, text, n_windows, unnest(range(0, n_windows)) AS wi FROM w)
+         SELECT doc_id, CAST(wi AS INT) AS win_idx, n_windows,
+           CAST(wi * 128 AS INT) AS start_byte,
+           CAST(length(substring(text, wi*128 + 1, 256)) AS INT) AS win_bytes,
+           md5(substring(text, wi*128 + 1, 256)) AS win_md5
+         FROM s""",
+
     "q50_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
          FROM documents GROUP BY md5(text)""",

@@ -24,9 +24,14 @@ object Multimodal {
 
   /** Declared metadata dims, derived deterministically from the text —
     * the ONE definition shared by the media metadata struct and the PNG
-    * generator (pngTable scales these 1/8). */
-  def metaWidth: Column = (pmod(xxhash64(col("text")), lit(1024L)) + 64L).cast("int")
-  def metaHeight: Column = (pmod(xxhash64(col("text"), lit(1L)), lit(768L)) + 64L).cast("int")
+    * generator (pngTable scales these 1/8). MD5-derived (big-endian hex
+    * prefix of the digest, bytes 1-4 for width, 5-8 for height) rather
+    * than xxhash64 so the DuckDB oracle can recompute the dims:
+    * ('0x' || md5(text)[1:8])::UBIGINT — the q53 reproducibility move. */
+  private def md5Hex32(c: Column, hexOff: Int): Column =
+    conv(substring(md5(encode(c, "UTF-8")), hexOff, 8), 16, 10).cast("long")
+  def metaWidth: Column = (pmod(md5Hex32(col("text"), 1), lit(1024L)) + 64L).cast("int")
+  def metaHeight: Column = (pmod(md5Hex32(col("text"), 9), lit(768L)) + 64L).cast("int")
 
   /** Build the media table from documents: text bytes stand in for an
     * encoded audio/video payload (the formats the container has no codec
@@ -577,8 +582,10 @@ object Multimodal {
       .select(col("doc_id"), col("win_idx"), col("n_windows"),
         (col("win_idx") * HopBytes).as("start_byte"),
         length(expr(s"substring(payload, win_idx * $HopBytes + 1, $WindowBytes)")).as("win_bytes"),
-        crc32(expr(s"substring(payload, win_idx * $HopBytes + 1, $WindowBytes)")).as("win_crc"),
-        xxhash64(expr(s"substring(payload, win_idx * $HopBytes + 1, $WindowBytes)")).as("win_hash"))
+        // md5 (not crc32/xxhash64): the window fingerprint DuckDB can
+        // recompute — md5(substring(text, ...)) matches byte-for-byte
+        // on the ASCII corpus.
+        md5(expr(s"substring(payload, win_idx * $HopBytes + 1, $WindowBytes)")).as("win_md5"))
   }
 
   val FrameBytes = 64
@@ -611,6 +618,7 @@ object Multimodal {
         col("payload"))
       .select(col("doc_id"), col("frame_idx"), col("n_frames"), col("out_w"), col("out_h"),
         length(expr(s"substring(payload, frame_idx * $FrameBytes + 1, $FrameBytes)")).as("frame_bytes"),
-        xxhash64(expr(s"substring(payload, frame_idx * $FrameBytes + 1, $FrameBytes)")).as("frame_hash"))
+        // md5 for DuckDB reproducibility (see q76's win_md5)
+        md5(expr(s"substring(payload, frame_idx * $FrameBytes + 1, $FrameBytes)")).as("frame_hash"))
   }
 }

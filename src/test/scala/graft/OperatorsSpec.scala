@@ -280,12 +280,22 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("q70 really decodes PNGs: dims and mean pixel match the generator") {
-    // Expected dims from the metadata formula; expected mean from the
-    // pixel pattern — both computed independently of the codec path.
-    val meta = Tables.documents(spark, sf).select(col("doc_id"),
-        (pmod(xxhash64(col("text")), lit(1024L)) + 64L).cast("int"),
-        (pmod(xxhash64(col("text"), lit(1L)), lit(768L)) + 64L).cast("int"))
-      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    // Expected dims from the metadata formula (recomputed here with the
+    // plain JDK digest — no Spark expression involved); expected mean
+    // from the pixel pattern — both independent of the codec path.
+    def md5Head32(text: String, off: Int): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(text.getBytes("UTF-8"))
+      var h = 0L
+      for (b <- off until off + 4) h = (h << 8) | (d(b) & 0xffL)
+      h
+    }
+    val meta = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .collect().map { r =>
+        val t = r.getString(1)
+        r.getLong(0) -> (((md5Head32(t, 0) % 1024L + 64L).toInt,
+          (md5Head32(t, 4) % 768L + 64L).toInt))
+      }.toMap
     val feats = ops.Multimodal.q70(spark, sf).collect()
     assert(feats.nonEmpty)
     feats.foreach { r =>
