@@ -108,6 +108,7 @@ object SparkEntry {
     "q167_scene_detect"       -> (Multimodal.q167 _),
     "q168_ann_ivf_append"     -> (Similarity.q168 _),
     "q169_cjk_tokens"         -> (Text.q169 _),
+    "q171_dict_segment"       -> (Text.q171 _),
     "q170_ann_ivf_compact"    -> (Similarity.q170 _),
     "q70_multimodal_meta" -> (Multimodal.q70 _),
     "q76_audio_windows"   -> (Multimodal.q76 _),
@@ -1315,6 +1316,26 @@ object SparkEntry {
              CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wm DESC, tok ASC) AS BIGINT) AS rank
            FROM w WHERE wm <> 0)
          SELECT doc_id, rank, tok, wm FROM r WHERE rank <= 3""",
+
+    // The FMM segmentation of the two CONSTANT snippets under the
+    // built-in lexicon is itself a constant, so the oracle concatenates
+    // the whitespace-split ASCII prefix (empty tokens dropped, matching
+    // the flatten-of-empty-arrays on the Spark side) with the known
+    // segment lists — pinning greedy-longest-match behavior end to end.
+    "q171_dict_segment" ->
+      """WITH b AS (SELECT doc_id,
+           list_filter(string_split(substr(text, 1, 60), ' '), t -> t <> '') AS pre FROM documents),
+         t AS (SELECT doc_id,
+           CASE CAST(doc_id % 3 AS INT)
+             WHEN 0 THEN list_concat(pre, ['你好','世界','今天','天氣','很','好'])
+             WHEN 1 THEN list_concat(pre, ['สวัสดี','ชาวโลก','วันนี้'])
+             ELSE pre END AS toks,
+           CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 6 WHEN 1 THEN 3 ELSE 0 END AS n_seg
+           FROM b)
+         SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(n_seg AS BIGINT) AS n_seg,
+           md5(coalesce(array_to_string(toks, '|'), '')) AS tok_md5
+         FROM t""",
 
     "q169_cjk_tokens" ->
       // RE2 script classes (\p{Han}) mirror the Java spellings

@@ -1204,3 +1204,98 @@ case class JaroWinklerBp(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): JaroWinklerBp =
     copy(left = l, right = r)
 }
+
+/** DICTIONARY word segmentation for space-free scripts (Han, kana,
+  * Thai) by forward maximum matching: at each script codepoint, the
+  * longest dictionary word starting there wins; no dictionary word →
+  * the single codepoint is its own token (the char-level convention
+  * [[graft.functions.Cols.tokens]] applies everywhere). Non-script runs
+  * inside the input pass through as single tokens, so the expression
+  * composes as `flatten(transform(split(text, " "), t -> fmm(t)))` —
+  * whitespace tokenization with dictionary segmentation only where
+  * scripts need it.
+  *
+  * Pure-ASCII inputs short-circuit on `isFullAscii` (no String decode,
+  * no per-char script lookup) — a mostly-ASCII corpus pays one memchr-
+  * speed scan per token, the same discipline as the tokens() prescan.
+  *
+  * The dictionary ships as a literal Seq (broadcast inside the codegen
+  * reference object): segmentation needs O(1) per-position lookups, so
+  * it lives in a length-bucketed HashSet, tried longest-first, bounded
+  * by the longest dictionary word. Greedy FMM (not Viterbi): the
+  * deterministic, engine-reproducible convention real pipelines default
+  * to; a statistical segmenter would drop in behind the same column
+  * signature. */
+case class FmmSegment(child: Expression, dict: Seq[String])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "fmm_segment"
+
+  @transient private lazy val dictSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    dict.foreach(w => if (w.nonEmpty) s.add(w))
+    s
+  }
+  @transient private lazy val maxWordLen: Int =
+    if (dict.isEmpty) 0 else dict.map(_.length).max
+
+  private def isScript(cp: Int): Boolean = {
+    val sc = Character.UnicodeScript.of(cp)
+    sc == Character.UnicodeScript.HAN ||
+      sc == Character.UnicodeScript.HIRAGANA ||
+      sc == Character.UnicodeScript.KATAKANA ||
+      sc == Character.UnicodeScript.THAI
+  }
+
+  /** Called from generated code. */
+  def segment(u: UTF8String): ArrayData = {
+    if (u.numBytes == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    if (u.isFullAscii)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array[Any](u))
+    val s = u.toString
+    val n = s.length
+    val out = new scala.collection.mutable.ArrayBuffer[Any](4)
+    var i = 0
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      if (isScript(cp)) {
+        // longest dictionary match first, bounded by the dictionary
+        var matched: String = null
+        var L = math.min(maxWordLen, n - i)
+        while (matched == null && L >= 2) {
+          val cand = s.substring(i, i + L)
+          if (dictSet.contains(cand)) matched = cand
+          L -= 1
+        }
+        if (matched != null) {
+          out += UTF8String.fromString(matched)
+          i += matched.length
+        } else {
+          val w = Character.charCount(cp)
+          out += UTF8String.fromString(s.substring(i, i + w))
+          i += w
+        }
+      } else {
+        // glue the non-script run into one token
+        val start = i
+        var j = i
+        while (j < n && !isScript(s.codePointAt(j))) j += Character.charCount(s.codePointAt(j))
+        i = j
+        out += UTF8String.fromString(s.substring(start, j))
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    segment(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("fmm", this, classOf[FmmSegment].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.segment($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): FmmSegment =
+    copy(child = newChild)
+}

@@ -36,6 +36,12 @@ object F {
   def simhash64(c: Column): Column = GraftColumns.wrap(SimHash64(u(c)))
   def simhashMd5(c: Column): Column = GraftColumns.wrap(SimHashMd5(u(c)))
 
+  /** Dictionary (forward-maximum-matching) segmentation of a string
+    * column into array<string> — script runs segment against `dict`,
+    * non-script runs pass through whole. */
+  def fmmSegment(c: Column, dict: Seq[String]): Column =
+    GraftColumns.wrap(FmmSegment(u(c), dict))
+
   /** Sorted distinct xxhash64 values of the word k-shingles of an
     * array<string> token column, one fused pass per row. */
   def shingleHashes(c: Column, k: Int = 3): Column =

@@ -1177,4 +1177,47 @@ object Text {
   /** q169: shared-tokenizer segmentation of the mixed-script corpus. */
   def q169(s: SparkSession, d: String): DataFrame =
     segTokens(Tables.documents(s, d), "doc_id", "text")
+
+  /** Demo lexicon for q171 — the words of the q169 snippets. A real
+    * pipeline loads these from a dictionary file; segmentation quality
+    * is the lexicon's job, the operator's job is applying it at scale. */
+  val segDict: Seq[String] =
+    Seq("你好", "世界", "今天", "天氣", "สวัสดี", "ชาวโลก", "วันนี้")
+
+  /** DICTIONARY-segmented tokenization: whitespace split, then each
+    * token runs through forward-maximum-matching against `dict` (script
+    * runs only — ASCII tokens short-circuit inside the expression).
+    * This is the word-level upgrade over q169's char-level convention:
+    * 你好世界 tokenizes as 你好|世界 instead of four single-char
+    * tokens, which is what token stats / shingles / surprisal want for
+    * CJK corpora when a lexicon is available. Empty tokens (consecutive
+    * spaces) segment to empty arrays and vanish in the flatten.
+    *
+    * Scale (100 TB): map-only, no shuffle, no UDF — one codegen'd
+    * expression pass per document with the lexicon in a reference
+    * object (broadcast with the plan, hash-set lookups per position). */
+  def dictTokens(text: Column, dict: Seq[String]): Column =
+    flatten(transform(split(text, " "), t => F.fmmSegment(t, dict)))
+
+  /** q171 body over the same deterministic mixed-script corpus as q169,
+    * so the two conventions (char-level vs dictionary) are directly
+    * comparable per document. */
+  def dictSegTokens(df: DataFrame, id: String, text: String,
+                    dict: Seq[String]): DataFrame = {
+    val han = " 你好世界今天天氣很好"
+    val thai = " สวัสดีชาวโลกวันนี้"
+    val mixed = when(col(id) % 3 === 0, concat(substring(col(text), 1, 60), lit(han)))
+      .when(col(id) % 3 === 1, concat(substring(col(text), 1, 60), lit(thai)))
+      .otherwise(substring(col(text), 1, 60))
+    df.select(col(id).as("doc_id"), dictTokens(mixed, dict).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(filter(col("toks"), t => t.rlike(SegScript))).cast("long").as("n_seg"),
+        md5(array_join(col("toks"), "|")).as("tok_md5"))
+  }
+
+  /** q171: dictionary (FMM) word segmentation of the mixed-script
+    * corpus — closes the char-level-only gap q169 documents. */
+  def q171(s: SparkSession, d: String): DataFrame =
+    dictSegTokens(Tables.documents(s, d), "doc_id", "text", segDict)
 }

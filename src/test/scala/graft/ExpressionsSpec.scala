@@ -273,4 +273,28 @@ class ExpressionsSpec extends SparkSpec {
       .head().getLong(0)
     assert(viaSql == 9611L)
   }
+
+  test("fmm_segment: greedy longest match, singles fallback, run glue") {
+    import SparkTestSession.spark.implicits._
+    val dict = Seq("你好", "世界", "你好世", "今天")
+    def seg(s: String): Seq[String] =
+      Seq(s).toDF("t").select(F.fmmSegment(col("t"), dict))
+        .head().getSeq[String](0)
+    // greedy: the 3-char word beats the 2-char prefix at position 0;
+    // the leftover single char falls back to char-level
+    assert(seg("你好世界") == Seq("你好世", "界"))
+    // exact dictionary cover
+    assert(seg("今天你好") == Seq("今天", "你好"))
+    // no dictionary word -> every script codepoint is its own token
+    assert(seg("天氣") == Seq("天", "氣"))
+    // non-script runs glue into single tokens around script segments
+    assert(seg("abc你好def") == Seq("abc", "你好", "def"))
+    // ascii fast path and empties
+    assert(seg("hello") == Seq("hello"))
+    assert(seg("") == Seq.empty)
+    // composes to whitespace tokenization with empty tokens dropped
+    val toks = Seq("a  b 你好世界x").toDF("t")
+      .select(graft.ops.Text.dictTokens(col("t"), dict)).head().getSeq[String](0)
+    assert(toks == Seq("a", "b", "你好世", "界", "x"))
+  }
 }
