@@ -1205,19 +1205,23 @@ case class JaroWinklerBp(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
-/** DICTIONARY word segmentation for space-free scripts (Han, kana,
-  * Thai) by forward maximum matching: at each script codepoint, the
-  * longest dictionary word starting there wins; no dictionary word →
-  * the single codepoint is its own token (the char-level convention
-  * [[graft.functions.Cols.tokens]] applies everywhere). Non-script runs
-  * inside the input pass through as single tokens, so the expression
-  * composes as `flatten(transform(split(text, " "), t -> fmm(t)))` —
-  * whitespace tokenization with dictionary segmentation only where
-  * scripts need it.
+/** WHITESPACE tokenization + DICTIONARY word segmentation for
+  * space-free scripts (Han, kana, Thai) by forward maximum matching,
+  * in ONE native pass: spaces separate tokens (empties dropped); inside
+  * a token, at each script codepoint the longest dictionary word
+  * starting there wins, no dictionary word → the single codepoint is
+  * its own token (the char-level convention of
+  * [[graft.functions.Cols.tokens]]); non-script non-space runs glue
+  * into single tokens. Doing the split INSIDE the expression (rather
+  * than composing `flatten(transform(split(...), fmm))`) matters:
+  * ArrayTransform is a CodegenFallback, so the composed form would
+  * evaluate interpreted per token — this stays one codegen'd call per
+  * document.
   *
-  * Pure-ASCII inputs short-circuit on `isFullAscii` (no String decode,
-  * no per-char script lookup) — a mostly-ASCII corpus pays one memchr-
-  * speed scan per token, the same discipline as the tokens() prescan.
+  * Pure-ASCII inputs short-circuit on `isFullAscii` to a byte-level
+  * space split (no String decode, no per-char script lookup) — a
+  * mostly-ASCII corpus pays one memchr-speed scan per document, the
+  * same discipline as the tokens() prescan.
   *
   * The dictionary ships as a literal Seq (broadcast inside the codegen
   * reference object): segmentation needs O(1) per-position lookups, so
@@ -1233,7 +1237,12 @@ case class FmmSegment(child: Expression, dict: Seq[String])
 
   @transient private lazy val dictSet: java.util.HashSet[String] = {
     val s = new java.util.HashSet[String]()
-    dict.foreach(w => if (w.nonEmpty) s.add(w))
+    // a word containing the separator could never match a within-token
+    // candidate and would silently break the space-split invariant
+    dict.foreach { w =>
+      require(!w.contains(' '), s"dictionary word contains a space: '$w'")
+      if (w.nonEmpty) s.add(w)
+    }
     s
   }
   @transient private lazy val maxWordLen: Int =
@@ -1249,17 +1258,31 @@ case class FmmSegment(child: Expression, dict: Seq[String])
 
   /** Called from generated code. */
   def segment(u: UTF8String): ArrayData = {
+    val out = new scala.collection.mutable.ArrayBuffer[Any](4)
     if (u.numBytes == 0)
       return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
-    if (u.isFullAscii)
-      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array[Any](u))
+    if (u.isFullAscii) {
+      // byte-level space split, empties dropped — no String decode
+      val bytes = u.getBytes
+      var i = 0
+      while (i < bytes.length) {
+        if (bytes(i) == ' ') i += 1
+        else {
+          val start = i
+          while (i < bytes.length && bytes(i) != ' ') i += 1
+          out += UTF8String.fromBytes(java.util.Arrays.copyOfRange(bytes, start, i))
+        }
+      }
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+    }
     val s = u.toString
     val n = s.length
-    val out = new scala.collection.mutable.ArrayBuffer[Any](4)
     var i = 0
     while (i < n) {
       val cp = s.codePointAt(i)
-      if (isScript(cp)) {
+      if (cp == ' ') {
+        i += 1 // token separator (empties vanish)
+      } else if (isScript(cp)) {
         // longest dictionary match first, bounded by the dictionary
         var matched: String = null
         var L = math.min(maxWordLen, n - i)
@@ -1277,10 +1300,14 @@ case class FmmSegment(child: Expression, dict: Seq[String])
           i += w
         }
       } else {
-        // glue the non-script run into one token
+        // glue the non-script, non-space run into one token
         val start = i
         var j = i
-        while (j < n && !isScript(s.codePointAt(j))) j += Character.charCount(s.codePointAt(j))
+        var c = cp
+        while (j < n && c != ' ' && !isScript(c)) {
+          j += Character.charCount(c)
+          if (j < n) c = s.codePointAt(j)
+        }
         i = j
         out += UTF8String.fromString(s.substring(start, j))
       }

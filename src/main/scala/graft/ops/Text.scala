@@ -1184,20 +1184,21 @@ object Text {
   val segDict: Seq[String] =
     Seq("你好", "世界", "今天", "天氣", "สวัสดี", "ชาวโลก", "วันนี้")
 
-  /** DICTIONARY-segmented tokenization: whitespace split, then each
-    * token runs through forward-maximum-matching against `dict` (script
-    * runs only — ASCII tokens short-circuit inside the expression).
-    * This is the word-level upgrade over q169's char-level convention:
-    * 你好世界 tokenizes as 你好|世界 instead of four single-char
-    * tokens, which is what token stats / shingles / surprisal want for
-    * CJK corpora when a lexicon is available. Empty tokens (consecutive
-    * spaces) segment to empty arrays and vanish in the flatten.
+  /** DICTIONARY-segmented tokenization: whitespace split + forward-
+    * maximum-matching against `dict` for script runs, fused in ONE
+    * native expression (fmm_segment does its own split — ArrayTransform
+    * is a CodegenFallback, so a flatten-transform composition would run
+    * interpreted per token). This is the word-level upgrade over q169's
+    * char-level convention: 你好世界 tokenizes as 你好|世界 instead of
+    * four single-char tokens, which is what token stats / shingles /
+    * surprisal want for CJK corpora when a lexicon is available. Empty
+    * tokens (consecutive spaces) are dropped at the split.
     *
     * Scale (100 TB): map-only, no shuffle, no UDF — one codegen'd
     * expression pass per document with the lexicon in a reference
     * object (broadcast with the plan, hash-set lookups per position). */
   def dictTokens(text: Column, dict: Seq[String]): Column =
-    flatten(transform(split(text, " "), t => F.fmmSegment(t, dict)))
+    F.fmmSegment(text, dict)
 
   /** q171 body over the same deterministic mixed-script corpus as q169,
     * so the two conventions (char-level vs dictionary) are directly

@@ -289,10 +289,13 @@ class ExpressionsSpec extends SparkSpec {
     assert(seg("天氣") == Seq("天", "氣"))
     // non-script runs glue into single tokens around script segments
     assert(seg("abc你好def") == Seq("abc", "你好", "def"))
-    // ascii fast path and empties
+    // ascii fast path (byte-level space split) and empties
     assert(seg("hello") == Seq("hello"))
+    assert(seg("hello  world ") == Seq("hello", "world"))
     assert(seg("") == Seq.empty)
-    // composes to whitespace tokenization with empty tokens dropped
+    assert(seg("   ") == Seq.empty)
+    // the fused expression IS whitespace tokenization + segmentation,
+    // empty tokens dropped at the split
     val toks = Seq("a  b 你好世界x").toDF("t")
       .select(graft.ops.Text.dictTokens(col("t"), dict)).head().getSeq[String](0)
     assert(toks == Seq("a", "b", "你好世", "界", "x"))
