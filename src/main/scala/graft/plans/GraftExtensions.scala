@@ -5,9 +5,9 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import graft.functions.{CmsEstimate, CosineSimilarity, CountMinAgg,
-  HammingDistance64, IntersectSizeSorted, JaccardSorted, JaroWinklerBp,
-  MinHash128, NfcNormalize, RollingHash64, ShingleHashes, SimHash64, TopKAgg,
-  VecSumAgg, WeightedDotSorted, ZOrder2}
+  FmmSegment, HammingDistance64, IntersectSizeSorted, JaccardSorted,
+  JaroWinklerBp, MinHash128, NfcNormalize, RollingHash64, ShingleHashes,
+  SimHash64, TopKAgg, VecSumAgg, WeightedDotSorted, ZOrder2}
 
 /** SparkSessionExtensions registering graft's native expressions as SQL
   * functions, so `spark.sql("SELECT cosine_sim(a, b) ...")` works too.
@@ -47,6 +47,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("intersect_size"),
       new ExpressionInfo(classOf[IntersectSizeSorted].getName, "intersect_size"),
       (children: Seq[Expression]) => IntersectSizeSorted(children(0), children(1))))
+    // fmm_segment(text, array('word', ...)) — dictionary segmentation
+    // with the lexicon as a literal array.
+    ext.injectFunction((
+      new FunctionIdentifier("fmm_segment"),
+      new ExpressionInfo(classOf[FmmSegment].getName, "fmm_segment"),
+      (children: Seq[Expression]) => FmmSegment(children.head,
+        stringArrayLit("fmm_segment", children(1)))))
     ext.injectFunction((
       new FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
@@ -108,5 +115,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     case Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(
       s"$fn expects a literal integer parameter, got $other")
+  }
+
+  /** Extract a foldable array<string> argument (e.g. `array('a','b')`)
+    * — the SQL spelling of an expression-tree-constant dictionary. */
+  private def stringArrayLit(fn: String, e: Expression): Seq[String] = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$fn expects a literal array<string> dictionary, got $e")
+    e.eval() match {
+      case ad: org.apache.spark.sql.catalyst.util.ArrayData =>
+        ad.toObjectArray(org.apache.spark.sql.types.StringType)
+          .map(String.valueOf).toSeq
+      case other => throw new IllegalArgumentException(
+        s"$fn dictionary did not fold to an array: $other")
+    }
   }
 }

@@ -299,5 +299,10 @@ class ExpressionsSpec extends SparkSpec {
     val toks = Seq("a  b 你好世界x").toDF("t")
       .select(graft.ops.Text.dictTokens(col("t"), dict)).head().getSeq[String](0)
     assert(toks == Seq("a", "b", "你好世", "界", "x"))
+    // the SQL registration (literal-array dictionary) agrees
+    val viaSql = spark.sql(
+      "SELECT fmm_segment('今天你好', array('你好', '今天'))")
+      .head().getSeq[String](0)
+    assert(viaSql == Seq("今天", "你好"))
   }
 }
