@@ -97,8 +97,11 @@ object ScaleCheck {
     // within-cluster pair list is thinned, never connectivity (at
     // sf0.1 the cap thins ~2% of pairs inside >512-wide near-identical
     // families; every thinned pair must stay reachable via its hub).
+    // simhashMd5, not simhash64: validate the SIGNATURE q53 actually
+    // ships (the r7 oracle-reproducibility switch). The blocking
+    // invariants are hash-agnostic, so this also covers the xx variant.
     val sigs = Tables.documents(spark, sfDir).select(col("doc_id"),
-      graft.functions.F.simhash64(array_distinct(
+      graft.functions.F.simhashMd5(array_distinct(
         graft.functions.Cols.tokens(col("text")))).as("simhash")).cache()
     val hamTruth = sigs.as("a").join(sigs.as("b"),
         col("a.doc_id") < col("b.doc_id"))
