@@ -65,6 +65,24 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("fmm_segment is a lossless re-spacing: concat(segments) == input minus spaces") {
+    // Whatever the dictionary and script mix, segmentation may only
+    // re-cut the string at token boundaries — no codepoint may be
+    // duplicated, dropped, or reordered. Runs over random mixes of
+    // ASCII words, spaces, dictionary words, and out-of-dictionary
+    // script codepoints (incl. an astral CJK-Ext-B ideograph, which
+    // exercises the surrogate-pair walk).
+    val dict = Seq("你好", "世界", "今天天氣", "สวัสดี")
+    val atom = Gen.oneOf(Gen.oneOf("ab", "x", "Z9", " ", "  "),
+      Gen.oneOf("你好", "世界", "今天天氣", "สวัสดี", "天", "氣", "ดี", "𠀋"))
+    val input = Gen.listOf(atom).map(_.mkString)
+    check(forAll(input) { s =>
+      val segs = Seq(s).toDF("t")
+        .select(F.fmmSegment(col("t"), dict)).head().getSeq[String](0)
+      segs.mkString("") == s.filterNot(_ == ' ') && !segs.contains("")
+    })
+  }
+
   test("minhash signature is permutation-length and bounded by array min property") {
     // Signature entries are minima of hash mixes — adding an element can
     // only keep or lower each minimum (monotonicity of min under

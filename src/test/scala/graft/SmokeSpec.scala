@@ -33,6 +33,26 @@ class SmokeSpec extends SparkSpec {
       s"events.ts min date $d is outside a plausible range — conversion bug?")
   }
 
+  test("events loader still reads the legacy int64-nanos generation") {
+    import org.apache.spark.sql.functions._
+    // Synthesize the OLD on-disk shape (ts as a long of ns since epoch)
+    // and check the loader's LongType branch converts to the same
+    // instant the native-timestamp branch would produce.
+    import SparkTestSession.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_legacy_events")
+      .toString
+    val tsUs = 1718000000000000L // 2024-06-10T06:13:20Z in µs
+    Seq((1L, tsUs * 1000L, 7L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val ev = Tables.events(spark, dir)
+    assert(ev.schema("ts").dataType == TimestampType)
+    assert(ev.select(unix_micros(col("ts"))).head.getLong(0) == tsUs)
+    // best-effort cleanup; temp dir is per-run anyway
+    val hp = new org.apache.hadoop.fs.Path(dir)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+  }
+
   test("key columns the operator families depend on exist with stable types") {
     val doc = Tables.documents(spark, sf)
     for (c <- Seq("doc_id", "text", "lang", "source"))
