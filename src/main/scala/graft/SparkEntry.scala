@@ -109,6 +109,7 @@ object SparkEntry {
     "q168_ann_ivf_append"     -> (Similarity.q168 _),
     "q169_cjk_tokens"         -> (Text.q169 _),
     "q171_dict_segment"       -> (Text.q171 _),
+    "q172_url_normalize"      -> (Text.q172 _),
     "q170_ann_ivf_compact"    -> (Similarity.q170 _),
     "q70_multimodal_meta" -> (Multimodal.q70 _),
     "q76_audio_windows"   -> (Multimodal.q76 _),
@@ -1316,6 +1317,36 @@ object SparkEntry {
              CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wm DESC, tok ASC) AS BIGINT) AS rank
            FROM w WHERE wm <> 0)
          SELECT doc_id, rank, tok, wm FROM r WHERE rank <= 3""",
+
+    // Mirrors urlTable's deterministic construction literally, then
+    // canonicalizes with the same regexes (Java and RE2 agree on these
+    // patterns) and the same filter+sort list pipeline.
+    "q172_url_normalize" ->
+      """WITH u AS (SELECT doc_id,
+           'https://' ||
+           CASE WHEN doc_id % 5 = 0 THEN upper('www.' || source || tld) ELSE 'www.' || source || tld END ||
+           CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END ||
+           '/docs/' || (doc_id % 50) || CASE WHEN doc_id % 11 = 0 THEN '/' ELSE '' END ||
+           CASE CAST(doc_id % 4 AS INT)
+             WHEN 0 THEN '?utm_source=feed&id=' || doc_id || '&utm_campaign=c'
+             WHEN 1 THEN '?id=' || doc_id || '&ref=rss'
+             WHEN 2 THEN ''
+             ELSE '?b=2&a=1&fbclid=F' || doc_id END AS url
+           FROM (SELECT doc_id, source, ['.com','.org','.net'][CAST(doc_id % 3 AS INT) + 1] AS tld FROM documents)),
+         n AS (SELECT doc_id,
+           regexp_replace(lower(regexp_extract(url, '^https?://([^/?]+)', 1)), ':(443|80)$', '') AS host,
+           regexp_replace(regexp_extract(url, '^https?://[^/?]+([^?]*)', 1), '/+$', '') AS p0,
+           regexp_extract(url, '\?(.*)$', 1) AS q FROM u),
+         l AS (SELECT doc_id, host, CASE WHEN p0 = '' THEN '/' ELSE p0 END AS pth,
+           list_filter(string_split(q, '&'), x -> x <> '') AS ne FROM n),
+         k AS (SELECT doc_id, host, pth, ne,
+           list_sort(list_filter(ne, x -> NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid|ref)='))) AS keep FROM l)
+         SELECT doc_id,
+           'https://' || host || pth ||
+             CASE WHEN len(keep) = 0 THEN '' ELSE '?' || array_to_string(keep, '&') END AS canon_url,
+           regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain,
+           CAST(len(ne) - len(keep) AS BIGINT) AS n_stripped
+         FROM k""",
 
     // The FMM segmentation of the two CONSTANT snippets under the
     // built-in lexicon is itself a constant, so the oracle concatenates

@@ -1221,4 +1221,67 @@ object Text {
     * corpus — closes the char-level-only gap q169 documents. */
   def q171(s: SparkSession, d: String): DataFrame =
     dictSegTokens(Tables.documents(s, d), "doc_id", "text", segDict)
+
+  /** Deterministic URL corpus for q172: scheme fixed, host case / :443
+    * port / trailing slash / tracking params / parameter order all vary
+    * by doc_id so every canonicalization rule is exercised. The same
+    * construction is mirrored literally in the DuckDB oracle. */
+  def urlTable(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val tld = element_at(array(lit(".com"), lit(".org"), lit(".net")),
+      (id % 3).cast("int") + 1)
+    val hostRaw = concat(lit("www."), col("source"), tld)
+    val host = when(id % 5 === 0, upper(hostRaw)).otherwise(hostRaw)
+    val port = when(id % 7 === 0, lit(":443")).otherwise(lit(""))
+    val path = concat(lit("/docs/"), (id % 50).cast("string"),
+      when(id % 11 === 0, lit("/")).otherwise(lit("")))
+    val idStr = id.cast("string")
+    val query = when(id % 4 === 0,
+        concat(lit("?utm_source=feed&id="), idStr, lit("&utm_campaign=c")))
+      .when(id % 4 === 1, concat(lit("?id="), idStr, lit("&ref=rss")))
+      .when(id % 4 === 2, lit(""))
+      .otherwise(concat(lit("?b=2&a=1&fbclid=F"), idStr))
+    Tables.documents(s, d).select(id,
+      concat(lit("https://"), host, port, path, query).as("url"))
+  }
+
+  /** Tracking parameters stripped by URL canonicalization — the usual
+    * click-identifier suspects. Anchored key match only (utm_*, fbclid,
+    * gclid, ref); everything else is payload. */
+  val TrackingParam = "^(utm_[^=]*|fbclid|gclid|ref)="
+
+  /** URL CANONICALIZATION — the step before URL-level dedup of a web
+    * corpus (the same page arrives under case-shuffled hosts, default
+    * ports, trailing slashes, tracking params, and permuted query
+    * strings; byte-level dedup sees them all as distinct): lowercase
+    * host, drop :443/:80, collapse trailing path slashes (root stays
+    * "/"), strip tracking params, sort the survivors for order
+    * independence. Emits the canonical URL, the registrable domain
+    * (last two host labels — the group-by key for per-site quotas and
+    * crawl politeness), and the stripped-param count.
+    *
+    * Scale (100 TB): map-only regex/string work per row, no shuffle,
+    * no UDF; the tiny query-param arrays make the interpreted
+    * higher-order filter/sort negligible next to the regex passes. */
+  def normalizeUrls(df: DataFrame, id: String, url: String): DataFrame = {
+    val host2 = regexp_replace(
+      lower(regexp_extract(col(url), "^https?://([^/?]+)", 1)),
+      ":(443|80)$", "")
+    val rawPath = regexp_extract(col(url), "^https?://[^/?]+([^?]*)", 1)
+    val path2raw = regexp_replace(rawPath, "/+$", "")
+    val path2 = when(path2raw === "", lit("/")).otherwise(path2raw)
+    val q = regexp_extract(col(url), "\\?(.*)$", 1)
+    val nonEmpty = filter(split(q, "&"), p => p =!= "")
+    val keep = array_sort(filter(nonEmpty, p => !p.rlike(TrackingParam)))
+    val canonQ = when(size(keep) === 0, lit(""))
+      .otherwise(concat(lit("?"), array_join(keep, "&")))
+    df.select(col(id).as("doc_id"),
+      concat(lit("https://"), host2, path2, canonQ).as("canon_url"),
+      regexp_extract(host2, "([^.]+\\.[^.]+)$", 1).as("domain"),
+      (size(nonEmpty) - size(keep)).cast("long").as("n_stripped"))
+  }
+
+  /** q172: URL canonicalization of the deterministic URL corpus. */
+  def q172(s: SparkSession, d: String): DataFrame =
+    normalizeUrls(urlTable(s, d), "doc_id", "url")
 }

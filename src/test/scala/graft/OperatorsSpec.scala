@@ -534,6 +534,29 @@ class OperatorsSpec extends SparkSpec {
     assert(plan.contains("partial_vec_sum"), s"no partial vec_sum in plan:\n$plan")
   }
 
+  test("q172 canonicalization: case, port, slash, tracking, param order") {
+    import SparkTestSession.spark.implicits._
+    val urls = Seq(
+      (1L, "https://WWW.Ex.COM:443/a/?utm_source=x&b=2&a=1"),
+      (2L, "https://www.ex.com/a?a=1&b=2"),
+      (3L, "https://ex.org:80/?fbclid=z&ref=r&gclid=g"),
+      (4L, "https://ex.org/"))
+      .toDF("doc_id", "url")
+    val out = ops.Text.normalizeUrls(urls, "doc_id", "url")
+      .orderBy(col("doc_id")).collect()
+    // 1 and 2 canonicalize to the SAME url (the dedup point) despite
+    // case, default port, trailing slash, tracking noise, param order
+    assert(out(0).getString(1) == "https://www.ex.com/a?a=1&b=2")
+    assert(out(1).getString(1) == "https://www.ex.com/a?a=1&b=2")
+    assert(out(0).getLong(3) == 1 && out(1).getLong(3) == 0)
+    // tracking-only query drops the '?' entirely; root path stays "/"
+    assert(out(2).getString(1) == "https://ex.org/")
+    assert(out(2).getLong(3) == 3)
+    assert(out(3).getString(1) == "https://ex.org/")
+    assert(out.forall(_.getString(2) == "ex.com") ||
+      out.map(_.getString(2)).toSeq == Seq("ex.com", "ex.com", "ex.org", "ex.org"))
+  }
+
   test("q76 audio windows are hop-spaced and cover the payload") {
     val rows = ops.Multimodal.q76(spark, sf).collect()
     assert(rows.map(_.getLong(0)).distinct.length ==
