@@ -110,6 +110,7 @@ object SparkEntry {
     "q169_cjk_tokens"         -> (Text.q169 _),
     "q171_dict_segment"       -> (Text.q171 _),
     "q172_url_normalize"      -> (Text.q172 _),
+    "q173_domain_quota"       -> (Text.q173 _),
     "q170_ann_ivf_compact"    -> (Similarity.q170 _),
     "q70_multimodal_meta" -> (Multimodal.q70 _),
     "q76_audio_windows"   -> (Multimodal.q76 _),
@@ -1317,6 +1318,34 @@ object SparkEntry {
              CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wm DESC, tok ASC) AS BIGINT) AS rank
            FROM w WHERE wm <> 0)
          SELECT doc_id, rank, tok, wm FROM r WHERE rank <= 3""",
+
+    // Chains the q172 domain extraction with the q41 quality formula
+    // and the quota window — same tie order on (quality DESC, doc_id).
+    "q173_domain_quota" ->
+      s"""WITH u AS (SELECT doc_id,
+           'https://' ||
+           CASE WHEN doc_id % 5 = 0 THEN upper('www.' || source || tld) ELSE 'www.' || source || tld END ||
+           CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END ||
+           '/docs/' || (doc_id % 50) || CASE WHEN doc_id % 11 = 0 THEN '/' ELSE '' END ||
+           CASE CAST(doc_id % 4 AS INT)
+             WHEN 0 THEN '?utm_source=feed&id=' || doc_id || '&utm_campaign=c'
+             WHEN 1 THEN '?id=' || doc_id || '&ref=rss'
+             WHEN 2 THEN ''
+             ELSE '?b=2&a=1&fbclid=F' || doc_id END AS url
+           FROM (SELECT doc_id, source, ['.com','.org','.net'][CAST(doc_id % 3 AS INT) + 1] AS tld FROM documents)),
+         d AS (SELECT doc_id, regexp_extract(
+             regexp_replace(lower(regexp_extract(url, '^https?://([^/?]+)', 1)), ':(443|80)$$', ''),
+             '([^.]+\\.[^.]+)$$', 1) AS domain FROM u),
+         q AS (SELECT doc_id,
+           ${BP("0.5 * least(nt / 100.0, 1.0) + 0.3 * (1.0 - nstop / nt) + 0.2 * least(((nchars - (nt - 1)) / nt) / 8.0, 1.0)")} AS quality_bp
+           FROM (SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt,
+                 CAST(len(list_filter(string_split(text, ' '),
+                   t -> t IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) AS nstop,
+                 CAST(length(text) AS DOUBLE) AS nchars FROM documents)),
+         r AS (SELECT d.domain, q.doc_id, q.quality_bp,
+               row_number() OVER (PARTITION BY d.domain ORDER BY q.quality_bp DESC, q.doc_id ASC) AS rank
+               FROM d JOIN q USING (doc_id))
+         SELECT domain, CAST(rank AS BIGINT) AS rank, doc_id, quality_bp FROM r WHERE rank <= 5""",
 
     // Mirrors urlTable's deterministic construction literally, then
     // canonicalizes with the same regexes (Java and RE2 agree on these

@@ -1284,4 +1284,34 @@ object Text {
   /** q172: URL canonicalization of the deterministic URL corpus. */
   def q172(s: SparkSession, d: String): DataFrame =
     normalizeUrls(urlTable(s, d), "doc_id", "url")
+
+  /** PER-DOMAIN QUOTA selection: keep the top `quota` documents of each
+    * registrable domain by quality score (ties on doc_id) — the crawl-
+    * balancing step that stops one boilerplate-heavy megasite from
+    * dominating a training mix however large its page count. Domain
+    * comes from URL canonicalization; quality is the shared q41 score,
+    * so the whole chain (canonicalize → score → quota) is one
+    * declarative plan.
+    *
+    * Scale (100 TB): one shuffle on the domain key; the quota cut is a
+    * bounded row_number window INSIDE that partitioning (domains ≫
+    * executors, so the exchange is even); scoring is map-side in the
+    * scan stage. */
+  def domainQuota(docs: DataFrame, urls: DataFrame, id: String,
+                  text: String, url: String, quota: Int): DataFrame = {
+    val dom = normalizeUrls(urls, id, url).select(col("doc_id"), col("domain"))
+    val q = qualityBp(docs.select(col(id), col(text)), id, text)
+      .select(col(id).as("doc_id"), col("quality_bp"))
+    val w = Window.partitionBy(col("domain"))
+      .orderBy(col("quality_bp").desc, col("doc_id").asc)
+    dom.join(q, "doc_id")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= quota)
+      .select(col("domain"), col("rank"), col("doc_id"), col("quality_bp"))
+  }
+
+  /** q173: top-5-per-domain quota over the deterministic URL corpus. */
+  def q173(s: SparkSession, d: String): DataFrame =
+    domainQuota(Tables.documents(s, d), urlTable(s, d),
+      "doc_id", "text", "url", 5)
 }
