@@ -110,6 +110,7 @@ object SparkEntry {
     "q169_cjk_tokens"         -> (Text.q169 _),
     "q171_dict_segment"       -> (Text.q171 _),
     "q172_url_normalize"      -> (Text.q172 _),
+    "q174_kmv_uniques"        -> (Events.q174 _),
     "q173_domain_quota"       -> (Text.q173 _),
     "q170_ann_ivf_compact"    -> (Similarity.q170 _),
     "q70_multimodal_meta" -> (Multimodal.q70 _),
@@ -1318,6 +1319,34 @@ object SparkEntry {
              CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wm DESC, tok ASC) AS BIGINT) AS rank
            FROM w WHERE wm <> 0)
          SELECT doc_id, rank, tok, wm FROM r WHERE rank <= 3""",
+
+    // Recomputes the KMV store EXACTLY: the k smallest DISTINCT
+    // md5_number_upper values per day (unsigned order = UBIGINT order)
+    // and the (k-1)*2^64 // v_k estimate in HUGEINT — sketch contents
+    // and estimates are engine-independent by construction, unlike HLL
+    // (q159). The ALL row merges per-day sketches on the Spark side and
+    // equals the global k-minimum set the oracle computes directly.
+    "q174_kmv_uniques" ->
+      """WITH e AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+         d AS (SELECT day, count(DISTINCT user_id) AS n_exact FROM e GROUP BY day),
+         hh AS (SELECT DISTINCT day, md5_number_upper(CAST(user_id AS VARCHAR)) AS h FROM e),
+         rk AS (SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rn FROM hh),
+         sk AS (SELECT day, count(*) AS n_in, max(CASE WHEN rn = 256 THEN h END) AS vk
+                FROM rk WHERE rn <= 256 GROUP BY day),
+         pd AS (SELECT strftime(d.day, '%Y-%m-%d') AS day, d.n_exact,
+                CASE WHEN sk.n_in < 256 THEN sk.n_in
+                     ELSE CAST(255 * 18446744073709551616::HUGEINT // vk AS BIGINT) END AS n_est
+                FROM d JOIN sk USING (day)),
+         ga AS (SELECT count(DISTINCT user_id) AS n_exact FROM e),
+         gh AS (SELECT DISTINCT md5_number_upper(CAST(user_id AS VARCHAR)) AS h FROM e),
+         gr AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM gh),
+         gs AS (SELECT count(*) AS n_in, max(CASE WHEN rn = 256 THEN h END) AS vk FROM gr WHERE rn <= 256)
+         SELECT day, CAST(n_exact AS BIGINT) AS n_exact, CAST(n_est AS BIGINT) AS n_est FROM pd
+         UNION ALL
+         SELECT 'ALL' AS day, CAST(ga.n_exact AS BIGINT) AS n_exact,
+           CAST(CASE WHEN gs.n_in < 256 THEN gs.n_in
+                ELSE CAST(255 * 18446744073709551616::HUGEINT // gs.vk AS BIGINT) END AS BIGINT) AS n_est
+         FROM ga, gs""",
 
     // Chains the q172 domain extraction with the q41 quality formula
     // and the quota window — same tie order on (quality DESC, doc_id).

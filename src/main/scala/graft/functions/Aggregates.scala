@@ -332,3 +332,92 @@ case class CountMinAgg(
       newLeft: Expression, newRight: Expression): CountMinAgg =
     copy(child = newLeft, weight = newRight)
 }
+
+/** KMV (k-minimum-values) distinct-count sketch: keeps the k smallest
+  * DISTINCT long hash values in UNSIGNED order and returns them as an
+  * ascending array. With hashes from [[Md5Hash64]] the whole sketch —
+  * contents, order, and therefore the derived estimate — is
+  * reproducible from any engine with an MD5 (DuckDB: the k smallest
+  * `md5_number_upper` values), which Spark's DataSketches HLL
+  * (q159) is not. Mergeable: the k smallest of a union are always
+  * among the union of each side's k smallest, so partial aggregation
+  * is exact — map tasks reduce to ≤ k values per group before the
+  * exchange (O(groups·k) rows shuffled), and re-aggregating stored
+  * per-partition sketches merges a store without rescanning raws.
+  *
+  * Buffer: a TreeSet under unsigned comparison (distinct + sorted +
+  * O(log k) capped insert). Nulls ignored; result never null.
+  */
+case class KmvMinAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+  with UnaryLike[Expression] {
+
+  require(k >= 2, "kmv_min requires k >= 2")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "kmv_min"
+
+  private def unsignedCmp: Comparator[java.lang.Long] =
+    (a: java.lang.Long, b: java.lang.Long) => java.lang.Long.compareUnsigned(a, b)
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long](unsignedCmp)
+
+  private def offer(buf: java.util.TreeSet[java.lang.Long], v: Long): Unit = {
+    if (buf.size < k) { buf.add(v); () }
+    else if (java.lang.Long.compareUnsigned(v, buf.last()) < 0) {
+      if (buf.add(v)) buf.pollLast()
+      ()
+    }
+  }
+
+  override def update(buf: java.util.TreeSet[java.lang.Long],
+                      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) offer(buf, v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: java.util.TreeSet[java.lang.Long],
+                     other: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    val it = other.iterator()
+    while (it.hasNext) offer(buf, it.next())
+    buf
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val arr = new Array[Long](buf.size)
+    var i = 0
+    val it = buf.iterator()
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    new GenericArrayData(arr)
+  }
+
+  @transient private lazy val serProjection = UnsafeProjection.create(
+    Array[DataType](ArrayType(LongType, containsNull = false)))
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] =
+    serProjection(InternalRow(eval(buf))).getBytes
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val buf = createAggregationBuffer()
+    val row = new UnsafeRow(1)
+    row.pointTo(bytes, bytes.length)
+    val arr = row.getArray(0)
+    var i = 0
+    while (i < arr.numElements()) { offer(buf, arr.getLong(i)); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvMinAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvMinAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KmvMinAgg =
+    copy(child = newChild)
+}

@@ -1326,3 +1326,46 @@ case class FmmSegment(child: Expression, dict: Seq[String])
   override protected def withNewChildInternal(newChild: Expression): FmmSegment =
     copy(child = newChild)
 }
+
+/** Little-endian read of the FIRST 8 MD5 digest bytes of a string —
+  * exactly DuckDB's `md5_number_upper(s)` reinterpreted as a signed
+  * long, the cross-engine-reproducible scalar hash (the q53/SimHashMd5
+  * convention, here as a standalone scalar for sketches keyed on one
+  * value instead of a token array). Unsigned ORDER is the meaningful
+  * order for hash-order statistics (KMV): compare results with
+  * `Long.compareUnsigned`, or in SQL engines whose UBIGINT sorts
+  * naturally. */
+case class Md5Hash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_hash64"
+
+  /** Called from generated code. */
+  def hash(u: UTF8String): Long = {
+    val md = Md5Hash64.digest.get()
+    md.reset()
+    val d = md.digest(u.getBytes)
+    var h = 0L
+    var b = 7
+    while (b >= 0) { h = (h << 8) | (d(b) & 0xffL); b -= 1 }
+    h
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    hash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("md5hash64", this, classOf[Md5Hash64].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.hash($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Hash64 =
+    copy(child = newChild)
+}
+
+object Md5Hash64 {
+  /** MessageDigest is stateful and not thread-safe (see SimHashMd5). */
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+}

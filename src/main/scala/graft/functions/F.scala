@@ -102,6 +102,15 @@ object F {
   def topK(c: Column, k: Int): Column =
     GraftColumns.wrap(TopKAgg(GraftColumns.unwrap(c), k).toAggregateExpression())
 
+  /** Cross-engine-reproducible scalar hash: little-endian first 8 MD5
+    * digest bytes (DuckDB md5_number_upper) as a signed long. */
+  def md5Hash64(c: Column): Column = GraftColumns.wrap(Md5Hash64(u(c)))
+
+  /** KMV distinct sketch: the k unsigned-smallest distinct values of a
+    * long hash column, ascending (see KmvMinAgg). */
+  def kmvMin(c: Column, k: Int): Column =
+    GraftColumns.wrap(KmvMinAgg(u(c), k).toAggregateExpression())
+
   /** Elementwise vector-sum aggregate over array<float> (double out). */
   def vecSum(c: Column): Column =
     GraftColumns.wrap(VecSumAgg(GraftColumns.unwrap(c)).toAggregateExpression())

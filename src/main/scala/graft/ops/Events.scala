@@ -962,6 +962,62 @@ object Events {
   def q159(s: SparkSession, d: String): DataFrame =
     hllUniqueStore(Tables.events(s, d), to_date(col("ts")), "user_id")
 
+  /** KMV estimate from an ascending unsigned minima array (see
+    * KmvMinAgg): exact count while the set fits the sketch, else
+    * (k−1)·2⁶⁴ / v_k in exact decimal→integral arithmetic — the same
+    * integer DuckDB computes with HUGEINT `//`, so the estimate (not
+    * just the sketch) is cross-engine identical. */
+  private def kmvEstimate(mins: Column, k: Int): Column = {
+    val two64 = new java.math.BigDecimal("18446744073709551616")
+    val vk = element_at(mins, k)
+    val vkU = when(vk >= 0, vk.cast("decimal(38,0)"))
+      .otherwise(vk.cast("decimal(38,0)") + lit(two64).cast("decimal(38,0)"))
+    when(size(mins) < k, size(mins).cast("long"))
+      .otherwise(graft.functions.F.idiv(
+        lit(new java.math.BigDecimal(k - 1).multiply(two64)).cast("decimal(38,0)"), vkU))
+  }
+
+  /** CROSS-ENGINE-VERIFIABLE distinct-sketch store (KMV, k minimum
+    * values): per-day sketches of the active-key set under the MD5
+    * hash, plus the whole-range estimate computed by MERGING the
+    * stored sketches. Same store shape and merge discipline as q159's
+    * HLL (one bounded sketch per partition, range queries = sketch
+    * union, never a raw rescan), with a different trade: ~k·8 bytes per
+    * sketch instead of HLL's ~kB-at-precision-12, and every value —
+    * sketch contents AND estimate — bit-reproducible from ANY engine
+    * with an MD5 (DuckDB: the k smallest md5_number_upper values),
+    * where DataSketches HLL is Spark-only. That matters when the
+    * uniques store outlives the engine that wrote it: a dashboard or
+    * audit job in another system can recompute and CHECK the store.
+    *
+    * Scale (100 TB): hash is one codegen'd scalar per row; the
+    * aggregate partial-merges map-side so the exchange carries
+    * O(days·k) longs; the ALL row merges the per-day sketches (valid:
+    * the k smallest of a union are among the union of per-side k
+    * smallest), not the raw corpus. */
+  def kmvUniqueStore(events: DataFrame, day: Column, key: String,
+                     k: Int = 256): DataFrame = {
+    val hashed = events.select(day.as("day"), col(key).as("k_"),
+      graft.functions.F.md5Hash64(col(key).cast("string")).as("h"))
+    val daily = hashed.groupBy(col("day"))
+      .agg(graft.functions.F.kmvMin(col("h"), k).as("mins"),
+        count_distinct(col("k_")).as("n_exact"))
+    val perDay = daily.select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+      col("n_exact"), kmvEstimate(col("mins"), k).as("n_est"))
+    val merged = daily.select(explode(col("mins")).as("h"))
+      .agg(graft.functions.F.kmvMin(col("h"), k).as("mins"))
+      .select(kmvEstimate(col("mins"), k).as("n_est"))
+    val overall = events.agg(count_distinct(col(key)).as("n_exact"))
+    perDay.unionByName(
+      overall.crossJoin(merged)
+        .select(lit("ALL").as("day"), col("n_exact"), col("n_est")))
+  }
+
+  /** q174: daily distinct-user KMV sketch store with merged total —
+    * the oracle-checkable twin of q159. */
+  def q174(s: SparkSession, d: String): DataFrame =
+    kmvUniqueStore(Tables.events(s, d), to_date(col("ts")), "user_id")
+
   /** BURSTINESS INDEX per entity: the squared coefficient of variation
     * of inter-arrival gaps, CV² = Var(g)/E[g]² — ≈1 for a memoryless
     * (Poisson) arrival process, ≫1 for bursty traffic, ≪1 for

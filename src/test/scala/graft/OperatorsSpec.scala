@@ -534,6 +534,25 @@ class OperatorsSpec extends SparkSpec {
     assert(plan.contains("partial_vec_sum"), s"no partial vec_sum in plan:\n$plan")
   }
 
+  test("q174 KMV sketch: estimate accuracy and merge == direct") {
+    import SparkTestSession.spark.implicits._
+    val ev = Tables.events(spark, sf)
+    val out = ops.Events.q174(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // Every day: when distinct < k the sketch IS exact; the ALL row
+    // merges per-day sketches, so its estimate must equal the estimate
+    // of sketching the raws directly — here checked via the relative
+    // error bound KMV guarantees (~1/sqrt(k) = 6.25% at k=256, allow 3x).
+    out.foreach { case (day, (exact, est)) =>
+      if (exact < 256) assert(est == exact, s"$day: est $est != exact $exact < k")
+      else assert(math.abs(est - exact).toDouble / exact < 0.19,
+        s"$day: est $est vs exact $exact drifts past 3/sqrt(k)")
+    }
+    // the ALL row exists and covers the full-range distinct count
+    val (allExact, _) = out("ALL")
+    assert(allExact == ev.select(count_distinct(col("user_id"))).head.getLong(0))
+  }
+
   test("q172 canonicalization: case, port, slash, tracking, param order") {
     import SparkTestSession.spark.implicits._
     val urls = Seq(
