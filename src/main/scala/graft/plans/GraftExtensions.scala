@@ -6,8 +6,9 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import graft.functions.{CmsEstimate, CosineSimilarity, CountMinAgg,
   FmmSegment, HammingDistance64, IntersectSizeSorted, JaccardSorted,
-  JaroWinklerBp, MinHash128, NfcNormalize, RollingHash64, ShingleHashes,
-  SimHash64, TopKAgg, VecSumAgg, WeightedDotSorted, ZOrder2}
+  JaroWinklerBp, KmvMinAgg, Md5Hash64, MinHash128, NfcNormalize,
+  RollingHash64, ShingleHashes, SimHash64, TopKAgg, VecSumAgg,
+  WeightedDotSorted, ZOrder2}
 
 /** SparkSessionExtensions registering graft's native expressions as SQL
   * functions, so `spark.sql("SELECT cosine_sim(a, b) ...")` works too.
@@ -47,6 +48,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("intersect_size"),
       new ExpressionInfo(classOf[IntersectSizeSorted].getName, "intersect_size"),
       (children: Seq[Expression]) => IntersectSizeSorted(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("md5_hash64"),
+      new ExpressionInfo(classOf[Md5Hash64].getName, "md5_hash64"),
+      (children: Seq[Expression]) => Md5Hash64(children.head)))
+    // kmv_min(hash, k) — KMV distinct-sketch aggregate, k a literal.
+    ext.injectFunction((
+      new FunctionIdentifier("kmv_min"),
+      new ExpressionInfo(classOf[KmvMinAgg].getName, "kmv_min"),
+      (children: Seq[Expression]) =>
+        KmvMinAgg(children.head, intLit("kmv_min", children(1))).toAggregateExpression()))
     // fmm_segment(text, array('word', ...)) — dictionary segmentation
     // with the lexicon as a literal array.
     ext.injectFunction((

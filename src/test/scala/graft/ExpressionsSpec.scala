@@ -305,4 +305,23 @@ class ExpressionsSpec extends SparkSpec {
       .head().getSeq[String](0)
     assert(viaSql == Seq("今天", "你好"))
   }
+
+  test("md5_hash64 matches the JDK digest; kmv_min keeps k unsigned minima") {
+    import SparkTestSession.spark.implicits._
+    // scalar: little-endian first 8 digest bytes, signed reinterpretation
+    val got = Seq("hello").toDF("t").select(F.md5Hash64(col("t"))).head().getLong(0)
+    val d = java.security.MessageDigest.getInstance("MD5").digest("hello".getBytes("UTF-8"))
+    var want = 0L
+    for (b <- 7 to 0 by -1) want = (want << 8) | (d(b) & 0xffL)
+    assert(got == want)
+    // aggregate: distinct, capped at k, ascending in UNSIGNED order
+    // (-1L = 0xFFFF... is the unsigned maximum and must be evicted)
+    val vals = Seq(5L, 5L, -1L, 3L, 9L, 1L, 7L).toDF("h")
+    val mins = vals.agg(F.kmvMin(col("h"), 4)).head().getSeq[Long](0)
+    assert(mins == Seq(1L, 3L, 5L, 7L))
+    // SQL registration agrees
+    val viaSql = spark.sql("SELECT kmv_min(h, 4) FROM VALUES (5L),(3L),(9L),(1L),(7L) AS t(h)")
+      .head().getSeq[Long](0)
+    assert(viaSql == Seq(1L, 3L, 5L, 7L))
+  }
 }
