@@ -122,6 +122,22 @@ object ScaleCheck {
     check("hamming_cap_clusters", clDiff == 0, s"diff_rows=$clDiff")
     hamTruth.unpersist(); sigs.unpersist()
 
+    // 7. KMV sketch merge == direct: the merged per-day minima must be
+    // EXACTLY the global k-minimum set (not just a close estimate) —
+    // the property the persisted store's range queries (q175) rest on.
+    val ev = Tables.events(spark, sfDir).select(
+      to_date(col("ts")).as("day"),
+      graft.functions.F.md5Hash64(col("user_id").cast("string")).as("h"))
+    val mergedKmv = ev.groupBy(col("day"))
+      .agg(graft.functions.F.kmvMin(col("h"), 256).as("mins"))
+      .select(explode(col("mins")).as("h"))
+      .agg(graft.functions.F.kmvMin(col("h"), 256))
+      .head().getSeq[Long](0)
+    val directKmv = ev.agg(graft.functions.F.kmvMin(col("h"), 256))
+      .head().getSeq[Long](0)
+    check("kmv_merge_exact", mergedKmv == directKmv,
+      s"merged=${mergedKmv.length} direct=${directKmv.length} equal=${mergedKmv == directKmv}")
+
     spark.stop()
     if (failures > 0) {
       System.err.println(s"$failures scale check(s) VIOLATED")

@@ -111,6 +111,7 @@ object SparkEntry {
     "q171_dict_segment"       -> (Text.q171 _),
     "q172_url_normalize"      -> (Text.q172 _),
     "q174_kmv_uniques"        -> (Events.q174 _),
+    "q175_kmv_store"          -> (Events.q175 _),
     "q173_domain_quota"       -> (Text.q173 _),
     "q170_ann_ivf_compact"    -> (Similarity.q170 _),
     "q70_multimodal_meta" -> (Multimodal.q70 _),
@@ -1319,6 +1320,35 @@ object SparkEntry {
              CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wm DESC, tok ASC) AS BIGINT) AS rank
            FROM w WHERE wm <> 0)
          SELECT doc_id, rank, tok, wm FROM r WHERE rank <= 3""",
+
+    // The persisted-store range query: per-day rows recomputed from the
+    // raws (the store holds exactly these), RANGE row = sum of per-day
+    // exacts (the store cannot recover cross-day distincts — documented
+    // upper bound) + the merged-sketch estimate, which equals the
+    // global k-minimum set of the range (any overall k-smallest hash is
+    // a fortiori in its own day's k minima).
+    "q175_kmv_store" ->
+      """WITH e AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events
+                    WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'),
+         d AS (SELECT day, count(DISTINCT user_id) AS n_exact FROM e GROUP BY day),
+         hh AS (SELECT DISTINCT day, md5_number_upper(CAST(user_id AS VARCHAR)) AS h FROM e),
+         rk AS (SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rn FROM hh),
+         sk AS (SELECT day, count(*) AS n_in, max(CASE WHEN rn = 256 THEN h END) AS vk
+                FROM rk WHERE rn <= 256 GROUP BY day),
+         pd AS (SELECT strftime(d.day, '%Y-%m-%d') AS day, d.n_exact,
+                CASE WHEN sk.n_in < 256 THEN sk.n_in
+                     ELSE CAST(255 * 18446744073709551616::HUGEINT // vk AS BIGINT) END AS n_est
+                FROM d JOIN sk USING (day)),
+         gu AS (SELECT CAST(sum(n_exact) AS BIGINT) AS n_exact FROM d),
+         gh AS (SELECT DISTINCT md5_number_upper(CAST(user_id AS VARCHAR)) AS h FROM e),
+         gr AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM gh),
+         gs AS (SELECT count(*) AS n_in, max(CASE WHEN rn = 256 THEN h END) AS vk FROM gr WHERE rn <= 256)
+         SELECT day, CAST(n_exact AS BIGINT) AS n_exact, CAST(n_est AS BIGINT) AS n_est FROM pd
+         UNION ALL
+         SELECT 'RANGE' AS day, gu.n_exact,
+           CAST(CASE WHEN gs.n_in < 256 THEN gs.n_in
+                ELSE CAST(255 * 18446744073709551616::HUGEINT // gs.vk AS BIGINT) END AS BIGINT) AS n_est
+         FROM gu, gs""",
 
     // Recomputes the KMV store EXACTLY: the k smallest DISTINCT
     // md5_number_upper values per day (unsigned order = UBIGINT order)

