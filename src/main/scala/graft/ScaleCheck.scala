@@ -128,6 +128,7 @@ object ScaleCheck {
     val ev = Tables.events(spark, sfDir).select(
       to_date(col("ts")).as("day"),
       graft.functions.F.md5Hash64(col("user_id").cast("string")).as("h"))
+      .cache()
     val mergedKmv = ev.groupBy(col("day"))
       .agg(graft.functions.F.kmvMin(col("h"), 256).as("mins"))
       .select(explode(col("mins")).as("h"))
@@ -137,6 +138,7 @@ object ScaleCheck {
       .head().getSeq[Long](0)
     check("kmv_merge_exact", mergedKmv == directKmv,
       s"merged=${mergedKmv.length} direct=${directKmv.length} equal=${mergedKmv == directKmv}")
+    ev.unpersist()
 
     spark.stop()
     if (failures > 0) {

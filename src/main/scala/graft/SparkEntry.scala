@@ -228,6 +228,36 @@ object SparkEntry {
                CAST(length(text) AS DOUBLE) AS nchars FROM documents))"""
   private val KeepPack = "q.quality_bp * 10000000 + (10000000 - lab.node)"
 
+  /** Six-stage splitmix64 (mix64) emulation as chained CTEs: wrapping
+    * 64-bit multiplies via HUGEINT hi/lo decomposition reduced mod 2^64,
+    * xor/shift on UBIGINT. One definition for every oracle that mirrors
+    * a mix64-derived generator (q143/q167/q124) — the consumer reads the
+    * finalized value as xor(z, z >> 31) from `<stage>5`. */
+  private def Mix64Ctes(stage: String, carry: String, src: String, seed: String): String =
+    s"""${stage}0 AS (SELECT $carry, CAST($seed AS UBIGINT) AS z FROM $src),
+         ${stage}1 AS (SELECT $carry, CAST((z::HUGEINT + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z FROM ${stage}0),
+         ${stage}2 AS (SELECT $carry, xor(z, z >> 30) AS z FROM ${stage}1),
+         ${stage}3 AS (SELECT $carry, CAST(((z >> 32)::HUGEINT * 13787848793156543929 % 4294967296 * 4294967296
+                                     + (z & 4294967295)::HUGEINT * 13787848793156543929) % 18446744073709551616 AS UBIGINT) AS z FROM ${stage}2),
+         ${stage}4 AS (SELECT $carry, xor(z, z >> 27) AS z FROM ${stage}3),
+         ${stage}5 AS (SELECT $carry, CAST(((z >> 32)::HUGEINT * 10723151780598845931 % 4294967296 * 4294967296
+                                     + (z & 4294967295)::HUGEINT * 10723151780598845931) % 18446744073709551616 AS UBIGINT) AS z FROM ${stage}4)"""
+
+  /** The deterministic URL construction (Text.urlTable) mirrored once
+    * for both q172 and q173 — query and oracle stay in lockstep. */
+  private val UrlCte =
+    """u AS (SELECT doc_id,
+           'https://' ||
+           CASE WHEN doc_id % 5 = 0 THEN upper('www.' || source || tld) ELSE 'www.' || source || tld END ||
+           CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END ||
+           '/docs/' || (doc_id % 50) || CASE WHEN doc_id % 11 = 0 THEN '/' ELSE '' END ||
+           CASE CAST(doc_id % 4 AS INT)
+             WHEN 0 THEN '?utm_source=feed&id=' || doc_id || '&utm_campaign=c'
+             WHEN 1 THEN '?id=' || doc_id || '&ref=rss'
+             WHEN 2 THEN ''
+             ELSE '?b=2&a=1&fbclid=F' || doc_id END AS url
+           FROM (SELECT doc_id, source, ['.com','.org','.net'][CAST(doc_id % 3 AS INT) + 1] AS tld FROM documents))"""
+
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
@@ -965,26 +995,12 @@ object SparkEntry {
     // arithmetic split at 2^32 (a*b mod 2^64 via hi/lo decomposition of
     // a), reduced mod 2^64 each step; xor/shift run on UBIGINT.
     "q143_video_frames" ->
-      """WITH
-         m0 AS (SELECT doc_id, CAST(doc_id*7+3 AS UBIGINT) AS z FROM documents),
-         m1 AS (SELECT doc_id, CAST((z::HUGEINT + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z FROM m0),
-         m2 AS (SELECT doc_id, xor(z, z >> 30) AS z FROM m1),
-         m3 AS (SELECT doc_id, CAST(((z >> 32)::HUGEINT * 13787848793156543929 % 4294967296 * 4294967296
-                                     + (z & 4294967295)::HUGEINT * 13787848793156543929) % 18446744073709551616 AS UBIGINT) AS z FROM m2),
-         m4 AS (SELECT doc_id, xor(z, z >> 27) AS z FROM m3),
-         m5 AS (SELECT doc_id, CAST(((z >> 32)::HUGEINT * 10723151780598845931 % 4294967296 * 4294967296
-                                     + (z & 4294967295)::HUGEINT * 10723151780598845931) % 18446744073709551616 AS UBIGINT) AS z FROM m4),
+      s"""WITH
+         ${Mix64Ctes("m", "doc_id", "documents", "doc_id*7+3")},
          nf AS (SELECT doc_id, 4 + CAST(xor(z, z >> 31) & 7 AS INT) AS n_frames FROM m5),
          fr AS (SELECT doc_id, n_frames, unnest(range(0, n_frames, 2)) AS f FROM nf),
          px AS (SELECT doc_id, n_frames, f, unnest(range(256)) AS p FROM fr),
-         p0 AS (SELECT doc_id, n_frames, f, p, CAST(doc_id*1024 + f*256 + p AS UBIGINT) AS z FROM px),
-         p1 AS (SELECT doc_id, n_frames, f, p, CAST((z::HUGEINT + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z FROM p0),
-         p2 AS (SELECT doc_id, n_frames, f, p, xor(z, z >> 30) AS z FROM p1),
-         p3 AS (SELECT doc_id, n_frames, f, p, CAST(((z >> 32)::HUGEINT * 13787848793156543929 % 4294967296 * 4294967296
-                                     + (z & 4294967295)::HUGEINT * 13787848793156543929) % 18446744073709551616 AS UBIGINT) AS z FROM p2),
-         p4 AS (SELECT doc_id, n_frames, f, p, xor(z, z >> 27) AS z FROM p3),
-         p5 AS (SELECT doc_id, n_frames, f, p, CAST(((z >> 32)::HUGEINT * 10723151780598845931 % 4294967296 * 4294967296
-                                     + (z & 4294967295)::HUGEINT * 10723151780598845931) % 18446744073709551616 AS UBIGINT) AS z FROM p4),
+         ${Mix64Ctes("p", "doc_id, n_frames, f, p", "px", "doc_id*1024 + f*256 + p")},
          pv AS (SELECT doc_id, n_frames, f, CAST(xor(z, z >> 31) & 255 AS BIGINT) AS pix FROM p5)
          SELECT doc_id, CAST(f AS INT) AS frame_idx, CAST(n_frames AS INT) AS n_frames,
                 CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
@@ -992,26 +1008,12 @@ object SparkEntry {
          FROM pv GROUP BY doc_id, f, n_frames""",
 
     "q167_scene_detect" ->
-      """WITH
-         m0 AS (SELECT doc_id, CAST(doc_id*7+3 AS UBIGINT) AS z FROM documents),
-         m1 AS (SELECT doc_id, CAST((z::HUGEINT + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z FROM m0),
-         m2 AS (SELECT doc_id, xor(z, z >> 30) AS z FROM m1),
-         m3 AS (SELECT doc_id, CAST(((z >> 32)::HUGEINT * 13787848793156543929 % 4294967296 * 4294967296
-                                     + (z & 4294967295)::HUGEINT * 13787848793156543929) % 18446744073709551616 AS UBIGINT) AS z FROM m2),
-         m4 AS (SELECT doc_id, xor(z, z >> 27) AS z FROM m3),
-         m5 AS (SELECT doc_id, CAST(((z >> 32)::HUGEINT * 10723151780598845931 % 4294967296 * 4294967296
-                                     + (z & 4294967295)::HUGEINT * 10723151780598845931) % 18446744073709551616 AS UBIGINT) AS z FROM m4),
+      s"""WITH
+         ${Mix64Ctes("m", "doc_id", "documents", "doc_id*7+3")},
          nf AS (SELECT doc_id, 4 + CAST(xor(z, z >> 31) & 7 AS INT) AS n_frames FROM m5),
          fr AS (SELECT doc_id, n_frames, unnest(range(0, n_frames)) AS f FROM nf),
          px AS (SELECT doc_id, n_frames, f, unnest(range(256)) AS p FROM fr),
-         p0 AS (SELECT doc_id, n_frames, f, p, CAST(doc_id*1024 + f*256 + p AS UBIGINT) AS z FROM px),
-         p1 AS (SELECT doc_id, n_frames, f, p, CAST((z::HUGEINT + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z FROM p0),
-         p2 AS (SELECT doc_id, n_frames, f, p, xor(z, z >> 30) AS z FROM p1),
-         p3 AS (SELECT doc_id, n_frames, f, p, CAST(((z >> 32)::HUGEINT * 13787848793156543929 % 4294967296 * 4294967296
-                                     + (z & 4294967295)::HUGEINT * 13787848793156543929) % 18446744073709551616 AS UBIGINT) AS z FROM p2),
-         p4 AS (SELECT doc_id, n_frames, f, p, xor(z, z >> 27) AS z FROM p3),
-         p5 AS (SELECT doc_id, n_frames, f, p, CAST(((z >> 32)::HUGEINT * 10723151780598845931 % 4294967296 * 4294967296
-                                     + (z & 4294967295)::HUGEINT * 10723151780598845931) % 18446744073709551616 AS UBIGINT) AS z FROM p4),
+         ${Mix64Ctes("p", "doc_id, n_frames, f, p", "px", "doc_id*1024 + f*256 + p")},
          pv AS (SELECT doc_id, n_frames, f, p, CAST(xor(z, z >> 31) & 255 AS BIGINT) AS pix FROM p5),
          lg AS (SELECT doc_id, n_frames, f, pix,
                        lag(pix) OVER (PARTITION BY doc_id, p ORDER BY f) AS prev FROM pv),
@@ -1031,29 +1033,15 @@ object SparkEntry {
     // division-free compare cellSum*64 >= total at 16x16 cells; pairs
     // are the brute-force hamming<=3 join over all 1000 hashes.
     "q124_image_dedup" ->
-      """WITH
+      s"""WITH
          cl AS (SELECT doc_id AS base, unnest(range(64)) AS cell FROM documents),
-         c0 AS (SELECT base, cell, CAST(base*64 + cell AS UBIGINT) AS z FROM cl),
-         c1 AS (SELECT base, cell, CAST((z::HUGEINT + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z FROM c0),
-         c2 AS (SELECT base, cell, xor(z, z >> 30) AS z FROM c1),
-         c3 AS (SELECT base, cell, CAST(((z >> 32)::HUGEINT * 13787848793156543929 % 4294967296 * 4294967296
-                                     + (z & 4294967295)::HUGEINT * 13787848793156543929) % 18446744073709551616 AS UBIGINT) AS z FROM c2),
-         c4 AS (SELECT base, cell, xor(z, z >> 27) AS z FROM c3),
-         c5 AS (SELECT base, cell, CAST(((z >> 32)::HUGEINT * 10723151780598845931 % 4294967296 * 4294967296
-                                     + (z & 4294967295)::HUGEINT * 10723151780598845931) % 18446744073709551616 AS UBIGINT) AS z FROM c4),
+         ${Mix64Ctes("c", "base, cell", "cl", "base*64 + cell")},
          bv AS (SELECT base, cell,
                   CAST((((xor(z, z >> 31)::HUGEINT - CASE WHEN xor(z, z >> 31) >= 9223372036854775808::UBIGINT
                           THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END) % 251) + 251) % 251 AS BIGINT) AS v
                 FROM c5),
          ni AS (SELECT doc_id AS base, unnest(range(3)) AS i FROM documents),
-         n0 AS (SELECT base, i, CAST(base*3 + i AS UBIGINT) AS z FROM ni),
-         n1 AS (SELECT base, i, CAST((z::HUGEINT + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z FROM n0),
-         n2 AS (SELECT base, i, xor(z, z >> 30) AS z FROM n1),
-         n3 AS (SELECT base, i, CAST(((z >> 32)::HUGEINT * 13787848793156543929 % 4294967296 * 4294967296
-                                     + (z & 4294967295)::HUGEINT * 13787848793156543929) % 18446744073709551616 AS UBIGINT) AS z FROM n2),
-         n4 AS (SELECT base, i, xor(z, z >> 27) AS z FROM n3),
-         n5 AS (SELECT base, i, CAST(((z >> 32)::HUGEINT * 10723151780598845931 % 4294967296 * 4294967296
-                                     + (z & 4294967295)::HUGEINT * 10723151780598845931) % 18446744073709551616 AS UBIGINT) AS z FROM n4),
+         ${Mix64Ctes("n", "base, i", "ni", "base*3 + i")},
          nz AS (SELECT base, i, xor(z, z >> 31) AS z FROM n5),
          nv AS (SELECT base, i, CAST(z & 1023 AS BIGINT) AS npx, CAST((z >> 32) % 251 AS BIGINT) AS val FROM nz),
          nk AS (SELECT base, npx, val, ((npx // 32) // 4) * 8 + (npx % 32) // 4 AS cell
@@ -1381,17 +1369,7 @@ object SparkEntry {
     // Chains the q172 domain extraction with the q41 quality formula
     // and the quota window — same tie order on (quality DESC, doc_id).
     "q173_domain_quota" ->
-      s"""WITH u AS (SELECT doc_id,
-           'https://' ||
-           CASE WHEN doc_id % 5 = 0 THEN upper('www.' || source || tld) ELSE 'www.' || source || tld END ||
-           CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END ||
-           '/docs/' || (doc_id % 50) || CASE WHEN doc_id % 11 = 0 THEN '/' ELSE '' END ||
-           CASE CAST(doc_id % 4 AS INT)
-             WHEN 0 THEN '?utm_source=feed&id=' || doc_id || '&utm_campaign=c'
-             WHEN 1 THEN '?id=' || doc_id || '&ref=rss'
-             WHEN 2 THEN ''
-             ELSE '?b=2&a=1&fbclid=F' || doc_id END AS url
-           FROM (SELECT doc_id, source, ['.com','.org','.net'][CAST(doc_id % 3 AS INT) + 1] AS tld FROM documents)),
+      s"""WITH ${UrlCte},
          d AS (SELECT doc_id, regexp_extract(
              regexp_replace(lower(regexp_extract(url, '^https?://([^/?]+)', 1)), ':(443|80)$$', ''),
              '([^.]+\\.[^.]+)$$', 1) AS domain FROM u),
@@ -1410,21 +1388,11 @@ object SparkEntry {
     // canonicalizes with the same regexes (Java and RE2 agree on these
     // patterns) and the same filter+sort list pipeline.
     "q172_url_normalize" ->
-      """WITH u AS (SELECT doc_id,
-           'https://' ||
-           CASE WHEN doc_id % 5 = 0 THEN upper('www.' || source || tld) ELSE 'www.' || source || tld END ||
-           CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END ||
-           '/docs/' || (doc_id % 50) || CASE WHEN doc_id % 11 = 0 THEN '/' ELSE '' END ||
-           CASE CAST(doc_id % 4 AS INT)
-             WHEN 0 THEN '?utm_source=feed&id=' || doc_id || '&utm_campaign=c'
-             WHEN 1 THEN '?id=' || doc_id || '&ref=rss'
-             WHEN 2 THEN ''
-             ELSE '?b=2&a=1&fbclid=F' || doc_id END AS url
-           FROM (SELECT doc_id, source, ['.com','.org','.net'][CAST(doc_id % 3 AS INT) + 1] AS tld FROM documents)),
+      s"""WITH ${UrlCte},
          n AS (SELECT doc_id,
-           regexp_replace(lower(regexp_extract(url, '^https?://([^/?]+)', 1)), ':(443|80)$', '') AS host,
-           regexp_replace(regexp_extract(url, '^https?://[^/?]+([^?]*)', 1), '/+$', '') AS p0,
-           regexp_extract(url, '\?(.*)$', 1) AS q FROM u),
+           regexp_replace(lower(regexp_extract(url, '^https?://([^/?]+)', 1)), ':(443|80)$$', '') AS host,
+           regexp_replace(regexp_extract(url, '^https?://[^/?]+([^?]*)', 1), '/+$$', '') AS p0,
+           regexp_extract(url, '\\?(.*)$$', 1) AS q FROM u),
          l AS (SELECT doc_id, host, CASE WHEN p0 = '' THEN '/' ELSE p0 END AS pth,
            list_filter(string_split(q, '&'), x -> x <> '') AS ne FROM n),
          k AS (SELECT doc_id, host, pth, ne,
@@ -1432,7 +1400,7 @@ object SparkEntry {
          SELECT doc_id,
            'https://' || host || pth ||
              CASE WHEN len(keep) = 0 THEN '' ELSE '?' || array_to_string(keep, '&') END AS canon_url,
-           regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain,
+           regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS domain,
            CAST(len(ne) - len(keep) AS BIGINT) AS n_stripped
          FROM k""",
 

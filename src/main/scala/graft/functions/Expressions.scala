@@ -1235,14 +1235,16 @@ case class FmmSegment(child: Expression, dict: Seq[String])
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "fmm_segment"
 
+  // Validate at CONSTRUCTION (driver side, before any job runs): a word
+  // containing the separator could never match a within-token candidate
+  // and would silently break the space-split invariant. Inside the lazy
+  // dictSet this would surface as per-task failures mid-job instead.
+  dict.foreach(w =>
+    require(!w.contains(' '), s"dictionary word contains a space: '$w'"))
+
   @transient private lazy val dictSet: java.util.HashSet[String] = {
     val s = new java.util.HashSet[String]()
-    // a word containing the separator could never match a within-token
-    // candidate and would silently break the space-split invariant
-    dict.foreach { w =>
-      require(!w.contains(' '), s"dictionary word contains a space: '$w'")
-      if (w.nonEmpty) s.add(w)
-    }
+    dict.foreach(w => if (w.nonEmpty) s.add(w))
     s
   }
   @transient private lazy val maxWordLen: Int =

@@ -995,13 +995,21 @@ object Events {
     * O(days·k) longs; the ALL row merges the per-day sketches (valid:
     * the k smallest of a union are among the union of per-side k
     * smallest), not the raw corpus. */
-  def kmvUniqueStore(events: DataFrame, day: Column, key: String,
-                     k: Int = 256): DataFrame = {
-    val hashed = events.select(day.as("day"), col(key).as("k_"),
-      graft.functions.F.md5Hash64(col(key).cast("string")).as("h"))
-    val daily = hashed.groupBy(col("day"))
+  /** The one per-day sketch pipeline both the in-memory store (q174)
+    * and the persisted store (q175) build on — hash, group by day, KMV
+    * + exact-count aggregates. One definition, so the two stores cannot
+    * drift. */
+  private def dailySketches(events: DataFrame, day: Column, key: String,
+                            k: Int): DataFrame =
+    events.select(day.as("day"), col(key).as("k_"),
+        graft.functions.F.md5Hash64(col(key).cast("string")).as("h"))
+      .groupBy(col("day"))
       .agg(graft.functions.F.kmvMin(col("h"), k).as("mins"),
         count_distinct(col("k_")).as("n_exact"))
+
+  def kmvUniqueStore(events: DataFrame, day: Column, key: String,
+                     k: Int = 256): DataFrame = {
+    val daily = dailySketches(events, day, key, k)
     val perDay = daily.select(date_format(col("day"), "yyyy-MM-dd").as("day"),
       col("n_exact"), kmvEstimate(col("mins"), k).as("n_est"))
     val merged = daily.select(explode(col("mins")).as("h"))
@@ -1025,13 +1033,14 @@ object Events {
     * row: the day's minima array and exact count. */
   def writeKmvStore(events: DataFrame, day: Column, key: String,
                     path: String, k: Int = 256): Unit = {
-    events.select(date_format(day, "yyyy-MM-dd").as("day"),
-        col(key).as("k_"),
-        graft.functions.F.md5Hash64(col(key).cast("string")).as("h"))
-      .groupBy(col("day"))
-      .agg(graft.functions.F.kmvMin(col("h"), k).as("mins"),
-        count_distinct(col("k_")).as("n_exact"))
-      .write.mode("overwrite").partitionBy("day").parquet(path)
+    dailySketches(events, date_format(day, "yyyy-MM-dd"), key, k)
+      // dynamic partition overwrite: a batch replaces ONLY the day
+      // partitions it carries (idempotent re-runs), instead of the
+      // default static mode truncating the whole store — the property
+      // the nightly-append contract in the scaladoc rests on.
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day").parquet(path)
   }
 
   /** RANGE query against a persisted KMV store: distinct-count estimate
@@ -1066,11 +1075,16 @@ object Events {
     val path = Scratch.dir(s, d, "kmvstore")
     // Rebuild the store if this (app, dataset) hasn't yet — Bench
     // repeats queries; the write is the "nightly job", the read is
-    // the query under test.
+    // the query under test. Gate on the _SUCCESS marker, not the bare
+    // directory: a partially-failed write leaves the directory behind,
+    // and treating it as a valid store would silently drop days from
+    // every later range query in the app.
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(hp))
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS"))) {
+      fs.delete(hp, true)
       writeKmvStore(Tables.events(s, d), to_date(col("ts")), "user_id", path)
+    }
     kmvRangeQuery(s, path, "2024-01-08", "2024-01-14")
   }
 

@@ -1161,18 +1161,29 @@ object Text {
     * document (pure-ASCII documents short-circuit on the rlike
     * prescan), no shuffle, no UDF; the segmentation is codegen'd
     * regexp_replace/split like every other tokenize. */
-  def segTokens(df: DataFrame, id: String, text: String): DataFrame = {
+  /** The ONE deterministic mixed-script corpus q169 and q171 both
+    * tokenize (per-document comparability of the two conventions, and
+    * both oracles hard-code these snippets — a single definition keeps
+    * query and oracle in lockstep). */
+  private def mixedScript(id: Column, text: Column): Column = {
     val han = " 你好世界今天天氣很好"
     val thai = " สวัสดีชาวโลกวันนี้"
-    val mixed = when(col(id) % 3 === 0, concat(substring(col(text), 1, 60), lit(han)))
-      .when(col(id) % 3 === 1, concat(substring(col(text), 1, 60), lit(thai)))
-      .otherwise(substring(col(text), 1, 60))
-    df.select(col(id).as("doc_id"), tokens(mixed).as("toks"))
+    when(id % 3 === 0, concat(substring(text, 1, 60), lit(han)))
+      .when(id % 3 === 1, concat(substring(text, 1, 60), lit(thai)))
+      .otherwise(substring(text, 1, 60))
+  }
+
+  /** Shared q169/q171 output shape: token count, segmented-script token
+    * count, md5 over the exact token sequence. */
+  private def segSummary(df: DataFrame, id: String, toks: Column): DataFrame =
+    df.select(col(id).as("doc_id"), toks.as("toks"))
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
         size(filter(col("toks"), t => t.rlike(SegScript))).cast("long").as("n_seg"),
         md5(array_join(col("toks"), "|")).as("tok_md5"))
-  }
+
+  def segTokens(df: DataFrame, id: String, text: String): DataFrame =
+    segSummary(df, id, tokens(mixedScript(col(id), col(text))))
 
   /** q169: shared-tokenizer segmentation of the mixed-script corpus. */
   def q169(s: SparkSession, d: String): DataFrame =
@@ -1204,18 +1215,8 @@ object Text {
     * so the two conventions (char-level vs dictionary) are directly
     * comparable per document. */
   def dictSegTokens(df: DataFrame, id: String, text: String,
-                    dict: Seq[String]): DataFrame = {
-    val han = " 你好世界今天天氣很好"
-    val thai = " สวัสดีชาวโลกวันนี้"
-    val mixed = when(col(id) % 3 === 0, concat(substring(col(text), 1, 60), lit(han)))
-      .when(col(id) % 3 === 1, concat(substring(col(text), 1, 60), lit(thai)))
-      .otherwise(substring(col(text), 1, 60))
-    df.select(col(id).as("doc_id"), dictTokens(mixed, dict).as("toks"))
-      .select(col("doc_id"),
-        size(col("toks")).cast("long").as("n_tokens"),
-        size(filter(col("toks"), t => t.rlike(SegScript))).cast("long").as("n_seg"),
-        md5(array_join(col("toks"), "|")).as("tok_md5"))
-  }
+                    dict: Seq[String]): DataFrame =
+    segSummary(df, id, dictTokens(mixedScript(col(id), col(text)), dict))
 
   /** q171: dictionary (FMM) word segmentation of the mixed-script
     * corpus — closes the char-level-only gap q169 documents. */

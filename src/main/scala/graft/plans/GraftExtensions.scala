@@ -135,8 +135,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       s"$fn expects a literal array<string> dictionary, got $e")
     e.eval() match {
       case ad: org.apache.spark.sql.catalyst.util.ArrayData =>
-        ad.toObjectArray(org.apache.spark.sql.types.StringType)
-          .map(String.valueOf).toSeq
+        ad.toObjectArray(org.apache.spark.sql.types.StringType).map {
+          case null => throw new IllegalArgumentException(
+            s"$fn dictionary contains a NULL element")
+          case v => v.toString
+        }.toSeq
       case other => throw new IllegalArgumentException(
         s"$fn dictionary did not fold to an array: $other")
     }
