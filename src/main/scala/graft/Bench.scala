@@ -115,6 +115,28 @@ object Bench {
     // the line long enough that the driver's stdout tail truncated it
     // every round ("parsed": null) — the file carries the complete sweep.
     val stdoutJson = envelope("")
+    // The driver records only the LAST 2000 chars of stdout, and at 175
+    // queries even the aggregates-only line is ~10k chars, so the tail
+    // starts mid-line and nothing parses ("parsed": null in BENCH_r08).
+    // Fix: after the full contract line, print a COMPACT summary as the
+    // very last line — scalar totals, a bounded errors map, and the 20
+    // slowest medians — sized well under the tail window so the driver
+    // always has one complete parseable JSON line. The full per-query
+    // map stays on the line above and in the bench file.
+    val slowest = results
+      .collect { case (k, (Some(m), _, _, _)) => k -> m }
+      .sortBy(-_._2).take(20)
+      .map { case (k, m) => s"\"$k\":${f(m)}" }.mkString("{", ",", "}")
+    val errsCompact = results
+      .collect { case (k, (_, _, _, Some(e))) => s""""$k":"$e"""" }
+      .take(10).mkString("{", ",", "}")
+    val compactJson =
+      s"""{"metric":"total","value":${f(total)},"unit":"sec",""" +
+        s""""total_min":${f(totalMin)},"n_queries":${results.length},""" +
+        s""""n_errors":$nErr,"errors":$errsCompact,"k":$runs,""" +
+        s""""interleaved":true,"load_avg_before":${f(loadBefore)},""" +
+        s""""load_avg_after":${f(loadAfter)},"sf":"$sfDir",""" +
+        s""""slowest20":$slowest,"detail_file":"$outPath"}"""
     try {
       val p = java.nio.file.Paths.get(outPath)
       java.nio.file.Files.write(p, fileJson.getBytes("UTF-8"))
@@ -122,6 +144,7 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"bench file write failed: $e") }
     println(stdoutJson)
+    println(compactJson)
     spark.stop()
   }
 }

@@ -1331,11 +1331,13 @@ object SparkEntry {
          gh AS (SELECT DISTINCT md5_number_upper(CAST(user_id AS VARCHAR)) AS h FROM e),
          gr AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM gh),
          gs AS (SELECT count(*) AS n_in, max(CASE WHEN rn = 256 THEN h END) AS vk FROM gr WHERE rn <= 256)
-         SELECT day, CAST(n_exact AS BIGINT) AS n_exact, CAST(n_est AS BIGINT) AS n_est FROM pd
+         SELECT day, CAST(n_exact AS BIGINT) AS n_exact, CAST(n_est AS BIGINT) AS n_est,
+                1 AS is_exact FROM pd
          UNION ALL
          SELECT 'RANGE' AS day, gu.n_exact,
            CAST(CASE WHEN gs.n_in < 256 THEN gs.n_in
-                ELSE CAST(255 * 18446744073709551616::HUGEINT // gs.vk AS BIGINT) END AS BIGINT) AS n_est
+                ELSE CAST(255 * 18446744073709551616::HUGEINT // gs.vk AS BIGINT) END AS BIGINT) AS n_est,
+           0 AS is_exact
          FROM gu, gs""",
 
     // Recomputes the KMV store EXACTLY: the k smallest DISTINCT

@@ -51,7 +51,20 @@ object Tables {
     raw.schema("ts").dataType match {
       case TimestampType    => raw
       case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
-      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case LongType         =>
+        // The int64 branch is NANOSECONDS-ONLY: an int64-microseconds (or
+        // seconds) generation divided by 1000 would load silently off by
+        // 1000x. Guard with a one-row probe (reads a single row group —
+        // this branch is the legacy cold path, so the probe never runs
+        // against the current timestamp[us] testdata): ns since epoch for
+        // 2000..2100 is ~9.5e17..4.1e18; micros are ~1e15, seconds ~1e9.
+        raw.select("ts").head(1).foreach { r =>
+          val v = r.getLong(0)
+          require(v > 5e17 && v < 5e18, s"events.ts int64 value $v is not " +
+            "plausible epoch-NANOSECONDS (loader contract: int64 ts = ns " +
+            "since epoch; a micros/seconds generation needs a new branch)")
+        }
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case other => sys.error(
         s"events.ts has unsupported type $other (expected timestamp, " +
           "timestamp_ntz, or int64 nanos under nanosAsLong)")

@@ -261,6 +261,23 @@ class OperatorsSpec extends SparkSpec {
     assert(fps.map(_._2).distinct.length == fps.length, "fingerprint collision")
   }
 
+  test("q43 oracle corpus contract: documents.text is non-empty pure ASCII") {
+    // The q43 DuckDB oracle folds PER-CHARACTER CODEPOINTS (unicode(c))
+    // while RollingHash64 folds UTF-8 bytes, and DuckDB's unicode('')
+    // is -1 — so the oracle is only valid while every document is
+    // non-empty pure ASCII (codepoint == byte, no empty fold). This
+    // assertion is the loud co-located guard: a regenerated corpus that
+    // breaks the contract fails HERE with a count, not as an opaque
+    // q43 hash mismatch in the correctness gate.
+    import org.apache.spark.sql.functions.{col, length, octet_length}
+    val bad = Tables.documents(spark, sf)
+      .where(length(col("text")) === 0 ||
+        octet_length(col("text")) =!= length(col("text")))
+      .count()
+    assert(bad == 0L, s"$bad documents are empty or non-ASCII — the q43 " +
+      "codepoint-fold oracle in SparkEntry is invalid for this corpus")
+  }
+
   test("q61 LSH ANN reaches usable recall vs q60 brute force") {
     val bf = Similarity.q60(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
