@@ -1,0 +1,303 @@
+package graft
+
+import graft.ops.Similarity
+
+/** DuckDB oracle SQL for every k-means-derived operator — the round-9
+  * payoff of moving quantizer training and cell assignment onto the
+  * integer fixed-point grid (Similarity.QuantScale): training is now an
+  * UNROLLED pure-integer recurrence (TrainIters = 2 Lloyd rounds) that
+  * DuckDB replays exactly — same MD5-ordered sample, same seeds, same
+  * argmin-L2 assignments with the same (distance, cell) tie-break, same
+  * floor-division mean updates — so q61/q62/q63/q91/q95/q114/q144/q145/
+  * q168/q170 graduate from golden-pinned rows-only checks to full
+  * rows+schema+hash verification against an independent engine. Floats
+  * appear only in SCORING (cosine), bp-discretized at the output
+  * boundary exactly as the long-oracled q60 does.
+  *
+  * Every fragment mirrors a specific Scala definition (named in each
+  * builder); the shared constants come FROM Similarity so the two sides
+  * cannot drift silently.
+  */
+object AnnOracleSql {
+
+  private val S = Similarity.QuantScale // 16384 = 2^14
+  private val SampleN = Similarity.TrainSampleN
+  private val Iters = Similarity.TrainIters
+
+  /** DuckDB mirror of graft.functions.Md5Hash64 as a SIGNED long (the
+    * hashSample order key): md5_number_upper reinterpreted two's-
+    * complement. */
+  private def md5Signed(c: String): String =
+    s"""CAST(CASE WHEN md5_number_upper(CAST($c AS VARCHAR)) >= 9223372036854775808::HUGEINT
+       THEN md5_number_upper(CAST($c AS VARCHAR))::HUGEINT - 18446744073709551616::HUGEINT
+       ELSE md5_number_upper(CAST($c AS VARCHAR))::HUGEINT END AS BIGINT)"""
+
+  /** Quantize a float-list SQL expression onto the grid (mirror of
+    * Similarity.quantizeVal: floor(x·2¹⁴) — float→double widening and
+    * the power-of-two multiply are IEEE-exact in both engines). */
+  private def quant(e: String): String =
+    s"list_transform($e, x -> CAST(floor(CAST(x AS DOUBLE) * $S) AS BIGINT))"
+
+  /** Integer squared L2 between two BIGINT[] expressions (mirror of
+    * QuantCellOrder's distance loop). */
+  private def l2q(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a)+1), t -> ($a[t] - $b[t]) * ($a[t] - $b[t])))"
+
+  private def bpS(e: String): String =
+    s"CAST(floor(($e) * 10000 + 0.5) AS BIGINT)"
+
+  /** Cosine between two float-list expressions, mirroring
+    * CosineSimilarity's double accumulation (the q60-established
+    * cross-engine equivalence). */
+  private def cosS(a: String, b: String): String =
+    s"list_cosine_similarity(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))"
+
+  /** Grid centroid (BIGINT[]) dequantized to the exact DOUBLE[] the
+    * Spark side's grid floats widen to. */
+  private def dequant(c: String): String =
+    s"list_transform($c, x -> x / $S.0)"
+
+  /** The unrolled integer Lloyd trainer (mirror of
+    * Similarity.trainCentroids): CTEs ending in `cents(cell, c)` where
+    * c is the quantized BIGINT[] centroid after `Iters` rounds.
+    * `pred` restricts the TRAINING corpus (q168's even-id half). */
+  private def trainCtes(k: Int, pred: String = "TRUE"): String = {
+    val h = md5Signed("vec_id")
+    val head =
+      s"""samp AS (
+      SELECT row_number() OVER (ORDER BY $h, vec_id) AS rn,
+             ${quant("embedding")} AS qe
+      FROM embeddings WHERE $pred QUALIFY rn <= $SampleN),
+    dimt AS (SELECT unnest(range(1, len(qe)+1)) AS t FROM (SELECT qe FROM samp LIMIT 1)),
+    c0 AS (SELECT CAST(rn - 1 AS INT) AS cell, qe AS c FROM samp WHERE rn <= $k)"""
+    val iters = (1 to Iters).map { i =>
+      val prev = s"c${i - 1}"
+      s"""a$i AS (
+      SELECT s.rn, s.qe, c.cell, ${l2q("s.qe", "c.c")} AS d
+      FROM samp s CROSS JOIN $prev c),
+    b$i AS (
+      SELECT rn, qe, cell FROM a$i
+      QUALIFY row_number() OVER (PARTITION BY rn ORDER BY d, cell) = 1),
+    u$i AS (
+      SELECT b.cell, d.t, CAST(sum(b.qe[d.t]) AS BIGINT) AS sv, count(*) AS n
+      FROM b$i b CROSS JOIN dimt d GROUP BY b.cell, d.t),
+    v$i AS (
+      SELECT cell, list(CAST((sv - (((sv % n) + n) % n)) // n AS BIGINT) ORDER BY t) AS c
+      FROM u$i GROUP BY cell),
+    c$i AS (
+      SELECT p.cell, COALESCE(v.c, p.c) AS c
+      FROM $prev p LEFT JOIN v$i v USING (cell))"""
+    }
+    val all = (head +: iters).mkString(",\n    ")
+    s"$all,\n    cents AS (SELECT cell, c FROM c$Iters)"
+  }
+
+  /** Corpus-wide cell assignment (mirror of bestCellId): `asg(vec_id,
+    * embedding, qe, cell)` — argmin integer L2, ties to the lower
+    * cell. */
+  private val assignCtes: String =
+    s"""qv AS (SELECT vec_id, embedding, ${quant("embedding")} AS qe FROM embeddings),
+    ad AS (SELECT q.vec_id, q.embedding, q.qe, c.cell, ${l2q("q.qe", "c.c")} AS d
+           FROM qv q CROSS JOIN cents c),
+    asg AS (SELECT vec_id, embedding, qe, cell FROM ad
+            QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) = 1)"""
+
+  /** IVF probe + exact-cosine rank (mirror of ivfTopK's probe/score
+    * stages on top of `cents` + `asg`). */
+  private def ivfProbeSql(probes: Int, topK: Int, numQueries: Int): String =
+    s"""qq AS (SELECT vec_id AS query_id, embedding, qe FROM qv WHERE vec_id < $numQueries),
+    qd AS (SELECT q.query_id, q.embedding, c.cell, ${l2q("q.qe", "c.c")} AS d
+           FROM qq q CROSS JOIN cents c),
+    pr AS (SELECT query_id, embedding, cell FROM qd
+           QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY d, cell) <= $probes),
+    cand AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+             ${cosS("p.embedding", "a.embedding")} AS cos
+             FROM pr p JOIN asg a ON a.cell = p.cell AND a.vec_id <> p.query_id),
+    r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+          FROM cand)
+    SELECT query_id, rank, neighbor_id, ${bpS("cos")} AS cos_bp FROM r WHERE rank <= $topK"""
+
+  private def ivfOracle(cells: Int, pred: String = "TRUE"): String =
+    s"""WITH ${trainCtes(cells, pred)},
+    $assignCtes,
+    ${ivfProbeSql(Similarity.IvfProbes, Similarity.TopK, Similarity.NumQueries)}"""
+
+  /** q91 clusterCells: per-cell count, fixed-point mean cosine to the
+    * assigned centroid, min/max member id. */
+  private val q91Sql: String =
+    s"""WITH ${trainCtes(16)},
+    $assignCtes,
+    coh AS (SELECT a.cell, a.vec_id,
+            ${bpS(cosS("a.embedding", dequant("c.c")))} AS cb
+            FROM asg a JOIN cents c USING (cell))
+    SELECT cell, count(*) AS n_members,
+      CAST(floor(CAST(sum(cb) AS DOUBLE) / count(*)) AS BIGINT) AS mean_cos_bp,
+      min(vec_id) AS min_id, max(vec_id) AS max_id
+    FROM coh GROUP BY cell"""
+
+  /** q95 diversity sample: md5-hex quota cut inside each trained cell. */
+  private val q95Sql: String =
+    s"""WITH ${trainCtes(16)},
+    $assignCtes
+    SELECT cell, rn, vec_id FROM (
+      SELECT cell, vec_id,
+             CAST(row_number() OVER (PARTITION BY cell
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INT) AS rn
+      FROM asg)
+    WHERE rn <= 8"""
+
+  /** q114 SemDeDup: intra-cell pairs with cosine ≥ τ drop the higher
+    * id; kept rows survive. */
+  private val q114Sql: String =
+    s"""WITH ${trainCtes(16)},
+    $assignCtes,
+    dropped AS (SELECT DISTINCT b.vec_id
+                FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+                WHERE ${cosS("a.embedding", "b.embedding")} >= 0.35)
+    SELECT a.vec_id, a.cell FROM asg a
+    WHERE a.vec_id NOT IN (SELECT vec_id FROM dropped)"""
+
+  // ---- PQ (q63 / q145) ----
+
+  private val PqM = Similarity.PqM
+  private val PqK = Similarity.PqK
+
+  /** Unrolled per-subspace integer Lloyd (mirror of trainPqCodebook):
+    * ends in `cb(sub, j, c)` — quantized BIGINT[] centroids per
+    * subspace. ds = dim/m derives in SQL from the sample row. */
+  private def pqTrainCtes: String = {
+    val h = md5Signed("vec_id")
+    val head =
+      s"""samp AS (
+      SELECT row_number() OVER (ORDER BY $h, vec_id) AS rn,
+             ${quant("embedding")} AS qe
+      FROM embeddings QUALIFY rn <= $SampleN),
+    meta AS (SELECT len(qe) // $PqM AS ds FROM (SELECT qe FROM samp LIMIT 1)),
+    subs AS (SELECT unnest(range(0, $PqM)) AS sub),
+    sv AS (SELECT s.rn, b.sub,
+           list_transform(range(1, m.ds + 1), t -> s.qe[b.sub * m.ds + t]) AS v
+           FROM samp s CROSS JOIN subs b CROSS JOIN meta m),
+    dst AS (SELECT unnest(range(1, ds + 1)) AS t FROM meta),
+    p0 AS (SELECT sub, CAST(rn - 1 AS INT) AS j, v AS c FROM sv WHERE rn <= $PqK)"""
+    val iters = (1 to Iters).map { i =>
+      val prev = s"p${i - 1}"
+      s"""pa$i AS (
+      SELECT s.rn, s.sub, s.v, c.j, ${l2q("s.v", "c.c")} AS d
+      FROM sv s JOIN $prev c ON c.sub = s.sub),
+    pb$i AS (
+      SELECT rn, sub, v, j FROM pa$i
+      QUALIFY row_number() OVER (PARTITION BY rn, sub ORDER BY d, j) = 1),
+    pu$i AS (
+      SELECT b.sub, b.j, d.t, CAST(sum(b.v[d.t]) AS BIGINT) AS svv, count(*) AS n
+      FROM pb$i b CROSS JOIN dst d GROUP BY b.sub, b.j, d.t),
+    pv$i AS (
+      SELECT sub, j, list(CAST((svv - (((svv % n) + n) % n)) // n AS BIGINT) ORDER BY t) AS c
+      FROM pu$i GROUP BY sub, j),
+    p$i AS (
+      SELECT p.sub, p.j, COALESCE(v.c, p.c) AS c
+      FROM $prev p LEFT JOIN pv$i v ON v.sub = p.sub AND v.j = p.j)"""
+    }
+    val all = (head +: iters).mkString(",\n    ")
+    s"$all,\n    cb AS (SELECT sub, j, c FROM p$Iters)"
+  }
+
+  /** PQ ADC sweep + exact rerank (mirror of pqTopK with PqCodeQ /
+    * PqTableQ / PqAdcQ): per-subspace integer-L2 code assignment, long
+    * ADC dots, shortlist by (adc desc, neighbor asc) with the
+    * corpus-scaled rerank bound, exact-cosine top-k. */
+  private val pqSql: String =
+    s"""WITH $pqTrainCtes,
+    qv AS (SELECT vec_id, embedding, ${quant("embedding")} AS qe FROM embeddings),
+    nn AS (SELECT GREATEST(128, LEAST(count(*) // 6, 65536)) AS rerank FROM embeddings),
+    csub AS (SELECT q.vec_id, b.sub,
+             list_transform(range(1, m.ds + 1), t -> q.qe[b.sub * m.ds + t]) AS v
+             FROM qv q CROSS JOIN (SELECT unnest(range(0, $PqM)) AS sub) b CROSS JOIN meta m),
+    cd AS (SELECT s.vec_id, s.sub, c.j, ${l2q("s.v", "c.c")} AS d
+           FROM csub s JOIN cb c ON c.sub = s.sub),
+    code AS (SELECT vec_id, sub, j FROM cd
+             QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, j) = 1),
+    qq AS (SELECT vec_id AS query_id, embedding, qe FROM qv WHERE vec_id < ${Similarity.NumQueries}),
+    qsub AS (SELECT q.query_id, b.sub,
+             list_transform(range(1, m.ds + 1), t -> q.qe[b.sub * m.ds + t]) AS v
+             FROM qq q CROSS JOIN (SELECT unnest(range(0, $PqM)) AS sub) b CROSS JOIN meta m),
+    tbl AS (SELECT s.query_id, s.sub, c.j,
+            list_sum(list_transform(range(1, len(s.v)+1), t -> s.v[t] * c.c[t])) AS dot
+            FROM qsub s JOIN cb c ON c.sub = s.sub),
+    adc AS (SELECT t.query_id, k.vec_id AS neighbor_id, CAST(sum(t.dot) AS BIGINT) AS adc
+            FROM code k JOIN tbl t ON t.sub = k.sub AND t.j = k.j
+            WHERE k.vec_id <> t.query_id
+            GROUP BY t.query_id, k.vec_id),
+    short AS (SELECT query_id, neighbor_id FROM adc CROSS JOIN nn
+              QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id ASC) <= rerank),
+    scored AS (SELECT s.query_id, s.neighbor_id,
+               ${cosS("q.embedding", "c.embedding")} AS cos
+               FROM short s
+               JOIN qq q ON q.query_id = s.query_id
+               JOIN qv c ON c.vec_id = s.neighbor_id),
+    r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+          FROM scored)
+    SELECT query_id, rank, neighbor_id, ${bpS("cos")} AS cos_bp FROM r WHERE rank <= ${Similarity.TopK}"""
+
+  // ---- LSH (q61) ----
+
+  /** q61 lshTopK: the ±1 hyperplane weights are Scala-seeded constants,
+    * EMBEDDED here as literal weight vectors per (table, bit); the sign
+    * projection replays HyperplaneBuckets' double accumulation in index
+    * order via a sequential list_reduce (left fold — same IEEE add
+    * sequence). Candidates = same (table, bucket) under multiprobe
+    * single-bit XOR flips on the query side; exact cosine rank on
+    * candidates. */
+  private val q61Sql: String = {
+    val bits = Similarity.LshBits
+    val masks = Similarity.hyperplaneMasks
+    val dim = 64
+    // weights table literal: one row per (table, bit) with a 64-double ±1 list
+    val rows = masks.zipWithIndex.map { case (m, i) =>
+      val t = i / bits; val b = i % bits
+      val ws = (0 until dim).map(j =>
+        if (((m >>> (j & 63)) & 1L) == 1L) "1" else "-1").mkString(",")
+      s"($t, $b, [$ws])"
+    }.mkString(",\n      ")
+    s"""WITH planes(t, b, w) AS (VALUES
+      $rows),
+    ev AS (SELECT vec_id, embedding FROM embeddings),
+    proj AS (SELECT e.vec_id, p.t, p.b,
+             list_reduce(list_transform(range(1, ${dim + 1}),
+               jj -> CAST(e.embedding[jj] AS DOUBLE) * p.w[jj]), (a, b) -> a + b) AS s
+             FROM ev e CROSS JOIN planes p),
+    bkt AS (SELECT vec_id, t,
+            CAST(sum(CASE WHEN s >= 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS bk
+            FROM proj GROUP BY vec_id, t),
+    qb AS (SELECT DISTINCT k.vec_id AS query_id, k.t,
+             CASE WHEN f.i = $bits THEN k.bk
+                  ELSE xor(k.bk, CAST(1 << f.i AS BIGINT)) END AS bk
+           FROM bkt k CROSS JOIN (SELECT unnest(range(0, ${bits + 1})) AS i) f
+           WHERE k.vec_id < ${Similarity.NumQueries}),
+    cand AS (SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+             FROM qb q JOIN bkt c ON c.t = q.t AND c.bk = q.bk
+             WHERE c.vec_id <> q.query_id),
+    scored AS (SELECT cd.query_id, cd.neighbor_id,
+               ${cosS("q.embedding", "c.embedding")} AS cos
+               FROM cand cd
+               JOIN ev q ON q.vec_id = cd.query_id
+               JOIN ev c ON c.vec_id = cd.neighbor_id),
+    r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+          FROM scored)
+    SELECT query_id, rank, neighbor_id, ${bpS("cos")} AS cos_bp FROM r WHERE rank <= ${Similarity.TopK}"""
+  }
+
+  /** The ten k-means/ANN oracles, keyed by query name. q144 and q170
+    * are row-identical to q62 and q168 respectively by the persisted-
+    * index contract (spec-pinned), so they share SQL. */
+  val all: Map[String, String] = Map(
+    "q91_embed_clusters"   -> q91Sql,
+    "q95_diversity_sample" -> q95Sql,
+    "q114_semdedup"        -> q114Sql,
+    "q62_ann_ivf"          -> ivfOracle(Similarity.IvfCells),
+    "q144_ann_ivf_index"   -> ivfOracle(Similarity.IvfCells),
+    "q168_ann_ivf_append"  -> ivfOracle(Similarity.IvfCells, "vec_id % 2 = 0"),
+    "q170_ann_ivf_compact" -> ivfOracle(Similarity.IvfCells, "vec_id % 2 = 0"),
+    "q63_ann_pq"           -> pqSql,
+    "q145_ann_pq_index"    -> pqSql,
+    "q61_ann_lsh"          -> q61Sql)
+}

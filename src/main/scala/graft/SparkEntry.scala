@@ -258,7 +258,10 @@ object SparkEntry {
              ELSE '?b=2&a=1&fbclid=F' || doc_id END AS url
            FROM (SELECT doc_id, source, ['.com','.org','.net'][CAST(doc_id % 3 AS INT) + 1] AS tld FROM documents))"""
 
-  def oracleSql: Map[String, String] = Map(
+  // The k-means/ANN family oracles (q61/q62/q63/q91/q95/q114/q144/q145/
+  // q168/q170) are GENERATED — unrolled integer-Lloyd training CTEs —
+  // and live in AnnOracleSql; merged below.
+  def oracleSql: Map[String, String] = AnnOracleSql.all ++ Map(
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          ${C("sum(l_quantity)")} AS sum_qty,

@@ -283,141 +283,6 @@ case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
     copy(child = newChild)
 }
-
-/** Product-quantization codes for one embedding, packed into ONE long:
-  * the embedding splits into `m` contiguous subvectors; subvector i is
-  * assigned its nearest (squared-L2) of `k` codebook centroids and the
-  * code lands in bits [4i, 4i+4) (k ≤ 16). 8 bytes per vector instead
-  * of 4·dim — the PQ memory story — and encoding is one codegen'd pass.
-  * `codebook` is laid out [subspace][centroid][dim], flattened. */
-case class PqCode(child: Expression, codebook: Seq[Float], m: Int, k: Int)
-    extends UnaryExpression {
-  require(k <= 16 && m <= 16 && codebook.length % (m * k) == 0)
-  override def dataType: DataType = LongType
-  override def prettyName: String = "pq_code"
-  @transient private lazy val cb: Array[Float] = codebook.toArray
-  @transient private lazy val ds: Int = cb.length / (m * k)
-
-  private def compute(emb: ArrayData): Long = {
-    var packed = 0L
-    var sub = 0
-    while (sub < m) {
-      var best = 0; var bestD = Float.MaxValue
-      var j = 0
-      while (j < k) {
-        val base = (sub * k + j) * ds
-        var dist = 0.0f
-        var t = 0
-        while (t < ds) {
-          val diff = emb.getFloat(sub * ds + t) - cb(base + t)
-          dist += diff * diff
-          t += 1
-        }
-        if (dist < bestD) { bestD = dist; best = j }
-        j += 1
-      }
-      packed |= best.toLong << (4 * sub)
-      sub += 1
-    }
-    packed
-  }
-
-  override protected def nullSafeEval(input: Any): Any =
-    compute(input.asInstanceOf[ArrayData])
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val self = ctx.addReferenceObj("pqCode", this, classOf[PqCode].getName)
-    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.code($c);")
-  }
-
-  /** Called from generated code. */
-  def code(emb: ArrayData): Long = compute(emb)
-
-  override protected def withNewChildInternal(newChild: Expression): PqCode =
-    copy(child = newChild)
-}
-
-/** Per-query ADC lookup table: entry [sub·k + j] = dot(query subvector
-  * `sub`, centroid j of subspace `sub`). Built once per query row; the
-  * per-candidate score is then `m` array lookups (PqAdc) instead of a
-  * dim-wide dot product. */
-case class PqTable(child: Expression, codebook: Seq[Float], m: Int, k: Int)
-    extends UnaryExpression {
-  require(codebook.length % (m * k) == 0)
-  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
-  override def prettyName: String = "pq_table"
-  @transient private lazy val cb: Array[Float] = codebook.toArray
-  @transient private lazy val ds: Int = cb.length / (m * k)
-
-  private def compute(emb: ArrayData): Array[Float] = {
-    val out = new Array[Float](m * k)
-    var sub = 0
-    while (sub < m) {
-      var j = 0
-      while (j < k) {
-        val base = (sub * k + j) * ds
-        var dot = 0.0f
-        var t = 0
-        while (t < ds) { dot += emb.getFloat(sub * ds + t) * cb(base + t); t += 1 }
-        out(sub * k + j) = dot
-        j += 1
-      }
-      sub += 1
-    }
-    out
-  }
-
-  override protected def nullSafeEval(input: Any): Any =
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(
-      compute(input.asInstanceOf[ArrayData]))
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val self = ctx.addReferenceObj("pqTable", this, classOf[PqTable].getName)
-    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.table($c);")
-  }
-
-  /** Called from generated code. */
-  def table(emb: ArrayData): org.apache.spark.sql.catalyst.util.GenericArrayData =
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(compute(emb))
-
-  override protected def withNewChildInternal(newChild: Expression): PqTable =
-    copy(child = newChild)
-}
-
-/** ADC score: asymmetric-distance approximation of dot(query, vec) =
-  * Σ over subspaces of table[sub·k + code_sub], with codes unpacked
-  * from the packed-nibble long. m lookups per candidate pair. */
-case class PqAdc(left: Expression, right: Expression, m: Int, k: Int)
-    extends BinaryExpression {
-  override def dataType: DataType = DoubleType
-  override def prettyName: String = "pq_adc"
-
-  private def compute(table: ArrayData, packed: Long): Double = {
-    var sum = 0.0
-    var sub = 0
-    while (sub < m) {
-      val code = ((packed >>> (4 * sub)) & 0xfL).toInt
-      sum += table.getFloat(sub * k + code)
-      sub += 1
-    }
-    sum
-  }
-
-  override protected def nullSafeEval(l: Any, r: Any): Any =
-    compute(l.asInstanceOf[ArrayData], r.asInstanceOf[Long])
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val self = ctx.addReferenceObj("pqAdc", this, classOf[PqAdc].getName)
-    nullSafeCodeGen(ctx, ev, (t, c) => s"${ev.value} = $self.score($t, $c);")
-  }
-
-  /** Called from generated code. */
-  def score(table: ArrayData, packed: Long): Double = compute(table, packed)
-
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdc =
-    copy(left = l, right = r)
-}
-
 /** Jaccard similarity |a∩b| / |a∪b| of two SORTED distinct array<long>
   * columns (as produced by ShingleHashes) via a single zero-allocation
   * linear merge. The built-in array_intersect builds a hash set per
@@ -1365,6 +1230,336 @@ case class Md5Hash64(child: Expression) extends UnaryExpression {
 }
 
 object Md5Hash64 {
+  /** MessageDigest is stateful and not thread-safe (see SimHashMd5). */
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+}
+
+/** CROSS-ENGINE-EXACT quantized cell ordering — the integer-arithmetic
+  * face of centroid assignment. The embedding quantizes to the fixed
+  * grid q[t] = floor(e[t]·scale) (float→double widening and a
+  * power-of-two multiply are both IEEE-exact, so ANY engine computes
+  * the identical integers); the distance to each quantized centroid is
+  * a pure-integer squared L2; the result is every cell id ordered by
+  * (distance asc, cell asc). element_at(.., 1) is the assignment,
+  * slice(.., 1, p) the probe set. Replacing the float-cosine argmax
+  * here is what makes k-means training AND every ANN probe derived
+  * from it bit-reproducible from SQL (the DuckDB oracles recompute
+  * the same integers) — floats only ever appear downstream in
+  * SCORING, never in the assignment lattice.
+  *
+  * Bounds: |e| ≤ 128 at scale 2¹⁴ gives |q| ≤ 2²¹, diff² ≤ 2⁴³, ×4096
+  * dims ≤ 2⁵⁵ — no overflow headroom concerns in long. */
+case class QuantCellOrder(child: Expression, centsQ: Seq[Seq[Long]], scale: Long)
+    extends UnaryExpression {
+  require(centsQ.nonEmpty && scale > 0)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "quant_cell_order"
+  @transient private lazy val cq: Array[Array[Long]] = centsQ.map(_.toArray).toArray
+
+  private def compute(emb: ArrayData): Array[Int] = {
+    val k = cq.length
+    val q = new Array[Long](emb.numElements())
+    var t = 0
+    while (t < q.length) {
+      q(t) = math.floor(emb.getFloat(t).toDouble * scale).toLong
+      t += 1
+    }
+    val d = new Array[Long](k)
+    var j = 0
+    while (j < k) {
+      val c = cq(j)
+      val n = math.min(q.length, c.length)
+      var acc = 0L
+      var i = 0
+      while (i < n) { val df = q(i) - c(i); acc += df * df; i += 1 }
+      d(j) = acc
+      j += 1
+    }
+    // insertion argsort by (d, id): k is a quantizer cell count (tiny)
+    val idx = Array.tabulate(k)(identity)
+    var a = 1
+    while (a < k) {
+      val v = idx(a); var b = a - 1
+      while (b >= 0 && (d(idx(b)) > d(v) || (d(idx(b)) == d(v) && idx(b) > v))) {
+        idx(b + 1) = idx(b); b -= 1
+      }
+      idx(b + 1) = v
+      a += 1
+    }
+    idx
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      compute(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("quantCellOrder", this, classOf[QuantCellOrder].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.order($c);")
+  }
+
+  /** Called from generated code. */
+  def order(emb: ArrayData): org.apache.spark.sql.catalyst.util.GenericArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(compute(emb))
+
+  override protected def withNewChildInternal(newChild: Expression): QuantCellOrder =
+    copy(child = newChild)
+}
+
+/** Pure-integer squared L2 between two float arrays on the quantized
+  * grid (see QuantCellOrder) — the join-path twin of the literal-path
+  * assignment, for quantizers too large to ride the plan as literals
+  * (both sides quantize per row; distance and ordering are integer-
+  * exact, so literal path, join path, and SQL oracles agree bitwise). */
+case class QuantL2(left: Expression, right: Expression, scale: Long)
+    extends BinaryExpression {
+  require(scale > 0)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "quant_l2"
+
+  private def compute(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val x = math.floor(a.getFloat(i).toDouble * scale).toLong
+      val y = math.floor(b.getFloat(i).toDouble * scale).toLong
+      val df = x - y
+      acc += df * df
+      i += 1
+    }
+    acc
+  }
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("quantL2", this, classOf[QuantL2].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $self.dist($a, $b);")
+  }
+
+  /** Called from generated code. */
+  def dist(a: ArrayData, b: ArrayData): Long = compute(a, b)
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): QuantL2 =
+    copy(left = l, right = r)
+}
+
+/** Integer-exact PQ encoder: like PqCode but the subvector→centroid
+  * assignment runs on the quantized grid — subvector components and the
+  * codebook (`cbq`, layout [sub][centroid][dim] flattened, already
+  * quantized) compare by pure-integer squared L2, ties to the LOWEST
+  * centroid id. Codes are therefore bit-reproducible from any engine
+  * (the DuckDB oracle recomputes them), where the float encoder's
+  * accumulation could diverge in the last ulp and flip an assignment. */
+case class PqCodeQ(child: Expression, cbq: Seq[Long], m: Int, k: Int, scale: Long)
+    extends UnaryExpression {
+  require(k <= 16 && m <= 16 && cbq.length % (m * k) == 0 && scale > 0)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "pq_code_q"
+  @transient private lazy val cb: Array[Long] = cbq.toArray
+  @transient private lazy val ds: Int = cb.length / (m * k)
+
+  private def compute(emb: ArrayData): Long = {
+    var packed = 0L
+    var sub = 0
+    while (sub < m) {
+      var best = 0; var bestD = Long.MaxValue
+      var j = 0
+      while (j < k) {
+        val base = (sub * k + j) * ds
+        var dist = 0L
+        var t = 0
+        while (t < ds) {
+          val q = math.floor(emb.getFloat(sub * ds + t).toDouble * scale).toLong
+          val diff = q - cb(base + t)
+          dist += diff * diff
+          t += 1
+        }
+        if (dist < bestD) { bestD = dist; best = j }
+        j += 1
+      }
+      packed |= best.toLong << (4 * sub)
+      sub += 1
+    }
+    packed
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("pqCodeQ", this, classOf[PqCodeQ].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.code($c);")
+  }
+
+  /** Called from generated code. */
+  def code(emb: ArrayData): Long = compute(emb)
+
+  override protected def withNewChildInternal(newChild: Expression): PqCodeQ =
+    copy(child = newChild)
+}
+
+/** Integer ADC lookup table: entry [sub·k + j] = quantized dot of the
+  * query's subvector `sub` with centroid j — Σ floor(q·scale)·cb. Long
+  * dots rank candidates identically in every engine (PqTable's float
+  * dots could reorder near-ties), which is what lets the ADC shortlist
+  * — not just the final rerank — be oracle-checked. */
+case class PqTableQ(child: Expression, cbq: Seq[Long], m: Int, k: Int, scale: Long)
+    extends UnaryExpression {
+  require(cbq.length % (m * k) == 0 && scale > 0)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "pq_table_q"
+  @transient private lazy val cb: Array[Long] = cbq.toArray
+  @transient private lazy val ds: Int = cb.length / (m * k)
+
+  private def compute(emb: ArrayData): Array[Long] = {
+    val out = new Array[Long](m * k)
+    var sub = 0
+    while (sub < m) {
+      var j = 0
+      while (j < k) {
+        val base = (sub * k + j) * ds
+        var dot = 0L
+        var t = 0
+        while (t < ds) {
+          val q = math.floor(emb.getFloat(sub * ds + t).toDouble * scale).toLong
+          dot += q * cb(base + t)
+          t += 1
+        }
+        out(sub * k + j) = dot
+        j += 1
+      }
+      sub += 1
+    }
+    out
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      compute(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("pqTableQ", this, classOf[PqTableQ].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.table($c);")
+  }
+
+  /** Called from generated code. */
+  def table(emb: ArrayData): org.apache.spark.sql.catalyst.util.GenericArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(compute(emb))
+
+  override protected def withNewChildInternal(newChild: Expression): PqTableQ =
+    copy(child = newChild)
+}
+
+/** Integer ADC score: Σ over subspaces of tableQ[sub·k + code_sub] —
+  * the long-typed twin of PqAdc over PqTableQ tables. */
+case class PqAdcQ(left: Expression, right: Expression, m: Int, k: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "pq_adc_q"
+
+  private def compute(table: ArrayData, packed: Long): Long = {
+    var sum = 0L
+    var sub = 0
+    while (sub < m) {
+      val code = ((packed >>> (4 * sub)) & 0xfL).toInt
+      sum += table.getLong(sub * k + code)
+      sub += 1
+    }
+    sum
+  }
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    compute(l.asInstanceOf[ArrayData], r.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("pqAdcQ", this, classOf[PqAdcQ].getName)
+    nullSafeCodeGen(ctx, ev, (t, c) => s"${ev.value} = $self.score($t, $c);")
+  }
+
+  /** Called from generated code. */
+  def score(table: ArrayData, packed: Long): Long = compute(table, packed)
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdcQ =
+    copy(left = l, right = r)
+}
+
+/** Sorted distinct MD5-derived 64-bit hashes of the k-token SLIDING
+  * WINDOWS of an array<string> token column — the decontamination
+  * signature (q176). Like ShingleHashes but on the cross-engine MD5
+  * hash (md5_number_upper of the space-joined window — any engine
+  * recomputes the identical longs, where xxhash64 is Spark-only), and
+  * with a SHORT-DOC fallback: a non-empty doc with fewer than k tokens
+  * contributes ONE window of all its tokens, so short benchmark rows
+  * still decontaminate instead of silently vanishing below the window
+  * size. One fused codegen'd pass per row. */
+case class Md5WindowHashes(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "md5_window_hashes"
+
+  private def hash64(s: String): Long = {
+    val md = Md5WindowHashes.digest.get()
+    md.reset()
+    val d = md.digest(s.getBytes("UTF-8"))
+    var h = 0L
+    var b = 7
+    while (b >= 0) { h = (h << 8) | (d(b) & 0xffL); b -= 1 }
+    h
+  }
+
+  private def compute(toks: ArrayData): Array[Long] = {
+    val n = toks.numElements()
+    if (n == 0) return Array.emptyLongArray
+    val m = if (n >= k) n - k + 1 else 1
+    val win = if (n >= k) k else n
+    val hs = new Array[Long](m)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < m) {
+      sb.setLength(0)
+      var j = 0
+      while (j < win) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks.getUTF8String(i + j).toString)
+        j += 1
+      }
+      hs(i) = hash64(sb.toString)
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    var w = 0
+    i = 0
+    while (i < m) {
+      if (w == 0 || hs(i) != hs(w - 1)) { hs(w) = hs(i); w += 1 }
+      i += 1
+    }
+    if (w == m) hs else java.util.Arrays.copyOf(hs, w)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      compute(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("md5WindowHashes", this, classOf[Md5WindowHashes].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.hashes($c);")
+  }
+
+  /** Called from generated code. */
+  def hashes(toks: ArrayData): org.apache.spark.sql.catalyst.util.GenericArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(compute(toks))
+
+  override protected def withNewChildInternal(newChild: Expression): Md5WindowHashes =
+    copy(child = newChild)
+}
+
+object Md5WindowHashes {
   /** MessageDigest is stateful and not thread-safe (see SimHashMd5). */
   private val digest = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =

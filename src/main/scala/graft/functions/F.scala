@@ -145,15 +145,29 @@ object F {
     GraftColumns.wrap(
       CmsEstimate(GraftColumns.unwrap(sketch), GraftColumns.unwrap(key), width, depth))
 
-  /** Packed-nibble PQ code of an array<float> embedding. */
-  def pqCode(c: Column, codebook: Seq[Float], m: Int, k: Int): Column =
-    GraftColumns.wrap(PqCode(u(c), codebook, m, k))
+  /** Cell ids ordered by quantized-integer L2 (asc, ties to lower id) —
+    * element_at(..,1) assigns, slice(..,1,p) probes. Cross-engine exact. */
+  def quantCellOrder(c: Column, centsQ: Seq[Seq[Long]], scale: Long): Column =
+    GraftColumns.wrap(QuantCellOrder(u(c), centsQ, scale))
 
-  /** Per-query ADC lookup table (array<float> of m·k partial dots). */
-  def pqTable(c: Column, codebook: Seq[Float], m: Int, k: Int): Column =
-    GraftColumns.wrap(PqTable(u(c), codebook, m, k))
+  /** Pure-integer squared L2 of two float arrays on the quantized grid. */
+  def quantL2(a: Column, b: Column, scale: Long): Column =
+    GraftColumns.wrap(QuantL2(u(a), u(b), scale))
 
-  /** ADC approximate dot product from a query table + packed code. */
-  def pqAdc(table: Column, code: Column, m: Int, k: Int): Column =
-    GraftColumns.wrap(PqAdc(u(table), u(code), m, k))
+  /** Integer-exact packed-nibble PQ code (quantized-grid assignment). */
+  def pqCodeQ(c: Column, cbq: Seq[Long], m: Int, k: Int, scale: Long): Column =
+    GraftColumns.wrap(PqCodeQ(u(c), cbq, m, k, scale))
+
+  /** Integer ADC lookup table (array<long> of m·k quantized dots). */
+  def pqTableQ(c: Column, cbq: Seq[Long], m: Int, k: Int, scale: Long): Column =
+    GraftColumns.wrap(PqTableQ(u(c), cbq, m, k, scale))
+
+  /** Integer ADC score from a PqTableQ table + packed code. */
+  def pqAdcQ(table: Column, code: Column, m: Int, k: Int): Column =
+    GraftColumns.wrap(PqAdcQ(u(table), u(code), m, k))
+
+  /** Sorted distinct MD5 64-bit hashes of the k-token sliding windows
+    * of an array<string> column (short docs → one whole-doc window). */
+  def md5WindowHashes(c: Column, k: Int): Column =
+    GraftColumns.wrap(Md5WindowHashes(u(c), k))
 }

@@ -119,60 +119,113 @@ object Similarity {
   val TrainIters = 2
   val TrainSampleN = 4096
 
+  /** Fixed-point grid for every training/assignment integer: values
+    * quantize as q = floor(x·2¹⁴). The scale is a power of two, so the
+    * float→double widening and the multiply are IEEE-EXACT in any
+    * engine, and grid values dequantize losslessly back to float
+    * (q/2¹⁴ needs ≤ 24 mantissa bits for |q| < 2²⁴ — embeddings are
+    * unit-ish, |q| ≲ 2¹⁵). Everything order-sensitive (Lloyd sums,
+    * centroid means, cell assignment, ADC ranking) runs on these
+    * integers — bit-identical across engines, partitionings, and merge
+    * orders — which is what lets every k-means-derived query be checked
+    * against an independent DuckDB recomputation instead of a golden
+    * pin. Floats survive only in SCORING (cosine, bp-rounded at the
+    * output boundary, the q60 convention). */
+  val QuantScale = 16384L
+
+  private[graft] def quantizeVal(x: Float): Long =
+    math.floor(x.toDouble * QuantScale).toLong
+
+  /** Exact long→float dequantization onto the grid. */
+  private def dequantize(q: Long): Float = (q.toDouble / QuantScale).toFloat
+
+  /** Exact float→long requantization of grid floats (trainer outputs). */
+  private[graft] def quantizeCents(cents: Seq[Seq[Float]]): Seq[Seq[Long]] =
+    cents.map(_.map(quantizeVal))
+
   /** Deterministic hash-ordered sample of up to `n` (id, embedding)
     * rows. orderBy+limit plans as TakeOrderedAndProject — a per-partition
     * bounded heap plus a driver merge of n rows, never a full sort — so
-    * the sample cost is one map pass over the corpus at any scale. */
+    * the sample cost is one map pass over the corpus at any scale. The
+    * order key is the MD5-derived signed long (NOT xxhash64, which only
+    * Spark computes): any engine with an MD5 reproduces the exact
+    * sample AND seed order, so training is recomputable from SQL. */
   private def hashSample(df: DataFrame, id: String, emb: String, n: Int): DataFrame =
     df.select(col(id).as("sid"), col(emb).as("semb"))
-      .orderBy(xxhash64(col("sid")).asc, col("sid").asc)
+      .orderBy(F.md5Hash64(col("sid").cast("string")).asc, col("sid").asc)
       .limit(n)
-      // The sample is tiny (≤ n rows); one partition keeps every Lloyd
-      // iteration a single task instead of shuffle.partitions tasks of
-      // scheduling overhead per round.
-      .coalesce(1)
 
-  /** Best-centroid struct for an embedding column: array_max over
-    * (cosine, index) structs — `.getField("i")` is the cell assignment,
-    * `.getField("c")` the winning cosine. ONE definition so the
-    * assignment tie-break (max cosine, then max index, the struct
-    * order) cannot drift between quantizer training, clustering,
-    * diversity sampling and semantic dedup — a divergence would
-    * silently shift cell boundaries and every golden pin downstream. */
-  private def bestCell(cents: Seq[Seq[Float]], emb: Column): Column =
-    array_max(array(cents.zipWithIndex.map { case (c, i) =>
-      struct(F.cosineSim(emb, typedlit(c)).as("c"), lit(i).as("i"))
-    }: _*))
+  /** All cell ids for an embedding, ordered by quantized-integer L2
+    * (asc, ties to the LOWER id) — ONE definition of the assignment
+    * lattice so quantizer training, clustering, diversity sampling,
+    * semantic dedup and the IVF probe paths cannot drift. Pure-integer,
+    * so cell boundaries are bit-identical across engines — the float-
+    * cosine argmax this replaces was deterministic within Spark but
+    * unprovable from SQL (1-ulp accumulation differences could flip an
+    * assignment). */
+  private def cellOrder(cents: Seq[Seq[Float]], emb: Column): Column =
+    F.quantCellOrder(emb, quantizeCents(cents), QuantScale)
 
-  /** Sampled spherical k-means (cosine assignment, mean update) — the
-    * IVF coarse-quantizer trainer. Fully DataFrame-native Lloyd
-    * iterations: each round is ONE map-side assignment pass over the
-    * bounded cached sample (centroids ride the plan as literals inside a
-    * codegen'd argmax) and ONE VecSumAgg reduce whose exchange carries k
-    * partial (double[dim], count) pairs — never the vectors. Seeds are
-    * the first k hash-ordered sample rows (deterministic); a cell that
-    * loses all members keeps its previous centroid. */
+  /** The assigned cell: nearest quantized centroid. */
+  private def bestCellId(cents: Seq[Seq[Float]], emb: Column): Column =
+    element_at(cellOrder(cents, emb), 1)
+
+  /** Cosine of a row to its ASSIGNED centroid (float scoring on top of
+    * the integer assignment): centroid looked up from the literal
+    * matrix by cell id. */
+  private def cosToCell(cents: Seq[Seq[Float]], emb: Column, cell: Column): Column =
+    F.cosineSim(emb, element_at(typedlit(cents.map(_.toSeq)), cell + 1))
+
+  /** Sampled k-means in EXACT integer fixed-point — the IVF coarse-
+    * quantizer trainer. The bounded hash-ordered sample (≤ sampleN
+    * rows — 2 MB of longs at 4096×64) collects ONCE to the driver and
+    * the Lloyd loop runs there: assignment is argmin quantized squared
+    * L2 (ties to the lower cell), the mean update is a floor-division
+    * of exact integer sums (Math.floorDiv — the `(s - ((s%n+n)%n))/n`
+    * any SQL engine reproduces), and a cell that loses all members
+    * keeps its previous centroid. Seeds are the first k sample rows.
+    *
+    * Scale (100 TB): the SAMPLE is the scale knob — one bounded
+    * TakeOrderedAndProject pass over the corpus regardless of corpus
+    * size; training cost is O(iters·k·sampleN·dim) integer ops on the
+    * driver (~16M here, sub-second), strictly cheaper than the
+    * previous per-iteration distributed aggregate whose k partial sums
+    * had to collect() every round anyway. Returned centroids are grid
+    * floats (exact long↔float round-trip). */
   def trainCentroids(corpus: DataFrame, id: String, emb: String,
                      k: Int, iters: Int = TrainIters,
                      sampleN: Int = TrainSampleN): Seq[Seq[Float]] = {
-    val sample = hashSample(corpus, id, emb, sampleN).cache()
-    var cents: Seq[Seq[Float]] = sample.limit(k).collect()
-      .map(_.getSeq[Float](1).toSeq).toSeq
-    require(cents.nonEmpty, "empty corpus: cannot train centroids")
+    val rows = hashSample(corpus, id, emb, sampleN).collect()
+    require(rows.nonEmpty, "empty corpus: cannot train centroids")
+    val qs: Array[Array[Long]] =
+      rows.map(_.getSeq[Float](1).map(quantizeVal).toArray)
+    val dim = qs(0).length
+    var cents: Array[Array[Long]] = qs.take(k).map(_.clone())
+    val kk = cents.length
     for (_ <- 0 until iters) {
-      val byCell = sample
-        .select(col("semb"), bestCell(cents, col("semb")).getField("i").as("cell"))
-        .groupBy(col("cell"))
-        .agg(F.vecSum(col("semb")).as("vs"), count(lit(1)).as("n"))
-        .collect()
-        .map(r => r.getInt(0) -> ((r.getSeq[Double](1), r.getLong(2)))).toMap
-      cents = cents.zipWithIndex.map { case (old, i) =>
-        byCell.get(i).map { case (vs, n) => vs.map(v => (v / n).toFloat).toSeq }
-          .getOrElse(old)
+      val sums = Array.ofDim[Long](kk, dim)
+      val ns = new Array[Long](kk)
+      qs.foreach { q =>
+        var best = 0; var bestD = Long.MaxValue
+        var j = 0
+        while (j < kk) {
+          val c = cents(j)
+          var acc = 0L; var t = 0
+          while (t < dim) { val df = q(t) - c(t); acc += df * df; t += 1 }
+          if (acc < bestD) { bestD = acc; best = j }
+          j += 1
+        }
+        val s = sums(best)
+        var t = 0
+        while (t < dim) { s(t) += q(t); t += 1 }
+        ns(best) += 1
+      }
+      cents = cents.zipWithIndex.map { case (old, j) =>
+        if (ns(j) == 0) old
+        else Array.tabulate(dim)(t => Math.floorDiv(sums(j)(t), ns(j)))
       }
     }
-    sample.unpersist()
-    cents
+    cents.map(_.map(dequantize).toSeq).toSeq
   }
 
   /** IVF-Flat approximate top-k — a coarse quantizer of `cells` sampled
@@ -192,18 +245,14 @@ object Similarity {
               k: Int = TopK, cells: Int = IvfCells,
               probes: Int = IvfProbes, trainIters: Int = TrainIters): DataFrame = {
     val centroids: Seq[Seq[Float]] = trainCentroids(corpus, id, emb, cells, trainIters)
-    // One struct per cell: (cos to centroid, cell id). Struct ordering is
-    // (cos, id), so array_max = argmax with deterministic id tie-break.
-    def cellScores(e: Column): Column = array(centroids.zipWithIndex.map {
-      case (c, i) => struct(F.cosineSim(e, typedlit(c)).as("c"), lit(i).as("i"))
-    }: _*)
+    // Corpus assignment and query probes both read the ONE integer
+    // assignment lattice (cellOrder): element 1 assigns, the prefix
+    // probes — same codegen'd expression, map-only on both sides.
     val c = corpus.select(col(id).as("vid"), col(emb).as("c_emb"),
-      array_max(cellScores(col(emb))).getField("i").as("cell"))
+      bestCellId(centroids, col(emb)).as("cell"))
     val q = queries
       .select(col(id).as("query_id"), col(emb).as("q_emb"),
-        explode(transform(
-          slice(reverse(sort_array(cellScores(col(emb)))), 1, probes),
-          x => x.getField("i"))).as("cell"))
+        explode(slice(cellOrder(centroids, col(emb)), 1, probes)).as("cell"))
     val cos = F.cosineSim(col("q_emb"), col("c_emb"))
     rankTopK(
       c.join(broadcast(q), Seq("cell"))
@@ -215,63 +264,61 @@ object Similarity {
   val PqK = 16       // centroids per subspace
   val PqRerank = 128 // ADC shortlist size fed to exact rerank
 
-  /** Sampled per-subspace L2 k-means — the PQ codebook trainer, matching
-    * PqCode's L2 assignment metric. All m subspaces train in the SAME
-    * DataFrame pass per Lloyd round: subvectors are exploded once to
-    * (sub, sv) rows, the per-row argmin picks among that row's own
-    * subspace centroids (selected from a literal [m][ds] array with
-    * element_at), and one (sub, cell) VecSumAgg reduce yields the mean
-    * update — m×k partial sums over the exchange, never the sample.
-    * The interpreted zip_with/aggregate distance runs ONLY over the
-    * bounded sample, not the corpus scoring path (that stays on the
-    * codegen'd PqCode/PqAdc expressions).
-    * Returns the flattened codebook in PqCode layout:
+  /** Sampled per-subspace k-means in EXACT integer fixed-point — the
+    * PQ codebook trainer, matching PqCodeQ's quantized-L2 assignment
+    * metric. Same driver-side discipline as trainCentroids (the sample
+    * is the bounded scale knob; training is O(iters·m·k·sampleN·ds)
+    * integer ops): per subspace, argmin quantized squared L2 with ties
+    * to the lower centroid, floor-division mean updates on exact
+    * integer sums, empty cells keep their previous centroid. Seeds are
+    * the first kCent sample rows sliced per subspace.
+    * Returns the flattened grid-float codebook in PqCode layout:
     * (sub, centroid, dim) → codebook((sub*k + j)*ds + t). */
   def trainPqCodebook(corpus: DataFrame, id: String, emb: String,
                       m: Int = PqM, kCent: Int = PqK,
                       iters: Int = TrainIters,
                       sampleN: Int = TrainSampleN): Seq[Float] = {
-    val sample = hashSample(corpus, id, emb, sampleN).cache()
-    val seeds: Array[Array[Float]] = sample.limit(kCent).collect()
-      .map(_.getSeq[Float](1).toArray)
-    require(seeds.length >= kCent,
+    val rows = hashSample(corpus, id, emb, sampleN).collect()
+    require(rows.length >= kCent,
       s"PQ needs at least kCent=$kCent vectors to seed the codebook, " +
-        s"corpus/sample has ${seeds.length}")
-    val ds = seeds.head.length / m
-    // cb(sub)(j) = centroid j of subspace sub
-    var cb: Array[Array[Array[Float]]] = Array.tabulate(m, kCent) {
-      (sub, j) => seeds(j).slice(sub * ds, (sub + 1) * ds)
+        s"corpus/sample has ${rows.length}")
+    val qs: Array[Array[Long]] =
+      rows.map(_.getSeq[Float](1).map(quantizeVal).toArray)
+    val dim = qs(0).length
+    val ds = dim / m
+    // cb(sub)(j) = quantized centroid j of subspace sub
+    var cb: Array[Array[Array[Long]]] = Array.tabulate(m, kCent) {
+      (sub, j) => qs(j).slice(sub * ds, (sub + 1) * ds)
     }
-    val svecs = sample.select(explode(array((0 until m).map(sub =>
-        struct(lit(sub).as("sub"),
-          slice(col("semb"), sub * ds + 1, ds).as("sv"))): _*)).as("x"))
-      .select(col("x.sub").as("sub"), col("x.sv").as("sv"))
-      .cache()
-    def l2sq(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, v) => acc + v.cast("double"))
     for (_ <- 0 until iters) {
-      val dists = array((0 until kCent).map { j =>
-        val cj = element_at(typedlit((0 until m).map(sub => cb(sub)(j).toSeq)),
-          col("sub") + 1)
-        struct(l2sq(col("sv"), cj).as("d"), lit(j).as("j"))
-      }: _*)
-      val updates = svecs
-        .select(col("sub"), col("sv"), array_min(dists).getField("j").as("cell"))
-        .groupBy(col("sub"), col("cell"))
-        .agg(F.vecSum(col("sv")).as("vs"), count(lit(1)).as("n"))
-        .collect()
-      val next = cb.map(_.clone())
-      updates.foreach { r =>
-        val (sub, j) = (r.getInt(0), r.getInt(1))
-        val (vs, n) = (r.getSeq[Double](2), r.getLong(3))
-        next(sub)(j) = vs.map(v => (v / n).toFloat).toArray
+      val sums = Array.ofDim[Long](m, kCent, ds)
+      val ns = Array.ofDim[Long](m, kCent)
+      qs.foreach { q =>
+        var sub = 0
+        while (sub < m) {
+          var best = 0; var bestD = Long.MaxValue
+          var j = 0
+          while (j < kCent) {
+            val c = cb(sub)(j)
+            var acc = 0L; var t = 0
+            while (t < ds) { val df = q(sub * ds + t) - c(t); acc += df * df; t += 1 }
+            if (acc < bestD) { bestD = acc; best = j }
+            j += 1
+          }
+          val s = sums(sub)(best)
+          var t = 0
+          while (t < ds) { s(t) += q(sub * ds + t); t += 1 }
+          ns(sub)(best) += 1
+          sub += 1
+        }
       }
-      cb = next
+      cb = Array.tabulate(m, kCent) { (sub, j) =>
+        if (ns(sub)(j) == 0) cb(sub)(j)
+        else Array.tabulate(ds)(t => Math.floorDiv(sums(sub)(j)(t), ns(sub)(j)))
+      }
     }
-    svecs.unpersist()
-    sample.unpersist()
-    (0 until m).flatMap(sub => (0 until kCent).flatMap(j => cb(sub)(j)))
+    (0 until m).flatMap(sub => (0 until kCent).flatMap(j =>
+      cb(sub)(j).map(dequantize).toSeq))
   }
 
   /** Product-quantization ANN — the memory-bound scale path. The corpus
@@ -291,17 +338,18 @@ object Similarity {
              k: Int = TopK, m: Int = PqM, kCent: Int = PqK,
              rerank: Int = PqRerank, trainIters: Int = TrainIters): DataFrame = {
     val codebook: Seq[Float] = trainPqCodebook(corpus, id, emb, m, kCent, trainIters)
+    val cbq = codebook.map(quantizeVal)
     val codes = corpus.select(col(id).as("vid"),
-      F.pqCode(col(emb), codebook, m, kCent).as("code"))
+      F.pqCodeQ(col(emb), cbq, m, kCent, QuantScale).as("code"))
     val q = queries.select(col(id).as("query_id"), col(emb).as("q_emb"),
-        F.pqTable(col(emb), codebook, m, kCent).as("tbl"))
+        F.pqTableQ(col(emb), cbq, m, kCent, QuantScale).as("tbl"))
     // Top-`rerank` ADC shortlist per query via the bounded heap (same
     // O(n log rerank) map-side shape as rankTopK); q_emb is re-attached
     // by a broadcast join with the tiny query set rather than riding
     // through the heap payload.
     val shortlist = codes.join(broadcast(q), col("vid") =!= col("query_id"))
       .select(col("query_id"), col("vid").as("neighbor_id"),
-        F.pqAdc(col("tbl"), col("code"), m, kCent).as("adc"))
+        F.pqAdcQ(col("tbl"), col("code"), m, kCent).as("adc"))
       .groupBy(col("query_id"))
       .agg(F.topK(struct(col("adc"), (-col("neighbor_id")).as("negid"),
         col("neighbor_id").as("nid")), rerank).as("top"))
@@ -547,11 +595,11 @@ object Similarity {
   def clusterCells(corpus: DataFrame, id: String, emb: String,
                    k: Int, iters: Int = TrainIters): DataFrame = {
     val cents = trainCentroids(corpus, id, emb, k, iters)
-    val best = bestCell(cents, col(emb))
     corpus
-      .select(col(id).as("vid"),
-        best.getField("i").as("cell"),
-        best.getField("c").as("cos"))
+      .select(col(id).as("vid"), col(emb).as("e"),
+        bestCellId(cents, col(emb)).as("cell"))
+      .select(col("vid"), col("cell"),
+        cosToCell(cents, col("e"), col("cell")).as("cos"))
       .groupBy(col("cell"))
       .agg(count(lit(1)).as("n_members"),
         // Cohesion as a mean of per-row FIXED-POINT cosines: the long
@@ -592,7 +640,7 @@ object Similarity {
     val cents = trainCentroids(e, "vec_id", "embedding", cells)
     val w = Window.partitionBy(col("cell"))
       .orderBy(md5(col("vec_id").cast("string")).asc, col("vec_id").asc)
-    e.select(col("vec_id"), bestCell(cents, col("embedding")).getField("i").as("cell"))
+    e.select(col("vec_id"), bestCellId(cents, col("embedding")).as("cell"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= quota)
       .select(col("cell"), col("rn"), col("vec_id"))
@@ -611,7 +659,7 @@ object Similarity {
                k: Int, tau: Double, iters: Int = TrainIters): DataFrame = {
     val cents = trainCentroids(corpus, id, emb, k, iters)
     val cells = corpus.select(col(id).as("vid"), col(emb).as("e"),
-      bestCell(cents, col(emb)).getField("i").as("cell"))
+      bestCellId(cents, col(emb)).as("cell"))
     val dropped = cells.as("a").join(cells.as("b"),
         col("a.cell") === col("b.cell") && col("a.vid") < col("b.vid") &&
         F.cosineSim(col("a.e"), col("b.e")) >= tau)
@@ -672,7 +720,7 @@ object Similarity {
       .toDF("cell", "centroid")
       .write.mode("overwrite").parquet(s"$path/centroids")
     corpus.select(col(id).as("vid"), col(emb).as("c_emb"),
-        bestCell(cents, col(emb)).getField("i").as("cell"))
+        bestCellId(cents, col(emb)).as("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
   }
 
@@ -696,10 +744,10 @@ object Similarity {
     queries.select(col(id).as("query_id"), col(emb).as("q_emb"))
       .join(broadcast(centsDf.select(col("cell"), col("centroid"))))
       .select(col("query_id"), col("q_emb"), col("cell"),
-        F.cosineSim(col("q_emb"), col("centroid")).as("cs"))
+        F.quantL2(col("q_emb"), col("centroid"), QuantScale).as("dq"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("query_id"))
-          .orderBy(col("cs").desc, col("cell").desc)))
+          .orderBy(col("dq").asc, col("cell").asc)))
       .where(col("rk") <= probes)
       .select(col("query_id"), col("q_emb"), col("cell"))
 
@@ -715,9 +763,10 @@ object Similarity {
     else Some(rows.sortBy(_.getInt(0)).map(_.getSeq[Float](1).toSeq).toSeq)
   }
 
-  /** Delta rows encoded against the stored quantizer: literal-argmax
-    * assignment under `literalCellsMax` cells, broadcast-join argmax
-    * (max_by over (cos, cell) — the same tie-break) above it. */
+  /** Delta rows encoded against the stored quantizer: literal
+    * integer-argmin assignment under `literalCellsMax` cells,
+    * broadcast-join argmin (min_by over (quantized L2, cell) — the
+    * same tie-break as QuantCellOrder) above it. */
   private def assignCells(centsDf: DataFrame, delta: DataFrame,
                           id: String, emb: String,
                           literalCellsMax: Int): DataFrame = {
@@ -725,13 +774,13 @@ object Similarity {
     if (small.isDefined) {
       val cents = small.get
       delta.select(col(id).as("vid"), col(emb).as("c_emb"),
-        bestCell(cents, col(emb)).getField("i").as("cell"))
+        bestCellId(cents, col(emb)).as("cell"))
     } else {
       delta.select(col(id).as("vid"), col(emb).as("c_emb"))
         .join(broadcast(centsDf.select(col("cell"), col("centroid"))))
         .groupBy(col("vid"))
         .agg(first(col("c_emb")).as("c_emb"),
-          max(struct(F.cosineSim(col("c_emb"), col("centroid")).as("c"),
+          min(struct(F.quantL2(col("c_emb"), col("centroid"), QuantScale).as("d"),
             col("cell").as("i"))).as("best"))
         .select(col("vid"), col("c_emb"), col("best.i").as("cell"))
     }
@@ -835,14 +884,9 @@ object Similarity {
     val centsDf = s.read.parquet(s"$path/centroids")
     val q = centroidsUpTo(centsDf, literalCellsMax) match {
       case Some(cents) =>
-        def cellScores(e: Column): Column = array(cents.zipWithIndex.map {
-          case (c, i) => struct(F.cosineSim(e, typedlit(c)).as("c"), lit(i).as("i"))
-        }: _*)
         queries
           .select(col(id).as("query_id"), col(emb).as("q_emb"),
-            explode(transform(
-              slice(reverse(sort_array(cellScores(col(emb)))), 1, probes),
-              x => x.getField("i"))).as("cell"))
+            explode(slice(cellOrder(cents, col(emb)), 1, probes)).as("cell"))
       case None => probesByJoin(centsDf, queries, id, emb, probes)
     }
     val probed = q.select(col("cell")).distinct().collect().map(_.getInt(0))
@@ -867,7 +911,8 @@ object Similarity {
     Seq(Tuple1(codebook)).toDF("codebook")
       .write.mode("overwrite").parquet(s"$path/codebook")
     corpus.select(col(id).as("vid"),
-        F.pqCode(col(emb), codebook, m, kCent).as("code"))
+        F.pqCodeQ(col(emb), codebook.map(quantizeVal), m, kCent, QuantScale)
+          .as("code"))
       .write.mode("overwrite").parquet(s"$path/codes")
   }
 
@@ -883,10 +928,11 @@ object Similarity {
       .head().getSeq[Float](0).toSeq
     val codes = s.read.parquet(s"$path/codes")
     val q = queries.select(col(id).as("query_id"), col(emb).as("q_emb"),
-        F.pqTable(col(emb), codebook, m, kCent).as("tbl"))
+        F.pqTableQ(col(emb), codebook.map(quantizeVal), m, kCent, QuantScale)
+          .as("tbl"))
     val shortlist = codes.join(broadcast(q), col("vid") =!= col("query_id"))
       .select(col("query_id"), col("vid").as("neighbor_id"),
-        F.pqAdc(col("tbl"), col("code"), m, kCent).as("adc"))
+        F.pqAdcQ(col("tbl"), col("code"), m, kCent).as("adc"))
       .groupBy(col("query_id"))
       .agg(F.topK(struct(col("adc"), (-col("neighbor_id")).as("negid"),
         col("neighbor_id").as("nid")), rerank).as("top"))

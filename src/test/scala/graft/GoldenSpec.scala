@@ -29,20 +29,16 @@ class GoldenSpec extends SparkSpec {
     // change; pairs verified bit-exact vs the DuckDB md5_number_upper
     // oracle at sf0.01 before pinning)
     "q53_dedup_simhash"   -> "844b3a12e5f2351894ae72f00466fc9d",
-    // re-pinned for the multiprobe upgrade (recall 0.52 → 0.99 at sf0.1)
-    "q61_ann_lsh"         -> "29053b1035c3140d6ae4974051a658b1",
-    "q62_ann_ivf"         -> "e58c3a6508352b26f7d1573a51e2a9c9",
-    "q63_ann_pq"          -> "82cf96eddf4d3a6f2672cf157e84764f",
     // re-pinned for the md5 metadata-dim switch (metaWidth/metaHeight
     // moved from xxhash64 to the DuckDB-reproducible md5 hex prefix, so
     // the generated PNG dims — and thus sizes and means — changed).
     // q71/q76 left this list in the same change: they now carry full
     // DuckDB oracles at sf0.01, strictly stronger than an sf0.001 pin.
+    // The k-means/ANN family (q61/q62/q63/q91/q95/q114 and the index
+    // twins) left in round 9: integer fixed-point training gave them
+    // full DuckDB oracles (AnnOracleSql), strictly stronger than pins.
     "q70_multimodal_meta" -> "9da3d79e1292e662833b6c23668756c8",
-    "q91_embed_clusters"  -> "8982a208ebade798caaa0b019188c24d",
-    "q95_diversity_sample" -> "e659c706697df54f41f8bec86ece7ab2",
     "q105_audio_decode"   -> "06f18dcb02662a6473375f89ece9b23b",
-    "q114_semdedup"       -> "bf742a6709c9f0e3737ee9075dadbedd",
     "q141_bpe_vocab"      -> "e2ad9048e23cff6922ad6933d1dca481",
     "q142_bpe_tokenize"   -> "312c9342d04a0b0ae3f5c42f85677c56",
     "q143_video_frames"   -> "eef37c0a2814b319f5ffdf6dda89288a",
