@@ -192,6 +192,7 @@ object SparkEntry {
     "q77_session_window"  -> (Events.q77 _),
     "q75_corpus_pipeline" -> (Text.q75 _),
     "q71_frame_sample"    -> (Multimodal.q71 _),
+    "q176_decontaminate"  -> (Dedup.q176 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -2108,6 +2109,26 @@ object SparkEntry {
                 WHEN old_type <> new_type THEN 'changed' ELSE 'same' END AS status,
            old_type, new_type
          FROM oo FULL OUTER JOIN nn ON oo.user_id = nn.user_id""",
+
+    // Recomputes Md5WindowHashes verbatim: per doc the DISTINCT
+    // md5_number_upper hashes of the space-joined 4-token sliding
+    // windows (whole doc when shorter), benchmark slice doc_id%23=0,
+    // per-train-doc hit counts against the distinct benchmark set.
+    "q176_decontaminate" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         idx AS (SELECT doc_id, ts,
+                 unnest(range(1, CASE WHEN len(ts) >= 4 THEN len(ts) - 2 ELSE 2 END)) AS i
+                 FROM tk),
+         wins AS (SELECT DISTINCT doc_id,
+                  md5_number_upper(array_to_string(list_slice(ts, i, LEAST(i + 3, len(ts))), ' ')) AS h
+                  FROM idx),
+         bench AS (SELECT DISTINCT h FROM wins WHERE doc_id % 23 = 0),
+         tw AS (SELECT doc_id, h FROM wins WHERE doc_id % 23 <> 0)
+         SELECT t.doc_id, count(*) AS n_windows,
+           CAST(sum(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           CAST(CASE WHEN sum(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) > 0
+                THEN 1 ELSE 0 END AS INT) AS contaminated
+         FROM tw t LEFT JOIN bench b USING (h) GROUP BY t.doc_id""",
   )
 
   /** PageRank oracle: the q51 edge derivation + 5 UNROLLED integer

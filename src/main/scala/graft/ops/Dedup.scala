@@ -998,4 +998,59 @@ object Dedup {
       clusters(q51(s, d).select(col("doc_a"), col("doc_b"))
         .unionAll(q54(s, d).select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))),
       Text.qualityBp(Tables.documents(s, d), "doc_id", "text"))
+
+  /** TOKEN-WINDOW DECONTAMINATION VERDICTS — the APPLIED face of q103's
+    * diagnostic hit list (the q96-vs-q55 split): one row for EVERY
+    * training document with its window/hit accounting and the drop
+    * verdict a pipeline filters on, where `decontaminate` reports only
+    * the contaminated subset. Differences that matter at the gate: the
+    * k-token sliding windows hash through the cross-engine MD5
+    * convention (Md5WindowHashes — one fused codegen pass per row), and
+    * a non-empty doc SHORTER than the window contributes one whole-doc
+    * window, so short benchmark rows still decontaminate instead of
+    * silently vanishing below the window size.
+    *
+    * Scale (100 TB): benchmarks are small and BOUNDED by construction
+    * (eval suites, not crawls) — the distinct benchmark-window set
+    * broadcasts, so the train side is one map-only pass (tokenize →
+    * window-hash → explode) plus a broadcast-hash probe and a per-doc
+    * aggregation; the corpus never shuffles on window hashes (q103's
+    * hash-shuffle join stays the fallback for benchmark sets too big to
+    * broadcast). */
+  def decontaminateVerdicts(train: DataFrame, benchmark: DataFrame,
+                            id: String, text: String, k: Int): DataFrame = {
+    import graft.functions.F
+    val benchHashes = benchmark
+      .select(explode(F.md5WindowHashes(
+        graft.functions.Cols.tokens(col(text)), k)).as("h"))
+      .distinct()
+    val trainWins = train
+      .select(col(id), explode(F.md5WindowHashes(
+        graft.functions.Cols.tokens(col(text)), k)).as("h"))
+    trainWins
+      .join(broadcast(benchHashes.select(col("h").as("bh"))),
+        col("h") === col("bh"), "left")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("bh").isNotNull, 1L).otherwise(0L)).as("n_hits"))
+      .select(col(id), col("n_windows"), col("n_hits"),
+        when(col("n_hits") > 0, 1).otherwise(0).as("contaminated"))
+  }
+
+  /** The q176 window size. Real pipelines run 8–13-token windows; the
+    * synthetic corpus draws ~30 distinct words, so 4 is the width at
+    * which verbatim overlap actually occurs (measured: 31 contaminated
+    * train docs at sf0.01 vs 1 at width 8). */
+  val DecontaminateK = 4
+
+  /** q176: decontaminate the documents table against its own
+    * pseudo-benchmark slice (doc_id % 23 = 0 — deterministic, so the
+    * oracle reproduces the split). */
+  def q176(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    decontaminateVerdicts(
+      docs.filter(col("doc_id") % 23 =!= 0),
+      docs.filter(col("doc_id") % 23 === 0),
+      "doc_id", "text", DecontaminateK)
+  }
 }

@@ -785,6 +785,35 @@ class OperatorsSpec extends SparkSpec {
       s"benchmark side not broadcast:\n$plan")
   }
 
+  test("q176 verdicts cover every train doc with consistent window accounting") {
+    val rows = Dedup.q176(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val docs = Tables.documents(spark, sf).select(col("doc_id")).collect()
+      .map(_.getLong(0))
+    // one verdict per train doc, none for the benchmark slice
+    assert(rows.map(_._1).toSet == docs.filter(_ % 23 != 0).toSet)
+    rows.foreach { case (id, nw, nh, flag) =>
+      assert(nw > 0, s"doc $id: no windows")
+      assert(nh >= 0 && nh <= nw, s"doc $id: hits $nh outside [0, $nw]")
+      assert(flag == (if (nh > 0) 1 else 0), s"doc $id: verdict/hits disagree")
+    }
+    // the synthetic corpus has real overlap at the q176 window width —
+    // an all-clean verdict table would mean the probe is broken
+    assert(rows.exists(_._4 == 1), "no contamination found at all")
+  }
+
+  test("q176 short-doc fallback: a sub-window doc still decontaminates") {
+    import SparkTestSession.spark.implicits._
+    val bench = Seq((1L, "alpha beta")).toDF("doc_id", "text")
+    val train = Seq((2L, "alpha beta"), (3L, "alpha beta gamma"),
+      (4L, "delta epsilon")).toDF("doc_id", "text")
+    val out = Dedup.decontaminateVerdicts(train, bench, "doc_id", "text", 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    // doc 2 IS the benchmark text (whole-doc window match); doc 3 has
+    // a different whole-doc window; doc 4 shares nothing
+    assert(out == Map(2L -> 1, 3L -> 0, 4L -> 0))
+  }
+
   test("q104 mixture keeps the smallest source whole and bounds the others near budget") {
     val kept = Text.q104(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
