@@ -193,6 +193,8 @@ object SparkEntry {
     "q75_corpus_pipeline" -> (Text.q75 _),
     "q71_frame_sample"    -> (Multimodal.q71 _),
     "q176_decontaminate"  -> (Dedup.q176 _),
+    "q177_quantile_sketch" -> (Events.q177 _),
+    "q178_twap"           -> (Events.q178 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -2129,6 +2131,48 @@ object SparkEntry {
            CAST(CASE WHEN sum(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) > 0
                 THEN 1 ELSE 0 END AS INT) AS contaminated
          FROM tw t LEFT JOIN bench b USING (h) GROUP BY t.doc_id""",
+
+    // Recomputes the bottom-k-by-hash sample EXACTLY (the k (h, v)-
+    // lexicographically-smallest pairs per day under the signed
+    // md5_number_upper hash) and the nearest-rank picks from the
+    // value-sorted sample; the RANGE row re-selects the bottom k of
+    // the union of the daily samples (bottom-k mergeability).
+    "q177_quantile_sketch" ->
+      """WITH e AS (SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           CAST(CASE WHEN md5_number_upper(CAST(event_id AS VARCHAR)) >= 9223372036854775808::HUGEINT
+                THEN md5_number_upper(CAST(event_id AS VARCHAR))::HUGEINT - 18446744073709551616::HUGEINT
+                ELSE md5_number_upper(CAST(event_id AS VARCHAR))::HUGEINT END AS BIGINT) AS h,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+           FROM events
+           WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'),
+         sel AS (SELECT day, h, v FROM e
+                 QUALIFY row_number() OVER (PARTITION BY day ORDER BY h, v) <= 256),
+         mg AS (SELECT 'RANGE' AS day, h, v FROM sel
+                QUALIFY row_number() OVER (ORDER BY h, v) <= 256),
+         u AS (SELECT day, v FROM sel UNION ALL SELECT day, v FROM mg),
+         n AS (SELECT day, count(*) AS n FROM u GROUP BY day),
+         rk AS (SELECT day, v, row_number() OVER (PARTITION BY day ORDER BY v) AS rv FROM u)
+         SELECT n.day, CAST(n.n AS BIGINT) AS n_sample,
+           max(CASE WHEN rk.rv = ((n.n - 1) * 50) // 100 + 1 THEN rk.v END) AS p50_cents,
+           max(CASE WHEN rk.rv = ((n.n - 1) * 90) // 100 + 1 THEN rk.v END) AS p90_cents
+         FROM n JOIN rk ON rk.day = n.day GROUP BY n.day, n.n""",
+
+    // Exact integer TWAP: cents at the row, micros holding gaps via
+    // lead(), HUGEINT products (a week of micros x cents crosses
+    // 2^63), truncating // on the non-negative operands = IntegralDivide.
+    "q178_twap" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS v, event_id FROM events),
+         g AS (SELECT user_id, v,
+               lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) - ts_us AS gap
+               FROM e),
+         h AS (SELECT user_id, CAST(v AS HUGEINT) AS v, CAST(gap AS HUGEINT) AS gap
+               FROM g WHERE gap IS NOT NULL),
+         a AS (SELECT user_id, count(*) AS n_intervals, sum(gap) AS span,
+               sum(v * gap) AS wsum FROM h GROUP BY user_id)
+         SELECT user_id, n_intervals, CAST(span AS BIGINT) AS span_us,
+           CAST(wsum // span AS BIGINT) AS twap_cents
+         FROM a WHERE span > 0""",
   )
 
   /** PageRank oracle: the q51 edge derivation + 5 UNROLLED integer

@@ -1141,4 +1141,106 @@ object Events {
   /** q163: per-user inter-arrival burstiness in basis points. */
   def q163(s: SparkSession, d: String): DataFrame =
     burstiness(Tables.events(s, d), "user_id", micros(col("ts")), "event_id")
+
+  /** MERGEABLE QUANTILE SKETCH by bottom-k hash sampling — the quantile
+    * member of the sketch-store family (KMV = distincts q174/q175,
+    * HLL = q159, this = value distribution): each day keeps the k
+    * events with the SMALLEST md5-derived hash (a uniform random — but
+    * deterministic and engine-independent — sample of the day), and a
+    * range query merges days by re-selecting the bottom k of the union,
+    * which IS the bottom-k sample of the union (the mergeability that
+    * t-digest buys with far more machinery, here with exact cross-
+    * engine reproducibility — every selected (hash, value) pair is
+    * recomputable from SQL, unlike a t-digest's float centroids).
+    * Estimates are nearest-rank (floor((n−1)·p)) picks from the
+    * value-sorted sample, in exact cents.
+    *
+    * Scale (100 TB): one hash aggregation on day; the bounded heap
+    * (TopKAgg, ~k·16 bytes per partial) partial-merges map-side, so the
+    * exchange carries O(days·k) pairs, never the events. The (~h, −v)
+    * struct makes heap-max = (h, v)-lexicographic-min: bitwise NOT is
+    * the no-overflow signed-order reversal (−Long.MinValue would
+    * overflow; v is row-level cents, |v| ≪ 2⁶²). */
+  def quantileSketch(events: DataFrame, day: Column, valueCents: Column,
+                     k: Int = 256): DataFrame = {
+    val pairs = events.select(day.as("day"),
+      graft.functions.F.md5Hash64(col("event_id").cast("string")).as("h"),
+      valueCents.as("v"))
+    pairs.groupBy(col("day"))
+      .agg(graft.functions.F.topK(
+        struct(bitwise_not(col("h")).as("nh"), (-col("v")).as("nv")), k).as("top"))
+      .select(col("day"),
+        transform(col("top"), x => struct(bitwise_not(x.getField("nh")).as("h"),
+          (-x.getField("nv")).as("v"))).as("pairs"))
+  }
+
+  /** Nearest-rank estimate columns from a `pairs` sketch column:
+    * (n_sample, p50_cents, p90_cents). */
+  private def sketchEstimates(pairs: Column): Seq[Column] = {
+    val vs = array_sort(transform(pairs, x => x.getField("v")))
+    val n = size(pairs)
+    def pick(p: Int): Column =
+      element_at(vs, (((n - 1) * p) / lit(100)).cast("int") + 1)
+    Seq(n.cast("long").as("n_sample"),
+      pick(50).as("p50_cents"), pick(90).as("p90_cents"))
+  }
+
+  /** q177: per-day value-quantile estimates for a week from the daily
+    * bottom-k sketches, plus the RANGE row whose sample is the merged
+    * (re-selected bottom-k) union — quantiles over any day range
+    * without rescanning raw events. */
+  def q177(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .filter(to_date(col("ts")).between("2024-01-08", "2024-01-14"))
+    val daily = quantileSketch(ev, date_format(to_date(col("ts")), "yyyy-MM-dd"),
+      cents(col("value")))
+    val perDay = daily.select(col("day") +: sketchEstimates(col("pairs")): _*)
+    // merged range sample: bottom k of the union of the daily samples,
+    // by the same (h, v) order the daily selection used
+    val merged = daily
+      .select(explode(col("pairs")).as("p"))
+      .select(col("p.h").as("h"), col("p.v").as("v"))
+      .orderBy(col("h").asc, col("v").asc).limit(256)
+      .agg(collect_list(struct(col("h"), col("v"))).as("pairs"))
+      .select(lit("RANGE").as("day") +: sketchEstimates(col("pairs")): _*)
+    perDay.unionByName(merged)
+  }
+
+  /** TIME-WEIGHTED AVERAGE value per entity (TWAP — the price/metric
+    * mean weighted by how LONG each observation held, not how often it
+    * fired): each event's value is weighted by the micros until the
+    * entity's next event; the final observation has no holding interval
+    * and drops. Exact integer arithmetic end-to-end — cents at the row,
+    * micros gaps, decimal(38,0) products (a week of micros × cents
+    * crosses 2⁶³), truncating idiv — so the result is bit-identical
+    * across engines and partitionings.
+    *
+    * Scale (100 TB): one shuffle on the entity key; the lead() gap is a
+    * window inside that partitioning and the weighted moments are one
+    * map-side-partial hash aggregation — the burstiness(q163) plan
+    * shape with a value payload. */
+  def twap(events: DataFrame, key: String, tsUs: Column,
+           valueCents: Column, order: String): DataFrame = {
+    val w = Window.partitionBy(col("k_")).orderBy(col("ts_us").asc, col("ord").asc)
+    val gaps = events
+      .select(col(key).as("k_"), tsUs.as("ts_us"), valueCents.as("v"),
+        col(order).as("ord"))
+      .withColumn("gap", lead(col("ts_us"), 1).over(w) - col("ts_us"))
+      .where(col("gap").isNotNull)
+      .select(col("k_"), col("gap").cast("decimal(38,0)").as("gap"),
+        col("v").cast("decimal(38,0)").as("v"))
+    gaps.groupBy(col("k_").as(key))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("gap")).cast("decimal(38,0)").as("span"),
+        sum(col("v") * col("gap")).as("wsum"))
+      .where(col("span") > 0)
+      .select(col(key), col("n_intervals"),
+        col("span").cast("long").as("span_us"),
+        F.idiv(col("wsum"), col("span")).as("twap_cents"))
+  }
+
+  /** q178: per-user time-weighted average event value in exact cents. */
+  def q178(s: SparkSession, d: String): DataFrame =
+    twap(Tables.events(s, d), "user_id", micros(col("ts")),
+      cents(col("value")), "event_id")
 }

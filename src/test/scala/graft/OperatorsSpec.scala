@@ -802,6 +802,52 @@ class OperatorsSpec extends SparkSpec {
     assert(rows.exists(_._4 == 1), "no contamination found at all")
   }
 
+  test("q177 sketch p50/p90 are EXACT nearest-rank quantiles when a day fits the sample") {
+    // At sf0.001 every day has far fewer than k=256 events, so the
+    // bottom-k "sample" is the whole day and the estimates must equal
+    // exact nearest-rank quantiles of all that day's cents values.
+    val rows = Events.q177(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty && rows.exists(_._1 == "RANGE"))
+    val byDay = Tables.events(spark, sf)
+      .filter(to_date(col("ts")).between("2024-01-08", "2024-01-14"))
+      .select(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"),
+        graft.functions.Cols.cents(col("value")).as("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toIndexedSeq).toMap
+    rows.filter(_._1 != "RANGE").foreach { case (day, n, p50, p90) =>
+      val vs = byDay(day)
+      if (vs.length <= 256) {
+        assert(n == vs.length, s"$day sample size")
+        assert(p50 == vs(((vs.length - 1) * 50) / 100), s"$day p50")
+        assert(p90 == vs(((vs.length - 1) * 90) / 100), s"$day p90")
+      }
+      assert(p50 <= p90, s"$day p50 > p90")
+    }
+  }
+
+  test("q178 TWAP matches a brute-force per-user recompute") {
+    val got = Events.q178(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val events = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        graft.functions.Cols.cents(col("value")).as("v"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expect = events.groupBy(_._1).flatMap { case (u, rows) =>
+      val ordered = rows.sortBy(r => (r._2, r._4))
+      val gaps = ordered.sliding(2).collect {
+        case Array(a, b) => (a._3, b._2 - a._2)
+      }.toSeq
+      val span = gaps.map(_._2).sum
+      if (span <= 0) None
+      else {
+        val wsum = gaps.map { case (v, g) => BigInt(v) * BigInt(g) }.sum
+        Some(u -> ((gaps.length.toLong, span, (wsum / BigInt(span)).toLong)))
+      }
+    }
+    assert(got == expect)
+  }
+
   test("q176 short-doc fallback: a sub-window doc still decontaminates") {
     import SparkTestSession.spark.implicits._
     val bench = Seq((1L, "alpha beta")).toDF("doc_id", "text")
