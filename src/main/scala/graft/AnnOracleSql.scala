@@ -167,6 +167,7 @@ object AnnOracleSql {
     * subspace. ds = dim/m derives in SQL from the sample row. */
   private def pqTrainCtes: String = {
     val h = md5Signed("vec_id")
+    val iters = Similarity.PqIters
     val head =
       s"""samp AS (
       SELECT row_number() OVER (ORDER BY $h, vec_id) AS rn,
@@ -179,7 +180,7 @@ object AnnOracleSql {
            FROM samp s CROSS JOIN subs b CROSS JOIN meta m),
     dst AS (SELECT unnest(range(1, ds + 1)) AS t FROM meta),
     p0 AS (SELECT sub, CAST(rn - 1 AS INT) AS j, v AS c FROM sv WHERE rn <= $PqK)"""
-    val iters = (1 to Iters).map { i =>
+    val steps = (1 to iters).map { i =>
       val prev = s"p${i - 1}"
       s"""pa$i AS (
       SELECT s.rn, s.sub, s.v, c.j, ${l2q("s.v", "c.c")} AS d
@@ -197,8 +198,8 @@ object AnnOracleSql {
       SELECT p.sub, p.j, COALESCE(v.c, p.c) AS c
       FROM $prev p LEFT JOIN pv$i v ON v.sub = p.sub AND v.j = p.j)"""
     }
-    val all = (head +: iters).mkString(",\n    ")
-    s"$all,\n    cb AS (SELECT sub, j, c FROM p$Iters)"
+    val all = (head +: steps).mkString(",\n    ")
+    s"$all,\n    cb AS (SELECT sub, j, c FROM p$iters)"
   }
 
   /** PQ ADC sweep + exact rerank (mirror of pqTopK with PqCodeQ /

@@ -263,6 +263,12 @@ object Similarity {
   val PqM = 8        // subspaces (4-bit codes pack into one long)
   val PqK = 16       // centroids per subspace
   val PqRerank = 128 // ADC shortlist size fed to exact rerank
+  // PQ trains LONGER than the coarse quantizer: 16 centroids per 8-dim
+  // subspace is far more seed-sensitive than 32 cells over 64 dims, and
+  // the round-9 sample-order change (xxhash64 -> md5) showed it — ADC
+  // recall at sf0.1 fell 0.85 -> 0.78 on the 2-iteration codebook and
+  // recovers with more Lloyd rounds (the oracle unrolls the same count).
+  val PqIters = 4
 
   /** Sampled per-subspace k-means in EXACT integer fixed-point — the
     * PQ codebook trainer, matching PqCodeQ's quantized-L2 assignment
@@ -276,7 +282,7 @@ object Similarity {
     * (sub, centroid, dim) → codebook((sub*k + j)*ds + t). */
   def trainPqCodebook(corpus: DataFrame, id: String, emb: String,
                       m: Int = PqM, kCent: Int = PqK,
-                      iters: Int = TrainIters,
+                      iters: Int = PqIters,
                       sampleN: Int = TrainSampleN): Seq[Float] = {
     val rows = hashSample(corpus, id, emb, sampleN).collect()
     require(rows.length >= kCent,
@@ -336,7 +342,7 @@ object Similarity {
     * (bounded sample, m×k×ds floats of model state). */
   def pqTopK(corpus: DataFrame, queries: DataFrame, id: String, emb: String,
              k: Int = TopK, m: Int = PqM, kCent: Int = PqK,
-             rerank: Int = PqRerank, trainIters: Int = TrainIters): DataFrame = {
+             rerank: Int = PqRerank, trainIters: Int = PqIters): DataFrame = {
     val codebook: Seq[Float] = trainPqCodebook(corpus, id, emb, m, kCent, trainIters)
     val cbq = codebook.map(quantizeVal)
     val codes = corpus.select(col(id).as("vid"),
@@ -904,7 +910,7 @@ object Similarity {
     * scoring table a 100 TB ANN sweep scans instead of raw floats. */
   def writePqIndex(corpus: DataFrame, id: String, emb: String, path: String,
                    m: Int = PqM, kCent: Int = PqK,
-                   iters: Int = TrainIters): Unit = {
+                   iters: Int = PqIters): Unit = {
     val s = corpus.sparkSession
     import s.implicits._
     val codebook = trainPqCodebook(corpus, id, emb, m, kCent, iters)
