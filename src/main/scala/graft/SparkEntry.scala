@@ -195,6 +195,7 @@ object SparkEntry {
     "q176_decontaminate"  -> (Dedup.q176 _),
     "q177_quantile_sketch" -> (Events.q177 _),
     "q178_twap"           -> (Events.q178 _),
+    "q179_stat_segment"   -> (Text.q179 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -2173,6 +2174,56 @@ object SparkEntry {
          SELECT user_id, n_intervals, CAST(span AS BIGINT) AS span_us,
            CAST(wsum // span AS BIGINT) AS twap_cents
          FROM a WHERE span > 0""",
+
+    "q179_stat_segment" ->
+      // Full recomputation of the statistical segmenter: the cycling-
+      // vocab corpus, corpus-wide unigram/bigram counts over script
+      // runs, the exact integer PMI cross-multiplication (HUGEINT =
+      // the decimal(38,0) twin), and ordered token reassembly.
+      """WITH m AS (SELECT doc_id,
+           substr(text, 1, 40) || ' ' ||
+           (['你好','世界','天氣'])[CAST(doc_id % 3 AS INT) + 1] ||
+           (['你好','世界','天氣'])[CAST((doc_id // 3) % 3 AS INT) + 1] ||
+           (['你好','世界','天氣'])[CAST((doc_id // 9) % 3 AS INT) + 1] ||
+           (['你好','世界','天氣'])[CAST((doc_id // 27) % 3 AS INT) + 1] ||
+           CASE WHEN doc_id % 2 = 0 THEN ' ' ||
+             (['สวด','ชาก','โลน'])[CAST((doc_id // 2) % 3 AS INT) + 1] ||
+             (['สวด','ชาก','โลน'])[CAST((doc_id // 6) % 3 AS INT) + 1] ||
+             (['สวด','ชาก','โลน'])[CAST((doc_id // 18) % 3 AS INT) + 1]
+           ELSE '' END AS t FROM documents),
+         ra AS (SELECT doc_id, regexp_extract_all(t,
+             '[\p{Han}\p{Hiragana}\p{Katakana}\p{Thai}]+') AS arr FROM m),
+         runs AS (SELECT doc_id, ri AS run_idx, arr[ri] AS run
+                  FROM ra, UNNEST(range(1, len(arr) + 1)) AS u(ri)),
+         chars AS (SELECT doc_id, run_idx, ci AS cpos, substr(run, ci, 1) AS c
+                   FROM runs, UNNEST(range(1, length(run) + 1)) AS u(ci)),
+         pairs AS (SELECT doc_id, run_idx, ci + 1 AS pos,
+                     substr(run, ci, 1) AS a, substr(run, ci + 1, 1) AS b
+                   FROM runs, UNNEST(range(1, length(run))) AS u(ci)),
+         uni AS (SELECT c, count(*) AS cnt FROM chars GROUP BY 1),
+         bi AS (SELECT a, b, count(*) AS cnt_ab FROM pairs GROUP BY 1, 2),
+         tot AS (SELECT (SELECT count(*) FROM chars) AS nu,
+                        (SELECT count(*) FROM pairs) AS nb),
+         flags AS (SELECT a, b,
+             (1 * CAST(cnt_ab AS HUGEINT) * nu * nu <
+              8 * CAST(ua.cnt AS HUGEINT) * ub.cnt * nb) AS boundary
+           FROM bi JOIN uni ua ON ua.c = bi.a
+                   JOIN uni ub ON ub.c = bi.b CROSS JOIN tot),
+         cs AS (SELECT ch.doc_id, ch.run_idx, ch.cpos, ch.c,
+             sum(CASE WHEN f.boundary THEN 1 ELSE 0 END)
+               OVER (PARTITION BY ch.doc_id, ch.run_idx ORDER BY ch.cpos) AS seg
+           FROM chars ch LEFT JOIN
+             (SELECT p.doc_id, p.run_idx, p.pos, fl.boundary
+              FROM pairs p JOIN flags fl ON fl.a = p.a AND fl.b = p.b) f
+             ON f.doc_id = ch.doc_id AND f.run_idx = ch.run_idx
+                AND f.pos = ch.cpos),
+         toks AS (SELECT doc_id, run_idx, seg,
+                    string_agg(c, '' ORDER BY cpos) AS tok
+                  FROM cs GROUP BY 1, 2, 3)
+         SELECT doc_id, CAST(count(DISTINCT run_idx) AS BIGINT) AS n_runs,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           md5(string_agg(tok, '|' ORDER BY run_idx, seg)) AS tok_md5
+         FROM toks GROUP BY 1""",
   )
 
   /** PageRank oracle: the q51 edge derivation + 5 UNROLLED integer

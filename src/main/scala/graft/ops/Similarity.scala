@@ -679,6 +679,21 @@ object Similarity {
   def q114(s: SparkSession, d: String): DataFrame =
     semDedup(Tables.embeddings(s, d), "vec_id", "embedding", 16, 0.35)
 
+  /** q114 in its 100 TB deployment mode: the cell count scales with
+    * the corpus (k = n/125, the sf0.1 width) so cell WIDTH — and with
+    * it the intra-cell pair join, SemDeDup's only superlinear term —
+    * stays constant as the corpus grows. The fixed-k facade above
+    * remains the DuckDB-oracle contract (the unrolled k-means oracle
+    * needs a literal k); at sizes where n/125 ≤ 16 the two coincide,
+    * which is what the spec pins. The sf1 one-decade run measured the
+    * fixed-k facade at 27x shuffle records for 10x data and this mode
+    * at ~linear — the motivating data point. */
+  def q114Scaled(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val k = math.max(16L, e.count() / 125L).toInt
+    semDedup(e, "vec_id", "embedding", k, 0.35)
+  }
+
   /** q62: IVF-Flat approximate top-10, nprobe=4 of 16 cells. */
   def q62(s: SparkSession, d: String): DataFrame = {
     val (c, q) = corpusAndQueries(s, d)

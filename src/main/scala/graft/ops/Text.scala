@@ -576,7 +576,12 @@ object Text {
 
   def tfidfCosinePairs(df: DataFrame, id: String, text: String,
                        tau: Double, denseVocabMax: Int = 256,
-                       denseDocsMax: Long = 1L << 16): DataFrame = {
+                       denseDocsMax: Long = 1L << 16,
+                       candFactor: Long = 32L): DataFrame = {
+    // τ > 0 is what lets the component split below drop cross-shard
+    // pairs (their dot is exactly 0); τ = 0 would mean "emit every
+    // pair", which no candidate scheme should be asked to do
+    require(tau > 0, s"tau must be positive, got $tau")
     val (dfx, w) = tfidfWeights(df, id, text)
     val norms = w.groupBy(col("doc_id"))
       .agg(sum(col("wm") * col("wm")).as("m2"))
@@ -665,11 +670,84 @@ object Text {
         .filter((col("m2") - col("before")).cast("decimal(38,0)") * lit(10000L) >=
           lit(cushion).cast("decimal(38,0)") * col("m2"))
         .select(col("doc_id"), col("tok"))
-      val candidates = prefix.as("a").join(prefix.as("b"),
-          col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      verified(candidates)
+      def prefixPairs(p: DataFrame): DataFrame = verified(
+        p.as("a").join(p.as("b"),
+            col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct())
+      // CANDIDATE-PRESSURE probe: Σ (prefix postings)² bounds the
+      // candidate join's shuffle. The global-vocab gate above misses a
+      // corpus that is a UNION of small-vocab shards (per-language
+      // slices of a multilingual crawl, per-site template families):
+      // global vocab looks healthy, yet within every shard nearly all
+      // pairs are candidates and the prefix join shuffles Σ n_c²
+      // rows — the sf1 one-decade run measured 2519x shuffle records
+      // at 10x data exactly this way. When the bound dwarfs the weight
+      // table, shard the corpus by token CO-OCCURRENCE component (two
+      // docs can only score > 0 if they share a token, i.e. inside one
+      // component) and run the exact dense kernel inside each
+      // small-vocab component — tiled self-join, no broadcast, cost
+      // Σ n_c²/2 dots with ~B·n vec-row shuffle instead of Σ n_c²
+      // candidate rows + distinct + re-join. Components with real
+      // (large) vocabularies keep the lossless prefix filter.
+      val candUpper = prefix.groupBy(col("tok"))
+        .agg(count(lit(1)).cast("decimal(38,0)").as("pc"))
+        .agg(sum(col("pc") * col("pc")).as("cu")).head().getDecimal(0)
+      val wCount = w.count()
+      if (candUpper == null ||
+          candUpper.compareTo(new java.math.BigDecimal(candFactor * wCount)) <= 0) {
+        prefixPairs(prefix)
+      } else {
+        // token co-occurrence components: star edges token↔doc-min-token
+        // (node = xxhash64(tok); a collision can only MERGE components —
+        // never splits one — so the partition stays correct, just
+        // occasionally coarser)
+        val th = w.select(col("doc_id"), xxhash64(col("tok")).as("h"))
+        val mins = th.groupBy("doc_id").agg(min(col("h")).as("hmin"))
+        val comp = Dedup.clusters(th.join(mins, "doc_id")
+          .filter(col("h") =!= col("hmin"))
+          .select(col("hmin").as("doc_a"), col("h").as("doc_b")).distinct())
+          .select(col("doc_id").as("h"), col("cluster_id"))
+        val tokComp = th.select(col("h")).distinct()
+          .join(comp, Seq("h"), "left")
+          .select(col("h"), coalesce(col("cluster_id"), col("h")).as("comp"))
+        val compVocab = tokComp.groupBy("comp").agg(count(lit(1)).as("vc"))
+        val docComp = mins
+          .join(tokComp.select(col("h").as("hmin"), col("comp")), "hmin")
+          .join(compVocab, "comp")
+          .select(col("doc_id"), col("comp"), col("vc"))
+        val B = 16
+        val dv = vecs
+          .join(docComp.filter(col("vc") <= denseVocabMax)
+            .select(col("doc_id"), col("comp")), "doc_id")
+          .withColumn("t", pmod(xxhash64(col("doc_id")), lit(B)).cast("int"))
+        val left = dv
+          .withColumn("tb", explode(sequence(col("t"), lit(B - 1))))
+          .select(col("comp"), col("t").as("ta"), col("tb"),
+            col("doc_id").as("doc_a"), col("vec").as("vec_a"), col("m2").as("m2_a"))
+        val right = dv
+          .withColumn("ta", explode(sequence(lit(0), col("t"))))
+          .select(col("comp"), col("ta"), col("t").as("tb"),
+            col("doc_id").as("doc_b"), col("vec").as("vec_b"), col("m2").as("m2_b"))
+        // a cross-tile bucket (ta < tb) holds each unordered pair
+        // exactly once (in whichever id order the tiles dictate); only
+        // the diagonal bucket sees both orders and needs the < dedup —
+        // a blanket doc_a < doc_b here would DROP cross-tile pairs
+        // whose left doc happens to carry the larger id
+        val densePairs = left.join(right, Seq("comp", "ta", "tb"))
+          .filter(col("ta") =!= col("tb") || col("doc_a") < col("doc_b"))
+          .withColumn("dot", F.weightedDot(col("vec_a"), col("vec_b")))
+          .filter(cos >= tau)
+          .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+            greatest(col("doc_a"), col("doc_b")).as("doc_b"),
+            bp(cos).as("cos_bp"))
+        // pairs never cross components (shared-token requirement), so
+        // restricting the prefix join to big-vocab components loses
+        // nothing and the union is exact
+        val sparseDocs = docComp.filter(col("vc") > denseVocabMax)
+          .select(col("doc_id"))
+        densePairs.unionByName(prefixPairs(prefix.join(sparseDocs, "doc_id")))
+      }
     }
   }
 
@@ -1315,4 +1393,129 @@ object Text {
   def q173(s: SparkSession, d: String): DataFrame =
     domainQuota(Tables.documents(s, d), urlTable(s, d),
       "doc_id", "text", "url", 5)
+
+  /** STATISTICAL (unsupervised) word segmentation for space-free
+    * scripts — the upgrade SURVEY §1 admits over q171's dictionary FMM
+    * for corpora with NO lexicon: learn character-cohesion statistics
+    * from the corpus itself and cut where adjacent characters are not
+    * statistically glued (the published PMI / branching-entropy family
+    * of CJK segmenters; no dictionary, no model file).
+    *
+    * Rule: a boundary is inserted between adjacent characters (a,b) of
+    * a script run iff their pointwise mutual information falls below
+    * log θ, i.e. iff
+    *
+    *   P(ab) < θ · P(a)·P(b)
+    *   ⇔  thetaDen · cnt_ab · nu² < thetaNum · cnt_a · cnt_b · nb
+    *
+    * with all counts taken over the script runs of the WHOLE corpus
+    * (nu/nb = total unigrams/bigrams). θ is a rational
+    * (thetaNum/thetaDen), so the comparison is an exact integer
+    * cross-multiplication — bit-identical in any engine, which is what
+    * lets DuckDB recompute the entire segmentation as the oracle
+    * (no float logs anywhere). Products are decimal(38,0); headroom
+    * holds while cnt·nu² < 10³⁸, i.e. per-script-shard unigram totals
+    * up to ~10¹² characters — beyond that, quantize counts before the
+    * compare (divide all by a common 2^s — the rule is scale-free).
+    *
+    * Plan shape at 100 TB: one map-only pass explodes runs into
+    * unigrams/bigrams (bounded fan-out: ≤ chars-per-doc rows); the
+    * stats tables aggregate to ≤ |charset|² rows (small for any real
+    * script), are joined once at the STATS level (per distinct bigram,
+    * not per occurrence), and the per-occurrence boundary lookup is a
+    * join against that small flags table (AQE broadcasts it). Token
+    * reassembly is a per-(doc,run) running sum + grouped ordered
+    * concat — windows partition on doc_id, never global.
+    *
+    * `docs0` must carry (doc_id, text). Output: one (doc_id, run_idx,
+    * seg, tok) row per recovered token.
+    */
+  def statSegments(docs0: DataFrame, thetaNum: Long, thetaDen: Long): DataFrame = {
+    val runs = docs0.select(col("doc_id"),
+      posexplode(regexp_extract_all(col("text"), lit(s"(${SegScript}+)"), lit(1)))
+        .as(Seq("run_idx", "run")))
+    val chars = runs.select(col("doc_id"), col("run_idx"),
+      posexplode(expr(
+        "transform(sequence(1, char_length(run)), i -> substr(run, i, 1))"))
+        .as(Seq("p0", "c")))
+      .select(col("doc_id"), col("run_idx"), (col("p0") + 1).as("cpos"), col("c"))
+    // substr past the end returns '' — the filter drops the dangling
+    // last element, so length-1 runs yield zero pairs without a CASE
+    val pairs = runs.select(col("doc_id"), col("run_idx"),
+      explode(expr(
+        """filter(transform(sequence(1, char_length(run)),
+          |  i -> struct(substr(run, i, 1) AS a, substr(run, i+1, 1) AS b,
+          |              i + 1 AS pos)),
+          |  x -> x.b <> '')""".stripMargin)).as("p"))
+      .select(col("doc_id"), col("run_idx"),
+        col("p.pos").as("pos"), col("p.a").as("a"), col("p.b").as("b"))
+    val uni = chars.groupBy("c").agg(count(lit(1)).as("cnt"))
+    val bi = pairs.groupBy("a", "b").agg(count(lit(1)).as("cnt_ab"))
+    val tot = chars.agg(count(lit(1)).as("nu"))
+      .crossJoin(pairs.agg(count(lit(1)).as("nb")))
+    val flags = bi
+      .join(uni.select(col("c").as("a"), col("cnt").as("cnt_a")), "a")
+      .join(uni.select(col("c").as("b"), col("cnt").as("cnt_b")), "b")
+      .crossJoin(broadcast(tot))
+      .select(col("a"), col("b"),
+        (lit(thetaDen) * col("cnt_ab").cast("decimal(38,0)") * col("nu") * col("nu") <
+         lit(thetaNum) * col("cnt_a").cast("decimal(38,0)") * col("cnt_b") * col("nb"))
+          .as("boundary"))
+    val cuts = pairs.join(flags, Seq("a", "b"))
+      .filter(col("boundary"))
+      .select(col("doc_id"), col("run_idx"), col("pos").as("cpos"),
+        lit(1).as("cut"))
+    val segged = chars.join(cuts, Seq("doc_id", "run_idx", "cpos"), "left")
+      .withColumn("seg", sum(coalesce(col("cut"), lit(0)))
+        .over(Window.partitionBy("doc_id", "run_idx").orderBy("cpos")))
+    segged.groupBy("doc_id", "run_idx", "seg")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("cpos"), col("c")))),
+        x => x.getField("c")), "").as("tok"))
+  }
+
+  /** Per-doc summary of [[statSegments]]: (doc_id, n_runs, n_tokens,
+    * tok_md5) with the md5 fingerprinting the exact token sequence in
+    * (run, position) order. */
+  def statSegTokens(docs0: DataFrame, thetaNum: Long, thetaDen: Long): DataFrame =
+    statSegments(docs0, thetaNum, thetaDen).groupBy("doc_id")
+      .agg(size(array_distinct(collect_list(col("run_idx")))).cast("long").as("n_runs"),
+        count(lit(1)).as("n_tokens"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("run_idx"), col("seg"), col("tok")))),
+          x => x.getField("tok")), "|")).as("tok_md5"))
+
+  /** The q179 demo corpus: each doc carries a Han run of 4 vocabulary
+    * words whose CHOICE cycles with doc_id digits (base-3), and even
+    * docs a second Thai-script run of 3 words likewise — so unlike
+    * q169/q171's verbatim snippets, word ADJACENCY varies across the
+    * corpus and the distributional evidence for the internal word
+    * boundaries actually exists. Word char-sets are disjoint within
+    * each script, which puts within-word cohesion at r≈10.4–28.9 and
+    * cross-word at r≈2.6–6.5 on this corpus (measured; the gap is the
+    * f-vs-f/3 adjacency dilution) — θ=8 sits in the gap. */
+  private val hanVocab  = Seq("你好", "世界", "天氣")
+  private val thaiVocab = Seq("สวด", "ชาก", "โลน")
+  private def cyclingWords(id: Column, vocab: Seq[String],
+                           divs: Seq[Long]): Column =
+    concat(divs.map(dv => element_at(
+      array(vocab.map(lit): _*),
+      ((id / dv).cast("long") % 3 + 1).cast("int"))): _*)
+  private[graft] def statCorpus(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), concat(
+      substring(col("text"), 1, 40), lit(" "),
+      cyclingWords(col("doc_id"), hanVocab, Seq(1L, 3L, 9L, 27L)),
+      when(col("doc_id") % 2 === 0, concat(lit(" "),
+        cyclingWords((col("doc_id") / 2).cast("long"), thaiVocab,
+          Seq(1L, 3L, 9L))))
+        .otherwise(lit(""))).as("text"))
+
+  /** q179: statistical segmentation over the cycling-vocabulary
+    * corpus — the unsupervised upgrade over q169 (char-level
+    * convention) and q171 (dictionary FMM). The spec pins that the
+    * recovered token set IS the vocabulary; the DuckDB oracle
+    * recomputes the whole pipeline (stats, integer PMI compare,
+    * reassembly) exactly. */
+  def q179(s: SparkSession, d: String): DataFrame =
+    statSegTokens(statCorpus(Tables.documents(s, d)), 8L, 1L)
 }

@@ -1129,6 +1129,37 @@ class OperatorsSpec extends SparkSpec {
     assert(dense.nonEmpty)
   }
 
+  test("q113 component-sharded kernel equals global dense and prefix paths") {
+    import SparkTestSession.spark.implicits._
+    // Two disjoint template shards (the multilingual-crawl shape that
+    // defeats the GLOBAL vocab gate): 150-token vocab each, docs are
+    // 40-token sliding windows so neighbours are true near-dups.
+    def shard(base: Long, p: String) = (0 until 120).map { i =>
+      (base + i, (0 until 40).map(j => s"$p${(i * 7 + j) % 150}").mkString(" "))
+    }
+    val docs = (shard(0L, "wa") ++ shard(1000L, "wb")).toDF("doc_id", "text")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    // global vocab = 300: ≤ 400 takes the broadcast dense kernel
+    val truth = Text.tfidfCosinePairs(docs, "doc_id", "text", 0.8,
+      denseVocabMax = 400).collect().map(key).toSet
+    // > 256 global fails the dense gate; candFactor = 0 forces the
+    // component split, where each 150-token shard IS dense → tiled path
+    val sharded = Text.tfidfCosinePairs(docs, "doc_id", "text", 0.8,
+      denseVocabMax = 256, candFactor = 0L).collect().map(key).toSet
+    // huge candFactor keeps the plain lossless prefix join
+    val prefix = Text.tfidfCosinePairs(docs, "doc_id", "text", 0.8,
+      denseVocabMax = 0, candFactor = 1L << 40).collect().map(key).toSet
+    assert(truth.nonEmpty, "corpus produced no near-dup pairs")
+    assert(sharded === truth,
+      s"sharded diverged: only=${(sharded -- truth).take(3)} " +
+        s"missing=${(truth -- sharded).take(3)}")
+    assert(prefix === truth,
+      s"prefix diverged: missing=${(truth -- prefix).take(3)}")
+    // and the split really is a split: no pair crosses the shards
+    assert(truth.forall(p => (p._1 < 1000L) == (p._2 < 1000L)))
+  }
+
   test("prefix filter stays lossless below tau 0.794 (cushion derived from tau)") {
     // The old fixed 63/100 cushion was only sound for tau ≥ √0.63; the
     // dense kernel is trivially lossless, so path equality at tau = 0.5
@@ -1762,6 +1793,51 @@ class OperatorsSpec extends SparkSpec {
     out.filter(_._1 % 3 == 0).foreach { case (id, _, nSeg) =>
       assert(nSeg == 10L, s"doc $id: expected 10 Han tokens, got $nSeg")
     }
+  }
+
+  test("q179 statistical segmentation recovers the cycling vocabulary") {
+    val vocab = Set("你好", "世界", "天氣", "สวด", "ชาก", "โลน")
+    val segs = Text.statSegments(
+        Text.statCorpus(Tables.documents(spark, sf)), 8L, 1L)
+      .collect().map(r => (r.getLong(0), r.getString(3)))
+    // every recovered token is a vocabulary word — the PMI cut landed
+    // exactly on the word boundaries, nowhere inside a word
+    val offVocab = segs.filterNot(t => vocab.contains(t._2))
+    assert(offVocab.isEmpty, s"non-vocabulary tokens: ${offVocab.take(5).toSeq}")
+    // and the whole vocabulary is in use (cuts did happen)
+    assert(segs.map(_._2).toSet == vocab)
+  }
+
+  test("q179 summary: 4 Han words per doc, +3 Thai words on even docs") {
+    Text.q179(spark, sf).collect().foreach { r =>
+      val (id, nRuns, nToks) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      if (id % 2 == 0) assert(nRuns == 2L && nToks == 7L,
+        s"doc $id: ($nRuns runs, $nToks tokens)")
+      else assert(nRuns == 1L && nToks == 4L,
+        s"doc $id: ($nRuns runs, $nToks tokens)")
+    }
+  }
+
+  test("statSegments: no distributional evidence means no cuts") {
+    import SparkTestSession.spark.implicits._
+    // every doc is the same verbatim run — at θ=4 no internal pair
+    // drops below independence-scaled cohesion (the repeated 中 dilutes
+    // its pair to r≈4.17, the rest sit at 8.33), so each run must come
+    // back whole, and the length-1 run must not produce a dangling pair
+    val docs = (1L to 30L).map(i => (i, "中文分詞 中")).toDF("doc_id", "text")
+    val toks = Text.statSegments(docs, 4L, 1L)
+      .collect().map(_.getString(3)).toSet
+    assert(toks == Set("中文分詞", "中"), s"got $toks")
+  }
+
+  test("q114 scaled-cells mode coincides with the fixed-k contract at small n") {
+    // n/125 ≤ 16 here, so the deployment mode must reduce to the
+    // oracle-checked facade exactly — same quantizer, same survivors
+    val a = Similarity.q114(spark, sf).collect()
+      .map(r => (r.getLong(0), String.valueOf(r.get(1)))).toSet
+    val b = Similarity.q114Scaled(spark, sf).collect()
+      .map(r => (r.getLong(0), String.valueOf(r.get(1)))).toSet
+    assert(a === b)
   }
 
   test("filteredTopK equals brute force over the label-restricted corpus") {
