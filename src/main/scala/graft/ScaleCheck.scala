@@ -32,8 +32,14 @@ object ScaleCheck {
       println(s"CHECK $name ${if (ok) "OK" else "VIOLATED"} $detail")
     }
 
-    // 1. MinHash-LSH pair set == exact-Jaccard pair set (the banded-LSH
-    // miss probability claim: ~2e-11 per 0.97-similar pair).
+    // 1. MinHash-LSH pair set == exact-Jaccard pair set. Equality (not
+    // just recall) is checkable because the corpus's qualifying pairs
+    // all sit at J >= 0.80 (min jaccard_bp = 8000 at sf0.1 and sf1),
+    // where the 32x4 band geometry's per-pair miss is ~5e-8; the old
+    // 16x8 geometry (S-curve threshold 0.71 > tau) missed a J = 0.80
+    // pair in this very check at sf1 — that is the regression this
+    // check exists to catch. Extras == 0 is unconditional (candidates
+    // are exact-verified).
     val lshPairs = ops.Dedup.q52(spark, sfDir).select("doc_a", "doc_b").cache()
     val exact = ops.Dedup.q51(spark, sfDir).select("doc_a", "doc_b").cache()
     val lshMiss = exact.exceptAll(lshPairs).count()
@@ -58,8 +64,8 @@ object ScaleCheck {
     val plain = Tables.lineitem(spark, sfDir)
       .join(Tables.part(spark, sfDir), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
-      .agg(graft.functions.Cols.cents(
-          sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"),
+      .agg(sum(graft.functions.Cols.cents(
+          col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"),
         count(lit(1)).as("cnt"))
     val saltDiff = salted.exceptAll(plain).count() + plain.exceptAll(salted).count()
     check("salted_join", saltDiff == 0, s"diff_rows=$saltDiff")

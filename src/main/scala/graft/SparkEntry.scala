@@ -196,6 +196,7 @@ object SparkEntry {
     "q177_quantile_sketch" -> (Events.q177 _),
     "q178_twap"           -> (Events.q178 _),
     "q179_stat_segment"   -> (Text.q179 _),
+    "q180_derepeat"       -> (Text.q180 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -511,7 +512,7 @@ object SparkEntry {
          count(*) AS cnt FROM lineitem GROUP BY l_returnflag""",
 
     "q29_salted_join" ->
-      s"""SELECT p_brand, ${C("sum(l_extendedprice*(1-l_discount))")} AS revenue,
+      s"""SELECT p_brand, CAST(sum(${C("l_extendedprice*(1-l_discount)")}) AS BIGINT) AS revenue,
          count(*) AS cnt
          FROM lineitem JOIN part ON l_partkey = p_partkey
          GROUP BY p_brand""",
@@ -2224,6 +2225,32 @@ object SparkEntry {
            CAST(count(*) AS BIGINT) AS n_tokens,
            md5(string_agg(tok, '|' ORDER BY run_idx, seg)) AS tok_md5
          FROM toks GROUP BY 1""",
+
+    "q180_derepeat" ->
+      // Repeated-3-gram span removal: windows ranked per (doc, gram) by
+      // start, starts past the first are repeated, their ≤k covered
+      // positions drop, survivors reassemble in order.
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tks FROM documents),
+         w AS (SELECT doc_id, i AS p, array_to_string(tks[i:i+2], ' ') AS g
+               FROM t, UNNEST(range(1, len(tks) - 1)) AS u(i)),
+         r AS (SELECT doc_id, p,
+                 row_number() OVER (PARTITION BY doc_id, g ORDER BY p) AS rn
+               FROM w),
+         cov AS (SELECT DISTINCT doc_id, p + d AS pos
+                 FROM r, UNNEST(range(0, 3)) AS v(d) WHERE rn > 1),
+         tp AS (SELECT doc_id, i AS pos, tks[i] AS tok
+                FROM t, UNNEST(range(1, len(tks) + 1)) AS u(i)),
+         kept AS (SELECT tp.doc_id, tp.pos, tp.tok
+                  FROM tp LEFT JOIN cov
+                    ON cov.doc_id = tp.doc_id AND cov.pos = tp.pos
+                  WHERE cov.pos IS NULL),
+         agg AS (SELECT doc_id, count(*) AS n_kept,
+                   md5(string_agg(tok, ' ' ORDER BY pos)) AS kept_md5
+                 FROM kept GROUP BY 1)
+         SELECT t.doc_id, CAST(len(tks) AS BIGINT) AS n_tokens,
+           CAST(len(tks) - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
+           coalesce(kept_md5, md5('')) AS kept_md5
+         FROM t LEFT JOIN agg USING (doc_id)""",
   )
 
   /** PageRank oracle: the q51 edge derivation + 5 UNROLLED integer

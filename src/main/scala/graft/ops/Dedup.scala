@@ -135,7 +135,14 @@ object Dedup {
   }
 
   val MinhashPerms = 128
-  val LshBands = 16
+  /** 32 bands x 4 rows: the textbook geometry for tau = 0.6 — the
+    * S-curve threshold (1/b)^(1/r) = 0.42 sits BELOW the operating
+    * threshold, so recall at and above tau is on the steep flank:
+    * per-pair miss ~1.2% at exactly J = 0.6, 1.5e-4 at 0.7, 5e-8 at
+    * 0.8, <1e-15 at 0.9. The previous 16x8 geometry had its threshold
+    * at 0.71 — ABOVE tau — and the sf1 one-decade check caught it
+    * missing a J = 0.80 pair (5.3% per-pair miss there). */
+  val LshBands = 32
   /** Buckets wider than this switch from all-pairs to a spanning star.
     * 512² / 2 pairs is the worst per-bucket candidate cost — bounded. */
   val MaxBucketWidth = 512
@@ -156,10 +163,17 @@ object Dedup {
   }
 
   /** MinHash + banded-LSH near-dup pairs, exact-Jaccard verified
-    * (J ≥ tau). With perms/bands rows per band, a 0.97-similar pair is
-    * missed with probability ~(1-0.97⁸)¹⁶ ≈ 2e-11 at the defaults, so
-    * the verified output equals the exact `jaccardPairs` result — and
-    * shares its oracle.
+    * (J ≥ tau). Candidate recall follows the banded S-curve
+    * 1-(1-J^r)^b — see [[LshBands]] for the per-pair miss rates at the
+    * 32x4 defaults. CONTRACT: every emitted pair is exact (candidates
+    * are Jaccard-verified, so false positives are impossible); recall
+    * is 1 up to measure-~1e-7 for J ≥ 0.8 and S-curve-approximate on
+    * [tau, 0.8) — the published LSH-dedup semantics. A corpus whose
+    * qualifying pairs sit at J ≥ 0.8 (this testdata: min J = 0.80,
+    * checked at sf0.1 AND the amplified sf1) therefore gets the full
+    * exact `jaccardPairs` result and shares its oracle; for
+    * guaranteed-exact tau = 0.6 semantics regardless of the J
+    * distribution, q51's prefix-filtered exact join IS the operator.
     *
     * The whole signature is ONE native expression pass per document
     * (MinHash128) — map-only, no shingle explode/shuffle and no

@@ -372,7 +372,13 @@ object Relational {
     li.join(partRep.hint("shuffle_hash"),
         col("l_partkey") === col("p_partkey") && col("salt") === col("p_salt"))
       .groupBy(col("p_brand"))
-      .agg(cents(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"),
+      // per-ROW cents, then an exact long sum: a double sum's low bits
+      // depend on partial-aggregation order, so cents(sum(..)) could
+      // differ between the salted and plain plans whenever a group's
+      // sum lands on a rounding boundary — the sf1 one-decade check
+      // caught 6 such brands at 10x group width. Salt invariance must
+      // be exact, not probabilistic.
+      .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"),
            count(lit(1)).as("cnt"))
   }
 

@@ -1518,4 +1518,59 @@ object Text {
     * reassembly) exactly. */
   def q179(s: SparkSession, d: String): DataFrame =
     statSegTokens(statCorpus(Tables.documents(s, d)), 8L, 1L)
+
+  /** INTRA-document repeated-span removal — the self-repetition
+    * cleanup published training-data work applies alongside
+    * cross-document dedup (boilerplate loops, scraper stutters,
+    * chat-log echoes degrade a trained model even when the document is
+    * globally unique; q49 only SCORES this, q180 removes it). A
+    * window of `k` consecutive tokens is REPEATED when the same
+    * k-gram already started at an earlier position in the same
+    * document; every token covered by a repeated window is dropped,
+    * first occurrences stay. Deterministic by construction (earliest
+    * start wins; no hashing beyond the final fingerprint).
+    *
+    * Plan shape at 100 TB: everything is keyed by doc_id — the
+    * repeated-window rank is a window over (doc, k-gram), coverage is
+    * a bounded ≤k-row fan-out per repeated start, and the kept-token
+    * reassembly groups by doc. One hash-partitioning by doc_id ferries
+    * the whole thing; no cross-document join anywhere, so it scales
+    * with the corpus like a map-side op with one shuffle. Returns one
+    * row per document: (doc_id, n_tokens, n_removed, kept_md5) where
+    * kept_md5 fingerprints the exact cleaned token sequence. */
+  def deRepeat(df: DataFrame, id: String, text: String, k: Int): DataFrame = {
+    val base = withToks(df, text)
+      .select(col(id).as("doc_id"), toks.as("tks"))
+    val wins = base.filter(size(col("tks")) >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(tks) - ${k - 1}), i -> array_join(slice(tks, i, $k), ' '))"))
+        .as(Seq("p0", "g")))
+      .select(col("doc_id"), (col("p0") + 1).as("p"), col("g"))
+    val repeated = wins
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id", "g").orderBy("p")))
+      .filter(col("rn") > 1)
+    val covered = repeated
+      .select(col("doc_id"),
+        explode(sequence(col("p"), col("p") + (k - 1))).as("pos"))
+      .distinct()
+    val toksPos = base
+      .select(col("doc_id"), posexplode(col("tks")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("tok"))
+    val keptAgg = toksPos.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ")).as("kept_md5"))
+    base.select(col("doc_id"), size(col("tks")).cast("long").as("n_tokens"))
+      .join(keptAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("kept_md5"), md5(lit(""))).as("kept_md5"))
+  }
+
+  /** q180: repeated-3-gram span removal over the documents table. */
+  def q180(s: SparkSession, d: String): DataFrame =
+    deRepeat(Tables.documents(s, d), "doc_id", "text", 3)
 }

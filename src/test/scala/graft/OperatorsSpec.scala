@@ -373,8 +373,11 @@ class OperatorsSpec extends SparkSpec {
     val plain = Tables.lineitem(spark, sf)
       .join(Tables.part(spark, sf), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
-      .agg(graft.functions.Cols.cents(
-        sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"),
+      // per-row cents then exact long sum — the q29 formula; a
+      // cents(sum(double)) comparator is order-sensitive at the
+      // rounding boundary (the sf1 scale check caught exactly that)
+      .agg(sum(graft.functions.Cols.cents(
+        col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"),
         count(lit(1)).as("cnt"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(salted == plain)
@@ -1828,6 +1831,22 @@ class OperatorsSpec extends SparkSpec {
     val toks = Text.statSegments(docs, 4L, 1L)
       .collect().map(_.getString(3)).toSet
     assert(toks == Set("中文分詞", "中"), s"got $toks")
+  }
+
+  test("q180 deRepeat drops exactly the spans covered by repeated 3-grams") {
+    import SparkTestSession.spark.implicits._
+    val docs = Seq(
+      (1L, "a b c a b c d"),   // window 'a b c' repeats at p=4 → drop 4-6
+      (2L, "x y"),             // shorter than k: nothing to do
+      (3L, "a b a b a b")      // both windows repeat → only p=1,2 survive
+    ).toDF("doc_id", "text")
+    val out = Text.deRepeat(docs, "doc_id", "text", 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(1L) == ((7L, 3L, m("a b c d"))))
+    assert(out(2L) == ((2L, 0L, m("x y"))))
+    assert(out(3L) == ((6L, 4L, m("a b"))))
   }
 
   test("q114 scaled-cells mode coincides with the fixed-k contract at small n") {
