@@ -197,6 +197,7 @@ object SparkEntry {
     "q178_twap"           -> (Events.q178 _),
     "q179_stat_segment"   -> (Text.q179 _),
     "q180_derepeat"       -> (Text.q180 _),
+    "q181_exact_substring" -> (Dedup.q181 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -2249,6 +2250,34 @@ object SparkEntry {
                  FROM kept GROUP BY 1)
          SELECT t.doc_id, CAST(len(tks) AS BIGINT) AS n_tokens,
            CAST(len(tks) - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
+           coalesce(kept_md5, md5('')) AS kept_md5
+         FROM t LEFT JOIN agg USING (doc_id)""",
+
+    "q181_exact_substring" ->
+      // Corpus-wide exact 8-token-substring dedup: per window hash, the
+      // globally first occurrence (by doc_id, pos) survives; every
+      // later occurrence's covered positions drop.
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tks FROM documents),
+         w AS (SELECT doc_id, i AS p, md5(array_to_string(tks[i:i+7], ' ')) AS h
+               FROM t, UNNEST(range(1, len(tks) - 6)) AS u(i)),
+         r AS (SELECT doc_id, p,
+                 count(*) OVER (PARTITION BY h) AS cnt,
+                 row_number() OVER (PARTITION BY h ORDER BY doc_id, p) AS rn
+               FROM w),
+         cov AS (SELECT DISTINCT doc_id, p + d AS pos
+                 FROM r, UNNEST(range(0, 8)) AS v(d)
+                 WHERE cnt > 1 AND rn > 1),
+         tp AS (SELECT doc_id, i AS pos, tks[i] AS tok
+                FROM t, UNNEST(range(1, len(tks) + 1)) AS u(i)),
+         kept AS (SELECT tp.doc_id, tp.pos, tp.tok
+                  FROM tp LEFT JOIN cov
+                    ON cov.doc_id = tp.doc_id AND cov.pos = tp.pos
+                  WHERE cov.pos IS NULL),
+         agg AS (SELECT doc_id, count(*) AS n_kept,
+                   md5(string_agg(tok, ' ' ORDER BY pos)) AS kept_md5
+                 FROM kept GROUP BY 1)
+         SELECT t.doc_id, CAST(len(tks) AS BIGINT) AS n_tokens,
+           CAST(len(tks) - coalesce(n_kept, 0) AS BIGINT) AS n_cut,
            coalesce(kept_md5, md5('')) AS kept_md5
          FROM t LEFT JOIN agg USING (doc_id)""",
   )

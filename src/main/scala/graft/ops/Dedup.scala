@@ -1067,4 +1067,65 @@ object Dedup {
       docs.filter(col("doc_id") % 23 === 0),
       "doc_id", "text", DecontaminateK)
   }
+
+  /** CROSS-document exact substring deduplication — the published
+    * "train on each substring once" rule: any `w`-token window whose
+    * exact text occurs more than once in the corpus keeps only its
+    * globally FIRST occurrence (smallest (doc_id, position)); every
+    * token covered by a later occurrence is cut. This is the
+    * suffix-array method's semantics re-expressed as a window-hash
+    * shuffle: where q50 drops whole duplicate documents and q106/q103
+    * work at passage/contamination granularity, q181 removes the
+    * repeated SPANS themselves, wherever they hide inside otherwise
+    * unique documents (and within one document — a self-repeat is just
+    * a duplicate whose first occurrence is local, subsuming q180's
+    * rule at width w).
+    *
+    * Plan shape at 100 TB: one map-only pass explodes each doc into
+    * its w-token window hashes (corpus-linear, the q176 shape); ONE
+    * shuffle on the window hash computes, per hash, the occurrence
+    * count and the first-occurrence rank (two window functions over
+    * the same hash partitioning — no self-join, no distinct-heavy
+    * candidate stage); the ≤w-position coverage fan-out and the kept-
+    * token reassembly then re-key by doc_id. Nothing is quadratic:
+    * duplicated windows cost O(occurrences), exactly the output the
+    * rule must touch. Returns (doc_id, n_tokens, n_cut, kept_md5). */
+  def exactSubstringDedup(corpus: DataFrame, id: String, text: String,
+                          w: Int): DataFrame = {
+    val base = corpus
+      .select(col(id).as("doc_id"), tokens(col(text)).as("tks"))
+    val wins = base.filter(size(col("tks")) >= w)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(tks) - ${w - 1}), i -> md5(array_join(slice(tks, i, $w), ' ')))"))
+        .as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).as("p"), col("h"))
+    val byHash = Window.partitionBy(col("h"))
+    val laterDups = wins
+      .withColumn("cnt", count(lit(1)).over(byHash))
+      .withColumn("rn", row_number().over(
+        byHash.orderBy(col("doc_id"), col("p"))))
+      .filter(col("cnt") > 1 && col("rn") > 1)
+    val covered = laterDups
+      .select(col("doc_id"),
+        explode(sequence(col("p"), col("p") + (w - 1))).as("pos"))
+      .distinct()
+    val toksPos = base
+      .select(col("doc_id"), posexplode(col("tks")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("tok"))
+    val keptAgg = toksPos.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ")).as("kept_md5"))
+    base.select(col("doc_id"), size(col("tks")).cast("long").as("n_tokens"))
+      .join(keptAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_cut"),
+        coalesce(col("kept_md5"), md5(lit(""))).as("kept_md5"))
+  }
+
+  /** q181: corpus-wide exact 8-token-substring dedup of documents. */
+  def q181(s: SparkSession, d: String): DataFrame =
+    exactSubstringDedup(Tables.documents(s, d), "doc_id", "text", 8)
 }

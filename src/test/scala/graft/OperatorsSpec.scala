@@ -1849,6 +1849,28 @@ class OperatorsSpec extends SparkSpec {
     assert(out(3L) == ((6L, 4L, m("a b"))))
   }
 
+  test("q181 exact-substring dedup keeps the globally first occurrence only") {
+    import SparkTestSession.spark.implicits._
+    val run = (1 to 8).map(i => s"t$i").mkString(" ")  // the shared 8-gram
+    val docs = Seq(
+      (1L, s"$run x y"),        // first occurrence (doc 1, p=1) survives
+      (2L, s"z $run q"),        // later occurrence at p=2 → cut 2..9
+      (3L, "a b"),              // shorter than w: untouched
+      (4L, s"$run $run")        // self-repeat: second copy cut
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactSubstringDedup(docs, "doc_id", "text", 8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(1L) == ((10L, 0L, m(s"$run x y"))))
+    assert(out(2L) == ((10L, 8L, m("z q"))))
+    assert(out(3L) == ((2L, 0L, m("a b"))))
+    // doc 4: both its copies of the run are LATER occurrences of
+    // doc 1's (global order (1,1) < (4,1) < (4,9)), so windows p=1 and
+    // p=9 cover all 16 positions — the doc dedups to nothing
+    assert(out(4L) == ((16L, 16L, m(""))))
+  }
+
   test("q114 scaled-cells mode coincides with the fixed-k contract at small n") {
     // n/125 ≤ 16 here, so the deployment mode must reduce to the
     // oracle-checked facade exactly — same quantizer, same survivors
