@@ -198,10 +198,30 @@ object SparkEntry {
     "q179_stat_segment"   -> (Text.q179 _),
     "q180_derepeat"       -> (Text.q180 _),
     "q181_exact_substring" -> (Dedup.q181 _),
+    "q182_bm25_index"     -> (Text.q182 _),
+    "q183_k_anonymity"    -> (Relational.q183 _),
+    "q184_event_lag"      -> (Events.q184 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
   private def C(e: String)  = s"CAST(floor(($e) * 100 + 0.5) AS BIGINT)"
+
+  /** Shared by q146 (scan-time BM25) and q182 (persisted-index BM25) —
+    * the two are row-identical by construction. */
+  private def bm25Oracle: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM t),
+       st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, sum(dl) AS total_len FROM dl),
+       tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+       tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM tok
+              WHERE tok IN ('query', 'join', 'data') GROUP BY 1, 2),
+       dfq AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+       sc AS (SELECT tf.doc_id,
+              ${BP("ln((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0) * ((tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / (st.total_len / st.n_docs)))))")} AS term_bp
+              FROM tf JOIN dfq USING (tok) JOIN dl USING (doc_id), st)
+       SELECT doc_id, CAST(sum(term_bp) AS BIGINT) AS score_bp,
+              count(*) AS n_terms_hit
+       FROM sc GROUP BY 1 ORDER BY score_bp DESC, doc_id LIMIT 20"""
   private def BP(e: String) = s"CAST(floor(($e) * 10000 + 0.5) AS BIGINT)"
 
   /** Shared oracle fragments for the dedup-policy family (q55/q84/q96):
@@ -1150,20 +1170,10 @@ object SparkEntry {
                 CAST((c.n * 10000) // t.tot AS BIGINT) AS prob_bp
          FROM c JOIN t USING (from_type)""",
 
-    "q146_bm25" ->
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM t),
-         st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, sum(dl) AS total_len FROM dl),
-         tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
-         tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM tok
-                WHERE tok IN ('query', 'join', 'data') GROUP BY 1, 2),
-         dfq AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
-         sc AS (SELECT tf.doc_id,
-                ${BP("ln((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0) * ((tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / (st.total_len / st.n_docs)))))")} AS term_bp
-                FROM tf JOIN dfq USING (tok) JOIN dl USING (doc_id), st)
-         SELECT doc_id, CAST(sum(term_bp) AS BIGINT) AS score_bp,
-                count(*) AS n_terms_hit
-         FROM sc GROUP BY 1 ORDER BY score_bp DESC, doc_id LIMIT 20""",
+    // q182 answers the same query from the persisted index and is
+    // row-identical by construction — one oracle serves both.
+    "q146_bm25" -> bm25Oracle,
+    "q182_bm25_index" -> bm25Oracle,
 
     "q147_pagerank" -> pageRankOracle,
 
@@ -2280,6 +2290,21 @@ object SparkEntry {
            CAST(len(tks) - coalesce(n_kept, 0) AS BIGINT) AS n_cut,
            coalesce(kept_md5, md5('')) AS kept_md5
          FROM t LEFT JOIN agg USING (doc_id)""",
+
+    "q183_k_anonymity" ->
+      """SELECT CAST(c_nationkey AS INT) AS nation, c_mktsegment AS segment,
+           CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+           count(*) AS n,
+           CAST(CASE WHEN count(*) >= 5 THEN 1 ELSE 0 END AS INT) AS is_k_anon
+         FROM customer GROUP BY 1, 2, 3""",
+
+    "q184_event_lag" ->
+      """WITH p AS (SELECT event_type, count(*) AS n_events,
+                      max(epoch_us(ts)) AS max_us
+                    FROM events GROUP BY 1),
+         f AS (SELECT max(max_us) AS feed_max FROM p)
+         SELECT event_type, n_events, max_us, feed_max - max_us AS lag_us
+         FROM p CROSS JOIN f""",
   )
 
   /** PageRank oracle: the q51 edge derivation + 5 UNROLLED integer

@@ -1243,4 +1243,24 @@ object Events {
   def q178(s: SparkSession, d: String): DataFrame =
     twap(Tables.events(s, d), "user_id", micros(col("ts")),
       cents(col("value")), "event_id")
+
+  /** Per-stream FRESHNESS lag — the pipeline-health monitor that
+    * catches a stalled source: each event type's newest timestamp
+    * against the newest timestamp anywhere in the feed. A type whose
+    * lag grows run over run has stopped emitting while the rest of the
+    * feed moves on. Deterministic (relative to the feed's own maximum,
+    * never wall-clock); per-type max is a partial aggregate, the
+    * global max is a broadcast 1-row cross join — two tiny exchanges
+    * at any volume. */
+  def freshnessLag(events: DataFrame, typeCol: String, ts: Column): DataFrame = {
+    val perType = events.groupBy(col(typeCol))
+      .agg(count(lit(1)).as("n_events"), max(ts).as("max_us"))
+    perType.crossJoin(broadcast(perType.agg(max(col("max_us")).as("feed_max"))))
+      .select(col(typeCol), col("n_events"), col("max_us"),
+        (col("feed_max") - col("max_us")).as("lag_us"))
+  }
+
+  /** q184: per-event-type freshness lag in exact microseconds. */
+  def q184(s: SparkSession, d: String): DataFrame =
+    freshnessLag(Tables.events(s, d), "event_type", micros(col("ts")))
 }

@@ -1012,4 +1012,27 @@ object Relational {
   /** q165: top-20 part pairs by association lift at support ≥ 3. */
   def q165(s: SparkSession, d: String): DataFrame =
     coPurchaseLift(Tables.lineitem(s, d), "l_orderkey", "l_partkey", 3L, 20)
+
+  /** k-ANONYMITY audit — the governance gate before releasing or
+    * training on user-attribute data: every combination of
+    * quasi-identifier values must be shared by at least k records, or
+    * the records in that combination are re-identifiable. Returns one
+    * row per quasi-identifier combination with its population and the
+    * verdict; the release rule is "suppress or generalize every
+    * is_k_anon = 0 combination". One hash shuffle on the quasi-id
+    * tuple — the same linear shape as any groupBy, so the audit costs
+    * one aggregation at any corpus size. */
+  def kAnonymity(df: DataFrame, quasiIds: Seq[Column], k: Long): DataFrame =
+    df.groupBy(quasiIds: _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("is_k_anon", (col("n") >= k).cast("int"))
+
+  /** q183: customer k-anonymity over (nation, market segment,
+    * account-balance $1000 band) at k = 5. */
+  def q183(s: SparkSession, d: String): DataFrame =
+    kAnonymity(Tables.customer(s, d),
+      Seq(col("c_nationkey").cast("int").as("nation"),
+        col("c_mktsegment").as("segment"),
+        floor(col("c_acctbal") / 1000d).cast("long").as("bal_band")),
+      5L)
 }

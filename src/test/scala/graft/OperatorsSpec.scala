@@ -1871,6 +1871,15 @@ class OperatorsSpec extends SparkSpec {
     assert(out(4L) == ((16L, 16L, m(""))))
   }
 
+  test("q182 persisted-index BM25 is row-identical to the scan-time q146") {
+    val fromIndex = Text.q182(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val scanTime = Text.q146(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(fromIndex.toSeq == scanTime.toSeq)
+    assert(fromIndex.nonEmpty)
+  }
+
   test("q114 scaled-cells mode coincides with the fixed-k contract at small n") {
     // n/125 ≤ 16 here, so the deployment mode must reduce to the
     // oracle-checked facade exactly — same quantizer, same survivors
