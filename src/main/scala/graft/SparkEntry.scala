@@ -201,6 +201,7 @@ object SparkEntry {
     "q182_bm25_index"     -> (Text.q182 _),
     "q183_k_anonymity"    -> (Relational.q183 _),
     "q184_event_lag"      -> (Events.q184 _),
+    "q185_kmv_overlap"    -> (Events.q185 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -2305,6 +2306,41 @@ object SparkEntry {
          f AS (SELECT max(max_us) AS feed_max FROM p)
          SELECT event_type, n_events, max_us, feed_max - max_us AS lag_us
          FROM p CROSS JOIN f""",
+
+    // Recomputes the whole KMV overlap algebra: per-segment k-minima
+    // under md5 (UBIGINT order = the Spark side's XOR-2^63-flipped
+    // signed order), union sketch = k smallest of the concat, c = slots
+    // present in BOTH sketches, then the same truncating integer
+    // estimators. Exact intersections come from a distinct-pair
+    // self-join (the oracle can afford it at sf0.01; the Spark side
+    // uses the linear per-key set explosion).
+    "q185_kmv_overlap" ->
+      """WITH e AS (SELECT DISTINCT event_type AS seg, user_id FROM events),
+         d AS (SELECT seg, count(*) AS n_exact FROM e GROUP BY seg),
+         hh AS (SELECT DISTINCT seg, md5_number_upper(CAST(user_id AS VARCHAR)) AS h FROM e),
+         rk AS (SELECT seg, h, row_number() OVER (PARTITION BY seg ORDER BY h) AS rn FROM hh),
+         sk AS (SELECT seg, list(h ORDER BY h) AS mins FROM rk WHERE rn <= 256 GROUP BY seg),
+         pr AS (SELECT a.seg AS seg_a, b.seg AS seg_b, a.mins AS ma, b.mins AS mb
+                FROM sk a JOIN sk b ON a.seg < b.seg),
+         un AS (SELECT seg_a, seg_b, ma, mb,
+                list_sort(list_distinct(list_concat(ma, mb))) AS u FROM pr),
+         cc AS (SELECT seg_a, seg_b, u, least(256, len(u)) AS keff,
+                len(list_filter(u[1:256], h -> list_contains(ma, h) AND list_contains(mb, h))) AS c
+                FROM un),
+         es AS (SELECT seg_a, seg_b, keff, c,
+                CASE WHEN len(u) < 256 THEN len(u)
+                     ELSE CAST(255 * 18446744073709551616::HUGEINT // u[256] AS BIGINT) END AS n_union_est
+                FROM cc),
+         ex AS (SELECT a.seg AS seg_a, b.seg AS seg_b, count(*) AS n_int_exact
+                FROM e a JOIN e b ON a.user_id = b.user_id AND a.seg < b.seg GROUP BY 1, 2)
+         SELECT es.seg_a, es.seg_b,
+           CAST(da.n_exact AS BIGINT) AS n_exact_a, CAST(db.n_exact AS BIGINT) AS n_exact_b,
+           CAST(coalesce(ex.n_int_exact, 0) AS BIGINT) AS n_int_exact,
+           CAST(es.n_union_est AS BIGINT) AS n_union_est,
+           CAST(es.c::HUGEINT * es.n_union_est // es.keff AS BIGINT) AS n_int_est,
+           CAST(10000 * es.c // es.keff AS BIGINT) AS jaccard_bp
+         FROM es JOIN d da ON da.seg = es.seg_a JOIN d db ON db.seg = es.seg_b
+         LEFT JOIN ex ON ex.seg_a = es.seg_a AND ex.seg_b = es.seg_b""",
   )
 
   /** PageRank oracle: the q51 edge derivation + 5 UNROLLED integer

@@ -1263,4 +1263,79 @@ object Events {
   /** q184: per-event-type freshness lag in exact microseconds. */
   def q184(s: SparkSession, d: String): DataFrame =
     freshnessLag(Tables.events(s, d), "event_type", micros(col("ts")))
+
+  /** SEGMENT AUDIENCE OVERLAP from KMV sketches — |A∩B|, |A∪B| and
+    * Jaccard for every pair of segments WITHOUT a per-pair corpus
+    * join: the set-algebra member of the sketch family (q174/q175 =
+    * cardinality, q177 = quantiles, this = pairwise overlap). The
+    * standard KMV estimators, kept exact-integer so every published
+    * value is engine-recomputable:
+    *   - union: the k smallest of (minsA ∪ minsB) IS the union's KMV
+    *     sketch, so |A∪B|_est = (k−1)·2⁶⁴ ÷ v_k (exact when the union
+    *     fits the sketch);
+    *   - intersection: of the union sketch's kEff = min(k,|u|) slots,
+    *     count c that appear in BOTH per-segment sketches, then
+    *     ρ = c/kEff estimates Jaccard (jaccard_bp = 10⁴·c ÷ kEff) and
+    *     |A∩B|_est = c·|A∪B|_est ÷ kEff — all truncating idiv.
+    * The exact per-pair intersection rides along for audit, computed
+    * the linear way: per-key segment SETS (bounded by |segments|),
+    * exploded to ordered pairs — one corpus shuffle for ALL pairs,
+    * never a pairwise self-join of raw events.
+    *
+    * Scale (100 TB): two hash shuffles over the distinct (segment,key)
+    * projection — one for the sketches (map-side partial KmvMinAgg, the
+    * exchange carries O(|segs|·k) longs), one for the per-key set
+    * aggregation (fan-out ≤ |segs|²/2 struct rows per key). The
+    * |segs|×|segs| sketch pair join is a broadcast of O(|segs|·k)
+    * longs; per-pair array work is O(k·k) on |segs|² rows — driver and
+    * exchange cost independent of corpus size. Unsigned hash order is
+    * restored under signed sorts by the XOR-2⁶³ flip (the standard
+    * order-preserving bijection), so array_sort/element_at see KMV
+    * order without a comparator. */
+  def kmvOverlap(events: DataFrame, segCol: String, key: String,
+                 k: Int = 256): DataFrame = {
+    val FLIP = lit(Long.MinValue)
+    val dist = events.select(col(segCol).as("seg"), col(key).as("k_")).distinct()
+    val sk = dist
+      .select(col("seg"), col("k_"),
+        F.md5Hash64(col("k_").cast("string")).as("h"))
+      .groupBy(col("seg"))
+      .agg(F.kmvMin(col("h"), k).as("mins"),
+        count_distinct(col("k_")).as("n_exact"))
+    // exact intersections: per-key ordered segment pairs, one shuffle
+    val exact = dist.groupBy(col("k_"))
+      .agg(array_sort(collect_set(col("seg"))).as("segs"))
+      .select(explode(flatten(transform(col("segs"), (a, i) =>
+        transform(slice(col("segs"), i + lit(2), size(col("segs"))),
+          b => struct(a.as("seg_a"), b.as("seg_b")))))).as("p"))
+      .groupBy(col("p.seg_a").as("seg_a"), col("p.seg_b").as("seg_b"))
+      .agg(count(lit(1)).as("n_int_exact"))
+    // sketch pair algebra: tiny |segs|² join, flipped arrays sort in
+    // unsigned (KMV) order
+    def flipped(c: Column): Column = transform(c, x => x.bitwiseXOR(FLIP))
+    val a = sk.select(col("seg").as("seg_a"), flipped(col("mins")).as("ma"),
+      col("n_exact").as("n_exact_a"))
+    val b = sk.select(col("seg").as("seg_b"), flipped(col("mins")).as("mb"),
+      col("n_exact").as("n_exact_b"))
+    val pairs = a.join(b, col("seg_a") < col("seg_b"))
+      .withColumn("u", array_sort(array_distinct(concat(col("ma"), col("mb")))))
+      .withColumn("keff", least(lit(k), size(col("u"))).cast("long"))
+      .withColumn("c", size(filter(slice(col("u"), 1, k), h =>
+        array_contains(col("ma"), h) && array_contains(col("mb"), h))).cast("long"))
+      .withColumn("n_union_est",
+        kmvEstimate(flipped(col("u")), k))
+    pairs
+      .join(exact, Seq("seg_a", "seg_b"), "left")
+      .select(col("seg_a"), col("seg_b"), col("n_exact_a"), col("n_exact_b"),
+        coalesce(col("n_int_exact"), lit(0L)).as("n_int_exact"),
+        col("n_union_est"),
+        F.idiv(col("c").cast("decimal(38,0)") * col("n_union_est"),
+          col("keff")).as("n_int_est"),
+        F.idiv(lit(10000L) * col("c"), col("keff")).as("jaccard_bp"))
+  }
+
+  /** q185: audience overlap between event types (distinct users),
+    * sketch estimates + exact audit columns. */
+  def q185(s: SparkSession, d: String): DataFrame =
+    kmvOverlap(Tables.events(s, d), "event_type", "user_id")
 }

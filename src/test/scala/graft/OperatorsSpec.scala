@@ -851,6 +851,41 @@ class OperatorsSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("q185 KMV overlap is EXACT when the union fits the sketch") {
+    import SparkTestSession.spark.implicits._
+    // A = {1..30}, B = {21..50} (∩ = 10, ∪ = 50), C = {100..104}
+    // disjoint; duplicate rows must not perturb the distinct sets.
+    val rows = (1 to 30).map(u => ("A", u.toLong)) ++
+      (21 to 50).map(u => ("B", u.toLong)) ++
+      (100 to 104).map(u => ("C", u.toLong)) ++
+      Seq(("A", 1L), ("B", 21L))
+    val out = Events.kmvOverlap(rows.toDF("seg", "user"), "seg", "user")
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7)))).toMap
+    // union < k=256 ⇒ every estimator collapses to the exact value
+    assert(out(("A", "B")) == ((30L, 30L, 10L, 50L, 10L, 2000L)))
+    assert(out(("A", "C")) == ((30L, 5L, 0L, 35L, 0L, 0L)))
+    assert(out(("B", "C")) == ((30L, 5L, 0L, 35L, 0L, 0L)))
+  }
+
+  test("q185 estimator invariants hold on the events table") {
+    val rows = Events.q185(spark, sf).collect()
+    val nTypes = Tables.events(spark, sf)
+      .select("event_type").distinct().count()
+    assert(rows.length == (nTypes * (nTypes - 1)) / 2, "one row per pair")
+    rows.foreach { r =>
+      val (ea, eb, exact, uEst, iEst, jbp) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7))
+      assert(jbp >= 0 && jbp <= 10000, "jaccard in [0,1]")
+      assert(iEst >= 0 && iEst <= uEst, "intersection ≤ union")
+      assert(uEst >= math.max(ea, eb) / 2, "union est not absurdly low")
+      assert(exact <= math.min(ea, eb), "exact ∩ bounded by segment sizes")
+    }
+  }
+
   test("q176 short-doc fallback: a sub-window doc still decontaminates") {
     import SparkTestSession.spark.implicits._
     val bench = Seq((1L, "alpha beta")).toDF("doc_id", "text")
