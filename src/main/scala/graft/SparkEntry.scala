@@ -202,6 +202,7 @@ object SparkEntry {
     "q183_k_anonymity"    -> (Relational.q183 _),
     "q184_event_lag"      -> (Events.q184 _),
     "q185_kmv_overlap"    -> (Events.q185 _),
+    "q186_mixture_weights" -> (Text.q186 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -2341,6 +2342,27 @@ object SparkEntry {
            CAST(10000 * es.c // es.keff AS BIGINT) AS jaccard_bp
          FROM es JOIN d da ON da.seg = es.seg_a JOIN d db ON db.seg = es.seg_b
          LEFT JOIN ex ON ex.seg_a = es.seg_a AND ex.seg_b = es.seg_b""",
+
+    // Same one-step-corrected integer sqrt (exact s² ≤ n < (s+1)²
+    // independent of libm) and truncating bp divisions as the Spark
+    // side — every column integer end to end.
+    "q186_mixture_weights" ->
+      """WITH p AS (SELECT lang, count(*) AS n_docs,
+                sum(len(string_split(text, ' '))) AS n_tokens
+                FROM documents GROUP BY 1),
+         c AS (SELECT lang, n_docs, n_tokens,
+                CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS s0 FROM p),
+         i AS (SELECT lang, n_docs, n_tokens,
+                CASE WHEN (s0+1)*(s0+1) <= n_tokens THEN s0+1
+                     WHEN s0*s0 > n_tokens THEN s0-1 ELSE s0 END AS isq FROM c),
+         t AS (SELECT sum(n_tokens) AS tt, sum(isq) AS ti FROM i)
+         SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(isq AS BIGINT) AS isqrt_tokens,
+           CAST(10000 * n_tokens // tt AS BIGINT) AS share_bp,
+           CAST(10000 * isq // ti AS BIGINT) AS weight_bp,
+           CAST(10000 * isq // ti - 10000 * n_tokens // tt AS BIGINT) AS boost_bp
+         FROM i, t""",
   )
 
   /** PageRank oracle: the q51 edge derivation + 5 UNROLLED integer

@@ -1671,4 +1671,42 @@ object Text {
   /** q180: repeated-3-gram span removal over the documents table. */
   def q180(s: SparkSession, d: String): DataFrame =
     deRepeat(Tables.documents(s, d), "doc_id", "text", 3)
+
+  /** TEMPERATURE-BASED MIXING WEIGHTS per corpus group — the published
+    * multilingual/data-mixture sampling rule p_i ∝ n_i^α with α = 1/2:
+    * upweight the tail groups a proportional mix would starve, without
+    * letting the head group dominate. Kept cross-engine exact by
+    * computing n^(1/2) as the INTEGER square root — a double-sqrt
+    * candidate corrected by one step, so s² ≤ n < (s+1)² exactly in
+    * every engine regardless of libm rounding — and all shares as
+    * truncating basis-point divisions. boost_bp = weight_bp − share_bp
+    * makes the reweighting auditable at a glance (negative = head
+    * group throttled, positive = tail boosted).
+    *
+    * Scale (100 TB): one map-side-partial aggregation over the corpus
+    * (per-doc token count is a scalar projection, the exchange carries
+    * O(|groups|) rows); totals are a broadcast 1-row cross join. */
+  def mixtureWeights(docs: DataFrame, groupCol: String,
+                     text: Column): DataFrame = {
+    val per = docs.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(text, " ")).cast("long")).as("n_tokens"))
+    val cand = floor(sqrt(col("n_tokens").cast("double"))).cast("long")
+    val isq = when((cand + 1) * (cand + 1) <= col("n_tokens"), cand + 1)
+      .when(cand * cand > col("n_tokens"), cand - 1)
+      .otherwise(cand)
+    val withS = per.withColumn("isqrt_tokens", isq)
+    val tot = withS.agg(sum(col("n_tokens")).as("tt"),
+      sum(col("isqrt_tokens")).as("ti"))
+    withS.crossJoin(broadcast(tot))
+      .select(col(groupCol), col("n_docs"), col("n_tokens"),
+        col("isqrt_tokens"),
+        F.idiv(lit(10000L) * col("n_tokens"), col("tt")).as("share_bp"),
+        F.idiv(lit(10000L) * col("isqrt_tokens"), col("ti")).as("weight_bp"))
+      .withColumn("boost_bp", col("weight_bp") - col("share_bp"))
+  }
+
+  /** q186: α=1/2 temperature-sampling weights per language. */
+  def q186(s: SparkSession, d: String): DataFrame =
+    mixtureWeights(Tables.documents(s, d), "lang", col("text"))
 }

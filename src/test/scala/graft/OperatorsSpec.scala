@@ -886,6 +886,33 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q186 mixture weights: worked example with exact integer sqrt") {
+    import SparkTestSession.spark.implicits._
+    val docs = Seq(
+      ("x", (1 to 16).map(i => s"t$i").mkString(" ")), // 16 tokens → isqrt 4
+      ("y", "a b c d")                                 //  4 tokens → isqrt 2
+    ).toDF("lang", "text")
+    val out = Text.mixtureWeights(docs, "lang", col("text")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // tt=20 ti=6: shares 8000/2000, weights 6666/3333, boosts −1334/+1333
+    assert(out("x") == ((1L, 16L, 4L, 8000L, 6666L, -1334L)))
+    assert(out("y") == ((1L, 4L, 2L, 2000L, 3333L, 1333L)))
+  }
+
+  test("q186 isqrt is the exact integer square root on the corpus") {
+    val rows = Text.q186(spark, sf).collect()
+    assert(rows.nonEmpty)
+    var wsum = 0L
+    rows.foreach { r =>
+      val (n, s, w) = (r.getLong(2), r.getLong(3), r.getLong(5))
+      assert(s * s <= n && n < (s + 1) * (s + 1), s"isqrt($n) = $s wrong")
+      wsum += w
+    }
+    // truncating divisions: total within |groups| bp of exactly 10^4
+    assert(wsum <= 10000 && wsum > 10000 - rows.length)
+  }
+
   test("q176 short-doc fallback: a sub-window doc still decontaminates") {
     import SparkTestSession.spark.implicits._
     val bench = Seq((1L, "alpha beta")).toDF("doc_id", "text")
