@@ -203,6 +203,7 @@ object SparkEntry {
     "q184_event_lag"      -> (Events.q184 _),
     "q185_kmv_overlap"    -> (Events.q185 _),
     "q186_mixture_weights" -> (Text.q186 _),
+    "q187_rrf_fusion"     -> (Text.q187 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -210,8 +211,10 @@ object SparkEntry {
 
   /** Shared by q146 (scan-time BM25) and q182 (persisted-index BM25) —
     * the two are row-identical by construction. */
-  private def bm25Oracle: String =
-    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+  /** The BM25 scoring CTE chain (through `sc`), shared by the q146/q182
+    * oracle and the q187 fusion oracle. */
+  private def bm25Cte: String =
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
        dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM t),
        st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, sum(dl) AS total_len FROM dl),
        tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
@@ -220,7 +223,10 @@ object SparkEntry {
        dfq AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
        sc AS (SELECT tf.doc_id,
               ${BP("ln((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0) * ((tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / (st.total_len / st.n_docs)))))")} AS term_bp
-              FROM tf JOIN dfq USING (tok) JOIN dl USING (doc_id), st)
+              FROM tf JOIN dfq USING (tok) JOIN dl USING (doc_id), st)"""
+
+  private def bm25Oracle: String =
+    s"""WITH $bm25Cte
        SELECT doc_id, CAST(sum(term_bp) AS BIGINT) AS score_bp,
               count(*) AS n_terms_hit
        FROM sc GROUP BY 1 ORDER BY score_bp DESC, doc_id LIMIT 20"""
@@ -2363,6 +2369,31 @@ object SparkEntry {
            CAST(10000 * isq // ti AS BIGINT) AS weight_bp,
            CAST(10000 * isq // ti - 10000 * n_tokens // tt AS BIGINT) AS boost_bp
          FROM i, t""",
+
+    // Composes the shared BM25 CTE chain (sparse leg, same top-20 as
+    // q146) with q94's dense cosine ranking restricted to the vec_id-0
+    // query, then the scaled-integer RRF combine — rank arithmetic all
+    // BIGINT, same (score desc, id) tie-breaks as the Spark side.
+    "q187_rrf_fusion" ->
+      s"""WITH $bm25Cte,
+         bm AS (SELECT doc_id, CAST(sum(term_bp) AS BIGINT) AS score_bp
+                FROM sc GROUP BY 1 ORDER BY score_bp DESC, doc_id LIMIT 20),
+         sp AS (SELECT doc_id, row_number() OVER (ORDER BY score_bp DESC, doc_id) AS rs FROM bm),
+         dc AS (SELECT e.vec_id AS doc_id,
+                list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS cos
+                FROM embeddings q JOIN embeddings e ON q.vec_id = 0 AND e.vec_id <> 0),
+         dr AS (SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS rd FROM dc),
+         dn AS (SELECT doc_id, rd FROM dr WHERE rd <= 20),
+         f AS (SELECT coalesce(sp.doc_id, dn.doc_id) AS doc_id,
+               coalesce(rs, 0) AS rank_sparse, coalesce(rd, 0) AS rank_dense,
+               coalesce(1000000000 // (60 + rs), 0) +
+               coalesce(1000000000 // (60 + rd), 0) AS rrf_score
+               FROM sp FULL JOIN dn ON sp.doc_id = dn.doc_id)
+         SELECT doc_id, CAST(rank_sparse AS BIGINT) AS rank_sparse,
+           CAST(rank_dense AS BIGINT) AS rank_dense,
+           CAST(rrf_score AS BIGINT) AS rrf_score,
+           CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS fused_rank
+         FROM f""",
   )
 
   /** PageRank oracle: the q51 edge derivation + 5 UNROLLED integer

@@ -1709,4 +1709,54 @@ object Text {
   /** q186: α=1/2 temperature-sampling weights per language. */
   def q186(s: SparkSession, d: String): DataFrame =
     mixtureWeights(Tables.documents(s, d), "lang", col("text"))
+
+  /** RECIPROCAL-RANK FUSION of two retrieval rankings — the published
+    * hybrid-search combiner (score = Σ 1/(c + rank), c = 60): a doc
+    * ranked by EITHER leg earns the reciprocal of its shifted rank, so
+    * agreement between legs dominates without any score calibration
+    * between BM25 points and cosine similarity. Reciprocals are scaled
+    * integers floor(10⁹/(c+r)) — exact across engines, and the fused
+    * order is total under the (score desc, id) tie-break.
+    *
+    * Scale (100 TB): fusion itself touches only the two top-k lists —
+    * 2k rows however big the corpus is; the windows below are over
+    * those bounded lists, never corpus-wide. The expensive part is the
+    * LEGS, and each leg is the already-scale-shaped operator it reuses
+    * (BM25 = one corpus scan or the q182 index read; dense = the ANN
+    * family). */
+  def rrfFuse(sparse: DataFrame, dense: DataFrame, id: String,
+              c: Int = 60, scale: Long = 1000000000L): DataFrame = {
+    // both inputs: (id, rank); bounded ≤ k rows each — the
+    // unpartitioned window is over the fused ≤ 2k list, not the corpus
+    def contrib(r: Column): Column =
+      coalesce(F.idiv(lit(scale), lit(c.toLong) + r), lit(0L))
+    sparse.select(col(id), col("rank").as("rank_sparse"))
+      .join(dense.select(col(id), col("rank").as("rank_dense")),
+        Seq(id), "full_outer")
+      .select(col(id),
+        coalesce(col("rank_sparse"), lit(0L)).as("rank_sparse"),
+        coalesce(col("rank_dense"), lit(0L)).as("rank_dense"),
+        (contrib(col("rank_sparse")) + contrib(col("rank_dense")))
+          .as("rrf_score"))
+      .withColumn("fused_rank", row_number()
+        .over(Window.orderBy(col("rrf_score").desc, col(id).asc)).cast("long"))
+  }
+
+  /** q187: hybrid retrieval — BM25 top-20 for the fixed term set fused
+    * with the exact dense top-20 around the vec_id-0 query embedding
+    * (vec_id ≡ doc_id on the shared id space, the q65 convention). */
+  def q187(s: SparkSession, d: String): DataFrame = {
+    val sparse = bm25TopK(Tables.documents(s, d), "doc_id", "text",
+        Seq("query", "join", "data"), 20)
+      // bm25TopK returns the ordered top-20; rank materializes that
+      // order (window over ≤ 20 rows)
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("score_bp").desc, col("doc_id").asc))
+        .cast("long"))
+    val e = Tables.embeddings(s, d)
+    val dense = Similarity.bruteForceTopK(e, e.filter(col("vec_id") === 0),
+        "vec_id", "embedding", 20)
+      .select(col("neighbor_id").as("doc_id"), col("rank").cast("long").as("rank"))
+    rrfFuse(sparse.select(col("doc_id"), col("rank")), dense, "doc_id")
+  }
 }

@@ -913,6 +913,35 @@ class OperatorsSpec extends SparkSpec {
     assert(wsum <= 10000 && wsum > 10000 - rows.length)
   }
 
+  test("q187 RRF fusion: worked example — agreement outranks either leg") {
+    import SparkTestSession.spark.implicits._
+    val sparse = Seq((10L, 1L), (20L, 2L)).toDF("doc_id", "rank")
+    val dense  = Seq((20L, 1L), (30L, 2L)).toDF("doc_id", "rank")
+    val out = Text.rrfFuse(sparse, dense, "doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    // 10^9//61 = 16393442, 10^9//62 = 16129032
+    assert(out(20L) == ((2L, 1L, 16129032L + 16393442L, 1L)),
+      "doc in BOTH legs fuses first")
+    assert(out(10L) == ((1L, 0L, 16393442L, 2L)))
+    assert(out(30L) == ((0L, 2L, 16129032L, 3L)))
+  }
+
+  test("q187 fused ranking is a total order with both legs represented") {
+    val rows = Text.q187(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val fused = rows.map(_.getLong(4)).sorted
+    assert(fused.sameElements(1L to rows.length), "fused_rank is 1..n")
+    assert(rows.exists(_.getLong(1) > 0) && rows.exists(_.getLong(2) > 0),
+      "both legs contribute")
+    // score must equal the reciprocal formula re-derived from the ranks
+    rows.foreach { r =>
+      val expect = Seq(r.getLong(1), r.getLong(2)).filter(_ > 0)
+        .map(rk => 1000000000L / (60L + rk)).sum
+      assert(r.getLong(3) == expect, s"doc ${r.getLong(0)} score")
+    }
+  }
+
   test("q176 short-doc fallback: a sub-window doc still decontaminates") {
     import SparkTestSession.spark.implicits._
     val bench = Seq((1L, "alpha beta")).toDF("doc_id", "text")
