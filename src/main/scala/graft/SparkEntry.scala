@@ -204,6 +204,7 @@ object SparkEntry {
     "q185_kmv_overlap"    -> (Events.q185 _),
     "q186_mixture_weights" -> (Text.q186 _),
     "q187_rrf_fusion"     -> (Text.q187 _),
+    "q188_skew_audit"     -> (Relational.q188 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -2394,6 +2395,27 @@ object SparkEntry {
            CAST(rrf_score AS BIGINT) AS rrf_score,
            CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS fused_rank
          FROM f""",
+
+    // Buckets are the low 5 bits of the md5 hash (p = 32 is a power of
+    // two, so unsigned % and signed pmod agree); top key per bucket by
+    // (count desc, key asc) mirrors the struct-max on the Spark side.
+    "q188_skew_audit" ->
+      """WITH kc AS (SELECT user_id AS k, count(*) AS n,
+                md5_number_upper(CAST(user_id AS VARCHAR)) % 32 AS bucket
+                FROM events GROUP BY 1),
+         r AS (SELECT *, row_number() OVER (PARTITION BY bucket
+               ORDER BY n DESC, k ASC) AS rn FROM kc),
+         tk AS (SELECT bucket, k AS top_key, n AS top_key_n FROM r WHERE rn = 1),
+         pb AS (SELECT bucket, sum(n) AS n_rows, count(*) AS n_keys FROM kc GROUP BY 1),
+         t AS (SELECT sum(n_rows) AS total FROM pb)
+         SELECT CAST(pb.bucket AS BIGINT) AS bucket,
+           CAST(pb.n_rows AS BIGINT) AS n_rows,
+           CAST(pb.n_keys AS BIGINT) AS n_keys,
+           CAST(tk.top_key AS BIGINT) AS top_key,
+           CAST(tk.top_key_n AS BIGINT) AS top_key_n,
+           CAST(10000 * pb.n_rows // t.total AS BIGINT) AS share_bp,
+           CAST(10000 * 32 * pb.n_rows // t.total AS BIGINT) AS hot_bp
+         FROM pb JOIN tk USING (bucket), t""",
   )
 
   /** PageRank oracle: the q51 edge derivation + 5 UNROLLED integer

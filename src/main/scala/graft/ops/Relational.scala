@@ -1035,4 +1035,46 @@ object Relational {
         col("c_mktsegment").as("segment"),
         floor(col("c_acctbal") / 1000d).cast("long").as("bal_band")),
       5L)
+
+  /** SHUFFLE-SKEW PRE-FLIGHT AUDIT for a join/aggregation key: the
+    * planning operator that answers "will this key skew at scale?"
+    * BEFORE the expensive job runs. Simulates the hash partitioning a
+    * shuffle on `key` would produce — bucket = md5-hash mod p (p a
+    * power of two, so signed pmod ≡ unsigned low bits and every engine
+    * agrees on the bucket) — and reports, per bucket: row/key mass,
+    * the heaviest key with its count (the salting candidate), the
+    * bucket's share, and hot_bp = 10⁴·p·n_rows/total (10⁴ = perfectly
+    * balanced; a 3× bucket reads 30000). The q29 salted join and AQE
+    * skew split are the REMEDIES; this is the detector that says which
+    * keys need them.
+    *
+    * Scale (100 TB): one map-side-partial count per key (the exchange
+    * carries O(distinct keys) rows); the bucket rollup and top-key
+    * window run over key COUNTS, never rows; totals broadcast. The
+    * audit never rescans or reshuffles the fact table itself. */
+  def skewAudit(df: DataFrame, key: String, p: Int = 32): DataFrame = {
+    require(p >= 2 && (p & (p - 1)) == 0, s"p must be a power of two, got $p")
+    val keyCounts = df.groupBy(col(key).as("k_"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("k_"), col("n"),
+        pmod(graft.functions.F.md5Hash64(col("k_").cast("string")),
+          lit(p.toLong)).as("bucket"))
+    val perBucket = keyCounts.groupBy(col("bucket"))
+      .agg(sum(col("n")).as("n_rows"), count(lit(1)).as("n_keys"),
+        // deterministic arg-max: largest count, then smallest key
+        max(struct(col("n").as("n"), (-col("k_")).as("nk"))).as("top"))
+    val tot = perBucket.agg(sum(col("n_rows")).as("total"))
+    perBucket.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_rows"), col("n_keys"),
+        (-col("top.nk")).as("top_key"), col("top.n").as("top_key_n"),
+        graft.functions.F.idiv(lit(10000L) * col("n_rows"), col("total"))
+          .as("share_bp"),
+        graft.functions.F.idiv(lit(10000L) * p * col("n_rows"), col("total"))
+          .as("hot_bp"))
+  }
+
+  /** q188: 32-bucket skew audit of the events stream's user_id — the
+    * key every sessionize/burstiness/TWAP operator shuffles on. */
+  def q188(s: SparkSession, d: String): DataFrame =
+    skewAudit(Tables.events(s, d), "user_id", 32)
 }

@@ -942,6 +942,30 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q188 skew audit surfaces the hot key with its exact mass") {
+    import SparkTestSession.spark.implicits._
+    val rows = (1 to 10).map(_ => 7L) ++ Seq(1L, 2L, 3L, 4L, 5L)
+    val out = Relational.skewAudit(rows.toDF("k"), "k", 2).collect()
+    assert(out.map(_.getLong(1)).sum == 15L, "all rows accounted")
+    assert(out.map(_.getLong(2)).sum == 6L, "all keys accounted")
+    val hot = out.find(_.getLong(3) == 7L).get
+    assert(hot.getLong(4) == 10L, "hot key count")
+    assert(hot.getLong(1) >= 10L, "hot bucket carries the hot key's mass")
+  }
+
+  test("q188 bucket histogram partitions the events stream exactly") {
+    val rows = Relational.q188(spark, sf).collect()
+    val total = Tables.events(spark, sf).count()
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+    assert(rows.forall(r => r.getLong(0) >= 0 && r.getLong(0) < 32))
+    assert(rows.map(_.getLong(1)).sum == total, "row mass conserved")
+    rows.foreach { r =>
+      assert(r.getLong(4) <= r.getLong(1), "top key within bucket mass")
+    }
+    val shares = rows.map(_.getLong(5)).sum
+    assert(shares <= 10000 && shares > 10000 - rows.length)
+  }
+
   test("q176 short-doc fallback: a sub-window doc still decontaminates") {
     import SparkTestSession.spark.implicits._
     val bench = Seq((1L, "alpha beta")).toDF("doc_id", "text")
