@@ -146,6 +146,8 @@ object AnnOracleSql {
       FROM asg)
     WHERE rn <= 8"""
 
+  private val Tau = Similarity.SemTau
+
   /** q114 SemDeDup: intra-cell pairs with cosine ≥ τ drop the higher
     * id; kept rows survive. */
   private val q114Sql: String =
@@ -153,9 +155,37 @@ object AnnOracleSql {
     $assignCtes,
     dropped AS (SELECT DISTINCT b.vec_id
                 FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
-                WHERE ${cosS("a.embedding", "b.embedding")} >= 0.35)
+                WHERE ${cosS("a.embedding", "b.embedding")} >= $Tau)
     SELECT a.vec_id, a.cell FROM asg a
     WHERE a.vec_id NOT IN (SELECT vec_id FROM dropped)"""
+
+  /** q189 persisted-SemDeDup-store apply: quantizer trained on the
+    * even-id half (the store build), kept = even-half SemDeDup
+    * survivors, then every odd-id vector flagged against the kept
+    * representatives of its cell (dup_store) and against earlier
+    * odd-id vectors in its cell (dup_batch). Mirrors
+    * Similarity.writeSemDedupStore + semDedupApply. */
+  private val q189Sql: String =
+    s"""WITH ${trainCtes(16, "vec_id % 2 = 0")},
+    $assignCtes,
+    oldk AS (SELECT vec_id, embedding, cell FROM asg WHERE vec_id % 2 = 0),
+    odrop AS (SELECT DISTINCT b.vec_id
+              FROM oldk a JOIN oldk b ON a.cell = b.cell AND a.vec_id < b.vec_id
+              WHERE ${cosS("a.embedding", "b.embedding")} >= $Tau),
+    okept AS (SELECT * FROM oldk WHERE vec_id NOT IN (SELECT vec_id FROM odrop)),
+    newb AS (SELECT vec_id, embedding, cell FROM asg WHERE vec_id % 2 = 1),
+    ds AS (SELECT DISTINCT n.vec_id
+           FROM newb n JOIN okept o ON o.cell = n.cell
+           WHERE ${cosS("n.embedding", "o.embedding")} >= $Tau),
+    db AS (SELECT DISTINCT b.vec_id
+           FROM newb a JOIN newb b ON a.cell = b.cell AND a.vec_id < b.vec_id
+           WHERE ${cosS("a.embedding", "b.embedding")} >= $Tau)
+    SELECT n.vec_id, n.cell,
+      CAST(CASE WHEN ds.vec_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS dup_store,
+      CAST(CASE WHEN db.vec_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS dup_batch,
+      CAST(CASE WHEN ds.vec_id IS NULL AND db.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS keep
+    FROM newb n LEFT JOIN ds ON ds.vec_id = n.vec_id
+    LEFT JOIN db ON db.vec_id = n.vec_id"""
 
   // ---- PQ (q63 / q145) ----
 
@@ -294,6 +324,7 @@ object AnnOracleSql {
     "q91_embed_clusters"   -> q91Sql,
     "q95_diversity_sample" -> q95Sql,
     "q114_semdedup"        -> q114Sql,
+    "q189_semdedup_store"  -> q189Sql,
     "q62_ann_ivf"          -> ivfOracle(Similarity.IvfCells),
     "q144_ann_ivf_index"   -> ivfOracle(Similarity.IvfCells),
     "q168_ann_ivf_append"  -> ivfOracle(Similarity.IvfCells, "vec_id % 2 = 0"),

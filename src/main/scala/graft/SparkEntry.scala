@@ -205,6 +205,7 @@ object SparkEntry {
     "q186_mixture_weights" -> (Text.q186 _),
     "q187_rrf_fusion"     -> (Text.q187 _),
     "q188_skew_audit"     -> (Relational.q188 _),
+    "q189_semdedup_store" -> (Similarity.q189 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:

@@ -29,6 +29,10 @@ object Similarity {
 
   val TopK = 10
   val NumQueries = 10
+  /** SemDeDup near-duplicate cosine threshold (the q54 level), shared
+    * by q114 and the persisted store (q189) so the Scala side and the
+    * AnnOracleSql mirror cannot drift. */
+  val SemTau = 0.35
 
   /** Per-query top-k by (cos desc, neighbor asc) via the bounded-heap
     * TopKAgg: each map task keeps a size-k heap per query (O(n log k)),
@@ -662,8 +666,17 @@ object Similarity {
     * n/k stays bounded, exactly how the paper shards); the drop set is
     * a semi-join, the corpus never self-joins globally. */
   def semDedup(corpus: DataFrame, id: String, emb: String,
-               k: Int, tau: Double, iters: Int = TrainIters): DataFrame = {
-    val cents = trainCentroids(corpus, id, emb, k, iters)
+               k: Int, tau: Double, iters: Int = TrainIters): DataFrame =
+    semDedupWith(trainCentroids(corpus, id, emb, k, iters),
+      corpus, id, emb, tau)
+      .select(col("vid").as("vec_id"), col("cell"))
+
+  /** SemDeDup under a FROZEN quantizer (the factored half of
+    * [[semDedup]], same split as writeIvfIndex/writeIvfIndexWith):
+    * returns the kept rows as (vid, e, cell) — embedding retained so
+    * the persisted-store writer can materialize representatives. */
+  def semDedupWith(cents: Seq[Seq[Float]], corpus: DataFrame, id: String,
+                   emb: String, tau: Double): DataFrame = {
     val cells = corpus.select(col(id).as("vid"), col(emb).as("e"),
       bestCellId(cents, col(emb)).as("cell"))
     val dropped = cells.as("a").join(cells.as("b"),
@@ -671,13 +684,12 @@ object Similarity {
         F.cosineSim(col("a.e"), col("b.e")) >= tau)
       .select(col("b.vid").as("vid")).distinct()
     cells.join(dropped, Seq("vid"), "left_anti")
-      .select(col("vid").as("vec_id"), col("cell"))
   }
 
   /** q114: SemDeDup of the embeddings table — 16 trained cells,
     * τ = 0.35 (the q54 near-dup level). */
   def q114(s: SparkSession, d: String): DataFrame =
-    semDedup(Tables.embeddings(s, d), "vec_id", "embedding", 16, 0.35)
+    semDedup(Tables.embeddings(s, d), "vec_id", "embedding", 16, SemTau)
 
   /** q114 in its 100 TB deployment mode: the cell count scales with
     * the corpus (k = n/125, the sf0.1 width) so cell WIDTH — and with
@@ -691,7 +703,7 @@ object Similarity {
   def q114Scaled(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
     val k = math.max(16L, e.count() / 125L).toInt
-    semDedup(e, "vec_id", "embedding", k, 0.35)
+    semDedup(e, "vec_id", "embedding", k, SemTau)
   }
 
   /** q62: IVF-Flat approximate top-10, nprobe=4 of 16 cells. */
@@ -1054,5 +1066,82 @@ object Similarity {
     // run 1–2% — the heap bound has to stop growing somewhere).
     val rerank = math.max(PqRerank.toLong, math.min(c.count() / 6, 65536L)).toInt
     pqTopK(c, q, "vec_id", "embedding", rerank = rerank)
+  }
+
+  // ---- persisted semantic-dedup store (q189) ----
+
+  /** Write the PERSISTED SemDeDup store under `path`: the trained
+    * quantizer (centroid table, the q144 layout) plus the KEPT
+    * representatives (vid, e, cell) partitioned by cell — written
+    * LAST, so `kept/_SUCCESS` is the build-complete marker. This is
+    * the semantic twin of the q88 MinHash signature store: dedup
+    * state that outlives the job, so tomorrow's batch dedups against
+    * everything ever kept WITHOUT rescanning or re-deduping the
+    * historical corpus. */
+  def writeSemDedupStore(corpus: DataFrame, id: String, emb: String,
+                         path: String, k: Int = 16, tau: Double = SemTau,
+                         iters: Int = TrainIters): Unit = {
+    val s = corpus.sparkSession
+    import s.implicits._
+    val cents = trainCentroids(corpus, id, emb, k, iters)
+    cents.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("cell", "centroid")
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    semDedupWith(cents, corpus, id, emb, tau)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/kept")
+  }
+
+  /** Dedup a NEW batch against the persisted store: assign each new
+    * vector to its cell under the FROZEN stored quantizer (the q168
+    * append discipline — literal argmin for small models, broadcast
+    * join above LiteralCellsMax), then flag
+    *   dup_store — ≥ τ cosine against a stored representative of the
+    *               same cell (seen before),
+    *   dup_batch — ≥ τ against an earlier (lower-id) vector of the
+    *               same batch and cell (the intra-batch q114 rule),
+    * and keep = neither. One verdict row per batch vector: the
+    * filterable face an ingest pipeline gates on.
+    *
+    * Scale (100 TB of history): the store read prunes to the cells the
+    * batch actually hits; both pair joins are intra-cell (the SemDeDup
+    * bound — cell width is the designed constant), and the batch is a
+    * day's ingest, not the corpus. History size enters only through
+    * per-cell representative counts. */
+  def semDedupApply(s: SparkSession, path: String, batch: DataFrame,
+                    id: String, emb: String,
+                    tau: Double = SemTau): DataFrame = {
+    val assigned = assignCells(s.read.parquet(s"$path/centroids"), batch,
+      id, emb, LiteralCellsMax)
+    val stored = s.read.parquet(s"$path/kept")
+      .select(col("cell"), col("e").as("o_e"))
+    val dupStore = assigned.join(stored, Seq("cell"))
+      .where(F.cosineSim(col("c_emb"), col("o_e")) >= tau)
+      .select(col("vid")).distinct()
+    val dupBatch = assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vid") < col("b.vid") &&
+        F.cosineSim(col("a.c_emb"), col("b.c_emb")) >= tau)
+      .select(col("b.vid").as("vid")).distinct()
+    assigned.select(col("vid"), col("cell"))
+      .join(dupStore.withColumn("ds", lit(1)), Seq("vid"), "left")
+      .join(dupBatch.withColumn("db", lit(1)), Seq("vid"), "left")
+      .select(col("vid").as("vec_id"), col("cell"),
+        coalesce(col("ds"), lit(0)).as("dup_store"),
+        coalesce(col("db"), lit(0)).as("dup_batch"))
+      .withColumn("keep",
+        (col("dup_store") === 0 && col("dup_batch") === 0).cast("int"))
+  }
+
+  /** q189: build the store from the even-id half of the corpus (the
+    * q168/q170 split convention), then run the odd-id half through it
+    * as the incoming batch — one verdict row per new vector. */
+  def q189(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val path = indexScratch(s, d, "semstore")
+    val done = new org.apache.hadoop.fs.Path(s"$path/kept/_SUCCESS")
+    if (!done.getFileSystem(s.sparkContext.hadoopConfiguration).exists(done))
+      writeSemDedupStore(e.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", path)
+    semDedupApply(s, path, e.filter(col("vec_id") % 2 === 1),
+      "vec_id", "embedding")
   }
 }

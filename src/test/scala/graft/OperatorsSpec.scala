@@ -966,6 +966,41 @@ class OperatorsSpec extends SparkSpec {
     assert(shares <= 10000 && shares > 10000 - rows.length)
   }
 
+  test("q189 semantic store: batch dedups against stored reps and itself") {
+    import SparkTestSession.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-semstore").toString
+    // old corpus (even ids): two orthogonal vectors — both kept
+    val old = Seq((0L, Seq(1f, 0f, 0f, 0f)), (2L, Seq(0f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    Similarity.writeSemDedupStore(old, "vec_id", "embedding", dir, k = 2)
+    // batch: 1 = exact copy of stored 0 → dup_store; 3 = novel
+    // direction → keep; 5 ≈ 3 (cos ≈ 0.995) → dup_batch drops the
+    // higher id
+    val batch = Seq((1L, Seq(1f, 0f, 0f, 0f)), (3L, Seq(0f, 0f, 1f, 0f)),
+      (5L, Seq(0f, 0f, 0.9f, 0.1f))).toDF("vec_id", "embedding")
+    val out = Similarity.semDedupApply(spark, dir, batch, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(2), r.getInt(3), r.getInt(4)))).toMap
+    assert(out(1L) == ((1, 0, 0)), "copy of a stored rep flagged dup_store")
+    assert(out(3L) == ((0, 0, 1)), "novel vector kept")
+    assert(out(5L) == ((0, 1, 0)), "near-copy of an earlier batch vector flagged dup_batch")
+  }
+
+  test("q189 verdicts are consistent and stable across store reuse") {
+    val a = Similarity.q189(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+    assert(a.nonEmpty)
+    a.foreach { case (vid, _, ds, db, keep) =>
+      assert(vid % 2 == 1, "verdicts are for the odd-id batch only")
+      assert(keep == (if (ds == 0 && db == 0) 1 else 0), s"vec $vid verdict")
+    }
+    // second call answers from the persisted store (no rebuild) and is
+    // row-identical — the standing-store contract
+    val b = Similarity.q189(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+    assert(a.sorted.sameElements(b.sorted))
+  }
+
   test("q176 short-doc fallback: a sub-window doc still decontaminates") {
     import SparkTestSession.spark.implicits._
     val bench = Seq((1L, "alpha beta")).toDF("doc_id", "text")
