@@ -206,6 +206,7 @@ object SparkEntry {
     "q187_rrf_fusion"     -> (Text.q187 _),
     "q188_skew_audit"     -> (Relational.q188 _),
     "q189_semdedup_store" -> (Similarity.q189 _),
+    "q190_triangles"      -> (Relational.q190 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -2417,6 +2418,32 @@ object SparkEntry {
            CAST(10000 * pb.n_rows // t.total AS BIGINT) AS share_bp,
            CAST(10000 * 32 * pb.n_rows // t.total AS BIGINT) AS hot_bp
          FROM pb JOIN tk USING (bucket), t""",
+
+    // Degree-oriented triangle enumeration: orient each co-purchase
+    // edge by the (degree, id) tuple, wedge on the common source with
+    // the out-edges tuple-ordered, close with one equality join —
+    // the same three joins the Spark plan runs.
+    "q190_triangles" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+         e AS (SELECT a.it AS pa, b.it AS pb
+               FROM li a JOIN li b ON a.bk = b.bk AND a.it < b.it GROUP BY 1, 2),
+         und AS (SELECT pa AS u, pb AS v FROM e UNION ALL SELECT pb, pa FROM e),
+         deg AS (SELECT u, count(*) AS d FROM und GROUP BY 1),
+         o AS (SELECT un.u, un.v, dv.d AS dv
+               FROM und un JOIN deg du ON du.u = un.u JOIN deg dv ON dv.u = un.v
+               WHERE (du.d, un.u) < (dv.d, un.v)),
+         tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                 FROM o e1 JOIN o e2 ON e1.u = e2.u
+                   AND (e1.dv, e1.v) < (e2.dv, e2.v)
+                 JOIN o e3 ON e3.u = e1.v AND e3.v = e2.v),
+         nodes AS (SELECT a AS part FROM tri UNION ALL
+                   SELECT b FROM tri UNION ALL SELECT c FROM tri),
+         pn AS (SELECT part, count(*) AS n_triangles FROM nodes GROUP BY 1)
+         SELECT CAST(pn.part AS BIGINT) AS part,
+           CAST(pn.n_triangles AS BIGINT) AS n_triangles,
+           CAST(deg.d AS BIGINT) AS degree
+         FROM pn JOIN deg ON deg.u = pn.part
+         ORDER BY n_triangles DESC, part ASC LIMIT 20""",
   )
 
   /** PageRank oracle: the q51 edge derivation + 5 UNROLLED integer

@@ -1077,4 +1077,71 @@ object Relational {
     * key every sessionize/burstiness/TWAP operator shuffles on. */
   def q188(s: SparkSession, d: String): DataFrame =
     skewAudit(Tables.events(s, d), "user_id", 32)
+
+  /** TRIANGLE COUNTING over the co-occurrence graph — the density
+    * statistic behind community detection and graph-quality audits
+    * (a co-purchase graph's triangles are its "bought-together
+    * cliques"; a link graph's triangles measure clustering).
+    *
+    * Algorithm: degree orientation. Each undirected edge is oriented
+    * from its (degree, id)-smaller endpoint to the larger; every
+    * triangle then has EXACTLY one vertex with two out-edges, so
+    * triangles = wedges (u→v, u→w with ord(v) < ord(w)) whose closing
+    * edge v→w exists. The orientation bounds every vertex's out-degree
+    * by O(√m) (arboricity), so wedge fan-out is O(m^1.5) total instead
+    * of Σdeg² — the difference between tractable and hopeless on a
+    * power-law graph, where the unoriented wedge count explodes at the
+    * hubs.
+    *
+    * Scale (100 TB): edges come from q68's basket-array discipline
+    * (pairs explode WITHIN the basket row — never a fact-table
+    * self-join); the degree table is node-sized; orientation is an
+    * equi-join on the node id with the tuple comparison as a post-join
+    * filter; wedge and closing joins are equi-joins on u and (v, w) —
+    * three linear shuffles over edge-sized data, no global order, no
+    * driver state. `minSupport` thins coincidence edges before any
+    * quadratic step. */
+  def triangleCounts(items: DataFrame, basket: String, item: String,
+                     minSupport: Long, k: Int): DataFrame = {
+    val baskets = items.select(col(basket).as("bk"), col(item).as("it"))
+      .groupBy(col("bk")).agg(sort_array(collect_set(col("it"))).as("arr"))
+    val edges = baskets
+      .select(posexplode(col("arr")).as(Seq("i", "pa")), col("arr"))
+      .select(col("pa"),
+        explode(slice(col("arr"), col("i") + lit(2),
+          size(col("arr")) - col("i") - lit(1))).as("pb"))
+      .groupBy(col("pa"), col("pb"))
+      .agg(count(lit(1)).as("n_bk"))
+      .where(col("n_bk") >= minSupport)
+      .select(col("pa"), col("pb"))
+    val und = edges.select(col("pa").as("u"), col("pb").as("v"))
+      .unionAll(edges.select(col("pb").as("u"), col("pa").as("v")))
+    val deg = und.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    // Oriented edge u→v iff (deg(u), u) < (deg(v), v); carry v's rank
+    // tuple so the wedge join below can order the two out-edges without
+    // re-joining degrees.
+    val o = und
+      .join(deg.select(col("u"), col("d").as("du")), "u")
+      .join(deg.select(col("u").as("v"), col("d").as("dv")), "v")
+      .where(struct(col("du"), col("u")) < struct(col("dv"), col("v")))
+      .select(col("u"), col("v"), col("dv"))
+    val e1 = o.select(col("u"), col("v").as("b"), col("dv").as("db"))
+    val e2 = o.select(col("u"), col("v").as("c"), col("dv").as("dc"))
+    val wedges = e1.join(e2, "u")
+      .where(struct(col("db"), col("b")) < struct(col("dc"), col("c")))
+      .select(col("u").as("a"), col("b"), col("c"))
+    // Closing edge must be b→c: b precedes c in the orientation order,
+    // so a single equality join finishes the triangle.
+    val closing = o.select(col("u").as("b"), col("v").as("c"))
+    val tri = wedges.join(closing, Seq("b", "c"))
+    val perNode = tri.select(explode(array(col("a"), col("b"), col("c"))).as("part"))
+      .groupBy(col("part")).agg(count(lit(1)).as("n_triangles"))
+    perNode.join(deg.select(col("u").as("part"), col("d").as("degree")), "part")
+      .orderBy(col("n_triangles").desc, col("part").asc)
+      .limit(k)
+  }
+
+  /** q190: top-20 parts by co-purchase-graph triangle participation. */
+  def q190(s: SparkSession, d: String): DataFrame =
+    triangleCounts(Tables.lineitem(s, d), "l_orderkey", "l_partkey", 1L, 20)
 }

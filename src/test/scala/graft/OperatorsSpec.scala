@@ -2054,4 +2054,33 @@ class OperatorsSpec extends SparkSpec {
     }.toSet
     assert(got == expect)
   }
+
+  test("q190 triangle counts: K4 plus a pendant edge, hand-checked") {
+    import SparkTestSession.spark.implicits._
+    // Baskets building K4 on {1,2,3,4} (each edge from one 2-item
+    // basket) plus pendant 4-5. K4 has 4 triangles; nodes 1..4 sit in
+    // 3 each; node 5 in none (and is filtered by the inner join).
+    val baskets = Seq(
+      (10L, 1L), (10L, 2L), (11L, 1L), (11L, 3L), (12L, 1L), (12L, 4L),
+      (13L, 2L), (13L, 3L), (14L, 2L), (14L, 4L), (15L, 3L), (15L, 4L),
+      (16L, 4L), (16L, 5L)).toDF("bk", "it")
+    val out = Relational.triangleCounts(baskets, "bk", "it", 1L, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 4, s"nodes with triangles: ${out.toSeq}")
+    assert(out.forall(_._2 == 3L), s"per-node triangle count: ${out.toSeq}")
+    assert(out.map(_._1).sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+    val deg = out.map(t => t._1 -> t._3).toMap
+    assert(deg(4L) == 4L && deg(1L) == 3L, s"degrees: $deg")
+  }
+
+  test("q190 minSupport thins coincidence edges before the wedge step") {
+    import SparkTestSession.spark.implicits._
+    // Triangle {1,2,3} where edge 1-2 repeats in two baskets but 1-3
+    // and 2-3 appear once: minSupport=2 keeps only 1-2 → no triangle.
+    val baskets = Seq(
+      (10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L),
+      (12L, 1L), (12L, 3L), (13L, 2L), (13L, 3L)).toDF("bk", "it")
+    assert(Relational.triangleCounts(baskets, "bk", "it", 1L, 10).count() == 3)
+    assert(Relational.triangleCounts(baskets, "bk", "it", 2L, 10).count() == 0)
+  }
 }
