@@ -207,6 +207,7 @@ object SparkEntry {
     "q188_skew_audit"     -> (Relational.q188 _),
     "q189_semdedup_store" -> (Similarity.q189 _),
     "q190_triangles"      -> (Relational.q190 _),
+    "q191_chunk_windows"  -> (Text.q191 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -2444,6 +2445,25 @@ object SparkEntry {
            CAST(deg.d AS BIGINT) AS degree
          FROM pn JOIN deg ON deg.u = pn.part
          ORDER BY n_triangles DESC, part ASC LIMIT 20""",
+
+    // Sliding 32-token windows at stride 16: k_max = ceil(max(n-32,0)/16)
+    // via integer arithmetic; char_start = joined length of the tokens
+    // before the window plus the separator; the chunk text itself is
+    // compared verbatim.
+    "q191_chunk_windows" ->
+      """WITH tk AS (SELECT doc_id, text, string_split(text, ' ') AS ts
+                     FROM documents WHERE length(text) > 0),
+         ks AS (SELECT doc_id, ts,
+                unnest(range(0, (GREATEST(len(ts) - 32, 0) + 15) // 16 + 1)) AS chunk_id
+                FROM tk)
+         SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(chunk_id * 16 AS BIGINT) AS start_tok,
+           CAST(CASE WHEN chunk_id = 0 THEN 0 ELSE
+             length(array_to_string(list_slice(ts, 1, chunk_id * 16), ' ')) + 1
+             END AS BIGINT) AS char_start,
+           array_to_string(list_slice(ts, chunk_id * 16 + 1, chunk_id * 16 + 32), ' ') AS chunk,
+           CAST(LEAST(len(ts) - chunk_id * 16, 32) AS BIGINT) AS n_tok
+         FROM ks""",
   )
 
   /** PageRank oracle: the q51 edge derivation + 5 UNROLLED integer

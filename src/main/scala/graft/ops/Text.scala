@@ -1759,4 +1759,50 @@ object Text {
       .select(col("neighbor_id").as("doc_id"), col("rank").cast("long").as("rank"))
     rrfFuse(sparse.select(col("doc_id"), col("rank")), dense, "doc_id")
   }
+
+  /** SLIDING-WINDOW CHUNKING — the retrieval-corpus preparation step
+    * that turns documents into fixed-budget overlapping passages
+    * (window `w` tokens, stride `s`): chunk k covers tokens
+    * [k·s, k·s + w), windows advance until the previous one has
+    * reached the end, so every token lands in ≥1 chunk and adjacent
+    * chunks share w − s tokens of context. Each chunk carries its
+    * token AND character offsets back into the source doc — the
+    * provenance a retriever needs to highlight the hit in the
+    * original.
+    *
+    * Scale (100 TB): map-only — fan-out per doc is ⌈max(n−w,0)/s⌉+1
+    * rows generated inside the scan stage (sequence + explode, all
+    * codegen); no shuffle, no state, no driver involvement. The chunk
+    * table partitions downstream by whatever the retriever needs
+    * (embedding batches, BM25 postings) — chunking itself never
+    * exchanges. */
+  def chunkWindows(docs: DataFrame, id: String, text: String,
+                   w: Int, s: Int): DataFrame = {
+    require(w > 0 && s > 0 && s <= w, s"need 0 < stride <= window, got w=$w s=$s")
+    val toks = split(col(text), " ")
+    val n = size(toks).cast("long")
+    // k_max = ceil(max(n - w, 0) / s): the last window is the first
+    // one whose span reaches the final token.
+    val kmax = F.idiv(greatest(n - lit(w.toLong), lit(0L)) + lit(s.toLong - 1),
+      lit(s.toLong))
+    docs.filter(length(col(text)) > 0)
+      .select(col(id), col(text).as("t_"), toks.as("toks_"), explode(sequence(lit(0L), kmax)).as("chunk_id"))
+      .select(col(id), col("chunk_id"),
+        (col("chunk_id") * lit(s.toLong)).as("start_tok"),
+        col("t_"), col("toks_"))
+      .select(col(id), col("chunk_id"), col("start_tok"),
+        // char offset = length of the tokens (plus joiner spaces)
+        // before the window, +1 separator when not at doc start
+        (length(concat_ws(" ", slice(col("toks_"), lit(1), col("start_tok").cast("int")))) +
+          when(col("start_tok") > 0, lit(1)).otherwise(lit(0))).cast("long")
+          .as("char_start"),
+        concat_ws(" ", slice(col("toks_"), (col("start_tok") + lit(1)).cast("int"), lit(w)))
+          .as("chunk"),
+        least(size(col("toks_")).cast("long") - col("start_tok"), lit(w.toLong))
+          .as("n_tok"))
+  }
+
+  /** q191: 32-token windows, stride 16, over the documents corpus. */
+  def q191(s: SparkSession, d: String): DataFrame =
+    chunkWindows(Tables.documents(s, d), "doc_id", "text", 32, 16)
 }

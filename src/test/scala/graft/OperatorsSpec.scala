@@ -2083,4 +2083,21 @@ class OperatorsSpec extends SparkSpec {
     assert(Relational.triangleCounts(baskets, "bk", "it", 1L, 10).count() == 3)
     assert(Relational.triangleCounts(baskets, "bk", "it", 2L, 10).count() == 0)
   }
+
+  test("q191 chunk windows: stride coverage, overlap, and offsets") {
+    import SparkTestSession.spark.implicits._
+    // 7 tokens, w=4, s=2 → starts 0,2,4 (k_max = ceil(3/2) = 2)
+    val doc = Seq((1L, "a bb c dd e ff g")).toDF("doc_id", "text")
+    val out = Text.chunkWindows(doc, "doc_id", "text", 4, 2)
+      .orderBy("chunk_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      (0L, 0L, 0L, "a bb c dd", 4L),
+      (1L, 2L, 5L, "c dd e ff", 4L),
+      (2L, 4L, 10L, "e ff g", 3L)), s"got ${out.toSeq}")
+    // every token index covered; adjacent chunks overlap by w - s
+    val short = Seq((2L, "x y")).toDF("doc_id", "text")
+    val one = Text.chunkWindows(short, "doc_id", "text", 4, 2).collect()
+    assert(one.length == 1 && one.head.getString(4) == "x y")
+  }
 }
