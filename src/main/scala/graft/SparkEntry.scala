@@ -208,6 +208,7 @@ object SparkEntry {
     "q189_semdedup_store" -> (Similarity.q189 _),
     "q190_triangles"      -> (Relational.q190 _),
     "q191_chunk_windows"  -> (Text.q191 _),
+    "q192_ann_recall"     -> (Similarity.q192 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -235,6 +236,16 @@ object SparkEntry {
               count(*) AS n_terms_hit
        FROM sc GROUP BY 1 ORDER BY score_bp DESC, doc_id LIMIT 20"""
   private def BP(e: String) = s"CAST(floor(($e) * 10000 + 0.5) AS BIGINT)"
+
+  /** q60's exact brute-force top-10 — shared verbatim by q192's truth
+    * leg so the recall oracle cannot drift from the ANN ground truth. */
+  private def q60OracleSql: String =
+    s"""WITH s AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS cos
+         FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+         WHERE q.vec_id < 10),
+       r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM s)
+       SELECT query_id, rank, neighbor_id, ${BP("cos")} AS cos_bp FROM r WHERE rank <= 10"""
 
   /** Shared oracle fragments for the dedup-policy family (q55/q84/q96):
     * one definition of the near-dup cluster labeling, the quality score,
@@ -1728,13 +1739,7 @@ object SparkEntry {
          FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
          WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.35""",
 
-    "q60_ann_bruteforce" ->
-      s"""WITH s AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-           list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS cos
-           FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
-           WHERE q.vec_id < 10),
-         r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM s)
-         SELECT query_id, rank, neighbor_id, ${BP("cos")} AS cos_bp FROM r WHERE rank <= 10""",
+    "q60_ann_bruteforce" -> q60OracleSql,
 
     "q115_latest_state" ->
       s"""WITH e AS (SELECT user_id, event_type, value, epoch_us(ts) AS ts_us, event_id FROM events),
@@ -2464,6 +2469,21 @@ object SparkEntry {
            array_to_string(list_slice(ts, chunk_id * 16 + 1, chunk_id * 16 + 32), ' ') AS chunk,
            CAST(LEAST(len(ts) - chunk_id * 16, 32) AS BIGINT) AS n_tok
          FROM ks""",
+
+    // Recall@10: the q60 truth leg verbatim (nested CTE) against the
+    // q61 LSH leg (AnnOracleSql) — per-query hit count over the two
+    // O(queries·k) lists, recall in exact basis points.
+    "q192_ann_recall" ->
+      s"""WITH truth AS ($q60OracleSql),
+         approx AS (${AnnOracleSql.all("q61_ann_lsh")})
+         SELECT t.query_id, count(*) AS n_truth,
+           CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           CAST(10000 * sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             // count(*) AS BIGINT) AS recall_bp
+         FROM truth t LEFT JOIN
+           (SELECT DISTINCT query_id, neighbor_id FROM approx) a
+           ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+         GROUP BY t.query_id""",
   )
 
   /** PageRank oracle: the q51 edge derivation + 5 UNROLLED integer

@@ -1144,4 +1144,32 @@ object Similarity {
     semDedupApply(s, path, e.filter(col("vec_id") % 2 === 1),
       "vec_id", "embedding")
   }
+
+  /** ANN RECALL EVALUATION — the quality gate every approximate index
+    * ships behind: per query, what fraction of the exact top-k did the
+    * index return? recall@k = |approx ∩ truth| / |truth| in exact basis
+    * points. Deploying an index (or re-tuning probes/bands/bits) means
+    * re-running this harness, so it is a first-class operator, not a
+    * test: (query_id, n_truth, n_hit, recall_bp).
+    *
+    * Scale (100 TB): the two LEGS are the scale-shaped parts and are
+    * whatever operators they already are (brute force for audit-sized
+    * query panels, or a cheaper index as the reference); the evaluation
+    * itself joins two O(queries·k) lists — thousands of rows however
+    * big the corpus is, broadcast-joinable always. */
+  def annRecall(truth: DataFrame, approx: DataFrame): DataFrame =
+    truth.select(col("query_id"), col("neighbor_id"))
+      .join(approx.select(col("query_id"), col("neighbor_id"))
+          .distinct().withColumn("hit", lit(1L)),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall_bp",
+        F.idiv(lit(10000L) * col("n_hit"), col("n_truth")))
+
+  /** q192: recall@10 of the LSH index (q61) against brute-force truth
+    * (q60) over the standard 10-query panel. */
+  def q192(s: SparkSession, d: String): DataFrame =
+    annRecall(q60(s, d), q61(s, d))
 }

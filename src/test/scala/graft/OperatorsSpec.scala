@@ -2100,4 +2100,26 @@ class OperatorsSpec extends SparkSpec {
     val one = Text.chunkWindows(short, "doc_id", "text", 4, 2).collect()
     assert(one.length == 1 && one.head.getString(4) == "x y")
   }
+
+  test("q192 ann recall: exact on hand-built truth/approx lists") {
+    import SparkTestSession.spark.implicits._
+    val truth = Seq((1L, 10L), (1L, 11L), (1L, 12L), (1L, 13L),
+      (2L, 20L), (2L, 21L)).toDF("query_id", "neighbor_id")
+    val approx = Seq((1L, 10L), (1L, 11L), (1L, 99L),
+      (2L, 20L), (2L, 21L)).toDF("query_id", "neighbor_id")
+    val out = Similarity.annRecall(truth, approx).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == ((4L, 2L, 5000L)), s"q1: ${out(1L)}")
+    assert(out(2L) == ((2L, 2L, 10000L)), s"q2: ${out(2L)}")
+  }
+
+  test("q192 on testdata: recall bounded and hit counts consistent") {
+    val rows = Similarity.q192(spark, sf).collect()
+    assert(rows.length == 10, "one row per query-panel member")
+    rows.foreach { r =>
+      assert(r.getLong(1) == 10L, "truth is always top-10")
+      assert(r.getLong(2) >= 0L && r.getLong(2) <= 10L)
+      assert(r.getLong(3) == 1000L * r.getLong(2), "recall_bp = hits/10")
+    }
+  }
 }
