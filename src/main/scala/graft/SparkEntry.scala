@@ -209,6 +209,7 @@ object SparkEntry {
     "q190_triangles"      -> (Relational.q190 _),
     "q191_chunk_windows"  -> (Text.q191 _),
     "q192_ann_recall"     -> (Similarity.q192 _),
+    "q193_trigram_lm"     -> (Text.q193 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -2430,7 +2431,8 @@ object SparkEntry {
     // the out-edges tuple-ordered, close with one equality join —
     // the same three joins the Spark plan runs.
     "q190_triangles" ->
-      """WITH li AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+      """WITH li AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+                     FROM lineitem WHERE l_orderkey % 8 = 0),
          e AS (SELECT a.it AS pa, b.it AS pb
                FROM li a JOIN li b ON a.bk = b.bk AND a.it < b.it GROUP BY 1, 2),
          und AS (SELECT pa AS u, pb AS v FROM e UNION ALL SELECT pb, pa FROM e),
@@ -2484,6 +2486,37 @@ object SparkEntry {
            (SELECT DISTINCT query_id, neighbor_id FROM approx) a
            ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
          GROUP BY t.query_id""",
+
+    // Stupid-backoff trigram LM: counts from even docs, odd docs scored;
+    // the division/multiply order mirrors trigramLmScore exactly
+    // (c3/DOUBLE(c2), 0.4·(c2/DOUBLE(c1)), 0.16·((c1+1)/DOUBLE(N+V)));
+    // per-position floor(-ln(p)·10⁴+½) then integer floor-mean (q160).
+    "q193_trigram_lm" ->
+      """WITH tr AS (SELECT string_split(text, ' ') AS ts FROM documents WHERE doc_id % 2 = 0),
+         sc AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents WHERE doc_id % 2 = 1),
+         c3 AS (SELECT ts[i] AS w1, ts[i+1] AS w2, ts[i+2] AS w3, count(*) AS c3
+                FROM (SELECT ts, unnest(range(1, len(ts) - 1)) AS i FROM tr) GROUP BY 1, 2, 3),
+         c2 AS (SELECT ts[i] AS w1, ts[i+1] AS w2, count(*) AS c2
+                FROM (SELECT ts, unnest(range(1, len(ts))) AS i FROM tr) GROUP BY 1, 2),
+         c1 AS (SELECT w1, count(*) AS c1 FROM (SELECT unnest(ts) AS w1 FROM tr) GROUP BY 1),
+         tot AS (SELECT sum(c1) AS n_total, count(*) AS v_vocab FROM c1),
+         st AS (SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2, ts[i+2] AS w3
+                FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i FROM sc)),
+         j AS (SELECT st.doc_id,
+               CASE WHEN c3.c3 IS NOT NULL THEN c3.c3 / CAST(p2.c2 AS DOUBLE)
+                 WHEN n2.c2 IS NOT NULL THEN CAST(0.4 AS DOUBLE) * (n2.c2 / CAST(u2.c1 AS DOUBLE))
+                 ELSE CAST(0.16 AS DOUBLE) * ((COALESCE(u3.c1, 0) + 1) / CAST(t.n_total + t.v_vocab AS DOUBLE))
+               END AS p
+               FROM st
+               LEFT JOIN c3 ON c3.w1 = st.w1 AND c3.w2 = st.w2 AND c3.w3 = st.w3
+               LEFT JOIN c2 p2 ON p2.w1 = st.w1 AND p2.w2 = st.w2
+               LEFT JOIN c2 n2 ON n2.w1 = st.w2 AND n2.w2 = st.w3
+               LEFT JOIN c1 u2 ON u2.w1 = st.w2
+               LEFT JOIN c1 u3 ON u3.w1 = st.w3, tot t)
+         SELECT doc_id, count(*) AS n_trigrams,
+           CAST(floor(sum(CAST(floor(-ln(p) * 10000 + 0.5) AS BIGINT)) / count(*)) AS BIGINT)
+             AS mean_surprisal_bp
+         FROM j GROUP BY 1""",
   )
 
   /** PageRank oracle: the q51 edge derivation + 5 UNROLLED integer

@@ -1805,4 +1805,77 @@ object Text {
   /** q191: 32-token windows, stride 16, over the documents corpus. */
   def q191(s: SparkSession, d: String): DataFrame =
     chunkWindows(Tables.documents(s, d), "doc_id", "text", 32, 16)
+
+  /** TRIGRAM LANGUAGE-MODEL SCORING with stupid backoff — the
+    * perplexity-style quality filter (the CCNet recipe): train n-gram
+    * counts on one split, score held-out documents by mean token
+    * surprisal; fluent text scores low, gibberish and boilerplate
+    * score high. Backoff chain per position:
+    *   p = c₃(w₁w₂w₃)/c₂(w₁w₂)                 if the trigram was seen
+    *     | 0.4 · c₂(w₂w₃)/c₁(w₂)               else if the bigram was
+    *     | 0.16 · (c₁(w₃)+1)/(N+V)             else (add-one unigram)
+    * Scoring a HELD-OUT split is what makes backoff live code — on the
+    * training split itself every trigram is seen and the chain never
+    * fires. Per-position surprisal is floor(−ln p·10⁴+½); the doc mean
+    * is an integer floor-division — both engine-exact (the q160
+    * convention).
+    *
+    * Scale (100 TB): count tables reduce the corpus to its n-gram
+    * vocabulary (one shuffle each, map-side partial); scoring is the
+    * position table joined to five vocabulary-keyed tables — every
+    * join an equi-join on n-gram keys, linear in corpus positions; the
+    * (N, V) totals ride one broadcast row. No driver state, no
+    * iteration. */
+  def trigramLmScore(docs: DataFrame, id: String, text: String): DataFrame = {
+    val base = docs.select(col(id).as("did"), split(col(text), " ").as("ts"))
+    val train = base.filter(col("did") % 2 === 0)
+    val score = base.filter(col("did") % 2 === 1)
+
+    def grams(df: DataFrame, n: Int): DataFrame = {
+      val g = (0 until n).map(j => element_at(col("ts"), col("i") + lit(j))
+        .as(s"w${j + 1}"))
+      df.filter(size(col("ts")) >= n)
+        .select(col("did"), explode(sequence(lit(1),
+          size(col("ts")) - lit(n - 1))).as("i"), col("ts"))
+        .select(col("did") +: g: _*)
+    }
+    val c3 = grams(train, 3).groupBy("w1", "w2", "w3")
+      .agg(count(lit(1)).as("c3"))
+    val c2 = grams(train, 2).groupBy("w1", "w2")
+      .agg(count(lit(1)).as("c2"))
+    val c1 = grams(train, 1).groupBy("w1").agg(count(lit(1)).as("c1"))
+    val tot = c1.agg(sum(col("c1")).as("n_total"),
+      count(lit(1)).as("v_vocab"))
+
+    val st = grams(score, 3)
+    val joined = st
+      .join(c3, Seq("w1", "w2", "w3"), "left")
+      .join(c2.select(col("w1"), col("w2"), col("c2").as("c2_prefix")),
+        Seq("w1", "w2"), "left")
+      .join(c2.select(col("w1").as("w2"), col("w2").as("w3"),
+        col("c2").as("c2_back")), Seq("w2", "w3"), "left")
+      .join(c1.select(col("w1").as("w2"), col("c1").as("c1_mid")),
+        Seq("w2"), "left")
+      .join(c1.select(col("w1").as("w3"), col("c1").as("c1_last")),
+        Seq("w3"), "left")
+      .crossJoin(broadcast(tot))
+    val p = when(col("c3").isNotNull,
+        col("c3").cast("double") / col("c2_prefix"))
+      .when(col("c2_back").isNotNull,
+        lit(0.4) * (col("c2_back").cast("double") / col("c1_mid")))
+      .otherwise(lit(0.16) *
+        ((coalesce(col("c1_last"), lit(0L)) + lit(1L)).cast("double") /
+          (col("n_total") + col("v_vocab"))))
+    joined
+      .select(col("did"), floor(-log(p) * 10000d + 0.5d).cast("long").as("surp"))
+      .groupBy(col("did"))
+      .agg(count(lit(1)).as("n_trigrams"),
+        floor(sum(col("surp")) / count(lit(1))).cast("long")
+          .as("mean_surprisal_bp"))
+      .withColumnRenamed("did", "doc_id")
+  }
+
+  /** q193: odd-id documents scored under the even-id trigram LM. */
+  def q193(s: SparkSession, d: String): DataFrame =
+    trigramLmScore(Tables.documents(s, d), "doc_id", "text")
 }

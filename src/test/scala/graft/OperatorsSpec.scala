@@ -2122,4 +2122,27 @@ class OperatorsSpec extends SparkSpec {
       assert(r.getLong(3) == 1000L * r.getLong(2), "recall_bp = hits/10")
     }
   }
+
+  test("q193 trigram LM: backoff chain hand-checked per case") {
+    import SparkTestSession.spark.implicits._
+    // train (even id): trigrams abc,bca,cab,abd; c2(a,b)=2; N=6 V=4
+    // score (odd id) "a b c x": (a,b,c) seen → p=1/2 → 6931;
+    // (b,c,x): trigram+bigram(c,x) unseen, x unseen → p=0.16·1/10 → 41352
+    val docs = Seq((0L, "a b c a b d"), (1L, "a b c x"))
+      .toDF("doc_id", "text")
+    val out = Text.trigramLmScore(docs, "doc_id", "text").collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(r.getLong(2) == (6931L + 41352L) / 2, s"mean ${r.getLong(2)}")
+  }
+
+  test("q193 on testdata: surprisal nonnegative, train split excluded") {
+    val rows = Text.q193(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) % 2 == 1, "only held-out (odd) docs scored")
+      assert(r.getLong(2) >= 0L, "stupid backoff keeps p <= 1")
+    }
+  }
 }
