@@ -210,6 +210,7 @@ object SparkEntry {
     "q191_chunk_windows"  -> (Text.q191 _),
     "q192_ann_recall"     -> (Similarity.q192 _),
     "q193_trigram_lm"     -> (Text.q193 _),
+    "q194_domain_blocklist" -> (Text.q194 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -2517,6 +2518,25 @@ object SparkEntry {
            CAST(floor(sum(CAST(floor(-ln(p) * 10000 + 0.5) AS BIGINT)) / count(*)) AS BIGINT)
              AS mean_surprisal_bp
          FROM j GROUP BY 1""",
+
+    // Suffix semantics re-derived: the host's ancestor chain joined
+    // against the blocklist VALUES; longest match then lexicographically
+    // last (the struct-max tie-break on the Spark side).
+    "q194_domain_blocklist" ->
+      s"""WITH ${UrlCte},
+         h AS (SELECT doc_id,
+               regexp_replace(lower(regexp_extract(url, '^https?://([^/?]+)', 1)), ':(443|80)$$', '') AS host
+               FROM u),
+         bl AS (SELECT * FROM (VALUES ('src3.com'), ('src12.net'), ('www.src1.org'), ('rc3.com')) AS t(sfx)),
+         chain AS (SELECT doc_id, host,
+               array_to_string(list_slice(string_split(host, '.'), k, len(string_split(host, '.'))), '.') AS sfx
+               FROM (SELECT doc_id, host, unnest(range(1, len(string_split(host, '.')) + 1)) AS k FROM h)),
+         hit AS (SELECT doc_id, sfx,
+               row_number() OVER (PARTITION BY doc_id ORDER BY length(sfx) DESC, sfx DESC) AS rn
+               FROM chain JOIN bl USING (sfx))
+         SELECT h.doc_id, h.host, m.sfx AS matched_suffix,
+           CAST(CASE WHEN m.sfx IS NOT NULL THEN 1 ELSE 0 END AS INT) AS blocked
+         FROM h LEFT JOIN (SELECT doc_id, sfx FROM hit WHERE rn = 1) m USING (doc_id)""",
   )
 
   /** PageRank oracle: the q51 edge derivation + 5 UNROLLED integer

@@ -1878,4 +1878,52 @@ object Text {
   /** q193: odd-id documents scored under the even-id trigram LM. */
   def q193(s: SparkSession, d: String): DataFrame =
     trigramLmScore(Tables.documents(s, d), "doc_id", "text")
+
+  /** DOMAIN-SUFFIX BLOCKLIST — the opt-out/abuse-list removal step of
+    * a web corpus: a blocklist entry `example.com` must match the host
+    * itself AND every subdomain (`a.b.example.com`), i.e. suffix
+    * semantics on dot-separated labels, NOT substring match
+    * (`notexample.com` must survive).
+    *
+    * Scale (100 TB): suffix matching against a multi-million-entry
+    * list is NOT a prefix/range join here — each host explodes into
+    * its ANCESTOR CHAIN (`www.a.example.com` → itself, `a.example.com`,
+    * `example.com`, `com`; fan-out = label depth, ≤ ~10) and the chain
+    * hash-joins the blocklist on exact equality. Plain equi-join: the
+    * blocklist broadcasts when small and shuffle-hash-joins when huge,
+    * either way no per-row scan of the list and no regex. Longest
+    * match wins (then lexicographically last — a total tie-break). */
+  def domainBlocklist(urls: DataFrame, id: String, url: String,
+                      blocklist: Seq[String]): DataFrame = {
+    val spark = urls.sparkSession
+    import spark.implicits._
+    val host = regexp_replace(
+      lower(regexp_extract(col(url), "^https?://([^/?]+)", 1)),
+      ":(443|80)$", "")
+    val withHost = urls.select(col(id), host.as("host"))
+    val chain = withHost.select(col(id), col("host"),
+      explode(expr(
+        """transform(sequence(1, size(split(host, '[.]'))),
+           k -> array_join(slice(split(host, '[.]'), k,
+                size(split(host, '[.]')) - k + 1), '.'))""")).as("sfx"))
+    val bl = blocklist.toDF("sfx")
+    val hits = chain.join(broadcast(bl), "sfx")
+      .groupBy(col(id))
+      .agg(max(struct(length(col("sfx")).as("l"), col("sfx").as("s")))
+        .as("best"))
+      .select(col(id), col("best.s").as("matched_suffix"))
+    withHost.join(hits, Seq(id), "left")
+      .select(col(id), col("host"), col("matched_suffix"),
+        when(col("matched_suffix").isNotNull, 1).otherwise(0).as("blocked"))
+  }
+
+  /** The q194 demo blocklist: two registrable domains, one exact host,
+    * and one entry that must NOT substring-match (`rc3.com` vs
+    * `src3.com`). */
+  val DemoBlocklist: Seq[String] =
+    Seq("src3.com", "src12.net", "www.src1.org", "rc3.com")
+
+  /** q194: blocklist verdicts over the synthetic URL corpus. */
+  def q194(s: SparkSession, d: String): DataFrame =
+    domainBlocklist(urlTable(s, d), "doc_id", "url", DemoBlocklist)
 }

@@ -2145,4 +2145,26 @@ class OperatorsSpec extends SparkSpec {
       assert(r.getLong(2) >= 0L, "stupid backoff keeps p <= 1")
     }
   }
+
+  test("q194 blocklist: suffix semantics, no substring match, longest wins") {
+    import SparkTestSession.spark.implicits._
+    val urls = Seq(
+      (1L, "https://www.src3.com/x"),        // subdomain of src3.com → blocked
+      (2L, "https://SRC3.COM:443/y"),        // case/port normalized → blocked
+      (3L, "https://notsrc3.com/z"),         // substring only → NOT blocked
+      (4L, "https://www.src1.org/a"),        // exact-host entry → blocked
+      (5L, "https://deep.www.src1.org/b"),   // entry matches as suffix too
+      (6L, "https://src1.org/c"),            // PARENT of the entry → NOT blocked
+      (7L, "https://a.rc3.com/d")            // rc3.com entry, not src3 → blocked by rc3.com
+    ).toDF("doc_id", "url")
+    val out = Text.domainBlocklist(urls, "doc_id", "url", Text.DemoBlocklist)
+      .collect().map(r => r.getLong(0) -> (Option(r.getString(2)), r.getInt(3))).toMap
+    assert(out(1L) == ((Some("src3.com"), 1)))
+    assert(out(2L) == ((Some("src3.com"), 1)))
+    assert(out(3L) == ((None, 0)), s"substring must not match: ${out(3L)}")
+    assert(out(4L) == ((Some("www.src1.org"), 1)))
+    assert(out(5L) == ((Some("www.src1.org"), 1)))
+    assert(out(6L) == ((None, 0)), "parent of an entry is not matched")
+    assert(out(7L) == ((Some("rc3.com"), 1)))
+  }
 }
