@@ -211,6 +211,7 @@ object SparkEntry {
     "q192_ann_recall"     -> (Similarity.q192 _),
     "q193_trigram_lm"     -> (Text.q193 _),
     "q194_domain_blocklist" -> (Text.q194 _),
+    "q195_embedding_drift" -> (Similarity.q195 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -2537,6 +2538,27 @@ object SparkEntry {
          SELECT h.doc_id, h.host, m.sfx AS matched_suffix,
            CAST(CASE WHEN m.sfx IS NOT NULL THEN 1 ELSE 0 END AS INT) AS blocked
          FROM h LEFT JOIN (SELECT doc_id, sfx FROM hit WHERE rn = 1) m USING (doc_id)""",
+
+    // Integer-grid centroids (2¹⁴ quantization, exact elementwise sums),
+    // one double division per dim + the float cast, then the q60
+    // list_cosine_similarity convention and Euclidean list_distance.
+    "q195_embedding_drift" ->
+      s"""WITH q AS (SELECT label, vec_id % 2 = 0 AS is_old,
+             list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 16384) AS BIGINT)) AS qe
+             FROM embeddings),
+         ex AS (SELECT label, is_old, i, qe[i] AS v
+                FROM (SELECT label, is_old, qe, unnest(range(1, len(qe) + 1)) AS i FROM q)),
+         sm AS (SELECT label, is_old, i, sum(v) AS sv FROM ex GROUP BY 1, 2, 3),
+         cnt AS (SELECT label, is_old, count(*) AS n FROM q GROUP BY 1, 2),
+         m AS (SELECT sm.label, sm.is_old, cnt.n,
+               list(CAST(CAST(CAST(sv AS DOUBLE) / CAST(cnt.n AS DOUBLE) / 16384 AS FLOAT) AS DOUBLE)
+                    ORDER BY i) AS mean
+               FROM sm JOIN cnt ON cnt.label = sm.label AND cnt.is_old = sm.is_old
+               GROUP BY 1, 2, 3)
+         SELECT o.label, o.n AS n_old, nw.n AS n_new,
+           ${BP("list_cosine_similarity(o.mean, nw.mean)")} AS cos_bp,
+           ${BP("list_distance(o.mean, nw.mean)")} AS shift_bp
+         FROM m o JOIN m nw ON o.label = nw.label AND o.is_old AND NOT nw.is_old""",
   )
 
   /** PageRank oracle: the q51 edge derivation + 5 UNROLLED integer

@@ -1172,4 +1172,50 @@ object Similarity {
     * (q60) over the standard 10-query panel. */
   def q192(s: SparkSession, d: String): DataFrame =
     annRecall(q60(s, d), q61(s, d))
+
+  /** EMBEDDING DRIFT MONITOR — per-label centroid shift between two
+    * corpus snapshots (here the vec_id parity halves): the "did the
+    * embedding distribution move?" check run before reusing a trained
+    * quantizer/index on a refreshed corpus (the q168 append and q189
+    * store both assume the centroids still fit). Per (label, snapshot)
+    * the centroid is computed on the 2¹⁴ integer grid — vecSum over
+    * quantized values stays integer-exact in doubles (every partial
+    * < 2⁵³), so the sum is merge-order independent — then ONE double
+    * division per dimension makes the mean, and the two means compare
+    * by cosine (q60 convention) and L2 shift in original float units.
+    *
+    * Scale (100 TB): one aggregation shuffle carrying a dim-length
+    * sum + count per (label, snapshot) — label-cardinality rows total;
+    * the compare join is label-sized. No vector ever crosses the wire
+    * after the map-side partials. */
+  def embeddingDrift(emb: DataFrame, id: String, vec: String,
+                     label: String): DataFrame = {
+    val halves = emb
+      .select(col(label).as("label"), (col(id) % 2 === 0).as("is_old"),
+        // ARRAY<FLOAT>: VecSumAgg reads float slots; grid values are
+        // integers < 2²⁴ so the float carriage is exact
+        expr(s"CAST(transform($vec, x -> floor(CAST(x AS DOUBLE) * $QuantScale)) AS ARRAY<FLOAT>)")
+          .as("qe"))
+      .groupBy(col("label"), col("is_old"))
+      .agg(F.vecSum(col("qe")).as("vsum"), count(lit(1)).as("n"))
+      // one rounding per dimension: exact integer sum / n, then the
+      // float cast both engines perform identically (IEEE nearest)
+      .withColumn("mean",
+        expr(s"CAST(transform(vsum, x -> x / CAST(n AS DOUBLE) / $QuantScale) AS ARRAY<FLOAT>)"))
+    val o = halves.filter(col("is_old"))
+      .select(col("label"), col("mean").as("mo"), col("n").as("n_old"))
+    val nw = halves.filter(!col("is_old"))
+      .select(col("label"), col("mean").as("mn"), col("n").as("n_new"))
+    o.join(nw, "label")
+      .select(col("label"), col("n_old"), col("n_new"),
+        bp(F.cosineSim(col("mo"), col("mn"))).as("cos_bp"),
+        bp(sqrt(expr(
+          """aggregate(zip_with(mo, mn, (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),
+             CAST(0 AS DOUBLE), (acc, v) -> acc + v)"""))).as("shift_bp"))
+  }
+
+  /** q195: drift of the per-label embedding centroids between the
+    * even- and odd-id halves of the embeddings table. */
+  def q195(s: SparkSession, d: String): DataFrame =
+    embeddingDrift(Tables.embeddings(s, d), "vec_id", "embedding", "label")
 }

@@ -2167,4 +2167,30 @@ class OperatorsSpec extends SparkSpec {
     assert(out(6L) == ((None, 0)), "parent of an entry is not matched")
     assert(out(7L) == ((Some("rc3.com"), 1)))
   }
+
+  test("q195 embedding drift: identical halves cos=1 shift=0; orthogonal cos=0") {
+    import SparkTestSession.spark.implicits._
+    val emb = Seq(
+      (0L, 7, Seq(1f, 0f)), (1L, 7, Seq(1f, 0f)),   // label 7: halves equal
+      (2L, 8, Seq(0f, 2f)), (3L, 8, Seq(2f, 0f))    // label 8: orthogonal
+    ).toDF("vec_id", "label", "embedding")
+    val out = Similarity.embeddingDrift(emb, "vec_id", "embedding", "label")
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    assert(out(7) == ((1L, 1L, 10000L, 0L)), s"label 7: ${out(7)}")
+    val (no8, nn8, cos8, shift8) = out(8)
+    assert(no8 == 1L && nn8 == 1L && cos8 == 0L, s"label 8: ${out(8)}")
+    // centroids (0,2) vs (2,0) → shift = 2·√2 = 2.8284… → 28284 bp
+    assert(shift8 == 28284L, s"shift: $shift8")
+  }
+
+  test("q195 on testdata: one row per label, cos in range") {
+    val rows = Similarity.q195(spark, sf).collect()
+    val nLabels = Tables.embeddings(spark, sf).select("label").distinct().count()
+    assert(rows.length == nLabels)
+    rows.foreach { r =>
+      assert(r.getLong(3) >= -10000L && r.getLong(3) <= 10000L)
+      assert(r.getLong(4) >= 0L)
+    }
+  }
 }
