@@ -212,6 +212,7 @@ object SparkEntry {
     "q193_trigram_lm"     -> (Text.q193 _),
     "q194_domain_blocklist" -> (Text.q194 _),
     "q195_embedding_drift" -> (Similarity.q195 _),
+    "q196_join_fanout"    -> (Relational.q196 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -2559,6 +2560,20 @@ object SparkEntry {
            ${BP("list_cosine_similarity(o.mean, nw.mean)")} AS cos_bp,
            ${BP("list_distance(o.mean, nw.mean)")} AS shift_bp
          FROM m o JOIN m nw ON o.label = nw.label AND o.is_old AND NOT nw.is_old""",
+
+    // Exact join-output cardinality from the key-count tables alone:
+    // Σ n_a(k)·n_b(k), top-10 contributors + the ALL total row.
+    "q196_join_fanout" ->
+      """WITH c AS (SELECT user_id AS key, count(*) AS n FROM events GROUP BY 1),
+         p AS (SELECT key, n AS n_a, n AS n_b, n * n AS n_pairs FROM c),
+         t AS (SELECT sum(n_pairs) AS total FROM p),
+         top AS (SELECT CAST(key AS VARCHAR) AS key, n_a, n_b, n_pairs,
+                 CAST(10000 * n_pairs // t.total AS BIGINT) AS share_bp
+                 FROM p, t ORDER BY n_pairs DESC, CAST(key AS VARCHAR) ASC LIMIT 10)
+         SELECT key, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(n_pairs AS BIGINT) AS n_pairs, share_bp FROM top
+         UNION ALL
+         SELECT 'ALL', NULL, NULL, CAST(total AS BIGINT), CAST(10000 AS BIGINT) FROM t""",
   )
 
   /** PageRank oracle: the q51 edge derivation + 5 UNROLLED integer

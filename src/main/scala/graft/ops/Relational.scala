@@ -1148,6 +1148,46 @@ object Relational {
       .limit(k)
   }
 
+  /** JOIN-FANOUT PRE-FLIGHT AUDIT — q188's sibling for the OTHER way a
+    * join goes wrong at scale: output explosion. Before running
+    * A ⋈ B on k, the exact output cardinality is Σ_k n_A(k)·n_B(k);
+    * this operator computes it (plus the top contributing keys with
+    * their per-side multiplicities — the rows that tell you WHICH key
+    * to pre-aggregate, dedup, or drop) from the two key-count tables
+    * alone, never materializing a single joined row. A 10¹²-row
+    * accident costs one groupBy per side to predict.
+    *
+    * Scale (100 TB): each side reduces to (key, count) with map-side
+    * partials; the audit join is key-cardinality-sized; the total is
+    * one scalar aggregate; the top-k cut is a bounded sort-limit. */
+  def joinFanoutAudit(a: DataFrame, aKey: String, b: DataFrame,
+                      bKey: String, k: Int): DataFrame = {
+    val ca = a.groupBy(col(aKey).as("key")).agg(count(lit(1)).as("n_a"))
+    val cb = b.groupBy(col(bKey).as("key")).agg(count(lit(1)).as("n_b"))
+    val pairs = ca.join(cb, "key")
+      .select(col("key"), col("n_a"), col("n_b"),
+        (col("n_a") * col("n_b")).as("n_pairs"))
+    val tot = pairs.agg(sum(col("n_pairs")).as("total"))
+    val top = pairs.crossJoin(broadcast(tot))
+      .select(col("key").cast("string").as("key"), col("n_a"), col("n_b"),
+        col("n_pairs"),
+        graft.functions.F.idiv(lit(10000L) * col("n_pairs"), col("total"))
+          .as("share_bp"))
+      .orderBy(col("n_pairs").desc, col("key").asc)
+      .limit(k)
+    top.unionAll(tot.select(lit("ALL").as("key"), lit(null).cast("long"),
+      lit(null).cast("long"), col("total").as("n_pairs"),
+      lit(10000L).as("share_bp")))
+  }
+
+  /** q196: predicted fan-out of the events ⋈ events self-join on
+    * user_id — the key the q39 range join and every sessionizer
+    * shuffle on. */
+  def q196(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    joinFanoutAudit(e, "user_id", e, "user_id", 10)
+  }
+
   /** q190: top-20 parts by co-purchase-graph triangle participation,
     * over a deterministic BASKET sample (whole orders, orderkey ≡ 0
     * mod 8). Basket-level sampling keeps every within-order pair

@@ -2193,4 +2193,19 @@ class OperatorsSpec extends SparkSpec {
       assert(r.getLong(4) >= 0L)
     }
   }
+
+  test("q196 join fanout: predicted cardinality equals the real join's") {
+    import SparkTestSession.spark.implicits._
+    val a = Seq(1L, 1L, 1L, 2L, 3L).toDF("k")
+    val b = Seq(1L, 1L, 2L, 4L).toDF("k")
+    val out = Relational.joinFanoutAudit(a, "k", b, "k", 5).collect()
+    val all = out.find(_.getString(0) == "ALL").get
+    val realJoin = a.join(b, "k").count()
+    assert(all.getLong(3) == realJoin, s"predicted ${all.getLong(3)} vs $realJoin")
+    val k1 = out.find(_.getString(0) == "1").get
+    assert((k1.getLong(1), k1.getLong(2), k1.getLong(3)) == ((3L, 2L, 6L)))
+    assert(k1.getLong(4) == 10000L * 6 / 7, "share of key 1 (total = 6 + 1)")
+    // keys present on one side only contribute nothing
+    assert(!out.exists(r => r.getString(0) == "3" || r.getString(0) == "4"))
+  }
 }
