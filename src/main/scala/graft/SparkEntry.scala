@@ -213,6 +213,7 @@ object SparkEntry {
     "q194_domain_blocklist" -> (Text.q194 _),
     "q195_embedding_drift" -> (Similarity.q195 _),
     "q196_join_fanout"    -> (Relational.q196 _),
+    "q197_label_balance"  -> (Text.q197 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -2574,6 +2575,25 @@ object SparkEntry {
            CAST(n_pairs AS BIGINT) AS n_pairs, share_bp FROM top
          UNION ALL
          SELECT 'ALL', NULL, NULL, CAST(total AS BIGINT), CAST(10000 AS BIGINT) FROM t""",
+
+    // Per-(attr, value) share + entropy term floor(-ln(p)·p·10⁶+½)
+    // (micro-nats); the ALL row sums the integer terms exactly.
+    "q197_label_balance" ->
+      """WITH st AS (SELECT 'lang' AS attr, lang AS value FROM documents
+                     UNION ALL SELECT 'source', source FROM documents),
+         c AS (SELECT attr, value, count(*) AS n FROM st GROUP BY 1, 2),
+         t AS (SELECT attr, sum(n) AS nt FROM c GROUP BY 1),
+         r AS (SELECT c.attr, c.value, CAST(c.n AS BIGINT) AS n,
+               CAST(10000 * c.n // t.nt AS BIGINT) AS share_bp,
+               CAST(floor(-ln(CAST(c.n AS DOUBLE) / CAST(t.nt AS DOUBLE))
+                 * (CAST(c.n AS DOUBLE) / CAST(t.nt AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+                 AS h_term_unat
+               FROM c JOIN t USING (attr))
+         SELECT * FROM r
+         UNION ALL
+         SELECT attr, 'ALL', CAST(sum(n) AS BIGINT), CAST(10000 AS BIGINT),
+           CAST(sum(h_term_unat) AS BIGINT)
+         FROM r GROUP BY attr""",
   )
 
   /** PageRank oracle: the q51 edge derivation + 5 UNROLLED integer

@@ -1926,4 +1926,41 @@ object Text {
   /** q194: blocklist verdicts over the synthetic URL corpus. */
   def q194(s: SparkSession, d: String): DataFrame =
     domainBlocklist(urlTable(s, d), "doc_id", "url", DemoBlocklist)
+
+  /** LABEL-BALANCE AUDIT — class distribution + Shannon entropy per
+    * categorical attribute, the imbalance check run before training on
+    * (or stratifying by) a label: one long-format row per (attr,
+    * value) with count, share, and the entropy TERM p·ln(1/p) in
+    * micro-nats (per-term fixed point, so the attr entropy is the
+    * exact integer SUM of its term rows — engine-independent, and the
+    * decomposition shows which category carries the entropy), plus an
+    * ALL row per attr whose h_term is the full entropy.
+    *
+    * Scale (100 TB): one aggregation per attribute (stacked via
+    * unionAll so Catalyst runs them as parallel partial aggs over the
+    * same scan), category-cardinality rows after; totals join at
+    * category size. */
+  def labelBalance(df: DataFrame, attrs: Seq[String]): DataFrame = {
+    val stacked = attrs.map(a =>
+        df.select(lit(a).as("attr"), col(a).cast("string").as("value")))
+      .reduce(_ unionAll _)
+    val counts = stacked.groupBy(col("attr"), col("value"))
+      .agg(count(lit(1)).as("n"))
+    val tot = counts.groupBy(col("attr")).agg(sum(col("n")).as("nt"))
+    val p = col("n").cast("double") / col("nt").cast("double")
+    val rows = counts.join(tot, "attr")
+      .select(col("attr"), col("value"), col("n"),
+        F.idiv(lit(10000L) * col("n"), col("nt")).as("share_bp"),
+        floor(-log(p) * p * lit(1000000d) + lit(0.5d)).cast("long")
+          .as("h_term_unat"))
+    rows.unionAll(
+      rows.groupBy(col("attr")).agg(sum(col("n")).as("n"),
+          sum(col("h_term_unat")).as("h"))
+        .select(col("attr"), lit("ALL").as("value"), col("n"),
+          lit(10000L).as("share_bp"), col("h").as("h_term_unat")))
+  }
+
+  /** q197: balance of the documents table's lang and source labels. */
+  def q197(s: SparkSession, d: String): DataFrame =
+    labelBalance(Tables.documents(s, d), Seq("lang", "source"))
 }

@@ -2208,4 +2208,19 @@ class OperatorsSpec extends SparkSpec {
     // keys present on one side only contribute nothing
     assert(!out.exists(r => r.getString(0) == "3" || r.getString(0) == "4"))
   }
+
+  test("q197 label balance: uniform 4-way entropy = ln(4), skewed less") {
+    import SparkTestSession.spark.implicits._
+    val df = Seq("a", "b", "c", "d").map(v => (v, "x"))
+      .toDF("even", "skew")
+    val out = Text.labelBalance(df, Seq("even", "skew")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // uniform: each p = 1/4 → term = ln(4)/4·10⁶ = 346574 (floored +.5)
+    assert(out(("even", "a")) == ((1L, 2500L, 346574L)), s"${out(("even", "a"))}")
+    assert(out(("even", "ALL")) == ((4L, 10000L, 4 * 346574L)))
+    // single category: p = 1, entropy 0
+    assert(out(("skew", "x")) == ((4L, 10000L, 0L)))
+    assert(out(("skew", "ALL")) == ((4L, 10000L, 0L)))
+  }
 }
