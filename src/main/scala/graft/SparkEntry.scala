@@ -214,6 +214,7 @@ object SparkEntry {
     "q195_embedding_drift" -> (Similarity.q195 _),
     "q196_join_fanout"    -> (Relational.q196 _),
     "q197_label_balance"  -> (Text.q197 _),
+    "q198_phrase_search"  -> (Text.q198 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -2594,6 +2595,29 @@ object SparkEntry {
          SELECT attr, 'ALL', CAST(sum(n) AS BIGINT), CAST(10000 AS BIGINT),
            CAST(sum(h_term_unat) AS BIGINT)
          FROM r GROUP BY attr""",
+
+    // Relational phrase alignment: token positions (0-based) join the
+    // (phrase, j, term) dictionary; anchor = pos - j; an anchor with
+    // all m distinct slots is an occurrence. Mirrors phraseSearch.
+    "q198_phrase_search" ->
+      """WITH ph AS (SELECT * FROM (VALUES
+             ('table hash'), ('order fast'), ('key agg row'), ('order order'))
+             AS t(phrase)),
+         terms AS (SELECT phrase, CAST(j - 1 AS BIGINT) AS j, w AS tok,
+               CAST(len(string_split(phrase, ' ')) AS BIGINT) AS m
+               FROM (SELECT phrase, unnest(string_split(phrase, ' ')) AS w,
+                     unnest(range(1, len(string_split(phrase, ' ')) + 1)) AS j FROM ph)),
+         pos AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ts[i] AS tok
+               FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i
+                     FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents))),
+         starts AS (SELECT phrase, doc_id, m, pos - j AS start,
+               count(DISTINCT j) AS nj
+               FROM pos JOIN terms USING (tok)
+               WHERE pos - j >= 0
+               GROUP BY 1, 2, 3, 4)
+         SELECT phrase, doc_id, count(*) AS n_occ,
+           CAST(min(start) AS BIGINT) AS first_pos
+         FROM starts WHERE nj = m GROUP BY 1, 2""",
   )
 
   /** PageRank oracle: the q51 edge derivation + 5 UNROLLED integer

@@ -1963,4 +1963,49 @@ object Text {
   /** q197: balance of the documents table's lang and source labels. */
   def q197(s: SparkSession, d: String): DataFrame =
     labelBalance(Tables.documents(s, d), Seq("lang", "source"))
+
+  /** PHRASE SEARCH over positional postings — exact consecutive-token
+    * match for a BATCH of phrases in one pass, as pure relational
+    * alignment: token positions join the (phrase, j, term) dictionary,
+    * every match proposes anchor = pos − j, and an anchor with all m
+    * slots filled (count-distinct j = m) is a real occurrence. No
+    * regex, no per-phrase rescan, overlapping matches counted,
+    * repeated-word phrases handled by the distinct-j rule.
+    *
+    * Scale (100 TB): the term dictionary broadcasts, so the corpus
+    * token stream is filtered to phrase-vocabulary positions INSIDE
+    * the scan stage; the only shuffle carries surviving (phrase, doc,
+    * anchor) candidates — proportional to term frequency, not corpus
+    * size. The same alignment runs against a PERSISTED positional
+    * index (doc, pos, tok) without retokenizing (the q182 pattern). */
+  def phraseSearch(docs: DataFrame, id: String, text: String,
+                   phrases: Seq[String]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val terms = phrases.flatMap { p =>
+      val ws = p.split(" ")
+      ws.zipWithIndex.map { case (w, j) => (p, j.toLong, w, ws.length.toLong) }
+    }.toDF("phrase", "j", "tok", "m")
+    val pos = docs.select(col(id),
+      posexplode(split(col(text), " ")).as(Seq("pos", "tok")))
+    val starts = pos.join(broadcast(terms), "tok")
+      .select(col("phrase"), col(id), col("m"),
+        (col("pos") - col("j")).as("start"), col("j"))
+      .where(col("start") >= 0)
+      .groupBy(col("phrase"), col(id), col("m"), col("start"))
+      .agg(countDistinct(col("j")).as("nj"))
+      .where(col("nj") === col("m"))
+    starts.groupBy(col("phrase"), col(id))
+      .agg(count(lit(1)).as("n_occ"),
+        min(col("start")).cast("long").as("first_pos"))
+  }
+
+  /** The q198 phrase panel: two common bigrams, one trigram, and a
+    * repeated-word phrase (the self-overlap edge case). */
+  val DemoPhrases: Seq[String] =
+    Seq("table hash", "order fast", "key agg row", "order order")
+
+  /** q198: batch phrase search over the documents corpus. */
+  def q198(s: SparkSession, d: String): DataFrame =
+    phraseSearch(Tables.documents(s, d), "doc_id", "text", DemoPhrases)
 }

@@ -2223,4 +2223,23 @@ class OperatorsSpec extends SparkSpec {
     assert(out(("skew", "x")) == ((4L, 10000L, 0L)))
     assert(out(("skew", "ALL")) == ((4L, 10000L, 0L)))
   }
+
+  test("q198 phrase search: alignment, overlap, and non-consecutive negative") {
+    import SparkTestSession.spark.implicits._
+    val docs = Seq(
+      (1L, "key agg row scan key agg row"),  // trigram twice, at 0 and 4
+      (2L, "order order order"),             // 'order order' overlaps: 0 and 1
+      (3L, "table big hash"),                // non-consecutive → no match
+      (4L, "agg row key")                    // all words, wrong order → no match
+    ).toDF("doc_id", "text")
+    val out = Text.phraseSearch(docs, "doc_id", "text",
+        Seq("key agg row", "order order", "table hash"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(out(("key agg row", 1L)) == ((2L, 0L)), s"${out.toSeq}")
+    assert(out(("order order", 2L)) == ((2L, 0L)), "overlapping matches count")
+    assert(!out.contains(("table hash", 3L)), "gap breaks the phrase")
+    assert(!out.contains(("key agg row", 4L)), "order matters")
+    assert(out.size == 2)
+  }
 }
