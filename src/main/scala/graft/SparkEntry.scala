@@ -215,6 +215,7 @@ object SparkEntry {
     "q196_join_fanout"    -> (Relational.q196 _),
     "q197_label_balance"  -> (Text.q197 _),
     "q198_phrase_search"  -> (Text.q198 _),
+    "q199_rendezvous_reshard" -> (Relational.q199 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -2618,6 +2619,37 @@ object SparkEntry {
          SELECT phrase, doc_id, count(*) AS n_occ,
            CAST(min(start) AS BIGINT) AS first_pos
          FROM starts WHERE nj = m GROUP BY 1, 2""",
+
+    // Highest-random-weight assignment under both node sets: per key,
+    // rank nodes by (SIGNED md5(key#node) DESC, node DESC) — the
+    // two's-complement reinterpretation matches the Spark struct-max.
+    "q199_rendezvous_reshard" ->
+      """WITH ks AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS k FROM events),
+         oldn AS (SELECT 'n' || CAST(i AS VARCHAR) AS node FROM range(0, 8) t(i)),
+         newn AS (SELECT 'n' || CAST(i AS VARCHAR) AS node FROM range(0, 10) t(i)),
+         ho AS (SELECT k, node,
+               row_number() OVER (PARTITION BY k ORDER BY
+                 CAST(CASE WHEN md5_number_upper(k || '#' || node) >= 9223372036854775808::HUGEINT
+                   THEN md5_number_upper(k || '#' || node)::HUGEINT - 18446744073709551616::HUGEINT
+                   ELSE md5_number_upper(k || '#' || node)::HUGEINT END AS BIGINT) DESC,
+                 node DESC) AS rn
+               FROM ks CROSS JOIN oldn),
+         hn AS (SELECT k, node,
+               row_number() OVER (PARTITION BY k ORDER BY
+                 CAST(CASE WHEN md5_number_upper(k || '#' || node) >= 9223372036854775808::HUGEINT
+                   THEN md5_number_upper(k || '#' || node)::HUGEINT - 18446744073709551616::HUGEINT
+                   ELSE md5_number_upper(k || '#' || node)::HUGEINT END AS BIGINT) DESC,
+                 node DESC) AS rn
+               FROM ks CROSS JOIN newn),
+         a AS (SELECT o.k, o.node AS node_old, n.node AS node_new
+               FROM (SELECT k, node FROM ho WHERE rn = 1) o
+               JOIN (SELECT k, node FROM hn WHERE rn = 1) n USING (k)),
+         m AS (SELECT node_old, node_new, count(*) AS n_keys FROM a GROUP BY 1, 2),
+         t AS (SELECT sum(n_keys) AS total FROM m)
+         SELECT node_old, node_new, CAST(n_keys AS BIGINT) AS n_keys,
+           CAST(10000 * n_keys // t.total AS BIGINT) AS share_bp,
+           CAST(CASE WHEN node_old <> node_new THEN 1 ELSE 0 END AS INT) AS moved
+         FROM m, t""",
   )
 
   /** PageRank oracle: the q51 edge derivation + 5 UNROLLED integer

@@ -1188,6 +1188,44 @@ object Relational {
     joinFanoutAudit(e, "user_id", e, "user_id", 10)
   }
 
+  /** RENDEZVOUS-HASHING RESHARD PLAN — the shard-migration audit:
+    * assign every key to argmax_node md5(key#node) (highest-random-
+    * weight hashing) under the OLD and NEW node sets and report the
+    * movement matrix. Rendezvous moves ONLY the keys whose argmax
+    * changes — adding nodes relocates ≈ added/total of the keyspace
+    * and nothing shuffles between surviving nodes (mod-N hashing would
+    * move (N-1)/N of everything) — so the matrix is the migration
+    * bill: which shard pairs transfer, how many keys each.
+    *
+    * Scale (100 TB): the node lists are tiny literals; assignment is a
+    * map-side argmax over |nodes| hashes per DISTINCT key (one
+    * distinct shuffle, key-cardinality); the matrix aggregation is
+    * |old|·|new|-sized. The fact table itself is never re-hashed. */
+  def rendezvousReshard(df: DataFrame, key: String,
+                        oldNodes: Seq[String], newNodes: Seq[String]): DataFrame = {
+    def assign(nodes: Seq[String]): Column =
+      array_max(array(nodes.map(n => struct(
+        graft.functions.F.md5Hash64(concat(col("k"), lit("#" + n))).as("h"),
+        lit(n).as("node"))): _*)).getField("node")
+    val keys = df.select(col(key).cast("string").as("k")).distinct()
+      .select(col("k"), assign(oldNodes).as("node_old"),
+        assign(newNodes).as("node_new"))
+    val matrix = keys.groupBy(col("node_old"), col("node_new"))
+      .agg(count(lit(1)).as("n_keys"))
+    val tot = matrix.agg(sum(col("n_keys")).as("total"))
+    matrix.crossJoin(broadcast(tot))
+      .select(col("node_old"), col("node_new"), col("n_keys"),
+        graft.functions.F.idiv(lit(10000L) * col("n_keys"), col("total"))
+          .as("share_bp"),
+        (col("node_old") =!= col("node_new")).cast("int").as("moved"))
+  }
+
+  /** q199: migration plan for scaling the events user_id keyspace from
+    * 8 shards to 10. */
+  def q199(s: SparkSession, d: String): DataFrame =
+    rendezvousReshard(Tables.events(s, d), "user_id",
+      (0 until 8).map(i => s"n$i"), (0 until 10).map(i => s"n$i"))
+
   /** q190: top-20 parts by co-purchase-graph triangle participation,
     * over a deterministic BASKET sample (whole orders, orderkey ≡ 0
     * mod 8). Basket-level sampling keeps every within-order pair

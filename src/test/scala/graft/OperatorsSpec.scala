@@ -2242,4 +2242,25 @@ class OperatorsSpec extends SparkSpec {
     assert(!out.contains(("key agg row", 4L)), "order matters")
     assert(out.size == 2)
   }
+
+  test("q199 rendezvous reshard: only argmax-changed keys move, mass conserved") {
+    import SparkTestSession.spark.implicits._
+    val keys = (1L to 500L).toDF("k")
+    val nodesOld = (0 until 8).map(i => s"n$i")
+    val nodesNew = (0 until 10).map(i => s"n$i")
+    val out = Relational.rendezvousReshard(keys, "k", nodesOld, nodesNew).collect()
+    assert(out.map(_.getLong(2)).sum == 500L, "every key accounted once")
+    // rendezvous property: every move lands on an ADDED node (n8/n9) —
+    // surviving nodes never trade keys with each other
+    out.filter(_.getInt(4) == 1).foreach { r =>
+      assert(Set("n8", "n9").contains(r.getString(1)),
+        s"move to a surviving node: ${r.getString(0)} -> ${r.getString(1)}")
+    }
+    // moved mass ≈ 2/10 of the keyspace (binomial tolerance)
+    val moved = out.filter(_.getInt(4) == 1).map(_.getLong(2)).sum
+    assert(moved > 50 && moved < 150, s"moved $moved of 500")
+    // identical node sets → a pure diagonal
+    val same = Relational.rendezvousReshard(keys, "k", nodesOld, nodesOld).collect()
+    assert(same.forall(_.getInt(4) == 0))
+  }
 }
