@@ -216,6 +216,7 @@ object SparkEntry {
     "q197_label_balance"  -> (Text.q197 _),
     "q198_phrase_search"  -> (Text.q198 _),
     "q199_rendezvous_reshard" -> (Relational.q199 _),
+    "q200_psi_drift"      -> (Relational.q200 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -2650,6 +2651,26 @@ object SparkEntry {
            CAST(10000 * n_keys // t.total AS BIGINT) AS share_bp,
            CAST(CASE WHEN node_old <> node_new THEN 1 ELSE 0 END AS INT) AS moved
          FROM m, t""",
+
+    // $25 cents-bands, Laplace-smoothed shares over the union bin set,
+    // per-bin floor((p-q)·ln(p/q)·10⁶+½), ALL row (bin -1) = exact sum.
+    "q200_psi_drift" ->
+      s"""WITH b AS (SELECT ${C("value")} // 2500 AS bin, event_id % 2 = 0 AS is_ref FROM events),
+         pb AS (SELECT bin, sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS n_ref,
+                sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS n_cur FROM b GROUP BY 1),
+         t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc, count(*) AS nb FROM pb),
+         r AS (SELECT bin, n_ref, n_cur,
+               CAST(floor((CAST(n_ref + 1 AS DOUBLE) / CAST(t.tr + t.nb AS DOUBLE)
+                         - CAST(n_cur + 1 AS DOUBLE) / CAST(t.tc + t.nb AS DOUBLE))
+                 * ln((CAST(n_ref + 1 AS DOUBLE) / CAST(t.tr + t.nb AS DOUBLE))
+                    / (CAST(n_cur + 1 AS DOUBLE) / CAST(t.tc + t.nb AS DOUBLE)))
+                 * 1000000 + 0.5) AS BIGINT) AS psi_term_u
+               FROM pb, t)
+         SELECT CAST(bin AS BIGINT) AS bin, CAST(n_ref AS BIGINT) AS n_ref,
+           CAST(n_cur AS BIGINT) AS n_cur, psi_term_u FROM r
+         UNION ALL
+         SELECT -1, CAST(sum(n_ref) AS BIGINT), CAST(sum(n_cur) AS BIGINT),
+           CAST(sum(psi_term_u) AS BIGINT) FROM r""",
   )
 
   /** PageRank oracle: the q51 edge derivation + 5 UNROLLED integer

@@ -1226,6 +1226,50 @@ object Relational {
     rendezvousReshard(Tables.events(s, d), "user_id",
       (0 until 8).map(i => s"n$i"), (0 until 10).map(i => s"n$i"))
 
+  /** POPULATION STABILITY INDEX — the production drift metric for a
+    * NUMERIC feature (q195 covers embeddings, q119 token text; this
+    * closes the family): band the value into fixed cents-width bins,
+    * compare the reference and current shares, PSI = Σ (p−q)·ln(p/q).
+    * Laplace-smoothed shares p=(n+1)/(N+B) over the union bin set B,
+    * so an empty bin on one side contributes a finite, engine-exact
+    * term instead of ∞. Per-bin terms ship in fixed-point micro units
+    * (every term ≥ 0 — (p−q) and ln(p/q) share sign), the ALL row is
+    * their exact integer sum; >0.25 is the conventional "investigate"
+    * line.
+    *
+    * Scale (100 TB): one conditional aggregation per bin over a single
+    * scan (groupBy bin with two filtered counts); bins are
+    * range/width-sized, totals broadcast. */
+  def psiDrift(df: DataFrame, value: String, isRef: Column,
+               widthCents: Long): DataFrame = {
+    val binned = df.select(
+      graft.functions.F.idiv(cents(col(value)), lit(widthCents)).as("bin"),
+      isRef.as("is_ref"))
+    val perBin = binned.groupBy(col("bin"))
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_cur"))
+    val tot = perBin.agg(sum(col("n_ref")).as("tr"),
+      sum(col("n_cur")).as("tc"), count(lit(1)).as("b"))
+    val p = (col("n_ref") + lit(1L)).cast("double") /
+      (col("tr") + col("b")).cast("double")
+    val q = (col("n_cur") + lit(1L)).cast("double") /
+      (col("tc") + col("b")).cast("double")
+    val rows = perBin.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        floor((p - q) * log(p / q) * lit(1000000d) + lit(0.5d)).cast("long")
+          .as("psi_term_u"))
+    rows.unionAll(rows.agg(sum(col("n_ref")), sum(col("n_cur")),
+        sum(col("psi_term_u")))
+      .select(lit(-1L).as("bin"), col("sum(n_ref)").as("n_ref"),
+        col("sum(n_cur)").as("n_cur"),
+        col("sum(psi_term_u)").as("psi_term_u")))
+  }
+
+  /** q200: PSI of the events value distribution, odd vs even event ids,
+    * $25 bands. */
+  def q200(s: SparkSession, d: String): DataFrame =
+    psiDrift(Tables.events(s, d), "value", col("event_id") % 2 === 0, 2500L)
+
   /** q190: top-20 parts by co-purchase-graph triangle participation,
     * over a deterministic BASKET sample (whole orders, orderkey ≡ 0
     * mod 8). Basket-level sampling keeps every within-order pair

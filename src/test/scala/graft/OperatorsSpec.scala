@@ -2263,4 +2263,28 @@ class OperatorsSpec extends SparkSpec {
     val same = Relational.rendezvousReshard(keys, "k", nodesOld, nodesOld).collect()
     assert(same.forall(_.getInt(4) == 0))
   }
+
+  test("q200 PSI: identical halves score 0, disjoint halves match the formula") {
+    import SparkTestSession.spark.implicits._
+    // identical distributions: every term has p = q → PSI = 0
+    // pair (2k, 2k+1) shares one value, so the parity halves are equal
+    val samev = (0 until 40).map(i => (i.toLong, ((i / 2) % 4) * 30.0))
+      .toDF("event_id", "value")
+    val out0 = Relational.psiDrift(samev, "value", col("event_id") % 2 === 0, 2500L)
+      .collect()
+    assert(out0.find(_.getLong(0) == -1L).get.getLong(3) == 0L, "PSI of no drift")
+    // total shift: ref all in bin 0 (value 10), cur all in bin 2 (60)
+    val shift = ((1 to 10).map(i => (i * 2L, 10.0)) ++
+      (1 to 10).map(i => (i * 2 + 1L, 60.0))).toDF("event_id", "value")
+    val out1 = Relational.psiDrift(shift, "value", col("event_id") % 2 === 0, 2500L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    def term(nr: Long, nc: Long): Long = {
+      val p = (nr + 1).toDouble / 12; val q = (nc + 1).toDouble / 12
+      math.floor((p - q) * math.log(p / q) * 1000000d + 0.5d).toLong
+    }
+    assert(out1(0L) == ((10L, 0L, term(10, 0))), s"${out1(0L)}")
+    assert(out1(2L) == ((0L, 10L, term(0, 10))))
+    assert(out1(-1L)._3 == term(10, 0) + term(0, 10), "ALL = exact term sum")
+    assert(out1(-1L)._3 > 2500000L, "total shift far above the 0.25 line")
+  }
 }
