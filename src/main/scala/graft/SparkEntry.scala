@@ -217,6 +217,7 @@ object SparkEntry {
     "q198_phrase_search"  -> (Text.q198 _),
     "q199_rendezvous_reshard" -> (Relational.q199 _),
     "q200_psi_drift"      -> (Relational.q200 _),
+    "q201_ranking_metrics" -> (Similarity.q201 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -2671,6 +2672,32 @@ object SparkEntry {
          UNION ALL
          SELECT -1, CAST(sum(n_ref) AS BIGINT), CAST(sum(n_cur) AS BIGINT),
            CAST(sum(psi_term_u) AS BIGINT) FROM r""",
+
+    // Graded relevance from the truth ranking; per-position DCG terms
+    // floor(rel·ln(2)/ln(r+1)·10⁶+½) summed exactly; integer MRR/NDCG.
+    "q201_ranking_metrics" ->
+      s"""WITH truth AS ($q60OracleSql),
+         approx AS (${AnnOracleSql.all("q61_ann_lsh")}),
+         rel AS (SELECT query_id, neighbor_id, 11 - rank AS rel FROM truth),
+         hits AS (SELECT a.query_id, a.rank AS a_rank, rel.rel
+                  FROM approx a JOIN rel ON rel.query_id = a.query_id
+                    AND rel.neighbor_id = a.neighbor_id),
+         dcg AS (SELECT query_id,
+                 sum(CAST(floor(CAST(rel AS DOUBLE) * ln(2) / ln(CAST(a_rank AS DOUBLE) + 1.0)
+                   * 1000000 + 0.5) AS BIGINT)) AS dcg_u,
+                 min(a_rank) AS first_rank
+                 FROM hits GROUP BY 1),
+         idcg AS (SELECT query_id,
+                 sum(CAST(floor(CAST(11 - rank AS DOUBLE) * ln(2) / ln(CAST(rank AS DOUBLE) + 1.0)
+                   * 1000000 + 0.5) AS BIGINT)) AS idcg_u
+                 FROM truth GROUP BY 1)
+         SELECT i.query_id,
+           CAST(coalesce(d.first_rank, 0) AS BIGINT) AS first_hit_rank,
+           CAST(coalesce(1000000 // d.first_rank, 0) AS BIGINT) AS mrr_u,
+           CAST(coalesce(d.dcg_u, 0) AS BIGINT) AS dcg_u,
+           CAST(i.idcg_u AS BIGINT) AS idcg_u,
+           CAST(coalesce(10000 * d.dcg_u // i.idcg_u, 0) AS BIGINT) AS ndcg_bp
+         FROM idcg i LEFT JOIN dcg d USING (query_id)""",
   )
 
   /** PageRank oracle: the q51 edge derivation + 5 UNROLLED integer

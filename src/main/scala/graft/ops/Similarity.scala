@@ -1218,4 +1218,43 @@ object Similarity {
     * even- and odd-id halves of the embeddings table. */
   def q195(s: SparkSession, d: String): DataFrame =
     embeddingDrift(Tables.embeddings(s, d), "vec_id", "embedding", "label")
+
+  /** RANKING METRICS (MRR + NDCG@k) — q192's recall says WHETHER the
+    * index returns the right neighbors; these say whether it returns
+    * them in the right ORDER. Relevance is graded from the truth
+    * ranking (rel = k+1 − truth_rank); per approx position the DCG
+    * term rel·ln2/ln(r+1) ships in per-term fixed-point micro units so
+    * DCG and the ideal IDCG are exact integer sums, and
+    * ndcg_bp = 10⁴·dcg/idcg, mrr_u = 10⁶/first-relevant-rank are exact
+    * integer divisions. A query whose approx list hits nothing
+    * relevant scores 0 across the board (never null).
+    *
+    * Scale: like q192 — the legs are the operators, the metric join
+    * touches two O(queries·k) lists. */
+  def rankingMetrics(truth: DataFrame, approx: DataFrame): DataFrame = {
+    def dcgTerm(rel: Column, rank: Column): Column =
+      floor(rel.cast("double") * log(lit(2.0)) / log(rank.cast("double") + lit(1.0))
+        * lit(1000000d) + lit(0.5d)).cast("long")
+    val rel = truth.select(col("query_id"), col("neighbor_id"),
+      (lit(11L) - col("rank")).as("rel"))
+    val hits = approx.select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("a_rank"))
+      .join(rel, Seq("query_id", "neighbor_id"))
+    val dcg = hits.groupBy(col("query_id"))
+      .agg(sum(dcgTerm(col("rel"), col("a_rank"))).as("dcg_u"),
+        min(col("a_rank")).as("first_rank"))
+    val idcg = truth.groupBy(col("query_id"))
+      .agg(sum(dcgTerm(lit(11L) - col("rank"), col("rank"))).as("idcg_u"))
+    idcg.join(dcg, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("first_rank"), lit(0L)).as("first_hit_rank"),
+        coalesce(F.idiv(lit(1000000L), col("first_rank")), lit(0L)).as("mrr_u"),
+        coalesce(col("dcg_u"), lit(0L)).as("dcg_u"), col("idcg_u"),
+        coalesce(F.idiv(lit(10000L) * col("dcg_u"), col("idcg_u")), lit(0L))
+          .as("ndcg_bp"))
+  }
+
+  /** q201: order quality of the LSH index against brute-force truth. */
+  def q201(s: SparkSession, d: String): DataFrame =
+    rankingMetrics(q60(s, d), q61(s, d))
 }

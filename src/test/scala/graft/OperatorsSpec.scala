@@ -2287,4 +2287,35 @@ class OperatorsSpec extends SparkSpec {
     assert(out1(-1L)._3 == term(10, 0) + term(0, 10), "ALL = exact term sum")
     assert(out1(-1L)._3 > 2500000L, "total shift far above the 0.25 line")
   }
+
+  test("q201 ranking metrics: perfect, inverted-pair, and miss hand-checked") {
+    import SparkTestSession.spark.implicits._
+    def term(rel: Long, rank: Long): Long =
+      math.floor(rel.toDouble * math.log(2.0) / math.log(rank.toDouble + 1.0)
+        * 1000000d + 0.5d).toLong
+    val truth = (1L to 10L).map(r => (100L, r, r + 200L)) ++   // q100 truth
+      (1L to 10L).map(r => (101L, r, r + 300L))
+    val truthDf = truth.toDF("query_id", "rank", "neighbor_id")
+    // q100 approx = truth order exactly → NDCG 10000, MRR 1e6
+    // q101 approx = nothing relevant → zeros
+    val approx = (1L to 10L).map(r => (100L, r, r + 200L)) ++
+      (1L to 10L).map(r => (101L, r, r + 900L))
+    val out = Similarity.rankingMetrics(truthDf, approx.toDF("query_id", "rank", "neighbor_id"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(5))).toMap
+    val idcg = (1L to 10L).map(r => term(11 - r, r)).sum
+    assert(out(100L) == ((1L, 1000000L, idcg, 10000L)), s"${out(100L)}")
+    assert(out(101L) == ((0L, 0L, 0L, 0L)), s"${out(101L)}")
+    // swapping ranks 1 and 2 drops NDCG below 10000 but keeps MRR count
+    val swapped = approx.map {
+      case (100L, 1L, n) => (100L, 2L, n)
+      case (100L, 2L, n) => (100L, 1L, n)
+      case x => x
+    }
+    val s2 = Similarity.rankingMetrics(truthDf,
+        swapped.toDF("query_id", "rank", "neighbor_id"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(5))).toMap
+    assert(s2(100L)._1 == 1000000L, "rank-1 slot still relevant")
+    assert(s2(100L)._2 < 10000L && s2(100L)._2 > 9000L, s"${s2(100L)}")
+  }
 }
