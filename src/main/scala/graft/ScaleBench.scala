@@ -32,7 +32,13 @@ object ScaleBench {
     "q60_ann_bruteforce", "q61_ann_lsh", "q62_ann_ivf", "q63_ann_pq",
     "q114_semdedup", "q114_semdedup_scaledk",
     "q45_tfidf", "q160_bigram_surprisal",
-    "q176_decontaminate")
+    "q176_decontaminate",
+    // round-9 session-2 additions: the wedge-join graph op (the one
+    // with a genuinely super-linear failure mode), the five-way n-gram
+    // join LM, map-only chunking, and dictionary-filtered phrase
+    // alignment (fixed panel: replicas share no vocabulary with it)
+    "q190_triangles", "q193_trigram_lm", "q191_chunk_windows",
+    "q198_phrase_search")
 
   /** The contract queries plus scale-mode variants that are not
     * `SparkEntry.queries` members (their parameters adapt to corpus

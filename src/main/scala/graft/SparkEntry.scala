@@ -218,6 +218,8 @@ object SparkEntry {
     "q199_rendezvous_reshard" -> (Relational.q199 _),
     "q200_psi_drift"      -> (Relational.q200 _),
     "q201_ranking_metrics" -> (Similarity.q201 _),
+    "q202_rebalance_plan" -> (Text.q202 _),
+    "q203_benford"        -> (Relational.q203 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -2698,6 +2700,42 @@ object SparkEntry {
            CAST(i.idcg_u AS BIGINT) AS idcg_u,
            CAST(coalesce(10000 * d.dcg_u // i.idcg_u, 0) AS BIGINT) AS ndcg_bp
          FROM idcg i LEFT JOIN dcg d USING (query_id)""",
+
+    // Integer plan: budget = total tokens // 2, ideal = target·budget
+    // // 10⁴, feasible = min(supply, ideal), rate/shortfall exact.
+    "q202_rebalance_plan" ->
+      """WITH s AS (SELECT lang AS grp, count(*) AS n_docs,
+             sum(len(string_split(text, ' '))) AS n_tokens
+             FROM documents GROUP BY 1),
+         t AS (SELECT sum(n_tokens) AS tt FROM s),
+         tg AS (SELECT * FROM (VALUES ('en', 2000), ('zh', 2000), ('fr', 2000),
+                ('es', 2000), ('de', 2000)) AS v(grp, target_bp))
+         SELECT s.grp, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(target_bp AS BIGINT) AS target_bp,
+           CAST(target_bp * (t.tt // 2) // 10000 AS BIGINT) AS ideal_tokens,
+           CAST(LEAST(n_tokens, target_bp * (t.tt // 2) // 10000) AS BIGINT) AS feasible_tokens,
+           CAST(10000 * LEAST(n_tokens, target_bp * (t.tt // 2) // 10000) // n_tokens AS BIGINT) AS rate_bp,
+           CAST(GREATEST(target_bp * (t.tt // 2) // 10000 - n_tokens, 0) AS BIGINT) AS shortfall_tokens
+         FROM s JOIN tg USING (grp), t""",
+
+    // First digit of the cents string (= first significant digit of the
+    // price); observed share vs floor(ln(1+1/d)/ln(10)·10⁶+½); digit-0
+    // ALL row sums the absolute deviations.
+    "q203_benford" ->
+      s"""WITH d AS (SELECT CAST(substr(CAST(${C("l_extendedprice")} AS VARCHAR), 1, 1) AS BIGINT) AS digit
+             FROM lineitem WHERE ${C("l_extendedprice")} > 0),
+         c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+         t AS (SELECT sum(n) AS nt FROM c),
+         r AS (SELECT digit, n, 1000000 * n // t.nt AS share_u,
+               CAST(floor(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0) * 1000000 + 0.5) AS BIGINT) AS benford_u
+               FROM c, t)
+         SELECT CAST(digit AS BIGINT) AS digit, CAST(n AS BIGINT) AS n,
+           CAST(share_u AS BIGINT) AS share_u, benford_u,
+           CAST(abs(share_u - benford_u) AS BIGINT) AS dev_u FROM r
+         UNION ALL
+         SELECT 0, CAST(sum(n) AS BIGINT), 1000000, 1000000,
+           CAST(sum(abs(share_u - benford_u)) AS BIGINT) FROM r""",
   )
 
   /** PageRank oracle: the q51 edge derivation + 5 UNROLLED integer

@@ -1270,6 +1270,39 @@ object Relational {
   def q200(s: SparkSession, d: String): DataFrame =
     psiDrift(Tables.events(s, d), "value", col("event_id") % 2 === 0, 2500L)
 
+  /** BENFORD FIRST-DIGIT AUDIT — the forensic data-quality check for a
+    * naturally-occurring monetary/measurement column: organic
+    * multiplicative data follows P(d) = log₁₀(1+1/d); fabricated,
+    * truncated, or unit-mangled data does not. Per digit: observed
+    * share vs the Benford expectation and the absolute deviation, all
+    * in exact micro units (shares are integer divisions, expectations
+    * fixed-point ln constants); the ALL row's summed deviation is the
+    * total-variation-style headline number.
+    *
+    * Scale (100 TB): digit extraction is map-side string work in the
+    * scan; one 9-group aggregation; totals broadcast. */
+  def benfordAudit(df: DataFrame, value: String): DataFrame = {
+    val firstDigit = substring(cents(col(value)).cast("string"), 1, 1).cast("long")
+    val perDigit = df.filter(cents(col(value)) > 0)
+      .select(firstDigit.as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val tot = perDigit.agg(sum(col("n")).as("nt"))
+    val rows = perDigit.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        graft.functions.F.idiv(lit(1000000L) * col("n"), col("nt")).as("share_u"),
+        floor(log(lit(1.0) + lit(1.0) / col("digit").cast("double")) /
+          log(lit(10.0)) * lit(1000000d) + lit(0.5d)).cast("long")
+          .as("benford_u"))
+      .withColumn("dev_u", abs(col("share_u") - col("benford_u")))
+    rows.unionAll(rows.agg(sum(col("n")).as("n"), sum(col("dev_u")).as("d"))
+      .select(lit(0L).as("digit"), col("n"), lit(1000000L).as("share_u"),
+        lit(1000000L).as("benford_u"), col("d").as("dev_u")))
+  }
+
+  /** q203: Benford conformance of lineitem extended prices. */
+  def q203(s: SparkSession, d: String): DataFrame =
+    benfordAudit(Tables.lineitem(s, d), "l_extendedprice")
+
   /** q190: top-20 parts by co-purchase-graph triangle participation,
     * over a deterministic BASKET sample (whole orders, orderkey ≡ 0
     * mod 8). Basket-level sampling keeps every within-order pair

@@ -2008,4 +2008,46 @@ object Text {
   /** q198: batch phrase search over the documents corpus. */
   def q198(s: SparkSession, d: String): DataFrame =
     phraseSearch(Tables.documents(s, d), "doc_id", "text", DemoPhrases)
+
+  /** MIXTURE REBALANCE PLAN — q186 weights say what the mix SHOULD be;
+    * this emits the actionable per-group sampling plan to hit explicit
+    * target shares under a token budget: ideal = target·budget,
+    * feasible = min(available, ideal) (a group cannot be up-sampled
+    * past its supply without repetition — the shortfall column is the
+    * data-acquisition ask), rate = feasible/available is the keep
+    * probability a downstream hash-sampler (q23) applies. All integer
+    * arithmetic — the plan is engine-exact and auditable.
+    *
+    * Scale (100 TB): one aggregation to (group, token count) — group-
+    * cardinality rows — then broadcast totals and a tiny target join;
+    * the corpus is scanned once and never shuffled by row. */
+  def rebalancePlan(docs: DataFrame, group: String, tokens: Column,
+                    targetsBp: Map[String, Long], budgetDen: Long): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val supply = docs.groupBy(col(group).as("grp"))
+      .agg(count(lit(1)).as("n_docs"), sum(tokens).as("n_tokens"))
+    val tot = supply.agg(sum(col("n_tokens")).as("tt"))
+    val targets = targetsBp.toSeq.toDF("grp", "target_bp")
+    supply.join(broadcast(targets), "grp")
+      .crossJoin(broadcast(tot))
+      .select(col("grp"), col("n_docs"), col("n_tokens"), col("target_bp"),
+        F.idiv(col("target_bp") * F.idiv(col("tt"), lit(budgetDen)), lit(10000L))
+          .as("ideal_tokens"))
+      .select(col("grp"), col("n_docs"), col("n_tokens"), col("target_bp"),
+        col("ideal_tokens"),
+        least(col("n_tokens"), col("ideal_tokens")).as("feasible_tokens"),
+        F.idiv(lit(10000L) * least(col("n_tokens"), col("ideal_tokens")),
+          col("n_tokens")).as("rate_bp"),
+        greatest(col("ideal_tokens") - col("n_tokens"), lit(0L))
+          .as("shortfall_tokens"))
+  }
+
+  /** q202: plan a uniform 5-language mix over half the corpus's token
+    * budget. */
+  def q202(s: SparkSession, d: String): DataFrame =
+    rebalancePlan(Tables.documents(s, d), "lang",
+      size(split(col("text"), " ")).cast("long"),
+      Map("en" -> 2000L, "zh" -> 2000L, "fr" -> 2000L,
+        "es" -> 2000L, "de" -> 2000L), 2L)
 }

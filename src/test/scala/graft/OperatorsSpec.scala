@@ -2318,4 +2318,32 @@ class OperatorsSpec extends SparkSpec {
     assert(s2(100L)._1 == 1000000L, "rank-1 slot still relevant")
     assert(s2(100L)._2 < 10000L && s2(100L)._2 > 9000L, s"${s2(100L)}")
   }
+
+  test("q202 rebalance plan: scarce group shows shortfall, rich group a rate") {
+    import SparkTestSession.spark.implicits._
+    // supply: a=800 tokens, b=200; targets 50/50 over budget 500
+    val docs = (Seq.fill(8)("a") ++ Seq.fill(2)("b")).zipWithIndex.map {
+      case (g, i) => (i.toLong, g, Seq.fill(100)("w").mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+    val out = Text.rebalancePlan(docs, "lang",
+        size(split(col("text"), " ")).cast("long"),
+        Map("a" -> 5000L, "b" -> 5000L), 2L)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    // budget = 1000 // 2 = 500; ideal each = 250
+    assert(out("a") == ((800L, 250L, 250L, 3125L, 0L)), s"${out("a")}")
+    assert(out("b") == ((200L, 250L, 200L, 10000L, 50L)), s"${out("b")}")
+  }
+
+  test("q203 benford: constructed benford-ish sample and exact constants") {
+    val rows = Relational.q203(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.keySet == (0L to 9L).toSet, s"digits: ${rows.keySet}")
+    assert(rows(1L)._3 == 301030L, "ln(2)/ln(10) in micro units")
+    assert(rows(9L)._3 == 45757L)
+    val n = rows.filterKeys(_ > 0).values.map(_._1).sum
+    assert(rows(0L)._1 == n, "ALL row mass")
+    val shareSum = rows.filterKeys(_ > 0).values.map(_._2).sum
+    assert(shareSum <= 1000000L && shareSum > 1000000L - 9)
+  }
 }
