@@ -220,6 +220,7 @@ object SparkEntry {
     "q201_ranking_metrics" -> (Similarity.q201 _),
     "q202_rebalance_plan" -> (Text.q202 _),
     "q203_benford"        -> (Relational.q203 _),
+    "q204_trend_regression" -> (Relational.q204 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -2736,6 +2737,27 @@ object SparkEntry {
          UNION ALL
          SELECT 0, CAST(sum(n) AS BIGINT), 1000000, 1000000,
            CAST(sum(abs(share_u - benford_u)) AS BIGINT) FROM r""",
+
+    // Exact integer OLS: HUGEINT sufficient statistics, slope as
+    // sign(num)·(10⁶·|num| // den) so flooring // on the nonnegative
+    // magnitude matches Spark's truncating IntegralDivide.
+    "q204_trend_regression" ->
+      s"""WITH p AS (SELECT event_type, epoch_us(ts) // 86400000000 AS x,
+             ${C("value")} AS y FROM events),
+         s AS (SELECT event_type, count(*) AS n,
+               sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+               sum((x * y)::HUGEINT) AS sxy, sum((x * x)::HUGEINT) AS sxx
+               FROM p GROUP BY 1),
+         f AS (SELECT event_type, n,
+               n::HUGEINT * sxy - sx * sy AS num,
+               n::HUGEINT * sxx - sx * sx AS den, sy
+               FROM s)
+         SELECT event_type, CAST(n AS BIGINT) AS n,
+           CASE WHEN den <= 0 THEN NULL
+                WHEN num < 0 THEN -CAST(1000000::HUGEINT * (-num) // den AS BIGINT)
+                ELSE CAST(1000000::HUGEINT * num // den AS BIGINT) END AS slope_u,
+           CAST(sy // n::HUGEINT AS BIGINT) AS mean_cents
+         FROM f""",
   )
 
   /** PageRank oracle: the q51 edge derivation + 5 UNROLLED integer

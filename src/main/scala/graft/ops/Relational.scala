@@ -1303,6 +1303,54 @@ object Relational {
   def q203(s: SparkSession, d: String): DataFrame =
     benfordAudit(Tables.lineitem(s, d), "l_extendedprice")
 
+  /** EXACT PER-GROUP OLS TREND — the metric-drift regressor behind
+    * "is this stream trending?": slope of y (cents) against x (epoch
+    * day) per group, from the five classic sufficient statistics
+    * (n, Σx, Σy, Σxy, Σx²). Both coordinates are integers, so the
+    * sums are EXACT and merge-order independent — unlike a double
+    * regr_slope, two runs (or two engines) cannot disagree in the last
+    * bit. The closed form runs in decimal(38,0) (n·Σxy outgrows a long
+    * on a 100 TB stream) and ships as an integer division:
+    * slope_u = 10⁶·(n·Σxy − Σx·Σy) / (n·Σx² − Σx²) — micro-cents per
+    * day. A one-day (or constant-x) group has no defined slope and
+    * reports null.
+    *
+    * Scale (100 TB): one partial-aggregated shuffle carrying five
+    * longs per group — the same cost as any sum, whatever the row
+    * count. */
+  def trendRegression(df: DataFrame, group: String, xDay: Column,
+                      yCents: Column): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val sums = df
+      .select(col(group), xDay.as("x"), yCents.as("y"))
+      .groupBy(col(group))
+      // per-row products fit a long (day ~2·10⁴ × cents ~5·10⁶); the
+      // SUMS go decimal so a 10¹⁰-row group cannot overflow
+      .agg(count(lit(1)).as("n"), sum(dec(col("x"))).as("sx"),
+        sum(dec(col("y"))).as("sy"),
+        sum(dec(col("x") * col("y"))).as("sxy"),
+        sum(dec(col("x") * col("x"))).as("sxx"))
+    val num = dec(col("n")) * col("sxy") - col("sx") * col("sy")
+    val den = dec(col("n")) * col("sxx") - col("sx") * col("sx")
+    // den > 0 unless x is constant; slope = sign(num)·(10⁶·|num| // den)
+    // — division on a NONNEGATIVE numerator, where Spark's truncating
+    // IntegralDivide and DuckDB's flooring // agree.
+    val mag = graft.functions.F.idiv(dec(lit(1000000L)) * abs(num), den)
+      .cast("long")
+    sums.select(col(group), col("n"),
+      when(den <= dec(lit(0L)), lit(null).cast("long"))
+        .when(num < dec(lit(0L)), -mag)
+        .otherwise(mag).as("slope_u"),
+      graft.functions.F.idiv(col("sy"), dec(col("n"))).cast("long")
+        .as("mean_cents"))
+  }
+
+  /** q204: cents-per-day trend of each event stream's value. */
+  def q204(s: SparkSession, d: String): DataFrame =
+    trendRegression(Tables.events(s, d), "event_type",
+      graft.functions.F.idiv(unix_micros(col("ts")), lit(86400000000L)),
+      cents(col("value")))
+
   /** q190: top-20 parts by co-purchase-graph triangle participation,
     * over a deterministic BASKET sample (whole orders, orderkey ≡ 0
     * mod 8). Basket-level sampling keeps every within-order pair

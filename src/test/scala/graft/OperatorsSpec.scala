@@ -2346,4 +2346,22 @@ class OperatorsSpec extends SparkSpec {
     val shareSum = rows.filterKeys(_ > 0).values.map(_._2).sum
     assert(shareSum <= 1000000L && shareSum > 1000000L - 9)
   }
+
+  test("q204 trend: exact slopes up/down/flat and constant-x null") {
+    import SparkTestSession.spark.implicits._
+    val pts = Seq(
+      ("up", 0L, 0L), ("up", 1L, 100L), ("up", 2L, 200L),
+      ("down", 0L, 300L), ("down", 1L, 200L), ("down", 2L, 100L),
+      ("flat", 0L, 50L), ("flat", 1L, 50L),
+      ("oneday", 5L, 10L), ("oneday", 5L, 90L))
+      .toDF("g", "x", "y")
+    val out = Relational.trendRegression(pts, "g", col("x"), col("y"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          r.getLong(3))).toMap
+    assert(out("up") == ((3L, Some(100000000L), 100L)), s"${out("up")}")
+    assert(out("down") == ((3L, Some(-100000000L), 200L)), s"${out("down")}")
+    assert(out("flat") == ((2L, Some(0L), 50L)))
+    assert(out("oneday") == ((2L, None, 50L)), "constant x has no slope")
+  }
 }
