@@ -221,6 +221,7 @@ object SparkEntry {
     "q202_rebalance_plan" -> (Text.q202 _),
     "q203_benford"        -> (Relational.q203 _),
     "q204_trend_regression" -> (Relational.q204 _),
+    "q205_weighted_median" -> (Relational.q205 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -2758,6 +2759,22 @@ object SparkEntry {
                 ELSE CAST(1000000::HUGEINT * num // den AS BIGINT) END AS slope_u,
            CAST(sy // n::HUGEINT AS BIGINT) AS mean_cents
          FROM f""",
+
+    // Nearest-rank weighted quantiles: cumulative token weight in
+    // (value, id) order; smallest v with den·cum ≥ num·total.
+    "q205_weighted_median" ->
+      """WITH b AS (SELECT lang AS grp, n_chars AS v,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS wt, doc_id AS rid
+             FROM documents),
+         c AS (SELECT grp, v, wt,
+               sum(wt) OVER (PARTITION BY grp ORDER BY v, rid
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               sum(wt) OVER (PARTITION BY grp) AS total
+               FROM b)
+         SELECT grp, CAST(max(total) AS BIGINT) AS total_weight,
+           CAST(min(CASE WHEN cum * 2 >= total THEN v END) AS BIGINT) AS w_median,
+           CAST(min(CASE WHEN cum * 10 >= total * 9 THEN v END) AS BIGINT) AS w_p90
+         FROM c GROUP BY 1""",
   )
 
   /** PageRank oracle: the q51 edge derivation + 5 UNROLLED integer

@@ -1351,6 +1351,43 @@ object Relational {
       graft.functions.F.idiv(unix_micros(col("ts")), lit(86400000000L)),
       cents(col("value")))
 
+  /** EXACT WEIGHTED QUANTILES per group — the mixture-curation
+    * statistic plain percentiles (q28/q99) cannot give: "the median
+    * document BY TOKEN MASS" weights every document by its size, so
+    * one giant doc moves the cut the way it moves the training mix.
+    * Nearest-rank definition on the cumulative weight: the quantile
+    * q = num/den is the SMALLEST value v whose running weight w(≤v)
+    * satisfies den·w ≥ num·total — all integer comparisons, no
+    * interpolation, engine-exact under the (value, id) tie order.
+    *
+    * Scale (100 TB): one shuffle on the group key; the cumulative sum
+    * is a window INSIDE that partitioning (groups ≫ executors keeps
+    * the exchange even; a single monster group would take the q129
+    * approxQuantile path instead); the final pick is a conditional-min
+    * aggregation over the same partitioning — no second exchange. */
+  def weightedQuantiles(df: DataFrame, group: String, value: Column,
+                        weight: Column, id: Column): DataFrame = {
+    val w = Window.partitionBy(col("grp")).orderBy(col("v"), col("rid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col("grp"))
+    val cum = df
+      .select(col(group).as("grp"), value.as("v"), weight.as("wt"),
+        id.as("rid"))
+      .withColumn("cum", sum(col("wt")).over(w))
+      .withColumn("total", sum(col("wt")).over(tot))
+    cum.groupBy(col("grp"))
+      .agg(max(col("total")).as("total_weight"),
+        min(when(col("cum") * 2 >= col("total"), col("v")))
+          .as("w_median"),
+        min(when(col("cum") * 10 >= col("total") * 9, col("v")))
+          .as("w_p90"))
+  }
+
+  /** q205: per-language doc-length median and p90 BY TOKEN MASS. */
+  def q205(s: SparkSession, d: String): DataFrame =
+    weightedQuantiles(Tables.documents(s, d), "lang", col("n_chars"),
+      size(split(col("text"), " ")).cast("long"), col("doc_id"))
+
   /** q190: top-20 parts by co-purchase-graph triangle participation,
     * over a deterministic BASKET sample (whole orders, orderkey ≡ 0
     * mod 8). Basket-level sampling keeps every within-order pair

@@ -2364,4 +2364,22 @@ class OperatorsSpec extends SparkSpec {
     assert(out("flat") == ((2L, Some(0L), 50L)))
     assert(out("oneday") == ((2L, None, 50L)), "constant x has no slope")
   }
+
+  test("q205 weighted median: one heavy row outweighs many light ones") {
+    import SparkTestSession.spark.implicits._
+    // values 1..4 weight 1 each, value 5 weight 10: total 14, half 7 →
+    // cum hits 7 only at v=5 → weighted median 5 (plain median is 3)
+    val df = (Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 10L)))
+      .zipWithIndex.map { case ((v, w), i) => ("g", v, w, i.toLong) }
+      .toDF("grp", "v", "w", "id")
+    val out = Relational.weightedQuantiles(df, "grp", col("v"), col("w"), col("id"))
+      .collect().head
+    assert((out.getLong(1), out.getLong(2), out.getLong(3)) == ((14L, 5L, 5L)),
+      s"$out")
+    // uniform weights reduce to the plain nearest-rank median
+    val uni = (1L to 9L).map(v => ("u", v, 1L, v)).toDF("grp", "v", "w", "id")
+    val o2 = Relational.weightedQuantiles(uni, "grp", col("v"), col("w"), col("id"))
+      .collect().head
+    assert((o2.getLong(2), o2.getLong(3)) == ((5L, 9L)), s"$o2")
+  }
 }
