@@ -222,6 +222,8 @@ object SparkEntry {
     "q203_benford"        -> (Relational.q203 _),
     "q204_trend_regression" -> (Relational.q204 _),
     "q205_weighted_median" -> (Relational.q205 _),
+    "q206_dp_counts"      -> (Relational.q206 _),
+    "q207_correlated_sample" -> (Relational.q207 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -2775,6 +2777,36 @@ object SparkEntry {
            CAST(min(CASE WHEN cum * 2 >= total THEN v END) AS BIGINT) AS w_median,
            CAST(min(CASE WHEN cum * 10 >= total * 9 THEN v END) AS BIGINT) AS w_p90
          FROM c GROUP BY 1""",
+
+    // Seeded Laplace: u = low-53-bits(md5('dp-epoch-1:'||grp))/2⁵³
+    // (power-of-two modulus — signed and unsigned reads agree),
+    // x = -sign(u-½)·ln(1-2|u-½|)/ε with the shared floor(x+½) rounding.
+    "q206_dp_counts" ->
+      """WITH c AS (SELECT lang AS grp, count(*) AS n_true FROM documents GROUP BY 1),
+         u AS (SELECT grp, n_true,
+               CAST(md5_number_upper('dp-epoch-1:' || grp) % 9007199254740992 AS DOUBLE)
+                 / 9007199254740992 AS u FROM c),
+         x AS (SELECT grp, n_true, u - 0.5 AS ctr,
+               -ln(1.0 - 2.0 * abs(u - 0.5)) / (1000.0 / 1000.0) AS mag FROM u),
+         n AS (SELECT grp, n_true,
+               CASE WHEN ctr < 0 THEN mag ELSE -mag END AS noise FROM x)
+         SELECT grp, CAST(n_true AS BIGINT) AS n_true,
+           CAST(floor(noise * 1000.0 + 0.5) AS BIGINT) AS noise_milli,
+           CAST(n_true + CAST(floor(noise + 0.5) AS BIGINT) AS BIGINT) AS released_n,
+           CAST(1000 AS BIGINT) AS eps_milli
+         FROM n""",
+
+    // Both tables sampled independently by the same md5-mod-8 predicate
+    // on the join key; the forced-zero orphan count is the proof.
+    "q207_correlated_sample" ->
+      """WITH so AS (SELECT o_orderkey FROM orders
+             WHERE md5_number_upper(CAST(o_orderkey AS VARCHAR)) % 8 = 0),
+         sl AS (SELECT l_orderkey FROM lineitem
+             WHERE md5_number_upper(CAST(l_orderkey AS VARCHAR)) % 8 = 0)
+         SELECT (SELECT count(*) FROM so) AS orders_sampled,
+           (SELECT count(*) FROM sl) AS lineitem_sampled,
+           (SELECT count(*) FROM sl JOIN so ON l_orderkey = o_orderkey) AS joined_rows,
+           (SELECT count(*) FROM sl ANTI JOIN so ON l_orderkey = o_orderkey) AS orphan_lineitems""",
   )
 
   /** PageRank oracle: the q51 edge derivation + 5 UNROLLED integer

@@ -1388,6 +1388,74 @@ object Relational {
     weightedQuantiles(Tables.documents(s, d), "lang", col("n_chars"),
       size(split(col("text"), " ")).cast("long"), col("doc_id"))
 
+  /** DIFFERENTIALLY-PRIVATE COUNT RELEASE (Laplace mechanism) with a
+    * SEEDED deterministic noise draw — q183's k-anonymity gates what
+    * may be released; this is the release itself: count + Lap(Δ/ε)
+    * noise (Δ = 1 for a count). The uniform comes from the low 53 bits
+    * of md5(seed‖group) (a power-of-two modulus, so signed/unsigned
+    * reads agree bit-for-bit in any engine), inverse-CDF'd through
+    * x = −(1/ε)·sign(u−½)·ln(1−2|u−½|). Determinism is what makes the
+    * release AUDITABLE (and re-runnable without burning privacy budget
+    * twice); a production release would rotate the seed per epoch,
+    * drop the true column, and snap the noise (Mironov) — noted, not
+    * faked. All rounding is the shared floor(x+½) convention.
+    *
+    * Scale (100 TB): one count aggregation; the noise math is
+    * per-GROUP (category-cardinality), free at any corpus size. */
+  def dpCountRelease(df: DataFrame, group: String, seed: String,
+                     epsMilli: Long): DataFrame = {
+    val counts = df.groupBy(col(group).as("grp"))
+      .agg(count(lit(1)).as("n_true"))
+    val u = pmod(graft.functions.F.md5Hash64(
+        concat(lit(seed + ":"), col("grp"))),
+      lit(9007199254740992L)).cast("double") / lit(9007199254740992d)
+    val centered = u - lit(0.5d)
+    val mag = -log(lit(1.0d) - lit(2.0d) * abs(centered)) /
+      (lit(epsMilli.toDouble) / lit(1000d))
+    val noise = when(centered < 0, mag).otherwise(-mag)
+    counts.select(col("grp"), col("n_true"),
+      floor(noise * lit(1000d) + lit(0.5d)).cast("long").as("noise_milli"),
+      (col("n_true") + floor(noise + lit(0.5d)).cast("long"))
+        .as("released_n"),
+      lit(epsMilli).as("eps_milli"))
+  }
+
+  /** q206: ε = 1 Laplace release of per-language document counts. */
+  def q206(s: SparkSession, d: String): DataFrame =
+    dpCountRelease(Tables.documents(s, d), "lang", "dp-epoch-1", 1000L)
+
+  /** JOIN-PRESERVING CORRELATED SAMPLE — the scale-down technique that
+    * keeps referential integrity: every table samples INDEPENDENTLY by
+    * the same hash predicate on the JOIN KEY (md5(key) mod m = 0), so
+    * an order and all its lineitems are kept or dropped together —
+    * no coordination, no semi-join, no orphans — and any join
+    * computed on the sample is exactly the join of the sampled
+    * keyspace. The audit emits the sampled masses and the orphan
+    * count, whose forced zero is the integrity proof (a uniform
+    * per-row sample of each table would orphan ~(1−1/m) of lineitem).
+    *
+    * Scale (100 TB): the predicate is map-side on each scan —
+    * sampling never shuffles; the orphan check is one anti-join on
+    * the sampled (small) tables. */
+  def correlatedSample(orders: DataFrame, lineitem: DataFrame,
+                       mod: Int): DataFrame = {
+    def keep(c: Column): Column =
+      pmod(graft.functions.F.md5Hash64(c.cast("string")), lit(mod.toLong)) === 0
+    val so = orders.filter(keep(col("o_orderkey")))
+    val sl = lineitem.filter(keep(col("l_orderkey")))
+    val joined = sl.join(so, col("l_orderkey") === col("o_orderkey"))
+    val orphans = sl.join(so, col("l_orderkey") === col("o_orderkey"),
+      "left_anti")
+    so.agg(count(lit(1)).as("orders_sampled"))
+      .crossJoin(sl.agg(count(lit(1)).as("lineitem_sampled")))
+      .crossJoin(joined.agg(count(lit(1)).as("joined_rows")))
+      .crossJoin(orphans.agg(count(lit(1)).as("orphan_lineitems")))
+  }
+
+  /** q207: 1-in-8 correlated sample of orders ⋈ lineitem. */
+  def q207(s: SparkSession, d: String): DataFrame =
+    correlatedSample(Tables.orders(s, d), Tables.lineitem(s, d), 8)
+
   /** q190: top-20 parts by co-purchase-graph triangle participation,
     * over a deterministic BASKET sample (whole orders, orderkey ≡ 0
     * mod 8). Basket-level sampling keeps every within-order pair

@@ -2382,4 +2382,38 @@ class OperatorsSpec extends SparkSpec {
       .collect().head
     assert((o2.getLong(2), o2.getLong(3)) == ((5L, 9L)), s"$o2")
   }
+
+  test("q206 dp release: seeded noise reproducible, scale tracks 1/eps") {
+    val a = Relational.q206(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    val b = Relational.q206(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(a.sameElements(b), "same seed, same release — no budget re-burn")
+    // tighter epsilon → strictly larger |noise| for the same draw
+    val loose = Relational.dpCountRelease(Tables.documents(spark, sf),
+        "lang", "dp-epoch-1", 1000L).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val tight = Relational.dpCountRelease(Tables.documents(spark, sf),
+        "lang", "dp-epoch-1", 100L).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    loose.foreach { case (g, n) =>
+      assert(math.abs(tight(g)) >= math.abs(n) * 9,
+        s"$g: eps/10 must scale noise ~10x: $n vs ${tight(g)}")
+    }
+    // a different seed draws different noise somewhere
+    val other = Relational.dpCountRelease(Tables.documents(spark, sf),
+      "lang", "dp-epoch-2", 1000L).collect().map(_.getLong(2)).toSet
+    assert(other != loose.values.toSet)
+  }
+
+  test("q207 correlated sample: zero orphans, join mass preserved") {
+    val r = Relational.q207(spark, sf).collect().head
+    val (so, sl, j, orph) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(orph == 0L, "hash-consistent sampling can never orphan a lineitem")
+    assert(j == sl, "every sampled lineitem joins its sampled order")
+    assert(so > 0 && sl > 0)
+    // roughly 1/8 of orders survive (binomial tolerance)
+    val totalOrders = Tables.orders(spark, sf).count()
+    assert(so > totalOrders / 16 && so < totalOrders / 4, s"$so of $totalOrders")
+  }
 }
