@@ -224,6 +224,7 @@ object SparkEntry {
     "q205_weighted_median" -> (Relational.q205 _),
     "q206_dp_counts"      -> (Relational.q206 _),
     "q207_correlated_sample" -> (Relational.q207 _),
+    "q208_bootstrap_ci"   -> (Relational.q208 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -2807,6 +2808,40 @@ object SparkEntry {
            (SELECT count(*) FROM sl) AS lineitem_sampled,
            (SELECT count(*) FROM sl JOIN so ON l_orderkey = o_orderkey) AS joined_rows,
            (SELECT count(*) FROM sl ANTI JOIN so ON l_orderkey = o_orderkey) AS orphan_lineitems""",
+
+    // Poisson(1) weights from seeded md5 low-53 bits vs the literal
+    // cumulative thresholds; replicate means and their variance are
+    // exact integer arithmetic; one sqrt at the boundary.
+    "q208_bootstrap_ci" ->
+      s"""WITH p AS (SELECT event_type AS grp, ${C("value")} AS y, event_id AS rid FROM events),
+         e AS (SELECT grp, y, rid, unnest(range(0, 32)) AS bi FROM p),
+         uu AS (SELECT grp, y, bi,
+               CAST(md5_number_upper('boot-epoch-1:' || CAST(rid AS VARCHAR) || '#' || CAST(bi AS VARCHAR))
+                 % 9007199254740992 AS DOUBLE) / 9007199254740992 AS u FROM e),
+         w AS (SELECT grp, y, bi,
+               CASE WHEN u < 0.36787944117144233 THEN 0
+                    WHEN u < 0.7357588823428847 THEN 1
+                    WHEN u < 0.9196986029286058 THEN 2
+                    WHEN u < 0.9810118431238463 THEN 3
+                    WHEN u < 0.9963401531726563 THEN 4
+                    WHEN u < 0.9994058151824183 THEN 5
+                    WHEN u < 0.999916758850712 THEN 6
+                    WHEN u < 0.9999897508033253 THEN 7
+                    WHEN u < 0.999998874797402 THEN 8
+                    ELSE 9 END AS w FROM uu),
+         reps AS (SELECT grp, bi, sum(w::HUGEINT) AS sw, sum((w * y)::HUGEINT) AS swy
+                  FROM w GROUP BY 1, 2),
+         m AS (SELECT grp, swy // sw AS m FROM reps WHERE sw > 0),
+         st AS (SELECT grp, count(*) AS b_eff, sum(m) AS sm, sum(m * m) AS smm
+                FROM m GROUP BY 1),
+         tr AS (SELECT event_type AS grp, count(*) AS n,
+                sum(${C("value")}::HUGEINT) // count(*) AS mean_cents
+                FROM events GROUP BY 1)
+         SELECT tr.grp, CAST(n AS BIGINT) AS n, CAST(mean_cents AS BIGINT) AS mean_cents,
+           CAST(b_eff AS BIGINT) AS b_eff,
+           CAST(floor(sqrt(CAST(b_eff * smm - sm * sm AS DOUBLE)
+             / CAST(b_eff * b_eff AS DOUBLE)) * 1000.0) AS BIGINT) AS std_milli
+         FROM tr JOIN st ON st.grp = tr.grp""",
   )
 
   /** PageRank oracle: the q51 edge derivation + 5 UNROLLED integer

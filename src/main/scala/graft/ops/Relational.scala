@@ -1456,6 +1456,71 @@ object Relational {
   def q207(s: SparkSession, d: String): DataFrame =
     correlatedSample(Tables.orders(s, d), Tables.lineitem(s, d), 8)
 
+  /** Poisson(1) inverse-CDF thresholds (cumulative e⁻¹/k!): the draw
+    * is the smallest k with u < cum(k), capped at 9 (tail mass ~10⁻⁶).
+    * Literal doubles — both engines parse the same nearest-double. */
+  val PoissonCum: Seq[Double] = Seq(
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238463, 0.9963401531726563, 0.9994058151824183,
+    0.999916758850712, 0.9999897508033253, 0.999998874797402)
+
+  /** POISSON-BOOTSTRAP CONFIDENCE INTERVAL for a distributed mean —
+    * the error bar every sampled/sketched pipeline metric needs: B
+    * replicate means, each reweighting every row by an independent
+    * Poisson(1) draw (the streaming-friendly bootstrap: no resampling
+    * pass, weights are a pure row-local function), std of the
+    * replicate means estimates the sampling error of the real mean.
+    * EVERYTHING is integer-exact: draws come from seeded md5 low-53
+    * bits against literal-double thresholds, each replicate mean is an
+    * exact integer division of exact integer sums, and the variance of
+    * the B means is integer arithmetic over those — two engines or two
+    * partitionings cannot disagree by a bit.
+    *
+    * Scale (100 TB): the B-way explode happens map-side (each row
+    * emits B (group, b, w, w·y) partials — B is a constant, 32); one
+    * aggregation shuffle carries B·groups partial rows; the replicate
+    * table is B·groups and the final std is a tiny aggregation. */
+  def bootstrapMeanCi(df: DataFrame, group: String, yCents: Column,
+                      rowId: Column, b: Int, seed: String): DataFrame = {
+    val draws = PoissonCum.zipWithIndex.foldRight(lit(PoissonCum.length.toLong)) {
+      case ((c, k), e) => when(col("u") < lit(c), lit(k.toLong)).otherwise(e)
+    }
+    val rows = df.select(col(group).as("grp"), yCents.as("y"), rowId.as("rid"))
+      .select(col("grp"), col("y"),
+        explode(sequence(lit(0), lit(b - 1))).as("bi"), col("rid"))
+      .withColumn("u", pmod(graft.functions.F.md5Hash64(
+          concat(lit(seed + ":"), col("rid").cast("string"), lit("#"),
+            col("bi").cast("string"))),
+        lit(9007199254740992L)).cast("double") / lit(9007199254740992d))
+      .withColumn("w", draws)
+    val reps = rows.groupBy(col("grp"), col("bi"))
+      .agg(sum(col("w")).as("sw"), sum(col("w") * col("y")).as("swy"))
+      .where(col("sw") > 0)
+      .select(col("grp"), graft.functions.F.idiv(col("swy"), col("sw"))
+        .as("m"))
+    val stats = reps.groupBy(col("grp"))
+      .agg(count(lit(1)).as("b_eff"), sum(col("m")).as("sm"),
+        sum(col("m") * col("m")).as("smm"))
+    val truth = df.groupBy(col(group).as("grp"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.F.idiv(sum(yCents), count(lit(1))).as("mean_cents"))
+    // var·B² = B·Σm² − (Σm)² exactly; std_milli = isqrt of the scaled
+    // integer (floor), so the interval is engine-exact too
+    truth.join(stats, "grp")
+      .select(col("grp"), col("n"), col("mean_cents"), col("b_eff"),
+        // std_milli = floor(√(var)·10³) with var = (B·Σm²−(Σm)²)/B²
+        // from exact integers — one sqrt, deterministic
+        floor(sqrt((col("b_eff") * col("smm") - col("sm") * col("sm"))
+            .cast("double") / (col("b_eff") * col("b_eff")).cast("double"))
+          * lit(1000d)).cast("long").as("std_milli"))
+  }
+
+  /** q208: 32-replicate bootstrap error bar on each event stream's
+    * mean value. */
+  def q208(s: SparkSession, d: String): DataFrame =
+    bootstrapMeanCi(Tables.events(s, d), "event_type", cents(col("value")),
+      col("event_id"), 32, "boot-epoch-1")
+
   /** q190: top-20 parts by co-purchase-graph triangle participation,
     * over a deterministic BASKET sample (whole orders, orderkey ≡ 0
     * mod 8). Basket-level sampling keeps every within-order pair

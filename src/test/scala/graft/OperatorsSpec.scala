@@ -2416,4 +2416,21 @@ class OperatorsSpec extends SparkSpec {
     val totalOrders = Tables.orders(spark, sf).count()
     assert(so > totalOrders / 16 && so < totalOrders / 4, s"$so of $totalOrders")
   }
+
+  test("q208 bootstrap: reproducible, mean-bracketing, poisson weights sane") {
+    val a = Relational.q208(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    val b = Relational.q208(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(a == b, "seeded draws: two runs, one answer")
+    a.foreach { case (g, (n, mean, beff, std)) =>
+      assert(beff == 32L, s"$g kept all replicates")
+      assert(std > 0L, s"$g has nonzero sampling error")
+      // std of a mean of n samples ~ popstd/sqrt(n): must be well
+      // below the mean for these sf0.001 group sizes, and nonzero
+      assert(std < mean * 1000L, s"$g std sane: $std vs mean $mean")
+    }
+  }
 }
