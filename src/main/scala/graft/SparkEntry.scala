@@ -225,6 +225,8 @@ object SparkEntry {
     "q206_dp_counts"      -> (Relational.q206 _),
     "q207_correlated_sample" -> (Relational.q207 _),
     "q208_bootstrap_ci"   -> (Relational.q208 _),
+    "q209_ab_test"        -> (Events.q209 _),
+    "q210_label_window"   -> (Events.q210 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -2842,6 +2844,46 @@ object SparkEntry {
            CAST(floor(sqrt(CAST(b_eff * smm - sm * sm AS DOUBLE)
              / CAST(b_eff * b_eff AS DOUBLE)) * 1000.0) AS BIGINT) AS std_milli
          FROM tr JOIN st ON st.grp = tr.grp""",
+
+    // Unit-level conversion flags first (events→users), then the
+    // pooled two-proportion z in the identical expression order.
+    "q209_ab_test" ->
+      s"""WITH u AS (SELECT user_id,
+             CAST(max(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS INT) AS arm_,
+             max(CASE WHEN event_type = 'purchase' AND value > 150 THEN 1 ELSE 0 END) AS conv
+             FROM events GROUP BY 1),
+         ar AS (SELECT arm_, count(*) AS n, sum(conv) AS k FROM u GROUP BY 1),
+         j AS (SELECT a.n AS n_a, a.k AS conv_a, b.n AS n_b, b.k AS conv_b
+               FROM (SELECT n, k FROM ar WHERE arm_ = 0) a,
+                    (SELECT n, k FROM ar WHERE arm_ = 1) b)
+         SELECT CAST(n_a AS BIGINT) AS n_a, CAST(conv_a AS BIGINT) AS conv_a,
+           CAST(n_b AS BIGINT) AS n_b, CAST(conv_b AS BIGINT) AS conv_b,
+           ${BP("CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)")} AS rate_a_bp,
+           ${BP("CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)")} AS rate_b_bp,
+           CAST(floor((CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+               - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+             / sqrt((CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+               * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+               * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+             * 1000.0 + 0.5) AS BIGINT) AS z_milli
+         FROM j""",
+
+    // One conditional-aggregation pass: features strictly ≤ cutoff,
+    // label strictly inside (cutoff, cutoff+7d] — no self-join to leak.
+    "q210_label_window" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type, value FROM events),
+         g AS (SELECT user_id,
+               sum(CASE WHEN us <= 1705276800000000 THEN 1 ELSE 0 END) AS n_events_past,
+               sum(CASE WHEN us <= 1705276800000000 THEN ${C("value")} ELSE 0 END) AS sum_value_past_cents,
+               max(CASE WHEN us <= 1705276800000000 THEN us END) AS last_seen_us,
+               sum(CASE WHEN us > 1705276800000000 AND us <= 1705881600000000
+                    AND event_type = 'purchase' THEN 1 ELSE 0 END) AS n_future
+               FROM e GROUP BY 1)
+         SELECT user_id, CAST(n_events_past AS BIGINT) AS n_events_past,
+           CAST(sum_value_past_cents AS BIGINT) AS sum_value_past_cents,
+           CAST(last_seen_us AS BIGINT) AS last_seen_us,
+           CAST(CASE WHEN n_future > 0 THEN 1 ELSE 0 END AS INT) AS label
+         FROM g WHERE n_events_past > 0""",
   )
 
   /** PageRank oracle: the q51 edge derivation + 5 UNROLLED integer

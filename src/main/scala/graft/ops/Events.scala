@@ -1336,6 +1336,87 @@ object Events {
 
   /** q185: audience overlap between event types (distinct users),
     * sketch estimates + exact audit columns. */
+  /** TRAINING-LABEL GENERATION over a future window — the supervised-
+    * learning prep step that turns an event stream into (features-as-
+    * of-cutoff, label-from-future) rows WITHOUT leakage: for each user,
+    * the label is whether any qualifying event lands in
+    * (cutoff, cutoff + horizon]; features come strictly from
+    * (-∞, cutoff]. Emitting both windows from one pass over the stream
+    * (conditional aggregation on the timestamp) is what makes the
+    * no-leakage property auditable: there is no join whose predicate
+    * could silently admit future rows into the feature side.
+    *
+    * Scale (100 TB): one aggregation shuffle on the user key; both
+    * windows are filtered sums inside it — the stream is scanned once,
+    * never self-joined. */
+  def labelWindow(events: DataFrame, key: String, tsUs: Column,
+                  cutoffUs: Long, horizonUs: Long,
+                  qualifying: Column): DataFrame = {
+    val past = tsUs <= lit(cutoffUs)
+    val future = tsUs > lit(cutoffUs) &&
+      tsUs <= lit(cutoffUs + horizonUs) && qualifying
+    events.groupBy(col(key))
+      .agg(
+        sum(when(past, 1L).otherwise(0L)).as("n_events_past"),
+        sum(when(past, cents(col("value"))).otherwise(0L)).as("sum_value_past_cents"),
+        max(when(past, tsUs)).as("last_seen_us"),
+        sum(when(future, 1L).otherwise(0L)).as("n_future_hits"))
+      .where(col("n_events_past") > 0)
+      .select(col(key), col("n_events_past"), col("sum_value_past_cents"),
+        col("last_seen_us"),
+        (col("n_future_hits") > 0).cast("int").as("label"))
+  }
+
+  /** q210: purchase-in-next-7-days labels at the 2024-01-15 cutoff. */
+  def q210(s: SparkSession, d: String): DataFrame =
+    labelWindow(Tables.events(s, d), "user_id", unix_micros(col("ts")),
+      Changes.epochUs("2024-01-15"), 7L * 86400000000L,
+      col("event_type") === "purchase")
+
+  /** TWO-PROPORTION A/B TEST — the experiment readout: unit-level
+    * (user, not event) conversion rates per arm and the pooled
+    * two-proportion z statistic. Arms split by a hash/parity of the
+    * UNIT key (assignment must be unit-stable or exposure counts
+    * lie); conversion aggregates events→users first so heavy users
+    * cannot inflate their arm. The z formula runs on doubles derived
+    * from exact integer counts in one fixed expression order, then
+    * ships fixed-point — engine-exact.
+    *
+    * Scale (100 TB): events→user flags is one shuffle on the unit
+    * key; arms reduce to TWO partial-agg rows; the statistic is a
+    * driver-free one-row compare. */
+  def abTest(events: DataFrame, unit: String, arm: Column,
+             converted: Column): DataFrame = {
+    val users = events.groupBy(col(unit))
+      .agg(max(arm.cast("int")).as("arm_"),
+        max(converted.cast("int")).as("conv"))
+    val arms = users.groupBy(col("arm_"))
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("k"))
+    val a = arms.filter(col("arm_") === 0)
+      .select(col("n").as("n_a"), col("k").as("conv_a"))
+    val b = arms.filter(col("arm_") === 1)
+      .select(col("n").as("n_b"), col("k").as("conv_b"))
+    val pa = col("conv_a").cast("double") / col("n_a").cast("double")
+    val pb = col("conv_b").cast("double") / col("n_b").cast("double")
+    val pp = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    val se = sqrt(pp * (lit(1.0d) - pp) *
+      (lit(1.0d) / col("n_a").cast("double") +
+        lit(1.0d) / col("n_b").cast("double")))
+    a.crossJoin(b).select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+      bp(pa).as("rate_a_bp"), bp(pb).as("rate_b_bp"),
+      floor((pa - pb) / se * lit(1000d) + lit(0.5d)).cast("long")
+        .as("z_milli"))
+  }
+
+  /** q209: big-purchase (> $150) conversion, arms by user-id parity —
+    * the value threshold keeps conversion strictly inside (0, 1) at
+    * every SF (a universally-converting corpus would zero the pooled
+    * standard error). */
+  def q209(s: SparkSession, d: String): DataFrame =
+    abTest(Tables.events(s, d), "user_id", col("user_id") % 2,
+      col("event_type") === "purchase" && col("value") > 150d)
+
   def q185(s: SparkSession, d: String): DataFrame =
     kmvOverlap(Tables.events(s, d), "event_type", "user_id")
 }

@@ -2433,4 +2433,59 @@ class OperatorsSpec extends SparkSpec {
       assert(std < mean * 1000L, s"$g std sane: $std vs mean $mean")
     }
   }
+
+  test("q194 plan: the blocklist dictionary joins by broadcast") {
+    val plan = executedPlan(Text.q194(spark, sf)).toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"blocklist must broadcast, never shuffle the host chain:\n$plan")
+  }
+
+  test("q205 plan: window and pick share ONE group-key exchange") {
+    val plan = executedPlan(Relational.q205(spark, sf)).toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1,
+      s"cumulative window + conditional-min must reuse the grp partitioning, found $exchanges:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"no global window allowed:\n$plan")
+  }
+
+  test("q209 ab test: hand-computed z on a 2x2 outcome") {
+    import SparkTestSession.spark.implicits._
+    // arm0 = even users {2,4}, u2 converts; arm1 = odd {1,3}, none
+    val ev = Seq((2L, "purchase"), (2L, "view"), (4L, "view"),
+      (1L, "view"), (3L, "click"))
+      .toDF("user_id", "event_type")
+    val r = Events.abTest(ev, "user_id", col("user_id") % 2,
+      col("event_type") === "purchase").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((2L, 1L, 2L, 0L)))
+    assert((r.getLong(4), r.getLong(5)) == ((5000L, 0L)))
+    // z = 0.5 / sqrt(0.25·0.75·(1/2+1/2)) = 1.1547 → 1155 milli
+    assert(r.getLong(6) == 1155L, s"z ${r.getLong(6)}")
+  }
+
+  test("q210 labels: boundary events are features, horizon bounds the label") {
+    import SparkTestSession.spark.implicits._
+    val cut = Changes.epochUs("2024-01-15")
+    assert(cut == 1705276800000000L, "oracle constant must match epochUs")
+    val day = 86400000000L
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    val ev = Seq(
+      (10L, ts(cut - day), "view", 10.0),        // features only → label 0
+      (11L, ts(cut - day), "view", 20.0),        // converts inside horizon
+      (11L, ts(cut + 3 * day), "purchase", 5.0),
+      (12L, ts(cut), "purchase", 7.0),           // AT the cutoff: feature, NOT label
+      (13L, ts(cut - day), "view", 1.0),         // qualifying past horizon → 0
+      (13L, ts(cut + 8 * day), "purchase", 2.0),
+      (14L, ts(cut + day), "purchase", 9.0))     // no past → excluded
+      .toDF("user_id", "ts", "event_type", "value")
+    val out = Events.labelWindow(ev, "user_id", unix_micros(col("ts")),
+        cut, 7L * day, col("event_type") === "purchase")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(4))).toMap
+    assert(out(10L) == ((1L, 0)))
+    assert(out(11L) == ((1L, 1)), "purchase inside the horizon labels 1")
+    assert(out(12L) == ((1L, 0)), "the cutoff row itself is a feature")
+    assert(out(13L) == ((1L, 0)), "past-horizon conversions don't leak in")
+    assert(!out.contains(14L), "users with no pre-cutoff history are excluded")
+  }
 }
