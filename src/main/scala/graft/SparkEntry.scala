@@ -227,6 +227,7 @@ object SparkEntry {
     "q208_bootstrap_ci"   -> (Relational.q208 _),
     "q209_ab_test"        -> (Events.q209 _),
     "q210_label_window"   -> (Events.q210 _),
+    "q211_fk_audit"       -> (Relational.q211 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -2884,6 +2885,26 @@ object SparkEntry {
            CAST(last_seen_us AS BIGINT) AS last_seen_us,
            CAST(CASE WHEN n_future > 0 THEN 1 ELSE 0 END AS INT) AS label
          FROM g WHERE n_events_past > 0""",
+
+    // One row per declared FK edge: child mass, null FKs, anti-join
+    // orphans, parent mass, duplicate parent keys.
+    "q211_fk_audit" -> Seq(
+      ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+      ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+      ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+      ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"))
+      .map { case (name, c, fk, p, pk) =>
+        s"""SELECT '$name' AS relation,
+           (SELECT count(*) FROM $c) AS child_rows,
+           (SELECT count(*) FROM $c WHERE $fk IS NULL) AS null_fk_rows,
+           (SELECT count(*) FROM $c WHERE $fk IS NOT NULL
+              AND $fk NOT IN (SELECT $pk FROM $p)) AS orphan_rows,
+           (SELECT count(*) FROM $p) AS parent_rows,
+           (SELECT count(*) FROM (SELECT $pk FROM $p GROUP BY 1
+              HAVING count(*) > 1)) AS dup_parent_keys"""
+      }.mkString("\nUNION ALL\n"),
   )
 
   /** PageRank oracle: the q51 edge derivation + 5 UNROLLED integer

@@ -1521,6 +1521,51 @@ object Relational {
     bootstrapMeanCi(Tables.events(s, d), "event_type", cents(col("value")),
       col("event_id"), 32, "boot-epoch-1")
 
+  /** REFERENTIAL-INTEGRITY AUDIT across a star schema — q120 checks
+    * rules WITHIN a table; this checks the contracts BETWEEN them,
+    * the failures that silently corrupt every downstream join: per
+    * declared FK edge, the child mass, null-FK rows (a tri-state trap,
+    * not an orphan), orphan rows (FK values no parent carries), parent
+    * mass, and duplicate parent keys (which FAN OUT joins instead of
+    * failing them). One long-format row per edge so the whole
+    * schema's health is a single small table.
+    *
+    * Scale (100 TB): each edge costs one anti-join (dimension parents
+    * broadcast; fact-fact edges shuffle on the key — the join you were
+    * going to run anyway, minus the payload) plus a key-count
+    * aggregation on the parent. Nothing is ever materialized beyond
+    * counts. */
+  def fkAudit(edges: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame =
+    edges.map { case (name, child, fk, parent, pk) =>
+      val nonNull = child.filter(col(fk).isNotNull)
+      val orphans = nonNull.join(parent.select(col(pk)),
+        col(fk) === col(pk), "left_anti")
+      val dupPk = parent.groupBy(col(pk)).agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1)
+      child.agg(count(lit(1)).as("child_rows"),
+          sum(col(fk).isNull.cast("long")).as("null_fk_rows"))
+        .crossJoin(orphans.agg(count(lit(1)).as("orphan_rows")))
+        .crossJoin(parent.agg(count(lit(1)).as("parent_rows")))
+        .crossJoin(dupPk.agg(count(lit(1)).as("dup_parent_keys")))
+        .select(lit(name).as("relation"), col("child_rows"),
+          col("null_fk_rows"), col("orphan_rows"), col("parent_rows"),
+          col("dup_parent_keys"))
+    }.reduce(_ unionAll _)
+
+  /** q211: the full TPC-H-ish star contract in one report. */
+  def q211(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d); val ord = Tables.orders(s, d)
+    fkAudit(Seq(
+      ("lineitem->orders", li, "l_orderkey", ord, "o_orderkey"),
+      ("lineitem->part", li, "l_partkey", Tables.part(s, d), "p_partkey"),
+      ("lineitem->supplier", li, "l_suppkey", Tables.supplier(s, d), "s_suppkey"),
+      ("orders->customer", ord, "o_custkey", Tables.customer(s, d), "c_custkey"),
+      ("customer->nation", Tables.customer(s, d), "c_nationkey",
+        Tables.nation(s, d), "n_nationkey"),
+      ("nation->region", Tables.nation(s, d), "n_regionkey",
+        Tables.region(s, d), "r_regionkey")))
+  }
+
   /** q190: top-20 parts by co-purchase-graph triangle participation,
     * over a deterministic BASKET sample (whole orders, orderkey ≡ 0
     * mod 8). Basket-level sampling keeps every within-order pair

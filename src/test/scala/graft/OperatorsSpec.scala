@@ -2488,4 +2488,22 @@ class OperatorsSpec extends SparkSpec {
     assert(out(13L) == ((1L, 0)), "past-horizon conversions don't leak in")
     assert(!out.contains(14L), "users with no pre-cutoff history are excluded")
   }
+
+  test("q211 fk audit: planted orphan, null FK, and duplicate parent key") {
+    import SparkTestSession.spark.implicits._
+    val child = Seq((1L, Option(10L)), (2L, Option(10L)), (3L, Option(99L)),
+      (4L, None)).toDF("id", "fk")
+    val parent = Seq(10L, 11L, 11L).toDF("pk")
+    val r = Relational.fkAudit(Seq(("t", child, "fk", parent, "pk")))
+      .collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) ==
+      ((4L, 1L, 1L, 3L, 1L)), s"$r")
+    // the real star schema is clean end to end
+    val star = Relational.q211(spark, sf).collect()
+    assert(star.length == 6)
+    star.foreach { row =>
+      assert(row.getLong(2) == 0L && row.getLong(3) == 0L && row.getLong(5) == 0L,
+        s"contract violation: $row")
+    }
+  }
 }
