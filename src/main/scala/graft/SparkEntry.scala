@@ -228,6 +228,8 @@ object SparkEntry {
     "q209_ab_test"        -> (Events.q209 _),
     "q210_label_window"   -> (Events.q210 _),
     "q211_fk_audit"       -> (Relational.q211 _),
+    "q212_target_encoding" -> (Events.q212 _),
+    "q213_feature_hash"   -> (Text.q213 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -2905,6 +2907,31 @@ object SparkEntry {
            (SELECT count(*) FROM (SELECT $pk FROM $p GROUP BY 1
               HAVING count(*) > 1)) AS dup_parent_keys"""
       }.mkString("\nUNION ALL\n"),
+
+    // LOO: (S_c − yᵢ)/(n_c − 1) in exact milli fixed point; smoothing
+    // folds the idiv'd global-mean constant in with pseudo-count m=10.
+    "q212_target_encoding" ->
+      s"""WITH e AS (SELECT event_id AS row_id, event_type, ${C("value")} AS y FROM events),
+         c AS (SELECT event_type, sum(y) AS s_c, count(*) AS n_c FROM e GROUP BY 1),
+         g AS (SELECT 1000 * sum(y) // count(*) AS gmean_milli FROM e)
+         SELECT row_id, e.event_type, CAST(y AS BIGINT) AS y_cents,
+           CASE WHEN n_c > 1
+             THEN CAST(1000 * (s_c - y) // (n_c - 1) AS BIGINT) END AS enc_loo_milli,
+           CAST((1000 * (s_c - y) + 10 * g.gmean_milli) // (n_c - 1 + 10) AS BIGINT)
+             AS enc_smooth_milli
+         FROM e JOIN c USING (event_type), g""",
+
+    // Signed hashing trick: bucket = md5(tok) mod 64, sign = bit 6 via
+    // mod 128 (power-of-two moduli — signed/unsigned reads agree).
+    "q213_feature_hash" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         hb AS (SELECT doc_id,
+               md5_number_upper(tok) % 64 AS bucket,
+               CASE WHEN md5_number_upper(tok) % 128 >= 64 THEN 1 ELSE -1 END AS sgn
+               FROM tk WHERE tok <> '')
+         SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+           CAST(sum(sgn) AS BIGINT) AS weight
+         FROM hb GROUP BY 1, 2 HAVING sum(sgn) <> 0""",
   )
 
   /** PageRank oracle: the q51 edge derivation + 5 UNROLLED integer

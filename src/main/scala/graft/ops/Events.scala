@@ -1409,6 +1409,43 @@ object Events {
         .as("z_milli"))
   }
 
+  /** LEAVE-ONE-OUT TARGET ENCODING with m-estimate smoothing — the
+    * categorical-feature builder for tabular ML: replace a category
+    * with the mean target of its OTHER members, (S_c − yᵢ)/(n_c − 1),
+    * so a row never sees its own label (the leakage that makes naive
+    * target encoding overfit); the smoothed variant shrinks rare
+    * categories toward the global mean with pseudo-count m. All
+    * arithmetic is exact integer milli fixed point — the global mean
+    * enters as one idiv'd constant, so two engines produce identical
+    * encodings row for row.
+    *
+    * Scale (100 TB): one aggregation to (category, S, n) —
+    * category-cardinality — broadcast back over the stream; the encode
+    * itself is map-side row-local arithmetic. No per-row window, no
+    * self-join. */
+  def targetEncode(df: DataFrame, category: String, yCents: Column,
+                   id: Column, m: Long): DataFrame = {
+    val cats = df.groupBy(col(category).as("cat_"))
+      .agg(sum(yCents).as("s_c"), count(lit(1)).as("n_c"))
+    val global = df.agg(F.idiv(lit(1000L) * sum(yCents), count(lit(1)))
+      .as("gmean_milli"))
+    df.select(id.as("row_id"), col(category).as("cat_"), yCents.as("y"))
+      .join(broadcast(cats), "cat_")
+      .crossJoin(broadcast(global))
+      .select(col("row_id"), col("cat_").as(category), col("y").as("y_cents"),
+        when(col("n_c") > 1,
+          F.idiv(lit(1000L) * (col("s_c") - col("y")), col("n_c") - 1))
+          .otherwise(lit(null).cast("long")).as("enc_loo_milli"),
+        F.idiv(lit(1000L) * (col("s_c") - col("y")) +
+            lit(m) * col("gmean_milli"),
+          col("n_c") - 1 + lit(m)).as("enc_smooth_milli"))
+  }
+
+  /** q212: LOO-encode event_type against the value target, m = 10. */
+  def q212(s: SparkSession, d: String): DataFrame =
+    targetEncode(Tables.events(s, d), "event_type", cents(col("value")),
+      col("event_id"), 10L)
+
   /** q209: big-purchase (> $150) conversion, arms by user-id parity —
     * the value threshold keeps conversion strictly inside (0, 1) at
     * every SF (a universally-converting corpus would zero the pooled

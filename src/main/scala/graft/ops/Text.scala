@@ -2043,6 +2043,38 @@ object Text {
           .as("shortfall_tokens"))
   }
 
+  /** FEATURE HASHING (the hashing trick) — the fixed-width sparse
+    * featurizer for unbounded vocabularies: token t lands in bucket
+    * md5(t) mod D with sign ±1 from the next hash bit (the signed
+    * variant keeps collision noise zero-mean), and a document's
+    * feature vector is the signed count sum per bucket. No vocabulary
+    * table, no fitting, no OOV — the dimension is fixed BEFORE the
+    * data arrives, which is exactly what a streaming/100 TB featurizer
+    * needs. Long-format output (doc, bucket, weight ≠ 0).
+    *
+    * Scale (100 TB): hash + bucket are map-side in the scan; the only
+    * shuffle is the (doc, bucket) partial-aggregated count — bounded
+    * by D per doc however long the doc. */
+  def featureHash(docs: DataFrame, id: String, text: String,
+                  dim: Int): DataFrame = {
+    val h = F.md5Hash64(col("tok"))
+    val bucket = pmod(h, lit(dim.toLong))
+    // sign bit: the next bit above the bucket field, read through
+    // pmod against 2·dim — a power-of-two modulus, so signed and
+    // unsigned hash representations agree bit-for-bit in any engine
+    val sign = when(pmod(h, lit(2L * dim)) >= dim, lit(1L)).otherwise(lit(-1L))
+    docs.select(col(id), explode(split(col(text), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col(id), bucket.as("bucket"), sign.as("sgn"))
+      .groupBy(col(id), col("bucket"))
+      .agg(sum(col("sgn")).as("weight"))
+      .where(col("weight") =!= 0)
+  }
+
+  /** q213: 64-bucket signed feature hashing of the documents corpus. */
+  def q213(s: SparkSession, d: String): DataFrame =
+    featureHash(Tables.documents(s, d), "doc_id", "text", 64)
+
   /** q202: plan a uniform 5-language mix over half the corpus's token
     * budget. */
   def q202(s: SparkSession, d: String): DataFrame =

@@ -2506,4 +2506,35 @@ class OperatorsSpec extends SparkSpec {
         s"contract violation: $row")
     }
   }
+
+  test("q212 target encoding: LOO excludes own label, singletons shrink to global") {
+    import SparkTestSession.spark.implicits._
+    val ev = Seq((1L, "a", 1.00), (2L, "a", 2.00), (3L, "a", 3.00),
+      (4L, "b", 9.00)).toDF("event_id", "event_type", "value")
+    val out = Events.targetEncode(ev, "event_type",
+        graft.functions.Cols.cents(col("value")), col("event_id"), 10L)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(3)).map(_.asInstanceOf[Long]), r.getLong(4))).toMap
+    // row 1 (y=100): LOO = (600-100)/2 = 250 cents → 250000 milli
+    assert(out(1L)._1.contains(250000L), s"${out(1L)}")
+    assert(out(3L)._1.contains(150000L), "(600-300)/2")
+    // singleton category: LOO undefined; smoothing = global mean exactly
+    val gmeanMilli = 1000L * (100 + 200 + 300 + 900) / 4
+    assert(out(4L) == ((None, gmeanMilli)), s"${out(4L)}")
+  }
+
+  test("q213 feature hash: fixed dimension, deterministic, duplicate-token sums") {
+    import SparkTestSession.spark.implicits._
+    val docs = Seq((1L, "x x"), (2L, "x x")).toDF("doc_id", "text")
+    val out = Text.featureHash(docs, "doc_id", "text", 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 2, "one bucket per doc for a one-token vocab")
+    val byDoc = out.groupBy(_._1).mapValues(_.head)
+    assert(byDoc(1L)._2 == byDoc(2L)._2 && byDoc(1L)._3 == byDoc(2L)._3,
+      "same text, same feature row — no per-run salt")
+    assert(math.abs(byDoc(1L)._3) == 2L, "duplicate tokens sum their signs")
+    val corpus = Text.q213(spark, sf).collect()
+    assert(corpus.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 64))
+    assert(corpus.forall(r => r.getLong(2) != 0))
+  }
 }
