@@ -230,6 +230,7 @@ object SparkEntry {
     "q211_fk_audit"       -> (Relational.q211 _),
     "q212_target_encoding" -> (Events.q212 _),
     "q213_feature_hash"   -> (Text.q213 _),
+    "q214_quantile_map"   -> (Text.q214 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -2932,6 +2933,26 @@ object SparkEntry {
          SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
            CAST(sum(sgn) AS BIGINT) AS weight
          FROM hb GROUP BY 1, 2 HAVING sum(sgn) <> 0""",
+
+    // Nearest-rank percentiles both sides; the reference grid keeps
+    // max value per bp, and the map picks the largest grid bp ≤ r_bp.
+    "q214_quantile_map" ->
+      """WITH r AS (SELECT doc_id, lang, n_chars,
+             row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rank,
+             count(*) OVER (PARTITION BY lang) AS n
+             FROM documents),
+         p AS (SELECT doc_id, lang, n_chars,
+               10000 * (rank - 1) // GREATEST(n - 1, 1) AS r_bp FROM r),
+         grid AS (SELECT r_bp AS g_bp, max(n_chars) AS rv
+                  FROM p WHERE lang = 'en' GROUP BY 1),
+         m AS (SELECT p.doc_id, p.lang, p.n_chars, p.r_bp,
+               max_by(grid.rv, grid.g_bp) AS mapped_chars
+               FROM p JOIN grid ON grid.g_bp <= p.r_bp
+               GROUP BY 1, 2, 3, 4)
+         SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(r_bp AS BIGINT) AS r_bp,
+           CAST(mapped_chars AS BIGINT) AS mapped_chars
+         FROM m""",
   )
 
   /** PageRank oracle: the q51 edge derivation + 5 UNROLLED integer

@@ -2075,6 +2075,51 @@ object Text {
   def q213(s: SparkSession, d: String): DataFrame =
     featureHash(Tables.documents(s, d), "doc_id", "text", 64)
 
+  /** CROSS-COHORT QUANTILE MAPPING (quantile normalization) — score
+    * calibration between sources: a value from any cohort is replaced
+    * by the REFERENCE cohort's value at the same percentile, so
+    * downstream thresholds mean the same thing whichever source a row
+    * came from. Exact nearest-rank on both sides: r_bp from the
+    * cohort's own (value, id)-ordered rank; the reference percentile
+    * grid (bp → max value, ≤ 10⁴+1 rows — a bounded SUMMARY, like a
+    * centroid table) compiles into the codegen'd SearchSortedBucket
+    * binary search (the q118 band-lookup discipline), so mapping is
+    * map-side with no join at all.
+    *
+    * Scale (100 TB): ranks are per-cohort windows (cohorts ≫
+    * executors; a single monster cohort takes the q129 approxQuantile
+    * path); the grid collect is bounded by the bp resolution, never
+    * by data size. */
+  def quantileMap(df: DataFrame, group: String, value: Column,
+                  id: Column, refGroup: String): DataFrame = {
+    val ranked = df
+      .select(col(group).as("grp"), value.as("v"), id.as("rid"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(col("v"), col("rid"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("grp"))))
+      .withColumn("r_bp", F.idiv(lit(10000L) * (col("rank") - 1),
+        greatest(col("n") - 1, lit(1L))))
+    val grid = ranked.filter(col("grp") === refGroup)
+      .groupBy(col("r_bp")).agg(max(col("v")).as("rv"))
+      .orderBy(col("r_bp"))
+      .collect()
+    require(grid.nonEmpty, s"reference cohort '$refGroup' is empty")
+    val bps = grid.map(_.getLong(0).toDouble).toSeq
+    val vals = grid.map(_.getLong(1))
+    val idx = F.rankBucket(col("r_bp").cast("double"), bps)
+    ranked.select(col("rid"), col("grp"), col("v"), col("r_bp"),
+      element_at(typedLit(vals.toSeq), idx.cast("int")).as("mapped_v"))
+  }
+
+  /** q214: calibrate every language's doc-length distribution onto the
+    * English reference. */
+  def q214(s: SparkSession, d: String): DataFrame =
+    quantileMap(Tables.documents(s, d), "lang", col("n_chars"),
+      col("doc_id"), "en")
+      .select(col("rid").as("doc_id"), col("grp").as("lang"),
+        col("v").as("n_chars"), col("r_bp"),
+        col("mapped_v").as("mapped_chars"))
+
   /** q202: plan a uniform 5-language mix over half the corpus's token
     * budget. */
   def q202(s: SparkSession, d: String): DataFrame =

@@ -2537,4 +2537,20 @@ class OperatorsSpec extends SparkSpec {
     assert(corpus.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 64))
     assert(corpus.forall(r => r.getLong(2) != 0))
   }
+
+  test("q214 quantile map: reference maps to itself, shifted cohort calibrates") {
+    import SparkTestSession.spark.implicits._
+    // ref cohort 10,20,30,40,50; shifted cohort = ref + 1000 —
+    // quantile mapping must recover the reference values exactly
+    val docs = ((1L to 5L).map(i => (i, "ref", i * 10L)) ++
+      (1L to 5L).map(i => (i + 10L, "shift", i * 10L + 1000L)))
+      .toDF("doc_id", "lang", "n_chars")
+    val out = Text.quantileMap(docs, "lang", col("n_chars"), col("doc_id"), "ref")
+      .collect().map(r => (r.getString(1), r.getLong(2)) -> r.getLong(4)).toMap
+    (1L to 5L).foreach { i =>
+      assert(out(("ref", i * 10)) == i * 10, "identity on the reference")
+      assert(out(("shift", i * 10 + 1000)) == i * 10,
+        s"rank ${i} of the shifted cohort lands on the reference value")
+    }
+  }
 }
