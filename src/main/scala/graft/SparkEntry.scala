@@ -2749,8 +2749,9 @@ object SparkEntry {
            CAST(sum(abs(share_u - benford_u)) AS BIGINT) FROM r""",
 
     // Exact integer OLS: HUGEINT sufficient statistics, slope as
-    // sign(num)·(10⁶·|num| // den) so flooring // on the nonnegative
-    // magnitude matches Spark's truncating IntegralDivide.
+    // sign(num)·(10⁶·|num| // den) — the nonnegative magnitude makes
+    // the result independent of either engine's negative-division
+    // convention (both happen to truncate).
     "q204_trend_regression" ->
       s"""WITH p AS (SELECT event_type, epoch_us(ts) // 86400000000 AS x,
              ${C("value")} AS y FROM events),
@@ -2903,7 +2904,7 @@ object SparkEntry {
            (SELECT count(*) FROM $c) AS child_rows,
            (SELECT count(*) FROM $c WHERE $fk IS NULL) AS null_fk_rows,
            (SELECT count(*) FROM $c WHERE $fk IS NOT NULL
-              AND $fk NOT IN (SELECT $pk FROM $p)) AS orphan_rows,
+              AND NOT EXISTS (SELECT 1 FROM $p WHERE $p.$pk = $c.$fk)) AS orphan_rows,
            (SELECT count(*) FROM $p) AS parent_rows,
            (SELECT count(*) FROM (SELECT $pk FROM $p GROUP BY 1
               HAVING count(*) > 1)) AS dup_parent_keys"""

@@ -1334,8 +1334,6 @@ object Events {
         F.idiv(lit(10000L) * col("c"), col("keff")).as("jaccard_bp"))
   }
 
-  /** q185: audience overlap between event types (distinct users),
-    * sketch estimates + exact audit columns. */
   /** TRAINING-LABEL GENERATION over a future window — the supervised-
     * learning prep step that turns an event stream into (features-as-
     * of-cutoff, label-from-future) rows WITHOUT leakage: for each user,
@@ -1351,14 +1349,14 @@ object Events {
     * never self-joined. */
   def labelWindow(events: DataFrame, key: String, tsUs: Column,
                   cutoffUs: Long, horizonUs: Long,
-                  qualifying: Column): DataFrame = {
+                  qualifying: Column, valueCents: Column): DataFrame = {
     val past = tsUs <= lit(cutoffUs)
     val future = tsUs > lit(cutoffUs) &&
       tsUs <= lit(cutoffUs + horizonUs) && qualifying
     events.groupBy(col(key))
       .agg(
         sum(when(past, 1L).otherwise(0L)).as("n_events_past"),
-        sum(when(past, cents(col("value"))).otherwise(0L)).as("sum_value_past_cents"),
+        sum(when(past, valueCents).otherwise(0L)).as("sum_value_past_cents"),
         max(when(past, tsUs)).as("last_seen_us"),
         sum(when(future, 1L).otherwise(0L)).as("n_future_hits"))
       .where(col("n_events_past") > 0)
@@ -1371,7 +1369,7 @@ object Events {
   def q210(s: SparkSession, d: String): DataFrame =
     labelWindow(Tables.events(s, d), "user_id", unix_micros(col("ts")),
       Changes.epochUs("2024-01-15"), 7L * 86400000000L,
-      col("event_type") === "purchase")
+      col("event_type") === "purchase", cents(col("value")))
 
   /** TWO-PROPORTION A/B TEST — the experiment readout: unit-level
     * (user, not event) conversion rates per arm and the pooled
@@ -1425,20 +1423,25 @@ object Events {
     * self-join. */
   def targetEncode(df: DataFrame, category: String, yCents: Column,
                    id: Column, m: Long): DataFrame = {
+    // sums in decimal(38,0): a 10¹²-row category's 1000·S_c outgrows a
+    // long, and the oracle's HUGEINT sums would silently diverge from
+    // a wrapped long (the q204 discipline)
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
     val cats = df.groupBy(col(category).as("cat_"))
-      .agg(sum(yCents).as("s_c"), count(lit(1)).as("n_c"))
-    val global = df.agg(F.idiv(lit(1000L) * sum(yCents), count(lit(1)))
-      .as("gmean_milli"))
+      .agg(sum(dec(yCents)).as("s_c"), count(lit(1)).as("n_c"))
+    val global = df.agg(F.idiv(dec(lit(1000L)) * sum(dec(yCents)),
+      dec(count(lit(1)))).cast("long").as("gmean_milli"))
     df.select(id.as("row_id"), col(category).as("cat_"), yCents.as("y"))
       .join(broadcast(cats), "cat_")
       .crossJoin(broadcast(global))
       .select(col("row_id"), col("cat_").as(category), col("y").as("y_cents"),
         when(col("n_c") > 1,
-          F.idiv(lit(1000L) * (col("s_c") - col("y")), col("n_c") - 1))
+          F.idiv(dec(lit(1000L)) * (col("s_c") - dec(col("y"))),
+            dec(col("n_c") - 1)).cast("long"))
           .otherwise(lit(null).cast("long")).as("enc_loo_milli"),
-        F.idiv(lit(1000L) * (col("s_c") - col("y")) +
-            lit(m) * col("gmean_milli"),
-          col("n_c") - 1 + lit(m)).as("enc_smooth_milli"))
+        F.idiv(dec(lit(1000L)) * (col("s_c") - dec(col("y"))) +
+            dec(lit(m)) * dec(col("gmean_milli")),
+          dec(col("n_c") - 1 + lit(m))).cast("long").as("enc_smooth_milli"))
   }
 
   /** q212: LOO-encode event_type against the value target, m = 10. */
@@ -1454,6 +1457,8 @@ object Events {
     abTest(Tables.events(s, d), "user_id", col("user_id") % 2,
       col("event_type") === "purchase" && col("value") > 150d)
 
+  /** q185: audience overlap between event types (distinct users),
+    * sketch estimates + exact audit columns. */
   def q185(s: SparkSession, d: String): DataFrame =
     kmvOverlap(Tables.events(s, d), "event_type", "user_id")
 }

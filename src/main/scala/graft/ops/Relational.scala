@@ -1332,9 +1332,11 @@ object Relational {
         sum(dec(col("x") * col("x"))).as("sxx"))
     val num = dec(col("n")) * col("sxy") - col("sx") * col("sy")
     val den = dec(col("n")) * col("sxx") - col("sx") * col("sx")
-    // den > 0 unless x is constant; slope = sign(num)·(10⁶·|num| // den)
-    // — division on a NONNEGATIVE numerator, where Spark's truncating
-    // IntegralDivide and DuckDB's flooring // agree.
+    // den > 0 unless x is constant; slope = sign(num)·(10⁶·|num| // den).
+    // Both engines' integer divisions TRUNCATE toward zero (verified:
+    // DuckDB -7//2 = -3), so the sign split is belt-and-braces — it
+    // keeps the contract independent of either engine's negative-
+    // division convention.
     val mag = graft.functions.F.idiv(dec(lit(1000000L)) * abs(num), den)
       .cast("long")
     sums.select(col(group), col("n"),
@@ -1493,17 +1495,22 @@ object Relational {
             col("bi").cast("string"))),
         lit(9007199254740992L)).cast("double") / lit(9007199254740992d))
       .withColumn("w", draws)
+    // sums in decimal(38,0): Σw·y on a 10¹⁴-weighted-row group outruns
+    // a long, and the oracle's HUGEINT sums stay exact while a wrapped
+    // long would silently diverge (the q204 discipline)
     val reps = rows.groupBy(col("grp"), col("bi"))
-      .agg(sum(col("w")).as("sw"), sum(col("w") * col("y")).as("swy"))
+      .agg(sum(col("w").cast("decimal(38,0)")).as("sw"),
+        sum((col("w") * col("y")).cast("decimal(38,0)")).as("swy"))
       .where(col("sw") > 0)
       .select(col("grp"), graft.functions.F.idiv(col("swy"), col("sw"))
-        .as("m"))
+        .cast("long").as("m"))
     val stats = reps.groupBy(col("grp"))
       .agg(count(lit(1)).as("b_eff"), sum(col("m")).as("sm"),
         sum(col("m") * col("m")).as("smm"))
     val truth = df.groupBy(col(group).as("grp"))
       .agg(count(lit(1)).as("n"),
-        graft.functions.F.idiv(sum(yCents), count(lit(1))).as("mean_cents"))
+        graft.functions.F.idiv(sum(yCents.cast("decimal(38,0)")),
+          count(lit(1)).cast("decimal(38,0)")).cast("long").as("mean_cents"))
     // var·B² = B·Σm² − (Σm)² exactly; std_milli = isqrt of the scaled
     // integer (floor), so the interval is engine-exact too
     truth.join(stats, "grp")

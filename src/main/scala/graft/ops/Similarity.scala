@@ -1235,16 +1235,23 @@ object Similarity {
     def dcgTerm(rel: Column, rank: Column): Column =
       floor(rel.cast("double") * log(lit(2.0)) / log(rank.cast("double") + lit(1.0))
         * lit(1000000d) + lit(0.5d)).cast("long")
-    val rel = truth.select(col("query_id"), col("neighbor_id"),
-      (lit(11L) - col("rank")).as("rel"))
+    // relevance base derives from each query's OWN truth depth
+    // (rel = k_max+1 − rank), so a deeper truth list cannot silently
+    // produce negative relevances
+    val depth = truth.groupBy(col("query_id"))
+      .agg(max(col("rank").cast("long")).as("kmax"))
+    val rel = truth.join(depth, "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        (col("kmax") + 1L - col("rank")).as("rel"), col("rank"))
     val hits = approx.select(col("query_id"), col("neighbor_id"),
         col("rank").cast("long").as("a_rank"))
-      .join(rel, Seq("query_id", "neighbor_id"))
+      .join(rel.select(col("query_id"), col("neighbor_id"), col("rel")),
+        Seq("query_id", "neighbor_id"))
     val dcg = hits.groupBy(col("query_id"))
       .agg(sum(dcgTerm(col("rel"), col("a_rank"))).as("dcg_u"),
         min(col("a_rank")).as("first_rank"))
-    val idcg = truth.groupBy(col("query_id"))
-      .agg(sum(dcgTerm(lit(11L) - col("rank"), col("rank"))).as("idcg_u"))
+    val idcg = rel.groupBy(col("query_id"))
+      .agg(sum(dcgTerm(col("rel"), col("rank"))).as("idcg_u"))
     idcg.join(dcg, Seq("query_id"), "left")
       .select(col("query_id"),
         coalesce(col("first_rank"), lit(0L)).as("first_hit_rank"),

@@ -2092,6 +2092,9 @@ object Text {
     * by data size. */
   def quantileMap(df: DataFrame, group: String, value: Column,
                   id: Column, refGroup: String): DataFrame = {
+    // localCheckpoint: the ranking lineage feeds BOTH the grid collect
+    // and the final mapping select — materialize it once instead of
+    // re-running the corpus windows per consumer (the q190 rule)
     val ranked = df
       .select(col(group).as("grp"), value.as("v"), id.as("rid"))
       .withColumn("rank", row_number().over(
@@ -2099,6 +2102,7 @@ object Text {
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col("grp"))))
       .withColumn("r_bp", F.idiv(lit(10000L) * (col("rank") - 1),
         greatest(col("n") - 1, lit(1L))))
+      .localCheckpoint()
     val grid = ranked.filter(col("grp") === refGroup)
       .groupBy(col("r_bp")).agg(max(col("v")).as("rv"))
       .orderBy(col("r_bp"))

@@ -2480,7 +2480,8 @@ class OperatorsSpec extends SparkSpec {
       (14L, ts(cut + day), "purchase", 9.0))     // no past → excluded
       .toDF("user_id", "ts", "event_type", "value")
     val out = Events.labelWindow(ev, "user_id", unix_micros(col("ts")),
-        cut, 7L * day, col("event_type") === "purchase")
+        cut, 7L * day, col("event_type") === "purchase",
+        graft.functions.Cols.cents(col("value")))
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(4))).toMap
     assert(out(10L) == ((1L, 0)))
     assert(out(11L) == ((1L, 1)), "purchase inside the horizon labels 1")
