@@ -231,6 +231,7 @@ object SparkEntry {
     "q212_target_encoding" -> (Events.q212 _),
     "q213_feature_hash"   -> (Text.q213 _),
     "q214_quantile_map"   -> (Text.q214 _),
+    "q215_session_features" -> (Events.q215 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -2954,6 +2955,25 @@ object SparkEntry {
            CAST(r_bp AS BIGINT) AS r_bp,
            CAST(mapped_chars AS BIGINT) AS mapped_chars
          FROM m""",
+
+    // q31's session CTEs rolled up per user; recency against the
+    // feed's own max timestamp (reproducible, never wall-clock).
+    "q215_session_features" ->
+      """WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS ts_us FROM events),
+         l AS (SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us FROM e),
+         f AS (SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS ns FROM l),
+         ss AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS session_idx FROM f),
+         sess AS (SELECT user_id, session_idx, min(ts_us) AS s0, max(ts_us) AS s1,
+                  count(*) AS ne FROM ss GROUP BY 1, 2),
+         h AS (SELECT max(ts_us) AS feed_max_us FROM e)
+         SELECT user_id, count(*) AS n_sessions,
+           CAST(sum(ne) AS BIGINT) AS n_events,
+           CAST(sum(s1 - s0) // count(*) AS BIGINT) AS mean_session_dur_us,
+           CAST(1000 * sum(ne) // count(*) AS BIGINT) AS mean_events_milli,
+           CAST(max(ne) AS BIGINT) AS max_session_events,
+           CAST(max(s1) AS BIGINT) AS last_seen_us,
+           CAST(h.feed_max_us - max(s1) AS BIGINT) AS recency_us
+         FROM sess, h GROUP BY user_id, h.feed_max_us""",
   )
 
   /** PageRank oracle: the q51 edge derivation + 5 UNROLLED integer

@@ -1371,6 +1371,43 @@ object Events {
       Changes.epochUs("2024-01-15"), 7L * 86400000000L,
       col("event_type") === "purchase", cents(col("value")))
 
+  /** SESSION FEATURE-STORE BUILD — the behavioral feature table a
+    * ranking/churn model trains on, rolled up from sessionized events:
+    * per user the session count, event mass, mean session duration,
+    * mean events per session (milli fixed point), busiest session, and
+    * recency against the feed's own horizon (never wall-clock — the
+    * q184 rule, so the table is reproducible). Composes q31's
+    * sessionize: the rollup groups by the SAME user key the
+    * sessionizer already partitioned by, so the feature pass adds no
+    * exchange beyond sessionize's own.
+    *
+    * Scale (100 TB): sessionize's one user-key shuffle + window; the
+    * rollup rides that partitioning; the feed horizon is one broadcast
+    * scalar row. */
+  def sessionFeatures(events: DataFrame, key: String, tsUs: String,
+                      order: String, value: String, gapUs: Long): DataFrame = {
+    val s = sessionize(events, key, tsUs, order, value, gapUs)
+    val horizon = events.agg(max(col(tsUs)).as("feed_max_us"))
+    s.groupBy(col(key))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"),
+        F.idiv(sum(col("session_end_us") - col("session_start_us")),
+          count(lit(1))).as("mean_session_dur_us"),
+        F.idiv(lit(1000L) * sum(col("n_events")), count(lit(1)))
+          .as("mean_events_milli"),
+        max(col("n_events")).as("max_session_events"),
+        max(col("session_end_us")).as("last_seen_us"))
+      .crossJoin(broadcast(horizon))
+      .withColumn("recency_us", col("feed_max_us") - col("last_seen_us"))
+      .drop("feed_max_us")
+  }
+
+  /** q215: the 30-minute-gap session feature table for every user. */
+  def q215(s: SparkSession, d: String): DataFrame =
+    sessionFeatures(
+      Tables.events(s, d).withColumn("ts_us", unix_micros(col("ts"))),
+      "user_id", "ts_us", "event_id", "value", 1800000000L)
+
   /** TWO-PROPORTION A/B TEST — the experiment readout: unit-level
     * (user, not event) conversion rates per arm and the pooled
     * two-proportion z statistic. Arms split by a hash/parity of the

@@ -2554,4 +2554,22 @@ class OperatorsSpec extends SparkSpec {
         s"rank ${i} of the shifted cohort lands on the reference value")
     }
   }
+
+  test("q215 session features: two sessions rolled up, recency vs feed horizon") {
+    import SparkTestSession.spark.implicits._
+    val m = 60000000L // one minute in micros
+    // user 1: events at 0,1,2 min (session A) then 60,61 min (B);
+    // user 2: one event at 90 min — the feed horizon
+    val ev = Seq((1L, 0L * m, 10L, 1.0), (1L, 1L * m, 11L, 1.0),
+      (1L, 2L * m, 12L, 1.0), (1L, 60L * m, 13L, 1.0), (1L, 61L * m, 14L, 1.0),
+      (2L, 90L * m, 20L, 1.0)).toDF("user_id", "ts_us", "event_id", "value")
+    val out = Events.sessionFeatures(ev, "user_id", "ts_us", "event_id",
+        "value", 1800000000L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(7))).toMap
+    // u1: 2 sessions (gap 58 min > 30), durations 2m and 1m → mean 1.5m
+    assert(out(1L) == ((2L, 5L, 90000000L, 2500L, 3L, 29L * m)),
+      s"${out(1L)}")
+    assert(out(2L) == ((1L, 1L, 0L, 1000L, 1L, 0L)), s"${out(2L)}")
+  }
 }
