@@ -232,6 +232,8 @@ object SparkEntry {
     "q213_feature_hash"   -> (Text.q213 _),
     "q214_quantile_map"   -> (Text.q214 _),
     "q215_session_features" -> (Events.q215 _),
+    "q216_term_categories" -> (Text.q216 _),
+    "q217_winnowing"      -> (Text.q217 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -2974,6 +2976,40 @@ object SparkEntry {
            CAST(max(s1) AS BIGINT) AS last_seen_us,
            CAST(h.feed_max_us - max(s1) AS BIGINT) AS recency_us
          FROM sess, h GROUP BY user_id, h.feed_max_us""",
+
+    // Broadcast-dictionary category scoring: token stream joined to the
+    // (term, category, severity) VALUES, per-(doc, category) rollup.
+    "q216_term_categories" ->
+      """WITH dict AS (SELECT * FROM (VALUES
+             ('error', 'ops-noise', 1), ('slow', 'ops-noise', 2),
+             ('row', 'jargon', 1), ('hash', 'jargon', 1), ('spark', 'jargon', 3))
+             AS v(tok, category, severity)),
+         tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+         SELECT doc_id, category, count(*) AS n_hits,
+           CAST(sum(severity) AS BIGINT) AS severity_sum
+         FROM tk JOIN dict USING (tok) GROUP BY 1, 2""",
+
+    // Winnowing: per window start p (full windows only) pick the min
+    // 53-bit k-gram hash, rightmost on ties; DISTINCT selected
+    // (pos, fp) pairs are the fingerprint.
+    "q217_winnowing" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+                    WHERE len(string_split(text, ' ')) >= 3),
+         g AS (SELECT doc_id, i,
+               md5_number_upper(array_to_string(list_slice(ts, i, i + 2), ' '))
+                 % 9007199254740992 AS h
+               FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i FROM t)),
+         n AS (SELECT doc_id, count(*) AS nh FROM g GROUP BY 1),
+         win AS (SELECT a.doc_id, a.i AS p, b.i AS j, b.h
+                 FROM g a JOIN g b ON b.doc_id = a.doc_id
+                   AND b.i BETWEEN a.i AND a.i + 3),
+         sel AS (SELECT doc_id, p, j, h,
+                 row_number() OVER (PARTITION BY doc_id, p ORDER BY h ASC, j DESC) AS rn
+                 FROM win)
+         SELECT DISTINCT s.doc_id, CAST(s.j AS BIGINT) AS pos,
+           CAST(s.h AS BIGINT) AS fp
+         FROM sel s JOIN n ON n.doc_id = s.doc_id
+         WHERE s.rn = 1 AND s.p <= n.nh - 3""",
   )
 
   /** PageRank oracle: the q51 edge derivation + 5 UNROLLED integer

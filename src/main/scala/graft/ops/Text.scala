@@ -2115,6 +2115,84 @@ object Text {
       element_at(typedLit(vals.toSeq), idx.cast("int")).as("mapped_v"))
   }
 
+  /** WEIGHTED TERM-CATEGORY SCORING — the moderation/safety filter
+    * stage: a dictionary of (term, category, severity) entries joins
+    * the token stream, and each document reports per-category hit and
+    * severity mass plus a total severity score — the inputs a
+    * threshold policy (drop / flag / downweight) consumes. Same
+    * broadcast-dictionary discipline as q194/q198: the corpus stream
+    * is filtered to dictionary vocabulary inside the scan, and a
+    * multi-million-entry dictionary would simply shuffle-hash instead
+    * of broadcasting — never a per-row list scan or regex
+    * alternation.
+    *
+    * Scale (100 TB): tokenize map-side; one (doc, category)
+    * partial-agg shuffle bounded by |categories| per doc. */
+  def termCategoryScore(docs: DataFrame, id: String, text: String,
+                        terms: Seq[(String, String, Long)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val dict = terms.toDF("tok", "category", "severity")
+    docs.select(col(id), explode(split(col(text), " ")).as("tok"))
+      .join(broadcast(dict), "tok")
+      .groupBy(col(id), col("category"))
+      .agg(count(lit(1)).as("n_hits"),
+        sum(col("severity")).as("severity_sum"))
+  }
+
+  /** The q216 demo dictionary: two categories with graded severities
+    * over corpus vocabulary. */
+  val DemoTermDict: Seq[(String, String, Long)] = Seq(
+    ("error", "ops-noise", 1L), ("slow", "ops-noise", 2L),
+    ("row", "jargon", 1L), ("hash", "jargon", 1L), ("spark", "jargon", 3L))
+
+  /** q216: per-document category severity report. */
+  def q216(s: SparkSession, d: String): DataFrame =
+    termCategoryScore(Tables.documents(s, d), "doc_id", "text", DemoTermDict)
+
+  /** WINNOWING FINGERPRINT SELECTION (the MOSS algorithm, Schleimer/
+    * Wilkerson/Aiken): from a document's k-gram hash sequence, keep
+    * the MINIMUM hash of every w-length window (rightmost position on
+    * ties). The selected set is a position-aware fingerprint with the
+    * published GUARANTEE q43's plain rolling fingerprint lacks: any
+    * shared substring of ≥ w+k−1 tokens is certain to share a
+    * selected fingerprint, while density stays ~2/(w+1). Hashes ride
+    * the low 53 md5 bits (power-of-two modulus — the signed/unsigned
+    * engine divide cannot reorder minima).
+    *
+    * Scale (100 TB): per-doc sliding min is one bounded window over
+    * the doc's own partition (documents ≫ executors); no corpus-wide
+    * state. The fingerprint table feeds the same hash-join dedup
+    * shapes as q176/q103. */
+  def winnowFingerprints(docs: DataFrame, id: String, text: String,
+                         k: Int, w: Int): DataFrame = {
+    val toks = split(col(text), " ")
+    val grams = docs
+      .select(col(id), toks.as("ts"))
+      // Spark sequence(a, b) DESCENDS when a > b — filter short docs
+      // out before generating k-gram positions
+      .filter(size(col("ts")) >= k)
+      .select(col(id), explode(sequence(lit(1), size(col("ts")) - lit(k - 1))).as("i"), col("ts"))
+      .select(col(id), col("i"),
+        pmod(F.md5Hash64(concat_ws(" ", slice(col("ts"), col("i"), lit(k)))),
+          lit(9007199254740992L)).as("h"))
+    val perDoc = Window.partitionBy(col(id))
+    val slide = Window.partitionBy(col(id)).orderBy(col("i"))
+      .rowsBetween(Window.currentRow, w - 1)
+    grams
+      .withColumn("nh", count(lit(1)).over(perDoc))
+      .withColumn("sel", min(struct(col("h"), (-col("i")).as("ni"))).over(slide))
+      // only FULL windows select (starts 1 .. nh-w+1)
+      .where(col("i") <= col("nh") - lit(w - 1))
+      .select(col(id), (-col("sel.ni")).cast("long").as("pos"),
+        col("sel.h").as("fp"))
+      .distinct()
+  }
+
+  /** q217: k=3, w=4 winnowing fingerprints over the corpus. */
+  def q217(s: SparkSession, d: String): DataFrame =
+    winnowFingerprints(Tables.documents(s, d), "doc_id", "text", 3, 4)
+
   /** q214: calibrate every language's doc-length distribution onto the
     * English reference. */
   def q214(s: SparkSession, d: String): DataFrame =

@@ -2572,4 +2572,33 @@ class OperatorsSpec extends SparkSpec {
       s"${out(1L)}")
     assert(out(2L) == ((1L, 1L, 0L, 1000L, 1L, 0L)), s"${out(2L)}")
   }
+
+  test("q216 term categories: severities sum per category, unknown tokens free") {
+    import SparkTestSession.spark.implicits._
+    val docs = Seq((1L, "slow slow error clean row"), (2L, "clean text only"))
+      .toDF("doc_id", "text")
+    val out = Text.termCategoryScore(docs, "doc_id", "text", Text.DemoTermDict)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(out((1L, "ops-noise")) == ((3L, 5L)), "2·slow(2) + error(1)")
+    assert(out((1L, "jargon")) == ((1L, 1L)))
+    assert(!out.keys.exists(_._1 == 2L), "clean doc emits nothing")
+  }
+
+  test("q217 winnowing: guarantee — shared span of w+k-1 shares a fingerprint") {
+    import SparkTestSession.spark.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta" // 6 tokens = w+k-1
+    val docs = Seq(
+      (1L, s"one two $shared three four five six seven"),
+      (2L, s"nine ten eleven twelve $shared thirteen")).toDF("doc_id", "text")
+    val out = Text.winnowFingerprints(docs, "doc_id", "text", 3, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val fp1 = out.filter(_._1 == 1L).map(_._3).toSet
+    val fp2 = out.filter(_._1 == 2L).map(_._3).toSet
+    assert((fp1 & fp2).nonEmpty,
+      "winnowing guarantee: a w+k-1-token shared span must collide")
+    // density sanity: selected ≤ window starts, ≥ ceil(n_windows / w)
+    val starts1 = out.count(_._1 == 1L)
+    assert(starts1 > 0 && starts1 <= 14 - 3)
+  }
 }
