@@ -234,6 +234,9 @@ object SparkEntry {
     "q215_session_features" -> (Events.q215 _),
     "q216_term_categories" -> (Text.q216 _),
     "q217_winnowing"      -> (Text.q217 _),
+    "q218_effective_tokens" -> (Text.q218 _),
+    "q219_fd_audit"       -> (Relational.q219 _),
+    "q220_mutual_info"    -> (Relational.q220 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -3010,6 +3013,60 @@ object SparkEntry {
            CAST(s.h AS BIGINT) AS fp
          FROM sel s JOIN n ON n.doc_id = s.doc_id
          WHERE s.rn = 1 AND s.p <= n.nh - 3""",
+
+    // Keep-first exact dedup (md5 groups, smallest id wins) rolled up
+    // per source: raw vs unique-content doc/token mass.
+    "q218_effective_tokens" ->
+      """WITH b AS (SELECT doc_id AS rid, source AS src,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+             md5(text) AS h FROM documents),
+         k AS (SELECT h, min(rid) AS keep_id FROM b GROUP BY 1),
+         j AS (SELECT b.*, CASE WHEN b.rid = k.keep_id THEN 1 ELSE 0 END AS kept
+               FROM b JOIN k USING (h))
+         SELECT src, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_tokens,
+           CAST(sum(kept) AS BIGINT) AS n_unique_docs,
+           CAST(sum(kept * toks) AS BIGINT) AS effective_tokens,
+           CAST(sum(toks) - sum(kept * toks) AS BIGINT) AS dup_tokens,
+           CAST(10000 * (sum(toks) - sum(kept * toks)) // sum(toks) AS BIGINT) AS dup_share_bp
+         FROM j GROUP BY 1""",
+
+    // Per declared A→B dependency: distinct-pair keys, keys mapping to
+    // >1 B, and the fact-row mass under violating keys.
+    "q219_fd_audit" -> Seq(
+      ("nation->region", "nation", "n_nationkey", "n_regionkey"),
+      ("user->event_type", "events", "user_id", "event_type"),
+      ("cust_nation->segment", "customer", "c_nationkey", "c_mktsegment"))
+      .map { case (name, t, a, b) =>
+        s"""SELECT '$name' AS dependency,
+           (SELECT count(*) FROM $t) AS n_rows,
+           (SELECT count(*) FROM (SELECT DISTINCT $a FROM $t)) AS n_keys,
+           (SELECT count(*) FROM (SELECT $a FROM (SELECT DISTINCT $a, $b FROM $t)
+              GROUP BY 1 HAVING count(*) > 1)) AS n_violating_keys,
+           (SELECT count(*) FROM $t WHERE $a IN
+              (SELECT $a FROM (SELECT DISTINCT $a, $b FROM $t)
+               GROUP BY 1 HAVING count(*) > 1)) AS n_violating_rows,
+           CAST(CASE WHEN (SELECT count(*) FROM (SELECT $a FROM
+              (SELECT DISTINCT $a, $b FROM $t) GROUP BY 1 HAVING count(*) > 1)) = 0
+              THEN 1 ELSE 0 END AS INT) AS holds"""
+      }.mkString("\nUNION ALL\n"),
+
+    // Per-cell MI terms floor(p_xy·ln(p_xy/(p_x·p_y))·10⁶+½); the
+    // ALL row is the exact integer sum.
+    "q220_mutual_info" ->
+      """WITH c AS (SELECT lang AS x_, source AS y_, count(*) AS n FROM documents GROUP BY 1, 2),
+         mx AS (SELECT x_, sum(n) AS nx FROM c GROUP BY 1),
+         my AS (SELECT y_, sum(n) AS ny FROM c GROUP BY 1),
+         t AS (SELECT sum(n) AS nt FROM c),
+         r AS (SELECT c.x_, c.y_, c.n,
+               CAST(floor((CAST(c.n AS DOUBLE) / CAST(t.nt AS DOUBLE))
+                 * ln((CAST(c.n AS DOUBLE) / CAST(t.nt AS DOUBLE))
+                   / ((CAST(mx.nx AS DOUBLE) / CAST(t.nt AS DOUBLE))
+                    * (CAST(my.ny AS DOUBLE) / CAST(t.nt AS DOUBLE))))
+                 * 1000000 + 0.5) AS BIGINT) AS mi_term_unat
+               FROM c JOIN mx USING (x_) JOIN my USING (y_), t)
+         SELECT x_ AS lang, y_ AS source, CAST(n AS BIGINT) AS n, mi_term_unat FROM r
+         UNION ALL
+         SELECT 'ALL', 'ALL', CAST(sum(n) AS BIGINT), CAST(sum(mi_term_unat) AS BIGINT) FROM r""",
   )
 
   /** PageRank oracle: the q51 edge derivation + 5 UNROLLED integer

@@ -1559,6 +1559,74 @@ object Relational {
           col("dup_parent_keys"))
     }.reduce(_ unionAll _)
 
+  /** FUNCTIONAL-DEPENDENCY AUDIT — does column A determine column B?
+    * The schema-semantics check behind denormalization, dimension
+    * extraction, and "can I group by A and take any(B)" shortcuts:
+    * per declared A→B dependency, the distinct key count, keys mapping
+    * to MORE than one B value, and the row mass sitting under those
+    * violating keys (the rows any(B) would silently mis-summarize).
+    *
+    * Scale (100 TB): one distinct over (A, B) pairs — pair-cardinality
+    * — then key-sized rollups; the violating-row count joins the fact
+    * against the (small) violating-key set. */
+  def fdAudit(deps: Seq[(String, DataFrame, String, String)]): DataFrame =
+    deps.map { case (name, df, a, b) =>
+      val ab = df.select(col(a).as("a_"), col(b).as("b_")).distinct()
+      val perA = ab.groupBy(col("a_")).agg(count(lit(1)).as("nb"))
+      val bad = perA.filter(col("nb") > 1)
+      df.agg(count(lit(1)).as("n_rows"))
+        .crossJoin(perA.agg(count(lit(1)).as("n_keys")))
+        .crossJoin(bad.agg(count(lit(1)).as("n_violating_keys")))
+        .crossJoin(df.join(bad.select(col("a_")), col(a) === col("a_"))
+          .agg(count(lit(1)).as("n_violating_rows")))
+        .select(lit(name).as("dependency"), col("n_rows"), col("n_keys"),
+          col("n_violating_keys"), col("n_violating_rows"),
+          (col("n_violating_keys") === 0).cast("int").as("holds"))
+    }.reduce(_ unionAll _)
+
+  /** q219: one dependency that must hold (nation key → region key) and
+    * two behavioral ones that should not (user → event type, customer
+    * nation → market segment). */
+  def q219(s: SparkSession, d: String): DataFrame =
+    fdAudit(Seq(
+      ("nation->region", Tables.nation(s, d), "n_nationkey", "n_regionkey"),
+      ("user->event_type", Tables.events(s, d), "user_id", "event_type"),
+      ("cust_nation->segment", Tables.customer(s, d), "c_nationkey",
+        "c_mktsegment")))
+
+  /** MUTUAL INFORMATION between two categoricals — the feature-
+    * selection / redundancy metric: MI = Σ p(x,y)·ln(p(x,y)/(p(x)p(y)))
+    * in per-cell fixed-point micro-nats (each cell's term is an
+    * engine-exact integer; the ALL row is their exact sum, and the
+    * decomposition shows WHICH cells carry the association). The
+    * q197/q200 discipline applied to a pair of columns.
+    *
+    * Scale (100 TB): one (x, y) aggregation; marginals roll up from
+    * the cell table (never rescanning); cells are
+    * |X|·|Y|-cardinality. */
+  def mutualInfo(df: DataFrame, x: String, y: String): DataFrame = {
+    val cells = df.groupBy(col(x).as("x_"), col(y).as("y_"))
+      .agg(count(lit(1)).as("n"))
+    val mx = cells.groupBy(col("x_")).agg(sum(col("n")).as("nx"))
+    val my = cells.groupBy(col("y_")).agg(sum(col("n")).as("ny"))
+    val tot = cells.agg(sum(col("n")).as("nt"))
+    val pxy = col("n").cast("double") / col("nt").cast("double")
+    val px = col("nx").cast("double") / col("nt").cast("double")
+    val py = col("ny").cast("double") / col("nt").cast("double")
+    val rows = cells.join(mx, "x_").join(my, "y_").crossJoin(broadcast(tot))
+      .select(col("x_").as(x), col("y_").as(y), col("n"),
+        floor(pxy * log(pxy / (px * py)) * lit(1000000d) + lit(0.5d))
+          .cast("long").as("mi_term_unat"))
+    rows.unionAll(rows.agg(sum(col("n")).as("n"),
+        sum(col("mi_term_unat")).as("mi"))
+      .select(lit("ALL").as(x), lit("ALL").as(y), col("n"),
+        col("mi").as("mi_term_unat")))
+  }
+
+  /** q220: lang × source association in the documents corpus. */
+  def q220(s: SparkSession, d: String): DataFrame =
+    mutualInfo(Tables.documents(s, d), "lang", "source")
+
   /** q211: the full TPC-H-ish star contract in one report. */
   def q211(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d); val ord = Tables.orders(s, d)

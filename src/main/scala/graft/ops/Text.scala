@@ -2193,6 +2193,39 @@ object Text {
   def q217(s: SparkSession, d: String): DataFrame =
     winnowFingerprints(Tables.documents(s, d), "doc_id", "text", 3, 4)
 
+  /** EFFECTIVE-TOKEN ACCOUNTING — what each source ACTUALLY
+    * contributes to a training mix once exact duplicates collapse:
+    * per source, raw docs/tokens, the unique-content docs/tokens that
+    * survive keep-first exact dedup (md5(text) groups, smallest id
+    * wins — the q50 rule), and the wasted duplicate token mass with
+    * its share. The number that matters for mixture math is
+    * effective_tokens, not raw — a source that is 60% self-copies is
+    * 60% smaller than it looks.
+    *
+    * Scale (100 TB): one hash-group over (md5, min id) — the q50
+    * dedup shuffle — then a source-sized rollup; token counting rides
+    * the same scan. */
+  def effectiveTokens(docs: DataFrame, id: String, text: String,
+                      source: String): DataFrame = {
+    val base = docs.select(col(id).as("rid"), col(source).as("src"),
+      size(split(col(text), " ")).cast("long").as("toks"),
+      md5(col(text)).as("h"))
+    val keep = base.groupBy(col("h")).agg(min(col("rid")).as("keep_id"))
+    base.join(keep, "h")
+      .withColumn("kept", (col("rid") === col("keep_id")).cast("long"))
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"),
+        sum(col("kept")).as("n_unique_docs"),
+        sum(col("kept") * col("toks")).as("effective_tokens"))
+      .withColumn("dup_tokens", col("n_tokens") - col("effective_tokens"))
+      .withColumn("dup_share_bp",
+        F.idiv(lit(10000L) * col("dup_tokens"), col("n_tokens")))
+  }
+
+  /** q218: per-source effective tokens after exact dedup. */
+  def q218(s: SparkSession, d: String): DataFrame =
+    effectiveTokens(Tables.documents(s, d), "doc_id", "text", "source")
+
   /** q214: calibrate every language's doc-length distribution onto the
     * English reference. */
   def q214(s: SparkSession, d: String): DataFrame =

@@ -2601,4 +2601,43 @@ class OperatorsSpec extends SparkSpec {
     val starts1 = out.count(_._1 == 1L)
     assert(starts1 > 0 && starts1 <= 14 - 3)
   }
+
+  test("q218 effective tokens: cross-source duplicate credits the first id") {
+    import SparkTestSession.spark.implicits._
+    val docs = Seq(
+      (1L, "a b c", "s1"), (2L, "a b c", "s1"),      // intra-source dup
+      (3L, "a b c", "s2"),                           // cross-source copy of id 1
+      (4L, "x y", "s2")).toDF("doc_id", "text", "source")
+    val out = Text.effectiveTokens(docs, "doc_id", "text", "source")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(out("s1") == ((2L, 6L, 1L, 3L, 3L, 5000L)), s"${out("s1")}")
+    // s2's copy of doc 1 earns nothing (keep-first is global)
+    assert(out("s2") == ((2L, 5L, 1L, 2L, 3L, 6000L)), s"${out("s2")}")
+  }
+
+  test("q219 fd audit: held and violated dependencies on real tables") {
+    val rows = Relational.q219(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(3), r.getLong(4), r.getInt(5))).toMap
+    assert(rows("nation->region") == ((0L, 0L, 1)), "the FK chain is a function")
+    val (vk, vr, h) = rows("user->event_type")
+    assert(h == 0 && vk > 0 && vr > 0, "users emit many event types")
+  }
+
+  test("q220 mutual information: independent product distribution scores ~0") {
+    import SparkTestSession.spark.implicits._
+    // exact product measure: every (x, y) cell count = 4 → MI terms all 0
+    val df = (for { x <- 1 to 2; y <- 1 to 3; _ <- 1 to 4 }
+      yield (s"x$x", s"y$y")).toDF("lang", "source")
+    val out = Relational.mutualInfo(df, "lang", "source").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    assert(out(("ALL", "ALL")) == 0L, s"independent MI: ${out(("ALL", "ALL"))}")
+    // perfectly dependent: y == x → MI = ln(2) on a 2-symbol uniform
+    val dep = (for { x <- 1 to 2; _ <- 1 to 5 } yield (s"x$x", s"x$x"))
+      .toDF("lang", "source")
+    val mi = Relational.mutualInfo(dep, "lang", "source").collect()
+      .find(_.getString(0) == "ALL").get.getLong(3)
+    // 2 cells × floor(½·ln2·10⁶+½) = 2·346574 (per-cell rounding)
+    assert(mi == 693148L, s"ln(2) micro-nats under per-cell rounding, got $mi")
+  }
 }
