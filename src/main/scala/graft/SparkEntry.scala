@@ -237,6 +237,8 @@ object SparkEntry {
     "q218_effective_tokens" -> (Text.q218 _),
     "q219_fd_audit"       -> (Relational.q219 _),
     "q220_mutual_info"    -> (Relational.q220 _),
+    "q221_diversified_topk" -> (Relational.q221 _),
+    "q222_survival"       -> (Events.q222 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -3067,6 +3069,59 @@ object SparkEntry {
          SELECT x_ AS lang, y_ AS source, CAST(n AS BIGINT) AS n, mi_term_unat FROM r
          UNION ALL
          SELECT 'ALL', 'ALL', CAST(sum(n) AS BIGINT), CAST(sum(mi_term_unat) AS BIGINT) FROM r""",
+
+    // Per-brand rank cut at 2, then the global top-12, both ties on id.
+    "q221_diversified_topk" ->
+      s"""WITH rev AS (SELECT l_partkey,
+             ${C("sum(l_extendedprice * (1 - l_discount))")} AS revenue_cents
+             FROM lineitem GROUP BY 1),
+         j AS (SELECT rev.l_partkey, p.p_brand, rev.revenue_cents,
+               row_number() OVER (PARTITION BY p.p_brand
+                 ORDER BY rev.revenue_cents DESC, rev.l_partkey ASC) AS group_rank
+               FROM rev JOIN part p ON p.p_partkey = rev.l_partkey),
+         cut AS (SELECT * FROM j WHERE group_rank <= 2
+                 ORDER BY revenue_cents DESC, l_partkey ASC LIMIT 12)
+         SELECT CAST(row_number() OVER (ORDER BY revenue_cents DESC, l_partkey ASC) AS BIGINT) AS rank,
+           l_partkey AS part, p_brand, revenue_cents,
+           CAST(group_rank AS BIGINT) AS group_rank
+         FROM cut""",
+
+    // KM: per-user (t_day, converted), day-level d/n, ln terms with an
+    // explicit absorbing zero when d = n (mirrors kaplanMeier).
+    "q222_survival" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+         u AS (SELECT user_id, min(us) AS entry_us,
+               min(CASE WHEN event_type = 'purchase' THEN us END) AS conv_us
+               FROM e GROUP BY 1),
+         h AS (SELECT max(us) AS h_us FROM e),
+         obs AS (SELECT CASE WHEN conv_us IS NOT NULL
+                 THEN (conv_us - entry_us) // 86400000000
+                 ELSE (h.h_us - entry_us) // 86400000000 END AS t_day,
+               CASE WHEN conv_us IS NOT NULL THEN 1 ELSE 0 END AS converted
+               FROM u, h),
+         t AS (SELECT count(*) AS n_total FROM obs),
+         pd AS (SELECT t_day, sum(converted) AS d_conv, count(*) AS n_leaving
+                FROM obs GROUP BY 1),
+         w AS (SELECT pd.*, t.n_total,
+               sum(n_leaving) OVER (ORDER BY t_day ROWS UNBOUNDED PRECEDING) AS left_through
+               FROM pd, t),
+         r AS (SELECT t_day, n_total - left_through + n_leaving AS n_risk,
+               d_conv, n_leaving FROM w),
+         lt AS (SELECT *, CASE WHEN d_conv < n_risk
+               THEN CAST(floor(ln(1.0 - CAST(d_conv AS DOUBLE) / CAST(n_risk AS DOUBLE))
+                 * 1000000 + 0.5) AS BIGINT) END AS ln_term_u FROM r),
+         z AS (SELECT *, max(CASE WHEN d_conv = n_risk THEN 1 ELSE 0 END)
+                 OVER (ORDER BY t_day ROWS UNBOUNDED PRECEDING) AS zeroed,
+               sum(ln_term_u) OVER (ORDER BY t_day ROWS UNBOUNDED PRECEDING) AS cum_raw
+               FROM lt)
+         SELECT CAST(t_day AS BIGINT) AS t_day, CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d_conv AS BIGINT) AS d_conv, CAST(n_leaving AS BIGINT) AS n_leaving,
+           ln_term_u,
+           CASE WHEN zeroed = 0 THEN CAST(cum_raw AS BIGINT) END AS cum_ln_u,
+           CASE WHEN zeroed = 1 THEN 0
+                ELSE CAST(floor(exp(CAST(cum_raw AS DOUBLE) / 1000000) * 10000 + 0.5) AS BIGINT)
+           END AS survival_bp
+         FROM z""",
   )
 
   /** PageRank oracle: the q51 edge derivation + 5 UNROLLED integer

@@ -1371,6 +1371,72 @@ object Events {
       Changes.epochUs("2024-01-15"), 7L * 86400000000L,
       col("event_type") === "purchase", cents(col("value")))
 
+  /** KAPLAN–MEIER SURVIVAL CURVE for time-to-first-conversion — the
+    * censoring-aware churn/conversion estimator: a user enters at
+    * their first event; the event of interest is their first
+    * qualifying event after entry; users who never convert are
+    * CENSORED at the feed horizon (dropping them would bias the curve
+    * optimistic — the whole point of KM). Per event day t:
+    * S(t) = Π_{s≤t}(1 − d_s/n_s) with d_s conversions at day s and
+    * n_s the at-risk count entering s. The product ships as the exact
+    * integer cumulative sum of per-day fixed-point ln terms (engine-
+    * exact), with survival_bp = floor(e^{cum}·10⁴+½) at the boundary.
+    *
+    * Scale (100 TB): users reduce to one (t_days, converted) row each
+    * (one user-key aggregation); everything after runs on DAY-
+    * cardinality rows — the cumulative window orders ~10³ days, not
+    * users. */
+  def kaplanMeier(events: DataFrame, key: String, tsUs: Column,
+                  qualifying: Column): DataFrame = {
+    val dayUs = 86400000000L
+    val perUser = events.groupBy(col(key))
+      .agg(min(tsUs).as("entry_us"),
+        min(when(qualifying, tsUs)).as("conv_us"),
+        max(tsUs).as("last_us"))
+    val horizon = events.agg(max(tsUs).as("h_us"))
+    val obs = perUser.crossJoin(broadcast(horizon))
+      .select(
+        when(col("conv_us").isNotNull,
+          F.idiv(col("conv_us") - col("entry_us"), lit(dayUs)))
+          .otherwise(F.idiv(col("h_us") - col("entry_us"), lit(dayUs)))
+          .as("t_day"),
+        col("conv_us").isNotNull.cast("long").as("converted"))
+    val total = obs.agg(count(lit(1)).as("n_total"))
+    val perDay = obs.groupBy(col("t_day"))
+      .agg(sum(col("converted")).as("d_conv"),
+        count(lit(1)).as("n_leaving"))
+    val byDay = Window.orderBy(col("t_day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rows = perDay.crossJoin(broadcast(total))
+      // at-risk entering day t = everyone not yet departed before t
+      .withColumn("left_through", sum(col("n_leaving")).over(byDay))
+      .withColumn("n_risk",
+        col("n_total") - col("left_through") + col("n_leaving"))
+      // a day where EVERY at-risk user converts drives S to an exact,
+      // absorbing 0 — represented explicitly (null ln terms) instead
+      // of letting ln(0) = -∞ poison the fixed point
+      .withColumn("ln_term_u",
+        when(col("d_conv") < col("n_risk"),
+          floor(log(lit(1.0d) - col("d_conv").cast("double") /
+              col("n_risk").cast("double")) * lit(1000000d) + lit(0.5d))
+            .cast("long")))
+      .withColumn("zeroed",
+        max((col("d_conv") === col("n_risk")).cast("int")).over(byDay))
+      .withColumn("cum_ln_u",
+        when(col("zeroed") === 0, sum(col("ln_term_u")).over(byDay)))
+      .select(col("t_day"), col("n_risk"), col("d_conv"),
+        col("n_leaving"), col("ln_term_u"), col("cum_ln_u"),
+        when(col("zeroed") === 1, lit(0L))
+          .otherwise(floor(exp(col("cum_ln_u").cast("double") / lit(1000000d))
+            * lit(10000d) + lit(0.5d)).cast("long")).as("survival_bp"))
+    rows
+  }
+
+  /** q222: survival of "no purchase yet" from each user's first event. */
+  def q222(s: SparkSession, d: String): DataFrame =
+    kaplanMeier(Tables.events(s, d), "user_id", unix_micros(col("ts")),
+      col("event_type") === "purchase")
+
   /** SESSION FEATURE-STORE BUILD — the behavioral feature table a
     * ranking/churn model trains on, rolled up from sessionized events:
     * per user the session count, event mass, mean session duration,

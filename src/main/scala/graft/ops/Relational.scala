@@ -1627,6 +1627,42 @@ object Relational {
   def q220(s: SparkSession, d: String): DataFrame =
     mutualInfo(Tables.documents(s, d), "lang", "source")
 
+  /** DIVERSIFIED TOP-K — a global top-k under a per-group cap (at most
+    * m winners per brand/domain/source): the result-diversity rule
+    * every ranking product applies so one dominant group cannot fill
+    * the whole list. Two bounded windows: rank within group (cut at
+    * m), then the global cut at k — both over the aggregated candidate
+    * table, never the fact table; ties broken totally by id.
+    *
+    * Scale (100 TB): candidates reduce to (item, group, score) by one
+    * aggregation; the within-group window partitions on the group key;
+    * the global cut is a TakeOrdered over k·groups survivors. */
+  def diversifiedTopK(scored: DataFrame, item: String, group: String,
+                      score: String, perGroup: Int, k: Int): DataFrame = {
+    val inGroup = Window.partitionBy(col(group))
+      .orderBy(col(score).desc, col(item).asc)
+    scored
+      .withColumn("group_rank", row_number().over(inGroup))
+      .where(col("group_rank") <= perGroup)
+      .orderBy(col(score).desc, col(item).asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col(score).desc, col(item).asc)).cast("long"))
+  }
+
+  /** q221: top-12 parts by revenue, at most 2 per brand. */
+  def q221(s: SparkSession, d: String): DataFrame = {
+    val revenue = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey"))
+      .agg(cents(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .as("revenue_cents"))
+      .join(Tables.part(s, d).select(col("p_partkey").as("l_partkey"),
+        col("p_brand")), "l_partkey")
+    diversifiedTopK(revenue, "l_partkey", "p_brand", "revenue_cents", 2, 12)
+      .select(col("rank"), col("l_partkey").as("part"), col("p_brand"),
+        col("revenue_cents"), col("group_rank").cast("long").as("group_rank"))
+  }
+
   /** q211: the full TPC-H-ish star contract in one report. */
   def q211(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d); val ord = Tables.orders(s, d)

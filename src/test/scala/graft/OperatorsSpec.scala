@@ -2640,4 +2640,53 @@ class OperatorsSpec extends SparkSpec {
     // 2 cells × floor(½·ln2·10⁶+½) = 2·346574 (per-cell rounding)
     assert(mi == 693148L, s"ln(2) micro-nats under per-cell rounding, got $mi")
   }
+
+  test("q221 diversified top-k: the cap stops one group filling the list") {
+    import SparkTestSession.spark.implicits._
+    // brand A holds the 4 best items; cap 2 lets B's items in
+    val scored = Seq((1L, "A", 100L), (2L, "A", 90L), (3L, "A", 80L),
+      (4L, "A", 70L), (5L, "B", 60L), (6L, "B", 50L), (7L, "C", 40L))
+      .toDF("item", "brand", "score")
+    val out = Relational.diversifiedTopK(scored, "item", "brand", "score", 2, 5)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq((1L, "A"), (2L, "A"), (5L, "B"), (6L, "B"), (7L, "C")),
+      s"${out.toSeq}")
+  }
+
+  test("q222 kaplan-meier: censoring keeps the curve honest, zero absorbs") {
+    import SparkTestSession.spark.implicits._
+    val m = 86400000000L
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    // A: entry d0, purchase d1; B: entry d0, purchase d2;
+    // C: entry d0, last seen d2, never purchases (censored)
+    val ev = Seq((1L, 0L, "view"), (1L, 1L * m, "purchase"),
+      (2L, 0L, "view"), (2L, 2L * m, "purchase"),
+      (3L, 0L, "view"), (3L, 2L * m, "view"))
+      .toDF("user_id", "us", "event_type")
+      .select(col("user_id"), to_timestamp(col("us") / 1000000L).as("ts"),
+        col("event_type"))
+    val out = Events.kaplanMeier(ev, "user_id", unix_micros(col("ts")),
+        col("event_type") === "purchase")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(6))).toMap
+    def sbp(lns: Seq[Double]): Long = {
+      val cum = lns.map(x => math.floor(x * 1e6 + 0.5).toLong).sum
+      math.floor(math.exp(cum / 1e6) * 1e4 + 0.5).toLong
+    }
+    assert(out(1L) == ((3L, 1L, sbp(Seq(math.log(2.0 / 3))))), s"${out(1L)}")
+    // day 2: B converts, C censors; n_risk 2, d 1 → S = (2/3)(1/2)
+    assert(out(2L) == ((2L, 1L,
+      sbp(Seq(math.log(2.0 / 3), math.log(0.5))))), s"${out(2L)}")
+    // without censoring support, C would be dropped and S(2) would be
+    // the biased 0 — the absorbing-zero path: all three convert day 1
+    val all = Seq((1L, 0L, "view"), (1L, m, "purchase"),
+      (2L, 0L, "view"), (2L, m, "purchase"))
+      .toDF("user_id", "us", "event_type")
+      .select(col("user_id"), to_timestamp(col("us") / 1000000L).as("ts"),
+        col("event_type"))
+    val z = Events.kaplanMeier(all, "user_id", unix_micros(col("ts")),
+        col("event_type") === "purchase")
+      .collect().map(r => r.getLong(0) -> (r.isNullAt(4), r.getLong(6))).toMap
+    assert(z(1L) == ((true, 0L)), s"absorbing zero: ${z(1L)}")
+  }
 }
