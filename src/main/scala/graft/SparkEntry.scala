@@ -2699,7 +2699,10 @@ object SparkEntry {
     "q201_ranking_metrics" ->
       s"""WITH truth AS ($q60OracleSql),
          approx AS (${AnnOracleSql.all("q61_ann_lsh")}),
-         rel AS (SELECT query_id, neighbor_id, 11 - rank AS rel FROM truth),
+         km AS (SELECT query_id, max(rank) AS kmax FROM truth GROUP BY 1),
+         rel AS (SELECT t.query_id, t.neighbor_id,
+                 km.kmax + 1 - t.rank AS rel, t.rank
+                 FROM truth t JOIN km USING (query_id)),
          hits AS (SELECT a.query_id, a.rank AS a_rank, rel.rel
                   FROM approx a JOIN rel ON rel.query_id = a.query_id
                     AND rel.neighbor_id = a.neighbor_id),
@@ -2709,9 +2712,9 @@ object SparkEntry {
                  min(a_rank) AS first_rank
                  FROM hits GROUP BY 1),
          idcg AS (SELECT query_id,
-                 sum(CAST(floor(CAST(11 - rank AS DOUBLE) * ln(2) / ln(CAST(rank AS DOUBLE) + 1.0)
+                 sum(CAST(floor(CAST(rel AS DOUBLE) * ln(2) / ln(CAST(rank AS DOUBLE) + 1.0)
                    * 1000000 + 0.5) AS BIGINT)) AS idcg_u
-                 FROM truth GROUP BY 1)
+                 FROM rel GROUP BY 1)
          SELECT i.query_id,
            CAST(coalesce(d.first_rank, 0) AS BIGINT) AS first_hit_rank,
            CAST(coalesce(1000000 // d.first_rank, 0) AS BIGINT) AS mrr_u,

@@ -1391,8 +1391,7 @@ object Events {
     val dayUs = 86400000000L
     val perUser = events.groupBy(col(key))
       .agg(min(tsUs).as("entry_us"),
-        min(when(qualifying, tsUs)).as("conv_us"),
-        max(tsUs).as("last_us"))
+        min(when(qualifying, tsUs)).as("conv_us"))
     val horizon = events.agg(max(tsUs).as("h_us"))
     val obs = perUser.crossJoin(broadcast(horizon))
       .select(

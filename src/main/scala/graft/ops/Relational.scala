@@ -1572,7 +1572,11 @@ object Relational {
   def fdAudit(deps: Seq[(String, DataFrame, String, String)]): DataFrame =
     deps.map { case (name, df, a, b) =>
       val ab = df.select(col(a).as("a_"), col(b).as("b_")).distinct()
+      // perA feeds three consumers (key count, violation count, the
+      // violating-row join) — materialize the distinct+rollup once
+      // (the q190 rule) so the fact scan really runs once per edge
       val perA = ab.groupBy(col("a_")).agg(count(lit(1)).as("nb"))
+        .localCheckpoint()
       val bad = perA.filter(col("nb") > 1)
       df.agg(count(lit(1)).as("n_rows"))
         .crossJoin(perA.agg(count(lit(1)).as("n_keys")))

@@ -2656,7 +2656,6 @@ class OperatorsSpec extends SparkSpec {
   test("q222 kaplan-meier: censoring keeps the curve honest, zero absorbs") {
     import SparkTestSession.spark.implicits._
     val m = 86400000000L
-    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
     // A: entry d0, purchase d1; B: entry d0, purchase d2;
     // C: entry d0, last seen d2, never purchases (censored)
     val ev = Seq((1L, 0L, "view"), (1L, 1L * m, "purchase"),
