@@ -239,6 +239,8 @@ object SparkEntry {
     "q220_mutual_info"    -> (Relational.q220 _),
     "q221_diversified_topk" -> (Relational.q221 _),
     "q222_survival"       -> (Events.q222 _),
+    "q223_conformal"      -> (Text.q223 _),
+    "q224_gini"           -> (Relational.q224 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -266,6 +268,19 @@ object SparkEntry {
               count(*) AS n_terms_hit
        FROM sc GROUP BY 1 ORDER BY score_bp DESC, doc_id LIMIT 20"""
   private def BP(e: String) = s"CAST(floor(($e) * 10000 + 0.5) AS BIGINT)"
+
+  /** q41's quality score — shared verbatim by q223's calibration leg
+    * so the conformal oracle cannot drift from the score it
+    * thresholds. */
+  private def q41OracleSql: String =
+    s"""SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
+       ${BP("nstop / nt")} AS stop_ratio_bp,
+       ${BP("(nchars - (nt - 1)) / nt")} AS mean_word_len_bp,
+       ${BP("0.5 * least(nt / 100.0, 1.0) + 0.3 * (1.0 - nstop / nt) + 0.2 * least(((nchars - (nt - 1)) / nt) / 8.0, 1.0)")} AS quality_bp
+       FROM (SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt,
+             CAST(len(list_filter(string_split(text, ' '),
+               t -> t IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) AS nstop,
+             CAST(length(text) AS DOUBLE) AS nchars FROM documents)"""
 
   /** q60's exact brute-force top-10 — shared verbatim by q192's truth
     * leg so the recall oracle cannot drift from the ANN ground truth. */
@@ -992,15 +1007,7 @@ object SparkEntry {
                len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe FROM documents)
          GROUP BY lang""",
 
-    "q41_quality_score" ->
-      s"""SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
-         ${BP("nstop / nt")} AS stop_ratio_bp,
-         ${BP("(nchars - (nt - 1)) / nt")} AS mean_word_len_bp,
-         ${BP("0.5 * least(nt / 100.0, 1.0) + 0.3 * (1.0 - nstop / nt) + 0.2 * least(((nchars - (nt - 1)) / nt) / 8.0, 1.0)")} AS quality_bp
-         FROM (SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt,
-               CAST(len(list_filter(string_split(text, ' '),
-                 t -> t IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) AS nstop,
-               CAST(length(text) AS DOUBLE) AS nchars FROM documents)""",
+    "q41_quality_score" -> q41OracleSql,
 
     "q42_langid" ->
       s"""WITH sc AS (SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS nt
@@ -3125,6 +3132,46 @@ object SparkEntry {
                 ELSE CAST(floor(exp(CAST(cum_raw AS DOUBLE) / 1000000) * 10000 + 0.5) AS BIGINT)
            END AS survival_bp
          FROM z""",
+
+    // Split conformal: k = ⌊α(n_cal+1)⌋, threshold = k-th smallest
+    // even-id calibration score, flag rate realized on the odd split.
+    "q223_conformal" ->
+      s"""WITH sc AS ($q41OracleSql),
+         cal AS (SELECT doc_id, quality_bp,
+               row_number() OVER (ORDER BY quality_bp ASC, doc_id ASC) AS rn
+               FROM sc WHERE doc_id % 2 = 0),
+         nk AS (SELECT count(*) AS n_cal, (count(*) + 1) * 1000 // 10000 AS k FROM cal),
+         thr AS (SELECT max(quality_bp) AS threshold FROM cal, nk WHERE cal.rn <= nk.k),
+         test AS (SELECT quality_bp FROM sc WHERE doc_id % 2 <> 0)
+         SELECT CAST(nk.n_cal AS BIGINT) AS n_cal, CAST(nk.k AS BIGINT) AS k,
+           CAST(thr.threshold AS BIGINT) AS threshold,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(sum(CASE WHEN test.quality_bp < thr.threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+           CAST(10000 * sum(CASE WHEN test.quality_bp < thr.threshold THEN 1 ELSE 0 END)
+             // count(*) AS BIGINT) AS flag_rate_bp
+         FROM test, thr, nk GROUP BY nk.n_cal, nk.k, thr.threshold""",
+
+    // Exact Gini: holders sorted ascending by (mass, id);
+    // Σ(2i−n−1)·x over n·Σx in basis points; per-holder Lorenz rows.
+    "q224_gini" ->
+      """WITH h AS (SELECT source AS holder,
+             sum(len(string_split(text, ' '))) AS x
+             FROM documents GROUP BY 1),
+         r AS (SELECT holder, x,
+               row_number() OVER (ORDER BY x ASC, holder ASC) AS i,
+               count(*) OVER () AS n,
+               sum(x) OVER (ORDER BY x ASC, holder ASC ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(x) OVER () AS total
+               FROM h)
+         SELECT holder, CAST(i AS BIGINT) AS rank, CAST(x AS BIGINT) AS x,
+           CAST(10000 * cum // total AS BIGINT) AS cum_mass_bp,
+           CAST((2 * i - n - 1) * x AS BIGINT) AS gini_num_term
+         FROM r
+         UNION ALL
+         SELECT 'ALL', 0, CAST(max(total) AS BIGINT), 10000,
+           CAST(10000::HUGEINT * sum((2 * i - n - 1) * x)
+             // (max(n)::HUGEINT * max(total)) AS BIGINT)
+         FROM r""",
   )
 
   /** PageRank oracle: the q51 edge derivation + 5 UNROLLED integer

@@ -1667,6 +1667,55 @@ object Relational {
         col("revenue_cents"), col("group_rank").cast("long").as("group_rank"))
   }
 
+  /** GINI CONCENTRATION AUDIT — how unequally a mass (tokens, revenue,
+    * events) distributes across holders: the exact integer Gini
+    * Σᵢ(2i − n − 1)·xᵢ / (n·Σx) over holders sorted ascending by
+    * (mass, id), in basis points via one decimal division (numerator
+    * and denominator are exact integers, so two engines agree
+    * bit-for-bit). 0 = perfectly even, →10⁴ = one holder owns
+    * everything; the per-holder rows double as the Lorenz curve
+    * (cum_mass_bp against holder rank).
+    *
+    * Scale (100 TB): mass reduces to holder-cardinality rows first;
+    * the rank window orders HOLDERS, not raw rows (holders ≫
+    * executors for sources/brands is false — they're few — so this
+    * window is trivially small; for user-grain holders the window
+    * partitions are the concern and q129's approxQuantile shape
+    * applies). */
+  def giniAudit(df: DataFrame, holder: String, mass: Column): DataFrame = {
+    val perHolder = df.groupBy(col(holder).as("holder"))
+      .agg(sum(mass).as("x"))
+    val w = Window.orderBy(col("x").asc, col("holder").asc)
+    val ranked = perHolder
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("cum", sum(col("x")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum(col("x")).over(Window.partitionBy()))
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val rows = ranked.select(col("holder"), col("i").as("rank"), col("x"),
+      graft.functions.F.idiv(lit(10000L) * col("cum"), col("total"))
+        .as("cum_mass_bp"),
+      ((lit(2L) * col("i") - col("n") - 1L) * col("x")).as("gini_num_term"),
+      col("n"), col("total"))
+    rows.select(col("holder"), col("rank"), col("x"), col("cum_mass_bp"),
+        col("gini_num_term"))
+      .unionAll(rows.agg(sum(col("gini_num_term")).as("gn"),
+          max(col("n")).as("n"), max(col("total")).as("t"))
+        .select(lit("ALL").as("holder"), lit(0L).as("rank"),
+          col("t").as("x"), lit(10000L).as("cum_mass_bp"),
+          graft.functions.F.idiv(dec(lit(10000L)) * dec(col("gn")),
+            dec(col("n")) * dec(col("t"))).cast("long").as("gini_num_term")))
+  }
+
+  /** q224: token-mass concentration across document sources; the ALL
+    * row's last column is the Gini in basis points. */
+  def q224(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{size => asize}
+    giniAudit(Tables.documents(s, d), "source",
+      asize(split(col("text"), " ")).cast("long"))
+  }
+
   /** q211: the full TPC-H-ish star contract in one report. */
   def q211(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d); val ord = Tables.orders(s, d)

@@ -2226,6 +2226,45 @@ object Text {
   def q218(s: SparkSession, d: String): DataFrame =
     effectiveTokens(Tables.documents(s, d), "doc_id", "text", "source")
 
+  /** SPLIT-CONFORMAL THRESHOLD CALIBRATION — the distribution-free way
+    * to turn any score into a flag rule with a GUARANTEED error rate:
+    * from a held-out calibration split, the threshold is the k-th
+    * smallest score with k = ⌊α(n_cal+1)⌋, and conformal theory
+    * promises P(new score < threshold) ≤ α with no assumption on the
+    * score's distribution. The report carries the threshold and the
+    * realized flag rate on the disjoint test split — the empirical
+    * check of the guarantee.
+    *
+    * Scale (100 TB): the calibration cut is a TakeOrdered of k rows
+    * (k = α-fraction of the CALIBRATION split, itself a bounded
+    * sample in practice); flagging is one map-side comparison; counts
+    * are plain aggregates. The n_cal count is a driver-side scalar
+    * (the q214 bounded-summary discipline). */
+  def conformalThreshold(scored: DataFrame, id: Column, score: Column,
+                         alphaBp: Long): DataFrame = {
+    val spark = scored.sparkSession
+    val base = scored.select(id.as("rid"), score.as("s"))
+    val cal = base.filter(col("rid") % 2 === 0)
+    val test = base.filter(col("rid") % 2 =!= 0)
+    val nCal = cal.count()
+    val k = ((nCal + 1) * alphaBp) / 10000L
+    require(k >= 1, s"calibration split too small for alpha=$alphaBp bp")
+    val thr = cal.orderBy(col("s").asc, col("rid").asc).limit(k.toInt)
+      .agg(max(col("s")).as("threshold"))
+    test.crossJoin(broadcast(thr))
+      .agg(lit(nCal).as("n_cal"), lit(k).as("k"),
+        max(col("threshold")).as("threshold"),
+        count(lit(1)).as("n_test"),
+        sum((col("s") < col("threshold")).cast("long")).as("n_flagged"))
+      .withColumn("flag_rate_bp",
+        F.idiv(lit(10000L) * col("n_flagged"), col("n_test")))
+  }
+
+  /** q223: α = 10% conformal low-quality flag rule over the q41
+    * score. */
+  def q223(s: SparkSession, d: String): DataFrame =
+    conformalThreshold(q41(s, d), col("doc_id"), col("quality_bp"), 1000L)
+
   /** q214: calibrate every language's doc-length distribution onto the
     * English reference. */
   def q214(s: SparkSession, d: String): DataFrame =

@@ -2688,4 +2688,38 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> (r.isNullAt(4), r.getLong(6))).toMap
     assert(z(1L) == ((true, 0L)), s"absorbing zero: ${z(1L)}")
   }
+
+  test("q223 conformal: threshold is the k-th smallest, rate near alpha") {
+    import SparkTestSession.spark.implicits._
+    // calibration (even ids) scores 10,20,...,190: n=19, k=⌊0.1·20⌋=2
+    // → threshold = 2nd smallest = 20; test (odd) scores 5..185
+    val scored = ((0 until 19).map(i => (i * 2L, (i + 1) * 10L)) ++
+      (0 until 19).map(i => (i * 2 + 1L, i * 10L + 5L)))
+      .toDF("doc_id", "quality_bp")
+    val r = Text.conformalThreshold(scored, col("doc_id"),
+      col("quality_bp"), 1000L).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((19L, 2L, 20L)), s"$r")
+    // test scores below 20: {5, 15} → 2 of 19
+    assert((r.getLong(3), r.getLong(4)) == ((19L, 2L)))
+    val corpus = Text.q223(spark, sf).collect().head
+    assert(corpus.getLong(5) <= 2000L, "flag rate in the alpha ballpark")
+  }
+
+  test("q224 gini: equal masses score 0, total concentration near 1") {
+    import SparkTestSession.spark.implicits._
+    val even = Seq(("a", 10L), ("b", 10L), ("c", 10L), ("d", 10L))
+      .toDF("src", "m")
+    val g0 = Relational.giniAudit(even, "src", col("m")).collect()
+      .find(_.getString(0) == "ALL").get.getLong(4)
+    assert(g0 == 0L, s"uniform gini: $g0")
+    val skew = Seq(("a", 0L), ("b", 0L), ("c", 0L), ("d", 100L))
+      .toDF("src", "m")
+    val g1 = Relational.giniAudit(skew, "src", col("m")).collect()
+      .find(_.getString(0) == "ALL").get.getLong(4)
+    assert(g1 == 7500L, s"one-holder gini on n=4 is (n-1)/n: $g1")
+    // Lorenz rows: cumulative shares are monotone and end at 10000
+    val rows = Relational.giniAudit(even, "src", col("m")).collect()
+      .filter(_.getString(0) != "ALL").sortBy(_.getLong(1))
+    assert(rows.map(_.getLong(3)).toSeq == Seq(2500L, 5000L, 7500L, 10000L))
+  }
 }
