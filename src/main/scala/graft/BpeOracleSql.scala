@@ -1,0 +1,120 @@
+package graft
+
+/** DuckDB oracle SQL for the BPE tokenizer pair (q141 train / q142
+  * apply) — the round-10 unrolling that graduates both from
+  * golden-pinned rows-only checks to full rows+schema+hash
+  * verification, following the AnnOracleSql precedent (round 9's
+  * integer-Lloyd unroll).
+  *
+  * Representation trick: each word is carried as a DOUBLE-SPACE-joined
+  * symbol string with flanking double spaces — `"  s1  s2  ...  sn  "`.
+  * Tokens are whitespace-split upstream, so a space can never occur
+  * INSIDE a symbol, which makes the encoding unambiguous; and one
+  * greedy `replace(rep, ' a  b ', ' ab ')` is then EXACTLY the
+  * left-to-right non-overlapping scan of the native MergeAdjacent
+  * expression: the single-space pattern edges anchor full-symbol
+  * boundaries (so `b` cannot match a prefix of a longer symbol) while
+  * leaving each occurrence's outer spaces in place (so back-to-back
+  * occurrences `a b a b` still both merge, and an overlapping `a a a`
+  * merges once — both matching MergeAdjacent's skip-ahead semantics).
+  *
+  * Training (q141) unrolls Text.bpeMerges' nMerges sequential rounds
+  * into a CTE chain: t{i} = weighted adjacent-pair argmax with the
+  * (count DESC, a ASC, b ASC) tie-break, w{i} = one replace() over
+  * w{i-1}. Only the w{i} stages are AS MATERIALIZED: each w is consumed
+  * twice (by t{i+1}'s pair scan and w{i+1}'s rewrite), and DuckDB
+  * 1.0.0 otherwise INLINES the chain — doubling the plan per stage
+  * into 2^30 scans ("too many open files"). The t{i} stages must stay
+  * PLAIN: materializing a CTE that feeds both the chain and the q142
+  * recursion silently planned the recursive term against an empty
+  * pattern set in DuckDB 1.0.0 (recursion produced zero rows; found by
+  * bisect while building this oracle), and plain t's inline linearly.
+  *
+  * Apply (q142) mirrors the native BpeEncode expression's
+  * lowest-rank-first loop (NOT in-order merge application — later
+  * merges can re-create earlier pairs, see BpeEncode's scaladoc) with
+  * a recursive CTE: each step finds the lowest-rank pattern present
+  * and replaces all its occurrences, terminating when none applies.
+  * Pattern lookup is a pure list-lambda over one aggregated
+  * list<struct{pat,repl}> ordered by rank (`list_filter(ps, ...)[1]`),
+  * NOT a correlated EXISTS/scalar subquery — correlated subqueries
+  * against the CTE chain also mis-evaluated inside the recursive term
+  * on DuckDB 1.0.0 (dropped 21 of 31 word trajectories at sf0.001).
+  * Terminal states are unique per word (step count strictly shrinks
+  * the symbol string), so selecting no-pattern-applies rows from the
+  * accumulated recursion yields exactly one row per input word.
+  */
+object BpeOracleSql {
+
+  /** Shared with the Spark side (Text.q141/q142) so the unrolled CTE
+    * count can never drift from the trained merge count. */
+  val NMerges = graft.ops.Text.BpeMergeCount
+  val TopK    = graft.ops.Text.BpeTopK
+
+  /** w0: the weighted word-count table as symbol strings — mirror of
+    * bpeMerges' tokenize+count+split head (string_split on ' ' is the
+    * pinned whitespace branch of Cols.tokens, exact for the pure-ASCII
+    * driver corpus; length>0 filter mirrored as word <> ''). */
+  private val w0 =
+    """w0 AS MATERIALIZED (
+  SELECT '  ' || array_to_string(string_split(word, ''), '  ') || '  ' AS rep,
+         CAST(count(*) AS BIGINT) AS wc
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY word)"""
+
+  /** The unrolled training chain: w0, t1, w1, ..., tN, wN. */
+  private def chainCtes: Seq[String] =
+    w0 +: (1 to NMerges).flatMap { i =>
+      val p = i - 1
+      val t =
+        s"""t$i AS (
+  SELECT a, b, CAST(sum(wc) AS BIGINT) AS n FROM (
+    SELECT syms[j] AS a, syms[j+1] AS b, wc FROM (
+      SELECT syms, wc, unnest(range(1, len(syms))) AS j FROM (
+        SELECT list_filter(string_split(rep, '  '), x -> x <> '') AS syms, wc FROM w$p)))
+  GROUP BY a, b ORDER BY n DESC, a ASC, b ASC LIMIT 1)"""
+      val w =
+        s"""w$i AS MATERIALIZED (
+  SELECT replace(w.rep, ' ' || t.a || '  ' || t.b || ' ', ' ' || t.a || t.b || ' ') AS rep, w.wc
+  FROM w$p w CROSS JOIN t$i t)"""
+      Seq(t, w)
+    }
+
+  /** q141: the merge table (rank, left, right, merged, pair_count). */
+  def q141: String = {
+    val union = (1 to NMerges).map { i =>
+      s"""SELECT CAST($i AS INTEGER) AS rank, a AS "left", b AS "right", a || b AS merged, n AS pair_count FROM t$i"""
+    }.mkString("\nUNION ALL ")
+    "WITH " + chainCtes.mkString(",\n") + "\n" + union + "\nORDER BY rank"
+  }
+
+  /** q142: token distribution under the learned merges (token, cnt). */
+  def q142: String = {
+    val pats = (1 to NMerges).map { i =>
+      s"SELECT $i AS rank, ' ' || a || '  ' || b || ' ' AS pat, ' ' || a || b || ' ' AS repl FROM t$i"
+    }.mkString("\nUNION ALL ")
+    "WITH RECURSIVE " + chainCtes.mkString(",\n") +
+      s""",
+pats AS ($pats),
+pl AS MATERIALIZED (
+  SELECT list(struct_pack(pat := pat, repl := repl) ORDER BY rank) AS ps FROM pats),
+enc AS (
+  SELECT rep, wc FROM w0
+  UNION ALL
+  SELECT replace(e.rep, e.h[1].pat, e.h[1].repl) AS rep, e.wc
+  FROM (SELECT rep, wc, list_filter(ps, s -> strpos(rep, s.pat) > 0) AS h
+        FROM enc CROSS JOIN pl) e
+  WHERE len(e.h) > 0)
+SELECT token, cnt FROM (
+  SELECT token, CAST(sum(wc) AS BIGINT) AS cnt FROM (
+    SELECT unnest(list_filter(string_split(rep, '  '), x -> x <> '')) AS token, wc
+    FROM enc CROSS JOIN pl
+    WHERE len(list_filter(ps, s -> strpos(rep, s.pat) > 0)) = 0)
+  GROUP BY token)
+ORDER BY cnt DESC, token ASC LIMIT $TopK"""
+  }
+
+  def all: Map[String, String] = Map(
+    "q141_bpe_vocab"    -> q141,
+    "q142_bpe_tokenize" -> q142)
+}

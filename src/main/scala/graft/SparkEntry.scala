@@ -355,7 +355,7 @@ object SparkEntry {
   // The k-means/ANN family oracles (q61/q62/q63/q91/q95/q114/q144/q145/
   // q168/q170) are GENERATED — unrolled integer-Lloyd training CTEs —
   // and live in AnnOracleSql; merged below.
-  def oracleSql: Map[String, String] = AnnOracleSql.all ++ Map(
+  def oracleSql: Map[String, String] = AnnOracleSql.all ++ BpeOracleSql.all ++ Map(
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          ${C("sum(l_quantity)")} AS sum_qty,

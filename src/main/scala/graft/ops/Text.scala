@@ -1080,9 +1080,15 @@ object Text {
     merges.result().toDF("rank", "left", "right", "merged", "pair_count")
   }
 
+  /** Merge count / top-k for the q141/q142 tokenizer pair — shared with
+    * BpeOracleSql so the Spark side and the unrolled DuckDB oracle
+    * cannot drift. */
+  val BpeMergeCount = 30
+  val BpeTopK       = 30
+
   /** q141: the first 30 BPE merges learned from the documents corpus. */
   def q141(s: SparkSession, d: String): DataFrame =
-    bpeMerges(Tables.documents(s, d), "text", 30)
+    bpeMerges(Tables.documents(s, d), "text", BpeMergeCount)
 
   /** BPE APPLY: tokenize a corpus with a learned merge table and report
     * the resulting token distribution — train (bpeMerges) and apply
@@ -1109,7 +1115,8 @@ object Text {
     * stored artifact (training it only if absent) instead of re-running
     * the 30-iteration trainer per invocation. Training is deterministic
     * (lexicographic tie-breaks), so the output is identical either
-    * way — golden-pinned. */
+    * way — golden-pinned AND hash-verified against BpeOracleSql's
+    * recursive DuckDB encode since round 10. */
   def q142(s: SparkSession, d: String): DataFrame = {
     val path = Scratch.dir(s, d, "bpe")
     val done = new org.apache.hadoop.fs.Path(s"$path/merges/_SUCCESS")
@@ -1117,7 +1124,7 @@ object Text {
       q141(s, d).write.mode("overwrite").parquet(s"$path/merges")
     val merges = s.read.parquet(s"$path/merges").orderBy(col("rank")).collect()
       .map(r => (r.getString(1), r.getString(2))).toSeq
-    bpeTokenize(Tables.documents(s, d), "text", merges, 30)
+    bpeTokenize(Tables.documents(s, d), "text", merges, BpeTopK)
   }
 
   /** CROSS-DOCUMENT BOILERPLATE REMOVAL (CCNet-style line dedup, at
