@@ -1063,6 +1063,30 @@ object SparkEntry {
            CAST(floor(sqrt(CAST(sum(v*v) AS DOUBLE) / ns) * 100) AS BIGINT) AS rms_q
          FROM v GROUP BY doc_id, ns""",
 
+    // q70 decodes REAL PNG payloads; like q105/q143 the oracle replays
+    // the generator contract — md5-hex metadata dims scaled 1/8 and the
+    // (31x+17y+13·id) mod 256 raster, mean in exact integer arithmetic
+    // (sum·100 with floor division; both sides' operands non-negative).
+    // Only n_bytes (the JDK PNG encoder's output length) has no SQL
+    // twin; it lives outside this projection under the q70_full_decode
+    // golden pin. Dims parse the md5 hex prefix via the '0x' cast
+    // (md5_number_upper is LITTLE-endian in DuckDB — it reverses the
+    // digest bytes — so the hex-substring route is the faithful one).
+    "q70_multimodal_meta" ->
+      """WITH dims AS (
+           SELECT doc_id,
+             greatest(CAST(((('0x' || substr(md5(text),1,8))::UBIGINT % 1024) + 64) // 8 AS INTEGER), 8) AS width,
+             greatest(CAST(((('0x' || substr(md5(text),9,8))::UBIGINT % 768) + 64) // 8 AS INTEGER), 8) AS height
+           FROM documents),
+         px AS (
+           SELECT doc_id, width, height,
+                  unnest(range(0, CAST(width AS BIGINT) * height)) AS k
+           FROM dims)
+         SELECT doc_id, 'png' AS format, width, height,
+           CAST(sum(((k % width) * 31 + (k // width) * 17 + doc_id * 13) % 256) * 100
+                // (CAST(width AS BIGINT) * height) AS BIGINT) AS mean_pixel_q
+         FROM px GROUP BY doc_id, width, height""",
+
     // DuckDB's double-precision jaro_winkler_similarity vs the exact
     // rational jaro_winkler_bp: floor(jw*10000) agrees unless the exact
     // score sits within ~1e-12 of a basis-point boundary — no corpus

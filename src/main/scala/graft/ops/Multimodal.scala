@@ -128,10 +128,22 @@ object Multimodal {
       }.toDF()
   }
 
-  /** q70: REAL image decode — generate the PNG corpus, then extract
-    * features with the JDK codec. */
-  def q70(s: SparkSession, d: String): DataFrame =
+  /** Full decode output INCLUDING the PNG-encoder byte length
+    * (n_bytes) — golden-pinned in GoldenSpec: n_bytes is whatever the
+    * JDK PNG encoder emits and has no SQL twin. */
+  def q70Full(s: SparkSession, d: String): DataFrame =
     decodeImages(pngTable(s, d), "doc_id", "payload")
+
+  /** q70: REAL image decode — generate the PNG corpus, then extract
+    * features with the JDK codec. The driver-facing projection drops
+    * only the encoder-dependent n_bytes column, so every remaining
+    * column (decoded width/height, exact mean pixel) hash-verifies
+    * against a DuckDB oracle that REPLAYS the generator formulas —
+    * md5-hex dims and the (31x+17y+13·id) mod 256 raster — proving the
+    * decode path recovers exactly what was encoded. n_bytes coverage
+    * lives in the q70Full golden pin + the OperatorsSpec decode spec. */
+  def q70(s: SparkSession, d: String): DataFrame =
+    q70Full(s, d).drop("n_bytes")
 
   val SampleRate = 8000f
 

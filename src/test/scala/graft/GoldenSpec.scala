@@ -37,7 +37,11 @@ class GoldenSpec extends SparkSpec {
     // The k-means/ANN family (q61/q62/q63/q91/q95/q114 and the index
     // twins) left in round 9: integer fixed-point training gave them
     // full DuckDB oracles (AnnOracleSql), strictly stronger than pins.
-    "q70_multimodal_meta" -> "9da3d79e1292e662833b6c23668756c8",
+    // Round 10: q70's driver projection dropped the encoder-dependent
+    // n_bytes and gained a full oracle; the FULL output (with n_bytes)
+    // keeps this pin via the q70_full_decode producer below. q141/q142
+    // gained oracles too (BpeOracleSql); pins kept as belt-and-braces.
+    "q70_full_decode"     -> "9da3d79e1292e662833b6c23668756c8",
     "q105_audio_decode"   -> "06f18dcb02662a6473375f89ece9b23b",
     "q141_bpe_vocab"      -> "e2ad9048e23cff6922ad6933d1dca481",
     "q142_bpe_tokenize"   -> "312c9342d04a0b0ae3f5c42f85677c56",
@@ -47,10 +51,16 @@ class GoldenSpec extends SparkSpec {
     "q167_scene_detect"   -> "55905a674ee596bb55923c8da05ed5da",
   )
 
+  /** Pinned outputs that are not (or not exactly) a `queries` entry. */
+  private def producer(name: String): DataFrame = name match {
+    case "q70_full_decode" => ops.Multimodal.q70Full(spark, sf)
+    case n                 => SparkEntry.queries(n)(spark, sf)
+  }
+
   test("rows-only queries match their pinned sf0.001 golden hashes") {
     val print = sys.env.contains("GRAFT_PRINT_GOLDEN")
     val mismatches = pins.toSeq.sortBy(_._1).flatMap { case (name, want) =>
-      val got = goldenHash(SparkEntry.queries(name)(spark, sf))
+      val got = goldenHash(producer(name))
       if (print) info(s""""$name" -> "$got",""")
       if (got == want) None else Some(s"$name: got $got want $want")
     }

@@ -290,9 +290,9 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("q70 multimodal features are deterministic and cover every doc") {
-    val feats = ops.Multimodal.q70(spark, sf).collect()
+    val feats = ops.Multimodal.q70Full(spark, sf).collect()
     assert(feats.length == Tables.documents(spark, sf).count())
-    val again = ops.Multimodal.q70(spark, sf).collect()
+    val again = ops.Multimodal.q70Full(spark, sf).collect()
     assert(feats.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
   }
 
@@ -313,7 +313,7 @@ class OperatorsSpec extends SparkSpec {
         r.getLong(0) -> (((md5Head32(t, 0) % 1024L + 64L).toInt,
           (md5Head32(t, 4) % 768L + 64L).toInt))
       }.toMap
-    val feats = ops.Multimodal.q70(spark, sf).collect()
+    val feats = ops.Multimodal.q70Full(spark, sf).collect()
     assert(feats.nonEmpty)
     feats.foreach { r =>
       val id = r.getLong(0)
