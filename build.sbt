@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round-driver keeps only the last 2000 chars of stdout and parses
+// the LAST line as the bench JSON. Two sbt behaviors defeated that for
+// nine rounds: the logged-output strategy prefixes every app line with
+// "[info] " (so no line starts with '{'), and sbt appends its own
+// "[success] Total time..." line AFTER the app's final JSON. Inherit
+// stdout directly (no prefix) and suppress the success banner so the
+// app's compact JSON line is the literal last line of stdout.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
