@@ -20,6 +20,9 @@ run / fork := true
 // app's compact JSON line is the literal last line of stdout.
 run / outputStrategy := Some(StdoutOutput)
 Global / showSuccess := false
+// showSuccess is consumed by sbt's command layer, which the unused-key
+// lint can't see — the note in its own warning text says to exclude it
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1091,22 +1091,17 @@ object Events {
   /** q175: build the persisted store, then answer a 7-day range query
     * from the STORED sketches alone (the cross-run read path). */
   def q175(s: SparkSession, d: String): DataFrame = {
-    val path = Scratch.dir(s, d, "kmvstore")
-    // Rebuild the store if this (app, dataset) hasn't yet — Bench
-    // repeats queries; the write is the "nightly job", the read is
-    // the query under test. Gate on the writer's explicit completion
-    // marker, not the bare directory: a partially-failed write leaves
-    // the directory behind, and treating it as a valid store would
-    // silently drop days from every later range query in the app.
-    // (NOT `_SUCCESS`: the dynamic-overwrite committer never writes
-    // one at the root — see `kmvStoreMarker`.)
-    val hp = new org.apache.hadoop.fs.Path(path)
-    val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(path, kmvStoreMarker))) {
-      fs.delete(hp, true)
-      writeKmvStore(Tables.events(s, d), to_date(col("ts")), "user_id", path)
-    }
-    kmvRangeQuery(s, path, "2024-01-08", "2024-01-14")
+    // Build the store once per (app, dataset) — Bench repeats queries;
+    // the write is the "nightly job", the read is the query under test.
+    // Round 10: the gate is the VersionedStore manifest CAS instead of
+    // the explicit kmvStoreMarker probe — the manifest lands only after
+    // writeKmvStore returns, so a partially-failed write is an
+    // unreferenced staging dir, never a store that silently drops days;
+    // and concurrent builders are safe (loser discards its staging).
+    val dir = graft.sources.VersionedStore.resolveOrBuild(
+      s, Scratch.dir(s, d, "kmvstore"))(
+      p => writeKmvStore(Tables.events(s, d), to_date(col("ts")), "user_id", p))
+    kmvRangeQuery(s, dir, "2024-01-08", "2024-01-14")
   }
 
   /** BURSTINESS INDEX per entity: the squared coefficient of variation

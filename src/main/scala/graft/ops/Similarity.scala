@@ -877,10 +877,13 @@ object Similarity {
     * previous generation survives until the NEXT compaction as a grace
     * window for probes that resolved the pointer before the flip.
     * Probe results are row-identical before/after (spec-pinned):
-    * compaction moves bytes, never values. Maintenance is
-    * single-writer (standard for index builds); at 100 TB, run
-    * per-cell-subset on a schedule — the shuffle moves only the cells
-    * being folded. */
+    * compaction moves bytes, never values. Concurrent maintenance of
+    * the SAME published build should serialize (one compactor per
+    * build, standard for index maintenance); the build-level flip that
+    * publishes a store in the first place is the optimistic
+    * VersionedStore CAS (q144/q168/q170 facades), so racing BUILDERS
+    * are safe. At 100 TB, run per-cell-subset on a schedule — the
+    * shuffle moves only the cells being folded. */
   def compactIvfIndex(s: SparkSession, path: String,
                       filesPerCell: Int = 1): Unit = {
     require(filesPerCell > 0, s"filesPerCell must be positive, got $filesPerCell")
@@ -989,23 +992,24 @@ object Similarity {
     * Row-identical to q62 (spec). */
   def q144(s: SparkSession, d: String): DataFrame = {
     val (c, q) = corpusAndQueries(s, d)
-    val path = indexScratch(s, d, "ivfidx")
-    val done = new org.apache.hadoop.fs.Path(s"$path/cells/_SUCCESS")
-    if (!done.getFileSystem(s.sparkContext.hadoopConfiguration).exists(done))
-      writeIvfIndex(c, "vec_id", "embedding", path)
-    ivfTopKFromIndex(s, path, q, "vec_id", "embedding")
+    // round 10: the build-once gate is the VersionedStore manifest CAS
+    // (concurrent builders safe, loser discards its staging) instead of
+    // a bare _SUCCESS probe
+    val dir = graft.sources.VersionedStore.resolveOrBuild(
+      s, indexScratch(s, d, "ivfidx"))(
+      p => writeIvfIndex(c, "vec_id", "embedding", p))
+    ivfTopKFromIndex(s, dir, q, "vec_id", "embedding")
   }
 
   /** q145: PQ ADC sweep + rerank through the PERSISTED codes, corpus
     * never re-encoded. Row-identical to q63 (spec). */
   def q145(s: SparkSession, d: String): DataFrame = {
     val (c, q) = corpusAndQueries(s, d)
-    val path = indexScratch(s, d, "pqidx")
-    val done = new org.apache.hadoop.fs.Path(s"$path/codes/_SUCCESS")
-    if (!done.getFileSystem(s.sparkContext.hadoopConfiguration).exists(done))
-      writePqIndex(c, "vec_id", "embedding", path)
+    val dir = graft.sources.VersionedStore.resolveOrBuild(
+      s, indexScratch(s, d, "pqidx"))(
+      p => writePqIndex(c, "vec_id", "embedding", p))
     val rerank = math.max(PqRerank.toLong, math.min(c.count() / 6, 65536L)).toInt
-    pqTopKFromIndex(s, path, c, q, "vec_id", "embedding", rerank = rerank)
+    pqTopKFromIndex(s, dir, c, q, "vec_id", "embedding", rerank = rerank)
   }
 
   /** q168: the index GROWTH path — the standing IVF index is built from
@@ -1015,19 +1019,17 @@ object Similarity {
     * one-shot index from the same centroids (spec). */
   def q168(s: SparkSession, d: String): DataFrame = {
     val (c, q) = corpusAndQueries(s, d)
-    val path = indexScratch(s, d, "ivfapp")
-    // the build is TWO steps (base write + append), so the repeat-run
-    // guard must be a sentinel written only after BOTH complete —
-    // cells/_SUCCESS lands after step 1 and would mask a failed append
-    // as a complete (silently half-empty) index
-    val done = new org.apache.hadoop.fs.Path(s"$path/_GRAFT_APPEND_DONE")
-    val fs = done.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(done)) {
-      writeIvfIndex(c.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", path)
-      appendToIvfIndex(c.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", path)
-      fs.create(done, true).close()
+    // the build is TWO steps (base write + append); both run inside the
+    // VersionedStore staging, and the manifest CAS — which lands only
+    // after the whole build body returns — replaces the old
+    // _GRAFT_APPEND_DONE sentinel (cells/_SUCCESS lands after step 1
+    // and would mask a failed append as a complete half-empty index)
+    val dir = graft.sources.VersionedStore.resolveOrBuild(
+      s, indexScratch(s, d, "ivfapp")) { p =>
+      writeIvfIndex(c.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", p)
+      appendToIvfIndex(c.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", p)
     }
-    ivfTopKFromIndex(s, path, q, "vec_id", "embedding")
+    ivfTopKFromIndex(s, dir, q, "vec_id", "embedding")
   }
 
   /** q170: the index MAINTENANCE path — build from the even-id half,
@@ -1037,16 +1039,13 @@ object Similarity {
     * (spec-pinned) — compaction moves bytes, never values. */
   def q170(s: SparkSession, d: String): DataFrame = {
     val (c, q) = corpusAndQueries(s, d)
-    val path = indexScratch(s, d, "ivfcomp")
-    val done = new org.apache.hadoop.fs.Path(s"$path/_GRAFT_COMPACT_DONE")
-    val fs = done.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(done)) {
-      writeIvfIndex(c.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", path)
-      appendToIvfIndex(c.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", path)
-      compactIvfIndex(s, path)
-      fs.create(done, true).close()
+    val dir = graft.sources.VersionedStore.resolveOrBuild(
+      s, indexScratch(s, d, "ivfcomp")) { p =>
+      writeIvfIndex(c.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", p)
+      appendToIvfIndex(c.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", p)
+      compactIvfIndex(s, p)
     }
-    ivfTopKFromIndex(s, path, q, "vec_id", "embedding")
+    ivfTopKFromIndex(s, dir, q, "vec_id", "embedding")
   }
 
   /** q63: product-quantization ANN with exact rerank. The ADC shortlist
@@ -1136,12 +1135,11 @@ object Similarity {
     * as the incoming batch — one verdict row per new vector. */
   def q189(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
-    val path = indexScratch(s, d, "semstore")
-    val done = new org.apache.hadoop.fs.Path(s"$path/kept/_SUCCESS")
-    if (!done.getFileSystem(s.sparkContext.hadoopConfiguration).exists(done))
-      writeSemDedupStore(e.filter(col("vec_id") % 2 === 0),
-        "vec_id", "embedding", path)
-    semDedupApply(s, path, e.filter(col("vec_id") % 2 === 1),
+    val dir = graft.sources.VersionedStore.resolveOrBuild(
+      s, indexScratch(s, d, "semstore"))(
+      p => writeSemDedupStore(e.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", p))
+    semDedupApply(s, dir, e.filter(col("vec_id") % 2 === 1),
       "vec_id", "embedding")
   }
 

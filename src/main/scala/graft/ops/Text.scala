@@ -1018,11 +1018,14 @@ object Text {
     * (skipped when this app already wrote it), then load + score.
     * Row-identical to q146 (shared oracle + spec). */
   def q182(s: SparkSession, d: String): DataFrame = {
-    val path = Scratch.dir(s, d, "bm25idx")
-    val done = new org.apache.hadoop.fs.Path(s"$path/stats/_SUCCESS")
-    if (!done.getFileSystem(s.sparkContext.hadoopConfiguration).exists(done))
-      writeBm25Index(Tables.documents(s, d), "doc_id", "text", path)
-    bm25FromIndex(s, path, Seq("query", "join", "data"), 20)
+    // round 10: build-once gate via the VersionedStore manifest CAS
+    // (stats/_SUCCESS was the old last-step marker; the manifest is
+    // equivalent-but-concurrent-safe — it lands only after the whole
+    // index build returns, and racing builders cannot tear the store)
+    val dir = graft.sources.VersionedStore.resolveOrBuild(
+      s, Scratch.dir(s, d, "bm25idx"))(
+      p => writeBm25Index(Tables.documents(s, d), "doc_id", "text", p))
+    bm25FromIndex(s, dir, Seq("query", "join", "data"), 20)
   }
 
   /** q146: top-20 documents for the query {query, join, data}. */

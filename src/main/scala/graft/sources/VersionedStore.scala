@@ -4,34 +4,60 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.nio.charset.StandardCharsets
 
-/** VERSIONED PARQUET STORE with snapshot isolation and time travel —
-  * the manifest pattern the public lakehouse formats (Iceberg, Delta)
-  * are built on, reduced to its load-bearing core:
+/** VERSIONED PARQUET STORE with snapshot isolation, time travel and
+  * OPTIMISTIC multi-writer commits — the manifest pattern the public
+  * lakehouse formats (Iceberg, Delta) are built on, reduced to its
+  * load-bearing core:
   *
-  *   data/v<N>/part-*.parquet   immutable — a commit only ever ADDS a
-  *                              directory, never rewrites or deletes
-  *   manifest-v<N>.txt          the snapshot: `op append|overwrite` on
-  *                              line 1, then one data-file path per
-  *                              line (relative to the store root)
-  *   _latest                    pointer file holding N, written LAST —
-  *                              the commit point
+  *   data/tx-<token>/part-*.parquet  immutable — a commit only ever
+  *                                   ADDS a uniquely-named staging
+  *                                   directory, never rewrites one
+  *   manifest-v<N>.txt               the snapshot: `op append|overwrite|
+  *                                   store` on line 1, then one path per
+  *                                   line (relative to the store root).
+  *                                   CREATED BY ATOMIC RENAME — claiming
+  *                                   this name IS the commit point
+  *   _latest                         pointer file holding N — an
+  *                                   OPTIMIZATION HINT, not truth:
+  *                                   readers probe forward past it (see
+  *                                   latestVersion), so a stale pointer
+  *                                   self-heals and can never tear
   *
-  * Why this gives snapshot isolation: a reader resolves `_latest` (or
-  * an explicit version) to ONE manifest and reads exactly the files it
-  * lists. A writer crashing after the data write but before `_latest`
-  * leaves an orphan directory no manifest references — invisible
-  * garbage, not a torn snapshot. An overwrite commit lists only its own
-  * files; an append commit lists the parent snapshot's files plus its
-  * own, so old snapshots remain readable forever (time travel) until a
-  * retention job prunes unreferenced directories.
+  * Why this gives snapshot isolation: a reader resolves the latest (or
+  * an explicit) version to ONE manifest and reads exactly the files it
+  * lists. A writer crashing after the data write but before its
+  * manifest rename leaves an orphan tx- directory no manifest
+  * references — invisible garbage, not a torn snapshot. An overwrite
+  * commit lists only its own files; an append commit lists the parent
+  * snapshot's files plus its own, so old snapshots remain readable
+  * forever (time travel) until a retention job prunes unreferenced
+  * directories.
   *
-  * Contract: ONE writer at a time (the nightly-job discipline shared
-  * with the KMV/IVF stores); readers are unlimited and never block.
+  * CONCURRENT WRITERS are safe (round 10; previously a documented
+  * single-writer contract): each writer stages data under its own
+  * unique tx- directory, fully writes its manifest to a temp name, and
+  * then claims version N by CAS-publishing the temp onto
+  * `manifest-vN.txt`: link(2) on local filesystems (hardlink creation
+  * fails with EEXIST atomically — Hadoop's local rename would silently
+  * overwrite), exists+rename on HDFS-class stores (whose renames fail
+  * server-side when the destination exists). Exactly one writer wins a
+  * version; the loser deletes its temp manifest, re-reads the NEW
+  * parent snapshot (recomputing an append's base file list), and
+  * retries LOUDLY at N+1. Because the manifest appears only with its
+  * complete content, a reader can never observe a torn manifest.
+  *
+  * The `_latest` pointer is advanced only forward (never past-to-stale
+  * regression: an advance checks the current value first, and readers
+  * probe forward regardless), so interleaved pointer writes from two
+  * winners cannot roll visibility back.
   *
   * Scale (100 TB): the manifest carries file PATHS, not data — O(files)
   * text. Readers plan a scan over exactly the listed files (no
   * directory listing of the whole store), so query cost tracks the
-  * snapshot's size, not the store's full history. */
+  * snapshot's size, not the store's full history. The probe-forward in
+  * latestVersion costs O(pointer staleness) existence checks — 1 in
+  * steady state.
+  */
 object VersionedStore {
 
   private def fsFor(s: SparkSession, root: String): FileSystem =
@@ -53,57 +79,163 @@ object VersionedStore {
     try o.write(text.getBytes(StandardCharsets.UTF_8)) finally o.close()
   }
 
-  /** Latest committed version; 0 if the store is empty/uninitialized. */
+  private def manifestPath(root: String, v: Int): Path =
+    new Path(root, s"manifest-v$v.txt")
+
+  private def newToken(): String =
+    java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+
+  /** Pointer read tolerant of every concurrent-writer artifact: a
+    * mid-replace torn read, a checksum mismatch, a missing file — all
+    * degrade to 0 and the probe-forward recovers the true version.
+    * Never throws on a malformed hint. */
+  private def readPointer(fs: FileSystem, root: String): Int = {
+    val p = new Path(root, "_latest")
+    try { if (fs.exists(p)) readText(fs, p).trim.toInt else 0 }
+    catch { case _: Exception => 0 }
+  }
+
+  /** Latest committed version; 0 if the store is empty/uninitialized.
+    * The `_latest` pointer is a hint: probe forward past it so a
+    * winner that crashed (or lost an interleaving) before advancing
+    * the pointer is still visible — manifests, which appear atomically
+    * by CAS, are the source of truth. */
   def latestVersion(s: SparkSession, root: String): Int = {
     val fs = fsFor(s, root)
-    val p = new Path(root, "_latest")
-    if (fs.exists(p)) readText(fs, p).trim.toInt else 0
+    var v = readPointer(fs, root)
+    while (fs.exists(manifestPath(root, v + 1))) v += 1
+    v
   }
 
   private def manifest(s: SparkSession, root: String,
                        v: Int): (String, Seq[String]) = {
     val fs = fsFor(s, root)
-    val p = new Path(root, s"manifest-v$v.txt")
+    val p = manifestPath(root, v)
     require(fs.exists(p), s"store $root has no committed version $v")
     val lines = readText(fs, p).split("\n").filter(_.nonEmpty).toSeq
     val op = lines.head.stripPrefix("op ")
     (op, lines.tail)
   }
 
+  /** Advance the pointer, forward only — two winners racing their
+    * pointer writes must never regress visibility (readers probe past
+    * a stale pointer anyway; this just keeps the hint fresh). Local
+    * filesystems write through a writer-unique temp + atomic replace
+    * so a concurrent reader never observes a truncated in-place
+    * rewrite (and no Hadoop .crc sidecar is created that a replace
+    * would orphan into checksum-mismatch noise). */
+  private def advancePointer(fs: FileSystem, root: String, v: Int): Unit = {
+    if (readPointer(fs, root) < v) {
+      val p = new Path(root, "_latest")
+      val scheme = fs.getUri.getScheme
+      if (scheme == null || scheme == "file") {
+        import java.nio.file.{Files, Paths, StandardCopyOption}
+        val tmp = Paths.get(new Path(root, s"_latest.tmp-v$v").toUri.getPath)
+        Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
+        Files.move(tmp, Paths.get(p.toUri.getPath),
+          StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+      } else writeText(fs, p, v.toString)
+    }
+  }
+
+  /** Publish a fully-written temp file at `dst` if and only if no file
+    * exists there yet — the compare-and-swap every commit rides on.
+    * Local filesystems get a TRULY atomic primitive: link(2) fails with
+    * EEXIST atomically (Hadoop's local rename would silently OVERWRITE
+    * an existing destination — two same-millisecond claimants would
+    * both "win"). Remote stores use exists+rename: HDFS-class renames
+    * fail server-side when the destination exists, which is already a
+    * CAS there. Either way the destination only ever appears with its
+    * complete content. The temp file is consumed (linked-then-deleted
+    * or renamed) on success and deleted on loss. */
+  private def casPublish(fs: FileSystem, tmp: Path, dst: Path): Boolean = {
+    val scheme = fs.getUri.getScheme
+    if (scheme == null || scheme == "file") {
+      import java.nio.file.{Files, Paths, FileAlreadyExistsException}
+      val (t, d) = (Paths.get(tmp.toUri.getPath), Paths.get(dst.toUri.getPath))
+      val won =
+        try { Files.createLink(d, t); true }
+        catch { case _: FileAlreadyExistsException => false }
+      // delete through the Hadoop fs so the .crc sidecar the temp's
+      // writeText created goes with it (the published manifest name has
+      // no sidecar, which ChecksumFileSystem reads happily)
+      fs.delete(tmp, false)
+      won
+    } else {
+      val won = !fs.exists(dst) && fs.rename(tmp, dst)
+      if (!won) fs.delete(tmp, false)
+      won
+    }
+  }
+
+  /** The optimistic claim loop shared by every commit flavor: write
+    * the full manifest body for the candidate version to a temp name,
+    * then CAS it onto the version's manifest name. `body` is
+    * re-evaluated per attempt because an append's base file list
+    * depends on which parent snapshot it chains from. */
+  private def claimNextVersion(s: SparkSession, root: String, token: String,
+                               body: Int => String,
+                               maxAttempts: Int = 64): Int = {
+    val fs = fsFor(s, root)
+    var attempt = 0
+    var won = -1
+    while (won < 0) {
+      val v = latestVersion(s, root) + 1
+      val tmp = new Path(root, s"_tmp-manifest-$token")
+      writeText(fs, tmp, body(v))
+      if (casPublish(fs, tmp, manifestPath(root, v))) {
+        advancePointer(fs, root, v)
+        won = v
+      } else {
+        attempt += 1
+        require(attempt < maxAttempts,
+          s"store $root: gave up after $maxAttempts commit conflicts")
+        // loud, as the contract demands: conflicts are expected under
+        // concurrency but a tight retry storm is an operational smell
+        System.err.println(
+          s"[versioned-store] $root: lost the commit race for v$v " +
+            s"(attempt $attempt); rebasing and retrying")
+      }
+    }
+    won
+  }
+
   /** Commit `df` as the next snapshot. `overwrite = false` appends to
-    * the parent snapshot's file set; `true` replaces it. Returns the
-    * new version number. */
+    * the parent snapshot's file set; `true` replaces it. Safe under
+    * concurrent committers (optimistic rename-CAS; see object doc).
+    * Returns the version this writer won. */
   def commit(df: DataFrame, root: String, overwrite: Boolean): Int = {
     val s = df.sparkSession
     val fs = fsFor(s, root)
-    val v = latestVersion(s, root) + 1
-    val dataDir = s"data/v$v"
-    // mode("error"): the data directory for a version is write-once;
-    // colliding with an orphan from a crashed attempt at the SAME
-    // version should fail loudly rather than mix files
+    val token = newToken()
+    val dataDir = s"data/tx-$token"
+    // the staging directory is writer-unique, so concurrent commits
+    // can never interleave part files; mode("error") still guards
+    // against the astronomically unlikely token collision
     df.write.mode("error").parquet(s"$root/$dataDir")
     val newFiles = fs.listStatus(new Path(root, dataDir))
       .filter(_.getPath.getName.startsWith("part-"))
       .map(st => s"$dataDir/${st.getPath.getName}")
       .sorted.toSeq
-    val base =
-      if (overwrite || v == 1) Seq.empty
-      else manifest(s, root, v - 1)._2
     val op = if (overwrite) "overwrite" else "append"
-    writeText(fs, new Path(root, s"manifest-v$v.txt"),
-      (s"op $op" +: (base ++ newFiles)).mkString("\n"))
-    // the commit point: readers see v only after this write
-    writeText(fs, new Path(root, "_latest"), v.toString)
-    v
+    claimNextVersion(s, root, token, { v =>
+      val base =
+        if (overwrite || v == 1) Seq.empty
+        else manifest(s, root, v - 1)._2
+      (s"op $op" +: (base ++ newFiles)).mkString("\n")
+    })
   }
 
   /** Read a snapshot: the given version, or the latest when < 0. Plans
-    * a scan over exactly the manifest's files. */
+    * a scan over exactly the manifest's files. (Row snapshots only —
+    * directory-granularity `store` versions resolve via resolveDir.) */
   def read(s: SparkSession, root: String, version: Int = -1): DataFrame = {
     val v = if (version < 0) latestVersion(s, root) else version
-    val files = manifest(s, root, v)._2.map(f => s"$root/$f")
+    val (op, files) = manifest(s, root, v)
+    require(op != "store",
+      s"version $v of $root is a directory store; use resolveDir")
     require(files.nonEmpty, s"version $v of $root lists no files")
-    s.read.parquet(files: _*)
+    s.read.parquet(files.map(f => s"$root/$f"): _*)
   }
 
   /** History: (version, op, n_files) for every committed snapshot. */
@@ -111,5 +243,74 @@ object VersionedStore {
     (1 to latestVersion(s, root)).map { v =>
       val (op, files) = manifest(s, root, v)
       (v, op, files.length)
+    }
+
+  // ---- directory-granularity stores (IVF/PQ, BM25, KMV, semantic) ----
+
+  /** Resolve the current published build directory of a
+    * directory-granularity store, or None if nothing is published. */
+  def resolveDir(s: SparkSession, root: String,
+                 version: Int = -1): Option[String] = {
+    val v = if (version < 0) latestVersion(s, root) else version
+    if (v == 0) None
+    else {
+      val (op, entries) = manifest(s, root, v)
+      require(op == "store" && entries.length == 1,
+        s"version $v of $root is not a directory store")
+      Some(s"$root/${entries.head}")
+    }
+  }
+
+  /** Publish a NEW version of a directory-granularity store: `build`
+    * materializes an arbitrary multi-file layout (partitioned postings,
+    * IVF cells, sketch partitions ...) into a writer-unique staging
+    * directory, and only then does the manifest rename-CAS flip the
+    * store to it. Concurrent publishers each win a distinct version —
+    * the claim loop rebases losers loudly. Returns the version won. */
+  def publishDir(s: SparkSession, root: String)(build: String => Unit): Int = {
+    val token = newToken()
+    val rel = s"data/tx-$token"
+    fsFor(s, root).mkdirs(new Path(root))
+    build(s"$root/$rel")
+    claimNextVersion(s, root, token, _ => s"op store\n$rel")
+  }
+
+  /** Build-once resolution for the standing-store facades: return the
+    * current published build, or build+publish one if absent. If a
+    * concurrent writer publishes a complete build first (detected
+    * post-build or by losing the v1 claim), THIS writer's staging is
+    * deleted and the winner's build is returned — the store flips to
+    * exactly one complete build, never a torn mix. This subsumes the
+    * per-store sentinel files (`_GRAFT_APPEND_DONE` etc.): the
+    * manifest, which appears atomically by rename only after `build`
+    * ran to completion, IS the completion marker, multi-step builds
+    * included. */
+  def resolveOrBuild(s: SparkSession, root: String)
+                    (build: String => Unit): String =
+    resolveDir(s, root).getOrElse {
+      val fs = fsFor(s, root)
+      fs.mkdirs(new Path(root))
+      // pin the claim to the PRE-build next version: every racing
+      // build-once writer targets the same manifest name, so exactly
+      // one build publishes and the rest converge on it — computing
+      // the version after the build would let a slow builder publish
+      // a redundant SECOND version instead of adopting the winner's
+      val v = latestVersion(s, root) + 1
+      val token = newToken()
+      val rel = s"data/tx-$token"
+      build(s"$root/$rel")
+      val tmp = new Path(root, s"_tmp-manifest-$token")
+      writeText(fs, tmp, s"op store\n$rel")
+      if (casPublish(fs, tmp, manifestPath(root, v))) advancePointer(fs, root, v)
+      else {
+        // a concurrent builder published first: ours is redundant, not
+        // newer — discard the staging and read the winner's build
+        fs.delete(new Path(root, rel), true)
+        System.err.println(
+          s"[versioned-store] $root: concurrent build published first; " +
+            "discarding this staging and using the published version")
+      }
+      resolveDir(s, root).getOrElse(
+        sys.error(s"store $root has no resolvable version after publish"))
     }
 }

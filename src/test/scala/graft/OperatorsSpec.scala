@@ -1384,21 +1384,25 @@ class OperatorsSpec extends SparkSpec {
     assert(compacted === uncompacted)
     assert(compacted.nonEmpty)
     // the compacted tree holds exactly one data file per cell directory
-    // (filesPerCell = 1 default), where the appended tree holds >= 2
-    val scratch = new java.io.File(System.getProperty("java.io.tmpdir"))
+    // (filesPerCell = 1 default), where the appended tree holds >= 2.
+    // The layout lives under the VersionedStore-published build dir
+    // (round 10), so resolve through the manifest first.
+    val scratchRoot = new java.io.File(System.getProperty("java.io.tmpdir"))
       .listFiles().filter(f => f.getName.startsWith(
         s"graft_ivfcomp_${spark.sparkContext.applicationId}"))
-    assert(scratch.nonEmpty, "compacted index scratch dir not found")
+    assert(scratchRoot.nonEmpty, "compacted index scratch dir not found")
+    val store = new java.io.File(graft.sources.VersionedStore
+      .resolveDir(spark, scratchRoot.head.getAbsolutePath).get)
     // the live tree is resolved through the CELLS pointer (manifest
     // pattern); compaction must have flipped it off the original dir
-    val pointer = new java.io.File(scratch.head, "CELLS")
+    val pointer = new java.io.File(store, "CELLS")
     assert(pointer.exists, "compaction left no CELLS pointer")
     val live = {
       val src = scala.io.Source.fromFile(pointer, "UTF-8")
       try src.mkString.trim finally src.close()
     }
     assert(live.startsWith("cells_v"), s"pointer names $live")
-    val cellDirs = new java.io.File(scratch.head, live).listFiles()
+    val cellDirs = new java.io.File(store, live).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("cell="))
     assert(cellDirs.nonEmpty)
     cellDirs.foreach { d =>
@@ -1407,7 +1411,7 @@ class OperatorsSpec extends SparkSpec {
     }
     // the PREVIOUS generation survives as the grace window — at no
     // point in the swap did the index lack a readable cells tree
-    assert(new java.io.File(scratch.head, "cells").exists,
+    assert(new java.io.File(store, "cells").exists,
       "previous generation was deleted in the same compaction that " +
         "replaced it — probes racing the flip would crash")
   }
@@ -1417,11 +1421,13 @@ class OperatorsSpec extends SparkSpec {
     // generation but BEFORE the pointer flip: the garbage dir must not
     // affect probes, and the next compaction must collect it
     Similarity.q170(spark, sf)
-    val scratch = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"))
       .listFiles().filter(f => f.getName.startsWith(
         s"graft_ivfcomp_${spark.sparkContext.applicationId}")).head
+    val store = new java.io.File(graft.sources.VersionedStore
+      .resolveDir(spark, root.getAbsolutePath).get)
     val before = Similarity.q170(spark, sf).collect().map(_.toSeq).toSet
-    val garbage = new java.io.File(scratch, "cells_v99")
+    val garbage = new java.io.File(store, "cells_v99")
     garbage.mkdirs()
     java.nio.file.Files.write(new java.io.File(garbage, "part-junk").toPath,
       Array[Byte](1, 2, 3))
@@ -1438,13 +1444,17 @@ class OperatorsSpec extends SparkSpec {
     // scratch would silently desynchronize q170 from q168 for any
     // later comparison in this JVM.
     Similarity.q170(spark, sf) // ensure built + compacted
-    val src = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val srcRoot = new java.io.File(System.getProperty("java.io.tmpdir"))
       .listFiles().filter(_.getName.startsWith(
         s"graft_ivfcomp_${spark.sparkContext.applicationId}"))
-    assert(src.nonEmpty, "q170 index scratch dir not found")
+    assert(srcRoot.nonEmpty, "q170 index scratch dir not found")
+    // copy the RESOLVED build dir — the index layout the append/compact
+    // maintenance ops operate on — not the versioned root around it
+    val src = new java.io.File(graft.sources.VersionedStore
+      .resolveDir(spark, srcRoot.head.getAbsolutePath).get)
     val path = java.nio.file.Files.createTempDirectory("graft_appendlab_").toFile
     try {
-      org.apache.commons.io.FileUtils.copyDirectory(src.head, path)
+      org.apache.commons.io.FileUtils.copyDirectory(src, path)
       val extra = Tables.embeddings(spark, sf)
         .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
         .limit(7)

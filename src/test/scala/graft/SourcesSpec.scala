@@ -350,26 +350,109 @@ class SourcesSpec extends SparkSpec {
     import graft.sources.VersionedStore
     val root = tmp("versioned-orphan")
     VersionedStore.commit(Seq((1L, "a")).toDF("id", "v"), root, overwrite = true)
-    // simulate a crash AFTER the data write but BEFORE the manifest:
-    // an orphan data directory no manifest references
+    // simulate a crash AFTER the data write but BEFORE the manifest
+    // claim: an orphan staging directory no manifest references
     Seq((99L, "orphan")).toDF("id", "v")
-      .write.parquet(s"$root/data/v2")
+      .write.parquet(s"$root/data/tx-deadcrash00")
     assert(VersionedStore.latestVersion(spark, root) == 1)
     assert(VersionedStore.read(spark, root).collect().map(_.getLong(0)).toSeq
       == Seq(1L), "orphan files are not part of any snapshot")
-    // retrying the version whose data dir the orphan occupies fails
-    // LOUDLY (mode("error")) instead of mixing files into the snapshot
-    intercept[Exception] {
-      VersionedStore.commit(Seq((2L, "b")).toDF("id", "v"), root,
-        overwrite = false)
-    }
-    // recovery discipline: prune the unreferenced directory, recommit
-    val fsPath = new org.apache.hadoop.fs.Path(s"$root/data/v2")
-    fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(fsPath, true)
+    // staging directories are writer-unique, so the orphan never
+    // collides with a later commit — no manual pruning step required
+    // before the store makes progress again (round 10; previously the
+    // version-numbered data dir had to be swept first)
     assert(VersionedStore.commit(Seq((2L, "b")).toDF("id", "v"), root,
       overwrite = false) == 2)
     assert(VersionedStore.read(spark, root).collect().map(_.getLong(0))
-      .sorted.toSeq == Seq(1L, 2L))
+      .sorted.toSeq == Seq(1L, 2L), "orphan still excluded after recommit")
+  }
+
+  test("versioned store: concurrent committers each win a distinct version") {
+    import SparkTestSession.spark.implicits._
+    import graft.sources.VersionedStore
+    import java.util.concurrent.{Callable, CyclicBarrier, Executors, TimeUnit}
+    val root = tmp("versioned-race")
+    val n = 4
+    // DataFrames built on the test thread; the barrier releases all
+    // writers into commit() together so their claims genuinely overlap
+    val dfs = (1 to n).map(i => Seq((i.toLong, s"w$i")).toDF("id", "v"))
+    val barrier = new CyclicBarrier(n)
+    val pool = Executors.newFixedThreadPool(n)
+    try {
+      val futures = dfs.map { df =>
+        pool.submit(new Callable[Int] {
+          def call(): Int = {
+            barrier.await(60, TimeUnit.SECONDS)
+            VersionedStore.commit(df, root, overwrite = false)
+          }
+        })
+      }
+      val won = futures.map(_.get(300, TimeUnit.SECONDS)).sorted
+      assert(won == (1 to n), s"writers must win distinct versions 1..$n, got $won")
+    } finally pool.shutdown()
+    // every append rebased onto the winner before it: version k holds
+    // exactly k rows, and the final snapshot composes all four writers
+    val sizes = (1 to n).map(v => VersionedStore.read(spark, root, v).count())
+    assert(sizes == (1 to n).map(_.toLong), s"snapshot sizes $sizes")
+    assert(VersionedStore.read(spark, root).collect().map(_.getLong(0))
+      .sorted.toSeq == (1 to n).map(_.toLong),
+      "no committed row lost under contention")
+  }
+
+  test("versioned store: racing build-once publishers converge on one build") {
+    import SparkTestSession.spark.implicits._
+    import graft.sources.VersionedStore
+    import java.util.concurrent.{Callable, CyclicBarrier, Executors, TimeUnit}
+    val root = tmp("versioned-obuild")
+    val barrier = new CyclicBarrier(2)
+    val pool = Executors.newFixedThreadPool(2)
+    try {
+      val futures = (1 to 2).map { i =>
+        val df = Seq((i.toLong, s"builder$i")).toDF("id", "v")
+        pool.submit(new Callable[String] {
+          def call(): String =
+            VersionedStore.resolveOrBuild(spark, root) { p =>
+              // both builders pass the absent-check and build in full —
+              // the barrier guarantees the overlap a sentinel-file gate
+              // would have torn on
+              barrier.await(60, TimeUnit.SECONDS)
+              df.write.parquet(s"$p/payload")
+            }
+        })
+      }
+      val dirs = futures.map(_.get(300, TimeUnit.SECONDS))
+      assert(dirs.distinct.size == 1,
+        s"both publishers must resolve the SAME build, got $dirs")
+      assert(VersionedStore.latestVersion(spark, root) == 1,
+        "build-once publishes exactly one version")
+      assert(VersionedStore.resolveDir(spark, root).contains(dirs.head))
+      // whichever build won is complete and readable; the loser's
+      // staging was discarded
+      assert(spark.read.parquet(s"${dirs.head}/payload").count() == 1)
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val txDirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/data"))
+        .map(_.getPath.getName).filter(_.startsWith("tx-"))
+      assert(txDirs.length == 1, s"loser staging must be discarded: $txDirs")
+    } finally pool.shutdown()
+  }
+
+  test("versioned store: a stale _latest pointer self-heals by probing") {
+    import SparkTestSession.spark.implicits._
+    import graft.sources.VersionedStore
+    val root = tmp("versioned-stale")
+    VersionedStore.commit(Seq((1L, "a")).toDF("id", "v"), root, overwrite = true)
+    VersionedStore.commit(Seq((2L, "b")).toDF("id", "v"), root, overwrite = false)
+    // regress the pointer as an interleaved slow writer would have
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val o = fs.create(new org.apache.hadoop.fs.Path(root, "_latest"), true)
+    o.write("1".getBytes("UTF-8")); o.close()
+    assert(VersionedStore.latestVersion(spark, root) == 2,
+      "manifests, not the pointer, are the source of truth")
+    assert(VersionedStore.read(spark, root).count() == 2)
+    // the next commit claims v3, not a collision at v2
+    assert(VersionedStore.commit(Seq((3L, "c")).toDF("id", "v"), root,
+      overwrite = false) == 3)
   }
 }
