@@ -2830,7 +2830,8 @@ object SparkEntry {
 
     // Seeded Laplace: u = low-53-bits(md5('dp-epoch-1:'||grp))/2⁵³
     // (power-of-two modulus — signed and unsigned reads agree),
-    // x = -sign(u-½)·ln(1-2|u-½|)/ε with the shared floor(x+½) rounding.
+    // x = -sign(½-u)·ln(1-2|u-½|)/ε (positive noise on the low uniform
+    // half, matching dpCountRelease) with the shared floor(x+½) rounding.
     "q206_dp_counts" ->
       """WITH c AS (SELECT lang AS grp, count(*) AS n_true FROM documents GROUP BY 1),
          u AS (SELECT grp, n_true,

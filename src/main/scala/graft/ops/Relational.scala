@@ -1258,11 +1258,10 @@ object Relational {
       .select(col("bin"), col("n_ref"), col("n_cur"),
         floor((p - q) * log(p / q) * lit(1000000d) + lit(0.5d)).cast("long")
           .as("psi_term_u"))
-    rows.unionAll(rows.agg(sum(col("n_ref")), sum(col("n_cur")),
-        sum(col("psi_term_u")))
-      .select(lit(-1L).as("bin"), col("sum(n_ref)").as("n_ref"),
-        col("sum(n_cur)").as("n_cur"),
-        col("sum(psi_term_u)").as("psi_term_u")))
+    rows.unionAll(rows.agg(sum(col("n_ref")).as("n_ref"),
+        sum(col("n_cur")).as("n_cur"), sum(col("psi_term_u")).as("psi_term_u"))
+      .select(lit(-1L).as("bin"), col("n_ref"), col("n_cur"),
+        col("psi_term_u")))
   }
 
   /** q200: PSI of the events value distribution, odd vs even event ids,
@@ -1396,7 +1395,10 @@ object Relational {
     * noise (Δ = 1 for a count). The uniform comes from the low 53 bits
     * of md5(seed‖group) (a power-of-two modulus, so signed/unsigned
     * reads agree bit-for-bit in any engine), inverse-CDF'd through
-    * x = −(1/ε)·sign(u−½)·ln(1−2|u−½|). Determinism is what makes the
+    * x = −(1/ε)·sign(½−u)·ln(1−2|u−½|) — positive noise on the low
+    * half of the uniform, negative on the high half; either sign
+    * orientation is a valid symmetric Laplace inverse-CDF, this is the
+    * one the code (and the oracle) implement. Determinism is what makes the
     * release AUDITABLE (and re-runnable without burning privacy budget
     * twice); a production release would rotate the seed per epoch,
     * drop the true column, and snap the noise (Mironov) — noted, not
@@ -1512,7 +1514,14 @@ object Relational {
         graft.functions.F.idiv(sum(yCents.cast("decimal(38,0)")),
           count(lit(1)).cast("decimal(38,0)")).cast("long").as("mean_cents"))
     // var·B² = B·Σm² − (Σm)² exactly; std_milli = isqrt of the scaled
-    // integer (floor), so the interval is engine-exact too
+    // integer (floor), so the interval is engine-exact too. This is the
+    // POPULATION variance of the replicate means (divide by B², not
+    // B·(B−1)) — a deliberate convention, mirrored in the oracle: the
+    // B replicates are the full population of draws made, and the
+    // exact-integer identity above needs no Bessel correction to stay
+    // engine-reproducible. It reads ~1/(2B) low (≈1.6% at B=32) vs the
+    // B−1 textbook bootstrap std; consumers comparing against other
+    // tooling should scale by √(B/(B−1)).
     truth.join(stats, "grp")
       .select(col("grp"), col("n"), col("mean_cents"), col("b_eff"),
         // std_milli = floor(√(var)·10³) with var = (B·Σm²−(Σm)²)/B²
@@ -1700,7 +1709,12 @@ object Relational {
       col("n"), col("total"))
     rows.select(col("holder"), col("rank"), col("x"), col("cum_mass_bp"),
         col("gini_num_term"))
-      .unionAll(rows.agg(sum(col("gini_num_term")).as("gn"),
+      // the numerator SUM runs in decimal(38,0): per-term (2i−n−1)·x
+      // fits a long up to ~1e9 holders × ~1e9 mass, but the sum over
+      // holders wraps silently well before that — same overflow
+      // discipline as trendRegression/bootstrapMeanCi (oracle sums in
+      // HUGEINT, so agreement is unchanged)
+      .unionAll(rows.agg(sum(dec(col("gini_num_term"))).as("gn"),
           max(col("n")).as("n"), max(col("total")).as("t"))
         .select(lit("ALL").as("holder"), lit(0L).as("rank"),
           col("t").as("x"), lit(10000L).as("cum_mass_bp"),
