@@ -463,6 +463,47 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q89 verify joins never exchange the array side past the broadcast flip") {
+    // The SCALECHECK sf1 deployment note, now code: the shingle-array
+    // table is hash-partitioned by doc_id at cache build (the in-memory
+    // face of disk bucketing), so when the corpus outgrows the
+    // broadcast threshold and verification goes sort-merge, BOTH
+    // verify joins read the cache in place — the array side of each
+    // SMJ must contain zero shuffle exchanges. Only the candidate rows
+    // and the surviving intermediate ever move.
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val conf = spark.conf
+    val prevB = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = conf.get("spark.sql.adaptive.enabled")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = Dedup.q89(spark, sf).queryExecution.executedPlan
+      val verify = plan.collect { case j: SortMergeJoinExec
+        if j.leftKeys.length == 1 && Seq("doc_a", "doc_b").exists(n =>
+          j.leftKeys.head.toString.contains(n)) => j }
+      assert(verify.size == 2, s"expected 2 verify SMJs, got ${verify.size}:\n$plan")
+      verify.foreach { j =>
+        // the array side is the join input that is a bare cache read
+        // (no nested join); the other side carries candidates
+        val arraySide = Seq(j.left, j.right).find(s =>
+          s.collect { case x: SortMergeJoinExec => x }.isEmpty)
+        assert(arraySide.isDefined, s"no pure array side under:\n$j")
+        assert(arraySide.get.collectFirst {
+          case s: InMemoryTableScanExec => s }.isDefined,
+          s"array side does not read the cache:\n${arraySide.get}")
+        assert(arraySide.get.collect {
+          case e: ShuffleExchangeExec => e }.isEmpty,
+          s"array side re-exchanges — bucketing broken:\n${arraySide.get}")
+      }
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      conf.set("spark.sql.adaptive.enabled", prevA)
+    }
+  }
+
   test("AQE splits a skewed shuffle-join partition (skew=true in final plan)") {
     val conf = spark.conf
     val saved = Seq(
