@@ -49,7 +49,11 @@ object Sources {
   // the reader splits containers at sync markers — both sides scale
   // exactly like the other file sources. Types cover the interchange
   // subset (boolean/int/long/float/double/string/binary, nullable as
-  // [null, T] unions); richer nested types should ride parquet/ORC.
+  // [null, T] unions) PLUS the schema-registry logical types every
+  // real Avro estate carries (round 10): decimal (bytes + precision/
+  // scale, big-endian two's-complement unscaled value per the Avro
+  // spec), timestamp-micros (long), and date (int epoch days). Richer
+  // nested types should ride parquet/ORC.
 
   /** Catalyst StructType → Avro record schema (JSON). */
   def avroSchemaJson(schema: StructType, name: String = "GraftRecord"): String = {
@@ -63,6 +67,13 @@ object Sources {
         case DoubleType  => "\"double\""
         case StringType  => "\"string\""
         case BinaryType  => "\"bytes\""
+        case d: DecimalType =>
+          s"""{"type": "bytes", "logicalType": "decimal", """ +
+            s""""precision": ${d.precision}, "scale": ${d.scale}}"""
+        case TimestampType =>
+          """{"type": "long", "logicalType": "timestamp-micros"}"""
+        case DateType =>
+          """{"type": "int", "logicalType": "date"}"""
         case other => throw new IllegalArgumentException(
           s"avro interchange supports primitive columns, not $other " +
             s"(column ${f.name}); cast or use parquet/ORC")
@@ -71,6 +82,71 @@ object Sources {
       s"""{"name": "${f.name}", "type": $typ}"""
     }
     s"""{"type": "record", "name": "$name", "fields": [${fields.mkString(", ")}]}"""
+  }
+
+  /** Catalyst value → Avro encoding for one column (identity for the
+    * primitive subset; logical types get the spec-mandated physical
+    * encodings). Both java.sql and java.time externals are accepted —
+    * the session's datetimeJava8API flag decides which Spark hands
+    * over. */
+  private def avroEncoder(dt: org.apache.spark.sql.types.DataType): Any => Any = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case d: DecimalType => {
+        case bd: java.math.BigDecimal =>
+          // setScale is exact here: Catalyst already conformed the
+          // value to (precision, scale), so no rounding can occur
+          java.nio.ByteBuffer.wrap(
+            bd.setScale(d.scale).unscaledValue().toByteArray)
+        case v => throw new IllegalArgumentException(s"decimal column got $v")
+      }
+      case TimestampType => {
+        case ts: java.sql.Timestamp =>
+          val i = ts.toInstant
+          i.getEpochSecond * 1000000L + i.getNano / 1000L
+        case i: java.time.Instant =>
+          i.getEpochSecond * 1000000L + i.getNano / 1000L
+        case v => throw new IllegalArgumentException(s"timestamp column got $v")
+      }
+      case DateType => {
+        case dte: java.sql.Date => dte.toLocalDate.toEpochDay.toInt
+        case ld: java.time.LocalDate => ld.toEpochDay.toInt
+        case v => throw new IllegalArgumentException(s"date column got $v")
+      }
+      case BinaryType => {
+        case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
+        case v => v
+      }
+      case _ => identity[Any]
+    }
+  }
+
+  /** Avro datum → Catalyst external value for one column (inverse of
+    * avroEncoder; java.sql externals, the createDataFrame default). */
+  private def avroDecoder(dt: org.apache.spark.sql.types.DataType): Any => Any = {
+    import org.apache.spark.sql.types._
+    def bytesOf(v: Any): Array[Byte] = {
+      val bb = v.asInstanceOf[java.nio.ByteBuffer]
+      val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a
+    }
+    dt match {
+      case d: DecimalType => v =>
+        new java.math.BigDecimal(new java.math.BigInteger(bytesOf(v)), d.scale)
+      case TimestampType => v => {
+        val us = v.asInstanceOf[Long]
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+          Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
+      }
+      case DateType => v =>
+        java.sql.Date.valueOf(
+          java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong))
+      case BinaryType => v => bytesOf(v)
+      case StringType => {
+        case u: org.apache.avro.util.Utf8 => u.toString
+        case v => v
+      }
+      case _ => identity[Any]
+    }
   }
 
   /** Distributed Avro write: one container file per partition. */
@@ -82,6 +158,7 @@ object Sources {
     import org.apache.hadoop.io.NullWritable
     val json = avroSchemaJson(df.schema)
     val n = df.schema.length
+    val encoders = df.schema.fields.map(f => avroEncoder(f.dataType))
     val sc = df.sparkSession.sparkContext
     val job = org.apache.hadoop.mapreduce.Job.getInstance(sc.hadoopConfiguration)
     AvroJob.setOutputKeySchema(job, new Schema.Parser().parse(json))
@@ -95,11 +172,7 @@ object Sources {
         val rec = new GenericData.Record(schema)
         var i = 0
         while (i < n) {
-          val v = (if (r.isNullAt(i)) null else r.get(i)) match {
-            case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
-            case x => x
-          }
-          rec.put(i, v)
+          rec.put(i, if (r.isNullAt(i)) null else encoders(i)(r.get(i)))
           i += 1
         }
         (new AvroKey[GenericRecord](rec), NullWritable.get())
@@ -120,6 +193,7 @@ object Sources {
     import org.apache.hadoop.io.NullWritable
     val json = avroSchemaJson(schema)
     val n = schema.length
+    val decoders = schema.fields.map(f => avroDecoder(f.dataType))
     val job = org.apache.hadoop.mapreduce.Job.getInstance(s.sparkContext.hadoopConfiguration)
     AvroJob.setInputKeySchema(job, new Schema.Parser().parse(json))
     val rows = s.sparkContext.newAPIHadoopFile(path,
@@ -128,15 +202,13 @@ object Sources {
         job.getConfiguration)
       .map { case (k, _) =>
         // The input format REUSES the record object — every field is
-        // copied out (Utf8 → String, ByteBuffer → fresh array) before
-        // the next record is read.
+        // copied out (Utf8 → String, ByteBuffer → fresh array, logical
+        // types rebuilt) before the next record is read.
         val rec = k.datum()
         Row.fromSeq((0 until n).map { i =>
           rec.get(i) match {
-            case u: org.apache.avro.util.Utf8 => u.toString
-            case bb: java.nio.ByteBuffer =>
-              val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a
-            case x => x
+            case null => null
+            case v => decoders(i)(v)
           }
         })
       }

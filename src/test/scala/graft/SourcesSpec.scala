@@ -56,6 +56,45 @@ class SourcesSpec extends SparkSpec {
     assert(files >= 2, s"expected one container per partition, got $files")
   }
 
+  test("Avro logical types round-trip: decimal, timestamp-micros, date") {
+    import graft.sources.Sources
+    import SparkTestSession.spark.implicits._
+    // decimal(38,0) exercises the HUGEINT-class unscaled values the
+    // overflow discipline sums in; decimal(10,2) the money shape;
+    // timestamps carry sub-millisecond micros (the precision
+    // timestamp-millis would destroy); negative epoch values cover the
+    // floorDiv/floorMod reconstruction
+    val src = Seq(
+      (1L, "99999999999999999999999999999999999999", "12345.67",
+        "2024-03-01 12:34:56.123456", "2024-03-01"),
+      (2L, "-99999999999999999999999999999999999999", "-0.01",
+        "1969-12-31 23:59:59.000001", "1969-12-31"),
+      (3L, "0", null, "2000-06-15 00:00:00.5", "2000-06-15"))
+      .toDF("id", "big", "money", "ts", "day")
+      .select(col("id"),
+        col("big").cast("decimal(38,0)").as("big"),
+        col("money").cast("decimal(10,2)").as("money"),
+        col("ts").cast("timestamp").as("ts"),
+        col("day").cast("date").as("day"))
+    val path = tmp("avro-logical")
+    Sources.writeAvro(src, path)
+    // the written schema carries the logical-type annotations any
+    // schema-registry consumer resolves against
+    val json = Sources.avroSchemaJson(src.schema)
+    assert(json.contains(""""logicalType": "decimal""""))
+    assert(json.contains(""""precision": 38"""))
+    assert(json.contains(""""logicalType": "timestamp-micros""""))
+    assert(json.contains(""""logicalType": "date""""))
+    val back = Sources.avro(spark, path, src.schema)
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+           src.schema.map(f => (f.name, f.dataType)))
+    assert(back.orderBy("id").collect().toSeq ==
+           src.orderBy("id").collect().toSeq,
+      "logical-type values must survive the container round-trip exactly")
+    assert(back.filter(col("money").isNull).count() == 1,
+      "nullable logical columns keep their nulls")
+  }
+
   test("parquet round-trip preserves a query result exactly") {
     val src = ops.Relational.q01(spark, sf)
     val path = tmp("parquet")
