@@ -1688,11 +1688,14 @@ object Relational {
     * Scale (100 TB): mass reduces to holder-cardinality rows first;
     * the rank window orders HOLDERS, not raw rows (holders ≫
     * executors for sources/brands is false — they're few — so this
-    * window is trivially small; for user-grain holders the window
-    * partitions are the concern and q129's approxQuantile shape
-    * applies). */
+    * window is trivially small; user/document-grain holder domains go
+    * to [[giniAuditLarge]], whose approxQuantile bucket grid replaces
+    * the total order — spec-pinned ≈-equal to this exact path). */
   def giniAudit(df: DataFrame, holder: String, mass: Column): DataFrame = {
-    val perHolder = df.groupBy(col(holder).as("holder"))
+    // holder keyed as STRING so the ALL sentinel row unions without
+    // coercing (a numeric holder column would otherwise make the union
+    // try to cast "ALL" to its type); no-op for string holders
+    val perHolder = df.groupBy(col(holder).cast("string").as("holder"))
       .agg(sum(mass).as("x"))
     val w = Window.orderBy(col("x").asc, col("holder").asc)
     val ranked = perHolder
@@ -1719,6 +1722,66 @@ object Relational {
         .select(lit("ALL").as("holder"), lit(0L).as("rank"),
           col("t").as("x"), lit(10000L).as("cum_mass_bp"),
           graft.functions.F.idiv(dec(lit(10000L)) * dec(col("gn")),
+            dec(col("n")) * dec(col("t"))).cast("long").as("gini_num_term")))
+  }
+
+  /** GINI AUDIT AT LARGE HOLDER GRAIN — the q129-path variant
+    * giniAudit's scaladoc routes user/document-grain domains to, now
+    * code (round 10): a GLOBAL rank window over billions of holders is
+    * a total order no cluster should pay, so the exact per-holder rank
+    * is replaced by a B-bucket approxQuantile grid (driver-side
+    * bounded-model read, the k-means-sample shape) broadcast into the
+    * codegen'd SearchSortedBucket assignment — one holder-grain
+    * aggregation, one map-side bucket assignment, one B-row bucket
+    * aggregation, and a bounded B-row window. The grouped estimator
+    * credits bucket j's mass m_j at its positional run:
+    * Σ_j m_j·(2·C_j − c_j − n) over buckets ascending (exact when
+    * bucket members tie — the equal-value run identity — and O(1/B)
+    * off otherwise; the spec pins ≤ 100 bp against exact giniAudit on
+    * the sf0.1 user grain). Output shape matches giniAudit row-for-row
+    * in spirit: per-BUCKET Lorenz rows plus the ALL row carrying the
+    * Gini in basis points.
+    *
+    * Scale (100 TB): the holder aggregation is the one corpus-sized
+    * shuffle (unavoidable — it defines the holders); everything after
+    * runs on B rows. Numerator terms are decimal(38,0) end-to-end
+    * (n·t exceeds a long at user grain by construction). */
+  def giniAuditLarge(df: DataFrame, holder: String, mass: Column,
+                     buckets: Int = 128): DataFrame = {
+    require(buckets >= 2, s"need at least 2 buckets, got $buckets")
+    val perHolder = df.groupBy(col(holder).as("holder"))
+      .agg(sum(mass).as("x")).select(col("x")).cache()
+    val cuts = perHolder.stat.approxQuantile("x",
+      (1 until buckets).map(_.toDouble / buckets).toArray, 0.001).toSeq
+    val byBucket = perHolder
+      .select(graft.functions.F.rankBucket(col("x").cast("double"), cuts)
+        .as("b"), col("x"))
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("c"), sum(col("x")).as("m"))
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val w = Window.orderBy(col("b").asc) // bounded: ≤ buckets rows
+    val cum = byBucket
+      .withColumn("cum_c", sum(col("c")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cum_m", sum(col("m")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy()))
+      .withColumn("t", sum(col("m")).over(Window.partitionBy()))
+      .withColumn("gn_term",
+        dec(col("m")) * dec(lit(2L) * col("cum_c") - col("c") - col("n")))
+    val rows = cum.select(
+      concat(lit("b"), col("b")).as("holder"),
+      (col("b") + 1L).as("rank"), col("m").as("x"),
+      graft.functions.F.idiv(lit(10000L) * col("cum_m"), col("t"))
+        .as("cum_mass_bp"),
+      col("gn_term"), col("n"), col("t"))
+    rows.select(col("holder"), col("rank"), col("x"), col("cum_mass_bp"),
+        col("gn_term").cast("long").as("gini_num_term"))
+      .unionAll(rows.agg(sum(col("gn_term")).as("gn"),
+          max(col("n")).as("n"), max(col("t")).as("t"))
+        .select(lit("ALL").as("holder"), lit(0L).as("rank"),
+          col("t").as("x"), lit(10000L).as("cum_mass_bp"),
+          graft.functions.F.idiv(dec(lit(10000L)) * col("gn"),
             dec(col("n")) * dec(col("t"))).cast("long").as("gini_num_term")))
   }
 

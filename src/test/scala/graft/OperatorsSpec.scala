@@ -2773,4 +2773,34 @@ class OperatorsSpec extends SparkSpec {
       .filter(_.getString(0) != "ALL").sortBy(_.getLong(1))
     assert(rows.map(_.getLong(3)).toSeq == Seq(2500L, 5000L, 7500L, 10000L))
   }
+
+  test("giniAuditLarge tracks exact gini on the sf0.1 user grain") {
+    // The large-domain variant (approxQuantile bucket grid, no total
+    // order over holders) must land within grouped-estimator error of
+    // the exact rank-window path on a real holder domain: per-user
+    // event counts at sf0.1 — the grain the giniAudit scaladoc routes
+    // here. Also: bucket Lorenz rows are monotone and close at 10000.
+    val ev = Tables.events(spark, "/root/testdata/sf0.1")
+    def allRow(df: org.apache.spark.sql.DataFrame) =
+      df.collect().find(_.getString(0) == "ALL").get
+    val exact = allRow(Relational.giniAudit(ev, "user_id", lit(1L)))
+      .getLong(4)
+    val approxDf = Relational.giniAuditLarge(ev, "user_id", lit(1L))
+    val approx = allRow(approxDf).getLong(4)
+    assert(math.abs(approx - exact) <= 100L,
+      s"bucketed gini $approx vs exact $exact (bp)")
+    val lorenz = approxDf.collect().filter(_.getString(0) != "ALL")
+      .sortBy(_.getLong(1)).map(_.getLong(3)).toSeq
+    assert(lorenz == lorenz.sorted, "Lorenz curve must be monotone")
+    assert(lorenz.last == 10000L, s"curve must close at 10000, got ${lorenz.last}")
+    // equal-value degenerate domain: every holder ties, the grouped
+    // identity is EXACT regardless of how ties split across buckets
+    import SparkTestSession.spark.implicits._
+    val ties = (1 to 500).map(i => (s"u$i", 7L)).toDF("src", "m")
+    val tieExact = allRow(Relational.giniAudit(ties, "src", col("m"))).getLong(4)
+    val tieApprox = allRow(Relational.giniAuditLarge(ties, "src", col("m")))
+      .getLong(4)
+    assert(tieExact == tieApprox && tieApprox == 0L,
+      s"tied masses: exact $tieExact approx $tieApprox")
+  }
 }
