@@ -53,6 +53,48 @@ class SmokeSpec extends SparkSpec {
     hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
   }
 
+  test("q182 BM25 store publishes the layout its readers prune on") {
+    // Store-layout canary (round 10): the persisted BM25 index must
+    // keep its published shape — postings/df directory-partitioned by
+    // the 64-way token-hash bucket (the prefix queries prune to),
+    // doclen, and the 1-row stats written last. If a refactor (or a
+    // driver-side scratch wipe mid-build) changes the layout, this
+    // fails in seconds with the missing piece named, instead of q182
+    // silently rebuilding (r8's 5.7x bench regression) or misreading.
+    val dir = graft.sources.VersionedStore.resolveOrBuild(
+      spark, ops.Scratch.dir(spark, sf, "bm25idx"))(
+      p => ops.Text.writeBm25Index(Tables.documents(spark, sf),
+        "doc_id", "text", p))
+    val root = new java.io.File(dir)
+    for (piece <- Seq("postings", "dfreq", "docstats", "stats"))
+      assert(new java.io.File(root, piece).isDirectory,
+        s"bm25 store piece missing: $piece under $dir")
+    val buckets = new java.io.File(root, "postings").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bkt="))
+    assert(buckets.nonEmpty, "postings are not bucket-partitioned")
+    assert(spark.read.parquet(s"$dir/stats").count() == 1,
+      "stats must hold exactly the one corpus row")
+  }
+
+  test("q189 semantic store publishes the layout its readers prune on") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, sf)
+    val dir = graft.sources.VersionedStore.resolveOrBuild(
+      spark, ops.Scratch.dir(spark, sf, "semstore"))(
+      p => ops.Similarity.writeSemDedupStore(
+        e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", p))
+    val root = new java.io.File(dir)
+    for (piece <- Seq("centroids", "kept"))
+      assert(new java.io.File(root, piece).isDirectory,
+        s"semantic store piece missing: $piece under $dir")
+    val kept = spark.read.parquet(s"$dir/kept")
+    for (c <- Seq("cell", "e"))
+      assert(kept.columns.contains(c), s"kept.$c missing — apply join breaks")
+    assert(kept.count() > 0, "kept representatives empty")
+    assert(spark.read.parquet(s"$dir/centroids").count() > 0,
+      "centroid model empty")
+  }
+
   test("key columns the operator families depend on exist with stable types") {
     val doc = Tables.documents(spark, sf)
     for (c <- Seq("doc_id", "text", "lang", "source"))
