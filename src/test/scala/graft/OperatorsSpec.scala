@@ -1522,7 +1522,9 @@ class OperatorsSpec extends SparkSpec {
       .listFiles().filter(f => f.getName.startsWith(
         s"graft_ivfidx_${spark.sparkContext.applicationId}"))
     assert(tmp.nonEmpty, "q144 index scratch dir not found")
-    val path = tmp.head.toString
+    // the index layout lives under the VersionedStore-published build
+    val path = graft.sources.VersionedStore
+      .resolveDir(spark, tmp.head.toString).get
     val (_, q) = Similarity.corpusAndQueries(spark, sf)
     val literal = Similarity.ivfTopKFromIndex(spark, path, q, "vec_id", "embedding")
       .collect().map(_.toSeq).toSet
