@@ -241,6 +241,9 @@ object SparkEntry {
     "q222_survival"       -> (Events.q222 _),
     "q223_conformal"      -> (Text.q223 _),
     "q224_gini"           -> (Relational.q224 _),
+    "q225_holt_trend"     -> (Events.q225 _),
+    "q226_kcore"          -> (Relational.q226 _),
+    "q227_merge_upsert"   -> (Changes.q227 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -3197,7 +3200,84 @@ object SparkEntry {
            CAST(10000::HUGEINT * sum((2 * i - n - 1) * x)
              // (max(n)::HUGEINT * max(total)) AS BIGINT)
          FROM r""",
+
+    // Holt level+trend: the q156 sequential-recursion shape with two
+    // carried registers; ×256 fixed point, TRUNCATING division on both
+    // engines (Scala Long `/` == DuckDB `//` — trend goes negative on
+    // declines, where floor-vs-truncate would diverge). b_i needs l_i,
+    // so the recursive term inlines the l recurrence twice.
+    "q225_holt_trend" ->
+      """WITH RECURSIVE d0 AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n_events
+             FROM events GROUP BY 1),
+         d AS (SELECT day, CAST(n_events AS BIGINT) AS n_events,
+             row_number() OVER (ORDER BY day) AS idx FROM d0),
+         e(idx, day, n_events, l, b) AS (
+           SELECT idx, day, n_events, 256 * n_events, CAST(0 AS BIGINT)
+           FROM d WHERE idx = 1
+           UNION ALL
+           SELECT d.idx, d.day, d.n_events,
+             (256 * d.n_events + 3 * (e.l + e.b)) // 4,
+             (((256 * d.n_events + 3 * (e.l + e.b)) // 4) - e.l + 3 * e.b) // 4
+           FROM d JOIN e ON d.idx = e.idx + 1)
+         SELECT strftime(day, '%Y-%m-%d') AS day, n_events,
+           CAST(l AS BIGINT) AS level_q, CAST(b AS BIGINT) AS trend_q,
+           CAST((l + b) // 256 AS BIGINT) AS forecast_next FROM e""",
+
+    "q226_kcore" -> kCoreOracle,
+
+    // MERGE row contract: full outer join on the key; change rows win,
+    // deletes drop, target-only rows pass through. The change batch is
+    // the same deterministic mod-arithmetic derivation as the Spark
+    // side (delete %11, upsert %7, insert %13 at key+10^7).
+    "q227_merge_upsert" ->
+      """WITH cust AS (SELECT c_custkey, c_name,
+             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_cents,
+             c_mktsegment FROM customer),
+         ch AS (
+           SELECT c_custkey,
+                  CASE WHEN c_custkey % 11 = 0 THEN 'delete' ELSE 'upsert' END AS op,
+                  c_name, acctbal_cents + 12345 AS acctbal_cents, c_mktsegment
+           FROM cust WHERE c_custkey % 11 = 0 OR c_custkey % 7 = 0
+           UNION ALL
+           SELECT c_custkey + 10000000, 'upsert',
+                  'Customer#new' || c_custkey, c_custkey, 'NEW'
+           FROM cust WHERE c_custkey % 13 = 0)
+         SELECT coalesce(c.c_custkey, t.c_custkey) AS c_custkey,
+           CASE WHEN c.c_custkey IS NOT NULL THEN c.c_name ELSE t.c_name END AS c_name,
+           CAST(CASE WHEN c.c_custkey IS NOT NULL THEN c.acctbal_cents
+                ELSE t.acctbal_cents END AS BIGINT) AS acctbal_cents,
+           CASE WHEN c.c_custkey IS NOT NULL THEN c.c_mktsegment
+                ELSE t.c_mktsegment END AS c_mktsegment
+         FROM cust t FULL OUTER JOIN ch c ON t.c_custkey = c.c_custkey
+         WHERE coalesce(c.op, 'keep') <> 'delete'""",
   )
+
+  /** q226 oracle: the sampled co-purchase edge set + KCorePeelRounds
+    * UNROLLED peel stages. Peeling is idempotent past the fixpoint, so
+    * a fixed unroll ≥ the true depth reproduces the exact core (and
+    * the Spark side caps at the SAME constant, so the two agree even
+    * if a pathological graph peeled deeper). Stages are MATERIALIZED —
+    * the BpeOracleSql lesson: DuckDB 1.0 inlines a multiply-referenced
+    * CTE chain exponentially. */
+  private def kCoreOracle: String = {
+    val k = graft.ops.Relational.KCoreK
+    val rounds = graft.ops.Relational.KCorePeelRounds
+    val base =
+      """w0 AS MATERIALIZED (
+    SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 8 = 0) a
+    JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 8 = 0) b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey)"""
+    val stages = (1 to rounds).map { i =>
+      val p = i - 1
+      s"""w$i AS MATERIALIZED (
+    SELECT e.src, e.dst FROM w$p e
+    JOIN (SELECT src FROM w$p GROUP BY src HAVING count(*) >= $k) ks ON e.src = ks.src
+    JOIN (SELECT src AS dst FROM w$p GROUP BY src HAVING count(*) >= $k) kd ON e.dst = kd.dst)"""
+    }
+    (base +: stages).mkString("WITH ", ",\n", "\n") +
+      s"SELECT src AS node, CAST(count(*) AS BIGINT) AS deg_in_core FROM w$rounds GROUP BY src"
+  }
 
   /** PageRank oracle: the q51 edge derivation + 5 UNROLLED integer
     * power-iteration stages, mirroring Dedup.pageRank's exact fixed

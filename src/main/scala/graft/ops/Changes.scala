@@ -51,6 +51,60 @@ object Changes {
         col("last.payload").as("last_value_cents"),
         col("last.ts_us").as("last_ts_us"), col("n_changes"))
 
+  /** MERGE semantics (the lakehouse MERGE INTO row contract): apply a
+    * keyed change batch — op ∈ {upsert, delete} — to a snapshot.
+    * Matched upserts replace the payload, matched deletes drop the
+    * row, unmatched upserts insert, unmatched deletes are no-ops, and
+    * untouched target rows pass through. One full-outer join on the
+    * key; the change batch is typically day-sized against a corpus
+    * snapshot, so it broadcasts and the target never re-shuffles. The
+    * STORAGE face — rewriting only the files that contain matched
+    * keys — is VersionedStore.mergeCommit, which drives this same
+    * row contract over the affected-file subset. `changes` must carry
+    * the key, the op column, and the target's payload columns. */
+  def mergeChanges(target: DataFrame, changes: DataFrame, key: String,
+                   opCol: String = "op"): DataFrame = {
+    val payload = target.columns.filter(_ != key).toSeq
+    target.as("t")
+      .join(changes.as("c"), col(s"t.$key") === col(s"c.$key"), "full_outer")
+      .where(coalesce(col(s"c.$opCol"), lit("keep")) =!= lit("delete"))
+      .select(coalesce(col(s"c.$key"), col(s"t.$key")).as(key) +:
+        payload.map(p =>
+          when(col(s"c.$key").isNotNull, col(s"c.$p"))
+            .otherwise(col(s"t.$p")).as(p)): _*)
+  }
+
+  /** q227's deterministic CDC batch over the customer snapshot:
+    * custkey ≡ 0 (mod 11) → delete; else ≡ 0 (mod 7) → balance upsert
+    * (+$123.45); plus inserts at key+10⁷ for custkey ≡ 0 (mod 13)
+    * (mirrored literally in the oracle). */
+  private def customerChanges(cust: DataFrame): DataFrame = {
+    val upserts = cust.filter(col("c_custkey") % 11 === 0 ||
+        col("c_custkey") % 7 === 0)
+      .select(col("c_custkey"),
+        when(col("c_custkey") % 11 === 0, lit("delete"))
+          .otherwise(lit("upsert")).as("op"),
+        col("c_name"),
+        (col("acctbal_cents") + 12345L).as("acctbal_cents"),
+        col("c_mktsegment"))
+    val inserts = cust.filter(col("c_custkey") % 13 === 0)
+      .select((col("c_custkey") + 10000000L).as("c_custkey"),
+        lit("upsert").as("op"),
+        concat(lit("Customer#new"), col("c_custkey")).as("c_name"),
+        col("c_custkey").as("acctbal_cents"),
+        lit("NEW").as("c_mktsegment"))
+    upserts.unionByName(inserts)
+  }
+
+  /** q227: MERGE a deterministic CDC batch into the customer snapshot
+    * (balances in exact cents) — the row-semantics face; the
+    * copy-on-write storage face is spec-pinned in SourcesSpec. */
+  def q227(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_name"),
+      cents(col("c_acctbal")).as("acctbal_cents"), col("c_mktsegment"))
+    mergeChanges(cust, customerChanges(cust), "c_custkey")
+  }
+
   /** q115: the events table as a changelog — latest event per user
     * (type + value + time), 'error' as the tombstone op. */
   def q115(s: SparkSession, d: String): DataFrame =

@@ -926,6 +926,50 @@ object Events {
     out.toDF("day", "n_events", "ewma")
   }
 
+  /** HOLT double-exponential smoothing (level + trend) of the daily
+    * count series — the one-step-ahead forecaster a volume monitor
+    * projects tomorrow with: q156's EWMA tracks level only and lags
+    * any sustained ramp; Holt's trend term closes exactly that gap.
+    * α = β = 1/4, carried EXACT in ×256 fixed point with TRUNCATING
+    * integer division at every step (both engines truncate toward
+    * zero — Scala Long `/` and DuckDB `//` — so the recursion is
+    * bit-identical; trend goes negative on declines, which is why the
+    * division convention matters and floor-vs-truncate would diverge):
+    *   l_1 = 256·x_1,  b_1 = 0
+    *   l_i = (256·x_i + 3·(l_{i-1} + b_{i-1})) / 4
+    *   b_i = ((l_i − l_{i-1}) + 3·b_{i-1}) / 4
+    *   forecast for day i+1 = (l_i + b_i) / 256
+    *
+    * Scale (100 TB): identical shape to q156 — the corpus reduces to
+    * one row per calendar day in a single distributed aggregation and
+    * the inherently sequential fold runs on the DRIVER over that
+    * bounded table (calendar-bounded collect, the BPE-merge-table
+    * discipline). */
+  def holtDaily(events: DataFrame, day: Column): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val daily = events.groupBy(day.as("day")).agg(count(lit(1)).as("n_events"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("n_events"))
+      .orderBy(col("day").asc).collect()
+    var l = 0L
+    var b = 0L
+    val out = daily.toSeq.zipWithIndex.map { case (r, i) =>
+      val x = r.getLong(1)
+      if (i == 0) { l = 256L * x; b = 0L }
+      else {
+        val lPrev = l
+        l = (256L * x + 3L * (l + b)) / 4L
+        b = ((l - lPrev) + 3L * b) / 4L
+      }
+      (r.getString(0), x, l, b, (l + b) / 256L)
+    }
+    out.toDF("day", "n_events", "level_q", "trend_q", "forecast_next")
+  }
+
+  /** q225: Holt level+trend smoothing over daily total event counts. */
+  def q225(s: SparkSession, d: String): DataFrame =
+    holtDaily(Tables.events(s, d), to_date(col("ts")))
+
   /** q156: integer EWMA over daily total event counts. */
   def q156(s: SparkSession, d: String): DataFrame =
     ewmaDaily(Tables.events(s, d), to_date(col("ts")))

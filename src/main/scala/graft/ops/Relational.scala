@@ -1807,6 +1807,80 @@ object Relational {
         Tables.region(s, d), "r_regionkey")))
   }
 
+  /** K-CORE DECOMPOSITION (membership at a fixed k): iteratively peel
+    * every node with degree < k until the fixpoint; the survivors are
+    * the k-core — the dense backbone community detectors seed from and
+    * spam-ring/bot analysis starts at (a hub with many one-shot
+    * neighbors falls out; a clique survives). Output is one row per
+    * core member with its WITHIN-CORE degree.
+    *
+    * The peel is order-independent (the k-core is the unique maximal
+    * subgraph of min-degree ≥ k), which is what makes the operator
+    * oracle-able: the DuckDB twin unrolls a FIXED number of peel
+    * rounds — extra rounds past the fixpoint are no-ops, so any
+    * unroll depth ≥ the true peel depth reproduces the same core
+    * (KCorePeelRounds; the convergence spec pins actual depth well
+    * below it).
+    *
+    * Scale (100 TB): each round is one degree aggregation + two
+    * semi-joins on the (deduplicated, both-direction) edge table —
+    * all shuffles on the node key, each round's edge set only
+    * shrinks, and localCheckpoint truncates the per-round lineage
+    * (the q66 propagation discipline). Peel depth, not corpus size,
+    * bounds the rounds; power-law graphs peel shallow. */
+  def kCore(edges0: DataFrame, a: String, b: String, k: Int,
+            maxRounds: Int = KCorePeelRounds): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val undirected = edges0
+      .select(col(a).cast("long").as("src"), col(b).cast("long").as("dst"))
+      .where(col("src") =!= col("dst")).distinct()
+    var edges = undirected
+      .unionAll(undirected.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    var prev = -1L
+    var cur = edges.count()
+    var rounds = 0
+    while (cur != prev && rounds < maxRounds) {
+      prev = cur
+      val keep = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k).select(col("src").as("node"))
+      edges = edges
+        .join(keep.select(col("node").as("src")), Seq("src"))
+        .join(keep.select(col("node").as("dst")), Seq("dst"))
+        .select(col("src"), col("dst"))
+        .localCheckpoint()
+      cur = edges.count()
+      rounds += 1
+    }
+    edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg_in_core"))
+  }
+
+  /** Unroll depth shared with the q226 oracle: peel rounds past the
+    * fixpoint are no-ops, so this only needs to exceed the real peel
+    * depth (spec-checked ≤ 8 on the test graphs). */
+  val KCorePeelRounds = 16
+
+  /** The q226 core order, shared with its oracle. */
+  val KCoreK = 4
+
+  /** q226: the 4-core of the basket-sampled co-purchase graph (the
+    * q190 sampling convention — whole orders, orderkey ≡ 0 mod 8,
+    * which keeps every within-order edge intact). */
+  def q226(s: SparkSession, d: String): DataFrame = {
+    // q68's basket-array discipline: pairs explode within the basket
+    // row (never a fact self-join)
+    val edges = Tables.lineitem(s, d)
+      .filter(col("l_orderkey") % 8 === 0)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("arr"))
+      .select(posexplode(col("arr")).as(Seq("i", "part_a")), col("arr"))
+      .select(col("part_a"),
+        explode(slice(col("arr"), col("i") + lit(2),
+          size(col("arr")) - col("i") - lit(1))).as("part_b"))
+    kCore(edges, "part_a", "part_b", KCoreK)
+  }
+
   /** q190: top-20 parts by co-purchase-graph triangle participation,
     * over a deterministic BASKET sample (whole orders, orderkey ≡ 0
     * mod 8). Basket-level sampling keeps every within-order pair

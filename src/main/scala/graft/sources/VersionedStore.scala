@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col, input_file_name}
 import java.nio.charset.StandardCharsets
 
 /** VERSIONED PARQUET STORE with snapshot isolation, time travel and
@@ -244,6 +245,63 @@ object VersionedStore {
       val (op, files) = manifest(s, root, v)
       (v, op, files.length)
     }
+
+  /** COPY-ON-WRITE MERGE commit (the Iceberg/Delta MERGE INTO storage
+    * core): apply a keyed change batch — op ∈ {upsert, delete} — to
+    * the latest snapshot, rewriting ONLY the data files that contain
+    * matched keys. Untouched files carry into the new manifest
+    * VERBATIM (spec-pinned), so a day-sized batch against a 100 TB
+    * snapshot rewrites the few files its keys live in, not the table.
+    *
+    * Affected files are found in ONE distributed job: the snapshot
+    * scan tagged with input_file_name, semi-joined against the
+    * (broadcast) change keys, aggregated to distinct file names — at
+    * deployment scale the same pruning rides file-level min/max zone
+    * maps (the z-order write machinery) so the probe itself reads
+    * only candidate files. Inserts (keys no file contains) land in
+    * the new tx- directory alongside the rewritten rows. The commit
+    * point is the same optimistic manifest CAS as every other commit
+    * flavor — concurrent mergers rebase and re-derive their affected
+    * set against the new parent via the retry loop's body
+    * re-evaluation. Returns the version won.
+    *
+    * Row semantics delegated to graft.ops.Changes.mergeChanges (the
+    * q227 contract): matched upserts replace, matched deletes drop,
+    * unmatched upserts insert, unmatched deletes no-op. */
+  def mergeCommit(s: SparkSession, root: String, changes: DataFrame,
+                  key: String, opCol: String = "op"): Int = {
+    val fs = fsFor(s, root)
+    val token = newToken()
+    val chKeys = changes.select(col(key)).distinct()
+    // re-derived per claim attempt: a lost race means a new parent
+    // snapshot, whose file set the affected-probe must see
+    def attempt(v: Int): String = {
+      val parent = v - 1
+      require(parent >= 1, s"store $root has no snapshot to merge into")
+      val files = manifest(s, root, parent)._2
+      val snap = s.read.parquet(files.map(f => s"$root/$f"): _*)
+      val tagged = snap.withColumn("_graft_file", input_file_name())
+      val affectedUris = tagged
+        .join(broadcast(chKeys), Seq(key), "left_semi")
+        .select(col("_graft_file")).distinct()
+        .collect().map(_.getString(0)).toSet
+      val affected = files.filter(f =>
+        affectedUris.exists(u => u.endsWith(f) || u.endsWith(s"/$f")))
+      val untouched = files.diff(affected)
+      val dataDir = s"data/tx-$token-v$v"
+      val base =
+        if (affected.isEmpty) snap.limit(0)
+        else s.read.parquet(affected.map(f => s"$root/$f"): _*)
+      graft.ops.Changes.mergeChanges(base, changes, key, opCol)
+        .write.mode("error").parquet(s"$root/$dataDir")
+      val newFiles = fs.listStatus(new Path(root, dataDir))
+        .filter(_.getPath.getName.startsWith("part-"))
+        .map(st => s"$dataDir/${st.getPath.getName}")
+        .sorted.toSeq
+      (s"op merge" +: (untouched ++ newFiles)).mkString("\n")
+    }
+    claimNextVersion(s, root, token, attempt)
+  }
 
   // ---- directory-granularity stores (IVF/PQ, BM25, KMV, semantic) ----
 

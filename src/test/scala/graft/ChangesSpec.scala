@@ -144,6 +144,20 @@ class ChangesSpec extends SparkSpec {
       s"got ${out.map(_.getLong(2)).toSeq}")
   }
 
+  test("mergeChanges implements the MERGE INTO row contract") {
+    import SparkTestSession.spark.implicits._
+    val target = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    val changes = Seq(
+      (2L, "upsert", "B"),   // matched upsert → replace
+      (3L, "delete", "x"),   // matched delete → drop
+      (4L, "upsert", "d"),   // unmatched upsert → insert
+      (5L, "delete", "x"))   // unmatched delete → no-op
+      .toDF("id", "op", "v")
+    val got = Changes.mergeChanges(target, changes, "id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a", 2L -> "B", 4L -> "d"), s"merged: $got")
+  }
+
   test("q119 corpus drift: KL non-negative, identical sides drift to ~0") {
     val drift = Text.q119(spark, sf)
     assert(drift.filter(col("kl_nano") < 0L).count() === 0,

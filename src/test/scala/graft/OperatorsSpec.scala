@@ -1650,6 +1650,66 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("kCore peels pendants, keeps the clique, cascades erosion") {
+    import SparkTestSession.spark.implicits._
+    // 5-clique (nodes 1-5) + a pendant path 5-6-7: the 4-core is the
+    // clique alone, every member at within-core degree 4; the path
+    // falls in CASCADE (7 first, which drops 6 below k next round) —
+    // multi-round peel behavior, not just the first sweep
+    val clique = for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a, b)
+    val edges = (clique ++ Seq((5L, 6L), (6L, 7L))).toDF("a", "b")
+    val core = Relational.kCore(edges, "a", "b", 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == (1L to 5L).map(_ -> 4L).toMap, s"4-core: $core")
+    // k=2 on a pure path peels EVERYTHING (each round erodes both
+    // ends) — the empty-fixpoint edge case
+    val path = (1L until 6L).map(i => (i, i + 1)).toDF("a", "b")
+    assert(Relational.kCore(path, "a", "b", 2).count() == 0)
+    // ... while a cycle IS its own 2-core (nothing ever drops below k)
+    val cycle = ((1L until 6L).map(i => (i, i + 1)) :+ ((6L, 1L))).toDF("a", "b")
+    assert(Relational.kCore(cycle, "a", "b", 2).collect()
+      .forall(_.getLong(1) == 2L))
+  }
+
+  test("q226 reaches its k-core fixpoint inside the shared unroll cap") {
+    // every survivor at deg >= k PROVES the peel converged before
+    // KCorePeelRounds — if the cap had cut the loop short, some node
+    // would still sit below k and the oracle (same cap) would mask it
+    val core = Relational.q226(spark, sf).collect()
+    assert(core.nonEmpty, "sf0.001 co-purchase graph has a 4-core")
+    val minDeg = core.map(_.getLong(1)).min
+    assert(minDeg >= Relational.KCoreK,
+      s"peel stopped before the fixpoint: min in-core degree $minDeg")
+  }
+
+  test("holt smoothing: constant series is flat, ramp grows trend, decline goes negative") {
+    import SparkTestSession.spark.implicits._
+    def series(counts: Seq[Long]): org.apache.spark.sql.DataFrame =
+      counts.zipWithIndex.flatMap { case (n, i) =>
+        Seq.fill(n.toInt)(f"2024-02-${i + 1}%02d")
+      }.toDF("d").select(to_date(col("d")).as("d"))
+    def run(counts: Seq[Long]) =
+      Events.holtDaily(series(counts), col("d")).orderBy(col("day"))
+        .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+    // constant 8/day: level pinned at 8·256, zero trend, forecast 8
+    assert(run(Seq(8L, 8L, 8L)).toSeq ==
+      Seq((2048L, 0L, 8L), (2048L, 0L, 8L), (2048L, 0L, 8L)))
+    // ramp 4→8→12 (hand-computed ×256 registers): trend turns positive
+    // and the forecast overshoots the last level, as a ramp demands
+    val ramp = run(Seq(4L, 8L, 12L))
+    assert(ramp.head == ((1024L, 0L, 4L)), s"ramp init ${ramp.head}")
+    assert(ramp(1) == ((1280L, 64L, 5L)), s"ramp step2 ${ramp(1)}")
+    assert(ramp(2)._2 > ramp(1)._2, "trend must grow along the ramp")
+    assert(ramp(2)._3 > ramp(2)._1 / 256L, "forecast must exceed level on a ramp")
+    // decline 12→8→4: the trend register must go NEGATIVE (this is the
+    // truncating-division case the oracle mirrors — floor would differ)
+    val fall = run(Seq(12L, 8L, 4L))
+    assert(fall(1)._2 < 0L && fall(2)._2 < fall(1)._2,
+      s"declining series must carry a falling negative trend: $fall")
+    assert(fall(2)._3 < fall(2)._1 / 256L,
+      "negative trend must pull the forecast below the level")
+  }
+
   test("bigramSurprisal: rare continuations out-score predictable ones") {
     import SparkTestSession.spark.implicits._
     // "a b" dominates the corpus; doc 1 is pure repetition of it,

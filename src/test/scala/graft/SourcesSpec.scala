@@ -476,6 +476,44 @@ class SourcesSpec extends SparkSpec {
     } finally pool.shutdown()
   }
 
+  test("versioned store: merge commit rewrites only the files its keys touch") {
+    import SparkTestSession.spark.implicits._
+    import graft.sources.VersionedStore
+    val root = tmp("versioned-merge")
+    // v1: 40 keys spread over 4 files, keys clustered per file so the
+    // copy-on-write claim is observable (file i holds keys 10i..10i+9)
+    val base = (0L until 40L).map(k => (k, s"v$k")).toDF("id", "v")
+      .repartitionByRange(4, col("id"))
+    assert(VersionedStore.commit(base, root, overwrite = true) == 1)
+    val v1Files = VersionedStore.versions(spark, root)
+    assert(v1Files == Seq((1, "overwrite", 4)), s"setup: $v1Files")
+    // batch: update key 3, delete key 7 (both in file 0), insert 99
+    val changes = Seq((3L, "upsert", "UPDATED"), (7L, "delete", "x"),
+      (99L, "upsert", "NEW")).toDF("id", "op", "v")
+    val v2 = VersionedStore.mergeCommit(spark, root, changes, "id")
+    assert(v2 == 2)
+    // row semantics: update applied, delete gone, insert present,
+    // untouched rows intact; v1 still time-travels to the old truth
+    val after = VersionedStore.read(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after(3L) == "UPDATED" && !after.contains(7L) && after(99L) == "NEW")
+    assert(after(25L) == "v25" && after.size == 40)
+    assert(VersionedStore.read(spark, root, 1).count() == 40)
+    // copy-on-write: the three files without touched keys carry into
+    // the v2 manifest VERBATIM; only the touched file was replaced
+    def filesOf(v: Int): Set[String] = {
+      val p = new java.io.File(root, s"manifest-v$v.txt")
+      val src = scala.io.Source.fromFile(p, "UTF-8")
+      try src.getLines().drop(1).toSet finally src.close()
+    }
+    val (f1, f2) = (filesOf(1), filesOf(2))
+    val carried = f1.intersect(f2)
+    assert(carried.size == 3,
+      s"expected 3 untouched files to carry over, got ${carried.size}:\n$f1\nvs\n$f2")
+    assert(f2.diff(f1).forall(_.contains("tx-")),
+      "rewritten+insert rows must live in a fresh tx- directory")
+  }
+
   test("versioned store: a stale _latest pointer self-heals by probing") {
     import SparkTestSession.spark.implicits._
     import graft.sources.VersionedStore
