@@ -244,6 +244,7 @@ object SparkEntry {
     "q225_holt_trend"     -> (Events.q225 _),
     "q226_kcore"          -> (Relational.q226 _),
     "q227_merge_upsert"   -> (Changes.q227 _),
+    "q228_dedup_eval"     -> (Dedup.q228 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -3250,6 +3251,33 @@ object SparkEntry {
                 ELSE t.c_mktsegment END AS c_mktsegment
          FROM cust t FULL OUTER JOIN ch c ON t.c_custkey = c.c_custkey
          WHERE coalesce(c.op, 'keep') <> 'delete'""",
+
+    // Dedup P/R/F1 harness: q54's label-blocked pairs vs the blockless
+    // cosine truth at the same τ; bp integer divisions, F1 = 2PR/(P+R).
+    "q228_dedup_eval" ->
+      """WITH ap AS (SELECT a.vec_id AS pa, b.vec_id AS pb
+           FROM embeddings a JOIN embeddings b
+             ON a.label = b.label AND a.vec_id < b.vec_id
+           WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+             CAST(b.embedding AS DOUBLE[])) >= 0.35),
+         tp AS (SELECT a.vec_id AS pa, b.vec_id AS pb
+           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+           WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+             CAST(b.embedding AS DOUBLE[])) >= 0.35),
+         c AS (SELECT (SELECT count(*) FROM ap) AS n_approx,
+                      (SELECT count(*) FROM tp) AS n_truth,
+                      (SELECT count(*) FROM ap JOIN tp USING (pa, pb)) AS n_hit),
+         pr AS (SELECT CAST(n_approx AS BIGINT) AS n_approx,
+                       CAST(n_truth AS BIGINT) AS n_truth,
+                       CAST(n_hit AS BIGINT) AS n_hit,
+                       CAST(CASE WHEN n_approx = 0 THEN 0
+                         ELSE 10000 * n_hit // n_approx END AS BIGINT) AS precision_bp,
+                       CAST(CASE WHEN n_truth = 0 THEN 0
+                         ELSE 10000 * n_hit // n_truth END AS BIGINT) AS recall_bp
+                FROM c)
+         SELECT *, CAST(CASE WHEN precision_bp + recall_bp = 0 THEN 0
+           ELSE 2 * precision_bp * recall_bp
+             // (precision_bp + recall_bp) END AS BIGINT) AS f1_bp FROM pr""",
   )
 
   /** q226 oracle: the sampled co-purchase edge set + KCorePeelRounds

@@ -752,6 +752,52 @@ object Dedup {
   def q54(s: SparkSession, d: String): DataFrame =
     embeddingPairs(Tables.embeddings(s, d), "vec_id", "embedding", "label", 0.35)
 
+  /** DEDUP-QUALITY EVALUATION — precision/recall/F1 of an approximate
+    * near-dup detector against exact truth (the q192 recall-harness
+    * convention, for dedup): deploying or re-tuning a blocked detector
+    * means re-running this gate, so it is a first-class operator, not
+    * a test. Pairs are canonical (a, b) keys; both legs are bounded
+    * pair lists, broadcast-joinable at any corpus size — the legs
+    * themselves are whatever operators they already are (a blockless
+    * exact leg for audit-sized panels, a cheaper reference otherwise).
+    * One row: pair counts + exact-integer basis-point P/R and
+    * F1 = 2PR/(P+R) (integer division — both engines truncate). */
+  def dedupPairEval(approx: DataFrame, truth: DataFrame,
+                    a: String, b: String): DataFrame = {
+    val ap = approx.select(col(a).as("pa"), col(b).as("pb")).distinct()
+    val tp = truth.select(col(a).as("pa"), col(b).as("pb")).distinct()
+    val hits = ap.join(tp, Seq("pa", "pb"), "left_semi")
+    ap.agg(count(lit(1)).as("n_approx"))
+      .crossJoin(tp.agg(count(lit(1)).as("n_truth")))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+      // empty legs are legitimate (a detector can find nothing; a
+      // clean corpus has no truth): degenerate ratios report 0, never
+      // a divide-by-zero abort mid-audit
+      .withColumn("precision_bp", when(col("n_approx") === 0, 0L)
+        .otherwise(F.idiv(lit(10000L) * col("n_hit"), col("n_approx"))))
+      .withColumn("recall_bp", when(col("n_truth") === 0, 0L)
+        .otherwise(F.idiv(lit(10000L) * col("n_hit"), col("n_truth"))))
+      .withColumn("f1_bp",
+        when(col("precision_bp") + col("recall_bp") === 0, 0L)
+          .otherwise(F.idiv(lit(2L) * col("precision_bp") * col("recall_bp"),
+            col("precision_bp") + col("recall_bp"))))
+  }
+
+  /** q228: the q54 label-blocked embedding detector scored against
+    * BLOCKLESS exact cosine truth at the same τ — blocking makes
+    * precision 1 by construction (blocked pairs are cosine-verified
+    * subsets) while recall counts what the label fence loses; the
+    * truth leg reuses embeddingPairs with a constant block (the
+    * audit-sized blockless sweep, same as annRecall's brute-force
+    * leg). */
+  def q228(s: SparkSession, d: String): DataFrame = {
+    val embs = Tables.embeddings(s, d)
+    val approx = embeddingPairs(embs, "vec_id", "embedding", "label", 0.35)
+    val truth = embeddingPairs(embs.withColumn("allb", lit(1)),
+      "vec_id", "embedding", "allb", 0.35)
+    dedupPairEval(approx, truth, "vec_a", "vec_b")
+  }
+
   /** q55: connected-component dedup clusters over the q51 pair graph. */
   def q55(s: SparkSession, d: String): DataFrame =
     clusters(q51(s, d).select(col("doc_a"), col("doc_b")))

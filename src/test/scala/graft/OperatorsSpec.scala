@@ -1650,6 +1650,29 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q228 dedup eval: blocking is precision-1, recall counts the fence loss") {
+    val row = Dedup.q228(spark, sf).collect().head
+    val (nA, nT, nH) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    val (p, r, f1) = (row.getLong(3), row.getLong(4), row.getLong(5))
+    assert(nA > 0 && nT >= nA, s"approx $nA of truth $nT")
+    assert(nH == nA, "every label-blocked pair is cosine-verified, so hits == approx")
+    assert(p == 10000L, s"blocked detector must be precision-1, got $p bp")
+    assert(r <= 10000L && r == 10000L * nH / nT)
+    assert(f1 == 2 * p * r / (p + r), "F1 is the exact integer harmonic mean")
+    // hand-built truth: one cross-label near-dup pair the blocked
+    // detector must miss and the eval must charge to recall
+    import SparkTestSession.spark.implicits._
+    val v = Seq(1.0f, 0f, 0f, 0f)
+    val emb = Seq((1L, v, "x"), (2L, v, "y"), (3L, Seq(0f, 1f, 0f, 0f), "x"))
+      .toDF("vec_id", "embedding", "label")
+    val ap = Dedup.embeddingPairs(emb, "vec_id", "embedding", "label", 0.9)
+    val tp = Dedup.embeddingPairs(emb.withColumn("allb", lit(1)),
+      "vec_id", "embedding", "allb", 0.9)
+    val e = Dedup.dedupPairEval(ap, tp, "vec_a", "vec_b").collect().head
+    assert((e.getLong(0), e.getLong(1), e.getLong(4)) == ((0L, 1L, 0L)),
+      s"cross-label twin must be a pure recall miss: $e")
+  }
+
   test("kCore peels pendants, keeps the clique, cascades erosion") {
     import SparkTestSession.spark.implicits._
     // 5-clique (nodes 1-5) + a pendant path 5-6-7: the 4-core is the
