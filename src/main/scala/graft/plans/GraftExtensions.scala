@@ -21,6 +21,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     // Infer PPJoin length bounds from jaccard_sorted(a,b) >= τ filters.
     ext.injectOptimizerRule(_ => InferJaccardLengthFilter)
+    // Rewrite eligible aggregates onto registered materialized cubes.
+    ext.injectOptimizerRule(session => MaterializedAggRewrite(session))
     ext.injectFunction((
       new FunctionIdentifier("rolling_hash64"),
       new ExpressionInfo(classOf[RollingHash64].getName, "rolling_hash64"),

@@ -476,6 +476,47 @@ class SourcesSpec extends SparkSpec {
     } finally pool.shutdown()
   }
 
+  test("materialized cube rewrite: covered aggregates read the cube, exactly") {
+    import graft.plans.CubeRegistry
+    val basePath = s"$sf/lineitem.parquet"
+    val cubePath = tmp("cube")
+    // direct truth BEFORE registration (the rule must not fire yet)
+    def query() = spark.read.parquet(basePath)
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity")).as("q"), count(lit(1)).as("n"))
+    val truth = query().collect().map(_.toSeq).toSet
+    CubeRegistry.build(spark, basePath, cubePath,
+      Seq("l_returnflag", "l_linestatus"), Seq("l_quantity", "l_extendedprice"))
+    try {
+      val rewritten = query()
+      // SUBSET grouping (returnflag only, cube dims are two) — the
+      // self-decomposable SUM/COUNT algebra re-aggregates exactly
+      assert(rewritten.collect().map(_.toSeq).toSet == truth,
+        "cube answer must equal the fact-table answer")
+      // and it really answered FROM THE CUBE: the optimized plan scans
+      // cubePath and the fact table is gone (string form — AQE hides
+      // the physical scan tree until execution)
+      def planOf(df: org.apache.spark.sql.DataFrame): String =
+        df.queryExecution.optimizedPlan.toString
+      val plan = planOf(rewritten)
+      assert(plan.contains("sum(sum_l_quantity") && plan.contains("sum(cnt"),
+        s"expected the re-aggregation over cube partials in:\n$plan")
+      assert(plan.contains("sum_l_extendedprice"),
+        s"expected the cube relation's schema in the scan:\n$plan")
+      // ineligible shapes stay on the fact table: an AVG is not
+      // self-decomposable from this cube, a filter breaks coverage
+      val avgPlan = planOf(spark.read.parquet(basePath)
+        .groupBy(col("l_returnflag")).agg(avg(col("l_quantity"))))
+      assert(!avgPlan.contains("sum_l_quantity"),
+        s"uncovered aggregate must keep scanning the fact table:\n$avgPlan")
+      val filteredPlan = planOf(spark.read.parquet(basePath)
+        .filter(col("l_quantity") > 10)
+        .groupBy(col("l_returnflag")).agg(sum(col("l_quantity"))))
+      assert(!filteredPlan.contains("sum_l_quantity"),
+        s"filtered scan must not be claimed by the cube:\n$filteredPlan")
+    } finally CubeRegistry.clear()
+  }
+
   test("versioned store: merge commit rewrites only the files its keys touch") {
     import SparkTestSession.spark.implicits._
     import graft.sources.VersionedStore
