@@ -82,6 +82,33 @@ object Streaming {
         ()
       }
 
+  /** STREAMING CDC → LAKEHOUSE MERGE: every micro-batch of keyed
+    * change rows (op ∈ {upsert, delete}) lands in the VersionedStore
+    * through the copy-on-write mergeCommit — the end-to-end "a CDC
+    * feed keeps a queryable, time-travelable table current" loop, and
+    * the streaming face of batch q227. foreachBatch is the right
+    * boundary: the merge needs the current snapshot as a batch table,
+    * and the commit point is the store's own optimistic manifest CAS
+    * (a concurrent nightly compactor or second feed rebases cleanly).
+    *
+    * At-least-once replay: re-merging an identical batch is
+    * SEMANTICALLY idempotent (an upsert re-writes the same payload, a
+    * delete of an absent key no-ops), so a replayed micro-batch costs
+    * one redundant version — never wrong data, and time travel still
+    * shows each applied state. Empty micro-batches commit nothing.
+    * The caller seeds the store (VersionedStore.commit) before
+    * starting the stream — merging needs a parent snapshot. */
+  def mergeStream(changes: DataFrame, key: String, storeRoot: String,
+                  opCol: String = "op")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    changes.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty)
+          graft.sources.VersionedStore.mergeCommit(
+            batch.sparkSession, storeRoot, batch.toDF(), key, opCol)
+        ()
+      }
+
   /** Stream-static enrichment join: every streaming event picks up its
     * user's dimension row. The static side is a plain DataFrame — Spark
     * re-plans it per micro-batch (so a refreshed dim table is picked up

@@ -228,6 +228,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CDC merge keeps a versioned table current with time travel") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.VersionedStore
+    val root = java.nio.file.Files.createTempDirectory("graft-cdcmerge")
+      .toString + "/table"
+    // seed snapshot v1 — merging needs a parent
+    VersionedStore.commit(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"),
+      root, overwrite = true)
+    val in = MemoryStream[(Long, String, String)]
+    val q = Streaming.mergeStream(
+      in.toDF().toDF("id", "op", "v"), "id", root).start()
+    try {
+      // micro-batch 1: update 2, insert 9
+      in.addData((2L, "upsert", "B"), (9L, "upsert", "nine"))
+      q.processAllAvailable()
+      // micro-batch 2: delete 1
+      in.addData((1L, "delete", "x"))
+      q.processAllAvailable()
+    } finally q.stop()
+    def state(version: Int): Map[Long, String] =
+      VersionedStore.read(spark, root, version).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(VersionedStore.latestVersion(spark, root) == 3,
+      "each non-empty micro-batch commits one merge version")
+    assert(state(-1) == Map(2L -> "B", 3L -> "c", 9L -> "nine"),
+      "latest = seed + update + insert - delete")
+    // time travel: every applied state is still readable
+    assert(state(1) == Map(1L -> "a", 2L -> "b", 3L -> "c"))
+    assert(state(2) == Map(1L -> "a", 2L -> "B", 3L -> "c", 9L -> "nine"))
+  }
+
   test("streaming near-dedup matches against the store and grows it per batch") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-neardedup").toString
