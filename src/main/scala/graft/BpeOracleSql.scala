@@ -114,7 +114,48 @@ SELECT token, cnt FROM (
 ORDER BY cnt DESC, token ASC LIMIT $TopK"""
   }
 
+  /** q229: per-language fertility — the q142 recursive encode carrying
+    * a (lang, wlen) tag per word row (trajectories are word-determined,
+    * so a word shared by two languages simply runs twice; terminal
+    * states stay unique per (lang, word)), then the per-lang
+    * tokens-per-word / chars-per-token integer ratios. The TRAINING
+    * chain stays global (corpus-wide merges, exactly the q141 table). */
+  def q229: String = {
+    val pats = (1 to NMerges).map { i =>
+      s"SELECT $i AS rank, ' ' || a || '  ' || b || ' ' AS pat, ' ' || a || b || ' ' AS repl FROM t$i"
+    }.mkString("\nUNION ALL ")
+    "WITH RECURSIVE " + chainCtes.mkString(",\n") +
+      s""",
+pats AS ($pats),
+pl AS MATERIALIZED (
+  SELECT list(struct_pack(pat := pat, repl := repl) ORDER BY rank) AS ps FROM pats),
+lw0 AS MATERIALIZED (
+  SELECT lang, '  ' || array_to_string(string_split(word, ''), '  ') || '  ' AS rep,
+         CAST(length(word) AS BIGINT) AS wlen,
+         CAST(count(*) AS BIGINT) AS wc
+  FROM (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY lang, word),
+enc AS (
+  SELECT lang, rep, wlen, wc FROM lw0
+  UNION ALL
+  SELECT e.lang, replace(e.rep, e.h[1].pat, e.h[1].repl) AS rep, e.wlen, e.wc
+  FROM (SELECT lang, rep, wlen, wc, list_filter(ps, s -> strpos(rep, s.pat) > 0) AS h
+        FROM enc CROSS JOIN pl) e
+  WHERE len(e.h) > 0),
+fin AS (
+  SELECT lang, wc, wlen,
+         CAST(len(list_filter(string_split(rep, '  '), x -> x <> '')) AS BIGINT) AS n_tok
+  FROM enc CROSS JOIN pl
+  WHERE len(list_filter(ps, s -> strpos(rep, s.pat) > 0)) = 0)
+SELECT lang, CAST(sum(wc) AS BIGINT) AS n_words,
+  CAST(sum(wc * n_tok) AS BIGINT) AS n_tokens,
+  CAST(10000 * sum(wc * n_tok) // sum(wc) AS BIGINT) AS fertility_bp,
+  CAST(10000 * sum(wc * wlen) // sum(wc * n_tok) AS BIGINT) AS chars_per_token_bp
+FROM fin GROUP BY lang"""
+  }
+
   def all: Map[String, String] = Map(
-    "q141_bpe_vocab"    -> q141,
-    "q142_bpe_tokenize" -> q142)
+    "q141_bpe_vocab"      -> q141,
+    "q142_bpe_tokenize"   -> q142,
+    "q229_bpe_fertility"  -> q229)
 }

@@ -245,6 +245,7 @@ object SparkEntry {
     "q226_kcore"          -> (Relational.q226 _),
     "q227_merge_upsert"   -> (Changes.q227 _),
     "q228_dedup_eval"     -> (Dedup.q228 _),
+    "q229_bpe_fertility"  -> (Text.q229 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:

@@ -1130,6 +1130,48 @@ object Text {
     bpeTokenize(Tables.documents(s, d), "text", merges, BpeTopK)
   }
 
+  /** TOKENIZER FERTILITY by language — THE cross-language tokenizer
+    * quality metric: average BPE tokens per word (fertility; 1.0 is
+    * ideal, high values mean the vocab under-serves that language) and
+    * characters per token (compression), under a learned merge table.
+    * A multilingual pipeline runs this per tokenizer candidate before
+    * committing one; q142's persisted merge table is the shared
+    * artifact (train once, audit everywhere).
+    *
+    * Scale: one tokenize+count shuffle reduces the corpus to its
+    * (lang, word) vocabulary; BpeEncode runs per DISTINCT word
+    * occurrence-weighted (codegen, map-side); one tiny per-lang
+    * aggregation. Exact integer basis points. */
+  def tokenizerFertility(df: DataFrame, lang: String, text: String,
+                         merges: Seq[(String, String)]): DataFrame =
+    withToks(df, text)
+      .select(col(lang), explode(toks).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col(lang), col("word")).agg(count(lit(1)).as("wc"))
+      .select(col(lang), col("wc"),
+        size(F.bpeEncode(col("word"), merges)).cast("long").as("n_tok"),
+        length(col("word")).cast("long").as("n_char"))
+      .groupBy(col(lang))
+      .agg(sum(col("wc")).as("n_words"),
+        sum(col("wc") * col("n_tok")).as("n_tokens"),
+        F.idiv(lit(10000L) * sum(col("wc") * col("n_tok")),
+          sum(col("wc"))).as("fertility_bp"),
+        F.idiv(lit(10000L) * sum(col("wc") * col("n_char")),
+          sum(col("wc") * col("n_tok"))).as("chars_per_token_bp"))
+
+  /** q229: fertility of the q141-learned tokenizer per corpus language,
+    * through the SAME persisted merge table q142 applies (the standing
+    * artifact loaded, or trained once if absent). */
+  def q229(s: SparkSession, d: String): DataFrame = {
+    val path = Scratch.dir(s, d, "bpe")
+    val done = new org.apache.hadoop.fs.Path(s"$path/merges/_SUCCESS")
+    if (!done.getFileSystem(s.sparkContext.hadoopConfiguration).exists(done))
+      q141(s, d).write.mode("overwrite").parquet(s"$path/merges")
+    val merges = s.read.parquet(s"$path/merges").orderBy(col("rank")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    tokenizerFertility(Tables.documents(s, d), "lang", "text", merges)
+  }
+
   /** CROSS-DOCUMENT BOILERPLATE REMOVAL (CCNet-style line dedup, at
     * passage granularity since this corpus has no newlines): cut each
     * document into consecutive `w`-word passages, mark any passage

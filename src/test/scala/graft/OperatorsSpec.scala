@@ -1650,6 +1650,17 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("tokenizer fertility: merged words score 1 token, OOV words fall back to chars") {
+    import SparkTestSession.spark.implicits._
+    val corpus = Seq((1L, "en", "ab cd"), (2L, "en", "ab")).toDF("doc_id", "lang", "text")
+    val got = Text.tokenizerFertility(corpus, "lang", "text", Seq(("a", "b")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // words: ab ×2 (1 token each under the a+b merge), cd ×1 (2 char
+    // tokens) → 3 words, 4 tokens, fertility 4/3, chars/token 6/4
+    assert(got.toSeq == Seq(("en", 3L, 4L, 13333L, 15000L)), s"got ${got.toSeq}")
+  }
+
   test("q228 dedup eval: blocking is precision-1, recall counts the fence loss") {
     val row = Dedup.q228(spark, sf).collect().head
     val (nA, nT, nH) = (row.getLong(0), row.getLong(1), row.getLong(2))
