@@ -1650,6 +1650,18 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("BPE driver fold and distributed merge loop learn identical vocabularies") {
+    // the hybrid's two paths must be byte-identical — force the
+    // distributed loop with driverVocabMax = 0 and compare on the real
+    // corpus (ties included: the corpus has equal-count pairs)
+    val docs = Tables.documents(spark, sf)
+    val fast = Text.bpeMerges(docs, "text", 12).collect().map(_.toSeq).toSeq
+    val dist = Text.bpeMerges(docs, "text", 12, driverVocabMax = 0L)
+      .collect().map(_.toSeq).toSeq
+    assert(fast == dist, s"paths diverge:\n$fast\nvs\n$dist")
+    assert(fast.size == 12)
+  }
+
   test("tokenizer fertility: merged words score 1 token, OOV words fall back to chars") {
     import SparkTestSession.spark.implicits._
     val corpus = Seq((1L, "en", "ab cd"), (2L, "en", "ab")).toDF("doc_id", "lang", "text")
