@@ -2400,4 +2400,149 @@ object Text {
       size(split(col("text"), " ")).cast("long"),
       Map("en" -> 2000L, "zh" -> 2000L, "fr" -> 2000L,
         "es" -> 2000L, "de" -> 2000L), 2L)
+
+  /** N-GRAM NOVELTY AUDIT — the memorization/staleness gate run on a
+    * freshly-scraped candidate batch before it joins the training mix:
+    * for every held-out ("test"-split) document, the fraction of its
+    * distinct k-token windows that appear NOWHERE in the train split.
+    * Low novelty flags re-crawls/boilerplate the dedup stages would
+    * each catch only partially (novelty is window-level recall against
+    * the WHOLE train corpus, not pairwise similarity); high novelty is
+    * the genuinely-new material worth labeling/curating first. Same
+    * window machinery as decontamination (q103), pointed the other way:
+    * there the question is "did eval leak into train", here it is "does
+    * this candidate add anything train doesn't already have".
+    *
+    * Plan: one codegen'd ShingleHashes pass per doc, train side reduces
+    * to DISTINCT window hashes, one (hash)-keyed left join carrying
+    * only (doc_id, hash) pairs, one per-doc re-aggregation. Scale
+    * (100 TB): linear — the join shuffles hashes, never text; at
+    * deployment a BloomFilterAgg over train hashes pre-filters the test
+    * stream in-scan (the q103 note), and raising k makes windows rare
+    * by construction. Docs with fewer than k tokens have no windows and
+    * are absent by definition (nothing to audit). */
+  def noveltyAudit(corpus: DataFrame, id: String, text: String,
+                   k: Int = 3): DataFrame = {
+    val split = splitAssign(corpus, id)
+      .select(col(id).as("doc_id"), col("split"))
+    val sh = Dedup.shingleArrays(corpus, id, text, k).join(split, "doc_id")
+    val testSh = sh.filter(col("split") === "test")
+      .select(col("doc_id"), explode(col("sh_arr")).as("h"))
+    val trainSh = sh.filter(col("split") === "train")
+      .select(explode(col("sh_arr")).as("h")).distinct()
+      .withColumn("seen", lit(1L))
+    testSh.join(trainSh, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(coalesce(col("seen"), lit(0L))).as("n_seen"))
+      .select(col("doc_id"), col("n_windows"), col("n_seen"),
+        F.idiv(lit(10000L) * (col("n_windows") - col("n_seen")),
+          col("n_windows")).as("novelty_bp"))
+  }
+
+  /** q230: novelty of the test split's 3-token windows vs the train
+    * split (the q100 knuth-hash split). */
+  def q230(s: SparkSession, d: String): DataFrame =
+    noveltyAudit(Tables.documents(s, d), "doc_id", "text")
+
+  /** ZIPF/HEAPS CORPUS DIAGNOSTICS — the distribution-shape health
+    * check a corpus build runs per source/language: natural language
+    * has a rank-frequency log-log slope near −1 (Zipf's law); a slope
+    * far from it flags template spam (too flat: every token equally
+    * common) or degenerate repetition (too steep). Reported per group:
+    * token/vocab totals (the Heaps'-law point) and the least-squares
+    * slope + r² of ln(freq) on ln(rank) over the top `topK` ranks.
+    *
+    * Exactness: ranks and counts are integers; each ln() rounds ONCE
+    * to basis points (the q90 fixed-point discipline — cross-libm ln
+    * differences live far below the 10⁻⁴ grain), and the regression is
+    * exact integer arithmetic over those fixed-point terms, so engines
+    * and partitionings agree bit-for-bit. Long bounds: |terms| ≤
+    * bp(ln 2⁶³)² · topK < 2⁴⁶ — no decimal needed at any corpus size.
+    *
+    * Plan: one (group, token) count shuffle, a topK-per-group window
+    * over the VOCABULARY table (≪ corpus; TakeOrdered-sized), one
+    * grouped reduction. Scale (100 TB): the corpus is touched once,
+    * map-side; everything after is vocabulary-sized. */
+  def zipfFit(corpus: DataFrame, group: String, text: String,
+              topK: Int = 16): DataFrame = {
+    val tf = withToks(corpus, text)
+      .select(col(group).as("grp"), explode(toks).as("tok"))
+      .groupBy(col("grp"), col("tok")).agg(count(lit(1)).as("cnt"))
+    val stats = tf.groupBy(col("grp"))
+      .agg(sum(col("cnt")).as("n_tokens"), count(lit(1)).as("vocab"))
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("cnt").desc, col("tok").asc)
+    val reg = tf.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("grp"), bp(log(col("rank").cast("double"))).as("lx"),
+        bp(log(col("cnt").cast("double"))).as("ly"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("k"),
+        sum(col("lx")).as("sx"), sum(col("ly")).as("sy"),
+        sum(col("lx") * col("lx")).as("sxx"),
+        sum(col("lx") * col("ly")).as("sxy"),
+        sum(col("ly") * col("ly")).as("syy"))
+    val num = col("k") * col("sxy") - col("sx") * col("sy")
+    val den = col("k") * col("sxx") - col("sx") * col("sx")
+    val deny = col("k") * col("syy") - col("sy") * col("sy")
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    reg.join(stats, "grp")
+      .select(col("grp").as(group), col("n_tokens"), col("vocab"),
+        col("k").as("k_ranks"),
+        // slope in bp of ln-ln space; IntegralDivide == DuckDB // at
+        // any sign, so the (negative) Zipf slope needs no sign-split.
+        // 10⁴·num < 2⁵⁵ even at ly = bp(ln 2⁶³) — long-safe.
+        F.idiv(lit(10000L) * num, den).as("zipf_slope_bp"),
+        // r² ∈ [0,1]: num² outruns a long (~5·10²⁴ worst case), so the
+        // ratio rides decimal(38,0) (oracle: HUGEINT). All-equal counts
+        // make deny = 0 (undefined fit) — report r² = 0, not an error.
+        when(deny === 0L, lit(0L)).otherwise(
+          F.idiv(lit(10000L).cast("decimal(38,0)") * dec(num) * dec(num),
+            dec(den) * dec(deny)))
+          .cast("long").as("r2_bp"))
+  }
+
+  /** q232: per-language Zipf slope + Heaps point over the top 16
+    * ranks. */
+  def q232(s: SparkSession, d: String): DataFrame =
+    zipfFit(Tables.documents(s, d), "lang", "text")
+
+  /** DETERMINISTIC EPOCH SHUFFLE — the training-order assignment a
+    * data-loader consumes: every document lands in one of `nShards`
+    * shards by seeded hash, ordered within its shard by the same hash.
+    * Changing the seed re-deals the whole corpus (a fresh epoch
+    * permutation); keeping it makes the order reproducible across
+    * re-runs, backfills and engines — no RNG state, membership and
+    * position recompute from (seed, id) alone. Shards are
+    * hash-balanced, and adjacent positions within a shard are
+    * hash-adjacent — i.e. content-decorrelated, which is the point of
+    * shuffling training data.
+    *
+    * Plan: one map-side hash, one shuffle on shard, a within-shard
+    * sort. Scale (100 TB): `pos` is a per-shard row_number — the
+    * deployment writer instead partitions by shard and
+    * sortWithinPartitions(hash) straight into files (no materialized
+    * rank, identical order); nShards is sized so a shard fits an
+    * executor's write path (power of two, so the signed/unsigned
+    * engine divide cannot move a row across shards). */
+  def epochShuffle(corpus: DataFrame, id: String, seed: String,
+                   nShards: Int): DataFrame = {
+    require(nShards > 0 && (nShards & (nShards - 1)) == 0,
+      s"nShards must be a power of two, got $nShards")
+    // xor-flip: unsigned hash order (DuckDB UBIGINT) == signed order of
+    // h ^ Long.MinValue — the KMV convention (Events.scala FLIP)
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("h").bitwiseXOR(lit(Long.MinValue)).asc, col("doc_id").asc)
+    corpus.select(col(id).as("doc_id"))
+      .withColumn("h",
+        F.md5Hash64(concat(lit(seed + ":"), col("doc_id").cast("string"))))
+      .withColumn("shard", pmod(col("h"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
+  /** q233: epoch-1 shuffle of the documents table into 32 shards. */
+  def q233(s: SparkSession, d: String): DataFrame =
+    epochShuffle(Tables.documents(s, d), "doc_id", "ep1", 32)
 }
