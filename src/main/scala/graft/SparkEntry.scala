@@ -246,6 +246,9 @@ object SparkEntry {
     "q227_merge_upsert"   -> (Changes.q227 _),
     "q228_dedup_eval"     -> (Dedup.q228 _),
     "q229_bpe_fertility"  -> (Text.q229 _),
+    "q230_novelty"        -> (Text.q230 _),
+    "q232_zipf"           -> (Text.q232 _),
+    "q233_epoch_shuffle"  -> (Text.q233 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -765,6 +768,58 @@ object SparkEntry {
          SELECT sh.doc_id, count(*) AS n_hits
          FROM sh JOIN bs USING (shingle) WHERE sh.doc_id % 10 <> 0
          GROUP BY 1""",
+
+    // q100's knuth split: shard < 8 train, = 8 val, > 8 test; distinct
+    // 3-token windows from the shared ShingleCtes; count(tr.shingle)
+    // counts matched (non-null) windows under the left join.
+    "q230_novelty" ->
+      s"""WITH $ShingleCtes,
+         sp AS (SELECT doc_id, ((doc_id % 1000003) * 427799) % 1000003 % 10 AS shard
+                FROM documents),
+         tr AS (SELECT DISTINCT shingle FROM sh JOIN sp USING (doc_id) WHERE sp.shard < 8),
+         te AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN sp USING (doc_id) WHERE sp.shard > 8)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(count(tr.shingle) AS BIGINT) AS n_seen,
+           CAST((10000 * (count(*) - count(tr.shingle))) // count(*) AS BIGINT) AS novelty_bp
+         FROM te LEFT JOIN tr ON te.shingle = tr.shingle
+         GROUP BY doc_id""",
+
+    // Per-term bp(ln) fixed point (the q90 discipline), then exact
+    // integer least squares; r² rides HUGEINT (num² ~ 5·10²⁴ worst
+    // case outruns BIGINT — mirrors the Spark side's decimal(38,0)).
+    "q232_zipf" ->
+      """WITH tk AS (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+         tf AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS cnt FROM tk GROUP BY 1, 2),
+         st AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+                       CAST(count(*) AS BIGINT) AS vocab FROM tf GROUP BY 1),
+         rk AS (SELECT lang, tok, cnt,
+                  row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tok ASC) AS rank
+                FROM tf QUALIFY rank <= 16),
+         fx AS (SELECT lang,
+                  CAST(floor(ln(rank) * 10000 + 0.5) AS BIGINT) AS lx,
+                  CAST(floor(ln(cnt) * 10000 + 0.5) AS BIGINT) AS ly FROM rk),
+         rg AS (SELECT lang, CAST(count(*) AS BIGINT) AS k,
+                  sum(lx) AS sx, sum(ly) AS sy, sum(lx * lx) AS sxx,
+                  sum(lx * ly) AS sxy, sum(ly * ly) AS syy
+                FROM fx GROUP BY 1)
+         SELECT rg.lang, n_tokens, vocab, k AS k_ranks,
+           CAST((10000 * (k * sxy - sx * sy)) // (k * sxx - sx * sx) AS BIGINT) AS zipf_slope_bp,
+           CAST(CASE WHEN k * syy - sy * sy = 0 THEN 0 ELSE
+             (10000::HUGEINT * (k * sxy - sx * sy)::HUGEINT * (k * sxy - sx * sy)::HUGEINT)
+               // ((k * sxx - sx * sx)::HUGEINT * (k * syy - sy * sy)::HUGEINT)
+             END AS BIGINT) AS r2_bp
+         FROM rg JOIN st USING (lang)""",
+
+    // md5_number_upper is the little-endian 64-bit mirror of the
+    // codegen'd Md5Hash64; % 32 keeps low bits (power-of-two modulus —
+    // signed/unsigned cannot disagree) and UBIGINT ASC order equals the
+    // Spark side's sign-bit-flipped long order.
+    "q233_epoch_shuffle" ->
+      """WITH h AS (SELECT doc_id,
+             md5_number_upper('ep1:' || CAST(doc_id AS VARCHAR)) AS h FROM documents)
+         SELECT doc_id, CAST(h % 32 AS BIGINT) AS shard,
+           CAST(row_number() OVER (PARTITION BY h % 32 ORDER BY h ASC, doc_id ASC) AS BIGINT) AS pos
+         FROM h""",
 
     "q106_passage_dedup" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),

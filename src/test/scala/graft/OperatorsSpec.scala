@@ -2911,4 +2911,63 @@ class OperatorsSpec extends SparkSpec {
     assert(tieExact == tieApprox && tieApprox == 0L,
       s"tied masses: exact $tieExact approx $tieApprox")
   }
+
+  test("q230 novelty: seen windows counted, fully-novel doc scores 10000") {
+    import SparkTestSession.spark.implicits._
+    // knuth shards: ids 0,3,4 → train; 1,5 → test (computed from the
+    // q100 formula ((id % 1000003)·427799) % 1000003 % 10)
+    val corpus = Seq(
+      (0L, "a b c d"),        // train: windows {a b c, b c d}
+      (3L, "p q r"),          // train: {p q r}
+      (1L, "a b c x y z"),    // test: {a b c, b c x, c x y, x y z} — 1 seen
+      (5L, "m n o m n o")     // test: distinct {m n o, n o m, o m n} — 0 seen
+    ).toDF("doc_id", "text")
+    val r = Text.noveltyAudit(corpus, "doc_id", "text").collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3))))
+      .toMap
+    assert(r(1L) == ((4L, 1L, 7500L)), s"partially-seen doc: ${r(1L)}")
+    assert(r(5L) == ((3L, 0L, 10000L)), s"fully-novel doc: ${r(5L)}")
+    assert(!r.contains(0L) && !r.contains(3L), "train docs are not audited")
+  }
+
+  test("q232 zipf: exact 1/rank counts fit slope -1 with r2 ~ 1; flat corpus reports r2 = 0") {
+    import SparkTestSession.spark.implicits._
+    // counts 24/rank for ranks 1..4: ln-ln exactly linear, slope −1
+    val zipfText = (Seq.fill(24)("t1") ++ Seq.fill(12)("t2") ++
+      Seq.fill(8)("t3") ++ Seq.fill(6)("t4")).mkString(" ")
+    val corpus = Seq(("x", zipfText), ("y", "a b c")).toDF("lang", "text")
+    val out = Text.zipfFit(corpus, "lang", "text")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val x = out("x")
+    assert(x.getLong(1) == 50L && x.getLong(2) == 4L && x.getLong(3) == 4L,
+      s"heaps point: $x")
+    val slope = x.getLong(4)
+    assert(slope > -10100L && slope < -9900L, s"zipf slope: $slope")
+    assert(x.getLong(5) >= 9990L && x.getLong(5) <= 10000L, s"r2: ${x.getLong(5)}")
+    // all-equal counts: undefined fit reports slope 0, r² 0
+    val y = out("y")
+    assert(y.getLong(4) == 0L && y.getLong(5) == 0L, s"flat corpus: $y")
+  }
+
+  test("q233 epoch shuffle: dense per-shard positions, seed re-deals the order") {
+    import SparkTestSession.spark.implicits._
+    val corpus = (0L until 1000L).toDF("doc_id")
+    val e1 = Text.epochShuffle(corpus, "doc_id", "ep1", 32).collect()
+    assert(e1.length == 1000, "every doc assigned")
+    assert(e1.forall(r => r.getLong(1) >= 0L && r.getLong(1) < 32L))
+    // positions are a dense 1..n permutation within every shard
+    e1.groupBy(_.getLong(1)).foreach { case (s, rows) =>
+      val ps = rows.map(_.getLong(2)).sorted.toSeq
+      assert(ps == (1L to rows.length.toLong).toSeq, s"shard $s positions: $ps")
+    }
+    // deterministic: same seed reproduces; new seed re-deals
+    val e1b = Text.epochShuffle(corpus, "doc_id", "ep1", 32).collect()
+    assert(e1.map(_.toSeq).toSet == e1b.map(_.toSeq).toSet, "same seed = same deal")
+    val e2 = Text.epochShuffle(corpus, "doc_id", "ep2", 32).collect()
+    assert(e1.map(_.toSeq).toSet != e2.map(_.toSeq).toSet, "new seed re-deals")
+    // shards are hash-balanced: no shard is empty or dominant
+    val sizes = e1.groupBy(_.getLong(1)).map(_._2.length)
+    assert(sizes.size == 32 && sizes.max < 4 * sizes.min,
+      s"shard balance: min ${sizes.min} max ${sizes.max}")
+  }
 }
