@@ -58,7 +58,13 @@ object ScaleSweep {
     val meter = new ShuffleMeter
     spark.sparkContext.addSparkListener(meter)
 
+    // Optional subset: query names after the factor arg restrict the
+    // sweep (e.g. a new-operator batch) instead of the full surface.
+    val subset = args.drop(3).toSet
+    subset.foreach(q => require(SparkEntry.queries.contains(q),
+      s"unknown query '$q'"))
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => subset.isEmpty || subset(q._1))
     // (query, dir) -> (secs, rows, shuffleBytes, shuffleRecords)
     val out = collection.mutable.Map
       .empty[(String, String), (Double, Long, Long, Long, Option[String])]

@@ -247,6 +247,7 @@ object SparkEntry {
     "q228_dedup_eval"     -> (Dedup.q228 _),
     "q229_bpe_fertility"  -> (Text.q229 _),
     "q230_novelty"        -> (Text.q230 _),
+    "q231_langid_eval"    -> (Text.q231 _),
     "q232_zipf"           -> (Text.q232 _),
     "q233_epoch_shuffle"  -> (Text.q233 _),
   )
@@ -304,6 +305,21 @@ object SparkEntry {
     * one definition of the near-dup cluster labeling, the quality score,
     * and the keep-best pack, so the oracles can't drift apart from each
     * other (the Spark side shares Dedup.q55/electKeepers the same way). */
+  /** The q42 marker-argmax predictor chain (through `r`; rn = 1 is the
+    * prediction) — shared by the q42 oracle and the q231 eval. Markers
+    * mirror Text.langMarkers literally. */
+  private val LangIdCtes =
+    """sc AS (SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS nt
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+         u AS (
+           SELECT doc_id, 'en' AS lang, 0 AS rnk, len(list_filter(toks, t -> t IN ('the','a','is'))) / nt AS score FROM sc
+           UNION ALL SELECT doc_id, 'de', 1, len(list_filter(toks, t -> t IN ('der','und','table'))) / nt FROM sc
+           UNION ALL SELECT doc_id, 'es', 2, len(list_filter(toks, t -> t IN ('el','y','data'))) / nt FROM sc
+           UNION ALL SELECT doc_id, 'fr', 3, len(list_filter(toks, t -> t IN ('le','et','row'))) / nt FROM sc
+           UNION ALL SELECT doc_id, 'zh', 4, len(list_filter(toks, t -> t IN ('scan','hash','join'))) / nt FROM sc),
+         r AS (SELECT doc_id, lang, score,
+               row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, rnk ASC) AS rn FROM u)"""
+
   private val ShingleCtes =
     """t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
        sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
@@ -1070,17 +1086,22 @@ object SparkEntry {
     "q41_quality_score" -> q41OracleSql,
 
     "q42_langid" ->
-      s"""WITH sc AS (SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS nt
-           FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
-         u AS (
-           SELECT doc_id, 'en' AS lang, 0 AS rnk, len(list_filter(toks, t -> t IN ('the','a','is'))) / nt AS score FROM sc
-           UNION ALL SELECT doc_id, 'de', 1, len(list_filter(toks, t -> t IN ('der','und','table'))) / nt FROM sc
-           UNION ALL SELECT doc_id, 'es', 2, len(list_filter(toks, t -> t IN ('el','y','data'))) / nt FROM sc
-           UNION ALL SELECT doc_id, 'fr', 3, len(list_filter(toks, t -> t IN ('le','et','row'))) / nt FROM sc
-           UNION ALL SELECT doc_id, 'zh', 4, len(list_filter(toks, t -> t IN ('scan','hash','join'))) / nt FROM sc),
-         r AS (SELECT doc_id, lang, score,
-               row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, rnk ASC) AS rn FROM u)
+      s"""WITH $LangIdCtes
          SELECT doc_id, lang AS pred_lang, ${BP("score")} AS top_score_bp FROM r WHERE rn = 1""",
+
+    // q42's predictor joined back to the lang label: confusion-matrix
+    // cells with row-share bp (diagonal = per-language recall).
+    "q231_langid_eval" ->
+      s"""WITH $LangIdCtes,
+         p AS (SELECT doc_id, lang AS pred_lang FROM r WHERE rn = 1),
+         j AS (SELECT d.lang AS lang_true, p.pred_lang
+               FROM documents d JOIN p USING (doc_id)),
+         c AS (SELECT lang_true, pred_lang, CAST(count(*) AS BIGINT) AS n
+               FROM j GROUP BY 1, 2),
+         t AS (SELECT lang_true, CAST(sum(n) AS BIGINT) AS n_true FROM c GROUP BY 1)
+         SELECT c.lang_true, c.pred_lang, n,
+           CAST((10000 * n) // n_true AS BIGINT) AS share_bp
+         FROM c JOIN t USING (lang_true)""",
 
     "q44_ngram_freq" ->
       """WITH b AS (SELECT lang, unnest(list_transform(range(1, len(toks)),

@@ -2545,4 +2545,37 @@ object Text {
   /** q233: epoch-1 shuffle of the documents table into 32 shards. */
   def q233(s: SparkSession, d: String): DataFrame =
     epochShuffle(Tables.documents(s, d), "doc_id", "ep1", 32)
+
+  /** LANGUAGE-ID EVALUATION HARNESS — the q192/q201/q228 convention
+    * (ship the evaluator WITH the detector) applied to q42: score the
+    * marker-argmax predictor against a labeled column and report the
+    * full confusion matrix, each (true, predicted) cell with its count
+    * and row share in bp — the diagonal share IS per-language recall,
+    * off-diagonal cells name the specific confusion (which mislabeled
+    * pair to fix markers for). A corpus build re-runs this whenever the
+    * marker profiles change; accuracy moving DOWN gates the profile
+    * update.
+    *
+    * Plan: the predictor is one map-side pass (q42); one
+    * |langs|²-bounded aggregation. Scale (100 TB): nothing but the
+    * label join leaves the scan, and that join is by id against the
+    * corpus' own columns — zero extra shuffles beyond the
+    * |langs|²-row aggregate. */
+  def langidEval(docs: DataFrame, id: String, text: String, label: String,
+                 markers: Seq[(String, Seq[String])]): DataFrame = {
+    val pred = languageId(docs, id, text, markers)
+      .select(col(id), col("pred_lang"))
+    val conf = docs.select(col(id), col(label).as("lang_true"))
+      .join(pred, id)
+      .groupBy(col("lang_true"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+    val tot = conf.groupBy(col("lang_true")).agg(sum(col("n")).as("n_true"))
+    conf.join(tot, "lang_true")
+      .select(col("lang_true"), col("pred_lang"), col("n"),
+        F.idiv(lit(10000L) * col("n"), col("n_true")).as("share_bp"))
+  }
+
+  /** q231: q42's marker predictor scored against the lang label. */
+  def q231(s: SparkSession, d: String): DataFrame =
+    langidEval(Tables.documents(s, d), "doc_id", "text", "lang", langMarkers)
 }

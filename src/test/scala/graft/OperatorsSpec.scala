@@ -2949,6 +2949,24 @@ class OperatorsSpec extends SparkSpec {
     assert(y.getLong(4) == 0L && y.getLong(5) == 0L, s"flat corpus: $y")
   }
 
+  test("q231 langid eval: confusion cells name the mislabel, diagonal share is recall") {
+    import SparkTestSession.spark.implicits._
+    val corpus = Seq(
+      (1L, "en", "the a is here"),       // correct en
+      (2L, "en", "the the the x"),       // correct en
+      (3L, "en", "der und table now"),   // labeled en, predicts de
+      (4L, "de", "der und und table")    // correct de
+    ).toDF("doc_id", "lang", "text")
+    val cells = Text.langidEval(corpus, "doc_id", "text", "lang", Text.langMarkers)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(cells(("en", "en")) == ((2L, 6666L)), s"en recall: ${cells(("en", "en"))}")
+    assert(cells(("en", "de")) == ((1L, 3333L)), "the mislabeled doc lands off-diagonal")
+    assert(cells(("de", "de")) == ((1L, 10000L)), "clean language scores 10000 bp")
+    assert(cells.size == 3, s"no phantom cells: ${cells.keys}")
+  }
+
   test("q233 epoch shuffle: dense per-shard positions, seed re-deals the order") {
     import SparkTestSession.spark.implicits._
     val corpus = (0L until 1000L).toDF("doc_id")
