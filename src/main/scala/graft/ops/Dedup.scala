@@ -783,13 +783,41 @@ object Dedup {
             col("precision_bp") + col("recall_bp"))))
   }
 
+  /** q228's DEPLOYMENT mode — vertex-sampled evaluation. The truth leg
+    * is all-pairs BY DEFINITION (that is what recall means: pairs the
+    * detector should have found, fence or no fence), so it is
+    * quadratic in whatever corpus it runs on — measured at the sf1
+    * decade: ~103x shuffle records for 10x vectors, exactly n². The
+    * production audit therefore runs on a deterministic md5 vertex
+    * sample: 1/everyK of vectors → ~1/everyK² of pairs, K chosen so
+    * the sampled all-pairs leg is a fixed absolute cost at any corpus
+    * size. Both legs see the SAME sample, so the precision-1-by-
+    * construction property is preserved exactly and recall is the
+    * sample estimate (pairs survive sampling iff both endpoints do —
+    * unbiased between numerator and denominator). everyK is a power of
+    * two (low md5 bits; the signed/unsigned engine divide cannot move
+    * a vector across the sample boundary). */
+  def dedupEvalSampled(embs: DataFrame, id: String, emb: String,
+                       block: String, tau: Double, everyK: Long): DataFrame = {
+    require(everyK > 0 && (everyK & (everyK - 1)) == 0,
+      s"everyK must be a power of two, got $everyK")
+    val sample = embs.filter(pmod(F.md5Hash64(
+      concat(lit("dsamp:"), col(id).cast("string"))), lit(everyK)) === 0L)
+    val approx = embeddingPairs(sample, id, emb, block, tau)
+    val truth = embeddingPairs(sample.withColumn("allb", lit(1)),
+      id, emb, "allb", tau)
+    dedupPairEval(approx, truth, "vec_a", "vec_b")
+  }
+
   /** q228: the q54 label-blocked embedding detector scored against
     * BLOCKLESS exact cosine truth at the same τ — blocking makes
     * precision 1 by construction (blocked pairs are cosine-verified
     * subsets) while recall counts what the label fence loses; the
     * truth leg reuses embeddingPairs with a constant block (the
     * audit-sized blockless sweep, same as annRecall's brute-force
-    * leg). */
+    * leg). This full-corpus form is the ORACLE facade — the truth leg
+    * is inherently O(n²) (SCALECHECK r10 measured the clean decade
+    * square), so at deployment scale run dedupEvalSampled. */
   def q228(s: SparkSession, d: String): DataFrame = {
     val embs = Tables.embeddings(s, d)
     val approx = embeddingPairs(embs, "vec_id", "embedding", "label", 0.35)

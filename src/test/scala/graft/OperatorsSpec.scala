@@ -1696,6 +1696,22 @@ class OperatorsSpec extends SparkSpec {
       s"cross-label twin must be a pure recall miss: $e")
   }
 
+  test("q228 sampled mode: everyK=1 is the full audit; sampling preserves precision-1") {
+    val embs = graft.Tables.embeddings(spark, sf)
+    val full = Dedup.q228(spark, sf).collect().head
+    val k1 = Dedup.dedupEvalSampled(embs, "vec_id", "embedding", "label",
+      0.35, 1L).collect().head
+    assert(full.toSeq == k1.toSeq, s"everyK=1 must equal the full audit: $k1 vs $full")
+    val k4 = Dedup.dedupEvalSampled(embs, "vec_id", "embedding", "label",
+      0.35, 4L).collect().head
+    // the sample sees ~1/16 of the pair mass but the structural
+    // property survives: every blocked pair in-sample is still
+    // cosine-verified, so precision stays exactly 1
+    assert(k4.getLong(1) > 0L, "the sf0.001 sample still carries truth pairs")
+    if (k4.getLong(0) > 0L)
+      assert(k4.getLong(3) == 10000L, s"sampled precision: ${k4.getLong(3)}")
+  }
+
   test("kCore peels pendants, keeps the clique, cascades erosion") {
     import SparkTestSession.spark.implicits._
     // 5-clique (nodes 1-5) + a pendant path 5-6-7: the 4-core is the
