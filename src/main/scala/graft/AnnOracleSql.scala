@@ -320,7 +320,23 @@ object AnnOracleSql {
   /** The ten k-means/ANN oracles, keyed by query name. q144 and q170
     * are row-identical to q62 and q168 respectively by the persisted-
     * index contract (spec-pinned), so they share SQL. */
+  /** q234 cross-split leakage: quantizer trained on the knuth train
+    * split only (the q189 frozen-store discipline), both splits
+    * assigned, intra-cell test×train pairs at cosine ≥ τ. */
+  private val SplitPred = "((vec_id % 1000003) * 427799) % 1000003 % 10"
+  private val q234Sql: String =
+    s"""WITH ${trainCtes(16, s"$SplitPred < 8")},
+    $assignCtes,
+    tr AS (SELECT vec_id, embedding, cell FROM asg WHERE $SplitPred < 8),
+    te AS (SELECT vec_id, embedding, cell FROM asg WHERE $SplitPred > 8)
+    SELECT te.vec_id, CAST(count(*) AS BIGINT) AS n_leaks,
+      CAST(max(${bpS(cosS("te.embedding", "tr.embedding"))}) AS BIGINT) AS max_sim_bp
+    FROM te JOIN tr ON tr.cell = te.cell
+    WHERE ${cosS("te.embedding", "tr.embedding")} >= $Tau
+    GROUP BY te.vec_id"""
+
   val all: Map[String, String] = Map(
+    "q234_split_leakage"   -> q234Sql,
     "q91_embed_clusters"   -> q91Sql,
     "q95_diversity_sample" -> q95Sql,
     "q114_semdedup"        -> q114Sql,

@@ -250,6 +250,7 @@ object SparkEntry {
     "q231_langid_eval"    -> (Text.q231 _),
     "q232_zipf"           -> (Text.q232 _),
     "q233_epoch_shuffle"  -> (Text.q233 _),
+    "q234_split_leakage"  -> (Similarity.q234 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:

@@ -706,6 +706,46 @@ object Similarity {
     semDedup(e, "vec_id", "embedding", k, SemTau)
   }
 
+  /** CROSS-SPLIT SEMANTIC LEAKAGE — eval-set decontamination at the
+    * EMBEDDING level, the complement of q230's n-gram audit: a test
+    * document paraphrased (not copied) from a training document shares
+    * no 3-gram but sits at high cosine, and training on its twin still
+    * inflates the eval. Flags every test-split vector with cosine ≥ τ
+    * to ANY train-split vector, with the leak count and worst
+    * similarity — the rows an eval-set build quarantines before
+    * publishing a benchmark split.
+    *
+    * The quantizer trains on the TRAIN side only (the q189 frozen-
+    * store discipline: the test set must not shape its own blocking),
+    * both sides assign to its cells map-side, and the cross join runs
+    * intra-cell only — the same bucketed-not-all-pairs shape as
+    * SemDeDup, so the 100 TB path is q114Scaled's: k grows with the
+    * corpus, cell width stays constant. Per-pair cosine rounds to bp
+    * once (q60 cross-engine equivalence), max/count are exact. */
+  def splitLeakage(embs: DataFrame, id: String, emb: String,
+                   k: Int, tau: Double): DataFrame = {
+    // the q100 knuth split on the numeric id: shard <8 train, >8 test
+    val shard = pmod(pmod(col(id), lit(1000003L)) * lit(427799L),
+      lit(1000003L)) % lit(10L)
+    val train = embs.filter(shard < 8)
+    val test = embs.filter(shard > 8)
+    val cents = trainCentroids(train, id, emb, k, TrainIters)
+    val tr = train.select(col(id).as("tid"), col(emb).as("te"),
+      bestCellId(cents, col(emb)).as("cell"))
+    val te = test.select(col(id).as("vec_id"), col(emb).as("e"),
+      bestCellId(cents, col(emb)).as("cell"))
+    te.join(tr, "cell")
+      .where(F.cosineSim(col("e"), col("te")) >= tau)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_leaks"),
+        max(bp(F.cosineSim(col("e"), col("te")))).as("max_sim_bp"))
+  }
+
+  /** q234: test-split vectors semantically leaked from the train
+    * split (16 train-side cells, τ = the q54 near-dup level). */
+  def q234(s: SparkSession, d: String): DataFrame =
+    splitLeakage(Tables.embeddings(s, d), "vec_id", "embedding", 16, SemTau)
+
   /** q62: IVF-Flat approximate top-10, nprobe=4 of 16 cells. */
   def q62(s: SparkSession, d: String): DataFrame = {
     val (c, q) = corpusAndQueries(s, d)

@@ -2983,6 +2983,25 @@ class OperatorsSpec extends SparkSpec {
     assert(cells.size == 3, s"no phantom cells: ${cells.keys}")
   }
 
+  test("q234 split leakage: the paraphrase twin is flagged, the orthogonal test vec is clean") {
+    import SparkTestSession.spark.implicits._
+    // knuth shards: 0,3,4 train; 1,5 test (the q230 spec's id set)
+    val v1 = Seq(1f, 0f, 0f, 0f)
+    val embs = Seq(
+      (0L, v1), (3L, Seq(0f, 1f, 0f, 0f)), (4L, v1),   // train
+      (1L, Seq(0.9f, 0.1f, 0f, 0f)),                   // test: near v1
+      (5L, Seq(0f, 0f, 1f, 0f))                        // test: orthogonal
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.splitLeakage(embs, "vec_id", "embedding", 2, 0.8)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    // both train copies of v1 share the twin's cell → 2 leaks
+    val c = 0.9f.toDouble / math.sqrt(0.9f.toDouble * 0.9f + 0.1f.toDouble * 0.1f)
+    val expBp = math.floor(c * 10000 + 0.5).toLong
+    assert(r(1L) == ((2L, expBp)), s"leaked twin: ${r(1L)} vs exp ($expBp)")
+    assert(!r.contains(5L), "orthogonal test vector must not be flagged")
+    assert(!r.contains(0L) && !r.contains(4L), "train vectors are never audited")
+  }
+
   test("q233 epoch shuffle: dense per-shard positions, seed re-deals the order") {
     import SparkTestSession.spark.implicits._
     val corpus = (0L until 1000L).toDF("doc_id")
