@@ -154,8 +154,66 @@ SELECT lang, CAST(sum(wc) AS BIGINT) AS n_words,
 FROM fin GROUP BY lang"""
   }
 
+  /** q235: greedy-vs-optimal gap — the q229-style recursive greedy
+    * encode carrying (lang, word), joined to a SECOND recursion: the
+    * shortest-segmentation DP as reachability over positions (state
+    * (word, pos, steps); edges advance pos by any inventory token
+    * matching at pos; single corpus characters are the base alphabet,
+    * merge products a||b from the training chain the learned tokens).
+    * UNION-dedup bounds states by |word|² per word, and min(steps) at
+    * pos = len(word) is the DP optimum. dw/alltoks stay PLAIN (the
+    * materialize-into-recursion DuckDB 1.0.0 trap documented above). */
+  def q235: String = {
+    val pats = (1 to NMerges).map { i =>
+      s"SELECT $i AS rank, ' ' || a || '  ' || b || ' ' AS pat, ' ' || a || b || ' ' AS repl FROM t$i"
+    }.mkString("\nUNION ALL ")
+    val toks = (1 to NMerges).map(i => s"SELECT a || b AS t FROM t$i")
+      .mkString("\nUNION ALL ")
+    "WITH RECURSIVE " + chainCtes.mkString(",\n") +
+      s""",
+pats AS ($pats),
+pl AS MATERIALIZED (
+  SELECT list(struct_pack(pat := pat, repl := repl) ORDER BY rank) AS ps FROM pats),
+lw AS MATERIALIZED (
+  SELECT lang, word, '  ' || array_to_string(string_split(word, ''), '  ') || '  ' AS rep,
+         CAST(count(*) AS BIGINT) AS wc
+  FROM (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY lang, word),
+enc AS (
+  SELECT lang, word, rep, wc FROM lw
+  UNION ALL
+  SELECT e.lang, e.word, replace(e.rep, e.h[1].pat, e.h[1].repl) AS rep, e.wc
+  FROM (SELECT lang, word, rep, wc, list_filter(ps, s -> strpos(rep, s.pat) > 0) AS h
+        FROM enc CROSS JOIN pl) e
+  WHERE len(e.h) > 0),
+g AS (
+  SELECT lang, word, wc,
+         CAST(len(list_filter(string_split(rep, '  '), x -> x <> '')) AS BIGINT) AS n_tok
+  FROM enc CROSS JOIN pl
+  WHERE len(list_filter(ps, s -> strpos(rep, s.pat) > 0)) = 0),
+dw AS (SELECT DISTINCT word FROM lw),
+alltoks AS (
+  SELECT t FROM ($toks)
+  UNION
+  SELECT DISTINCT unnest(string_split(word, '')) AS t FROM dw),
+seg AS (
+  SELECT word, 0 AS pos, 0 AS steps FROM dw
+  UNION
+  SELECT s.word, s.pos + length(a.t) AS pos, s.steps + 1 AS steps
+  FROM seg s JOIN alltoks a ON substr(s.word, s.pos + 1, length(a.t)) = a.t
+  WHERE s.pos < length(s.word)),
+opt AS (SELECT word, CAST(min(steps) AS BIGINT) AS n_opt FROM seg
+        WHERE pos = length(word) GROUP BY 1)
+SELECT g.lang, CAST(sum(g.wc) AS BIGINT) AS n_words,
+  CAST(sum(g.wc * g.n_tok) AS BIGINT) AS n_greedy,
+  CAST(sum(g.wc * o.n_opt) AS BIGINT) AS n_opt,
+  CAST(10000 * (sum(g.wc * g.n_tok) - sum(g.wc * o.n_opt)) // sum(g.wc * o.n_opt) AS BIGINT) AS overhead_bp
+FROM g JOIN opt o USING (word) GROUP BY g.lang"""
+  }
+
   def all: Map[String, String] = Map(
     "q141_bpe_vocab"      -> q141,
     "q142_bpe_tokenize"   -> q142,
-    "q229_bpe_fertility"  -> q229)
+    "q229_bpe_fertility"  -> q229,
+    "q235_seg_gap"        -> q235)
 }

@@ -251,6 +251,7 @@ object SparkEntry {
     "q232_zipf"           -> (Text.q232 _),
     "q233_epoch_shuffle"  -> (Text.q233 _),
     "q234_split_leakage"  -> (Similarity.q234 _),
+    "q235_seg_gap"        -> (Text.q235 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:

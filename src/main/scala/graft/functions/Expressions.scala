@@ -464,6 +464,63 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
     copy(child = newChild)
 }
 
+/** Minimum token count segmenting the word over the inventory
+  * {every single code point} ∪ `vocab` (the learned multi-char merge
+  * products) — the DP lower bound greedy BPE is measured against
+  * (q235's optimality gap). Single code points are ALWAYS segmentable
+  * (BPE's open base inventory: BpeEncode emits unseen characters
+  * verbatim), so the result is total on any input. dp[i] = min(
+  * dp[i−1]+1, min over vocab t ending at i of dp[i−|t|]+1); O(|word|
+  * · |vocab|) per row, vocab is a bounded literal (~merge count). */
+case class MinSegTokens(child: Expression, vocab: Seq[String])
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "min_seg_tokens"
+
+  // code-point arrays once per operator instance, not per row
+  private val vcps: Array[Array[String]] = vocab.distinct.toArray
+    .map(_.codePoints().toArray.map(cp => new String(Character.toChars(cp))))
+
+  /** Called from generated code. */
+  def minSeg(word: UTF8String): Int = {
+    val cps = word.toString.codePoints().toArray
+      .map(cp => new String(Character.toChars(cp)))
+    val n = cps.length
+    if (n == 0) return 0
+    val dp = Array.fill(n + 1)(Int.MaxValue)
+    dp(0) = 0
+    var i = 1
+    while (i <= n) {
+      dp(i) = dp(i - 1) + 1 // the single-code-point base token
+      var v = 0
+      while (v < vcps.length) {
+        val t = vcps(v)
+        val l = t.length
+        if (l <= i && dp(i - l) != Int.MaxValue && dp(i - l) + 1 < dp(i)) {
+          var j = 0
+          var ok = true
+          while (ok && j < l) { ok = cps(i - l + j) == t(j); j += 1 }
+          if (ok) dp(i) = dp(i - l) + 1
+        }
+        v += 1
+      }
+      i += 1
+    }
+    dp(n)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    minSeg(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("minSegTokens", this, classOf[MinSegTokens].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.minSeg($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinSegTokens =
+    copy(child = newChild)
+}
+
 object CmsEstimate {
   /** splitmix64 finalizer shared by CountMinAgg (build) and CmsEstimate
     * (probe) — the two sides MUST hash identically. */

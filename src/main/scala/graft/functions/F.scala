@@ -81,6 +81,11 @@ object F {
   def bpeEncode(c: Column, merges: Seq[(String, String)]): Column =
     GraftColumns.wrap(BpeEncode(u(c), merges))
 
+  /** DP-minimum token count over {code points} ∪ vocab (see
+    * MinSegTokens — q235's optimality lower bound). */
+  def minSegTokens(c: Column, vocab: Seq[String]): Column =
+    GraftColumns.wrap(MinSegTokens(u(c), vocab))
+
   /** Z-order (Morton) key over two long columns — sort/range-partition
     * by this to cluster files for two-column data skipping. */
   def zorder2(a: Column, b: Column): Column =

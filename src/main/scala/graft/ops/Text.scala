@@ -1187,15 +1187,8 @@ object Text {
     * (lexicographic tie-breaks), so the output is identical either
     * way — golden-pinned AND hash-verified against BpeOracleSql's
     * recursive DuckDB encode since round 10. */
-  def q142(s: SparkSession, d: String): DataFrame = {
-    val path = Scratch.dir(s, d, "bpe")
-    val done = new org.apache.hadoop.fs.Path(s"$path/merges/_SUCCESS")
-    if (!done.getFileSystem(s.sparkContext.hadoopConfiguration).exists(done))
-      q141(s, d).write.mode("overwrite").parquet(s"$path/merges")
-    val merges = s.read.parquet(s"$path/merges").orderBy(col("rank")).collect()
-      .map(r => (r.getString(1), r.getString(2))).toSeq
-    bpeTokenize(Tables.documents(s, d), "text", merges, BpeTopK)
-  }
+  def q142(s: SparkSession, d: String): DataFrame =
+    bpeTokenize(Tables.documents(s, d), "text", loadedMerges(s, d), BpeTopK)
 
   /** TOKENIZER FERTILITY by language — THE cross-language tokenizer
     * quality metric: average BPE tokens per word (fertility; 1.0 is
@@ -1226,18 +1219,62 @@ object Text {
         F.idiv(lit(10000L) * sum(col("wc") * col("n_char")),
           sum(col("wc") * col("n_tok"))).as("chars_per_token_bp"))
 
-  /** q229: fertility of the q141-learned tokenizer per corpus language,
-    * through the SAME persisted merge table q142 applies (the standing
-    * artifact loaded, or trained once if absent). */
-  def q229(s: SparkSession, d: String): DataFrame = {
+  /** The persisted q141 merge table (the q142 standing artifact),
+    * loaded — or trained once if absent. Shared by q142/q229/q235. */
+  private def loadedMerges(s: SparkSession, d: String): Seq[(String, String)] = {
     val path = Scratch.dir(s, d, "bpe")
     val done = new org.apache.hadoop.fs.Path(s"$path/merges/_SUCCESS")
     if (!done.getFileSystem(s.sparkContext.hadoopConfiguration).exists(done))
       q141(s, d).write.mode("overwrite").parquet(s"$path/merges")
-    val merges = s.read.parquet(s"$path/merges").orderBy(col("rank")).collect()
+    s.read.parquet(s"$path/merges").orderBy(col("rank")).collect()
       .map(r => (r.getString(1), r.getString(2))).toSeq
-    tokenizerFertility(Tables.documents(s, d), "lang", "text", merges)
   }
+
+  /** q229: fertility of the q141-learned tokenizer per corpus language,
+    * through the SAME persisted merge table q142 applies (the standing
+    * artifact loaded, or trained once if absent). */
+  def q229(s: SparkSession, d: String): DataFrame =
+    tokenizerFertility(Tables.documents(s, d), "lang", "text",
+      loadedMerges(s, d))
+
+  /** GREEDY-vs-OPTIMAL TOKENIZATION GAP — how many tokens the
+    * production encoder WASTES against the best segmentation its own
+    * inventory permits: greedy lowest-rank-first BPE (BpeEncode, what
+    * actually ships) vs the DP minimum over {code points} ∪ {merge
+    * products} (MinSegTokens). A large gap at a fixed vocab means the
+    * merge ORDER, not the inventory, is costing context-window tokens
+    * — the diagnostic that separates "train a bigger vocab" from "the
+    * greedy order is pathological for this language" when fertility
+    * (q229) looks bad. Reported per language: weighted word/token
+    * totals and overhead_bp = (greedy − opt)/opt.
+    *
+    * Scale: identical shape to q229 — the corpus reduces to its
+    * (lang, word) vocabulary in one shuffle; both encoders run
+    * codegen'd per DISTINCT word, occurrence-weighted; one per-lang
+    * aggregation. DP is O(|word|·|merges|) per distinct word. */
+  def segmentationGap(df: DataFrame, lang: String, text: String,
+                      merges: Seq[(String, String)]): DataFrame = {
+    val vocab = merges.map { case (a, b) => a + b }
+    withToks(df, text)
+      .select(col(lang), explode(toks).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col(lang), col("word")).agg(count(lit(1)).as("wc"))
+      .select(col(lang), col("wc"),
+        size(F.bpeEncode(col("word"), merges)).cast("long").as("ng"),
+        F.minSegTokens(col("word"), vocab).cast("long").as("no"))
+      .groupBy(col(lang))
+      .agg(sum(col("wc")).as("n_words"),
+        sum(col("wc") * col("ng")).as("n_greedy"),
+        sum(col("wc") * col("no")).as("n_opt"))
+      .withColumn("overhead_bp",
+        F.idiv(lit(10000L) * (col("n_greedy") - col("n_opt")), col("n_opt")))
+  }
+
+  /** q235: per-language greedy-vs-optimal gap under the persisted
+    * q141 merge table. */
+  def q235(s: SparkSession, d: String): DataFrame =
+    segmentationGap(Tables.documents(s, d), "lang", "text",
+      loadedMerges(s, d))
 
   /** CROSS-DOCUMENT BOILERPLATE REMOVAL (CCNet-style line dedup, at
     * passage granularity since this corpus has no newlines): cut each

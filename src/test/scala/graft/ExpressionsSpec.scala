@@ -324,4 +324,21 @@ class ExpressionsSpec extends SparkSpec {
       .head().getSeq[Long](0)
     assert(viaSql == Seq(1L, 3L, 5L, 7L))
   }
+
+  test("min_seg_tokens: DP optimum over chars + vocab, total on OOV") {
+    val vocab = Seq("bc", "ab", "cd")
+    val got = Seq("abcd", "xyz", "", "abcbc", "bcd")
+      .toDF("w").select(F.minSegTokens(col("w"), vocab)).as[Int].collect()
+    // abcd: ab+cd = 2 (greedy lowest-rank bc would give 3)
+    // xyz: no vocab token applies — 3 base chars; empty word: 0
+    // abcbc: ab+c+bc or a+bc+bc = 3; bcd: bc+d or b+cd = 2
+    assert(got.toSeq == Seq(2, 3, 0, 3, 2), got.toSeq.toString)
+    // never worse than character count, never better than ceil(len/max)
+    val words = Seq("aaaa", "abab", "dcba", "abcabc").toDF("w")
+      .select(col("w"), F.minSegTokens(col("w"), vocab).as("m")).collect()
+    words.foreach { r =>
+      val (w, m) = (r.getString(0), r.getInt(1))
+      assert(m <= w.length && m >= (w.length + 1) / 2, s"$w -> $m")
+    }
+  }
 }

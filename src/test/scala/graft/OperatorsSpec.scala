@@ -2983,6 +2983,21 @@ class OperatorsSpec extends SparkSpec {
     assert(cells.size == 3, s"no phantom cells: ${cells.keys}")
   }
 
+  test("q235 segmentation gap: greedy merge order pays tokens the inventory doesn't require") {
+    import SparkTestSession.spark.implicits._
+    // merges ranked (b,c) < (a,b) < (c,d): greedy on "abcd" burns the
+    // middle pair first ([a, bc, d] = 3 tokens) while the inventory
+    // admits ab+cd = 2 — the order-vs-inventory diagnostic in miniature
+    val merges = Seq(("b", "c"), ("a", "b"), ("c", "d"))
+    val corpus = Seq(("x", "abcd abcd"), ("y", "bc bc bc")).toDF("lang", "text")
+    val r = Text.segmentationGap(corpus, "lang", "text", merges)
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    assert(r("x") == ((2L, 6L, 4L, 5000L)), s"gap lang: ${r("x")}")
+    // "bc" greedy-encodes to the single merged token — already optimal
+    assert(r("y") == ((3L, 3L, 3L, 0L)), s"optimal lang: ${r("y")}")
+  }
+
   test("q234 split leakage: the paraphrase twin is flagged, the orthogonal test vec is clean") {
     import SparkTestSession.spark.implicits._
     // knuth shards: 0,3,4 train; 1,5 test (the q230 spec's id set)
