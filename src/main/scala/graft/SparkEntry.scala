@@ -252,6 +252,7 @@ object SparkEntry {
     "q233_epoch_shuffle"  -> (Text.q233 _),
     "q234_split_leakage"  -> (Similarity.q234 _),
     "q235_seg_gap"        -> (Text.q235 _),
+    "q236_dataset_card"   -> (Text.q236 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -827,6 +828,22 @@ object SparkEntry {
                // ((k * sxx - sx * sx)::HUGEINT * (k * syy - sy * sy)::HUGEINT)
              END AS BIGINT) AS r2_bp
          FROM rg JOIN st USING (lang)""",
+
+    // distinct counts compare as cardinalities, so the engines' md5
+    // representations never meet; percentile_disc parity is the q99
+    // precedent (actual member of the integer domain, exact long).
+    "q236_dataset_card" ->
+      s"""WITH $QualityCte
+         SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT d.lang) AS BIGINT) AS n_langs,
+           CAST(count(DISTINCT d.source) AS BIGINT) AS n_sources,
+           CAST(sum(len(string_split(d.text, ' '))) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT md5(d.text)) AS BIGINT) AS n_distinct_texts,
+           CAST(sum(q.quality_bp) // count(*) AS BIGINT) AS mean_quality_bp,
+           CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY d.n_chars) AS BIGINT) AS p50_chars,
+           CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY d.n_chars) AS BIGINT) AS p90_chars,
+           CAST((10000 * (count(*) - count(DISTINCT md5(d.text)))) // count(*) AS BIGINT) AS dup_rate_bp
+         FROM documents d JOIN q USING (doc_id)""",
 
     // md5_number_upper is the little-endian 64-bit mirror of the
     // codegen'd Md5Hash64; % 32 keeps low bits (power-of-two modulus —

@@ -1276,6 +1276,43 @@ object Text {
     segmentationGap(Tables.documents(s, d), "lang", "text",
       loadedMerges(s, d))
 
+  /** DATASET CARD — the one-row datasheet a corpus release publishes
+    * (and a pipeline diffs across builds as its cheapest regression
+    * gate): volume (docs/tokens), coverage (languages/sources), exact-
+    * duplicate rate, mean quality, and the length distribution's
+    * p50/p90. Every number is an existing operator's headline
+    * re-aggregated — the card is the composition a consumer sees
+    * first.
+    *
+    * Scale (100 TB): one aggregation pass; the two COUNT(DISTINCT)s
+    * over corpus-sized domains (text md5) expand the aggregate input —
+    * at deployment swap them for approx_count_distinct/HLL (q159's
+    * sketch) and the card is one linear scan; langs/sources are
+    * tiny-domain distincts. percentile_disc returns an actual member
+    * of the integer length domain (exact long, the q99 discipline). */
+  def datasetCard(df: DataFrame, id: String, text: String,
+                  lang: String, source: String, chars: String): DataFrame =
+    qualityBp(df, id, text, carry = Seq(lang, source, chars, text))
+      .withColumn("n_toks", size(split(col(text), " ")).cast("long"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col(lang)).as("n_langs"),
+        countDistinct(col(source)).as("n_sources"),
+        sum(col("n_toks")).as("n_tokens"),
+        countDistinct(md5(col(text))).as("n_distinct_texts"),
+        F.idiv(sum(col("quality_bp")), count(lit(1))).as("mean_quality_bp"),
+        expr(s"percentile_disc(0.5) WITHIN GROUP (ORDER BY $chars)")
+          .cast("long").as("p50_chars"),
+        expr(s"percentile_disc(0.9) WITHIN GROUP (ORDER BY $chars)")
+          .cast("long").as("p90_chars"))
+      .withColumn("dup_rate_bp",
+        F.idiv(lit(10000L) * (col("n_docs") - col("n_distinct_texts")),
+          col("n_docs")))
+
+  /** q236: the documents table's release card. */
+  def q236(s: SparkSession, d: String): DataFrame =
+    datasetCard(Tables.documents(s, d), "doc_id", "text", "lang",
+      "source", "n_chars")
+
   /** CROSS-DOCUMENT BOILERPLATE REMOVAL (CCNet-style line dedup, at
     * passage granularity since this corpus has no newlines): cut each
     * document into consecutive `w`-word passages, mark any passage

@@ -2983,6 +2983,24 @@ class OperatorsSpec extends SparkSpec {
     assert(cells.size == 3, s"no phantom cells: ${cells.keys}")
   }
 
+  test("q236 dataset card: counts, dup rate, and length percentiles on a known corpus") {
+    import SparkTestSession.spark.implicits._
+    val docs = Seq(
+      (1L, "the a is", "en", "s1"), (2L, "the a is", "en", "s2"),  // exact dups
+      (3L, "der und table", "de", "s1"), (4L, "el y data", "es", "s1")
+    ).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val r = Text.datasetCard(docs, "doc_id", "text", "lang", "source", "n_chars")
+      .collect().head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 3L && r.getLong(2) == 2L,
+      s"docs/langs/sources: $r")
+    assert(r.getLong(3) == 12L, s"token total: ${r.getLong(3)}")
+    assert(r.getLong(4) == 3L && r.getLong(8) == 2500L,
+      s"one dup pair in 4 docs = 2500 bp: $r")
+    // p50 of {8, 8, 13, 9} = 8 (an actual member), p90 = 13
+    assert(r.getLong(6) == 8L && r.getLong(7) == 13L, s"percentiles: $r")
+  }
+
   test("q235 segmentation gap: greedy merge order pays tokens the inventory doesn't require") {
     import SparkTestSession.spark.implicits._
     // merges ranked (b,c) < (a,b) < (c,d): greedy on "abcd" burns the
