@@ -303,6 +303,67 @@ object VersionedStore {
     claimNextVersion(s, root, token, attempt)
   }
 
+  /** VACUUM — physical retention, the half of time travel's contract
+    * "old snapshots remain readable until a retention job prunes them"
+    * that was previously doc-only. Deletes every data file under
+    * `data/` that no RETAINED manifest (the last `retainLast`
+    * versions) references and whose modification time is older than
+    * `minAgeMs`. Returns the number of paths deleted.
+    *
+    * What stays: retained snapshots read exactly as before (manifests
+    * are the source of truth and list every file they need — including
+    * files physically living in an OLD commit's tx- directory that an
+    * append/merge carried forward, which is why deletion is per-FILE
+    * inside partially-referenced directories). Old manifests are KEPT
+    * (O(files) text): `versions()` still shows full history and
+    * `latestVersion`'s probe-forward never depends on pruned names;
+    * reading a vacuumed version fails at scan time with missing files
+    * — the documented meaning of "pruned".
+    *
+    * Concurrency: an in-flight writer's staging is unreferenced by
+    * construction, so `minAgeMs` is the safety fence (the Delta/
+    * Iceberg convention) — run vacuum with minAgeMs longer than any
+    * commit takes, and a staging directory is either younger than the
+    * fence (kept) or a crashed writer's orphan (reclaimed, which is
+    * the point). minAgeMs = 0 is for tests and stopped-world
+    * maintenance only. */
+  def vacuum(s: SparkSession, root: String, retainLast: Int,
+             minAgeMs: Long = 0L): Int = {
+    require(retainLast >= 1, s"retainLast must be >= 1, got $retainLast")
+    val fs = fsFor(s, root)
+    val latest = latestVersion(s, root)
+    if (latest == 0) return 0
+    val keepFrom = math.max(1, latest - retainLast + 1)
+    val kept: Set[String] =
+      (keepFrom to latest).flatMap(v => manifest(s, root, v)._2).toSet
+    val dataRoot = new Path(root, "data")
+    if (!fs.exists(dataRoot)) return 0
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    var deleted = 0
+    fs.listStatus(dataRoot).foreach { dSt =>
+      val dRel = s"data/${dSt.getPath.getName}"
+      if (!kept.contains(dRel)) { // not a retained dir-store build
+        val inner =
+          if (dSt.isDirectory) fs.listStatus(dSt.getPath).toSeq else Seq.empty
+        val (keptInner, rest) = inner.partition(f =>
+          kept.contains(s"$dRel/${f.getPath.getName}"))
+        if (keptInner.isEmpty) {
+          // nothing inside is referenced: reclaim the whole directory
+          // (old overwrite/merge generations, crashed-writer orphans)
+          if (dSt.getModificationTime < cutoff &&
+              fs.delete(dSt.getPath, true)) deleted += 1
+        } else rest.foreach { f =>
+          // partially referenced (a merge carried some files forward):
+          // per-file deletion of only the unreferenced ones
+          if (f.getModificationTime < cutoff &&
+              !f.getPath.getName.startsWith("_") && // keep write markers
+              fs.delete(f.getPath, false)) deleted += 1
+        }
+      }
+    }
+    deleted
+  }
+
   // ---- directory-granularity stores (IVF/PQ, BM25, KMV, semantic) ----
 
   /** Resolve the current published build directory of a

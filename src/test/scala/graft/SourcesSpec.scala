@@ -555,6 +555,42 @@ class SourcesSpec extends SparkSpec {
       "rewritten+insert rows must live in a fresh tx- directory")
   }
 
+  test("versioned store: vacuum prunes unreferenced files, keeps carried ones, honors the age fence") {
+    import SparkTestSession.spark.implicits._
+    import graft.sources.VersionedStore
+    val root = tmp("versioned-vacuum")
+    // v1: 40 keys over 4 clustered files; v2: merge touching file 0 —
+    // three v1 files are CARRIED into v2, one is superseded
+    val base = (0L until 40L).map(k => (k, s"v$k")).toDF("id", "v")
+      .repartitionByRange(4, col("id"))
+    assert(VersionedStore.commit(base, root, overwrite = true) == 1)
+    val changes = Seq((3L, "upsert", "UPDATED")).toDF("id", "op", "v")
+    assert(VersionedStore.mergeCommit(spark, root, changes, "id") == 2)
+    // an age fence longer than the test's lifetime deletes nothing
+    assert(VersionedStore.vacuum(spark, root, 1, minAgeMs = 3600L * 1000) == 0)
+    assert(VersionedStore.read(spark, root, 1).count() == 40)
+    // retain only v2: the superseded v1 file goes, the carried three
+    // stay (they are v2's data even though they live in v1's tx- dir)
+    val n = VersionedStore.vacuum(spark, root, 1)
+    assert(n >= 1, s"vacuum must reclaim the superseded file, deleted $n")
+    val after = VersionedStore.read(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after(3L) == "UPDATED" && after(25L) == "v25" && after.size == 40,
+      "the retained snapshot reads bit-identically after vacuum")
+    // history metadata survives; reading the PRUNED snapshot fails at
+    // scan (the documented meaning of retention)
+    assert(VersionedStore.versions(spark, root).map(_._1) == Seq(1, 2))
+    intercept[Exception] { VersionedStore.read(spark, root, 1).count() }
+    // a second vacuum is a no-op: nothing unreferenced remains
+    assert(VersionedStore.vacuum(spark, root, 1) == 0)
+    // crashed-writer orphan staging is reclaimed once past the fence
+    val orphan = new java.io.File(root, "data/tx-deadbeef")
+    orphan.mkdirs()
+    new java.io.FileOutputStream(new java.io.File(orphan, "part-zzz")).close()
+    assert(VersionedStore.vacuum(spark, root, 1) == 1, "orphan dir reclaimed")
+    assert(!orphan.exists())
+  }
+
   test("versioned store: a stale _latest pointer self-heals by probing") {
     import SparkTestSession.spark.implicits._
     import graft.sources.VersionedStore
