@@ -335,8 +335,25 @@ object AnnOracleSql {
     WHERE ${cosS("te.embedding", "tr.embedding")} >= $Tau
     GROUP BY te.vec_id"""
 
+  /** q237 simplified silhouette: `ad` already holds every (vector,
+    * cell) integer distance; a = the assigned cell's, b = the min over
+    * the rest; per-vector bp once, per-cell integer mean. */
+  private val q237Sql: String =
+    s"""WITH ${trainCtes(16)},
+    $assignCtes,
+    j AS (SELECT g.vec_id, g.cell,
+            max(CASE WHEN ad.cell = g.cell THEN ad.d END) AS da,
+            min(CASE WHEN ad.cell <> g.cell THEN ad.d END) AS db
+          FROM asg g JOIN ad ON ad.vec_id = g.vec_id GROUP BY 1, 2),
+    sbp AS (SELECT cell, CASE WHEN greatest(da, db) = 0 THEN 0
+              ELSE (10000 * (db - da)) // greatest(da, db) END AS s_bp FROM j)
+    SELECT cell, CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(s_bp) // count(*) AS BIGINT) AS mean_sil_bp
+    FROM sbp GROUP BY cell"""
+
   val all: Map[String, String] = Map(
     "q234_split_leakage"   -> q234Sql,
+    "q237_silhouette"      -> q237Sql,
     "q91_embed_clusters"   -> q91Sql,
     "q95_diversity_sample" -> q95Sql,
     "q114_semdedup"        -> q114Sql,

@@ -253,6 +253,7 @@ object SparkEntry {
     "q234_split_leakage"  -> (Similarity.q234 _),
     "q235_seg_gap"        -> (Text.q235 _),
     "q236_dataset_card"   -> (Text.q236 _),
+    "q237_silhouette"     -> (Similarity.q237 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:

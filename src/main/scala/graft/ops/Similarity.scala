@@ -746,6 +746,54 @@ object Similarity {
   def q234(s: SparkSession, d: String): DataFrame =
     splitLeakage(Tables.embeddings(s, d), "vec_id", "embedding", 16, SemTau)
 
+  /** SIMPLIFIED SILHOUETTE per cell — the clustering-quality gate the
+    * ANN/SemDeDup family was missing: is the trained quantizer's
+    * partition actually SEPARATING the corpus, or are cells arbitrary
+    * slices of one blob? Per vector s = (b − a)/max(a, b) with a = the
+    * integer L2 to its OWN centroid and b = the min over the OTHER
+    * centroids (the centroid-based "simplified silhouette" — the
+    * classic all-pairs form is quadratic per cell; this one is the
+    * standard scalable surrogate and keeps every distance on the
+    * exact integer grid). s near +10⁴ = compact well-separated cell;
+    * near 0 = boundary mush (IVF probes will miss; SemDeDup cells
+    * split true neighbor sets); negative = vectors landed in the
+    * wrong cell outright. Re-run per trained quantizer candidate —
+    * the cell-count/sample-size tuning loop reads exactly this table.
+    *
+    * Scale (100 TB): centroids broadcast as plan literals; distances,
+    * assignment and s are ONE codegen'd map-side pass over the corpus
+    * (k·dim integer ops per row); the only shuffle is the k-row
+    * aggregation. Integer everywhere until the single bp division —
+    * bit-reproducible from SQL (oracle: the same unrolled-Lloyd CTEs
+    * every quantizer consumer shares). */
+  def cellSilhouette(embs: DataFrame, id: String, emb: String,
+                     k: Int): DataFrame = {
+    require(k >= 2, s"silhouette needs at least 2 cells, got $k")
+    val cents = trainCentroids(embs, id, emb, k, TrainIters)
+    val cq = typedlit(cents.map(_.toSeq))
+    val scored = embs.select(col(id).as("vec_id"), col(emb).as("e"))
+      .withColumn("cell", bestCellId(cents, col("e")))
+      .withColumn("dists",
+        transform(cq, c => F.quantL2(col("e"), c, QuantScale)))
+      .withColumn("da", element_at(col("dists"), col("cell") + 1))
+      // null out the own cell; array_min skips nulls → nearest OTHER
+      .withColumn("db", array_min(transform(col("dists"),
+        (dv, i) => when(i === col("cell"), lit(null).cast("long"))
+          .otherwise(dv))))
+      .withColumn("s_bp",
+        when(greatest(col("da"), col("db")) === 0L, lit(0L))
+          .otherwise(F.idiv(lit(10000L) * (col("db") - col("da")),
+            greatest(col("da"), col("db")))))
+    scored.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"),
+        F.idiv(sum(col("s_bp")), count(lit(1))).as("mean_sil_bp"))
+  }
+
+  /** q237: silhouette table of the standard 16-cell quantizer over the
+    * embeddings corpus. */
+  def q237(s: SparkSession, d: String): DataFrame =
+    cellSilhouette(Tables.embeddings(s, d), "vec_id", "embedding", 16)
+
   /** q62: IVF-Flat approximate top-10, nprobe=4 of 16 cells. */
   def q62(s: SparkSession, d: String): DataFrame = {
     val (c, q) = corpusAndQueries(s, d)

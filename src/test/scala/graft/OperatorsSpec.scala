@@ -3016,6 +3016,26 @@ class OperatorsSpec extends SparkSpec {
     assert(r("y") == ((3L, 3L, 3L, 0L)), s"optimal lang: ${r("y")}")
   }
 
+  test("q237 silhouette: separated duplicate clusters score 10000, corpus table is bounded") {
+    import SparkTestSession.spark.implicits._
+    // two exact-duplicate clusters on orthogonal axes: every vector
+    // sits ON its centroid (a = 0) far from the other (b > 0) → +10⁴
+    val embs = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)), (2L, Seq(1f, 0f, 0f, 0f)),
+      (3L, Seq(0f, 1f, 0f, 0f)), (4L, Seq(0f, 1f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.cellSilhouette(embs, "vec_id", "embedding", 2)
+      .collect().map(x => x.getInt(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r.values.map(_._1).sum == 4L, s"every vector scored: $r")
+    assert(r.values.forall(_._2 == 10000L), s"perfect separation: $r")
+    // the corpus table: one row per cell, scores inside the bp range
+    val corpus = Similarity.q237(spark, sf).collect()
+    assert(corpus.length == 16, s"16 cells, got ${corpus.length}")
+    corpus.foreach { c =>
+      assert(c.getLong(2) >= -10000L && c.getLong(2) <= 10000L, s"$c")
+    }
+  }
+
   test("q234 split leakage: the paraphrase twin is flagged, the orthogonal test vec is clean") {
     import SparkTestSession.spark.implicits._
     // knuth shards: 0,3,4 train; 1,5 test (the q230 spec's id set)
