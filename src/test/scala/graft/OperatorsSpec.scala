@@ -3016,6 +3016,29 @@ class OperatorsSpec extends SparkSpec {
     assert(r("y") == ((3L, 3L, 3L, 0L)), s"optimal lang: ${r("y")}")
   }
 
+  test("clustersStar: log-round components match clusters() and survive deep chains") {
+    import SparkTestSession.spark.implicits._
+    // a 100-node chain: diameter 99 — clusters() at its default 20-round
+    // cap MUST refuse; star contraction converges in O(log n)
+    val chain = (0L until 99L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    intercept[IllegalStateException] { Dedup.clusters(chain).count() }
+    val starred = Dedup.clustersStar(chain).collect()
+    assert(starred.length == 100 &&
+      starred.forall(r => r.getLong(1) == 0L && r.getLong(2) == 100L),
+      "one component rooted at the minimum id")
+    // two components + self-pair noise
+    val two = Seq((1L, 2L), (2L, 3L), (7L, 8L), (5L, 5L)).toDF("doc_a", "doc_b")
+    val t = Dedup.clustersStar(two).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(t == Map(1L -> ((1L, 3L)), 2L -> ((1L, 3L)), 3L -> ((1L, 3L)),
+      7L -> ((7L, 2L)), 8L -> ((7L, 2L))), s"$t")
+    // identical to the one-hop propagation on the REAL q51 pair graph
+    val pairs = Dedup.q51(spark, sf).select(col("doc_a"), col("doc_b"))
+    val viaProp = Dedup.clusters(pairs).collect().map(_.toSeq).toSet
+    val viaStar = Dedup.clustersStar(pairs).collect().map(_.toSeq).toSet
+    assert(viaStar == viaProp, "star and propagation label identically")
+  }
+
   test("q237 silhouette: separated duplicate clusters score 10000, corpus table is bounded") {
     import SparkTestSession.spark.implicits._
     // two exact-duplicate clusters on orthogonal axes: every vector
