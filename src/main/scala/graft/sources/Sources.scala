@@ -33,6 +33,21 @@ object Sources {
   def json(s: SparkSession, path: String, schema: StructType): DataFrame =
     s.read.schema(schema).json(path)
 
+  /** JSONL sink — the LLM-corpus interchange format as it actually
+    * ships: newline-delimited JSON, compressed per part file. Default
+    * gzip (the universal `.json.gz` corpus convention; pass "zstd" on
+    * clusters whose Hadoop ships the native codec — this sandbox's
+    * doesn't — or None for plain). Splittability note for the 100 TB
+    * reader: gzip/zstd JSON is NOT splittable — one part = one read
+    * task — so the WRITER controls read parallelism via its partition
+    * count; write with enough partitions (or repartition first) that a
+    * downstream scan saturates the cluster. */
+  def writeJsonl(df: DataFrame, path: String,
+                 codec: Option[String] = Some("gzip")): Unit = {
+    val w = df.write.mode("overwrite")
+    codec.fold(w)(c => w.option("compression", c)).json(path)
+  }
+
   /** One line per row; the lightest-weight corpus interchange format. */
   def textLines(s: SparkSession, path: String): DataFrame = s.read.text(path)
 

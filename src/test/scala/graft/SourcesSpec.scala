@@ -9,6 +9,28 @@ class SourcesSpec extends SparkSpec {
   private def tmp(suffix: String): String =
     Files.createTempDirectory(s"graft-$suffix").toString + "/out"
 
+  test("gzip JSONL round-trips rows, nesting, and unicode; parts carry the codec extension") {
+    import SparkTestSession.spark.implicits._
+    import graft.sources.Sources
+    val src = Seq(
+      (1L, "plain ascii", Seq("a", "b"), ("x", 2L)),
+      (2L, "unicode ✓ 中文 \"quoted\" \n newline", Seq.empty[String], ("y", -1L))
+    ).toDF("id", "text", "tags", "meta")
+    val path = tmp("jsonl")
+    Sources.writeJsonl(src, path)
+    val parts = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.getName)
+    assert(parts.nonEmpty && parts.forall(_.endsWith(".gz")),
+      s"gzip part naming: ${parts.toSeq}")
+    val back = Sources.json(spark, path, src.schema)
+    // JSON reads are nullable-by-format at every nesting level; names
+    // and types (simpleString elides nullability) must hold exactly
+    assert(back.schema.simpleString == src.schema.simpleString,
+      s"explicit schema read — no inference drift: ${back.schema.simpleString}")
+    assert(back.collect().map(_.toSeq).toSet == src.collect().map(_.toSeq).toSet,
+      "row round-trip incl. newline-bearing strings and empty arrays")
+  }
+
   test("CSV round-trip preserves rows and schema (with header + types)") {
     val src = Tables.nation(spark, sf)
     val path = tmp("csv")
