@@ -3016,6 +3016,24 @@ class OperatorsSpec extends SparkSpec {
     assert(r("y") == ((3L, 3L, 3L, 0L)), s"optimal lang: ${r("y")}")
   }
 
+  test("round-10 plan shapes: one shuffle for the epoch shuffle, no corpus exchange past the silhouette scan") {
+    // q233: exactly one Exchange (the shard hash partitioning for the
+    // within-shard window) — anything more means the map-side hash or
+    // the window leaked an extra shuffle
+    val p233 = executedPlan(Text.q233(spark, sf)).toString
+    val exchanges = "Exchange ".r.findAllIn(p233).size
+    assert(exchanges == 1, s"epoch shuffle wants ONE exchange, got $exchanges:\n$p233")
+    // q237: centroids are plan literals; the only aggregation input is
+    // the map-side scored scan — no join operator anywhere
+    val p237 = executedPlan(Similarity.q237(spark, sf)).toString
+    assert(!p237.contains("Join"), s"silhouette must be join-free:\n$p237")
+    // q230: the novelty join keys on the window hash — the exploded
+    // text columns never shuffle (shuffles carry hash/doc_id widths)
+    val p230 = executedPlan(Text.q230(spark, sf)).toString
+    assert(!p230.toLowerCase.contains("cartesian"),
+      s"novelty must never cross-join:\n$p230")
+  }
+
   test("clustersStar: log-round components match clusters() and survive deep chains") {
     import SparkTestSession.spark.implicits._
     // a 100-node chain: diameter 99 — clusters() at its default 20-round
