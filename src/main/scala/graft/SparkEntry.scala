@@ -254,6 +254,7 @@ object SparkEntry {
     "q235_seg_gap"        -> (Text.q235 _),
     "q236_dataset_card"   -> (Text.q236 _),
     "q237_silhouette"     -> (Similarity.q237 _),
+    "q238_card_diff"      -> (Text.q238 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -323,6 +324,28 @@ object SparkEntry {
            UNION ALL SELECT doc_id, 'zh', 4, len(list_filter(toks, t -> t IN ('scan','hash','join'))) / nt FROM sc),
          r AS (SELECT doc_id, lang, score,
                row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, rnk ASC) AS rn FROM u)"""
+
+  /** The q236 card metrics over `documents d JOIN q` under a
+    * predicate — shared by the card and its q238 build-to-build diff. */
+  private def CardSelect(pred: String): String =
+    s"""SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT d.lang) AS BIGINT) AS n_langs,
+           CAST(count(DISTINCT d.source) AS BIGINT) AS n_sources,
+           CAST(sum(len(string_split(d.text, ' '))) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT md5(d.text)) AS BIGINT) AS n_distinct_texts,
+           CAST(sum(q.quality_bp) // count(*) AS BIGINT) AS mean_quality_bp,
+           CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY d.n_chars) AS BIGINT) AS p50_chars,
+           CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY d.n_chars) AS BIGINT) AS p90_chars,
+           CAST((10000 * (count(*) - count(DISTINCT md5(d.text)))) // count(*) AS BIGINT) AS dup_rate_bp
+         FROM documents d JOIN q USING (doc_id) WHERE $pred"""
+
+  private val CardMetrics = Seq("n_docs", "n_langs", "n_sources",
+    "n_tokens", "n_distinct_texts", "mean_quality_bp", "p50_chars",
+    "p90_chars", "dup_rate_bp")
+
+  private def CardUnpivot(src: String, v: String): String =
+    CardMetrics.map(m => s"SELECT '$m' AS metric, $m AS $v FROM $src")
+      .mkString(" UNION ALL ")
 
   private val ShingleCtes =
     """t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -835,16 +858,17 @@ object SparkEntry {
     // precedent (actual member of the integer domain, exact long).
     "q236_dataset_card" ->
       s"""WITH $QualityCte
-         SELECT CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(count(DISTINCT d.lang) AS BIGINT) AS n_langs,
-           CAST(count(DISTINCT d.source) AS BIGINT) AS n_sources,
-           CAST(sum(len(string_split(d.text, ' '))) AS BIGINT) AS n_tokens,
-           CAST(count(DISTINCT md5(d.text)) AS BIGINT) AS n_distinct_texts,
-           CAST(sum(q.quality_bp) // count(*) AS BIGINT) AS mean_quality_bp,
-           CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY d.n_chars) AS BIGINT) AS p50_chars,
-           CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY d.n_chars) AS BIGINT) AS p90_chars,
-           CAST((10000 * (count(*) - count(DISTINCT md5(d.text)))) // count(*) AS BIGINT) AS dup_rate_bp
-         FROM documents d JOIN q USING (doc_id)""",
+         ${CardSelect("TRUE")}""",
+
+    "q238_card_diff" ->
+      s"""WITH $QualityCte,
+         o AS (${CardSelect("d.doc_id % 2 = 0")}),
+         n AS (${CardSelect("TRUE")}),
+         ol AS (${CardUnpivot("o", "old_v")}),
+         nl AS (${CardUnpivot("n", "new_v")})
+         SELECT ol.metric, ol.old_v, nl.new_v,
+           nl.new_v - ol.old_v AS delta
+         FROM ol JOIN nl USING (metric)""",
 
     // md5_number_upper is the little-endian 64-bit mirror of the
     // codegen'd Md5Hash64; % 32 keeps low bits (power-of-two modulus —

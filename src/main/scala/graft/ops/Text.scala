@@ -1313,6 +1313,39 @@ object Text {
     datasetCard(Tables.documents(s, d), "doc_id", "text", "lang",
       "source", "n_chars")
 
+  /** DATASET CARD DIFF — the q236 card as an actual regression gate:
+    * the same nine metrics computed for TWO builds side by side with
+    * the delta, one row per metric — the table a release pipeline
+    * thresholds ("dup_rate moved +300 bp → block the publish") and a
+    * human scans in one glance. Long format on purpose: a gate rule
+    * addresses a metric by NAME, not by column position in a widening
+    * one-row schema.
+    *
+    * Scale: two q236 cards (each one aggregation pass over its build)
+    * + a 9-row join. */
+  def datasetCardDiff(oldDf: DataFrame, newDf: DataFrame, id: String,
+                      text: String, lang: String, source: String,
+                      chars: String): DataFrame = {
+    val names = Seq("n_docs", "n_langs", "n_sources", "n_tokens",
+      "n_distinct_texts", "mean_quality_bp", "p50_chars", "p90_chars",
+      "dup_rate_bp")
+    def long(df: DataFrame, v: String): DataFrame = {
+      val cells = names.map(n => s"'$n', $n").mkString(", ")
+      datasetCard(df, id, text, lang, source, chars)
+        .select(expr(s"stack(${names.length}, $cells) AS (metric, $v)"))
+    }
+    long(oldDf, "old_v").join(long(newDf, "new_v"), "metric")
+      .withColumn("delta", col("new_v") - col("old_v"))
+  }
+
+  /** q238: card diff of the even-id half (the "previous build")
+    * against the full table (the "current build"). */
+  def q238(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    datasetCardDiff(docs.filter(col("doc_id") % 2 === 0), docs,
+      "doc_id", "text", "lang", "source", "n_chars")
+  }
+
   /** CROSS-DOCUMENT BOILERPLATE REMOVAL (CCNet-style line dedup, at
     * passage granularity since this corpus has no newlines): cut each
     * document into consecutive `w`-word passages, mark any passage

@@ -3001,6 +3001,24 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getLong(6) == 8L && r.getLong(7) == 13L, s"percentiles: $r")
   }
 
+  test("q238 card diff: per-metric deltas between builds, addressable by name") {
+    import SparkTestSession.spark.implicits._
+    val old = Seq((1L, "the a is", "en", "s1")).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val neu = Seq(
+      (1L, "the a is", "en", "s1"), (2L, "der und table", "de", "s2")
+    ).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val d = Text.datasetCardDiff(old, neu, "doc_id", "text", "lang",
+      "source", "n_chars").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(d("n_docs") == ((1L, 2L, 1L)) && d("n_langs") == ((1L, 2L, 1L)),
+      s"growth deltas: $d")
+    assert(d("n_tokens") == ((3L, 6L, 3L)), s"token delta: ${d("n_tokens")}")
+    assert(d("dup_rate_bp")._3 == 0L, "no dup regression between the builds")
+    assert(d.size == 9, s"all nine metrics present: ${d.keys}")
+  }
+
   test("q235 segmentation gap: greedy merge order pays tokens the inventory doesn't require") {
     import SparkTestSession.spark.implicits._
     // merges ranked (b,c) < (a,b) < (c,d): greedy on "abcd" burns the
