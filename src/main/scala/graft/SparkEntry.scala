@@ -255,6 +255,7 @@ object SparkEntry {
     "q236_dataset_card"   -> (Text.q236 _),
     "q237_silhouette"     -> (Similarity.q237 _),
     "q238_card_diff"      -> (Text.q238 _),
+    "q239_image_dhash"    -> (Multimodal.q239 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -324,6 +325,32 @@ object SparkEntry {
            UNION ALL SELECT doc_id, 'zh', 4, len(list_filter(toks, t -> t IN ('scan','hash','join'))) / nt FROM sc),
          r AS (SELECT doc_id, lang, score,
                row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, rnk ASC) AS rn FROM u)"""
+
+  /** The structured-PNG generator replayed to per-image CELL SUMS
+    * (`oc(img_id, cell, cs)`, 8×8 grid, uniform 16-px cells): base
+    * images from the mix64 cell values, perturbed copies (+10⁷ ids)
+    * with the 3-pixel noise overlay. Shared by the aHash (q124) and
+    * dHash (q239) oracles — one definition of the pixel truth. */
+  private lazy val PngCellCtes: String =
+    s"""cl AS (SELECT doc_id AS base, unnest(range(64)) AS cell FROM documents),
+         ${Mix64Ctes("c", "base, cell", "cl", "base*64 + cell")},
+         bv AS (SELECT base, cell,
+                  CAST((((xor(z, z >> 31)::HUGEINT - CASE WHEN xor(z, z >> 31) >= 9223372036854775808::UBIGINT
+                          THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END) % 251) + 251) % 251 AS BIGINT) AS v
+                FROM c5),
+         ni AS (SELECT doc_id AS base, unnest(range(3)) AS i FROM documents),
+         ${Mix64Ctes("n", "base, i", "ni", "base*3 + i")},
+         nz AS (SELECT base, i, xor(z, z >> 31) AS z FROM n5),
+         nv AS (SELECT base, i, CAST(z & 1023 AS BIGINT) AS npx, CAST((z >> 32) % 251 AS BIGINT) AS val FROM nz),
+         nk AS (SELECT base, npx, val, ((npx // 32) // 4) * 8 + (npx % 32) // 4 AS cell
+                FROM (SELECT *, row_number() OVER (PARTITION BY base, npx ORDER BY i DESC) AS rn FROM nv)
+                WHERE rn = 1),
+         oc AS (SELECT base, base AS img_id, cell, 16*v AS cs FROM bv
+                UNION ALL
+                SELECT b.base, b.base + 10000000 AS img_id, b.cell,
+                       16*(b.v+4) + coalesce(sum(n.val - (b.v+4)), 0) AS cs
+                FROM bv b LEFT JOIN nk n ON n.base = b.base AND n.cell = b.cell
+                GROUP BY b.base, b.cell, b.v)"""
 
   /** The q236 card metrics over `documents d JOIN q` under a
     * predicate — shared by the card and its q238 build-to-build diff. */
@@ -1271,30 +1298,30 @@ object SparkEntry {
     // division-free compare cellSum*64 >= total at 16x16 cells; pairs
     // are the brute-force hamming<=3 join over all 1000 hashes.
     "q124_image_dedup" ->
-      s"""WITH
-         cl AS (SELECT doc_id AS base, unnest(range(64)) AS cell FROM documents),
-         ${Mix64Ctes("c", "base, cell", "cl", "base*64 + cell")},
-         bv AS (SELECT base, cell,
-                  CAST((((xor(z, z >> 31)::HUGEINT - CASE WHEN xor(z, z >> 31) >= 9223372036854775808::UBIGINT
-                          THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END) % 251) + 251) % 251 AS BIGINT) AS v
-                FROM c5),
-         ni AS (SELECT doc_id AS base, unnest(range(3)) AS i FROM documents),
-         ${Mix64Ctes("n", "base, i", "ni", "base*3 + i")},
-         nz AS (SELECT base, i, xor(z, z >> 31) AS z FROM n5),
-         nv AS (SELECT base, i, CAST(z & 1023 AS BIGINT) AS npx, CAST((z >> 32) % 251 AS BIGINT) AS val FROM nz),
-         nk AS (SELECT base, npx, val, ((npx // 32) // 4) * 8 + (npx % 32) // 4 AS cell
-                FROM (SELECT *, row_number() OVER (PARTITION BY base, npx ORDER BY i DESC) AS rn FROM nv)
-                WHERE rn = 1),
-         oc AS (SELECT base, base AS img_id, cell, 16*v AS cs FROM bv
-                UNION ALL
-                SELECT b.base, b.base + 10000000 AS img_id, b.cell,
-                       16*(b.v+4) + coalesce(sum(n.val - (b.v+4)), 0) AS cs
-                FROM bv b LEFT JOIN nk n ON n.base = b.base AND n.cell = b.cell
-                GROUP BY b.base, b.cell, b.v),
+      s"""WITH $PngCellCtes,
          tot AS (SELECT img_id, sum(cs) AS total FROM oc GROUP BY img_id),
          hs AS (SELECT oc.img_id,
                        sum(CASE WHEN oc.cs * 64 >= t.total THEN (1::UBIGINT << oc.cell) ELSE 0::UBIGINT END)::UBIGINT AS h
                 FROM oc JOIN tot t ON oc.img_id = t.img_id GROUP BY oc.img_id)
+         SELECT a.img_id AS doc_a, b.img_id AS doc_b,
+                CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+         FROM hs a JOIN hs b ON a.img_id < b.img_id
+         WHERE bit_count(xor(a.h, b.h)) <= 3""",
+
+    // dHash over the same generator-replayed cell sums: strict > on
+    // adjacent-column cell means (uniform 16-px cells, so the raw sum
+    // compare equals the Spark side's cross-multiply); bit layout
+    // (row·7 + col) mirrors dHashImages.
+    "q239_image_dhash" ->
+      s"""WITH $PngCellCtes,
+         hs AS (SELECT l.img_id,
+                  sum(CASE WHEN l.cs > r.cs
+                      THEN (1::UBIGINT << ((l.cell // 8) * 7 + (l.cell % 8)))
+                      ELSE 0::UBIGINT END)::UBIGINT AS h
+                FROM oc l JOIN oc r
+                  ON r.img_id = l.img_id AND r.cell = l.cell + 1
+                WHERE l.cell % 8 < 7
+                GROUP BY l.img_id)
          SELECT a.img_id AS doc_a, b.img_id AS doc_b,
                 CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
          FROM hs a JOIN hs b ON a.img_id < b.img_id

@@ -394,6 +394,78 @@ object Multimodal {
       aHashImages(structuredPngTable(s, d, perturb = true), "doc_id", "payload"),
       "doc_id", "ahash", maxHamming = 3)
 
+  case class DHashImage(doc_id: Long, dhash: Long)
+
+  /** Perceptual DIFFERENCE-hash (dHash) — horizontal gradient signs
+    * over the same 8×8 cell grid as aHash: bit (r, c) is set when cell
+    * (r, c)'s mean exceeds its right neighbor's — 56 bits (8 rows × 7
+    * adjacent-column compares). dHash is brightness-invariant by
+    * CONSTRUCTION (a uniform shift adds equally to both sides of every
+    * compare — aHash's global-mean threshold is merely robust to it)
+    * and catches what aHash can't: two images whose cells straddle the
+    * global mean identically but whose internal gradients differ. The
+    * production pattern is both keys side by side — candidate pairs
+    * from either, confirmation from both. Division-free cross-multiply
+    * compare (cellSum·neighborPx vs neighborSum·cellPx) keeps the hash
+    * bit-deterministic; map-only, same codec batch boundary. */
+  def dHashImages(images: DataFrame, id: String, payload: String): DataFrame = {
+    import images.sparkSession.implicits._
+    val g = AHashGrid
+    images.select(col(id).as("doc_id"), col(payload).as("payload")).as[ImageRow]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { r =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.payload))
+          require(img != null, s"undecodable payload for doc ${r.doc_id}")
+          val (w, h) = (img.getWidth, img.getHeight)
+          require(w >= g && h >= g, s"image smaller than the $g×$g hash grid")
+          val raster = img.getRaster
+          val bands = raster.getNumBands
+          val cellSum = new Array[Long](g * g)
+          val cellPx = new Array[Long](g * g)
+          var y = 0
+          while (y < h) {
+            val cy = y * g / h
+            var x = 0
+            while (x < w) {
+              val cx = x * g / w
+              var v = 0L
+              var b = 0
+              while (b < bands) { v += raster.getSample(x, y, b); b += 1 }
+              cellSum(cy * g + cx) += v
+              cellPx(cy * g + cx) += 1
+              x += 1
+            }
+            y += 1
+          }
+          var hash = 0L
+          var row = 0
+          while (row < g) {
+            var c = 0
+            while (c < g - 1) {
+              val l = row * g + c
+              // strict >: equal-mean neighbors clear the bit in any
+              // engine (cross-multiplied, so no division and the
+              // uneven-cell-size case stays exact)
+              if (cellSum(l) * cellPx(l + 1) > cellSum(l + 1) * cellPx(l))
+                hash |= (1L << (row * (g - 1) + c))
+              c += 1
+            }
+            row += 1
+          }
+          DHashImage(r.doc_id, hash)
+        }
+      }.toDF()
+  }
+
+  /** q239: gradient-sign (dHash) near-dup pairs over the same
+    * perturbed PNG corpus q124 audits with aHash. */
+  def q239(s: SparkSession, d: String): DataFrame =
+    Dedup.hammingPairs64(
+      dHashImages(structuredPngTable(s, d, perturb = true), "doc_id", "payload"),
+      "doc_id", "dhash", maxHamming = 3)
+
   // ---- REAL multi-frame (video-like) decode: animated GIF (q143) ----
 
   /** Frame count per doc: 4–11 frames. */

@@ -3075,6 +3075,40 @@ class OperatorsSpec extends SparkSpec {
     assert(viaStar == viaProp, "star and propagation label identically")
   }
 
+  test("q239 dhash: brightness-invariant gradient signs; corpus finds every planted pair") {
+    import SparkTestSession.spark.implicits._
+    def png(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until 16; x <- 0 until 16)
+        img.getRaster.setSample(x, y, 0, f(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val imgs = Seq(
+      (1L, png((x, _) => x * 10)),       // left-to-right ramp
+      (2L, png((x, _) => x * 10 + 40)),  // same ramp, brighter (no clip)
+      (3L, png((x, _) => 150 - x * 10)), // reversed ramp
+      (4L, png((_, _) => 77))            // flat
+    ).toDF("doc_id", "payload")
+    val h = Multimodal.dHashImages(imgs, "doc_id", "payload").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) == h(2L), "uniform brightness shift cannot move a gradient sign")
+    assert(h(1L) != h(3L) &&
+      java.lang.Long.bitCount(h(1L) ^ h(3L)) == 56,
+      "a reversed ramp flips every one of the 56 compare bits")
+    assert(h(4L) == 0L, "a flat image has no gradients")
+    // corpus: every planted (original, perturbed-copy) pair survives
+    val pairs = Multimodal.q239(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ids = graft.Tables.documents(spark, sf)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    ids.foreach { i =>
+      assert(pairs.contains((i, i + 10000000L)), s"planted pair for doc $i missing")
+    }
+  }
+
   test("q237 silhouette: separated duplicate clusters score 10000, corpus table is bounded") {
     import SparkTestSession.spark.implicits._
     // two exact-duplicate clusters on orthogonal axes: every vector
