@@ -936,7 +936,7 @@ object Similarity {
     * renaming directories, so there is NO window in which the index has
     * no cells tree — the failure mode a two-rename swap has when the
     * process dies between renames. */
-  private def liveCellsDir(s: SparkSession, path: String): String = {
+  private[graft] def liveCellsDir(s: SparkSession, path: String): String = {
     val p = new org.apache.hadoop.fs.Path(s"$path/CELLS")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) "cells"

@@ -23,6 +23,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => InferJaccardLengthFilter)
     // Rewrite eligible aggregates onto registered materialized cubes.
     ext.injectOptimizerRule(session => MaterializedAggRewrite(session))
+    // Rewrite brute-force top-k cosine over registered base tables onto
+    // the persisted IVF index's probed cells (opt-in approximate).
+    ext.injectOptimizerRule(session => AnnIndexRewrite(session))
     ext.injectFunction((
       new FunctionIdentifier("rolling_hash64"),
       new ExpressionInfo(classOf[RollingHash64].getName, "rolling_hash64"),

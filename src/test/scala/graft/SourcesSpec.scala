@@ -498,6 +498,56 @@ class SourcesSpec extends SparkSpec {
     } finally pool.shutdown()
   }
 
+  test("ANN navigator: registered index serves brute-force top-k from probed cells") {
+    import graft.plans.AnnIndexRegistry
+    import graft.functions.F
+    import graft.ops.Similarity
+    val basePath = s"$sf/embeddings.parquet"
+    val idxPath = tmp("annidx")
+    val corpus = spark.read.parquet(basePath)
+    val qvec = corpus.orderBy(col("vec_id")).limit(1)
+      .collect().head.getSeq[Float](1).toSeq
+    def shape() = spark.read.parquet(basePath)
+      .select(col("vec_id"),
+        F.cosineSim(col("embedding"), typedlit(qvec)).as("cos"))
+      .orderBy(col("cos").desc).limit(10)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0),
+        math.floor(r.getDouble(1) * 10000 + 0.5).toLong)).toSet
+    def planOf(): String =
+      shape().queryExecution.executedPlan.toString
+    val exact = rows(shape()) // registry empty: the true brute force
+    Similarity.writeIvfIndex(corpus, "vec_id", "embedding", idxPath)
+    try {
+      // probes ≥ cells (IvfCells = 32): every cell probed — must be EXACT
+      AnnIndexRegistry.register(spark, basePath, idxPath,
+        "vec_id", "embedding", probes = 32)
+      assert(rows(shape()) == exact,
+        "an all-cells probe must reproduce brute force bit-for-bit")
+      val p = planOf()
+      assert(p.contains("annidx") && !p.contains("embeddings.parquet"),
+        s"the rewritten plan must scan the index, not the corpus:\n$p")
+      // a genuinely PRUNED probe: approximate, but above the recall
+      // floor the IVF family pins (and still index-served)
+      AnnIndexRegistry.clear()
+      AnnIndexRegistry.register(spark, basePath, idxPath,
+        "vec_id", "embedding", probes = 8)
+      val approx = rows(shape())
+      val recall = approx.map(_._1).intersect(exact.map(_._1)).size
+      assert(recall >= 6, s"probes=8/32 recall $recall/10 below the floor")
+      // a FILTERED scan is not the brute-force shape — untouched
+      val filtered = spark.read.parquet(basePath)
+        .filter(col("vec_id") % 2 === 0)
+        .select(col("vec_id"),
+          F.cosineSim(col("embedding"), typedlit(qvec)).as("cos"))
+        .orderBy(col("cos").desc).limit(10)
+      assert(filtered.queryExecution.executedPlan.toString
+        .contains("embeddings.parquet"), "ineligible plans stay on the corpus")
+    } finally AnnIndexRegistry.clear()
+    // registry cleared: back to the corpus scan
+    assert(planOf().contains("embeddings.parquet"))
+  }
+
   test("materialized cube rewrite: covered aggregates read the cube, exactly") {
     import graft.plans.CubeRegistry
     val basePath = s"$sf/lineitem.parquet"
