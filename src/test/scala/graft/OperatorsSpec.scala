@@ -2946,6 +2946,33 @@ class OperatorsSpec extends SparkSpec {
     assert(!r.contains(0L) && !r.contains(3L), "train docs are not audited")
   }
 
+  test("q230/q232 laws: growing train only lowers novelty; doubling the corpus fixes the zipf slope") {
+    import SparkTestSession.spark.implicits._
+    // novelty monotonicity: training windows only ever ACCUMULATE, so
+    // adding train material can never make a test doc look MORE novel
+    val base = Seq((0L, "a b c d"), (1L, "a b c x y z"), (5L, "m n o p"))
+      .toDF("doc_id", "text")
+    val grown = base.unionAll(Seq((3L, "x y z q")).toDF("doc_id", "text"))
+    def nov(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      Text.noveltyAudit(df, "doc_id", "text").collect()
+        .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val (n0, n1) = (nov(base), nov(grown))
+    n0.keys.foreach { d =>
+      assert(n1(d) <= n0(d), s"doc $d novelty rose ${n0(d)} -> ${n1(d)}")
+    }
+    assert(n1(1L) < n0(1L), "the new train doc shares 'x y z' — novelty must drop")
+    // zipf scale-invariance: duplicating every doc doubles every count,
+    // which shifts the ln-ln INTERCEPT but not the slope (±1 bp of
+    // per-term rounding)
+    val corpus = Seq(("x", (Seq.fill(24)("t1") ++ Seq.fill(12)("t2") ++
+      Seq.fill(8)("t3") ++ Seq.fill(6)("t4")).mkString(" "))).toDF("lang", "text")
+    def slope(df: org.apache.spark.sql.DataFrame): Long =
+      Text.zipfFit(df, "lang", "text").collect().head.getLong(4)
+    val s1 = slope(corpus)
+    val s2 = slope(corpus.unionAll(corpus))
+    assert(math.abs(s1 - s2) <= 1L, s"slope moved under doubling: $s1 vs $s2")
+  }
+
   test("q232 zipf: exact 1/rank counts fit slope -1 with r2 ~ 1; flat corpus reports r2 = 0") {
     import SparkTestSession.spark.implicits._
     // counts 24/rank for ranks 1..4: ln-ln exactly linear, slope −1

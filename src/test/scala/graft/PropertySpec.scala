@@ -97,4 +97,31 @@ class PropertySpec extends AnyFunSuite {
         sa.zip(sb).forall { case (x, y) => y <= x }
     })
   }
+
+  test("min_seg_tokens matches a reference DP on random words and vocabularies") {
+    def refDp(word: String, vocab: Seq[String]): Int = {
+      val cps = word.toCharArray.map(_.toString) // a-d alphabet: 1 cp per char
+      val n = cps.length
+      val dp = Array.fill(n + 1)(Int.MaxValue)
+      dp(0) = 0
+      for (i <- 1 to n) {
+        dp(i) = dp(i - 1) + 1
+        vocab.distinct.foreach { t =>
+          val l = t.length
+          if (l <= i && cps.slice(i - l, i).mkString == t)
+            dp(i) = math.min(dp(i), dp(i - l) + 1)
+        }
+      }
+      dp(n)
+    }
+    val word = Gen.listOf(Gen.oneOf("a", "b", "c", "d")).map(_.mkString)
+    val vocab = Gen.listOfN(5,
+      Gen.choose(2, 3).flatMap(l =>
+        Gen.listOfN(l, Gen.oneOf("a", "b", "c", "d")).map(_.mkString)))
+    check(forAll(word, vocab) { (w, v) =>
+      val got = Seq(Tuple1(w)).toDF("w")
+        .select(F.minSegTokens(col("w"), v)).head().getInt(0)
+      got == refDp(w, v)
+    })
+  }
 }
