@@ -109,6 +109,47 @@ object Streaming {
         ()
       }
 
+  /** STREAMING CORPUS INGEST with versioned snapshots and per-batch
+    * card metrics — the continuous-ingestion loop a training-corpus
+    * build actually runs: each micro-batch of documents (1) reports
+    * its volume/quality counters through `observe()` (named
+    * aggregates surfaced in every StreamingQueryProgress event — the
+    * monitoring hook, zero extra passes over the data), and (2)
+    * appends into a VersionedStore snapshot, so THE CORPUS IS
+    * QUERYABLE AND TIME-TRAVELABLE AT EVERY POINT of the ingest — a
+    * reader pins the version it started on while the feed keeps
+    * committing (the snapshot-isolation contract), and the q236/q238
+    * card runs against any version for the release gate.
+    *
+    * foreachBatch is the boundary for the same reason as mergeStream:
+    * the commit point must be the store's manifest CAS (concurrent
+    * with compaction/vacuum/second feeds). At-least-once replay of a
+    * batch costs one redundant append version — dedup is the
+    * downstream q50/q88 stage's job, exactly as in the batch
+    * pipeline.
+    *
+    * The commit is UNCONDITIONAL on purpose: observed metrics
+    * accumulate over EVERY action that touches the batch (measured: an
+    * isEmpty pre-probe's limit-1 scan adds its partial counts to the
+    * progress event), so the one-action-per-batch shape is what keeps
+    * the card counters exact — and an empty append is already harmless
+    * (a version listing exactly its parent's files, the same cost
+    * class as a replayed batch). */
+  def ingestStream(docs: DataFrame, storeRoot: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs
+      .observe("ingest",
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+        min(length(col("text"))).as("min_chars"),
+        max(length(col("text"))).as("max_chars"))
+      .writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.sources.VersionedStore.commit(batch.toDF(), storeRoot,
+          overwrite = false)
+        ()
+      }
+
   /** Stream-static enrichment join: every streaming event picks up its
     * user's dimension row. The static side is a plain DataFrame — Spark
     * re-plans it per micro-batch (so a refreshed dim table is picked up

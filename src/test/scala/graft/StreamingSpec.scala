@@ -519,4 +519,38 @@ class StreamingSpec extends SparkSpec {
         s"stream $got vs batch $batch")
     } finally q.stop()
   }
+
+  test("streaming ingest: versioned snapshots per batch, observed card counters per progress") {
+    import graft.sources.VersionedStore
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ingest").toString + "/store"
+    val in = MemoryStream[(Long, String)]
+    val docs = in.toDF().toDF("doc_id", "text")
+    val q = Streaming.ingestStream(docs, root)
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("graft-ingest-ckpt").toString)
+      .start()
+    try {
+      in.addData((1L, "a b c"), (2L, "d e"))
+      q.processAllAvailable()
+      in.addData((3L, "f g h i"))
+      q.processAllAvailable()
+      // two append versions; the corpus is queryable at every point
+      assert(VersionedStore.versions(spark, root).map(_._2) ==
+        Seq("append", "append"))
+      assert(VersionedStore.read(spark, root).count() == 3, "latest = all docs")
+      assert(VersionedStore.read(spark, root, 1).collect()
+        .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L),
+        "version 1 time-travels to exactly the first batch")
+      // the observe() counters surfaced in the progress events
+      val metrics = q.recentProgress.flatMap(p =>
+        Option(p.observedMetrics.get("ingest")))
+      assert(metrics.nonEmpty, "no observed 'ingest' metrics in progress")
+      val totalDocs = metrics.map(_.getAs[Long]("n_docs")).sum
+      val totalToks = metrics.map(_.getAs[Long]("n_tokens")).sum
+      assert(totalDocs == 3L && totalToks == 9L,
+        s"card counters: docs $totalDocs toks $totalToks (${metrics.toSeq})")
+    } finally q.stop()
+  }
 }
