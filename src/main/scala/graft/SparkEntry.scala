@@ -256,6 +256,7 @@ object SparkEntry {
     "q237_silhouette"     -> (Similarity.q237 _),
     "q238_card_diff"      -> (Text.q238 _),
     "q239_image_dhash"    -> (Multimodal.q239 _),
+    "q240_batch_novelty"  -> (Text.q240 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -852,6 +853,16 @@ object SparkEntry {
            CAST(count(tr.shingle) AS BIGINT) AS n_seen,
            CAST((10000 * (count(*) - count(tr.shingle))) // count(*) AS BIGINT) AS novelty_bp
          FROM te LEFT JOIN tr ON te.shingle = tr.shingle
+         GROUP BY doc_id""",
+
+    "q240_batch_novelty" ->
+      s"""WITH $ShingleCtes,
+         ref AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 2 = 0),
+         te AS (SELECT sh.doc_id, sh.shingle FROM sh WHERE doc_id % 2 = 1)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(count(ref.shingle) AS BIGINT) AS n_seen,
+           CAST((10000 * (count(*) - count(ref.shingle))) // count(*) AS BIGINT) AS novelty_bp
+         FROM te LEFT JOIN ref ON te.shingle = ref.shingle
          GROUP BY doc_id""",
 
     // Per-term bp(ln) fixed point (the q90 discipline), then exact

@@ -2528,17 +2528,17 @@ object Text {
     * stream in-scan (the q103 note), and raising k makes windows rare
     * by construction. Docs with fewer than k tokens have no windows and
     * are absent by definition (nothing to audit). */
-  def noveltyAudit(corpus: DataFrame, id: String, text: String,
-                   k: Int = 3): DataFrame = {
-    val split = splitAssign(corpus, id)
-      .select(col(id).as("doc_id"), col("split"))
-    val sh = Dedup.shingleArrays(corpus, id, text, k).join(split, "doc_id")
-    val testSh = sh.filter(col("split") === "test")
+  /** The generic two-corpus form: every `audited` document scored for
+    * the fraction of its distinct k-token windows absent from the
+    * whole `reference` corpus. */
+  def noveltyAgainst(audited: DataFrame, reference: DataFrame, id: String,
+                     text: String, k: Int = 3): DataFrame = {
+    val testSh = Dedup.shingleArrays(audited, id, text, k)
       .select(col("doc_id"), explode(col("sh_arr")).as("h"))
-    val trainSh = sh.filter(col("split") === "train")
+    val refSh = Dedup.shingleArrays(reference, id, text, k)
       .select(explode(col("sh_arr")).as("h")).distinct()
       .withColumn("seen", lit(1L))
-    testSh.join(trainSh, Seq("h"), "left")
+    testSh.join(refSh, Seq("h"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_windows"),
         sum(coalesce(col("seen"), lit(0L))).as("n_seen"))
@@ -2547,10 +2547,33 @@ object Text {
           col("n_windows")).as("novelty_bp"))
   }
 
+  def noveltyAudit(corpus: DataFrame, id: String, text: String,
+                   k: Int = 3): DataFrame = {
+    val split = splitAssign(corpus, id)
+      .select(col(id).as("sid"), col("split"))
+    val joined = corpus.join(split, col(id) === col("sid"))
+    noveltyAgainst(joined.filter(col("split") === "test"),
+      joined.filter(col("split") === "train"), id, text, k)
+  }
+
   /** q230: novelty of the test split's 3-token windows vs the train
     * split (the q100 knuth-hash split). */
   def q230(s: SparkSession, d: String): DataFrame =
     noveltyAudit(Tables.documents(s, d), "doc_id", "text")
+
+  /** q240: INGEST-BATCH NOVELTY — today's crawl (odd ids) scored
+    * against the standing corpus (even ids): the acquisition gate
+    * "how much NEW material does this source actually add" that
+    * decides whether a feed is worth its crawl budget. Same plan as
+    * q230 with explicit build frames; at deployment the standing
+    * side's distinct window hashes are the PERSISTED artifact
+    * (incrementally unioned per accepted batch — the q88 signature-
+    * store discipline applied to windows). */
+  def q240(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    noveltyAgainst(docs.filter(col("doc_id") % 2 === 1),
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+  }
 
   /** ZIPF/HEAPS CORPUS DIAGNOSTICS — the distribution-shape health
     * check a corpus build runs per source/language: natural language
