@@ -257,6 +257,8 @@ object SparkEntry {
     "q238_card_diff"      -> (Text.q238 _),
     "q239_image_dhash"    -> (Multimodal.q239 _),
     "q240_batch_novelty"  -> (Text.q240 _),
+    "q241_dup_sources"    -> (Dedup.q241 _),
+    "q242_cluster_sizes"  -> (Dedup.q242 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -854,6 +856,29 @@ object SparkEntry {
            CAST((10000 * (count(*) - count(tr.shingle))) // count(*) AS BIGINT) AS novelty_bp
          FROM te LEFT JOIN tr ON te.shingle = tr.shingle
          GROUP BY doc_id""",
+
+    // pair orientation (ida < idb) is preserved; only the SOURCE pair
+    // is canonicalized (least/greatest) — mirrors dupSourceMatrix.
+    "q241_dup_sources" ->
+      s"""WITH RECURSIVE $ClusterCtes,
+         j AS (SELECT least(da.source, db.source) AS source_a,
+                      greatest(da.source, db.source) AS source_b,
+                      g.ida AS doc_a, g.idb AS doc_b
+               FROM good g JOIN documents da ON da.doc_id = g.ida
+               JOIN documents db ON db.doc_id = g.idb)
+         SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT doc_a) AS BIGINT) AS n_docs_a,
+           CAST(count(DISTINCT doc_b) AS BIGINT) AS n_docs_b
+         FROM j GROUP BY 1, 2""",
+
+    "q242_cluster_sizes" ->
+      s"""WITH RECURSIVE $ClusterCtes,
+         lsz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+                 FROM lab GROUP BY 1),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lab)
+         SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST((10000 * cluster_size * count(*)) // n AS BIGINT) AS doc_share_bp
+         FROM lsz CROSS JOIN tot GROUP BY cluster_size, n""",
 
     "q240_batch_novelty" ->
       s"""WITH $ShingleCtes,

@@ -905,6 +905,66 @@ object Dedup {
   def q55(s: SparkSession, d: String): DataFrame =
     clusters(q51(s, d).select(col("doc_a"), col("doc_b")))
 
+  /** CROSS-SOURCE DUPLICATION ATTRIBUTION — the content-farm detector:
+    * near-dup pairs rolled up to (source_a, source_b) with the pair
+    * count and each side's duplicated-document count. The diagonal is
+    * a source's internal redundancy (template spam); a heavy
+    * OFF-diagonal cell names a concrete syndication/scraping
+    * relationship — the row a crawl-policy decision ("stop crawling
+    * the mirror") actually needs, which per-document dedup output
+    * buries. Sources ordered canonically (min, max) so a relationship
+    * is ONE cell regardless of pair orientation.
+    *
+    * Scale: pairs come from the bucketed q51 family (never all-pairs);
+    * the rollup joins each pair to two source lookups — broadcast
+    * (doc→source is the corpus' own projection; at 100 TB the join
+    * shuffles (id, source) pairs, still O(corpus), then aggregates to
+    * |sources|² cells). */
+  def dupSourceMatrix(pairs: DataFrame, docs: DataFrame, id: String,
+                      source: String): DataFrame = {
+    val src = docs.select(col(id).as("did"), col(source).as("src"))
+    pairs
+      .join(src.withColumnRenamed("src", "src_raw_a"),
+        col("doc_a") === col("did")).drop("did")
+      .join(src.withColumnRenamed("src", "src_raw_b"),
+        col("doc_b") === col("did")).drop("did")
+      .select(least(col("src_raw_a"), col("src_raw_b")).as("source_a"),
+        greatest(col("src_raw_a"), col("src_raw_b")).as("source_b"),
+        col("doc_a"), col("doc_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("doc_a")).as("n_docs_a"),
+        countDistinct(col("doc_b")).as("n_docs_b"))
+  }
+
+  /** q241: q51's near-dup pairs attributed to source pairs. */
+  def q241(s: SparkSession, d: String): DataFrame =
+    dupSourceMatrix(q51(s, d), Tables.documents(s, d), "doc_id", "source")
+
+  /** DUPLICATE-CLUSTER SIZE PROFILE — the shape diagnostic of dedup
+    * output: one row per cluster SIZE with the cluster count and the
+    * share of clustered documents living at that size (bp). A healthy
+    * crawl shows a steep tail (mostly pairs/triples); mass concentrated
+    * in a few giant clusters means boilerplate/template floods that
+    * keep-best electing alone handles badly (one survivor per thousand
+    * copies) — the signal to add a q153/q180-class stage upstream.
+    * Cluster-count-sized input, two tiny aggregations. */
+  def clusterSizeProfile(cl: DataFrame): DataFrame = {
+    val perCluster = cl.select(col("cluster_id"), col("cluster_size"))
+      .distinct()
+    val tot = cl.agg(count(lit(1)).as("n_clustered_docs"))
+    perCluster.groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .crossJoin(broadcast(tot))
+      .select(col("cluster_size"), col("n_clusters"),
+        F.idiv(lit(10000L) * col("cluster_size") * col("n_clusters"),
+          col("n_clustered_docs")).as("doc_share_bp"))
+  }
+
+  /** q242: size profile of the q55 dedup clusters. */
+  def q242(s: SparkSession, d: String): DataFrame =
+    clusterSizeProfile(q55(s, d))
+
   /** q89: containment dedup of the documents table at τ = 0.8 —
     * excerpt/quotation pairs exact Jaccard misses. */
   def q89(s: SparkSession, d: String): DataFrame =

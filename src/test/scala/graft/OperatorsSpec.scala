@@ -3079,6 +3079,26 @@ class OperatorsSpec extends SparkSpec {
       s"novelty must never cross-join:\n$p230")
   }
 
+  test("q241/q242: dup pairs attribute to canonical source cells; cluster profile closes at 10000 bp") {
+    import SparkTestSession.spark.implicits._
+    val pairs = Seq((1L, 2L), (1L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val docs = Seq((1L, "mirror"), (2L, "origin"), (3L, "origin"),
+      (4L, "blog"), (5L, "blog")).toDF("doc_id", "source")
+    val m = Dedup.dupSourceMatrix(pairs, docs, "doc_id", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // both (1,2) and (1,3) land in ONE canonical cell regardless of
+    // which side the mirror sat on; blog's internal pair is diagonal
+    assert(m(("mirror", "origin")) == ((2L, 1L, 2L)), s"$m")
+    assert(m(("blog", "blog")) == ((1L, 1L, 1L)), s"$m")
+    assert(m.size == 2, s"no phantom cells: ${m.keys}")
+    // profile: clusters {1,2,3} (size 3) and {4,5} (size 2) — shares
+    // 6000 + 4000 close the distribution exactly
+    val prof = Dedup.clusterSizeProfile(Dedup.clusters(pairs))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(prof == Map(3L -> ((1L, 6000L)), 2L -> ((1L, 4000L))), s"$prof")
+  }
+
   test("clustersStar: log-round components match clusters() and survive deep chains") {
     import SparkTestSession.spark.implicits._
     // a 100-node chain: diameter 99 — clusters() at its default 20-round
