@@ -857,18 +857,19 @@ object SparkEntry {
          FROM te LEFT JOIN tr ON te.shingle = tr.shingle
          GROUP BY doc_id""",
 
-    // pair orientation (ida < idb) is preserved; only the SOURCE pair
-    // is canonicalized (least/greatest) — mirrors dupSourceMatrix.
+    // sources AND docs swap together into the canonical cell (mirrors
+    // dupSourceMatrix): n_docs_a counts documents OF source_a.
     "q241_dup_sources" ->
       s"""WITH RECURSIVE $ClusterCtes,
-         j AS (SELECT least(da.source, db.source) AS source_a,
-                      greatest(da.source, db.source) AS source_b,
-                      g.ida AS doc_a, g.idb AS doc_b
+         j AS (SELECT CASE WHEN da.source <= db.source THEN da.source ELSE db.source END AS source_a,
+                      CASE WHEN da.source <= db.source THEN db.source ELSE da.source END AS source_b,
+                      CASE WHEN da.source <= db.source THEN g.ida ELSE g.idb END AS da_doc,
+                      CASE WHEN da.source <= db.source THEN g.idb ELSE g.ida END AS db_doc
                FROM good g JOIN documents da ON da.doc_id = g.ida
                JOIN documents db ON db.doc_id = g.idb)
          SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs,
-           CAST(count(DISTINCT doc_a) AS BIGINT) AS n_docs_a,
-           CAST(count(DISTINCT doc_b) AS BIGINT) AS n_docs_b
+           CAST(count(DISTINCT da_doc) AS BIGINT) AS n_docs_a,
+           CAST(count(DISTINCT db_doc) AS BIGINT) AS n_docs_b
          FROM j GROUP BY 1, 2""",
 
     "q242_cluster_sizes" ->
@@ -909,7 +910,9 @@ object SparkEntry {
                   sum(lx * ly) AS sxy, sum(ly * ly) AS syy
                 FROM fx GROUP BY 1)
          SELECT rg.lang, n_tokens, vocab, k AS k_ranks,
-           CAST((10000 * (k * sxy - sx * sy)) // (k * sxx - sx * sx) AS BIGINT) AS zipf_slope_bp,
+           CAST(CASE WHEN k * sxx - sx * sx = 0 THEN 0 ELSE
+             (10000 * (k * sxy - sx * sy)) // (k * sxx - sx * sx)
+             END AS BIGINT) AS zipf_slope_bp,
            CAST(CASE WHEN k * syy - sy * sy = 0 THEN 0 ELSE
              (10000::HUGEINT * (k * sxy - sx * sy)::HUGEINT * (k * sxy - sx * sy)::HUGEINT)
                // ((k * sxx - sx * sx)::HUGEINT * (k * syy - sy * sy)::HUGEINT)

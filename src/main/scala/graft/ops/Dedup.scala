@@ -923,18 +923,25 @@ object Dedup {
   def dupSourceMatrix(pairs: DataFrame, docs: DataFrame, id: String,
                       source: String): DataFrame = {
     val src = docs.select(col(id).as("did"), col(source).as("src"))
+    // sources AND docs swap TOGETHER into the canonical cell, so
+    // n_docs_a counts documents OF source_a (a least/greatest on the
+    // sources alone would leave doc_a in pair orientation and invert
+    // the per-side counts whenever the mirror holds the lower id)
+    val keepOrder = col("src_raw_a") <= col("src_raw_b")
     pairs
       .join(src.withColumnRenamed("src", "src_raw_a"),
         col("doc_a") === col("did")).drop("did")
       .join(src.withColumnRenamed("src", "src_raw_b"),
         col("doc_b") === col("did")).drop("did")
-      .select(least(col("src_raw_a"), col("src_raw_b")).as("source_a"),
-        greatest(col("src_raw_a"), col("src_raw_b")).as("source_b"),
-        col("doc_a"), col("doc_b"))
+      .select(
+        when(keepOrder, col("src_raw_a")).otherwise(col("src_raw_b")).as("source_a"),
+        when(keepOrder, col("src_raw_b")).otherwise(col("src_raw_a")).as("source_b"),
+        when(keepOrder, col("doc_a")).otherwise(col("doc_b")).as("da"),
+        when(keepOrder, col("doc_b")).otherwise(col("doc_a")).as("db"))
       .groupBy(col("source_a"), col("source_b"))
       .agg(count(lit(1)).as("n_pairs"),
-        countDistinct(col("doc_a")).as("n_docs_a"),
-        countDistinct(col("doc_b")).as("n_docs_b"))
+        countDistinct(col("da")).as("n_docs_a"),
+        countDistinct(col("db")).as("n_docs_b"))
   }
 
   /** q241: q51's near-dup pairs attributed to source pairs. */

@@ -724,9 +724,11 @@ object Similarity {
     * once (q60 cross-engine equivalence), max/count are exact. */
   def splitLeakage(embs: DataFrame, id: String, emb: String,
                    k: Int, tau: Double): DataFrame = {
-    // the q100 knuth split on the numeric id: shard <8 train, >8 test
-    val shard = pmod(pmod(col(id), lit(1000003L)) * lit(427799L),
-      lit(1000003L)) % lit(10L)
+    // the q100 knuth split on the numeric id (the CANONICAL constants
+    // live in Text.knuthHash — one definition, so this audit's
+    // train/test framing can never drift from q100/q230's split):
+    // shard < 8 train, > 8 test
+    val shard = Text.knuthHash(col(id)) % lit(10L)
     val train = embs.filter(shard < 8)
     val test = embs.filter(shard > 8)
     val cents = trainCentroids(train, id, emb, k, TrainIters)

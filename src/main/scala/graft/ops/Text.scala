@@ -325,7 +325,7 @@ object Text {
     * multipliers here are 2654435761 and 2246822519 (both reduced mod
     * 1000003); splitAssign's shard uses hash mod 10, which is
     * insensitive to magnitude, so it can share either. */
-  private def knuthHash(id: Column, mult: Long = 427799L): Column =
+  private[graft] def knuthHash(id: Column, mult: Long = 427799L): Column =
     (id % lit(1000003L)) * lit(mult) % lit(1000003L)
   /** 2246822519 mod 1000003 — the second, decorrelated multiplier. */
   private val KnuthMult2 = 815781L
@@ -2549,11 +2549,11 @@ object Text {
 
   def noveltyAudit(corpus: DataFrame, id: String, text: String,
                    k: Int = 3): DataFrame = {
-    val split = splitAssign(corpus, id)
-      .select(col(id).as("sid"), col("split"))
-    val joined = corpus.join(split, col(id) === col("sid"))
-    noveltyAgainst(joined.filter(col("split") === "test"),
-      joined.filter(col("split") === "train"), id, text, k)
+    // splitAssign is a map-side withColumn over the full corpus — no
+    // self-join needed to carry the split label
+    val sp = splitAssign(corpus, id)
+    noveltyAgainst(sp.filter(col("split") === "test"),
+      sp.filter(col("split") === "train"), id, text, k)
   }
 
   /** q230: novelty of the test split's 3-token windows vs the train
@@ -2622,8 +2622,11 @@ object Text {
         col("k").as("k_ranks"),
         // slope in bp of ln-ln space; IntegralDivide == DuckDB // at
         // any sign, so the (negative) Zipf slope needs no sign-split.
-        // 10⁴·num < 2⁵⁵ even at ly = bp(ln 2⁶³) — long-safe.
-        F.idiv(lit(10000L) * num, den).as("zipf_slope_bp"),
+        // 10⁴·num < 2⁵⁵ even at ly = bp(ln 2⁶³) — long-safe. den = 0
+        // (a single-token vocabulary — pure repetition, exactly what
+        // this diagnostic flags) reports the degenerate 0, not NULL.
+        when(den === 0L, lit(0L))
+          .otherwise(F.idiv(lit(10000L) * num, den)).as("zipf_slope_bp"),
         // r² ∈ [0,1]: num² outruns a long (~5·10²⁴ worst case), so the
         // ratio rides decimal(38,0) (oracle: HUGEINT). All-equal counts
         // make deny = 0 (undefined fit) — report r² = 0, not an error.

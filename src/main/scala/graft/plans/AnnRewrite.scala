@@ -80,8 +80,12 @@ case class AnnIndexRewrite(session: SparkSession) extends Rule[LogicalPlan] {
 
   private def indexFor(plan: LogicalPlan): Option[AnnIndexRegistry.Index] =
     scanPath(plan).flatMap { p =>
+      // segment-boundary match only: a bare endsWith would let an
+      // unrelated table whose path merely ends with the registered
+      // string ("backup_data/embeddings.parquet") silently serve wrong
+      // neighbors from the wrong index
       AnnIndexRegistry.all.find(ix => p == new org.apache.hadoop.fs.Path(
-        ix.basePath).toUri.getPath || p.endsWith(ix.basePath))
+        ix.basePath).toUri.getPath || p.endsWith("/" + ix.basePath))
     }
 
   /** Driver-side probe-cell selection: quantize (floor(x·2¹⁴)) and
@@ -92,6 +96,11 @@ case class AnnIndexRewrite(session: SparkSession) extends Rule[LogicalPlan] {
     val s = graft.ops.Similarity.QuantScale
     val qq = q.map(f => math.floor(f.toDouble * s).toLong).toArray
     cents.zipWithIndex.map { case (c, i) =>
+      // a dimension mismatch means a stale registration (index built
+      // from an older embedding version) — surface it, never truncate
+      require(c.length == qq.length,
+        s"query dim ${qq.length} != index centroid dim ${c.length} — " +
+          "re-register the index for the current embedding version")
       var acc = 0L
       var t = 0
       val n = math.min(qq.length, c.length)

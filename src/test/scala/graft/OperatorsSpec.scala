@@ -2978,7 +2978,8 @@ class OperatorsSpec extends SparkSpec {
     // counts 24/rank for ranks 1..4: ln-ln exactly linear, slope −1
     val zipfText = (Seq.fill(24)("t1") ++ Seq.fill(12)("t2") ++
       Seq.fill(8)("t3") ++ Seq.fill(6)("t4")).mkString(" ")
-    val corpus = Seq(("x", zipfText), ("y", "a b c")).toDF("lang", "text")
+    val corpus = Seq(("x", zipfText), ("y", "a b c"),
+      ("z", "spam spam spam")).toDF("lang", "text")
     val out = Text.zipfFit(corpus, "lang", "text")
       .collect().map(r => r.getString(0) -> r).toMap
     val x = out("x")
@@ -2990,6 +2991,11 @@ class OperatorsSpec extends SparkSpec {
     // all-equal counts: undefined fit reports slope 0, r² 0
     val y = out("y")
     assert(y.getLong(4) == 0L && y.getLong(5) == 0L, s"flat corpus: $y")
+    // single-token vocabulary (pure repetition): den = 0 must report
+    // the degenerate 0, never a null slope
+    val z = out("z")
+    assert(z.getLong(2) == 1L && z.getLong(4) == 0L && z.getLong(5) == 0L,
+      s"one-token lang: $z")
   }
 
   test("q231 langid eval: confusion cells name the mislabel, diagonal share is recall") {
@@ -3081,15 +3087,18 @@ class OperatorsSpec extends SparkSpec {
 
   test("q241/q242: dup pairs attribute to canonical source cells; cluster profile closes at 10000 bp") {
     import SparkTestSession.spark.implicits._
+    // the ORIGIN holds the lower ids, so every pair arrives in the
+    // orientation that would invert the per-side counts if sources
+    // were canonicalized without swapping the docs along
     val pairs = Seq((1L, 2L), (1L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
-    val docs = Seq((1L, "mirror"), (2L, "origin"), (3L, "origin"),
+    val docs = Seq((1L, "origin"), (2L, "mirror"), (3L, "mirror"),
       (4L, "blog"), (5L, "blog")).toDF("doc_id", "source")
     val m = Dedup.dupSourceMatrix(pairs, docs, "doc_id", "source")
       .collect().map(r => (r.getString(0), r.getString(1)) ->
         ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
-    // both (1,2) and (1,3) land in ONE canonical cell regardless of
-    // which side the mirror sat on; blog's internal pair is diagonal
-    assert(m(("mirror", "origin")) == ((2L, 1L, 2L)), s"$m")
+    // n_docs_a counts documents OF source_a: 2 mirror docs carry the
+    // origin's 1 duplicated doc; blog's internal pair is diagonal
+    assert(m(("mirror", "origin")) == ((2L, 2L, 1L)), s"$m")
     assert(m(("blog", "blog")) == ((1L, 1L, 1L)), s"$m")
     assert(m.size == 2, s"no phantom cells: ${m.keys}")
     // profile: clusters {1,2,3} (size 3) and {4,5} (size 2) — shares
