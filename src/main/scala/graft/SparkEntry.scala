@@ -259,6 +259,7 @@ object SparkEntry {
     "q240_batch_novelty"  -> (Text.q240 _),
     "q241_dup_sources"    -> (Dedup.q241 _),
     "q242_cluster_sizes"  -> (Dedup.q242 _),
+    "q243_shard_balance"  -> (Text.q243 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -946,6 +947,19 @@ object SparkEntry {
          SELECT doc_id, CAST(h % 32 AS BIGINT) AS shard,
            CAST(row_number() OVER (PARTITION BY h % 32 ORDER BY h ASC, doc_id ASC) AS BIGINT) AS pos
          FROM h""",
+
+    "q243_shard_balance" ->
+      """WITH h AS (SELECT doc_id,
+             CAST(md5_number_upper('ep1:' || CAST(doc_id AS VARCHAR)) % 32 AS BIGINT) AS shard,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+           FROM documents),
+         per AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+                        CAST(sum(n_toks) AS BIGINT) AS n_tokens
+                 FROM h GROUP BY 1),
+         tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_toks FROM per)
+         SELECT shard, n_docs, n_tokens,
+           CAST((10000 * (n_tokens * 32 - total_toks)) // total_toks AS BIGINT) AS dev_bp
+         FROM per CROSS JOIN tot""",
 
     "q106_passage_dedup" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),

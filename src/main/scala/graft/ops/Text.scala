@@ -2679,6 +2679,36 @@ object Text {
   def q233(s: SparkSession, d: String): DataFrame =
     epochShuffle(Tables.documents(s, d), "doc_id", "ep1", 32)
 
+  /** SHARD BALANCE AUDIT of the epoch shuffle — the check the WRITER
+    * runs before committing a training layout: hash-dealing balances
+    * DOCUMENT counts by construction, but training throughput is
+    * TOKEN-bound, and a long-document skew can still pile token mass
+    * onto one shard (stragglers every epoch). Per shard: doc/token
+    * counts and the token deviation from the perfectly-even share in
+    * bp — the number a rebalance threshold reads. Composes q233's deal
+    * with the corpus' own token counts; one shuffle (the deal), one
+    * k-row aggregation. Deviations are signed; Σ share_bp ≈ 10⁴·k. */
+  def shardBalance(corpus: DataFrame, id: String, text: String,
+                   seed: String, nShards: Int): DataFrame = {
+    val deal = epochShuffle(corpus, id, seed, nShards)
+    val toks = corpus.select(col(id).as("doc_id"),
+      size(split(col(text), " ")).cast("long").as("n_toks"))
+    val per = deal.join(toks, "doc_id")
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).as("total_toks"))
+    per.crossJoin(broadcast(tot))
+      .select(col("shard"), col("n_docs"), col("n_tokens"),
+        // deviation of this shard's token share from even, in bp of
+        // the even share: (n·k − total) · 10⁴ // total
+        F.idiv(lit(10000L) * (col("n_tokens") * nShards - col("total_toks")),
+          col("total_toks")).as("dev_bp"))
+  }
+
+  /** q243: token balance of the q233 epoch-1 deal. */
+  def q243(s: SparkSession, d: String): DataFrame =
+    shardBalance(Tables.documents(s, d), "doc_id", "text", "ep1", 32)
+
   /** LANGUAGE-ID EVALUATION HARNESS — the q192/q201/q228 convention
     * (ship the evaluator WITH the detector) applied to q42: score the
     * marker-argmax predictor against a labeled column and report the

@@ -3204,6 +3204,24 @@ class OperatorsSpec extends SparkSpec {
     assert(!r.contains(0L) && !r.contains(4L), "train vectors are never audited")
   }
 
+  test("q243 shard balance: deviations close over the even share; skew surfaces signed") {
+    import SparkTestSession.spark.implicits._
+    val corpus = (0L until 512L).map(i =>
+      (i, if (i == 0) ("tok " * 200).trim else "a b c")).toDF("doc_id", "text")
+    val r = Text.shardBalance(corpus, "doc_id", "text", "ep1", 8).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3))))
+      .toMap
+    assert(r.size == 8 && r.values.map(_._1).sum == 512L, "every doc dealt")
+    // the 200-token whale makes exactly one shard over-even; the token
+    // deviation must carry sign (over > 0 somewhere, under < 0 elsewhere)
+    assert(r.values.exists(_._3 > 0L) && r.values.exists(_._3 < 0L), s"$r")
+    val whaleShard = r.maxBy(_._2._2)._2
+    assert(whaleShard._2 >= 200L && whaleShard._3 > 500L,
+      s"the whale shard must stand out: $whaleShard")
+    // Σ n_tokens re-derives the corpus total exactly
+    assert(r.values.map(_._2).sum == 511L * 3 + 200L)
+  }
+
   test("q233 epoch shuffle: dense per-shard positions, seed re-deals the order") {
     import SparkTestSession.spark.implicits._
     val corpus = (0L until 1000L).toDF("doc_id")
