@@ -257,6 +257,7 @@ object SparkEntry {
     "q238_card_diff"      -> (Text.q238 _),
     "q239_image_dhash"    -> (Multimodal.q239 _),
     "q240_batch_novelty"  -> (Text.q240 _),
+    "q244_novelty_store"  -> (Text.q244 _),
     "q241_dup_sources"    -> (Dedup.q241 _),
     "q242_cluster_sizes"  -> (Dedup.q242 _),
     "q243_shard_balance"  -> (Text.q243 _),
@@ -881,6 +882,18 @@ object SparkEntry {
          SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
            CAST((10000 * cluster_size * count(*)) // n AS BIGINT) AS doc_share_bp
          FROM lsz CROSS JOIN tot GROUP BY cluster_size, n""",
+
+    // q244 audits through the persisted hash store but is row-identical
+    // to the direct q240 scan by construction — same oracle.
+    "q244_novelty_store" ->
+      s"""WITH $ShingleCtes,
+         ref AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 2 = 0),
+         te AS (SELECT sh.doc_id, sh.shingle FROM sh WHERE doc_id % 2 = 1)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(count(ref.shingle) AS BIGINT) AS n_seen,
+           CAST((10000 * (count(*) - count(ref.shingle))) // count(*) AS BIGINT) AS novelty_bp
+         FROM te LEFT JOIN ref ON te.shingle = ref.shingle
+         GROUP BY doc_id""",
 
     "q240_batch_novelty" ->
       s"""WITH $ShingleCtes,

@@ -2561,6 +2561,67 @@ object Text {
   def q230(s: SparkSession, d: String): DataFrame =
     noveltyAudit(Tables.documents(s, d), "doc_id", "text")
 
+  /** PERSISTED NOVELTY STORE — the q240 deployment note made real: the
+    * standing corpus' distinct window hashes live as a versioned
+    * artifact, a candidate batch audits against the STORE (never
+    * rescanning the corpus text), and accepting a batch appends only
+    * its genuinely-new hashes — the q88 signature-store discipline
+    * applied to windows. Store rows are single longs; at 100 TB the
+    * hash set is ~1% of corpus bytes and bucket-partitionable by hash
+    * prefix. Commits ride the VersionedStore manifest CAS (concurrent
+    * ingest feeds rebase; audits pin a version while appends land). */
+  def writeNoveltyStore(reference: DataFrame, id: String, text: String,
+                        k: Int, root: String): Unit = {
+    graft.sources.VersionedStore.commit(
+      Dedup.shingleArrays(reference, id, text, k)
+        .select(explode(col("sh_arr")).as("h")).distinct(),
+      root, overwrite = true)
+    ()
+  }
+
+  /** Audit a batch against the stored hash set — q240's output
+    * contract, corpus untouched. */
+  def noveltyAgainstStore(audited: DataFrame, id: String, text: String,
+                          k: Int, root: String): DataFrame = {
+    val s = audited.sparkSession
+    val refSh = graft.sources.VersionedStore.read(s, root)
+      .withColumn("seen", lit(1L))
+    val testSh = Dedup.shingleArrays(audited, id, text, k)
+      .select(col("doc_id"), explode(col("sh_arr")).as("h"))
+    testSh.join(refSh, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(coalesce(col("seen"), lit(0L))).as("n_seen"))
+      .select(col("doc_id"), col("n_windows"), col("n_seen"),
+        F.idiv(lit(10000L) * (col("n_windows") - col("n_seen")),
+          col("n_windows")).as("novelty_bp"))
+  }
+
+  /** Accept a batch: append its hashes the store doesn't already hold
+    * (append versions stay small — the DELTA, not a re-dump). */
+  def appendNoveltyStore(accepted: DataFrame, id: String, text: String,
+                         k: Int, root: String): Unit = {
+    val s = accepted.sparkSession
+    val fresh = Dedup.shingleArrays(accepted, id, text, k)
+      .select(explode(col("sh_arr")).as("h")).distinct()
+      .join(graft.sources.VersionedStore.read(s, root), Seq("h"), "left_anti")
+    graft.sources.VersionedStore.commit(fresh, root, overwrite = false)
+    ()
+  }
+
+  /** q244: q240 through the persisted store — build once from the
+    * standing (even-id) half, audit the batch against it. Row-identical
+    * to q240 by construction (spec + the shared oracle). */
+  def q244(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val root = Scratch.dir(s, d, "novstore")
+    if (graft.sources.VersionedStore.latestVersion(s, root) == 0)
+      writeNoveltyStore(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", 3, root)
+    noveltyAgainstStore(docs.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text", 3, root)
+  }
+
   /** q240: INGEST-BATCH NOVELTY — today's crawl (odd ids) scored
     * against the standing corpus (even ids): the acquisition gate
     * "how much NEW material does this source actually add" that

@@ -2946,6 +2946,33 @@ class OperatorsSpec extends SparkSpec {
     assert(!r.contains(0L) && !r.contains(3L), "train docs are not audited")
   }
 
+  test("q244 novelty store: store-backed audit equals the direct scan; accepting a batch updates it") {
+    import SparkTestSession.spark.implicits._
+    val ref = Seq((0L, "a b c d"), (2L, "p q r s")).toDF("doc_id", "text")
+    val batch1 = Seq((1L, "a b c x")).toDF("doc_id", "text")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-novstore").toString + "/store"
+    Text.writeNoveltyStore(ref, "doc_id", "text", 3, root)
+    val viaStore = Text.noveltyAgainstStore(batch1, "doc_id", "text", 3, root)
+      .collect().map(_.toSeq).toSet
+    val direct = Text.noveltyAgainst(batch1, ref, "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    assert(viaStore == direct, s"store $viaStore vs direct $direct")
+    // accept batch1; a later doc repeating batch1's windows is now seen
+    Text.appendNoveltyStore(batch1, "doc_id", "text", 3, root)
+    val echo = Seq((3L, "b c x y")).toDF("doc_id", "text")
+    val before = Text.noveltyAgainst(echo, ref, "doc_id", "text")
+      .collect().head.getLong(3)
+    val after = Text.noveltyAgainstStore(echo, "doc_id", "text", 3, root)
+      .collect().head.getLong(3)
+    assert(before == 10000L, "vs the original corpus the echo is fully novel")
+    assert(after == 5000L, s"vs the grown store 'b c x' is seen: $after")
+    // append stored only the DELTA (v2 is small), and v1 still audits
+    // as the pre-accept state (time travel)
+    val vs = graft.sources.VersionedStore.versions(spark, root)
+    assert(vs.map(_._2) == Seq("overwrite", "append"), s"$vs")
+  }
+
   test("q230/q232 laws: growing train only lowers novelty; doubling the corpus fixes the zipf slope") {
     import SparkTestSession.spark.implicits._
     // novelty monotonicity: training windows only ever ACCUMULATE, so
