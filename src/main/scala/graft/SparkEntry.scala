@@ -258,6 +258,7 @@ object SparkEntry {
     "q239_image_dhash"    -> (Multimodal.q239 _),
     "q240_batch_novelty"  -> (Text.q240 _),
     "q244_novelty_store"  -> (Text.q244 _),
+    "q245_embedding_norms" -> (Similarity.q245 _),
     "q241_dup_sources"    -> (Dedup.q241 _),
     "q242_cluster_sizes"  -> (Dedup.q242 _),
     "q243_shard_balance"  -> (Text.q243 _),
@@ -894,6 +895,20 @@ object SparkEntry {
            CAST((10000 * (count(*) - count(ref.shingle))) // count(*) AS BIGINT) AS novelty_bp
          FROM te LEFT JOIN ref ON te.shingle = ref.shingle
          GROUP BY doc_id""",
+
+    // norms on the quantizer grid (floor(x·2^14), integer squares) —
+    // exact in any engine; bucket = norm²_q div 2^26.
+    "q245_embedding_norms" ->
+      """WITH nq AS (SELECT vec_id,
+             CAST(list_sum(list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 16384) AS BIGINT)
+                  * CAST(floor(CAST(x AS DOUBLE) * 16384) AS BIGINT))) AS BIGINT) AS n2
+           FROM embeddings)
+         SELECT n2 // 67108864 AS bucket, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN n2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+           CAST(min(n2) AS BIGINT) AS min_norm2_q,
+           CAST(max(n2) AS BIGINT) AS max_norm2_q
+         FROM nq GROUP BY 1""",
 
     "q240_batch_novelty" ->
       s"""WITH $ShingleCtes,

@@ -796,6 +796,36 @@ object Similarity {
   def q237(s: SparkSession, d: String): DataFrame =
     cellSilhouette(Tables.embeddings(s, d), "vec_id", "embedding", 16)
 
+  /** EMBEDDING-NORM DISTRIBUTION AUDIT — the broken-encoder-batch
+    * detector: a healthy embedding corpus has a tight norm band;
+    * zero-norm rows are encoder failures (and poison cosine math —
+    * F.cosineSim defines them as 0 similarity, so they silently match
+    * nothing), a secondary norm mode is a mixed-version table (two
+    * encoder checkpoints — cosines across modes are meaningless), and
+    * a fat tail is over/underflow. One histogram answers all three
+    * before any ANN/SemDeDup stage consumes the table. Norms ride the
+    * SAME integer grid as the quantizer family (Σ floor(x·2¹⁴)² —
+    * exact in any engine); bucket = norm²_q div 2²⁶.
+    *
+    * Scale (100 TB): one codegen'd map-side pass, |buckets|-row
+    * aggregation — the cheapest audit in the file. */
+  def embeddingNormAudit(embs: DataFrame, id: String,
+                         emb: String): DataFrame = {
+    val q = transform(col(emb),
+      x => floor(x.cast("double") * lit(QuantScale.toDouble)).cast("long"))
+    val n2 = aggregate(q, lit(0L), (acc, v) => acc + v * v)
+    embs.select(col(id).as("vec_id"), n2.as("norm2_q"))
+      .groupBy(F.idiv(col("norm2_q"), lit(1L << 26)).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("norm2_q") === 0L).cast("long")).as("n_zero"),
+        min(col("norm2_q")).as("min_norm2_q"),
+        max(col("norm2_q")).as("max_norm2_q"))
+  }
+
+  /** q245: norm histogram of the embeddings table. */
+  def q245(s: SparkSession, d: String): DataFrame =
+    embeddingNormAudit(Tables.embeddings(s, d), "vec_id", "embedding")
+
   /** q62: IVF-Flat approximate top-10, nprobe=4 of 16 cells. */
   def q62(s: SparkSession, d: String): DataFrame = {
     val (c, q) = corpusAndQueries(s, d)

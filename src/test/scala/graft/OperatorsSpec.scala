@@ -3192,6 +3192,25 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q245 embedding norms: zero-norm failures counted, mixed modes land in distinct buckets") {
+    import SparkTestSession.spark.implicits._
+    val embs = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)),        // unit norm: n2_q = 16384²
+      (2L, Seq(0f, 1f, 0f, 0f)),        // unit norm, same bucket
+      (3L, Seq(0f, 0f, 0f, 0f)),        // encoder failure
+      (4L, Seq(8f, 8f, 8f, 8f))         // a second mode, far bucket
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.embeddingNormAudit(embs, "vec_id", "embedding")
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    val unit = 16384L * 16384L
+    assert(r(unit >> 26) == ((2L, 0L, unit, unit)), s"unit bucket: $r")
+    assert(r(0L) == ((1L, 1L, 0L, 0L)), "the zero-norm failure is its own count")
+    val far = 4L * (8 * 16384L) * (8 * 16384L)
+    assert(r(far >> 26)._1 == 1L, s"second mode separated: ${r.keys}")
+    assert(r.size == 3, s"three distinct modes: ${r.keys}")
+  }
+
   test("q237 silhouette: separated duplicate clusters score 10000, corpus table is bounded") {
     import SparkTestSession.spark.implicits._
     // two exact-duplicate clusters on orthogonal axes: every vector
