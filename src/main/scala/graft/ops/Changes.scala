@@ -61,12 +61,34 @@ object Changes {
     * STORAGE face — rewriting only the files that contain matched
     * keys — is VersionedStore.mergeCommit, which drives this same
     * row contract over the affected-file subset. `changes` must carry
-    * the key, the op column, and the target's payload columns. */
+    * the key, the op column, and the target's payload columns.
+    *
+    * The join is only correct with ONE change row per key. When `seq`
+    * is given the batch is pre-reduced last-wins by (seq) — the CDC
+    * micro-batch convention. When it is not, a duplicate key raises at
+    * execution (the Delta/Iceberg MERGE multiple-matches error) instead
+    * of silently fanning duplicate key rows into the snapshot. */
   def mergeChanges(target: DataFrame, changes: DataFrame, key: String,
-                   opCol: String = "op"): DataFrame = {
+                   opCol: String = "op", seq: Option[String] = None): DataFrame = {
     val payload = target.columns.filter(_ != key).toSeq
+    val oneRow = seq match {
+      case Some(sq) =>
+        val rest = changes.columns.filter(_ != key).toSeq
+        changes.groupBy(col(key))
+          .agg(max_by(struct(rest.map(col): _*), col(sq)).as("_last"))
+          .select(col(key) +: rest.map(c => col(s"_last.$c").as(c)): _*)
+      case None =>
+        // lazy guard: fold the duplicate check into the op column (a
+        // column the merge reads, so pruning cannot drop the check)
+        val w = Window.partitionBy(col(key))
+        changes
+          .withColumn(opCol,
+            when(count(lit(1)).over(w) > 1, raise_error(concat(
+              lit("mergeChanges: multiple change rows for key "),
+              col(key).cast("string")))).otherwise(col(opCol)))
+    }
     target.as("t")
-      .join(changes.as("c"), col(s"t.$key") === col(s"c.$key"), "full_outer")
+      .join(oneRow.as("c"), col(s"t.$key") === col(s"c.$key"), "full_outer")
       .where(coalesce(col(s"c.$opCol"), lit("keep")) =!= lit("delete"))
       .select(coalesce(col(s"c.$key"), col(s"t.$key")).as(key) +:
         payload.map(p =>

@@ -1852,6 +1852,14 @@ object Relational {
       cur = edges.count()
       rounds += 1
     }
+    // clustersStar's convergence contract: a silent exit at maxRounds
+    // would return a superset that is NOT the k-core (and the oracle,
+    // unrolling the same constant, could not catch it)
+    if (cur != prev)
+      throw new IllegalStateException(
+        s"kCore did not reach fixpoint in $maxRounds rounds " +
+          s"($cur edges after round $rounds, $prev before) — raise maxRounds " +
+          "(and the oracle's unroll depth) for deeper graphs")
     edges.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg_in_core"))
   }

@@ -80,10 +80,13 @@ case class MaterializedAggRewrite(session: SparkSession)
     case _ => None
   }
 
+  /** Segment-boundary path match (same contract as AnnRewrite): an
+    * unrelated table whose path merely ends with the registered string
+    * (backup_lineitem.parquet vs lineitem.parquet) must NOT rewrite. */
   private def cubeFor(plan: LogicalPlan): Option[CubeRegistry.Cube] =
     scanPath(plan).flatMap { p =>
       CubeRegistry.all.find(c => p == new org.apache.hadoop.fs.Path(
-        c.basePath).toUri.getPath || p.endsWith(c.basePath))
+        c.basePath).toUri.getPath || p.endsWith("/" + c.basePath))
     }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
@@ -106,8 +109,8 @@ case class MaterializedAggRewrite(session: SparkSession)
       val callsOk = calls.forall {
         case AggregateExpression(Sum(a: AttributeReference, _), _, false, None, _) =>
           cube.measures.contains(a.name)
-        case AggregateExpression(Count(Seq(Literal(_, _))), _, false, None, _) =>
-          true
+        case AggregateExpression(Count(Seq(Literal(v, _))), _, false, None, _) =>
+          v != null // COUNT(NULL) must stay 0, not become SUM(cnt)
         case _ => false
       }
       val plainAttrsOk = ne match {
@@ -128,8 +131,14 @@ case class MaterializedAggRewrite(session: SparkSession)
       case ae @ AggregateExpression(Sum(a: AttributeReference, mode), _, false, None, _)
           if cube.measures.contains(a.name) =>
         ae.copy(aggregateFunction = Sum(cubeAttr(s"sum_${a.name}"), mode))
-      case ae @ AggregateExpression(Count(Seq(Literal(_, _))), _, false, None, _) =>
-        ae.copy(aggregateFunction = Sum(cubeAttr("cnt")))
+      case ae @ AggregateExpression(Count(Seq(Literal(v, _))), _, false, None, _)
+          if v != null =>
+        // global (no-grouping) COUNT over an empty base: SUM(cnt) over
+        // an empty cube is NULL where COUNT(1) is 0 — coalesce restores
+        // the COUNT contract (identity for every non-empty group)
+        org.apache.spark.sql.catalyst.expressions.Coalesce(Seq(
+          ae.copy(aggregateFunction = Sum(cubeAttr("cnt"))),
+          Literal(0L)))
       case a: AttributeReference if cube.dims.contains(a.name) =>
         cubeAttr(a.name)
     }

@@ -325,10 +325,14 @@ object VersionedStore {
     * Iceberg convention) — run vacuum with minAgeMs longer than any
     * commit takes, and a staging directory is either younger than the
     * fence (kept) or a crashed writer's orphan (reclaimed, which is
-    * the point). minAgeMs = 0 is for tests and stopped-world
-    * maintenance only. */
+    * the point). The DEFAULT fence is 6 hours (the conservative
+    * Delta-style retention floor); minAgeMs = 0 deletes a concurrent
+    * committer's in-flight staging and tears its snapshot, so 0 is an
+    * EXPLICIT opt-in for tests and stopped-world maintenance only. */
+  val DefaultVacuumFenceMs: Long = 6L * 3600 * 1000
+
   def vacuum(s: SparkSession, root: String, retainLast: Int,
-             minAgeMs: Long = 0L): Int = {
+             minAgeMs: Long = DefaultVacuumFenceMs): Int = {
     require(retainLast >= 1, s"retainLast must be >= 1, got $retainLast")
     val fs = fsFor(s, root)
     val latest = latestVersion(s, root)

@@ -158,6 +158,34 @@ class ChangesSpec extends SparkSpec {
     assert(got == Map(1L -> "a", 2L -> "B", 4L -> "d"), s"merged: $got")
   }
 
+  test("mergeChanges rejects duplicate change keys; seq pre-reduces last-wins") {
+    import SparkTestSession.spark.implicits._
+    val target = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    // two ops for key 2 in one batch — the CDC micro-batch hazard
+    val dup = Seq(
+      (2L, "upsert", "B1", 10L),
+      (2L, "upsert", "B2", 20L),
+      (3L, "upsert", "c", 5L)).toDF("id", "op", "v", "seq")
+    // no seq column given → the Delta/Iceberg multiple-matches error,
+    // not silent duplicate key rows in the snapshot
+    val e = intercept[Exception] {
+      Changes.mergeChanges(target, dup.drop("seq"), "id").collect()
+    }
+    assert(e.getMessage.contains("multiple change rows") ||
+      Option(e.getCause).exists(_.getMessage.contains("multiple change rows")),
+      s"expected the duplicate-key raise, got: ${e.getMessage}")
+    // seq given → last-wins by seq, one row per key, then normal merge
+    val got = Changes.mergeChanges(target, dup, "id", seq = Some("seq"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a", 2L -> "B2", 3L -> "c"), s"merged: $got")
+    // a delete losing to a later upsert must act as the upsert
+    val flip = Seq((2L, "delete", "x", 1L), (2L, "upsert", "B9", 2L))
+      .toDF("id", "op", "v", "seq")
+    val got2 = Changes.mergeChanges(target, flip, "id", seq = Some("seq"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got2 == Map(1L -> "a", 2L -> "B9"), s"merged: $got2")
+  }
+
   test("q119 corpus drift: KL non-negative, identical sides drift to ~0") {
     val drift = Text.q119(spark, sf)
     assert(drift.filter(col("kl_nano") < 0L).count() === 0,

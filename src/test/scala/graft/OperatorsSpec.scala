@@ -1731,6 +1731,15 @@ class OperatorsSpec extends SparkSpec {
     val cycle = ((1L until 6L).map(i => (i, i + 1)) :+ ((6L, 1L))).toDF("a", "b")
     assert(Relational.kCore(cycle, "a", "b", 2).collect()
       .forall(_.getLong(1) == 2L))
+    // convergence contract: a peel cut off by maxRounds must THROW
+    // (clustersStar's rule), never return the not-yet-core superset —
+    // a 12-node path at k=2 erodes one node per end per round, so 2
+    // rounds cannot reach the (empty) fixpoint
+    val longPath = (1L until 12L).map(i => (i, i + 1)).toDF("a", "b")
+    val ex = intercept[IllegalStateException] {
+      Relational.kCore(longPath, "a", "b", 2, maxRounds = 2).collect()
+    }
+    assert(ex.getMessage.contains("fixpoint"), ex.getMessage)
   }
 
   test("q226 reaches its k-core fixpoint inside the shared unroll cap") {

@@ -589,6 +589,53 @@ class SourcesSpec extends SparkSpec {
     } finally CubeRegistry.clear()
   }
 
+  test("cube rewrite matches path segments, keeps COUNT(NULL), and coalesces empty COUNT") {
+    import SparkTestSession.spark.implicits._
+    import graft.plans.CubeRegistry
+    val dir = tmp("cube-bounds")
+    val base = s"$dir/lineitem.parquet"
+    Seq((1L, "A", 10L), (2L, "A", 20L), (3L, "B", 5L))
+      .toDF("id", "g", "m").write.parquet(base)
+    // an UNRELATED table whose path merely ends with the registered
+    // string — must never be claimed by the cube
+    val decoy = s"$dir/backup_lineitem.parquet"
+    Seq((9L, "A", 999L)).toDF("id", "g", "m").write.parquet(decoy)
+    CubeRegistry.build(spark, base, s"$dir/cube", Seq("g"), Seq("m"))
+    CubeRegistry.clear()
+    // re-register under the SEGMENT-RELATIVE name (catalog-style)
+    CubeRegistry.register("lineitem.parquet", s"$dir/cube", Seq("g"), Seq("m"))
+    try {
+      def planOf(df: org.apache.spark.sql.DataFrame): String =
+        df.queryExecution.optimizedPlan.toString
+      // segment-relative registration still claims the real base...
+      val hit = spark.read.parquet(base).groupBy(col("g"))
+        .agg(sum(col("m")).as("sm"))
+      assert(planOf(hit).contains("sum_m"), s"expected rewrite:\n${planOf(hit)}")
+      // ...but the decoy must answer from its own scan
+      val miss = spark.read.parquet(decoy).groupBy(col("g"))
+        .agg(sum(col("m")).as("sm"))
+      assert(!planOf(miss).contains("sum_m"),
+        s"backup_lineitem must not rewrite onto the lineitem cube:\n${planOf(miss)}")
+      assert(miss.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+        Map("A" -> 999L))
+      // COUNT(NULL) is 0, never SUM(cnt) = row count
+      val cn = spark.read.parquet(base)
+        .agg(count(lit(null)).as("n")).collect()(0).getLong(0)
+      assert(cn == 0L, s"COUNT(NULL) through the registry: $cn")
+    } finally CubeRegistry.clear()
+    // global COUNT over an EMPTY registered base: SUM(cnt) over the
+    // empty cube is NULL; the rewrite must coalesce it back to 0
+    val emptyBase = s"$dir/empty.parquet"
+    Seq.empty[(Long, String, Long)].toDF("id", "g", "m").write.parquet(emptyBase)
+    CubeRegistry.build(spark, emptyBase, s"$dir/cube-empty", Seq("g"), Seq("m"))
+    try {
+      val n = spark.read.parquet(emptyBase)
+        .agg(count(lit(1)).as("n")).collect()(0)
+      assert(!n.isNullAt(0) && n.getLong(0) == 0L,
+        s"global COUNT over empty base via cube: $n")
+    } finally CubeRegistry.clear()
+  }
+
   test("versioned store: merge commit rewrites only the files its keys touch") {
     import SparkTestSession.spark.implicits._
     import graft.sources.VersionedStore
@@ -643,7 +690,7 @@ class SourcesSpec extends SparkSpec {
     assert(VersionedStore.read(spark, root, 1).count() == 40)
     // retain only v2: the superseded v1 file goes, the carried three
     // stay (they are v2's data even though they live in v1's tx- dir)
-    val n = VersionedStore.vacuum(spark, root, 1)
+    val n = VersionedStore.vacuum(spark, root, 1, minAgeMs = 0L)
     assert(n >= 1, s"vacuum must reclaim the superseded file, deleted $n")
     val after = VersionedStore.read(spark, root).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
@@ -654,12 +701,12 @@ class SourcesSpec extends SparkSpec {
     assert(VersionedStore.versions(spark, root).map(_._1) == Seq(1, 2))
     intercept[Exception] { VersionedStore.read(spark, root, 1).count() }
     // a second vacuum is a no-op: nothing unreferenced remains
-    assert(VersionedStore.vacuum(spark, root, 1) == 0)
+    assert(VersionedStore.vacuum(spark, root, 1, minAgeMs = 0L) == 0)
     // crashed-writer orphan staging is reclaimed once past the fence
     val orphan = new java.io.File(root, "data/tx-deadbeef")
     orphan.mkdirs()
     new java.io.FileOutputStream(new java.io.File(orphan, "part-zzz")).close()
-    assert(VersionedStore.vacuum(spark, root, 1) == 1, "orphan dir reclaimed")
+    assert(VersionedStore.vacuum(spark, root, 1, minAgeMs = 0L) == 1, "orphan dir reclaimed")
     assert(!orphan.exists())
   }
 
