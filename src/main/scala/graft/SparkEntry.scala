@@ -241,6 +241,7 @@ object SparkEntry {
     "q222_survival"       -> (Events.q222 _),
     "q223_conformal"      -> (Text.q223 _),
     "q224_gini"           -> (Relational.q224 _),
+    "q248_gini_buckets"   -> (Relational.q248 _),
     "q225_holt_trend"     -> (Events.q225 _),
     "q226_kcore"          -> (Relational.q226 _),
     "q227_merge_upsert"   -> (Changes.q227 _),
@@ -3096,11 +3097,15 @@ object SparkEntry {
     // cumulative thresholds; replicate means and their variance are
     // exact integer arithmetic; one sqrt at the boundary.
     "q208_bootstrap_ci" ->
-      s"""WITH p AS (SELECT event_type AS grp, ${C("value")} AS y, event_id AS rid FROM events),
-         e AS (SELECT grp, y, rid, unnest(range(0, 32)) AS bi FROM p),
+      s"""WITH p AS (SELECT event_type AS grp, ${C("value")} AS y,
+               md5_number_upper('boot-epoch-1:' || CAST(event_id AS VARCHAR)) AS h FROM events),
+         e AS (SELECT grp, y, h, unnest(range(0, 32)) AS bi FROM p),
+         sd AS (SELECT grp, y, bi,
+               CAST((h::HUGEINT + bi::HUGEINT * 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS seed
+               FROM e),
+         ${Mix64Ctes("bx", "grp, y, bi", "sd", "seed")},
          uu AS (SELECT grp, y, bi,
-               CAST(md5_number_upper('boot-epoch-1:' || CAST(rid AS VARCHAR) || '#' || CAST(bi AS VARCHAR))
-                 % 9007199254740992 AS DOUBLE) / 9007199254740992 AS u FROM e),
+               CAST((xor(z, z >> 31) & 9007199254740991) AS DOUBLE) / 9007199254740992 AS u FROM bx5),
          w AS (SELECT grp, y, bi,
                CASE WHEN u < 0.36787944117144233 THEN 0
                     WHEN u < 0.7357588823428847 THEN 1
@@ -3430,6 +3435,34 @@ object SparkEntry {
            CAST(10000::HUGEINT * sum((2 * i - n - 1) * x)
              // (max(n)::HUGEINT * max(total)) AS BIGINT)
          FROM r""",
+
+    // Bucket-grid Gini at the user grain: cuts are Spark's
+    // percentile_disc (= smallest value with cume_dist ≥ j/32, an
+    // actual data point — replayed here by the cume_dist window),
+    // bucket = count of cuts ≤ x (SearchSortedBucket), then the
+    // grouped-run numerator Σ m_j·(2·C_j − c_j − n) in HUGEINT.
+    "q248_gini_buckets" ->
+      s"""WITH ph AS (SELECT user_id AS holder, sum(${C("value")}) AS x FROM events GROUP BY 1),
+         cd AS (SELECT x, cume_dist() OVER (ORDER BY x) AS cd FROM ph),
+         cuts AS (SELECT CAST((SELECT min(x) FROM cd WHERE cd.cd >= j / 32.0) AS DOUBLE) AS cut
+                  FROM range(1, 32) t(j)),
+         bb AS (SELECT holder, x,
+                (SELECT count(*) FROM cuts WHERE cuts.cut <= CAST(ph.x AS DOUBLE)) AS b FROM ph),
+         g AS (SELECT b, count(*) AS c, sum(x) AS m FROM bb GROUP BY 1),
+         cm AS (SELECT b, c, m,
+                sum(c) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS cum_c,
+                sum(m) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS cum_m,
+                sum(c) OVER () AS n, sum(m) OVER () AS t FROM g),
+         rw AS (SELECT 'b' || CAST(b AS VARCHAR) AS holder, b + 1 AS rank, m AS x,
+                10000 * cum_m // t AS cum_mass_bp,
+                m::HUGEINT * (2 * cum_c - c - n)::HUGEINT AS gn, n, t FROM cm)
+         SELECT holder, CAST(rank AS BIGINT) AS rank, CAST(x AS BIGINT) AS x,
+           CAST(cum_mass_bp AS BIGINT) AS cum_mass_bp, CAST(gn AS BIGINT) AS gini_num_term
+         FROM rw
+         UNION ALL
+         SELECT 'ALL', 0, CAST(max(t) AS BIGINT), 10000,
+           CAST(10000::HUGEINT * sum(gn) // (max(n)::HUGEINT * max(t)::HUGEINT) AS BIGINT)
+         FROM rw""",
 
     // Holt level+trend: the q156 sequential-recursion shape with two
     // carried registers; ×256 fixed point, TRUNCATING division on both

@@ -1259,6 +1259,36 @@ case class FmmSegment(child: Expression, dict: Seq[String])
   * order for hash-order statistics (KMV): compare results with
   * `Long.compareUnsigned`, or in SQL engines whose UBIGINT sorts
   * naturally. */
+/** Splitmix64 stream draw: mix64(h + i·φ64) with wrapping Java long
+  * arithmetic — the expression exists because the same formula written
+  * as Column `+`/`*` throws under ANSI overflow checking, while the
+  * mod-2⁶⁴ wrap is exactly the generator's contract. Shares
+  * [[CmsEstimate.mix]] so build/probe/oracle stay bit-identical
+  * (DuckDB emulates via the Mix64Ctes HUGEINT decomposition). */
+case class Mix64At(left: Expression, right: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType, LongType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "mix64_at"
+
+  /** Called from generated code. */
+  def mixAt(h: Long, i: Long): Long =
+    CmsEstimate.mix(h + i * -7046029254386353131L)
+
+  override protected def nullSafeEval(h: Any, i: Any): Any =
+    mixAt(h.asInstanceOf[Long], i.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("mix64at", this, classOf[Mix64At].getName)
+    nullSafeCodeGen(ctx, ev, (h, i) => s"${ev.value} = $self.mixAt($h, $i);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Mix64At =
+    copy(left = newLeft, right = newRight)
+}
+
 case class Md5Hash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "md5_hash64"

@@ -111,6 +111,17 @@ object F {
     * digest bytes (DuckDB md5_number_upper) as a signed long. */
   def md5Hash64(c: Column): Column = GraftColumns.wrap(Md5Hash64(u(c)))
 
+  /** Draw `i` of the splitmix64 stream seeded by `h`:
+    * mix64(h + i·φ64) in wrapping Java long arithmetic (a codegen'd
+    * expression — composing this from `+`/`*` columns throws under
+    * ANSI overflow checking, and the wraparound is the point).
+    * Bit-identical to [[CmsEstimate.mix]]; DuckDB replays it via the
+    * Mix64Ctes HUGEINT hi/lo emulation. One md5 + N mix64At calls
+    * replaces N md5s wherever a row needs N independent draws (the
+    * q208 bootstrap, MinHash's permutation family). */
+  def mix64At(h: Column, i: Column): Column =
+    GraftColumns.wrap(Mix64At(u(h), u(i)))
+
   /** KMV distinct sketch: the k unsigned-smallest distinct values of a
     * long hash column, ascending (see KmvMinAgg). */
   def kmvMin(c: Column, k: Int): Column =

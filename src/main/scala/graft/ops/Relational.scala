@@ -1474,8 +1474,9 @@ object Relational {
     * Poisson(1) draw (the streaming-friendly bootstrap: no resampling
     * pass, weights are a pure row-local function), std of the
     * replicate means estimates the sampling error of the real mean.
-    * EVERYTHING is integer-exact: draws come from seeded md5 low-53
-    * bits against literal-double thresholds, each replicate mean is an
+    * EVERYTHING is integer-exact: draws come from the low 53 bits of
+    * splitmix64(seeded-md5 + bi·φ64) — one digest per row, b cheap
+    * mix expansions — against literal-double thresholds, each replicate mean is an
     * exact integer division of exact integer sums, and the variance of
     * the B means is integer arithmetic over those — two engines or two
     * partitionings cannot disagree by a bit.
@@ -1489,13 +1490,18 @@ object Relational {
     val draws = PoissonCum.zipWithIndex.foldRight(lit(PoissonCum.length.toLong)) {
       case ((c, k), e) => when(col("u") < lit(c), lit(k.toLong)).otherwise(e)
     }
+    // ONE md5 per row, then b splitmix64 expansions (h + bi·φ64 →
+    // mix64) — r10 paid b md5s per row, the sweep's slowest query;
+    // the mix chain is ~10 long ops vs an md5's block digest, and the
+    // oracle replays it through the shared Mix64Ctes emulation.
     val rows = df.select(col(group).as("grp"), yCents.as("y"), rowId.as("rid"))
+      .withColumn("h", graft.functions.F.md5Hash64(
+        concat(lit(seed + ":"), col("rid").cast("string"))))
       .select(col("grp"), col("y"),
-        explode(sequence(lit(0), lit(b - 1))).as("bi"), col("rid"))
-      .withColumn("u", pmod(graft.functions.F.md5Hash64(
-          concat(lit(seed + ":"), col("rid").cast("string"), lit("#"),
-            col("bi").cast("string"))),
-        lit(9007199254740992L)).cast("double") / lit(9007199254740992d))
+        explode(sequence(lit(0), lit(b - 1))).as("bi"), col("h"))
+      .withColumn("u", graft.functions.F.mix64At(col("h"), col("bi"))
+        .bitwiseAND(lit(9007199254740991L))
+        .cast("double") / lit(9007199254740992d))
       .withColumn("w", draws)
     // sums in decimal(38,0): Σw·y on a 10¹⁴-weighted-row group outruns
     // a long, and the oracle's HUGEINT sums stay exact while a wrapped
@@ -1753,6 +1759,42 @@ object Relational {
       .agg(sum(mass).as("x")).select(col("x")).cache()
     val cuts = perHolder.stat.approxQuantile("x",
       (1 until buckets).map(_.toDouble / buckets).toArray, 0.001).toSeq
+    giniBucketTail(perHolder, cuts)
+  }
+
+  /** GINI AUDIT, DETERMINISTIC BUCKET GRID (round 11; the oracled
+    * query-entry form of [[giniAuditLarge]]): same grouped-run
+    * estimator, but the grid comes from EXACT discrete percentiles
+    * (percentile_disc at j/B — each cut is an actual data point, and
+    * j/B for a power-of-two B is an exact binary fraction), so the
+    * bucket assignment and every downstream integer is bit-identical
+    * in any engine — DuckDB replays the cuts as min(x) where
+    * cume_dist ≥ j/B. The driver reads B−1 cut values (bounded-model
+    * read, the k-means-sample shape). At 100 TB swap percentile_disc
+    * for approx_percentile/approxQuantile — that is exactly
+    * [[giniAuditLarge]], whose spec pins the two ≤ 100 bp apart; the
+    * plan shape (holder agg → map-side bucket assign → B-row window)
+    * is unchanged. */
+  def giniAuditBucketed(df: DataFrame, holder: String, mass: Column,
+                        buckets: Int = 32): DataFrame = {
+    require(buckets >= 2, s"need at least 2 buckets, got $buckets")
+    val perHolder = df.groupBy(col(holder).as("holder"))
+      .agg(sum(mass).as("x")).select(col("x")).cache()
+    val cutExprs = (1 until buckets).map { j =>
+      expr(s"percentile_disc(${j.toDouble / buckets}) WITHIN GROUP (ORDER BY x)")
+        .cast("double").as(s"c$j")
+    }
+    val row = perHolder.agg(cutExprs.head, cutExprs.tail: _*).head()
+    val cuts = (0 until buckets - 1).map(row.getDouble)
+    giniBucketTail(perHolder, cuts)
+  }
+
+  /** Shared tail of the bucket-grid Gini: assign each holder mass to
+    * its cut bucket, aggregate to B rows, run the bounded window and
+    * the grouped-run numerator. `perHolder` carries one `x` per
+    * holder; `cuts` are the ascending bucket boundaries. */
+  private def giniBucketTail(perHolder: DataFrame,
+                             cuts: Seq[Double]): DataFrame = {
     val byBucket = perHolder
       .select(graft.functions.F.rankBucket(col("x").cast("double"), cuts)
         .as("b"), col("x"))
@@ -1792,6 +1834,12 @@ object Relational {
     giniAudit(Tables.documents(s, d), "source",
       asize(split(col("text"), " ")).cast("long"))
   }
+
+  /** q248: spend concentration across USERS — the holder grain where
+    * the exact global-rank window of q224 is the wrong plan — on the
+    * deterministic 32-bucket percentile grid. */
+  def q248(s: SparkSession, d: String): DataFrame =
+    giniAuditBucketed(Tables.events(s, d), "user_id", cents(col("value")), 32)
 
   /** q211: the full TPC-H-ish star contract in one report. */
   def q211(s: SparkSession, d: String): DataFrame = {

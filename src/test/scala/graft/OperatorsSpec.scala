@@ -2937,6 +2937,47 @@ class OperatorsSpec extends SparkSpec {
       s"tied masses: exact $tieExact approx $tieApprox")
   }
 
+  test("q248 giniAuditBucketed: deterministic grid tracks exact gini") {
+    // Same contract as giniAuditLarge, but the cuts are exact discrete
+    // percentiles — engine-replayable, which is what earns the entry
+    // its hash oracle. Must track the exact rank-window Gini on the
+    // sf0.1 user grain and keep a monotone, closing Lorenz curve.
+    val ev = Tables.events(spark, "/root/testdata/sf0.1")
+    def allRow(df: org.apache.spark.sql.DataFrame) =
+      df.collect().find(_.getString(0) == "ALL").get
+    val exact = allRow(Relational.giniAudit(ev, "user_id", lit(1L)))
+      .getLong(4)
+    val bucketedDf = Relational.giniAuditBucketed(ev, "user_id", lit(1L))
+    val bucketed = allRow(bucketedDf).getLong(4)
+    assert(math.abs(bucketed - exact) <= 100L,
+      s"bucketed gini $bucketed vs exact $exact (bp)")
+    val lorenz = bucketedDf.collect().filter(_.getString(0) != "ALL")
+      .sortBy(_.getLong(1)).map(_.getLong(3)).toSeq
+    assert(lorenz == lorenz.sorted && lorenz.last == 10000L,
+      s"Lorenz must be monotone and close at 10000: $lorenz")
+    // degenerate ties: grouped identity exact
+    import SparkTestSession.spark.implicits._
+    val ties = (1 to 500).map(i => (s"u$i", 7L)).toDF("src", "m")
+    val tieB = allRow(Relational.giniAuditBucketed(ties, "src", col("m")))
+      .getLong(4)
+    assert(tieB == 0L, s"tied masses: $tieB")
+  }
+
+  test("mix64At matches CmsEstimate.mix on the wrapped seed") {
+    // The expression exists because Column arithmetic throws on long
+    // overflow under ANSI; the JVM reference computes the same wrap.
+    import SparkTestSession.spark.implicits._
+    val rows = Seq((0L, 0L), (Long.MaxValue, 31L), (-1L, 7L),
+      (1234567891011L, 1L)).toDF("h", "i")
+    val got = rows.select(graft.functions.F.mix64At(col("h"), col("i")))
+      .collect().map(_.getLong(0)).toSeq
+    val want = Seq((0L, 0L), (Long.MaxValue, 31L), (-1L, 7L),
+      (1234567891011L, 1L)).map { case (h, i) =>
+      graft.functions.CmsEstimate.mix(h + i * -7046029254386353131L)
+    }
+    assert(got == want, s"$got vs $want")
+  }
+
   test("q230 novelty: seen windows counted, fully-novel doc scores 10000") {
     import SparkTestSession.spark.implicits._
     // knuth shards: ids 0,3,4 → train; 1,5 → test (computed from the
