@@ -1677,6 +1677,50 @@ object SparkEntry {
            0 AS is_exact
          FROM gu, gs""",
 
+    // md5-register HLL replayed register-for-register (r11; the last
+    // rows-only entry closed): register = h % 1024 (low bits agree
+    // with Spark's signed &), rho = 55 − bit_count(smear(h // 1024)),
+    // per-register MAX, harmonic sum as exact HUGEINT Σ 2^(55−M_j)
+    // (+ 2^55 per empty register), one double division for the raw
+    // estimate, and the same linear-counting branch on identical
+    // doubles. The ALL row merges REGISTERS (elementwise max), exactly
+    // as the Spark side merges the stored sketches.
+    "q159_hll_uniques" -> {
+      val m = 1024; val rhoMax = 55; val pow2top = 1L << rhoMax
+      val alpha = s"(0.7213 / (1.0 + 1.079 / $m.0))"
+      def estCtes(pre: String, src: String) =
+        s"""${pre}1 AS (SELECT day, sum(CAST(1::BIGINT << ($rhoMax - mx) AS HUGEINT)) AS sp,
+                count(*) AS cnt FROM $src GROUP BY day),
+         ${pre}2 AS (SELECT day, sp + ($m - cnt)::HUGEINT * $pow2top::HUGEINT AS s2,
+                $m - cnt AS v FROM ${pre}1),
+         ${pre}3 AS (SELECT day, $alpha * $m.0 * $m.0 * $pow2top.0 / CAST(s2 AS DOUBLE) AS raw, v FROM ${pre}2),
+         ${pre}4 AS (SELECT day, CAST(floor(
+                CASE WHEN raw <= ${2.5 * m} AND v > 0
+                     THEN $m.0 * ln($m.0 / CAST(v AS DOUBLE)) ELSE raw END + 0.5) AS BIGINT) AS n_est
+                FROM ${pre}3)"""
+      s"""WITH e AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+         hh AS (SELECT day, md5_number_upper(CAST(user_id AS VARCHAR)) AS h FROM e),
+         w0 AS (SELECT day, CAST(h % $m AS BIGINT) AS reg, CAST(h // $m AS BIGINT) AS w FROM hh),
+         w1 AS (SELECT day, reg, w | (w >> 1) AS w FROM w0),
+         w2 AS (SELECT day, reg, w | (w >> 2) AS w FROM w1),
+         w3 AS (SELECT day, reg, w | (w >> 4) AS w FROM w2),
+         w4 AS (SELECT day, reg, w | (w >> 8) AS w FROM w3),
+         w5 AS (SELECT day, reg, w | (w >> 16) AS w FROM w4),
+         w6 AS (SELECT day, reg, w | (w >> 32) AS w FROM w5),
+         mx AS (SELECT day, reg, max($rhoMax - bit_count(w)) AS mx FROM w6 GROUP BY 1, 2),
+         ${estCtes("pe", "mx")},
+         d AS (SELECT day, count(DISTINCT user_id) AS n_exact FROM e GROUP BY day),
+         pd AS (SELECT strftime(d.day, '%Y-%m-%d') AS day, d.n_exact, pe4.n_est
+                FROM d JOIN pe4 USING (day)),
+         gm AS (SELECT 'ALL' AS day, reg, max(mx) AS mx FROM mx GROUP BY 1, 2),
+         ${estCtes("ge", "gm")},
+         ga AS (SELECT count(DISTINCT user_id) AS n_exact FROM e)
+         SELECT day, CAST(n_exact AS BIGINT) AS n_exact, n_est FROM pd
+         UNION ALL
+         SELECT 'ALL' AS day, CAST(ga.n_exact AS BIGINT) AS n_exact, ge4.n_est
+         FROM ga, ge4"""
+    },
+
     // Recomputes the KMV store EXACTLY: the k smallest DISTINCT
     // md5_number_upper values per day (unsigned order = UBIGINT order)
     // and the (k-1)*2^64 // v_k estimate in HUGEINT — sketch contents

@@ -1002,9 +1002,95 @@ object Events {
         .select(lit("ALL").as("day"), col("n_exact"), col("n_est")))
   }
 
-  /** q159: daily distinct-user HLL sketch store with merged total. */
+  /** q159: daily distinct-user HLL sketch store with merged total —
+    * the md5-REGISTER form since round 11 (cross-engine-verifiable,
+    * full hash oracle); [[hllUniqueStore]] keeps the DataSketches
+    * production variant under spec. */
   def q159(s: SparkSession, d: String): DataFrame =
+    hllRegUniqueStore(Tables.events(s, d), to_date(col("ts")), "user_id")
+
+  /** The DataSketches variant under its original name, for the golden
+    * pin + union-losslessness specs. */
+  def q159ds(s: SparkSession, d: String): DataFrame =
     hllUniqueStore(Tables.events(s, d), to_date(col("ts")), "user_id")
+
+  /** md5-REGISTER HLL (round 11; closes q159's rows-only status):
+    * classic HyperLogLog with m = 2^p registers built from explicit
+    * integer register updates ANY engine with an MD5 can replay —
+    * register = low p hash bits (signed & and unsigned % agree on a
+    * power of two), rho = leading-zero-count + 1 of the remaining
+    * 64−p bits (bit-smear + bit_count, all codegen'd integer ops; an
+    * all-zero tail yields the max rho 65−p), register value = MAX rho.
+    * The estimate is rebuilt from EXACT integers: the harmonic sum
+    * scaled by 2^(64−p), Σ 2^(64−p−M_j) (+ 2^(64−p) per empty
+    * register), is an exact decimal(38,0) (DuckDB: HUGEINT); the raw
+    * estimate α_m·m²·2^(64−p)/S is ONE exactly-rounded IEEE division
+    * of identical doubles, and the standard linear-counting branch
+    * (raw ≤ 2.5m with V empty registers → m·ln(m/V)) compares
+    * engine-identical doubles, so even the branch choice agrees.
+    * [[hllUniqueStore]] (DataSketches) stays as the denser production
+    * sketch; its register layout is Spark-only, while THIS store a
+    * dashboard or audit job in any engine can recompute and CHECK —
+    * the property that matters when the uniques store outlives the
+    * engine that wrote it.
+    *
+    * Scale (100 TB): the plan is the DataSketches plan — hash and
+    * register math are map-side scalars, partial MAX per (day,
+    * register) combines before the exchange (≤ days·m rows shuffle),
+    * and the ALL row merges REGISTERS (elementwise max of the stored
+    * sketches — HLL union, lossless by construction), never
+    * rescanning raw events. */
+  def hllRegUniqueStore(events: DataFrame, day: Column, key: String,
+                        p: Int = 10): DataFrame = {
+    require(p >= 4 && p <= 16, s"register precision out of range: $p")
+    val m = 1 << p
+    val rhoMax = 65 - p
+    // registers: (day, reg, max rho); the smear chain runs over named
+    // columns so the expression tree stays linear
+    val base = events
+      .select(day.as("day"),
+        graft.functions.F.md5Hash64(col(key).cast("string")).as("h"))
+      .withColumn("w", shiftrightunsigned(col("h"), p))
+    val smeared = Seq(1, 2, 4, 8, 16, 32).foldLeft(base) { (df, s) =>
+      df.withColumn("w", col("w").bitwiseOR(shiftrightunsigned(col("w"), s)))
+    }
+    val regs = smeared
+      .select(col("day"), col("h").bitwiseAND(lit((m - 1).toLong)).as("reg"),
+        (lit(rhoMax) - bit_count(col("w"))).as("rho"))
+      .groupBy(col("day"), col("reg")).agg(max(col("rho")).as("mx"))
+      .localCheckpoint() // tiny (days·m); feeds per-day + ALL merge
+    val alpha = s"(0.7213 / (1.0 + 1.079 / $m.0))"
+    val pow2top = 1L << rhoMax // harmonic scale 2^(65−p): exponents stay ≥ 0
+    def estimate(grouped: org.apache.spark.sql.RelationalGroupedDataset): DataFrame = grouped
+      .agg(sum(expr(s"shiftleft(CAST(1 AS BIGINT), $rhoMax - mx)")
+          .cast("decimal(38,0)")).as("sp"),
+        count(lit(1)).as("cnt"))
+      .withColumn("s2", col("sp") +
+        (lit(m.toLong) - col("cnt")).cast("decimal(38,0)") *
+          lit(pow2top).cast("decimal(38,0)"))
+      .withColumn("v", lit(m.toLong) - col("cnt"))
+      .withColumn("raw",
+        expr(s"$alpha * $m.0 * $m.0 * $pow2top.0") / col("s2").cast("double"))
+      .withColumn("est", when(col("raw") <= lit(2.5 * m) && col("v") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("v").cast("double")))
+        .otherwise(col("raw")))
+      .withColumn("n_est", floor(col("est") + lit(0.5)).cast("long"))
+    val perDayEst = estimate(regs.groupBy(col("day")))
+      .select(col("day"), col("n_est"))
+    val exact = events.groupBy(day.as("day"))
+      .agg(count_distinct(col(key)).as("n_exact"))
+    val perDay = exact.join(perDayEst, "day")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_exact"), col("n_est"))
+    val mergedEst = estimate(
+        regs.groupBy(col("reg")).agg(max(col("mx")).as("mx"))
+          .select(lit("ALL").as("day"), col("mx")).groupBy(col("day")))
+      .select(col("n_est"))
+    val overall = events.agg(count_distinct(col(key)).as("n_exact"))
+    perDay.unionByName(
+      overall.crossJoin(mergedEst)
+        .select(lit("ALL").as("day"), col("n_exact"), col("n_est")))
+  }
 
   /** KMV estimate from an ascending unsigned minima array (see
     * KmvMinAgg): exact count while the set fits the sketch, else

@@ -46,7 +46,9 @@ class GoldenSpec extends SparkSpec {
     "q141_bpe_vocab"      -> "e2ad9048e23cff6922ad6933d1dca481",
     "q142_bpe_tokenize"   -> "312c9342d04a0b0ae3f5c42f85677c56",
     "q143_video_frames"   -> "eef37c0a2814b319f5ffdf6dda89288a",
-    "q159_hll_uniques"    -> "4b957db88947a4e39cc72a378872646c",
+    // r11: q159 itself moved to the md5-register HLL and carries a full
+    // DuckDB oracle; the DataSketches store keeps this pin via q159ds.
+    "q159_ds_hll"         -> "4b957db88947a4e39cc72a378872646c",
     "q166_jw_name_pairs"  -> "8644c2c48ed781573b9ce70674aeb812",
     "q167_scene_detect"   -> "55905a674ee596bb55923c8da05ed5da",
   )
@@ -54,6 +56,7 @@ class GoldenSpec extends SparkSpec {
   /** Pinned outputs that are not (or not exactly) a `queries` entry. */
   private def producer(name: String): DataFrame = name match {
     case "q70_full_decode" => ops.Multimodal.q70Full(spark, sf)
+    case "q159_ds_hll"     => ops.Events.q159ds(spark, sf)
     case n                 => SparkEntry.queries(n)(spark, sf)
   }
 

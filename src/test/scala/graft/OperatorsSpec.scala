@@ -1963,8 +1963,8 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
-  test("HLL store: per-day error small, sketch union lossless vs direct sketch") {
-    val out = Events.q159(spark, sf).collect()
+  test("HLL store (DataSketches): per-day error small, union lossless") {
+    val out = Events.q159ds(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     out.foreach { case (day, exact, est) =>
       assert(math.abs(est - exact).toDouble / exact <= 0.05,
@@ -1976,6 +1976,25 @@ class OperatorsSpec extends SparkSpec {
       .collect().head.getLong(0)
     assert(merged == direct,
       s"union of daily sketches ($merged) must equal sketching the raws ($direct)")
+  }
+
+  test("q159 md5-register HLL: error in the m=1024 band, register union lossless") {
+    val out = Events.q159(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    out.foreach { case (day, exact, est) =>
+      // σ ≈ 1.04/√1024 = 3.25%; allow ~2.5σ
+      assert(math.abs(est - exact).toDouble / exact <= 0.08,
+        s"$day: estimate $est vs exact $exact beyond 8%")
+    }
+    // union losslessness: the ALL row (elementwise register max of the
+    // per-day sketches) must equal sketching the whole range directly —
+    // a single-constant-day store's one data row is exactly that
+    val merged = out.find(_._1 == "ALL").get._3
+    val direct = Events.hllRegUniqueStore(Tables.events(spark, sf),
+        to_date(lit("2000-01-01")), "user_id").collect()
+      .find(_.getString(0) != "ALL").get.getLong(2)
+    assert(merged == direct,
+      s"register union ($merged) must equal sketching the raws ($direct)")
   }
 
   test("q154 vocab join is broadcast; the raw token stream never joins") {
