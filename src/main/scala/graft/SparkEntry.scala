@@ -263,6 +263,7 @@ object SparkEntry {
     "q241_dup_sources"    -> (Dedup.q241 _),
     "q242_cluster_sizes"  -> (Dedup.q242 _),
     "q243_shard_balance"  -> (Text.q243 _),
+    "q246_shard_index"    -> (Text.q246 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -800,6 +801,28 @@ object SparkEntry {
          SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
            CAST(floor(start_tok / 512.0) AS BIGINT) AS bin_id,
            CAST(start_tok % 512 AS BIGINT) AS bin_offset, n_tokens FROM c""",
+
+    // Shard audit = q98's CTE composed with per-bucket ceil-division
+    // bin counts; every bin full except each bucket's last.
+    "q246_shard_index" ->
+      """WITH t AS (SELECT doc_id, doc_id % 16 AS bucket,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+         c AS (SELECT *, COALESCE(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok FROM t),
+         l AS (SELECT doc_id, bucket, start_tok // 512 AS bin_id FROM c),
+         pb AS (SELECT bucket, sum(n_tokens) AS t_b,
+                (sum(n_tokens) + 511) // 512 AS n_bins FROM t GROUP BY 1),
+         bins AS (SELECT bucket, t_b, n_bins,
+                unnest(range(0, CAST(n_bins AS BIGINT))) AS bin_id FROM pb),
+         bf AS (SELECT bucket, bin_id,
+                CASE WHEN bin_id < n_bins - 1 THEN 512
+                     ELSE t_b - (n_bins - 1) * 512 END AS n_fill FROM bins),
+         st AS (SELECT bucket, bin_id, count(*) AS n_docs_start FROM l GROUP BY 1, 2)
+         SELECT CAST(bf.bucket AS BIGINT) AS bucket, CAST(bf.bin_id AS BIGINT) AS bin_id,
+           CAST(COALESCE(st.n_docs_start, 0) AS BIGINT) AS n_docs_start,
+           CAST(bf.n_fill AS BIGINT) AS n_fill,
+           CAST(512 - bf.n_fill AS BIGINT) AS n_pad
+         FROM bf LEFT JOIN st ON st.bucket = bf.bucket AND st.bin_id = bf.bin_id""",
 
     "q99_quality_gate" ->
       s"""WITH $QualityCte,

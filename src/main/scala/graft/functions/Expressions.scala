@@ -1653,3 +1653,99 @@ object Md5WindowHashes {
       java.security.MessageDigest.getInstance("MD5")
   }
 }
+
+/** Assemble one packed token-shard bin: a sorted array of
+  * (offset, token_id) cells becomes `capacity` little-endian int32s,
+  * tail-padded with `padId`. The offsets MUST be the contiguous run
+  * 0..n−1 (they are by the packing layout's construction — prefix-sum
+  * positions mod capacity); a gap means the layout upstream is corrupt
+  * and the write THROWS rather than shipping a torn shard. Runs once
+  * per bin (bounded: `capacity` cells), inside codegen. */
+case class PackBinCells(child: Expression, capacity: Int, padId: Int)
+    extends UnaryExpression {
+  require(capacity >= 1)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "pack_bin_cells"
+
+  /** Called from generated code. */
+  def pack(cells: ArrayData): Array[Byte] = {
+    val n = cells.numElements()
+    if (n > capacity)
+      throw new IllegalStateException(s"bin holds $n cells > capacity $capacity")
+    val out = new Array[Byte](capacity * 4)
+    var i = 0
+    while (i < n) {
+      val cell = cells.getStruct(i, 2)
+      val off = cell.getLong(0)
+      if (off != i)
+        throw new IllegalStateException(
+          s"bin offsets must be contiguous: cell $i carries offset $off")
+      val v = cell.getInt(1)
+      val b = i * 4
+      out(b) = v.toByte
+      out(b + 1) = (v >>> 8).toByte
+      out(b + 2) = (v >>> 16).toByte
+      out(b + 3) = (v >>> 24).toByte
+      i += 1
+    }
+    var j = n
+    while (j < capacity) {
+      val b = j * 4
+      out(b) = padId.toByte
+      out(b + 1) = (padId >>> 8).toByte
+      out(b + 2) = (padId >>> 16).toByte
+      out(b + 3) = (padId >>> 24).toByte
+      j += 1
+    }
+    out
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    pack(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("packBinCells", this, classOf[PackBinCells].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.pack($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PackBinCells =
+    copy(child = newChild)
+}
+
+/** Inverse of [[PackBinCells]]: a packed shard's bytes back to the
+  * array of little-endian int32 token ids (pads included — the reader
+  * filters on the pad id so the loader contract stays explicit). */
+case class UnpackInts(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "unpack_ints"
+
+  private def compute(bytes: Array[Byte]): Array[Int] = {
+    require(bytes.length % 4 == 0,
+      s"packed shard length ${bytes.length} is not int32-aligned")
+    val out = new Array[Int](bytes.length / 4)
+    var i = 0
+    while (i < out.length) {
+      val b = i * 4
+      out(i) = (bytes(b) & 0xff) | ((bytes(b + 1) & 0xff) << 8) |
+        ((bytes(b + 2) & 0xff) << 16) | ((bytes(b + 3) & 0xff) << 24)
+      i += 1
+    }
+    out
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      compute(input.asInstanceOf[Array[Byte]]))
+
+  /** Called from generated code. */
+  def unpack(bytes: Array[Byte]): org.apache.spark.sql.catalyst.util.GenericArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(compute(bytes))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("unpackInts", this, classOf[UnpackInts].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.unpack($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): UnpackInts =
+    copy(child = newChild)
+}

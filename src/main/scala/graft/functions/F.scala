@@ -127,6 +127,14 @@ object F {
   def kmvMin(c: Column, k: Int): Column =
     GraftColumns.wrap(KmvMinAgg(u(c), k).toAggregateExpression())
 
+  /** Pack a bin's sorted (offset, token_id) cells into capacity·4
+    * little-endian bytes, pad-tail-filled (see PackBinCells). */
+  def packBinCells(c: Column, capacity: Int, padId: Int): Column =
+    GraftColumns.wrap(PackBinCells(u(c), capacity, padId))
+
+  /** Little-endian int32 array from a packed shard's bytes. */
+  def unpackInts(c: Column): Column = GraftColumns.wrap(UnpackInts(u(c)))
+
   /** Elementwise vector-sum aggregate over array<float> (double out). */
   def vecSum(c: Column): Column =
     GraftColumns.wrap(VecSumAgg(GraftColumns.unwrap(c)).toAggregateExpression())

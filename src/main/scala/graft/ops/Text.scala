@@ -387,6 +387,24 @@ object Text {
   def q98(s: SparkSession, d: String): DataFrame =
     seqPack(Tables.documents(s, d), "doc_id", "text", 512, 16)
 
+  /** Deterministic 31-bit token ids for the packed-shard sink: low md5
+    * bits per token (any engine replays them); swap in BpeEncode ids
+    * for a real vocabulary — the sink is id-agnostic. */
+  def hashTokenIds(text: Column): Column =
+    transform(tokens(text), t =>
+      graft.functions.F.md5Hash64(t).bitwiseAND(lit(0x7FFFFFFFL)).cast("int"))
+
+  /** q246: the packed-shard AUDIT table — per (bucket, bin): documents
+    * starting there, tokens filled, pad tail — exactly what
+    * [[graft.sources.Sources.writePackedShards]] materializes as
+    * `index/`; the spec pins the written files byte-exact against the
+    * layout, this entry pins the layout arithmetic against the oracle
+    * (q98's CTE composes: per-bucket totals → ceil-division bins →
+    * last-bin fill). */
+  def q246(s: SparkSession, d: String): DataFrame =
+    graft.sources.Sources.shardIndexFromLayout(
+      seqPack(Tables.documents(s, d), "doc_id", "text", 512, 16), 512)
+
   /** Per-group quality GATE: drop each group's worst `p` quality tail.
     * The threshold is percentile_disc — a DISCRETE percentile (smallest
     * member value whose cumulative distribution ≥ p), so the cut value

@@ -51,6 +51,129 @@ object Sources {
   /** One line per row; the lightest-weight corpus interchange format. */
   def textLines(s: SparkSession, path: String): DataFrame = s.read.text(path)
 
+  // ---- Packed token shards (trainer-facing binary sink) ----
+
+  /** Completion marker dropped at the shard-store root after the last
+    * file lands (the kmvStoreMarker discipline: the per-file writer has
+    * no _SUCCESS committer, so readers gate on this). */
+  val packedShardsMarker = "_GRAFT_SHARDS_COMPLETE"
+
+  /** Pad token id filling the tail of each bucket's last bin — -1 is
+    * outside the 31-bit id space every tokenizer here emits. */
+  val packedShardPad: Int = -1
+
+  private[sources] def shardFileName(bucket: Long, bin: Long): String =
+    f"shard-$bucket%05d-$bin%09d.bin"
+
+  /** TRAINER-FACING PACKED TOKEN-SHARD SINK (round 11): materialize the
+    * q98 concat-and-split layout as the fixed-capacity binary shard
+    * files a pre-training data loader memory-maps — `capacity`
+    * little-endian int32 token ids per file, one FILE per bin, named
+    * shard-<bucket>-<bin>.bin; every bin is exactly capacity·4 bytes,
+    * full except each bucket's last, whose tail is `packedShardPad`.
+    * Documents straddle bins by construction (concat-and-split), so a
+    * loader reads gapless token streams with zero per-document seek
+    * state. Alongside the shards: `layout/` (the per-document
+    * (bucket, bin, offset) table, q98's shape) and `index/` (per-bin
+    * fill/pad/doc-start counts — the audit table q246 oracles), plus
+    * the completion marker.
+    *
+    * Scale (100 TB): one corpus scan feeds the per-bucket prefix-sum
+    * window (buckets = O(executors) concurrent sorts, never a global
+    * order); the bin assembly shuffles (bucket, bin)-keyed cells once
+    * — collect_list per bin is bounded by `capacity` — and each
+    * executor writes its own files through the Hadoop FS API (works
+    * against HDFS/S3A the same as the local FS; the per-task
+    * Configuration() picks up the cluster's core-site). The index is
+    * pure arithmetic on per-bucket totals — no second corpus pass. */
+  def writePackedShards(df: DataFrame, id: String,
+                        tokenIds: org.apache.spark.sql.Column,
+                        capacity: Int, buckets: Int, path: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    require(capacity >= 1 && buckets >= 1)
+    val w = Window.partitionBy(col("bucket")).orderBy(col(id).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val base = df.select(col(id), (col(id) % buckets).as("bucket"),
+        tokenIds.as("tids"))
+      .withColumn("n_tokens", size(col("tids")).cast("long"))
+      .withColumn("start_tok", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .persist()
+    val layout = base.select(col(id), col("bucket"),
+      graft.functions.F.idiv(col("start_tok"), lit(capacity.toLong)).as("bin_id"),
+      (col("start_tok") % capacity).as("bin_offset"), col("n_tokens"))
+    layout.write.mode("overwrite").parquet(s"$path/layout")
+    val toks = base.select(col("bucket"), col("start_tok"),
+        posexplode(col("tids")).as(Seq("pos", "tid")))
+      .select(col("bucket"),
+        graft.functions.F.idiv(col("start_tok") + col("pos"),
+          lit(capacity.toLong)).as("bin"),
+        ((col("start_tok") + col("pos")) % capacity).as("off"), col("tid"))
+    val packed = toks.groupBy(col("bucket"), col("bin"))
+      .agg(sort_array(collect_list(struct(col("off"), col("tid")))).as("cells"))
+      .select(col("bucket"), col("bin"),
+        graft.functions.F.packBinCells(col("cells"), capacity, packedShardPad)
+          .as("bytes"))
+    val shardsDir = s"$path/shards"
+    packed.foreachPartition { (it: Iterator[Row]) =>
+      val conf = new org.apache.hadoop.conf.Configuration()
+      it.foreach { r =>
+        val p = new org.apache.hadoop.fs.Path(shardsDir,
+          shardFileName(r.getLong(0), r.getLong(1)))
+        val fs = p.getFileSystem(conf)
+        val out = fs.create(p, true)
+        try out.write(r.getAs[Array[Byte]](2)) finally out.close()
+      }
+    }
+    shardIndexFromLayout(layout, capacity).write.mode("overwrite")
+      .parquet(s"$path/index")
+    base.unpersist()
+    val mp = new org.apache.hadoop.fs.Path(path, packedShardsMarker)
+    val fs = mp.getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    fs.create(mp, true).close()
+  }
+
+  /** Per-bin audit table from the per-document layout alone — pure
+    * arithmetic on per-bucket token totals (a bucket's bins are
+    * 0..ceil(T_b/capacity)−1, all full except the last), joined with
+    * the per-bin document-start counts. No token re-scan. */
+  def shardIndexFromLayout(layout: DataFrame, capacity: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val perBucket = layout.groupBy(col("bucket"))
+      .agg(sum(col("n_tokens")).as("t_b"))
+      .withColumn("n_bins", graft.functions.F.idiv(
+        col("t_b") + lit((capacity - 1).toLong), lit(capacity.toLong)))
+    val bins = perBucket.select(col("bucket"), col("t_b"), col("n_bins"),
+        explode(sequence(lit(0L), col("n_bins") - 1L)).as("bin_id"))
+      .select(col("bucket"), col("bin_id"),
+        when(col("bin_id") < col("n_bins") - 1L, lit(capacity.toLong))
+          .otherwise(col("t_b") - (col("n_bins") - 1L) * capacity).as("n_fill"))
+    val starts = layout.groupBy(col("bucket"), col("bin_id"))
+      .agg(count(lit(1)).as("n_docs_start"))
+    bins.join(starts, Seq("bucket", "bin_id"), "left")
+      .select(col("bucket"), col("bin_id"),
+        coalesce(col("n_docs_start"), lit(0L)).as("n_docs_start"),
+        col("n_fill"), (lit(capacity.toLong) - col("n_fill")).as("n_pad"))
+  }
+
+  /** Read a packed shard store back as (bucket, bin_id, bin_offset,
+    * token_id) — pads included (filter token_id != packedShardPad for
+    * the real stream). One read task per shard file; the filename
+    * carries the (bucket, bin) key so no index lookup is needed. */
+  def readPackedShards(s: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val pat = "shard-(\\d+)-(\\d+)\\.bin$"
+    s.read.format("binaryFile").load(s"$path/shards/*.bin")
+      .select(regexp_extract(col("path"), pat, 1).cast("long").as("bucket"),
+        regexp_extract(col("path"), pat, 2).cast("long").as("bin_id"),
+        graft.functions.F.unpackInts(col("content")).as("tids"))
+      .select(col("bucket"), col("bin_id"),
+        posexplode(col("tids")).as(Seq("off", "token_id")))
+      .select(col("bucket"), col("bin_id"),
+        col("off").cast("long").as("bin_offset"), col("token_id"))
+  }
+
   /** Opaque binary payloads (images/audio/video) + file metadata. */
   def binaryFiles(s: SparkSession, path: String): DataFrame =
     s.read.format("binaryFile").load(path)

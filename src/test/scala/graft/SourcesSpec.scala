@@ -728,4 +728,64 @@ class SourcesSpec extends SparkSpec {
     assert(VersionedStore.commit(Seq((3L, "c")).toDF("id", "v"), root,
       overwrite = false) == 3)
   }
+
+  test("packed token shards: byte-exact round trip + capacity/gapless invariants") {
+    import graft.sources.Sources
+    import graft.ops.Text
+    val path = tmp("shards")
+    val capacity = 64; val buckets = 4
+    val docs = Tables.documents(spark, sf)
+    Sources.writePackedShards(docs, "doc_id", Text.hashTokenIds(col("text")),
+      capacity, buckets, path)
+
+    // independent driver-side reference: concat token ids per bucket in
+    // doc_id order, chunk every `capacity` — nothing shared with the
+    // sink's window/explode/pack pipeline
+    val byDoc = docs.select(col("doc_id"),
+        Text.hashTokenIds(col("text")).as("tids"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1))).sortBy(_._1)
+    val expected = byDoc.groupBy(_._1 % buckets).toSeq.flatMap { case (b, ds) =>
+      ds.sortBy(_._1).flatMap(_._2).zipWithIndex.map { case (tid, g) =>
+        (b, (g / capacity).toLong, (g % capacity).toLong, tid)
+      }.toSeq
+    }.toSet
+
+    val back = Sources.readPackedShards(spark, path)
+    val real = back.filter(col("token_id") =!= Sources.packedShardPad)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    assert(real == expected,
+      s"round trip: ${real.size} read vs ${expected.size} expected; " +
+        s"missing=${(expected -- real).take(3)} extra=${(real -- expected).take(3)}")
+
+    // every shard file is exactly capacity*4 bytes
+    val files = spark.read.format("binaryFile").load(s"$path/shards/*.bin")
+      .select(col("path"), col("length")).collect()
+    assert(files.nonEmpty && files.forall(_.getLong(1) == capacity * 4L),
+      s"fixed-capacity files: ${files.map(_.getLong(1)).distinct.toSeq}")
+
+    // index invariants: pads only on each bucket's LAST bin; per-bucket
+    // fills sum to the bucket's token count; file count == bin count
+    val idx = spark.read.parquet(s"$path/index").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val byBucket = idx.groupBy(_._1)
+    byBucket.foreach { case (b, bins) =>
+      val lastBin = bins.map(_._2).max
+      bins.foreach { case (_, bin, _, fill, pad) =>
+        assert(fill + pad == capacity, s"b$b bin$bin fill $fill pad $pad")
+        if (bin != lastBin) assert(pad == 0L, s"pad on non-last bin $bin of b$b")
+      }
+      val tokens = byDoc.filter(_._1 % buckets == b).map(_._2.size.toLong).sum
+      assert(bins.map(_._4).sum == tokens, s"b$b fills vs token count")
+    }
+    assert(files.length == idx.length, "one file per indexed bin")
+    // pad cells in the files match the index pad counts
+    val padCells = back.filter(col("token_id") === Sources.packedShardPad).count()
+    assert(padCells == idx.map(_._5).sum, s"pad cells $padCells vs index")
+    // completion marker dropped
+    assert(new java.io.File(s"$path/${Sources.packedShardsMarker}").exists())
+    // layout parquet matches the q98 entry shape on this data
+    val layoutCols = spark.read.parquet(s"$path/layout").columns.toSeq
+    assert(layoutCols == Seq("doc_id", "bucket", "bin_id", "bin_offset", "n_tokens"))
+  }
 }
