@@ -264,6 +264,7 @@ object SparkEntry {
     "q242_cluster_sizes"  -> (Dedup.q242 _),
     "q243_shard_balance"  -> (Text.q243 _),
     "q246_shard_index"    -> (Text.q246 _),
+    "q249_kmv_retention"  -> (Events.q249 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -1743,6 +1744,59 @@ object SparkEntry {
          SELECT 'ALL' AS day, CAST(ga.n_exact AS BIGINT) AS n_exact, ge4.n_est
          FROM ga, ge4"""
     },
+
+    // Theta-cut retention replayed slot-for-slot: per-day k-minimum
+    // hash sets, consecutive-day union's first k slots flagged by
+    // membership side, every Venn region scaled by the HUGEINT union
+    // estimate over keff; exact audit via per-(pair, user) membership.
+    "q249_kmv_retention" ->
+      """WITH e AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+         dd AS (SELECT DISTINCT day, user_id FROM e),
+         hh AS (SELECT DISTINCT day, md5_number_upper(CAST(user_id AS VARCHAR)) AS h FROM e),
+         rk AS (SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rn FROM hh),
+         sk AS (SELECT day, h FROM rk WHERE rn <= 256),
+         d2 AS (SELECT day, count(DISTINCT user_id) AS n_exact FROM e GROUP BY day),
+         days AS (SELECT DISTINCT day FROM e),
+         prs AS (SELECT a.day AS day_a, b.day AS day_b
+                 FROM days a JOIN days b ON b.day = a.day + 1),
+         uu AS (SELECT p.day_a, s.h,
+                max(CASE WHEN s.day = p.day_a THEN 1 ELSE 0 END) AS in_a,
+                max(CASE WHEN s.day = p.day_b THEN 1 ELSE 0 END) AS in_b
+                FROM prs p JOIN sk s ON s.day IN (p.day_a, p.day_b) GROUP BY 1, 2),
+         ur AS (SELECT day_a, h, in_a, in_b,
+                row_number() OVER (PARTITION BY day_a ORDER BY h) AS rn FROM uu),
+         us AS (SELECT day_a, count(*) AS keff,
+                sum(in_a * in_b) AS c_both,
+                sum(in_a * (1 - in_b)) AS c_a_only,
+                sum((1 - in_a) * in_b) AS c_b_only,
+                max(CASE WHEN rn = 256 THEN h END) AS vk
+                FROM ur WHERE rn <= 256 GROUP BY 1),
+         ue AS (SELECT day_a, keff, c_both, c_a_only, c_b_only,
+                CASE WHEN keff < 256 THEN keff::HUGEINT
+                     ELSE 255 * 18446744073709551616::HUGEINT // vk END AS n_union_est
+                FROM us),
+         ab AS (SELECT p.day_a, dd.user_id,
+                max(CASE WHEN dd.day = p.day_a THEN 1 ELSE 0 END) AS in_a,
+                max(CASE WHEN dd.day = p.day_b THEN 1 ELSE 0 END) AS in_b
+                FROM prs p JOIN dd ON dd.day IN (p.day_a, p.day_b) GROUP BY 1, 2),
+         exs AS (SELECT day_a, sum(in_a * in_b) AS retained_exact,
+                 sum(in_a * (1 - in_b)) AS churned_exact,
+                 sum((1 - in_a) * in_b) AS new_exact FROM ab GROUP BY 1)
+         SELECT strftime(p.day_a, '%Y-%m-%d') AS day,
+           CAST(da.n_exact AS BIGINT) AS n_a_exact,
+           CAST(db.n_exact AS BIGINT) AS n_b_exact,
+           CAST(exs.retained_exact AS BIGINT) AS retained_exact,
+           CAST(exs.churned_exact AS BIGINT) AS churned_exact,
+           CAST(exs.new_exact AS BIGINT) AS new_exact,
+           CAST(ue.n_union_est AS BIGINT) AS n_union_est,
+           CAST(ue.c_both::HUGEINT * ue.n_union_est // ue.keff AS BIGINT) AS retained_est,
+           CAST(ue.c_a_only::HUGEINT * ue.n_union_est // ue.keff AS BIGINT) AS churned_est,
+           CAST(ue.c_b_only::HUGEINT * ue.n_union_est // ue.keff AS BIGINT) AS new_est
+         FROM prs p
+         JOIN d2 da ON da.day = p.day_a
+         JOIN d2 db ON db.day = p.day_b
+         JOIN ue ON ue.day_a = p.day_a
+         JOIN exs ON exs.day_a = p.day_a""",
 
     // Recomputes the KMV store EXACTLY: the k smallest DISTINCT
     // md5_number_upper values per day (unsigned order = UBIGINT order)

@@ -1688,4 +1688,90 @@ object Events {
     * sketch estimates + exact audit columns. */
   def q185(s: SparkSession, d: String): DataFrame =
     kmvOverlap(Tables.events(s, d), "event_type", "user_id")
+
+  /** CROSS-DAY RETENTION FROM STORED SKETCHES (round 11; the
+    * set-DIFFERENCE member of the sketch family, closing what the
+    * q175 store scaladoc documents as unrecoverable): per consecutive
+    * day pair (A = day, B = day+1), retained |A∩B|, churned |A∖B| and
+    * new |B∖A| distinct keys estimated from the per-day KMV sketches
+    * ALONE — the theta-cut discipline: the union's k smallest slots
+    * (θ = the k-th) are an unbiased sample of A∪B, so counting slots
+    * by membership side (both / A-only / B-only) and scaling each by
+    * |A∪B|_est ÷ kEff estimates every region of the Venn diagram, not
+    * just the union — this is exactly the theta-sketch generalization
+    * of KMV. All integer arithmetic (truncating idiv over decimal),
+    * so sketch contents AND every estimate replay in any engine.
+    * Exact audit columns ride along (per-user day-pair membership —
+    * one corpus-distinct shuffle for all pairs).
+    *
+    * Scale (100 TB): sketches via dailySketches (map-side partial
+    * KmvMinAgg, O(days·k) exchange); the pair join is days-sized with
+    * O(k) array work per pair. The exact audit aggregates the
+    * distinct (key, day-set) projection once and explodes ≤ 2·|days|
+    * membership rows per key — at deployment scale the audit columns
+    * drop and ONLY the stored sketches are read (the q175 range-query
+    * discipline: the raw corpus is never rescanned). */
+  def kmvRetention(events: DataFrame, day: Column, key: String,
+                   k: Int = 256): DataFrame = {
+    val FLIP = lit(Long.MinValue)
+    def flipped(c: Column): Column = transform(c, x => x.bitwiseXOR(FLIP))
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val daily = dailySketches(events, day, key, k).localCheckpoint()
+    val a = daily.select(col("day").as("day_a"), flipped(col("mins")).as("ma"),
+      col("n_exact").as("n_a_exact"))
+    val b = daily.select(col("day").as("day_b"), flipped(col("mins")).as("mb"),
+      col("n_exact").as("n_b_exact"))
+    val pairs = a.join(b, col("day_b") === date_add(col("day_a"), 1))
+      .withColumn("u", array_sort(array_distinct(concat(col("ma"), col("mb")))))
+      .withColumn("keff", least(lit(k), size(col("u"))).cast("long"))
+      .withColumn("uk", slice(col("u"), 1, k))
+      .withColumn("c_both", size(filter(col("uk"), h =>
+        array_contains(col("ma"), h) && array_contains(col("mb"), h)))
+        .cast("long"))
+      .withColumn("c_a_only", size(filter(col("uk"), h =>
+        array_contains(col("ma"), h) && !array_contains(col("mb"), h)))
+        .cast("long"))
+      .withColumn("c_b_only", col("keff") - col("c_both") - col("c_a_only"))
+      .withColumn("n_union_est", kmvEstimate(flipped(col("u")), k))
+    // exact audit: per (key, pair) membership from each key's day set —
+    // a key emits its own days (in_a side) plus day−1 rows for days
+    // whose predecessor it lacks (pure in_b side); invalid calendar
+    // pairs drop at the join with the pair table
+    val userDays = events.select(day.as("day"), col(key).as("k_")).distinct()
+      .groupBy(col("k_")).agg(collect_set(col("day")).as("ds"))
+    val memb = userDays.select(col("k_"), explode(col("ds")).as("x"),
+        col("ds"))
+      .select(col("k_"),
+        explode(array(
+          struct(col("x").as("day_a"), lit(1).as("in_a"),
+            when(array_contains(col("ds"), date_add(col("x"), 1)), lit(1))
+              .otherwise(lit(0)).as("in_b")),
+          struct(date_add(col("x"), -1).as("day_a"), lit(0).as("in_a"),
+            when(array_contains(col("ds"), date_add(col("x"), -1)), lit(-1))
+              .otherwise(lit(1)).as("in_b")))).as("m"))
+      .filter(col("m.in_b") >= 0) // drop the marker rows (predecessor present)
+    val exact = memb
+      .groupBy(col("m.day_a").as("day_a"))
+      .agg(sum(col("m.in_a") * col("m.in_b")).as("retained_exact"),
+        sum(col("m.in_a") * (lit(1) - col("m.in_b"))).as("churned_exact"),
+        sum((lit(1) - col("m.in_a")) * col("m.in_b")).as("new_exact"))
+    pairs.join(exact, Seq("day_a"), "left")
+      .select(date_format(col("day_a"), "yyyy-MM-dd").as("day"),
+        col("n_a_exact"), col("n_b_exact"),
+        coalesce(col("retained_exact"), lit(0L)).as("retained_exact"),
+        coalesce(col("churned_exact"), lit(0L)).as("churned_exact"),
+        coalesce(col("new_exact"), lit(0L)).as("new_exact"),
+        col("n_union_est"),
+        F.idiv(dec(col("c_both")) * dec(col("n_union_est")), dec(col("keff")))
+          .cast("long").as("retained_est"),
+        F.idiv(dec(col("c_a_only")) * dec(col("n_union_est")), dec(col("keff")))
+          .cast("long").as("churned_est"),
+        F.idiv(dec(col("c_b_only")) * dec(col("n_union_est")), dec(col("keff")))
+          .cast("long").as("new_est"))
+  }
+
+  /** q249: day-over-day retained/churned/new distinct users from the
+    * stored per-day KMV sketches, with exact audit columns. */
+  def q249(s: SparkSession, d: String): DataFrame =
+    kmvRetention(Tables.events(s, d), to_date(col("ts")), "user_id")
 }

@@ -927,6 +927,40 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q249 retention: exact when the union fits; theta regions bounded beyond k") {
+    import SparkTestSession.spark.implicits._
+    val d1 = java.sql.Timestamp.valueOf("2024-03-01 10:00:00")
+    val d2 = java.sql.Timestamp.valueOf("2024-03-02 10:00:00")
+    // small case (union < k): every estimate collapses to the exact value
+    val small = ((1 to 30).map(u => (d1, u.toLong)) ++
+      (21 to 50).map(u => (d2, u.toLong))).toDF("ts", "user_id")
+    val s = Events.kmvRetention(small, to_date(col("ts")), "user_id")
+      .collect().head
+    // retained {21..30}=10, churned {1..20}=20, new {31..50}=20
+    assert((s.getLong(3), s.getLong(4), s.getLong(5)) == ((10L, 20L, 20L)))
+    assert((s.getLong(7), s.getLong(8), s.getLong(9)) == ((10L, 20L, 20L)),
+      s"estimates must be exact under k: $s")
+    // large case (union = 3000 >> k = 256): A = 1..2000, B = 1001..3000,
+    // retained = 1000, churned = 1000, new = 1000; theta-cut estimates
+    // must land within ~3σ (σ ≈ |∪|·√(ρ(1−ρ)/k) ≈ 90) of truth
+    val large = ((1 to 2000).map(u => (d1, u.toLong)) ++
+      (1001 to 3000).map(u => (d2, u.toLong))).toDF("ts", "user_id")
+    val l = Events.kmvRetention(large, to_date(col("ts")), "user_id")
+      .collect().head
+    assert((l.getLong(3), l.getLong(4), l.getLong(5)) == ((1000L, 1000L, 1000L)))
+    val (uEst, rEst, cEst, nEst) =
+      (l.getLong(6), l.getLong(7), l.getLong(8), l.getLong(9))
+    assert(math.abs(uEst - 3000L) <= 600L, s"union estimate: $uEst")
+    Seq(("retained", rEst), ("churned", cEst), ("new", nEst)).foreach {
+      case (nm, est) => assert(math.abs(est - 1000L) <= 300L,
+        s"$nm estimate $est beyond 3σ of 1000")
+    }
+    // Venn regions partition the union estimate (truncating idiv can
+    // drop at most 2 units across the three regions)
+    assert(uEst - (rEst + cEst + nEst) >= 0L &&
+      uEst - (rEst + cEst + nEst) <= 2L, s"regions must tile the union: $l")
+  }
+
   test("q186 mixture weights: worked example with exact integer sqrt") {
     import SparkTestSession.spark.implicits._
     val docs = Seq(
