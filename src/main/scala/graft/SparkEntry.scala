@@ -265,6 +265,7 @@ object SparkEntry {
     "q243_shard_balance"  -> (Text.q243 _),
     "q246_shard_index"    -> (Text.q246 _),
     "q249_kmv_retention"  -> (Events.q249 _),
+    "q247_repeat_spans"   -> (Dedup.q247 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -2723,6 +2724,39 @@ object SparkEntry {
            CAST(len(tks) - coalesce(n_kept, 0) AS BIGINT) AS n_cut,
            coalesce(kept_md5, md5('')) AS kept_md5
          FROM t LEFT JOIN agg USING (doc_id)""",
+
+    // Suffix-doubling replayed round-for-round: h0 = the q181 window
+    // hash, h_{j+1}(p) = md5(h_j(p) || ':' || h_j(p + w·2^j)) via the
+    // same positional self-joins, per-round duplicate counts from the
+    // hash-partition window, then the per-doc rollup.
+    "q247_repeat_spans" -> {
+      val w = 8; val rounds = 5
+      val dbl = (1 until rounds).map { j =>
+        val shift = w * (1 << (j - 1))
+        s"""h$j AS (SELECT a.doc_id, a.p, md5(a.h || ':' || b.h) AS h
+           FROM h${j - 1} a JOIN h${j - 1} b ON b.doc_id = a.doc_id AND b.p = a.p + $shift)"""
+      }.mkString(",\n         ")
+      val stats = (0 until rounds).map { j =>
+        val width = w * (1 << j)
+        s"""s$j AS (SELECT doc_id, $width AS width, count(*) AS n_dup
+           FROM (SELECT doc_id, count(*) OVER (PARTITION BY h) AS cnt FROM h$j)
+           WHERE cnt > 1 GROUP BY 1)"""
+      }.mkString(",\n         ")
+      val un = (0 until rounds).map(j => s"SELECT * FROM s$j").mkString(" UNION ALL ")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tks FROM documents),
+         h0 AS (SELECT doc_id, i AS p, md5(array_to_string(tks[i:i+${w - 1}], ' ')) AS h
+                FROM t, UNNEST(range(1, len(tks) - ${w - 2})) AS u(i)),
+         $dbl,
+         $stats,
+         alls AS ($un),
+         pd AS (SELECT doc_id, max(width) AS max_dup_width,
+                sum(CASE WHEN width = $w THEN n_dup ELSE 0 END) AS n_dup_w
+                FROM alls GROUP BY 1)
+         SELECT t.doc_id, CAST(len(tks) AS BIGINT) AS n_tokens,
+           CAST(coalesce(max_dup_width, 0) AS BIGINT) AS max_dup_width,
+           CAST(coalesce(n_dup_w, 0) AS BIGINT) AS n_dup_w
+         FROM t LEFT JOIN pd USING (doc_id)"""
+    },
 
     "q183_k_anonymity" ->
       """SELECT CAST(c_nationkey AS INT) AS nation, c_mktsegment AS segment,

@@ -1355,4 +1355,73 @@ object Dedup {
   /** q181: corpus-wide exact 8-token-substring dedup of documents. */
   def q181(s: SparkSession, d: String): DataFrame =
     exactSubstringDedup(Tables.documents(s, d), "doc_id", "text", 8)
+
+  /** VARIABLE-LENGTH REPEATED-SPAN PROFILE by suffix-array DOUBLING
+    * (round 11; the published ExactSubstr form q181's fixed window
+    * approximates): how LONG are the corpus' repeated spans, not just
+    * where width-w windows repeat. Round j identifies every position
+    * whose width-(w·2^j) token span occurs elsewhere in the corpus
+    * (or elsewhere in the same document), and round j+1's span
+    * fingerprints are built from round j's by ONE positional
+    * self-join — md5(H_j(p) ‖ H_j(p+w·2^j)) — the suffix-array
+    * doubling recurrence, so detecting spans up to width W costs
+    * O(n·log(W/w)) total instead of O(n·W) from-scratch window
+    * hashing. A repeated span of ANY length L ≥ w contains a repeated
+    * dyadic window of width ≥ L/2, so max_dup_width brackets each
+    * document's true longest repeated span within a factor of 2 —
+    * the distribution a dedup operator reads to pick its threshold
+    * (q181's w) before cutting.
+    *
+    * Plan shape at 100 TB: per round, one hash-partitioned count
+    * (map-side combinable) for the duplicate flags and one
+    * (doc, position)-keyed equi-join for the doubling — both
+    * corpus-linear, rounds = log₂(W/w) ≈ 5. Rounds localCheckpoint
+    * (each feeds its stats AND the next round — the q190 rule).
+    * Returns (doc_id, n_tokens, max_dup_width, n_dup_w). */
+  def repeatedSpanProfile(corpus: DataFrame, id: String, text: String,
+                          wMin: Int, rounds: Int): DataFrame = {
+    require(wMin >= 2 && rounds >= 1)
+    val base = corpus.select(col(id).as("doc_id"), tokens(col(text)).as("tks"))
+    val h0 = base.filter(size(col("tks")) >= wMin)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(tks) - ${wMin - 1}), i -> md5(array_join(slice(tks, i, $wMin), ' ')))"))
+        .as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).as("p"), col("h"))
+    var cur = h0.localCheckpoint()
+    val stats = Seq.newBuilder[DataFrame]
+    var width = wMin
+    for (j <- 0 until rounds) {
+      val byHash = Window.partitionBy(col("h"))
+      stats += cur.withColumn("cnt", count(lit(1)).over(byHash))
+        .filter(col("cnt") > 1)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_dup"))
+        .withColumn("width", lit(width.toLong))
+      if (j < rounds - 1) {
+        cur = cur.join(
+            cur.select(col("doc_id"), (col("p") - width).as("p"),
+              col("h").as("h2")),
+            Seq("doc_id", "p"))
+          .select(col("doc_id"), col("p"),
+            md5(concat(col("h"), lit(":"), col("h2"))).as("h"))
+          .localCheckpoint()
+        width *= 2
+      }
+    }
+    val perDoc = stats.result().reduce(_ unionByName _)
+      .groupBy(col("doc_id"))
+      .agg(max(col("width")).as("max_dup_width"),
+        sum(when(col("width") === wMin.toLong, col("n_dup"))
+          .otherwise(lit(0L))).as("n_dup_w"))
+    base.select(col("doc_id"), size(col("tks")).cast("long").as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("max_dup_width"), lit(0L)).as("max_dup_width"),
+        coalesce(col("n_dup_w"), lit(0L)).as("n_dup_w"))
+  }
+
+  /** q247: repeated-span length profile over documents — doubling from
+    * width 8 through 128 (5 rounds). */
+  def q247(s: SparkSession, d: String): DataFrame =
+    repeatedSpanProfile(Tables.documents(s, d), "doc_id", "text", 8, 5)
 }

@@ -961,6 +961,37 @@ class OperatorsSpec extends SparkSpec {
       uEst - (rEst + cEst + nEst) <= 2L, s"regions must tile the union: $l")
   }
 
+  test("q247 doubling equals from-scratch window hashing at every width") {
+    // The suffix-doubling recurrence must detect EXACTLY the duplicate
+    // positions that hashing raw width-W windows from scratch detects
+    // (the brute-force definition), at every dyadic width — per doc.
+    val docs = Tables.documents(spark, sf)
+    val out = Dedup.repeatedSpanProfile(docs, "doc_id", "text", 8, 5)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    import SparkTestSession.spark.implicits._
+    val byDoc = docs.select(col("doc_id"), split(col("text"), " ").as("tks"))
+      .as[(Long, Seq[String])].collect()
+    def dupPositions(w: Int): Map[Long, Int] = {
+      val wins = byDoc.toSeq.flatMap { case (id, tks) =>
+        tks.sliding(w).zipWithIndex.collect {
+          case (win, i) if win.length == w => (id, i, win.mkString(" "))
+        }
+      }
+      val cnt = wins.groupBy(_._3).view.mapValues(_.size).toMap
+      wins.filter(x => cnt(x._3) > 1).groupBy(_._1).view.mapValues(_.size).toMap
+    }
+    val perWidth = Seq(8, 16, 32, 64, 128).map(w => w -> dupPositions(w)).toMap
+    byDoc.foreach { case (id, tks) =>
+      val expMax = Seq(8, 16, 32, 64, 128)
+        .filter(w => perWidth(w).contains(id)).lastOption.getOrElse(0).toLong
+      val expW8 = perWidth(8).getOrElse(id, 0).toLong
+      assert(out(id) == ((tks.length.toLong, expMax, expW8)),
+        s"doc $id: got ${out(id)}, want (${tks.length}, $expMax, $expW8)")
+    }
+  }
+
   test("q186 mixture weights: worked example with exact integer sqrt") {
     import SparkTestSession.spark.implicits._
     val docs = Seq(
