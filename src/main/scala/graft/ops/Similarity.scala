@@ -920,7 +920,7 @@ object Similarity {
     * integer-argmin assignment under `literalCellsMax` cells,
     * broadcast-join argmin (min_by over (quantized L2, cell) — the
     * same tie-break as QuantCellOrder) above it. */
-  private def assignCells(centsDf: DataFrame, delta: DataFrame,
+  private[graft] def assignCells(centsDf: DataFrame, delta: DataFrame,
                           id: String, emb: String,
                           literalCellsMax: Int): DataFrame = {
     val small = centroidsUpTo(centsDf, literalCellsMax)
@@ -1047,6 +1047,42 @@ object Similarity {
     }
     val probed = q.select(col("cell")).distinct().collect().map(_.getInt(0))
     val c = s.read.parquet(s"$path/${liveCellsDir(s, path)}")
+      .filter(col("cell").isin(probed.map(Integer.valueOf): _*))
+    val cos = F.cosineSim(col("q_emb"), col("c_emb"))
+    rankTopK(
+      c.join(broadcast(q), Seq("cell"))
+        .filter(col("vid") =!= col("query_id"))
+        .select(col("query_id"), col("vid").as("neighbor_id"), cos.as("cos")), k)
+  }
+
+  /** IVF probe against VERSIONED cells (round 11; the streaming-ingest
+    * read path): same probe discipline as [[ivfTopKFromIndex]] — query
+    * probes from the frozen centroids, scan only `cell IN (probed)` —
+    * but the inverted lists come from a [[graft.sources.VersionedStore]]
+    * snapshot at `version` instead of a live cells directory, so a
+    * probe PINS the exact index state it searches while
+    * [[graft.streaming.Streaming.ivfIngestStream]] keeps committing
+    * append versions underneath it (the snapshot-isolation contract
+    * the file-directory index cannot offer mid-append). Each ingest
+    * batch is sorted by cell before commit, so the version's parquet
+    * row groups carry tight cell min/max and the isin filter prunes at
+    * row-group granularity (partition-directory pruning is the q144
+    * layout's job; a version snapshot trades it for time travel). */
+  def ivfTopKFromVersionedCells(s: SparkSession, centsPath: String,
+                                cellsRoot: String, version: Int,
+                                queries: DataFrame, id: String, emb: String,
+                                k: Int = TopK, probes: Int = IvfProbes,
+                                literalCellsMax: Int = LiteralCellsMax): DataFrame = {
+    val centsDf = s.read.parquet(centsPath)
+    val q = centroidsUpTo(centsDf, literalCellsMax) match {
+      case Some(cents) =>
+        queries
+          .select(col(id).as("query_id"), col(emb).as("q_emb"),
+            explode(slice(cellOrder(cents, col(emb)), 1, probes)).as("cell"))
+      case None => probesByJoin(centsDf, queries, id, emb, probes)
+    }
+    val probed = q.select(col("cell")).distinct().collect().map(_.getInt(0))
+    val c = graft.sources.VersionedStore.read(s, cellsRoot, version)
       .filter(col("cell").isin(probed.map(Integer.valueOf): _*))
     val cos = F.cosineSim(col("q_emb"), col("c_emb"))
     rankTopK(

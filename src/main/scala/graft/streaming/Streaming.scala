@@ -150,6 +150,43 @@ object Streaming {
         ()
       }
 
+  /** STREAMING IVF INGEST (round 11; composing three r10 pieces —
+    * ingestStream's foreachBatch commit boundary, the VersionedStore
+    * manifest CAS, and the q168 frozen-quantizer discipline): each
+    * micro-batch of vectors is assigned to the standing centroids
+    * (map-side encode, no retrain — the q168 append rule) and
+    * committed as an APPEND VERSION of the cells store, so the index
+    * is time-travelable per applied batch and a probe pins the exact
+    * snapshot it searches ([[graft.ops.Similarity.ivfTopKFromVersionedCells]])
+    * while ingest keeps committing. Probing the latest version after N
+    * batches is row-identical to a one-shot index from the same
+    * centroids (spec-pinned — the frozen-quantizer invariant
+    * transfers). The batch is sorted by cell before the commit so each
+    * version's files carry tight per-row-group cell ranges for probe
+    * pruning. Replays are the usual at-least-once trade: one redundant
+    * append version, duplicate vid rows for the replayed batch —
+    * dedup is the downstream keep-best stage's job (same contract as
+    * ingestStream). At deployment, re-register the ANN navigator
+    * after each commit the way compaction re-registers after a
+    * pointer flip (AnnIndexRegistry snapshots driver state at
+    * registration). */
+  def ivfIngestStream(vectors: DataFrame, centsPath: String,
+                      cellsRoot: String, id: String, emb: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vectors.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val cents = s.read.parquet(centsPath)
+          val assigned = graft.ops.Similarity.assignCells(
+            cents, batch.toDF(), id, emb,
+            graft.ops.Similarity.LiteralCellsMax).sort(col("cell"))
+          graft.sources.VersionedStore.commit(assigned, cellsRoot,
+            overwrite = false)
+        }
+        ()
+      }
+
   /** Stream-static enrichment join: every streaming event picks up its
     * user's dimension row. The static side is a plain DataFrame — Spark
     * re-plans it per micro-batch (so a refreshed dim table is picked up

@@ -553,4 +553,52 @@ class StreamingSpec extends SparkSpec {
         s"card counters: docs $totalDocs toks $totalToks (${metrics.toSeq})")
     } finally q.stop()
   }
+
+  test("streaming IVF ingest: append versions, probe == one-shot, time travel") {
+    import graft.sources.VersionedStore
+    implicit val sqlCtx = spark.sqlContext
+    val (c, qs) = ops.Similarity.corpusAndQueries(spark, sf)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivfstream").toString
+    val idx = s"$tmp/oneshot"
+    // one-shot index over the FULL corpus trains the quantizer; the
+    // stream appends against those frozen centroids
+    ops.Similarity.writeIvfIndex(c, "vec_id", "embedding", idx)
+    val centsPath = s"$idx/centroids"
+    val cellsRoot = s"$tmp/cells"
+    val rows = c.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    val (b1, b2) = rows.partition(_._1 % 2 == 0)
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = Streaming.ivfIngestStream(in.toDF().toDF("vec_id", "embedding"),
+        centsPath, cellsRoot, "vec_id", "embedding")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .start()
+    try {
+      in.addData(b1.toSeq: _*)
+      q.processAllAvailable()
+      in.addData(b2.toSeq: _*)
+      q.processAllAvailable()
+      // one append version per micro-batch
+      assert(VersionedStore.versions(spark, cellsRoot).map(_._2) ==
+        Seq("append", "append"))
+      // frozen-quantizer invariant transfers to the streamed store:
+      // probing the latest version == probing the one-shot index
+      val got = ops.Similarity.ivfTopKFromVersionedCells(spark, centsPath,
+        cellsRoot, -1, qs, "vec_id", "embedding").collect().map(_.toSeq).toSet
+      val want = ops.Similarity.ivfTopKFromIndex(spark, idx, qs,
+        "vec_id", "embedding").collect().map(_.toSeq).toSet
+      assert(got == want,
+        s"streamed-store probe diverges: ${(want -- got).take(3)} / ${(got -- want).take(3)}")
+      // per-version time travel: version 1 holds exactly batch 1
+      val v1 = VersionedStore.read(spark, cellsRoot, 1)
+        .select("vid").collect().map(_.getLong(0)).sorted.toSeq
+      assert(v1 == b1.map(_._1).sorted.toSeq,
+        "version 1 must time-travel to exactly the first batch")
+      // and a version-1 probe sees ONLY batch-1 vectors as candidates
+      val v1Probe = ops.Similarity.ivfTopKFromVersionedCells(spark, centsPath,
+        cellsRoot, 1, qs, "vec_id", "embedding")
+        .select("neighbor_id").collect().map(_.getLong(0)).toSet
+      assert(v1Probe.forall(_ % 2 == 0), "pinned probe must not see batch 2")
+    } finally q.stop()
+  }
 }
