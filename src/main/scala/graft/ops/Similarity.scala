@@ -1418,4 +1418,155 @@ object Similarity {
   /** q201: order quality of the LSH index against brute-force truth. */
   def q201(s: SparkSession, d: String): DataFrame =
     rankingMetrics(q60(s, d), q61(s, d))
+
+  // ---- Graph ANN: deterministic NN-Descent k-NN graph + beam search ----
+
+  val NswM = 16       // out-degree kept per node
+  val NswRounds = 4   // NN-Descent refinement rounds
+  val NswBeam = 32    // beam width per query during search
+  val NswHops = 4     // graph-walk rounds
+  val NswSeeds = 8    // deterministic entry points (smallest vids)
+
+  /** DETERMINISTIC k-NN GRAPH by NN-DESCENT (round 11; the
+    * graph-traversal ANN family — the industry's high-recall default —
+    * joining the quantization family q61/q62/q63): each node keeps its
+    * M best neighbors; a round proposes every neighbor-of-neighbor
+    * (over the UNDIRECTED current graph — the NN-Descent observation
+    * that a neighbor's neighbor is likely a neighbor) and keeps the
+    * top M by exact cosine. Construction is DETERMINISTIC end to end
+    * — the published HNSW's insertion order dependence is replaced by
+    * (a) a seed graph from the q61 LSH bucket RINGS (each (table,
+    * bucket)'s vid-ordered lead/lag links — bucketed, no global
+    * structure, fixed hyperplane masks), and (b) (cos DESC, id ASC)
+    * tie order everywhere — so two builds of the same corpus are
+    * bit-identical (spec-pinned), which is what makes a graph index
+    * auditable at all.
+    *
+    * Scale (100 TB): every round is corpus-linear — the propose join
+    * fans each directed edge into its endpoint's M lists (n·4M² rows,
+    * M a constant), shuffled on vid; scores re-attach vectors by id
+    * join (never shipped through the fan-out). The published ρ-sample
+    * (score only a fraction of proposals per round) bolts onto the
+    * propose stage unchanged when n·M² becomes the budget. Returns
+    * (vid, nbrs array<long> best-first). */
+  def nnDescentGraph(corpus: DataFrame, id: String, emb: String,
+                     m: Int = NswM, rounds: Int = NswRounds,
+                     masks: Seq[Long] = hyperplaneMasks,
+                     bits: Int = LshBits): DataFrame = {
+    val c = corpus.select(col(id).as("vid"), col(emb).as("c_emb"))
+      .localCheckpoint()
+    val cos = F.cosineSim(col("a_emb"), col("b_emb"))
+    def score(pairs: DataFrame): DataFrame = pairs
+      .join(c.select(col("vid"), col("c_emb").as("a_emb")), "vid")
+      .join(c.select(col("vid").as("nbr"), col("c_emb").as("b_emb")), "nbr")
+      .select(col("vid"), col("nbr"), cos.as("cos"))
+    def keepBest(scored: DataFrame): DataFrame = scored
+      .groupBy(col("vid"))
+      .agg(F.topK(struct(col("cos"), (-col("nbr")).as("negid"),
+        col("nbr").as("nid")), m).as("top"))
+      .select(col("vid"), col("top.nid").as("nbrs"))
+    // seed: vid-ordered ring links inside every LSH (table, bucket)
+    val buckets = c.select(col("vid"),
+      posexplode(F.hyperplaneBuckets(col("c_emb"), masks, bits))
+        .as(Seq("t", "bk")))
+    val ring = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("t"), col("bk")).orderBy(col("vid"))
+    val seedPairs = buckets
+      .select(col("vid"), array(lead(col("vid"), 1).over(ring),
+        lead(col("vid"), 2).over(ring), lag(col("vid"), 1).over(ring),
+        lag(col("vid"), 2).over(ring)).as("cand"))
+      .select(col("vid"), explode(col("cand")).as("nbr"))
+      .filter(col("nbr").isNotNull && col("nbr") =!= col("vid"))
+      .distinct()
+    var adj = keepBest(score(seedPairs)).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val edges = adj.select(col("vid"), explode(col("nbrs")).as("nbr"))
+      val und = edges.unionByName(
+        edges.select(col("nbr").as("vid"), col("vid").as("nbr"))).distinct()
+      val proposals = und.as("a")
+        .join(und.select(col("vid").as("mid"), col("nbr").as("cand")).as("b"),
+          col("a.nbr") === col("b.mid"))
+        .select(col("a.vid").as("vid"), col("b.cand").as("nbr"))
+        .filter(col("vid") =!= col("nbr"))
+        .unionByName(und)
+        .distinct()
+      adj = keepBest(score(proposals)).localCheckpoint()
+    }
+    adj
+  }
+
+  /** BEAM SEARCH over the k-NN graph (the NSW read path): start every
+    * query at the deterministic entry set (the `seeds` smallest vids —
+    * the fixed-entry-point convention), then `hops` rounds of expand-
+    * score-prune: the frontier joins the adjacency, neighbors score by
+    * exact cosine against the query, and the best `beam` survive. The
+    * whole walk is data-parallel — one frontier DataFrame for ALL
+    * queries, each hop = one adjacency join + one bounded-heap top-beam
+    * aggregation — so "sequential graph traversal" costs hops·(join +
+    * map-side topK), never a per-query driver loop.
+    *
+    * Scale (100 TB): the frontier is queries·beam rows; each hop
+    * shuffles frontier·M candidate rows against the id-keyed vector
+    * table. Recall is governed by (beam, hops, M) — spec-pinned
+    * ≥ 0.9@10 against q60 exact truth at the test scale. */
+  def nswSearchTopK(graph: DataFrame, corpus: DataFrame, queries: DataFrame,
+                    id: String, emb: String, k: Int = TopK,
+                    beam: Int = NswBeam, hops: Int = NswHops,
+                    seeds: Int = NswSeeds): DataFrame = {
+    val c = corpus.select(col(id).as("vid"), col(emb).as("c_emb"))
+    val q = queries.select(col(id).as("query_id"), col(emb).as("q_emb"))
+    val cos = F.cosineSim(col("q_emb"), col("c_emb"))
+    def scored(cands: DataFrame): DataFrame = cands
+      .join(c, "vid").join(broadcast(q), "query_id")
+      .select(col("query_id"), col("vid"), cos.as("cos"))
+    def topBeam(fr: DataFrame): DataFrame = fr
+      .groupBy(col("query_id"))
+      .agg(F.topK(struct(col("cos"), (-col("vid")).as("negid"),
+        col("vid").as("nid")), beam).as("top"))
+      .select(col("query_id"), explode(col("top")).as("e"))
+      .select(col("query_id"), col("e.nid").as("vid"), col("e.cos").as("cos"))
+    val entry = c.orderBy(col("vid")).limit(seeds).select(col("vid"))
+    var frontier = topBeam(scored(
+      q.select(col("query_id")).crossJoin(broadcast(entry))))
+      .localCheckpoint()
+    for (_ <- 1 to hops) {
+      val expand = frontier
+        .join(graph, "vid")
+        .select(col("query_id"), explode(col("nbrs")).as("vid"))
+        .distinct()
+      frontier = topBeam(frontier.unionByName(scored(expand))
+        .groupBy(col("query_id"), col("vid")).agg(max(col("cos")).as("cos")))
+        .localCheckpoint()
+    }
+    rankTopK(frontier.filter(col("vid") =!= col("query_id"))
+      .select(col("query_id"), col("vid").as("neighbor_id"), col("cos")), k)
+  }
+
+  /** Persist the graph index with the q144 layout conventions: the
+    * adjacency under graph/, the vectors under vectors/ — the store is
+    * self-contained (search never touches the source corpus). Wrap in
+    * VersionedStore.resolveOrBuild for the build-once CAS discipline,
+    * exactly like the IVF/PQ facades. */
+  def writeNswIndex(corpus: DataFrame, id: String, emb: String,
+                    path: String, m: Int = NswM,
+                    rounds: Int = NswRounds): Unit = {
+    nnDescentGraph(corpus, id, emb, m, rounds)
+      .write.mode("overwrite").parquet(s"$path/graph")
+    corpus.select(col(id).as("vid"), col(emb).as("c_emb"))
+      .write.mode("overwrite").parquet(s"$path/vectors")
+  }
+
+  /** Probe a persisted graph index: adjacency + vectors from the
+    * store, the same beam walk. */
+  def nswTopKFromIndex(s: SparkSession, path: String, queries: DataFrame,
+                       id: String, emb: String, k: Int = TopK,
+                       beam: Int = NswBeam, hops: Int = NswHops,
+                       seeds: Int = NswSeeds): DataFrame = {
+    val graph = s.read.parquet(s"$path/graph")
+    val vectors = s.read.parquet(s"$path/vectors")
+      .select(col("vid").as("nsw_id"), col("c_emb").as("nsw_emb"))
+    nswSearchTopK(graph, vectors,
+      queries.select(col(id).as("nsw_id"), col(emb).as("nsw_emb")),
+      "nsw_id", "nsw_emb", k, beam, hops, seeds)
+  }
 }

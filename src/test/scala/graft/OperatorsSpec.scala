@@ -992,6 +992,41 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("graph ANN: NN-Descent build is deterministic; beam search recall >= 0.9@10") {
+    val (c, q) = Similarity.corpusAndQueries(spark, sf)
+    val g1 = Similarity.nnDescentGraph(c, "vec_id", "embedding")
+    val g2 = Similarity.nnDescentGraph(c, "vec_id", "embedding")
+    val m1 = g1.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val m2 = g2.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(m1 == m2, "two builds of the same corpus must be bit-identical")
+    assert(m1.nonEmpty && m1.values.forall(_.length <= Similarity.NswM),
+      "out-degree bounded by M")
+    val truth = Similarity.bruteForceTopK(c, q, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val got = Similarity.nswSearchTopK(g1, c, q, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = truth.map { case (qid, t) =>
+      got.getOrElse(qid, Set.empty).intersect(t).size.toDouble / t.size
+    }
+    val recall = recalls.sum / recalls.size
+    assert(recall >= 0.9, f"mean recall@10 $recall%.3f below the 0.9 floor")
+  }
+
+  test("graph ANN: persisted index probes row-identical to the direct walk") {
+    val (c, q) = Similarity.corpusAndQueries(spark, sf)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-nsw").toString + "/idx"
+    Similarity.writeNswIndex(c, "vec_id", "embedding", dir)
+    val direct = Similarity.nswSearchTopK(
+      spark.read.parquet(s"$dir/graph"), c, q, "vec_id", "embedding")
+      .collect().map(_.toSeq).toSet
+    val stored = Similarity.nswTopKFromIndex(spark, dir, q,
+      "vec_id", "embedding").collect().map(_.toSeq).toSet
+    assert(direct == stored, "store round-trip must not change results")
+  }
+
   test("q186 mixture weights: worked example with exact integer sqrt") {
     import SparkTestSession.spark.implicits._
     val docs = Seq(
