@@ -278,27 +278,36 @@ object AnnOracleSql {
     * sequence). Candidates = same (table, bucket) under multiprobe
     * single-bit XOR flips on the query side; exact cosine rank on
     * candidates. */
-  private val q61Sql: String = {
+  /** The shared LSH bucket CTE chain (planes → ev → proj → bkt):
+    * hyperplane masks embedded as literal ±1 weight vectors, sign
+    * projection via sequential list_reduce (the IEEE add order
+    * HyperplaneBuckets uses). Used by q61 (candidate buckets) and q250
+    * (the NN-Descent seed rings). */
+  private val lshBucketCtes: String = {
     val bits = Similarity.LshBits
     val masks = Similarity.hyperplaneMasks
     val dim = 64
-    // weights table literal: one row per (table, bit) with a 64-double ±1 list
     val rows = masks.zipWithIndex.map { case (m, i) =>
       val t = i / bits; val b = i % bits
       val ws = (0 until dim).map(j =>
         if (((m >>> (j & 63)) & 1L) == 1L) "1" else "-1").mkString(",")
       s"($t, $b, [$ws])"
     }.mkString(",\n      ")
-    s"""WITH planes(t, b, w) AS (VALUES
+    s"""planes(t, b, w) AS (VALUES
       $rows),
-    ev AS (SELECT vec_id, embedding FROM embeddings),
+    ev AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
     proj AS (SELECT e.vec_id, p.t, p.b,
              list_reduce(list_transform(range(1, ${dim + 1}),
                jj -> CAST(e.embedding[jj] AS DOUBLE) * p.w[jj]), (a, b) -> a + b) AS s
              FROM ev e CROSS JOIN planes p),
-    bkt AS (SELECT vec_id, t,
+    bkt AS MATERIALIZED (SELECT vec_id, t,
             CAST(sum(CASE WHEN s >= 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS bk
-            FROM proj GROUP BY vec_id, t),
+            FROM proj GROUP BY vec_id, t)"""
+  }
+
+  private val q61Sql: String = {
+    val bits = Similarity.LshBits
+    s"""WITH $lshBucketCtes,
     qb AS (SELECT DISTINCT k.vec_id AS query_id, k.t,
              CASE WHEN f.i = $bits THEN k.bk
                   ELSE xor(k.bk, CAST(1 << f.i AS BIGINT)) END AS bk
@@ -351,7 +360,76 @@ object AnnOracleSql {
       CAST(sum(s_bp) // count(*) AS BIGINT) AS mean_sil_bp
     FROM sbp GROUP BY cell"""
 
+  /** q250 graph ANN: NN-Descent + beam walk replayed verbatim — the
+    * seed graph from the q61 bucket rings (vid-ordered lead/lag), each
+    * refinement round as (undirected ∪ neighbor-of-neighbor) proposals
+    * pruned to top-M by (cos DESC, id ASC), each search hop as
+    * expand → score → top-beam; cosine through the q60-established
+    * list_cosine_similarity equivalence, bp only at the boundary. */
+  private val q250Sql: String = {
+    val m = Similarity.NswM
+    val rounds = Similarity.NswRounds
+    val beam = Similarity.NswBeam
+    val hops = Similarity.NswHops
+    val seeds = Similarity.NswSeeds
+    def adjCte(j: Int, src: String): String =
+      s"""adj$j AS MATERIALIZED (SELECT vid, nbr, cos FROM (
+           SELECT s.*, row_number() OVER (PARTITION BY vid ORDER BY cos DESC, nbr ASC) AS rn
+           FROM $src s) WHERE rn <= $m)"""
+    def scoreCte(name: String, pairs: String): String =
+      s"""$name AS (SELECT p.vid, p.nbr, ${cosS("a.embedding", "b.embedding")} AS cos
+           FROM $pairs p JOIN ev a ON a.vec_id = p.vid JOIN ev b ON b.vec_id = p.nbr)"""
+    val roundCtes = (1 to rounds).map { r =>
+      s"""und$r AS MATERIALIZED (SELECT DISTINCT vid, nbr FROM (
+             SELECT vid, nbr FROM adj${r - 1} UNION ALL SELECT nbr, vid FROM adj${r - 1})),
+         pr$r AS (SELECT DISTINCT vid, nbr FROM (
+             SELECT a.vid, b.nbr FROM und$r a
+             JOIN (SELECT vid, nbr FROM und$r) b ON b.vid = a.nbr
+             UNION ALL SELECT vid, nbr FROM und$r) WHERE vid <> nbr),
+         ${scoreCte(s"sc$r", s"pr$r")},
+         ${adjCte(r, s"sc$r")}"""
+    }.mkString(",\n    ")
+    def beamCte(name: String, src: String): String =
+      s"""$name AS MATERIALIZED (SELECT query_id, vid, cos FROM (
+           SELECT s.*, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vid ASC) AS rn
+           FROM $src s) WHERE rn <= $beam)"""
+    val hopCtes = (1 to hops).map { h =>
+      s"""ex$h AS (SELECT DISTINCT f.query_id, a.nbr AS vid
+             FROM f${h - 1} f JOIN adj$rounds a ON a.vid = f.vid),
+         sx$h AS (SELECT e.query_id, e.vid,
+             ${cosS("q.qe", "c.embedding")} AS cos
+             FROM ex$h e JOIN qs q USING (query_id) JOIN ev c ON c.vec_id = e.vid),
+         mg$h AS (SELECT query_id, vid, max(cos) AS cos FROM (
+             SELECT * FROM f${h - 1} UNION ALL SELECT * FROM sx$h) GROUP BY 1, 2),
+         ${beamCte(s"f$h", s"mg$h")}"""
+    }.mkString(",\n    ")
+    s"""WITH $lshBucketCtes,
+    ring AS (SELECT vec_id, t, bk,
+             lead(vec_id, 1) OVER w AS n1, lead(vec_id, 2) OVER w AS n2,
+             lag(vec_id, 1) OVER w AS p1, lag(vec_id, 2) OVER w AS p2
+             FROM bkt WINDOW w AS (PARTITION BY t, bk ORDER BY vec_id)),
+    sp AS (SELECT DISTINCT vec_id AS vid, nbr FROM (
+             SELECT vec_id, unnest([n1, n2, p1, p2]) AS nbr FROM ring)
+           WHERE nbr IS NOT NULL AND nbr <> vec_id),
+    ${scoreCte("sc0", "sp")},
+    ${adjCte(0, "sc0")},
+    $roundCtes,
+    qs AS (SELECT vec_id AS query_id, embedding AS qe FROM ev
+           WHERE vec_id < ${Similarity.NumQueries}),
+    entry AS (SELECT vec_id AS vid FROM ev ORDER BY vec_id LIMIT $seeds),
+    f0s AS (SELECT q.query_id, e.vid, ${cosS("q.qe", "c.embedding")} AS cos
+            FROM qs q CROSS JOIN entry e JOIN ev c ON c.vec_id = e.vid),
+    ${beamCte("f0", "f0s")},
+    $hopCtes,
+    fin AS (SELECT query_id, vid, cos,
+            CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vid ASC) AS INT) AS rank
+            FROM f$hops WHERE vid <> query_id)
+    SELECT query_id, rank, vid AS neighbor_id, ${bpS("cos")} AS cos_bp
+    FROM fin WHERE rank <= ${Similarity.TopK}"""
+  }
+
   val all: Map[String, String] = Map(
+    "q250_ann_graph"       -> q250Sql,
     "q234_split_leakage"   -> q234Sql,
     "q237_silhouette"      -> q237Sql,
     "q91_embed_clusters"   -> q91Sql,

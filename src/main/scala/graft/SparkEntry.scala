@@ -266,6 +266,7 @@ object SparkEntry {
     "q246_shard_index"    -> (Text.q246 _),
     "q249_kmv_retention"  -> (Events.q249 _),
     "q247_repeat_spans"   -> (Dedup.q247 _),
+    "q250_ann_graph"      -> (Similarity.q250 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:

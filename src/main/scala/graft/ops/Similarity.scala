@@ -1556,6 +1556,15 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$path/vectors")
   }
 
+  /** q250: graph-ANN top-10 — the NN-Descent graph + beam walk as an
+    * oracled query entry (the DuckDB side replays seed rings, every
+    * refinement round, and every hop verbatim — AnnOracleSql.q250Sql). */
+  def q250(s: SparkSession, d: String): DataFrame = {
+    val (c, q) = corpusAndQueries(s, d)
+    nswSearchTopK(nnDescentGraph(c, "vec_id", "embedding"), c, q,
+      "vec_id", "embedding")
+  }
+
   /** Probe a persisted graph index: adjacency + vectors from the
     * store, the same beam walk. */
   def nswTopKFromIndex(s: SparkSession, path: String, queries: DataFrame,
