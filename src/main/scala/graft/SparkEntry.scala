@@ -267,6 +267,9 @@ object SparkEntry {
     "q249_kmv_retention"  -> (Events.q249 _),
     "q247_repeat_spans"   -> (Dedup.q247 _),
     "q250_ann_graph"      -> (Similarity.q250 _),
+    "q251_lsh_tuning"     -> (Dedup.q251 _),
+    "q252_pad_waste"      -> (Text.q252 _),
+    "q253_dedup_savings"  -> (Dedup.q253 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -760,6 +763,23 @@ object SparkEntry {
          cs AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1)
          SELECT lab.node AS doc_id, lab.cluster_id, cs.cluster_size
          FROM lab JOIN cs USING (cluster_id)""",
+
+    // Keeper = cluster label (min member id); savings = non-keeper
+    // token mass per source, bp by truncating division.
+    "q253_dedup_savings" ->
+      s"""WITH RECURSIVE $ClusterCtes,
+         tk AS (SELECT doc_id, source,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+         j AS (SELECT tk.source, tk.n_tokens,
+               CASE WHEN lab.cluster_id IS NOT NULL AND lab.cluster_id <> tk.doc_id
+                    THEN 1 ELSE 0 END AS red
+               FROM tk LEFT JOIN lab ON lab.node = tk.doc_id)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(red) AS BIGINT) AS n_redundant,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+           CAST(sum(n_tokens * red) AS BIGINT) AS tokens_saved,
+           CAST(10000 * sum(n_tokens * red) // sum(n_tokens) AS BIGINT) AS savings_bp
+         FROM j GROUP BY 1""",
 
     "q83_unpivot" ->
       s"""WITH w AS (SELECT l_returnflag, ${C("sum(l_quantity)")} AS sum_qty,
@@ -1475,6 +1495,40 @@ object SparkEntry {
 
     "q51_dedup_ngram_jaccard" -> jaccardOracle,
 
+    // S-curve audit: the q51 inverted-index pairs down to J = 0.3
+    // (prefix/length filters are lossless, so the plain index join is
+    // the same pair set), detection probability via the identical
+    // multiply chain — J⁴ left-assoc, then five explicit squarings —
+    // fixed-point per pair before any sum.
+    "q251_lsh_tuning" -> {
+      val sstar = math.floor(math.pow(1.0 / 32, 0.25) * 10000 + 0.5).toLong
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle FROM t),
+         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         pair AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS common
+                  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+         jj AS (SELECT common / CAST(na.n + nb.n - common AS DOUBLE) AS j
+                FROM pair JOIN sz na ON na.doc_id = ida JOIN sz nb ON nb.doc_id = idb),
+         f0 AS (SELECT j, 1.0 - j * j * j * j AS y FROM jj WHERE j >= 0.3),
+         f1 AS (SELECT j, y * y AS y FROM f0),
+         f2 AS (SELECT j, y * y AS y FROM f1),
+         f3 AS (SELECT j, y * y AS y FROM f2),
+         f4 AS (SELECT j, y * y AS y FROM f3),
+         f5 AS (SELECT j, y * y AS y FROM f4),
+         p AS (SELECT CAST(floor(j * 10) AS BIGINT) AS j_decile,
+               CAST(floor((1.0 - y) * 10000 + 0.5) AS BIGINT) AS prob_bp FROM f5),
+         g AS (SELECT j_decile, count(*) AS n_pairs, sum(prob_bp) AS s,
+               sum(10000 - prob_bp) AS miss FROM p GROUP BY 1)
+         SELECT j_decile, CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(s // n_pairs AS BIGINT) AS mean_detect_bp,
+           CAST(miss AS BIGINT) AS miss_mass_bp, $sstar AS sstar_bp FROM g
+         UNION ALL
+         SELECT -1, CAST(count(*) AS BIGINT), CAST(sum(prob_bp) // count(*) AS BIGINT),
+           CAST(sum(10000 - prob_bp) AS BIGINT), $sstar FROM p"""
+    },
+
     // Recomputes SimHashMd5 bit-exactly: md5_number_upper(token) IS the
     // little-endian read of the first 8 MD5 digest bytes (verified vs
     // hashlib), the per-bit vote is majority-of-distinct-tokens (c >= 0
@@ -1973,6 +2027,52 @@ object SparkEntry {
          SELECT doc_id, n_tokens, CAST(bucket AS BIGINT) AS bucket,
            CAST(shard AS BIGINT) AS shard,
            CAST((rn - 1) // 4 AS BIGINT) AS batch_idx FROM r""",
+
+    // Batch side = the q158 CTEs rolled up per batch then per bucket;
+    // pack side = the q246 ceil-division arithmetic; waste in bp of
+    // the padded stream via truncating division.
+    "q252_pad_waste" ->
+      """WITH tk AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             FROM documents),
+         thr AS (SELECT
+           CAST(percentile_disc(0.125) WITHIN GROUP (ORDER BY n_tokens) AS BIGINT) AS t1,
+           CAST(percentile_disc(0.25)  WITHIN GROUP (ORDER BY n_tokens) AS BIGINT) AS t2,
+           CAST(percentile_disc(0.375) WITHIN GROUP (ORDER BY n_tokens) AS BIGINT) AS t3,
+           CAST(percentile_disc(0.5)   WITHIN GROUP (ORDER BY n_tokens) AS BIGINT) AS t4,
+           CAST(percentile_disc(0.625) WITHIN GROUP (ORDER BY n_tokens) AS BIGINT) AS t5,
+           CAST(percentile_disc(0.75)  WITHIN GROUP (ORDER BY n_tokens) AS BIGINT) AS t6,
+           CAST(percentile_disc(0.875) WITHIN GROUP (ORDER BY n_tokens) AS BIGINT) AS t7
+           FROM tk),
+         b AS (SELECT doc_id, n_tokens,
+             1 + (CASE WHEN n_tokens > t1 THEN 1 ELSE 0 END)
+               + (CASE WHEN n_tokens > t2 THEN 1 ELSE 0 END)
+               + (CASE WHEN n_tokens > t3 THEN 1 ELSE 0 END)
+               + (CASE WHEN n_tokens > t4 THEN 1 ELSE 0 END)
+               + (CASE WHEN n_tokens > t5 THEN 1 ELSE 0 END)
+               + (CASE WHEN n_tokens > t6 THEN 1 ELSE 0 END)
+               + (CASE WHEN n_tokens > t7 THEN 1 ELSE 0 END) AS bucket,
+             doc_id % 8 AS shard
+           FROM tk CROSS JOIN thr),
+         r AS (SELECT *, row_number() OVER (PARTITION BY bucket, shard
+             ORDER BY n_tokens, doc_id) AS rn FROM b),
+         pb AS (SELECT bucket, shard, (rn - 1) // 4 AS batch_idx,
+                count(*) AS n_docs, max(n_tokens) AS mx, sum(n_tokens) AS sm
+                FROM r GROUP BY 1, 2, 3),
+         br AS (SELECT bucket, count(*) AS n_units, sum(sm) AS tokens_real,
+                sum(n_docs * mx - sm) AS tokens_pad FROM pb GROUP BY 1),
+         pk AS (SELECT doc_id % 16 AS pb, sum(n_tokens) AS t_b FROM tk GROUP BY 1),
+         pr AS (SELECT sum((t_b + 511) // 512) AS n_units, sum(t_b) AS tokens_real,
+                sum(((t_b + 511) // 512) * 512 - t_b) AS tokens_pad FROM pk)
+         SELECT 'batch' AS strategy, CAST(bucket AS BIGINT) AS bucket,
+           CAST(n_units AS BIGINT) AS n_units, CAST(tokens_real AS BIGINT) AS tokens_real,
+           CAST(tokens_pad AS BIGINT) AS tokens_pad,
+           CAST(10000 * tokens_pad // (tokens_real + tokens_pad) AS BIGINT) AS waste_bp
+         FROM br
+         UNION ALL
+         SELECT 'pack', -1, CAST(n_units AS BIGINT), CAST(tokens_real AS BIGINT),
+           CAST(tokens_pad AS BIGINT),
+           CAST(10000 * tokens_pad // (tokens_real + tokens_pad) AS BIGINT)
+         FROM pr""",
 
     "q153_boilerplate" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),

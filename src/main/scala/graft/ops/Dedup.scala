@@ -1424,4 +1424,103 @@ object Dedup {
     * width 8 through 128 (5 rounds). */
   def q247(s: SparkSession, d: String): DataFrame =
     repeatedSpanProfile(Tables.documents(s, d), "doc_id", "text", 8, 5)
+
+  /** LSH GEOMETRY TUNING AUDIT (round 11): is the configured (bands,
+    * rows) S-curve right for THIS corpus' similarity distribution?
+    * For every candidate pair down to a probe floor τ (below the
+    * operating threshold — the flank where misses live), the exact
+    * Jaccard and its detection probability 1 − (1 − J^r)^b under the
+    * q52 geometry, rolled up per Jaccard decile: expected-detection
+    * mean and the total miss mass an operator reads before committing
+    * a (bands, rows) choice — the audit that caught the r8 16×8
+    * mis-tune would have been this one row ("decile 8: mean_detect
+    * 9474 bp" instead of ~10000). Exactly engine-replayable: J is the
+    * shared rational division, J^r is a literal multiply chain, the
+    * ^b power is log₂(b) explicit squarings (identical op order both
+    * sides), and fixed-point rounding happens per pair BEFORE any
+    * sum. The S-curve threshold (1/b)^(1/r) rides along in bp.
+    *
+    * Scale (100 TB): the same PPJoin prefix plan as q51, at the lower
+    * probe τ (longer prefixes — the audit's price); run it on the
+    * q23-style hash sample at full scale, the geometry answer is
+    * distribution-level and sample-stable. */
+  def lshTuningAudit(corpus: DataFrame, id: String, text: String,
+                     tau: Double = 0.3, bands: Int = LshBands,
+                     rowsPerBand: Int = MinhashPerms / LshBands): DataFrame = {
+    require(bands > 0 && (bands & (bands - 1)) == 0, "bands must be 2^k")
+    val arrs = shingleArrays(corpus, id, text, 3).cache()
+    val prefixLen = (col("n") - ceil(col("n") * tau).cast("int") + 1)
+    val prefixes = arrs
+      .select(col("doc_id"), col("n"),
+        explode(slice(col("sh_arr"), lit(1), prefixLen)).as("sh"))
+    val candidates = prefixes.as("a").join(prefixes.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
+        col("b.n") * tau <= col("a.n") && col("a.n") * tau <= col("b.n"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val jac = F.jaccardSorted(col("sh_a"), col("sh_b"))
+    val scored = candidates
+      .join(arrs.select(col("doc_id").as("doc_a"), col("sh_arr").as("sh_a")), "doc_a")
+      .join(arrs.select(col("doc_id").as("doc_b"), col("sh_arr").as("sh_b")), "doc_b")
+      .select(jac.as("j")).filter(col("j") >= tau)
+    val jr = (1 to rowsPerBand).map(_ => col("j")).reduce(_ * _)
+    val ySq = (1 to Integer.numberOfTrailingZeros(bands))
+      .foldLeft(lit(1.0) - jr) { (y, _) => y * y }
+    val sstar = math.floor(math.pow(1.0 / bands, 1.0 / rowsPerBand) * 10000 + 0.5).toLong
+    val perPair = scored
+      .select(floor(col("j") * 10).cast("long").as("j_decile"),
+        floor((lit(1.0) - ySq) * 10000 + 0.5).cast("long").as("prob_bp"))
+      .localCheckpoint() // feeds the decile AND the ALL aggregation
+    def roll(grouped: org.apache.spark.sql.RelationalGroupedDataset,
+             label: Column): DataFrame = grouped
+      .agg(count(lit(1)).as("n_pairs"), sum(col("prob_bp")).as("s"),
+        sum(lit(10000L) - col("prob_bp")).as("miss_mass_bp"))
+      .select(label.as("j_decile"), col("n_pairs"),
+        F.idiv(col("s"), col("n_pairs")).as("mean_detect_bp"),
+        col("miss_mass_bp"), lit(sstar).as("sstar_bp"))
+    roll(perPair.groupBy(col("j_decile")), col("j_decile"))
+      .unionByName(roll(perPair.groupBy(), lit(-1L)))
+  }
+
+  /** q251: S-curve audit of the q52 geometry (32×4) on the documents
+    * corpus, probed down to J = 0.3. */
+  def q251(s: SparkSession, d: String): DataFrame =
+    lshTuningAudit(Tables.documents(s, d), "doc_id", "text")
+
+  /** DEDUP SAVINGS ATTRIBUTION (round 11): what a dedup pass is WORTH,
+    * per source — the budget line that justifies (or kills) the
+    * pipeline stage. Near-dup clusters from the q51 pair graph, keeper
+    * = the cluster label (the min-id member, the q55/q84 convention),
+    * every other member is redundant; per source: doc and token
+    * totals, redundant docs, the tokens a keep-first pass saves, and
+    * the savings rate in bp. Exact dups are subsumed (identical texts
+    * share every shingle → J = 1 pairs).
+    *
+    * Scale (100 TB): the pair graph and components are the audited
+    * q51/q55 plans; the attribution itself is one source-grain
+    * aggregation over corpus rows joined to the (cluster-member-sized)
+    * label table. */
+  def dedupSavings(corpus: DataFrame, id: String, text: String,
+                   source: String): DataFrame = {
+    val labs = clusters(
+      jaccardPairs(corpus, id, text, 0.6).select(col("doc_a"), col("doc_b")))
+    corpus.select(col(id).as("doc_id"), col(source).as("source"),
+        size(tokens(col(text))).cast("long").as("n_tokens"))
+      .join(labs.select(col("doc_id"), col("cluster_id")), Seq("doc_id"), "left")
+      .withColumn("red",
+        when(col("cluster_id").isNotNull && col("cluster_id") =!= col("doc_id"),
+          1L).otherwise(0L))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("red")).as("n_redundant"),
+        sum(col("n_tokens")).as("tokens_total"),
+        sum(col("n_tokens") * col("red")).as("tokens_saved"))
+      .select(col("source"), col("n_docs"), col("n_redundant"),
+        col("tokens_total"), col("tokens_saved"),
+        F.idiv(lit(10000L) * col("tokens_saved"), col("tokens_total"))
+          .as("savings_bp"))
+  }
+
+  /** q253: per-source token savings of a keep-first near-dup pass. */
+  def q253(s: SparkSession, d: String): DataFrame =
+    dedupSavings(Tables.documents(s, d), "doc_id", "text", "source")
 }

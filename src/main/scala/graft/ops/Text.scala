@@ -1493,6 +1493,55 @@ object Text {
   def q158(s: SparkSession, d: String): DataFrame =
     lengthBatches(Tables.documents(s, d), "doc_id", "text", 8, 8, 4)
 
+  /** PADDING-WASTE AUDIT: length batching vs sequence packing (round
+    * 11) — the compute-bill comparison that decides a trainer's input
+    * layout. The length-batch side pads every q158 batch to its max
+    * member (n·max − Σ per batch — what the accelerator actually
+    * burns); the packing side pads only each bucket's LAST bin (the
+    * q98/q246 arithmetic). One row per length bucket plus the one
+    * `pack` row; waste in basis points of the padded stream, integer
+    * end to end. The spread between the two waste_bp columns IS the
+    * throughput a switch to packing buys.
+    *
+    * Scale (100 TB): the batch side is q158's plan (bucketed windows,
+    * never global) + a batch-grain rollup; the pack side never
+    * materializes the layout — per-bucket token totals and
+    * ceil-division, the q246 rule. */
+  def padWasteAudit(corpus: DataFrame, id: String, text: String,
+                    nBuckets: Int = 8, nShards: Int = 8, batchSize: Int = 4,
+                    capacity: Int = 512, packBuckets: Int = 16): DataFrame = {
+    val perBatch = lengthBatches(corpus, id, text, nBuckets, nShards, batchSize)
+      .groupBy(col("bucket"), col("shard"), col("batch_idx"))
+      .agg(count(lit(1)).as("n_docs"), max(col("n_tokens")).as("mx"),
+        sum(col("n_tokens")).as("sm"))
+      .withColumn("pad", col("n_docs") * col("mx") - col("sm"))
+    def waste(real: Column, pad: Column): Column =
+      graft.functions.F.idiv(lit(10000L) * pad, real + pad)
+    val batchRows = perBatch.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_units"), sum(col("sm")).as("tokens_real"),
+        sum(col("pad")).as("tokens_pad"))
+      .select(lit("batch").as("strategy"), col("bucket"), col("n_units"),
+        col("tokens_real"), col("tokens_pad"),
+        waste(col("tokens_real"), col("tokens_pad")).as("waste_bp"))
+    val cap = capacity.toLong
+    val bins = graft.functions.F.idiv(col("t_b") + lit(cap - 1), lit(cap))
+    val packRow = corpus
+      .select((col(id) % packBuckets).as("b"),
+        size(tokens(col(text))).cast("long").as("n"))
+      .groupBy(col("b")).agg(sum(col("n")).as("t_b"))
+      .agg(sum(bins).as("n_units"), sum(col("t_b")).as("tokens_real"),
+        sum(bins * cap - col("t_b")).as("tokens_pad"))
+      .select(lit("pack").as("strategy"), lit(-1L).as("bucket"),
+        col("n_units"), col("tokens_real"), col("tokens_pad"),
+        waste(col("tokens_real"), col("tokens_pad")).as("waste_bp"))
+    batchRows.unionByName(packRow)
+  }
+
+  /** q252: the q158 batch geometry vs the q98 packing geometry on the
+    * documents corpus. */
+  def q252(s: SparkSession, d: String): DataFrame =
+    padWasteAudit(Tables.documents(s, d), "doc_id", "text")
+
   /** BIGRAM-LM surprisal (q90's unigram signal upgraded to a
     * second-order model): per-doc mean −ln P(w₂|w₁) with the MLE
     * conditional P(w₂|w₁) = c(w₁w₂)/c(w₁·), where the head marginal

@@ -1027,6 +1027,68 @@ class OperatorsSpec extends SparkSpec {
     assert(direct == stored, "store round-trip must not change results")
   }
 
+  test("q251 S-curve audit: worked pair probability and decile rollup") {
+    import SparkTestSession.spark.implicits._
+    // A~B share 2 of 6 distinct 3-grams (J = 1/3, decile 3); C is A's
+    // exact dup (J = 1, decile 10). The B~C pair mirrors A~B.
+    val docs = Seq(
+      (1L, "a b c d e f"), (2L, "a b c d x y"), (3L, "a b c d e f")
+    ).toDF("doc_id", "text")
+    val out = Dedup.lshTuningAudit(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    def probBp(j: Double): Long = {
+      val jr = j * j * j * j
+      var y = 1.0 - jr
+      for (_ <- 1 to 5) y = y * y
+      math.floor((1.0 - y) * 10000 + 0.5).toLong
+    }
+    val pMid = probBp(2.0 / 6.0)
+    assert(out(3L) == ((2L, pMid, 2 * (10000 - pMid), 4204L)),
+      s"mid-curve decile: ${out.get(3L)} want prob $pMid")
+    assert(out(10L) == ((1L, 10000L, 0L, 4204L)), "exact dup always detected")
+    // ALL row: 3 pairs, truncating mean, total miss mass
+    assert(out(-1L) == ((3L, (2 * pMid + 10000L) / 3, 2 * (10000 - pMid), 4204L)),
+      s"ALL row: ${out.get(-1L)}")
+    // the S-curve threshold for 32x4 is (1/32)^(1/4) = 0.4204
+    assert(out(-1L)._4 == 4204L)
+  }
+
+  test("q252 pad waste: worked batch-vs-pack example") {
+    import SparkTestSession.spark.implicits._
+    // lengths 1,2,3,4; 2 buckets (cut at the median 2), 1 shard,
+    // batches of 2, capacity-8 packing in 1 bucket
+    val docs = Seq((0L, "a"), (1L, "a b"), (2L, "a b c"), (3L, "a b c d"))
+      .toDF("doc_id", "text")
+    val out = Text.padWasteAudit(docs, "doc_id", "text",
+        nBuckets = 2, nShards = 1, batchSize = 2,
+        capacity = 8, packBuckets = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // bucket 1 = {1,2 tokens}: one batch padded to 2 → real 3, pad 1
+    assert(out(("batch", 1L)) == ((1L, 3L, 1L, 2500L)), s"$out")
+    // bucket 2 = {3,4 tokens}: one batch padded to 4 → real 7, pad 1
+    assert(out(("batch", 2L)) == ((1L, 7L, 1L, 1250L)), s"$out")
+    // packing: 10 tokens into two 8-bins → pad 6 → 3750 bp
+    assert(out(("pack", -1L)) == ((2L, 10L, 6L, 3750L)), s"$out")
+  }
+
+  test("q253 dedup savings: redundant mass lands on the dup's source") {
+    import SparkTestSession.spark.implicits._
+    val docs = Seq(
+      (1L, "x y z w v", "sA"), // keeper (min id in its cluster)
+      (2L, "x y z w v", "sB"), // exact dup → redundant, 5 tokens saved
+      (3L, "p q r s t", "sB")  // unique
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.dedupSavings(docs, "doc_id", "text", "source")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    assert(out("sA") == ((1L, 0L, 5L, 0L, 0L)), s"$out")
+    // sB: 2 docs, 1 redundant, 10 tokens, 5 saved → 5000 bp
+    assert(out("sB") == ((2L, 1L, 10L, 5L, 5000L)), s"$out")
+  }
+
   test("q186 mixture weights: worked example with exact integer sqrt") {
     import SparkTestSession.spark.implicits._
     val docs = Seq(
