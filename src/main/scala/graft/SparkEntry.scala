@@ -1525,8 +1525,10 @@ object SparkEntry {
            CAST(s // n_pairs AS BIGINT) AS mean_detect_bp,
            CAST(miss AS BIGINT) AS miss_mass_bp, $sstar AS sstar_bp FROM g
          UNION ALL
-         SELECT -1, CAST(count(*) AS BIGINT), CAST(sum(prob_bp) // count(*) AS BIGINT),
-           CAST(sum(10000 - prob_bp) AS BIGINT), $sstar FROM p"""
+         SELECT -1, CAST(count(*) AS BIGINT),
+           CAST(CASE WHEN count(*) = 0 THEN 0
+                ELSE sum(prob_bp) // count(*) END AS BIGINT),
+           CAST(coalesce(sum(10000 - prob_bp), 0) AS BIGINT), $sstar FROM p"""
     },
 
     // Recomputes SimHashMd5 bit-exactly: md5_number_upper(token) IS the

@@ -73,8 +73,17 @@ object Changes {
     val payload = target.columns.filter(_ != key).toSeq
     val oneRow = seq match {
       case Some(sq) =>
+        // a tied (key, seq) pair is ambiguous — max_by would pick a
+        // NONDETERMINISTIC winner on ties, the exact hazard the no-seq
+        // path raises on. Fold the tie check into the seq column the
+        // reduce reads (same lazy-guard shape as below).
+        val w = Window.partitionBy(col(key), col(sq))
+        val guarded = changes.withColumn(sq,
+          when(count(lit(1)).over(w) > 1, raise_error(concat(
+            lit("mergeChanges: tied sequence values for key "),
+            col(key).cast("string")))).otherwise(col(sq)))
         val rest = changes.columns.filter(_ != key).toSeq
-        changes.groupBy(col(key))
+        guarded.groupBy(col(key))
           .agg(max_by(struct(rest.map(col): _*), col(sq)).as("_last"))
           .select(col(key) +: rest.map(c => col(s"_last.$c").as(c)): _*)
       case None =>

@@ -122,16 +122,24 @@ object Dedup {
   def jaccardPairs(corpus: DataFrame, id: String, text: String,
                    tau: Double, k: Int = 3): DataFrame = {
     val arrs = shingleArrays(corpus, id, text, k).cache()
+    verifyPairs(candidatePairs(arrs, tau), arrs, tau)
+  }
+
+  /** The PPJoin candidate join over cached shingle arrays — prefix
+    * explode + length-filtered self-join, ONE definition shared by the
+    * production pair join ([[jaccardPairs]]) and the geometry audit
+    * ([[lshTuningAudit]]), so the losslessness-critical prefix math
+    * cannot drift between them. */
+  private def candidatePairs(arrs: DataFrame, tau: Double): DataFrame = {
     val prefixLen = (col("n") - ceil(col("n") * tau).cast("int") + 1)
     val prefixes = arrs
       .select(col("doc_id"), col("n"),
         explode(slice(col("sh_arr"), lit(1), prefixLen)).as("sh"))
-    val candidates = prefixes.as("a").join(prefixes.as("b"),
+    prefixes.as("a").join(prefixes.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
         col("b.n") * tau <= col("a.n") && col("a.n") * tau <= col("b.n"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    verifyPairs(candidates, arrs, tau)
   }
 
   val MinhashPerms = 128
@@ -1449,17 +1457,8 @@ object Dedup {
                      rowsPerBand: Int = MinhashPerms / LshBands): DataFrame = {
     require(bands > 0 && (bands & (bands - 1)) == 0, "bands must be 2^k")
     val arrs = shingleArrays(corpus, id, text, 3).cache()
-    val prefixLen = (col("n") - ceil(col("n") * tau).cast("int") + 1)
-    val prefixes = arrs
-      .select(col("doc_id"), col("n"),
-        explode(slice(col("sh_arr"), lit(1), prefixLen)).as("sh"))
-    val candidates = prefixes.as("a").join(prefixes.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
-        col("b.n") * tau <= col("a.n") && col("a.n") * tau <= col("b.n"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
     val jac = F.jaccardSorted(col("sh_a"), col("sh_b"))
-    val scored = candidates
+    val scored = candidatePairs(arrs, tau)
       .join(arrs.select(col("doc_id").as("doc_a"), col("sh_arr").as("sh_a")), "doc_a")
       .join(arrs.select(col("doc_id").as("doc_b"), col("sh_arr").as("sh_b")), "doc_b")
       .select(jac.as("j")).filter(col("j") >= tau)
@@ -1475,9 +1474,12 @@ object Dedup {
              label: Column): DataFrame = grouped
       .agg(count(lit(1)).as("n_pairs"), sum(col("prob_bp")).as("s"),
         sum(lit(10000L) - col("prob_bp")).as("miss_mass_bp"))
+      // an empty audit (clean corpus, zero candidate pairs) must report
+      // zeros, not a null mean / an oracle division error
       .select(label.as("j_decile"), col("n_pairs"),
-        F.idiv(col("s"), col("n_pairs")).as("mean_detect_bp"),
-        col("miss_mass_bp"), lit(sstar).as("sstar_bp"))
+        coalesce(F.idiv(col("s"), col("n_pairs")), lit(0L)).as("mean_detect_bp"),
+        coalesce(col("miss_mass_bp"), lit(0L)).as("miss_mass_bp"),
+        lit(sstar).as("sstar_bp"))
     roll(perPair.groupBy(col("j_decile")), col("j_decile"))
       .unionByName(roll(perPair.groupBy(), lit(-1L)))
   }

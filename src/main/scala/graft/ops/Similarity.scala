@@ -1033,11 +1033,14 @@ object Similarity {
     * only, and the index scan is statically pruned to the probed cells
     * (the probe set is ≤ probes·|queries| ints, collected once — the
     * bounded-driver-scalar pattern). */
-  def ivfTopKFromIndex(s: SparkSession, path: String, queries: DataFrame,
-                       id: String, emb: String, k: Int = TopK,
-                       probes: Int = IvfProbes,
-                       literalCellsMax: Int = LiteralCellsMax): DataFrame = {
-    val centsDf = s.read.parquet(s"$path/centroids")
+  /** Shared probe derivation for every persisted-index read path
+    * (file-directory and versioned): the per-query probed-cell fanout
+    * (literal-path cellOrder or the join fallback) plus the distinct
+    * probed set — ONE definition, so a probe-discipline change can
+    * never split the spec-pinned row-identical read paths. */
+  private def probedQueries(centsDf: DataFrame, queries: DataFrame,
+                            id: String, emb: String, probes: Int,
+                            literalCellsMax: Int): (DataFrame, Array[Int]) = {
     val q = centroidsUpTo(centsDf, literalCellsMax) match {
       case Some(cents) =>
         queries
@@ -1045,7 +1048,16 @@ object Similarity {
             explode(slice(cellOrder(cents, col(emb)), 1, probes)).as("cell"))
       case None => probesByJoin(centsDf, queries, id, emb, probes)
     }
-    val probed = q.select(col("cell")).distinct().collect().map(_.getInt(0))
+    (q, q.select(col("cell")).distinct().collect().map(_.getInt(0)))
+  }
+
+  def ivfTopKFromIndex(s: SparkSession, path: String, queries: DataFrame,
+                       id: String, emb: String, k: Int = TopK,
+                       probes: Int = IvfProbes,
+                       literalCellsMax: Int = LiteralCellsMax): DataFrame = {
+    val centsDf = s.read.parquet(s"$path/centroids")
+    val (q, probed) =
+      probedQueries(centsDf, queries, id, emb, probes, literalCellsMax)
     val c = s.read.parquet(s"$path/${liveCellsDir(s, path)}")
       .filter(col("cell").isin(probed.map(Integer.valueOf): _*))
     val cos = F.cosineSim(col("q_emb"), col("c_emb"))
@@ -1074,14 +1086,8 @@ object Similarity {
                                 k: Int = TopK, probes: Int = IvfProbes,
                                 literalCellsMax: Int = LiteralCellsMax): DataFrame = {
     val centsDf = s.read.parquet(centsPath)
-    val q = centroidsUpTo(centsDf, literalCellsMax) match {
-      case Some(cents) =>
-        queries
-          .select(col(id).as("query_id"), col(emb).as("q_emb"),
-            explode(slice(cellOrder(cents, col(emb)), 1, probes)).as("cell"))
-      case None => probesByJoin(centsDf, queries, id, emb, probes)
-    }
-    val probed = q.select(col("cell")).distinct().collect().map(_.getInt(0))
+    val (q, probed) =
+      probedQueries(centsDf, queries, id, emb, probes, literalCellsMax)
     val c = graft.sources.VersionedStore.read(s, cellsRoot, version)
       .filter(col("cell").isin(probed.map(Integer.valueOf): _*))
     val cos = F.cosineSim(col("q_emb"), col("c_emb"))

@@ -403,7 +403,11 @@ object Text {
     * last-bin fill). */
   def q246(s: SparkSession, d: String): DataFrame =
     graft.sources.Sources.shardIndexFromLayout(
-      seqPack(Tables.documents(s, d), "doc_id", "text", 512, 16), 512)
+      // the index aggregates the layout twice (bins + doc starts); the
+      // checkpoint stops the corpus scan + prefix-sum window running
+      // twice (the q190 rule)
+      seqPack(Tables.documents(s, d), "doc_id", "text", 512, 16)
+        .localCheckpoint(), 512)
 
   /** Per-group quality GATE: drop each group's worst `p` quality tail.
     * The threshold is percentile_disc — a DISCRETE percentile (smallest

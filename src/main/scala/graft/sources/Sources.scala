@@ -144,6 +144,10 @@ object Sources {
       .agg(sum(col("n_tokens")).as("t_b"))
       .withColumn("n_bins", graft.functions.F.idiv(
         col("t_b") + lit((capacity - 1).toLong), lit(capacity.toLong)))
+      // a zero-token bucket (every doc tokenized to an empty id array)
+      // has NO bins — without this guard sequence(0, -1) descends and
+      // fabricates two phantom full bins (0 and -1)
+      .filter(col("n_bins") > 0)
     val bins = perBucket.select(col("bucket"), col("t_b"), col("n_bins"),
         explode(sequence(lit(0L), col("n_bins") - 1L)).as("bin_id"))
       .select(col("bucket"), col("bin_id"),

@@ -184,6 +184,16 @@ class ChangesSpec extends SparkSpec {
     val got2 = Changes.mergeChanges(target, flip, "id", seq = Some("seq"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got2 == Map(1L -> "a", 2L -> "B9"), s"merged: $got2")
+    // TIED seq values for one key are ambiguous — max_by would pick a
+    // nondeterministic winner, so the merge must raise (round 11)
+    val tied = Seq((2L, "upsert", "A", 5L), (2L, "delete", "-", 5L))
+      .toDF("id", "op", "v", "seq")
+    val e2 = intercept[Exception] {
+      Changes.mergeChanges(target, tied, "id", seq = Some("seq")).collect()
+    }
+    assert(e2.getMessage.contains("tied sequence") ||
+      Option(e2.getCause).exists(_.getMessage.contains("tied sequence")),
+      s"expected the tied-seq raise, got: ${e2.getMessage}")
   }
 
   test("q119 corpus drift: KL non-negative, identical sides drift to ~0") {

@@ -787,5 +787,16 @@ class SourcesSpec extends SparkSpec {
     // layout parquet matches the q98 entry shape on this data
     val layoutCols = spark.read.parquet(s"$path/layout").columns.toSeq
     assert(layoutCols == Seq("doc_id", "bucket", "bin_id", "bin_offset", "n_tokens"))
+
+    // a zero-token bucket (empty id arrays — e.g. BPE of empty text)
+    // contributes NO bins; without the n_bins guard sequence(0, -1)
+    // descends and fabricates two phantom full bins
+    import SparkTestSession.spark.implicits._
+    val degenerate = Seq((0L, 0L, 0L, 0L, 0L), (1L, 1L, 0L, 0L, 3L))
+      .toDF("doc_id", "bucket", "bin_id", "bin_offset", "n_tokens")
+    val idx2 = Sources.shardIndexFromLayout(degenerate, capacity)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(idx2.toSeq == Seq((1L, 0L, 3L)),
+      s"zero-token bucket must emit no bins: ${idx2.toSeq}")
   }
 }
