@@ -270,6 +270,7 @@ object SparkEntry {
     "q251_lsh_tuning"     -> (Dedup.q251 _),
     "q252_pad_waste"      -> (Text.q252 _),
     "q253_dedup_savings"  -> (Dedup.q253 _),
+    "q254_acf"            -> (Events.q254 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -3721,6 +3722,30 @@ object SparkEntry {
          SELECT 'ALL', 0, CAST(max(t) AS BIGINT), 10000,
            CAST(10000::HUGEINT * sum(gn) // (max(n)::HUGEINT * max(t)::HUGEINT) AS BIGINT)
          FROM rw""",
+
+    // ACF replayed exactly: milli residuals off the truncating mean,
+    // HUGEINT num/den products, signed truncating bp division.
+    "q254_acf" ->
+      """WITH d0 AS (SELECT event_type AS s, CAST(ts AS DATE) AS day, count(*) AS x
+             FROM events GROUP BY 1, 2),
+         st AS (SELECT s, count(*) AS n, 1000 * sum(x) // count(*) AS xbar_milli
+                FROM d0 GROUP BY 1),
+         dev AS (SELECT d0.s, st.n,
+                 row_number() OVER (PARTITION BY d0.s ORDER BY d0.day) AS i,
+                 1000 * d0.x - st.xbar_milli AS d
+                 FROM d0 JOIN st USING (s)),
+         den AS (SELECT s, sum(d::HUGEINT * d::HUGEINT) AS den, max(n) AS n
+                 FROM dev GROUP BY 1),
+         lg AS (SELECT a.s, k.lag, a.d, b.d AS d2
+                FROM dev a
+                CROSS JOIN (SELECT unnest(range(1, 8)) AS lag) k
+                JOIN dev b ON b.s = a.s AND b.i = a.i + k.lag),
+         num AS (SELECT s, lag, sum(d::HUGEINT * d2::HUGEINT) AS num
+                 FROM lg GROUP BY 1, 2)
+         SELECT num.s AS event_type, CAST(num.lag AS BIGINT) AS lag,
+           CAST(den.n AS BIGINT) AS n_days,
+           CAST(10000::HUGEINT * num.num // den.den AS BIGINT) AS acf_bp
+         FROM num JOIN den USING (s)""",
 
     // Holt level+trend: the q156 sequential-recursion shape with two
     // carried registers; ×256 fixed point, TRUNCATING division on both

@@ -1774,4 +1774,58 @@ object Events {
     * stored per-day KMV sketches, with exact audit columns. */
   def q249(s: SparkSession, d: String): DataFrame =
     kmvRetention(Tables.events(s, d), to_date(col("ts")), "user_id")
+
+  /** AUTOCORRELATION DIAGNOSTICS (round 11): per-series ACF at lags
+    * 1..maxLag — the seasonality detector the q149 weekday-baseline
+    * and q225 Holt operators assume but never measure (a lag-7 spike
+    * says "weekly cycle: season your baselines"; slow decay says
+    * "trend: difference before modeling"; all-noise says the q123
+    * rate monitor's i.i.d. assumption holds). Exact integer end to
+    * end: the mean enters as one truncating milli division, residuals
+    * d_t = 1000·x_t − x̄_milli are exact longs, numerator and
+    * denominator are decimal(38,0) sums of their products, and
+    * acf_bp = ⌊10⁴·num/den⌋ by the signed-agreeing F.idiv — two
+    * engines cannot disagree by a bit, including on NEGATIVE
+    * autocorrelations.
+    *
+    * Scale (100 TB of events): the aggregation to (series, day) rows
+    * is the only corpus-sized shuffle; the series tables are
+    * calendar-bounded, so the lag self-join and the per-lag rollup
+    * run on days·|series| rows. */
+  def acfDiagnostics(events: DataFrame, series: String, day: Column,
+                     maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1)
+    val daily = events.groupBy(col(series).as("s"), day.as("day"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.partitionBy(col("s")).orderBy(col("day"))
+    val stats = daily.groupBy(col("s"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+      .select(col("s"),
+        col("n"), F.idiv(lit(1000L) * col("sx"), col("n")).as("xbar_milli"))
+    val dev = daily.join(broadcast(stats), "s")
+      .select(col("s"), col("n"),
+        row_number().over(w).cast("long").as("i"),
+        (lit(1000L) * col("x") - col("xbar_milli")).as("d"))
+      .localCheckpoint() // bounded (days·|series|); joins itself per lag
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val den = dev.groupBy(col("s"))
+      .agg(sum(dec(col("d")) * dec(col("d"))).as("den"), max(col("n")).as("n"))
+    val lagged = dev.select(col("s"), col("i"),
+        explode(sequence(lit(1), lit(maxLag))).as("lag"), col("d")).as("l")
+      .join(dev.select(col("s"), col("i").as("i2"), col("d").as("d2")).as("r"),
+        col("l.s") === col("r.s") && col("r.i2") === col("l.i") + col("l.lag"))
+      .select(col("l.s").as("s"), col("l.lag").as("lag"),
+        col("l.d").as("d"), col("d2"))
+    val num = lagged.groupBy(col("s"), col("lag"))
+      .agg(sum(dec(col("d")) * dec(col("d2"))).as("num"))
+    num.join(broadcast(den), "s")
+      .select(col("s").as(series), col("lag").cast("long").as("lag"),
+        col("n").as("n_days"),
+        F.idiv(dec(lit(10000L)) * col("num"), col("den"))
+          .cast("long").as("acf_bp"))
+  }
+
+  /** q254: per-event-type daily-count ACF at lags 1..7. */
+  def q254(s: SparkSession, d: String): DataFrame =
+    acfDiagnostics(Tables.events(s, d), "event_type", to_date(col("ts")))
 }

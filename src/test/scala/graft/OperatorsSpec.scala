@@ -1089,6 +1089,20 @@ class OperatorsSpec extends SparkSpec {
     assert(out("sB") == ((2L, 1L, 10L, 5L, 5000L)), s"$out")
   }
 
+  test("q254 ACF: alternating series gives the hand-computed lags") {
+    import SparkTestSession.spark.implicits._
+    // daily counts 2,4,2,4 → x̄ = 3, d = ±1000 alternating:
+    // acf(1) = −7500 bp, acf(2) = 5000, acf(3) = −2500
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-05-0$day%d 12:00:00")
+    val ev = (Seq.fill(2)(ts(1)) ++ Seq.fill(4)(ts(2)) ++
+      Seq.fill(2)(ts(3)) ++ Seq.fill(4)(ts(4)))
+      .map(t => ("click", t)).toDF("event_type", "ts")
+    val out = Events.acfDiagnostics(ev, "event_type", to_date(col("ts")), 3)
+      .collect().map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out == Map(1L -> ((4L, -7500L)), 2L -> ((4L, 5000L)),
+      3L -> ((4L, -2500L))), s"$out")
+  }
+
   test("q186 mixture weights: worked example with exact integer sqrt") {
     import SparkTestSession.spark.implicits._
     val docs = Seq(
