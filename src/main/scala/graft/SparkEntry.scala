@@ -271,6 +271,8 @@ object SparkEntry {
     "q252_pad_waste"      -> (Text.q252 _),
     "q253_dedup_savings"  -> (Dedup.q253 _),
     "q254_acf"            -> (Events.q254 _),
+    "q255_ccf"            -> (Events.q255 _),
+    "q256_changepoint"    -> (Events.q256 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -3746,6 +3748,54 @@ object SparkEntry {
            CAST(den.n AS BIGINT) AS n_days,
            CAST(10000::HUGEINT * num.num // den.den AS BIGINT) AS acf_bp
          FROM num JOIN den USING (s)""",
+
+    // CCF: per-series milli residuals, calendar-day alignment, the
+    // ±1-corrected integer sqrt normalizer convention.
+    "q255_ccf" ->
+      """WITH d0 AS (SELECT event_type AS s, CAST(ts AS DATE) AS day, count(*) AS x
+             FROM events GROUP BY 1, 2),
+         st AS (SELECT s, 1000 * sum(x) // count(*) AS xbar FROM d0 GROUP BY 1),
+         dev AS (SELECT d0.s, d0.day, 1000 * d0.x - st.xbar AS d
+                 FROM d0 JOIN st USING (s)),
+         dn0 AS (SELECT s, sum(d * d) AS ss FROM dev GROUP BY 1),
+         dn1 AS (SELECT s, ss, CAST(floor(sqrt(CAST(ss AS DOUBLE))) AS BIGINT) AS c FROM dn0),
+         den AS (SELECT s, CASE WHEN (c + 1) * (c + 1) <= ss THEN c + 1
+                      WHEN c * c > ss THEN c - 1 ELSE c END AS isq FROM dn1),
+         lg AS (SELECT a.s AS sa, b.s AS sb, k.lag, count(*) AS n_overlap,
+                sum(a.d::HUGEINT * b.d::HUGEINT) AS num
+                FROM dev a
+                CROSS JOIN (SELECT unnest(range(-3, 4)) AS lag) k
+                JOIN dev b ON a.s < b.s AND b.day = a.day + CAST(k.lag AS INT)
+                GROUP BY 1, 2, 3)
+         SELECT sa AS series_a, sb AS series_b, CAST(lg.lag AS BIGINT) AS lag,
+           CAST(n_overlap AS BIGINT) AS n_overlap,
+           CAST(10000::HUGEINT * num // (qa.isq::HUGEINT * qb.isq::HUGEINT) AS BIGINT) AS ccf_bp
+         FROM lg JOIN den qa ON qa.s = lg.sa JOIN den qb ON qb.s = lg.sb""",
+
+    // One-split segmentation: prefix sums, the exact-integer gain
+    // 10^6(Sl^2*nr + Sr^2*nl)//(nl*nr), argmax ties to earliest day.
+    "q256_changepoint" ->
+      """WITH d0 AS (SELECT event_type AS s, CAST(ts AS DATE) AS day, count(*) AS x
+             FROM events GROUP BY 1, 2),
+         pre AS (SELECT s, day, x,
+                 row_number() OVER (PARTITION BY s ORDER BY day) AS i,
+                 sum(x) OVER (PARTITION BY s ORDER BY day ROWS UNBOUNDED PRECEDING) AS sl,
+                 count(*) OVER (PARTITION BY s) AS n,
+                 sum(x) OVER (PARTITION BY s) AS st
+                 FROM d0),
+         sc AS (SELECT s, day, i, n, sl, st - sl AS sr FROM pre WHERE i < n),
+         g AS (SELECT s, day, i, n, sl, sr,
+               (1000000::HUGEINT * (sl::HUGEINT * sl::HUGEINT * (n - i)::HUGEINT
+                  + sr::HUGEINT * sr::HUGEINT * i::HUGEINT))
+                 // (i::HUGEINT * (n - i)::HUGEINT) AS gain_micro FROM sc),
+         r AS (SELECT *, row_number() OVER (PARTITION BY s
+               ORDER BY gain_micro DESC, day ASC) AS rk FROM g)
+         SELECT s AS event_type, strftime(day, '%Y-%m-%d') AS split_day,
+           CAST(i AS BIGINT) AS n_left, CAST(n - i AS BIGINT) AS n_right,
+           CAST(1000 * sl // i AS BIGINT) AS mean_left_milli,
+           CAST(1000 * sr // (n - i) AS BIGINT) AS mean_right_milli,
+           CAST(gain_micro AS BIGINT) AS gain_micro
+         FROM r WHERE rk = 1""",
 
     // Holt level+trend: the q156 sequential-recursion shape with two
     // carried registers; ×256 fixed point, TRUNCATING division on both

@@ -1828,4 +1828,112 @@ object Events {
   /** q254: per-event-type daily-count ACF at lags 1..7. */
   def q254(s: SparkSession, d: String): DataFrame =
     acfDiagnostics(Tables.events(s, d), "event_type", to_date(col("ts")))
+
+  /** CROSS-CORRELATION (CCF) between series pairs at lags −3..+3
+    * (round 11; q254's ACF turned pairwise): does one event stream
+    * LEAD another — "views lead purchases by 2 days" is
+    * ccf(views, purchases) peaking at lag +2, the signal a funnel
+    * model (q35/q134) turns into horizon choices and a capacity
+    * planner reads as advance warning. Residuals come off each
+    * series' own truncating milli mean (the q254 discipline);
+    * alignment is by CALENDAR day (series with gaps pair only where
+    * both sides exist — n_overlap reports how much support each
+    * estimate has). The normalizer is isqrt(den_a)·isqrt(den_b) —
+    * integer square roots, double-candidate ±1-corrected, so the
+    * value is engine-exact by CONSTRUCTION (a true √(den·den) differs
+    * by ≤ 2·10⁻⁷ relative at these magnitudes; the convention is
+    * documented rather than floating).
+    *
+    * Scale: same as q254 — one corpus aggregation, then
+    * |series|²·lags work on calendar-bounded tables. */
+  def ccfDiagnostics(events: DataFrame, series: String, day: Column,
+                     maxLag: Int = 3): DataFrame = {
+    require(maxLag >= 1)
+    val daily = events.groupBy(col(series).as("s"), day.as("day"))
+      .agg(count(lit(1)).as("x"))
+    val stats = daily.groupBy(col("s"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+      .select(col("s"), F.idiv(lit(1000L) * col("sx"), col("n")).as("xbar_milli"))
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val dev = daily.join(broadcast(stats), "s")
+      .select(col("s"), col("day"),
+        (lit(1000L) * col("x") - col("xbar_milli")).as("d"))
+      .localCheckpoint() // calendar-bounded; feeds den + both pair sides
+    def isqrtL(c: Column): Column = {
+      val cand = floor(sqrt(c.cast("double"))).cast("long")
+      when((cand + 1) * (cand + 1) <= c, cand + 1)
+        .when(cand * cand > c, cand - 1).otherwise(cand)
+    }
+    val den = dev.groupBy(col("s"))
+      .agg(sum(col("d") * col("d")).as("ss"))
+      .select(col("s"), isqrtL(col("ss")).as("isq"))
+    val lags = explode(sequence(lit(-maxLag), lit(maxLag))).as("lag")
+    val pairs = dev.select(col("s").as("sa"), col("day"), col("d").as("da"))
+      .select(col("sa"), col("day"), col("da"), lags).as("l")
+      .join(dev.select(col("s").as("sb"), col("day").as("day_b"),
+        col("d").as("db")).as("r"),
+        col("sa") < col("sb") &&
+          col("day_b") === date_add(col("day"), col("lag")))
+      .groupBy(col("sa"), col("sb"), col("lag"))
+      .agg(count(lit(1)).as("n_overlap"),
+        sum(dec(col("da")) * dec(col("db"))).as("num"))
+    pairs.join(broadcast(den.select(col("s").as("sa"), col("isq").as("qa"))), "sa")
+      .join(broadcast(den.select(col("s").as("sb"), col("isq").as("qb"))), "sb")
+      .select(col("sa").as("series_a"), col("sb").as("series_b"),
+        col("lag").cast("long").as("lag"), col("n_overlap"),
+        F.idiv(dec(lit(10000L)) * col("num"), dec(col("qa")) * dec(col("qb")))
+          .cast("long").as("ccf_bp"))
+  }
+
+  /** q255: pairwise event-type CCF at lags −3..+3. */
+  def q255(s: SparkSession, d: String): DataFrame =
+    ccfDiagnostics(Tables.events(s, d), "event_type", to_date(col("ts")))
+
+  /** CHANGEPOINT SCAN (round 11; one-split binary segmentation): the
+    * day that best splits each series into two regimes — argmax over
+    * split points of the between-segment variance gain
+    * S_l²/n_l + S_r²/n_r (the constant S²/N drops out of the argmax),
+    * evaluated as one exact-integer expression per candidate:
+    * gain_micro = ⌊10⁶·(S_l²·n_r + S_r²·n_l)/(n_l·n_r)⌋ — prefix sums
+    * from one bounded window, decimal products, one truncating
+    * division, ties to the earliest day. Where q151's CUSUM flags
+    * that a shift happened, this names WHEN and by how much
+    * (mean_left/right) — the first question an on-call asks.
+    *
+    * Scale: the corpus aggregates to (series, day); everything after
+    * is calendar-bounded windows. */
+  def changepointScan(events: DataFrame, series: String,
+                      day: Column): DataFrame = {
+    val daily = events.groupBy(col(series).as("s"), day.as("day"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.partitionBy(col("s")).orderBy(col("day"))
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val pre = daily
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("sl", sum(col("x")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("s"))))
+      .withColumn("st", sum(col("x")).over(Window.partitionBy(col("s"))))
+      .filter(col("i") < col("n")) // split AFTER day i; last day cannot split
+    val scored = pre.select(col("s"), col("day"), col("i"), col("n"),
+        col("sl"), (col("st") - col("sl")).as("sr"))
+      .withColumn("gain_micro", F.idiv(
+        dec(lit(1000000L)) * (dec(col("sl")) * dec(col("sl")) * dec(col("n") - col("i")) +
+          dec(col("sr")) * dec(col("sr")) * dec(col("i"))),
+        dec(col("i")) * dec(col("n") - col("i"))).cast("long"))
+    scored
+      .withColumn("rk", row_number().over(Window.partitionBy(col("s"))
+        .orderBy(col("gain_micro").desc, col("day").asc)))
+      .filter(col("rk") === 1)
+      .select(col("s").as(series),
+        date_format(col("day"), "yyyy-MM-dd").as("split_day"),
+        col("i").as("n_left"), (col("n") - col("i")).as("n_right"),
+        F.idiv(lit(1000L) * col("sl"), col("i")).as("mean_left_milli"),
+        F.idiv(lit(1000L) * col("sr"), col("n") - col("i")).as("mean_right_milli"),
+        col("gain_micro"))
+  }
+
+  /** q256: best single regime split per event-type daily series. */
+  def q256(s: SparkSession, d: String): DataFrame =
+    changepointScan(Tables.events(s, d), "event_type", to_date(col("ts")))
 }

@@ -1103,6 +1103,40 @@ class OperatorsSpec extends SparkSpec {
       3L -> ((4L, -2500L))), s"$out")
   }
 
+  test("q255 CCF: a one-day-shifted series peaks at lag +1 with ccf = 1") {
+    import SparkTestSession.spark.implicits._
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-05-0$day%d 12:00:00")
+    // beta is alpha delayed one day; both alternate 2,4,2,4 → residuals
+    // align perfectly at lag +1 (alpha leads beta)
+    def series(name: String, startDay: Int) =
+      (Seq.fill(2)(ts(startDay)) ++ Seq.fill(4)(ts(startDay + 1)) ++
+        Seq.fill(2)(ts(startDay + 2)) ++ Seq.fill(4)(ts(startDay + 3)))
+        .map(t => (name, t))
+    val ev = (series("alpha", 1) ++ series("beta", 2)).toDF("event_type", "ts")
+    val out = Events.ccfDiagnostics(ev, "event_type", to_date(col("ts")), 3)
+      .collect().map(r => r.getLong(2) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) == ((4L, 10000L)), s"lead detection at +1: $out")
+    // at lag -1 only 2 days overlap and they happen to align: (2, 5000)
+    assert(out(-1L) == ((2L, 5000L)), s"partial overlap at -1: $out")
+    // the +1 peak is the unique full-support maximum
+    assert(out.filter(_._1 != 1L).values.forall(_._2 < 10000L), s"$out")
+  }
+
+  test("q256 changepoint: the step day is found with exact means and gain") {
+    import SparkTestSession.spark.implicits._
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-05-0$day%d 12:00:00")
+    // counts 2,2,2,8,8 → perfect split after day 3 (SSE 0):
+    // gain = 10^6 * (36*2 + 256*3) / 6 = 140_000_000
+    val ev = (1 to 3).flatMap(d => Seq.fill(2)(ts(d))) ++
+      (4 to 5).flatMap(d => Seq.fill(8)(ts(d)))
+    val df = ev.map(t => ("click", t)).toDF("event_type", "ts")
+    val r = Events.changepointScan(df, "event_type", to_date(col("ts")))
+      .collect().head
+    assert((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5), r.getLong(6)) ==
+      (("2024-05-03", 3L, 2L, 2000L, 8000L, 140000000L)), s"$r")
+  }
+
   test("q186 mixture weights: worked example with exact integer sqrt") {
     import SparkTestSession.spark.implicits._
     val docs = Seq(
