@@ -273,6 +273,8 @@ object SparkEntry {
     "q254_acf"            -> (Events.q254 _),
     "q255_ccf"            -> (Events.q255 _),
     "q256_changepoint"    -> (Events.q256 _),
+    "q257_l_diversity"    -> (Relational.q257 _),
+    "q258_temporal_split" -> (Events.q258 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -3724,6 +3726,38 @@ object SparkEntry {
          SELECT 'ALL', 0, CAST(max(t) AS BIGINT), 10000,
            CAST(10000::HUGEINT * sum(gn) // (max(n)::HUGEINT * max(t)::HUGEINT) AS BIGINT)
          FROM rw""",
+
+    // (class, sensitive) cells then the class rollup; dominant share
+    // by truncating bp division.
+    "q257_l_diversity" ->
+      """WITH cells AS (SELECT CAST(c_nationkey AS INT) AS nation,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+             c_mktsegment AS sv, count(*) AS c
+             FROM customer GROUP BY 1, 2, 3)
+         SELECT nation, bal_band, CAST(sum(c) AS BIGINT) AS n,
+           CAST(count(*) AS BIGINT) AS l_distinct,
+           CAST(10000 * max(c) // sum(c) AS BIGINT) AS top_share_bp,
+           CAST(CASE WHEN sum(c) >= 5 THEN 1 ELSE 0 END AS INT) AS is_k_anon,
+           CAST(CASE WHEN count(*) >= 3 THEN 1 ELSE 0 END AS INT) AS is_l_diverse
+         FROM cells GROUP BY 1, 2""",
+
+    // Day-grain CASE tagging, per-split masses, per-user presence
+    // flags, and the three pairwise overlaps as first-class rows.
+    "q258_temporal_split" ->
+      """WITH t AS (SELECT CASE WHEN CAST(ts AS DATE) < DATE '2024-01-19' THEN 'train'
+                     WHEN CAST(ts AS DATE) < DATE '2024-01-25' THEN 'val'
+                     ELSE 'test' END AS segment, user_id AS u FROM events),
+         base AS (SELECT segment, CAST(count(*) AS BIGINT) AS n_events,
+                  CAST(count(DISTINCT u) AS BIGINT) AS n_users FROM t GROUP BY 1),
+         fl AS (SELECT u,
+                max(CASE WHEN segment = 'train' THEN 1 ELSE 0 END) AS tr,
+                max(CASE WHEN segment = 'val' THEN 1 ELSE 0 END) AS va,
+                max(CASE WHEN segment = 'test' THEN 1 ELSE 0 END) AS te
+                FROM (SELECT DISTINCT segment, u FROM t) GROUP BY 1)
+         SELECT * FROM base
+         UNION ALL SELECT 'train^val', 0, CAST(sum(tr * va) AS BIGINT) FROM fl
+         UNION ALL SELECT 'train^test', 0, CAST(sum(tr * te) AS BIGINT) FROM fl
+         UNION ALL SELECT 'val^test', 0, CAST(sum(va * te) AS BIGINT) FROM fl""",
 
     // ACF replayed exactly: milli residuals off the truncating mean,
     // HUGEINT num/den products, signed truncating bp division.

@@ -1936,4 +1936,51 @@ object Events {
   /** q256: best single regime split per event-type daily series. */
   def q256(s: SparkSession, d: String): DataFrame =
     changepointScan(Tables.events(s, d), "event_type", to_date(col("ts")))
+
+  /** TEMPORAL SPLIT + IDENTITY-LEAKAGE AUDIT (round 11): the
+    * time-based train/val/test assignment an event-sequence model
+    * needs (q100's hash split is the right tool for i.i.d. documents;
+    * for temporal data it LEAKS the future into training), plus the
+    * audit hash splits never need: the same user appearing on both
+    * sides of a time cut lets a model score identity memorization as
+    * forecasting skill, so the three pairwise user overlaps are
+    * first-class output rows — the reviewer's number, not a footnote.
+    * Cuts are [−∞,t1) / [t1,t2) / [t2,∞) on the day grain.
+    *
+    * Scale (100 TB): segment tagging is a map-side CASE; one
+    * aggregation for the per-split masses, one distinct-projection
+    * aggregation for the per-user presence flags (both map-side
+    * partial); the overlap rollup runs on one row per user. */
+  def temporalSplit(events: DataFrame, user: String, day: Column,
+                    t1: String, t2: String): DataFrame = {
+    require(t1 < t2, s"cut order: $t1 !< $t2")
+    val seg = when(day < lit(t1).cast("date"), "train")
+      .when(day < lit(t2).cast("date"), "val").otherwise("test")
+    val tagged = events.select(seg.as("segment"), col(user).as("u"))
+    val base = tagged.groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_events"), count_distinct(col("u")).as("n_users"))
+    val flags = tagged.distinct().groupBy(col("u"))
+      .agg(max(when(col("segment") === "train", 1).otherwise(0)).as("tr"),
+        max(when(col("segment") === "val", 1).otherwise(0)).as("va"),
+        max(when(col("segment") === "test", 1).otherwise(0)).as("te"))
+    val inter = flags.agg(
+      sum(col("tr") * col("va")).as("tv"),
+      sum(col("tr") * col("te")).as("tt"),
+      sum(col("va") * col("te")).as("vt"))
+    val leak = inter.select(explode(array(
+        struct(lit("train^val").as("segment"), lit(0L).as("n_events"),
+          col("tv").cast("long").as("n_users")),
+        struct(lit("train^test").as("segment"), lit(0L).as("n_events"),
+          col("tt").cast("long").as("n_users")),
+        struct(lit("val^test").as("segment"), lit(0L).as("n_events"),
+          col("vt").cast("long").as("n_users")))).as("r"))
+      .select(col("r.segment"), col("r.n_events"), col("r.n_users"))
+    base.unionByName(leak)
+  }
+
+  /** q258: 60/20/20-ish temporal split of the event stream with the
+    * user-overlap leakage rows. */
+  def q258(s: SparkSession, d: String): DataFrame =
+    temporalSplit(Tables.events(s, d), "user_id", to_date(col("ts")),
+      "2024-01-19", "2024-01-25")
 }

@@ -1036,6 +1036,39 @@ object Relational {
         floor(col("c_acctbal") / 1000d).cast("long").as("bal_band")),
       5L)
 
+  /** L-DIVERSITY AUDIT (round 11; q183's k-anonymity finished
+    * properly): k-anonymity alone leaves the homogeneity attack open —
+    * a 50-member equivalence class is useless protection when all 50
+    * share the sensitive value. Per quasi-identifier class: size,
+    * DISTINCT sensitive values (the l in l-diversity), the dominant
+    * value's share in bp (the attacker's confidence), and the two
+    * pass flags. One aggregation to (class, sensitive) cells, one
+    * rollup — never a row-level shuffle beyond the first. */
+  def lDiversity(df: DataFrame, quasiIds: Seq[Column], sensitive: Column,
+                 k: Long, l: Long): DataFrame = {
+    val cells = df.groupBy(quasiIds :+ sensitive.as("sv"): _*)
+      .agg(count(lit(1)).as("c"))
+    val names = cells.columns.dropRight(2) // the quasi-id output names
+    cells.groupBy(names.map(col): _*)
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("l_distinct"),
+        max(col("c")).as("top_c"))
+      .select(names.map(col) :+ col("n") :+ col("l_distinct") :+
+        graft.functions.F.idiv(lit(10000L) * col("top_c"), col("n"))
+          .as("top_share_bp") :+
+        (col("n") >= k).cast("int").as("is_k_anon") :+
+        (col("l_distinct") >= l).cast("int").as("is_l_diverse"): _*)
+  }
+
+  /** q257: the q183 classes audited for sensitive-value diversity —
+    * sensitive attribute = the customer's order priority mix proxy
+    * (mktsegment is quasi; use nation-band classes with segment as
+    * the sensitive value), k = 5, l = 3. */
+  def q257(s: SparkSession, d: String): DataFrame =
+    lDiversity(Tables.customer(s, d),
+      Seq(col("c_nationkey").cast("int").as("nation"),
+        floor(col("c_acctbal") / 1000d).cast("long").as("bal_band")),
+      col("c_mktsegment"), 5L, 3L)
+
   /** SHUFFLE-SKEW PRE-FLIGHT AUDIT for a join/aggregation key: the
     * planning operator that answers "will this key skew at scale?"
     * BEFORE the expensive job runs. Simulates the hash partitioning a

@@ -1137,6 +1137,36 @@ class OperatorsSpec extends SparkSpec {
       (("2024-05-03", 3L, 2L, 2000L, 8000L, 140000000L)), s"$r")
   }
 
+  test("q257 l-diversity: homogeneous class fails l even when k passes") {
+    import SparkTestSession.spark.implicits._
+    val rows = Seq(
+      (1, "A"), (1, "A"), (1, "A"), (1, "B"), (1, "C"), // diverse, n=5
+      (2, "A"), (2, "A"), (2, "A"), (2, "A"), (2, "A")  // homogeneous, n=5
+    ).toDF("qid", "sv")
+    val out = Relational.lDiversity(rows, Seq(col("qid")), col("sv"), 5L, 3L)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getInt(4), r.getInt(5)))).toMap
+    assert(out(1) == ((5L, 3L, 6000L, 1, 1)), s"$out")
+    // k-anonymous but an attacker knows the value with certainty
+    assert(out(2) == ((5L, 1L, 10000L, 1, 0)), s"$out")
+  }
+
+  test("q258 temporal split: masses and the pairwise leakage rows") {
+    import SparkTestSession.spark.implicits._
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+    val ev = Seq((1L, ts(10)), (2L, ts(10)), (2L, ts(26)),
+      (3L, ts(20)), (3L, ts(26)), (3L, ts(26))).toDF("user_id", "ts")
+    val out = Events.temporalSplit(ev, "user_id", to_date(col("ts")),
+        "2024-01-19", "2024-01-25")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(out("train") == ((2L, 2L)) && out("val") == ((1L, 1L)) &&
+      out("test") == ((3L, 2L)), s"$out")
+    assert(out("train^val") == ((0L, 0L)), s"$out")
+    assert(out("train^test") == ((0L, 1L)), "u2 leaks across the test cut")
+    assert(out("val^test") == ((0L, 1L)), "u3 leaks across the test cut")
+  }
+
   test("q186 mixture weights: worked example with exact integer sqrt") {
     import SparkTestSession.spark.implicits._
     val docs = Seq(
