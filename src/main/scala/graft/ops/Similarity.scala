@@ -1571,6 +1571,72 @@ object Similarity {
       "vec_id", "embedding")
   }
 
+  /** INCREMENTAL GRAPH GROWTH (round 11; the q168 frozen-structure
+    * rule carried to the graph family): new vectors insert by
+    * SEARCHING the standing graph for their M nearest — the NSW
+    * insert primitive, run data-parallel for the whole delta batch
+    * through the same beam walk the read path uses — then edges go in
+    * BOTH directions: each delta node keeps its M found neighbors
+    * (best-first, the search already ranks them), and each touched
+    * existing node re-prunes (current neighbors ∪ its new delta
+    * candidates) to M under the construction's (cos DESC, id ASC)
+    * order. Untouched nodes' adjacency is carried VERBATIM
+    * (spec-pinned) — a day's append rescored ≤ |delta|·M existing
+    * nodes, never the graph. Deterministic end to end, so replays and
+    * rebuilds agree bit-for-bit.
+    *
+    * Scale (100 TB): the batch search is hops·(adjacency join +
+    * bounded top-beam); the re-prune joins vectors for (touched ∪
+    * candidate) pairs only — O(|delta|·M²) scored rows; the rewrite
+    * is graph-row-sized (at deployment, partition the graph table and
+    * rewrite only touched partitions — the mergeCommit discipline). */
+  def appendToNswIndex(delta: DataFrame, id: String, emb: String,
+                       path: String, m: Int = NswM, beam: Int = NswBeam,
+                       hops: Int = NswHops, seeds: Int = NswSeeds): Unit = {
+    val s = delta.sparkSession
+    val graph = s.read.parquet(s"$path/graph").localCheckpoint()
+    val vectors = s.read.parquet(s"$path/vectors").localCheckpoint()
+    val d = delta.select(col(id).as("vid"), col(emb).as("c_emb"))
+      .localCheckpoint()
+    // 1. batch NSW insert-search: each delta vector's M nearest among
+    //    the EXISTING nodes (k = m; the search excludes self by id)
+    val found = nswSearchTopK(graph,
+        vectors.select(col("vid").as("nsw_id"), col("c_emb").as("nsw_emb")),
+        d.select(col("vid").as("nsw_id"), col("c_emb").as("nsw_emb")),
+        "nsw_id", "nsw_emb", k = m, beam = beam, hops = hops, seeds = seeds)
+      .select(col("query_id").as("dvid"), col("rank"),
+        col("neighbor_id").as("evid"))
+      .localCheckpoint()
+    // 2. delta rows: found neighbors already best-first by rank
+    val deltaRows = found
+      .groupBy(col("dvid"))
+      .agg(sort_array(collect_list(struct(col("rank"), col("evid")))).as("sr"))
+      .select(col("dvid").as("vid"),
+        expr("transform(sr, x -> x.evid)").as("nbrs"))
+    // 3. touched existing nodes re-prune (old nbrs ∪ new delta edges)
+    //    under the construction order; cos rescored from vectors
+    val allVecs = vectors.unionByName(d)
+    val touchedCand = graph.join(found.select(col("evid").as("vid")).distinct(), "vid")
+      .select(col("vid"), explode(col("nbrs")).as("nbr"))
+      .unionByName(found.select(col("evid").as("vid"), col("dvid").as("nbr")))
+      .distinct()
+    val cos = F.cosineSim(col("a_emb"), col("b_emb"))
+    val touchedRows = touchedCand
+      .join(allVecs.select(col("vid"), col("c_emb").as("a_emb")), "vid")
+      .join(allVecs.select(col("vid").as("nbr"), col("c_emb").as("b_emb")), "nbr")
+      .select(col("vid"), col("nbr"), cos.as("cos"))
+      .groupBy(col("vid"))
+      .agg(F.topK(struct(col("cos"), (-col("nbr")).as("negid"),
+        col("nbr").as("nid")), m).as("top"))
+      .select(col("vid"), col("top.nid").as("nbrs"))
+    val untouched = graph.join(found.select(col("evid").as("vid")).distinct(),
+      Seq("vid"), "left_anti")
+    val newGraph = untouched.unionByName(touchedRows).unionByName(deltaRows)
+      .localCheckpoint() // materialize BEFORE overwriting the source files
+    newGraph.write.mode("overwrite").parquet(s"$path/graph")
+    allVecs.write.mode("overwrite").parquet(s"$path/vectors")
+  }
+
   /** Probe a persisted graph index: adjacency + vectors from the
     * store, the same beam walk. */
   def nswTopKFromIndex(s: SparkSession, path: String, queries: DataFrame,

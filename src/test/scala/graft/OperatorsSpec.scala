@@ -1014,6 +1014,52 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.9, f"mean recall@10 $recall%.3f below the 0.9 floor")
   }
 
+  test("graph ANN append: carried rows verbatim, deterministic, recall holds") {
+    val (c, q) = Similarity.corpusAndQueries(spark, sf)
+    val even = c.filter(col("vec_id") % 2 === 0)
+    val odd = c.filter(col("vec_id") % 2 === 1)
+    def build(): String = {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-nsw-app").toString + "/idx"
+      Similarity.writeNswIndex(even, "vec_id", "embedding", dir)
+      dir
+    }
+    val dir = build()
+    val pre = spark.read.parquet(s"$dir/graph").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    Similarity.appendToNswIndex(odd, "vec_id", "embedding", dir)
+    val post = spark.read.parquet(s"$dir/graph").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // every pre-existing node is still there; one that changed must
+    // have gained a delta (odd-id) neighbor — otherwise verbatim
+    pre.foreach { case (vid, nbrs) =>
+      val now = post(vid)
+      assert(now == nbrs || now.exists(_ % 2 == 1),
+        s"node $vid changed without a delta edge: $nbrs -> $now")
+    }
+    // delta nodes are wired with bounded out-degree
+    val oddIds = odd.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(oddIds.forall(post.contains), "every delta node inserted")
+    assert(post.values.forall(_.length <= Similarity.NswM))
+    // the grown index still searches well: recall vs full-corpus truth
+    val truth = Similarity.bruteForceTopK(c, q, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val got = Similarity.nswTopKFromIndex(spark, dir, q, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = truth.map { case (qid, t) =>
+      got.getOrElse(qid, Set.empty).intersect(t).size.toDouble / t.size }
+    val recall = recalls.sum / recalls.size
+    assert(recall >= 0.85, f"post-append recall $recall%.3f below 0.85")
+    // determinism: an identical build+append yields the identical graph
+    val dir2 = build()
+    Similarity.appendToNswIndex(odd, "vec_id", "embedding", dir2)
+    val post2 = spark.read.parquet(s"$dir2/graph").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(post2 == post, "append must be bit-identical across replays")
+  }
+
   test("graph ANN: persisted index probes row-identical to the direct walk") {
     val (c, q) = Similarity.corpusAndQueries(spark, sf)
     val dir = java.nio.file.Files
