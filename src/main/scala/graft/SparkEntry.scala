@@ -275,6 +275,7 @@ object SparkEntry {
     "q256_changepoint"    -> (Events.q256 _),
     "q257_l_diversity"    -> (Relational.q257 _),
     "q258_temporal_split" -> (Events.q258 _),
+    "q259_props_coverage" -> (Events.q259 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -3726,6 +3727,28 @@ object SparkEntry {
          SELECT 'ALL', 0, CAST(max(t) AS BIGINT), 10000,
            CAST(10000::HUGEINT * sum(gn) // (max(n)::HUGEINT * max(t)::HUGEINT) AS BIGINT)
          FROM rw""",
+
+    // Dynamic keys via json_keys + dynamic-path extraction; numeric
+    // flag by the same integer regex; truncating coverage bp.
+    "q259_props_coverage" ->
+      """WITH e AS (SELECT event_type, props FROM events),
+         tot AS (SELECT event_type, count(*) AS cnt FROM e GROUP BY 1),
+         kv AS (SELECT event_type, k.key AS field,
+                json_extract_string(e.props, '$.' || k.key) AS v
+                FROM e, UNNEST(json_keys(e.props)) AS k(key)),
+         g AS (SELECT event_type, field, count(*) AS n_present,
+               count(DISTINCT v) AS n_distinct_vals,
+               min(CASE WHEN regexp_matches(v, '^-?[0-9]+$') THEN 1 ELSE 0 END) AS all_numeric,
+               min(CASE WHEN regexp_matches(v, '^-?[0-9]+$') THEN CAST(v AS BIGINT) END) AS mn,
+               max(CASE WHEN regexp_matches(v, '^-?[0-9]+$') THEN CAST(v AS BIGINT) END) AS mx
+               FROM kv GROUP BY 1, 2)
+         SELECT g.event_type, g.field, CAST(n_present AS BIGINT) AS n_present,
+           CAST(10000 * n_present // cnt AS BIGINT) AS coverage_bp,
+           CAST(n_distinct_vals AS BIGINT) AS n_distinct_vals,
+           CAST(all_numeric AS INT) AS all_numeric,
+           CASE WHEN all_numeric = 1 THEN mn END AS min_num,
+           CASE WHEN all_numeric = 1 THEN mx END AS max_num
+         FROM g JOIN tot USING (event_type)""",
 
     // (class, sensitive) cells then the class rollup; dominant share
     // by truncating bp division.

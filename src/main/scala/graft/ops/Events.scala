@@ -1983,4 +1983,48 @@ object Events {
   def q258(s: SparkSession, d: String): DataFrame =
     temporalSplit(Tables.events(s, d), "user_id", to_date(col("ts")),
       "2024-01-19", "2024-01-25")
+
+  /** SEMI-STRUCTURED FIELD-COVERAGE AUDIT (round 11): the governance
+    * report for a JSON properties column — per (record type, field):
+    * presence count, coverage in bp, distinct values, and numeric
+    * min/max when every present value parses as an integer. q152
+    * audits the DECLARED schema's drift; this audits the UNDECLARED
+    * one — the payload fields producers actually send, where contract
+    * rot first shows (a field's coverage sliding from 10000 bp, a
+    * "numeric" field growing a non-numeric variant). Dynamic keys via
+    * from_json to map<string,string> (no per-field literal paths), so
+    * new fields appear in the report the day they appear in the data.
+    *
+    * Scale (100 TB): one map-side parse + explode (rows × field
+    * count), one aggregation to (type, field) grain; totals broadcast
+    * back. Swap count_distinct for the KMV/HLL sketch at deployment
+    * if a field's value domain is corpus-sized. */
+  def propsCoverage(events: DataFrame, recType: String,
+                    props: Column): DataFrame = {
+    val tot = events.groupBy(col(recType).as("t_"))
+      .agg(count(lit(1)).as("cnt"))
+    val kv = events
+      .select(col(recType).as("t_"),
+        explode(from_json(props, org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.StringType))).as(Seq("field", "v")))
+    val isNum = col("v").rlike("^-?[0-9]+$")
+    kv.groupBy(col("t_"), col("field"))
+      .agg(count(lit(1)).as("n_present"),
+        count_distinct(col("v")).as("n_distinct_vals"),
+        min(when(isNum, lit(1)).otherwise(lit(0))).as("all_numeric"),
+        min(when(isNum, col("v").cast("long"))).as("min_num"),
+        max(when(isNum, col("v").cast("long"))).as("max_num"))
+      .join(broadcast(tot), "t_")
+      .select(col("t_").as(recType), col("field"), col("n_present"),
+        graft.functions.F.idiv(lit(10000L) * col("n_present"), col("cnt"))
+          .as("coverage_bp"),
+        col("n_distinct_vals"), col("all_numeric").cast("int").as("all_numeric"),
+        when(col("all_numeric") === 1, col("min_num")).as("min_num"),
+        when(col("all_numeric") === 1, col("max_num")).as("max_num"))
+  }
+
+  /** q259: field coverage of the event props payload per event type. */
+  def q259(s: SparkSession, d: String): DataFrame =
+    propsCoverage(Tables.events(s, d), "event_type", col("props"))
 }

@@ -1213,6 +1213,22 @@ class OperatorsSpec extends SparkSpec {
     assert(out("val^test") == ((0L, 1L)), "u3 leaks across the test cut")
   }
 
+  test("q259 props coverage: missing fields, mixed types, numeric ranges") {
+    import SparkTestSession.spark.implicits._
+    val ev = Seq(
+      ("a", """{"k": 5, "tag": "x"}"""),
+      ("a", """{"k": 7}"""),
+      ("a", """{"tag": "x"}""")
+    ).toDF("event_type", "props")
+    val out = Events.propsCoverage(ev, "event_type", col("props"))
+      .collect().map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getInt(5),
+        Option(r.get(6)).map(_.asInstanceOf[Long]),
+        Option(r.get(7)).map(_.asInstanceOf[Long])))).toMap
+    assert(out("k") == ((2L, 6666L, 2L, 1, Some(5L), Some(7L))), s"$out")
+    assert(out("tag") == ((2L, 6666L, 1L, 0, None, None)), s"$out")
+  }
+
   test("q186 mixture weights: worked example with exact integer sqrt") {
     import SparkTestSession.spark.implicits._
     val docs = Seq(
