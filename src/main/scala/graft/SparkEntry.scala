@@ -276,6 +276,7 @@ object SparkEntry {
     "q257_l_diversity"    -> (Relational.q257 _),
     "q258_temporal_split" -> (Events.q258 _),
     "q259_props_coverage" -> (Events.q259 _),
+    "q260_dup_explain"    -> (Dedup.q260 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -2833,6 +2834,41 @@ object SparkEntry {
            CAST(len(tks) - coalesce(n_kept, 0) AS BIGINT) AS n_cut,
            coalesce(kept_md5, md5('')) AS kept_md5
          FROM t LEFT JOIN agg USING (doc_id)""",
+
+    // q51's pair CTEs + the q247 doubling chain, matches per width
+    // restricted by the left join to actual pairs; max width per pair.
+    "q260_dup_explain" -> {
+      val w = 8; val rounds = 5
+      val dbl = (1 until rounds).map { j =>
+        val shift = w * (1 << (j - 1))
+        s"""h$j AS (SELECT a.doc_id, a.p, md5(a.h || ':' || b.h) AS h
+           FROM h${j - 1} a JOIN h${j - 1} b ON b.doc_id = a.doc_id AND b.p = a.p + $shift)"""
+      }.mkString(",\n         ")
+      val ms = (0 until rounds).map { j =>
+        val width = w * (1 << j)
+        s"""SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb, $width AS width
+           FROM h$j a JOIN h$j b ON a.h = b.h AND a.doc_id < b.doc_id"""
+      }.mkString(" UNION ALL ")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle FROM t),
+         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         pr AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS common
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+         good AS (SELECT ida, idb,
+                ${BP("common / CAST(na.n + nb.n - common AS DOUBLE)")} AS jaccard_bp
+                FROM pr JOIN sz na ON na.doc_id = ida JOIN sz nb ON nb.doc_id = idb
+                WHERE common / CAST(na.n + nb.n - common AS DOUBLE) >= 0.6),
+         h0 AS (SELECT doc_id, i AS p, md5(array_to_string(toks[i:i+${w - 1}], ' ')) AS h
+                FROM t, UNNEST(range(1, len(toks) - ${w - 2})) AS u(i)),
+         $dbl,
+         mm AS ($ms),
+         mx AS (SELECT ida, idb, max(width) AS mw FROM mm GROUP BY 1, 2)
+         SELECT good.ida AS doc_a, good.idb AS doc_b, good.jaccard_bp,
+           CAST(coalesce(mx.mw, 0) AS BIGINT) AS max_shared_width
+         FROM good LEFT JOIN mx ON mx.ida = good.ida AND mx.idb = good.idb"""
+    },
 
     // Suffix-doubling replayed round-for-round: h0 = the q181 window
     // hash, h_{j+1}(p) = md5(h_j(p) || ':' || h_j(p + w·2^j)) via the

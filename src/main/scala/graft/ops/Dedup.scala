@@ -1386,8 +1386,13 @@ object Dedup {
     * corpus-linear, rounds = log₂(W/w) ≈ 5. Rounds localCheckpoint
     * (each feeds its stats AND the next round — the q190 rule).
     * Returns (doc_id, n_tokens, max_dup_width, n_dup_w). */
-  def repeatedSpanProfile(corpus: DataFrame, id: String, text: String,
-                          wMin: Int, rounds: Int): DataFrame = {
+  /** The per-round (width, (doc_id, p, h)) suffix-doubling fingerprint
+    * tables — ONE definition of the recurrence, shared by the profile
+    * (q247) and the pair explainer (q260) so the doubling math cannot
+    * drift between them. Each round's table is checkpointed (it feeds
+    * its consumer AND the next round). */
+  private def doublingTables(corpus: DataFrame, id: String, text: String,
+                             wMin: Int, rounds: Int): Seq[(Long, DataFrame)] = {
     require(wMin >= 2 && rounds >= 1)
     val base = corpus.select(col(id).as("doc_id"), tokens(col(text)).as("tks"))
     val h0 = base.filter(size(col("tks")) >= wMin)
@@ -1396,15 +1401,10 @@ object Dedup {
         .as(Seq("p0", "h")))
       .select(col("doc_id"), (col("p0") + 1).as("p"), col("h"))
     var cur = h0.localCheckpoint()
-    val stats = Seq.newBuilder[DataFrame]
-    var width = wMin
+    var width = wMin.toLong
+    val out = Seq.newBuilder[(Long, DataFrame)]
     for (j <- 0 until rounds) {
-      val byHash = Window.partitionBy(col("h"))
-      stats += cur.withColumn("cnt", count(lit(1)).over(byHash))
-        .filter(col("cnt") > 1)
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_dup"))
-        .withColumn("width", lit(width.toLong))
+      out += ((width, cur))
       if (j < rounds - 1) {
         cur = cur.join(
             cur.select(col("doc_id"), (col("p") - width).as("p"),
@@ -1416,7 +1416,22 @@ object Dedup {
         width *= 2
       }
     }
-    val perDoc = stats.result().reduce(_ unionByName _)
+    out.result()
+  }
+
+  def repeatedSpanProfile(corpus: DataFrame, id: String, text: String,
+                          wMin: Int, rounds: Int): DataFrame = {
+    val base = corpus.select(col(id).as("doc_id"), tokens(col(text)).as("tks"))
+    val stats = doublingTables(corpus, id, text, wMin, rounds).map {
+      case (width, tbl) =>
+        val byHash = Window.partitionBy(col("h"))
+        tbl.withColumn("cnt", count(lit(1)).over(byHash))
+          .filter(col("cnt") > 1)
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_dup"))
+          .withColumn("width", lit(width))
+    }
+    val perDoc = stats.reduce(_ unionByName _)
       .groupBy(col("doc_id"))
       .agg(max(col("width")).as("max_dup_width"),
         sum(when(col("width") === wMin.toLong, col("n_dup"))
@@ -1525,4 +1540,46 @@ object Dedup {
   /** q253: per-source token savings of a keep-first near-dup pass. */
   def q253(s: SparkSession, d: String): DataFrame =
     dedupSavings(Tables.documents(s, d), "doc_id", "text", "source")
+
+  /** NEAR-DUP PAIR EXPLANATION (round 11): WHY is this pair a
+    * duplicate — per q51 pair, the longest exactly-shared dyadic span
+    * width alongside its Jaccard: a high-J pair with a LONG shared
+    * span is verbatim copying/syndication (q181's cut handles it);
+    * high-J with only short shared spans is template/boilerplate
+    * similarity (a q153 strip, not a span cut, is the right remedy) —
+    * the triage a dedup operator does by eye today, as a column. The
+    * per-width match tables come from the SAME doubling recurrence as
+    * q247, restricted to the pair-participating docs first (the
+    * candidate set is near-dup-sized, so the per-width self-joins run
+    * on a sliver of the corpus, never all windows).
+    *
+    * Scale (100 TB): jaccardPairs is the audited PPJoin plan; the
+    * restriction semi-join keeps each width's join input at
+    * O(pair-doc windows); rounds = log₂(W/w). */
+  def dupSpanExplain(corpus: DataFrame, id: String, text: String,
+                     tau: Double = 0.6, wMin: Int = 8,
+                     rounds: Int = 5): DataFrame = {
+    val pairs = jaccardPairs(corpus, id, text, tau).localCheckpoint()
+    val docSet = pairs.select(col("doc_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id")))
+      .distinct().localCheckpoint()
+    val matches = doublingTables(corpus, id, text, wMin, rounds).map {
+      case (width, tbl) =>
+        val t = tbl.join(broadcast(docSet), "doc_id")
+        t.select(col("doc_id").as("doc_a"), col("h"))
+          .join(t.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b")).distinct()
+          .withColumn("width", lit(width))
+    }.reduce(_ unionByName _)
+    pairs.join(matches.groupBy(col("doc_a"), col("doc_b"))
+        .agg(max(col("width")).as("max_shared_width")),
+      Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"), col("jaccard_bp"),
+        coalesce(col("max_shared_width"), lit(0L)).as("max_shared_width"))
+  }
+
+  /** q260: span-vs-template triage of every q51 near-dup pair. */
+  def q260(s: SparkSession, d: String): DataFrame =
+    dupSpanExplain(Tables.documents(s, d), "doc_id", "text")
 }

@@ -1229,6 +1229,23 @@ class OperatorsSpec extends SparkSpec {
     assert(out("tag") == ((2L, 6666L, 1L, 0, None, None)), s"$out")
   }
 
+  test("q260 dup explain: verbatim pair vs block-swap template pair") {
+    import SparkTestSession.spark.implicits._
+    val p = (1 to 8).map(i => s"p$i").mkString(" ")
+    val q = (1 to 8).map(i => s"q$i").mkString(" ")
+    val v = (1 to 16).map(i => s"v$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$p $q"), (2L, s"$q $p"), // block swap: J = 12/16, longest run 8
+      (3L, v), (4L, v)                // verbatim: J = 1, shared width 16
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupSpanExplain(docs, "doc_id", "text", 0.6, 8, 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out == Map((1L, 2L) -> ((7500L, 8L)), (3L, 4L) -> ((10000L, 16L))),
+      s"$out")
+  }
+
   test("q186 mixture weights: worked example with exact integer sqrt") {
     import SparkTestSession.spark.implicits._
     val docs = Seq(
