@@ -277,6 +277,7 @@ object SparkEntry {
     "q258_temporal_split" -> (Events.q258 _),
     "q259_props_coverage" -> (Events.q259 _),
     "q260_dup_explain"    -> (Dedup.q260 _),
+    "q261_cut_curve"      -> (Dedup.q261 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -2834,6 +2835,38 @@ object SparkEntry {
            CAST(len(tks) - coalesce(n_kept, 0) AS BIGINT) AS n_cut,
            coalesce(kept_md5, md5('')) AS kept_md5
          FROM t LEFT JOIN agg USING (doc_id)""",
+
+    // The q247 doubling chain + per-width q181 coverage (cnt/rn over
+    // the hash partition, distinct covered positions), one totals row.
+    "q261_cut_curve" -> {
+      val w = 8; val rounds = 4
+      val dbl = (1 until rounds).map { j =>
+        val shift = w * (1 << (j - 1))
+        s"""h$j AS (SELECT a.doc_id, a.p, md5(a.h || ':' || b.h) AS h
+           FROM h${j - 1} a JOIN h${j - 1} b ON b.doc_id = a.doc_id AND b.p = a.p + $shift)"""
+      }.mkString(",\n         ")
+      val cuts = (0 until rounds).map { j =>
+        val width = w * (1 << j)
+        s"""SELECT $width AS width, count(DISTINCT doc_id) AS n_docs_hit,
+           count(*) AS tokens_cut FROM (
+             SELECT DISTINCT doc_id, p + d AS pos
+             FROM (SELECT doc_id, p,
+                   count(*) OVER (PARTITION BY h) AS cnt,
+                   row_number() OVER (PARTITION BY h ORDER BY doc_id, p) AS rn
+                   FROM h$j) r, UNNEST(range(0, $width)) AS v(d)
+             WHERE cnt > 1 AND rn > 1)"""
+      }.mkString(" UNION ALL ")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         h0 AS (SELECT doc_id, i AS p, md5(array_to_string(toks[i:i+${w - 1}], ' ')) AS h
+                FROM t, UNNEST(range(1, len(toks) - ${w - 2})) AS u(i)),
+         $dbl,
+         cw AS ($cuts),
+         tot AS (SELECT sum(len(toks)) AS total_tokens FROM t)
+         SELECT CAST(width AS BIGINT) AS width, CAST(n_docs_hit AS BIGINT) AS n_docs_hit,
+           CAST(tokens_cut AS BIGINT) AS tokens_cut,
+           CAST(10000 * tokens_cut // total_tokens AS BIGINT) AS cut_bp
+         FROM cw, tot"""
+    },
 
     // q51's pair CTEs + the q247 doubling chain, matches per width
     // restricted by the left join to actual pairs; max width per pair.

@@ -1582,4 +1582,48 @@ object Dedup {
   /** q260: span-vs-template triage of every q51 near-dup pair. */
   def q260(s: SparkSession, d: String): DataFrame =
     dupSpanExplain(Tables.documents(s, d), "doc_id", "text")
+
+  /** EXACT-SUBSTRING CUT-RATE CURVE (round 11): what q181 WOULD cut at
+    * every dyadic window width — per width: documents hit, tokens cut
+    * (first occurrence kept, the q181 rule), and the cut rate in bp of
+    * the corpus. The operator that chooses q181's threshold from data:
+    * read the curve where it flattens — widths below the knee cut
+    * template/boilerplate mass (q153's job), widths above it cut only
+    * verbatim replication. Reuses the q247/q260 doubling tables, so
+    * the whole curve costs one doubling chain plus a ≤width coverage
+    * fan-out per level — not a from-scratch pass per threshold.
+    *
+    * Scale (100 TB): the fan-out explodes covered positions only for
+    * DUPLICATED windows (output-sized, like q181); everything else is
+    * the audited doubling plan. */
+  def cutRateCurve(corpus: DataFrame, id: String, text: String,
+                   wMin: Int = 8, rounds: Int = 4): DataFrame = {
+    val base = corpus.select(col(id).as("doc_id"), tokens(col(text)).as("tks"))
+    val totals = base.agg(sum(size(col("tks"))).cast("long").as("total_tokens"),
+      count(lit(1)).as("total_docs"))
+    val perWidth = doublingTables(corpus, id, text, wMin, rounds).map {
+      case (width, tbl) =>
+        val byHash = Window.partitionBy(col("h"))
+        val later = tbl
+          .withColumn("cnt", count(lit(1)).over(byHash))
+          .withColumn("rn", row_number().over(
+            byHash.orderBy(col("doc_id"), col("p"))))
+          .filter(col("cnt") > 1 && col("rn") > 1)
+        later
+          .select(col("doc_id"),
+            explode(sequence(col("p"), col("p") + lit(width - 1))).as("pos"))
+          .distinct()
+          .agg(count_distinct(col("doc_id")).as("n_docs_hit"),
+            count(lit(1)).as("tokens_cut"))
+          .withColumn("width", lit(width))
+    }.reduce(_ unionByName _)
+    perWidth.crossJoin(totals)
+      .select(col("width"), col("n_docs_hit"), col("tokens_cut"),
+        F.idiv(lit(10000L) * col("tokens_cut"), col("total_tokens"))
+          .as("cut_bp"))
+  }
+
+  /** q261: the q181 cut-rate curve at widths 8/16/32/64. */
+  def q261(s: SparkSession, d: String): DataFrame =
+    cutRateCurve(Tables.documents(s, d), "doc_id", "text")
 }

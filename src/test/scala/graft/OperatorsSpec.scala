@@ -1246,6 +1246,20 @@ class OperatorsSpec extends SparkSpec {
       s"$out")
   }
 
+  test("q261 cut curve: verbatim dup doc's mass cut at every width") {
+    import SparkTestSession.spark.implicits._
+    val v = (1 to 16).map(i => s"v$i").mkString(" ")
+    val docs = Seq((1L, v), (2L, v), (3L, (1 to 8).map(i => s"u$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Dedup.cutRateCurve(docs, "doc_id", "text", 8, 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    // doc 2 (the later occurrence) is fully covered at both widths;
+    // 16 of 40 corpus tokens → 4000 bp
+    assert(out == Map(8L -> ((1L, 16L, 4000L)), 16L -> ((1L, 16L, 4000L))),
+      s"$out")
+  }
+
   test("q186 mixture weights: worked example with exact integer sqrt") {
     import SparkTestSession.spark.implicits._
     val docs = Seq(
