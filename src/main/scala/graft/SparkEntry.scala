@@ -278,6 +278,7 @@ object SparkEntry {
     "q259_props_coverage" -> (Events.q259 _),
     "q260_dup_explain"    -> (Dedup.q260 _),
     "q261_cut_curve"      -> (Dedup.q261 _),
+    "q262_novelty_decay"  -> (Dedup.q262 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -2835,6 +2836,29 @@ object SparkEntry {
            CAST(len(tks) - coalesce(n_kept, 0) AS BIGINT) AS n_cut,
            coalesce(kept_md5, md5('')) AS kept_md5
          FROM t LEFT JOIN agg USING (doc_id)""",
+
+    // q233's shard deal + distinct (shard, window-hash) grain;
+    // first-seen = min shard per hash; bounded cumulative window.
+    "q262_novelty_decay" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         b AS (SELECT CAST(md5_number_upper('ep1:' || CAST(doc_id AS VARCHAR)) % 32 AS BIGINT) AS shard,
+               toks FROM t WHERE len(toks) >= 8),
+         wins AS (SELECT DISTINCT shard,
+                  md5(array_to_string(toks[i:i+7], ' ')) AS h
+                  FROM b, UNNEST(range(1, len(toks) - 6)) AS u(i)),
+         ps AS (SELECT shard, count(*) AS d_s FROM wins GROUP BY 1),
+         fs AS (SELECT shard, count(*) AS f_s FROM
+                (SELECT h, min(shard) AS shard FROM wins GROUP BY 1) GROUP BY 1),
+         j AS (SELECT ps.shard, ps.d_s, coalesce(fs.f_s, 0) AS f_s
+               FROM ps LEFT JOIN fs USING (shard)),
+         c AS (SELECT shard, d_s, f_s,
+               sum(f_s) OVER (ORDER BY shard ROWS UNBOUNDED PRECEDING) AS cum_f,
+               sum(f_s) OVER () AS tot_f FROM j)
+         SELECT shard, CAST(d_s AS BIGINT) AS n_distinct_windows,
+           CAST(f_s AS BIGINT) AS n_first_seen,
+           CAST(10000 * f_s // d_s AS BIGINT) AS novelty_bp,
+           CAST(10000 * cum_f // tot_f AS BIGINT) AS cum_share_bp
+         FROM c""",
 
     // The q247 doubling chain + per-width q181 coverage (cnt/rn over
     // the hash partition, distinct covered positions), one totals row.

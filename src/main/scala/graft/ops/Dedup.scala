@@ -1626,4 +1626,54 @@ object Dedup {
   /** q261: the q181 cut-rate curve at widths 8/16/32/64. */
   def q261(s: SparkSession, d: String): DataFrame =
     cutRateCurve(Tables.documents(s, d), "doc_id", "text")
+
+  /** NOVELTY-DECAY CURVE (round 11): diminishing returns of MORE DATA,
+    * measured — deal the corpus into the q233 hash shards (a
+    * deterministic stand-in for ingest order), then per shard: its
+    * distinct 8-token windows, how many are FIRST seen there (min
+    * first-seen shard per hash — ONE aggregation decides every
+    * shard's novelty simultaneously, no per-prefix rescans), the
+    * shard's novelty rate, and the cumulative share of all distinct
+    * windows. A curve that flattens early says the next crawl buys
+    * mostly repetition (q240 gates a single batch; this plots the
+    * whole trajectory the budget decision actually needs).
+    *
+    * Scale (100 TB): window hashing is map-side; the min-shard and
+    * per-shard-distinct aggregations both partial-combine on the hash;
+    * the curve itself is |shards| rows. */
+  def noveltyDecay(corpus: DataFrame, id: String, text: String,
+                   w: Int = 8, seed: String = "ep1",
+                   nShards: Int = 32): DataFrame = {
+    require(nShards > 0 && (nShards & (nShards - 1)) == 0,
+      s"nShards must be a power of two, got $nShards")
+    val base = corpus
+      .select(col(id).as("doc_id"), tokens(col(text)).as("tks"))
+      .select(pmod(F.md5Hash64(
+          concat(lit(seed + ":"), col("doc_id").cast("string"))),
+        lit(nShards.toLong)).as("shard"), col("tks"))
+      .filter(size(col("tks")) >= w)
+    val wins = base.select(col("shard"), explode(expr(
+        s"transform(sequence(1, size(tks) - ${w - 1}), i -> md5(array_join(slice(tks, i, $w), ' ')))"))
+        .as("h"))
+      .distinct() // (shard, hash) grain
+      .localCheckpoint() // feeds per-shard distincts AND first-seen
+    val perShard = wins.groupBy(col("shard")).agg(count(lit(1)).as("d_s"))
+    val firstSeen = wins.groupBy(col("h")).agg(min(col("shard")).as("shard"))
+      .groupBy(col("shard")).agg(count(lit(1)).as("f_s"))
+    val cw = Window.orderBy(col("shard")) // bounded: nShards rows
+    perShard.join(firstSeen, Seq("shard"), "left")
+      .select(col("shard"), col("d_s"),
+        coalesce(col("f_s"), lit(0L)).as("f_s"))
+      .withColumn("cum_f", sum(col("f_s")).over(
+        cw.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot_f", sum(col("f_s")).over(Window.partitionBy()))
+      .select(col("shard"), col("d_s").as("n_distinct_windows"),
+        col("f_s").as("n_first_seen"),
+        F.idiv(lit(10000L) * col("f_s"), col("d_s")).as("novelty_bp"),
+        F.idiv(lit(10000L) * col("cum_f"), col("tot_f")).as("cum_share_bp"))
+  }
+
+  /** q262: the novelty-decay trajectory over 32 ingest shards. */
+  def q262(s: SparkSession, d: String): DataFrame =
+    noveltyDecay(Tables.documents(s, d), "doc_id", "text")
 }

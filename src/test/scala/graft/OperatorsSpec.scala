@@ -1260,6 +1260,22 @@ class OperatorsSpec extends SparkSpec {
       s"$out")
   }
 
+  test("q262 novelty decay: a pure-repetition corpus is novel exactly once") {
+    import SparkTestSession.spark.implicits._
+    val text = (1 to 12).map(i => s"w$i").mkString(" ")
+    val docs = (1L to 40L).map(i => (i, text)).toDF("doc_id", "text")
+    val out = Dedup.noveltyDecay(docs, "doc_id", "text", 8, "ep1", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1)
+    // every shard sees the same 5 distinct windows; only the FIRST
+    // shard (hash order) is novel, everything after is repetition
+    assert(out.forall(_._2 == 5L), s"per-shard distincts: $out")
+    assert(out.head._4 == 10000L && out.tail.forall(_._4 == 0L),
+      s"novelty must collapse after the first shard: $out")
+    assert(out.forall(_._5 == 10000L), "cumulative share saturates immediately")
+    assert(out.map(_._3).sum == 5L, "first-seen mass = total distincts")
+  }
+
   test("q186 mixture weights: worked example with exact integer sqrt") {
     import SparkTestSession.spark.implicits._
     val docs = Seq(
