@@ -279,6 +279,8 @@ object SparkEntry {
     "q260_dup_explain"    -> (Dedup.q260 _),
     "q261_cut_curve"      -> (Dedup.q261 _),
     "q262_novelty_decay"  -> (Dedup.q262 _),
+    "q263_dup_quality"    -> (Dedup.q263 _),
+    "q264_label_noise"    -> (Similarity.q264 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -2836,6 +2838,39 @@ object SparkEntry {
            CAST(len(tks) - coalesce(n_kept, 0) AS BIGINT) AS n_cut,
            coalesce(kept_md5, md5('')) AS kept_md5
          FROM t LEFT JOIN agg USING (doc_id)""",
+
+    // Keeper/redundant/unique roles from the recursive cluster labels,
+    // q41 quality per doc, truncating mean per role.
+    "q263_dup_quality" ->
+      s"""WITH RECURSIVE $ClusterCtes,
+         $QualityCte,
+         tk AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                FROM documents),
+         j AS (SELECT q.doc_id, q.quality_bp, tk.n_tokens,
+               CASE WHEN lab.cluster_id IS NULL THEN 'unique'
+                    WHEN lab.cluster_id = q.doc_id THEN 'keeper'
+                    ELSE 'redundant' END AS role
+               FROM q JOIN tk USING (doc_id)
+               LEFT JOIN lab ON lab.node = q.doc_id)
+         SELECT role, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(sum(quality_bp) // count(*) AS BIGINT) AS mean_quality_bp
+         FROM j GROUP BY 1""",
+
+    // Exact 5-NN per vector (the q60 tie order), per-vector disagree
+    // counts, label-grain rollup.
+    "q264_label_noise" ->
+      """WITH ev AS MATERIALIZED (SELECT vec_id, embedding, label FROM embeddings),
+         sc AS (SELECT q.vec_id AS qid, q.label AS ql, c.vec_id AS nid, c.label AS nl,
+                list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS cos
+                FROM ev q JOIN ev c ON c.vec_id <> q.vec_id),
+         r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rk FROM sc),
+         d AS (SELECT qid, ql, sum(CASE WHEN nl <> ql THEN 1 ELSE 0 END) AS nd
+               FROM r WHERE rk <= 5 GROUP BY 1, 2)
+         SELECT ql AS label, CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(CASE WHEN nd >= 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_suspect,
+           CAST(10000 * sum(CASE WHEN nd >= 4 THEN 1 ELSE 0 END) // count(*) AS BIGINT) AS suspect_bp
+         FROM d GROUP BY 1""",
 
     // q233's shard deal + distinct (shard, window-hash) grain;
     // first-seen = min shard per hash; bounded cumulative window.

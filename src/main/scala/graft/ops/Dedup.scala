@@ -1676,4 +1676,37 @@ object Dedup {
   /** q262: the novelty-decay trajectory over 32 ingest shards. */
   def q262(s: SparkSession, d: String): DataFrame =
     noveltyDecay(Tables.documents(s, d), "doc_id", "text")
+
+  /** DUP×QUALITY INTERACTION (round 11): does dedup remove the good
+    * docs or the bad ones? Every document classed keeper (cluster
+    * label), redundant (other cluster members — what keep-first
+    * drops), or unique, with count, token mass, and mean q41 quality
+    * per class. redundant ≈ unique quality says dedup is
+    * quality-neutral (safe to run early); redundant ≪ unique says the
+    * dup mass is low-quality template spam (dedup doubles as a
+    * quality filter); keeper ≪ redundant says keep-FIRST is keeping
+    * the wrong member — switch to q84's keep-best election. One
+    * corpus-scan quality pass joined to the (cluster-member-sized)
+    * label table, then a 3-row rollup. */
+  def dupQualityAudit(corpus: DataFrame, id: String, text: String): DataFrame = {
+    val labs = clusters(
+      jaccardPairs(corpus, id, text, 0.6).select(col("doc_a"), col("doc_b")))
+    val q = graft.ops.Text.qualityBp(corpus, id, text)
+    val toks = corpus.select(col(id).as("doc_id"),
+      size(tokens(col(text))).cast("long").as("n_tokens"))
+    q.join(toks, Seq("doc_id"))
+      .join(labs.select(col("doc_id"), col("cluster_id")), Seq("doc_id"), "left")
+      .withColumn("role",
+        when(col("cluster_id").isNull, "unique")
+          .when(col("cluster_id") === col("doc_id"), "keeper")
+          .otherwise("redundant"))
+      .groupBy(col("role"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        F.idiv(sum(col("quality_bp")), count(lit(1))).as("mean_quality_bp"))
+  }
+
+  /** q263: keeper/redundant/unique quality profile of the documents
+    * corpus. */
+  def q263(s: SparkSession, d: String): DataFrame =
+    dupQualityAudit(Tables.documents(s, d), "doc_id", "text")
 }

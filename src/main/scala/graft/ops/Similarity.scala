@@ -1562,6 +1562,56 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$path/vectors")
   }
 
+  /** LABEL-NOISE AUDIT by kNN disagreement (round 11): the standard
+    * mislabel detector — a vector whose k nearest neighbors
+    * overwhelmingly carry a DIFFERENT label is either mislabeled or
+    * sits on a genuine class boundary; either way it is where a
+    * labeling budget goes first. Per label: vectors, suspects
+    * (≥ minDisagree of k neighbors disagree), suspect rate in bp.
+    * Neighbors come from the exact brute-force path with its pinned
+    * (cos DESC, id ASC) tie order, so the flag set is deterministic
+    * and engine-replayable.
+    *
+    * Scale (100 TB): swap the brute-force kNN for the IVF/graph probe
+    * (the audit only needs each vector's top-k — any index family
+    * here serves it); the disagree rollup is label-cardinality-sized. */
+  def labelNoiseAudit(embs: DataFrame, id: String, emb: String,
+                      label: String, k: Int = 5,
+                      minDisagree: Int = 4): DataFrame =
+    labelNoiseFromKnn(bruteForceTopK(embs, embs, id, emb, k),
+      embs.select(col(id).as("vid"), col(label).as("lbl")),
+      label, minDisagree)
+
+  /** The audit's rollup over ANY (query_id, neighbor_id) top-k table —
+    * at 100 TB feed it the IVF or graph probe instead of the n²
+    * brute-force truth leg (the q228 discipline: the exact path is the
+    * oracle facade at verify scale, the index path is deployment; the
+    * spec pins the two identical where index recall is exact). */
+  def labelNoiseFromKnn(knn: DataFrame, labels: DataFrame, label: String,
+                        minDisagree: Int): DataFrame = {
+    val lab = labels.localCheckpoint() // tiny; joins twice
+    val perVec = knn
+      .join(lab.select(col("vid").as("neighbor_id"), col("lbl").as("nlbl")),
+        "neighbor_id")
+      .join(lab.select(col("vid").as("query_id"), col("lbl").as("qlbl")),
+        "query_id")
+      .groupBy(col("query_id"), col("qlbl"))
+      .agg(sum(when(col("nlbl") =!= col("qlbl"), 1L).otherwise(0L))
+        .as("n_disagree"))
+    perVec.groupBy(col("qlbl").as(label))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("n_disagree") >= minDisagree, 1L).otherwise(0L))
+          .as("n_suspect"))
+      .select(col(label), col("n_vecs"), col("n_suspect"),
+        F.idiv(lit(10000L) * col("n_suspect"), col("n_vecs"))
+          .as("suspect_bp"))
+  }
+
+  /** q264: per-label mislabel-suspect rates over the embeddings table
+    * (5-NN, ≥4 disagreeing). */
+  def q264(s: SparkSession, d: String): DataFrame =
+    labelNoiseAudit(Tables.embeddings(s, d), "vec_id", "embedding", "label")
+
   /** q250: graph-ANN top-10 — the NN-Descent graph + beam walk as an
     * oracled query entry (the DuckDB side replays seed rings, every
     * refinement round, and every hop verbatim — AnnOracleSql.q250Sql). */

@@ -1276,6 +1276,55 @@ class OperatorsSpec extends SparkSpec {
     assert(out.map(_._3).sum == 5L, "first-seen mass = total distincts")
   }
 
+  test("q263 dup-quality: roles and identical-text quality equality") {
+    import SparkTestSession.spark.implicits._
+    val v = (1 to 12).map(i => s"v$i").mkString(" ")
+    val docs = Seq((1L, v), (2L, v),
+      (3L, (1 to 12).map(i => s"u$i").mkString(" "))).toDF("doc_id", "text")
+    val out = Dedup.dupQualityAudit(docs, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(out("keeper")._1 == 1L && out("redundant")._1 == 1L &&
+      out("unique")._1 == 1L, s"$out")
+    // identical text → identical quality for keeper and redundant
+    assert(out("keeper")._3 == out("redundant")._3, s"$out")
+    assert(out.values.map(_._2).sum == 36L, "token mass conserved")
+  }
+
+  test("q264 label noise: a planted mislabel is the only suspect") {
+    import SparkTestSession.spark.implicits._
+    def vec(base: Int, j: Int): Seq[Float] = {
+      val v = Array.fill(4)(0.01f * j)
+      v(base) = 1.0f
+      v.toSeq
+    }
+    // 6 vectors near e1 (label 0, one MISLABELED as 1), 5 near e3 (label 1)
+    val rows = (0 until 5).map(j => (j.toLong, vec(0, j), 0)) ++
+      Seq((5L, vec(0, 5), 1)) ++ // the plant
+      (6 until 11).map(j => (j.toLong, vec(2, j), 1))
+    val embs = rows.toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelNoiseAudit(embs, "vec_id", "embedding", "label")
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(0) == ((5L, 0L)), s"clean class flagged: $out")
+    assert(out(1) == ((6L, 1L)), s"the plant must be the one suspect: $out")
+  }
+
+  test("q264 deployment path: graph-probe kNN yields the brute-force flags") {
+    // the n² brute-force leg is the oracle facade; at scale the audit
+    // rides an index probe — pin the two identical where graph recall
+    // is exact (sf0.001, where the q250 spec measured recall 1.0)
+    val c = Tables.embeddings(spark, sf)
+    val labels = c.select(col("vec_id").as("vid"), col("label").as("lbl"))
+    val brute = Similarity.labelNoiseAudit(c, "vec_id", "embedding", "label")
+      .collect().map(_.toSeq).toSet
+    val g = Similarity.nnDescentGraph(c, "vec_id", "embedding")
+    val viaGraph = Similarity.labelNoiseFromKnn(
+      Similarity.nswSearchTopK(g, c, c, "vec_id", "embedding", k = 5),
+      labels, "label", 4).collect().map(_.toSeq).toSet
+    assert(viaGraph == brute,
+      s"index-served audit diverged: ${brute -- viaGraph} / ${viaGraph -- brute}")
+  }
+
   test("q186 mixture weights: worked example with exact integer sqrt") {
     import SparkTestSession.spark.implicits._
     val docs = Seq(
