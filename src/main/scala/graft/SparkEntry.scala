@@ -281,6 +281,7 @@ object SparkEntry {
     "q262_novelty_decay"  -> (Dedup.q262 _),
     "q263_dup_quality"    -> (Dedup.q263 _),
     "q264_label_noise"    -> (Similarity.q264 _),
+    "q265_activity_calendar" -> (Events.q265 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -2838,6 +2839,17 @@ object SparkEntry {
            CAST(len(tks) - coalesce(n_kept, 0) AS BIGINT) AS n_cut,
            coalesce(kept_md5, md5('')) AS kept_md5
          FROM t LEFT JOIN agg USING (doc_id)""",
+
+    // DuckDB dayofweek: Sunday=0 vs Spark's Sunday=1 — shift by one.
+    "q265_activity_calendar" ->
+      """WITH c AS (SELECT event_type AS s,
+             CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+             CAST(hour(ts) AS BIGINT) AS hod, count(*) AS n
+             FROM events GROUP BY 1, 2, 3),
+         t AS (SELECT s, sum(n) AS n_tot FROM c GROUP BY 1)
+         SELECT c.s AS event_type, c.dow, c.hod, CAST(c.n AS BIGINT) AS n,
+           CAST(10000 * (c.n * 168 - t.n_tot) // t.n_tot AS BIGINT) AS dev_bp
+         FROM c JOIN t USING (s)""",
 
     // Keeper/redundant/unique roles from the recursive cluster labels,
     // q41 quality per doc, truncating mean per role.

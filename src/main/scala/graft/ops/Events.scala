@@ -2027,4 +2027,35 @@ object Events {
   /** q259: field coverage of the event props payload per event type. */
   def q259(s: SparkSession, d: String): DataFrame =
     propsCoverage(Tables.events(s, d), "event_type", col("props"))
+
+  /** ACTIVITY CALENDAR (round 11): the (weekday × hour) load heatmap
+    * per series with each cell's deviation from the series' uniform
+    * share in bp — the capacity-planning / alerting-baseline view
+    * (q149 corrects for weekday seasonality one day at a time; this
+    * is the whole calendar an on-call pins above the desk, and the
+    * per-cell baseline the q123 rate monitor should be fed in place
+    * of a flat one). dev_bp > 0 = hotter than uniform. Exact
+    * integers: share and deviation by truncating division against
+    * n·cells.
+    *
+    * Scale: one corpus aggregation to ≤ series·168 cells. */
+  def activityCalendar(events: DataFrame, series: String,
+                       ts: Column): DataFrame = {
+    val cells = events
+      .groupBy(col(series).as("s"), dayofweek(ts).as("dow"),
+        hour(ts).as("hod"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cells.groupBy(col("s")).agg(sum(col("n")).as("n_tot"))
+    cells.join(broadcast(tot), "s")
+      .select(col("s").as(series), col("dow").cast("long").as("dow"),
+        col("hod").cast("long").as("hod"), col("n"),
+        // cell share − uniform share, in bp of uniform (24·7 cells):
+        // 10⁴·(n·168 − n_tot) / n_tot, truncating — engine-exact
+        F.idiv(lit(10000L) * (col("n") * lit(168L) - col("n_tot")),
+          col("n_tot")).as("dev_bp"))
+  }
+
+  /** q265: the per-event-type weekday × hour calendar. */
+  def q265(s: SparkSession, d: String): DataFrame =
+    activityCalendar(Tables.events(s, d), "event_type", col("ts"))
 }

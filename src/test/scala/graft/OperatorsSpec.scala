@@ -1325,6 +1325,21 @@ class OperatorsSpec extends SparkSpec {
       s"index-served audit diverged: ${brute -- viaGraph} / ${viaGraph -- brute}")
   }
 
+  test("q265 activity calendar: hot cell deviation, cells close over the week") {
+    import SparkTestSession.spark.implicits._
+    // 2024-05-06 is a Monday (Spark dayofweek = 2); two cells
+    val ev = (Seq.fill(3)("2024-05-06 09:30:00") ++
+      Seq.fill(1)("2024-05-07 14:15:00"))
+      .map(t => ("click", java.sql.Timestamp.valueOf(t))).toDF("event_type", "ts")
+    val out = Events.activityCalendar(ev, "event_type", col("ts"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)) ->
+        ((r.getLong(3), r.getLong(4)))).toMap
+    // Monday 9h: 3 of 4 events → dev = 10^4·(3·168 − 4)/4 = 1250000
+    assert(out((2L, 9L)) == ((3L, 1250000L)), s"$out")
+    // Tuesday 14h: 1 of 4 → 10^4·(168 − 4)/4 = 410000
+    assert(out((3L, 14L)) == ((1L, 410000L)), s"$out")
+  }
+
   test("q186 mixture weights: worked example with exact integer sqrt") {
     import SparkTestSession.spark.implicits._
     val docs = Seq(
