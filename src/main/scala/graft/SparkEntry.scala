@@ -282,6 +282,7 @@ object SparkEntry {
     "q263_dup_quality"    -> (Dedup.q263 _),
     "q264_label_noise"    -> (Similarity.q264 _),
     "q265_activity_calendar" -> (Events.q265 _),
+    "q266_winsor_audit"   -> (Events.q266 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -2839,6 +2840,25 @@ object SparkEntry {
            CAST(len(tks) - coalesce(n_kept, 0) AS BIGINT) AS n_cut,
            coalesce(kept_md5, md5('')) AS kept_md5
          FROM t LEFT JOIN agg USING (doc_id)""",
+
+    // Discrete-percentile caps replayed via the cume_dist window (the
+    // q248 convention), then the one-pass clip audit.
+    "q266_winsor_audit" ->
+      s"""WITH y AS (SELECT event_type AS g, ${C("value")} AS y FROM events),
+         cd AS (SELECT g, y, cume_dist() OVER (PARTITION BY g ORDER BY y) AS cd FROM y),
+         caps AS (SELECT g,
+           min(CASE WHEN cd >= 0.01 THEN y END) AS cap_lo,
+           min(CASE WHEN cd >= 0.99 THEN y END) AS cap_hi
+           FROM cd GROUP BY 1)
+         SELECT y.g AS event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(max(caps.cap_lo) AS BIGINT) AS cap_lo_cents,
+           CAST(max(caps.cap_hi) AS BIGINT) AS cap_hi_cents,
+           CAST(sum(CASE WHEN y.y < caps.cap_lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+           CAST(sum(CASE WHEN y.y > caps.cap_hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+           CAST(sum(CASE WHEN y.y < caps.cap_lo THEN caps.cap_lo - y.y
+                WHEN y.y > caps.cap_hi THEN y.y - caps.cap_hi
+                ELSE 0 END) AS BIGINT) AS clip_mass_cents
+         FROM y JOIN caps USING (g) GROUP BY 1""",
 
     // DuckDB dayofweek: Sunday=0 vs Spark's Sunday=1 — shift by one.
     "q265_activity_calendar" ->

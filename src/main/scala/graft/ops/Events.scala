@@ -2058,4 +2058,47 @@ object Events {
   /** q265: the per-event-type weekday × hour calendar. */
   def q265(s: SparkSession, d: String): DataFrame =
     activityCalendar(Tables.events(s, d), "event_type", col("ts"))
+
+  /** WINSORIZATION AUDIT (round 11): what clipping a value column to
+    * its per-group [p_lo, p_hi] percentile band WOULD do, before
+    * anyone mutates data — per group: the exact discrete-percentile
+    * caps (actual data points, so both engines agree bit-for-bit —
+    * the q99/q248 percentile_disc convention), rows clipped on each
+    * side, and the cents mass the clip moves. The pre-flight for
+    * every mean-based metric feeding q204/q208: if clip_mass is a
+    * large share of total mass, the mean is an outlier artifact and
+    * the robust q67/q128 path should be used instead.
+    *
+    * Scale (100 TB): percentile_disc aggregates (group, value) scalar
+    * pairs; caps broadcast back; the audit is one map-side pass. At
+    * deployment swap approx_percentile — the plan shape holds (the
+    * q99 note). */
+  def winsorAudit(events: DataFrame, group: String, yCents: Column,
+                  pLo: Double, pHi: Double): DataFrame = {
+    require(pLo < pHi)
+    val y = events.select(col(group).as("g"), yCents.as("y"))
+    val caps = y.groupBy(col("g"))
+      .agg(expr(s"percentile_disc($pLo) WITHIN GROUP (ORDER BY y)")
+          .cast("long").as("cap_lo"),
+        expr(s"percentile_disc($pHi) WITHIN GROUP (ORDER BY y)")
+          .cast("long").as("cap_hi"))
+    y.join(broadcast(caps), "g")
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"),
+        max(col("cap_lo")).as("cap_lo_cents"),
+        max(col("cap_hi")).as("cap_hi_cents"),
+        sum(when(col("y") < col("cap_lo"), 1L).otherwise(0L)).as("n_clip_lo"),
+        sum(when(col("y") > col("cap_hi"), 1L).otherwise(0L)).as("n_clip_hi"),
+        sum(when(col("y") < col("cap_lo"), col("cap_lo") - col("y"))
+          .when(col("y") > col("cap_hi"), col("y") - col("cap_hi"))
+          .otherwise(0L)).as("clip_mass_cents"))
+      .select(col("g").as(group), col("n"), col("cap_lo_cents"),
+        col("cap_hi_cents"), col("n_clip_lo"), col("n_clip_hi"),
+        col("clip_mass_cents"))
+  }
+
+  /** q266: the [p01, p99] winsorization pre-flight on event values. */
+  def q266(s: SparkSession, d: String): DataFrame =
+    winsorAudit(Tables.events(s, d), "event_type", cents(col("value")),
+      0.01, 0.99)
 }

@@ -1340,6 +1340,17 @@ class OperatorsSpec extends SparkSpec {
     assert(out((3L, 14L)) == ((1L, 410000L)), s"$out")
   }
 
+  test("q266 winsor audit: hand-computed caps, clip counts, moved mass") {
+    import SparkTestSession.spark.implicits._
+    // y = 1..10 (cents): p20 cap = 2, p80 cap = 8 (discrete);
+    // clipped low: {1} (1 unit moved), high: {9, 10} (1 + 2 moved)
+    val ev = (1L to 10L).map(v => ("a", v)).toDF("g", "y")
+    val r = Events.winsorAudit(ev, "g", col("y"), 0.20, 0.80)
+      .collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5), r.getLong(6)) == ((10L, 2L, 8L, 1L, 2L, 4L)), s"$r")
+  }
+
   test("q186 mixture weights: worked example with exact integer sqrt") {
     import SparkTestSession.spark.implicits._
     val docs = Seq(
