@@ -283,6 +283,7 @@ object SparkEntry {
     "q264_label_noise"    -> (Similarity.q264 _),
     "q265_activity_calendar" -> (Events.q265 _),
     "q266_winsor_audit"   -> (Events.q266 _),
+    "q267_script_audit"   -> (Text.q267 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -2840,6 +2841,21 @@ object SparkEntry {
            CAST(len(tks) - coalesce(n_kept, 0) AS BIGINT) AS n_cut,
            coalesce(kept_md5, md5('')) AS kept_md5
          FROM t LEFT JOIN agg USING (doc_id)""",
+
+    // Character classes only (both engines are RE2-family); printable
+    // ASCII stripped with the 'g' flag; truncating bp.
+    "q267_script_audit" ->
+      """WITH p AS (SELECT lang, length(text) AS nc,
+             length(regexp_replace(text, '[ -~]', '', 'g')) AS na,
+             CASE WHEN regexp_matches(text, '�') THEN 1 ELSE 0 END AS hr,
+             CASE WHEN regexp_matches(text, '[\x00-\x08\x0B\x0C\x0E-\x1F]') THEN 1 ELSE 0 END AS hc
+             FROM documents)
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(nc) AS BIGINT) AS n_chars,
+           CAST(10000 * sum(na) // sum(nc) AS BIGINT) AS non_ascii_bp,
+           CAST(sum(hr) AS BIGINT) AS n_replacement_docs,
+           CAST(sum(hc) AS BIGINT) AS n_control_docs
+         FROM p GROUP BY 1""",
 
     // Discrete-percentile caps replayed via the cume_dist window (the
     // q248 convention), then the one-pass clip audit.

@@ -1546,6 +1546,43 @@ object Text {
   def q252(s: SparkSession, d: String): DataFrame =
     padWasteAudit(Tables.documents(s, d), "doc_id", "text")
 
+  /** SCRIPT-CONFORMITY / MOJIBAKE AUDIT (round 11): the
+    * encoding-damage detector every multi-source ingest needs — per
+    * language: documents, mean non-printable-ASCII character share in
+    * bp (a "de" corpus sits near zero plus umlauts; a sudden jump
+    * means double-encoded UTF-8 upstream), documents carrying the
+    * U+FFFD replacement character (decoding ALREADY failed — q48's
+    * scrubbing can't fix what the decoder destroyed), and documents
+    * with C0 control characters (binary bleed-through). Character
+    * classes only — both engines run RE2-family regexes, so counts
+    * agree exactly.
+    *
+    * Scale (100 TB): one codegen'd map-side pass, |langs|-row
+    * output. */
+  def scriptAudit(corpus: DataFrame, lang: String, text: String): DataFrame = {
+    val nChars = length(col(text)).cast("long")
+    val nNonAscii = (nChars -
+      length(regexp_replace(col(text), "[^ -~]", ""))).cast("long")
+    corpus
+      .select(col(lang).as("lang_"), nChars.as("nc"), nNonAscii.as("na"),
+        col(text).rlike("�").cast("long").as("has_replacement"),
+        col(text).rlike("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]")
+          .cast("long").as("has_control"))
+      .groupBy(col("lang_"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nc")).as("n_chars"),
+        graft.functions.F.idiv(lit(10000L) * sum(col("na")), sum(col("nc")))
+          .as("non_ascii_bp"),
+        sum(col("has_replacement")).as("n_replacement_docs"),
+        sum(col("has_control")).as("n_control_docs"))
+      .select(col("lang_").as(lang), col("n_docs"), col("n_chars"),
+        col("non_ascii_bp"), col("n_replacement_docs"), col("n_control_docs"))
+  }
+
+  /** q267: per-language encoding-health report of the corpus. */
+  def q267(s: SparkSession, d: String): DataFrame =
+    scriptAudit(Tables.documents(s, d), "lang", "text")
+
   /** BIGRAM-LM surprisal (q90's unigram signal upgraded to a
     * second-order model): per-doc mean −ln P(w₂|w₁) with the MLE
     * conditional P(w₂|w₁) = c(w₁w₂)/c(w₁·), where the head marginal

@@ -1351,6 +1351,24 @@ class OperatorsSpec extends SparkSpec {
       r.getLong(5), r.getLong(6)) == ((10L, 2L, 8L, 1L, 2L, 4L)), s"$r")
   }
 
+  test("q267 script audit: umlauts, replacement chars, control bleed-through") {
+    import SparkTestSession.spark.implicits._
+    val docs = Seq(
+      (1L, "de", "a\u00f1b cdef"),          // 1 non-ascii of 9 chars
+      (2L, "de", "clean ascii"),             // 0 of 11
+      (3L, "xx", "bad \ufffd decode"),      // replacement char
+      (4L, "xx", "ctl\u0001here")           // C0 control char
+    ).toDF("doc_id", "lang", "text")
+    val out = Text.scriptAudit(docs, "lang", "text")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // de: 19 chars, 1 non-ascii -> 526 bp, no damage flags
+    assert(out("de") == ((2L, 19L, 526L, 0L, 0L)), s"$out")
+    // xx: one replacement-char doc, one control-char doc
+    val (n, _, _, nr, ncl) = out("xx")
+    assert(n == 2L && nr == 1L && ncl == 1L, s"$out")
+  }
+
   test("q186 mixture weights: worked example with exact integer sqrt") {
     import SparkTestSession.spark.implicits._
     val docs = Seq(
