@@ -284,6 +284,7 @@ object SparkEntry {
     "q265_activity_calendar" -> (Events.q265 _),
     "q266_winsor_audit"   -> (Events.q266 _),
     "q267_script_audit"   -> (Text.q267 _),
+    "q268_pipeline_yield" -> (Text.q268 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -2841,6 +2842,31 @@ object SparkEntry {
            CAST(len(tks) - coalesce(n_kept, 0) AS BIGINT) AS n_cut,
            coalesce(kept_md5, md5('')) AS kept_md5
          FROM t LEFT JOIN agg USING (doc_id)""",
+
+    // Funnel = cluster labels (full corpus) -> keep-first survivors ->
+    // per-lang percentile_disc gate over SURVIVORS; yields vs ingest.
+    "q268_pipeline_yield" ->
+      s"""WITH RECURSIVE $ClusterCtes,
+         $QualityCte,
+         tk AS (SELECT d.doc_id, d.lang,
+                CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+                FROM documents d),
+         s1 AS (SELECT tk.* FROM tk LEFT JOIN lab ON lab.node = tk.doc_id
+                WHERE lab.cluster_id IS NULL OR lab.cluster_id = tk.doc_id),
+         sq AS (SELECT s1.*, q.quality_bp FROM s1 JOIN q USING (doc_id)),
+         thr AS (SELECT lang,
+                 CAST(percentile_disc(0.1) WITHIN GROUP (ORDER BY quality_bp) AS BIGINT) AS thr_bp
+                 FROM sq GROUP BY 1),
+         s2 AS (SELECT sq.* FROM sq JOIN thr USING (lang)
+                WHERE sq.quality_bp >= thr.thr_bp),
+         tot AS (SELECT sum(n_tokens) AS t0 FROM tk),
+         st AS (SELECT '1_ingest' AS stage, count(*) AS n_docs, sum(n_tokens) AS n_tokens FROM tk
+                UNION ALL SELECT '2_dedup', count(*), sum(n_tokens) FROM s1
+                UNION ALL SELECT '3_quality', count(*), sum(n_tokens) FROM s2)
+         SELECT stage, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(10000 * n_tokens // t0 AS BIGINT) AS yield_bp
+         FROM st, tot""",
 
     // Character classes only (both engines are RE2-family); printable
     // ASCII stripped with the 'g' flag; truncating bp.

@@ -1583,6 +1583,56 @@ object Text {
   def q267(s: SparkSession, d: String): DataFrame =
     scriptAudit(Tables.documents(s, d), "lang", "text")
 
+  /** PIPELINE-YIELD FUNNEL (round 11): the one-glance answer to "how
+    * much corpus survives the prep pipeline, and which stage eats it"
+    * — ingest → near-dup keep-first (the q51/q55 rule) → per-language
+    * quality gate (the q99 rule, thresholds computed over the DEDUP
+    * SURVIVORS — gating before dedup would let duplicate floods drag
+    * every threshold). One row per stage with docs, tokens, and token
+    * yield vs ingest in bp. The per-operator audits (q253 savings,
+    * q99 gate) explain each stage; this is the roll-up a run report
+    * leads with.
+    *
+    * Scale (100 TB): the stages are the audited q51/q55/q99 plans;
+    * the funnel adds only |stages| aggregation rows. */
+  def pipelineYield(corpus: DataFrame, id: String, text: String,
+                    lang: String, p: Double = 0.10): DataFrame = {
+    val toks = corpus.select(col(id).as("doc_id"), col(lang).as("lang_"),
+        size(tokens(col(text))).cast("long").as("n_tokens"))
+      .localCheckpoint()
+    val labs = graft.ops.Dedup.clusters(
+      graft.ops.Dedup.jaccardPairs(corpus, id, text, 0.6)
+        .select(col("doc_a"), col("doc_b")))
+    val surv1 = toks.join(labs.select(col("doc_id"), col("cluster_id")),
+        Seq("doc_id"), "left")
+      .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
+      .select(col("doc_id"), col("lang_"), col("n_tokens"))
+      .localCheckpoint()
+    val q = qualityBp(corpus, id, text)
+    val scored1 = surv1.join(q, Seq("doc_id"))
+    val thr = scored1.groupBy(col("lang_"))
+      .agg(expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY quality_bp)")
+        .cast("long").as("thr_bp"))
+    val surv2 = scored1.join(broadcast(thr), "lang_")
+      .filter(col("quality_bp") >= col("thr_bp"))
+    def stage(name: String, df: DataFrame): DataFrame = df
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
+    val rows = stage("1_ingest", toks)
+      .unionByName(stage("2_dedup", surv1))
+      .unionByName(stage("3_quality", surv2))
+    val tot = toks.agg(sum(col("n_tokens")).as("t0"))
+    rows.crossJoin(broadcast(tot))
+      .select(col("stage"), col("n_docs"), col("n_tokens"),
+        graft.functions.F.idiv(lit(10000L) * col("n_tokens"), col("t0"))
+          .as("yield_bp"))
+  }
+
+  /** q268: the ingest → dedup → quality funnel on the documents
+    * corpus. */
+  def q268(s: SparkSession, d: String): DataFrame =
+    pipelineYield(Tables.documents(s, d), "doc_id", "text", "lang")
+
   /** BIGRAM-LM surprisal (q90's unigram signal upgraded to a
     * second-order model): per-doc mean −ln P(w₂|w₁) with the MLE
     * conditional P(w₂|w₁) = c(w₁w₂)/c(w₁·), where the head marginal

@@ -1369,6 +1369,28 @@ class OperatorsSpec extends SparkSpec {
     assert(n == 2L && nr == 1L && ncl == 1L, s"$out")
   }
 
+  test("q268 pipeline yield: stage masses on a known corpus") {
+    import SparkTestSession.spark.implicits._
+    val v = (1 to 12).map(i => s"v$i").mkString(" ")
+    // two identical docs (one survives dedup) + two distinct docs of
+    // different quality in one language
+    val good = (1 to 100).map(i => s"g$i").mkString(" ")
+    val docs = Seq(
+      (1L, "en", v), (2L, "en", v),   // dup pair -> keeper 1
+      (3L, "en", good),               // long, high quality
+      (4L, "en", "tiny text here a")  // short, low quality
+    ).toDF("doc_id", "lang", "text")
+    val out = Text.pipelineYield(docs, "doc_id", "text", "lang", 0.50)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    // ingest: 4 docs, 12+12+100+4 = 128 tokens
+    assert(out("1_ingest") == ((4L, 128L, 10000L)), s"$out")
+    // dedup keeps 1,3,4 -> 116 tokens
+    assert(out("2_dedup") == ((3L, 116L, 9062L)), s"$out")
+    // p50 gate over 3 survivors cuts the below-median doc
+    assert(out("3_quality")._1 == 2L, s"$out")
+  }
+
   test("q186 mixture weights: worked example with exact integer sqrt") {
     import SparkTestSession.spark.implicits._
     val docs = Seq(
