@@ -285,6 +285,7 @@ object SparkEntry {
     "q266_winsor_audit"   -> (Events.q266 _),
     "q267_script_audit"   -> (Text.q267 _),
     "q268_pipeline_yield" -> (Text.q268 _),
+    "q269_boilerplate_hotspots" -> (Dedup.q269 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -2842,6 +2843,23 @@ object SparkEntry {
            CAST(len(tks) - coalesce(n_kept, 0) AS BIGINT) AS n_cut,
            coalesce(kept_md5, md5('')) AS kept_md5
          FROM t LEFT JOIN agg USING (doc_id)""",
+
+    // Hash rollup, (count DESC, hex-hash ASC) rank, text from the
+    // canonical min-(doc, pos) occurrence.
+    "q269_boilerplate_hotspots" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         wn AS (SELECT doc_id, i AS p, md5(array_to_string(toks[i:i+7], ' ')) AS h
+                FROM t, UNNEST(range(1, len(toks) - 6)) AS u(i)),
+         g AS (SELECT h, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs,
+               min(doc_id * 1000000 + p) AS firstpk
+               FROM wn GROUP BY 1 HAVING count(*) > 1),
+         r AS (SELECT *, row_number() OVER (ORDER BY n_occurrences DESC, h ASC) AS rank
+               FROM g QUALIFY rank <= 20)
+         SELECT CAST(r.rank AS BIGINT) AS rank,
+           CAST(r.n_occurrences AS BIGINT) AS n_occurrences,
+           CAST(r.n_docs AS BIGINT) AS n_docs,
+           array_to_string(t.toks[CAST(r.firstpk % 1000000 AS INT):CAST(r.firstpk % 1000000 AS INT) + 7], ' ') AS span_text
+         FROM r JOIN t ON t.doc_id = r.firstpk // 1000000""",
 
     // Funnel = cluster labels (full corpus) -> keep-first survivors ->
     // per-lang percentile_disc gate over SURVIVORS; yields vs ingest.

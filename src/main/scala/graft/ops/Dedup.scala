@@ -1709,4 +1709,44 @@ object Dedup {
     * corpus. */
   def q263(s: SparkSession, d: String): DataFrame =
     dupQualityAudit(Tables.documents(s, d), "doc_id", "text")
+
+  /** BOILERPLATE HOTSPOT REPORT (round 11): the actual most-repeated
+    * spans, as TEXT — q153 strips template passages and q261 prices
+    * the cut, but an operator deciding what to blocklist wants to
+    * READ the offenders. Top-k 8-token windows by occurrence count
+    * with doc spread and the span text reconstructed from the
+    * canonical first occurrence (min (doc, pos) — deterministic).
+    * Tie order (count DESC, hash ASC) is engine-stable because the
+    * key is the md5 hex string.
+    *
+    * Scale (100 TB): window hashing is the q181 map-side pass; the
+    * per-hash rollup partial-combines; only the k winners join back
+    * to documents (broadcast) for text extraction. */
+  def boilerplateHotspots(corpus: DataFrame, id: String, text: String,
+                          w: Int = 8, k: Int = 20): DataFrame = {
+    val base = corpus.select(col(id).as("doc_id"), tokens(col(text)).as("tks"))
+    val wins = base.filter(size(col("tks")) >= w)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(tks) - ${w - 1}), i -> md5(array_join(slice(tks, i, $w), ' ')))"))
+        .as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).as("p"), col("h"))
+    val top = wins.groupBy(col("h"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        count_distinct(col("doc_id")).as("n_docs"),
+        min(struct(col("doc_id"), col("p"))).as("first"))
+      .filter(col("n_occurrences") > 1)
+      .orderBy(col("n_occurrences").desc, col("h").asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_occurrences").desc, col("h").asc)))
+    base.join(broadcast(top), base("doc_id") === top("first.doc_id"))
+      .select(col("rank").cast("long").as("rank"), col("n_occurrences"),
+        col("n_docs"),
+        array_join(slice(col("tks"), col("first.p").cast("int"), lit(w)), " ")
+          .as("span_text"))
+  }
+
+  /** q269: the top-20 most-repeated 8-token spans, readable. */
+  def q269(s: SparkSession, d: String): DataFrame =
+    boilerplateHotspots(Tables.documents(s, d), "doc_id", "text")
 }

@@ -1391,6 +1391,24 @@ class OperatorsSpec extends SparkSpec {
     assert(out("3_quality")._1 == 2L, s"$out")
   }
 
+  test("q269 hotspots: the shared banner surfaces as readable text") {
+    import SparkTestSession.spark.implicits._
+    val banner = (1 to 8).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$banner x1 x2 x3"),
+      (2L, s"y1 y2 $banner"),
+      (3L, s"$banner z1"),
+      (4L, "u1 u2 u3 u4 u5 u6 u7 u8 u9")
+    ).toDF("doc_id", "text")
+    val out = Dedup.boilerplateHotspots(docs, "doc_id", "text", 8, 5)
+      .collect().sortBy(_.getLong(0))
+    val top = out.head
+    assert((top.getLong(1), top.getLong(2), top.getString(3)) ==
+      ((3L, 3L, banner)), s"${out.toSeq}")
+    // every reported span occurs more than once
+    assert(out.forall(_.getLong(1) > 1L))
+  }
+
   test("q186 mixture weights: worked example with exact integer sqrt") {
     import SparkTestSession.spark.implicits._
     val docs = Seq(
