@@ -286,6 +286,7 @@ object SparkEntry {
     "q267_script_audit"   -> (Text.q267 _),
     "q268_pipeline_yield" -> (Text.q268 _),
     "q269_boilerplate_hotspots" -> (Dedup.q269 _),
+    "q270_mixture_quota"  -> (Text.q270 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -2843,6 +2844,28 @@ object SparkEntry {
            CAST(len(tks) - coalesce(n_kept, 0) AS BIGINT) AS n_cut,
            coalesce(kept_md5, md5('')) AS kept_md5
          FROM t LEFT JOIN agg USING (doc_id)""",
+
+    // q186's isqrt-weight chain + the integer quota / ceil-milli-epoch
+    // arithmetic at target 200000.
+    "q270_mixture_quota" ->
+      """WITH p AS (SELECT lang, count(*) AS n_docs,
+                sum(len(string_split(text, ' '))) AS n_tokens
+                FROM documents GROUP BY 1),
+         c AS (SELECT lang, n_tokens,
+                CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS s0 FROM p),
+         i AS (SELECT lang, n_tokens,
+                CASE WHEN (s0+1)*(s0+1) <= n_tokens THEN s0+1
+                     WHEN s0*s0 > n_tokens THEN s0-1 ELSE s0 END AS isq FROM c),
+         t AS (SELECT sum(isq) AS ti FROM i),
+         w AS (SELECT lang, n_tokens, 10000 * isq // ti AS weight_bp FROM i, t),
+         q AS (SELECT lang, n_tokens, weight_bp,
+               weight_bp * 200000 // 10000 AS quota_tokens FROM w)
+         SELECT lang, CAST(n_tokens AS BIGINT) AS available_tokens,
+           CAST(weight_bp AS BIGINT) AS weight_bp,
+           CAST(quota_tokens AS BIGINT) AS quota_tokens,
+           CAST((1000 * quota_tokens + n_tokens - 1) // n_tokens AS BIGINT) AS epochs_milli,
+           CAST(CASE WHEN quota_tokens > n_tokens THEN 1 ELSE 0 END AS INT) AS is_exhausted
+         FROM q""",
 
     // Hash rollup, (count DESC, hex-hash ASC) rank, text from the
     // canonical min-(doc, pos) occurrence.

@@ -1633,6 +1633,33 @@ object Text {
   def q268(s: SparkSession, d: String): DataFrame =
     pipelineYield(Tables.documents(s, d), "doc_id", "text", "lang")
 
+  /** MIXTURE TOKEN-QUOTA PLAN (round 11; q186's weights turned into a
+    * purchase order): given a target training-token budget, each
+    * group's quota under the sqrt-temperature weights, what it can
+    * actually supply, and the epochs_milli the quota implies
+    * (⌈quota/available⌉ in milli — above 1000 means that group
+    * repeats: the tail groups q186 boosts are exactly the ones that
+    * run out first, and THIS row is where that bill lands; the
+    * published multilingual-sampling trade made auditable). Integer
+    * end to end on top of the q186 isqrt/idiv conventions. */
+  def mixtureQuota(docs: DataFrame, groupCol: String, text: Column,
+                   targetTokens: Long): DataFrame = {
+    val w = mixtureWeights(docs, groupCol, text)
+    w.select(col(groupCol), col("n_tokens").as("available_tokens"),
+      col("weight_bp"),
+      F.idiv(col("weight_bp") * lit(targetTokens), lit(10000L))
+        .as("quota_tokens"))
+      .withColumn("epochs_milli",
+        F.idiv(lit(1000L) * col("quota_tokens") + col("available_tokens") - 1L,
+          col("available_tokens")))
+      .withColumn("is_exhausted",
+        (col("quota_tokens") > col("available_tokens")).cast("int"))
+  }
+
+  /** q270: quota plan for a 200k-token target over the language mix. */
+  def q270(s: SparkSession, d: String): DataFrame =
+    mixtureQuota(Tables.documents(s, d), "lang", col("text"), 200000L)
+
   /** BIGRAM-LM surprisal (q90's unigram signal upgraded to a
     * second-order model): per-doc mean −ln P(w₂|w₁) with the MLE
     * conditional P(w₂|w₁) = c(w₁w₂)/c(w₁·), where the head marginal

@@ -1409,6 +1409,24 @@ class OperatorsSpec extends SparkSpec {
     assert(out.forall(_.getLong(1) > 1L))
   }
 
+  test("q270 mixture quota: exhaustion and milli-epochs on the q186 example") {
+    import SparkTestSession.spark.implicits._
+    val docs = Seq(
+      ("x", (1 to 16).map(i => s"t$i").mkString(" ")), // isqrt 4 -> 6666 bp
+      ("y", "a b c d")                                 // isqrt 2 -> 3333 bp
+    ).toDF("lang", "text")
+    def run(target: Long) = Text.mixtureQuota(docs, "lang", col("text"), target)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getInt(5)))).toMap
+    val small = run(10L)
+    assert(small("x") == ((16L, 6666L, 6L, 375L, 0)), s"$small")
+    assert(small("y") == ((4L, 3333L, 3L, 750L, 0)), s"$small")
+    val big = run(60L)
+    // quota above supply: the boosted tail repeats (epochs > 1000)
+    assert(big("x") == ((16L, 6666L, 39L, 2438L, 1)), s"$big")
+    assert(big("y") == ((4L, 3333L, 19L, 4750L, 1)), s"$big")
+  }
+
   test("q186 mixture weights: worked example with exact integer sqrt") {
     import SparkTestSession.spark.implicits._
     val docs = Seq(
