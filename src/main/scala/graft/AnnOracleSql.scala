@@ -428,8 +428,21 @@ object AnnOracleSql {
     FROM fin WHERE rank <= ${Similarity.TopK}"""
   }
 
+  /** q271 cell balance: the q91 per-cell table rolled up to one row
+    * with the q188-convention hot_bp. */
+  private val q271Sql: String =
+    s"""WITH base AS ($q91Sql)
+    SELECT CAST(16 AS BIGINT) AS n_cells,
+      CAST(count(*) AS BIGINT) AS occupied_cells,
+      CAST(sum(n_members) AS BIGINT) AS n_vectors,
+      CAST(max(n_members) AS BIGINT) AS max_cell_n,
+      CAST(10000 * max(n_members) // sum(n_members) AS BIGINT) AS max_share_bp,
+      CAST(10000 * max(n_members) * 16 // sum(n_members) AS BIGINT) AS hot_bp
+    FROM base"""
+
   val all: Map[String, String] = Map(
     "q250_ann_graph"       -> q250Sql,
+    "q271_cell_balance"    -> q271Sql,
     "q234_split_leakage"   -> q234Sql,
     "q237_silhouette"      -> q237Sql,
     "q91_embed_clusters"   -> q91Sql,

@@ -287,6 +287,7 @@ object SparkEntry {
     "q268_pipeline_yield" -> (Text.q268 _),
     "q269_boilerplate_hotspots" -> (Dedup.q269 _),
     "q270_mixture_quota"  -> (Text.q270 _),
+    "q271_cell_balance"   -> (Similarity.q271 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:

@@ -1612,6 +1612,30 @@ object Similarity {
   def q264(s: SparkSession, d: String): DataFrame =
     labelNoiseAudit(Tables.embeddings(s, d), "vec_id", "embedding", "label")
 
+  /** INDEX CELL-BALANCE AUDIT (round 11): one row summarizing whether
+    * the trained quantizer's cells are fit to serve — occupancy (empty
+    * cells waste probes), the largest list's share, and hot_bp =
+    * 10⁴·max·k/n (the q188 skew convention: 10⁴ = perfectly balanced;
+    * a 3× cell reads 30000 — probe latency is gated by the hottest
+    * probed list, so THIS number is the index's tail-latency
+    * predictor, and persistent heat says retrain with more
+    * iterations/cells rather than salting). A |cells|-row rollup over
+    * the q91 per-cell table. */
+  def cellBalance(perCell: DataFrame, k: Int): DataFrame =
+    perCell.agg(count(lit(1)).as("occupied_cells"),
+        sum(col("n_members")).as("n_vectors"),
+        max(col("n_members")).as("max_cell_n"))
+      .select(lit(k.toLong).as("n_cells"), col("occupied_cells"),
+        col("n_vectors"), col("max_cell_n"),
+        F.idiv(lit(10000L) * col("max_cell_n"), col("n_vectors"))
+          .as("max_share_bp"),
+        F.idiv(lit(10000L) * col("max_cell_n") * k, col("n_vectors"))
+          .as("hot_bp"))
+
+  /** q271: balance report of the 16-cell quantizer over embeddings. */
+  def q271(s: SparkSession, d: String): DataFrame =
+    cellBalance(q91(s, d), 16)
+
   /** q250: graph-ANN top-10 — the NN-Descent graph + beam walk as an
     * oracled query entry (the DuckDB side replays seed rings, every
     * refinement round, and every hop verbatim — AnnOracleSql.q250Sql). */

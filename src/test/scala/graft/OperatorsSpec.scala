@@ -1427,6 +1427,17 @@ class OperatorsSpec extends SparkSpec {
     assert(big("y") == ((4L, 3333L, 19L, 4750L, 1)), s"$big")
   }
 
+  test("q271 cell balance: rollup identities over the q91 table") {
+    val per = Similarity.q91(spark, sf).collect()
+    val r = Similarity.q271(spark, sf).collect().head
+    assert(r.getLong(0) == 16L)
+    assert(r.getLong(1) == per.length.toLong, "occupied = q91 rows")
+    assert(r.getLong(2) == per.map(_.getLong(1)).sum, "vectors conserved")
+    assert(r.getLong(3) == per.map(_.getLong(1)).max, "max cell")
+    // hot_bp >= 10000 by construction (max >= mean)
+    assert(r.getLong(5) >= 10000L * r.getLong(1) / 16L, s"$r")
+  }
+
   test("q186 mixture weights: worked example with exact integer sqrt") {
     import SparkTestSession.spark.implicits._
     val docs = Seq(
