@@ -2874,16 +2874,20 @@ object SparkEntry {
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          wn AS (SELECT doc_id, i AS p, md5(array_to_string(toks[i:i+7], ' ')) AS h
                 FROM t, UNNEST(range(1, len(toks) - 6)) AS u(i)),
-         g AS (SELECT h, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs,
-               min(doc_id * 1000000 + p) AS firstpk
+         g AS (SELECT h, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
                FROM wn GROUP BY 1 HAVING count(*) > 1),
-         r AS (SELECT *, row_number() OVER (ORDER BY n_occurrences DESC, h ASC) AS rank
-               FROM g QUALIFY rank <= 20)
+         fo AS (SELECT h, doc_id AS fdoc, p AS fp FROM
+               (SELECT h, doc_id, p,
+                row_number() OVER (PARTITION BY h ORDER BY doc_id, p) AS rn FROM wn)
+               WHERE rn = 1),
+         r AS (SELECT g.h, g.n_occurrences, g.n_docs, fo.fdoc, fo.fp,
+               row_number() OVER (ORDER BY g.n_occurrences DESC, g.h ASC) AS rank
+               FROM g JOIN fo USING (h) QUALIFY rank <= 20)
          SELECT CAST(r.rank AS BIGINT) AS rank,
            CAST(r.n_occurrences AS BIGINT) AS n_occurrences,
            CAST(r.n_docs AS BIGINT) AS n_docs,
-           array_to_string(t.toks[CAST(r.firstpk % 1000000 AS INT):CAST(r.firstpk % 1000000 AS INT) + 7], ' ') AS span_text
-         FROM r JOIN t ON t.doc_id = r.firstpk // 1000000""",
+           array_to_string(t.toks[CAST(r.fp AS INT):CAST(r.fp AS INT) + 7], ' ') AS span_text
+         FROM r JOIN t ON t.doc_id = r.fdoc""",
 
     // Funnel = cluster labels (full corpus) -> keep-first survivors ->
     // per-lang percentile_disc gate over SURVIVORS; yields vs ingest.
@@ -3979,7 +3983,8 @@ object SparkEntry {
          tot AS (SELECT event_type, count(*) AS cnt FROM e GROUP BY 1),
          kv AS (SELECT event_type, k.key AS field,
                 json_extract_string(e.props, '$.' || k.key) AS v
-                FROM e, UNNEST(json_keys(e.props)) AS k(key)),
+                FROM (SELECT * FROM e WHERE json_valid(props)) e,
+                UNNEST(json_keys(e.props)) AS k(key)),
          g AS (SELECT event_type, field, count(*) AS n_present,
                count(DISTINCT v) AS n_distinct_vals,
                min(CASE WHEN regexp_matches(v, '^-?[0-9]+$') THEN 1 ELSE 0 END) AS all_numeric,
@@ -4033,8 +4038,7 @@ object SparkEntry {
              FROM events GROUP BY 1, 2),
          st AS (SELECT s, count(*) AS n, 1000 * sum(x) // count(*) AS xbar_milli
                 FROM d0 GROUP BY 1),
-         dev AS (SELECT d0.s, st.n,
-                 row_number() OVER (PARTITION BY d0.s ORDER BY d0.day) AS i,
+         dev AS (SELECT d0.s, st.n, d0.day,
                  1000 * d0.x - st.xbar_milli AS d
                  FROM d0 JOIN st USING (s)),
          den AS (SELECT s, sum(d::HUGEINT * d::HUGEINT) AS den, max(n) AS n
@@ -4042,7 +4046,7 @@ object SparkEntry {
          lg AS (SELECT a.s, k.lag, a.d, b.d AS d2
                 FROM dev a
                 CROSS JOIN (SELECT unnest(range(1, 8)) AS lag) k
-                JOIN dev b ON b.s = a.s AND b.i = a.i + k.lag),
+                JOIN dev b ON b.s = a.s AND b.day = a.day + CAST(k.lag AS INT)),
          num AS (SELECT s, lag, sum(d::HUGEINT * d2::HUGEINT) AS num
                  FROM lg GROUP BY 1, 2)
          SELECT num.s AS event_type, CAST(num.lag AS BIGINT) AS lag,
@@ -4058,10 +4062,10 @@ object SparkEntry {
          st AS (SELECT s, 1000 * sum(x) // count(*) AS xbar FROM d0 GROUP BY 1),
          dev AS (SELECT d0.s, d0.day, 1000 * d0.x - st.xbar AS d
                  FROM d0 JOIN st USING (s)),
-         dn0 AS (SELECT s, sum(d * d) AS ss FROM dev GROUP BY 1),
+         dn0 AS (SELECT s, sum(d::HUGEINT * d::HUGEINT) AS ss FROM dev GROUP BY 1),
          dn1 AS (SELECT s, ss, CAST(floor(sqrt(CAST(ss AS DOUBLE))) AS BIGINT) AS c FROM dn0),
-         den AS (SELECT s, CASE WHEN (c + 1) * (c + 1) <= ss THEN c + 1
-                      WHEN c * c > ss THEN c - 1 ELSE c END AS isq FROM dn1),
+         den AS (SELECT s, CASE WHEN (c + 1)::HUGEINT * (c + 1)::HUGEINT <= ss THEN c + 1
+                      WHEN c::HUGEINT * c::HUGEINT > ss THEN c - 1 ELSE c END AS isq FROM dn1),
          lg AS (SELECT a.s AS sa, b.s AS sb, k.lag, count(*) AS n_overlap,
                 sum(a.d::HUGEINT * b.d::HUGEINT) AS num
                 FROM dev a

@@ -111,6 +111,23 @@ object F {
     * digest bytes (DuckDB md5_number_upper) as a signed long. */
   def md5Hash64(c: Column): Column = GraftColumns.wrap(Md5Hash64(u(c)))
 
+  /** Exact integer square root of a non-negative integral column —
+    * the double-sqrt candidate corrected by ±1 so s² ≤ n < (s+1)²
+    * holds in every engine regardless of libm rounding (the q186
+    * convention, shared by the q255 CCF normalizer; the oracle mirrors
+    * the same CASE). Accepts long or decimal input. */
+  def isqrtLong(c: Column): Column = {
+    import org.apache.spark.sql.functions.{floor, sqrt, when}
+    val cand = floor(sqrt(c.cast("double"))).cast("long")
+    // correction squares run in decimal: (cand+1)² overflows a long
+    // (ANSI: throws) once the input passes ~2⁶² — decimal(38,0) holds
+    // any square of a long exactly
+    def sq(x: Column): Column = x.cast("decimal(38,0)") * x.cast("decimal(38,0)")
+    val cd = c.cast("decimal(38,0)")
+    when(sq(cand + 1) <= cd, cand + 1)
+      .when(sq(cand) > cd, cand - 1).otherwise(cand)
+  }
+
   /** Draw `i` of the splitmix64 stream seeded by `h`:
     * mix64(h + i·φ64) in wrapping Java long arithmetic (a codegen'd
     * expression — composing this from `+`/`*` columns throws under

@@ -1329,11 +1329,7 @@ object Dedup {
                           w: Int): DataFrame = {
     val base = corpus
       .select(col(id).as("doc_id"), tokens(col(text)).as("tks"))
-    val wins = base.filter(size(col("tks")) >= w)
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(1, size(tks) - ${w - 1}), i -> md5(array_join(slice(tks, i, $w), ' ')))"))
-        .as(Seq("p0", "h")))
-      .select(col("doc_id"), (col("p0") + 1).as("p"), col("h"))
+    val wins = windowHashes(base, w)
     val byHash = Window.partitionBy(col("h"))
     val laterDups = wins
       .withColumn("cnt", count(lit(1)).over(byHash))
@@ -1391,15 +1387,23 @@ object Dedup {
     * (q247) and the pair explainer (q260) so the doubling math cannot
     * drift between them. Each round's table is checkpointed (it feeds
     * its consumer AND the next round). */
+  /** (doc_id, p, h) md5 window fingerprints at width w over a
+    * (doc_id, tks) frame — ONE definition of the window hash shared by
+    * the doubling chain (q247/q260), the novelty curve (q262) and the
+    * hotspot report (q269), so the fingerprint cannot drift between
+    * the operators that must agree on it. */
+  private def windowHashes(base: DataFrame, w: Int): DataFrame =
+    base.filter(size(col("tks")) >= w)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(tks) - ${w - 1}), i -> md5(array_join(slice(tks, i, $w), ' ')))"))
+        .as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).as("p"), col("h"))
+
   private def doublingTables(corpus: DataFrame, id: String, text: String,
                              wMin: Int, rounds: Int): Seq[(Long, DataFrame)] = {
     require(wMin >= 2 && rounds >= 1)
     val base = corpus.select(col(id).as("doc_id"), tokens(col(text)).as("tks"))
-    val h0 = base.filter(size(col("tks")) >= wMin)
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(1, size(tks) - ${wMin - 1}), i -> md5(array_join(slice(tks, i, $wMin), ' ')))"))
-        .as(Seq("p0", "h")))
-      .select(col("doc_id"), (col("p0") + 1).as("p"), col("h"))
+    val h0 = windowHashes(base, wMin)
     var cur = h0.localCheckpoint()
     var width = wMin.toLong
     val out = Seq.newBuilder[(Long, DataFrame)]
@@ -1563,9 +1567,14 @@ object Dedup {
     val docSet = pairs.select(col("doc_a").as("doc_id"))
       .unionByName(pairs.select(col("doc_b").as("doc_id")))
       .distinct().localCheckpoint()
-    val matches = doublingTables(corpus, id, text, wMin, rounds).map {
+    // restrict BEFORE the doubling chain — the recurrence is per-doc,
+    // so restriction commutes, and the per-round self-joins then run
+    // on the near-dup-sized sliver instead of every corpus window
+    val sub = corpus.join(
+      broadcast(docSet.withColumnRenamed("doc_id", id)), Seq(id), "left_semi")
+    val matches = doublingTables(sub, id, text, wMin, rounds).map {
       case (width, tbl) =>
-        val t = tbl.join(broadcast(docSet), "doc_id")
+        val t = tbl
         t.select(col("doc_id").as("doc_a"), col("h"))
           .join(t.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
           .filter(col("doc_a") < col("doc_b"))
@@ -1652,9 +1661,9 @@ object Dedup {
           concat(lit(seed + ":"), col("doc_id").cast("string"))),
         lit(nShards.toLong)).as("shard"), col("tks"))
       .filter(size(col("tks")) >= w)
-    val wins = base.select(col("shard"), explode(expr(
-        s"transform(sequence(1, size(tks) - ${w - 1}), i -> md5(array_join(slice(tks, i, $w), ' ')))"))
-        .as("h"))
+    val wins = windowHashes(
+        base.select(col("shard").as("doc_id"), col("tks")), w)
+      .select(col("doc_id").as("shard"), col("h"))
       .distinct() // (shard, hash) grain
       .localCheckpoint() // feeds per-shard distincts AND first-seen
     val perShard = wins.groupBy(col("shard")).agg(count(lit(1)).as("d_s"))
@@ -1692,6 +1701,7 @@ object Dedup {
     val labs = clusters(
       jaccardPairs(corpus, id, text, 0.6).select(col("doc_a"), col("doc_b")))
     val q = graft.ops.Text.qualityBp(corpus, id, text)
+      .withColumnRenamed(id, "doc_id") // generic over the caller's id name
     val toks = corpus.select(col(id).as("doc_id"),
       size(tokens(col(text))).cast("long").as("n_tokens"))
     q.join(toks, Seq("doc_id"))
@@ -1725,11 +1735,7 @@ object Dedup {
   def boilerplateHotspots(corpus: DataFrame, id: String, text: String,
                           w: Int = 8, k: Int = 20): DataFrame = {
     val base = corpus.select(col(id).as("doc_id"), tokens(col(text)).as("tks"))
-    val wins = base.filter(size(col("tks")) >= w)
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(1, size(tks) - ${w - 1}), i -> md5(array_join(slice(tks, i, $w), ' ')))"))
-        .as(Seq("p0", "h")))
-      .select(col("doc_id"), (col("p0") + 1).as("p"), col("h"))
+    val wins = windowHashes(base, w)
     val top = wins.groupBy(col("h"))
       .agg(count(lit(1)).as("n_occurrences"),
         count_distinct(col("doc_id")).as("n_docs"),

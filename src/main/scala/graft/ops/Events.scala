@@ -1797,23 +1797,25 @@ object Events {
     require(maxLag >= 1)
     val daily = events.groupBy(col(series).as("s"), day.as("day"))
       .agg(count(lit(1)).as("x"))
-    val w = Window.partitionBy(col("s")).orderBy(col("day"))
     val stats = daily.groupBy(col("s"))
       .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
       .select(col("s"),
         col("n"), F.idiv(lit(1000L) * col("sx"), col("n")).as("xbar_milli"))
     val dev = daily.join(broadcast(stats), "s")
-      .select(col("s"), col("n"),
-        row_number().over(w).cast("long").as("i"),
+      .select(col("s"), col("n"), col("day"),
         (lit(1000L) * col("x") - col("xbar_milli")).as("d"))
       .localCheckpoint() // bounded (days·|series|); joins itself per lag
     def dec(c: Column): Column = c.cast("decimal(38,0)")
     val den = dev.groupBy(col("s"))
       .agg(sum(dec(col("d")) * dec(col("d"))).as("den"), max(col("n")).as("n"))
-    val lagged = dev.select(col("s"), col("i"),
+    // CALENDAR-day lags (the q255 convention): a series with a missing
+    // day must not compress the gap — index-based lagging would smear
+    // the lag-7 weekly signal around every hole
+    val lagged = dev.select(col("s"), col("day"),
         explode(sequence(lit(1), lit(maxLag))).as("lag"), col("d")).as("l")
-      .join(dev.select(col("s"), col("i").as("i2"), col("d").as("d2")).as("r"),
-        col("l.s") === col("r.s") && col("r.i2") === col("l.i") + col("l.lag"))
+      .join(dev.select(col("s"), col("day").as("day2"), col("d").as("d2")).as("r"),
+        col("l.s") === col("r.s") &&
+          col("r.day2") === date_add(col("l.day"), col("l.lag")))
       .select(col("l.s").as("s"), col("l.lag").as("lag"),
         col("l.d").as("d"), col("d2"))
     val num = lagged.groupBy(col("s"), col("lag"))
@@ -1859,13 +1861,11 @@ object Events {
       .select(col("s"), col("day"),
         (lit(1000L) * col("x") - col("xbar_milli")).as("d"))
       .localCheckpoint() // calendar-bounded; feeds den + both pair sides
-    def isqrtL(c: Column): Column = {
-      val cand = floor(sqrt(c.cast("double"))).cast("long")
-      when((cand + 1) * (cand + 1) <= c, cand + 1)
-        .when(cand * cand > c, cand - 1).otherwise(cand)
-    }
+    def isqrtL(c: Column): Column = F.isqrtLong(c)
+    // decimal(38,0) like q254's den: d ~ 1e10 milli residuals square
+    // past a long, and the oracle's HUGEINT stays exact
     val den = dev.groupBy(col("s"))
-      .agg(sum(col("d") * col("d")).as("ss"))
+      .agg(sum(dec(col("d")) * dec(col("d"))).as("ss"))
       .select(col("s"), isqrtL(col("ss")).as("isq"))
     val lags = explode(sequence(lit(-maxLag), lit(maxLag))).as("lag")
     val pairs = dev.select(col("s").as("sa"), col("day"), col("d").as("da"))

@@ -1670,8 +1670,13 @@ object Similarity {
     val s = delta.sparkSession
     val graph = s.read.parquet(s"$path/graph").localCheckpoint()
     val vectors = s.read.parquet(s"$path/vectors").localCheckpoint()
+    // drop ids already in the index: a replayed or overlapping batch
+    // must be a no-op for its seen rows (idempotence) — without this,
+    // a retry wrote duplicate vid rows into graph AND vectors
     val d = delta.select(col(id).as("vid"), col(emb).as("c_emb"))
+      .join(vectors.select(col("vid")), Seq("vid"), "left_anti")
       .localCheckpoint()
+    if (d.isEmpty) return
     // 1. batch NSW insert-search: each delta vector's M nearest among
     //    the EXISTING nodes (k = m; the search excludes self by id)
     val found = nswSearchTopK(graph,
@@ -1707,8 +1712,14 @@ object Similarity {
       Seq("vid"), "left_anti")
     val newGraph = untouched.unionByName(touchedRows).unionByName(deltaRows)
       .localCheckpoint() // materialize BEFORE overwriting the source files
-    newGraph.write.mode("overwrite").parquet(s"$path/graph")
+    // vectors FIRST: extra vector rows under the old graph are inert
+    // (nothing references them), while a new graph over old vectors
+    // would silently drop delta candidates at the probe join. For a
+    // fully atomic append, run this body inside
+    // VersionedStore.publishDir (the q168 discipline) so the manifest
+    // CAS flips both trees at once.
     allVecs.write.mode("overwrite").parquet(s"$path/vectors")
+    newGraph.write.mode("overwrite").parquet(s"$path/graph")
   }
 
   /** Probe a persisted graph index: adjacency + vectors from the

@@ -1608,7 +1608,9 @@ object Text {
       .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
       .select(col("doc_id"), col("lang_"), col("n_tokens"))
       .localCheckpoint()
-    val q = qualityBp(corpus, id, text)
+    // qualityBp keeps the caller's id name; normalize so the join
+    // works for ANY id column, not just "doc_id"
+    val q = qualityBp(corpus, id, text).withColumnRenamed(id, "doc_id")
     val scored1 = surv1.join(q, Seq("doc_id"))
     val thr = scored1.groupBy(col("lang_"))
       .agg(expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY quality_bp)")
@@ -2102,11 +2104,8 @@ object Text {
     val per = docs.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_docs"),
         sum(size(split(text, " ")).cast("long")).as("n_tokens"))
-    val cand = floor(sqrt(col("n_tokens").cast("double"))).cast("long")
-    val isq = when((cand + 1) * (cand + 1) <= col("n_tokens"), cand + 1)
-      .when(cand * cand > col("n_tokens"), cand - 1)
-      .otherwise(cand)
-    val withS = per.withColumn("isqrt_tokens", isq)
+    val withS = per.withColumn("isqrt_tokens",
+      graft.functions.F.isqrtLong(col("n_tokens")))
     val tot = withS.agg(sum(col("n_tokens")).as("tt"),
       sum(col("isqrt_tokens")).as("ti"))
     withS.crossJoin(broadcast(tot))
