@@ -288,6 +288,8 @@ object SparkEntry {
     "q269_boilerplate_hotspots" -> (Dedup.q269 _),
     "q270_mixture_quota"  -> (Text.q270 _),
     "q271_cell_balance"   -> (Similarity.q271 _),
+    "q272_communities"    -> (Relational.q272 _),
+    "q273_assortativity"  -> (Relational.q273 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -4125,6 +4127,36 @@ object SparkEntry {
            CAST((l + b) // 256 AS BIGINT) AS forecast_next FROM e""",
 
     "q226_kcore" -> kCoreOracle,
+    "q272_communities" -> lpaOracle,
+
+    // Degree assortativity (Newman's r) as exact integer arithmetic:
+    // over the both-direction edge list the endpoint-degree marginals
+    // coincide, so r = (m·Σxy − (Σx)²)/(m·Σxx − (Σx)²); HUGEINT sums
+    // mirror the Spark side's decimal(38,0), one `//` at the boundary,
+    // NULL on the regular-graph zero denominator (q204 convention).
+    "q273_assortativity" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+                     FROM lineitem WHERE l_orderkey % 8 = 0),
+         e AS (SELECT a.it AS pa, b.it AS pb
+               FROM li a JOIN li b ON a.bk = b.bk AND a.it < b.it GROUP BY 1, 2),
+         und AS MATERIALIZED (
+               SELECT pa AS src, pb AS dst FROM e
+               UNION ALL SELECT pb, pa FROM e),
+         deg AS MATERIALIZED (SELECT src AS u, count(*) AS d FROM und GROUP BY 1),
+         st AS (SELECT count(*) AS m,
+                  sum(CAST(du.d AS HUGEINT)) AS sx,
+                  sum(CAST(du.d AS HUGEINT) * CAST(du.d AS HUGEINT)) AS sxx,
+                  sum(CAST(du.d AS HUGEINT) * CAST(dv.d AS HUGEINT)) AS sxy
+                FROM und ed JOIN deg du ON du.u = ed.src
+                  JOIN deg dv ON dv.u = ed.dst),
+         n AS (SELECT count(*) AS n_nodes FROM deg)
+         SELECT CAST(n.n_nodes AS BIGINT) AS n_nodes,
+           CAST(st.m // 2 AS BIGINT) AS n_edges,
+           CAST(CASE WHEN st.m * st.sxx - st.sx * st.sx = 0 THEN NULL
+                ELSE (10000 * (st.m * st.sxy - st.sx * st.sx))
+                     // (st.m * st.sxx - st.sx * st.sx) END AS BIGINT)
+             AS assortativity_bp
+         FROM st, n""",
 
     // MERGE row contract: full outer join on the key; change rows win,
     // deletes drop, target-only rows pass through. The change batch is
@@ -4187,6 +4219,46 @@ object SparkEntry {
     * if a pathological graph peeled deeper). Stages are MATERIALIZED —
     * the BpeOracleSql lesson: DuckDB 1.0 inlines a multiply-referenced
     * CTE chain exponentially. */
+  /** Synchronous LPA unrolled round-for-round (the kCoreOracle
+    * convention): each sweep joins the both-direction edge list to the
+    * previous round's labels and takes the (count DESC, label ASC)
+    * argmax per node via a windowed row_number — the same total order
+    * the Spark side packs into min(struct(-cnt, lab)). */
+  private def lpaOracle: String = {
+    val rounds = graft.ops.Relational.LpaRounds
+    val base =
+      """li AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+               FROM lineitem WHERE l_orderkey % 8 = 0),
+  e AS (SELECT a.it AS pa, b.it AS pb
+        FROM li a JOIN li b ON a.bk = b.bk AND a.it < b.it GROUP BY 1, 2),
+  und AS MATERIALIZED (
+        SELECT pa AS src, pb AS dst FROM e UNION ALL SELECT pb, pa FROM e),
+  l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lab FROM und)"""
+    val sweeps = (1 to rounds).map { i =>
+      val p = i - 1
+      s"""l$i AS MATERIALIZED (
+    SELECT node, lab FROM (
+      SELECT ed.src AS node, pl.lab AS lab,
+        row_number() OVER (PARTITION BY ed.src
+                           ORDER BY count(*) DESC, pl.lab ASC) AS rn
+      FROM und ed JOIN l$p pl ON pl.node = ed.dst
+      GROUP BY ed.src, pl.lab) WHERE rn = 1)"""
+    }
+    val tail =
+      s"""sizes AS (SELECT lab, count(*) AS n_nodes FROM l$rounds GROUP BY 1),
+  internal AS (SELECT la.lab AS lab, count(*) // 2 AS ie
+        FROM und ed JOIN l$rounds la ON la.node = ed.src
+          JOIN l$rounds lb ON lb.node = ed.dst
+        WHERE la.lab = lb.lab GROUP BY 1)
+  SELECT CAST(row_number() OVER (ORDER BY s.n_nodes DESC, s.lab ASC) AS BIGINT) AS rank,
+    CAST(s.lab AS BIGINT) AS community,
+    CAST(s.n_nodes AS BIGINT) AS n_nodes,
+    CAST(coalesce(i.ie, 0) AS BIGINT) AS n_internal_edges
+  FROM sizes s LEFT JOIN internal i USING (lab)
+  ORDER BY s.n_nodes DESC, s.lab ASC LIMIT 20"""
+    ((base +: sweeps).mkString("WITH ", ",\n", ",\n")) + tail
+  }
+
   private def kCoreOracle: String = {
     val k = graft.ops.Relational.KCoreK
     val rounds = graft.ops.Relational.KCorePeelRounds

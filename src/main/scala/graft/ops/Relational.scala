@@ -1980,4 +1980,147 @@ object Relational {
   def q190(s: SparkSession, d: String): DataFrame =
     triangleCounts(Tables.lineitem(s, d).filter(col("l_orderkey") % 8 === 0),
       "l_orderkey", "l_partkey", 1L, 20)
+
+  /** Synchronous LPA sweep count, shared with the q272 oracle's unroll. */
+  val LpaRounds = 4
+
+  /** SYNCHRONOUS LABEL-PROPAGATION COMMUNITY DETECTION (Raghavan et
+    * al.'s LPA made deterministic): every node simultaneously adopts
+    * its neighbors' most frequent round-(i−1) label, ties to the
+    * SMALLEST label — the near-linear community detector that
+    * partitions the dense blob q55-style connected components see as
+    * one piece (k-core trims it, triangles score it; this NAMES the
+    * modules). The output contract is "labels after `rounds`
+    * synchronized sweeps" (the q147 fixed-iteration convention), not
+    * a fixpoint: synchronous LPA can 2-cycle on bipartite structure
+    * (spec pins the single-edge oscillation), and a fixed unroll is
+    * what makes the operator engine-replayable.
+    *
+    * Output: top-k communities by (size DESC, label ASC) with member
+    * count and internal (within-community) undirected edge count —
+    * internal share ≈ 1 means a real module, ≈ edge share means the
+    * partition is noise.
+    *
+    * Scale (100 TB): per round ONE hash join (edges ⋈ labels on dst,
+    * both keyed tables) + two aggregations whose keys are (node,
+    * label) then node — no global structure, no windows over the
+    * corpus; localCheckpoint truncates per-round lineage (q147/q226
+    * discipline). The final ranking is a TakeOrdered over
+    * community-cardinality rows, never a global sort window. */
+  def communities(edges0: DataFrame, a: String, b: String,
+                  rounds: Int = LpaRounds, k: Int = 20): DataFrame = {
+    require(rounds >= 1 && k >= 1)
+    val undirected = edges0
+      .select(col(a).cast("long").as("src"), col(b).cast("long").as("dst"))
+      .where(col("src") =!= col("dst")).distinct()
+    val edges = undirected
+      .unionAll(undirected.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint() // feeds every round + sizes + internal edges
+    var lab = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lab"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      // argmax neighbor label by (count DESC, label ASC) as a packed
+      // min-struct (q82 convention): counts are positive so -cnt is
+      // safe, and the struct order is total — no max_by tie hazard
+      lab = edges
+        .join(lab.select(col("node").as("dst"), col("lab").as("nlab")),
+          Seq("dst"))
+        .groupBy(col("src"), col("nlab"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("src"))
+        .agg(min(struct((-col("cnt")).as("nc"), col("nlab").as("l"))).as("m"))
+        .select(col("src").as("node"), col("m.l").as("lab"))
+        .localCheckpoint()
+    }
+    val sizes = lab.groupBy(col("lab")).agg(count(lit(1)).as("n_nodes"))
+    // both-direction table counts each within-community edge twice
+    val internal = edges
+      .join(lab.select(col("node").as("src"), col("lab").as("la")), Seq("src"))
+      .join(lab.select(col("node").as("dst"), col("lab").as("lb")), Seq("dst"))
+      .where(col("la") === col("lb"))
+      .groupBy(col("la").as("lab"))
+      .agg(graft.functions.F.idiv(count(lit(1)), lit(2L)).as("n_internal_edges"))
+    val top = sizes.join(internal, Seq("lab"), "left")
+      .na.fill(0L, Seq("n_internal_edges"))
+      .orderBy(col("n_nodes").desc, col("lab").asc).limit(k)
+    top.withColumn("rank", row_number().over(
+        Window.orderBy(col("n_nodes").desc, col("lab").asc)).cast("long"))
+      .select(col("rank"), col("lab").as("community"), col("n_nodes"),
+        col("n_internal_edges"))
+  }
+
+  /** q272: top-20 communities of the basket-sampled co-purchase graph
+    * (the q190/q226 sampling convention) after LpaRounds synchronous
+    * sweeps. */
+  def q272(s: SparkSession, d: String): DataFrame =
+    communities(sampledCopurchaseEdges(s, d), "part_a", "part_b")
+
+  /** DEGREE ASSORTATIVITY — the Pearson correlation of endpoint
+    * degrees over the undirected edge list (Newman's r): positive =
+    * hubs link hubs (social/citation shape), negative = hubs fan out
+    * to leaves (star/broadcast shape, where q135's max-degree and the
+    * q190 orientation bound matter most), ≈0 = degree-neutral wiring.
+    * The one-number sequel to q135's graph health profile.
+    *
+    * Exact integers end to end: over the BOTH-DIRECTION edge list the
+    * x and y marginals coincide, so r = (m·Σxy − (Σx)²)/(m·Σx² −
+    * (Σx)²) with every sum in decimal(38,0) (degree products at a
+    * 10¹²-edge graph outrun a long) and ONE truncating bp division at
+    * the boundary (F.idiv == DuckDB `//` at any sign) — engines agree
+    * bit-for-bit including negative r. A regular graph (every degree
+    * equal) has den = 0 and reports null, the q204 constant-x rule.
+    *
+    * Scale: one degree aggregation + two node-keyed joins to tag each
+    * edge with endpoint degrees, then a single partial-aggregated
+    * 4-sum reduction — no windows, nothing beyond the edge list ever
+    * materialized. */
+  def assortativity(edges0: DataFrame, a: String, b: String): DataFrame = {
+    val undirected = edges0
+      .select(col(a).cast("long").as("src"), col(b).cast("long").as("dst"))
+      .where(col("src") =!= col("dst")).distinct()
+    val edges = undirected
+      .unionAll(undirected.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint() // feeds deg AND the tagged pair list
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val stats = edges
+      .join(deg.select(col("src"), col("deg").as("dx")), Seq("src"))
+      .join(deg.select(col("src").as("dst"), col("deg").as("dy")), Seq("dst"))
+      .agg(count(lit(1)).as("m"),
+        sum(dec(col("dx"))).as("sx"),
+        sum(dec(col("dx")) * dec(col("dx"))).as("sxx"),
+        sum(dec(col("dx")) * dec(col("dy"))).as("sxy"))
+    val n = deg.agg(count(lit(1)).as("n_nodes"))
+    stats.crossJoin(n)
+      .select(col("n_nodes"),
+        graft.functions.F.idiv(col("m"), lit(2L)).as("n_edges"),
+        when(dec(col("m")) * col("sxx") - col("sx") * col("sx") === lit(0),
+          lit(null).cast("long"))
+          .otherwise(graft.functions.F.idiv(
+            lit(10000L) * (dec(col("m")) * col("sxy") - col("sx") * col("sx")),
+            dec(col("m")) * col("sxx") - col("sx") * col("sx")))
+          .as("assortativity_bp"))
+  }
+
+  /** q273: degree assortativity of the same sampled co-purchase graph
+    * q190/q226/q272 profile. */
+  def q273(s: SparkSession, d: String): DataFrame =
+    assortativity(sampledCopurchaseEdges(s, d), "part_a", "part_b")
+
+  /** The q190/q226 deterministic basket sample's co-purchase edge
+    * list (one direction per within-basket pair; q68's basket-array
+    * discipline — pairs explode within the basket row, never a fact
+    * self-join). Shared by q272/q273. */
+  private def sampledCopurchaseEdges(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") % 8 === 0)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("arr"))
+      .select(posexplode(col("arr")).as(Seq("i", "part_a")), col("arr"))
+      .select(col("part_a"),
+        explode(slice(col("arr"), col("i") + lit(2),
+          size(col("arr")) - col("i") - lit(1))).as("part_b"))
 }

@@ -3869,4 +3869,46 @@ class OperatorsSpec extends SparkSpec {
     assert(sizes.size == 32 && sizes.max < 4 * sizes.min,
       s"shard balance: min ${sizes.min} max ${sizes.max}")
   }
+
+  test("communities: LPA names the two cliques, counts internal edges") {
+    import SparkTestSession.spark.implicits._
+    // two 4-cliques bridged by one edge: 4 synchronous sweeps converge
+    // to one community per clique, labeled by its smallest member, and
+    // the bridge edge counts for NEITHER side
+    val cliqueA = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val cliqueB = for (a <- 10L to 13L; b <- (a + 1) to 13L) yield (a, b)
+    val edges = (cliqueA ++ cliqueB :+ ((4L, 10L))).toDF("a", "b")
+    val out = Relational.communities(edges, "a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 1L, 4L, 6L), (2L, 10L, 4L, 6L)),
+      s"two cliques: ${out.toSeq}")
+    // synchronous LPA 2-cycles on a single edge: after the EVEN number
+    // of sweeps the labels are back to self — the documented
+    // oscillation contract (fixed unroll, not a fixpoint)
+    val osc = Relational.communities(Seq((1L, 2L)).toDF("a", "b"), "a", "b")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(osc.toSeq == Seq((1L, 1L, 0L), (2L, 1L, 0L)), s"2-cycle: ${osc.toSeq}")
+    // the odd phase swaps the two labels but the community histogram
+    // is phase-invariant: still two singletons, never a merge
+    val osc3 = Relational.communities(Seq((1L, 2L)).toDF("a", "b"), "a", "b",
+      rounds = 3).collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(osc3.toSeq == osc.toSeq, s"swap phase: ${osc3.toSeq}")
+  }
+
+  test("assortativity: -1 on stars, +1 on degree-sorted unions, null on regular") {
+    import SparkTestSession.spark.implicits._
+    // star K1,3 is the canonical dissortative graph: r = -1 exactly
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("a", "b")
+    val s = Relational.assortativity(star, "a", "b").collect().head
+    assert((s.getLong(0), s.getLong(1)) == ((4L, 3L)), s.toSeq.toString)
+    assert(s.getLong(2) == -10000L, s"star r: ${s.getLong(2)}")
+    // triangle ⊎ disjoint edge: every edge joins equal degrees → r = +1
+    val mix = Seq((1L, 2L), (2L, 3L), (3L, 1L), (8L, 9L)).toDF("a", "b")
+    val m = Relational.assortativity(mix, "a", "b").collect().head
+    assert(m.getLong(2) == 10000L, s"sorted-union r: ${m.getLong(2)}")
+    // a regular graph has zero degree variance: den = 0 → null (q204)
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("a", "b")
+    val t = Relational.assortativity(tri, "a", "b").collect().head
+    assert(t.isNullAt(2), "regular graph must report null r")
+  }
 }
