@@ -290,6 +290,7 @@ object SparkEntry {
     "q271_cell_balance"   -> (Similarity.q271 _),
     "q272_communities"    -> (Relational.q272 _),
     "q273_assortativity"  -> (Relational.q273 _),
+    "q274_clustering_coeff" -> (Relational.q274 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -3260,6 +3261,40 @@ object SparkEntry {
            CAST(deg.d AS BIGINT) AS degree
          FROM pn JOIN deg ON deg.u = pn.part
          ORDER BY n_triangles DESC, part ASC LIMIT 20""",
+
+    // q190's orientation + wedge + closing chain, then per-node
+    // rollup with cc = 20000·t // d(d−1) (null below degree 2) and the
+    // global transitivity 60000·n_tri // Σd(d−1) in HUGEINT.
+    "q274_clustering_coeff" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+                     FROM lineitem WHERE l_orderkey % 8 = 0),
+         e AS (SELECT a.it AS pa, b.it AS pb
+               FROM li a JOIN li b ON a.bk = b.bk AND a.it < b.it GROUP BY 1, 2),
+         und AS MATERIALIZED (
+               SELECT pa AS u, pb AS v FROM e UNION ALL SELECT pb, pa FROM e),
+         deg AS MATERIALIZED (SELECT u, count(*) AS d FROM und GROUP BY 1),
+         o AS MATERIALIZED (SELECT un.u, un.v, dv.d AS dv
+               FROM und un JOIN deg du ON du.u = un.u JOIN deg dv ON dv.u = un.v
+               WHERE (du.d, un.u) < (dv.d, un.v)),
+         tri AS MATERIALIZED (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+               FROM o e1 JOIN o e2 ON e1.u = e2.u
+                 AND (e1.dv, e1.v) < (e2.dv, e2.v)
+               JOIN o e3 ON e3.u = e1.v AND e3.v = e2.v),
+         pn AS (SELECT u, count(*) AS t FROM
+               (SELECT a AS u FROM tri UNION ALL
+                SELECT b FROM tri UNION ALL SELECT c FROM tri) GROUP BY 1),
+         tot AS (SELECT (SELECT count(*) FROM tri) AS n_tri,
+               (SELECT sum(CAST(d * (d - 1) AS HUGEINT)) FROM deg) AS wedges2),
+         top AS (SELECT deg.u, deg.d, coalesce(pn.t, 0) AS t
+               FROM deg LEFT JOIN pn ON pn.u = deg.u
+               ORDER BY deg.d DESC, deg.u ASC LIMIT 20)
+         SELECT CAST(top.u AS BIGINT) AS node, CAST(top.d AS BIGINT) AS degree,
+           CAST(top.t AS BIGINT) AS n_triangles,
+           CAST(CASE WHEN top.d < 2 THEN NULL
+                ELSE 20000 * top.t // (top.d * (top.d - 1)) END AS BIGINT) AS cc_bp,
+           CAST(CASE WHEN tot.wedges2 = 0 THEN NULL
+                ELSE 60000 * tot.n_tri // tot.wedges2 END AS BIGINT) AS transitivity_bp
+         FROM top, tot""",
 
     // Sliding 32-token windows at stride 16: k_max = ceil(max(n-32,0)/16)
     // via integer arithmetic; char_start = joined length of the tokens

@@ -1136,6 +1136,20 @@ object Relational {
     * quadratic step. */
   def triangleCounts(items: DataFrame, basket: String, item: String,
                      minSupport: Long, k: Int): DataFrame = {
+    val (deg, tri) = orientedTriangleLegs(items, basket, item, minSupport)
+    val perNode = tri.select(explode(array(col("a"), col("b"), col("c"))).as("part"))
+      .groupBy(col("part")).agg(count(lit(1)).as("n_triangles"))
+    perNode.join(deg.select(col("u").as("part"), col("d").as("degree")), "part")
+      .orderBy(col("n_triangles").desc, col("part").asc)
+      .limit(k)
+  }
+
+  /** The degree table + enumerated triangles shared by q190 and q274:
+    * basket-array edges, (degree, id) orientation, tuple-ordered wedge
+    * + one closing equi-join (the scale argument lives on
+    * [[triangleCounts]]). */
+  private def orientedTriangleLegs(items: DataFrame, basket: String,
+      item: String, minSupport: Long): (DataFrame, DataFrame) = {
     val baskets = items.select(col(basket).as("bk"), col(item).as("it"))
       .groupBy(col("bk")).agg(sort_array(collect_set(col("it"))).as("arr"))
     val edges = baskets
@@ -1174,12 +1188,55 @@ object Relational {
     // so a single equality join finishes the triangle.
     val closing = o.select(col("u").as("b"), col("v").as("c"))
     val tri = wedges.join(closing, Seq("b", "c"))
-    val perNode = tri.select(explode(array(col("a"), col("b"), col("c"))).as("part"))
-      .groupBy(col("part")).agg(count(lit(1)).as("n_triangles"))
-    perNode.join(deg.select(col("u").as("part"), col("d").as("degree")), "part")
-      .orderBy(col("n_triangles").desc, col("part").asc)
-      .limit(k)
+    (deg, tri)
   }
+
+  /** LOCAL CLUSTERING COEFFICIENT + GLOBAL TRANSITIVITY — the graph
+    * suite's cohesion report (components name pieces, k-core trims,
+    * LPA labels modules, triangles count; THIS normalizes): for the
+    * top-k nodes by (degree DESC, id ASC), cc = 2·t/(d·(d−1)) in exact
+    * basis points (null below degree 2 — undefined, the q204 rule),
+    * each row carrying the graph-wide transitivity 3·triangles/wedges
+    * so a hub's cohesion reads against the global average in place.
+    *
+    * Exact integers: per-node arithmetic fits a long (d ≤ 10⁶ →
+    * d(d−1) ≤ 10¹²); the GLOBAL wedge sum Σd(d−1) does NOT at 10 ⁹
+    * nodes — decimal(38,0), one truncating division at the boundary.
+    *
+    * Scale: [[triangleCounts]]'s O(m^1.5) enumeration + a node-sized
+    * aggregation; transitivity is a 1-row aggregate cross-joined in
+    * (broadcast, no shuffle added). */
+  def clusteringCoeff(items: DataFrame, basket: String, item: String,
+                      minSupport: Long, k: Int): DataFrame = {
+    val (deg0, tri0) = orientedTriangleLegs(items, basket, item, minSupport)
+    val deg = deg0.localCheckpoint() // feeds per-node rows + wedge sum + n_tri join
+    val tri = tri0.localCheckpoint() // feeds the per-node rollup + the global count
+    val perNode = tri.select(explode(array(col("a"), col("b"), col("c"))).as("u"))
+      .groupBy(col("u")).agg(count(lit(1)).as("n_triangles"))
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val totals = tri.agg(count(lit(1)).as("n_tri")).crossJoin(
+      deg.agg(sum(dec(col("d") * (col("d") - lit(1L)))).as("wedges2")))
+      .select(when(col("wedges2") === lit(0), lit(null).cast("long"))
+        .otherwise(graft.functions.F.idiv(
+          lit(60000L) * dec(col("n_tri")), col("wedges2")))
+        .as("transitivity_bp"))
+    deg.join(perNode, Seq("u"), "left").na.fill(0L, Seq("n_triangles"))
+      .orderBy(col("d").desc, col("u").asc).limit(k)
+      .crossJoin(totals)
+      .select(col("u").as("node"), col("d").as("degree"),
+        col("n_triangles"),
+        when(col("d") < lit(2L), lit(null).cast("long"))
+          .otherwise(graft.functions.F.idiv(lit(20000L) * col("n_triangles"),
+            col("d") * (col("d") - lit(1L)))).as("cc_bp"),
+        col("transitivity_bp"))
+  }
+
+  /** q274: cohesion report of the q190/q226/q272 basket-sampled
+    * co-purchase graph — top-20 hubs by degree with local cc and the
+    * global transitivity. */
+  def q274(s: SparkSession, d: String): DataFrame =
+    clusteringCoeff(Tables.lineitem(s, d).filter(col("l_orderkey") % 8 === 0),
+      "l_orderkey", "l_partkey", 1L, 20)
 
   /** JOIN-FANOUT PRE-FLIGHT AUDIT — q188's sibling for the OTHER way a
     * join goes wrong at scale: output explosion. Before running

@@ -3895,6 +3895,35 @@ class OperatorsSpec extends SparkSpec {
     assert(osc3.toSeq == osc.toSeq, s"swap phase: ${osc3.toSeq}")
   }
 
+  test("clusteringCoeff: K4-plus-pendant worked example, transitivity, low-degree null") {
+    import SparkTestSession.spark.implicits._
+    // baskets encode K4 on {1,2,3,4} plus pendant 5 hanging off node 4:
+    // per-basket pair explode gives the 7 undirected edges
+    val baskets = Seq(
+      (100L, 1L), (100L, 2L), (100L, 3L), (100L, 4L), // K4 via one basket
+      (200L, 4L), (200L, 5L)                           // pendant edge 4-5
+    ).toDF("bk", "it")
+    val rows = Relational.clusteringCoeff(baskets, "bk", "it", 1L, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4)))
+    // K4 has 4 triangles; node 4 (degree 4): t=3, cc = 2·3/(4·3) = 0.5;
+    // nodes 1-3 (degree 3): t=3, cc = 2·3/(3·2) = 1; node 5 (degree 1):
+    // cc undefined → null (mapped to -1 above).
+    // transitivity: 3·4 / (Σd(d-1)/2) = 12/((3·6+12+0)/2) = 12/15 → 8000 bp
+    assert(rows.forall(_._5 == 8000L), s"transitivity: ${rows.toSeq}")
+    assert(rows.toSeq == Seq(
+      (4L, 4L, 3L, 5000L, 8000L),
+      (1L, 3L, 3L, 10000L, 8000L), (2L, 3L, 3L, 10000L, 8000L),
+      (3L, 3L, 3L, 10000L, 8000L), (5L, 1L, 0L, -1L, 8000L)),
+      s"per-node: ${rows.toSeq}")
+    // a triangle-free graph (star) has transitivity 0, every cc 0 or null
+    val star = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 12L))
+      .toDF("bk", "it")
+    val st = Relational.clusteringCoeff(star, "bk", "it", 1L, 10).collect()
+    assert(st.forall(r => r.getLong(4) == 0L && r.getLong(2) == 0L),
+      st.map(_.toSeq).mkString(","))
+  }
+
   test("assortativity: -1 on stars, +1 on degree-sorted unions, null on regular") {
     import SparkTestSession.spark.implicits._
     // star K1,3 is the canonical dissortative graph: r = -1 exactly
