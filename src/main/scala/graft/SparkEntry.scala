@@ -291,6 +291,7 @@ object SparkEntry {
     "q272_communities"    -> (Relational.q272 _),
     "q273_assortativity"  -> (Relational.q273 _),
     "q274_clustering_coeff" -> (Relational.q274 _),
+    "q275_cohens_kappa"   -> (Text.q275 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -1322,6 +1323,33 @@ object SparkEntry {
          SELECT c.lang_true, c.pred_lang, n,
            CAST((10000 * n) // n_true AS BIGINT) AS share_bp
          FROM c JOIN t USING (lang_true)""",
+
+    // Cohen's kappa over the q42-vs-label pairs: confusion cells →
+    // marginals → κ_bp = 10⁴(N·agree − Σrc)/(N² − Σrc), HUGEINT
+    // products mirroring the decimal(38,0) Spark side, null when
+    // pe = 1 (both raters constant).
+    "q275_cohens_kappa" ->
+      s"""WITH $LangIdCtes,
+         p AS (SELECT doc_id, lang AS pred_lang FROM r WHERE rn = 1),
+         j AS (SELECT d.lang AS ra, p.pred_lang AS rb
+               FROM documents d JOIN p USING (doc_id)),
+         cells AS MATERIALIZED (SELECT ra, rb, count(*) AS n FROM j GROUP BY 1, 2),
+         rm AS (SELECT ra AS cls, sum(n) AS r FROM cells GROUP BY 1),
+         cm AS (SELECT rb AS cls, sum(n) AS c FROM cells GROUP BY 1),
+         pe AS (SELECT sum(CAST(coalesce(r, 0) AS HUGEINT)
+                         * CAST(coalesce(c, 0) AS HUGEINT)) AS rc
+                FROM rm FULL OUTER JOIN cm USING (cls)),
+         tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_items,
+                 CAST(sum(CASE WHEN ra = rb THEN n ELSE 0 END) AS BIGINT) AS n_agree
+                 FROM cells)
+         SELECT n_items, n_agree,
+           CAST(10000 * n_agree // n_items AS BIGINT) AS po_bp,
+           CAST(10000 * rc // (CAST(n_items AS HUGEINT) * n_items) AS BIGINT) AS pe_bp,
+           CAST(CASE WHEN CAST(n_items AS HUGEINT) * n_items = rc THEN NULL
+                ELSE 10000 * (CAST(n_items AS HUGEINT) * n_agree - rc)
+                     // (CAST(n_items AS HUGEINT) * n_items - rc) END AS BIGINT)
+             AS kappa_bp
+         FROM tot, pe""",
 
     "q44_ngram_freq" ->
       """WITH b AS (SELECT lang, unnest(list_transform(range(1, len(toks)),

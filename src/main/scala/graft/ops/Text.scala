@@ -2986,4 +2986,58 @@ object Text {
   /** q231: q42's marker predictor scored against the lang label. */
   def q231(s: SparkSession, d: String): DataFrame =
     langidEval(Tables.documents(s, d), "doc_id", "text", "lang", langMarkers)
+
+  /** COHEN'S KAPPA — chance-corrected agreement between two
+    * categorical raters (annotator vs annotator, model vs gold, two
+    * heuristic labelers): the one number that distinguishes "94%
+    * agreement" on a 94%-majority-class corpus (κ≈0) from genuine
+    * skill. Accuracy (q231's diagonal) rewards predicting the prior;
+    * κ subtracts it: κ = (pₒ−pₑ)/(1−pₑ) with pₑ = Σₖ rₖ·cₖ/N² from the
+    * marginals. The operator is rater-agnostic — any two string
+    * columns on one row per item.
+    *
+    * Exact integers: κ_bp = 10⁴·(N·agree − Σrc)/(N² − Σrc) with every
+    * product in decimal(38,0) (N² at a 10¹²-item corpus outruns a
+    * long), ONE truncating division per reported column; null when
+    * pₑ = 1 (both raters constant — κ undefined, the q204 rule).
+    *
+    * Scale: one |classes|²-bounded cell aggregation (map-side
+    * partials), marginals and the 1-row fold over cells only — the
+    * corpus is scanned once and never re-shuffled. */
+  def cohensKappa(pairs: DataFrame, a: String, b: String): DataFrame = {
+    val cells = pairs
+      .select(col(a).cast("string").as("ra"), col(b).cast("string").as("rb"))
+      .groupBy(col("ra"), col("rb")).agg(count(lit(1)).as("n"))
+      .localCheckpoint() // |classes|² rows feed marginals + totals
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val rm = cells.groupBy(col("ra").as("cls")).agg(sum(col("n")).as("r"))
+    val cm = cells.groupBy(col("rb").as("cls")).agg(sum(col("n")).as("c"))
+    val pe = rm.join(cm, Seq("cls"), "full").na.fill(0L, Seq("r", "c"))
+      .agg(sum(dec(col("r")) * dec(col("c"))).as("rc"))
+    val tot = cells.agg(sum(col("n")).as("n_items"),
+      sum(when(col("ra") === col("rb"), col("n")).otherwise(lit(0L)))
+        .as("n_agree"))
+    tot.crossJoin(pe).select(
+      col("n_items"), col("n_agree"),
+      F.idiv(lit(10000L) * dec(col("n_agree")), dec(col("n_items")))
+        .as("po_bp"),
+      F.idiv(lit(10000L) * col("rc"),
+        dec(col("n_items")) * dec(col("n_items"))).as("pe_bp"),
+      when(dec(col("n_items")) * dec(col("n_items")) === col("rc"),
+        lit(null).cast("long"))
+        .otherwise(F.idiv(
+          lit(10000L) * (dec(col("n_items")) * dec(col("n_agree")) - col("rc")),
+          dec(col("n_items")) * dec(col("n_items")) - col("rc")))
+        .as("kappa_bp"))
+  }
+
+  /** q275: κ of the q42 marker predictor against the lang label — the
+    * chance-corrected headline over q231's confusion matrix. */
+  def q275(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pred = languageId(docs, "doc_id", "text", langMarkers)
+      .select(col("doc_id"), col("pred_lang"))
+    cohensKappa(docs.select(col("doc_id"), col("lang")).join(pred, "doc_id"),
+      "lang", "pred_lang")
+  }
 }

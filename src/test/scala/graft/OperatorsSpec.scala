@@ -3924,6 +3924,26 @@ class OperatorsSpec extends SparkSpec {
       st.map(_.toSeq).mkString(","))
   }
 
+  test("cohensKappa: textbook 2x2 worked example, perfect, and undefined cases") {
+    import SparkTestSession.spark.implicits._
+    // classic 2-rater table: 20 yes/yes, 15 no/no, 5 yes/no, 10 no/yes
+    // po = 35/50 = 0.7; pe = (25·30 + 25·20)/2500 = 0.5; kappa = 0.4
+    val pairs = (Seq.fill(20)(("y", "y")) ++ Seq.fill(15)(("n", "n")) ++
+      Seq.fill(5)(("y", "n")) ++ Seq.fill(10)(("n", "y"))).toDF("a", "b")
+    val r = Text.cohensKappa(pairs, "a", "b").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      == ((50L, 35L, 7000L, 5000L, 4000L)), r.toSeq.toString)
+    // perfect agreement with >1 class: kappa = 1 exactly
+    val perfect = Seq(("x", "x"), ("y", "y"), ("z", "z")).toDF("a", "b")
+    assert(Text.cohensKappa(perfect, "a", "b").collect().head.getLong(4) == 10000L)
+    // both raters constant: pe = 1, kappa undefined -> null
+    val const = Seq(("x", "x"), ("x", "x")).toDF("a", "b")
+    assert(Text.cohensKappa(const, "a", "b").collect().head.isNullAt(4))
+    // disjoint label sets (rater B never says what A says): kappa < 0
+    val disj = Seq(("a", "b"), ("b", "a")).toDF("a", "b")
+    assert(Text.cohensKappa(disj, "a", "b").collect().head.getLong(4) < 0L)
+  }
+
   test("assortativity: -1 on stars, +1 on degree-sorted unions, null on regular") {
     import SparkTestSession.spark.implicits._
     // star K1,3 is the canonical dissortative graph: r = -1 exactly
