@@ -292,6 +292,7 @@ object SparkEntry {
     "q273_assortativity"  -> (Relational.q273 _),
     "q274_clustering_coeff" -> (Relational.q274 _),
     "q275_cohens_kappa"   -> (Text.q275 _),
+    "q276_calibration"    -> (Text.q276 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -1350,6 +1351,29 @@ object SparkEntry {
                      // (CAST(n_items AS HUGEINT) * n_items - rc) END AS BIGINT)
              AS kappa_bp
          FROM tot, pe""",
+
+    // Reliability bins over q42's bp confidence: bin = s·10 // 10⁴
+    // clamped to 9, truncating per-bin mean/accuracy, ECE as the
+    // n-weighted |gap| fold carried per row.
+    "q276_calibration" ->
+      s"""WITH $LangIdCtes,
+         p AS (SELECT doc_id, lang AS pred_lang,
+               ${BP("score")} AS s FROM r WHERE rn = 1),
+         j AS (SELECT s, CASE WHEN p.pred_lang = d.lang THEN 1 ELSE 0 END AS ok
+               FROM documents d JOIN p USING (doc_id)),
+         b AS (SELECT LEAST(s * 10 // 10000, 9) AS bin, count(*) AS n,
+               sum(ok) AS n_correct, sum(CAST(s AS HUGEINT)) AS ss
+               FROM j GROUP BY 1),
+         g AS MATERIALIZED (SELECT bin, n, n_correct, ss // n AS conf_bp,
+               10000 * n_correct // n AS acc_bp FROM b),
+         t AS (SELECT sum(CAST(n AS HUGEINT) * abs(acc_bp - conf_bp))
+                      // sum(n) AS ece FROM g)
+         SELECT CAST(bin AS BIGINT) AS bin, CAST(n AS BIGINT) AS n_docs,
+           CAST(n_correct AS BIGINT) AS n_correct,
+           CAST(conf_bp AS BIGINT) AS conf_bp, CAST(acc_bp AS BIGINT) AS acc_bp,
+           CAST(acc_bp - conf_bp AS BIGINT) AS gap_bp,
+           CAST(t.ece AS BIGINT) AS ece_bp
+         FROM g, t""",
 
     "q44_ngram_freq" ->
       """WITH b AS (SELECT lang, unnest(list_transform(range(1, len(toks)),

@@ -3031,6 +3031,54 @@ object Text {
         .as("kappa_bp"))
   }
 
+  /** CALIBRATION / RELIABILITY AUDIT — is a classifier's confidence
+    * honest? Bin predictions by confidence (fixed-width bp bins),
+    * compare each bin's mean confidence against its realized accuracy,
+    * and roll the gaps into Expected Calibration Error. A router that
+    * acts on confidence ("auto-accept above 0.9") needs THIS, not
+    * accuracy: an 80%-accurate predictor that says 0.99 everywhere
+    * passes q231 and still routes garbage. Output: per-bin n, correct
+    * count, mean confidence, accuracy, signed gap (negative =
+    * overconfident), with ece_bp = Σ n_b·|gap_b|/N carried per row
+    * (the q274 constant-column convention).
+    *
+    * Exact integers: confidence arrives in bp; bin = s·k // 10⁴
+    * clamped to k−1; per-bin mean and accuracy are single truncating
+    * divisions; sums in decimal(38,0) (Σscore at 10¹² rows outruns a
+    * long). Scale: one map-side pass + a k-row aggregation — nothing
+    * corpus-sized ever shuffles. */
+  def calibration(scored: DataFrame, scoreBp: String, isCorrect: String,
+                  nBins: Int = 10): DataFrame = {
+    require(nBins >= 1)
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val binned = scored.select(
+        least(F.idiv(col(scoreBp) * lit(nBins.toLong), lit(10000L)),
+          lit(nBins - 1L)).as("bin"),
+        col(scoreBp).as("s"), col(isCorrect).cast("long").as("ok"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ok")).as("n_correct"),
+        sum(dec(col("s"))).as("ss"))
+    val g = binned.select(col("bin"), col("n_docs"), col("n_correct"),
+        F.idiv(col("ss"), dec(col("n_docs"))).as("conf_bp"),
+        F.idiv(lit(10000L) * col("n_correct"), col("n_docs")).as("acc_bp"))
+      .withColumn("gap_bp", col("acc_bp") - col("conf_bp"))
+      .localCheckpoint() // k rows feed the report AND the ECE fold
+    val ece = g.agg(F.idiv(sum(dec(col("n_docs")) * abs(col("gap_bp"))),
+      sum(dec(col("n_docs")))).as("ece_bp"))
+    g.crossJoin(broadcast(ece))
+  }
+
+  /** q276: reliability of the q42 marker predictor's top_score_bp as
+    * a confidence signal for lang-label correctness. */
+  def q276(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pred = languageId(docs, "doc_id", "text", langMarkers)
+    val scored = docs.select(col("doc_id"), col("lang")).join(pred, "doc_id")
+      .select(col("top_score_bp"),
+        (col("pred_lang") === col("lang")).cast("long").as("ok"))
+    calibration(scored, "top_score_bp", "ok", 10)
+  }
+
   /** q275: κ of the q42 marker predictor against the lang label — the
     * chance-corrected headline over q231's confusion matrix. */
   def q275(s: SparkSession, d: String): DataFrame = {

@@ -3944,6 +3944,27 @@ class OperatorsSpec extends SparkSpec {
     assert(Text.cohensKappa(disj, "a", "b").collect().head.getLong(4) < 0L)
   }
 
+  test("calibration: bins, gaps and ECE on a worked example; zero when honest") {
+    import SparkTestSession.spark.implicits._
+    // bin 9 (scores 9000+): 3 right 1 wrong at conf 9500 -> acc 7500,
+    // gap -2000 (overconfident); bin 0: two wrong at conf 500 -> gap -500
+    // ECE = (4·2000 + 2·500) // 6 = 1500
+    val rows = (Seq.fill(3)((9500L, 1L)) :+ ((9500L, 0L))) ++ Seq.fill(2)((500L, 0L))
+    val out = Text.calibration(rows.toDF("s", "ok"), "s", "ok", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (0L, 2L, 0L, 500L, 0L, -500L, 1500L),
+      (9L, 4L, 3L, 9500L, 7500L, -2000L, 1500L)), out.toSeq.toString)
+    // an honest predictor: conf == realized accuracy in every bin -> ECE 0
+    val honest = (Seq.fill(3)((7500L, 1L)) :+ ((7500L, 0L))).toDF("s", "ok")
+    val h = Text.calibration(honest, "s", "ok", 10).collect().head
+    assert(h.getLong(5) == 0L && h.getLong(6) == 0L, h.toSeq.toString)
+    // score 10000 lands in the clamped top bin, not bin 10
+    val top = Seq((10000L, 1L)).toDF("s", "ok")
+    assert(Text.calibration(top, "s", "ok", 10).collect().head.getLong(0) == 9L)
+  }
+
   test("assortativity: -1 on stars, +1 on degree-sorted unions, null on regular") {
     import SparkTestSession.spark.implicits._
     // star K1,3 is the canonical dissortative graph: r = -1 exactly
