@@ -293,6 +293,7 @@ object SparkEntry {
     "q274_clustering_coeff" -> (Relational.q274 _),
     "q275_cohens_kappa"   -> (Text.q275 _),
     "q276_calibration"    -> (Text.q276 _),
+    "q277_hill_tail"      -> (Text.q277 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -1374,6 +1375,25 @@ object SparkEntry {
            CAST(acc_bp - conf_bp AS BIGINT) AS gap_bp,
            CAST(t.ece AS BIGINT) AS ece_bp
          FROM g, t""",
+
+    // Hill plot over the token-length tail: per-value bp-grid ln then
+    // exact integer sums (order-free), H at the i=k+1 cutoff row,
+    // α = 10⁷ // H milli. Ties at the cutoff are value-identical, so
+    // the windowed cumsum is deterministic.
+    "q277_hill_tail" ->
+      """WITH x AS (SELECT len(string_split(text, ' ')) AS x FROM documents),
+         o AS (SELECT x, CAST(floor(ln(x) * 10000 + 0.5) AS BIGINT) AS l,
+               row_number() OVER (ORDER BY x DESC) AS i
+               FROM x WHERE x >= 1 ORDER BY x DESC LIMIT 257),
+         c AS (SELECT x, l, i, coalesce(sum(l) OVER (ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+               FROM o)
+         SELECT CAST(i - 1 AS BIGINT) AS k, CAST(x AS BIGINT) AS x_tail,
+           CAST((cum - (i - 1) * l) // (i - 1) AS BIGINT) AS hill_q,
+           CAST(CASE WHEN (cum - (i - 1) * l) // (i - 1) <= 0 THEN NULL
+                ELSE 10000000 // ((cum - (i - 1) * l) // (i - 1)) END AS BIGINT)
+             AS alpha_milli
+         FROM c WHERE i - 1 IN (16, 64, 256)""",
 
     "q44_ngram_freq" ->
       """WITH b AS (SELECT lang, unnest(list_transform(range(1, len(toks)),

@@ -2886,6 +2886,57 @@ object Text {
   def q232(s: SparkSession, d: String): DataFrame =
     zipfFit(Tables.documents(s, d), "lang", "text")
 
+  /** HILL TAIL-INDEX ESTIMATOR — how heavy is the document-length
+    * tail? q232 fits the word-FREQUENCY power law; this fits the
+    * LENGTH distribution's upper tail, the number that decides
+    * sequence-packing bin capacity (q98/q158), pad waste (q252) and
+    * shard-straggler risk (q243): α ≈ 1–2 means "the longest docs
+    * dominate token mass — cap or split them", α > 3 means a benign
+    * tail. Hill estimator at cutoff k: H = (1/k)·Σᵢ≤ₖ ln(x₍ᵢ₎/x₍ₖ₊₁₎)
+    * over the k largest values, α = 1/H; reported at a sweep of k
+    * values (the Hill plot a practitioner reads for stability —
+    * estimates agreeing across k = a clean power law; drifting =
+    * no stable tail index).
+    *
+    * Cross-engine: ln per VALUE rounded to the q90/q232 bp grid
+    * (floor(ln·10⁴+0.5)) then exact integer sums — the per-term
+    * rounding makes the fold order-free; H in the same grid, α in
+    * milli via one more truncating division; ties at the cutoff are
+    * harmless (the top-k MULTISET is deterministic even though rank
+    * assignment is not). Null α when H ≤ 0 (all top values equal —
+    * no tail to fit, the q204 rule).
+    *
+    * Scale: orderBy-desc-limit(maxK+1) is a TakeOrdered (bounded
+    * per-partition top-k + merge, never a global sort); everything
+    * after runs on ≤ maxK+1 rows. */
+  def hillTail(df: DataFrame, value: Column, ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1))
+    val maxK = ks.max
+    val top = df.select(value.cast("long").as("x")).where(col("x") >= 1L)
+      .orderBy(col("x").desc).limit(maxK + 1)
+      .select(col("x"), bp(log(col("x").cast("double"))).as("l"))
+    // bounded frame (≤ maxK+1 rows): the single-partition window is
+    // deliberate and safe here
+    val w = Window.orderBy(col("x").desc, col("l").desc)
+    val c = top
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("cum", coalesce(
+        sum(col("l")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    val hq = F.idiv(col("cum") - (col("i") - 1L) * col("l"), col("i") - 1L)
+    c.where((col("i") - 1L).isin(ks.map(_.toLong): _*))
+      .select((col("i") - 1L).as("k"), col("x").as("x_tail"),
+        hq.as("hill_q"),
+        when(hq <= 0L, lit(null).cast("long"))
+          .otherwise(F.idiv(lit(10000000L), hq)).as("alpha_milli"))
+      .orderBy(col("k").asc)
+  }
+
+  /** q277: Hill plot of the corpus token-length tail at k = 16/64/256. */
+  def q277(s: SparkSession, d: String): DataFrame =
+    hillTail(Tables.documents(s, d), size(split(col("text"), " ")),
+      Seq(16, 64, 256))
+
   /** DETERMINISTIC EPOCH SHUFFLE — the training-order assignment a
     * data-loader consumes: every document lands in one of `nShards`
     * shards by seeded hash, ordered within its shard by the same hash.

@@ -3965,6 +3965,27 @@ class OperatorsSpec extends SparkSpec {
     assert(Text.calibration(top, "s", "ok", 10).collect().head.getLong(0) == 9L)
   }
 
+  test("hillTail: exact two-level worked example, flat-tail null, short input") {
+    import SparkTestSession.spark.implicits._
+    // top 16 values 1024, cutoff value 512: every log-excess is ln 2,
+    // so H = ln 2 on the bp grid and alpha = 1/ln 2 = 1.442...
+    val xs = (Seq.fill(16)(1024L) ++ Seq.fill(4)(512L) ++ Seq.fill(10)(8L))
+      .toDF("x")
+    val r = Text.hillTail(xs, col("x"), Seq(16)).collect().head
+    val l1024 = math.floor(math.log(1024d) * 10000 + 0.5).toLong
+    val l512 = math.floor(math.log(512d) * 10000 + 0.5).toLong
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((16L, 512L, l1024 - l512, 10000000L / (l1024 - l512))), r.toSeq.toString)
+    assert(r.getLong(3) == 1442L, "alpha(1/ln2) in milli")
+    // a flat tail (all top values equal) has H = 0: alpha undefined
+    val flat = Seq.fill(20)(7L).toDF("x")
+    val f = Text.hillTail(flat, col("x"), Seq(16)).collect().head
+    assert(f.getLong(2) == 0L && f.isNullAt(3), f.toSeq.toString)
+    // k beyond the data: no k+1-th order statistic, no row
+    assert(Text.hillTail(Seq.fill(10)(5L).toDF("x"), col("x"), Seq(16))
+      .count() == 0L)
+  }
+
   test("assortativity: -1 on stars, +1 on degree-sorted unions, null on regular") {
     import SparkTestSession.spark.implicits._
     // star K1,3 is the canonical dissortative graph: r = -1 exactly
