@@ -294,6 +294,7 @@ object SparkEntry {
     "q275_cohens_kappa"   -> (Text.q275 _),
     "q276_calibration"    -> (Text.q276 _),
     "q277_hill_tail"      -> (Text.q277 _),
+    "q278_auc"            -> (Text.q278 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -1394,6 +1395,29 @@ object SparkEntry {
                 ELSE 10000000 // ((cum - (i - 1) * l) // (i - 1)) END AS BIGINT)
              AS alpha_milli
          FROM c WHERE i - 1 IN (16, 64, 256)""",
+
+    // Mann–Whitney 2U over the bounded bp-score grid: cumulative
+    // negatives below each score, ties at half weight, one HUGEINT
+    // division; null when a class is empty.
+    "q278_auc" ->
+      s"""WITH $LangIdCtes,
+         pp AS (SELECT doc_id, lang AS pred_lang,
+               ${BP("score")} AS s FROM r WHERE rn = 1),
+         j AS (SELECT s, CASE WHEN pp.pred_lang = d.lang THEN 1 ELSE 0 END AS y
+               FROM documents d JOIN pp USING (doc_id)),
+         g AS (SELECT s, sum(y) AS p, sum(1 - y) AS n FROM j GROUP BY 1),
+         cg AS (SELECT s, p, n, coalesce(sum(n) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cn
+               FROM g),
+         a AS (SELECT sum(p) AS n_pos, sum(n) AS n_neg,
+               sum(CAST(p AS HUGEINT) * (2 * CAST(cn AS HUGEINT) + n)) AS u2
+               FROM cg)
+         SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+           CAST(u2 AS BIGINT) AS u2,
+           CAST(CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+                ELSE 10000 * u2 // (2 * CAST(n_pos AS HUGEINT) * n_neg)
+                END AS BIGINT) AS auc_bp
+         FROM a""",
 
     "q44_ngram_freq" ->
       """WITH b AS (SELECT lang, unnest(list_transform(range(1, len(toks)),

@@ -3119,6 +3119,53 @@ object Text {
     g.crossJoin(broadcast(ece))
   }
 
+  /** ROC-AUC (Mann–Whitney U) — can the score RANK right above wrong?
+    * The discrimination half of the score-quality story (q276's
+    * calibration is the other half; a score can be perfectly
+    * calibrated and useless for ranking, or perfectly ranking and
+    * dishonest). AUC = P(score⁺ > score⁻) + ½P(tie), estimated exactly
+    * from the integer score grid.
+    *
+    * Scale: scores arrive in bp, so DISTINCT scores ≤ 10⁴+1 — one
+    * corpus-scan aggregation to the (score → n_pos, n_neg) grid, then
+    * a windowed cumulative over the BOUNDED grid (the q118/q214
+    * quantile-grid discipline; the single-partition window holds ≤10⁴
+    * rows at any corpus size). Exact integers: 2U = Σₛ pₛ·(2·N⁻₍ₜ₎ +
+    * nₛ) in decimal(38,0), auc_bp = 10⁴·2U // (2·n⁺·n⁻); null when a
+    * class is empty (AUC undefined). */
+  def aucFromScores(scored: DataFrame, scoreBp: String,
+                    label: String): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val grid = scored.select(col(scoreBp).as("s"),
+        col(label).cast("long").as("y"))
+      .groupBy(col("s"))
+      .agg(sum(col("y")).as("p"), sum(lit(1L) - col("y")).as("n"))
+    // bounded grid: cumulative negatives strictly below each score
+    val w = Window.orderBy(col("s").asc)
+    val c = grid.withColumn("cn",
+      coalesce(sum(col("n")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    val agg = c.agg(sum(col("p")).as("n_pos"), sum(col("n")).as("n_neg"),
+      sum(dec(col("p")) * (lit(2L) * dec(col("cn")) + dec(col("n"))))
+        .as("u2"))
+    agg.select(col("n_pos"), col("n_neg"), col("u2").cast("long").as("u2"),
+      when(col("n_pos") === 0L || col("n_neg") === 0L,
+        lit(null).cast("long"))
+        .otherwise(F.idiv(lit(10000L) * col("u2"),
+          lit(2L) * dec(col("n_pos")) * dec(col("n_neg")))).as("auc_bp"))
+  }
+
+  /** q278: does the q42 confidence rank correct predictions above
+    * wrong ones — AUC of top_score_bp against label correctness. */
+  def q278(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pred = languageId(docs, "doc_id", "text", langMarkers)
+    val scored = docs.select(col("doc_id"), col("lang")).join(pred, "doc_id")
+      .select(col("top_score_bp"),
+        (col("pred_lang") === col("lang")).cast("long").as("ok"))
+    aucFromScores(scored, "top_score_bp", "ok")
+  }
+
   /** q276: reliability of the q42 marker predictor's top_score_bp as
     * a confidence signal for lang-label correctness. */
   def q276(s: SparkSession, d: String): DataFrame = {

@@ -3986,6 +3986,25 @@ class OperatorsSpec extends SparkSpec {
       .count() == 0L)
   }
 
+  test("aucFromScores: tie-aware worked example, perfect, coin-flip, one-class") {
+    import SparkTestSession.spark.implicits._
+    // pos scores {3,2}, neg {1,2}: U = 3 wins + 1 tie/2 = 3.5 of 4
+    // pairs -> 2U = 7, AUC = 0.875
+    val mixed = Seq((3L, 1L), (2L, 1L), (1L, 0L), (2L, 0L)).toDF("s", "y")
+    val m = Text.aucFromScores(mixed, "s", "y").collect().head
+    assert((m.getLong(0), m.getLong(1), m.getLong(2), m.getLong(3)) ==
+      ((2L, 2L, 7L, 8750L)), m.toSeq.toString)
+    // perfect separation -> AUC exactly 1
+    val perfect = Seq((9000L, 1L), (8000L, 1L), (100L, 0L)).toDF("s", "y")
+    assert(Text.aucFromScores(perfect, "s", "y").collect().head.getLong(3) == 10000L)
+    // everything tied on one score -> AUC exactly 1/2
+    val tied = Seq((5L, 1L), (5L, 0L), (5L, 1L), (5L, 0L)).toDF("s", "y")
+    assert(Text.aucFromScores(tied, "s", "y").collect().head.getLong(3) == 5000L)
+    // a single class present: AUC undefined -> null
+    val oneClass = Seq((5L, 1L), (7L, 1L)).toDF("s", "y")
+    assert(Text.aucFromScores(oneClass, "s", "y").collect().head.isNullAt(3))
+  }
+
   test("assortativity: -1 on stars, +1 on degree-sorted unions, null on regular") {
     import SparkTestSession.spark.implicits._
     // star K1,3 is the canonical dissortative graph: r = -1 exactly
