@@ -295,6 +295,7 @@ object SparkEntry {
     "q276_calibration"    -> (Text.q276 _),
     "q277_hill_tail"      -> (Text.q277 _),
     "q278_auc"            -> (Text.q278 _),
+    "q279_mcnemar"        -> (Text.q279 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -1418,6 +1419,40 @@ object SparkEntry {
                 ELSE 10000 * u2 // (2 * CAST(n_pos AS HUGEINT) * n_neg)
                 END AS BIGINT) AS auc_bp
          FROM a""",
+
+    // McNemar over paired correctness of the full q42 profile vs the
+    // first-marker-only variant: the same LangId CTEs plus a second
+    // single-marker chain (u2/r2), four counters, χ² in milli with
+    // HUGEINT squares, null on zero discordant pairs.
+    "q279_mcnemar" ->
+      s"""WITH $LangIdCtes,
+         u2 AS (
+           SELECT doc_id, 'en' AS lang, 0 AS rnk, len(list_filter(toks, t -> t IN ('the'))) / nt AS score FROM sc
+           UNION ALL SELECT doc_id, 'de', 1, len(list_filter(toks, t -> t IN ('der'))) / nt FROM sc
+           UNION ALL SELECT doc_id, 'es', 2, len(list_filter(toks, t -> t IN ('el'))) / nt FROM sc
+           UNION ALL SELECT doc_id, 'fr', 3, len(list_filter(toks, t -> t IN ('le'))) / nt FROM sc
+           UNION ALL SELECT doc_id, 'zh', 4, len(list_filter(toks, t -> t IN ('scan'))) / nt FROM sc),
+         r2 AS (SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, rnk ASC) AS rn FROM u2),
+         pr AS (SELECT d.doc_id,
+               CASE WHEN pa.lang = d.lang THEN 1 ELSE 0 END AS oa,
+               CASE WHEN pb.lang = d.lang THEN 1 ELSE 0 END AS ob
+               FROM documents d
+               JOIN (SELECT doc_id, lang FROM r WHERE rn = 1) pa USING (doc_id)
+               JOIN (SELECT doc_id, lang FROM r2 WHERE rn = 1) pb USING (doc_id)),
+         m AS (SELECT count(*) AS n_items, sum(oa * ob) AS n_both,
+               sum(oa * (1 - ob)) AS a_only, sum((1 - oa) * ob) AS b_only,
+               sum((1 - oa) * (1 - ob)) AS n_neither FROM pr)
+         SELECT CAST(n_items AS BIGINT) AS n_items,
+           CAST(n_both AS BIGINT) AS n_both,
+           CAST(a_only AS BIGINT) AS a_only, CAST(b_only AS BIGINT) AS b_only,
+           CAST(n_neither AS BIGINT) AS n_neither,
+           CAST(CASE WHEN a_only + b_only = 0 THEN NULL
+                ELSE 1000 * (CAST(a_only AS HUGEINT) - b_only)
+                     * (CAST(a_only AS HUGEINT) - b_only)
+                     // (CAST(a_only AS HUGEINT) + b_only) END AS BIGINT)
+             AS chi2_milli
+         FROM m""",
 
     "q44_ngram_freq" ->
       """WITH b AS (SELECT lang, unnest(list_transform(range(1, len(toks)),

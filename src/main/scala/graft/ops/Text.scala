@@ -3177,6 +3177,56 @@ object Text {
     calibration(scored, "top_score_bp", "ok", 10)
   }
 
+  /** McNEMAR'S PAIRED TEST — did changing the model actually help?
+    * Comparing two predictors by their separate accuracies ignores
+    * that they score the SAME items: only the discordant pairs carry
+    * evidence. Given per-item correctness of A and B, reports the
+    * 2×2 agreement table and χ² = (b−c)²/(b+c) over the discordant
+    * counts (b = A-only-right, c = B-only-right) — the gate a marker-
+    * profile or quality-threshold change must pass before rollout
+    * (χ² > 3.84 ≈ p < 0.05). Null χ² when b+c = 0 (no discordant
+    * evidence, the q204 rule). Exact integers: (b−c)² in
+    * decimal(38,0), χ² in milli via one truncating division.
+    *
+    * Scale: one map-side pass to four counters — a single-row
+    * aggregation, zero corpus shuffle. */
+  def mcnemar(pairs: DataFrame, okA: String, okB: String): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val a = col(okA).cast("long"); val b = col(okB).cast("long")
+    val agg = pairs.agg(count(lit(1)).as("n_items"),
+      sum(a * b).as("n_both"),
+      sum(a * (lit(1L) - b)).as("a_only"),
+      sum((lit(1L) - a) * b).as("b_only"),
+      sum((lit(1L) - a) * (lit(1L) - b)).as("n_neither"))
+    agg.select(col("n_items"), col("n_both"), col("a_only"), col("b_only"),
+      col("n_neither"),
+      when(col("a_only") + col("b_only") === 0L, lit(null).cast("long"))
+        .otherwise(F.idiv(
+          lit(1000L) * (dec(col("a_only")) - dec(col("b_only")))
+            * (dec(col("a_only")) - dec(col("b_only"))),
+          dec(col("a_only")) + dec(col("b_only")))).as("chi2_milli"))
+  }
+
+  /** The first-marker-only degraded profile q279 compares against. */
+  val langMarkersLite: Seq[(String, Seq[String])] =
+    langMarkers.map { case (l, ms) => (l, ms.take(1)) }
+
+  /** q279: is the full 3-marker q42 profile actually better than the
+    * 1-marker variant on the SAME documents — McNemar over paired
+    * correctness. */
+  def q279(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    def ok(markers: Seq[(String, Seq[String])], as: String) =
+      languageId(docs, "doc_id", "text", markers)
+        .select(col("doc_id"), col("pred_lang").as(as))
+    val paired = docs.select(col("doc_id"), col("lang"))
+      .join(ok(langMarkers, "pa"), "doc_id")
+      .join(ok(langMarkersLite, "pb"), "doc_id")
+      .select((col("pa") === col("lang")).cast("long").as("ok_a"),
+        (col("pb") === col("lang")).cast("long").as("ok_b"))
+    mcnemar(paired, "ok_a", "ok_b")
+  }
+
   /** q275: κ of the q42 marker predictor against the lang label — the
     * chance-corrected headline over q231's confusion matrix. */
   def q275(s: SparkSession, d: String): DataFrame = {

@@ -4005,6 +4005,23 @@ class OperatorsSpec extends SparkSpec {
     assert(Text.aucFromScores(oneClass, "s", "y").collect().head.isNullAt(3))
   }
 
+  test("mcnemar: discordant-pair chi2 worked example, null without evidence") {
+    import SparkTestSession.spark.implicits._
+    // 5 both-right, 2 both-wrong, 3 A-only, 1 B-only:
+    // chi2 = (3-1)^2/(3+1) = 1 -> 1000 milli
+    val pairs = (Seq.fill(5)((1L, 1L)) ++ Seq.fill(2)((0L, 0L)) ++
+      Seq.fill(3)((1L, 0L)) :+ ((0L, 1L))).toDF("ok_a", "ok_b")
+    val m = Text.mcnemar(pairs, "ok_a", "ok_b").collect().head
+    assert(m.toSeq.take(5) == Seq(11L, 5L, 3L, 1L, 2L), m.toSeq.toString)
+    assert(m.getLong(5) == 1000L, s"chi2: ${m.getLong(5)}")
+    // identical predictors: no discordant pairs, chi2 undefined -> null
+    val same = Seq((1L, 1L), (0L, 0L)).toDF("ok_a", "ok_b")
+    assert(Text.mcnemar(same, "ok_a", "ok_b").collect().head.isNullAt(5))
+    // one-sided improvement: b=0 -> chi2 = c (times 1000)
+    val oneSided = (Seq.fill(4)((1L, 0L)) :+ ((1L, 1L))).toDF("ok_a", "ok_b")
+    assert(Text.mcnemar(oneSided, "ok_a", "ok_b").collect().head.getLong(5) == 4000L)
+  }
+
   test("assortativity: -1 on stars, +1 on degree-sorted unions, null on regular") {
     import SparkTestSession.spark.implicits._
     // star K1,3 is the canonical dissortative graph: r = -1 exactly
