@@ -296,6 +296,7 @@ object SparkEntry {
     "q277_hill_tail"      -> (Text.q277 _),
     "q278_auc"            -> (Text.q278 _),
     "q279_mcnemar"        -> (Text.q279 _),
+    "q280_vocab_overlap"  -> (Text.q280 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -1453,6 +1454,28 @@ object SparkEntry {
                      // (CAST(a_only AS HUGEINT) + b_only) END AS BIGINT)
              AS chi2_milli
          FROM m""",
+
+    // Type-space overlap per language pair: one DISTINCT (lang, token)
+    // set, self-joined on token under ga < gb; Jaccard and small-side
+    // containment in exact bp.
+    "q280_vocab_overlap" ->
+      """WITH ty AS MATERIALIZED (
+           SELECT DISTINCT g, tok FROM (
+             SELECT lang AS g, unnest(string_split(text, ' ')) AS tok
+             FROM documents)),
+         sz AS (SELECT g, count(*) AS nv FROM ty GROUP BY 1),
+         cm AS (SELECT a.g AS lang_a, b.g AS lang_b, count(*) AS n_common
+               FROM ty a JOIN ty b ON a.tok = b.tok AND a.g < b.g
+               GROUP BY 1, 2)
+         SELECT lang_a, lang_b,
+           CAST(sa.nv AS BIGINT) AS vocab_a, CAST(sb.nv AS BIGINT) AS vocab_b,
+           CAST(n_common AS BIGINT) AS n_common,
+           CAST(10000 * n_common // (sa.nv + sb.nv - n_common) AS BIGINT)
+             AS jaccard_bp,
+           CAST(10000 * n_common // LEAST(sa.nv, sb.nv) AS BIGINT)
+             AS containment_bp
+         FROM cm JOIN sz sa ON sa.g = cm.lang_a
+           JOIN sz sb ON sb.g = cm.lang_b""",
 
     "q44_ngram_freq" ->
       """WITH b AS (SELECT lang, unnest(list_transform(range(1, len(toks)),

@@ -2886,6 +2886,46 @@ object Text {
   def q232(s: SparkSession, d: String): DataFrame =
     zipfFit(Tables.documents(s, d), "lang", "text")
 
+  /** PAIRWISE VOCABULARY OVERLAP between subcorpora — the mixture
+    * designer's redundancy map: two sources whose vocabularies are
+    * near-identical add diversity on paper and none in fact (q186's
+    * weights and q270's quotas assume sources are distinct; this
+    * checks). Per (groupA < groupB) pair: vocabulary sizes, shared
+    * types, Jaccard and containment (small-side coverage — high
+    * containment at low Jaccard = one corpus is a subset, the classic
+    * scrape-of-a-scrape signature) in exact bp.
+    *
+    * Scale: ONE distinct over (group, token) — the only corpus-sized
+    * shuffle; the pair join fans each token to its group pairs
+    * (|groups|-bounded per token), aggregations are |groups|²-row.
+    * Never an all-pairs document comparison — overlap is computed in
+    * TYPE space, which is why it runs at any corpus size. */
+  def vocabOverlap(corpus: DataFrame, group: String,
+                   text: String): DataFrame = {
+    val types = withToks(corpus, text)
+      .select(col(group).as("g"), explode(toks).as("tok"))
+      .distinct()
+      .localCheckpoint() // feeds sizes AND the pair join
+    val sizes = types.groupBy(col("g")).agg(count(lit(1)).as("nv"))
+    val common = types.select(col("g").as("ga"), col("tok"))
+      .join(types.select(col("g").as("gb"), col("tok")), "tok")
+      .where(col("ga") < col("gb"))
+      .groupBy(col("ga"), col("gb")).agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col("g").as("ga"), col("nv").as("vocab_a")), "ga")
+      .join(sizes.select(col("g").as("gb"), col("nv").as("vocab_b")), "gb")
+      .select(col("ga").as("lang_a"), col("gb").as("lang_b"),
+        col("vocab_a"), col("vocab_b"), col("n_common"),
+        F.idiv(lit(10000L) * col("n_common"),
+          col("vocab_a") + col("vocab_b") - col("n_common")).as("jaccard_bp"),
+        F.idiv(lit(10000L) * col("n_common"),
+          least(col("vocab_a"), col("vocab_b"))).as("containment_bp"))
+  }
+
+  /** q280: the language-pair vocabulary redundancy map. */
+  def q280(s: SparkSession, d: String): DataFrame =
+    vocabOverlap(Tables.documents(s, d), "lang", "text")
+
   /** HILL TAIL-INDEX ESTIMATOR — how heavy is the document-length
     * tail? q232 fits the word-FREQUENCY power law; this fits the
     * LENGTH distribution's upper tail, the number that decides

@@ -4022,6 +4022,26 @@ class OperatorsSpec extends SparkSpec {
     assert(Text.mcnemar(oneSided, "ok_a", "ok_b").collect().head.getLong(5) == 4000L)
   }
 
+  test("vocabOverlap: jaccard and containment per pair, subset signature") {
+    import SparkTestSession.spark.implicits._
+    val corpus = Seq(
+      ("g1", "a b c"), ("g1", "b c"),          // vocab {a,b,c}
+      ("g2", "b c d e"),                        // vocab {b,c,d,e}
+      ("g3", "b c")                             // vocab {b,c} ⊂ both
+    ).toDF("grp", "text")
+    val out = Text.vocabOverlap(corpus, "grp", "text").collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    assert(out.size == 3, s"three pairs: ${out.keys}")
+    // g1-g2: common {b,c} of union 5 -> jaccard 4000, containment 2/3
+    assert(out(("g1", "g2")) == ((3L, 4L, 2L, 4000L, 6666L)), out.toString)
+    // g3 is a strict subset of g1: containment exactly 10000 while
+    // jaccard is 2/3 — the scrape-of-a-scrape signature
+    assert(out(("g1", "g3")) == ((3L, 2L, 2L, 6666L, 10000L)), out.toString)
+    assert(out(("g2", "g3")) == ((4L, 2L, 2L, 5000L, 10000L)), out.toString)
+  }
+
   test("assortativity: -1 on stars, +1 on degree-sorted unions, null on regular") {
     import SparkTestSession.spark.implicits._
     // star K1,3 is the canonical dissortative graph: r = -1 exactly
