@@ -440,7 +440,54 @@ object AnnOracleSql {
       CAST(10000 * max(n_members) * 16 // sum(n_members) AS BIGINT) AS hot_bp
     FROM base"""
 
+  /** Mirror of Similarity.anisotropy: the grid quantization, the exact
+    * centered second-moment matrix, then AnisotropyIters power sweeps
+    * unrolled CTE-for-CTE (the Lloyd/BPE convention) — HUGEINT
+    * throughout, each sweep renormalized to maxAbs = 2¹⁴ by the same
+    * truncating division the driver BigInt loop performs. */
+  private def q281Sql: String = {
+    val iters = Similarity.AnisotropyIters
+    val base =
+      s"""qe AS MATERIALIZED (
+    SELECT vec_id, u.i - 1 AS i,
+      CAST(floor(CAST(embedding[u.i] AS DOUBLE) * $S) AS BIGINT) AS qi
+    FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)),
+  st AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM embeddings),
+  sv AS MATERIALIZED (SELECT i, CAST(sum(qi) AS HUGEINT) AS s FROM qe GROUP BY 1),
+  mu AS MATERIALIZED (SELECT i, s, s // n AS m FROM sv, st),
+  m0 AS MATERIALIZED (SELECT a.i AS i, b.i AS j,
+      sum(CAST(a.qi AS HUGEINT) * b.qi) AS mm
+    FROM qe a JOIN qe b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+  mc AS MATERIALIZED (SELECT m0.i, m0.j,
+      mm - ma.m * mb.s - ma.s * mb.m + st.n * ma.m * mb.m AS mv
+    FROM m0 JOIN mu ma ON ma.i = m0.i JOIN mu mb ON mb.i = m0.j, st),
+  v0 AS MATERIALIZED (SELECT i AS j, CAST($S AS HUGEINT) AS x FROM sv)"""
+    val sweeps = (1 to iters).map { k =>
+      val p = k - 1
+      s"""w$k AS (SELECT mc.i AS j, sum(mc.mv * v$p.x) AS y
+    FROM mc JOIN v$p ON v$p.j = mc.j GROUP BY 1),
+  v$k AS MATERIALIZED (SELECT j, y * $S // max(abs(y)) OVER () AS x FROM w$k)"""
+    }
+    val tail =
+      s"""num AS (SELECT sum(a.x * mc.mv * b.x) AS num
+    FROM mc JOIN v$iters a ON a.j = mc.i JOIN v$iters b ON b.j = mc.j),
+  den AS (SELECT sum(x * x) AS den FROM v$iters),
+  lam AS (SELECT num // den AS lambda FROM num, den),
+  tr AS (SELECT sum(mv) AS trace FROM mc WHERE i = j),
+  ax AS (SELECT j AS top_axis FROM v$iters ORDER BY abs(x) DESC, j ASC LIMIT 1),
+  dims AS (SELECT count(*) AS d FROM sv)
+  SELECT CAST(st.n AS BIGINT) AS n_vectors, CAST(dims.d AS BIGINT) AS dim,
+    CAST(ax.top_axis AS BIGINT) AS top_axis,
+    CAST(lam.lambda // st.n AS BIGINT) AS lambda_mean_q,
+    CAST(tr.trace // st.n AS BIGINT) AS trace_mean_q,
+    CAST(CASE WHEN tr.trace = 0 THEN NULL
+         ELSE 10000 * lam.lambda // tr.trace END AS BIGINT) AS anisotropy_bp
+  FROM st, dims, ax, lam, tr"""
+    ((base +: sweeps).mkString("WITH ", ",\n  ", ",\n  ")) + tail
+  }
+
   val all: Map[String, String] = Map(
+    "q281_anisotropy"      -> q281Sql,
     "q250_ann_graph"       -> q250Sql,
     "q271_cell_balance"    -> q271Sql,
     "q234_split_leakage"   -> q234Sql,

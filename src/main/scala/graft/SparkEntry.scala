@@ -297,6 +297,7 @@ object SparkEntry {
     "q278_auc"            -> (Text.q278 _),
     "q279_mcnemar"        -> (Text.q279 _),
     "q280_vocab_overlap"  -> (Text.q280 _),
+    "q281_anisotropy"     -> (Similarity.q281 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:

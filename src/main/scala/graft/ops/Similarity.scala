@@ -1636,6 +1636,90 @@ object Similarity {
   def q271(s: SparkSession, d: String): DataFrame =
     cellBalance(q91(s, d), 16)
 
+  /** Power-iteration sweep count shared with the q281 oracle. */
+  val AnisotropyIters = 12
+
+  /** EMBEDDING ANISOTROPY AUDIT — how much of the cloud's variance
+    * lives in ONE direction. Anisotropic embeddings (a dominant
+    * common direction, the documented failure mode of contextual
+    * encoders) make cosine similarity saturate: every pair looks
+    * alike, semdedup (q114) over-merges and retrieval (q60-63) loses
+    * contrast. Reports the dominant principal direction's share of
+    * total variance: λ₁/trace(Σ) in bp, with the top-loading axis.
+    * ≈ 1/d·10⁴ (156 bp at d=64) = isotropic; thousands of bp = fix
+    * the encoder or center the space before trusting cosine.
+    *
+    * Method, exact end to end: vectors on the q61-64 integer grid
+    * (floor(x·2¹⁴)); the d×d centered second-moment matrix from ONE
+    * distributed pass (Σqqᵀ in decimal(38,0), μ = s//n truncating);
+    * then AnisotropyIters synchronized power-iteration sweeps in
+    * driver BigInt arithmetic over the d²-bounded matrix (the
+    * k-means driver-Lloyd precedent — model-sized, never
+    * corpus-sized), renormalizing to maxAbs = 2¹⁴ by truncating
+    * division each sweep; λ₁ as the integer Rayleigh quotient. Every
+    * step is replayable: the oracle unrolls the same sweeps in SQL
+    * (the Lloyd/BPE unroll convention). Fixed sweep count, not a
+    * convergence test — deterministic and engine-replayable; the
+    * spec pins a 100x-gap spectrum where the iterate provably lands.
+    *
+    * Scale: the only corpus-sized work is the d²-per-row moment
+    * explode with map-side partial aggregation (shuffle = d²·
+    * partitions rows, corpus-independent); the driver holds d²
+    * BigInts. Reported λ and trace are per-vector means so the
+    * columns stay long-safe at any corpus size. */
+  def anisotropy(embs: DataFrame, id: String, emb: String,
+                 iters: Int = AnisotropyIters): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val q = embs.select(col(id).as("vid"),
+      transform(col(emb),
+        x => floor(x.cast("double") * lit(QuantScale)).cast("long")).as("q"))
+    val qi = q.select(col("vid"), col("q"),
+      posexplode(col("q")).as(Seq("i", "qi")))
+    val qij = qi.select(col("i"), col("qi"),
+        posexplode(col("q")).as(Seq("j", "qj")))
+      .where(col("j") >= col("i"))
+    val upper = qij.groupBy(col("i"), col("j"))
+      .agg(sum(dec(col("qi") * col("qj"))).as("mm"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)),
+        BigInt(r.getDecimal(2).toBigInteger))).toMap
+    val sums = qi.groupBy(col("i")).agg(sum(dec(col("qi"))).as("s"))
+      .collect().map(r => r.getInt(0) -> BigInt(r.getDecimal(1).toBigInteger))
+      .toMap
+    val n = BigInt(q.count())
+    val d = if (sums.isEmpty) 0 else sums.keys.max + 1
+    require(d > 0 && n > 0, "anisotropy needs a non-empty embedding table")
+    val s = Array.tabulate(d)(sums.getOrElse(_, BigInt(0)))
+    val mu = s.map(_ / n)
+    val m = Array.tabulate(d, d) { (i, j) =>
+      val raw = if (i <= j) upper((i, j)) else upper((j, i))
+      raw - mu(i) * s(j) - s(i) * mu(j) + n * mu(i) * mu(j)
+    }
+    val scale = BigInt(QuantScale)
+    var v = Array.fill(d)(scale)
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(d)(i => (0 until d).map(j => m(i)(j) * v(j)).sum)
+      val ma = w.map(_.abs).max
+      if (ma != 0) v = w.map(_ * scale / ma)
+    }
+    val num = (for (i <- 0 until d; j <- 0 until d) yield v(i) * m(i)(j) * v(j)).sum
+    val den = v.map(x => x * x).sum
+    val lambda = if (den != 0) num / den else BigInt(0)
+    val trace = (0 until d).map(i => m(i)(i)).sum
+    val topAxis = v.zipWithIndex.map { case (x, i) => (x.abs, i) }
+      .maxBy { case (a, i) => (a, -i) }._2
+    Seq((n.toLong, d.toLong, topAxis.toLong, (lambda / n).toLong,
+      (trace / n).toLong,
+      if (trace != 0) Some((BigInt(10000) * lambda / trace).toLong) else None))
+      .toDF("n_vectors", "dim", "top_axis", "lambda_mean_q", "trace_mean_q",
+        "anisotropy_bp")
+  }
+
+  /** q281: anisotropy of the embeddings table. */
+  def q281(s: SparkSession, d: String): DataFrame =
+    anisotropy(Tables.embeddings(s, d), "vec_id", "embedding")
+
   /** q250: graph-ANN top-10 — the NN-Descent graph + beam walk as an
     * oracled query entry (the DuckDB side replays seed rings, every
     * refinement round, and every hop verbatim — AnnOracleSql.q250Sql). */

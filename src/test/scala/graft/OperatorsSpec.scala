@@ -4042,6 +4042,26 @@ class OperatorsSpec extends SparkSpec {
     assert(out(("g2", "g3")) == ((4L, 2L, 2L, 5000L, 10000L)), out.toString)
   }
 
+  test("anisotropy: exact 16x spectral gap worked example; isotropic baseline") {
+    import SparkTestSession.spark.implicits._
+    // axis-aligned cloud: variance 2·2²⁸ on axis 0, 2·2²⁴ on axis 1
+    // (means exactly 0 on the grid). Power iteration provably locks to
+    // (2¹⁴, 0); λ = 2·2²⁸, trace = 2·2²⁸+2·2²⁴, anisotropy = 16/17.
+    val skewed = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(-1f, 0f)),
+      (3L, Array(0f, 0.25f)), (4L, Array(0f, -0.25f))).toDF("vid", "e")
+    val r = Similarity.anisotropy(skewed, "vid", "e").collect().head
+    assert(r.toSeq == Seq(4L, 2L, 0L, 134217728L, 142606336L, 9411L),
+      r.toSeq.toString)
+    // a perfectly isotropic 2d cross: anisotropy exactly 1/2,
+    // top axis ties to the smaller index
+    val iso = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(-1f, 0f)),
+      (3L, Array(0f, 1f)), (4L, Array(0f, -1f))).toDF("vid", "e")
+    val i = Similarity.anisotropy(iso, "vid", "e").collect().head
+    assert(i.getLong(5) == 5000L && i.getLong(2) == 0L, i.toSeq.toString)
+  }
+
   test("assortativity: -1 on stars, +1 on degree-sorted unions, null on regular") {
     import SparkTestSession.spark.implicits._
     // star K1,3 is the canonical dissortative graph: r = -1 exactly
