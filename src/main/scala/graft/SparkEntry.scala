@@ -298,6 +298,7 @@ object SparkEntry {
     "q279_mcnemar"        -> (Text.q279 _),
     "q280_vocab_overlap"  -> (Text.q280 _),
     "q281_anisotropy"     -> (Similarity.q281 _),
+    "q282_pii_eval"       -> (Text.q282 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -766,6 +767,32 @@ object SparkEntry {
            '[a-z0-9.]+@[a-z0-9.]+', '<email>', 'g'), '[0-9]+', '<num>', 'g'))) AS BIGINT) AS sum_scrub_len,
          CAST(sum(length(text)) AS BIGINT) AS sum_raw_len
          FROM documents GROUP BY 1""",
+
+    // Generator-replay of the planted emails + the exact q48 scrub
+    // chain; caught = the planted token normalizes to exactly <email>.
+    "q282_pii_eval" ->
+      """WITH pl AS (SELECT doc_id % 4 AS variant,
+           CASE doc_id % 4
+             WHEN 0 THEN 'user' || CAST(doc_id AS VARCHAR) || '@mail.com'
+             WHEN 1 THEN 'User' || CAST(doc_id AS VARCHAR) || '@mail.com'
+             WHEN 2 THEN 'user.' || CAST(doc_id AS VARCHAR) || '+tag@mail.com'
+             ELSE CAST(doc_id AS VARCHAR) || '_user@mail.com' END AS email,
+           text FROM documents),
+         sc AS (SELECT variant,
+           regexp_replace(regexp_replace(text || ' ' || email,
+             '[a-z0-9.]+@[a-z0-9.]+', '<email>', 'g'),
+             '[0-9]+', '<num>', 'g') AS s FROM pl),
+         lt AS (SELECT variant, ts[len(ts)] AS last_tok
+               FROM (SELECT variant, string_split(s, ' ') AS ts FROM sc))
+         SELECT CAST(variant AS BIGINT) AS variant,
+           CASE variant WHEN 0 THEN 'plain' WHEN 1 THEN 'upper_local'
+                WHEN 2 THEN 'plus_tag' ELSE 'underscore' END AS variant_name,
+           count(*) AS n_planted,
+           CAST(sum(CASE WHEN last_tok = '<email>' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_caught,
+           CAST(10000 * sum(CASE WHEN last_tok = '<email>' THEN 1 ELSE 0 END)
+                // count(*) AS BIGINT) AS recall_bp
+         FROM lt GROUP BY 1, 2""",
 
     "q49_repetition" ->
       s"""WITH t AS (SELECT lang, string_split(text, ' ') AS toks FROM documents),

@@ -117,6 +117,55 @@ object Text {
            sum(col("scrub_len")).as("sum_scrub_len"),
            sum(col("raw_len")).as("sum_raw_len"))
 
+  /** PLANTED-PII RECALL HARNESS — does the scrub actually catch what
+    * it claims? q48 counts what the pattern masked; nothing measured
+    * what it MISSED. This plants one deterministic, id-derived email
+    * per document in four realistic variants (plain lowercase,
+    * capitalized local part, plus-tag, leading-digits-underscore) and
+    * replays the production scrub; a plant counts as caught only when
+    * its token normalizes to EXACTLY `<email>` — a partial mask
+    * (`U<email>`, `user.<num>+<email>`) is a leak, because the
+    * residue still carries identity. Per-variant recall in bp is the
+    * table a privacy review reads: the shipped `[a-z0-9.]+@...`
+    * pattern catches the plain variant and leaks the other three —
+    * exactly the finding this harness exists to surface (tighten the
+    * pattern, re-run, watch recall move).
+    *
+    * Generator-replay oracle (the q70/q105 convention): the plant is
+    * derived from doc_id, so DuckDB re-plants and re-scrubs
+    * identically. One map-side pass, 4-row output. */
+  def piiScrubEval(docs: DataFrame, id: String, text: String): DataFrame = {
+    val did = col("docid").cast("string")
+    val planted = docs.select(col(id).cast("long").as("docid"),
+        col(text).as("t"))
+      .withColumn("variant", col("docid") % 4L)
+      .withColumn("email",
+        when(col("variant") === 0L,
+          concat(lit("user"), did, lit("@mail.com")))
+        .when(col("variant") === 1L,
+          concat(lit("User"), did, lit("@mail.com")))
+        .when(col("variant") === 2L,
+          concat(lit("user."), did, lit("+tag@mail.com")))
+        .otherwise(concat(did, lit("_user@mail.com"))))
+      .withColumn("last_tok", element_at(
+        split(scrub(concat(col("t"), lit(" "), col("email"))), " "), -1))
+    planted.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_planted"),
+        sum((col("last_tok") === "<email>").cast("long")).as("n_caught"))
+      .select(col("variant"),
+        when(col("variant") === 0L, "plain")
+          .when(col("variant") === 1L, "upper_local")
+          .when(col("variant") === 2L, "plus_tag")
+          .otherwise("underscore").as("variant_name"),
+        col("n_planted"), col("n_caught"),
+        F.idiv(lit(10000L) * col("n_caught"), col("n_planted"))
+          .as("recall_bp"))
+  }
+
+  /** q282: the scrub-recall table over the documents corpus. */
+  def q282(s: SparkSession, d: String): DataFrame =
+    piiScrubEval(Tables.documents(s, d), "doc_id", "text")
+
   /** Repetition scoring per group: per-document duplicate-bigram ratio
     * (1 − distinct/total bigrams), the Gopher-style repetition quality
     * signal for corpus filtering. Distinct bigrams are counted by the

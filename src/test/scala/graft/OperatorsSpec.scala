@@ -4062,6 +4062,24 @@ class OperatorsSpec extends SparkSpec {
     assert(i.getLong(5) == 5000L && i.getLong(2) == 0L, i.toSeq.toString)
   }
 
+  test("piiScrubEval: plain variant caught, realistic variants leak") {
+    import SparkTestSession.spark.implicits._
+    // ids 0-7 cover each variant twice; benign base text
+    val docs = (0L until 8L).map(i => (i, "hello world")).toDF("doc_id", "text")
+    val out = Text.piiScrubEval(docs, "doc_id", "text").collect()
+      .map(r => r.getString(1) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(out.size == 4, out.toString)
+    // the shipped [a-z0-9.]+@ pattern fully masks only the plain plant
+    assert(out("plain") == ((2L, 2L, 10000L)), out.toString)
+    // capitalized local part: 'U<email>' residue -> leak
+    assert(out("upper_local") == ((2L, 0L, 0L)), out.toString)
+    // plus-tag: 'user.<num>+<email>' residue -> leak
+    assert(out("plus_tag") == ((2L, 0L, 0L)), out.toString)
+    // digits+underscore: '<num>_<email>' residue -> leak
+    assert(out("underscore") == ((2L, 0L, 0L)), out.toString)
+  }
+
   test("assortativity: -1 on stars, +1 on degree-sorted unions, null on regular") {
     import SparkTestSession.spark.implicits._
     // star K1,3 is the canonical dissortative graph: r = -1 exactly
