@@ -299,6 +299,7 @@ object SparkEntry {
     "q280_vocab_overlap"  -> (Text.q280 _),
     "q281_anisotropy"     -> (Similarity.q281 _),
     "q282_pii_eval"       -> (Text.q282 _),
+    "q283_ks_test"        -> (Relational.q283 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -3672,6 +3673,39 @@ object SparkEntry {
 
     // $25 cents-bands, Laplace-smoothed shares over the union bin set,
     // per-bin floor((p-q)·ln(p/q)·10⁶+½), ALL row (bin -1) = exact sum.
+    // KS over the exact cent lattice: cumulative CDF gap as HUGEINT
+    // cross-products, argmax bin with smallest-bin tie-break, the
+    // 1.358·sqrt critical value as the only double.
+    "q283_ks_test" ->
+      s"""WITH b AS (SELECT ${C("value")} AS bin, event_id % 2 = 0 AS is_ref
+               FROM events),
+         pb AS (SELECT bin, sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS n_ref,
+                sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS n_cur FROM b GROUP BY 1),
+         cm AS (SELECT bin,
+                sum(n_ref) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW) AS cr,
+                sum(n_cur) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW) AS cc FROM pb),
+         t AS (SELECT sum(n_ref) AS nr, sum(n_cur) AS nc FROM pb),
+         g AS (SELECT bin, abs(CAST(cr AS HUGEINT) * t.nc
+                 - CAST(cc AS HUGEINT) * t.nr) AS gap FROM cm, t
+               ORDER BY gap DESC, bin ASC LIMIT 1)
+         SELECT CAST(t.nr AS BIGINT) AS n_ref, CAST(t.nc AS BIGINT) AS n_cur,
+           CAST(g.bin AS BIGINT) AS argmax_bin,
+           CAST(CASE WHEN t.nr = 0 OR t.nc = 0 THEN NULL
+                ELSE 10000 * g.gap // (CAST(t.nr AS HUGEINT) * t.nc)
+                END AS BIGINT) AS ks_bp,
+           CAST(CASE WHEN t.nr = 0 OR t.nc = 0 THEN NULL
+                ELSE floor(13580 * sqrt(CAST(t.nr + t.nc AS DOUBLE)
+                  / (CAST(t.nr AS DOUBLE) * t.nc)) + 0.5) END AS BIGINT)
+             AS crit_bp,
+           CAST(CASE WHEN t.nr = 0 OR t.nc = 0 THEN NULL
+                WHEN 10000 * g.gap // (CAST(t.nr AS HUGEINT) * t.nc)
+                  > floor(13580 * sqrt(CAST(t.nr + t.nc AS DOUBLE)
+                    / (CAST(t.nr AS DOUBLE) * t.nc)) + 0.5)
+                THEN 1 ELSE 0 END AS INT) AS is_drifted
+         FROM g, t""",
+
     "q200_psi_drift" ->
       s"""WITH b AS (SELECT ${C("value")} // 2500 AS bin, event_id % 2 = 0 AS is_ref FROM events),
          pb AS (SELECT bin, sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS n_ref,

@@ -1359,6 +1359,68 @@ object Relational {
   def q200(s: SparkSession, d: String): DataFrame =
     psiDrift(Tables.events(s, d), "value", col("event_id") % 2 === 0, 2500L)
 
+  /** TWO-SAMPLE KOLMOGOROV–SMIRNOV TEST — the drift statistic with an
+    * actual accept/reject line. q200's PSI scores drift but its
+    * thresholds are folklore ("0.2 = investigate"); KS gives
+    * D = max|F_ref − F_cur| with a distribution-free critical value
+    * c(α)·√((n₁+n₂)/n₁n₂), so the monitor can say "reject at α=5%"
+    * instead of "looks big". Reports D in exact bp, the grid cell
+    * where the CDFs diverge most (WHERE the drift lives — the
+    * actionable part), the critical value, and the verdict flag.
+    *
+    * Computed on the declared cents lattice (the PSI bins at width 1):
+    * D over binned data is the standard streaming-scale KS surrogate,
+    * and on an integer-valued column it IS exact. Exact integers:
+    * gap = |cumRef·n_cur − cumCur·n_ref| in decimal(38,0) (cum·n at
+    * 10¹² rows outruns a long), D_bp via one truncating division;
+    * only the critical value touches a double (√ of a rational both
+    * engines build from the same integers, q105's exact-sqrt rule).
+    *
+    * Scale: one aggregation to the bounded value lattice, a window
+    * over LATTICE rows (the q118/q214/q278 grid discipline), and a
+    * TakeOrdered(1) for the argmax — the corpus shuffles nothing but
+    * partial bin counts. */
+  def ksTest(df: DataFrame, value: String, isRef: Column,
+             widthCents: Long): DataFrame = {
+    require(widthCents >= 1L)
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val perBin = df.select(
+        graft.functions.F.idiv(cents(col(value)), lit(widthCents)).as("bin"),
+        isRef.as("is_ref"))
+      .groupBy(col("bin"))
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_cur"))
+    val w = Window.orderBy(col("bin").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = perBin
+      .withColumn("cr", sum(col("n_ref")).over(w))
+      .withColumn("cc", sum(col("n_cur")).over(w))
+    val tot = perBin.agg(sum(col("n_ref")).as("nr"), sum(col("n_cur")).as("nc"))
+    val top = cum.crossJoin(broadcast(tot))
+      .select(col("bin"), col("nr"), col("nc"),
+        abs(dec(col("cr")) * dec(col("nc")) - dec(col("cc")) * dec(col("nr")))
+          .as("gap"))
+      .orderBy(col("gap").desc, col("bin").asc).limit(1)
+    val crit = floor(lit(13580d) *
+      sqrt((col("nr") + col("nc")).cast("double") /
+        (col("nr").cast("double") * col("nc").cast("double"))) + lit(0.5d))
+      .cast("long")
+    top.select(col("nr").as("n_ref"), col("nc").as("n_cur"),
+        col("bin").as("argmax_bin"),
+        when(col("nr") === 0L || col("nc") === 0L, lit(null).cast("long"))
+          .otherwise(graft.functions.F.idiv(lit(10000L) * col("gap"),
+            dec(col("nr")) * dec(col("nc")))).as("ks_bp"),
+        when(col("nr") === 0L || col("nc") === 0L, lit(null).cast("long"))
+          .otherwise(crit).as("crit_bp"))
+      .withColumn("is_drifted",
+        (col("ks_bp") > col("crit_bp")).cast("int"))
+  }
+
+  /** q283: KS drift test on the q200 pairing (events value, odd vs
+    * even event ids) at the exact cent lattice. */
+  def q283(s: SparkSession, d: String): DataFrame =
+    ksTest(Tables.events(s, d), "value", col("event_id") % 2 === 0, 1L)
+
   /** BENFORD FIRST-DIGIT AUDIT — the forensic data-quality check for a
     * naturally-occurring monetary/measurement column: organic
     * multiplicative data follows P(d) = log₁₀(1+1/d); fabricated,

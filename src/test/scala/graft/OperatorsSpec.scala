@@ -4080,6 +4080,26 @@ class OperatorsSpec extends SparkSpec {
     assert(out("underscore") == ((2L, 0L, 0L)), out.toString)
   }
 
+  test("ksTest: exact D and argmax, identical-sample zero, separated drift") {
+    import SparkTestSession.spark.implicits._
+    // ref {1,2,3,4}, cur {3,4,5,6}: D = 1/2, first reached at the 2.00
+    // lattice cell; crit at n=4+4 is 9603 bp so NOT significant
+    val shifted = (Seq(1d, 2d, 3d, 4d).map((_, true)) ++
+      Seq(3d, 4d, 5d, 6d).map((_, false))).toDF("v", "ref")
+    val r = Relational.ksTest(shifted, "v", col("ref"), 1L).collect().head
+    assert(r.toSeq == Seq(4L, 4L, 200L, 5000L, 9603L, 0), r.toSeq.toString)
+    // identical samples: D = 0
+    val same = (Seq(1d, 2d, 3d).map((_, true)) ++
+      Seq(1d, 2d, 3d).map((_, false))).toDF("v", "ref")
+    assert(Relational.ksTest(same, "v", col("ref"), 1L)
+      .collect().head.getLong(3) == 0L)
+    // 100 vs 100 fully separated: D = 1, crit ~1921 bp -> drifted
+    val sep = ((1 to 100).map(i => (i.toDouble, true)) ++
+      (1 to 100).map(i => (i + 1000d, false))).toDF("v", "ref")
+    val s = Relational.ksTest(sep, "v", col("ref"), 1L).collect().head
+    assert(s.getLong(3) == 10000L && s.getInt(5) == 1, s.toSeq.toString)
+  }
+
   test("assortativity: -1 on stars, +1 on degree-sorted unions, null on regular") {
     import SparkTestSession.spark.implicits._
     // star K1,3 is the canonical dissortative graph: r = -1 exactly
