@@ -300,6 +300,7 @@ object SparkEntry {
     "q281_anisotropy"     -> (Similarity.q281 _),
     "q282_pii_eval"       -> (Text.q282 _),
     "q283_ks_test"        -> (Relational.q283 _),
+    "q284_hapax"          -> (Text.q284 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -1505,6 +1506,20 @@ object SparkEntry {
              AS containment_bp
          FROM cm JOIN sz sa ON sa.g = cm.lang_a
            JOIN sz sb ON sb.g = cm.lang_b""",
+
+    "q284_hapax" ->
+      """WITH tf AS (SELECT lang, tok, count(*) AS cnt FROM (
+             SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+           GROUP BY 1, 2)
+         SELECT lang, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+           count(*) AS vocab,
+           CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           CAST(sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dis,
+           CAST(10000 * sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)
+                // count(*) AS BIGINT) AS hapax_vocab_bp,
+           CAST(10000 * sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)
+                // sum(cnt) AS BIGINT) AS hapax_mass_bp
+         FROM tf GROUP BY 1""",
 
     "q44_ngram_freq" ->
       """WITH b AS (SELECT lang, unnest(list_transform(range(1, len(toks)),

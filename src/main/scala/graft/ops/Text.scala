@@ -2935,6 +2935,36 @@ object Text {
   def q232(s: SparkSession, d: String): DataFrame =
     zipfFit(Tables.documents(s, d), "lang", "text")
 
+  /** HAPAX LEGOMENA AUDIT — the vocabulary-freshness profile per
+    * group: how much of the vocabulary occurs exactly once (and
+    * twice), as a share of types and of token mass. The hapax share
+    * is the working predictor for OOV rate on held-out data (Good–
+    * Turing: mass of unseen ≈ mass of once-seen), so this is the
+    * number that says whether q154's OOV rate will hold up and how
+    * hard a fixed vocabulary (q141's BPE) will be stressed; a hapax
+    * COLLAPSE (share near zero) is its own red flag — templated or
+    * deduplicated-to-death text. One token aggregation, then a
+    * |groups|-row rollup; all integer bp. */
+  def hapaxAudit(corpus: DataFrame, group: String, text: String): DataFrame = {
+    val tf = withToks(corpus, text)
+      .select(col(group).as("grp"), explode(toks).as("tok"))
+      .groupBy(col("grp"), col("tok")).agg(count(lit(1)).as("cnt"))
+    tf.groupBy(col("grp"))
+      .agg(sum(col("cnt")).as("n_tokens"), count(lit(1)).as("vocab"),
+        sum(when(col("cnt") === 1L, 1L).otherwise(0L)).as("n_hapax"),
+        sum(when(col("cnt") === 2L, 1L).otherwise(0L)).as("n_dis"))
+      .select(col("grp").as(group), col("n_tokens"), col("vocab"),
+        col("n_hapax"), col("n_dis"),
+        F.idiv(lit(10000L) * col("n_hapax"), col("vocab"))
+          .as("hapax_vocab_bp"),
+        F.idiv(lit(10000L) * col("n_hapax"), col("n_tokens"))
+          .as("hapax_mass_bp"))
+  }
+
+  /** q284: per-language hapax profile. */
+  def q284(s: SparkSession, d: String): DataFrame =
+    hapaxAudit(Tables.documents(s, d), "lang", "text")
+
   /** PAIRWISE VOCABULARY OVERLAP between subcorpora — the mixture
     * designer's redundancy map: two sources whose vocabularies are
     * near-identical add diversity on paper and none in fact (q186's

@@ -4100,6 +4100,17 @@ class OperatorsSpec extends SparkSpec {
     assert(s.getLong(3) == 10000L && s.getInt(5) == 1, s.toSeq.toString)
   }
 
+  test("hapaxAudit: exact counts on a constructed corpus; collapse case") {
+    import SparkTestSession.spark.implicits._
+    // g1: "a a a b b c d" -> vocab 4, hapax {c,d}, dis {b}
+    val corpus = Seq(("g1", "a a a b b c d"), ("g2", "x x x x")).toDF("g", "text")
+    val out = Text.hapaxAudit(corpus, "g", "text").collect()
+      .map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(out("g1") == Seq(7L, 4L, 2L, 1L, 5000L, 2857L), out.toString)
+    // hapax collapse: a single endlessly-repeated token
+    assert(out("g2") == Seq(4L, 1L, 0L, 0L, 0L, 0L), out.toString)
+  }
+
   test("assortativity: -1 on stars, +1 on degree-sorted unions, null on regular") {
     import SparkTestSession.spark.implicits._
     // star K1,3 is the canonical dissortative graph: r = -1 exactly
