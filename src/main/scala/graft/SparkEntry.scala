@@ -301,6 +301,7 @@ object SparkEntry {
     "q282_pii_eval"       -> (Text.q282 _),
     "q283_ks_test"        -> (Relational.q283 _),
     "q284_hapax"          -> (Text.q284 _),
+    "q285_markov_stationary" -> (Events.q285 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -4394,6 +4395,7 @@ object SparkEntry {
 
     "q226_kcore" -> kCoreOracle,
     "q272_communities" -> lpaOracle,
+    "q285_markov_stationary" -> markovOracle,
 
     // Degree assortativity (Newman's r) as exact integer arithmetic:
     // over the both-direction edge list the endpoint-degree marginals
@@ -4523,6 +4525,45 @@ object SparkEntry {
   FROM sizes s LEFT JOIN internal i USING (lab)
   ORDER BY s.n_nodes DESC, s.lab ASC LIMIT 20"""
     ((base +: sweeps).mkString("WITH ", ",\n", ",\n")) + tail
+  }
+
+  /** Mirror of Events.markovStationary: q69's transition counts, P in
+    * Q14 by truncating division, MarkovIters power sweeps unrolled
+    * (the lpaOracle/kCoreOracle convention) with Σ=2¹⁴ renormalization
+    * each sweep; types with no incoming mass drop to implicit zero
+    * rows, exactly the driver array's zeros. */
+  private def markovOracle: String = {
+    val iters = graft.ops.Events.MarkovIters
+    val base =
+      """e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+  l AS (SELECT event_type AS ft,
+        lead(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS tt
+        FROM e),
+  c AS MATERIALIZED (SELECT ft, tt, count(*) AS n FROM l
+        WHERE tt IS NOT NULL GROUP BY 1, 2),
+  rt AS MATERIALIZED (SELECT ft, sum(n) AS tot FROM c GROUP BY 1),
+  ty AS MATERIALIZED (SELECT DISTINCT event_type AS j FROM events),
+  p AS MATERIALIZED (SELECT c.ft AS i, c.tt AS j, c.n * 16384 // rt.tot AS pq
+        FROM c JOIN rt USING (ft)),
+  pi0 AS (SELECT j, CAST(16384 AS HUGEINT) AS x FROM ty)"""
+    val sweeps = (1 to iters).map { k =>
+      val pr = k - 1
+      s"""w$k AS (SELECT p.j, sum(pi$pr.x * p.pq) AS y
+    FROM pi$pr JOIN p ON p.i = pi$pr.j GROUP BY 1),
+  pi$k AS MATERIALIZED (SELECT j, y * 16384 // (sum(y) OVER ()) AS x FROM w$k)"""
+    }
+    val tail =
+      s"""tt AS (SELECT sum(tot) AS t FROM rt),
+  ps AS (SELECT sum(x) AS s FROM pi$iters)
+  SELECT ty.j AS event_type,
+    CAST(coalesce(rt.tot, 0) AS BIGINT) AS n_out,
+    CAST(CASE WHEN coalesce(tt.t, 0) = 0 THEN 0
+         ELSE 10000 * coalesce(rt.tot, 0) // tt.t END AS BIGINT) AS empirical_bp,
+    CAST(CASE WHEN coalesce(ps.s, 0) = 0 THEN 0
+         ELSE 10000 * coalesce(pi.x, 0) // ps.s END AS BIGINT) AS stationary_bp
+  FROM ty LEFT JOIN rt ON rt.ft = ty.j
+    LEFT JOIN pi$iters pi ON pi.j = ty.j, tt, ps"""
+    ((base +: sweeps).mkString("WITH ", ",\n  ", ",\n  ")) + tail
   }
 
   private def kCoreOracle: String = {

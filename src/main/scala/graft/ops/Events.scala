@@ -771,6 +771,68 @@ object Events {
         F.idiv(col("n") * 10000L, col("tot")).as("prob_bp"))
   }
 
+  /** Power-sweep count shared with the q285 oracle. */
+  val MarkovIters = 12
+
+  /** MARKOV STATIONARY MIX — where the q69 transition chain settles:
+    * π after MarkovIters synchronized power sweeps from the uniform
+    * start (the q272/q281 fixed-unroll contract — deterministic and
+    * engine-replayable, not a fixpoint claim). Each type's stationary
+    * share against its EMPIRICAL share is the actionable delta: a
+    * type whose stationary share far exceeds its empirical one is an
+    * attractor the session mix is drifting toward (users funnel into
+    * it and stay); the reverse is an entry-only transient. The
+    * substochastic handling is part of the contract: a type with no
+    * outgoing transitions leaks its mass (the renormalize step
+    * redistributes), which is exactly the absorbing-state red flag.
+    *
+    * Integer arithmetic end to end: P in Q14 (p = c·2¹⁴ // rowtotal),
+    * sweeps π' = πP with π renormalized to Σ=2¹⁴ by truncating
+    * division, every product in BigInt on the driver over the
+    * |types|²-BOUNDED matrix (the q281/k-means driver-model
+    * precedent; type vocabulary, never corpus, sized). The corpus
+    * work is q69's one window pass + one aggregation. */
+  def markovStationary(events: DataFrame, entity: String, kind: String,
+                       tsUs: Column, seq: String,
+                       iters: Int = MarkovIters): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val tm = transitionMatrix(events, entity, kind, tsUs, seq)
+      .select(col("from_type"), col("to_type"), col("n"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), BigInt(r.getLong(2))))
+      .toMap // |types|²-bounded driver model
+    val types = events.select(col(kind).cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val idx = types.zipWithIndex.toMap
+    val d = types.length
+    val rowTot = Array.fill(d)(BigInt(0))
+    tm.foreach { case ((f, _), n) => rowTot(idx(f)) += n }
+    val scale = BigInt(16384)
+    val p = Array.tabulate(d, d) { (i, j) =>
+      if (rowTot(i) == 0) BigInt(0)
+      else tm.getOrElse((types(i), types(j)), BigInt(0)) * scale / rowTot(i)
+    }
+    var pi = Array.fill(d)(scale)
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(d)(j => (0 until d).map(i => pi(i) * p(i)(j)).sum)
+      val tot = w.sum
+      if (tot != 0) pi = w.map(_ * scale / tot)
+    }
+    val piSum = pi.sum
+    val totalTrans = rowTot.sum
+    types.indices.map { j =>
+      (types(j), rowTot(j).toLong,
+        (if (totalTrans != 0) BigInt(10000) * rowTot(j) / totalTrans
+         else BigInt(0)).toLong,
+        (if (piSum != 0) BigInt(10000) * pi(j) / piSum else BigInt(0)).toLong)
+    }.toDF("event_type", "n_out", "empirical_bp", "stationary_bp")
+  }
+
+  /** q285: the stationary event-type mix of the q69 chain. */
+  def q285(s: SparkSession, d: String): DataFrame =
+    markovStationary(Tables.events(s, d), "user_id", "event_type",
+      unix_micros(col("ts")), "event_id")
+
   /** q69: per-user event-type transition probabilities. */
   def q69(s: SparkSession, d: String): DataFrame =
     transitionMatrix(Tables.events(s, d), "user_id", "event_type",

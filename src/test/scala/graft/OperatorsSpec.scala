@@ -4111,6 +4111,31 @@ class OperatorsSpec extends SparkSpec {
     assert(out("g2") == Seq(4L, 1L, 0L, 0L, 0L, 0L), out.toString)
   }
 
+  test("markovStationary: period-2 exact, attractor convergence, shares sum") {
+    import SparkTestSession.spark.implicits._
+    // strict A<->B alternation: doubly stochastic, uniform IS stationary
+    val flip = Seq((1L, 1L, "A", 10L), (1L, 2L, "B", 20L),
+      (1L, 3L, "A", 30L), (1L, 4L, "B", 40L), (1L, 5L, "A", 50L))
+      .toDF("user_id", "event_id", "event_type", "us")
+    val f = Events.markovStationary(flip, "user_id", "event_type",
+      col("us"), "event_id").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(f("A") == ((2L, 5000L, 5000L)) && f("B") == ((2L, 5000L, 5000L)), f.toString)
+    // biased chain: P(A->A)=2/3, P(A->B)=1/3, P(B->A)=1 -> pi = (3/4, 1/4)
+    val biased = Seq(
+      (1L, 1L, "A", 10L), (1L, 2L, "B", 20L), (1L, 3L, "A", 30L),
+      (2L, 1L, "A", 10L), (2L, 2L, "A", 20L), (2L, 3L, "A", 30L))
+      .toDF("user_id", "event_id", "event_type", "us")
+    val b = Events.markovStationary(biased, "user_id", "event_type",
+      col("us"), "event_id").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(b("A")._2 == 7500L && b("B")._2 == 2500L, s"empirical: $b")
+    assert(math.abs(b("A")._3 - 7500L) <= 25L, s"stationary A: $b")
+    assert((9990L to 10000L).contains(b("A")._3 + b("B")._3), s"sum: $b")
+  }
+
   test("assortativity: -1 on stars, +1 on degree-sorted unions, null on regular") {
     import SparkTestSession.spark.implicits._
     // star K1,3 is the canonical dissortative graph: r = -1 exactly
