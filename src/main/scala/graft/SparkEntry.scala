@@ -302,6 +302,7 @@ object SparkEntry {
     "q283_ks_test"        -> (Relational.q283 _),
     "q284_hapax"          -> (Text.q284 _),
     "q285_markov_stationary" -> (Events.q285 _),
+    "q286_spearman"       -> (Relational.q286 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -3721,6 +3722,46 @@ object SparkEntry {
                     / (CAST(t.nr AS DOUBLE) * t.nc)) + 0.5)
                 THEN 1 ELSE 0 END AS INT) AS is_drifted
          FROM g, t""",
+
+    // Spearman on 2×mid-ranks over the two bounded value lattices:
+    // r2 = 2·cumBefore + cnt + 1 per lattice point, HUGEINT moment
+    // sums, one boundary rounding floor(10⁴·num/√(dx·dy) + ½) in IEEE
+    // doubles (the q283 crit_bp convention).
+    "q286_spearman" ->
+      s"""WITH pr AS (SELECT ${C("value")} AS xv,
+                CAST(json_extract(props, '$$.k') AS BIGINT) AS yv,
+                count(*) AS n_xy
+              FROM events
+              WHERE value IS NOT NULL
+                AND json_extract(props, '$$.k') IS NOT NULL
+              GROUP BY 1, 2),
+         rx AS (SELECT xv, 2 * (sum(cnt) OVER (ORDER BY xv ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt)
+                  + cnt + 1 AS r2x
+                FROM (SELECT xv, sum(n_xy) AS cnt FROM pr GROUP BY 1)),
+         ry AS (SELECT yv, 2 * (sum(cnt) OVER (ORDER BY yv ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt)
+                  + cnt + 1 AS r2y
+                FROM (SELECT yv, sum(n_xy) AS cnt FROM pr GROUP BY 1)),
+         m AS (SELECT sum(n_xy) AS n,
+                count(DISTINCT pr.xv) AS n_x, count(DISTINCT pr.yv) AS n_y,
+                sum(CAST(n_xy AS HUGEINT) * r2x) AS sx,
+                sum(CAST(n_xy AS HUGEINT) * r2y) AS sy,
+                sum(CAST(n_xy AS HUGEINT) * r2x * r2x) AS sxx,
+                sum(CAST(n_xy AS HUGEINT) * r2y * r2y) AS syy,
+                sum(CAST(n_xy AS HUGEINT) * r2x * r2y) AS sxy
+               FROM pr JOIN rx USING (xv) JOIN ry USING (yv)),
+         d AS (SELECT n, n_x, n_y,
+                n * sxy - sx * sy AS num,
+                n * sxx - sx * sx AS dx,
+                n * syy - sy * sy AS dy FROM m)
+         SELECT CAST(n AS BIGINT) AS n, CAST(n_x AS BIGINT) AS n_x,
+           CAST(n_y AS BIGINT) AS n_y,
+           CAST(CASE WHEN dx = 0 OR dy = 0 THEN NULL
+                ELSE floor(10000 * CAST(num AS DOUBLE)
+                  / (sqrt(CAST(dx AS DOUBLE)) * sqrt(CAST(dy AS DOUBLE)))
+                  + 0.5) END AS BIGINT) AS rho_bp
+         FROM d""",
 
     "q200_psi_drift" ->
       s"""WITH b AS (SELECT ${C("value")} // 2500 AS bin, event_id % 2 = 0 AS is_ref FROM events),

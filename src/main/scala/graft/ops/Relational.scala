@@ -1421,6 +1421,77 @@ object Relational {
   def q283(s: SparkSession, d: String): DataFrame =
     ksTest(Tables.events(s, d), "value", col("event_id") % 2 === 0, 1L)
 
+  /** SPEARMAN RANK CORRELATION — the monotone-association complement
+    * to q93's Pearson: rho = Pearson on mid-ranks, so a nonlinear but
+    * monotone relationship (price vs log-usage, length vs quality)
+    * scores |rho|≈1 where Pearson under-reads it, and a single outlier
+    * can move rho by at most O(1/n) where it can take Pearson anywhere.
+    * The standard screening stat for "are these two metrics related at
+    * all" before fitting anything.
+    *
+    * Tie handling is the textbook mid-rank form, made exact by working
+    * in 2×mid-rank units (2R = 2·cumBefore + cnt + 1, an integer; the
+    * common scale factor cancels from the correlation). Ranks are
+    * computed on the per-VALUE lattice, not per row: both inputs are
+    * declared integral lattices (cents, small-int props), so the
+    * rank table is grid-sized (the q118/q214/q283 grid discipline) and
+    * the corpus itself is never globally sorted — one pair-lattice
+    * aggregation, two broadcast rank joins, one final fold.
+    *
+    * Exactness: all moment sums run in decimal(38,0) (n·Σ(4R²) stays
+    * within 38 digits to n≈10⁹ rows per call — beyond that, pre-bin
+    * to a coarser lattice first, which changes rho by at most the bin
+    * resolution); num/den_x/den_y are exact integers and the single
+    * boundary rounding is rho_bp = floor(10⁴·num/√(den_x·den_y) + ½)
+    * in IEEE doubles (the q283 crit_bp convention — sqrt is correctly
+    * rounded per IEEE, both engines replay it bit-identically).
+    * Degenerate inputs (either side constant) yield NULL rho. */
+  def spearman(df: DataFrame, x: Column, y: Column): DataFrame = {
+    // complete-pairs convention: a row missing either side carries no
+    // rank information (and NULL ordering differs across engines)
+    val pairs = df.select(x.as("xv"), y.as("yv"))
+      .where(col("xv").isNotNull && col("yv").isNotNull)
+      .groupBy(col("xv"), col("yv")).agg(count(lit(1)).as("n_xy"))
+    // 2×mid-rank per lattice value: 2·(#strictly-below) + cnt + 1.
+    // The window runs over LATTICE rows only (bounded), never the corpus.
+    def ranks(key: String, alias: String): DataFrame = {
+      val w = Window.orderBy(col(key).asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      pairs.groupBy(col(key)).agg(sum(col("n_xy")).as("cnt"))
+        .select(col(key),
+          (lit(2L) * (sum(col("cnt")).over(w) - col("cnt")) +
+            col("cnt") + lit(1L)).as(alias))
+    }
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val j = pairs
+      .join(broadcast(ranks("xv", "r2x")), "xv")
+      .join(broadcast(ranks("yv", "r2y")), "yv")
+    val m = j.agg(
+      sum(col("n_xy")).as("n"),
+      countDistinct(col("xv")).as("n_x"),
+      countDistinct(col("yv")).as("n_y"),
+      sum(dec(col("n_xy")) * dec(col("r2x"))).as("sx"),
+      sum(dec(col("n_xy")) * dec(col("r2y"))).as("sy"),
+      sum(dec(col("n_xy")) * dec(col("r2x")) * dec(col("r2x"))).as("sxx"),
+      sum(dec(col("n_xy")) * dec(col("r2y")) * dec(col("r2y"))).as("syy"),
+      sum(dec(col("n_xy")) * dec(col("r2x")) * dec(col("r2y"))).as("sxy"))
+    val n   = dec(col("n"))
+    val num = n * col("sxy") - col("sx") * col("sy")
+    val dx  = n * col("sxx") - col("sx") * col("sx")
+    val dy  = n * col("syy") - col("sy") * col("sy")
+    m.select(col("n"), col("n_x"), col("n_y"),
+      when(dx === dec(lit(0L)) || dy === dec(lit(0L)), lit(null).cast("long"))
+        .otherwise(floor(lit(10000d) * num.cast("double") /
+          (sqrt(dx.cast("double")) * sqrt(dy.cast("double"))) + lit(0.5d))
+          .cast("long")).as("rho_bp"))
+  }
+
+  /** q286: Spearman between the events value (cent lattice) and the
+    * numeric `k` prop — "does spend rank-track the engagement knob". */
+  def q286(s: SparkSession, d: String): DataFrame =
+    spearman(Tables.events(s, d), cents(col("value")),
+      get_json_object(col("props"), "$.k").cast("long"))
+
   /** BENFORD FIRST-DIGIT AUDIT — the forensic data-quality check for a
     * naturally-occurring monetary/measurement column: organic
     * multiplicative data follows P(d) = log₁₀(1+1/d); fabricated,

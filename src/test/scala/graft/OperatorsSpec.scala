@@ -4100,6 +4100,34 @@ class OperatorsSpec extends SparkSpec {
     assert(s.getLong(3) == 10000L && s.getInt(5) == 1, s.toSeq.toString)
   }
 
+  test("spearman: hand-worked ties, perfect monotone, constant, null drop") {
+    import SparkTestSession.spark.implicits._
+    def rho(rows: Seq[(java.lang.Long, java.lang.Long)]): org.apache.spark.sql.Row =
+      Relational.spearman(rows.toDF("x", "y"), col("x"), col("y"))
+        .collect().head
+    // ties worked by hand: x=[1,1,2,3], y=[2,2,1,3]
+    // 2×mid-ranks x: [3,3,6,8], y: [5,5,2,8]
+    // n=4, num = 4·106−20·20 = 24, dx = dy = 4·118−400 = 72
+    // rho = 24/72 = 1/3 → floor(3333.33…+0.5) = 3333
+    val t = rho(Seq((1L, 2L), (1L, 2L), (2L, 1L), (3L, 3L))
+      .map { case (a, b) => (a: java.lang.Long, b: java.lang.Long) })
+    assert(t.toSeq == Seq(4L, 3L, 3L, 3333L), t.toSeq.toString)
+    // perfect monotone (nonlinear is fine): rho_bp = ±10000 exactly
+    val up = rho((1L to 5L).map(i => (i: java.lang.Long,
+      (i * i): java.lang.Long)))
+    assert(up.getLong(3) == 10000L, up.toSeq.toString)
+    val dn = rho((1L to 5L).map(i => (i: java.lang.Long,
+      (100L - i * i): java.lang.Long)))
+    assert(dn.getLong(3) == -10000L, dn.toSeq.toString)
+    // constant side: NULL rho; null pairs dropped from n
+    val c = rho(Seq[(java.lang.Long, java.lang.Long)](
+      (1L, 7L), (2L, 7L), (3L, 7L)))
+    assert(c.isNullAt(3) && c.getLong(0) == 3L, c.toSeq.toString)
+    val nn = rho(Seq[(java.lang.Long, java.lang.Long)](
+      (1L, 1L), (2L, 4L), (3L, 9L), (4L, null)))
+    assert(nn.getLong(0) == 3L && nn.getLong(3) == 10000L, nn.toSeq.toString)
+  }
+
   test("hapaxAudit: exact counts on a constructed corpus; collapse case") {
     import SparkTestSession.spark.implicits._
     // g1: "a a a b b c d" -> vocab 4, hapax {c,d}, dis {b}
