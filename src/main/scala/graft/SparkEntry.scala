@@ -303,6 +303,7 @@ object SparkEntry {
     "q284_hapax"          -> (Text.q284 _),
     "q285_markov_stationary" -> (Events.q285 _),
     "q286_spearman"       -> (Relational.q286 _),
+    "q287_mann_whitney"   -> (Relational.q287 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -3761,6 +3762,49 @@ object SparkEntry {
                 ELSE floor(10000 * CAST(num AS DOUBLE)
                   / (sqrt(CAST(dx AS DOUBLE)) * sqrt(CAST(dy AS DOUBLE)))
                   + 0.5) END AS BIGINT) AS rho_bp
+         FROM d""",
+
+    // Mann–Whitney on the same lattice mid-ranks: 2×rank sums and the
+    // tie-corrected variance rebuilt as exact HUGEINTs, z assembled in
+    // the pinned double order (num/2) / sqrt(na*nb*cube/den12).
+    "q287_mann_whitney" ->
+      s"""WITH pb AS (SELECT ${C("value")} AS v,
+                sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS na,
+                sum(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END) AS nb
+              FROM events
+              WHERE event_type = 'purchase' AND value IS NOT NULL
+              GROUP BY 1),
+         rk AS (SELECT v, na, nb, na + nb AS t,
+                2 * (sum(na + nb) OVER (ORDER BY v ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - (na + nb)) + (na + nb) + 1 AS r2 FROM pb),
+         m AS (SELECT sum(na) AS n_a, sum(nb) AS n_b,
+                sum(CAST(na AS HUGEINT) * r2) AS ra2,
+                sum(CAST(t AS HUGEINT) * t * t - t) AS tie3 FROM rk),
+         d AS (SELECT n_a, n_b,
+                ra2 - CAST(n_a AS HUGEINT) * (n_a + 1) AS u2,
+                ra2 - CAST(n_a AS HUGEINT) * (n_a + 1)
+                  - CAST(n_a AS HUGEINT) * n_b AS num,
+                CAST(n_a + n_b AS HUGEINT) * (n_a + n_b) * (n_a + n_b)
+                  - (n_a + n_b) - tie3 AS cube,
+                12 * CAST(n_a + n_b AS HUGEINT) * (n_a + n_b - 1) AS den12
+               FROM m)
+         SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(u2 // 2 AS BIGINT) AS u_a,
+           CAST(CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+                ELSE (10000 * num) // (CAST(n_a AS HUGEINT) * n_b)
+                END AS BIGINT) AS rank_biserial_bp,
+           CAST(CASE WHEN n_a = 0 OR n_b = 0 OR cube = 0 THEN NULL
+                ELSE floor((CAST(num AS DOUBLE) / 2)
+                  / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                    * CAST(cube AS DOUBLE) / CAST(den12 AS DOUBLE))
+                  * 1000 + 0.5) END AS BIGINT) AS z_milli,
+           CAST(CASE WHEN n_a = 0 OR n_b = 0 OR cube = 0 THEN NULL
+                WHEN abs(floor((CAST(num AS DOUBLE) / 2)
+                  / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                    * CAST(cube AS DOUBLE) / CAST(den12 AS DOUBLE))
+                  * 1000 + 0.5)) > 1960 THEN 1 ELSE 0 END AS INT)
+             AS is_significant
          FROM d""",
 
     "q200_psi_drift" ->

@@ -1492,6 +1492,83 @@ object Relational {
     spearman(Tables.events(s, d), cents(col("value")),
       get_json_object(col("props"), "$.k").cast("long"))
 
+  /** MANN–WHITNEY U RANK-SUM TEST — the nonparametric two-sample
+    * location test, closing the A/B family: q209's z-test compares
+    * binary conversion RATES, q283's KS asks "same distribution at
+    * all?", this asks the usual product question — "does arm B's
+    * metric tend LARGER than arm A's?" — without assuming normality
+    * (revenue-per-user is wildly skewed; a t-test's mean is hostage
+    * to whales, U is not).
+    *
+    * Same lattice mid-rank machinery as q286: per-value (n_a, n_b)
+    * counts, 2×mid-ranks over the combined sample on the bounded
+    * value grid, rank sum in 2× units so ties stay integral.
+    *   U_a  = R_a − n_a(n_a+1)/2            (2U_a exact integer)
+    *   r_rb = 2·U_a/(n_a·n_b) − 1           rank-biserial effect size,
+    *                                         EXACT in bp by one idiv
+    *   z    = (U_a − n_a·n_b/2) / √var,  var the tie-corrected
+    *          n_a·n_b·[(n³−n) − Σ(t³−t)] / (12·n·(n−1))
+    * z follows the q209 z_milli / q283-boundary convention: every
+    * component (2U−n_a·n_b, n_a·n_b, cube term, 12n(n−1)) is an exact
+    * decimal(38,0) the oracle rebuilds as HUGEINT, converted to double
+    * once, combined in a pinned operation order (n³ stays within 38
+    * digits to n≈10¹²; the n_a·n_b·cube product is formed in DOUBLE
+    * precisely so the decimal never overflows). NULL z when either
+    * arm is empty or all values are tied (var = 0).
+    *
+    * Scale: identical shape to q283 — lattice-bin partial counts, one
+    * bounded-grid window, a one-row fold. The corpus shuffles nothing
+    * but per-bin counters. */
+  def mannWhitney(df: DataFrame, value: Column, isA: Column): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val perBin = df.select(value.as("v"), isA.as("is_a"))
+      .where(col("v").isNotNull)
+      .groupBy(col("v"))
+      .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("na"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("nb"))
+      .withColumn("t", col("na") + col("nb"))
+    val w = Window.orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = perBin.withColumn("r2",
+      lit(2L) * (sum(col("t")).over(w) - col("t")) + col("t") + lit(1L))
+    val m = ranked.agg(
+      sum(col("na")).as("n_a"), sum(col("nb")).as("n_b"),
+      sum(dec(col("na")) * dec(col("r2"))).as("ra2"),
+      sum(dec(col("t")) * dec(col("t")) * dec(col("t")) - dec(col("t")))
+        .as("tie3"))
+    val nA  = dec(col("n_a"))
+    val nB  = dec(col("n_b"))
+    val n   = nA + nB
+    // 2U_a = 2R_a − n_a(n_a+1); R_a in 2× units is ra2, so 2U_a = ra2 − n_a(n_a+1)
+    val u2  = col("ra2") - nA * (nA + dec(lit(1L)))
+    val num = u2 - nA * nB                       // 2(U_a − n_a n_b/2)
+    val cube = n * n * n - n - col("tie3")
+    val den12 = dec(lit(12L)) * n * (n - dec(lit(1L)))
+    val z = (num.cast("double") / lit(2d)) /
+      sqrt(nA.cast("double") * nB.cast("double") *
+        cube.cast("double") / den12.cast("double"))
+    // u_a reports ⌊U_a⌋ (U is half-integral when ties straddle arms)
+    m.select(col("n_a"), col("n_b"),
+      graft.functions.F.idiv(u2, dec(lit(2L))).cast("long").as("u_a"),
+      when(nA === dec(lit(0L)) || nB === dec(lit(0L)), lit(null).cast("long"))
+        .otherwise(graft.functions.F.idiv(dec(lit(10000L)) * num, nA * nB)
+          .cast("long")).as("rank_biserial_bp"),
+      when(nA === dec(lit(0L)) || nB === dec(lit(0L)) ||
+          cube === dec(lit(0L)), lit(null).cast("long"))
+        .otherwise(floor(z * lit(1000d) + lit(0.5d)).cast("long"))
+        .as("z_milli"))
+      .withColumn("is_significant",
+        when(col("z_milli").isNull, lit(null).cast("int"))
+          .otherwise((abs(col("z_milli")) > lit(1960L)).cast("int")))
+  }
+
+  /** q287: does purchase spend tend larger for odd users (arm A =
+    * even user ids), on the exact cent lattice — the q209 experiment
+    * re-read as a location test on the skewed metric itself. */
+  def q287(s: SparkSession, d: String): DataFrame =
+    mannWhitney(Tables.events(s, d).filter(col("event_type") === "purchase"),
+      cents(col("value")), col("user_id") % 2 === 0)
+
   /** BENFORD FIRST-DIGIT AUDIT — the forensic data-quality check for a
     * naturally-occurring monetary/measurement column: organic
     * multiplicative data follows P(d) = log₁₀(1+1/d); fabricated,

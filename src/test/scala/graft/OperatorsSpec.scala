@@ -4128,6 +4128,31 @@ class OperatorsSpec extends SparkSpec {
     assert(nn.getLong(0) == 3L && nn.getLong(3) == 10000L, nn.toSeq.toString)
   }
 
+  test("mannWhitney: hand-worked ties, separated arms, empty arm") {
+    import SparkTestSession.spark.implicits._
+    def mw(rows: Seq[(Long, Boolean)]): org.apache.spark.sql.Row =
+      Relational.mannWhitney(rows.toDF("v", "a"), col("v"), col("a"))
+        .collect().head
+    // A={1,2}, B={2,3,4}: 2×mid-ranks [2,5,8,10], R_a=3.5, U_a=0.5
+    // rb = -5/6 -> idiv(-50000,6) = -8333 (idiv and DuckDB // both
+    // truncate toward zero); tie3=6, cube=114, den12=240
+    // z = (-5/2)/sqrt(6·114/240) = -1.48087 -> -1481 milli
+    val t = mw(Seq((1L, true), (2L, true), (2L, false), (3L, false),
+      (4L, false)))
+    assert(t.toSeq == Seq(2L, 3L, 0L, -8333L, -1481L, 0), t.toSeq.toString)
+    // fully separated 3v3: U_a=0, rb=-10000, z=-1964 -> just significant
+    val s = mw(Seq((1L, true), (2L, true), (3L, true),
+      (10L, false), (11L, false), (12L, false)))
+    assert(s.toSeq == Seq(3L, 3L, 0L, -10000L, -1964L, 1), s.toSeq.toString)
+    // empty arm: NULL effect and z
+    val e = mw(Seq((1L, true), (2L, true)))
+    assert(e.getLong(1) == 0L && e.isNullAt(3) && e.isNullAt(4) &&
+      e.isNullAt(5), e.toSeq.toString)
+    // all values tied: var=0 -> NULL z, rb=0 exactly (U = n_a·n_b/2)
+    val z = mw(Seq((5L, true), (5L, false), (5L, false), (5L, true)))
+    assert(z.getLong(3) == 0L && z.isNullAt(4), z.toSeq.toString)
+  }
+
   test("hapaxAudit: exact counts on a constructed corpus; collapse case") {
     import SparkTestSession.spark.implicits._
     // g1: "a a a b b c d" -> vocab 4, hapax {c,d}, dis {b}
