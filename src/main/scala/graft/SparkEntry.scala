@@ -304,6 +304,7 @@ object SparkEntry {
     "q285_markov_stationary" -> (Events.q285 _),
     "q286_spearman"       -> (Relational.q286 _),
     "q287_mann_whitney"   -> (Relational.q287 _),
+    "q288_vocab_richness" -> (Text.q288 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -1523,6 +1524,25 @@ object SparkEntry {
            CAST(10000 * sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)
                 // sum(cnt) AS BIGINT) AS hapax_mass_bp
          FROM tf GROUP BY 1""",
+
+    // Chao1 (bias-corrected) + Good–Turing coverage from the same
+    // term-frequency rollup as q284 — all truncating integer idivs.
+    "q288_vocab_richness" ->
+      """WITH tf AS (SELECT lang, tok, count(*) AS cnt FROM (
+             SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+           GROUP BY 1, 2),
+         b AS (SELECT lang, sum(cnt) AS n_tokens, count(*) AS vocab,
+               sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS f1,
+               sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS f2
+               FROM tf GROUP BY 1),
+         c AS (SELECT *, vocab + (f1 * (f1 - 1)) // (2 * (f2 + 1)) AS chao1
+               FROM b)
+         SELECT lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(vocab AS BIGINT) AS vocab, CAST(f1 AS BIGINT) AS f1,
+           CAST(f2 AS BIGINT) AS f2, CAST(chao1 AS BIGINT) AS chao1,
+           CAST(10000 * vocab // chao1 AS BIGINT) AS observed_share_bp,
+           CAST(10000 * f1 // n_tokens AS BIGINT) AS unseen_mass_bp
+         FROM c""",
 
     "q44_ngram_freq" ->
       """WITH b AS (SELECT lang, unnest(list_transform(range(1, len(toks)),

@@ -2965,6 +2965,45 @@ object Text {
   def q284(s: SparkSession, d: String): DataFrame =
     hapaxAudit(Tables.documents(s, d), "lang", "text")
 
+  /** VOCABULARY-RICHNESS ESTIMATORS — turns q284's raw hapax counts
+    * into the published species-richness numbers a crawl planner acts
+    * on: Chao1 (how many types EXIST, seen or not — the lower-bound
+    * estimator from capture–recapture statistics, f1²-over-2f2 in its
+    * bias-corrected f1(f1−1)/(2(f2+1)) form so f2 = 0 stays finite)
+    * and Good–Turing coverage (P(next token is an unseen type) =
+    * f1/N — how much distribution mass the vocabulary is still
+    * missing). observed_share = V/chao1 answers "what fraction of the
+    * reachable vocabulary has this crawl already captured" — the
+    * number that says whether more of the same source buys new types
+    * or repetition (the trajectory q262 plots batch-by-batch, here as
+    * a closed-form per-group estimate).
+    *
+    * All-integer outputs: chao1 adds a truncating idiv correction to
+    * V; shares are exact bp idivs. Scale: exactly q284's plan — one
+    * (group, token) aggregation (THE corpus shuffle), then a
+    * |groups|-row rollup. */
+  def vocabRichness(corpus: DataFrame, group: String,
+                    text: String): DataFrame = {
+    val tf = withToks(corpus, text)
+      .select(col(group).as("grp"), explode(toks).as("tok"))
+      .groupBy(col("grp"), col("tok")).agg(count(lit(1)).as("cnt"))
+    val base = tf.groupBy(col("grp"))
+      .agg(sum(col("cnt")).as("n_tokens"), count(lit(1)).as("vocab"),
+        sum(when(col("cnt") === 1L, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("cnt") === 2L, 1L).otherwise(0L)).as("f2"))
+    val chao1 = col("vocab") +
+      F.idiv(col("f1") * (col("f1") - lit(1L)),
+        lit(2L) * (col("f2") + lit(1L)))
+    base.select(col("grp").as(group), col("n_tokens"), col("vocab"),
+      col("f1"), col("f2"), chao1.as("chao1"),
+      F.idiv(lit(10000L) * col("vocab"), chao1).as("observed_share_bp"),
+      F.idiv(lit(10000L) * col("f1"), col("n_tokens")).as("unseen_mass_bp"))
+  }
+
+  /** q288: per-language vocabulary-richness estimates. */
+  def q288(s: SparkSession, d: String): DataFrame =
+    vocabRichness(Tables.documents(s, d), "lang", "text")
+
   /** PAIRWISE VOCABULARY OVERLAP between subcorpora — the mixture
     * designer's redundancy map: two sources whose vocabularies are
     * near-identical add diversity on paper and none in fact (q186's

@@ -4153,6 +4153,20 @@ class OperatorsSpec extends SparkSpec {
     assert(z.getLong(3) == 0L && z.isNullAt(4), z.toSeq.toString)
   }
 
+  test("vocabRichness: chao1 bias-corrected, f2=0 finite, collapse") {
+    import SparkTestSession.spark.implicits._
+    val corpus = Seq(
+      ("g1", "a b c d e e"), // f1=4 f2=1: chao1 = 5 + 12//4 = 8
+      ("g2", "a b"),         // f2=0 stays finite: chao1 = 2 + 2//2 = 3
+      ("g3", "x x x x")      // hapax collapse: chao1 = V = 1, unseen 0
+    ).toDF("g", "text")
+    val out = Text.vocabRichness(corpus, "g", "text").collect()
+      .map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(out("g1") == Seq(6L, 5L, 4L, 1L, 8L, 6250L, 6666L), out.toString)
+    assert(out("g2") == Seq(2L, 2L, 2L, 0L, 3L, 6666L, 10000L), out.toString)
+    assert(out("g3") == Seq(4L, 1L, 0L, 0L, 1L, 10000L, 0L), out.toString)
+  }
+
   test("hapaxAudit: exact counts on a constructed corpus; collapse case") {
     import SparkTestSession.spark.implicits._
     // g1: "a a a b b c d" -> vocab 4, hapax {c,d}, dis {b}
