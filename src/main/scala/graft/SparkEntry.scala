@@ -305,6 +305,7 @@ object SparkEntry {
     "q286_spearman"       -> (Relational.q286 _),
     "q287_mann_whitney"   -> (Relational.q287 _),
     "q288_vocab_richness" -> (Text.q288 _),
+    "q289_stl_decompose"  -> (Events.q289 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -1840,6 +1841,31 @@ object SparkEntry {
                 CAST(CASE WHEN d2.n_events * base.dow_days > 2 * base.dow_total
                      THEN 1 ELSE 0 END AS BIGINT) AS spike
          FROM d2 JOIN base USING (event_type, dow)""",
+
+    // Classical decomposition replayed on the same day table: RANGE
+    // window trend over epoch-day index, per-isodow detrended means,
+    // truncating integer idivs throughout (milli fixed point).
+    "q289_stl_decompose" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n_events
+                        FROM events GROUP BY 1),
+         d2 AS (SELECT day, n_events,
+                date_diff('day', DATE '1970-01-01', day) AS day_idx,
+                isodow(day) AS dow FROM daily),
+         tr AS (SELECT day, dow, n_events,
+                (1000 * sum(n_events) OVER (ORDER BY day_idx
+                   RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING))
+                // (count(*) OVER (ORDER BY day_idx
+                   RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)) AS trend_milli
+                FROM d2),
+         dt AS (SELECT *, 1000 * n_events - trend_milli AS detr_milli FROM tr),
+         se AS (SELECT dow, sum(detr_milli) // count(*) AS seasonal_milli
+                FROM dt GROUP BY 1)
+         SELECT strftime(dt.day, '%Y-%m-%d') AS day, CAST(dt.dow AS BIGINT) AS dow,
+           CAST(dt.n_events AS BIGINT) AS n_events,
+           CAST(dt.trend_milli AS BIGINT) AS trend_milli,
+           CAST(se.seasonal_milli AS BIGINT) AS seasonal_milli,
+           CAST(dt.detr_milli - se.seasonal_milli AS BIGINT) AS remainder_milli
+         FROM dt JOIN se USING (dow)""",
 
     "q150_event_paths" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type AS t1 FROM events),

@@ -887,6 +887,56 @@ object Events {
   def q149(s: SparkSession, d: String): DataFrame =
     seasonalSpikes(Tables.events(s, d), "event_type", to_date(col("ts")), 2)
 
+  /** SEASONAL-TREND DECOMPOSITION (additive, moving-average form) —
+    * the classical decomposition y = trend + seasonal + remainder
+    * that q149's spike flags and q225's Holt forecast both implicitly
+    * assume: trend is a CALENDAR-centered ±halfWidth-day moving
+    * average (a RANGE window on the epoch-day index, so gaps in the
+    * day table shrink the window instead of silently pulling in
+    * far-away days), seasonal is the per-ISO-weekday mean of the
+    * detrended series (constrained to the data actually present, the
+    * classical-decomposition convention), remainder is what's left —
+    * the series an anomaly detector should actually monitor, since
+    * weekly rhythm and growth no longer masquerade as signal.
+    *
+    * All integer milli fixed point: trend = (1000·Σwindow) idiv
+    * n_window, detrended = 1000·y − trend, seasonal = Σdetr idiv
+    * n_dow (idiv truncates toward zero in BOTH engines). Scale: daily
+    * partial counts are the only corpus shuffle; every window/join
+    * after runs on the calendar-bounded day table (the q225/q156
+    * day-table discipline). */
+  def stlDecompose(events: DataFrame, day: Column,
+                   halfWidth: Int = 3): DataFrame = {
+    require(halfWidth >= 1)
+    val daily = events.groupBy(day.as("day"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("day_idx",
+        datediff(col("day"), lit("1970-01-01").cast("date")).cast("long"))
+      // weekday() is 0=Monday; +1 matches ISO dow (1=Monday..7=Sunday)
+      .withColumn("dow", (weekday(col("day")) + 1).cast("long"))
+    val w = Window.orderBy(col("day_idx"))
+      .rangeBetween(-halfWidth.toLong, halfWidth.toLong)
+    val tr = daily
+      .withColumn("trend_milli",
+        F.idiv(lit(1000L) * sum(col("n_events")).over(w),
+          count(lit(1)).over(w)))
+      .withColumn("detr_milli",
+        lit(1000L) * col("n_events") - col("trend_milli"))
+      .localCheckpoint() // feeds the seasonal means AND the final join
+    val seas = tr.groupBy(col("dow"))
+      .agg(F.idiv(sum(col("detr_milli")), count(lit(1)))
+        .as("seasonal_milli"))
+    tr.join(broadcast(seas), "dow")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("dow"),
+        col("n_events"), col("trend_milli"), col("seasonal_milli"),
+        (col("detr_milli") - col("seasonal_milli")).as("remainder_milli"))
+  }
+
+  /** q289: classical decomposition of the daily event-count series
+    * with a centered 7-day (±3) trend window. */
+  def q289(s: SparkSession, d: String): DataFrame =
+    stlDecompose(Tables.events(s, d), to_date(col("ts")), 3)
+
   /** TOP-K COMMON EVENT PATHS: the most frequent length-3 event-type
     * sequences (t1 → t2 → t3) over consecutive events per entity — the
     * "what do users do next" path-mining operator.

@@ -4153,6 +4153,40 @@ class OperatorsSpec extends SparkSpec {
     assert(z.getLong(3) == 0L && z.isNullAt(4), z.toSeq.toString)
   }
 
+  test("stlDecompose: hand-worked edges, additive identity, weekly pattern") {
+    import SparkTestSession.spark.implicits._
+    import java.sql.Date
+    def ev(pairs: Seq[(String, Int)]): org.apache.spark.sql.DataFrame =
+      pairs.flatMap { case (d, n) => Seq.fill(n)(Date.valueOf(d)) }
+        .toDF("day")
+    // 3 days [10,20,30], halfWidth=1: trend [15000,20000,25000],
+    // detr [-5000,0,5000]; dows distinct -> seasonal = detr, rem = 0
+    val small = Events.stlDecompose(
+      ev(Seq(("2024-01-01", 10), ("2024-01-02", 20), ("2024-01-03", 30))),
+      col("day"), 1).collect().map(r => r.getString(0) -> r.toSeq).toMap
+    assert(small("2024-01-01") ==
+      Seq("2024-01-01", 1L, 10L, 15000L, -5000L, 0L), small.toString)
+    assert(small("2024-01-02") ==
+      Seq("2024-01-02", 2L, 20L, 20000L, 0L, 0L), small.toString)
+    assert(small("2024-01-03") ==
+      Seq("2024-01-03", 3L, 30L, 25000L, 5000L, 0L), small.toString)
+    // 14 days from Mon 2024-01-01, Thursdays 17 else 10 (weekly period):
+    // interior full windows sum 77 -> trend 11000; Thursday detr 6000
+    // on both occurrences -> seasonal(dow=4) = 6000
+    val days = (0 until 14).map { i =>
+      (java.time.LocalDate.of(2024, 1, 1).plusDays(i).toString,
+        if (i % 7 == 3) 17 else 10)
+    }
+    val out = Events.stlDecompose(ev(days), col("day"), 3).collect()
+    out.foreach { r =>
+      assert(1000L * r.getLong(2) ==
+        r.getLong(3) + r.getLong(4) + r.getLong(5), r.toSeq.toString)
+    }
+    val byDay = out.map(r => r.getString(0) -> r.toSeq).toMap
+    assert(byDay("2024-01-04")(4) == 6000L &&
+      byDay("2024-01-11")(3) == 11000L, byDay.toString)
+  }
+
   test("vocabRichness: chao1 bias-corrected, f2=0 finite, collapse") {
     import SparkTestSession.spark.implicits._
     val corpus = Seq(
