@@ -306,6 +306,7 @@ object SparkEntry {
     "q287_mann_whitney"   -> (Relational.q287 _),
     "q288_vocab_richness" -> (Text.q288 _),
     "q289_stl_decompose"  -> (Events.q289 _),
+    "q290_bfs_hops"       -> (Relational.q290 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -4527,6 +4528,7 @@ object SparkEntry {
     "q226_kcore" -> kCoreOracle,
     "q272_communities" -> lpaOracle,
     "q285_markov_stationary" -> markovOracle,
+    "q290_bfs_hops" -> bfsOracle,
 
     // Degree assortativity (Newman's r) as exact integer arithmetic:
     // over the both-direction edge list the endpoint-degree marginals
@@ -4623,6 +4625,41 @@ object SparkEntry {
     * previous round's labels and takes the (count DESC, label ASC)
     * argmax per node via a windowed row_number — the same total order
     * the Spark side packs into min(struct(-cnt, lab)). */
+  /** Mirror of Relational.bfsHops: BfsRounds synchronized relaxations
+    * unrolled CTE-for-CTE (the lpaOracle convention) over the same
+    * sampled co-purchase edge list; least() skips NULLs in both
+    * engines, unreached nodes fold to hop −1. */
+  private def bfsOracle: String = {
+    val rounds = graft.ops.Relational.BfsRounds
+    val base =
+      """li AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+               FROM lineitem WHERE l_orderkey % 8 = 0),
+  e AS (SELECT a.it AS pa, b.it AS pb
+        FROM li a JOIN li b ON a.bk = b.bk AND a.it < b.it GROUP BY 1, 2),
+  und AS MATERIALIZED (
+        SELECT pa AS src, pb AS dst FROM e UNION ALL SELECT pb, pa FROM e),
+  d0 AS MATERIALIZED (
+        SELECT DISTINCT src AS node,
+          CASE WHEN src % 32 = 0 THEN 0 END AS dist FROM und)"""
+    val sweeps = (1 to rounds).map { i =>
+      val p = i - 1
+      s"""d$i AS MATERIALIZED (
+    SELECT n.node, least(n.dist, p.pd) AS dist
+    FROM d$p n LEFT JOIN (
+      SELECT ed.src, min(pl.dist + 1) AS pd
+      FROM und ed JOIN d$p pl ON pl.node = ed.dst
+      WHERE pl.dist IS NOT NULL GROUP BY ed.src) p ON p.src = n.node)"""
+    }
+    val tail =
+      s"""h AS (SELECT coalesce(dist, -1) AS hop, count(*) AS n_nodes
+        FROM d$rounds GROUP BY 1),
+  t AS (SELECT sum(n_nodes) AS tt FROM h)
+  SELECT CAST(hop AS BIGINT) AS hop, CAST(n_nodes AS BIGINT) AS n_nodes,
+    CAST(10000 * n_nodes // t.tt AS BIGINT) AS share_bp
+  FROM h, t"""
+    ((base +: sweeps).mkString("WITH ", ",\n", ",\n")) + tail
+  }
+
   private def lpaOracle: String = {
     val rounds = graft.ops.Relational.LpaRounds
     val base =

@@ -2324,6 +2324,75 @@ object Relational {
   def q272(s: SparkSession, d: String): DataFrame =
     communities(sampledCopurchaseEdges(s, d), "part_a", "part_b")
 
+  /** Fixed BFS frontier count for [[bfsHops]] — the q272/q285
+    * fixed-unroll contract: the oracle replays exactly this many
+    * synchronized relaxation rounds, so the constant is part of the
+    * operator's definition, not a tuning knob. */
+  val BfsRounds = 6
+
+  /** MULTI-SOURCE BFS HOP DISTANCE — "how far is everything from the
+    * seed set": the reachability/radius primitive the graph family
+    * still lacked (q147 ranks influence, q226 finds cores, q272 finds
+    * communities — none answers "how many hops from these nodes").
+    * Seeds get hop 0; each synchronized round relaxes dist over the
+    * both-direction edge list (dist = least(dist, min neighbor+1) —
+    * least skips NULLs identically in both engines); after BfsRounds
+    * rounds the answer is exact for every node within that radius and
+    * nodes still unreached report hop −1 (either disconnected or
+    * beyond the declared horizon — at 6 rounds on a co-purchase graph
+    * the giant component is long saturated; small-world diameters run
+    * ~O(log n)). Output is the bounded (hop, n_nodes, share_bp)
+    * histogram — the "blast radius" curve.
+    *
+    * Scale: per round ONE hash join keyed on node + one min
+    * aggregation — the q147/q272 iteration shape, localCheckpoint
+    * truncating per-round lineage; the histogram is ≤ rounds+2 rows.
+    * Seeds are declared as a PREDICATE on the node id (no driver-side
+    * seed list to ship); membership is evaluated map-side. */
+  def bfsHops(edges0: DataFrame, a: String, b: String,
+              seedPred: Column => Column,
+              rounds: Int = BfsRounds): DataFrame = {
+    require(rounds >= 1)
+    val undirected = edges0
+      .select(col(a).cast("long").as("src"), col(b).cast("long").as("dst"))
+      .where(col("src") =!= col("dst")).distinct()
+    val edges = undirected
+      .unionAll(undirected.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint() // feeds every relaxation round
+    var dist = edges.select(col("src").as("node")).distinct()
+      .select(col("node"),
+        when(seedPred(col("node")), lit(0L)).otherwise(lit(null).cast("long"))
+          .as("dist"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val prop = edges
+        .join(dist.select(col("node").as("dst"), col("dist").as("nd")),
+          Seq("dst"))
+        .where(col("nd").isNotNull)
+        .groupBy(col("src"))
+        .agg(min(col("nd") + lit(1L)).as("pd"))
+      dist = dist
+        .join(prop.select(col("src").as("node"), col("pd")),
+          Seq("node"), "left")
+        .select(col("node"), least(col("dist"), col("pd")).as("dist"))
+        .localCheckpoint()
+    }
+    val hist = dist.groupBy(coalesce(col("dist"), lit(-1L)).as("hop"))
+      .agg(count(lit(1)).as("n_nodes"))
+    val tot = hist.agg(sum(col("n_nodes")).as("t"))
+    hist.crossJoin(broadcast(tot))
+      .select(col("hop"), col("n_nodes"),
+        graft.functions.F.idiv(lit(10000L) * col("n_nodes"), col("t"))
+          .as("share_bp"))
+  }
+
+  /** q290: hop-distance histogram from the 1-in-32 part-key seed set
+    * over the sampled co-purchase graph. */
+  def q290(s: SparkSession, d: String): DataFrame =
+    bfsHops(sampledCopurchaseEdges(s, d), "part_a", "part_b",
+      n => n % 32 === 0)
+
   /** DEGREE ASSORTATIVITY — the Pearson correlation of endpoint
     * degrees over the undirected edge list (Newman's r): positive =
     * hubs link hubs (social/citation shape), negative = hubs fan out

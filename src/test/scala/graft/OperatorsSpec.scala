@@ -4153,6 +4153,23 @@ class OperatorsSpec extends SparkSpec {
     assert(z.getLong(3) == 0L && z.isNullAt(4), z.toSeq.toString)
   }
 
+  test("bfsHops: chain+star+disconnected hand case, horizon cutoff") {
+    import SparkTestSession.spark.implicits._
+    // chain 0-1-2-3, star 10-{11,12}, disconnected pair 7-8; seeds %10==0
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (10L, 11L), (10L, 12L),
+      (7L, 8L)).toDF("a", "b")
+    val out = Relational.bfsHops(edges, "a", "b", _ % 10 === 0)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map(0L -> ((2L, 2222L)), 1L -> ((3L, 3333L)),
+      2L -> ((1L, 1111L)), 3L -> ((1L, 1111L)), -1L -> ((2L, 2222L))),
+      out.toString)
+    // horizon: 8-chain from seed 0 at rounds=2 leaves 6 nodes unreached
+    val chain = (0L until 8L).map(i => (i, i + 1)).toDF("a", "b")
+    val h = Relational.bfsHops(chain, "a", "b", _ === 0L, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h == Map(0L -> 1L, 1L -> 1L, 2L -> 1L, -1L -> 6L), h.toString)
+  }
+
   test("stlDecompose: hand-worked edges, additive identity, weekly pattern") {
     import SparkTestSession.spark.implicits._
     import java.sql.Date
