@@ -307,6 +307,7 @@ object SparkEntry {
     "q288_vocab_richness" -> (Text.q288 _),
     "q289_stl_decompose"  -> (Events.q289 _),
     "q290_bfs_hops"       -> (Relational.q290 _),
+    "q291_mattr"          -> (Text.q291 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -1545,6 +1546,33 @@ object SparkEntry {
            CAST(10000 * vocab // chao1 AS BIGINT) AS observed_share_bp,
            CAST(10000 * f1 // n_tokens AS BIGINT) AS unseen_mass_bp
          FROM c""",
+
+    // MATTR via the exact link identity: Σ_windows distinct = nwin·w −
+    // Σ_links overlap(link, [w, L]) — same 1-based positions, lag over
+    // (doc, token), truncating idivs; docs shorter than w -> NULL.
+    "q291_mattr" ->
+      """WITH tp AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+              FROM documents),
+         lk AS (SELECT doc_id, tok, pos,
+                lag(pos) OVER (PARTITION BY doc_id, tok ORDER BY pos) AS prev
+              FROM tp),
+         pd AS (SELECT doc_id, max(pos) AS n_tokens,
+                count(DISTINCT tok) AS vocab FROM lk GROUP BY 1),
+         du AS (SELECT lk.doc_id, sum(greatest(0,
+                  least(lk.prev + 19, pd.n_tokens)
+                  - greatest(lk.pos, 20) + 1)) AS dup_sum
+                FROM lk JOIN pd USING (doc_id)
+                WHERE lk.prev IS NOT NULL GROUP BY 1)
+         SELECT pd.doc_id, CAST(pd.n_tokens AS BIGINT) AS n_tokens,
+           CAST(pd.vocab AS BIGINT) AS vocab,
+           CAST(greatest(pd.n_tokens - 19, 0) AS BIGINT) AS n_windows,
+           CAST(10000 * pd.vocab // pd.n_tokens AS BIGINT) AS ttr_bp,
+           CAST(CASE WHEN pd.n_tokens < 20 THEN NULL
+                ELSE (10000 * ((pd.n_tokens - 19) * 20
+                      - coalesce(du.dup_sum, 0)))
+                     // ((pd.n_tokens - 19) * 20) END AS BIGINT) AS mattr_bp
+         FROM pd LEFT JOIN du USING (doc_id)""",
 
     "q44_ngram_freq" ->
       """WITH b AS (SELECT lang, unnest(list_transform(range(1, len(toks)),

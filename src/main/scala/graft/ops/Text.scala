@@ -3004,6 +3004,68 @@ object Text {
   def q288(s: SparkSession, d: String): DataFrame =
     vocabRichness(Tables.documents(s, d), "lang", "text")
 
+  /** MATTR — MOVING-AVERAGE TYPE-TOKEN RATIO, the length-robust
+    * lexical-diversity score (Covington & McFall): plain TTR = V/N
+    * falls mechanically as documents grow (Heaps' law, q232), so
+    * sorting a mixed-length corpus by TTR ranks short docs as
+    * "diverse"; MATTR averages TTR over every width-w sliding window,
+    * making scores comparable across lengths — the per-doc diversity
+    * feature for quality gates that q41/q49 measure only via
+    * repetition of ADJACENT or identical content.
+    *
+    * Computed EXACTLY without materializing windows, via the link
+    * identity: a window's distinct count is w minus the number of
+    * (prev-occurrence → occurrence) links lying fully inside it, so
+    *   Σ_windows distinct = nwin·w − Σ_links overlap(link, full-window
+    *   range), overlap = max(0, min(a+w−1, L) − max(b, w) + 1)
+    * (1-based positions, link a = lag(pos) over (doc, token), b =
+    * pos). One posexplode, one lag window keyed (doc, token), one
+    * per-doc fold — linear, never a per-window expansion (w× the
+    * corpus). Docs shorter than w report NULL mattr (no full window);
+    * integer bp idivs throughout.
+    *
+    * Scale: everything is partitioned by doc_id; the lag window runs
+    * inside each (doc, token) group — bounded by document length, the
+    * q191 per-doc-window discipline. */
+  def mattr(corpus: DataFrame, id: String, text: String,
+            w: Int = 20): DataFrame = {
+    require(w >= 2)
+    val tp = withToks(corpus, text)
+      .select(col(id).as("did"), posexplode(toks).as(Seq("p0", "tok")))
+      .select(col("did"), col("tok"), (col("p0") + lit(1L)).as("pos"))
+    val lw = Window.partitionBy(col("did"), col("tok")).orderBy(col("pos"))
+    val links = tp.withColumn("prev", lag(col("pos"), 1).over(lw))
+      .localCheckpoint() // feeds lengths, the dup fold, AND perDoc (q190 rule)
+    val perDoc = links.groupBy(col("did"))
+      .agg(max(col("pos")).as("n_tokens"),
+        count_distinct(col("tok")).as("vocab"))
+    // the overlap term needs L per link, so fold in two steps: L first
+    val withL = links
+      .join(links.groupBy(col("did")).agg(max(col("pos")).as("len")), "did")
+    val dups = withL.where(col("prev").isNotNull)
+      .select(col("did"),
+        greatest(lit(0L),
+          least(col("prev") + lit(w.toLong - 1L), col("len")) -
+            greatest(col("pos"), lit(w.toLong)) + lit(1L)).as("cnt"))
+      .groupBy(col("did")).agg(sum(col("cnt")).as("dup_sum"))
+    perDoc.select(col("did"), col("n_tokens"), col("vocab"))
+      .join(dups, Seq("did"), "left").na.fill(0L, Seq("dup_sum"))
+      .select(col("did").as(id), col("n_tokens"), col("vocab"),
+        greatest(col("n_tokens") - lit(w.toLong - 1L), lit(0L))
+          .as("n_windows"),
+        F.idiv(lit(10000L) * col("vocab"), col("n_tokens")).as("ttr_bp"),
+        when(col("n_tokens") < lit(w.toLong), lit(null).cast("long"))
+          .otherwise(F.idiv(
+            lit(10000L) * ((col("n_tokens") - lit(w.toLong - 1L)) *
+              lit(w.toLong) - col("dup_sum")),
+            (col("n_tokens") - lit(w.toLong - 1L)) * lit(w.toLong)))
+          .as("mattr_bp"))
+  }
+
+  /** q291: per-document MATTR at the 20-token window. */
+  def q291(s: SparkSession, d: String): DataFrame =
+    mattr(Tables.documents(s, d), "doc_id", "text", 20)
+
   /** PAIRWISE VOCABULARY OVERLAP between subcorpora — the mixture
     * designer's redundancy map: two sources whose vocabularies are
     * near-identical add diversity on paper and none in fact (q186's

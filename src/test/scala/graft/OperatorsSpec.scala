@@ -4153,6 +4153,22 @@ class OperatorsSpec extends SparkSpec {
     assert(z.getLong(3) == 0L && z.isNullAt(4), z.toSeq.toString)
   }
 
+  test("mattr: link-identity equals window enumeration, short doc NULL") {
+    import SparkTestSession.spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a b"), // w=3 windows all {a,b}: 8/12 -> 6666
+      (2L, "x x x x"),     // 2/6 -> 3333
+      (3L, "a b"),         // shorter than w: NULL mattr, ttr 10000
+      (4L, "a b c d")      // no repeats: mattr 10000
+    ).toDF("doc_id", "text")
+    val out = Text.mattr(docs, "doc_id", "text", 3).collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(out(1L) == Seq(6L, 2L, 4L, 3333L, 6666L), out.toString)
+    assert(out(2L) == Seq(4L, 1L, 2L, 2500L, 3333L), out.toString)
+    assert(out(3L) == Seq(2L, 2L, 0L, 10000L, null), out.toString)
+    assert(out(4L) == Seq(4L, 4L, 2L, 10000L, 10000L), out.toString)
+  }
+
   test("bfsHops: chain+star+disconnected hand case, horizon cutoff") {
     import SparkTestSession.spark.implicits._
     // chain 0-1-2-3, star 10-{11,12}, disconnected pair 7-8; seeds %10==0
