@@ -308,6 +308,7 @@ object SparkEntry {
     "q289_stl_decompose"  -> (Events.q289 _),
     "q290_bfs_hops"       -> (Relational.q290 _),
     "q291_mattr"          -> (Text.q291 _),
+    "q292_cramers_v"      -> (Relational.q292 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -2928,6 +2929,35 @@ object SparkEntry {
            CAST((count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1) AS BIGINT) AS dof,
            CAST(sum(term) AS BIGINT) AS chi2_micro
          FROM t""",
+
+    // Cramér's V from the q130 term discipline on orders with the
+    // r×c grid COMPLETED (zero cells contribute exp): exact long
+    // χ²_micro, one pinned double boundary √((χ²/10⁶)/(n·(min−1))).
+    "q292_cramers_v" ->
+      """WITH c AS (SELECT o_orderpriority AS a, o_orderstatus AS b,
+                count(*) AS obs FROM orders GROUP BY 1, 2),
+         ra AS (SELECT a, sum(obs) AS rt FROM c GROUP BY 1),
+         rb AS (SELECT b, sum(obs) AS ct FROM c GROUP BY 1),
+         n AS (SELECT sum(obs) AS n FROM c),
+         g AS (SELECT ra.a, rb.b, ra.rt, rb.ct, coalesce(c.obs, 0) AS obs
+               FROM ra CROSS JOIN rb LEFT JOIN c USING (a, b)),
+         t AS (SELECT CAST(floor( (obs - rt * ct / CAST(n AS DOUBLE)) * (obs - rt * ct / CAST(n AS DOUBLE)) / (rt * ct / CAST(n AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS term,
+                 g.a, g.b, g.obs
+               FROM g CROSS JOIN n),
+         m AS (SELECT sum(obs) AS n, count(*) AS cells,
+                count(DISTINCT a) AS r_levels, count(DISTINCT b) AS c_levels,
+                sum(term) AS chi2_micro FROM t)
+         SELECT CAST(n AS BIGINT) AS n, CAST(cells AS BIGINT) AS cells,
+           CAST(r_levels AS BIGINT) AS r_levels,
+           CAST(c_levels AS BIGINT) AS c_levels,
+           CAST((r_levels - 1) * (c_levels - 1) AS BIGINT) AS dof,
+           CAST(chi2_micro AS BIGINT) AS chi2_micro,
+           CAST(CASE WHEN least(r_levels, c_levels) <= 1 THEN NULL
+                ELSE floor(sqrt((CAST(chi2_micro AS DOUBLE) / 1000000)
+                  / (CAST(n AS DOUBLE)
+                     * CAST(least(r_levels, c_levels) - 1 AS DOUBLE)))
+                  * 10000 + 0.5) END AS BIGINT) AS cramers_v_bp
+         FROM m""",
 
     "q125_temporal_join" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events),

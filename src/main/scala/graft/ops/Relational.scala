@@ -796,6 +796,60 @@ object Relational {
   def q130(s: SparkSession, d: String): DataFrame =
     chiSquare(Tables.documents(s, d), "lang", "source")
 
+  /** CRAMÉR'S V — the EFFECT SIZE q130's χ² deliberately isn't: χ²
+    * grows linearly with n, so at corpus scale everything is
+    * "significant" and the number says nothing about strength;
+    * V = √(χ²/(n·(min(r,c)−1))) ∈ [0,1] is the scale-free association
+    * strength (0 = independent, 1 = one column determines the other),
+    * comparable across tables and corpus sizes — the number a feature
+    * audit (q220's mutual information, q219's FDs) actually ranks by.
+    *
+    * Same per-cell micro-quantized term discipline as chiSquare, with
+    * one deliberate divergence: the r×c grid is COMPLETED (zero cells
+    * contribute their full (0−exp)²/exp = exp term) — for an effect
+    * size the structural zeros ARE the association (a diagonal 2×2
+    * table reaches V = 1 only because its off-diagonal empties count),
+    * where q130's observed-cells χ² targets dense drift tables. The
+    * grid completion is a broadcast cross join of the two marginal
+    * tables — levels²-bounded, free at any corpus size. V is one
+    * pinned-order double boundary √((χ²_micro/10⁶)/(n·(min−1))) in
+    * bp. NULL when either side has a single level (min(r,c) = 1: no
+    * association is definable). */
+  def cramersV(df: DataFrame, a: String, b: String): DataFrame = {
+    val cells = df.groupBy(col(a), col(b)).agg(count(lit(1)).as("obs"))
+    val ra = cells.groupBy(col(a)).agg(sum(col("obs")).as("rt"))
+    val rb = cells.groupBy(col(b)).agg(sum(col("obs")).as("ct"))
+    val tot = cells.agg(sum(col("obs")).as("n"))
+    val grid = broadcast(ra).crossJoin(broadcast(rb))
+      .join(cells, Seq(a, b), "left")
+      .na.fill(0L, Seq("obs"))
+    val exp_ = col("rt") * col("ct") / col("n").cast("double")
+    val m = grid
+      .crossJoin(broadcast(tot))
+      .select(
+        fixed((col("obs") - exp_) * (col("obs") - exp_) / exp_, 1000000L)
+          .as("term"),
+        col(a), col(b), col("obs"))
+      .agg(sum(col("obs")).as("n"), count(lit(1)).as("cells"),
+        countDistinct(col(a)).as("r_levels"),
+        countDistinct(col(b)).as("c_levels"),
+        sum(col("term")).as("chi2_micro"))
+    val minSide = least(col("r_levels"), col("c_levels"))
+    m.select(col("n"), col("cells"), col("r_levels"), col("c_levels"),
+      ((col("r_levels") - 1) * (col("c_levels") - 1)).cast("long").as("dof"),
+      col("chi2_micro"),
+      when(minSide <= 1L, lit(null).cast("long"))
+        .otherwise(floor(
+          sqrt((col("chi2_micro").cast("double") / lit(1000000d)) /
+            (col("n").cast("double") * (minSide - 1L).cast("double"))) *
+            lit(10000d) + lit(0.5d)).cast("long"))
+        .as("cramers_v_bp"))
+  }
+
+  /** q292: order-priority × order-status association strength. */
+  def q292(s: SparkSession, d: String): DataFrame =
+    cramersV(Tables.orders(s, d), "o_orderpriority", "o_orderstatus")
+
   /** RFM segmentation (recency / frequency / monetary) of customers
     * from their order history. Scores are 1–4 by DISCRETE quartile
     * thresholds (percentile_disc — cut values are data members, exact

@@ -4153,6 +4153,23 @@ class OperatorsSpec extends SparkSpec {
     assert(z.getLong(3) == 0L && z.isNullAt(4), z.toSeq.toString)
   }
 
+  test("cramersV: perfect diagonal = 1, independence = 0, single level NULL") {
+    import SparkTestSession.spark.implicits._
+    def v(rows: Seq[(String, String)]): org.apache.spark.sql.Row =
+      Relational.cramersV(rows.toDF("a", "b"), "a", "b").collect().head
+    // diagonal 2x2: structural zeros carry the association -> V = 1
+    val d = v(Seq.fill(10)(("x", "u")) ++ Seq.fill(10)(("y", "v")))
+    assert(d.toSeq == Seq(20L, 4L, 2L, 2L, 1L, 20000000L, 10000L),
+      d.toSeq.toString)
+    // balanced independent 2x2 -> chi2 = 0, V = 0
+    val i = v(for (a <- Seq("x", "y"); b <- Seq("u", "v");
+      _ <- 1 to 5) yield (a, b))
+    assert(i.getLong(5) == 0L && i.getLong(6) == 0L, i.toSeq.toString)
+    // one level on a side: association undefined
+    val s = v(Seq(("x", "u"), ("x", "v")))
+    assert(s.isNullAt(6), s.toSeq.toString)
+  }
+
   test("mattr: link-identity equals window enumeration, short doc NULL") {
     import SparkTestSession.spark.implicits._
     val docs = Seq(
