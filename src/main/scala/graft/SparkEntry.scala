@@ -309,6 +309,7 @@ object SparkEntry {
     "q290_bfs_hops"       -> (Relational.q290 _),
     "q291_mattr"          -> (Text.q291 _),
     "q292_cramers_v"      -> (Relational.q292 _),
+    "q293_jl_distortion"  -> (Similarity.q293 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -2558,6 +2559,42 @@ object SparkEntry {
          WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.35""",
 
     "q60_ann_bruteforce" -> q60OracleSql,
+
+    // JL sign projection replayed exactly: ±1 from md5_number_upper
+    // low bit (the Md5Hash64 mirror), quantizer-grid integer sums,
+    // q60's list_cosine_similarity + BP for the original space, one
+    // pinned double boundary for the projected cosine.
+    "q293_jl_distortion" ->
+      s"""WITH sg AS (SELECT i, j,
+                CASE WHEN md5_number_upper('jl:' || CAST(i AS VARCHAR)
+                  || '#' || CAST(j AS VARCHAR)) % 2 = 0
+                THEN 1 ELSE -1 END AS s
+              FROM (SELECT unnest(range(0, 64)) AS i),
+                   (SELECT unnest(range(0, 16)) AS j)),
+         ex AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+                CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 16384)
+                  AS BIGINT) AS xq FROM embeddings),
+         pj AS MATERIALIZED (SELECT ex.vec_id, sg.j, sum(sg.s * ex.xq) AS yq
+               FROM ex JOIN sg USING (i) GROUP BY 1, 2),
+         pr AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                ${BP("list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))")} AS cos_orig_bp
+               FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+               WHERE a.vec_id % 8 = 0),
+         dp AS (SELECT pr.vec_a, pr.vec_b,
+                sum(pa.yq * pb.yq) AS dab,
+                sum(pa.yq * pa.yq) AS daa,
+                sum(pb.yq * pb.yq) AS dbb
+               FROM pr JOIN pj pa ON pa.vec_id = pr.vec_a
+                 JOIN pj pb ON pb.vec_id = pr.vec_b AND pb.j = pa.j
+               GROUP BY 1, 2),
+         f AS (SELECT pr.vec_a, pr.vec_b, pr.cos_orig_bp,
+                CASE WHEN dp.daa = 0 OR dp.dbb = 0 THEN 0
+                ELSE ${BP("CAST(dp.dab AS DOUBLE) / (sqrt(CAST(dp.daa AS DOUBLE)) * sqrt(CAST(dp.dbb AS DOUBLE)))")}
+                END AS cos_proj_bp
+               FROM pr JOIN dp USING (vec_a, vec_b))
+         SELECT vec_a, vec_b, cos_orig_bp, cos_proj_bp,
+           cos_proj_bp - cos_orig_bp AS err_bp
+         FROM f""",
 
     "q115_latest_state" ->
       s"""WITH e AS (SELECT user_id, event_type, value, epoch_us(ts) AS ts_us, event_id FROM events),

@@ -826,6 +826,94 @@ object Similarity {
   def q245(s: SparkSession, d: String): DataFrame =
     embeddingNormAudit(Tables.embeddings(s, d), "vec_id", "embedding")
 
+  /** Output dimensionality for [[jlProject]] — 64 → 16 is the 4×
+    * byte cut that makes a 100 TB vector table an ANN-index input. */
+  val JlDim = 16
+
+  /** sign(i, j) ∈ {+1, −1} from the low bit of md5("jl:<i>#<j>") read
+    * as the first-8-digest-bytes-little-endian long — byte-for-byte
+    * the Md5Hash64 expression's convention (F.scala), evaluated on
+    * the DRIVER because the matrix is dIn·dOut ≤ 1024 constants that
+    * become plan-time literals (no join, no shuffle, no UDF). DuckDB
+    * replays it as md5_number_upper(key) % 2. */
+  private def jlSign(i: Int, j: Int): Long = {
+    val dig = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"jl:$i#$j".getBytes("UTF-8"))
+    val h = java.nio.ByteBuffer.wrap(dig, 0, 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+    if ((h & 1L) == 0L) 1L else -1L
+  }
+
+  /** JOHNSON–LINDENSTRAUSS SIGN PROJECTION — the dimensionality
+    * reducer the ANN family reads from, as a standalone operator:
+    * y_j = Σ_i s_ij·x_i with a ±1 (Achlioptas) matrix, which carries
+    * the JL distance-preservation guarantee at 1/√dOut distortion
+    * while replacing the dense Gaussian matrix with signs — exact
+    * integer arithmetic on the quantizer grid (x_q = floor(x·2¹⁴),
+    * the q61-64 fixed-point discipline), so projections are
+    * bit-reproducible in any engine.
+    *
+    * Scale (100 TB): ONE codegen'd map-side pass — the sign matrix is
+    * a plan literal, each output coordinate a zip_with/aggregate fold;
+    * no explode, no join, no shuffle. Cutting 64 float dims to 16
+    * ints is the standard pre-ANN byte diet. Input arrays must have
+    * exactly dIn entries (a shorter array nulls the fold). */
+  def jlProject(embs: DataFrame, id: String, emb: String,
+                dIn: Int = 64, dOut: Int = JlDim): DataFrame = {
+    require(dIn >= 1 && dOut >= 1)
+    val q = transform(col(emb),
+      x => floor(x.cast("double") * lit(QuantScale.toDouble)).cast("long"))
+    val ys = (0 until dOut).map { j =>
+      val row = (0 until dIn).map(i => jlSign(i, j)).toArray
+      aggregate(zip_with(q, typedLit(row), (x, s) => x * s),
+        lit(0L), (a, v) => a + v)
+    }
+    embs.select(col(id).as("vec_id"), array(ys: _*).as("proj_q"))
+  }
+
+  /** JL DISTORTION AUDIT — measures what the projection costs on THIS
+    * corpus instead of trusting the lemma's worst case: for the
+    * deterministic pair sample (v, v+1) with v ≡ 0 (mod 8), cosine in
+    * the original float space (q60's bp convention) vs cosine in the
+    * 16-dim projected integer space, with the signed error per pair.
+    * The downstream decision is direct: err spread ≪ an ANN cell's
+    * cosine margin → index the projected table; comparable → keep
+    * full dims. Zero-norm projections score 0 (F.cosineSim's rule).
+    *
+    * Scale: the projection is map-side (above); the pair sample is a
+    * co-partitioned self-join on the id key — 1/8 of the corpus, no
+    * broadcast of anything corpus-sized. */
+  def jlDistortion(embs: DataFrame, id: String, emb: String,
+                   dIn: Int = 64, dOut: Int = JlDim): DataFrame = {
+    val pj = jlProject(embs, id, emb, dIn, dOut)
+      .localCheckpoint() // feeds both pair legs
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (a, b) => a * b), lit(0L), (a, v) => a + v)
+    val pairs = embs.select(col(id).as("vec_a"), col(emb).as("ea"))
+      .where(col("vec_a") % 8 === 0)
+      .join(embs.select((col(id) - 1).as("vec_a"), col(id).as("vec_b"),
+        col(emb).as("eb")), "vec_a")
+      .join(pj.select(col("vec_id").as("vec_a"), col("proj_q").as("pa")),
+        "vec_a")
+      .join(pj.select(col("vec_id").as("vec_b"), col("proj_q").as("pb")),
+        "vec_b")
+    val dab = dot(col("pa"), col("pb"))
+    val daa = dot(col("pa"), col("pa"))
+    val dbb = dot(col("pb"), col("pb"))
+    val cosProj = when(daa === 0L || dbb === 0L, lit(0L))
+      .otherwise(bp(dab.cast("double") /
+        (sqrt(daa.cast("double")) * sqrt(dbb.cast("double")))))
+    pairs.select(col("vec_a"), col("vec_b"),
+        bp(F.cosineSim(col("ea"), col("eb"))).as("cos_orig_bp"),
+        cosProj.as("cos_proj_bp"))
+      .withColumn("err_bp", col("cos_proj_bp") - col("cos_orig_bp"))
+  }
+
+  /** q293: JL 64→16 sign-projection distortion on the (v, v+1),
+    * v ≡ 0 (mod 8) pair sample. */
+  def q293(s: SparkSession, d: String): DataFrame =
+    jlDistortion(Tables.embeddings(s, d), "vec_id", "embedding")
+
   /** q62: IVF-Flat approximate top-10, nprobe=4 of 16 cells. */
   def q62(s: SparkSession, d: String): DataFrame = {
     val (c, q) = corpusAndQueries(s, d)

@@ -4153,6 +4153,34 @@ class OperatorsSpec extends SparkSpec {
     assert(z.getLong(3) == 0L && z.isNullAt(4), z.toSeq.toString)
   }
 
+  test("jlProject/jlDistortion: one-hot rows, linearity, zero-norm rule") {
+    import SparkTestSession.spark.implicits._
+    // one-hot e0 at dIn=4: y_j = s(0,j)·16384 for every j
+    val oneHot = Seq((1L, Array(1f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val p = Similarity.jlProject(oneHot, "vec_id", "embedding", 4, 8)
+      .collect().head.getSeq[Long](1)
+    assert(p.size == 8 && p.forall(y => math.abs(y) == 16384L), p.toString)
+    // pairs (v%8==0, v+1): identical vectors -> 10000; doubled copy
+    // (grid-exact coords) -> 10000 (projection is linear); negated ->
+    // -10000; zero vector -> 0 by the zero-norm rule
+    val embs = Seq(
+      (0L, Array(0.5f, -0.25f, 0.5f, 0.25f)),
+      (1L, Array(0.5f, -0.25f, 0.5f, 0.25f)),
+      (8L, Array(0.5f, -0.25f, 0.5f, 0.25f)),
+      (9L, Array(1.0f, -0.5f, 1.0f, 0.5f)),
+      (16L, Array(0.5f, -0.25f, 0.5f, 0.25f)),
+      (17L, Array(-0.5f, 0.25f, -0.5f, -0.25f)),
+      (24L, Array(0.5f, -0.25f, 0.5f, 0.25f)),
+      (25L, Array(0f, 0f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val d = Similarity.jlDistortion(embs, "vec_id", "embedding", 4, 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(d(0L) == ((10000L, 10000L)), d.toString)
+    assert(d(8L) == ((10000L, 10000L)), d.toString)
+    assert(d(16L) == ((-10000L, -10000L)), d.toString)
+    assert(d(24L)._2 == 0L, d.toString)
+  }
+
   test("cramersV: perfect diagonal = 1, independence = 0, single level NULL") {
     import SparkTestSession.spark.implicits._
     def v(rows: Seq[(String, String)]): org.apache.spark.sql.Row =
