@@ -310,6 +310,7 @@ object SparkEntry {
     "q291_mattr"          -> (Text.q291 _),
     "q292_cramers_v"      -> (Relational.q292 _),
     "q293_jl_distortion"  -> (Similarity.q293 _),
+    "q294_theil_u"        -> (Relational.q294 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -2595,6 +2596,38 @@ object SparkEntry {
          SELECT vec_a, vec_b, cos_orig_bp, cos_proj_bp,
            cos_proj_bp - cos_orig_bp AS err_bp
          FROM f""",
+
+    // Theil's U: the q220 MI terms + per-marginal entropy terms, each
+    // floor(·10⁶+½) before its exact sum; both directions one idiv.
+    "q294_theil_u" ->
+      """WITH c AS (SELECT event_type AS x, isodow(CAST(ts AS DATE)) AS y,
+                count(*) AS n FROM events GROUP BY 1, 2),
+         mx AS (SELECT x, sum(n) AS nx FROM c GROUP BY 1),
+         my AS (SELECT y, sum(n) AS ny FROM c GROUP BY 1),
+         t AS (SELECT sum(n) AS nt FROM c),
+         mi AS (SELECT sum(n) AS n, sum(CAST(floor(
+                  (CAST(c.n AS DOUBLE) / nt) * ln((CAST(c.n AS DOUBLE) / nt)
+                    / ((CAST(nx AS DOUBLE) / nt) * (CAST(ny AS DOUBLE) / nt)))
+                  * 1000000 + 0.5) AS BIGINT)) AS mi_unat
+               FROM c JOIN mx USING (x) JOIN my USING (y) CROSS JOIN t),
+         hx AS (SELECT sum(CAST(floor(
+                  (-(CAST(nx AS DOUBLE) / nt)) * ln(CAST(nx AS DOUBLE) / nt)
+                  * 1000000 + 0.5) AS BIGINT)) AS h_x_unat
+               FROM mx CROSS JOIN t),
+         hy AS (SELECT sum(CAST(floor(
+                  (-(CAST(ny AS DOUBLE) / nt)) * ln(CAST(ny AS DOUBLE) / nt)
+                  * 1000000 + 0.5) AS BIGINT)) AS h_y_unat
+               FROM my CROSS JOIN t)
+         SELECT CAST(n AS BIGINT) AS n, CAST(mi_unat AS BIGINT) AS mi_unat,
+           CAST(h_x_unat AS BIGINT) AS h_x_unat,
+           CAST(h_y_unat AS BIGINT) AS h_y_unat,
+           CAST(CASE WHEN h_x_unat = 0 THEN NULL
+                ELSE (10000 * mi_unat) // h_x_unat END AS BIGINT)
+             AS u_x_given_y_bp,
+           CAST(CASE WHEN h_y_unat = 0 THEN NULL
+                ELSE (10000 * mi_unat) // h_y_unat END AS BIGINT)
+             AS u_y_given_x_bp
+         FROM mi, hx, hy""",
 
     "q115_latest_state" ->
       s"""WITH e AS (SELECT user_id, event_type, value, epoch_us(ts) AS ts_us, event_id FROM events),

@@ -2000,6 +2000,61 @@ object Relational {
   def q220(s: SparkSession, d: String): DataFrame =
     mutualInfo(Tables.documents(s, d), "lang", "source")
 
+  /** THEIL'S U (UNCERTAINTY COEFFICIENT) — the ASYMMETRIC normalized
+    * association the symmetric pair (q220 MI, q292 V) cannot express:
+    * U(X|Y) = MI/H(X) is the fraction of X's uncertainty that knowing
+    * Y removes, and U(X|Y) ≠ U(Y|X) is the point — "weekday predicts
+    * event type" and "event type predicts weekday" are different
+    * claims with different numbers (a many-to-one mapping scores 1.0
+    * one way and less the other). The feature-selection number for
+    * "is this column redundant GIVEN that one".
+    *
+    * Entropies and MI are exact integer sums of per-cell/per-level
+    * micro-nat terms (q197/q220 discipline — each term floor(·10⁶+½)
+    * before the sum, engine-exact); both U directions are one
+    * truncating idiv of those integers to bp. NULL when the
+    * conditioned side is deterministic already (H = 0). Same plan as
+    * mutualInfo: one (x, y) aggregation, marginals roll up from the
+    * cell table, a one-row fold. */
+  def theilU(df: DataFrame, x: String, y: String): DataFrame = {
+    val cells = df.groupBy(col(x).as("x_"), col(y).as("y_"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // feeds both marginals + the MI fold
+    val tot = cells.agg(sum(col("n")).as("nt"))
+    def entropySum(key: String, cnt: String): DataFrame =
+      cells.groupBy(col(key)).agg(sum(col("n")).as(cnt))
+        .crossJoin(broadcast(tot))
+        .select(floor((-(col(cnt).cast("double") / col("nt").cast("double"))) *
+          log(col(cnt).cast("double") / col("nt").cast("double")) *
+          lit(1000000d) + lit(0.5d)).cast("long").as("term"))
+        .agg(sum(col("term")).as(s"h_$cnt"))
+    val mx = cells.groupBy(col("x_")).agg(sum(col("n")).as("nx"))
+    val my = cells.groupBy(col("y_")).agg(sum(col("n")).as("ny"))
+    val pxy = col("n").cast("double") / col("nt").cast("double")
+    val px = col("nx").cast("double") / col("nt").cast("double")
+    val py = col("ny").cast("double") / col("nt").cast("double")
+    val mi = cells.join(mx, "x_").join(my, "y_").crossJoin(broadcast(tot))
+      .select(floor(pxy * log(pxy / (px * py)) * lit(1000000d) + lit(0.5d))
+        .cast("long").as("term"), col("n"))
+      .agg(sum(col("n")).as("n"), sum(col("term")).as("mi_unat"))
+    val j = mi.crossJoin(entropySum("x_", "nx"))
+      .crossJoin(entropySum("y_", "ny"))
+    j.select(col("n"), col("mi_unat"),
+      col("h_nx").as("h_x_unat"), col("h_ny").as("h_y_unat"),
+      when(col("h_nx") === 0L, lit(null).cast("long"))
+        .otherwise(graft.functions.F.idiv(lit(10000L) * col("mi_unat"),
+          col("h_nx"))).as("u_x_given_y_bp"),
+      when(col("h_ny") === 0L, lit(null).cast("long"))
+        .otherwise(graft.functions.F.idiv(lit(10000L) * col("mi_unat"),
+          col("h_ny"))).as("u_y_given_x_bp"))
+  }
+
+  /** q294: does the weekday predict the event type, and vice versa. */
+  def q294(s: SparkSession, d: String): DataFrame =
+    theilU(Tables.events(s, d)
+        .withColumn("dow", (weekday(to_date(col("ts"))) + 1).cast("long")),
+      "event_type", "dow")
+
   /** DIVERSIFIED TOP-K — a global top-k under a per-group cap (at most
     * m winners per brand/domain/source): the result-diversity rule
     * every ranking product applies so one dominant group cannot fill

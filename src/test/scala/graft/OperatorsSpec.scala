@@ -4153,6 +4153,25 @@ class OperatorsSpec extends SparkSpec {
     assert(z.getLong(3) == 0L && z.isNullAt(4), z.toSeq.toString)
   }
 
+  test("theilU: many-to-one asymmetry, independence zero, constant NULL") {
+    import SparkTestSession.spark.implicits._
+    def u(rows: Seq[(String, Long)]): org.apache.spark.sql.Row =
+      Relational.theilU(rows.toDF("x", "y"), "x", "y").collect().head
+    // X = Y mod 2 with Y uniform on 1..4: knowing Y determines X
+    // (U(X|Y) = 1 -> 10000) but not vice versa (ln2/ln4 -> 5000)
+    val m = u((1L to 4L).flatMap(y => Seq.fill(3)(((y % 2).toString, y))))
+    assert(m.toSeq == Seq(12L, 693148L, 693148L, 1386296L, 10000L, 5000L),
+      m.toSeq.toString)
+    // independent balanced grid: MI = 0 -> both directions 0
+    val i = u(for (x <- Seq("a", "b"); y <- Seq(1L, 2L); _ <- 1 to 5)
+      yield (x, y))
+    assert(i.getLong(1) == 0L && i.getLong(4) == 0L && i.getLong(5) == 0L,
+      i.toSeq.toString)
+    // constant X: H(X) = 0 -> U(X|Y) undefined, U(Y|X) = 0
+    val c = u(Seq(("k", 1L), ("k", 2L)))
+    assert(c.isNullAt(4) && c.getLong(5) == 0L, c.toSeq.toString)
+  }
+
   test("jlProject/jlDistortion: one-hot rows, linearity, zero-norm rule") {
     import SparkTestSession.spark.implicits._
     // one-hot e0 at dIn=4: y_j = s(0,j)·16384 for every j
