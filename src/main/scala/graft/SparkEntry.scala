@@ -311,6 +311,7 @@ object SparkEntry {
     "q292_cramers_v"      -> (Relational.q292 _),
     "q293_jl_distortion"  -> (Similarity.q293 _),
     "q294_theil_u"        -> (Relational.q294 _),
+    "q295_qq_drift"       -> (Relational.q295 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -2628,6 +2629,35 @@ object SparkEntry {
                 ELSE (10000 * mi_unat) // h_y_unat END AS BIGINT)
              AS u_y_given_x_bp
          FROM mi, hx, hy""",
+
+    // Q-Q decile table: percentile_disc cuts per side (data members,
+    // exact in both engines), difference + truncating ratio idiv.
+    "q295_qq_drift" -> {
+      val refs = (1 to 9).map(j =>
+        s"percentile_disc(0.$j) WITHIN GROUP (ORDER BY v) AS p$j")
+        .mkString(", ")
+      s"""WITH b AS (SELECT ${C("value")} AS v,
+                event_type = 'purchase' AS is_ref
+              FROM events WHERE value IS NOT NULL),
+         r AS (SELECT count(*) AS n, $refs FROM b WHERE is_ref),
+         c AS (SELECT count(*) AS n, $refs FROM b WHERE NOT is_ref),
+         d AS (SELECT unnest(range(1, 10)) AS decile),
+         g AS (SELECT d.decile,
+                CAST(CASE d.decile ${(1 to 9).map(j =>
+                  s"WHEN $j THEN r.p$j").mkString(" ")} END AS BIGINT)
+                  AS ref_cents,
+                CAST(CASE d.decile ${(1 to 9).map(j =>
+                  s"WHEN $j THEN c.p$j").mkString(" ")} END AS BIGINT)
+                  AS cur_cents
+               FROM d, r, c)
+         SELECT decile, ref_cents, cur_cents,
+           cur_cents - ref_cents AS diff_cents,
+           CAST(CASE WHEN ref_cents IS NULL OR ref_cents = 0
+                  OR cur_cents IS NULL THEN NULL
+                ELSE (10000 * cur_cents) // ref_cents END AS BIGINT)
+             AS ratio_bp
+         FROM g"""
+    },
 
     "q115_latest_state" ->
       s"""WITH e AS (SELECT user_id, event_type, value, epoch_us(ts) AS ts_us, event_id FROM events),

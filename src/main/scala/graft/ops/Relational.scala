@@ -1623,6 +1623,49 @@ object Relational {
     mannWhitney(Tables.events(s, d).filter(col("event_type") === "purchase"),
       cents(col("value")), col("user_id") % 2 === 0)
 
+  /** Q-Q DRIFT TABLE — drift localized in QUANTILE space: q283's KS
+    * says whether two distributions differ and at which VALUE the CDFs
+    * diverge; the decile table says what the shift does to each part
+    * of the distribution (a tail-only regression moves p90 and leaves
+    * the median alone; a uniform price rise moves every decile by the
+    * same ratio). Per decile j/10: percentile_disc cut of each side
+    * (cut values are DATA MEMBERS — exact in any engine, the
+    * q127/q131/q158 discipline), difference, and cur/ref ratio in bp
+    * by one truncating idiv (NULL on a zero/absent ref cut).
+    *
+    * Scale: two percentile aggregations over one scan — Spark's
+    * percentile_disc reduces with partial aggregation; output is the
+    * 9-row decile grid. */
+  def qqDrift(df: DataFrame, value: Column, isRef: Column): DataFrame = {
+    val base = df.select(value.as("v"), isRef.as("is_ref"))
+      .where(col("v").isNotNull)
+    def side(flag: Boolean, pfx: String): DataFrame = {
+      val f = base.where(if (flag) col("is_ref") else !col("is_ref"))
+      val ps = (1 to 9).map(j =>
+        expr(s"percentile_disc(0.$j) WITHIN GROUP (ORDER BY v)")
+          .cast("long").as(s"${pfx}_p$j"))
+      f.agg(count(lit(1)).as(s"${pfx}_n"), ps: _*)
+    }
+    val rows = side(flag = true, "ref").crossJoin(side(flag = false, "cur"))
+      .select(explode(array((1 to 9).map(j => struct(
+        lit(j.toLong).as("decile"),
+        col(s"ref_p$j").as("ref_cents"),
+        col(s"cur_p$j").as("cur_cents"))): _*)).as("s"))
+      .select(col("s.decile"), col("s.ref_cents"), col("s.cur_cents"))
+    rows.select(col("decile"), col("ref_cents"), col("cur_cents"),
+      (col("cur_cents") - col("ref_cents")).as("diff_cents"),
+      when(col("ref_cents").isNull || col("ref_cents") === 0L ||
+          col("cur_cents").isNull, lit(null).cast("long"))
+        .otherwise(graft.functions.F.idiv(lit(10000L) * col("cur_cents"),
+          col("ref_cents"))).as("ratio_bp"))
+  }
+
+  /** q295: purchase vs non-purchase value distribution, decile by
+    * decile on the cent lattice. */
+  def q295(s: SparkSession, d: String): DataFrame =
+    qqDrift(Tables.events(s, d), cents(col("value")),
+      col("event_type") === "purchase")
+
   /** BENFORD FIRST-DIGIT AUDIT — the forensic data-quality check for a
     * naturally-occurring monetary/measurement column: organic
     * multiplicative data follows P(d) = log₁₀(1+1/d); fabricated,

@@ -4153,6 +4153,25 @@ class OperatorsSpec extends SparkSpec {
     assert(z.getLong(3) == 0L && z.isNullAt(4), z.toSeq.toString)
   }
 
+  test("qqDrift: doubled distribution reads 2x at every decile, empty side") {
+    import SparkTestSession.spark.implicits._
+    // ref 10..100 step 10, cur = 2x ref: p_j = 10j vs 20j, ratio 20000
+    val rows = (1L to 10L).map(i => (10L * i, true)) ++
+      (1L to 10L).map(i => (20L * i, false))
+    val out = Relational.qqDrift(rows.toDF("v", "r"), col("v"), col("r"))
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    (1L to 9L).foreach { j =>
+      assert(out(j) == Seq(10L * j, 20L * j, 10L * j, 20000L),
+        s"decile $j: ${out(j)}")
+    }
+    // empty cur side: cuts and ratio NULL, ref cuts intact
+    val e = Relational.qqDrift(
+      (1L to 10L).map(i => (10L * i, true)).toDF("v", "r"),
+      col("v"), col("r")).collect().map(r => r.getLong(0) -> r).toMap
+    assert(e(5L).getLong(1) == 50L && e(5L).isNullAt(2) && e(5L).isNullAt(4),
+      e(5L).toSeq.toString)
+  }
+
   test("theilU: many-to-one asymmetry, independence zero, constant NULL") {
     import SparkTestSession.spark.implicits._
     def u(rows: Seq[(String, Long)]): org.apache.spark.sql.Row =
