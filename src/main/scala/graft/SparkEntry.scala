@@ -312,6 +312,7 @@ object SparkEntry {
     "q293_jl_distortion"  -> (Similarity.q293 _),
     "q294_theil_u"        -> (Relational.q294 _),
     "q295_qq_drift"       -> (Relational.q295 _),
+    "q296_runs_test"      -> (Events.q296 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -1899,6 +1900,39 @@ object SparkEntry {
            CAST(se.seasonal_milli AS BIGINT) AS seasonal_milli,
            CAST(dt.detr_milli - se.seasonal_milli AS BIGINT) AS remainder_milli
          FROM dt JOIN se USING (dow)""",
+
+    // Runs test on the same day table: median-excluded signs, one lag,
+    // exact HUGEINT moments, the q287 pinned double z assembly.
+    "q296_runs_test" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS cnt
+                        FROM events GROUP BY 1),
+         m AS (SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY cnt) AS m
+               FROM daily),
+         s AS (SELECT day, CASE WHEN cnt > m.m THEN 1 ELSE 0 END AS b
+               FROM daily, m WHERE cnt <> m.m),
+         l AS (SELECT b, lag(b) OVER (ORDER BY day ASC) AS prev FROM s),
+         r AS (SELECT count(*) AS n, sum(b) AS n_above,
+               sum(CASE WHEN prev IS NULL OR prev <> b THEN 1 ELSE 0 END)
+                 AS n_runs FROM l),
+         d AS (SELECT n, n_above, n - n_above AS n_below, n_runs,
+               CAST(n AS HUGEINT) * (n_runs - 1)
+                 - 2 * CAST(n_above AS HUGEINT) * (n - n_above) AS num,
+               2 * CAST(n_above AS HUGEINT) * (n - n_above)
+                 * (2 * CAST(n_above AS HUGEINT) * (n - n_above) - n) AS va,
+               CAST(n AS HUGEINT) * n * (n - 1) AS vb FROM r)
+         SELECT CAST(n AS BIGINT) AS n, CAST(n_above AS BIGINT) AS n_above,
+           CAST(n_below AS BIGINT) AS n_below,
+           CAST(n_runs AS BIGINT) AS n_runs,
+           CAST(CASE WHEN n_above = 0 OR n_below = 0 OR n < 2 THEN NULL
+                ELSE floor((CAST(num AS DOUBLE) / n)
+                  / sqrt(CAST(va AS DOUBLE) / CAST(vb AS DOUBLE))
+                  * 1000 + 0.5) END AS BIGINT) AS z_milli,
+           CAST(CASE WHEN n_above = 0 OR n_below = 0 OR n < 2 THEN NULL
+                WHEN abs(floor((CAST(num AS DOUBLE) / n)
+                  / sqrt(CAST(va AS DOUBLE) / CAST(vb AS DOUBLE))
+                  * 1000 + 0.5)) > 1960 THEN 1 ELSE 0 END AS INT)
+             AS is_nonrandom
+         FROM d""",
 
     "q150_event_paths" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type AS t1 FROM events),

@@ -937,6 +937,61 @@ object Events {
   def q289(s: SparkSession, d: String): DataFrame =
     stlDecompose(Tables.events(s, d), to_date(col("ts")), 3)
 
+  /** WALD–WOLFOWITZ RUNS TEST — is the series RANDOM around its
+    * median, the question q254's ACF answers per-lag and this answers
+    * with one accept/reject number: too FEW runs = positive
+    * persistence (trends, regimes — yesterday predicts today), too
+    * MANY runs = negative alternation (overshoot/correction cycles);
+    * either way an i.i.d.-assuming monitor (q123's rate gate, q208's
+    * bootstrap) is being fed serially-dependent data and its error
+    * bars are fiction. Days equal to the median are EXCLUDED (the
+    * standard convention — they carry no above/below information).
+    *
+    * Exact integers: the median is a percentile_disc data member,
+    * runs = 1 + Σ sign-transitions via one lag over the bounded day
+    * table, and the z-score's components n·(R−1) − 2n₁n₂,
+    * 2n₁n₂(2n₁n₂−n), n²(n−1) are exact decimals combined in ONE
+    * pinned double order (q287 z_milli convention). NULL z when
+    * either side is empty or n < 2. Scale: daily partial counts are
+    * the only corpus shuffle (q289's plan); everything after runs on
+    * the calendar-bounded day table. */
+  def runsTest(events: DataFrame, day: Column): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val daily = events.groupBy(day.as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val med = daily.agg(
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cnt)").as("m"))
+    val signed = daily.crossJoin(broadcast(med))
+      .where(col("cnt") =!= col("m"))
+      .select(col("day"), (col("cnt") > col("m")).cast("long").as("b"))
+    val w = Window.orderBy(col("day").asc)
+    val runs = signed
+      .withColumn("prev", lag(col("b"), 1).over(w))
+      .agg(count(lit(1)).as("n"),
+        sum(col("b")).as("n_above"),
+        (sum(when(col("prev").isNull || col("prev") =!= col("b"), 1L)
+          .otherwise(0L))).as("n_runs"))
+      .withColumn("n_below", col("n") - col("n_above"))
+    val n  = dec(col("n"))
+    val p2 = dec(lit(2L)) * dec(col("n_above")) * dec(col("n_below"))
+    val num = n * (dec(col("n_runs")) - dec(lit(1L))) - p2
+    val varA = p2 * (p2 - n)
+    val varB = n * n * (n - dec(lit(1L)))
+    runs.select(col("n"), col("n_above"), col("n_below"), col("n_runs"),
+      when(col("n_above") === 0L || col("n_below") === 0L ||
+          col("n") < 2L, lit(null).cast("long"))
+        .otherwise(floor((num.cast("double") / col("n").cast("double")) /
+          sqrt(varA.cast("double") / varB.cast("double")) *
+          lit(1000d) + lit(0.5d)).cast("long")).as("z_milli"))
+      .withColumn("is_nonrandom",
+        when(col("z_milli").isNull, lit(null).cast("int"))
+          .otherwise((abs(col("z_milli")) > lit(1960L)).cast("int")))
+  }
+
+  /** q296: randomness of the daily event-count series. */
+  def q296(s: SparkSession, d: String): DataFrame =
+    runsTest(Tables.events(s, d), to_date(col("ts")))
+
   /** TOP-K COMMON EVENT PATHS: the most frequent length-3 event-type
     * sequences (t1 → t2 → t3) over consecutive events per entity — the
     * "what do users do next" path-mining operator.

@@ -4153,6 +4153,26 @@ class OperatorsSpec extends SparkSpec {
     assert(z.getLong(3) == 0L && z.isNullAt(4), z.toSeq.toString)
   }
 
+  test("runsTest: alternation vs trend, median days excluded") {
+    import SparkTestSession.spark.implicits._
+    def ev(counts: Seq[Int]): org.apache.spark.sql.DataFrame =
+      counts.zipWithIndex.flatMap { case (c, i) =>
+        Seq.fill(c)(java.sql.Date.valueOf(
+          java.time.LocalDate.of(2024, 3, 1).plusDays(i).toString))
+      }.toDF("day")
+    // counts 1,9,1,9,5,1,9,1,9: median 5 excluded -> perfect
+    // alternation, R=8, n=8: z = (24/8)/sqrt(768/448) = 2.2913 -> 2291
+    val alt = Events.runsTest(ev(Seq(1, 9, 1, 9, 5, 1, 9, 1, 9)),
+      col("day")).collect().head
+    assert(alt.toSeq == Seq(8L, 4L, 4L, 8L, 2291L, 1), alt.toSeq.toString)
+    // monotone trend 1..9: median 5 excluded, 2 runs -> z = -2291
+    val tr = Events.runsTest(ev((1 to 9)), col("day")).collect().head
+    assert(tr.toSeq == Seq(8L, 4L, 4L, 2L, -2291L, 1), tr.toSeq.toString)
+    // constant series: every day equals the median -> empty, NULL z
+    val cs = Events.runsTest(ev(Seq(3, 3, 3)), col("day")).collect().head
+    assert(cs.getLong(0) == 0L && cs.isNullAt(4), cs.toSeq.toString)
+  }
+
   test("qqDrift: doubled distribution reads 2x at every decile, empty side") {
     import SparkTestSession.spark.implicits._
     // ref 10..100 step 10, cur = 2x ref: p_j = 10j vs 20j, ratio 20000
