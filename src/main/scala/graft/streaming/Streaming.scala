@@ -109,6 +109,59 @@ object Streaming {
         ()
       }
 
+  /** STREAMING PSI DRIFT MONITOR — q200's population-stability index
+    * as a continuous gate: every micro-batch of a value stream is
+    * binned on the cents lattice and scored against a STATIC
+    * reference histogram (the training-time distribution) with the
+    * exact q200 discipline — Laplace-smoothed shares over the union
+    * bin set, per-bin (p−q)·ln(p/q) in micro fixed point, exact
+    * integer PSI sum — appending one (batch_id, n_cur, psi_micro) row
+    * per micro-batch to the monitor table. A batch whose bin SHARES
+    * match the reference scores exactly 0 (ln 1 terms); the alert
+    * threshold is the same folklore 0.25 line the batch q200 reports
+    * against, now evaluated on arrival instead of at retrain time.
+    *
+    * foreachBatch is the right boundary (the mergeStream reasoning):
+    * PSI needs the batch's FULL histogram against the reference —
+    * a two-level streaming aggregation Structured Streaming's append
+    * mode cannot express. The reference is lattice-bounded and cached
+    * once; per batch the work is one bin aggregation + a
+    * reference-sized join. At-least-once replay re-appends the same
+    * (batch_id, psi) row — the monitor table dedups on batch_id. */
+  def psiDriftStream(values: DataFrame, ref: DataFrame, widthCents: Long,
+                     outDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.functions.Cols.cents
+    import graft.functions.F
+    val refBins = ref
+      .select(F.idiv(cents(col("value")), lit(widthCents)).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n_ref"))
+      .cache()
+    values.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty) {
+          val cur = batch
+            .select(F.idiv(cents(col("value")), lit(widthCents)).as("bin"))
+            .groupBy(col("bin")).agg(count(lit(1)).as("n_cur"))
+          val bins = refBins.join(cur, Seq("bin"), "full_outer")
+            .na.fill(0L, Seq("n_ref", "n_cur"))
+          val tot = bins.agg(sum(col("n_ref")).as("tr"),
+            sum(col("n_cur")).as("tc"), count(lit(1)).as("b"))
+          val p = (col("n_ref") + lit(1L)).cast("double") /
+            (col("tr") + col("b")).cast("double")
+          val q = (col("n_cur") + lit(1L)).cast("double") /
+            (col("tc") + col("b")).cast("double")
+          bins.crossJoin(broadcast(tot))
+            .select(floor((p - q) * log(p / q) * lit(1000000d) + lit(0.5d))
+              .cast("long").as("term"), col("n_cur"))
+            .agg(sum(col("n_cur")).as("n_cur"), sum(col("term")).as("psi_micro"))
+            .select(lit(id).as("batch_id"), col("n_cur"), col("psi_micro"))
+            .write.mode("append").parquet(outDir)
+        }
+        ()
+      }
+  }
+
   /** STREAMING CORPUS INGEST with versioned snapshots and per-batch
     * card metrics — the continuous-ingestion loop a training-corpus
     * build actually runs: each micro-batch of documents (1) reports

@@ -322,6 +322,28 @@ class StreamingSpec extends SparkSpec {
     } finally { bk.unpersist(); arrs.unpersist() }
   }
 
+  test("streaming PSI drift monitor: exact zero on matching shares, flags shift") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-psidrift").toString
+    // static reference: bins 1 and 2 (width $1) with equal mass
+    val ref = (Seq.fill(8)(1.0) ++ Seq.fill(8)(2.0)).toDF("value")
+    val in = MemoryStream[Double]
+    val q = Streaming.psiDriftStream(in.toDF().toDF("value"), ref, 100L,
+      s"$dir/out").start()
+    try {
+      // batch 0: same SHARES as the reference -> every term ln(1) -> 0
+      in.addData(Seq.fill(4)(1.0) ++ Seq.fill(4)(2.0): _*)
+      q.processAllAvailable()
+      // batch 1: all mass in an unseen bin -> far past the 0.25 line
+      in.addData(Seq.fill(8)(9.0): _*)
+      q.processAllAvailable()
+      val rows = spark.read.parquet(s"$dir/out").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(rows(0L) == ((8L, 0L)), rows.toString)
+      assert(rows(1L)._1 == 8L && rows(1L)._2 > 250000L, rows.toString)
+    } finally q.stop()
+  }
+
   test("foreachBatch sink lands every micro-batch in parquet exactly once") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-febatch").toString
