@@ -313,6 +313,7 @@ object SparkEntry {
     "q294_theil_u"        -> (Relational.q294 _),
     "q295_qq_drift"       -> (Relational.q295 _),
     "q296_runs_test"      -> (Events.q296 _),
+    "q297_simpson"        -> (Relational.q297 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -1933,6 +1934,48 @@ object SparkEntry {
                   * 1000 + 0.5)) > 1960 THEN 1 ELSE 0 END AS INT)
              AS is_nonrandom
          FROM d""",
+
+    // Simpson audit: per-stratum integer cross-product directions +
+    // the pooled ALL row with the strict all-strata-opposed flag.
+    "q297_simpson" ->
+      """WITH p AS (SELECT event_type AS st,
+                sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n_a,
+                sum(CASE WHEN user_id % 2 = 0 AND value > 150 THEN 1 ELSE 0 END) AS conv_a,
+                sum(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END) AS n_b,
+                sum(CASE WHEN user_id % 2 <> 0 AND value > 150 THEN 1 ELSE 0 END) AS conv_b
+              FROM events GROUP BY 1),
+         r AS (SELECT st AS event_type, n_a, conv_a, n_b, conv_b,
+                CASE WHEN n_a = 0 THEN NULL ELSE (10000 * conv_a) // n_a END AS rate_a_bp,
+                CASE WHEN n_b = 0 THEN NULL ELSE (10000 * conv_b) // n_b END AS rate_b_bp,
+                sign(CAST(conv_a AS HUGEINT) * n_b
+                   - CAST(conv_b AS HUGEINT) * n_a) AS dir
+               FROM p),
+         g AS (SELECT sum(n_a) AS n_a, sum(conv_a) AS conv_a,
+                sum(n_b) AS n_b, sum(conv_b) AS conv_b,
+                max(dir) AS max_d, min(dir) AS min_d FROM r),
+         a AS (SELECT 'ALL' AS event_type, n_a, conv_a, n_b, conv_b,
+                CASE WHEN n_a = 0 THEN NULL ELSE (10000 * conv_a) // n_a END AS rate_a_bp,
+                CASE WHEN n_b = 0 THEN NULL ELSE (10000 * conv_b) // n_b END AS rate_b_bp,
+                sign(CAST(conv_a AS HUGEINT) * n_b
+                   - CAST(conv_b AS HUGEINT) * n_a) AS dir,
+                max_d, min_d FROM g)
+         SELECT event_type, CAST(n_a AS BIGINT) AS n_a,
+           CAST(conv_a AS BIGINT) AS conv_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(conv_b AS BIGINT) AS conv_b,
+           CAST(rate_a_bp AS BIGINT) AS rate_a_bp,
+           CAST(rate_b_bp AS BIGINT) AS rate_b_bp,
+           CAST(dir AS BIGINT) AS dir,
+           CAST(NULL AS INT) AS is_paradox
+         FROM r
+         UNION ALL
+         SELECT event_type, CAST(n_a AS BIGINT), CAST(conv_a AS BIGINT),
+           CAST(n_b AS BIGINT), CAST(conv_b AS BIGINT),
+           CAST(rate_a_bp AS BIGINT), CAST(rate_b_bp AS BIGINT),
+           CAST(dir AS BIGINT),
+           CAST(CASE WHEN dir > 0 AND max_d <= 0 AND min_d < 0 THEN 1
+                WHEN dir < 0 AND min_d >= 0 AND max_d > 0 THEN 1
+                ELSE 0 END AS INT)
+         FROM a""",
 
     "q150_event_paths" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type AS t1 FROM events),

@@ -1666,6 +1666,73 @@ object Relational {
     qqDrift(Tables.events(s, d), cents(col("value")),
       col("event_type") === "purchase")
 
+  /** SIMPSON'S PARADOX AUDIT — the aggregation-reversal detector: a
+    * pooled comparison (arm A converts better than B) can reverse
+    * inside EVERY stratum when the strata differ in both mix and base
+    * rate — the classic way a dashboard's topline contradicts every
+    * segment view, and the reason q209's A/B readout must be checked
+    * against its segments before shipping a conclusion. Per stratum:
+    * counts, exact-bp rates, and the comparison direction as the
+    * integer cross-product sign(conv_a·n_b − conv_b·n_a) (no rate
+    * division, no ties lost to rounding); the ALL row pools and flags
+    * is_paradox = 1 when the pooled direction is strictly opposed by
+    * every stratum (all stratum directions ≤ 0 with at least one < 0
+    * against a pooled > 0, or the mirror) — the strict textbook form.
+    *
+    * Scale: one (stratum, arm, outcome) aggregation over a single
+    * scan; everything after is |strata|-row. */
+  def simpsonAudit(df: DataFrame, stratum: String, isA: Column,
+                   outcome: Column): DataFrame = {
+    val per = df.select(col(stratum).as("st"), isA.as("a"),
+        outcome.cast("long").as("y"))
+      .groupBy(col("st"))
+      .agg(sum(when(col("a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("a"), col("y")).otherwise(0L)).as("conv_a"),
+        sum(when(!col("a"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(!col("a"), col("y")).otherwise(0L)).as("conv_b"))
+      .localCheckpoint() // feeds the per-stratum rows AND the pooled fold
+    def dir(ka: Column, na: Column, kb: Column, nb: Column): Column = {
+      // cross products in decimal(38,0): count·count at 10¹² rows
+      // outruns a long (ANSI would throw), and sign survives the
+      // double cast at any magnitude
+      def dc(c: Column): Column = c.cast("decimal(38,0)")
+      signum((dc(ka) * dc(nb) - dc(kb) * dc(na)).cast("double")).cast("long")
+    }
+    def rate(k: Column, n: Column): Column =
+      when(n === 0L, lit(null).cast("long"))
+        .otherwise(graft.functions.F.idiv(lit(10000L) * k, n))
+    val rows = per.select(col("st").as(stratum), col("n_a"), col("conv_a"),
+      col("n_b"), col("conv_b"),
+      rate(col("conv_a"), col("n_a")).as("rate_a_bp"),
+      rate(col("conv_b"), col("n_b")).as("rate_b_bp"),
+      dir(col("conv_a"), col("n_a"), col("conv_b"), col("n_b")).as("dir"),
+      lit(null).cast("int").as("is_paradox"))
+    val pooled = per.agg(sum(col("n_a")).as("n_a"),
+        sum(col("conv_a")).as("conv_a"), sum(col("n_b")).as("n_b"),
+        sum(col("conv_b")).as("conv_b"),
+        max(dir(col("conv_a"), col("n_a"), col("conv_b"), col("n_b")))
+          .as("max_d"),
+        min(dir(col("conv_a"), col("n_a"), col("conv_b"), col("n_b")))
+          .as("min_d"))
+      .select(lit("ALL").as(stratum), col("n_a"), col("conv_a"),
+        col("n_b"), col("conv_b"),
+        rate(col("conv_a"), col("n_a")).as("rate_a_bp"),
+        rate(col("conv_b"), col("n_b")).as("rate_b_bp"),
+        dir(col("conv_a"), col("n_a"), col("conv_b"), col("n_b")).as("dir"),
+        when(dir(col("conv_a"), col("n_a"), col("conv_b"), col("n_b")) > 0L
+            && col("max_d") <= 0L && col("min_d") < 0L, 1)
+          .when(dir(col("conv_a"), col("n_a"), col("conv_b"), col("n_b")) < 0L
+            && col("min_d") >= 0L && col("max_d") > 0L, 1)
+          .otherwise(0).as("is_paradox"))
+    rows.unionAll(pooled)
+  }
+
+  /** q297: user-parity arms, big-purchase outcome, stratified by
+    * event type — does any segment view contradict the topline. */
+  def q297(s: SparkSession, d: String): DataFrame =
+    simpsonAudit(Tables.events(s, d), "event_type",
+      col("user_id") % 2 === 0, col("value") > 150d)
+
   /** BENFORD FIRST-DIGIT AUDIT — the forensic data-quality check for a
     * naturally-occurring monetary/measurement column: organic
     * multiplicative data follows P(d) = log₁₀(1+1/d); fabricated,

@@ -4153,6 +4153,30 @@ class OperatorsSpec extends SparkSpec {
     assert(z.getLong(3) == 0L && z.isNullAt(4), z.toSeq.toString)
   }
 
+  test("simpsonAudit: classic reversal flagged, aligned strata clean") {
+    import SparkTestSession.spark.implicits._
+    def rows(st: String, a: Boolean, conv: Int, total: Int) =
+      Seq.fill(conv)((st, a, true)) ++ Seq.fill(total - conv)((st, a, false))
+    // the classic treatment table: A beats B in BOTH strata, B pooled
+    val df = (rows("small", a = true, 81, 87) ++
+      rows("small", a = false, 234, 270) ++
+      rows("large", a = true, 192, 263) ++
+      rows("large", a = false, 55, 80)).toDF("st", "arm", "y")
+    val out = Relational.simpsonAudit(df, "st", col("arm"), col("y"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("small").getLong(7) == 1L && out("large").getLong(7) == 1L,
+      out.toString)
+    val all = out("ALL")
+    assert(all.toSeq.take(5) == Seq("ALL", 350L, 273L, 350L, 289L) &&
+      all.getLong(7) == -1L && all.getInt(8) == 1, all.toSeq.toString)
+    // aligned strata: pooled agrees, no flag
+    val ok = Relational.simpsonAudit(
+      (rows("s1", a = true, 9, 10) ++ rows("s1", a = false, 1, 10))
+        .toDF("st", "arm", "y"), "st", col("arm"), col("y"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(ok("ALL").getInt(8) == 0, ok.toString)
+  }
+
   test("runsTest: alternation vs trend, median days excluded") {
     import SparkTestSession.spark.implicits._
     def ev(counts: Seq[Int]): org.apache.spark.sql.DataFrame =
