@@ -314,6 +314,7 @@ object SparkEntry {
     "q295_qq_drift"       -> (Relational.q295 _),
     "q296_runs_test"      -> (Events.q296 _),
     "q297_simpson"        -> (Relational.q297 _),
+    "q298_entropy_rate"   -> (Events.q298 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -1976,6 +1977,36 @@ object SparkEntry {
                 WHEN dir < 0 AND min_d >= 0 AND max_d > 0 THEN 1
                 ELSE 0 END AS INT)
          FROM a""",
+
+    // Entropy rate over q69's transition cells: micro-nat terms with
+    // the q294 floor-before-sum discipline, one idiv for the share.
+    "q298_entropy_rate" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+                event_id FROM events),
+         tr AS (SELECT event_type AS from_type,
+                lead(event_type) OVER (PARTITION BY user_id
+                  ORDER BY ts_us ASC, event_id ASC) AS to_type FROM e),
+         c AS (SELECT from_type, to_type, count(*) AS n FROM tr
+               WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         f AS (SELECT from_type, sum(n) AS nf FROM c GROUP BY 1),
+         g AS (SELECT to_type, sum(n) AS nc FROM c GROUP BY 1),
+         t AS (SELECT sum(n) AS nt FROM c),
+         hc AS (SELECT sum(CAST(floor(
+                  (-(CAST(c.n AS DOUBLE) / nt)) * ln(CAST(c.n AS DOUBLE) / nf)
+                  * 1000000 + 0.5) AS BIGINT)) AS h_cond_unat
+               FROM c JOIN f USING (from_type) CROSS JOIN t),
+         hn AS (SELECT sum(CAST(floor(
+                  (-(CAST(nc AS DOUBLE) / nt)) * ln(CAST(nc AS DOUBLE) / nt)
+                  * 1000000 + 0.5) AS BIGINT)) AS h_next_unat
+               FROM g CROSS JOIN t)
+         SELECT CAST(t.nt AS BIGINT) AS n_transitions,
+           CAST(hn.h_next_unat AS BIGINT) AS h_next_unat,
+           CAST(hc.h_cond_unat AS BIGINT) AS h_cond_unat,
+           CAST(hn.h_next_unat - hc.h_cond_unat AS BIGINT) AS gain_unat,
+           CAST(CASE WHEN hn.h_next_unat = 0 THEN NULL
+                ELSE (10000 * (hn.h_next_unat - hc.h_cond_unat))
+                     // hn.h_next_unat END AS BIGINT) AS gain_share_bp
+         FROM t, hn, hc""",
 
     "q150_event_paths" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type AS t1 FROM events),

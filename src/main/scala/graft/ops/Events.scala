@@ -838,6 +838,61 @@ object Events {
     transitionMatrix(Tables.events(s, d), "user_id", "event_type",
       unix_micros(col("ts")), "event_id")
 
+  /** ENTROPY RATE OF THE EVENT STREAM — how predictable is the next
+    * event, as one number: H(next | current) over q69's transition
+    * pairs, against the zeroth-order H(next) baseline. Their gap is
+    * the mutual information between consecutive events — the exact
+    * bits/nats the Markov structure buys a predictor (sequence
+    * models, prefetchers, session simulators); gain ≈ 0 says the
+    * stream is order-free and q69's matrix is decoration, gain near
+    * H(next) says the stream is nearly deterministic and q285's
+    * attractor analysis is the interesting one.
+    *
+    * Micro-nat integer terms throughout (the q197/q220/q294 floor-
+    * before-sum discipline): h_cond sums −(n_ij/N)·ln(n_ij/n_i·) per
+    * transition cell, h_next sums −(n_·j/N)·ln(n_·j/N) per type;
+    * gain_unat = h_next − h_cond exactly, share one truncating idiv.
+    * Scale: q69's one window pass is the only corpus shuffle; cells
+    * are |types|²-bounded. */
+  def entropyRate(events: DataFrame, entity: String, kind: String,
+                  tsUs: Column, seq: String): DataFrame = {
+    val w = Window.partitionBy(col(entity)).orderBy(tsUs.asc, col(seq).asc)
+    val cells = events
+      .withColumn("to_type", lead(col(kind), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col(kind).as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // feeds both marginals + both entropy folds
+    val fromTot = cells.groupBy(col("from_type")).agg(sum(col("n")).as("nf"))
+    val toTot = cells.groupBy(col("to_type")).agg(sum(col("n")).as("nc"))
+    val tot = cells.agg(sum(col("n")).as("nt"))
+    val hCond = cells.join(broadcast(fromTot), "from_type")
+      .crossJoin(broadcast(tot))
+      .select(floor((-(col("n").cast("double") / col("nt").cast("double"))) *
+        log(col("n").cast("double") / col("nf").cast("double")) *
+        lit(1000000d) + lit(0.5d)).cast("long").as("term"))
+      .agg(sum(col("term")).as("h_cond_unat"))
+    val hNext = toTot.crossJoin(broadcast(tot))
+      .select(floor((-(col("nc").cast("double") / col("nt").cast("double"))) *
+        log(col("nc").cast("double") / col("nt").cast("double")) *
+        lit(1000000d) + lit(0.5d)).cast("long").as("term"))
+      .agg(sum(col("term")).as("h_next_unat"))
+    tot.crossJoin(hNext).crossJoin(hCond)
+      .select(col("nt").as("n_transitions"), col("h_next_unat"),
+        col("h_cond_unat"),
+        (col("h_next_unat") - col("h_cond_unat")).as("gain_unat"),
+        when(col("h_next_unat") === 0L, lit(null).cast("long"))
+          .otherwise(F.idiv(
+            lit(10000L) * (col("h_next_unat") - col("h_cond_unat")),
+            col("h_next_unat"))).as("gain_share_bp"))
+  }
+
+  /** q298: predictability of the next event type from the current
+    * one, over the per-user event stream. */
+  def q298(s: SparkSession, d: String): DataFrame =
+    entropyRate(Tables.events(s, d), "user_id", "event_type",
+      unix_micros(col("ts")), "event_id")
+
   /** CUMULATIVE distinct actives by day (the growth curve): each
     * entity's first-seen day is one aggregation over the corpus; the
     * running total then runs over the BOUNDED calendar-day table (one

@@ -4153,6 +4153,26 @@ class OperatorsSpec extends SparkSpec {
     assert(z.getLong(3) == 0L && z.isNullAt(4), z.toSeq.toString)
   }
 
+  test("entropyRate: deterministic chain gains all, order-free gains zero") {
+    import SparkTestSession.spark.implicits._
+    def er(rows: Seq[(Long, String)]): org.apache.spark.sql.Row =
+      Events.entropyRate(
+        rows.zipWithIndex.map { case ((u, k), i) => (u, k, i.toLong, i.toLong) }
+          .toDF("user_id", "event_type", "ts_us", "event_id"),
+        "user_id", "event_type", col("ts_us"), "event_id")
+        .collect().head
+    // alternating a,b,a,b,a: next is DETERMINED -> h_cond 0, share 10000
+    val det = er(Seq((1L, "a"), (1L, "b"), (1L, "a"), (1L, "b"), (1L, "a")))
+    assert(det.toSeq == Seq(4L, 693148L, 0L, 693148L, 10000L),
+      det.toSeq.toString)
+    // uniform 2x2 transition cells across users: knowing the current
+    // type buys nothing -> gain 0
+    val free = er(Seq((1L, "a"), (1L, "a"), (1L, "b"),
+      (2L, "b"), (2L, "a"), (3L, "b"), (3L, "b")))
+    assert(free.toSeq == Seq(4L, 693148L, 693148L, 0L, 0L),
+      free.toSeq.toString)
+  }
+
   test("simpsonAudit: classic reversal flagged, aligned strata clean") {
     import SparkTestSession.spark.implicits._
     def rows(st: String, a: Boolean, conv: Int, total: Int) =
