@@ -246,6 +246,38 @@ object VersionedStore {
       (v, op, files.length)
     }
 
+  /** INCREMENTAL READ — the rows version `toVersion` added over
+    * `fromVersion`, computed at FILE granularity from the manifests
+    * alone: the files listed by `toVersion` but not by `fromVersion`.
+    * This is what a downstream incremental ETL consumes per cycle
+    * ("give me only what landed since my last checkpoint") without
+    * rescanning the table — zero data reads to PLAN the increment,
+    * and the scan itself touches only the new files.
+    *
+    * Semantics by commit type (file-level, the Delta/Iceberg CDF-less
+    * convention): append versions yield exactly the appended rows;
+    * a copy-on-write MERGE yields the full rewritten files (new +
+    * surviving rows of touched files — a superset of the logical
+    * change, consumers dedup by key exactly as with cloud-storage
+    * file notifications); an `overwrite` yields the whole new
+    * snapshot. Returns an empty (schema-correct) frame when nothing
+    * was added. `toVersion` defaults to latest. */
+  def readAddedSince(s: SparkSession, root: String, fromVersion: Int,
+                     toVersion: Int = -1): DataFrame = {
+    val to = if (toVersion < 0) latestVersion(s, root) else toVersion
+    require(fromVersion >= 1 && to >= fromVersion,
+      s"need 1 <= fromVersion <= toVersion, got $fromVersion..$to")
+    val (opFrom, before) = manifest(s, root, fromVersion)
+    val (opTo, after) = manifest(s, root, to)
+    require(opFrom != "store" && opTo != "store",
+      s"$root is a directory store; incremental reads are file-level")
+    val added = (after.toSet -- before.toSet).toSeq.sorted
+    if (added.isEmpty)
+      // schema from the base snapshot, zero rows
+      read(s, root, to).limit(0)
+    else s.read.parquet(added.map(f => s"$root/$f"): _*)
+  }
+
   /** COPY-ON-WRITE MERGE commit (the Iceberg/Delta MERGE INTO storage
     * core): apply a keyed change batch — op ∈ {upsert, delete} — to
     * the latest snapshot, rewriting ONLY the data files that contain

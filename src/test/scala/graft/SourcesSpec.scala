@@ -406,6 +406,39 @@ class SourcesSpec extends SparkSpec {
       Seq((1, "overwrite"), (2, "append"), (3, "overwrite")))
   }
 
+  test("versioned store: incremental read returns exactly the added rows") {
+    import SparkTestSession.spark.implicits._
+    import graft.sources.VersionedStore
+    val root = tmp("versioned-incr")
+    VersionedStore.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), root,
+      overwrite = true)
+    VersionedStore.commit(Seq((3L, "c")).toDF("id", "v"), root,
+      overwrite = false)
+    VersionedStore.commit(Seq((4L, "d"), (5L, "e")).toDF("id", "v"), root,
+      overwrite = false)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getLong(0)).sorted.toSeq
+    // since v1: the two appends; since v2: only the last one
+    assert(ids(VersionedStore.readAddedSince(spark, root, 1)) ==
+      Seq(3L, 4L, 5L))
+    assert(ids(VersionedStore.readAddedSince(spark, root, 2)) == Seq(4L, 5L))
+    assert(ids(VersionedStore.readAddedSince(spark, root, 2, 3)) ==
+      Seq(4L, 5L))
+    // same version both ends: empty, schema intact
+    val none = VersionedStore.readAddedSince(spark, root, 3, 3)
+    assert(none.count() == 0 && none.columns.toSeq == Seq("id", "v"))
+    // merge rewrites surface the full rewritten file (file-level CDF)
+    VersionedStore.mergeCommit(spark, root,
+      Seq((3L, "C", "upsert")).toDF("id", "v", "op"), "id", "op")
+    val afterMerge = VersionedStore.readAddedSince(spark, root, 3)
+    assert(ids(afterMerge).contains(3L), afterMerge.collect().toSeq.toString)
+    assert(afterMerge.where(col("id") === 3L).head().getString(1) == "C")
+    // an overwrite yields the whole new snapshot
+    VersionedStore.commit(Seq((9L, "z")).toDF("id", "v"), root,
+      overwrite = true)
+    assert(ids(VersionedStore.readAddedSince(spark, root, 4)) == Seq(9L))
+  }
+
   test("versioned store: uncommitted data is invisible to readers") {
     import SparkTestSession.spark.implicits._
     import graft.sources.VersionedStore
