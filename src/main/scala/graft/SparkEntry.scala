@@ -315,6 +315,7 @@ object SparkEntry {
     "q296_runs_test"      -> (Events.q296 _),
     "q297_simpson"        -> (Relational.q297 _),
     "q298_entropy_rate"   -> (Events.q298 _),
+    "q299_incremental_read" -> (Changes.q299 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -2007,6 +2008,13 @@ object SparkEntry {
                 ELSE (10000 * (hn.h_next_unat - hc.h_cond_unat))
                      // hn.h_next_unat END AS BIGINT) AS gain_share_bp
          FROM t, hn, hc""",
+
+    // The v1→v2 increment is exactly the odd-id append: the oracle
+    // aggregates that half directly (file-level CDF exactness).
+    "q299_incremental_read" ->
+      s"""SELECT event_type, count(*) AS n_rows,
+         CAST(sum(${C("value")}) AS BIGINT) AS sum_cents
+         FROM events WHERE event_id % 2 = 1 GROUP BY 1""",
 
     "q150_event_paths" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type AS t1 FROM events),

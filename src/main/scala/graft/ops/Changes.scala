@@ -326,4 +326,32 @@ object Changes {
   /** q152: order-table profile drift across the 1998-07-01 boundary. */
   def q152(s: SparkSession, d: String): DataFrame =
     schemaDrift(Tables.orders(s, d), lit("1998-07-01").cast("date"))
+
+  /** q299: INCREMENTAL CONSUMPTION through the versioned store — the
+    * downstream-ETL cycle as a query: the standing store commits the
+    * even-id half of the events ledger as v1, appends the odd half as
+    * v2; a consumer checkpointed at v1 reads ONLY the increment
+    * (VersionedStore.readAddedSince — planned from the manifests,
+    * zero data reads to plan, the scan touches only v2's files) and
+    * aggregates it per event type. The oracle recomputes the same
+    * aggregate over the odd half directly — row-identical because
+    * append increments are EXACT (file-level CDF, q227's storage
+    * face). Store built once per (app, dataset) — the q175/q244
+    * standing-artifact discipline. */
+  def q299(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.VersionedStore
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val root = Scratch.dir(s, d, "incrstore")
+    if (VersionedStore.latestVersion(s, root) == 0) {
+      VersionedStore.commit(ev.filter(col("event_id") % 2 === 0), root,
+        overwrite = true)
+      VersionedStore.commit(ev.filter(col("event_id") % 2 === 1), root,
+        overwrite = false)
+    }
+    VersionedStore.readAddedSince(s, root, 1)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(cents(col("value"))).as("sum_cents"))
+  }
 }
