@@ -316,6 +316,7 @@ object SparkEntry {
     "q297_simpson"        -> (Relational.q297 _),
     "q298_entropy_rate"   -> (Events.q298 _),
     "q299_incremental_read" -> (Changes.q299 _),
+    "q300_holt_winters"   -> (Events.q300 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -4803,6 +4804,7 @@ object SparkEntry {
     "q272_communities" -> lpaOracle,
     "q285_markov_stationary" -> markovOracle,
     "q290_bfs_hops" -> bfsOracle,
+    "q300_holt_winters" -> holtWintersOracle,
 
     // Degree assortativity (Newman's r) as exact integer arithmetic:
     // over the both-direction edge list the endpoint-degree marginals
@@ -4899,6 +4901,46 @@ object SparkEntry {
     * previous round's labels and takes the (count DESC, label ASC)
     * argmax per node via a windowed row_number — the same total order
     * the Spark side packs into min(struct(-cnt, lab)). */
+  /** Mirror of Events.holtWintersDaily: the q225 recursive-CTE shape
+    * widened to 9 carried registers (l, b, s1..s7). l_new appears in
+    * b and every seasonal CASE arm, so it inlines repeatedly (the
+    * q225 inline-twice precedent); `//` truncates toward zero exactly
+    * like the driver fold's Long division. */
+  private def holtWintersOracle: String = {
+    def sPrev(q: String) =
+      s"(CASE d.dow ${(1 to 7).map(k => s"WHEN $k THEN $q.s$k").mkString(" ")} END)"
+    val lNew =
+      s"((256 * d.n_events - ${sPrev("e")} + 3 * (e.l + e.b)) // 4)"
+    val bNew = s"(($lNew - e.l + 3 * e.b) // 4)"
+    val sUpd = s"(((256 * d.n_events - $lNew) + 3 * ${sPrev("e")}) // 4)"
+    val sCols = (1 to 7).map(k =>
+      s"CASE WHEN d.dow = $k THEN $sUpd ELSE e.s$k END").mkString(",\n             ")
+    val sBase = (1 to 7).map(_ => "CAST(0 AS BIGINT)").mkString(", ")
+    def sPick(alias: String, dowExpr: String) =
+      s"(CASE $dowExpr ${(1 to 7).map(k => s"WHEN $k THEN $alias.s$k").mkString(" ")} END)"
+    s"""WITH RECURSIVE d0 AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n_events
+             FROM events GROUP BY 1),
+         d AS (SELECT day, isodow(day) AS dow,
+             CAST(n_events AS BIGINT) AS n_events,
+             row_number() OVER (ORDER BY day) AS idx FROM d0),
+         e(idx, day, dow, n_events, l, b, s1, s2, s3, s4, s5, s6, s7) AS (
+           SELECT idx, day, dow, n_events, 256 * n_events, CAST(0 AS BIGINT),
+             $sBase
+           FROM d WHERE idx = 1
+           UNION ALL
+           SELECT d.idx, d.day, d.dow, d.n_events,
+             $lNew,
+             $bNew,
+             $sCols
+           FROM d JOIN e ON d.idx = e.idx + 1)
+         SELECT strftime(day, '%Y-%m-%d') AS day, CAST(dow AS BIGINT) AS dow,
+           n_events, CAST(l AS BIGINT) AS level_q, CAST(b AS BIGINT) AS trend_q,
+           CAST(${sPick("e", "e.dow")} AS BIGINT) AS season_q,
+           CAST((l + b + ${sPick("e", "(e.dow % 7) + 1")}) // 256 AS BIGINT)
+             AS forecast_next
+         FROM e"""
+  }
+
   /** Mirror of Relational.bfsHops: BfsRounds synchronized relaxations
     * unrolled CTE-for-CTE (the lpaOracle convention) over the same
     * sampled co-purchase edge list; least() skips NULLs in both

@@ -1192,6 +1192,59 @@ object Events {
   def q225(s: SparkSession, d: String): DataFrame =
     holtDaily(Tables.events(s, d), to_date(col("ts")))
 
+  /** HOLT–WINTERS additive triple smoothing (level + trend + weekly
+    * seasonality) — the forecaster q225 becomes once the q289
+    * decomposition shows a weekly rhythm: Holt alone treats every
+    * Saturday dip as a trend break and oscillates; the seasonal
+    * registers absorb the rhythm so the trend term tracks actual
+    * growth. α = β = γ = 1/4 in the q225 ×256 fixed point with
+    * TRUNCATING division at every step (Scala Long `/` == DuckDB `//`
+    * — registers go negative on below-baseline weekdays, where
+    * floor-vs-truncate would diverge):
+    *   l_1 = 256·x_1, b_1 = 0, s_·(init) = 0
+    *   l_i = (256·x_i − s[dow_i] + 3·(l_{i−1} + b_{i−1})) / 4
+    *   b_i = ((l_i − l_{i−1}) + 3·b_{i−1}) / 4
+    *   s[dow_i] = ((256·x_i − l_i) + 3·s[dow_i]) / 4   (after l_i)
+    *   forecast for day i+1 = (l_i + b_i + s[dow_{i+1}]) / 256
+    * Seasonal indices START at 0 and learn at rate γ (the additive
+    * cold-start convention — no separate init pass to disagree on);
+    * the step-1 seasonal update is identically 0 by construction, so
+    * one uniform rule covers every row.
+    *
+    * Scale: the q225 shape — one distributed daily aggregation, the
+    * inherently sequential 9-register fold on the DRIVER over the
+    * calendar-bounded table. */
+  def holtWintersDaily(events: DataFrame, day: Column): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val daily = events.groupBy(day.as("day")).agg(count(lit(1)).as("n_events"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        (weekday(col("day")) + 1).cast("long").as("dow"), col("n_events"))
+      .orderBy(col("day").asc).collect()
+    var l = 0L
+    var b = 0L
+    val s = Array.fill(8)(0L) // 1-indexed by ISO dow
+    val out = daily.toSeq.zipWithIndex.map { case (r, i) =>
+      val dw = r.getLong(1).toInt
+      val x = r.getLong(2)
+      if (i == 0) { l = 256L * x; b = 0L }
+      else {
+        val lPrev = l
+        l = (256L * x - s(dw) + 3L * (l + b)) / 4L
+        b = ((l - lPrev) + 3L * b) / 4L
+      }
+      s(dw) = ((256L * x - l) + 3L * s(dw)) / 4L
+      val nextDw = dw % 7 + 1
+      (r.getString(0), dw.toLong, x, l, b, s(dw), (l + b + s(nextDw)) / 256L)
+    }
+    out.toDF("day", "dow", "n_events", "level_q", "trend_q", "season_q",
+      "forecast_next")
+  }
+
+  /** q300: Holt–Winters over daily total event counts. */
+  def q300(s: SparkSession, d: String): DataFrame =
+    holtWintersDaily(Tables.events(s, d), to_date(col("ts")))
+
   /** q156: integer EWMA over daily total event counts. */
   def q156(s: SparkSession, d: String): DataFrame =
     ewmaDaily(Tables.events(s, d), to_date(col("ts")))

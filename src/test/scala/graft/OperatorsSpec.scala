@@ -4153,6 +4153,36 @@ class OperatorsSpec extends SparkSpec {
     assert(z.getLong(3) == 0L && z.isNullAt(4), z.toSeq.toString)
   }
 
+  test("holtWintersDaily: constant fixpoint, hand-worked steps, seasonal learn") {
+    import SparkTestSession.spark.implicits._
+    def ev(pairs: Seq[(String, Int)]): org.apache.spark.sql.DataFrame =
+      pairs.flatMap { case (d, n) =>
+        Seq.fill(n)(java.sql.Date.valueOf(d)) }.toDF("day")
+    def days(n: Int, f: Int => Int): Seq[(String, Int)] = (0 until n).map(i =>
+      (java.time.LocalDate.of(2024, 1, 1).plusDays(i).toString, f(i)))
+    // constant series: level pinned at 256c, trend and seasonals 0,
+    // forecast = c on every row
+    val const = Events.holtWintersDaily(ev(days(10, _ => 7)), col("day"))
+      .collect()
+    const.foreach { r =>
+      assert(r.toSeq.drop(2) == Seq(7L, 1792L, 0L, 0L, 7L), r.toSeq.toString)
+    }
+    // hand-worked 3 steps (Mon 10, Tue 20, Wed 30)
+    val h = Events.holtWintersDaily(
+      ev(Seq(("2024-01-01", 10), ("2024-01-02", 20), ("2024-01-03", 30))),
+      col("day")).collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(h("2024-01-01") == Seq(1L, 10L, 2560L, 0L, 0L, 10L), h.toString)
+    assert(h("2024-01-02") == Seq(2L, 20L, 3200L, 160L, 480L, 13L), h.toString)
+    assert(h("2024-01-03") == Seq(3L, 30L, 4440L, 430L, 810L, 19L), h.toString)
+    // weekly pattern (Thu 17 else 10): the Thursday register learns a
+    // positive seasonal while Holt alone would smear it into trend
+    val hw = Events.holtWintersDaily(
+      ev(days(28, i => if (i % 7 == 3) 17 else 10)), col("day")).collect()
+    val thuSeason = hw.filter(_.getLong(1) == 4L).map(_.getLong(5))
+    assert(thuSeason.length == 4 && thuSeason.last > thuSeason.head &&
+      thuSeason.last > 0L, thuSeason.toSeq.toString)
+  }
+
   test("entropyRate: deterministic chain gains all, order-free gains zero") {
     import SparkTestSession.spark.implicits._
     def er(rows: Seq[(Long, String)]): org.apache.spark.sql.Row =
