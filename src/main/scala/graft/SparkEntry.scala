@@ -317,6 +317,7 @@ object SparkEntry {
     "q298_entropy_rate"   -> (Events.q298 _),
     "q299_incremental_read" -> (Changes.q299 _),
     "q300_holt_winters"   -> (Events.q300 _),
+    "q301_user_surprisal" -> (Events.q301 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -2009,6 +2010,36 @@ object SparkEntry {
                 ELSE (10000 * (hn.h_next_unat - hc.h_cond_unat))
                      // hn.h_next_unat END AS BIGINT) AS gain_share_bp
          FROM t, hn, hc""",
+
+    // Per-user mean surprisal under the global transition model:
+    // one micro-nat term per (from,to) cell, exact weighted sums,
+    // top-20 by (mean desc, user asc).
+    "q301_user_surprisal" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+                event_id FROM events),
+         tr0 AS (SELECT user_id, event_type AS from_type,
+                lead(event_type) OVER (PARTITION BY user_id
+                  ORDER BY ts_us ASC, event_id ASC) AS to_type FROM e),
+         tr AS (SELECT user_id AS ent, from_type, to_type, count(*) AS u_n
+               FROM tr0 WHERE to_type IS NOT NULL GROUP BY 1, 2, 3),
+         c AS (SELECT from_type, to_type, sum(u_n) AS n FROM tr GROUP BY 1, 2),
+         f AS (SELECT from_type, sum(n) AS nf FROM c GROUP BY 1),
+         tm AS (SELECT c.from_type, c.to_type, CAST(floor(
+                  -ln(CAST(c.n AS DOUBLE) / nf) * 1000000 + 0.5) AS BIGINT)
+                  AS term
+               FROM c JOIN f USING (from_type)),
+         pu AS (SELECT ent, sum(u_n) AS n_transitions,
+                sum(u_n * term) AS surprisal_unat
+               FROM tr JOIN tm USING (from_type, to_type) GROUP BY 1),
+         r AS (SELECT ent, n_transitions, surprisal_unat,
+                surprisal_unat // n_transitions AS mean_surprisal_unat,
+                row_number() OVER (ORDER BY surprisal_unat // n_transitions
+                  DESC, ent ASC) AS rank FROM pu)
+         SELECT CAST(rank AS BIGINT) AS rank, ent AS user_id,
+           CAST(n_transitions AS BIGINT) AS n_transitions,
+           CAST(surprisal_unat AS BIGINT) AS surprisal_unat,
+           CAST(mean_surprisal_unat AS BIGINT) AS mean_surprisal_unat
+         FROM r WHERE rank <= 20""",
 
     // The v1→v2 increment is exactly the odd-id append: the oracle
     // aggregates that half directly (file-level CDF exactness).

@@ -893,6 +893,64 @@ object Events {
     entropyRate(Tables.events(s, d), "user_id", "event_type",
       unix_micros(col("ts")), "event_id")
 
+  /** PER-USER SURPRISAL under the global transition model — the
+    * behavioral-anomaly score q298's corpus-level entropy rate
+    * implies per entity: score each user's transitions by
+    * −ln P(next|current) from the GLOBAL q69 matrix and rank by mean
+    * surprisal. A user whose mean sits far above the corpus entropy
+    * rate moves through the product in ways the population doesn't —
+    * the statistical bot/fraud/scraper shortlist (and symmetrically,
+    * far BELOW = replayed/scripted sessions that are too predictable).
+    *
+    * Exactness: the surprisal of each (from, to) CELL is one
+    * micro-nat integer floor(−ln(n_ft/n_f·)·10⁶+½) (the q90/q160
+    * per-term discipline); a user's total is the exact integer sum of
+    * their transition counts × cell terms, the mean one truncating
+    * idiv. Top-k by (mean desc, user asc) — total order, no max_by
+    * hazard.
+    *
+    * Scale: q69's one window pass; per-(user, from, to) counts join
+    * the broadcast |types|²-cell term table; TakeOrdered(k) ends it. */
+  def userSurprisal(events: DataFrame, entity: String, kind: String,
+                    tsUs: Column, seq: String, k: Int = 20): DataFrame = {
+    require(k >= 1)
+    val w = Window.partitionBy(col(entity)).orderBy(tsUs.asc, col(seq).asc)
+    val tr = events
+      .withColumn("to_type", lead(col(kind), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col(entity).as("ent"), col(kind).as("from_type"),
+        col("to_type"))
+      .agg(count(lit(1)).as("u_n"))
+      .localCheckpoint() // feeds the global cells AND the user fold
+    val cells = tr.groupBy(col("from_type"), col("to_type"))
+      .agg(sum(col("u_n")).as("n"))
+    val fromTot = cells.groupBy(col("from_type")).agg(sum(col("n")).as("nf"))
+    val terms = cells.join(fromTot, "from_type")
+      .select(col("from_type"), col("to_type"),
+        floor(-log(col("n").cast("double") / col("nf").cast("double")) *
+          lit(1000000d) + lit(0.5d)).cast("long").as("term"))
+    val perUser = tr.join(broadcast(terms), Seq("from_type", "to_type"))
+      .groupBy(col("ent"))
+      .agg(sum(col("u_n")).as("n_transitions"),
+        sum(col("u_n") * col("term")).as("surprisal_unat"))
+      .select(col("ent"), col("n_transitions"), col("surprisal_unat"),
+        F.idiv(col("surprisal_unat"), col("n_transitions"))
+          .as("mean_surprisal_unat"))
+    perUser
+      .orderBy(col("mean_surprisal_unat").desc, col("ent").asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("mean_surprisal_unat").desc, col("ent").asc))
+        .cast("long"))
+      .select(col("rank"), col("ent").as(entity), col("n_transitions"),
+        col("surprisal_unat"), col("mean_surprisal_unat"))
+  }
+
+  /** q301: the 20 most statistically surprising users. */
+  def q301(s: SparkSession, d: String): DataFrame =
+    userSurprisal(Tables.events(s, d), "user_id", "event_type",
+      unix_micros(col("ts")), "event_id")
+
   /** CUMULATIVE distinct actives by day (the growth curve): each
     * entity's first-seen day is one aggregation over the corpus; the
     * running total then runs over the BOUNDED calendar-day table (one

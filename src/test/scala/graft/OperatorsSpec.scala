@@ -4153,6 +4153,21 @@ class OperatorsSpec extends SparkSpec {
     assert(z.getLong(3) == 0L && z.isNullAt(4), z.toSeq.toString)
   }
 
+  test("userSurprisal: rare transitions rank first, hand-worked terms") {
+    import SparkTestSession.spark.implicits._
+    def seqEv(u: Long, kinds: String*): Seq[(Long, String, Long, Long)] =
+      kinds.zipWithIndex.map { case (k, i) => (u, k, i.toLong, i.toLong) }
+    val ev = (seqEv(1L, "a", "b", "a", "b", "a") ++
+      seqEv(2L, "a", "b") ++ seqEv(3L, "a", "c"))
+      .toDF("user_id", "event_type", "ts_us", "event_id")
+    // cells: a->b n=3 (term 287682), a->c n=1 (1386294), b->a n=2 (0)
+    val out = Events.userSurprisal(ev, "user_id", "event_type",
+      col("ts_us"), "event_id").collect().map(_.toSeq)
+    assert(out(0) == Seq(1L, 3L, 1L, 1386294L, 1386294L), out.toSeq.toString)
+    assert(out(1) == Seq(2L, 2L, 1L, 287682L, 287682L), out.toSeq.toString)
+    assert(out(2) == Seq(3L, 1L, 4L, 575364L, 143841L), out.toSeq.toString)
+  }
+
   test("holtWintersDaily: constant fixpoint, hand-worked steps, seasonal learn") {
     import SparkTestSession.spark.implicits._
     def ev(pairs: Seq[(String, Int)]): org.apache.spark.sql.DataFrame =
