@@ -122,6 +122,34 @@ object AnnOracleSql {
     $assignCtes,
     ${ivfProbeSql(Similarity.IvfProbes, Similarity.TopK, Similarity.NumQueries)}"""
 
+  /** q302 sweep leg: (nprobe, query_id, neighbor_id) of the IVF top-k
+    * at every nprobe in `sweep`, scored ONCE at max(sweep) probes with
+    * the probe rank retained (mirror of ivfProbeCurve's single-pass
+    * prefix slicing). A complete SELECT for CTE embedding. */
+  def ivfSweepSql(cells: Int, sweep: Seq[Int], topK: Int,
+                  numQueries: Int): String = {
+    val maxP = sweep.max
+    val pts = sweep.mkString(", ")
+    s"""WITH ${trainCtes(cells)},
+    $assignCtes,
+    qq AS (SELECT vec_id AS query_id, embedding, qe FROM qv WHERE vec_id < $numQueries),
+    qd AS (SELECT q.query_id, q.embedding, c.cell, ${l2q("q.qe", "c.c")} AS d
+           FROM qq q CROSS JOIN cents c),
+    pr AS (SELECT query_id, embedding, cell,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY d, cell) AS INT) AS probe_rank
+           FROM qd
+           QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY d, cell) <= $maxP),
+    cand AS (SELECT p.query_id, p.probe_rank, a.vec_id AS neighbor_id,
+             ${cosS("p.embedding", "a.embedding")} AS cos
+             FROM pr p JOIN asg a ON a.cell = p.cell AND a.vec_id <> p.query_id),
+    pts AS (SELECT unnest([$pts]) AS nprobe),
+    sw AS (SELECT pts.nprobe, c.query_id, c.neighbor_id, c.cos
+           FROM cand c CROSS JOIN pts WHERE c.probe_rank <= pts.nprobe
+           QUALIFY row_number() OVER (PARTITION BY pts.nprobe, c.query_id
+             ORDER BY c.cos DESC, c.neighbor_id ASC) <= $topK)
+    SELECT nprobe, query_id, neighbor_id FROM sw"""
+  }
+
   /** q91 clusterCells: per-cell count, fixed-point mean cosine to the
     * assigned centroid, min/max member id. */
   private val q91Sql: String =

@@ -318,6 +318,7 @@ object SparkEntry {
     "q299_incremental_read" -> (Changes.q299 _),
     "q300_holt_winters"   -> (Events.q300 _),
     "q301_user_surprisal" -> (Events.q301 _),
+    "q302_nprobe_curve"   -> (Similarity.q302 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -2709,6 +2710,28 @@ object SparkEntry {
          WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.35""",
 
     "q60_ann_bruteforce" -> q60OracleSql,
+
+    // IVF recall-vs-nprobe: the sweep leg scores once at max probes
+    // and prefix-slices (AnnOracleSql.ivfSweepSql mirrors
+    // ivfProbeCurve); recall joins against the shared q60 truth.
+    "q302_nprobe_curve" ->
+      s"""WITH truth AS ($q60OracleSql),
+         approx AS (${AnnOracleSql.ivfSweepSql(
+           graft.ops.Similarity.IvfCells, graft.ops.Similarity.ProbeSweep,
+           graft.ops.Similarity.TopK, graft.ops.Similarity.NumQueries)}),
+         pts AS (SELECT unnest([${graft.ops.Similarity.ProbeSweep
+           .mkString(", ")}]) AS nprobe),
+         j AS (SELECT p.nprobe, t.query_id, t.neighbor_id,
+                CASE WHEN a.neighbor_id IS NULL THEN 0 ELSE 1 END AS hit
+               FROM truth t CROSS JOIN pts p
+               LEFT JOIN approx a ON a.nprobe = p.nprobe
+                 AND a.query_id = t.query_id
+                 AND a.neighbor_id = t.neighbor_id)
+         SELECT CAST(nprobe AS BIGINT) AS nprobe,
+           count(DISTINCT query_id) AS n_queries, count(*) AS n_truth,
+           CAST(sum(hit) AS BIGINT) AS n_hit,
+           CAST((10000 * sum(hit)) // count(*) AS BIGINT) AS recall_bp
+         FROM j GROUP BY 1""",
 
     // JL sign projection replayed exactly: ±1 from md5_number_upper
     // low bit (the Md5Hash64 mirror), quantizer-grid integer sums,

@@ -1421,6 +1421,71 @@ object Similarity {
   def q192(s: SparkSession, d: String): DataFrame =
     annRecall(q60(s, d), q61(s, d))
 
+  /** The nprobe sweep points for [[ivfProbeCurve]]. */
+  val ProbeSweep: Seq[Int] = Seq(1, 2, 4, 8, 16)
+
+  /** IVF RECALL-vs-NPROBE CURVE — the tuning table that SETS q62's
+    * probe count instead of folklore: recall@k against brute-force
+    * truth at each sweep point, so the operator answers "what is the
+    * cheapest nprobe that clears my recall floor" with data. The
+    * whole sweep costs ONE scoring pass: candidates are scored once
+    * at max(sweep) probes with their probe rank retained (a query's
+    * nprobe=p cell list is a PREFIX of its nprobe=max list), then
+    * each sweep point filters by rank and re-cuts top-k — no
+    * retraining, no rescan per point.
+    *
+    * Scale: the q62 plan at max(sweep) probes + a |sweep|× fan-out of
+    * the O(queries·cells/cell-size) candidate list; the recall join
+    * is O(queries·k) per point. */
+  def ivfProbeCurve(corpus: DataFrame, queries: DataFrame, id: String,
+                    emb: String, k: Int = TopK, cells: Int = IvfCells,
+                    sweep: Seq[Int] = ProbeSweep,
+                    trainIters: Int = TrainIters): DataFrame = {
+    require(sweep.nonEmpty && sweep.forall(_ >= 1))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val maxP = sweep.max
+    val centroids = trainCentroids(corpus, id, emb, cells, trainIters)
+    val c = corpus.select(col(id).as("vid"), col(emb).as("c_emb"),
+      bestCellId(centroids, col(emb)).as("cell"))
+    val q = queries.select(col(id).as("query_id"), col(emb).as("q_emb"),
+        posexplode(slice(cellOrder(centroids, col(emb)), 1, maxP))
+          .as(Seq("p0", "qcell")))
+      .select(col("query_id"), col("q_emb"), col("qcell"),
+        (col("p0") + 1).cast("int").as("probe_rank"))
+    val cand = c.join(broadcast(q),
+        col("cell") === col("qcell") && col("vid") =!= col("query_id"))
+      .select(col("query_id"), col("probe_rank"), col("vid").as("neighbor_id"),
+        F.cosineSim(col("q_emb"), col("c_emb")).as("cos"))
+      .localCheckpoint() // scored once, read by every sweep point
+    val pts = sweep.map(p => Tuple1(p)).toDF("nprobe")
+    val perPoint = cand.crossJoin(broadcast(pts))
+      .where(col("probe_rank") <= col("nprobe"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("nprobe"), col("query_id"))
+          .orderBy(col("cos").desc, col("neighbor_id").asc)))
+      .where(col("rk") <= k)
+      .select(col("nprobe"), col("query_id"), col("neighbor_id"),
+        lit(1L).as("hit"))
+    val truth = bruteForceTopK(corpus, queries, id, emb, k)
+      .select(col("query_id"), col("neighbor_id"))
+    truth.crossJoin(broadcast(pts))
+      .join(perPoint, Seq("nprobe", "query_id", "neighbor_id"), "left")
+      .groupBy(col("nprobe"))
+      .agg(countDistinct(col("query_id")).as("n_queries"),
+        count(lit(1)).as("n_truth"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("nprobe").cast("long").as("nprobe"), col("n_queries"),
+        col("n_truth"), col("n_hit"),
+        F.idiv(lit(10000L) * col("n_hit"), col("n_truth")).as("recall_bp"))
+  }
+
+  /** q302: the q62 index's recall curve over nprobe ∈ {1,2,4,8,16}. */
+  def q302(s: SparkSession, d: String): DataFrame = {
+    val (c, q) = corpusAndQueries(s, d)
+    ivfProbeCurve(c, q, "vec_id", "embedding")
+  }
+
   /** EMBEDDING DRIFT MONITOR — per-label centroid shift between two
     * corpus snapshots (here the vec_id parity halves): the "did the
     * embedding distribution move?" check run before reusing a trained

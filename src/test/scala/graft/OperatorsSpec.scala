@@ -4153,6 +4153,21 @@ class OperatorsSpec extends SparkSpec {
     assert(z.getLong(3) == 0L && z.isNullAt(4), z.toSeq.toString)
   }
 
+  test("ivfProbeCurve: recall monotone in nprobe, all-cells = brute force") {
+    val (c, q) = Similarity.corpusAndQueries(
+      SparkTestSession.spark, "/root/testdata/sf0.001")
+    val curve = Similarity.ivfProbeCurve(c, q, "vec_id", "embedding",
+        cells = 8, sweep = Seq(1, 2, 4, 8))
+      .orderBy(col("nprobe")).collect()
+    val recalls = curve.map(_.getLong(4)).toSeq
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      s"recall must be monotone in nprobe: $recalls")
+    // probing every cell IS brute force: recall exactly 10000
+    assert(recalls.last == 10000L, recalls.toString)
+    assert(curve.forall(r => r.getLong(2) == r.getLong(1) * 10L),
+      "n_truth = 10 per query")
+  }
+
   test("userSurprisal: rare transitions rank first, hand-worked terms") {
     import SparkTestSession.spark.implicits._
     def seqEv(u: Long, kinds: String*): Seq[(Long, String, Long, Long)] =
