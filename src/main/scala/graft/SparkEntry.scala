@@ -319,6 +319,7 @@ object SparkEntry {
     "q300_holt_winters"   -> (Events.q300 _),
     "q301_user_surprisal" -> (Events.q301 _),
     "q302_nprobe_curve"   -> (Similarity.q302 _),
+    "q303_engagement_bands" -> (Events.q303 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -2011,6 +2012,23 @@ object SparkEntry {
                 ELSE (10000 * (hn.h_next_unat - hc.h_cond_unat))
                      // hn.h_next_unat END AS BIGINT) AS gain_share_bp
          FROM t, hn, hc""",
+
+    // Weekly engagement bands: exact percentile_disc cuts per week +
+    // a lag over the bounded week table for the WoW median delta.
+    "q303_engagement_bands" ->
+      """WITH w AS (SELECT date_trunc('week', CAST(ts AS DATE)) AS week,
+                user_id, count(*) AS n FROM events GROUP BY 1, 2),
+         b AS (SELECT week, count(*) AS n_users, sum(n) AS n_events,
+                CAST(percentile_disc(0.1) WITHIN GROUP (ORDER BY n) AS BIGINT) AS p10,
+                CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n) AS BIGINT) AS p50,
+                CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY n) AS BIGINT) AS p90
+               FROM w GROUP BY 1)
+         SELECT strftime(CAST(week AS DATE), '%Y-%m-%d') AS week,
+           CAST(n_users AS BIGINT) AS n_users,
+           CAST(n_events AS BIGINT) AS n_events, p10, p50, p90,
+           CAST(p50 - lag(p50) OVER (ORDER BY week ASC) AS BIGINT)
+             AS p50_wow_delta
+         FROM b""",
 
     // Per-user mean surprisal under the global transition model:
     // one micro-nat term per (from,to) cell, exact weighted sums,

@@ -967,6 +967,44 @@ object Events {
         col("n_new"), col("cum_users"))
   }
 
+  /** WEEKLY ENGAGEMENT BANDS — the per-user activity DISTRIBUTION
+    * over time, not its mean: per ISO week, the p10/p50/p90 of each
+    * user's weekly event count plus the median's week-over-week
+    * delta. The mean hides the classic failure mode (a few power
+    * users ramping while the long tail churns reads as "flat"); the
+    * bands show which part of the engagement distribution is moving.
+    * percentile_disc cuts are data members — exact cross-engine (the
+    * q127/q295 discipline).
+    *
+    * Scale: one (week, user) aggregation over the corpus (THE
+    * shuffle), percentile partials per week, then a lag over the
+    * calendar-bounded week table. */
+  def engagementBands(events: DataFrame, entity: String,
+                      day: Column): DataFrame = {
+    val weekly = events
+      .select(date_trunc("week", day).cast("date").as("week"),
+        col(entity).as("ent"))
+      .groupBy(col("week"), col("ent")).agg(count(lit(1)).as("n"))
+    val bands = weekly.groupBy(col("week"))
+      .agg(count(lit(1)).as("n_users"), sum(col("n")).as("n_events"),
+        expr("percentile_disc(0.1) WITHIN GROUP (ORDER BY n)")
+          .cast("long").as("p10"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n)")
+          .cast("long").as("p50"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY n)")
+          .cast("long").as("p90"))
+    bands
+      .withColumn("p50_wow_delta",
+        col("p50") - lag(col("p50"), 1).over(Window.orderBy(col("week").asc)))
+      .select(date_format(col("week"), "yyyy-MM-dd").as("week"),
+        col("n_users"), col("n_events"), col("p10"), col("p50"), col("p90"),
+        col("p50_wow_delta"))
+  }
+
+  /** q303: weekly per-user engagement bands. */
+  def q303(s: SparkSession, d: String): DataFrame =
+    engagementBands(Tables.events(s, d), "user_id", to_date(col("ts")))
+
   /** q148: cumulative distinct users by first-activity day. */
   def q148(s: SparkSession, d: String): DataFrame =
     cumulativeActives(Tables.events(s, d), "user_id", to_date(col("ts")))

@@ -4153,6 +4153,22 @@ class OperatorsSpec extends SparkSpec {
     assert(z.getLong(3) == 0L && z.isNullAt(4), z.toSeq.toString)
   }
 
+  test("engagementBands: exact decile cuts per week, WoW median delta") {
+    import SparkTestSession.spark.implicits._
+    def week(mon: String, f: Long => Int): Seq[(Long, java.sql.Date)] =
+      (1L to 10L).flatMap(u => Seq.fill(f(u))(
+        (u, java.sql.Date.valueOf(mon))))
+    // week 1: user u has u events (1..10); week 2: doubled
+    val ev = (week("2024-01-01", _.toInt) ++
+      week("2024-01-08", u => 2 * u.toInt)).toDF("user_id", "day")
+    val out = Events.engagementBands(ev, "user_id", col("day"))
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(out("2024-01-01") == Seq(10L, 55L, 1L, 5L, 9L, null),
+      out.toString)
+    assert(out("2024-01-08") == Seq(10L, 110L, 2L, 10L, 18L, 5L),
+      out.toString)
+  }
+
   test("ivfProbeCurve: recall monotone in nprobe, all-cells = brute force") {
     val (c, q) = Similarity.corpusAndQueries(
       SparkTestSession.spark, "/root/testdata/sf0.001")
