@@ -320,6 +320,7 @@ object SparkEntry {
     "q301_user_surprisal" -> (Events.q301 _),
     "q302_nprobe_curve"   -> (Similarity.q302 _),
     "q303_engagement_bands" -> (Events.q303 _),
+    "q304_file_audit"     -> (Changes.q304 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -2059,6 +2060,27 @@ object SparkEntry {
            CAST(surprisal_unat AS BIGINT) AS surprisal_unat,
            CAST(mean_surprisal_unat AS BIGINT) AS mean_surprisal_unat
          FROM r WHERE rank <= 20""",
+
+    // One file per bucket by construction, so per-file stats equal
+    // per-bucket stats: the oracle derives both layouts from the ids.
+    "q304_file_audit" ->
+      """WITH h AS (SELECT event_id % 8 AS b, count(*) AS n,
+                min(event_id) AS mn, max(event_id) AS mx
+              FROM events GROUP BY 1),
+         hr AS (SELECT 'hash' AS layout,
+                CAST(row_number() OVER (ORDER BY mn ASC) AS BIGINT) AS file_rank,
+                CAST(n AS BIGINT) AS n_rows, mn AS min_key, mx AS max_key,
+                coalesce(CAST(mn <= lag(mx) OVER (ORDER BY mn ASC) AS INT), 0)
+                  AS overlaps_prev FROM h),
+         r AS (SELECT event_id // 2000 AS b, count(*) AS n,
+                min(event_id) AS mn, max(event_id) AS mx
+              FROM events GROUP BY 1),
+         rr AS (SELECT 'range' AS layout,
+                CAST(row_number() OVER (ORDER BY mn ASC) AS BIGINT) AS file_rank,
+                CAST(n AS BIGINT) AS n_rows, mn AS min_key, mx AS max_key,
+                coalesce(CAST(mn <= lag(mx) OVER (ORDER BY mn ASC) AS INT), 0)
+                  AS overlaps_prev FROM r)
+         SELECT * FROM hr UNION ALL SELECT * FROM rr""",
 
     // The v1→v2 increment is exactly the odd-id append: the oracle
     // aggregates that half directly (file-level CDF exactness).

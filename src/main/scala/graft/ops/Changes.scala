@@ -327,6 +327,62 @@ object Changes {
   def q152(s: SparkSession, d: String): DataFrame =
     schemaDrift(Tables.orders(s, d), lit("1998-07-01").cast("date"))
 
+  /** PER-FILE LAYOUT AUDIT — the compaction/z-order planning input:
+    * per physical parquet file (via input_file_name), row count and
+    * the min/max of the clustering key, plus the overlap flag (does
+    * this file's key range intersect the previous file's, in
+    * min-key order). A table whose files all overlap answers every
+    * key-range query by reading EVERYTHING (zone maps prune nothing);
+    * disjoint ranges are what the z-order writer (Sources) buys —
+    * this operator is how you find out which state a table is in and
+    * how much a rewrite would help. File identity is reported as the
+    * min-key RANK (a total order: key minima are distinct when the
+    * key is unique), keeping output engine-comparable.
+    *
+    * Scale: one scan with map-side per-file partials (input_file_name
+    * is free); the rank/overlap window runs over FILE-count rows —
+    * bounded by the table's file inventory, never its rows. */
+  def fileAudit(df: DataFrame, key: Column, layout: String): DataFrame = {
+    val per = df.select(input_file_name().as("f"), key.as("k"))
+      .groupBy(col("f"))
+      .agg(count(lit(1)).as("n_rows"), min(col("k")).as("min_key"),
+        max(col("k")).as("max_key"))
+    val w = Window.orderBy(col("min_key").asc)
+    per
+      .withColumn("file_rank", row_number().over(w).cast("long"))
+      .withColumn("overlaps_prev",
+        coalesce((col("min_key") <= lag(col("max_key"), 1).over(w))
+          .cast("int"), lit(0)))
+      .select(lit(layout).as("layout"), col("file_rank"), col("n_rows"),
+        col("min_key"), col("max_key"), col("overlaps_prev"))
+  }
+
+  /** q304: the audit over two self-written layouts of the events ids —
+    * hash-bucketed (every file spans the whole key range: all overlap,
+    * zone maps useless) vs range-bucketed (disjoint: zone maps prune).
+    * Written once per (app, dataset) with ONE file per bucket (the
+    * repartition-by-bucket + partitionBy discipline), so per-file
+    * stats equal per-bucket stats and the oracle derives them from
+    * the ids directly. */
+  def q304(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.F
+    val root = Scratch.dir(s, d, "fileaudit")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$root/hash"))) {
+      val ids = Tables.events(s, d).select(col("event_id"))
+      ids.withColumn("bucket", pmod(col("event_id"), lit(8L)))
+        .repartition(8, col("bucket"))
+        .write.partitionBy("bucket").mode("overwrite").parquet(s"$root/hash")
+      ids.withColumn("bucket", F.idiv(col("event_id"), lit(2000L)))
+        .repartition(8, col("bucket"))
+        .write.partitionBy("bucket").mode("overwrite").parquet(s"$root/range")
+    }
+    fileAudit(s.read.parquet(s"$root/hash"), col("event_id"), "hash")
+      .unionAll(
+        fileAudit(s.read.parquet(s"$root/range"), col("event_id"), "range"))
+  }
+
   /** q299: INCREMENTAL CONSUMPTION through the versioned store — the
     * downstream-ETL cycle as a query: the standing store commits the
     * even-id half of the events ledger as v1, appends the odd half as

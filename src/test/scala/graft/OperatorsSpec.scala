@@ -4153,6 +4153,32 @@ class OperatorsSpec extends SparkSpec {
     assert(z.getLong(3) == 0L && z.isNullAt(4), z.toSeq.toString)
   }
 
+  test("fileAudit: hash layout all-overlapping, range layout disjoint") {
+    import SparkTestSession.spark.implicits._
+    val spark = SparkTestSession.spark
+    val dir = java.nio.file.Files.createTempDirectory("graft-fileaudit").toString
+    val ids = (0L until 100L).toDF("id")
+    ids.withColumn("bucket", pmod(col("id"), lit(4L)))
+      .repartition(4, col("bucket"))
+      .write.partitionBy("bucket").parquet(s"$dir/hash")
+    ids.withColumn("bucket", graft.functions.F.idiv(col("id"), lit(25L)))
+      .repartition(4, col("bucket"))
+      .write.partitionBy("bucket").parquet(s"$dir/range")
+    val h = Changes.fileAudit(spark.read.parquet(s"$dir/hash"),
+      col("id"), "hash").collect().sortBy(_.getLong(1))
+    // hash: mins 0..3, every file reaches ~99 -> ranks 2..4 overlap
+    assert(h.length == 4 && h.head.getInt(5) == 0 &&
+      h.tail.forall(_.getInt(5) == 1), h.map(_.toSeq).mkString("; "))
+    assert(h.map(r => (r.getLong(3), r.getLong(4))).toSeq ==
+      Seq((0L, 96L), (1L, 97L), (2L, 98L), (3L, 99L)))
+    val r = Changes.fileAudit(spark.read.parquet(s"$dir/range"),
+      col("id"), "range").collect().sortBy(_.getLong(1))
+    assert(r.length == 4 && r.forall(_.getInt(5) == 0),
+      r.map(_.toSeq).mkString("; "))
+    assert(r.map(x => (x.getLong(3), x.getLong(4))).toSeq ==
+      Seq((0L, 24L), (25L, 49L), (50L, 74L), (75L, 99L)))
+  }
+
   test("engagementBands: exact decile cuts per week, WoW median delta") {
     import SparkTestSession.spark.implicits._
     def week(mon: String, f: Long => Int): Seq[(Long, java.sql.Date)] =
