@@ -321,6 +321,7 @@ object SparkEntry {
     "q302_nprobe_curve"   -> (Similarity.q302 _),
     "q303_engagement_bands" -> (Events.q303 _),
     "q304_file_audit"     -> (Changes.q304 _),
+    "q305_item_cf"        -> (Relational.q305 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -2192,6 +2193,27 @@ object SparkEntry {
                   CROSS JOIN nb)
          SELECT part_a, part_b, n_ab, lift_milli FROM lf
          ORDER BY lift_milli DESC, part_a ASC, part_b ASC LIMIT 20""",
+
+    // Item-item CF: symmetric pair table, co-occurrence cosine with
+    // one pinned double boundary, top-3 per item by (cos desc, id).
+    "q305_item_cf" ->
+      """WITH di AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+         ic AS (SELECT it, count(*) AS n_it FROM di GROUP BY 1),
+         p AS (SELECT a.it AS part_a, b.it AS part_b, count(*) AS n_ab
+           FROM di a JOIN di b ON a.bk = b.bk AND a.it < b.it
+           GROUP BY 1, 2 HAVING count(*) >= 3),
+         sym AS (SELECT part_a, part_b, n_ab FROM p
+           UNION ALL SELECT part_b, part_a, n_ab FROM p),
+         sc AS (SELECT s.part_a AS part, s.part_b AS neighbor, s.n_ab,
+             CAST(floor(10000 * CAST(s.n_ab AS DOUBLE)
+               / (sqrt(CAST(na.n_it AS DOUBLE)) * sqrt(CAST(nb.n_it AS DOUBLE)))
+               + 0.5) AS BIGINT) AS cos_bp
+           FROM sym s JOIN ic na ON na.it = s.part_a
+                      JOIN ic nb ON nb.it = s.part_b),
+         r AS (SELECT *, CAST(row_number() OVER (PARTITION BY part
+                 ORDER BY cos_bp DESC, neighbor ASC) AS BIGINT) AS rank
+               FROM sc)
+         SELECT part, rank, neighbor, n_ab, cos_bp FROM r WHERE rank <= 3""",
 
     "q160_bigram_surprisal" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),

@@ -1067,6 +1067,62 @@ object Relational {
   def q165(s: SparkSession, d: String): DataFrame =
     coPurchaseLift(Tables.lineitem(s, d), "l_orderkey", "l_partkey", 3L, 20)
 
+  /** ITEM-ITEM COLLABORATIVE FILTERING — the recommender table: for
+    * EVERY item its top-N neighbors by co-occurrence cosine
+    * n_ij/√(n_i·n_j). The difference from q165 is who gets served:
+    * lift's global ranking surfaces the corpus's strongest pairs;
+    * a recommender must answer "what goes with THIS item" for every
+    * item, so the ranking is per-item (a window over the item's own
+    * pair list), and cosine is the convention because it saturates —
+    * a neighbor can't outrank everything by sheer popularity the way
+    * raw support does.
+    *
+    * Scale: q68's basket-array discipline (pairs explode within the
+    * basket row, never a fact self-join), a support floor keeps the
+    * pair table sparse, the frequency join is vocabulary-sized, and
+    * the per-item window partitions on the item key. cos_bp is one
+    * pinned double boundary (q283 convention). */
+  def itemNeighbors(items: DataFrame, basket: String, item: String,
+                    minSupport: Long, per: Int): DataFrame = {
+    require(minSupport >= 1L && per >= 1)
+    val baskets = items.select(col(basket).as("bk"), col(item).as("it"))
+      .groupBy(col("bk")).agg(sort_array(collect_set(col("it"))).as("arr"))
+      .localCheckpoint() // feeds item counts AND the pair fan-out
+    val itemCnt = baskets
+      .select(explode(col("arr")).as("it"))
+      .groupBy(col("it")).agg(count(lit(1)).as("n_it"))
+    val pairs = baskets
+      .select(posexplode(col("arr")).as(Seq("i", "part_a")), col("arr"))
+      .select(col("part_a"),
+        explode(slice(col("arr"), col("i") + lit(2),
+          size(col("arr")) - col("i") - lit(1))).as("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minSupport)
+    val sym = pairs.unionAll(pairs.select(col("part_b").as("part_a"),
+      col("part_a").as("part_b"), col("n_ab")))
+    val scored = sym
+      .join(itemCnt.select(col("it").as("part_a"), col("n_it").as("n_a")),
+        "part_a")
+      .join(itemCnt.select(col("it").as("part_b"), col("n_it").as("n_b")),
+        "part_b")
+      .select(col("part_a").as("part"), col("part_b").as("neighbor"),
+        col("n_ab"),
+        floor(lit(10000d) * col("n_ab").cast("double") /
+          (sqrt(col("n_a").cast("double")) * sqrt(col("n_b").cast("double")))
+          + lit(0.5d)).cast("long").as("cos_bp"))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy(col("part"))
+          .orderBy(col("cos_bp").desc, col("neighbor").asc)).cast("long"))
+      .where(col("rank") <= per)
+      .select(col("part"), col("rank"), col("neighbor"), col("n_ab"),
+        col("cos_bp"))
+  }
+
+  /** q305: top-3 cosine neighbors per part at support ≥ 3. */
+  def q305(s: SparkSession, d: String): DataFrame =
+    itemNeighbors(Tables.lineitem(s, d), "l_orderkey", "l_partkey", 3L, 3)
+
   /** k-ANONYMITY audit — the governance gate before releasing or
     * training on user-attribute data: every combination of
     * quasi-identifier values must be shared by at least k records, or

@@ -4153,6 +4153,21 @@ class OperatorsSpec extends SparkSpec {
     assert(z.getLong(3) == 0L && z.isNullAt(4), z.toSeq.toString)
   }
 
+  test("itemNeighbors: hand-worked cosines, per-item ranking, support floor") {
+    import SparkTestSession.spark.implicits._
+    // baskets: {1,2,3}, {1,2}, {1,2}, {1,3} -> n1=4 n2=3 n3=2
+    // pairs >= 2: (1,2) n=3 cos 8660; (1,3) n=2 cos 7071; (2,3) dropped
+    val rows = Seq((10L, 1L), (10L, 2L), (10L, 3L), (20L, 1L), (20L, 2L),
+      (30L, 1L), (30L, 2L), (40L, 1L), (40L, 3L)).toDF("bk", "it")
+    val out = Relational.itemNeighbors(rows, "bk", "it", 2L, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    assert(out == Map(
+      (1L, 1L) -> ((2L, 3L, 8660L)), (1L, 2L) -> ((3L, 2L, 7071L)),
+      (2L, 1L) -> ((1L, 3L, 8660L)), (3L, 1L) -> ((1L, 2L, 7071L))),
+      out.toString)
+  }
+
   test("fileAudit: hash layout all-overlapping, range layout disjoint") {
     import SparkTestSession.spark.implicits._
     val spark = SparkTestSession.spark
