@@ -322,6 +322,7 @@ object SparkEntry {
     "q303_engagement_bands" -> (Events.q303 _),
     "q304_file_audit"     -> (Changes.q304 _),
     "q305_item_cf"        -> (Relational.q305 _),
+    "q306_decay_score"    -> (Events.q306 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -2014,6 +2015,23 @@ object SparkEntry {
                 ELSE (10000 * (hn.h_next_unat - hc.h_cond_unat))
                      // hn.h_next_unat END AS BIGINT) AS gain_share_bp
          FROM t, hn, hc""",
+
+    // Step-decay weights 2²⁰ >> age_weeks (exact integers both
+    // engines), per-user sums, top-20 by (score desc, user asc).
+    "q306_decay_score" ->
+      """WITH a AS (SELECT max(CAST(ts AS DATE)) AS as_of FROM events),
+         w AS (SELECT user_id,
+                1048576 >> CAST(least(date_diff('day', CAST(ts AS DATE),
+                  a.as_of) // 7, 40) AS INT) AS w
+               FROM events, a),
+         s AS (SELECT user_id, count(*) AS n_events, sum(w) AS score_q
+               FROM w GROUP BY 1),
+         r AS (SELECT *, row_number() OVER (ORDER BY score_q DESC,
+                 user_id ASC) AS rank FROM s)
+         SELECT CAST(rank AS BIGINT) AS rank, user_id,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(score_q AS BIGINT) AS score_q
+         FROM r WHERE rank <= 20""",
 
     // Weekly engagement bands: exact percentile_disc cuts per week +
     // a lag over the bounded week table for the WoW median delta.

@@ -1005,6 +1005,42 @@ object Events {
   def q303(s: SparkSession, d: String): DataFrame =
     engagementBands(Tables.events(s, d), "user_id", to_date(col("ts")))
 
+  /** TIME-DECAYED ENGAGEMENT SCORE — "who is active NOW": raw event
+    * counts rank a user who churned six months ago above this week's
+    * newcomer; the decayed score halves an event's weight per week of
+    * age (weight = 2²⁰ >> age_weeks — EXACT integer step decay, the
+    * engine-agnostic stand-in for e^{−λt}: same monotone half-life
+    * semantics, zero floating point, zero libm-pow cross-engine
+    * risk), so the ranking answers the retention question the raw
+    * count hides. Events older than 20 weeks weigh exactly 0 — the
+    * score is also a sliding horizon. Reports both the decayed score
+    * and the raw count so the divergence IS the churn signal.
+    *
+    * Scale: the as-of date is one broadcast scalar (max event day);
+    * weights are map-side; one per-user aggregation + TakeOrdered. */
+  def decayScore(events: DataFrame, entity: String, day: Column,
+                 k: Int = 20): DataFrame = {
+    require(k >= 1)
+    val asOf = events.agg(max(day).as("as_of"))
+    val scored = events.select(col(entity).as("ent"), day.as("d"))
+      .crossJoin(broadcast(asOf))
+      .withColumn("wk",
+        least(graft.functions.F.idiv(datediff(col("as_of"), col("d")),
+          lit(7L)), lit(40L)).cast("int"))
+      .select(col("ent"), expr("shiftright(1048576L, wk)").as("w"))
+      .groupBy(col("ent"))
+      .agg(count(lit(1)).as("n_events"), sum(col("w")).as("score_q"))
+    scored.orderBy(col("score_q").desc, col("ent").asc).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score_q").desc, col("ent").asc)).cast("long"))
+      .select(col("rank"), col("ent").as(entity), col("n_events"),
+        col("score_q"))
+  }
+
+  /** q306: top-20 users by week-half-life decayed activity. */
+  def q306(s: SparkSession, d: String): DataFrame =
+    decayScore(Tables.events(s, d), "user_id", to_date(col("ts")))
+
   /** q148: cumulative distinct users by first-activity day. */
   def q148(s: SparkSession, d: String): DataFrame =
     cumulativeActives(Tables.events(s, d), "user_id", to_date(col("ts")))

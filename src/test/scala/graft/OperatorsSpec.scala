@@ -4153,6 +4153,23 @@ class OperatorsSpec extends SparkSpec {
     assert(z.getLong(3) == 0L && z.isNullAt(4), z.toSeq.toString)
   }
 
+  test("decayScore: per-week halving, horizon zero, recency beats volume") {
+    import SparkTestSession.spark.implicits._
+    import java.sql.Date
+    def ev(u: Long, day: String, n: Int) =
+      Seq.fill(n)((u, Date.valueOf(day)))
+    // as-of = 2024-06-24; u1: 3 events today (w=2^20), u2: 3 events
+    // 8 weeks old (w=4096), u3: 100 events 25 weeks old (w=0)
+    val rows = (ev(1L, "2024-06-24", 3) ++ ev(2L, "2024-04-29", 3) ++
+      ev(3L, "2023-12-31", 100)).toDF("user_id", "day")
+    val out = Events.decayScore(rows, "user_id", col("day"))
+      .collect().map(_.toSeq)
+    assert(out(0) == Seq(1L, 1L, 3L, 3145728L), out.toSeq.toString)
+    assert(out(1) == Seq(2L, 2L, 3L, 12288L), out.toSeq.toString)
+    // the churned heavy user scores exactly 0 yet keeps the count
+    assert(out(2) == Seq(3L, 3L, 100L, 0L), out.toSeq.toString)
+  }
+
   test("itemNeighbors: hand-worked cosines, per-item ranking, support floor") {
     import SparkTestSession.spark.implicits._
     // baskets: {1,2,3}, {1,2}, {1,2}, {1,3} -> n1=4 n2=3 n3=2
