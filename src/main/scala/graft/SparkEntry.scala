@@ -323,6 +323,7 @@ object SparkEntry {
     "q304_file_audit"     -> (Changes.q304 _),
     "q305_item_cf"        -> (Relational.q305 _),
     "q306_decay_score"    -> (Events.q306 _),
+    "q307_forecast_eval"  -> (Events.q307 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -4917,28 +4918,14 @@ object SparkEntry {
     // engines (Scala Long `/` == DuckDB `//` — trend goes negative on
     // declines, where floor-vs-truncate would diverge). b_i needs l_i,
     // so the recursive term inlines the l recurrence twice.
-    "q225_holt_trend" ->
-      """WITH RECURSIVE d0 AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n_events
-             FROM events GROUP BY 1),
-         d AS (SELECT day, CAST(n_events AS BIGINT) AS n_events,
-             row_number() OVER (ORDER BY day) AS idx FROM d0),
-         e(idx, day, n_events, l, b) AS (
-           SELECT idx, day, n_events, 256 * n_events, CAST(0 AS BIGINT)
-           FROM d WHERE idx = 1
-           UNION ALL
-           SELECT d.idx, d.day, d.n_events,
-             (256 * d.n_events + 3 * (e.l + e.b)) // 4,
-             (((256 * d.n_events + 3 * (e.l + e.b)) // 4) - e.l + 3 * e.b) // 4
-           FROM d JOIN e ON d.idx = e.idx + 1)
-         SELECT strftime(day, '%Y-%m-%d') AS day, n_events,
-           CAST(l AS BIGINT) AS level_q, CAST(b AS BIGINT) AS trend_q,
-           CAST((l + b) // 256 AS BIGINT) AS forecast_next FROM e""",
+    "q225_holt_trend" -> holtOracle,
 
     "q226_kcore" -> kCoreOracle,
     "q272_communities" -> lpaOracle,
     "q285_markov_stationary" -> markovOracle,
     "q290_bfs_hops" -> bfsOracle,
     "q300_holt_winters" -> holtWintersOracle,
+    "q307_forecast_eval" -> forecastEvalOracle,
 
     // Degree assortativity (Newman's r) as exact integer arithmetic:
     // over the both-direction edge list the endpoint-degree marginals
@@ -5035,6 +5022,52 @@ object SparkEntry {
     * previous round's labels and takes the (count DESC, label ASC)
     * argmax per node via a windowed row_number — the same total order
     * the Spark side packs into min(struct(-cnt, lab)). */
+  /** q225's Holt recursion (shared by the q307 backtest): the q156
+    * sequential-recursion shape with two carried registers; ×256
+    * fixed point, TRUNCATING division on both engines. */
+  private def holtOracle: String =
+    """WITH RECURSIVE d0 AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n_events
+             FROM events GROUP BY 1),
+         d AS (SELECT day, CAST(n_events AS BIGINT) AS n_events,
+             row_number() OVER (ORDER BY day) AS idx FROM d0),
+         e(idx, day, n_events, l, b) AS (
+           SELECT idx, day, n_events, 256 * n_events, CAST(0 AS BIGINT)
+           FROM d WHERE idx = 1
+           UNION ALL
+           SELECT d.idx, d.day, d.n_events,
+             (256 * d.n_events + 3 * (e.l + e.b)) // 4,
+             (((256 * d.n_events + 3 * (e.l + e.b)) // 4) - e.l + 3 * e.b) // 4
+           FROM d JOIN e ON d.idx = e.idx + 1)
+         SELECT strftime(day, '%Y-%m-%d') AS day, n_events,
+           CAST(l AS BIGINT) AS level_q, CAST(b AS BIGINT) AS trend_q,
+           CAST((l + b) // 256 AS BIGINT) AS forecast_next FROM e"""
+
+  /** Mirror of Events.forecastEval: each model's forecast_next paired
+    * with the next observed day's actual across calendar-consecutive
+    * pairs only; exact integer MAE. */
+  private def forecastEvalOracle: String = {
+    def score(src: String, model: String) =
+      s"""SELECT '$model' AS model, CAST(count(*) AS BIGINT) AS n_days,
+          CAST(sum(abs(forecast_next - next_actual)) AS BIGINT) AS sum_abs_err,
+          CAST((1000 * sum(abs(forecast_next - next_actual))) // count(*)
+            AS BIGINT) AS mae_milli
+          FROM (SELECT day, forecast_next,
+                lead(day) OVER (ORDER BY day ASC) AS next_day,
+                lead(n_events) OVER (ORDER BY day ASC) AS next_actual
+                FROM $src)
+          WHERE next_day IS NOT NULL
+            AND date_diff('day', CAST(day AS DATE), CAST(next_day AS DATE)) = 1"""
+    s"""WITH nv AS (SELECT strftime(day0, '%Y-%m-%d') AS day, n_events,
+             n_events AS forecast_next
+           FROM (SELECT CAST(ts AS DATE) AS day0, count(*) AS n_events
+                 FROM events GROUP BY 1)),
+       ho AS ($holtOracle),
+       hw AS ($holtWintersOracle)
+       ${score("nv", "naive")}
+       UNION ALL ${score("ho", "holt")}
+       UNION ALL ${score("hw", "holt_winters")}"""
+  }
+
   /** Mirror of Events.holtWintersDaily: the q225 recursive-CTE shape
     * widened to 9 carried registers (l, b, s1..s7). l_new appears in
     * b and every seasonal CASE arm, so it inlines repeatedly (the

@@ -1377,6 +1377,53 @@ object Events {
   def q300(s: SparkSession, d: String): DataFrame =
     holtWintersDaily(Tables.events(s, d), to_date(col("ts")))
 
+  /** FORECAST BACKTEST — which forecaster earns the pager: the naive
+    * carry-forward, q225's Holt, and q300's Holt–Winters, each scored
+    * on its own one-step-ahead forecasts against the NEXT observed
+    * day's actual (evaluated only across calendar-consecutive day
+    * pairs — a forecast made for tomorrow is not graded against a
+    * day after a gap). Sum of absolute errors and MAE in exact milli
+    * integers; the model rows share one output so the comparison is
+    * the deliverable. The standard result this table makes visible:
+    * on a weekly-seasonal series HW beats Holt beats naive, and on a
+    * white-noise series naive wins — deploying the fancy model is a
+    * DECISION, not a default.
+    *
+    * Scale: three day-table-bounded evaluations (the folds for Holt/HW
+    * are q225/q300's driver folds; the pairing is a lead over the
+    * bounded day table). */
+  def forecastEval(events: DataFrame, day: Column): DataFrame = {
+    val spark = events.sparkSession
+    def scoreModel(df: DataFrame, model: String): DataFrame = {
+      val w = Window.orderBy(col("day").asc)
+      df.select(col("day"), col("n_events"), col("forecast_next"))
+        .withColumn("next_day", lead(col("day"), 1).over(w))
+        .withColumn("next_actual", lead(col("n_events"), 1).over(w))
+        .where(col("next_day").isNotNull &&
+          datediff(col("next_day").cast("date"), col("day").cast("date"))
+            === 1)
+        .agg(count(lit(1)).as("n_days"),
+          sum(abs(col("forecast_next") - col("next_actual")))
+            .as("sum_abs_err"))
+        .select(lit(model).as("model"), col("n_days"), col("sum_abs_err"),
+          graft.functions.F.idiv(lit(1000L) * col("sum_abs_err"),
+            col("n_days")).as("mae_milli"))
+    }
+    val daily = events.groupBy(day.as("day0"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(date_format(col("day0"), "yyyy-MM-dd").as("day"),
+        col("n_events"))
+    val naive = daily.select(col("day"), col("n_events"),
+      col("n_events").as("forecast_next"))
+    scoreModel(naive, "naive")
+      .unionAll(scoreModel(holtDaily(events, day), "holt"))
+      .unionAll(scoreModel(holtWintersDaily(events, day), "holt_winters"))
+  }
+
+  /** q307: the three forecasters backtested on daily event counts. */
+  def q307(s: SparkSession, d: String): DataFrame =
+    forecastEval(Tables.events(s, d), to_date(col("ts")))
+
   /** q156: integer EWMA over daily total event counts. */
   def q156(s: SparkSession, d: String): DataFrame =
     ewmaDaily(Tables.events(s, d), to_date(col("ts")))

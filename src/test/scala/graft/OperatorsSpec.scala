@@ -4153,6 +4153,25 @@ class OperatorsSpec extends SparkSpec {
     assert(z.getLong(3) == 0L && z.isNullAt(4), z.toSeq.toString)
   }
 
+  test("forecastEval: constant series all-zero MAE, HW beats Holt on seasonality") {
+    import SparkTestSession.spark.implicits._
+    def ev(counts: Seq[Int]): org.apache.spark.sql.DataFrame =
+      counts.zipWithIndex.flatMap { case (c, i) =>
+        Seq.fill(c)(java.sql.Date.valueOf(
+          java.time.LocalDate.of(2024, 1, 1).plusDays(i).toString))
+      }.toDF("day")
+    val const = Events.forecastEval(ev(Seq.fill(10)(7)), col("day"))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(const == Map("naive" -> 0L, "holt" -> 0L, "holt_winters" -> 0L),
+      const.toString)
+    // 8 weeks of Thu-spike seasonality: the seasonal registers pay off
+    val seas = Events.forecastEval(
+      ev((0 until 56).map(i => if (i % 7 == 3) 17 else 10)), col("day"))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(seas("holt_winters") < seas("holt"), seas.toString)
+    assert(seas("holt_winters") < seas("naive"), seas.toString)
+  }
+
   test("decayScore: per-week halving, horizon zero, recency beats volume") {
     import SparkTestSession.spark.implicits._
     import java.sql.Date
