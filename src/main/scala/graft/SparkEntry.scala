@@ -324,6 +324,7 @@ object SparkEntry {
     "q305_item_cf"        -> (Relational.q305 _),
     "q306_decay_score"    -> (Events.q306 _),
     "q307_forecast_eval"  -> (Events.q307 _),
+    "q308_pr_auc"         -> (Text.q308 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -1472,6 +1473,35 @@ object SparkEntry {
            CAST(CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
                 ELSE 10000 * u2 // (2 * CAST(n_pos AS HUGEINT) * n_neg)
                 END AS BIGINT) AS auc_bp
+         FROM a""",
+
+    // Average precision over the same grid: descending cumulative
+    // tp/fp, per-cut terms floored before the sum (q201 discipline),
+    // one idiv by n_pos; prevalence baseline alongside.
+    "q308_pr_auc" ->
+      s"""WITH $LangIdCtes,
+         pp AS (SELECT doc_id, lang AS pred_lang,
+               ${BP("score")} AS s FROM r WHERE rn = 1),
+         j AS (SELECT s, CASE WHEN pp.pred_lang = d.lang THEN 1 ELSE 0 END AS y
+               FROM documents d JOIN pp USING (doc_id)),
+         g AS (SELECT s, sum(y) AS p, sum(1 - y) AS n FROM j GROUP BY 1),
+         cg AS (SELECT s, p, n,
+               sum(p) OVER (ORDER BY s DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+               sum(n) OVER (ORDER BY s DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp
+               FROM g),
+         t AS (SELECT p, n,
+               (1000000 * CAST(p AS HUGEINT) * tp)
+                 // (CAST(tp AS HUGEINT) + fp) AS term FROM cg),
+         a AS (SELECT sum(p) AS n_pos, sum(n) AS n_neg,
+               sum(term) AS term_sum FROM t)
+         SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+           CAST(CASE WHEN n_pos = 0 THEN NULL
+                ELSE term_sum // n_pos END AS BIGINT) AS ap_micro,
+           CAST(CASE WHEN n_pos + n_neg = 0 THEN NULL
+                ELSE (1000000 * n_pos) // (n_pos + n_neg) END AS BIGINT)
+             AS prevalence_micro
          FROM a""",
 
     // McNemar over paired correctness of the full q42 profile vs the

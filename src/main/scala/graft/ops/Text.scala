@@ -3375,6 +3375,57 @@ object Text {
           lit(2L) * dec(col("n_pos")) * dec(col("n_neg")))).as("auc_bp"))
   }
 
+  /** PR-AUC / AVERAGE PRECISION — the ranking metric for IMBALANCED
+    * labels, where q278's ROC-AUC flatters: with 1% positives a
+    * ranker can score ROC 0.99 while burying every positive under a
+    * thousand false alarms; precision-recall looks only at what the
+    * alarm list contains, so AP collapses exactly when the alert
+    * queue is garbage. AP = Σ_cuts ΔR·P over the descending distinct-
+    * score cuts (the all-or-nothing tie convention: each distinct
+    * score is one cut), reported with the prevalence baseline — a
+    * no-skill ranker's AP — so the lift is visible in one row.
+    *
+    * Exact integers on the bounded bp score grid (q278's plan): one
+    * corpus aggregation to the grid, a descending cumulative window
+    * over ≤10⁴+1 rows, per-cut terms idiv(10⁶·Δtp·tp, tp+fp) floored
+    * BEFORE the sum (the q201 per-term discipline), ap_micro one
+    * final idiv by n_pos. NULL when no positives exist. */
+  def prAucFromScores(scored: DataFrame, scoreBp: String,
+                      label: String): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val grid = scored.select(col(scoreBp).as("s"),
+        col(label).cast("long").as("y"))
+      .groupBy(col("s"))
+      .agg(sum(col("y")).as("p"), sum(lit(1L) - col("y")).as("n"))
+    val w = Window.orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = grid
+      .withColumn("tp", sum(col("p")).over(w))
+      .withColumn("fp", sum(col("n")).over(w))
+      .select(col("p"), col("n"),
+        F.idiv(lit(1000000L) * dec(col("p")) * dec(col("tp")),
+          dec(col("tp")) + dec(col("fp"))).as("term"))
+    val agg = c.agg(sum(col("p")).as("n_pos"), sum(col("n")).as("n_neg"),
+      sum(col("term")).as("term_sum"))
+    agg.select(col("n_pos"), col("n_neg"),
+      when(col("n_pos") === 0L, lit(null).cast("long"))
+        .otherwise(F.idiv(col("term_sum"), col("n_pos"))).as("ap_micro"),
+      when(col("n_pos") + col("n_neg") === 0L, lit(null).cast("long"))
+        .otherwise(F.idiv(lit(1000000L) * col("n_pos"),
+          col("n_pos") + col("n_neg"))).as("prevalence_micro"))
+  }
+
+  /** q308: average precision of the q42 confidence as a correctness
+    * ranker — the imbalance-honest twin of q278. */
+  def q308(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pred = languageId(docs, "doc_id", "text", langMarkers)
+    val scored = docs.select(col("doc_id"), col("lang")).join(pred, "doc_id")
+      .select(col("top_score_bp"),
+        (col("pred_lang") === col("lang")).cast("long").as("ok"))
+    prAucFromScores(scored, "top_score_bp", "ok")
+  }
+
   /** q278: does the q42 confidence rank correct predictions above
     * wrong ones — AUC of top_score_bp against label correctness. */
   def q278(s: SparkSession, d: String): DataFrame = {

@@ -4153,6 +4153,25 @@ class OperatorsSpec extends SparkSpec {
     assert(z.getLong(3) == 0L && z.isNullAt(4), z.toSeq.toString)
   }
 
+  test("prAucFromScores: perfect/worst/tied/empty hand cases") {
+    import SparkTestSession.spark.implicits._
+    def ap(rows: Seq[(Long, Long)]): org.apache.spark.sql.Row =
+      Text.prAucFromScores(rows.toDF("s", "y"), "s", "y").collect().head
+    // perfect ranker: AP = 1
+    val p = ap(Seq((3L, 1L), (2L, 1L), (1L, 0L)))
+    assert(p.toSeq == Seq(2L, 1L, 1000000L, 666666L), p.toSeq.toString)
+    // worst ranker: AP falls to prevalence
+    val w = ap(Seq((3L, 0L), (2L, 0L), (1L, 1L)))
+    assert(w.getLong(2) == 333333L && w.getLong(3) == 333333L,
+      w.toSeq.toString)
+    // all tied: one all-or-nothing cut -> AP = prevalence (no skill)
+    val t = ap(Seq((5L, 1L), (5L, 1L), (5L, 0L)))
+    assert(t.getLong(2) == 666666L && t.getLong(3) == 666666L,
+      t.toSeq.toString)
+    // no positives: AP undefined
+    assert(ap(Seq((1L, 0L), (2L, 0L))).isNullAt(2))
+  }
+
   test("forecastEval: constant series all-zero MAE, HW beats Holt on seasonality") {
     import SparkTestSession.spark.implicits._
     def ev(counts: Seq[Int]): org.apache.spark.sql.DataFrame =
