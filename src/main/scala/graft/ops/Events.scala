@@ -1146,6 +1146,7 @@ object Events {
     def dec(c: Column): Column = c.cast("decimal(38,0)")
     val daily = events.groupBy(day.as("day"))
       .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // feeds the median AND the signed series
     val med = daily.agg(
       expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cnt)").as("m"))
     val signed = daily.crossJoin(broadcast(med))

@@ -817,6 +817,7 @@ object Relational {
     * association is definable). */
   def cramersV(df: DataFrame, a: String, b: String): DataFrame = {
     val cells = df.groupBy(col(a), col(b)).agg(count(lit(1)).as("obs"))
+      .localCheckpoint() // feeds both marginals, the total, AND the grid
     val ra = cells.groupBy(col(a)).agg(sum(col("obs")).as("rt"))
     val rb = cells.groupBy(col(b)).agg(sum(col("obs")).as("ct"))
     val tot = cells.agg(sum(col("obs")).as("n"))
@@ -1099,6 +1100,7 @@ object Relational {
       .groupBy(col("part_a"), col("part_b"))
       .agg(count(lit(1)).as("n_ab"))
       .where(col("n_ab") >= minSupport)
+      .localCheckpoint() // read twice by the symmetric union
     val sym = pairs.unionAll(pairs.select(col("part_b").as("part_a"),
       col("part_a").as("part_b"), col("n_ab")))
     val scored = sym
@@ -1562,6 +1564,7 @@ object Relational {
     val pairs = df.select(x.as("xv"), y.as("yv"))
       .where(col("xv").isNotNull && col("yv").isNotNull)
       .groupBy(col("xv"), col("yv")).agg(count(lit(1)).as("n_xy"))
+      .localCheckpoint() // feeds both rank tables AND the moment join
     // 2×mid-rank per lattice value: 2·(#strictly-below) + cnt + 1.
     // The window runs over LATTICE rows only (bounded), never the corpus.
     def ranks(key: String, alias: String): DataFrame = {
