@@ -325,6 +325,7 @@ object SparkEntry {
     "q306_decay_score"    -> (Events.q306 _),
     "q307_forecast_eval"  -> (Events.q307 _),
     "q308_pr_auc"         -> (Text.q308 _),
+    "q309_edge_embeddedness" -> (Relational.q309 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -3949,6 +3950,36 @@ object SparkEntry {
            CAST(deg.d AS BIGINT) AS degree
          FROM pn JOIN deg ON deg.u = pn.part
          ORDER BY n_triangles DESC, part ASC LIMIT 20""",
+
+    // q190's enumeration; each triangle sheds its three edges in
+    // canonical id order, left-join zero-fill, bounded histogram.
+    "q309_edge_embeddedness" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+                     FROM lineitem WHERE l_orderkey % 8 = 0),
+         e AS (SELECT a.it AS pa, b.it AS pb
+               FROM li a JOIN li b ON a.bk = b.bk AND a.it < b.it GROUP BY 1, 2),
+         und AS MATERIALIZED (
+               SELECT pa AS u, pb AS v FROM e UNION ALL SELECT pb, pa FROM e),
+         deg AS (SELECT u, count(*) AS d FROM und GROUP BY 1),
+         o AS MATERIALIZED (SELECT un.u, un.v, dv.d AS dv
+               FROM und un JOIN deg du ON du.u = un.u JOIN deg dv ON dv.u = un.v
+               WHERE (du.d, un.u) < (dv.d, un.v)),
+         tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                 FROM o e1 JOIN o e2 ON e1.u = e2.u
+                   AND (e1.dv, e1.v) < (e2.dv, e2.v)
+                 JOIN o e3 ON e3.u = e1.v AND e3.v = e2.v),
+         te AS (SELECT least(a, b) AS pa, greatest(a, b) AS pb FROM tri
+                UNION ALL SELECT least(a, c), greatest(a, c) FROM tri
+                UNION ALL SELECT least(b, c), greatest(b, c) FROM tri),
+         sp AS (SELECT pa, pb, count(*) AS support FROM te GROUP BY 1, 2),
+         pe AS (SELECT e.pa, e.pb, coalesce(sp.support, 0) AS support
+                FROM e LEFT JOIN sp USING (pa, pb)),
+         h AS (SELECT support, count(*) AS n_edges FROM pe GROUP BY 1),
+         t AS (SELECT sum(n_edges) AS t FROM h)
+         SELECT CAST(support AS BIGINT) AS support,
+           CAST(n_edges AS BIGINT) AS n_edges,
+           CAST((10000 * n_edges) // t.t AS BIGINT) AS share_bp
+         FROM h, t""",
 
     // q190's orientation + wedge + closing chain, then per-node
     // rollup with cc = 20000·t // d(d−1) (null below degree 2) and the

@@ -1248,7 +1248,7 @@ object Relational {
     * quadratic step. */
   def triangleCounts(items: DataFrame, basket: String, item: String,
                      minSupport: Long, k: Int): DataFrame = {
-    val (deg, tri) = orientedTriangleLegs(items, basket, item, minSupport)
+    val (deg, tri, _) = orientedTriangleLegs(items, basket, item, minSupport)
     val perNode = tri.select(explode(array(col("a"), col("b"), col("c"))).as("part"))
       .groupBy(col("part")).agg(count(lit(1)).as("n_triangles"))
     perNode.join(deg.select(col("u").as("part"), col("d").as("degree")), "part")
@@ -1261,7 +1261,7 @@ object Relational {
     * + one closing equi-join (the scale argument lives on
     * [[triangleCounts]]). */
   private def orientedTriangleLegs(items: DataFrame, basket: String,
-      item: String, minSupport: Long): (DataFrame, DataFrame) = {
+      item: String, minSupport: Long): (DataFrame, DataFrame, DataFrame) = {
     val baskets = items.select(col(basket).as("bk"), col(item).as("it"))
       .groupBy(col("bk")).agg(sort_array(collect_set(col("it"))).as("arr"))
     val edges = baskets
@@ -1300,7 +1300,7 @@ object Relational {
     // so a single equality join finishes the triangle.
     val closing = o.select(col("u").as("b"), col("v").as("c"))
     val tri = wedges.join(closing, Seq("b", "c"))
-    (deg, tri)
+    (deg, tri, edges)
   }
 
   /** LOCAL CLUSTERING COEFFICIENT + GLOBAL TRANSITIVITY — the graph
@@ -1320,7 +1320,7 @@ object Relational {
     * (broadcast, no shuffle added). */
   def clusteringCoeff(items: DataFrame, basket: String, item: String,
                       minSupport: Long, k: Int): DataFrame = {
-    val (deg0, tri0) = orientedTriangleLegs(items, basket, item, minSupport)
+    val (deg0, tri0, _) = orientedTriangleLegs(items, basket, item, minSupport)
     val deg = deg0.localCheckpoint() // feeds per-node rows + wedge sum + n_tri join
     val tri = tri0.localCheckpoint() // feeds the per-node rollup + the global count
     val perNode = tri.select(explode(array(col("a"), col("b"), col("c"))).as("u"))
@@ -2525,6 +2525,56 @@ object Relational {
   def q190(s: SparkSession, d: String): DataFrame =
     triangleCounts(Tables.lineitem(s, d).filter(col("l_orderkey") % 8 === 0),
       "l_orderkey", "l_partkey", 1L, 20)
+
+  /** EDGE EMBEDDEDNESS / WEAK-TIE AUDIT — the per-EDGE cohesion the
+    * node suite can't see: an edge's embeddedness is the number of
+    * triangles it sits in (common neighbors of its endpoints), and
+    * the support-0 edges are Granovetter's weak ties — the bridges
+    * between otherwise-separate neighborhoods. The histogram answers
+    * two production questions at once: how much of the graph is
+    * bridge-like (high weak-tie share = fragmenting under any edge
+    * loss — q135's health profile at edge grain), and whether the
+    * q272 communities rest on thick internal support or coincidence.
+    *
+    * Each enumerated triangle (q190's oriented legs, O(m^1.5))
+    * contributes its three edges in canonical id order; a left join
+    * back to the edge list zero-fills the untouched edges. Output is
+    * the bounded (support, n_edges, share_bp) histogram.
+    *
+    * Scale: the q190 triangle legs + one edge-keyed join + a
+    * |distinct-support|-row rollup — nothing new shuffles beyond the
+    * audited triangle enumeration itself. */
+  def edgeEmbeddedness(items: DataFrame, basket: String, item: String,
+                       minSupport: Long): DataFrame = {
+    val (_, tri0, edges) = orientedTriangleLegs(items, basket, item,
+      minSupport)
+    // triangle corners arrive in (degree, id) orientation order;
+    // canonical edge identity is plain id order (the edge list's pa<pb)
+    val triEdges = tri0.select(explode(array(
+        struct(least(col("a"), col("b")).as("x"),
+          greatest(col("a"), col("b")).as("y")),
+        struct(least(col("a"), col("c")).as("x"),
+          greatest(col("a"), col("c")).as("y")),
+        struct(least(col("b"), col("c")).as("x"),
+          greatest(col("b"), col("c")).as("y")))).as("e"))
+      .select(col("e.x").as("pa"), col("e.y").as("pb"))
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("support"))
+    val perEdge = edges.join(triEdges, Seq("pa", "pb"), "left")
+      .na.fill(0L, Seq("support"))
+    val hist = perEdge.groupBy(col("support"))
+      .agg(count(lit(1)).as("n_edges"))
+    val tot = hist.agg(sum(col("n_edges")).as("t"))
+    hist.crossJoin(broadcast(tot))
+      .select(col("support"), col("n_edges"),
+        graft.functions.F.idiv(lit(10000L) * col("n_edges"), col("t"))
+          .as("share_bp"))
+  }
+
+  /** q309: embeddedness histogram of the sampled co-purchase graph
+    * (the q190 basket sampling). */
+  def q309(s: SparkSession, d: String): DataFrame =
+    edgeEmbeddedness(Tables.lineitem(s, d)
+      .filter(col("l_orderkey") % 8 === 0), "l_orderkey", "l_partkey", 1L)
 
   /** Synchronous LPA sweep count, shared with the q272 oracle's unroll. */
   val LpaRounds = 4

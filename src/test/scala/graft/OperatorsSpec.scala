@@ -4153,6 +4153,21 @@ class OperatorsSpec extends SparkSpec {
     assert(z.getLong(3) == 0L && z.isNullAt(4), z.toSeq.toString)
   }
 
+  test("edgeEmbeddedness: triangle edges support 1, cycle/pendant weak ties") {
+    import SparkTestSession.spark.implicits._
+    // triangle {1,2,3}, pendant 3-4, square 5-6-7-8 (triangle-free)
+    val baskets = Seq(
+      (100L, 1L), (100L, 2L), (100L, 3L),
+      (200L, 3L), (200L, 4L),
+      (301L, 5L), (301L, 6L), (302L, 6L), (302L, 7L),
+      (303L, 7L), (303L, 8L), (304L, 5L), (304L, 8L)
+    ).toDF("bk", "it")
+    val out = Relational.edgeEmbeddedness(baskets, "bk", "it", 1L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map(1L -> ((3L, 3750L)), 0L -> ((5L, 6250L))),
+      out.toString)
+  }
+
   test("prAucFromScores: perfect/worst/tied/empty hand cases") {
     import SparkTestSession.spark.implicits._
     def ap(rows: Seq[(Long, Long)]): org.apache.spark.sql.Row =
