@@ -354,6 +354,35 @@ object AnnOracleSql {
     SELECT query_id, rank, neighbor_id, ${bpS("cos")} AS cos_bp FROM r WHERE rank <= ${Similarity.TopK}"""
   }
 
+  /** q310 sweep leg: (n_tables, query_id, neighbor_id) of the LSH
+    * top-k at every table count in `sweep`, scored ONCE with each
+    * candidate's FIRST colliding table retained (mirror of
+    * lshTableCurve's prefix slicing over the q61 bucket chain). */
+  def lshSweepSql(sweep: Seq[Int]): String = {
+    val bits = Similarity.LshBits
+    val pts = sweep.mkString(", ")
+    s"""WITH $lshBucketCtes,
+    qb AS (SELECT DISTINCT k.vec_id AS query_id, k.t,
+             CASE WHEN f.i = $bits THEN k.bk
+                  ELSE xor(k.bk, CAST(1 << f.i AS BIGINT)) END AS bk
+           FROM bkt k CROSS JOIN (SELECT unnest(range(0, ${bits + 1})) AS i) f
+           WHERE k.vec_id < ${Similarity.NumQueries}),
+    cd AS (SELECT q.query_id, c.vec_id AS neighbor_id, min(q.t) AS first_t
+           FROM qb q JOIN bkt c ON c.t = q.t AND c.bk = q.bk
+           WHERE c.vec_id <> q.query_id GROUP BY 1, 2),
+    scored AS (SELECT cd.query_id, cd.neighbor_id, cd.first_t,
+               ${cosS("q.embedding", "c.embedding")} AS cos
+               FROM cd
+               JOIN ev q ON q.vec_id = cd.query_id
+               JOIN ev c ON c.vec_id = cd.neighbor_id),
+    pts AS (SELECT unnest([$pts]) AS n_tables),
+    sw AS (SELECT pts.n_tables, s.query_id, s.neighbor_id
+           FROM scored s CROSS JOIN pts WHERE s.first_t < pts.n_tables
+           QUALIFY row_number() OVER (PARTITION BY pts.n_tables, s.query_id
+             ORDER BY s.cos DESC, s.neighbor_id ASC) <= ${Similarity.TopK})
+    SELECT n_tables, query_id, neighbor_id FROM sw"""
+  }
+
   /** The ten k-means/ANN oracles, keyed by query name. q144 and q170
     * are row-identical to q62 and q168 respectively by the persisted-
     * index contract (spec-pinned), so they share SQL. */

@@ -326,6 +326,7 @@ object SparkEntry {
     "q307_forecast_eval"  -> (Events.q307 _),
     "q308_pr_auc"         -> (Text.q308 _),
     "q309_edge_embeddedness" -> (Relational.q309 _),
+    "q310_lsh_tables_curve" -> (Similarity.q310 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -2822,6 +2823,26 @@ object SparkEntry {
          WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.35""",
 
     "q60_ann_bruteforce" -> q60OracleSql,
+
+    // LSH recall-vs-tables: candidates keep their first colliding
+    // table, sweep points prefix-filter; recall vs the q60 truth.
+    "q310_lsh_tables_curve" ->
+      s"""WITH truth AS ($q60OracleSql),
+         approx AS (${AnnOracleSql.lshSweepSql(
+           graft.ops.Similarity.LshTableSweep)}),
+         pts AS (SELECT unnest([${graft.ops.Similarity.LshTableSweep
+           .mkString(", ")}]) AS n_tables),
+         j AS (SELECT p.n_tables, t.query_id, t.neighbor_id,
+                CASE WHEN a.neighbor_id IS NULL THEN 0 ELSE 1 END AS hit
+               FROM truth t CROSS JOIN pts p
+               LEFT JOIN approx a ON a.n_tables = p.n_tables
+                 AND a.query_id = t.query_id
+                 AND a.neighbor_id = t.neighbor_id)
+         SELECT CAST(n_tables AS BIGINT) AS n_tables,
+           count(DISTINCT query_id) AS n_queries, count(*) AS n_truth,
+           CAST(sum(hit) AS BIGINT) AS n_hit,
+           CAST((10000 * sum(hit)) // count(*) AS BIGINT) AS recall_bp
+         FROM j GROUP BY 1""",
 
     // IVF recall-vs-nprobe: the sweep leg scores once at max probes
     // and prefix-slices (AnnOracleSql.ivfSweepSql mirrors

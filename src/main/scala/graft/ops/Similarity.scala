@@ -1469,15 +1469,87 @@ object Similarity {
         lit(1L).as("hit"))
     val truth = bruteForceTopK(corpus, queries, id, emb, k)
       .select(col("query_id"), col("neighbor_id"))
+    sweepRecall(perPoint, truth, pts, "nprobe")
+  }
+
+  /** Shared recall-sweep tail (q302/q310): per sweep point, micro
+    * recall of the approximate hit list against the shared truth. */
+  private def sweepRecall(perPoint: DataFrame, truth: DataFrame,
+                          pts: DataFrame, param: String): DataFrame =
     truth.crossJoin(broadcast(pts))
-      .join(perPoint, Seq("nprobe", "query_id", "neighbor_id"), "left")
-      .groupBy(col("nprobe"))
+      .join(perPoint, Seq(param, "query_id", "neighbor_id"), "left")
+      .groupBy(col(param))
       .agg(countDistinct(col("query_id")).as("n_queries"),
         count(lit(1)).as("n_truth"),
         sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
-      .select(col("nprobe").cast("long").as("nprobe"), col("n_queries"),
+      .select(col(param).cast("long").as(param), col("n_queries"),
         col("n_truth"), col("n_hit"),
         F.idiv(lit(10000L) * col("n_hit"), col("n_truth")).as("recall_bp"))
+
+  /** The table-count sweep points for [[lshTableCurve]]. */
+  val LshTableSweep: Seq[Int] = Seq(1, 2, 4, 8, 16)
+
+  /** LSH RECALL-vs-TABLES CURVE — q302's tuning-table discipline for
+    * the OTHER index family: recall@k at every table-count prefix, so
+    * the operator answers "how many hash tables does my recall floor
+    * actually need" (tables are the LSH cost dial: each one is a full
+    * corpus re-hash and an index replica). ONE scoring pass: every
+    * candidate keeps the FIRST table where it collides with its query
+    * (a t-table index's candidate set is exactly {first_t < t} — the
+    * prefix property), each sweep point filters and re-cuts top-k.
+    *
+    * Scale: the q61 plan at the full table count + a |sweep|× fan of
+    * the candidate list; recall joins are O(queries·k) per point. */
+  def lshTableCurve(corpus: DataFrame, queries: DataFrame, id: String,
+                    emb: String, k: Int = TopK,
+                    masks: Seq[Long] = hyperplaneMasks, bits: Int = LshBits,
+                    sweep: Seq[Int] = LshTableSweep): DataFrame = {
+    require(sweep.nonEmpty && sweep.forall(_ >= 1))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    def withBuckets(df: DataFrame, idAs: String, embAs: String): DataFrame =
+      df.select(col(idAs),
+        posexplode(F.hyperplaneBuckets(col(embAs), masks, bits))
+          .as(Seq("t", "bk")))
+    val c = withBuckets(corpus.select(col(id).as("vid"),
+      col(emb).as("c_emb")), "vid", "c_emb")
+    val probes = col("bk") +: (0 until bits).map(i =>
+      col("bk").bitwiseXOR(lit(1L << i)))
+    val q = withBuckets(queries.select(col(id).as("query_id"),
+        col(emb).as("q_emb")), "query_id", "q_emb")
+      .select(col("query_id"), col("t"), explode(array(probes: _*)).as("bk"))
+    val cand = c.as("c").join(broadcast(q.as("q")),
+        col("c.t") === col("q.t") && col("c.bk") === col("q.bk") &&
+        col("c.vid") =!= col("q.query_id"))
+      .groupBy(col("query_id"), col("vid").as("neighbor_id"))
+      .agg(min(col("c.t")).as("first_t"))
+    val cos = F.cosineSim(col("q_emb"), col("c_emb"))
+    val scored = cand
+      .join(broadcast(queries.select(col(id).as("query_id"),
+        col(emb).as("q_emb"))), "query_id")
+      .join(corpus.select(col(id).as("neighbor_id"), col(emb).as("c_emb")),
+        "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), col("first_t"),
+        cos.as("cos"))
+      .localCheckpoint() // scored once, read by every sweep point
+    val pts = sweep.map(p => Tuple1(p)).toDF("n_tables")
+    val perPoint = scored.crossJoin(broadcast(pts))
+      .where(col("first_t") < col("n_tables"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("n_tables"), col("query_id"))
+          .orderBy(col("cos").desc, col("neighbor_id").asc)))
+      .where(col("rk") <= k)
+      .select(col("n_tables"), col("query_id"), col("neighbor_id"),
+        lit(1L).as("hit"))
+    val truth = bruteForceTopK(corpus, queries, id, emb, k)
+      .select(col("query_id"), col("neighbor_id"))
+    sweepRecall(perPoint, truth, pts, "n_tables")
+  }
+
+  /** q310: the q61 index's recall curve over table count. */
+  def q310(s: SparkSession, d: String): DataFrame = {
+    val (c, q) = corpusAndQueries(s, d)
+    lshTableCurve(c, q, "vec_id", "embedding")
   }
 
   /** q302: the q62 index's recall curve over nprobe ∈ {1,2,4,8,16}. */

@@ -4153,6 +4153,24 @@ class OperatorsSpec extends SparkSpec {
     assert(z.getLong(3) == 0L && z.isNullAt(4), z.toSeq.toString)
   }
 
+  test("lshTableCurve: recall monotone, full-table point equals q61's recall") {
+    val spark = SparkTestSession.spark
+    val (c, q) = Similarity.corpusAndQueries(spark, "/root/testdata/sf0.001")
+    val curve = Similarity.lshTableCurve(c, q, "vec_id", "embedding")
+      .orderBy(col("n_tables")).collect()
+    val recalls = curve.map(_.getLong(4)).toSeq
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      s"recall must be monotone in tables: $recalls")
+    // the 16-table sweep point IS q61: micro recall must match the
+    // q192 evaluation of the full index exactly
+    val full = Similarity.annRecall(
+        Similarity.bruteForceTopK(c, q, "vec_id", "embedding"),
+        Similarity.lshTopK(c, q, "vec_id", "embedding"))
+      .agg(sum(col("n_hit")), sum(col("n_truth"))).head()
+    val expect = 10000L * full.getLong(0) / full.getLong(1)
+    assert(recalls.last == expect, s"${recalls.last} vs $expect")
+  }
+
   test("edgeEmbeddedness: triangle edges support 1, cycle/pendant weak ties") {
     import SparkTestSession.spark.implicits._
     // triangle {1,2,3}, pendant 3-4, square 5-6-7-8 (triangle-free)
