@@ -354,6 +354,28 @@ object AnnOracleSql {
     SELECT query_id, rank, neighbor_id, ${bpS("cos")} AS cos_bp FROM r WHERE rank <= ${Similarity.TopK}"""
   }
 
+  /** q311: per-vector max bp-cosine to any lower-id cell partner over
+    * the trained cells, cut at every sweep τ (mirror of
+    * semDedupSweep's one-pair-pass prefix discipline). */
+  def semDedupSweepSql(cells: Int, taus: Seq[Int]): String =
+    s"""WITH ${trainCtes(cells)},
+    $assignCtes,
+    ml AS (SELECT b.vec_id AS vid,
+           max(${bpS(cosS("a.embedding", "b.embedding"))}) AS max_lower_bp
+           FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+           GROUP BY 1),
+    t AS (SELECT count(*) AS n_total FROM asg),
+    pts AS (SELECT CAST(unnest([${taus.mkString(", ")}]) AS BIGINT) AS tau_bp),
+    dr AS (SELECT pts.tau_bp, count(*) AS n_dropped
+           FROM ml CROSS JOIN pts WHERE ml.max_lower_bp >= pts.tau_bp
+           GROUP BY 1)
+    SELECT pts.tau_bp, CAST(t.n_total AS BIGINT) AS n_total,
+      CAST(coalesce(dr.n_dropped, 0) AS BIGINT) AS n_dropped,
+      CAST(t.n_total - coalesce(dr.n_dropped, 0) AS BIGINT) AS n_kept,
+      CAST((10000 * coalesce(dr.n_dropped, 0)) // t.n_total AS BIGINT)
+        AS drop_share_bp
+    FROM pts LEFT JOIN dr USING (tau_bp) CROSS JOIN t"""
+
   /** q310 sweep leg: (n_tables, query_id, neighbor_id) of the LSH
     * top-k at every table count in `sweep`, scored ONCE with each
     * candidate's FIRST colliding table retained (mirror of

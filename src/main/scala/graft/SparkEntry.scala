@@ -327,6 +327,7 @@ object SparkEntry {
     "q308_pr_auc"         -> (Text.q308 _),
     "q309_edge_embeddedness" -> (Relational.q309 _),
     "q310_lsh_tables_curve" -> (Similarity.q310 _),
+    "q311_semdedup_sweep" -> (Similarity.q311 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -2823,6 +2824,11 @@ object SparkEntry {
          WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.35""",
 
     "q60_ann_bruteforce" -> q60OracleSql,
+
+    // SemDeDup τ sweep: one intra-cell pair pass to per-vector maxima,
+    // bounded cuts per τ — the unrolled Lloyd trainer underneath.
+    "q311_semdedup_sweep" ->
+      AnnOracleSql.semDedupSweepSql(16, graft.ops.Similarity.SemTauSweep),
 
     // LSH recall-vs-tables: candidates keep their first colliding
     // table, sweep points prefix-filter; recall vs the q60 truth.

@@ -691,6 +691,55 @@ object Similarity {
   def q114(s: SparkSession, d: String): DataFrame =
     semDedup(Tables.embeddings(s, d), "vec_id", "embedding", 16, SemTau)
 
+  /** The τ sweep points (bp) for [[semDedupSweep]]. */
+  val SemTauSweep: Seq[Int] = Seq(2000, 3500, 5000, 7000, 9000)
+
+  /** SEMDEDUP THRESHOLD SWEEP — what each τ would COST before anyone
+    * runs the dedup: q114 executes one policy; the sweep shows the
+    * kept-corpus size at every candidate threshold so the aggressive-
+    * ness choice is made on data (τ too low deletes paraphrase-level
+    * diversity, τ too high keeps boilerplate twins). ONE intra-cell
+    * pair pass: each vector keeps the MAX cosine to any LOWER-id cell
+    * partner (the keep-min drop rule depends only on that maximum —
+    * dropped at τ iff max ≥ τ), then every sweep point is a bounded
+    * cut of the per-vector maxima. Cosines are bp-discretized at the
+    * boundary (the q60 convention), so the sweep compares integers.
+    *
+    * Scale: exactly q114's intra-cell join (the quantizer bounds it)
+    * + a |sweep|-row rollup; nothing new is quadratic. */
+  def semDedupSweep(corpus: DataFrame, id: String, emb: String, k: Int,
+                    tausBp: Seq[Int] = SemTauSweep,
+                    iters: Int = TrainIters): DataFrame = {
+    require(tausBp.nonEmpty)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = trainCentroids(corpus, id, emb, k, iters)
+    val cells = corpus.select(col(id).as("vid"), col(emb).as("e"),
+      bestCellId(cents, col(emb)).as("cell"))
+      .localCheckpoint() // feeds both pair legs AND the total
+    val maxLower = cells.as("a").join(cells.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vid") < col("b.vid"))
+      .select(col("b.vid").as("vid"),
+        bp(F.cosineSim(col("a.e"), col("b.e"))).as("cos_bp"))
+      .groupBy(col("vid")).agg(max(col("cos_bp")).as("max_lower_bp"))
+      .localCheckpoint() // one pair pass, read by every sweep point
+    val tot = cells.agg(count(lit(1)).as("n_total"))
+    val taus = tausBp.map(t => Tuple1(t.toLong)).toDF("tau_bp")
+    val drops = maxLower.crossJoin(broadcast(taus))
+      .where(col("max_lower_bp") >= col("tau_bp"))
+      .groupBy(col("tau_bp")).agg(count(lit(1)).as("n_dropped"))
+    taus.join(drops, Seq("tau_bp"), "left").na.fill(0L, Seq("n_dropped"))
+      .crossJoin(broadcast(tot))
+      .select(col("tau_bp"), col("n_total"), col("n_dropped"),
+        (col("n_total") - col("n_dropped")).as("n_kept"),
+        F.idiv(lit(10000L) * col("n_dropped"), col("n_total"))
+          .as("drop_share_bp"))
+  }
+
+  /** q311: the kept-corpus curve of q114's policy over τ. */
+  def q311(s: SparkSession, d: String): DataFrame =
+    semDedupSweep(Tables.embeddings(s, d), "vec_id", "embedding", 16)
+
   /** q114 in its 100 TB deployment mode: the cell count scales with
     * the corpus (k = n/125, the sf0.1 width) so cell WIDTH — and with
     * it the intra-cell pair join, SemDeDup's only superlinear term —

@@ -4153,6 +4153,26 @@ class OperatorsSpec extends SparkSpec {
     assert(z.getLong(3) == 0L && z.isNullAt(4), z.toSeq.toString)
   }
 
+  test("semDedupSweep: exact duplicate cuts, monotone drop curve") {
+    import SparkTestSession.spark.implicits._
+    // ids 1-4 identical, 5-6 orthogonal singletons; one cell (k=1)
+    val embs = (Seq(1L, 2L, 3L, 4L).map(i => (i, Array(1f, 0f, 0f, 0f))) ++
+      Seq((5L, Array(0f, 1f, 0f, 0f)), (6L, Array(0f, 0f, 1f, 0f))))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semDedupSweep(embs, "vec_id", "embedding", 1,
+        tausBp = Seq(5000, 10000))
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(out(5000L) == Seq(6L, 3L, 3L, 5000L), out.toString)
+    assert(out(10000L) == Seq(6L, 3L, 3L, 5000L), out.toString)
+    // drop counts are monotone non-increasing in τ on real data
+    val curve = Similarity.semDedupSweep(
+      Tables.embeddings(SparkTestSession.spark, "/root/testdata/sf0.001"),
+      "vec_id", "embedding", 16).orderBy(col("tau_bp")).collect()
+      .map(_.getLong(2)).toSeq
+    assert(curve.zip(curve.tail).forall { case (a, b) => a >= b },
+      curve.toString)
+  }
+
   test("lshTableCurve: recall monotone, full-table point equals q61's recall") {
     val spark = SparkTestSession.spark
     val (c, q) = Similarity.corpusAndQueries(spark, "/root/testdata/sf0.001")
