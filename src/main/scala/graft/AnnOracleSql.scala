@@ -354,6 +354,37 @@ object AnnOracleSql {
     SELECT query_id, rank, neighbor_id, ${bpS("cos")} AS cos_bp FROM r WHERE rank <= ${Similarity.TopK}"""
   }
 
+  /** q312: per-subspace PQ reconstruction distortion — min integer L2
+    * to the trained codewords (mirror of pqDistortion's least() over
+    * literal rows), norms on the same grid, ALL row sub = −1. */
+  def pqDistortionSql: String =
+    s"""WITH $pqTrainCtes,
+    qv AS (SELECT vec_id, ${quant("embedding")} AS qe FROM embeddings),
+    xv AS (SELECT q.vec_id, b.sub,
+           list_transform(range(1, m.ds + 1), t -> q.qe[b.sub * m.ds + t]) AS v
+           FROM qv q CROSS JOIN subs b CROSS JOIN meta m),
+    dd AS (SELECT x.vec_id, x.sub, min(${l2q("x.v", "c.c")}) AS err
+           FROM xv x JOIN cb c ON c.sub = x.sub GROUP BY 1, 2),
+    nn AS (SELECT vec_id, sub,
+           list_sum(list_transform(v, y -> y * y)) AS norm FROM xv),
+    per AS (SELECT d.sub, d.err, n.norm
+            FROM dd d JOIN nn n ON n.vec_id = d.vec_id AND n.sub = d.sub),
+    bs AS (SELECT sub, count(*) AS n_vectors,
+           sum(CAST(err AS HUGEINT)) AS sum_err,
+           sum(CAST(norm AS HUGEINT)) AS sum_norm FROM per GROUP BY 1),
+    al AS (SELECT CAST(-1 AS BIGINT) AS sub,
+           sum(n_vectors) // ${Similarity.PqM} AS n_vectors,
+           sum(sum_err) AS sum_err, sum(sum_norm) AS sum_norm FROM bs),
+    u AS (SELECT CAST(sub AS BIGINT) AS sub, n_vectors, sum_err, sum_norm
+          FROM bs UNION ALL SELECT sub, n_vectors, sum_err, sum_norm FROM al)
+    SELECT sub, CAST(n_vectors AS BIGINT) AS n_vectors,
+      CAST(sum_err AS BIGINT) AS sum_err,
+      CAST(sum_err // n_vectors AS BIGINT) AS mse_q,
+      CAST(CASE WHEN sum_norm = 0 THEN NULL
+           ELSE (10000 * sum_err) // sum_norm END AS BIGINT)
+        AS distortion_share_bp
+    FROM u"""
+
   /** q311: per-vector max bp-cosine to any lower-id cell partner over
     * the trained cells, cut at every sweep τ (mirror of
     * semDedupSweep's one-pair-pass prefix discipline). */

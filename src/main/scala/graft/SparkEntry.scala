@@ -328,6 +328,7 @@ object SparkEntry {
     "q309_edge_embeddedness" -> (Relational.q309 _),
     "q310_lsh_tables_curve" -> (Similarity.q310 _),
     "q311_semdedup_sweep" -> (Similarity.q311 _),
+    "q312_pq_distortion"  -> (Similarity.q312 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -2829,6 +2830,10 @@ object SparkEntry {
     // bounded cuts per τ — the unrolled Lloyd trainer underneath.
     "q311_semdedup_sweep" ->
       AnnOracleSql.semDedupSweepSql(16, graft.ops.Similarity.SemTauSweep),
+
+    // PQ distortion: min integer L2 to the unrolled per-subspace
+    // codebook, grid norms, (m+1)-row report with the ALL fold.
+    "q312_pq_distortion" -> AnnOracleSql.pqDistortionSql,
 
     // LSH recall-vs-tables: candidates keep their first colliding
     // table, sweep points prefix-filter; recall vs the q60 truth.

@@ -372,6 +372,70 @@ object Similarity {
         .select(col("query_id"), col("neighbor_id"), cos.as("cos")), k)
   }
 
+  /** PQ RECONSTRUCTION-DISTORTION AUDIT — how lossy is the 32× byte
+    * cut, per subspace: a vector's PQ distortion in subspace `sub` is
+    * its squared L2 to the NEAREST codeword (assignment is argmin, so
+    * distortion = min distance — no code extraction needed), and the
+    * actionable number is distortion_share = Σerr/Σ‖x_sub‖² — the
+    * fraction of each subspace's energy the quantizer throws away. A
+    * subspace whose share towers over the others is where recall is
+    * leaking (raise kCent there, or re-cut the subspace boundaries);
+    * a uniformly high share says the codebook is undertrained, not
+    * the geometry. ALL row (sub = −1) aggregates the whole vector.
+    *
+    * Exact integers on the 2¹⁴ grid end to end: per-(vector, sub) err
+    * is a least() over the 16 literal-codeword integer L2s (map-side,
+    * codegen'd), sums in decimal(38,0), one truncating idiv per
+    * reported ratio. Scale: ONE map-side pass + a (m+1)-row rollup —
+    * the cheapest audit the PQ family has. */
+  def pqDistortion(corpus: DataFrame, id: String, emb: String,
+                   m: Int = PqM, kCent: Int = PqK,
+                   trainIters: Int = PqIters): DataFrame = {
+    val codebook = trainPqCodebook(corpus, id, emb, m, kCent, trainIters)
+    val cbq: Seq[Long] = codebook.map(quantizeVal)
+    val dim = 64
+    val ds = dim / m
+    val q = transform(col(emb),
+      x => floor(x.cast("double") * lit(QuantScale.toDouble)).cast("long"))
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val rows = (0 until m).map { sub =>
+      val sv = slice(q, sub * ds + 1, ds)
+      val dists = (0 until kCent).map { j =>
+        val row = (0 until ds).map(t => cbq((sub * kCent + j) * ds + t))
+        aggregate(zip_with(sv, typedLit(row), (a, b) => (a - b) * (a - b)),
+          lit(0L), (a, v) => a + v)
+      }
+      val norm = aggregate(sv, lit(0L), (a, v) => a + v * v)
+      struct(lit(sub.toLong).as("sub"), least(dists: _*).as("err"),
+        norm.as("norm"))
+    }
+    val per = corpus.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.sub"), col("r.err"), col("r.norm"))
+    val bySub = per.groupBy(col("sub"))
+      .agg(count(lit(1)).as("n_vectors"), sum(dec(col("err"))).as("sum_err"),
+        sum(dec(col("norm"))).as("sum_norm"))
+    val withAll = bySub.unionAll(bySub.agg(sum(col("n_vectors")).as("n"),
+        sum(col("sum_err")).as("e"), sum(col("sum_norm")).as("m_"))
+      .select(lit(-1L).as("sub"),
+        // the ALL row's n_vectors counts VECTORS, not (vector, sub) rows
+        graft.functions.F.idiv(col("n"), lit(m.toLong)).cast("long").as("n"),
+        col("e"), col("m_")))
+    // sums ride decimal(38,0) internally (100 TB headroom); the
+    // REPORTED sum is a long — ≤ ds·(2¹⁵)²·n, within range to n≈10⁵
+    // per the test-scale contract, and the ratios are the product
+    withAll.select(col("sub"), col("n_vectors").cast("long").as("n_vectors"),
+      col("sum_err").cast("long").as("sum_err"),
+      graft.functions.F.idiv(col("sum_err"), dec(col("n_vectors")))
+        .cast("long").as("mse_q"),
+      when(col("sum_norm") === dec(lit(0L)), lit(null).cast("long"))
+        .otherwise(graft.functions.F.idiv(lit(10000L) * col("sum_err"),
+          col("sum_norm")).cast("long")).as("distortion_share_bp"))
+  }
+
+  /** q312: per-subspace PQ distortion of the q63 codebook. */
+  def q312(s: SparkSession, d: String): DataFrame =
+    pqDistortion(Tables.embeddings(s, d), "vec_id", "embedding")
+
   // ---- driver-contract facades over the test embeddings table ----
 
   private[graft] def corpusAndQueries(s: SparkSession, d: String): (DataFrame, DataFrame) = {

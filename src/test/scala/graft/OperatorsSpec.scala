@@ -4153,6 +4153,30 @@ class OperatorsSpec extends SparkSpec {
     assert(z.getLong(3) == 0L && z.isNullAt(4), z.toSeq.toString)
   }
 
+  test("pqDistortion: zero when corpus is the codebook, ALL-row folds") {
+    import SparkTestSession.spark.implicits._
+    // 16 distinct one-hot-scaled vectors = 16 centroids: k-means fits
+    // them exactly -> every subspace reconstructs losslessly
+    val exact = (0 until 16).map { i =>
+      (i.toLong, Array.tabulate(64)(j => if (j == i * 4) 1f else 0f))
+    }.toDF("vec_id", "embedding")
+    val z = Similarity.pqDistortion(exact, "vec_id", "embedding")
+      .collect()
+    assert(z.forall(_.getLong(2) == 0L), z.map(_.toSeq).mkString("; "))
+    // real table: ALL row aggregates the per-sub rows exactly
+    val out = Similarity.pqDistortion(
+      Tables.embeddings(SparkTestSession.spark, "/root/testdata/sf0.001"),
+      "vec_id", "embedding").collect()
+    val subs = out.filter(_.getLong(0) >= 0L)
+    val all = out.find(_.getLong(0) == -1L).get
+    assert(subs.length == 8 && all.getLong(2) == subs.map(_.getLong(2)).sum,
+      out.map(_.toSeq).mkString("; "))
+    assert(subs.forall(r => r.getLong(1) == all.getLong(1)),
+      "per-sub n_vectors equals the vector count")
+    assert(all.getLong(4) > 0L && all.getLong(4) < 10000L,
+      s"share in (0, 10000): ${all.getLong(4)}")
+  }
+
   test("semDedupSweep: exact duplicate cuts, monotone drop curve") {
     import SparkTestSession.spark.implicits._
     // ids 1-4 identical, 5-6 orthogonal singletons; one cell (k=1)
