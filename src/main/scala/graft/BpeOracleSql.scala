@@ -211,9 +211,32 @@ SELECT g.lang, CAST(sum(g.wc) AS BIGINT) AS n_words,
 FROM g JOIN opt o USING (word) GROUP BY g.lang"""
   }
 
+  /** q313: compression at every merge-count prefix — each sweep point
+    * reads the training chain's OWN corpus state w_m (the symbolized
+    * corpus after merges 1..m; prefix-closure means w_m IS the
+    * m-merge tokenizer's output, the same equivalence the q141/q142
+    * pair pins), so the whole curve costs one chain materialization. */
+  def q313(sweep: Seq[Int]): String = {
+    val legs = sweep.map { m =>
+      s"""SELECT CAST($m AS BIGINT) AS n_merges,
+  CAST(sum(wc) AS BIGINT) AS n_words,
+  CAST(sum(wc * len(list_filter(string_split(rep, '  '), x -> x <> '')))
+    AS BIGINT) AS n_tokens,
+  CAST(sum(wc * length(replace(rep, ' ', ''))) AS BIGINT) AS n_chars,
+  CAST((10000 * sum(wc * len(list_filter(string_split(rep, '  '), x -> x <> ''))))
+    // sum(wc) AS BIGINT) AS fertility_bp,
+  CAST((10000 * sum(wc * length(replace(rep, ' ', ''))))
+    // sum(wc * len(list_filter(string_split(rep, '  '), x -> x <> '')))
+    AS BIGINT) AS chars_per_token_bp
+  FROM w$m"""
+    }.mkString("\nUNION ALL ")
+    "WITH " + chainCtes.mkString(",\n") + "\n" + legs
+  }
+
   def all: Map[String, String] = Map(
     "q141_bpe_vocab"      -> q141,
     "q142_bpe_tokenize"   -> q142,
     "q229_bpe_fertility"  -> q229,
-    "q235_seg_gap"        -> q235)
+    "q235_seg_gap"        -> q235,
+    "q313_bpe_merge_curve" -> q313(graft.ops.Text.BpeMergeSweep))
 }

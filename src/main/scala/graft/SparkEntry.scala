@@ -329,6 +329,7 @@ object SparkEntry {
     "q310_lsh_tables_curve" -> (Similarity.q310 _),
     "q311_semdedup_sweep" -> (Similarity.q311 _),
     "q312_pq_distortion"  -> (Similarity.q312 _),
+    "q313_bpe_merge_curve" -> (Text.q313 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:

@@ -1308,6 +1308,51 @@ object Text {
     tokenizerFertility(Tables.documents(s, d), "lang", "text",
       loadedMerges(s, d))
 
+  /** The merge-count sweep for [[bpeMergeCurve]] (0 = character
+    * level, BpeMergeCount = the full learned table). */
+  val BpeMergeSweep: Seq[Int] = Seq(0, 5, 10, 15, 20, 25, 30)
+
+  /** BPE MERGE-BUDGET CURVE — compression vs vocabulary size, the
+    * "how many merges does this corpus actually need" dial: each
+    * sweep point encodes under the FIRST m learned merges (a BPE
+    * vocabulary is prefix-closed — the m-merge tokenizer IS the first
+    * m rows of the merge table, so one trained artifact serves every
+    * point) and reports corpus tokens, fertility, and chars/token.
+    * The curve's knee is the budget decision: merges past it buy
+    * tokens nobody saves (the q141 trainer's pair counts say what's
+    * frequent; this says what it's WORTH).
+    *
+    * Scale: ONE tokenize+count pass reduces the corpus to its
+    * occurrence-weighted word vocabulary; each sweep point is a
+    * map-side BpeEncode over that vocabulary-sized table (codegen,
+    * no shuffle) + a one-row fold. Exact integer bp ratios. */
+  def bpeMergeCurve(df: DataFrame, text: String,
+                    merges: Seq[(String, String)],
+                    sweep: Seq[Int] = BpeMergeSweep): DataFrame = {
+    require(sweep.nonEmpty && sweep.forall(m => m >= 0 && m <= merges.size))
+    val words = withToks(df, text)
+      .select(explode(toks).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+      .localCheckpoint() // one corpus pass, read by every sweep point
+    sweep.map { m =>
+      words.agg(sum(col("wc")).as("n_words"),
+          sum(col("wc") * size(F.bpeEncode(col("word"), merges.take(m)))
+            .cast("long")).as("n_tokens"),
+          sum(col("wc") * length(col("word")).cast("long")).as("n_chars"))
+        .select(lit(m.toLong).as("n_merges"), col("n_words"),
+          col("n_tokens"), col("n_chars"),
+          F.idiv(lit(10000L) * col("n_tokens"), col("n_words"))
+            .as("fertility_bp"),
+          F.idiv(lit(10000L) * col("n_chars"), col("n_tokens"))
+            .as("chars_per_token_bp"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** q313: the learned merge table's compression curve. */
+  def q313(s: SparkSession, d: String): DataFrame =
+    bpeMergeCurve(Tables.documents(s, d), "text", loadedMerges(s, d))
+
   /** GREEDY-vs-OPTIMAL TOKENIZATION GAP — how many tokens the
     * production encoder WASTES against the best segmentation its own
     * inventory permits: greedy lowest-rank-first BPE (BpeEncode, what

@@ -4153,6 +4153,21 @@ class OperatorsSpec extends SparkSpec {
     assert(z.getLong(3) == 0L && z.isNullAt(4), z.toSeq.toString)
   }
 
+  test("bpeMergeCurve: char level at m=0, hand-worked merge, monotone tokens") {
+    import SparkTestSession.spark.implicits._
+    val docs = Seq((1L, "aa aa ab")).toDF("doc_id", "text")
+    val out = Text.bpeMergeCurve(docs, "text", Seq(("a", "a")), Seq(0, 1))
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    // m=0: every char a token (6 = chars); m=1: aa collapses (4)
+    assert(out(0L) == Seq(3L, 6L, 6L, 20000L, 10000L), out.toString)
+    assert(out(1L) == Seq(3L, 4L, 6L, 13333L, 15000L), out.toString)
+    // real corpus: token count monotone non-increasing in merges
+    val curve = Text.q313(SparkTestSession.spark, "/root/testdata/sf0.001")
+      .orderBy(col("n_merges")).collect().map(_.getLong(2)).toSeq
+    assert(curve.zip(curve.tail).forall { case (a, b) => a >= b },
+      curve.toString)
+  }
+
   test("pqDistortion: zero when corpus is the codebook, ALL-row folds") {
     import SparkTestSession.spark.implicits._
     // 16 distinct one-hot-scaled vectors = 16 centroids: k-means fits
