@@ -330,6 +330,7 @@ object SparkEntry {
     "q311_semdedup_sweep" -> (Similarity.q311 _),
     "q312_pq_distortion"  -> (Similarity.q312 _),
     "q313_bpe_merge_curve" -> (Text.q313 _),
+    "q314_dispersion"     -> (Events.q314 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -2051,6 +2052,27 @@ object SparkEntry {
                 ELSE (10000 * (hn.h_next_unat - hc.h_cond_unat))
                      // hn.h_next_unat END AS BIGINT) AS gain_share_bp
          FROM t, hn, hc""",
+
+    // Fano factor over the zero-completed (type, day) grid: HUGEINT
+    // moments, D_milli one truncating idiv, NULL on a silent group.
+    "q314_dispersion" ->
+      """WITH d0 AS (SELECT event_type AS g, CAST(ts AS DATE) AS day,
+                count(*) AS x FROM events GROUP BY 1, 2),
+         cal AS (SELECT DISTINCT day FROM d0),
+         gs AS (SELECT DISTINCT g FROM d0),
+         grid AS (SELECT gs.g, cal.day, coalesce(d0.x, 0) AS x
+                  FROM gs CROSS JOIN cal LEFT JOIN d0 USING (g, day)),
+         m AS (SELECT g, count(*) AS n_days, sum(x) AS n_events,
+               sum(CAST(x AS HUGEINT) * x) AS sxx FROM grid GROUP BY 1)
+         SELECT g AS event_type, CAST(n_days AS BIGINT) AS n_days,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST((1000 * n_events) // n_days AS BIGINT) AS mean_milli,
+           CAST(CASE WHEN n_events = 0 THEN NULL
+                ELSE (1000 * (CAST(n_days AS HUGEINT) * sxx
+                  - CAST(n_events AS HUGEINT) * n_events))
+                  // (CAST(n_days AS HUGEINT) * n_events)
+                END AS BIGINT) AS dispersion_milli
+         FROM m""",
 
     // Step-decay weights 2²⁰ >> age_weeks (exact integers both
     // engines), per-user sums, top-20 by (score desc, user asc).

@@ -1722,6 +1722,48 @@ object Events {
   def q163(s: SparkSession, d: String): DataFrame =
     burstiness(Tables.events(s, d), "user_id", micros(col("ts")), "event_id")
 
+  /** DISPERSION INDEX (FANO FACTOR) of daily counts per group — the
+    * Poisson-ness test that says whether count-based alerting math is
+    * even valid: D = Var/Mean of the group's daily count is 1 for a
+    * Poisson arrival stream, ≫1 for bursty/clumped arrivals (q163
+    * measures the same pathology at user-gap grain; this is the
+    * per-TYPE, per-day-count face that q123's rate thresholds and
+    * q208's CIs implicitly assume away). Zero days count: the grid is
+    * completed over the table's active calendar (a type absent on a
+    * busy day IS dispersion evidence), via a bounded types×days cross
+    * join. Exact integers: D_milli = 1000·(nΣx²−(Σx)²) idiv (n·Σx)
+    * in decimal(38,0) (Σx² at 10¹² rows outruns a long), NULL when
+    * the group never fires (mean 0).
+    *
+    * Scale: one (group, day) aggregation over the corpus; the grid
+    * completion and moment folds are |groups|·|days|-bounded. */
+  def dispersionIndex(events: DataFrame, group: String,
+                      day: Column): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val daily = events.select(col(group).as("g"), day.as("day"))
+      .groupBy(col("g"), col("day")).agg(count(lit(1)).as("x"))
+      .localCheckpoint() // feeds the calendar, the group list, the grid
+    val cal = daily.select(col("day")).distinct()
+    val grid = daily.select(col("g")).distinct().crossJoin(cal)
+      .join(daily, Seq("g", "day"), "left").na.fill(0L, Seq("x"))
+    val m = grid.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_days"), sum(col("x")).as("n_events"),
+        sum(dec(col("x")) * dec(col("x"))).as("sxx"))
+    m.select(col("g").as(group), col("n_days"), col("n_events"),
+      graft.functions.F.idiv(lit(1000L) * col("n_events"), col("n_days"))
+        .as("mean_milli"),
+      when(col("n_events") === 0L, lit(null).cast("long"))
+        .otherwise(graft.functions.F.idiv(
+          dec(lit(1000L)) * (dec(col("n_days")) * col("sxx") -
+            dec(col("n_events")) * dec(col("n_events"))),
+          dec(col("n_days")) * dec(col("n_events"))).cast("long"))
+        .as("dispersion_milli"))
+  }
+
+  /** q314: Fano factor of daily counts per event type. */
+  def q314(s: SparkSession, d: String): DataFrame =
+    dispersionIndex(Tables.events(s, d), "event_type", to_date(col("ts")))
+
   /** MERGEABLE QUANTILE SKETCH by bottom-k hash sampling — the quantile
     * member of the sketch-store family (KMV = distincts q174/q175,
     * HLL = q159, this = value distribution): each day keeps the k

@@ -4153,6 +4153,21 @@ class OperatorsSpec extends SparkSpec {
     assert(z.getLong(3) == 0L && z.isNullAt(4), z.toSeq.toString)
   }
 
+  test("dispersionIndex: constant = 0, burst = hand value, zero days count") {
+    import SparkTestSession.spark.implicits._
+    import java.sql.Date
+    def day(i: Int) = Date.valueOf(java.time.LocalDate.of(2024, 5, 1)
+      .plusDays(i).toString)
+    // A: 5 events on each of 4 days (D = 0); B: 8 events on day 0 only
+    // (grid completion makes its other 3 days ZERO: D = 6000 milli)
+    val ev = ((0 until 4).flatMap(i => Seq.fill(5)(("A", day(i)))) ++
+      Seq.fill(8)(("B", day(0)))).toDF("t", "day")
+    val out = Events.dispersionIndex(ev, "t", col("day"))
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(out("A") == Seq(4L, 20L, 5000L, 0L), out.toString)
+    assert(out("B") == Seq(4L, 8L, 2000L, 6000L), out.toString)
+  }
+
   test("bpeMergeCurve: char level at m=0, hand-worked merge, monotone tokens") {
     import SparkTestSession.spark.implicits._
     val docs = Seq((1L, "aa aa ab")).toDF("doc_id", "text")
