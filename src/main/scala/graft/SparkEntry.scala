@@ -331,6 +331,7 @@ object SparkEntry {
     "q312_pq_distortion"  -> (Similarity.q312 _),
     "q313_bpe_merge_curve" -> (Text.q313 _),
     "q314_dispersion"     -> (Events.q314 _),
+    "q315_user_flows"     -> (Events.q315 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -2052,6 +2053,41 @@ object SparkEntry {
                 ELSE (10000 * (hn.h_next_unat - hc.h_cond_unat))
                      // hn.h_next_unat END AS BIGINT) AS gain_share_bp
          FROM t, hn, hc""",
+
+    // Growth accounting: distinct (user, week), 7-day self-join for
+    // retained, first-week for new/resurrected, lagged churn with the
+    // consecutive-week guard.
+    "q315_user_flows" ->
+      """WITH uw AS (SELECT DISTINCT user_id AS u,
+                date_trunc('week', CAST(ts AS DATE)) AS week FROM events),
+         fw AS (SELECT u, min(week) AS first_week FROM uw GROUP BY 1),
+         fl AS (SELECT uw.week,
+                CASE WHEN p.u IS NOT NULL THEN 'retained'
+                     WHEN uw.week = fw.first_week THEN 'new'
+                     ELSE 'resurrected' END AS status
+                FROM uw LEFT JOIN uw p ON p.u = uw.u
+                  AND p.week = uw.week - 7
+                JOIN fw ON fw.u = uw.u),
+         pw AS (SELECT week, count(*) AS n_active,
+                sum(CASE WHEN status = 'retained' THEN 1 ELSE 0 END) AS n_retained,
+                sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS n_new,
+                sum(CASE WHEN status = 'resurrected' THEN 1 ELSE 0 END) AS n_resurrected
+                FROM fl GROUP BY 1),
+         lg AS (SELECT *, lag(week) OVER (ORDER BY week ASC) AS prev_week,
+                lag(n_active) OVER (ORDER BY week ASC) AS prev_active FROM pw)
+         SELECT strftime(CAST(week AS DATE), '%Y-%m-%d') AS week,
+           CAST(n_active AS BIGINT) AS n_active,
+           CAST(n_retained AS BIGINT) AS n_retained,
+           CAST(n_new AS BIGINT) AS n_new,
+           CAST(n_resurrected AS BIGINT) AS n_resurrected,
+           CAST(CASE WHEN prev_week IS NOT NULL
+                  AND date_diff('day', prev_week, week) = 7
+                THEN prev_active - n_retained END AS BIGINT) AS n_churned,
+           CAST(CASE WHEN prev_week IS NOT NULL
+                  AND date_diff('day', prev_week, week) = 7
+                THEN (10000 * n_retained) // prev_active END AS BIGINT)
+             AS retention_bp
+         FROM lg""",
 
     // Fano factor over the zero-completed (type, day) grid: HUGEINT
     // moments, D_milli one truncating idiv, NULL on a silent group.

@@ -1764,6 +1764,67 @@ object Events {
   def q314(s: SparkSession, d: String): DataFrame =
     dispersionIndex(Tables.events(s, d), "event_type", to_date(col("ts")))
 
+  /** WEEKLY USER FLOWS — the growth-accounting table: every active
+    * user each week is exactly one of RETAINED (active last week too),
+    * NEW (first week ever), or RESURRECTED (away ≥1 week, back now),
+    * and last week's actives who vanished are CHURNED — so
+    * Δactives = new + resurrected − churned holds row by row, which
+    * is the identity growth teams reconcile dashboards against (q36's
+    * cohort retention slices by signup cohort; this is the calendar
+    * flow the weekly business review reads). retention_bp = retained /
+    * last week's actives, exact.
+    *
+    * Scale: one (user, week) distinct (THE corpus shuffle), a
+    * min-per-user first-week table, one self-join on the 7-day shift —
+    * all user-week grain; the report is week-count rows. */
+  def userFlows(events: DataFrame, entity: String, day: Column): DataFrame = {
+    val uw = events
+      .select(col(entity).as("u"), date_trunc("week", day).cast("date")
+        .as("week"))
+      .distinct()
+      .localCheckpoint() // feeds first-week, both join legs, the counts
+    val first = uw.groupBy(col("u")).agg(min(col("week")).as("first_week"))
+    val flagged = uw
+      .join(uw.select(col("u"), date_add(col("week"), 7).as("week"))
+        .withColumn("prev_active", lit(1)), Seq("u", "week"), "left")
+      .join(first, "u")
+      .select(col("week"),
+        when(col("prev_active").isNotNull, "retained")
+          .when(col("week") === col("first_week"), "new")
+          .otherwise("resurrected").as("status"))
+    val perWeek = flagged.groupBy(col("week"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("status") === "retained", 1L).otherwise(0L))
+          .as("n_retained"),
+        sum(when(col("status") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("status") === "resurrected", 1L).otherwise(0L))
+          .as("n_resurrected"))
+    // churned at week w = actives(w−7) − retained(w); prev actives by
+    // a lag over the bounded week table (calendar weeks only — a week
+    // with zero actives cannot occur in the week table by construction
+    // of uw, so the lag is the 7-day predecessor when present)
+    val w = Window.orderBy(col("week").asc)
+    perWeek
+      .withColumn("prev_week", lag(col("week"), 1).over(w))
+      .withColumn("prev_active", lag(col("n_active"), 1).over(w))
+      .select(date_format(col("week"), "yyyy-MM-dd").as("week"),
+        col("n_active"), col("n_retained"), col("n_new"),
+        col("n_resurrected"),
+        when(col("prev_week").isNotNull &&
+            datediff(col("week"), col("prev_week")) === 7,
+          col("prev_active") - col("n_retained"))
+          .otherwise(lit(null).cast("long")).as("n_churned"),
+        when(col("prev_week").isNotNull &&
+            datediff(col("week"), col("prev_week")) === 7,
+          graft.functions.F.idiv(lit(10000L) * col("n_retained"),
+            col("prev_active")))
+          .otherwise(lit(null).cast("long")).as("retention_bp"))
+  }
+
+  /** q315: weekly growth accounting over the events stream. */
+  def q315(s: SparkSession, d: String): DataFrame =
+    userFlows(Tables.events(s, d), "user_id", to_date(col("ts")))
+
   /** MERGEABLE QUANTILE SKETCH by bottom-k hash sampling — the quantile
     * member of the sketch-store family (KMV = distincts q174/q175,
     * HLL = q159, this = value distribution): each day keeps the k

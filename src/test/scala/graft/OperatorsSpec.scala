@@ -4153,6 +4153,33 @@ class OperatorsSpec extends SparkSpec {
     assert(z.getLong(3) == 0L && z.isNullAt(4), z.toSeq.toString)
   }
 
+  test("userFlows: retained/new/resurrected/churned hand case + identity") {
+    import SparkTestSession.spark.implicits._
+    import java.sql.Date
+    val ev = Seq(
+      (1L, "2024-01-01"), (1L, "2024-01-08"), (1L, "2024-01-15"),
+      (2L, "2024-01-02"), (2L, "2024-01-16"),   // away in week 2
+      (3L, "2024-01-09")                        // week 2 only
+    ).map { case (u, d) => (u, Date.valueOf(d)) }.toDF("user_id", "day")
+    val out = Events.userFlows(ev, "user_id", col("day"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val w1 = out("2024-01-01"); val w2 = out("2024-01-08")
+    val w3 = out("2024-01-15")
+    assert(w1.toSeq.drop(1).take(4) == Seq(2L, 0L, 2L, 0L) && w1.isNullAt(5),
+      w1.toSeq.toString)
+    assert(w2.toSeq.drop(1) == Seq(2L, 1L, 1L, 0L, 1L, 5000L),
+      w2.toSeq.toString)
+    assert(w3.toSeq.drop(1) == Seq(2L, 1L, 0L, 1L, 1L, 5000L),
+      w3.toSeq.toString)
+    // growth identity on consecutive weeks: Δactive = new + res − churned
+    Seq(w2, w3).foreach { r =>
+      val dA = r.getLong(1) - out(java.time.LocalDate.parse(r.getString(0))
+        .minusDays(7).toString).getLong(1)
+      assert(dA == r.getLong(3) + r.getLong(4) - r.getLong(5),
+        r.toSeq.toString)
+    }
+  }
+
   test("dispersionIndex: constant = 0, burst = hand value, zero days count") {
     import SparkTestSession.spark.implicits._
     import java.sql.Date
