@@ -1971,11 +1971,13 @@ object SparkEntry {
          SELECT CAST(n AS BIGINT) AS n, CAST(n_above AS BIGINT) AS n_above,
            CAST(n_below AS BIGINT) AS n_below,
            CAST(n_runs AS BIGINT) AS n_runs,
-           CAST(CASE WHEN n_above = 0 OR n_below = 0 OR n < 2 THEN NULL
+           CAST(CASE WHEN n_above = 0 OR n_below = 0 OR n < 2 OR va = 0
+                THEN NULL
                 ELSE floor((CAST(num AS DOUBLE) / n)
                   / sqrt(CAST(va AS DOUBLE) / CAST(vb AS DOUBLE))
                   * 1000 + 0.5) END AS BIGINT) AS z_milli,
-           CAST(CASE WHEN n_above = 0 OR n_below = 0 OR n < 2 THEN NULL
+           CAST(CASE WHEN n_above = 0 OR n_below = 0 OR n < 2 OR va = 0
+                THEN NULL
                 WHEN abs(floor((CAST(num AS DOUBLE) / n)
                   / sqrt(CAST(va AS DOUBLE) / CAST(vb AS DOUBLE))
                   * 1000 + 0.5)) > 1960 THEN 1 ELSE 0 END AS INT)
@@ -2140,8 +2142,10 @@ object SparkEntry {
          SELECT strftime(CAST(week AS DATE), '%Y-%m-%d') AS week,
            CAST(n_users AS BIGINT) AS n_users,
            CAST(n_events AS BIGINT) AS n_events, p10, p50, p90,
-           CAST(p50 - lag(p50) OVER (ORDER BY week ASC) AS BIGINT)
-             AS p50_wow_delta
+           CAST(CASE WHEN date_diff('day',
+                  lag(week) OVER (ORDER BY week ASC), week) = 7
+                THEN p50 - lag(p50) OVER (ORDER BY week ASC)
+                END AS BIGINT) AS p50_wow_delta
          FROM b""",
 
     // Per-user mean surprisal under the global transition model:
@@ -3396,7 +3400,7 @@ object SparkEntry {
          ra AS (SELECT lang, sum(obs) AS rt FROM c GROUP BY 1),
          rb AS (SELECT source, sum(obs) AS ct FROM c GROUP BY 1),
          n AS (SELECT sum(obs) AS n FROM c),
-         t AS (SELECT CAST(floor( (obs - rt * ct / CAST(n AS DOUBLE)) * (obs - rt * ct / CAST(n AS DOUBLE)) / (rt * ct / CAST(n AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS term,
+         t AS (SELECT CAST(floor( (obs - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)) * (obs - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS term,
                  c.lang, c.source
                FROM c JOIN ra USING (lang) JOIN rb USING (source) CROSS JOIN n)
          SELECT count(*) AS cells,
@@ -3415,7 +3419,7 @@ object SparkEntry {
          n AS (SELECT sum(obs) AS n FROM c),
          g AS (SELECT ra.a, rb.b, ra.rt, rb.ct, coalesce(c.obs, 0) AS obs
                FROM ra CROSS JOIN rb LEFT JOIN c USING (a, b)),
-         t AS (SELECT CAST(floor( (obs - rt * ct / CAST(n AS DOUBLE)) * (obs - rt * ct / CAST(n AS DOUBLE)) / (rt * ct / CAST(n AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS term,
+         t AS (SELECT CAST(floor( (obs - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)) * (obs - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS term,
                  g.a, g.b, g.obs
                FROM g CROSS JOIN n),
          m AS (SELECT sum(obs) AS n, count(*) AS cells,

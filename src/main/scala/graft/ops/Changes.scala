@@ -369,7 +369,11 @@ object Changes {
     val root = Scratch.dir(s, d, "fileaudit")
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$root/hash"))) {
+    // gate on the LAST layout's _SUCCESS marker (loadedMerges rule):
+    // the hash dir exists as soon as its write STARTS, so probing it
+    // would let a crashed first build poison the artifact forever
+    if (!fs.exists(
+        new org.apache.hadoop.fs.Path(s"$root/range/_SUCCESS"))) {
       val ids = Tables.events(s, d).select(col("event_id"))
       ids.withColumn("bucket", pmod(col("event_id"), lit(8L)))
         .repartition(8, col("bucket"))
@@ -396,14 +400,24 @@ object Changes {
     * standing-artifact discipline. */
   def q299(s: SparkSession, d: String): DataFrame = {
     import graft.sources.VersionedStore
+    import org.apache.hadoop.fs.Path
     val ev = Tables.events(s, d)
       .select(col("event_id"), col("event_type"), col("value"))
     val root = Scratch.dir(s, d, "incrstore")
-    if (VersionedStore.latestVersion(s, root) == 0) {
+    // crash-safe build: a _READY marker lands only after BOTH commits
+    // (the loadedMerges discipline) — a run that died between v1 and
+    // v2 leaves a torn store that must be rebuilt, not trusted (the
+    // latestVersion==0 guard alone would skip forever and the
+    // increment would read empty)
+    val ready = new Path(s"$root/_READY")
+    val fs = ready.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(ready)) {
+      fs.delete(new Path(root), true)
       VersionedStore.commit(ev.filter(col("event_id") % 2 === 0), root,
         overwrite = true)
       VersionedStore.commit(ev.filter(col("event_id") % 2 === 1), root,
         overwrite = false)
+      fs.create(ready, true).close()
     }
     VersionedStore.readAddedSince(s, root, 1)
       .groupBy(col("event_type"))

@@ -993,9 +993,17 @@ object Events {
           .cast("long").as("p50"),
         expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY n)")
           .cast("long").as("p90"))
+    // WoW delta only across CONSECUTIVE calendar weeks (the q315
+    // guard): after a zero-activity gap the comparison would silently
+    // span weeks and mislabel a multi-week move as week-over-week
+    val w = Window.orderBy(col("week").asc)
     bands
+      .withColumn("prev_week", lag(col("week"), 1).over(w))
       .withColumn("p50_wow_delta",
-        col("p50") - lag(col("p50"), 1).over(Window.orderBy(col("week").asc)))
+        when(col("prev_week").isNotNull &&
+            datediff(col("week"), col("prev_week")) === 7,
+          col("p50") - lag(col("p50"), 1).over(w))
+          .otherwise(lit(null).cast("long")))
       .select(date_format(col("week"), "yyyy-MM-dd").as("week"),
         col("n_users"), col("n_events"), col("p10"), col("p50"), col("p90"),
         col("p50_wow_delta"))
@@ -1166,8 +1174,10 @@ object Events {
     val varA = p2 * (p2 - n)
     val varB = n * n * (n - dec(lit(1L)))
     runs.select(col("n"), col("n_above"), col("n_below"), col("n_runs"),
+      // varA = 0 (exactly one day on each side) would make z a 0/0
+      // NaN that Spark floors to 0 while DuckDB yields NULL — guard it
       when(col("n_above") === 0L || col("n_below") === 0L ||
-          col("n") < 2L, lit(null).cast("long"))
+          col("n") < 2L || varA === dec(lit(0L)), lit(null).cast("long"))
         .otherwise(floor((num.cast("double") / col("n").cast("double")) /
           sqrt(varA.cast("double") / varB.cast("double")) *
           lit(1000d) + lit(0.5d)).cast("long")).as("z_milli"))

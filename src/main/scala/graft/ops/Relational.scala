@@ -780,7 +780,10 @@ object Relational {
     val ra = cells.groupBy(col(a)).agg(sum(col("obs")).as("rt"))
     val rb = cells.groupBy(col(b)).agg(sum(col("obs")).as("ct"))
     val tot = cells.agg(sum(col("obs")).as("n"))
-    val exp_ = col("rt") * col("ct") / col("n").cast("double")
+    // rt·ct in DOUBLE — two large marginals overflow a long silently
+    // (the q292/simpsonAudit cross-product rule); oracle in lockstep
+    val exp_ = col("rt").cast("double") * col("ct").cast("double") /
+      col("n").cast("double")
     cells.join(broadcast(ra), a).join(broadcast(rb), b)
       .crossJoin(broadcast(tot))
       .select(
@@ -824,7 +827,11 @@ object Relational {
     val grid = broadcast(ra).crossJoin(broadcast(rb))
       .join(cells, Seq(a, b), "left")
       .na.fill(0L, Seq("obs"))
-    val exp_ = col("rt") * col("ct") / col("n").cast("double")
+    // rt·ct in DOUBLE: two ~10¹² marginals overflow a long silently
+    // (the simpsonAudit cross-product hazard); the oracle mirrors the
+    // same double-first operand order
+    val exp_ = col("rt").cast("double") * col("ct").cast("double") /
+      col("n").cast("double")
     val m = grid
       .crossJoin(broadcast(tot))
       .select(

@@ -1329,7 +1329,10 @@ object Text {
   def bpeMergeCurve(df: DataFrame, text: String,
                     merges: Seq[(String, String)],
                     sweep: Seq[Int] = BpeMergeSweep): DataFrame = {
-    require(sweep.nonEmpty && sweep.forall(m => m >= 0 && m <= merges.size))
+    // a sweep point past the table's size clamps to the full table
+    // (merges.take degrades gracefully) — a pair-exhausted corpus that
+    // trained < BpeMergeCount merges must not hard-fail the curve
+    require(sweep.nonEmpty && sweep.forall(_ >= 0))
     val words = withToks(df, text)
       .select(explode(toks).as("word"))
       .filter(length(col("word")) > 0)
@@ -3084,16 +3087,17 @@ object Text {
     val perDoc = links.groupBy(col("did"))
       .agg(max(col("pos")).as("n_tokens"),
         count_distinct(col("tok")).as("vocab"))
-    // the overlap term needs L per link, so fold in two steps: L first
+      .localCheckpoint() // feeds the length join AND the final report
+    // the overlap term needs L per link; perDoc already carries it
     val withL = links
-      .join(links.groupBy(col("did")).agg(max(col("pos")).as("len")), "did")
+      .join(perDoc.select(col("did"), col("n_tokens").as("len")), "did")
     val dups = withL.where(col("prev").isNotNull)
       .select(col("did"),
         greatest(lit(0L),
           least(col("prev") + lit(w.toLong - 1L), col("len")) -
             greatest(col("pos"), lit(w.toLong)) + lit(1L)).as("cnt"))
       .groupBy(col("did")).agg(sum(col("cnt")).as("dup_sum"))
-    perDoc.select(col("did"), col("n_tokens"), col("vocab"))
+    perDoc
       .join(dups, Seq("did"), "left").na.fill(0L, Seq("dup_sum"))
       .select(col("did").as(id), col("n_tokens"), col("vocab"),
         greatest(col("n_tokens") - lit(w.toLong - 1L), lit(0L))

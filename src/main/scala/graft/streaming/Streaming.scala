@@ -116,8 +116,12 @@ object Streaming {
     * exact q200 discipline — Laplace-smoothed shares over the union
     * bin set, per-bin (p−q)·ln(p/q) in micro fixed point, exact
     * integer PSI sum — appending one (batch_id, n_cur, psi_micro) row
-    * per micro-batch to the monitor table. A batch whose bin SHARES
-    * match the reference scores exactly 0 (ln 1 terms); the alert
+    * per micro-batch to the monitor table. A batch with the same
+    * SMOOTHED shares as the reference scores exactly 0 (ln 1 terms) —
+    * in particular any batch whose raw (count+1) profile is
+    * proportional to the reference's; a share-matched batch of a
+    * different total scores near-0, not 0 (the +1 pseudo-count is a
+    * relatively smaller correction on the larger side). The alert
     * threshold is the same folklore 0.25 line the batch q200 reports
     * against, now evaluated on arrival instead of at retrain time.
     *

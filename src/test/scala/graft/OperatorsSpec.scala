@@ -4521,6 +4521,10 @@ class OperatorsSpec extends SparkSpec {
     // constant series: every day equals the median -> empty, NULL z
     val cs = Events.runsTest(ev(Seq(3, 3, 3)), col("day")).collect().head
     assert(cs.getLong(0) == 0L && cs.isNullAt(4), cs.toSeq.toString)
+    // one day each side: varA = 0 would be a 0/0 NaN -> guarded NULL
+    val dg = Events.runsTest(ev(Seq(1, 9, 5)), col("day")).collect().head
+    assert(dg.getLong(0) == 2L && dg.isNullAt(4) && dg.isNullAt(5),
+      dg.toSeq.toString)
   }
 
   test("qqDrift: doubled distribution reads 2x at every decile, empty side") {
