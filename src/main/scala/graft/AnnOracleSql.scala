@@ -599,6 +599,9 @@ object AnnOracleSql {
   val all: Map[String, String] = Map(
     "q281_anisotropy"      -> q281Sql,
     "q250_ann_graph"       -> q250Sql,
+    // q316 serves the persisted graph; the build is deterministic, so
+    // the probe is row-identical to q250 and shares its replay oracle
+    "q316_ann_graph_index" -> q250Sql,
     "q271_cell_balance"    -> q271Sql,
     "q234_split_leakage"   -> q234Sql,
     "q237_silhouette"      -> q237Sql,

@@ -332,6 +332,7 @@ object SparkEntry {
     "q313_bpe_merge_curve" -> (Text.q313 _),
     "q314_dispersion"     -> (Events.q314 _),
     "q315_user_flows"     -> (Events.q315 _),
+    "q316_ann_graph_index" -> (Similarity.q316 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:

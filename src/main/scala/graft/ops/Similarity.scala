@@ -1856,12 +1856,17 @@ object Similarity {
   def nswSearchTopK(graph: DataFrame, corpus: DataFrame, queries: DataFrame,
                     id: String, emb: String, k: Int = TopK,
                     beam: Int = NswBeam, hops: Int = NswHops,
-                    seeds: Int = NswSeeds): DataFrame = {
+                    seeds: Int = NswSeeds,
+                    broadcastQueries: Boolean = true): DataFrame = {
     val c = corpus.select(col(id).as("vid"), col(emb).as("c_emb"))
     val q = queries.select(col(id).as("query_id"), col(emb).as("q_emb"))
+    // a query BATCH broadcasts (the serve path); a corpus-as-queries
+    // SELF-AUDIT (q264) must not — there the query side is corpus-sized
+    // and rides the shuffle hash join like any other big side
+    val qj = if (broadcastQueries) broadcast(q) else q
     val cos = F.cosineSim(col("q_emb"), col("c_emb"))
     def scored(cands: DataFrame): DataFrame = cands
-      .join(c, "vid").join(broadcast(q), "query_id")
+      .join(c, "vid").join(qj, "query_id")
       .select(col("query_id"), col("vid"), cos.as("cos"))
     def topBeam(fr: DataFrame): DataFrame = fr
       .groupBy(col("query_id"))
@@ -1946,9 +1951,26 @@ object Similarity {
   }
 
   /** q264: per-label mislabel-suspect rates over the embeddings table
-    * (5-NN, ≥4 disagreeing). */
-  def q264(s: SparkSession, d: String): DataFrame =
-    labelNoiseAudit(Tables.embeddings(s, d), "vec_id", "embedding", "label")
+    * (5-NN, ≥4 disagreeing) — served from the STANDING graph index
+    * (round 12, the VERDICT r11 flip): the registered entry now runs
+    * the deployment plan, `labelNoiseFromKnn` over the q316 store's
+    * beam-walk probe with the query side NOT broadcast (corpus-as-
+    * queries self-audit). The n² brute-force leg
+    * ([[labelNoiseAudit]]) stays as spec truth — the DuckDB oracle is
+    * still exact-kNN, so this entry passing the hash gate IS the
+    * measured statement that graph recall is exact at verify scale
+    * (flag-identity additionally spec-pinned at sf0.001). */
+  def q264(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val dir = graft.sources.VersionedStore.resolveOrBuild(
+      s, indexScratch(s, d, "nswidx"))(
+      p => writeNswIndex(e, "vec_id", "embedding", p))
+    labelNoiseFromKnn(
+      nswTopKFromIndex(s, dir, e, "vec_id", "embedding", k = 5,
+        broadcastQueries = false),
+      e.select(col("vec_id").as("vid"), col("label").as("lbl")),
+      "label", 4)
+  }
 
   /** INDEX CELL-BALANCE AUDIT (round 11): one row summarizing whether
     * the trained quantizer's cells are fit to serve — occupancy (empty
@@ -2067,6 +2089,27 @@ object Similarity {
       "vec_id", "embedding")
   }
 
+  /** q316: graph-ANN probe through the PERSISTED index — the SERVE
+    * path of the q250 pair, split out the way q144/q145/q189 split
+    * their families: build once under the VersionedStore manifest CAS
+    * (a repeat run loads the standing graph, zero construction), then
+    * answer queries with hops·(adjacency join + bounded top-beam)
+    * only. Row-identical to q250 (spec): NN-Descent construction is
+    * deterministic end to end, so the persisted adjacency is
+    * bit-identical to a fresh build and the same oracle replay
+    * (AnnOracleSql.q250Sql) verifies the probe.
+    *
+    * Scale (100 TB): this entry is what a deployment actually pays
+    * per query batch — the store-served walk; construction cost stays
+    * visible in q250, which rebuilds every run by contract. */
+  def q316(s: SparkSession, d: String): DataFrame = {
+    val (c, q) = corpusAndQueries(s, d)
+    val dir = graft.sources.VersionedStore.resolveOrBuild(
+      s, indexScratch(s, d, "nswidx"))(
+      p => writeNswIndex(c, "vec_id", "embedding", p))
+    nswTopKFromIndex(s, dir, q, "vec_id", "embedding")
+  }
+
   /** INCREMENTAL GRAPH GROWTH (round 11; the q168 frozen-structure
     * rule carried to the graph family): new vectors insert by
     * SEARCHING the standing graph for their M nearest — the NSW
@@ -2149,12 +2192,13 @@ object Similarity {
   def nswTopKFromIndex(s: SparkSession, path: String, queries: DataFrame,
                        id: String, emb: String, k: Int = TopK,
                        beam: Int = NswBeam, hops: Int = NswHops,
-                       seeds: Int = NswSeeds): DataFrame = {
+                       seeds: Int = NswSeeds,
+                       broadcastQueries: Boolean = true): DataFrame = {
     val graph = s.read.parquet(s"$path/graph")
     val vectors = s.read.parquet(s"$path/vectors")
       .select(col("vid").as("nsw_id"), col("c_emb").as("nsw_emb"))
     nswSearchTopK(graph, vectors,
       queries.select(col(id).as("nsw_id"), col(emb).as("nsw_emb")),
-      "nsw_id", "nsw_emb", k, beam, hops, seeds)
+      "nsw_id", "nsw_emb", k, beam, hops, seeds, broadcastQueries)
   }
 }

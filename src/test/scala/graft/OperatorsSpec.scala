@@ -1073,6 +1073,17 @@ class OperatorsSpec extends SparkSpec {
     assert(direct == stored, "store round-trip must not change results")
   }
 
+  test("q316 serves the standing graph row-identical to q250's fresh build") {
+    val fresh = Similarity.q250(spark, sf).collect().map(_.toSeq).toSet
+    val served = Similarity.q316(spark, sf).collect().map(_.toSeq).toSet
+    assert(fresh == served,
+      "persisted-graph probe must equal the construction entry")
+    // second call answers from the standing store (no rebuild) and is
+    // row-identical — the q144/q189 standing-store contract
+    val again = Similarity.q316(spark, sf).collect().map(_.toSeq).toSet
+    assert(again == served)
+  }
+
   test("q251 S-curve audit: worked pair probability and decile rollup") {
     import SparkTestSession.spark.implicits._
     // A~B share 2 of 6 distinct 3-grams (J = 1/3, decile 3); C is A's
