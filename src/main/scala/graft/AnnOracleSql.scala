@@ -297,6 +297,107 @@ object AnnOracleSql {
           FROM scored)
     SELECT query_id, rank, neighbor_id, ${bpS("cos")} AS cos_bp FROM r WHERE rank <= ${Similarity.TopK}"""
 
+  // ---- IVF-PQ residual (q317/q318) ----
+
+  /** IVFADC replay (mirror of Similarity.ivfPqTopK): coarse Lloyd +
+    * corpus assignment (the shared trainCtes/assignCtes), residuals
+    * rq = qe − cents[cell] (exact integers — the grid-float residual
+    * Spark feeds PQ requantizes to exactly these), the per-subspace
+    * Lloyd unrolled over SAMPLED residuals (r-prefixed twins of
+    * pqTrainCtes' CTEs), then per query: nearest-`probes` cells with
+    * routing distance d = ‖q−c‖², per-cell query-residual dot tables,
+    * and the exact ADC L2 identity d + ‖r̂‖² − 2·(q−c)·r̂ ranking the
+    * probed candidates; corpus-scaled shortlist, exact-cosine top-k. */
+  private def ivfPqSql: String = {
+    val cells = Similarity.IvfCells
+    val probes = Similarity.IvfProbes
+    val iters = Similarity.PqIters
+    val h = md5Signed("vec_id")
+    val steps = (1 to iters).map { i =>
+      val prev = s"rp${i - 1}"
+      s"""rpa$i AS (
+      SELECT s.rn, s.sub, s.v, c.j, ${l2q("s.v", "c.c")} AS d
+      FROM rsv s JOIN $prev c ON c.sub = s.sub),
+    rpb$i AS (
+      SELECT rn, sub, v, j FROM rpa$i
+      QUALIFY row_number() OVER (PARTITION BY rn, sub ORDER BY d, j) = 1),
+    rpu$i AS (
+      SELECT b.sub, b.j, d.t, CAST(sum(b.v[d.t]) AS BIGINT) AS svv, count(*) AS n
+      FROM rpb$i b CROSS JOIN rdst d GROUP BY b.sub, b.j, d.t),
+    rpv$i AS (
+      SELECT sub, j, list(CAST((svv - (((svv % n) + n) % n)) // n AS BIGINT) ORDER BY t) AS c
+      FROM rpu$i GROUP BY sub, j),
+    rp$i AS (
+      SELECT p.sub, p.j, COALESCE(v.c, p.c) AS c
+      FROM $prev p LEFT JOIN rpv$i v ON v.sub = p.sub AND v.j = p.j)"""
+    }.mkString(",\n    ")
+    s"""WITH ${trainCtes(cells)},
+    $assignCtes,
+    res AS MATERIALIZED (
+      SELECT a.vec_id, a.embedding, a.cell,
+             list_transform(range(1, len(a.qe)+1), t -> a.qe[t] - c.c[t]) AS rq
+      FROM asg a JOIN cents c USING (cell)),
+    rsamp AS (
+      SELECT row_number() OVER (ORDER BY $h, vec_id) AS rn, rq
+      FROM res QUALIFY rn <= $SampleN),
+    rmeta AS (SELECT len(rq) // $PqM AS ds FROM (SELECT rq FROM rsamp LIMIT 1)),
+    rsubs AS (SELECT unnest(range(0, $PqM)) AS sub),
+    rsv AS (SELECT s.rn, b.sub,
+            list_transform(range(1, m.ds + 1), t -> s.rq[b.sub * m.ds + t]) AS v
+            FROM rsamp s CROSS JOIN rsubs b CROSS JOIN rmeta m),
+    rdst AS (SELECT unnest(range(1, ds + 1)) AS t FROM rmeta),
+    rp0 AS (SELECT sub, CAST(rn - 1 AS INT) AS j, v AS c FROM rsv WHERE rn <= $PqK),
+    $steps,
+    rcb AS MATERIALIZED (SELECT sub, j, c FROM rp$iters),
+    csub AS (SELECT r.vec_id, r.cell, b.sub,
+             list_transform(range(1, m.ds + 1), t -> r.rq[b.sub * m.ds + t]) AS v
+             FROM res r CROSS JOIN rsubs b CROSS JOIN rmeta m),
+    cd AS (SELECT s.vec_id, s.cell, s.sub, c.j, ${l2q("s.v", "c.c")} AS d
+           FROM csub s JOIN rcb c ON c.sub = s.sub),
+    code AS MATERIALIZED (SELECT vec_id, cell, sub, j FROM cd
+             QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, j) = 1),
+    cwn AS (SELECT sub, j,
+            CAST(list_sum(list_transform(c, x -> x * x)) AS BIGINT) AS nrm
+            FROM rcb),
+    rnorm AS (SELECT k.vec_id, CAST(sum(w.nrm) AS BIGINT) AS rn2
+              FROM code k JOIN cwn w ON w.sub = k.sub AND w.j = k.j
+              GROUP BY k.vec_id),
+    nn AS (SELECT GREATEST(128, LEAST(count(*) // 6, 65536)) AS rerank FROM embeddings),
+    qq AS (SELECT vec_id AS query_id, embedding, qe FROM qv
+           WHERE vec_id < ${Similarity.NumQueries}),
+    qcd AS (SELECT q.query_id, q.embedding, q.qe, c.cell, c.c,
+            ${l2q("q.qe", "c.c")} AS d
+            FROM qq q CROSS JOIN cents c),
+    pr AS MATERIALIZED (SELECT query_id, qe, cell, c, d FROM qcd
+          QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY d, cell) <= $probes),
+    qres AS (SELECT query_id, cell, d,
+             list_transform(range(1, len(qe)+1), t -> qe[t] - c[t]) AS qrq
+             FROM pr),
+    qsub AS (SELECT q.query_id, q.cell, q.d, b.sub,
+             list_transform(range(1, m.ds + 1), t -> q.qrq[b.sub * m.ds + t]) AS v
+             FROM qres q CROSS JOIN rsubs b CROSS JOIN rmeta m),
+    tbl AS MATERIALIZED (SELECT s.query_id, s.cell, s.d, s.sub, c.j,
+         CAST(list_sum(list_transform(range(1, len(s.v)+1), t -> s.v[t] * c.c[t])) AS BIGINT) AS dot
+         FROM qsub s JOIN rcb c ON c.sub = s.sub),
+    adc AS (SELECT t.query_id, k.vec_id AS neighbor_id, t.d AS qd2,
+            CAST(sum(t.dot) AS BIGINT) AS dotsum
+            FROM code k JOIN tbl t ON t.cell = k.cell AND t.sub = k.sub AND t.j = k.j
+            WHERE k.vec_id <> t.query_id
+            GROUP BY t.query_id, k.vec_id, t.d),
+    scorel AS (SELECT a.query_id, a.neighbor_id, a.qd2 + r.rn2 - 2 * a.dotsum AS adcl2
+               FROM adc a JOIN rnorm r ON r.vec_id = a.neighbor_id),
+    short AS (SELECT query_id, neighbor_id FROM scorel CROSS JOIN nn
+              QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adcl2 ASC, neighbor_id ASC) <= rerank),
+    scored AS (SELECT s.query_id, s.neighbor_id,
+               ${cosS("q.embedding", "c.embedding")} AS cos
+               FROM short s
+               JOIN qq q ON q.query_id = s.query_id
+               JOIN qv c ON c.vec_id = s.neighbor_id),
+    rr AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+           FROM scored)
+    SELECT query_id, rank, neighbor_id, ${bpS("cos")} AS cos_bp FROM rr WHERE rank <= ${Similarity.TopK}"""
+  }
+
   // ---- LSH (q61) ----
 
   /** q61 lshTopK: the ±1 hyperplane weights are Scala-seeded constants,
@@ -615,5 +716,7 @@ object AnnOracleSql {
     "q170_ann_ivf_compact" -> ivfOracle(Similarity.IvfCells, "vec_id % 2 = 0"),
     "q63_ann_pq"           -> pqSql,
     "q145_ann_pq_index"    -> pqSql,
+    "q317_ann_ivfpq"       -> ivfPqSql,
+    "q318_ann_ivfpq_index" -> ivfPqSql,
     "q61_ann_lsh"          -> q61Sql)
 }

@@ -333,6 +333,8 @@ object SparkEntry {
     "q314_dispersion"     -> (Events.q314 _),
     "q315_user_flows"     -> (Events.q315 _),
     "q316_ann_graph_index" -> (Similarity.q316 _),
+    "q317_ann_ivfpq"      -> (Similarity.q317 _),
+    "q318_ann_ivfpq_index" -> (Similarity.q318 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:

@@ -1344,6 +1344,202 @@ object Similarity {
         .select(col("query_id"), col("neighbor_id"), cos.as("cos")), k)
   }
 
+  // ---- IVF-PQ residual index (round 12): the FAISS IVFADC
+  // composition — coarse quantizer for cell routing, PQ codebook
+  // trained on RESIDUALS (x − centroid(cell)), ADC scan inside probed
+  // cells only, exact rerank. This is the billion-vector production
+  // shape: IVF bounds the scan to nprobe lists, PQ bounds the scanned
+  // bytes to one long per vector, and the residual codebook spends its
+  // 4 bits/subspace on the WITHIN-cell geometry instead of re-encoding
+  // the cell offset the coarse quantizer already paid for. ----
+
+  /** Residual of an embedding against its assigned coarse centroid,
+    * as EXACT grid floats: both sides quantize to the 2¹⁴ integer
+    * lattice (quantizeVal; centroids are grid floats, so they
+    * requantize losslessly), the integer difference dequantizes
+    * exactly back to float (|qx−qc| < 2²⁴) — so every downstream PQ
+    * step (codebook training, code assignment, ADC) sees the same
+    * integers in Spark and in the DuckDB oracle's replay. */
+  private def residualCol(cents: Seq[Seq[Float]], emb: Column,
+                          cell: Column): Column = {
+    val centsLit = array(quantizeCents(cents)
+      .map(c => array(c.map(lit): _*)): _*)
+    val qx = transform(emb,
+      x => floor(x.cast("double") * lit(QuantScale.toDouble)).cast("long"))
+    val qc = element_at(centsLit, cell.cast("int") + 1)
+    zip_with(qx, qc, (a, b) =>
+      ((a - b).cast("double") / lit(QuantScale.toDouble)).cast("float"))
+  }
+
+  /** Squared integer norm of each PQ codeword, indexed (sub·k + j) —
+    * the ‖r̂‖² term of the ADC L2 identity below. */
+  private def cwNormsQ(cbq: Seq[Long], m: Int, kCent: Int): Seq[Long] = {
+    val ds = cbq.length / (m * kCent)
+    (0 until m * kCent).map { i =>
+      var acc = 0L; var t = 0
+      while (t < ds) { val v = cbq(i * ds + t); acc += v * v; t += 1 }
+      acc
+    }
+  }
+
+  /** ‖reconstruction‖² of a packed code: the 4-bit nibbles (sub 0 in
+    * the low bits, the PqCodeQ layout) index a literal norm table —
+    * m element_at lookups, codegen'd, no decode UDF. */
+  private def reconNormQ(code: Column, norms: Seq[Long], m: Int,
+                         kCent: Int): Column = {
+    val normsLit = array(norms.map(lit): _*)
+    (0 until m).map { sub =>
+      element_at(normsLit,
+        shiftright(code, 4 * sub).bitwiseAND(lit(15L)).cast("int")
+          + lit(sub * kCent) + 1)
+    }.reduce(_ + _)
+  }
+
+  /** IVF-PQ residual ANN (IVFADC): each query probes its `probes`
+    * nearest cells; inside a probed cell, candidates are ranked by the
+    * EXACT integer identity ‖(q−c) − r̂‖² = ‖q−c‖² + ‖r̂‖² − 2(q−c)·r̂
+    * — the query-to-reconstruction L2, comparable ACROSS probed cells
+    * because it reconstructs x̂ = c + r̂ in the common space (the dot
+    * rides PqTableQ/PqAdcQ on the query's per-cell residual, the two
+    * norm terms are the probe distance already computed for routing
+    * and a literal lookup off the packed code). The top-`rerank`
+    * shortlist per query reranks by exact cosine.
+    *
+    * Scale (100 TB): the coarse train + residual PQ train are the
+    * same bounded-sample driver models as q62/q63; corpus work is ONE
+    * map-only encode pass (cell + packed code); a query batch fans
+    * out probes×tables on the tiny side only, and the candidate join
+    * shuffles ~nprobe/cells of the CODES (8 bytes/vector), never raw
+    * vectors — raw floats are touched only for the rerank shortlist.
+    * More cells at bigger n (√n), same plan. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, id: String,
+                emb: String, k: Int = TopK, cells: Int = IvfCells,
+                probes: Int = IvfProbes, m: Int = PqM, kCent: Int = PqK,
+                rerank: Int = PqRerank, trainIters: Int = TrainIters,
+                pqIters: Int = PqIters): DataFrame = {
+    val cents = trainCentroids(corpus, id, emb, cells, trainIters)
+    val res = corpus.select(col(id).as("vid"), col(emb).as("c_emb"),
+        bestCellId(cents, col(emb)).as("cell"))
+      .withColumn("r_emb", residualCol(cents, col("c_emb"), col("cell")))
+    val codebook = trainPqCodebook(res, "vid", "r_emb", m, kCent, pqIters)
+    val cbq = codebook.map(quantizeVal)
+    val codes = res.select(col("vid"), col("cell"),
+      F.pqCodeQ(col("r_emb"), cbq, m, kCent, QuantScale).as("code"))
+    ivfPqProbe(codes, corpus, queries, cents, cbq, id, emb,
+      k, probes, m, kCent, rerank)
+  }
+
+  /** The probe/score/rerank stage shared by the direct and persisted
+    * paths: `codes` = (vid, cell, code). */
+  private def ivfPqProbe(codes: DataFrame, corpus: DataFrame,
+                         queries: DataFrame, cents: Seq[Seq[Float]],
+                         cbq: Seq[Long], id: String, emb: String, k: Int,
+                         probes: Int, m: Int, kCent: Int,
+                         rerank: Int): DataFrame = {
+    val norms = cwNormsQ(cbq, m, kCent)
+    // per-query probe rows: the nearest-`probes` cells (the shared
+    // cellOrder lattice) each carrying its routing distance ‖q−c‖²
+    // and the query's PER-CELL residual ADC table
+    val dArr = array(cents.map(c =>
+      F.quantL2(col("q_emb"), array(c.map(lit): _*), QuantScale)): _*)
+    val qprobe = queries
+      .select(col(id).as("query_id"), col(emb).as("q_emb"))
+      .select(col("query_id"), col("q_emb"),
+        explode(slice(cellOrder(cents, col("q_emb")), 1, probes)).as("cell"))
+      .withColumn("qd", element_at(dArr, col("cell").cast("int") + 1))
+      .withColumn("tbl", F.pqTableQ(
+        residualCol(cents, col("q_emb"), col("cell")), cbq, m, kCent,
+        QuantScale))
+    val shortlist = codes
+      .join(broadcast(qprobe), Seq("cell"))
+      .filter(col("vid") =!= col("query_id"))
+      .select(col("query_id"), col("vid").as("neighbor_id"),
+        (col("qd") + reconNormQ(col("code"), norms, m, kCent)
+          - lit(2L) * F.pqAdcQ(col("tbl"), col("code"), m, kCent)).as("adcl2"))
+      .groupBy(col("query_id"))
+      .agg(F.topK(struct((-col("adcl2")).as("negd"),
+        (-col("neighbor_id")).as("negid"),
+        col("neighbor_id").as("nid")), rerank).as("top"))
+      .select(col("query_id"), explode(col("top.nid")).as("neighbor_id"))
+    val q = queries.select(col(id).as("query_id"), col(emb).as("q_emb"))
+    val cos = F.cosineSim(col("q_emb"), col("c_emb"))
+    rankTopK(
+      shortlist
+        .join(broadcast(q), "query_id")
+        .join(corpus.select(col(id).as("neighbor_id"), col(emb).as("c_emb")),
+          "neighbor_id")
+        .select(col("query_id"), col("neighbor_id"), cos.as("cos")), k)
+  }
+
+  /** Persist the IVF-PQ index: centroid table + one-row residual
+    * codebook + the corpus as (vid, code) PARTITIONED BY CELL — the
+    * probed-list pruning of q144's layout at the 8-bytes-per-vector
+    * density of q145's. Raw vectors are NOT stored: rerank joins the
+    * source corpus (the q145 contract). */
+  def writeIvfPqIndex(corpus: DataFrame, id: String, emb: String,
+                      path: String, cells: Int = IvfCells, m: Int = PqM,
+                      kCent: Int = PqK, trainIters: Int = TrainIters,
+                      pqIters: Int = PqIters): Unit = {
+    val s = corpus.sparkSession
+    import s.implicits._
+    val cents = trainCentroids(corpus, id, emb, cells, trainIters)
+    val res = corpus.select(col(id).as("vid"), col(emb).as("c_emb"),
+        bestCellId(cents, col(emb)).as("cell"))
+      .withColumn("r_emb", residualCol(cents, col("c_emb"), col("cell")))
+    val codebook = trainPqCodebook(res, "vid", "r_emb", m, kCent, pqIters)
+    cents.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("cell", "centroid")
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    Seq(Tuple1(codebook)).toDF("codebook")
+      .write.mode("overwrite").parquet(s"$path/codebook")
+    res.select(col("vid"), col("cell"),
+        F.pqCodeQ(col("r_emb"), codebook.map(quantizeVal), m, kCent,
+          QuantScale).as("code"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+  }
+
+  /** Probe a persisted IVF-PQ index: two tiny model reads (centroids,
+    * codebook), a partition-pruned scan of the probed cells' codes,
+    * and the shared ADC/rerank stage — row-identical to [[ivfPqTopK]]
+    * (spec): training is deterministic, so the stored model and codes
+    * equal a fresh build's. */
+  def ivfPqTopKFromIndex(s: SparkSession, path: String, corpus: DataFrame,
+                         queries: DataFrame, id: String, emb: String,
+                         k: Int = TopK, probes: Int = IvfProbes,
+                         m: Int = PqM, kCent: Int = PqK,
+                         rerank: Int = PqRerank): DataFrame = {
+    val cents: Seq[Seq[Float]] = s.read.parquet(s"$path/centroids")
+      .collect().sortBy(_.getInt(0)).map(_.getSeq[Float](1).toSeq).toSeq
+    val codebook: Seq[Float] = s.read.parquet(s"$path/codebook")
+      .head().getSeq[Float](0).toSeq
+    val probedCells = queries
+      .select(explode(slice(cellOrder(cents, col(emb)), 1, probes)).as("cell"))
+      .distinct().collect().map(_.getInt(0))
+    val codes = s.read.parquet(s"$path/cells")
+      .filter(col("cell").isin(probedCells.map(Integer.valueOf): _*))
+    ivfPqProbe(codes, corpus, queries, cents, codebook.map(quantizeVal),
+      id, emb, k, probes, m, kCent, rerank)
+  }
+
+  /** q317: IVF-PQ residual ANN with the q63 corpus-scaled rerank. */
+  def q317(s: SparkSession, d: String): DataFrame = {
+    val (c, q) = corpusAndQueries(s, d)
+    val rerank = math.max(PqRerank.toLong, math.min(c.count() / 6, 65536L)).toInt
+    ivfPqTopK(c, q, "vec_id", "embedding", rerank = rerank)
+  }
+
+  /** q318: the same sweep through the PERSISTED IVF-PQ index —
+    * build once (VersionedStore CAS), probe partition-pruned codes.
+    * Row-identical to q317 (spec; shared oracle). */
+  def q318(s: SparkSession, d: String): DataFrame = {
+    val (c, q) = corpusAndQueries(s, d)
+    val dir = graft.sources.VersionedStore.resolveOrBuild(
+      s, indexScratch(s, d, "ivfpqidx"))(
+      p => writeIvfPqIndex(c, "vec_id", "embedding", p))
+    val rerank = math.max(PqRerank.toLong, math.min(c.count() / 6, 65536L)).toInt
+    ivfPqTopKFromIndex(s, dir, c, q, "vec_id", "embedding", rerank = rerank)
+  }
+
   /** App-scoped scratch path for the benchmark index queries — see
     * [[Scratch.dir]] (shared with the q142 standing tokenizer). */
   private def indexScratch(s: SparkSession, d: String, kind: String): String =

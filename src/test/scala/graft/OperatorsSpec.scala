@@ -1073,6 +1073,36 @@ class OperatorsSpec extends SparkSpec {
     assert(direct == stored, "store round-trip must not change results")
   }
 
+  test("q317 IVF-PQ residual: recall at equal bytes meets the q63 floor") {
+    val (c, q) = Similarity.corpusAndQueries(spark, sf)
+    val n = c.count()
+    val rerank = math.max(Similarity.PqRerank.toLong,
+      math.min(n / 6, 65536L)).toInt
+    val truth = Similarity.bruteForceTopK(c, q, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val got = Similarity.ivfPqTopK(c, q, "vec_id", "embedding", rerank = rerank)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = truth.map { case (qid, t) =>
+      got.getOrElse(qid, Set.empty).intersect(t).size.toDouble / t.size }
+    val recall = recalls.sum / recalls.size
+    // same code bytes as q63 (m=8 x 4-bit + the coarse cell id), so the
+    // q63 recall floor is the equal-budget bar the residual codebook
+    // must clear
+    assert(recall >= 0.85, f"IVFADC recall@10 $recall%.3f below 0.85")
+  }
+
+  test("q318 persisted IVF-PQ probes row-identical to the direct path") {
+    val a = Similarity.q317(spark, sf).collect().map(_.toSeq).toSet
+    val b = Similarity.q318(spark, sf).collect().map(_.toSeq).toSet
+    assert(a == b, "store-served IVFADC must equal the fresh build")
+    // standing-store contract: the second call rides the manifest, no
+    // rebuild, same rows
+    val again = Similarity.q318(spark, sf).collect().map(_.toSeq).toSet
+    assert(again == b)
+  }
+
   test("q316 serves the standing graph row-identical to q250's fresh build") {
     val fresh = Similarity.q250(spark, sf).collect().map(_.toSeq).toSet
     val served = Similarity.q316(spark, sf).collect().map(_.toSeq).toSet
