@@ -335,6 +335,9 @@ object SparkEntry {
     "q316_ann_graph_index" -> (Similarity.q316 _),
     "q317_ann_ivfpq"      -> (Similarity.q317 _),
     "q318_ann_ivfpq_index" -> (Similarity.q318 _),
+    "q319_unigram_train"  -> (Text.q319 _),
+    "q320_unigram_apply"  -> (Text.q320 _),
+    "q321_unigram_fertility" -> (Text.q321 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -512,7 +515,8 @@ object SparkEntry {
   // The k-means/ANN family oracles (q61/q62/q63/q91/q95/q114/q144/q145/
   // q168/q170) are GENERATED — unrolled integer-Lloyd training CTEs —
   // and live in AnnOracleSql; merged below.
-  def oracleSql: Map[String, String] = AnnOracleSql.all ++ BpeOracleSql.all ++ Map(
+  def oracleSql: Map[String, String] = AnnOracleSql.all ++ BpeOracleSql.all ++
+    UnigramOracleSql.all ++ Map(
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          ${C("sum(l_quantity)")} AS sum_qty,

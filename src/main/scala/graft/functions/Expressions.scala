@@ -521,6 +521,88 @@ case class MinSegTokens(child: Expression, vocab: Seq[String])
     copy(child = newChild)
 }
 
+/** Viterbi segmentation under a unigram-LM piece-cost table (the
+  * SentencePiece-unigram encode): the minimum-total-cost cover of the
+  * word by vocabulary pieces of length ≤ maxLen, ties broken to FEWER
+  * pieces then to the EARLIER start of the closing piece at every DP
+  * cell — a total order, so the segmentation is deterministic and the
+  * DuckDB oracle replays the same DP position by position. Costs are
+  * pre-quantized integers (the trainer's exact lg64 units — no float
+  * compare inside the argmin); a code point absent from the vocabulary
+  * falls back to a single-char piece at `unkCost`. */
+case class UnigramEncode(child: Expression, pieces: Seq[(String, Long)],
+                         maxLen: Int, unkCost: Long)
+    extends UnaryExpression {
+  require(maxLen >= 1 && pieces.nonEmpty)
+  override def dataType: DataType = ArrayType(StringType)
+  override def prettyName: String = "unigram_encode"
+
+  @transient private lazy val costOf: java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long](pieces.size * 2)
+    pieces.foreach { case (p, c) => m.put(p, c) }
+    m
+  }
+
+  /** Called from generated code. */
+  def encode(word: UTF8String): ArrayData = {
+    val cps = word.toString.codePoints().toArray
+      .map(cp => new String(Character.toChars(cp)))
+    val n = cps.length
+    if (n == 0)
+      return org.apache.spark.sql.catalyst.util.ArrayData
+        .toArrayData(Array.empty[UTF8String])
+    val INF = Long.MaxValue / 4
+    val cost = Array.fill(n + 1)(INF)
+    val k = new Array[Int](n + 1)
+    val prev = new Array[Int](n + 1)
+    cost(0) = 0
+    var pos = 1
+    while (pos <= n) {
+      var start = math.max(0, pos - maxLen)
+      while (start < pos) {
+        if (cost(start) < INF) {
+          val piece = cps.slice(start, pos).mkString
+          val pc = costOf.get(piece)
+          val c: Long =
+            if (pc != null) pc.longValue()
+            else if (pos - start == 1) unkCost
+            else -1L
+          if (c >= 0L) {
+            val nc = cost(start) + c
+            val nk = k(start) + 1
+            // strict < with ascending start == ORDER BY (cost, k, start)
+            if (nc < cost(pos) || (nc == cost(pos) &&
+                (nk < k(pos) || (nk == k(pos) && start < prev(pos))))) {
+              cost(pos) = nc; k(pos) = nk; prev(pos) = start
+            }
+          }
+        }
+        start += 1
+      }
+      pos += 1
+    }
+    val out = new Array[UTF8String](k(n))
+    var p = n
+    var i = k(n) - 1
+    while (p > 0) {
+      out(i) = UTF8String.fromString(cps.slice(prev(p), p).mkString)
+      p = prev(p); i -= 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    encode(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("unigramEncode", this, classOf[UnigramEncode].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.encode($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): UnigramEncode =
+    copy(child = newChild)
+}
+
 object CmsEstimate {
   /** splitmix64 finalizer shared by CountMinAgg (build) and CmsEstimate
     * (probe) — the two sides MUST hash identically. */

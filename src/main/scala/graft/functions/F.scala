@@ -86,6 +86,12 @@ object F {
   def minSegTokens(c: Column, vocab: Seq[String]): Column =
     GraftColumns.wrap(MinSegTokens(u(c), vocab))
 
+  /** Viterbi unigram-LM segmentation under an integer piece-cost table
+    * (see UnigramEncode — the q319/q320 tokenizer). */
+  def unigramEncode(c: Column, pieces: Seq[(String, Long)], maxLen: Int,
+                    unkCost: Long): Column =
+    GraftColumns.wrap(UnigramEncode(u(c), pieces, maxLen, unkCost))
+
   /** Z-order (Morton) key over two long columns — sort/range-partition
     * by this to cluster files for two-column data skipping. */
   def zorder2(a: Column, b: Column): Column =

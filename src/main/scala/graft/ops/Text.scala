@@ -1308,6 +1308,167 @@ object Text {
     tokenizerFertility(Tables.documents(s, d), "lang", "text",
       loadedMerges(s, d))
 
+  // ---- Unigram-LM tokenizer (round 12; VERDICT r11 item 6 — the
+  // SentencePiece family next to q141's BPE). Training is VITERBI EM
+  // (hard EM — the deterministic, engine-replayable instantiation of
+  // unigram-LM training: expected piece counts are replaced by counts
+  // along each word's single best segmentation, the standard "Viterbi
+  // training" approximation): seed the vocabulary with the corpus'
+  // most frequent substrings, then fixed EM rounds of
+  // (Viterbi-segment every word type → piece counts → re-cost) with a
+  // fixed prune-to-target schedule after every E-step — the
+  // q141/Lloyd fixed-unroll convention, so the DuckDB oracle replays
+  // seed, every DP cell, every count, and every prune verbatim. ----
+
+  val UniMaxPieceLen = 4
+  val UniSeedSize    = 64
+  val UniVocabTarget = 48
+  val UniEmIters     = 2
+  val UniUnkCost     = 1L << 30
+  val UniTopK        = 30
+  /** Oracle DP-unroll horizon: the fixed position count the SQL replay
+    * covers. The corpus contract (q43: pure-ASCII synthetic text) has
+    * max word length 8; a longer word would drop from the oracle side
+    * and fail the hash gate LOUDLY, never silently. */
+  val UniMaxWordLen  = 12
+
+  /** Exact integer 64·log2(n): the msb exponent plus 6 fractional bits
+    * from a fixed-point squaring recurrence (scale 2²⁰, truncating
+    * shifts) — pure integer ops, so Spark and the DuckDB oracle derive
+    * the SAME piece costs bit for bit. A float log's last-ulp variance
+    * could flip a Viterbi argmin between engines; this cannot. */
+  private[graft] def lg64(n: Long): Long = {
+    require(n > 0, "lg64 needs a positive count")
+    val e = 63 - java.lang.Long.numberOfLeadingZeros(n)
+    var y = if (e >= 20) n >> (e - 20) else n << (20 - e)
+    var frac = 0L
+    var i = 0
+    while (i < 6) {
+      y = (y * y) >> 20
+      frac <<= 1
+      if (y >= (2L << 20)) { frac |= 1L; y >>= 1 }
+      i += 1
+    }
+    e.toLong * 64 + frac
+  }
+
+  /** Piece costs from model counts: add-one smoothing keeps
+    * kept-but-unused pieces (the always-retained single chars) finite;
+    * cost = lg64(T) − lg64(c+1), the integer surprisal of
+    * p = (c+1)/T in 1/64-bit units. */
+  private[graft] def uniCosts(model: Seq[(String, Long)]): Seq[(String, Long)] = {
+    val t = model.map(_._2 + 1L).sum
+    val lt = lg64(t)
+    model.map { case (p, c) => (p, lt - lg64(c + 1L)) }
+  }
+
+  /** Train the unigram-LM piece model; returns (piece, c) — the final
+    * Viterbi-count table after UniEmIters EM rounds.
+    *
+    * Scale (100 TB): like BPE, training reduces the corpus to its
+    * occurrence-weighted word-TYPE table in one tokenize+count
+    * shuffle; the seed explode is ≤ maxLen·maxWordLen substrings per
+    * TYPE; top-seed/top-target cuts are TakeOrdered (bounded heaps,
+    * no global sort); each E-step is one map-side codegen'd
+    * UnigramEncode pass over the type table + a piece-count
+    * aggregation; the model (≤ target + |alphabet| rows) is the only
+    * driver state — the PQ-codebook fetch pattern, 2 rounds. */
+  def unigramTrain(df: DataFrame, text: String,
+                   seedSize: Int = UniSeedSize, target: Int = UniVocabTarget,
+                   maxLen: Int = UniMaxPieceLen,
+                   emIters: Int = UniEmIters): DataFrame = {
+    val words = withToks(df, text).select(explode(toks).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      .localCheckpoint()
+    val seedc = words
+      .select(col("wc"), explode(expr(
+        s"flatten(transform(sequence(1, length(w)), s -> " +
+          s"transform(sequence(1, least($maxLen, length(w) - s + 1)), " +
+          s"l -> substring(w, s, l))))")).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("wc")).as("c"))
+      .localCheckpoint()
+    val chars = seedc.filter(length(col("piece")) === 1).select(col("piece"))
+    // union legs can only collide on a char piece carrying the SAME
+    // count — max() is the dedup that keeps one row
+    def dedup(a: DataFrame): DataFrame =
+      a.groupBy(col("piece")).agg(max(col("c")).as("c"))
+    var model = dedup(
+      seedc.orderBy(col("c").desc, col("piece").asc).limit(seedSize)
+        .unionByName(seedc.join(chars, Seq("piece"))))
+      .localCheckpoint()
+    for (_ <- 1 to emIters) {
+      val costs = uniCosts(model.collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1))
+      val cnts = words.select(col("wc"),
+          explode(F.unigramEncode(col("w"), costs, maxLen, UniUnkCost))
+            .as("piece"))
+        .groupBy(col("piece")).agg(sum(col("wc")).as("c"))
+      model = dedup(
+        cnts.orderBy(col("c").desc, col("piece").asc).limit(target)
+          .unionByName(chars.join(cnts, Seq("piece"), "left")
+            .na.fill(0L, Seq("c"))))
+        .localCheckpoint()
+    }
+    model
+  }
+
+  /** The persisted unigram model (the loadedMerges twin): trained once
+    * under the VersionedStore CAS, loaded thereafter. Shared by
+    * q320/q321. */
+  private def loadedUnigram(s: SparkSession, d: String): Seq[(String, Long)] = {
+    val dir = graft.sources.VersionedStore.resolveOrBuild(
+      s, Scratch.dir(s, d, "uniglm"))(
+      p => unigramTrain(Tables.documents(s, d), "text")
+        .write.mode("overwrite").parquet(s"$p/model"))
+    s.read.parquet(s"$dir/model").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
+  }
+
+  /** q319: the trained unigram-LM piece table, ranked. */
+  def q319(s: SparkSession, d: String): DataFrame =
+    unigramTrain(Tables.documents(s, d), "text")
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("c").desc, col("piece").asc)).cast("int"))
+      .select(col("rank"), col("piece"), col("c").as("cnt"))
+
+  /** q320: token distribution under the persisted unigram model —
+    * Viterbi encode as the apply twin (the q142 pattern: the artifact
+    * is loaded, the encode is one map-side codegen pass, the only
+    * shuffle is the token count). */
+  def q320(s: SparkSession, d: String): DataFrame =
+    withToks(Tables.documents(s, d), "text")
+      .select(explode(toks).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(explode(F.unigramEncode(col("w"),
+        uniCosts(loadedUnigram(s, d)), UniMaxPieceLen, UniUnkCost))
+        .as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(UniTopK)
+
+  /** q321: per-language fertility of the unigram tokenizer — the q229
+    * harness verbatim with UnigramEncode in the BpeEncode seat, so the
+    * two tokenizer families compare on the same metric rows. */
+  def q321(s: SparkSession, d: String): DataFrame = {
+    val costs = uniCosts(loadedUnigram(s, d))
+    withToks(Tables.documents(s, d), "text")
+      .select(col("lang"), explode(toks).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("wc"))
+      .select(col("lang"), col("wc"),
+        size(F.unigramEncode(col("word"), costs, UniMaxPieceLen,
+          UniUnkCost)).cast("long").as("n_tok"),
+        length(col("word")).cast("long").as("n_char"))
+      .groupBy(col("lang"))
+      .agg(sum(col("wc")).as("n_words"),
+        sum(col("wc") * col("n_tok")).as("n_tokens"),
+        F.idiv(lit(10000L) * sum(col("wc") * col("n_tok")),
+          sum(col("wc"))).as("fertility_bp"),
+        F.idiv(lit(10000L) * sum(col("wc") * col("n_char")),
+          sum(col("wc") * col("n_tok"))).as("chars_per_token_bp"))
+  }
+
   /** The merge-count sweep for [[bpeMergeCurve]] (0 = character
     * level, BpeMergeCount = the full learned table). */
   val BpeMergeSweep: Seq[Int] = Seq(0, 5, 10, 15, 20, 25, 30)

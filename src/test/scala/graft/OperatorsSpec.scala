@@ -1073,6 +1073,63 @@ class OperatorsSpec extends SparkSpec {
     assert(direct == stored, "store round-trip must not change results")
   }
 
+  test("q319 unigram train: chars always kept, bounded vocab, deterministic") {
+    val m1 = Text.q319(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(m1.nonEmpty)
+    val pieces = m1.map(_._2).toSet
+    // every single character of the corpus' word types survives every
+    // prune (coverage: any word stays encodable)
+    val corpusChars = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(explode(split(col("w"), "")).as("ch"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(corpusChars.subsetOf(pieces), s"missing chars: ${corpusChars -- pieces}")
+    assert(pieces.forall(_.length <= Text.UniMaxPieceLen))
+    assert(m1.length <= Text.UniVocabTarget + corpusChars.size)
+    // fixed-unroll determinism: a second training run is bit-identical
+    val m2 = Text.q319(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(m1.sameElements(m2))
+  }
+
+  test("unigram encode: round-trip cover and token-count bounds") {
+    val model = Text.q319(spark, sf).collect()
+      .map(r => (r.getString(1), r.getLong(2))).toSeq.sortBy(_._1)
+    val costs = graft.ops.Text.uniCosts(model)
+    val enc = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0).distinct()
+      .select(col("w"), graft.functions.F.unigramEncode(col("w"), costs,
+        Text.UniMaxPieceLen, Text.UniUnkCost).as("pieces"))
+      .collect().map(r => (r.getString(0), r.getSeq[String](1)))
+    assert(enc.nonEmpty)
+    enc.foreach { case (w, ps) =>
+      assert(ps.mkString == w, s"'$w' segmented to ${ps.mkString("+")}")
+      val lo = (w.length + Text.UniMaxPieceLen - 1) / Text.UniMaxPieceLen
+      assert(ps.length >= lo && ps.length <= w.length,
+        s"'$w': ${ps.length} pieces outside [$lo, ${w.length}]")
+    }
+  }
+
+  test("q321 unigram fertility rides the q229 harness next to BPE") {
+    val uni = Text.q321(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    val bpe = Text.q229(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(uni.keySet == bpe.keySet, "both tokenizers report every language")
+    uni.foreach { case (lang, f) =>
+      assert(f >= 10000L && f <= 10000L * Text.UniMaxPieceLen,
+        s"$lang unigram fertility $f outside [1, maxPieceLen] tokens/word")
+      // on this corpus BPE's 30 merges reach whole words while the
+      // unigram vocab is capped at 4-char pieces — the comparison the
+      // harness exists to surface (deterministic, so pinnable)
+      assert(bpe(lang) <= f,
+        s"$lang: bpe ${bpe(lang)} vs unigram $f — expected bpe ≤ unigram here")
+    }
+  }
+
   test("q317 IVF-PQ residual: recall at equal bytes meets the q63 floor") {
     val (c, q) = Similarity.corpusAndQueries(spark, sf)
     val n = c.count()
