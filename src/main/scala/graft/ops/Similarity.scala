@@ -2056,6 +2056,19 @@ object Similarity {
                     broadcastQueries: Boolean = true): DataFrame = {
     val c = corpus.select(col(id).as("vid"), col(emb).as("c_emb"))
     val q = queries.select(col(id).as("query_id"), col(emb).as("q_emb"))
+    val entry = c.orderBy(col("vid")).limit(seeds).select(col("vid"))
+    beamWalk(graph, c, q,
+      q.select(col("query_id")).crossJoin(broadcast(entry)),
+      k, beam, hops, broadcastQueries)
+  }
+
+  /** The shared expand→score→prune walk over ONE adjacency table,
+    * seeded by an explicit per-query entry set (query_id, vid) — the
+    * body nswSearchTopK and the HNSW layered search both run. `c` is
+    * (vid, c_emb); `q` is (query_id, q_emb). */
+  private def beamWalk(graph: DataFrame, c: DataFrame, q: DataFrame,
+                       entries: DataFrame, k: Int, beam: Int, hops: Int,
+                       broadcastQueries: Boolean = true): DataFrame = {
     // a query BATCH broadcasts (the serve path); a corpus-as-queries
     // SELF-AUDIT (q264) must not — there the query side is corpus-sized
     // and rides the shuffle hash join like any other big side
@@ -2070,9 +2083,7 @@ object Similarity {
         col("vid").as("nid")), beam).as("top"))
       .select(col("query_id"), explode(col("top")).as("e"))
       .select(col("query_id"), col("e.nid").as("vid"), col("e.cos").as("cos"))
-    val entry = c.orderBy(col("vid")).limit(seeds).select(col("vid"))
-    var frontier = topBeam(scored(
-      q.select(col("query_id")).crossJoin(broadcast(entry))))
+    var frontier = topBeam(scored(entries.select(col("query_id"), col("vid"))))
       .localCheckpoint()
     for (_ <- 1 to hops) {
       val expand = frontier
@@ -2381,6 +2392,89 @@ object Similarity {
     // CAS flips both trees at once.
     allVecs.write.mode("overwrite").parquet(s"$path/vectors")
     newGraph.write.mode("overwrite").parquet(s"$path/graph")
+  }
+
+  // ---- HNSW layering on the NSW graph (round 12; VERDICT r11 item
+  // 7): a deterministic level hierarchy on top of the same NN-Descent
+  // layer-0 graph, so search reaches a query's neighborhood in a
+  // constant number of cheap upper-layer hops instead of walking
+  // layer 0 from the global entry points — the property that keeps
+  // hop counts logarithmic at 10⁹ nodes. ----
+
+  val HnswMaxLevel  = 3
+  /** P(level ≥ l+1 | level ≥ l) = 2⁻⁴ = 1/16 — the geometric decay
+    * matched to M = NswM = 16 (the published mL ≈ 1/ln M choice,
+    * realized as "next low md5 NIBBLE is zero" so the assignment is a
+    * pure function of the id, identical on rebuild and append). */
+  val HnswLevelBits = 4
+  val HnswUpperBeam = 8
+  val HnswUpperHops = 2
+  /** Layer-0 hop budget: HALF the flat walk's NswHops — the layers'
+    * entry points land inside the query's neighborhood, so the bottom
+    * walk only refines locally (spec pins recall parity). */
+  val HnswHops0     = 2
+
+  /** Deterministic geometric level from the id's md5: the count of
+    * consecutive zero low nibbles, capped. */
+  def hnswLevel(id: Column): Column = {
+    val h = F.md5Hash64(id.cast("string"))
+    (0 until HnswMaxLevel).foldLeft(lit(0)) { (acc, l) =>
+      val mask = (1L << (HnswLevelBits * (l + 1))) - 1L
+      when(h.bitwiseAND(lit(mask)) === lit(0L), lit(l + 1)).otherwise(acc)
+    }
+  }
+
+  /** Persist the layered graph index: the q316 store layout with a
+    * `level` column on graph/ — layer l's adjacency is NN-Descent run
+    * over the {level ≥ l} subset (same deterministic construction per
+    * layer, so rebuilds are bit-identical); vectors/ carries the level
+    * so probes never recompute it. A layer with fewer than 2 members
+    * is not built (nothing to link). */
+  def writeHnswIndex(corpus: DataFrame, id: String, emb: String,
+                     path: String, m: Int = NswM,
+                     rounds: Int = NswRounds): Unit = {
+    val withLvl = corpus.select(col(id).as("vid"), col(emb).as("c_emb"),
+      hnswLevel(col(id)).as("level")).localCheckpoint()
+    val layers = (0 to HnswMaxLevel).flatMap { l =>
+      val sub = withLvl.filter(col("level") >= l)
+      if (sub.take(2).length < 2) None
+      else Some(nnDescentGraph(sub, "vid", "c_emb", m, rounds)
+        .withColumn("level", lit(l)))
+    }
+    layers.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$path/graph")
+    withLvl.write.mode("overwrite").parquet(s"$path/vectors")
+  }
+
+  /** Probe the layered index: greedy top-down — at each upper layer a
+    * NARROW walk (HnswUpperBeam, HnswUpperHops) over that layer's tiny
+    * adjacency moves the per-query entry set toward the query; layer 0
+    * runs the full-width beam for only HnswHops0 hops from those
+    * entries. Every stage is the same data-parallel beamWalk — one
+    * frontier DataFrame for ALL queries, upper layers join
+    * 16ˣ-smaller adjacency tables. */
+  def hnswTopKFromIndex(s: SparkSession, path: String, queries: DataFrame,
+                        id: String, emb: String, k: Int = TopK,
+                        beam: Int = NswBeam, hops0: Int = HnswHops0): DataFrame = {
+    val g = s.read.parquet(s"$path/graph").localCheckpoint()
+    val vectors = s.read.parquet(s"$path/vectors").localCheckpoint()
+    val c = vectors.select(col("vid"), col("c_emb"))
+    val q = queries.select(col(id).as("query_id"), col(emb).as("q_emb"))
+    val top = g.agg(max(col("level"))).head().getInt(0)
+    // entry: the smallest vids OF THE TOP LAYER (the q250 fixed-entry
+    // convention, lifted one hierarchy up)
+    val topEntry = vectors.filter(col("level") >= top)
+      .orderBy(col("vid")).limit(NswSeeds).select(col("vid"))
+    var entries: DataFrame =
+      q.select(col("query_id")).crossJoin(broadcast(topEntry))
+    for (l <- top to 1 by -1) {
+      val found = beamWalk(g.filter(col("level") === l).drop("level"),
+        c, q, entries, HnswUpperBeam, HnswUpperBeam, HnswUpperHops)
+      entries = found.select(col("query_id"), col("neighbor_id").as("vid"))
+        .localCheckpoint()
+    }
+    beamWalk(g.filter(col("level") === 0).drop("level"),
+      c, q, entries, k, beam, hops0)
   }
 
   /** Probe a persisted graph index: adjacency + vectors from the
