@@ -406,6 +406,85 @@ class SourcesSpec extends SparkSpec {
       Seq((1, "overwrite"), (2, "append"), (3, "overwrite")))
   }
 
+  test("versioned store: delta-log export carries the public action contract") {
+    import SparkTestSession.spark.implicits._
+    import graft.sources.VersionedStore
+    val root = tmp("deltaexp")
+    val a = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val b = Seq((3L, "c")).toDF("id", "v")
+    val c = Seq((9L, "z")).toDF("id", "v")
+    VersionedStore.commit(a, root, overwrite = true)
+    VersionedStore.commit(b, root, overwrite = false) // append
+    VersionedStore.commit(c, root, overwrite = true)  // replace
+    assert(VersionedStore.exportDeltaLog(spark, root) == 3)
+    // idempotent: committed log entries are immutable
+    assert(VersionedStore.exportDeltaLog(spark, root) == 0)
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    def actions(dv: Int): Seq[JValue] = {
+      val p = java.nio.file.Paths.get(s"$root/_delta_log/" + f"$dv%020d.json")
+      assert(java.nio.file.Files.exists(p), s"missing delta commit $dv")
+      new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        .split("\n").filter(_.nonEmpty).toSeq.map(JsonMethods.parse(_))
+    }
+    def has(v: JValue, k: String): Boolean = (v \ k) != JNothing
+    def str(v: JValue): String = v.asInstanceOf[JString].s
+    def num(v: JValue): Long = v match {
+      case JInt(i) => i.toLong
+      case JLong(l) => l
+      case JDouble(d) => d.toLong
+      case other => fail(s"not a number: $other")
+    }
+    // commit 0: protocol first, then metaData, then adds for v1's files
+    val c0 = actions(0)
+    assert(has(c0.head, "protocol") &&
+      num(c0.head \ "protocol" \ "minReaderVersion") == 1L)
+    val meta = c0(1) \ "metaData"
+    assert(str(meta \ "format" \ "provider") == "parquet")
+    assert((meta \ "partitionColumns").asInstanceOf[JArray].arr.isEmpty)
+    // the embedded schemaString is real Spark schema JSON
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(str(meta \ "schemaString"))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(schema.fieldNames.toSeq == Seq("id", "v"))
+    val adds0 = c0.drop(2)
+    assert(adds0.nonEmpty && adds0.forall(has(_, "add")))
+    adds0.foreach { ad =>
+      val add = ad \ "add"
+      assert((add \ "partitionValues").asInstanceOf[JObject].obj.isEmpty,
+        "unpartitioned: {}")
+      assert((add \ "dataChange").asInstanceOf[JBool].value)
+      val f = java.nio.file.Paths.get(s"$root/${str(add \ "path")}")
+      assert(java.nio.file.Files.exists(f), s"add path missing: $f")
+      assert(num(add \ "size") == java.nio.file.Files.size(f),
+        "add.size must be the real file length")
+    }
+    // commit 1 (append): adds only, no removes
+    val c1 = actions(1)
+    assert(c1.forall(has(_, "add")), "append emits adds only")
+    // commit 2 (overwrite): removes retire the whole parent set
+    val c2 = actions(2)
+    assert(c2.exists(has(_, "remove")) && c2.exists(has(_, "add")))
+    c2.filter(has(_, "remove")).foreach(r =>
+      assert((r \ "remove" \ "dataChange").asInstanceOf[JBool].value &&
+        num(r \ "remove" \ "deletionTimestamp") > 0))
+    // replayability: folding adds minus removes through commit K
+    // reconstructs snapshot K+1's exact file set
+    def tail3(p: String) = p.split("/").takeRight(3).mkString("/")
+    var live = Set.empty[String]
+    for (dv <- 0 to 2) {
+      actions(dv).foreach { a =>
+        if (has(a, "add")) live += str(a \ "add" \ "path")
+        if (has(a, "remove")) live -= str(a \ "remove" \ "path")
+      }
+      val snap = VersionedStore.read(spark, root, dv + 1)
+        .select(org.apache.spark.sql.functions.input_file_name()).distinct()
+        .collect().map(r => tail3(r.getString(0))).toSet
+      assert(live.map(tail3) == snap,
+        s"log replay through commit $dv must equal snapshot ${dv + 1}")
+    }
+  }
+
   test("versioned store: incremental read returns exactly the added rows") {
     import SparkTestSession.spark.implicits._
     import graft.sources.VersionedStore
