@@ -338,6 +338,12 @@ object SparkEntry {
     "q319_unigram_train"  -> (Text.q319 _),
     "q320_unigram_apply"  -> (Text.q320 _),
     "q321_unigram_fertility" -> (Text.q321 _),
+    "q322_kendall_tau"    -> (Relational.q322 _),
+    "q323_kruskal_wallis" -> (Relational.q323 _),
+    "q324_hits"           -> (Relational.q324 _),
+    "q325_mmr_rerank"     -> (Similarity.q325 _),
+    "q326_hard_negatives" -> (Similarity.q326 _),
+    "q327_srm_check"      -> (Relational.q327 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -388,6 +394,57 @@ object SparkEntry {
          WHERE q.vec_id < 10),
        r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM s)
        SELECT query_id, rank, neighbor_id, ${BP("cos")} AS cos_bp FROM r WHERE rank <= 10"""
+
+  /** q325's MMR replay: exact top-pool per query, pairwise pool sims,
+    * then TopK unrolled greedy steps — each one anti-join against the
+    * selected set, one max-sim lookup, one per-query argmax window
+    * with the (mmr DESC, cand ASC) tie order. Every sel/step CTE is
+    * MATERIALIZED (referenced twice — the q250 discipline). */
+  private def q325OracleSql: String = {
+    val pool = graft.ops.Similarity.MmrPool
+    val k = graft.ops.Similarity.TopK
+    val lam = graft.ops.Similarity.MmrLambdaBp
+    val steps = (1 to k).map { t =>
+      s"""w$t AS (
+        SELECT query_id, CAST($t AS INT) AS rank, cand, rel_bp FROM (
+          SELECT r.query_id, r.cand, r.rel_bp,
+            row_number() OVER (PARTITION BY r.query_id
+              ORDER BY ($lam * r.rel_bp - ${10000 - lam} * COALESCE(m.msim, 0)) DESC,
+                r.cand ASC) AS rn
+          FROM (SELECT p.* FROM pool p ANTI JOIN s${t - 1} s
+                ON s.query_id = p.query_id AND s.cand = p.cand) r
+          LEFT JOIN (SELECT pr.query_id, pr.ca AS cand,
+                       max(pr.sim_bp) AS msim
+                     FROM pairs pr JOIN s${t - 1} ss
+                       ON ss.query_id = pr.query_id AND ss.cand = pr.cb
+                     GROUP BY pr.query_id, pr.ca) m
+            ON m.query_id = r.query_id AND m.cand = r.cand)
+        WHERE rn = 1),
+      s$t AS MATERIALIZED (SELECT * FROM s${t - 1} UNION ALL SELECT * FROM w$t)"""
+    }.mkString(",\n      ")
+    s"""WITH pool AS MATERIALIZED (
+      SELECT query_id, cand, ${BP("cos")} AS rel_bp FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY cos DESC, cand ASC) AS rn FROM (
+          SELECT q.vec_id AS query_id, e.vec_id AS cand,
+            list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+              CAST(e.embedding AS DOUBLE[])) AS cos
+          FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+          WHERE q.vec_id < 10))
+      WHERE rn <= $pool),
+    pairs AS MATERIALIZED (
+      SELECT x.query_id, x.cand AS ca, y.cand AS cb,
+        ${BP("list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))")} AS sim_bp
+      FROM pool x JOIN pool y
+        ON y.query_id = x.query_id AND y.cand <> x.cand
+      JOIN embeddings a ON a.vec_id = x.cand
+      JOIN embeddings b ON b.vec_id = y.cand),
+    s0 AS (SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS INT) AS rank,
+           CAST(NULL AS BIGINT) AS cand, CAST(NULL AS BIGINT) AS rel_bp
+           WHERE FALSE),
+    $steps
+    SELECT query_id, rank, cand AS neighbor_id, rel_bp FROM s$k"""
+  }
 
   /** Shared oracle fragments for the dedup-policy family (q55/q84/q96):
     * one definition of the near-dup cluster labeling, the quality score,
@@ -2097,6 +2154,132 @@ object SparkEntry {
                 THEN (10000 * n_retained) // prev_active END AS BIGINT)
              AS retention_bp
          FROM lg""",
+
+    // Kendall τ-b on the daily (orders, revenue) series: sign-compared
+    // day pairs, tie-pair counts from value groups, the q286
+    // pinned-double sqrt boundary.
+    "q322_kendall_tau" ->
+      s"""WITH u AS MATERIALIZED (
+           SELECT o_orderdate AS k, CAST(count(*) AS BIGINT) AS xv,
+             CAST(sum(${C("o_totalprice")}) AS BIGINT) AS yv
+           FROM orders GROUP BY 1),
+         cd AS (SELECT
+             CAST(sum(CASE WHEN (a.xv > b.xv AND a.yv > b.yv)
+               OR (a.xv < b.xv AND a.yv < b.yv) THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+             CAST(sum(CASE WHEN (a.xv > b.xv AND a.yv < b.yv)
+               OR (a.xv < b.xv AND a.yv > b.yv) THEN 1 ELSE 0 END) AS BIGINT) AS nd
+           FROM u a JOIN u b ON a.k < b.k),
+         tx AS (SELECT CAST(coalesce(sum(t * (t - 1) // 2), 0) AS HUGEINT) AS n1
+                FROM (SELECT count(*) AS t FROM u GROUP BY xv)),
+         ty AS (SELECT CAST(coalesce(sum(t * (t - 1) // 2), 0) AS HUGEINT) AS n2
+                FROM (SELECT count(*) AS t FROM u GROUP BY yv)),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM u)
+         SELECT n AS n_units, CAST(n * (n - 1) // 2 AS BIGINT) AS n_pairs,
+           nc AS concordant, nd AS discordant,
+           CASE WHEN n * (n - 1) // 2 - n1 = 0 OR n * (n - 1) // 2 - n2 = 0
+             THEN NULL
+             ELSE CAST(floor(10000.0 * (nc - nd) /
+               (sqrt(CAST(n * (n - 1) // 2 - n1 AS DOUBLE)) *
+                sqrt(CAST(n * (n - 1) // 2 - n2 AS DOUBLE))) + 0.5) AS BIGINT)
+           END AS tau_b_bp
+         FROM cd, tx, ty, nn""",
+
+    // Kruskal–Wallis on the cent lattice across event types: 2×mid
+    // ranks on the bounded grid, per-group 10⁶-floored terms, pinned
+    // H_milli division order, tie adjustment.
+    "q323_kruskal_wallis" ->
+      s"""WITH pb AS (SELECT ${C("value")} AS v, event_type AS g,
+             CAST(count(*) AS BIGINT) AS ng
+           FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+           GROUP BY 1, 2),
+         pv AS (SELECT v, CAST(sum(ng) AS BIGINT) AS t FROM pb GROUP BY v),
+         rk AS (SELECT v, 2 * (sum(t) OVER (ORDER BY v ASC
+             ROWS UNBOUNDED PRECEDING) - t) + t + 1 AS r2 FROM pv),
+         bg AS (SELECT g, CAST(sum(ng) AS BIGINT) AS n_g,
+             CAST(sum(CAST(ng AS HUGEINT) * r2) AS HUGEINT) AS rg2
+           FROM pb JOIN rk USING (v) GROUP BY g),
+         tm AS (SELECT n_g, 1000000 * rg2 * rg2 // n_g AS term FROM bg),
+         tie AS (SELECT CAST(sum(CAST(t AS HUGEINT) * t * t - t) AS HUGEINT)
+             AS tie3 FROM pv),
+         ag AS (SELECT CAST(sum(n_g) AS HUGEINT) AS n,
+             CAST(count(*) AS BIGINT) AS k_groups,
+             CAST(sum(term) AS HUGEINT) AS s FROM tm)
+         SELECT CAST(n AS BIGINT) AS n, k_groups,
+           CAST(3000 * s // (1000000 * n * (n + 1)) - 3000 * (n + 1) AS BIGINT)
+             AS h_milli,
+           CASE WHEN n * n * n - n - tie3 = 0 THEN NULL
+             ELSE CAST((3000 * s // (1000000 * n * (n + 1)) - 3000 * (n + 1))
+               * (n * n * n - n) // (n * n * n - n - tie3) AS BIGINT)
+           END AS h_adj_milli
+         FROM ag, tie""",
+
+    // HITS: 4 unrolled sweeps over the sampled customer→part edges,
+    // each side renormalized to max = 10⁶ by truncating division.
+    "q324_hits" -> {
+      val sweeps = (1 to graft.ops.Relational.HitsIters).map { i =>
+        s"""a${i}r AS (SELECT t, CAST(sum(hs) AS HUGEINT) AS sc
+             FROM e JOIN h${i - 1} USING (s) GROUP BY t),
+           a${i}m AS (SELECT max(sc) AS mx FROM a${i}r),
+           a$i AS MATERIALIZED (SELECT t,
+             CAST(1000000 * sc // mx AS BIGINT) AS ascore
+             FROM a${i}r CROSS JOIN a${i}m),
+           h${i}r AS (SELECT s, CAST(sum(ascore) AS HUGEINT) AS sc
+             FROM e JOIN a$i USING (t) GROUP BY s),
+           h${i}m AS (SELECT max(sc) AS mx FROM h${i}r),
+           h$i AS MATERIALIZED (SELECT s,
+             CAST(1000000 * sc // mx AS BIGINT) AS hs
+             FROM h${i}r CROSS JOIN h${i}m)"""
+      }.mkString(",\n         ")
+      val last = graft.ops.Relational.HitsIters
+      s"""WITH e AS MATERIALIZED (
+           SELECT DISTINCT o_custkey AS s, l_partkey AS t
+           FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+           WHERE l_orderkey % 8 = 0),
+         h0 AS (SELECT DISTINCT s, CAST(1000000 AS BIGINT) AS hs FROM e),
+         $sweeps,
+         hub AS (SELECT 'hub' AS side, s AS node, hs AS score FROM h$last
+                 ORDER BY hs DESC, s ASC LIMIT 10),
+         aut AS (SELECT 'authority' AS side, t AS node, ascore AS score
+                 FROM a$last ORDER BY ascore DESC, t ASC LIMIT 10),
+         uu AS (SELECT * FROM hub UNION ALL SELECT * FROM aut)
+         SELECT side, CAST(row_number() OVER (PARTITION BY side
+             ORDER BY score DESC, node ASC) AS BIGINT) AS rank, node, score
+         FROM uu"""
+    },
+
+    "q325_mmr_rerank" -> q325OracleSql,
+
+    // Hard negatives: the q60 exact leg with the label INEQUALITY in
+    // the join condition, top-5.
+    "q326_hard_negatives" ->
+      s"""WITH s AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+             CAST(e.embedding AS DOUBLE[])) AS cos
+           FROM embeddings q JOIN embeddings e ON e.label <> q.label
+           WHERE q.vec_id < 10),
+         r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, neighbor_id ASC) AS rank FROM s)
+         SELECT query_id, rank, neighbor_id, ${BP("cos")} AS cos_bp
+         FROM r WHERE rank <= 5""",
+
+    // SRM: knuth-hash 50/50 assignment over distinct users, exact
+    // χ² = (2n_a − N)²/N in milli, df=1 α=0.05 critical 3.841.
+    "q327_srm_check" ->
+      """WITH au AS (SELECT DISTINCT user_id AS u FROM events
+             WHERE user_id IS NOT NULL),
+         ar AS (SELECT ((u % 1000003) * 427799) % 1000003 % 2 AS arm FROM au),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n_units,
+             CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+           FROM ar)
+         SELECT n_units, n_a, n_b,
+           CAST(1000 * (2 * CAST(n_a AS HUGEINT) - n_units)
+             * (2 * CAST(n_a AS HUGEINT) - n_units) // n_units AS BIGINT)
+             AS chi2_milli,
+           CAST(CASE WHEN 1000 * (2 * CAST(n_a AS HUGEINT) - n_units)
+             * (2 * CAST(n_a AS HUGEINT) - n_units) // n_units > 3841
+             THEN 1 ELSE 0 END AS INT) AS srm_flag
+         FROM m""",
 
     // Fano factor over the zero-completed (type, day) grid: HUGEINT
     // moments, D_milli one truncating idiv, NULL on a silent group.

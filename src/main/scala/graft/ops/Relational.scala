@@ -1689,6 +1689,211 @@ object Relational {
     mannWhitney(Tables.events(s, d).filter(col("event_type") === "purchase"),
       cents(col("value")), col("user_id") % 2 === 0)
 
+  /** KENDALL'S τ-b (round 12) — the rank-stat family's third member:
+    * q286's Spearman reads monotone association through mid-ranks;
+    * τ-b reads it through CONCORDANT vs DISCORDANT pairs, which makes
+    * it the robust choice for short, heavily tied series (its natural
+    * habitat: two daily KPI series — does revenue rank-track volume
+    * day over day). Tie-corrected: τ-b = (nc − nd)/√((n₀−n₁)(n₀−n₂))
+    * with n₁/n₂ the within-value tie-pair counts.
+    *
+    * Exactness/scale: the inputs are UNIT-GRAIN series (one row per
+    * day/group — bounded, the q225/q256 day-table discipline), so the
+    * pair self-join is lattice², never corpus²; concordance tests are
+    * sign comparisons (no dx·dy product to overflow); tie-pair counts
+    * come from value-group counts, not pairs; the single boundary is
+    * the q286 pinned-double form floor(10⁴·num/(√d₁·√d₂) + ½). NULL
+    * when either side is constant. */
+  def kendallTau(units: DataFrame, key: Column, x: Column,
+                 y: Column): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val u = units.select(key.as("k"), x.as("xv"), y.as("yv"))
+      .where(col("xv").isNotNull && col("yv").isNotNull)
+      .localCheckpoint()
+    val cd = u.as("a").join(u.as("b"), col("a.k") < col("b.k"))
+      .agg(
+        sum(when((col("a.xv") > col("b.xv") && col("a.yv") > col("b.yv")) ||
+          (col("a.xv") < col("b.xv") && col("a.yv") < col("b.yv")), 1L)
+          .otherwise(0L)).as("nc"),
+        sum(when((col("a.xv") > col("b.xv") && col("a.yv") < col("b.yv")) ||
+          (col("a.xv") < col("b.xv") && col("a.yv") > col("b.yv")), 1L)
+          .otherwise(0L)).as("nd"))
+    def tiePairs(c: String, alias: String): DataFrame =
+      u.groupBy(col(c)).agg(count(lit(1)).as("t"))
+        .agg(coalesce(sum(dec(graft.functions.F.idiv(
+          col("t") * (col("t") - 1L), lit(2L)))), dec(lit(0L))).as(alias))
+    val m = cd
+      .crossJoin(broadcast(u.agg(count(lit(1)).as("n"))))
+      .crossJoin(broadcast(tiePairs("xv", "n1")))
+      .crossJoin(broadcast(tiePairs("yv", "n2")))
+    val n0 = dec(graft.functions.F.idiv(col("n") * (col("n") - 1L), lit(2L)))
+    val d1 = n0 - col("n1")
+    val d2 = n0 - col("n2")
+    m.select(col("n").as("n_units"), n0.cast("long").as("n_pairs"),
+      col("nc").as("concordant"), col("nd").as("discordant"),
+      when(d1 === dec(lit(0L)) || d2 === dec(lit(0L)),
+        lit(null).cast("long"))
+        .otherwise(floor(lit(10000d) *
+          (col("nc") - col("nd")).cast("double") /
+          (sqrt(d1.cast("double")) * sqrt(d2.cast("double"))) + lit(0.5d))
+          .cast("long")).as("tau_b_bp"))
+  }
+
+  /** q322: τ-b between daily order volume and daily revenue. */
+  def q322(s: SparkSession, d: String): DataFrame =
+    kendallTau(
+      Tables.orders(s, d).groupBy(col("o_orderdate"))
+        .agg(count(lit(1)).as("xn"),
+          sum(cents(col("o_totalprice"))).as("yn")),
+      col("o_orderdate"), col("xn"), col("yn"))
+
+  /** KRUSKAL–WALLIS H (round 12) — the k-group extension of q287's
+    * Mann–Whitney: "does ANY of these k arms/segments tend larger",
+    * the nonparametric one-way ANOVA a skewed metric needs before
+    * anyone trusts per-pair comparisons. Same lattice mid-rank
+    * machinery (2×mid-ranks on the bounded value grid, so ties stay
+    * integral); per-group terms R²_g/n_g floored at 10⁶ BEFORE the sum
+    * (the q201/q308 per-term discipline); H in milli by one truncating
+    * division chain in a pinned order, tie-adjusted by
+    * (n³−n)/(n³−n−Σ(t³−t)); NULL when every value is tied. In
+    * 2×-rank units Σ(R2²/n) = 4Σ(R²/n), so H = 3·Σ'/(N(N+1)) − 3(N+1).
+    *
+    * Scale: lattice-bin partial counts, one bounded-grid window, a
+    * groups-sized fold — the corpus shuffles only per-bin counters. */
+  def kruskalWallis(df: DataFrame, value: Column, group: Column): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val perBin = df.select(value.as("v"), group.as("g"))
+      .where(col("v").isNotNull && col("g").isNotNull)
+      .groupBy(col("v"), col("g")).agg(count(lit(1)).as("ng"))
+      .localCheckpoint()
+    val perV = perBin.groupBy(col("v")).agg(sum(col("ng")).as("t"))
+    val w = Window.orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = perV.select(col("v"),
+      (lit(2L) * (sum(col("t")).over(w) - col("t")) + col("t") + lit(1L))
+        .as("r2"))
+    val byG = perBin.join(broadcast(ranked), "v")
+      .groupBy(col("g"))
+      .agg(sum(col("ng")).as("n_g"),
+        sum(dec(col("ng")) * dec(col("r2"))).as("rg2"))
+    val terms = byG.select(col("n_g"),
+      graft.functions.F.idiv(dec(lit(1000000L)) * col("rg2") * col("rg2"),
+        dec(col("n_g"))).as("term"))
+    val ties = perV.agg(
+      sum(dec(col("t")) * dec(col("t")) * dec(col("t")) - dec(col("t")))
+        .as("tie3"))
+    val m = terms
+      .agg(sum(col("n_g")).as("n"), count(lit(1)).as("k_groups"),
+        sum(col("term")).as("s"))
+      .crossJoin(broadcast(ties))
+    val n = dec(col("n"))
+    val hMilli = graft.functions.F.idiv(dec(lit(3000L)) * col("s"),
+      dec(lit(1000000L)) * n * (n + dec(lit(1L)))) -
+      dec(lit(3000L)) * (n + dec(lit(1L)))
+    val cube = n * n * n - n
+    m.select(col("n"), col("k_groups"),
+      hMilli.cast("long").as("h_milli"),
+      when(cube - col("tie3") === dec(lit(0L)), lit(null).cast("long"))
+        .otherwise(graft.functions.F.idiv(hMilli * cube,
+          cube - col("tie3")).cast("long")).as("h_adj_milli"))
+  }
+
+  /** q323: does event value tend larger in any event-type group. */
+  def q323(s: SparkSession, d: String): DataFrame =
+    kruskalWallis(Tables.events(s, d), cents(col("value")),
+      col("event_type"))
+
+  /** HITS sweep count + fixed-point scale, shared with the oracle. */
+  val HitsIters = 4
+  val HitsScale = 1000000L
+
+  /** HITS HUBS & AUTHORITIES (round 12; Kleinberg) — the BIPARTITE
+    * ranking q147's PageRank cannot express: on a directed
+    * customer→part purchase graph, a good HUB (customer whose basket
+    * spans the catalog's important parts) and a good AUTHORITY (part
+    * bought by the important customers) reinforce each other —
+    * a(p) = Σ_{c→p} h(c), h(c) = Σ_{c→p} a(p). Fixed HitsIters
+    * synchronized sweeps (the q147/q272/q285 unroll contract), each
+    * side renormalized to max = 10⁶ by truncating division (the q281
+    * power-iteration convention — pure integers, engine-replayable).
+    *
+    * Scale: per sweep ONE edge join + ONE aggregation per side over
+    * the deduplicated edge list + a 1-row max broadcast back; output
+    * is the top-k of each side. */
+  def hits(edges: DataFrame, src: String, dst: String,
+           iters: Int = HitsIters, k: Int = 10): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val e = edges.select(col(src).as("s"), col(dst).as("t"))
+      .distinct().localCheckpoint()
+    def norm(scores: DataFrame, key: String, c: String): DataFrame =
+      scores.crossJoin(broadcast(scores.agg(max(col(c)).as("mx"))))
+        .select(col(key), graft.functions.F.idiv(
+          dec(lit(HitsScale)) * dec(col(c)), dec(col("mx")))
+          .cast("long").as(c))
+    var h = e.select(col("s")).distinct()
+      .select(col("s"), lit(HitsScale).as("hs")).localCheckpoint()
+    var a = e.select(col("t")).distinct()
+      .select(col("t"), lit(HitsScale).as("ascore")).localCheckpoint()
+    for (_ <- 1 to iters) {
+      // sums in decimal(38,0): Σ over degree of 10⁶-scaled scores
+      // wraps a long past ~10¹² in-neighbors
+      a = norm(e.join(h, "s").groupBy(col("t"))
+        .agg(sum(dec(col("hs"))).as("ascore")), "t", "ascore").localCheckpoint()
+      h = norm(e.join(a, "t").groupBy(col("s"))
+        .agg(sum(dec(col("ascore"))).as("hs")), "s", "hs").localCheckpoint()
+    }
+    val hubs = h.orderBy(col("hs").desc, col("s").asc).limit(k)
+      .select(lit("hub").as("side"), col("s").as("node"), col("hs").as("score"))
+    val auths = a.orderBy(col("ascore").desc, col("t").asc).limit(k)
+      .select(lit("authority").as("side"), col("t").as("node"),
+        col("ascore").as("score"))
+    val w = Window.partitionBy(col("side"))
+      .orderBy(col("score").desc, col("node").asc)
+    hubs.unionByName(auths)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("side"), col("rank"), col("node"), col("score"))
+  }
+
+  /** q324: top-10 hub customers and authority parts of the sampled
+    * purchase graph (the q190 basket sampling, customer side via
+    * orders). */
+  def q324(s: SparkSession, d: String): DataFrame =
+    hits(Tables.lineitem(s, d).filter(col("l_orderkey") % 8 === 0)
+      .join(Tables.orders(s, d),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_partkey")), "o_custkey", "l_partkey")
+
+  /** SAMPLE-RATIO-MISMATCH CHECK (round 12) — the pre-flight gate
+    * every experimentation platform runs before reading ANY metric: if
+    * the 50/50 assignment hash didn't deliver 50/50 UNITS, the
+    * experiment is corrupted (bot filtering, logging loss, a biased
+    * gate) and all downstream stats are garbage. χ² goodness-of-fit
+    * against the even split in exact integers — χ² = (2n_a − N)²/N
+    * for two arms — in milli by one truncating idiv, flagged against
+    * the df=1 α=0.05 critical value 3.841 (literal constant, the q287
+    * is_significant convention). Assignment = the q100 knuth-
+    * multiplicative unit hash, mod 2.
+    *
+    * Scale: one distinct-unit shuffle + a 1-row fold. */
+  def srmCheck(df: DataFrame, unit: Column): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val armed = df.select(unit.as("u")).where(col("u").isNotNull).distinct()
+      .select((((col("u") % 1000003L) * 427799L) % 1000003L % 2L).as("arm"))
+    armed.agg(count(lit(1)).as("n_units"),
+        sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n_b"))
+      .select(col("n_units"), col("n_a"), col("n_b"),
+        graft.functions.F.idiv(dec(lit(1000L)) *
+          (dec(lit(2L)) * col("n_a") - col("n_units")) *
+          (dec(lit(2L)) * col("n_a") - col("n_units")), dec(col("n_units")))
+          .cast("long").as("chi2_milli"))
+      .withColumn("srm_flag", (col("chi2_milli") > lit(3841L)).cast("int"))
+  }
+
+  /** q327: SRM audit of the knuth-hash 50/50 split over event users. */
+  def q327(s: SparkSession, d: String): DataFrame =
+    srmCheck(Tables.events(s, d), col("user_id"))
+
   /** Q-Q DRIFT TABLE — drift localized in QUANTILE space: q283's KS
     * says whether two distributions differ and at which VALUE the CDFs
     * diverge; the decile table says what the shift does to each part

@@ -1521,6 +1521,104 @@ object Similarity {
       id, emb, k, probes, m, kCent, rerank)
   }
 
+  val MmrLambdaBp = 7000L
+  val MmrPool     = 32
+
+  /** MAXIMAL MARGINAL RELEVANCE RERANK (round 12) — the
+    * diversity-aware top-k every retrieval/RAG pipeline applies after
+    * the similarity search: greedily pick argmax of
+    * λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s), so near-duplicate
+    * hits stop crowding out coverage (q221 diversifies by a GROUP cap;
+    * this diversifies by embedding similarity itself). Exact integers:
+    * relevance and pairwise sims on the q60 bp grid, the MMR score is
+    * λbp·rel − (10⁴−λbp)·maxsim (scale cancels in the argmax), ties
+    * (score DESC, id ASC) — k fixed unrolled greedy steps, each ONE
+    * anti-join + ONE bounded max-sim join + ONE per-query window over
+    * ≤ pool rows, so the oracle replays every pick (the Lloyd unroll
+    * convention applied to a greedy selection).
+    *
+    * Scale (100 TB): the pool is the index's top-`pool` shortlist
+    * (here the exact q60 leg as truth facade — at deployment feed any
+    * ANN probe's output); everything after is queries×pool² bounded —
+    * corpus-independent. */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame, id: String,
+                emb: String, k: Int = TopK, pool: Int = MmrPool,
+                lambdaBp: Long = MmrLambdaBp): DataFrame = {
+    val top = bruteForceTopK(corpus, queries, id, emb, pool)
+      .select(col("query_id"), col("neighbor_id").as("cand"),
+        col("cos_bp").as("rel_bp"))
+      .localCheckpoint()
+    val c = corpus.select(col(id).as("vid"), col(emb).as("c_emb"))
+    val pairs = top.select(col("query_id"), col("cand").as("ca"))
+      .join(top.select(col("query_id"), col("cand").as("cb")), Seq("query_id"))
+      .filter(col("ca") =!= col("cb"))
+      .join(c.select(col("vid").as("ca"), col("c_emb").as("a_emb")), "ca")
+      .join(c.select(col("vid").as("cb"), col("c_emb").as("b_emb")), "cb")
+      .select(col("query_id"), col("ca"), col("cb"),
+        bp(F.cosineSim(col("a_emb"), col("b_emb"))).as("sim_bp"))
+      .localCheckpoint()
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    var selected = Seq.empty[(Long, Int, Long, Long)]
+      .toDF("query_id", "rank", "cand", "rel_bp")
+    for (step <- 1 to k) {
+      val remaining = top.join(
+        selected.select(col("query_id"), col("cand")),
+        Seq("query_id", "cand"), "left_anti")
+      val msim = pairs
+        .join(selected.select(col("query_id"), col("cand").as("cb")),
+          Seq("query_id", "cb"))
+        .groupBy(col("query_id"), col("ca").as("cand"))
+        .agg(max(col("sim_bp")).as("msim"))
+      val winner = remaining
+        .join(msim, Seq("query_id", "cand"), "left")
+        .na.fill(0L, Seq("msim"))
+        .withColumn("mmr", lit(lambdaBp) * col("rel_bp")
+          - lit(10000L - lambdaBp) * col("msim"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+            .orderBy(col("mmr").desc, col("cand").asc)))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), lit(step).as("rank"), col("cand"),
+          col("rel_bp"))
+      selected = selected.unionByName(winner).localCheckpoint()
+    }
+    selected.select(col("query_id"), col("rank"),
+      col("cand").as("neighbor_id"), col("rel_bp"))
+  }
+
+  /** q325: MMR-diversified top-10 over the exact top-32 pool. */
+  def q325(s: SparkSession, d: String): DataFrame = {
+    val (c, q) = corpusAndQueries(s, d)
+    mmrRerank(c, q, "vec_id", "embedding")
+  }
+
+  /** HARD-NEGATIVE MINING (round 12) — the contrastive-training data
+    * miner: for each query, the top-k most similar vectors carrying a
+    * DIFFERENT label. q157 samples random negatives (easy, cheap);
+    * training signal at the margin comes from the near-misses this
+    * surfaces — the standard dense-retrieval / metric-learning recipe.
+    * The label inequality lives IN the join condition (the q64
+    * filtered-probe discipline — rejected rows never reach the heap);
+    * pinned (cos DESC, id ASC) order, exact leg as the truth facade
+    * (at deployment, feed an index probe + post-filter instead). */
+  def hardNegatives(embs: DataFrame, id: String, emb: String,
+                    label: String, k: Int = 5): DataFrame = {
+    val q = embs.filter(col(id) < NumQueries)
+      .select(col(id).as("query_id"), col(emb).as("q_emb"),
+        col(label).as("q_lbl"))
+    val c = embs.select(col(id).as("neighbor_id"), col(emb).as("c_emb"),
+      col(label).as("n_lbl"))
+    val cos = F.cosineSim(col("q_emb"), col("c_emb"))
+    rankTopK(
+      c.join(broadcast(q), col("n_lbl") =!= col("q_lbl"))
+        .select(col("query_id"), col("neighbor_id"), cos.as("cos")), k)
+  }
+
+  /** q326: 5 hardest negatives per query over the labeled embeddings. */
+  def q326(s: SparkSession, d: String): DataFrame =
+    hardNegatives(Tables.embeddings(s, d), "vec_id", "embedding", "label")
+
   /** q317: IVF-PQ residual ANN with the q63 corpus-scaled rerank. */
   def q317(s: SparkSession, d: String): DataFrame = {
     val (c, q) = corpusAndQueries(s, d)

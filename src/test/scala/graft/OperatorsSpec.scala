@@ -1073,6 +1073,108 @@ class OperatorsSpec extends SparkSpec {
     assert(direct == stored, "store round-trip must not change results")
   }
 
+  test("q322 kendall tau-b: hand-computed concordance with and without ties") {
+    import SparkTestSession.spark.implicits._
+    // x=[1,2,3,4], y=[1,3,2,4]: 6 pairs, 5 concordant, 1 discordant,
+    // no ties -> tau = 4/6 = 0.6667
+    val a = Relational.kendallTau(
+      Seq((1L, 1L, 1L), (2L, 2L, 3L), (3L, 3L, 2L), (4L, 4L, 4L))
+        .toDF("k", "x", "y"), col("k"), col("x"), col("y")).head()
+    assert((a.getLong(0), a.getLong(1), a.getLong(2), a.getLong(3)) ==
+      ((4L, 6L, 5L, 1L)))
+    assert(a.getLong(4) == 6667L, s"tau_b_bp ${a.getLong(4)}")
+    // x=[1,1,2], y=[1,2,3]: nc=2, nd=0, one x-tie pair ->
+    // tau_b = 2/sqrt(2*3) = 0.8165
+    val b = Relational.kendallTau(
+      Seq((1L, 1L, 1L), (2L, 1L, 2L), (3L, 2L, 3L)).toDF("k", "x", "y"),
+      col("k"), col("x"), col("y")).head()
+    assert((b.getLong(2), b.getLong(3), b.getLong(4)) == ((2L, 0L, 8165L)))
+    // constant side -> NULL
+    val c = Relational.kendallTau(
+      Seq((1L, 5L, 1L), (2L, 5L, 2L)).toDF("k", "x", "y"),
+      col("k"), col("x"), col("y")).head()
+    assert(c.isNullAt(4))
+  }
+
+  test("q323 kruskal-wallis: textbook H on a hand case, tie adjustment") {
+    import SparkTestSession.spark.implicits._
+    // groups a={1,2}, b={3,4}: R_a=3, R_b=7 -> H = 12/20*29 - 15 = 2.4
+    val r = Relational.kruskalWallis(
+      Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b")).toDF("v", "g"),
+      col("v"), col("g")).head()
+    assert((r.getLong(0), r.getLong(1)) == ((4L, 2L)))
+    assert(r.getLong(2) == 2400L, s"h_milli ${r.getLong(2)}")
+    assert(r.getLong(3) == 2400L, "no ties -> adjustment is identity")
+    // all values tied -> NULL adjusted H
+    val t = Relational.kruskalWallis(
+      Seq((7L, "a"), (7L, "b")).toDF("v", "g"), col("v"), col("g")).head()
+    assert(t.isNullAt(3))
+  }
+
+  test("q324 hits: hubs and authorities reinforce on a star") {
+    import SparkTestSession.spark.implicits._
+    // c1 buys p1,p2; c2 buys p1: c1 is the stronger hub, p1 the
+    // stronger authority; normalization pins the leaders at 10^6
+    val edges = Seq((1L, 101L), (1L, 102L), (2L, 101L)).toDF("c", "p")
+    val out = Relational.hits(edges, "c", "p").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val hubs = out.filter(_._1 == "hub").sortBy(_._2)
+    val auths = out.filter(_._1 == "authority").sortBy(_._2)
+    assert(hubs.map(_._3).toSeq == Seq(1L, 2L), "c1 out-hubs c2")
+    assert(auths.map(_._3).toSeq == Seq(101L, 102L), "p1 out-ranks p2")
+    assert(hubs.head._4 == Relational.HitsScale &&
+      auths.head._4 == Relational.HitsScale, "leaders normalize to scale")
+    assert(hubs(1)._4 < Relational.HitsScale &&
+      auths(1)._4 < Relational.HitsScale)
+  }
+
+  test("q325 mmr: a near-duplicate of the top hit is deferred behind a diverse hit") {
+    import SparkTestSession.spark.implicits._
+    // d1 most relevant; d2 duplicates d1; d3 nearly as relevant but
+    // diverse -> greedy MMR picks d1, then d3, then d2
+    val rows = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)),          // the query
+      (1L, Seq(0.91f, 0.415f, 0f, 0f)),   // d1: top relevance
+      (2L, Seq(0.91f, 0.415f, 0f, 0f)),   // d2: exact dup of d1
+      (3L, Seq(0.9f, -0.436f, 0f, 0f)))   // d3: relevant, diverse
+      .toDF("vec_id", "embedding")
+    val out = Similarity.mmrRerank(rows, rows.filter(col("vec_id") === 0),
+        "vec_id", "embedding", k = 3)
+      .collect().map(r => r.getInt(1) -> r.getLong(2)).toMap
+    assert(out == Map(1 -> 1L, 2 -> 3L, 3 -> 2L),
+      s"greedy picks diverse d3 at rank 2: $out")
+  }
+
+  test("q326 hard negatives: the cross-label near-twin ranks first") {
+    import SparkTestSession.spark.implicits._
+    val rows = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f), 0),
+      (1L, Seq(0.999f, 0.04f, 0f, 0f), 1), // near-twin, OTHER label
+      (2L, Seq(1f, 0f, 0f, 0f), 0),        // identical but SAME label
+      (3L, Seq(0f, 1f, 0f, 0f), 1),
+      (4L, Seq(0f, 0f, 1f, 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(rows, "vec_id", "embedding",
+        "label", k = 2)
+      .filter(col("query_id") === 0).collect()
+      .map(r => r.getInt(1) -> r.getLong(2)).toMap
+    assert(out(1) == 1L, "the near-twin with a different label is rank 1")
+    assert(!out.values.toSet.contains(2L), "same-label twin excluded")
+  }
+
+  test("q327 srm: chi-square matches a direct recomputation of the same hash") {
+    import SparkTestSession.spark.implicits._
+    val users = (1L to 1000L).toDF("u")
+    val r = Relational.srmCheck(users, col("u")).head()
+    val arms = (1L to 1000L).map(u => ((u % 1000003L) * 427799L) % 1000003L % 2L)
+    val nA = arms.count(_ == 0L).toLong
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) ==
+      ((1000L, nA, 1000L - nA)))
+    val chi2 = 1000L * (2 * nA - 1000L) * (2 * nA - 1000L) / 1000L
+    assert(r.getLong(3) == chi2)
+    assert(r.getInt(4) == (if (chi2 > 3841L) 1 else 0))
+  }
+
   test("q319 unigram train: chars always kept, bounded vocab, deterministic") {
     val m1 = Text.q319(spark, sf).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
