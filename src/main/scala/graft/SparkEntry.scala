@@ -344,6 +344,10 @@ object SparkEntry {
     "q325_mmr_rerank"     -> (Similarity.q325 _),
     "q326_hard_negatives" -> (Similarity.q326 _),
     "q327_srm_check"      -> (Relational.q327 _),
+    "q328_theil_sen"      -> (Relational.q328 _),
+    "q329_benford"        -> (Relational.q329 _),
+    "q330_cohort_ltv"     -> (Events.q330 _),
+    "q331_schema_drift"   -> (Events.q331 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -2261,6 +2265,115 @@ object SparkEntry {
              ORDER BY cos DESC, neighbor_id ASC) AS rank FROM s)
          SELECT query_id, rank, neighbor_id, ${BP("cos")} AS cos_bp
          FROM r WHERE rank <= 5""",
+
+    // Theil–Sen: per-pair milli slopes over the daily revenue series,
+    // lower-median selection for slope and intercept.
+    "q328_theil_sen" ->
+      s"""WITH u AS MATERIALIZED (
+           SELECT CAST(date_diff('day', DATE '1992-01-01', o_orderdate)
+             AS BIGINT) AS xv,
+             CAST(sum(${C("o_totalprice")}) AS BIGINT) AS yv
+           FROM orders GROUP BY o_orderdate),
+         sl AS MATERIALIZED (
+           SELECT 1000 * (b.yv - a.yv) // (b.xv - a.xv) AS sl
+           FROM u a JOIN u b ON a.xv < b.xv),
+         np AS (SELECT CAST(count(*) AS BIGINT) AS np FROM sl),
+         ndc AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM u),
+         med AS (SELECT sl FROM (SELECT sl,
+             row_number() OVER (ORDER BY sl ASC) AS rn FROM sl)
+           CROSS JOIN np WHERE rn = (np + 1) // 2),
+         ic AS (SELECT 1000 * u.yv - med.sl * u.xv AS ic
+                FROM u CROSS JOIN med),
+         icm AS (SELECT ic FROM (SELECT ic,
+             row_number() OVER (ORDER BY ic ASC) AS rn FROM ic)
+           CROSS JOIN ndc WHERE rn = (nd + 1) // 2)
+         SELECT nd AS n_units, np AS n_pairs, med.sl AS slope_milli,
+           icm.ic AS intercept_milli
+         FROM ndc, np, med, icm""",
+
+    // Benford: first decimal digit of positive cent amounts vs the
+    // literal log10(1+1/d) milli masses; χ² with per-digit floors.
+    "q329_benford" ->
+      s"""WITH d0 AS (SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT)
+             AS digit, CAST(count(*) AS BIGINT) AS n_obs
+           FROM (SELECT ${C("o_totalprice")} AS v FROM orders)
+           WHERE v > 0 GROUP BY 1),
+         nn AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM d0),
+         ex AS (SELECT * FROM (VALUES (1, 301), (2, 176), (3, 125),
+             (4, 97), (5, 79), (6, 67), (7, 58), (8, 51), (9, 46))
+           t(digit, p_milli)),
+         grid AS MATERIALIZED (
+           SELECT CAST(e.digit AS BIGINT) AS digit,
+             COALESCE(d0.n_obs, 0) AS n_obs,
+             CAST(nn.n * e.p_milli // 1000 AS BIGINT) AS n_expected
+           FROM ex e CROSS JOIN nn LEFT JOIN d0 ON d0.digit = e.digit),
+         chi AS (SELECT CAST(sum(CASE WHEN n_expected = 0 THEN 0
+             ELSE 1000 * CAST(n_obs - n_expected AS HUGEINT)
+               * (n_obs - n_expected) // n_expected END) AS BIGINT)
+             AS chi2_milli FROM grid)
+         SELECT digit, n_obs, n_expected, chi2_milli FROM grid, chi""",
+
+    // Cohort LTV triangle: (user, week) revenue rollup, first-week
+    // cohorts, cumulative revenue by week index, per-user idiv.
+    "q330_cohort_ltv" ->
+      s"""WITH uw AS (SELECT user_id AS u,
+             date_trunc('week', CAST(ts AS DATE)) AS week,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+               THEN ${C("value")} ELSE 0 END) AS BIGINT) AS rev
+           FROM events GROUP BY 1, 2),
+         fw AS (SELECT u, min(week) AS cohort FROM uw GROUP BY 1),
+         sz AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n_users
+                FROM fw GROUP BY 1),
+         tri AS (SELECT fw.cohort,
+             CAST(date_diff('day', fw.cohort, uw.week) // 7 AS BIGINT)
+               AS week_index,
+             CAST(sum(uw.rev) AS BIGINT) AS rev_cents
+           FROM uw JOIN fw USING (u) GROUP BY 1, 2),
+         cum AS (SELECT cohort, week_index, rev_cents,
+             CAST(sum(rev_cents) OVER (PARTITION BY cohort
+               ORDER BY week_index ASC ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_rev_cents
+           FROM tri)
+         SELECT strftime(CAST(cohort AS DATE), '%Y-%m-%d') AS cohort,
+           week_index, n_users, rev_cents, cum_rev_cents,
+           CAST(cum_rev_cents // n_users AS BIGINT) AS ltv_per_user_cents
+         FROM cum JOIN sz USING (cohort)""",
+
+    // Schema drift: weekly distinct props-key inventory, full-outer
+    // diff against the prior week, consecutive-week guard.
+    "q331_schema_drift" ->
+      """WITH inv AS MATERIALIZED (
+           SELECT DISTINCT date_trunc('week', CAST(ts AS DATE)) AS week,
+             unnest(json_keys(CAST(props AS JSON))) AS key
+           FROM events WHERE props IS NOT NULL),
+         wk AS (SELECT DISTINCT week FROM inv),
+         j AS (SELECT coalesce(c.week, p.week) AS week,
+             CASE WHEN c.key IS NOT NULL THEN 1 END AS c,
+             CASE WHEN p.key IS NOT NULL THEN 1 END AS p
+           FROM inv c FULL JOIN
+             (SELECT week + 7 AS week, key FROM inv) p
+             ON p.week = c.week AND p.key = c.key),
+         drift AS (SELECT week,
+             CAST(sum(CASE WHEN c IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_keys,
+             CAST(sum(CASE WHEN c IS NOT NULL AND p IS NOT NULL THEN 1
+               ELSE 0 END) AS BIGINT) AS n_shared,
+             CAST(sum(CASE WHEN c IS NOT NULL AND p IS NULL THEN 1
+               ELSE 0 END) AS BIGINT) AS n_new,
+             CAST(sum(CASE WHEN c IS NULL AND p IS NOT NULL THEN 1
+               ELSE 0 END) AS BIGINT) AS n_gone
+           FROM j GROUP BY 1)
+         SELECT strftime(CAST(d.week AS DATE), '%Y-%m-%d') AS week,
+           n_keys,
+           CASE WHEN pv.week IS NULL THEN NULL ELSE n_shared END AS n_shared,
+           CASE WHEN pv.week IS NULL THEN NULL ELSE n_new END AS n_new,
+           CASE WHEN pv.week IS NULL THEN NULL ELSE n_gone END AS n_gone,
+           CASE WHEN pv.week IS NULL THEN NULL
+             ELSE CAST(10000 * n_shared // (n_shared + n_new + n_gone)
+               AS BIGINT) END AS jaccard_bp
+         FROM drift d JOIN wk ON wk.week = d.week
+         LEFT JOIN (SELECT week + 7 AS week FROM wk) pv
+           ON pv.week = d.week""",
 
     // SRM: knuth-hash 50/50 assignment over distinct users, exact
     // χ² = (2n_a − N)²/N in milli, df=1 α=0.05 critical 3.841.

@@ -1835,6 +1835,101 @@ object Events {
   def q315(s: SparkSession, d: String): DataFrame =
     userFlows(Tables.events(s, d), "user_id", to_date(col("ts")))
 
+  /** COHORT LTV CURVE (round 12) — the revenue triangle every growth
+    * model is fit on: users grouped by their FIRST-active week
+    * (signup cohort), each cohort's cumulative purchase revenue by
+    * week index since signup, per-user LTV by one truncating idiv.
+    * q36/q315 count who comes back; this prices it — "a week-12 user
+    * is worth X cents" is the number acquisition spend is judged
+    * against. Rows exist for a cohort's ACTIVE weeks (silent weeks
+    * contribute nothing and the cumulative sum is unaffected —
+    * documented, the sparse-triangle convention).
+    *
+    * Scale: one (user, week) revenue rollup, a user-grain first-week
+    * aggregation joined back, then all windows run on the
+    * weeks²-bounded cohort triangle. */
+  def cohortLtv(events: DataFrame, entity: String, day: Column,
+                revenueCents: Column): DataFrame = {
+    val uw = events.select(col(entity).as("u"),
+        date_trunc("week", day).cast("date").as("week"),
+        revenueCents.as("rev"))
+      .groupBy(col("u"), col("week")).agg(sum(col("rev")).as("rev"))
+      .localCheckpoint() // feeds first-week, sizes, and the triangle
+    val first = uw.groupBy(col("u")).agg(min(col("week")).as("cohort"))
+    val sized = first.groupBy(col("cohort")).agg(count(lit(1)).as("n_users"))
+    val tri = uw.join(first, "u")
+      .groupBy(col("cohort"),
+        graft.functions.F.idiv(datediff(col("week"), col("cohort"))
+          .cast("long"), lit(7L)).as("week_index"))
+      .agg(sum(col("rev")).as("rev_cents"))
+    val w = Window.partitionBy(col("cohort")).orderBy(col("week_index"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tri.withColumn("cum_rev_cents", sum(col("rev_cents")).over(w))
+      .join(broadcast(sized), "cohort")
+      .select(col("cohort"), col("week_index"), col("n_users"),
+        col("rev_cents"), col("cum_rev_cents"),
+        graft.functions.F.idiv(col("cum_rev_cents"), col("n_users"))
+          .as("ltv_per_user_cents"))
+  }
+
+  /** q330: purchase-revenue LTV triangle by first-active-week cohort. */
+  def q330(s: SparkSession, d: String): DataFrame =
+    cohortLtv(Tables.events(s, d), "user_id", to_date(col("ts")),
+      when(col("event_type") === "purchase", cents(col("value")))
+        .otherwise(lit(0L)))
+
+  /** JSON SCHEMA-DRIFT AUDIT (round 12) — the silent killer of event
+    * pipelines: a producer adds, renames, or drops a `props` key and
+    * every downstream extract starts returning NULLs with no error
+    * anywhere. Per week: the distinct key inventory, keys shared with
+    * / new since / gone since the PREVIOUS calendar week, and the
+    * key-set Jaccard in bp — a drop below ~10⁴ is a schema change
+    * shipping. Weeks with no predecessor in the data report NULL
+    * drift columns (the q315 consecutive-week guard — a gap week must
+    * not fabricate a comparison).
+    *
+    * Scale: one (week, key) distinct shuffle (keys explode map-side
+    * from the JSON), then everything runs on the weeks×keys-bounded
+    * inventory. */
+  def schemaDrift(events: DataFrame, day: Column, json: Column): DataFrame = {
+    val inv = events.where(json.isNotNull)
+      .select(date_trunc("week", day).cast("date").as("week"),
+        explode(json_object_keys(json)).as("key"))
+      .distinct()
+      .localCheckpoint() // feeds both join legs and the week list
+    val weeks = inv.select(col("week")).distinct()
+    val j = inv.select(col("week"), col("key")).withColumn("c", lit(1))
+      .join(inv.select(date_add(col("week"), 7).as("week"), col("key"))
+        .withColumn("p", lit(1)), Seq("week", "key"), "full")
+    val drift = j.groupBy(col("week"))
+      .agg(sum(when(col("c").isNotNull, 1L).otherwise(0L)).as("n_keys"),
+        sum(when(col("c").isNotNull && col("p").isNotNull, 1L).otherwise(0L))
+          .as("n_shared"),
+        sum(when(col("c").isNotNull && col("p").isNull, 1L).otherwise(0L))
+          .as("n_new"),
+        sum(when(col("c").isNull && col("p").isNotNull, 1L).otherwise(0L))
+          .as("n_gone"))
+    // report only REAL weeks; drift columns only when week−7 exists
+    drift.join(weeks, Seq("week"))
+      .join(weeks.select(date_add(col("week"), 7).as("week"))
+        .withColumn("has_prev", lit(1)), Seq("week"), "left")
+      .select(col("week"), col("n_keys"),
+        when(col("has_prev").isNull, lit(null).cast("long"))
+          .otherwise(col("n_shared")).as("n_shared"),
+        when(col("has_prev").isNull, lit(null).cast("long"))
+          .otherwise(col("n_new")).as("n_new"),
+        when(col("has_prev").isNull, lit(null).cast("long"))
+          .otherwise(col("n_gone")).as("n_gone"),
+        when(col("has_prev").isNull, lit(null).cast("long"))
+          .otherwise(graft.functions.F.idiv(lit(10000L) * col("n_shared"),
+            col("n_shared") + col("n_new") + col("n_gone")))
+          .as("jaccard_bp"))
+  }
+
+  /** q331: weekly props-key drift over the events stream. */
+  def q331(s: SparkSession, d: String): DataFrame =
+    schemaDrift(Tables.events(s, d), to_date(col("ts")), col("props"))
+
   /** MERGEABLE QUANTILE SKETCH by bottom-k hash sampling — the quantile
     * member of the sketch-store family (KMV = distincts q174/q175,
     * HLL = q159, this = value distribution): each day keeps the k

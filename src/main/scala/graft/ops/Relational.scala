@@ -1894,6 +1894,101 @@ object Relational {
   def q327(s: SparkSession, d: String): DataFrame =
     srmCheck(Tables.events(s, d), col("user_id"))
 
+  /** THEIL–SEN ROBUST TREND (round 12) — the median-of-pairwise-slopes
+    * estimator: one outlier day can drag an OLS fit anywhere (q256's
+    * changepoint machinery measures exactly such days), while the
+    * Theil–Sen slope moves only if HALF the pairs move — the trend
+    * number to quote for a KPI series with promo spikes and outages
+    * in it. Slopes quantize per pair as idiv(1000·Δy, Δx) (exact,
+    * documented milli grid); the reported slope is the LOWER MEDIAN of
+    * the pair slopes ((n+1)/2-th ascending, ties by position — total
+    * order, engine-replayable), intercept the lower median of
+    * 1000·y − slope·x over units.
+    *
+    * Scale: unit-grain series (the q322 day-table discipline) — pairs
+    * are lattice², the median windows run post-bounded. */
+  def theilSen(units: DataFrame, x: Column, y: Column): DataFrame = {
+    val u = units.select(x.as("xv"), y.as("yv"))
+      .where(col("xv").isNotNull && col("yv").isNotNull)
+      .localCheckpoint()
+    val slopes = u.as("a").join(u.as("b"), col("a.xv") < col("b.xv"))
+      .select(graft.functions.F.idiv(
+        lit(1000L) * (col("b.yv") - col("a.yv")),
+        col("b.xv") - col("a.xv")).as("sl"))
+      .localCheckpoint()
+    val np = slopes.count()
+    val nd = u.count()
+    val slope = slopes
+      .withColumn("rn", row_number().over(Window.orderBy(col("sl").asc)))
+      .filter(col("rn") === lit((np + 1) / 2))
+      .select(col("sl")).head().getLong(0)
+    val intercept = u
+      .select((lit(1000L) * col("yv") - lit(slope) * col("xv")).as("ic"))
+      .withColumn("rn", row_number().over(Window.orderBy(col("ic").asc)))
+      .filter(col("rn") === lit((nd + 1) / 2))
+      .select(col("ic")).head().getLong(0)
+    val spark = units.sparkSession
+    import spark.implicits._
+    Seq((nd, np, slope, intercept))
+      .toDF("n_units", "n_pairs", "slope_milli", "intercept_milli")
+  }
+
+  /** q328: robust daily-revenue trend (x = days since epoch, y =
+    * revenue cents). */
+  def q328(s: SparkSession, d: String): DataFrame =
+    theilSen(
+      Tables.orders(s, d).groupBy(col("o_orderdate"))
+        .agg(sum(cents(col("o_totalprice"))).as("rev"))
+        .select(datediff(col("o_orderdate"), lit("1992-01-01").cast("date"))
+          .cast("long").as("xd"), col("rev")),
+      col("xd"), col("rev"))
+
+  /** Benford expected first-digit masses, in milli (log10(1+1/d)). */
+  val BenfordMilli: Seq[Long] =
+    Seq(301L, 176L, 125L, 97L, 79L, 67L, 58L, 51L, 46L)
+
+  /** BENFORD FIRST-DIGIT AUDIT (round 12) — the classic
+    * fraud/fabrication screen for naturally-spanning amounts: organic
+    * multi-order-of-magnitude values lead with 1 ~30% of the time;
+    * invented or clipped numbers don't. Per digit: observed count,
+    * Benford-expected count (E_d = ⌊n·p_d/1000⌋, the literal milli
+    * masses), deviation in milli of expected, and the one-row χ² with
+    * per-digit terms ⌊1000·(O−E)²/E⌋ floored before the sum (q201
+    * discipline) carried on every row (the q274 global-alongside
+    * convention). First digit via the decimal string head — exact and
+    * identical in both engines for positive integers.
+    *
+    * Scale: one map-side digit extraction + a 9-row rollup. */
+  def benfordAudit(df: DataFrame, amount: Column): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val digits = df.select(amount.as("v")).where(col("v") > 0L)
+      .select(substring(col("v").cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val expected = BenfordMilli.zipWithIndex
+      .map { case (m, i) => (i + 1L, m) }.toDF("digit", "p_milli")
+    val n = digits.agg(sum(col("n_obs")).as("n"))
+    val grid = expected.crossJoin(broadcast(n))
+      .join(digits, Seq("digit"), "left").na.fill(0L, Seq("n_obs"))
+      .select(col("digit"), col("n_obs"),
+        graft.functions.F.idiv(col("n") * col("p_milli"), lit(1000L))
+          .as("n_expected"))
+      .localCheckpoint()
+    val chi = grid.agg(sum(when(col("n_expected") === 0L, 0L)
+      .otherwise(graft.functions.F.idiv(dec(lit(1000L)) *
+        (col("n_obs") - col("n_expected")) *
+        (col("n_obs") - col("n_expected")),
+        dec(col("n_expected"))).cast("long"))).as("chi2_milli"))
+    grid.crossJoin(broadcast(chi))
+      .select(col("digit"), col("n_obs"), col("n_expected"),
+        col("chi2_milli"))
+  }
+
+  /** q329: Benford audit of order totals (cent amounts). */
+  def q329(s: SparkSession, d: String): DataFrame =
+    benfordAudit(Tables.orders(s, d), cents(col("o_totalprice")))
+
   /** Q-Q DRIFT TABLE — drift localized in QUANTILE space: q283's KS
     * says whether two distributions differ and at which VALUE the CDFs
     * diverge; the decile table says what the shift does to each part

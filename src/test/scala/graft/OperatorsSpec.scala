@@ -1175,6 +1175,61 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getInt(4) == (if (chi2 > 3841L) 1 else 0))
   }
 
+  test("q328 theil-sen: the outlier day cannot move the median slope") {
+    import SparkTestSession.spark.implicits._
+    // y = 10x except day 3's 1000: OLS would chase it; the pair-slope
+    // median stays 10 (10000 milli) and the intercept median stays 0
+    val r = Relational.theilSen(
+      Seq((0L, 0L), (1L, 10L), (2L, 20L), (3L, 1000L)).toDF("x", "y"),
+      col("x"), col("y")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((4L, 6L, 10000L, 0L)))
+  }
+
+  test("q329 benford: hand-counted grid and floored chi-square terms") {
+    import SparkTestSession.spark.implicits._
+    val r = Relational.benfordAudit(
+        Seq(10L, 19L, 25L, 33L).toDF("v"), col("v"))
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    // n=4: E1 = ⌊4·301/1000⌋ = 1, every other E floors to 0 (skipped
+    // in χ²); digit 1 observed twice -> χ² term 1000·(2−1)²/1 = 1000
+    assert(r(1L) == ((2L, 1L, 1000L)))
+    assert(r(2L) == ((1L, 0L, 1000L)) && r(3L) == ((1L, 0L, 1000L)))
+    assert(r(9L) == ((0L, 0L, 1000L)))
+    assert(r.size == 9, "all nine digits always reported")
+  }
+
+  test("q330 cohort ltv: cumulative triangle and per-user division") {
+    import SparkTestSession.spark.implicits._
+    val d0 = java.sql.Date.valueOf("2024-05-06") // a Monday
+    val d7 = java.sql.Date.valueOf("2024-05-13")
+    val ev = Seq((1L, d0, 100L), (1L, d7, 200L), (2L, d0, 0L))
+      .toDF("u", "day", "rev")
+    val out = Events.cohortLtv(ev, "u", col("day"), col("rev"))
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out(0L) == ((2L, 100L, 100L, 50L)), s"week 0: $out")
+    assert(out(1L) == ((2L, 200L, 300L, 150L)), s"week 1: $out")
+  }
+
+  test("q331 schema drift: key diff with the consecutive-week guard") {
+    import SparkTestSession.spark.implicits._
+    val d0 = java.sql.Date.valueOf("2024-05-06")
+    val d7 = java.sql.Date.valueOf("2024-05-13")
+    val ev = Seq((d0, """{"a":1,"b":2}"""), (d7, """{"b":1,"c":2}"""))
+      .toDF("day", "props")
+    val out = Events.schemaDrift(ev, col("day"), col("props"))
+      .collect().map(r => r.getDate(0).toString ->
+        ((r.getLong(1), Option(r.get(2)), Option(r.get(3)), Option(r.get(4)),
+          Option(r.get(5))))).toMap
+    assert(out("2024-05-06") == ((2L, None, None, None, None)),
+      "first week has no predecessor -> NULL drift")
+    assert(out("2024-05-13") ==
+      ((2L, Some(1L), Some(1L), Some(1L), Some(3333L))),
+      s"b shared, c new, a gone, jaccard 1/3: $out")
+  }
+
   test("q319 unigram train: chars always kept, bounded vocab, deterministic") {
     val m1 = Text.q319(spark, sf).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
