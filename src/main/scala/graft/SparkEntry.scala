@@ -348,6 +348,8 @@ object SparkEntry {
     "q329_benford"        -> (Relational.q329 _),
     "q330_cohort_ltv"     -> (Events.q330 _),
     "q331_schema_drift"   -> (Events.q331 _),
+    "q332_textrank"       -> (Text.q332 _),
+    "q333_logrank"        -> (Events.q333 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -2374,6 +2376,97 @@ object SparkEntry {
          FROM drift d JOIN wk ON wk.week = d.week
          LEFT JOIN (SELECT week + 7 AS week FROM wk) pv
            ON pv.week = d.week""",
+
+    // TextRank: window-2 co-occurrence edges, the q147 integer
+    // PageRank unroll on the word graph, top-20.
+    "q332_textrank" -> {
+      val iters = (1 to 5).map { i =>
+        s""",
+         s$i AS (SELECT e0.y AS node, sum(r${i - 1}.r // deg.d) AS sc
+                 FROM e0 JOIN r${i - 1} ON r${i - 1}.node = e0.x
+                 JOIN deg ON deg.x = e0.x GROUP BY 1),
+         r$i AS (SELECT node, (150000000000 // c) + (85 * sc) // 100 AS r FROM s$i, nn)"""
+      }.mkString
+      """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+         p0 AS (SELECT unnest(flatten(list_transform(range(1, len(toks) + 1),
+             i -> list_transform(range(i + 1, least(i + 3, len(toks) + 1)),
+               j -> [toks[i], toks[j]])))) AS pr FROM t),
+         pp AS (SELECT pr[1] AS wa, pr[2] AS wb FROM p0
+                WHERE pr[1] <> '' AND pr[2] <> '' AND pr[1] <> pr[2]),
+         g AS (SELECT DISTINCT least(wa, wb) AS x0, greatest(wa, wb) AS y0
+               FROM pp),
+         e0 AS MATERIALIZED (SELECT x0 AS x, y0 AS y FROM g
+               UNION ALL SELECT y0, x0 FROM g),
+         deg AS MATERIALIZED (SELECT x, count(*) AS d FROM e0 GROUP BY 1),
+         nn AS (SELECT count(*) AS c FROM deg),
+         r0 AS (SELECT x AS node, 1000000000000 // c AS r FROM deg, nn)""" +
+      iters +
+      """
+         SELECT node AS word, CAST(r AS BIGINT) AS rank_e12 FROM (
+           SELECT *, row_number() OVER (ORDER BY r DESC, node ASC) AS rn
+           FROM r5) WHERE rn <= 20"""
+    },
+
+    // Log-rank: q222's entry/departure construction per arm on the
+    // shared day grid, 10⁶-floored per-day E/V terms, pinned z.
+    "q333_logrank" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+         u AS (SELECT user_id, min(us) AS entry_us,
+               min(CASE WHEN event_type = 'purchase' THEN us END) AS conv_us
+               FROM e GROUP BY 1),
+         h AS (SELECT max(us) AS h_us FROM e),
+         obs AS MATERIALIZED (SELECT (user_id % 2 = 0) AS is_a,
+               CASE WHEN conv_us IS NOT NULL
+                 THEN (conv_us - entry_us) // 86400000000
+                 ELSE (h.h_us - entry_us) // 86400000000 END AS t_day,
+               CASE WHEN conv_us IS NOT NULL THEN 1 ELSE 0 END AS converted
+               FROM u, h),
+         tot AS (SELECT is_a, CAST(count(*) AS BIGINT) AS n_tot
+                 FROM obs GROUP BY 1),
+         pda AS (SELECT t_day, is_a, CAST(sum(converted) AS BIGINT) AS d_conv,
+                 CAST(count(*) AS BIGINT) AS n_leaving
+                 FROM obs GROUP BY 1, 2),
+         grid AS (SELECT d.t_day, a.is_a,
+                 coalesce(pda.d_conv, 0) AS d_conv,
+                 coalesce(pda.n_leaving, 0) AS n_leaving
+                 FROM (SELECT DISTINCT t_day FROM obs) d
+                 CROSS JOIN (SELECT unnest([TRUE, FALSE]) AS is_a) a
+                 LEFT JOIN pda ON pda.t_day = d.t_day AND pda.is_a = a.is_a),
+         rk AS (SELECT g.*, tot.n_tot,
+                 sum(n_leaving) OVER (PARTITION BY g.is_a ORDER BY t_day
+                   ROWS UNBOUNDED PRECEDING) AS left_through
+                 FROM grid g JOIN tot ON tot.is_a = g.is_a),
+         rr AS (SELECT t_day, is_a, d_conv,
+                 n_tot - left_through + n_leaving AS n_risk FROM rk),
+         pd AS (SELECT t_day,
+                 sum(CASE WHEN is_a THEN n_risk ELSE 0 END) AS n1,
+                 sum(CASE WHEN NOT is_a THEN n_risk ELSE 0 END) AS n2,
+                 sum(CASE WHEN is_a THEN d_conv ELSE 0 END) AS d1,
+                 sum(d_conv) AS d
+                 FROM rr GROUP BY 1 HAVING sum(d_conv) > 0),
+         m AS (SELECT CAST(sum(d1) AS BIGINT) AS o1,
+                 CAST(sum(1000000 * CAST(d AS HUGEINT) * n1 // (n1 + n2))
+                   AS HUGEINT) AS e1u,
+                 CAST(sum(CASE WHEN n1 + n2 > 1 THEN
+                   1000000 * CAST(d AS HUGEINT) * n1 * n2 * (n1 + n2 - d)
+                     // (CAST(n1 + n2 AS HUGEINT) * (n1 + n2) * (n1 + n2 - 1))
+                   ELSE 0 END) AS HUGEINT) AS vu
+                 FROM pd),
+         ab AS (SELECT
+                 CAST(max(CASE WHEN is_a THEN n_tot END) AS BIGINT) AS n_a,
+                 CAST(max(CASE WHEN NOT is_a THEN n_tot END) AS BIGINT) AS n_b
+                 FROM tot)
+         SELECT n_a, n_b, o1 AS obs_a, CAST(e1u AS BIGINT) AS exp_a_micro,
+           CAST(vu AS BIGINT) AS var_micro,
+           CASE WHEN vu = 0 THEN NULL
+             ELSE CAST(floor(CAST(1000000 * CAST(o1 AS HUGEINT) - e1u AS DOUBLE)
+               / sqrt(CAST(vu AS DOUBLE)) + 0.5) AS BIGINT) END AS z_milli,
+           CASE WHEN vu = 0 THEN NULL
+             ELSE CAST(CASE WHEN abs(CAST(floor(
+               CAST(1000000 * CAST(o1 AS HUGEINT) - e1u AS DOUBLE)
+               / sqrt(CAST(vu AS DOUBLE)) + 0.5) AS BIGINT)) > 1960
+               THEN 1 ELSE 0 END AS INT) END AS is_significant
+         FROM m, ab""",
 
     // SRM: knuth-hash 50/50 assignment over distinct users, exact
     // χ² = (2n_a − N)²/N in milli, df=1 α=0.05 critical 3.841.

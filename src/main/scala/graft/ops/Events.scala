@@ -2224,6 +2224,92 @@ object Events {
     kaplanMeier(Tables.events(s, d), "user_id", unix_micros(col("ts")),
       col("event_type") === "purchase")
 
+  /** LOG-RANK TEST (round 12; Mantel–Cox) — the A/B test for
+    * TIME-TO-EVENT: q209/q287 compare rates and locations, q222 draws
+    * one survival curve; this answers "does arm B convert FASTER,
+    * censoring included" — comparing conversion RATES at a horizon
+    * throws away everyone the horizon censors, which is the bias the
+    * log-rank exists to avoid. Per event day t: O₁ = observed arm-A
+    * conversions, E₁ term d·n₁/n and variance term
+    * d·n₁·n₂·(n−d)/(n²(n−1)) — each floored at 10⁶ BEFORE the sum
+    * (q201 discipline), at-risk counts from the same
+    * entry/departure cumulative construction as q222 on the shared
+    * (day, arm) grid; z = (10⁶·O₁ − ΣE₁μ)/√ΣVμ at the one pinned
+    * double boundary (q287's z_milli convention), NULL on zero
+    * variance.
+    *
+    * Scale: users reduce to one (t_day, converted, arm) row; the
+    * grid/windows run on day×2 rows. */
+  def logRank(events: DataFrame, key: String, tsUs: Column,
+              qualifying: Column, isA: Column): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val dayUs = 86400000000L
+    val perUser = events.groupBy(col(key))
+      .agg(min(tsUs).as("entry_us"),
+        min(when(qualifying, tsUs)).as("conv_us"))
+      .withColumn("is_a", isA)
+    val horizon = events.agg(max(tsUs).as("h_us"))
+    val obs = perUser.crossJoin(broadcast(horizon))
+      .select(col("is_a"),
+        when(col("conv_us").isNotNull,
+          graft.functions.F.idiv(col("conv_us") - col("entry_us"), lit(dayUs)))
+          .otherwise(graft.functions.F.idiv(col("h_us") - col("entry_us"),
+            lit(dayUs))).as("t_day"),
+        col("conv_us").isNotNull.cast("long").as("converted"))
+      .localCheckpoint()
+    val totals = obs.groupBy(col("is_a")).agg(count(lit(1)).as("n_tot"))
+    val perDayArm = obs.groupBy(col("t_day"), col("is_a"))
+      .agg(sum(col("converted")).as("d_conv"),
+        count(lit(1)).as("n_leaving"))
+    val spark = events.sparkSession
+    import spark.implicits._
+    val grid = obs.select(col("t_day")).distinct()
+      .crossJoin(Seq(true, false).toDF("is_a"))
+      .join(perDayArm, Seq("t_day", "is_a"), "left")
+      .na.fill(0L, Seq("d_conv", "n_leaving"))
+      .join(broadcast(totals), Seq("is_a"))
+    val byArm = Window.partitionBy(col("is_a")).orderBy(col("t_day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val risk = grid
+      .withColumn("left_through", sum(col("n_leaving")).over(byArm))
+      .withColumn("n_risk",
+        col("n_tot") - col("left_through") + col("n_leaving"))
+    val perDay = risk.groupBy(col("t_day"))
+      .agg(sum(when(col("is_a"), col("n_risk")).otherwise(0L)).as("n1"),
+        sum(when(!col("is_a"), col("n_risk")).otherwise(0L)).as("n2"),
+        sum(when(col("is_a"), col("d_conv")).otherwise(0L)).as("d1"),
+        sum(col("d_conv")).as("d"))
+      .where(col("d") > 0L)
+      .withColumn("n", col("n1") + col("n2"))
+    val m = perDay.agg(
+        sum(col("d1")).as("o1"),
+        sum(graft.functions.F.idiv(dec(lit(1000000L)) * col("d") * col("n1"),
+          dec(col("n")))).as("e1u"),
+        sum(when(col("n") > 1L,
+          graft.functions.F.idiv(dec(lit(1000000L)) * col("d") * col("n1")
+            * col("n2") * (col("n") - col("d")),
+            dec(col("n")) * col("n") * (col("n") - dec(lit(1L)))))
+          .otherwise(dec(lit(0L)))).as("vu"))
+      .crossJoin(broadcast(totals
+        .groupBy().pivot("is_a", Seq(true, false)).sum("n_tot")
+        .select(col("true").as("n_a"), col("false").as("n_b"))))
+    m.select(col("n_a"), col("n_b"), col("o1").as("obs_a"),
+      col("e1u").cast("long").as("exp_a_micro"),
+      col("vu").cast("long").as("var_micro"),
+      when(col("vu") === dec(lit(0L)), lit(null).cast("long"))
+        .otherwise(floor((dec(lit(1000000L)) * col("o1") - col("e1u"))
+          .cast("double") / sqrt(col("vu").cast("double")) + lit(0.5d))
+          .cast("long")).as("z_milli"))
+      .withColumn("is_significant",
+        when(col("z_milli").isNull, lit(null).cast("int"))
+          .otherwise((abs(col("z_milli")) > lit(1960L)).cast("int")))
+  }
+
+  /** q333: does either user-parity arm reach first purchase faster. */
+  def q333(s: SparkSession, d: String): DataFrame =
+    logRank(Tables.events(s, d), "user_id", unix_micros(col("ts")),
+      col("event_type") === "purchase", col("user_id") % 2 === 0)
+
   /** SESSION FEATURE-STORE BUILD — the behavioral feature table a
     * ranking/churn model trains on, rolled up from sessionized events:
     * per user the session count, event mass, mean session duration,

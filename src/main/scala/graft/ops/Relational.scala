@@ -1918,15 +1918,20 @@ object Relational {
       .localCheckpoint()
     val np = slopes.count()
     val nd = u.count()
-    val slope = slopes
-      .withColumn("rn", row_number().over(Window.orderBy(col("sl").asc)))
-      .filter(col("rn") === lit((np + 1) / 2))
-      .select(col("sl")).head().getLong(0)
-    val intercept = u
-      .select((lit(1000L) * col("yv") - lit(slope) * col("xv")).as("ic"))
-      .withColumn("rn", row_number().over(Window.orderBy(col("ic").asc)))
-      .filter(col("rn") === lit((nd + 1) / 2))
-      .select(col("ic")).head().getLong(0)
+    // rank-t pick by one ordered window over the pair table — which is
+    // day-lattice²-bounded by construction (≤ ~10⁷ rows for a DECADE
+    // of daily points, at any corpus size), so the single-partition
+    // sort is a bounded-model step, not a corpus sort. The slope
+    // values are near-continuous (cent revenues), so a value-lattice
+    // regroup would not compress it (measured: it only adds a shuffle).
+    def rankPick(vals: DataFrame, c: String, t: Long): Long =
+      vals.withColumn("rn", row_number().over(Window.orderBy(col(c).asc)))
+        .filter(col("rn") === lit(t))
+        .select(col(c)).head().getLong(0)
+    val slope = rankPick(slopes, "sl", (np + 1) / 2)
+    val intercept = rankPick(
+      u.select((lit(1000L) * col("yv") - lit(slope) * col("xv")).as("ic")),
+      "ic", (nd + 1) / 2)
     val spark = units.sparkSession
     import spark.implicits._
     Seq((nd, np, slope, intercept))

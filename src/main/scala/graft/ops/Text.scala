@@ -1469,6 +1469,36 @@ object Text {
           sum(col("wc") * col("n_tok"))).as("chars_per_token_bp"))
   }
 
+  /** TEXTRANK KEYWORD EXTRACTION (round 12; Mihalcea & Tarau) — the
+    * GRAPH-based keyword ranker next to q161's frequency-based TF-IDF:
+    * words vote for words they co-occur with (window ≤ 2), and the
+    * q147 integer PageRank (damping 0.85, 5 fixed iterations at scale
+    * 10¹²) ranks the graph — a term that appears in many CONTEXTS
+    * outranks a term that merely appears often, which is the entire
+    * point of TextRank over counting. Pairs explode WITHIN the token
+    * array (q68's basket discipline), the vote loop is pageRank's one
+    * join + one aggregation per iteration.
+    *
+    * Scale: edges are corpus-linear (≤ window per token), dedup'd to
+    * the vocabulary-pair grain before iterating — every PageRank round
+    * runs on vocab²-bounded-by-cooccurrence rows, never the corpus. */
+  def textRank(df: DataFrame, text: String, window: Int = 2,
+               iters: Int = 5, k: Int = 20): DataFrame = {
+    val pairs = withToks(df, text).select(col("toks"))
+      .select(posexplode(col("toks")).as(Seq("i", "wa")), col("toks"))
+      .select(col("wa"),
+        explode(slice(col("toks"), col("i") + 2, lit(window))).as("wb"))
+      .filter(col("wa") =!= col("wb") &&
+        length(col("wa")) > 0 && length(col("wb")) > 0)
+    Dedup.pageRank(pairs, "wa", "wb", iters)
+      .orderBy(col("rank_e12").desc, col("doc_id").asc).limit(k)
+      .select(col("doc_id").as("word"), col("rank_e12"))
+  }
+
+  /** q332: top-20 TextRank keywords of the documents corpus. */
+  def q332(s: SparkSession, d: String): DataFrame =
+    textRank(Tables.documents(s, d), "text")
+
   /** The merge-count sweep for [[bpeMergeCurve]] (0 = character
     * level, BpeMergeCount = the full learned table). */
   val BpeMergeSweep: Seq[Int] = Seq(0, 5, 10, 15, 20, 25, 30)

@@ -1230,6 +1230,36 @@ class OperatorsSpec extends SparkSpec {
       s"b shared, c new, a gone, jaccard 1/3: $out")
   }
 
+  test("q332 textrank: the context-spanning word outranks its neighbors") {
+    import SparkTestSession.spark.implicits._
+    val docs = Seq("hub alpha", "hub beta", "hub gamma", "alpha beta")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val out = Text.textRank(docs, "text")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.head._1 == "hub", s"hub spans 3 contexts: ${out.toSeq}")
+    val rank = out.toMap
+    assert(rank("hub") > rank("alpha") && rank("hub") > rank("gamma"))
+    assert(rank("alpha") > rank("gamma"),
+      "two contexts outrank one context")
+  }
+
+  test("q333 log-rank: hand-computed O/E/V and z on a two-user race") {
+    import SparkTestSession.spark.implicits._
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-05-${6 + day}%02d 00:00:00")
+    // u0 (arm A) converts day 1, u1 (arm B) day 2: at day 1 both at
+    // risk (E1 term 0.5e6, V term 0.25e6); at day 2 arm A has left
+    val ev = Seq((0L, ts(0), "visit"), (0L, ts(1), "purchase"),
+      (1L, ts(0), "visit"), (1L, ts(2), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val r = Events.logRank(ev, "user_id", unix_micros(col("ts")),
+      col("event_type") === "purchase", col("user_id") % 2 === 0).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((1L, 1L, 1L)))
+    assert(r.getLong(3) == 500000L, s"exp_a_micro ${r.getLong(3)}")
+    assert(r.getLong(4) == 250000L, s"var_micro ${r.getLong(4)}")
+    assert(r.getLong(5) == 1000L, s"z_milli ${r.getLong(5)}")
+    assert(r.getInt(6) == 0)
+  }
+
   test("q319 unigram train: chars always kept, bounded vocab, deterministic") {
     val m1 = Text.q319(spark, sf).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
