@@ -267,7 +267,7 @@ object AnnOracleSql {
   private val pqSql: String =
     s"""WITH $pqTrainCtes,
     qv AS (SELECT vec_id, embedding, ${quant("embedding")} AS qe FROM embeddings),
-    nn AS (SELECT GREATEST(128, LEAST(count(*) // 6, 65536)) AS rerank FROM embeddings),
+    nn AS (SELECT GREATEST(${Similarity.PqRerank}, LEAST(count(*) // 6, 65536)) AS rerank FROM embeddings),
     csub AS (SELECT q.vec_id, b.sub,
              list_transform(range(1, m.ds + 1), t -> q.qe[b.sub * m.ds + t]) AS v
              FROM qv q CROSS JOIN (SELECT unnest(range(0, $PqM)) AS sub) b CROSS JOIN meta m),
@@ -362,7 +362,7 @@ object AnnOracleSql {
     rnorm AS (SELECT k.vec_id, CAST(sum(w.nrm) AS BIGINT) AS rn2
               FROM code k JOIN cwn w ON w.sub = k.sub AND w.j = k.j
               GROUP BY k.vec_id),
-    nn AS (SELECT GREATEST(128, LEAST(count(*) // 6, 65536)) AS rerank FROM embeddings),
+    nn AS (SELECT GREATEST(${Similarity.PqRerank}, LEAST(count(*) // 6, 65536)) AS rerank FROM embeddings),
     qq AS (SELECT vec_id AS query_id, embedding, qe FROM qv
            WHERE vec_id < ${Similarity.NumQueries}),
     qcd AS (SELECT q.query_id, q.embedding, q.qe, c.cell, c.c,

@@ -1825,11 +1825,16 @@ object Relational {
     def dec(c: Column): Column = c.cast("decimal(38,0)")
     val e = edges.select(col(src).as("s"), col(dst).as("t"))
       .distinct().localCheckpoint()
-    def norm(scores: DataFrame, key: String, c: String): DataFrame =
+    // checkpoint BEFORE the max cross-join: the raw scores feed both
+    // the normalizer and the main side — without it every sweep ran
+    // its edge join + aggregation twice (review finding, round 12)
+    def norm(scores0: DataFrame, key: String, c: String): DataFrame = {
+      val scores = scores0.localCheckpoint()
       scores.crossJoin(broadcast(scores.agg(max(col(c)).as("mx"))))
         .select(col(key), graft.functions.F.idiv(
           dec(lit(HitsScale)) * dec(col(c)), dec(col("mx")))
           .cast("long").as(c))
+    }
     var h = e.select(col("s")).distinct()
       .select(col("s"), lit(HitsScale).as("hs")).localCheckpoint()
     var a = e.select(col("t")).distinct()
@@ -1918,6 +1923,13 @@ object Relational {
       .localCheckpoint()
     val np = slopes.count()
     val nd = u.count()
+    val spark = units.sparkSession
+    import spark.implicits._
+    // degenerate series (no pairs): the oracle's median CTEs produce
+    // zero rows — mirror that with an empty frame, never a crash
+    if (np == 0)
+      return Seq.empty[(Long, Long, Long, Long)]
+        .toDF("n_units", "n_pairs", "slope_milli", "intercept_milli")
     // rank-t pick by one ordered window over the pair table — which is
     // day-lattice²-bounded by construction (≤ ~10⁷ rows for a DECADE
     // of daily points, at any corpus size), so the single-partition
@@ -1932,8 +1944,6 @@ object Relational {
     val intercept = rankPick(
       u.select((lit(1000L) * col("yv") - lit(slope) * col("xv")).as("ic")),
       "ic", (nd + 1) / 2)
-    val spark = units.sparkSession
-    import spark.implicits._
     Seq((nd, np, slope, intercept))
       .toDF("n_units", "n_pairs", "slope_milli", "intercept_milli")
   }

@@ -1412,21 +1412,42 @@ object Similarity {
     * shuffles ~nprobe/cells of the CODES (8 bytes/vector), never raw
     * vectors — raw floats are touched only for the rerank shortlist.
     * More cells at bigger n (√n), same plan. */
-  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, id: String,
-                emb: String, k: Int = TopK, cells: Int = IvfCells,
-                probes: Int = IvfProbes, m: Int = PqM, kCent: Int = PqK,
-                rerank: Int = PqRerank, trainIters: Int = TrainIters,
-                pqIters: Int = PqIters): DataFrame = {
+  /** The corpus-scaled ADC shortlist bound — ONE definition shared by
+    * q63/q145/q317/q318 and mirrored by the oracles' GREATEST/LEAST
+    * chain (review finding, round 12: four inline copies plus the
+    * oracle literal could desynchronize). See q63's scaladoc for why
+    * the bound scales and why it caps. */
+  private[graft] def corpusScaledRerank(corpus: DataFrame): Int =
+    math.max(PqRerank.toLong, math.min(corpus.count() / 6, 65536L)).toInt
+
+  /** The ONE derivation of the IVF-PQ model and codes — shared by the
+    * direct path and the store writer so the q317/q318 row-identity
+    * contract cannot drift between two copies of the pipeline (review
+    * finding, round 12). Returns (coarse centroids, residual codebook,
+    * (vid, cell, code) frame). */
+  private def ivfPqModel(corpus: DataFrame, id: String, emb: String,
+                         cells: Int, m: Int, kCent: Int, trainIters: Int,
+                         pqIters: Int): (Seq[Seq[Float]], Seq[Float], DataFrame) = {
     val cents = trainCentroids(corpus, id, emb, cells, trainIters)
     val res = corpus.select(col(id).as("vid"), col(emb).as("c_emb"),
         bestCellId(cents, col(emb)).as("cell"))
       .withColumn("r_emb", residualCol(cents, col("c_emb"), col("cell")))
     val codebook = trainPqCodebook(res, "vid", "r_emb", m, kCent, pqIters)
-    val cbq = codebook.map(quantizeVal)
     val codes = res.select(col("vid"), col("cell"),
-      F.pqCodeQ(col("r_emb"), cbq, m, kCent, QuantScale).as("code"))
-    ivfPqProbe(codes, corpus, queries, cents, cbq, id, emb,
-      k, probes, m, kCent, rerank)
+      F.pqCodeQ(col("r_emb"), codebook.map(quantizeVal), m, kCent,
+        QuantScale).as("code"))
+    (cents, codebook, codes)
+  }
+
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, id: String,
+                emb: String, k: Int = TopK, cells: Int = IvfCells,
+                probes: Int = IvfProbes, m: Int = PqM, kCent: Int = PqK,
+                rerank: Int = PqRerank, trainIters: Int = TrainIters,
+                pqIters: Int = PqIters): DataFrame = {
+    val (cents, codebook, codes) =
+      ivfPqModel(corpus, id, emb, cells, m, kCent, trainIters, pqIters)
+    ivfPqProbe(codes, corpus, queries, cents, codebook.map(quantizeVal),
+      id, emb, k, probes, m, kCent, rerank)
   }
 
   /** The probe/score/rerank stage shared by the direct and persisted
@@ -1482,20 +1503,14 @@ object Similarity {
                       pqIters: Int = PqIters): Unit = {
     val s = corpus.sparkSession
     import s.implicits._
-    val cents = trainCentroids(corpus, id, emb, cells, trainIters)
-    val res = corpus.select(col(id).as("vid"), col(emb).as("c_emb"),
-        bestCellId(cents, col(emb)).as("cell"))
-      .withColumn("r_emb", residualCol(cents, col("c_emb"), col("cell")))
-    val codebook = trainPqCodebook(res, "vid", "r_emb", m, kCent, pqIters)
+    val (cents, codebook, codes) =
+      ivfPqModel(corpus, id, emb, cells, m, kCent, trainIters, pqIters)
     cents.zipWithIndex.map { case (c, i) => (i, c) }
       .toDF("cell", "centroid")
       .write.mode("overwrite").parquet(s"$path/centroids")
     Seq(Tuple1(codebook)).toDF("codebook")
       .write.mode("overwrite").parquet(s"$path/codebook")
-    res.select(col("vid"), col("cell"),
-        F.pqCodeQ(col("r_emb"), codebook.map(quantizeVal), m, kCent,
-          QuantScale).as("code"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+    codes.write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
   }
 
   /** Probe a persisted IVF-PQ index: two tiny model reads (centroids,
@@ -1622,7 +1637,7 @@ object Similarity {
   /** q317: IVF-PQ residual ANN with the q63 corpus-scaled rerank. */
   def q317(s: SparkSession, d: String): DataFrame = {
     val (c, q) = corpusAndQueries(s, d)
-    val rerank = math.max(PqRerank.toLong, math.min(c.count() / 6, 65536L)).toInt
+    val rerank = corpusScaledRerank(c)
     ivfPqTopK(c, q, "vec_id", "embedding", rerank = rerank)
   }
 
@@ -1634,7 +1649,7 @@ object Similarity {
     val dir = graft.sources.VersionedStore.resolveOrBuild(
       s, indexScratch(s, d, "ivfpqidx"))(
       p => writeIvfPqIndex(c, "vec_id", "embedding", p))
-    val rerank = math.max(PqRerank.toLong, math.min(c.count() / 6, 65536L)).toInt
+    val rerank = corpusScaledRerank(c)
     ivfPqTopKFromIndex(s, dir, c, q, "vec_id", "embedding", rerank = rerank)
   }
 
@@ -1665,7 +1680,7 @@ object Similarity {
     val dir = graft.sources.VersionedStore.resolveOrBuild(
       s, indexScratch(s, d, "pqidx"))(
       p => writePqIndex(c, "vec_id", "embedding", p))
-    val rerank = math.max(PqRerank.toLong, math.min(c.count() / 6, 65536L)).toInt
+    val rerank = corpusScaledRerank(c)
     pqTopKFromIndex(s, dir, c, q, "vec_id", "embedding", rerank = rerank)
   }
 
@@ -1720,7 +1735,7 @@ object Similarity {
     // rows and would silently revert to the constant shortlist; past
     // the cap a 1/6 shortlist is the wrong answer anyway (real corpora
     // run 1–2% — the heap bound has to stop growing somewhere).
-    val rerank = math.max(PqRerank.toLong, math.min(c.count() / 6, 65536L)).toInt
+    val rerank = corpusScaledRerank(c)
     pqTopK(c, q, "vec_id", "embedding", rerank = rerank)
   }
 

@@ -1437,13 +1437,17 @@ object Text {
     * is loaded, the encode is one map-side codegen pass, the only
     * shuffle is the token count). */
   def q320(s: SparkSession, d: String): DataFrame =
+    // the type-table discipline (review finding, round 12): the DP
+    // runs once per DISTINCT word, occurrence counts ride as weights —
+    // identical output, corpus-occurrence-independent encode cost
     withToks(Tables.documents(s, d), "text")
       .select(explode(toks).as("w"))
       .filter(length(col("w")) > 0)
-      .select(explode(F.unigramEncode(col("w"),
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      .select(col("wc"), explode(F.unigramEncode(col("w"),
         uniCosts(loadedUnigram(s, d)), UniMaxPieceLen, UniUnkCost))
         .as("token"))
-      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("token")).agg(sum(col("wc")).as("cnt"))
       .orderBy(col("cnt").desc, col("token").asc)
       .limit(UniTopK)
 

@@ -529,8 +529,15 @@ object VersionedStore {
       s"${md.substring(12, 16)}-${md.substring(16, 20)}-${md.substring(20, 32)}"
     var written = 0
     var prev: Seq[String] = Seq.empty
+    var prevSchema: String = null
     for (v <- 1 to latest) {
       val files = listedFiles(s, root, v)
+      // a later overwrite may change the table schema; the log must
+      // carry a fresh metaData action in THAT commit or every
+      // subsequent snapshot replays under the stale schema (review
+      // finding, round 12)
+      val schemaJson = s.read.parquet(files.map(f => s"$root/$f"): _*)
+        .schema.json
       val dst = new Path(logDir, f"${v - 1}%020d.json")
       if (!fs.exists(dst)) {
         val adds = (files.toSet -- prev.toSet).toSeq.sorted.map { rel =>
@@ -544,21 +551,23 @@ object VersionedStore {
           s"""{"remove":{"path":"${jsonEscape(rel)}","deletionTimestamp":$now,""" +
             s""""dataChange":true}}"""
         }
-        val head = if (v == 1) {
-          val schemaJson = s.read
-            .parquet(files.map(f => s"$root/$f"): _*).schema.json
-          Seq(
-            """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
-            s"""{"metaData":{"id":"$tableId","format":{"provider":"parquet",""" +
+        val metaData =
+          if (v == 1 || schemaJson != prevSchema)
+            Seq(s"""{"metaData":{"id":"$tableId","format":{"provider":"parquet",""" +
               s""""options":{}},"schemaString":"${jsonEscape(schemaJson)}",""" +
               s""""partitionColumns":[],"configuration":{},"createdTime":$now}}""")
-        } else Seq.empty
+          else Seq.empty
+        val head =
+          (if (v == 1)
+            Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
+          else Seq.empty) ++ metaData
         val tmp = new Path(logDir, s"_tmp-${v - 1}-${newToken()}.json")
         writeText(fs, tmp, (head ++ removes ++ adds).mkString("\n"))
         if (!fs.rename(tmp, dst)) fs.delete(tmp, false)
         else written += 1
       }
       prev = files
+      prevSchema = schemaJson
     }
     written
   }

@@ -1096,6 +1096,12 @@ class OperatorsSpec extends SparkSpec {
     assert(c.isNullAt(4))
   }
 
+  test("q328 theil-sen: a degenerate single-unit series yields zero rows") {
+    import SparkTestSession.spark.implicits._
+    assert(Relational.theilSen(Seq((1L, 7L)).toDF("x", "y"),
+      col("x"), col("y")).isEmpty, "no pairs -> the oracle's empty result")
+  }
+
   test("q323 kruskal-wallis: textbook H on a hand case, tie adjustment") {
     import SparkTestSession.spark.implicits._
     // groups a={1,2}, b={3,4}: R_a=3, R_b=7 -> H = 12/20*29 - 15 = 2.4
@@ -1319,9 +1325,7 @@ class OperatorsSpec extends SparkSpec {
 
   test("q317 IVF-PQ residual: recall at equal bytes meets the q63 floor") {
     val (c, q) = Similarity.corpusAndQueries(spark, sf)
-    val n = c.count()
-    val rerank = math.max(Similarity.PqRerank.toLong,
-      math.min(n / 6, 65536L)).toInt
+    val rerank = Similarity.corpusScaledRerank(c)
     val truth = Similarity.bruteForceTopK(c, q, "vec_id", "embedding")
       .collect().map(r => (r.getLong(0), r.getLong(2)))
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap

@@ -468,6 +468,22 @@ class SourcesSpec extends SparkSpec {
     c2.filter(has(_, "remove")).foreach(r =>
       assert((r \ "remove" \ "dataChange").asInstanceOf[JBool].value &&
         num(r \ "remove" \ "deletionTimestamp") > 0))
+    // a schema-changing overwrite re-emits metaData IN THAT commit
+    val root2 = tmp("deltaexp2")
+    VersionedStore.commit(Seq((1L, "a")).toDF("id", "v"), root2,
+      overwrite = true)
+    VersionedStore.commit(Seq((2L, "b", 9L)).toDF("id", "v", "extra"),
+      root2, overwrite = true)
+    VersionedStore.exportDeltaLog(spark, root2)
+    val c1b = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root2/_delta_log/" + f"${1}%020d.json")), "UTF-8")
+      .split("\n").filter(_.nonEmpty).toSeq.map(JsonMethods.parse(_))
+    val meta1 = c1b.filter(has(_, "metaData"))
+    assert(meta1.nonEmpty, "schema change must re-emit metaData")
+    val sch1 = org.apache.spark.sql.types.DataType
+      .fromJson(str(meta1.head \ "metaData" \ "schemaString"))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(sch1.fieldNames.toSeq == Seq("id", "v", "extra"))
     // replayability: folding adds minus removes through commit K
     // reconstructs snapshot K+1's exact file set
     def tail3(p: String) = p.split("/").takeRight(3).mkString("/")
