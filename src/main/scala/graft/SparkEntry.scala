@@ -350,6 +350,8 @@ object SparkEntry {
     "q331_schema_drift"   -> (Events.q331 _),
     "q332_textrank"       -> (Text.q332 _),
     "q333_logrank"        -> (Events.q333 _),
+    "q334_pacf"           -> (Events.q334 _),
+    "q335_freq_triples"   -> (Relational.q335 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -450,6 +452,51 @@ object SparkEntry {
            WHERE FALSE),
     $steps
     SELECT query_id, rank, cand AS neighbor_id, rel_bp FROM s$k"""
+  }
+
+  /** q334's replay: the q254 ACF chain on the TOTAL daily series,
+    * pivoted to one row, then Durbin–Levinson unrolled as nested
+    * one-step-per-layer subqueries (every φ is a COLUMN of its layer —
+    * the lateral-alias copy trap from the unigram oracle applies). */
+  private def q334OracleSql: String = {
+    val maxLag = 7
+    var inner = "SELECT r1, r2, r3, r4, r5, r6, r7, r1 AS p1_1 FROM pv"
+    for (k <- 2 to maxLag) {
+      val sumN = (1 until k).map(j => s"p${k - 1}_$j * r${k - j}").mkString(" + ")
+      val sumD = (1 until k).map(j => s"p${k - 1}_$j * r$j").mkString(" + ")
+      inner = s"SELECT *, 10000 * r$k - ($sumN) AS n$k, 100000000 - ($sumD) AS d$k FROM ($inner)"
+      inner = s"SELECT *, CASE WHEN d$k = 0 THEN 0 ELSE (n$k * 10000) // d$k END AS p${k}_$k FROM ($inner)"
+      val pjs = (1 until k).map(j =>
+        s"p${k - 1}_$j - (p${k}_$k * p${k - 1}_${k - j}) // 10000 AS p${k}_$j")
+        .mkString(", ")
+      inner = s"SELECT *, $pjs FROM ($inner)"
+    }
+    val acfCase = (1 to maxLag).map(k => s"WHEN $k THEN r$k").mkString(" ")
+    val pacfCase = (1 to maxLag).map(k => s"WHEN $k THEN p${k}_$k").mkString(" ")
+    s"""WITH dly AS (SELECT CAST(ts AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+       st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS sx FROM dly),
+       xb AS (SELECT n, 1000 * sx // n AS xbar_milli FROM st),
+       dev AS MATERIALIZED (SELECT day, 1000 * x - xbar_milli AS d
+           FROM dly, xb),
+       den AS (SELECT CAST(sum(CAST(d AS HUGEINT) * d) AS HUGEINT) AS dn
+           FROM dev),
+       lgs AS (SELECT unnest(range(1, ${maxLag + 1})) AS lag),
+       nums AS (SELECT l.lag,
+           CAST(sum(CAST(a.d AS HUGEINT) * b.d) AS HUGEINT) AS nm
+           FROM lgs l JOIN dev a ON TRUE
+           JOIN dev b ON b.day = a.day + CAST(l.lag AS INT)
+           GROUP BY 1),
+       acf AS (SELECT lag, CAST(10000 * nm // dn AS BIGINT) AS r
+           FROM nums, den),
+       pv AS (SELECT ${(1 to maxLag).map(k =>
+             s"max(CASE WHEN lag = $k THEN r END) AS r$k").mkString(", ")}
+           FROM acf)
+       SELECT CAST(lag AS BIGINT) AS lag,
+         CASE lag $acfCase END AS acf_bp,
+         CASE lag $pacfCase END AS pacf_bp
+       FROM ($inner) CROSS JOIN (SELECT unnest(range(1, ${maxLag + 1})) AS lag)"""
   }
 
   /** Shared oracle fragments for the dedup-policy family (q55/q84/q96):
@@ -2467,6 +2514,27 @@ object SparkEntry {
                / sqrt(CAST(vu AS DOUBLE)) + 0.5) AS BIGINT)) > 1960
                THEN 1 ELSE 0 END AS INT) END AS is_significant
          FROM m, ab""",
+
+    "q334_pacf" -> q334OracleSql,
+
+    // Frequent triples: C(m,3) combinations inside each sorted basket
+    // array, support floor 2, top-20 by (count DESC, items ASC).
+    "q335_freq_triples" ->
+      """WITH b AS (SELECT l_orderkey AS bk,
+             list_sort(list(DISTINCT l_partkey % 100)) AS arr
+           FROM lineitem WHERE l_orderkey % 8 = 0 GROUP BY 1),
+         tri AS (SELECT unnest(flatten(flatten(
+             list_transform(range(1, len(arr) + 1), i ->
+               list_transform(range(i + 1, len(arr) + 1), j ->
+                 list_transform(range(j + 1, len(arr) + 1), k ->
+                   [arr[i], arr[j], arr[k]])))))) AS t FROM b),
+         cnt AS (SELECT t[1] AS item_a, t[2] AS item_b, t[3] AS item_c,
+             CAST(count(*) AS BIGINT) AS n_baskets
+           FROM tri GROUP BY 1, 2, 3 HAVING count(*) >= 2)
+         SELECT item_a, item_b, item_c, n_baskets FROM (
+           SELECT *, row_number() OVER (ORDER BY n_baskets DESC,
+             item_a ASC, item_b ASC, item_c ASC) AS rn FROM cnt)
+         WHERE rn <= 20""",
 
     // SRM: knuth-hash 50/50 assignment over distinct users, exact
     // χ² = (2n_a − N)²/N in milli, df=1 α=0.05 critical 3.841.

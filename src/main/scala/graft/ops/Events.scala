@@ -2580,6 +2580,67 @@ object Events {
   def q254(s: SparkSession, d: String): DataFrame =
     acfDiagnostics(Tables.events(s, d), "event_type", to_date(col("ts")))
 
+  /** Durbin–Levinson over bp-quantized ACF values: pacf(k) in bp for
+    * k = 1..maxLag, every intermediate φ in bp with truncating idiv
+    * (the deterministic quantized recurrence both engines replay; a
+    * zero denominator — a perfectly predictable series — reports 0
+    * partial correlation at that and later steps, a documented
+    * sentinel, never a crash). Pure integer driver math over maxLag
+    * values — the anisotropy/lg64 model-sized-fold convention. */
+  private[graft] def durbinLevinson(r: Seq[Long], maxLag: Int): Seq[Long] = {
+    val S = 10000L
+    val phi = Array.ofDim[Long](maxLag + 1, maxLag + 1)
+    val out = Array.ofDim[Long](maxLag + 1)
+    if (maxLag >= 1) { phi(1)(1) = r(1); out(1) = r(1) }
+    for (k <- 2 to maxLag) {
+      var num = S * r(k)
+      var den = S * S
+      for (j <- 1 until k) {
+        num -= phi(k - 1)(j) * r(k - j)
+        den -= phi(k - 1)(j) * r(j)
+      }
+      // JVM long division truncates toward zero — exactly idiv and
+      // DuckDB's // (verified convention)
+      val pkk = if (den == 0L) 0L else num * S / den
+      phi(k)(k) = pkk
+      for (j <- 1 until k)
+        phi(k)(j) = phi(k - 1)(j) - pkk * phi(k - 1)(k - j) / S
+      out(k) = pkk
+    }
+    out.drop(1).toSeq
+  }
+
+  /** PACF DIAGNOSTICS (round 12) — the other half of the Box–Jenkins
+    * identification pair: q254's ACF says WHICH lags correlate, the
+    * PARTIAL autocorrelation says which do so DIRECTLY once shorter
+    * lags are controlled for (AR(p) shows p significant PACF spikes
+    * then nothing — the number a forecaster reads off before fitting
+    * q300's model). Computed by Durbin–Levinson over the TOTAL daily
+    * series' bp-quantized ACF — the contract is "PACF of the quantized
+    * ACF" (the per-term flooring discipline applied to a recurrence),
+    * so the integer recurrence replays bit-for-bit in SQL.
+    *
+    * Scale: the corpus reduces to the day-grain series (q254's one
+    * aggregation); ACF is day-table work; DL folds maxLag values on
+    * the driver (model-sized). */
+  def pacfDiagnostics(events: DataFrame, day: Column,
+                      maxLag: Int = 7): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val acf = acfDiagnostics(events.withColumn("all", lit("all")),
+        "all", day, maxLag)
+      .select(col("lag"), col("acf_bp")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val r = (0 to maxLag).map(k => if (k == 0) 10000L else acf(k.toLong))
+    val pacf = durbinLevinson(r, maxLag)
+    (1 to maxLag).map(k => (k.toLong, r(k), pacf(k - 1)))
+      .toDF("lag", "acf_bp", "pacf_bp")
+  }
+
+  /** q334: ACF + PACF of the total daily event count, lags 1..7. */
+  def q334(s: SparkSession, d: String): DataFrame =
+    pacfDiagnostics(Tables.events(s, d), to_date(col("ts")))
+
   /** CROSS-CORRELATION (CCF) between series pairs at lags −3..+3
     * (round 11; q254's ACF turned pairwise): does one event stream
     * LEAD another — "views lead purchases by 2 days" is

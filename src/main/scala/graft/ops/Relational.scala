@@ -2004,6 +2004,49 @@ object Relational {
   def q329(s: SparkSession, d: String): DataFrame =
     benfordAudit(Tables.orders(s, d), cents(col("o_totalprice")))
 
+  /** FREQUENT TRIPLES (round 12) — the 3-itemset tier of the
+    * association-mining family (q68/q165 mine pairs, q305 serves
+    * them): the cross-sell bundles a pair table cannot see (bread +
+    * butter + jam where no two of the three stand out pairwise).
+    * Triples explode WITHIN the sorted basket array (q68's discipline
+    * — never a fact self-join; a basket of m items emits C(m,3)
+    * combinations, bounded because basket size is), counted per
+    * distinct triple, support-floored, top-k by (count DESC, items
+    * ASC). */
+  def frequentTriples(items: DataFrame, basket: String, item: String,
+                      minSupport: Long = 2L, k: Int = 20): DataFrame = {
+    val baskets = items.select(col(basket).as("bk"), col(item).as("it"))
+      .groupBy(col("bk")).agg(sort_array(collect_set(col("it"))).as("arr"))
+    baskets
+      .select(posexplode(col("arr")).as(Seq("i", "a")), col("arr"))
+      .select(col("a"),
+        posexplode(slice(col("arr"), col("i") + 2,
+          size(col("arr")) - col("i") - 1)).as(Seq("j0", "b")),
+        col("arr"), col("i"))
+      // absolute 0-based index of b is i + 1 + j0; c ranges after it
+      .select(col("a"), col("b"),
+        explode(slice(col("arr"), col("i") + col("j0") + 3,
+          size(col("arr")) - col("i") - col("j0") - 2)).as("c"))
+      .groupBy(col("a"), col("b"), col("c"))
+      .agg(count(lit(1)).as("n_baskets"))
+      .where(col("n_baskets") >= minSupport)
+      .orderBy(col("n_baskets").desc, col("a").asc, col("b").asc,
+        col("c").asc)
+      .limit(k)
+      .select(col("a").as("item_a"), col("b").as("item_b"),
+        col("c").as("item_c"), col("n_baskets"))
+  }
+
+  /** q335: top-20 co-purchased PART-FAMILY triples of the sampled
+    * baskets (family = partkey mod 100 — the category grain where
+    * bundles repeat; raw part keys are too sparse for 3-itemsets at
+    * verify scale, the classic reason basket mining rolls up to
+    * category first). */
+  def q335(s: SparkSession, d: String): DataFrame =
+    frequentTriples(Tables.lineitem(s, d).filter(col("l_orderkey") % 8 === 0)
+      .withColumn("family", col("l_partkey") % 100L),
+      "l_orderkey", "family")
+
   /** Q-Q DRIFT TABLE — drift localized in QUANTILE space: q283's KS
     * says whether two distributions differ and at which VALUE the CDFs
     * diverge; the decile table says what the shift does to each part

@@ -1266,6 +1266,33 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getInt(6) == 0)
   }
 
+  test("q334 pacf: AR(1) cuts off exactly after lag 1 under the integer DL") {
+    // textbook identification property: an AR(1) ACF r_k = phi^k has
+    // pacf(1) = phi and EXACTLY zero partials beyond — the halving
+    // series hits it with zero truncation error in the bp recurrence
+    val r = Seq(10000L, 5000L, 2500L, 1250L, 625L, 312L, 156L, 78L)
+    val pacf = Events.durbinLevinson(r, 7)
+    assert(pacf.head == 5000L)
+    assert(pacf(1) == 0L && pacf(2) == 0L, s"AR(1) cutoff: $pacf")
+    // end-to-end: 7 rows, lag-1 pacf equals lag-1 acf by definition
+    val out = Events.q334(spark, sf).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(out.size == 7)
+    assert(out(1L)._1 == out(1L)._2, "pacf(1) = acf(1)")
+  }
+
+  test("q335 frequent triples: hand-counted combinations and support floor") {
+    import SparkTestSession.spark.implicits._
+    val items = Seq((1L, 1L), (1L, 2L), (1L, 3L),
+      (2L, 1L), (2L, 2L), (2L, 3L), (2L, 4L),
+      (3L, 1L), (3L, 2L), (3L, 4L)).toDF("bk", "it")
+    val out = Relational.frequentTriples(items, "bk", "it")
+      .collect().map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)),
+        r.getLong(3)))
+    assert(out.toSeq == Seq(((1L, 2L, 3L), 2L), ((1L, 2L, 4L), 2L)),
+      s"only the two support-2 triples survive, ordered: ${out.toSeq}")
+  }
+
   test("q319 unigram train: chars always kept, bounded vocab, deterministic") {
     val m1 = Text.q319(spark, sf).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
