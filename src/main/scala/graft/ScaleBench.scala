@@ -45,7 +45,8 @@ object ScaleBench {
     * size, which the static DuckDB oracles cannot express). */
   val queryMap: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
     SparkEntry.queries ++ Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame](
-      "q114_semdedup_scaledk" -> (ops.Similarity.q114Scaled _))
+      "q114_semdedup_scaledk" -> (ops.Similarity.q114Scaled _),
+      "q250_ann_graph_scaledp" -> (ops.Similarity.q250Scaled _))
 
   private class ShuffleMeter extends SparkListener {
     val bytes = new AtomicLong

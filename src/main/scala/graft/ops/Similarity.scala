@@ -2175,6 +2175,15 @@ object Similarity {
       k, beam, hops, broadcastQueries)
   }
 
+  /** Diagnostic entry into [[beamWalk]] (graft.DiagAnn). */
+  private[graft] def beamWalkDiag(graph: DataFrame, corpus: DataFrame,
+      queries: DataFrame, entries: DataFrame, hops: Int): DataFrame =
+    beamWalk(graph,
+      corpus.select(col("vec_id").as("vid"), col("embedding").as("c_emb")),
+      queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb")),
+      entries, TopK, NswBeam, hops)
+
   /** The shared expand→score→prune walk over ONE adjacency table,
     * seeded by an explicit per-query entry set (query_id, vid) — the
     * body nswSearchTopK and the HNSW layered search both run. `c` is
@@ -2407,6 +2416,37 @@ object Similarity {
     val (c, q) = corpusAndQueries(s, d)
     nswSearchTopK(nnDescentGraph(c, "vec_id", "embedding"), c, q,
       "vec_id", "embedding")
+  }
+
+  /** SCALE-ADAPTED graph-ANN parameters (round 12; the q114-scaledk
+    * precedent made quantitative by the one-decade ScaleCheck): the
+    * oracle-pinned constants (M=16, 4 rounds, beam 32, 4 hops) hold
+    * recall ≥ 0.9 only up to a few thousand vectors of this
+    * NEAR-UNIFORM 64-d corpus — the documented hard case for graph
+    * methods (no cluster structure for neighbor-of-neighbor proposals
+    * to exploit). Measured at the 20k sf1 point: fixed params
+    * collapse to 0.08 recall and the failure is GRAPH QUALITY, not
+    * walk budget (query-seeded walks also fail: DiagAnn); (M=32,
+    * rounds=12, beam=64, hops=6) restores 0.95. Deployment therefore
+    * scales construction with corpus size — rounds grow with log n
+    * (construction stays n·rounds·M² linear per round) — while the
+    * fixed-constant entries remain the engine-replayable ORACLE
+    * contract at verify scale. */
+  def nswScaledParams(n: Long): (Int, Int, Int, Int) =
+    if (n <= 1024) (NswM, NswRounds, NswBeam, NswHops)
+    else {
+      val lg = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1))
+      (32, math.max(8, lg - 3), 64, 6)
+    }
+
+  /** The deployment-mode q250 (ScaleBench/ScaleCheck member, not a
+    * `queries` entry — parameters adapt to corpus size, which the
+    * static oracle cannot express; the q114Scaled convention). */
+  def q250Scaled(s: SparkSession, d: String): DataFrame = {
+    val (c, q) = corpusAndQueries(s, d)
+    val (m, rounds, beam, hops) = nswScaledParams(c.count())
+    nswSearchTopK(nnDescentGraph(c, "vec_id", "embedding", m, rounds),
+      c, q, "vec_id", "embedding", beam = beam, hops = hops)
   }
 
   /** q316: graph-ANN probe through the PERSISTED index — the SERVE

@@ -1378,6 +1378,23 @@ class OperatorsSpec extends SparkSpec {
     assert(again == b)
   }
 
+  test("nswScaledParams: identity in the oracle regime, grows past it") {
+    // below the verify-scale knee the deployment params ARE the
+    // oracle-pinned constants (so the hash-gated entries and the
+    // scaled variant coincide where both run)
+    assert(Similarity.nswScaledParams(500L) ==
+      ((Similarity.NswM, Similarity.NswRounds, Similarity.NswBeam,
+        Similarity.NswHops)))
+    // measured: (32, 8, 64, 6) reads recall 1.000 at the 2k point and
+    // (32, 12, 64, 6) reads 0.95 at the 20k point where the fixed
+    // constants collapse to 0.08
+    assert(Similarity.nswScaledParams(2000L) == ((32, 8, 64, 6)))
+    assert(Similarity.nswScaledParams(20000L) == ((32, 12, 64, 6)))
+    // rounds keep growing with log n
+    val (_, r1m, _, _) = Similarity.nswScaledParams(1000000L)
+    assert(r1m > 12)
+  }
+
   test("q316 serves the standing graph row-identical to q250's fresh build") {
     val fresh = Similarity.q250(spark, sf).collect().map(_.toSeq).toSet
     val served = Similarity.q316(spark, sf).collect().map(_.toSeq).toSet
