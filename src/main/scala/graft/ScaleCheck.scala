@@ -99,23 +99,28 @@ object ScaleCheck {
     // halved layer-0 hop budget (the spec floors are 0.90/0.85/0.90 at
     // sf0.001 — quantizer/graph quality shifts with corpus size, so
     // the one-decade run must re-measure, not assume)
-    // round-12 family at this scale. The graph legs run the
-    // DEPLOYMENT parameters (nswScaledParams — the q114-scaledk
-    // convention): at the 20k one-decade point the oracle-pinned
-    // fixed constants collapse to 0.08 recall (graph quality, not
-    // walk budget — DiagAnn), which is THE finding this check exists
-    // to catch; the scaled construction restores ≥0.9 (measured).
+    // round-12 family at this scale. Round 13: the graph legs gate
+    // the DEFAULT write→serve path — writeNswIndex/writeHnswIndex
+    // with no explicit params (nswScaledParams construction, the
+    // chosen budget pinned in the store's params manifest) probed by
+    // the manifest-reading FromIndex defaults. At the 20k one-decade
+    // point the oracle-pinned fixed constants collapse to 0.08 recall
+    // (graph quality, not walk budget — DiagAnn), which is THE
+    // finding this check exists to catch; the scaled default restores
+    // ≥0.9 (measured r12: 1.000 @ 2k, 0.950 @ 20k).
     val rGraphFixed = recall(ops.Similarity.q250(spark, sfDir))
-    val rGraph = recall(ops.Similarity.q250Scaled(spark, sfDir))
+    val (c, q) = ops.Similarity.corpusAndQueries(spark, sfDir)
+    val nswDir = java.nio.file.Files
+      .createTempDirectory("graft-scale-nsw").toString + "/idx"
+    ops.Similarity.writeNswIndex(c, "vec_id", "embedding", nswDir)
+    val rGraph = recall(ops.Similarity.nswTopKFromIndex(
+      spark, nswDir, q, "vec_id", "embedding"))
     val rIvfPq = recall(ops.Similarity.q317(spark, sfDir))
     val hnswDir = java.nio.file.Files
       .createTempDirectory("graft-scale-hnsw").toString + "/idx"
-    val (c, q) = ops.Similarity.corpusAndQueries(spark, sfDir)
-    val (m, rounds, beam, _) = ops.Similarity.nswScaledParams(c.count())
-    ops.Similarity.writeHnswIndex(c, "vec_id", "embedding", hnswDir,
-      m = m, rounds = rounds)
+    ops.Similarity.writeHnswIndex(c, "vec_id", "embedding", hnswDir)
     val rHnsw = recall(ops.Similarity.hnswTopKFromIndex(
-      spark, hnswDir, q, "vec_id", "embedding", beam = beam))
+      spark, hnswDir, q, "vec_id", "embedding"))
     // ivfpq floor 0.80: it tracks q63's PQ (0.85) minus the nprobe
     // loss — measured 0.83 @ 2k and 0.91 @ 20k; probing wider barely
     // moves it (0.83→0.85 at 30/32 probes), the binding constraint is
@@ -123,8 +128,8 @@ object ScaleCheck {
     // scaladoc argues
     check("ann_recall_r12",
       rGraph >= 0.90 && rIvfPq >= 0.80 && rHnsw >= 0.85,
-      f"graph_scaled=$rGraph%.3f (fixed-contract=$rGraphFixed%.3f) " +
-        f"ivfpq=$rIvfPq%.3f hnsw_scaled=$rHnsw%.3f")
+      f"graph_default=$rGraph%.3f (fixed-contract=$rGraphFixed%.3f) " +
+        f"ivfpq=$rIvfPq%.3f hnsw_default=$rHnsw%.3f")
     truth.unpersist()
 
     // 6. Hamming pair-key blocking: UNCAPPED pairs must equal the

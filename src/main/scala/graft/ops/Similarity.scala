@@ -2224,14 +2224,59 @@ object Similarity {
     * adjacency under graph/, the vectors under vectors/ — the store is
     * self-contained (search never touches the source corpus). Wrap in
     * VersionedStore.resolveOrBuild for the build-once CAS discipline,
-    * exactly like the IVF/PQ facades. */
+    * exactly like the IVF/PQ facades.
+    *
+    * Round 13 (the r12 verdict's lead item): the DEFAULT construction
+    * SCALES with the corpus — `nswScaledParams(corpus.count())` — and
+    * the chosen (m, rounds, beam, hops, n) are persisted in the
+    * store's params/ manifest so the read path serves with the
+    * constants the graph was BUILT for. The r12 ScaleCheck measured
+    * the fixed oracle constants collapsing to recall 0.08 one decade
+    * above bench scale (graph quality, not walk budget); a user
+    * calling this build-once API on a real corpus must get the scaled
+    * graph, not the collapsing one. Pass explicit positive values to
+    * pin — the ORACLE entries (q316/q264) pin the fixed contract so
+    * the DuckDB replay stays engine-exact; 0 = scale to the corpus. */
   def writeNswIndex(corpus: DataFrame, id: String, emb: String,
-                    path: String, m: Int = NswM,
-                    rounds: Int = NswRounds): Unit = {
-    nnDescentGraph(corpus, id, emb, m, rounds)
+                    path: String, m: Int = 0,
+                    rounds: Int = 0, beam: Int = 0, hops: Int = 0): Unit = {
+    val s = corpus.sparkSession
+    val n = corpus.count()
+    val (sm, sr, sb, sh) = nswScaledParams(n)
+    val (em, er) = (if (m > 0) m else sm, if (rounds > 0) rounds else sr)
+    val (eb, eh) = (if (beam > 0) beam else sb, if (hops > 0) hops else sh)
+    nnDescentGraph(corpus, id, emb, em, er)
       .write.mode("overwrite").parquet(s"$path/graph")
     corpus.select(col(id).as("vid"), col(emb).as("c_emb"))
       .write.mode("overwrite").parquet(s"$path/vectors")
+    writeNswParams(s, path, em, er, eb, eh, n)
+  }
+
+  /** The index's construction/serve manifest: one row under params/.
+    * Written LAST (after graph+vectors), read by the serve and append
+    * paths so a store built scaled is never walked with the narrow
+    * fixed budget (and vice versa). */
+  private def writeNswParams(s: SparkSession, path: String, m: Int,
+                             rounds: Int, beam: Int, hops: Int,
+                             n: Long): Unit = {
+    import s.implicits._
+    Seq((m, rounds, beam, hops, n)).toDF("m", "rounds", "beam", "hops", "n")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  /** (m, rounds, beam, hops) pinned in the store, if the store carries
+    * a params manifest; None for pre-r13 stores (serve falls back to
+    * the fixed constants those stores were built with). */
+  private[graft] def readNswParams(s: SparkSession,
+                                   path: String): Option[(Int, Int, Int, Int)] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/params")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val r = s.read.parquet(s"$path/params").head()
+      Some((r.getAs[Int]("m"), r.getAs[Int]("rounds"),
+        r.getAs[Int]("beam"), r.getAs[Int]("hops")))
+    }
   }
 
   /** LABEL-NOISE AUDIT by kNN disagreement (round 11): the standard
@@ -2291,9 +2336,16 @@ object Similarity {
     * (flag-identity additionally spec-pinned at sf0.001). */
   def q264(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
+    // Shares q316's store; same explicit oracle-constant pin. The
+    // exact-5NN oracle contract was MEASURED exact at the 500-vector
+    // verify corpus (and holds through sf0.1's 2k by the fixed-param
+    // recall curve: 0.87 @ 2k is the first slip point; 500 reads
+    // 1.000) — growing the verify dataset past ~1k vectors flips this
+    // gate red BY DESIGN, the loud failure that forces re-measuring.
     val dir = graft.sources.VersionedStore.resolveOrBuild(
       s, indexScratch(s, d, "nswidx"))(
-      p => writeNswIndex(e, "vec_id", "embedding", p))
+      p => writeNswIndex(e, "vec_id", "embedding", p,
+        m = NswM, rounds = NswRounds, beam = NswBeam, hops = NswHops))
     labelNoiseFromKnn(
       nswTopKFromIndex(s, dir, e, "vec_id", "embedding", k = 5,
         broadcastQueries = false),
@@ -2464,9 +2516,14 @@ object Similarity {
     * visible in q250, which rebuilds every run by contract. */
   def q316(s: SparkSession, d: String): DataFrame = {
     val (c, q) = corpusAndQueries(s, d)
+    // the ORACLE pin (round 13): the DuckDB replay unrolls the FIXED
+    // constants, so the oracle entries build with them explicitly;
+    // the manifest then pins the matching walk budget for the serve.
+    // Deployment callers use the scaled defaults instead.
     val dir = graft.sources.VersionedStore.resolveOrBuild(
       s, indexScratch(s, d, "nswidx"))(
-      p => writeNswIndex(c, "vec_id", "embedding", p))
+      p => writeNswIndex(c, "vec_id", "embedding", p,
+        m = NswM, rounds = NswRounds, beam = NswBeam, hops = NswHops))
     nswTopKFromIndex(s, dir, q, "vec_id", "embedding")
   }
 
@@ -2490,9 +2547,16 @@ object Similarity {
     * is graph-row-sized (at deployment, partition the graph table and
     * rewrite only touched partitions — the mergeCommit discipline). */
   def appendToNswIndex(delta: DataFrame, id: String, emb: String,
-                       path: String, m: Int = NswM, beam: Int = NswBeam,
-                       hops: Int = NswHops, seeds: Int = NswSeeds): Unit = {
+                       path: String, m: Int = 0, beam: Int = 0,
+                       hops: Int = 0, seeds: Int = NswSeeds): Unit = {
     val s = delta.sparkSession
+    // honor the store's pinned construction/serve params (round 13):
+    // appending M=16 rows into an M=32 scaled graph would silently
+    // thin every touched node's adjacency on re-prune
+    val pinned = readNswParams(s, path)
+    val em = if (m > 0) m else pinned.map(_._1).getOrElse(NswM)
+    val eb = if (beam > 0) beam else pinned.map(_._3).getOrElse(NswBeam)
+    val eh = if (hops > 0) hops else pinned.map(_._4).getOrElse(NswHops)
     val graph = s.read.parquet(s"$path/graph").localCheckpoint()
     val vectors = s.read.parquet(s"$path/vectors").localCheckpoint()
     // drop ids already in the index: a replayed or overlapping batch
@@ -2507,7 +2571,7 @@ object Similarity {
     val found = nswSearchTopK(graph,
         vectors.select(col("vid").as("nsw_id"), col("c_emb").as("nsw_emb")),
         d.select(col("vid").as("nsw_id"), col("c_emb").as("nsw_emb")),
-        "nsw_id", "nsw_emb", k = m, beam = beam, hops = hops, seeds = seeds)
+        "nsw_id", "nsw_emb", k = em, beam = eb, hops = eh, seeds = seeds)
       .select(col("query_id").as("dvid"), col("rank"),
         col("neighbor_id").as("evid"))
       .localCheckpoint()
@@ -2531,7 +2595,7 @@ object Similarity {
       .select(col("vid"), col("nbr"), cos.as("cos"))
       .groupBy(col("vid"))
       .agg(F.topK(struct(col("cos"), (-col("nbr")).as("negid"),
-        col("nbr").as("nid")), m).as("top"))
+        col("nbr").as("nid")), em).as("top"))
       .select(col("vid"), col("top.nid").as("nbrs"))
     val untouched = graph.join(found.select(col("evid").as("vid")).distinct(),
       Seq("vid"), "left_anti")
@@ -2584,19 +2648,43 @@ object Similarity {
     * so probes never recompute it. A layer with fewer than 2 members
     * is not built (nothing to link). */
   def writeHnswIndex(corpus: DataFrame, id: String, emb: String,
-                     path: String, m: Int = NswM,
-                     rounds: Int = NswRounds): Unit = {
+                     path: String, m: Int = 0,
+                     rounds: Int = 0): Unit = {
+    val s = corpus.sparkSession
     val withLvl = corpus.select(col(id).as("vid"), col(emb).as("c_emb"),
       hnswLevel(col(id)).as("level")).localCheckpoint()
+    // per-layer counts in ONE aggregation (level l's membership is
+    // {level >= l}, a suffix sum of the level histogram)
+    val histo = withLvl.groupBy(col("level")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val layerN = (0 to HnswMaxLevel).map(l =>
+      (l to HnswMaxLevel).map(histo.getOrElse(_, 0L)).sum)
+    require(layerN.head >= 2,
+      s"writeHnswIndex: corpus has ${layerN.head} rows; a graph index " +
+        "needs at least 2 (nothing to link)")
+    // round 13: each layer's construction SCALES with that layer's
+    // member count by default (layer 0 = the full corpus gets the
+    // nswScaledParams fix; upper layers are 16^l smaller and
+    // naturally fall back toward the fixed constants); explicit
+    // (m, rounds) pin every layer — the oracle-entry convention
     val layers = (0 to HnswMaxLevel).flatMap { l =>
-      val sub = withLvl.filter(col("level") >= l)
-      if (sub.take(2).length < 2) None
-      else Some(nnDescentGraph(sub, "vid", "c_emb", m, rounds)
-        .withColumn("level", lit(l)))
+      if (layerN(l) < 2) None
+      else {
+        val (sm, sr, _, _) = nswScaledParams(layerN(l))
+        val (em, er) = (if (m > 0) m else sm, if (rounds > 0) rounds else sr)
+        Some(nnDescentGraph(withLvl.filter(col("level") >= l),
+          "vid", "c_emb", em, er).withColumn("level", lit(l)))
+      }
     }
     layers.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$path/graph")
     withLvl.write.mode("overwrite").parquet(s"$path/vectors")
+    // serve budget pinned for layer 0 (the walk the probe pays)
+    val (sm0, sr0, sb0, sh0) = nswScaledParams(layerN.head)
+    writeNswParams(s, path, if (m > 0) m else sm0,
+      if (rounds > 0) rounds else sr0,
+      if (m > 0) NswBeam else sb0, if (m > 0) NswHops else sh0,
+      layerN.head)
   }
 
   /** Probe the layered index: greedy top-down — at each upper layer a
@@ -2608,7 +2696,14 @@ object Similarity {
     * 16ˣ-smaller adjacency tables. */
   def hnswTopKFromIndex(s: SparkSession, path: String, queries: DataFrame,
                         id: String, emb: String, k: Int = TopK,
-                        beam: Int = NswBeam, hops0: Int = HnswHops0): DataFrame = {
+                        beam: Int = 0, hops0: Int = 0): DataFrame = {
+    // beam from the store's pinned params (round 13); layer-0 hops =
+    // HALF the pinned flat budget (the layered-entry halving), never
+    // below the fixed HnswHops0
+    val pinned = readNswParams(s, path)
+    val eb = if (beam > 0) beam else pinned.map(_._3).getOrElse(NswBeam)
+    val eh0 = if (hops0 > 0) hops0
+      else pinned.map(p => math.max(HnswHops0, p._4 / 2)).getOrElse(HnswHops0)
     val g = s.read.parquet(s"$path/graph").localCheckpoint()
     val vectors = s.read.parquet(s"$path/vectors").localCheckpoint()
     val c = vectors.select(col("vid"), col("c_emb"))
@@ -2627,21 +2722,29 @@ object Similarity {
         .localCheckpoint()
     }
     beamWalk(g.filter(col("level") === 0).drop("level"),
-      c, q, entries, k, beam, hops0)
+      c, q, entries, k, eb, eh0)
   }
 
   /** Probe a persisted graph index: adjacency + vectors from the
-    * store, the same beam walk. */
+    * store, the same beam walk. beam/hops default (0) to the values
+    * PINNED IN THE STORE's params manifest — the walk budget the graph
+    * was built for (round 13; a scaled-built store served with the
+    * narrow fixed budget loses the recall the construction bought).
+    * Explicit positive arguments override; stores without a manifest
+    * (pre-r13) fall back to the fixed constants they were built with. */
   def nswTopKFromIndex(s: SparkSession, path: String, queries: DataFrame,
                        id: String, emb: String, k: Int = TopK,
-                       beam: Int = NswBeam, hops: Int = NswHops,
+                       beam: Int = 0, hops: Int = 0,
                        seeds: Int = NswSeeds,
                        broadcastQueries: Boolean = true): DataFrame = {
+    val stored = readNswParams(s, path)
+    val eb = if (beam > 0) beam else stored.map(_._3).getOrElse(NswBeam)
+    val eh = if (hops > 0) hops else stored.map(_._4).getOrElse(NswHops)
     val graph = s.read.parquet(s"$path/graph")
     val vectors = s.read.parquet(s"$path/vectors")
       .select(col("vid").as("nsw_id"), col("c_emb").as("nsw_emb"))
     nswSearchTopK(graph, vectors,
       queries.select(col(id).as("nsw_id"), col(emb).as("nsw_emb")),
-      "nsw_id", "nsw_emb", k, beam, hops, seeds, broadcastQueries)
+      "nsw_id", "nsw_emb", k, eb, eh, seeds, broadcastQueries)
   }
 }

@@ -1073,6 +1073,69 @@ class OperatorsSpec extends SparkSpec {
     assert(direct == stored, "store round-trip must not change results")
   }
 
+  test("r13 graph store defaults: scaled params pinned in the manifest, " +
+       "served, honored by append; pre-r13 stores fall back") {
+    import SparkTestSession.spark.implicits._
+    // a deterministic corpus PAST the 1024-vector threshold where the
+    // r12 ScaleCheck measured the fixed constants collapsing — the
+    // default build must come out scaled, and the serve must read the
+    // budget from the store, not the fixed constants
+    val n = 1200
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until n).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 2f - 1f)))
+    val c = rows.toDF("vec_id", "embedding").repartition(8).localCheckpoint()
+    val q = c.filter(col("vec_id") < 20)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-nsw-def").toString + "/idx"
+    Similarity.writeNswIndex(c, "vec_id", "embedding", dir)
+    assert(Similarity.readNswParams(spark, dir)
+      .contains(Similarity.nswScaledParams(n.toLong)),
+      "default build must pin nswScaledParams(n) in the store manifest")
+    val (sm, _, _, _) = Similarity.nswScaledParams(n.toLong)
+    assert(sm > Similarity.NswM, "the scaled M must exceed the fixed M here")
+    val truth = Similarity.bruteForceTopK(c, q, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val got = Similarity.nswTopKFromIndex(spark, dir, q, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = truth.map { case (qid, t) =>
+      got.getOrElse(qid, Set.empty).intersect(t).size.toDouble / t.size }
+    val recall = recalls.sum / recalls.size
+    assert(recall >= 0.9,
+      f"default write->serve recall@10 $recall%.3f below 0.9 past the " +
+        "scaled threshold (the r12 collapse class)")
+    // append with defaults must honor the PINNED scaled M — a fixed-M
+    // re-prune would silently thin every touched node to 16 neighbors
+    val delta = (n until n + 50).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 2f - 1f)))
+      .toDF("vec_id", "embedding")
+    Similarity.appendToNswIndex(delta, "vec_id", "embedding", dir)
+    val deg = spark.read.parquet(s"$dir/graph")
+      .select(size(col("nbrs")).as("d")).agg(max(col("d"))).head().getInt(0)
+    assert(deg > Similarity.NswM && deg <= sm,
+      s"post-append max out-degree $deg must stay in (NswM, scaled M]")
+    // pre-r13 stores (no params manifest) fall back to the fixed
+    // constants rather than failing
+    val bare = java.nio.file.Files
+      .createTempDirectory("graft-nsw-bare").toString + "/idx"
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(bare))
+    spark.read.parquet(s"$dir/graph")
+      .write.parquet(s"$bare/graph")
+    spark.read.parquet(s"$dir/vectors")
+      .write.parquet(s"$bare/vectors")
+    val fallback = Similarity.nswTopKFromIndex(spark, bare, q,
+      "vec_id", "embedding").collect().map(_.toSeq).toSet
+    val explicit = Similarity.nswTopKFromIndex(spark, bare, q,
+      "vec_id", "embedding", beam = Similarity.NswBeam,
+      hops = Similarity.NswHops).collect().map(_.toSeq).toSet
+    assert(fallback == explicit,
+      "a store without params/ must serve with the fixed constants")
+  }
+
   test("q322 kendall tau-b: hand-computed concordance with and without ties") {
     import SparkTestSession.spark.implicits._
     // x=[1,2,3,4], y=[1,3,2,4]: 6 pairs, 5 concordant, 1 discordant,
