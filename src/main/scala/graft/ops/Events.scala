@@ -2631,10 +2631,18 @@ object Events {
         "all", day, maxLag)
       .select(col("lag"), col("acf_bp")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val r = (0 to maxLag).map(k => if (k == 0) 10000L else acf(k.toLong))
-    val pacf = durbinLevinson(r, maxLag)
-    (1 to maxLag).map(k => (k.toLong, r(k), pacf(k - 1)))
-      .toDF("lag", "acf_bp", "pacf_bp")
+    // a series spanning fewer than maxLag+1 calendar days has no
+    // lagged pair at some k — the oracle's lag join yields NULL acf
+    // there and NULL propagates through its DL unroll, so mirror that
+    // instead of throwing (r12 advice): pacf is computed through the
+    // longest contiguous prefix of present lags, NULL after it
+    val present = (1 to maxLag).takeWhile(k => acf.contains(k.toLong)).size
+    val r = (0 to present).map(k => if (k == 0) 10000L else acf(k.toLong))
+    val pacf = durbinLevinson(r, present)
+    (1 to maxLag).map { k =>
+      val pk: Option[Long] = if (k <= present) Some(pacf(k - 1)) else None
+      (k.toLong, acf.get(k.toLong), pk)
+    }.toDF("lag", "acf_bp", "pacf_bp")
   }
 
   /** q334: ACF + PACF of the total daily event count, lags 1..7. */

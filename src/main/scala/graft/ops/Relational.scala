@@ -1705,11 +1705,20 @@ object Relational {
     * the q286 pinned-double form floor(10⁴·num/(√d₁·√d₂) + ½). NULL
     * when either side is constant. */
   def kendallTau(units: DataFrame, key: Column, x: Column,
-                 y: Column): DataFrame = {
+                 y: Column, maxUnits: Long = 4096L): DataFrame = {
     def dec(c: Column): Column = c.cast("decimal(38,0)")
     val u = units.select(key.as("k"), x.as("xv"), y.as("yv"))
       .where(col("xv").isNotNull && col("yv").isNotNull)
       .localCheckpoint()
+    // the concordance pair join is quadratic in the unit grain by
+    // definition — the theilSen guardrail applies verbatim (r12
+    // verdict #5): a caller passing a corpus gets a loud require, not
+    // a cartesian explosion
+    val nu = u.count()
+    require(nu <= maxUnits,
+      s"kendallTau: $nu units would form ~${nu * nu / 2} concordance " +
+        "pairs; pre-aggregate the series to a bounded grain (the q322 " +
+        "day-table discipline) or raise maxUnits deliberately")
     val cd = u.as("a").join(u.as("b"), col("a.k") < col("b.k"))
       .agg(
         sum(when((col("a.xv") > col("b.xv") && col("a.yv") > col("b.yv")) ||
@@ -1911,18 +1920,32 @@ object Relational {
     * 1000·y − slope·x over units.
     *
     * Scale: unit-grain series (the q322 day-table discipline) — pairs
-    * are lattice², the median windows run post-bounded. */
-  def theilSen(units: DataFrame, x: Column, y: Column): DataFrame = {
+    * are lattice², the median windows run post-bounded. The operator
+    * is QUADRATIC in its unit grain by construction (every pair's
+    * slope is the estimator's definition), so it guards its own
+    * contract: more than `maxUnits` units is almost always a caller
+    * passing a corpus where a series belongs — pre-aggregate to a
+    * bounded lattice (day/week grain, the q322/q328 shape) first, or
+    * raise `maxUnits` deliberately after costing ~n²/2 pairs. The
+    * default admits a full decade of daily points (3.7k units → ≤7M
+    * pairs) with headroom. */
+  def theilSen(units: DataFrame, x: Column, y: Column,
+               maxUnits: Long = 4096L): DataFrame = {
     val u = units.select(x.as("xv"), y.as("yv"))
       .where(col("xv").isNotNull && col("yv").isNotNull)
       .localCheckpoint()
+    val nu = u.count()
+    require(nu <= maxUnits,
+      s"theilSen: $nu units would form ~${nu * nu / 2} slope pairs; " +
+        "pre-aggregate the series to a bounded grain (the q328 day-table " +
+        "discipline) or raise maxUnits deliberately")
     val slopes = u.as("a").join(u.as("b"), col("a.xv") < col("b.xv"))
       .select(graft.functions.F.idiv(
         lit(1000L) * (col("b.yv") - col("a.yv")),
         col("b.xv") - col("a.xv")).as("sl"))
       .localCheckpoint()
     val np = slopes.count()
-    val nd = u.count()
+    val nd = nu
     val spark = units.sparkSession
     import spark.implicits._
     // degenerate series (no pairs): the oracle's median CTEs produce

@@ -532,17 +532,48 @@ object VersionedStore {
     var prevSchema: String = null
     for (v <- 1 to latest) {
       val files = listedFiles(s, root, v)
+      // one Delta table = ONE schema + ONE partition layout. A
+      // directory-valued `op store` manifest may commit several
+      // sub-tables at once (an IVF-PQ index: centroids/, codebook/,
+      // cells/cell=N/) — exporting that as one flat table would merge
+      // or silently pick a wrong schemaString and drop the partition
+      // columns from the interchange (r12 advice). Reject loudly and
+      // point at per-sub-table export; a genuinely hive-partitioned
+      // SINGLE table exports with real partitionColumns/Values below.
+      val partsByFile = files.map(f => f -> partitionSegs(f)).toMap
+      val layouts = partsByFile.values.map(_.map(_._1)).toSet
+      require(layouts.size == 1,
+        s"store $root version $v mixes partition layouts " +
+          s"${layouts.map(_.mkString("/")).mkString("{", ", ", "}")}; " +
+          "a Delta log describes ONE table — export each sub-table root " +
+          "separately")
+      val partCols = layouts.head
+      val parents = files.map(structuralParent).distinct.sorted
+      if (parents.size > 1) {
+        val schemas = parents.map(p => s.read.parquet(
+          files.filter(structuralParent(_) == p).map(f => s"$root/$f"): _*)
+          .schema.json)
+        require(schemas.distinct.size == 1,
+          s"store $root version $v commits ${parents.size} sub-tables " +
+            s"with differing schemas (${parents.mkString(", ")}); a Delta " +
+            "log describes ONE table — export each sub-table root " +
+            "separately")
+      }
       // a later overwrite may change the table schema; the log must
       // carry a fresh metaData action in THAT commit or every
       // subsequent snapshot replays under the stale schema (review
-      // finding, round 12)
-      val schemaJson = s.read.parquet(files.map(f => s"$root/$f"): _*)
-        .schema.json
+      // finding, round 12). Partition columns append to the data
+      // schema as strings (add.partitionValues are strings by spec).
+      val dataSchema = s.read.parquet(files.map(f => s"$root/$f"): _*).schema
+      val schemaJson = partCols.foldLeft(dataSchema)((sc, c) =>
+        sc.add(c, org.apache.spark.sql.types.StringType, nullable = true)).json
       val dst = new Path(logDir, f"${v - 1}%020d.json")
       if (!fs.exists(dst)) {
         val adds = (files.toSet -- prev.toSet).toSeq.sorted.map { rel =>
           val st = fs.getFileStatus(new Path(root, rel))
-          s"""{"add":{"path":"${jsonEscape(rel)}","partitionValues":{},""" +
+          val pv = partsByFile(rel).map { case (k, vl) =>
+            s""""${jsonEscape(k)}":"${jsonEscape(vl)}"""" }.mkString(",")
+          s"""{"add":{"path":"${jsonEscape(rel)}","partitionValues":{$pv},""" +
             s""""size":${st.getLen},"modificationTime":${st.getModificationTime},""" +
             s""""dataChange":true}}"""
         }
@@ -551,11 +582,14 @@ object VersionedStore {
           s"""{"remove":{"path":"${jsonEscape(rel)}","deletionTimestamp":$now,""" +
             s""""dataChange":true}}"""
         }
+        val partColsJson = partCols.map(c => s""""${jsonEscape(c)}"""")
+          .mkString(",")
         val metaData =
           if (v == 1 || schemaJson != prevSchema)
             Seq(s"""{"metaData":{"id":"$tableId","format":{"provider":"parquet",""" +
               s""""options":{}},"schemaString":"${jsonEscape(schemaJson)}",""" +
-              s""""partitionColumns":[],"configuration":{},"createdTime":$now}}""")
+              s""""partitionColumns":[$partColsJson],"configuration":{},""" +
+              s""""createdTime":$now}}""")
           else Seq.empty
         val head =
           (if (v == 1)
@@ -571,6 +605,21 @@ object VersionedStore {
     }
     written
   }
+
+  /** Hive partition segments (`col=value` directory names) in a
+    * relative file path, in order — the partition identity the Delta
+    * export must carry per add action. */
+  private def partitionSegs(rel: String): Seq[(String, String)] =
+    rel.split('/').dropRight(1).toSeq.flatMap { seg =>
+      val i = seg.indexOf('=')
+      if (i > 0) Some(seg.substring(0, i) -> seg.substring(i + 1)) else None
+    }
+
+  /** The path's directory chain with partition segments stripped — two
+    * files share a structural parent iff they belong to the same
+    * (sub-)table of an op-store tree. */
+  private def structuralParent(rel: String): String =
+    rel.split('/').dropRight(1).filterNot(_.contains('=')).mkString("/")
 
   /** The file list a version's manifest commits (relative paths; a
     * directory-valued `op store` manifest expands to the parquet part

@@ -1159,6 +1159,40 @@ class OperatorsSpec extends SparkSpec {
     assert(c.isNullAt(4))
   }
 
+  test("pairwise rank operators: unit-grain guardrail trips loudly; " +
+       "lattice regroups pinned under the mid-rank windows") {
+    import SparkTestSession.spark.implicits._
+    // quadratic-in-units operators REFUSE a corpus-sized frame
+    val big = spark.range(5000).select(col("id").as("k"),
+      col("id").as("x"), (col("id") * 2).as("y"))
+    val e1 = intercept[IllegalArgumentException] {
+      Relational.theilSen(big, col("x"), col("y")) }
+    assert(e1.getMessage.contains("pre-aggregate"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Relational.kendallTau(big, col("k"), col("x"), col("y")) }
+    assert(e2.getMessage.contains("pre-aggregate"), e2.getMessage)
+    // an explicit raise is honored (the caller costed the pairs)
+    assert(Relational.kendallTau(big.limit(50), col("k"), col("x"),
+      col("y"), maxUnits = 50L).count() == 1)
+    // spearman / mann-whitney / kruskal-wallis are corpus-safe ONLY
+    // because their mid-rank windows run over the aggregated value
+    // lattice — pin that: every Window in the optimized plan must sit
+    // above an Aggregate (this fails if the regroup is ever removed)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    def latticeBounded(df: org.apache.spark.sql.DataFrame): Boolean = {
+      val wins = df.queryExecution.optimizedPlan.collect {
+        case w: LWindow => w }
+      wins.nonEmpty && wins.forall(
+        _.child.collectFirst { case a: Aggregate => a }.nonEmpty)
+    }
+    assert(latticeBounded(Relational.q286(spark, sf)),
+      "spearman must rank the value lattice, not the corpus")
+    assert(latticeBounded(Relational.q287(spark, sf)),
+      "mann-whitney must rank the value lattice, not the corpus")
+    assert(latticeBounded(Relational.q323(spark, sf)),
+      "kruskal-wallis must rank the value lattice, not the corpus")
+  }
+
   test("q328 theil-sen: a degenerate single-unit series yields zero rows") {
     import SparkTestSession.spark.implicits._
     assert(Relational.theilSen(Seq((1L, 7L)).toDF("x", "y"),
@@ -1342,6 +1376,22 @@ class OperatorsSpec extends SparkSpec {
       .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
     assert(out.size == 7)
     assert(out(1L)._1 == out(1L)._2, "pacf(1) = acf(1)")
+    // a series shorter than maxLag+1 days must yield NULL acf/pacf at
+    // the unreachable lags (the oracle's lag join produces NULL there)
+    // instead of throwing (r12 advice)
+    import SparkTestSession.spark.implicits._
+    val short = Seq(("a", "2024-01-01"), ("b", "2024-01-01"),
+        ("a", "2024-01-02"), ("a", "2024-01-03"))
+      .toDF("event_type", "ts_s").select(col("event_type"),
+        to_timestamp(col("ts_s")).as("ts"))
+    val rows = Events.pacfDiagnostics(short, to_date(col("ts")))
+      .orderBy("lag").collect()
+    assert(rows.length == 7, "all requested lags reported")
+    assert(!rows(0).isNullAt(1) && !rows(0).isNullAt(2),
+      "lag 1 computable on a 3-day series")
+    (3 until 7).foreach { i =>
+      assert(rows(i).isNullAt(1) && rows(i).isNullAt(2),
+        s"lag ${i + 1} must be NULL on a 3-day series") }
   }
 
   test("q335 frequent triples: hand-counted combinations and support floor") {

@@ -501,6 +501,54 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("delta-log export: partitioned trees carry real partitionColumns/" +
+       "Values; heterogeneous op-store trees are rejected") {
+    import SparkTestSession.spark.implicits._
+    import graft.sources.VersionedStore
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    def has(v: JValue, k: String): Boolean = (v \ k) != JNothing
+    def str(v: JValue): String = v.asInstanceOf[JString].s
+    // 1. a hive-partitioned SINGLE table published as an op store
+    val root = tmp("deltaexp-part")
+    VersionedStore.publishDir(spark, root) { stage =>
+      Seq((1L, "a", 0), (2L, "b", 0), (3L, "c", 1))
+        .toDF("id", "v", "bucket")
+        .write.partitionBy("bucket").parquet(stage)
+    }
+    assert(VersionedStore.exportDeltaLog(spark, root) == 1)
+    val acts = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/_delta_log/" + f"${0}%020d.json")),
+      "UTF-8").split("\n").filter(_.nonEmpty).toSeq.map(JsonMethods.parse(_))
+    val meta = acts.find(has(_, "metaData")).get \ "metaData"
+    assert((meta \ "partitionColumns").asInstanceOf[JArray].arr
+      .map(str) == List("bucket"), "partition column must be declared")
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(str(meta \ "schemaString"))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(schema.fieldNames.contains("bucket"),
+      "schemaString must include the partition column")
+    val pvs = acts.filter(has(_, "add")).map(a =>
+      (a \ "add" \ "partitionValues" \ "bucket") match {
+        case JString(x) => x
+        case other => fail(s"missing bucket partitionValue: $other")
+      }).toSet
+    assert(pvs == Set("0", "1"),
+      s"every add must carry its hive partition value, got $pvs")
+    // 2. a heterogeneous op-store tree (two sub-tables, different
+    // schemas) must be rejected loudly, not exported flat
+    val root2 = tmp("deltaexp-hetero")
+    VersionedStore.publishDir(spark, root2) { stage =>
+      Seq((1L, "x")).toDF("cid", "name").write.parquet(s"$stage/centroids")
+      Seq((1L, 2L, 3.0)).toDF("a", "b", "w").write.parquet(s"$stage/cells")
+    }
+    val err = intercept[IllegalArgumentException] {
+      VersionedStore.exportDeltaLog(spark, root2)
+    }
+    assert(err.getMessage.contains("sub-table"),
+      s"rejection must point at per-sub-table export: ${err.getMessage}")
+  }
+
   test("versioned store: incremental read returns exactly the added rows") {
     import SparkTestSession.spark.implicits._
     import graft.sources.VersionedStore
