@@ -639,6 +639,124 @@ object AnnOracleSql {
     FROM fin WHERE rank <= ${Similarity.TopK}"""
   }
 
+  /** q336 layered (HNSW) graph serve — the q250 replay generalized per
+    * layer (round 13; VERDICT r12 item 2): deterministic md5-nibble
+    * level assignment, each layer's NN-Descent chain run over its
+    * {level >= l} subset (seed rings recomputed WITHIN the subset —
+    * the lead/lag window sees only members), then the engine's
+    * top-down serve: narrow (upper-beam, upper-hops) walks move each
+    * query's entry set down the hierarchy, and layer 0 runs the full
+    * beam at HALF the flat hop budget. A layer the build skips (fewer
+    * than 2 members, or no seed-ring collision among them) has an
+    * EMPTY adjacency; `top` is the highest layer with adjacency rows
+    * (the engine's max(level) over the stored graph) and walks above
+    * it pass the entry set through unchanged. */
+  private val q336Sql: String = {
+    val m = Similarity.NswM
+    val rounds = Similarity.NswRounds
+    val ub = Similarity.HnswUpperBeam
+    val uh = Similarity.HnswUpperHops
+    val beam = Similarity.NswBeam
+    val hops0 = Similarity.HnswHops0
+    val seeds = Similarity.NswSeeds
+    val maxL = Similarity.HnswMaxLevel
+    val lb = Similarity.HnswLevelBits
+    // level = count of consecutive zero low md5 nibbles, capped
+    val h = md5Signed("vec_id")
+    val levelExpr = "CASE " + (maxL to 1 by -1).map { l =>
+      val mask = (1L << (lb * l)) - 1L
+      s"WHEN ($h & $mask) = 0 THEN $l " }.mkString + "ELSE 0 END"
+    def scoreCte(name: String, pairs: String): String =
+      s"""$name AS (SELECT p.vid, p.nbr, ${cosS("a.embedding", "b.embedding")} AS cos
+           FROM $pairs p JOIN ev a ON a.vec_id = p.vid JOIN ev b ON b.vec_id = p.nbr)"""
+    def adjCte(p: String, j: Int, src: String): String =
+      s"""${p}adj$j AS MATERIALIZED (SELECT vid, nbr, cos FROM (
+           SELECT s.*, row_number() OVER (PARTITION BY vid ORDER BY cos DESC, nbr ASC) AS rn
+           FROM $src s) WHERE rn <= $m)"""
+    // one NN-Descent chain per layer, prefixed; ring partitions see
+    // only the layer's members (mirror of nnDescentGraph over the
+    // filtered corpus)
+    def chain(p: String, lvl: Int): String = {
+      val ringSrc =
+        if (lvl == 0) "bkt"
+        else s"(SELECT k.* FROM bkt k JOIN lv ON lv.vec_id = k.vec_id AND lv.level >= $lvl)"
+      val seed =
+        s"""${p}ring AS (SELECT vec_id, t, bk,
+             lead(vec_id, 1) OVER w AS n1, lead(vec_id, 2) OVER w AS n2,
+             lag(vec_id, 1) OVER w AS p1, lag(vec_id, 2) OVER w AS p2
+             FROM $ringSrc r WINDOW w AS (PARTITION BY t, bk ORDER BY vec_id)),
+           ${p}sp AS (SELECT DISTINCT vec_id AS vid, nbr FROM (
+             SELECT vec_id, unnest([n1, n2, p1, p2]) AS nbr FROM ${p}ring)
+             WHERE nbr IS NOT NULL AND nbr <> vec_id),
+           ${scoreCte(s"${p}sc0", s"${p}sp")},
+           ${adjCte(p, 0, s"${p}sc0")}"""
+      val rcs = (1 to rounds).map { r =>
+        s"""${p}und$r AS MATERIALIZED (SELECT DISTINCT vid, nbr FROM (
+               SELECT vid, nbr FROM ${p}adj${r - 1} UNION ALL SELECT nbr, vid FROM ${p}adj${r - 1})),
+           ${p}pr$r AS (SELECT DISTINCT vid, nbr FROM (
+               SELECT a.vid, b.nbr FROM ${p}und$r a
+               JOIN (SELECT vid, nbr FROM ${p}und$r) b ON b.vid = a.nbr
+               UNION ALL SELECT vid, nbr FROM ${p}und$r) WHERE vid <> nbr),
+           ${scoreCte(s"${p}sc$r", s"${p}pr$r")},
+           ${adjCte(p, r, s"${p}sc$r")}"""
+      }.mkString(",\n    ")
+      seed + ",\n    " + rcs
+    }
+    // the shared expand->score->prune walk over one layer's adjacency,
+    // seeded by an explicit (query_id, vid) entry CTE
+    def walk(p: String, adj: String, entries: String, bw: Int,
+             hops: Int): String = {
+      def beamCte(name: String, src: String): String =
+        s"""$name AS MATERIALIZED (SELECT query_id, vid, cos FROM (
+             SELECT s.*, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vid ASC) AS rn
+             FROM $src s) WHERE rn <= $bw)"""
+      val f0 =
+        s"""${p}f0s AS (SELECT e.query_id, e.vid, ${cosS("q.qe", "c.embedding")} AS cos
+             FROM $entries e JOIN qs q USING (query_id) JOIN ev c ON c.vec_id = e.vid),
+           ${beamCte(s"${p}f0", s"${p}f0s")}"""
+      val hcs = (1 to hops).map { hh =>
+        s"""${p}ex$hh AS (SELECT DISTINCT f.query_id, a.nbr AS vid
+               FROM ${p}f${hh - 1} f JOIN $adj a ON a.vid = f.vid),
+           ${p}sx$hh AS (SELECT e.query_id, e.vid, ${cosS("q.qe", "c.embedding")} AS cos
+               FROM ${p}ex$hh e JOIN qs q USING (query_id) JOIN ev c ON c.vec_id = e.vid),
+           ${p}mg$hh AS (SELECT query_id, vid, max(cos) AS cos FROM (
+               SELECT * FROM ${p}f${hh - 1} UNION ALL SELECT * FROM ${p}sx$hh) GROUP BY 1, 2),
+           ${beamCte(s"${p}f$hh", s"${p}mg$hh")}"""
+      }.mkString(",\n    ")
+      f0 + ",\n    " + hcs
+    }
+    val chains = (0 to maxL).map(l => chain(s"l$l", l)).mkString(",\n    ")
+    val topCases = (1 to maxL).map(l =>
+      s"CASE WHEN EXISTS (SELECT 1 FROM l${l}adj$rounds) THEN $l ELSE 0 END")
+      .mkString(", ")
+    // upper layers top..1: walk when the layer is at/below top, else
+    // pass the entry set through verbatim
+    val upper = (maxL to 1 by -1).map { l =>
+      s"""${walk(s"w$l", s"l${l}adj$rounds", s"el$l", ub, uh)},
+         p$l AS (SELECT query_id, vid FROM (
+             SELECT f.*, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vid ASC) AS rn
+             FROM w${l}f$uh f WHERE vid <> query_id) WHERE rn <= $ub),
+         el${l - 1} AS (SELECT p.query_id, p.vid FROM p$l p CROSS JOIN topc t WHERE t.top >= $l
+             UNION ALL SELECT e.query_id, e.vid FROM el$l e CROSS JOIN topc t WHERE t.top < $l)"""
+    }.mkString(",\n    ")
+    s"""WITH $lshBucketCtes,
+    lv AS MATERIALIZED (SELECT vec_id, $levelExpr AS level FROM ev),
+    $chains,
+    topc AS (SELECT greatest($topCases) AS top),
+    qs AS (SELECT vec_id AS query_id, embedding AS qe FROM ev
+           WHERE vec_id < ${Similarity.NumQueries}),
+    entry AS (SELECT lv.vec_id AS vid FROM lv CROSS JOIN topc t
+              WHERE lv.level >= t.top ORDER BY vec_id LIMIT $seeds),
+    el$maxL AS (SELECT q.query_id, e.vid FROM qs q CROSS JOIN entry e),
+    $upper,
+    ${walk("w0", s"l0adj$rounds", "el0", beam, hops0)},
+    fin AS (SELECT query_id, vid, cos,
+            CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vid ASC) AS INT) AS rank
+            FROM w0f$hops0 WHERE vid <> query_id)
+    SELECT query_id, rank, vid AS neighbor_id, ${bpS("cos")} AS cos_bp
+    FROM fin WHERE rank <= ${Similarity.TopK}"""
+  }
+
   /** q271 cell balance: the q91 per-cell table rolled up to one row
     * with the q188-convention hot_bp. */
   private val q271Sql: String =
@@ -703,6 +821,7 @@ object AnnOracleSql {
     // q316 serves the persisted graph; the build is deterministic, so
     // the probe is row-identical to q250 and shares its replay oracle
     "q316_ann_graph_index" -> q250Sql,
+    "q336_ann_hnsw_index"  -> q336Sql,
     "q271_cell_balance"    -> q271Sql,
     "q234_split_leakage"   -> q234Sql,
     "q237_silhouette"      -> q237Sql,

@@ -352,6 +352,7 @@ object SparkEntry {
     "q333_logrank"        -> (Events.q333 _),
     "q334_pacf"           -> (Events.q334 _),
     "q335_freq_triples"   -> (Relational.q335 _),
+    "q336_ann_hnsw_index" -> (Similarity.q336 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:

