@@ -2548,24 +2548,53 @@ object Similarity {
     * rewrite only touched partitions — the mergeCommit discipline). */
   def appendToNswIndex(delta: DataFrame, id: String, emb: String,
                        path: String, m: Int = 0, beam: Int = 0,
+                       hops: Int = 0, seeds: Int = NswSeeds): Unit =
+    appendToNswIndexTo(delta, id, emb, path, path, m, beam, hops, seeds)
+
+  /** The append body with the read (src) and write (dst) stores split —
+    * src == dst is the in-place [[appendToNswIndex]]; a DIFFERENT dst
+    * is the copy-on-write form the streaming ingest runs inside
+    * VersionedStore.publishDir, so the manifest CAS flips a complete
+    * appended build and a probe never sees a torn graph/vectors pair
+    * (round 13; the mergeCommit discipline carried to the graph
+    * store). */
+  private[graft] def appendToNswIndexTo(delta: DataFrame, id: String,
+                       emb: String, src: String, dst: String,
+                       m: Int = 0, beam: Int = 0,
                        hops: Int = 0, seeds: Int = NswSeeds): Unit = {
     val s = delta.sparkSession
     // honor the store's pinned construction/serve params (round 13):
     // appending M=16 rows into an M=32 scaled graph would silently
     // thin every touched node's adjacency on re-prune
-    val pinned = readNswParams(s, path)
+    val pinned = readNswParams(s, src)
     val em = if (m > 0) m else pinned.map(_._1).getOrElse(NswM)
     val eb = if (beam > 0) beam else pinned.map(_._3).getOrElse(NswBeam)
     val eh = if (hops > 0) hops else pinned.map(_._4).getOrElse(NswHops)
-    val graph = s.read.parquet(s"$path/graph").localCheckpoint()
-    val vectors = s.read.parquet(s"$path/vectors").localCheckpoint()
+    def carryParams(): Unit = if (dst != src) {
+      val p = new org.apache.hadoop.fs.Path(s"$src/params")
+      if (p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p))
+        s.read.parquet(s"$src/params").coalesce(1)
+          .write.mode("overwrite").parquet(s"$dst/params")
+    }
+    val graph = s.read.parquet(s"$src/graph").localCheckpoint()
+    val vectors = s.read.parquet(s"$src/vectors").localCheckpoint()
     // drop ids already in the index: a replayed or overlapping batch
     // must be a no-op for its seen rows (idempotence) — without this,
     // a retry wrote duplicate vid rows into graph AND vectors
     val d = delta.select(col(id).as("vid"), col(emb).as("c_emb"))
       .join(vectors.select(col("vid")), Seq("vid"), "left_anti")
       .localCheckpoint()
-    if (d.isEmpty) return
+    if (d.isEmpty) {
+      // nothing new: in place this is a no-op; copy-on-write must
+      // still materialize a COMPLETE store at dst (a replayed batch
+      // publishes a redundant-but-whole version, never a torn one)
+      if (dst != src) {
+        vectors.write.mode("overwrite").parquet(s"$dst/vectors")
+        graph.write.mode("overwrite").parquet(s"$dst/graph")
+        carryParams()
+      }
+      return
+    }
     // 1. batch NSW insert-search: each delta vector's M nearest among
     //    the EXISTING nodes (k = m; the search excludes self by id)
     val found = nswSearchTopK(graph,
@@ -2604,11 +2633,12 @@ object Similarity {
     // vectors FIRST: extra vector rows under the old graph are inert
     // (nothing references them), while a new graph over old vectors
     // would silently drop delta candidates at the probe join. For a
-    // fully atomic append, run this body inside
-    // VersionedStore.publishDir (the q168 discipline) so the manifest
-    // CAS flips both trees at once.
-    allVecs.write.mode("overwrite").parquet(s"$path/vectors")
-    newGraph.write.mode("overwrite").parquet(s"$path/graph")
+    // fully atomic append, use the dst != src form inside
+    // VersionedStore.publishDir ([[graft.streaming.Streaming.nswIngestStream]])
+    // so the manifest CAS flips both trees at once.
+    allVecs.write.mode("overwrite").parquet(s"$dst/vectors")
+    newGraph.write.mode("overwrite").parquet(s"$dst/graph")
+    carryParams()
   }
 
   // ---- HNSW layering on the NSW graph (round 12; VERDICT r11 item

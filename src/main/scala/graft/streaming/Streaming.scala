@@ -244,6 +244,49 @@ object Streaming {
         ()
       }
 
+  /** STREAMING GRAPH-ANN INGEST (round 13; VERDICT r12 item 6 — the
+    * ivfIngestStream twin for the graph family): each micro-batch of
+    * vectors NSW-inserts into the standing graph index
+    * ([[graft.ops.Similarity.appendToNswIndexTo]] — batch beam-search
+    * for each delta vector's M nearest, bidirectional wiring, touched
+    * nodes re-pruned at the store's PINNED M), run copy-on-write
+    * inside VersionedStore.publishDir so the manifest CAS flips a
+    * complete (graph, vectors, params) build per applied batch — a
+    * concurrent probe always resolves a whole version, never a torn
+    * pair, and the store is time-travelable per batch. The FIRST
+    * batch builds the index (scaled-default construction unless the
+    * store already exists). Append is deterministic, so a
+    * stream-ingested index is bit-identical to the batch build+append
+    * sequence at the same cut (spec-pinned) and replays publish a
+    * redundant-but-identical version (the ivfIngestStream
+    * at-least-once trade).
+    *
+    * Scale (100 TB stream): per batch the search is hops·(adjacency
+    * join + bounded top-beam) and the re-prune rescores
+    * O(|batch|·M²) pairs; the copy-on-write rewrite is graph-sized —
+    * at deployment partition the graph table and rewrite only
+    * touched partitions (the mergeCommit discipline), which drops the
+    * per-batch write to O(touched partitions). */
+  def nswIngestStream(vectors: DataFrame, indexRoot: String,
+                      id: String, emb: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vectors.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val b = batch.toDF().localCheckpoint()
+          graft.sources.VersionedStore.resolveDir(s, indexRoot) match {
+            case None =>
+              graft.sources.VersionedStore.publishDir(s, indexRoot)(p =>
+                graft.ops.Similarity.writeNswIndex(b, id, emb, p))
+            case Some(cur) =>
+              graft.sources.VersionedStore.publishDir(s, indexRoot)(p =>
+                graft.ops.Similarity.appendToNswIndexTo(b, id, emb, cur, p))
+          }
+        }
+        ()
+      }
+
   /** Stream-static enrichment join: every streaming event picks up its
     * user's dimension row. The static side is a plain DataFrame — Spark
     * re-plans it per micro-batch (so a refreshed dim table is picked up

@@ -623,4 +623,58 @@ class StreamingSpec extends SparkSpec {
       assert(v1Probe.forall(_ % 2 == 0), "pinned probe must not see batch 2")
     } finally q.stop()
   }
+
+  test("streaming graph-ANN ingest: CAS versions per batch; stream == " +
+       "batch build+append at the same cut") {
+    import graft.sources.VersionedStore
+    implicit val sqlCtx = spark.sqlContext
+    val (c, qs) = ops.Similarity.corpusAndQueries(spark, sf)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-nswstream").toString
+    val rows = c.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    val (b1, b2) = rows.partition(_._1 % 2 == 0)
+    val in = MemoryStream[(Long, Seq[Float])]
+    val root = s"$tmp/nswidx"
+    val q = Streaming.nswIngestStream(in.toDF().toDF("vec_id", "embedding"),
+        root, "vec_id", "embedding")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .start()
+    try {
+      in.addData(b1.toSeq: _*)
+      q.processAllAvailable()
+      in.addData(b2.toSeq: _*)
+      q.processAllAvailable()
+      // one CAS-published store version per applied batch
+      assert(VersionedStore.versions(spark, root).map(_._2) ==
+        Seq("store", "store"))
+      val dir = VersionedStore.resolveDir(spark, root).get
+      // bit-identity with the BATCH path at the same cut: build(b1)
+      // then append(b2) — the determinism contract transfers to the
+      // streamed store (graph rows AND the pinned params manifest)
+      import SparkTestSession.spark.implicits._
+      val batchDir = s"$tmp/batch"
+      ops.Similarity.writeNswIndex(
+        b1.toSeq.toDF("vec_id", "embedding"), "vec_id", "embedding", batchDir)
+      ops.Similarity.appendToNswIndex(
+        b2.toSeq.toDF("vec_id", "embedding"), "vec_id", "embedding", batchDir)
+      def graphOf(p: String) = spark.read.parquet(s"$p/graph").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(graphOf(dir) == graphOf(batchDir),
+        "stream-ingested graph must be bit-identical to batch build+append")
+      assert(ops.Similarity.readNswParams(spark, dir) ==
+        ops.Similarity.readNswParams(spark, batchDir),
+        "the pinned params manifest must ride the stream ingest")
+      // and the streamed store answers probes identically
+      val got = ops.Similarity.nswTopKFromIndex(spark, dir, qs,
+        "vec_id", "embedding").collect().map(_.toSeq).toSet
+      val want = ops.Similarity.nswTopKFromIndex(spark, batchDir, qs,
+        "vec_id", "embedding").collect().map(_.toSeq).toSet
+      assert(got == want, "streamed-store probe diverges from batch store")
+      // version 1 time-travels to exactly the first batch's index
+      val v1 = VersionedStore.resolveDir(spark, root, 1).get
+      assert(spark.read.parquet(s"$v1/vectors").select("vid").collect()
+        .map(_.getLong(0)).toSet == b1.map(_._1).toSet,
+        "version 1 must hold exactly the first batch's vectors")
+    } finally q.stop()
+  }
 }
