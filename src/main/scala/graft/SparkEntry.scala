@@ -353,6 +353,11 @@ object SparkEntry {
     "q334_pacf"           -> (Events.q334 _),
     "q335_freq_triples"   -> (Relational.q335 _),
     "q336_ann_hnsw_index" -> (Similarity.q336 _),
+    "q337_welch_t"        -> (Events.q337 _),
+    "q338_anova_f"        -> (Relational.q338 _),
+    "q339_cuped"          -> (Events.q339 _),
+    "q341_mann_kendall"   -> (Relational.q341 _),
+    "q345_wasserstein"    -> (Relational.q345 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -2517,6 +2522,186 @@ object SparkEntry {
          FROM m, ab""",
 
     "q334_pacf" -> q334OracleSql,
+
+    // Welch t: exact HUGEINT moments per arm, t/df assembled in the
+    // pinned double order (q_a = (n·ss − s²)/(n²(n−1)) mirrored
+    // term for term).
+    "q337_welch_t" ->
+      s"""WITH m AS (SELECT
+             sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n_a,
+             sum(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END) AS n_b,
+             sum(CASE WHEN user_id % 2 = 0 THEN CAST(${C("value")} AS HUGEINT) ELSE 0 END) AS sa,
+             sum(CASE WHEN user_id % 2 = 0 THEN 0 ELSE CAST(${C("value")} AS HUGEINT) END) AS sb,
+             sum(CASE WHEN user_id % 2 = 0 THEN CAST(${C("value")} AS HUGEINT) * ${C("value")} ELSE 0 END) AS ssa,
+             sum(CASE WHEN user_id % 2 = 0 THEN 0 ELSE CAST(${C("value")} AS HUGEINT) * ${C("value")} END) AS ssb
+           FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+         d AS (SELECT *,
+             CAST(n_a AS HUGEINT) * ssa - sa * sa AS num_a,
+             CAST(n_b AS HUGEINT) * ssb - sb * sb AS num_b,
+             CAST(CAST(n_a AS HUGEINT) * ssa - sa * sa AS DOUBLE)
+               / CAST(CAST(n_a AS HUGEINT) * n_a * (n_a - 1) AS DOUBLE) AS qa,
+             CAST(CAST(n_b AS HUGEINT) * ssb - sb * sb AS DOUBLE)
+               / CAST(CAST(n_b AS HUGEINT) * n_b * (n_b - 1) AS DOUBLE) AS qb
+           FROM m),
+         t AS (SELECT *,
+             (CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE)
+              - CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE)) / sqrt(qa + qb) AS tv,
+             (qa + qb) * (qa + qb)
+               / (qa * qa / CAST(n_a - 1 AS DOUBLE)
+                  + qb * qb / CAST(n_b - 1 AS DOUBLE)) AS dfv,
+             (n_a < 2 OR n_b < 2 OR num_a + num_b = 0) AS bad
+           FROM d)
+         SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(sa // n_a AS BIGINT) AS mean_a_c,
+           CAST(sb // n_b AS BIGINT) AS mean_b_c,
+           CAST(CASE WHEN bad THEN NULL
+                ELSE floor(tv * 1000 + 0.5) END AS BIGINT) AS t_milli,
+           CAST(CASE WHEN bad THEN NULL
+                ELSE floor(dfv * 1000 + 0.5) END AS BIGINT) AS df_milli,
+           CAST(CASE WHEN bad THEN NULL
+                WHEN abs(floor(tv * 1000 + 0.5)) > 1960 THEN 1 ELSE 0
+                END AS INT) AS is_significant
+         FROM t""",
+
+    // One-way ANOVA F: per-group HUGEINT moments, between-term floored
+    // per group at micro scale before the sum (the q323 discipline).
+    "q338_anova_f" ->
+      s"""WITH g AS (SELECT event_type AS gr, count(*) AS ng,
+             sum(CAST(${C("value")} AS HUGEINT)) AS sg,
+             sum(CAST(${C("value")} AS HUGEINT) * ${C("value")}) AS ssg
+           FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+           GROUP BY 1),
+         m AS (SELECT count(*) AS k_groups, sum(ng) AS n, sum(sg) AS s,
+             sum(ssg) AS ss,
+             sum((1000000 * sg * sg) // CAST(ng AS HUGEINT)) AS t1q
+           FROM g),
+         d AS (SELECT *,
+             t1q - (1000000 * s * s) // CAST(n AS HUGEINT) AS ssbq,
+             1000000 * ss - t1q AS sswq FROM m)
+         SELECT CAST(n AS BIGINT) AS n, CAST(k_groups AS BIGINT) AS k_groups,
+           CAST(ssbq // 1000000 AS BIGINT) AS ssb_c2,
+           CAST(sswq // 1000000 AS BIGINT) AS ssw_c2,
+           CAST(CASE WHEN k_groups < 2 OR n <= k_groups OR sswq = 0 THEN NULL
+                ELSE floor(1000 * (CAST(ssbq AS DOUBLE) / CAST(k_groups - 1 AS DOUBLE))
+                  / (CAST(sswq AS DOUBLE) / CAST(n - k_groups AS DOUBLE)) + 0.5)
+                END AS BIGINT) AS f_milli
+         FROM d""",
+
+    // CUPED: per-user pre/post spend split at the integer calendar
+    // midpoint, exact HUGEINT moments, integer milli theta, adjusted
+    // means by one idiv; 10^4*rho^2 is the pinned double boundary.
+    "q339_cuped" ->
+      s"""WITH b AS (SELECT min(CAST(ts AS DATE)) AS d_min,
+             max(CAST(ts AS DATE)) AS d_max FROM events),
+         p AS (SELECT CAST(d_min + CAST(date_diff('day', d_min, d_max) // 2
+               AS INT) AS DATE) AS pivot FROM b),
+         pu AS (SELECT user_id AS u, max(user_id % 2) AS a,
+             sum(CASE WHEN CAST(ts AS DATE) <= p.pivot
+                 THEN ${C("value")} ELSE 0 END) AS x,
+             sum(CASE WHEN CAST(ts AS DATE) > p.pivot
+                 THEN ${C("value")} ELSE 0 END) AS y
+           FROM events CROSS JOIN p GROUP BY 1),
+         m AS (SELECT count(*) AS n, sum(CAST(x AS HUGEINT)) AS sx,
+             sum(CAST(y AS HUGEINT)) AS sy,
+             sum(CAST(x AS HUGEINT) * x) AS sxx,
+             sum(CAST(x AS HUGEINT) * y) AS sxy,
+             sum(CAST(y AS HUGEINT) * y) AS syy FROM pu),
+         gl AS (SELECT n, sx,
+             CASE WHEN CAST(n AS HUGEINT) * sxx - sx * sx = 0 THEN NULL
+               ELSE (1000 * (CAST(n AS HUGEINT) * sxy - sx * sy))
+                 // (CAST(n AS HUGEINT) * sxx - sx * sx) END AS theta_milli,
+             CASE WHEN CAST(n AS HUGEINT) * sxx - sx * sx = 0
+                    OR CAST(n AS HUGEINT) * syy - sy * sy = 0 THEN NULL
+               ELSE floor(10000
+                 * (CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+                    * CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE))
+                 / (CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+                    * CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE))
+                 + 0.5) END AS var_reduction_bp
+           FROM m),
+         ar AS (SELECT a AS arm, count(*) AS n_arm,
+             sum(CAST(x AS HUGEINT)) AS sxa, sum(CAST(y AS HUGEINT)) AS sya
+           FROM pu GROUP BY 1)
+         SELECT CAST(ar.arm AS BIGINT) AS arm,
+           CAST(ar.n_arm AS BIGINT) AS n_arm,
+           CAST((1000 * sya) // CAST(n_arm AS HUGEINT) AS BIGINT)
+             AS mean_y_milli,
+           CAST(CASE WHEN gl.theta_milli IS NULL THEN NULL
+                ELSE (1000 * (1000 * sya * CAST(gl.n AS HUGEINT)
+                  - CAST(gl.theta_milli AS HUGEINT)
+                    * (sxa * CAST(gl.n AS HUGEINT)
+                       - gl.sx * CAST(ar.n_arm AS HUGEINT))))
+                  // (1000 * CAST(ar.n_arm AS HUGEINT) * gl.n)
+                END AS BIGINT) AS mean_adj_milli,
+           CAST(gl.theta_milli AS BIGINT) AS theta_milli,
+           CAST(gl.var_reduction_bp AS BIGINT) AS var_reduction_bp
+         FROM ar CROSS JOIN gl""",
+
+    // Mann-Kendall: sign pairs over the day lattice, tie-corrected
+    // 18*var as an exact integer, z with the +-1 continuity correction
+    // in the pinned double order.
+    "q341_mann_kendall" ->
+      s"""WITH u AS (SELECT CAST(date_diff('day', DATE '1992-01-01',
+               o_orderdate) AS BIGINT) AS xv,
+             sum(${C("o_totalprice")}) AS yv
+           FROM orders GROUP BY o_orderdate),
+         sp AS (SELECT coalesce(sum(CASE WHEN b.yv > a.yv THEN 1
+                  WHEN b.yv < a.yv THEN -1 ELSE 0 END), 0) AS s
+           FROM u a JOIN u b ON a.xv < b.xv),
+         nn AS (SELECT count(*) AS n FROM u),
+         tt AS (SELECT coalesce(sum(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5)), 0)
+                  AS tie_term
+           FROM (SELECT count(*) AS t FROM u GROUP BY yv)),
+         v AS (SELECT s, n,
+             CAST(n AS HUGEINT) * (n - 1) * (2 * CAST(n AS HUGEINT) + 5)
+               - tie_term AS var18
+           FROM sp, nn, tt)
+         SELECT CAST(n AS BIGINT) AS n_units, CAST(s AS BIGINT) AS s_stat,
+           CAST(var18 AS BIGINT) AS var18,
+           CAST(CASE WHEN var18 <= 0 THEN NULL
+                WHEN s > 0 THEN floor((CAST(s AS DOUBLE) - 1)
+                  / sqrt(CAST(var18 AS DOUBLE) / 18) * 1000 + 0.5)
+                WHEN s < 0 THEN floor((CAST(s AS DOUBLE) + 1)
+                  / sqrt(CAST(var18 AS DOUBLE) / 18) * 1000 + 0.5)
+                ELSE 0 END AS BIGINT) AS z_milli,
+           CAST(CASE WHEN var18 <= 0 THEN NULL
+                WHEN abs(CASE WHEN s > 0 THEN floor((CAST(s AS DOUBLE) - 1)
+                    / sqrt(CAST(var18 AS DOUBLE) / 18) * 1000 + 0.5)
+                  WHEN s < 0 THEN floor((CAST(s AS DOUBLE) + 1)
+                    / sqrt(CAST(var18 AS DOUBLE) / 18) * 1000 + 0.5)
+                  ELSE 0 END) > 1960 THEN 1 ELSE 0 END AS INT) AS is_trending
+         FROM v""",
+
+    // Wasserstein-1 on the cent lattice: cumulative-gap area between
+    // consecutive present bins, exact integers, one milli-cent idiv.
+    "q345_wasserstein" ->
+      s"""WITH pb AS (SELECT ${C("value")} AS bin,
+             sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS n_ref,
+             sum(CASE WHEN event_id % 2 = 0 THEN 0 ELSE 1 END) AS n_cur
+           FROM events GROUP BY 1),
+         cm AS (SELECT bin,
+             sum(n_ref) OVER (ORDER BY bin ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cr,
+             sum(n_cur) OVER (ORDER BY bin ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+             lead(bin, 1) OVER (ORDER BY bin ASC) AS nxt
+           FROM pb),
+         t AS (SELECT sum(n_ref) AS nr, sum(n_cur) AS nc,
+             count(*) AS n_bins FROM pb),
+         a AS (SELECT max(t.nr) AS n_ref, max(t.nc) AS n_cur,
+             max(t.n_bins) AS n_bins,
+             sum(abs(CAST(cm.cr AS HUGEINT) * t.nc
+               - CAST(cm.cc AS HUGEINT) * t.nr)
+               * CAST(cm.nxt - cm.bin AS HUGEINT)) AS area
+           FROM cm CROSS JOIN t WHERE cm.nxt IS NOT NULL)
+         SELECT CAST(n_ref AS BIGINT) AS n_ref,
+           CAST(n_cur AS BIGINT) AS n_cur,
+           CAST(n_bins AS BIGINT) AS n_bins,
+           CAST(CASE WHEN n_ref = 0 OR n_cur = 0 THEN NULL
+                ELSE (1000 * area)
+                  // (CAST(n_ref AS HUGEINT) * n_cur) END AS BIGINT)
+             AS w1_milli_cents
+         FROM a""",
 
     // Frequent triples: C(m,3) combinations inside each sorted basket
     // array, support floor 2, top-20 by (count DESC, items ASC).

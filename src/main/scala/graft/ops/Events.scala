@@ -2425,6 +2425,148 @@ object Events {
     targetEncode(Tables.events(s, d), "event_type", cents(col("value")),
       col("event_id"), 10L)
 
+  /** WELCH'S t-TEST (round 13) — the mean-difference member of the A/B
+    * stack: q209 compares binary conversion RATES, q287 asks "tends
+    * larger" without distributional assumptions, this one tests the
+    * MEAN of the metric itself under unequal variances (the realistic
+    * case — treatment often moves the variance too, which Student's
+    * pooled t silently mishandles). Per arm: exact decimal(38,0)
+    * moments (n, Σx, Σx²); the t statistic and the Welch–Satterthwaite
+    * degrees of freedom assemble from those exact components in ONE
+    * pinned double order (the q287 z_milli discipline), so both
+    * engines replay them bit-for-bit:
+    *   q_a  = (n_a·Σx²_a − (Σx_a)²) / (n_a²·(n_a−1))   [= var_a/n_a]
+    *   t    = (Σx_a/n_a − Σx_b/n_b) / √(q_a + q_b)
+    *   df   = (q_a+q_b)² / (q_a²/(n_a−1) + q_b²/(n_b−1))
+    * NULL t/df when either arm has < 2 units or both variances are 0.
+    *
+    * Scale (100 TB): one aggregation to two moment rows — the corpus
+    * shuffles three numbers per task per arm, nothing else. */
+  def welchT(df: DataFrame, value: Column, isA: Column): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val m = df.select(value.as("v"), isA.as("is_a"))
+      .where(col("v").isNotNull)
+      .agg(
+        sum(when(col("is_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("is_a"), dec(col("v"))).otherwise(dec(lit(0L)))).as("sa"),
+        sum(when(!col("is_a"), dec(col("v"))).otherwise(dec(lit(0L)))).as("sb"),
+        sum(when(col("is_a"), dec(col("v")) * dec(col("v")))
+          .otherwise(dec(lit(0L)))).as("ssa"),
+        sum(when(!col("is_a"), dec(col("v")) * dec(col("v")))
+          .otherwise(dec(lit(0L)))).as("ssb"))
+    val nA = dec(col("n_a")); val nB = dec(col("n_b"))
+    val numA = nA * col("ssa") - col("sa") * col("sa")
+    val numB = nB * col("ssb") - col("sb") * col("sb")
+    val qa = numA.cast("double") /
+      (nA * nA * (nA - dec(lit(1L)))).cast("double")
+    val qb = numB.cast("double") /
+      (nB * nB * (nB - dec(lit(1L)))).cast("double")
+    val t = (col("sa").cast("double") / nA.cast("double") -
+      col("sb").cast("double") / nB.cast("double")) / sqrt(qa + qb)
+    val dfW = (qa + qb) * (qa + qb) /
+      (qa * qa / (nA - dec(lit(1L))).cast("double") +
+        qb * qb / (nB - dec(lit(1L))).cast("double"))
+    val bad = col("n_a") < 2L || col("n_b") < 2L ||
+      (numA + numB) === dec(lit(0L))
+    m.select(col("n_a"), col("n_b"),
+      F.idiv(col("sa"), nA).cast("long").as("mean_a_c"),
+      F.idiv(col("sb"), nB).cast("long").as("mean_b_c"),
+      when(bad, lit(null).cast("long"))
+        .otherwise(floor(t * lit(1000d) + lit(0.5d)).cast("long"))
+        .as("t_milli"),
+      when(bad, lit(null).cast("long"))
+        .otherwise(floor(dfW * lit(1000d) + lit(0.5d)).cast("long"))
+        .as("df_milli"))
+      .withColumn("is_significant",
+        when(col("t_milli").isNull, lit(null).cast("int"))
+          .otherwise((abs(col("t_milli")) > lit(1960L)).cast("int")))
+  }
+
+  /** q337: does mean purchase spend differ between the parity arms —
+    * the q287 experiment re-read as a mean test (cent lattice). */
+  def q337(s: SparkSession, d: String): DataFrame =
+    welchT(Tables.events(s, d).filter(col("event_type") === "purchase"),
+      cents(col("value")), col("user_id") % 2 === 0)
+
+  /** CUPED VARIANCE REDUCTION (round 13) — the modern experimentation
+    * workhorse: adjust each unit's outcome by its PRE-period covariate,
+    * Y' = Y − θ·(X − X̄) with θ = cov(X,Y)/var(X), which removes the
+    * between-user variance the pre-period already explains and shrinks
+    * the A/B confidence interval by 1 − ρ² without touching the
+    * treatment effect (E[Y'] per arm shifts both arms equally). The
+    * calendar splits at its midpoint (integer datediff halving); X =
+    * pre-period spend, Y = post-period spend per user. θ is an exact
+    * integer milli ratio of decimal(38,0) moments, so the adjusted
+    * means are pure integer arithmetic both engines replay; the
+    * variance-reduction share 10⁴·ρ² is the one pinned-double boundary
+    * (the q286 discipline). Reports per arm: n, raw and adjusted mean
+    * (milli-cents), with θ and the reduction share carried on every
+    * row (the q274 global-alongside convention).
+    *
+    * Scale (100 TB): one (user)-grain aggregation (the only corpus
+    * shuffle), one 6-number moment fold, arm rollups over the user
+    * table. Numerators stay within decimal(38,0) to ~10⁹ users ×
+    * ~10¹² cents — the documented headroom. */
+  def cuped(events: DataFrame, unit: String, arm: Column, ts: Column,
+            valueCents: Column): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val d0 = events.select(col(unit).as("u"), arm.as("arm_"),
+      ts.cast("date").as("dy"), valueCents.as("vc"))
+    // integer halving (FLOOR on both engines — a double/2 cast would
+    // round in DuckDB and truncate in Spark on odd spans)
+    val bounds = d0.agg(min(col("dy")).as("d_min"), max(col("dy")).as("d_max"))
+      .select(col("d_min"),
+        expr("date_add(d_min, CAST(FLOOR(datediff(d_max, d_min) / 2) AS INT))")
+          .as("pivot"))
+    val perUser = d0.crossJoin(broadcast(bounds))
+      .groupBy(col("u"))
+      .agg(max(col("arm_").cast("int")).as("a"),
+        sum(when(col("dy") <= col("pivot"), col("vc")).otherwise(0L)).as("x"),
+        sum(when(col("dy") > col("pivot"), col("vc")).otherwise(0L)).as("y"))
+      .localCheckpoint() // feeds the moment fold AND the arm rollup
+    val mom = perUser.agg(count(lit(1)).as("n"),
+      sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+      sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+      sum(dec(col("x")) * dec(col("y"))).as("sxy"),
+      sum(dec(col("y")) * dec(col("y"))).as("syy"))
+    val n = dec(col("n"))
+    val covN = n * col("sxy") - col("sx") * col("sy")
+    val varX = n * col("sxx") - col("sx") * col("sx")
+    val varY = n * col("syy") - col("sy") * col("sy")
+    val glob = mom.select(col("n"), col("sx"),
+      when(varX === dec(lit(0L)), lit(null).cast("long"))
+        .otherwise(F.idiv(dec(lit(1000L)) * covN, varX).cast("long"))
+        .as("theta_milli"),
+      when(varX === dec(lit(0L)) || varY === dec(lit(0L)),
+        lit(null).cast("long"))
+        .otherwise(floor(lit(10000d) *
+          (covN.cast("double") * covN.cast("double")) /
+          (varX.cast("double") * varY.cast("double")) + lit(0.5d))
+          .cast("long")).as("var_reduction_bp"))
+    val arms = perUser.groupBy(col("a").as("arm"))
+      .agg(count(lit(1)).as("n_arm"),
+        sum(dec(col("x"))).as("sxa"), sum(dec(col("y"))).as("sya"))
+    arms.crossJoin(broadcast(glob))
+      .select(col("arm").cast("long").as("arm"), col("n_arm"),
+        F.idiv(dec(lit(1000L)) * col("sya"), dec(col("n_arm")))
+          .cast("long").as("mean_y_milli"),
+        when(col("theta_milli").isNull, lit(null).cast("long"))
+          .otherwise(F.idiv(dec(lit(1000L)) *
+            (dec(lit(1000L)) * col("sya") * n -
+              dec(col("theta_milli")) *
+                (col("sxa") * n - col("sx") * dec(col("n_arm")))),
+            dec(lit(1000L)) * dec(col("n_arm")) * n).cast("long"))
+          .as("mean_adj_milli"),
+        col("theta_milli"), col("var_reduction_bp"))
+  }
+
+  /** q339: CUPED over event users — pre/post spend split at the
+    * calendar midpoint, arms by user parity. */
+  def q339(s: SparkSession, d: String): DataFrame =
+    cuped(Tables.events(s, d), "user_id", col("user_id") % 2,
+      col("ts"), cents(col("value")))
+
   /** q209: big-purchase (> $150) conversion, arms by user-id parity —
     * the value threshold keeps conversion strictly inside (0, 1) at
     * every SF (a universally-converting corpus would zero the pooled

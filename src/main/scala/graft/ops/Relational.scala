@@ -1540,6 +1540,62 @@ object Relational {
   def q283(s: SparkSession, d: String): DataFrame =
     ksTest(Tables.events(s, d), "value", col("event_id") % 2 === 0, 1L)
 
+  /** WASSERSTEIN-1 (EARTH MOVER'S) DRIFT (round 13) — the
+    * MAGNITUDE-carrying member of the drift family: PSI (q200) reads
+    * bin-mass ratios, KS (q283) reads the single worst CDF gap, W1
+    * integrates |F_ref − F_cur| over the VALUE AXIS — "how many cents
+    * does the distribution move per unit mass", the number a pricing
+    * or cost model can act on directly (and the metric that keeps
+    * discriminating when distributions differ only in a long tail,
+    * where KS saturates and PSI explodes on empty bins). On the cent
+    * lattice W1 is exactly Σ_bins |cumRef·n_cur − cumCur·n_ref| ·
+    * (next_bin − bin) · width / (n_ref·n_cur) — all integers
+    * (decimal(38,0)), one truncating idiv at the milli-cent boundary,
+    * so both engines replay it bit-for-bit.
+    *
+    * Scale (100 TB): identical shape to q283 — lattice-bin partial
+    * counts, one bounded-grid window (lattice rows, never the
+    * corpus), a one-row fold. */
+  def wasserstein1(df: DataFrame, value: String, isRef: Column,
+                   widthCents: Long): DataFrame = {
+    require(widthCents >= 1L)
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val perBin = df.select(
+        graft.functions.F.idiv(cents(col(value)), lit(widthCents)).as("bin"),
+        isRef.as("is_ref"))
+      .groupBy(col("bin"))
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_cur"))
+    val w = Window.orderBy(col("bin").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lw = Window.orderBy(col("bin").asc)
+    val cum = perBin
+      .withColumn("cr", sum(col("n_ref")).over(w))
+      .withColumn("cc", sum(col("n_cur")).over(w))
+      .withColumn("nxt", lead(col("bin"), 1).over(lw))
+    val tot = perBin.agg(sum(col("n_ref")).as("nr"), sum(col("n_cur")).as("nc"),
+      count(lit(1)).as("n_bins"))
+    cum.filter(col("nxt").isNotNull) // the top bin closes both CDFs
+      .crossJoin(broadcast(tot))
+      .agg(max(col("nr")).as("n_ref"), max(col("nc")).as("n_cur"),
+        max(col("n_bins")).as("n_bins"),
+        sum(abs(dec(col("cr")) * dec(col("nc")) -
+          dec(col("cc")) * dec(col("nr"))) *
+          dec(col("nxt") - col("bin"))).as("area"))
+      .select(col("n_ref"), col("n_cur"), col("n_bins"),
+        when(col("n_ref") === 0L || col("n_cur") === 0L,
+          lit(null).cast("long"))
+          .otherwise(graft.functions.F.idiv(
+            dec(lit(1000L * widthCents)) * col("area"),
+            dec(col("n_ref")) * dec(col("n_cur"))).cast("long"))
+          .as("w1_milli_cents"))
+  }
+
+  /** q345: W1 shift of the events value distribution, odd vs even
+    * event ids, exact cent lattice — the q200/q283 pairing. */
+  def q345(s: SparkSession, d: String): DataFrame =
+    wasserstein1(Tables.events(s, d), "value", col("event_id") % 2 === 0, 1L)
+
   /** SPEARMAN RANK CORRELATION — the monotone-association complement
     * to q93's Pearson: rho = Pearson on mid-ranks, so a nonlinear but
     * monotone relationship (price vs log-usage, length vs quality)
@@ -1812,6 +1868,54 @@ object Relational {
     kruskalWallis(Tables.events(s, d), cents(col("value")),
       col("event_type"))
 
+  /** ONE-WAY ANOVA F (round 13) — the parametric counterpart of
+    * q323's Kruskal–Wallis: partition total variance into between- and
+    * within-group sums of squares and test whether ANY group mean
+    * differs. The decomposition is exact integer end to end (the q323
+    * per-term discipline): per-group Σx/Σx² in decimal(38,0), the
+    * between term Σ_g ⌊10⁶·S_g²/n_g⌋ floored PER GROUP before the sum
+    * (so group iteration order cannot flip a bit), SSB/SSW as exact
+    * micro-scaled decimals, and F assembled from them in ONE pinned
+    * double order. NULL F when k < 2, N ≤ k, or SSW = 0.
+    *
+    * Scale (100 TB): one (group) aggregation — the corpus shuffles
+    * three numbers per task per group; the fold is k-sized. */
+  def anovaF(df: DataFrame, value: Column, group: Column): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val perG = df.select(value.as("v"), group.as("g"))
+      .where(col("v").isNotNull && col("g").isNotNull)
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("ng"), sum(dec(col("v"))).as("sg"),
+        sum(dec(col("v")) * dec(col("v"))).as("ssg"))
+    val m = perG.agg(count(lit(1)).as("k_groups"), sum(col("ng")).as("n"),
+      sum(col("sg")).as("s"), sum(col("ssg")).as("ss"),
+      sum(graft.functions.F.idiv(dec(lit(1000000L)) * col("sg") * col("sg"),
+        dec(col("ng")))).as("t1q"))
+    val n = dec(col("n"))
+    val ssbQ = col("t1q") -
+      graft.functions.F.idiv(dec(lit(1000000L)) * col("s") * col("s"), n)
+    val sswQ = dec(lit(1000000L)) * col("ss") - col("t1q")
+    val fMilli = floor(lit(1000d) *
+      (ssbQ.cast("double") / (col("k_groups") - lit(1L)).cast("double")) /
+      (sswQ.cast("double") / (col("n") - col("k_groups")).cast("double")) +
+      lit(0.5d)).cast("long")
+    // the REPORTED sums drop the micro scale (cents² longs — within
+    // range to n·x̄² ≈ 10¹⁸, the q312 test-scale contract); F keeps
+    // the full micro precision internally
+    m.select(col("n"), col("k_groups"),
+      graft.functions.F.idiv(ssbQ, dec(lit(1000000L))).cast("long")
+        .as("ssb_c2"),
+      graft.functions.F.idiv(sswQ, dec(lit(1000000L))).cast("long")
+        .as("ssw_c2"),
+      when(col("k_groups") < 2L || col("n") <= col("k_groups") ||
+          sswQ === dec(lit(0L)), lit(null).cast("long"))
+        .otherwise(fMilli).as("f_milli"))
+  }
+
+  /** q338: does mean event value differ across event types. */
+  def q338(s: SparkSession, d: String): DataFrame =
+    anovaF(Tables.events(s, d), cents(col("value")), col("event_type"))
+
   /** HITS sweep count + fixed-point scale, shared with the oracle. */
   val HitsIters = 4
   val HitsScale = 1000000L
@@ -1970,6 +2074,66 @@ object Relational {
     Seq((nd, np, slope, intercept))
       .toDF("n_units", "n_pairs", "slope_milli", "intercept_milli")
   }
+
+  /** MANN–KENDALL TREND TEST (round 13) — the SIGNIFICANCE companion
+    * to q328's Theil–Sen slope: S = Σ_{i<j} sign(y_j − y_i) over the
+    * time-ordered unit series asks "is there ANY monotone trend",
+    * robust to outliers and distribution-free — the pair every
+    * KPI-trend readout needs (Theil–Sen says how steep, this says
+    * whether to believe it). Tie-corrected variance
+    * 18·var = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5); z applies the
+    * textbook ±1 continuity correction and assembles from exact
+    * decimal components in ONE pinned double order (the q287
+    * discipline). Quadratic in the unit grain by definition — the
+    * q328 maxUnits guardrail applies verbatim.
+    *
+    * Scale: unit-grain series only (day/week lattice); pairs are
+    * lattice², the tie rollup is value-grain. */
+  def mannKendall(units: DataFrame, x: Column, y: Column,
+                  maxUnits: Long = 4096L): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val u = units.select(x.as("xv"), y.as("yv"))
+      .where(col("xv").isNotNull && col("yv").isNotNull)
+      .localCheckpoint()
+    val nu = u.count()
+    require(nu <= maxUnits,
+      s"mannKendall: $nu units would form ~${nu * nu / 2} sign pairs; " +
+        "pre-aggregate the series to a bounded grain (the q328 day-table " +
+        "discipline) or raise maxUnits deliberately")
+    val sStat = u.as("a").join(u.as("b"), col("a.xv") < col("b.xv"))
+      .agg(coalesce(sum(signum(col("b.yv") - col("a.yv")).cast("long")),
+        lit(0L)).as("s"))
+    val ties = u.groupBy(col("yv")).agg(count(lit(1)).as("t"))
+      .agg(coalesce(sum(dec(col("t")) * (dec(col("t")) - dec(lit(1L))) *
+        (dec(lit(2L)) * dec(col("t")) + dec(lit(5L)))), dec(lit(0L)))
+        .as("tie_term"))
+    val n = dec(lit(nu))
+    val var18 = n * (n - dec(lit(1L))) * (dec(lit(2L)) * n + dec(lit(5L))) -
+      col("tie_term")
+    val sD = col("s").cast("double")
+    val z = when(col("s") > 0L, (sD - lit(1d)) / sqrt(var18.cast("double") / lit(18d)))
+      .when(col("s") < 0L, (sD + lit(1d)) / sqrt(var18.cast("double") / lit(18d)))
+      .otherwise(lit(0d))
+    sStat.crossJoin(broadcast(ties))
+      .select(lit(nu).as("n_units"), col("s").as("s_stat"),
+        var18.cast("long").as("var18"),
+        when(var18 <= dec(lit(0L)), lit(null).cast("long"))
+          .otherwise(floor(z * lit(1000d) + lit(0.5d)).cast("long"))
+          .as("z_milli"))
+      .withColumn("is_trending",
+        when(col("z_milli").isNull, lit(null).cast("int"))
+          .otherwise((abs(col("z_milli")) > lit(1960L)).cast("int")))
+  }
+
+  /** q341: is daily order revenue monotonically trending (the q328
+    * series re-read as a significance test). */
+  def q341(s: SparkSession, d: String): DataFrame =
+    mannKendall(
+      Tables.orders(s, d).groupBy(col("o_orderdate"))
+        .agg(sum(cents(col("o_totalprice"))).as("rev"))
+        .select(datediff(col("o_orderdate"), lit("1992-01-01").cast("date"))
+          .cast("long").as("xd"), col("rev")),
+      col("xd"), col("rev"))
 
   /** q328: robust daily-revenue trend (x = days since epoch, y =
     * revenue cents). */

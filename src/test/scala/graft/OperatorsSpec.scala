@@ -1394,6 +1394,98 @@ class OperatorsSpec extends SparkSpec {
         s"lag ${i + 1} must be NULL on a 3-day series") }
   }
 
+  test("q337 welch t: hand-computed unequal-variance example; degenerate NULLs") {
+    import SparkTestSession.spark.implicits._
+    // arm A = {10, 14} (mean 12, var 8), arm B = {1, 2, 3} (mean 2,
+    // var 1): qa = 8/2 = 4, qb = 1/3, t = 10/sqrt(13/3) = 4.8038,
+    // df = (13/3)^2 / (16 + (1/9)/2) = 1.1700
+    val df = Seq((10L, true), (14L, true), (1L, false), (2L, false),
+      (3L, false)).toDF("v", "a")
+    val r = Events.welchT(df, col("v"), col("a")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((2L, 3L, 12L, 2L)))
+    assert(r.getLong(4) == 4804L, s"t_milli ${r.getLong(4)}")
+    assert(r.getLong(5) == 1170L, s"df_milli ${r.getLong(5)}")
+    assert(r.getInt(6) == 1)
+    // both arms constant -> NULL t
+    val c = Events.welchT(Seq((5L, true), (5L, true), (7L, false),
+      (7L, false)).toDF("v", "a"), col("v"), col("a")).head()
+    assert(c.isNullAt(4) && c.isNullAt(6))
+  }
+
+  test("q338 anova f: textbook two-group decomposition; tied input NULL") {
+    import SparkTestSession.spark.implicits._
+    // groups {1,2,3} and {4,5,6}: grand mean 3.5, SSB = 2*(2.5-3.5)^2
+    // + 2*... = 13.5, SSW = 4 -> F = (13.5/1)/(4/4) = 13.5
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"), (5L, "b"),
+      (6L, "b")).toDF("v", "g")
+    val r = Relational.anovaF(df, col("v"), col("g")).head()
+    assert((r.getLong(0), r.getLong(1)) == ((6L, 2L)))
+    assert(r.getLong(2) == 13L && r.getLong(3) == 4L,
+      s"ssb/ssw ${(r.getLong(2), r.getLong(3))}") // floor(13.5)=13
+    assert(r.getLong(4) == 13500L, s"f_milli ${r.getLong(4)}")
+    // all values identical -> SSW = 0 -> NULL F
+    val c = Relational.anovaF(Seq((5L, "a"), (5L, "b")).toDF("v", "g"),
+      col("v"), col("g")).head()
+    assert(c.isNullAt(4))
+  }
+
+  test("q339 cuped: theta recovers the planted covariate slope and the " +
+       "adjustment preserves the arm difference") {
+    import SparkTestSession.spark.implicits._
+    // users with y = 2x exactly (pre spend predicts post spend):
+    // theta = 2, adjusted means collapse to the global post mean in
+    // both arms (no treatment effect), var_reduction = 100%
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val ts1 = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+    val rows = (1L to 8L).flatMap { u =>
+      Seq((u, ts0, u * 100.0), (u, ts1, u * 200.0)) }
+    val df = rows.toDF("user_id", "ts", "value")
+    val out = Events.cuped(df, "user_id", col("user_id") % 2, col("ts"),
+      graft.functions.Cols.cents(col("value"))).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getLong(4) == 2000L, "theta_milli must read 2.000")
+    assert(out(0L).getLong(5) == 10000L, "perfect covariate: 100% reduction")
+    // adjusted means equal across arms (both = global mean 90000 milli)
+    assert(out(0L).getLong(3) == out(1L).getLong(3),
+      s"adjusted means differ: ${out(0L).getLong(3)} vs ${out(1L).getLong(3)}")
+    // raw means differ (odd users spend more)
+    assert(out(0L).getLong(2) != out(1L).getLong(2))
+  }
+
+  test("q341 mann-kendall: monotone series hits S = n(n-1)/2; " +
+       "guardrail trips; flat series z = 0") {
+    import SparkTestSession.spark.implicits._
+    val up = (1L to 10L).map(i => (i, i * 10L)).toDF("x", "y")
+    val r = Relational.mannKendall(up, col("x"), col("y")).head()
+    assert(r.getLong(1) == 45L, "strictly increasing: all pairs concordant")
+    assert(r.getLong(4) > 1960L && r.getInt(5) == 1)
+    val flat = (1L to 5L).map(i => (i, 7L)).toDF("x", "y")
+    val f = Relational.mannKendall(flat, col("x"), col("y")).head()
+    assert(f.getLong(1) == 0L)
+    assert(f.isNullAt(4) || f.getLong(4) == 0L) // all tied -> var18 = 0
+    val e = intercept[IllegalArgumentException] {
+      Relational.mannKendall(SparkTestSession.spark.range(5000)
+        .select(col("id").as("x"), col("id").as("y")), col("x"), col("y")) }
+    assert(e.getMessage.contains("pre-aggregate"))
+  }
+
+  test("q345 wasserstein: hand-computed shift and scale-free identity") {
+    import SparkTestSession.spark.implicits._
+    // ref = {0, 10}, cur = {5, 15}: every unit of mass moves 5 cents
+    // -> W1 = 5.000 cents = 5000 milli
+    val df = Seq((0.00, true), (0.10, true), (0.05, false), (0.15, false))
+      .toDF("value", "is_ref")
+    val r = Relational.wasserstein1(df.withColumn("e", lit(0L)), "value",
+      col("is_ref"), 1L).head()
+    assert(r.getLong(3) == 5000L, s"w1 ${r.getLong(3)}")
+    // identical distributions -> 0
+    val same = Seq((0.10, true), (0.10, false), (0.25, true), (0.25, false))
+      .toDF("value", "is_ref")
+    val z = Relational.wasserstein1(same, "value", col("is_ref"), 1L).head()
+    assert(z.getLong(3) == 0L)
+  }
+
   test("q335 frequent triples: hand-counted combinations and support floor") {
     import SparkTestSession.spark.implicits._
     val items = Seq((1L, 1L), (1L, 2L), (1L, 3L),
