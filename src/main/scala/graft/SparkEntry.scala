@@ -354,9 +354,14 @@ object SparkEntry {
     "q335_freq_triples"   -> (Relational.q335 _),
     "q336_ann_hnsw_index" -> (Similarity.q336 _),
     "q337_welch_t"        -> (Events.q337 _),
+    "q340_t_closeness"    -> (Relational.q340 _),
     "q338_anova_f"        -> (Relational.q338 _),
     "q339_cuped"          -> (Events.q339 _),
     "q341_mann_kendall"   -> (Relational.q341 _),
+    "q342_periodogram"    -> (Events.q342 _),
+    "q343_gopher_rules"   -> (Text.q343 _),
+    "q344_isotonic"       -> (Text.q344 _),
+    "q346_link_prediction" -> (Relational.q346 _),
     "q345_wasserstein"    -> (Relational.q345 _),
   )
 
@@ -1563,6 +1568,37 @@ object SparkEntry {
            CAST(t.ece AS BIGINT) AS ece_bp
          FROM g, t""",
 
+    // Isotonic calibration: the max-min identity over the binned
+    // score grid — per-interval floored rates from prefix sums, then
+    // min over k >= j and a prefix max (monotone by construction).
+    "q344_isotonic" ->
+      s"""WITH $LangIdCtes,
+         p AS (SELECT doc_id, lang AS pred_lang,
+               ${BP("score")} AS s FROM r WHERE rn = 1),
+         j0 AS (SELECT s, CASE WHEN p.pred_lang = d.lang THEN 1 ELSE 0 END AS ok
+               FROM documents d JOIN p USING (doc_id)),
+         g AS (SELECT s // 100 AS level, count(*) AS n_docs,
+               sum(ok) AS n_ok FROM j0 GROUP BY 1),
+         cm AS MATERIALIZED (SELECT level, n_docs, n_ok,
+               sum(n_docs) OVER (ORDER BY level ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+               sum(n_ok) OVER (ORDER BY level ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+             FROM g),
+         mj AS (SELECT lo.level AS jl,
+               min((10000 * (CAST(hi.cc AS HUGEINT) - (lo.cc - lo.n_ok)))
+                 // (hi.cn - (lo.cn - lo.n_docs))) AS m
+             FROM cm lo JOIN cm hi ON lo.level <= hi.level
+             GROUP BY 1),
+         iso AS (SELECT jl AS level,
+               max(m) OVER (ORDER BY jl ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS iso_bp
+             FROM mj)
+         SELECT cm.level, CAST(cm.n_docs AS BIGINT) AS n_docs,
+           CAST(10000 * cm.n_ok // cm.n_docs AS BIGINT) AS acc_bp,
+           CAST(iso.iso_bp AS BIGINT) AS iso_bp
+         FROM cm JOIN iso USING (level)""",
+
     // Hill plot over the token-length tail: per-value bp-grid ln then
     // exact integer sums (order-free), H at the i=k+1 cutoff row,
     // α = 10⁷ // H milli. Ties at the cutoff are value-identical, so
@@ -2636,6 +2672,134 @@ object SparkEntry {
            CAST(gl.theta_milli AS BIGINT) AS theta_milli,
            CAST(gl.var_reduction_bp AS BIGINT) AS var_reduction_bp
          FROM ar CROSS JOIN gl""",
+
+    // Adamic-Adar link prediction: basket pairs -> support-2 edges ->
+    // wedge join, per-center term 64e6 // lg64(deg) (the shared
+    // integer-log CTE), existing edges anti-joined, top-20.
+    "q346_link_prediction" -> {
+      s"""WITH b AS (SELECT l_orderkey AS bk,
+             list_sort(list(DISTINCT l_partkey)) AS arr
+           FROM lineitem GROUP BY 1),
+         pr AS (SELECT unnest(flatten(
+             list_transform(range(1, len(arr) + 1), i ->
+               list_transform(range(i + 1, len(arr) + 1), j ->
+                 [arr[i], arr[j]])))) AS p FROM b),
+         e AS MATERIALIZED (SELECT p[1] AS a, p[2] AS b, count(*) AS n
+           FROM pr GROUP BY 1, 2 HAVING count(*) >= 2),
+         und AS MATERIALIZED (SELECT a, b FROM e
+           UNION ALL SELECT b, a FROM e),
+         dg AS (SELECT a AS z, count(*) AS dz FROM und GROUP BY 1),
+         dd AS (SELECT DISTINCT dz AS k, dz AS n FROM dg),
+         pw AS (SELECT unnest(range(0, 63)) AS p),
+         ${UnigramOracleSql.lgCte("lgt", "dd", "k", "k")},
+         w AS (SELECT x.b AS z, x.a AS u, y.b AS v
+           FROM und x JOIN und y ON y.a = x.b WHERE x.a < y.b),
+         sc AS (SELECT w.u, w.v, count(*) AS common_neighbors,
+             sum(64000000 // lgt.lg) AS aa_q
+           FROM w JOIN dg ON dg.z = w.z JOIN lgt ON lgt.k = dg.dz
+           GROUP BY 1, 2),
+         fin AS (SELECT sc.* FROM sc LEFT JOIN e
+           ON e.a = sc.u AND e.b = sc.v WHERE e.a IS NULL)
+         SELECT u AS item_a, v AS item_b,
+           CAST(common_neighbors AS BIGINT) AS common_neighbors,
+           CAST(aa_q AS BIGINT) AS aa_q
+         FROM (SELECT *, row_number() OVER (ORDER BY aa_q DESC, u ASC, v ASC)
+             AS rn FROM fin)
+         WHERE rn <= 20""" },
+
+    // Gopher rule battery: per-document integer metrics (row-local
+    // list arithmetic), one fail-counter aggregation, per-rule rows.
+    "q343_gopher_rules" ->
+      """WITH m AS (SELECT
+             len(string_split(text, ' ')) AS n_tok,
+             (1000 * (length(text) - (len(string_split(text, ' ')) - 1)))
+               // len(string_split(text, ' ')) AS mwl,
+             len(list_filter(string_split(text, ' '), t -> t IN
+               ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it'))) AS n_stop,
+             len(list_filter(string_split(text, ' '),
+               t -> regexp_matches(t, '[a-z]'))) AS n_alpha,
+             list_max(list_transform(list_distinct(string_split(text, ' ')),
+               t -> len(list_filter(string_split(text, ' '),
+                 x -> x = t)))) AS top_cnt
+           FROM documents),
+         f AS (SELECT
+             CASE WHEN n_tok < 50 OR n_tok > 100000 THEN 1 ELSE 0 END AS f_wc,
+             CASE WHEN mwl < 3000 OR mwl > 10000 THEN 1 ELSE 0 END AS f_mwl,
+             CASE WHEN n_stop < 2 THEN 1 ELSE 0 END AS f_stop,
+             CASE WHEN 10000 * n_alpha < 8000 * n_tok THEN 1 ELSE 0 END AS f_alpha,
+             CASE WHEN 10000 * top_cnt > 2000 * n_tok THEN 1 ELSE 0 END AS f_rep
+           FROM m),
+         a AS (SELECT count(*) AS n_docs, sum(f_wc) AS s_wc,
+             sum(f_mwl) AS s_mwl, sum(f_stop) AS s_stop,
+             sum(f_alpha) AS s_alpha, sum(f_rep) AS s_rep,
+             sum(CASE WHEN f_wc + f_mwl + f_stop + f_alpha + f_rep > 0
+               THEN 1 ELSE 0 END) AS s_any FROM f),
+         u AS (SELECT 'word_count' AS rule, n_docs, s_wc AS n_failed FROM a
+           UNION ALL SELECT 'mean_word_len', n_docs, s_mwl FROM a
+           UNION ALL SELECT 'stopwords', n_docs, s_stop FROM a
+           UNION ALL SELECT 'alpha_words', n_docs, s_alpha FROM a
+           UNION ALL SELECT 'repetition', n_docs, s_rep FROM a
+           UNION ALL SELECT 'any_rule', n_docs, s_any FROM a)
+         SELECT rule, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_failed AS BIGINT) AS n_failed,
+           CAST((10000 * n_failed) // n_docs AS BIGINT) AS fail_bp
+         FROM u""",
+
+    // Integer periodogram: the shared quantized trig literals (the
+    // same Scala-generated table the Spark plan embeds), milli
+    // residuals, HUGEINT projections, one idiv back to count^2.
+    "q342_periodogram" -> {
+      val rows = ops.Events.periodogramTable
+        .map { case (p, k, cq, sq) => s"($p, $k, $cq, $sq)" }
+        .mkString(",\n             ")
+      s"""WITH tb(p, k, cq, sq) AS (VALUES
+             $rows),
+         daily AS (SELECT CAST(ts AS DATE) AS dy, count(*) AS x
+           FROM events GROUP BY 1),
+         base AS (SELECT min(dy) AS d0, count(*) AS nd,
+             (1000 * sum(x)) // count(*) AS xbar FROM daily),
+         rt AS (SELECT date_diff('day', b.d0, d.dy) AS t, b.nd,
+             1000 * d.x - b.xbar AS r FROM daily d CROSS JOIN base b),
+         sc AS (SELECT tb.p, max(rt.nd) AS n_days,
+             sum(CAST(rt.r AS HUGEINT) * tb.cq) AS sc,
+             sum(CAST(rt.r AS HUGEINT) * tb.sq) AS ss
+           FROM rt JOIN tb ON tb.k = rt.t % tb.p GROUP BY 1),
+         pw AS (SELECT p, n_days,
+             (sc * sc + ss * ss) // 1000000000000000000::HUGEINT AS power_c2
+           FROM sc)
+         SELECT CAST(p AS BIGINT) AS period, CAST(n_days AS BIGINT) AS n_days,
+           CAST(power_c2 AS BIGINT) AS power_c2,
+           CAST(CASE WHEN row_number() OVER (ORDER BY power_c2 DESC, p ASC) = 1
+                THEN 1 ELSE 0 END AS INT) AS is_peak
+         FROM pw""" },
+
+    // t-closeness: per-class variational distance to the global
+    // sensitive distribution on the exact integer grid, the class x
+    // value grid completed so absent values contribute global mass.
+    "q340_t_closeness" ->
+      """WITH cells AS (SELECT CAST(c_nationkey AS INT) AS nation,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+             c_mktsegment AS sv, count(*) AS c
+           FROM customer GROUP BY 1, 2, 3),
+         cl AS (SELECT nation, bal_band, sum(c) AS n_c FROM cells GROUP BY 1, 2),
+         gv AS (SELECT sv, sum(c) AS n_v FROM cells GROUP BY 1),
+         tt AS (SELECT sum(c) AS n FROM cells),
+         j AS (SELECT g.nation, g.bal_band, g.n_c, g.n_v,
+             coalesce(c.c, 0) AS c_cv
+           FROM (SELECT cl.*, gv.sv, gv.n_v FROM cl CROSS JOIN gv) g
+           LEFT JOIN cells c ON c.nation = g.nation
+             AND c.bal_band = g.bal_band AND c.sv = g.sv),
+         d AS (SELECT j.nation, j.bal_band, max(j.n_c) AS n_c,
+             sum(abs(CAST(j.c_cv AS HUGEINT) * t.n
+               - CAST(j.n_v AS HUGEINT) * j.n_c)) AS dist
+           FROM j CROSS JOIN tt t GROUP BY 1, 2)
+         SELECT d.nation, d.bal_band, CAST(d.n_c AS BIGINT) AS n,
+           CAST((10000 * d.dist) // (2 * CAST(d.n_c AS HUGEINT) * t.n)
+             AS BIGINT) AS t_bp,
+           CAST(CASE WHEN (10000 * d.dist)
+             // (2 * CAST(d.n_c AS HUGEINT) * t.n) <= 2500
+             THEN 1 ELSE 0 END AS INT) AS is_t_close
+         FROM d CROSS JOIN tt t""",
 
     // Mann-Kendall: sign pairs over the day lattice, tie-corrected
     // 18*var as an exact integer, z with the +-1 continuity correction

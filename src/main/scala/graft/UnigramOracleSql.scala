@@ -39,7 +39,7 @@ object UnigramOracleSql {
     * MATERIALIZED: DuckDB's materialized-CTE execution of bodies with
     * correlated/scalar subqueries over other CTEs OOMed (observed this
     * round) — plain CTEs referenced once or twice inline safely. */
-  private def lgCte(name: String, src: String, key: String,
+  private[graft] def lgCte(name: String, src: String, key: String,
                     keyRef: String): String = {
     // each step is its own nested subquery LAYER: DuckDB 1.0.0 expands
     // a lateral column alias by COPYING its defining expression into

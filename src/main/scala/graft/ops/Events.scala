@@ -2425,6 +2425,75 @@ object Events {
     targetEncode(Tables.events(s, d), "event_type", cents(col("value")),
       col("event_id"), 10L)
 
+  /** Candidate periods the periodogram scans (daily grain: intra-week
+    * through biweekly). */
+  val PeriodogramPeriods: Seq[Int] = 2 to 14
+
+  /** The quantized trig table both engines share VERBATIM (round 13;
+    * the BPE/holt-winters generated-oracle convention): libm cos/sin
+    * are NOT bit-identical across engines, so the driver computes
+    * floor(cos(2πk/p)·10⁶ + ½) ONCE and embeds the integers as
+    * literals in the Spark plan AND the generated DuckDB VALUES —
+    * only p rows per period (the basis depends on t mod p alone). */
+  val periodogramTable: Seq[(Int, Int, Long, Long)] =
+    PeriodogramPeriods.flatMap { p =>
+      (0 until p).map { k =>
+        val a = 2d * math.Pi * k / p
+        (p, k, math.floor(math.cos(a) * 1e6 + 0.5).toLong,
+          math.floor(math.sin(a) * 1e6 + 0.5).toLong)
+      }
+    }
+
+  /** INTEGER PERIODOGRAM (round 13) — "WHICH cycle length dominates":
+    * q254/q334's ACF/PACF read correlation at a given lag, the
+    * periodogram reads POWER per candidate period, the Box–Jenkins
+    * seasonality-detection step before q289's STL or q300's
+    * Holt–Winters commits to a season length. Power at period p is
+    * the squared projection of the mean-removed daily series onto the
+    * quantized cos/sin basis: residuals on the exact milli grid (the
+    * q254 truncating-mean discipline), basis values from the shared
+    * literal table, products and squares in decimal(38,0), one
+    * truncating idiv back to count² units — bit-replayable end to
+    * end. The dominant period carries is_peak = 1 (power DESC, p ASC).
+    *
+    * Scale (100 TB): the corpus reduces to the day table (one
+    * aggregation); the basis join fans |days|×|periods| rows of
+    * integers — calendar-bounded, never corpus-bounded. */
+  def periodogram(events: DataFrame, day: Column,
+                  periods: Seq[Int] = PeriodogramPeriods): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val tbl = periodogramTable.filter(t => periods.contains(t._1))
+      .toDF("p", "k", "cq", "sq")
+    val daily = events.groupBy(day.as("dy"))
+      .agg(count(lit(1)).as("x")).localCheckpoint()
+    val base = daily.agg(min(col("dy")).as("d0"), count(lit(1)).as("nd"),
+      F.idiv(lit(1000L) * sum(col("x")), count(lit(1))).as("xbar_milli"))
+    val rt = daily.crossJoin(broadcast(base))
+      .select(col("nd"),
+        datediff(col("dy"), col("d0")).cast("long").as("t"),
+        (lit(1000L) * col("x") - col("xbar_milli")).as("r"))
+    val scored = rt.crossJoin(broadcast(tbl.select(col("p")).distinct()))
+      .withColumn("k", pmod(col("t"), col("p").cast("long")).cast("int"))
+      .join(broadcast(tbl), Seq("p", "k"))
+      .groupBy(col("p"))
+      .agg(max(col("nd")).as("n_days"),
+        sum(dec(col("r")) * dec(col("cq"))).as("sc"),
+        sum(dec(col("r")) * dec(col("sq"))).as("ss"))
+    val power = F.idiv(col("sc") * col("sc") + col("ss") * col("ss"),
+      dec(lit(1000000000000000000L)))
+    val byPower = Window.orderBy(col("power_c2").desc, col("period").asc)
+    scored.select(col("p").cast("long").as("period"), col("n_days"),
+        power.cast("long").as("power_c2"))
+      .withColumn("is_peak",
+        (row_number().over(byPower) === 1).cast("int"))
+  }
+
+  /** q342: dominant event-count cycle length, periods 2..14 days. */
+  def q342(s: SparkSession, d: String): DataFrame =
+    periodogram(Tables.events(s, d), to_date(col("ts")))
+
   /** WELCH'S t-TEST (round 13) — the mean-difference member of the A/B
     * stack: q209 compares binary conversion RATES, q287 asks "tends
     * larger" without distributional assumptions, this one tests the

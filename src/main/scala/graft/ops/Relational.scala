@@ -1031,6 +1031,69 @@ object Relational {
   def q68(s: SparkSession, d: String): DataFrame =
     coPurchasePairs(Tables.lineitem(s, d), "l_orderkey", "l_partkey", 20)
 
+  /** LINK PREDICTION by ADAMIC–ADAR (round 13) — the graph family's
+    * forward-looking member: q68/q165 score pairs that DID co-occur;
+    * link prediction scores pairs that HAVEN'T yet but share
+    * neighbors, down-weighting hub neighbors by 1/log(deg) (a shared
+    * niche item is strong evidence, a shared bestseller is none) —
+    * the classic recommendation/graph-completion baseline. Common
+    * neighbors ride the same wedge join; the log is the EXACT integer
+    * 64·log2 (Text.lg64): every wedge center has degree ≥ 2, the
+    * per-center term ⌊64·10⁶ / lg64(deg z)⌋ is floored BEFORE the sum
+    * (the q338/q323 per-term discipline), so the score replays
+    * bit-for-bit. Existing edges are anti-joined out; top-k by
+    * (aa DESC, a ASC, b ASC).
+    *
+    * Scale (100 TB): edges from the basket-array fan-out (never a
+    * fact self-join), support-thinned; the wedge join is
+    * Σ deg(z)² — bounded by the measured max-degree profile (the
+    * q190/q274 family band); the lg table is DISTINCT-DEGREE-sized
+    * (≤ max degree values, a model-sized driver fold broadcast
+    * back). */
+  def linkPrediction(items: DataFrame, basket: String, item: String,
+                     minSupport: Long, k: Int): DataFrame = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    val baskets = items.select(col(basket).as("bk"), col(item).as("it"))
+      .groupBy(col("bk")).agg(sort_array(collect_set(col("it"))).as("arr"))
+    val edges = baskets
+      .select(posexplode(col("arr")).as(Seq("i", "a")), col("arr"))
+      .select(col("a"), explode(slice(col("arr"), col("i") + lit(2),
+        size(col("arr")) - col("i") - lit(1))).as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minSupport)
+      .select(col("a"), col("b")).localCheckpoint()
+    val und = edges.unionByName(
+      edges.select(col("b").as("a"), col("a").as("b")))
+    val deg = und.groupBy(col("a").as("z")).agg(count(lit(1)).as("dz"))
+      .localCheckpoint()
+    // exact integer 64*log2 per DISTINCT degree value — model-sized
+    val lgTbl = deg.select(col("dz")).distinct().collect()
+      .map(r => r.getLong(0)).sorted
+      .map(n => (n, graft.ops.Text.lg64(n))).toSeq
+      .toDF("dz", "lg")
+    val wedges = und.select(col("a").as("u"), col("b").as("z"))
+      .join(und.select(col("a").as("z"), col("b").as("v")), "z")
+      .where(col("u") < col("v"))
+    val scored = wedges
+      .join(deg, "z").join(broadcast(lgTbl), "dz")
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("common_neighbors"),
+        sum(graft.functions.F.idiv(lit(64000000L), col("lg"))).as("aa_q"))
+    scored
+      .join(edges.select(col("a").as("u"), col("b").as("v")),
+        Seq("u", "v"), "left_anti")
+      .orderBy(col("aa_q").desc, col("u").asc, col("v").asc)
+      .limit(k)
+      .select(col("u").as("item_a"), col("v").as("item_b"),
+        col("common_neighbors"), col("aa_q"))
+  }
+
+  /** q346: top-20 predicted part links over the support-2 co-purchase
+    * graph. */
+  def q346(s: SparkSession, d: String): DataFrame =
+    linkPrediction(Tables.lineitem(s, d), "l_orderkey", "l_partkey", 2L, 20)
+
   /** ASSOCIATION LIFT over co-purchase pairs: lift(a,b) =
     * N·n(a,b) / (n(a)·n(b)) — raw support (q68) rewards popular items;
     * lift finds pairs bought together MORE than their popularities
@@ -1187,6 +1250,63 @@ object Relational {
       Seq(col("c_nationkey").cast("int").as("nation"),
         floor(col("c_acctbal") / 1000d).cast("long").as("bal_band")),
       col("c_mktsegment"), 5L, 3L)
+
+  /** t-CLOSENESS AUDIT (round 13) — the third member of the
+    * re-identification trio, closing what k-anonymity (q183) and
+    * l-diversity (q257) leave open: a class can be k-anonymous AND
+    * l-diverse yet still leak — if its sensitive-value DISTRIBUTION
+    * differs sharply from the table's, membership alone updates an
+    * attacker's posterior (the skewness attack). Per equivalence
+    * class: the variational distance (the categorical EMD) between
+    * the class's sensitive distribution and the GLOBAL one,
+    *   t = ½·Σ_v |p_v − q_v|,
+    * exact on the integer grid as Σ_v |n_cv·N − N_v·n_c| over
+    * 2·n_c·N (one truncating idiv to bp), flagged against the
+    * threshold. A class absent a sensitive value still contributes
+    * that value's global mass — the grid completes per class via the
+    * class×value cross join (the q292 structural-zeros discipline).
+    *
+    * Scale (100 TB): one (quasi-ids, sensitive) aggregation — the
+    * corpus shuffles cell counters; the completion join is
+    * |classes|×|values| (both bounded dimensions), global masses
+    * broadcast. */
+  def tCloseness(df: DataFrame, quasiIds: Seq[Column], sensitive: Column,
+                 tBp: Long): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val cells = df.groupBy(quasiIds :+ sensitive.as("sv"): _*)
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // feeds classes, globals, and the completion
+    val names = cells.columns.dropRight(2).toSeq
+    val classes = cells.groupBy(names.map(col): _*)
+      .agg(sum(col("c")).as("n_c"))
+    val globals = cells.groupBy(col("sv")).agg(sum(col("c")).as("n_v"))
+    val total = cells.agg(sum(col("c")).as("n")).head().getLong(0)
+    val grid = classes.crossJoin(broadcast(globals))
+    // renamed copy for the completion join: grid already descends from
+    // cells, so qualified self-join columns would be ambiguous
+    val cellsR = cells.toDF(names.map(n => s"${n}__r") :+ "sv__r" :+ "c__r": _*)
+    val joined = grid.join(cellsR,
+        names.map(n => col(n) === col(s"${n}__r"))
+          .reduce(_ && _) && col("sv") === col("sv__r"), "left")
+      .select((names.map(col) :+ col("sv") :+ col("n_c") :+
+        col("n_v") :+ coalesce(col("c__r"), lit(0L)).as("c_cv")): _*)
+    joined.groupBy((names.map(col) :+ col("n_c")).map(c => c): _*)
+      .agg(sum(abs(dec(col("c_cv")) * dec(lit(total)) -
+        dec(col("n_v")) * dec(col("n_c")))).as("dist"))
+      .select(names.map(col) :+ col("n_c").as("n") :+
+        graft.functions.F.idiv(dec(lit(10000L)) * col("dist"),
+          dec(lit(2L)) * dec(col("n_c")) * dec(lit(total)))
+          .cast("long").as("t_bp"): _*)
+      .withColumn("is_t_close", (col("t_bp") <= tBp).cast("int"))
+  }
+
+  /** q340: t-closeness of the q257 classes (nation × balance band,
+    * sensitive = market segment) at t = 0.25. */
+  def q340(s: SparkSession, d: String): DataFrame =
+    tCloseness(Tables.customer(s, d),
+      Seq(col("c_nationkey").cast("int").as("nation"),
+        floor(col("c_acctbal") / 1000d).cast("long").as("bal_band")),
+      col("c_mktsegment"), 2500L)
 
   /** SHUFFLE-SKEW PRE-FLIGHT AUDIT for a join/aggregation key: the
     * planning operator that answers "will this key skew at scale?"

@@ -208,6 +208,58 @@ object Text {
       bp(quality).as("quality_bp"))
   }
 
+  /** GOPHER-STYLE RULE AUDIT (round 13) — the published pre-training
+    * quality-rule battery (Rae et al. 2021's repetition/length/symbol
+    * filters), reported PER RULE rather than as q41's blended score or
+    * q99's single gate: which rule would remove how much of the
+    * corpus is the number a pipeline owner tunes before committing a
+    * filter. Rules, all exact integers: word count in [50, 10⁵];
+    * mean word length in [3, 10] (milli grid); ≥ 2 stopwords; ≥ 80%
+    * of words alphabetic; top-word token share ≤ 20% (the repetition
+    * screen — computed ROW-LOCALLY over the token array, no shuffle).
+    * One corpus pass aggregates every rule's fail count plus the
+    * any-rule union row.
+    *
+    * Scale (100 TB): entirely map-side per-document arithmetic into
+    * ONE 7-counter aggregation — the corpus shuffles seven numbers
+    * per task; the per-rule unpivot is 6 rows. */
+  def gopherRules(docs: DataFrame, id: String, text: String): DataFrame = {
+    val d0 = withToks(docs, text)
+    val nTok = size(toks).cast("long")
+    val meanMilli = graft.functions.F.idiv(
+      lit(1000L) * (length(col(text)).cast("long") - (nTok - lit(1L))), nTok)
+    val nStop = size(filter(toks,
+      t => t.isin(stopwords.map(lit(_)): _*))).cast("long")
+    val nAlpha = size(filter(toks, t => t.rlike("[a-z]"))).cast("long")
+    val topCnt = expr(
+      "aggregate(array_distinct(toks), 0, (acc, t) -> " +
+        "greatest(acc, size(filter(toks, x -> x = t))))").cast("long")
+    def flag(c: Column): Column = when(c, 1L).otherwise(0L)
+    val flags = d0.select(
+      flag(nTok < 50L || nTok > 100000L).as("f_wc"),
+      flag(meanMilli < 3000L || meanMilli > 10000L).as("f_mwl"),
+      flag(nStop < 2L).as("f_stop"),
+      flag(lit(10000L) * nAlpha < lit(8000L) * nTok).as("f_alpha"),
+      flag(lit(10000L) * topCnt > lit(2000L) * nTok).as("f_rep"))
+    val agg = flags.agg(count(lit(1)).as("n_docs"),
+      sum(col("f_wc")).as("s_wc"), sum(col("f_mwl")).as("s_mwl"),
+      sum(col("f_stop")).as("s_stop"), sum(col("f_alpha")).as("s_alpha"),
+      sum(col("f_rep")).as("s_rep"),
+      sum(when(col("f_wc") + col("f_mwl") + col("f_stop") +
+        col("f_alpha") + col("f_rep") > 0L, 1L).otherwise(0L)).as("s_any"))
+    agg.select(col("n_docs"), expr(
+      "stack(6, 'word_count', s_wc, 'mean_word_len', s_mwl, " +
+        "'stopwords', s_stop, 'alpha_words', s_alpha, " +
+        "'repetition', s_rep, 'any_rule', s_any) AS (rule, n_failed)"))
+      .select(col("rule"), col("n_docs"), col("n_failed"),
+        graft.functions.F.idiv(lit(10000L) * col("n_failed"), col("n_docs"))
+          .as("fail_bp"))
+  }
+
+  /** q343: the per-rule Gopher audit over the documents table. */
+  def q343(s: SparkSession, d: String): DataFrame =
+    gopherRules(Tables.documents(s, d), "doc_id", "text")
+
   /** Marker-word profiles for the deterministic language-ID heuristic.
     * (The synthetic corpus shares one vocabulary across `lang` labels, so
     * this scores frequency profiles rather than real orthography; the
@@ -3581,6 +3633,67 @@ object Text {
     val ece = g.agg(F.idiv(sum(dec(col("n_docs")) * abs(col("gap_bp"))),
       sum(dec(col("n_docs")))).as("ece_bp"))
     g.crossJoin(broadcast(ece))
+  }
+
+  /** ISOTONIC CALIBRATION (round 13) — the monotone-fit member of the
+    * score-quality family: q276 reports binned calibration GAPS, this
+    * produces the calibrated MAP — the best monotone (non-decreasing)
+    * probability curve over the score axis, the standard post-hoc
+    * calibrator (Zadrozny–Elkan) applied before anyone thresholds a
+    * classifier score. Computed by the closed-form max–min identity
+    * (equivalent to PAVA, but expressible as bounded joins):
+    *   iso(i) = max_{j ≤ i} min_{k ≥ j} rate(j..k)
+    * over the binned score grid, with interval rates from prefix sums
+    * and the floor taken PER INTERVAL on the bp grid — deterministic,
+    * engine-replayable, and still monotone (the prefix max of
+    * j-minima is non-decreasing by construction). Scores pre-bin to a
+    * declared lattice (binWidthBp) so the interval table is grid²
+    * BOUNDED (≤ 101² at the default), never corpus-sized.
+    *
+    * Scale (100 TB): one corpus aggregation to the score grid; all
+    * pair/window work is grid²-bounded integers. */
+  def isotonicCalibration(scored: DataFrame, scoreBp: String,
+                          isCorrect: String,
+                          binWidthBp: Long = 100L): DataFrame = {
+    require(binWidthBp >= 1L)
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val grid = scored.select(
+        F.idiv(col(scoreBp), lit(binWidthBp)).as("level"),
+        col(isCorrect).cast("long").as("ok"))
+      .groupBy(col("level"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ok")).as("n_ok"))
+    val w = Window.orderBy(col("level").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grid
+      .withColumn("cn", sum(col("n_docs")).over(w))
+      .withColumn("cc", sum(col("n_ok")).over(w))
+      .localCheckpoint() // grid-sized; feeds both pair sides
+    val lo = cum.select(col("level").as("j"),
+      (col("cn") - col("n_docs")).as("n0"), (col("cc") - col("n_ok")).as("c0"))
+    val hi = cum.select(col("level").as("k"), col("cn"), col("cc"))
+    val mj = lo.join(hi, col("j") <= col("k"))
+      .select(col("j"), F.idiv(dec(lit(10000L)) * (col("cc") - col("c0")),
+        dec(col("cn") - col("n0"))).as("q"))
+      .groupBy(col("j")).agg(min(col("q")).as("m"))
+    val pmax = Window.orderBy(col("j").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val iso = mj.withColumn("iso_bp", max(col("m")).over(pmax))
+      .select(col("j").as("level"), col("iso_bp").cast("long").as("iso_bp"))
+    cum.join(iso, "level")
+      .select(col("level"), col("n_docs"),
+        F.idiv(lit(10000L) * col("n_ok"), col("n_docs")).as("acc_bp"),
+        col("iso_bp"))
+  }
+
+  /** q344: isotonic-calibrated accuracy curve of the q42 language-ID
+    * confidence score (the q276 pairing). */
+  def q344(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pred = languageId(docs, "doc_id", "text", langMarkers)
+    val scored = docs.select(col("doc_id"), col("lang")).join(pred, "doc_id")
+      .select(col("top_score_bp"),
+        (col("pred_lang") === col("lang")).cast("long").as("ok"))
+    isotonicCalibration(scored, "top_score_bp", "ok")
   }
 
   /** ROC-AUC (Mann–Whitney U) — can the score RANK right above wrong?

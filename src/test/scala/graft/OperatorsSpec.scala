@@ -1486,6 +1486,102 @@ class OperatorsSpec extends SparkSpec {
     assert(z.getLong(3) == 0L)
   }
 
+  test("q340 t-closeness: uniform class reads 0, pure class reads the " +
+       "complement mass; absent values contribute global mass") {
+    import SparkTestSession.spark.implicits._
+    // global sensitive dist balanced (A 6/12, B 6/12): class g1 =
+    // {A,A,B,B} -> t = 0; pure classes g2 = {A^4} / g3 = {B^4} ->
+    // t = (|1-.5| + |0-.5|)/2 = 0.5 = 5000 bp (the absent value's
+    // global mass counts via the completed grid)
+    val df = Seq(("g1", "A"), ("g1", "A"), ("g1", "B"), ("g1", "B"),
+      ("g2", "A"), ("g2", "A"), ("g2", "A"), ("g2", "A"),
+      ("g3", "B"), ("g3", "B"), ("g3", "B"), ("g3", "B"))
+      .toDF("qid", "sv")
+    val out = Relational.tCloseness(df, Seq(col("qid")), col("sv"), 2500L)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getInt(3))).toMap
+    assert(out("g1") == ((0L, 1)), s"uniform class: ${out("g1")}")
+    assert(out("g2") == ((5000L, 0)), s"pure class: ${out("g2")}")
+    assert(out("g3") == ((5000L, 0)), s"pure class: ${out("g3")}")
+  }
+
+  test("q342 periodogram: a planted 7-day cycle dominates; trig table " +
+       "is the shared literal") {
+    import SparkTestSession.spark.implicits._
+    // 70 days of events: day-of-week 0 gets 20 events, others 2
+    val rows = (0 until 70).flatMap { t =>
+      val n = if (t % 7 == 0) 20 else 2
+      (0 until n).map(_ => (java.sql.Date.valueOf(
+        java.time.LocalDate.of(2024, 1, 1).plusDays(t.toLong)), 1))
+    }
+    val df = rows.toDF("dy", "one")
+    val out = Events.periodogram(df, col("dy")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getInt(3))).toMap
+    val peak = out.collect { case (p, (_, 1)) => p }.toList
+    assert(peak == List(7L), s"peak must be period 7, got $peak")
+    assert(out(7L)._1 > out(6L)._1 * 10L, "7-day power dominates neighbors")
+    // the quantized basis is exact at the cardinal points
+    assert(Events.periodogramTable.contains((4, 1, 0L, 1000000L)),
+      "cos(pi/2)=0, sin(pi/2)=1 on the milli-micro grid")
+  }
+
+  test("q343 gopher rules: planted violations trip exactly their rule") {
+    import SparkTestSession.spark.implicits._
+    val good = ("d1", ("the a of and " + Seq.tabulate(60)(i => s"word$i")
+      .mkString(" ")))                      // 64 words, all rules pass
+    val short = ("d2", "the a tiny doc")    // word count < 50
+    val rep = ("d3", ("the a " + Seq.fill(60)("spam").mkString(" ")))
+    val df = Seq(good, short, rep).toDF("doc_id", "text")
+    val out = Text.gopherRules(df, "doc_id", "text").collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out("word_count") == 1L, s"word_count ${out("word_count")}")
+    assert(out("repetition") == 2L,  // d3 spam-heavy; d2 has 2x 'the'? no:
+      s"repetition ${out("repetition")}")   // d2: 4 distinct of 4 -> top 25% > 20% trips too
+    assert(out("any_rule") == 2L, s"any ${out("any_rule")}")
+    assert(out("alpha_words") == 0L)
+  }
+
+  test("q344 isotonic: PAVA pooling on a violation; monotone output") {
+    import SparkTestSession.spark.implicits._
+    // levels 0,1,2 with rates 0.2, 1.0, 0.0(x2): isotonic pools the
+    // violating tail -> iso(1) = iso(2) = pooled 1/3 = 3333 bp
+    val df = Seq((50L, 0L), (50L, 0L), (50L, 0L), (50L, 0L), (50L, 1L),
+      (150L, 1L), (250L, 0L), (250L, 0L))
+      .toDF("s", "ok")
+    val out = Text.isotonicCalibration(df, "s", "ok").collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out(0L) == 2000L, s"level 0 ${out(0L)}")
+    assert(out(1L) == 3333L && out(2L) == 3333L,
+      s"pooled tail ${(out(1L), out(2L))}")
+    // monotone on the real corpus
+    val iso = Text.q344(spark, sf).orderBy("level").collect().map(_.getLong(3))
+    assert(iso.zip(iso.tail).forall { case (a, b) => a <= b },
+      "isotonic output must be non-decreasing")
+  }
+
+  test("q346 link prediction: shared niche neighbor outscores shared hub; " +
+       "existing edges excluded") {
+    import SparkTestSession.spark.implicits._
+    // baskets wire: hub z0 connects to 1,2,3,4 (deg 4 after support);
+    // niche z9 connects only 5,6 (deg 2). pair (5,6) via z9 must
+    // outscore (1,2) via z0. every edge has support 2 (two baskets).
+    val baskets = Seq(
+      (100L, 0L), (100L, 1L), (100L, 2L), (100L, 3L), (100L, 4L),
+      (101L, 0L), (101L, 1L), (101L, 2L), (101L, 3L), (101L, 4L),
+      (102L, 9L), (102L, 5L), (103L, 9L), (103L, 5L),
+      (104L, 9L), (104L, 6L), (105L, 9L), (105L, 6L))
+      .toDF("bk", "it")
+    val out = Relational.linkPrediction(baskets, "bk", "it", 2L, 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // (5,6) share only z9 (deg 2): aa = 64e6/lg64(2) = 1e6
+    assert(out((5L, 6L)) == ((1L, 1000000L)), s"niche pair ${out.get((5L, 6L))}")
+    // pairs inside basket 100 are EDGES (support 2) -> excluded
+    assert(!out.contains((1L, 2L)), "existing edges must not be predicted")
+    // (0,z)-adjacent pairs: none predicted beyond edges in this wiring;
+    // 5-6 present, and no pair may reference a degree-1 center
+    assert(out.keys.forall { case (a, b) => a < b })
+  }
+
   test("q335 frequent triples: hand-counted combinations and support floor") {
     import SparkTestSession.spark.implicits._
     val items = Seq((1L, 1L), (1L, 2L), (1L, 3L),
