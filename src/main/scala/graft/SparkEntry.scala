@@ -361,6 +361,10 @@ object SparkEntry {
     "q342_periodogram"    -> (Events.q342 _),
     "q343_gopher_rules"   -> (Text.q343 _),
     "q344_isotonic"       -> (Text.q344 _),
+    "q347_stratified_ate" -> (Events.q347 _),
+    "q348_power_mde"      -> (Events.q348 _),
+    "q349_term_burstiness" -> (Text.q349 _),
+    "q350_jsd_drift"      -> (Text.q350 _),
     "q346_link_prediction" -> (Relational.q346 _),
     "q345_wasserstein"    -> (Relational.q345 _),
   )
@@ -1567,6 +1571,117 @@ object SparkEntry {
            CAST(acc_bp - conf_bp AS BIGINT) AS gap_bp,
            CAST(t.ece AS BIGINT) AS ece_bp
          FROM g, t""",
+
+    // Stratified ATE: user-grain rollup, per-stratum floored milli
+    // diffs, mass-weighted ALL row over both-armed strata.
+    "q347_stratified_ate" ->
+      s"""WITH bands AS (SELECT user_id AS u, least(count(*) // 10, 5) AS band
+           FROM events GROUP BY 1),
+         pu AS (SELECT e.user_id AS u, max(e.user_id % 2) AS a,
+             max(b.band) AS s,
+             sum(CASE WHEN e.event_type = 'purchase'
+               THEN ${C("e.value")} ELSE 0 END) AS y
+           FROM events e JOIN bands b ON b.u = e.user_id GROUP BY 1),
+         ps AS (SELECT s AS stratum,
+             sum(CASE WHEN a = 1 THEN 1 ELSE 0 END) AS n1,
+             sum(CASE WHEN a = 0 THEN 1 ELSE 0 END) AS n0,
+             sum(CASE WHEN a = 1 THEN CAST(y AS HUGEINT) ELSE 0 END) AS s1,
+             sum(CASE WHEN a = 0 THEN CAST(y AS HUGEINT) ELSE 0 END) AS s0
+           FROM pu GROUP BY 1),
+         r AS (SELECT stratum, n1, n0,
+             CASE WHEN n1 = 0 THEN NULL ELSE (1000 * s1) // n1 END AS m1,
+             CASE WHEN n0 = 0 THEN NULL ELSE (1000 * s0) // n0 END AS m0,
+             CASE WHEN n1 = 0 OR n0 = 0 THEN NULL
+               ELSE (1000 * (s1 * n0 - s0 * n1))
+                 // (CAST(n1 AS HUGEINT) * n0) END AS dm
+           FROM ps),
+         ate AS (SELECT CAST(NULL AS BIGINT) AS stratum,
+             coalesce(sum(n1), 0) AS n1, coalesce(sum(n0), 0) AS n0,
+             CAST(NULL AS HUGEINT) AS m1, CAST(NULL AS HUGEINT) AS m0,
+             CASE WHEN coalesce(sum(n1) + sum(n0), 0) = 0 THEN NULL
+               ELSE sum(CAST(n1 + n0 AS HUGEINT) * dm)
+                 // (sum(n1) + sum(n0)) END AS dm
+           FROM r WHERE dm IS NOT NULL)
+         SELECT CAST(stratum AS BIGINT) AS stratum, CAST(n1 AS BIGINT) AS n1,
+           CAST(n0 AS BIGINT) AS n0, CAST(m1 AS BIGINT) AS mean1_milli,
+           CAST(m0 AS BIGINT) AS mean0_milli, CAST(dm AS BIGINT) AS diff_milli
+         FROM (SELECT * FROM r UNION ALL SELECT * FROM ate)""",
+
+    // MDE: the q337 moment machinery with the pinned 2.802 multiplier
+    // (z_0.025 + z_0.20 as one parsed literal on both sides).
+    "q348_power_mde" ->
+      s"""WITH m AS (SELECT
+             sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n_a,
+             sum(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END) AS n_b,
+             sum(CASE WHEN user_id % 2 = 0 THEN CAST(${C("value")} AS HUGEINT) ELSE 0 END) AS sa,
+             sum(CASE WHEN user_id % 2 = 0 THEN 0 ELSE CAST(${C("value")} AS HUGEINT) END) AS sb,
+             sum(CASE WHEN user_id % 2 = 0 THEN CAST(${C("value")} AS HUGEINT) * ${C("value")} ELSE 0 END) AS ssa,
+             sum(CASE WHEN user_id % 2 = 0 THEN 0 ELSE CAST(${C("value")} AS HUGEINT) * ${C("value")} END) AS ssb
+           FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+         d AS (SELECT *,
+             CAST(CAST(n_a AS HUGEINT) * ssa - sa * sa AS DOUBLE)
+               / CAST(CAST(n_a AS HUGEINT) * n_a * (n_a - 1) AS DOUBLE) AS qa,
+             CAST(CAST(n_b AS HUGEINT) * ssb - sb * sb AS DOUBLE)
+               / CAST(CAST(n_b AS HUGEINT) * n_b * (n_b - 1) AS DOUBLE) AS qb
+           FROM m)
+         SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(CASE WHEN n_a < 2 OR n_b < 2 THEN NULL
+                ELSE floor(2.802 * sqrt(qa + qb) * 1000 + 0.5)
+                END AS BIGINT) AS mde_milli,
+           CAST(CASE WHEN n_a < 2 OR n_b < 2 OR sa + sb = 0 THEN NULL
+                ELSE floor(2.802 * sqrt(qa + qb)
+                  / (CAST(sa + sb AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                  * 10000 + 0.5) END AS BIGINT) AS mde_rel_bp
+         FROM d""",
+
+    // Term burstiness: (term, doc) grain then vocabulary rollup,
+    // cf/df milli, df floor, top-20 total order.
+    "q349_term_burstiness" ->
+      """WITH pd AS (SELECT tok, doc_id, count(*) AS c FROM (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             FROM documents) GROUP BY 1, 2),
+         t AS (SELECT tok, sum(c) AS cf, count(*) AS df FROM pd
+           GROUP BY 1 HAVING count(*) >= 5)
+         SELECT tok, CAST(cf AS BIGINT) AS cf, CAST(df AS BIGINT) AS df,
+           CAST((1000 * cf) // df AS BIGINT) AS burst_milli
+         FROM (SELECT *, row_number() OVER (ORDER BY (1000 * cf) // df DESC,
+             cf DESC, tok ASC) AS rn FROM t)
+         WHERE rn <= 20""",
+
+    // JSD: per-term integer surprisal via the shared 64*log2 CTE over
+    // the distinct log arguments, count-weighted, one idiv per leg.
+    "q350_jsd_drift" -> {
+      s"""WITH tk AS (SELECT doc_id % 2 = 0 AS is_ref,
+             unnest(string_split(text, ' ')) AS tok FROM documents),
+         tf AS (SELECT tok, sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS a,
+             sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS b
+           FROM tk GROUP BY 1),
+         tt AS (SELECT sum(a) AS ta, sum(b) AS tb FROM tf),
+         args AS (SELECT DISTINCT v AS k, v AS n FROM (
+             SELECT 2 * a * tb AS v FROM tf, tt WHERE a > 0
+             UNION ALL SELECT 2 * b * ta FROM tf, tt WHERE b > 0
+             UNION ALL SELECT a * tb + b * ta FROM tf, tt)
+           WHERE v > 0),
+         pw AS (SELECT unnest(range(0, 63)) AS p),
+         ${UnigramOracleSql.lgCte("lgt", "args", "k", "k")},
+         terms AS (SELECT tf.a, tf.b, tt.ta, tt.tb,
+             CASE WHEN tf.a > 0 THEN CAST(tf.a AS HUGEINT)
+               * (l1.lg - l2.lg) ELSE 0 END AS tp,
+             CASE WHEN tf.b > 0 THEN CAST(tf.b AS HUGEINT)
+               * (l3.lg - l2.lg) ELSE 0 END AS tq
+           FROM tf CROSS JOIN tt
+           LEFT JOIN lgt l1 ON l1.k = 2 * tf.a * tt.tb
+           LEFT JOIN lgt l2 ON l2.k = tf.a * tt.tb + tf.b * tt.ta
+           LEFT JOIN lgt l3 ON l3.k = 2 * tf.b * tt.ta),
+         m AS (SELECT count(*) AS n_terms, max(ta) AS n_ref,
+             max(tb) AS n_cur, sum(tp) AS sp, sum(tq) AS sq FROM terms)
+         SELECT CAST(n_terms AS BIGINT) AS n_terms,
+           CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+           CAST(sp // n_ref AS BIGINT) AS klp_q,
+           CAST(sq // n_cur AS BIGINT) AS klq_q,
+           CAST((1000 * (sp // n_ref + sq // n_cur)) // 128 AS BIGINT)
+             AS jsd_mbits
+         FROM m""" },
 
     // Isotonic calibration: the max-min identity over the binned
     // score grid — per-interval floored rates from prefix sums, then

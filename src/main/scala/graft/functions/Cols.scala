@@ -76,4 +76,43 @@ object Cols {
     split(when(text.rlike("[^\\x00-\\x7f]") && text.rlike(SegScript), seg)
       .otherwise(text), " ")
   }
+
+  /** Exact integer 64·log2 as a NEW COLUMN `out` — the distributed
+    * mirror of [[graft.ops.Text.lg64]] (msb + 6-bit fixed-point
+    * squaring recurrence, scale 2²⁰) for operators whose log
+    * arguments are data-sized (a driver map over distinct values
+    * would not be model-sized). Each recurrence step lands in a REAL
+    * column via withColumn — a single nested Column expression would
+    * copy the step subtree into its 3 references and blow up ~3⁶-fold
+    * (the exact lateral-alias trap the oracle's lgCte layers around,
+    * observed as a driver OOM). msb = length(bin(n)) − 1; truncating
+    * shifts become exact integer division / multiplication by 2^k
+    * (k ≤ 43, double-exact powers; truncation ≡ >> for non-negative
+    * operands). All plain codegen'd arithmetic — no UDF. n must be
+    * ≥ 1 on every row (clamp upstream where a branch guards zero). */
+  def withLg64(df: org.apache.spark.sql.DataFrame, n: Column,
+               out: String): org.apache.spark.sql.DataFrame = {
+    def pow2(k: Column): Column = pow(lit(2d), k.cast("double")).cast("long")
+    val (nn, ee) = (s"__${out}_n", s"__${out}_e")
+    var d = df.withColumn(nn, n)
+      .withColumn(ee, (length(bin(col(nn))) - lit(1)).cast("long"))
+      .withColumn(s"__${out}_y0",
+        when(col(ee) >= 20L, F.idiv(col(nn), pow2(col(ee) - lit(20L))))
+          .otherwise(col(nn) * pow2(lit(20L) - col(ee))))
+    val two21 = lit(2097152L)
+    for (i <- 1 to 6) {
+      val (t, b, y) = (s"__${out}_t$i", s"__${out}_b$i", s"__${out}_y$i")
+      d = d.withColumn(t,
+          F.idiv(col(s"__${out}_y${i - 1}") * col(s"__${out}_y${i - 1}"),
+            lit(1048576L)))
+        .withColumn(b, when(col(t) >= two21, 1L).otherwise(0L))
+        .withColumn(y, when(col(t) >= two21, F.idiv(col(t), lit(2L)))
+          .otherwise(col(t)))
+    }
+    val frac = (1 to 6).map(i =>
+      col(s"__${out}_b$i") * lit(1L << (6 - i))).reduce(_ + _)
+    val drops = Seq(nn, ee, s"__${out}_y0") ++
+      (1 to 6).flatMap(i => Seq(s"__${out}_t$i", s"__${out}_b$i", s"__${out}_y$i"))
+    d.withColumn(out, col(ee) * lit(64L) + frac).drop(drops: _*)
+  }
 }

@@ -2558,6 +2558,129 @@ object Events {
     welchT(Tables.events(s, d).filter(col("event_type") === "purchase"),
       cents(col("value")), col("user_id") % 2 === 0)
 
+  /** STRATIFIED ATE (round 13) — post-stratification, the simplest
+    * honest causal adjustment: when arms are imbalanced across a
+    * covariate (heavy users land more often in one arm), the raw
+    * difference-in-means confounds the treatment with the covariate;
+    * stratifying on it and weighting per-stratum differences by
+    * stratum mass removes exactly that confounder. Per stratum: arm
+    * counts, exact milli means, diff_milli = ⌊1000·(s1·n0 − s0·n1) /
+    * (n1·n0)⌋ (floored per stratum, the q338 discipline); the ALL row
+    * is the mass-weighted combination over strata where BOTH arms are
+    * present (one-armed strata report NULL diff and drop from the
+    * estimate — n_effective says how much mass survived).
+    *
+    * Scale (100 TB): one unit-grain aggregation (the only corpus
+    * shuffle), stratum-sized rollups, a strata-count fold. */
+  def stratifiedAte(events: DataFrame, unit: String, arm: Column,
+                    stratum: Column, valueCents: Column): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val perUser = events.select(col(unit).as("u"), arm.as("arm_"),
+        stratum.as("st"), valueCents.as("vc"))
+      .groupBy(col("u"))
+      .agg(max(col("arm_").cast("int")).as("a"), max(col("st")).as("s"),
+        sum(col("vc")).as("y"))
+    val perStrat = perUser.groupBy(col("s").as("stratum"))
+      .agg(sum(when(col("a") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("a") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("a") === 1, dec(col("y"))).otherwise(dec(lit(0L))))
+          .as("s1"),
+        sum(when(col("a") === 0, dec(col("y"))).otherwise(dec(lit(0L))))
+          .as("s0"))
+      .localCheckpoint() // strata-sized; feeds rows AND the ATE fold
+    val rows = perStrat.select(col("stratum"), col("n1"), col("n0"),
+      when(col("n1") === 0L, lit(null).cast("long"))
+        .otherwise(F.idiv(dec(lit(1000L)) * col("s1"), dec(col("n1")))
+          .cast("long")).as("mean1_milli"),
+      when(col("n0") === 0L, lit(null).cast("long"))
+        .otherwise(F.idiv(dec(lit(1000L)) * col("s0"), dec(col("n0")))
+          .cast("long")).as("mean0_milli"),
+      when(col("n1") === 0L || col("n0") === 0L, lit(null).cast("long"))
+        .otherwise(F.idiv(dec(lit(1000L)) *
+          (col("s1") * dec(col("n0")) - col("s0") * dec(col("n1"))),
+          dec(col("n1")) * dec(col("n0"))).cast("long")).as("diff_milli"))
+    // the ALL row: mass-weighted ATE over both-armed strata, with the
+    // surviving arm masses in n1/n0 (means stay NULL — a pooled mean
+    // would re-admit the confounder this operator exists to remove)
+    val ate = rows.filter(col("diff_milli").isNotNull)
+      .agg(coalesce(sum(col("n1")), lit(0L)).as("e1"),
+        coalesce(sum(col("n0")), lit(0L)).as("e0"),
+        sum(dec(col("n1") + col("n0")) * dec(col("diff_milli"))).as("wsum"))
+      .select(lit(null).cast(rows.schema("stratum").dataType).as("stratum"),
+        col("e1").as("n1"), col("e0").as("n0"),
+        lit(null).cast("long").as("mean1_milli"),
+        lit(null).cast("long").as("mean0_milli"),
+        when(col("e1") + col("e0") === 0L, lit(null).cast("long"))
+          .otherwise(F.idiv(col("wsum"), dec(col("e1") + col("e0")))
+            .cast("long")).as("diff_milli"))
+    rows.unionByName(ate)
+  }
+
+  /** q347: purchase-spend ATE by user parity, stratified on the
+    * user's activity band (⌊events/10⌋ capped at 5). */
+  def q347(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val bands = e.groupBy(col("user_id"))
+      .agg(least(F.idiv(count(lit(1)), lit(10L)), lit(5L)).as("band"))
+    stratifiedAte(
+      e.join(bands, "user_id"),
+      "user_id", col("user_id") % 2, col("band"),
+      when(col("event_type") === "purchase", cents(col("value")))
+        .otherwise(0L))
+  }
+
+  /** MINIMUM DETECTABLE EFFECT (round 13) — the experiment-DESIGN
+    * member of the A/B stack: before a test runs (or when one reads
+    * flat), the first question is "what effect size could this setup
+    * even see?" MDE at α=5% two-sided / 80% power is
+    * (z_α + z_β)·√(var_a/n_a + var_b/n_b) with the variance components
+    * from exact decimal moments (the q337 machinery) and z constants
+    * pinned (1.960, 0.842); reported absolute (milli-cents) and
+    * relative to the pooled mean (bp). NULL on sub-2 arms or zero
+    * variance.
+    *
+    * Scale: the q337 shape — one aggregation to six numbers. */
+  def powerMde(df: DataFrame, value: Column, isA: Column): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val m = df.select(value.as("v"), isA.as("is_a"))
+      .where(col("v").isNotNull)
+      .agg(
+        sum(when(col("is_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("is_a"), dec(col("v"))).otherwise(dec(lit(0L)))).as("sa"),
+        sum(when(!col("is_a"), dec(col("v"))).otherwise(dec(lit(0L)))).as("sb"),
+        sum(when(col("is_a"), dec(col("v")) * dec(col("v")))
+          .otherwise(dec(lit(0L)))).as("ssa"),
+        sum(when(!col("is_a"), dec(col("v")) * dec(col("v")))
+          .otherwise(dec(lit(0L)))).as("ssb"))
+    val nA = dec(col("n_a")); val nB = dec(col("n_b"))
+    val qa = (nA * col("ssa") - col("sa") * col("sa")).cast("double") /
+      (nA * nA * (nA - dec(lit(1L)))).cast("double")
+    val qb = (nB * col("ssb") - col("sb") * col("sb")).cast("double") /
+      (nB * nB * (nB - dec(lit(1L)))).cast("double")
+    // ONE decimal literal (2.802), parsed identically by both engines
+    // — a 1.960+0.842 runtime sum could differ from the oracle's
+    // parsed literal by an ulp
+    val mde = lit(2.802d) * sqrt(qa + qb)
+    val pooledMean = (col("sa") + col("sb")).cast("double") /
+      (nA + nB).cast("double")
+    val bad = col("n_a") < 2L || col("n_b") < 2L
+    m.select(col("n_a"), col("n_b"),
+      when(bad, lit(null).cast("long"))
+        .otherwise(floor(mde * lit(1000d) + lit(0.5d)).cast("long"))
+        .as("mde_milli"),
+      when(bad || col("sa") + col("sb") === dec(lit(0L)),
+        lit(null).cast("long"))
+        .otherwise(floor(mde / pooledMean * lit(10000d) + lit(0.5d))
+          .cast("long")).as("mde_rel_bp"))
+  }
+
+  /** q348: smallest purchase-spend lift the parity experiment could
+    * detect at 80% power. */
+  def q348(s: SparkSession, d: String): DataFrame =
+    powerMde(Tables.events(s, d).filter(col("event_type") === "purchase"),
+      cents(col("value")), col("user_id") % 2 === 0)
+
   /** CUPED VARIANCE REDUCTION (round 13) — the modern experimentation
     * workhorse: adjust each unit's outcome by its PRE-period covariate,
     * Y' = Y − θ·(X − X̄) with θ = cov(X,Y)/var(X), which removes the

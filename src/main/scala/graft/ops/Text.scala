@@ -260,6 +260,95 @@ object Text {
   def q343(s: SparkSession, d: String): DataFrame =
     gopherRules(Tables.documents(s, d), "doc_id", "text")
 
+  /** TERM BURSTINESS (round 13) — collection frequency over document
+    * frequency per term: function words spread evenly (cf/df ≈ the
+    * corpus mean), content/topical terms CLUMP — when they appear
+    * they appear repeatedly — so cf/df ranks them without any
+    * stopword list (Church–Gale burstiness, the signal behind
+    * adaptive-LM caching and topical-keyword extraction; tf-idf's df
+    * leg reads WHERE a term appears, this reads HOW it appears).
+    * burst_milli = ⌊1000·cf/df⌋ exact; a minimum df floor keeps
+    * one-document flukes out of the top list; top-k by
+    * (burst DESC, cf DESC, tok ASC) — a total order.
+    *
+    * Scale (100 TB): one tokenize pass to the (term, doc) grain, one
+    * vocabulary-sized rollup, TakeOrdered(k). */
+  def termBurstiness(docs: DataFrame, id: String, text: String,
+                     minDf: Long, k: Int): DataFrame = {
+    val perDoc = withToks(docs, text)
+      .select(col(id).as("did"), explode(toks).as("tok"))
+      .groupBy(col("tok"), col("did")).agg(count(lit(1)).as("c"))
+    perDoc.groupBy(col("tok"))
+      .agg(sum(col("c")).as("cf"), count(lit(1)).as("df"))
+      .where(col("df") >= minDf)
+      .select(col("tok"), col("cf"), col("df"),
+        graft.functions.F.idiv(lit(1000L) * col("cf"), col("df"))
+          .as("burst_milli"))
+      .orderBy(col("burst_milli").desc, col("cf").desc, col("tok").asc)
+      .limit(k)
+  }
+
+  /** q349: the 20 burstiest terms (df ≥ 5) of the documents table. */
+  def q349(s: SparkSession, d: String): DataFrame =
+    termBurstiness(Tables.documents(s, d), "doc_id", "text", 5L, 20)
+
+  /** JENSEN–SHANNON VOCABULARY DRIFT (round 13) — the SYMMETRIC,
+    * BOUNDED member of the corpus-drift family: q119's KL explodes on
+    * terms one side lacks and depends on direction; JSD(P,Q) =
+    * ½KL(P‖M) + ½KL(Q‖M) with M the midpoint is finite, symmetric,
+    * and bounded by 1 bit — the number to track across corpus
+    * versions or mixture sources. Exact integer end to end via the
+    * 64·log2 machinery: per term, log2(p/m) = lg64(2·a·B) −
+    * lg64(a·B + b·A) on integer arguments ([[graft.functions.Cols#lg64]]
+    * — the distributed column mirror of Text.lg64, codegen'd, no
+    * UDF), terms weighted by raw counts, one idiv per KL leg and one
+    * at the milli-bit boundary. Count products must stay within
+    * Long (counts ≤ ~3·10⁹ per side; past that pre-scale counts —
+    * documented bound).
+    *
+    * Scale (100 TB): one tokenize+count pass to the vocabulary
+    * grain (Heaps-sublinear), totals broadcast, a 2-number fold. */
+  def jsdDrift(docs: DataFrame, text: String, isRef: Column): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val tf = withToks(docs, text)
+      .select(explode(toks).as("tok"), isRef.as("is_ref"))
+      .groupBy(col("tok"))
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("a"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("b"))
+    val tot = tf.agg(sum(col("a")).as("ta"), sum(col("b")).as("tb"))
+    var j = tf.crossJoin(broadcast(tot))
+      // zero-count sides clamp their (unused) log argument to 1 so
+      // bin() stays defined on every row; the when() below zeroes the
+      // term anyway
+      .withColumn("arg1", greatest(lit(2L) * col("a") * col("tb"), lit(1L)))
+      .withColumn("argd", col("a") * col("tb") + col("b") * col("ta"))
+      .withColumn("arg2", greatest(lit(2L) * col("b") * col("ta"), lit(1L)))
+    j = graft.functions.Cols.withLg64(j, col("arg1"), "lg1")
+    j = graft.functions.Cols.withLg64(j, col("argd"), "lgd")
+    j = graft.functions.Cols.withLg64(j, col("arg2"), "lg2")
+    val terms = j.select(col("a"), col("b"), col("ta"), col("tb"),
+      when(col("a") > 0L, dec(col("a")) * dec(col("lg1") - col("lgd")))
+        .otherwise(dec(lit(0L))).as("tp"),
+      when(col("b") > 0L, dec(col("b")) * dec(col("lg2") - col("lgd")))
+        .otherwise(dec(lit(0L))).as("tq"))
+    terms.agg(count(lit(1)).as("n_terms"), max(col("ta")).as("n_ref"),
+        max(col("tb")).as("n_cur"),
+        sum(col("tp")).as("sp"), sum(col("tq")).as("sq"))
+      .select(col("n_terms"), col("n_ref"), col("n_cur"),
+        graft.functions.F.idiv(col("sp"), dec(col("n_ref")))
+          .cast("long").as("klp_q"),
+        graft.functions.F.idiv(col("sq"), dec(col("n_cur")))
+          .cast("long").as("klq_q"),
+        graft.functions.F.idiv(lit(1000L) *
+          (graft.functions.F.idiv(col("sp"), dec(col("n_ref"))) +
+            graft.functions.F.idiv(col("sq"), dec(col("n_cur")))),
+          dec(lit(128L))).cast("long").as("jsd_mbits"))
+  }
+
+  /** q350: vocabulary JSD between even- and odd-id documents. */
+  def q350(s: SparkSession, d: String): DataFrame =
+    jsdDrift(Tables.documents(s, d), "text", col("doc_id") % 2 === 0)
+
   /** Marker-word profiles for the deterministic language-ID heuristic.
     * (The synthetic corpus shares one vocabulary across `lang` labels, so
     * this scores frequency profiles rather than real orthography; the

@@ -1582,6 +1582,83 @@ class OperatorsSpec extends SparkSpec {
     assert(out.keys.forall { case (a, b) => a < b })
   }
 
+  test("withLg64 matches the driver lg64 bit-for-bit across magnitudes") {
+    import SparkTestSession.spark.implicits._
+    val ns = Seq(1L, 2L, 3L, 5L, 63L, 64L, 1023L, 1048576L,
+      999999937L, 1000000000000L, (1L << 62) - 1L)
+    val df = graft.functions.Cols.withLg64(ns.toDF("n"), col("n"), "lg")
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ns.foreach(n => assert(got(n) == Text.lg64(n),
+      s"lg64($n): column ${got(n)} != driver ${Text.lg64(n)}"))
+  }
+
+  test("q347 stratified ate: confounded raw diff corrected by stratification") {
+    import SparkTestSession.spark.implicits._
+    // two strata with IDENTICAL within-stratum treatment effect +10,
+    // but arm 1 over-represented in the high-outcome stratum: the raw
+    // diff is inflated; the stratified ATE reads exactly 10.
+    val rows =
+      // stratum 0 (base 10): arm0 x3 users, arm1 x1
+      Seq((1L, 0L, 0L, 10.0), (2L, 0L, 0L, 10.0), (3L, 0L, 0L, 10.0),
+        (4L, 1L, 0L, 20.0),
+        // stratum 1 (base 100): arm0 x1, arm1 x3
+        (5L, 0L, 1L, 100.0), (6L, 1L, 1L, 110.0), (7L, 1L, 1L, 110.0),
+        (8L, 1L, 1L, 110.0))
+    val df = rows.toDF("u", "arm", "st", "v")
+    val out = Events.stratifiedAte(df, "u", col("arm"), col("st"),
+      graft.functions.Cols.cents(col("v"))).collect()
+    // +10 dollars = 1000 cents = 1,000,000 milli-cents
+    val ate = out.find(_.isNullAt(0)).get
+    assert(ate.getLong(5) == 1000000L,
+      s"stratified ATE must read +10 dollars: ${ate.getLong(5)}")
+    val s0 = out.find(r => !r.isNullAt(0) && r.getLong(0) == 0L).get
+    assert(s0.getLong(5) == 1000000L, "stratum-0 diff +10 dollars")
+  }
+
+  test("q348 power mde: halving the noise halves the detectable effect") {
+    import SparkTestSession.spark.implicits._
+    def mde(spread: Double): Long = {
+      val rows = (1 to 40).map(i =>
+        (100.0 + (if (i % 2 == 0) spread else -spread), i % 4 < 2))
+      Events.powerMde(rows.toDF("v", "a"),
+        graft.functions.Cols.cents(col("v")), col("a")).head().getLong(2)
+    }
+    val (wide, tight) = (mde(8.0), mde(4.0))
+    assert(math.abs(wide - 2L * tight) <= 2L,
+      s"MDE must scale with sigma: $wide vs 2x$tight")
+    // degenerate: one-row arm -> NULL
+    val n = Events.powerMde(Seq((1.0, true), (2.0, false), (3.0, false))
+      .toDF("v", "a"), graft.functions.Cols.cents(col("v")), col("a")).head()
+    assert(n.isNullAt(2) && n.isNullAt(3))
+  }
+
+  test("q349 term burstiness: clumping term outranks an even spread") {
+    import SparkTestSession.spark.implicits._
+    // 'burst' appears 12x in 2 docs (cf/df=6); 'even' 12x in 12 docs
+    val docs = (1 to 12).map { i =>
+      val extra = if (i <= 2) " burst burst burst burst burst burst" else ""
+      (i.toLong, s"even filler$extra")
+    }.toDF("doc_id", "text")
+    val out = Text.termBurstiness(docs, "doc_id", "text", 2L, 5)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(out("burst") == 6000L, s"burst ${out.get("burst")}")
+    assert(out("even") == 1000L && out("filler") == 1000L)
+  }
+
+  test("q350 jsd drift: identical halves read 0; disjoint vocabularies " +
+       "read the 1-bit maximum") {
+    import SparkTestSession.spark.implicits._
+    val same = Seq((2L, "alpha beta"), (3L, "alpha beta"))
+      .toDF("doc_id", "text")
+    val z = Text.jsdDrift(same, "text", col("doc_id") % 2 === 0).head()
+    assert(z.getLong(5) == 0L, s"identical: ${z.getLong(5)}")
+    // fully disjoint vocab: JSD = 1 bit = 1000 milli-bits (the lg64
+    // grid is exact at powers of two: log2(2) = 1)
+    val disj = Seq((2L, "aa aa"), (3L, "bb bb")).toDF("doc_id", "text")
+    val o = Text.jsdDrift(disj, "text", col("doc_id") % 2 === 0).head()
+    assert(o.getLong(5) == 1000L, s"disjoint: ${o.getLong(5)}")
+  }
+
   test("q335 frequent triples: hand-counted combinations and support floor") {
     import SparkTestSession.spark.implicits._
     val items = Seq((1L, 1L), (1L, 2L), (1L, 3L),
