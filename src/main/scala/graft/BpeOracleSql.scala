@@ -233,10 +233,61 @@ FROM g JOIN opt o USING (word) GROUP BY g.lang"""
     "WITH " + chainCtes.mkString(",\n") + "\n" + legs
   }
 
+  /** Oracle unroll horizon for the q351 greedy scan: each step
+    * consumes ≥ 1 character, so WpMaxSteps positions cover any word
+    * the corpus contract admits (q43: max 8 chars; a longer word's
+    * trajectory would stop short and fail the hash gate LOUDLY — the
+    * UniMaxWordLen convention). */
+  val WpMaxSteps = 12
+
+  /** q351: WordPiece (greedy longest-match-first) token distribution
+    * under the q141-learned piece inventory — mirror of the native
+    * WordPieceEncode expression, unrolled BY POSITION (the Viterbi
+    * oracle convention): each step LEFT-joins the multi-char piece
+    * table on a prefix match at the cursor, keeps the LONGEST match
+    * (row_number over match length; the single-char fallback is the
+    * NULL branch), advances the cursor, and appends to a '|'-joined
+    * segmentation string. One row per word per step — no recursion,
+    * no correlated subqueries (the DuckDB 1.0.0 traps the q142
+    * recursion documents). */
+  def q351: String = {
+    val vocabUnion = (1 to NMerges)
+      .map(i => s"SELECT a || b AS piece FROM t$i").mkString(" UNION ALL ")
+    val steps = (1 to WpMaxSteps).map { k =>
+      s"""s$k AS (SELECT word, wc, pos, acc FROM (
+  SELECT w.word, w.wc,
+    CASE WHEN w.pos > length(w.word) THEN w.pos
+         WHEN v.piece IS NULL THEN w.pos + 1
+         ELSE w.pos + length(v.piece) END AS pos,
+    CASE WHEN w.pos > length(w.word) THEN w.acc
+         WHEN v.piece IS NULL THEN w.acc || '|' || substr(w.word, CAST(w.pos AS INT), 1)
+         ELSE w.acc || '|' || v.piece END AS acc,
+    row_number() OVER (PARTITION BY w.word
+      ORDER BY CASE WHEN v.piece IS NULL THEN 0 ELSE length(v.piece) END DESC) AS rn
+  FROM s${k - 1} w LEFT JOIN vm v
+    ON w.pos <= length(w.word)
+   AND v.piece = substr(w.word, CAST(w.pos AS INT), CAST(length(v.piece) AS INT)))
+  WHERE rn = 1)"""
+    }.mkString(",\n")
+    "WITH " + chainCtes.mkString(",\n") +
+      s""",
+vm AS MATERIALIZED (SELECT DISTINCT piece FROM ($vocabUnion)),
+s0 AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS wc, 1 AS pos, '' AS acc
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY word),
+$steps
+SELECT token, CAST(sum(wc) AS BIGINT) AS cnt FROM (
+  SELECT unnest(list_filter(string_split(acc, '|'), x -> x <> '')) AS token, wc
+  FROM s$WpMaxSteps)
+GROUP BY token ORDER BY cnt DESC, token ASC LIMIT $TopK"""
+  }
+
   def all: Map[String, String] = Map(
     "q141_bpe_vocab"      -> q141,
     "q142_bpe_tokenize"   -> q142,
     "q229_bpe_fertility"  -> q229,
     "q235_seg_gap"        -> q235,
-    "q313_bpe_merge_curve" -> q313(graft.ops.Text.BpeMergeSweep))
+    "q313_bpe_merge_curve" -> q313(graft.ops.Text.BpeMergeSweep),
+    "q351_wordpiece"      -> q351)
 }

@@ -365,6 +365,7 @@ object SparkEntry {
     "q348_power_mde"      -> (Events.q348 _),
     "q349_term_burstiness" -> (Text.q349 _),
     "q350_jsd_drift"      -> (Text.q350 _),
+    "q351_wordpiece"      -> (Text.q351 _),
     "q346_link_prediction" -> (Relational.q346 _),
     "q345_wasserstein"    -> (Relational.q345 _),
   )

@@ -464,6 +464,60 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
     copy(child = newChild)
 }
 
+/** GREEDY LONGEST-MATCH-FIRST segmentation (the WordPiece convention,
+  * round 13) over {every single code point} ∪ `vocab`: at each
+  * position take the LONGEST vocab piece matching the prefix, falling
+  * back to one code point — the third tokenizer-family segmentation
+  * rule beside BPE's lowest-rank-first (BpeEncode) and the unigram
+  * LM's Viterbi (UnigramEncode), over the SAME learned piece
+  * inventory. Deterministic by construction (longest match is unique
+  * per position). Oracle contract: prefix lengths are compared in
+  * characters — exact for the pure-ASCII corpus the oracle pins
+  * (cited: BpeOracleSql.q351, the unrolled-by-position replay). */
+case class WordPieceEncode(child: Expression, vocab: Seq[String])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType)
+  override def prettyName: String = "wordpiece_encode"
+
+  private val pieces: Array[String] =
+    vocab.distinct.sortBy(p => (-p.length, p)).toArray
+
+  /** Called from generated code. */
+  def encode(word: UTF8String): ArrayData = {
+    val s = word.toString
+    val out = Array.newBuilder[String]
+    var pos = 0
+    while (pos < s.length) {
+      var matched: String = null
+      var i = 0
+      while (matched == null && i < pieces.length) {
+        val p = pieces(i)
+        if (p.length > 1 && pos + p.length <= s.length &&
+            s.regionMatches(pos, p, 0, p.length)) matched = p
+        i += 1
+      }
+      if (matched == null)
+        matched = new String(Character.toChars(s.codePointAt(pos)))
+      out += matched
+      pos += matched.length
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      out.result().map(UTF8String.fromString))
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    encode(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("wordPieceEncode", this,
+      classOf[WordPieceEncode].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.encode($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordPieceEncode =
+    copy(child = newChild)
+}
+
 /** Minimum token count segmenting the word over the inventory
   * {every single code point} ∪ `vocab` (the learned multi-char merge
   * products) — the DP lower bound greedy BPE is measured against

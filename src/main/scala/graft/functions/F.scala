@@ -81,6 +81,11 @@ object F {
   def bpeEncode(c: Column, merges: Seq[(String, String)]): Column =
     GraftColumns.wrap(BpeEncode(u(c), merges))
 
+  /** Greedy longest-match-first (WordPiece) segmentation over
+    * {code points} ∪ vocab. */
+  def wordPieceEncode(c: Column, vocab: Seq[String]): Column =
+    GraftColumns.wrap(WordPieceEncode(u(c), vocab))
+
   /** DP-minimum token count over {code points} ∪ vocab (see
     * MinSegTokens — q235's optimality lower bound). */
   def minSegTokens(c: Column, vocab: Seq[String]): Column =

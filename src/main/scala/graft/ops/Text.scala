@@ -1402,6 +1402,35 @@ object Text {
   def q142(s: SparkSession, d: String): DataFrame =
     bpeTokenize(Tables.documents(s, d), "text", loadedMerges(s, d), BpeTopK)
 
+  /** WORDPIECE APPLY (round 13) — the third segmentation rule of the
+    * tokenizer family over the SAME learned inventory: BPE applies
+    * merges lowest-rank-first (q142), the unigram LM segments by
+    * Viterbi likelihood (q320), WordPiece takes the LONGEST matching
+    * piece at each position (greedy left-to-right — the BERT-family
+    * convention). Comparing the three distributions on one vocabulary
+    * isolates the SEGMENTATION-RULE axis of tokenizer choice from the
+    * vocabulary axis. Same shape as bpeTokenize: the vocab is a tiny
+    * driver model, the native WordPieceEncode expression runs per
+    * DISTINCT-word work inside whole-stage codegen, one token-count
+    * shuffle. */
+  def wordPieceTokenize(df: DataFrame, text: String, vocab: Seq[String],
+                        topK: Int): DataFrame =
+    withToks(df, text)
+      .select(explode(toks).as("word"))
+      .filter(length(col("word")) > 0)
+      .select(explode(F.wordPieceEncode(col("word"), vocab)).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(topK)
+
+  /** q351: token distribution under GREEDY LONGEST-MATCH segmentation
+    * with the q141-learned merge products as the piece inventory —
+    * the persisted-artifact discipline of q142 (train once, ship the
+    * table). */
+  def q351(s: SparkSession, d: String): DataFrame =
+    wordPieceTokenize(Tables.documents(s, d), "text",
+      loadedMerges(s, d).map { case (a, b) => a + b }, BpeTopK)
+
   /** TOKENIZER FERTILITY by language — THE cross-language tokenizer
     * quality metric: average BPE tokens per word (fertility; 1.0 is
     * ideal, high values mean the vocab under-serves that language) and

@@ -1659,6 +1659,21 @@ class OperatorsSpec extends SparkSpec {
     assert(o.getLong(5) == 1000L, s"disjoint: ${o.getLong(5)}")
   }
 
+  test("q351 wordpiece: greedy longest-match semantics; single-char fallback") {
+    import SparkTestSession.spark.implicits._
+    val vocab = Seq("ab", "abc", "bc")
+    val df = Seq("abcd", "abd", "xbcd", "q").toDF("w")
+      .select(graft.functions.F.wordPieceEncode(col("w"), vocab).as("p"))
+    val got = df.collect().map(_.getSeq[String](0).toList).toList
+    assert(got == List(List("abc", "d"), List("ab", "d"),
+      List("x", "bc", "d"), List("q")),
+      s"greedy segmentation wrong: $got")
+    // corpus-level: the greedy distribution covers the same character
+    // mass as the BPE distribution (same words, same inventory)
+    val wp = Text.q351(spark, sf)
+    assert(wp.count() == 30 && wp.agg(sum(col("cnt"))).head().getLong(0) > 0)
+  }
+
   test("q335 frequent triples: hand-counted combinations and support floor") {
     import SparkTestSession.spark.implicits._
     val items = Seq((1L, 1L), (1L, 2L), (1L, 3L),
