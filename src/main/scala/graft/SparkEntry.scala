@@ -366,6 +366,8 @@ object SparkEntry {
     "q349_term_burstiness" -> (Text.q349 _),
     "q350_jsd_drift"      -> (Text.q350 _),
     "q351_wordpiece"      -> (Text.q351 _),
+    "q352_threshold_pick" -> (Text.q352 _),
+    "q353_dup_transitivity" -> (Dedup.q353 _),
     "q346_link_prediction" -> (Relational.q346 _),
     "q345_wasserstein"    -> (Relational.q345 _),
   )
@@ -1683,6 +1685,65 @@ object SparkEntry {
            CAST((1000 * (sp // n_ref + sq // n_cur)) // 128 AS BIGINT)
              AS jsd_mbits
          FROM m""" },
+
+    // Threshold pick: descending cumulative TP/FP on the score grid,
+    // exact integer F1/Youden, one deterministic argmax per criterion.
+    "q352_threshold_pick" ->
+      s"""WITH $LangIdCtes,
+         p AS (SELECT doc_id, lang AS pred_lang,
+               ${BP("score")} AS s FROM r WHERE rn = 1),
+         j0 AS (SELECT s, CASE WHEN p.pred_lang = d.lang THEN 1 ELSE 0 END AS ok
+               FROM documents d JOIN p USING (doc_id)),
+         g AS (SELECT s AS t, sum(ok) AS pos, sum(1 - ok) AS neg
+               FROM j0 GROUP BY 1),
+         tt AS (SELECT sum(pos) AS p, sum(neg) AS n FROM g),
+         cv AS MATERIALIZED (SELECT g.t,
+               sum(g.pos) OVER (ORDER BY g.t DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+               sum(g.neg) OVER (ORDER BY g.t DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp,
+               tt.p, tt.n
+             FROM g CROSS JOIN tt),
+         cu AS MATERIALIZED (SELECT t, tp, fp, p - tp AS fn,
+               (20000 * tp) // (2 * tp + fp + (p - tp)) AS f1_bp,
+               CASE WHEN p = 0 OR n = 0 THEN NULL
+                 ELSE (1000 * (CAST(tp AS HUGEINT) * n
+                   - CAST(fp AS HUGEINT) * p))
+                   // (CAST(p AS HUGEINT) * n) END AS youden_milli
+             FROM cv)
+         SELECT criterion, CAST(t AS BIGINT) AS threshold_bp,
+           CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn, CAST(f1_bp AS BIGINT) AS f1_bp,
+           CAST(youden_milli AS BIGINT) AS youden_milli
+         FROM (
+           SELECT 'f1_max' AS criterion, * FROM cu
+           QUALIFY row_number() OVER (ORDER BY f1_bp DESC, t ASC) = 1
+           UNION ALL
+           SELECT 'youden_max' AS criterion, * FROM cu
+           QUALIFY row_number() OVER (ORDER BY youden_milli DESC, t ASC) = 1)""",
+
+    // Dup transitivity: the q52 pair relation's open-wedge share —
+    // pairs CTE is the shared jaccard oracle, wedges + closure probe.
+    "q353_dup_transitivity" ->
+      s"""WITH base AS ($jaccardOracle),
+         pr AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM base),
+         und AS MATERIALIZED (SELECT a, b FROM pr
+           UNION ALL SELECT b, a FROM pr),
+         w AS MATERIALIZED (SELECT DISTINCT x.a AS u, y.b AS v
+           FROM und x JOIN und y ON y.a = x.b WHERE x.a < y.b),
+         cl AS (SELECT count(*) AS n_closed
+           FROM w JOIN pr ON pr.a = w.u AND pr.b = w.v),
+         cnts AS (SELECT (SELECT count(*) FROM pr) AS n_pairs,
+           (SELECT count(*) FROM w) AS n_wedge_pairs,
+           (SELECT n_closed FROM cl) AS n_closed)
+         SELECT CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(n_wedge_pairs AS BIGINT) AS n_wedge_pairs,
+           CAST(n_closed AS BIGINT) AS n_closed,
+           CAST(n_wedge_pairs - n_closed AS BIGINT) AS n_open,
+           CAST(CASE WHEN n_wedge_pairs = 0 THEN NULL
+                ELSE (10000 * (n_wedge_pairs - n_closed)) // n_wedge_pairs
+                END AS BIGINT) AS open_bp
+         FROM cnts""",
 
     // Isotonic calibration: the max-min identity over the binned
     // score grid — per-interval floored rates from prefix sums, then

@@ -825,6 +825,47 @@ object Dedup {
   def q52(s: SparkSession, d: String): DataFrame =
     minhashLshPairs(Tables.documents(s, d), "doc_id", "text", 0.6)
 
+  /** DUP-CLUSTER TRANSITIVITY AUDIT (round 13) — is "near-duplicate"
+    * behaving like an equivalence relation on this corpus at this τ?
+    * Connected-component dedup (q55/q96) implicitly treats it as one;
+    * when a~b and b~c but a≁c ("open wedges"), components CHAIN
+    * unrelated documents through middlemen and the keep-one policy
+    * silently drops non-duplicates. The open-wedge share is the
+    * number that says whether to trust components at this threshold
+    * or raise τ / switch to star-medoid clustering. One row:
+    * pair/wedge/closure counts and the open share in bp — all from
+    * the BOUNDED pair table (never the corpus).
+    *
+    * Scale (100 TB): wedge join over the pair set (Σdeg² on the dup
+    * graph — dup degrees are small by construction at sane τ), one
+    * semi-join closure probe, three scalar folds. */
+  def dupTransitivity(pairs: DataFrame, a: String, b: String): DataFrame = {
+    val p = pairs.select(col(a).as("a"), col(b).as("b")).localCheckpoint()
+    val und = p.unionByName(p.select(col("b").as("a"), col("a").as("b")))
+    val wedges = und.select(col("a").as("u"), col("b").as("z"))
+      .join(und.select(col("a").as("z"), col("b").as("v")), "z")
+      .where(col("u") < col("v"))
+      .select(col("u"), col("v")).distinct()
+      .localCheckpoint() // feeds the count AND the closure probe
+    val closed = wedges.join(p.select(col("a").as("u"), col("b").as("v")),
+      Seq("u", "v"), "left_semi")
+    p.agg(count(lit(1)).as("n_pairs"))
+      .crossJoin(wedges.agg(count(lit(1)).as("n_wedge_pairs")))
+      .crossJoin(closed.agg(count(lit(1)).as("n_closed")))
+      .select(col("n_pairs"), col("n_wedge_pairs"),
+        col("n_closed"),
+        (col("n_wedge_pairs") - col("n_closed")).as("n_open"),
+        when(col("n_wedge_pairs") === 0L, lit(null).cast("long"))
+          .otherwise(graft.functions.F.idiv(
+            lit(10000L) * (col("n_wedge_pairs") - col("n_closed")),
+            col("n_wedge_pairs"))).as("open_bp"))
+  }
+
+  /** q353: transitivity of the q52 MinHash-LSH pair relation at
+    * τ = 0.6. */
+  def q353(s: SparkSession, d: String): DataFrame =
+    dupTransitivity(q52(s, d), "doc_a", "doc_b")
+
   /** q53: SimHash near-dup pairs at Hamming ≤ 3, on the MD5-hash
     * signature so the driver's DuckDB oracle can recompute the
     * signatures independently (see simhashPairs). */

@@ -3814,6 +3814,61 @@ object Text {
     isotonicCalibration(scored, "top_score_bp", "ok")
   }
 
+  /** OPERATING-THRESHOLD PICK (round 13) — the DECISION member of the
+    * score-quality family: AUC (q278) says the score ranks, the PR
+    * curve (q308) and calibration (q276/q344) describe it, but a
+    * deployed filter needs ONE threshold — this reports the classic
+    * two: the F1 maximizer (when positives are what you keep) and the
+    * Youden J maximizer (tpr − fpr; when both error kinds cost
+    * equally). On the bounded score grid: descending cumulative
+    * TP/FP, exact integer criteria — f1_bp = ⌊2·10⁴·tp / (2tp+fp+fn)⌋
+    * and youden_milli = ⌊1000·(tp·N − fp·P)/(P·N)⌋ — deterministic
+    * argmax by (criterion DESC, threshold ASC).
+    *
+    * Scale: one corpus aggregation to the ≤10⁴+1-row score grid (the
+    * q278 discipline), bounded-grid windows, two 1-row picks. */
+  def thresholdPick(scored: DataFrame, scoreBp: String,
+                    isPositive: String): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val grid = scored.select(col(scoreBp).as("t"),
+        col(isPositive).cast("long").as("ok"))
+      .groupBy(col("t"))
+      .agg(sum(col("ok")).as("pos"), sum(lit(1L) - col("ok")).as("neg"))
+    val w = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grid
+      .withColumn("tp", sum(col("pos")).over(w))
+      .withColumn("fp", sum(col("neg")).over(w))
+    val tot = grid.agg(sum(col("pos")).as("p"), sum(col("neg")).as("n"))
+    val curve = cum.crossJoin(broadcast(tot))
+      .select(col("t"), col("tp"), col("fp"), (col("p") - col("tp")).as("fn"),
+        F.idiv(lit(20000L) * col("tp"),
+          lit(2L) * col("tp") + col("fp") + (col("p") - col("tp")))
+          .as("f1_bp"),
+        when(col("p") === 0L || col("n") === 0L, lit(null).cast("long"))
+          .otherwise(F.idiv(dec(lit(1000L)) *
+            (dec(col("tp")) * dec(col("n")) - dec(col("fp")) * dec(col("p"))),
+            dec(col("p")) * dec(col("n"))).cast("long")).as("youden_milli"))
+      .localCheckpoint() // grid-sized; feeds both picks
+    def pick(crit: String, by: Column): DataFrame = curve
+      .orderBy(by.desc, col("t").asc).limit(1)
+      .select(lit(crit).as("criterion"), col("t").as("threshold_bp"),
+        col("tp"), col("fp"), col("fn"), col("f1_bp"), col("youden_milli"))
+    pick("f1_max", col("f1_bp"))
+      .unionByName(pick("youden_max", col("youden_milli")))
+  }
+
+  /** q352: operating thresholds for the q42 language-ID confidence as
+    * a correctness classifier (the q278 pairing). */
+  def q352(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pred = languageId(docs, "doc_id", "text", langMarkers)
+    val scored = docs.select(col("doc_id"), col("lang")).join(pred, "doc_id")
+      .select(col("top_score_bp"),
+        (col("pred_lang") === col("lang")).cast("long").as("ok"))
+    thresholdPick(scored, "top_score_bp", "ok")
+  }
+
   /** ROC-AUC (Mann–Whitney U) — can the score RANK right above wrong?
     * The discrimination half of the score-quality story (q276's
     * calibration is the other half; a score can be perfectly

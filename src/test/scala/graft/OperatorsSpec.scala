@@ -1674,6 +1674,36 @@ class OperatorsSpec extends SparkSpec {
     assert(wp.count() == 30 && wp.agg(sum(col("cnt"))).head().getLong(0) > 0)
   }
 
+  test("q352 threshold pick: hand-computed F1/Youden maximizers diverge " +
+       "under class imbalance") {
+    import SparkTestSession.spark.implicits._
+    // scores: 90 (3 pos), 50 (1 pos, 3 neg), 10 (0 pos, 13 neg).
+    // F1: t=90 -> f1 = 6/7 = 0.857; t=50 -> tp4 fp3 fn0 -> 8/11 = 0.727
+    //   -> f1 picks 90.
+    // Youden: t=90 -> 3/4 - 0 = .75; t=50 -> 1 - 3/16 = .8125
+    //   -> youden picks 50 (recall matters more with many negatives).
+    val rows = Seq.fill(3)((9000L, 1L)) ++ Seq((5000L, 1L)) ++
+      Seq.fill(3)((5000L, 0L)) ++ Seq.fill(13)((1000L, 0L))
+    val out = Text.thresholdPick(rows.toDF("s", "ok"), "s", "ok")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(5), r.getLong(6))).toMap
+    assert(out("f1_max") == ((9000L, 8571L, 750L)), s"${out("f1_max")}")
+    assert(out("youden_max") == ((5000L, 7272L, 812L)),
+      s"${out("youden_max")}")
+  }
+
+  test("q353 dup transitivity: open wedge counted, closed triangle not") {
+    import SparkTestSession.spark.implicits._
+    // pairs: (1,2), (2,3) open at (1,3); (4,5), (5,6), (4,6) closed
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L), (5L, 6L), (4L, 6L))
+      .toDF("doc_a", "doc_b")
+    val r = Dedup.dupTransitivity(pairs, "doc_a", "doc_b").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((5L, 4L, 3L, 1L)),
+      s"counts ${(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))}")
+    assert(r.getLong(4) == 2500L, s"open share ${r.getLong(4)}")
+  }
+
   test("q335 frequent triples: hand-counted combinations and support floor") {
     import SparkTestSession.spark.implicits._
     val items = Seq((1L, 1L), (1L, 2L), (1L, 3L),
