@@ -1458,12 +1458,14 @@ class OperatorsSpec extends SparkSpec {
     import SparkTestSession.spark.implicits._
     val up = (1L to 10L).map(i => (i, i * 10L)).toDF("x", "y")
     val r = Relational.mannKendall(up, col("x"), col("y")).head()
+    // columns: n_units(0), s_stat(1), var18(2), z_milli(3), is_trending(4)
     assert(r.getLong(1) == 45L, "strictly increasing: all pairs concordant")
-    assert(r.getLong(4) > 1960L && r.getInt(5) == 1)
+    assert(r.getLong(3) > 1960L, s"z_milli ${r.getLong(3)}")
+    assert(r.getInt(4) == 1)
     val flat = (1L to 5L).map(i => (i, 7L)).toDF("x", "y")
     val f = Relational.mannKendall(flat, col("x"), col("y")).head()
     assert(f.getLong(1) == 0L)
-    assert(f.isNullAt(4) || f.getLong(4) == 0L) // all tied -> var18 = 0
+    assert(f.isNullAt(3), "all tied -> var18 = 0 -> NULL z")
     val e = intercept[IllegalArgumentException] {
       Relational.mannKendall(SparkTestSession.spark.range(5000)
         .select(col("id").as("x"), col("id").as("y")), col("x"), col("y")) }
