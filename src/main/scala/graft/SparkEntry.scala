@@ -1628,10 +1628,14 @@ object SparkEntry {
                / CAST(CAST(n_b AS HUGEINT) * n_b * (n_b - 1) AS DOUBLE) AS qb
            FROM m)
          SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
-           CAST(CASE WHEN n_a < 2 OR n_b < 2 THEN NULL
+           CAST(CASE WHEN n_a < 2 OR n_b < 2
+                  OR (CAST(n_a AS HUGEINT) * ssa - sa * sa)
+                   + (CAST(n_b AS HUGEINT) * ssb - sb * sb) = 0 THEN NULL
                 ELSE floor(2.802 * sqrt(qa + qb) * 1000 + 0.5)
                 END AS BIGINT) AS mde_milli,
-           CAST(CASE WHEN n_a < 2 OR n_b < 2 OR sa + sb = 0 THEN NULL
+           CAST(CASE WHEN n_a < 2 OR n_b < 2 OR sa + sb = 0
+                  OR (CAST(n_a AS HUGEINT) * ssa - sa * sa)
+                   + (CAST(n_b AS HUGEINT) * ssb - sb * sb) = 0 THEN NULL
                 ELSE floor(2.802 * sqrt(qa + qb)
                   / (CAST(sa + sb AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
                   * 10000 + 0.5) END AS BIGINT) AS mde_rel_bp
@@ -3019,7 +3023,7 @@ object SparkEntry {
       s"""WITH pb AS (SELECT ${C("value")} AS bin,
              sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS n_ref,
              sum(CASE WHEN event_id % 2 = 0 THEN 0 ELSE 1 END) AS n_cur
-           FROM events GROUP BY 1),
+           FROM events WHERE value IS NOT NULL GROUP BY 1),
          cm AS (SELECT bin,
              sum(n_ref) OVER (ORDER BY bin ASC
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cr,

@@ -2511,9 +2511,14 @@ object Events {
     *
     * Scale (100 TB): one aggregation to two moment rows — the corpus
     * shuffles three numbers per task per arm, nothing else. */
-  def welchT(df: DataFrame, value: Column, isA: Column): DataFrame = {
+  /** The two-arm exact moment row (n, Σx, Σx² per arm in
+    * decimal(38,0)) both [[welchT]] and [[powerMde]] assemble their
+    * statistics from — ONE aggregation, shared so the null-arm and
+    * headroom rules cannot drift between the pair (r13 review). */
+  private def armMoments(df: DataFrame, value: Column,
+                         isA: Column): DataFrame = {
     def dec(c: Column): Column = c.cast("decimal(38,0)")
-    val m = df.select(value.as("v"), isA.as("is_a"))
+    df.select(value.as("v"), isA.as("is_a"))
       .where(col("v").isNotNull)
       .agg(
         sum(when(col("is_a"), 1L).otherwise(0L)).as("n_a"),
@@ -2524,6 +2529,11 @@ object Events {
           .otherwise(dec(lit(0L)))).as("ssa"),
         sum(when(!col("is_a"), dec(col("v")) * dec(col("v")))
           .otherwise(dec(lit(0L)))).as("ssb"))
+  }
+
+  def welchT(df: DataFrame, value: Column, isA: Column): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val m = armMoments(df, value, isA)
     val nA = dec(col("n_a")); val nB = dec(col("n_b"))
     val numA = nA * col("ssa") - col("sa") * col("sa")
     val numB = nB * col("ssb") - col("sb") * col("sb")
@@ -2642,21 +2652,13 @@ object Events {
     * Scale: the q337 shape — one aggregation to six numbers. */
   def powerMde(df: DataFrame, value: Column, isA: Column): DataFrame = {
     def dec(c: Column): Column = c.cast("decimal(38,0)")
-    val m = df.select(value.as("v"), isA.as("is_a"))
-      .where(col("v").isNotNull)
-      .agg(
-        sum(when(col("is_a"), 1L).otherwise(0L)).as("n_a"),
-        sum(when(!col("is_a"), 1L).otherwise(0L)).as("n_b"),
-        sum(when(col("is_a"), dec(col("v"))).otherwise(dec(lit(0L)))).as("sa"),
-        sum(when(!col("is_a"), dec(col("v"))).otherwise(dec(lit(0L)))).as("sb"),
-        sum(when(col("is_a"), dec(col("v")) * dec(col("v")))
-          .otherwise(dec(lit(0L)))).as("ssa"),
-        sum(when(!col("is_a"), dec(col("v")) * dec(col("v")))
-          .otherwise(dec(lit(0L)))).as("ssb"))
+    val m = armMoments(df, value, isA)
     val nA = dec(col("n_a")); val nB = dec(col("n_b"))
-    val qa = (nA * col("ssa") - col("sa") * col("sa")).cast("double") /
+    val numA = nA * col("ssa") - col("sa") * col("sa")
+    val numB = nB * col("ssb") - col("sb") * col("sb")
+    val qa = numA.cast("double") /
       (nA * nA * (nA - dec(lit(1L)))).cast("double")
-    val qb = (nB * col("ssb") - col("sb") * col("sb")).cast("double") /
+    val qb = numB.cast("double") /
       (nB * nB * (nB - dec(lit(1L)))).cast("double")
     // ONE decimal literal (2.802), parsed identically by both engines
     // — a 1.960+0.842 runtime sum could differ from the oracle's
@@ -2664,7 +2666,10 @@ object Events {
     val mde = lit(2.802d) * sqrt(qa + qb)
     val pooledMean = (col("sa") + col("sb")).cast("double") /
       (nA + nB).cast("double")
-    val bad = col("n_a") < 2L || col("n_b") < 2L
+    // zero total variance is the welchT degenerate-design sentinel:
+    // an MDE of 0 would read "perfectly detectable" (r13 review)
+    val bad = col("n_a") < 2L || col("n_b") < 2L ||
+      (numA + numB) === dec(lit(0L))
     m.select(col("n_a"), col("n_b"),
       when(bad, lit(null).cast("long"))
         .otherwise(floor(mde * lit(1000d) + lit(0.5d)).cast("long"))

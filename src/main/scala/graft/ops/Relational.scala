@@ -1683,6 +1683,10 @@ object Relational {
     val perBin = df.select(
         graft.functions.F.idiv(cents(col(value)), lit(widthCents)).as("bin"),
         isRef.as("is_ref"))
+      // NULL values carry no mass on the value axis — and the NULL
+      // bin would sort FIRST in Spark's ASC window but LAST in
+      // DuckDB's, silently shifting both CDFs (r13 review finding)
+      .where(col("bin").isNotNull)
       .groupBy(col("bin"))
       .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
         sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_cur"))

@@ -2249,18 +2249,25 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$path/graph")
     corpus.select(col(id).as("vid"), col(emb).as("c_emb"))
       .write.mode("overwrite").parquet(s"$path/vectors")
-    writeNswParams(s, path, em, er, eb, eh, n)
+    writeNswParams(s, path, em, er, eb, eh, n,
+      explicit = m > 0 || rounds > 0 || beam > 0 || hops > 0)
   }
 
   /** The index's construction/serve manifest: one row under params/.
     * Written LAST (after graph+vectors), read by the serve and append
     * paths so a store built scaled is never walked with the narrow
-    * fixed budget (and vice versa). */
+    * fixed budget (and vice versa). `explicit` records whether the
+    * builder PASSED params (the oracle contract) or took the scaled
+    * defaults — the streaming ingest reads it to know whether a grown
+    * store may be auto-rescaled (r13 review finding: a stream whose
+    * first batch was small would otherwise keep tiny-corpus constants
+    * forever and re-enter the recall-collapse regime). */
   private def writeNswParams(s: SparkSession, path: String, m: Int,
                              rounds: Int, beam: Int, hops: Int,
-                             n: Long): Unit = {
+                             n: Long, explicit: Boolean): Unit = {
     import s.implicits._
-    Seq((m, rounds, beam, hops, n)).toDF("m", "rounds", "beam", "hops", "n")
+    Seq((m, rounds, beam, hops, n, explicit))
+      .toDF("m", "rounds", "beam", "hops", "n", "pinned")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
   }
 
@@ -2268,14 +2275,26 @@ object Similarity {
     * a params manifest; None for pre-r13 stores (serve falls back to
     * the fixed constants those stores were built with). */
   private[graft] def readNswParams(s: SparkSession,
-                                   path: String): Option[(Int, Int, Int, Int)] = {
+                                   path: String): Option[(Int, Int, Int, Int)] =
+    readNswParamsFull(s, path).map(p => (p._1, p._2, p._3, p._4))
+
+  /** Full manifest row: (m, rounds, beam, hops, n, pinned). A
+    * manifest without the pinned column (or none at all) reads
+    * pinned = true — conservative: never auto-rescale a store whose
+    * intent is unknown. */
+  private[graft] def readNswParamsFull(s: SparkSession, path: String)
+      : Option[(Int, Int, Int, Int, Long, Boolean)] = {
     val p = new org.apache.hadoop.fs.Path(s"$path/params")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
     else {
-      val r = s.read.parquet(s"$path/params").head()
+      val df = s.read.parquet(s"$path/params")
+      val r = df.head()
+      val pinned = if (df.columns.contains("pinned"))
+        r.getAs[Boolean]("pinned") else true
       Some((r.getAs[Int]("m"), r.getAs[Int]("rounds"),
-        r.getAs[Int]("beam"), r.getAs[Int]("hops")))
+        r.getAs[Int]("beam"), r.getAs[Int]("hops"),
+        r.getAs[Long]("n"), pinned))
     }
   }
 
@@ -2714,7 +2733,7 @@ object Similarity {
     writeNswParams(s, path, if (m > 0) m else sm0,
       if (rounds > 0) rounds else sr0,
       if (m > 0) NswBeam else sb0, if (m > 0) NswHops else sh0,
-      layerN.head)
+      layerN.head, explicit = m > 0 || rounds > 0)
   }
 
   /** q336: HNSW layered serve through the PERSISTED index (round 13;
@@ -2764,7 +2783,14 @@ object Similarity {
     val vectors = s.read.parquet(s"$path/vectors").localCheckpoint()
     val c = vectors.select(col("vid"), col("c_emb"))
     val q = queries.select(col(id).as("query_id"), col(emb).as("q_emb"))
-    val top = g.agg(max(col("level"))).head().getInt(0)
+    // an all-empty graph (tiny corpus with no seed-ring collisions)
+    // has NULL max(level); fail loudly like the build-side require
+    // rather than NPE (r13 review finding)
+    val topRow = g.agg(max(col("level"))).head()
+    require(!topRow.isNullAt(0),
+      s"hnsw store at $path has an empty graph (no adjacency rows) — " +
+        "the corpus is too small or produced no seed-ring collisions")
+    val top = topRow.getInt(0)
     // entry: the smallest vids OF THE TOP LAYER (the q250 fixed-entry
     // convention, lifted one hierarchy up)
     val topEntry = vectors.filter(col("level") >= top)

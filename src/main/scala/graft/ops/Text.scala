@@ -223,7 +223,7 @@ object Text {
     * Scale (100 TB): entirely map-side per-document arithmetic into
     * ONE 7-counter aggregation — the corpus shuffles seven numbers
     * per task; the per-rule unpivot is 6 rows. */
-  def gopherRules(docs: DataFrame, id: String, text: String): DataFrame = {
+  def gopherRules(docs: DataFrame, text: String): DataFrame = {
     val d0 = withToks(docs, text)
     val nTok = size(toks).cast("long")
     val meanMilli = graft.functions.F.idiv(
@@ -258,7 +258,7 @@ object Text {
 
   /** q343: the per-rule Gopher audit over the documents table. */
   def q343(s: SparkSession, d: String): DataFrame =
-    gopherRules(Tables.documents(s, d), "doc_id", "text")
+    gopherRules(Tables.documents(s, d), "text")
 
   /** TERM BURSTINESS (round 13) — collection frequency over document
     * frequency per term: function words spread evenly (cf/df ≈ the
@@ -326,11 +326,19 @@ object Text {
     j = graft.functions.Cols.withLg64(j, col("arg1"), "lg1")
     j = graft.functions.Cols.withLg64(j, col("argd"), "lgd")
     j = graft.functions.Cols.withLg64(j, col("arg2"), "lg2")
+    // argd = 0 only on a degenerate one-sided split (a whole total is
+    // zero); the oracle's `WHERE v > 0` arg filter yields NULL terms
+    // there, and SQL sum skips NULLs in both engines — mirror that
+    // instead of letting withLg64(0) produce garbage (r13 review)
     val terms = j.select(col("a"), col("b"), col("ta"), col("tb"),
-      when(col("a") > 0L, dec(col("a")) * dec(col("lg1") - col("lgd")))
-        .otherwise(dec(lit(0L))).as("tp"),
-      when(col("b") > 0L, dec(col("b")) * dec(col("lg2") - col("lgd")))
-        .otherwise(dec(lit(0L))).as("tq"))
+      when(col("a") > 0L && col("argd") > 0L,
+        dec(col("a")) * dec(col("lg1") - col("lgd")))
+        .when(col("a") === 0L, dec(lit(0L)))
+        .otherwise(lit(null).cast("decimal(38,0)")).as("tp"),
+      when(col("b") > 0L && col("argd") > 0L,
+        dec(col("b")) * dec(col("lg2") - col("lgd")))
+        .when(col("b") === 0L, dec(lit(0L)))
+        .otherwise(lit(null).cast("decimal(38,0)")).as("tq"))
     terms.agg(count(lit(1)).as("n_terms"), max(col("ta")).as("n_ref"),
         max(col("tb")).as("n_cur"),
         sum(col("tp")).as("sp"), sum(col("tq")).as("sq"))
@@ -3805,13 +3813,19 @@ object Text {
 
   /** q344: isotonic-calibrated accuracy curve of the q42 language-ID
     * confidence score (the q276 pairing). */
-  def q344(s: SparkSession, d: String): DataFrame = {
+  def q344(s: SparkSession, d: String): DataFrame =
+    isotonicCalibration(langIdScored(s, d), "top_score_bp", "ok")
+
+  /** The shared score-quality input: q42's language-ID confidence
+    * paired with label correctness — the (score, ok) frame q276/q278/
+    * q308/q344/q352 all evaluate (hoisted r13; four verbatim copies
+    * had accumulated and could drift apart). */
+  private def langIdScored(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val pred = languageId(docs, "doc_id", "text", langMarkers)
-    val scored = docs.select(col("doc_id"), col("lang")).join(pred, "doc_id")
+    docs.select(col("doc_id"), col("lang")).join(pred, "doc_id")
       .select(col("top_score_bp"),
         (col("pred_lang") === col("lang")).cast("long").as("ok"))
-    isotonicCalibration(scored, "top_score_bp", "ok")
   }
 
   /** OPERATING-THRESHOLD PICK (round 13) — the DECISION member of the
@@ -3860,14 +3874,8 @@ object Text {
 
   /** q352: operating thresholds for the q42 language-ID confidence as
     * a correctness classifier (the q278 pairing). */
-  def q352(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-    val pred = languageId(docs, "doc_id", "text", langMarkers)
-    val scored = docs.select(col("doc_id"), col("lang")).join(pred, "doc_id")
-      .select(col("top_score_bp"),
-        (col("pred_lang") === col("lang")).cast("long").as("ok"))
-    thresholdPick(scored, "top_score_bp", "ok")
-  }
+  def q352(s: SparkSession, d: String): DataFrame =
+    thresholdPick(langIdScored(s, d), "top_score_bp", "ok")
 
   /** ROC-AUC (Mann–Whitney U) — can the score RANK right above wrong?
     * The discrimination half of the score-quality story (q276's
@@ -3958,25 +3966,13 @@ object Text {
 
   /** q278: does the q42 confidence rank correct predictions above
     * wrong ones — AUC of top_score_bp against label correctness. */
-  def q278(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-    val pred = languageId(docs, "doc_id", "text", langMarkers)
-    val scored = docs.select(col("doc_id"), col("lang")).join(pred, "doc_id")
-      .select(col("top_score_bp"),
-        (col("pred_lang") === col("lang")).cast("long").as("ok"))
-    aucFromScores(scored, "top_score_bp", "ok")
-  }
+  def q278(s: SparkSession, d: String): DataFrame =
+    aucFromScores(langIdScored(s, d), "top_score_bp", "ok")
 
   /** q276: reliability of the q42 marker predictor's top_score_bp as
     * a confidence signal for lang-label correctness. */
-  def q276(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-    val pred = languageId(docs, "doc_id", "text", langMarkers)
-    val scored = docs.select(col("doc_id"), col("lang")).join(pred, "doc_id")
-      .select(col("top_score_bp"),
-        (col("pred_lang") === col("lang")).cast("long").as("ok"))
-    calibration(scored, "top_score_bp", "ok", 10)
-  }
+  def q276(s: SparkSession, d: String): DataFrame =
+    calibration(langIdScored(s, d), "top_score_bp", "ok", 10)
 
   /** McNEMAR'S PAIRED TEST — did changing the model actually help?
     * Comparing two predictors by their separate accuracies ignores

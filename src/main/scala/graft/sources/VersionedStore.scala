@@ -678,6 +678,14 @@ object VersionedStore {
       s"${md.substring(12, 16)}-${md.substring(16, 20)}-${md.substring(20, 32)}"
     val ops = versions(s, root).map(t => t._1 -> t._2).toMap
     val fileLists = (1 to latest).map(v => v -> listedFiles(s, root, v)).toMap
+    // the snapshot each file FIRST entered in — the Iceberg spec's
+    // manifest_entry.snapshot_id for EXISTING entries is the ADDING
+    // snapshot, not the current one (r13 review finding: writing the
+    // current version would make incremental readers re-attribute
+    // every carried file as newly added in every snapshot)
+    val addedIn: Map[String, Int] = (1 to latest)
+      .flatMap(v => fileLists(v).map(_ -> v))
+      .groupBy(_._1).map { case (f, vs) => f -> vs.map(_._2).min }
     var written = 0
     for (v <- 1 to latest) {
       val metaPath = new Path(metaDir, s"v$v.metadata.json")
@@ -729,7 +737,7 @@ object VersionedStore {
           val e = new GenericData.Record(entrySchema)
           val isNew = !prevSet.contains(rel)
           e.put("status", java.lang.Integer.valueOf(if (isNew) 1 else 0))
-          e.put("snapshot_id", java.lang.Long.valueOf(v.toLong))
+          e.put("snapshot_id", java.lang.Long.valueOf(addedIn(rel).toLong))
           e.put("data_file", df)
           if (isNew) addedN += 1 else existingN += 1
           w.append(e)

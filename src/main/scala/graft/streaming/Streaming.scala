@@ -280,8 +280,37 @@ object Streaming {
               graft.sources.VersionedStore.publishDir(s, indexRoot)(p =>
                 graft.ops.Similarity.writeNswIndex(b, id, emb, p))
             case Some(cur) =>
-              graft.sources.VersionedStore.publishDir(s, indexRoot)(p =>
-                graft.ops.Similarity.appendToNswIndexTo(b, id, emb, cur, p))
+              // a DEFAULT-built (non-pinned) store whose grown size
+              // now scales to a different construction budget is
+              // REBUILT scaled instead of appended — otherwise a
+              // stream whose first batch was small keeps tiny-corpus
+              // constants forever and walks straight back into the
+              // recall-collapse regime the scaled defaults exist to
+              // prevent (r13 review finding). Rebuild cost amortizes:
+              // nswScaledParams changes at most O(log n) times over a
+              // store's lifetime.
+              val pinnedNow = graft.ops.Similarity
+                .readNswParamsFull(s, cur)
+              val existing = s.read.parquet(s"$cur/vectors")
+                .select(col("vid").as(id), col("c_emb").as(emb))
+                .localCheckpoint()
+              // store rows win on replay (the append path's left-anti
+              // idempotence rule), so the rebuild input is exact
+              val fresh = b.select(col(id), col(emb))
+                .join(existing.select(col(id)), Seq(id), "left_anti")
+                .localCheckpoint()
+              val grownN = existing.count() + fresh.count()
+              val mustRescale = pinnedNow.exists { case (m, r, bm, h, _, pin) =>
+                !pin &&
+                  graft.ops.Similarity.nswScaledParams(grownN) != ((m, r, bm, h))
+              }
+              if (mustRescale)
+                graft.sources.VersionedStore.publishDir(s, indexRoot)(p =>
+                  graft.ops.Similarity.writeNswIndex(
+                    existing.unionByName(fresh), id, emb, p))
+              else
+                graft.sources.VersionedStore.publishDir(s, indexRoot)(p =>
+                  graft.ops.Similarity.appendToNswIndexTo(b, id, emb, cur, p))
           }
         }
         ()

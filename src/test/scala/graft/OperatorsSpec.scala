@@ -1533,7 +1533,7 @@ class OperatorsSpec extends SparkSpec {
     val short = ("d2", "the a tiny doc")    // word count < 50
     val rep = ("d3", ("the a " + Seq.fill(60)("spam").mkString(" ")))
     val df = Seq(good, short, rep).toDF("doc_id", "text")
-    val out = Text.gopherRules(df, "doc_id", "text").collect()
+    val out = Text.gopherRules(df, "text").collect()
       .map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(out("word_count") == 1L, s"word_count ${out("word_count")}")
     assert(out("repetition") == 2L,  // d3 spam-heavy; d2 has 2x 'the'? no:

@@ -610,11 +610,19 @@ class SourcesSpec extends SparkSpec {
       val rows = entries.map(_.get("data_file").asInstanceOf[GenericRecord]
         .get("record_count").asInstanceOf[Long]).sum
       assert(rows == VersionedStore.read(spark, root, v).count())
-      // status: ADDED(1) for files entering at v, EXISTING(0) carried
+      // status: ADDED(1) for files entering at v, EXISTING(0) carried;
+      // snapshot_id is the snapshot the file was ADDED in (spec
+      // requirement — incremental readers attribute by it), so an
+      // EXISTING entry must point BACK at its adding snapshot
       if (v == 2) {
         val byStatus = entries.groupBy(_.get("status").asInstanceOf[Int])
         assert(byStatus(0).nonEmpty && byStatus(1).nonEmpty,
           "an append snapshot carries both EXISTING and ADDED entries")
+        assert(byStatus(0).forall(_.get("snapshot_id")
+          .asInstanceOf[Long] == 1L),
+          "EXISTING entries must carry the ADDING snapshot id")
+        assert(byStatus(1).forall(_.get("snapshot_id")
+          .asInstanceOf[Long] == 2L))
       }
     }
     // partitioned op store: identity spec + per-file partition values

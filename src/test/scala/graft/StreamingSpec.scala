@@ -677,4 +677,51 @@ class StreamingSpec extends SparkSpec {
         "version 1 must hold exactly the first batch's vectors")
     } finally q.stop()
   }
+
+  test("streaming graph-ANN ingest rescales a default-built store when " +
+       "growth crosses the scaled-params threshold") {
+    import graft.sources.VersionedStore
+    implicit val sqlCtx = spark.sqlContext
+    import SparkTestSession.spark.implicits._
+    // 1400 vectors: batch 1 (700) builds sub-threshold with the fixed
+    // constants (pinned = false); batch 2 grows past 1024, so the
+    // ingest must REBUILD scaled instead of appending at M=16 — the
+    // r13 review finding that would otherwise re-enter the r12
+    // recall-collapse regime on long-lived streams
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 1400).map(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextFloat() * 2f - 1f)))
+    val (b1, b2) = rows.partition(_._1 < 700)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-nswstream-rescale").toString
+    val root = s"$tmp/nswidx"
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = Streaming.nswIngestStream(in.toDF().toDF("vec_id", "embedding"),
+        root, "vec_id", "embedding")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .start()
+    try {
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      val dir1 = VersionedStore.resolveDir(spark, root).get
+      assert(ops.Similarity.readNswParams(spark, dir1)
+        .contains(ops.Similarity.nswScaledParams(700L)),
+        "sub-threshold first batch pins the fixed constants")
+      in.addData(b2: _*)
+      q.processAllAvailable()
+      val dir2 = VersionedStore.resolveDir(spark, root).get
+      assert(ops.Similarity.readNswParams(spark, dir2)
+        .contains(ops.Similarity.nswScaledParams(1400L)),
+        "crossing the threshold must rebuild with the scaled budget")
+      // the rebuilt store is bit-identical to a one-shot default
+      // build over the full corpus (determinism transfers)
+      val oneShot = s"$tmp/oneshot"
+      ops.Similarity.writeNswIndex(rows.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", oneShot)
+      def graphOf(p: String) = spark.read.parquet(s"$p/graph").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(graphOf(dir2) == graphOf(oneShot),
+        "rescaled stream store must equal the one-shot scaled build")
+    } finally q.stop()
+  }
 }
