@@ -368,6 +368,9 @@ object SparkEntry {
     "q351_wordpiece"      -> (Text.q351 _),
     "q352_threshold_pick" -> (Text.q352 _),
     "q353_dup_transitivity" -> (Dedup.q353 _),
+    "q354_rouge_pairs"    -> (Dedup.q354 _),
+    "q355_cluster_purity" -> (Dedup.q355 _),
+    "q356_log_odds_terms" -> (Text.q356 _),
     "q346_link_prediction" -> (Relational.q346 _),
     "q345_wasserstein"    -> (Relational.q345 _),
   )
@@ -1689,6 +1692,95 @@ object SparkEntry {
            CAST((1000 * (sp // n_ref + sq // n_cur)) // 128 AS BIGINT)
              AS jsd_mbits
          FROM m""" },
+
+    // Monroe log-odds distinctive terms: exact 64*log2 deltas via the
+    // shared lgCte over the distinct smoothed-count arguments, one
+    // pinned-double z boundary, top-5 per slice.
+    "q356_log_odds_terms" -> {
+      s"""WITH tk AS (SELECT lang AS sl,
+             unnest(string_split(text, ' ')) AS tok FROM documents),
+         tf AS MATERIALIZED (SELECT sl, tok, count(*) AS a
+           FROM tk GROUP BY 1, 2),
+         bt AS (SELECT tok, sum(a) AS g FROM tf GROUP BY 1),
+         bs AS (SELECT sl, sum(a) AS ta FROM tf GROUP BY 1),
+         tt AS (SELECT sum(a) AS n, count(DISTINCT tok) AS v FROM tf),
+         base AS MATERIALIZED (SELECT tf.sl, tf.tok, tf.a,
+             bt.g - tf.a AS b,
+             tf.a + 1 AS arg_a,
+             greatest(bs.ta + tt.v - tf.a - 1, 1) AS arg_da,
+             bt.g - tf.a + 1 AS arg_b,
+             greatest(tt.n - bs.ta + tt.v - (bt.g - tf.a) - 1, 1) AS arg_db
+           FROM tf JOIN bt USING (tok) JOIN bs USING (sl) CROSS JOIN tt),
+         args AS (SELECT DISTINCT v2 AS k, v2 AS n FROM (
+             SELECT arg_a AS v2 FROM base
+             UNION ALL SELECT arg_da FROM base
+             UNION ALL SELECT arg_b FROM base
+             UNION ALL SELECT arg_db FROM base)),
+         pw AS (SELECT unnest(range(0, 63)) AS p),
+         ${UnigramOracleSql.lgCte("lgt", "args", "k", "k")},
+         fin AS (SELECT base.sl, base.tok, base.a, base.b,
+             l1.lg - l2.lg - l3.lg + l4.lg AS delta_q,
+             CAST(floor((CAST(l1.lg - l2.lg - l3.lg + l4.lg AS DOUBLE) / 64)
+               / sqrt(1.0 / base.arg_a + 1.0 / base.arg_b) * 1000 + 0.5)
+               AS BIGINT) AS z_milli
+           FROM base JOIN lgt l1 ON l1.k = base.arg_a
+           JOIN lgt l2 ON l2.k = base.arg_da
+           JOIN lgt l3 ON l3.k = base.arg_b
+           JOIN lgt l4 ON l4.k = base.arg_db)
+         SELECT sl, tok, CAST(a AS BIGINT) AS n_in,
+           CAST(b AS BIGINT) AS n_out, CAST(delta_q AS BIGINT) AS delta_q,
+           z_milli
+         FROM (SELECT *, row_number() OVER (PARTITION BY sl
+             ORDER BY z_milli DESC, tok ASC) AS rn FROM fin)
+         WHERE rn <= 5""" },
+
+    // ROUGE-1/2 F1 (set form) over the shared jaccard candidate
+    // pairs: per-doc unigram/bigram sets, per-pair intersections,
+    // F1 = 2*overlap/(|A|+|B|) by one idiv.
+    "q354_rouge_pairs" ->
+      s"""WITH p AS ($jaccardOracle),
+         g AS (SELECT doc_id,
+             list_distinct(string_split(text, ' ')) AS g1,
+             list_distinct(list_transform(
+               range(1, len(string_split(text, ' '))),
+               i -> string_split(text, ' ')[i] || ' '
+                 || string_split(text, ' ')[i + 1])) AS g2
+           FROM documents),
+         j AS (SELECT p.doc_a, p.doc_b,
+             len(list_filter(a.g1, x -> list_contains(b.g1, x))) AS o1,
+             len(list_filter(a.g2, x -> list_contains(b.g2, x))) AS o2,
+             len(a.g1) + len(b.g1) AS d1,
+             len(a.g2) + len(b.g2) AS d2
+           FROM p JOIN g a ON a.doc_id = p.doc_a
+           JOIN g b ON b.doc_id = p.doc_b)
+         SELECT doc_a, doc_b, CAST(o1 AS BIGINT) AS overlap1,
+           CAST((20000 * o1) // d1 AS BIGINT) AS rouge1_f_bp,
+           CAST(o2 AS BIGINT) AS overlap2,
+           CAST(CASE WHEN d2 = 0 THEN NULL
+                ELSE (20000 * o2) // d2 END AS BIGINT) AS rouge2_f_bp
+         FROM j""",
+
+    // Cluster label purity: the shared connected-components CTEs +
+    // one (cluster, lang) rollup; majority label by (count DESC,
+    // label ASC); corpus purity as the ALL row.
+    "q355_cluster_purity" ->
+      s"""WITH RECURSIVE $ClusterCtes,
+         cl AS (SELECT lab.cluster_id, d.lang AS lbl, count(*) AS c
+           FROM lab JOIN documents d ON d.doc_id = lab.node GROUP BY 1, 2),
+         per AS MATERIALIZED (SELECT cluster_id, sum(c) AS n,
+             max(CASE WHEN rn = 1 THEN lbl END) AS top_label,
+             max(CASE WHEN rn = 1 THEN c END) AS top_n
+           FROM (SELECT *, row_number() OVER (PARTITION BY cluster_id
+               ORDER BY c DESC, lbl ASC) AS rn FROM cl)
+           GROUP BY 1),
+         al AS (SELECT CAST(NULL AS BIGINT) AS cluster_id, sum(n) AS n,
+             CAST(NULL AS VARCHAR) AS top_label, sum(top_n) AS top_n
+           FROM per)
+         SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(n AS BIGINT) AS n, top_label,
+           CAST(top_n AS BIGINT) AS top_n,
+           CAST((10000 * top_n) // n AS BIGINT) AS purity_bp
+         FROM (SELECT * FROM per UNION ALL SELECT * FROM al)""",
 
     // Threshold pick: descending cumulative TP/FP on the score grid,
     // exact integer F1/Youden, one deterministic argmax per criterion.

@@ -954,6 +954,98 @@ object Dedup {
   def q55(s: SparkSession, d: String): DataFrame =
     clusters(q51(s, d).select(col("doc_a"), col("doc_b")))
 
+  /** ROUGE OVERLAP FOR CANDIDATE PAIRS (round 13) — the
+    * summarization-literature overlap scores applied where a dedup
+    * pipeline actually needs them: near-dup CANDIDATES. Jaccard
+    * (q51/q52) treats all shared vocabulary equally; ROUGE-1/ROUGE-2
+    * F1 over unigram and bigram SETS (the set form — documented
+    * contract; clipped-multiset ROUGE differs only on
+    * repeated-n-gram mass) separates "same words, different text"
+    * from "same phrasing" — the bigram score is what drops when a
+    * paraphrase mill rewrites word order. F1 needs no P/R
+    * intermediate: F1 = 2·overlap/(|A| + |B|), one exact idiv per
+    * pair. Pairs come in bounded (the q52 discipline); per-doc n-gram
+    * sets attach by equi-join.
+    *
+    * Scale (100 TB): the pair table is O(near-dups); n-gram set
+    * construction is one map-side pass; the intersection is per-pair
+    * array work, never a token-level join. */
+  def rougePairs(pairs: DataFrame, docs: DataFrame, id: String,
+                 text: String): DataFrame = {
+    val grams = docs.select(col(id).as("did"),
+      array_distinct(graft.functions.Cols.tokens(col(text))).as("g1"),
+      array_distinct(expr(
+        "transform(slice(" + s"split($text, ' ')" + ", 1, " +
+          s"size(split($text, ' ')) - 1), (x, i) -> " +
+          s"concat(x, ' ', element_at(split($text, ' '), i + 2)))"))
+        .as("g2"))
+      .localCheckpoint() // joins both pair sides
+    pairs
+      .join(grams.select(col("did").as("doc_a"), col("g1").as("a1"),
+        col("g2").as("a2")), "doc_a")
+      .join(grams.select(col("did").as("doc_b"), col("g1").as("b1"),
+        col("g2").as("b2")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("a1"), col("b1"))).cast("long").as("o1"),
+        size(array_intersect(col("a2"), col("b2"))).cast("long").as("o2"),
+        (size(col("a1")) + size(col("b1"))).cast("long").as("d1"),
+        (size(col("a2")) + size(col("b2"))).cast("long").as("d2"))
+      .select(col("doc_a"), col("doc_b"), col("o1").as("overlap1"),
+        graft.functions.F.idiv(lit(20000L) * col("o1"), col("d1"))
+          .as("rouge1_f_bp"),
+        col("o2").as("overlap2"),
+        when(col("d2") === 0L, lit(null).cast("long"))
+          .otherwise(graft.functions.F.idiv(lit(20000L) * col("o2"),
+            col("d2"))).as("rouge2_f_bp"))
+  }
+
+  /** q354: ROUGE-1/2 F1 over the q52 MinHash-LSH candidate pairs. */
+  def q354(s: SparkSession, d: String): DataFrame =
+    rougePairs(q52(s, d).select(col("doc_a"), col("doc_b")),
+      Tables.documents(s, d), "doc_id", "text")
+
+  /** DUP-CLUSTER LABEL PURITY (round 13) — do the connected components
+    * respect a trusted grouping? Near-dup clusters that MIX languages
+    * (or licenses, or sources-of-truth) are the concrete symptom of
+    * the q353 chaining problem: keep-one dedup would then delete
+    * documents that are NOT interchangeable. Per cluster: size, the
+    * majority label (count DESC, label ASC tie-break) and its share;
+    * the ALL row is the corpus-level purity Σ top / Σ n — 10⁴ bp
+    * means every cluster is label-homogeneous and keep-one is safe
+    * along this axis.
+    *
+    * Scale (100 TB): clusters arrive bounded (pair-graph nodes only);
+    * one (cluster, label) rollup + cluster-sized windows. */
+  def clusterPurity(clusters: DataFrame, labels: DataFrame, id: String,
+                    label: String): DataFrame = {
+    val cl = clusters.select(col("doc_id").as("did"), col("cluster_id"))
+      .join(labels.select(col(id).as("did"), col(label).as("lbl")), "did")
+      .groupBy(col("cluster_id"), col("lbl"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("c").desc, col("lbl").asc)
+    val per = cl
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("cluster_id"))
+      .agg(sum(col("c")).as("n"),
+        max(when(col("rn") === 1, col("lbl"))).as("top_label"),
+        max(when(col("rn") === 1, col("c"))).as("top_n"))
+      .select(col("cluster_id"), col("n"), col("top_label"), col("top_n"),
+        graft.functions.F.idiv(lit(10000L) * col("top_n"), col("n"))
+          .as("purity_bp"))
+      .localCheckpoint() // cluster-sized; feeds rows AND the ALL fold
+    val all = per.agg(sum(col("n")).as("n"), sum(col("top_n")).as("top_n"))
+      .select(lit(null).cast("long").as("cluster_id"), col("n"),
+        lit(null).cast("string").as("top_label"), col("top_n"),
+        graft.functions.F.idiv(lit(10000L) * col("top_n"), col("n"))
+          .as("purity_bp"))
+    per.unionByName(all)
+  }
+
+  /** q355: language purity of the q55 near-dup clusters. */
+  def q355(s: SparkSession, d: String): DataFrame =
+    clusterPurity(q55(s, d), Tables.documents(s, d), "doc_id", "lang")
+
   /** CROSS-SOURCE DUPLICATION ATTRIBUTION — the content-farm detector:
     * near-dup pairs rolled up to (source_a, source_b) with the pair
     * count and each side's duplicated-document count. The diagonal is

@@ -260,6 +260,65 @@ object Text {
   def q343(s: SparkSession, d: String): DataFrame =
     gopherRules(Tables.documents(s, d), "text")
 
+  /** DISTINCTIVE TERMS BY LOG-ODDS (round 13) — Monroe/Colaresi/
+    * Quinn's "Fightin' Words" method, the standard answer to "which
+    * terms CHARACTERIZE this slice against the rest": raw counts
+    * favor function words, plain TF-IDF over-rewards rare flukes;
+    * the smoothed log-odds-ratio z-score
+    *   δ_t = log((a+1)/(A+V−a−1)) − log((b+1)/(B+V−b−1)),
+    *   z_t = δ_t / √(1/(a+1) + 1/(b+1))
+    * (α = 1 Laplace prior over the V-term vocabulary) balances both.
+    * δ is computed in exact 64·log2 units via the distributed
+    * [[graft.functions.Cols#withLg64]] (arguments are count-sized);
+    * the single pinned-double boundary converts to bits and divides
+    * by the variance root: z_milli = ⌊1000·(δ_q/64)/√(1/(a+1) +
+    * 1/(b+1)) + ½⌋. Top-k per slice by (z DESC, term ASC).
+    *
+    * Scale (100 TB): one tokenize pass to the (slice, term) grain,
+    * vocabulary-sized joins, |slices|·k output via per-slice windows
+    * over the vocabulary table. */
+  def logOddsTerms(docs: DataFrame, slice: String, text: String,
+                   topK: Int): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val tf = withToks(docs, text)
+      .select(col(slice).as("sl"), explode(toks).as("tok"))
+      .groupBy(col("sl"), col("tok")).agg(count(lit(1)).as("a"))
+      .localCheckpoint() // feeds per-term globals AND slice totals
+    val byTerm = tf.groupBy(col("tok")).agg(sum(col("a")).as("g"))
+    val bySlice = tf.groupBy(col("sl")).agg(sum(col("a")).as("ta"))
+    val totals = tf.agg(sum(col("a")).as("n"),
+      countDistinct(col("tok")).as("v"))
+    var j = tf.join(byTerm, "tok").join(broadcast(bySlice), "sl")
+      .crossJoin(broadcast(totals))
+      .withColumn("b", col("g") - col("a"))
+      .withColumn("arg_a", col("a") + lit(1L))
+      .withColumn("arg_da",
+        greatest(col("ta") + col("v") - col("a") - lit(1L), lit(1L)))
+      .withColumn("arg_b", col("b") + lit(1L))
+      .withColumn("arg_db",
+        greatest(col("n") - col("ta") + col("v") - col("b") - lit(1L),
+          lit(1L)))
+    j = graft.functions.Cols.withLg64(j, col("arg_a"), "lg_a")
+    j = graft.functions.Cols.withLg64(j, col("arg_da"), "lg_da")
+    j = graft.functions.Cols.withLg64(j, col("arg_b"), "lg_b")
+    j = graft.functions.Cols.withLg64(j, col("arg_db"), "lg_db")
+    val deltaQ = col("lg_a") - col("lg_da") - col("lg_b") + col("lg_db")
+    val z = (deltaQ.cast("double") / lit(64d)) /
+      sqrt(lit(1d) / col("arg_a").cast("double") +
+        lit(1d) / col("arg_b").cast("double"))
+    val scored = j.select(col("sl"), col("tok"), col("a").as("n_in"),
+      col("b").as("n_out"), deltaQ.as("delta_q"),
+      floor(z * lit(1000d) + lit(0.5d)).cast("long").as("z_milli"))
+    val w = Window.partitionBy(col("sl"))
+      .orderBy(col("z_milli").desc, col("tok").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= topK).drop("rn")
+  }
+
+  /** q356: the 5 most lang-distinctive terms per language. */
+  def q356(s: SparkSession, d: String): DataFrame =
+    logOddsTerms(Tables.documents(s, d), "lang", "text", 5)
+
   /** TERM BURSTINESS (round 13) — collection frequency over document
     * frequency per term: function words spread evenly (cf/df ≈ the
     * corpus mean), content/topical terms CLUMP — when they appear

@@ -1706,6 +1706,58 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getLong(4) == 2500L, s"open share ${r.getLong(4)}")
   }
 
+  test("q354 rouge pairs: identical docs 10000, word-shuffle keeps " +
+       "rouge1 but drops rouge2") {
+    import SparkTestSession.spark.implicits._
+    val docs = Seq((1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the mat"),
+      (3L, "mat the on sat cat the")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val out = Dedup.rougePairs(pairs, docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(3), if (r.isNullAt(5)) -1L else r.getLong(5))).toMap
+    assert(out((1L, 2L)) == ((10000L, 10000L)), s"${out((1L, 2L))}")
+    val (r1, r2) = out((1L, 3L))
+    assert(r1 == 10000L, "same unigram set under shuffle")
+    assert(r2 < 3000L, s"shuffled word order must gut rouge2: $r2")
+  }
+
+  test("q355 cluster purity: mixed cluster scores its majority share; " +
+       "ALL row aggregates") {
+    import SparkTestSession.spark.implicits._
+    val clusters = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 40L),
+      (5L, 40L)).toDF("doc_id", "cluster_id")
+    val labels = Seq((1L, "en"), (2L, "en"), (3L, "de"), (4L, "fr"),
+      (5L, "fr")).toDF("doc_id", "lang")
+    val out = Dedup.clusterPurity(clusters, labels, "doc_id", "lang")
+      .collect()
+    val c10 = out.find(r => !r.isNullAt(0) && r.getLong(0) == 10L).get
+    assert(c10.getString(2) == "en" && c10.getLong(4) == 6666L,
+      s"majority 2/3: ${(c10.getString(2), c10.getLong(4))}")
+    val all = out.find(_.isNullAt(0)).get
+    assert(all.getLong(1) == 5L && all.getLong(4) == 8000L,
+      s"corpus purity 4/5: ${(all.getLong(1), all.getLong(4))}")
+  }
+
+  test("q356 log odds: the planted slice-exclusive term tops its slice") {
+    import SparkTestSession.spark.implicits._
+    val docs = Seq(
+      (1L, "x", "common words here zonk zonk zonk zonk"),
+      (2L, "x", "common words here zonk zonk"),
+      (3L, "y", "common words here blip blip blip blip"),
+      (4L, "y", "common words here blip blip"))
+      .toDF("doc_id", "sl", "text")
+    val out = Text.logOddsTerms(docs, "sl", "text", 2)
+      .collect().groupBy(_.getString(0))
+    val topX = out("x").minBy(_.getLong(5) * -1)
+    val topY = out("y").minBy(_.getLong(5) * -1)
+    assert(topX.getString(1) == "zonk", s"x top ${topX.getString(1)}")
+    assert(topY.getString(1) == "blip", s"y top ${topY.getString(1)}")
+    // symmetric corpus -> symmetric z
+    assert(topX.getLong(5) == topY.getLong(5))
+    assert(topX.getLong(5) > 0L)
+  }
+
   test("q335 frequent triples: hand-counted combinations and support floor") {
     import SparkTestSession.spark.implicits._
     val items = Seq((1L, 1L), (1L, 2L), (1L, 3L),
