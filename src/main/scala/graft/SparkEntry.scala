@@ -371,6 +371,7 @@ object SparkEntry {
     "q354_rouge_pairs"    -> (Dedup.q354 _),
     "q355_cluster_purity" -> (Dedup.q355 _),
     "q356_log_odds_terms" -> (Text.q356 _),
+    "q357_rbo"            -> (Similarity.q357 _),
     "q346_link_prediction" -> (Relational.q346 _),
     "q345_wasserstein"    -> (Relational.q345 _),
   )
@@ -1692,6 +1693,30 @@ object SparkEntry {
            CAST((1000 * (sp // n_ref + sq // n_cur)) // 128 AS BIGINT)
              AS jsd_mbits
          FROM m""" },
+
+    // RBO: the shared quantized depth weights, a match at (ra, rb)
+    // enters every depth >= max, per-(query, depth) floored terms.
+    "q357_rbo" -> {
+      val wRows = ops.Similarity.rboWeights
+        .map { case (dd, w) => s"($dd, $w)" }.mkString(", ")
+      s"""WITH ea AS ($q60OracleSql),
+         eb AS (${AnnOracleSql.all("q61_ann_lsh")}),
+         dw(d, w) AS (VALUES $wRows),
+         mm AS MATERIALIZED (SELECT ea.query_id,
+             greatest(ea.rank, eb.rank) AS m
+           FROM ea JOIN eb ON eb.query_id = ea.query_id
+             AND eb.neighbor_id = ea.neighbor_id),
+         t AS (SELECT query_id, sum((w * od) // d) AS rbo FROM (
+             SELECT mm.query_id, dw.d, dw.w, count(*) AS od
+             FROM mm JOIN dw ON mm.m <= dw.d GROUP BY 1, 2, 3)
+           GROUP BY 1),
+         nm AS (SELECT query_id, count(*) AS nc FROM mm GROUP BY 1),
+         qq AS (SELECT DISTINCT query_id FROM ea)
+         SELECT qq.query_id,
+           CAST(coalesce(nm.nc, 0) AS BIGINT) AS n_common,
+           CAST(coalesce(t.rbo, 0) AS BIGINT) AS rbo_e8
+         FROM qq LEFT JOIN nm USING (query_id)
+         LEFT JOIN t USING (query_id)""" },
 
     // Monroe log-odds distinctive terms: exact 64*log2 deltas via the
     // shared lgCte over the distinct smoothed-count arguments, one

@@ -2072,6 +2072,64 @@ object Similarity {
   def q201(s: SparkSession, d: String): DataFrame =
     rankingMetrics(q60(s, d), q61(s, d))
 
+  /** RBO persistence and depth-k horizon — the published defaults for
+    * top-10 list comparison (p = 0.9 ⇒ the first 10 depths carry ~65%
+    * of the full-series weight). */
+  val RboPersistence = 0.9
+
+  /** The quantized RBO depth weights both engines share VERBATIM (the
+    * periodogram literal convention — p^(d−1) is a float the two
+    * engines must not each compute): w_d = ⌊(1−p)·p^(d−1)·10⁸⌋. */
+  val rboWeights: Seq[(Int, Long)] = (1 to TopK).map { dd =>
+    (dd, math.floor((1d - RboPersistence) *
+      math.pow(RboPersistence, dd - 1) * 1e8).toLong)
+  }
+
+  /** RANK-BIASED OVERLAP (round 13) — the retrieval-eval family's
+    * LIST-comparison member: recall (q192) counts shared items,
+    * nDCG/MRR (q201) score one list against graded truth, RBO
+    * (Webber et al.) compares two RANKINGS as a user would read them —
+    * top-weighted prefix agreement, Σ_d (1−p)p^(d−1)·|A_d ∩ B_d|/d —
+    * so two indexes that agree on the head score high even when their
+    * tails scramble. Truncated at depth k (the lists' length;
+    * documented — no extrapolation term). Exact integers: a shared
+    * match at ranks (ra, rb) enters every depth ≥ max(ra, rb); per
+    * (query, depth) the term ⌊w_d·o_d / d⌋ floors before the sum
+    * (the q338 discipline); queries with disjoint lists report 0.
+    *
+    * Scale (100 TB): both inputs are top-k tables (queries·k rows);
+    * everything here is k²-bounded per query. */
+  def rankBiasedOverlap(a: DataFrame, b: DataFrame): DataFrame = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    val dw = rboWeights.toDF("d", "w")
+    val matches = a.select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("int").as("ra"))
+      .join(b.select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("int").as("rb")), Seq("query_id", "neighbor_id"))
+      .select(col("query_id"), greatest(col("ra"), col("rb")).as("m"))
+      .localCheckpoint() // feeds the depth fan-out AND the match count
+    val terms = matches.crossJoin(broadcast(dw))
+      .where(col("m") <= col("d"))
+      .groupBy(col("query_id"), col("d"), col("w"))
+      .agg(count(lit(1)).as("od"))
+      .select(col("query_id"),
+        F.idiv(col("w") * col("od"), col("d").cast("long")).as("term"))
+      .groupBy(col("query_id")).agg(sum(col("term")).as("rbo"))
+    val nm = matches.groupBy(col("query_id")).agg(count(lit(1)).as("nc"))
+    a.select(col("query_id")).distinct()
+      .join(nm, Seq("query_id"), "left")
+      .join(terms, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("nc"), lit(0L)).as("n_common"),
+        coalesce(col("rbo"), lit(0L)).as("rbo_e8"))
+  }
+
+  /** q357: RBO of the LSH top-10 against exact brute-force truth —
+    * the q201 pairing read as prefix agreement. */
+  def q357(s: SparkSession, d: String): DataFrame =
+    rankBiasedOverlap(q60(s, d), q61(s, d))
+
   // ---- Graph ANN: deterministic NN-Descent k-NN graph + beam search ----
 
   val NswM = 16       // out-degree kept per node

@@ -1758,6 +1758,33 @@ class OperatorsSpec extends SparkSpec {
     assert(topX.getLong(5) > 0L)
   }
 
+  test("q357 rbo: identical lists hit the truncated maximum; head " +
+       "agreement outweighs tail agreement") {
+    import SparkTestSession.spark.implicits._
+    def lists(pairs: Seq[(Long, Long)]): org.apache.spark.sql.DataFrame =
+      pairs.zipWithIndex.map { case ((q, n), i) =>
+        (q, (i % 10) + 1, n) }.toDF("query_id", "rank", "neighbor_id")
+    val ids = (1L to 10L).map(n => (0L, n))
+    val self = Similarity.rankBiasedOverlap(lists(ids), lists(ids)).head()
+    // truncated max = sum_d floor(w_d * d / d) = sum of the weights
+    val maxRbo = Similarity.rboWeights.map(_._2).sum
+    assert(self.getLong(1) == 10L && self.getLong(2) == maxRbo,
+      s"identical lists: ${(self.getLong(1), self.getLong(2))}")
+    // same 9 shared items, but disagreeing at rank 1 vs rank 10:
+    // head agreement must score higher
+    val headSwap = (1L to 10L).map(n => (0L, if (n == 10) 99L else n))
+    val tailSwap = (1L to 10L).map(n => (0L, if (n == 1) 99L else n))
+    val hs = Similarity.rankBiasedOverlap(lists(ids), lists(headSwap))
+      .head().getLong(2)
+    val ts = Similarity.rankBiasedOverlap(lists(ids), lists(tailSwap))
+      .head().getLong(2)
+    assert(hs > ts, s"head agreement $hs must outweigh tail $ts")
+    // disjoint lists -> 0
+    val disj = (1L to 10L).map(n => (0L, n + 100L))
+    val z = Similarity.rankBiasedOverlap(lists(ids), lists(disj)).head()
+    assert(z.getLong(1) == 0L && z.getLong(2) == 0L)
+  }
+
   test("q335 frequent triples: hand-counted combinations and support floor") {
     import SparkTestSession.spark.implicits._
     val items = Seq((1L, 1L), (1L, 2L), (1L, 3L),
