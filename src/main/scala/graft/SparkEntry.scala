@@ -1711,7 +1711,7 @@ object SparkEntry {
              FROM mm JOIN dw ON mm.m <= dw.d GROUP BY 1, 2, 3)
            GROUP BY 1),
          nm AS (SELECT query_id, count(*) AS nc FROM mm GROUP BY 1),
-         qq AS (SELECT DISTINCT query_id FROM ea)
+         qq AS (SELECT query_id FROM ea UNION SELECT query_id FROM eb)
          SELECT qq.query_id,
            CAST(coalesce(nm.nc, 0) AS BIGINT) AS n_common,
            CAST(coalesce(t.rbo, 0) AS BIGINT) AS rbo_e8
@@ -3052,8 +3052,13 @@ object SparkEntry {
         .mkString(",\n             ")
       s"""WITH tb(p, k, cq, sq) AS (VALUES
              $rows),
-         daily AS (SELECT CAST(ts AS DATE) AS dy, count(*) AS x
+         dd AS (SELECT CAST(ts AS DATE) AS dy, count(*) AS x
            FROM events GROUP BY 1),
+         spn AS (SELECT min(dy) AS da, max(dy) AS db FROM dd),
+         cal AS (SELECT CAST(unnest(generate_series(da, db,
+             INTERVAL '1 day')) AS DATE) AS dy FROM spn),
+         daily AS (SELECT cal.dy, coalesce(dd.x, 0) AS x
+           FROM cal LEFT JOIN dd USING (dy)),
          base AS (SELECT min(dy) AS d0, count(*) AS nd,
              (1000 * sum(x)) // count(*) AS xbar FROM daily),
          rt AS (SELECT date_diff('day', b.d0, d.dy) AS t, b.nd,

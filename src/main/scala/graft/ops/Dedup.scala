@@ -972,13 +972,20 @@ object Dedup {
     * array work, never a token-level join. */
   def rougePairs(pairs: DataFrame, docs: DataFrame, id: String,
                  text: String): DataFrame = {
-    val grams = docs.select(col(id).as("did"),
-      array_distinct(graft.functions.Cols.tokens(col(text))).as("g1"),
-      array_distinct(expr(
-        "transform(slice(" + s"split($text, ' ')" + ", 1, " +
-          s"size(split($text, ' ')) - 1), (x, i) -> " +
-          s"concat(x, ' ', element_at(split($text, ' '), i + 2)))"))
-        .as("g2"))
+    // ONE tokenization feeds both scores: unigrams and bigrams derive
+    // from the same Cols.tokens array (CJK-segmentation-aware), so
+    // ROUGE-1 and ROUGE-2 always agree on what a token is (r13 advice:
+    // bigrams from a raw split(text, ' ') diverged from the unigram
+    // tokenization on any non-ASCII corpus). The DuckDB oracle's plain
+    // string_split is byte-identical to Cols.tokens on the
+    // space-separated verify corpus — the pinned oracle contract.
+    val grams = docs
+      .select(col(id).as("did"),
+        graft.functions.Cols.tokens(col(text)).as("tk"))
+      .select(col("did"), array_distinct(col("tk")).as("g1"),
+        array_distinct(expr(
+          "transform(slice(tk, 1, size(tk) - 1), (x, i) -> " +
+            "concat(x, ' ', element_at(tk, i + 2)))")).as("g2"))
       .localCheckpoint() // joins both pair sides
     pairs
       .join(grams.select(col("did").as("doc_a"), col("g1").as("a1"),

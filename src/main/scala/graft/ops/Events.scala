@@ -2455,10 +2455,14 @@ object Events {
     * literal table, products and squares in decimal(38,0), one
     * truncating idiv back to count² units — bit-replayable end to
     * end. The dominant period carries is_peak = 1 (power DESC, p ASC).
+    * The series is the COMPLETE calendar grid d0..dmax — zero-event
+    * days enter as x = 0 rows (the textbook regular-grid statistic;
+    * a present-days-only series would bias periods on sparse data).
     *
     * Scale (100 TB): the corpus reduces to the day table (one
-    * aggregation); the basis join fans |days|×|periods| rows of
-    * integers — calendar-bounded, never corpus-bounded. */
+    * aggregation + one calendar-sized zero-fill join); the basis join
+    * fans |days|×|periods| rows of integers — calendar-bounded, never
+    * corpus-bounded. */
   def periodogram(events: DataFrame, day: Column,
                   periods: Seq[Int] = PeriodogramPeriods): DataFrame = {
     val spark = events.sparkSession
@@ -2466,8 +2470,18 @@ object Events {
     def dec(c: Column): Column = c.cast("decimal(38,0)")
     val tbl = periodogramTable.filter(t => periods.contains(t._1))
       .toDF("p", "k", "cq", "sq")
-    val daily = events.groupBy(day.as("dy"))
-      .agg(count(lit(1)).as("x")).localCheckpoint()
+    // the series runs on the COMPLETE calendar grid d0..dmax —
+    // zero-event days enter as x = 0 rows so they pull the mean and
+    // carry residual mass like any other day (r13 advice: a
+    // present-days-only series biased detected periods on sparse
+    // data; the textbook periodogram is over the regular grid)
+    val counts = events.groupBy(day.as("dy"))
+      .agg(count(lit(1)).as("x"))
+    val daily = counts.agg(min(col("dy")).as("da"), max(col("dy")).as("db"))
+      .select(explode(sequence(col("da"), col("db"))).as("dy"))
+      .join(counts, Seq("dy"), "left")
+      .select(col("dy"), coalesce(col("x"), lit(0L)).as("x"))
+      .localCheckpoint()
     val base = daily.agg(min(col("dy")).as("d0"), count(lit(1)).as("nd"),
       F.idiv(lit(1000L) * sum(col("x")), count(lit(1))).as("xbar_milli"))
     val rt = daily.crossJoin(broadcast(base))

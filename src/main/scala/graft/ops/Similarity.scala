@@ -2096,6 +2096,8 @@ object Similarity {
     * match at ranks (ra, rb) enters every depth ≥ max(ra, rb); per
     * (query, depth) the term ⌊w_d·o_d / d⌋ floors before the sum
     * (the q338 discipline); queries with disjoint lists report 0.
+    * The output keys on the UNION of both inputs' query ids — a
+    * query ranked by only one engine scores 0, it is never dropped.
     *
     * Scale (100 TB): both inputs are top-k tables (queries·k rows);
     * everything here is k²-bounded per query. */
@@ -2117,7 +2119,11 @@ object Similarity {
         F.idiv(col("w") * col("od"), col("d").cast("long")).as("term"))
       .groupBy(col("query_id")).agg(sum(col("term")).as("rbo"))
     val nm = matches.groupBy(col("query_id")).agg(count(lit(1)).as("nc"))
-    a.select(col("query_id")).distinct()
+    // the query universe is the UNION of both inputs' query ids (r13
+    // advice: keying on `a` alone silently dropped queries present
+    // only in `b`); a query missing from either side reports 0 —
+    // maximally-disagreeing, which is what a missing list means
+    a.select(col("query_id")).union(b.select(col("query_id"))).distinct()
       .join(nm, Seq("query_id"), "left")
       .join(terms, Seq("query_id"), "left")
       .select(col("query_id"),

@@ -361,9 +361,13 @@ object Text {
     * lg64(a·B + b·A) on integer arguments ([[graft.functions.Cols#lg64]]
     * — the distributed column mirror of Text.lg64, codegen'd, no
     * UDF), terms weighted by raw counts, one idiv per KL leg and one
-    * at the milli-bit boundary. Count products must stay within
-    * Long (counts ≤ ~3·10⁹ per side; past that pre-scale counts —
-    * documented bound).
+    * at the milli-bit boundary. Headroom: the largest log argument is
+    * 2·a·tb ≤ 2·ta·tb, so the EXACT bound is ta·tb < 2⁶² (~2.1·10⁹
+    * tokens per side when balanced — r13 advice corrected the
+    * documented ~3·10⁹, which overflowed); past that, pre-scale
+    * counts. Enforced, not assumed: a raise_error guard on the
+    * one-row totals fails LOUDLY instead of letting non-ANSI Spark
+    * wrap silently where DuckDB HUGEINT would not.
     *
     * Scale (100 TB): one tokenize+count pass to the vocabulary
     * grain (Heaps-sublinear), totals broadcast, a 2-number fold. */
@@ -374,7 +378,17 @@ object Text {
       .groupBy(col("tok"))
       .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("a"),
         sum(when(!col("is_ref"), 1L).otherwise(0L)).as("b"))
+    // cheap loud overflow guard (one row): ta·tb ≥ 2⁶² would wrap the
+    // 2·a·tb log arguments below — fail here, not diverge silently
+    val lim = lit(4611686018427387903L) // 2^62 - 1
     val tot = tf.agg(sum(col("a")).as("ta"), sum(col("b")).as("tb"))
+      .select(
+        when(col("tb") > 0L && col("ta") > lim / col("tb"),
+          raise_error(lit("jsdDrift: ta*tb exceeds the exact-Long " +
+            "headroom (2*a*tb must stay below 2^63) - pre-scale counts"))
+            .cast("long"))
+          .otherwise(col("ta")).as("ta"),
+        col("tb"))
     var j = tf.crossJoin(broadcast(tot))
       // zero-count sides clamp their (unused) log argument to 1 so
       // bin() stays defined on every row; the when() below zeroes the

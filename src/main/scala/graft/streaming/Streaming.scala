@@ -266,7 +266,11 @@ object Streaming {
     * O(|batch|·M²) pairs; the copy-on-write rewrite is graph-sized —
     * at deployment partition the graph table and rewrite only
     * touched partitions (the mergeCommit discipline), which drops the
-    * per-batch write to O(touched partitions). */
+    * per-batch write to O(touched partitions). A PINNED store (or a
+    * manifest-less pre-r13 store) short-circuits straight to the
+    * append path — the auto-rescale size probe (store id scan + two
+    * counts) runs only for non-pinned stores, where it can actually
+    * fire (r13 advice). */
   def nswIngestStream(vectors: DataFrame, indexRoot: String,
                       id: String, emb: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
@@ -291,24 +295,36 @@ object Streaming {
               // store's lifetime.
               val pinnedNow = graft.ops.Similarity
                 .readNswParamsFull(s, cur)
-              val existing = s.read.parquet(s"$cur/vectors")
-                .select(col("vid").as(id), col("c_emb").as(emb))
-                .localCheckpoint()
-              // store rows win on replay (the append path's left-anti
-              // idempotence rule), so the rebuild input is exact
-              val fresh = b.select(col(id), col(emb))
-                .join(existing.select(col(id)), Seq(id), "left_anti")
-                .localCheckpoint()
-              val grownN = existing.count() + fresh.count()
-              val mustRescale = pinnedNow.exists { case (m, r, bm, h, _, pin) =>
-                !pin &&
+              // PINNED stores (and manifest-less pre-r13 stores,
+              // which read pinned = true) can never rescale — go
+              // straight to the append path without reading the
+              // store's vectors or paying two count() actions per
+              // micro-batch (r13 advice: the rescale probe was
+              // store-sized work on a branch that could never fire)
+              val mayRescale = pinnedNow.exists(!_._6)
+              val mustRescale = mayRescale && {
+                val existingIds = s.read.parquet(s"$cur/vectors")
+                  .select(col("vid").as(id))
+                // store rows win on replay (the append path's
+                // left-anti idempotence rule), so the grown size is
+                // exact: existing + genuinely-new batch rows
+                val grownN = existingIds.count() +
+                  b.select(col(id))
+                    .join(existingIds, Seq(id), "left_anti").count()
+                pinnedNow.exists { case (m, r, bm, h, _, _) =>
                   graft.ops.Similarity.nswScaledParams(grownN) != ((m, r, bm, h))
+                }
               }
-              if (mustRescale)
+              if (mustRescale) {
+                val existing = s.read.parquet(s"$cur/vectors")
+                  .select(col("vid").as(id), col("c_emb").as(emb))
+                  .localCheckpoint()
+                val fresh = b.select(col(id), col(emb))
+                  .join(existing.select(col(id)), Seq(id), "left_anti")
                 graft.sources.VersionedStore.publishDir(s, indexRoot)(p =>
                   graft.ops.Similarity.writeNswIndex(
                     existing.unionByName(fresh), id, emb, p))
-              else
+              } else
                 graft.sources.VersionedStore.publishDir(s, indexRoot)(p =>
                   graft.ops.Similarity.appendToNswIndexTo(b, id, emb, cur, p))
           }
