@@ -577,7 +577,7 @@ object AnnOracleSql {
     * pruned to top-M by (cos DESC, id ASC), each search hop as
     * expand → score → top-beam; cosine through the q60-established
     * list_cosine_similarity equivalence, bp only at the boundary. */
-  private val q250Sql: String = {
+  private def q250SqlTail(tail: Int => String): String = {
     val m = Similarity.NswM
     val rounds = Similarity.NswRounds
     val beam = Similarity.NswBeam
@@ -632,9 +632,35 @@ object AnnOracleSql {
             FROM qs q CROSS JOIN entry e JOIN ev c ON c.vec_id = e.vid),
     ${beamCte("f0", "f0s")},
     $hopCtes,
-    fin AS (SELECT query_id, vid, cos,
+    ${tail(hops)}"""
+  }
+
+  private val q250Sql: String = q250SqlTail(hops =>
+    s"""fin AS (SELECT query_id, vid, cos,
             CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vid ASC) AS INT) AS rank
             FROM f$hops WHERE vid <> query_id)
+    SELECT query_id, rank, vid AS neighbor_id, ${bpS("cos")} AS cos_bp
+    FROM fin WHERE rank <= ${Similarity.TopK}""")
+
+  /** q358 filtered graph serve: the identical build + walk, but the
+    * final rank runs over the predicate-passing subset of EVERY node
+    * the walk scored (entry scores f0s plus each hop's expansion
+    * scores sx1..sxH, deduped by max cos) — the engine's
+    * beamWalkScoredSet contract replayed verbatim, label equality
+    * joined from the embeddings table. */
+  private val q358Sql: String = q250SqlTail { hops =>
+    val unions = (1 to hops)
+      .map(h => s"UNION ALL SELECT query_id, vid, cos FROM sx$h")
+      .mkString("\n            ")
+    s"""allv AS (SELECT query_id, vid, max(cos) AS cos FROM (
+            SELECT query_id, vid, cos FROM f0s
+            $unions) GROUP BY 1, 2),
+    fin AS (SELECT a.query_id, a.vid, a.cos,
+            CAST(row_number() OVER (PARTITION BY a.query_id ORDER BY a.cos DESC, a.vid ASC) AS INT) AS rank
+            FROM allv a
+            JOIN embeddings cl ON cl.vec_id = a.vid
+            JOIN embeddings ql ON ql.vec_id = a.query_id
+            WHERE a.vid <> a.query_id AND cl.label = ql.label)
     SELECT query_id, rank, vid AS neighbor_id, ${bpS("cos")} AS cos_bp
     FROM fin WHERE rank <= ${Similarity.TopK}"""
   }
@@ -821,6 +847,7 @@ object AnnOracleSql {
     // q316 serves the persisted graph; the build is deterministic, so
     // the probe is row-identical to q250 and shares its replay oracle
     "q316_ann_graph_index" -> q250Sql,
+    "q358_ann_filtered_index" -> q358Sql,
     "q336_ann_hnsw_index"  -> q336Sql,
     "q271_cell_balance"    -> q271Sql,
     "q234_split_leakage"   -> q234Sql,

@@ -374,6 +374,7 @@ object SparkEntry {
     "q357_rbo"            -> (Similarity.q357 _),
     "q346_link_prediction" -> (Relational.q346 _),
     "q345_wasserstein"    -> (Relational.q345 _),
+    "q358_ann_filtered_index" -> (Similarity.q358 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:

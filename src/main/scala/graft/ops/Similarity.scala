@@ -2415,16 +2415,21 @@ object Similarity {
     * queries self-audit). The n² brute-force leg
     * ([[labelNoiseAudit]]) stays as spec truth — the DuckDB oracle is
     * still exact-kNN, so this entry passing the hash gate IS the
-    * measured statement that graph recall is exact at verify scale
-    * (flag-identity additionally spec-pinned at sf0.001). */
+    * measured statement that the graph walk reproduces the exact-5NN
+    * label-noise FLAG ROLLUP at verify scale (flag-identity
+    * spec-pinned at sf0.001 AND at the sf0.01 verify corpus —
+    * PropertySpec's graph-entry contract gate, round 14). */
   def q264(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
     // Shares q316's store; same explicit oracle-constant pin. The
-    // exact-5NN oracle contract was MEASURED exact at the 500-vector
-    // verify corpus (and holds through sf0.1's 2k by the fixed-param
-    // recall curve: 0.87 @ 2k is the first slip point; 500 reads
-    // 1.000) — growing the verify dataset past ~1k vectors flips this
-    // gate red BY DESIGN, the loud failure that forces re-measuring.
+    // precise contract (measured, round 14): per-query recall@5 at
+    // the 500-vector verify corpus is mean 0.998 / min 0.8 — NOT
+    // exact — but every near-miss neighbor carries the same label as
+    // the one it displaces, so the ≥4-of-5-disagree flag set and the
+    // per-label rollup are IDENTICAL to exact 5-NN (the in-repo gate:
+    // PropertySpec "graph-entry oracle contract"). Growing the verify
+    // dataset past the scale where that identity holds flips this
+    // gate red BY DESIGN — the spec fails first, with remediation.
     val dir = graft.sources.VersionedStore.resolveOrBuild(
       s, indexScratch(s, d, "nswidx"))(
       p => writeNswIndex(e, "vec_id", "embedding", p,
@@ -2892,5 +2897,114 @@ object Similarity {
     nswSearchTopK(graph, vectors,
       queries.select(col(id).as("nsw_id"), col(emb).as("nsw_emb")),
       "nsw_id", "nsw_emb", k, eb, eh, seeds, broadcastQueries)
+  }
+
+  /** The beamWalk body, additionally ACCUMULATING every SCORED
+    * (query, node, cos) triple across hops — the filtered probe ranks
+    * over this visited set instead of the final beam, because a
+    * selective predicate may leave too few survivors in a beam-width
+    * frontier while the walk has already scored (and discarded)
+    * plenty of passing nodes on the way. The set is bounded by
+    * seeds + hops·beam·M rows per query — walk-budget-sized, never
+    * corpus-sized. Dedup (max cos per pair) happens ONCE at the end;
+    * cosine is deterministic per pair so max = the value. */
+  private def beamWalkScoredSet(graph: DataFrame, c: DataFrame, q: DataFrame,
+                                entries: DataFrame, beam: Int, hops: Int,
+                                broadcastQueries: Boolean): DataFrame = {
+    val qj = if (broadcastQueries) broadcast(q) else q
+    val cos = F.cosineSim(col("q_emb"), col("c_emb"))
+    def scored(cands: DataFrame): DataFrame = cands
+      .join(c, "vid").join(qj, "query_id")
+      .select(col("query_id"), col("vid"), cos.as("cos"))
+    def topBeam(fr: DataFrame): DataFrame = fr
+      .groupBy(col("query_id"))
+      .agg(F.topK(struct(col("cos"), (-col("vid")).as("negid"),
+        col("vid").as("nid")), beam).as("top"))
+      .select(col("query_id"), explode(col("top")).as("e"))
+      .select(col("query_id"), col("e.nid").as("vid"), col("e.cos").as("cos"))
+    val first = scored(entries.select(col("query_id"), col("vid")))
+      .localCheckpoint()
+    var frontier = topBeam(first).localCheckpoint()
+    var visited = first
+    for (_ <- 1 to hops) {
+      val expand = frontier
+        .join(graph, "vid")
+        .select(col("query_id"), explode(col("nbrs")).as("vid"))
+        .distinct()
+      val sx = scored(expand).localCheckpoint()
+      frontier = topBeam(frontier.unionByName(sx)
+        .groupBy(col("query_id"), col("vid")).agg(max(col("cos")).as("cos")))
+        .localCheckpoint()
+      visited = visited.unionByName(sx)
+    }
+    visited.groupBy(col("query_id"), col("vid"))
+      .agg(max(col("cos")).as("cos"))
+  }
+
+  /** METADATA-FILTERED probe through the PERSISTED graph index (round
+    * 14; VERDICT r13 item 5 — the retrieval feature a real RAG corpus
+    * hits daily: "nearest neighbors WITH the same language / license /
+    * tenant"). q155 answers it exactly but re-scores the corpus per
+    * query batch; this serves it from the standing q316 store:
+    * the walk runs UNFILTERED (navigability must not depend on the
+    * predicate — a walk constrained to passing nodes strands in
+    * predicate islands, the documented failure of naive filtered
+    * graph search), while every node the walk SCORES is accumulated,
+    * and the final top-k ranks the predicate-passing subset of that
+    * visited set ([[beamWalkScoredSet]]). With the pinned budget the
+    * visited set is ≈ seeds + hops·beam·M nodes per query (~2k at the
+    * oracle constants), so selectivity s leaves ~s·2k passing
+    * candidates — ample at label-selectivity scales (1/16 here); for
+    * genuinely rare predicates raise beam/hops at the call, or
+    * pre-partition per-attribute stores (the IVF-per-tenant
+    * discipline). Recall vs selectivity is spec-measured against the
+    * exact q155 leg.
+    *
+    * Scale (100 TB): predicate attachment is one equi-join of the
+    * walk-budget-sized visited set against the (vid, attr) metadata
+    * table — the corpus is never scored wholesale, and the filter
+    * never widens the walk itself. */
+  def nswFilteredTopKFromIndex(s: SparkSession, path: String,
+                               queries: DataFrame, id: String, emb: String,
+                               attr: String, labels: DataFrame,
+                               k: Int = TopK, beam: Int = 0, hops: Int = 0,
+                               seeds: Int = NswSeeds,
+                               broadcastQueries: Boolean = true): DataFrame = {
+    val stored = readNswParams(s, path)
+    val eb = if (beam > 0) beam else stored.map(_._3).getOrElse(NswBeam)
+    val eh = if (hops > 0) hops else stored.map(_._4).getOrElse(NswHops)
+    val graph = s.read.parquet(s"$path/graph")
+    val c = s.read.parquet(s"$path/vectors")
+    val q = queries.select(col(id).as("query_id"), col(emb).as("q_emb"),
+      col(attr).as("q_attr"))
+    val entry = c.orderBy(col("vid")).limit(seeds).select(col("vid"))
+    val visited = beamWalkScoredSet(graph, c,
+      q.select(col("query_id"), col("q_emb")),
+      q.select(col("query_id")).crossJoin(broadcast(entry)),
+      eb, eh, broadcastQueries)
+    val lab = labels.select(col(id).as("vid"), col(attr).as("c_attr"))
+    val qa = q.select(col("query_id"), col("q_attr"))
+    rankTopK(visited
+      .join(lab, "vid")
+      .join(if (broadcastQueries) broadcast(qa) else qa, "query_id")
+      .where(col("c_attr") === col("q_attr") &&
+        col("vid") =!= col("query_id"))
+      .select(col("query_id"), col("vid").as("neighbor_id"), col("cos")), k)
+  }
+
+  /** q358: same-label top-10 served from the persisted graph store —
+    * the q155 retrieval answered the deployment way (q316's store,
+    * same explicit oracle-constant pin; the DuckDB replay walks the
+    * same graph and ranks the label-matching subset of the scored
+    * set verbatim). */
+  def q358(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val (c, q) = corpusAndQueries(s, d)
+    val dir = graft.sources.VersionedStore.resolveOrBuild(
+      s, indexScratch(s, d, "nswidx"))(
+      p => writeNswIndex(c, "vec_id", "embedding", p,
+        m = NswM, rounds = NswRounds, beam = NswBeam, hops = NswHops))
+    nswFilteredTopKFromIndex(s, dir, q, "vec_id", "embedding", "label",
+      e.select(col("vec_id"), col("label")))
   }
 }
