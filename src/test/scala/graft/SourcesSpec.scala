@@ -1080,4 +1080,64 @@ class SourcesSpec extends SparkSpec {
     assert(idx2.toSeq == Seq((1L, 0L, 3L)),
       s"zero-token bucket must emit no bins: ${idx2.toSeq}")
   }
+
+  test("interchange read-back verifiers: exports round-trip per " +
+       "snapshot and a tampered log fails loudly") {
+    import SparkTestSession.spark.implicits._
+    import graft.sources.VersionedStore
+    // an overwrite/append/overwrite history, exported both ways, must
+    // re-parse cleanly: every snapshot's (path, size, partitionValues,
+    // record_count, ADDED/EXISTING attribution) reconciles against the
+    // store manifests through the verifiers' own JSON/Avro readers
+    val root = tmp("rbv")
+    VersionedStore.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), root,
+      overwrite = true)
+    VersionedStore.commit(Seq((3L, "c")).toDF("id", "v"), root,
+      overwrite = false)
+    VersionedStore.commit(Seq((9L, "z")).toDF("id", "v"), root,
+      overwrite = true)
+    VersionedStore.exportDeltaLog(spark, root)
+    VersionedStore.exportIcebergMetadata(spark, root)
+    assert(VersionedStore.verifyDeltaLog(spark, root) == 3)
+    assert(VersionedStore.verifyIcebergMetadata(spark, root) == 3)
+    // a hive-partitioned store: partition tuples must round-trip too
+    val root2 = tmp("rbv-part")
+    VersionedStore.publishDir(spark, root2) { stage =>
+      Seq((1L, "a", 0), (2L, "b", 0), (3L, "c", 1))
+        .toDF("id", "v", "bucket")
+        .write.partitionBy("bucket").parquet(stage)
+    }
+    VersionedStore.exportDeltaLog(spark, root2)
+    VersionedStore.exportIcebergMetadata(spark, root2)
+    assert(VersionedStore.verifyDeltaLog(spark, root2) == 1)
+    assert(VersionedStore.verifyIcebergMetadata(spark, root2) == 1)
+    // tamper: flip one add.size in a delta commit — the verifier must
+    // name the divergence, not pass. (Tampering via nio invalidates
+    // the Hadoop .crc sidecars the exporter wrote — drop them, which
+    // a real tamperer would do too; Hadoop reads fine without them.)
+    def dropCrc(p: java.nio.file.Path): Unit =
+      java.nio.file.Files.deleteIfExists(
+        p.getParent.resolve("." + p.getFileName.toString + ".crc"))
+    val c0 = java.nio.file.Paths.get(s"$root/_delta_log/" + f"${0}%020d.json")
+    val orig = new String(java.nio.file.Files.readAllBytes(c0), "UTF-8")
+    dropCrc(c0)
+    java.nio.file.Files.writeString(c0,
+      orig.replaceFirst("\"size\":(\\d+)", "\"size\":1"))
+    val e1 = intercept[IllegalArgumentException] {
+      VersionedStore.verifyDeltaLog(spark, root)
+    }
+    assert(e1.getMessage.contains("size"), e1.getMessage)
+    java.nio.file.Files.writeString(c0, orig) // restore
+    assert(VersionedStore.verifyDeltaLog(spark, root) == 3)
+    // tamper: stale version hint — the iceberg verifier must refuse
+    val hint = java.nio.file.Paths.get(s"$root/metadata/version-hint.text")
+    dropCrc(hint)
+    java.nio.file.Files.writeString(hint, "2")
+    val e2 = intercept[IllegalArgumentException] {
+      VersionedStore.verifyIcebergMetadata(spark, root)
+    }
+    assert(e2.getMessage.contains("version-hint"), e2.getMessage)
+    java.nio.file.Files.writeString(hint, "3")
+    assert(VersionedStore.verifyIcebergMetadata(spark, root) == 3)
+  }
 }
