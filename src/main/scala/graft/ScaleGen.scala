@@ -79,8 +79,18 @@ object ScaleGen {
           val rotated = if (m == 0) col("embedding")
             else concat(slice(col("embedding"), m + 1, dim - m),
                         slice(col("embedding"), 1, m))
+          // past `dim` replicas the rotation WRAPS — replica dim
+          // would be replica 0 verbatim (duplicate vectors, which is
+          // contamination, not scale evidence). Compose with global
+          // negation on odd wrap bands: x -> -x is also an isometry
+          // (intra-replica cosines and top-k sets exact), and
+          // cos(x, -rot(x)) stays decorrelated, so factors up to
+          // 2*dim amplify cleanly (round 14, for the third-decade
+          // ANN row).
+          val iso = if ((r / dim) % 2 == 1)
+            transform(rotated, x => -x) else rotated
           base.select(shift("vec_id", r).as("vec_id"),
-            rotated.as("embedding"), col("label"))
+            iso.as("embedding"), col("label"))
         }
       case "events" => replicas { r =>
         base.select(shift("event_id", r).as("event_id"), col("ts"),

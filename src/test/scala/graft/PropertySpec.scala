@@ -124,4 +124,77 @@ class PropertySpec extends AnyFunSuite {
       got == refDp(w, v)
     })
   }
+
+  /** Per-query set recall of `got` against exact `truth` (both
+    * (query_id, rank, neighbor_id) top-k tables). */
+  private def knnRecall(truth: org.apache.spark.sql.DataFrame,
+                        got: org.apache.spark.sql.DataFrame): (Double, Double) = {
+    val t = truth.collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val g = got.collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val per = t.map { case (qid, ts) =>
+      g.getOrElse(qid, Set.empty).intersect(ts).size.toDouble / ts.size }
+    (per.sum / per.size, per.min)
+  }
+
+  test("graph-entry oracle contract: q264's flag rollup from the " +
+       "FIXED-constant walk matches exact 5-NN at the verify corpus, " +
+       "and the constants are measurably red one decade up") {
+    // THE in-repo enforcement of the q264 contract (VERDICT r13 item
+    // 2): q264 serves the graph probe while its DuckDB oracle derives
+    // the SAME label-noise rollup from exact 5-NN — the driver's hash
+    // gate passes only while the fixed oracle constants (M=16,
+    // 4 rounds, beam 32, 4 hops) make the two rollups IDENTICAL at
+    // the verify corpus (sf0.01, where the driver runs Verify). Note
+    // the precise contract: per-query recall need not be 1.0 (this
+    // spec MEASURED mean 0.998 / min 0.8 at the 500-vector corpus) —
+    // what must hold is that the ≥4-of-5-disagree FLAG SET, and hence
+    // the per-label rollup, is unchanged by the near-misses. q316/
+    // q336's oracles are full walk REPLAYS (both engines approximate
+    // identically at any scale), so q264 is the one entry with a
+    // scale contingency. This spec measures it locally, so outgrowing
+    // the contract fails HERE, at build time, with the remediation
+    // named — not as an unexplained red driver gate.
+    val spark = SparkTestSession.spark
+    val d001 = "/root/testdata/sf0.01"
+    val (c, _) = ops.Similarity.corpusAndQueries(spark, d001)
+    val lab = c.select(col("vec_id").as("vid"), col("label").as("lbl"))
+    // corpus-as-queries at k=5, exactly q264's audit shape
+    val graph = ops.Similarity.nnDescentGraph(c, "vec_id", "embedding")
+    val probe = ops.Similarity.nswSearchTopK(graph, c, c,
+      "vec_id", "embedding", k = 5, broadcastQueries = false)
+    val exact = ops.Similarity.bruteForceTopK(c, c, "vec_id", "embedding", 5)
+    val (mean, min) = knnRecall(exact, probe)
+    info(f"fixed-constant recall@5 at the verify corpus: " +
+      f"mean=$mean%.3f min=$min%.3f (flag identity is the gate)")
+    def flags(knn: org.apache.spark.sql.DataFrame): Seq[String] =
+      ops.Similarity.labelNoiseFromKnn(knn, lab, "label", 4)
+        .collect().map(_.toString).sorted.toSeq
+    assert(flags(probe) == flags(exact),
+      "the FIXED-constant graph walk no longer reproduces the exact " +
+        "5-NN label-noise rollup at the verify corpus: the verify " +
+        "dataset has outgrown the oracle contract — q264 WILL flip " +
+        "red at the driver's hash gate. Re-measure the recall curve " +
+        "(graft.ScaleCheck), re-pin the oracle constants at the new " +
+        "scale or re-derive the DuckDB replay, and update the pin at " +
+        "Similarity.q264.")
+    // ...and the failure mode is REAL, not a vacuous pass: one decade
+    // up (ScaleGen x10 of sf0.1 = 20k vectors) the same fixed
+    // constants are the measured r12 collapse — this leg proves the
+    // gate actually trips when the corpus outgrows the contract
+    val big = ScaleGen.amplify(spark, "/root/testdata/sf0.1", 10,
+      "embeddings").localCheckpoint()
+    val bigQ = big.filter(col("vec_id") < ops.Similarity.NumQueries)
+    val bigGraph = ops.Similarity.nnDescentGraph(big, "vec_id", "embedding")
+    val (bigMean, _) = knnRecall(
+      ops.Similarity.bruteForceTopK(big, bigQ, "vec_id", "embedding"),
+      ops.Similarity.nswSearchTopK(bigGraph, big, bigQ,
+        "vec_id", "embedding"))
+    info(f"fixed-constant recall at 20k = $bigMean%.3f (r12 measured 0.08)")
+    assert(bigMean < 0.9,
+      f"the fixed constants now reach $bigMean%.3f at 20k — the " +
+        "contract's designed failure mode no longer demonstrates; " +
+        "re-derive this gate")
+  }
 }
