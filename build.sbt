@@ -38,7 +38,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default (round 14): the full 358-query bench sweep in one JVM
+  // accumulates localCheckpoint blocks + status-store state that 8g
+  // could not hold — measured: q143's passes 2-3 degraded 1.2s -> 7.8s
+  // under GC pressure at 8g and read 1.19s flat at 24g (the machine
+  // has 128 GiB; tests and verify simply get headroom).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
   // Dozens of wide whole-stage-codegen classes (128-column aggs etc.)
   // overflow the default 240m code cache in one long-lived JVM; once it
   // fills, the JIT silently deopts and query times go 10-30x.

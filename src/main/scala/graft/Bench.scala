@@ -33,7 +33,12 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default 32 (round 14): the driver runs the per-round bench at
+    // SPARK_GRAFT_CPUS=32, and BASELINE v5 is recorded at the SAME
+    // protocol — a local run with no env must measure what the gate
+    // compares (the v4 local[4] default made every headline ratio
+    // cross-protocol; VERDICT r13 item 1)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "/root/repo/BENCH_LOCAL.json")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
@@ -104,10 +109,16 @@ object Bench {
     val total = results.flatMap(_._2._1).sum
     val totalMin = results.flatMap(_._2._2).sum
     val nErr = results.count(_._2._4.isDefined)
+    // protocol stamp (round 14): every bench record carries the cpus
+    // AND the heap it ran with, so cross-protocol ratios (the r13
+    // local[4]-baseline vs local[32]-driver confusion, and the 8g-heap
+    // q143 artifact) are visible in the record instead of inferred
+    val heapGb = Runtime.getRuntime.maxMemory / (1024L * 1024 * 1024)
     def envelope(body: String): String =
       s"""{"metric":"total","value":${f(total)},"unit":"sec",""" +
         s""""total_min":${f(totalMin)},"queries":$qs,"mins":$mins,$body""" +
         s""""n_errors":$nErr,"errors":$errs,"k":$runs,"interleaved":true,""" +
+        s""""cpus":$cpus,"heap_gb":$heapGb,""" +
         s""""load_avg_before":${f(loadBefore)},"load_avg_after":${f(loadAfter)},""" +
         s""""sf":"$sfDir"}"""
     val fileJson = envelope(s""""runs":$rs,""")
