@@ -270,41 +270,105 @@ object Multimodal {
     * the copy's PNG BYTES differ (exact dedup misses it) while its
     * aHash stays within a few bits. */
   val CopyOffset = 10000000L
+
+  /** The structured raster both codec tables encode: the id-derived
+    * 4×4-blocked grayscale grid, optionally brightened and
+    * noise-pixel-perturbed (the near-duplicate construction). */
+  private def structuredRaster(baseId: Long, bright: Int,
+                               noisePx: Int): java.awt.image.BufferedImage = {
+    val n = SynthSize
+    val img = new java.awt.image.BufferedImage(
+      n, n, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < n) {
+      var x = 0
+      while (x < n) {
+        raster.setSample(x, y, 0, structuredPixelAt(baseId, x, y) + bright)
+        x += 1
+      }
+      y += 1
+    }
+    var i = 0
+    while (i < noisePx) {
+      val h = mix64(baseId * 3 + i)
+      val px = java.lang.Math.floorMod(h, (n * n).toLong).toInt
+      raster.setSample(px % n, px / n, 0,
+        java.lang.Math.floorMod(h >>> 32, 251L).toInt)
+      i += 1
+    }
+    img
+  }
+
+  /** Lossy JPEG encode at an explicit quality through the JDK writer
+    * (ImageIO.write's format="jpg" path with the default quality would
+    * not pin the compression level). */
+  private def jpegBytes(img: java.awt.image.BufferedImage,
+                        quality: Float): Array[Byte] = {
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val p = w.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(quality)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    w.setOutput(ios)
+    w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    w.dispose(); ios.close()
+    bos.toByteArray
+  }
+
   def structuredPngTable(s: SparkSession, d: String,
                          perturb: Boolean): DataFrame = {
     import s.implicits._
-    val n = SynthSize
     Tables.documents(s, d).select(col("doc_id")).as[Long]
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
         def encode(baseId: Long, bright: Int, noisePx: Int, outId: Long) = {
-          val img = new java.awt.image.BufferedImage(
-            n, n, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-          val raster = img.getRaster
-          var y = 0
-          while (y < n) {
-            var x = 0
-            while (x < n) {
-              raster.setSample(x, y, 0, structuredPixelAt(baseId, x, y) + bright)
-              x += 1
-            }
-            y += 1
-          }
-          var i = 0
-          while (i < noisePx) {
-            val h = mix64(baseId * 3 + i)
-            val px = java.lang.Math.floorMod(h, (n * n).toLong).toInt
-            raster.setSample(px % n, px / n, 0,
-              java.lang.Math.floorMod(h >>> 32, 251L).toInt)
-            i += 1
-          }
           val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", bos)
+          javax.imageio.ImageIO.write(
+            structuredRaster(baseId, bright, noisePx), "png", bos)
           SyntheticImage(outId, bos.toByteArray)
         }
         it.flatMap { id =>
           val orig = encode(id, 0, 0, id)
           if (perturb) Seq(orig, encode(id, 4, 3, id + CopyOffset))
+          else Seq(orig)
+        }
+      }.toDF()
+  }
+
+  /** JPEG twin of [[structuredPngTable]] (round 14; VERDICT r13 item
+    * 6): the SAME structured raster content pushed through the JDK's
+    * LOSSY JPEG encoder at `quality` — the dominant real-crawl image
+    * format. Block-DCT quantization perturbs every pixel a little, so
+    * this corpus asks the actual production question: does perceptual
+    * dedup survive the codec (exact byte dedup obviously cannot)?
+    * With `crossCodec`, originals stay PNG while the planted copies
+    * encode as JPEG — the "same image crawled twice in two formats"
+    * case, the hardest realistic shape for hash-based image dedup.
+    * Recall on both corpora is spec-pinned (q124/q239's PNG entries
+    * stay the oracle contract, unchanged). */
+  def structuredJpegTable(s: SparkSession, d: String, perturb: Boolean,
+                          quality: Float = 0.8f,
+                          crossCodec: Boolean = false): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        def encode(baseId: Long, bright: Int, noisePx: Int, outId: Long,
+                   asPng: Boolean) = {
+          val img = structuredRaster(baseId, bright, noisePx)
+          val bytes = if (asPng) {
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            bos.toByteArray
+          } else jpegBytes(img, quality)
+          SyntheticImage(outId, bytes)
+        }
+        it.flatMap { id =>
+          val orig = encode(id, 0, 0, id, asPng = crossCodec)
+          if (perturb)
+            Seq(orig, encode(id, 4, 3, id + CopyOffset, asPng = false))
           else Seq(orig)
         }
       }.toDF()
