@@ -375,6 +375,13 @@ object SparkEntry {
     "q346_link_prediction" -> (Relational.q346 _),
     "q345_wasserstein"    -> (Relational.q345 _),
     "q358_ann_filtered_index" -> (Similarity.q358 _),
+    "q359_brown_forsythe" -> (Relational.q359 _),
+    "q360_cochran_armitage" -> (Relational.q360 _),
+    "q361_k_map"          -> (Relational.q361 _),
+    "q362_good_turing"    -> (Text.q362 _),
+    "q363_cdc_chunking"   -> (Dedup.q363 _),
+    "q364_minhash_calibration" -> (Dedup.q364 _),
+    "q365_hurst"          -> (Events.q365 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -2900,6 +2907,213 @@ object SparkEntry {
 
     // One-way ANOVA F: per-group HUGEINT moments, between-term floored
     // per group at micro scale before the sum (the q323 discipline).
+    // Hurst R/S: complete-calendar milli series, per-width block
+    // range/variance on exact integers, (R/S)^2 on the 10^6 grid,
+    // lg64 endpoints slope over the literal 384 denominator.
+    "q365_hurst" -> {
+      s"""WITH dd AS (SELECT epoch_us(ts) // 3600000000 AS hr, count(*) AS x
+           FROM events GROUP BY 1),
+         spn AS (SELECT min(hr) AS ha, max(hr) AS hb FROM dd),
+         cal AS (SELECT unnest(range(ha, hb + 1)) AS hr FROM spn),
+         hourly AS (SELECT cal.hr, coalesce(1000 * dd.x, 0) AS v
+           FROM cal LEFT JOIN dd USING (hr)),
+         b0 AS (SELECT min(hr) AS h0, count(*) AS nd FROM hourly),
+         base AS (SELECT hourly.hr - b0.h0 AS t,
+             hourly.v, b0.nd FROM hourly CROSS JOIN b0),
+         wd(n) AS (VALUES (8), (16), (32), (64)),
+         blocks AS (SELECT wd.n, base.t // wd.n AS b, base.t, base.v
+           FROM base CROSS JOIN wd
+           WHERE base.t // wd.n < base.nd // wd.n),
+         dv AS (SELECT n, b, t, v,
+             sum(v) OVER (PARTITION BY n, b) // n AS mu FROM blocks),
+         dv2 AS (SELECT n, b, t, v - mu AS d FROM dv),
+         dv3 AS (SELECT n, b, d,
+             sum(d) OVER (PARTITION BY n, b ORDER BY t) AS z FROM dv2),
+         pb AS (SELECT n, b, max(z) - min(z) AS r,
+             sum(CAST(d AS HUGEINT) * d) // CAST(n AS HUGEINT) AS s2
+           FROM dv3 GROUP BY 1, 2),
+         rs AS (SELECT n, (1000000 * CAST(r AS HUGEINT) * r) // s2 AS rs2
+           FROM pb WHERE s2 > 0),
+         pn AS (SELECT n, count(*) AS n_blocks,
+             sum(rs2) // count(*) AS rs2_mean_q FROM rs GROUP BY 1),
+         args AS (SELECT DISTINCT CAST(rs2_mean_q AS BIGINT) AS k,
+             CAST(rs2_mean_q AS BIGINT) AS n FROM pn WHERE rs2_mean_q > 0),
+         pw AS (SELECT unnest(range(0, 63)) AS p),
+         ${UnigramOracleSql.lgCte("lgt", "args", "k", "k")},
+         pn2 AS (SELECT pn.n, pn.n_blocks, pn.rs2_mean_q, lgt.lg AS lg_rs2
+           FROM pn LEFT JOIN lgt ON lgt.k = pn.rs2_mean_q)
+         SELECT CAST(n AS BIGINT) AS n, CAST(n_blocks AS BIGINT) AS n_blocks,
+           CAST(rs2_mean_q AS BIGINT) AS rs2_mean_q,
+           CAST(lg_rs2 AS BIGINT) AS lg_rs2,
+           CAST(NULL AS BIGINT) AS hurst_milli FROM pn2
+         UNION ALL
+         SELECT 0, NULL, NULL, NULL,
+           CAST(CASE WHEN lh IS NULL OR ll IS NULL THEN NULL
+                ELSE (1000 * (lh - ll)) // 384 END AS BIGINT)
+         FROM (SELECT max(CASE WHEN n = 64 THEN lg_rs2 END) AS lh,
+               max(CASE WHEN n = 8 THEN lg_rs2 END) AS ll FROM pn2)""" },
+
+    // CDC chunking: content-defined cut points (md5 hex sliver), the
+    // tail-closed boundary array, chunk hashes, two chunk-grain folds.
+    "q363_cdc_chunking" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tks
+           FROM documents WHERE len(string_split(text, ' ')) >= 1),
+         wb AS (SELECT doc_id, tks,
+             list_filter(range(1, len(tks) + 1), i -> i >= 4 AND
+               substring(md5(array_to_string(
+                 list_slice(tks, i - 3, i), ' ')), 1, 1) = '0') AS cuts
+           FROM tk),
+         bb AS (SELECT doc_id, tks,
+             CASE WHEN len(cuts) > 0 AND cuts[-1] = len(tks) THEN cuts
+                  ELSE list_concat(cuts, [len(tks)]) END AS bnds FROM wb),
+         ch AS (SELECT doc_id,
+             md5(array_to_string(list_slice(tks,
+               CASE WHEN j = 1 THEN 1 ELSE bnds[j - 1] + 1 END,
+               bnds[j]), ' ')) AS h,
+             bnds[j] - CASE WHEN j = 1 THEN 0 ELSE bnds[j - 1] END AS len
+           FROM bb, unnest(range(1, len(bnds) + 1)) AS u(j)),
+         uq AS (SELECT h, max(len) AS len FROM ch GROUP BY 1),
+         a1 AS (SELECT count(*) AS n_chunks, sum(len) AS total_tokens FROM ch),
+         a2 AS (SELECT count(*) AS n_unique_chunks, sum(len) AS unique_tokens
+           FROM uq)
+         SELECT CAST(n_chunks AS BIGINT) AS n_chunks,
+           CAST(n_unique_chunks AS BIGINT) AS n_unique_chunks,
+           CAST(total_tokens AS BIGINT) AS total_tokens,
+           CAST(unique_tokens AS BIGINT) AS unique_tokens,
+           CAST((1000 * total_tokens) // n_chunks AS BIGINT)
+             AS mean_chunk_milli,
+           CAST((10000 * (total_tokens - unique_tokens)) // total_tokens
+             AS BIGINT) AS savings_bp
+         FROM a1, a2""",
+
+    // MinHash calibration: md5-permutation signatures for pair docs
+    // only, per-pair match share vs exact J, decile rollup.
+    "q364_minhash_calibration" -> {
+      s"""WITH p AS ($jaccardOracle),
+         ds AS (SELECT doc_a AS did FROM p UNION SELECT doc_b FROM p),
+         t2 AS (SELECT doc_id, string_split(text, ' ') AS tks
+           FROM documents JOIN ds ON ds.did = documents.doc_id
+           WHERE len(string_split(text, ' ')) >= 3),
+         s2 AS (SELECT doc_id AS did,
+             unnest(list_distinct(list_transform(range(1, len(tks) - 1),
+               i -> tks[i] || ' ' || tks[i+1] || ' ' || tks[i+2]))) AS sh
+           FROM t2),
+         pr AS (SELECT unnest(range(0, ${ops.Dedup.CalibPerms})) AS p16),
+         sig AS (SELECT did, p16,
+             min(md5(CAST(p16 AS VARCHAR) || ':' || sh)) AS mh
+           FROM s2 CROSS JOIN pr GROUP BY 1, 2),
+         est AS (SELECT p.jaccard_bp,
+             (10000 * sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END))
+               // ${ops.Dedup.CalibPerms} AS est_bp
+           FROM p JOIN sig a ON a.did = p.doc_a
+           JOIN sig b ON b.did = p.doc_b AND b.p16 = a.p16
+           GROUP BY p.doc_a, p.doc_b, p.jaccard_bp)
+         SELECT CAST(jaccard_bp // 1000 AS BIGINT) AS j_decile,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(est_bp) // count(*) AS BIGINT) AS mean_est_bp,
+           CAST(sum(abs(est_bp - jaccard_bp)) // count(*) AS BIGINT)
+             AS mean_abs_err_bp
+         FROM est GROUP BY 1""" },
+
+    // Brown-Forsythe: exact per-group percentile_disc medians, |x-med|
+    // deviations on the cents grid, then the q338 exact-moment F.
+    "q359_brown_forsythe" ->
+      s"""WITH v AS (SELECT o_orderpriority AS g,
+             CAST(floor(o_totalprice + 0.5) AS BIGINT) AS v
+           FROM orders
+           WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL),
+         med AS (SELECT g, CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY v)
+             AS BIGINT) AS med FROM v GROUP BY 1),
+         z AS (SELECT v.g, abs(v.v - med.med) AS zv
+           FROM v JOIN med USING (g)),
+         g AS (SELECT z.g AS gr, count(*) AS ng,
+             sum(CAST(zv AS HUGEINT)) AS sg,
+             sum(CAST(zv AS HUGEINT) * zv) AS ssg FROM z GROUP BY 1),
+         m AS (SELECT count(*) AS k_groups, sum(ng) AS n, sum(sg) AS s,
+             sum(ssg) AS ss,
+             sum((1000000 * sg * sg) // CAST(ng AS HUGEINT)) AS t1q
+           FROM g),
+         d AS (SELECT *,
+             t1q - (1000000 * s * s) // CAST(n AS HUGEINT) AS ssbq,
+             1000000 * ss - t1q AS sswq FROM m)
+         SELECT CAST(n AS BIGINT) AS n, CAST(k_groups AS BIGINT) AS k_groups,
+           CAST(ssbq // 1000000 AS BIGINT) AS ssb_c2,
+           CAST(sswq // 1000000 AS BIGINT) AS ssw_c2,
+           CAST(CASE WHEN k_groups < 2 OR n <= k_groups OR sswq = 0 THEN NULL
+                ELSE floor(1000 * (CAST(ssbq AS DOUBLE) / CAST(k_groups - 1 AS DOUBLE))
+                  / (CAST(sswq AS DOUBLE) / CAST(n - k_groups AS DOUBLE)) + 0.5)
+                END AS BIGINT) AS f_milli
+         FROM d""",
+
+    // Cochran-Armitage: exact HUGEINT moments at the score grain, z
+    // assembled in the pinned double order.
+    "q360_cochran_armitage" ->
+      """WITH rw AS (SELECT CAST(year(o_orderdate) - 1992 AS BIGINT) AS w,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS c
+           FROM orders
+           WHERE o_orderdate IS NOT NULL AND o_orderstatus IS NOT NULL),
+         g AS (SELECT w, count(*) AS ng, sum(c) AS rg FROM rw GROUP BY 1),
+         m AS (SELECT count(*) AS k_groups, sum(ng) AS n, sum(rg) AS r,
+             sum(CAST(w AS HUGEINT) * ng) AS w1,
+             sum(CAST(w AS HUGEINT) * w * ng) AS w2,
+             sum(CAST(w AS HUGEINT) * rg) AS t FROM g)
+         SELECT CAST(n AS BIGINT) AS n, CAST(k_groups AS BIGINT) AS k_groups,
+           CAST(r AS BIGINT) AS n_cases, CAST(t AS BIGINT) AS t_stat,
+           CAST(CASE WHEN k_groups < 2 OR r = 0 OR r = n
+                  OR n * w2 = w1 * w1 THEN NULL
+                ELSE floor(1000 * CAST(n * t - r * w1 AS DOUBLE)
+                  / sqrt(CAST(r * (n - r) * (n * w2 - w1 * w1) AS DOUBLE)
+                    / CAST(n - 1 AS DOUBLE)) + 0.5)
+                END AS BIGINT) AS z_milli
+         FROM m""",
+
+    // k-map: QI-grain sample and population rollups, one join, bands
+    // + the ALL row's at-risk share.
+    "q361_k_map" ->
+      """WITH pop AS (SELECT c_nationkey, c_mktsegment, count(*) AS k_pop
+           FROM customer GROUP BY 1, 2),
+         smp AS (SELECT c_nationkey, c_mktsegment, count(*) AS n_rows
+           FROM customer WHERE c_acctbal >= 9000 GROUP BY 1, 2),
+         b AS (SELECT CASE WHEN k_pop = 1 THEN 'k=1'
+               WHEN k_pop <= 4 THEN 'k=2-4'
+               WHEN k_pop <= 19 THEN 'k=5-19' ELSE 'k>=20' END AS band,
+             n_rows, k_pop
+           FROM smp JOIN pop USING (c_nationkey, c_mktsegment))
+         SELECT band, CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(n_rows) AS BIGINT) AS n_released,
+           CAST(NULL AS BIGINT) AS at_risk_bp
+         FROM b GROUP BY 1
+         UNION ALL
+         SELECT 'ALL', CAST(NULL AS BIGINT),
+           CAST(sum(n_rows) AS BIGINT),
+           CAST((10000 * sum(CASE WHEN k_pop <= 4 THEN n_rows ELSE 0 END))
+             // sum(n_rows) AS BIGINT)
+         FROM b""",
+
+    // Good-Turing over BIGRAMS: count-of-counts at the 10 smallest
+    // observed r, one idiv per ratio, the r=0 row carrying the
+    // unseen-mass estimate.
+    "q362_good_turing" ->
+      """WITH tk AS (SELECT string_split(text, ' ') AS tks FROM documents),
+         tf AS (SELECT g, count(*) AS rr FROM (
+             SELECT unnest(list_transform(range(1, len(tks)),
+               i -> tks[i] || ' ' || tks[i + 1])) AS g FROM tk)
+           GROUP BY 1),
+         nr AS (SELECT rr, count(*) AS n_r FROM tf GROUP BY 1),
+         tot AS (SELECT sum(rr * n_r) AS nn FROM nr),
+         rk AS (SELECT *, row_number() OVER (ORDER BY rr ASC) AS rk FROM nr)
+         SELECT CAST(rk.rr AS BIGINT) AS r, CAST(rk.n_r AS BIGINT) AS n_r,
+           CAST(coalesce(nx.n_r, 0) AS BIGINT) AS n_next,
+           CAST((1000 * (rk.rr + 1) * coalesce(nx.n_r, 0)) // rk.n_r
+             AS BIGINT) AS rstar_milli,
+           CAST((10000 * rk.rr * rk.n_r) // nn AS BIGINT) AS mass_bp
+         FROM rk LEFT JOIN nr nx ON nx.rr = rk.rr + 1 CROSS JOIN tot
+         WHERE rk.rk <= 10
+         UNION ALL
+         SELECT 0, NULL, CAST(n_r AS BIGINT), NULL,
+           CAST((10000 * n_r) // nn AS BIGINT)
+         FROM nr CROSS JOIN tot WHERE rr = 1""",
+
     "q338_anova_f" ->
       s"""WITH g AS (SELECT event_type AS gr, count(*) AS ng,
              sum(CAST(${C("value")} AS HUGEINT)) AS sg,

@@ -866,6 +866,129 @@ object Dedup {
   def q353(s: SparkSession, d: String): DataFrame =
     dupTransitivity(q52(s, d), "doc_a", "doc_b")
 
+  /** CONTENT-DEFINED CHUNKING DEDUP (round 14) — the backup/rsync/LBFS
+    * primitive the fixed-window families (q181/q247/q261) cannot
+    * replace: fixed windows lose alignment after ONE insertion, while
+    * content-defined cut points (a boundary wherever the rolling
+    * window's hash lands in a 1/D sliver) re-synchronize immediately —
+    * the dedup-SAVINGS estimator for a corpus whose documents share
+    * long runs at arbitrary offsets (mirrored crawls, versioned docs,
+    * quoted passages). Cut after token i (i ≥ w) iff
+    * md5(window w ending at i) starts with '0' (p = 1/16 → mean chunk
+    * ≈ 16 tokens); the document tail always closes a chunk. One
+    * summary row: chunks, distinct chunks, total vs distinct chunk
+    * tokens, and the storage saving 10⁴·(1 − distinct/total) bp.
+    *
+    * Scale (100 TB): one map-only pass computes every doc's cut
+    * array and chunk hashes (O(tokens) md5s — at deployment swap the
+    * per-position md5 for the codegen'd RollingHash64, the documented
+    * fast path; md5 is the oracle-replayable contract), then two
+    * chunk-grain aggregations. Nothing joins at the token grain. */
+  def cdcSavings(corpus: DataFrame, id: String, text: String,
+                 w: Int = 4): DataFrame = {
+    val base = corpus.select(col(id).as("doc_id"), tokens(col(text)).as("tks"))
+      .where(size(col("tks")) >= 1)
+    val withBnds = base.withColumn("cuts", expr(
+        s"filter(sequence(1, size(tks)), i -> i >= $w AND " +
+          s"substring(md5(array_join(slice(tks, i - ${w - 1}, $w), ' ')), " +
+          "1, 1) = '0')"))
+      .withColumn("bnds", expr(
+        "if(size(cuts) > 0 AND element_at(cuts, -1) = size(tks), cuts, " +
+          "concat(cuts, array(size(tks))))"))
+    val chunks = withBnds
+      .select(col("doc_id"), col("tks"), col("bnds"),
+        explode(expr("sequence(1, size(bnds))")).as("j"))
+      .select(col("doc_id"),
+        expr("md5(array_join(slice(tks, " +
+          "if(j = 1, 1, element_at(bnds, j - 1) + 1), " +
+          "element_at(bnds, j) - if(j = 1, 0, element_at(bnds, j - 1))), " +
+          "' '))").as("h"),
+        expr("element_at(bnds, j) - if(j = 1, 0, element_at(bnds, j - 1))")
+          .cast("long").as("len"))
+      .localCheckpoint() // feeds the total fold AND the distinct fold
+    val uniq = chunks.groupBy(col("h")).agg(max(col("len")).as("len"))
+    chunks.agg(count(lit(1)).as("n_chunks"), sum(col("len")).as("total_tokens"))
+      .crossJoin(broadcast(uniq.agg(count(lit(1)).as("n_unique_chunks"),
+        sum(col("len")).as("unique_tokens"))))
+      .select(col("n_chunks"), col("n_unique_chunks"),
+        col("total_tokens"), col("unique_tokens"),
+        graft.functions.F.idiv(lit(1000L) * col("total_tokens"),
+          col("n_chunks")).as("mean_chunk_milli"),
+        graft.functions.F.idiv(lit(10000L) *
+          (col("total_tokens") - col("unique_tokens")),
+          col("total_tokens")).as("savings_bp"))
+  }
+
+  /** q363: CDC chunk-level dedup savings of the documents corpus
+    * (window 4, 1/16 cut probability). */
+  def q363(s: SparkSession, d: String): DataFrame =
+    cdcSavings(Tables.documents(s, d), "doc_id", "text")
+
+  /** Calibration signature width — small enough that the md5-based
+    * oracle-replayable permutations stay cheap, wide enough that the
+    * estimate resolves 625-bp steps. */
+  val CalibPerms = 16
+
+  /** MINHASH ESTIMATOR CALIBRATION (round 14) — "how well does the
+    * sketch TRACK the truth it stands in for": q52 deduplicates with
+    * MinHash because E[matches/perms] = J, but a pipeline that TRUSTS
+    * the estimate (threshold tuning, q251's geometry audit) should
+    * measure the estimator's bias and spread on ITS OWN corpus, not
+    * assume the textbook variance. Per exact-Jaccard decile over the
+    * q51 exact pair set: pair count, mean estimated J, mean absolute
+    * error (both bp). Signatures here are md5-permutation minhash
+    * (min over md5(p ':' shingle)) — byte-replayable in the oracle,
+    * the q53 convention; the production sketch (native MinHash128)
+    * trades that replayability for speed, and THIS table is the
+    * evidence the two families' estimates can be trusted.
+    *
+    * Scale (100 TB): signatures only for docs that appear in pairs
+    * (semi-join first), perms × shingles map work, pair-grain joins
+    * at signature width — never all-pairs, never corpus-wide. */
+  def minhashCalibration(corpus: DataFrame, id: String, text: String,
+                         tau: Double = 0.6,
+                         perms: Int = CalibPerms): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val pairs = jaccardPairs(corpus, id, text, tau).localCheckpoint()
+    val docSet = pairs.select(col("doc_a").as("did"))
+      .unionByName(pairs.select(col("doc_b").as("did"))).distinct()
+    val sh = corpus.select(col(id).as("did"), tokens(col(text)).as("tks"))
+      .join(broadcast(docSet), Seq("did"), "left_semi")
+      .where(size(col("tks")) >= 3)
+      .select(col("did"), explode(array_distinct(expr(
+        "transform(sequence(1, size(tks) - 2), i -> concat(" +
+          "element_at(tks, i), ' ', element_at(tks, i + 1), ' ', " +
+          "element_at(tks, i + 2)))"))).as("sh"))
+    val permDf = (0 until perms).map(_.toLong).toDF("p")
+    val sig = sh.crossJoin(broadcast(permDf))
+      .groupBy(col("did"), col("p"))
+      .agg(min(md5(concat(col("p").cast("string"), lit(":"), col("sh"))))
+        .as("mh"))
+      .localCheckpoint() // joins both pair sides
+    val est = pairs
+      .join(sig.select(col("did").as("doc_a"), col("p"), col("mh").as("ma")),
+        "doc_a")
+      .join(sig.select(col("did").as("doc_b"), col("p"), col("mh").as("mb")),
+        Seq("doc_b", "p"))
+      .groupBy(col("doc_a"), col("doc_b"), col("jaccard_bp"))
+      .agg(sum(when(col("ma") === col("mb"), 1L).otherwise(0L)).as("m"))
+      .select(col("jaccard_bp"), graft.functions.F.idiv(
+        lit(10000L) * col("m"), lit(perms.toLong)).as("est_bp"))
+    est.groupBy(graft.functions.F.idiv(col("jaccard_bp"), lit(1000L))
+        .as("j_decile"))
+      .agg(count(lit(1)).as("n_pairs"),
+        graft.functions.F.idiv(sum(col("est_bp")), count(lit(1)))
+          .as("mean_est_bp"),
+        graft.functions.F.idiv(sum(abs(col("est_bp") - col("jaccard_bp"))),
+          count(lit(1))).as("mean_abs_err_bp"))
+  }
+
+  /** q364: md5-minhash estimate vs exact Jaccard, per decile, over
+    * the q51 pair set. */
+  def q364(s: SparkSession, d: String): DataFrame =
+    minhashCalibration(Tables.documents(s, d), "doc_id", "text")
+
   /** q53: SimHash near-dup pairs at Hamming ≤ 3, on the MD5-hash
     * signature so the driver's DuckDB oracle can recompute the
     * signatures independently (see simhashPairs). */

@@ -2508,6 +2508,99 @@ object Events {
   def q342(s: SparkSession, d: String): DataFrame =
     periodogram(Tables.events(s, d), to_date(col("ts")))
 
+  /** The R/S window widths (powers of two so the lg64 slope
+    * denominator is exact: lg64(64) − lg64(8) = 192). */
+  val HurstWindows: Seq[Int] = Seq(8, 16, 32, 64)
+
+  /** HURST EXPONENT by RESCALED RANGE (round 14) — the
+    * long-range-dependence member of the series family: ACF (q254)
+    * reads memory at ONE lag, the Hurst H summarizes it across ALL
+    * scales — H ≈ 0.5 is a memoryless series (Poisson traffic),
+    * H > 0.5 is persistent (bursts cluster — capacity planning must
+    * size for runs, and q123-style anomaly rates are NOT independent),
+    * H < 0.5 mean-reverting. Mandelbrot's R/S: per window of n
+    * buckets, R = range of the cumulative mean-removed series, S =
+    * the window SD; E[R/S] ~ c·nᴴ, so H is the log-log slope.
+    * Integers end to end: bucket counts on the complete integer grid
+    * (the q342 zero-fill convention — the bucket is a caller-chosen
+    * integer column, hours for q365), milli residuals, exact
+    * cumulative sums, (R/S)² on
+    * the 10⁶ grid by one idiv (squaring avoids any sqrt — the
+    * variance form), lg64 of the per-width mean, and
+    * H_milli = 1000·(lg(rs²₆₄) − lg(rs²₈)) / (2·(lg64(64) − lg64(8)))
+    * — denominator a literal 384. Constant-count windows (S² = 0)
+    * drop (R/S undefined); a width with no surviving full window
+    * reports NULL lg and is excluded from the slope by construction
+    * of the two endpoints used.
+    *
+    * Scale (100 TB): the corpus reduces to the day table; per width
+    * the block statistics are one window pass + one rollup over
+    * calendar-bounded rows — |days|·|widths| integer rows total. */
+  def hurstRs(events: DataFrame, bucket: Column,
+              windows: Seq[Int] = HurstWindows): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val counts = events.groupBy(bucket.as("hr"))
+      .agg(count(lit(1)).as("x"))
+    val hourly = counts.agg(min(col("hr")).as("ha"), max(col("hr")).as("hb"))
+      .select(explode(sequence(col("ha"), col("hb"))).as("hr"))
+      .join(counts, Seq("hr"), "left")
+      .select(col("hr"), coalesce(lit(1000L) * col("x"), lit(0L)).as("v"))
+    val base = hourly.crossJoin(broadcast(
+        hourly.agg(min(col("hr")).as("h0"), count(lit(1)).as("nd"))))
+      .select((col("hr") - col("h0")).as("t"), col("v"), col("nd"))
+      .localCheckpoint() // re-windowed once per width
+    val wDf = windows.map(_.toLong).toDF("n")
+    val blocks = base.crossJoin(broadcast(wDf))
+      .where(F.idiv(col("t"), col("n")) < F.idiv(col("nd"), col("n")))
+      .select(col("n"), F.idiv(col("t"), col("n")).as("b"), col("t"), col("v"))
+    val byBlock = Window.partitionBy(col("n"), col("b"))
+    val byPos = byBlock.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dev = blocks
+      .withColumn("mu", F.idiv(sum(col("v")).over(byBlock), col("n")))
+      .withColumn("d", col("v") - col("mu"))
+      .withColumn("z", sum(col("d")).over(byPos))
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val perBlock = dev.groupBy(col("n"), col("b"))
+      .agg((max(col("z")) - min(col("z"))).as("r"),
+        F.idiv(sum(dec(col("d")) * dec(col("d"))), dec(max(col("n"))))
+          .as("s2"))
+      .where(col("s2") > dec(lit(0L)))
+      // 10⁶·R² wraps a long on busy calendars — ride decimal(38,0)
+      // through the ratio; the ratio itself is slope-sized
+      .select(col("n"), F.idiv(dec(lit(1000000L)) * dec(col("r")) *
+        dec(col("r")), col("s2")).cast("long").as("rs2"))
+    var perN = perBlock.groupBy(col("n"))
+      .agg(count(lit(1)).as("n_blocks"),
+        F.idiv(sum(col("rs2")), count(lit(1))).as("rs2_mean_q"))
+    perN = graft.functions.Cols.withLg64(perN, col("rs2_mean_q"), "lg_rs2")
+      .select(col("n"), col("n_blocks"), col("rs2_mean_q"), col("lg_rs2"))
+      .localCheckpoint() // feeds the rows AND the slope fold
+    val lgSpan = 64L * (63 - java.lang.Long.numberOfLeadingZeros(
+      windows.max.toLong)) - 64L * (63 - java.lang.Long.numberOfLeadingZeros(
+      windows.min.toLong))
+    val slope = perN
+      .agg(max(when(col("n") === windows.max.toLong, col("lg_rs2"))).as("lh"),
+        max(when(col("n") === windows.min.toLong, col("lg_rs2"))).as("ll"))
+      .select(lit(0L).as("n"), lit(null).cast("long").as("n_blocks"),
+        lit(null).cast("long").as("rs2_mean_q"),
+        lit(null).cast("long").as("lg_rs2"),
+        when(col("lh").isNull || col("ll").isNull, lit(null).cast("long"))
+          .otherwise(F.idiv(lit(1000L) * (col("lh") - col("ll")),
+            lit(2L * lgSpan))).as("hurst_milli"))
+    perN.withColumn("hurst_milli", lit(null).cast("long"))
+      .unionByName(slope)
+  }
+
+  /** q365: Hurst exponent of the HOURLY event-count series (hour
+    * index = epoch micros div 3600·10⁶ — the 30-day synthetic window
+    * yields 720 points, 11 full 64-wide blocks; the day grain would
+    * leave zero). */
+  def q365(s: SparkSession, d: String): DataFrame =
+    hurstRs(Tables.events(s, d),
+      F.idiv(unix_micros(col("ts")), lit(3600000000L)))
+
   /** WELCH'S t-TEST (round 13) — the mean-difference member of the A/B
     * stack: q209 compares binary conversion RATES, q287 asks "tends
     * larger" without distributional assumptions, this one tests the

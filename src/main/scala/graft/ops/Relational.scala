@@ -2006,6 +2006,13 @@ object Relational {
     * three numbers per task per group; the fold is k-sized. */
   def anovaF(df: DataFrame, value: Column, group: Column): DataFrame = {
     def dec(c: Column): Column = c.cast("decimal(38,0)")
+    // exact decimal floor division: IntegralDivide returns LONG, and
+    // the 10⁶·sg²/ng terms pass 2⁶³ already at money magnitudes
+    // (measured: q359's dollar-grain orders at sf0.01) — subtracting
+    // the remainder makes the decimal divide exact, so the quotient
+    // stays a full-width decimal(38,0)
+    def dfloor(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("decimal(38,0)")
     val perG = df.select(value.as("v"), group.as("g"))
       .where(col("v").isNotNull && col("g").isNotNull)
       .groupBy(col("g"))
@@ -2013,11 +2020,11 @@ object Relational {
         sum(dec(col("v")) * dec(col("v"))).as("ssg"))
     val m = perG.agg(count(lit(1)).as("k_groups"), sum(col("ng")).as("n"),
       sum(col("sg")).as("s"), sum(col("ssg")).as("ss"),
-      sum(graft.functions.F.idiv(dec(lit(1000000L)) * col("sg") * col("sg"),
+      sum(dfloor(dec(lit(1000000L)) * col("sg") * col("sg"),
         dec(col("ng")))).as("t1q"))
     val n = dec(col("n"))
     val ssbQ = col("t1q") -
-      graft.functions.F.idiv(dec(lit(1000000L)) * col("s") * col("s"), n)
+      dfloor(dec(lit(1000000L)) * col("s") * col("s"), n)
     val sswQ = dec(lit(1000000L)) * col("ss") - col("t1q")
     val fMilli = floor(lit(1000d) *
       (ssbQ.cast("double") / (col("k_groups") - lit(1L)).cast("double")) /
@@ -2039,6 +2046,143 @@ object Relational {
   /** q338: does mean event value differ across event types. */
   def q338(s: SparkSession, d: String): DataFrame =
     anovaF(Tables.events(s, d), cents(col("value")), col("event_type"))
+
+  /** BROWN–FORSYTHE EQUAL-VARIANCE TEST (round 14) — the variance
+    * member of the A/B stack: Welch's t (q337) protects the MEAN test
+    * from unequal variances, but "did treatment change the SPREAD" is
+    * its own product question (risk, latency tails, spend dispersion)
+    * and eyeballing two variances has no error control. Levene's
+    * insight: variances are equal iff the group means of |x − center|
+    * are equal — which turns a variance test into [[anovaF]] on
+    * transformed values; Brown–Forsythe centers at the MEDIAN, robust
+    * to the heavy tails that inflate the mean-centered original.
+    * Composition, exact end to end: per-group percentile_disc medians
+    * (the q128 convention — cut values are members, exact in both
+    * engines), absolute deviations on the cents grid, then the SAME
+    * exact-moment F machinery as q338 (pinned-double f_milli at the
+    * boundary).
+    *
+    * Scale (100 TB): two aggregations (median, then moments) + one
+    * broadcast join of the group-cardinality-sized median table. */
+  def brownForsythe(df: DataFrame, value: Column, group: Column): DataFrame = {
+    val v = df.select(value.as("v"), group.as("g"))
+      .where(col("v").isNotNull && col("g").isNotNull)
+    val med = v.groupBy(col("g"))
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY v)")
+        .cast("long").as("med"))
+    val z = v.join(broadcast(med), "g")
+      .select(col("g"), abs(col("v") - col("med")).as("z"))
+    anovaF(z, col("z"), col("g"))
+  }
+
+  /** q359: does order-value DISPERSION differ across priorities.
+    * Values on the whole-DOLLAR grid, not cents: anovaF's reported
+    * ssw column is Σz², and at order-price magnitudes (~5·10⁷ cents)
+    * the cents grid overflows its long at n ≈ 10⁴ rows — dollars buy
+    * 10⁴× headroom at no loss to the F (z spreads ≫ $1). */
+  def q359(s: SparkSession, d: String): DataFrame =
+    brownForsythe(Tables.orders(s, d),
+      floor(col("o_totalprice") + lit(0.5d)).cast("long"),
+      col("o_orderpriority"))
+
+  /** COCHRAN–ARMITAGE TREND TEST (round 14) — "is this RATE trending
+    * across ordered groups": q341's Mann–Kendall reads a monotone
+    * trend in a measured VALUE; this one reads it in a binary
+    * PROPORTION over ordered doses (years, cohorts, exposure bands),
+    * the epidemiology/quality-monitoring standard that a per-group
+    * chi-square (q130) cannot see because it ignores the ordering.
+    * With group scores w, case counts r_g and sizes n_g:
+    *   T = Σ w·r_g,  z = (N·T − R·W₁) / √(R(N−R)(N·W₂ − W₁²)/(N−1))
+    * (W₁ = Σ w·n_g, W₂ = Σ w²·n_g, R = Σ r_g) — every moment an exact
+    * decimal(38,0), z assembled in ONE pinned double order (the q287
+    * z_milli discipline) so both engines replay it bit-for-bit.
+    * z > 0 = the rate RISES with the score. NULL z on a degenerate
+    * battery (one group, all-case/no-case, or constant scores).
+    *
+    * Scale (100 TB): one aggregation to the score-cardinality grain,
+    * one 6-number fold. */
+  def cochranArmitage(df: DataFrame, isCase: Column,
+                      score: Column): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val g = df.select(score.cast("long").as("w"),
+        isCase.cast("long").as("c"))
+      .where(col("w").isNotNull && col("c").isNotNull)
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("ng"), sum(col("c")).as("rg"))
+    val m = g.agg(count(lit(1)).as("k_groups"), sum(col("ng")).as("n"),
+      sum(col("rg")).as("r"),
+      sum(dec(col("w")) * dec(col("ng"))).as("w1"),
+      sum(dec(col("w")) * dec(col("w")) * dec(col("ng"))).as("w2"),
+      sum(dec(col("w")) * dec(col("rg"))).as("t"))
+    val num = dec(col("n")) * col("t") - dec(col("r")) * col("w1")
+    val varTerm = dec(col("r")) * dec(col("n") - col("r")) *
+      (dec(col("n")) * col("w2") - col("w1") * col("w1"))
+    val zMilli = floor(lit(1000d) * num.cast("double") /
+      org.apache.spark.sql.functions.sqrt(
+        varTerm.cast("double") / (col("n") - lit(1L)).cast("double")) +
+      lit(0.5d)).cast("long")
+    m.select(col("n"), col("k_groups"), col("r").as("n_cases"),
+      col("t").cast("long").as("t_stat"),
+      when(col("k_groups") < 2L || col("r") === 0L ||
+          col("r") === col("n") ||
+          dec(col("n")) * col("w2") === col("w1") * col("w1"),
+        lit(null).cast("long"))
+        .otherwise(zMilli).as("z_milli"))
+  }
+
+  /** q360: is the share of F-status orders trending across order
+    * years (scores = year − 1992). */
+  def q360(s: SparkSession, d: String): DataFrame =
+    cochranArmitage(Tables.orders(s, d),
+      (col("o_orderstatus") === "F").cast("int"),
+      year(col("o_orderdate")) - lit(1992))
+
+  /** k-MAP RE-IDENTIFICATION RISK (round 14) — the privacy family's
+    * EXTERNAL-adversary member: k-anonymity (q183) asks "how many
+    * rows in the RELEASE share my quasi-identifiers", but the attack
+    * that matters joins the release against a POPULATION register —
+    * a released row is safe iff its QI combination is common in the
+    * population, regardless of how unique it is in the sample
+    * (Sweeney's k-map). Per population-k band (k=1, 2–4, 5–19, ≥20):
+    * released rows and distinct QI groups; the ALL row carries
+    * at_risk_bp = 10⁴ · released rows whose population k ≤ 4 / total
+    * released — the number a privacy review gates on.
+    *
+    * Scale (100 TB): two QI-grain aggregations + one join at the QI
+    * grain (population table never joins row-level). */
+  def kMap(sample: DataFrame, population: DataFrame,
+           qis: Seq[String]): DataFrame = {
+    val qcols = qis.map(col)
+    val pop = population.groupBy(qcols: _*).agg(count(lit(1)).as("k_pop"))
+    val smp = sample.groupBy(qcols: _*).agg(count(lit(1)).as("n_rows"))
+    val banded = smp.join(pop, qis)
+      .select(when(col("k_pop") === 1L, "k=1")
+          .when(col("k_pop") <= 4L, "k=2-4")
+          .when(col("k_pop") <= 19L, "k=5-19")
+          .otherwise("k>=20").as("band"),
+        col("n_rows"), col("k_pop"))
+      .localCheckpoint() // feeds the band rollup AND the ALL fold
+    val per = banded.groupBy(col("band"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("n_rows")).as("n_released"))
+      .select(col("band"), col("n_groups"), col("n_released"),
+        lit(null).cast("long").as("at_risk_bp"))
+    val all = banded.agg(sum(col("n_rows")).as("n_released"),
+        sum(when(col("k_pop") <= 4L, col("n_rows")).otherwise(0L)).as("risky"))
+      .select(lit("ALL").as("band"), lit(null).cast("long").as("n_groups"),
+        col("n_released"),
+        graft.functions.F.idiv(lit(10000L) * col("risky"),
+          col("n_released")).as("at_risk_bp"))
+    per.unionByName(all)
+  }
+
+  /** q361: k-map risk of releasing the high-balance customer slice
+    * keyed by (nation, market segment) against the full customer
+    * population. */
+  def q361(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    kMap(c.filter(col("c_acctbal") >= 9000), c,
+      Seq("c_nationkey", "c_mktsegment"))
+  }
 
   /** HITS sweep count + fixed-point scale, shared with the oracle. */
   val HitsIters = 4

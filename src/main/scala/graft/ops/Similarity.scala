@@ -2954,11 +2954,12 @@ object Similarity {
     * visited set ([[beamWalkScoredSet]]). With the pinned budget the
     * visited set is ≈ seeds + hops·beam·M nodes per query (~2k at the
     * oracle constants), so selectivity s leaves ~s·2k passing
-    * candidates — ample at label-selectivity scales (1/16 here); for
-    * genuinely rare predicates raise beam/hops at the call, or
-    * pre-partition per-attribute stores (the IVF-per-tenant
-    * discipline). Recall vs selectivity is spec-measured against the
-    * exact q155 leg.
+    * candidates. MEASURED (spec, 500 vectors, selectivity 0.1):
+    * recall@10 0.86 at the pinned budget, 0.98 at beam×2/hops+1 — for
+    * selective predicates raise beam/hops at the call (recall
+    * recovers, cost stays walk-budget-bounded), or pre-partition
+    * per-attribute stores (the IVF-per-tenant discipline). Recall vs
+    * selectivity is spec-measured against the exact q155 leg.
     *
     * Scale (100 TB): predicate attachment is one equi-join of the
     * walk-budget-sized visited set against the (vid, attr) metadata

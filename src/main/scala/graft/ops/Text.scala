@@ -351,6 +351,60 @@ object Text {
   def q349(s: SparkSession, d: String): DataFrame =
     termBurstiness(Tables.documents(s, d), "doc_id", "text", 5L, 20)
 
+  /** GOOD–TURING FREQUENCY SMOOTHING (round 14) — the classic answer
+    * to "how much probability mass belongs to tokens we have NOT
+    * seen": maximum-likelihood frequencies overfit exactly where an
+    * LM-data pipeline is most exposed (rare tokens, new domains), and
+    * Good–Turing's frequency-of-frequencies table is both the
+    * smoothing estimate and a corpus-health diagnostic (a kinked N_r
+    * curve = boilerplate or dedup artifacts). Per count r ≤ maxR:
+    * N_r (types seen r times), N_{r+1}, the adjusted count
+    * r* = (r+1)·N_{r+1}/N_r in milli, and the observed probability
+    * mass r·N_r/N in bp; the r = 0 row carries the UNSEEN mass
+    * estimate N₁/N (the leave-one-out argument) in the same bp
+    * column. Exact integers: one idiv per ratio.
+    *
+    * Scale (100 TB): one tokenize+count to the vocabulary grain
+    * (Heaps-sublinear), one count-of-counts rollup (≤ max r rows),
+    * a broadcast 1-row total. */
+  def goodTuring(grams: DataFrame, maxBands: Int = 10): DataFrame = {
+    val tf = grams.groupBy(col("g")).agg(count(lit(1)).as("rr"))
+    val nr = tf.groupBy(col("rr")).agg(count(lit(1)).as("n_r"))
+      .localCheckpoint() // feeds the band rows, the r+1 join, the total
+    val tot = nr.agg(sum(col("rr") * col("n_r")).as("nn"))
+    val nxt = nr.select((col("rr") - 1).as("rr"), col("n_r").as("n_next"))
+    // the maxBands SMALLEST observed counts, not a fixed 1..maxBands
+    // window — a shared-vocabulary corpus whose rarest type appears
+    // 26 times would otherwise report an empty table (measured at
+    // verify scale); the smallest counts are where GT smoothing acts
+    val byR = Window.orderBy(col("rr").asc)
+    val rows = nr.withColumn("rk", row_number().over(byR))
+      .where(col("rk") <= maxBands)
+      .join(nxt, Seq("rr"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("rr").as("r"), col("n_r"),
+        coalesce(col("n_next"), lit(0L)).as("n_next"),
+        F.idiv(lit(1000L) * (col("rr") + 1L) *
+          coalesce(col("n_next"), lit(0L)), col("n_r")).as("rstar_milli"),
+        F.idiv(lit(10000L) * col("rr") * col("n_r"), col("nn")).as("mass_bp"))
+    val unseen = nr.where(col("rr") === 1L)
+      .crossJoin(broadcast(tot))
+      .select(lit(0L).as("r"), lit(null).cast("long").as("n_r"),
+        col("n_r").as("n_next"), lit(null).cast("long").as("rstar_milli"),
+        F.idiv(lit(10000L) * col("n_r"), col("nn")).as("mass_bp"))
+    rows.unionByName(unseen)
+  }
+
+  /** q362: the Good–Turing table of the documents BIGRAM vocabulary
+    * (the Katz-backoff setting — bigrams carry the hapax-heavy tail
+    * that makes unseen-mass estimation meaningful; this corpus's
+    * unigram vocabulary is shared and tailless by construction). */
+  def q362(s: SparkSession, d: String): DataFrame =
+    goodTuring(withToks(Tables.documents(s, d), "text")
+      .select(explode(expr(
+        "transform(slice(toks, 1, greatest(size(toks) - 1, 0)), (x, i) -> " +
+          "concat(x, ' ', element_at(toks, i + 2)))")).as("g")))
+
   /** JENSEN–SHANNON VOCABULARY DRIFT (round 13) — the SYMMETRIC,
     * BOUNDED member of the corpus-drift family: q119's KL explodes on
     * terms one side lacks and depends on direction; JSD(P,Q) =

@@ -5671,4 +5671,130 @@ class OperatorsSpec extends SparkSpec {
     val t = Relational.assortativity(tri, "a", "b").collect().head
     assert(t.isNullAt(2), "regular graph must report null r")
   }
+
+  test("q358 filtered graph probe: every hit shares the query's label; " +
+       "recall vs the exact filtered top-k reported per selectivity") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, sf)
+    val labels = e.select(col("vec_id").as("vid"), col("label").as("lbl"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Number](1).longValue).toMap
+    val served = Similarity.q358(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    // predicate soundness: a served neighbor NEVER crosses the filter
+    served.foreach { case (q, n) =>
+      assert(labels(q) == labels(n), s"neighbor $n breaks query $q's label")
+    }
+    // recall vs the exact q155 leg (label selectivity = 1/10 here):
+    // the walk's scored set is ~seeds + hops*beam*M per query, so a
+    // 0.1-selective predicate leaves plenty of passing candidates
+    val exact = Similarity.q155(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val got = served.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def recallOf(rows: Array[(Long, Long)]): Double = {
+      val g = rows.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val rs = exact.map { case (q, t) =>
+        g.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size }
+      rs.sum / rs.size
+    }
+    val recall = recallOf(served)
+    info(f"filtered-probe recall@10 vs exact (selectivity 0.1): $recall%.3f")
+    // measured floor at the PINNED walk budget (the oracle contract):
+    // 0.86 at 500 vectors / selectivity 0.1 — the pinned budget's
+    // scored set just covers a 0.1-selective predicate
+    assert(recall >= 0.8, f"filtered recall $recall%.3f below 0.8")
+    // selectivity curve: tighten the predicate by intersecting with a
+    // parity attribute (selectivity ~0.05) — recall may drop but the
+    // result must stay predicate-sound and non-empty (the documented
+    // contract: rare predicates need a wider walk or a partitioned
+    // store, not silent wrong answers)
+    val dir = {
+      val f = java.nio.file.Files.createTempDirectory("graft-q358").toString
+      Similarity.writeNswIndex(e, "vec_id", "embedding", s"$f/idx",
+        m = Similarity.NswM, rounds = Similarity.NswRounds,
+        beam = Similarity.NswBeam, hops = Similarity.NswHops)
+      s"$f/idx"
+    }
+    val e2 = e.withColumn("lab2", col("label") * 2 + col("vec_id") % 2)
+    // the documented mitigation for selective predicates: WIDEN the
+    // walk at the call — beam x2, one extra hop — and recall recovers
+    val wide = Similarity.nswFilteredTopKFromIndex(spark, dir,
+      e.filter(col("vec_id") < Similarity.NumQueries),
+      "vec_id", "embedding", "label", e.select(col("vec_id"), col("label")),
+      beam = 2 * Similarity.NswBeam, hops = Similarity.NswHops + 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val wideRecall = recallOf(wide)
+    info(f"widened-walk (2x beam, +1 hop) recall: $wideRecall%.3f")
+    assert(wideRecall >= 0.95 && wideRecall > recall - 0.01,
+      f"widened walk must recover recall: $wideRecall%.3f")
+    val tight = Similarity.nswFilteredTopKFromIndex(spark, dir,
+      e2.filter(col("vec_id") < Similarity.NumQueries),
+      "vec_id", "embedding", "lab2", e2.select(col("vec_id"), col("lab2")))
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(tight.nonEmpty, "a 0.05-selective probe must still answer")
+    val lab2 = e2.select(col("vec_id"), col("lab2")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Number](1).longValue).toMap
+    tight.foreach { case (q, n) =>
+      assert(lab2(q) == lab2(n), "tightened predicate crossed") }
+  }
+
+  test("q359-q365 wave: statistic invariants on testdata and synthetic " +
+       "edges") {
+    import org.apache.spark.sql.functions.col
+    import SparkTestSession.spark.implicits._
+    // Brown-Forsythe: one row, F defined, n = orders rows
+    val bf = Relational.q359(spark, sf).collect()
+    assert(bf.length == 1 && !bf.head.isNullAt(4) && bf.head.getLong(4) >= 0)
+    // Cochran-Armitage: a hand-built rising rate must read z > 0,
+    // falling z < 0, constant scores NULL
+    def ca(rows: Seq[(Long, Int)]): Option[Long] = {
+      val r = Relational.cochranArmitage(rows.toDF("w", "c"),
+        col("c"), col("w")).collect().head
+      if (r.isNullAt(4)) None else Some(r.getLong(4))
+    }
+    val rising = (0 until 50).flatMap(i =>
+      Seq.fill(10)((i.toLong % 5, if (i % 10 < (i % 5) * 2) 1 else 0)))
+    assert(ca(rising).exists(_ > 0), s"rising rate must read z > 0")
+    val falling = rising.map { case (w, c) => (4L - w, c) }
+    assert(ca(falling).exists(_ < 0), "reversed scores must flip the sign")
+    assert(ca(Seq.fill(40)((2L, 1)) ++ Seq.fill(40)((2L, 0))).isEmpty,
+      "constant scores must report NULL z")
+    // k-map: bands partition the release; ALL row reconciles
+    val km = Relational.q361(spark, sf).collect()
+    val all = km.find(_.getString(0) == "ALL").get
+    val bandSum = km.filter(_.getString(0) != "ALL").map(_.getLong(2)).sum
+    assert(bandSum == all.getLong(2), "bands must partition the release")
+    // Good-Turing: observed mass never exceeds the whole; the unseen
+    // row exists iff the bigram vocabulary has hapaxes (it does here)
+    val gt = Text.q362(spark, sf).collect()
+    assert(gt.exists(_.getLong(0) == 0L), "bigram corpus must have hapaxes")
+    val massSum = gt.map(_.getLong(4)).sum
+    assert(massSum <= 10000L + gt.length, s"mass rows overflow: $massSum")
+    // CDC: savings in range, chunk accounting consistent, and the
+    // chunking RESYNCS after an insertion (the fixed-window killer):
+    // a doc and its one-token-prefixed twin share almost all chunks
+    val cdc = Dedup.q363(spark, sf).collect().head
+    assert(cdc.getLong(2) >= cdc.getLong(3), "unique tokens exceed total")
+    val sb = cdc.getLong(5)
+    assert(sb >= 0 && sb <= 10000, s"savings_bp out of range: $sb")
+    val body = (1 to 400).map(i => s"tok${i % 97}x$i").mkString(" ")
+    val twins = Seq((1L, body), (2L, "inserted " + body)).toDF("id", "t")
+    val tw = Dedup.cdcSavings(twins, "id", "t").collect().head
+    assert(tw.getLong(5) >= 4000,
+      s"CDC must resync after an insertion: savings ${tw.getLong(5)} bp")
+    // MinHash calibration: estimates bounded, error sane for 16 perms
+    val cal = Dedup.q364(spark, sf).collect()
+    assert(cal.nonEmpty)
+    cal.foreach { r =>
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= 10000)
+      assert(r.getLong(3) <= 3000,
+        s"16-perm estimate err ${r.getLong(3)} bp implausibly large")
+    }
+    // Hurst: per-width rows + the slope row; H in a sane band
+    val hu = Events.q365(spark, sf).collect()
+    val slope = hu.find(_.getLong(0) == 0L).get
+    assert(!slope.isNullAt(4), "slope row must carry hurst_milli")
+    val h = slope.getLong(4)
+    assert(h > 0 && h < 1200, s"hurst_milli $h outside (0, 1200)")
+  }
 }
