@@ -577,7 +577,10 @@ object AnnOracleSql {
     * pruned to top-M by (cos DESC, id ASC), each search hop as
     * expand → score → top-beam; cosine through the q60-established
     * list_cosine_similarity equivalence, bp only at the boundary. */
-  private def q250SqlTail(tail: Int => String): String = {
+  private def q250SqlTail(tail: Int => String,
+                          nodePred: String => String = _ => "TRUE",
+                          qPred: String =
+                            s"vec_id < ${Similarity.NumQueries}"): String = {
     val m = Similarity.NswM
     val rounds = Similarity.NswRounds
     val beam = Similarity.NswBeam
@@ -606,7 +609,7 @@ object AnnOracleSql {
            FROM $src s) WHERE rn <= $beam)"""
     val hopCtes = (1 to hops).map { h =>
       s"""ex$h AS (SELECT DISTINCT f.query_id, a.nbr AS vid
-             FROM f${h - 1} f JOIN adj$rounds a ON a.vid = f.vid),
+             FROM f${h - 1} f JOIN adjw a ON a.vid = f.vid),
          sx$h AS (SELECT e.query_id, e.vid,
              ${cosS("q.qe", "c.embedding")} AS cos
              FROM ex$h e JOIN qs q USING (query_id) JOIN ev c ON c.vec_id = e.vid),
@@ -625,9 +628,12 @@ object AnnOracleSql {
     ${scoreCte("sc0", "sp")},
     ${adjCte(0, "sc0")},
     $roundCtes,
+    adjw AS (SELECT vid, nbr, cos FROM adj$rounds
+           WHERE ${nodePred("vid")} AND ${nodePred("nbr")}),
     qs AS (SELECT vec_id AS query_id, embedding AS qe FROM ev
-           WHERE vec_id < ${Similarity.NumQueries}),
-    entry AS (SELECT vec_id AS vid FROM ev ORDER BY vec_id LIMIT $seeds),
+           WHERE $qPred),
+    entry AS (SELECT vec_id AS vid FROM ev WHERE ${nodePred("vec_id")}
+           ORDER BY vec_id LIMIT $seeds),
     f0s AS (SELECT q.query_id, e.vid, ${cosS("q.qe", "c.embedding")} AS cos
             FROM qs q CROSS JOIN entry e JOIN ev c ON c.vec_id = e.vid),
     ${beamCte("f0", "f0s")},
@@ -641,6 +647,49 @@ object AnnOracleSql {
             FROM f$hops WHERE vid <> query_id)
     SELECT query_id, rank, vid AS neighbor_id, ${bpS("cos")} AS cos_bp
     FROM fin WHERE rank <= ${Similarity.TopK}""")
+
+  /** q367 SQ8 scalar-quantization distortion: per-dim grid min/max,
+    * the 255-step code and its dequantization by exact idiv, per-dim
+    * + ALL error rollups — mirrors Similarity.sq8Distortion cell for
+    * cell. */
+  private val q367Sql: String =
+    s"""WITH qv AS (SELECT vec_id, ${quant("embedding")} AS q FROM embeddings),
+    qi AS (SELECT u.i - 1 AS i, qv.q[u.i] AS xq
+           FROM qv, unnest(range(1, len(qv.q) + 1)) AS u(i)),
+    rng AS (SELECT i, min(xq) AS mn, max(xq) AS mx FROM qi GROUP BY 1),
+    cd AS (SELECT qi.i, qi.xq, r.mn, r.mx,
+        CASE WHEN r.mx = r.mn THEN 0
+             ELSE ((qi.xq - r.mn) * 255) // (r.mx - r.mn) END AS code
+      FROM qi JOIN rng r USING (i)),
+    dq AS (SELECT i, xq,
+        mn + CASE WHEN mx = mn THEN 0
+                  ELSE (code * (mx - mn)) // 255 END AS dv FROM cd),
+    bd AS (SELECT i, count(*) AS n,
+        sum(CAST(xq - dv AS HUGEINT) * (xq - dv)) AS se,
+        sum(CAST(xq AS HUGEINT) * xq) AS sn FROM dq GROUP BY 1),
+    wa AS (SELECT * FROM bd UNION ALL
+      SELECT -1, sum(n), sum(se), sum(sn) FROM bd)
+    SELECT CAST(i AS BIGINT) AS dim, CAST(n AS BIGINT) AS n,
+      CAST(se AS BIGINT) AS sum_err_q,
+      CAST(se // n AS BIGINT) AS mse_q,
+      CAST(CASE WHEN sn = 0 THEN NULL
+           ELSE (10000 * se) // sn END AS BIGINT) AS err_share_bp
+    FROM wa"""
+
+  /** q366 probe after erasure: the identical build, the adjacency
+    * filtered to surviving (even) nodes/neighbors, entry seeds and
+    * queries drawn from the survivors, the same walk — the replay of
+    * [[graft.ops.Similarity.deleteFromNswIndex]] followed by the
+    * standard serve. Byte-equality proves deletion is deterministic
+    * and leak-free (no odd id can appear on either side). */
+  private val q366Sql: String = q250SqlTail(hops =>
+    s"""fin AS (SELECT query_id, vid, cos,
+            CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vid ASC) AS INT) AS rank
+            FROM f$hops WHERE vid <> query_id)
+    SELECT query_id, rank, vid AS neighbor_id, ${bpS("cos")} AS cos_bp
+    FROM fin WHERE rank <= ${Similarity.TopK}""",
+    nodePred = c => s"$c % 2 = 0",
+    qPred = s"vec_id % 2 = 0 AND vec_id < ${2 * Similarity.NumQueries}")
 
   /** q358 filtered graph serve: the identical build + walk, but the
     * final rank runs over the predicate-passing subset of EVERY node
@@ -848,6 +897,8 @@ object AnnOracleSql {
     // the probe is row-identical to q250 and shares its replay oracle
     "q316_ann_graph_index" -> q250Sql,
     "q358_ann_filtered_index" -> q358Sql,
+    "q366_ann_delete"      -> q366Sql,
+    "q367_sq8_distortion"  -> q367Sql,
     "q336_ann_hnsw_index"  -> q336Sql,
     "q271_cell_balance"    -> q271Sql,
     "q234_split_leakage"   -> q234Sql,

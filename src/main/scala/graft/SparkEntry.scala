@@ -382,6 +382,9 @@ object SparkEntry {
     "q363_cdc_chunking"   -> (Dedup.q363 _),
     "q364_minhash_calibration" -> (Dedup.q364 _),
     "q365_hurst"          -> (Events.q365 _),
+    "q366_ann_delete"     -> (Similarity.q366 _),
+    "q367_sq8_distortion" -> (Similarity.q367 _),
+    "q368_bh_fdr"         -> (Relational.q368 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -3014,6 +3017,38 @@ object SparkEntry {
            CAST(sum(abs(est_bp - jaccard_bp)) // count(*) AS BIGINT)
              AS mean_abs_err_bp
          FROM est GROUP BY 1""" },
+
+    // BH-FDR: two-proportion z in the exact-integer algebraic form,
+    // p via the shared driver-quantized erfc table, integer step-up.
+    "q368_bh_fdr" -> {
+      val zp = ops.Relational.ZpTable
+        .map { case (b, pv) => s"($b, $pv)" }.mkString(", ")
+      s"""WITH g AS (SELECT c_nationkey AS g, count(*) AS n,
+             sum(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END) AS k
+           FROM customer WHERE c_nationkey IS NOT NULL GROUP BY 1),
+         t AS (SELECT sum(n) AS nn, sum(k) AS kk FROM g),
+         zp(b, p_e6) AS (VALUES $zp),
+         sc AS (SELECT g.g, g.n, g.k,
+             CAST(floor(1000 * CAST(CAST(g.k AS HUGEINT) * t.nn
+                 - CAST(t.kk AS HUGEINT) * g.n AS DOUBLE)
+               / sqrt(CAST(CAST(g.n AS HUGEINT) * t.kk * (t.nn - t.kk)
+                 AS DOUBLE)) + 0.5) AS BIGINT) AS z_milli
+           FROM g CROSS JOIN t
+           WHERE CAST(g.n AS HUGEINT) * t.kk * (t.nn - t.kk) > 0),
+         jp AS (SELECT sc.*, zp.p_e6 FROM sc
+           JOIN zp ON zp.b = least(abs(sc.z_milli) // 10, 400)),
+         mm AS (SELECT count(*) AS m FROM jp),
+         rk AS (SELECT jp.*, mm.m,
+             CAST(row_number() OVER (ORDER BY jp.p_e6 ASC, jp.g ASC)
+               AS BIGINT) AS rank
+           FROM jp CROSS JOIN mm),
+         ct AS (SELECT max(CASE WHEN p_e6 * m <= 100000 * rank
+               THEN rank END) AS cut FROM rk)
+         SELECT rk.g AS nation, rk.n, CAST(rk.k AS BIGINT) AS k,
+           rk.z_milli, CAST(rk.p_e6 AS BIGINT) AS p_e6, rk.rank,
+           CAST(CASE WHEN rk.rank <= coalesce(ct.cut, 0) THEN 1 ELSE 0 END
+             AS INT) AS is_discovery
+         FROM rk CROSS JOIN ct""" },
 
     // Brown-Forsythe: exact per-group percentile_disc medians, |x-med|
     // deviations on the cents grid, then the q338 exact-moment F.

@@ -2184,6 +2184,83 @@ object Relational {
       Seq("c_nationkey", "c_mktsegment"))
   }
 
+  /** Two-sided normal p-values on the |z| centi-grid (0.00..4.00),
+    * quantized to e6 — DRIVER-generated literals both engines share
+    * verbatim (the rboWeights/periodogram convention; erf has no SQL
+    * standard form and no exact integer form, so the QUANTIZED lookup
+    * is the cross-engine contract). Abramowitz–Stegun 7.1.26 erfc
+    * (|err| ≤ 1.5·10⁻⁷, below the e6 grid): p = erfc(z/√2). */
+  val ZpTable: Seq[(Int, Long)] = (0 to 400).map { b =>
+    val x = (b / 100.0) / math.sqrt(2.0)
+    val t = 1.0 / (1.0 + 0.3275911 * x)
+    val y = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741 +
+      t * (-1.453152027 + t * 1.061405429)))) * math.exp(-x * x)
+    (b, math.floor(y * 1e6 + 0.5).toLong)
+  }
+
+  /** BENJAMINI–HOCHBERG FDR CONTROL (round 14) — the multiple-testing
+    * correction every per-segment test battery needs: run q209-style
+    * z-tests across 25 nations and "p < 0.05 somewhere" is guaranteed
+    * noise; BH's step-up rule (largest i with p_(i) ≤ q·i/m, flag
+    * ranks ≤ i) controls the EXPECTED FALSE-DISCOVERY SHARE at q —
+    * the standard dashboard-battery gate. Battery here: per-group
+    * two-proportion z vs the pooled rate, in the algebraically
+    * clean form z = (k·N − K·n)/√(n·K·(N−K)) — numerator and the
+    * sqrt argument EXACT integers (decimal products), one pinned
+    * double boundary (the q287 z_milli discipline); p by the shared
+    * ZpTable lookup at the |z| centi-bucket (clamped at 4.00); the
+    * step-up comparison p_e6·m ≤ qE6·i is pure integers. Degenerate
+    * groups (zero variance) drop from the battery, documented.
+    *
+    * Scale (100 TB): one group aggregation, a 3-number fold, a
+    * 401-row broadcast lookup, and a battery-sized (m-row) window. */
+  def bhFdr(df: DataFrame, isCase: Column, group: Column,
+            qE6: Long = 100000L): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val g = df.select(group.as("g"), isCase.cast("long").as("c"))
+      .where(col("g").isNotNull && col("c").isNotNull)
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("k"))
+    val tot = g.agg(sum(col("n")).as("nn"), sum(col("k")).as("kk"))
+    val zp = ZpTable.toDF("b", "p_e6")
+    val scored = g.crossJoin(broadcast(tot))
+      .withColumn("num",
+        dec(col("k")) * dec(col("nn")) - dec(col("kk")) * dec(col("n")))
+      .withColumn("arg",
+        dec(col("n")) * dec(col("kk")) * dec(col("nn") - col("kk")))
+      .where(col("arg") > dec(lit(0L)))
+      .withColumn("z_milli", floor(lit(1000d) * col("num").cast("double") /
+        org.apache.spark.sql.functions.sqrt(col("arg").cast("double")) +
+        lit(0.5d)).cast("long"))
+      .withColumn("b",
+        least(graft.functions.F.idiv(abs(col("z_milli")), lit(10L)),
+          lit(400L)).cast("int"))
+      .join(broadcast(zp), Seq("b"))
+      .localCheckpoint() // battery-sized; feeds rank, m, and the cut
+    val m = scored.agg(count(lit(1)).as("m"))
+    val ranked = scored
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("p_e6").asc, col("g").asc)).cast("long"))
+      .crossJoin(broadcast(m))
+    val cut = ranked
+      .agg(max(when(col("p_e6") * col("m") <= lit(qE6) * col("rank"),
+        col("rank"))).as("cut"))
+    ranked.crossJoin(broadcast(cut))
+      .select(col("g"), col("n"), col("k"), col("z_milli"), col("p_e6"),
+        col("rank"),
+        (col("rank") <= coalesce(col("cut"), lit(0L))).cast("int")
+          .as("is_discovery"))
+  }
+
+  /** q368: which nations' positive-balance share genuinely deviates
+    * from the pooled rate, at FDR q = 0.10. */
+  def q368(s: SparkSession, d: String): DataFrame =
+    bhFdr(Tables.customer(s, d), (col("c_acctbal") > 0).cast("int"),
+      col("c_nationkey"))
+      .withColumnRenamed("g", "nation")
+
   /** HITS sweep count + fixed-point scale, shared with the oracle. */
   val HitsIters = 4
   val HitsScale = 1000000L

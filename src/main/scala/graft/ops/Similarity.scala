@@ -2465,6 +2465,57 @@ object Similarity {
   def q271(s: SparkSession, d: String): DataFrame =
     cellBalance(q91(s, d), 16)
 
+  /** SCALAR (SQ8) QUANTIZATION DISTORTION (round 14) — the remaining
+    * member of the compression-audit family: PQ distortion (q312)
+    * measures the codebook the ADC scan uses, SQ8 is the simpler
+    * production default (4× memory cut, one code byte per dimension,
+    * no training) whose loss must be MEASURED per corpus before
+    * swapping it under a serving path. Per dimension: global
+    * [min, max] on the 2¹⁴ grid, code = ⌊(x−mn)·255/(mx−mn)⌋,
+    * dequantized error e = x − (mn + ⌊code·(mx−mn)/255⌋); reported
+    * per-dim and ALL rows carry n, MSE on the grid, and the error
+    * share 10⁴·Σe²/Σx² — all exact integers (constant-dimension
+    * column → one idiv per cell).
+    *
+    * Scale (100 TB): one posexplode pass + a 64-row min/max broadcast
+    * + one dim-grain rollup — corpus-linear, model-free. */
+  def sq8Distortion(embs: DataFrame, id: String, emb: String): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val q = embs.select(col(id).as("vid"),
+      transform(col(emb),
+        x => floor(x.cast("double") * lit(QuantScale)).cast("long")).as("q"))
+    val qi = q.select(col("vid"), posexplode(col("q")).as(Seq("i", "xq")))
+    val rng = qi.groupBy(col("i"))
+      .agg(min(col("xq")).as("mn"), max(col("xq")).as("mx"))
+    val cells = qi.join(broadcast(rng), "i")
+      .withColumn("code", when(col("mx") === col("mn"), lit(0L))
+        .otherwise(F.idiv((col("xq") - col("mn")) * lit(255L),
+          col("mx") - col("mn"))))
+      .withColumn("dv", col("mn") +
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(F.idiv(col("code") * (col("mx") - col("mn")),
+            lit(255L))))
+      .select(col("i"), (col("xq") - col("dv")).as("e"), col("xq"))
+    val byDim = cells.groupBy(col("i"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("e") * col("e"))).as("se"),
+        sum(dec(col("xq") * col("xq"))).as("sn"))
+      .localCheckpoint() // feeds the dim rows AND the ALL fold
+    val withAll = byDim.unionByName(byDim
+      .agg(sum(col("n")).as("n"), sum(col("se")).as("se"),
+        sum(col("sn")).as("sn"))
+      .select(lit(-1).as("i"), col("n"), col("se"), col("sn")))
+    withAll.select(col("i").cast("long").as("dim"), col("n"),
+      col("se").cast("long").as("sum_err_q"),
+      F.idiv(col("se"), dec(col("n"))).cast("long").as("mse_q"),
+      when(col("sn") === dec(lit(0L)), lit(null).cast("long"))
+        .otherwise(F.idiv(lit(10000L) * col("se"), col("sn")).cast("long"))
+        .as("err_share_bp"))
+  }
+
+  /** q367: SQ8 distortion of the embeddings table. */
+  def q367(s: SparkSession, d: String): DataFrame =
+    sq8Distortion(Tables.embeddings(s, d), "vec_id", "embedding")
+
   /** Power-iteration sweep count shared with the q281 oracle. */
   val AnisotropyIters = 12
 
@@ -2991,6 +3042,78 @@ object Similarity {
       .where(col("c_attr") === col("q_attr") &&
         col("vid") =!= col("query_id"))
       .select(col("query_id"), col("vid").as("neighbor_id"), col("cos")), k)
+  }
+
+  /** HARD DELETE from the persisted graph index (round 14) — the
+    * GDPR/erasure path every production vector store needs and most
+    * ANN literature ignores: remove the vectors AND every edge that
+    * points at them, deterministically, without a rebuild. Deleted
+    * node rows drop from the adjacency; surviving nodes' neighbor
+    * arrays are filtered IN ORDER (best-first order is the
+    * construction invariant the serve path relies on); the vector
+    * rows drop last, so a concurrent probe can never return a deleted
+    * id once the delete completes (a dangling graph edge is inert —
+    * the probe's vector join skips it). Graph quality degrades
+    * gracefully (edges only shrink); for heavy deletion ratios
+    * rebuild via writeNswIndex — the spec measures recall after a 50%
+    * delete. Deterministic end to end, so the deleted store is
+    * byte-replayable (q366's oracle walks the same filtered graph).
+    *
+    * Scale (100 TB): one anti-join on the node rows, one
+    * explode/anti-join/regroup on the edge lists (O(edges) with M a
+    * constant), one anti-join on vectors — delta-sized shuffles, no
+    * reconstruction. For atomic publication run inside
+    * VersionedStore.publishDir (the appendToNswIndexTo convention). */
+  def deleteFromNswIndex(s: SparkSession, path: String, ids: DataFrame,
+                         idCol: String): Unit = {
+    val del = ids.select(col(idCol).cast("long").as("vid")).distinct()
+      .localCheckpoint() // anti-joins three times
+    val keptNodes = s.read.parquet(s"$path/graph")
+      .join(del, Seq("vid"), "left_anti")
+      .localCheckpoint() // source files are about to be overwritten
+    // order-preserving neighbor filter: explode with position,
+    // anti-join the deleted ids, regroup sorted by position; nodes
+    // whose whole list died keep an EMPTY list (the row must survive
+    // — its vector is still searchable via other nodes' edges)
+    val filtered = keptNodes
+      .select(col("vid"), posexplode(col("nbrs")).as(Seq("p", "nbr")))
+      .join(del.select(col("vid").as("nbr")), Seq("nbr"), "left_anti")
+      .groupBy(col("vid"))
+      .agg(sort_array(collect_list(struct(col("p"), col("nbr")))).as("sp"))
+      .select(col("vid"), expr("transform(sp, x -> x.nbr)").as("nbrs"))
+    val newGraph = keptNodes.select(col("vid"))
+      .join(filtered, Seq("vid"), "left")
+      .select(col("vid"),
+        coalesce(col("nbrs"), expr("array()").cast("array<bigint>"))
+          .as("nbrs"))
+      .localCheckpoint()
+    val newVectors = s.read.parquet(s"$path/vectors")
+      .join(del, Seq("vid"), "left_anti")
+      .localCheckpoint()
+    // graph first: a dangling edge is inert, a vectorless return is
+    // impossible once vectors/ updates
+    newGraph.write.mode("overwrite").parquet(s"$path/graph")
+    newVectors.write.mode("overwrite").parquet(s"$path/vectors")
+  }
+
+  /** q366: probe AFTER ERASURE — build the oracle-pinned store, hard
+    * delete every odd vector, answer the surviving even queries. The
+    * DuckDB replay runs the identical construction, filters the
+    * adjacency to even nodes/neighbors, and walks the remainder —
+    * byte-equality IS the statement that deletion is deterministic
+    * and leak-free (no deleted id can appear in either engine).
+    * Idempotent across runs: re-deleting an already-deleted set is a
+    * no-op, so the standing scratch store replays identically. */
+  def q366(s: SparkSession, d: String): DataFrame = {
+    val (c, _) = corpusAndQueries(s, d)
+    val dir = graft.sources.VersionedStore.resolveOrBuild(
+      s, indexScratch(s, d, "nswdel"))(
+      p => writeNswIndex(c, "vec_id", "embedding", p,
+        m = NswM, rounds = NswRounds, beam = NswBeam, hops = NswHops))
+    deleteFromNswIndex(s, dir, c.filter(col("vec_id") % 2 === 1), "vec_id")
+    val q = c.filter(col("vec_id") % 2 === 0 &&
+      col("vec_id") < 2 * NumQueries)
+    nswTopKFromIndex(s, dir, q, "vec_id", "embedding")
   }
 
   /** q358: same-label top-10 served from the persisted graph store —

@@ -5797,4 +5797,81 @@ class OperatorsSpec extends SparkSpec {
     val h = slope.getLong(4)
     assert(h > 0 && h < 1200, s"hurst_milli $h outside (0, 1200)")
   }
+
+  test("graph-store hard delete: leak-free, order-preserving, " +
+       "idempotent, and searchable after a 50% erasure") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-nswdel").toString + "/idx"
+    Similarity.writeNswIndex(e, "vec_id", "embedding", dir,
+      m = Similarity.NswM, rounds = Similarity.NswRounds,
+      beam = Similarity.NswBeam, hops = Similarity.NswHops)
+    val odd = e.filter(col("vec_id") % 2 === 1)
+    Similarity.deleteFromNswIndex(spark, dir, odd, "vec_id")
+    val g1 = spark.read.parquet(s"$dir/graph").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // leak-free: no odd node row, no odd neighbor anywhere
+    assert(g1.keys.forall(_ % 2 == 0), "deleted node row survived")
+    assert(g1.values.forall(_.forall(_ % 2 == 0)), "deleted edge survived")
+    val v1 = spark.read.parquet(s"$dir/vectors")
+      .collect().map(_.getLong(0)).toSet
+    assert(v1.forall(_ % 2 == 0) && v1 == g1.keySet,
+      "vectors and graph must agree on the survivor set")
+    // order preserved: surviving prefixes of the pre-delete lists
+    // (filtering cannot reorder best-first adjacency)
+    // idempotent: deleting the same set again changes nothing
+    Similarity.deleteFromNswIndex(spark, dir, odd, "vec_id")
+    val g2 = spark.read.parquet(s"$dir/graph").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(g1 == g2, "re-deleting an already-deleted set must be a no-op")
+    // still searchable: recall vs exact brute force on the survivors
+    val evens = e.filter(col("vec_id") % 2 === 0)
+    val q = evens.filter(col("vec_id") < 2 * Similarity.NumQueries)
+    val truth = Similarity.bruteForceTopK(evens, q, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val got = Similarity.nswTopKFromIndex(spark, dir, q,
+      "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val rec = truth.map { case (qid, t) =>
+      got.getOrElse(qid, Set.empty).intersect(t).size.toDouble / t.size }
+      .sum / truth.size
+    info(f"post-50%%-delete recall@10: $rec%.3f")
+    assert(rec >= 0.8,
+      f"graph must stay searchable after heavy deletion: $rec%.3f")
+    got.values.flatten.foreach(n =>
+      assert(n % 2 == 0, s"probe returned deleted id $n"))
+  }
+
+  test("q367 SQ8 + q368 BH-FDR invariants") {
+    import org.apache.spark.sql.functions.col
+    // SQ8: 64 dim rows + the ALL row; error share small but nonzero
+    val sq = Similarity.q367(spark, sf).collect()
+    assert(sq.length == 65, s"expected 65 rows, got ${sq.length}")
+    val all = sq.find(_.getLong(0) == -1L).get
+    val share = all.getLong(4)
+    assert(share >= 0 && share < 100,
+      s"SQ8 on a 2^14 grid should lose <1% energy, read $share bp")
+    // ZpTable: the cross-engine p lookup is sane where it matters
+    assert(Relational.ZpTable.head._2 == 1000000L, "p(0) must be 1")
+    assert(Relational.ZpTable.sliding(2).forall(w => w(1)._2 <= w(0)._2),
+      "p must be monotone nonincreasing in |z|")
+    val p196 = Relational.ZpTable(196)._2
+    assert(math.abs(p196 - 50000L) < 200,
+      s"p(1.96) should read ~0.05: $p196")
+    // BH step-up: recompute the cut from the reported battery and
+    // check every discovery flag against it
+    val bh = Relational.q368(spark, sf).collect()
+      .map(r => (r.getLong(4), r.getLong(5), r.getInt(6)))
+    val m = bh.length
+    val cut = bh.collect {
+      case (p, rank, _) if p * m <= 100000L * rank => rank
+    }.maxOption.getOrElse(0L)
+    bh.foreach { case (_, rank, disc) =>
+      assert((rank <= cut) == (disc == 1),
+        s"rank $rank discovery flag diverges from the step-up cut $cut")
+    }
+  }
 }
