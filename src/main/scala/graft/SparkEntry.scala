@@ -385,6 +385,9 @@ object SparkEntry {
     "q366_ann_delete"     -> (Similarity.q366 _),
     "q367_sq8_distortion" -> (Similarity.q367 _),
     "q368_bh_fdr"         -> (Relational.q368 _),
+    "q369_woe_iv"         -> (Relational.q369 _),
+    "q370_gain_curve"     -> (Text.q370 _),
+    "q371_kneser_ney"     -> (Text.q371 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -3017,6 +3020,86 @@ object SparkEntry {
            CAST(sum(abs(est_bp - jaccard_bp)) // count(*) AS BIGINT)
              AS mean_abs_err_bp
          FROM est GROUP BY 1""" },
+
+    // WoE/IV: Laplace-smoothed band counts, 64*log2 WoE via the
+    // shared lgCte, e6 share deltas, IV as the descaled sum.
+    "q369_woe_iv" -> {
+      s"""WITH g AS (SELECT least(CAST(floor(o_totalprice / 50000)
+               AS BIGINT), 9) AS band, count(*) AS n,
+             sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS nb
+           FROM orders
+           WHERE o_totalprice IS NOT NULL AND o_orderstatus IS NOT NULL
+           GROUP BY 1),
+         t AS (SELECT sum(n - nb) AS gt, sum(nb) AS bt, count(*) AS k
+           FROM g),
+         j AS (SELECT g.band, g.n, g.nb, g.n - g.nb + 1 AS gp,
+             g.nb + 1 AS bp, t.gt + t.k AS gtp, t.bt + t.k AS btp
+           FROM g CROSS JOIN t),
+         args AS (SELECT DISTINCT v AS k, v AS n FROM (
+             SELECT gp * btp AS v FROM j
+             UNION ALL SELECT bp * gtp FROM j) WHERE v > 0),
+         pw AS (SELECT unnest(range(0, 63)) AS p),
+         ${UnigramOracleSql.lgCte("lgt", "args", "k", "k")},
+         rw AS (SELECT j.band, j.n, j.nb, l1.lg - l2.lg AS woe_q,
+             (1000000 * (CAST(j.gp AS HUGEINT) * j.btp
+               - CAST(j.bp AS HUGEINT) * j.gtp))
+               // (CAST(j.gtp AS HUGEINT) * j.btp) AS d_e6
+           FROM j JOIN lgt l1 ON l1.k = j.gp * j.btp
+           JOIN lgt l2 ON l2.k = j.bp * j.gtp)
+         SELECT CAST(band AS BIGINT) AS band, CAST(n AS BIGINT) AS n,
+           CAST(nb AS BIGINT) AS n_bad, CAST(woe_q AS BIGINT) AS woe_q,
+           CAST(NULL AS BIGINT) AS iv_q FROM rw
+         UNION ALL
+         SELECT -1, CAST(sum(n) AS BIGINT), CAST(sum(nb) AS BIGINT), NULL,
+           CAST(sum(d_e6 * woe_q) // 1000000 AS BIGINT) FROM rw""" },
+
+    // Gain/lift curve: score-level rollup, cumulative-from-the-top
+    // windows over the bounded bp grid, exact idiv boundaries.
+    "q370_gain_curve" ->
+      s"""WITH $LangIdCtes,
+         pp AS (SELECT doc_id, lang AS pred_lang,
+               ${BP("score")} AS s FROM r WHERE rn = 1),
+         j AS (SELECT s AS score_bp,
+               CASE WHEN pp.pred_lang = d.lang THEN 1 ELSE 0 END AS y
+               FROM documents d JOIN pp USING (doc_id)),
+         lv AS (SELECT score_bp, count(*) AS n, sum(y) AS pos
+               FROM j GROUP BY 1),
+         t AS (SELECT sum(n) AS tn, sum(pos) AS tp FROM lv),
+         c AS (SELECT score_bp, n, pos,
+               sum(n) OVER (ORDER BY score_bp DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+               sum(pos) OVER (ORDER BY score_bp DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos
+               FROM lv)
+         SELECT CAST(score_bp AS BIGINT) AS score_bp, CAST(n AS BIGINT) AS n,
+           CAST(pos AS BIGINT) AS pos, CAST(cum_n AS BIGINT) AS cum_n,
+           CAST(cum_pos AS BIGINT) AS cum_pos,
+           CAST((10000 * cum_pos) // tp AS BIGINT) AS gain_bp,
+           CAST((10000 * cum_n) // tn AS BIGINT) AS depth_bp,
+           CAST(CASE WHEN tp = 0 THEN NULL
+                ELSE (1000 * cum_pos * tn) // (cum_n * tp) END AS BIGINT)
+             AS lift_milli
+         FROM c CROSS JOIN t""",
+
+    // Kneser-Ney: bigram/continuation rollups, the quarters discount,
+    // each factor its own idiv in the pinned composition.
+    "q371_kneser_ney" ->
+      """WITH tk AS (SELECT string_split(text, ' ') AS tks FROM documents),
+         bg AS (SELECT w1, w2, count(*) AS c12 FROM (
+             SELECT tks[i] AS w1, tks[i + 1] AS w2
+             FROM tk, unnest(range(1, len(tks))) AS u(i)) GROUP BY 1, 2),
+         c1 AS (SELECT w1, sum(c12) AS c1, count(*) AS n1p FROM bg GROUP BY 1),
+         ct AS (SELECT w2, count(*) AS ncont FROM bg GROUP BY 1),
+         tt AS (SELECT count(*) AS tt FROM bg),
+         r AS (SELECT bg.w1, bg.w2, bg.c12, c1.c1, ct.ncont,
+             (1000000 * (4 * bg.c12 - 3)) // (4 * c1.c1)
+               + (((1000000 * 3 * c1.n1p) // (4 * c1.c1))
+                 * ((1000000 * ct.ncont) // tt.tt)) // 1000000 AS pkn_e6
+           FROM bg JOIN c1 USING (w1) JOIN ct USING (w2) CROSS JOIN tt)
+         SELECT w1, w2, CAST(c12 AS BIGINT) AS c12, CAST(c1 AS BIGINT) AS c1,
+           CAST(ncont AS BIGINT) AS ncont, CAST(pkn_e6 AS BIGINT) AS pkn_e6
+         FROM r QUALIFY row_number()
+           OVER (ORDER BY c12 DESC, w1 ASC, w2 ASC) <= 20""",
 
     // BH-FDR: two-proportion z in the exact-integer algebraic form,
     // p via the shared driver-quantized erfc table, integer step-up.

@@ -2261,6 +2261,61 @@ object Relational {
       col("c_nationkey"))
       .withColumnRenamed("g", "nation")
 
+  /** WEIGHT OF EVIDENCE + INFORMATION VALUE (round 14) — the
+    * credit-scoring/feature-screening standard: per feature band,
+    * WoE = log(good share / bad share) says which way and how hard
+    * the band separates the classes, and IV = Σ(Δshare)·WoE is the
+    * one-number screen ("IV < 0.02 = useless, > 0.5 = suspicious").
+    * Exact integers: Laplace-smoothed counts (+1 per band, totals
+    * +n_bands — the documented convention that keeps empty bands
+    * finite), WoE in 64·log2 units via the distributed withLg64
+    * (woe_q = lg64((g+1)·B′) − lg64((b+1)·G′)), share deltas on the
+    * e6 grid by one idiv (floor on negatives matches DuckDB //), IV
+    * as the e6-descaled sum — bit-replayable end to end. Per-band
+    * rows + the ALL row carrying iv_q.
+    *
+    * Scale (100 TB): one band-grain aggregation + a 1-row total
+    * broadcast; bands are fixed-width (scale-safe — no global
+    * ntile window over the corpus). */
+  def woeIv(df: DataFrame, isBad: Column, band: Column): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val g = df.select(band.cast("long").as("band"),
+        isBad.cast("long").as("bad"))
+      .where(col("band").isNotNull && col("bad").isNotNull)
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n"), sum(col("bad")).as("nb"))
+    val tot = g.agg(sum(col("n") - col("nb")).as("gt"),
+      sum(col("nb")).as("bt"), count(lit(1)).as("k"))
+    var j = g.crossJoin(broadcast(tot))
+      .withColumn("gp", col("n") - col("nb") + 1L)
+      .withColumn("bp", col("nb") + 1L)
+      .withColumn("gtp", col("gt") + col("k"))
+      .withColumn("btp", col("bt") + col("k"))
+    j = graft.functions.Cols.withLg64(j, col("gp") * col("btp"), "lgg")
+    j = graft.functions.Cols.withLg64(j, col("bp") * col("gtp"), "lgb")
+    val rows = j
+      .withColumn("woe_q", col("lgg") - col("lgb"))
+      .withColumn("d_e6", graft.functions.F.idiv(
+        dec(lit(1000000L)) *
+          (dec(col("gp")) * dec(col("btp")) -
+            dec(col("bp")) * dec(col("gtp"))),
+        dec(col("gtp")) * dec(col("btp"))))
+      .localCheckpoint() // band-sized; feeds rows AND the IV fold
+    val per = rows.select(col("band"), col("n"), col("nb").as("n_bad"),
+      col("woe_q"), lit(null).cast("long").as("iv_q"))
+    val all = rows.agg(sum(col("n")).as("n"), sum(col("nb")).as("n_bad"),
+        sum(col("d_e6") * col("woe_q")).as("ivs"))
+      .select(lit(-1L).as("band"), col("n"), col("n_bad"),
+        lit(null).cast("long").as("woe_q"),
+        graft.functions.F.idiv(col("ivs"), lit(1000000L)).as("iv_q"))
+    per.unionByName(all)
+  }
+
+  /** q369: WoE/IV of the $50k order-price bands against F status. */
+  def q369(s: SparkSession, d: String): DataFrame =
+    woeIv(Tables.orders(s, d), (col("o_orderstatus") === "F").cast("int"),
+      least(floor(col("o_totalprice") / 50000), lit(9)).cast("long"))
+
   /** HITS sweep count + fixed-point scale, shared with the oracle. */
   val HitsIters = 4
   val HitsScale = 1000000L

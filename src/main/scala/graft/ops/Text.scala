@@ -395,6 +395,86 @@ object Text {
     rows.unionByName(unseen)
   }
 
+  /** CUMULATIVE GAIN / LIFT CURVE (round 14) — the business-facing
+    * member of the score-quality family: AUC (q278) summarizes
+    * ranking in one number, the gain curve answers the operational
+    * question "if I act on the top X% by score, what share of the
+    * positives do I capture, and at what lift over random?" — per
+    * DISTINCT score level (the threshold grain — deterministic, no
+    * tie-break needed where a row-decile cut would demand one):
+    * level counts, cumulative counts from the top, gain/depth in bp
+    * and lift in milli, all exact idivs.
+    *
+    * Scale (100 TB): one score-grain aggregation; the cumulative
+    * window runs over DISTINCT SCORE LEVELS (bp grid → ≤10⁴ rows),
+    * never corpus rows. */
+  def gainCurve(scored: DataFrame, scoreBp: String,
+                isPos: String): DataFrame = {
+    val lv = scored.groupBy(col(scoreBp).as("score_bp"))
+      .agg(count(lit(1)).as("n"), sum(col(isPos)).as("pos"))
+    val w = Window.orderBy(col("score_bp").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = lv.agg(sum(col("n")).as("tn"), sum(col("pos")).as("tp"))
+    lv.withColumn("cum_n", sum(col("n")).over(w))
+      .withColumn("cum_pos", sum(col("pos")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("score_bp"), col("n"), col("pos"),
+        col("cum_n"), col("cum_pos"),
+        F.idiv(lit(10000L) * col("cum_pos"), col("tp")).as("gain_bp"),
+        F.idiv(lit(10000L) * col("cum_n"), col("tn")).as("depth_bp"),
+        when(col("tp") === 0L, lit(null).cast("long"))
+          .otherwise(F.idiv(lit(1000L) * col("cum_pos") * col("tn"),
+            col("cum_n") * col("tp"))).as("lift_milli"))
+  }
+
+  /** q370: gain/lift of the q42 marker score as a correctness
+    * ranker. */
+  def q370(s: SparkSession, d: String): DataFrame =
+    gainCurve(langIdScored(s, d), "top_score_bp", "ok")
+
+  /** INTERPOLATED KNESER–NEY BIGRAM PROBABILITIES (round 14) — the
+    * production smoothing (every n-gram LM toolkit's default) next
+    * to q362's Good–Turing diagnostic: absolute discount d = 3/4 off
+    * every seen bigram, the freed mass λ(w1) = d·N1+(w1·)/c(w1)
+    * backed off to the CONTINUATION probability Pcont(w2) =
+    * N1+(·w2)/|bigram types| — "how many contexts has w2 completed",
+    * the insight that makes KN beat frequency backoff on burst-heavy
+    * corpora. Exact e6 fixed point with the discount in quarters:
+    * p = ⌊10⁶(4c₁₂−3)/4c₁⌋ + ⌊λ_e6·pcont_e6/10⁶⌋ (each factor its
+    * own idiv — the pinned composition BOTH engines replay). Top-k
+    * bigrams by (count DESC, w1 ASC, w2 ASC).
+    *
+    * Scale (100 TB): bigram counts + two distinct-count rollups at
+    * the vocabulary grain; the output is the fixed top-k. */
+  def knBigrams(docs: DataFrame, text: String, k: Int = 20): DataFrame = {
+    val bg = withToks(docs, text)
+      .select(explode(expr(
+        "transform(slice(toks, 1, greatest(size(toks) - 1, 0)), (x, i) -> " +
+          "struct(x AS w1, element_at(toks, i + 2) AS w2))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .localCheckpoint() // feeds three vocabulary-grain rollups
+    val c1 = bg.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1p"))
+    val cont = bg.groupBy(col("w2")).agg(count(lit(1)).as("ncont"))
+    val types = bg.agg(count(lit(1)).as("tt"))
+    val lam = F.idiv(lit(1000000L) * lit(3L) * col("n1p"),
+      lit(4L) * col("c1"))
+    val pcont = F.idiv(lit(1000000L) * col("ncont"), col("tt"))
+    bg.join(c1, "w1").join(cont, "w2").crossJoin(broadcast(types))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("ncont"),
+        (F.idiv(lit(1000000L) * (lit(4L) * col("c12") - lit(3L)),
+          lit(4L) * col("c1")) +
+          F.idiv(lam * pcont, lit(1000000L))).as("pkn_e6"))
+      .orderBy(col("c12").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+  }
+
+  /** q371: interpolated KN probabilities of the 20 most frequent
+    * bigrams. */
+  def q371(s: SparkSession, d: String): DataFrame =
+    knBigrams(Tables.documents(s, d), "text")
+
   /** q362: the Good–Turing table of the documents BIGRAM vocabulary
     * (the Katz-backoff setting — bigrams carry the hapax-heavy tail
     * that makes unseen-mass estimation meaningful; this corpus's

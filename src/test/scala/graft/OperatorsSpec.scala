@@ -5874,4 +5874,29 @@ class OperatorsSpec extends SparkSpec {
         s"rank $rank discovery flag diverges from the step-up cut $cut")
     }
   }
+
+  test("q369 WoE/IV signs agree, q370 gain curve is monotone and " +
+       "closes at 100%, q371 KN is exact on a hand example") {
+    import org.apache.spark.sql.functions.col
+    import SparkTestSession.spark.implicits._
+    val woe = Relational.q369(spark, sf).collect()
+    val all = woe.find(_.getLong(0) == -1L).get
+    assert(all.getLong(4) >= 0, s"IV must be nonnegative: ${all.getLong(4)}")
+    // gain curve: nondecreasing, ends at gain=depth=10000, lift 1000
+    val gc = Text.q370(spark, sf).collect()
+      .map(r => (r.getLong(5), r.getLong(6), r.getLong(7)))
+      .sortBy(_._2)
+    gc.sliding(2).foreach { w =>
+      if (w.length == 2) assert(w(1)._1 >= w(0)._1, "gain must not drop") }
+    assert(gc.last._1 == 10000L && gc.last._2 == 10000L,
+      s"full depth must capture all positives: ${gc.last}")
+    assert(gc.last._3 == 1000L, s"full-depth lift must be 1.0: ${gc.last._3}")
+    // Kneser-Ney hand example: corpus {a b, a c, a b} — the classic
+    // worked numbers: p(b|a)=2/3, p(c|a)=1/3 (sum 999999 after floors)
+    val docs = Seq((1L, "a b"), (2L, "a c"), (3L, "a b")).toDF("id", "t")
+    val kn = Text.knBigrams(docs, "t").collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(5))).toMap
+    assert(kn(("a", "b")) == 666666L, s"p(b|a): ${kn(("a", "b"))}")
+    assert(kn(("a", "c")) == 333333L, s"p(c|a): ${kn(("a", "c"))}")
+  }
 }
