@@ -388,6 +388,7 @@ object SparkEntry {
     "q369_woe_iv"         -> (Relational.q369 _),
     "q370_gain_curve"     -> (Text.q370 _),
     "q371_kneser_ney"     -> (Text.q371 _),
+    "q372_brier_decomp"   -> (Text.q372 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -3080,6 +3081,36 @@ object SparkEntry {
                 ELSE (1000 * cum_pos * tn) // (cum_n * tp) END AS BIGINT)
              AS lift_milli
          FROM c CROSS JOIN t""",
+
+    // Brier decomposition: exact per-bin squared numerators, one
+    // floor per bin, the rel - res + unc identity on the e8 grid.
+    "q372_brier_decomp" ->
+      s"""WITH $LangIdCtes,
+         pp AS (SELECT doc_id, lang AS pred_lang,
+               ${BP("score")} AS s FROM r WHERE rn = 1),
+         j AS (SELECT s, CASE WHEN pp.pred_lang = d.lang THEN 1 ELSE 0 END AS y
+               FROM documents d JOIN pp USING (doc_id)),
+         b AS (SELECT least((s * 10) // 10000, 9) AS bin, count(*) AS n,
+               sum(y) AS y, sum(s) AS ss FROM j GROUP BY 1),
+         t AS (SELECT sum(n) AS nn, sum(y) AS yy FROM b),
+         tm AS (SELECT b.n, t.nn, t.yy,
+             (CAST(b.ss - 10000 * b.y AS HUGEINT)
+               * (b.ss - 10000 * b.y)) // b.n AS relt,
+             (100000000 * (CAST(b.y AS HUGEINT) * t.nn
+                 - CAST(t.yy AS HUGEINT) * b.n)
+               * (CAST(b.y AS HUGEINT) * t.nn
+                 - CAST(t.yy AS HUGEINT) * b.n))
+               // (CAST(b.n AS HUGEINT) * t.nn * t.nn) AS rest
+           FROM b CROSS JOIN t)
+         SELECT CAST(nn AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS n_bins,
+           CAST(sum(relt) // nn AS BIGINT) AS reliability_e8,
+           CAST(sum(rest) // nn AS BIGINT) AS resolution_e8,
+           CAST((100000000 * CAST(yy AS HUGEINT) * (nn - yy))
+             // (CAST(nn AS HUGEINT) * nn) AS BIGINT) AS uncertainty_e8,
+           CAST(sum(relt) // nn - sum(rest) // nn
+             + (100000000 * CAST(yy AS HUGEINT) * (nn - yy))
+               // (CAST(nn AS HUGEINT) * nn) AS BIGINT) AS brier_e8
+         FROM tm GROUP BY nn, yy""",
 
     // Kneser-Ney: bigram/continuation rollups, the quarters discount,
     // each factor its own idiv in the pinned composition.

@@ -3968,6 +3968,61 @@ object Text {
     g.crossJoin(broadcast(ece))
   }
 
+  /** BRIER SCORE DECOMPOSITION (round 14) — Murphy's three-way split
+    * of a probabilistic forecast's quality over the q276 bin grid:
+    * Brier = RELIABILITY − RESOLUTION + UNCERTAINTY. Reliability is
+    * the calibration penalty (q276's gaps, squared and mass-weighted),
+    * resolution REWARDS bins whose outcome rate departs from the base
+    * rate (a forecaster can be perfectly calibrated and useless —
+    * this is the number that separates them), uncertainty is the
+    * irreducible ō(1−ō). Exact integers on the e8 grid: per bin the
+    * squared numerators assemble from EXACT sums before the one floor
+    * per bin — rel term = ⌊(Σs − 10⁴·Σy)²/n⌋, res term =
+    * ⌊10⁸·(Σy·N − Y·n)²/(n·N²)⌋ — then one idiv by N; uncertainty
+    * ⌊10⁸·Y·(N−Y)/N²⌋. One row; the identity rel − res + unc is the
+    * Brier estimate on the binned grid (floors documented).
+    *
+    * Scale (100 TB): rides the same one-pass bin aggregation as
+    * q276 + a 3-number fold. */
+  def brierDecomposition(scored: DataFrame, scoreBp: String,
+                         isCorrect: String, nBins: Int = 10): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val binned = scored.select(
+        least(F.idiv(col(scoreBp) * lit(nBins.toLong), lit(10000L)),
+          lit(nBins - 1L)).as("bin"),
+        col(scoreBp).as("s"), col(isCorrect).cast("long").as("ok"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("ok")).as("y"),
+        sum(dec(col("s"))).as("ss"))
+    val tot = binned.agg(sum(col("n")).as("nn"), sum(col("y")).as("yy"))
+    val terms = binned.crossJoin(broadcast(tot))
+      .select(col("n"), col("nn"), col("yy"),
+        F.idiv((col("ss") - dec(lit(10000L)) * dec(col("y"))) *
+          (col("ss") - dec(lit(10000L)) * dec(col("y"))), dec(col("n")))
+          .as("relt"),
+        F.idiv(dec(lit(100000000L)) *
+          (dec(col("y")) * dec(col("nn")) - dec(col("yy")) * dec(col("n"))) *
+          (dec(col("y")) * dec(col("nn")) - dec(col("yy")) * dec(col("n"))),
+          dec(col("n")) * dec(col("nn")) * dec(col("nn")))
+          .as("rest"))
+    terms.groupBy(col("nn"), col("yy"))
+      .agg(count(lit(1)).as("n_bins"), sum(col("relt")).as("rel"),
+        sum(col("rest")).as("res"))
+      .select(col("nn").as("n"), col("n_bins"),
+        F.idiv(col("rel"), dec(col("nn"))).cast("long").as("reliability_e8"),
+        F.idiv(col("res"), dec(col("nn"))).cast("long").as("resolution_e8"),
+        F.idiv(dec(lit(100000000L)) * dec(col("yy")) *
+          dec(col("nn") - col("yy")), dec(col("nn")) * dec(col("nn")))
+          .cast("long").as("uncertainty_e8"))
+      .withColumn("brier_e8", col("reliability_e8") - col("resolution_e8") +
+        col("uncertainty_e8"))
+  }
+
+  /** q372: Brier decomposition of the q42 marker score as a
+    * correctness forecast, 10 bins. */
+  def q372(s: SparkSession, d: String): DataFrame =
+    brierDecomposition(langIdScored(s, d), "top_score_bp", "ok")
+
   /** ISOTONIC CALIBRATION (round 13) — the monotone-fit member of the
     * score-quality family: q276 reports binned calibration GAPS, this
     * produces the calibrated MAP — the best monotone (non-decreasing)

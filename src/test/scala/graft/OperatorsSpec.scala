@@ -5898,5 +5898,17 @@ class OperatorsSpec extends SparkSpec {
       .map(r => ((r.getString(0), r.getString(1)), r.getLong(5))).toMap
     assert(kn(("a", "b")) == 666666L, s"p(b|a): ${kn(("a", "b"))}")
     assert(kn(("a", "c")) == 333333L, s"p(c|a): ${kn(("a", "c"))}")
+    // Brier decomposition, hand example: bin-constant forecasts 0.25
+    // (outcomes 1,0,0,0) and 0.75 (outcomes 1,1,1,0) — perfectly
+    // calibrated (rel 0), res = 2·4·0.25²/8 = 0.03125, unc = 0.25,
+    // Brier = 0.21875; and Murphy's identity against the direct sum
+    val synth = (Seq.fill(1)((2500L, 1L)) ++ Seq.fill(3)((2500L, 0L)) ++
+      Seq.fill(3)((7500L, 1L)) ++ Seq.fill(1)((7500L, 0L)))
+      .toDF("sc", "ok")
+    val bd = Text.brierDecomposition(synth, "sc", "ok").collect().head
+    assert(bd.getLong(2) == 0L, s"rel: ${bd.getLong(2)}")
+    assert(bd.getLong(3) == 6250000L, s"res: ${bd.getLong(3)}")
+    assert(bd.getLong(4) == 25000000L, s"unc: ${bd.getLong(4)}")
+    assert(bd.getLong(5) == 18750000L, s"brier: ${bd.getLong(5)}")
   }
 }
