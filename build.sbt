@@ -48,4 +48,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // overflow the default 240m code cache in one long-lived JVM; once it
   // fills, the JIT silently deopts and query times go 10-30x.
   "-XX:ReservedCodeCacheSize=1g",
+  // G1's GCLocker + humongous-allocation interaction throws
+  // "Retried waiting for GCLocker too often" under the 100k+-vector
+  // ANN builds (256 MB task buffers); raising the retry budget is the
+  // documented mitigation and costs nothing elsewhere.
+  "-XX:GCLockerRetryAllocationCount=64",
 )
