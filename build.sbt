@@ -51,6 +51,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // G1's GCLocker + humongous-allocation interaction throws
   // "Retried waiting for GCLocker too often" under the 100k+-vector
   // ANN builds (256 MB task buffers); raising the retry budget is the
-  // documented mitigation and costs nothing elsewhere.
+  // documented mitigation and costs nothing elsewhere. (Diagnostic
+  // flag — must be unlocked first.)
+  "-XX:+UnlockDiagnosticVMOptions",
   "-XX:GCLockerRetryAllocationCount=64",
 )

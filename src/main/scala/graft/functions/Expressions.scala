@@ -283,6 +283,54 @@ case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
     copy(child = newChild)
 }
+/** All w-token window hashes of a token array, POSITIONAL — element i
+  * is xxhash64 (seed 42) of the space-joined window STARTING at token
+  * i+1. ShingleHashes sorts and dedups for SET semantics (Jaccard);
+  * content-defined chunking needs the hash AT EVERY POSITION to place
+  * cut points, and doing this as one codegen'd scan replaces the
+  * per-position md5-of-slice lambda (an O(n·w) string build + digest
+  * per token) on the q363 hot path. */
+case class WindowHashes64(child: Expression, w: Int) extends UnaryExpression {
+  require(w >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "window_hashes64"
+
+  private val space = UTF8String.fromString(" ")
+
+  private def compute(toks: ArrayData): Array[Long] = {
+    val n = toks.numElements()
+    val m = math.max(n - w + 1, 0)
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val parts = new Array[UTF8String](w)
+      var j = 0
+      while (j < w) { parts(j) = toks.getUTF8String(i + j); j += 1 }
+      hs(i) = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        UTF8String.concatWs(space, parts: _*), StringType, 42L)
+      i += 1
+    }
+    hs
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      compute(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("windowHashes", this,
+      classOf[WindowHashes64].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.hashes($c);")
+  }
+
+  /** Called from generated code. */
+  def hashes(toks: ArrayData): org.apache.spark.sql.catalyst.util.GenericArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(compute(toks))
+
+  override protected def withNewChildInternal(newChild: Expression): WindowHashes64 =
+    copy(child = newChild)
+}
+
 /** Jaccard similarity |a∩b| / |a∪b| of two SORTED distinct array<long>
   * columns (as produced by ShingleHashes) via a single zero-allocation
   * linear merge. The built-in array_intersect builds a hash set per

@@ -47,6 +47,10 @@ object F {
   def shingleHashes(c: Column, k: Int = 3): Column =
     GraftColumns.wrap(ShingleHashes(u(c), k))
 
+  /** Positional w-token window hashes (CDC cut-point scan). */
+  def windowHashes64(c: Column, w: Int): Column =
+    GraftColumns.wrap(WindowHashes64(u(c), w))
+
   /** MinHash signature (array<long> of `perms` minima) of an
     * array<long> shingle-hash column, one fused pass per row. */
   def minhash128(c: Column, perms: Int = 128): Column =

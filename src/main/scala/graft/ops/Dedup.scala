@@ -924,6 +924,53 @@ object Dedup {
   def q363(s: SparkSession, d: String): DataFrame =
     cdcSavings(Tables.documents(s, d), "doc_id", "text")
 
+  /** The DEPLOYMENT CDC path (round 14): the same cut-point/chunk
+    * pipeline with the per-position md5-of-slice lambda replaced by
+    * ONE codegen'd [[graft.functions.F.windowHashes64]] scan (cut
+    * where the window hash's low 4 bits are zero — the same 1/16
+    * sliver on a different hash family) and xxhash64 chunk ids.
+    * Statistically interchangeable with [[cdcSavings]] (same expected
+    * chunk geometry, same resync property — spec-pinned on the twin
+    * corpus); the md5 form stays the byte-replayable oracle contract
+    * for q363. */
+  def cdcSavingsFast(corpus: DataFrame, id: String, text: String,
+                     w: Int = 4): DataFrame = {
+    val base = corpus.select(col(id).as("doc_id"), tokens(col(text)).as("tks"))
+      .where(size(col("tks")) >= 1)
+    val withBnds = base
+      .withColumn("wh", graft.functions.F.windowHashes64(col("tks"), w))
+      // boundary AFTER token i (i ≥ w): the window STARTING at
+      // i−w+1 (1-based) = wh[i−w+1]; low-nibble-zero = the 1/16 cut
+      .withColumn("cuts", expr(
+        s"filter(sequence(1, size(tks)), i -> i >= $w AND " +
+          s"(element_at(wh, i - $w + 1) & 15) = 0)"))
+      .withColumn("bnds", expr(
+        "if(size(cuts) > 0 AND element_at(cuts, -1) = size(tks), cuts, " +
+          "concat(cuts, array(size(tks))))"))
+    val chunks = withBnds
+      .select(col("doc_id"), col("tks"), col("bnds"),
+        explode(expr("sequence(1, size(bnds))")).as("j"))
+      .select(col("doc_id"),
+        expr("xxhash64(array_join(slice(tks, " +
+          "if(j = 1, 1, element_at(bnds, j - 1) + 1), " +
+          "element_at(bnds, j) - if(j = 1, 0, element_at(bnds, j - 1))), " +
+          "' '))").as("h"),
+        expr("element_at(bnds, j) - if(j = 1, 0, element_at(bnds, j - 1))")
+          .cast("long").as("len"))
+      .localCheckpoint()
+    val uniq = chunks.groupBy(col("h")).agg(max(col("len")).as("len"))
+    chunks.agg(count(lit(1)).as("n_chunks"), sum(col("len")).as("total_tokens"))
+      .crossJoin(broadcast(uniq.agg(count(lit(1)).as("n_unique_chunks"),
+        sum(col("len")).as("unique_tokens"))))
+      .select(col("n_chunks"), col("n_unique_chunks"),
+        col("total_tokens"), col("unique_tokens"),
+        graft.functions.F.idiv(lit(1000L) * col("total_tokens"),
+          col("n_chunks")).as("mean_chunk_milli"),
+        graft.functions.F.idiv(lit(10000L) *
+          (col("total_tokens") - col("unique_tokens")),
+          col("total_tokens")).as("savings_bp"))
+  }
+
   /** Calibration signature width — small enough that the md5-based
     * oracle-replayable permutations stay cheap, wide enough that the
     * estimate resolves 625-bp steps. */

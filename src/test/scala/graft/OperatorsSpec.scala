@@ -5782,6 +5782,20 @@ class OperatorsSpec extends SparkSpec {
     val tw = Dedup.cdcSavings(twins, "id", "t").collect().head
     assert(tw.getLong(5) >= 4000,
       s"CDC must resync after an insertion: savings ${tw.getLong(5)} bp")
+    // the codegen'd fast path (windowHashes64 + xxhash64 chunk ids):
+    // same corpus accounting, same resync property, same expected
+    // chunk geometry (different hash family, so cut points differ —
+    // the statistics must agree, not the hashes)
+    val fw = Dedup.cdcSavingsFast(twins, "id", "t").collect().head
+    assert(fw.getLong(5) >= 4000,
+      s"fast CDC must resync too: ${fw.getLong(5)} bp")
+    val fc = Dedup.cdcSavingsFast(Tables.documents(spark, sf),
+      "doc_id", "text").collect().head
+    assert(fc.getLong(2) == cdc.getLong(2),
+      "both CDC paths must account the same total tokens")
+    val mcF = fc.getLong(4); val mcM = cdc.getLong(4)
+    assert(math.abs(mcF - mcM) <= (mcM / 2).max(8000L),
+      s"fast/oracle mean chunk sizes diverge: $mcF vs $mcM milli")
     // MinHash calibration: estimates bounded, error sane for 16 perms
     val cal = Dedup.q364(spark, sf).collect()
     assert(cal.nonEmpty)

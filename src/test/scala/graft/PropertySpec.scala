@@ -125,6 +125,22 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("windowHashes64 matches xxhash64 of each joined window on " +
+       "random token arrays") {
+    val toksGen = Gen.listOf(Gen.oneOf("aa", "bb", "cc", "dd", "e"))
+      .map(_.toArray)
+    val wGen = Gen.choose(1, 4)
+    check(forAll(toksGen, wGen) { (toks, w) =>
+      val row = Seq(Tuple1(toks)).toDF("t")
+        .select(F.windowHashes64(col("t"), w).as("h"),
+          expr(s"if(size(t) < $w, array(), " +
+            s"transform(sequence(1, size(t) - $w + 1), " +
+            s"i -> xxhash64(array_join(slice(t, i, $w), ' '))))").as("ref"))
+        .head()
+      row.getSeq[Long](0) == row.getSeq[Long](1)
+    })
+  }
+
   /** Per-query set recall of `got` against exact `truth` (both
     * (query_id, rank, neighbor_id) top-k tables). */
   private def knnRecall(truth: org.apache.spark.sql.DataFrame,
