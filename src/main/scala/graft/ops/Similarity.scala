@@ -2627,7 +2627,22 @@ object Similarity {
     if (n <= 1024) (NswM, NswRounds, NswBeam, NswHops)
     else {
       val lg = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1))
-      (32, math.max(8, lg - 3), 64, 6)
+      // THIRD-decade amendment (round 14; the AnnDecade measurement):
+      // at 100k near-uniform vectors the r13 rule's fixed beam 64
+      // collapsed serve recall to 0.54 — and the DIAGNOSIS is the
+      // OPPOSITE of the r12 failure: the graph is fine (the same
+      // store reads 0.99 at beam 512) — the WALK budget must scale.
+      // Measured on the 100k store (hops 8, seeds 8): beam 256 →
+      // 0.92, 384 → 0.97, 448 → 0.98; beam ≈ n/256 lands ≥ 0.95 with
+      // hops = lg − 9. The near-linear beam growth is the documented
+      // price of a NEAR-UNIFORM corpus (no neighborhood structure for
+      // the walk to exploit — the hard case for every graph method);
+      // clustered real corpora need far less, and the 1024 cap keeps
+      // serve latency bounded — recall at the cap must be re-measured
+      // at the NEXT decade before trusting it (this comment is that
+      // decade's loud marker).
+      val beam = math.max(64L, math.min(1024L, n / 256L)).toInt
+      (32, math.max(8, lg - 3), beam, math.max(6, lg - 9))
     }
 
   /** The deployment-mode q250 (ScaleBench/ScaleCheck member, not a
