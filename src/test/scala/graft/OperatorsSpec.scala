@@ -1889,14 +1889,15 @@ class OperatorsSpec extends SparkSpec {
     assert(Similarity.nswScaledParams(500L) ==
       ((Similarity.NswM, Similarity.NswRounds, Similarity.NswBeam,
         Similarity.NswHops)))
-    // measured: (32, 8, 64, 6) reads recall 1.000 at the 2k point and
-    // (32, 12, 64, 6) reads 0.95 at the 20k point where the fixed
-    // constants collapse to 0.08
+    // measured (r14 amendment — the walk budget scales too): the 2k
+    // point keeps beam 64 (n/256 < 64), 20k reads beam 78 (0.970),
+    // 100k reads (14 rounds, beam 390, hops 8) — the 0.970 point
     assert(Similarity.nswScaledParams(2000L) == ((32, 8, 64, 6)))
-    assert(Similarity.nswScaledParams(20000L) == ((32, 12, 64, 6)))
-    // rounds keep growing with log n
-    val (_, r1m, _, _) = Similarity.nswScaledParams(1000000L)
-    assert(r1m > 12)
+    assert(Similarity.nswScaledParams(20000L) == ((32, 12, 78, 6)))
+    assert(Similarity.nswScaledParams(100000L) == ((32, 14, 390, 8)))
+    // rounds keep growing with log n; the beam cap bounds serve cost
+    val (_, r1m, b1m, _) = Similarity.nswScaledParams(1000000L)
+    assert(r1m > 12 && b1m == 1024)
   }
 
   test("q316 serves the standing graph row-identical to q250's fresh build") {
@@ -5857,6 +5858,38 @@ class OperatorsSpec extends SparkSpec {
       f"graph must stay searchable after heavy deletion: $rec%.3f")
     got.values.flatten.foreach(n =>
       assert(n % 2 == 0, s"probe returned deleted id $n"))
+  }
+
+  test("graph-store lifecycle: delete composes with append") {
+    import org.apache.spark.sql.functions.col
+    // (the amended nswScaledParams shape is pinned in its own spec)
+    // lifecycle: build on a third, DELETE half of it, APPEND the rest
+    // — the store must stay leak-free and searchable (the production
+    // erasure-then-growth sequence)
+    val e = Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-nsw-lc").toString + "/idx"
+    Similarity.writeNswIndex(e.filter(col("vec_id") % 3 === 0),
+      "vec_id", "embedding", dir)
+    Similarity.deleteFromNswIndex(spark, dir,
+      e.filter(col("vec_id") % 6 === 0), "vec_id")
+    Similarity.appendToNswIndex(e.filter(col("vec_id") % 3 === 1),
+      "vec_id", "embedding", dir)
+    val vids = spark.read.parquet(s"$dir/vectors")
+      .collect().map(_.getLong(0)).toSet
+    assert(vids.forall(v => v % 6 == 3 || v % 3 == 1),
+      "survivors = the non-deleted build third plus the appended third")
+    val g = spark.read.parquet(s"$dir/graph").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1))
+    assert(g.forall { case (v, nbrs) =>
+      vids.contains(v) && nbrs.forall(vids.contains) },
+      "no deleted id survives the delete->append lifecycle")
+    val q = e.filter(col("vec_id") % 3 === 1 &&
+      col("vec_id") < 4 * Similarity.NumQueries)
+    val got = Similarity.nswTopKFromIndex(spark, dir, q,
+      "vec_id", "embedding").collect()
+    assert(got.nonEmpty && got.forall(r => vids.contains(r.getLong(2))),
+      "the grown store answers from survivors only")
   }
 
   test("q367 SQ8 + q368 BH-FDR invariants") {
