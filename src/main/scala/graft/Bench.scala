@@ -37,12 +37,47 @@ object Bench {
     // SPARK_GRAFT_CPUS=32, and BASELINE v5 is recorded at the SAME
     // protocol — a local run with no env must measure what the gate
     // compares (the v4 local[4] default made every headline ratio
-    // cross-protocol; VERDICT r13 item 1)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // cross-protocol; VERDICT r13 item 1). Parsed to Int ONCE at
+    // startup (r14 advice): a non-numeric value ('*') used to reach
+    // the JSON stamp unquoted and produce an unparseable record.
+    val cpusStr = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val cpus = try cpusStr.toInt catch {
+      case _: NumberFormatException =>
+        sys.error(s"SPARK_GRAFT_CPUS must be an integer, got '$cpusStr'")
+    }
+    require(cpus >= 1, s"SPARK_GRAFT_CPUS must be >= 1, got $cpus")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "/root/repo/BENCH_LOCAL.json")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     require(runs >= 1, s"SPARK_GRAFT_BENCH_RUNS must be >= 1, got $runs")
+    // ---- heap-protocol pin (round 15; VERDICT r14 item 4). BASELINE
+    // v5 is recorded at 24g, but the round driver's own JVM ran the
+    // r14 sweep at 89g — a cross-protocol ratio the r14 stamps made
+    // visible but did not prevent. Pin it: when this JVM's heap is
+    // not the protocol heap, RE-EXEC the same main in a child JVM
+    // with -Xmx<target>, preserving every other JVM flag (add-opens,
+    // code cache, GC settings) and the environment, and forward the
+    // child's stdout/exit code — so every bench record measures the
+    // heap the baseline table was recorded at, whoever launches it.
+    // SPARK_GRAFT_NO_REEXEC=1 opts out (and the child sets it, so a
+    // child can never re-exec again even if -Xmx rounding drifts).
+    val targetHeapGb = sys.env.getOrElse("SPARK_GRAFT_HEAP_GB", "24").toInt
+    val heapGbNow = Runtime.getRuntime.maxMemory / (1024L * 1024 * 1024)
+    if (sys.env.get("SPARK_GRAFT_NO_REEXEC").isEmpty &&
+        math.abs(heapGbNow - targetHeapGb) > 2) {
+      System.err.println(s"[bench] heap ${heapGbNow}g != protocol " +
+        s"${targetHeapGb}g; re-exec with -Xmx${targetHeapGb}g")
+      val javaBin = java.nio.file.Paths
+        .get(System.getProperty("java.home"), "bin", "java").toString
+      val keptFlags = java.lang.management.ManagementFactory
+        .getRuntimeMXBean.getInputArguments.toArray.map(_.toString)
+        .filterNot(a => a.startsWith("-Xmx") || a.startsWith("-Xms"))
+      val cmd = (Seq(javaBin, s"-Xmx${targetHeapGb}g") ++ keptFlags ++
+        Seq("-cp", System.getProperty("java.class.path"), "graft.Bench"))
+      val pb = new ProcessBuilder(cmd: _*).inheritIO()
+      pb.environment().put("SPARK_GRAFT_NO_REEXEC", "1")
+      sys.exit(pb.start().waitFor())
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -60,6 +95,23 @@ object Bench {
     def loadAvg: Double =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean
         .getSystemLoadAverage
+    // ---- load guard (round 15; VERDICT r14 item 4): the r14 driver
+    // sweep STARTED at load 7.28, so its sub-0.3 s rows were timed
+    // under another process's burst. Wait (bounded) for the 1-minute
+    // load to settle below the gate before the first timed pass; the
+    // record stamps the launch load, the wait spent, and the settled
+    // load, so a sweep that ran out the wait budget is visibly noisy
+    // instead of silently contaminated.
+    val loadGate = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "3.0").toDouble
+    val loadWaitMax = sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT_MAX", "600").toInt
+    val loadAtLaunch = loadAvg
+    var loadWaitSec = 0
+    while (loadAvg > loadGate && loadWaitSec < loadWaitMax) {
+      System.err.println(f"[bench] load ${loadAvg}%.2f > gate $loadGate%.1f; " +
+        s"waiting (${loadWaitSec}s/${loadWaitMax}s)")
+      Thread.sleep(15000)
+      loadWaitSec += 15
+    }
     val loadBefore = loadAvg
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
     // A query that THROWS must never masquerade as a fast timing: the
@@ -119,6 +171,7 @@ object Bench {
         s""""total_min":${f(totalMin)},"queries":$qs,"mins":$mins,$body""" +
         s""""n_errors":$nErr,"errors":$errs,"k":$runs,"interleaved":true,""" +
         s""""cpus":$cpus,"heap_gb":$heapGb,""" +
+        s""""load_avg_launch":${f(loadAtLaunch)},"load_wait_sec":$loadWaitSec,""" +
         s""""load_avg_before":${f(loadBefore)},"load_avg_after":${f(loadAfter)},""" +
         s""""sf":"$sfDir"}"""
     val fileJson = envelope(s""""runs":$rs,""")

@@ -74,6 +74,15 @@ object ScaleGen {
       }
       case "embeddings" =>
         val dim = base.head().getSeq[Float](base.columns.indexOf("embedding")).length
+        // the rotation×negation isometry family has period 2·dim —
+        // replica 2·dim would be replica 0 VERBATIM (duplicate
+        // vectors = contamination, the exact failure this family was
+        // built to prevent). Fail loudly instead of silently
+        // corrupting scale evidence (r14 advice).
+        require(factor <= 2 * dim,
+          s"amplify(embeddings): factor $factor exceeds the isometry " +
+            s"family size 2*dim = ${2 * dim} - replicas would repeat " +
+            "verbatim; amplify from a larger base (sf0.1) instead")
         replicas { r =>
           val m = r % dim
           val rotated = if (m == 0) col("embedding")

@@ -2270,7 +2270,9 @@ object Relational {
     * +n_bands — the documented convention that keeps empty bands
     * finite), WoE in 64·log2 units via the distributed withLg64
     * (woe_q = lg64((g+1)·B′) − lg64((b+1)·G′)), share deltas on the
-    * e6 grid by one idiv (floor on negatives matches DuckDB //), IV
+    * e6 grid by one idiv (Spark IntegralDivide and DuckDB // BOTH
+    * truncate toward zero — neither floors — so negative deltas
+    * replay exactly; r14 advice corrected this note's wording), IV
     * as the e6-descaled sum — bit-replayable end to end. Per-band
     * rows + the ALL row carrying iv_q.
     *

@@ -5860,6 +5860,50 @@ class OperatorsSpec extends SparkSpec {
       assert(n % 2 == 0, s"probe returned deleted id $n"))
   }
 
+  test("graph-store CAS delete: snapshot isolation, version-level " +
+       "idempotence, vacuum reclaims the retired build") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, sf)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-nswcas").toString + "/store"
+    val v1dir = graft.sources.VersionedStore.resolveOrBuild(spark, root)(
+      p => Similarity.writeNswIndex(e, "vec_id", "embedding", p))
+    val v1Vectors = spark.read.parquet(s"$v1dir/vectors").count()
+    val odd = e.filter(col("vec_id") % 2 === 1)
+    // a concurrent reader that resolved BEFORE the delete keeps
+    // reading the old COMPLETE snapshot; a reader resolving after
+    // gets the new one — never a partially-overwritten mix
+    val v2dir = Similarity.deleteFromNswStore(spark, root, odd, "vec_id")
+    assert(v2dir != v1dir, "delete must publish a NEW version dir")
+    assert(spark.read.parquet(s"$v1dir/vectors").count() == v1Vectors,
+      "pre-delete snapshot must stay complete under a racing reader")
+    assert(graft.sources.VersionedStore.resolveDir(spark, root)
+      .contains(v2dir), "post-delete resolution must see the new build")
+    val v2ids = spark.read.parquet(s"$v2dir/vectors")
+      .collect().map(_.getLong(0)).toSet
+    assert(v2ids.nonEmpty && v2ids.forall(_ % 2 == 0),
+      "published build must hold exactly the survivors")
+    // the params manifest rides the flip (serve budget preserved)
+    assert(Similarity.readNswParams(spark, v2dir).isDefined,
+      "delete must carry the store's params manifest")
+    // version-level idempotence: an already-erased set publishes
+    // nothing (Bench re-runs resolve the same version)
+    val v3dir = Similarity.deleteFromNswStore(spark, root, odd, "vec_id")
+    assert(v3dir == v2dir, "re-delete must hit the no-op fast path")
+    assert(graft.sources.VersionedStore.latestVersion(spark, root) == 2,
+      "no redundant version may be minted by a no-op delete")
+    // vacuum (retain the live build only; fence 0 = stopped-world
+    // test mode) physically reclaims the retired pre-delete bytes
+    val pruned = graft.sources.VersionedStore.vacuum(spark, root,
+      retainLast = 1, minAgeMs = 0)
+    assert(pruned > 0, "vacuum must reclaim the retired build")
+    assert(spark.read.parquet(s"$v2dir/vectors").count() == v2ids.size,
+      "the live build must survive vacuum intact")
+    intercept[Exception] {
+      spark.read.parquet(s"$v1dir/vectors").count()
+    }
+  }
+
   test("graph-store lifecycle: delete composes with append") {
     import org.apache.spark.sql.functions.col
     // (the amended nswScaledParams shape is pinned in its own spec)
