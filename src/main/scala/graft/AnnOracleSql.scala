@@ -94,9 +94,13 @@ object AnnOracleSql {
 
   /** Corpus-wide cell assignment (mirror of bestCellId): `asg(vec_id,
     * embedding, qe, cell)` — argmin integer L2, ties to the lower
-    * cell. */
-  private val assignCtes: String =
-    s"""qv AS (SELECT vec_id, embedding, ${quant("embedding")} AS qe FROM embeddings),
+    * cell. `pred` restricts the ASSIGNED corpus (q375's post-erasure
+    * survivors; the quantizer may still have trained on everything). */
+  private val assignCtes: String = assignCtesOver("TRUE")
+
+  private def assignCtesOver(pred: String): String =
+    s"""qv AS (SELECT vec_id, embedding, ${quant("embedding")} AS qe
+           FROM embeddings WHERE $pred),
     ad AS (SELECT q.vec_id, q.embedding, q.qe, c.cell, ${l2q("q.qe", "c.c")} AS d
            FROM qv q CROSS JOIN cents c),
     asg AS (SELECT vec_id, embedding, qe, cell FROM ad
@@ -105,7 +109,11 @@ object AnnOracleSql {
   /** IVF probe + exact-cosine rank (mirror of ivfTopK's probe/score
     * stages on top of `cents` + `asg`). */
   private def ivfProbeSql(probes: Int, topK: Int, numQueries: Int): String =
-    s"""qq AS (SELECT vec_id AS query_id, embedding, qe FROM qv WHERE vec_id < $numQueries),
+    ivfProbeSqlWhere(probes, topK, s"vec_id < $numQueries")
+
+  private def ivfProbeSqlWhere(probes: Int, topK: Int,
+                               qPred: String): String =
+    s"""qq AS (SELECT vec_id AS query_id, embedding, qe FROM qv WHERE $qPred),
     qd AS (SELECT q.query_id, q.embedding, c.cell, ${l2q("q.qe", "c.c")} AS d
            FROM qq q CROSS JOIN cents c),
     pr AS (SELECT query_id, embedding, cell FROM qd
@@ -121,6 +129,17 @@ object AnnOracleSql {
     s"""WITH ${trainCtes(cells, pred)},
     $assignCtes,
     ${ivfProbeSql(Similarity.IvfProbes, Similarity.TopK, Similarity.NumQueries)}"""
+
+  /** q375 erasure replay: quantizer trained on the FULL corpus (the
+    * frozen model the index was built with), cells re-assigned over
+    * the SURVIVORS only (the even ids — exactly what
+    * deleteFromIvfIndex leaves), survivor queries (the q366
+    * convention). */
+  private def ivfEraseOracle(cells: Int): String =
+    s"""WITH ${trainCtes(cells)},
+    ${assignCtesOver("vec_id % 2 = 0")},
+    ${ivfProbeSqlWhere(Similarity.IvfProbes, Similarity.TopK,
+      s"vec_id % 2 = 0 AND vec_id < ${2 * Similarity.NumQueries}")}"""
 
   /** q302 sweep leg: (nprobe, query_id, neighbor_id) of the IVF top-k
     * at every nprobe in `sweep`, scored ONCE at max(sweep) probes with
@@ -911,6 +930,7 @@ object AnnOracleSql {
     "q144_ann_ivf_index"   -> ivfOracle(Similarity.IvfCells),
     "q168_ann_ivf_append"  -> ivfOracle(Similarity.IvfCells, "vec_id % 2 = 0"),
     "q170_ann_ivf_compact" -> ivfOracle(Similarity.IvfCells, "vec_id % 2 = 0"),
+    "q375_ivf_erase"       -> ivfEraseOracle(Similarity.IvfCells),
     "q63_ann_pq"           -> pqSql,
     "q145_ann_pq_index"    -> pqSql,
     "q317_ann_ivfpq"       -> ivfPqSql,

@@ -389,6 +389,9 @@ object SparkEntry {
     "q370_gain_curve"     -> (Text.q370 _),
     "q371_kneser_ney"     -> (Text.q371 _),
     "q372_brier_decomp"   -> (Text.q372 _),
+    "q373_sig_erase"      -> (Dedup.q373 _),
+    "q374_bm25_erase"     -> (Text.q374 _),
+    "q375_ivf_erase"      -> (Similarity.q375 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -398,8 +401,13 @@ object SparkEntry {
     * the two are row-identical by construction. */
   /** The BM25 scoring CTE chain (through `sc`), shared by the q146/q182
     * oracle and the q187 fusion oracle. */
-  private def bm25Cte: String =
-    s"""t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+  private def bm25Cte: String = bm25CteOver("TRUE")
+
+  /** The same chain over a corpus-predicate subset — q374 replays the
+    * post-erasure index as a fresh build over the survivors. */
+  private def bm25CteOver(pred: String): String =
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS toks
+         FROM documents WHERE $pred),
        dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM t),
        st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, sum(dl) AS total_len FROM dl),
        tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
@@ -410,8 +418,10 @@ object SparkEntry {
               ${BP("ln((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0) * ((tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / (st.total_len / st.n_docs)))))")} AS term_bp
               FROM tf JOIN dfq USING (tok) JOIN dl USING (doc_id), st)"""
 
-  private def bm25Oracle: String =
-    s"""WITH $bm25Cte
+  private def bm25Oracle: String = bm25OracleOver("TRUE")
+
+  private def bm25OracleOver(pred: String): String =
+    s"""WITH ${bm25CteOver(pred)}
        SELECT doc_id, CAST(sum(term_bp) AS BIGINT) AS score_bp,
               count(*) AS n_terms_hit
        FROM sc GROUP BY 1 ORDER BY score_bp DESC, doc_id LIMIT 20"""
@@ -2371,6 +2381,9 @@ object SparkEntry {
     // row-identical by construction — one oracle serves both.
     "q146_bm25" -> bm25Oracle,
     "q182_bm25_index" -> bm25Oracle,
+    // q374: the erased index IS a fresh build over the survivors —
+    // the oracle scores the odd documents only.
+    "q374_bm25_erase" -> bm25OracleOver("doc_id % 2 = 1"),
 
     "q147_pagerank" -> pageRankOracle,
 
@@ -4229,6 +4242,14 @@ object SparkEntry {
     // these similarity levels, as for q52).
     "q88_dedup_incremental" ->
       (jaccardOracle + " AND (ida % 2 = 1 OR idb % 2 = 1)"),
+
+    // q373: q88's incremental pair set after GDPR-erasing every
+    // doc_id % 4 == 0 from the store — erased ids cannot appear on
+    // either side (odd ids are never % 4 == 0, so the extra predicate
+    // only removes erased STORE docs).
+    "q373_sig_erase" ->
+      (jaccardOracle + " AND (ida % 2 = 1 OR idb % 2 = 1)" +
+        " AND ida % 4 <> 0 AND idb % 4 <> 0"),
 
     "q89_dedup_containment" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

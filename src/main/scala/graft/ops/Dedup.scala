@@ -467,6 +467,50 @@ object Dedup {
                        bands: Int = LshBands): DataFrame =
     bandBuckets(arrs, perms, bands)
 
+  /** ERASURE from the persisted signature store (round 15; VERDICT
+    * r14 item 1 — a GDPR request hits every store the pipeline
+    * persists, and until now only the graph-ANN store had a delete
+    * path; the signature store needed a full rebuild). Physically
+    * removes the deleted documents' shingle arrays AND band-bucket
+    * postings, at BATCH-PARTITION granularity: one partition-pruned
+    * scan finds which `batch=` partitions hold deleted ids, and only
+    * those partitions are rewritten filtered — O(affected batches),
+    * not O(store); a store of nightly crawl batches rewrites a
+    * handful of days, not a year. Erasure is physically complete on
+    * return (no tombstone window — the GDPR posture), and idempotent:
+    * re-deleting an erased set finds zero affected partitions and
+    * touches nothing. Returns the number of batch partitions
+    * rewritten.
+    *
+    * Crash contract: same as the store's own writes — batch-partition
+    * overwrite under a single maintenance writer (the
+    * writeSignatureStoreFrom idempotence convention); a crashed
+    * rewrite is repaired by re-running the delete, whose output is
+    * deterministic. After erasure, [[incrementalPairs]] candidates
+    * and verifications can never touch a deleted id: both its
+    * postings and its verification arrays are gone. */
+  def deleteFromSignatureStore(s: SparkSession, path: String,
+                               ids: DataFrame, idCol: String): Int = {
+    val del = ids.select(col(idCol).cast("long").as("doc_id")).distinct()
+      .localCheckpoint() // joined per affected partition
+    val affected = s.read.parquet(s"$path/arrays")
+      .join(del, Seq("doc_id"), "left_semi")
+      .select(col("batch").cast("string")).distinct()
+      .collect().map(_.getString(0)) // bounded: one tag per stored batch
+    affected.foreach { tag =>
+      val a = s.read.parquet(s"$path/arrays/batch=$tag")
+        .join(del, Seq("doc_id"), "left_anti")
+        .localCheckpoint() // source files are about to be overwritten
+      a.write.mode("overwrite").parquet(s"$path/arrays/batch=$tag")
+      val b = s.read.parquet(s"$path/buckets/batch=$tag")
+        .join(del, Seq("doc_id"), "left_anti")
+        .localCheckpoint()
+      b.write.mode("overwrite").partitionBy("band")
+        .parquet(s"$path/buckets/batch=$tag")
+    }
+    affected.length
+  }
+
   /** Dedup a NEW batch against an existing signature store AND itself:
     * verified near-dup pairs (J ≥ tau) where at least one side is a new
     * document. Candidates come from (a) the (band, bh) equi-join of the
@@ -1322,6 +1366,38 @@ object Dedup {
       sys.addShutdownHook { try fs.delete(hp, true) catch { case _: Exception => () } }
     }
     writeSignatureStore(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", path)
+    incrementalPairs(docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", path, 0.6)
+  }
+
+  /** q373: q88's incremental dedup AFTER ERASURE (round 15; VERDICT
+    * r14 item 1) — the store is built from the even ids in TWO batch
+    * partitions, every doc_id % 4 == 0 is then GDPR-erased through
+    * [[deleteFromSignatureStore]] (the erase set straddles both
+    * batches, so the partition-pruned rewrite is exercised for real),
+    * and the odd batch dedups against the erased store. The oracle is
+    * the exact-Jaccard pair set where one side is odd and NEITHER
+    * side is erased — byte-equality proves the erased documents can
+    * no longer match anything (leak-freedom as a hash-verified query,
+    * not just a spec). */
+  def q373(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val dTag = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_sigdel_" +
+      s"${s.sparkContext.applicationId}_$dTag"
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(hp, true) // reset: Bench repeats queries (the q88 contract)
+    if (Dedup.scratchHooked.add(path)) {
+      sys.addShutdownHook { try fs.delete(hp, true) catch { case _: Exception => () } }
+    }
+    val evens = docs.filter(col("doc_id") % 2 === 0)
+    writeSignatureStore(evens.filter(col("doc_id") % 8 < 4),
+      "doc_id", "text", path, batchTag = "a")
+    writeSignatureStore(evens.filter(col("doc_id") % 8 >= 4),
+      "doc_id", "text", path, batchTag = "b")
+    deleteFromSignatureStore(s, path,
+      docs.filter(col("doc_id") % 4 === 0), "doc_id")
     incrementalPairs(docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", path, 0.6)
   }
 

@@ -1227,6 +1227,74 @@ object Similarity {
       .foreach(p => fs.delete(p, true))
   }
 
+  /** ERASURE from a persisted cell store — IVF (q144) and IVF-PQ
+    * (q318) share the layout: a frozen quantizer (and codebook) plus
+    * cell-partitioned lists under the CELLS generation pointer. The
+    * delete drops the erased vids from every cell list into a NEW
+    * generation directory and flips the pointer (the compactIvfIndex
+    * crash-safety discipline: a death before the flip leaves the live
+    * pointer untouched; the flip is one small-file write) — the
+    * centroids/codebook stay frozen, the q168 append convention, so
+    * probing after erasure is row-identical to an index whose cells
+    * were written from the survivors under the same model.
+    *
+    * Unlike compaction, the delete retires ALL older generations
+    * IMMEDIATELY: erasure completeness outranks the reader grace
+    * window (stale generations would keep the erased embeddings on
+    * disk — the exact bytes a GDPR request demands gone). Quiesce
+    * probes during erasure, or serve through the VersionedStore
+    * snapshot path ([[ivfTopKFromVersionedCells]]) when readers must
+    * race maintenance. Idempotent: an absent delete set flips
+    * nothing. Returns whether a new generation was published.
+    *
+    * Scale (100 TB): one anti-join over the cell lists (partition-
+    * parallel, the erased set broadcast when small) and a partitioned
+    * rewrite — O(store cells touched), no retraining, no re-encode,
+    * and the probe path is untouched. */
+  def deleteFromIvfIndex(s: SparkSession, path: String, ids: DataFrame,
+                         idCol: String): Boolean = {
+    val del = ids.select(col(idCol).cast("long").as("vid")).distinct()
+      .localCheckpoint()
+    val live = liveCellsDir(s, path)
+    val cells = s.read.parquet(s"$path/$live")
+    if (cells.join(del, Seq("vid"), "left_semi").isEmpty) return false
+    val gen = if (live == "cells") 0 else live.stripPrefix("cells_v").toInt
+    val next = s"cells_v${gen + 1}"
+    cells.join(del, Seq("vid"), "left_anti")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/$next")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$path/CELLS"), true)
+    try out.write(next.getBytes("UTF-8")) finally out.close()
+    // physical erasure: every generation but the new live goes now
+    fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter(p => p.getName == "cells" || p.getName.startsWith("cells_v"))
+      .filter(_.getName != next)
+      .foreach(p => fs.delete(p, true))
+    true
+  }
+
+  /** q375: IVF probe AFTER ERASURE (round 15; VERDICT r14 item 1) —
+    * the index is built (trained + assigned) over the FULL corpus,
+    * every odd vec_id is then erased through [[deleteFromIvfIndex]]
+    * with the quantizer frozen, and the surviving even queries probe
+    * the erased store. The oracle trains the identical quantizer on
+    * the full corpus but assigns only the survivors — byte-equality
+    * proves the erased cells equal a survivor re-assignment under
+    * the frozen model and that no erased id can be returned. */
+  def q375(s: SparkSession, d: String): DataFrame = {
+    val (c, _) = corpusAndQueries(s, d)
+    val dir = graft.sources.VersionedStore.resolveOrBuild(
+      s, indexScratch(s, d, "ivfdel"))(
+      p => writeIvfIndex(c, "vec_id", "embedding", p))
+    deleteFromIvfIndex(s, dir, c.filter(col("vec_id") % 2 === 1), "vec_id")
+    val q = c.filter(col("vec_id") % 2 === 0 &&
+      col("vec_id") < 2 * NumQueries)
+    ivfTopKFromIndex(s, dir, q, "vec_id", "embedding")
+  }
+
   /** Probe a persisted IVF index: no training, no corpus re-encode —
     * the centroid model stays bounded (k-row collect under
     * `literalCellsMax` cells, broadcast-joined centroid table above —
@@ -1315,6 +1383,55 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$path/codes")
   }
 
+  /** The live PQ codes directory, resolved through the `$path/CODES`
+    * pointer file (the liveCellsDir convention for the flat codes
+    * table): missing/empty pointer = the original `codes` tree every
+    * writePqIndex build produces; [[deleteFromPqIndex]] flips it. */
+  private[graft] def liveCodesDir(s: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/CODES")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) "codes"
+    else {
+      val in = fs.open(p)
+      try {
+        val name = scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        if (name.isEmpty) "codes" else name
+      } finally in.close()
+    }
+  }
+
+  /** ERASURE from the persisted PQ index (round 15; VERDICT r14 item
+    * 1): drop the erased vids' 8-byte codes into a new generation
+    * under the CODES pointer (the [[deleteFromIvfIndex]] discipline —
+    * pointer flip after a complete write, older generations retired
+    * immediately for physical completeness), codebook frozen. The ADC
+    * sweep after erasure runs over exactly the survivors' codes, so
+    * no erased id can reach the shortlist or the rerank. Idempotent;
+    * returns whether a new generation was published. */
+  def deleteFromPqIndex(s: SparkSession, path: String, ids: DataFrame,
+                        idCol: String): Boolean = {
+    val del = ids.select(col(idCol).cast("long").as("vid")).distinct()
+      .localCheckpoint()
+    val live = liveCodesDir(s, path)
+    val codes = s.read.parquet(s"$path/$live")
+    if (codes.join(del, Seq("vid"), "left_semi").isEmpty) return false
+    val gen = if (live == "codes") 0 else live.stripPrefix("codes_v").toInt
+    val next = s"codes_v${gen + 1}"
+    codes.join(del, Seq("vid"), "left_anti")
+      .write.mode("overwrite").parquet(s"$path/$next")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$path/CODES"), true)
+    try out.write(next.getBytes("UTF-8")) finally out.close()
+    fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter(p => p.getName == "codes" || p.getName.startsWith("codes_v"))
+      .filter(_.getName != next)
+      .foreach(p => fs.delete(p, true))
+    true
+  }
+
   /** Probe a persisted PQ index: the codebook is a one-row collect, the
     * ADC sweep runs over the stored 8-byte codes (no re-encode), and
     * only the bounded rerank shortlist ever joins back to the raw
@@ -1325,7 +1442,7 @@ object Similarity {
                       rerank: Int = PqRerank): DataFrame = {
     val codebook: Seq[Float] = s.read.parquet(s"$path/codebook")
       .head().getSeq[Float](0).toSeq
-    val codes = s.read.parquet(s"$path/codes")
+    val codes = s.read.parquet(s"$path/${liveCodesDir(s, path)}")
     val q = queries.select(col(id).as("query_id"), col(emb).as("q_emb"),
         F.pqTableQ(col(emb), codebook.map(quantizeVal), m, kCent, QuantScale)
           .as("tbl"))
@@ -1530,7 +1647,10 @@ object Similarity {
     val probedCells = queries
       .select(explode(slice(cellOrder(cents, col(emb)), 1, probes)).as("cell"))
       .distinct().collect().map(_.getInt(0))
-    val codes = s.read.parquet(s"$path/cells")
+    // through the CELLS generation pointer (round 15): IVF-PQ shares
+    // the cell-store layout, so compaction and erasure
+    // ([[deleteFromIvfIndex]]) apply to it unchanged
+    val codes = s.read.parquet(s"$path/${liveCellsDir(s, path)}")
       .filter(col("cell").isin(probedCells.map(Integer.valueOf): _*))
     ivfPqProbe(codes, corpus, queries, cents, codebook.map(quantizeVal),
       id, emb, k, probes, m, kCent, rerank)

@@ -1441,6 +1441,72 @@ object Text {
       .limit(k)
   }
 
+  /** ERASURE from the persisted BM25 index (round 15; VERDICT r14
+    * item 1): copy-on-write version flip through
+    * VersionedStore.publishDir — the q366/deleteFromNswStore CAS
+    * convention. The deleted documents' rows drop from docstats and
+    * the bkt-partitioned postings, and the DERIVED tables are
+    * recomputed from the survivors (dfreq re-counted per (bkt, tok),
+    * stats re-aggregated from the filtered docstats) — so the
+    * post-delete index is BIT-IDENTICAL to writeBm25Index over the
+    * surviving corpus: scores shift exactly as the corpus statistics
+    * demand (df, n_docs, avgdl all move), which is what makes BM25
+    * erasure more than row removal. Idempotent at the version level
+    * (an absent delete set publishes nothing); the old version stays
+    * readable for racing probes until vacuum. Returns the resolved
+    * dir AFTER the delete.
+    *
+    * Scale (100 TB): one anti-join over docstats, one over postings
+    * (both partition-parallel), one regroup at the (bkt, tok) grain
+    * — a single filtered-rewrite pass, no retokenization and no
+    * corpus re-read; the erased docs' text is never touched. */
+  def deleteFromBm25Index(s: SparkSession, root: String, ids: DataFrame,
+                          idCol: String): String = {
+    val cur = graft.sources.VersionedStore.resolveDir(s, root).getOrElse(
+      sys.error(s"deleteFromBm25Index: no published build under $root"))
+    val del = ids.select(col(idCol).cast("long").as("doc_id")).distinct()
+      .localCheckpoint() // anti-joined twice + the presence probe
+    val present = s.read.parquet(s"$cur/docstats")
+      .join(del, Seq("doc_id"), "left_semi")
+    if (present.isEmpty) return cur // nothing to erase: no version churn
+    graft.sources.VersionedStore.publishDir(s, root) { staging =>
+      s.read.parquet(s"$cur/docstats")
+        .join(del, Seq("doc_id"), "left_anti")
+        .write.mode("overwrite").parquet(s"$staging/docstats")
+      val po = s.read.parquet(s"$cur/postings")
+        .join(del, Seq("doc_id"), "left_anti")
+        .localCheckpoint() // feeds the postings write AND the df recount
+      po.write.mode("overwrite").partitionBy("bkt")
+        .parquet(s"$staging/postings")
+      po.groupBy(col("bkt"), col("tok")).agg(count(lit(1)).as("df"))
+        .write.mode("overwrite").partitionBy("bkt").parquet(s"$staging/dfreq")
+      s.read.parquet(s"$staging/docstats")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("dl")).as("total_len"))
+        .write.mode("overwrite").parquet(s"$staging/stats")
+    }
+    graft.sources.VersionedStore.resolveDir(s, root).getOrElse(
+      sys.error(s"deleteFromBm25Index: $root unresolvable after publish"))
+  }
+
+  /** q374: q146's retrieval AFTER ERASURE (round 15; VERDICT r14 item
+    * 1) — the index is built from the FULL corpus, every even doc_id
+    * is GDPR-erased through [[deleteFromBm25Index]], and the standing
+    * query runs against the erased index. The oracle scores a fresh
+    * corpus over the odd documents only — byte-equality proves the
+    * delete updated every derived statistic (df, n_docs, avgdl)
+    * exactly as a survivor rebuild would, and that no erased document
+    * can be retrieved. */
+  def q374(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val root = Scratch.dir(s, d, "bm25del")
+    graft.sources.VersionedStore.resolveOrBuild(s, root)(
+      p => writeBm25Index(docs, "doc_id", "text", p))
+    val dir = deleteFromBm25Index(s, root,
+      docs.filter(col("doc_id") % 2 === 0), "doc_id")
+    bm25FromIndex(s, dir, Seq("query", "join", "data"), 20)
+  }
+
   /** q182: q146's query answered from the PERSISTED index — build once
     * (skipped when this app already wrote it), then load + score.
     * Row-identical to q146 (shared oracle + spec). */

@@ -5860,6 +5860,176 @@ class OperatorsSpec extends SparkSpec {
       assert(n % 2 == 0, s"probe returned deleted id $n"))
   }
 
+  test("signature-store erasure: partition-pruned, leak-free, " +
+       "idempotent, and composes with append") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-sigdel").toString + "/store"
+    val evens = docs.filter(col("doc_id") % 2 === 0)
+    Dedup.writeSignatureStore(evens.filter(col("doc_id") % 8 < 4),
+      "doc_id", "text", path, batchTag = "a")
+    Dedup.writeSignatureStore(evens.filter(col("doc_id") % 8 >= 4),
+      "doc_id", "text", path, batchTag = "b")
+    val del = docs.filter(col("doc_id") % 4 === 0)
+    // the erase set straddles both batch partitions (% 8 ∈ {0, 4})
+    val n1 = Dedup.deleteFromSignatureStore(spark, path, del, "doc_id")
+    assert(n1 == 2, s"expected both batch partitions rewritten, got $n1")
+    // leak-freedom: physically gone from arrays AND bucket postings
+    val arrIds = spark.read.parquet(s"$path/arrays")
+      .select("doc_id").collect().map(_.getLong(0))
+    val bktIds = spark.read.parquet(s"$path/buckets")
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(arrIds.nonEmpty && arrIds.forall(_ % 4 != 0),
+      "erased id survived in the verification arrays")
+    assert(bktIds.nonEmpty && bktIds.forall(_ % 4 != 0),
+      "erased id survived in the band postings")
+    // idempotence: re-deleting the erased set touches no partition
+    assert(Dedup.deleteFromSignatureStore(spark, path, del, "doc_id") == 0,
+      "re-delete must find zero affected partitions")
+    // lifecycle: append a NEW batch after the erasure, then dedup a
+    // later batch against the grown store — pairs must equal the
+    // exact-Jaccard pairs over the live universe that touch the batch
+    Dedup.writeSignatureStore(docs.filter(col("doc_id") % 4 === 1),
+      "doc_id", "text", path, batchTag = "c")
+    val got = Dedup.incrementalPairs(docs.filter(col("doc_id") % 4 === 3),
+        "doc_id", "text", path, 0.6)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = Dedup.q51(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => (a % 4 == 3 || b % 4 == 3) &&
+        a % 4 != 0 && b % 4 != 0 }.toSet
+    assert(got == expected,
+      s"post-lifecycle pairs diverge: extra=${got -- expected} " +
+        s"missing=${expected -- got}")
+    got.foreach { case (a, b) =>
+      assert(a % 4 != 0 && b % 4 != 0, s"erased id in pair ($a,$b)") }
+  }
+
+  test("bm25-index erasure: equals a survivor rebuild, CAS-published, " +
+       "leak-free, idempotent") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-bm25del").toString + "/store"
+    val v1 = graft.sources.VersionedStore.resolveOrBuild(spark, root)(
+      p => Text.writeBm25Index(docs, "doc_id", "text", p))
+    val evens = docs.filter(col("doc_id") % 2 === 0)
+    val v2 = Text.deleteFromBm25Index(spark, root, evens, "doc_id")
+    assert(v2 != v1, "delete must publish a NEW version")
+    // racing probes on the pre-delete snapshot still see it complete
+    assert(spark.read.parquet(s"$v1/docstats").count() == docs.count())
+    // leak-freedom: physically gone from docstats AND postings
+    assert(spark.read.parquet(s"$v2/docstats").select("doc_id")
+      .collect().forall(_.getLong(0) % 2 == 1))
+    assert(spark.read.parquet(s"$v2/postings").select("doc_id")
+      .collect().forall(_.getLong(0) % 2 == 1))
+    // the erased index is BIT-IDENTICAL to a fresh build over the
+    // survivors: every derived statistic (df, n_docs, avgdl) moved
+    val fresh = java.nio.file.Files
+      .createTempDirectory("graft-bm25fresh").toString + "/idx"
+    Text.writeBm25Index(docs.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text", fresh)
+    val terms = Seq("query", "join", "data")
+    val got = Text.bm25FromIndex(spark, v2, terms, 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = Text.bm25FromIndex(spark, fresh, terms, 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want, "erased index must probe like a survivor rebuild")
+    // version-level idempotence
+    assert(Text.deleteFromBm25Index(spark, root, evens, "doc_id") == v2)
+    assert(graft.sources.VersionedStore.latestVersion(spark, root) == 2)
+  }
+
+  test("cell-store erasure (IVF): frozen quantizer, physically " +
+       "complete, idempotent, composes with append") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, sf)
+    val ivf = java.nio.file.Files
+      .createTempDirectory("graft-ivfdel").toString + "/idx"
+    Similarity.writeIvfIndex(e, "vec_id", "embedding", ivf)
+    val odd = e.filter(col("vec_id") % 2 === 1)
+    assert(Similarity.deleteFromIvfIndex(spark, ivf, odd, "vec_id"),
+      "first delete must publish a new generation")
+    // leak-free AND physically complete: the live generation holds
+    // only survivors, and no retired generation dir remains on disk
+    val liveDir = Similarity.liveCellsDir(spark, ivf)
+    assert(spark.read.parquet(s"$ivf/$liveDir").select("vid")
+      .collect().forall(_.getLong(0) % 2 == 0), "erased vid survived")
+    val fs = new org.apache.hadoop.fs.Path(ivf)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cellDirs = fs.listStatus(new org.apache.hadoop.fs.Path(ivf))
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(n => n == "cells" || n.startsWith("cells_v"))
+    assert(cellDirs.toSeq == Seq(liveDir),
+      s"stale generations hold erased bytes: ${cellDirs.mkString(",")}")
+    // the erased store probes like a survivor re-assignment under the
+    // SAME frozen quantizer (trained on the full corpus)
+    val q = e.filter(col("vec_id") % 2 === 0 &&
+      col("vec_id") < 2 * Similarity.NumQueries)
+    val got = Similarity.ivfTopKFromIndex(spark, ivf, q,
+        "vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val fresh = java.nio.file.Files
+      .createTempDirectory("graft-ivffresh").toString + "/idx"
+    Similarity.writeIvfIndexWith(
+      Similarity.trainCentroids(e, "vec_id", "embedding",
+        Similarity.IvfCells, Similarity.TrainIters),
+      e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", fresh)
+    val want = Similarity.ivfTopKFromIndex(spark, fresh, q,
+        "vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == want,
+      "erased store must probe like a frozen-model survivor rebuild")
+    // idempotence: an absent delete set publishes nothing
+    assert(!Similarity.deleteFromIvfIndex(spark, ivf, odd, "vec_id"))
+    // lifecycle: the erased ids re-ingest later via the append path
+    // (frozen centroids) and become searchable again
+    Similarity.appendToIvfIndex(odd, "vec_id", "embedding", ivf)
+    val after = spark.read.parquet(
+        s"$ivf/${Similarity.liveCellsDir(spark, ivf)}")
+      .select("vid").collect().map(_.getLong(0)).toSet
+    assert(after == e.select("vec_id").collect().map(_.getLong(0)).toSet,
+      "delete-then-append must restore exactly the re-ingested ids")
+  }
+
+  test("pq-codes and ivfpq-cells erasure: codebook frozen, leak-free, " +
+       "idempotent") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, sf)
+    val odd = e.filter(col("vec_id") % 2 === 1)
+    // PQ: flat codes under the CODES pointer
+    val pq = java.nio.file.Files
+      .createTempDirectory("graft-pqdel").toString + "/idx"
+    Similarity.writePqIndex(e, "vec_id", "embedding", pq)
+    val cbBefore = spark.read.parquet(s"$pq/codebook")
+      .head().getSeq[Float](0)
+    assert(Similarity.deleteFromPqIndex(spark, pq, odd, "vec_id"))
+    assert(spark.read.parquet(s"$pq/${Similarity.liveCodesDir(spark, pq)}")
+      .select("vid").collect().forall(_.getLong(0) % 2 == 0))
+    assert(spark.read.parquet(s"$pq/codebook")
+      .head().getSeq[Float](0) == cbBefore, "codebook must stay frozen")
+    val pqGot = Similarity.pqTopKFromIndex(spark, pq, e,
+      e.filter(col("vec_id") < 10), "vec_id", "embedding")
+    assert(pqGot.collect().forall(_.getLong(2) % 2 == 0),
+      "PQ probe returned an erased id")
+    assert(!Similarity.deleteFromPqIndex(spark, pq, odd, "vec_id"))
+    // IVF-PQ: shares the cell-store layout, so the IVF delete applies
+    val ipq = java.nio.file.Files
+      .createTempDirectory("graft-ivfpqdel").toString + "/idx"
+    Similarity.writeIvfPqIndex(e, "vec_id", "embedding", ipq)
+    assert(Similarity.deleteFromIvfIndex(spark, ipq, odd, "vec_id"))
+    assert(spark.read.parquet(s"$ipq/${Similarity.liveCellsDir(spark, ipq)}")
+      .select("vid").collect().forall(_.getLong(0) % 2 == 0))
+    val ipqGot = Similarity.ivfPqTopKFromIndex(spark, ipq, e,
+      e.filter(col("vec_id") < 10), "vec_id", "embedding")
+    assert(ipqGot.collect().forall(_.getLong(2) % 2 == 0),
+      "IVF-PQ probe returned an erased id")
+    assert(!Similarity.deleteFromIvfIndex(spark, ipq, odd, "vec_id"))
+  }
+
   test("graph-store CAS delete: snapshot isolation, version-level " +
        "idempotence, vacuum reclaims the retired build") {
     import org.apache.spark.sql.functions.col
