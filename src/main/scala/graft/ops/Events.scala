@@ -1683,6 +1683,75 @@ object Events {
     perDay.unionByName(range)
   }
 
+  /** ERASURE from the persisted KMV store (round 15; VERDICT r14 item
+    * 1). A KMV sketch is one-way — a key cannot be subtracted from the
+    * stored minima — so erasure means RE-SKETCHING the affected days
+    * from the survivor feed: the caller supplies the source `events`
+    * (the standard erasure-pipeline ordering — derived stores first,
+    * the raw feed last, so the feed still holds the rows being
+    * forgotten). Candidate days are where the erased keys appear in
+    * the feed; a candidate is TRULY affected only when its recomputed
+    * exact-distinct differs from the stored one (removing a present
+    * key strictly shrinks the day's key set, so n_exact is a sound
+    * change detector) — which is what makes the operation IDEMPOTENT:
+    * a replayed erasure recomputes identical sketches, finds zero
+    * drift, and publishes nothing. Affected days are re-sketched,
+    * unaffected days are BYTE-COPIED (no decode, no re-aggregation)
+    * into a copy-on-write CAS version (publishDir): racing range
+    * queries read the old complete snapshot or the new one, and
+    * vacuum reclaims the retired bytes. A day whose every key is
+    * erased vanishes from the store. Returns the resolved dir AFTER
+    * the delete.
+    *
+    * Scale (100 TB): re-aggregation is per-affected-day (delta-sized);
+    * the unaffected-day copy is sequential bytes (at lakehouse scale
+    * a manifest would share the files instead — the dir-store CoW
+    * trades that for the one-directory read path). */
+  def deleteKeysFromKmvStore(s: SparkSession, root: String,
+                             events: DataFrame, day: Column, key: String,
+                             ids: DataFrame, k: Int = 256): String = {
+    val cur = graft.sources.VersionedStore.resolveDir(s, root).getOrElse(
+      sys.error(s"deleteKeysFromKmvStore: no published build under $root"))
+    val del = ids.select(col(key)).distinct().localCheckpoint()
+    val ev = events.withColumn("__day", date_format(day, "yyyy-MM-dd"))
+    val candDays = ev.join(del, Seq(key), "left_semi")
+      .select(col("__day").as("day")).distinct().localCheckpoint()
+    val recomputed = dailySketches(
+      ev.join(del, Seq(key), "left_anti")
+        .join(candDays.select(col("day").as("__day")), Seq("__day"), "left_semi"),
+      col("__day"), key, k).localCheckpoint()
+    val stored = s.read.parquet(cur)
+      .select(col("day").cast("string").as("day"),
+        col("n_exact").as("old_n"))
+    val affected = stored.join(candDays, Seq("day"), "left_semi")
+      .join(recomputed.select(col("day"), col("n_exact").as("new_n")),
+        Seq("day"), "left")
+      .where(col("new_n").isNull || col("new_n") =!= col("old_n"))
+      .select(col("day")).collect().map(_.getString(0)).toSet
+    if (affected.isEmpty) return cur // replayed erasure: no version churn
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    graft.sources.VersionedStore.publishDir(s, root) { staging =>
+      import s.implicits._
+      recomputed
+        .join(affected.toSeq.toDF("day"), Seq("day"), "left_semi")
+        .select(col("day"), col("mins"), col("n_exact"))
+        .write.mode("overwrite").partitionBy("day").parquet(staging)
+      fs.listStatus(new org.apache.hadoop.fs.Path(cur))
+        .filter(_.isDirectory)
+        .map(_.getPath)
+        .filter(p => p.getName.startsWith("day=") &&
+          !affected.contains(p.getName.stripPrefix("day=")))
+        .foreach { p =>
+          org.apache.hadoop.fs.FileUtil.copy(fs, p,
+            fs, new org.apache.hadoop.fs.Path(staging, p.getName),
+            false, s.sparkContext.hadoopConfiguration)
+        }
+    }
+    graft.sources.VersionedStore.resolveDir(s, root).getOrElse(
+      sys.error(s"deleteKeysFromKmvStore: $root unresolvable after publish"))
+  }
+
   /** q175: build the persisted store, then answer a 7-day range query
     * from the STORED sketches alone (the cross-run read path). */
   def q175(s: SparkSession, d: String): DataFrame = {

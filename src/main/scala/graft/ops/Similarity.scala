@@ -1922,6 +1922,38 @@ object Similarity {
         (col("dup_store") === 0 && col("dup_batch") === 0).cast("int"))
   }
 
+  /** ERASURE from the persisted SemDeDup store (round 15; VERDICT r14
+    * item 1): copy-on-write CAS version flip (the deleteFromNswStore
+    * convention) — the erased representatives drop from the
+    * cell-partitioned `kept` table, the trained quantizer stays
+    * frozen (the q168 discipline; erasure must not shift every later
+    * batch's cell assignment). Semantics worth stating: a deleted
+    * representative loses its SUPPRESSION power — future content
+    * similar to it will be kept again, which is exactly what
+    * forgetting the content means; historical keep/drop verdicts are
+    * not retroactively edited (they live with the batches that made
+    * them). Version-level idempotent; old version readable until
+    * vacuum. Returns the resolved dir AFTER the delete. */
+  def deleteFromSemDedupStore(s: SparkSession, root: String,
+                              ids: DataFrame, idCol: String): String = {
+    val cur = graft.sources.VersionedStore.resolveDir(s, root).getOrElse(
+      sys.error(s"deleteFromSemDedupStore: no published build under $root"))
+    val del = ids.select(col(idCol).cast("long").as("vid")).distinct()
+      .localCheckpoint()
+    val present = s.read.parquet(s"$cur/kept")
+      .join(del, Seq("vid"), "left_semi")
+    if (present.isEmpty) return cur // nothing to erase: no version churn
+    graft.sources.VersionedStore.publishDir(s, root) { staging =>
+      s.read.parquet(s"$cur/centroids") // frozen model, k rows
+        .write.mode("overwrite").parquet(s"$staging/centroids")
+      s.read.parquet(s"$cur/kept")
+        .join(del, Seq("vid"), "left_anti")
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$staging/kept")
+    }
+    graft.sources.VersionedStore.resolveDir(s, root).getOrElse(
+      sys.error(s"deleteFromSemDedupStore: $root unresolvable after publish"))
+  }
+
   /** q189: build the store from the even-id half of the corpus (the
     * q168/q170 split convention), then run the odd-id half through it
     * as the incoming batch — one verdict row per new vector. */

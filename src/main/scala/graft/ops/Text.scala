@@ -3489,30 +3489,68 @@ object Text {
     noveltyAudit(Tables.documents(s, d), "doc_id", "text")
 
   /** PERSISTED NOVELTY STORE — the q240 deployment note made real: the
-    * standing corpus' distinct window hashes live as a versioned
-    * artifact, a candidate batch audits against the STORE (never
-    * rescanning the corpus text), and accepting a batch appends only
-    * its genuinely-new hashes — the q88 signature-store discipline
-    * applied to windows. Store rows are single longs; at 100 TB the
-    * hash set is ~1% of corpus bytes and bucket-partitionable by hash
-    * prefix. Commits ride the VersionedStore manifest CAS (concurrent
-    * ingest feeds rebase; audits pin a version while appends land). */
+    * standing corpus' window hashes live as a versioned artifact, a
+    * candidate batch audits against the STORE (never rescanning the
+    * corpus text), and accepting a batch appends its hash counts —
+    * the q88 signature-store discipline applied to windows.
+    *
+    * Round 15 (VERDICT r14 item 1): rows are REFERENCE-COUNTED
+    * (h, cnt, tag) instead of a bare distinct hash set, because a
+    * one-way hash set cannot be erased from — a hash shared by a
+    * live and a deleted document must survive the delete. cnt(h) =
+    * number of contributing documents; the LIVE set is Σcnt > 0
+    * ([[liveNoveltyHashes]]); [[deleteFromNoveltyStore]] appends the
+    * erased documents' counts NEGATED — an O(delete) commit, never a
+    * store rewrite — and [[compactNoveltyStore]] folds the ledger so
+    * fully-erased hashes physically leave the files. `tag` makes
+    * every append/delete commit content-addressed and therefore
+    * IDEMPOTENT: a replayed batch or erasure request sees its tag
+    * already in the ledger and commits nothing (an at-least-once
+    * pipeline must not double-count or double-erase shared hashes).
+    *
+    * At 100 TB the count ledger is ~1% of corpus bytes and
+    * bucket-partitionable by hash prefix. Commits ride the
+    * VersionedStore manifest CAS (concurrent ingest feeds rebase;
+    * audits pin a version while appends land). */
   def writeNoveltyStore(reference: DataFrame, id: String, text: String,
                         k: Int, root: String): Unit = {
     graft.sources.VersionedStore.commit(
-      Dedup.shingleArrays(reference, id, text, k)
-        .select(explode(col("sh_arr")).as("h")).distinct(),
+      docWindowCounts(reference, id, text, k)
+        .withColumn("tag", lit("init")),
       root, overwrite = true)
     ()
   }
+
+  /** Per-hash count of contributing documents (per-doc-distinct, so a
+    * window repeated inside one document counts once — the grain a
+    * per-document erasure must subtract at). */
+  private def docWindowCounts(docs: DataFrame, id: String, text: String,
+                              k: Int): DataFrame =
+    Dedup.shingleArrays(docs, id, text, k)
+      .select(col("doc_id"), explode(col("sh_arr")).as("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+
+  /** The live hash set: every hash whose reference count is positive
+    * after folding all append/delete ledger entries. */
+  def liveNoveltyHashes(s: SparkSession, root: String): DataFrame =
+    graft.sources.VersionedStore.read(s, root)
+      .groupBy(col("h")).agg(sum(col("cnt")).as("c"))
+      .where(col("c") > 0).select(col("h"))
+
+  /** True when a ledger commit with this tag already landed (the
+    * idempotence probe — parquet predicate pushdown on `tag`). */
+  private def noveltyTagSeen(s: SparkSession, root: String,
+                             tag: String): Boolean =
+    graft.sources.VersionedStore.latestVersion(s, root) > 0 &&
+      !graft.sources.VersionedStore.read(s, root)
+        .where(col("tag") === tag).isEmpty
 
   /** Audit a batch against the stored hash set — q240's output
     * contract, corpus untouched. */
   def noveltyAgainstStore(audited: DataFrame, id: String, text: String,
                           k: Int, root: String): DataFrame = {
     val s = audited.sparkSession
-    val refSh = graft.sources.VersionedStore.read(s, root)
-      .withColumn("seen", lit(1L))
+    val refSh = liveNoveltyHashes(s, root).withColumn("seen", lit(1L))
     val testSh = Dedup.shingleArrays(audited, id, text, k)
       .select(col("doc_id"), explode(col("sh_arr")).as("h"))
     testSh.join(refSh, Seq("h"), "left")
@@ -3524,15 +3562,53 @@ object Text {
           col("n_windows")).as("novelty_bp"))
   }
 
-  /** Accept a batch: append its hashes the store doesn't already hold
-    * (append versions stay small — the DELTA, not a re-dump). */
+  /** Accept a batch: append its per-hash document counts under `tag`
+    * (append versions stay batch-sized — the DELTA, not a re-dump; a
+    * replayed tag is a no-op). */
   def appendNoveltyStore(accepted: DataFrame, id: String, text: String,
-                         k: Int, root: String): Unit = {
+                         k: Int, root: String, tag: String): Unit = {
     val s = accepted.sparkSession
-    val fresh = Dedup.shingleArrays(accepted, id, text, k)
-      .select(explode(col("sh_arr")).as("h")).distinct()
-      .join(graft.sources.VersionedStore.read(s, root), Seq("h"), "left_anti")
-    graft.sources.VersionedStore.commit(fresh, root, overwrite = false)
+    if (noveltyTagSeen(s, root, tag)) return
+    graft.sources.VersionedStore.commit(
+      docWindowCounts(accepted, id, text, k).withColumn("tag", lit(tag)),
+      root, overwrite = false)
+    ()
+  }
+
+  /** ERASURE from the novelty store (round 15; VERDICT r14 item 1):
+    * append the erased documents' per-hash counts NEGATED, under an
+    * idempotence tag — O(delete) ledger work, no store rewrite. A
+    * hash every contributor of which is erased folds to Σcnt = 0 and
+    * leaves the LIVE set immediately; a hash shared with surviving
+    * documents keeps a positive count and stays (the correctness a
+    * bare hash-set store cannot offer). Contract: erase documents
+    * that were actually ingested (write/append), under a tag unique
+    * to the erasure request — the ledger is counts, not membership.
+    * Physical bytes leave at the next [[compactNoveltyStore]].
+    * Returns true when the erasure committed (false = replayed tag). */
+  def deleteFromNoveltyStore(erased: DataFrame, id: String, text: String,
+                             k: Int, root: String, tag: String): Boolean = {
+    val s = erased.sparkSession
+    if (noveltyTagSeen(s, root, tag)) return false
+    graft.sources.VersionedStore.commit(
+      docWindowCounts(erased, id, text, k)
+        .select(col("h"), (-col("cnt")).as("cnt"), lit(tag).as("tag")),
+      root, overwrite = false)
+    true
+  }
+
+  /** Fold the ledger: one overwrite version holding the aggregated
+    * positive counts — fully-erased hashes physically leave the data
+    * files (the GDPR completion step), and audits stop re-summing
+    * history. Run after erasures or every N appends. */
+  def compactNoveltyStore(s: SparkSession, root: String): Unit = {
+    val v = graft.sources.VersionedStore.latestVersion(s, root)
+    graft.sources.VersionedStore.commit(
+      graft.sources.VersionedStore.read(s, root)
+        .groupBy(col("h")).agg(sum(col("cnt")).as("cnt"))
+        .where(col("cnt") > 0)
+        .withColumn("tag", lit(s"compact-v$v")),
+      root, overwrite = true)
     ()
   }
 

@@ -4468,7 +4468,7 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(viaStore == direct, s"store $viaStore vs direct $direct")
     // accept batch1; a later doc repeating batch1's windows is now seen
-    Text.appendNoveltyStore(batch1, "doc_id", "text", 3, root)
+    Text.appendNoveltyStore(batch1, "doc_id", "text", 3, root, "b1")
     val echo = Seq((3L, "b c x y")).toDF("doc_id", "text")
     val before = Text.noveltyAgainst(echo, ref, "doc_id", "text")
       .collect().head.getLong(3)
@@ -6028,6 +6028,148 @@ class OperatorsSpec extends SparkSpec {
     assert(ipqGot.collect().forall(_.getLong(2) % 2 == 0),
       "IVF-PQ probe returned an erased id")
     assert(!Similarity.deleteFromIvfIndex(spark, ipq, odd, "vec_id"))
+  }
+
+  test("semdedup-store erasure: representatives drop, quantizer " +
+       "frozen, suppression ends, CAS-published, idempotent") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, sf)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-semdel").toString + "/store"
+    val v1 = graft.sources.VersionedStore.resolveOrBuild(spark, root)(
+      p => Similarity.writeSemDedupStore(e.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", p))
+    val centsBefore = spark.read.parquet(s"$v1/centroids").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1)).sortBy(_._1).toSeq
+    val batch = e.filter(col("vec_id") % 2 === 1)
+    val dupV1 = Similarity.semDedupApply(spark, v1, batch,
+      "vec_id", "embedding").filter(col("dup_store") === 1).count()
+    val del = e.filter(col("vec_id") % 4 === 0)
+    val v2 = Similarity.deleteFromSemDedupStore(spark, root, del, "vec_id")
+    assert(v2 != v1, "delete must publish a NEW version")
+    // leak-free: no erased representative in the kept table
+    assert(spark.read.parquet(s"$v2/kept").select("vid")
+      .collect().forall(_.getLong(0) % 4 != 0), "erased rep survived")
+    // the quantizer is frozen across the erasure (q168 discipline)
+    val centsAfter = spark.read.parquet(s"$v2/centroids").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1)).sortBy(_._1).toSeq
+    assert(centsAfter == centsBefore, "centroids must stay frozen")
+    // suppression ends with the content: the erased reps can only
+    // REDUCE how much of a later batch is flagged as seen-before
+    val dupV2 = Similarity.semDedupApply(spark, v2, batch,
+      "vec_id", "embedding").filter(col("dup_store") === 1).count()
+    assert(dupV2 <= dupV1,
+      s"erasure must not create suppression: $dupV2 > $dupV1")
+    // version-level idempotence + old snapshot intact
+    assert(Similarity.deleteFromSemDedupStore(spark, root, del,
+      "vec_id") == v2)
+    assert(graft.sources.VersionedStore.latestVersion(spark, root) == 2)
+    assert(spark.read.parquet(s"$v1/kept").count() > 0,
+      "pre-delete snapshot must stay readable")
+  }
+
+  test("kmv-store erasure: affected days re-sketched from survivors, " +
+       "unaffected days byte-carried, idempotent") {
+    import org.apache.spark.sql.functions._
+    val events = Tables.events(spark, sf)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-kmvdel").toString + "/store"
+    val v1 = graft.sources.VersionedStore.resolveOrBuild(spark, root)(
+      p => Events.writeKmvStore(events, to_date(col("ts")), "user_id", p))
+    // erase the LEAST-active user (fewest distinct days), so some
+    // days stay unaffected and the byte-carry path is exercised
+    val del = events.select(col("user_id"),
+        to_date(col("ts")).as("d")).distinct()
+      .groupBy("user_id").count().orderBy(col("count").asc,
+        col("user_id").asc)
+      .select("user_id").limit(1).localCheckpoint()
+    assert(del.count() == 1)
+    val v2 = Events.deleteKeysFromKmvStore(spark, root, events,
+      to_date(col("ts")), "user_id", del)
+    assert(v2 != v1, "delete must publish a NEW version")
+    // equivalence: the erased store answers every range query exactly
+    // like a store built fresh from the survivor feed
+    val fresh = java.nio.file.Files
+      .createTempDirectory("graft-kmvfresh").toString + "/store"
+    Events.writeKmvStore(events.join(del, Seq("user_id"), "left_anti"),
+      to_date(col("ts")), "user_id", fresh)
+    def rows(p: String) = Events.kmvRangeQuery(spark, p,
+        "2024-01-01", "2024-12-31").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .sortBy(_._1).toSeq
+    assert(rows(v2) == rows(fresh),
+      "erased store must equal a survivor rebuild, sketch for sketch")
+    // unaffected days carried byte-for-byte (same file names + sizes)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dayFiles(base: String, d: String) =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/day=$d"))
+        .filterNot(_.getPath.getName.startsWith("_"))
+        .map(f => f.getPath.getName -> f.getLen).sortBy(_._1).toSeq
+    val affectedDays = events.join(del, Seq("user_id"), "left_semi")
+      .select(date_format(col("ts"), "yyyy-MM-dd")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val someQuiet = fs.listStatus(new org.apache.hadoop.fs.Path(v1))
+      .map(_.getPath.getName).filter(_.startsWith("day="))
+      .map(_.stripPrefix("day=")).filterNot(affectedDays.contains)
+    assert(someQuiet.nonEmpty, "need at least one unaffected day")
+    assert(dayFiles(v1, someQuiet.head) == dayFiles(v2, someQuiet.head),
+      "unaffected day must be byte-carried, not recomputed")
+    // idempotence: replaying the erasure publishes nothing
+    assert(Events.deleteKeysFromKmvStore(spark, root, events,
+      to_date(col("ts")), "user_id", del) == v2)
+    assert(graft.sources.VersionedStore.latestVersion(spark, root) == 2)
+  }
+
+  test("novelty-store erasure: shared hashes survive via refcounts, " +
+       "unique hashes die, tags make replays no-ops, compaction " +
+       "completes physical removal") {
+    import SparkTestSession.spark.implicits._
+    import org.apache.spark.sql.functions.{col, explode}
+    val ref = Seq((0L, "a b c d"), (2L, "p q r s")).toDF("doc_id", "text")
+    val batch = Seq((4L, "a b c x")).toDF("doc_id", "text") // shares 'a b c'
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-novdel").toString + "/store"
+    Text.writeNoveltyStore(ref, "doc_id", "text", 3, root)
+    Text.appendNoveltyStore(batch, "doc_id", "text", 3, root, "b4")
+    val refHashes = Dedup.shingleArrays(ref, "doc_id", "text", 3)
+      .select(explode(col("sh_arr")).as("h")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    // erase the accepted batch: its unique window dies, the window it
+    // shares with a live reference doc must SURVIVE (the refcount)
+    assert(Text.deleteFromNoveltyStore(batch, "doc_id", "text", 3,
+      root, "erase-b4"), "first erasure must commit")
+    val live = Text.liveNoveltyHashes(spark, root)
+      .collect().map(_.getLong(0)).toSet
+    assert(live == refHashes,
+      "live set after erasure must be exactly the reference hashes")
+    // replayed tag: a no-op (an at-least-once pipeline must not
+    // double-erase the shared hash)
+    assert(!Text.deleteFromNoveltyStore(batch, "doc_id", "text", 3,
+      root, "erase-b4"), "replayed erasure tag must commit nothing")
+    assert(Text.liveNoveltyHashes(spark, root)
+      .collect().map(_.getLong(0)).toSet == refHashes)
+    // audit semantics: a doc repeating the erased batch's unique
+    // window is fully novel again; the shared window is still seen
+    val echo = Seq((6L, "b c x y")).toDF("doc_id", "text")
+    assert(Text.noveltyAgainstStore(echo, "doc_id", "text", 3, root)
+      .collect().head.getLong(3) == 10000L,
+      "the erased batch's windows must read as novel again")
+    val shared = Seq((8L, "a b c z")).toDF("doc_id", "text")
+    assert(Text.noveltyAgainstStore(shared, "doc_id", "text", 3, root)
+      .collect().head.getLong(2) == 1L,
+      "the reference-shared window must still be seen")
+    // compaction: fully-erased hashes physically leave the files
+    Text.compactNoveltyStore(spark, root)
+    val raw = graft.sources.VersionedStore.read(spark, root).collect()
+    assert(raw.forall(r => r.getLong(1) > 0 &&
+      refHashes.contains(r.getLong(0))),
+      "compacted files must hold only live positive counts")
+    // lifecycle: a post-erasure append grows the live set again
+    Text.appendNoveltyStore(echo, "doc_id", "text", 3, root, "b6")
+    assert(Text.noveltyAgainstStore(echo, "doc_id", "text", 3, root)
+      .collect().head.getLong(3) == 0L,
+      "the re-accepted batch must read as fully seen")
   }
 
   test("graph-store CAS delete: snapshot isolation, version-level " +
