@@ -745,7 +745,40 @@ object AnnOracleSql {
     * EMPTY adjacency; `top` is the highest layer with adjacency rows
     * (the engine's max(level) over the stored graph) and walks above
     * it pass the entry set through unchanged. */
-  private val q336Sql: String = {
+  private val q336Sql: String = hnswSqlWith { hops0 =>
+    s"""fin AS (SELECT query_id, vid, cos,
+            CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vid ASC) AS INT) AS rank
+            FROM w0f$hops0 WHERE vid <> query_id)
+    SELECT query_id, rank, vid AS neighbor_id, ${bpS("cos")} AS cos_bp
+    FROM fin WHERE rank <= ${Similarity.TopK}"""
+  }
+
+  /** q376 filtered layered serve: the identical hierarchy placement
+    * and layer-0 walk, but the final rank runs over the
+    * predicate-passing subset of every node layer 0 scored (entry
+    * scores w0f0s plus each hop's expansion scores w0sx1..w0sxH,
+    * deduped by max cos) — the q358 tail on the q336 replay. */
+  private val q376Sql: String = hnswSqlWith { hops0 =>
+    val unions = (1 to hops0)
+      .map(h => s"UNION ALL SELECT query_id, vid, cos FROM w0sx$h")
+      .mkString("\n            ")
+    s"""allv AS (SELECT query_id, vid, max(cos) AS cos FROM (
+            SELECT query_id, vid, cos FROM w0f0s
+            $unions) GROUP BY 1, 2),
+    fin AS (SELECT a.query_id, a.vid, a.cos,
+            CAST(row_number() OVER (PARTITION BY a.query_id ORDER BY a.cos DESC, a.vid ASC) AS INT) AS rank
+            FROM allv a
+            JOIN embeddings cl ON cl.vec_id = a.vid
+            JOIN embeddings ql ON ql.vec_id = a.query_id
+            WHERE a.vid <> a.query_id AND cl.label = ql.label)
+    SELECT query_id, rank, vid AS neighbor_id, ${bpS("cos")} AS cos_bp
+    FROM fin WHERE rank <= ${Similarity.TopK}"""
+  }
+
+  /** The q336 HNSW replay with a caller-supplied TAIL over layer 0's
+    * walk CTEs (`w0f$hops0` final beam; `w0f0s`/`w0sx*` scored set) —
+    * the q250SqlTail convention one hierarchy up. */
+  private def hnswSqlWith(tailOf: Int => String): String = {
     val m = Similarity.NswM
     val rounds = Similarity.NswRounds
     val ub = Similarity.HnswUpperBeam
@@ -844,11 +877,7 @@ object AnnOracleSql {
     el$maxL AS (SELECT q.query_id, e.vid FROM qs q CROSS JOIN entry e),
     $upper,
     ${walk("w0", s"l0adj$rounds", "el0", beam, hops0)},
-    fin AS (SELECT query_id, vid, cos,
-            CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vid ASC) AS INT) AS rank
-            FROM w0f$hops0 WHERE vid <> query_id)
-    SELECT query_id, rank, vid AS neighbor_id, ${bpS("cos")} AS cos_bp
-    FROM fin WHERE rank <= ${Similarity.TopK}"""
+    ${tailOf(hops0)}"""
   }
 
   /** q271 cell balance: the q91 per-cell table rolled up to one row
@@ -919,6 +948,7 @@ object AnnOracleSql {
     "q366_ann_delete"      -> q366Sql,
     "q367_sq8_distortion"  -> q367Sql,
     "q336_ann_hnsw_index"  -> q336Sql,
+    "q376_hnsw_filtered"   -> q376Sql,
     "q271_cell_balance"    -> q271Sql,
     "q234_split_leakage"   -> q234Sql,
     "q237_silhouette"      -> q237Sql,

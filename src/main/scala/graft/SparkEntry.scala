@@ -392,6 +392,8 @@ object SparkEntry {
     "q373_sig_erase"      -> (Dedup.q373 _),
     "q374_bm25_erase"     -> (Text.q374 _),
     "q375_ivf_erase"      -> (Similarity.q375 _),
+    "q376_hnsw_filtered"  -> (Similarity.q376 _),
+    "q377_kneser_ney_tri" -> (Text.q377 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -3144,6 +3146,36 @@ object SparkEntry {
            CAST(ncont AS BIGINT) AS ncont, CAST(pkn_e6 AS BIGINT) AS pkn_e6
          FROM r QUALIFY row_number()
            OVER (ORDER BY c12 DESC, w1 ASC, w2 ASC) <= 20""",
+
+    // Trigram Kneser-Ney: the q371 CTE chain one order up — every
+    // continuation count from one trigram type table, the quarters
+    // discount at both levels, each factor its own idiv.
+    "q377_kneser_ney_tri" ->
+      """WITH tk AS (SELECT string_split(text, ' ') AS tks FROM documents),
+         tg AS MATERIALIZED (SELECT w1, w2, w3, count(*) AS c123 FROM (
+             SELECT tks[i] AS w1, tks[i + 1] AS w2, tks[i + 2] AS w3
+             FROM tk, unnest(range(1, len(tks) - 1)) AS u(i)) GROUP BY 1, 2, 3),
+         c12 AS (SELECT w1, w2, sum(c123) AS c12, count(*) AS n3
+           FROM tg GROUP BY 1, 2),
+         t23 AS MATERIALIZED (SELECT w2, w3, count(*) AS nc23 FROM tg GROUP BY 1, 2),
+         mid AS (SELECT w2, count(*) AS nmid2 FROM tg GROUP BY 1),
+         n2 AS (SELECT w2, count(*) AS n2 FROM t23 GROUP BY 1),
+         c3 AS (SELECT w3, count(*) AS ncont3 FROM t23 GROUP BY 1),
+         tt AS (SELECT count(*) AS tt FROM t23),
+         r AS (SELECT tg.w1, tg.w2, tg.w3, tg.c123, c12.c12,
+             (1000000 * (4 * tg.c123 - 3)) // (4 * c12.c12)
+               + (((1000000 * 3 * c12.n3) // (4 * c12.c12))
+                 * ((1000000 * (4 * t23.nc23 - 3)) // (4 * mid.nmid2)
+                   + (((1000000 * 3 * n2.n2) // (4 * mid.nmid2))
+                     * ((1000000 * c3.ncont3) // tt.tt)) // 1000000))
+                 // 1000000 AS pkn_e6
+           FROM tg JOIN c12 USING (w1, w2) JOIN t23 USING (w2, w3)
+           JOIN mid USING (w2) JOIN n2 USING (w2) JOIN c3 USING (w3)
+           CROSS JOIN tt)
+         SELECT w1, w2, w3, CAST(c123 AS BIGINT) AS c123,
+           CAST(c12 AS BIGINT) AS c12, CAST(pkn_e6 AS BIGINT) AS pkn_e6
+         FROM r QUALIFY row_number()
+           OVER (ORDER BY c123 DESC, w1 ASC, w2 ASC, w3 ASC) <= 20""",
 
     // BH-FDR: two-proportion z in the exact-integer algebraic form,
     // p via the shared driver-quantized erfc table, integer step-up.

@@ -3094,6 +3094,80 @@ object Similarity {
       c, q, entries, k, eb, eh0)
   }
 
+  /** METADATA-FILTERED probe through the PERSISTED HNSW store (round
+    * 15; VERDICT r14 item 5 — q358 gave the flat NSW store a
+    * predicate-aware probe; this is the layered equivalent). The
+    * top-down entry placement runs UNFILTERED exactly as
+    * [[hnswTopKFromIndex]] (navigability must not depend on the
+    * predicate — upper layers only position the layer-0 entry set),
+    * then layer 0 runs the full-width walk ACCUMULATING every scored
+    * node ([[beamWalkScoredSet]]), and the final top-k ranks the
+    * predicate-passing subset of that visited set — the q358
+    * walk-unfiltered / rank-filtered discipline on the hierarchy.
+    * Same selectivity contract as q358: the visited set is walk-
+    * budget-sized, so a predicate of selectivity s leaves ~s·|visited|
+    * candidates — widen beam/hops0 at the call for rare predicates,
+    * or pre-partition per-attribute stores. Recall vs selectivity is
+    * spec-measured against the exact q155 leg. */
+  def hnswFilteredTopKFromIndex(s: SparkSession, path: String,
+                                queries: DataFrame, id: String, emb: String,
+                                attr: String, labels: DataFrame,
+                                k: Int = TopK, beam: Int = 0,
+                                hops0: Int = 0): DataFrame = {
+    val pinned = readNswParams(s, path)
+    val eb = if (beam > 0) beam else pinned.map(_._3).getOrElse(NswBeam)
+    val eh0 = if (hops0 > 0) hops0
+      else pinned.map(p => math.max(HnswHops0, p._4 / 2)).getOrElse(HnswHops0)
+    val g = s.read.parquet(s"$path/graph").localCheckpoint()
+    val vectors = s.read.parquet(s"$path/vectors").localCheckpoint()
+    val c = vectors.select(col("vid"), col("c_emb"))
+    val q = queries.select(col(id).as("query_id"), col(emb).as("q_emb"),
+      col(attr).as("q_attr"))
+    val qe = q.select(col("query_id"), col("q_emb"))
+    val topRow = g.agg(max(col("level"))).head()
+    require(!topRow.isNullAt(0),
+      s"hnsw store at $path has an empty graph (no adjacency rows) — " +
+        "the corpus is too small or produced no seed-ring collisions")
+    val top = topRow.getInt(0)
+    val topEntry = vectors.filter(col("level") >= top)
+      .orderBy(col("vid")).limit(NswSeeds).select(col("vid"))
+    var entries: DataFrame =
+      q.select(col("query_id")).crossJoin(broadcast(topEntry))
+    for (l <- top to 1 by -1) {
+      val found = beamWalk(g.filter(col("level") === l).drop("level"),
+        c, qe, entries, HnswUpperBeam, HnswUpperBeam, HnswUpperHops)
+      entries = found.select(col("query_id"), col("neighbor_id").as("vid"))
+        .localCheckpoint()
+    }
+    val visited = beamWalkScoredSet(
+      g.filter(col("level") === 0).drop("level"),
+      c, qe, entries, eb, eh0, broadcastQueries = true)
+    val lab = labels.select(col(id).as("vid"), col(attr).as("c_attr"))
+    val qa = q.select(col("query_id"), col("q_attr"))
+    rankTopK(visited
+      .join(lab, "vid")
+      .join(broadcast(qa), "query_id")
+      .where(col("c_attr") === col("q_attr") &&
+        col("vid") =!= col("query_id"))
+      .select(col("query_id"), col("vid").as("neighbor_id"), col("cos")), k)
+  }
+
+  /** q376: same-label top-10 served from the persisted HNSW store —
+    * q358's retrieval answered through the LAYERED index (q336's
+    * store, the explicit oracle-constant pin; the DuckDB replay runs
+    * the full hierarchy placement and ranks the label-matching subset
+    * of layer 0's scored set verbatim). */
+  def q376(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val (c, q) = corpusAndQueries(s, d)
+    val dir = graft.sources.VersionedStore.resolveOrBuild(
+      s, indexScratch(s, d, "hnswidx"))(
+      p => writeHnswIndex(c, "vec_id", "embedding", p,
+        m = NswM, rounds = NswRounds))
+    hnswFilteredTopKFromIndex(s, dir, q, "vec_id", "embedding", "label",
+      e.select(col("vec_id"), col("label")))
+  }
+
   /** Probe a persisted graph index: adjacency + vectors from the
     * store, the same beam walk. beam/hops default (0) to the values
     * PINNED IN THE STORE's params manifest — the walk budget the graph
