@@ -74,32 +74,21 @@ object ScaleGen {
       }
       case "embeddings" =>
         val dim = base.head().getSeq[Float](base.columns.indexOf("embedding")).length
-        // the rotation×negation isometry family has period 2·dim —
-        // replica 2·dim would be replica 0 VERBATIM (duplicate
-        // vectors = contamination, the exact failure this family was
-        // built to prevent). Fail loudly instead of silently
-        // corrupting scale evidence (r14 advice).
-        require(factor <= 2 * dim,
+        // the rotation×negation×reversal isometry family has period
+        // 4·dim — replica 4·dim would be replica 0 VERBATIM
+        // (duplicate vectors = contamination, the exact failure this
+        // family was built to prevent). Fail loudly instead of
+        // silently corrupting scale evidence (r14 advice; the family
+        // was EXTENDED the same round's fix suggested — see below —
+        // because the r15 beam-cap decade needs factor 140 of the
+        // 2k-row sf0.1 base, past the old 2·dim = 128 period).
+        require(factor <= 4 * dim,
           s"amplify(embeddings): factor $factor exceeds the isometry " +
-            s"family size 2*dim = ${2 * dim} - replicas would repeat " +
-            "verbatim; amplify from a larger base (sf0.1) instead")
+            s"family size 4*dim = ${4 * dim} - replicas would repeat " +
+            "verbatim; extend the family before raising the factor")
         replicas { r =>
-          val m = r % dim
-          val rotated = if (m == 0) col("embedding")
-            else concat(slice(col("embedding"), m + 1, dim - m),
-                        slice(col("embedding"), 1, m))
-          // past `dim` replicas the rotation WRAPS — replica dim
-          // would be replica 0 verbatim (duplicate vectors, which is
-          // contamination, not scale evidence). Compose with global
-          // negation on odd wrap bands: x -> -x is also an isometry
-          // (intra-replica cosines and top-k sets exact), and
-          // cos(x, -rot(x)) stays decorrelated, so factors up to
-          // 2*dim amplify cleanly (round 14, for the third-decade
-          // ANN row).
-          val iso = if ((r / dim) % 2 == 1)
-            transform(rotated, x => -x) else rotated
           base.select(shift("vec_id", r).as("vec_id"),
-            iso.as("embedding"), col("label"))
+            embIso(dim, r).as("embedding"), col("label"))
         }
       case "events" => replicas { r =>
         base.select(shift("event_id", r).as("event_id"), col("ts"),
@@ -127,6 +116,70 @@ object ScaleGen {
           .withColumn("s_name", caesar(col("s_name"), r))
       }
     }
+  }
+
+  /** Replica r's isometry applied to the embedding column: cyclic
+    * rotation by r % dim, composed with global negation on odd
+    * (r / dim) bands (r14) and with COORDINATE REVERSAL on odd
+    * (r / 2·dim) bands (r15 — the family extension the r14 advice
+    * offered as the alternative to a hard cap). Reversal is a
+    * permutation (an isometry: intra-replica cosines and top-k sets
+    * exact), and rev·rot_m = rot_{−m}·rev means no rot·neg member
+    * ever equals a rev member, so the composed family has 4·dim
+    * DISTINCT elements; replicas r < 2·dim are BYTE-IDENTICAL to the
+    * pre-r15 family (reversal band 0), so every recorded scale row
+    * replays unchanged. */
+  private def embIso(dim: Int, r: Int): Column = {
+    val m = r % dim
+    val rotated = if (m == 0) col("embedding")
+      else concat(slice(col("embedding"), m + 1, dim - m),
+                  slice(col("embedding"), 1, m))
+    val negated = if ((r / dim) % 2 == 1)
+      transform(rotated, x => -x) else rotated
+    if ((r / (2 * dim)) % 2 == 1) reverse(negated) else negated
+  }
+
+  /** CLUSTERED amplification of the embeddings table (round 15;
+    * VERDICT r14 item 3): the uniform isometry family places every
+    * replica on the same near-uniform shell — the documented HARD
+    * case for graph ANN, which is why the amended serve rule's beam
+    * grows ~linearly there. Real corpora are CLUSTERED, and the
+    * "clustered corpora need far less beam" claim in nswScaledParams
+    * was asserted, not measured. This twin makes it measurable: each
+    * replica r is the same isometry as `amplify`, SHRUNK by `alphaBp`
+    * onto a deterministic unit center for cluster r % `clusters` —
+    * same-cluster cosines land ≈ 0.9+, cross-cluster ≈ the random
+    *-center cosine (~0 ± 1/√dim), so a query's true neighbors live
+    * in ONE cluster and a graph walk has real neighborhood structure
+    * to exploit. Centers come from a splitmix64 hash of (cluster,
+    * dim) — deterministic, no RNG state. */
+  def amplifyClustered(spark: SparkSession, sfDir: String, factor: Int,
+                       clusters: Int = 32, alphaBp: Int = 3000): DataFrame = {
+    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val dim = base.head().getSeq[Float](base.columns.indexOf("embedding")).length
+    require(factor <= 4 * dim,
+      s"amplifyClustered: factor $factor exceeds the isometry family " +
+        s"size 4*dim = ${4 * dim}")
+    def mix(x: Long): Long = {
+      var z = x + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val centers: IndexedSeq[Array[Float]] = (0 until clusters).map { c =>
+      val v = Array.tabulate(dim)(d =>
+        (mix(c.toLong * 131071L + d).toDouble / Long.MaxValue).toFloat)
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+      v.map(_ / n)
+    }
+    val alpha = alphaBp / 10000.0f
+    (0 until factor).map { r =>
+      val cLit = array(centers(r % clusters).map(x => lit(x)): _*)
+      base.select(shift("vec_id", r).as("vec_id"),
+        zip_with(cLit, embIso(dim, r), (c, x) => c + lit(alpha) * x)
+          .as("embedding"),
+        col("label"))
+    }.reduce(_ unionByName _)
   }
 
   val AllTables = Seq("region", "nation", "customer", "supplier", "part",
