@@ -394,6 +394,14 @@ object SparkEntry {
     "q375_ivf_erase"      -> (Similarity.q375 _),
     "q376_hnsw_filtered"  -> (Similarity.q376 _),
     "q377_kneser_ney_tri" -> (Text.q377 _),
+    "q378_wilcoxon"       -> (Relational.q378 _),
+    "q379_friedman"       -> (Relational.q379 _),
+    "q380_readability"    -> (Text.q380 _),
+    "q381_cvm"            -> (Relational.q381 _),
+    "q382_jackknife"      -> (Relational.q382 _),
+    "q383_tost"           -> (Events.q383 _),
+    "q384_sprt"           -> (Events.q384 _),
+    "q385_bland_altman"   -> (Text.q385 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -6698,6 +6706,307 @@ object SparkEntry {
          SELECT *, CAST(CASE WHEN precision_bp + recall_bp = 0 THEN 0
            ELSE 2 * precision_bp * recall_bp
              // (precision_bp + recall_bp) END AS BIGINT) AS f1_bp FROM pr""",
+
+    // Wilcoxon signed-rank: q339's calendar-midpoint split into per-
+    // user diffs, |d|-lattice mid-ranks in 2x units, tie-exact
+    // variance sum(t*r2^2)/4, one pinned double order for z.
+    "q378_wilcoxon" ->
+      s"""WITH d0 AS (SELECT user_id AS u, CAST(ts AS DATE) AS dy,
+             ${C("value")} AS vc FROM events WHERE event_type = 'purchase'),
+         b AS (SELECT min(dy) AS d_min, max(dy) AS d_max FROM d0),
+         p AS (SELECT CAST(d_min + CAST(date_diff('day', d_min, d_max) // 2
+               AS INT) AS DATE) AS pivot FROM b),
+         pu AS (SELECT u,
+             sum(CASE WHEN dy > p.pivot THEN vc ELSE 0 END)
+           - sum(CASE WHEN dy <= p.pivot THEN vc ELSE 0 END) AS diff
+           FROM d0 CROSS JOIN p GROUP BY 1),
+         pb AS (SELECT abs(diff) AS ad,
+             sum(CASE WHEN diff > 0 THEN 1 ELSE 0 END) AS np, count(*) AS t
+           FROM pu WHERE diff <> 0 GROUP BY 1),
+         rk AS (SELECT ad, np, t,
+             2 * (sum(t) OVER (ORDER BY ad ASC ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) - t) + t + 1 AS r2 FROM pb),
+         z AS (SELECT count(*) AS nzero FROM pu WHERE diff = 0),
+         m AS (SELECT sum(t) AS n_nonzero,
+             sum(CAST(np AS HUGEINT) * r2) AS w2,
+             sum(CAST(t AS HUGEINT) * r2 * r2) AS s2 FROM rk)
+         SELECT CAST(coalesce(n_nonzero, 0) AS BIGINT) AS n_nonzero,
+           CAST(z.nzero AS BIGINT) AS n_zero,
+           CAST(coalesce(w2, 0) // 2 AS BIGINT) AS w_plus,
+           CAST(CASE WHEN n_nonzero IS NULL OR s2 = 0 THEN NULL
+             ELSE floor(2 * CAST(w2 - (CAST(n_nonzero AS HUGEINT)
+                 * (n_nonzero + 1)) // 2 AS DOUBLE)
+               / sqrt(CAST(s2 AS DOUBLE)) * 1000 + 0.5) END AS BIGINT)
+             AS z_milli,
+           CAST(CASE WHEN n_nonzero IS NULL OR s2 = 0 THEN NULL
+             WHEN abs(floor(2 * CAST(w2 - (CAST(n_nonzero AS HUGEINT)
+                 * (n_nonzero + 1)) // 2 AS DOUBLE)
+               / sqrt(CAST(s2 AS DOUBLE)) * 1000 + 0.5)) > 1960
+             THEN 1 ELSE 0 END AS INT) AS is_significant
+         FROM m CROSS JOIN z""",
+
+    // Friedman: 0-filled complete design, within-block mid-ranks from
+    // two RANGE windows, Conover tie-exact Q in 2x units (the /4
+    // cancels between A2 and B2).
+    "q379_friedman" ->
+      """WITH cells AS (SELECT user_id AS blk, event_type AS trt,
+             count(*) AS v FROM events
+           WHERE user_id IS NOT NULL AND event_type IS NOT NULL GROUP BY 1, 2),
+         blocks AS (SELECT DISTINCT blk FROM cells),
+         trts AS (SELECT DISTINCT trt FROM cells),
+         kk AS (SELECT count(*) AS k_trt FROM trts),
+         fl AS (SELECT b.blk, t.trt, coalesce(c.v, 0) AS v
+           FROM blocks b CROSS JOIN trts t
+           LEFT JOIN cells c ON c.blk = b.blk AND c.trt = t.trt),
+         rk AS (SELECT blk, trt, v,
+             2 * count(*) OVER (PARTITION BY blk ORDER BY v
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             + count(*) OVER (PARTITION BY blk ORDER BY v
+               RANGE BETWEEN CURRENT ROW AND CURRENT ROW) + 1 AS r2
+           FROM fl),
+         pt AS (SELECT trt, max(kk.k_trt) AS k_trt, count(*) AS n_blocks,
+             sum(CAST(r2 AS HUGEINT))
+               - CAST(count(*) AS HUGEINT) * (max(kk.k_trt) + 1) AS dev
+           FROM rk CROSS JOIN kk GROUP BY trt),
+         a2 AS (SELECT max(k_trt) AS k_trt, max(n_blocks) AS n_blocks,
+             sum(dev * dev) AS a2 FROM pt),
+         b2 AS (SELECT sum((CAST(r2 AS HUGEINT) - (kk.k_trt + 1))
+               * (CAST(r2 AS HUGEINT) - (kk.k_trt + 1))) AS b2
+           FROM rk CROSS JOIN kk)
+         SELECT CAST(n_blocks AS BIGINT) AS n_blocks,
+           CAST(k_trt AS BIGINT) AS k_treatments,
+           CAST(CASE WHEN k_trt < 2 OR b2.b2 = 0 THEN NULL
+             ELSE (1000 * (CAST(k_trt AS HUGEINT) - 1) * a2.a2) // b2.b2
+             END AS BIGINT) AS q_milli
+         FROM a2 CROSS JOIN b2""",
+
+    // Readability: the three RE2 character-class counts per document,
+    // exact idiv fixed point for wps/spw and both formulas, truncating
+    // per-language means (both engines truncate toward zero).
+    "q380_readability" ->
+      """WITH pd AS (SELECT lang,
+             len(regexp_extract_all(text, '\S+')) AS w,
+             greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS s,
+             len(regexp_extract_all(lower(text), '[aeiouy]+')) AS y
+           FROM documents),
+         fx AS (SELECT lang, (1000 * w) // s AS wps_milli,
+             (1000 * y) // w AS spw_milli FROM pd WHERE w > 0),
+         sc AS (SELECT lang,
+             206835 - (1015 * wps_milli) // 1000
+               - (84600 * spw_milli) // 1000 AS fre_milli,
+             (390 * wps_milli) // 1000 + (11800 * spw_milli) // 1000
+               - 15590 AS fkg_milli FROM fx)
+         SELECT lang, count(*) AS n_docs,
+           CAST(sum(fre_milli) // count(*) AS BIGINT) AS mean_fre_milli,
+           CAST(sum(fkg_milli) // count(*) AS BIGINT) AS mean_fkg_milli,
+           CAST(min(fre_milli) AS BIGINT) AS min_fre_milli,
+           CAST(max(fre_milli) AS BIGINT) AS max_fre_milli
+         FROM sc GROUP BY 1""",
+
+    // Cramer-von Mises: cent-lattice bin counts, cumulative CDFs, the
+    // cross-multiplied integer gap squared, one exact floor division.
+    "q381_cvm" ->
+      s"""WITH pb AS (SELECT ${C("value")} AS v,
+             sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS na,
+             sum(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END) AS nb
+           FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+           GROUP BY 1),
+         cm AS (SELECT v, na, nb,
+             sum(na) OVER (ORDER BY v ASC ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS ca,
+             sum(nb) OVER (ORDER BY v ASC ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS cb FROM pb),
+         t AS (SELECT sum(na) AS n_a, sum(nb) AS n_b FROM pb),
+         s AS (SELECT t.n_a, t.n_b,
+             sum(CAST(na + nb AS HUGEINT)
+               * (CAST(ca AS HUGEINT) * t.n_b - CAST(cb AS HUGEINT) * t.n_a)
+               * (CAST(ca AS HUGEINT) * t.n_b - CAST(cb AS HUGEINT) * t.n_a))
+               AS ssum
+           FROM cm CROSS JOIN t GROUP BY 1, 2)
+         SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+             ELSE (1000000 * ssum) // (CAST(n_a + n_b AS HUGEINT)
+               * (n_a + n_b) * n_a * n_b) END AS BIGINT) AS t_micro,
+           CAST(CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+             WHEN (1000000 * ssum) // (CAST(n_a + n_b AS HUGEINT)
+               * (n_a + n_b) * n_a * n_b) > 461000 THEN 1 ELSE 0
+             END AS INT) AS is_significant
+         FROM s""",
+
+    // Jackknife ratio SE: delete-one ratios on the micro lattice by
+    // one truncating idiv each, the one-pass variance identity, and
+    // the corrected-isqrt convention (q186) for se_micro.
+    "q382_jackknife" ->
+      s"""WITH pu AS (SELECT user_id AS u, CAST(user_id % 2 = 0 AS INT)
+               AS arm, count(*) AS x, sum(${C("value")}) AS y
+           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+         tot AS (SELECT arm, count(*) AS n_units, sum(x) AS tx,
+             sum(y) AS ty FROM pu GROUP BY 1),
+         ri AS (SELECT pu.arm, t.n_units, t.tx, t.ty,
+             CASE WHEN t.tx - pu.x > 0 THEN
+               (1000000 * (CAST(t.ty AS HUGEINT) - pu.y))
+                 // (CAST(t.tx AS HUGEINT) - pu.x) END AS r
+           FROM pu JOIN tot t ON t.arm = pu.arm),
+         mom AS (SELECT arm, max(n_units) AS n_units, max(tx) AS tx,
+             max(ty) AS ty,
+             sum(CASE WHEN r IS NULL THEN 1 ELSE 0 END) AS n_excluded,
+             count(r) AS n_j, sum(r) AS s, sum(CAST(r AS HUGEINT) * r) AS ss
+           FROM ri GROUP BY 1),
+         vr AS (SELECT arm, n_units, n_excluded, n_j, tx, ty,
+             CASE WHEN n_j < 2 THEN 0 ELSE
+               ((CAST(n_j AS HUGEINT) * ss - CAST(s AS HUGEINT) * s)
+                 * (n_j - 1))
+               // greatest(CAST(n_j AS HUGEINT) * n_j, 1) END AS q
+           FROM mom),
+         c0 AS (SELECT *, CAST(floor(sqrt(CAST(q AS DOUBLE))) AS HUGEINT)
+             AS s0 FROM vr),
+         iq AS (SELECT *, CASE WHEN (s0 + 1) * (s0 + 1) <= q THEN s0 + 1
+             WHEN s0 * s0 > q THEN s0 - 1 ELSE s0 END AS isq FROM c0),
+         fin AS (SELECT CAST(arm AS BIGINT) AS arm,
+             CAST(n_units AS BIGINT) AS n_units,
+             CAST(n_excluded AS BIGINT) AS n_excluded,
+             CAST((1000000 * CAST(ty AS HUGEINT)) // tx AS BIGINT)
+               AS ratio_micro,
+             CASE WHEN n_j < 2 THEN NULL
+               ELSE CAST(isq AS BIGINT) END AS se_micro
+           FROM iq)
+         SELECT arm, n_units, n_excluded, ratio_micro, se_micro,
+           CASE WHEN se_micro IS NULL THEN NULL
+             ELSE ratio_micro - (196 * se_micro) // 100 END AS ci95_lo_micro,
+           CASE WHEN se_micro IS NULL THEN NULL
+             ELSE ratio_micro + (196 * se_micro) // 100 END AS ci95_hi_micro
+         FROM fin ORDER BY arm""",
+
+    // TOST equivalence: the welch moment chain, an exact integer
+    // margin (relative thousandths of the pooled mean), and two
+    // pinned-double one-sided z's.
+    "q383_tost" ->
+      s"""WITH m AS (SELECT
+             sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n_a,
+             sum(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END) AS n_b,
+             sum(CASE WHEN user_id % 2 = 0 THEN CAST(${C("value")} AS
+               HUGEINT) ELSE 0 END) AS sa,
+             sum(CASE WHEN user_id % 2 = 0 THEN 0 ELSE
+               CAST(${C("value")} AS HUGEINT) END) AS sb,
+             sum(CASE WHEN user_id % 2 = 0 THEN CAST(${C("value")} AS
+               HUGEINT) * ${C("value")} ELSE 0 END) AS ssa,
+             sum(CASE WHEN user_id % 2 = 0 THEN 0 ELSE
+               CAST(${C("value")} AS HUGEINT) * ${C("value")} END) AS ssb
+           FROM events
+           WHERE event_type = 'purchase' AND value IS NOT NULL),
+         d AS (SELECT n_a, n_b, sa, sb,
+             CAST(n_a AS HUGEINT) * ssa - sa * sa AS num_a,
+             CAST(n_b AS HUGEINT) * ssb - sb * sb AS num_b,
+             (100 * (sa + sb)) // (1000 * CAST(n_a + n_b AS HUGEINT))
+               AS margin_c FROM m),
+         z AS (SELECT n_a, n_b, sa, sb, margin_c,
+             num_a, num_b,
+             CAST(num_a AS DOUBLE) / CAST(CAST(n_a AS HUGEINT) * n_a
+               * (n_a - 1) AS DOUBLE) AS qa,
+             CAST(num_b AS DOUBLE) / CAST(CAST(n_b AS HUGEINT) * n_b
+               * (n_b - 1) AS DOUBLE) AS qb FROM d),
+         f AS (SELECT n_a, n_b,
+             CAST(sa // CAST(n_a AS HUGEINT) AS BIGINT) AS mean_a_c,
+             CAST(sb // CAST(n_b AS HUGEINT) AS BIGINT) AS mean_b_c,
+             CAST(margin_c AS BIGINT) AS margin_c,
+             num_a, num_b,
+             CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE)
+               - CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE) AS diff,
+             sqrt(qa + qb) AS se FROM z)
+         SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           mean_a_c, mean_b_c, margin_c,
+           CAST(CASE WHEN n_a < 2 OR n_b < 2 OR num_a + num_b = 0
+             THEN NULL ELSE floor((diff + CAST(margin_c AS DOUBLE)) / se
+               * 1000 + 0.5) END AS BIGINT) AS z_lo_milli,
+           CAST(CASE WHEN n_a < 2 OR n_b < 2 OR num_a + num_b = 0
+             THEN NULL ELSE floor((diff - CAST(margin_c AS DOUBLE)) / se
+               * 1000 + 0.5) END AS BIGINT) AS z_hi_milli,
+           CAST(CASE WHEN n_a < 2 OR n_b < 2 OR num_a + num_b = 0
+             THEN NULL
+             WHEN floor((diff + CAST(margin_c AS DOUBLE)) / se * 1000
+                 + 0.5) > 1645
+               AND floor((diff - CAST(margin_c AS DOUBLE)) / se * 1000
+                 + 0.5) < -1645 THEN 1 ELSE 0 END AS INT) AS is_equivalent
+         FROM f""",
+
+    // SPRT: hypotheses from the control arm's exact-bp rate, the two
+    // llr constants discretized once to micro (the only doubles), and
+    // every cumulative value exact integer arithmetic.
+    "q384_sprt" ->
+      """WITH d0 AS (SELECT user_id % 2 = 1 AS trt, value > 150.0 AS ok,
+             CAST(ts AS DATE) AS dy FROM events
+           WHERE event_type = 'purchase'),
+         ctl AS (SELECT greatest(least((10000 * sum(CASE WHEN ok THEN 1
+             ELSE 0 END)) // count(*), 9999), 1) AS p0_bp
+           FROM d0 WHERE NOT trt),
+         c AS (SELECT p0_bp, greatest(least((12 * p0_bp) // 10, 9999), 1)
+             AS p1_bp FROM ctl),
+         cc AS (SELECT p0_bp, p1_bp,
+             CAST(floor((ln(CAST(p1_bp AS DOUBLE))
+               - ln(CAST(p0_bp AS DOUBLE))) * 1000000 + 0.5) AS BIGINT)
+               AS c1,
+             CAST(floor((ln(10000 - CAST(p1_bp AS DOUBLE))
+               - ln(10000 - CAST(p0_bp AS DOUBLE))) * 1000000 + 0.5)
+               AS BIGINT) AS c0 FROM c),
+         pd AS (SELECT dy, count(*) AS n_d,
+             sum(CASE WHEN ok THEN 1 ELSE 0 END) AS k_d
+           FROM d0 WHERE trt GROUP BY 1),
+         cum AS (SELECT dy,
+             sum(n_d) OVER (ORDER BY dy ASC ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS n_cum,
+             sum(k_d) OVER (ORDER BY dy ASC ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS k_cum FROM pd),
+         r AS (SELECT CAST(dy AS VARCHAR) AS day,
+             CAST(n_cum AS BIGINT) AS n_cum,
+             CAST(k_cum AS BIGINT) AS k_cum,
+             CAST(p0_bp AS BIGINT) AS p0_bp,
+             CAST(p1_bp AS BIGINT) AS p1_bp,
+             CAST(CAST(k_cum AS HUGEINT) * c1
+               + CAST(n_cum - k_cum AS HUGEINT) * c0 AS BIGINT)
+               AS llr_micro
+           FROM cum CROSS JOIN cc)
+         SELECT day, n_cum, k_cum, p0_bp, p1_bp, llr_micro,
+           CASE WHEN llr_micro >= 2944439 THEN 'accept_h1'
+             WHEN llr_micro <= -2944439 THEN 'accept_h0'
+             ELSE 'continue' END AS decision
+         FROM r""",
+
+    // Bland-Altman of the two token meters: integer diffs, exact
+    // moments, corrected-isqrt sd, and the outside count from the
+    // same diff definition rejoined to the 1-row stats.
+    "q385_bland_altman" ->
+      """WITH df AS (SELECT len(regexp_extract_all(text,
+             '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+             - len(string_split(text, ' ')) AS d FROM documents),
+         m AS (SELECT count(*) AS n, sum(CAST(d AS HUGEINT)) AS sd_,
+             sum(CAST(d AS HUGEINT) * d) AS ssd FROM df),
+         v AS (SELECT n, sd_,
+             (1000000 * (CAST(n AS HUGEINT) * ssd - sd_ * sd_))
+               // greatest(CAST(n AS HUGEINT) * (n - 1), 1) AS q FROM m),
+         c0 AS (SELECT *, CAST(floor(sqrt(CAST(q AS DOUBLE)))
+             AS HUGEINT) AS s0 FROM v),
+         iq AS (SELECT n, sd_,
+             CASE WHEN (s0 + 1) * (s0 + 1) <= q THEN s0 + 1
+               WHEN s0 * s0 > q THEN s0 - 1 ELSE s0 END AS isq FROM c0),
+         st AS (SELECT CAST(n AS BIGINT) AS n_docs,
+             CAST((1000 * sd_) // CAST(n AS HUGEINT) AS BIGINT)
+               AS bias_milli,
+             CASE WHEN n < 2 THEN NULL ELSE CAST(isq AS BIGINT) END
+               AS sd_milli FROM iq),
+         lo AS (SELECT n_docs, bias_milli, sd_milli,
+             CASE WHEN sd_milli IS NULL THEN NULL
+               ELSE bias_milli - (196 * sd_milli) // 100 END
+               AS loa_lo_milli,
+             CASE WHEN sd_milli IS NULL THEN NULL
+               ELSE bias_milli + (196 * sd_milli) // 100 END
+               AS loa_hi_milli FROM st),
+         outc AS (SELECT count(*) AS n_outside FROM df CROSS JOIN lo
+           WHERE loa_lo_milli IS NOT NULL
+             AND (1000 * d < loa_lo_milli OR 1000 * d > loa_hi_milli))
+         SELECT n_docs, bias_milli, sd_milli, loa_lo_milli, loa_hi_milli,
+           CAST(outc.n_outside AS BIGINT) AS n_outside,
+           CAST((10000 * outc.n_outside) // n_docs AS BIGINT) AS outside_bp
+         FROM lo CROSS JOIN outc""",
   )
 
   /** q226 oracle: the sampled co-purchase edge set + KCorePeelRounds

@@ -3434,4 +3434,132 @@ object Events {
   def q266(s: SparkSession, d: String): DataFrame =
     winsorAudit(Tables.events(s, d), "event_type", cents(col("value")),
       0.01, 0.99)
+
+  /** TOST EQUIVALENCE TEST (round 15) — the A/B family's missing
+    * DIRECTION: every test so far detects a DIFFERENCE (q337 mean,
+    * q287 location, q359 spread), but a no-regression launch needs the
+    * opposite verdict — "the arms are the SAME within a margin δ" —
+    * and absence-of-significance is NOT that (an underpowered test
+    * "passes" anything). Two One-Sided Tests: reject "diff ≤ −δ" AND
+    * reject "diff ≥ +δ", i.e. z_lo = (diff+δ)/se > 1.645 and
+    * z_hi = (diff−δ)/se < −1.645 (α=0.05 each side; the 90% CI-inside-
+    * margin reading).
+    *
+    * Built on [[welchT]]'s exact moment machinery: one shared
+    * aggregation to per-arm (n, Σx, Σx²) decimals, the margin an
+    * EXACT integer — relMilli thousandths of the pooled mean by one
+    * truncating idiv — and the two z's assembled in ONE pinned double
+    * order each (the q287 z_milli discipline). NULL verdict when
+    * either arm has < 2 units or both variances are 0.
+    *
+    * Scale (100 TB): identical to q337 — the corpus shuffles three
+    * numbers per task per arm, then a one-row fold. */
+  def tost(df: DataFrame, value: Column, isA: Column,
+           relMilli: Long): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val m = armMoments(df, value, isA)
+    val nA = dec(col("n_a")); val nB = dec(col("n_b"))
+    val numA = nA * col("ssa") - col("sa") * col("sa")
+    val numB = nB * col("ssb") - col("sb") * col("sb")
+    val qa = numA.cast("double") /
+      (nA * nA * (nA - dec(lit(1L)))).cast("double")
+    val qb = numB.cast("double") /
+      (nB * nB * (nB - dec(lit(1L)))).cast("double")
+    val marginC = F.idiv(dec(lit(relMilli)) * (col("sa") + col("sb")),
+      dec(lit(1000L)) * (nA + nB))
+    val diff = col("sa").cast("double") / nA.cast("double") -
+      col("sb").cast("double") / nB.cast("double")
+    val se = sqrt(qa + qb)
+    val zLo = floor((diff + marginC.cast("double")) / se * lit(1000d) +
+      lit(0.5d)).cast("long")
+    val zHi = floor((diff - marginC.cast("double")) / se * lit(1000d) +
+      lit(0.5d)).cast("long")
+    val bad = col("n_a") < 2L || col("n_b") < 2L ||
+      (numA + numB) === dec(lit(0L))
+    m.select(col("n_a"), col("n_b"),
+      F.idiv(col("sa"), nA).cast("long").as("mean_a_c"),
+      F.idiv(col("sb"), nB).cast("long").as("mean_b_c"),
+      marginC.cast("long").as("margin_c"),
+      when(bad, lit(null).cast("long")).otherwise(zLo).as("z_lo_milli"),
+      when(bad, lit(null).cast("long")).otherwise(zHi).as("z_hi_milli"))
+      .withColumn("is_equivalent",
+        when(col("z_lo_milli").isNull, lit(null).cast("int"))
+          .otherwise((col("z_lo_milli") > lit(1645L) &&
+            col("z_hi_milli") < lit(-1645L)).cast("int")))
+  }
+
+  /** q383: are the parity arms' purchase spends EQUIVALENT within 10%
+    * of the pooled mean — the no-regression gate q337 cannot give. */
+  def q383(s: SparkSession, d: String): DataFrame =
+    tost(Tables.events(s, d).filter(col("event_type") === "purchase"),
+      cents(col("value")), col("user_id") % 2 === 0, 100L)
+
+  /** SPRT EARLY-STOPPING AUDIT (round 15) — Wald's sequential
+    * probability ratio test over the experiment's own day sequence:
+    * fixed-horizon tests (q209/q337) must not be peeked at, but
+    * product teams peek anyway — SPRT is the test that is VALID under
+    * continuous monitoring, and this audit replays the experiment
+    * day by day and reports when it could have stopped.
+    *
+    * Hypotheses, derived deterministically from the CONTROL arm: p₀ =
+    * the control conversion rate in exact bp (one idiv), p₁ = a +20%
+    * relative lift (⌊12·p₀/10⌋, clamped into (0, 10000)). Each
+    * treatment conversion contributes ln(p₁/p₀), each miss
+    * ln((1−p₁)/(1−p₀)) — both constants discretized ONCE to micro
+    * from the same integer bp inputs (two pinned doubles total; every
+    * cumulative value after that is exact integer arithmetic:
+    * llr = K·c₁ + (N−K)·c₀). Boundaries ±ln(19) micro (α = β = 0.05).
+    * Per day: cumulative trials/conversions, llr_micro, and the
+    * decision — accept_h1 (lift real, stop), accept_h0 (no lift,
+    * stop), continue.
+    *
+    * Scale (100 TB): one (arm, day)-grain aggregation, a bounded
+    * calendar window for the cumulative sums, map work for the rest. */
+  def sprtAudit(events: DataFrame, isTreatment: Column, isSuccess: Column,
+                ts: Column): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val d0 = events.select(isTreatment.as("trt"), isSuccess.as("ok"),
+      ts.cast("date").as("dy"))
+    val ctl = d0.filter(!col("trt"))
+      .agg(F.idiv(lit(10000L) * sum(when(col("ok"), 1L).otherwise(0L)),
+        count(lit(1))).as("p0_bp"))
+      .select(greatest(least(col("p0_bp"), lit(9999L)), lit(1L)).as("p0_bp"))
+      .withColumn("p1_bp",
+        greatest(least(F.idiv(lit(12L) * col("p0_bp"), lit(10L)),
+          lit(9999L)), lit(1L)))
+      .withColumn("c1_micro", floor((log(col("p1_bp").cast("double")) -
+        log(col("p0_bp").cast("double"))) * lit(1000000d) + lit(0.5d))
+        .cast("long"))
+      .withColumn("c0_micro", floor(
+        (log(lit(10000d) - col("p1_bp").cast("double")) -
+          log(lit(10000d) - col("p0_bp").cast("double"))) * lit(1000000d) +
+        lit(0.5d)).cast("long"))
+    val perDay = d0.filter(col("trt"))
+      .groupBy(col("dy"))
+      .agg(count(lit(1)).as("n_d"),
+        sum(when(col("ok"), 1L).otherwise(0L)).as("k_d"))
+    val w = Window.orderBy(col("dy").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bound = 2944439L // floor(1e6*ln(19)+0.5): alpha = beta = 0.05
+    perDay
+      .withColumn("n_cum", sum(col("n_d")).over(w))
+      .withColumn("k_cum", sum(col("k_d")).over(w))
+      .crossJoin(broadcast(ctl))
+      .select(col("dy").cast("string").as("day"),
+        col("n_cum"), col("k_cum"), col("p0_bp"), col("p1_bp"),
+        (dec(col("k_cum")) * dec(col("c1_micro")) +
+          dec(col("n_cum") - col("k_cum")) * dec(col("c0_micro")))
+          .cast("long").as("llr_micro"))
+      .withColumn("decision",
+        when(col("llr_micro") >= lit(bound), lit("accept_h1"))
+          .when(col("llr_micro") <= lit(-bound), lit("accept_h0"))
+          .otherwise(lit("continue")))
+  }
+
+  /** q384: could the parity experiment have stopped early — SPRT over
+    * big-purchase (> $150, the q209 convention) conversion, control =
+    * even users, treatment = odd, day-by-day llr vs ±ln 19. */
+  def q384(s: SparkSession, d: String): DataFrame =
+    sprtAudit(Tables.events(s, d).filter(col("event_type") === "purchase"),
+      col("user_id") % 2 === 1, col("value") > 150.0, col("ts"))
 }

@@ -3741,4 +3741,308 @@ object Relational {
       .select(col("part_a"),
         explode(slice(col("arr"), col("i") + lit(2),
           size(col("arr")) - col("i") - lit(1))).as("part_b"))
+
+  /** WILCOXON SIGNED-RANK TEST (round 15) — the PAIRED member of the
+    * rank-test family: q287's Mann–Whitney compares two INDEPENDENT
+    * arms; this one asks "did the SAME units shift" — each unit is its
+    * own control (pre vs post spend across q339's calendar-midpoint
+    * split), which cancels the between-user variance that dominates
+    * skewed metrics and makes the unpaired test blind to small
+    * within-user shifts.
+    *
+    * Exact tie handling via mid-ranks on |d| (the q286/q287 lattice
+    * machinery, 2× units so ties stay integral): zero diffs DROP
+    * (the classic Wilcoxon convention; their count is reported),
+    * W⁺ = Σ ranks of positive diffs, and the tie-exact variance is
+    * Var(W⁺) = Σᵢ rᵢ²/4 over the nonzero diffs — with mid-ranks this
+    * IS n(n+1)(2n+1)/24 − Σ(t³−t)/48, so no separate correction term.
+    * In 2× units: w2 = 2W⁺, E[w2] = n(n+1)/2 exactly integral, and
+    * Var(w2) = Σ t·r2² / 4, giving z = 2·(w2 − n(n+1)/2)/√(Σ t·r2²)
+    * assembled in ONE pinned double order (the q209/q287 z_milli
+    * convention). NULL z when no nonzero diffs or all |d| tie into
+    * one bin spanning both signs with Σ t·r2² = 0 (impossible for
+    * nonzero t, kept as the den=0 guard).
+    *
+    * Scale (100 TB): one user-grain aggregation (the only corpus
+    * shuffle), |d|-lattice bin partials, one bounded-grid window, a
+    * one-row fold — the q283/q287 shape exactly. */
+  def wilcoxonSigned(events: DataFrame, unit: String, ts: Column,
+                     valueCents: Column): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val d0 = events.select(col(unit).as("u"), ts.cast("date").as("dy"),
+      valueCents.as("vc"))
+    val bounds = d0.agg(min(col("dy")).as("d_min"), max(col("dy")).as("d_max"))
+      .select(
+        expr("date_add(d_min, CAST(FLOOR(datediff(d_max, d_min) / 2) AS INT))")
+          .as("pivot"))
+    val perUser = d0.crossJoin(broadcast(bounds))
+      .groupBy(col("u"))
+      .agg((sum(when(col("dy") > col("pivot"), col("vc")).otherwise(0L)) -
+        sum(when(col("dy") <= col("pivot"), col("vc")).otherwise(0L)))
+        .as("diff"))
+    val perBin = perUser.where(col("diff") =!= 0L)
+      .groupBy(abs(col("diff")).as("ad"))
+      .agg(sum(when(col("diff") > 0L, 1L).otherwise(0L)).as("np"),
+        count(lit(1)).as("t"))
+    val w = Window.orderBy(col("ad").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = perBin.withColumn("r2",
+      lit(2L) * (sum(col("t")).over(w) - col("t")) + col("t") + lit(1L))
+    val nZero = perUser.agg(
+      sum(when(col("diff") === 0L, 1L).otherwise(0L)).as("n_zero"))
+    val m = ranked.agg(sum(col("t")).as("n_nonzero"),
+      sum(dec(col("np")) * dec(col("r2"))).as("w2"),
+      sum(dec(col("t")) * dec(col("r2")) * dec(col("r2"))).as("s2"))
+    val nnz = dec(col("n_nonzero"))
+    val num2 = col("w2") - graft.functions.F.idiv(
+      nnz * (nnz + dec(lit(1L))), dec(lit(2L))).cast("decimal(38,0)")
+    val z = lit(2d) * num2.cast("double") / sqrt(col("s2").cast("double"))
+    m.crossJoin(broadcast(nZero))
+      .select(coalesce(col("n_nonzero"), lit(0L)).as("n_nonzero"),
+        col("n_zero"),
+        graft.functions.F.idiv(coalesce(col("w2"), dec(lit(0L))),
+          dec(lit(2L))).cast("long").as("w_plus"),
+        when(col("n_nonzero").isNull || col("s2") === dec(lit(0L)),
+          lit(null).cast("long"))
+          .otherwise(floor(z * lit(1000d) + lit(0.5d)).cast("long"))
+          .as("z_milli"))
+      .withColumn("is_significant",
+        when(col("z_milli").isNull, lit(null).cast("int"))
+          .otherwise((abs(col("z_milli")) > lit(1960L)).cast("int")))
+  }
+
+  /** q378: did per-user purchase spend shift from the first calendar
+    * half to the second — the paired complement of q287's unpaired
+    * location test, on the exact cent lattice. */
+  def q378(s: SparkSession, d: String): DataFrame =
+    wilcoxonSigned(
+      Tables.events(s, d).filter(col("event_type") === "purchase"),
+      "user_id", col("ts"), cents(col("value")))
+
+  /** FRIEDMAN TEST (round 15) — the k-treatment REPEATED-MEASURES rank
+    * test, completing the nonparametric grid: q287 = 2 independent
+    * arms, q378 = 2 paired, q323's Kruskal–Wallis = k independent,
+    * this = k treatments measured on the SAME blocks. Each block
+    * (user) ranks its k treatment values (per-event-type activity),
+    * so between-block level differences cancel exactly — the question
+    * is purely "does any treatment consistently rank higher".
+    *
+    * Blocks are COMPLETE by construction: the per-(block, treatment)
+    * value is an event count, and missing combinations 0-fill via a
+    * block-table × broadcast-treatment cross join (the design matrix
+    * is |blocks|·k rows — the user-grain table times a bounded k).
+    * Within-block mid-ranks come from two RANGE windows over the
+    * k-bounded block partition (strictly-smaller count + tie-peer
+    * count, r2 = 2·smaller + peers + 1 in 2× units — no join-back).
+    * The tie-EXACT statistic is the Conover form
+    *   Q = (k−1)·Σⱼ(Rⱼ − n(k+1)/2)² / Σᵢⱼ(rᵢⱼ − (k+1)/2)²
+    * whose numerator and denominator are exact integers in 2× units
+    * (the /4 cancels): A2 = Σⱼ(Rⱼ2 − n(k+1))², B2 = Σᵢⱼ(r2ᵢⱼ −
+    * (k+1))², q_milli = ⌊1000(k−1)A2/B2⌋ by one truncating division.
+    * NULL when k < 2 or B2 = 0 (every block ranks all-tied).
+    *
+    * Scale (100 TB): one (block, treatment) aggregation, the 0-fill
+    * cross join at block grain, k-bounded windows inside the block
+    * partitioning, then a k-row treatment rollup + 1-row fold. */
+  def friedman(df: DataFrame, block: Column, treatment: Column): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val cells = df.select(block.as("blk"), treatment.as("trt"))
+      .where(col("blk").isNotNull && col("trt").isNotNull)
+      .groupBy(col("blk"), col("trt")).agg(count(lit(1)).as("v"))
+    val blocks = cells.select(col("blk")).distinct()
+    val trts = cells.select(col("trt")).distinct()
+    val full = blocks.crossJoin(broadcast(trts))
+      .join(cells, Seq("blk", "trt"), "left")
+      .select(col("blk"), col("trt"), coalesce(col("v"), lit(0L)).as("v"))
+    val below = Window.partitionBy(col("blk")).orderBy(col("v").asc)
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val peers = Window.partitionBy(col("blk")).orderBy(col("v").asc)
+      .rangeBetween(Window.currentRow, Window.currentRow)
+    val ranked = full.withColumn("r2",
+      lit(2L) * count(lit(1)).over(below) + count(lit(1)).over(peers) +
+        lit(1L))
+    // A2/B2 both need (k+1) inside the squared term — broadcast the
+    // 1-row treatment count onto the ranked table before folding
+    val kRow = trts.agg(count(lit(1)).as("k_trt"))
+    val withK = ranked.crossJoin(broadcast(kRow))
+    val a2 = withK.groupBy(col("trt"))
+      .agg(first(col("k_trt")).as("k_trt"), count(lit(1)).as("n_blocks"),
+        sum(dec(col("r2"))).as("rj2"))
+      .select(col("k_trt"), col("n_blocks"),
+        (col("rj2") - dec(col("n_blocks")) * (dec(col("k_trt")) +
+          dec(lit(1L)))).as("dev"))
+      .agg(first(col("k_trt")).as("k_trt"),
+        first(col("n_blocks")).as("n_blocks"),
+        sum(col("dev") * col("dev")).as("a2"))
+    val b2 = withK.select(((dec(col("r2")) - (dec(col("k_trt")) +
+      dec(lit(1L)))) * (dec(col("r2")) - (dec(col("k_trt")) +
+      dec(lit(1L))))).as("d2"))
+      .agg(sum(col("d2")).as("b2"))
+    a2.crossJoin(broadcast(b2))
+      .select(col("n_blocks"), col("k_trt").as("k_treatments"),
+        when(col("k_trt") < 2L || col("b2") === dec(lit(0L)),
+          lit(null).cast("long"))
+          .otherwise(graft.functions.F.idiv(
+            dec(lit(1000L)) * (dec(col("k_trt")) - dec(lit(1L))) * col("a2"),
+            col("b2")).cast("long")).as("q_milli"))
+  }
+
+  /** q379: does any EVENT TYPE consistently rank higher WITHIN users —
+    * blocks = users, treatments = event types, value = per-(user,
+    * type) event count (0-filled complete design). */
+  def q379(s: SparkSession, d: String): DataFrame =
+    friedman(Tables.events(s, d), col("user_id"), col("event_type"))
+
+  /** TWO-SAMPLE CRAMÉR–VON MISES (round 15) — the INTEGRATED
+    * distribution-drift statistic next to q283's KS: KS reads the
+    * MAXIMUM CDF gap (sensitive to one sharp local divergence, weak
+    * on diffuse shifts spread across the range); CvM integrates the
+    * SQUARED gap over the pooled sample,
+    *   T = nm/N² · Σₓ t(x)·(F₁(x) − F₂(x))²
+    * (sum over pooled observations with multiplicity t), so many
+    * small gaps accumulate — the right detector for gradual
+    * distributional creep that never produces one big D.
+    *
+    * Exact integers: per cent-lattice bin (n_a, n_b) counts, running
+    * cumulative (cumA, cumB) from one bounded-grid window, and the
+    * gap cross-multiplied to integers — (cumA·m − cumB·n)² — so
+    *   T = Σ t·(cumA·m − cumB·n)² / (N²·n·m)
+    * with the numerator an exact decimal(38,0) (headroom: cum·m ≤
+    * 10¹⁸ at 10⁹ rows/side needs the documented sampled lattice; at
+    * the verify/bench scales ≤10¹² squared ≈ 10²⁴·bins ≈ 10³⁰ fits)
+    * and t_micro = ⌊10⁶·Σ / (N²nm)⌋ by remainder-subtraction exact
+    * decimal floor division (the q338 dfloor). Significance at the
+    * asymptotic 5% critical value T > 0.461. NULL on an empty side.
+    *
+    * Scale (100 TB): identical shape to q283/q287 — lattice-bin
+    * partial counts, one bounded-grid window, a one-row fold; the
+    * corpus shuffles only per-bin counters. */
+  def cramerVonMises(df: DataFrame, value: Column, isA: Column): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def dfloor(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("decimal(38,0)")
+    val perBin = df.select(value.as("v"), isA.as("is_a"))
+      .where(col("v").isNotNull)
+      .groupBy(col("v"))
+      .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("na"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("nb"))
+    val w = Window.orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = perBin
+      .withColumn("ca", sum(col("na")).over(w))
+      .withColumn("cb", sum(col("nb")).over(w))
+    // the fold needs n and m INSIDE the squared term — fold twice:
+    // totals first (2 numbers, broadcast), then the weighted sum
+    val totals = perBin.agg(sum(col("na")).as("n_a"), sum(col("nb")).as("n_b"))
+    val s = cum.crossJoin(broadcast(totals))
+      .select(col("n_a"), col("n_b"),
+        (dec(col("na") + col("nb")) *
+          (dec(col("ca")) * dec(col("n_b")) -
+            dec(col("cb")) * dec(col("n_a"))) *
+          (dec(col("ca")) * dec(col("n_b")) -
+            dec(col("cb")) * dec(col("n_a")))).as("term"))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(sum(col("term")).as("ssum"))
+    val nA = dec(col("n_a"))
+    val nB = dec(col("n_b"))
+    val nn = nA + nB
+    s.select(col("n_a"), col("n_b"),
+      when(col("n_a") === 0L || col("n_b") === 0L, lit(null).cast("long"))
+        .otherwise(dfloor(dec(lit(1000000L)) * col("ssum"),
+          nn * nn * nA * nB).cast("long")).as("t_micro"))
+      .withColumn("is_significant",
+        when(col("t_micro").isNull, lit(null).cast("int"))
+          .otherwise((col("t_micro") > lit(461000L)).cast("int")))
+  }
+
+  /** q381: purchase-spend distribution drift between user-parity arms
+    * — the integrated complement of the q287 frame (location) and
+    * q283 (max-gap), on the exact cent lattice. */
+  def q381(s: SparkSession, d: String): DataFrame =
+    cramerVonMises(
+      Tables.events(s, d).filter(col("event_type") === "purchase"),
+      cents(col("value")), col("user_id") % 2 === 0)
+
+  /** JACKKNIFE RATIO-METRIC STANDARD ERROR (round 15) — the missing
+    * variance story for RATIO metrics: revenue-per-event, CTR,
+    * items-per-order are ratios of SUMS over units, and the naive
+    * per-row variance is wrong because both numerator and denominator
+    * are random per user. The delete-one jackknife is the standard
+    * production answer (linearization's equal): R₍ᵢ₎ = (Y−yᵢ)/(X−xᵢ)
+    * per unit, Var_J = (n−1)/n · Σ(R₍ᵢ₎ − R̄_J)².
+    *
+    * Exact replay: each R₍ᵢ₎ is ⌊10⁶(Y−yᵢ)/(X−xᵢ)⌋ by one truncating
+    * idiv (both engines agree at any sign), and the variance runs on
+    * those micro-lattice integers via the one-pass identity
+    * n·ΣR² − (ΣR)² = n·Σ(R−R̄)², so
+    *   Var_J = (n−1)·(n·Σr² − S²) / n²   [micro²]
+    * with every moment an exact decimal(38,0) and se_micro the exact
+    * integer sqrt (isqrtLong's ±1-corrected candidate) of the dfloor
+    * quotient. Units whose deletion empties the denominator
+    * (X−xᵢ ≤ 0) are EXCLUDED from the variance and counted —
+    * deleting such a unit leaves no metric to estimate. 95% CI =
+    * ratio ∓ ⌊196·se/100⌋, reported per arm (user-parity), one row
+    * each, so the A/B read is direct: do the intervals overlap.
+    *
+    * Scale (100 TB): one user-grain aggregation (the corpus shuffle),
+    * a 2-row arm-total broadcast back onto the user table, one
+    * arm-grain moment fold. Headroom documented at the r_i lattice:
+    * n·r² ≈ 10⁹ users · (10¹³ micro)² outruns decimal(38,0) only past
+    * ~10¹³-micro ratios — switch the lattice to milli there. */
+  def jackknifeRatio(events: DataFrame, unit: String, arm: Column,
+                     valueCents: Column): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def dfloor(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("decimal(38,0)")
+    val perUser = events.select(col(unit).as("u"), arm.cast("int").as("arm"),
+      valueCents.as("vc"))
+      .groupBy(col("u"), col("arm"))
+      .agg(count(lit(1)).as("x"), sum(col("vc")).as("y"))
+    val totals = perUser.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_units"), sum(col("x")).as("tx"),
+        sum(col("y")).as("ty"))
+    val ri = perUser.join(broadcast(totals), Seq("arm"))
+      .select(col("arm"), col("n_units"), col("tx"), col("ty"),
+        when(col("tx") - col("x") > 0L,
+          graft.functions.F.idiv(dec(lit(1000000L)) *
+            (dec(col("ty")) - dec(col("y"))),
+            dec(col("tx")) - dec(col("x"))).cast("decimal(38,0)"))
+          .as("r"))
+    val mom = ri.groupBy(col("arm"))
+      .agg(first(col("n_units")).as("n_units"), first(col("tx")).as("tx"),
+        first(col("ty")).as("ty"),
+        sum(when(col("r").isNull, 1L).otherwise(0L)).as("n_excluded"),
+        count(col("r")).as("n_j"),
+        sum(col("r")).as("s"), sum(col("r") * col("r")).as("ss"))
+    val nJ = dec(col("n_j"))
+    val varNum = (nJ * col("ss") - col("s") * col("s")) *
+      (nJ - dec(lit(1L)))
+    // greatest(…,1) guards the n_j<2 degenerate fold (the reported se
+    // is NULLed there anyway; this keeps the division well-defined)
+    val se = graft.functions.F.isqrtLong(
+      dfloor(varNum, greatest(nJ * nJ, dec(lit(1L)))))
+    val ratio = graft.functions.F.idiv(dec(lit(1000000L)) * dec(col("ty")),
+      dec(col("tx"))).cast("long")
+    mom.select(col("arm").cast("long").as("arm"), col("n_units"),
+      col("n_excluded"), ratio.as("ratio_micro"),
+      when(col("n_j") < 2L, lit(null).cast("long"))
+        .otherwise(se.cast("long")).as("se_micro"))
+      .withColumn("ci95_lo_micro",
+        when(col("se_micro").isNull, lit(null).cast("long"))
+          .otherwise(col("ratio_micro") -
+            graft.functions.F.idiv(lit(196L) * col("se_micro"), lit(100L))))
+      .withColumn("ci95_hi_micro",
+        when(col("se_micro").isNull, lit(null).cast("long"))
+          .otherwise(col("ratio_micro") +
+            graft.functions.F.idiv(lit(196L) * col("se_micro"), lit(100L))))
+      .orderBy(col("arm"))
+  }
+
+  /** q382: revenue-per-event with a delete-one-user jackknife CI, per
+    * user-parity arm — the ratio-metric uncertainty read the A/B
+    * family's mean-based tests cannot give. */
+  def q382(s: SparkSession, d: String): DataFrame =
+    jackknifeRatio(
+      Tables.events(s, d).filter(col("event_type") === "purchase"),
+      "user_id", col("user_id") % 2 === 0, cents(col("value")))
 }

@@ -4566,4 +4566,136 @@ object Text {
     cohensKappa(docs.select(col("doc_id"), col("lang")).join(pred, "doc_id"),
       "lang", "pred_lang")
   }
+
+  /** READABILITY SCORING (round 15) — Flesch Reading Ease + Flesch–
+    * Kincaid grade, the classic surface-complexity quality signal the
+    * q41 length/punct/stopword score does not cover: two corpora with
+    * identical token stats can differ wildly in sentence length and
+    * word complexity, and published pretraining filters (and every
+    * content style guide) read exactly these two numbers.
+    *
+    * Counting heuristics, all RE2-safe character classes so both
+    * engines count identically:
+    *   words      W = matches of \S+          (whitespace tokens)
+    *   sentences  S = max(matches of [.!?]+, 1)  (terminator runs;
+    *              an unpunctuated doc is one sentence)
+    *   syllables  Y = matches of [aeiouy]+ in lower(text) — vowel-
+    *              GROUP counting, the standard cheap syllable proxy
+    *              (vowel runs never span whitespace, so the doc-level
+    *              count equals the per-word sum; all-consonant tokens
+    *              contribute 0 — documented, not special-cased, to
+    *              keep the count one regexp pass with no lookahead,
+    *              which RE2 lacks)
+    * Exact integer fixed point (idiv truncation both engines):
+    *   wps_milli = ⌊1000·W/S⌋, spw_milli = ⌊1000·Y/W⌋
+    *   fre_milli = 206835 − ⌊1015·wps_milli/1000⌋ − ⌊84600·spw_milli/1000⌋
+    *   fkg_milli = ⌊390·wps_milli/1000⌋ + ⌊11800·spw_milli/1000⌋ − 15590
+    * rolled up per language as truncating-idiv means (negative-sum
+    * truncation agrees cross-engine: both truncate toward zero).
+    *
+    * Scale (100 TB): three regexp_count passes per document, all
+    * map-side codegen; one |langs|-cardinality aggregation. */
+  def readability(docs: DataFrame, text: String, group: String): DataFrame = {
+    val perDoc = docs
+      .select(col(group).as("g"),
+        expr(s"regexp_count($text, '\\\\S+')").as("w"),
+        greatest(expr(s"regexp_count($text, '[.!?]+')"), lit(1)).as("s"),
+        expr(s"regexp_count(lower($text), '[aeiouy]+')").as("y"))
+      .where(col("w") > 0)
+      .select(col("g"),
+        F.idiv(lit(1000L) * col("w"), col("s")).as("wps_milli"),
+        F.idiv(lit(1000L) * col("y"), col("w")).as("spw_milli"))
+      .select(col("g"),
+        (lit(206835L) - F.idiv(lit(1015L) * col("wps_milli"), lit(1000L)) -
+          F.idiv(lit(84600L) * col("spw_milli"), lit(1000L)))
+          .as("fre_milli"),
+        (F.idiv(lit(390L) * col("wps_milli"), lit(1000L)) +
+          F.idiv(lit(11800L) * col("spw_milli"), lit(1000L)) - lit(15590L))
+          .as("fkg_milli"))
+    perDoc.groupBy(col("g").as("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("fre_milli")).as("sf"), sum(col("fkg_milli")).as("sk"),
+        min(col("fre_milli")).as("min_fre_milli"),
+        max(col("fre_milli")).as("max_fre_milli"))
+      .select(col("lang"), col("n_docs"),
+        F.idiv(col("sf"), col("n_docs")).as("mean_fre_milli"),
+        F.idiv(col("sk"), col("n_docs")).as("mean_fkg_milli"),
+        col("min_fre_milli"), col("max_fre_milli"))
+  }
+
+  /** q380: per-language Flesch reading-ease / FK-grade profile of the
+    * documents corpus — the surface-complexity read next to q41's
+    * quality score and q232's distribution-shape diagnostics. */
+  def q380(s: SparkSession, d: String): DataFrame =
+    readability(Tables.documents(s, d), "text", "lang")
+
+  /** BLAND–ALTMAN AGREEMENT (round 15) — "are two meters of the same
+    * quantity interchangeable": correlation (q93/q286) is the WRONG
+    * tool for that question (two meters can correlate at 0.99 and
+    * still disagree by a constant 30% — correlation rewards any
+    * monotone relation, agreement needs the DIFFERENCES). The
+    * Bland–Altman read: per item d = m₂ − m₁, the BIAS (mean d), the
+    * 95% limits of agreement (bias ± 1.96·sd), and how much of the
+    * corpus falls outside them. Instantiated on the two TOKEN METERS
+    * every budget number depends on (q40's whitespace count vs the
+    * BPE-ish regex count): the bias is the systematic factor to apply
+    * when converting between the two accountings, and the LoA say
+    * whether a per-document conversion is trustworthy at all.
+    *
+    * Exact integers end to end: d is an integer, bias_milli one
+    * truncating idiv, sd_milli the corrected exact isqrt of
+    * ⌊10⁶·(nΣd²−(Σd)²)/(n(n−1))⌋ (remainder-subtraction exact decimal
+    * floor division), LoA pure integer arithmetic, and the outside
+    * count one broadcast-join pass over the recomputed per-item
+    * diffs. No doubles anywhere but the isqrt candidate (±1-corrected).
+    *
+    * Scale (100 TB): diffs are map-side; one 3-number moment fold +
+    * one more map pass with the 1-row stats broadcast back. */
+  def blandAltman(df: DataFrame, m1: Column, m2: Column): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def dfloor(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("decimal(38,0)")
+    val diffs = df.select((m2.cast("long") - m1.cast("long")).as("d"))
+      .localCheckpoint() // feeds the moment fold AND the outside count
+    val m = diffs.agg(count(lit(1)).as("n"), sum(dec(col("d"))).as("sd_"),
+      sum(dec(col("d")) * dec(col("d"))).as("ssd"))
+    val n = dec(col("n"))
+    val varNum = n * col("ssd") - col("sd_") * col("sd_")
+    val sdMilli = F.isqrtLong(dfloor(dec(lit(1000000L)) * varNum,
+      greatest(n * (n - dec(lit(1L))), dec(lit(1L)))))
+    val stats = m.select(col("n"),
+      F.idiv(dec(lit(1000L)) * col("sd_"), n).cast("long").as("bias_milli"),
+      when(col("n") < 2L, lit(null).cast("long"))
+        .otherwise(sdMilli.cast("long")).as("sd_milli"))
+      .withColumn("loa_lo_milli",
+        when(col("sd_milli").isNull, lit(null).cast("long"))
+          .otherwise(col("bias_milli") -
+            F.idiv(lit(196L) * col("sd_milli"), lit(100L))))
+      .withColumn("loa_hi_milli",
+        when(col("sd_milli").isNull, lit(null).cast("long"))
+          .otherwise(col("bias_milli") +
+            F.idiv(lit(196L) * col("sd_milli"), lit(100L))))
+    diffs.crossJoin(broadcast(stats))
+      .groupBy(col("n"), col("bias_milli"), col("sd_milli"),
+        col("loa_lo_milli"), col("loa_hi_milli"))
+      .agg(sum(when(col("loa_lo_milli").isNotNull &&
+          (lit(1000L) * col("d") < col("loa_lo_milli") ||
+            lit(1000L) * col("d") > col("loa_hi_milli")), 1L)
+        .otherwise(0L)).as("n_outside"))
+      .select(col("n").as("n_docs"), col("bias_milli"), col("sd_milli"),
+        col("loa_lo_milli"), col("loa_hi_milli"), col("n_outside"),
+        F.idiv(lit(10000L) * col("n_outside"), col("n")).as("outside_bp"))
+  }
+
+  /** q385: do the whitespace and BPE-ish token meters agree per
+    * document — the calibration read behind every cross-meter token
+    * budget conversion. */
+  def q385(s: SparkSession, d: String): DataFrame = {
+    val docs = withToks(Tables.documents(s, d))
+    blandAltman(
+      docs.select(size(toks).as("m1"),
+        size(regexp_extract_all(col("text"),
+          lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("m2")),
+      col("m1"), col("m2"))
+  }
 }

@@ -6395,4 +6395,299 @@ class OperatorsSpec extends SparkSpec {
     assert(bd.getLong(4) == 25000000L, s"unc: ${bd.getLong(4)}")
     assert(bd.getLong(5) == 18750000L, s"brier: ${bd.getLong(5)}")
   }
+
+  test("wilcoxonSigned: hand-worked ties, zero diffs, degenerate cases") {
+    import SparkTestSession.spark.implicits._
+    import java.sql.Date
+    // pre day = 01-01, post day = 01-03 (pivot = 01-02, the q339 split)
+    def ev(rows: Seq[(Long, String, Long)]) = rows
+      .map { case (u, d, c) => (u, Date.valueOf(d), c) }
+      .toDF("u", "dy", "vc")
+    def wx(rows: Seq[(Long, String, Long)]) =
+      Relational.wilcoxonSigned(ev(rows), "u", col("dy"), col("vc"))
+        .collect().head
+    // diffs +5, -2, +5, +1 and one zero: |d| ranks 1, 2, {3.5, 3.5}
+    // W+ = 1 + 3.5 + 3.5 = 8; E = 5; Var = (1+4+12.25+12.25)/4
+    // z = 3/sqrt(7.375) = 1.10468 -> 1105 milli
+    val t = wx(Seq(
+      (1L, "2024-01-01", 10L), (1L, "2024-01-03", 15L),
+      (2L, "2024-01-01", 10L), (2L, "2024-01-03", 8L),
+      (3L, "2024-01-01", 10L), (3L, "2024-01-03", 15L),
+      (4L, "2024-01-01", 10L), (4L, "2024-01-03", 10L),
+      (5L, "2024-01-01", 3L),  (5L, "2024-01-03", 4L)))
+    assert(t.toSeq == Seq(4L, 1L, 8L, 1105L, 0), t.toSeq.toString)
+    // all diffs zero: no nonzero pairs, NULL z
+    val z = wx(Seq(
+      (1L, "2024-01-01", 5L), (1L, "2024-01-03", 5L),
+      (2L, "2024-01-01", 7L), (2L, "2024-01-03", 7L)))
+    assert(z.getLong(0) == 0L && z.getLong(1) == 2L && z.getLong(2) == 0L &&
+      z.isNullAt(3) && z.isNullAt(4), z.toSeq.toString)
+    // one-sided shift, n=6 all positive: W+ = 21 (max), z > 0 and
+    // significant at n=6? z = 10.5/sqrt(22.75) = 2.2014 -> 2201, yes
+    val s = wx((1L to 6L).flatMap(u => Seq(
+      (u, "2024-01-01", 10L), (u, "2024-01-03", 10L + u))))
+    assert(s.toSeq == Seq(6L, 0L, 21L, 2201L, 1), s.toSeq.toString)
+  }
+
+  test("friedman: hand-worked Q, within-block ties, all-tied NULL") {
+    import SparkTestSession.spark.implicits._
+    // blocks u1..u3 x treatments a,b,c; value = row count per cell.
+    // u1: a1 b2 c3, u2: a1 b2 c3, u3: a3 b2 c1 -> R = (5,6,7),
+    // classic Q = 12/36*(25+36+49) - 36 = 2/3 -> 666 milli
+    def cells(spec: Seq[(Long, String, Int)]) = spec
+      .flatMap { case (u, t, n) => Seq.fill(n)((u, t)) }.toDF("u", "t")
+    def fr(spec: Seq[(Long, String, Int)]) =
+      Relational.friedman(cells(spec), col("u"), col("t")).collect().head
+    val q = fr(Seq((1L, "a", 1), (1L, "b", 2), (1L, "c", 3),
+      (2L, "a", 1), (2L, "b", 2), (2L, "c", 3),
+      (3L, "a", 3), (3L, "b", 2), (3L, "c", 1)))
+    assert(q.toSeq == Seq(3L, 3L, 666L), q.toSeq.toString)
+    // within-block ties (u1: 1,1,2; u2: 1,2,2): A2 = 18, B2 = 12
+    // in 2x units -> Q = 2*18/12 = 3.0 -> 3000 milli
+    val t = fr(Seq((1L, "a", 1), (1L, "b", 1), (1L, "c", 2),
+      (2L, "a", 1), (2L, "b", 2), (2L, "c", 2)))
+    assert(t.toSeq == Seq(2L, 3L, 3000L), t.toSeq.toString)
+    // every block all-tied: B2 = 0 -> NULL Q
+    val z = fr(Seq((1L, "a", 2), (1L, "b", 2),
+      (2L, "a", 5), (2L, "b", 5)))
+    assert(z.getLong(0) == 2L && z.getLong(1) == 2L && z.isNullAt(2),
+      z.toSeq.toString)
+    // 0-fill: a block missing a treatment ranks it lowest (count 0)
+    val m = Relational.friedman(
+      cells(Seq((1L, "a", 1), (1L, "b", 2), (2L, "b", 1))),
+      col("u"), col("t")).collect().head
+    // u2 has a=0 (filled), b=1: ranks fine, k=2, n=2; u1: a1 b2 ->
+    // both blocks rank a below b -> R2 = (4+2, 6+... ) a:(2,2) b:(4,4)
+    // wait in 2x: u1 a r2=2 b r2=4; u2 a(0) r2=2, b r2=4 ->
+    // Rj2 a=4, b=8; n(k+1)=6; dev -2,+2 -> A2=8; B2=(2-3)^2*4... in
+    // 2x units dev per cell = r2-3 -> 1 each -> B2=4; Q=1*8/4=2000
+    assert(m.toSeq == Seq(2L, 2L, 2000L), m.toSeq.toString)
+  }
+
+  test("readability: hand-worked Flesch, no-vowel and unpunctuated docs") {
+    import SparkTestSession.spark.implicits._
+    def rd(docs: Seq[(String, String)]) =
+      Text.readability(docs.toDF("text", "lang"), "text", "lang")
+        .collect().map(r => r.getString(0) -> r.toSeq).toMap
+    // "The cat sat. It ran!": W=5 S=2 Y=5 -> wps 2500 spw 1000
+    // fre = 206835 - 2537 - 84600 = 119698; fkg = 975+11800-15590 = -2815
+    val out = rd(Seq(("The cat sat. It ran!", "en"),
+      // no-vowel tokens count 0 syllables; no terminator -> 1 sentence
+      // "xz qrst": W=2 S=1 Y=0 -> wps 2000 spw 0
+      // fre = 206835 - 2030 - 0 = 204805; fkg = 780 - 15590 = -14810
+      ("xz qrst", "xx")))
+    assert(out("en") == Seq("en", 1L, 119698L, -2815L, 119698L, 119698L),
+      out("en").toString)
+    assert(out("xx") == Seq("xx", 1L, 204805L, -14810L, 204805L, 204805L),
+      out("xx").toString)
+    // per-language mean is the truncating idiv of the per-doc sums
+    val two = rd(Seq(("The cat sat. It ran!", "en"), ("xz qrst", "en")))
+    assert(two("en")(1) == 2L &&
+      two("en")(2) == (119698L + 204805L) / 2, two("en").toString)
+  }
+
+  test("cramerVonMises: separated, identical, and diffuse-shift samples") {
+    import SparkTestSession.spark.implicits._
+    def cv(rows: Seq[(Long, Boolean)]) =
+      Relational.cramerVonMises(rows.toDF("v", "a"), col("v"), col("a"))
+        .collect().head
+    // A={1,2}, B={3,4}: terms 4+16+4+0 = 24, T = 24/(16*4) = 0.375
+    val t = cv(Seq((1L, true), (2L, true), (3L, false), (4L, false)))
+    assert(t.toSeq == Seq(2L, 2L, 375000L, 0), t.toSeq.toString)
+    // identical samples: T = 0 exactly
+    val z = cv(Seq((1L, true), (2L, true), (1L, false), (2L, false)))
+    assert(z.toSeq == Seq(2L, 2L, 0L, 0), z.toSeq.toString)
+    // fully separated 4v4: T = 704/1024 = 0.6875 > 0.461 -> significant
+    val s = cv((1L to 4L).map(v => (v, true)) ++
+      (11L to 14L).map(v => (v, false)))
+    assert(s.toSeq == Seq(4L, 4L, 687500L, 1), s.toSeq.toString)
+    // empty side: NULL
+    val e = cv(Seq((1L, true), (2L, true)))
+    assert(e.getLong(0) == 2L && e.getLong(1) == 0L && e.isNullAt(2) &&
+      e.isNullAt(3), e.toSeq.toString)
+  }
+
+  test("jackknifeRatio: hand-worked SE, exclusion, single-unit NULL") {
+    import SparkTestSession.spark.implicits._
+    // one arm, units (x=1,y=100),(1,200),(2,300): R = 600/4 = 150e6
+    // delete-one micro ratios 166666666, 133333333, 150000000
+    // Var_J = 2*(3*SS-S^2)/9 -> se = 19245008
+    val rows = Seq(
+      (1L, 100L), (2L, 200L), (3L, 150L), (3L, 150L)) // u3 has x=2,y=300
+    val df = rows.toDF("u", "vc")
+    val out = Relational.jackknifeRatio(df, "u", lit(true), col("vc"))
+      .collect().head
+    assert(out.toSeq == Seq(1L, 3L, 0L, 150000000L, 19245008L,
+      150000000L - (196L * 19245008L) / 100L,
+      150000000L + (196L * 19245008L) / 100L), out.toSeq.toString)
+    // a single-unit arm: deleting it empties the denominator -> the
+    // unit is excluded, n_j = 0 < 2 -> NULL se and CI, ratio intact
+    val one = Relational.jackknifeRatio(
+      Seq((9L, 400L)).toDF("u", "vc"), "u", lit(false), col("vc"))
+      .collect().head
+    assert(one.getLong(1) == 1L && one.getLong(2) == 1L &&
+      one.getLong(3) == 400000000L && one.isNullAt(4) && one.isNullAt(5) &&
+      one.isNullAt(6), one.toSeq.toString)
+  }
+
+  test("erasure audit: trips on pre-delete stores, all-zeros after " +
+       "every store's delete, and flags a tampered surface by name") {
+    import org.apache.spark.sql.functions.col
+    import graft.sources.{ErasureAudit, VersionedStore}
+    val docs = Tables.documents(spark, sf)
+    val embs = Tables.embeddings(spark, sf)
+    val ev = Tables.events(spark, sf)
+    def tmp(tag: String) = java.nio.file.Files
+      .createTempDirectory(s"graft-audit-$tag").toString + "/store"
+
+    // build every auditable store kind on the verify corpus
+    val sigPath = tmp("sig")
+    Dedup.writeSignatureStore(docs, "doc_id", "text", sigPath,
+      batchTag = "a")
+    val bm25Root = tmp("bm25")
+    VersionedStore.resolveOrBuild(spark, bm25Root)(
+      p => Text.writeBm25Index(docs, "doc_id", "text", p))
+    val semRoot = tmp("sem")
+    VersionedStore.resolveOrBuild(spark, semRoot)(
+      p => Similarity.writeSemDedupStore(embs, "vec_id", "embedding", p))
+    val nswRoot = tmp("nsw")
+    VersionedStore.resolveOrBuild(spark, nswRoot)(
+      p => Similarity.writeNswIndex(embs, "vec_id", "embedding", p))
+    val ivfDir = VersionedStore.resolveOrBuild(spark, tmp("ivf"))(
+      p => Similarity.writeIvfIndex(embs, "vec_id", "embedding", p))
+    val pqDir = VersionedStore.resolveOrBuild(spark, tmp("pq"))(
+      p => Similarity.writePqIndex(embs, "vec_id", "embedding", p))
+    val kmvRoot = tmp("kmv")
+    VersionedStore.resolveOrBuild(spark, kmvRoot)(
+      p => Events.writeKmvStore(ev, col("ts"), "user_id", p))
+
+    val delDocs = docs.filter(col("doc_id") % 4 === 0)
+    val delVecs = embs.filter(col("vec_id") % 2 === 1)
+    val delKeys = ev.filter(col("user_id") % 5 === 0)
+      .select(col("user_id")).distinct()
+    def audit() = ErasureAudit.report(Seq(
+      ErasureAudit.auditSignatureStore(spark, sigPath, delDocs, "doc_id"),
+      ErasureAudit.auditBm25Store(spark, bm25Root, delDocs, "doc_id"),
+      ErasureAudit.auditSemDedupStore(spark, semRoot, delVecs, "vec_id"),
+      ErasureAudit.auditNswStore(spark, nswRoot, delVecs, "vec_id"),
+      ErasureAudit.auditIvfStore(spark, ivfDir, delVecs, "vec_id"),
+      ErasureAudit.auditPqStore(spark, pqDir, delVecs, "vec_id"),
+      ErasureAudit.auditKmvStore(spark, kmvRoot, delKeys, "user_id")))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+
+    // positive control: before any delete, every store still holds the
+    // subjects — the audit must TRIP on all primary surfaces (an audit
+    // that cannot go red proves nothing)
+    val before = audit()
+    assert(before.size == 11, s"expected 11 surfaces, got ${before.keySet}")
+    assert(before.count(_._2 > 0) >= 8,
+      s"pre-delete audit should trip on most surfaces: $before")
+
+    // erase the subjects from every store through its own delete path
+    Dedup.deleteFromSignatureStore(spark, sigPath, delDocs, "doc_id")
+    Text.deleteFromBm25Index(spark, bm25Root, delDocs, "doc_id")
+    Similarity.deleteFromSemDedupStore(spark, semRoot, delVecs, "vec_id")
+    Similarity.deleteFromNswStore(spark, nswRoot, delVecs, "vec_id")
+    Similarity.deleteFromIvfIndex(spark, ivfDir, delVecs, "vec_id")
+    Similarity.deleteFromPqIndex(spark, pqDir, delVecs, "vec_id")
+    Events.deleteKeysFromKmvStore(spark, kmvRoot, ev, col("ts"),
+      "user_id", delKeys)
+
+    // the signoff artifact: every (store, surface) reads zero
+    val after = audit()
+    assert(after.values.forall(_ == 0L),
+      s"post-delete leaks: ${after.filter(_._2 > 0)}")
+
+    // tamper leg: sneak one erased doc's array row back into the
+    // signature store — the audit must name EXACTLY that surface
+    val someErased = delDocs.select("doc_id").head.getLong(0)
+    val leak = spark.read.parquet(s"$sigPath/arrays").drop("batch")
+      .limit(1).withColumn("doc_id", lit(someErased))
+    leak.write.mode("append").parquet(s"$sigPath/arrays/batch=a")
+    val tampered = audit()
+    assert(tampered(("signature", "arrays")) == 1L,
+      s"tampered surface not flagged: $tampered")
+    assert(tampered.filter(_._2 > 0).keySet == Set(("signature", "arrays")),
+      s"unexpected extra flags: ${tampered.filter(_._2 > 0)}")
+  }
+
+  test("tost: identical arms equivalent, shifted-beyond-margin not, " +
+       "absence-of-significance is not equivalence") {
+    import SparkTestSession.spark.implicits._
+    def run(a: Seq[Long], b: Seq[Long]) =
+      Events.tost(
+        (a.map((_, true)) ++ b.map((_, false))).toDF("v", "arm"),
+        col("v"), col("arm"), 100L).collect().head
+    val base = Seq.fill(25)(Seq(98L, 100L, 102L, 100L)).flatten
+    // identical arms, margin = 10% of pooled mean = 10 cents:
+    // z_lo = +49749 milli, z_hi = -49749 -> equivalent
+    val eq = run(base, base)
+    assert(eq.toSeq == Seq(100L, 100L, 100L, 100L, 10L, 49749L, -49749L, 1),
+      eq.toSeq.toString)
+    // B shifted +30 (3x the margin): confidently NOT equivalent —
+    // z_lo = -94524 fails its one-sided test outright
+    val sh = run(base, base.map(_ + 30L))
+    assert(sh.toSeq ==
+      Seq(100L, 100L, 100L, 130L, 11L, -94524L, -203972L, 0),
+      sh.toSeq.toString)
+    // tiny n: a difference test would find nothing (no power), but
+    // TOST must also NOT declare equivalence — the property that
+    // separates it from absence-of-significance
+    val tiny = run(Seq(90L, 110L), Seq(70L, 130L))
+    assert(tiny.getInt(7) == 0, tiny.toSeq.toString)
+  }
+
+  test("sprt: h1 crossing, h0 crossing, continue in between — exact " +
+       "integer llr path") {
+    import SparkTestSession.spark.implicits._
+    import java.sql.Date
+    // control 50% (p0 = 5000 bp, p1 = 6000): c1 = 182322, c0 = -223144
+    def ev(trtDays: Seq[(String, Int, Int)]) = {
+      val ctl = (1 to 10).map(i =>
+        (false, i <= 5, Date.valueOf("2024-01-01")))
+      val trt = trtDays.flatMap { case (d, ok, miss) =>
+        Seq.fill(ok)((true, true, Date.valueOf(d))) ++
+          Seq.fill(miss)((true, false, Date.valueOf(d))) }
+      (ctl ++ trt).toDF("trt", "ok", "dy")
+    }
+    def run(days: Seq[(String, Int, Int)]) =
+      Events.sprtAudit(ev(days), col("trt"), col("ok"), col("dy"))
+        .orderBy(col("day")).collect()
+        .map(r => (r.getString(0), r.getLong(5), r.getString(6)))
+    // all hits: day1 10/10 -> llr 1823220 (continue),
+    // day2 20/20 -> 3646440 >= 2944439 (accept_h1)
+    val h1 = run(Seq(("2024-01-01", 10, 0), ("2024-01-02", 10, 0)))
+    assert(h1.toSeq == Seq(("2024-01-01", 1823220L, "continue"),
+      ("2024-01-02", 3646440L, "accept_h1")), h1.mkString(", "))
+    // all misses: day1 -2231440 (continue), day2 -4462880 (accept_h0)
+    val h0 = run(Seq(("2024-01-01", 0, 10), ("2024-01-02", 0, 10)))
+    assert(h0.toSeq == Seq(("2024-01-01", -2231440L, "continue"),
+      ("2024-01-02", -4462880L, "accept_h0")), h0.mkString(", "))
+    // treatment at the control rate drifts slowly: still undecided
+    val mid = run(Seq(("2024-01-01", 5, 5)))
+    assert(mid.head._3 == "continue", mid.mkString(", "))
+  }
+
+  test("blandAltman: hand-worked bias/LoA, outlier counted outside, " +
+       "single-item NULL sd") {
+    import SparkTestSession.spark.implicits._
+    def run(pairs: Seq[(Long, Long)]) =
+      Text.blandAltman(pairs.toDF("m1", "m2"), col("m1"), col("m2"))
+        .collect().head
+    // diffs {1,2,3,4}: bias 2500 milli, sd 1290 milli (isqrt of
+    // floor(1e6*20/12)), LoA [-28, 5028], nothing outside
+    val t = run(Seq((10L, 11L), (10L, 12L), (10L, 13L), (10L, 14L)))
+    assert(t.toSeq == Seq(4L, 2500L, 1290L, -28L, 5028L, 0L, 0L),
+      t.toSeq.toString)
+    // one gross outlier: its diff leaves the limits -> counted, bp = 10000/9
+    val o = run(Seq.fill(8)((10L, 11L)) :+ (10L, 110L))
+    assert(o.getLong(5) == 1L && o.getLong(6) == 10000L / 9L,
+      o.toSeq.toString)
+    // single pair: sd/LoA NULL, bias still exact
+    val s = run(Seq((10L, 13L)))
+    assert(s.getLong(0) == 1L && s.getLong(1) == 3000L && s.isNullAt(2) &&
+      s.isNullAt(3) && s.isNullAt(4) && s.getLong(5) == 0L,
+      s.toSeq.toString)
+  }
 }
