@@ -405,6 +405,9 @@ object SparkEntry {
     "q386_luhn"           -> (Text.q386 _),
     "q387_homoglyphs"     -> (Text.q387 _),
     "q388_markup_scrub"   -> (Text.q388 _),
+    "q389_dunn"           -> (Relational.q389 _),
+    "q390_effect_size"    -> (Events.q390 _),
+    "q391_yuen"           -> (Events.q391 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -7108,6 +7111,146 @@ object SparkEntry {
            CAST(sum(raw_len - clean_len - tag_len - ent_shrink)
              AS BIGINT) AS residual
          FROM r GROUP BY 1""",
+
+    // Dunn post-hoc: the q323 pooled mid-rank chain, k-row pair
+    // self-join, tie-corrected pooled variance, one pinned double
+    // order per pair; Bonferroni z for k=5's 10 comparisons.
+    "q389_dunn" ->
+      s"""WITH pb AS (SELECT ${C("value")} AS v, event_type AS g,
+             count(*) AS ng FROM events
+           WHERE value IS NOT NULL AND event_type IS NOT NULL
+           GROUP BY 1, 2),
+         pv AS (SELECT v, sum(ng) AS t FROM pb GROUP BY 1),
+         rk AS (SELECT v, 2 * (sum(t) OVER (ORDER BY v ASC ROWS BETWEEN
+             UNBOUNDED PRECEDING AND CURRENT ROW) - t) + t + 1 AS r2
+           FROM pv),
+         bg AS (SELECT g, sum(ng) AS n_g,
+             sum(CAST(ng AS HUGEINT) * r2) AS rg2
+           FROM pb JOIN rk USING (v) GROUP BY 1),
+         tot AS (SELECT sum(n_g) AS n FROM bg),
+         tie AS (SELECT sum(CAST(t AS HUGEINT) * t * t - t) AS tie3
+           FROM pv),
+         pr AS (SELECT a.g AS g_a, b.g AS g_b, a.n_g AS n_a,
+             b.n_g AS n_b, a.rg2 AS ra2, b.rg2 AS rb2
+           FROM bg a, bg b WHERE a.g < b.g),
+         zz AS (SELECT g_a, g_b, n_a, n_b, tot.n, tie.tie3,
+             (CAST(ra2 AS DOUBLE) / CAST(n_a AS DOUBLE)
+               - CAST(rb2 AS DOUBLE) / CAST(n_b AS DOUBLE)) / 2 AS num,
+             (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1)
+               - CAST(tie3 AS DOUBLE) / (CAST(n AS DOUBLE) - 1)) / 12
+               AS vt
+           FROM pr CROSS JOIN tot CROSS JOIN tie)
+         SELECT g_a, g_b, CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           CAST(CASE WHEN n < 2 OR vt <= 0 THEN NULL
+             ELSE floor(num / sqrt(vt * (1.0 / CAST(n_a AS DOUBLE)
+               + 1.0 / CAST(n_b AS DOUBLE))) * 1000 + 0.5)
+             END AS BIGINT) AS z_milli,
+           CAST(CASE WHEN n < 2 OR vt <= 0 THEN NULL
+             WHEN abs(floor(num / sqrt(vt * (1.0 / CAST(n_a AS DOUBLE)
+               + 1.0 / CAST(n_b AS DOUBLE))) * 1000 + 0.5)) > 2807
+             THEN 1 ELSE 0 END AS INT) AS is_significant
+         FROM zz ORDER BY g_a, g_b""",
+
+    // Effect sizes on the welch moment chain: pooled-sd Cohen d,
+    // Hedges small-n correction, Glass control-side delta.
+    "q390_effect_size" ->
+      s"""WITH m AS (SELECT
+             sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n_a,
+             sum(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END) AS n_b,
+             sum(CASE WHEN user_id % 2 = 0 THEN CAST(${C("value")} AS
+               HUGEINT) ELSE 0 END) AS sa,
+             sum(CASE WHEN user_id % 2 = 0 THEN 0 ELSE
+               CAST(${C("value")} AS HUGEINT) END) AS sb,
+             sum(CASE WHEN user_id % 2 = 0 THEN CAST(${C("value")} AS
+               HUGEINT) * ${C("value")} ELSE 0 END) AS ssa,
+             sum(CASE WHEN user_id % 2 = 0 THEN 0 ELSE
+               CAST(${C("value")} AS HUGEINT) * ${C("value")} END) AS ssb
+           FROM events
+           WHERE event_type = 'purchase' AND value IS NOT NULL),
+         d AS (SELECT n_a, n_b, sa, sb,
+             CAST(n_a AS HUGEINT) * ssa - sa * sa AS num_a,
+             CAST(n_b AS HUGEINT) * ssb - sb * sb AS num_b FROM m),
+         f AS (SELECT n_a, n_b, num_a, num_b,
+             CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE)
+               - CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE) AS diff,
+             CAST(num_a AS DOUBLE) / CAST(CAST(n_a AS HUGEINT)
+               * (n_a - 1) AS DOUBLE) AS var_a,
+             CAST(num_b AS DOUBLE) / CAST(CAST(n_b AS HUGEINT)
+               * (n_b - 1) AS DOUBLE) AS var_b FROM d),
+         g AS (SELECT n_a, n_b, num_a, num_b, diff, var_b,
+             sqrt(((CAST(n_a AS DOUBLE) - 1) * var_a
+               + (CAST(n_b AS DOUBLE) - 1) * var_b)
+               / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 2)) AS sp
+           FROM f)
+         SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(CASE WHEN n_a < 2 OR n_b < 2 OR num_a + num_b = 0
+             THEN NULL ELSE floor(diff / sp * 1000 + 0.5)
+             END AS BIGINT) AS cohen_d_milli,
+           CAST(CASE WHEN n_a < 2 OR n_b < 2 OR num_a + num_b = 0
+             THEN NULL ELSE floor(diff / sp * (1 - 3 /
+               (4 * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) - 9))
+               * 1000 + 0.5) END AS BIGINT) AS hedges_g_milli,
+           CAST(CASE WHEN n_a < 2 OR n_b < 2 OR num_b = 0
+             THEN NULL ELSE floor(diff / sqrt(var_b) * 1000 + 0.5)
+             END AS BIGINT) AS glass_delta_milli
+         FROM g""",
+
+    // Yuen: per-arm quantile_disc cuts (members, exact), tie-inclusive
+    // trim + winsorized clamp, exact moments, pinned t/df doubles.
+    "q391_yuen" ->
+      s"""WITH v0 AS (SELECT ${C("value")} AS v,
+             CAST(user_id % 2 = 0 AS INT) AS arm FROM events
+           WHERE event_type = 'purchase' AND value IS NOT NULL),
+         c AS (SELECT arm, quantile_disc(v, 0.2) AS p20,
+             quantile_disc(v, 0.8) AS p80 FROM v0 GROUP BY 1),
+         tg AS (SELECT v0.arm, v,
+             greatest(least(v, c.p80), c.p20) AS wv,
+             v >= c.p20 AND v <= c.p80 AS kept
+           FROM v0 JOIN c ON c.arm = v0.arm),
+         m AS (SELECT arm, count(*) AS n,
+             sum(CASE WHEN kept THEN 1 ELSE 0 END) AS h,
+             sum(CASE WHEN kept THEN CAST(v AS HUGEINT) ELSE 0 END)
+               AS st,
+             sum(CAST(wv AS HUGEINT)) AS sw,
+             sum(CAST(wv AS HUGEINT) * wv) AS ssw FROM tg GROUP BY 1),
+         j AS (SELECT a.n AS n_a, a.h AS h_a, a.st AS st_a,
+             a.sw AS sw_a, a.ssw AS ssw_a,
+             b.n AS n_b, b.h AS h_b, b.st AS st_b, b.sw AS sw_b,
+             b.ssw AS ssw_b
+           FROM (SELECT * FROM m WHERE arm = 1) a,
+                (SELECT * FROM m WHERE arm = 0) b),
+         w AS (SELECT *,
+             CAST(CAST(n_a AS HUGEINT) * ssw_a - sw_a * sw_a AS DOUBLE)
+               / CAST(CAST(n_a AS HUGEINT) * (n_a - 1) AS DOUBLE)
+               * (CAST(n_a AS DOUBLE) - 1)
+               / (CAST(h_a AS DOUBLE) * (CAST(h_a AS DOUBLE) - 1)) AS da,
+             CAST(CAST(n_b AS HUGEINT) * ssw_b - sw_b * sw_b AS DOUBLE)
+               / CAST(CAST(n_b AS HUGEINT) * (n_b - 1) AS DOUBLE)
+               * (CAST(n_b AS DOUBLE) - 1)
+               / (CAST(h_b AS DOUBLE) * (CAST(h_b AS DOUBLE) - 1)) AS db,
+             (CAST(n_a AS HUGEINT) * ssw_a - sw_a * sw_a)
+               + (CAST(n_b AS HUGEINT) * ssw_b - sw_b * sw_b) AS vsum
+           FROM j)
+         SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(h_a AS BIGINT) AS h_a, CAST(h_b AS BIGINT) AS h_b,
+           CAST(st_a // CAST(h_a AS HUGEINT) AS BIGINT) AS tmean_a_c,
+           CAST(st_b // CAST(h_b AS HUGEINT) AS BIGINT) AS tmean_b_c,
+           CAST(CASE WHEN h_a < 2 OR h_b < 2 OR vsum = 0 THEN NULL
+             ELSE floor((CAST(st_a AS DOUBLE) / CAST(h_a AS DOUBLE)
+               - CAST(st_b AS DOUBLE) / CAST(h_b AS DOUBLE))
+               / sqrt(da + db) * 1000 + 0.5) END AS BIGINT) AS t_milli,
+           CAST(CASE WHEN h_a < 2 OR h_b < 2 OR vsum = 0 THEN NULL
+             ELSE floor((da + db) * (da + db)
+               / (da * da / (CAST(h_a AS DOUBLE) - 1)
+                 + db * db / (CAST(h_b AS DOUBLE) - 1)) * 1000 + 0.5)
+             END AS BIGINT) AS df_milli,
+           CAST(CASE WHEN h_a < 2 OR h_b < 2 OR vsum = 0 THEN NULL
+             WHEN abs(floor((CAST(st_a AS DOUBLE) / CAST(h_a AS DOUBLE)
+               - CAST(st_b AS DOUBLE) / CAST(h_b AS DOUBLE))
+               / sqrt(da + db) * 1000 + 0.5)) > 1960 THEN 1 ELSE 0
+             END AS INT) AS is_significant
+         FROM w""",
   )
 
   /** q226 oracle: the sampled co-purchase edge set + KCorePeelRounds

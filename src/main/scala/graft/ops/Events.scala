@@ -3562,4 +3562,153 @@ object Events {
   def q384(s: SparkSession, d: String): DataFrame =
     sprtAudit(Tables.events(s, d).filter(col("event_type") === "purchase"),
       col("user_id") % 2 === 1, col("value") > 150.0, col("ts"))
+
+  /** STANDARDIZED EFFECT SIZES (round 15) — the number that travels:
+    * q337's t says whether a difference is DETECTABLE at this n, the
+    * effect size says whether it is LARGE — comparable across
+    * experiments, metrics, and sample sizes, and the input every
+    * power calculation (q348) and meta-analysis consumes.
+    *   d  = (x̄_a − x̄_b) / s_pooled          (Cohen)
+    *   g  = d · (1 − 3/(4(n_a+n_b) − 9))     (Hedges small-n bias fix)
+    *   Δ  = (x̄_a − x̄_b) / s_b               (Glass — control-side
+    *        scale when treatment also moved the variance)
+    * On [[armMoments]]'s exact decimals; each reported figure is ONE
+    * pinned double order, milli-scaled. NULL when either arm has < 2
+    * units or the relevant variance is 0.
+    *
+    * Scale (100 TB): one aggregation to two moment rows. */
+  def effectSizes(df: DataFrame, value: Column, isA: Column): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val m = armMoments(df, value, isA)
+    val nA = dec(col("n_a")); val nB = dec(col("n_b"))
+    val numA = nA * col("ssa") - col("sa") * col("sa")
+    val numB = nB * col("ssb") - col("sb") * col("sb")
+    val diff = col("sa").cast("double") / nA.cast("double") -
+      col("sb").cast("double") / nB.cast("double")
+    // sample variances: num/(n(n-1)); pooled over the dfs
+    val varA = numA.cast("double") /
+      (nA * (nA - dec(lit(1L)))).cast("double")
+    val varB = numB.cast("double") /
+      (nB * (nB - dec(lit(1L)))).cast("double")
+    val sp = sqrt(((col("n_a") - lit(1L)).cast("double") * varA +
+      (col("n_b") - lit(1L)).cast("double") * varB) /
+      (col("n_a") + col("n_b") - lit(2L)).cast("double"))
+    val d = diff / sp
+    val g = d * (lit(1d) - lit(3d) /
+      (lit(4d) * (col("n_a") + col("n_b")).cast("double") - lit(9d)))
+    val glass = diff / sqrt(varB)
+    val bad = col("n_a") < 2L || col("n_b") < 2L
+    def milli(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1000d) + lit(0.5d)).cast("long")
+    m.select(col("n_a"), col("n_b"),
+      when(bad || (numA + numB) === dec(lit(0L)), lit(null).cast("long"))
+        .otherwise(milli(d)).as("cohen_d_milli"),
+      when(bad || (numA + numB) === dec(lit(0L)), lit(null).cast("long"))
+        .otherwise(milli(g)).as("hedges_g_milli"),
+      when(bad || numB === dec(lit(0L)), lit(null).cast("long"))
+        .otherwise(milli(glass)).as("glass_delta_milli"))
+  }
+
+  /** q390: how LARGE is the parity arms' spend difference — the
+    * standardized effect next to q337's detectability verdict. */
+  def q390(s: SparkSession, d: String): DataFrame =
+    effectSizes(Tables.events(s, d).filter(col("event_type") === "purchase"),
+      cents(col("value")), col("user_id") % 2 === 0)
+
+  /** YUEN'S TRIMMED-MEAN TEST (round 15) — the robust member of the
+    * mean-test family: q337's Welch t is still hostage to whales (one
+    * mega-purchase moves x̄ and inflates s²); Yuen compares TRIMMED
+    * means with WINSORIZED variances, keeping the location question
+    * while bounding any single unit's influence. Published default
+    * trim 20% each side.
+    *
+    * Engine-exact trim contract: cuts are per-arm percentile_disc
+    * values (members of the data — exact in both engines, the
+    * q99/q128 convention); the trimmed sample keeps p20 ≤ v ≤ p80
+    * TIE-INCLUSIVE (a count-based ⌊γn⌋ trim would be engine-ambiguous
+    * under ties at the cut), the winsorized sample clamps to
+    * [p20, p80]. With h_j trimmed counts and s²_wj winsorized sample
+    * variances:
+    *   t = (x̄t_a − x̄t_b) / √(d_a + d_b),
+    *   d_j = s²_wj · (n_j − 1) / (h_j · (h_j − 1))
+    *   df = (d_a + d_b)² / (d_a²/(h_a−1) + d_b²/(h_b−1))
+    * Moments exact decimals; t/df in one pinned double order each.
+    * NULL when either arm trims below 2 units or both winsorized
+    * variances are 0.
+    *
+    * Scale (100 TB): one percentile pass per arm (2 rows broadcast
+    * back) + one moment aggregation — two scans, no window. The
+    * percentile pass is percentile_disc (exact members, the oracle
+    * contract); its per-group value buffering is the measured cost
+    * past bench scale (ScaleCheck wave-4 rows), and the 100 TB
+    * deployment swaps it for approxQuantile cuts — the q248
+    * convention: same plan shape, bounded memory, cuts within the
+    * sketch tolerance. */
+  def yuenT(df: DataFrame, value: Column, isA: Column): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val v0 = df.select(value.as("v"), isA.cast("int").as("arm"))
+      .where(col("v").isNotNull)
+    val cuts = v0.groupBy(col("arm"))
+      .agg(expr("percentile_disc(0.2) WITHIN GROUP (ORDER BY v)")
+        .cast("long").as("p20"),
+        expr("percentile_disc(0.8) WITHIN GROUP (ORDER BY v)")
+          .cast("long").as("p80"))
+    val tagged = v0.join(broadcast(cuts), "arm")
+      .withColumn("wv", greatest(least(col("v"), col("p80")), col("p20")))
+      .withColumn("kept", col("v") >= col("p20") && col("v") <= col("p80"))
+    val m = tagged.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("h"),
+        sum(when(col("kept"), dec(col("v"))).otherwise(dec(lit(0L))))
+          .as("st"),
+        sum(dec(col("wv"))).as("sw"),
+        sum(dec(col("wv")) * dec(col("wv"))).as("ssw"))
+    val a = m.where(col("arm") === 1).select(col("n").as("n_a"),
+      col("h").as("h_a"), col("st").as("st_a"), col("sw").as("sw_a"),
+      col("ssw").as("ssw_a"))
+    val b = m.where(col("arm") === 0).select(col("n").as("n_b"),
+      col("h").as("h_b"), col("st").as("st_b"), col("sw").as("sw_b"),
+      col("ssw").as("ssw_b"))
+    val j = a.crossJoin(b)
+    def dd(c: Column): Column = c.cast("double")
+    val varWA = (dec(col("n_a")) * col("ssw_a") - col("sw_a") * col("sw_a"))
+      .cast("double") / (dec(col("n_a")) * (dec(col("n_a")) -
+        dec(lit(1L)))).cast("double")
+    val varWB = (dec(col("n_b")) * col("ssw_b") - col("sw_b") * col("sw_b"))
+      .cast("double") / (dec(col("n_b")) * (dec(col("n_b")) -
+        dec(lit(1L)))).cast("double")
+    val dA = varWA * dd(col("n_a") - lit(1L)) /
+      (dd(col("h_a")) * dd(col("h_a") - lit(1L)))
+    val dB = varWB * dd(col("n_b") - lit(1L)) /
+      (dd(col("h_b")) * dd(col("h_b") - lit(1L)))
+    val t = (col("st_a").cast("double") / dd(col("h_a")) -
+      col("st_b").cast("double") / dd(col("h_b"))) / sqrt(dA + dB)
+    val dfY = (dA + dB) * (dA + dB) /
+      (dA * dA / dd(col("h_a") - lit(1L)) +
+        dB * dB / dd(col("h_b") - lit(1L)))
+    val bad = col("h_a") < 2L || col("h_b") < 2L ||
+      (dec(col("n_a")) * col("ssw_a") - col("sw_a") * col("sw_a")) +
+        (dec(col("n_b")) * col("ssw_b") - col("sw_b") * col("sw_b")) ===
+        dec(lit(0L))
+    j.select(col("n_a"), col("n_b"), col("h_a"), col("h_b"),
+      graft.functions.F.idiv(col("st_a"), dec(col("h_a"))).cast("long")
+        .as("tmean_a_c"),
+      graft.functions.F.idiv(col("st_b"), dec(col("h_b"))).cast("long")
+        .as("tmean_b_c"),
+      when(bad, lit(null).cast("long"))
+        .otherwise(floor(t * lit(1000d) + lit(0.5d)).cast("long"))
+        .as("t_milli"),
+      when(bad, lit(null).cast("long"))
+        .otherwise(floor(dfY * lit(1000d) + lit(0.5d)).cast("long"))
+        .as("df_milli"))
+      .withColumn("is_significant",
+        when(col("t_milli").isNull, lit(null).cast("int"))
+          .otherwise((abs(col("t_milli")) > lit(1960L)).cast("int")))
+  }
+
+  /** q391: the q337 experiment re-read whale-robustly — 20% trimmed
+    * means, winsorized variances, on the exact cent lattice. */
+  def q391(s: SparkSession, d: String): DataFrame =
+    yuenT(Tables.events(s, d).filter(col("event_type") === "purchase"),
+      cents(col("value")), col("user_id") % 2 === 0)
 }

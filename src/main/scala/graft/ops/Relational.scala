@@ -4045,4 +4045,77 @@ object Relational {
     jackknifeRatio(
       Tables.events(s, d).filter(col("event_type") === "purchase"),
       "user_id", col("user_id") % 2 === 0, cents(col("value")))
+
+  /** DUNN'S POST-HOC TEST (round 15) — the answer to the question
+    * q323 leaves open: Kruskal–Wallis says "SOME group differs", a
+    * product decision needs WHICH PAIRS. Dunn's test compares every
+    * group pair on the SHARED pooled mid-ranks (not pairwise
+    * Mann–Whitney re-ranks — re-ranking per pair changes the null and
+    * inflates the family error), with the tie-corrected pooled
+    * variance:
+    *   z_ij = (R̄_i − R̄_j) / √[ (n(n+1)/12 − Σ(t³−t)/(12(n−1)))
+    *                             · (1/n_i + 1/n_j) ]
+    * Multiplicity is the caller's contract: `zCritMilli` is the
+    * Bonferroni-adjusted two-sided critical value for the k(k−1)/2
+    * comparisons the caller runs (2807 for k=5, α=0.05 — derived
+    * once from the instantiation's fixed k, not data).
+    *
+    * Exactness: the same lattice mid-rank machinery as q323 (2×
+    * integer units); per-group (n_g, Σng·r2) and the tie cube sum are
+    * exact decimals; each z assembles in ONE pinned double order.
+    *
+    * Scale (100 TB): lattice-bin partials + one bounded-grid window
+    * (shared across ALL pairs — ranked once), a k-row group table,
+    * and a k²-row self-join of that tiny table. */
+  def dunn(df: DataFrame, value: Column, group: Column,
+           zCritMilli: Long): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val perBin = df.select(value.as("v"), group.as("g"))
+      .where(col("v").isNotNull && col("g").isNotNull)
+      .groupBy(col("v"), col("g")).agg(count(lit(1)).as("ng"))
+      .localCheckpoint()
+    val perV = perBin.groupBy(col("v")).agg(sum(col("ng")).as("t"))
+    val w = Window.orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = perV.select(col("v"),
+      (lit(2L) * (sum(col("t")).over(w) - col("t")) + col("t") + lit(1L))
+        .as("r2"))
+    val byG = perBin.join(broadcast(ranked), "v")
+      .groupBy(col("g"))
+      .agg(sum(col("ng")).as("n_g"),
+        sum(dec(col("ng")) * dec(col("r2"))).as("rg2"))
+      .localCheckpoint() // the k-row table: self-joined + folded
+    val tot = byG.agg(sum(col("n_g")).as("n"))
+      .crossJoin(perV.agg(sum(dec(col("t")) * dec(col("t")) * dec(col("t"))
+        - dec(col("t"))).as("tie3")))
+    val pairs = byG.select(col("g").as("g_a"), col("n_g").as("n_a"),
+        col("rg2").as("ra2"))
+      .crossJoin(byG.select(col("g").as("g_b"), col("n_g").as("n_b"),
+        col("rg2").as("rb2")))
+      .where(col("g_a") < col("g_b"))
+      .crossJoin(broadcast(tot))
+    val nD = col("n").cast("double")
+    // mean ranks in 1x units; variance term tie-corrected, all from
+    // exact decimals cast once, combined in this pinned order
+    val num = (col("ra2").cast("double") / col("n_a").cast("double") -
+      col("rb2").cast("double") / col("n_b").cast("double")) / lit(2d)
+    val vt = (nD * (nD + lit(1d)) -
+      col("tie3").cast("double") / (nD - lit(1d))) / lit(12d)
+    val z = num / sqrt(vt * (lit(1d) / col("n_a").cast("double") +
+      lit(1d) / col("n_b").cast("double")))
+    pairs.select(col("g_a"), col("g_b"), col("n_a"), col("n_b"),
+      when(col("n") < 2L || vt <= lit(0d), lit(null).cast("long"))
+        .otherwise(floor(z * lit(1000d) + lit(0.5d)).cast("long"))
+        .as("z_milli"))
+      .withColumn("is_significant",
+        when(col("z_milli").isNull, lit(null).cast("int"))
+          .otherwise((abs(col("z_milli")) > lit(zCritMilli)).cast("int")))
+      .orderBy(col("g_a"), col("g_b"))
+  }
+
+  /** q389: WHICH event-type pairs differ in value — Dunn over the
+    * q323 frame, Bonferroni z at k=5's 10 comparisons (2.807). */
+  def q389(s: SparkSession, d: String): DataFrame =
+    dunn(Tables.events(s, d), cents(col("value")), col("event_type"),
+      2807L)
 }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -592,6 +592,79 @@ object Streaming {
             }
             alerts.result().iterator
           }
+      }
+  }
+
+  /** STREAMING SPRT MONITOR (round 15) — q384's early-stopping audit
+    * turned into what it naturally is: a CONTINUOUS gate. The batch
+    * query replays an experiment after the fact; this one evaluates
+    * Wald's llr on every micro-batch of the treatment stream as it
+    * arrives and appends (batch_id, n_cum, k_cum, llr_micro, decision)
+    * to the monitor table — the row an experimentation dashboard polls
+    * to stop an experiment the moment the evidence crosses ±ln 19.
+    *
+    * The hypotheses (p0Bp, p1Bp) are FIXED integer-bp constants the
+    * caller derives once (from the control arm, the q384 rule); the
+    * two per-observation llr constants are discretized to micro at
+    * stream START by the identical pinned-double rule, so the
+    * streaming llr path is bit-identical to the batch q384 chain over
+    * the same prefix of observations.
+    *
+    * foreachBatch is the boundary (the psiDriftStream reasoning): the
+    * cumulative (N, K) must fold across batches, and the monitor
+    * table itself carries it — each row stores cumulative counts, a
+    * new batch reads the rows with batch_id < its own, takes the
+    * latest cumulative, and adds its delta. At-least-once replay
+    * recomputes from the same predecessor rows and re-appends the
+    * SAME row (dedup on batch_id at read, the psi convention); the
+    * predecessor read is partition-pruned-small (the monitor table is
+    * one row per micro-batch). */
+  def sprtMonitorStream(events: DataFrame, isSuccess: Column,
+                        p0Bp: Long, p1Bp: Long, outDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(p0Bp > 0 && p0Bp < 10000 && p1Bp > 0 && p1Bp < 10000,
+      s"hypothesis rates must be interior bp, got p0=$p0Bp p1=$p1Bp")
+    val c1 = math.floor((math.log(p1Bp.toDouble) -
+      math.log(p0Bp.toDouble)) * 1e6 + 0.5).toLong
+    val c0 = math.floor((math.log(10000d - p1Bp) -
+      math.log(10000d - p0Bp)) * 1e6 + 0.5).toLong
+    val bound = 2944439L // floor(1e6*ln(19)+0.5): alpha = beta = 0.05
+    events.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val d = batch.agg(count(lit(1)).as("n_d"),
+            sum(when(isSuccess, 1L).otherwise(0L)).as("k_d"))
+            .head()
+          val (nD, kD) = (d.getLong(0), d.getLong(1))
+          val prev = try {
+            s.read.parquet(outDir)
+              .where(col("batch_id") < id)
+              .orderBy(col("batch_id").desc).limit(1)
+              .select(col("n_cum"), col("k_cum"), col("decision"))
+              .collect()
+              .headOption
+              .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+              .getOrElse((0L, 0L, "continue"))
+          } catch { case _: org.apache.spark.sql.AnalysisException =>
+            (0L, 0L, "continue") } // first batch: no monitor table yet
+          val (n, k) = (prev._1 + nD, prev._2 + kD)
+          val llr = k * c1 + (n - k) * c0
+          // ABSORBING, per Wald: the test ENDS at the first boundary
+          // crossing — later rows keep the verdict (cumulative counts
+          // and llr keep updating as post-decision bookkeeping), so
+          // evidence drifting back across the line can never un-stop
+          // a stopped experiment
+          val decision =
+            if (prev._3 != "continue") prev._3
+            else if (llr >= bound) "accept_h1"
+            else if (llr <= -bound) "accept_h0" else "continue"
+          import s.implicits._
+          Seq((id, n, k, llr, decision))
+            .toDF("batch_id", "n_cum", "k_cum", "llr_micro", "decision")
+            .write.mode("append").parquet(outDir)
+        }
+        ()
       }
   }
 }

@@ -6691,6 +6691,70 @@ class OperatorsSpec extends SparkSpec {
       s.toSeq.toString)
   }
 
+  test("dunn: hand-worked pairwise z on pooled ranks, crit contract, " +
+       "all-tied NULL") {
+    import SparkTestSession.spark.implicits._
+    def run(rows: Seq[(Long, String)], crit: Long) =
+      Relational.dunn(rows.toDF("v", "g"), col("v"), col("g"), crit)
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          (if (r.isNullAt(4)) None else Some(r.getLong(4)),
+            if (r.isNullAt(5)) None else Some(r.getInt(5)))).toMap
+    // a={1,2} b={3,4} c={5,6}: mean ranks 1.5/3.5/5.5, VT=3.5
+    // z_ab = -1069, z_ac = -2138, z_bc = -1069 milli
+    val rows = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b"),
+      (5L, "c"), (6L, "c"))
+    val t = run(rows, 2807L)
+    assert(t(("a", "b")) == ((Some(-1069L), Some(0))), t.toString)
+    assert(t(("a", "c")) == ((Some(-2138L), Some(0))), t.toString)
+    assert(t(("b", "c")) == ((Some(-1069L), Some(0))), t.toString)
+    // the crit is the caller's multiplicity contract: at 1960 the
+    // extreme pair turns significant, the adjacent ones stay not
+    val u = run(rows, 1960L)
+    assert(u(("a", "c"))._2 == Some(1) && u(("a", "b"))._2 == Some(0),
+      u.toString)
+    // all values tied: tie correction zeroes the variance -> NULL z
+    val z = run(Seq((5L, "a"), (5L, "a"), (5L, "b"), (5L, "b"),
+      (5L, "c"), (5L, "c")), 2807L)
+    assert(z.values.forall(_._1.isEmpty), z.toString)
+  }
+
+  test("effectSizes: hand-worked d/g/glass, degenerate NULLs") {
+    import SparkTestSession.spark.implicits._
+    def run(a: Seq[Long], b: Seq[Long]) =
+      Events.effectSizes(
+        (a.map((_, true)) ++ b.map((_, false))).toDF("v", "arm"),
+        col("v"), col("arm")).collect().head
+    val base = Seq.fill(25)(Seq(98L, 100L, 102L, 100L)).flatten
+    // equal variances, B = A+10: d = -7.036, Hedges g shrinks toward
+    // zero (small-n correction), Glass equals d (same control var)
+    val t = run(base, base.map(_ + 10L))
+    assert(t.toSeq == Seq(100L, 100L, -7036L, -7009L, -7036L),
+      t.toSeq.toString)
+    // both arms constant: pooled variance 0 -> d/g NULL, glass NULL
+    val z = run(Seq(5L, 5L), Seq(7L, 7L))
+    assert(z.isNullAt(2) && z.isNullAt(3) && z.isNullAt(4),
+      z.toSeq.toString)
+  }
+
+  test("yuenT: hand-worked trimmed t, whale-robust trimmed mean") {
+    import SparkTestSession.spark.implicits._
+    def run(a: Seq[Long], b: Seq[Long]) =
+      Events.yuenT(
+        (a.map((_, true)) ++ b.map((_, false))).toDF("v", "arm"),
+        col("v"), col("arm")).collect().head
+    // arms 1..10 vs 11..20: p20/p80 cuts 2/8 and 12/18, h = 7 each,
+    // trimmed means 5 and 15, t = -6230 milli, df = 12.000
+    val t = run((1L to 10L), (11L to 20L))
+    assert(t.toSeq == Seq(10L, 10L, 7L, 7L, 5L, 15L, -6230L, 12000L, 1),
+      t.toSeq.toString)
+    // one 10^6 whale in arm A: raw mean jumps to ~90914, the trimmed
+    // mean stays at 6 and the verdict stays significant-negative —
+    // the robustness Welch cannot offer
+    val w = run((1L to 10L) :+ 1000000L, (11L to 20L))
+    assert(w.toSeq == Seq(11L, 10L, 7L, 7L, 6L, 15L, -5367L, 11916L, 1),
+      w.toSeq.toString)
+  }
+
   test("luhnEval: valid plants all validate, invalid plants never, " +
        "natural runs at the ~10% base rate, worked check digit") {
     import SparkTestSession.spark.implicits._

@@ -724,4 +724,35 @@ class StreamingSpec extends SparkSpec {
         "rescaled stream store must equal the one-shot scaled build")
     } finally q.stop()
   }
+
+  test("sprtMonitorStream: cumulative llr crosses the h1 boundary " +
+       "batch-identically to the q384 constants") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-sprt").toString
+    val in = MemoryStream[Double]
+    // p0 = 5000 bp, p1 = 6000: c1 = 182322, c0 = -223144 (the q384
+    // worked constants); success = value > 150
+    val q = Streaming.sprtMonitorStream(in.toDF().toDF("value"),
+        col("value") > 150.0, 5000L, 6000L, s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      in.addData(Seq.fill(10)(200.0): _*)     // 10/10 hits
+      q.processAllAvailable()
+      in.addData(Seq.fill(10)(200.0): _*)     // 20/20 cumulative
+      q.processAllAvailable()
+      in.addData(Seq.fill(4)(100.0): _*)      // post-decision misses
+      q.processAllAvailable()
+      val rows = spark.read.parquet(s"$dir/out").collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+        .toMap
+      assert(rows(0L) == ((10L, 10L, 1823220L, "continue")), rows.toString)
+      assert(rows(1L) == ((20L, 20L, 3646440L, "accept_h1")), rows.toString)
+      // the cumulative fold carries across batches: the third row's
+      // llr = 24 trials / 20 hits under the same constants
+      assert(rows(2L) == ((24L, 20L,
+        20L * 182322L + 4L * -223144L, "accept_h1")), rows.toString)
+    } finally q.stop()
+  }
 }
