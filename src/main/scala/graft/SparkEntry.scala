@@ -408,6 +408,8 @@ object SparkEntry {
     "q389_dunn"           -> (Relational.q389 _),
     "q390_effect_size"    -> (Events.q390 _),
     "q391_yuen"           -> (Events.q391 _),
+    "q392_delta_ratio"    -> (Relational.q392 _),
+    "q393_ratio_mde"      -> (Relational.q393 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -7251,6 +7253,98 @@ object SparkEntry {
                / sqrt(da + db) * 1000 + 0.5)) > 1960 THEN 1 ELSE 0
              END AS INT) AS is_significant
          FROM w""",
+
+    // Delta-method ratio SE: one moment pass per arm, the q382 point
+    // estimate bit-equal by the shared idiv, the linearized variance
+    // in one pinned double order (epsilon-negative guarded).
+    "q392_delta_ratio" ->
+      s"""WITH pu AS (SELECT user_id AS u, CAST(user_id % 2 = 0 AS INT)
+               AS arm, count(*) AS x, sum(${C("value")}) AS y
+           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+         m AS (SELECT arm, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(CAST(x AS HUGEINT) * x) AS sxx,
+             sum(CAST(x AS HUGEINT) * y) AS sxy,
+             sum(CAST(y AS HUGEINT) * y) AS syy FROM pu GROUP BY 1),
+         f AS (SELECT arm, n, sx, sy,
+             CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE) AS r,
+             CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy
+               AS DOUBLE) / CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE)
+               AS cyy,
+             CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+               AS DOUBLE) / CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE)
+               AS cxy,
+             CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+               AS DOUBLE) / CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE)
+               AS cxx FROM m),
+         v AS (SELECT arm, n, sx, sy,
+             (cyy - 2 * r * cxy + r * r * cxx) * CAST(n AS DOUBLE)
+               / (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS var_r
+           FROM f),
+         o AS (SELECT CAST(arm AS BIGINT) AS arm,
+             CAST(n AS BIGINT) AS n_units,
+             CAST((1000000 * CAST(sy AS HUGEINT)) // CAST(sx AS HUGEINT)
+               AS BIGINT) AS ratio_micro,
+             CAST(CASE WHEN n < 2 OR sx = 0 THEN NULL
+               ELSE floor(sqrt(greatest(var_r, 0)) * 1000000 + 0.5)
+               END AS BIGINT) AS se_micro FROM v)
+         SELECT arm, n_units, ratio_micro, se_micro,
+           CASE WHEN se_micro IS NULL THEN NULL
+             ELSE ratio_micro - (196 * se_micro) // 100 END
+             AS ci95_lo_micro,
+           CASE WHEN se_micro IS NULL THEN NULL
+             ELSE ratio_micro + (196 * se_micro) // 100 END
+             AS ci95_hi_micro
+         FROM o ORDER BY arm""",
+
+    // Ratio-metric MDE: the q392 chain for both arms, combined at
+    // the fixed 2.8016 (5%/80%) constant.
+    "q393_ratio_mde" ->
+      s"""WITH pu AS (SELECT user_id AS u, CAST(user_id % 2 = 0 AS INT)
+               AS arm, count(*) AS x, sum(${C("value")}) AS y
+           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+         m AS (SELECT arm, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(CAST(x AS HUGEINT) * x) AS sxx,
+             sum(CAST(x AS HUGEINT) * y) AS sxy,
+             sum(CAST(y AS HUGEINT) * y) AS syy FROM pu GROUP BY 1),
+         f AS (SELECT arm, n, sx, sy,
+             CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE) AS r,
+             CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy
+               AS DOUBLE) / CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE)
+               AS cyy,
+             CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+               AS DOUBLE) / CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE)
+               AS cxy,
+             CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+               AS DOUBLE) / CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE)
+               AS cxx FROM m),
+         v AS (SELECT arm, n, sx, sy,
+             (cyy - 2 * r * cxy + r * r * cxx) * CAST(n AS DOUBLE)
+               / (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS var_r
+           FROM f),
+         o AS (SELECT arm, CAST(n AS BIGINT) AS n_units,
+             CAST((1000000 * CAST(sy AS HUGEINT)) // CAST(sx AS HUGEINT)
+               AS BIGINT) AS ratio_micro,
+             CAST(CASE WHEN n < 2 OR sx = 0 THEN NULL
+               ELSE floor(sqrt(greatest(var_r, 0)) * 1000000 + 0.5)
+               END AS BIGINT) AS se_micro FROM v),
+         ab AS (SELECT a.n_units AS n_a, b.n_units AS n_b,
+             a.ratio_micro AS r_a, b.ratio_micro AS r_b,
+             a.se_micro AS se_a, b.se_micro AS se_b
+           FROM (SELECT * FROM o WHERE arm = 1) a,
+                (SELECT * FROM o WHERE arm = 0) b),
+         x AS (SELECT n_a, n_b, r_a, r_b,
+             CASE WHEN se_a IS NULL OR se_b IS NULL THEN NULL
+               ELSE CAST(floor(2.8016 * sqrt(CAST(se_a AS DOUBLE) * se_a
+                 + CAST(se_b AS DOUBLE) * se_b) + 0.5) AS BIGINT)
+               END AS mde_abs_micro,
+             CAST((CAST(n_a AS HUGEINT) * r_a + CAST(n_b AS HUGEINT)
+               * r_b) // (CAST(n_a AS HUGEINT) + n_b) AS BIGINT)
+               AS pooled_micro FROM ab)
+         SELECT n_a, n_b, r_a, r_b, mde_abs_micro, pooled_micro,
+           CAST(CASE WHEN mde_abs_micro IS NULL OR pooled_micro = 0
+             THEN NULL ELSE (10000 * mde_abs_micro) // pooled_micro
+             END AS BIGINT) AS mde_rel_bp
+         FROM x""",
   )
 
   /** q226 oracle: the sampled co-purchase edge set + KCorePeelRounds

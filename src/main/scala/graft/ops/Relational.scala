@@ -4118,4 +4118,126 @@ object Relational {
   def q389(s: SparkSession, d: String): DataFrame =
     dunn(Tables.events(s, d), cents(col("value")), col("event_type"),
       2807L)
+
+  /** DELTA-METHOD RATIO SE (round 15) — the LINEARIZATION route to
+    * the same number q382's jackknife estimates by resampling:
+    * Var(Ȳ/X̄) ≈ (S_yy − 2R·S_xy + R²·S_xx) / (n·x̄²), the Taylor
+    * expansion every large-scale experimentation platform ships
+    * because it needs ONE moment pass where the jackknife needs the
+    * broadcast-back. Shipping BOTH is the point: they agree
+    * asymptotically, so their per-arm ratio is a built-in diagnostic —
+    * divergence flags a unit dominating the denominator (exactly when
+    * linearization degrades and the jackknife is the one to trust).
+    *
+    * Exact moments (n, Σx, Σy, Σxx, Σxy, Σyy per arm in
+    * decimal(38,0)); ratio_micro by the same truncating idiv as q382
+    * (the two operators' point estimates are bit-equal by
+    * construction); se_micro assembles in ONE pinned double order.
+    * NULL se when n < 2 or Σx = 0.
+    *
+    * Scale (100 TB): one user-grain aggregation + one arm-grain
+    * 6-number fold — strictly cheaper than the jackknife (no
+    * broadcast-back pass). */
+  def deltaMethodRatio(events: DataFrame, unit: String, arm: Column,
+                       valueCents: Column): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val perUser = events.select(col(unit).as("u"), arm.cast("int").as("arm"),
+      valueCents.as("vc"))
+      .groupBy(col("u"), col("arm"))
+      .agg(count(lit(1)).as("x"), sum(col("vc")).as("y"))
+    val mom = perUser.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+        sum(dec(col("x")) * dec(col("y"))).as("sxy"),
+        sum(dec(col("y")) * dec(col("y"))).as("syy"))
+    val n = dec(col("n"))
+    def sampCov(ss: Column, a: Column, b: Column): Column =
+      (n * ss - a * b).cast("double") /
+        (n * (n - dec(lit(1L)))).cast("double")
+    val r = col("sy").cast("double") / col("sx").cast("double")
+    val varR = (sampCov(col("syy"), dec(col("sy")), dec(col("sy"))) -
+      lit(2d) * r * sampCov(col("sxy"), dec(col("sx")), dec(col("sy"))) +
+      r * r * sampCov(col("sxx"), dec(col("sx")), dec(col("sx")))) *
+      col("n").cast("double") /
+      (col("sx").cast("double") * col("sx").cast("double"))
+    val ratio = graft.functions.F.idiv(dec(lit(1000000L)) * dec(col("sy")),
+      dec(col("sx"))).cast("long")
+    val bad = col("n") < 2L || col("sx") === 0L
+    mom.select(col("arm").cast("long").as("arm"), col("n").as("n_units"),
+      ratio.as("ratio_micro"),
+      when(bad, lit(null).cast("long"))
+        // greatest(.,0): the quadratic form is >= 0 mathematically
+        // (it is Var(y - Rx) scaled); double rounding on degenerate
+        // all-y-proportional-to-x data could land epsilon-negative
+        // and NaN the sqrt
+        .otherwise(floor(sqrt(greatest(varR, lit(0d))) * lit(1000000d) +
+          lit(0.5d)).cast("long")).as("se_micro"))
+      .withColumn("ci95_lo_micro",
+        when(col("se_micro").isNull, lit(null).cast("long"))
+          .otherwise(col("ratio_micro") -
+            graft.functions.F.idiv(lit(196L) * col("se_micro"), lit(100L))))
+      .withColumn("ci95_hi_micro",
+        when(col("se_micro").isNull, lit(null).cast("long"))
+          .otherwise(col("ratio_micro") +
+            graft.functions.F.idiv(lit(196L) * col("se_micro"), lit(100L))))
+      .orderBy(col("arm"))
+  }
+
+  /** q392: the q382 frame through the delta method — point estimates
+    * bit-equal, SEs asymptotically agreeing (the spec pins ≤ 5%
+    * divergence on the verify corpus). */
+  def q392(s: SparkSession, d: String): DataFrame =
+    deltaMethodRatio(
+      Tables.events(s, d).filter(col("event_type") === "purchase"),
+      "user_id", col("user_id") % 2 === 0, cents(col("value")))
+
+  /** RATIO-METRIC MDE PLANNER (round 15) — q348 sizes experiments on
+    * MEANS; ratio metrics (revenue-per-event) need their own: with
+    * per-arm delta-method SEs, the two-arm detectable difference at
+    * α = 5% two-sided and 80% power is
+    *   MDE = (z_{α/2} + z_β)·√(se_a² + se_b²) = 2.8016·se_diff,
+    * reported absolute (micro) and relative to the pooled ratio (bp)
+    * — the number that answers "how long must this run" BEFORE the
+    * experiment wastes a quarter.
+    *
+    * One row; 2.8016 is the fixed (1.959964 + 0.841621) constant of
+    * the 5%/80% convention, applied in one pinned double order over
+    * the q392 moment machinery. NULL when either arm's se is NULL. */
+  def ratioMde(events: DataFrame, unit: String, arm: Column,
+               valueCents: Column): DataFrame = {
+    val per = deltaMethodRatio(events, unit, arm, valueCents)
+    val a = per.where(col("arm") === 1L)
+      .select(col("n_units").as("n_a"), col("ratio_micro").as("r_a"),
+        col("se_micro").as("se_a"))
+    val b = per.where(col("arm") === 0L)
+      .select(col("n_units").as("n_b"), col("ratio_micro").as("r_b"),
+        col("se_micro").as("se_b"))
+    a.crossJoin(b)
+      .withColumn("mde_abs_micro",
+        when(col("se_a").isNull || col("se_b").isNull,
+          lit(null).cast("long"))
+          .otherwise(floor(lit(2.8016d) *
+            sqrt(col("se_a").cast("double") * col("se_a").cast("double") +
+              col("se_b").cast("double") * col("se_b").cast("double")) +
+            lit(0.5d)).cast("long")))
+      .withColumn("pooled_micro",
+        graft.functions.F.idiv(
+          col("n_a").cast("decimal(38,0)") * col("r_a") +
+            col("n_b").cast("decimal(38,0)") * col("r_b"),
+          (col("n_a") + col("n_b")).cast("decimal(38,0)")).cast("long"))
+      .withColumn("mde_rel_bp",
+        when(col("mde_abs_micro").isNull || col("pooled_micro") === 0L,
+          lit(null).cast("long"))
+          .otherwise(graft.functions.F.idiv(
+            lit(10000L) * col("mde_abs_micro"), col("pooled_micro"))))
+      .select(col("n_a"), col("n_b"), col("r_a"), col("r_b"),
+        col("mde_abs_micro"), col("pooled_micro"), col("mde_rel_bp"))
+  }
+
+  /** q393: how big a revenue-per-event shift the parity experiment
+    * can currently detect — the ratio-metric duration planner. */
+  def q393(s: SparkSession, d: String): DataFrame =
+    ratioMde(Tables.events(s, d).filter(col("event_type") === "purchase"),
+      "user_id", col("user_id") % 2 === 0, cents(col("value")))
 }

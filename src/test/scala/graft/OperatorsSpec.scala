@@ -6736,6 +6736,42 @@ class OperatorsSpec extends SparkSpec {
       z.toSeq.toString)
   }
 
+  test("deltaMethodRatio: hand-worked SE, point estimate bit-equal to " +
+       "jackknife, asymptotic SE agreement on the verify corpus") {
+    import SparkTestSession.spark.implicits._
+    // same 3-unit frame as the jackknife spec: ratio identical by the
+    // shared idiv; delta SE 21650635 vs jackknife 19245008 (small-n
+    // divergence is expected; agreement is asymptotic)
+    val rows = Seq((1L, 100L), (2L, 200L), (3L, 150L), (3L, 150L))
+      .toDF("u", "vc")
+    val d = Relational.deltaMethodRatio(rows, "u", lit(true), col("vc"))
+      .collect().head
+    assert(d.toSeq == Seq(1L, 3L, 150000000L, 21650635L,
+      150000000L - (196L * 21650635L) / 100L,
+      150000000L + (196L * 21650635L) / 100L), d.toSeq.toString)
+    // on the verify corpus (75 units/arm) the two SEs agree within 5%
+    // per arm — the built-in diagnostic the scaladoc promises
+    val ev = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+    // delta columns: (arm, n, ratio, se, ...); jackknife carries an
+    // extra n_excluded: (arm, n, n_excluded, ratio, se, ...)
+    val vc = graft.functions.Cols.cents(col("value"))
+    val dm = Relational.deltaMethodRatio(ev, "user_id",
+      col("user_id") % 2 === 0, vc).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val jk = Relational.jackknifeRatio(ev, "user_id",
+      col("user_id") % 2 === 0, vc).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    Seq(0L, 1L).foreach { arm =>
+      assert(dm(arm)._1 == jk(arm)._1,
+        s"arm $arm point estimates must be bit-equal")
+      val a = dm(arm)._2.toDouble
+      val b = jk(arm)._2.toDouble
+      assert(math.abs(a - b) / b < 0.05,
+        s"arm $arm SE divergence $a vs $b")
+    }
+  }
+
   test("yuenT: hand-worked trimmed t, whale-robust trimmed mean") {
     import SparkTestSession.spark.implicits._
     def run(a: Seq[Long], b: Seq[Long]) =
