@@ -410,6 +410,7 @@ object SparkEntry {
     "q391_yuen"           -> (Events.q391 _),
     "q392_delta_ratio"    -> (Relational.q392 _),
     "q393_ratio_mde"      -> (Relational.q393 _),
+    "q394_aa_calibration" -> (Events.q394 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -7345,6 +7346,63 @@ object SparkEntry {
              THEN NULL ELSE (10000 * mde_abs_micro) // pooled_micro
              END AS BIGINT) AS mde_rel_bp
          FROM x""",
+
+    // A/A calibration: the q208 mix64 deal (one md5 per unit, B
+    // splitmix expansions, low bit = arm), then the pooled
+    // two-proportion z per replicate and the bi=-1 summary row.
+    "q394_aa_calibration" ->
+      s"""WITH uc AS (SELECT user_id AS u,
+             max(CASE WHEN value > 150.0 THEN 1 ELSE 0 END) AS conv
+           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         up AS (SELECT u, conv,
+             md5_number_upper('aa-epoch-1:' || CAST(u AS VARCHAR)) AS h
+           FROM uc),
+         e AS (SELECT u, conv, h, unnest(range(0, 32)) AS bi FROM up),
+         sd AS (SELECT u, conv, bi,
+             CAST((h::HUGEINT + bi::HUGEINT * 11400714819323198485)
+               % 18446744073709551616 AS UBIGINT) AS seed FROM e),
+         ${"ax0 AS (SELECT u, conv, bi, CAST(seed AS UBIGINT) AS z FROM sd)"},
+         ax1 AS (SELECT u, conv, bi, CAST((z::HUGEINT + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z FROM ax0),
+         ax2 AS (SELECT u, conv, bi, xor(z, z >> 30) AS z FROM ax1),
+         ax3 AS (SELECT u, conv, bi, CAST(((z >> 32)::HUGEINT * 13787848793156543929 % 4294967296 * 4294967296
+               + (z & 4294967295)::HUGEINT * 13787848793156543929) % 18446744073709551616 AS UBIGINT) AS z FROM ax2),
+         ax4 AS (SELECT u, conv, bi, xor(z, z >> 27) AS z FROM ax3),
+         ax5 AS (SELECT u, conv, bi, CAST(((z >> 32)::HUGEINT * 10723151780598845931 % 4294967296 * 4294967296
+               + (z & 4294967295)::HUGEINT * 10723151780598845931) % 18446744073709551616 AS UBIGINT) AS z FROM ax4),
+         ar AS (SELECT u, conv, bi,
+             CAST(xor(z, z >> 31) & 1 AS BIGINT) AS arm FROM ax5),
+         rp AS (SELECT bi,
+             sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_a,
+             sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_b,
+             sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS k_a,
+             sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS k_b
+           FROM ar GROUP BY 1),
+         zz AS (SELECT CAST(bi AS BIGINT) AS bi,
+             CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+             CAST(k_a AS BIGINT) AS k_a, CAST(k_b AS BIGINT) AS k_b,
+             CAST(CASE WHEN n_a = 0 OR n_b = 0 OR k_a + k_b = 0
+                 OR k_a + k_b = n_a + n_b THEN NULL
+               ELSE floor((CAST(k_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                 - CAST(k_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                 / sqrt((CAST(k_a + k_b AS DOUBLE)
+                     / CAST(n_a + n_b AS DOUBLE))
+                   * (1 - CAST(k_a + k_b AS DOUBLE)
+                     / CAST(n_a + n_b AS DOUBLE))
+                   * (1.0 / CAST(n_a AS DOUBLE)
+                     + 1.0 / CAST(n_b AS DOUBLE)))
+                 * 1000 + 0.5) END AS BIGINT) AS z_milli
+           FROM rp),
+         pr AS (SELECT bi, n_a, n_b, k_a, k_b, z_milli,
+             CAST(CASE WHEN z_milli IS NULL THEN NULL
+               WHEN abs(z_milli) > 1960 THEN 1 ELSE 0 END AS INT)
+               AS is_fp FROM zz)
+         SELECT * FROM pr
+         UNION ALL
+         SELECT CAST(-1 AS BIGINT), CAST(sum(n_a) AS BIGINT),
+           CAST(sum(n_b) AS BIGINT), CAST(sum(k_a) AS BIGINT),
+           CAST(sum(k_b) AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(sum(is_fp) AS INT) FROM pr
+         ORDER BY bi""",
   )
 
   /** q226 oracle: the sampled co-purchase edge set + KCorePeelRounds

@@ -3711,4 +3711,73 @@ object Events {
   def q391(s: SparkSession, d: String): DataFrame =
     yuenT(Tables.events(s, d).filter(col("event_type") === "purchase"),
       cents(col("value")), col("user_id") % 2 === 0)
+
+  /** A/A CALIBRATION HARNESS (round 15) — the check a platform runs
+    * BEFORE trusting any A/B verdict: split the same population into
+    * B independent pseudo-experiments where NOTHING differs, run the
+    * production two-proportion z on each, and count false positives.
+    * A healthy pipeline reads ≈ α (5%); a far-off rate means the unit
+    * of randomization and the unit of analysis disagree (clustered
+    * users, shared devices, dependent events) and every real
+    * experiment's p-values are miscalibrated.
+    *
+    * Determinism: replicate arms come from the splitmix64 stream
+    * seeded by ONE md5 per unit (mix64At(h, bi) & 1 — the q208
+    * bootstrap's draw discipline), so both engines deal identical
+    * pseudo-experiments. Per replicate, the q209-shape pooled z from
+    * exact long counts in ONE pinned double order. Output: B
+    * replicate rows + a bi = −1 summary row (count columns summed,
+    * is_fp = the false-positive count, z NULL — the q200 convention).
+    *
+    * Scale (100 TB): one unit-grain aggregation, a B-way map-side
+    * explode (B constant), one B-row aggregation — the q208 shape. */
+  def aaCalibration(events: DataFrame, unit: String, isConv: Column,
+                    b: Int, seed: String): DataFrame = {
+    val users = events.groupBy(col(unit).as("u"))
+      .agg(max(isConv.cast("int")).cast("long").as("conv"))
+      .withColumn("h", F.md5Hash64(
+        concat(lit(seed + ":"), col("u").cast("string"))))
+    val reps = users
+      .select(col("conv"), col("h"),
+        explode(sequence(lit(0), lit(b - 1))).as("bi"))
+      .withColumn("arm",
+        F.mix64At(col("h"), col("bi")).bitwiseAND(lit(1L)))
+      .groupBy(col("bi"))
+      .agg(sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("arm") === 1L, col("conv")).otherwise(0L)).as("k_a"),
+        sum(when(col("arm") === 0L, col("conv")).otherwise(0L)).as("k_b"))
+    def dd(c: Column): Column = c.cast("double")
+    val p = dd(col("k_a") + col("k_b")) / dd(col("n_a") + col("n_b"))
+    val z = (dd(col("k_a")) / dd(col("n_a")) -
+      dd(col("k_b")) / dd(col("n_b"))) /
+      sqrt(p * (lit(1d) - p) *
+        (lit(1d) / dd(col("n_a")) + lit(1d) / dd(col("n_b"))))
+    val bad = col("n_a") === 0L || col("n_b") === 0L ||
+      col("k_a") + col("k_b") === 0L ||
+      col("k_a") + col("k_b") === col("n_a") + col("n_b")
+    val perRep = reps.select(col("bi").cast("long").as("bi"),
+      col("n_a"), col("n_b"), col("k_a"), col("k_b"),
+      when(bad, lit(null).cast("long"))
+        .otherwise(floor(z * lit(1000d) + lit(0.5d)).cast("long"))
+        .as("z_milli"))
+      .withColumn("is_fp",
+        when(col("z_milli").isNull, lit(null).cast("int"))
+          .otherwise((abs(col("z_milli")) > lit(1960L)).cast("int")))
+    val summary = perRep.agg(sum(col("n_a")).as("n_a"),
+      sum(col("n_b")).as("n_b"), sum(col("k_a")).as("k_a"),
+      sum(col("k_b")).as("k_b"),
+      sum(col("is_fp")).cast("int").as("is_fp"))
+      .select(lit(-1L).as("bi"), col("n_a"), col("n_b"), col("k_a"),
+        col("k_b"), lit(null).cast("long").as("z_milli"), col("is_fp"))
+    perRep.unionAll(summary).orderBy(col("bi"))
+  }
+
+  /** q394: 32 pseudo-A/A experiments over big-purchase conversion —
+    * the false-positive count the experimentation stack must read
+    * ≈ α before any real verdict is trusted. */
+  def q394(s: SparkSession, d: String): DataFrame =
+    aaCalibration(
+      Tables.events(s, d).filter(col("event_type") === "purchase"),
+      "user_id", col("value") > 150.0, 32, "aa-epoch-1")
 }

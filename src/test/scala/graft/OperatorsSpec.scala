@@ -6772,6 +6772,33 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("aaCalibration: B+1 rows, exact splits, deterministic deal, " +
+       "false-positive rate near alpha") {
+    import org.apache.spark.sql.functions.col
+    val ev = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+    val nUsers = ev.select("user_id").distinct().count()
+    def run() = Events.aaCalibration(ev, "user_id",
+      col("value") > 150.0, 32, "aa-epoch-1").collect()
+    val rows = run()
+    assert(rows.length == 33, s"32 replicates + summary, got ${rows.length}")
+    val (summary, reps) = rows.partition(_.getLong(0) == -1L)
+    // every replicate splits the SAME unit universe exactly
+    reps.foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) == nUsers, r.toSeq.toString) }
+    // summary sums the replicate columns; fp count far under the
+    // blow-up regime (expected ~1.6 at alpha=5%, B=32; the pseudo-
+    // replicates share data so the bound is deliberately loose)
+    val s0 = summary.head
+    assert(s0.getLong(1) == reps.map(_.getLong(1)).sum, s0.toSeq.toString)
+    assert(s0.getInt(6) <= 8,
+      s"A/A false positives implausibly high: ${s0.getInt(6)}/32")
+    // the deal is a pure function of (seed, unit): re-running is
+    // byte-identical
+    assert(run().map(_.toSeq.toString).toSeq ==
+      rows.map(_.toSeq.toString).toSeq, "A/A deal must be deterministic")
+  }
+
   test("yuenT: hand-worked trimmed t, whale-robust trimmed mean") {
     import SparkTestSession.spark.implicits._
     def run(a: Seq[Long], b: Seq[Long]) =
