@@ -411,6 +411,7 @@ object SparkEntry {
     "q392_delta_ratio"    -> (Relational.q392 _),
     "q393_ratio_mde"      -> (Relational.q393 _),
     "q394_aa_calibration" -> (Events.q394 _),
+    "q395_ordinal_assoc"  -> (Relational.q395 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -7403,6 +7404,42 @@ object SparkEntry {
            CAST(sum(k_b) AS BIGINT), CAST(NULL AS BIGINT),
            CAST(sum(is_fp) AS INT) FROM pr
          ORDER BY bi""",
+
+    // Gamma + Somers' D: the q322 pair-count CTEs; all three outputs
+    // are pure integer idiv ratios (no doubles — unlike tau-b's sqrt).
+    "q395_ordinal_assoc" ->
+      s"""WITH u AS MATERIALIZED (
+           SELECT o_orderdate AS k, CAST(count(*) AS BIGINT) AS xv,
+             CAST(sum(${C("o_totalprice")}) AS BIGINT) AS yv
+           FROM orders GROUP BY 1),
+         cd AS (SELECT
+             CAST(sum(CASE WHEN (a.xv > b.xv AND a.yv > b.yv)
+               OR (a.xv < b.xv AND a.yv < b.yv) THEN 1 ELSE 0 END)
+               AS HUGEINT) AS nc,
+             CAST(sum(CASE WHEN (a.xv > b.xv AND a.yv < b.yv)
+               OR (a.xv < b.xv AND a.yv > b.yv) THEN 1 ELSE 0 END)
+               AS HUGEINT) AS nd
+           FROM u a JOIN u b ON a.k < b.k),
+         tx AS (SELECT CAST(coalesce(sum(t * (t - 1) // 2), 0) AS HUGEINT)
+             AS ntx FROM (SELECT count(*) AS t FROM u GROUP BY xv)),
+         ty AS (SELECT CAST(coalesce(sum(t * (t - 1) // 2), 0) AS HUGEINT)
+             AS nty FROM (SELECT count(*) AS t FROM u GROUP BY yv)),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM u)
+         SELECT n AS n_units, CAST(n * (n - 1) // 2 AS BIGINT) AS n_pairs,
+           CAST(nc AS BIGINT) AS concordant, CAST(nd AS BIGINT)
+             AS discordant,
+           CAST(CASE WHEN nc + nd = 0 THEN NULL
+             ELSE (10000 * (nc - nd)) // (nc + nd) END AS BIGINT)
+             AS gamma_bp,
+           CAST(CASE WHEN CAST(n AS HUGEINT) * (n - 1) // 2 - ntx = 0
+             THEN NULL ELSE (10000 * (nc - nd))
+               // (CAST(n AS HUGEINT) * (n - 1) // 2 - ntx)
+             END AS BIGINT) AS somers_d_yx_bp,
+           CAST(CASE WHEN CAST(n AS HUGEINT) * (n - 1) // 2 - nty = 0
+             THEN NULL ELSE (10000 * (nc - nd))
+               // (CAST(n AS HUGEINT) * (n - 1) // 2 - nty)
+             END AS BIGINT) AS somers_d_xy_bp
+         FROM cd, tx, ty, nn""",
   )
 
   /** q226 oracle: the sampled co-purchase edge set + KCorePeelRounds

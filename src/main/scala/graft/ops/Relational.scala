@@ -4240,4 +4240,76 @@ object Relational {
   def q393(s: SparkSession, d: String): DataFrame =
     ratioMde(Tables.events(s, d).filter(col("event_type") === "purchase"),
       "user_id", col("user_id") % 2 === 0, cents(col("value")))
+
+  /** ORDINAL ASSOCIATION: GOODMAN–KRUSKAL γ + SOMERS' D (round 15) —
+    * the tie-POLICY members completing the concordance family q322's
+    * τ-b opened: all three read the same (C, D, tie) pair counts and
+    * differ only in which tied pairs the denominator charges, which
+    * is exactly the modeling question — γ = (C−D)/(C+D) ignores every
+    * tie (the ordinal-table classic: how predictive is order, WHEN
+    * both orders speak); Somers' D_yx = (C−D)/(n₀−T_x) conditions on
+    * x (pairs tied on x are excluded, ties on y count against — the
+    * asymmetric "predict y from x" skill); D_xy = (C−D)/(n₀−T_y) is
+    * the transpose, and for a BINARY y with x a score it carries the
+    * ranking identity AUC = (D_xy+1)/2 (the spec pins it on a
+    * perfectly-ranked hand case).
+    *
+    * Unlike τ-b (whose normalizer needs a √), ALL THREE outputs here
+    * are ratios of exact integer pair counts — bp by one truncating
+    * idiv each, no doubles anywhere. NULL where the respective
+    * denominator is empty (all-tied on the relevant sides).
+    *
+    * Scale: the q322 contract verbatim — concordance is quadratic in
+    * the UNIT grain by definition, so the same maxUnits guardrail
+    * requires a pre-aggregated bounded grain (day table, bucket
+    * table), never a raw corpus. */
+  def ordinalAssoc(units: DataFrame, key: Column, x: Column,
+                   y: Column, maxUnits: Long = 4096L): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val u = units.select(key.as("k"), x.as("xv"), y.as("yv"))
+      .where(col("xv").isNotNull && col("yv").isNotNull)
+      .localCheckpoint()
+    val nu = u.count()
+    require(nu <= maxUnits,
+      s"ordinalAssoc: $nu units would form ~${nu * nu / 2} concordance " +
+        "pairs; pre-aggregate the series to a bounded grain (the q322 " +
+        "day-table discipline) or raise maxUnits deliberately")
+    val cd = u.as("a").join(u.as("b"), col("a.k") < col("b.k"))
+      .agg(
+        sum(when((col("a.xv") > col("b.xv") && col("a.yv") > col("b.yv")) ||
+          (col("a.xv") < col("b.xv") && col("a.yv") < col("b.yv")), 1L)
+          .otherwise(0L)).as("nc"),
+        sum(when((col("a.xv") > col("b.xv") && col("a.yv") < col("b.yv")) ||
+          (col("a.xv") < col("b.xv") && col("a.yv") > col("b.yv")), 1L)
+          .otherwise(0L)).as("nd"))
+    def tiePairs(c: String, alias: String): DataFrame =
+      u.groupBy(col(c)).agg(count(lit(1)).as("t"))
+        .agg(coalesce(sum(dec(graft.functions.F.idiv(
+          col("t") * (col("t") - 1L), lit(2L)))), dec(lit(0L))).as(alias))
+    val m = cd
+      .crossJoin(broadcast(u.agg(count(lit(1)).as("n"))))
+      .crossJoin(broadcast(tiePairs("xv", "tx")))
+      .crossJoin(broadcast(tiePairs("yv", "ty")))
+    val n0 = dec(graft.functions.F.idiv(col("n") * (col("n") - 1L), lit(2L)))
+    val sgn = dec(col("nc")) - dec(col("nd"))
+    def ratioBp(den: Column, name: String): Column =
+      when(den === dec(lit(0L)), lit(null).cast("long"))
+        .otherwise(graft.functions.F.idiv(dec(lit(10000L)) * sgn, den)
+          .cast("long")).as(name)
+    m.select(col("n").as("n_units"), n0.cast("long").as("n_pairs"),
+      col("nc").as("concordant"), col("nd").as("discordant"),
+      ratioBp(dec(col("nc")) + dec(col("nd")), "gamma_bp"),
+      ratioBp(n0 - col("tx"), "somers_d_yx_bp"),
+      ratioBp(n0 - col("ty"), "somers_d_xy_bp"))
+  }
+
+  /** q395: γ and both Somers' D between daily order volume and daily
+    * revenue — the tie-policy reads next to q322's τ-b on the same
+    * day-grain frame. */
+  def q395(s: SparkSession, d: String): DataFrame =
+    ordinalAssoc(
+      Tables.orders(s, d).groupBy(col("o_orderdate"))
+        .agg(count(lit(1)).as("xn"),
+          sum(cents(col("o_totalprice"))).as("yn")),
+      col("o_orderdate"), col("xn"), col("yn"))
 }

@@ -6799,6 +6799,33 @@ class OperatorsSpec extends SparkSpec {
       rows.map(_.toSeq.toString).toSeq, "A/A deal must be deterministic")
   }
 
+  test("ordinalAssoc: hand-worked gamma/somers, tie-policy split, " +
+       "AUC identity on a perfect ranking") {
+    import SparkTestSession.spark.implicits._
+    def run(rows: Seq[(Long, Long, Long)]) =
+      Relational.ordinalAssoc(rows.toDF("k", "x", "y"), col("k"),
+        col("x"), col("y")).collect().head
+    // no ties: C=2 D=1 -> all three read 10000/3 = 3333
+    val t = run(Seq((1L, 1L, 1L), (2L, 2L, 3L), (3L, 3L, 2L)))
+    assert(t.toSeq == Seq(3L, 3L, 2L, 1L, 3333L, 3333L, 3333L),
+      t.toSeq.toString)
+    // x-ties: gamma and D_yx forgive the x-tied pair, D_xy charges it
+    // x={1,1,2} y={2,1,3}: C=2 D=0, tx=1 ty=0
+    val u = run(Seq((1L, 1L, 2L), (2L, 1L, 1L), (3L, 2L, 3L)))
+    assert(u.toSeq == Seq(3L, 3L, 2L, 0L, 10000L, 10000L, 6666L),
+      u.toSeq.toString)
+    // AUC identity: binary y perfectly ranked by x -> D_xy = 1.0
+    // (AUC = (D_xy+1)/2 = 1), while D_yx reads 2/3 (y-ties charged)
+    val a = run(Seq((1L, 10L, 0L), (2L, 20L, 0L), (3L, 30L, 1L),
+      (4L, 40L, 1L)))
+    assert(a.getLong(4) == 10000L && a.getLong(5) == 6666L &&
+      a.getLong(6) == 10000L, a.toSeq.toString)
+    // everything tied on both: all denominators empty -> NULLs
+    val z = run(Seq((1L, 5L, 5L), (2L, 5L, 5L)))
+    assert(z.isNullAt(4) && z.isNullAt(5) && z.isNullAt(6),
+      z.toSeq.toString)
+  }
+
   test("yuenT: hand-worked trimmed t, whale-robust trimmed mean") {
     import SparkTestSession.spark.implicits._
     def run(a: Seq[Long], b: Seq[Long]) =
