@@ -412,6 +412,7 @@ object SparkEntry {
     "q393_ratio_mde"      -> (Relational.q393 _),
     "q394_aa_calibration" -> (Events.q394 _),
     "q395_ordinal_assoc"  -> (Relational.q395 _),
+    "q396_vad"            -> (Multimodal.q396 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -7440,6 +7441,45 @@ object SparkEntry {
                // (CAST(n AS HUGEINT) * (n - 1) // 2 - nty)
              END AS BIGINT) AS somers_d_xy_bp
          FROM cd, tx, ty, nn""",
+
+    // VAD: the q105 generator replayed with the window gate, window
+    // mean-square threshold (no sqrt), run/segment accounting via
+    // lag + the gaps-and-islands trick — exact integers end to end.
+    "q396_vad" ->
+      """WITH n AS (SELECT doc_id,
+             800 + (doc_id * 2654435761) % 1600 AS ns FROM documents),
+         s AS (SELECT doc_id, unnest(range(ns)) AS i FROM n),
+         v0 AS (SELECT doc_id, i // 160 AS w,
+             ((i * 127 + doc_id * 31) % 65536) - 32768 AS raw FROM s),
+         v AS (SELECT doc_id, w,
+             CASE WHEN (w + doc_id) % 4 = 0 THEN (raw % 257) - 128
+               ELSE raw END AS v FROM v0),
+         ww AS (SELECT doc_id, w, count(*) AS nw,
+             sum(CAST(v AS HUGEINT) * v) AS ss FROM v GROUP BY 1, 2),
+         fl AS (SELECT doc_id, w, (ss // nw) < 1000000 AS silent FROM ww),
+         rr AS (SELECT doc_id, w, silent,
+             lag(silent, 1, TRUE) OVER (PARTITION BY doc_id ORDER BY w)
+               AS prev FROM fl),
+         seg AS (SELECT doc_id,
+             sum(CASE WHEN NOT silent AND prev THEN 1 ELSE 0 END)
+               AS n_segments FROM rr GROUP BY 1),
+         sil AS (SELECT doc_id,
+             w - row_number() OVER (PARTITION BY doc_id ORDER BY w)
+               AS grp FROM fl WHERE silent),
+         ls AS (SELECT doc_id, max(c) AS longest FROM
+             (SELECT doc_id, grp, count(*) AS c FROM sil GROUP BY 1, 2)
+           GROUP BY 1),
+         ag AS (SELECT doc_id, count(*) AS n_windows,
+             sum(CASE WHEN silent THEN 1 ELSE 0 END) AS n_silent
+           FROM fl GROUP BY 1)
+         SELECT ag.doc_id, CAST(n_windows AS BIGINT) AS n_windows,
+           CAST(n_silent AS BIGINT) AS n_silent,
+           CAST(coalesce(seg.n_segments, 0) AS BIGINT) AS n_segments,
+           CAST((10000 * (n_windows - n_silent)) // n_windows AS BIGINT)
+             AS active_bp,
+           CAST(coalesce(ls.longest, 0) AS BIGINT) AS longest_silence
+         FROM ag JOIN seg USING (doc_id)
+         LEFT JOIN ls USING (doc_id)""",
   )
 
   /** q226 oracle: the sampled co-purchase edge set + KCorePeelRounds

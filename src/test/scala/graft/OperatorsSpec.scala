@@ -6826,6 +6826,46 @@ class OperatorsSpec extends SparkSpec {
       z.toSeq.toString)
   }
 
+  test("vadSegments: decoded verdicts equal the generator replay for " +
+       "every doc; gate structure and boundary phases covered") {
+    import org.apache.spark.sql.functions.col
+    val out = Multimodal.q396(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    // independent ENERGY replay from the pure sample function — not
+    // the gate pattern: a short FINAL partial window of the full-scale
+    // sawtooth can straddle its zero crossing and be genuinely
+    // low-energy (doc 170 at sf0.001 does exactly that), and the
+    // detector's contract is energy, not provenance
+    var phases = Set.empty[Long]
+    out.foreach { case (doc, got) =>
+      val n = Multimodal.wavSamples(doc)
+      val nW = (n + Multimodal.VadWindow - 1) / Multimodal.VadWindow
+      val silent = (0 until nW).map { w =>
+        val from = w * Multimodal.VadWindow
+        val until = math.min(from + Multimodal.VadWindow, n)
+        val sumSq = (from until until).map { i =>
+          val v = Multimodal.gatedSampleAt(doc, i).toLong
+          v * v
+        }.sum
+        sumSq / (until - from) < 1000000L
+      }
+      phases += doc % 4
+      val nSil = silent.count(identity).toLong
+      var seg = 0L; var longest = 0L; var run = 0L; var prev = true
+      silent.foreach { s0 =>
+        if (s0) { run += 1; if (run > longest) longest = run }
+        else { if (prev) seg += 1; run = 0 }
+        prev = s0
+      }
+      val want = Seq(nW.toLong, nSil, seg,
+        10000L * (nW - nSil) / nW, longest)
+      assert(got == want, s"doc $doc: got $got want $want")
+    }
+    // the corpus exercises every gate phase (docs starting silent AND
+    // active) — the boundary handling is covered, not accidental
+    assert(phases == Set(0L, 1L, 2L, 3L), phases.toString)
+  }
+
   test("yuenT: hand-worked trimmed t, whale-robust trimmed mean") {
     import SparkTestSession.spark.implicits._
     def run(a: Seq[Long], b: Seq[Long]) =
