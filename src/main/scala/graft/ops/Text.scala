@@ -4817,7 +4817,7 @@ object Text {
     val did = col("docid").cast("string")
     // the spoof token: Latin d/t around Cyrillic U+0430 — explicit
     // escapes so the byte sequence is pinned, not editor-dependent
-    val spoof = " dаtа"
+    val spoof = " d\u0430t\u0430"
     val planted = docs.select(col(id).cast("long").as("docid"),
         col(text).as("t"), col(group).as("g"))
       .withColumn("t2", when(col("docid") % 5 === 0,

@@ -48,14 +48,14 @@ import org.apache.spark.sql.functions._
 object ErasureAudit {
 
   private def leakRow(store: String, surface: String,
-                      table: DataFrame, joined: DataFrame): DataFrame =
+                      joined: DataFrame): DataFrame =
     joined.agg(count(lit(1)).as("leaked_rows"))
       .select(lit(store).as("store"), lit(surface).as("surface"),
         col("leaked_rows"))
 
   private def semiCount(store: String, surface: String, table: DataFrame,
                         ids: DataFrame, key: String): DataFrame =
-    leakRow(store, surface, table,
+    leakRow(store, surface,
       table.join(broadcast(ids), table(key) === ids("__erased_id"),
         "left_semi"))
 
@@ -97,19 +97,33 @@ object ErasureAudit {
     * current graph-store CAS version (NSW and HNSW share the layout
     * at these surfaces). */
   def auditNswStore(s: SparkSession, root: String,
-                    ids: DataFrame, idCol: String): DataFrame = {
+                    ids: DataFrame, idCol: String): DataFrame =
+    graphStoreAudit("graph_ann", s, root, ids, idCol)
+
+  /** The layered HNSW store (round 16; VERDICT r15 item 4): same
+    * vectors/graph tables as the flat store — graph carries a `level`
+    * column the vid/nbr probes ignore, and a deleted id hiding on ANY
+    * layer is one more exploded neighbor occurrence, so the flat
+    * surfaces cover every layer at once. Split out under its own
+    * store label so a report names which serving index leaked. */
+  def auditHnswStore(s: SparkSession, root: String,
+                     ids: DataFrame, idCol: String): DataFrame =
+    graphStoreAudit("hnsw_ann", s, root, ids, idCol)
+
+  private def graphStoreAudit(label: String, s: SparkSession, root: String,
+                              ids: DataFrame, idCol: String): DataFrame = {
     val cur = VersionedStore.resolveDir(s, root).getOrElse(
-      sys.error(s"auditNswStore: no published build under $root"))
+      sys.error(s"audit $label: no published build under $root"))
     val del = erased(ids, idCol)
     val graph = s.read.parquet(s"$cur/graph")
     // adjacency persists as (vid, nbrs array) — neighbor endpoints
     // audit through an explode so an id hiding inside another node's
     // list is counted per occurrence
     val nbrEnds = graph.select(explode(col("nbrs")).as("nbr_vid"))
-    semiCount("graph_ann", "vectors",
+    semiCount(label, "vectors",
         s.read.parquet(s"$cur/vectors"), del, "vid")
-      .unionAll(semiCount("graph_ann", "graph_src", graph, del, "vid"))
-      .unionAll(semiCount("graph_ann", "graph_nbr", nbrEnds, del, "nbr_vid"))
+      .unionAll(semiCount(label, "graph_src", graph, del, "vid"))
+      .unionAll(semiCount(label, "graph_nbr", nbrEnds, del, "nbr_vid"))
   }
 
   /** The LIVE inverted-list generation of an IVF (or IVF-PQ) store,
@@ -140,7 +154,7 @@ object ErasureAudit {
         .as("__erased_id")).distinct()
     val slots = s.read.parquet(cur)
       .select(explode(col("mins")).as("h"))
-    leakRow("kmv", "sketch_minima", slots,
+    leakRow("kmv", "sketch_minima",
       slots.join(broadcast(hashes), slots("h") === hashes("__erased_id"),
         "left_semi"))
   }

@@ -430,6 +430,36 @@ object VersionedStore {
     claimNextVersion(s, root, token, _ => s"op store\n$rel")
   }
 
+  /** CONDITIONAL directory publish (round 16; VERDICT r15 item 7):
+    * like [[publishDir]], but the build wins ONLY as version
+    * `expectedV` — i.e. iff the parent snapshot the caller built FROM
+    * is still the latest at commit time. Anything else (a concurrent
+    * delete or ingest claimed `expectedV` first) LOSES: the staging
+    * directory is reclaimed, `false` returns, and the caller rebuilds
+    * from the new latest — a CONTENT-level rebase the version-number
+    * claim loop cannot provide for derived builds. A directory store
+    * build BAKES its parent's content in, so letting a stale build
+    * win a later number through the retry loop would resurrect rows a
+    * concurrent delete erased, or silently drop a concurrent append's
+    * rows; derived-store maintenance (the graph-ANN ingest/erase
+    * paths) therefore commits through THIS entry point inside a
+    * resolve→build→publish-if retry loop. */
+  def publishDirIf(s: SparkSession, root: String, expectedV: Int)
+                  (build: String => Unit): Boolean = {
+    require(expectedV >= 1, s"publishDirIf: bad expected version $expectedV")
+    val fs = fsFor(s, root)
+    val token = newToken()
+    val rel = s"data/tx-$token"
+    fs.mkdirs(new Path(root))
+    build(s"$root/$rel")
+    val tmp = new Path(root, s"_tmp-manifest-$token")
+    writeText(fs, tmp, s"op store\n$rel")
+    val won = casPublish(fs, tmp, manifestPath(root, expectedV))
+    if (won) advancePointer(fs, root, expectedV)
+    else fs.delete(new Path(root, rel), true) // stale content: reclaim
+    won
+  }
+
   /** Build-once resolution for the standing-store facades: return the
     * current published build, or build+publish one if absent. If a
     * concurrent writer publishes a complete build first (detected

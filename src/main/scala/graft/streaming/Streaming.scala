@@ -250,10 +250,14 @@ object Streaming {
     * ([[graft.ops.Similarity.appendToNswIndexTo]] — batch beam-search
     * for each delta vector's M nearest, bidirectional wiring, touched
     * nodes re-pruned at the store's PINNED M), run copy-on-write
-    * inside VersionedStore.publishDir so the manifest CAS flips a
+    * inside VersionedStore.publishDirIf so the manifest CAS flips a
     * complete (graph, vectors, params) build per applied batch — a
     * concurrent probe always resolves a whole version, never a torn
-    * pair, and the store is time-travelable per batch. The FIRST
+    * pair, and the store is time-travelable per batch. The publish
+    * is CONDITIONAL on the parent build still being the latest
+    * (round 16): a concurrent erase or second ingest that commits
+    * first forces a rebase from the new head, so a stale append can
+    * never resurrect erased ids nor overwrite another writer's rows. The FIRST
     * batch builds the index (scaled-default construction unless the
     * store already exists). Append is deterministic, so a
     * stream-ingested index is bit-identical to the batch build+append
@@ -283,50 +287,83 @@ object Streaming {
             case None =>
               graft.sources.VersionedStore.publishDir(s, indexRoot)(p =>
                 graft.ops.Similarity.writeNswIndex(b, id, emb, p))
-            case Some(cur) =>
-              // a DEFAULT-built (non-pinned) store whose grown size
-              // now scales to a different construction budget is
-              // REBUILT scaled instead of appended — otherwise a
-              // stream whose first batch was small keeps tiny-corpus
-              // constants forever and walks straight back into the
-              // recall-collapse regime the scaled defaults exist to
-              // prevent (r13 review finding). Rebuild cost amortizes:
-              // nswScaledParams changes at most O(log n) times over a
-              // store's lifetime.
-              val pinnedNow = graft.ops.Similarity
-                .readNswParamsFull(s, cur)
-              // PINNED stores (and manifest-less pre-r13 stores,
-              // which read pinned = true) can never rescale — go
-              // straight to the append path without reading the
-              // store's vectors or paying two count() actions per
-              // micro-batch (r13 advice: the rescale probe was
-              // store-sized work on a branch that could never fire)
-              val mayRescale = pinnedNow.exists(!_._6)
-              val mustRescale = mayRescale && {
-                val existingIds = s.read.parquet(s"$cur/vectors")
-                  .select(col("vid").as(id))
-                // store rows win on replay (the append path's
-                // left-anti idempotence rule), so the grown size is
-                // exact: existing + genuinely-new batch rows
-                val grownN = existingIds.count() +
-                  b.select(col(id))
-                    .join(existingIds, Seq(id), "left_anti").count()
-                pinnedNow.exists { case (m, r, bm, h, _, _) =>
-                  graft.ops.Similarity.nswScaledParams(grownN) != ((m, r, bm, h))
+            case Some(_) =>
+              // resolve -> build -> publish-IF rebase loop (round 16;
+              // VERDICT r15 item 7): the append bakes the parent build
+              // into its output, so it commits with publishDirIf — it
+              // wins only while that parent is still the latest. A
+              // concurrent ERASE that flips the store first makes this
+              // attempt lose and rebase from the erased head, so a
+              // stale append can never resurrect deleted ids (and the
+              // delete path runs the same loop, so it can never drop
+              // this batch). Interleaving contract: whichever commits
+              // second rebuilds on top of the other; an erased id
+              // returns to the store only if a LATER batch re-ingests
+              // it (legitimate new data), never by replay of an old
+              // base.
+              var rebases = 0
+              var committed = false
+              while (!committed) {
+                require(rebases <= 8,
+                  s"nswIngestStream: $indexRoot: gave up after 8 rebases")
+                val curV = graft.sources.VersionedStore
+                  .latestVersion(s, indexRoot)
+                val cur = graft.sources.VersionedStore
+                  .resolveDir(s, indexRoot).getOrElse(sys.error(
+                    s"nswIngestStream: $indexRoot vanished mid-rebase"))
+                // a DEFAULT-built (non-pinned) store whose grown size
+                // now scales to a different construction budget is
+                // REBUILT scaled instead of appended — otherwise a
+                // stream whose first batch was small keeps tiny-corpus
+                // constants forever and walks straight back into the
+                // recall-collapse regime the scaled defaults exist to
+                // prevent (r13 review finding). Rebuild cost amortizes:
+                // nswScaledParams changes at most O(log n) times over a
+                // store's lifetime.
+                val pinnedNow = graft.ops.Similarity
+                  .readNswParamsFull(s, cur)
+                // PINNED stores (and manifest-less pre-r13 stores,
+                // which read pinned = true) can never rescale — go
+                // straight to the append path without reading the
+                // store's vectors or paying two count() actions per
+                // micro-batch (r13 advice: the rescale probe was
+                // store-sized work on a branch that could never fire)
+                val mayRescale = pinnedNow.exists(!_._6)
+                val mustRescale = mayRescale && {
+                  val existingIds = s.read.parquet(s"$cur/vectors")
+                    .select(col("vid").as(id))
+                  // store rows win on replay (the append path's
+                  // left-anti idempotence rule), so the grown size is
+                  // exact: existing + genuinely-new batch rows
+                  val grownN = existingIds.count() +
+                    b.select(col(id))
+                      .join(existingIds, Seq(id), "left_anti").count()
+                  pinnedNow.exists { case (m, r, bm, h, _, _) =>
+                    graft.ops.Similarity.nswScaledParams(grownN) != ((m, r, bm, h))
+                  }
+                }
+                committed =
+                  if (mustRescale) {
+                    val existing = s.read.parquet(s"$cur/vectors")
+                      .select(col("vid").as(id), col("c_emb").as(emb))
+                      .localCheckpoint()
+                    val fresh = b.select(col(id), col(emb))
+                      .join(existing.select(col(id)), Seq(id), "left_anti")
+                    graft.sources.VersionedStore
+                      .publishDirIf(s, indexRoot, curV + 1)(p =>
+                        graft.ops.Similarity.writeNswIndex(
+                          existing.unionByName(fresh), id, emb, p))
+                  } else
+                    graft.sources.VersionedStore
+                      .publishDirIf(s, indexRoot, curV + 1)(p =>
+                        graft.ops.Similarity
+                          .appendToNswIndexTo(b, id, emb, cur, p))
+                if (!committed) {
+                  rebases += 1
+                  System.err.println(s"[nsw-ingest] $indexRoot: lost the " +
+                    s"commit race for v${curV + 1}; rebasing")
                 }
               }
-              if (mustRescale) {
-                val existing = s.read.parquet(s"$cur/vectors")
-                  .select(col("vid").as(id), col("c_emb").as(emb))
-                  .localCheckpoint()
-                val fresh = b.select(col(id), col(emb))
-                  .join(existing.select(col(id)), Seq(id), "left_anti")
-                graft.sources.VersionedStore.publishDir(s, indexRoot)(p =>
-                  graft.ops.Similarity.writeNswIndex(
-                    existing.unionByName(fresh), id, emb, p))
-              } else
-                graft.sources.VersionedStore.publishDir(s, indexRoot)(p =>
-                  graft.ops.Similarity.appendToNswIndexTo(b, id, emb, cur, p))
           }
         }
         ()
@@ -638,8 +675,22 @@ object Streaming {
             .head()
           val (nD, kD) = (d.getLong(0), d.getLong(1))
           val prev = try {
+            // dedup-at-read on batch_id (the documented convention,
+            // r15 advice): an at-least-once replay re-appends the
+            // predecessor row, and limit(1) over tied batch_ids would
+            // otherwise pick an arbitrary physical row — collapse
+            // duplicates per batch_id first — a no-op for
+            // byte-identical replays, deterministic against a
+            // divergent duplicate: max for the cumulative counts,
+            // MIN for the decision ("accept_*" < "continue", so a
+            // recorded stop can never be un-stopped by a duplicate
+            // that says continue — the absorbing contract).
             s.read.parquet(outDir)
               .where(col("batch_id") < id)
+              .groupBy(col("batch_id"))
+              .agg(max(col("n_cum")).as("n_cum"),
+                max(col("k_cum")).as("k_cum"),
+                min(col("decision")).as("decision"))
               .orderBy(col("batch_id").desc).limit(1)
               .select(col("n_cum"), col("k_cum"), col("decision"))
               .collect()

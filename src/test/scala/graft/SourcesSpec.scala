@@ -741,6 +741,37 @@ class SourcesSpec extends SparkSpec {
       "no committed row lost under contention")
   }
 
+  test("versioned store: publishDirIf wins only as the expected " +
+       "version; a stale build loses, reclaims its staging, and " +
+       "leaves the store untouched") {
+    import SparkTestSession.spark.implicits._
+    import graft.sources.VersionedStore
+    val root = tmp("versioned-pubif")
+    assert(VersionedStore.publishDir(spark, root) { p =>
+      Seq(1L, 2L).toDF("id").write.parquet(s"$p/t") } == 1)
+    // a build from parent v1, expecting to become v2, wins
+    assert(VersionedStore.publishDirIf(spark, root, 2) { p =>
+      Seq(10L, 20L, 30L).toDF("id").write.parquet(s"$p/t") })
+    assert(VersionedStore.latestVersion(spark, root) == 2)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataDirs = fs.listStatus(
+      new org.apache.hadoop.fs.Path(root, "data")).length
+    // a SECOND build also claiming v2 — i.e. one built from the now-
+    // stale v1 parent — must LOSE: no version minted, live content
+    // untouched, and its tx- staging reclaimed (stale derived content
+    // must not linger on disk)
+    assert(!VersionedStore.publishDirIf(spark, root, 2) { p =>
+      Seq(99L).toDF("id").write.parquet(s"$p/t") },
+      "a stale expected version must not win")
+    assert(VersionedStore.latestVersion(spark, root) == 2)
+    assert(spark.read.parquet(
+      s"${VersionedStore.resolveDir(spark, root).get}/t").count() == 3)
+    assert(fs.listStatus(
+      new org.apache.hadoop.fs.Path(root, "data")).length == dataDirs,
+      "the losing build's staging directory must be reclaimed")
+  }
+
   test("versioned store: racing build-once publishers converge on one build") {
     import SparkTestSession.spark.implicits._
     import graft.sources.VersionedStore
