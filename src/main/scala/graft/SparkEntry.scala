@@ -413,6 +413,10 @@ object SparkEntry {
     "q394_aa_calibration" -> (Events.q394 _),
     "q395_ordinal_assoc"  -> (Relational.q395 _),
     "q396_vad"            -> (Multimodal.q396 _),
+    "q397_hnsw_erase"     -> (Similarity.q397 _),
+    "q398_l_diversity"    -> (Relational.q398 _),
+    "q399_t_closeness"    -> (Relational.q399 _),
+    "q400_group_sequential" -> (Events.q400 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -7066,7 +7070,7 @@ object SparkEntry {
     // \p{IsCyrillic}, same two-stage non-ASCII prescan.
     "q387_homoglyphs" ->
       """WITH pl AS (SELECT lang, CASE WHEN doc_id % 5 = 0
-             THEN text || ' dаtа' || CAST(doc_id AS VARCHAR)
+             THEN text || ' d' || chr(1072) || 't' || chr(1072) || CAST(doc_id AS VARCHAR)
              ELSE text END AS t2 FROM documents),
          m AS (SELECT lang, CASE WHEN regexp_matches(t2, '[^\x00-\x7f]')
              THEN len(regexp_extract_all(t2,
@@ -7480,6 +7484,128 @@ object SparkEntry {
            CAST(coalesce(ls.longest, 0) AS BIGINT) AS longest_silence
          FROM ag JOIN seg USING (doc_id)
          LEFT JOIN ls USING (doc_id)""",
+
+    // q398: distinct l-diversity of the q361 release slice; the $1000
+    // balance band (cents-lattice, +100000 offset so the idiv never
+    // truncates a negative) is the sensitive attribute. Sums CAST to
+    // BIGINT (the DuckDB HUGEINT widening trap).
+    "q398_l_diversity" ->
+      s"""WITH rel AS (SELECT c_nationkey, c_mktsegment,
+             (${C("c_acctbal")} + 100000) // 100000 AS sens
+           FROM customer WHERE c_acctbal >= 9000),
+         g AS (SELECT c_nationkey, c_mktsegment, count(*) AS n_rows,
+             count(DISTINCT sens) AS l FROM rel GROUP BY 1, 2),
+         bands AS (SELECT CASE WHEN l = 1 THEN 'l=1'
+               WHEN l <= 3 THEN 'l=2-3' ELSE 'l>=4' END AS band,
+             n_rows, l FROM g),
+         per AS (SELECT band, CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(sum(n_rows) AS BIGINT) AS n_released,
+             CAST(min(l) AS BIGINT) AS min_l,
+             CAST(NULL AS BIGINT) AS at_risk_bp
+           FROM bands GROUP BY 1),
+         allr AS (SELECT 'ALL' AS band,
+             CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(sum(n_rows) AS BIGINT) AS n_released,
+             CAST(min(l) AS BIGINT) AS min_l,
+             CAST((10000 * sum(CASE WHEN l = 1 THEN n_rows ELSE 0 END))
+               // sum(n_rows) AS BIGINT) AS at_risk_bp
+           FROM g)
+         SELECT * FROM per UNION ALL SELECT * FROM allr""",
+
+    // q399: t-closeness over the ordered balance band — EMD as the
+    // cumulative-share-difference sum on the bp lattice, normalized
+    // by m-1; top-20 worst groups + the ALL row.
+    "q399_t_closeness" ->
+      s"""WITH rel AS (SELECT c_nationkey, c_mktsegment,
+             (${C("c_acctbal")} + 100000) // 100000 AS sens
+           FROM customer),
+         tot AS (SELECT count(*) AS n FROM rel),
+         gdist AS (SELECT sens, count(*) AS cnt_g FROM rel GROUP BY 1),
+         mm AS (SELECT count(*) AS m FROM gdist),
+         grp AS (SELECT c_nationkey, c_mktsegment, count(*) AS n_grp
+           FROM rel GROUP BY 1, 2),
+         cell AS (SELECT c_nationkey, c_mktsegment, sens,
+             count(*) AS cnt FROM rel GROUP BY 1, 2, 3),
+         grid AS (SELECT g.c_nationkey, g.c_mktsegment, g.n_grp,
+             gl.sens, gl.cnt_g, coalesce(c.cnt, 0) AS cnt
+           FROM grp g CROSS JOIN gdist gl
+           LEFT JOIN cell c ON c.c_nationkey = g.c_nationkey
+             AND c.c_mktsegment = g.c_mktsegment AND c.sens = gl.sens),
+         cum AS (SELECT c_nationkey, c_mktsegment, n_grp,
+             sum((10000 * cnt) // n_grp) OVER w AS cum_p,
+             sum((10000 * cnt_g) // (SELECT n FROM tot)) OVER w AS cum_q
+           FROM grid WINDOW w AS (
+             PARTITION BY c_nationkey, c_mktsegment ORDER BY sens)),
+         pg AS (SELECT c_nationkey, c_mktsegment,
+             CAST(n_grp AS BIGINT) AS n_rows,
+             CAST(sum(abs(cum_p - cum_q))
+               // (SELECT m - 1 FROM mm) AS BIGINT) AS t_bp
+           FROM cum GROUP BY 1, 2, 3),
+         worst AS (SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+             c_mktsegment, n_rows, t_bp,
+             CAST(NULL AS BIGINT) AS n_over_2000bp
+           FROM pg
+           ORDER BY t_bp DESC, c_nationkey, c_mktsegment LIMIT 20),
+         allr AS (SELECT CAST(NULL AS BIGINT) AS c_nationkey,
+             CAST(NULL AS VARCHAR) AS c_mktsegment,
+             CAST(sum(n_rows) AS BIGINT) AS n_rows,
+             CAST(max(t_bp) AS BIGINT) AS t_bp,
+             CAST(sum(CASE WHEN t_bp > 2000 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_over_2000bp
+           FROM pg)
+         SELECT * FROM worst UNION ALL SELECT * FROM allr""",
+
+    // q400: group-sequential boundary audit — accrual-ordered looks,
+    // the q394 pooled-z assembly per look, boundary constants are the
+    // SAME driver literals the Scala side pins (Events.PocockMilliK5 /
+    // ObfMilliK5).
+    "q400_group_sequential" ->
+      s"""WITH uc AS (SELECT user_id AS u,
+             max(CASE WHEN value > 150.0 THEN 1 ELSE 0 END) AS conv,
+             min(ts) AS t0,
+             max(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS arm
+           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         rk AS (SELECT *, row_number() OVER (ORDER BY t0, u) AS r
+           FROM uc),
+         nn AS (SELECT count(*) AS n FROM uc),
+         lk AS (SELECT unnest(range(1, 6)) AS look),
+         sub AS (SELECT l.look, rk.conv, rk.arm FROM lk l CROSS JOIN rk
+           WHERE rk.r <= (l.look * (SELECT n FROM nn) + 4) // 5),
+         rp AS (SELECT look,
+             sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_a,
+             sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_b,
+             sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS k_a,
+             sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS k_b
+           FROM sub GROUP BY 1),
+         zz AS (SELECT CAST(look AS BIGINT) AS look,
+             CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+             CAST(k_a AS BIGINT) AS k_a, CAST(k_b AS BIGINT) AS k_b,
+             CAST(CASE WHEN n_a = 0 OR n_b = 0 OR k_a + k_b = 0
+                 OR k_a + k_b = n_a + n_b THEN NULL
+               ELSE floor((CAST(k_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                 - CAST(k_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                 / sqrt((CAST(k_a + k_b AS DOUBLE)
+                     / CAST(n_a + n_b AS DOUBLE))
+                   * (1 - CAST(k_a + k_b AS DOUBLE)
+                     / CAST(n_a + n_b AS DOUBLE))
+                   * (1.0 / CAST(n_a AS DOUBLE)
+                     + 1.0 / CAST(n_b AS DOUBLE)))
+                 * 1000 + 0.5) END AS BIGINT) AS z_milli
+           FROM rp)
+         SELECT look, n_a, n_b, k_a, k_b, z_milli,
+           CAST(${Events.PocockMilliK5} AS BIGINT) AS pocock_milli,
+           CAST(CASE look ${Events.ObfMilliK5.zipWithIndex.map {
+             case (c, i) => s"WHEN ${i + 1} THEN $c" }.mkString(" ")}
+             END AS BIGINT) AS obf_milli,
+           CAST(CASE WHEN z_milli IS NULL THEN NULL
+             WHEN abs(z_milli) >= ${Events.PocockMilliK5} THEN 1
+             ELSE 0 END AS INT) AS pocock_stop,
+           CAST(CASE WHEN z_milli IS NULL THEN NULL
+             WHEN abs(z_milli) >= (CASE look ${Events.ObfMilliK5.zipWithIndex
+               .map { case (c, i) => s"WHEN ${i + 1} THEN $c" }
+               .mkString(" ")} END) THEN 1
+             ELSE 0 END AS INT) AS obf_stop
+         FROM zz""",
   )
 
   /** q226 oracle: the sampled co-purchase edge set + KCorePeelRounds

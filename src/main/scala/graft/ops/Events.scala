@@ -3780,4 +3780,97 @@ object Events {
     aaCalibration(
       Tables.events(s, d).filter(col("event_type") === "purchase"),
       "user_id", col("value") > 150.0, 32, "aa-epoch-1")
+
+  /** Two-sided group-sequential boundaries for K looks at overall
+    * α = 0.05, in milli fixed point — PUBLISHED constants, pinned as
+    * driver literals both engines share verbatim (the ZpTable
+    * convention): Pocock's constant critical value for K = 5 is
+    * 2.413 (Pocock 1977, table 2); the O'Brien–Fleming boundary is
+    * c_K·√(K/k) with c_5 = 2.0401 (O'Brien & Fleming 1979) — strict
+    * early (4.562 at look 1), nominal-like late (2.040 at look 5). */
+  val PocockMilliK5: Long = 2413L
+  val ObfMilliK5: Seq[Long] = (1 to 5).map(k =>
+    math.floor(2.0401 * math.sqrt(5.0 / k) * 1000 + 0.5).toLong)
+
+  /** GROUP-SEQUENTIAL BOUNDARY AUDIT (round 16) — the planned-peeking
+    * member of the A/B stack: SPRT (q384) peeks every observation;
+    * the industry-standard alternative is K scheduled interim looks
+    * with boundaries spending the 5% α across them. This replays a
+    * completed experiment at its K planned looks: units enter in
+    * ACCRUAL order (first event time, ties by unit id — both engines
+    * sort identically), look k analyzes the first ⌈k·n/K⌉ units, the
+    * production pooled two-proportion z (the q394 assembly, one
+    * pinned double order) is evaluated per look, and both boundary
+    * families flag crossings — Pocock (constant 2.413) and
+    * O'Brien–Fleming (early-strict c·√(K/k)), so the same replay
+    * shows what each policy would have done: OBF protects against
+    * the look-1 whale that Pocock would ship.
+    *
+    * Degenerate looks (an arm empty, or zero/saturated pooled
+    * conversions) read NULL z and NULL stop flags — the q394
+    * convention: absence of evidence is not a verdict.
+    *
+    * Scale (100 TB): one unit-grain aggregation, a rank (one sort at
+    * the unit grain — accrual order is a total order), a K-way
+    * map-side explode (K constant), one K-row aggregation. */
+  def groupSequential(events: DataFrame, unit: String, isConv: Column,
+                      arm: Column, looks: Int = 5): DataFrame = {
+    require(looks == 5, "boundary constants are pinned for K = 5")
+    val users = events.groupBy(col(unit).as("u"))
+      .agg(max(isConv.cast("int")).cast("long").as("conv"),
+        min(col("ts")).as("t0"),
+        max(arm.cast("int")).cast("long").as("arm"))
+    val ranked = users.withColumn("r",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("t0"), col("u"))).cast("long"))
+      .localCheckpoint() // one unit-grain sort feeds all K looks
+    val n = ranked.count()
+    val perLook = ranked
+      .select(col("conv"), col("arm"), col("r"),
+        explode(sequence(lit(1), lit(looks))).as("look"))
+      .filter(col("r") <= F.idiv(col("look") * lit(n) + lit(looks - 1L),
+        lit(looks.toLong)))
+      .groupBy(col("look"))
+      .agg(sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("arm") === 1L, col("conv")).otherwise(0L)).as("k_a"),
+        sum(when(col("arm") === 0L, col("conv")).otherwise(0L)).as("k_b"))
+    def dd(c: Column): Column = c.cast("double")
+    val p = dd(col("k_a") + col("k_b")) / dd(col("n_a") + col("n_b"))
+    val z = (dd(col("k_a")) / dd(col("n_a")) -
+      dd(col("k_b")) / dd(col("n_b"))) /
+      sqrt(p * (lit(1d) - p) *
+        (lit(1d) / dd(col("n_a")) + lit(1d) / dd(col("n_b"))))
+    val bad = col("n_a") === 0L || col("n_b") === 0L ||
+      col("k_a") + col("k_b") === 0L ||
+      col("k_a") + col("k_b") === col("n_a") + col("n_b")
+    val obf = ObfMilliK5.zipWithIndex.foldLeft(lit(0L)) {
+      case (acc, (c, i)) => when(col("look") === (i + 1), lit(c))
+        .otherwise(acc)
+    }
+    perLook
+      .select(col("look").cast("long").as("look"),
+        col("n_a"), col("n_b"), col("k_a"), col("k_b"),
+        when(bad, lit(null).cast("long"))
+          .otherwise(floor(z * lit(1000d) + lit(0.5d)).cast("long"))
+          .as("z_milli"),
+        lit(PocockMilliK5).as("pocock_milli"),
+        obf.as("obf_milli"))
+      .withColumn("pocock_stop",
+        when(col("z_milli").isNull, lit(null).cast("int"))
+          .otherwise((abs(col("z_milli")) >= col("pocock_milli"))
+            .cast("int")))
+      .withColumn("obf_stop",
+        when(col("z_milli").isNull, lit(null).cast("int"))
+          .otherwise((abs(col("z_milli")) >= col("obf_milli"))
+            .cast("int")))
+      .orderBy(col("look"))
+  }
+
+  /** q400: the q394 experiment (big-purchase conversion, user-parity
+    * arms) replayed at 5 planned looks under both boundary families. */
+  def q400(s: SparkSession, d: String): DataFrame =
+    groupSequential(
+      Tables.events(s, d).filter(col("event_type") === "purchase"),
+      "user_id", col("value") > 150.0, (col("user_id") % 2 === 0).cast("int"))
 }

@@ -2184,6 +2184,145 @@ object Relational {
       Seq("c_nationkey", "c_mktsegment"))
   }
 
+  /** DISTINCT l-DIVERSITY (round 16) — the privacy family's member
+    * between k-anonymity (q183: how many rows share my QIs) and k-map
+    * (q361: how common are my QIs in the population): a group can be
+    * k-anonymous and still leak when every one of its rows carries
+    * the SAME sensitive value — the adversary learns the attribute
+    * without re-identifying anybody (the homogeneity attack;
+    * Machanavajjhala et al.'s l-diversity). Per QI group of the
+    * release, l = distinct sensitive values; bands l=1 (sensitive
+    * value fully determined), l=2-3, l≥4 report groups and released
+    * rows, and the ALL row carries at_risk_bp = 10⁴ · rows in l=1
+    * groups / total released — the number the privacy review gates
+    * on, next to q361's at_risk_bp.
+    *
+    * Scale (100 TB): one (QI, sensitive)-grain aggregation, one
+    * QI-grain rollup, one bounded band fold — no row-level joins. */
+  def lDiversity(release: DataFrame, qis: Seq[String],
+                 sensitive: Column): DataFrame = {
+    val qcols = qis.map(col)
+    val perGroup = release
+      .select(qcols :+ sensitive.as("__sens"): _*)
+      .groupBy(qcols: _*)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("__sens")).as("l"))
+      .localCheckpoint() // feeds the band rollup AND the ALL fold
+    val per = perGroup
+      .select(when(col("l") === 1L, "l=1")
+          .when(col("l") <= 3L, "l=2-3")
+          .otherwise("l>=4").as("band"),
+        col("n_rows"), col("l"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("n_rows")).as("n_released"),
+        min(col("l")).as("min_l"))
+      .select(col("band"), col("n_groups"), col("n_released"),
+        col("min_l"), lit(null).cast("long").as("at_risk_bp"))
+    val all = perGroup.agg(count(lit(1)).as("n_groups"),
+        sum(col("n_rows")).as("n_released"), min(col("l")).as("min_l"),
+        sum(when(col("l") === 1L, col("n_rows")).otherwise(0L)).as("risky"))
+      .select(lit("ALL").as("band"), col("n_groups"), col("n_released"),
+        col("min_l"),
+        graft.functions.F.idiv(lit(10000L) * col("risky"),
+          col("n_released")).as("at_risk_bp"))
+    per.unionByName(all)
+  }
+
+  /** q398: l-diversity of the q361 release slice (high-balance
+    * customers keyed by nation × segment) with the $1000 balance band
+    * as the sensitive attribute — the exact slice q361 scores for
+    * re-identification, now scored for attribute disclosure. */
+  def q398(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    lDiversity(c.filter(col("c_acctbal") >= 9000),
+      Seq("c_nationkey", "c_mktsegment"),
+      graft.functions.F.idiv(cents(col("c_acctbal")) + lit(100000L),
+        lit(100000L)))
+  }
+
+  /** t-CLOSENESS (round 16) — the privacy family's distributional
+    * member (Li, Li & Venkatasubramanian): l-diversity counts
+    * distinct sensitive values but a group whose distribution SKEWS
+    * far from the table's still leaks ("all the rare disease cases
+    * are in this zip code"). For an ORDERED sensitive attribute the
+    * distance is the Earth Mover's Distance under unit ground
+    * distance between adjacent categories: EMD = Σ|cum(p) − cum(q)|
+    * over the m global categories, normalized by m − 1 — computed
+    * here EXACTLY on the bp lattice: shares as idiv(10⁴·cnt, n),
+    * cumulated per category in global order, |diffs| summed, one
+    * final idiv by m − 1. Output: the 20 worst groups (t_bp desc,
+    * QIs asc — the q102 top-k discipline) plus an ALL row with the
+    * max t_bp and the count of groups above the folklore t = 0.2
+    * line (2000 bp).
+    *
+    * Scale (100 TB): one (QI, category)-grain aggregation, one
+    * broadcast join against the m-row global distribution, a
+    * QI-grain window cumsum (partition = group, m rows each), one
+    * rollup. The QI-grain sort for the top-k is the only global
+    * order, over group-count rows, not data rows. */
+  def tCloseness(release: DataFrame, qis: Seq[String],
+                 sensitive: Column, topK: Int = 20): DataFrame = {
+    val qcols = qis.map(col)
+    val base = release.select(qcols :+ sensitive.as("__cat"): _*)
+      .localCheckpoint() // grouped twice (global + per-QI)
+    val globalN = base.count()
+    val global = base.groupBy(col("__cat"))
+      .agg(count(lit(1)).as("cnt_g"))
+    val m = global.count()
+    require(m >= 2, s"tCloseness: need >= 2 sensitive categories, got $m")
+    val groups = base.groupBy(qcols: _*).agg(count(lit(1)).as("n_grp"))
+    // dense (group × category) grid so absent categories contribute
+    // their zero share to the group's cumulative curve
+    val grid = groups.crossJoin(broadcast(global))
+      .join(base.groupBy(qcols :+ col("__cat"): _*)
+          .agg(count(lit(1)).as("cnt")),
+        qis :+ "__cat", "left")
+      .na.fill(0L, Seq("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(qcols: _*).orderBy(col("__cat"))
+    val cum = grid
+      .withColumn("cum_p_bp", sum(graft.functions.F.idiv(
+        lit(10000L) * col("cnt"), col("n_grp"))).over(w))
+      .withColumn("cum_q_bp", sum(graft.functions.F.idiv(
+        lit(10000L) * col("cnt_g"), lit(globalN))).over(w))
+    val perGroup = cum.groupBy((qcols :+ col("n_grp")): _*)
+      .agg(sum(abs(col("cum_p_bp") - col("cum_q_bp"))).as("emd_sum"))
+      .select(qcols ++ Seq(col("n_grp").as("n_rows"),
+        graft.functions.F.idiv(col("emd_sum"), lit(m - 1L)).as("t_bp")): _*)
+      .localCheckpoint() // feeds the top-k AND the ALL fold
+    val worst = perGroup
+      .orderBy(col("t_bp").desc +: qcols.map(_.asc): _*)
+      .limit(topK)
+    val all = perGroup.agg(max(col("t_bp")).as("max_t"),
+        sum((col("t_bp") > 2000L).cast("long")).as("n_over"),
+        sum(col("n_rows")).as("n_total"))
+      .select(Seq(lit(null).cast(worst.schema(qis.head).dataType)
+          .as(qis.head)) ++
+        qis.tail.map(q => lit(null).cast(worst.schema(q).dataType).as(q)) ++
+        Seq(col("n_total").as("n_rows"), col("max_t").as("t_bp"),
+          col("n_over").as("n_over_2000bp")): _*)
+      .withColumn("__all", lit(1))
+    // the ALL row rides last (the __all rank keeps the union order
+    // deterministic); per-group rows carry NULL n_over_2000bp
+    worst.withColumn("n_over_2000bp", lit(null).cast("long"))
+      .withColumn("__all", lit(0)).unionByName(all)
+      .orderBy((col("__all") +: col("t_bp").desc +: qcols.map(_.asc)): _*)
+      .drop("__all")
+  }
+
+  /** q399: t-closeness of the full customer table keyed by nation ×
+    * segment over the ordered $1000 balance band — the q398 sensitive
+    * attribute scored distributionally. */
+  def q399(s: SparkSession, d: String): DataFrame =
+    // nationkey pre-cast to long: the ALL row's typed NULL must union
+    // with the group rows at ONE type on both engines (DuckDB widens
+    // INT union NULL::BIGINT to BIGINT; match it here)
+    tCloseness(Tables.customer(s, d)
+        .withColumn("c_nationkey", col("c_nationkey").cast("long")),
+      Seq("c_nationkey", "c_mktsegment"),
+      graft.functions.F.idiv(cents(col("c_acctbal")) + lit(100000L),
+        lit(100000L)))
+
   /** Two-sided normal p-values on the |z| centi-grid (0.00..4.00),
     * quantized to e6 — DRIVER-generated literals both engines share
     * verbatim (the rboWeights/periodogram convention; erf has no SQL

@@ -5908,6 +5908,86 @@ class OperatorsSpec extends SparkSpec {
       assert(a % 4 != 0 && b % 4 != 0, s"erased id in pair ($a,$b)") }
   }
 
+  test("signature-store erasure crash windows: a kill during staging " +
+       "leaves every batch byte-identical; a kill between a batch's " +
+       "two renames never leaks a reachable posting and is repaired " +
+       "by re-running the delete") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+    def build(path: String): Unit = {
+      Dedup.writeSignatureStore(docs.filter(col("doc_id") % 8 < 4),
+        "doc_id", "text", path, batchTag = "a")
+      Dedup.writeSignatureStore(docs.filter(col("doc_id") % 8 >= 4),
+        "doc_id", "text", path, batchTag = "b")
+    }
+    // order-free multiset digest of a store side (sum of row hashes)
+    def digest(path: String, side: String): (String, Long) = {
+      val df = spark.read.parquet(s"$path/$side")
+      val r = df.selectExpr(
+        s"sum(cast(xxhash64(${df.columns.mkString(",")}) " +
+          "as decimal(38,0))) as h",
+        "count(1) as c").head()
+      (r.getDecimal(0).toPlainString, r.getLong(1))
+    }
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-sigcrash").toString
+    val path = s"$base/store"
+    build(path)
+    val del = docs.filter(col("doc_id") % 4 === 0)
+    val pre = (digest(path, "arrays"), digest(path, "buckets"))
+    // ---- window 1: kill after staging, before ANY rename ----------
+    val boom = intercept[RuntimeException] {
+      Dedup.deleteFromSignatureStore(spark, path, del, "doc_id",
+        cp => if (cp == "staged") throw new RuntimeException("kill@staged"))
+    }
+    assert(boom.getMessage == "kill@staged")
+    assert((digest(path, "arrays"), digest(path, "buckets")) == pre,
+      "a kill during staging must leave the live store byte-identical")
+    // ---- window 2: kill between a batch's buckets and arrays flip -
+    var flippedTag: String = null
+    val boom2 = intercept[RuntimeException] {
+      Dedup.deleteFromSignatureStore(spark, path, del, "doc_id", cp =>
+        if (cp.startsWith("flipped-buckets:")) {
+          flippedTag = cp.stripPrefix("flipped-buckets:")
+          throw new RuntimeException("kill@flip")
+        })
+    }
+    assert(boom2.getMessage == "kill@flip" && flippedTag != null)
+    // the flipped batch's postings are already clean — the deleted
+    // ids became UNREACHABLE the instant their postings flipped
+    val flippedBkt = spark.read
+      .parquet(s"$path/buckets/batch=$flippedTag")
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(flippedBkt.nonEmpty && flippedBkt.forall(_ % 4 != 0),
+      "flipped batch must not retain a deleted posting")
+    // the torn batch's ARRAYS still carry the deleted ids — exactly
+    // what the re-run's affected scan keys on (buckets-first order)
+    assert(spark.read.parquet(s"$path/arrays")
+      .filter(col("doc_id") % 4 === 0).count() > 0,
+      "arrays must still expose the deleted ids to the re-run scan")
+    // ---- repair: re-running the delete completes the erasure ------
+    val n = Dedup.deleteFromSignatureStore(spark, path, del, "doc_id")
+    assert(n >= 1, "re-run must find the torn batch affected")
+    for (side <- Seq("arrays", "buckets"))
+      assert(spark.read.parquet(s"$path/$side").select("doc_id")
+        .collect().forall(_.getLong(0) % 4 != 0),
+        s"erased id survived repair in $side")
+    // no writer garbage left behind: the orphan sweep + own cleanup
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(Option(fs.globStatus(
+      new org.apache.hadoop.fs.Path(s"$path/.stage-*")))
+      .getOrElse(Array.empty).isEmpty,
+      "stage dirs (holding pre-erase bytes) must be reclaimed")
+    // the repaired store is ROW-IDENTICAL to a clean one-shot erase
+    val ref = s"$base/ref"
+    build(ref)
+    Dedup.deleteFromSignatureStore(spark, ref, del, "doc_id")
+    assert((digest(path, "arrays"), digest(path, "buckets")) ==
+           (digest(ref, "arrays"), digest(ref, "buckets")),
+      "crash+repair must converge to the clean-path store")
+  }
+
   test("bm25-index erasure: equals a survivor rebuild, CAS-published, " +
        "leak-free, idempotent") {
     import org.apache.spark.sql.functions.col
@@ -6028,6 +6108,69 @@ class OperatorsSpec extends SparkSpec {
     assert(ipqGot.collect().forall(_.getLong(2) % 2 == 0),
       "IVF-PQ probe returned an erased id")
     assert(!Similarity.deleteFromIvfIndex(spark, ipq, odd, "vec_id"))
+  }
+
+  test("serve-during-erase self-heal: a probe plan resolved before the " +
+       "generation flip vanishes mid-scan; the served entries resolve " +
+       "again and return the survivors (IVF and PQ)") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, sf)
+    val odd = e.filter(col("vec_id") % 2 === 1)
+    val q = e.filter(col("vec_id") % 2 === 0 &&
+      col("vec_id") < 2 * Similarity.NumQueries)
+    // ---- IVF ----
+    val ivf = java.nio.file.Files
+      .createTempDirectory("graft-ivfrace").toString + "/idx"
+    Similarity.writeIvfIndex(e, "vec_id", "embedding", ivf)
+    val stale = Similarity.ivfTopKFromIndex(spark, ivf, q,
+      "vec_id", "embedding")
+    assert(stale.count() > 0) // the pre-flip plan works before the erase
+    assert(Similarity.deleteFromIvfIndex(spark, ivf, odd, "vec_id"))
+    // the documented hazard: the erase reclaims the old generation
+    // immediately, so the pre-flip plan loses its files mid-scan
+    intercept[Exception] { stale.collect() }
+    // the self-heal contract, exercised for real: attempt 1 serves the
+    // pre-flip plan (dies on the vanished generation), the retry
+    // resolves the pointer again and scans the new live generation
+    var attempts = 0
+    val healed = Similarity.serveWithSelfHeal { () =>
+      attempts += 1
+      if (attempts == 1) stale
+      else Similarity.ivfTopKFromIndex(spark, ivf, q, "vec_id", "embedding")
+    }
+    assert(attempts == 2, s"self-heal must retry exactly once, got $attempts")
+    val want = Similarity.ivfTopKFromIndex(spark, ivf, q,
+      "vec_id", "embedding").collect().map(_.toSeq).toSet
+    assert(want.nonEmpty &&
+      healed.collect().map(_.toSeq).toSet == want,
+      "healed serve must equal a fresh post-erase probe")
+    assert(healed.collect().forall(_.getLong(2) % 2 == 0),
+      "healed serve returned an erased id")
+    // the production twin: same rows through the public serve entry
+    assert(Similarity.ivfTopKServed(spark, ivf, q, "vec_id", "embedding")
+      .collect().map(_.toSeq).toSet == want)
+    // ---- PQ (CODES pointer) ----
+    val pq = java.nio.file.Files
+      .createTempDirectory("graft-pqrace").toString + "/idx"
+    Similarity.writePqIndex(e, "vec_id", "embedding", pq)
+    val stalePq = Similarity.pqTopKFromIndex(spark, pq, e, q,
+      "vec_id", "embedding")
+    assert(stalePq.count() > 0)
+    assert(Similarity.deleteFromPqIndex(spark, pq, odd, "vec_id"))
+    intercept[Exception] { stalePq.collect() }
+    var pa = 0
+    val healedPq = Similarity.serveWithSelfHeal { () =>
+      pa += 1
+      if (pa == 1) stalePq
+      else Similarity.pqTopKFromIndex(spark, pq, e, q, "vec_id", "embedding")
+    }
+    assert(pa == 2, s"self-heal must retry exactly once, got $pa")
+    val wantPq = Similarity.pqTopKFromIndex(spark, pq, e, q,
+      "vec_id", "embedding").collect().map(_.toSeq).toSet
+    assert(wantPq.nonEmpty &&
+      healedPq.collect().map(_.toSeq).toSet == wantPq)
+    assert(Similarity.pqTopKServed(spark, pq, e, q, "vec_id", "embedding")
+      .collect().map(_.toSeq).toSet == wantPq)
   }
 
   test("q377 trigram Kneser-Ney: probabilities well-formed, reserved " +
@@ -6297,6 +6440,131 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("hnsw-store CAS delete: leak-free on every layer, levels " +
+       "id-derived and intact, snapshot-isolated, idempotent, still " +
+       "searchable through the layered serve") {
+    import org.apache.spark.sql.functions.{col, explode}
+    val e = Tables.embeddings(spark, sf)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-hnswcas").toString + "/store"
+    val v1dir = graft.sources.VersionedStore.resolveOrBuild(spark, root)(
+      p => Similarity.writeHnswIndex(e, "vec_id", "embedding", p))
+    val n = e.count()
+    val odd = e.filter(col("vec_id") % 2 === 1)
+    val v2dir = Similarity.deleteFromHnswStore(spark, root, odd, "vec_id")
+    assert(v2dir != v1dir, "delete must publish a NEW version dir")
+    // snapshot isolation: a racing reader on the old dir sees it whole
+    assert(spark.read.parquet(s"$v1dir/vectors").count() == n)
+    // leak-freedom on EVERY layer at once: node rows, every neighbor
+    // list entry, and vectors hold only even survivors
+    val g2 = spark.read.parquet(s"$v2dir/graph")
+    assert(g2.select("vid").collect().forall(_.getLong(0) % 2 == 0),
+      "deleted node row survived on some layer")
+    assert(g2.select(explode(col("nbrs")).as("nb")).collect()
+      .forall(_.getLong(0) % 2 == 0), "deleted neighbor survived")
+    val v2 = spark.read.parquet(s"$v2dir/vectors")
+    assert(v2.select("vid").collect().forall(_.getLong(0) % 2 == 0))
+    // levels are a pure function of the id: the surviving rows carry
+    // exactly the level hnswLevel assigns (no re-layering happened)
+    assert(v2.filter(col("level") =!=
+      Similarity.hnswLevel(col("vid"))).isEmpty,
+      "survivor level drifted from the id-derived assignment")
+    // the graph keeps a row per surviving pre-delete node on each of
+    // its layers (emptied lists survive as empty arrays)
+    val preNodes = spark.read.parquet(s"$v1dir/graph")
+      .filter(col("vid") % 2 === 0)
+      .select("vid", "level").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val postNodes = g2.select("vid", "level").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(postNodes == preNodes,
+      "surviving (vid, level) node rows must be preserved exactly")
+    // params manifest rides the flip (the layered serve budget)
+    assert(Similarity.readNswParams(spark, v2dir).isDefined)
+    // version-level idempotence
+    val v3dir = Similarity.deleteFromHnswStore(spark, root, odd, "vec_id")
+    assert(v3dir == v2dir, "re-delete must hit the no-op fast path")
+    assert(graft.sources.VersionedStore.latestVersion(spark, root) == 2)
+    // still searchable: layered serve recall vs brute force on the
+    // survivors (the deleteFromNswIndex spec's bar, one hierarchy up)
+    val evens = e.filter(col("vec_id") % 2 === 0)
+    val q = evens.filter(col("vec_id") < 2 * Similarity.NumQueries)
+    val truth = Similarity.bruteForceTopK(evens, q, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val got = Similarity.hnswTopKFromIndex(spark, v2dir, q,
+        "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val rec = truth.map { case (qid, t) =>
+      got.getOrElse(qid, Set.empty).intersect(t).size.toDouble / t.size }
+      .sum / truth.size
+    info(f"post-50%%-delete layered recall@10: $rec%.3f")
+    assert(rec >= 0.8,
+      f"layered store must stay searchable after heavy deletion: $rec%.3f")
+    got.values.flatten.foreach(nb =>
+      assert(nb % 2 == 0, s"layered probe returned deleted id $nb"))
+  }
+
+  test("erase/ingest interleave: a stale append cannot resurrect " +
+       "erased ids, the rebased append lands on the erased head, and " +
+       "a later delete keeps the appended rows") {
+    import org.apache.spark.sql.functions.col
+    import graft.sources.VersionedStore
+    val e = Tables.embeddings(spark, sf)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-nswrace").toString + "/store"
+    val third = e.filter(col("vec_id") % 3 === 0)
+    VersionedStore.resolveOrBuild(spark, root)(p =>
+      Similarity.writeNswIndex(third, "vec_id", "embedding", p)) // v1
+    // an in-flight ingest batch resolves its parent BEFORE the erase
+    val curV = VersionedStore.latestVersion(spark, root)
+    val staleCur = VersionedStore.resolveDir(spark, root).get
+    // ...the ERASE commits first (v2): every odd multiple of 3 goes
+    val erased = e.filter(col("vec_id") % 6 === 3)
+    Similarity.deleteFromNswStore(spark, root, erased, "vec_id")
+    assert(VersionedStore.latestVersion(spark, root) == 2)
+    // the stale append (batch of %3==1 ids, built FROM the pre-erase
+    // parent, whose content still holds the erased ids) tries to
+    // commit as v2 — publishDirIf must refuse: letting it win any
+    // version would resurrect every erased id baked into its base
+    val batch = e.filter(col("vec_id") % 3 === 1).localCheckpoint()
+    assert(!VersionedStore.publishDirIf(spark, root, curV + 1)(p =>
+      Similarity.appendToNswIndexTo(batch, "vec_id", "embedding",
+        staleCur, p)),
+      "a stale append must lose to the concurrent erase")
+    assert(VersionedStore.latestVersion(spark, root) == 2,
+      "the lost append must not mint a version")
+    def liveIds(): Set[Long] = spark.read.parquet(
+        s"${VersionedStore.resolveDir(spark, root).get}/vectors")
+      .select("vid").collect().map(_.getLong(0)).toSet
+    assert(liveIds().forall(_ % 6 != 3), "erased id resurrected")
+    // the REBASE (what nswIngestStream's loop does on a loss):
+    // rebuild the append from the new head and win the next version
+    val cur2 = VersionedStore.resolveDir(spark, root).get
+    assert(VersionedStore.publishDirIf(spark, root, 3)(p =>
+      Similarity.appendToNswIndexTo(batch, "vec_id", "embedding",
+        cur2, p)), "the rebased append must win cleanly")
+    val ids3 = liveIds()
+    assert(ids3.forall(_ % 6 != 3),
+      "erased ids must stay gone through the rebased append")
+    val batchIds = batch.select("vec_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(batchIds.subsetOf(ids3), "the appended batch must land")
+    assert(ids3.filter(_ % 6 == 0) ==
+      third.select("vec_id").collect().map(_.getLong(0))
+        .filter(_ % 6 == 0).toSet,
+      "untouched survivors must ride through both commits")
+    // mirror direction: a delete issued NOW resolves the latest head,
+    // so the freshly appended rows survive it (the delete path's own
+    // rebase loop reads fresh state per attempt)
+    Similarity.deleteFromNswStore(spark, root,
+      e.filter(col("vec_id") % 6 === 0), "vec_id")
+    val ids4 = liveIds()
+    assert(ids4.forall(_ % 6 != 0) && batchIds.subsetOf(ids4),
+      "a later delete must erase its targets and keep the append")
+  }
+
   test("graph-store lifecycle: delete composes with append") {
     import org.apache.spark.sql.functions.col
     // (the amended nswScaledParams shape is pinned in its own spec)
@@ -6553,6 +6821,9 @@ class OperatorsSpec extends SparkSpec {
     val nswRoot = tmp("nsw")
     VersionedStore.resolveOrBuild(spark, nswRoot)(
       p => Similarity.writeNswIndex(embs, "vec_id", "embedding", p))
+    val hnswRoot = tmp("hnsw")
+    VersionedStore.resolveOrBuild(spark, hnswRoot)(
+      p => Similarity.writeHnswIndex(embs, "vec_id", "embedding", p))
     val ivfDir = VersionedStore.resolveOrBuild(spark, tmp("ivf"))(
       p => Similarity.writeIvfIndex(embs, "vec_id", "embedding", p))
     val pqDir = VersionedStore.resolveOrBuild(spark, tmp("pq"))(
@@ -6570,6 +6841,7 @@ class OperatorsSpec extends SparkSpec {
       ErasureAudit.auditBm25Store(spark, bm25Root, delDocs, "doc_id"),
       ErasureAudit.auditSemDedupStore(spark, semRoot, delVecs, "vec_id"),
       ErasureAudit.auditNswStore(spark, nswRoot, delVecs, "vec_id"),
+      ErasureAudit.auditHnswStore(spark, hnswRoot, delVecs, "vec_id"),
       ErasureAudit.auditIvfStore(spark, ivfDir, delVecs, "vec_id"),
       ErasureAudit.auditPqStore(spark, pqDir, delVecs, "vec_id"),
       ErasureAudit.auditKmvStore(spark, kmvRoot, delKeys, "user_id")))
@@ -6580,7 +6852,7 @@ class OperatorsSpec extends SparkSpec {
     // subjects — the audit must TRIP on all primary surfaces (an audit
     // that cannot go red proves nothing)
     val before = audit()
-    assert(before.size == 11, s"expected 11 surfaces, got ${before.keySet}")
+    assert(before.size == 14, s"expected 14 surfaces, got ${before.keySet}")
     assert(before.count(_._2 > 0) >= 8,
       s"pre-delete audit should trip on most surfaces: $before")
 
@@ -6589,6 +6861,7 @@ class OperatorsSpec extends SparkSpec {
     Text.deleteFromBm25Index(spark, bm25Root, delDocs, "doc_id")
     Similarity.deleteFromSemDedupStore(spark, semRoot, delVecs, "vec_id")
     Similarity.deleteFromNswStore(spark, nswRoot, delVecs, "vec_id")
+    Similarity.deleteFromHnswStore(spark, hnswRoot, delVecs, "vec_id")
     Similarity.deleteFromIvfIndex(spark, ivfDir, delVecs, "vec_id")
     Similarity.deleteFromPqIndex(spark, pqDir, delVecs, "vec_id")
     Events.deleteKeysFromKmvStore(spark, kmvRoot, ev, col("ts"),
@@ -6824,6 +7097,64 @@ class OperatorsSpec extends SparkSpec {
     val z = run(Seq((1L, 5L, 5L), (2L, 5L, 5L)))
     assert(z.isNullAt(4) && z.isNullAt(5) && z.isNullAt(6),
       z.toSeq.toString)
+  }
+
+  test("lDiversity: hand-worked bands, the homogeneous group drives " +
+       "at_risk_bp, ALL row folds the group universe") {
+    import SparkTestSession.spark.implicits._
+    // group A: 3 rows all sensitive=x (l=1); B: {x,y} (l=2);
+    // C: {a,b,c,d} (l=4) -> bands 1/1/1 group, ALL 10000*3//9 = 3333
+    val rows = Seq(("A", "x"), ("A", "x"), ("A", "x"),
+      ("B", "x"), ("B", "y"),
+      ("C", "a"), ("C", "b"), ("C", "c"), ("C", "d"))
+    val out = Relational.lDiversity(rows.toDF("g", "s"), Seq("g"),
+      col("s")).collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    assert(out("l=1") == Seq(1L, 3L, 1L, null), out("l=1").toString)
+    assert(out("l=2-3") == Seq(1L, 2L, 2L, null), out("l=2-3").toString)
+    assert(out("l>=4") == Seq(1L, 4L, 4L, null), out("l>=4").toString)
+    assert(out("ALL") == Seq(3L, 9L, 1L, 3333L), out("ALL").toString)
+  }
+
+  test("tCloseness: hand-worked EMD on the bp lattice, worst-first " +
+       "order, ALL row carries max and the over-threshold count") {
+    import SparkTestSession.spark.implicits._
+    // global: cats 1,2,3 with 2 rows each (cum_q 3333/6666/9999);
+    // G1 = [1,1,2,2]: cum_p 5000/10000/10000 -> EMD (1667+3334+1)//2
+    // = 2501; G2 = [3,3]: cum_p 0/0/10000 -> (3333+6666+1)//2 = 5000
+    val rows = Seq(("G1", 1L), ("G1", 1L), ("G1", 2L), ("G1", 2L),
+      ("G2", 3L), ("G2", 3L))
+    val out = Relational.tCloseness(rows.toDF("g", "s"), Seq("g"),
+      col("s")).collect()
+    assert(out.length == 3, out.mkString("|"))
+    assert(out(0).toSeq == Seq("G2", 2L, 5000L, null), out(0).toSeq.toString)
+    assert(out(1).toSeq == Seq("G1", 4L, 2501L, null), out(1).toSeq.toString)
+    assert(out(2).toSeq == Seq(null, 6L, 5000L, 2L), out(2).toSeq.toString)
+  }
+
+  test("groupSequential: hand-worked looks, Pocock stops at look 3 " +
+       "where O'Brien-Fleming still holds until look 4") {
+    import SparkTestSession.spark.implicits._
+    // 10 units accruing in id order (ts = id seconds), even ids are
+    // the treated arm and all convert, odds never do: z_milli by the
+    // pinned assembly reads 1414/2000/2449/2828/3162 at looks 1..5 —
+    // Pocock (2413) first crosses at look 3, OBF (4562/3226/2634/
+    // 2281/2040) at look 4: the early-strictness split, hand-checked
+    val ev = (1L to 10L).map(u => (u, if (u % 2 == 0) 1L else 0L))
+      .toDF("u", "c").withColumn("ts", col("u").cast("timestamp"))
+    val out = Events.groupSequential(ev, "u", col("c") === 1L,
+      (col("u") % 2 === 0).cast("int")).collect()
+    assert(out.map(_.getLong(5)).toSeq ==
+      Seq(1414L, 2000L, 2449L, 2828L, 3162L),
+      out.map(_.toSeq.toString).mkString("|"))
+    assert(out.map(_.getInt(8)).toSeq == Seq(0, 0, 1, 1, 1), "pocock")
+    assert(out.map(_.getInt(9)).toSeq == Seq(0, 0, 0, 1, 1), "obf")
+    // boundary literals are the published constants
+    assert(out.map(_.getLong(7)).toSeq ==
+      Seq(4562L, 3226L, 2634L, 2281L, 2040L))
+    assert(out.forall(_.getLong(6) == 2413L))
+    // arm/conversion bookkeeping at the final look
+    assert(out.last.toSeq.take(5) == Seq(5L, 5L, 5L, 5L, 0L),
+      out.last.toSeq.toString)
   }
 
   test("vadSegments: decoded verdicts equal the generator replay for " +
