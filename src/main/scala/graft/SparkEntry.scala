@@ -417,6 +417,12 @@ object SparkEntry {
     "q398_l_diversity"    -> (Relational.q398 _),
     "q399_t_closeness"    -> (Relational.q399 _),
     "q400_group_sequential" -> (Events.q400 _),
+    "q401_fleiss_kappa"   -> (Text.q401 _),
+    "q402_cochran_q"      -> (Text.q402 _),
+    "q403_did"            -> (Events.q403 _),
+    "q404_qte"            -> (Events.q404 _),
+    "q405_ols_two"        -> (Relational.q405 _),
+    "q407_dtw"            -> (Events.q407 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -7606,6 +7612,260 @@ object SparkEntry {
                .mkString(" ")} END) THEN 1
              ELSE 0 END AS INT) AS obf_stop
          FROM zz""",
+
+    // q401: Fleiss' kappa — the three size-rater bands replayed, the
+    // exact-integer kappa reduction (x10000, one idiv) shared with the
+    // Scala side; tertile cut literals identical in both engines.
+    "q401_fleiss_kappa" ->
+      """WITH raw AS (SELECT doc_id AS i,
+             CASE WHEN n_chars < 216 THEN 0
+                  WHEN n_chars < 380 THEN 1 ELSE 2 END AS r_len,
+             CASE WHEN length(text) - length(replace(text, ' ', '')) < 38 THEN 0
+                  WHEN length(text) - length(replace(text, ' ', '')) < 68 THEN 1
+                  ELSE 2 END AS r_ws,
+             CASE WHEN length(text) - length(replace(text, 'e', '')) < 17 THEN 0
+                  WHEN length(text) - length(replace(text, 'e', '')) < 29 THEN 1
+                  ELSE 2 END AS r_e
+           FROM documents),
+         longf AS (SELECT i, r_len AS label FROM raw
+           UNION ALL SELECT i, r_ws FROM raw
+           UNION ALL SELECT i, r_e FROM raw),
+         cell AS (SELECT i, label AS j, count(*) AS nij FROM longf GROUP BY 1, 2),
+         per AS (SELECT i, sum(nij * nij) AS sq, sum(nij) AS nv FROM cell GROUP BY 1),
+         a AS (SELECT count(*) AS n_items, sum(sq - 3) AS a_sum,
+             max(CASE WHEN nv <> 3 THEN 1 ELSE 0 END) AS ragged FROM per),
+         cats AS (SELECT j, sum(nij) AS c_total FROM cell GROUP BY 1),
+         s AS (SELECT sum(c_total * c_total) AS s_sum FROM cats)
+         SELECT CAST(j AS VARCHAR) AS category,
+           CAST(c_total AS BIGINT) AS c_total,
+           CAST(10000 * c_total // (n_items * 3) AS BIGINT) AS share_bp,
+           CAST(NULL AS BIGINT) AS p_bar_bp, CAST(NULL AS BIGINT) AS p_e_bp,
+           CAST(NULL AS BIGINT) AS kappa_bp
+         FROM cats, a
+         UNION ALL
+         SELECT 'ALL', CAST(n_items * 3 AS BIGINT), NULL,
+           CAST(10000 * a_sum // (n_items * 6) AS BIGINT),
+           CAST(10000 * s_sum // (n_items * n_items * 9) AS BIGINT),
+           CAST(CASE WHEN ragged = 1 THEN NULL
+             WHEN n_items * n_items * 9 = s_sum THEN NULL
+             ELSE 10000 * (a_sum * 3 * n_items - s_sum * 2)
+               // (n_items * n_items * 18 - s_sum * 2) END AS BIGINT)
+         FROM a, s""",
+
+    // q402: Cochran's Q — detector totals + the discordant-row count,
+    // q on the exact lattice, chi-sq(2) critical literal shared with
+    // Text.ChiSqCritMilliDf2.
+    "q402_cochran_q" ->
+      s"""WITH f AS (SELECT doc_id,
+             CASE WHEN n_chars > 300 THEN 1 ELSE 0 END AS d_len,
+             CASE WHEN length(text) - length(replace(text, ' ', '')) > 55
+               THEN 1 ELSE 0 END AS d_ws,
+             CASE WHEN contains(text, 'window') THEN 1 ELSE 0 END AS d_marker
+           FROM documents),
+         m AS (SELECT count(*) AS n_items,
+             sum(d_len + d_ws + d_marker) AS t,
+             sum((d_len + d_ws + d_marker) * (d_len + d_ws + d_marker)) AS r_sq,
+             sum(CASE WHEN d_len + d_ws + d_marker IN (1, 2) THEN 1 ELSE 0 END)
+               AS n_discord,
+             sum(d_len) AS c_len, sum(d_ws) AS c_ws, sum(d_marker) AS c_mk
+           FROM f),
+         q AS (SELECT *, 3 * t - r_sq AS den,
+             2000 * (3 * (c_len * c_len + c_ws * c_ws + c_mk * c_mk) - t * t)
+               AS num FROM m)
+         SELECT detector, CAST(hits AS BIGINT) AS hits,
+           CAST(rate_bp AS BIGINT) AS rate_bp,
+           CAST(n_discord AS BIGINT) AS n_discord,
+           CAST(q_milli AS BIGINT) AS q_milli, CAST(df AS BIGINT) AS df,
+           CAST(reject AS INT) AS reject
+         FROM (
+           SELECT 'd_len' AS detector, c_len AS hits,
+             10000 * c_len // n_items AS rate_bp,
+             NULL AS n_discord, NULL AS q_milli, NULL AS df, NULL AS reject
+           FROM q
+           UNION ALL
+           SELECT 'd_ws', c_ws, 10000 * c_ws // n_items, NULL, NULL, NULL, NULL FROM q
+           UNION ALL
+           SELECT 'd_marker', c_mk, 10000 * c_mk // n_items, NULL, NULL, NULL, NULL FROM q
+           UNION ALL
+           SELECT 'ALL', t, NULL, n_discord,
+             CASE WHEN den = 0 THEN NULL ELSE num // den END, 2,
+             CASE WHEN den = 0 THEN NULL
+               WHEN num // den >= ${Text.ChiSqCritMilliDf2} THEN 1 ELSE 0 END
+           FROM q)""",
+
+    // q403: DiD — per-user pre/post cents pivot, the four cells, the
+    // arm-pooled milli-cent deltas, and the q337 Welch assembly over
+    // the per-user deltas, verbatim.
+    "q403_did" ->
+      s"""WITH pu AS (SELECT user_id AS u,
+             max(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS treat,
+             sum(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+               THEN ${C("value")} ELSE 0 END) AS c_post,
+             sum(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+               THEN 0 ELSE ${C("value")} END) AS c_pre
+           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         cells AS (SELECT treat, post, count(*) AS n_units,
+             sum(c) AS total_cents
+           FROM (SELECT treat, 0 AS post, c_pre AS c FROM pu
+             UNION ALL SELECT treat, 1, c_post FROM pu)
+           GROUP BY 1, 2),
+         del AS (SELECT treat, c_post - c_pre AS d FROM pu),
+         pt AS (SELECT
+             sum(CASE WHEN treat = 1 THEN 1 ELSE 0 END) AS n_a,
+             sum(CASE WHEN treat = 0 THEN 1 ELSE 0 END) AS n_b,
+             sum(CASE WHEN treat = 1 THEN CAST(d AS HUGEINT) ELSE 0 END) AS sa,
+             sum(CASE WHEN treat = 0 THEN CAST(d AS HUGEINT) ELSE 0 END) AS sb,
+             sum(CASE WHEN treat = 1 THEN CAST(d AS HUGEINT) * d ELSE 0 END) AS ssa,
+             sum(CASE WHEN treat = 0 THEN CAST(d AS HUGEINT) * d ELSE 0 END) AS ssb
+           FROM del),
+         w AS (SELECT *,
+             CAST(n_a AS HUGEINT) * ssa - sa * sa AS num_a,
+             CAST(n_b AS HUGEINT) * ssb - sb * sb AS num_b,
+             CAST(CAST(n_a AS HUGEINT) * ssa - sa * sa AS DOUBLE)
+               / CAST(CAST(n_a AS HUGEINT) * n_a * (n_a - 1) AS DOUBLE) AS qa,
+             CAST(CAST(n_b AS HUGEINT) * ssb - sb * sb AS DOUBLE)
+               / CAST(CAST(n_b AS HUGEINT) * n_b * (n_b - 1) AS DOUBLE) AS qb
+           FROM pt),
+         wt AS (SELECT *,
+             (CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE)
+              - CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE)) / sqrt(qa + qb) AS tv,
+             (n_a < 2 OR n_b < 2 OR num_a + num_b = 0) AS bad
+           FROM w)
+         SELECT CAST(treat AS INT) AS treat, CAST(post AS INT) AS post,
+           CAST(n_units AS BIGINT) AS n_units,
+           CAST(total_cents AS BIGINT) AS total_cents,
+           CAST(1000 * total_cents // n_units AS BIGINT) AS mean_cents_milli,
+           CAST(NULL AS BIGINT) AS did_milli,
+           CAST(NULL AS BIGINT) AS t_milli, CAST(NULL AS INT) AS is_significant
+         FROM cells
+         UNION ALL
+         SELECT NULL, NULL, CAST(wt.n_a + wt.n_b AS BIGINT), NULL, NULL,
+           CAST(1000 * wt.sa // wt.n_a - 1000 * wt.sb // wt.n_b AS BIGINT),
+           CAST(CASE WHEN bad THEN NULL
+             ELSE floor(tv * 1000 + 0.5) END AS BIGINT),
+           CAST(CASE WHEN bad THEN NULL
+             WHEN abs(floor(tv * 1000 + 0.5)) > 1960 THEN 1 ELSE 0 END AS INT)
+         FROM wt""",
+
+    // q404: QTE — exact decile order statistics per arm, the 1-based
+    // ceil(p*n/10) rank over the (value, unit) total order.
+    "q404_qte" ->
+      s"""WITH pu AS (SELECT user_id AS u,
+             max(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS treat,
+             sum(${C("value")}) AS c
+           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         rk AS (SELECT treat, c, u,
+             row_number() OVER (PARTITION BY treat ORDER BY c, u) AS r FROM pu),
+         arms AS (SELECT treat, count(*) AS n FROM pu GROUP BY 1),
+         tgt AS (SELECT a.treat, a.n, p.p, (p.p * a.n + 9) // 10 AS r
+           FROM arms a CROSS JOIN (SELECT unnest(range(1, 10)) AS p) p),
+         pick AS (SELECT t.p, t.treat, t.n, rk.c
+           FROM tgt t JOIN rk ON rk.treat = t.treat AND rk.r = t.r)
+         SELECT CAST(p * 10 AS BIGINT) AS pct,
+           CAST(sum(CASE WHEN treat = 1 THEN n ELSE 0 END) AS BIGINT) AS n_treat,
+           CAST(sum(CASE WHEN treat = 0 THEN n ELSE 0 END) AS BIGINT) AS n_ctrl,
+           CAST(sum(CASE WHEN treat = 1 THEN c ELSE 0 END) AS BIGINT) AS q_treat_c,
+           CAST(sum(CASE WHEN treat = 0 THEN c ELSE 0 END) AS BIGINT) AS q_ctrl_c,
+           CAST(sum(CASE WHEN treat = 1 THEN c ELSE 0 END)
+             - sum(CASE WHEN treat = 0 THEN c ELSE 0 END) AS BIGINT) AS qte_c
+         FROM pick GROUP BY 1""",
+
+    // q405: two-regressor OLS — HUGEINT product moments (the decimal
+    // twin of the Spark side), centered sums, one pinned-order double
+    // Cramer solve.
+    "q405_ols_two" ->
+      s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+             count(*) AS m, sum(${C("o_totalprice")}) AS y
+           FROM orders GROUP BY 1),
+         ix AS (SELECT y, m, row_number() OVER (ORDER BY day) AS t FROM daily),
+         mo AS (SELECT count(*) AS n, sum(t) AS sx, sum(m) AS sz, sum(y) AS sy,
+             sum(CAST(t AS HUGEINT) * t) AS sxx,
+             sum(CAST(m AS HUGEINT) * m) AS szz,
+             sum(CAST(t AS HUGEINT) * m) AS sxz,
+             sum(CAST(t AS HUGEINT) * y) AS sxy,
+             sum(CAST(m AS HUGEINT) * y) AS szy,
+             sum(CAST(y AS HUGEINT) * y) AS syy
+           FROM ix),
+         ctr AS (SELECT *,
+             CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS cxx,
+             CAST(CAST(n AS HUGEINT) * szz - CAST(sz AS HUGEINT) * sz AS DOUBLE) AS czz,
+             CAST(CAST(n AS HUGEINT) * sxz - CAST(sx AS HUGEINT) * sz AS DOUBLE) AS cxz,
+             CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) AS cxy,
+             CAST(CAST(n AS HUGEINT) * szy - CAST(sz AS HUGEINT) * sy AS DOUBLE) AS czy,
+             CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE) AS cyy
+           FROM mo),
+         sol AS (SELECT *,
+             cxx * czz - cxz * cxz AS det,
+             (cxy * czz - czy * cxz) / (cxx * czz - cxz * cxz) AS b1,
+             (czy * cxx - cxy * cxz) / (cxx * czz - cxz * cxz) AS b2
+           FROM ctr),
+         fin AS (SELECT *,
+             (CAST(sy AS DOUBLE) - b1 * CAST(sx AS DOUBLE)
+               - b2 * CAST(sz AS DOUBLE)) / CAST(n AS DOUBLE) AS b0,
+             (b1 * cxy + b2 * czy) / cyy AS r2,
+             (det = 0 OR n < 3 OR cyy = 0) AS bad
+           FROM sol)
+         SELECT CAST(n AS BIGINT) AS n, CAST(sx AS BIGINT) AS sx,
+           CAST(sz AS BIGINT) AS sz, CAST(sy AS BIGINT) AS sy,
+           CAST(CASE WHEN bad THEN NULL ELSE floor(b1 * 1000 + 0.5) END AS BIGINT) AS b1_milli,
+           CAST(CASE WHEN bad THEN NULL ELSE floor(b2 * 1000 + 0.5) END AS BIGINT) AS b2_milli,
+           CAST(CASE WHEN bad THEN NULL ELSE floor(b0 * 1000 + 0.5) END AS BIGINT) AS b0_milli,
+           CAST(CASE WHEN bad THEN NULL ELSE floor(r2 * 10000 + 0.5) END AS BIGINT) AS r2_bp
+         FROM fin""",
+
+    // q407: banded DTW — the anti-diagonal wavefront replayed with two
+    // carried LIST columns (diagonal k from k-1 and k-2, elementwise);
+    // band literal 7 and the Big sentinel 2^62 shared with the Scala
+    // side. Series are the observed-day grid (absent (type, day) reads
+    // 0), lists ordered by day.
+    "q407_dtw" ->
+      """WITH RECURSIVE daily AS (SELECT event_type AS s, CAST(ts AS DATE) AS d,
+             count(*) AS n FROM events GROUP BY 1, 2),
+         dys AS (SELECT DISTINCT d FROM daily),
+         typ AS (SELECT DISTINCT s FROM daily),
+         grid AS (SELECT t.s, dy.d, coalesce(dl.n, 0) AS v
+           FROM typ t CROSS JOIN dys dy
+           LEFT JOIN daily dl ON dl.s = t.s AND dl.d = dy.d),
+         vecs AS (SELECT s, list(v ORDER BY d) AS vec FROM grid GROUP BY 1),
+         pairs AS (SELECT a.s AS ta, b.s AS tb, a.vec AS va, b.vec AS vb,
+             len(a.vec) AS t FROM vecs a JOIN vecs b ON a.s < b.s),
+         wf(ta, tb, va, vb, t, k, cur, prev) AS (
+           SELECT ta, tb, va, vb, t, 0,
+             list_transform(range(t), i -> CASE WHEN i = 0
+               THEN abs(va[1] - vb[1])
+               ELSE 4611686018427387904 END),
+             list_transform(range(t), i -> 4611686018427387904)
+           FROM pairs
+           UNION ALL
+           SELECT ta, tb, va, vb, t, k + 1,
+             list_transform(range(t), i -> CASE
+               WHEN k + 1 - i BETWEEN 0 AND t - 1
+                 AND abs(2 * i - (k + 1)) <= 7 THEN
+                 CASE WHEN least(
+                     CASE WHEN i > 0 THEN cur[i] ELSE 4611686018427387904 END,
+                     cur[i + 1],
+                     CASE WHEN i > 0 THEN prev[i] ELSE 4611686018427387904 END)
+                   >= 4611686018427387904 THEN 4611686018427387904
+                 ELSE abs(va[i + 1] - vb[k + 2 - i]) + least(
+                     CASE WHEN i > 0 THEN cur[i] ELSE 4611686018427387904 END,
+                     cur[i + 1],
+                     CASE WHEN i > 0 THEN prev[i] ELSE 4611686018427387904 END)
+                 END
+               ELSE 4611686018427387904 END),
+             cur
+           FROM wf WHERE k < 2 * (t - 1)),
+         dtw AS (SELECT ta, tb, t, cur[t] AS dtw_cost FROM wf
+           WHERE k = 2 * (t - 1)),
+         l1 AS (SELECT ta, tb,
+             list_sum(list_transform(range(t), i ->
+               abs(va[i + 1] - vb[i + 1]))) AS l1_cost FROM pairs)
+         SELECT d.ta AS type_a, d.tb AS type_b, CAST(d.t AS BIGINT) AS n_days,
+           CAST(d.dtw_cost AS BIGINT) AS dtw_cost,
+           CAST(l1.l1_cost AS BIGINT) AS l1_cost,
+           CAST(CASE WHEN l1.l1_cost > 0
+             THEN 10000 * (l1.l1_cost - d.dtw_cost) // l1.l1_cost
+             ELSE 0 END AS BIGINT) AS warp_gain_bp
+         FROM dtw d JOIN l1 ON d.ta = l1.ta AND d.tb = l1.tb""",
   )
 
   /** q226 oracle: the sampled co-purchase edge set + KCorePeelRounds

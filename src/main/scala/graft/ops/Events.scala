@@ -3873,4 +3873,234 @@ object Events {
     groupSequential(
       Tables.events(s, d).filter(col("event_type") === "purchase"),
       "user_id", col("value") > 150.0, (col("user_id") % 2 === 0).cast("int"))
+
+  /** DIFFERENCE-IN-DIFFERENCES (round 16) — the observational-causal
+    * member the A/B stack (q209/q337/q339/q347/q400) is missing: when
+    * assignment is NOT randomized but a pre-period exists, the treated
+    * arm's naive post-vs-pre change confounds the effect with the
+    * common time trend; DiD subtracts the control arm's change under
+    * the parallel-trends assumption. The four cell rows ARE the
+    * diagnostic (a reviewer reads the pre-period gap before trusting
+    * the estimate), the ALL row carries the point estimate and a Welch
+    * t (q337 assembly, unchanged) over the per-unit pre→post deltas —
+    * the unit-level delta regression's t, robust to per-unit level
+    * differences by construction.
+    *
+    * The unit universe is every unit seen in the stream, each present
+    * in BOTH periods (absent spend reads 0): dropping the zero cells
+    * would select on the outcome. All spend is exact integer cents;
+    * cell means and the DiD estimate are milli-cents by truncating
+    * idiv — did_milli = Δtreat − Δcontrol where each Δ is the arm's
+    * exact pooled per-unit change ⌊1000·(post−pre)/n_arm⌋.
+    *
+    * Scale (100 TB): one (unit, period)-grain aggregation, one
+    * unit-grain pivot (map-side: two conditional sums), a 4-row cell
+    * rollup and a 1-row Welch fold. No joins beyond the 2-row grid
+    * explode. */
+  def diffInDiff(events: DataFrame, unit: String, isTreat: Column,
+                 isPost: Column, outcomeCents: Column): DataFrame = {
+    val perUnit = events
+      .select(col(unit).as("u"), isTreat.cast("int").as("treat"),
+        isPost.cast("int").as("post"), outcomeCents.as("c"))
+      .groupBy(col("u"))
+      .agg(max(col("treat")).as("treat"),
+        sum(when(col("post") === 1, col("c")).otherwise(0L)).as("c_post"),
+        sum(when(col("post") === 0, col("c")).otherwise(0L)).as("c_pre"))
+    val cells = perUnit
+      .select(col("treat"), col("c_post"), col("c_pre"),
+        explode(array(lit(0), lit(1))).as("post"))
+      .select(col("treat"), col("post"),
+        when(col("post") === 1, col("c_post")).otherwise(col("c_pre"))
+          .as("c"))
+      .groupBy(col("treat"), col("post"))
+      .agg(count(lit(1)).as("n_units"), sum(col("c")).as("total_cents"))
+      .select(col("treat"), col("post"), col("n_units"), col("total_cents"),
+        F.idiv(lit(1000L) * col("total_cents"), col("n_units"))
+          .as("mean_cents_milli"),
+        lit(null).cast("long").as("did_milli"),
+        lit(null).cast("long").as("t_milli"),
+        lit(null).cast("int").as("is_significant"))
+    val deltas = perUnit.select(col("treat"),
+      (col("c_post") - col("c_pre")).as("d"))
+    val point = deltas.groupBy(col("treat"))
+      .agg(count(lit(1)).as("n"), sum(col("d")).as("sd"))
+      .agg(sum(when(col("treat") === 1,
+          F.idiv(lit(1000L) * col("sd"), col("n"))).otherwise(0L))
+          .as("d_treat"),
+        sum(when(col("treat") === 0,
+          F.idiv(lit(1000L) * col("sd"), col("n"))).otherwise(0L))
+          .as("d_ctrl"),
+        sum(col("n")).as("n_units"))
+    val welch = welchT(deltas, col("d"), col("treat") === 1)
+    val allRow = point.crossJoin(broadcast(welch)) // two 1-row scalars
+      .select(lit(null).cast("int").as("treat"),
+        lit(null).cast("int").as("post"),
+        col("n_units"), lit(null).cast("long").as("total_cents"),
+        lit(null).cast("long").as("mean_cents_milli"),
+        (col("d_treat") - col("d_ctrl")).as("did_milli"),
+        col("t_milli"), col("is_significant"))
+    cells.unionAll(allRow).orderBy(col("treat"), col("post"))
+  }
+
+  /** q403: DiD of per-user purchase spend, parity arms, the month's
+    * midpoint as the policy date — on this A/B-parity corpus the
+    * pre-period gap is the placebo read (≈0 by construction) and the
+    * estimate doubles as an A/A check for the DiD assembly itself. */
+  def q403(s: SparkSession, d: String): DataFrame =
+    diffInDiff(
+      Tables.events(s, d).filter(col("event_type") === "purchase"),
+      "user_id", col("user_id") % 2 === 0,
+      to_date(col("ts")) >= lit("2024-01-16").cast("date"),
+      cents(col("value")))
+
+  /** QUANTILE TREATMENT EFFECTS (round 16) — the distributional read
+    * the mean-effect stack (q337 Welch, q339 CUPED, q390 effect sizes)
+    * cannot give: a treatment that moves only the tail reads ≈0 in the
+    * mean but large at p90, and whale-driven lifts show up as a p50≈0
+    * / p90≫0 signature. QTE(p) = Q_treat(p) − Q_ctrl(p) at the nine
+    * deciles, computed as EXACT order statistics (percentile_disc
+    * semantics: the value at 1-based rank ⌈p·n⌉ of the arm sorted by
+    * (value, unit) — a total order, so both engines pick the identical
+    * element; no interpolation, no doubles).
+    *
+    * The unit universe is every unit in the stream (non-purchasers
+    * read 0 — dropping them would condition on the outcome, the same
+    * rule as DiD's).
+    *
+    * Scale (100 TB): one unit-grain aggregation, one per-arm sort
+    * (window rank — the exact-order-statistic price; the documented
+    * large-scale swap is approx_percentile with rank tolerance, the
+    * q248 convention), a 9-row broadcast grid join. */
+  def quantileTreatmentEffects(events: DataFrame, unit: String,
+                               isTreat: Column,
+                               outcomeCents: Column): DataFrame = {
+    val perUnit = events
+      .select(col(unit).as("u"), isTreat.cast("int").as("treat"),
+        outcomeCents.as("c"))
+      .groupBy(col("u"))
+      .agg(max(col("treat")).as("treat"), sum(col("c")).as("c"))
+    val ranked = perUnit.withColumn("r",
+      row_number().over(Window.partitionBy(col("treat"))
+        .orderBy(col("c"), col("u"))).cast("long"))
+    val arms = ranked.groupBy(col("treat")).agg(count(lit(1)).as("n"))
+    // 1-based ⌈p·n/10⌉ target rank per (arm, decile)
+    val targets = arms
+      .select(col("treat"), col("n"),
+        explode(sequence(lit(1L), lit(9L))).as("p"))
+      .select(col("treat"), col("n"), col("p"),
+        F.idiv(col("p") * col("n") + lit(9L), lit(10L)).as("r"))
+    val picked = ranked.join(broadcast(targets), Seq("treat", "r"))
+      .select(col("p"), col("treat"), col("n"), col("c"))
+    picked.groupBy(col("p"))
+      .agg(sum(when(col("treat") === 1, col("n")).otherwise(0L)).as("n_treat"),
+        sum(when(col("treat") === 0, col("n")).otherwise(0L)).as("n_ctrl"),
+        sum(when(col("treat") === 1, col("c")).otherwise(0L)).as("q_treat_c"),
+        sum(when(col("treat") === 0, col("c")).otherwise(0L)).as("q_ctrl_c"))
+      .select(col("p") * lit(10L) as "pct", col("n_treat"), col("n_ctrl"),
+        col("q_treat_c"), col("q_ctrl_c"),
+        (col("q_treat_c") - col("q_ctrl_c")).as("qte_c"))
+      .orderBy(col("pct"))
+  }
+
+  /** q404: decile treatment effects on per-user purchase spend, parity
+    * arms — the distributional companion to q337's mean read. */
+  def q404(s: SparkSession, d: String): DataFrame =
+    quantileTreatmentEffects(
+      Tables.events(s, d).filter(col("event_type") === "purchase"),
+      "user_id", col("user_id") % 2 === 0, cents(col("value")))
+
+  /** Banded DTW between two equal-length integer series: |a_i − b_j|
+    * cell cost, Sakoe–Chiba band |i−j| ≤ w, classic recurrence
+    * d(i,j) = c(i,j) + min(d(i−1,j), d(i,j−1), d(i−1,j−1)). Evaluated
+    * as an anti-diagonal WAVEFRONT — diagonal k depends only on
+    * diagonals k−1 and k−2, elementwise — which is the same shape the
+    * DuckDB oracle replays with two carried LIST columns (the one
+    * recurrence form a recursive CTE can express without aggregating
+    * over its own working set). Pure Long arithmetic; Big = 2⁶² marks
+    * out-of-band/out-of-range (never added twice: cost ≤ Big/4). */
+  private val DtwBig = 1L << 62
+  def dtwBanded(a: Array[Long], b: Array[Long], w: Int): Long = {
+    val t = a.length
+    require(b.length == t && t > 0, "equal-length non-empty series")
+    var prev2 = Array.fill(t)(DtwBig) // diagonal k−2, indexed by i
+    var prev = Array.fill(t)(DtwBig)  // diagonal k−1
+    var k = 0
+    while (k <= 2 * (t - 1)) {
+      val cur = Array.fill(t)(DtwBig)
+      var i = math.max(0, k - t + 1)
+      val iMax = math.min(k, t - 1)
+      while (i <= iMax) {
+        val j = k - i
+        if (math.abs(i - j) <= w) {
+          val c = math.abs(a(i) - b(j))
+          cur(i) =
+            if (k == 0) c
+            else {
+              val up = if (i > 0) prev(i - 1) else DtwBig   // (i−1, j)
+              val left = prev(i)                             // (i, j−1)
+              val diag = if (i > 0) prev2(i - 1) else DtwBig // (i−1, j−1)
+              val m = math.min(up, math.min(left, diag))
+              if (m >= DtwBig) DtwBig else c + m
+            }
+        }
+        i += 1
+      }
+      prev2 = prev; prev = cur; k += 1
+    }
+    prev(t - 1)
+  }
+
+  /** DYNAMIC TIME WARPING SERIES SIMILARITY (round 16) — the sequence-
+    * SHAPE distance the drift stack lacks: CCF (q255) asks "do two
+    * series co-move at a FIXED lag", DTW asks "how far apart are they
+    * allowing a bounded elastic alignment" — the right read when one
+    * metric reacts to the same campaign a day or two later than
+    * another, which a fixed-lag correlation smears. Computed between
+    * every ordered pair of per-type daily count series (dense calendar
+    * grid, absent days read 0), with the L1 (no-warp) distance
+    * alongside: warp_gain_bp = ⌊10000·(L1 − DTW)/L1⌋ is the fraction
+    * of the raw gap that bounded realignment explains — the pair
+    * screen a reviewer ranks by.
+    *
+    * Exact integers end-to-end (counts, |·| costs, Long DP). The DP
+    * itself runs on the driver over the CALENDAR-DAY grain — the
+    * documented bounded-grain convention (a decade of days is ~3.7k
+    * points; the T·w band at w=7 is ~26k cells per pair) — after one
+    * distributed (type, day) aggregation; at 100 TB the aggregation is
+    * the only data-sized stage, and a large type universe distributes
+    * as one task per pair over the same broadcast day-grain arrays. */
+  def dtwPairs(events: DataFrame, series: Column, day: Column,
+               band: Int): DataFrame = {
+    val spark = events.sparkSession
+    val daily = events.groupBy(series.as("s"), day.as("d"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString,
+        r.getLong(2)))
+    val days = daily.map(_._2).distinct.sorted
+    val idx = days.zipWithIndex.toMap
+    val dense = daily.groupBy(_._1).map { case (s, rows) =>
+      val v = Array.fill(days.length)(0L)
+      rows.foreach { case (_, d0, n) => v(idx(d0)) = n }
+      s -> v
+    }
+    val types = dense.keys.toSeq.sorted
+    val rows = for {
+      (ta, ia) <- types.zipWithIndex; tb <- types.drop(ia + 1)
+    } yield {
+      val (va, vb) = (dense(ta), dense(tb))
+      val l1 = va.zip(vb).map { case (x, y) => math.abs(x - y) }.sum
+      val dtw = dtwBanded(va, vb, band)
+      val gain = if (l1 > 0) 10000L * (l1 - dtw) / l1 else 0L
+      (ta, tb, days.length.toLong, dtw, l1, gain)
+    }
+    import spark.implicits._
+    rows.toDF("type_a", "type_b", "n_days", "dtw_cost", "l1_cost",
+      "warp_gain_bp").orderBy(col("type_a"), col("type_b"))
+  }
+
+  /** q407: banded DTW over the five event-type daily series, band = 7
+    * days — the elastic-alignment pair screen next to q255's fixed-lag
+    * CCF. */
+  def q407(s: SparkSession, d: String): DataFrame =
+    dtwPairs(Tables.events(s, d), col("event_type"), to_date(col("ts")), 7)
 }

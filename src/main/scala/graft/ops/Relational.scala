@@ -4451,4 +4451,79 @@ object Relational {
         .agg(count(lit(1)).as("xn"),
           sum(cents(col("o_totalprice"))).as("yn")),
       col("o_orderdate"), col("xn"), col("yn"))
+
+  /** TWO-REGRESSOR OLS (round 16) — multiple regression via the normal
+    * equations, the step past q204's simple slope the feature-audit
+    * family needs: "does x still predict y AFTER controlling for z" is
+    * a partial-effect question a single-regressor fit cannot answer
+    * (q204 on these inputs reads the confounded slope). Closed form on
+    * centered moments, no iteration:
+    *   S_ab = n·Σab − Σa·Σb   (exact Long — one aggregation's sums)
+    *   b1 = (S_xy·S_zz − S_zy·S_xz) / (S_xx·S_zz − S_xz²)   (Cramer)
+    *   b2 = (S_zy·S_xx − S_xy·S_xz) / (same determinant)
+    *   b0 = (Σy − b1·Σx − b2·Σz) / n
+    *   R² = (b1·S_xy + b2·S_zy) / S_yy
+    * The moment sums are EXACT integers (the hash surface); the 2×2
+    * solve is double with one pinned operation order (the q337/q400
+    * z-assembly convention — Cramer products overflow Long by design,
+    * and IEEE ×,−,/ round identically in both engines). Collinear
+    * regressors (det = 0) read NULL coefficients — loud, not wrong.
+    *
+    * Scale (100 TB): ONE map-side-partial aggregation over the input
+    * frame; the solve is 1-row arithmetic. Nothing else. */
+  def olsTwo(df: DataFrame, y: Column, x: Column, z: Column): DataFrame = {
+    // every product moment in decimal(38,0): Σy² alone passes 10¹⁸ on
+    // a cents-grain frame two decades up (the welchT convention —
+    // exact integers wider than Long, collapsed to double only at the
+    // solve). The plain sums stay Long on the output (the hash
+    // surface); they are orders of magnitude inside the bound.
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val m = df.select(y.as("y"), x.as("x"), z.as("z"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("z")).as("sz"),
+        sum(col("y")).as("sy"),
+        sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+        sum(dec(col("z")) * dec(col("z"))).as("szz"),
+        sum(dec(col("x")) * dec(col("z"))).as("sxz"),
+        sum(dec(col("x")) * dec(col("y"))).as("sxy"),
+        sum(dec(col("z")) * dec(col("y"))).as("szy"),
+        sum(dec(col("y")) * dec(col("y"))).as("syy"))
+    def ctr(ab: Column, a: Column, b: Column): Column =
+      (dec(col("n")) * ab - dec(a) * dec(b)).cast("double")
+    val cxx = ctr(col("sxx"), col("sx"), col("sx"))
+    val czz = ctr(col("szz"), col("sz"), col("sz"))
+    val cxz = ctr(col("sxz"), col("sx"), col("sz"))
+    val cxy = ctr(col("sxy"), col("sx"), col("sy"))
+    val czy = ctr(col("szy"), col("sz"), col("sy"))
+    val cyy = ctr(col("syy"), col("sy"), col("sy"))
+    val det = cxx * czz - cxz * cxz
+    val b1 = (cxy * czz - czy * cxz) / det
+    val b2 = (czy * cxx - cxy * cxz) / det
+    val b0 = (col("sy").cast("double") -
+      b1 * col("sx").cast("double") - b2 * col("sz").cast("double")) /
+      col("n").cast("double")
+    val r2 = (b1 * cxy + b2 * czy) / cyy
+    val bad = det === lit(0d) || col("n") < 3L || cyy === lit(0d)
+    def milli(c: Column): Column =
+      when(bad, lit(null).cast("long"))
+        .otherwise(floor(c * lit(1000d) + lit(0.5d)).cast("long"))
+    m.select(col("n"), col("sx"), col("sz"), col("sy"),
+      milli(b1).as("b1_milli"), milli(b2).as("b2_milli"),
+      milli(b0).as("b0_milli"),
+      when(bad, lit(null).cast("long"))
+        .otherwise(floor(r2 * lit(10000d) + lit(0.5d)).cast("long"))
+        .as("r2_bp"))
+  }
+
+  /** q405: daily revenue (cents) on day index + daily order count —
+    * the trend coefficient AFTER controlling for volume, next to
+    * q204's confounded simple slope over the same frame. */
+  def q405(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("m"), sum(cents(col("o_totalprice"))).as("y"))
+      .withColumn("t", row_number().over(Window.orderBy(col("day")))
+        .cast("long"))
+    olsTwo(daily, col("y"), col("t"), col("m"))
+  }
 }

@@ -4918,4 +4918,181 @@ object Text {
     * residual must read 0 in every language row. */
   def q388(s: SparkSession, d: String): DataFrame =
     markupScrub(Tables.documents(s, d), "doc_id", "text", "lang")
+
+  /** FLEISS' KAPPA (round 16) — multi-rater chance-corrected agreement,
+    * the n>2 generalization q275's Cohen κ cannot express (Cohen is
+    * defined for exactly two raters; averaging pairwise κs over-counts
+    * the shared-marginal raters). Labeling pipelines routinely fan one
+    * item to 3-5 annotators (or heuristic labelers) and gate on "is the
+    * panel better than chance" — that number IS Fleiss' κ.
+    *
+    * Input grain: one row per (item, rater) with a categorical label —
+    * the tidy long format every annotation store exports. Per item i and
+    * category j, n_ij = raters voting j; with n raters/item and N items:
+    *   P̄  = Σ_i (Σ_j n_ij² − n) / (N·n·(n−1))   observed agreement
+    *   P̄e = Σ_j (Σ_i n_ij)² / (N·n)²            chance agreement
+    *   κ  = (P̄ − P̄e) / (1 − P̄e)
+    * Everything stays on the integer lattice: with A = Σ_i(Σ_j n_ij²−n)
+    * and S = Σ_j c_j², multiplying κ through by 2·N²·n²·(n−1) gives
+    *   κ_bp = ⌊10000·(A·n·N² − S·N·(n−1)) / (N²·n²·(n−1)·N − S·N·(n−1))⌋
+    * — reduced here with n pinned per call. Long bounds: the largest
+    * product is N²·n²·(n−1), so exact-lattice κ holds to N ≈ 7·10⁸
+    * items at n = 3; past that the 100 TB path reads the same κ from
+    * the bp-rounded P̄/P̄e columns (already emitted) instead of the
+    * exact ratio — the N² term is the statistic's, not the plan's
+    * (still one item-grain aggregation).
+    *
+    * Output: one row per category with its column total and vote share
+    * (the marginal a reviewer reads first), then the ALL row carrying
+    * P̄/P̄e/κ in bp. Degenerate panels (every rater one category → P̄e=1)
+    * read NULL κ — agreement with no variation is not evidence.
+    *
+    * Scale (100 TB): one (item, label)-grain count aggregation, one
+    * item-grain fold, one k-row category rollup — no joins, no row
+    * explosion; the item-grain shuffle is the price of the statistic. */
+  def fleissKappa(ratings: DataFrame, item: String, label: String,
+                  raters: Int): DataFrame = {
+    require(raters >= 2, "Fleiss' kappa needs at least two raters")
+    val nL = raters.toLong
+    val cell = ratings.groupBy(col(item).as("i"), col(label).as("j"))
+      .agg(count(lit(1)).as("nij"))
+    // per-item Σ n_ij² (items with a missing rater fail loudly: the
+    // statistic's denominator assumes a full panel per item)
+    val perItem = cell.groupBy(col("i"))
+      .agg(sum(col("nij") * col("nij")).as("sq"),
+        sum(col("nij")).as("nv"))
+    val a = perItem.agg(
+      count(lit(1)).as("n_items"),
+      sum(col("sq") - lit(nL)).as("a_sum"),
+      max((col("nv") =!= nL).cast("int")).as("ragged"))
+    val cats = cell.groupBy(col("j"))
+      .agg(sum(col("nij")).as("c_total"))
+    val s = cats.agg(sum(col("c_total") * col("c_total")).as("s_sum"))
+    val catRows = cats.crossJoin(broadcast(a)) // 1-row scalar
+      .select(col("j").cast("string").as("category"), col("c_total"),
+        F.idiv(lit(10000L) * col("c_total"), col("n_items") * lit(nL))
+          .as("share_bp"),
+        lit(null).cast("long").as("p_bar_bp"),
+        lit(null).cast("long").as("p_e_bp"),
+        lit(null).cast("long").as("kappa_bp"))
+    val nn = col("n_items")
+    val allRow = a.crossJoin(broadcast(s))
+      .select(lit("ALL").as("category"),
+        nn * lit(nL) as "c_total",
+        lit(null).cast("long").as("share_bp"),
+        F.idiv(lit(10000L) * col("a_sum"), nn * lit(nL * (nL - 1L)))
+          .as("p_bar_bp"),
+        F.idiv(lit(10000L) * col("s_sum"), nn * nn * lit(nL * nL))
+          .as("p_e_bp"),
+        when(col("ragged") === 1, lit(null).cast("long")) // loud, not wrong
+          .when(nn * nn * lit(nL * nL) === col("s_sum"),
+            lit(null).cast("long")) // P̄e = 1: zero label variation
+          .otherwise(F.idiv(
+            lit(10000L) * (col("a_sum") * lit(nL) * nn -
+              col("s_sum") * lit(nL - 1L)),
+            nn * nn * lit(nL * nL * (nL - 1L)) -
+              col("s_sum") * lit(nL - 1L)))
+          .as("kappa_bp"))
+    catRows.unionAll(allRow).orderBy(col("category"))
+  }
+
+  /** Three deterministic single-pass "raters" over a document: length
+    * band, whitespace-token band, and 'e'-count band — three different
+    * surface meters of the same size-ish construct, so the panel agrees
+    * well but not perfectly (band edges disagree), which is exactly the
+    * regime κ is for. Cut points are corpus-tertile literals shared
+    * verbatim with the oracle. */
+  private def sizeRaterLong(docs: DataFrame, item: String): DataFrame = {
+    def band(c: Column, lo: Long, hi: Long): Column =
+      when(c < lo, lit(0L)).when(c < hi, lit(1L)).otherwise(lit(2L))
+    val spaces = length(col("text")) -
+      length(regexp_replace(col("text"), " ", ""))
+    val es = length(col("text")) -
+      length(regexp_replace(col("text"), "e", ""))
+    docs.select(col(item).as("i"),
+      band(col("n_chars"), 216L, 380L).as("r_len"),
+      band(spaces.cast("long"), 38L, 68L).as("r_ws"),
+      band(es.cast("long"), 17L, 29L).as("r_e"))
+      .selectExpr("i",
+        "stack(3, 'len', r_len, 'ws', r_ws, 'e', r_e) AS (rater, label)")
+  }
+
+  /** q401: Fleiss' κ of the three-size-rater panel over the documents
+    * corpus — the multi-rater agreement headline next to q275's
+    * two-rater κ and q385's Bland–Altman meter agreement. */
+  def q401(s: SparkSession, d: String): DataFrame =
+    fleissKappa(sizeRaterLong(Tables.documents(s, d), "doc_id"),
+      "i", "label", 3)
+
+  /** COCHRAN'S Q (round 16) — "do k correlated binary detectors fire at
+    * the same rate": the k-treatment generalization of McNemar (q279),
+    * exactly as Friedman (q379) generalizes Wilcoxon. Running k quality
+    * detectors over one corpus yields k PAIRED binary columns — a naive
+    * k×2 χ² (q130) is invalid there because the rows are the same
+    * documents, not independent samples. Q = (k−1)·(k·ΣC_j² − T²) /
+    * (k·T − ΣR_i²) with C_j the detector totals, R_i the per-item hit
+    * counts, T the grand total; under H₀ Q ~ χ²(k−1).
+    *
+    * Integer lattice end-to-end: numerator and denominator are exact
+    * Longs, q_milli = ⌊1000·num/den⌋; items where all detectors agree
+    * (R_i = 0 or k) contribute nothing to the denominator — the
+    * statistic is driven by the discordant rows only, same as McNemar.
+    * Output: one row per detector (total + rate bp) and the ALL row
+    * with T, the discordant-row count, q_milli, df, and the χ²(k−1)
+    * α=.05 verdict against the published critical value (pinned as a
+    * driver literal the oracle shares).
+    *
+    * Scale (100 TB): the detectors are map-side flags; one item-grain
+    * aggregation (R_i) and one k-row rollup. No joins. */
+  val ChiSqCritMilliDf2: Long = 5991L // χ²(2), α = .05 (published table)
+  def cochranQ(flags: DataFrame, item: String,
+               detectors: Seq[(String, Column)]): DataFrame = {
+    val k = detectors.size.toLong
+    require(k >= 2, "Cochran's Q needs at least two detectors")
+    val perItem = flags.select(col(item) +:
+      detectors.map { case (n, c) => c.cast("long").as(n) }: _*)
+    val rAgg = perItem
+      .select((detectors.map(d => col(d._1)).reduce(_ + _)).as("r"))
+      .agg(count(lit(1)).as("n_items"), sum(col("r")).as("t"),
+        sum(col("r") * col("r")).as("r_sq"),
+        sum((col("r") > 0L && col("r") < k).cast("long")).as("n_discord"))
+    val cSums = detectors.map(d => sum(col(d._1)).as(d._1))
+    val cAgg = perItem.agg(cSums.head, cSums.tail: _*)
+    val cSq = detectors.map(d => col(d._1) * col(d._1)).reduce(_ + _)
+    val den = lit(k) * col("t") - col("r_sq")
+    val qMilli = F.idiv(lit(1000L * (k - 1L)) *
+      (lit(k) * cSq - col("t") * col("t")), den)
+    val nulL = lit(null).cast("long"); val nulI = lit(null).cast("int")
+    // one corpus pass: both 1-row scalars join, then a constant-width
+    // explode emits the k detector rows and the ALL row together
+    cAgg.crossJoin(broadcast(rAgg))
+      .select(explode(array(
+        detectors.map { case (n, _) =>
+          struct(lit(n).as("detector"), col(n).as("hits"),
+            F.idiv(lit(10000L) * col(n), col("n_items")).as("rate_bp"),
+            nulL.as("n_discord"), nulL.as("q_milli"), nulL.as("df"),
+            nulI.as("reject"))
+        } :+ struct(lit("ALL").as("detector"), col("t").as("hits"),
+          nulL.as("rate_bp"), col("n_discord"),
+          when(den === 0L, nulL).otherwise(qMilli).as("q_milli"),
+          lit(k - 1L).as("df"),
+          when(den === 0L, nulI)
+            .otherwise((qMilli >= lit(ChiSqCritMilliDf2)).cast("int"))
+            .as("reject")): _*)).as("r"))
+      .select(col("r.detector"), col("r.hits"), col("r.rate_bp"),
+        col("r.n_discord"), col("r.q_milli"), col("r.df"), col("r.reject"))
+      .orderBy(col("detector"))
+  }
+
+  /** q402: Cochran's Q over three correlated corpus detectors (length
+    * gate, whitespace gate, 'window'-marker gate) — fires iff the
+    * detectors' rates differ beyond what their pairing explains. */
+  def q402(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    cochranQ(docs, "doc_id", Seq(
+      "d_len" -> (col("n_chars") > 300L),
+      "d_ws" -> ((length(col("text")) -
+        length(regexp_replace(col("text"), " ", ""))) > 55),
+      "d_marker" -> col("text").contains("window")))
+  }
 }

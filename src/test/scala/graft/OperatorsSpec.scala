@@ -7276,4 +7276,153 @@ class OperatorsSpec extends SparkSpec {
     // fr: plant 4 + 2 pre-existing tags, 5 + 1 entities
     assert(out("fr")(4) == 6L && out("fr")(5) == 6L, out("fr").toString)
   }
+
+  test("fleissKappa: hand-worked 4-item 3-rater panel, degenerate and " +
+       "ragged panels read NULL") {
+    import SparkTestSession.spark.implicits._
+    // items: (a,a,a) (a,a,b) (b,b,b) (a,b,c) -> A = 6+2+6+0 = 14,
+    // c = (6,5,1), S = 62: P-bar 5833, P-e 4305, kappa 44/164 -> 2682
+    val r = Seq((1L, "r1", "a"), (1L, "r2", "a"), (1L, "r3", "a"),
+      (2L, "r1", "a"), (2L, "r2", "a"), (2L, "r3", "b"),
+      (3L, "r1", "b"), (3L, "r2", "b"), (3L, "r3", "b"),
+      (4L, "r1", "a"), (4L, "r2", "b"), (4L, "r3", "c"))
+      .toDF("i", "rater", "label")
+    val out = Text.fleissKappa(r, "i", "label", 3)
+      .collect().map(x => x.getString(0) -> x.toSeq.tail).toMap
+    assert(out("a") == Seq(6L, 5000L, null, null, null), out("a").toString)
+    assert(out("b") == Seq(5L, 4166L, null, null, null), out("b").toString)
+    assert(out("c") == Seq(1L, 833L, null, null, null), out("c").toString)
+    assert(out("ALL") == Seq(12L, null, 5833L, 4305L, 2682L),
+      out("ALL").toString)
+    // unanimous single category: P-e = 1, kappa undefined -> NULL
+    val uni = Seq((1L, "r1", "x"), (1L, "r2", "x"), (1L, "r3", "x"))
+      .toDF("i", "rater", "label")
+    assert(Text.fleissKappa(uni, "i", "label", 3)
+      .filter(col("category") === "ALL").head.get(5) == null)
+    // a ragged panel (one item short a rater) reads NULL, not garbage
+    val rag = r.filter(!(col("i") === 4L && col("rater") === "r3"))
+    assert(Text.fleissKappa(rag, "i", "label", 3)
+      .filter(col("category") === "ALL").head.get(5) == null)
+  }
+
+  test("cochranQ: hand-worked 4-item 3-detector table; all-concordant " +
+       "corpus reads NULL q") {
+    import SparkTestSession.spark.implicits._
+    // R = (3,1,2,0), C = (3,2,1), T = 6, sumR2 = 14:
+    // q = 2*(3*14 - 36) / (18 - 14) = 12/4 = 3.0 -> 3000 milli
+    val f = Seq((1L, 1, 1, 1), (2L, 1, 0, 0), (3L, 1, 1, 0), (4L, 0, 0, 0))
+      .toDF("i", "a", "b", "c")
+    val out = Text.cochranQ(f, "i", Seq(
+      "a" -> (col("a") === 1), "b" -> (col("b") === 1),
+      "c" -> (col("c") === 1))).collect()
+      .map(x => x.getString(0) -> x.toSeq.tail).toMap
+    assert(out("a") == Seq(3L, 7500L, null, null, null, null))
+    assert(out("b") == Seq(2L, 5000L, null, null, null, null))
+    assert(out("c") == Seq(1L, 2500L, null, null, null, null))
+    assert(out("ALL") == Seq(6L, null, 2L, 3000L, 2L, 0), out("ALL").toString)
+    // every item all-ones or all-zeros -> den = 0 -> NULL verdicts
+    val conc = Seq((1L, 1, 1, 1), (2L, 0, 0, 0)).toDF("i", "a", "b", "c")
+    val all = Text.cochranQ(conc, "i", Seq(
+      "a" -> (col("a") === 1), "b" -> (col("b") === 1),
+      "c" -> (col("c") === 1)))
+      .filter(col("detector") === "ALL").head
+    assert(all.get(4) == null && all.get(6) == null, all.toSeq.toString)
+  }
+
+  test("diffInDiff: hand-worked 2x2 cells, arm-pooled deltas, Welch t " +
+       "over per-unit deltas") {
+    import SparkTestSession.spark.implicits._
+    // ctrl u1: 10->13, u3: 20->24 (deltas 3, 4); treat u2: 30->40,
+    // u4: 5->12 (deltas 10, 7): did = 8500 - 3500 = 5000 milli-cents;
+    // Welch t = 5/sqrt(2.25+0.25) = 3.1623, df = 6.25/5.125 = 1.2195
+    val ev = Seq((1L, 0, 10L), (1L, 1, 13L), (3L, 0, 20L), (3L, 1, 24L),
+      (2L, 0, 30L), (2L, 1, 40L), (4L, 0, 5L), (4L, 1, 12L))
+      .toDF("u", "post", "c")
+    val out = Events.diffInDiff(ev, "u", col("u") % 2 === 0,
+      col("post") === 1, col("c")).collect()
+    val cells = out.filter(_.get(0) != null)
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(cells((0, 0)) == ((2L, 30L, 15000L)), cells.toString)
+    assert(cells((0, 1)) == ((2L, 37L, 18500L)), cells.toString)
+    assert(cells((1, 0)) == ((2L, 35L, 17500L)), cells.toString)
+    assert(cells((1, 1)) == ((2L, 52L, 26000L)), cells.toString)
+    val all = out.filter(_.get(0) == null).head
+    assert(all.getLong(2) == 4L, all.toSeq.toString)
+    assert(all.getLong(5) == 5000L, all.toSeq.toString)     // did_milli
+    assert(all.getLong(6) == 3162L, all.toSeq.toString)     // t_milli
+    assert(all.getInt(7) == 1, all.toSeq.toString)
+  }
+
+  test("quantileTreatmentEffects: exact decile order statistics on a " +
+       "hand-worked 5-vs-3 split") {
+    import SparkTestSession.spark.implicits._
+    val ev = Seq((2L, 10L), (4L, 20L), (6L, 30L), (8L, 40L), (10L, 50L),
+      (1L, 5L), (3L, 15L), (5L, 25L)).toDF("u", "c")
+    val out = Events.quantileTreatmentEffects(ev, "u",
+      col("u") % 2 === 0, col("c")).collect()
+    assert(out.map(_.getLong(0)).toSeq == (1 to 9).map(_ * 10L))
+    assert(out.map(_.getLong(3)).toSeq ==
+      Seq(10L, 10L, 20L, 20L, 30L, 30L, 40L, 40L, 50L), "treat deciles")
+    assert(out.map(_.getLong(4)).toSeq ==
+      Seq(5L, 5L, 5L, 15L, 15L, 15L, 25L, 25L, 25L), "ctrl deciles")
+    assert(out.map(_.getLong(5)).toSeq ==
+      Seq(5L, 5L, 15L, 5L, 15L, 15L, 15L, 15L, 25L), "qte")
+    assert(out.forall(r => r.getLong(1) == 5L && r.getLong(2) == 3L))
+  }
+
+  test("olsTwo: exact planted fit recovered; collinear regressors read " +
+       "NULL") {
+    import SparkTestSession.spark.implicits._
+    // y = 2 + 3x + 5z on a non-collinear design -> exact recovery
+    val pts = Seq((1L, 1L), (2L, 1L), (3L, 2L), (4L, 5L))
+      .map { case (x, z) => (2L + 3L * x + 5L * z, x, z) }
+      .toDF("y", "x", "z")
+    val fit = Relational.olsTwo(pts, col("y"), col("x"), col("z")).head
+    assert(fit.getLong(4) == 3000L && fit.getLong(5) == 5000L &&
+      fit.getLong(6) == 2000L && fit.getLong(7) == 10000L,
+      fit.toSeq.toString)
+    // z = 2x exactly -> singular normal equations -> NULL, not noise
+    val col0 = Seq((1L, 1L), (2L, 2L), (3L, 3L))
+      .map { case (x, z2) => (x + z2, x, 2L * x) }.toDF("y", "x", "z")
+    val bad = Relational.olsTwo(col0, col("y"), col("x"), col("z")).head
+    assert(bad.get(4) == null && bad.get(7) == null, bad.toSeq.toString)
+  }
+
+  test("dtwBanded: identity reads 0, a one-step shift is absorbed by " +
+       "the band, band 0 degenerates to L1") {
+    val a = Array(0L, 0L, 5L, 0L, 0L)
+    val b = Array(0L, 5L, 0L, 0L, 0L)
+    assert(Events.dtwBanded(a, a, 2) == 0L)
+    assert(Events.dtwBanded(a, b, 2) == 0L)   // warp absorbs the shift
+    // w = 0 forces the diagonal: DTW == L1 == 10
+    assert(Events.dtwBanded(a, b, 0) == 10L)
+    // monotone: widening the band never increases the cost
+    val x = Array(3L, 1L, 4L, 1L, 5L, 9L, 2L, 6L)
+    val y = Array(2L, 7L, 1L, 8L, 2L, 8L, 1L, 8L)
+    val costs = Seq(0, 1, 2, 4, 7).map(Events.dtwBanded(x, y, _))
+    assert(costs == costs.sorted.reverse, costs.toString)
+  }
+
+  test("dtwPairs: dense day grid with absent days as 0, ordered pairs, " +
+       "warp gain vs L1") {
+    import SparkTestSession.spark.implicits._
+    // type A spikes on day 2, type B the same spike on day 3 (shift 1),
+    // type C flat: DTW(A,B) = 0 while L1(A,B) = 10
+    val ev = Seq.tabulate(5)(i => ("A", s"2024-01-0${i + 1}")) ++
+      Seq.fill(5)(("A", "2024-01-02")) ++
+      Seq.tabulate(5)(i => ("B", s"2024-01-0${i + 1}")) ++
+      Seq.fill(5)(("B", "2024-01-03")) ++
+      Seq(("C", "2024-01-01"), ("C", "2024-01-05"))
+    val df = ev.toDF("t", "day")
+      .select(col("t"), to_date(col("day")).as("day"))
+    val out = Events.dtwPairs(df, col("t"), col("day"), 7)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out.keySet == Set(("A", "B"), ("A", "C"), ("B", "C")))
+    assert(out(("A", "B")) == ((5L, 0L, 10L, 10000L)), out.toString)
+    // C has no events on days 2-4: the dense grid reads 0 there (the
+    // A-C distance sees A's baseline 1s plus the spike against C's 1/0)
+    assert(out(("A", "C"))._1 == 5L)
+  }
 }
