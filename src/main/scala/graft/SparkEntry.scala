@@ -422,6 +422,7 @@ object SparkEntry {
     "q403_did"            -> (Events.q403 _),
     "q404_qte"            -> (Events.q404 _),
     "q405_ols_two"        -> (Relational.q405 _),
+    "q406_ppl_buckets"    -> (Text.q406 _),
     "q407_dtw"            -> (Events.q407 _),
   )
 
@@ -7812,6 +7813,41 @@ object SparkEntry {
            CAST(CASE WHEN bad THEN NULL ELSE floor(b0 * 1000 + 0.5) END AS BIGINT) AS b0_milli,
            CAST(CASE WHEN bad THEN NULL ELSE floor(r2 * 10000 + 0.5) END AS BIGINT) AS r2_bp
          FROM fin""",
+
+    // q406: CCNet perplexity buckets — the q160 scorer chain, exact
+    // tercile ranks over (surprisal, doc_id), unscored docs kept as
+    // their own bucket, per-source share by window.
+    "q406_ppl_buckets" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+         ix AS (SELECT doc_id, words, unnest(generate_series(1, len(words) - 1)) AS i FROM w),
+         b AS (SELECT doc_id, words[i] AS w1, words[i + 1] AS w2 FROM ix),
+         c2 AS (SELECT w1, w2, count(*) AS c2 FROM b GROUP BY 1, 2),
+         c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY 1),
+         sc AS (SELECT doc_id, count(*) AS nb,
+             CAST(floor(sum(CAST(floor((-ln(c2 / CAST(c1 AS DOUBLE))) * 10000 + 0.5) AS BIGINT))
+               / count(*)) AS BIGINT) AS s
+           FROM b JOIN c2 USING (w1, w2) JOIN c1 USING (w1) GROUP BY 1),
+         dg AS (SELECT d.doc_id, d.source AS g, sc.s, sc.nb
+           FROM documents d LEFT JOIN sc USING (doc_id)),
+         nn AS (SELECT count(*) AS n FROM dg WHERE s IS NOT NULL),
+         rk AS (SELECT g, s, nb,
+             row_number() OVER (ORDER BY s, doc_id) AS r
+           FROM dg WHERE s IS NOT NULL),
+         bk AS (SELECT g, CASE WHEN r <= (n + 2) // 3 THEN 'head'
+               WHEN r <= (2 * n + 2) // 3 THEN 'middle' ELSE 'tail'
+             END AS bucket, nb, s FROM rk CROSS JOIN nn
+           UNION ALL
+           SELECT g, 'unscored', 0, NULL FROM dg WHERE s IS NULL),
+         agg AS (SELECT g AS source, bucket, count(*) AS n_docs,
+             sum(nb) AS n_bigrams, min(s) AS min_s_bp, max(s) AS max_s_bp
+           FROM bk GROUP BY 1, 2)
+         SELECT source, bucket, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           CAST(min_s_bp AS BIGINT) AS min_s_bp,
+           CAST(max_s_bp AS BIGINT) AS max_s_bp,
+           CAST(10000 * n_docs // (sum(n_docs) OVER (PARTITION BY source))
+             AS BIGINT) AS share_bp
+         FROM agg""",
 
     // q407: banded DTW — the anti-diagonal wavefront replayed with two
     // carried LIST columns (diagonal k from k-1 and k-2, elementwise);

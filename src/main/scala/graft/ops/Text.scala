@@ -5095,4 +5095,58 @@ object Text {
         length(regexp_replace(col("text"), " ", ""))) > 55),
       "d_marker" -> col("text").contains("window")))
   }
+
+  /** PERPLEXITY BUCKETS (round 16) — the CCNet partition: published
+    * pretraining pipelines split a crawl into HEAD / MIDDLE / TAIL by
+    * LM-perplexity terciles and train preferentially on the head
+    * (Wenzek et al.'s CCNet; the LLaMA corpus recipe) — the bucketed
+    * complement of a hard gate (q99) and the consumer of the q160
+    * bigram-LM score. Terciles are EXACT global order statistics over
+    * the (surprisal, doc_id) total order (rank ≤ ⌈n/3⌉ → head,
+    * ≤ ⌈2n/3⌉ → middle — both engines pick identical members, the
+    * q404 discipline; head = LOWEST surprisal = most corpus-fluent).
+    * Docs too short to score (no bigram) land in an UNSCORED bucket —
+    * dropping them would silently shrink the denominator every yield
+    * number divides by. Per (group, bucket): docs, bigram mass, the
+    * surprisal span, and share_bp of the group's docs — the
+    * mixture-shift read ("which sources live in the tail") a corpus
+    * review starts from.
+    *
+    * Scale (100 TB): the q160 scorer (shuffle-hash probe, broadcast
+    * head marginal) + one global rank (the exact-order-statistic
+    * price; the 100 TB swap is approx_percentile cuts, the q248
+    * convention), a (group × 4)-row rollup + window share. */
+  def pplBuckets(docs: DataFrame, id: String, text: String,
+                 group: String): DataFrame = {
+    val scored = bigramSurprisal(docs, id, text)
+    val withG = docs.select(col(id), col(group).as("g"))
+      .join(scored, Seq(id), "left")
+      .localCheckpoint() // feeds the scored count, rank, and unscored
+    val n = withG.filter(col("mean_surprisal_bp").isNotNull).count()
+    val cut1 = (n + 2) / 3; val cut2 = (2 * n + 2) / 3
+    val ranked = withG.filter(col("mean_surprisal_bp").isNotNull)
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("mean_surprisal_bp"), col(id))).cast("long"))
+      .select(col("g"),
+        when(col("r") <= cut1, "head").when(col("r") <= cut2, "middle")
+          .otherwise("tail").as("bucket"),
+        col("n_bigrams"), col("mean_surprisal_bp"))
+    val unscored = withG.filter(col("mean_surprisal_bp").isNull)
+      .select(col("g"), lit("unscored").as("bucket"),
+        lit(0L).as("n_bigrams"),
+        lit(null).cast("long").as("mean_surprisal_bp"))
+    val agg = ranked.unionAll(unscored)
+      .groupBy(col("g").as("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_bigrams")).as("n_bigrams"),
+        min(col("mean_surprisal_bp")).as("min_s_bp"),
+        max(col("mean_surprisal_bp")).as("max_s_bp"))
+    agg.withColumn("share_bp", F.idiv(lit(10000L) * col("n_docs"),
+        sum(col("n_docs")).over(Window.partitionBy(col("source")))))
+      .orderBy(col("source"), col("bucket"))
+  }
+
+  /** q406: CCNet-style head/middle/tail perplexity buckets of the
+    * documents corpus by source — which sources live in the tail. */
+  def q406(s: SparkSession, d: String): DataFrame =
+    pplBuckets(Tables.documents(s, d), "doc_id", "text", "source")
 }

@@ -7404,6 +7404,38 @@ class OperatorsSpec extends SparkSpec {
     assert(costs == costs.sorted.reverse, costs.toString)
   }
 
+  test("pplBuckets: exact terciles partition the scored docs, surprisal " +
+       "spans are monotone head<=middle<=tail, unscored docs kept") {
+    import SparkTestSession.spark.implicits._
+    // 6 scoreable docs (2/2/2 terciles) + 1 single-token doc that has
+    // no bigram and must land in 'unscored', not silently vanish
+    val docs = Seq(
+      (1L, "a a a a a a a a", "s1"), (2L, "a a a a b b b b", "s1"),
+      (3L, "a b a b a b a b", "s1"), (4L, "c d e f g h i j", "s1"),
+      (5L, "j i h g f e d c", "s2"), (6L, "a c a d a e a f", "s2"),
+      (7L, "solo", "s2")).toDF("doc_id", "text", "source")
+    val out = Text.pplBuckets(docs, "doc_id", "text", "source").collect()
+    val byBucket = out.groupBy(_.getString(1))
+      .view.mapValues(_.map(_.getLong(2)).sum).toMap
+    assert(byBucket == Map("head" -> 2L, "middle" -> 2L, "tail" -> 2L,
+      "unscored" -> 1L), byBucket.toString)
+    // monotone: every head row's max <= every middle min <= tail min
+    def minS(b: String) = out.filter(r => r.getString(1) == b)
+      .map(_.getLong(4)).min
+    def maxS(b: String) = out.filter(r => r.getString(1) == b)
+      .map(_.getLong(5)).max
+    assert(maxS("head") <= minS("middle") && maxS("middle") <= minS("tail"),
+      out.map(_.toSeq).mkString("|"))
+    // shares within each source sum to ~10000 (idiv truncation)
+    out.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      val s = rows.map(_.getLong(6)).sum
+      assert(s >= 9998L && s <= 10000L, rows.map(_.toSeq).mkString("|"))
+    }
+    // the unscored row carries zero bigram mass and NULL span
+    val un = out.filter(_.getString(1) == "unscored").head
+    assert(un.getLong(3) == 0L && un.get(4) == null && un.get(5) == null)
+  }
+
   test("dtwPairs: dense day grid with absent days as 0, ordered pairs, " +
        "warp gain vs L1") {
     import SparkTestSession.spark.implicits._
