@@ -7,6 +7,34 @@ import org.apache.spark.sql.functions._
   * walk budget and the seeding against one NN-Descent graph to
   * separate "the graph is bad" from "the walk can't reach". */
 object DiagAnn {
+  /** Round-16 sub-diagnostic for the clustered-corpus recall collapse:
+    * `runMain graft.DiagAnn truthsplit <factor>` amplifies sf0.1
+    * through ScaleGen.amplifyClustered and prints, per query, which
+    * REPLICA GROUP its exact top-10 lives in — separating "the truth
+    * crosses isometric replica groups" (a build/connectivity problem:
+    * cross-group cosines never make a node's top-M, so NN-Descent
+    * leaves the groups disconnected and no walk budget can cross)
+    * from "the walk is too small". */
+  private def truthSplit(spark: SparkSession, factor: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-diag-truth").toString
+    ScaleGen.amplifyClustered(spark, "/root/testdata/sf0.1", factor)
+      .write.mode("overwrite").parquet(s"$dir/emb")
+    val c = spark.read.parquet(s"$dir/emb")
+    val q = c.filter(col("vec_id") < ops.Similarity.NumQueries)
+    val truth = ops.Similarity.bruteForceTopK(c, q, "vec_id", "embedding")
+    // replica index r = vec_id / ScaleGen.Stride; cluster = r % 32
+    val rep = truth.select(col("query_id"),
+      (col("neighbor_id") / ScaleGen.Stride).cast("long").as("r"))
+    rep.groupBy(col("query_id"), col("r")).count()
+      .orderBy(col("query_id"), col("r"))
+      .collect().foreach(x => println(
+        s"query=${x.getLong(0)} replica=${x.getLong(1)} n=${x.getLong(2)}"))
+    val byR = rep.groupBy(col("r")).count().orderBy(col("r")).collect()
+    byR.foreach(x => println(s"TOTAL replica=${x.getLong(0)} n=${x.getLong(1)}"))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/repo/target/scale/sf1")
     val spark = SparkSession.builder().master("local[16]")
@@ -14,6 +42,10 @@ object DiagAnn {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (args.headOption.contains("truthsplit")) {
+      truthSplit(spark, if (args.length > 1) args(1).toInt else 50)
+      spark.stop(); return
+    }
     val (c, q) = ops.Similarity.corpusAndQueries(spark, sfDir)
     println(s"corpus n=${c.count()}")
     val truth = ops.Similarity.bruteForceTopK(c, q, "vec_id", "embedding")

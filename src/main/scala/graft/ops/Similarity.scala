@@ -2355,6 +2355,45 @@ object Similarity {
   val NswHops = 4     // graph-walk rounds
   val NswSeeds = 8    // deterministic entry points (smallest vids)
 
+  // ---- routed entries (round 16; the clustered-corpus amendment) ----
+  // The fourth-decade AnnDecade measurement (SCALECHECK r16): on a
+  // CLUSTERED corpus where one cluster holds two isometric replica
+  // groups, cross-group cosines never enter any node's top-M, so
+  // NN-Descent leaves the groups DISCONNECTED — and the fixed
+  // smallest-vid entry set reaches exactly one component (measured:
+  // recall 0.540 at n=100k, BEAM-INDEPENDENT from 32 to 390, with the
+  // truth split 54/46 across the two components — DiagAnn truthsplit).
+  // No walk budget can cross a missing edge: the serve-side fix is to
+  // START the walk in every relevant component. Routed entries pick,
+  // per query, the RoutedEntries best members of a deterministic
+  // hash-ordered RouterSample of the corpus by exact cosine — the
+  // sample hits every component of size ≳ n/RouterSample, and
+  // low-cosine entries prune out of the frontier in the first top-beam
+  // (so the uniform corpus pays nothing but the sample scan). Routing
+  // engages only for SCALED (non-pinned) stores above RoutedEntryMin:
+  // every fixed-constant oracle contract at verify scale is untouched.
+  val RoutedEntryMin = 16384L // where beam scaling starts: n/256 > 64
+  val RouterSample = 4096
+  val RoutedEntries = 64
+
+  /** Per-query routed entry set (query_id, vid): the RoutedEntries
+    * nearest members of the hash-ordered RouterSample by exact cosine.
+    * `c` is (vid, c_emb), `q` is (query_id, q_emb). One bounded top-k
+    * over the corpus for the sample (map-side heap + driver merge,
+    * never a full shuffle), one broadcast sample × query scoring. */
+  private def routedEntryPoints(c: DataFrame, q: DataFrame): DataFrame = {
+    val sample = c
+      .orderBy(md5(col("vid").cast("string")), col("vid"))
+      .limit(RouterSample)
+    val cos = F.cosineSim(col("q_emb"), col("c_emb"))
+    q.crossJoin(broadcast(sample))
+      .select(col("query_id"), col("vid"), cos.as("cos"))
+      .groupBy(col("query_id"))
+      .agg(F.topK(struct(col("cos"), (-col("vid")).as("negid"),
+        col("vid").as("nid")), RoutedEntries).as("top"))
+      .select(col("query_id"), explode(col("top.nid")).as("vid"))
+  }
+
   /** DETERMINISTIC k-NN GRAPH by NN-DESCENT (round 11; the
     * graph-traversal ANN family — the industry's high-recall default —
     * joining the quantization family q61/q62/q63): each node keeps its
@@ -2441,13 +2480,15 @@ object Similarity {
                     id: String, emb: String, k: Int = TopK,
                     beam: Int = NswBeam, hops: Int = NswHops,
                     seeds: Int = NswSeeds,
-                    broadcastQueries: Boolean = true): DataFrame = {
+                    broadcastQueries: Boolean = true,
+                    routeEntries: Boolean = false): DataFrame = {
     val c = corpus.select(col(id).as("vid"), col(emb).as("c_emb"))
     val q = queries.select(col(id).as("query_id"), col(emb).as("q_emb"))
-    val entry = c.orderBy(col("vid")).limit(seeds).select(col("vid"))
-    beamWalk(graph, c, q,
-      q.select(col("query_id")).crossJoin(broadcast(entry)),
-      k, beam, hops, broadcastQueries)
+    val entries =
+      if (routeEntries) routedEntryPoints(c, q)
+      else q.select(col("query_id")).crossJoin(broadcast(
+        c.orderBy(col("vid")).limit(seeds).select(col("vid"))))
+    beamWalk(graph, c, q, entries, k, beam, hops, broadcastQueries)
   }
 
   /** Diagnostic entry into [[beamWalk]] (graft.DiagAnn). */
@@ -2861,9 +2902,11 @@ object Similarity {
     * static oracle cannot express; the q114Scaled convention). */
   def q250Scaled(s: SparkSession, d: String): DataFrame = {
     val (c, q) = corpusAndQueries(s, d)
-    val (m, rounds, beam, hops) = nswScaledParams(c.count())
+    val n = c.count()
+    val (m, rounds, beam, hops) = nswScaledParams(n)
     nswSearchTopK(nnDescentGraph(c, "vec_id", "embedding", m, rounds),
-      c, q, "vec_id", "embedding", beam = beam, hops = hops)
+      c, q, "vec_id", "embedding", beam = beam, hops = hops,
+      routeEntries = n > RoutedEntryMin)
   }
 
   /** q316: graph-ANN probe through the PERSISTED index — the SERVE
@@ -3121,7 +3164,7 @@ object Similarity {
     // beam from the store's pinned params (round 13); layer-0 hops =
     // HALF the pinned flat budget (the layered-entry halving), never
     // below the fixed HnswHops0
-    val pinned = readNswParams(s, path)
+    val pinned = readNswParamsFull(s, path)
     val eb = if (beam > 0) beam else pinned.map(_._3).getOrElse(NswBeam)
     val eh0 = if (hops0 > 0) hops0
       else pinned.map(p => math.max(HnswHops0, p._4 / 2)).getOrElse(HnswHops0)
@@ -3149,8 +3192,16 @@ object Similarity {
       entries = found.select(col("query_id"), col("neighbor_id").as("vid"))
         .localCheckpoint()
     }
+    // scaled stores above the threshold additionally seed layer 0 with
+    // ROUTED entries (r16): a layer-0 component the hierarchy descent
+    // cannot reach (clustered-corpus disconnection — every layer's
+    // neighbor lists are intra-component) is still entered through the
+    // router sample; pinned stores keep the pure-descent contract
+    val l0 = if (pinned.exists(p => !p._6 && p._5 > RoutedEntryMin))
+      entries.unionByName(routedEntryPoints(c, q)).distinct()
+    else entries
     beamWalk(g.filter(col("level") === 0).drop("level"),
-      c, q, entries, k, eb, eh0)
+      c, q, l0, k, eb, eh0)
   }
 
   /** METADATA-FILTERED probe through the PERSISTED HNSW store (round
@@ -3173,7 +3224,7 @@ object Similarity {
                                 attr: String, labels: DataFrame,
                                 k: Int = TopK, beam: Int = 0,
                                 hops0: Int = 0): DataFrame = {
-    val pinned = readNswParams(s, path)
+    val pinned = readNswParamsFull(s, path)
     val eb = if (beam > 0) beam else pinned.map(_._3).getOrElse(NswBeam)
     val eh0 = if (hops0 > 0) hops0
       else pinned.map(p => math.max(HnswHops0, p._4 / 2)).getOrElse(HnswHops0)
@@ -3198,9 +3249,14 @@ object Similarity {
       entries = found.select(col("query_id"), col("neighbor_id").as("vid"))
         .localCheckpoint()
     }
+    // the r16 routed-entry union for scaled stores (see
+    // hnswTopKFromIndex) — the filtered probe walks the same layer 0
+    val l0 = if (pinned.exists(p => !p._6 && p._5 > RoutedEntryMin))
+      entries.unionByName(routedEntryPoints(c, qe)).distinct()
+    else entries
     val visited = beamWalkScoredSet(
       g.filter(col("level") === 0).drop("level"),
-      c, qe, entries, eb, eh0, broadcastQueries = true)
+      c, qe, l0, eb, eh0, broadcastQueries = true)
     val lab = labels.select(col(id).as("vid"), col(attr).as("c_attr"))
     val qa = q.select(col("query_id"), col("q_attr"))
     rankTopK(visited
@@ -3239,15 +3295,20 @@ object Similarity {
                        beam: Int = 0, hops: Int = 0,
                        seeds: Int = NswSeeds,
                        broadcastQueries: Boolean = true): DataFrame = {
-    val stored = readNswParams(s, path)
+    val stored = readNswParamsFull(s, path)
     val eb = if (beam > 0) beam else stored.map(_._3).getOrElse(NswBeam)
     val eh = if (hops > 0) hops else stored.map(_._4).getOrElse(NswHops)
+    // routed entries for SCALED stores above the threshold (r16, the
+    // clustered-corpus disconnection amendment); pinned stores keep
+    // the fixed-entry oracle contract byte-for-byte
+    val route = stored.exists(p => !p._6 && p._5 > RoutedEntryMin)
     val graph = s.read.parquet(s"$path/graph")
     val vectors = s.read.parquet(s"$path/vectors")
       .select(col("vid").as("nsw_id"), col("c_emb").as("nsw_emb"))
     nswSearchTopK(graph, vectors,
       queries.select(col(id).as("nsw_id"), col(emb).as("nsw_emb")),
-      "nsw_id", "nsw_emb", k, eb, eh, seeds, broadcastQueries)
+      "nsw_id", "nsw_emb", k, eb, eh, seeds, broadcastQueries,
+      routeEntries = route)
   }
 
   /** The beamWalk body, additionally ACCUMULATING every SCORED

@@ -154,6 +154,68 @@ class PropertySpec extends AnyFunSuite {
     (per.sum / per.size, per.min)
   }
 
+  test("routed entries recover the truth component the fixed-entry " +
+       "walk provably loses on a two-cluster corpus") {
+    // The r16 AnnDecade clustered finding in miniature: queries sit
+    // BETWEEN two tight clusters, so their exact top-10 splits across
+    // both — but every corpus node's own top-M list is strictly
+    // intra-cluster (the gap dwarfs the intra spread), so NN-Descent
+    // builds two DISCONNECTED components and the fixed smallest-vid
+    // entry set (all in cluster A) can never reach the B-side truth
+    // at ANY walk budget. Routed entries (the per-query router-sample
+    // pick) start the walk in both components and recover it.
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val dim = 16
+    def mix(x: Long): Long = {
+      var z = x + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    def unit(seed: Long): Array[Float] = {
+      val v = Array.tabulate(dim)(d => mix(seed * 1000003L + d).toDouble /
+        Long.MaxValue)
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val uA = unit(1); val uB = unit(2)
+    def member(center: Array[Float], seed: Long): Array[Float] = {
+      val w = unit(seed)
+      Array.tabulate(dim)(d => center(d) + 0.2f * w(d))
+    }
+    val corpus = ((0L until 200L).map(i => (i, member(uA, 100 + i))) ++
+      (200L until 400L).map(i => (i, member(uB, 700 + i))))
+      .toDF("vec_id", "embedding").localCheckpoint()
+    val mid = Array.tabulate(dim)(d => (uA(d) + uB(d)) / 2f)
+    val queries = (1000L until 1005L)
+      .map(qi => (qi, Array.tabulate(dim)(d =>
+        mid(d) + 0.05f * unit(3000 + qi)(d))))
+      .toDF("vec_id", "embedding")
+    val truth = ops.Similarity.bruteForceTopK(
+      corpus, queries, "vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    // construction guard: the truth genuinely splits across clusters
+    val bSide = truth.count(_._2 >= 200L)
+    assert(bSide >= 15 && bSide <= 35, s"truth split degenerate: $bSide/50")
+    val graph = ops.Similarity.nnDescentGraph(
+      corpus, "vec_id", "embedding", m = 8, rounds = 6)
+    def recall(res: org.apache.spark.sql.DataFrame): Double = {
+      val got = res.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      truth.count(got.contains).toDouble / truth.length
+    }
+    val fixed = recall(ops.Similarity.nswSearchTopK(graph, corpus, queries,
+      "vec_id", "embedding", beam = 64, hops = 6))
+    val routed = recall(ops.Similarity.nswSearchTopK(graph, corpus, queries,
+      "vec_id", "embedding", beam = 64, hops = 6, routeEntries = true))
+    info(f"fixed-entry recall=$fixed%.3f routed recall=$routed%.3f")
+    // fixed entries lose the B component entirely; routing recovers it
+    assert(fixed <= (50 - bSide + 3).toDouble / 50,
+      f"fixed-entry walk reached the far component ($fixed%.3f) — the " +
+        "designed disconnection no longer demonstrates; re-derive")
+    assert(routed >= 0.95, f"routed recall $routed%.3f < 0.95")
+  }
+
   test("graph-entry oracle contract: q264's flag rollup from the " +
        "FIXED-constant walk matches exact 5-NN at the verify corpus, " +
        "and the constants are measurably red one decade up") {
