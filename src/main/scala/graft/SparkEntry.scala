@@ -424,6 +424,11 @@ object SparkEntry {
     "q405_ols_two"        -> (Relational.q405 _),
     "q406_ppl_buckets"    -> (Text.q406 _),
     "q407_dtw"            -> (Events.q407 _),
+    "q408_audio_clipping" -> (Multimodal.q408 _),
+    "q409_icc"            -> (Text.q409 _),
+    "q410_mcc"            -> (Events.q410 _),
+    "q411_ppr"            -> (Relational.q411 _),
+    "q412_chao1"          -> (Text.q412 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -7849,6 +7854,122 @@ object SparkEntry {
              AS BIGINT) AS share_bp
          FROM agg""",
 
+    // q408: clipping audit — the PCM generator replayed (the q396
+    // convention, ungated), gaps-and-islands for the run structure.
+    "q408_audio_clipping" ->
+      """WITH n AS (SELECT doc_id,
+             800 + (doc_id * 2654435761) % 1600 AS ns FROM documents),
+         s AS (SELECT doc_id, unnest(range(ns)) AS i FROM n),
+         v AS (SELECT doc_id, i,
+             ((i * 127 + doc_id * 31) % 65536) - 32768 AS raw FROM s),
+         c AS (SELECT doc_id, i FROM v WHERE abs(raw) >= 32700),
+         g AS (SELECT doc_id, i,
+             i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+           FROM c),
+         runs AS (SELECT doc_id, grp, count(*) AS len FROM g GROUP BY 1, 2),
+         agg AS (SELECT doc_id, count(*) AS n_runs, max(len) AS max_run,
+             sum(len) AS n_clipped FROM runs GROUP BY 1)
+         SELECT n.doc_id, CAST(n.ns AS BIGINT) AS n_samples,
+           CAST(coalesce(agg.n_clipped, 0) AS BIGINT) AS n_clipped,
+           CAST(10000 * coalesce(agg.n_clipped, 0) // n.ns AS BIGINT)
+             AS clipped_bp,
+           CAST(coalesce(agg.n_runs, 0) AS BIGINT) AS n_runs,
+           CAST(coalesce(agg.max_run, 0) AS BIGINT) AS max_run
+         FROM n LEFT JOIN agg USING (doc_id)""",
+
+    // q409: one-way ICC — the three meter columns unpivoted, HUGEINT
+    // moment sums, the same pinned double assembly.
+    "q409_icc" ->
+      """WITH mt AS (SELECT doc_id,
+             len(string_split(text, ' ')) AS m1,
+             len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS m2,
+             len(regexp_extract_all(lower(text), '[aeiouy]+')) AS m3
+           FROM documents),
+         lf AS (SELECT doc_id, m1 AS x FROM mt
+           UNION ALL SELECT doc_id, m2 FROM mt
+           UNION ALL SELECT doc_id, m3 FROM mt),
+         per AS (SELECT doc_id, sum(x) AS ti,
+             sum(CAST(x AS HUGEINT) * x) AS bi, count(*) AS nv
+           FROM lf GROUP BY 1),
+         m AS (SELECT count(*) AS n_items, sum(ti) AS t, sum(bi) AS b,
+             sum(CAST(ti AS HUGEINT) * ti) AS a,
+             max(CASE WHEN nv <> 3 THEN 1 ELSE 0 END) AS ragged FROM per),
+         d AS (SELECT *,
+             CAST(a AS DOUBLE) / 3.0
+               - CAST(CAST(t AS HUGEINT) * t AS DOUBLE)
+                 / (CAST(n_items AS DOUBLE) * 3.0) AS ssb,
+             CAST(b AS DOUBLE) - CAST(a AS DOUBLE) / 3.0 AS ssw FROM m),
+         e AS (SELECT *, ssb / (CAST(n_items AS DOUBLE) - 1.0) AS msb,
+             ssw / (CAST(n_items AS DOUBLE) * 2.0) AS msw FROM d),
+         f AS (SELECT *,
+             (ragged = 1 OR n_items < 2 OR msb + 2.0 * msw = 0) AS bad
+           FROM e)
+         SELECT CAST(n_items AS BIGINT) AS n_items, CAST(3 AS BIGINT) AS k,
+           CAST(1000 * CAST(t AS HUGEINT) // (n_items * 3) AS BIGINT)
+             AS grand_mean_milli,
+           CAST(CASE WHEN bad THEN NULL
+             ELSE floor(msb * 1000 + 0.5) END AS BIGINT) AS msb_milli,
+           CAST(CASE WHEN bad THEN NULL
+             ELSE floor(msw * 1000 + 0.5) END AS BIGINT) AS msw_milli,
+           CAST(CASE WHEN bad THEN NULL
+             ELSE floor((msb - msw) / (msb + 2.0 * msw) * 1000 + 0.5)
+             END AS BIGINT) AS icc_milli
+         FROM f""",
+
+    // q410: MCC — four exact counters, HUGEINT numerator, double
+    // marginal products under the single correctly-rounded sqrt.
+    "q410_mcc" ->
+      """WITH u AS (SELECT user_id, count(*) AS ne,
+             max(CASE WHEN event_type = 'purchase' AND value > 150.0
+               THEN 1 ELSE 0 END) AS y FROM events GROUP BY 1),
+         m AS (SELECT
+             sum(CASE WHEN y = 1 AND ne > 67 THEN 1 ELSE 0 END) AS tp,
+             sum(CASE WHEN y = 0 AND ne > 67 THEN 1 ELSE 0 END) AS fp,
+             sum(CASE WHEN y = 1 AND ne <= 67 THEN 1 ELSE 0 END) AS fn,
+             sum(CASE WHEN y = 0 AND ne <= 67 THEN 1 ELSE 0 END) AS tn
+           FROM u),
+         d AS (SELECT *,
+             CAST(CAST(tp AS HUGEINT) * tn - CAST(fp AS HUGEINT) * fn
+               AS DOUBLE) AS num,
+             sqrt(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
+               * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE)) AS den,
+             (tp + fp = 0 OR tp + fn = 0 OR tn + fp = 0 OR tn + fn = 0)
+               AS bad
+           FROM m)
+         SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+           CAST(CASE WHEN bad THEN NULL
+             ELSE floor(num / den * 1000000 + 0.5) END AS BIGINT)
+             AS mcc_micro,
+           CAST(10000 * (tp + tn) // (tp + fp + fn + tn) AS BIGINT)
+             AS accuracy_bp,
+           CAST(10000 * (tp + fn) // (tp + fp + fn + tn) AS BIGINT)
+             AS prevalence_bp
+         FROM d""",
+
+    // q411: PPR — the q147 unroll with seed-only teleport over the
+    // support-thinned co-purchase graph; seeds = top-2 degree (ties by
+    // id), node universe preserved by left joins.
+    "q411_ppr" -> pprOracle,
+
+    // q412: Chao1 — per-source and pooled (tok)-grain frequency folds;
+    // the bias-corrected estimator and Good coverage are single idivs.
+    "q412_chao1" ->
+      """WITH tk AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+         pg AS (SELECT source AS g, tok, count(*) AS c FROM tk GROUP BY 1, 2),
+         al AS (SELECT 'ALL' AS g, tok, count(*) AS c FROM tk GROUP BY 2),
+         ri AS (SELECT g, count(*) AS v, sum(c) AS n_tokens,
+             sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS f1,
+             sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS f2
+           FROM (SELECT * FROM pg UNION ALL SELECT * FROM al) GROUP BY 1)
+         SELECT g AS source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(v AS BIGINT) AS v, CAST(f1 AS BIGINT) AS f1,
+           CAST(f2 AS BIGINT) AS f2,
+           CAST(v + (f1 * (f1 - 1)) // (2 * (f2 + 1)) AS BIGINT) AS chao1,
+           CAST(10000 - (10000 * f1) // n_tokens AS BIGINT) AS coverage_bp
+         FROM ri""",
+
     // q407: banded DTW — the anti-diagonal wavefront replayed with two
     // carried LIST columns (diagonal k from k-1 and k-2, elementwise);
     // band literal 7 and the Big sentinel 2^62 shared with the Scala
@@ -8160,6 +8281,47 @@ object SparkEntry {
     }.mkString
     base + iters +
       "\n SELECT node AS doc_id, CAST(r AS BIGINT) AS rank_e12 FROM r5"
+  }
+
+  /** q411 oracle: the pageRankOracle unroll shape with SEED-ONLY
+    * teleport over the support-≥2 co-purchase graph. Node universe
+    * preserved per round by LEFT JOINs from the degree table (a node
+    * the mass has not reached reads 0, never drops). Constants:
+    * r0 = 10¹²/2 on each of the 2 seeds, teleport 0.15·10¹²/2. */
+  private def pprOracle: String = {
+    val base =
+      """WITH b AS (SELECT l_orderkey AS bk,
+             list_sort(list_distinct(list(l_partkey))) AS arr
+           FROM lineitem GROUP BY 1),
+         pr AS (SELECT a AS pa, b2 AS pb FROM
+             (SELECT unnest(arr) AS a, arr FROM b), unnest(arr) AS u(b2)
+           WHERE b2 > a),
+         e1 AS (SELECT pa AS x, pb AS y FROM
+             (SELECT pa, pb, count(*) AS n FROM pr GROUP BY 1, 2)
+           WHERE n >= 2),
+         e0 AS (SELECT x, y FROM e1 UNION ALL SELECT y, x FROM e1),
+         deg AS (SELECT x, count(*) AS d FROM e0 GROUP BY 1),
+         sd AS (SELECT x AS node FROM deg ORDER BY d DESC, x ASC LIMIT 2),
+         r0 AS (SELECT deg.x AS node,
+             CASE WHEN sd.node IS NOT NULL THEN 500000000000 ELSE 0 END AS r
+           FROM deg LEFT JOIN sd ON sd.node = deg.x)"""
+    val iters = (1 to 4).map { i =>
+      s""",
+         s$i AS (SELECT e0.y AS node, sum(r${i - 1}.r // deg.d) AS sc
+                 FROM e0 JOIN r${i - 1} ON r${i - 1}.node = e0.x
+                 JOIN deg ON deg.x = e0.x GROUP BY 1),
+         r$i AS (SELECT deg.x AS node,
+             (CASE WHEN sd.node IS NOT NULL THEN 75000000000 ELSE 0 END)
+               + (85 * coalesce(s$i.sc, 0)) // 100 AS r
+           FROM deg LEFT JOIN s$i ON s$i.node = deg.x
+           LEFT JOIN sd ON sd.node = deg.x)"""
+    }.mkString
+    base + iters + """
+       SELECT r4.node AS node, CAST(r4.r AS BIGINT) AS rank_e12,
+         CAST(CASE WHEN sd.node IS NOT NULL THEN 1 ELSE 0 END AS INT)
+           AS is_seed
+       FROM r4 LEFT JOIN sd ON sd.node = r4.node
+       ORDER BY rank_e12 DESC, r4.node ASC LIMIT 20"""
   }
 
   private def jaccardOracle: String =

@@ -4103,4 +4103,58 @@ object Events {
     * CCF. */
   def q407(s: SparkSession, d: String): DataFrame =
     dtwPairs(Tables.events(s, d), col("event_type"), to_date(col("ts")), 7)
+
+  /** MATTHEWS CORRELATION (round 16) — the single balanced number for
+    * a binary detector: accuracy lies under imbalance (a 95%-negative
+    * corpus gives the always-no detector 95%), precision/recall
+    * (q282) ignore the true negatives, F1 ignores them too; MCC =
+    * (TP·TN − FP·FN)/√((TP+FP)(TP+FN)(TN+FP)(TN+FN)) uses all four
+    * cells and reads 0 for any constant detector. The standard
+    * proxy-label quality read: how well does a cheap behavioral flag
+    * stand in for the expensive label. Counts are exact longs; the
+    * single √ is IEEE correctly-rounded on both engines (the q255
+    * convention), micro fixed point; any zero marginal reads NULL
+    * (a constant detector or constant label is no evidence).
+    *
+    * Scale (100 TB): one unit-grain aggregation to four counters —
+    * map-side partial, zero joins. */
+  def matthewsCorr(units: DataFrame, label: Column,
+                   pred: Column): DataFrame = {
+    val m = units.select(label.cast("int").as("y"), pred.cast("int").as("p"))
+      .agg(sum((col("y") === 1 && col("p") === 1).cast("long")).as("tp"),
+        sum((col("y") === 0 && col("p") === 1).cast("long")).as("fp"),
+        sum((col("y") === 1 && col("p") === 0).cast("long")).as("fn"),
+        sum((col("y") === 0 && col("p") === 0).cast("long")).as("tn"))
+    // num exact in decimal (the oracle's HUGEINT twin) then one cast;
+    // den as DOUBLE products in one pinned order — a 128-bit product
+    // of four marginals overflows both engines' exact types at
+    // cluster-scale counts, and IEEE ×/√ round identically
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def dd(c: Column): Column = c.cast("double")
+    val num = (dec(col("tp")) * dec(col("tn")) -
+      dec(col("fp")) * dec(col("fn"))).cast("double")
+    val den = sqrt(dd(col("tp") + col("fp")) * dd(col("tp") + col("fn")) *
+      dd(col("tn") + col("fp")) * dd(col("tn") + col("fn")))
+    val n = col("tp") + col("fp") + col("fn") + col("tn")
+    val bad = col("tp") + col("fp") === 0L || col("tp") + col("fn") === 0L ||
+      col("tn") + col("fp") === 0L || col("tn") + col("fn") === 0L
+    m.select(col("tp"), col("fp"), col("fn"), col("tn"),
+      when(bad, lit(null).cast("long"))
+        .otherwise(floor(num / den * lit(1000000d) + lit(0.5d)).cast("long"))
+        .as("mcc_micro"),
+      F.idiv(lit(10000L) * (col("tp") + col("tn")), n).as("accuracy_bp"),
+      F.idiv(lit(10000L) * (col("tp") + col("fn")), n).as("prevalence_bp"))
+  }
+
+  /** q410: MCC of the cheap activity flag (event count > 67) as a
+    * proxy for the whale label (any purchase > $150) at the user
+    * grain — the imbalance-honest read next to the 95%-style accuracy
+    * the same table reports. */
+  def q410(s: SparkSession, d: String): DataFrame = {
+    val users = Tables.events(s, d).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("ne"),
+        max((col("event_type") === "purchase" && col("value") > 150.0)
+          .cast("int")).as("whale"))
+    matthewsCorr(users, col("whale") === 1, col("ne") > 67L)
+  }
 }

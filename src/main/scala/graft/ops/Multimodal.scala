@@ -354,6 +354,70 @@ object Multimodal {
   def q396(s: SparkSession, d: String): DataFrame =
     vadSegments(wavGatedTable(s, d), "doc_id", "payload")
 
+  // ---- clipping audit (q408) ----
+
+  /** Near-full-scale threshold: |v| ≥ 32700 of the int16 range counts
+    * as clipped (true digital clipping pins at ±32767/−32768; a small
+    * guard band catches the limiter-squashed samples next to it —
+    * the convention loudness tools call "near-clipping"). */
+  val ClipThreshold = 32700
+
+  case class ClipRow(doc_id: Long, n_samples: Long, n_clipped: Long,
+                     clipped_bp: Long, n_runs: Long, max_run: Long)
+
+  /** AUDIO CLIPPING AUDIT (round 16) — the ingest-quality gate next to
+    * q105's decode stats and q396's VAD: clipped recordings are
+    * irrecoverably distorted (the waveform's top is gone), and a
+    * speech-data pipeline drops or de-prioritizes them BEFORE paying
+    * for transcription. REAL decode (the q105 javax.sound boundary
+    * verbatim — format validated, features off the decoded stream),
+    * then per recording: clipped-sample count at the ±[[ClipThreshold]]
+    * guard band, clipped share in bp, and the RUN structure (count of
+    * maximal consecutive-clipped runs + the longest) — a few isolated
+    * peaks are cosmetic, a long pinned run is a dead recording.
+    *
+    * Map-only mapPartitions at the JDK codec boundary, integer
+    * verdicts both engines replay bit-for-bit (oracle: the PCM
+    * generator replayed in SQL, gaps-and-islands for the runs). */
+  def clippingAudit(wavs: DataFrame, id: String, payload: String,
+                    threshold: Int = ClipThreshold): DataFrame = {
+    import wavs.sparkSession.implicits._
+    wavs.select(col(id).as("doc_id"), col(payload).as("payload")).as[WavRow]
+      .mapPartitions { it =>
+        it.map { r =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.payload))
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+            !fmt.isBigEndian &&
+            fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            s"unsupported audio format for doc ${r.doc_id}: $fmt " +
+              "(need 16-bit signed little-endian mono PCM)")
+          val bytes = ais.readAllBytes()
+          val n = bytes.length / 2
+          var nClip = 0L; var nRuns = 0L; var maxRun = 0L; var run = 0L
+          var i = 0
+          while (i < n) {
+            val v = (bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff)
+            if (math.abs(v) >= threshold) {
+              nClip += 1; run += 1
+              if (run == 1) nRuns += 1
+              if (run > maxRun) maxRun = run
+            } else run = 0
+            i += 1
+          }
+          ClipRow(r.doc_id, n.toLong, nClip,
+            if (n == 0) 0L else 10000L * nClip / n, nRuns, maxRun)
+        }
+      }.toDF()
+  }
+
+  /** q408: clipping audit over the raw (ungated) WAV corpus — the
+    * full-scale sawtooth grazes the rails on every wrap, so counts and
+    * run structure are nonzero and fully generator-determined. */
+  def q408(s: SparkSession, d: String): DataFrame =
+    clippingAudit(wavTable(s, d), "doc_id", "payload")
+
   // ---- perceptual image hashing + near-dup (q124) ----
 
   /** splitmix64 finalizer — the per-(doc, cell) pseudo-random base for

@@ -4526,4 +4526,81 @@ object Relational {
         .cast("long"))
     olsTwo(daily, col("y"), col("t"), col("m"))
   }
+
+  /** PERSONALIZED PAGERANK (round 16) — "important NEAR these seeds":
+    * global PageRank (q147) ranks hubs of the whole graph; a
+    * recommendation or similar-items surface wants proximity to a
+    * SEED SET, which is exactly PPR — the teleport mass returns to the
+    * seeds instead of spreading uniformly, so rank decays with graph
+    * distance from them (the classic recsys/graph-completion scorer
+    * next to q346's one-hop Adamic–Adar). Same exact integer fixed
+    * point as q147 (scale 10¹², send ⌊r/deg⌋, receive ⌊85·Σ/100⌋ +
+    * seed-only teleport), seeds = the `nSeeds` highest-degree nodes
+    * (ties by id — a total order both engines resolve identically),
+    * r₀ = all mass on the seeds, `iters` unrolled rounds. Nodes the
+    * mass has not reached read 0, not absent — the universe is the
+    * degree table (left join), so ranks never silently shrink.
+    *
+    * Scale (100 TB): one join + one aggregation per round on the
+    * symmetrized support-thinned edge list (contributions shuffle
+    * O(edges), ranks O(nodes)); localCheckpoint truncates the
+    * per-round lineage; the seed pick is a |nodes|-row top-k. */
+  def personalizedPageRank(pairs: DataFrame, a: String, b: String,
+                           minSupport: Long, nSeeds: Int, iters: Int,
+                           topK: Int): DataFrame = {
+    val Scale = 1000000000000L
+    val e = pairs.select(least(col(a), col(b)).as("x"),
+        greatest(col(a), col(b)).as("y"))
+      .filter(col("x") =!= col("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minSupport)
+    val edges = e.select(col("x"), col("y"))
+      .unionAll(e.select(col("y").as("x"), col("x").as("y")))
+      .localCheckpoint()
+    val deg = edges.groupBy(col("x")).agg(count(lit(1)).as("d"))
+      .localCheckpoint() // the node universe: seed pick + every round
+    val eD = edges.join(deg, "x").localCheckpoint()
+    val seeds = broadcast(deg
+      .orderBy(col("d").desc, col("x").asc).limit(nSeeds)
+      .select(col("x").as("node"), lit(1).as("is_seed")))
+    val teleSeed = (Scale * 15L / 100L) / nSeeds
+    val r0Seed = Scale / nSeeds
+    var ranks = deg.select(col("x").as("node")).join(seeds, Seq("node"), "left")
+      .select(col("node"),
+        when(col("is_seed") === 1, lit(r0Seed)).otherwise(lit(0L)).as("r"))
+    for (_ <- 0 until iters) {
+      val contrib = eD.join(ranks.withColumnRenamed("node", "x"), "x")
+        .select(col("y"), graft.functions.F.idiv(col("r"), col("d")).as("c"))
+        .groupBy(col("y")).agg(sum(col("c")).as("sc"))
+      ranks = deg.select(col("x").as("node"))
+        .join(contrib.withColumnRenamed("y", "node"), Seq("node"), "left")
+        .join(seeds, Seq("node"), "left")
+        .select(col("node"),
+          (when(col("is_seed") === 1, lit(teleSeed)).otherwise(lit(0L)) +
+            graft.functions.F.idiv(lit(85L) * coalesce(col("sc"), lit(0L)), lit(100L)))
+            .as("r"))
+        .localCheckpoint()
+    }
+    ranks.join(seeds, Seq("node"), "left")
+      .select(col("node"), col("r").as("rank_e12"),
+        coalesce(col("is_seed"), lit(0)).as("is_seed"))
+      .orderBy(col("rank_e12").desc, col("node").asc)
+      .limit(topK)
+  }
+
+  /** q411: 4-round PPR on the support-≥2 co-purchase part graph,
+    * seeded at its two highest-degree parts — "parts bought near the
+    * bestsellers", the personalized counterpart of q147's global
+    * ranks on the q68 family's graph. */
+  def q411(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val baskets = li.select(col("l_orderkey").as("bk"),
+        col("l_partkey").as("it"))
+      .groupBy(col("bk")).agg(sort_array(collect_set(col("it"))).as("arr"))
+    val pairs = baskets
+      .select(posexplode(col("arr")).as(Seq("i", "pa")), col("arr"))
+      .select(col("pa"), explode(slice(col("arr"), col("i") + lit(2),
+        size(col("arr")) - col("i") - lit(1))).as("pb"))
+    personalizedPageRank(pairs, "pa", "pb", 2L, 2, 4, 20)
+  }
 }

@@ -5149,4 +5149,109 @@ object Text {
     * documents corpus by source — which sources live in the tail. */
   def q406(s: SparkSession, d: String): DataFrame =
     pplBuckets(Tables.documents(s, d), "doc_id", "text", "source")
+
+  /** INTRACLASS CORRELATION, one-way random ICC(1,1) (round 16) — the
+    * CONTINUOUS-rating agreement member: Fleiss (q401) handles
+    * categorical panels, Bland–Altman (q385) two meters; ICC is the
+    * standard "how much of the variance is the item vs the rater" for
+    * k continuous ratings per item — the number reported for
+    * annotation-score reliability before averaging raters. From three
+    * exact sums (T = Σx, B = Σx², A = Σ_i T_i²):
+    *   SSB = A/k − T²/(Nk),  SSW = B − A/k
+    *   MSB = SSB/(N−1),      MSW = SSW/(N(k−1))
+    *   ICC = (MSB − MSW)/(MSB + (k−1)·MSW)
+    * Sums are exact decimal(38,0) products; the assembly is ONE pinned
+    * double order (the q337 convention). Degenerate inputs (N < 2, or
+    * zero total variance) read NULL.
+    *
+    * Scale (100 TB): one item-grain aggregation (T_i) + one global
+    * fold. No joins. */
+  def iccOneWay(ratings: DataFrame, item: String, value: Column,
+                raters: Int): DataFrame = {
+    val k = raters.toLong
+    require(k >= 2, "ICC needs at least two raters")
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val perItem = ratings.select(col(item).as("i"), value.as("x"))
+      .groupBy(col("i"))
+      .agg(sum(col("x")).as("ti"), sum(dec(col("x")) * dec(col("x"))).as("bi"),
+        count(lit(1)).as("nv"))
+    val m = perItem.agg(count(lit(1)).as("n_items"),
+      sum(col("ti")).as("t"), sum(col("bi")).as("b"),
+      sum(dec(col("ti")) * dec(col("ti"))).as("a"),
+      max((col("nv") =!= k).cast("int")).as("ragged"))
+    def dd(c: Column): Column = c.cast("double")
+    val nD = dd(col("n_items")); val kD = lit(k.toDouble)
+    val ssb = dd(col("a")) / kD - dd(dec(col("t")) * dec(col("t"))) / (nD * kD)
+    val ssw = dd(col("b")) - dd(col("a")) / kD
+    val msb = ssb / (nD - lit(1d))
+    val msw = ssw / (nD * (kD - lit(1d)))
+    val icc = (msb - msw) / (msb + (kD - lit(1d)) * msw)
+    val bad = col("ragged") === 1 || col("n_items") < 2L ||
+      (msb + (kD - lit(1d)) * msw) === lit(0d)
+    def milli(c: Column): Column =
+      when(bad, lit(null).cast("long"))
+        .otherwise(floor(c * lit(1000d) + lit(0.5d)).cast("long"))
+    m.select(col("n_items"), lit(k).as("k"),
+      F.idiv(lit(1000L) * col("t").cast("long"),
+        col("n_items") * lit(k)).as("grand_mean_milli"),
+      milli(msb).as("msb_milli"), milli(msw).as("msw_milli"),
+      milli(icc).as("icc_milli"))
+  }
+
+  /** q409: ICC(1,1) of the three token meters (whitespace tokens, the
+    * regex token meter, vowel groups) read as a 3-rater panel per doc —
+    * the variance-decomposition companion to q385's two-meter
+    * Bland–Altman: high ICC says doc identity dominates meter choice. */
+  def q409(s: SparkSession, d: String): DataFrame = {
+    val docs = withToks(Tables.documents(s, d))
+      .select(col("doc_id"),
+        size(toks).cast("long").as("m1"),
+        size(regexp_extract_all(col("text"),
+          lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long").as("m2"),
+        expr("regexp_count(lower(text), '[aeiouy]+')").cast("long").as("m3"))
+      .selectExpr("doc_id",
+        "stack(3, 'ws', m1, 'rx', m2, 'vg', m3) AS (rater, x)")
+    iccOneWay(docs, "doc_id", col("x"), 3)
+  }
+
+  /** CHAO1 VOCABULARY RICHNESS (round 16) — "how many types have we
+    * NOT seen": Good–Turing (q362) reallocates mass to the unseen,
+    * hapax (q284) counts the singleton tail, Chao1 closes the family
+    * with the capture-recapture LOWER BOUND on total vocabulary,
+    * V̂ = V + f₁(f₁−1)/(2(f₂+1)) (bias-corrected form — defined even
+    * at f₂ = 0), plus Good's coverage Ĉ = 1 − f₁/N. Both EXACT
+    * integers (one idiv each). Per source and the pooled ALL row —
+    * the "is this source's vocabulary saturated or barely sampled"
+    * read a crawl-budget decision wants.
+    *
+    * Scale (100 TB): one (group, token)-grain count, one group-grain
+    * frequency fold; the ALL row re-counts on the (token) grain
+    * (pooled vocabulary is NOT the sum of per-group vocabularies —
+    * the union loses duplicates, so it must be its own aggregation). */
+  def chao1(docs: DataFrame, text: String, group: String): DataFrame = {
+    val tk = withToks(docs, text)
+      .select(col(group).as("g"), explode(toks).as("tok"))
+      .localCheckpoint() // feeds the per-group AND the pooled count
+    def richness(tf: DataFrame): DataFrame =
+      tf.groupBy(col("g"))
+        .agg(count(lit(1)).as("v"), sum(col("c")).as("n_tokens"),
+          sum(when(col("c") === 1L, 1L).otherwise(0L)).as("f1"),
+          sum(when(col("c") === 2L, 1L).otherwise(0L)).as("f2"))
+        .select(col("g").as("source"), col("n_tokens"), col("v"),
+          col("f1"), col("f2"),
+          (col("v") + F.idiv(col("f1") * (col("f1") - 1L),
+            lit(2L) * (col("f2") + 1L))).as("chao1"),
+          (lit(10000L) - F.idiv(lit(10000L) * col("f1"), col("n_tokens")))
+            .as("coverage_bp"))
+    val per = richness(tk.groupBy(col("g"), col("tok"))
+      .agg(count(lit(1)).as("c")))
+    val all = richness(tk.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .select(lit("ALL").as("g"), col("c")))
+    per.unionAll(all).orderBy(col("source"))
+  }
+
+  /** q412: Chao1 richness + Good coverage of the documents corpus per
+    * source — which sources still have unseen vocabulary. */
+  def q412(s: SparkSession, d: String): DataFrame =
+    chao1(Tables.documents(s, d), "text", "source")
 }

@@ -7404,6 +7404,100 @@ class OperatorsSpec extends SparkSpec {
     assert(costs == costs.sorted.reverse, costs.toString)
   }
 
+  test("clippingAudit: decoded verdicts equal the pure-generator replay " +
+       "for every doc; clipped runs exist and are short") {
+    val out = Multimodal.q408(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    var anyClipped = false
+    out.foreach { case (doc, got) =>
+      val n = Multimodal.wavSamples(doc)
+      val clipped = (0 until n)
+        .map(i => math.abs(Multimodal.sampleAt(doc, i).toInt) >=
+          Multimodal.ClipThreshold)
+      var nC = 0L; var runs = 0L; var maxRun = 0L; var run = 0L
+      clipped.foreach { c =>
+        if (c) { nC += 1; run += 1; if (run == 1) runs += 1
+          if (run > maxRun) maxRun = run }
+        else run = 0
+      }
+      val want = Seq(n.toLong, nC, if (n == 0) 0L else 10000L * nC / n,
+        runs, maxRun)
+      assert(got == want, s"doc $doc: got $got want $want")
+      anyClipped ||= nC > 0
+    }
+    // the sawtooth grazes the rails on every wrap — the audit must
+    // actually fire somewhere or the spec proves nothing
+    assert(anyClipped)
+  }
+
+  test("iccOneWay: perfect agreement reads 1000, a constant second " +
+       "rater drags it to the hand-worked 758, ragged panels NULL") {
+    import SparkTestSession.spark.implicits._
+    val perfect = Seq((1L, 1L), (1L, 1L), (2L, 2L), (2L, 2L),
+      (3L, 3L), (3L, 3L)).toDF("i", "x")
+    val p = Text.iccOneWay(perfect, "i", col("x"), 2).head
+    assert(p.getLong(5) == 1000L, p.toSeq.toString)
+    // rater2 constant at 2: T=12, A=50, B=26 -> SSB = 25-24 = 1,
+    // SSW = 1, MSB = 1/2, MSW = 1/3 -> ICC = (1/6)/(5/6) = 0.2
+    val mixed = Seq((1L, 1L), (1L, 2L), (2L, 2L), (2L, 2L),
+      (3L, 3L), (3L, 2L)).toDF("i", "x")
+    val m = Text.iccOneWay(mixed, "i", col("x"), 2).head
+    assert(m.getLong(2) == 2000L && m.getLong(3) == 500L &&
+      m.getLong(4) == 333L && m.getLong(5) == 200L, m.toSeq.toString)
+    // an item short a rater reads NULL, loud not wrong
+    val rag = Text.iccOneWay(mixed.limit(5), "i", col("x"), 2).head
+    assert(rag.get(5) == null, rag.toSeq.toString)
+  }
+
+  test("matthewsCorr: hand-worked 4/1/2/3 table; constant detector " +
+       "reads NULL, not zero-confidence noise") {
+    import SparkTestSession.spark.implicits._
+    // tp=4 fp=1 fn=2 tn=3: mcc = 10/sqrt(600) = 0.408248 -> 408248
+    val u = (Seq.fill(4)((1, 1)) ++ Seq.fill(1)((0, 1)) ++
+      Seq.fill(2)((1, 0)) ++ Seq.fill(3)((0, 0))).toDF("y", "p")
+    val out = Events.matthewsCorr(u, col("y") === 1, col("p") === 1).head
+    assert(out.toSeq.take(4) == Seq(4L, 1L, 2L, 3L), out.toSeq.toString)
+    assert(out.getLong(4) == 408248L, out.toSeq.toString)
+    assert(out.getLong(5) == 7000L && out.getLong(6) == 6000L)
+    val const = Events.matthewsCorr(u, col("y") === 1, lit(true)).head
+    assert(const.get(4) == null, const.toSeq.toString)
+  }
+
+  test("personalizedPageRank: seed-only teleport holds the two-seed " +
+       "steady state exactly; proximity orders a path graph") {
+    import SparkTestSession.spark.implicits._
+    // single edge A-B, both seeds: r = 75e9 + 85% * 500e9 = 500e9 at
+    // every round — the integer steady state, hand-exact
+    val e1 = Seq((1L, 2L), (1L, 2L)).toDF("a", "b") // support 2
+    val s1 = Relational.personalizedPageRank(e1, "a", "b", 2L, 2, 4, 10)
+      .collect()
+    assert(s1.map(_.getLong(1)).toSeq == Seq(500000000000L, 500000000000L),
+      s1.map(_.toSeq).mkString("|"))
+    assert(s1.forall(_.getInt(2) == 1))
+    // path A-B-C-D: seeds are the degree-2 middle nodes; ends read
+    // less rank (distance decay) but are PRESENT (universe preserved)
+    val e2 = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+      .flatMap(p => Seq(p, p)).toDF("a", "b")
+    val s2 = Relational.personalizedPageRank(e2, "a", "b", 2L, 2, 4, 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(s2.keySet == Set(1L, 2L, 3L, 4L), s2.toString)
+    assert(s2(2L)._2 == 1 && s2(3L)._2 == 1 && s2(1L)._2 == 0)
+    assert(s2(2L)._1 > s2(1L)._1 && s2(3L)._1 > s2(4L)._1, s2.toString)
+  }
+
+  test("chao1: hand-worked singleton tail; pooled ALL row equals the " +
+       "single group") {
+    import SparkTestSession.spark.implicits._
+    // tokens a b c d d: V=4, f1=3, f2=1 -> chao1 = 4 + 6//4 = 5,
+    // coverage = 10000 - 10000*3//5 = 4000
+    val docs = Seq((1L, "a b c", "s1"), (2L, "d d", "s1"))
+      .toDF("doc_id", "text", "source")
+    val out = Text.chao1(docs, "text", "source").collect()
+      .map(r => r.getString(0) -> r.toSeq.tail).toMap
+    assert(out("s1") == Seq(5L, 4L, 3L, 1L, 5L, 4000L), out("s1").toString)
+    assert(out("ALL") == out("s1"), out.toString)
+  }
+
   test("pplBuckets: exact terciles partition the scored docs, surprisal " +
        "spans are monotone head<=middle<=tail, unscored docs kept") {
     import SparkTestSession.spark.implicits._
