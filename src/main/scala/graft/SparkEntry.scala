@@ -429,6 +429,8 @@ object SparkEntry {
     "q410_mcc"            -> (Events.q410 _),
     "q411_ppr"            -> (Relational.q411 _),
     "q412_chao1"          -> (Text.q412 _),
+    "q413_edit_pairs"     -> (Dedup.q413 _),
+    "q414_mantel_haenszel" -> (Events.q414 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -7969,6 +7971,63 @@ object SparkEntry {
            CAST(v + (f1 * (f1 - 1)) // (2 * (f2 + 1)) AS BIGINT) AS chao1,
            CAST(10000 - (10000 * f1) // n_tokens AS BIGINT) AS coverage_bp
          FROM ri""",
+
+    // q413: the shared q52 candidate CTE + two text joins; DuckDB's
+    // unbanded levenshtein with the band applied as a CASE (the -1
+    // sentinel and the 256 band literal shared with the Scala side).
+    "q413_edit_pairs" ->
+      s"""WITH p AS ($jaccardOracle),
+         t AS (SELECT doc_id, text, length(text) AS ln FROM documents),
+         j AS (SELECT p.doc_a, p.doc_b, a.ln AS len_a, b.ln AS len_b,
+             levenshtein(a.text, b.text) AS lv
+           FROM p JOIN t a ON a.doc_id = p.doc_a
+           JOIN t b ON b.doc_id = p.doc_b)
+         SELECT doc_a, doc_b, CAST(len_a AS BIGINT) AS len_a,
+           CAST(len_b AS BIGINT) AS len_b,
+           CAST(CASE WHEN lv > 256 THEN -1 ELSE lv END AS BIGINT) AS lev,
+           CAST(CASE WHEN lv > 256 THEN NULL
+             WHEN greatest(len_a, len_b) = 0 THEN 10000
+             ELSE 10000 - (10000 * lv) // greatest(len_a, len_b)
+             END AS BIGINT) AS sim_bp
+         FROM j""",
+
+    // q414: user-grain 2x2 cells per activity band; per-stratum/crude
+    // ORs as exact HUGEINT products under one idiv, MH terms as
+    // per-stratum micro floors summed exactly.
+    "q414_mantel_haenszel" ->
+      """WITH u AS (SELECT user_id, count(*) AS ne,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS nc,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np
+           FROM events GROUP BY 1),
+         cl AS (SELECT CAST(least(ne // 20, 3) AS VARCHAR) AS stratum,
+             sum(CASE WHEN nc > 13 AND np > 13 THEN 1 ELSE 0 END) AS a,
+             sum(CASE WHEN nc > 13 AND np <= 13 THEN 1 ELSE 0 END) AS b,
+             sum(CASE WHEN nc <= 13 AND np > 13 THEN 1 ELSE 0 END) AS c,
+             sum(CASE WHEN nc <= 13 AND np <= 13 THEN 1 ELSE 0 END) AS d
+           FROM u GROUP BY 1),
+         per AS (SELECT stratum, a, b, c, d,
+             CASE WHEN b * c = 0 THEN NULL
+               ELSE (1000000 * CAST(a AS HUGEINT) * d)
+                 // (CAST(b AS HUGEINT) * c) END AS or_micro FROM cl),
+         f AS (SELECT sum(a) AS a, sum(b) AS b, sum(c) AS c, sum(d) AS d,
+             sum((1000000 * CAST(a AS HUGEINT) * d) // (a + b + c + d))
+               AS r,
+             sum((1000000 * CAST(b AS HUGEINT) * c) // (a + b + c + d))
+               AS s
+           FROM cl),
+         cr AS (SELECT 'CRUDE' AS stratum, a, b, c, d,
+             CASE WHEN b * c = 0 THEN NULL
+               ELSE (1000000 * CAST(a AS HUGEINT) * d)
+                 // (CAST(b AS HUGEINT) * c) END AS or_micro FROM f),
+         mh AS (SELECT 'MH' AS stratum, a, b, c, d,
+             CASE WHEN s = 0 THEN NULL
+               ELSE (1000000 * CAST(r AS HUGEINT)) // s END AS or_micro
+           FROM f)
+         SELECT stratum, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+           CAST(c AS BIGINT) AS c, CAST(d AS BIGINT) AS d,
+           CAST(or_micro AS BIGINT) AS or_micro
+         FROM (SELECT * FROM per UNION ALL SELECT * FROM cr
+               UNION ALL SELECT * FROM mh)""",
 
     // q407: banded DTW — the anti-diagonal wavefront replayed with two
     // carried LIST columns (diagonal k from k-1 and k-2, elementwise);

@@ -1294,6 +1294,58 @@ object Dedup {
     rougePairs(q52(s, d).select(col("doc_a"), col("doc_b")),
       Tables.documents(s, d), "doc_id", "text")
 
+  /** Edit band for document-level verification: candidates further
+    * than this many character edits apart are reported as OUT of band
+    * (lev = −1, the Spark builtin's sentinel), not scored — the banded
+    * DP costs O(len·band) instead of O(len²), which is the difference
+    * between feasible and not on 100 kB documents. */
+  val EditBand = 256
+
+  /** CHARACTER-LEVEL EDIT VERIFICATION of near-dup candidates (round
+    * 16) — the third lens on a candidate pair, orthogonal to both
+    * token-set overlap (q52's Jaccard: blind to ORDER) and phrase
+    * overlap (q354's ROUGE-2: blind to sub-token noise): banded
+    * Levenshtein measures the literal edit load between the raw
+    * strings, which is what separates "OCR noise / small in-place
+    * edits" (low lev — a transform recovers one doc from the other)
+    * from "same vocabulary, different document" (token-similar but
+    * out of band). q112 runs this metric on NAME dictionaries; at the
+    * document grain there is no dictionary to exploit — the win is
+    * the band: Spark's codegen'd levenshtein(l, r, threshold)
+    * short-circuits at [[EditBand]], so each pair costs O(len·band).
+    * sim_bp = 10⁴·(1 − lev/max(len)) for in-band pairs; out-of-band
+    * pairs keep the −1 sentinel with NULL similarity (they ARE
+    * near-dups by token overlap — reporting them is the point).
+    *
+    * Scale (100 TB): pairs arrive bounded (LSH candidates, hot-bucket
+    * capped upstream); two equi-joins to fetch texts, then map-side
+    * banded DP. Never all-pairs. */
+  def editPairs(pairs: DataFrame, docs: DataFrame, id: String,
+                text: String, maxDist: Int = EditBand): DataFrame = {
+    val t = docs.select(col(id).as("did"), col(text).as("txt"))
+    pairs
+      .join(t.select(col("did").as("doc_a"), col("txt").as("ta")), "doc_a")
+      .join(t.select(col("did").as("doc_b"), col("txt").as("tb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        length(col("ta")).cast("long").as("len_a"),
+        length(col("tb")).cast("long").as("len_b"),
+        levenshtein(col("ta"), col("tb"), maxDist).cast("long").as("lev"))
+      .select(col("doc_a"), col("doc_b"), col("len_a"), col("len_b"),
+        col("lev"),
+        when(col("lev") < 0L, lit(null).cast("long"))
+          .otherwise(when(greatest(col("len_a"), col("len_b")) === 0L,
+            lit(10000L)).otherwise(lit(10000L) -
+            F.idiv(lit(10000L) * col("lev"),
+              greatest(col("len_a"), col("len_b"))))).as("sim_bp"))
+  }
+
+  /** q413: banded edit verification over the q52 MinHash-LSH
+    * candidates — which token-level near-dups are also
+    * character-level near-dups. */
+  def q413(s: SparkSession, d: String): DataFrame =
+    editPairs(q52(s, d).select(col("doc_a"), col("doc_b")),
+      Tables.documents(s, d), "doc_id", "text")
+
   /** DUP-CLUSTER LABEL PURITY (round 13) — do the connected components
     * respect a trusted grouping? Near-dup clusters that MIX languages
     * (or licenses, or sources-of-truth) are the concrete symptom of

@@ -2815,6 +2815,73 @@ object Events {
         .otherwise(0L))
   }
 
+  /** MANTEL–HAENSZEL POOLED ODDS RATIO (round 16) — the stratified
+    * CATEGORICAL pooled effect the A/B stack is missing: q130's χ²
+    * ignores confounders entirely, q347 stratifies MEANS; for a binary
+    * treatment × binary outcome confounded by a stratifying variable,
+    * the crude OR and the within-stratum ORs can sit on OPPOSITE sides
+    * of 1 (Simpson's paradox), and OR_MH = Σ(aₖdₖ/nₖ) / Σ(bₖcₖ/nₖ) is
+    * the standard fixed-effect pool that weights each stratum by its
+    * information. Ships the full diagnostic in one table: per-stratum
+    * 2×2 cells + OR, the CRUDE row (cells summed, strata ignored —
+    * what a naive join would report), and the MH row — crude far from
+    * MH IS the confounding read. Per-stratum OR and the crude OR are
+    * exact decimal products under one idiv (micro); the MH terms are
+    * per-stratum micro FLOORS ⌊10⁶aₖdₖ/nₖ⌋ summed exactly (the q201
+    * per-term discipline — both engines floor identically), one final
+    * idiv. Zero denominators read NULL, loud not wrong.
+    *
+    * Scale (100 TB): one unit-grain aggregation to |strata|×4 cells —
+    * map-side partial, the rollup is strata-bounded. No joins. */
+  def mantelHaenszel(units: DataFrame, stratum: Column, treat: Column,
+                     outcome: Column): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val cells = units.select(stratum.cast("string").as("stratum"),
+        treat.cast("int").as("t"), outcome.cast("int").as("y"))
+      .groupBy(col("stratum"))
+      .agg(sum((col("t") === 1 && col("y") === 1).cast("long")).as("a"),
+        sum((col("t") === 1 && col("y") === 0).cast("long")).as("b"),
+        sum((col("t") === 0 && col("y") === 1).cast("long")).as("c"),
+        sum((col("t") === 0 && col("y") === 0).cast("long")).as("d"))
+      .localCheckpoint() // strata-bounded; feeds 3 consumers below
+    def orMicro(a: Column, b: Column, c: Column, d: Column): Column =
+      when(b * c === 0L, lit(null).cast("long"))
+        .otherwise(F.idiv(dec(lit(1000000L)) * dec(a) * dec(d),
+          dec(b) * dec(c)).cast("long"))
+    val per = cells.select(col("stratum"), col("a"), col("b"), col("c"),
+      col("d"), orMicro(col("a"), col("b"), col("c"), col("d"))
+        .as("or_micro"))
+    val n = col("a") + col("b") + col("c") + col("d")
+    val folded = cells.agg(sum(col("a")).as("a"), sum(col("b")).as("b"),
+      sum(col("c")).as("c"), sum(col("d")).as("d"),
+      sum(F.idiv(dec(lit(1000000L)) * dec(col("a")) * dec(col("d")),
+        dec(n)).cast("long")).as("r"),
+      sum(F.idiv(dec(lit(1000000L)) * dec(col("b")) * dec(col("c")),
+        dec(n)).cast("long")).as("s"))
+    val crude = folded.select(lit("CRUDE").as("stratum"), col("a"),
+      col("b"), col("c"), col("d"),
+      orMicro(col("a"), col("b"), col("c"), col("d")).as("or_micro"))
+    val mh = folded.select(lit("MH").as("stratum"), col("a"), col("b"),
+      col("c"), col("d"),
+      when(col("s") === 0L, lit(null).cast("long"))
+        .otherwise(F.idiv(dec(lit(1000000L)) * dec(col("r")),
+          dec(col("s"))).cast("long")).as("or_micro"))
+    per.unionByName(crude).unionByName(mh)
+  }
+
+  /** q414: heavy-clicker vs heavy-purchaser odds pooled across
+    * activity bands at the user grain — total activity confounds both
+    * flags (active users cross both thresholds more), so the CRUDE row
+    * overstates the association the MH row adjusts away. */
+  def q414(s: SparkSession, d: String): DataFrame = {
+    val u = Tables.events(s, d).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("ne"),
+        sum((col("event_type") === "click").cast("long")).as("nc"),
+        sum((col("event_type") === "purchase").cast("long")).as("np"))
+    mantelHaenszel(u, least(F.idiv(col("ne"), lit(20L)), lit(3L)),
+      col("nc") > 13L, col("np") > 13L)
+  }
+
   /** MINIMUM DETECTABLE EFFECT (round 13) — the experiment-DESIGN
     * member of the A/B stack: before a test runs (or when one reads
     * flat), the first question is "what effect size could this setup

@@ -7551,4 +7551,49 @@ class OperatorsSpec extends SparkSpec {
     // A-C distance sees A's baseline 1s plus the spike against C's 1/0)
     assert(out(("A", "C"))._1 == 5L)
   }
+
+  test("editPairs: hand-worked banded distances; out-of-band keeps " +
+       "the -1 sentinel with NULL similarity") {
+    import SparkTestSession.spark.implicits._
+    val docs = Seq((1L, "kitten"), (2L, "sitting"), (3L, "kitten!"),
+      (4L, "zzzzzz")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("doc_a", "doc_b")
+    val out = Dedup.editPairs(pairs, docs, "doc_id", "text", maxDist = 3)
+      .collect().map(r => r.getLong(1) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.get(5))).toMap
+    // kitten->sitting: the textbook 3; sim = 10000 - 30000//7 = 5715
+    assert(out(2L) == ((6L, 7L, 3L, 5715L)), out.toString)
+    // one appended char: lev 1, sim = 10000 - 10000//7 = 8572
+    assert(out(3L) == ((6L, 7L, 1L, 8572L)), out.toString)
+    // six substitutions > band 3: the -1 sentinel, similarity NULL
+    assert(out(4L)._3 == -1L && out(4L)._4 == null, out.toString)
+  }
+
+  test("mantelHaenszel: the kidney-stone Simpson table — both strata " +
+       "favor treatment, the crude row reverses, MH pools correctly") {
+    import SparkTestSession.spark.implicits._
+    // stratum small: 81/6 vs 234/36; large: 192/71 vs 55/25
+    val units = (
+      Seq.fill(81)(("s", 1, 1)) ++ Seq.fill(6)(("s", 1, 0)) ++
+      Seq.fill(234)(("s", 0, 1)) ++ Seq.fill(36)(("s", 0, 0)) ++
+      Seq.fill(192)(("l", 1, 1)) ++ Seq.fill(71)(("l", 1, 0)) ++
+      Seq.fill(55)(("l", 0, 1)) ++ Seq.fill(25)(("l", 0, 0))
+    ).toDF("st", "t", "y")
+    val out = Events.mantelHaenszel(units, col("st"), col("t") === 1,
+      col("y") === 1).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.get(5))).toMap
+    assert(out("s") == ((81L, 6L, 234L, 36L, 2076923L)), out.toString)
+    assert(out("l") == ((192L, 71L, 55L, 25L, 1229193L)), out.toString)
+    // the paradox: crude reads protective (<1), both strata read >1
+    assert(out("CRUDE") == ((273L, 77L, 289L, 61L, 748348L)), out.toString)
+    assert(out("MH") == ((273L, 77L, 289L, 61L, 1446846L)), out.toString)
+    // a stratum with an empty denominator cell reads NULL, not a crash
+    val deg = Events.mantelHaenszel(
+      Seq(("x", 1, 1), ("x", 0, 0)).toDF("st", "t", "y"),
+      col("st"), col("t") === 1, col("y") === 1).collect()
+      .map(r => r.getString(0) -> r.get(5)).toMap
+    assert(deg("x") == null && deg("MH") == null, deg.toString)
+  }
 }
