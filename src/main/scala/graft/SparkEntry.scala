@@ -431,6 +431,7 @@ object SparkEntry {
     "q412_chao1"          -> (Text.q412 _),
     "q413_edit_pairs"     -> (Dedup.q413 _),
     "q414_mantel_haenszel" -> (Events.q414 _),
+    "q415_removal_effect" -> (Events.q415 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -8029,6 +8030,11 @@ object SparkEntry {
          FROM (SELECT * FROM per UNION ALL SELECT * FROM cr
                UNION ALL SELECT * FROM mh)""",
 
+    // q415: the generated unrolled absorption sweeps (base + one chain
+    // per removed channel) over the first-conversion-truncated
+    // transition counts — see removalOracle.
+    "q415_removal_effect" -> removalOracle,
+
     // q407: banded DTW — the anti-diagonal wavefront replayed with two
     // carried LIST columns (diagonal k from k-1 and k-2, elementwise);
     // band literal 7 and the Big sentinel 2^62 shared with the Scala
@@ -8381,6 +8387,79 @@ object SparkEntry {
            AS is_seed
        FROM r4 LEFT JOIN sd ON sd.node = r4.node
        ORDER BY rank_e12 DESC, r4.node ASC LIMIT 20"""
+  }
+
+  /** q415 oracle: journeys truncated at the first conversion (rank +
+    * min-conversion-rank per user), transition counts with START/CONV/
+    * DROP, then Events.RemovalSteps synchronized absorption sweeps on
+    * the 10¹² HUGEINT lattice — one unrolled CTE chain per variant
+    * (base + each removed channel; channel literals are the verify
+    * corpus's event types, the per-corpus-replay convention). Entering
+    * the removed channel values 0 — the walk dies there, exactly the
+    * Scala fold's contract. */
+  private def removalOracle: String = {
+    val steps = 16 // = Events.RemovalSteps, shared literal
+    val channels = Seq("click", "error", "signup", "view")
+    val variants = "NONE" +: channels
+    def sweep(v: String): String = {
+      val dead = if (v == "NONE") "tr.t = 'DROP'"
+        else s"tr.t = 'DROP' OR tr.t = '$v'"
+      (1 to steps).map { k =>
+        s""",
+         a${v}_$k AS (SELECT tr.f AS s,
+             sum(tr.n * CASE WHEN tr.t = 'CONV'
+                 THEN CAST(1000000000000 AS HUGEINT)
+               WHEN $dead THEN 0
+               ELSE coalesce(p.v, 0) END) // o.o AS v
+           FROM tr JOIN outs o ON o.s = tr.f
+           LEFT JOIN a${v}_${k - 1} p ON p.s = tr.t
+           GROUP BY tr.f, o.o)"""
+      }.mkString
+    }
+    val base =
+      """WITH rk AS (SELECT user_id AS u, event_type AS k,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS cv,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS rn
+           FROM events),
+         fp AS (SELECT u, min(CASE WHEN cv = 1 THEN rn END) AS f,
+             max(rn) AS mx FROM rk GROUP BY 1),
+         kp AS (SELECT rk.u, rk.rn,
+             CASE WHEN rk.cv = 1 THEN 'CONV' ELSE rk.k END AS st, fp.f, fp.mx
+           FROM rk JOIN fp USING (u)
+           WHERE rk.rn <= coalesce(fp.f, fp.mx)),
+         t0 AS (SELECT coalesce(lag(st) OVER (PARTITION BY u ORDER BY rn),
+             'START') AS f, st AS t FROM kp),
+         dr AS (SELECT st AS f, 'DROP' AS t FROM kp
+           WHERE f IS NULL AND rn = mx),
+         tr AS MATERIALIZED (SELECT f, t, count(*) AS n FROM
+           (SELECT * FROM t0 UNION ALL SELECT * FROM dr) GROUP BY 1, 2),
+         outs AS MATERIALIZED (SELECT f AS s, sum(n) AS o
+           FROM tr GROUP BY 1)""" +
+      variants.map(v => s""",
+         a${v}_0 AS (SELECT s, CAST(0 AS HUGEINT) AS v FROM outs)""").mkString
+    val chanVals = channels.map(c =>
+      s"""SELECT '$c' AS ch,
+          coalesce((SELECT v FROM a${c}_$steps WHERE s = 'START'), 0) AS p"""
+    ).mkString("\n           UNION ALL ")
+    base + variants.map(sweep).mkString + s""",
+         bb AS (SELECT coalesce((SELECT v FROM aNONE_$steps
+             WHERE s = 'START'), 0) AS b),
+         vals AS ($chanVals),
+         tt AS (SELECT sum(bb.b - vals.p) AS tot FROM vals, bb)
+       SELECT 'BASE' AS channel, CAST(bb.b // 1000000 AS BIGINT)
+           AS p_conv_micro, CAST(NULL AS BIGINT) AS removal_effect_bp,
+           CAST(NULL AS BIGINT) AS share_bp FROM bb
+       UNION ALL
+       SELECT vals.ch AS channel,
+         CAST(vals.p // 1000000 AS BIGINT) AS p_conv_micro,
+         CAST(CASE WHEN bb.b = 0 THEN NULL
+           ELSE (10000 * (bb.b - vals.p)) // bb.b END AS BIGINT)
+           AS removal_effect_bp,
+         CAST(CASE WHEN tt.tot = 0 THEN NULL
+           ELSE (10000 * (bb.b - vals.p)) // tt.tot END AS BIGINT)
+           AS share_bp
+       FROM vals, bb, tt"""
   }
 
   private def jaccardOracle: String =

@@ -838,6 +838,103 @@ object Events {
     transitionMatrix(Tables.events(s, d), "user_id", "event_type",
       unix_micros(col("ts")), "event_id")
 
+  /** Absorption-unroll depth shared with the q415 oracle. */
+  val RemovalSteps = 16
+  /** Absorption-probability fixed-point scale (10¹², the q147 lattice). */
+  val RemovalScale: BigInt = BigInt("1000000000000")
+
+  /** MARKOV REMOVAL-EFFECT ATTRIBUTION (round 16) — the data-driven
+    * multi-touch model next to q109's rule-based touches: first/last/
+    * linear credit is an arbitrary CHOICE, the removal effect asks the
+    * counterfactual — "how much conversion probability disappears if
+    * channel c stops existing" (Anderl et al.'s Markov attribution,
+    * the industry's standard data-driven model). Journeys are absorbed
+    * chains: START → events → CONV at the FIRST conversion event, or
+    * DROP after the last event of a non-converting unit. Base
+    * P(conv | START) and each per-channel variant (walks entering the
+    * removed channel die — its absorption value is pinned 0) come from
+    * the SAME transition counts by [[RemovalSteps]] synchronized
+    * absorption sweeps on the exact 10¹² integer lattice (the
+    * q272/q281/q285 fixed-unroll contract: a deterministic K-step
+    * truncation both engines replay bit-for-bit, not a fixpoint
+    * claim): aₖ(s) = ⌊Σ_t n(s,t)·aₖ₋₁(t) / out(s)⌋ with a(CONV)=10¹²,
+    * a(DROP)=0. Output: the BASE row + per channel its absorption
+    * probability without the channel (micro), removal effect
+    * (base−without)/base in bp, and the share of total removal mass —
+    * the attribution weights themselves.
+    *
+    * Scale (100 TB): the distributed work is one window pass (rank +
+    * first-conversion truncation) and a (from,to)-grain count; the
+    * chain solve is a |channels|²-bounded driver fold (the documented
+    * bounded-grain convention — the MODEL is 6×7 regardless of corpus
+    * size). */
+  def removalEffect(events: DataFrame, entity: String, kind: String,
+                    tsUs: Column, seq: String, conv: Column,
+                    steps: Int = RemovalSteps): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy(col("u")).orderBy(col("tu"), col("sq"))
+    val base = events.select(col(entity).as("u"),
+      col(kind).as("k"), tsUs.as("tu"), col(seq).as("sq"),
+      conv.cast("int").as("cv"))
+    val ranked = base
+      .withColumn("rn", row_number().over(w))
+      .withColumn("fp", min(when(col("cv") === 1, col("rn")))
+        .over(Window.partitionBy(col("u"))))
+      .withColumn("mx", max(col("rn")).over(Window.partitionBy(col("u"))))
+      .filter(col("rn") <= coalesce(col("fp"), col("mx")))
+      .withColumn("st", when(col("cv") === 1, lit("CONV")).otherwise(col("k")))
+    val steps1 = ranked
+      .select(coalesce(lag(col("st"), 1).over(w), lit("START")).as("f"),
+        col("st").as("t"))
+    val drops = ranked.filter(col("fp").isNull && col("rn") === col("mx"))
+      .select(col("st").as("f"), lit("DROP").as("t"))
+    val tr = steps1.unionByName(drops)
+      .groupBy(col("f"), col("t")).agg(count(lit(1)).as("n"))
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        BigInt(r.getLong(2)))).toMap // |states|²-bounded driver model
+    val states = tr.keys.map(_._1).toSeq.distinct.sorted // transient states
+    val out = states.map(s =>
+      s -> tr.collect { case ((f, _), n) if f == s => n }.sum).toMap
+    def absorb(removed: Option[String]): BigInt = {
+      var a = states.map(_ -> BigInt(0)).toMap
+      for (_ <- 1 to steps) {
+        a = states.map { s =>
+          val num = tr.collect { case ((f, t), n) if f == s =>
+            n * (t match {
+              case "CONV" => RemovalScale
+              case "DROP" => BigInt(0)
+              case x if removed.contains(x) => BigInt(0)
+              case x => a.getOrElse(x, BigInt(0))
+            })
+          }.sum
+          s -> (if (out(s) == 0) BigInt(0) else num / out(s))
+        }.toMap
+        removed.foreach(c => if (a.contains(c)) a = a.updated(c, BigInt(0)))
+      }
+      a.getOrElse("START", BigInt(0))
+    }
+    val baseP = absorb(None)
+    val channels = states.filter(_ != "START")
+    val res = channels.map(c => (c, absorb(Some(c))))
+    val totalRe = res.map { case (_, p) => baseP - p }.sum
+    val rows = ("BASE", (baseP / BigInt(1000000)).toLong,
+      Option.empty[Long], Option.empty[Long]) +: res.map { case (c, p) =>
+      val re = baseP - p
+      (c, (p / BigInt(1000000)).toLong,
+        if (baseP == 0) None else Some((BigInt(10000) * re / baseP).toLong),
+        if (totalRe == 0) None else Some((BigInt(10000) * re / totalRe).toLong))
+    }
+    rows.toDF("channel", "p_conv_micro", "removal_effect_bp", "share_bp")
+  }
+
+  /** q415: removal-effect attribution of the event stream — which
+    * event types carry the paths to a first purchase. */
+  def q415(s: SparkSession, d: String): DataFrame =
+    removalEffect(Tables.events(s, d), "user_id", "event_type",
+      unix_micros(col("ts")), "event_id",
+      col("event_type") === "purchase")
+
   /** ENTROPY RATE OF THE EVENT STREAM — how predictable is the next
     * event, as one number: H(next | current) over q69's transition
     * pairs, against the zeroth-order H(next) baseline. Their gap is

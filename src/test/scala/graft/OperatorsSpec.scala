@@ -7596,4 +7596,27 @@ class OperatorsSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.get(5)).toMap
     assert(deg("x") == null && deg("MH") == null, deg.toString)
   }
+
+  test("removalEffect: hand-worked two-channel funnel — exact lattice " +
+       "absorption, post-conversion events ignored, shares split the " +
+       "removal mass") {
+    import SparkTestSession.spark.implicits._
+    // u1: A->P(conv) then a post-conversion B that must be ignored;
+    // u2: A->B drop; u3: B->P; u4: B drop.
+    // Exact: a(B)=1/3, a(A)=2/3, base=1/2; remove A -> 1/6, remove
+    // B -> 1/4 (floors on the 10^12 lattice shave the last unit).
+    val ev = Seq(
+      (1L, "A", 1L, 1L, 0), (1L, "P", 2L, 2L, 1), (1L, "B", 3L, 3L, 0),
+      (2L, "A", 1L, 4L, 0), (2L, "B", 2L, 5L, 0),
+      (3L, "B", 1L, 6L, 0), (3L, "P", 2L, 7L, 1),
+      (4L, "B", 1L, 8L, 0)
+    ).toDF("u", "k", "tu", "sq", "cv")
+    val out = Events.removalEffect(ev, "u", "k", col("tu"), "sq",
+      col("cv") === 1).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.get(2), r.get(3))).toMap
+    assert(out.keySet == Set("BASE", "A", "B"), out.toString)
+    assert(out("BASE") == ((499999L, null, null)), out.toString)
+    assert(out("A") == ((166666L, 6666L, 5714L)), out.toString)
+    assert(out("B") == ((250000L, 4999L, 4285L)), out.toString)
+  }
 }
