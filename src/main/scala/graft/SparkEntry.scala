@@ -432,6 +432,7 @@ object SparkEntry {
     "q413_edit_pairs"     -> (Dedup.q413 _),
     "q414_mantel_haenszel" -> (Events.q414 _),
     "q415_removal_effect" -> (Events.q415 _),
+    "q416_dedup_capture"  -> (Dedup.q416 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -2384,18 +2385,7 @@ object SparkEntry {
     // keeps ties at 1, matching counts >= 0 in the expression), and the
     // brute-force a<b self-join replaces the pigeonhole blocking (exact
     // at oracle scale; blocking only changes WHERE pairs are found).
-    "q53_dedup_simhash" ->
-      """WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents),
-         th AS (SELECT doc_id, md5_number_upper(tok) AS h FROM toks),
-         votes AS (SELECT doc_id, k.k, sum(CASE WHEN (h >> k.k) & 1 = 1 THEN 1 ELSE -1 END) AS c
-                   FROM th CROSS JOIN (SELECT unnest(range(64)) AS k) k
-                   GROUP BY doc_id, k.k),
-         sigs AS (SELECT doc_id, sum(CASE WHEN c >= 0 THEN (1::UBIGINT << k) ELSE 0::UBIGINT END)::UBIGINT AS sig
-                  FROM votes GROUP BY doc_id)
-         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
-         FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
-         WHERE bit_count(xor(a.sig, b.sig)) <= 3""",
+    "q53_dedup_simhash" -> simhashOracle,
 
     "q68_copurchase" ->
       """WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -8035,6 +8025,27 @@ object SparkEntry {
     // transition counts — see removalOracle.
     "q415_removal_effect" -> removalOracle,
 
+    // q416: the two shared detector CTEs (q52 jaccard, q53 simhash)
+    // as capture occasions; Chapman's (n1+1)(n2+1)/(m+1) - 1 exact.
+    "q416_dedup_capture" ->
+      s"""WITH p1 AS MATERIALIZED ($jaccardOracle),
+         p2 AS MATERIALIZED ($simhashOracle),
+         c AS (SELECT
+             (SELECT count(*) FROM p1) AS n1,
+             (SELECT count(*) FROM p2) AS n2,
+             (SELECT count(*) FROM p1 JOIN p2 USING (doc_a, doc_b)) AS m)
+         SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CAST(m AS BIGINT) AS m_both,
+           CAST((CAST(n1 + 1 AS HUGEINT) * (n2 + 1)) // (m + 1) - 1
+             AS BIGINT) AS est_total,
+           CAST((CAST(n1 + 1 AS HUGEINT) * (n2 + 1)) // (m + 1) - 1
+             - (n1 + n2 - m) AS BIGINT) AS est_missed,
+           CAST(CASE WHEN n2 = 0 THEN NULL
+             ELSE (10000 * m) // n2 END AS BIGINT) AS recall1_bp,
+           CAST(CASE WHEN n1 = 0 THEN NULL
+             ELSE (10000 * m) // n1 END AS BIGINT) AS recall2_bp
+         FROM c""",
+
     // q407: banded DTW — the anti-diagonal wavefront replayed with two
     // carried LIST columns (diagonal k from k-1 and k-2, elementwise);
     // band literal 7 and the Big sentinel 2^62 shared with the Scala
@@ -8461,6 +8472,20 @@ object SparkEntry {
            AS share_bp
        FROM vals, bb, tt"""
   }
+
+  /** Shared by q53 and q416 (the capture-recapture second detector). */
+  private def simhashOracle: String =
+    """WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents),
+       th AS (SELECT doc_id, md5_number_upper(tok) AS h FROM toks),
+       votes AS (SELECT doc_id, k.k, sum(CASE WHEN (h >> k.k) & 1 = 1 THEN 1 ELSE -1 END) AS c
+                 FROM th CROSS JOIN (SELECT unnest(range(64)) AS k) k
+                 GROUP BY doc_id, k.k),
+       sigs AS (SELECT doc_id, sum(CASE WHEN c >= 0 THEN (1::UBIGINT << k) ELSE 0::UBIGINT END)::UBIGINT AS sig
+                FROM votes GROUP BY doc_id)
+       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+       FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+       WHERE bit_count(xor(a.sig, b.sig)) <= 3"""
 
   private def jaccardOracle: String =
     s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

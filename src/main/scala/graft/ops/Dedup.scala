@@ -1233,6 +1233,57 @@ object Dedup {
     dedupPairEval(approx, truth, "vec_a", "vec_b")
   }
 
+  /** CAPTURE–RECAPTURE DEDUP COMPLETENESS (round 16) — "how many
+    * near-dup pairs did BOTH detectors miss": q228 evaluates a
+    * detector against exact truth, which exists only where exact truth
+    * is computable; at corpus scale there is no truth, but TWO
+    * independent detectors over different signals (token-set MinHash
+    * vs bit-vote SimHash) are two capture occasions, and the
+    * Lincoln–Petersen logic estimates the unseen universe from their
+    * overlap: N̂ = (n₁+1)(n₂+1)/(m+1) − 1 (Chapman's bias-corrected
+    * form — finite at m=0), est_missed = N̂ − |union|, and each
+    * detector's implied recall = m/n_other (the share of the OTHER's
+    * catches it also found). The independence assumption is the
+    * documented caveat — correlated detectors (both token-derived)
+    * make N̂ a LOWER bound on the true universe, which is still the
+    * honest direction for a completeness gate. All exact integers:
+    * one decimal product under one idiv.
+    *
+    * Scale (100 TB): both pair sets arrive bounded (banded/blocked
+    * upstream); one distinct + one full-outer join on the canonical
+    * (a,b) key + a 3-counter fold. */
+  def dedupCapture(pairsA: DataFrame, pairsB: DataFrame): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val a = pairsA.select(col("doc_a"), col("doc_b")).distinct()
+      .withColumn("ia", lit(1))
+    val b = pairsB.select(col("doc_a"), col("doc_b")).distinct()
+      .withColumn("ib", lit(1))
+    a.join(b, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(sum(coalesce(col("ia"), lit(0))).cast("long").as("n1"),
+        sum(coalesce(col("ib"), lit(0))).cast("long").as("n2"),
+        sum((col("ia").isNotNull && col("ib").isNotNull).cast("long"))
+          .as("m_both"))
+      .select(col("n1"), col("n2"), col("m_both"),
+        (F.idiv(dec(col("n1") + 1L) * dec(col("n2") + 1L),
+          dec(col("m_both") + 1L)) - 1L).cast("long").as("est_total"),
+        (F.idiv(dec(col("n1") + 1L) * dec(col("n2") + 1L),
+          dec(col("m_both") + 1L)) - 1L -
+          (col("n1") + col("n2") - col("m_both"))).cast("long")
+          .as("est_missed"),
+        when(col("n2") === 0L, lit(null).cast("long"))
+          .otherwise(F.idiv(lit(10000L) * col("m_both"), col("n2")))
+          .as("recall1_bp"),
+        when(col("n1") === 0L, lit(null).cast("long"))
+          .otherwise(F.idiv(lit(10000L) * col("m_both"), col("n1")))
+          .as("recall2_bp"))
+  }
+
+  /** q416: Chapman estimate over the q52 MinHash-LSH and q53 SimHash
+    * pair sets — the completeness read for the corpus's dedup pass. */
+  def q416(s: SparkSession, d: String): DataFrame =
+    dedupCapture(q52(s, d).select(col("doc_a"), col("doc_b")),
+      q53(s, d).select(col("doc_a"), col("doc_b")))
+
   /** q55: connected-component dedup clusters over the q51 pair graph. */
   def q55(s: SparkSession, d: String): DataFrame =
     clusters(q51(s, d).select(col("doc_a"), col("doc_b")))

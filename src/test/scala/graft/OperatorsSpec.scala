@@ -7619,4 +7619,20 @@ class OperatorsSpec extends SparkSpec {
     assert(out("A") == ((166666L, 6666L, 5714L)), out.toString)
     assert(out("B") == ((250000L, 4999L, 4285L)), out.toString)
   }
+
+  test("dedupCapture: hand-worked Chapman estimate; disjoint " +
+       "detectors still finite via the +1 correction") {
+    import SparkTestSession.spark.implicits._
+    // A = {pq, qr, rs}, B = {qr, rs, st, tu}: n1=3 n2=4 m=2
+    // Chapman: 4*5//3 - 1 = 5; union = 5 -> est_missed = 0
+    val pa = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val pb = Seq((2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("doc_a", "doc_b")
+    val r = Dedup.dedupCapture(pa, pb).head
+    assert(r.toSeq == Seq(3L, 4L, 2L, 5L, 0L, 5000L, 6666L), r.toSeq)
+    // disjoint occasions: m=0, Chapman stays finite, missed is loud
+    val r2 = Dedup.dedupCapture(pa,
+      Seq((7L, 8L)).toDF("doc_a", "doc_b")).head
+    assert(r2.toSeq == Seq(3L, 1L, 0L, 7L, 3L, 0L, 0L), r2.toSeq)
+  }
 }
