@@ -433,6 +433,7 @@ object SparkEntry {
     "q414_mantel_haenszel" -> (Events.q414 _),
     "q415_removal_effect" -> (Events.q415 _),
     "q416_dedup_capture"  -> (Dedup.q416 _),
+    "q417_audio_bands"    -> (Multimodal.q417 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -3479,6 +3480,38 @@ object SparkEntry {
            CAST(n_failed AS BIGINT) AS n_failed,
            CAST((10000 * n_failed) // n_docs AS BIGINT) AS fail_bp
          FROM u""",
+
+    // q417: the PCM generator replayed at the sample grain (the q408
+    // convention) projected onto the shared quantized basis literals;
+    // HUGEINT products, one idiv per power, shares in HUGEINT.
+    "q417_audio_bands" -> {
+      val rows = ops.Multimodal.audioBandTable
+        .map { case (p, k, cq, sq) => s"($p, $k, $cq, $sq)" }
+        .mkString(",\n             ")
+      s"""WITH tb(p, k, cq, sq) AS (VALUES
+             $rows),
+         n AS (SELECT doc_id,
+             800 + (doc_id * 2654435761) % 1600 AS ns FROM documents),
+         s AS (SELECT doc_id, unnest(range(ns)) AS i FROM n),
+         v AS (SELECT doc_id, i,
+             ((i * 127 + doc_id * 31) % 65536) - 32768 AS x FROM s),
+         pr AS (SELECT v.doc_id, tb.p,
+             sum(CAST(v.x AS HUGEINT) * tb.cq) AS sc,
+             sum(CAST(v.x AS HUGEINT) * tb.sq) AS ss
+           FROM v JOIN tb ON tb.k = v.i % tb.p GROUP BY 1, 2),
+         pw AS (SELECT doc_id, p,
+             (sc * sc + ss * ss) // 1000000000000 AS bp_ FROM pr),
+         tot AS (SELECT doc_id, sum(bp_) AS t FROM pw GROUP BY 1)
+         SELECT pw.doc_id, CAST(pw.p AS INT) AS period,
+           CAST(bp_ AS BIGINT) AS band_power,
+           CAST(CASE WHEN t = 0 THEN NULL
+             ELSE (10000 * CAST(bp_ AS HUGEINT)) // t END AS BIGINT)
+             AS share_bp,
+           CAST(CASE WHEN row_number() OVER (PARTITION BY pw.doc_id
+               ORDER BY bp_ DESC, pw.p ASC) = 1 THEN 1 ELSE 0 END AS INT)
+             AS is_peak
+         FROM pw JOIN tot USING (doc_id)"""
+    },
 
     // Integer periodogram: the shared quantized trig literals (the
     // same Scala-generated table the Spark plan embeds), milli

@@ -418,6 +418,91 @@ object Multimodal {
   def q408(s: SparkSession, d: String): DataFrame =
     clippingAudit(wavTable(s, d), "doc_id", "payload")
 
+  // ---- spectral band energy (q417) ----
+
+  /** Candidate periods in SAMPLES per cycle (powers of two): with the
+    * sample-index lattice k = i mod P the projection needs one
+    * quantized table row per (P, k) — 60 rows total. */
+  val AudioBandPeriods: Seq[Int] = Seq(4, 8, 16, 32)
+
+  /** Quantized projection basis shared VERBATIM with the q417 oracle
+    * (the q342 periodogram convention: cos/sin at micro scale, floored
+    * once on the driver — both engines consume identical integers). */
+  val audioBandTable: Seq[(Int, Int, Long, Long)] =
+    AudioBandPeriods.flatMap { p =>
+      (0 until p).map { k =>
+        val a = 2d * math.Pi * k / p
+        (p, k, math.floor(math.cos(a) * 1e6 + 0.5).toLong,
+          math.floor(math.sin(a) * 1e6 + 0.5).toLong)
+      }
+    }
+
+  case class BandRow(doc_id: Long, period: Int, band_power: Long,
+                     share_bp: java.lang.Long, is_peak: Int)
+
+  /** SPECTRAL BAND ENERGY (round 16) — the first FREQUENCY-domain read
+    * of the audio family (q105 amplitude stats, q396 VAD, q408
+    * clipping are all time-domain): power at fixed sample-lattice
+    * periods via the integer periodogram projection, the cheap
+    * spectral-balance feature a speech-vs-music-vs-tone triage reads
+    * before any model runs. Power at period P is the squared projection
+    * onto the quantized cos/sin basis — sc = Σ xᵢ·cq(P, i mod P), ss
+    * likewise, power = (sc²+ss²)/10¹² — EXACT integers end to end
+    * (samples are ±2¹⁵, the basis is pinned micro, the one division a
+    * floor; the q342 convention moved from the calendar-day grain to
+    * the sample grain). Per (doc, period): band power, share of the
+    * measured bands (bp), and the per-doc dominant-period flag
+    * (power DESC, period ASC — a total order).
+    *
+    * Scale (100 TB): REAL decode then per-doc accumulation INSIDE
+    * mapPartitions — samples never become rows, nothing shuffles;
+    * |periods| rows out per recording. */
+  def audioBands(wavs: DataFrame, id: String, payload: String,
+                 periods: Seq[Int] = AudioBandPeriods): DataFrame = {
+    import wavs.sparkSession.implicits._
+    val basis = audioBandTable.filter(t => periods.contains(t._1))
+      .groupBy(_._1).map { case (p, rows) =>
+        val o = rows.sortBy(_._2)
+        (p, o.map(_._3).toArray, o.map(_._4).toArray)
+      }.toSeq.sortBy(_._1)
+    wavs.select(col(id).as("doc_id"), col(payload).as("payload")).as[WavRow]
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.payload))
+          val bytes = ais.readAllBytes()
+          val n = bytes.length / 2
+          val powers = basis.map { case (p, cq, sq) =>
+            var sc = 0L; var ss = 0L; var i = 0
+            while (i < n) {
+              val v = ((bytes(2 * i + 1).toInt << 8) |
+                (bytes(2 * i) & 0xff)).toLong
+              val k = i % p
+              sc += v * cq(k); ss += v * sq(k)
+              i += 1
+            }
+            val pw = (BigInt(sc) * sc + BigInt(ss) * ss) /
+              BigInt(1000000000000L)
+            (p, pw.toLong)
+          }
+          val tot = powers.map(_._2).sum
+          val peak = powers.maxBy { case (p, pw) => (pw, -p.toLong) }._1
+          powers.map { case (p, pw) =>
+            BandRow(r.doc_id, p, pw,
+              if (tot == 0) null
+              else java.lang.Long.valueOf(
+                (BigInt(10000) * pw / tot).toLong), // 10⁴·pw outruns Long
+              if (p == peak) 1 else 0)
+          }
+        }
+      }.toDF()
+  }
+
+  /** q417: spectral balance of the raw WAV corpus at the four
+    * power-of-two periods — the sawtooth's wrap period dominates. */
+  def q417(s: SparkSession, d: String): DataFrame =
+    audioBands(wavTable(s, d), "doc_id", "payload")
+
   // ---- perceptual image hashing + near-dup (q124) ----
 
   /** splitmix64 finalizer — the per-(doc, cell) pseudo-random base for

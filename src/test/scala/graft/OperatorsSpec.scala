@@ -7430,6 +7430,37 @@ class OperatorsSpec extends SparkSpec {
     assert(anyClipped)
   }
 
+  test("audioBands: decoded projections equal the pure-generator " +
+       "replay; shares partition, exactly one peak per doc") {
+    val basis = Multimodal.audioBandTable
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val out = Multimodal.q417(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.get(3), r.getInt(4))).toMap
+    val docs = out.keySet.map(_._1)
+    assert(out.size == docs.size * Multimodal.AudioBandPeriods.size)
+    docs.foreach { doc =>
+      val n = Multimodal.wavSamples(doc)
+      val powers = Multimodal.AudioBandPeriods.map { p =>
+        val tb = basis(p)
+        var sc = BigInt(0); var ss = BigInt(0)
+        (0 until n).foreach { i =>
+          val v = BigInt(Multimodal.sampleAt(doc, i).toLong)
+          sc += v * tb(i % p)._3; ss += v * tb(i % p)._4
+        }
+        p -> ((sc * sc + ss * ss) / BigInt(1000000000000L)).toLong
+      }
+      val tot = powers.map(_._2).sum
+      powers.foreach { case (p, pw) =>
+        val (gotPw, gotShare, _) = out((doc, p))
+        assert(gotPw == pw, s"doc $doc p $p: $gotPw != $pw")
+        assert(gotShare == (BigInt(10000) * pw / tot).toLong)
+      }
+      assert(powers.map(x => out((doc, x._1))._3).sum == 1,
+        s"doc $doc: not exactly one peak")
+    }
+  }
+
   test("iccOneWay: perfect agreement reads 1000, a constant second " +
        "rater drags it to the hand-worked 758, ragged panels NULL") {
     import SparkTestSession.spark.implicits._
