@@ -434,6 +434,7 @@ object SparkEntry {
     "q415_removal_effect" -> (Events.q415 _),
     "q416_dedup_capture"  -> (Dedup.q416 _),
     "q417_audio_bands"    -> (Multimodal.q417 _),
+    "q418_holm"           -> (Relational.q418 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -3236,6 +3237,38 @@ object SparkEntry {
            rk.z_milli, CAST(rk.p_e6 AS BIGINT) AS p_e6, rk.rank,
            CAST(CASE WHEN rk.rank <= coalesce(ct.cut, 0) THEN 1 ELSE 0 END
              AS INT) AS is_discovery
+         FROM rk CROSS JOIN ct""" },
+
+    // q418: the q368 z/p chain on suppliers with the Holm step-down
+    // cut — min failing rank, strict-below rejection.
+    "q418_holm" -> {
+      val zp = ops.Relational.ZpTable
+        .map { case (b, pv) => s"($b, $pv)" }.mkString(", ")
+      s"""WITH g AS (SELECT s_nationkey AS g, count(*) AS n,
+             sum(CASE WHEN s_acctbal > 0 THEN 1 ELSE 0 END) AS k
+           FROM supplier WHERE s_nationkey IS NOT NULL GROUP BY 1),
+         t AS (SELECT sum(n) AS nn, sum(k) AS kk FROM g),
+         zp(b, p_e6) AS (VALUES $zp),
+         sc AS (SELECT g.g, g.n, g.k,
+             CAST(floor(1000 * CAST(CAST(g.k AS HUGEINT) * t.nn
+                 - CAST(t.kk AS HUGEINT) * g.n AS DOUBLE)
+               / sqrt(CAST(CAST(g.n AS HUGEINT) * t.kk * (t.nn - t.kk)
+                 AS DOUBLE)) + 0.5) AS BIGINT) AS z_milli
+           FROM g CROSS JOIN t
+           WHERE CAST(g.n AS HUGEINT) * t.kk * (t.nn - t.kk) > 0),
+         jp AS (SELECT sc.*, zp.p_e6 FROM sc
+           JOIN zp ON zp.b = least(abs(sc.z_milli) // 10, 400)),
+         mm AS (SELECT count(*) AS m FROM jp),
+         rk AS (SELECT jp.*, mm.m,
+             CAST(row_number() OVER (ORDER BY jp.p_e6 ASC, jp.g ASC)
+               AS BIGINT) AS rank
+           FROM jp CROSS JOIN mm),
+         ct AS (SELECT min(CASE WHEN p_e6 * (m - rank + 1) > 50000
+               THEN rank END) AS stop FROM rk)
+         SELECT rk.g AS nation, rk.n, CAST(rk.k AS BIGINT) AS k,
+           rk.z_milli, CAST(rk.p_e6 AS BIGINT) AS p_e6, rk.rank,
+           CAST(CASE WHEN rk.rank < coalesce(ct.stop, rk.m + 1)
+             THEN 1 ELSE 0 END AS INT) AS is_reject
          FROM rk CROSS JOIN ct""" },
 
     // Brown-Forsythe: exact per-group percentile_disc medians, |x-med|

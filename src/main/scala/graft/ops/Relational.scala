@@ -2353,8 +2353,11 @@ object Relational {
     *
     * Scale (100 TB): one group aggregation, a 3-number fold, a
     * 401-row broadcast lookup, and a battery-sized (m-row) window. */
-  def bhFdr(df: DataFrame, isCase: Column, group: Column,
-            qE6: Long = 100000L): DataFrame = {
+  /** Shared by bhFdr and holmBonferroni: per-group two-sided
+    * pooled-proportion p-values on the ZpTable lattice, ranked by
+    * (p asc, g asc) with the battery size m alongside. */
+  private def zpRanked(df: DataFrame, isCase: Column,
+                       group: Column): DataFrame = {
     def dec(c: Column): Column = c.cast("decimal(38,0)")
     val spark = df.sparkSession
     import spark.implicits._
@@ -2379,10 +2382,15 @@ object Relational {
       .join(broadcast(zp), Seq("b"))
       .localCheckpoint() // battery-sized; feeds rank, m, and the cut
     val m = scored.agg(count(lit(1)).as("m"))
-    val ranked = scored
+    scored
       .withColumn("rank", row_number()
         .over(Window.orderBy(col("p_e6").asc, col("g").asc)).cast("long"))
       .crossJoin(broadcast(m))
+  }
+
+  def bhFdr(df: DataFrame, isCase: Column, group: Column,
+            qE6: Long = 100000L): DataFrame = {
+    val ranked = zpRanked(df, isCase, group)
     val cut = ranked
       .agg(max(when(col("p_e6") * col("m") <= lit(qE6) * col("rank"),
         col("rank"))).as("cut"))
@@ -2392,6 +2400,42 @@ object Relational {
         (col("rank") <= coalesce(col("cut"), lit(0L))).cast("int")
           .as("is_discovery"))
   }
+
+  /** HOLM STEP-DOWN (round 16) — the FWER member completing the
+    * multiple-testing family: BH (q368) controls the FALSE DISCOVERY
+    * RATE ("of my rejections, ≤q are noise" — right for screening),
+    * Holm controls the FAMILY-WISE error ("probability of even ONE
+    * false rejection ≤ α" — right when each rejection triggers an
+    * action), uniformly more powerful than plain Bonferroni at the
+    * same guarantee and valid under arbitrary dependence. Step-DOWN on
+    * the shared (p asc, g asc) ranking: reject while
+    * p₍ₖ₎·(m−k+1) ≤ α and STOP at the first failure — the stop is the
+    * semantic difference from BH's max-rank cut (a later small p
+    * cannot resurrect the chain), pinned by the spec. Exact integers
+    * on the shared ZpTable lattice; the cut is min(rank where the
+    * inequality fails) − everything strictly below survives.
+    *
+    * Scale: the q368 shape — battery-sized after one unit aggregation. */
+  def holmBonferroni(df: DataFrame, isCase: Column, group: Column,
+                     alphaE6: Long = 50000L): DataFrame = {
+    val ranked = zpRanked(df, isCase, group)
+    val cut = ranked
+      .agg(min(when(col("p_e6") * (col("m") - col("rank") + 1L) >
+        lit(alphaE6), col("rank"))).as("stop"))
+    ranked.crossJoin(broadcast(cut))
+      .select(col("g"), col("n"), col("k"), col("z_milli"), col("p_e6"),
+        col("rank"),
+        (col("rank") < coalesce(col("stop"), col("m") + 1L)).cast("int")
+          .as("is_reject"))
+  }
+
+  /** q418: which nations' positive-balance SUPPLIER share deviates
+    * from the pooled rate with family-wise α = 0.05 — the
+    * action-grade twin of q368's screening-grade battery. */
+  def q418(s: SparkSession, d: String): DataFrame =
+    holmBonferroni(Tables.supplier(s, d), (col("s_acctbal") > 0).cast("int"),
+      col("s_nationkey"))
+      .withColumnRenamed("g", "nation")
 
   /** q368: which nations' positive-balance share genuinely deviates
     * from the pooled rate, at FDR q = 0.10. */

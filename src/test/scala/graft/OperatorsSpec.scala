@@ -7666,4 +7666,30 @@ class OperatorsSpec extends SparkSpec {
       Seq((7L, 8L)).toDF("doc_a", "doc_b")).head
     assert(r2.toSeq == Seq(3L, 1L, 0L, 7L, 3L, 0L, 0L), r2.toSeq)
   }
+
+  test("holmBonferroni: planted deviants rejected and the null group " +
+       "kept; step-down rule replayed; Holm subset of BH at alpha=q") {
+    import SparkTestSession.spark.implicits._
+    // A 95/100 and C 5/100 against a pooled 0.5; B exactly at it
+    val units = (Seq.fill(95)(("A", 1)) ++ Seq.fill(5)(("A", 0)) ++
+      Seq.fill(50)(("B", 1)) ++ Seq.fill(50)(("B", 0)) ++
+      Seq.fill(5)(("C", 1)) ++ Seq.fill(95)(("C", 0)))
+      .toDF("g", "c")
+    val h = Relational.holmBonferroni(units, col("c"), col("g")).collect()
+    val rej = h.map(r => r.getString(0) -> r.getInt(6)).toMap
+    assert(rej == Map("A" -> 1, "B" -> 0, "C" -> 1), rej.toString)
+    // rule replay from the emitted (p, rank) columns: reject strictly
+    // below the FIRST rank whose p*(m-rank+1) > alpha — a later rank
+    // satisfying its own inequality must NOT resurrect the chain
+    val m = h.length.toLong
+    val firstFail = h.sortBy(_.getLong(5))
+      .find(r => r.getLong(4) * (m - r.getLong(5) + 1) > 50000L)
+      .map(_.getLong(5)).getOrElse(m + 1)
+    h.foreach(r => assert((r.getLong(5) < firstFail) == (r.getInt(6) == 1)))
+    // FWER is the stricter guarantee: at alpha = q the Holm set is
+    // contained in the BH set (alpha/(m-k+1) <= q*k/m for all k)
+    val bh = Relational.bhFdr(units, col("c"), col("g"), qE6 = 50000L)
+      .collect().map(r => r.getString(0) -> r.getInt(6)).toMap
+    rej.foreach { case (g, v) => if (v == 1) assert(bh(g) == 1, g) }
+  }
 }
