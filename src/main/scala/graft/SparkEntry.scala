@@ -435,6 +435,7 @@ object SparkEntry {
     "q416_dedup_capture"  -> (Dedup.q416 _),
     "q417_audio_bands"    -> (Multimodal.q417 _),
     "q418_holm"           -> (Relational.q418 _),
+    "q419_png_integrity"  -> (Multimodal.q419 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -2216,6 +2217,22 @@ object SparkEntry {
            CAST(sum(((k % width) * 31 + (k // width) * 17 + doc_id * 13) % 256) * 100
                 // (CAST(width AS BIGINT) * height) AS BIGINT) AS mean_pixel_q
          FROM px GROUP BY doc_id, width, height""",
+
+    // q419: dims replay via the shared metadata formulas; the IHDR
+    // constants (grayscale, 8-bit) and all-green flags are the
+    // generator contract — the corruption detectors are spec-proven.
+    "q419_png_integrity" ->
+      """WITH dims AS (
+           SELECT doc_id,
+             greatest(CAST(((('0x' || substr(md5(text),1,8))::UBIGINT % 1024) + 64) // 8 AS INTEGER), 8) AS width,
+             greatest(CAST(((('0x' || substr(md5(text),9,8))::UBIGINT % 768) + 64) // 8 AS INTEGER), 8) AS height
+           FROM documents)
+         SELECT doc_id, CAST(width AS BIGINT) AS width,
+           CAST(height AS BIGINT) AS height,
+           CAST(8 AS INT) AS bit_depth, CAST(0 AS INT) AS color_type,
+           CAST(1 AS INT) AS sig_ok, CAST(1 AS INT) AS crc_ok,
+           CAST(1 AS INT) AS structure_ok
+         FROM dims""",
 
     // DuckDB's double-precision jaro_winkler_similarity vs the exact
     // rational jaro_winkler_bp: floor(jw*10000) agrees unless the exact

@@ -503,6 +503,87 @@ object Multimodal {
   def q417(s: SparkSession, d: String): DataFrame =
     audioBands(wavTable(s, d), "doc_id", "payload")
 
+  // ---- PNG container integrity (q419) ----
+
+  case class PngAudit(doc_id: Long, width: Long, height: Long,
+                      bit_depth: Int, color_type: Int, n_chunks: Long,
+                      sig_ok: Int, crc_ok: Int, structure_ok: Int,
+                      idat_bytes: Long)
+
+  /** Byte-level PNG container walk — NO codec: signature check, chunk
+    * traversal ([len][type][data][crc]), per-chunk CRC32 verification
+    * (java.util.zip.CRC32, the spec's polynomial), IHDR field
+    * extraction, IHDR-first/IEND-last/exact-consumption structure
+    * flags. Returns what it could read even from a damaged file —
+    * the flags say how far to trust it. */
+  def pngAuditBytes(id: Long, b: Array[Byte]): PngAudit = {
+    def u32(o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    val sigOk = b.length >= 8 && (b(0) & 0xff) == 0x89 &&
+      b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
+      b(4) == 0x0d && b(5) == 0x0a && b(6) == 0x1a && b(7) == 0x0a
+    var o = 8; var n = 0L; var crcOk = true
+    var first = ""; var last = ""
+    var w = 0L; var h = 0L; var bd = 0; var ct = -1; var idat = 0L
+    var wellFormed = sigOk
+    while (wellFormed && o + 12 <= b.length) {
+      val len = u32(o)
+      if (o + 12 + len > b.length) wellFormed = false
+      else {
+        val typ = new String(b, o + 4, 4, "US-ASCII")
+        val crc = new java.util.zip.CRC32()
+        crc.update(b, o + 4, 4 + len.toInt)
+        if ((crc.getValue & 0xffffffffL) != u32(o + 8 + len.toInt))
+          crcOk = false
+        if (n == 0) first = typ
+        last = typ; n += 1
+        if (typ == "IHDR" && len >= 13) {
+          w = u32(o + 8); h = u32(o + 12)
+          bd = b(o + 16) & 0xff; ct = b(o + 17) & 0xff
+        }
+        if (typ == "IDAT") idat += len
+        o += 12 + len.toInt
+      }
+    }
+    val structOk = sigOk && wellFormed && first == "IHDR" &&
+      last == "IEND" && o == b.length
+    PngAudit(id, w, h, bd, ct, n, if (sigOk) 1 else 0,
+      if (crcOk && sigOk) 1 else 0, if (structOk) 1 else 0, idat)
+  }
+
+  /** PNG CONTAINER INTEGRITY AUDIT (round 16) — the ingest gate BEFORE
+    * any decoder runs: a crawl's image column carries truncated
+    * downloads, bit-rotted blobs, and mislabeled formats, and feeding
+    * them to a fleet of decoders means paying decode cost (or a codec
+    * CVE surface) to discover corruption. This is the codec-FREE
+    * check: signature, chunk-structure walk, per-chunk CRC32, IHDR
+    * sanity — the file's OWN checksums verified at byte level, no
+    * ImageIO anywhere (q70 is the decode path; this is the cheap gate
+    * in front of it). Encoder-dependent counts (n_chunks, idat_bytes)
+    * live in the Full variant + specs; the oracle projection carries
+    * the generator-determined columns (dims from the shared metadata
+    * formulas, grayscale-8 IHDR constants, all-green flags — the
+    * corpus is healthy BY CONSTRUCTION, and the spec proves the
+    * detectors fire by corrupting bytes).
+    *
+    * Scale (100 TB): map-only mapPartitions over the binary column —
+    * one pass, no decode, no shuffle. */
+  def pngIntegrityFull(images: DataFrame, id: String,
+                       payload: String): DataFrame = {
+    import images.sparkSession.implicits._
+    images.select(col(id).as("doc_id"), col(payload).as("payload"))
+      .as[ImageRow]
+      .mapPartitions(it => it.map(r => pngAuditBytes(r.doc_id, r.payload)))
+      .toDF()
+  }
+
+  /** q419: the integrity audit over the PNG corpus, projected to the
+    * generator-determined columns (the q70 n_bytes discipline). */
+  def q419(s: SparkSession, d: String): DataFrame =
+    pngIntegrityFull(pngTable(s, d), "doc_id", "payload")
+      .drop("n_chunks", "idat_bytes")
+
   // ---- perceptual image hashing + near-dup (q124) ----
 
   /** splitmix64 finalizer — the per-(doc, cell) pseudo-random base for

@@ -7600,6 +7600,36 @@ class OperatorsSpec extends SparkSpec {
     assert(out(4L)._3 == -1L && out(4L)._4 == null, out.toString)
   }
 
+  test("pngAuditBytes: healthy corpus all green with n_chunks >= 3; " +
+       "a flipped IDAT byte fails ONLY crc, truncation fails " +
+       "structure, a bad signature fails sig") {
+    val payloads = Multimodal.pngTable(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1))
+    payloads.foreach { case (id, b) =>
+      val a = Multimodal.pngAuditBytes(id, b)
+      assert(a.sig_ok == 1 && a.crc_ok == 1 && a.structure_ok == 1 &&
+        a.bit_depth == 8 && a.color_type == 0 && a.n_chunks >= 3 &&
+        a.width >= 8 && a.height >= 8 && a.idat_bytes > 0, a.toString)
+    }
+    val (id0, b0) = payloads.head
+    // flip one byte INSIDE the first IDAT's data: lengths intact, so
+    // the walk completes and only the checksum trips
+    val at = b0.indexOfSlice("IDAT".getBytes("US-ASCII")) + 6
+    val flipped = b0.clone(); flipped(at) = (flipped(at) ^ 0x55).toByte
+    val f = Multimodal.pngAuditBytes(id0, flipped)
+    assert(f.sig_ok == 1 && f.crc_ok == 0 && f.structure_ok == 1,
+      f.toString)
+    // truncation loses IEND: structure trips (crc of surviving
+    // chunks still verifies)
+    val t = Multimodal.pngAuditBytes(id0, b0.dropRight(12))
+    assert(t.sig_ok == 1 && t.structure_ok == 0, t.toString)
+    // a non-PNG head fails the signature (and therefore crc)
+    val s0 = b0.clone(); s0(0) = 0x00
+    val s = Multimodal.pngAuditBytes(id0, s0)
+    assert(s.sig_ok == 0 && s.crc_ok == 0 && s.structure_ok == 0,
+      s.toString)
+  }
+
   test("mantelHaenszel: the kidney-stone Simpson table — both strata " +
        "favor treatment, the crude row reverses, MH pools correctly") {
     import SparkTestSession.spark.implicits._
