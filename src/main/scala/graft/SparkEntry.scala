@@ -436,6 +436,8 @@ object SparkEntry {
     "q417_audio_bands"    -> (Multimodal.q417 _),
     "q418_holm"           -> (Relational.q418 _),
     "q419_png_integrity"  -> (Multimodal.q419 _),
+    "q420_neyman"         -> (Relational.q420 _),
+    "q421_heaps"          -> (Text.q421 _),
   )
 
   // DuckDB SQL oracles. Fixed-point helper mirrored from Cols.sqlCents:
@@ -3256,13 +3258,84 @@ object SparkEntry {
              AS INT) AS is_discovery
          FROM rk CROSS JOIN ct""" },
 
+    // q421: hash-order ranks, earliest-prefix buckets for docs and
+    // token first-occurrences, cumulative grid, lg64 lattice betas.
+    "q421_heaps" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk,
+             row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)),
+               doc_id) AS rn
+           FROM documents),
+         nn AS (SELECT count(*) AS n FROM d),
+         kb AS (SELECT d.rn, d.tk,
+             (5 * (rn - 1)) // nn.n + 1 AS k FROM d, nn),
+         ti AS (SELECT k, sum(len(tk)) AS ti, count(*) AS di
+           FROM kb GROUP BY 1),
+         tm AS (SELECT tok, min(rn) AS mr FROM
+           (SELECT rn, unnest(tk) AS tok FROM kb) GROUP BY 1),
+         vi AS (SELECT (5 * (mr - 1)) // nn.n + 1 AS k, count(*) AS vi
+           FROM tm, nn GROUP BY 1),
+         grid AS (SELECT unnest(range(1, 6)) AS k),
+         cum AS MATERIALIZED (SELECT g.k,
+             sum(coalesce(ti.di, 0)) OVER (ORDER BY g.k) AS n_docs,
+             sum(coalesce(ti.ti, 0)) OVER (ORDER BY g.k) AS n_tokens,
+             sum(coalesce(vi.vi, 0)) OVER (ORDER BY g.k) AS vocab
+           FROM grid g LEFT JOIN ti ON ti.k = g.k
+           LEFT JOIN vi ON vi.k = g.k),
+         args AS (SELECT DISTINCT v AS k, v AS n FROM (
+             SELECT n_tokens AS v FROM cum
+             UNION ALL SELECT vocab FROM cum) WHERE v > 0),
+         pw AS (SELECT unnest(range(0, 63)) AS p),
+         ${UnigramOracleSql.lgCte("lgt", "args", "k", "k")},
+         j AS (SELECT cum.*, lt.lg AS lg_t, lv.lg AS lg_v,
+             lag(lt.lg) OVER (ORDER BY cum.k) AS plg_t,
+             lag(lv.lg) OVER (ORDER BY cum.k) AS plg_v
+           FROM cum LEFT JOIN lgt lt ON lt.k = cum.n_tokens
+           LEFT JOIN lgt lv ON lv.k = cum.vocab)
+         SELECT k AS prefix, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(vocab AS BIGINT) AS vocab,
+           CAST(CASE WHEN plg_t IS NULL OR lg_t - plg_t = 0 THEN NULL
+             ELSE (1000 * (lg_v - plg_v)) // (lg_t - plg_t) END AS BIGINT)
+             AS beta_milli
+         FROM j""",
+
+    // q420: cents moments per priority, variance floor, corrected
+    // isqrt, then both allocations at budget 10000.
+    "q420_neyman" ->
+      s"""WITH g AS (SELECT o_orderpriority AS stratum, count(*) AS n,
+             sum(${C("o_totalprice")}) AS s,
+             sum(CAST(${C("o_totalprice")} AS HUGEINT)
+               * ${C("o_totalprice")}) AS ss
+           FROM orders
+           WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+           GROUP BY 1),
+         v AS (SELECT stratum, n, CASE WHEN n < 2 THEN NULL
+             ELSE (CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s)
+               // (CAST(n AS HUGEINT) * (n - 1)) END AS vf FROM g),
+         c AS (SELECT stratum, n, vf,
+             CAST(floor(sqrt(CAST(vf AS DOUBLE))) AS BIGINT) AS s0 FROM v),
+         i AS (SELECT stratum, n, CASE WHEN vf IS NULL THEN NULL
+             WHEN CAST(s0 + 1 AS HUGEINT) * (s0 + 1) <= vf THEN s0 + 1
+             WHEN CAST(s0 AS HUGEINT) * s0 > vf THEN s0 - 1
+             ELSE s0 END AS sd FROM c),
+         w AS (SELECT stratum, n, sd, coalesce(n * sd, 0) AS weight FROM i),
+         t AS (SELECT sum(weight) AS tw, sum(n) AS tn FROM w)
+         SELECT w.stratum, CAST(w.n AS BIGINT) AS n_units,
+           CAST(sd AS BIGINT) AS sd_cents, CAST(weight AS BIGINT) AS weight,
+           CAST(CASE WHEN t.tw = 0 THEN NULL
+             ELSE (10000 * CAST(weight AS HUGEINT)) // t.tw END AS BIGINT)
+             AS alloc_neyman,
+           CAST((10000 * CAST(w.n AS HUGEINT)) // t.tn AS BIGINT)
+             AS alloc_prop
+         FROM w, t""",
+
     // q418: the q368 z/p chain on suppliers with the Holm step-down
     // cut — min failing rank, strict-below rejection.
     "q418_holm" -> {
       val zp = ops.Relational.ZpTable
         .map { case (b, pv) => s"($b, $pv)" }.mkString(", ")
       s"""WITH g AS (SELECT s_nationkey AS g, count(*) AS n,
-             sum(CASE WHEN s_acctbal > 0 THEN 1 ELSE 0 END) AS k
+             sum(CASE WHEN s_acctbal > 4500 THEN 1 ELSE 0 END) AS k
            FROM supplier WHERE s_nationkey IS NOT NULL GROUP BY 1),
          t AS (SELECT sum(n) AS nn, sum(k) AS kk FROM g),
          zp(b, p_e6) AS (VALUES $zp),

@@ -2429,11 +2429,15 @@ object Relational {
           .as("is_reject"))
   }
 
-  /** q418: which nations' positive-balance SUPPLIER share deviates
-    * from the pooled rate with family-wise α = 0.05 — the
-    * action-grade twin of q368's screening-grade battery. */
+  /** q418: which nations' high-balance (> 4500) SUPPLIER share
+    * deviates from the pooled rate with family-wise α = 0.05 — the
+    * action-grade twin of q368's screening-grade battery. (The
+    * threshold keeps both classes populated down to sf0.001, where a
+    * positive-balance flag is constant and every group's z-denominator
+    * would vanish.) */
   def q418(s: SparkSession, d: String): DataFrame =
-    holmBonferroni(Tables.supplier(s, d), (col("s_acctbal") > 0).cast("int"),
+    holmBonferroni(Tables.supplier(s, d),
+      (col("s_acctbal") > 4500).cast("int"),
       col("s_nationkey"))
       .withColumnRenamed("g", "nation")
 
@@ -4647,4 +4651,54 @@ object Relational {
         size(col("arr")) - col("i") - lit(1))).as("pb"))
     personalizedPageRank(pairs, "pa", "pb", 2L, 2, 4, 20)
   }
+
+  /** NEYMAN ALLOCATION (round 16) — the sampling-DESIGN member the
+    * sampling family executes against: q23/q47/q97 draw samples GIVEN
+    * an allocation; Neyman says what the allocation should BE —
+    * nₕ ∝ Nₕ·Sₕ minimizes the stratified-mean variance at a fixed
+    * budget (the survey-sampling optimum), sending audit rows where
+    * size × spread is, not where row count is. Ships the decision
+    * table: per stratum Nₕ, the exact integer sd (sample-variance
+    * floor in cents², corrected isqrt — the q186/q385 convention),
+    * the Neyman allocation ⌊B·NₕSₕ/ΣNS⌋ and the proportional
+    * allocation ⌊B·Nₕ/ΣN⌋ side by side — their gap per stratum IS the
+    * efficiency argument. Zero-variance strata draw 0 by design (any
+    * one unit represents a constant stratum — the textbook property,
+    * spec-pinned); sub-2 strata read NULL sd and weight 0, loud not
+    * wrong. Floors under-allocate by ≤ |strata| total; the remainder
+    * policy is the caller's (documented).
+    *
+    * Scale (100 TB): one unit-grain moment aggregation to |strata|
+    * rows; the allocation arithmetic is strata-bounded. No joins. */
+  def neymanAllocation(df: DataFrame, stratum: Column, value: Column,
+                       budget: Long): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val g = df.select(stratum.cast("string").as("stratum"),
+        value.cast("long").as("v"))
+      .where(col("stratum").isNotNull && col("v").isNotNull)
+      .groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+        sum(dec(col("v")) * dec(col("v"))).as("ss"))
+    val varFloor = graft.functions.F.idiv(dec(col("n")) * col("ss") - dec(col("s")) *
+      dec(col("s")), dec(col("n")) * dec(col("n") - 1L)).cast("long")
+    val sd = when(col("n") < 2L, lit(null).cast("long"))
+      .otherwise(graft.functions.F.isqrtLong(varFloor))
+    val w = g.select(col("stratum"), col("n"), sd.as("sd"))
+      .withColumn("weight", coalesce(col("n") * col("sd"), lit(0L)))
+      .localCheckpoint() // strata-bounded; feeds the totals join
+    val tot = w.agg(sum(col("weight")).as("tw"), sum(col("n")).as("tn"))
+    w.crossJoin(broadcast(tot))
+      .select(col("stratum"), col("n").as("n_units"),
+        col("sd").as("sd_cents"), col("weight"),
+        when(col("tw") === 0L, lit(null).cast("long"))
+          .otherwise(graft.functions.F.idiv(lit(budget) * col("weight"), col("tw")))
+          .as("alloc_neyman"),
+        graft.functions.F.idiv(lit(budget) * col("n"), col("tn")).as("alloc_prop"))
+  }
+
+  /** q420: where should a 10k-order audit sample go — order-priority
+    * strata sized by count × price spread. */
+  def q420(s: SparkSession, d: String): DataFrame =
+    neymanAllocation(Tables.orders(s, d), col("o_orderpriority"),
+      cents(col("o_totalprice")), 10000L)
 }

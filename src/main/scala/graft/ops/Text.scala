@@ -5254,4 +5254,73 @@ object Text {
     * source — which sources still have unseen vocabulary. */
   def q412(s: SparkSession, d: String): DataFrame =
     chao1(Tables.documents(s, d), "text", "source")
+
+  /** Prefix count for the Heaps curve (shared with the q421 oracle). */
+  val HeapsCuts = 5
+
+  /** HEAPS' LAW VOCABULARY-GROWTH CURVE (round 16) — the OBSERVED
+    * trajectory the estimator family extrapolates: Chao1 (q412) and
+    * Good–Turing (q362) predict the unseen from one snapshot; this
+    * MEASURES V(N) at [[HeapsCuts]] deterministic corpus prefixes and
+    * reports the local Heaps exponent β (V ∝ N^β) between consecutive
+    * points — β holding steady near the canonical 0.4-0.6 says the
+    * corpus keeps yielding vocabulary (keep crawling), β collapsing
+    * toward 0 says saturation (q412's coverage read, observed instead
+    * of estimated). Prefixes are the hash-order total order
+    * (md5(doc_id), doc_id — the q233 epoch-shuffle discipline), so
+    * "the first 20%" is a reproducible random-looking subset, not
+    * ingest order. Each doc lands in its earliest prefix via the exact
+    * bucket ⌊c(rn−1)/n⌋+1; vocabulary increments attach to the FIRST
+    * prefix containing each token (min doc-rank); both cumulate over
+    * the c-row grid. β on the exact 64·log2 lattice via withLg64 —
+    * 1000·Δlg64(V)/Δlg64(N), integer end to end, NULL at the first
+    * point or a flat denominator.
+    *
+    * Scale (100 TB): one total sort by the hash key (the q233 price;
+    * range-partitioned rank at cluster scale), one token-grain
+    * min-aggregation, one doc-grain sum — then a c-row frame. */
+  def heapsCurve(docs: DataFrame, id: String, text: String,
+                 cuts: Int = HeapsCuts): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = Window.orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val ranked = withToks(docs.select(col(id).as("doc_id"), col(text)), text)
+      .select(col("doc_id"), toks.as("tk"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .localCheckpoint() // feeds the doc-grain and token-grain folds
+    val n = ranked.agg(count(lit(1)).as("n"))
+    def bucket(rank: Column): Column =
+      F.idiv(lit(cuts.toLong) * (rank - 1L), col("n")) + 1L
+    val tinc = ranked.crossJoin(broadcast(n))
+      .groupBy(bucket(col("rn")).as("k"))
+      .agg(sum(size(col("tk")).cast("long")).as("ti"),
+        count(lit(1)).as("di"))
+    val vinc = ranked.select(col("rn"), explode(col("tk")).as("tok"))
+      .groupBy(col("tok")).agg(min(col("rn")).as("mr"))
+      .crossJoin(broadcast(n))
+      .groupBy(bucket(col("mr")).as("k"))
+      .agg(count(lit(1)).as("vi"))
+    val grid = spark.range(1, cuts + 1).select(col("id").as("k"))
+    val ord = Window.orderBy(col("k"))
+    val cum = grid
+      .join(tinc, Seq("k"), "left").join(vinc, Seq("k"), "left")
+      .select(col("k"),
+        sum(coalesce(col("di"), lit(0L))).over(ord).as("n_docs"),
+        sum(coalesce(col("ti"), lit(0L))).over(ord).as("n_tokens"),
+        sum(coalesce(col("vi"), lit(0L))).over(ord).as("vocab"))
+    val lg = graft.functions.Cols.withLg64(
+      graft.functions.Cols.withLg64(cum, col("n_tokens"), "lg_t"),
+      col("vocab"), "lg_v")
+    val dLgT = col("lg_t") - lag(col("lg_t"), 1).over(ord)
+    val dLgV = col("lg_v") - lag(col("lg_v"), 1).over(ord)
+    lg.select(col("k").as("prefix"), col("n_docs"), col("n_tokens"),
+      col("vocab"),
+      when(dLgT.isNull || dLgT === 0L, lit(null).cast("long"))
+        .otherwise(F.idiv(lit(1000L) * dLgV, dLgT)).as("beta_milli"))
+  }
+
+  /** q421: the corpus's vocabulary-growth curve at five hash-order
+    * prefixes — is this corpus saturated or still yielding. */
+  def q421(s: SparkSession, d: String): DataFrame =
+    heapsCurve(Tables.documents(s, d), "doc_id", "text")
 }

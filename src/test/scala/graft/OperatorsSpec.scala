@@ -7600,6 +7600,57 @@ class OperatorsSpec extends SparkSpec {
     assert(out(4L)._3 == -1L && out(4L)._4 == null, out.toString)
   }
 
+  test("heapsCurve: full hand replay on a 5-doc corpus — hash-order " +
+       "buckets, first-prefix vocabulary, exact lattice betas") {
+    import SparkTestSession.spark.implicits._
+    val texts = Map(1L -> "a b c", 2L -> "a b", 3L -> "d e f g",
+      4L -> "a d h", 5L -> "i")
+    val docs = texts.toSeq.toDF("doc_id", "text")
+    val out = Text.heapsCurve(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.get(4))).toMap
+    // replay: rank docs by (md5 hex of decimal id, id), bucket
+    // k = 5(rn-1)/n + 1 = rn here (n = 5), cumulate tokens and
+    // first-occurrence vocabulary, betas on the lg64 lattice
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(s: String) = md.digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val order = texts.keys.toSeq.sortBy(id => (hex(id.toString), id))
+    val seen = collection.mutable.Set.empty[String]
+    var (nt, nv) = (0L, 0L)
+    var prev = Option.empty[(Long, Long)]
+    order.zipWithIndex.foreach { case (id, i) =>
+      val tk = texts(id).split(" ")
+      nt += tk.length; tk.foreach(t => if (seen.add(t)) nv += 1)
+      val k = i + 1L
+      val beta = prev.flatMap { case (pt, pv) =>
+        val dT = Text.lg64(nt) - Text.lg64(pt)
+        if (dT == 0) None
+        else Some(1000L * (Text.lg64(nv) - Text.lg64(pv)) / dT)
+      }
+      assert(out(k) == ((k, nt, nv, beta.map(java.lang.Long.valueOf).orNull)),
+        s"prefix $k: ${out(k)} vs ($k, $nt, $nv, $beta)")
+      prev = Some((nt, nv))
+    }
+  }
+
+  test("neymanAllocation: spread beats size — the constant stratum " +
+       "draws zero, the singleton reads NULL sd, floors documented") {
+    import SparkTestSession.spark.implicits._
+    val units = (Seq(("X", 0L), ("X", 200L)) ++
+      Seq.fill(4)(("Y", 100L)) ++ Seq(("Z", 7L))).toDF("g", "v")
+    val out = Relational.neymanAllocation(units, col("g"), col("v"), 100L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.get(2), r.getLong(3), r.get(4), r.getLong(5)))
+      .toMap
+    // X: var floor 20000, isqrt 141 (141^2=19881 <= 20000 < 142^2)
+    assert(out("X") == ((2L, 141L, 282L, 100L, 28L)), out.toString)
+    // Y is constant: sd 0, Neyman sends NOTHING (any unit represents
+    // it) while proportional wastes 4/7 of the budget there
+    assert(out("Y") == ((4L, 0L, 0L, 0L, 57L)), out.toString)
+    assert(out("Z") == ((1L, null, 0L, 0L, 14L)), out.toString)
+  }
+
   test("pngAuditBytes: healthy corpus all green with n_chunks >= 3; " +
        "a flipped IDAT byte fails ONLY crc, truncation fails " +
        "structure, a bad signature fails sig") {
