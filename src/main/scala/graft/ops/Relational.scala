@@ -2624,43 +2624,57 @@ object Relational {
     * pairs) with headroom. */
   def theilSen(units: DataFrame, x: Column, y: Column,
                maxUnits: Long = 4096L): DataFrame = {
-    val u = units.select(x.as("xv"), y.as("yv"))
-      .where(col("xv").isNotNull && col("yv").isNotNull)
-      .localCheckpoint()
-    val nu = u.count()
-    require(nu <= maxUnits,
-      s"theilSen: $nu units would form ~${nu * nu / 2} slope pairs; " +
-        "pre-aggregate the series to a bounded grain (the q328 day-table " +
-        "discipline) or raise maxUnits deliberately")
-    val slopes = u.as("a").join(u.as("b"), col("a.xv") < col("b.xv"))
-      .select(graft.functions.F.idiv(
-        lit(1000L) * (col("b.yv") - col("a.yv")),
-        col("b.xv") - col("a.xv")).as("sl"))
-      .localCheckpoint()
-    val np = slopes.count()
-    val nd = nu
     val spark = units.sparkSession
     import spark.implicits._
+    // The estimator is quadratic in its unit grain BY DEFINITION, and
+    // the guard below caps that grain at maxUnits — so the whole pair
+    // set is model-sized (≤ ~8.4M slopes at the default), never
+    // corpus-sized. Collect the UNITS (≤ maxUnits rows; the limit
+    // bounds the driver transfer even when a caller passes a corpus —
+    // the require still trips on the sentinel row) and enumerate the
+    // slopes as a bounded driver fold, the anisotropy/Lloyd convention.
+    // r16 optimization: the previous shape materialized the n²/2-row
+    // pair table through a join + localCheckpoint and then median-
+    // picked it with a SINGLE-PARTITION window sort (rankPick) — ~3 s
+    // of exchange and one-task sort at sf0.1 for a number derivable
+    // from 2.4k day rows. Scala long division truncates toward zero
+    // exactly like F.idiv / DuckDB `//`, so the milli grid is
+    // bit-identical.
+    val u0 = units.select(x.cast("long").as("xv"), y.cast("long").as("yv"))
+      .where(col("xv").isNotNull && col("yv").isNotNull)
+      .limit((maxUnits + 1).toInt)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nu = u0.length.toLong
+    require(nu <= maxUnits,
+      s"theilSen: >= $nu units would form ~${nu * nu / 2}+ slope pairs; " +
+        "pre-aggregate the series to a bounded grain (the q328 day-table " +
+        "discipline) or raise maxUnits deliberately")
+    val sb = scala.collection.mutable.ArrayBuilder.make[Long]
+    var i = 0
+    while (i < u0.length) {
+      var j = 0
+      while (j < u0.length) {
+        if (u0(i)._1 < u0(j)._1)
+          sb += 1000L * (u0(j)._2 - u0(i)._2) / (u0(j)._1 - u0(i)._1)
+        j += 1
+      }
+      i += 1
+    }
+    val sl = sb.result()
+    val np = sl.length.toLong
     // degenerate series (no pairs): the oracle's median CTEs produce
     // zero rows — mirror that with an empty frame, never a crash
     if (np == 0)
       return Seq.empty[(Long, Long, Long, Long)]
         .toDF("n_units", "n_pairs", "slope_milli", "intercept_milli")
-    // rank-t pick by one ordered window over the pair table — which is
-    // day-lattice²-bounded by construction (≤ ~10⁷ rows for a DECADE
-    // of daily points, at any corpus size), so the single-partition
-    // sort is a bounded-model step, not a corpus sort. The slope
-    // values are near-continuous (cent revenues), so a value-lattice
-    // regroup would not compress it (measured: it only adds a shuffle).
-    def rankPick(vals: DataFrame, c: String, t: Long): Long =
-      vals.withColumn("rn", row_number().over(Window.orderBy(col(c).asc)))
-        .filter(col("rn") === lit(t))
-        .select(col(c)).head().getLong(0)
-    val slope = rankPick(slopes, "sl", (np + 1) / 2)
-    val intercept = rankPick(
-      u.select((lit(1000L) * col("yv") - lit(slope) * col("xv")).as("ic")),
-      "ic", (nd + 1) / 2)
-    Seq((nd, np, slope, intercept))
+    // lower median = value at ascending rank (n+1)/2 — rank-by-position
+    // ties collapse to the same VALUE, so an unstable sort is exact
+    java.util.Arrays.sort(sl)
+    val slope = sl(((np + 1) / 2 - 1).toInt)
+    val ic = u0.map { case (xv, yv) => 1000L * yv - slope * xv }
+    java.util.Arrays.sort(ic)
+    val intercept = ic(((nu + 1) / 2 - 1).toInt)
+    Seq((nu, np, slope, intercept))
       .toDF("n_units", "n_pairs", "slope_milli", "intercept_milli")
   }
 

@@ -1741,44 +1741,56 @@ object Similarity {
     val top = bruteForceTopK(corpus, queries, id, emb, pool)
       .select(col("query_id"), col("neighbor_id").as("cand"),
         col("cos_bp").as("rel_bp"))
-      .localCheckpoint()
+      .localCheckpoint() // feeds the pool pairs AND the driver collect
     val c = corpus.select(col(id).as("vid"), col(emb).as("c_emb"))
-    val pairs = top.select(col("query_id"), col("cand").as("ca"))
+    // pool pairwise sims stay a distributed codegen pass (the corpus
+    // vectors re-attach here); both tables below are queries×pool(²) —
+    // corpus-INDEPENDENT by construction, so the greedy selection is a
+    // bounded driver fold (the Lloyd/anisotropy model-sized
+    // convention). r16 optimization: the previous shape unrolled the k
+    // greedy steps as k Spark rounds (anti-join + max-sim join + window
+    // + localCheckpoint each) — ~40 sub-second jobs whose scheduling
+    // dominated the query (2.4 s of 2.4 s at sf0.1); the fold computes
+    // the identical argmax chain (same lambda arithmetic, same
+    // (mmr DESC, cand ASC) tie order) in microseconds.
+    val pairRows = top.select(col("query_id"), col("cand").as("ca"))
       .join(top.select(col("query_id"), col("cand").as("cb")), Seq("query_id"))
       .filter(col("ca") =!= col("cb"))
       .join(c.select(col("vid").as("ca"), col("c_emb").as("a_emb")), "ca")
       .join(c.select(col("vid").as("cb"), col("c_emb").as("b_emb")), "cb")
       .select(col("query_id"), col("ca"), col("cb"),
         bp(F.cosineSim(col("a_emb"), col("b_emb"))).as("sim_bp"))
-      .localCheckpoint()
+      .collect()
+    val sim = pairRows.map(r =>
+      ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getLong(3))).toMap
+    val topRows = top.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val out = Seq.newBuilder[(Long, Int, Long, Long)]
+    topRows.groupBy(_._1).foreach { case (q, cands) =>
+      var selected = List.empty[Long]
+      for (step <- 1 to k) {
+        val remaining = cands.filter(t => !selected.contains(t._2))
+        if (remaining.nonEmpty) {
+          val scoredC = remaining.map { case (_, cand, rel) =>
+            // 0 only for the empty-selected first step (the na.fill in
+            // the previous Spark shape); a real max stays negative for
+            // anti-correlated pools
+            val msim =
+              if (selected.isEmpty) 0L
+              else selected.map(s => sim((q, cand, s))).max
+            (lambdaBp * rel - (10000L - lambdaBp) * msim, cand, rel)
+          }
+          val (_, cand, rel) = scoredC.minBy { case (m, cd, _) => (-m, cd) }
+          out += ((q, step, cand, rel))
+          selected ::= cand
+        }
+      }
+    }
     val spark = corpus.sparkSession
     import spark.implicits._
-    var selected = Seq.empty[(Long, Int, Long, Long)]
-      .toDF("query_id", "rank", "cand", "rel_bp")
-    for (step <- 1 to k) {
-      val remaining = top.join(
-        selected.select(col("query_id"), col("cand")),
-        Seq("query_id", "cand"), "left_anti")
-      val msim = pairs
-        .join(selected.select(col("query_id"), col("cand").as("cb")),
-          Seq("query_id", "cb"))
-        .groupBy(col("query_id"), col("ca").as("cand"))
-        .agg(max(col("sim_bp")).as("msim"))
-      val winner = remaining
-        .join(msim, Seq("query_id", "cand"), "left")
-        .na.fill(0L, Seq("msim"))
-        .withColumn("mmr", lit(lambdaBp) * col("rel_bp")
-          - lit(10000L - lambdaBp) * col("msim"))
-        .withColumn("rn", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
-            .orderBy(col("mmr").desc, col("cand").asc)))
-        .filter(col("rn") === 1)
-        .select(col("query_id"), lit(step).as("rank"), col("cand"),
-          col("rel_bp"))
-      selected = selected.unionByName(winner).localCheckpoint()
-    }
-    selected.select(col("query_id"), col("rank"),
-      col("cand").as("neighbor_id"), col("rel_bp"))
+    out.result().toDF("query_id", "rank", "cand", "rel_bp")
+      .select(col("query_id"), col("rank"),
+        col("cand").as("neighbor_id"), col("rel_bp"))
   }
 
   /** q325: MMR-diversified top-10 over the exact top-32 pool. */
@@ -2423,9 +2435,15 @@ object Similarity {
     val c = corpus.select(col(id).as("vid"), col(emb).as("c_emb"))
       .localCheckpoint()
     val cos = F.cosineSim(col("a_emb"), col("b_emb"))
+    // r16 optimization (guide §2.4): attach the nbr-side vector FIRST
+    // and the vid-side vector LAST, so the scored table leaves the
+    // second join hash-partitioned on vid — exactly the clustering
+    // keepBest's groupBy(vid) requires — and the widest table of every
+    // round skips its aggregation exchange (inner equi-joins commute;
+    // the rows are identical).
     def score(pairs: DataFrame): DataFrame = pairs
-      .join(c.select(col("vid"), col("c_emb").as("a_emb")), "vid")
       .join(c.select(col("vid").as("nbr"), col("c_emb").as("b_emb")), "nbr")
+      .join(c.select(col("vid"), col("c_emb").as("a_emb")), "vid")
       .select(col("vid"), col("nbr"), cos.as("cos"))
     def keepBest(scored: DataFrame): DataFrame = scored
       .groupBy(col("vid"))
@@ -2524,11 +2542,20 @@ object Similarity {
     var frontier = topBeam(scored(entries.select(col("query_id"), col("vid"))))
       .localCheckpoint()
     for (_ <- 1 to hops) {
+      // r16 optimization (guide §2.4): the expand set is NOT
+      // pre-distinct'ed — cosine is deterministic per (query, vid), so
+      // the (query_id, vid) max-dedup below already collapses duplicate
+      // proposals to the identical row set, and dropping the distinct
+      // removes one full exchange+stage of the walk's widest table per
+      // hop. The explicit repartition then feeds BOTH the dedup and the
+      // top-beam aggregation from ONE exchange (HashPartitioning(q)
+      // satisfies the (q, vid) clustering), where the previous shape
+      // paid distinct + dedup + top-beam = 3 exchanges per hop.
       val expand = frontier
         .join(graph, "vid")
         .select(col("query_id"), explode(col("nbrs")).as("vid"))
-        .distinct()
       frontier = topBeam(frontier.unionByName(scored(expand))
+        .repartition(col("query_id"))
         .groupBy(col("query_id"), col("vid")).agg(max(col("cos")).as("cos")))
         .localCheckpoint()
     }
@@ -3339,12 +3366,17 @@ object Similarity {
     var frontier = topBeam(first).localCheckpoint()
     var visited = first
     for (_ <- 1 to hops) {
+      // r16 optimization — the beamWalk hop-body change applied to the
+      // accumulating variant: no pre-distinct (the end-of-walk and
+      // per-hop (query_id, vid) max-dedups collapse duplicate proposals
+      // to the identical row set), one repartition feeding both
+      // aggregations. See beamWalk for the exchange accounting.
       val expand = frontier
         .join(graph, "vid")
         .select(col("query_id"), explode(col("nbrs")).as("vid"))
-        .distinct()
       val sx = scored(expand).localCheckpoint()
       frontier = topBeam(frontier.unionByName(sx)
+        .repartition(col("query_id"))
         .groupBy(col("query_id"), col("vid")).agg(max(col("cos")).as("cos")))
         .localCheckpoint()
       visited = visited.unionByName(sx)
