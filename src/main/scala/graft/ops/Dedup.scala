@@ -1705,13 +1705,19 @@ object Dedup {
     require(n > 0, "pageRank needs a nonempty edge set")
     val tele = (Scale * 15L / 100L) / n
     var ranks = deg.select(col("x").as("node"), lit(Scale / n).as("r"))
+    // r16 optimization (guide §1.2): each round's rank table has exactly
+    // ONE consumer (the next round's join), so the lineage chain is
+    // linear and nothing recomputes — the per-round localCheckpoint was
+    // an eager job per iteration that bought no reuse. The whole
+    // fixed-unroll now executes as ONE job (the checkpointed eD feeds
+    // every round via exchange reuse); plan depth is bounded by the
+    // fixed iteration count.
     for (_ <- 0 until iters) {
       ranks = eD.join(ranks.withColumnRenamed("node", "x"), "x")
         .select(col("y"), F.idiv(col("r"), col("d")).as("c"))
         .groupBy(col("y")).agg(sum(col("c")).as("sc"))
         .select(col("y").as("node"),
           (lit(tele) + F.idiv(lit(85L) * col("sc"), lit(100L))).as("r"))
-        .localCheckpoint()
     }
     ranks.select(col("node").as("doc_id"), col("r").as("rank_e12"))
   }

@@ -2531,8 +2531,12 @@ object Relational {
     // the normalizer and the main side — without it every sweep ran
     // its edge join + aggregation twice (review finding, round 12)
     def norm(scores0: DataFrame, key: String, c: String): DataFrame = {
-      val scores = scores0.localCheckpoint()
-      scores.crossJoin(broadcast(scores.agg(max(col(c)).as("mx"))))
+      // r16: no checkpoint here — the double consumption (max
+      // normalizer + main side) now lives inside ONE per-sweep job
+      // (see the loop), where the duplicated aggregate subtree shares
+      // its shuffle via exchange reuse; the old inner checkpoint was a
+      // second eager job per sweep side.
+      scores0.crossJoin(broadcast(scores0.agg(max(col(c)).as("mx"))))
         .select(col(key), graft.functions.F.idiv(
           dec(lit(HitsScale)) * dec(col(c)), dec(col("mx")))
           .cast("long").as(c))
@@ -2541,6 +2545,14 @@ object Relational {
       .select(col("s"), lit(HitsScale).as("hs")).localCheckpoint()
     var a = e.select(col("t")).distinct()
       .select(col("t"), lit(HitsScale).as("ascore")).localCheckpoint()
+    // r16 optimization (guide §1.2): ONE eager materialization per
+    // sweep side instead of two — the raw aggregate's double
+    // consumption (max normalizer + main side) is deduplicated by
+    // exchange reuse inside the per-sweep checkpoint job, so norm()'s
+    // old inner checkpoint was a redundant second job per side.
+    // (Dropping the outer per-sweep checkpoints instead was measured
+    // SLOWER at sf0.1 — 4.5 → 6.0 s warm — the cross-sweep broadcast
+    // normalizers then rebuild per consumer.)
     for (_ <- 1 to iters) {
       // sums in decimal(38,0): Σ over degree of 10⁶-scaled scores
       // wraps a long past ~10¹² in-neighbors
@@ -3769,7 +3781,11 @@ object Relational {
       .localCheckpoint() // feeds every round + sizes + internal edges
     var lab = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lab"))
-      .localCheckpoint()
+    // r16 optimization: per-round labels have ONE consumer (the next
+    // sweep) — the per-round localCheckpoint was an eager job per sweep
+    // with no reuse (the q147 pageRank note); only the FINAL labeling
+    // is double-consumed (sizes + internal edges) and is checkpointed
+    // once below.
     for (_ <- 1 to rounds) {
       // argmax neighbor label by (count DESC, label ASC) as a packed
       // min-struct (q82 convention): counts are positive so -cnt is
@@ -3782,8 +3798,8 @@ object Relational {
         .groupBy(col("src"))
         .agg(min(struct((-col("cnt")).as("nc"), col("nlab").as("l"))).as("m"))
         .select(col("src").as("node"), col("m.l").as("lab"))
-        .localCheckpoint()
     }
+    lab = lab.localCheckpoint()
     val sizes = lab.groupBy(col("lab")).agg(count(lit(1)).as("n_nodes"))
     // both-direction table counts each within-community edge twice
     val internal = edges
@@ -3848,6 +3864,10 @@ object Relational {
         when(seedPred(col("node")), lit(0L)).otherwise(lit(null).cast("long"))
           .as("dist"))
       .localCheckpoint()
+    // NOTE (r16): unlike the single-consumer pageRank/LPA rounds, each
+    // round's dist here is consumed TWICE (relaxation join + the
+    // left-join self), so dropping the per-round checkpoint would
+    // duplicate the round subtree 2^rounds-fold — it stays.
     for (_ <- 1 to rounds) {
       val prop = edges
         .join(dist.select(col("node").as("dst"), col("dist").as("nd")),
@@ -4630,6 +4650,10 @@ object Relational {
     var ranks = deg.select(col("x").as("node")).join(seeds, Seq("node"), "left")
       .select(col("node"),
         when(col("is_seed") === 1, lit(r0Seed)).otherwise(lit(0L)).as("r"))
+    // r16 optimization: single-consumer per-round tables — the
+    // per-round localCheckpoint was one eager job per iteration with no
+    // reuse to buy (the q147 pageRank note); the fixed unroll runs as
+    // one job over the checkpointed eD/deg.
     for (_ <- 0 until iters) {
       val contrib = eD.join(ranks.withColumnRenamed("node", "x"), "x")
         .select(col("y"), graft.functions.F.idiv(col("r"), col("d")).as("c"))
@@ -4641,7 +4665,6 @@ object Relational {
           (when(col("is_seed") === 1, lit(teleSeed)).otherwise(lit(0L)) +
             graft.functions.F.idiv(lit(85L) * coalesce(col("sc"), lit(0L)), lit(100L)))
             .as("r"))
-        .localCheckpoint()
     }
     ranks.join(seeds, Seq("node"), "left")
       .select(col("node"), col("r").as("rank_e12"),
