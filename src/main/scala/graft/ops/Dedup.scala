@@ -1564,10 +1564,25 @@ object Dedup {
       sys.addShutdownHook { try fs.delete(hp, true) catch { case _: Exception => () } }
     }
     val evens = docs.filter(col("doc_id") % 2 === 0)
-    writeSignatureStore(evens.filter(col("doc_id") % 8 < 4),
-      "doc_id", "text", path, batchTag = "a")
-    writeSignatureStore(evens.filter(col("doc_id") % 8 >= 4),
-      "doc_id", "text", path, batchTag = "b")
+    // r16 optimization (guide §2.6): the two batch builds are
+    // independent (disjoint batch=a / batch=b directories) — submit
+    // them concurrently so the second build's tasks back-fill the
+    // first's straggler tail instead of waiting for it; the erase
+    // below starts only after both have committed.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val builds = Seq(
+      scala.concurrent.Future(writeSignatureStore(
+        evens.filter(col("doc_id") % 8 < 4), "doc_id", "text", path,
+        batchTag = "a")),
+      scala.concurrent.Future(writeSignatureStore(
+        evens.filter(col("doc_id") % 8 >= 4), "doc_id", "text", path,
+        batchTag = "b")))
+    try scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(builds),
+      scala.concurrent.duration.Duration.Inf)
+    finally pool.shutdown()
     deleteFromSignatureStore(s, path,
       docs.filter(col("doc_id") % 4 === 0), "doc_id")
     incrementalPairs(docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", path, 0.6)
