@@ -1989,10 +1989,19 @@ object Dedup {
     for (j <- 0 until rounds) {
       out += ((width, cur))
       if (j < rounds - 1) {
-        cur = cur.join(
-            cur.select(col("doc_id"), (col("p") - width).as("p"),
-              col("h").as("h2")),
-            Seq("doc_id", "p"))
+        // r16 optimization (guide §2.4): the doubling recurrence
+        // h'(p) = md5(h(p) || ':' || h(p+width)) used to run as a
+        // self-join on (doc_id, p) — TWO exchanges + a sort-merge per
+        // round. Window positions are DENSE by construction (every p in
+        // 1..n-w+1 from windowHashes, and each round preserves the
+        // dense prefix 1..n-width+1), so h(p+width) is exactly
+        // lead(h, width) over (doc_id, p-order): one exchange + one
+        // sort per round, bit-identical rows (the not-null filter is
+        // the old join's existence condition).
+        val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+        cur = cur
+          .withColumn("h2", lead(col("h"), width.toInt).over(byDoc))
+          .filter(col("h2").isNotNull)
           .select(col("doc_id"), col("p"),
             md5(concat(col("h"), lit(":"), col("h2"))).as("h"))
           .localCheckpoint()
